@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the oracle-gated query battery.
+  *
+  * Floating-point determinism strategy: Spark sums partitions in
+  * arbitrary order, DuckDB sums sequentially — double addition is not
+  * associative, so raw double sums hash-mismatch. Every floating
+  * aggregate therefore accumulates in DECIMAL(38,10) (exact, order-
+  * independent; the per-row double->decimal cast is identical in both
+  * engines), and only the final scalar is cast back to double and
+  * rounded. Derived statistics (mean/var/std/skew/kurtosis/covar/corr)
+  * are computed from exact moment sums — the same decomposition the
+  * reference uses (reference: packages/vaex-core/vaex/agg.py:386-520,
+  * mean/var/skew from sum/count moments).
+  */
+object Q {
+  val DEC = "decimal(38,10)"
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double expression. */
+  def dsum(c: Column): Column = sum(c.cast(DEC))
+  /** Exact decimal sum -> double. */
+  def dsumD(c: Column): Column = dsum(c).cast("double")
+  /** Final presentation rounding (applied identically in the SQL oracle). */
+  def r(c: Column, s: Int = 4): Column = round(c, s)
+
+  /** Exact mean as double: sum(decimal)/count, rounded. */
+  def dmean(c: Column, s: Int = 6): Column =
+    r(dsumD(c) / count(c), s)
+
+  // SQL-side equivalents (string builders keep Spark & DuckDB in sync)
+  def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+  def sqlR(e: String, s: Int = 4): String = s"ROUND($e, $s)"
+  def sqlDmean(e: String, s: Int = 6): String =
+    sqlR(s"${sqlDsum(e)} / COUNT($e)", s)
+}
