@@ -15,8 +15,16 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.StarQueries.queries
+    graft.queries.StarQueries.queries ++
+      graft.queries.FuncQueries.queries ++
+      graft.queries.WindowQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      graft.queries.TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.StarQueries.oracleSql
+    graft.queries.StarQueries.oracleSql ++
+      graft.queries.FuncQueries.oracleSql ++
+      graft.queries.WindowQueries.oracleSql ++
+      graft.queries.VectorQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

@@ -185,13 +185,15 @@ object VxFunctions {
   // long microseconds between two timestamps (DayTimeIntervalType is
   // awkward across parquet/oracle boundaries).
   object td {
-    /** microseconds between two timestamps (b - a). */
+    /** microseconds between two timestamps (b - a); accepts NTZ. */
     def between(a: Column, b: Column): Column =
-      (unix_micros(b) - unix_micros(a))
-    def days(micros: Column): Column = (micros / lit(86400000000L)).cast("long")
-    def seconds(micros: Column): Column = ((micros % lit(86400000000L)) / lit(1000000L)).cast("long")
-    def microseconds(micros: Column): Column = (micros % lit(1000000L)).cast("long")
-    def nanoseconds(micros: Column): Column = (micros % lit(1000000L)) * lit(1000L)
+      unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp"))
+    def days(micros: Column): Column = floor(micros / lit(86400000000L)).cast("long")
+    def seconds(micros: Column): Column =
+      floor((micros - days(micros) * lit(86400000000L)) / lit(1000000L)).cast("long")
+    def microseconds(micros: Column): Column =
+      (micros - floor(micros / lit(1000000L)) * lit(1000000L) ).cast("long")
+    def nanoseconds(micros: Column): Column = microseconds(micros) * lit(1000L)
     def totalSeconds(micros: Column): Column = micros.cast("double") / lit(1e6)
   }
 

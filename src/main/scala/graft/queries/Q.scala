@@ -19,8 +19,24 @@ import org.apache.spark.sql.functions._
 object Q {
   val DEC = "decimal(38,10)"
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Table loader. The `events` table stores ts as parquet
+    * TIMESTAMP(NANOS) which Spark reads only as long (with
+    * spark.sql.legacy.parquet.nanosAsLong=true); normalize to
+    * microsecond TIMESTAMP_NTZ — the same ns->us truncation DuckDB
+    * applies. DIV keeps the arithmetic integral (ns epoch > 2^53
+    * overflows double). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case None => df
+    }
+  }
+
+  /** Epoch microseconds for either timestamp flavor (unix_micros only
+    * accepts TIMESTAMP; NTZ casts losslessly under the UTC session). */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** Exact decimal sum of a double expression. */
   def dsum(c: Column): Column = sum(c.cast(DEC))

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Text-analysis battery over the `documents` table — the
+  * training-data-pipeline operators (quality scoring, token counting,
+  * exact dedup) in their SQL-expressible form. The hash-based ops
+  * (MinHash/SimHash/fingerprinting) live in [[graft.operators.Dedup]]
+  * and [[graft.functions.TextFunctions]] with rows-only gates.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // quality-scoring features: char length, token count, mean word
+    // length, punctuation-free ratio, stopword ratio
+    "q_text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      val tokens = split(txt, " ")
+      val nTok = size(tokens).cast("long")
+      val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(txt).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        round((length(txt).cast("double") - (nTok - 1).cast("double")) / nTok.cast("double"), 6).as("mean_wordlen"),
+        size(filter(tokens, tk => array_contains(stop, tk))).cast("long").as("n_stop"),
+        round(size(filter(tokens, tk => array_contains(stop, tk))).cast("double") / nTok.cast("double"), 6).as("stop_ratio"),
+        size(filter(tokens, tk => length(tk) >= 5)).cast("long").as("n_long_tokens")
+      ).orderBy("doc_id")
+    }),
+
+    // corpus statistics per (source, lang)
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")
+        )
+        .orderBy("source", "lang")
+    }),
+
+    // exact deduplication accounting (hash-groupBy; reference-style
+    // `unique` over text, core/dataframe.py:575) — group sizes by text
+    // identity, keep min doc_id as the canonical representative
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("first_keep"))
+        .orderBy("n_copies")
+    }),
+
+    // token-frequency (word-count) — the canonical explode/flatMap op
+    "q_token_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(30)
+    }),
+
+    // n-gram shingles (dedup building block, SQL-checkable): distinct
+    // 3-gram count per doc
+    "q_shingles" -> ((s, dir) => {
+      val tokens = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens).cast("long").as("n_tokens"),
+        size(array_distinct(
+          when(size(tokens) >= 3,
+            transform(sequence(lit(0), size(tokens) - 3),
+              i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
+            .otherwise(array()))).cast("long").as("n_shingles")
+      ).orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ROUND((CAST(LENGTH(text) AS DOUBLE) - (LEN(string_split(text, ' ')) - 1))
+        |    / LEN(string_split(text, ' ')), 6) AS mean_wordlen,
+        |  CAST(LEN(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS n_stop,
+        |  ROUND(CAST(LEN(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |    / LEN(string_split(text, ' ')), 6) AS stop_ratio,
+        |  CAST(LEN(list_filter(string_split(text, ' '), t -> LENGTH(t) >= 5)) AS BIGINT) AS n_long_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH g AS (
+        |  SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY text)
+        |SELECT n_copies, COUNT(*) AS n_groups, MIN(keep_id) AS first_keep
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token LIMIT 30""".stripMargin,
+
+    "q_shingles" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LEN(list_distinct(CASE WHEN LEN(string_split(text, ' ')) >= 3
+        |    THEN list_transform(range(0, LEN(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3])
+        |    ELSE [] END)) AS BIGINT) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VxFunctions
+import Q._
+
+/** Embedding / array-column battery: list arithmetic (reference:
+  * core/functions.py:110 list_sum, :2741 dot_product) and the
+  * similarity-search baseline (brute-force cosine top-k) over the
+  * `embeddings` table (64-dim float vectors).
+  *
+  * All vector math is `zip_with`/`aggregate` Column compositions —
+  * codegen-friendly, no UDFs, no driver collection. The anchor row for
+  * top-k is a 1-row broadcast join (scales to any table size).
+  */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-label array statistics
+    "q_array_stats" -> ((s, dir) => {
+      val e = col("embedding")
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(size(e)).as("dim"),
+          r(dsumD(VxFunctions.listSum(e)), 4).as("sum_elems"),
+          r(dsumD(VxFunctions.l2Norm(e)), 4).as("sum_norm"),
+          r(dsumD(element_at(e, 1).cast("double")), 6).as("sum_first")
+        )
+        .orderBy("label")
+    }),
+
+    // element-wise array transform + predicate
+    "q_array_transform" -> ((s, dir) => {
+      val e = col("embedding")
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(e).as("dim"),
+        r(VxFunctions.listSum(transform(e, x => abs(x.cast("double")))), 6).as("l1"),
+        size(filter(e, x => x > 0.0f)).as("n_pos"),
+        r(aggregate(e, lit(Double.NegativeInfinity), (acc, x) => greatest(acc, x.cast("double"))), 6).as("maxval")
+      ).orderBy("vec_id")
+    }),
+
+    // brute-force cosine top-k against one anchor vector — the exact
+    // baseline for ANN (SURVEY M8); anchor is a 1-row cross join that
+    // Spark broadcasts, the scan stays fully parallel.
+    "q_similarity_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val anchor = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("anchor_emb"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(anchor))
+        .select(col("vec_id"), col("label"),
+          r(VxFunctions.cosineSimilarity(col("embedding"), col("anchor_emb")), 8).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // embedding-based near-duplicate candidates within one label:
+    // self-join bounded by label blocking (the scale path buckets by
+    // LSH instead; see graft.operators.Dedup)
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("label"),
+          r(VxFunctions.cosineSimilarity(col("emb_a"), col("emb_b")), 8).as("cos"))
+        .where(col("cos") > 0.9)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // DuckDB-side vector math written as explicit fold/list comprehensions
+  // so the accumulation order matches the Spark zip_with/aggregate fold.
+  private def ddbDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def ddbNorm(a: String): String = s"SQRT(${ddbDot(a, a)})"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_array_stats" ->
+      s"""SELECT label, COUNT(*) AS n,
+         |  MAX(LEN(embedding)) AS dim,
+         |  ${sqlR(sqlDsum("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))"), 4)} AS sum_elems,
+         |  ${sqlR(sqlDsum(ddbNorm("embedding")), 4)} AS sum_norm,
+         |  ${sqlR(sqlDsum("CAST(embedding[1] AS DOUBLE)"), 6)} AS sum_first
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_array_transform" ->
+      """SELECT vec_id,
+        |  LEN(embedding) AS dim,
+        |  ROUND(list_sum(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))), 6) AS l1,
+        |  LEN(list_filter(embedding, x -> x > 0.0)) AS n_pos,
+        |  ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS maxval
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_similarity_topk" ->
+      s"""WITH anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  ROUND(CASE WHEN ${ddbNorm("embedding")} * ${ddbNorm("a")} = 0.0 THEN 0.0
+         |    ELSE ${ddbDot("embedding", "a")} / (${ddbNorm("embedding")} * ${ddbNorm("a")}) END, 8) AS cos
+         |FROM embeddings, anchor WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+         |    ROUND(CASE WHEN ${ddbNorm("a.embedding")} * ${ddbNorm("b.embedding")} = 0.0 THEN 0.0
+         |      ELSE ${ddbDot("a.embedding", "b.embedding")}
+         |           / (${ddbNorm("a.embedding")} * ${ddbNorm("b.embedding")}) END, 8) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos > 0.9 ORDER BY id_a, id_b""".stripMargin
+  )
+}

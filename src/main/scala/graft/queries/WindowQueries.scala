@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Ordered / window-style operators (SURVEY.md §2.6) plus the as-of
+  * join extension (§2.3 "as-of join = our extension") and rollup.
+  *
+  * vaex's shift/diff/rolling assume deterministic file order; on Spark
+  * they lower to window functions over an explicit total order. All
+  * order keys here include enough columns for a total order (the
+  * synthetic data has duplicate (orderkey, linenumber) pairs).
+  */
+object WindowQueries {
+
+  // Total order within a supplier partition.
+  private def liOrder = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // shift/diff -> lag over a window (reference: core/dataframe.py:4781
+    // shift, :4749 diff re-expressed; vaex aligns chunk streams, Spark
+    // partitions by the grouping key so the sort is per-group, not global)
+    "q_shift_diff" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(liOrder: _*)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+        .withColumn("diff_price", col("l_extendedprice") - col("prev_price"))
+        .orderBy(col("l_suppkey") +: liOrder: _*)
+    }),
+
+    // rolling window aggregation (reference: core/dataframe.py:5656
+    // rolling; sliding_matrix core/shift.py:67 -> rowsBetween frame)
+    "q_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(liOrder: _*)
+        .rowsBetween(-2, 0)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("roll_sum", round(sum(col("l_extendedprice")).over(w), 4))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .orderBy(col("l_suppkey") +: liOrder: _*)
+    }),
+
+    // ranking family (absent in reference §2.6 — "free if wanted")
+    "q_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .where(col("rn") <= 100)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
+    // positional (row-number) join: vaex's on=None column paste
+    // (reference: core/join.py:164-165, 280-289)
+    "q_join_positional" -> ((s, dir) => {
+      val wl = Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val wo = Window.orderBy(col("o_orderkey"))
+      val a = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(wl).cast("long")).where(col("rn") <= 500)
+      val b = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(wo).cast("long")).where(col("rn") <= 500)
+      a.join(b, Seq("rn")).orderBy("rn")
+    }),
+
+    // as-of join: for each purchase, the latest strictly-earlier click
+    // by the same user. Spark lacks ASOF; composed as join + max_by —
+    // the equi-key shuffle partitions both sides, so this scales
+    // (no cross product beyond per-user pairs).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      purchases
+        .join(clicks, purchases("p_user") === clicks("c_user") && clicks("c_ts") < purchases("p_ts"), "left")
+        .groupBy(col("p_id"), col("p_user"), col("p_ts"))
+        .agg(max(col("c_ts")).as("last_click_ts"))
+        .orderBy("p_id")
+    }),
+
+    // rollup (beyond-reference: free on Spark, SURVEY §2.4 note)
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    }),
+
+    // cube (beyond-reference)
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("prio"), col("n"))
+        .orderBy("status", "prio")
+    }),
+
+    // sessionization-style gap detection over event streams: window
+    // lag + cumulative sum — the batch shape of streaming sessions.
+    "q_sessionize" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (epochUs(col("ts")) - epochUs(col("prev_ts"))) > 3600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_shift_diff" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+        |  LAG(l_extendedprice, 1) OVER w AS prev_price,
+        |  l_extendedprice - LAG(l_extendedprice, 1) OVER w AS diff_price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+        |  ROUND(SUM(l_extendedprice) OVER w, 4) AS roll_sum,
+        |  COUNT(*) OVER w AS roll_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |    CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 100 ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_join_positional" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS BIGINT) AS rn
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |SELECT rn, l_orderkey, l_linenumber, l_extendedprice, o_orderkey, o_totalprice
+        |FROM a JOIN b USING (rn)
+        |WHERE rn <= 500 ORDER BY rn""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |  c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY p_id""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS flag,
+         |  COALESCE(l_linestatus, '(all)') AS status,
+         |  COUNT(*) AS n, ${sqlR(sqlDsum("l_quantity"))} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS prio, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |          OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 3600000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
