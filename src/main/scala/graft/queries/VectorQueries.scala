@@ -46,29 +46,42 @@ object VectorQueries {
 
     // brute-force cosine top-k against one anchor vector — the exact
     // baseline for ANN (SURVEY M8); anchor is a 1-row cross join that
-    // Spark broadcasts, the scan stays fully parallel.
+    // Spark broadcasts, the scan stays fully parallel. Dot product is
+    // the codegen'd FloatVectorDot kernel, not an interpreted HOF.
     "q_similarity_topk" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.{fdot, fnorm}
       val emb = t(s, dir, "embeddings")
       val anchor = emb.where(col("vec_id") === 0)
         .select(col("embedding").as("anchor_emb"))
+      val denom = fnorm(col("embedding")) * fnorm(col("anchor_emb"))
       emb.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(anchor))
         .select(col("vec_id"), col("label"),
-          r(VxFunctions.cosineSimilarity(col("embedding"), col("anchor_emb")), 8).as("cos"))
+          r(when(denom === 0.0, lit(0.0))
+            .otherwise(fdot(col("embedding"), col("anchor_emb")) / denom), 8).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
 
     // embedding-based near-duplicate candidates within one label:
     // self-join bounded by label blocking (the scale path buckets by
-    // LSH instead; see graft.operators.Dedup)
+    // LSH instead; see graft.operators.Dedup). Norms are computed ONCE
+    // per row before the join (O(n·d)), so each candidate pair costs a
+    // single codegen'd dot product (O(d)) — not 3 interpreted folds.
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
-      val a = emb.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
-      val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+      import graft.functions.VectorExpressions.{fdot, fnorm}
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          fnorm(col("embedding")).as("nrm"))
+      val a = emb.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      val denom = col("nrm_a") * col("nrm_b")
       a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("label"),
-          r(VxFunctions.cosineSimilarity(col("emb_a"), col("emb_b")), 8).as("cos"))
+          r(when(denom === 0.0, lit(0.0))
+            .otherwise(fdot(col("emb_a"), col("emb_b")) / denom), 8).as("cos"))
         .where(col("cos") > 0.9)
         .orderBy("id_a", "id_b")
     })
