@@ -19,12 +19,14 @@ object SparkEntry {
       graft.queries.FuncQueries.queries ++
       graft.queries.WindowQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
       graft.queries.FuncQueries.oracleSql ++
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql
 }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import Q._
+
+/** Near-duplicate detection battery over `documents` — the
+  * training-data-pipeline dedup operators (MinHash+LSH, SimHash,
+  * n-gram Jaccard, fingerprinting, language-ID). The corpus plants
+  * ~25 near-dup pairs (Jaccard 0.9-0.99) across source boundaries, so
+  * LSH banding (not metadata blocking) is the candidate generator
+  * that finds them.
+  *
+  * Scale design: every per-document stage is a narrow projection (no
+  * shuffle); the only shuffles are the band-key equi-join (LSH) and
+  * the final sort. At 100 TB the band-key join shuffles only
+  * (doc_id, band, 8-byte key) tuples — never the text — and candidate
+  * verification joins shingle sets back by doc_id.
+  *
+  * All hashes are the 60-bit md5 prefix (TextFunctions.portableHash),
+  * bit-identical in DuckDB, so even the LSH candidate sets are
+  * oracle-checked exactly.
+  */
+object DedupQueries {
+
+  private val K = 8            // minhash signature length
+  private val R = 2            // rows per LSH band -> 4 bands
+  private val VERIFY = 0.8     // post-LSH jaccard verification threshold
+
+  private val markerSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("data", "table", "row"),
+    "fr" -> Seq("query", "join", "filter"),
+    "es" -> Seq("fast", "slow", "big"),
+    "zh" -> Seq("spark", "vector", "stream"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-doc MinHash signature (k=4 unpacked for value-level checking)
+    "q_minhash_sig" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      sh.select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        element_at(minhashSignature(col("sh"), 4), 1).as("mh1"),
+        element_at(minhashSignature(col("sh"), 4), 2).as("mh2"),
+        element_at(minhashSignature(col("sh"), 4), 3).as("mh3"),
+        element_at(minhashSignature(col("sh"), 4), 4).as("mh4")
+      ).orderBy("doc_id")
+    }),
+
+    // full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    // bucket-join -> verified jaccard
+    "q_lsh_neardup" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val sig = sh.select(col("doc_id"), minhashSignature(col("sh"), K).as("sig"))
+      val bands = sig
+        .select(col("doc_id"), explode(lshBandKeys(col("sig"), K, R)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .where(col("jac") >= VERIFY)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 16-bit SimHash per doc + hamming distance to a reference doc
+    "q_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), simhash(tokens(col("text")), 16).as("sh"))
+      val ref = sh.where(col("doc_id") === 0).select(col("sh").as("ref_sh"))
+      sh.crossJoin(broadcast(ref))
+        .select(col("doc_id"), col("sh"), hammingDistance(col("sh"), col("ref_sh")).as("ham"))
+        .orderBy("doc_id")
+    }),
+
+    // blocked exact-Jaccard baseline: all pairs within (source, lang),
+    // summarized per block (the quadratic baseline LSH replaces)
+    "q_jaccard_block" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), shingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("source").as("source_b"), col("lang").as("lang_b"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("source") === col("source_b") && col("lang") === col("lang_b") &&
+          col("id_a") < col("id_b"))
+        .select(col("source"), col("lang"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max(col("jac")), 6).as("max_jac"),
+          count(when(col("jac") > 0.3, lit(1))).as("n_neardup"))
+        .orderBy("source", "lang")
+    }),
+
+    // marker-word language-ID heuristic -> confusion matrix vs labels
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          langIdPredict(array_distinct(tokens(col("text"))), markerSets).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // document fingerprints: whole-text hash + min/max shingle hash
+    // (rolling-hash-style content fingerprint)
+    "q_fingerprint" -> ((s, dir) => {
+      val sh = shingles(col("text"), 3)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        portableHash(col("text")).as("fp"),
+        coalesce(array_min(transform(sh, x => portableHash(x))), lit(-1L)).as("min_shingle_fp"),
+        coalesce(array_max(transform(sh, x => portableHash(x))), lit(-1L)).as("max_shingle_fp")
+      ).orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+  // Shared SQL fragments (DuckDB): hash + shingles, kept textually in
+  // sync with TextFunctions.
+  private val H = (e: String) => s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
+  private def saltedH(i: String, e: String) = H(s"$i || ':' || $e")
+  private val shingleSql =
+    """list_distinct(CASE WHEN LEN(string_split(text,' ')) >= 3
+      |  THEN list_transform(range(0, LEN(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+      |  ELSE [] END)""".stripMargin
+  private def mhSql(i: Int) =
+    s"COALESCE(list_min(list_transform(sh, s -> ${saltedH(s"'$i'", "s")})), -1)"
+  private val jacSql =
+    "CAST(LEN(list_intersect(sh_a, sh_b)) AS DOUBLE) / LEN(list_distinct(list_concat(sh_a, sh_b)))"
+  private val simhashSql = (0 until 16).map { j =>
+    s"CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> $j) & 1 = 1)) > LEN(hs) THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+  private val langCase = {
+    val scores = markerSets.map { case (lang, ws) =>
+      lang -> s"LEN(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}]))"
+    }
+    val maxExpr = s"GREATEST(${scores.map(_._2).mkString(", ")})"
+    scores.map { case (lang, sc) => s"WHEN $sc = $maxExpr THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_minhash_sig" ->
+      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents)
+         |SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_shingles,
+         |  ${mhSql(0)} AS mh1, ${mhSql(1)} AS mh2,
+         |  ${mhSql(2)} AS mh3, ${mhSql(3)} AS mh4
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_neardup" -> {
+      val sig = (0 until K).map(mhSql).zipWithIndex
+        .map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
+      val bandRows = (0 until K / R).map { b =>
+        val key = H((0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+          .mkString(" || '_' || "))
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |sig AS (SELECT doc_id, $sig FROM s),
+         |bands AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, jac FROM (
+         |  SELECT id_a, id_b, ROUND($jacSql, 6) AS jac
+         |  FROM cand
+         |  JOIN (SELECT doc_id AS id_a, sh AS sh_a FROM s) USING (id_a)
+         |  JOIN (SELECT doc_id AS id_b, sh AS sh_b FROM s) USING (id_b))
+         |WHERE jac >= $VERIFY ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_simhash" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${saltedH("'99'", "t")}) AS hs
+         |  FROM documents),
+         |sh AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sh FROM hs)
+         |SELECT doc_id, sh,
+         |  CAST(bit_count(xor(sh, (SELECT sh FROM sh WHERE doc_id = 0))) AS BIGINT) AS ham
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_jaccard_block" ->
+      s"""WITH s AS (SELECT doc_id, source, lang, $shingleSql AS sh FROM documents)
+         |SELECT source, lang, COUNT(*) AS n_pairs,
+         |  ROUND(MAX(jac), 6) AS max_jac,
+         |  COUNT(CASE WHEN jac > 0.3 THEN 1 END) AS n_neardup
+         |FROM (
+         |  SELECT a.source, a.lang, ROUND($jacSql, 6) AS jac
+         |  FROM (SELECT source, lang, doc_id AS id_a, sh AS sh_a FROM s) a
+         |  JOIN (SELECT source AS source_b, lang AS lang_b, doc_id AS id_b, sh AS sh_b FROM s) b
+         |    ON a.source = b.source_b AND a.lang = b.lang_b AND a.id_a < b.id_b)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH p AS (
+         |  SELECT lang, $langCase AS pred
+         |  FROM (SELECT lang, list_distinct(string_split(text, ' ')) AS toks FROM documents))
+         |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH s AS (SELECT doc_id, text, $shingleSql AS sh FROM documents)
+         |SELECT doc_id, ${H("text")} AS fp,
+         |  COALESCE(list_min(list_transform(sh, x -> ${H("x")})), -1) AS min_shingle_fp,
+         |  COALESCE(list_max(list_transform(sh, x -> ${H("x")})), -1) AS max_shingle_fp
+         |FROM s ORDER BY doc_id""".stripMargin
+  )
+}
