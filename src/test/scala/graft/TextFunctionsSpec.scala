@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Unit tests for the dedup/text-pipeline building blocks. */
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("shingles: distinct word trigrams, empty when too short") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x y z x y z").toDF("text")
+    val got = df.select(shingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2).sorted == Seq("x y z", "y z x", "z x y").sorted) // distinct
+  }
+
+  test("portableHash is deterministic and non-negative (60-bit)") {
+    val h1 = evalCol(portableHash(lit("hello"))).asInstanceOf[Long]
+    val h2 = evalCol(portableHash(lit("hello"))).asInstanceOf[Long]
+    assert(h1 == h2 && h1 >= 0 && h1 < (1L << 60))
+    assert(evalCol(portableHash(lit("world"))) != h1)
+  }
+
+  test("minhash signature: identical sets -> identical sigs; sentinel for empty") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "x").toDF("text")
+      .select(minhashSignature(shingles(col("text"), 2), 4).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(2) == Seq(-1L, -1L, -1L, -1L))
+  }
+
+  test("jaccard: identity 1, disjoint 0, both-empty 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    val got = df.select(jaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == 1.0 && got(1) == 0.0 && got(2) == 0.0 && got(3) == 0.5)
+  }
+
+  test("simhash: equal docs distance 0; hamming computes bit diff") {
+    import spark.implicits._
+    val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("t1", "t2")
+      .select(simhash(tokens(col("t1")), 16).as("s1"), simhash(tokens(col("t2")), 16).as("s2"))
+    val d = df.select(hammingDistance(col("s1"), col("s2"))).collect().map(_.getLong(0))
+    assert(d(0) == 0L)
+    assert(d(1) > 0L)
+    assert(evalCol(hammingDistance(lit(0b1011L), lit(0b0001L))) == 2L)
+  }
+
+  test("lshBandKeys: equal signatures share all band keys") {
+    import spark.implicits._
+    val df = Seq("a b c d e f", "a b c d e f").toDF("text")
+      .select(lshBandKeys(minhashSignature(shingles(col("text"), 2), 8), 8, 2).as("bk"))
+    val got = df.collect().map(_.getSeq[Row](0).map(r => (r.getInt(0), r.getLong(1))))
+    assert(got(0) == got(1) && got(0).size == 4)
+  }
+
+  test("langIdPredict picks max-overlap language deterministically") {
+    import spark.implicits._
+    val markers = Seq("en" -> Seq("the", "a"), "de" -> Seq("der", "die"))
+    val df = Seq("the a cat", "der die das", "zz yy").toDF("text")
+      .select(langIdPredict(array_distinct(tokens(col("text"))), markers).as("p"))
+    // tie (0 overlap everywhere) resolves to first language by list order
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "en"))
+  }
+}
