@@ -16,6 +16,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.StarQueries.queries ++
+      graft.queries.FacadeQueries.queries ++
       graft.queries.FuncQueries.queries ++
       graft.queries.WindowQueries.queries ++
       graft.queries.VectorQueries.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
+      graft.queries.FacadeQueries.oracleSql ++
       graft.queries.FuncQueries.oracleSql ++
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++

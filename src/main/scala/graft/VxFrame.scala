@@ -1,0 +1,475 @@
+package graft
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions}
+
+/** Boolean combination modes for selections and filters
+  * (reference: packages/vaex-core/vaex/selections.py:11-27). */
+object SelectionMode {
+  sealed trait Mode { def combine(old: Column, nw: Column): Column }
+  case object Replace extends Mode { def combine(old: Column, nw: Column): Column = nw }
+  case object And extends Mode { def combine(old: Column, nw: Column): Column = old && nw }
+  case object Or extends Mode { def combine(old: Column, nw: Column): Column = old || nw }
+  case object Xor extends Mode { def combine(old: Column, nw: Column): Column = old =!= nw }
+  case object Subtract extends Mode { def combine(old: Column, nw: Column): Column = old && !nw }
+
+  def parse(s: String): Mode = s.toLowerCase match {
+    case "replace" => Replace; case "and" => And; case "or" => Or
+    case "xor" => Xor; case "subtract" => Subtract
+    case other => throw new IllegalArgumentException(s"unknown selection mode: $other")
+  }
+  /** SQL-string form, so selection state stays serializable. */
+  def combineSql(mode: Mode, old: Option[String], nw: String): String = (mode, old) match {
+    case (_, None) | (Replace, _) => nw
+    case (And, Some(o)) => s"(($o) AND ($nw))"
+    case (Or, Some(o)) => s"(($o) OR ($nw))"
+    case (Xor, Some(o)) => s"(($o) != ($nw))"
+    case (Subtract, Some(o)) => s"(($o) AND NOT ($nw))"
+  }
+}
+
+/** The vaex-shaped DataFrame facade (SURVEY.md §7.0): a thin immutable
+  * wrapper over `org.apache.spark.sql.DataFrame` carrying the state the
+  * reference keeps outside the plan —
+  *
+  *   - virtual columns: name -> expression *string*
+  *     (reference: core/dataframe.py:3783 add_virtual_column)
+  *   - variables: named scalars usable in expressions
+  *     (reference: core/dataframe.py:3052 set_variable)
+  *   - named selections with boolean algebra + history
+  *     (reference: core/selections.py:38, undo at core/dataframe.py:5010)
+  *   - the current (possibly *widened*) filter predicate
+  *     (reference: core/dataframe.py:5332 filter(mode='and'/'or'/...))
+  *   - category metadata (reference: core/dataframe.py:5858 categorize)
+  *
+  * All expressions are Spark SQL strings (the analog of vaex's Python
+  * expression strings) parsed with `expr()` after variable substitution,
+  * so the whole facade state serializes to JSON (`stateGet`/`stateSet`,
+  * reference: core/dataframe.py:2502 state_get) and every computation
+  * lowers to one Catalyst plan — filters/virtual columns stay inside
+  * whole-stage codegen and reach parquet pushdown at any scale.
+  *
+  * Selections deliberately do NOT filter the plan: aggregations take a
+  * `selection=` argument lowered to conditional aggregation
+  * (`agg(when(sel, x))`), so one job can aggregate many selections in a
+  * single pass over the data — vaex's multi-selection grid semantics
+  * (reference: core/tasks.py:431) without extra scans.
+  */
+final case class VxFrame(
+    base: DataFrame,
+    virtualColumns: ListMap[String, String] = ListMap.empty,
+    variables: ListMap[String, String] = ListMap("pi" -> math.Pi.toString, "e" -> math.E.toString),
+    selections: ListMap[String, String] = ListMap.empty,
+    selectionHistory: List[ListMap[String, String]] = Nil, // undo stack
+    filterExpression: Option[String] = None,
+    categories: Map[String, Seq[String]] = Map.empty) {
+
+  import SelectionMode.Mode
+
+  // ---------------------------------------------------------------- expressions
+
+  /** Substitute variable names (word-boundary) by parenthesized values. */
+  private def substituteVariables(e: String): String =
+    variables.foldLeft(e) { case (acc, (name, value)) =>
+      acc.replaceAll("\\b" + java.util.regex.Pattern.quote(name) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(s"($value)"))
+    }
+
+  /** Parse an expression string to a Column (variables substituted). */
+  def parse(e: String): Column = expr(substituteVariables(e))
+
+  // ---------------------------------------------------------------- resolution
+
+  /** The resolved Spark DataFrame: base + virtual columns + filter.
+    * Virtual columns are applied in insertion order so later ones can
+    * reference earlier ones (vaex allows chained virtual columns). */
+  def df: DataFrame = {
+    val withVirtual = virtualColumns.foldLeft(base) { case (d, (n, e)) =>
+      d.withColumn(n, parse(e))
+    }
+    filterExpression.fold(withVirtual)(f => withVirtual.where(parse(f)))
+  }
+
+  def columnNames: Seq[String] = df.schema.fieldNames.toSeq
+  def count(): Long = df.count()
+
+  // ---------------------------------------------------------------- virtual columns / variables
+
+  /** reference: core/dataframe.py:3783 `add_virtual_column`. */
+  def withVirtualColumn(name: String, expression: String): VxFrame =
+    copy(virtualColumns = virtualColumns + (name -> expression))
+
+  /** reference: core/dataframe.py:3052 `set_variable`. */
+  def withVariable(name: String, value: Double): VxFrame =
+    copy(variables = variables + (name -> value.toString))
+  def withVariableStr(name: String, value: String): VxFrame =
+    copy(variables = variables + (name -> ("'" + value.replace("'", "''") + "'")))
+
+  /** Materialize a virtual column into the plan (reference:
+    * core/dataframe.py materialize) — keeps the name, drops virtuality. */
+  def materialize(name: String): VxFrame = {
+    val e = virtualColumns(name)
+    copy(base = base.withColumn(name, parse(e)), virtualColumns = virtualColumns - name)
+  }
+
+  def drop(names: String*): VxFrame = {
+    val (virt, real) = names.partition(virtualColumns.contains)
+    copy(base = if (real.nonEmpty) base.drop(real: _*) else base,
+      virtualColumns = virtualColumns -- virt)
+  }
+
+  def rename(from: String, to: String): VxFrame =
+    if (virtualColumns.contains(from))
+      copy(virtualColumns = ListMap(virtualColumns.toSeq.map {
+        case (n, e) if n == from => to -> e
+        case kv => kv
+      }: _*))
+    else copy(base = base.withColumnRenamed(from, to))
+
+  // ---------------------------------------------------------------- filter (widening!)
+
+  /** Widening filter (reference: core/dataframe.py:5332): unlike Spark's
+    * stacking `.where`, mode='or' can *widen* the current filter, so the
+    * combined predicate is tracked here and applied once. */
+  def filter(expression: String, mode: String = "and"): VxFrame =
+    copy(filterExpression =
+      Some(SelectionMode.combineSql(SelectionMode.parse(mode), filterExpression, expression)))
+
+  def dropFilter(): VxFrame = copy(filterExpression = None)
+
+  /** Materialize the current filter into the base plan
+    * (reference: core/dataframe.py:4484 `extract`). */
+  def extract(): VxFrame = copy(base = df, virtualColumns = ListMap.empty, filterExpression = None)
+
+  // ---------------------------------------------------------------- selections
+
+  /** Named selection with boolean algebra
+    * (reference: core/dataframe.py:5041 `select`). */
+  def select(expression: String, mode: String = "replace", name: String = "default"): VxFrame =
+    copy(
+      selections = selections + (name ->
+        SelectionMode.combineSql(SelectionMode.parse(mode), selections.get(name), expression)),
+      selectionHistory = selections :: selectionHistory)
+
+  def selectNothing(name: String = "default"): VxFrame =
+    copy(selections = selections - name, selectionHistory = selections :: selectionHistory)
+
+  /** reference: core/dataframe.py:5010 `selection_undo`. */
+  def selectionUndo(): VxFrame = selectionHistory match {
+    case prev :: rest => copy(selections = prev, selectionHistory = rest)
+    case Nil => this
+  }
+
+  def hasSelection(name: String = "default"): Boolean = selections.contains(name)
+
+  /** The selection predicate as a Column (true/false per row). */
+  def selectionColumn(name: String = "default"): Column =
+    selections.get(name).map(parse).getOrElse(lit(true))
+
+  /** Geometric selections (reference: core/dataframe.py:5142-5244) as
+    * plain column algebra — rectangle/circle/ellipse need no UDF. */
+  def selectRectangle(x: String, y: String, xmin: Double, xmax: Double,
+                      ymin: Double, ymax: Double, mode: String = "replace",
+                      name: String = "default"): VxFrame =
+    select(s"(($x) >= $xmin AND ($x) < $xmax AND ($y) >= $ymin AND ($y) < $ymax)", mode, name)
+
+  def selectCircle(x: String, y: String, xc: Double, yc: Double, r: Double,
+                   mode: String = "replace", name: String = "default"): VxFrame =
+    select(s"((($x)-($xc))*(($x)-($xc)) + (($y)-($yc))*(($y)-($yc)) <= ${r * r})", mode, name)
+
+  // ---------------------------------------------------------------- na handling
+
+  /** reference: core/dataframe.py:5079-5123 dropna family. */
+  def dropMissing(columns: Seq[String] = Nil): VxFrame = {
+    val cols = if (columns.nonEmpty) columns else columnNames
+    filter(cols.map(c => s"($c IS NOT NULL)").mkString(" AND "), "and")
+  }
+  def dropNaN(columns: Seq[String]): VxFrame =
+    filter(columns.map(c => s"(NOT (isnan($c)))").mkString(" AND "), "and")
+  def dropNA(columns: Seq[String]): VxFrame = {
+    val floats = columns.filter { c =>
+      val dt = df.schema(c).dataType
+      dt == org.apache.spark.sql.types.DoubleType || dt == org.apache.spark.sql.types.FloatType
+    }
+    val d = dropMissing(columns)
+    if (floats.nonEmpty) d.dropNaN(floats) else d
+  }
+
+  // ---------------------------------------------------------------- aggregation (selection-aware)
+
+  private def maybeSelected(e: String, selection: Option[String]): Column =
+    selection match {
+      case Some(sel) => when(parse(selections.getOrElse(sel, sel)), parse(e))
+      case None => parse(e)
+    }
+
+  /** One fused aggregation pass — the analog of vaex's multi-task fusion
+    * (reference: core/execution.py:130-170 merged TaskAggregations):
+    * every requested aggregate runs in a single scan. */
+  def aggregate(aggs: (String, Column)*): Row =
+    df.agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*).head()
+
+  def countExpr(e: String = "*", selection: Option[String] = None): Long =
+    if (e == "*") selection match {
+      case None => df.count()
+      case Some(_) => df.agg(sum(when(maybeSelected("true", selection), 1L)).cast("long")).head().getLong(0)
+    }
+    else df.agg(functions.count(maybeSelected(e, selection))).head().getLong(0)
+
+  def sumExpr(e: String, selection: Option[String] = None): Double =
+    df.agg(sum(maybeSelected(e, selection).cast("double"))).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+  def meanExpr(e: String, selection: Option[String] = None): Double =
+    df.agg(avg(maybeSelected(e, selection).cast("double"))).head().getDouble(0)
+  def minExpr(e: String, selection: Option[String] = None): Any =
+    df.agg(min(maybeSelected(e, selection))).head().get(0)
+  def maxExpr(e: String, selection: Option[String] = None): Any =
+    df.agg(max(maybeSelected(e, selection))).head().get(0)
+  /** Single-pass min+max (reference: core/dataframe.py:1487 minmax). */
+  def minmax(e: String, selection: Option[String] = None): (Any, Any) = {
+    val r = df.agg(min(maybeSelected(e, selection)), max(maybeSelected(e, selection))).head()
+    (r.get(0), r.get(1))
+  }
+  /** Population variance, vaex's default ddof=0
+    * (reference: core/agg.py:421-457). */
+  def varExpr(e: String, selection: Option[String] = None): Double =
+    df.agg(var_pop(maybeSelected(e, selection).cast("double"))).head().getDouble(0)
+  def stdExpr(e: String, selection: Option[String] = None): Double = math.sqrt(varExpr(e, selection))
+  def uniqueValues(e: String): Seq[Any] =
+    df.select(parse(e)).distinct().collect().toSeq.map(_.get(0))
+  def nunique(e: String, selection: Option[String] = None): Long =
+    df.agg(count_distinct(maybeSelected(e, selection))).head().getLong(0)
+
+  // ---------------------------------------------------------------- ordering / slicing
+
+  /** Nulls/NaN always last regardless of direction
+    * (reference: core/dataframe.py:4698). */
+  def sort(by: Seq[String], ascending: Boolean = true): VxFrame = {
+    val cols = by.map(c => if (ascending) parse(c).asc_nulls_last else parse(c).desc_nulls_last)
+    copy(base = df.orderBy(cols: _*), virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
+  def head(n: Int): VxFrame = copy(base = df.limit(n), virtualColumns = ListMap.empty, filterExpression = None)
+  /** df[a:b] slice (reference: core/dataframe.py:5386). */
+  def slice(a: Int, b: Int): VxFrame =
+    copy(base = df.offset(a).limit(b - a), virtualColumns = ListMap.empty, filterExpression = None)
+
+  def sample(frac: Double, seed: Long = 42L): VxFrame =
+    copy(base = df.sample(frac, seed), virtualColumns = ListMap.empty, filterExpression = None)
+  def shuffle(seed: Long = 42L): VxFrame =
+    copy(base = df.orderBy(rand(seed)), virtualColumns = ListMap.empty, filterExpression = None)
+  def split(fracs: Seq[Double], seed: Long = 42L): Seq[VxFrame] =
+    df.randomSplit(fracs.toArray, seed).toSeq.map(d => VxFrame(d))
+
+  // ---------------------------------------------------------------- categories
+
+  /** reference: core/dataframe.py:5858 `categorize` — declare an int
+    * column categorical with labels; metadata only, no data pass. */
+  def categorize(column: String, labels: Seq[String]): VxFrame =
+    copy(categories = categories + (column -> labels))
+  def isCategory(column: String): Boolean = categories.contains(column)
+  def categoryLabels(column: String): Seq[String] = categories(column)
+  /** Virtual label column from category metadata (CASE chain). */
+  def withCategoryLabels(column: String, as: String): VxFrame = {
+    val labels = categories(column)
+    val cases = labels.zipWithIndex
+      .map { case (l, i) => s"WHEN $column = $i THEN '${l.replace("'", "''")}'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    withVirtualColumn(as, cases)
+  }
+
+  // ---------------------------------------------------------------- joins / set ops
+
+  /** Equi-join with vaex's collision mangling (reference: core/join.py:
+    * 125-297; suffix handling :225-256). The right side gets a
+    * `broadcast` hint when `rightSmall` — the exact analog of the
+    * reference's "right side is always the build side" hash join
+    * (core/join.py:169), but Catalyst/AQE can still override. */
+  def join(other: VxFrame, on: Seq[String], how: String = "left",
+           rprefix: String = "", rsuffix: String = "_r",
+           rightSmall: Boolean = true): VxFrame = {
+    val left = df
+    var right = other.df
+    val collisions = right.columns.filter(c => left.columns.contains(c) && !on.contains(c))
+    collisions.foreach { c => right = right.withColumnRenamed(c, s"$rprefix$c$rsuffix") }
+    val r = if (rightSmall) broadcast(right) else right
+    VxFrame(left.join(r, on, how))
+  }
+
+  /** Positional join (reference: core/join.py:164 `on=None` row paste):
+    * zip by an explicit row-index column present on both sides. */
+  def joinPositional(other: VxFrame, rowIndex: String = "row_index",
+                     rsuffix: String = "_r"): VxFrame = {
+    val left = df
+    var right = other.df
+    right.columns.filter(c => left.columns.contains(c) && c != rowIndex).foreach { c =>
+      right = right.withColumnRenamed(c, s"$c$rsuffix")
+    }
+    VxFrame(left.join(right, Seq(rowIndex), "left"))
+  }
+
+  /** Row-wise concat with the 'flexible' schema resolver (reference:
+    * core/dataframe.py:6269, core/dataset.py:687 DatasetConcatenated):
+    * missing columns become nulls, shared columns upcast. */
+  def concat(others: VxFrame*): VxFrame = {
+    val frames = (this +: others).map(_.df)
+    VxFrame(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  def isin(e: String, values: Seq[Any]): Column = parse(e).isin(values: _*)
+
+  /** reference: core/expression.py:994 value_counts. */
+  def valueCounts(e: String): DataFrame =
+    df.groupBy(parse(e).as("value")).count()
+      .orderBy(col("count").desc_nulls_last, col("value").asc_nulls_last)
+
+  // ---------------------------------------------------------------- ordered ops
+
+  /** Shift a column by `periods` in row_index order (reference:
+    * core/dataframe.py:4781 shift). Requires a `row_index` column
+    * (Tables.withRowIndex); the Window sort is the honest cost of
+    * ordered semantics on a distributed engine. */
+  def shift(column: String, periods: Int, rowIndex: String = "row_index"): VxFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rowIndex))
+    val shifted =
+      if (periods >= 0) lag(col(column), periods).over(w)
+      else lead(col(column), -periods).over(w)
+    copy(base = df.withColumn(column, shifted), virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
+  /** diff = x - shift(x) (reference: core/dataframe.py:4749). */
+  def diff(column: String, periods: Int = 1, rowIndex: String = "row_index"): VxFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rowIndex))
+    copy(base = df.withColumn(column, col(column) - lag(col(column), periods).over(w)),
+      virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
+  /** Trailing rolling sum/mean over `window` rows
+    * (reference: core/dataframe.py:5656 rolling). */
+  def rollingSum(column: String, window: Int, as: String,
+                 rowIndex: String = "row_index"): VxFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rowIndex))
+      .rowsBetween(-(window - 1), 0)
+    copy(base = df.withColumn(as, sum(col(column)).over(w)),
+      virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
+  // ---------------------------------------------------------------- groupby / binby
+
+  /** groupby with agg-spec normalization (reference:
+    * core/dataframe.py:7133, spec normalization core/groupby.py:700-747).
+    * Spec values: "count"|"sum"|"mean"|"min"|"max"|"std"|"var"|
+    * "nunique"|"first"|"last" (first/last use row_index order when
+    * present — vaex's file-order semantics, SURVEY §2.6 caveat). */
+  def groupby(by: Seq[String], agg: Map[String, String], sort: Boolean = false): VxFrame = {
+    val hasRowIndex = df.columns.contains("row_index")
+    val aggCols = agg.toSeq.map { case (c, how) =>
+      val a = how match {
+        case "count" => functions.count(parse(c))
+        case "sum" => sum(parse(c))
+        case "mean" => avg(parse(c))
+        case "min" => min(parse(c))
+        case "max" => max(parse(c))
+        case "std" => stddev_pop(parse(c))
+        case "var" => var_pop(parse(c))
+        case "nunique" => count_distinct(parse(c))
+        case "list" => collect_list(parse(c))
+        case "first" if hasRowIndex => min_by(parse(c), col("row_index"))
+        case "last" if hasRowIndex => max_by(parse(c), col("row_index"))
+        case "first" => first(parse(c))
+        case "last" => last(parse(c))
+        case other => throw new IllegalArgumentException(s"unknown agg: $other")
+      }
+      a.as(s"${c}_$how")
+    }
+    val grouped = df.groupBy(by.map(parse): _*).agg(aggCols.head, aggCols.tail: _*)
+    VxFrame(if (sort) grouped.orderBy(by.map(c => col(c).asc_nulls_last): _*) else grouped)
+  }
+
+  /** N-d dense-grid aggregation — vaex's signature `binby` primitive
+    * (reference: core/dataframe.py:7208, grid layout
+    * src/binner_ordinal.cpp:9). Executes as ONE distributed groupBy on
+    * computed bin keys; only the final (shape-bounded, user-chosen)
+    * dense tensor is assembled on the driver. Cells: values inside
+    * [vmin, vmax) in `shape` equal bins; out-of-range/null rows are
+    * dropped (edges=False semantics).
+    *
+    * Returns a flat row-major Array[Double] of size shape_1*...*shape_n.
+    */
+  def binby(specs: Seq[(String, Double, Double, Int)], agg: Column): Array[Double] = {
+    val keys = specs.zipWithIndex.map { case ((e, vmin, vmax, shape), i) =>
+      val c = parse(e)
+      val width = (vmax - vmin) / shape
+      floor((c - lit(vmin)) / lit(width)).cast("int").as(s"__bin$i")
+    }
+    val inRange = specs.map { case (e, vmin, vmax, _) =>
+      val c = parse(e)
+      c >= lit(vmin) && c < lit(vmax)
+    }.reduce(_ && _)
+    val binned = df.where(inRange)
+      .groupBy(keys: _*)
+      .agg(agg.cast("double").as("__v"))
+      .collect()
+    val shapes = specs.map(_._4)
+    val out = new Array[Double](shapes.product)
+    binned.foreach { r =>
+      val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }
+      out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- state (pipelines)
+
+  /** Serialize facade state to JSON (reference: core/dataframe.py:2502
+    * `state_get`; pipelines are "just state"). */
+  def stateGet(): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def obj(m: Iterable[(String, String)]): JObject =
+      JObject(m.toList.map { case (k, v) => JField(k, JString(v)) })
+    val json = JObject(List(
+      JField("virtual_columns", obj(virtualColumns)),
+      JField("variables", obj(variables)),
+      JField("selections", obj(selections)),
+      JField("filter", filterExpression.map(JString).getOrElse(JNull)),
+      JField("categories", JObject(categories.toList.map { case (k, v) =>
+        JField(k, JArray(v.toList.map(JString)))
+      }))))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** Apply serialized state on top of this frame's base data
+    * (reference: core/dataframe.py state_set). */
+  def stateSet(json: String): VxFrame = VxFrame.applyState(base, json)
+}
+
+object VxFrame {
+  def apply(df: DataFrame): VxFrame = new VxFrame(df)
+
+  def applyState(base: DataFrame, json: String): VxFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(json)
+    // JsonDSL renders List[(String, String)] as a JSON object
+    def pairs(field: String): List[(String, JValue)] = j \ field match {
+      case JObject(fields) => fields.map { case JField(k, v) => (k, v) }
+      case _ => Nil
+    }
+    def str(v: JValue): String = v match { case JString(s) => s; case other => other.toString }
+    VxFrame(
+      base = base,
+      virtualColumns = ListMap(pairs("virtual_columns").map { case (k, v) => k -> str(v) }: _*),
+      variables = ListMap(pairs("variables").map { case (k, v) => k -> str(v) }: _*),
+      selections = ListMap(pairs("selections").map { case (k, v) => k -> str(v) }: _*),
+      filterExpression = j \ "filter" match { case JString(s) => Some(s); case _ => None },
+      categories = pairs("categories").map {
+        case (k, JArray(vs)) => k -> vs.collect { case JString(s) => s }
+        case (k, _) => k -> Nil
+      }.toMap)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.VxFrame
+import Q._
+
+/** Oracle-gated queries exercising the VxFrame facade end-to-end —
+  * virtual columns + variables, widening filters, selection-aware
+  * conditional aggregation, state round-trip, and the groupby
+  * agg-spec path. These prove the facade lowers to exactly the plans
+  * the plain-DataFrame batteries run (reference semantics:
+  * core/dataframe.py filter/select/add_virtual_column).
+  */
+object FacadeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // virtual columns + variable substitution, computed per l_returnflag
+    "q_facade_virtual" -> ((s, dir) => {
+      VxFrame(t(s, dir, "lineitem"))
+        .withVariable("taxRate", 0.08)
+        .withVirtualColumn("gross", "l_extendedprice * (1 - l_discount)")
+        .withVirtualColumn("taxed", "gross * (1 + taxRate)")
+        .df.groupBy(col("l_returnflag"))
+        .agg(r(dsumD(col("taxed"))).as("sum_taxed"))
+        .orderBy("l_returnflag")
+    }),
+
+    // widening filter: and-narrow then or-widen, count per flag
+    "q_facade_filter_widen" -> ((s, dir) => {
+      VxFrame(t(s, dir, "lineitem"))
+        .filter("l_quantity < 5")
+        .filter("l_quantity > 45", "or")
+        .df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // selection-aware aggregation: one pass, selected vs total sums
+    "q_facade_selection" -> ((s, dir) => {
+      val f = VxFrame(t(s, dir, "lineitem")).select("l_discount > 0.05")
+      f.df.groupBy(col("l_returnflag"))
+        .agg(
+          r(dsumD(when(f.selectionColumn(), col("l_quantity")))).as("sum_sel"),
+          r(dsumD(col("l_quantity"))).as("sum_all"))
+        .orderBy("l_returnflag")
+    }),
+
+    // state round-trip: serialize virtual cols + filter, re-apply on a
+    // fresh frame over the same base, then aggregate
+    "q_facade_state" -> ((s, dir) => {
+      val configured = VxFrame(t(s, dir, "orders"))
+        .withVirtualColumn("bucket", "CAST(FLOOR(o_totalprice / 50000) AS INT)")
+        .filter("o_orderstatus = 'F'")
+      val restored = VxFrame(t(s, dir, "orders")).stateSet(configured.stateGet())
+      restored.df.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("o_totalprice"))).as("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // groupby agg-spec normalization incl. file-order first (min_by row_index)
+    "q_facade_groupby" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .withColumn("row_index", col("o_orderkey")) // deterministic stand-in order
+      VxFrame(base)
+        .groupby(Seq("o_orderpriority"),
+          Map("o_totalprice" -> "max", "o_orderkey" -> "nunique", "o_custkey" -> "first"),
+          sort = true)
+        .df.select(
+          col("o_orderpriority"),
+          r(col("o_totalprice_max"), 2).as("max_price"),
+          col("o_orderkey_nunique").as("n_orders"),
+          col("o_custkey_first").as("first_cust"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_facade_virtual" ->
+      s"""SELECT l_returnflag,
+         |  ${sqlR(sqlDsum("l_extendedprice * (1 - l_discount) * (1 + (0.08))"))} AS sum_taxed
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_filter_widen" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |WHERE (l_quantity < 5) OR (l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_selection" ->
+      s"""SELECT l_returnflag,
+         |  ${sqlR(sqlDsum("CASE WHEN l_discount > 0.05 THEN l_quantity END"))} AS sum_sel,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_all
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_state" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_price
+         |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_groupby" ->
+      """SELECT o_orderpriority, ROUND(MAX(o_totalprice), 2) AS max_price,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  MIN_BY(o_custkey, o_orderkey) AS first_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
