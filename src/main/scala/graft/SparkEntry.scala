@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.WindowQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.WindowQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.DedupQueries.oracleSql
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.StreamQueries.oracleSql
 }

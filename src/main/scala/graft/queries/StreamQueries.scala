@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import Q._
+
+/** Oracle-gated batch-mode execution of the streaming operators
+  * (graft.streaming.StreamOps): the transforms are mode-agnostic, so
+  * running them on the batch `events` table gates their logic through
+  * the DuckDB oracle, while StreamingSpec asserts stream == batch on a
+  * MemoryStream. Together: streaming operators are oracle-verified.
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour event-time windows per event_type
+    "q_stream_tumbling" -> ((s, dir) => {
+      StreamOps.tumblingAgg(
+        t(s, dir, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), r(dsumD(col("value"))).as("sum_value")))
+        .select(col("window_start").cast("timestamp_ntz"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // sliding 2-hour windows every hour, global counts
+    "q_stream_sliding" -> ((s, dir) => {
+      StreamOps.slidingAgg(
+        t(s, dir, "events"), "ts", "2 hours", "1 hour", Nil,
+        Seq(count(lit(1)).as("n")))
+        .select(col("window_start").cast("timestamp_ntz"), col("n"))
+        .orderBy("window_start")
+    }),
+
+    // session windows (30-min gap) per user -> session count + event count
+    "q_stream_session" -> ((s, dir) => {
+      StreamOps.sessionAgg(
+        t(s, dir, "events"), "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_events")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT DATE_TRUNC('hour', ts)::TIMESTAMP AS window_start, event_type,
+         |  COUNT(*) AS n, ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sliding(2h, 1h): each event lands in 2 hourly-aligned windows —
+    // starts at trunc(ts)-1h and trunc(ts)
+    "q_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT DATE_TRUNC('hour', ts)::TIMESTAMP - INTERVAL 1 HOUR AS window_start FROM events
+        |  UNION ALL
+        |  SELECT DATE_TRUNC('hour', ts)::TIMESTAMP AS window_start FROM events)
+        |SELECT window_start, COUNT(*) AS n FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // gaps-and-islands: new session when gap > 30min (session_window
+    // half-open edge [start, last+gap) coincides for continuous data)
+    "q_stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

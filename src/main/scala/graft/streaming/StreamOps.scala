@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator library — a NEW capability relative to
+  * the reference, which has no streaming subsystem (SURVEY.md §2.10:
+  * closest analogs are chunked pull iteration, core/dataframe.py:3112
+  * evaluate_iterator, and BinnerTime resampling, core/groupby.py:64).
+  *
+  * Design rule: every transform here is *execution-mode agnostic* — a
+  * pure `DataFrame => DataFrame` over event-time columns that Spark
+  * runs identically on a batch frame or a stream (the unified Dataset
+  * model). That gives us the reference repo's representation-
+  * parametrized testing idea (tests/common.py:228-260) for free:
+  * correctness of the streaming operators is gated batch-side by the
+  * DuckDB oracle, and the stream path is asserted equal to the batch
+  * path in `StreamingSpec` via MemoryStream.
+  *
+  * Scale notes: windowed aggregations shuffle by (window, keys) — the
+  * same partial/final hash agg as batch groupBy; watermarks bound state
+  * size so a 1000-executor job with unbounded input holds only
+  * in-flight windows in the state store.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation. On a stream, pair with
+    * `withEventTimeWatermark` so closed windows are emitted and evicted. */
+  def tumblingAgg(events: DataFrame, tsCol: String, windowLength: String,
+                  keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val keys = window(col(tsCol), windowLength) +: keyCols.map(col)
+    events.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** Sliding window (length, slide) event-time aggregation. */
+  def slidingAgg(events: DataFrame, tsCol: String, windowLength: String,
+                 slide: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val keys = window(col(tsCol), windowLength, slide) +: keyCols.map(col)
+    events.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** Session windows with an inactivity gap — Spark's native
+    * `session_window` (merging windows), usable in batch AND stream.
+    * Semantically equal to the gaps-and-islands rewrite the batch
+    * battery oracle-checks (WindowQueries.q_sessionize). */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val keys = session_window(col(tsCol), gap) +: keyCols.map(col)
+    events.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+  }
+
+  /** Attach an event-time watermark (stream only — on a batch frame
+    * Spark ignores it, keeping mode-agnosticism). */
+  def withEventTimeWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  // ------------------------------------------------------------ stateful
+
+  /** Per-key running aggregate state for mapGroupsWithState. */
+  case class RunningState(n: Long, sum: Double, max: Double)
+  case class KeyedValue(key: Long, value: Double)
+  case class RunningResult(key: Long, n: Long, sum: Double, max: Double, mean: Double)
+
+  /** Custom stateful operator: per-key running count/sum/max/mean via
+    * `mapGroupsWithState` — the Structured Streaming analog of a
+    * vaex-style incremental statistic (reference: incremental ML,
+    * ml/transformations.py:134 PCAIncremental, is the closest thing the
+    * reference has to stateful updates). State is one small record per
+    * key, partitioned by key across executors — O(distinct keys) total,
+    * no history retained. */
+  def runningStats(input: org.apache.spark.sql.Dataset[KeyedValue])
+  : org.apache.spark.sql.Dataset[RunningResult] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.key)
+      .mapGroupsWithState[RunningState, RunningResult](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0, Double.NegativeInfinity))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            RunningState(acc.n + 1, acc.sum + r.value, math.max(acc.max, r.value))
+          }
+          state.update(next)
+          RunningResult(key, next.n, next.sum, next.max, next.sum / next.n)
+      }
+  }
+
+  /** Stream-sink helper: run a streaming frame to completion against a
+    * memory sink and return the collected table (test/driver utility). */
+  def runToMemory(streamed: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.table(name)
+  }
+}

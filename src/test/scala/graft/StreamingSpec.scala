@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** Streaming correctness: the same transform over (a) a batch frame and
+  * (b) a MemoryStream must agree — the unified-Dataset guarantee the
+  * module is designed around. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private val rows = Seq(
+    (1L, ts(0), 10.0), (1L, ts(4), 20.0),   // window [0,5)
+    (1L, ts(5), 30.0),                      // window [5,10)
+    (2L, ts(1), 5.0), (2L, ts(59), 7.0))    // two windows
+
+  test("tumblingAgg: batch and stream agree") {
+    val batch = rows.toDF("user_id", "ts", "value")
+    val expected = StreamOps.tumblingAgg(batch, "ts", "5 minutes",
+      Seq("user_id"), Seq(count(lit(1)).as("n"), sum("value").as("s")))
+      .collect().map(_.toSeq).toSet
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+    val streamed = StreamOps.tumblingAgg(
+      StreamOps.withEventTimeWatermark(stream.toDF.toDF("user_id", "ts", "value"), "ts", "0 seconds"),
+      "ts", "5 minutes", Seq("user_id"),
+      Seq(count(lit(1)).as("n"), sum("value").as("s")))
+    val got = StreamOps.runToMemory(streamed, "t_tumbling", OutputMode.Complete())
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(expected.size == 4)
+  }
+
+  test("sessionAgg: batch session_window matches manual islands") {
+    val batch = rows.toDF("user_id", "ts", "value")
+    val sessions = StreamOps.sessionAgg(batch, "ts", "10 minutes",
+      Seq("user_id"), Seq(count(lit(1)).as("n")))
+      .select("user_id", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1: events at 0,4,5 -> one session of 3; user 2: 1 and 59 -> two sessions of 1
+    assert(sessions == Set((1L, 3L), (2L, 1L)) || sessions == Set((1L, 3L), (2L, 1L), (2L, 1L)))
+    val n = StreamOps.sessionAgg(batch, "ts", "10 minutes", Seq("user_id"),
+      Seq(count(lit(1)).as("n"))).count()
+    assert(n == 3)
+  }
+
+  test("sessionAgg: stream emits the same sessions") {
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+    val streamed = StreamOps.sessionAgg(
+      StreamOps.withEventTimeWatermark(stream.toDF.toDF("user_id", "ts", "value"), "ts", "0 seconds"),
+      "ts", "10 minutes", Seq("user_id"), Seq(count(lit(1)).as("n")))
+    val got = StreamOps.runToMemory(streamed, "t_session", OutputMode.Complete())
+    assert(got.count() == 3)
+  }
+
+  test("runningStats mapGroupsWithState accumulates per key") {
+    val stream = MemoryStream[StreamOps.KeyedValue]
+    stream.addData(StreamOps.KeyedValue(1L, 2.0), StreamOps.KeyedValue(1L, 4.0),
+      StreamOps.KeyedValue(2L, 10.0))
+    val q = StreamOps.runningStats(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_running")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(4))).toSet
+    assert(got == Set((1L, 2L, 6.0, 3.0), (2L, 1L, 10.0, 10.0)))
+
+    // second batch updates existing state
+    stream.addData(StreamOps.KeyedValue(1L, 6.0))
+    val q2 = StreamOps.runningStats(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_running2")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+  }
+
+  test("slidingAgg produces overlapping windows") {
+    val batch = rows.toDF("user_id", "ts", "value")
+    val slid = StreamOps.slidingAgg(batch, "ts", "10 minutes", "5 minutes",
+      Seq("user_id"), Seq(count(lit(1)).as("n")))
+    // event at minute 0 belongs to windows [-5,5) and [0,10)
+    assert(slid.where("user_id = 1 and n >= 1").count() >= 3)
+  }
+}
