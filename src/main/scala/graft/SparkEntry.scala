@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.ScaleOpsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
-      graft.queries.StreamQueries.oracleSql
+      graft.queries.StreamQueries.oracleSql ++
+      graft.queries.ScaleOpsQueries.oracleSql
 }

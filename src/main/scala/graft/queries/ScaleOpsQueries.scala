@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, SimilaritySearch}
+import Q._
+
+/** Oracle-gated queries for the training-data-pipeline scale operators:
+  * IVF-bucketed ANN (graft.operators.SimilaritySearch) and the
+  * multimodal binary-decode pipeline (graft.operators.Multimodal).
+  */
+object ScaleOpsQueries {
+
+  private val N_CELLS = 8
+  private val QUERY_IDS = Seq(8L, 9L, 10L, 11L, 12L)
+  private val TOP_K = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF ANN: deterministic train -> shuffle-free assign -> cell-join probe
+    "q_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", N_CELLS)
+      val pts = SimilaritySearch.assignCells(
+        emb.where(col("vec_id") >= N_CELLS), "embedding", centroids)
+      SimilaritySearch.ivfTopK(pts, QUERY_IDS, "vec_id", "embedding", "cell", TOP_K)
+        .select(col("query_id"), col("rank"), col("nbr_id"), col("cell"),
+          r(col("cos"), 8).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // cell histogram: how balanced is the IVF partitioning (the thing
+    // that determines probe cost at scale)
+    "q_ivf_cells" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", N_CELLS)
+      SimilaritySearch.assignCells(
+        emb.where(col("vec_id") >= N_CELLS), "embedding", centroids)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .orderBy("cell")
+    }),
+
+    // multimodal decode: binary payload -> typed metadata via
+    // partition-wise typed mapPartitions (STUBBED codec, real plumbing)
+    "q_mm_decode" -> ((s, dir) => {
+      val docs = Multimodal.payloadFromText(t(s, dir, "documents"), "text", "media")
+      Multimodal.decodeMeta(docs, "doc_id", "media")
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          r(col("brightness"), 6).as("brightness"), col("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private def ddbDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def ddbNorm(a: String): String = s"SQRT(${ddbDot(a, a)})"
+
+  private val ivfCellsCte =
+    s"""cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $N_CELLS),
+       |pts AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $N_CELLS),
+       |dists AS (
+       |  SELECT p.vec_id, c.cid,
+       |    CASE WHEN ${ddbNorm("p.embedding")} * ${ddbNorm("c.cemb")} = 0.0 THEN 1.0
+       |         ELSE 1.0 - ${ddbDot("p.embedding", "c.cemb")}
+       |              / (${ddbNorm("p.embedding")} * ${ddbNorm("c.cemb")}) END AS dist
+       |  FROM pts p CROSS JOIN cents c),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dists) WHERE rn = 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ivf_ann" -> {
+      val qids = QUERY_IDS.mkString(", ")
+      s"""WITH $ivfCellsCte,
+         |qs AS (
+         |  SELECT p.vec_id AS query_id, p.embedding AS q_emb, a.cid AS q_cell
+         |  FROM pts p JOIN asg a USING (vec_id) WHERE p.vec_id IN ($qids)),
+         |cand AS (
+         |  SELECT q.query_id, p.vec_id AS nbr_id, a.cid AS cell,
+         |    CASE WHEN ${ddbNorm("q.q_emb")} * ${ddbNorm("p.embedding")} = 0.0 THEN 0.0
+         |         ELSE ${ddbDot("q.q_emb", "p.embedding")}
+         |              / (${ddbNorm("q.q_emb")} * ${ddbNorm("p.embedding")}) END AS cos
+         |  FROM qs q
+         |  JOIN asg a ON a.cid = q.q_cell
+         |  JOIN pts p ON p.vec_id = a.vec_id
+         |  WHERE p.vec_id <> q.query_id)
+         |SELECT query_id, rank, nbr_id, cell, ROUND(cos, 8) AS cos FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+         |  FROM cand)
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_ivf_cells" ->
+      s"""WITH $ivfCellsCte
+         |SELECT cid AS cell, COUNT(*) AS n FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mm_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nb,
+        |    list_transform(range(16),
+        |      i -> ('0x' || substring(md5(text), i*2+1, 2))::BIGINT) AS bytes
+        |  FROM documents)
+        |SELECT doc_id, nb AS n_bytes,
+        |  CAST(16 + (bytes[1] % 64) AS INT) AS width,
+        |  CAST(16 + (bytes[2] % 64) AS INT) AS height,
+        |  ROUND(CAST(list_sum(bytes) AS DOUBLE) / 16.0, 6) AS brightness,
+        |  nb // 1000 + 1 AS n_frames
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
+}
