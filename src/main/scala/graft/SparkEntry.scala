@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.ScaleOpsQueries.queries
+      graft.queries.ScaleOpsQueries.queries ++
+      graft.queries.StatsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql ++
-      graft.queries.ScaleOpsQueries.oracleSql
+      graft.queries.ScaleOpsQueries.oracleSql ++
+      graft.queries.StatsQueries.oracleSql
 }

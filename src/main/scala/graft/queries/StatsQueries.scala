@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** DataFrame-level statistics battery (SURVEY §2.4 tail): exact
+  * interpolated percentiles/median (reference: core/dataframe.py:1611
+  * median_approx / :1632 percentile_approx — we gate the EXACT
+  * percentile so the oracle comparison is deterministic; the approx
+  * variant `percentile_approx` is the scale path and is spec-tested for
+  * tolerance instead), deterministic mode (reference:
+  * core/dataframe.py:2006), mutual information over a 2-D histogram
+  * (reference: core/dataframe.py:685, core/kld.py), and the `describe`
+  * composite (reference: core/agg.py:679-738).
+  */
+object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both type-7 linear interpolation)
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          r(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          r(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+          r(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"),
+          r(expr("percentile(l_discount, 0.9)"), 6).as("p90_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // deterministic mode: most frequent value, ties -> smallest value
+    "q_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"), struct(col("cnt"), col("l_quantity") * -1)).as("mode_qty"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // mutual information between binned quantity and discount:
+    // one groupBy for the joint histogram; marginals + MI assembled
+    // with window sums (no driver loop, no re-scan)
+    "q_mutual_information" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val binned = t(s, dir, "lineitem").select(
+        floor(col("l_quantity") / 10).cast("int").as("qx"),
+        floor(col("l_discount") * 20).cast("int").as("qy"))
+      val joint = binned.groupBy(col("qx"), col("qy")).agg(count(lit(1)).as("nxy"))
+      val withMarginals = joint
+        .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("qx"))))
+        .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("qy"))))
+        .withColumn("n", sum(col("nxy")).over())
+      withMarginals
+        .select((col("nxy") / col("n") *
+          log(col("nxy").cast("double") * col("n") / (col("nx") * col("ny")))).as("term"))
+        .agg(r(dsumD(col("term")), 6).as("mi"))
+    }),
+
+    // describe composite: count / missing / mean / std / min / max
+    "q_describe" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def one(c: String): DataFrame = li.agg(
+        lit(c).as("column"),
+        count(col(c)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_missing"),
+        dmean(col(c)).as("mean"),
+        r(sqrt(dsumD(col(c) * col(c)) / count(col(c)) -
+          (dsumD(col(c)) / count(col(c))) * (dsumD(col(c)) / count(col(c)))), 4).as("std"),
+        r(min(col(c)).cast("double"), 4).as("min"),
+        r(max(col(c)).cast("double"), 4).as("max"))
+      one("l_quantity").unionAll(one("l_extendedprice")).unionAll(one("l_discount"))
+        .orderBy("column")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+        |  ROUND(quantile_cont(l_discount, 0.9), 6) AS p90_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    "q_mutual_information" ->
+      s"""WITH j AS (
+         |  SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS qx,
+         |         CAST(FLOOR(l_discount * 20) AS INT) AS qy,
+         |         COUNT(*) AS nxy
+         |  FROM lineitem GROUP BY 1, 2),
+         |m AS (
+         |  SELECT nxy,
+         |    SUM(nxy) OVER (PARTITION BY qx) AS nx,
+         |    SUM(nxy) OVER (PARTITION BY qy) AS ny,
+         |    SUM(nxy) OVER () AS n
+         |  FROM j)
+         |SELECT ${sqlR(sqlDsum(
+            "CAST(nxy AS DOUBLE) / n * LN(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))"), 6)} AS mi
+         |FROM m""".stripMargin,
+
+    "q_describe" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT($c) AS n,
+           |  COUNT(*) - COUNT($c) AS n_missing,
+           |  ${sqlDmean(c)} AS mean,
+           |  ${sqlR(s"SQRT(${sqlDsum(s"$c * $c")} / COUNT($c) - (${sqlDsum(c)} / COUNT($c)) * (${sqlDsum(c)} / COUNT($c)))")} AS std,
+           |  ROUND(CAST(MIN($c) AS DOUBLE), 4) AS min,
+           |  ROUND(CAST(MAX($c) AS DOUBLE), 4) AS max
+           |FROM lineitem""".stripMargin
+      s"""${one("l_quantity")} UNION ALL ${one("l_extendedprice")} UNION ALL ${one("l_discount")}
+         |ORDER BY "column"""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Export surface (reference: core/dataframe.py:6731 export dispatch).
+  *
+  * Formats: parquet (native store), csv, json — each a distributed
+  * `df.write`, no driver materialization. HDF5/FITS are out of scope
+  * (no Spark source; SURVEY §2.1).
+  */
+object Export {
+
+  /** `export(path)` by extension, mirroring vaex.open's dispatch-by-
+    * extension idiom (reference: core/__init__.py:111). */
+  def export(df: DataFrame, path: String): Unit = path match {
+    case p if p.endsWith(".parquet") => parquet(df, p)
+    case p if p.endsWith(".csv") => csv(df, p)
+    case p if p.endsWith(".json") => json(df, p)
+    case p => throw new IllegalArgumentException(s"unsupported export format: $p")
+  }
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-layout partitioned export `key=value/` (reference:
+    * core/dataframe.py:6843 export_partitioned with
+    * directory_format='{key}={value}' — exactly Spark's partitionBy). */
+  def exportPartitioned(df: DataFrame, path: String, by: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(by: _*).parquet(path)
+
+  /** Sharded multi-file export (reference: core/dataframe.py:6894
+    * export_many with a %03d-template — in Spark, file count =
+    * partition count; names are part-<i> rather than a template). */
+  def exportMany(df: DataFrame, path: String, shards: Int): Unit =
+    df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(path)
+
+  // ------------------------------------------------------ constructors
+
+  /** from_arrays / from_items (reference: core/__init__.py:349/:326). */
+  def fromColumns(spark: SparkSession, cols: (String, Seq[Any])*): DataFrame = {
+    require(cols.nonEmpty && cols.map(_._2.length).distinct.size == 1,
+      "columns must be non-empty and equal length")
+    val names = cols.map(_._1)
+    val rows = (0 until cols.head._2.length).map { i =>
+      org.apache.spark.sql.Row.fromSeq(cols.map(_._2(i)))
+    }
+    val fields = cols.map { case (n, vs) =>
+      val dt = vs.find(_ != null).getOrElse(null) match {
+        case _: java.lang.Long | _: java.lang.Integer => org.apache.spark.sql.types.LongType
+        case _: java.lang.Double | _: java.lang.Float => org.apache.spark.sql.types.DoubleType
+        case _: String => org.apache.spark.sql.types.StringType
+        case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
+        case _: java.sql.Timestamp => org.apache.spark.sql.types.TimestampType
+        case other => throw new IllegalArgumentException(s"unsupported value: $other")
+      }
+      org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+    }
+    val coerced = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+      r.toSeq.zip(fields).map {
+        case (null, _) => null
+        case (v: java.lang.Integer, f) if f.dataType == org.apache.spark.sql.types.LongType => v.toLong
+        case (v: java.lang.Float, f) if f.dataType == org.apache.spark.sql.types.DoubleType => v.toDouble
+        case (v, _) => v
+      }))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(coerced),
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** vrange (reference: core/__init__.py:827): virtual arange — maps to
+    * spark.range, a generated (not materialized) source. */
+  def vrange(spark: SparkSession, start: Long, end: Long, step: Long = 1L): DataFrame =
+    spark.range(start, end, step).toDF("x")
+
+  /** vconstant (reference: core/__init__.py:838). */
+  def vconstant(spark: SparkSession, value: Double, length: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(length).select(lit(value).as("x"))
+  }
+}

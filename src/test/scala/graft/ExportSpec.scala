@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Export, Tables}
+
+/** Round-trip tests for the export/source surface. */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name"
+  }
+
+  private lazy val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+    .toDF("id", "k", "v")
+
+  test("parquet round-trip preserves schema and rows") {
+    val p = tmp("rt.parquet")
+    Export.export(df, p)
+    val back = spark.read.parquet(p)
+    // parquet reads back everything nullable; compare names+types
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv round-trip with header") {
+    val p = tmp("rt.csv")
+    Export.export(df, p)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("id", "k", "v"))
+  }
+
+  test("json round-trip") {
+    val p = tmp("rt.json")
+    Export.export(df, p)
+    assert(spark.read.json(p).count() == 3)
+  }
+
+  test("partitioned export writes hive key=value layout and prunes on read") {
+    val p = tmp("part")
+    Export.exportPartitioned(df, p, Seq("k"))
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("k=a", "k=b"))
+    val pruned = spark.read.parquet(p).where(col("k") === "a")
+    assert(pruned.count() == 2)
+    // partition pruning visible in the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("k=b"))
+  }
+
+  test("sharded export produces the requested file count") {
+    val p = tmp("shards")
+    Export.exportMany(df, p, 3)
+    val parts = new java.io.File(p).listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts == 3)
+  }
+
+  test("fromColumns builds a frame from driver-side arrays") {
+    val d = Export.fromColumns(spark,
+      "x" -> Seq(1L, 2L, null),
+      "s" -> Seq("a", null, "c"))
+    assert(d.count() == 3)
+    assert(d.where("x IS NULL").count() == 1)
+    assert(d.schema("x").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("vrange and vconstant are generated sources") {
+    assert(Export.vrange(spark, 0, 10).agg(sum("x")).head.getLong(0) == 45L)
+    assert(Export.vconstant(spark, 2.5, 4).agg(sum("x")).head.getDouble(0) == 10.0)
+  }
+
+  test("withRowIndex assigns 0-based contiguous indices") {
+    val d = Tables.withRowIndex(Seq("a", "b", "c").toDF("s"))
+    assert(d.select("row_index").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+}
