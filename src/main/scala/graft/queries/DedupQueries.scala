@@ -14,12 +14,13 @@ import Q._
   *
   * Scale design: every per-document stage is a narrow projection (no
   * shuffle); the only shuffles are the band-key equi-join (LSH) and
-  * the final sort. At 100 TB the band-key join shuffles only
-  * (doc_id, band, 8-byte key) tuples — never the text — and candidate
-  * verification joins shingle sets back by doc_id.
+  * the final sort. Documents are reduced to 28-bit shingle-hash SETS
+  * in the first projection — candidate joins and jaccard verification
+  * never carry text (at 100 TB the band join moves only
+  * (doc_id, band, 8-byte key) tuples).
   *
-  * All hashes are the 60-bit md5 prefix (TextFunctions.portableHash),
-  * bit-identical in DuckDB, so even the LSH candidate sets are
+  * All hashes are md5-derived + universal-family transforms, bit-
+  * identical in DuckDB, so even the LSH candidate sets are
   * oracle-checked exactly.
   */
 object DedupQueries {
@@ -35,27 +36,34 @@ object DedupQueries {
     "es" -> Seq("fast", "slow", "big"),
     "zh" -> Seq("spark", "vector", "stream"))
 
+  /** doc_id + distinct shingle-hash set, staged so the expensive array
+    * is computed exactly once per row. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        shingleHashes(col("sh")).as("hs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc MinHash signature (k=4 unpacked for value-level checking)
     "q_minhash_sig" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      sh.select(
-        col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        element_at(minhashSignature(col("sh"), 4), 1).as("mh1"),
-        element_at(minhashSignature(col("sh"), 4), 2).as("mh2"),
-        element_at(minhashSignature(col("sh"), 4), 3).as("mh3"),
-        element_at(minhashSignature(col("sh"), 4), 4).as("mh4")
-      ).orderBy("doc_id")
+      hashedShingles(s, dir)
+        .select(col("doc_id"), col("n_shingles"),
+          minhashSignature(col("hs"), 4).as("sig"))
+        .select(
+          col("doc_id"), col("n_shingles"),
+          element_at(col("sig"), 1).as("mh1"),
+          element_at(col("sig"), 2).as("mh2"),
+          element_at(col("sig"), 3).as("mh3"),
+          element_at(col("sig"), 4).as("mh4")
+        ).orderBy("doc_id")
     }),
 
-    // full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    // bucket-join -> verified jaccard
+    // full MinHash-LSH near-dup pipeline: shingle-hash -> sign -> band
+    // -> bucket-join -> verified jaccard (over hash sets)
     "q_lsh_neardup" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      val sig = sh.select(col("doc_id"), minhashSignature(col("sh"), K).as("sig"))
+      val hs = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
+      val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), K).as("sig"))
       val bands = sig
         .select(col("doc_id"), explode(lshBandKeys(col("sig"), K, R)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -65,17 +73,18 @@ object DedupQueries {
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .select(col("id_a"), col("id_b"), round(jaccard(col("hs_a"), col("hs_b")), 6).as("jac"))
         .where(col("jac") >= VERIFY)
         .orderBy("id_a", "id_b")
     }),
 
     // 16-bit SimHash per doc + hamming distance to a reference doc
     "q_simhash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), simhash(tokens(col("text")), 16).as("sh"))
+      val hs = t(s, dir, "documents")
+        .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      val sh = hs.select(col("doc_id"), simhashFromHashes(col("hs"), 16).as("sh"))
       val ref = sh.where(col("doc_id") === 0).select(col("sh").as("ref_sh"))
       sh.crossJoin(broadcast(ref))
         .select(col("doc_id"), col("sh"), hammingDistance(col("sh"), col("ref_sh")).as("ham"))
@@ -85,14 +94,15 @@ object DedupQueries {
     // blocked exact-Jaccard baseline: all pairs within (source, lang),
     // summarized per block (the quadratic baseline LSH replaces)
     "q_jaccard_block" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val hs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), shingles(col("text"), 3).as("sh"))
-      val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("source").as("source_b"), col("lang").as("lang_b"),
-        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .select(col("doc_id"), col("source"), col("lang"), shingleHashes(col("sh")).as("hs"))
+      val a = hs.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
+      val b = hs.select(col("source").as("source_b"), col("lang").as("lang_b"),
+        col("doc_id").as("id_b"), col("hs").as("hs_b"))
       a.join(b, col("source") === col("source_b") && col("lang") === col("lang_b") &&
           col("id_a") < col("id_b"))
-        .select(col("source"), col("lang"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .select(col("source"), col("lang"), round(jaccard(col("hs_a"), col("hs_b")), 6).as("jac"))
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_pairs"),
           round(max(col("jac")), 6).as("max_jac"),
@@ -110,16 +120,17 @@ object DedupQueries {
         .orderBy("lang", "pred")
     }),
 
-    // document fingerprints: whole-text hash + min/max shingle hash
-    // (rolling-hash-style content fingerprint)
+    // document fingerprints: whole-text 60-bit hash + min/max 28-bit
+    // shingle hash (rolling-hash-style content fingerprint)
     "q_fingerprint" -> ((s, dir) => {
-      val sh = shingles(col("text"), 3)
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        portableHash(col("text")).as("fp"),
-        coalesce(array_min(transform(sh, x => portableHash(x))), lit(-1L)).as("min_shingle_fp"),
-        coalesce(array_max(transform(sh, x => portableHash(x))), lit(-1L)).as("max_shingle_fp")
-      ).orderBy("doc_id")
+      hashedShingles(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .select(
+          col("doc_id"),
+          portableHash(col("text")).as("fp"),
+          coalesce(array_min(col("hs")), lit(-1L)).as("min_shingle_fp"),
+          coalesce(array_max(col("hs")), lit(-1L)).as("max_shingle_fp")
+        ).orderBy("doc_id")
     })
   )
 
@@ -127,16 +138,18 @@ object DedupQueries {
   // Shared SQL fragments (DuckDB): hash + shingles, kept textually in
   // sync with TextFunctions.
   private val H = (e: String) => s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
-  private def saltedH(i: String, e: String) = H(s"$i || ':' || $e")
+  private val H28 = (e: String) => s"(('0x' || substring(md5($e), 1, 7))::BIGINT)"
+  private def uh(i: Int, e: String) = s"((${uhashA(i)} * $e + ${uhashB(i)}) % $UHASH_P)"
   private val shingleSql =
     """list_distinct(CASE WHEN LEN(string_split(text,' ')) >= 3
       |  THEN list_transform(range(0, LEN(string_split(text,' ')) - 2),
       |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
       |  ELSE [] END)""".stripMargin
+  private val hsSql = s"list_distinct(list_transform(sh, s -> ${H28("s")}))"
   private def mhSql(i: Int) =
-    s"COALESCE(list_min(list_transform(sh, s -> ${saltedH(s"'$i'", "s")})), -1)"
+    s"COALESCE(list_min(list_transform(hs, h -> ${uh(i, "h")})), -1)"
   private val jacSql =
-    "CAST(LEN(list_intersect(sh_a, sh_b)) AS DOUBLE) / LEN(list_distinct(list_concat(sh_a, sh_b)))"
+    "CAST(LEN(list_intersect(hs_a, hs_b)) AS DOUBLE) / LEN(list_distinct(list_concat(hs_a, hs_b)))"
   private val simhashSql = (0 until 16).map { j =>
     s"CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> $j) & 1 = 1)) > LEN(hs) THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
@@ -151,11 +164,12 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_sig" ->
-      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents)
-         |SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_shingles,
+      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |h AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_shingles, $hsSql AS hs FROM s)
+         |SELECT doc_id, n_shingles,
          |  ${mhSql(0)} AS mh1, ${mhSql(1)} AS mh2,
          |  ${mhSql(2)} AS mh3, ${mhSql(3)} AS mh4
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_lsh_neardup" -> {
       val sig = (0 until K).map(mhSql).zipWithIndex
@@ -166,7 +180,8 @@ object DedupQueries {
         s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
-         |sig AS (SELECT doc_id, $sig FROM s),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM s),
+         |sig AS (SELECT doc_id, $sig FROM h),
          |bands AS ($bandRows),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -175,14 +190,15 @@ object DedupQueries {
          |SELECT id_a, id_b, jac FROM (
          |  SELECT id_a, id_b, ROUND($jacSql, 6) AS jac
          |  FROM cand
-         |  JOIN (SELECT doc_id AS id_a, sh AS sh_a FROM s) USING (id_a)
-         |  JOIN (SELECT doc_id AS id_b, sh AS sh_b FROM s) USING (id_b))
+         |  JOIN (SELECT doc_id AS id_a, hs AS hs_a FROM h) USING (id_a)
+         |  JOIN (SELECT doc_id AS id_b, hs AS hs_b FROM h) USING (id_b))
          |WHERE jac >= $VERIFY ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_simhash" ->
       s"""WITH hs AS (
-         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${saltedH("'99'", "t")}) AS hs
+         |  SELECT doc_id, list_transform(string_split(text, ' '),
+         |    t -> ${uh(99, H28("t"))}) AS hs
          |  FROM documents),
          |sh AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sh FROM hs)
          |SELECT doc_id, sh,
@@ -190,14 +206,15 @@ object DedupQueries {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_block" ->
-      s"""WITH s AS (SELECT doc_id, source, lang, $shingleSql AS sh FROM documents)
+      s"""WITH s AS (SELECT doc_id, source, lang, $shingleSql AS sh FROM documents),
+         |h AS (SELECT doc_id, source, lang, $hsSql AS hs FROM s)
          |SELECT source, lang, COUNT(*) AS n_pairs,
          |  ROUND(MAX(jac), 6) AS max_jac,
          |  COUNT(CASE WHEN jac > 0.3 THEN 1 END) AS n_neardup
          |FROM (
          |  SELECT a.source, a.lang, ROUND($jacSql, 6) AS jac
-         |  FROM (SELECT source, lang, doc_id AS id_a, sh AS sh_a FROM s) a
-         |  JOIN (SELECT source AS source_b, lang AS lang_b, doc_id AS id_b, sh AS sh_b FROM s) b
+         |  FROM (SELECT source, lang, doc_id AS id_a, hs AS hs_a FROM h) a
+         |  JOIN (SELECT source AS source_b, lang AS lang_b, doc_id AS id_b, hs AS hs_b FROM h) b
          |    ON a.source = b.source_b AND a.lang = b.lang_b AND a.id_a < b.id_b)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -208,10 +225,11 @@ object DedupQueries {
          |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_fingerprint" ->
-      s"""WITH s AS (SELECT doc_id, text, $shingleSql AS sh FROM documents)
+      s"""WITH s AS (SELECT doc_id, text, $shingleSql AS sh FROM documents),
+         |h AS (SELECT doc_id, text, $hsSql AS hs FROM s)
          |SELECT doc_id, ${H("text")} AS fp,
-         |  COALESCE(list_min(list_transform(sh, x -> ${H("x")})), -1) AS min_shingle_fp,
-         |  COALESCE(list_max(list_transform(sh, x -> ${H("x")})), -1) AS max_shingle_fp
-         |FROM s ORDER BY doc_id""".stripMargin
+         |  COALESCE(list_min(hs), -1) AS min_shingle_fp,
+         |  COALESCE(list_max(hs), -1) AS max_shingle_fp
+         |FROM h ORDER BY doc_id""".stripMargin
   )
 }

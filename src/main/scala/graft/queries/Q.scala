@@ -26,7 +26,15 @@ object Q {
     * applies. DIV keeps the arithmetic integral (ns epoch > 2^53
     * overflows double). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // The testdata files are single-row-group parquet, so Spark plans ONE
+    // input split regardless of maxPartitionBytes — every narrow
+    // per-row-heavy pipeline (shingling, hashing, vector math) would run
+    // single-threaded. Repartition ONLY when the scan under-parallelizes
+    // (at production scale a table has >= parallelism splits and this
+    // branch never triggers, so no 100-TB shuffle is introduced).
+    val target = spark.sparkContext.defaultParallelism
+    val df = if (raw.rdd.getNumPartitions < math.min(target, 8)) raw.repartition(target) else raw
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts",
         timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))

@@ -26,10 +26,19 @@ class TextFunctionsSpec extends SparkSpec {
   test("minhash signature: identical sets -> identical sigs; sentinel for empty") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "x").toDF("text")
-      .select(minhashSignature(shingles(col("text"), 2), 4).as("sig"))
+      .select(minhashSignature(shingleHashes(shingles(col("text"), 2)), 4).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](0))
     assert(sigs(0) == sigs(1))
     assert(sigs(2) == Seq(-1L, -1L, -1L, -1L))
+  }
+
+  test("universal hash family: in range, distinct members disagree") {
+    val h = evalCol(baseHash(lit("hello"))).asInstanceOf[Long]
+    assert(h >= 0 && h < (1L << 28))
+    val h0 = evalCol(universalHash(0, lit(h))).asInstanceOf[Long]
+    val h1 = evalCol(universalHash(1, lit(h))).asInstanceOf[Long]
+    assert(h0 != h1 && h0 >= 0 && h0 < UHASH_P && h1 >= 0 && h1 < UHASH_P)
+    assert(evalCol(universalHash(0, lit(h))) == h0) // deterministic
   }
 
   test("jaccard: identity 1, disjoint 0, both-empty 0") {
@@ -46,7 +55,8 @@ class TextFunctionsSpec extends SparkSpec {
   test("simhash: equal docs distance 0; hamming computes bit diff") {
     import spark.implicits._
     val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("t1", "t2")
-      .select(simhash(tokens(col("t1")), 16).as("s1"), simhash(tokens(col("t2")), 16).as("s2"))
+      .select(simhashFromHashes(tokenHashes(tokens(col("t1"))), 16).as("s1"),
+        simhashFromHashes(tokenHashes(tokens(col("t2"))), 16).as("s2"))
     val d = df.select(hammingDistance(col("s1"), col("s2"))).collect().map(_.getLong(0))
     assert(d(0) == 0L)
     assert(d(1) > 0L)
@@ -56,7 +66,7 @@ class TextFunctionsSpec extends SparkSpec {
   test("lshBandKeys: equal signatures share all band keys") {
     import spark.implicits._
     val df = Seq("a b c d e f", "a b c d e f").toDF("text")
-      .select(lshBandKeys(minhashSignature(shingles(col("text"), 2), 8), 8, 2).as("bk"))
+      .select(lshBandKeys(minhashSignature(shingleHashes(shingles(col("text"), 2)), 8), 8, 2).as("bk"))
     val got = df.collect().map(_.getSeq[Row](0).map(r => (r.getInt(0), r.getLong(1))))
     assert(got(0) == got(1) && got(0).size == 4)
   }
