@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.queries.ScaleOpsQueries.queries ++
-      graft.queries.StatsQueries.queries
+      graft.queries.StatsQueries.queries ++
+      graft.queries.AccessorQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql ++
       graft.queries.ScaleOpsQueries.oracleSql ++
-      graft.queries.StatsQueries.oracleSql
+      graft.queries.StatsQueries.oracleSql ++
+      graft.queries.AccessorQueries.oracleSql
 }

@@ -282,6 +282,20 @@ final case class VxFrame(
     withVirtualColumn(as, cases)
   }
 
+  // ---------------------------------------------------------------- uncertainty
+
+  /** First-order uncertainty propagation (reference:
+    * core/dataframe.py:3648 propagate_uncertainties, symbolic
+    * differentiation in core/expresso.py:262): adds the value as a
+    * virtual column and its propagated sigma as another —
+    * sigma_f = sqrt(Σ (∂f/∂x_i)² σ_i²). `sigmas` maps variable name ->
+    * sigma expression (usually the error column's name). */
+  def propagateUncertainties(name: String, expression: String,
+                             sigmas: Map[String, String]): VxFrame =
+    withVirtualColumn(name, expression)
+      .withVirtualColumn(s"${name}_uncertainty",
+        graft.functions.Symbolic.propagatedSigma(expression, sigmas))
+
   // ---------------------------------------------------------------- joins / set ops
 
   /** Equi-join with vaex's collision mangling (reference: core/join.py:

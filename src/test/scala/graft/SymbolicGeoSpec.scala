@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoFunctions, Symbolic}
+
+class SymbolicGeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ symbolic
+
+  test("derivative: polynomial and product rules") {
+    assert(Symbolic.derivative("x * x + 3 * x + 7", "x") == "((x + x) + 3)")
+    assert(Symbolic.derivative("x * y", "x") == "y")
+    assert(Symbolic.derivative("y", "x") == "0")
+  }
+
+  test("derivative: chain rule through sin/sqrt/exp/log") {
+    assert(Symbolic.derivative("sin(2 * x)", "x") == "(cos((2 * x)) * 2)")
+    assert(Symbolic.derivative("exp(x)", "x") == "exp(x)")
+    assert(Symbolic.derivative("ln(x)", "x") == "(1 / x)")
+    assert(Symbolic.derivative("sqrt(x)", "x") == "(1 / (2 * sqrt(x)))")
+  }
+
+  test("derivative: quotient rule") {
+    // d/dx (x/y) = 1/y
+    assert(Symbolic.derivative("x / y", "x") == "(1 / y)")
+    // d/dy (x/y) = -x/y^2
+    assert(Symbolic.derivative("x / y", "y") == "(-(x / (y * y)))")
+  }
+
+  test("derivatives evaluate correctly in Spark SQL") {
+    val df = Seq((2.0, 3.0)).toDF("x", "y")
+    val d = Symbolic.derivative("x * x * y + sin(x)", "x") // 2xy + cos(x)
+    val got = df.select(expr(d)).head.getDouble(0)
+    assert(math.abs(got - (2 * 2 * 3 + math.cos(2.0))) < 1e-12)
+  }
+
+  test("propagated sigma matches the analytic formula; state round-trips") {
+    // f = x * y: sigma_f = sqrt(y² σx² + x² σy²)
+    val f = VxFrame(Seq((2.0, 3.0, 0.1, 0.2)).toDF("x", "y", "ex", "ey"))
+      .propagateUncertainties("f", "x * y", Map("x" -> "ex", "y" -> "ey"))
+    val r = f.df.select(col("f"), col("f_uncertainty")).head
+    assert(r.getDouble(0) == 6.0)
+    val expect = math.sqrt(9 * 0.01 + 4 * 0.04)
+    assert(math.abs(r.getDouble(1) - expect) < 1e-12)
+    // survives state save/load (it's just virtual columns)
+    val restored = VxFrame(f.base).stateSet(f.stateGet())
+    assert(restored.df.select("f_uncertainty").head.getDouble(0) == r.getDouble(1))
+  }
+
+  // ------------------------------------------------------------ geo
+
+  test("polar <-> cartesian round trip") {
+    val df = Seq((3.0, 4.0)).toDF("x", "y")
+    val r = df.select(
+      GeoFunctions.cartesianToPolarR(col("x"), col("y")).as("r"),
+      GeoFunctions.cartesianToPolarTheta(col("x"), col("y")).as("th"))
+    val back = r.select(
+      round(GeoFunctions.polarToCartesianX(col("r"), col("th")), 10),
+      round(GeoFunctions.polarToCartesianY(col("r"), col("th")), 10)).head
+    assert(back.getDouble(0) == 3.0 && back.getDouble(1) == 4.0)
+  }
+
+  test("spherical <-> cartesian round trip") {
+    val df = Seq((0.5, 0.3, 2.0)).toDF("alpha", "delta", "dist")
+    val c = df.select(
+      GeoFunctions.sphericalToCartesianX(col("alpha"), col("delta"), col("dist")).as("x"),
+      GeoFunctions.sphericalToCartesianY(col("alpha"), col("delta"), col("dist")).as("y"),
+      GeoFunctions.sphericalToCartesianZ(col("alpha"), col("delta"), col("dist")).as("z"))
+    val back = c.select(
+      round(GeoFunctions.cartesianToSphericalAlpha(col("x"), col("y")), 10),
+      round(GeoFunctions.cartesianToSphericalDelta(col("x"), col("y"), col("z")), 10),
+      round(GeoFunctions.cartesianToSphericalDistance(col("x"), col("y"), col("z")), 10)).head
+    assert(back.getDouble(0) == 0.5 && back.getDouble(1) == 0.3 && back.getDouble(2) == 2.0)
+  }
+
+  test("haversine: quarter circumference between pole and equator") {
+    val r = spark.range(1).select(
+      GeoFunctions.haversine(lit(0.0), lit(0.0), lit(0.0), lit(math.Pi / 2)).as("d")).head
+    assert(math.abs(r.getDouble(0) - math.Pi / 2) < 1e-12)
+  }
+
+  test("insidePolygon: unit square and concave polygon") {
+    val square = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
+    val df = Seq((0.5, 0.5), (1.5, 0.5), (-0.1, 0.2), (0.9, 0.99)).toDF("x", "y")
+    val got = df.select(GeoFunctions.insidePolygon(col("x"), col("y"), square)).collect()
+      .map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, false, true))
+    // concave "L" shape: (2.0, 1.5) sits in the notch
+    val ell = Seq((0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val got2 = Seq((0.5, 2.0), (2.0, 0.5), (2.0, 1.5)).toDF("x", "y")
+      .select(GeoFunctions.insidePolygon(col("x"), col("y"), ell)).collect()
+      .map(_.getBoolean(0)).toSeq
+    assert(got2 == Seq(true, true, false))
+  }
+}
