@@ -24,7 +24,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline throughput: rows/sec of a canonical multi-agg groupBy
+    // over lineitem (the BASELINE.md "groupby aggregation" metric)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val nRows = li.count()
+    li.groupBy("l_returnflag").count().count() // warm
+    val t0 = System.nanoTime()
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+        org.apache.spark.sql.functions.avg("l_extendedprice"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    val aggRps = nRows / ((System.nanoTime() - t0) / 1e9)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg_rows_per_sec":${aggRps.toLong}}""")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.StreamQueries.queries ++
       graft.queries.ScaleOpsQueries.queries ++
       graft.queries.StatsQueries.queries ++
-      graft.queries.AccessorQueries.queries
+      graft.queries.AccessorQueries.queries ++
+      graft.queries.H2oQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.StreamQueries.oracleSql ++
       graft.queries.ScaleOpsQueries.oracleSql ++
       graft.queries.StatsQueries.oracleSql ++
-      graft.queries.AccessorQueries.oracleSql
+      graft.queries.AccessorQueries.oracleSql ++
+      graft.queries.H2oQueries.oracleSql
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q
+
+/** Plan-quality gates: the optimizations the 100 TB design depends on
+  * must be visible in the physical plan — filter/projection pushdown to
+  * the parquet scan, broadcast for small join sides, partial (map-side)
+  * aggregation, and whole-stage codegen over the hot path. These are
+  * regression tests for plan SHAPE, not timing. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Q.t(spark, sf0001, "lineitem")
+      .where(col("l_quantity") < 10)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10"), p)
+  }
+
+  test("column pruning: scan reads only needed columns") {
+    val df = Q.t(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("small dimension join broadcasts") {
+    val li = Q.t(spark, sf0001, "lineitem")
+    val df = li.join(Q.t(spark, sf0001, "supplier"), li("l_suppkey") === col("s_suppkey"))
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df).take(2000))
+  }
+
+  test("aggregation is partial/final (map-side combine)") {
+    val df = Q.t(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("partial_sum") || "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("scalar expression pipeline stays in whole-stage codegen") {
+    val df = Q.t(spark, sf0001, "lineitem").select(
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    df.collect() // finalize THIS QueryExecution's AQE plan
+    val p = plan(df)
+    // codegen stages render as "*(n) Operator" in the executed plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p.take(1500))
+  }
+
+  test("facade filter + virtual column lower into the scan pushdown") {
+    val f = VxFrame(Q.t(spark, sf0001, "lineitem"))
+      .withVirtualColumn("rev", "l_extendedprice * (1 - l_discount)")
+      .filter("l_quantity < 5")
+    val p = plan(f.df.select(col("rev")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"), p)
+  }
+
+  test("IVF assignment plan is shuffle-free") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+    val cents = graft.operators.SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", 4)
+    val assigned = graft.operators.SimilaritySearch.assignCells(
+      emb.where(col("vec_id") >= 4), "embedding", cents)
+    val p = plan(assigned)
+    // loader may repartition the single-row-group scan; beyond that the
+    // assignment itself must add no exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, p.take(2000))
+  }
+}
