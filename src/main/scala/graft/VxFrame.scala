@@ -258,6 +258,71 @@ final case class VxFrame(
   def slice(a: Int, b: Int): VxFrame =
     copy(base = df.offset(a).limit(b - a), virtualColumns = ListMap.empty, filterExpression = None)
 
+  /** Last n rows in row_index order when present, else by count-offset
+    * (reference: core/dataframe.py:3970 tail). */
+  def tail(n: Int): VxFrame =
+    if (df.columns.contains("row_index")) {
+      val cutoff = df.agg(max(col("row_index"))).head().getLong(0) - n
+      copy(base = df.where(col("row_index") > cutoff),
+        virtualColumns = ListMap.empty, filterExpression = None)
+    } else {
+      val total = count()
+      slice(math.max(total - n, 0).toInt, total.toInt)
+    }
+
+  /** Positional row selection by index list (reference:
+    * core/dataframe.py:4444 take) — a broadcast semi-join on
+    * row_index, no driver materialization of data rows. */
+  def takeIndices(indices: Seq[Long], rowIndex: String = "row_index"): VxFrame =
+    copy(base = df.where(col(rowIndex).isin(indices: _*)),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  /** DataFrame-level fillna (reference: core/dataframe.py:4888):
+    * fill NaN AND missing in the given columns. */
+  def fillNA(value: Any, columns: Seq[String]): VxFrame = {
+    val filled = columns.foldLeft(df) { (d, c) =>
+      val isFloat = d.schema(c).dataType == org.apache.spark.sql.types.DoubleType ||
+        d.schema(c).dataType == org.apache.spark.sql.types.FloatType
+      val base = if (isFloat) when(isnan(col(c)), lit(value)).otherwise(col(c)) else col(c)
+      d.withColumn(c, coalesce(base, lit(value)))
+    }
+    copy(base = filled, virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
+  /** Exact per-expression distinct count with vaex's NA flags
+    * (reference: core/expression.py:1067 nunique(dropna/dropnan/
+    * dropmissing)): by default nulls and NaN each count as ONE distinct
+    * value (numpy-set semantics); flags drop them. */
+  def nuniqueFlags(e: String, dropMissing: Boolean = false,
+                   dropNan: Boolean = false): Long = {
+    val c = parse(e)
+    val dt = df.select(c).schema.head.dataType
+    val isFloat = dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType
+    // count_distinct ignores nulls and counts NaN once (Spark's agg
+    // NaN-normalization), exactly vaex's dropmissing+keep-NaN default
+    val valueCol = if (dropNan && isFloat) when(!isnan(c), c) else c
+    val r = df.agg(
+      count_distinct(valueCol).as("d"),
+      coalesce(functions.max(c.isNull.cast("int")), lit(0)).as("has_null")).head()
+    r.getLong(0) + (if (!dropMissing && r.getInt(1) == 1) 1L else 0L)
+  }
+
+  /** [min, max] of an expression (reference: core/dataframe.py:1844
+    * limits) and percentage-trimmed limits (reference: :1795
+    * limits_percentage — central `percentage`% interval). */
+  def limits(e: String): (Double, Double) = {
+    val r = df.agg(min(parse(e)).cast("double"), max(parse(e)).cast("double")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+  def limitsPercentage(e: String, percentage: Double = 99.73): (Double, Double) = {
+    val tailFrac = (100.0 - percentage) / 200.0
+    val r = df.agg(
+      expr(s"percentile(${substituteVariables(e)}, $tailFrac)"),
+      expr(s"percentile(${substituteVariables(e)}, ${1 - tailFrac})")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
   def sample(frac: Double, seed: Long = 42L): VxFrame =
     copy(base = df.sample(frac, seed), virtualColumns = ListMap.empty, filterExpression = None)
   def shuffle(seed: Long = 42L): VxFrame =
@@ -429,6 +494,32 @@ final case class VxFrame(
       .agg(agg.cast("double").as("__v"))
       .collect()
     val shapes = specs.map(_._4)
+    val out = new Array[Double](shapes.product)
+    binned.foreach { r =>
+      val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }
+      out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
+    }
+    out
+  }
+
+  /** binby with edge slots — the reference's full grid layout
+    * `[bins..., outside, null, nan]` per dimension (reference:
+    * src/binner_ordinal.cpp:11-13, edges=True in core/agg.py:90).
+    * Each dimension gets shape+3 slots; out-of-range rows land in
+    * `outside`, null/NaN rows in their own slots, so the grid's total
+    * equals the row count (nothing silently dropped). */
+  def binbyEdges(specs: Seq[(String, Double, Double, Int)], agg: Column): Array[Double] = {
+    val keys = specs.zipWithIndex.map { case ((e, vmin, vmax, shape), i) =>
+      val c = parse(e)
+      val width = (vmax - vmin) / shape
+      when(c.isNull, lit(shape + 1))
+        .otherwise(when(coalesce(isnan(c.cast("double")), lit(false)), lit(shape + 2))
+          .otherwise(when(c < lit(vmin) || c >= lit(vmax), lit(shape))
+            .otherwise(floor((c - lit(vmin)) / lit(width)))))
+        .cast("int").as(s"__bin$i")
+    }
+    val binned = df.groupBy(keys: _*).agg(agg.cast("double").as("__v")).collect()
+    val shapes = specs.map(_._4 + 3)
     val out = new Array[Double](shapes.product)
     binned.foreach { r =>
       val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }

@@ -73,19 +73,18 @@ object WindowQueries {
     }),
 
     // as-of join: for each purchase, the latest strictly-earlier click
-    // by the same user. Spark lacks ASOF; composed as join + max_by —
-    // the equi-key shuffle partitions both sides, so this scales
-    // (no cross product beyond per-user pairs).
+    // by the same user — operators.AsOfJoin union+window formulation
+    // (O(n log n) per key; never materializes candidate pairs).
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      purchases
-        .join(clicks, purchases("p_user") === clicks("c_user") && clicks("c_ts") < purchases("p_ts"), "left")
-        .groupBy(col("p_id"), col("p_user"), col("p_ts"))
-        .agg(max(col("c_ts")).as("last_click_ts"))
+        .select(col("user_id").as("p_user"), col("ts").as("c_ts"))
+      graft.operators.AsOfJoin.asofBackward(
+          purchases, clicks, Seq("p_user"), "p_ts", "c_ts", Seq("c_ts"))
+        .select(col("p_id"), col("p_user"), col("p_ts"),
+          col("asof_c_ts").as("last_click_ts"))
         .orderBy("p_id")
     }),
 
