@@ -444,7 +444,19 @@ final case class VxFrame(
     * Spec values: "count"|"sum"|"mean"|"min"|"max"|"std"|"var"|
     * "nunique"|"first"|"last" (first/last use row_index order when
     * present — vaex's file-order semantics, SURVEY §2.6 caveat). */
-  def groupby(by: Seq[String], agg: Map[String, String], sort: Boolean = false): VxFrame = {
+  /** RowLimitException analog (reference: core/__init__.py:870,
+    * row_limit guard on hashmaps core/cpu.py:353): cheap HLL precheck
+    * before a groupby that must not explode. */
+  def checkRowLimit(by: Seq[String], rowLimit: Long): Unit = {
+    val approx = df.agg(approx_count_distinct(struct(by.map(parse): _*))).head().getLong(0)
+    if (approx > rowLimit)
+      throw new IllegalStateException(
+        s"groupby on ${by.mkString(",")} would produce ~$approx groups > row_limit=$rowLimit")
+  }
+
+  def groupby(by: Seq[String], agg: Map[String, String], sort: Boolean = false,
+              rowLimit: Option[Long] = None): VxFrame = {
+    rowLimit.foreach(checkRowLimit(by, _))
     val hasRowIndex = df.columns.contains("row_index")
     val aggCols = agg.toSeq.map { case (c, how) =>
       val a = how match {

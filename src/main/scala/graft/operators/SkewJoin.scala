@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities for the 100 TB path.
+  *
+  * AQE's skew-join splitting (enabled in GraftSession) handles most
+  * skew at runtime; explicit salting remains necessary when one side
+  * has a pathological hot key AND the other side is too large to
+  * broadcast — the classic "one user is 30% of events" shape.
+  *
+  * `saltedJoin` replicates the RIGHT side `salt` times and scatters the
+  * left side's hot keys across the replicas: left gets salt_id =
+  * hash(row) % salt, right is exploded with every salt_id, and the join
+  * key becomes (key, salt_id). Each hot key's rows now spread over
+  * `salt` reducers instead of one. Replication cost: right side × salt
+  * — use only when right is much smaller than the skewed left (else
+  * rely on AQE).
+  */
+object SkewJoin {
+
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int, how: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    // deterministic scatter: hash of the full left row modulo salt
+    // (rand() would break retry determinism — a Spark task retry must
+    // produce the same salt assignment)
+    val leftSalted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
+    val rightSalted = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    leftSalted.join(rightSalted, keys :+ "__salt", how).drop("__salt")
+  }
+}

@@ -21,6 +21,8 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession
       .builder(master = "local[4]", shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -43,6 +43,14 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(lo == 2.0 && hi == 4.0)
   }
 
+  test("groupby rowLimit guard raises on explosive cardinality") {
+    intercept[IllegalStateException] {
+      vf.groupby(Seq("row_index"), Map("x" -> "sum"), rowLimit = Some(2))
+    }
+    // under the limit: fine
+    assert(vf.groupby(Seq("row_index"), Map("x" -> "sum"), rowLimit = Some(100)).count() == 5)
+  }
+
   test("binbyEdges routes outside/null/nan rows to edge slots") {
     val d = VxFrame(Seq[java.lang.Double](0.5, 1.5, 9.0, null, Double.NaN).toDF("x"))
     val g = d.binbyEdges(Seq(("x", 0.0, 2.0, 2)), count(lit(1)))
