@@ -58,6 +58,20 @@ object FacadeQueries {
         .orderBy("bucket")
     }),
 
+    // categorize: int codes -> label metadata -> virtual label column
+    // (reference: core/dataframe.py:5858 categorize; the groupBy runs on
+    // the int code — the categorical ordinal fast path — and labels are
+    // attached by expression, no join)
+    "q_facade_categorize" -> ((s, dir) => {
+      graft.VxFrame(t(s, dir, "lineitem"))
+        .withVirtualColumn("qty_code", "CAST(l_quantity AS INT) % 4")
+        .categorize("qty_code", Seq("tiny", "small", "med", "large"))
+        .withCategoryLabels("qty_code", "qty_label")
+        .df.groupBy(col("qty_code"), col("qty_label"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_extendedprice"))).as("sum_price"))
+        .orderBy("qty_code")
+    }),
+
     // groupby agg-spec normalization incl. file-order first (min_by row_index)
     "q_facade_groupby" -> ((s, dir) => {
       val base = t(s, dir, "orders")
@@ -95,6 +109,14 @@ object FacadeQueries {
       s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_price
          |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_categorize" ->
+      s"""SELECT CAST(l_quantity AS INT) % 4 AS qty_code,
+         |  CASE CAST(l_quantity AS INT) % 4
+         |    WHEN 0 THEN 'tiny' WHEN 1 THEN 'small'
+         |    WHEN 2 THEN 'med' WHEN 3 THEN 'large' END AS qty_label,
+         |  COUNT(*) AS n, ${sqlR(sqlDsum("l_extendedprice"))} AS sum_price
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_facade_groupby" ->
       """SELECT o_orderpriority, ROUND(MAX(o_totalprice), 2) AS max_price,

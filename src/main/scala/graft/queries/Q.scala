@@ -28,13 +28,17 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     // The testdata files are single-row-group parquet, so Spark plans ONE
-    // input split regardless of maxPartitionBytes — every narrow
-    // per-row-heavy pipeline (shingling, hashing, vector math) would run
-    // single-threaded. Repartition ONLY when the scan under-parallelizes
-    // (at production scale a table has >= parallelism splits and this
-    // branch never triggers, so no 100-TB shuffle is introduced).
+    // input split regardless of maxPartitionBytes. For the per-row-HEAVY
+    // tables (documents: shingling/hashing; embeddings: vector math) that
+    // serializes the expensive narrow stage — repartition them when the
+    // scan under-parallelizes. Fact tables are left alone: their
+    // aggregations collapse rows BEFORE any shuffle (partial agg), so a
+    // pre-shuffle would move the full table for nothing. At production
+    // scale scans have >= parallelism splits and this never triggers.
+    val heavy = Set("documents", "embeddings")
     val target = spark.sparkContext.defaultParallelism
-    val df = if (raw.rdd.getNumPartitions < math.min(target, 8)) raw.repartition(target) else raw
+    val df = if (heavy(name) && raw.rdd.getNumPartitions < math.min(target, 8))
+      raw.repartition(target) else raw
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts",
         timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
