@@ -244,6 +244,45 @@ final case class VxFrame(
   def nunique(e: String, selection: Option[String] = None): Long =
     df.agg(count_distinct(maybeSelected(e, selection))).head().getLong(0)
 
+  /** df.apply analog (reference: core/dataframe.py:440): attach a
+    * user function as a column. Deliberately the documented SLOW path —
+    * a UDF breaks codegen and does not serialize into state; prefer
+    * expression strings / Column compositions everywhere possible. */
+  def withApplied(name: String,
+                  f: org.apache.spark.sql.expressions.UserDefinedFunction,
+                  inputs: String*): VxFrame =
+    copy(base = df.withColumn(name, f(inputs.map(parse): _*)),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  /** Full covariance matrix in ONE aggregation pass (reference:
+    * core/dataframe.py:1402 cov) — all pairwise covar_pop fused into a
+    * single scan, the multi-agg fusion idiom. */
+  def covMatrix(cols: Seq[String]): Array[Array[Double]] = {
+    val pairs = for (i <- cols.indices; j <- i until cols.size)
+      yield covar_pop(parse(cols(i)).cast("double"), parse(cols(j)).cast("double"))
+        .as(s"c_${i}_$j")
+    val row = df.agg(pairs.head, pairs.tail: _*).head()
+    val m = Array.ofDim[Double](cols.size, cols.size)
+    var k = 0
+    for (i <- cols.indices; j <- i until cols.size) {
+      m(i)(j) = row.getDouble(k); m(j)(i) = row.getDouble(k); k += 1
+    }
+    m
+  }
+
+  /** Chunked pull iteration (reference: core/dataframe.py:3112
+    * evaluate_iterator; chunk_iterator core/dataset.py:528):
+    * driver-side iterator of row chunks, streaming one partition at a
+    * time — never materializes the full frame. */
+  def evaluateIterator(exprs: Seq[String], chunkSize: Int = 10000): Iterator[Seq[Row]] =
+    df.select(exprs.map(parse): _*).toLocalIterator().asScala.grouped(chunkSize)
+
+  private def asScalaIt[T](it: java.util.Iterator[T]): Iterator[T] =
+    new Iterator[T] { def hasNext = it.hasNext; def next() = it.next() }
+  implicit private class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = asScalaIt(it)
+  }
+
   // ---------------------------------------------------------------- ordering / slicing
 
   /** Nulls/NaN always last regardless of direction

@@ -58,4 +58,25 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(g.toSeq == Seq(1.0, 1.0, 1.0, 1.0, 1.0))
     assert(g.sum == d.count().toDouble) // nothing dropped
   }
+
+  test("withApplied attaches a UDF column") {
+    val square = org.apache.spark.sql.functions.udf((d: Double) => d * d)
+    val got = vf.withApplied("x2", square, "x").df.agg(sum("x2")).head.getDouble(0)
+    assert(got == 1 + 4 + 4 + 16 + 25)
+  }
+
+  test("covMatrix: single-pass pairwise covariances, symmetric") {
+    val d = VxFrame(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("a", "b"))
+    val m = d.covMatrix(Seq("a", "b"))
+    assert(math.abs(m(0)(0) - 2.0 / 3) < 1e-12)
+    assert(m(0)(1) == m(1)(0))
+    assert(math.abs(m(0)(1) - 4.0 / 3) < 1e-12)
+    assert(math.abs(m(1)(1) - 8.0 / 3) < 1e-12)
+  }
+
+  test("evaluateIterator streams chunks without full materialization") {
+    val chunks = vf.evaluateIterator(Seq("row_index", "x"), chunkSize = 2).toSeq
+    assert(chunks.map(_.size).sum == 5)
+    assert(chunks.forall(_.size <= 2))
+  }
 }
