@@ -36,7 +36,26 @@ object Bench {
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
       .write.format("noop").mode("overwrite").save()
     val aggRps = nRows / ((System.nanoTime() - t0) / 1e9)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg_rows_per_sec":${aggRps.toLong}}""")
+    // pure-compute throughput (asv-aggregates style, reference
+    // benchmarks/aggregates.py): generated rows, no IO — categorical
+    // groupby and a 2-d binby grid over 1e7 rows
+    import org.apache.spark.sql.functions._
+    val gen = spark.range(10_000_000L).select(
+      (col("id") % 100).as("k"),
+      (col("id") % 1000).cast("double").as("x"),
+      ((col("id") * 7) % 1000).cast("double").as("y"))
+    gen.groupBy("k").count().count() // warm + materialize codegen
+    val t1 = System.nanoTime()
+    gen.groupBy("k").agg(sum("x"), avg("y"), count(lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    val groupbyRps = 10_000_000L / ((System.nanoTime() - t1) / 1e9)
+    val t2 = System.nanoTime()
+    gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
+        floor(col("y") / 10).cast("int").as("by"))
+      .agg(count(lit(1)), sum("x"))
+      .write.format("noop").mode("overwrite").save()
+    val binbyRps = 10_000_000L / ((System.nanoTime() - t2) / 1e9)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg_rows_per_sec":${aggRps.toLong},"groupby_gen_rows_per_sec":${groupbyRps.toLong},"binby_gen_rows_per_sec":${binbyRps.toLong}}""")
     spark.stop()
   }
 }

@@ -53,8 +53,29 @@ object FuncQueries {
       ).orderBy("p_partkey")
     }),
 
+    // str.* family part 2: padding/case/class predicates
+    "q_str_funcs2" -> ((s, dir) => {
+      val F = VxFunctions.str
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        F.capitalize(col("p_type")).as("cap"),
+        F.title(col("p_name")).as("tit"),
+        F.center(col("p_brand"), 12, "*").as("ctr"),
+        F.rjust(col("p_brand"), 10, ".").as("rj"),
+        F.lstrip(F.center(col("p_brand"), 12)).as("lst"),
+        F.rstrip(F.center(col("p_brand"), 12)).as("rst"),
+        F.byteLength(col("p_name")).as("blen"),
+        F.isalnum(regexp_replace(col("p_brand"), "#", "")).as("aln"),
+        F.isspace(lit("  ")).as("sp"),
+        F.islower(col("p_name")).as("low"),
+        F.isupper(col("p_brand")).as("upp"),
+        F.join("-", split(col("p_type"), " ")).as("joined")
+      ).orderBy("p_partkey")
+    }),
+
     // dt.* family (reference: core/functions.py:302-808); Monday=0
     // dayofweek and ISO week are the two documented gaps vs Spark.
+
     "q_dt_funcs" -> ((s, dir) => {
       val D = VxFunctions.dt
       t(s, dir, "events").select(
@@ -160,6 +181,26 @@ object FuncQueries {
         |  REGEXP_MATCHES(REGEXP_EXTRACT(p_name, '([0-9]+)', 1), '^[0-9]+$') AS isdig,
         |  REGEXP_MATCHES(p_brand, '^[A-Za-z]+$') AS isalp,
         |  CAST((LENGTH(p_name) - LENGTH(REPLACE(p_name, 'a', ''))) AS BIGINT) AS cnt_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_funcs2" ->
+      """SELECT p_partkey,
+        |  UPPER(SUBSTRING(p_type, 1, 1)) || LOWER(SUBSTRING(p_type, 2)) AS cap,
+        |  list_aggregate(list_transform(string_split(p_name, ' '),
+        |    w -> UPPER(SUBSTRING(w, 1, 1)) || LOWER(SUBSTRING(w, 2))), 'string_agg', ' ') AS tit,
+        |  CASE WHEN LENGTH(p_brand) >= 12 THEN p_brand
+        |       ELSE RPAD(LPAD(p_brand, CAST(LENGTH(p_brand) + FLOOR((12 - LENGTH(p_brand)) / 2) AS INT), '*'), 12, '*') END AS ctr,
+        |  CASE WHEN LENGTH(p_brand) >= 10 THEN p_brand ELSE LPAD(p_brand, CAST(10 AS INT), '.') END AS rj,
+        |  LTRIM(CASE WHEN LENGTH(p_brand) >= 12 THEN p_brand
+        |    ELSE RPAD(LPAD(p_brand, CAST(LENGTH(p_brand) + FLOOR((12 - LENGTH(p_brand)) / 2) AS INT), ' '), 12, ' ') END) AS lst,
+        |  RTRIM(CASE WHEN LENGTH(p_brand) >= 12 THEN p_brand
+        |    ELSE RPAD(LPAD(p_brand, CAST(LENGTH(p_brand) + FLOOR((12 - LENGTH(p_brand)) / 2) AS INT), ' '), 12, ' ') END) AS rst,
+        |  CAST(strlen(p_name) AS BIGINT) AS blen,
+        |  regexp_matches(REPLACE(p_brand, '#', ''), '^[A-Za-z0-9]+$') AS aln,
+        |  TRUE AS sp,
+        |  regexp_matches(p_name, '^[^A-Z]*[a-z][^A-Z]*$') AS low,
+        |  regexp_matches(p_brand, '^[^a-z]*[A-Z][^a-z]*$') AS upp,
+        |  list_aggregate(string_split(p_type, ' '), 'string_agg', '-') AS joined
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_dt_funcs" ->
