@@ -602,6 +602,12 @@ final case class VxFrame(
   /** Apply serialized state on top of this frame's base data
     * (reference: core/dataframe.py state_set). */
   def stateSet(json: String): VxFrame = VxFrame.applyState(base, json)
+
+  /** reference: core/dataframe.py:2814 state_write / state_load. */
+  def stateWrite(path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), stateGet())
+  def stateLoad(path: String): VxFrame =
+    stateSet(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }
 
 object VxFrame {

@@ -40,6 +40,27 @@ object Export {
   def exportMany(df: DataFrame, path: String, shards: Int): Unit =
     df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** from_ascii (reference: core/__init__.py:460, dataset_misc.py:203):
+    * whitespace-separated text with a header line -> typed frame.
+    * spark.read.text streams per-partition; the header is read once on
+    * the driver. Columns are inferred double-or-string from the first
+    * data row. */
+  def fromAscii(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.text(path)
+    val header = lines.limit(1).collect()(0).getString(0).trim.split("\\s+")
+    val firstData = lines.limit(2).collect()(1).getString(0).trim.split("\\s+")
+    val parsed = lines
+      .withColumn("__f", split(trim(col("value")), "\\s+"))
+      .where(col("value") =!= lit(header.mkString(" ")))
+    val typed = header.zipWithIndex.map { case (name, i) =>
+      val raw = element_at(col("__f"), i + 1)
+      if (scala.util.Try(firstData(i).toDouble).isSuccess) raw.cast("double").as(name)
+      else raw.as(name)
+    }
+    parsed.select(typed.toSeq: _*)
+  }
+
   // ------------------------------------------------------ constructors
 
   /** from_arrays / from_items (reference: core/__init__.py:349/:326). */

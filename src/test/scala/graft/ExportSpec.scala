@@ -77,4 +77,23 @@ class ExportSpec extends SparkSpec {
     val d = Tables.withRowIndex(Seq("a", "b", "c").toDF("s"))
     assert(d.select("row_index").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
   }
+
+  test("fromAscii parses whitespace table with header") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ascii")
+    val f = d.resolve("t.txt")
+    java.nio.file.Files.writeString(f, "x y name\n1.5 2 alpha\n3.25 4 beta\n")
+    val got = Export.fromAscii(spark, f.toString)
+    assert(got.columns.toSeq == Seq("x", "y", "name"))
+    assert(got.agg(sum("x")).head.getDouble(0) == 4.75)
+    assert(got.where("name = 'beta'").count() == 1)
+  }
+
+  test("state write/load round-trips through a file") {
+    val f = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
+    val configured = VxFrame(Seq((1.0, 2.0)).toDF("x", "y"))
+      .withVirtualColumn("z", "x + y").filter("x > 0")
+    configured.stateWrite(f.toString)
+    val restored = VxFrame(Seq((5.0, 6.0)).toDF("x", "y")).stateLoad(f.toString)
+    assert(restored.df.select("z").head.getDouble(0) == 11.0)
+  }
 }
