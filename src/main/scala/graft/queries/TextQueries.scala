@@ -7,8 +7,8 @@ import Q._
 /** Text-analysis battery over the `documents` table — the
   * training-data-pipeline operators (quality scoring, token counting,
   * exact dedup) in their SQL-expressible form. The hash-based ops
-  * (MinHash/SimHash/fingerprinting) live in [[graft.operators.Dedup]]
-  * and [[graft.functions.TextFunctions]] with rows-only gates.
+  * (MinHash/SimHash/fingerprinting) live in [[graft.queries.DedupQueries]]
+  * over [[graft.functions.TextFunctions]], fully oracle-gated.
   */
 object TextQueries {
 
