@@ -1,9 +1,62 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: prints ONE compact JSON line on stdout.
+  *
+  * Round-1 lessons (VERDICT.md): (a) the full 81-query battery ran long
+  * enough to hit host throttling and the emitted line was so wide the
+  * driver's tail capture truncated it (`parsed: null`); (b) a single
+  * timing per query is noise. So: a focused HEADLINE battery, min-of-3
+  * per query, values rounded, one short line. Set
+  * SPARK_GRAFT_BENCH_FULL=1 for the full battery (local diagnosis only).
+  *
+  * Fast-lane entries (`*_fast`) re-run the same logical query with
+  * plain double aggregation instead of the DECIMAL(38,10) oracle-parity
+  * accumulators, quantifying that tax separately (the production
+  * default would be doubles; decimals exist for DuckDB hash-parity).
+  */
 object Bench {
+  private val headline = Seq(
+    "q1_agg", "q_agg_skew_kurt", "q_groupby_multi", "q_filter_project",
+    "q_join_multi", "q_topk", "q_binby_2d", "q_percentile",
+    "q_shift_diff", "q_join_positional", "q_facade_virtual",
+    "q_lsh_neardup", "q_minhash_sig", "q_similarity_topk", "q_ivf_ann",
+    "q_text_quality", "q_h2o_top2", "q_sort")
+
+  /** Plain-double variants of the decimal-parity headline aggregations. */
+  private def fastLane(sfDir: String, spark: SparkSession): Seq[(String, () => DataFrame)] = {
+    val li = () => spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Seq(
+      "q1_agg_fast" -> (() => li().groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          count(lit(1)).as("n"))),
+      "q_skew_fast" -> (() => {
+        val x = col("l_quantity").cast("double")
+        li().groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+            sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+            sum(x * x * x * x).as("s4"))
+      }))
+  }
+
+  private def time(run: () => Unit): Double = {
+    val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+  }
+
+  /** min-of-n wall time; noop sink forces full column evaluation. */
+  private def minOf(n: Int)(df: () => DataFrame): Double =
+    (1 to n).map(_ => time(() =>
+      df().write.format("noop").mode("overwrite").save())).min
+
+  private def j(d: Double): String = f"$d%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,51 +64,46 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // noop sink forces full evaluation of every output column —
-    // .count() would let Catalyst prune projection work on map-only
-    // queries and report fake sub-ms times for them.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = if (full) SparkEntry.queries.keys.toSeq.sorted else headline
+    val reps = if (full) 1 else 3
+    val results: Seq[(String, Double)] = names.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        try name -> minOf(reps)(() => fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
+      }
+    } ++ fastLane(sfDir, spark).map { case (name, fn) =>
+      try name -> minOf(reps)(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // headline throughput: rows/sec of a canonical multi-agg groupBy
-    // over lineitem (the BASELINE.md "groupby aggregation" metric)
+
+    // headline throughput: rows/sec of the canonical multi-agg groupBy
+    // over lineitem (BASELINE.md "groupby aggregation" row)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val nRows = li.count()
-    li.groupBy("l_returnflag").count().count() // warm
-    val t0 = System.nanoTime()
-    li.groupBy("l_returnflag", "l_linestatus")
-      .agg(org.apache.spark.sql.functions.sum("l_quantity"),
-        org.apache.spark.sql.functions.avg("l_extendedprice"),
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
-      .write.format("noop").mode("overwrite").save()
-    val aggRps = nRows / ((System.nanoTime() - t0) / 1e9)
+    val aggSec = minOf(3)(() => li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))))
     // pure-compute throughput (asv-aggregates style, reference
-    // benchmarks/aggregates.py): generated rows, no IO — categorical
-    // groupby and a 2-d binby grid over 1e7 rows
-    import org.apache.spark.sql.functions._
-    val gen = spark.range(10_000_000L).select(
+    // benchmarks/aggregates.py): generated rows, no IO; 1e8 rows so JVM
+    // fixed overhead amortizes (the BASELINE numbers are >=1e9-row runs)
+    val genN = 100_000_000L
+    val gen = spark.range(genN).select(
       (col("id") % 100).as("k"),
       (col("id") % 1000).cast("double").as("x"),
       ((col("id") * 7) % 1000).cast("double").as("y"))
-    gen.groupBy("k").count().count() // warm + materialize codegen
-    val t1 = System.nanoTime()
-    gen.groupBy("k").agg(sum("x"), avg("y"), count(lit(1)))
-      .write.format("noop").mode("overwrite").save()
-    val groupbyRps = 10_000_000L / ((System.nanoTime() - t1) / 1e9)
-    val t2 = System.nanoTime()
-    gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
-        floor(col("y") / 10).cast("int").as("by"))
-      .agg(count(lit(1)), sum("x"))
-      .write.format("noop").mode("overwrite").save()
-    val binbyRps = 10_000_000L / ((System.nanoTime() - t2) / 1e9)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg_rows_per_sec":${aggRps.toLong},"groupby_gen_rows_per_sec":${groupbyRps.toLong},"binby_gen_rows_per_sec":${binbyRps.toLong}}""")
+    val groupbySec = minOf(3)(() =>
+      gen.groupBy("k").agg(sum("x"), avg("y"), count(lit(1))))
+    val binbySec = minOf(3)(() =>
+      gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
+          floor(col("y") / 10).cast("int").as("by"))
+        .agg(count(lit(1)), sum("x")))
+
+    val qs = results.map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg_rows_per_sec":${(nRows / aggSec).toLong},"groupby_gen_rows_per_sec":${(genN / groupbySec).toLong},"binby_gen_rows_per_sec":${(genN / binbySec).toLong}}""")
     spark.stop()
   }
 }

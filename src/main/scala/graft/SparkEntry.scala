@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.ScaleOpsQueries.queries ++
       graft.queries.StatsQueries.queries ++
       graft.queries.AccessorQueries.queries ++
-      graft.queries.H2oQueries.queries
+      graft.queries.H2oQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.ScaleOpsQueries.oracleSql ++
       graft.queries.StatsQueries.oracleSql ++
       graft.queries.AccessorQueries.oracleSql ++
-      graft.queries.H2oQueries.oracleSql
+      graft.queries.H2oQueries.oracleSql ++
+      graft.queries.SourceQueries.oracleSql
 }

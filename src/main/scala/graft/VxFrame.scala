@@ -77,8 +77,16 @@ final case class VxFrame(
         java.util.regex.Matcher.quoteReplacement(s"($value)"))
     }
 
-  /** Parse an expression string to a Column (variables substituted). */
-  def parse(e: String): Column = expr(substituteVariables(e))
+  /** Parse an expression string to a Column (variables substituted).
+    * Accepts BOTH vaex's Python-expression syntax (`x**2 // 3`,
+    * `(x > 3) & (y < 2)` — translated by
+    * [[graft.functions.ExprLang]]; reference grammar whitelist
+    * core/expresso.py:33-41) and plain Spark SQL (used as-is when the
+    * Python grammar doesn't match, e.g. CASE/CAST/IS NULL). */
+  def parse(e: String): Column = {
+    val sub = substituteVariables(e)
+    expr(graft.functions.ExprLang.translate(sub).getOrElse(sub))
+  }
 
   // ---------------------------------------------------------------- resolution
 
@@ -448,33 +456,25 @@ final case class VxFrame(
   // ---------------------------------------------------------------- ordered ops
 
   /** Shift a column by `periods` in row_index order (reference:
-    * core/dataframe.py:4781 shift). Requires a `row_index` column
-    * (Tables.withRowIndex); the Window sort is the honest cost of
-    * ordered semantics on a distributed engine. */
-  def shift(column: String, periods: Int, rowIndex: String = "row_index"): VxFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rowIndex))
-    val shifted =
-      if (periods >= 0) lag(col(column), periods).over(w)
-      else lead(col(column), -periods).over(w)
-    copy(base = df.withColumn(column, shifted), virtualColumns = ListMap.empty, filterExpression = None)
-  }
+    * core/dataframe.py:4781 shift). Requires a DENSE `row_index`
+    * column (Tables.withRowIndex). Lowered to the block-partitioned
+    * two-pass operator — no global single-reducer window
+    * (graft.operators.OrderedOps). */
+  def shift(column: String, periods: Int, rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.shift(df, column, periods, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
 
   /** diff = x - shift(x) (reference: core/dataframe.py:4749). */
-  def diff(column: String, periods: Int = 1, rowIndex: String = "row_index"): VxFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rowIndex))
-    copy(base = df.withColumn(column, col(column) - lag(col(column), periods).over(w)),
+  def diff(column: String, periods: Int = 1, rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.diff(df, column, periods, rowIndex),
       virtualColumns = ListMap.empty, filterExpression = None)
-  }
 
-  /** Trailing rolling sum/mean over `window` rows
+  /** Trailing rolling sum over `window` rows
     * (reference: core/dataframe.py:5656 rolling). */
   def rollingSum(column: String, window: Int, as: String,
-                 rowIndex: String = "row_index"): VxFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rowIndex))
-      .rowsBetween(-(window - 1), 0)
-    copy(base = df.withColumn(as, sum(col(column)).over(w)),
+                 rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingSum(df, column, window, as, rowIndex),
       virtualColumns = ListMap.empty, filterExpression = None)
-  }
 
   // ---------------------------------------------------------------- groupby / binby
 

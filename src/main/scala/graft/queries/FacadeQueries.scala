@@ -72,6 +72,24 @@ object FacadeQueries {
         .orderBy("qty_code")
     }),
 
+    // virtual columns authored in VAEX PYTHON-EXPRESSION syntax
+    // (reference grammar: core/expresso.py:33-41; canonical state shape
+    // z = x + t*y with variable t, tests/common.py:379-381), translated
+    // by ExprLang before Catalyst parsing
+    "q_facade_pyexpr" -> ((s, dir) => {
+      val f = VxFrame(t(s, dir, "lineitem"))
+        .withVariable("t", 2.0)
+        .withVirtualColumn("z", "l_quantity + t*l_discount")
+        .withVirtualColumn("zpow", "l_quantity**2 // 3")
+        .select("(l_quantity > 25) & (l_discount < 0.05)")
+      f.df.groupBy(col("l_returnflag"))
+        .agg(
+          r(dsumD(col("z"))).as("sum_z"),
+          sum(col("zpow")).as("sum_zpow"),
+          count(when(f.selectionColumn(), lit(1))).as("n_sel"))
+        .orderBy("l_returnflag")
+    }),
+
     // groupby agg-spec normalization incl. file-order first (min_by row_index)
     "q_facade_groupby" -> ((s, dir) => {
       val base = t(s, dir, "orders")
@@ -117,6 +135,13 @@ object FacadeQueries {
          |    WHEN 2 THEN 'med' WHEN 3 THEN 'large' END AS qty_label,
          |  COUNT(*) AS n, ${sqlR(sqlDsum("l_extendedprice"))} AS sum_price
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_facade_pyexpr" ->
+      s"""SELECT l_returnflag,
+         |  ${sqlR(sqlDsum("l_quantity + 2.0*l_discount"))} AS sum_z,
+         |  CAST(SUM(CAST(FLOOR(POWER(l_quantity, 2) / 3) AS BIGINT)) AS BIGINT) AS sum_zpow,
+         |  COUNT(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 END) AS n_sel
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_facade_groupby" ->
       """SELECT o_orderpriority, ROUND(MAX(o_totalprice), 2) AS max_price,

@@ -59,16 +59,19 @@ object WindowQueries {
     }),
 
     // positional (row-number) join: vaex's on=None column paste
-    // (reference: core/join.py:164-165, 280-289)
+    // (reference: core/join.py:164-165, 280-289). Row numbers come from
+    // the bucketed ordered index (Tables.withRowIndexBy) — per-bucket
+    // windows + offset fix-up, never a global single-reducer sort.
     "q_join_positional" -> ((s, dir) => {
-      val wl = Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      val wo = Window.orderBy(col("o_orderkey"))
-      val a = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(wl).cast("long")).where(col("rn") <= 500)
-      val b = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(wo).cast("long")).where(col("rn") <= 500)
+      val a = graft.sources.Tables.withRowIndexBy(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          Seq("l_orderkey", "l_linenumber", "l_extendedprice"), "__idx")
+        .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
+      val b = graft.sources.Tables.withRowIndexBy(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq("o_orderkey"), "__idx")
+        .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
       a.join(b, Seq("rn")).orderBy("rn")
     }),
 

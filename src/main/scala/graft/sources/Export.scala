@@ -48,11 +48,22 @@ object Export {
   def fromAscii(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val lines = spark.read.text(path)
-    val header = lines.limit(1).collect()(0).getString(0).trim.split("\\s+")
-    val firstData = lines.limit(2).collect()(1).getString(0).trim.split("\\s+")
+    val head = lines.limit(2).collect()
+    require(head.nonEmpty, s"empty ascii file: $path")
+    val header = head(0).getString(0).trim.split("\\s+")
+    if (head.length < 2) // header-only file -> empty frame, all-string schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(header.map(
+          org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, nullable = true))))
+    val firstData = head(1).getString(0).trim.split("\\s+")
+    // token-array comparison drops the header under ANY whitespace
+    // (string equality broke on irregular spacing); ragged lines are
+    // dropped too rather than silently mis-aligned
     val parsed = lines
       .withColumn("__f", split(trim(col("value")), "\\s+"))
-      .where(col("value") =!= lit(header.mkString(" ")))
+      .where(size(col("__f")) === header.length &&
+        !(col("__f") === typedLit(header.toSeq)))
     val typed = header.zipWithIndex.map { case (name, i) =>
       val raw = element_at(col("__f"), i + 1)
       if (scala.util.Try(firstData(i).toDouble).isSuccess) raw.cast("double").as(name)

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Reader surface — the input half of `vaex.open`
+  * (reference: packages/vaex-core/vaex/__init__.py:111 extension
+  * dispatch; from_csv :571, csv.py:134 lazy chunked CSV; from_json
+  * :493). Spark's readers already stream per-partition (the lazy
+  * chunked-CSV machinery maps to `spark.read.csv` splits), so the only
+  * vaex idiom to reproduce is `convert=`: a write-through Parquet cache
+  * so later opens hit the columnar store.
+  */
+object Readers {
+
+  /** Extension-dispatched open with optional convert-to-parquet cache.
+    * `convert=Some(cachePath)`: first call converts source -> parquet
+    * (distributed write, storage-agnostic via the Hadoop FS API);
+    * subsequent calls read the cache only. */
+  def open(spark: SparkSession, path: String, convert: Option[String] = None): DataFrame = {
+    def source: DataFrame = path match {
+      case p if p.endsWith(".parquet") => spark.read.parquet(p)
+      case p if p.endsWith(".csv") => fromCsv(spark, p)
+      case p if p.endsWith(".json") || p.endsWith(".jsonl") => fromJson(spark, p)
+      case p if p.endsWith(".txt") || p.endsWith(".asc") => Export.fromAscii(spark, p)
+      case p => throw new IllegalArgumentException(s"unsupported source format: $p")
+    }
+    convert match {
+      case Some(cache) =>
+        val hp = new org.apache.hadoop.fs.Path(cache)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hp)) source.write.parquet(cache)
+        spark.read.parquet(cache)
+      case None => source
+    }
+  }
+
+  /** from_csv (reference: core/__init__.py:571; DatasetCsvLazy
+    * core/csv.py:134 — newline-aligned byte-range chunking = Spark's
+    * CSV splits). Pass `schema` to skip the inference pass on big
+    * inputs; `samplingRatio` bounds inference cost otherwise. */
+  def fromCsv(spark: SparkSession, path: String, header: Boolean = true,
+              sep: String = ",", schema: Option[StructType] = None,
+              samplingRatio: Double = 1.0): DataFrame = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("sep", sep)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None => r.option("inferSchema", "true")
+        .option("samplingRatio", samplingRatio.toString).csv(path)
+    }
+  }
+
+  /** from_json, JSON-lines orientation (reference: core/__init__.py:493
+    * from_json) — `spark.read.json` streams and infers per-split. */
+  def fromJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
+}

@@ -88,6 +88,48 @@ class ExportSpec extends SparkSpec {
     assert(got.where("name = 'beta'").count() == 1)
   }
 
+  test("fromAscii: irregular whitespace header, ragged lines, header-only file") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ascii2")
+    val f = d.resolve("t.txt")
+    // header with irregular spacing must still be dropped; ragged line dropped
+    java.nio.file.Files.writeString(f, "x   y \t name\n1.5 2 alpha\nbadline\n3.25 4 beta\n")
+    val got = sources.Export.fromAscii(spark, f.toString)
+    assert(got.count() == 2)
+    assert(got.agg(sum("x")).head.getDouble(0) == 4.75)
+    val h = d.resolve("headeronly.txt")
+    java.nio.file.Files.writeString(h, "a b c\n")
+    val empty = sources.Export.fromAscii(spark, h.toString)
+    assert(empty.columns.toSeq == Seq("a", "b", "c") && empty.count() == 0)
+  }
+
+  test("Readers.open dispatches by extension and convert caches to parquet") {
+    val d = java.nio.file.Files.createTempDirectory("graft_open")
+    val csvDir = d.resolve("t.csv").toString
+    df.write.option("header", "true").csv(csvDir)
+    val direct = sources.Readers.open(spark, csvDir)
+    assert(direct.count() == 3 && direct.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    val cache = d.resolve("t_conv.parquet").toString
+    val converted = sources.Readers.open(spark, csvDir, convert = Some(cache))
+    assert(converted.count() == 3)
+    assert(new java.io.File(cache).exists())
+    // second open must hit the cache (mutate the csv, reread: unchanged)
+    df.limit(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    assert(sources.Readers.open(spark, csvDir, convert = Some(cache)).count() == 3)
+  }
+
+  test("fromCsv with explicit schema skips inference") {
+    val d = java.nio.file.Files.createTempDirectory("graft_csvschema")
+    val p = d.resolve("s.csv").toString
+    df.write.option("header", "true").csv(p)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val got = sources.Readers.fromCsv(spark, p, schema = Some(schema))
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.agg(sum("v")).head.getDouble(0) == 7.5)
+  }
+
   test("state write/load round-trips through a file") {
     val f = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
     val configured = VxFrame(Seq((1.0, 2.0)).toDF("x", "y"))

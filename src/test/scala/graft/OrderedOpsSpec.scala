@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.OrderedOps
+import graft.sources.Tables
+
+/** Block-partitioned ordered operators must (a) bit-match the naive
+  * global-window formulation across block boundaries and (b) never plan
+  * a single-partition exchange — the scale property they exist for. */
+class OrderedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100 rows over 8 partitions, blockSize 7 -> 15 blocks, lots of edges
+  private lazy val df = spark.range(100).repartition(8)
+    .select(col("id").as("row_index"), (col("id") * 3 % 17).cast("double").as("x"))
+    .cache()
+
+  private def globalShift(p: Int) = {
+    val w = Window.orderBy(col("row_index"))
+    df.withColumn("expect",
+      if (p >= 0) lag(col("x"), p).over(w) else lead(col("x"), -p).over(w))
+  }
+
+  private def check(actualDf: org.apache.spark.sql.DataFrame, actualCol: String,
+                    expectDf: org.apache.spark.sql.DataFrame): Unit = {
+    val a = actualDf.select(col("row_index"), col(actualCol)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val e = expectDf.select(col("row_index"), col("expect")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a === e)
+  }
+
+  test("blockShift matches global-window lag/lead across boundaries") {
+    for (p <- Seq(1, 3, 7, -1, -5, -7)) {
+      val shifted = OrderedOps.shift(df, "x", p, as = Some("s"), blockSize = 7L)
+      check(shifted, "s", globalShift(p))
+    }
+    // p spanning more than one default block: bigger blocks required
+    check(OrderedOps.shift(df, "x", 13, as = Some("s"), blockSize = 16L), "s",
+      globalShift(13))
+  }
+
+  test("blockShift p=0 and p beyond frame length") {
+    check(OrderedOps.shift(df, "x", 0, as = Some("s"), blockSize = 7L), "s",
+      df.withColumn("expect", col("x")))
+    // 200 > 100 rows: everything null (blockSize must still exceed p)
+    val far = OrderedOps.shift(df, "x", 200, as = Some("s"), blockSize = 512L)
+    assert(far.where(col("s").isNotNull).count() === 0)
+  }
+
+  test("blockDiff matches global diff") {
+    val expected = {
+      val w = Window.orderBy(col("row_index"))
+      df.withColumn("expect", col("x") - lag(col("x"), 2).over(w))
+    }
+    check(OrderedOps.diff(df, "x", 2, blockSize = 7L).withColumnRenamed("x", "d"),
+      "d", expected)
+  }
+
+  test("blockRollingSum matches global rolling sum incl. partial head") {
+    for (w <- Seq(1, 3, 7)) {
+      val win = Window.orderBy(col("row_index")).rowsBetween(-(w - 1), 0)
+      val expected = df.withColumn("expect", sum(col("x")).over(win))
+      check(OrderedOps.rollingSum(df, "x", w, "rs", blockSize = 7L), "rs", expected)
+    }
+  }
+
+  test("blockRollingSum null handling: all-null window stays null") {
+    val d = spark.range(10).select(col("id").as("row_index"),
+      when(col("id") < 5, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))
+    val win = Window.orderBy(col("row_index")).rowsBetween(-2, 0)
+    val expected = d.withColumn("expect", sum(col("x")).over(win))
+    check(OrderedOps.rollingSum(d, "x", 3, "rs", blockSize = 4L), "rs", expected)
+  }
+
+  test("ordered-op plans contain no single-partition exchange") {
+    for (plan <- Seq(
+      OrderedOps.shift(df, "x", 3, as = Some("s"), blockSize = 7L),
+      OrderedOps.rollingSum(df, "x", 3, "rs", blockSize = 7L),
+      VxFrame(df).shift("x", 2).df)) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("SinglePartition"), p.take(2000))
+    }
+  }
+
+  test("withRowIndex is dense 0..n-1 in partition order, columnar") {
+    val d = Tables.withRowIndex(spark.range(50).repartition(6).toDF("v"))
+    val idx = d.select("row_index").collect().map(_.getLong(0)).sorted
+    assert(idx === (0L until 50L).toArray)
+    // no RDD round-trip: plan is still a columnar project over the scan
+    assert(!d.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
+  test("withRowIndexBy equals a global ordered row_number") {
+    val base = spark.range(200).select(
+      (col("id") * 7 % 23).as("k"), (col("id") % 5).as("k2"), col("id").as("orig"))
+      .repartition(8).cache()
+    val bucketed = Tables.withRowIndexBy(base, Seq("k", "k2", "orig"), buckets = 6)
+    val global = base.withColumn("expect",
+      row_number().over(Window.orderBy(col("k"), col("k2"), col("orig"))).cast("long") - 1L)
+    val a = bucketed.select("orig", "row_index").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = global.select("orig", "expect").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === e)
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("withRowIndexBy handles nulls-first and ties on the leading key") {
+    val base = Seq(
+      (Option(3L), "a"), (Option.empty[Long], "b"), (Option(1L), "c"),
+      (Option(3L), "d"), (Option.empty[Long], "a")).toDF("k", "s")
+    val got = Tables.withRowIndexBy(base, Seq("k", "s"), buckets = 3)
+      .orderBy("row_index").select("k", "s").collect()
+      .map(r => (Option(r.get(0)), r.getString(1)))
+    assert(got === Array(
+      (None, "a"), (None, "b"), (Some(1L), "c"), (Some(3L), "a"), (Some(3L), "d")))
+  }
+}
