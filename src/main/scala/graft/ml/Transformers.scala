@@ -128,4 +128,206 @@ object Transformers {
   def cycleTransformer(f: VxFrame, column: String, period: Double): VxFrame =
     f.withVirtualColumn(s"${column}_sin", s"SIN(2 * pi * $column / $period)")
       .withVirtualColumn(s"${column}_cos", s"COS(2 * pi * $column / $period)")
+
+  // ------------------------------------------------------------ PCA family
+
+  /** Jacobi eigendecomposition of a symmetric matrix (driver-side; the
+    * covariance matrix is k×k for k features — tiny at any data scale).
+    * Returns (eigenvalues, eigenvectors-as-rows) sorted by eigenvalue
+    * descending, each vector sign-normalized (largest-|component|
+    * positive) for determinism. */
+  private[graft] def symEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val vec = Array.tabulate(n)(k => v(k)(i))
+      val maxIdx = vec.indices.maxBy(j => math.abs(vec(j)))
+      if (vec(maxIdx) < 0) vec.map(-_) else vec
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** PCA (reference: ml/transformations.py:51): fit = ONE fused
+    * aggregation pass (means + full covariance matrix via
+    * VxFrame.covMatrix) + driver-side Jacobi eigendecomposition of the
+    * k×k covariance; transform = `PCA_i` virtual columns
+    * Σ_j evec_ij (x_j - mean_j). Pure expression state — serializes
+    * through stateGet like every other transformer. */
+  def pca(f: VxFrame, columns: Seq[String], nComponents: Int = -1,
+          prefix: String = "PCA_"): VxFrame = {
+    val k = columns.length
+    val nc = if (nComponents <= 0 || nComponents > k) k else nComponents
+    val meanRow = f.df.agg(
+      avg(col(columns.head).cast("double")),
+      columns.tail.map(c => avg(col(c).cast("double"))): _*).head()
+    val means = columns.indices.map(meanRow.getDouble).toArray
+    val cov = f.covMatrix(columns)
+    val (_, evecs) = symEigen(cov)
+    (0 until nc).foldLeft(f) { (acc, i) =>
+      val terms = columns.indices
+        .map(j => s"(${evecs(i)(j)}) * ((${columns(j)}) - (${means(j)}))")
+      acc.withVirtualColumn(s"$prefix$i", terms.mkString(" + "))
+    }
+  }
+
+  /** PCAIncremental (reference: ml/transformations.py:134): the
+    * reference exists because single-node PCA can't hold all rows;
+    * Spark's distributed partial/final aggregation IS the incremental
+    * path (per-partition partial sums merged exactly), so this is the
+    * same fit with the batch knob irrelevant. Kept as an explicit
+    * alias so ported pipelines resolve. */
+  def pcaIncremental(f: VxFrame, columns: Seq[String], nComponents: Int = -1,
+                     batchSize: Int = 0): VxFrame =
+    pca(f, columns, nComponents)
+
+  /** RandomProjections (reference: ml/transformations.py:199):
+    * Gaussian random projection matrix, seeded and deterministic
+    * (same algorithm as the reference; RNG stream differs from numpy,
+    * documented divergence). Transform only — no fit pass. */
+  def randomProjections(f: VxFrame, columns: Seq[String], nComponents: Int,
+                        seed: Long = 42L, prefix: String = "random_projection_"): VxFrame = {
+    val rnd = new java.util.Random(seed)
+    val scale = 1.0 / math.sqrt(nComponents.toDouble)
+    (0 until nComponents).foldLeft(f) { (acc, i) =>
+      val terms = columns.map(c => s"(${rnd.nextGaussian() * scale}) * ($c)")
+      acc.withVirtualColumn(s"$prefix$i", terms.mkString(" + "))
+    }
+  }
+
+  // ------------------------------------------------------- encoder tail
+
+  /** MultiHotEncoder (reference: ml/transformations.py:444, "binary
+    * encoder"): ordinal code (sorted labels -> 1..n, unseen -> 0),
+    * then each binary digit of the code becomes a 0/1 column.
+    * n_dims replicates the reference's floor(log2 n)+1+(n mod 2). */
+  def multiHotEncoder(f: VxFrame, column: String, prefix: String = "",
+                      maxCardinality: Int = 10000): VxFrame = {
+    val labels = f.df.select(col(column).cast("string")).where(col(column).isNotNull)
+      .distinct().orderBy(col(column)).limit(maxCardinality + 1)
+      .collect().map(_.getString(0))
+    require(labels.length <= maxCardinality, s"cardinality of $column exceeds $maxCardinality")
+    val n = labels.length
+    val nDims = (math.floor(math.log(n) / math.log(2)).toInt + 1 + (n % 2))
+    val codeCase = labels.zipWithIndex
+      .map { case (v, i) => s"WHEN $column = '${v.replace("'", "''")}' THEN ${i + 1}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val withCode = f.withVirtualColumn(s"__${column}_mh_code", codeCase)
+    (0 until nDims).foldLeft(withCode) { (acc, i) =>
+      val j = nDims - 1 - i
+      acc.withVirtualColumn(s"$prefix${column}_$i",
+        s"CAST(SHIFTRIGHT(__${column}_mh_code, $j) & 1 AS INT)")
+    }
+  }
+
+  /** BayesianTargetEncoder (reference: ml/transformations.py:916):
+    * category -> (n·mean + weight·globalMean) / (n + weight);
+    * unseen -> NaN (reference default). Fit = one groupBy pass. */
+  def bayesianTargetEncoder(f: VxFrame, column: String, target: String,
+                            weight: Double = 100.0,
+                            prefix: String = "mean_encoded_",
+                            maxCardinality: Int = 10000): VxFrame = {
+    val globalMean = f.df.agg(avg(col(target).cast("double"))).head().getDouble(0)
+    val rows = f.df.groupBy(col(column).cast("string").as("v"))
+      .agg(count(col(target)).as("n"), avg(col(target).cast("double")).as("m"))
+      .where(col("v").isNotNull).limit(maxCardinality + 1).collect()
+    require(rows.length <= maxCardinality, s"cardinality of $column exceeds $maxCardinality")
+    val cases = rows.sortBy(_.getString(0)).map { r =>
+      val enc = (r.getLong(1) * r.getDouble(2) + weight * globalMean) / (r.getLong(1) + weight)
+      s"WHEN $column = '${r.getString(0).replace("'", "''")}' THEN ${enc}D"
+    }.mkString("CASE ", " ", " ELSE CAST('NaN' AS DOUBLE) END")
+    f.withVirtualColumn(s"$prefix$column", cases)
+  }
+
+  /** WeightOfEvidenceEncoder (reference: ml/transformations.py:988):
+    * p = mean(target∈{0,1}) per category, clamped to [eps, 1-eps],
+    * woe = ln(p / (1-p)); unseen -> NaN. */
+  def weightOfEvidenceEncoder(f: VxFrame, column: String, target: String,
+                              epsilon: Double = 0.000001,
+                              prefix: String = "woe_encoded_",
+                              maxCardinality: Int = 10000): VxFrame = {
+    val rows = f.df.groupBy(col(column).cast("string").as("v"))
+      .agg(avg(col(target).cast("double")).as("p"))
+      .where(col("v").isNotNull).limit(maxCardinality + 1).collect()
+    require(rows.length <= maxCardinality, s"cardinality of $column exceeds $maxCardinality")
+    val cases = rows.sortBy(_.getString(0)).map { r =>
+      val p0 = r.getDouble(1)
+      val p = if (p0 == 0.0) epsilon else p0
+      val neg0 = 1.0 - p
+      val neg = if (neg0 == 0.0) epsilon else neg0
+      s"WHEN $column = '${r.getString(0).replace("'", "''")}' THEN ${math.log(p / neg)}D"
+    }.mkString("CASE ", " ", " ELSE CAST('NaN' AS DOUBLE) END")
+    f.withVirtualColumn(s"$prefix$column", cases)
+  }
+
+  /** GroupByTransformer (reference: ml/transformations.py:1193): join
+    * per-group aggregate features back onto each row. The fitted
+    * group table is encoded as CASE-chain expression state (cardinality
+    * guarded) so the pipeline stays serializable — the reference
+    * stores the grouped dataframe in state and joins on transform;
+    * for bounded-cardinality keys a literal mapping is the same thing
+    * without a shuffle. `agg`: (outputName -> (aggHow, valueColumn)). */
+  def groupByTransformer(f: VxFrame, by: String, agg: Map[String, (String, String)],
+                         maxCardinality: Int = 10000): VxFrame = {
+    val aggCols = agg.toSeq.map { case (out, (how, c)) =>
+      val a = how match {
+        case "count" => count(col(c))
+        case "sum" => sum(col(c).cast("double"))
+        case "mean" => avg(col(c).cast("double"))
+        case "min" => min(col(c).cast("double"))
+        case "max" => max(col(c).cast("double"))
+        case other => throw new IllegalArgumentException(s"unknown agg: $other")
+      }
+      a.as(out)
+    }
+    val rows = f.df.groupBy(col(by).cast("string").as("v"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .where(col("v").isNotNull).limit(maxCardinality + 1).collect()
+    require(rows.length <= maxCardinality, s"cardinality of $by exceeds $maxCardinality")
+    agg.keys.toSeq.sorted.foldLeft(f) { (acc, out) =>
+      val idx = rows.head.schema.fieldIndex(out)
+      val cases = rows.sortBy(_.getString(0)).map { r =>
+        val value = r.get(idx) match {
+          case d: java.lang.Double => s"${d}D"
+          case l: java.lang.Long => s"${l}L"
+          case other => other.toString
+        }
+        s"WHEN $by = '${r.getString(0).replace("'", "''")}' THEN $value"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+      acc.withVirtualColumn(s"${by}_$out", cases)
+    }
+  }
 }

@@ -52,8 +52,9 @@ object SimilaritySearch {
   }
 
   /** Deterministic "training": use the rows with id < nCells as
-    * centroids (collected to the driver — always tiny). A production
-    * quantizer would k-means a sample; the plumbing is identical. */
+    * centroids (collected to the driver — always tiny). Kept because
+    * its centroids are reproducible in a SQL oracle; the quality
+    * quantizer is [[trainKMeans]]. */
   def trainTakeFirst(df: DataFrame, idCol: String, embCol: String,
                      nCells: Int): Seq[(Int, Seq[Float])] =
     df.where(col(idCol) < nCells)
@@ -62,6 +63,71 @@ object SimilaritySearch {
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
       .toSeq
+
+  /** Sampled spherical k-means quantizer (Lloyd iterations on a
+    * deterministic sample, driver-side — the sample and the quantizer
+    * are tiny regardless of table size; at 100 TB the sample is a
+    * TakeOrdered over the id column, not a scan-order dependent take).
+    * Vectors are L2-normalized for training so the learned cells match
+    * the cosine assignment metric of [[assignCells]]. Deterministic:
+    * fixed sample, fixed seeds (first k distinct sample vectors),
+    * fixed iteration count. */
+  def trainKMeans(df: DataFrame, idCol: String, embCol: String, nCells: Int,
+                  sampleN: Int = 2048, iters: Int = 10): Seq[(Int, Seq[Float])] = {
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(sampleN)
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    // seeds: first nCells pairwise-distinct sample vectors
+    val seeds = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var i = 0
+    while (seeds.length < nCells && i < sample.length) {
+      if (!seeds.exists(s => s.sameElements(sample(i)))) seeds += sample(i).clone()
+      i += 1
+    }
+    var centroids = seeds.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        for (c <- centroids.indices) {
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += v(d) * centroids(c)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells stable
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) m else m.map(_ / n)
+        }
+      }.toArray
+    }
+    centroids.zipWithIndex.map { case (c, cid) => (cid, c.map(_.toFloat).toSeq) }.toSeq
+  }
+
+  /** nProbe nearest cells per row (ascending cosine distance) — for
+    * query-side multi-cell probing. Pure projection, zero shuffle. */
+  def assignCellsProbe(df: DataFrame, embCol: String,
+                       centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+                       cellsCol: String = "cells"): DataFrame = {
+    val entries = centroids.map { case (cid, v) =>
+      struct(centroidDist(col(embCol), v).as("dist"), lit(cid).as("cid"))
+    }
+    df.withColumn(cellsCol,
+      transform(slice(array_sort(array(entries: _*)), 1, nProbe), _.getField("cid")))
+  }
 
   /** IVF top-k: for each query row, the k nearest neighbors among
     * non-query rows sharing its cell. Queries are broadcast (small);
@@ -73,6 +139,33 @@ object SimilaritySearch {
     val qs = points.where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
         col(cellCol).as("q_cell"), fnorm(col(embCol)).as("q_nrm"))
+    val denom = col("q_nrm") * col("nrm")
+    val scored = pts.join(broadcast(qs),
+        col("cell") === col("q_cell") && col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("cell"),
+        when(denom === 0.0, lit(0.0))
+          .otherwise(fdot(col("q_emb"), col("emb")) / denom).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("nbr_id"))))
+      .where(col("rank") <= k)
+  }
+
+  /** Multi-probe IVF top-k: each query searches its `nProbe` nearest
+    * cells (recall knob). Points keep their single primary cell; the
+    * query side explodes its probe list, so the join still shuffles by
+    * cell only and a neighbor can match a query at most once. */
+  def ivfTopKProbe(points: DataFrame, queryIds: Seq[Long], idCol: String,
+                   embCol: String, cellCol: String,
+                   centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+                   k: Int): DataFrame = {
+    val pts = points.select(col(idCol).as("nbr_id"), col(embCol).as("emb"),
+      col(cellCol).as("cell"), fnorm(col(embCol)).as("nrm"))
+    val qs = assignCellsProbe(
+        points.where(col(idCol).isin(queryIds: _*)), embCol, centroids, nProbe)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        explode(col("cells")).as("q_cell"), fnorm(col(embCol)).as("q_nrm"))
     val denom = col("q_nrm") * col("nrm")
     val scored = pts.join(broadcast(qs),
         col("cell") === col("q_cell") && col("nbr_id") =!= col("query_id"))

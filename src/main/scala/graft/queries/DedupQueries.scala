@@ -44,6 +44,26 @@ object DedupQueries {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         shingleHashes(col("sh")).as("hs"))
 
+  /** Verified near-dup pairs — the shared tail of the LSH pipeline
+    * (shingle-hash -> sign -> band -> bucket-join -> jaccard >= VERIFY). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val hs = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
+    val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), K).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), K, R)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), round(jaccard(col("hs_a"), col("hs_b")), 6).as("jac"))
+      .where(col("jac") >= VERIFY)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc MinHash signature (k=4 unpacked for value-level checking)
     "q_minhash_sig" -> ((s, dir) => {
@@ -61,23 +81,18 @@ object DedupQueries {
 
     // full MinHash-LSH near-dup pipeline: shingle-hash -> sign -> band
     // -> bucket-join -> verified jaccard (over hash sets)
-    "q_lsh_neardup" -> ((s, dir) => {
-      val hs = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
-      val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), K).as("sig"))
-      val bands = sig
-        .select(col("doc_id"), explode(lshBandKeys(col("sig"), K, R)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      cand
-        .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
-        .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-        .select(col("id_a"), col("id_b"), round(jaccard(col("hs_a"), col("hs_b")), 6).as("jac"))
-        .where(col("jac") >= VERIFY)
-        .orderBy("id_a", "id_b")
+    "q_lsh_neardup" -> ((s, dir) => verifiedPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // dedup group resolution: verified pairs -> connected components
+    // (hash-min label propagation, operators.DedupResolve) -> per-group
+    // summary under the min-id-survives rule. The missing "last mile"
+    // of a production dedup pipeline — transitive closure of pairs.
+    "q_dedup_groups" -> ((s, dir) => {
+      val comps = graft.operators.DedupResolve.connectedComponents(
+        verifiedPairs(s, dir).select("id_a", "id_b"))
+      comps.groupBy(col("comp").as("survivor_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .orderBy("survivor_id")
     }),
 
     // 16-bit SimHash per doc + hamming distance to a reference doc
@@ -193,6 +208,42 @@ object DedupQueries {
          |  JOIN (SELECT doc_id AS id_a, hs AS hs_a FROM h) USING (id_a)
          |  JOIN (SELECT doc_id AS id_b, hs AS hs_b FROM h) USING (id_b))
          |WHERE jac >= $VERIFY ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_groups" -> {
+      val sig = (0 until K).map(mhSql).zipWithIndex
+        .map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
+      val bandRows = (0 until K / R).map { b =>
+        val key = H((0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+          .mkString(" || '_' || "))
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      // transitive closure via recursive CTE; comp = min reachable id
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM s),
+         |sig AS (SELECT doc_id, $sig FROM h),
+         |bands AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, ROUND($jacSql, 6) AS jac
+         |    FROM cand
+         |    JOIN (SELECT doc_id AS id_a, hs AS hs_a FROM h) USING (id_a)
+         |    JOIN (SELECT doc_id AS id_b, hs AS hs_b FROM h) USING (id_b))
+         |  WHERE jac >= $VERIFY),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)
+         |SELECT comp AS survivor_id, COUNT(*) AS n_docs, MAX(id) AS max_id
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q_simhash" ->

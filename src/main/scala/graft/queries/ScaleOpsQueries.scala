@@ -28,6 +28,22 @@ object ScaleOpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN with the QUALITY quantizer: sampled spherical k-means +
+    // multi-cell probing (nProbe=2). No SQL oracle can recompute the
+    // Lloyd iterations, so this entry is rows-only checked by the
+    // driver; recall vs the brute-force ground truth is asserted in
+    // AnnRecallSpec (recall@3 >= 0.9).
+    "q_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", N_CELLS)
+      val pts = SimilaritySearch.assignCells(emb, "embedding", centroids)
+      SimilaritySearch.ivfTopKProbe(pts, QUERY_IDS, "vec_id", "embedding",
+          "cell", centroids, nProbe = 2, k = TOP_K)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          r(col("cos"), 8).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // cell histogram: how balanced is the IVF partitioning (the thing
     // that determines probe cost at scale)
     "q_ivf_cells" -> ((s, dir) => {

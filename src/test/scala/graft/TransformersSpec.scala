@@ -80,4 +80,83 @@ class TransformersSpec extends SparkSpec {
     val g = Transformers.maxAbsScaler(vf, "x")
     assert(g.df.agg(max(abs(col("absmax_scaled_x")))).head().getDouble(0) == 1.0)
   }
+
+  test("symEigen solves a closed-form symmetric matrix") {
+    // [[2,1],[1,2]]: eigenvalues 3,1; eigenvectors (1,1)/√2, (1,-1)/√2
+    val (evals, evecs) = Transformers.symEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-9 && math.abs(evals(1) - 1.0) < 1e-9)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(math.abs(math.abs(evecs(1)(0)) - s) < 1e-9)
+  }
+
+  test("pca: perfectly correlated 2-d data collapses to one component") {
+    // y = 2x: first PC carries all variance, second is ~0 everywhere
+    val data = VxFrame((1 to 10).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y"))
+    val f = Transformers.pca(data, Seq("x", "y"))
+    val r = f.df.agg(
+      round(var_pop(col("PCA_0")), 6), round(var_pop(col("PCA_1")), 10)).head()
+    val totalVar = (1 to 10).map(_.toDouble).map(v => v * v).sum / 10.0 - math.pow(5.5, 2)
+    assert(math.abs(r.getDouble(0) - totalVar * 5.0) < 1e-6) // var(x)+var(2x)=5·var(x)
+    assert(r.getDouble(1) == 0.0)
+    // and it is state-serializable
+    val fresh = VxFrame(Seq((100.0, 200.0)).toDF("x", "y")).stateSet(f.stateGet())
+    assert(fresh.df.select("PCA_0").head().getDouble(0) > 0.0)
+    // incremental alias fits identically
+    val inc = Transformers.pcaIncremental(data, Seq("x", "y"))
+    assert(inc.df.select("PCA_0").collect().map(_.getDouble(0)).toSeq ==
+      f.df.select("PCA_0").collect().map(_.getDouble(0)).toSeq)
+  }
+
+  test("randomProjections: deterministic, approximately norm-preserving shape") {
+    val f = Transformers.randomProjections(vf, Seq("x", "h"), 4)
+    val g = Transformers.randomProjections(vf, Seq("x", "h"), 4)
+    assert(f.df.select("random_projection_0").collect().map(_.getDouble(0)).toSeq ==
+      g.df.select("random_projection_0").collect().map(_.getDouble(0)).toSeq)
+    assert(f.df.columns.count(_.startsWith("random_projection_")) == 4)
+  }
+
+  test("multiHotEncoder matches the reference binary-code example") {
+    // reference ml/transformations.py:444 docstring: red/green/blue
+    val data = VxFrame(Seq("red", "green", "green", "blue", "red").map(Tuple1(_)).toDF("color"))
+    val f = Transformers.multiHotEncoder(data, "color")
+    val got = f.df.select("color", "color_0", "color_1", "color_2").distinct().collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got == Map("red" -> (0, 1, 1), "green" -> (0, 1, 0), "blue" -> (0, 0, 1)))
+  }
+
+  test("bayesianTargetEncoder matches the reference smoothing example") {
+    // reference ml/transformations.py:916 docstring: weight=4 -> 0.625/0.375
+    val data = VxFrame(Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 0.0),
+      ("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 1.0)).toDF("x", "y"))
+    val f = Transformers.bayesianTargetEncoder(data, "x", "y", weight = 4)
+    val got = f.df.select("x", "mean_encoded_x").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 0.625, "b" -> 0.375))
+  }
+
+  test("weightOfEvidenceEncoder matches the reference example") {
+    // reference ml/transformations.py:988 docstring
+    val data = VxFrame(Seq(
+      ("a", 1.0), ("a", 1.0), ("b", 0.0), ("b", 0.0),
+      ("b", 1.0), ("c", 1.0), ("c", 0.0)).toDF("x", "y"))
+    val f = Transformers.weightOfEvidenceEncoder(data, "x", "y")
+    val got = f.df.select("x", "woe_encoded_x").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 13.8155) < 1e-3)       // ln((1-eps)/eps)
+    assert(math.abs(got("b") - (-0.693147)) < 1e-6)   // ln((1/3)/(2/3))
+    assert(got("c") == 0.0)                           // ln(0.5/0.5)
+  }
+
+  test("groupByTransformer: group aggregates as serializable state") {
+    val f = Transformers.groupByTransformer(vf, "k",
+      Map("mean_h" -> ("mean", "h"), "n" -> ("count", "x")))
+    val r = f.df.where("k = 'a'").select("k_mean_h", "k_n").head()
+    assert(r.getDouble(0) == 6.0 && r.getLong(1) == 2L)
+    // survives state round-trip on fresh data
+    val fresh = VxFrame(Seq((9.0, "b", 0.0)).toDF("x", "k", "h")).stateSet(f.stateGet())
+    assert(fresh.df.select("k_mean_h").head().getDouble(0) == 14.5)
+  }
 }
