@@ -63,6 +63,7 @@ final case class VxFrame(
     variables: ListMap[String, String] = ListMap("pi" -> math.Pi.toString, "e" -> math.E.toString),
     selections: ListMap[String, String] = ListMap.empty,
     selectionHistory: List[ListMap[String, String]] = Nil, // undo stack
+    selectionRedoHistory: List[ListMap[String, String]] = Nil, // redo stack
     filterExpression: Option[String] = None,
     categories: Map[String, Seq[String]] = Map.empty) {
 
@@ -159,16 +160,29 @@ final case class VxFrame(
     copy(
       selections = selections + (name ->
         SelectionMode.combineSql(SelectionMode.parse(mode), selections.get(name), expression)),
-      selectionHistory = selections :: selectionHistory)
+      selectionHistory = selections :: selectionHistory,
+      selectionRedoHistory = Nil) // new action invalidates redo
 
   def selectNothing(name: String = "default"): VxFrame =
-    copy(selections = selections - name, selectionHistory = selections :: selectionHistory)
+    copy(selections = selections - name,
+      selectionHistory = selections :: selectionHistory,
+      selectionRedoHistory = Nil)
 
-  /** reference: core/dataframe.py:5010 `selection_undo`. */
+  /** reference: core/dataframe.py:5010 `selection_undo` (+ redo :5024). */
   def selectionUndo(): VxFrame = selectionHistory match {
-    case prev :: rest => copy(selections = prev, selectionHistory = rest)
+    case prev :: rest => copy(selections = prev, selectionHistory = rest,
+      selectionRedoHistory = selections :: selectionRedoHistory)
     case Nil => this
   }
+
+  def selectionRedo(): VxFrame = selectionRedoHistory match {
+    case next :: rest => copy(selections = next, selectionRedoHistory = rest,
+      selectionHistory = selections :: selectionHistory)
+    case Nil => this
+  }
+
+  def selectionCanUndo: Boolean = selectionHistory.nonEmpty
+  def selectionCanRedo: Boolean = selectionRedoHistory.nonEmpty
 
   def hasSelection(name: String = "default"): Boolean = selections.contains(name)
 
@@ -187,6 +201,22 @@ final case class VxFrame(
                    mode: String = "replace", name: String = "default"): VxFrame =
     select(s"((($x)-($xc))*(($x)-($xc)) + (($y)-($yc))*(($y)-($yc)) <= ${r * r})", mode, name)
 
+  /** reference: core/dataframe.py:5201 `select_ellipse` — inside an
+    * ellipse of full width/height, rotated by `degrees` around the
+    * center. Constants folded driver-side; the predicate is plain
+    * column arithmetic. */
+  def selectEllipse(x: String, y: String, xc: Double, yc: Double,
+                    width: Double, height: Double, degrees: Double = 0.0,
+                    mode: String = "replace", name: String = "default"): VxFrame = {
+    val (a, b) = (width / 2.0, height / 2.0)
+    val (c0, s0) = (math.cos(math.toRadians(degrees)), math.sin(math.toRadians(degrees)))
+    val dx = s"(($x) - ($xc))"
+    val dy = s"(($y) - ($yc))"
+    val u = s"($dx * ($c0) + $dy * ($s0))"
+    val v = s"(-($dx) * ($s0) + $dy * ($c0))"
+    select(s"(($u*$u)/(${a * a}) + ($v*$v)/(${b * b}) <= 1.0)", mode, name)
+  }
+
   // ---------------------------------------------------------------- na handling
 
   /** reference: core/dataframe.py:5079-5123 dropna family. */
@@ -196,6 +226,13 @@ final case class VxFrame(
   }
   def dropNaN(columns: Seq[String]): VxFrame =
     filter(columns.map(c => s"(NOT (isnan($c)))").mkString(" AND "), "and")
+  /** reference: core/dataframe.py:5123 `dropinf` — drop rows where any
+    * of the given float columns is ±Infinity. */
+  def dropInf(columns: Seq[String]): VxFrame =
+    filter(columns.map(c =>
+      s"($c != CAST('Infinity' AS DOUBLE) AND $c != CAST('-Infinity' AS DOUBLE))")
+      .mkString(" AND "), "and")
+
   def dropNA(columns: Seq[String]): VxFrame = {
     val floats = columns.filter { c =>
       val dt = df.schema(c).dataType
@@ -232,7 +269,10 @@ final case class VxFrame(
       case r => r.getDouble(0)
     }
   def meanExpr(e: String, selection: Option[String] = None): Double =
-    df.agg(avg(maybeSelected(e, selection).cast("double"))).head().getDouble(0)
+    df.agg(avg(maybeSelected(e, selection).cast("double"))).head() match {
+      case r if r.isNullAt(0) => Double.NaN // empty frame (numpy mean-of-empty)
+      case r => r.getDouble(0)
+    }
   def minExpr(e: String, selection: Option[String] = None): Any =
     df.agg(min(maybeSelected(e, selection))).head().get(0)
   def maxExpr(e: String, selection: Option[String] = None): Any =
@@ -245,7 +285,10 @@ final case class VxFrame(
   /** Population variance, vaex's default ddof=0
     * (reference: core/agg.py:421-457). */
   def varExpr(e: String, selection: Option[String] = None): Double =
-    df.agg(var_pop(maybeSelected(e, selection).cast("double"))).head().getDouble(0)
+    df.agg(var_pop(maybeSelected(e, selection).cast("double"))).head() match {
+      case r if r.isNullAt(0) => Double.NaN
+      case r => r.getDouble(0)
+    }
   def stdExpr(e: String, selection: Option[String] = None): Double = math.sqrt(varExpr(e, selection))
   def uniqueValues(e: String): Seq[Any] =
     df.select(parse(e)).distinct().collect().toSeq.map(_.get(0))
@@ -360,7 +403,25 @@ final case class VxFrame(
     * limits_percentage — central `percentage`% interval). */
   def limits(e: String): (Double, Double) = {
     val r = df.agg(min(parse(e)).cast("double"), max(parse(e)).cast("double")).head()
-    (r.getDouble(0), r.getDouble(1))
+    if (r.isNullAt(0) || r.isNullAt(1)) (Double.NaN, Double.NaN)
+    else (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Percentile of an expression. The PUBLIC default is the sketch-
+    * based `percentile_approx` — the reference's percentile is itself
+    * approximate (grid-interpolated, core/dataframe.py:1632-1781), and
+    * Spark's exact percentile buffers every value per group (OOM
+    * territory on a 100 TB fact table). `exact = true` opts into the
+    * exact interpolated variant for small frames / oracle parity. */
+  def percentile(e: String, q: Double, exact: Boolean = false): Double = {
+    val c = substituteVariables(e)
+    val aggExpr =
+      if (exact) expr(s"percentile($c, $q)")
+      else expr(s"percentile_approx($c, $q, 10000)").cast("double")
+    df.agg(aggExpr).head() match {
+      case r if r.isNullAt(0) => Double.NaN
+      case r => r.getDouble(0)
+    }
   }
   def limitsPercentage(e: String, percentage: Double = 99.73): (Double, Double) = {
     val tailFrac = (100.0 - percentage) / 200.0
@@ -551,6 +612,20 @@ final case class VxFrame(
       out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
     }
     out
+  }
+
+  /** binby with coordinate labels — the reference returns an xarray
+    * DataArray whose coordinates are the BIN CENTERS (reference:
+    * core/groupby.py:841-871 result assembly); consumers plotting or
+    * post-processing the grid need them. Returns (centers-per-dim,
+    * shape, row-major tensor). */
+  def binbyLabeled(specs: Seq[(String, Double, Double, Int)],
+                   agg: Column): (Seq[Array[Double]], Seq[Int], Array[Double]) = {
+    val centers = specs.map { case (_, vmin, vmax, shape) =>
+      val width = (vmax - vmin) / shape
+      Array.tabulate(shape)(i => vmin + (i + 0.5) * width)
+    }
+    (centers, specs.map(_._4), binby(specs, agg))
   }
 
   /** binby with edge slots — the reference's full grid layout

@@ -128,6 +128,38 @@ object VxFunctions {
       when(length(c) >= width, c)
         .otherwise(concat(sign, lpad(body, lit(width) - length(sign), lit("0"))))
     }
+    /** Python str.rfind: LAST occurrence, 0-based, -1 when absent
+      * (reference: core/functions.py:1757). No native rinstr — search
+      * the reversed pattern in the reversed string (pure codegen'd
+      * builtins, no UDF). */
+    def rfind(c: Column, sub: String): Column = {
+      val revpos = locate(sub.reverse, org.apache.spark.sql.functions.reverse(c))
+      when(revpos === 0, lit(-1L))
+        .otherwise((length(c) - revpos + 1 - sub.length).cast("long"))
+    }
+    /** Python str.index: like find but errors when absent
+      * (reference: core/functions.py:1376). */
+    def index(c: Column, sub: String): Column =
+      when(instr(c, sub) > 0, instr(c, sub).cast("long") - 1)
+        .otherwise(raise_error(concat(lit(s"substring '$sub' not found in: "), c)))
+        .cast("long")
+    /** Python str.rindex (reference: core/functions.py:1793). */
+    def rindex(c: Column, sub: String): Column =
+      when(locate(sub.reverse, org.apache.spark.sql.functions.reverse(c)) > 0, rfind(c, sub))
+        .otherwise(raise_error(concat(lit(s"substring '$sub' not found in: "), c)))
+        .cast("long")
+    /** Python str.rsplit(sep, maxsplit) (reference: core/functions.py:
+      * 1943): split from the RIGHT, at most maxsplit splits. Same
+      * reverse trick: split the reversed string with Spark's limit,
+      * then un-reverse elements and order. */
+    def rsplit(c: Column, sep: String, maxsplit: Int = -1): Column = {
+      val rev = (x: Column) => org.apache.spark.sql.functions.reverse(x)
+      if (maxsplit < 0) split(c, sep)
+      else rev(transform(
+        org.apache.spark.sql.functions.split(
+          rev(c), java.util.regex.Pattern.quote(sep.reverse), maxsplit + 1),
+        x => rev(x)))
+    }
     def isalnum(c: Column): Column = c.rlike("^[\\p{L}\\p{N}]+$")
     def isalpha(c: Column): Column = c.rlike("^\\p{L}+$")
     def isdigit(c: Column): Column = c.rlike("^\\p{Nd}+$")

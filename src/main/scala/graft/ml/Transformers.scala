@@ -53,12 +53,17 @@ object Transformers {
   }
 
   /** RobustScaler (reference: ml/transformations.py:784): center by
-    * median, scale by IQR — exact percentiles (at extreme scale swap in
-    * percentile_approx; the state shape is identical). */
-  def robustScaler(f: VxFrame, column: String, prefix: String = "robust_scaled_"): VxFrame = {
+    * median, scale by IQR. Defaults to the sketch-based
+    * `percentile_approx` (the exact percentile buffers all values per
+    * group — an OOM hazard at 100 TB; the reference's own percentile
+    * is grid-approximate anyway); `exact = true` opts in for
+    * small-frame bit-parity. */
+  def robustScaler(f: VxFrame, column: String, prefix: String = "robust_scaled_",
+                   exact: Boolean = false): VxFrame = {
+    val fn = if (exact) "percentile" else "percentile_approx"
     val r = f.df.agg(
-      expr(s"percentile($column, 0.5)"),
-      expr(s"percentile($column, 0.75) - percentile($column, 0.25)")).head()
+      expr(s"CAST($fn($column, 0.5) AS DOUBLE)"),
+      expr(s"CAST($fn($column, 0.75) - $fn($column, 0.25) AS DOUBLE)")).head()
     val iqr = if (r.getDouble(1) == 0.0) 1.0 else r.getDouble(1)
     f.withVariable(s"__${column}_median", r.getDouble(0))
       .withVariable(s"__${column}_iqr", iqr)

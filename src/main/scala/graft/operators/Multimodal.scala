@@ -55,6 +55,27 @@ object Multimodal {
     ds.mapPartitions(_.map(decodeStub)).toDF()
   }
 
+  /** The SAME stub decode as pure Column expressions — because this
+    * particular stub (md5-derived fields) needs no imperative code,
+    * routing queries through it keeps whole-stage codegen intact
+    * (mapPartitions breaks the codegen span for zero functional gain
+    * today). The typed-Dataset `decodeMeta` path stays as the socket a
+    * REAL codec (ImageIO/ffmpeg) plugs into, where imperative
+    * per-partition batching is genuinely required. */
+  def decodeMetaColumns(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val media = col(binCol)
+    val hex = md5(media) // 32 hex chars = 16 digest bytes
+    def byteAt(i: Int) = conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long")
+    val byteSum = (0 until 16).map(byteAt).reduce(_ + _)
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      octet_length(media).cast("long").as("n_bytes"),
+      (lit(16) + byteAt(0) % 64).cast("int").as("width"),
+      (lit(16) + byteAt(1) % 64).cast("int").as("height"),
+      (byteSum.cast("double") / 16.0).as("brightness"),
+      (floor(octet_length(media) / lit(1000)).cast("long") + 1L).as("n_frames"))
+  }
+
   /** Make a binary payload column from a string column (UTF-8 bytes) —
     * the testdata has no true media blobs, so documents.text stands in
     * as the payload. */

@@ -73,6 +73,24 @@ object FuncQueries {
       ).orderBy("p_partkey")
     }),
 
+    // str stragglers: rfind/rindex/index (reference: core/functions.py
+    // :1757/:1793/:1376) and rsplit (:1943) — right-anchored search and
+    // split, built from reversed builtins (no UDF)
+    "q_str_funcs3" -> ((s, dir) => {
+      val F = VxFunctions.str
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        F.rfind(col("p_name"), " ").as("rf"),
+        F.rindex(col("p_name"), " ").as("ri"),
+        F.index(col("p_name"), " ").as("ix"),
+        F.find(col("p_name"), "zzzz").as("nf"),
+        F.rfind(col("p_name"), "zzzz").as("nrf"),
+        element_at(F.rsplit(col("p_name"), " ", 1), 1).as("rs_head"),
+        element_at(F.rsplit(col("p_name"), " ", 1), 2).as("rs_tail"),
+        array_join(F.rsplit(col("p_type"), " ", 2), "|").as("rs2")
+      ).orderBy("p_partkey")
+    }),
+
     // dt.* family (reference: core/functions.py:302-808); Monday=0
     // dayofweek and ISO week are the two documented gaps vs Spark.
 
@@ -201,6 +219,19 @@ object FuncQueries {
         |  regexp_matches(p_name, '^[^A-Z]*[a-z][^A-Z]*$') AS low,
         |  regexp_matches(p_brand, '^[^a-z]*[A-Z][^a-z]*$') AS upp,
         |  list_aggregate(string_split(p_type, ' '), 'string_agg', '-') AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_funcs3" ->
+      """SELECT p_partkey,
+        |  CAST(LENGTH(p_name) - STRPOS(REVERSE(p_name), ' ') AS BIGINT) AS rf,
+        |  CAST(LENGTH(p_name) - STRPOS(REVERSE(p_name), ' ') AS BIGINT) AS ri,
+        |  CAST(STRPOS(p_name, ' ') - 1 AS BIGINT) AS ix,
+        |  CAST(STRPOS(p_name, 'zzzz') - 1 AS BIGINT) AS nf,
+        |  CASE WHEN STRPOS(REVERSE(p_name), REVERSE('zzzz')) = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(LENGTH(p_name) - STRPOS(REVERSE(p_name), REVERSE('zzzz')) + 1 - 4 AS BIGINT) END AS nrf,
+        |  regexp_extract(p_name, '^(.*) [^ ]*$', 1) AS rs_head,
+        |  regexp_extract(p_name, '^.* ([^ ]*)$', 1) AS rs_tail,
+        |  list_aggregate(string_split(p_type, ' '), 'string_agg', '|') AS rs2
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_dt_funcs" ->

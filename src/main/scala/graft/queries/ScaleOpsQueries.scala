@@ -59,7 +59,10 @@ object ScaleOpsQueries {
     // partition-wise typed mapPartitions (STUBBED codec, real plumbing)
     "q_mm_decode" -> ((s, dir) => {
       val docs = Multimodal.payloadFromText(t(s, dir, "documents"), "text", "media")
-      Multimodal.decodeMeta(docs, "doc_id", "media")
+      // Column-expression decode path: same stub semantics, stays in
+      // whole-stage codegen (the typed mapPartitions path is spec-
+      // tested as the real-codec socket)
+      Multimodal.decodeMetaColumns(docs, "doc_id", "media")
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           r(col("brightness"), 6).as("brightness"), col("n_frames"))
         .orderBy("doc_id")

@@ -16,6 +16,7 @@ object Export {
     case p if p.endsWith(".parquet") => parquet(df, p)
     case p if p.endsWith(".csv") => csv(df, p)
     case p if p.endsWith(".json") => json(df, p)
+    case p if p.endsWith(".arrow") || p.endsWith(".feather") => ArrowIpc.write(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }
 
@@ -103,6 +104,38 @@ object Export {
     spark.createDataFrame(
       spark.sparkContext.parallelize(coerced),
       org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** vaex.example() analog (reference: core/__init__.py:659 — a subset
+    * of the Helmi & de Zeeuw 2000 simulation: positions, velocities,
+    * energy, angular momentum, metallicity). Fully GENERATED source:
+    * deterministic seeded pseudo-randoms from xxhash64(id, k) drive a
+    * Box-Muller transform — same schema, same statistical shape, zero
+    * I/O, any size. */
+  def example(spark: SparkSession, n: Long = 330000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // uniform (0,1]: bucket the 64-bit hash into [1, 1e6] then scale
+    def u(k: Int): Column =
+      (pmod(xxhash64(col("id"), lit(k)), lit(1000000L)) + 1L).cast("double") / 1000000.0
+    def gauss(k: Int): Column =
+      sqrt(lit(-2.0) * log(u(2 * k))) * cos(lit(2.0 * math.Pi) * u(2 * k + 1))
+    val base = spark.range(n).select(
+      col("id"),
+      (gauss(1) * 10.0).as("x"), (gauss(2) * 10.0).as("y"), (gauss(3) * 5.0).as("z"),
+      (gauss(4) * 120.0).as("vx"), (gauss(5) * 120.0).as("vy"), (gauss(6) * 80.0).as("vz"),
+      (u(100) * lit(2.5) - 3.0).as("FeH"))
+    base.select(
+      col("id"), col("x"), col("y"), col("z"), col("vx"), col("vy"), col("vz"),
+      (lit(0.5) * (col("vx") * col("vx") + col("vy") * col("vy") + col("vz") * col("vz")) -
+        lit(100000.0) / sqrt(col("x") * col("x") + col("y") * col("y") + col("z") * col("z") + 0.1))
+        .as("E"),
+      (col("x") * col("vy") - col("y") * col("vx")).as("Lz"),
+      sqrt(
+        pow(col("y") * col("vz") - col("z") * col("vy"), 2) +
+        pow(col("z") * col("vx") - col("x") * col("vz"), 2) +
+        pow(col("x") * col("vy") - col("y") * col("vx"), 2)).as("L"),
+      col("FeH"))
   }
 
   /** vrange (reference: core/__init__.py:827): virtual arange — maps to

@@ -37,7 +37,7 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("k-means IVF with nProbe=4 reaches recall@3 >= 0.9 vs brute force") {
-    val emb = Q.t(spark, sf0001, "embeddings").cache()
+    val emb = Q.t(spark, sf0001, "embeddings")
     val truth = bruteTruth(emb)
     val centroids = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
     assert(centroids.length == 8)
@@ -56,7 +56,7 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("multi-probe strictly widens candidate coverage vs single-cell") {
-    val emb = Q.t(spark, sf0001, "embeddings").cache()
+    val emb = Q.t(spark, sf0001, "embeddings")
     val centroids = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
     val pts = SimilaritySearch.assignCells(emb, "embedding", centroids)
     def hits(nProbe: Int): Long =

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{ArrowIpc, Export, Readers}
+
+/** Round-2 coverage tail: ellipse selection, dropinf, selection redo,
+  * vaex.example generator, Arrow IPC round trip. */
+class CoverageTailSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selectEllipse: axis-aligned and rotated membership") {
+    val f = VxFrame(Seq((2.0, 0.0), (0.0, 2.0), (0.0, 0.9), (3.1, 0.0))
+      .toDF("x", "y"))
+    // width 6 (a=3) along x, height 2 (b=1) along y
+    val sel = f.selectEllipse("x", "y", 0, 0, 6, 2)
+    val inside = sel.df.where(sel.selectionColumn()).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(inside == Set((2.0, 0.0), (0.0, 0.9)))
+    // rotate 90°: now a=3 along y
+    val rot = f.selectEllipse("x", "y", 0, 0, 6, 2, degrees = 90)
+    val insideRot = rot.df.where(rot.selectionColumn()).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(insideRot == Set((0.0, 2.0), (0.0, 0.9)))
+  }
+
+  test("dropInf removes ±inf rows only") {
+    val f = VxFrame(Seq(1.0, Double.PositiveInfinity, 2.0, Double.NegativeInfinity)
+      .toDF("x"))
+    assert(f.dropInf(Seq("x")).df.collect().map(_.getDouble(0)).toSet == Set(1.0, 2.0))
+  }
+
+  test("selection undo/redo stack semantics") {
+    val f = VxFrame(Seq(1.0, 2.0, 3.0).toDF("x"))
+    val s1 = f.select("x > 1")
+    val s2 = s1.select("x > 2")
+    assert(s2.selectionCanUndo && !s2.selectionCanRedo)
+    val undone = s2.selectionUndo()
+    assert(undone.selections == s1.selections && undone.selectionCanRedo)
+    val redone = undone.selectionRedo()
+    assert(redone.selections == s2.selections)
+    // a new select invalidates the redo branch
+    assert(!undone.select("x > 0").selectionCanRedo)
+  }
+
+  test("example(): deterministic generated frame with the Helmi schema") {
+    val df = Export.example(spark, 1000)
+    assert(df.columns.toSeq == Seq("id", "x", "y", "z", "vx", "vy", "vz", "E", "Lz", "L", "FeH"))
+    assert(df.count() == 1000)
+    val a = df.agg(round(sum("x"), 6), round(sum("E"), 4)).head()
+    val b = Export.example(spark, 1000).agg(round(sum("x"), 6), round(sum("E"), 4)).head()
+    assert(a == b) // seeded determinism
+    assert(df.where(col("FeH") < -3.0 || col("FeH") > -0.5).count() == 0)
+  }
+
+  test("Arrow IPC write/read round-trips values, nulls and types") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow")
+    val p = dir.resolve("t.arrow").toString
+    val df = Seq(
+      (1L, Option(1.5), Option("a"), true),
+      (2L, Option.empty[Double], Option.empty[String], false),
+      (3L, Option(-2.25), Option("ü"), true)).toDF("id", "v", "s", "b")
+    ArrowIpc.write(df, p)
+    val back = Readers.open(spark, p)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // and the .feather extension dispatches identically
+    val fp = dir.resolve("t.feather").toString
+    Export.export(df, fp)
+    assert(Readers.open(spark, fp).count() == 3)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VxFunctions
+
+/** Round-2 robustness batch: right-anchored string ops, empty-frame
+  * aggregate guards, percentile public default, multimodal Column
+  * decode parity, labeled binby. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).head.get(0)
+
+  test("rfind/rindex/index match Python semantics") {
+    val F = VxFunctions.str
+    val s = lit("abcabc")
+    assert(one(F.rfind(s, "bc")) == 4L)
+    assert(one(F.rfind(s, "zz")) == -1L)
+    assert(one(F.find(s, "bc")) == 1L)
+    assert(one(F.index(s, "bc")) == 1L)
+    assert(one(F.rindex(s, "bc")) == 4L)
+    intercept[Exception] { one(F.index(s, "zz")) }
+    intercept[Exception] { one(F.rindex(s, "zz")) }
+  }
+
+  test("rsplit matches Python right-split") {
+    val F = VxFunctions.str
+    val s = lit("a b c d")
+    assert(one(F.rsplit(s, " ", 1)) == Seq("a b c", "d"))
+    assert(one(F.rsplit(s, " ", 2)) == Seq("a b", "c", "d"))
+    assert(one(F.rsplit(s, " ")) == Seq("a", "b", "c", "d"))
+    assert(one(F.rsplit(lit("nospace"), " ", 1)) == Seq("nospace"))
+  }
+
+  test("empty-frame aggregates return NaN, not NPE") {
+    val empty = VxFrame(Seq.empty[(Double, Double)].toDF("x", "y"))
+    assert(empty.meanExpr("x").isNaN)
+    assert(empty.varExpr("x").isNaN)
+    assert(empty.limits("x")._1.isNaN && empty.limits("x")._2.isNaN)
+    assert(empty.sumExpr("x") == 0.0)
+    assert(empty.percentile("x", 0.5).isNaN)
+  }
+
+  test("percentile: approx default, exact opt-in, tolerance bound") {
+    val f = VxFrame(spark.range(10001).select(col("id").cast("double").as("x")))
+    val exact = f.percentile("x", 0.5, exact = true)
+    val approx = f.percentile("x", 0.5)
+    assert(exact == 5000.0)
+    // sketch accuracy 1/10000 over 10001 rows: within one rank
+    assert(math.abs(approx - exact) <= 2.0, s"approx=$approx exact=$exact")
+  }
+
+  test("multimodal Column decode equals the typed mapPartitions stub") {
+    val docs = graft.operators.Multimodal.payloadFromText(
+      Seq((1L, "hello world"), (2L, "x" * 2500)).toDF("doc_id", "text"), "text", "media")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          math.round(r.getDouble(4) * 1e6), r.getLong(5))).toSeq
+    val typed = graft.operators.Multimodal.decodeMeta(docs, "doc_id", "media")
+    val cols = graft.operators.Multimodal.decodeMetaColumns(docs, "doc_id", "media")
+    assert(normalize(cols) == normalize(typed))
+    // and the Column path stays codegen-friendly (no object serialization)
+    val p = cols.queryExecution.executedPlan.toString
+    assert(!p.contains("SerializeFromObject"), p.take(1500))
+  }
+
+  test("binbyLabeled returns bin centers alongside the tensor") {
+    val f = VxFrame(spark.range(100).select((col("id") % 10).cast("double").as("x")))
+    val (centers, shape, tensor) = f.binbyLabeled(Seq(("x", 0.0, 10.0, 5)), count(lit(1)))
+    assert(shape == Seq(5))
+    assert(centers.head.toSeq == Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+    assert(tensor.toSeq == Seq(20.0, 20.0, 20.0, 20.0, 20.0))
+  }
+}
