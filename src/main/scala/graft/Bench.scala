@@ -100,10 +100,19 @@ object Bench {
       gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
           floor(col("y") / 10).cast("int").as("by"))
         .agg(count(lit(1)), sum("x")))
+    // broadcast join throughput (BASELINE "join 1e9 rows subsecond" row:
+    // right side indexed/broadcast, probe side streams)
+    val dim = spark.range(100_000L).select(col("id").as("k2"),
+      (col("id") % 97).cast("double").as("w"))
+    val genJ = spark.range(genN).select(
+      (col("id") % 100).as("k"), (col("id") % 100_000L).as("k2"))
+    val joinSec = minOf(3)(() =>
+      genJ.join(broadcast(dim), "k2")
+        .groupBy("k").agg(sum("w"), count(lit(1))))
 
     val qs = results.map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg_rows_per_sec":${(nRows / aggSec).toLong},"groupby_gen_rows_per_sec":${(genN / groupbySec).toLong},"binby_gen_rows_per_sec":${(genN / binbySec).toLong}}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg_rows_per_sec":${(nRows / aggSec).toLong},"groupby_gen_rows_per_sec":${(genN / groupbySec).toLong},"binby_gen_rows_per_sec":${(genN / binbySec).toLong},"join_gen_rows_per_sec":${(genN / joinSec).toLong}}""")
     spark.stop()
   }
 }

@@ -654,6 +654,34 @@ final case class VxFrame(
     out
   }
 
+  // ---------------------------------------------------------------- healpix
+
+  /** reference: core/dataframe.py:3541 add_column_healpix — healpix
+    * index from lon/lat (RING scheme, Column-math ang2pix in
+    * GeoFunctions; the reference shells out to healpy). */
+  def withColumnHealpix(name: String = "healpix", longitude: String = "ra",
+                        latitude: String = "dec", degrees: Boolean = true,
+                        healpixOrder: Int = 12): VxFrame =
+    copy(base = df.withColumn(name, graft.functions.GeoFunctions.healpixAng2pixRing(
+        1 << healpixOrder, parse(longitude), parse(latitude), degrees)),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  /** reference: core/dataframe.py:2060 healpix_count — counts over a
+    * healpix-indexed column (e.g. Gaia source_id/34359738368), reduced
+    * from `maxLevel` to `level`, as a dense binby grid of 12·4^level
+    * cells. Pure arithmetic + one distributed binby pass. */
+  def healpixCount(healpixExpression: String, healpixMaxLevel: Int = 12,
+                   healpixLevel: Int = 8): Array[Double] = {
+    val reduceLevel = healpixMaxLevel - healpixLevel
+    val nside = 1L << healpixLevel
+    val nmax = 12L * nside * nside
+    require(nmax <= Int.MaxValue / 8, s"healpix level $healpixLevel grid too large for dense driver tensor")
+    val scaling = math.pow(4, reduceLevel).toLong
+    val eps = 1.0 / scaling / 2.0
+    binby(Seq((s"($healpixExpression)/$scaling", -eps, nmax - eps, nmax.toInt)),
+      functions.count(lit(1)))
+  }
+
   // ---------------------------------------------------------------- state (pipelines)
 
   /** Serialize facade state to JSON (reference: core/dataframe.py:2502

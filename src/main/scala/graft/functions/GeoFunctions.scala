@@ -51,6 +51,51 @@ object GeoFunctions {
     lit(2.0) * asin(sqrt(a))
   }
 
+  /** HEALPix ang2pix, RING scheme, as pure Column arithmetic (the
+    * reference calls healpy, core/dataframe.py:3541 add_column_healpix;
+    * this is the standard HEALPix sphere-tessellation algorithm —
+    * equatorial belt + polar caps — from the Gorski et al. 2005 paper,
+    * re-derived as when/otherwise expressions so it runs inside
+    * whole-stage codegen, no UDF). `lon`/`lat` in degrees when
+    * `degrees` (astronomical convention: lat=90 north pole). */
+  def healpixAng2pixRing(nside: Int, lon: Column, lat: Column,
+                         degrees: Boolean = true): Column = {
+    require(nside >= 1 && (nside & (nside - 1)) == 0, "nside must be a power of 2")
+    val toRad = if (degrees) math.Pi / 180.0 else 1.0
+    val phiRaw = lon * toRad
+    val theta = lit(math.Pi / 2.0) - lat * toRad
+    val z = cos(theta)
+    val za = abs(z)
+    // tt = phi scaled to [0, 4)
+    val twoPi = 2.0 * math.Pi
+    val phi = phiRaw - floor(phiRaw / twoPi) * twoPi
+    val tt = phi / lit(math.Pi / 2.0)
+    val ns = lit(nside.toLong)
+    val npix = 12L * nside.toLong * nside
+    val ncap = 2L * nside * (nside - 1L)
+    // equatorial belt: |z| <= 2/3
+    val temp1 = ns * (lit(0.5) + tt)
+    val temp2 = ns * z * lit(0.75)
+    val jpE = floor(temp1 - temp2).cast("long")
+    val jmE = floor(temp1 + temp2).cast("long")
+    val irE = ns + 1L + jpE - jmE
+    val kshift = lit(1L) - pmod(irE, lit(2L))
+    val ipE = pmod(floor((jpE + jmE - ns + kshift + 1L).cast("double") / 2.0).cast("long"),
+      ns * 4L)
+    val pixE = lit(ncap) + (irE - 1L) * (4L * nside) + ipE
+    // polar caps: |z| > 2/3
+    val tp = tt - floor(tt)
+    val tmp = ns.cast("double") * sqrt(lit(3.0) * (lit(1.0) - za))
+    val jpP = floor(tp * tmp).cast("long")
+    val jmP = floor((lit(1.0) - tp) * tmp).cast("long")
+    val irP = jpP + jmP + 1L
+    val ipP = pmod(floor(tt * irP.cast("double")).cast("long"), irP * 4L)
+    val pixNorth = lit(2L) * irP * (irP - 1L) + ipP
+    val pixSouth = lit(npix) - lit(2L) * irP * (irP + 1L) + ipP
+    when(za <= 2.0 / 3.0, pixE)
+      .otherwise(when(z > 0, pixNorth).otherwise(pixSouth))
+  }
+
   /** pnpoly ray-casting point-in-polygon for a literal polygon
     * (reference: src/vaexfast.cpp:1856; geo.py:377 inside_polygon):
     * count edge crossings of the +x ray via XOR of per-edge tests.
