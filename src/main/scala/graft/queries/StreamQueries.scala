@@ -33,6 +33,19 @@ object StreamQueries {
         .orderBy("window_start")
     }),
 
+    // streaming dedup (batch face): drop repeated (user, type) keys,
+    // then count survivors per type. Output depends only on the key
+    // SET (not which duplicate survived), so it is deterministic and
+    // oracle-checkable; the stream path is asserted in StreamingSpec.
+    "q_stream_dedup" -> ((s, dir) => {
+      StreamOps.dedupByKey(
+          t(s, dir, "events").select(col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users"))
+        .orderBy("event_type")
+    }),
+
     // session windows (30-min gap) per user -> session count + event count
     "q_stream_session" -> ((s, dir) => {
       StreamOps.sessionAgg(
@@ -58,6 +71,11 @@ object StreamQueries {
         |  UNION ALL
         |  SELECT DATE_TRUNC('hour', ts)::TIMESTAMP AS window_start FROM events)
         |SELECT window_start, COUNT(*) AS n FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_unique_users FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // gaps-and-islands: new session when gap > 30min (session_window
     // half-open edge [start, last+gap) coincides for continuous data)

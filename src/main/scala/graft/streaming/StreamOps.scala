@@ -61,6 +61,18 @@ object StreamOps {
 
   /** Attach an event-time watermark (stream only — on a batch frame
     * Spark ignores it, keeping mode-agnosticism). */
+  /** Streaming exact dedup — the streaming face of the training-data
+    * dedup pipeline: drop repeat keys (e.g. content fingerprints from
+    * TextFunctions.portableHash) as records arrive. With a watermark,
+    * `withinWatermark = true` bounds the dedup state store to the
+    * watermark horizon (Spark evicts expired keys), which is the only
+    * shape that survives an unbounded 100 TB/day stream; without it
+    * state grows forever (batch mode: plain dropDuplicates). */
+  def dedupByKey(df: DataFrame, keyCols: Seq[String],
+                 withinWatermark: Boolean = false): DataFrame =
+    if (withinWatermark) df.dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   def withEventTimeWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
 

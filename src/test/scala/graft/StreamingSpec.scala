@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
   }
 
+  test("dedupByKey: stream drops repeated keys, matches batch distinct") {
+    val dupRows = Seq(
+      (1L, ts(0), 1.0), (1L, ts(1), 2.0), // duplicate key 1
+      (2L, ts(2), 3.0), (2L, ts(3), 4.0), // duplicate key 2
+      (3L, ts(4), 5.0))
+    val batchCount = StreamOps.dedupByKey(
+      dupRows.toDF("k", "ts", "v"), Seq("k")).count()
+    assert(batchCount == 3)
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(dupRows: _*)
+    val deduped = StreamOps.dedupByKey(
+      StreamOps.withEventTimeWatermark(
+        stream.toDF.toDF("k", "ts", "v"), "ts", "10 minutes"),
+      Seq("k"), withinWatermark = true)
+    val got = StreamOps.runToMemory(deduped, "t_dedup", OutputMode.Append())
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("slidingAgg produces overlapping windows") {
     val batch = rows.toDF("user_id", "ts", "value")
     val slid = StreamOps.slidingAgg(batch, "ts", "10 minutes", "5 minutes",
