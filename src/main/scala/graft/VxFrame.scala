@@ -321,6 +321,30 @@ final case class VxFrame(
     m
   }
 
+  /** to_records (reference: core/dataframe.py:3168): driver-side
+    * row-oriented pull. Bounded by `limit` — the interop surface for
+    * handing small results to other ecosystems; large frames should
+    * export Parquet/Arrow instead. `limit < 0` pulls everything. */
+  def toRecords(limit: Int = -1): Seq[Map[String, Any]] = {
+    val d = if (limit >= 0) df.limit(limit) else df
+    val names = d.columns
+    d.collect().toSeq.map(r => names.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
+  /** to_items / to_dict (reference: core/dataframe.py:3206/:3251):
+    * column-oriented driver-side pull, insertion-ordered. */
+  def toItems(limit: Int = -1): Seq[(String, Seq[Any])] = {
+    val d = if (limit >= 0) df.limit(limit) else df
+    val names = d.columns
+    val rows = d.collect()
+    names.zipWithIndex.map { case (c, i) => c -> rows.map(_.get(i)).toSeq }.toSeq
+  }
+
+  /** to_arrow_table analog (reference: core/dataframe.py:3358): write
+    * the frame as one Arrow IPC file for zero-copy handoff to
+    * pandas/polars/R. */
+  def toArrowFile(path: String): Unit = graft.sources.ArrowIpc.write(df, path)
+
   /** Chunked pull iteration (reference: core/dataframe.py:3112
     * evaluate_iterator; chunk_iterator core/dataset.py:528):
     * driver-side iterator of row chunks, streaming one partition at a
@@ -535,6 +559,17 @@ final case class VxFrame(
   def rollingSum(column: String, window: Int, as: String,
                  rowIndex: String = "row_index"): VxFrame =
     copy(base = graft.operators.OrderedOps.rollingSum(df, column, window, as, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  /** Rolling min/max/count via the same block-partitioned machinery. */
+  def rollingAgg(column: String, window: Int, as: String, how: String,
+                 rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingAgg(df, column, window, as, how, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  def rollingMean(column: String, window: Int, as: String,
+                  rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingMean(df, column, window, as, rowIndex),
       virtualColumns = ListMap.empty, filterExpression = None)
 
   // ---------------------------------------------------------------- groupby / binby

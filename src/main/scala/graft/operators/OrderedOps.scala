@@ -75,21 +75,37 @@ object OrderedOps {
       .withColumn(column, col(column) - col("__shifted"))
       .drop("__shifted")
 
-  /** Trailing rolling sum over `window` rows in `rowIndex` order
-    * (reference: core/dataframe.py:5656 rolling; partial sums at the
-    * global head, matching rowsBetween(-(w-1), 0) edge behavior). */
-  def rollingSum(df: DataFrame, column: String, window: Int, as: String,
+  /** Trailing rolling aggregate over `window` rows in `rowIndex` order
+    * (reference: core/dataframe.py:5656 rolling, core/rolling.py:4-31 —
+    * the reference exposes sum/array over the sliding matrix; here the
+    * decomposable aggregates sum/count/mean/min/max). Partial windows
+    * at the global head match rowsBetween(-(w-1), 0) edge behavior.
+    *
+    * Same block decomposition as [[shift]]: the intra-block window
+    * covers rows >= `window` into a block; the first window-1 rows of
+    * each block combine their intra result with the carried tail of the
+    * previous block (every aggregate here is decomposable: the combine
+    * is +, least or greatest). */
+  def rollingAgg(df: DataFrame, column: String, window: Int, as: String, how: String,
                  rowIndex: String = "row_index",
                  blockSize: Long = DefaultBlockSize): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(blockSize >= window, s"blockSize=$blockSize must be >= window=$window")
+    val (aggFn, combine): (Column => Column, (Column, Column) => Column) = how match {
+      case "sum" => (sum(_), (a, b) => when(a.isNull && b.isNull, lit(null))
+        .otherwise(coalesce(a, lit(0)) + coalesce(b, lit(0))))
+      case "count" => (c => count(c), (a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))
+      case "min" => (min(_), (a, b) => least(a, b)) // least skips nulls
+      case "max" => (max(_), (a, b) => greatest(a, b))
+      case other => throw new IllegalArgumentException(s"unknown rolling agg: $other")
+    }
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
     val st = staged(df, rowIndex, blockSize).withColumn("__intra",
-      sum(col(column)).over(asc.rowsBetween(-(window - 1), 0)))
+      aggFn(col(column)).over(asc.rowsBetween(-(window - 1), 0)))
     if (window == 1)
       return st.withColumn(as, col("__intra")).drop("__blk", "__rn", "__rnd", "__intra")
     // row j (j < window) of block b+1 still needs the last (window - j)
-    // rows of block b: carry those boundary rows and sum per receiver.
+    // rows of block b: carry those boundary rows, aggregate per receiver.
     val carries = st.where(col("__rnd") <= window - 1)
       .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
         col(column).as("__carry"))
@@ -97,11 +113,24 @@ object OrderedOps {
       .select(col("__blk"), col("__rn"), col(rowIndex))
       .join(broadcast(carries), Seq("__blk"), "left")
       .where(col("__k") <= lit(window) - col("__rn"))
-      .groupBy(col(rowIndex)).agg(sum(col("__carry")).as("__extra"))
+      .groupBy(col(rowIndex)).agg(aggFn(col("__carry")).as("__extra"))
     st.join(broadcast(extra), Seq(rowIndex), "left")
-      .withColumn(as,
-        when(col("__intra").isNull && col("__extra").isNull, lit(null))
-          .otherwise(coalesce(col("__intra"), lit(0)) + coalesce(col("__extra"), lit(0))))
+      .withColumn(as, combine(col("__intra"), col("__extra")))
       .drop("__blk", "__rn", "__rnd", "__intra", "__extra")
   }
+
+  def rollingSum(df: DataFrame, column: String, window: Int, as: String,
+                 rowIndex: String = "row_index",
+                 blockSize: Long = DefaultBlockSize): DataFrame =
+    rollingAgg(df, column, window, as, "sum", rowIndex, blockSize)
+
+  /** Rolling mean = rolling sum / rolling non-null count (one pass of
+    * each; both reuse the same staged block computation shape). */
+  def rollingMean(df: DataFrame, column: String, window: Int, as: String,
+                  rowIndex: String = "row_index",
+                  blockSize: Long = DefaultBlockSize): DataFrame =
+    rollingAgg(rollingAgg(df, column, window, "__rsum", "sum", rowIndex, blockSize),
+      column, window, "__rcnt", "count", rowIndex, blockSize)
+      .withColumn(as, col("__rsum").cast("double") / col("__rcnt"))
+      .drop("__rsum", "__rcnt")
 }

@@ -52,6 +52,16 @@ class CoverageTailSpec extends SparkSpec {
     assert(df.where(col("FeH") < -3.0 || col("FeH") > -0.5).count() == 0)
   }
 
+  test("toRecords/toItems/toArrowFile ecosystem pulls") {
+    val f = VxFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(f.toRecords() == Seq(Map("id" -> 1L, "s" -> "a"), Map("id" -> 2L, "s" -> "b")))
+    assert(f.toItems() == Seq("id" -> Seq(1L, 2L), "s" -> Seq("a", "b")))
+    assert(f.toRecords(limit = 1).size == 1)
+    val p = java.nio.file.Files.createTempDirectory("graft_toarrow").resolve("t.arrow").toString
+    f.toArrowFile(p)
+    assert(ArrowIpc.read(spark, p).count() == 2)
+  }
+
   test("Arrow IPC write/read round-trips values, nulls and types") {
     val dir = java.nio.file.Files.createTempDirectory("graft_arrow")
     val p = dir.resolve("t.arrow").toString

@@ -66,6 +66,18 @@ class OrderedOpsSpec extends SparkSpec {
     }
   }
 
+  test("blockRollingAgg min/max/count/mean match global windows") {
+    val w = 4
+    val win = Window.orderBy(col("row_index")).rowsBetween(-(w - 1), 0)
+    for ((how, gfn) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "min" -> (c => min(c)), "max" -> (c => max(c)), "count" -> (c => count(c)))) {
+      val expected = df.withColumn("expect", gfn(col("x")).over(win))
+      check(OrderedOps.rollingAgg(df, "x", w, "r", how, blockSize = 7L), "r", expected)
+    }
+    val expMean = df.withColumn("expect", avg(col("x")).over(win))
+    check(OrderedOps.rollingMean(df, "x", w, "rm", blockSize = 7L), "rm", expMean)
+  }
+
   test("blockRollingSum null handling: all-null window stays null") {
     val d = spark.range(10).select(col("id").as("row_index"),
       when(col("id") < 5, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))
