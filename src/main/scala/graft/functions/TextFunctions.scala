@@ -147,4 +147,29 @@ object TextFunctions {
       when(sc === maxScore, lit(lang)).otherwise(acc)
     }
   }
+
+  /** REAL stopword profiles — top function words of each language
+    * (public frequency lists), replacing the synthetic corpus's toy
+    * marker sets for actual text. Function words are the standard
+    * cheap language-ID signal: high-frequency, topic-independent. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "on", "with", "as", "at", "by", "this", "have", "from"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit",
+      "von", "auf", "den", "dem", "sich", "ich", "auch", "eine", "werden", "sind"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que",
+      "pour", "qui", "sur", "pas", "au", "ce", "il", "sont", "nous"),
+    "es" -> Seq("el", "los", "las", "que", "de", "en", "un", "una", "es",
+      "por", "con", "para", "del", "se", "su", "como", "más", "pero"))
+
+  /** Language-ID over real text: lowercase+tokenize upstream, score by
+    * distinct stopword hits, 'und' (undetermined) when nothing matches
+    * (the toy-marker variant keeps its always-pick-max behavior for the
+    * synthetic-corpus oracle). */
+  def langIdPredictReal(toksDistinct: Column,
+                        profiles: Seq[(String, Seq[String])] = stopwordProfiles): Column = {
+    val scores = profiles.map { case (_, ws) => langIdScore(toksDistinct, ws) }
+    when(greatest(scores: _*) === 0L, lit("und"))
+      .otherwise(langIdPredict(toksDistinct, profiles))
+  }
 }

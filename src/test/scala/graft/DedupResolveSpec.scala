@@ -23,6 +23,27 @@ class DedupResolveSpec extends SparkSpec {
     assert(comps.size == 11)
   }
 
+  test("LshDedup parameterized pipeline: end-to-end keep-list on near-dup corpus") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven nine"),          // near-dup of 3
+      (5L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val p = graft.operators.LshDedup.Params(
+      shingleWidth = 2, signatureLength = 8, rowsPerBand = 2, verifyThreshold = 0.5)
+    // banding math: at jaccard ~0.56 (5 of 9 shingles), candidate
+    // probability is high; at ~0 it is ~0
+    assert(p.candidateProbability(0.9) > 0.95)
+    assert(p.candidateProbability(0.05) < 0.05)
+    val kl = graft.operators.LshDedup.dedup(docs, "doc_id", "text", p)
+      .select("doc_id", "comp", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(kl.map(_._3).toSeq == Seq(true, false, true, false, true))
+    assert(kl.map(_._2).toSeq == Seq(1L, 1L, 3L, 3L, 5L))
+  }
+
   test("keepList: min id survives, unpaired docs survive as themselves") {
     val docs = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -79,4 +79,18 @@ class TextFunctionsSpec extends SparkSpec {
     // tie (0 overlap everywhere) resolves to first language by list order
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "en"))
   }
+
+  test("langIdPredictReal classifies real sentences via stopword profiles") {
+    import spark.implicits._
+    val sentences = Seq(
+      ("the quick brown fox jumped over the lazy dog and it was fast", "en"),
+      ("der hund ist nicht mit der katze auf dem sofa und das ist gut", "de"),
+      ("le chat est dans la maison et les chiens sont pour nous", "fr"),
+      ("el perro es grande y las casas son para el gato como su casa", "es"),
+      ("xyzzy plugh quux", "und"))
+    val got = sentences.map(_._1).toDF("text")
+      .select(langIdPredictReal(array_distinct(tokens(lower(col("text"))))).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == sentences.map(_._2))
+  }
 }
