@@ -256,6 +256,14 @@ final case class VxFrame(
   def aggregate(aggs: (String, Column)*): Row =
     df.agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*).head()
 
+  /** The `delay=True` idiom (reference: core/delayed.py, promise layer
+    * core/promise.py; SURVEY §3.1 "multi-agg fusion" is the one
+    * executor behavior to replicate deliberately): queue any number of
+    * statistic requests across statements, then `execute()` runs them
+    * all in ONE fused scan. Each request returns a thunk that is valid
+    * after execute(). */
+  def delayed(): DelayedStats = new DelayedStats(this)
+
   def countExpr(e: String = "*", selection: Option[String] = None): Long =
     if (e == "*") selection match {
       case None => df.count()
@@ -746,6 +754,41 @@ final case class VxFrame(
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), stateGet())
   def stateLoad(path: String): VxFrame =
     stateSet(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+}
+
+/** Deferred-statistics builder — vaex's `delay=True` (reference:
+  * core/delayed.py): every request registers an aggregate and returns
+  * a `() => Double` promise; `execute()` resolves all of them with a
+  * single fused `agg` pass over the data (N statistics = 1 scan, the
+  * merged-TaskAggregations behavior of core/execution.py:130-170). */
+final class DelayedStats private[graft] (f: VxFrame) {
+  import scala.collection.mutable.ArrayBuffer
+  private val items = ArrayBuffer[Column]()
+  private var resolved: Option[Row] = None
+
+  private def register(c: Column): () => Double = {
+    val idx = items.length
+    items += c
+    () => {
+      val row = resolved.getOrElse(
+        throw new IllegalStateException("call execute() before reading a delayed stat"))
+      if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+    }
+  }
+
+  def count(): () => Double = register(functions.count(lit(1)).cast("double"))
+  def count(e: String): () => Double = register(functions.count(f.parse(e)).cast("double"))
+  def sum(e: String): () => Double = register(functions.sum(f.parse(e).cast("double")))
+  def mean(e: String): () => Double = register(avg(f.parse(e).cast("double")))
+  def min(e: String): () => Double = register(functions.min(f.parse(e)).cast("double"))
+  def max(e: String): () => Double = register(functions.max(f.parse(e)).cast("double"))
+  def varPop(e: String): () => Double = register(var_pop(f.parse(e).cast("double")))
+
+  /** Run ONE aggregation job resolving every queued request. */
+  def execute(): Unit = {
+    require(items.nonEmpty, "no delayed statistics queued")
+    resolved = Some(f.df.agg(items.head, items.tail.toSeq: _*).head())
+  }
 }
 
 object VxFrame {

@@ -66,6 +66,22 @@ class RobustnessSpec extends SparkSpec {
     assert(!p.contains("SerializeFromObject"), p.take(1500))
   }
 
+  test("delayed stats: N requests resolve in one fused pass") {
+    val f = VxFrame(spark.range(100).select(col("id").cast("double").as("x")))
+    val d = f.delayed()
+    val n = d.count()
+    val s = d.sum("x")
+    val m = d.mean("x")
+    val mx = d.max("x")
+    intercept[IllegalStateException] { n() } // before execute
+    // ONE job resolves everything (single agg over all queued columns)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    d.execute()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 2) // one action (AQE may add a stage job)
+    assert(n() == 100.0 && s() == 4950.0 && m() == 49.5 && mx() == 99.0)
+  }
+
   test("binbyLabeled returns bin centers alongside the tensor") {
     val f = VxFrame(spark.range(100).select((col("id") % 10).cast("double").as("x")))
     val (centers, shape, tensor) = f.binbyLabeled(Seq(("x", 0.0, 10.0, 5)), count(lit(1)))
