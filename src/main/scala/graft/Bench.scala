@@ -39,6 +39,21 @@ object Bench {
           .agg(count(lit(1)).as("n"), sum(x).as("s1"),
             sum(x * x).as("s2"), sum(x * x * x).as("s3"),
             sum(x * x * x * x).as("s4"))
+      }),
+      // production-lane LSH dedup: identical pipeline shape to
+      // q_lsh_neardup but hashed with codegen'd xxhash64 instead of the
+      // oracle-parity md5 (the md5 lane is ~84% of the battery total)
+      "q_lsh_neardup_fast" -> (() => {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.operators.LshDedup.nearDupPairs(docs, "doc_id", "text",
+          graft.operators.LshDedup.Params())
+      }),
+      "q_minhash_sig_fast" -> (() => {
+        import graft.functions.TextFunctions._
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"), shingleHashes(col("sh"), Xx64Hash).as("hs"))
+          .select(col("doc_id"), minhashSignature(col("hs"), 4).as("sig"))
       }))
   }
 

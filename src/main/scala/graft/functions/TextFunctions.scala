@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * band-key/bucket columns — the design that holds at 100 TB.
   *
   * Hashing strategy (cost-critical at scale):
-  *   - ONE md5 per string (`portableHash` 60-bit for fingerprints/band
-  *     keys, `baseHash` 28-bit for per-shingle/token hashes), bit-
-  *     identical in DuckDB (`('0x' || substring(md5(x),1,n))::BIGINT`).
+  *   - ONE string hash per shingle/doc (`portableHash` 60-bit for
+  *     fingerprints/band keys, `baseHash` 28-bit for per-shingle/token
+  *     hashes), in one of two families ([[HashFamily]]): md5 (DuckDB
+  *     bit-parity: `('0x' || substring(md5(x),1,n))::BIGINT`) or
+  *     xxhash64 (production default — codegen'd, ~10× cheaper).
   *   - The k independent functions MinHash needs come from a universal
   *     hash family over the single base hash:
   *     h_i(x) = (a_i·x + b_i) mod p, p = 2^31-1 — integer multiply-add
@@ -31,13 +33,30 @@ object TextFunctions {
 
   // -------------------------------------------------------------- hashing
 
-  /** 60-bit md5-derived hash of a string column (never negative). */
-  def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Hash-family switch. `Md5Hash` is the oracle-parity lane: one md5
+    * per string, bit-identical in DuckDB, but each hash round-trips
+    * through a 32-char hex string — measured at ~84 % of the sf0.1
+    * battery wall-time. `Xx64Hash` is the production lane: Spark's
+    * codegen'd `xxhash64` (murmur-family long arithmetic, no string
+    * materialization) masked to the same bit widths, matching the
+    * reference's own cheap-hash choice (vaex `core/hash.py:55`,
+    * `src/hash_primitives.hpp`). Same downstream algebra (universal
+    * family, banding, jaccard) either way. */
+  sealed trait HashFamily
+  case object Md5Hash extends HashFamily
+  case object Xx64Hash extends HashFamily
 
-  /** 28-bit md5-derived base hash — the input to the universal family. */
-  def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  /** 60-bit non-negative hash of a string column. */
+  def portableHash(c: Column, fam: HashFamily = Md5Hash): Column = fam match {
+    case Md5Hash  => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    case Xx64Hash => xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+  }
+
+  /** 28-bit base hash — the input to the universal family. */
+  def baseHash(c: Column, fam: HashFamily = Md5Hash): Column = fam match {
+    case Md5Hash  => conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    case Xx64Hash => xxhash64(c).bitwiseAND(lit((1L << 28) - 1))
+  }
 
   /** Salted md5 hash family member i (full-strength variant; prefer
     * `universalHash` on the hot path). */
@@ -78,8 +97,8 @@ object TextFunctions {
     * representation every downstream dedup op works on (signatures,
     * jaccard verification). Shuffling/holding ints instead of shingle
     * strings is the 100 TB design: candidate joins never carry text. */
-  def shingleHashes(shingleArr: Column): Column =
-    array_distinct(transform(shingleArr, h => baseHash(h)))
+  def shingleHashes(shingleArr: Column, fam: HashFamily = Md5Hash): Column =
+    array_distinct(transform(shingleArr, h => baseHash(h, fam)))
 
   /** MinHash signature over a pre-hashed shingle set: array of k
     * minima of universal-hash images. Empty set -> -1 sentinel. */
@@ -92,14 +111,15 @@ object TextFunctions {
     * signature entries into one bucket key. Docs sharing any band key
     * become candidate pairs. Returns array of (bandIdx, bandKey)
     * structs ready to explode. */
-  def lshBandKeys(signature: Column, k: Int, rowsPerBand: Int): Column = {
+  def lshBandKeys(signature: Column, k: Int, rowsPerBand: Int,
+                  fam: HashFamily = Md5Hash): Column = {
     val nBands = k / rowsPerBand
     array((0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map { r =>
         element_at(signature, b * rowsPerBand + r + 1).cast("string")
       }
       struct(lit(b).as("band"),
-        portableHash(concat_ws("_", parts: _*)).as("bkey"))
+        portableHash(concat_ws("_", parts: _*), fam).as("bkey"))
     }: _*)
   }
 
@@ -111,8 +131,9 @@ object TextFunctions {
   }
 
   /** Per-token universal hashes (multiset — SimHash weights repeats). */
-  def tokenHashes(toks: Column, family: Int = 99): Column =
-    transform(toks, t => universalHash(family, baseHash(t)))
+  def tokenHashes(toks: Column, family: Int = 99,
+                  fam: HashFamily = Md5Hash): Column =
+    transform(toks, t => universalHash(family, baseHash(t, fam)))
 
   /** nBits-bit SimHash over a pre-hashed token array: bit j is set when
     * more than half the token hashes have bit j set. Keep the hash

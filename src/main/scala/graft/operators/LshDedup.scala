@@ -22,7 +22,11 @@ object LshDedup {
       shingleWidth: Int = 3,
       signatureLength: Int = 8, // k: total minhash functions
       rowsPerBand: Int = 2,     // r: bands = k / r
-      verifyThreshold: Double = 0.8) {
+      verifyThreshold: Double = 0.8,
+      // xxhash64 by default: codegen'd long arithmetic, no hex-string
+      // round-trip (the md5 family costs ~10× more and exists only for
+      // DuckDB oracle bit-parity in the query battery).
+      hashFamily: HashFamily = Xx64Hash) {
     require(signatureLength % rowsPerBand == 0, "signatureLength must be divisible by rowsPerBand")
     /** Probability a pair at jaccard `s` becomes a candidate. */
     def candidateProbability(s: Double): Double =
@@ -33,7 +37,7 @@ object LshDedup {
   def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
                      p: Params = Params()): DataFrame =
     docs.select(col(idCol).as("doc_id"), shingles(col(textCol), p.shingleWidth).as("sh"))
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), shingleHashes(col("sh"), p.hashFamily).as("hs"))
 
   /** Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -42,7 +46,7 @@ object LshDedup {
     val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), p.signatureLength).as("sig"))
     val bands = sig
       .select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), p.signatureLength, p.rowsPerBand)).as("bk"))
+        explode(lshBandKeys(col("sig"), p.signatureLength, p.rowsPerBand, p.hashFamily)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

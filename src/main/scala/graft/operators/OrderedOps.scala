@@ -16,18 +16,51 @@ import org.apache.spark.sql.expressions.Window
   *   1. bucket rows into ordered blocks (`row_index div blockSize`);
   *   2. compute the operator *within* each block with a partitioned
   *      window (parallel, one hash exchange on the block id);
-  *   3. fix up the first/last `p` rows of each block by broadcasting
+  *   3. fix up the first/last `p` rows of each block by joining back
   *      only the boundary rows of the neighbouring block (p rows per
-  *      block — tiny) and joining them back map-side.
+  *      block).
+  *
+  * Carry-side join strategy: the carry has `p` (or `window-1`) rows per
+  * block, so its total size is `p · nBlocks` — tiny at w=3, but ~1e10
+  * rows at w=1e4 on 1e12 rows. A `broadcast()` hint there would OOM the
+  * driver, so the hint is applied only when the per-block carry is
+  * provably small ([[SmallCarryRowsPerBlock]]); beyond that the join
+  * stays keyed on (`__blk`,`__pos`)/`rowIndex` and Spark plans a shuffle
+  * join (AQE still broadcast-converts at runtime when the actual carry
+  * is small). With the default block size the carry is additionally kept
+  * under ~1.6 % of the input by scaling blocks with the window.
   *
   * Requirements: `rowIndex` must be a DENSE 0-based index (what
   * [[graft.sources.Tables.withRowIndex]] produces) so that block `b`
-  * holds exactly `blockSize` rows (except the last); callers holding a
-  * filtered/sparse index should re-index first (`extract()`).
-  * `blockSize` must exceed `|periods|` / `window` (enforced).
+  * holds exactly `blockSize` rows (except the last). This is VALIDATED
+  * in-plan (`validate = true`, default): every row checks its alignment
+  * (`rowIndex == blk·blockSize + rn − 1`) and every boundary fix-up
+  * checks that the carried source rows are exactly the expected index
+  * range, raising a clear re-index error instead of returning silently
+  * wrong results on a filtered/sparse index. (Residual undetectable
+  * case: a gap that is an exact union of whole blocks in the
+  * lead/negative-periods direction.)
   */
 object OrderedOps {
   val DefaultBlockSize: Long = 1L << 20
+
+  /** Broadcast-hint limit for the per-block carry width: at or below
+    * this the carry is at most ~256·nBlocks tiny rows and the hint is
+    * safe; above it the decision is left to AQE's runtime size check. */
+  val SmallCarryRowsPerBlock: Int = 256
+
+  private def hinted(carry: DataFrame, rowsPerBlock: Int): DataFrame =
+    if (rowsPerBlock <= SmallCarryRowsPerBlock) broadcast(carry) else carry
+
+  /** Callers that tune blockSize keep it; the default scales with the
+    * carry width so carried rows stay <= ~1/64 of the input. */
+  private def effectiveBlockSize(blockSize: Long, carryRows: Int): Long =
+    if (blockSize == DefaultBlockSize) math.max(blockSize, carryRows.toLong * 64L)
+    else blockSize
+
+  private def reindexError(op: String): Column =
+    raise_error(lit(s"OrderedOps.$op: row_index is not a dense 0-based index " +
+      "(filtered or sparse frame) — re-index (extract()) before ordered ops"))
 
   private def staged(df: DataFrame, rowIndex: String, blockSize: Long): DataFrame = {
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
@@ -37,18 +70,26 @@ object OrderedOps {
       .withColumn("__rnd", row_number().over(desc))
   }
 
+  /** Within-block contiguity from the block start: catches every sparse
+    * pattern except gaps aligned to a block's tail (those are caught by
+    * the carry checks of the next block). */
+  private def aligned(rowIndex: String, blockSize: Long): Column =
+    col(rowIndex) === col("__blk") * lit(blockSize) + col("__rn") - 1
+
   /** Shifted value of `column` by `periods` (positive = lag, negative =
     * lead) in `rowIndex` order; out-of-range rows become null
     * (reference: core/dataframe.py:4781 shift fill semantics). */
   def shift(df: DataFrame, column: String, periods: Int,
             rowIndex: String = "row_index", as: Option[String] = None,
-            blockSize: Long = DefaultBlockSize): DataFrame = {
+            blockSize: Long = DefaultBlockSize,
+            validate: Boolean = true): DataFrame = {
     val out = as.getOrElse(column)
     if (periods == 0) return df.withColumn(out, col(column))
     val p = math.abs(periods)
-    require(blockSize >= p, s"blockSize=$blockSize must be >= |periods|=$p")
+    val bs = effectiveBlockSize(blockSize, p)
+    require(bs >= p, s"blockSize=$bs must be >= |periods|=$p")
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
-    val st = staged(df, rowIndex, blockSize).withColumn("__intra",
+    val st = staged(df, rowIndex, bs).withColumn("__intra",
       if (periods > 0) lag(col(column), p).over(asc) else lead(col(column), p).over(asc))
     // receiving position within the neighbour block, and which boundary
     // rows of THIS block are carried to it:
@@ -60,11 +101,26 @@ object OrderedOps {
       else
         (col("__rn") <= p, col("__blk") - 1L, lit(p + 1) - col("__rn"), col("__rnd"))
     val carries = st.where(carrySrc)
-      .select(carryBlk.as("__blk"), carryPos.as("__pos"), col(column).as("__carry"))
-    st.withColumn("__pos", recvPos)
-      .join(broadcast(carries), Seq("__blk", "__pos"), "left")
-      .withColumn(out, coalesce(col("__intra"), col("__carry")))
-      .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry")
+      .select(carryBlk.as("__blk"), carryPos.as("__pos"), col(column).as("__carry"),
+        col(rowIndex).as("__cidx"))
+      .where(col("__blk") >= 0)
+    val joined = st.withColumn("__pos", recvPos)
+      .join(hinted(carries, p), Seq("__blk", "__pos"), "left")
+    val value = coalesce(col("__intra"), col("__carry"))
+    val guarded = if (!validate) value else {
+      // a received carry must come from exactly rowIndex -/+ p; in the
+      // lag direction a non-first block must ALWAYS receive its carry
+      // (predecessor blocks are full on a dense index)
+      val srcIdx = if (periods > 0) col(rowIndex) - p else col(rowIndex) + p
+      val carryOk =
+        if (periods > 0)
+          not(col("__rn") <= p && col("__blk") > 0) ||
+            (col("__cidx").isNotNull && col("__cidx") === srcIdx)
+        else col("__cidx").isNull || col("__cidx") === srcIdx
+      when(aligned(rowIndex, bs) && carryOk, value).otherwise(reindexError("shift"))
+    }
+    joined.withColumn(out, guarded)
+      .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx")
   }
 
   /** diff = x - shift(x, periods) (reference: core/dataframe.py:4749). */
@@ -88,9 +144,11 @@ object OrderedOps {
     * is +, least or greatest). */
   def rollingAgg(df: DataFrame, column: String, window: Int, as: String, how: String,
                  rowIndex: String = "row_index",
-                 blockSize: Long = DefaultBlockSize): DataFrame = {
+                 blockSize: Long = DefaultBlockSize,
+                 validate: Boolean = true): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    require(blockSize >= window, s"blockSize=$blockSize must be >= window=$window")
+    val bs = effectiveBlockSize(blockSize, window - 1)
+    require(bs >= window, s"blockSize=$bs must be >= window=$window")
     val (aggFn, combine): (Column => Column, (Column, Column) => Column) = how match {
       case "sum" => (sum(_), (a, b) => when(a.isNull && b.isNull, lit(null))
         .otherwise(coalesce(a, lit(0)) + coalesce(b, lit(0))))
@@ -100,23 +158,38 @@ object OrderedOps {
       case other => throw new IllegalArgumentException(s"unknown rolling agg: $other")
     }
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
-    val st = staged(df, rowIndex, blockSize).withColumn("__intra",
+    val st = staged(df, rowIndex, bs).withColumn("__intra",
       aggFn(col(column)).over(asc.rowsBetween(-(window - 1), 0)))
-    if (window == 1)
-      return st.withColumn(as, col("__intra")).drop("__blk", "__rn", "__rnd", "__intra")
+    if (window == 1) {
+      val v = if (!validate) col("__intra")
+      else when(aligned(rowIndex, bs), col("__intra")).otherwise(reindexError("rolling"))
+      return st.withColumn(as, v).drop("__blk", "__rn", "__rnd", "__intra")
+    }
     // row j (j < window) of block b+1 still needs the last (window - j)
     // rows of block b: carry those boundary rows, aggregate per receiver.
     val carries = st.where(col("__rnd") <= window - 1)
       .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
-        col(column).as("__carry"))
+        col(column).as("__carry"), col(rowIndex).as("__cidx"))
     val extra = st.where(col("__rn") <= window - 1)
       .select(col("__blk"), col("__rn"), col(rowIndex))
-      .join(broadcast(carries), Seq("__blk"), "left")
+      .join(hinted(carries, window - 1), Seq("__blk"), "left")
       .where(col("__k") <= lit(window) - col("__rn"))
-      .groupBy(col(rowIndex)).agg(aggFn(col("__carry")).as("__extra"))
-    st.join(broadcast(extra), Seq(rowIndex), "left")
-      .withColumn(as, combine(col("__intra"), col("__extra")))
-      .drop("__blk", "__rn", "__rnd", "__intra", "__extra")
+      .groupBy(col(rowIndex)).agg(aggFn(col("__carry")).as("__extra"),
+        count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
+    val joined = st.join(hinted(extra, window - 1), Seq(rowIndex), "left")
+    val value = combine(col("__intra"), col("__extra"))
+    val guarded = if (!validate) value else {
+      // a boundary receiver (first window-1 rows of a non-first block)
+      // must have received exactly the contiguous index range
+      // [rowIndex-window+1, blockStart-1] — count + min pin it exactly
+      val isReceiver = col("__rn") <= window - 1 && col("__blk") > 0
+      val carryOk = not(isReceiver) ||
+        (coalesce(col("__cn"), lit(0L)) === lit(window).cast("long") - col("__rn") &&
+          col("__cmin") === col(rowIndex) - (window - 1))
+      when(aligned(rowIndex, bs) && carryOk, value).otherwise(reindexError("rolling"))
+    }
+    joined.withColumn(as, guarded)
+      .drop("__blk", "__rn", "__rnd", "__intra", "__extra", "__cn", "__cmin")
   }
 
   def rollingSum(df: DataFrame, column: String, window: Int, as: String,

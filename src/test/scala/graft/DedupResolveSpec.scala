@@ -44,6 +44,26 @@ class DedupResolveSpec extends SparkSpec {
     assert(kl.map(_._2).toSeq == Seq(1L, 1L, 3L, 3L, 5L))
   }
 
+  test("hash families agree: md5 oracle lane and xxhash64 production lane find the same pairs") {
+    import graft.functions.TextFunctions.{HashFamily, Md5Hash, Xx64Hash}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven nine"),
+      (5L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    def pairsOf(fam: HashFamily): Set[(Long, Long)] =
+      graft.operators.LshDedup.nearDupPairs(docs, "doc_id", "text",
+          graft.operators.LshDedup.Params(shingleWidth = 2, signatureLength = 8,
+            rowsPerBand = 2, verifyThreshold = 0.5, hashFamily = fam))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = pairsOf(Xx64Hash)
+    assert(xx === pairsOf(Md5Hash))
+    assert(xx === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("keepList: min id survives, unpaired docs survive as themselves") {
     val docs = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

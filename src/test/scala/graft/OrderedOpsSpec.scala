@@ -96,6 +96,56 @@ class OrderedOpsSpec extends SparkSpec {
     }
   }
 
+  test("large-window carry is NOT broadcast-hinted (small windows are)") {
+    // with autoBroadcast disabled, a BroadcastExchange can only come
+    // from the explicit hint — present at w=3, absent beyond the
+    // SmallCarryRowsPerBlock guard (the O(window·nBlocks) OOM hazard)
+    val d = spark.range(2000)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x"))
+    def planOf(w: Int): String =
+      OrderedOps.rollingSum(d, "x", w, "rs", blockSize = 600L)
+        .queryExecution.executedPlan.toString
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(planOf(3).contains("BroadcastExchange"))
+      assert(!planOf(400).contains("BroadcastExchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+    // and the unhinted path is still correct across block boundaries
+    val w = 400
+    val win = Window.orderBy(col("row_index")).rowsBetween(-(w - 1), 0)
+    check(OrderedOps.rollingSum(d, "x", w, "rs", blockSize = 600L), "rs",
+      d.withColumn("expect", sum(col("x")).over(win)))
+    val ws = Window.orderBy(col("row_index"))
+    check(OrderedOps.shift(d, "x", 400, as = Some("s"), blockSize = 600L), "s",
+      d.withColumn("expect", lag(col("x"), 400).over(ws)))
+  }
+
+  test("sparse row_index fails loudly instead of returning wrong results") {
+    // a filtered frame keeps its original (now sparse) index — the old
+    // implementation silently pulled carries from the wrong rows
+    val sparse = spark.range(100).where(col("id") % 7 =!= 3)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x"))
+    for (bad <- Seq(
+      () => OrderedOps.shift(sparse, "x", 2, as = Some("s"), blockSize = 10L).collect(),
+      () => OrderedOps.shift(sparse, "x", -2, as = Some("s"), blockSize = 10L).collect(),
+      () => OrderedOps.rollingSum(sparse, "x", 3, "rs", blockSize = 10L).collect())) {
+      val e = intercept[Exception](bad())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("dense")), e.getMessage)
+    }
+    // tail-aligned gap (whole tail of block 1 missing, block 2 present):
+    // invisible to per-row alignment, caught by the carry checks
+    val tailGap = spark.range(30).where(col("id") < 17 || col("id") >= 20)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x"))
+    val e2 = intercept[Exception](
+      OrderedOps.shift(tailGap, "x", 2, as = Some("s"), blockSize = 10L).collect())
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs2(x.getCause))
+    assert(msgs2(e2).exists(m => m != null && m.contains("dense")))
+  }
+
   test("withRowIndex is dense 0..n-1 in partition order, columnar") {
     val d = Tables.withRowIndex(spark.range(50).repartition(6).toDF("v"))
     val idx = d.select("row_index").collect().map(_.getLong(0)).sorted

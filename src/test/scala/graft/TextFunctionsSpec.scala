@@ -23,6 +23,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(evalCol(portableHash(lit("world"))) != h1)
   }
 
+  test("xxhash64 family: deterministic, bit-bounded, distinct from md5 lane") {
+    val p1 = evalCol(portableHash(lit("hello"), Xx64Hash)).asInstanceOf[Long]
+    val p2 = evalCol(portableHash(lit("hello"), Xx64Hash)).asInstanceOf[Long]
+    assert(p1 == p2 && p1 >= 0 && p1 < (1L << 60))
+    val b = evalCol(baseHash(lit("hello"), Xx64Hash)).asInstanceOf[Long]
+    assert(b >= 0 && b < (1L << 28))
+    assert(evalCol(baseHash(lit("world"), Xx64Hash)) != b)
+  }
+
   test("minhash signature: identical sets -> identical sigs; sentinel for empty") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "x").toDF("text")
