@@ -36,7 +36,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // data-dependent oracles (q_ivf_kmeans trained centroids) are
+    // resolved against THIS sfDir before dumping
     val json = SparkEntry.oracleSql
+      .map { case (k, v) =>
+        k -> graft.queries.ScaleOpsQueries.kmeansOracleResolve(v, spark, sfDir) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

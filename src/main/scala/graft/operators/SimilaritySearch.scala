@@ -30,7 +30,7 @@ import graft.functions.VectorExpressions.{fdot, fnorm}
 object SimilaritySearch {
 
   /** Driver-side exact norm matching the engine/oracle fold order. */
-  private def normOf(v: Seq[Float]): Double =
+  def normOf(v: Seq[Float]): Double =
     math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
 
   /** Cosine distance (1 - cos) of an embedding column vs one literal

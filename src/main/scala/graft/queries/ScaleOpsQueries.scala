@@ -29,10 +29,13 @@ object ScaleOpsQueries {
     }),
 
     // IVF ANN with the QUALITY quantizer: sampled spherical k-means +
-    // multi-cell probing (nProbe=2). No SQL oracle can recompute the
-    // Lloyd iterations, so this entry is rows-only checked by the
-    // driver; recall vs the brute-force ground truth is asserted in
-    // AnnRecallSpec (recall@3 >= 0.9).
+    // multi-cell probing (nProbe=2). The Lloyd iterations run on the
+    // driver, so the oracle SQL cannot RE-TRAIN them — but the trained
+    // centroids are deterministic for a given table, so Verify injects
+    // them into the oracle as a literal VALUES CTE at dump time
+    // ([[kmeansOracleResolve]]); DuckDB then reproduces assignment,
+    // probing and ranking end-to-end. Recall vs brute force is
+    // additionally asserted in AnnRecallSpec (recall@3 >= 0.9).
     "q_ivf_kmeans" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", N_CELLS)
@@ -90,7 +93,63 @@ object ScaleOpsQueries {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM dists) WHERE rn = 1)""".stripMargin
 
+  /** Placeholder in the q_ivf_kmeans oracle replaced by the trained
+    * centroids (as a DuckDB VALUES list) at Verify-dump time. */
+  val KmeansPlaceholder = "__KMEANS_CENTROIDS_VALUES__"
+
+  /** Literal `(cid, [..]::DOUBLE[], norm)` rows for the quantizer
+    * trained on `dir` — Double.toString round-trips exactly, so DuckDB
+    * computes with bit-identical centroid values (each component is the
+    * exact double value of the trained float). */
+  def kmeansCentroidValues(s: SparkSession, dir: String): String =
+    SimilaritySearch.trainKMeans(t(s, dir, "embeddings"), "vec_id", "embedding", N_CELLS)
+      .map { case (cid, v) =>
+        val emb = v.map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"($cid, $emb::DOUBLE[], ${SimilaritySearch.normOf(v).toString})"
+      }.mkString(", ")
+
+  /** Resolve data-dependent oracle placeholders (called by Verify). */
+  def kmeansOracleResolve(sql: String, s: SparkSession, dir: String): String =
+    if (sql.contains(KmeansPlaceholder))
+      sql.replace(KmeansPlaceholder, kmeansCentroidValues(s, dir))
+    else sql
+
   val oracleSql: Map[String, String] = Map(
+    "q_ivf_kmeans" -> {
+      val qids = QUERY_IDS.mkString(", ")
+      s"""WITH cents(cid, cemb, cnrm) AS (VALUES $KmeansPlaceholder),
+         |pts AS (SELECT vec_id, embedding, ${ddbNorm("embedding")} AS nrm FROM embeddings),
+         |dists AS (
+         |  SELECT p.vec_id, c.cid,
+         |    CASE WHEN p.nrm * c.cnrm = 0.0 THEN 1.0
+         |         ELSE 1.0 - ${ddbDot("p.embedding", "c.cemb")} / (p.nrm * c.cnrm) END AS dist
+         |  FROM pts p CROSS JOIN cents c),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid AS q_cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM dists WHERE vec_id IN ($qids)) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.query_id, p.vec_id AS nbr_id,
+         |    CASE WHEN qp.nrm * p.nrm = 0.0 THEN 0.0
+         |         ELSE ${ddbDot("qp.embedding", "p.embedding")} / (qp.nrm * p.nrm) END AS cos
+         |  FROM probe q
+         |  JOIN pts qp ON qp.vec_id = q.query_id
+         |  JOIN asg a ON a.cid = q.q_cell
+         |  JOIN pts p ON p.vec_id = a.vec_id
+         |  WHERE p.vec_id <> q.query_id)
+         |SELECT query_id, rank, nbr_id, ROUND(cos, 8) AS cos FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+         |  FROM cand)
+         |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+    },
+
     "q_ivf_ann" -> {
       val qids = QUERY_IDS.mkString(", ")
       s"""WITH $ivfCellsCte,
