@@ -1,0 +1,275 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Dependency-free still-image codec (JDK-only — this container ships
+  * no image libraries, so the "real codec" is written against the
+  * public file-format specs directly):
+  *
+  *   - PNG: full IHDR parse + REAL pixel decode — zlib-inflate the
+  *     IDAT stream and undo all five row filters (None/Sub/Up/Average/
+  *     Paeth) for 8-bit gray/RGB/gray+alpha/RGBA, yielding an exact
+  *     mean brightness.
+  *   - JPEG: marker-segment walk to the SOFn frame header for
+  *     width/height (pixel decode would need the full DCT pipeline —
+  *     out of scope, brightness undefined).
+  *   - GIF / BMP: logical-screen / info-header dimensions.
+  *
+  * Plus a minimal-but-valid grayscale PNG ENCODER (filter-0 rows,
+  * zlib, CRC32 chunks) so tests and oracle-gated queries can
+  * round-trip genuinely decodable payloads without fixtures on disk.
+  *
+  * The reference has no media pipeline (this is brief-mandated
+  * beyond-parity for training-data pipelines); format layouts follow
+  * the public PNG (RFC 2083), JPEG (ITU T.81), GIF89a and BMP specs.
+  */
+object ImageCodec {
+
+  /** Decoded metadata; `brightness` is the mean over color channels
+    * (alpha excluded) when pixel decode is supported for the format. */
+  final case class Decoded(format: String, width: Int, height: Int,
+                           brightness: Option[Double], nFrames: Long)
+
+  // ------------------------------------------------------------ byte utils
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  // ------------------------------------------------------------ dispatch
+
+  /** Sniff the signature and decode; None when no known format. */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    if (bytes == null) None
+    else if (isPng(bytes)) decodePng(bytes)
+    else if (isJpeg(bytes)) decodeJpeg(bytes)
+    else if (isGif(bytes)) decodeGif(bytes)
+    else if (isBmp(bytes)) decodeBmp(bytes)
+    else None
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 9 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 25 && b(0) == 'B' && b(1) == 'M'
+
+  // ------------------------------------------------------------ PNG decode
+
+  private def decodePng(b: Array[Byte]): Option[Decoded] = try {
+    var off = 8
+    var width = -1; var height = -1; var depth = 0; var colorType = -1
+    var nFrames = 1L
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 12 <= b.length) {
+      val len = be32(b, off)
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      if (len < 0 || off + 12L + len > b.length) done = true
+      else {
+        typ match {
+          case "IHDR" =>
+            width = be32(b, off + 8); height = be32(b, off + 12)
+            depth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+          case "acTL" => nFrames = math.max(1, be32(b, off + 8)).toLong // APNG
+          case "IDAT" => idat.write(b, off + 8, len)
+          case "IEND" => done = true
+          case _ =>
+        }
+        off += 12 + len
+      }
+    }
+    if (width <= 0 || height <= 0) None
+    else Some(Decoded("png", width, height,
+      pngBrightness(idat.toByteArray, width, height, depth, colorType), nFrames))
+  } catch { case _: Exception => None }
+
+  /** Color channels per pixel; -1 = unsupported for pixel decode
+    * (palette images need the PLTE table — dims still parse). */
+  private def channelsOf(ct: Int): Int = ct match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Inflate + unfilter and average the color channels (8-bit,
+    * non-interlaced only — the common case; None otherwise). */
+  private def pngBrightness(z: Array[Byte], w: Int, h: Int,
+                            depth: Int, ct: Int): Option[Double] = {
+    val ch = channelsOf(ct)
+    if (ch < 0 || depth != 8 || z.isEmpty) return None
+    val stride = w * ch
+    if (stride.toLong * h > (1L << 28)) return None // sanity cap, ~256M samples
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new Inflater()
+    inf.setInput(z)
+    var got = 0
+    try {
+      while (!inf.finished() && got < raw.length) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+    } finally inf.end()
+    if (got < raw.length) return None
+    val px = new Array[Int](stride * h)
+    val bpp = ch
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y * (stride + 1) + 1 + x) & 0xff
+        val a = if (x >= bpp) px(y * stride + x - bpp) else 0
+        val up = if (y > 0) px((y - 1) * stride + x) else 0
+        val c = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => (cur + a) & 0xff
+          case 2 => (cur + up) & 0xff
+          case 3 => (cur + (a + up) / 2) & 0xff
+          case 4 => (cur + paeth(a, up, c)) & 0xff
+          case _ => return None
+        }
+        px(y * stride + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    val colorCh = ct match { case 4 => 1; case 6 => 3; case _ => ch }
+    var sum = 0.0; var cnt = 0L; var i = 0
+    while (i < px.length) {
+      if (i % ch < colorCh) { sum += px(i); cnt += 1 }
+      i += 1
+    }
+    if (cnt == 0) None else Some(sum / cnt)
+  }
+
+  // ------------------------------------------------------------ JPEG decode
+
+  /** Walk marker segments to the first SOFn (start-of-frame) header. */
+  private def decodeJpeg(b: Array[Byte]): Option[Decoded] = try {
+    def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      var mOff = pos + 1
+      while (mOff < b.length - 1 && (b(mOff) & 0xff) == 0xff) mOff += 1 // fill bytes
+      val m = b(mOff) & 0xff
+      if (m >= 0xd0 && m <= 0xd9) pos = mOff + 1 // standalone RSTn/SOI/EOI
+      else if (m == 0xda) return None            // SOS before any SOF: give up
+      else {
+        if (mOff + 3 > b.length) return None
+        val segLen = be16(b, mOff + 1)
+        if (segLen < 2 || mOff + 1 + segLen > b.length) return None
+        if (isSof(m)) {
+          if (segLen < 8) return None
+          val h = be16(b, mOff + 4); val w = be16(b, mOff + 6)
+          return if (w > 0 && h > 0) Some(Decoded("jpeg", w, h, None, 1L)) else None
+        }
+        pos = mOff + 1 + segLen
+      }
+    }
+    None
+  } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------ GIF / BMP
+
+  private def decodeGif(b: Array[Byte]): Option[Decoded] = {
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w > 0 && h > 0) Some(Decoded("gif", w, h, None, 1L)) else None
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[Decoded] = {
+    val w = le32(b, 18); val h = math.abs(le32(b, 22))
+    if (w > 0 && h > 0) Some(Decoded("bmp", w, h, None, 1L)) else None
+  }
+
+  // ------------------------------------------------------------ PNG encode
+
+  private[graft] def pngChunk(out: ByteArrayOutputStream, typ: String,
+                              data: Array[Byte]): Unit = {
+    val lenBuf = new Array[Byte](4)
+    putBe32(lenBuf, 0, data.length)
+    out.write(lenBuf)
+    val typBytes = typ.getBytes("US-ASCII")
+    out.write(typBytes)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(typBytes); crc.update(data)
+    val crcBuf = new Array[Byte](4)
+    putBe32(crcBuf, 0, crc.getValue.toInt)
+    out.write(crcBuf)
+  }
+
+  private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+    b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+  }
+
+  private[graft] def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private[graft] val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Minimal valid 8-bit PNG from a pixel function; grayscale
+    * (`channels = 1`, color type 0) or RGB (`channels = 3`, color
+    * type 2); filter-0 rows, single IDAT. Round-trips through
+    * [[decode]] (and any standards-compliant viewer). */
+  def encodePng(width: Int, height: Int, channels: Int,
+                sample: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(channels == 1 || channels == 3, "grayscale or RGB")
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < stride) {
+        raw(y * (stride + 1) + 1 + x) = (sample(x / channels, y, x % channels) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(PngSignature)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte // color type
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zlibDeflate(raw))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Constant-gray convenience encoder. */
+  def encodePngGray(width: Int, height: Int, gray: Int): Array[Byte] =
+    encodePng(width, height, 1, (_, _, _) => gray)
+}

@@ -9,14 +9,13 @@ import org.apache.spark.sql.functions._
   * mapInPandas stage: one JVM-side iterator per partition, records
   * streamed, no driver materialization).
   *
-  * The actual codec step is STUBBED — this container ships no
-  * image/audio libraries — behind `decodeStub`, a deterministic fake
-  * that derives "decoded" properties (dimensions, brightness, frame
-  * count) from the MD5 digest of the payload bytes. Everything around
-  * the stub — binary schema, typed Dataset plumbing, partition-wise
-  * batch iteration, digest computation over raw bytes — is real and
-  * is exactly the shape a real decoder plugs into (replace
-  * `decodeStub`'s body with e.g. ImageIO/ffmpeg calls).
+  * The decode step is REAL for still images: [[ImageCodec]] parses
+  * PNG/JPEG/GIF/BMP headers from the raw bytes and fully decodes PNG
+  * pixels (zlib inflate + row unfilter) for an exact brightness — all
+  * JDK-only. Payloads in no known format fall back to `decodeStub`,
+  * a deterministic fingerprint fake (format = "fingerprint") that
+  * keeps non-image byte columns flowing through the same schema; a
+  * video/audio codec would slot into the same dispatch.
   */
 object Multimodal {
 
@@ -24,14 +23,15 @@ object Multimodal {
     * alongside by joining back on id). */
   final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
-  /** Typed "decoded" metadata. */
+  /** Typed decoded metadata (brightness = -1.0 when the format's pixel
+    * decode is unsupported, e.g. JPEG without a DCT pipeline). */
   final case class MediaMeta(
       doc_id: Long, n_bytes: Long, width: Int, height: Int,
-      brightness: Double, n_frames: Long)
+      brightness: Double, n_frames: Long, format: String)
 
-  /** STUB decoder: deterministic fake properties from the payload's
-    * MD5 digest (a real implementation would parse the codec headers
-    * and pixel data here — `???` territory without codec libs). */
+  /** Fallback for unrecognized payloads: deterministic fake properties
+    * from the payload's MD5 digest, so arbitrary binary columns still
+    * produce a stable, testable metadata row. */
   def decodeStub(r: MediaRecord): MediaMeta = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(r.media)
     val b = digest.map(x => (x & 0xff).toLong)
@@ -41,7 +41,16 @@ object Multimodal {
       width = (16 + b(0) % 64).toInt,
       height = (16 + b(1) % 64).toInt,
       brightness = b.sum.toDouble / 16.0,
-      n_frames = r.media.length / 1000L + 1L)
+      n_frames = r.media.length / 1000L + 1L,
+      format = "fingerprint")
+  }
+
+  /** Real decode of one record: sniff + parse via [[ImageCodec]],
+    * fingerprint fallback for unknown formats. */
+  def decodeRecord(r: MediaRecord): MediaMeta = ImageCodec.decode(r.media) match {
+    case Some(d) => MediaMeta(r.doc_id, r.media.length.toLong, d.width, d.height,
+      d.brightness.getOrElse(-1.0), d.nFrames, d.format)
+    case None => decodeStub(r)
   }
 
   /** Distributed decode: binary column -> typed metadata frame via
@@ -52,7 +61,27 @@ object Multimodal {
     import spark.implicits._
     val ds: Dataset[MediaRecord] =
       df.select(col(idCol).cast("long").as("doc_id"), col(binCol).as("media")).as[MediaRecord]
-    ds.mapPartitions(_.map(decodeStub)).toDF()
+    ds.mapPartitions(_.map(decodeRecord)).toDF()
+  }
+
+  /** Per-row spec for synthesized PNG payloads. */
+  final case class PngSpec(doc_id: Long, width: Int, height: Int, gray: Int)
+
+  /** Synthesize REAL (decodable) grayscale PNG payloads from per-row
+    * specs — the encode half of the codec round-trip, on the same
+    * partition-wise batch socket a production media pipeline uses. */
+  def synthesizePng(df: DataFrame, idCol: String, widthCol: String,
+                    heightCol: String, grayCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(widthCol).cast("int").as("width"),
+        col(heightCol).cast("int").as("height"),
+        col(grayCol).cast("int").as("gray"))
+      .as[PngSpec]
+      .mapPartitions(_.map(s => MediaRecord(s.doc_id,
+        ImageCodec.encodePngGray(s.width, s.height, s.gray))))
+      .toDF()
   }
 
   /** The SAME stub decode as pure Column expressions — because this

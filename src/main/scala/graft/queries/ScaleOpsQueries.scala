@@ -58,16 +58,34 @@ object ScaleOpsQueries {
         .orderBy("cell")
     }),
 
-    // multimodal decode: binary payload -> typed metadata via
-    // partition-wise typed mapPartitions (STUBBED codec, real plumbing)
+    // multimodal fingerprint lane: arbitrary (non-image) binary payload
+    // -> deterministic metadata via pure Column expressions (stays in
+    // whole-stage codegen; the typed path is spec-pinned equal)
     "q_mm_decode" -> ((s, dir) => {
       val docs = Multimodal.payloadFromText(t(s, dir, "documents"), "text", "media")
-      // Column-expression decode path: same stub semantics, stays in
-      // whole-stage codegen (the typed mapPartitions path is spec-
-      // tested as the real-codec socket)
       Multimodal.decodeMetaColumns(docs, "doc_id", "media")
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           r(col("brightness"), 6).as("brightness"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal REAL-codec round-trip: synthesize a genuine grayscale
+    // PNG per document (dims/fill derived from doc_id), then decode it
+    // with the dependency-free ImageCodec (IHDR parse + zlib inflate +
+    // row unfilter). The oracle recomputes the expected metadata
+    // arithmetically — a pass proves the encoder AND decoder agree on
+    // the actual PNG byte format, not on a stub.
+    "q_mm_real" -> ((s, dir) => {
+      val specs = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(16) + col("doc_id") % 64).as("w"),
+        (lit(16) + (col("doc_id") * 7) % 64).as("h"),
+        (col("doc_id") % 256).as("g"))
+      val media = Multimodal.synthesizePng(specs, "doc_id", "w", "h", "g")
+      Multimodal.decodeMeta(media, "doc_id", "media")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r(col("brightness"), 6).as("brightness"), col("n_frames"),
+          (col("width").cast("long") * col("height")).as("n_pixels"))
         .orderBy("doc_id")
     })
   )
@@ -175,6 +193,15 @@ object ScaleOpsQueries {
     "q_ivf_cells" ->
       s"""WITH $ivfCellsCte
          |SELECT cid AS cell, COUNT(*) AS n FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mm_real" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(16 + doc_id % 64 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+        |  ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS brightness,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST((16 + doc_id % 64) * (16 + (doc_id * 7) % 64) AS BIGINT) AS n_pixels
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_decode" ->
       """WITH b AS (
