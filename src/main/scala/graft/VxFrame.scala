@@ -71,22 +71,36 @@ final case class VxFrame(
 
   // ---------------------------------------------------------------- expressions
 
-  /** Substitute variable names (word-boundary) by parenthesized values. */
-  private def substituteVariables(e: String): String =
+  /** Substitute variable names (word-boundary) by parenthesized values.
+    * Real columns SHADOW variables: a column literally named `e` or
+    * `pi` resolves to the column, never to the default constant
+    * (round-2 bug: every `e` in every expression became 2.718…). */
+  private def substituteVariables(e: String): String = {
+    val cols = base.schema.fieldNames.toSet ++ virtualColumns.keySet
     variables.foldLeft(e) { case (acc, (name, value)) =>
-      acc.replaceAll("\\b" + java.util.regex.Pattern.quote(name) + "\\b",
+      if (cols.contains(name)) acc
+      else acc.replaceAll("\\b" + java.util.regex.Pattern.quote(name) + "\\b",
         java.util.regex.Matcher.quoteReplacement(s"($value)"))
     }
+  }
+
+  /** Boolean-typed base columns, fed to the translator so bare boolean
+    * columns under `&`/`|`/`^`/`~` get logical (not bitwise) ops. */
+  private lazy val boolColumns: Set[String] = base.schema.fields.collect {
+    case f if f.dataType == org.apache.spark.sql.types.BooleanType => f.name
+  }.toSet
 
   /** Parse an expression string to a Column (variables substituted).
     * Accepts BOTH vaex's Python-expression syntax (`x**2 // 3`,
     * `(x > 3) & (y < 2)` — translated by
     * [[graft.functions.ExprLang]]; reference grammar whitelist
     * core/expresso.py:33-41) and plain Spark SQL (used as-is when the
-    * Python grammar doesn't match, e.g. CASE/CAST/IS NULL). */
+    * Python grammar doesn't match, e.g. CASE/CAST/IS NULL). A string
+    * valid in BOTH grammars gets vaex's semantics — notably `%` is
+    * Python mod (PMOD), not SQL remainder. */
   def parse(e: String): Column = {
     val sub = substituteVariables(e)
-    expr(graft.functions.ExprLang.translate(sub).getOrElse(sub))
+    expr(graft.functions.ExprLang.translate(sub, boolColumns).getOrElse(sub))
   }
 
   // ---------------------------------------------------------------- resolution
@@ -227,10 +241,12 @@ final case class VxFrame(
   def dropNaN(columns: Seq[String]): VxFrame =
     filter(columns.map(c => s"(NOT (isnan($c)))").mkString(" AND "), "and")
   /** reference: core/dataframe.py:5123 `dropinf` — drop rows where any
-    * of the given float columns is ±Infinity. */
+    * of the given float columns is ±Infinity. Null-safe: NULL is not
+    * Inf, so null rows SURVIVE (round-2 bug: the bare `!=` predicate
+    * evaluated to NULL on null input and dropped the row). */
   def dropInf(columns: Seq[String]): VxFrame =
     filter(columns.map(c =>
-      s"($c != CAST('Infinity' AS DOUBLE) AND $c != CAST('-Infinity' AS DOUBLE))")
+      s"($c IS NULL OR ($c != CAST('Infinity' AS DOUBLE) AND $c != CAST('-Infinity' AS DOUBLE)))")
       .mkString(" AND "), "and")
 
   def dropNA(columns: Seq[String]): VxFrame = {
@@ -244,7 +260,7 @@ final case class VxFrame(
 
   // ---------------------------------------------------------------- aggregation (selection-aware)
 
-  private def maybeSelected(e: String, selection: Option[String]): Column =
+  private[graft] def maybeSelected(e: String, selection: Option[String]): Column =
     selection match {
       case Some(sel) => when(parse(selections.getOrElse(sel, sel)), parse(e))
       case None => parse(e)
@@ -384,9 +400,12 @@ final case class VxFrame(
     * (reference: core/dataframe.py:3970 tail). */
   def tail(n: Int): VxFrame =
     if (df.columns.contains("row_index")) {
-      val cutoff = df.agg(max(col("row_index"))).head().getLong(0) - n
-      copy(base = df.where(col("row_index") > cutoff),
-        virtualColumns = ListMap.empty, filterExpression = None)
+      val maxRow = df.agg(max(col("row_index"))).head()
+      if (maxRow.isNullAt(0)) // empty frame: max(row_index) is null
+        copy(base = df.limit(0), virtualColumns = ListMap.empty, filterExpression = None)
+      else
+        copy(base = df.where(col("row_index") > maxRow.getLong(0) - n),
+          virtualColumns = ListMap.empty, filterExpression = None)
     } else {
       val total = count()
       slice(math.max(total - n, 0).toInt, total.toInt)
@@ -465,8 +484,17 @@ final case class VxFrame(
 
   def sample(frac: Double, seed: Long = 42L): VxFrame =
     copy(base = df.sample(frac, seed), virtualColumns = ListMap.empty, filterExpression = None)
-  def shuffle(seed: Long = 42L): VxFrame =
-    copy(base = df.orderBy(rand(seed)), virtualColumns = ListMap.empty, filterExpression = None)
+  /** Random permutation. vaex's shuffle promises random ROW ORDER, not
+    * a total sort, so at scale this avoids the range-partitioned global
+    * sort of `orderBy(rand)`: hash-repartition on a random key (the
+    * shuffle that actually randomizes placement) and sort only within
+    * partitions (parallel, no single range exchange). */
+  def shuffle(seed: Long = 42L): VxFrame = {
+    val keyed = df.withColumn("__shuffle_key", rand(seed))
+    copy(base = keyed.repartition(col("__shuffle_key"))
+        .sortWithinPartitions(col("__shuffle_key")).drop("__shuffle_key"),
+      virtualColumns = ListMap.empty, filterExpression = None)
+  }
   def split(fracs: Seq[Double], seed: Long = 42L): Seq[VxFrame] =
     df.randomSplit(fracs.toArray, seed).toSeq.map(d => VxFrame(d))
 
@@ -766,23 +794,60 @@ final class DelayedStats private[graft] (f: VxFrame) {
   private val items = ArrayBuffer[Column]()
   private var resolved: Option[Row] = None
 
-  private def register(c: Column): () => Double = {
+  /** Typed register: returns the raw aggregate value (null possible). */
+  private def registerAny(c: Column): () => Any = {
     val idx = items.length
     items += c
-    () => {
-      val row = resolved.getOrElse(
-        throw new IllegalStateException("call execute() before reading a delayed stat"))
-      if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+    () => resolved.getOrElse(
+      throw new IllegalStateException("call execute() before reading a delayed stat"))
+      .get(idx)
+  }
+
+  private def register(c: Column): () => Double = {
+    val any = registerAny(c)
+    () => any() match {
+      case null => Double.NaN
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalStateException(s"non-numeric delayed stat: $other")
     }
   }
 
-  def count(): () => Double = register(functions.count(lit(1)).cast("double"))
-  def count(e: String): () => Double = register(functions.count(f.parse(e)).cast("double"))
-  def sum(e: String): () => Double = register(functions.sum(f.parse(e).cast("double")))
-  def mean(e: String): () => Double = register(avg(f.parse(e).cast("double")))
-  def min(e: String): () => Double = register(functions.min(f.parse(e)).cast("double"))
-  def max(e: String): () => Double = register(functions.max(f.parse(e)).cast("double"))
-  def varPop(e: String): () => Double = register(var_pop(f.parse(e).cast("double")))
+  /** Selection-aware lowering: `selection = Some(name-or-expr)` turns
+    * every aggregate into its conditional form (reference:
+    * core/delayed.py + core/tasks.py:431 — delayed stats accept the
+    * same selection argument as their eager counterparts), so mixed
+    * selected/unselected requests still fuse into the SAME single
+    * scan. */
+  private def sel(e: String, selection: Option[String]): Column =
+    f.maybeSelected(e, selection)
+
+  def count(selection: Option[String] = None): () => Double = selection match {
+    case None => register(functions.count(lit(1)).cast("double"))
+    case some => register(functions.sum(when(sel("true", some), 1L)).cast("double"))
+  }
+  def count(e: String): () => Double = count(e, None)
+  def count(e: String, selection: Option[String]): () => Double =
+    register(functions.count(sel(e, selection)).cast("double"))
+  def sum(e: String, selection: Option[String] = None): () => Double =
+    register(functions.sum(sel(e, selection).cast("double")))
+  def mean(e: String, selection: Option[String] = None): () => Double =
+    register(avg(sel(e, selection).cast("double")))
+  def min(e: String, selection: Option[String] = None): () => Double =
+    register(functions.min(sel(e, selection)).cast("double"))
+  def max(e: String, selection: Option[String] = None): () => Double =
+    register(functions.max(sel(e, selection)).cast("double"))
+  def varPop(e: String, selection: Option[String] = None): () => Double =
+    register(var_pop(sel(e, selection).cast("double")))
+  def std(e: String, selection: Option[String] = None): () => Double = {
+    val v = varPop(e, selection)
+    () => math.sqrt(v())
+  }
+  /** Typed min/max — no double cast, so string/date/timestamp columns
+    * keep their type (round-2 gap: everything was cast to double). */
+  def minTyped(e: String, selection: Option[String] = None): () => Any =
+    registerAny(functions.min(sel(e, selection)))
+  def maxTyped(e: String, selection: Option[String] = None): () => Any =
+    registerAny(functions.max(sel(e, selection)))
 
   /** Run ONE aggregation job resolving every queued request. */
   def execute(): Unit = {

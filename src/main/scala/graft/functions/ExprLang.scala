@@ -12,13 +12,21 @@ package graft.functions
   *
   *   - `a ** b`   -> `POWER(a, b)`
   *   - `a // b`   -> `FLOOR(a / b)`
-  *   - `a % b`    -> `PMOD(a, b)`  (numpy mod follows the divisor's
-  *                   sign; PMOD matches it for the positive divisors
-  *                   that occur in practice — plain SQL `%` follows the
-  *                   dividend and disagrees on negatives)
-  *   - `&`/`|`    -> `AND`/`OR` (vaex uses them as mask algebra)
-  *   - `~a`       -> `NOT (a)`
-  *   - `a ^ b`    -> `(a) != (b)` (boolean xor)
+  *   - `a % b`    -> `PMOD(a, b)` — Python/numpy mod takes the
+  *                   DIVISOR's sign in every sign combination, and so
+  *                   does PMOD; plain SQL `%` follows the dividend and
+  *                   disagrees on negatives. A string valid in both
+  *                   grammars therefore gets vaex's semantics (the API
+  *                   being reproduced), not SQL's — deliberate.
+  *   - `&`/`|`/`^`/`~` — numpy ops that are LOGICAL on boolean
+  *                   operands and BITWISE on integers. Boolean-ness is
+  *                   decided structurally (comparisons, and/or/not,
+  *                   true/false, known predicate functions, caller-
+  *                   supplied boolean column names); boolean operands
+  *                   emit `AND`/`OR`/`!=`/`NOT`, anything else emits
+  *                   Spark's bitwise `&`/`|`/`^`/`~` and Catalyst
+  *                   types it. (Round-2 bug: integer `a ^ b` silently
+  *                   became boolean `!=`.)
   *   - `<<`/`>>`  -> `SHIFTLEFT`/`SHIFTRIGHT`
   *   - `==`       -> `=`
   *   - numpy call names -> SQL names (arctan2 -> atan2, maximum ->
@@ -35,6 +43,12 @@ object ExprLang {
     "arctan2" -> "atan2", "arccosh" -> "acosh", "arcsinh" -> "asinh",
     "arctanh" -> "atanh", "maximum" -> "greatest", "minimum" -> "least",
     "where" -> "if", "fabs" -> "abs", "absolute" -> "abs")
+
+  /** Functions known to return booleans (for the logical-vs-bitwise
+    * dispatch of `&`/`|`/`^`/`~` when no comparison is in sight). */
+  private val boolFns = Set(
+    "isnan", "isnull", "isna", "ismissing", "isfinite", "isinf", "isnotnull",
+    "notna", "startswith", "endswith", "contains", "rlike", "like", "if")
 
   // ------------------------------------------------------------ lexer
 
@@ -79,7 +93,10 @@ object ExprLang {
 
   // ----------------------------------------------------------- parser
 
-  private final class P(toks: Vector[Tok]) {
+  /** Emitted SQL + structural boolean-ness (drives &/|/^/~ dispatch). */
+  private final case class R(sql: String, bool: Boolean)
+
+  private final class P(toks: Vector[Tok], boolIdents: Set[String]) {
     var pos = 0
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -89,117 +106,143 @@ object ExprLang {
     }
     def fail(): Nothing = throw new IllegalArgumentException("parse error")
 
-    def parseOr(): String = {
+    def parseOr(): R = {
       var l = parseAnd()
-      while (peek.exists { case Op("|") => true; case Ident(k) if k.equalsIgnoreCase("or") => true; case _ => false }) {
-        next(); l = s"($l OR ${parseAnd()})"
+      var done = false
+      while (!done) peek match {
+        case Some(Op("|")) =>
+          next(); val r = parseAnd()
+          l = if (l.bool || r.bool) R(s"(${l.sql} OR ${r.sql})", bool = true)
+              else R(s"(${l.sql} | ${r.sql})", bool = false)
+        case Some(Ident(k)) if k.equalsIgnoreCase("or") =>
+          next(); l = R(s"(${l.sql} OR ${parseAnd().sql})", bool = true)
+        case _ => done = true
       }
       l
     }
-    def parseAnd(): String = {
+    def parseAnd(): R = {
       var l = parseNot()
-      while (peek.exists { case Op("&") => true; case Ident(k) if k.equalsIgnoreCase("and") => true; case _ => false }) {
-        next(); l = s"($l AND ${parseNot()})"
+      var done = false
+      while (!done) peek match {
+        case Some(Op("&")) =>
+          next(); val r = parseNot()
+          l = if (l.bool || r.bool) R(s"(${l.sql} AND ${r.sql})", bool = true)
+              else R(s"(${l.sql} & ${r.sql})", bool = false)
+        case Some(Ident(k)) if k.equalsIgnoreCase("and") =>
+          next(); l = R(s"(${l.sql} AND ${parseNot().sql})", bool = true)
+        case _ => done = true
       }
       l
     }
-    def parseNot(): String = peek match {
-      case Some(Ident(k)) if k.equalsIgnoreCase("not") => next(); s"(NOT ${parseNot()})"
+    def parseNot(): R = peek match {
+      case Some(Ident(k)) if k.equalsIgnoreCase("not") =>
+        next(); R(s"(NOT ${parseNot().sql})", bool = true)
       case _ => parseCmp()
     }
-    def parseCmp(): String = {
+    def parseCmp(): R = {
       var l = parseXor()
       var done = false
       while (!done) peek match {
         case Some(Op(o)) if Set("==", "!=", "<", "<=", ">", ">=").contains(o) =>
           next()
           val sql = if (o == "==") "=" else o
-          l = s"($l $sql ${parseXor()})"
+          l = R(s"(${l.sql} $sql ${parseXor().sql})", bool = true)
         case _ => done = true
       }
       l
     }
-    def parseXor(): String = {
+    def parseXor(): R = {
       var l = parseShift()
-      while (peek.contains(Op("^"))) { next(); l = s"(($l) != (${parseShift()}))" }
+      while (peek.contains(Op("^"))) {
+        next(); val r = parseShift()
+        l = if (l.bool || r.bool) R(s"((${l.sql}) != (${r.sql}))", bool = true)
+            else R(s"(${l.sql} ^ ${r.sql})", bool = false)
+      }
       l
     }
-    def parseShift(): String = {
+    def parseShift(): R = {
       var l = parseAdd()
       var done = false
       while (!done) peek match {
-        case Some(Op("<<")) => next(); l = s"SHIFTLEFT($l, ${parseAdd()})"
-        case Some(Op(">>")) => next(); l = s"SHIFTRIGHT($l, ${parseAdd()})"
+        case Some(Op("<<")) => next(); l = R(s"SHIFTLEFT(${l.sql}, ${parseAdd().sql})", bool = false)
+        case Some(Op(">>")) => next(); l = R(s"SHIFTRIGHT(${l.sql}, ${parseAdd().sql})", bool = false)
         case _ => done = true
       }
       l
     }
-    def parseAdd(): String = {
+    def parseAdd(): R = {
       var l = parseMul()
       var done = false
       while (!done) peek match {
-        case Some(Op("+")) => next(); l = s"($l + ${parseMul()})"
-        case Some(Op("-")) => next(); l = s"($l - ${parseMul()})"
+        case Some(Op("+")) => next(); l = R(s"(${l.sql} + ${parseMul().sql})", bool = false)
+        case Some(Op("-")) => next(); l = R(s"(${l.sql} - ${parseMul().sql})", bool = false)
         case _ => done = true
       }
       l
     }
-    def parseMul(): String = {
+    def parseMul(): R = {
       var l = parseUnary()
       var done = false
       while (!done) peek match {
-        case Some(Op("*")) => next(); l = s"($l * ${parseUnary()})"
-        case Some(Op("/")) => next(); l = s"($l / ${parseUnary()})"
-        case Some(Op("//")) => next(); l = s"FLOOR($l / ${parseUnary()})"
-        case Some(Op("%")) => next(); l = s"PMOD($l, ${parseUnary()})"
+        case Some(Op("*")) => next(); l = R(s"(${l.sql} * ${parseUnary().sql})", bool = false)
+        case Some(Op("/")) => next(); l = R(s"(${l.sql} / ${parseUnary().sql})", bool = false)
+        case Some(Op("//")) => next(); l = R(s"FLOOR(${l.sql} / ${parseUnary().sql})", bool = false)
+        case Some(Op("%")) => next(); l = R(s"PMOD(${l.sql}, ${parseUnary().sql})", bool = false)
         case _ => done = true
       }
       l
     }
-    def parseUnary(): String = peek match {
-      case Some(Op("-")) => next(); s"(- ${parseUnary()})"
+    def parseUnary(): R = peek match {
+      case Some(Op("-")) => next(); val r = parseUnary(); R(s"(- ${r.sql})", bool = false)
       case Some(Op("+")) => next(); parseUnary()
-      case Some(Op("~")) => next(); s"(NOT (${parseUnary()}))"
+      case Some(Op("~")) =>
+        next(); val r = parseUnary()
+        if (r.bool) R(s"(NOT (${r.sql}))", bool = true)
+        else R(s"(~ ${r.sql})", bool = false)
       case _ => parsePow()
     }
     // ** is right-associative and binds tighter than unary minus on its
     // left (Python: -x**2 == -(x**2), 2**-1 == 0.5)
-    def parsePow(): String = {
+    def parsePow(): R = {
       val base = parseAtom()
-      if (expectOp("**")) s"POWER($base, ${parseUnary()})" else base
+      if (expectOp("**")) R(s"POWER(${base.sql}, ${parseUnary().sql})", bool = false) else base
     }
-    def parseAtom(): String = next() match {
-      case Num(s) => s
-      case Str(s) => "'" + s.replace("'", "''") + "'"
+    def parseAtom(): R = next() match {
+      case Num(s) => R(s, bool = false)
+      case Str(s) => R("'" + s.replace("'", "''") + "'", bool = false)
       case Ident(name) =>
         if (peek.contains(Op("("))) {
           next()
           val args = scala.collection.mutable.ArrayBuffer[String]()
           if (!peek.contains(Op(")"))) {
-            args += parseOr()
-            while (expectOp(",")) args += parseOr()
+            args += parseOr().sql
+            while (expectOp(",")) args += parseOr().sql
           }
           if (!expectOp(")")) fail()
           val fn = fnMap.getOrElse(name.toLowerCase, name)
-          s"$fn(${args.mkString(", ")})"
-        } else name
+          R(s"$fn(${args.mkString(", ")})", bool = boolFns.contains(fn.toLowerCase))
+        } else R(name, bool =
+          name.equalsIgnoreCase("true") || name.equalsIgnoreCase("false") ||
+            boolIdents.contains(name))
       case Op("(") =>
         val e = parseOr()
         if (!expectOp(")")) fail()
-        s"($e)"
+        R(s"(${e.sql})", e.bool)
       case _ => fail()
     }
   }
 
   /** Some(sql) when `s` parses as a vaex/Python expression; None when
-    * it doesn't (caller should treat the input as Spark SQL). */
-  def translate(s: String): Option[String] =
+    * it doesn't (caller should treat the input as Spark SQL).
+    * `boolIdents`: column names known to be boolean-typed, so bare
+    * boolean columns combined with `&`/`|`/`^`/`~` get logical ops. */
+  def translate(s: String, boolIdents: Set[String] = Set.empty): Option[String] =
     lex(s).flatMap { toks =>
       if (toks.isEmpty) None
       else try {
-        val p = new P(toks)
+        val p = new P(toks, boolIdents)
         val sql = p.parseOr()
-        if (p.pos == toks.length) Some(sql) else None
+        if (p.pos == toks.length) Some(sql.sql) else None
       } catch { case _: Exception => None }
     }
 }

@@ -44,6 +44,11 @@ object DedupResolve {
       labels = updated.select("id", "comp")
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations — a " +
+          "component's diameter exceeds maxIter and labels are only partially " +
+          "propagated; raise maxIter (rounds needed = O(max component diameter))")
     labels
   }
 

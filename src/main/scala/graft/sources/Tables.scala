@@ -67,7 +67,17 @@ object Tables {
     }
     val intra = monotonically_increasing_id() -
       shiftleft(spark_partition_id().cast("long"), 33)
-    df.withColumn(name, element_at(typedLit(offsets), spark_partition_id()) + intra)
+    // a partition id the count job never saw means the partitioning was
+    // NOT deterministic across jobs (e.g. round-robin repartition or a
+    // rand() source) — fail loudly instead of emitting null indices
+    // that ordered ops would silently consume
+    val offset = coalesce(
+      element_at(typedLit(offsets), spark_partition_id()),
+      raise_error(lit("withRowIndex: partition layout changed between the " +
+        "count job and the projection job (non-deterministic partitioning, " +
+        "e.g. round-robin repartition) — materialize or re-read the input first"))
+        .cast("long"))
+    df.withColumn(name, offset + intra)
   }
 
   /** 0-based dense index in the total order of `orderCols` — WITHOUT a

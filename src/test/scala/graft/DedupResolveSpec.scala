@@ -44,6 +44,13 @@ class DedupResolveSpec extends SparkSpec {
     assert(kl.map(_._2).toSeq == Seq(1L, 1L, 3L, 3L, 5L))
   }
 
+  test("non-convergence at maxIter throws instead of returning partial labels") {
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      DedupResolve.connectedComponents(chain, maxIter = 3))
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("hash families agree: md5 oracle lane and xxhash64 production lane find the same pairs") {
     import graft.functions.TextFunctions.{HashFamily, Md5Hash, Xx64Hash}
     val docs = Seq(

@@ -36,6 +36,35 @@ class ExprLangSpec extends SparkSpec {
     assert(ev("not (x > 5)") == true)
   }
 
+  test("bitwise ^ & | ~ on integers, logical on booleans (numpy dual-use)") {
+    // integer operands: Spark bitwise operators (round-2 bug: `a ^ b`
+    // silently became boolean `!=` even for integer hashing exprs)
+    assert(ev("5 ^ 3") == 6)
+    assert(ev("5 & 3") == 1)
+    assert(ev("5 | 3") == 7)
+    assert(ev("~5") == -6)
+    // boolean COLUMNS (not just comparisons) get logical ops
+    def evb(e: String): Any =
+      VxFrame(Seq((true, false)).toDF("p", "q")).withVirtualColumn("z", e)
+        .df.select("z").head.get(0)
+    assert(evb("p & q") == false)
+    assert(evb("p | q") == true)
+    assert(evb("p ^ q") == true)
+    assert(evb("~p") == false)
+    // predicate functions count as boolean operands
+    assert(ev("isnan(x) | (y > 1)") == true)
+  }
+
+  test("columns shadow default variables pi/e") {
+    val f = VxFrame(Seq((1.0, 2.0)).toDF("e", "pi"))
+    assert(f.withVirtualColumn("z", "e + 1").df.select("z").head.getDouble(0) == 2.0)
+    assert(f.withVirtualColumn("z", "pi * 2").df.select("z").head.getDouble(0) == 4.0)
+    // and the constants still work when no column claims the name
+    val g = VxFrame(Seq((1.0)).toDF("x"))
+    assert(math.abs(g.withVirtualColumn("z", "pi * x")
+      .df.select("z").head.getDouble(0) - math.Pi) < 1e-15)
+  }
+
   test("shifts, equality, numpy function names") {
     assert(ev("1 << 3") == 8)
     assert(ev("16 >> 2") == 4)

@@ -82,6 +82,47 @@ class RobustnessSpec extends SparkSpec {
     assert(n() == 100.0 && s() == 4950.0 && m() == 49.5 && mx() == 99.0)
   }
 
+  test("tail on an empty indexed frame returns empty (no NPE)") {
+    val empty = VxFrame(spark.range(0)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x")))
+    assert(empty.tail(5).count() == 0)
+  }
+
+  test("dropInf keeps nulls, drops only +/-Inf") {
+    val f = VxFrame(Seq(Option(1.0), None,
+      Option(Double.PositiveInfinity), Option(Double.NegativeInfinity)).toDF("x"))
+    val kept = f.dropInf(Seq("x")).df.collect().map(r => Option(r.get(0)))
+    assert(kept.toSet == Set(Some(1.0), None))
+  }
+
+  test("shuffle permutes without a global range sort") {
+    val f = VxFrame(spark.range(1000).toDF("id"))
+    val shuffled = f.shuffle()
+    assert(shuffled.df.select("id").collect().map(_.getLong(0)).sorted
+      === (0L until 1000L).toArray) // same rows
+    val plan = shuffled.df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(1500))
+  }
+
+  test("delayed stats: selections and typed min/max fuse into the same pass") {
+    val f = VxFrame(spark.range(100).select(col("id").cast("double").as("x"),
+        concat(lit("s"), lpad(col("id").cast("string"), 3, "0")).as("name")))
+      .select("x < 50", name = "lo")
+    val d = f.delayed()
+    val nAll = d.count()
+    val nLo = d.count(Some("lo"))            // named selection
+    val sLo = d.sum("x", Some("lo"))
+    val mHi = d.mean("x", Some("x >= 50"))   // ad-hoc expression selection
+    val tMin = d.minTyped("name")            // string column stays a string
+    val tMax = d.maxTyped("name", Some("lo"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    d.execute()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 2)
+    assert(nAll() == 100.0 && nLo() == 50.0 && sLo() == 1225.0 && mHi() == 74.5)
+    assert(tMin() == "s000" && tMax() == "s049")
+  }
+
   test("binbyLabeled returns bin centers alongside the tensor") {
     val f = VxFrame(spark.range(100).select((col("id") % 10).cast("double").as("x")))
     val (centers, shape, tensor) = f.binbyLabeled(Seq(("x", 0.0, 10.0, 5)), count(lit(1)))
