@@ -231,6 +231,17 @@ final case class VxFrame(
     select(s"(($u*$u)/(${a * a}) + ($v*$v)/(${b * b}) <= 1.0)", mode, name)
   }
 
+  /** reference: core/dataframe.py:5244 `select_lasso` — named selection
+    * of points inside the free-drawn polygon (xs, ys). Lowered to the
+    * pnpoly predicate as SQL TEXT so the selection serializes into
+    * state like every other selection. */
+  def selectLasso(x: String, y: String, xs: Seq[Double], ys: Seq[Double],
+                  mode: String = "replace", name: String = "default"): VxFrame = {
+    require(xs.length == ys.length, "xs and ys must have equal length")
+    select(graft.functions.GeoFunctions.insidePolygonSql(s"($x)", s"($y)", xs.zip(ys)),
+      mode, name)
+  }
+
   // ---------------------------------------------------------------- na handling
 
   /** reference: core/dataframe.py:5079-5123 dropna family. */
@@ -524,10 +535,11 @@ final case class VxFrame(
     * sigma_f = sqrt(Σ (∂f/∂x_i)² σ_i²). `sigmas` maps variable name ->
     * sigma expression (usually the error column's name). */
   def propagateUncertainties(name: String, expression: String,
-                             sigmas: Map[String, String]): VxFrame =
+                             sigmas: Map[String, String],
+                             covariances: Map[(String, String), String] = Map.empty): VxFrame =
     withVirtualColumn(name, expression)
       .withVirtualColumn(s"${name}_uncertainty",
-        graft.functions.Symbolic.propagatedSigma(expression, sigmas))
+        graft.functions.Symbolic.propagatedSigma(expression, sigmas, covariances))
 
   // ---------------------------------------------------------------- joins / set ops
 

@@ -111,4 +111,26 @@ object GeoFunctions {
     }
     edges.reduce(_ =!= _) // odd number of crossings -> inside
   }
+
+  /** The same pnpoly XOR-fold as SQL text (valid in both Spark SQL and
+    * DuckDB, constants folded driver-side) — used for serializable
+    * lasso selections and for generating bit-identical oracles. */
+  def insidePolygonSql(x: String, y: String, polygon: Seq[(Double, Double)]): String = {
+    require(polygon.size >= 3, "polygon needs >= 3 vertices")
+    val edges = polygon.indices.map { i =>
+      val (xi, yi) = polygon(i)
+      val (xj, yj) = polygon((i + polygon.size - 1) % polygon.size)
+      s"((($yi > $y) != ($yj > $y)) AND ($x < (${xj - xi} * ($y - $yi) / ${yj - yi}) + $xi))"
+    }
+    edges.reduce((a, b) => s"($a != $b)") // left-fold XOR, explicit parens
+  }
+
+  /** First polygon containing each point: 0-based index, null when none
+    * (reference: core/geo.py:530 inside_which_polygon) — a CASE chain of
+    * pnpoly predicates, pure column algebra, zero shuffle. */
+  def insideWhichPolygon(x: Column, y: Column,
+                         polygons: Seq[Seq[(Double, Double)]]): Column =
+    polygons.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((poly, i), acc) => when(insidePolygon(x, y, poly), lit(i)).otherwise(acc)
+    }
 }

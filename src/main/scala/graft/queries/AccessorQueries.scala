@@ -17,16 +17,17 @@ object AccessorQueries {
   /** Test polygon (concave) for the pnpoly gate. */
   private val POLY = Seq((0.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0), (4.0, 8.0), (0.0, 8.0))
 
+  /** Polygon set for inside_which_polygon (first-match-wins): the
+    * concave POLY, the square notch it excludes, a right-side strip. */
+  private val POLYS = Seq(
+    POLY,
+    Seq((4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (4.0, 8.0)),
+    Seq((8.0, 0.0), (10.0, 0.0), (10.0, 10.0), (8.0, 10.0)))
+
   /** DuckDB rendering of the same XOR-fold pnpoly chain, generated from
     * the same vertex list so the two engines stay in lockstep. */
-  private def insideSql(x: String, y: String): String = {
-    val edges = POLY.indices.map { i =>
-      val (xi, yi) = POLY(i)
-      val (xj, yj) = POLY((i + POLY.size - 1) % POLY.size)
-      s"((($yi > $y) != ($yj > $y)) AND ($x < (${xj - xi} * ($y - $yi) / ${yj - yi}) + $xi))"
-    }
-    edges.reduce((a, b) => s"($a != $b)") // left-fold XOR, explicit parens
-  }
+  private def insideSql(x: String, y: String, poly: Seq[(Double, Double)] = POLY): String =
+    GeoFunctions.insidePolygonSql(x, y, poly)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // polar/spherical transforms over synthesized coordinates
@@ -54,6 +55,23 @@ object AccessorQueries {
         .agg(count(lit(1)).as("n"), r(dsumD(col("value"))).as("sum_value"))
     }),
 
+    // inside_which_polygon dispatch (reference: core/geo.py:530):
+    // first polygon containing each point, -1 when none; per-polygon
+    // count + value sum. Pure CASE-chain column algebra — one
+    // aggregation shuffle, no UDF.
+    "q_geo_which_polygon" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("value"),
+        (col("value") % 10.0).as("x"),
+        (col("user_id") % 10).cast("double").as("y"))
+      ev.select(col("value"),
+          coalesce(GeoFunctions.insideWhichPolygon(col("x"), col("y"), POLYS),
+            lit(-1)).as("poly"))
+        .groupBy("poly")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("poly")
+    }),
+
     // uncertainty propagation through revenue = price * (1 - discount)
     "q_uncertainty" -> ((s, dir) => {
       VxFrame(t(s, dir, "lineitem"))
@@ -64,6 +82,21 @@ object AccessorQueries {
         .df.groupBy(col("l_returnflag"))
         .agg(r(dsumD(col("revenue"))).as("sum_rev"),
           r(dsumD(col("revenue_uncertainty"))).as("sum_sigma"))
+        .orderBy("l_returnflag")
+    }),
+
+    // uncertainty propagation WITH correlated inputs: the covariance
+    // cross-term 2 (df/dp)(df/dd) cov_pd joins the diagonal terms.
+    // Oracle parity is by construction: the oracle embeds the very SQL
+    // string Symbolic generates (valid in DuckDB too), so both engines
+    // evaluate the identical expression tree.
+    "q_uncertainty_cov" -> ((s, dir) => {
+      VxFrame(t(s, dir, "lineitem"))
+        .propagateUncertainties("revenue", "l_extendedprice * (1 - l_discount)",
+          Map("l_extendedprice" -> "(l_extendedprice * 0.01)", "l_discount" -> "0.001"),
+          Map(("l_extendedprice", "l_discount") -> "(l_extendedprice * 0.00001)"))
+        .df.groupBy(col("l_returnflag"))
+        .agg(r(dsumD(col("revenue_uncertainty"))).as("sum_sigma"))
         .orderBy("l_returnflag")
     }),
 
@@ -96,6 +129,18 @@ object AccessorQueries {
          |        CAST(user_id % 10 AS DOUBLE) AS y FROM events)
          |WHERE ${insideSql("x", "y")}""".stripMargin,
 
+    "q_geo_which_polygon" -> {
+      val cases = POLYS.zipWithIndex
+        .map { case (p, i) => s"WHEN ${insideSql("x", "y", p)} THEN $i" }
+        .mkString(" ")
+      s"""SELECT poly, COUNT(*) AS n, ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM (
+         |  SELECT value, CAST(CASE $cases ELSE -1 END AS INT) AS poly
+         |  FROM (SELECT value, value % 10.0 AS x,
+         |          CAST(user_id % 10 AS DOUBLE) AS y FROM events))
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // closed form: sigma = sqrt((1-d)^2 (0.01 p)^2 + p^2 (0.001)^2)
     "q_uncertainty" ->
       s"""SELECT l_returnflag,
@@ -104,6 +149,15 @@ object AccessorQueries {
               "sqrt(power(1 - l_discount, 2) * power(l_extendedprice * 0.01, 2)" +
               " + power(l_extendedprice, 2) * power(0.001, 2))"))} AS sum_sigma
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_uncertainty_cov" -> {
+      val sigmaSql = graft.functions.Symbolic.propagatedSigma(
+        "l_extendedprice * (1 - l_discount)",
+        Map("l_extendedprice" -> "(l_extendedprice * 0.01)", "l_discount" -> "0.001"),
+        Map(("l_extendedprice", "l_discount") -> "(l_extendedprice * 0.00001)"))
+      s"""SELECT l_returnflag, ${sqlR(sqlDsum(sigmaSql))} AS sum_sigma
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_struct_json" ->
       """SELECT event_type,

@@ -93,4 +93,45 @@ class SymbolicGeoSpec extends SparkSpec {
       .map(_.getBoolean(0)).toSeq
     assert(got2 == Seq(true, true, false))
   }
+
+  test("selectLasso (SQL text) equals the insidePolygon Column predicate") {
+    val poly = Seq((0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
+    val pts = (for (i <- 0 until 200) yield (i % 20 * 0.2 - 0.5, i / 20 * 0.2 - 0.5))
+      .toDF("x", "y")
+    val viaColumn = pts.where(GeoFunctions.insidePolygon(col("x"), col("y"), poly))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val f = graft.VxFrame(pts).selectLasso("x", "y", poly.map(_._1), poly.map(_._2))
+    val viaLasso = f.df.where(f.selectionColumn())
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaLasso == viaColumn && viaColumn.nonEmpty)
+  }
+
+  test("insideWhichPolygon: first match wins, null when outside all") {
+    val polys = Seq(
+      Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)),
+      Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0))) // overlaps first
+    val got = Seq((0.5, 0.5), (1.5, 1.5), (2.5, 2.5), (5.0, 5.0)).toDF("x", "y")
+      .select(GeoFunctions.insideWhichPolygon(col("x"), col("y"), polys))
+      .collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(Some(0), Some(0), Some(1), None)) // overlap -> first
+  }
+
+  test("propagated sigma covariance cross-terms: analytic closed forms") {
+    import graft.functions.Symbolic
+    // f = x + y: sigma² = sx² + sy² + 2 cov
+    val fSum = Symbolic.propagatedSigma("x + y",
+      Map("x" -> "sx", "y" -> "sy"), Map(("y", "x") -> "cxy"))
+    // f = x * y: sigma² = y² sx² + x² sy² + 2 x y cov
+    val fMul = Symbolic.propagatedSigma("x * y",
+      Map("x" -> "sx", "y" -> "sy"), Map(("x", "y") -> "cxy"))
+    val row = Seq((3.0, 4.0, 0.1, 0.2, 0.01)).toDF("x", "y", "sx", "sy", "cxy")
+      .select(expr(fSum).as("s"), expr(fMul).as("m")).head
+    assert(math.abs(row.getDouble(0) -
+      math.sqrt(0.01 + 0.04 + 2 * 0.01)) < 1e-12)
+    assert(math.abs(row.getDouble(1) -
+      math.sqrt(16 * 0.01 + 9 * 0.04 + 2 * 3 * 4 * 0.01)) < 1e-12)
+    // zero-derivative pairs drop out entirely
+    assert(Symbolic.propagatedSigma("x", Map("x" -> "sx", "y" -> "sy"),
+      Map(("x", "y") -> "cxy")) == "sqrt(power(1, 2) * power(sx, 2))")
+  }
 }
