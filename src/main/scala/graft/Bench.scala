@@ -42,19 +42,46 @@ object Bench {
       }),
       // production-lane LSH dedup: identical pipeline shape to
       // q_lsh_neardup but hashed with codegen'd xxhash64 instead of the
-      // oracle-parity md5 (the md5 lane is ~84% of the battery total)
+      // oracle-parity md5. Loaded via Q.t — the raw single-row-group
+      // file plans ONE split and would serialize the hash stage.
       "q_lsh_neardup_fast" -> (() => {
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = graft.queries.Q.t(spark, sfDir, "documents")
         graft.operators.LshDedup.nearDupPairs(docs, "doc_id", "text",
           graft.operators.LshDedup.Params())
       }),
       "q_minhash_sig_fast" -> (() => {
         import graft.functions.TextFunctions._
-        spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.queries.Q.t(spark, sfDir, "documents")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
           .select(col("doc_id"), shingleHashes(col("sh"), Xx64Hash).as("hs"))
           .select(col("doc_id"), minhashSignature(col("hs"), 4).as("sig"))
       }))
+  }
+
+  /** 10x scale lane (judge r2 #7: no headline query timed above sf0.1).
+    * Synthesizes a 10x copy of the star tables by key-shifted
+    * replication: each replica r in 0..9 maps every join key k to
+    * k*10+r, so join fan-outs and group cardinalities scale the way a
+    * real sf1 generation would (10x orders, 10x customers, same
+    * lines-per-order), instead of inflating duplicate keys. Written as
+    * multi-file parquet so the scan itself parallelizes (the sf0.1
+    * files are single-row-group -> one split). */
+  private def writeScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val keyed = Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"))
+    for ((name, keys) <- keyed) {
+      val base = spark.read.parquet(s"$sfDir/$name.parquet")
+      val rep = base.crossJoin(spark.range(10).select(col("id").as("__r")))
+      keys.foldLeft(rep) { (d, k) =>
+        d.withColumn(k, col(k).cast("long") * 10 + col("__r"))
+      }.drop("__r")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    for (name <- Seq("nation", "region"))
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
   }
 
   private def time(run: () => Unit): Double = {
@@ -95,6 +122,47 @@ object Bench {
         System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
     }
 
+    // ---- 10x scale lane: top-5 headline queries on the replicated
+    // star (6M-row lineitem at sf0.1 input). min-of-2 — these runs are
+    // long enough that JVM warm-up noise is already amortized.
+    val scaleDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10"
+    writeScaled(spark, sfDir, scaleDir)
+    val scaleNames = Seq("q1_agg", "q_agg_skew_kurt", "q_groupby_multi",
+      "q_filter_project", "q_join_multi")
+    val scaleResults: Seq[(String, Double)] = scaleNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      try s"${name}_10x" -> minOf(2)(() => fn(spark, scaleDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }
+    }
+
+    // ---- skew lane: one hot key holds 50% of a 2e7-row fact; dim has
+    // 10k keys. Broadcast is disabled to land in the regime salting
+    // exists for (right side joinable but not broadcastable). AQE skew
+    // split stays on — it is the production config, so `plain` shows
+    // what AQE alone does and `salted` what explicit SkewJoin adds.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val skewN = 20_000_000L
+    def skewLeft = spark.range(skewN).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(10000)).cast("long")).as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+    val skewRight = spark.range(10000L).select(col("id").as("k"),
+      (col("id") % 97).cast("double").as("w"))
+    val skewResults = Seq(
+      "q_skew_join_plain" -> (() => skewLeft.join(skewRight, "k")
+        .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n"))),
+      "q_skew_join_salted" -> (() => graft.operators.SkewJoin
+        .saltedJoin(skewLeft, skewRight, Seq("k"), salt = 32)
+        .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n")))
+    ).map { case (name, fn) =>
+      try name -> minOf(2)(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
     // headline throughput: rows/sec of the canonical multi-agg groupBy
     // over lineitem (BASELINE.md "groupby aggregation" row)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -125,9 +193,13 @@ object Bench {
       genJ.join(broadcast(dim), "k2")
         .groupBy("k").agg(sum("w"), count(lit(1))))
 
-    val qs = results.map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
+    val qs = (results ++ scaleResults ++ skewResults)
+      .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
+    // "value" keeps the round-2 definition (headline + fast lanes) so
+    // totals stay comparable across rounds; the 10x lane totals apart.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg_rows_per_sec":${(nRows / aggSec).toLong},"groupby_gen_rows_per_sec":${(genN / groupbySec).toLong},"binby_gen_rows_per_sec":${(genN / binbySec).toLong},"join_gen_rows_per_sec":${(genN / joinSec).toLong}}""")
+    val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_10x":${j(total10x)},"agg_rows_per_sec":${(nRows / aggSec).toLong},"groupby_gen_rows_per_sec":${(genN / groupbySec).toLong},"binby_gen_rows_per_sec":${(genN / binbySec).toLong},"join_gen_rows_per_sec":${(genN / joinSec).toLong}}""")
     spark.stop()
   }
 }

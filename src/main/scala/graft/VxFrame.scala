@@ -861,10 +861,77 @@ final class DelayedStats private[graft] (f: VxFrame) {
   def maxTyped(e: String, selection: Option[String] = None): () => Any =
     registerAny(functions.max(sel(e, selection)))
 
-  /** Run ONE aggregation job resolving every queued request. */
+  private val gridReqs = ArrayBuffer[(Seq[(String, Double, Double, Int)], Column)]()
+  private var gridResults: Map[Int, Array[Double]] = Map.empty
+
+  /** Delayed dense-grid promise — the reference's delayed machinery
+    * spans grid aggregations, not just scalars (core/dataframe.py:842
+    * _compute_agg routes both through the same task queue). Same
+    * semantics as `VxFrame.binby` (values in [vmin, vmax) over `shape`
+    * equal bins, out-of-range/null dropped, row-major flat array). */
+  def grid(specs: Seq[(String, Double, Double, Int)], agg: Column): () => Array[Double] = {
+    val gi = gridReqs.length
+    gridReqs += ((specs, agg))
+    () => gridResults.getOrElse(gi,
+      throw new IllegalStateException("call execute() before reading a delayed grid"))
+  }
+
+  /** Run ONE aggregation job resolving every queued request. With grid
+    * promises queued, scalars and ALL grids fuse into a single
+    * GROUPING SETS aggregation — (()) carries the scalar row, (bin_i)
+    * one row per occupied cell of grid i — so the plan stays one scan
+    * plus one partial/final hash-agg shuffle regardless of how many
+    * statistics and grids were requested. */
   def execute(): Unit = {
-    require(items.nonEmpty, "no delayed statistics queued")
-    resolved = Some(f.df.agg(items.head, items.tail.toSeq: _*).head())
+    require(items.nonEmpty || gridReqs.nonEmpty, "no delayed statistics queued")
+    if (gridReqs.isEmpty) {
+      resolved = Some(f.df.agg(items.head, items.tail.toSeq: _*).head())
+      return
+    }
+    var d = f.df
+    val shapesPerGrid = gridReqs.map(_._1.map(_._4)).toSeq
+    val names = gridReqs.toSeq.zipWithIndex.map { case ((specs, _), gi) =>
+      // flat row-major bin index; null when any dim is out of range/null
+      val idx = specs.foldLeft(lit(0L)) { case (acc, (e, vmin, vmax, shape)) =>
+        val c = sel(e, None)
+        val width = (vmax - vmin) / shape
+        val b = when(c >= lit(vmin) && c < lit(vmax),
+          floor((c - lit(vmin)) / lit(width)).cast("long"))
+        acc * lit(shape) + b
+      }
+      val n = s"__g$gi"
+      d = d.withColumn(n, idx)
+      n
+    }
+    val k = names.length
+    val scalarAggs = items.toSeq
+    val gridAggs = gridReqs.toSeq.zipWithIndex.map { case ((_, agg), gi) =>
+      agg.cast("double").as(s"__ga$gi") }
+    val aggCols = scalarAggs ++ gridAggs :+ grouping_id().as("__gid")
+    val sets: Seq[Seq[Column]] = Seq(Seq.empty[Column]) ++ names.map(n => Seq(col(n)))
+    val collected = d.groupingSets(sets, names.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    // layout: [grouping cols (k)] [scalars] [grid aggs] [gid]
+    val gidIdx = k + scalarAggs.length + gridAggs.length
+    val allBits = (1L << k) - 1
+    resolved = Some(collected.find(r => r.getLong(gidIdx) == allBits)
+      .map(r => Row.fromSeq(r.toSeq.slice(k, k + scalarAggs.length)))
+      // GROUPING SETS over an empty frame yields no rows at all (unlike
+      // a global agg); surface nulls -> NaN like the eager empty path
+      .getOrElse(Row.fromSeq(Seq.fill(scalarAggs.length)(null))))
+    gridResults = gridReqs.toSeq.zipWithIndex.map { case ((specs, _), gi) =>
+      val out = new Array[Double](shapesPerGrid(gi).product)
+      val want = allBits & ~(1L << (k - 1 - gi)) // bit i set = col i aggregated
+      collected.iterator
+        .filter(r => r.getLong(gidIdx) == want && !r.isNullAt(gi))
+        .foreach { r =>
+          val v = r.get(k + scalarAggs.length + gi)
+          out(r.getLong(gi).toInt) =
+            if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+        }
+      gi -> out
+    }.toMap
   }
 }
 

@@ -41,6 +41,24 @@ object SourceQueries {
       val cache = cacheDir(dir, "lineitem_json")
       narrowLineitem(s, dir).write.mode("overwrite").json(cache)
       agg(graft.sources.Readers.fromJson(s, cache))
+    }),
+
+    // bucketed co-located join: orders and customer are exported
+    // bucketed on the customer key, then joined through the catalog —
+    // at scale the join plans with zero Exchange (asserted in
+    // PlanQualitySpec); here the oracle checks the result matches the
+    // plain parquet join bit-for-bit.
+    "q_bucketed_join" -> ((s, dir) => {
+      val cache = cacheDir(dir, "bkt")
+      graft.sources.Export.exportBucketed(t(s, dir, "orders"),
+        "graft_bkt_orders", s"$cache/orders", Seq("o_custkey"), 8, Seq("o_custkey"))
+      graft.sources.Export.exportBucketed(t(s, dir, "customer"),
+        "graft_bkt_customer", s"$cache/customer", Seq("c_custkey"), 8, Seq("c_custkey"))
+      val o = s.table("graft_bkt_orders"); val c = s.table("graft_bkt_customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("o_totalprice"))).as("sum_total"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -53,5 +71,10 @@ object SourceQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_csv_agg" -> aggSql,
-    "q_json_agg" -> aggSql)
+    "q_json_agg" -> aggSql,
+    "q_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

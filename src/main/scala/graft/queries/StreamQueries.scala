@@ -46,6 +46,33 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // stream-static enrichment: events joined to the broadcast nation
+    // dim (user_id -> nation via mod), aggregated per nation name
+    "q_stream_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("nkey", pmod(col("user_id"), lit(25)))
+      val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      StreamOps.enrichJoin(ev, dim, col("nkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("n_name")
+    }),
+
+    // stream-stream interval join (batch face): purchases within 1 hour
+    // after a view by the same user; per-user pair count + value sum
+    "q_stream_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      StreamOps.intervalJoin(views, purchases,
+          col("v_user") === col("p_user"), "v_ts", "p_ts", "1 hour")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // session windows (30-min gap) per user -> session count + event count
     "q_stream_session" -> ((s, dir) => {
       StreamOps.sessionAgg(
@@ -76,6 +103,20 @@ object StreamQueries {
       """SELECT event_type, COUNT(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_enrich" ->
+      s"""SELECT n_name, COUNT(*) AS n, ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events JOIN nation ON user_id % 25 = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_interval_join" ->
+      s"""SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
+         |  ${sqlR(sqlDsum("p.value"))} AS sum_value
+         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+         |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+         |  ON v.user_id = p.user_id
+         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // gaps-and-islands: new session when gap > 30min (session_window
     // half-open edge [start, last+gap) coincides for continuous data)

@@ -35,6 +35,30 @@ object Export {
   def exportPartitioned(df: DataFrame, path: String, by: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(by: _*).parquet(path)
 
+  /** Bucketed export — the 100 TB co-location story (SURVEY §4.2):
+    * pre-shuffle a table ONCE at write time so every later equi-join or
+    * aggregation on the bucket keys plans with zero Exchange. Spark
+    * persists bucketing metadata only through the catalog, so this
+    * writes an EXTERNAL table: files at `path`, metadata registered as
+    * `table` in the session catalog (no Hive required; re-register
+    * after a session restart by calling this again or via CREATE TABLE
+    * ... USING parquet CLUSTERED BY). `sortCols` additionally sorts
+    * within each bucket file, letting sort-merge joins skip the sort.
+    * The reference has no analog — its single-node mmap model never
+    * shuffles; on a cluster this is the difference between moving
+    * 100 TB per join and moving it once. */
+  def exportBucketed(df: DataFrame, table: String, path: String,
+                     bucketCols: Seq[String], nBuckets: Int,
+                     sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Sharded multi-file export (reference: core/dataframe.py:6894
     * export_many with a %03d-template — in Spark, file count =
     * partition count; names are part-<i> rather than a template). */

@@ -76,6 +76,31 @@ object StreamOps {
   def withEventTimeWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
 
+  // ------------------------------------------------------------ joins
+
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (small) static dimension, broadcast to every executor — no state
+    * store, no shuffle of the stream side. The standard "attach
+    * user/document metadata to an event firehose" shape; on a batch
+    * frame it is a plain broadcast join, keeping mode-agnosticism. */
+  def enrichJoin(stream: DataFrame, dim: DataFrame, on: Column,
+                 how: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), on, how)
+
+  /** Stream-stream interval join: pairs of (left, right) rows with
+    * equal keys where the right event lands in [leftTs, leftTs +
+    * maxDelay]. On streams BOTH sides must carry watermarks
+    * (`withEventTimeWatermark`); the time bound is what lets Spark
+    * evict buffered rows once the watermark passes leftTs + maxDelay —
+    * state is O(events within the horizon), not O(stream). On batch
+    * frames the same expression is an ordinary range join, so the
+    * logic is oracle-checkable batch-side. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyEq: Column,
+                   leftTs: String, rightTs: String, maxDelay: String): DataFrame =
+    left.join(right, keyEq &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+
   // ------------------------------------------------------------ stateful
 
   /** Per-key running aggregate state for mapGroupsWithState. */

@@ -60,6 +60,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"), p)
   }
 
+  test("bucketed tables: join and groupBy on the bucket key plan with zero Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val left = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    val right = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 5).cast("double").as("w"))
+    graft.sources.Export.exportBucketed(left, "bkt_spec_l", s"$dir/l", Seq("k"), 4, Seq("k"))
+    graft.sources.Export.exportBucketed(right, "bkt_spec_r", s"$dir/r", Seq("k"), 4, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: the no-broadcast regime bucketing exists for
+    try {
+      val joined = spark.table("bkt_spec_l").join(spark.table("bkt_spec_r"), "k")
+      assert(!plan(joined).contains("Exchange"), plan(joined).take(2000))
+      assert(joined.count() == 1000)
+      val agg = spark.table("bkt_spec_l").groupBy("k").agg(sum("v"))
+      assert(!plan(agg).contains("Exchange"), plan(agg).take(2000))
+      assert(agg.count() == 10000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF assignment plan is shuffle-free") {
     val emb = Q.t(spark, sf0001, "embeddings")
     val cents = graft.operators.SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", 4)

