@@ -134,6 +134,13 @@ object Bench {
       try s"${name}_10x" -> minOf(2)(() => fn(spark, scaleDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }
+    } ++ fastLane(scaleDir, spark).take(2).map { case (name, fn) =>
+      // double production lanes at 10x: the decimal-parity tax grows
+      // superlinearly with data (wider intermediate rows, more spill),
+      // so the scale lane carries both so the gap is quantified
+      try s"${name}_10x" -> minOf(2)(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }
     }
 
     // ---- skew lane: one hot key holds 50% of a 2e7-row fact; dim has

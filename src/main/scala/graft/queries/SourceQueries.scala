@@ -43,6 +43,18 @@ object SourceQueries {
       agg(graft.sources.Readers.fromJson(s, cache))
     }),
 
+    // hdf5 (the reference's NATIVE format): write lineitem as a
+    // vaex-layout hdf5 file with the dependency-free writer, read it
+    // back with the distributed range-read path, aggregate. The oracle
+    // runs on the ORIGINAL parquet, so a round-trip value error in
+    // either direction fails the hash compare.
+    "q_hdf5_agg" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_hdf5"), "lineitem.hdf5")
+      cache.getParentFile.mkdirs()
+      graft.sources.Hdf5.toHdf5(narrowLineitem(s, dir), cache.toString)
+      agg(graft.sources.Readers.open(s, cache.toString))
+    }),
+
     // bucketed co-located join: orders and customer are exported
     // bucketed on the customer key, then joined through the catalog —
     // at scale the join plans with zero Exchange (asserted in
@@ -72,6 +84,7 @@ object SourceQueries {
   val oracleSql: Map[String, String] = Map(
     "q_csv_agg" -> aggSql,
     "q_json_agg" -> aggSql,
+    "q_hdf5_agg" -> aggSql,
     "q_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_total

@@ -24,6 +24,7 @@ object Readers {
       case p if p.endsWith(".json") || p.endsWith(".jsonl") => fromJson(spark, p)
       case p if p.endsWith(".txt") || p.endsWith(".asc") => Export.fromAscii(spark, p)
       case p if p.endsWith(".arrow") || p.endsWith(".feather") => ArrowIpc.read(spark, p)
+      case p if p.endsWith(".hdf5") || p.endsWith(".h5") => Hdf5.fromHdf5(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Hdf5
+
+/** HDF5 reader/writer: round-trips, byte-level format checks against
+  * the public HDF5 spec (so writer and reader can't share a hidden
+  * deviation), null handling, column pruning, and the distributed
+  * range-read path. */
+class Hdf5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("h5spec").resolve(name).toString
+
+  test("numeric + string round-trip preserves values and schema") {
+    val path = tmp("basic.hdf5")
+    val df = spark.range(1000).select(
+      col("id").as("key"),
+      col("id").cast("int").as("i"),
+      (col("id") * 1.5).as("x"),
+      (col("id") % 100).cast("float").as("f"),
+      concat(lit("name_"), col("id")).as("s"))
+    Hdf5.toHdf5(df, path)
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("key", LongType), ("i", IntegerType), ("x", DoubleType),
+        ("f", FloatType), ("s", StringType)))
+    assert(back.count() == 1000)
+    val got = back.orderBy("key").collect()
+    assert(got(7) == Row(7L, 7, 10.5, 7.0f, "name_7"))
+    assert(got(999) == Row(999L, 999, 1498.5, 99.0f, "name_999"))
+    // aggregate equality with the source frame
+    val (s1, s2) = (df.agg(sum("x")).head.getDouble(0), back.agg(sum("x")).head.getDouble(0))
+    assert(s1 == s2)
+  }
+
+  test("nulls round-trip through the arrow-style null bitmap") {
+    val path = tmp("nulls.hdf5")
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 1.0, "a"), (2L, null, null), (3L, 3.0, "c"),
+      (null, 4.0, ""), (5L, null, "e"))
+      .toDF("k", "v", "s")
+    Hdf5.toHdf5(df, path)
+    val back = Hdf5.fromHdf5(spark, path).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(back == Set(
+      (Some(1L), Some(1.0), Some("a")),
+      (Some(2L), None, None),
+      (Some(3L), Some(3.0), Some("c")),
+      (None, Some(4.0), Some("")),
+      (Some(5L), None, Some("e"))))
+    // nullable flags reflect the bitmap presence
+    val schema = Hdf5.fromHdf5(spark, path).schema
+    assert(schema.forall(_.nullable))
+  }
+
+  test("file conforms to the HDF5 spec byte layout (independent check)") {
+    val path = tmp("fmt.hdf5")
+    Hdf5.toHdf5(spark.range(10).select(col("id").as("a")), path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // superblock: signature, versions, offset/length sizes, K values
+    assert(bytes.slice(0, 8).toSeq == Seq(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    assert(bytes(8) == 0)                 // superblock v0
+    assert(bytes(13) == 8 && bytes(14) == 8) // 8-byte offsets/lengths
+    assert(bytes(16) == 4 && bytes(18) == 16) // leaf K, internal K
+    def leLong(off: Int): Long =
+      java.nio.ByteBuffer.wrap(bytes, off, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(leLong(40) == bytes.length)    // end-of-file address
+    val rootOh = leLong(64)               // root STE object header address
+    assert(bytes(rootOh.toInt) == 1)      // v1 object header
+    // structural signatures present
+    val s = new String(bytes.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert(s.contains("HEAP") && s.contains("TREE") && s.contains("SNOD"))
+  }
+
+  test("column pruning reads only requested columns; partitioned read agrees") {
+    val path = tmp("prune.hdf5")
+    val df = spark.range(100000).select(
+      col("id").as("k"), (col("id") * 2.0).as("x"), (col("id") % 7).as("y"))
+    Hdf5.toHdf5(df, path)
+    val pruned = Hdf5.fromHdf5(spark, path, columns = Seq("y", "k"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("y", "k")) // requested order
+    assert(pruned.agg(sum("y")).head.getLong(0) ==
+      df.agg(sum("y")).head.getLong(0))
+    // explicit multi-partition read must agree with single-partition
+    val p8 = Hdf5.fromHdf5(spark, path, Nil, numPartitions = 8)
+    val p1 = Hdf5.fromHdf5(spark, path, Nil, numPartitions = 1)
+    assert(p8.rdd.getNumPartitions == 8)
+    assert(p8.agg(sum("x"), sum("k")).head == p1.agg(sum("x"), sum("k")).head)
+    assert(p8.count() == 100000)
+  }
+
+  test("wide table (>8 columns) exercises multi-SNOD group btree") {
+    val path = tmp("wide.hdf5")
+    val cols = (0 until 20).map(i => (col("id") + i).as(s"c$i"))
+    val df = spark.range(50).select(cols: _*)
+    Hdf5.toHdf5(df, path)
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.toSeq == (0 until 20).map(i => s"c$i")) // column_order attr
+    assert(back.agg(sum("c19")).head.getLong(0) == (0 until 50).map(_ + 19).sum)
+  }
+
+  test("empty strings and empty frame edge cases") {
+    val path = tmp("empty.hdf5")
+    val df = Seq(("", 1L), ("x", 2L)).toDF("s", "k")
+    Hdf5.toHdf5(df, path)
+    val back = Hdf5.fromHdf5(spark, path).orderBy("k").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("", "x"))
+  }
+
+  test("unsupported layouts fail with clear errors") {
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.readTable("/root/testdata/sf0.001/nation.parquet")
+    }
+    assert(e.getMessage.contains("not an HDF5 file"))
+  }
+}
