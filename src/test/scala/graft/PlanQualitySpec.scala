@@ -60,6 +60,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"), p)
   }
 
+  test("hive-partitioned export prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Export.exportPartitioned(
+      Q.t(spark, sf0001, "events").select(col("event_type"), col("value")),
+      s"$dir/events", Seq("event_type"))
+    val df = spark.read.parquet(s"$dir/events").where(col("event_type") === "click")
+    val p = plan(df)
+    // the partition filter must act at planning time, not as a row filter
+    assert(p.contains("PartitionFilters") && p.contains("event_type"), p.take(2000))
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(df.count() > 0)
+  }
+
   test("bucketed tables: join and groupBy on the bucket key plan with zero Exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
     val left = spark.range(10000).select(col("id").as("k"),
