@@ -231,6 +231,49 @@ final case class VxFrame(
     select(s"(($u*$u)/(${a * a}) + ($v*$v)/(${b * b}) <= 1.0)", mode, name)
   }
 
+  /** reference: core/dataframe.py:5156 `select_box` — n-dimensional
+    * rectangular selection: AND of closed range predicates, one per
+    * (expression, (min, max)) pair. Limit order is normalized like the
+    * reference (min/max swapped when reversed). */
+  def selectBox(spaces: Seq[String], limits: Seq[(Double, Double)],
+                mode: String = "replace", name: String = "default"): VxFrame = {
+    require(spaces.length == limits.length, "spaces and limits must align")
+    val preds = spaces.zip(limits).map { case (e, (l1, l2)) =>
+      val (lo, hi) = (math.min(l1, l2), math.max(l1, l2))
+      s"(($e) >= $lo AND ($e) <= $hi)"
+    }
+    select(preds.mkString(" AND "), mode, name)
+  }
+
+  /** reference: core/dataframe.py:5261 `select_inverse` — negate the
+    * current named selection (no selection = everything selected, so
+    * the inverse is nothing: FALSE). */
+  def selectInverse(name: String = "default"): VxFrame =
+    selections.get(name) match {
+      case Some(e) => copy(
+        selections = selections + (name -> s"(NOT ($e))"),
+        selectionHistory = selections :: selectionHistory,
+        selectionRedoHistory = Nil)
+      case None => select("false", "replace", name)
+    }
+
+  /** reference: core/dataframe.py:5061 `select_non_missing` — rows with
+    * no missing (and optionally no NaN) values across `columns`, AS A
+    * SELECTION (nothing dropped; composes with selection algebra). */
+  def selectNonMissing(columns: Seq[String] = Nil, dropNan: Boolean = true,
+                       mode: String = "replace", name: String = "default"): VxFrame = {
+    val cols = if (columns.nonEmpty) columns else columnNames
+    val preds = cols.map { c =>
+      val notNull = s"($c IS NOT NULL)"
+      if (dropNan && df.schema.find(_.name == c).exists(f =>
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+          f.dataType == org.apache.spark.sql.types.FloatType))
+        s"($notNull AND NOT isnan($c))"
+      else notNull
+    }
+    select(preds.mkString(" AND "), mode, name)
+  }
+
   /** reference: core/dataframe.py:5244 `select_lasso` — named selection
     * of points inside the free-drawn polygon (xs, ys). Lowered to the
     * pnpoly predicate as SQL TEXT so the selection serializes into
@@ -325,6 +368,37 @@ final case class VxFrame(
       case r => r.getDouble(0)
     }
   def stdExpr(e: String, selection: Option[String] = None): Double = math.sqrt(varExpr(e, selection))
+
+  /** Population skewness from exact moment sums (the same m3/m2^1.5
+    * decomposition as the reference, core/agg.py:476; matches the
+    * oracle-gated q_agg_skew_kurt formula). */
+  def skewExpr(e: String, selection: Option[String] = None): Double =
+    momentStats(e, selection) match {
+      case (n, m1, m2, m3, _) if n > 0 && m2 / n - m1 * m1 > 0 =>
+        val c2 = m2 / n - m1 * m1
+        val c3 = m3 / n - 3 * m1 * (m2 / n) + 2 * m1 * m1 * m1
+        c3 / math.pow(c2, 1.5)
+      case _ => Double.NaN
+    }
+
+  /** Population excess kurtosis (reference: core/agg.py:497). */
+  def kurtosisExpr(e: String, selection: Option[String] = None): Double =
+    momentStats(e, selection) match {
+      case (n, m1, m2, m3, m4) if n > 0 && m2 / n - m1 * m1 > 0 =>
+        val c2 = m2 / n - m1 * m1
+        val c4 = m4 / n - 4 * m1 * (m3 / n) + 6 * m1 * m1 * (m2 / n) - 3 * m1 * m1 * m1 * m1
+        c4 / (c2 * c2) - 3.0
+      case _ => Double.NaN
+    }
+
+  /** One pass: (n, mean, sum x², sum x³, sum x⁴) raw moments. */
+  private def momentStats(e: String, selection: Option[String])
+  : (Long, Double, Double, Double, Double) = {
+    val x = maybeSelected(e, selection).cast("double")
+    val r = df.agg(functions.count(x), avg(x), sum(x * x), sum(x * x * x), sum(x * x * x * x)).head()
+    if (r.isNullAt(1)) (0L, 0, 0, 0, 0)
+    else (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+  }
   def uniqueValues(e: String): Seq[Any] =
     df.select(parse(e)).distinct().collect().toSeq.map(_.get(0))
   def nunique(e: String, selection: Option[String] = None): Long =
@@ -509,6 +583,17 @@ final case class VxFrame(
   def split(fracs: Seq[Double], seed: Long = 42L): Seq[VxFrame] =
     df.randomSplit(fracs.toArray, seed).toSeq.map(d => VxFrame(d))
 
+  /** reference: core/dataframe.py:4608 `split_random` — randomized
+    * split; `into < 1` means (into, 1-into) fractions, else equal-ish
+    * parts. Spark's randomSplit shuffles assignment, matching the
+    * reference's permuted split. */
+  def splitRandom(into: Double, seed: Long = 42L): Seq[VxFrame] = {
+    require(into > 0, "into must be positive")
+    if (into < 1.0) split(Seq(into, 1.0 - into), seed)
+    else split(Seq.fill(into.toInt)(1.0 / into.toInt), seed)
+  }
+  def splitRandom(fracs: Seq[Double], seed: Long): Seq[VxFrame] = split(fracs, seed)
+
   // ---------------------------------------------------------------- categories
 
   /** reference: core/dataframe.py:5858 `categorize` — declare an int
@@ -580,6 +665,37 @@ final case class VxFrame(
   }
 
   def isin(e: String, values: Seq[Any]): Column = parse(e).isin(values: _*)
+
+  /** reference: core/dataframe.py:6587 `compare` — schema + value diff
+    * of two frames. Spark-idiomatic rewrite: the reference compares
+    * positionally after an argsort; here rows align on the `key`
+    * column (unique in both frames) through ONE equi-join, and every
+    * shared column's mismatches are counted in the SAME aggregation
+    * pass with null-safe equality (no driver loop, one shuffle). */
+  def compare(other: VxFrame, key: String): CompareResult = {
+    val mineCols = columnNames.toSet
+    val theirCols = other.columnNames.toSet
+    val missingInThis = (theirCols -- mineCols).toSeq.sorted
+    val missingInOther = (mineCols -- theirCols).toSeq.sorted
+    val shared = (mineCols intersect theirCols) - key
+    val typeOf = df.schema.map(f => f.name -> f.dataType).toMap
+    val otherTypeOf = other.df.schema.map(f => f.name -> f.dataType).toMap
+    val (typeMismatch, comparable) = shared.toSeq.sorted
+      .partition(c => typeOf(c) != otherTypeOf(c))
+    val l = df.as("l"); val r = other.df.as("r")
+    val joined = l.join(r, col(s"l.$key") === col(s"r.$key"), "full_outer")
+    val aggs = functions.sum(when(col(s"l.$key").isNull || col(s"r.$key").isNull, 1L)
+      .otherwise(0L)).as("__unmatched") +:
+      comparable.map(c => functions.sum(
+        when(col(s"l.$key").isNotNull && col(s"r.$key").isNotNull &&
+          !(col(s"l.$c") <=> col(s"r.$c")), 1L).otherwise(0L)).as(c))
+    val row = joined.agg(aggs.head, aggs.tail: _*).head()
+    val unmatched = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val diffs = comparable.zipWithIndex
+      .map { case (c, i) => c -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)) }
+      .filter(_._2 > 0).toMap
+    CompareResult(missingInThis, missingInOther, typeMismatch, diffs, unmatched)
+  }
 
   /** reference: core/expression.py:994 value_counts. */
   def valueCounts(e: String): DataFrame =
@@ -933,6 +1049,16 @@ final class DelayedStats private[graft] (f: VxFrame) {
       gi -> out
     }.toMap
   }
+}
+
+/** Result of [[VxFrame.compare]]: schema gaps, type conflicts,
+  * per-column mismatch counts, and rows present in only one frame. */
+final case class CompareResult(
+    missingInThis: Seq[String], missingInOther: Seq[String],
+    typeMismatch: Seq[String], differingCounts: Map[String, Long],
+    unmatchedRows: Long) {
+  def identical: Boolean = missingInThis.isEmpty && missingInOther.isEmpty &&
+    typeMismatch.isEmpty && differingCounts.isEmpty && unmatchedRows == 0
 }
 
 object VxFrame {

@@ -74,6 +74,69 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(math.abs(m(1)(1) - 8.0 / 3) < 1e-12)
   }
 
+  test("selectBox equals selectRectangle in 2-d; handles reversed limits") {
+    val pts = (for (x <- 0 until 10; y <- 0 until 10) yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    val viaBox = VxFrame(pts).selectBox(Seq("x", "y"), Seq((7.0, 2.0), (1.0, 3.0)))
+    val n = viaBox.countExpr("x", Some("default"))
+    assert(n == 6 * 3) // x in [2,7] (reversed limits normalized), y in [1,3]
+  }
+
+  test("selectInverse flips the selection; no selection inverts to empty") {
+    val f = VxFrame(spark.range(10).select(col("id").cast("double").as("x")))
+      .select("x < 3")
+    assert(f.selectInverse().countExpr("x", Some("default")) == 7)
+    assert(VxFrame(spark.range(10).select(col("id").cast("double").as("x")))
+      .selectInverse().countExpr("x", Some("default")) == 0)
+  }
+
+  test("selectNonMissing: null and NaN rows deselected, composable") {
+    val d = VxFrame(Seq[(java.lang.Double, java.lang.Long)](
+      (1.0, 1L), (null, 2L), (Double.NaN, 3L), (4.0, null), (5.0, 5L))
+      .toDF("x", "k"))
+    assert(d.selectNonMissing().countExpr("k", Some("default")) == 2) // rows 1 and 5
+    assert(d.selectNonMissing(Seq("x"), dropNan = false)
+      .countExpr("*", Some("default")) == 4) // only the null-x row out
+  }
+
+  test("splitRandom partitions all rows with both call shapes") {
+    val f = VxFrame(spark.range(1000).toDF("id"))
+    val parts = f.splitRandom(0.3)
+    assert(parts.size == 2 && parts.map(_.count()).sum == 1000)
+    val three = f.splitRandom(3.0)
+    assert(three.size == 3 && three.map(_.count()).sum == 1000)
+  }
+
+  test("skewExpr/kurtosisExpr match closed forms") {
+    // symmetric uniform 0..99: skew 0, excess kurtosis of discrete uniform
+    val u = VxFrame(spark.range(100).select(col("id").cast("double").as("x")))
+    assert(math.abs(u.skewExpr("x")) < 1e-9)
+    val nn = 100.0
+    val expectedKurt = -6.0 / 5 * (nn * nn + 1) / (nn * nn - 1)
+    assert(math.abs(u.kurtosisExpr("x") - expectedKurt) < 1e-9)
+    // constant column -> NaN (zero variance guard)
+    val const = VxFrame(spark.range(10).select(lit(5.0).as("x")))
+    assert(const.skewExpr("x").isNaN && const.kurtosisExpr("x").isNaN)
+    // selection-aware
+    assert(math.abs(u.skewExpr("x", Some("x < 50"))) < 1e-9)
+  }
+
+  test("compare: schema gaps, type conflicts, value diffs, unmatched keys") {
+    val a = VxFrame(Seq((1L, 1.0, "x"), (2L, 2.0, "y"), (3L, 3.0, "z"))
+      .toDF("k", "v", "s"))
+    val b = VxFrame(Seq((1L, 1.0, true), (2L, 9.0, false), (4L, 4.0, true))
+      .toDF("k", "v", "extra"))
+    val r = a.compare(b, "k")
+    assert(r.missingInThis == Seq("extra") && r.missingInOther == Seq("s"))
+    assert(r.typeMismatch.isEmpty)
+    assert(r.differingCounts == Map("v" -> 1L)) // k=2 differs (2.0 vs 9.0)
+    assert(r.unmatchedRows == 2)                // k=3 only in a, k=4 only in b
+    assert(!r.identical)
+    assert(a.compare(a, "k").identical)
+    // type conflict detection
+    val c = VxFrame(Seq((1L, "1.0")).toDF("k", "v"))
+    assert(a.compare(c, "k").typeMismatch == Seq("v"))
+  }
+
   test("evaluateIterator streams chunks without full materialization") {
     val chunks = vf.evaluateIterator(Seq("row_index", "x"), chunkSize = 2).toSeq
     assert(chunks.map(_.size).sum == 5)
