@@ -112,6 +112,78 @@ object GeoFunctions {
     edges.reduce(_ =!= _) // odd number of crossings -> inside
   }
 
+  // ------------------------------------------------------- velocity fields
+
+  /** reference: core/geo.py:158 velocity_cartesian2polar —
+    * vr = (x·vx + y·vy)/r, vφ = (x·vy − y·vx)/r. */
+  def velocityCartesianToPolarVr(x: Column, y: Column, vx: Column, vy: Column): Column =
+    (x * vx + y * vy) / sqrt(x * x + y * y)
+  def velocityCartesianToPolarVphi(x: Column, y: Column, vx: Column, vy: Column): Column =
+    (x * vy - y * vx) / sqrt(x * x + y * y)
+
+  /** reference: core/geo.py:128 velocity_polar2cartesian (azimuth from
+    * atan2 when not given). */
+  def velocityPolarToCartesianVx(x: Column, y: Column, vr: Column, vphi: Column): Column = {
+    val az = atan2(y, x); vr * cos(az) - vphi * sin(az)
+  }
+  def velocityPolarToCartesianVy(x: Column, y: Column, vr: Column, vphi: Column): Column = {
+    val az = atan2(y, x); vr * sin(az) + vphi * cos(az)
+  }
+
+  /** reference: core/geo.py:186 velocity_cartesian2spherical
+    * (vr radial, vlong azimuthal, vlat toward the north pole). */
+  def velocityCartesianToSphericalVr(x: Column, y: Column, z: Column,
+                                     vx: Column, vy: Column, vz: Column): Column =
+    (x * vx + y * vy + z * vz) / sqrt(x * x + y * y + z * z)
+  def velocityCartesianToSphericalVlong(x: Column, y: Column,
+                                        vx: Column, vy: Column): Column =
+    -(vx * y - x * vy) / sqrt(x * x + y * y)
+  def velocityCartesianToSphericalVlat(x: Column, y: Column, z: Column,
+                                       vx: Column, vy: Column, vz: Column): Column = {
+    val rxy2 = x * x + y * y
+    -(z * (x * vx + y * vy) - rxy2 * vz) / (sqrt(rxy2 + z * z) * sqrt(rxy2))
+  }
+
+  // ------------------------------------------------------- frame transforms
+
+  /** reference: core/geo.py:257 rotation_2d — rotate (x, y) by
+    * `degrees` counter-clockwise (constants folded driver-side). */
+  def rotation2dX(x: Column, y: Column, degrees: Double): Column = {
+    val (c, s) = (math.cos(math.toRadians(degrees)), math.sin(math.toRadians(degrees)))
+    x * c - y * s
+  }
+  def rotation2dY(x: Column, y: Column, degrees: Double): Column = {
+    val (c, s) = (math.cos(math.toRadians(degrees)), math.sin(math.toRadians(degrees)))
+    x * s + y * c
+  }
+
+  /** reference: core/geo.py:212 project_aitoff (radians in/out) —
+    * the sinc in the reference is numpy's normalized sinc(t) =
+    * sin(pi t)/(pi t), so sinc(alpha/pi) = sin(alpha)/alpha. */
+  def projectAitoffX(alpha: Column, delta: Column): Column = {
+    val a = acos(cos(delta) * cos(alpha / 2))
+    lit(2) * cos(delta) * sin(alpha / 2) / (sin(a) / a) / math.Pi
+  }
+  def projectAitoffY(alpha: Column, delta: Column): Column = {
+    val a = acos(cos(delta) * cos(alpha / 2))
+    sin(delta) / (sin(a) / a) / math.Pi
+  }
+
+  /** reference: core/geo.py:233 project_gnomic — tangent-plane
+    * projection around (alpha0, delta0), all in radians. */
+  def projectGnomicX(alpha: Column, delta: Column,
+                     alpha0: Double, delta0: Double): Column = {
+    val den = tan(delta) * math.sin(delta0) +
+      cos(alpha - alpha0) * math.cos(delta0)
+    sin(alpha - lit(alpha0)) / den
+  }
+  def projectGnomicY(alpha: Column, delta: Column,
+                     alpha0: Double, delta0: Double): Column = {
+    val den = tan(delta) * math.sin(delta0) +
+      cos(alpha - alpha0) * math.cos(delta0)
+    (tan(delta) * math.cos(delta0) - cos(alpha - alpha0) * math.sin(delta0)) / den
+  }
+
   /** The same pnpoly XOR-fold as SQL text (valid in both Spark SQL and
     * DuckDB, constants folded driver-side) — used for serializable
     * lasso selections and for generating bit-identical oracles. */

@@ -72,6 +72,25 @@ object AccessorQueries {
         .orderBy("poly")
     }),
 
+    // velocity-field transforms (reference: core/geo.py:128-210):
+    // synthesize positions/velocities from events, convert cartesian ->
+    // polar velocity components, aggregate per event_type
+    "q_geo_velocity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        (col("value") % 10.0 + 1.0).as("x"),
+        ((col("user_id") % 10) + lit(1)).cast("double").as("y"),
+        (col("value") % 3.0).as("vx"),
+        ((col("user_id") % 5) + lit(1)).cast("double").as("vy"))
+      ev.select(col("event_type"),
+          GeoFunctions.velocityCartesianToPolarVr(col("x"), col("y"), col("vx"), col("vy")).as("vr"),
+          GeoFunctions.velocityCartesianToPolarVphi(col("x"), col("y"), col("vx"), col("vy")).as("vphi"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("vr"))).as("sum_vr"),
+          r(dsumD(col("vphi"))).as("sum_vphi"))
+        .orderBy("event_type")
+    }),
+
     // uncertainty propagation through revenue = price * (1 - discount)
     "q_uncertainty" -> ((s, dir) => {
       VxFrame(t(s, dir, "lineitem"))
@@ -140,6 +159,19 @@ object AccessorQueries {
          |          CAST(user_id % 10 AS DOUBLE) AS y FROM events))
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_geo_velocity" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("(x*vx + y*vy) / sqrt(x*x + y*y)"))} AS sum_vr,
+         |  ${sqlR(sqlDsum("(x*vy - y*vx) / sqrt(x*x + y*y)"))} AS sum_vphi
+         |FROM (
+         |  SELECT event_type,
+         |    value % 10.0 + 1.0 AS x,
+         |    CAST(user_id % 10 + 1 AS DOUBLE) AS y,
+         |    value % 3.0 AS vx,
+         |    CAST(user_id % 5 + 1 AS DOUBLE) AS vy
+         |  FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // closed form: sigma = sqrt((1-d)^2 (0.01 p)^2 + p^2 (0.001)^2)
     "q_uncertainty" ->

@@ -94,6 +94,53 @@ class SymbolicGeoSpec extends SparkSpec {
     assert(got2 == Seq(true, true, false))
   }
 
+  test("velocity transforms: polar<->cartesian round-trip and spherical closed forms") {
+    // point at (3,4), velocity (1,2): vr = (3+8)/5 = 2.2, vphi = (6-4)/5 = 0.4
+    val row = Seq((3.0, 4.0, 1.0, 2.0)).toDF("x", "y", "vx", "vy")
+    val r = row.select(
+      GeoFunctions.velocityCartesianToPolarVr(col("x"), col("y"), col("vx"), col("vy")).as("vr"),
+      GeoFunctions.velocityCartesianToPolarVphi(col("x"), col("y"), col("vx"), col("vy")).as("vp")).head
+    assert(math.abs(r.getDouble(0) - 2.2) < 1e-12 && math.abs(r.getDouble(1) - 0.4) < 1e-12)
+    // round-trip back to cartesian
+    val rt = row.select(
+      GeoFunctions.velocityPolarToCartesianVx(col("x"), col("y"), lit(2.2), lit(0.4)).as("vx2"),
+      GeoFunctions.velocityPolarToCartesianVy(col("x"), col("y"), lit(2.2), lit(0.4)).as("vy2")).head
+    assert(math.abs(rt.getDouble(0) - 1.0) < 1e-12 && math.abs(rt.getDouble(1) - 2.0) < 1e-12)
+    // radial motion on the x-axis is purely vr; vlat for equatorial point is vz
+    val sph = Seq((2.0, 0.0, 0.0, 5.0, 0.0, 7.0)).toDF("x", "y", "z", "vx", "vy", "vz")
+      .select(
+        GeoFunctions.velocityCartesianToSphericalVr(col("x"), col("y"), col("z"),
+          col("vx"), col("vy"), col("vz")).as("vr"),
+        GeoFunctions.velocityCartesianToSphericalVlong(col("x"), col("y"),
+          col("vx"), col("vy")).as("vlong"),
+        GeoFunctions.velocityCartesianToSphericalVlat(col("x"), col("y"), col("z"),
+          col("vx"), col("vy"), col("vz")).as("vlat")).head
+    assert(math.abs(sph.getDouble(0) - 5.0) < 1e-12)  // vr = vx on the x-axis
+    assert(math.abs(sph.getDouble(1) - 0.0) < 1e-12)
+    assert(math.abs(sph.getDouble(2) - 7.0) < 1e-12)  // vlat = +vz at the equator
+  }
+
+  test("rotation2d and projections: known values") {
+    val p = Seq((1.0, 0.0)).toDF("x", "y")
+    val rot = p.select(
+      GeoFunctions.rotation2dX(col("x"), col("y"), 90).as("xn"),
+      GeoFunctions.rotation2dY(col("x"), col("y"), 90).as("yn")).head
+    assert(math.abs(rot.getDouble(0)) < 1e-12 && math.abs(rot.getDouble(1) - 1.0) < 1e-12)
+    // aitoff at the origin-adjacent point: small angles map ~(alpha/pi, delta/pi)
+    val ai = Seq((0.01, 0.01)).toDF("a", "d").select(
+      GeoFunctions.projectAitoffX(col("a"), col("d")).as("x"),
+      GeoFunctions.projectAitoffY(col("a"), col("d")).as("y")).head
+    assert(math.abs(ai.getDouble(0) - 0.01 / math.Pi) < 1e-4)
+    assert(math.abs(ai.getDouble(1) - 0.01 / math.Pi) < 1e-4)
+    // gnomic centered at the point itself projects to (0,0); small
+    // offsets are ~linear
+    val gn = Seq((0.02, 0.01)).toDF("a", "d").select(
+      GeoFunctions.projectGnomicX(col("a"), col("d"), 0.0, 0.0).as("x"),
+      GeoFunctions.projectGnomicY(col("a"), col("d"), 0.0, 0.0).as("y")).head
+    assert(math.abs(gn.getDouble(0) - 0.02) < 1e-3)
+    assert(math.abs(gn.getDouble(1) - 0.01) < 1e-3)
+  }
+
   test("selectLasso (SQL text) equals the insidePolygon Column predicate") {
     val poly = Seq((0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0))
     val pts = (for (i <- 0 until 200) yield (i % 20 * 0.2 - 0.5, i / 20 * 0.2 - 0.5))
