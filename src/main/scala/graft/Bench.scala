@@ -82,6 +82,21 @@ object Bench {
     for (name <- Seq("nation", "region"))
       spark.read.parquet(s"$sfDir/$name.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // documents: replicas must NOT be near-dups of each other or the
+    // candidate-pair count grows quadratically in the replication
+    // factor and the timing stops measuring scale. A per-replica
+    // letter rotation makes replica shingle sets disjoint while
+    // preserving each replica's internal near-dup structure.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val rotated = (0 until 10).map { r =>
+      val to = alphabet.drop(r) + alphabet.take(r)
+      docs.select(
+        (col("doc_id") * 10 + r).as("doc_id"),
+        translate(col("text"), alphabet, to).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    rotated.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
   private def time(run: () => Unit): Double = {
@@ -134,10 +149,12 @@ object Bench {
       try s"${name}_10x" -> minOf(2)(() => fn(spark, scaleDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }
-    } ++ fastLane(scaleDir, spark).take(2).map { case (name, fn) =>
-      // double production lanes at 10x: the decimal-parity tax grows
-      // superlinearly with data (wider intermediate rows, more spill),
-      // so the scale lane carries both so the gap is quantified
+    } ++ fastLane(scaleDir, spark).take(3).map { case (name, fn) =>
+      // double/xxhash64 production lanes at 10x: the decimal-parity tax
+      // grows superlinearly with data (wider intermediate rows, more
+      // spill) and the LSH lane proves the dedup pipeline's linear
+      // candidate growth — the scale lane carries both so the gaps are
+      // quantified
       try s"${name}_10x" -> minOf(2)(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }

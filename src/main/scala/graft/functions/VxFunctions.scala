@@ -35,6 +35,18 @@ object VxFunctions {
   def fillna(c: Column, value: Column): Column =
     when(isna(c), value).otherwise(c)
 
+  /** reference: core/expression.py `map` — remap values through a
+    * literal dictionary; unmapped values get `default` (null when not
+    * given). Lowered to element_at on a map literal (broadcast as part
+    * of the plan, codegen-friendly, no UDF) — at scale this beats a
+    * join for small dictionaries exactly like vaex's in-memory mapper. */
+  def mapValues[K: scala.reflect.runtime.universe.TypeTag,
+                V: scala.reflect.runtime.universe.TypeTag](
+      c: Column, mapping: Map[K, V], default: Column = lit(null)): Column = {
+    require(mapping.nonEmpty, "mapValues: empty mapping")
+    coalesce(element_at(typedLit(mapping), c), default)
+  }
+
   // ---------------------------------------------------------------- math
   /** reference: core/functions.py math list (numpy passthrough :53-106).
     * Most are 1:1 Spark built-ins; only the gaps are defined here. */

@@ -151,6 +151,18 @@ object FuncQueries {
         ).orderBy("etype")
     }),
 
+    // dict-mapper (reference: core/expression.py map): literal remap
+    // with default, no UDF, no join
+    "q_map_values" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(VxFunctions.mapValues(col("l_returnflag"),
+            Map("A" -> 1.0, "R" -> 2.0), lit(-1.0)).as("score"),
+          col("l_quantity"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .orderBy("score")
+    }),
+
     // math battery: sinc/clip/digitize/log/sqrt/trig over one pass
     "q_math_funcs" -> ((s, dir) => {
       val x = col("l_quantity"); val d = col("l_discount")
@@ -169,6 +181,12 @@ object FuncQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_map_values" ->
+      s"""SELECT CAST(CASE l_returnflag WHEN 'A' THEN 1.0 WHEN 'R' THEN 2.0
+         |    ELSE -1.0 END AS DOUBLE) AS score,
+         |  COUNT(*) AS n, ${sqlR(sqlDsum("l_quantity"))} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_str_funcs" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
