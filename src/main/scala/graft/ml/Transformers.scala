@@ -335,4 +335,73 @@ object Transformers {
       acc.withVirtualColumn(s"${by}_$out", cases)
     }
   }
+
+  /** KMeans clustering (reference: packages/vaex-ml/vaex/ml/cluster.py:66
+    * — Lloyd's algorithm over scalar feature columns; distinct from the
+    * IVF quantizer in operators.SimilaritySearch which clusters packed
+    * float vectors).
+    *
+    * fit: deterministic init (first k distinct feature tuples in
+    * xxhash64 order — reproducible, no RNG), then per iteration ONE
+    * distributed job: argmin-assignment is pure column algebra
+    * (array + array_min + array_position, codegen'd) and the new
+    * centers come from a k-row groupBy-avg collect. Empty clusters
+    * keep their previous center (the reference's behavior).
+    *
+    * transform: the fitted centers become per-cluster squared-distance
+    * VIRTUAL COLUMNS plus an argmin prediction column — expression
+    * strings, so the fitted model serializes through state_get/state_set
+    * exactly like every other transformer (pipelines are "just state").
+    *
+    * Returns (frame+prediction, centers, inertia). */
+  def kmeans(f: VxFrame, features: Seq[String], k: Int, maxIter: Int = 10,
+             prediction: String = "prediction_kmeans"): (VxFrame, Seq[Seq[Double]], Double) = {
+    require(features.nonEmpty && k > 0, "kmeans: need features and k > 0")
+    val feats = features.map(c => col(c).cast("double"))
+    val pts = f.df.select(feats: _*).na.drop()
+    var centers: Array[Array[Double]] = pts.distinct()
+      .orderBy(xxhash64(features.map(col): _*))
+      .limit(k).collect()
+      .map(r => features.indices.map(r.getDouble).toArray)
+    require(centers.length == k, s"kmeans: fewer than $k distinct points")
+    def distArr(cs: Array[Array[Double]]) = array(cs.map { ct =>
+      features.zip(ct).map { case (c, v) =>
+        (col(c) - v) * (col(c) - v) }.reduce(_ + _)
+    }: _*)
+    var inertia = Double.MaxValue
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val arr = distArr(centers)
+      val assignCols =
+        (array_position(arr, array_min(arr)) - 1).cast("int").as("__c") +:
+          array_min(arr).as("__d") +:
+          features.map(col)
+      val assigned = pts.select(assignCols: _*)
+      val stats = assigned.groupBy("__c")
+        .agg(sum(col("__d")).as("__inertia"),
+          features.map(c => avg(col(c)).as(c)) :+ count(lit(1)).as("__n"): _*)
+        .collect()
+      val next = centers.clone()
+      var newInertia = 0.0
+      stats.foreach { r =>
+        val ci = r.getInt(0)
+        newInertia += r.getDouble(1)
+        next(ci) = features.indices.map(i => r.getDouble(2 + i)).toArray
+      }
+      converged = math.abs(inertia - newInertia) < 1e-9 * math.max(1.0, newInertia)
+      inertia = newInertia
+      centers = next
+      it += 1
+    }
+    // transform: per-cluster distance virtual columns + argmin prediction
+    val withDists = centers.zipWithIndex.foldLeft(f) { case (acc, (ct, i)) =>
+      acc.withVirtualColumn(s"__${prediction}_d$i",
+        features.zip(ct).map { case (c, v) => s"(($c - $v) * ($c - $v))" }.mkString(" + "))
+    }
+    val dNames = centers.indices.map(i => s"__${prediction}_d$i").mkString(", ")
+    val out = withDists.withVirtualColumn(prediction,
+      s"CAST(array_position(array($dNames), array_min(array($dNames))) - 1 AS INT)")
+    (out, centers.map(_.toSeq).toSeq, inertia)
+  }
 }

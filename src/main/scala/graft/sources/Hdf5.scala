@@ -14,10 +14,10 @@ import org.apache.spark.sql.types._
   * Specification (v1.0 structures): superblock v0, version-1 object
   * headers (+ continuation blocks), old-style symbol-table groups
   * (B-tree v1 + local heap + SNOD), dataspace v1/v2, datatype classes
-  * fixed-point/float/string, data layout v3 contiguous (+ compact).
-  * Chunked/compressed layouts are rejected with a clear error — the
-  * vaex writer produces contiguous layouts, which is exactly what makes
-  * the format scan-parallelizable.
+  * fixed-point/float/string, data layout v3 contiguous.
+  * Chunked/compressed/compact layouts are rejected with a clear
+  * error — the vaex writer produces contiguous layouts, which is
+  * exactly what makes the format scan-parallelizable.
   *
   * Scale design: READ is distributed — the driver parses only metadata
   * (superblock, group tree, dataset headers: a few KB), then executors
@@ -250,10 +250,9 @@ object Hdf5 {
               case 1 => dataAddr = b.getLong; dataSize = b.getLong
               case 2 => throw new IllegalArgumentException(
                 "chunked hdf5 layout unsupported — export contiguous (no chunks/compression)")
-              case 0 =>
-                dataSize = b.getShort() & 0xffff
-                dataAddr = ohAddr // marker: compact (unused by vaex files)
-              case c => throw new IllegalArgumentException(s"layout class $c unsupported")
+              case c => throw new IllegalArgumentException(
+                s"hdf5 layout class $c unsupported (only contiguous; " +
+                  "vaex/h5py default exports are contiguous)")
             }
           case 0x000C => parseAttr(b).foreach { case (k, v) => attrs(k) = v }
           case _ => ()

@@ -150,6 +150,26 @@ class TransformersSpec extends SparkSpec {
     assert(got("c") == 0.0)                           // ln(0.5/0.5)
   }
 
+  test("kmeans: recovers separated blobs, prediction survives state round-trip") {
+    // three tight blobs around (0,0), (10,0), (0,10)
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))(i % 3)
+      (cx + (i % 5) * 0.1, cy + (i % 7) * 0.1, i % 3)
+    }.toDF("px", "py", "blob")
+    val (fitted, centers, inertia) = Transformers.kmeans(
+      VxFrame(pts), Seq("px", "py"), k = 3, maxIter = 20)
+    assert(centers.length == 3)
+    // every blob maps to exactly one cluster and clusters are distinct
+    val mapping = fitted.df.select("blob", "prediction_kmeans").distinct().collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+    assert(mapping.length == 3 && mapping.map(_._2).distinct.length == 3)
+    assert(inertia < 30 * (0.5 * 0.5 + 0.7 * 0.7)) // within-blob spread bound
+    // fitted model is pure state: restore onto fresh data and predict
+    val blob1 = fitted.df.where("blob = 1").select("prediction_kmeans").head.getInt(0)
+    val fresh = VxFrame(Seq((10.05, 0.05)).toDF("px", "py")).stateSet(fitted.stateGet())
+    assert(fresh.df.select("prediction_kmeans").head.getInt(0) == blob1)
+  }
+
   test("groupByTransformer: group aggregates as serializable state") {
     val f = Transformers.groupByTransformer(vf, "k",
       Map("mean_h" -> ("mean", "h"), "n" -> ("count", "x")))
