@@ -17,6 +17,25 @@ import Q._
 object StatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ml evaluation metrics (reference: vaex-ml/metrics.py): the raw
+    // confusion counts + error sums every metric derives from, in ONE
+    // aggregation pass (graft.ml.Metrics exposes the scalar API; the
+    // ratio derivations are spec'd against hand-computed fixtures)
+    "q_ml_metrics" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        (col("user_id") % 2).cast("long").as("yt"),
+        when(col("value") % 2.0 < 1.0, 1L).otherwise(0L).as("yp"),
+        col("value").as("y"),
+        (col("value") * 0.9 + 5.0).as("yhat"))
+      ev.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("yt") === col("yp"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("yt") === 1 && col("yp") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("yt") === 0 && col("yp") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("yt") === 1 && col("yp") === 0, 1L).otherwise(0L)).as("fn"),
+        r(dsumD(abs(col("y") - col("yhat")))).as("sum_abs_err"),
+        r(dsumD((col("y") - col("yhat")) * (col("y") - col("yhat")))).as("sum_sq_err"))
+    }),
     // exact interpolated percentiles per group (Spark `percentile` ==
     // DuckDB `quantile_cont`, both type-7 linear interpolation)
     "q_percentile" -> ((s, dir) => {
@@ -77,6 +96,19 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ml_metrics" ->
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN yt = yp THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN yt = 1 AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN yt = 0 AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN yt = 1 AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  ${sqlR(sqlDsum("abs(y - yhat)"))} AS sum_abs_err,
+         |  ${sqlR(sqlDsum("(y - yhat) * (y - yhat)"))} AS sum_sq_err
+         |FROM (
+         |  SELECT user_id % 2 AS yt,
+         |    CASE WHEN value % 2.0 < 1.0 THEN 1 ELSE 0 END AS yp,
+         |    value AS y, value * 0.9 + 5.0 AS yhat
+         |  FROM events)""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

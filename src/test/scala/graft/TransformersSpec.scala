@@ -150,6 +150,40 @@ class TransformersSpec extends SparkSpec {
     assert(got("c") == 0.0)                           // ln(0.5/0.5)
   }
 
+  test("Metrics: classification scores match hand-computed values") {
+    import graft.ml.Metrics
+    // yt:  1 1 1 1 0 0 0 0 ;  yp: 1 1 0 0 1 0 0 0  -> tp=2 fp=1 fn=2 tn=3
+    val df = Seq((1, 1), (1, 1), (1, 0), (1, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+      .toDF("yt", "yp")
+    assert(Metrics.accuracyScore(df, "yt", "yp") == 5.0 / 8)
+    val (p, r, f1) = Metrics.precisionRecallF1(df, "yt", "yp")
+    assert(p == 2.0 / 3 && r == 0.5)
+    assert(math.abs(f1 - 2 * p * r / (p + r)) < 1e-12)
+    val mcc = Metrics.matthewsCorrCoef(df, "yt", "yp")
+    assert(math.abs(mcc - (2.0 * 3 - 1 * 2) / math.sqrt(3.0 * 4 * 4 * 5)) < 1e-12)
+    val cm = Metrics.confusionMatrix(df, "yt", "yp").collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(cm == Map((1, 1) -> 2L, (1, 0) -> 2L, (0, 1) -> 1L, (0, 0) -> 3L))
+    // macro average over both labels
+    val (pm, rm, fm) = Metrics.precisionRecallF1Macro(df, "yt", "yp")
+    val p0 = 3.0 / 5; val r0 = 3.0 / 4 // label 0: predicted 5, support 4, tp 3
+    assert(math.abs(pm - (p + p0) / 2) < 1e-12)
+    assert(math.abs(rm - (r + r0) / 2) < 1e-12)
+    assert(fm > 0 && fm < 1)
+  }
+
+  test("Metrics: regression scores match closed forms") {
+    import graft.ml.Metrics
+    val df = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 3.0)).toDF("y", "yhat")
+    assert(Metrics.meanAbsoluteError(df, "y", "yhat") == (1 + 0 + 2 + 1) / 4.0)
+    assert(Metrics.meanSquaredError(df, "y", "yhat") == (1 + 0 + 4 + 1) / 4.0)
+    // r2 = 1 - ss_res/ss_tot; mean y = 2.5, ss_tot = 5, ss_res = 6
+    assert(math.abs(Metrics.r2Score(df, "y", "yhat") - (1.0 - 6.0 / 5.0)) < 1e-12)
+    // perfect prediction -> 1
+    val perfect = Seq((1.0, 1.0), (2.0, 2.0)).toDF("y", "yhat")
+    assert(Metrics.r2Score(perfect, "y", "yhat") == 1.0)
+  }
+
   test("kmeans: recovers separated blobs, prediction survives state round-trip") {
     // three tight blobs around (0,0), (10,0), (0,10)
     val pts = (0 until 30).map { i =>
