@@ -42,7 +42,8 @@ object ExprLang {
     "arccos" -> "acos", "arcsin" -> "asin", "arctan" -> "atan",
     "arctan2" -> "atan2", "arccosh" -> "acosh", "arcsinh" -> "asinh",
     "arctanh" -> "atanh", "maximum" -> "greatest", "minimum" -> "least",
-    "where" -> "if", "fabs" -> "abs", "absolute" -> "abs")
+    "where" -> "if", "fabs" -> "abs", "absolute" -> "abs",
+    "deg2rad" -> "radians", "rad2deg" -> "degrees", "power" -> "pow")
 
   /** Functions known to return booleans (for the logical-vs-bitwise
     * dispatch of `&`/`|`/`^`/`~` when no comparison is in sight). */
@@ -219,8 +220,13 @@ object ExprLang {
             while (expectOp(",")) args += parseOr().sql
           }
           if (!expectOp(")")) fail()
-          val fn = fnMap.getOrElse(name.toLowerCase, name)
-          R(s"$fn(${args.mkString(", ")})", bool = boolFns.contains(fn.toLowerCase))
+          // numpy clip(x, lo, hi) has no SQL builtin — compose it
+          if (name.equalsIgnoreCase("clip") && args.length == 3)
+            R(s"least(greatest(${args(0)}, ${args(1)}), ${args(2)})", bool = false)
+          else {
+            val fn = fnMap.getOrElse(name.toLowerCase, name)
+            R(s"$fn(${args.mkString(", ")})", bool = boolFns.contains(fn.toLowerCase))
+          }
         } else R(name, bool =
           name.equalsIgnoreCase("true") || name.equalsIgnoreCase("false") ||
             boolIdents.contains(name))

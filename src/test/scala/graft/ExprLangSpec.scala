@@ -20,6 +20,14 @@ class ExprLangSpec extends SparkSpec {
     assert(ev("7 % 3") == 1)            // pmod
   }
 
+  test("numpy function aliases: deg2rad/rad2deg/power/clip") {
+    assert(math.abs(ev("deg2rad(180.0)").asInstanceOf[Double] - math.Pi) < 1e-12)
+    assert(math.abs(ev("rad2deg(3.141592653589793)").asInstanceOf[Double] - 180.0) < 1e-9)
+    assert(ev("power(x, 2)") == 9.0)
+    assert(ev("clip(x, 0, 2)") == 2.0)  // composed as least(greatest(...))
+    assert(ev("clip(x, 4, 9)") == 4.0)
+  }
+
   test("python operator precedence and associativity") {
     assert(ev("2**3**2") == 512.0)      // right-assoc: 2**(3**2)
     assert(ev("-x**2") == -9.0)         // -(x**2), not (-x)**2
