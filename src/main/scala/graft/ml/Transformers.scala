@@ -378,9 +378,14 @@ object Transformers {
           array_min(arr).as("__d") +:
           features.map(col)
       val assigned = pts.select(assignCols: _*)
+      // decimal-exact means: partition-order independent, so repeated
+      // fits on the same data yield BITWISE-identical centers (the
+      // oracle injection in ScaleOpsQueries depends on this)
       val stats = assigned.groupBy("__c")
         .agg(sum(col("__d")).as("__inertia"),
-          features.map(c => avg(col(c)).as(c)) :+ count(lit(1)).as("__n"): _*)
+          features.map(c =>
+            (sum(col(c).cast(graft.queries.Q.DEC)) / count(lit(1)))
+              .cast("double").as(c)) :+ count(lit(1)).as("__n"): _*)
         .collect()
       val next = centers.clone()
       var newInertia = 0.0
@@ -389,7 +394,11 @@ object Transformers {
         newInertia += r.getDouble(1)
         next(ci) = features.indices.map(i => r.getDouble(2 + i)).toArray
       }
-      converged = math.abs(inertia - newInertia) < 1e-9 * math.max(1.0, newInertia)
+      // convergence on (deterministic) center movement, not on the
+      // partition-order-sensitive inertia sum
+      val shift = centers.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }.max
+      converged = shift < 1e-18
       inertia = newInertia
       centers = next
       it += 1

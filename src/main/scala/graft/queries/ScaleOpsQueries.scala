@@ -47,6 +47,18 @@ object ScaleOpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // scalar-feature KMeans (Transformers.kmeans): fit on (px, py)
+    // derived from events, then per-cluster count + decimal px sum.
+    // The oracle re-derives assignment from the injected (identical)
+    // centers — argmin ties broken toward the lower cluster id in both
+    // engines (array_position takes the FIRST minimum).
+    "q_kmeans_cluster" -> ((s, dir) => {
+      val (fitted, _, _) = kmFit(s, dir)
+      fitted.df.groupBy(col("prediction_kmeans").as("cluster"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("px"))).as("sum_px"))
+        .orderBy("cluster")
+    }),
+
     // cell histogram: how balanced is the IVF partitioning (the thing
     // that determines probe cost at scale)
     "q_ivf_cells" -> ((s, dir) => {
@@ -126,13 +138,56 @@ object ScaleOpsQueries {
         s"($cid, $emb::DOUBLE[], ${SimilaritySearch.normOf(v).toString})"
       }.mkString(", ")
 
+  /** Scalar-feature KMeans lane (Transformers.kmeans over events).
+    * Fit is bit-deterministic (decimal means, hash-order init), so the
+    * query-side fit and the resolver-side fit produce IDENTICAL
+    * centers and the oracle can reproduce assignment exactly. */
+  private val KM_K = 4
+  private val KM_ITER = 5
+  private def kmFrame(s: SparkSession, dir: String) =
+    graft.VxFrame(t(s, dir, "events").select(
+      col("event_id"),
+      (col("value") % 10.0).as("px"),
+      (col("user_id") % 7).cast("double").as("py")))
+  private def kmFit(s: SparkSession, dir: String) =
+    graft.ml.Transformers.kmeans(kmFrame(s, dir), Seq("px", "py"), KM_K, KM_ITER)
+
+  val Kmeans2Placeholder = "__KMEANS_CLUSTER_CENTERS_VALUES__"
+
+  /** Literal `(cid, c0, c1)` rows for the scalar-feature kmeans. */
+  def kmeansClusterValues(s: SparkSession, dir: String): String =
+    kmFit(s, dir)._2.zipWithIndex
+      .map { case (ct, i) => s"($i, ${ct(0).toString}, ${ct(1).toString})" }
+      .mkString(", ")
+
   /** Resolve data-dependent oracle placeholders (called by Verify). */
-  def kmeansOracleResolve(sql: String, s: SparkSession, dir: String): String =
-    if (sql.contains(KmeansPlaceholder))
-      sql.replace(KmeansPlaceholder, kmeansCentroidValues(s, dir))
-    else sql
+  def kmeansOracleResolve(sql: String, s: SparkSession, dir: String): String = {
+    val step1 =
+      if (sql.contains(KmeansPlaceholder))
+        sql.replace(KmeansPlaceholder, kmeansCentroidValues(s, dir))
+      else sql
+    if (step1.contains(Kmeans2Placeholder))
+      step1.replace(Kmeans2Placeholder, kmeansClusterValues(s, dir))
+    else step1
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q_kmeans_cluster" ->
+      s"""WITH cents(cid, c0, c1) AS (VALUES $Kmeans2Placeholder),
+         |pts AS (SELECT event_id, value % 10.0 AS px,
+         |          CAST(user_id % 7 AS DOUBLE) AS py FROM events),
+         |d AS (SELECT p.event_id, p.px, c.cid,
+         |        (p.px - c.c0) * (p.px - c.c0) +
+         |        (p.py - c.c1) * (p.py - c.c1) AS dist
+         |      FROM pts p CROSS JOIN cents c),
+         |asg AS (SELECT event_id, px, cid FROM (
+         |  SELECT event_id, px, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY dist, cid) AS rn
+         |  FROM d) WHERE rn = 1)
+         |SELECT CAST(cid AS INT) AS cluster, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("px"))} AS sum_px
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_ivf_kmeans" -> {
       val qids = QUERY_IDS.mkString(", ")
       s"""WITH cents(cid, cemb, cnrm) AS (VALUES $KmeansPlaceholder),
