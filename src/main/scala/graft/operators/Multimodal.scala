@@ -46,11 +46,123 @@ object Multimodal {
   }
 
   /** Real decode of one record: sniff + parse via [[ImageCodec]],
-    * fingerprint fallback for unknown formats. */
+    * fingerprint fallback for unknown formats. Audio/video payloads
+    * route through [[AvCodec]] (width/height are 0 for audio; frame
+    * count = PCM frames / movie-duration units). */
   def decodeRecord(r: MediaRecord): MediaMeta = ImageCodec.decode(r.media) match {
     case Some(d) => MediaMeta(r.doc_id, r.media.length.toLong, d.width, d.height,
       d.brightness.getOrElse(-1.0), d.nFrames, d.format)
-    case None => decodeStub(r)
+    case None => AvCodec.decodeWav(r.media) match {
+      case Some(a) => MediaMeta(r.doc_id, r.media.length.toLong, 0, 0,
+        -1.0, a.nFrames, a.format)
+      case None => AvCodec.decodeMp4(r.media) match {
+        case Some(v) => MediaMeta(r.doc_id, r.media.length.toLong, 0, 0,
+          -1.0, v.durationUnits, v.format)
+        case None => decodeStub(r)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ audio lane
+
+  /** Typed decoded audio metadata row. */
+  final case class AudioMetaRow(
+      doc_id: Long, n_bytes: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_s: Double, rms: Double,
+      peak: Int, format: String)
+
+  /** Distributed WAV decode: binary column -> typed audio metadata via
+    * the same partition-wise batch socket as [[decodeMeta]]. Non-WAV
+    * payloads yield a row of zeros with format = "unknown" (total
+    * function — a 100 TB pipeline must not die on one bad payload). */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(binCol).as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        AvCodec.decodeWav(r.media) match {
+          case Some(a) => AudioMetaRow(r.doc_id, r.media.length.toLong,
+            a.sampleRate, a.channels, a.bitsPerSample, a.nFrames,
+            a.durationS, a.rms, a.peak, a.format)
+          case None => AudioMetaRow(r.doc_id, r.media.length.toLong,
+            0, 0, 0, 0L, 0.0, 0.0, 0, "unknown")
+        }
+      }).toDF()
+  }
+
+  /** Per-row spec for synthesized square-wave WAV payloads. */
+  final case class WavSpec(doc_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Int, amplitude: Int, half_period: Int)
+
+  /** Synthesize REAL (decodable) PCM16 WAV payloads — square waves, so
+    * the decoded RMS/peak equal the spec amplitude exactly and a SQL
+    * oracle can recompute every decoded field arithmetically. */
+  def synthesizeWav(df: DataFrame, idCol: String, rateCol: String,
+                    chCol: String, framesCol: String, ampCol: String,
+                    halfPeriodCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(rateCol).cast("int").as("sample_rate"),
+        col(chCol).cast("int").as("channels"),
+        col(framesCol).cast("int").as("n_frames"),
+        col(ampCol).cast("int").as("amplitude"),
+        col(halfPeriodCol).cast("int").as("half_period"))
+      .as[WavSpec]
+      .mapPartitions(_.map(sp => MediaRecord(sp.doc_id,
+        AvCodec.encodeWavPcm16(sp.sample_rate, sp.channels,
+          AvCodec.squareWave(sp.n_frames, sp.channels, sp.amplitude,
+            sp.half_period)))))
+      .toDF()
+  }
+
+  // ------------------------------------------------------------ video lane
+
+  /** Typed decoded video-container metadata row. */
+  final case class VideoMetaRow(
+      doc_id: Long, n_bytes: Long, brand: String, timescale: Long,
+      duration_units: Long, duration_s: Double, n_tracks: Int,
+      format: String)
+
+  /** Distributed MP4 box-walk decode (container metadata: brand,
+    * movie timescale/duration, track count). Total function like
+    * [[decodeAudio]]. */
+  def decodeVideo(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(binCol).as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        AvCodec.decodeMp4(r.media) match {
+          case Some(v) => VideoMetaRow(r.doc_id, r.media.length.toLong,
+            v.brand, v.timescale, v.durationUnits, v.durationS,
+            v.nTracks, v.format)
+          case None => VideoMetaRow(r.doc_id, r.media.length.toLong,
+            "", 0L, 0L, 0.0, 0, "unknown")
+        }
+      }).toDF()
+  }
+
+  /** Per-row spec for synthesized MP4 metadata containers. */
+  final case class Mp4Spec(doc_id: Long, brand: String, timescale: Long,
+                           duration_units: Long, n_tracks: Int)
+
+  /** Synthesize REAL (box-parseable) ISO-BMFF payloads. */
+  def synthesizeMp4(df: DataFrame, idCol: String, brandCol: String,
+                    tsCol: String, durCol: String, tracksCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(brandCol).cast("string").as("brand"),
+        col(tsCol).cast("long").as("timescale"),
+        col(durCol).cast("long").as("duration_units"),
+        col(tracksCol).cast("int").as("n_tracks"))
+      .as[Mp4Spec]
+      .mapPartitions(_.map(sp => MediaRecord(sp.doc_id,
+        AvCodec.encodeMp4Meta(sp.brand, sp.timescale, sp.duration_units,
+          sp.n_tracks))))
+      .toDF()
   }
 
   /** Distributed decode: binary column -> typed metadata frame via

@@ -87,6 +87,53 @@ object ScaleOpsQueries {
     // row unfilter). The oracle recomputes the expected metadata
     // arithmetically — a pass proves the encoder AND decoder agree on
     // the actual PNG byte format, not on a stub.
+    // multimodal AUDIO round-trip: synthesize a genuine PCM16 WAV per
+    // document (square wave — rate/channels/frames/amplitude derived
+    // from doc_id), decode it with the dependency-free AvCodec (RIFF
+    // chunk walk + real sample decode). RMS/peak of a square wave are
+    // the amplitude EXACTLY, so the oracle recomputes every decoded
+    // field arithmetically — a pass proves the encoder and decoder
+    // agree on the RIFF/PCM16 byte format and the sample math.
+    "q_mm_audio" -> ((s, dir) => {
+      val specs = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).as("rate"),
+        (lit(1) + col("doc_id") % 2).as("ch"),
+        (lit(400) + (col("doc_id") * 13) % 1600).as("nf"),
+        (lit(1000) + (col("doc_id") % 20) * 500).as("amp"),
+        (lit(1) + col("doc_id") % 7).as("hp"))
+      val media = Multimodal.synthesizeWav(specs, "doc_id", "rate", "ch",
+        "nf", "amp", "hp")
+      Multimodal.decodeAudio(media, "doc_id", "media")
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("n_frames"), r(col("duration_s"), 6).as("duration_s"),
+          r(col("rms"), 4).as("rms"), col("peak"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal VIDEO-container round-trip: synthesize a genuine
+    // ISO-BMFF box structure per document (ftyp + moov{mvhd, trak…}),
+    // decode with the AvCodec box walk (brand, movie timescale +
+    // duration, track count). Container-level metadata is what a
+    // 100 TB training pipeline filters on before expensive frame
+    // extraction.
+    "q_mm_video" -> ((s, dir) => {
+      val specs = t(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(array(lit("isom"), lit("mp42"), lit("avc1")),
+          (col("doc_id") % 3 + 1).cast("int")).as("brand"),
+        (lit(600) * (lit(1) + col("doc_id") % 4)).as("ts"),
+        (lit(36000) + (col("doc_id") * 977) % 144000).as("du"),
+        (lit(1) + col("doc_id") % 3).as("nt"))
+      val media = Multimodal.synthesizeMp4(specs, "doc_id", "brand", "ts",
+        "du", "nt")
+      Multimodal.decodeVideo(media, "doc_id", "media")
+        .select(col("doc_id"), col("format"), col("brand"), col("timescale"),
+          col("duration_units"), r(col("duration_s"), 6).as("duration_s"),
+          col("n_tracks"))
+        .orderBy("doc_id")
+    }),
+
     "q_mm_real" -> ((s, dir) => {
       val specs = t(s, dir, "documents").select(
         col("doc_id"),
@@ -248,6 +295,28 @@ object ScaleOpsQueries {
     "q_ivf_cells" ->
       s"""WITH $ivfCellsCte
          |SELECT cid AS cell, COUNT(*) AS n FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mm_audio" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(400 + (doc_id * 13) % 1600 AS BIGINT) AS n_frames,
+        |  ROUND(CAST(400 + (doc_id * 13) % 1600 AS DOUBLE)
+        |        / (8000 + (doc_id % 4) * 4000), 6) AS duration_s,
+        |  ROUND(CAST(1000 + (doc_id % 20) * 500 AS DOUBLE), 4) AS rms,
+        |  CAST(1000 + (doc_id % 20) * 500 AS INT) AS peak
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_video" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |    ELSE 'avc1' END AS brand,
+        |  CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+        |  CAST(36000 + (doc_id * 977) % 144000 AS BIGINT) AS duration_units,
+        |  ROUND(CAST(36000 + (doc_id * 977) % 144000 AS DOUBLE)
+        |        / (600 * (1 + doc_id % 4)), 6) AS duration_s,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_real" ->
       """SELECT doc_id, 'png' AS format,
