@@ -70,7 +70,7 @@ object AvCodec {
   // ------------------------------------------------------------ WAV decode
 
   def isWav(b: Array[Byte]): Boolean =
-    b != null && b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+    b != null && b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
   /** Parse the RIFF chunk list and decode the PCM16 `data` payload.
@@ -200,18 +200,18 @@ object AvCodec {
               else isz0
             if (isz < ihdr || in + isz > end) return None
             ityp match {
-              case "mvhd" =>
+              case "mvhd" if isz >= ihdr + 4 =>
                 val p = (in + ihdr).toInt
                 val version = b(p) & 0xff
-                if (version == 1) {
+                if (version == 1 && isz >= ihdr + 32) {
                   // v1: creation(8) modification(8) timescale(4) duration(8)
                   timescale = be32(b, p + 20)
                   duration = be64(b, p + 24)
-                } else {
+                } else if (version == 0 && isz >= ihdr + 20) {
                   // v0: creation(4) modification(4) timescale(4) duration(4)
                   timescale = be32(b, p + 12)
                   duration = be32(b, p + 16)
-                }
+                } else return None // truncated mvhd: refuse, don't read into the next box
               case "trak" => nTracks += 1
               case _ =>
             }
@@ -253,6 +253,9 @@ object AvCodec {
                     nTracks: Int): Array[Byte] = {
     require(brand.length == 4, "brand must be a 4cc")
     require(timescale > 0 && duration >= 0 && nTracks >= 0, "arg ranges")
+    // version-0 mvhd fields are 32-bit; refuse rather than silently truncate
+    require(timescale <= 0xffffffffL && duration <= 0xffffffffL,
+      "timescale/duration must fit 32 bits for a version-0 mvhd")
     val ftypP = new ByteArrayOutputStream()
     ftypP.write(brand.getBytes("US-ASCII"))
     putBe32(ftypP, 0L)                        // minor version
