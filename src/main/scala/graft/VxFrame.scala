@@ -399,8 +399,27 @@ final case class VxFrame(
     if (r.isNullAt(1)) (0L, 0, 0, 0, 0)
     else (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
   }
-  def uniqueValues(e: String): Seq[Any] =
-    df.select(parse(e)).distinct().collect().toSeq.map(_.get(0))
+  /** Distinct values pulled to the driver (reference: unique with
+    * `limit=` raising RowLimitException past it, core/dataframe.py:575,
+    * core/__init__.py:870). Two-stage guard against the unbounded
+    * driver collect a high-cardinality column would cause at scale:
+    * a cheap HLL precheck (same idiom as [[checkRowLimit]]) refuses
+    * before any shuffle when clearly over, and an exact `limit(n+1)`
+    * backstop catches HLL undercounting near the threshold — the
+    * collect is then provably bounded at `limit+1` rows. */
+  def uniqueValues(e: String, limit: Long = VxFrame.DefaultUniqueLimit): Seq[Any] = {
+    require(limit > 0 && limit <= Int.MaxValue - 1, s"unique limit out of range: $limit")
+    val approx = df.agg(approx_count_distinct(parse(e))).head().getLong(0)
+    // ~2% HLL relative error: only refuse outright when clearly over
+    if (approx > (limit * 1.1).toLong + 16)
+      throw new IllegalStateException(
+        s"unique($e): ~$approx distinct values > row_limit=$limit; raise the limit or aggregate instead")
+    val vals = df.select(parse(e)).distinct().limit(limit.toInt + 1).collect()
+    if (vals.length > limit)
+      throw new IllegalStateException(
+        s"unique($e): more than row_limit=$limit distinct values; raise the limit or aggregate instead")
+    vals.toSeq.map(_.get(0))
+  }
   def nunique(e: String, selection: Option[String] = None): Long =
     df.agg(count_distinct(maybeSelected(e, selection))).head().getLong(0)
 
@@ -1062,6 +1081,11 @@ final case class CompareResult(
 }
 
 object VxFrame {
+  /** Default driver-collect bound for [[VxFrame.uniqueValues]] — the
+    * reference ships a 1e6-ish default in the same role (unique/
+    * groupby row limits, core/cpu.py:353). */
+  val DefaultUniqueLimit: Long = 1_000_000L
+
   def apply(df: DataFrame): VxFrame = new VxFrame(df)
 
   def applyState(base: DataFrame, json: String): VxFrame = {

@@ -358,59 +358,67 @@ object Transformers {
              prediction: String = "prediction_kmeans"): (VxFrame, Seq[Seq[Double]], Double) = {
     require(features.nonEmpty && k > 0, "kmeans: need features and k > 0")
     val feats = features.map(c => col(c).cast("double"))
+    // Lloyd's loop re-reads the working set every iteration (init scan +
+    // maxIter assignment scans) — persist it once so iterations hit the
+    // in-memory columnar cache instead of re-scanning the source (at
+    // scale, 5 iterations would otherwise be 5 full input reads; same
+    // idiom as DedupResolve's localCheckpoint lineage flattening).
     val pts = f.df.select(feats: _*).na.drop()
-    var centers: Array[Array[Double]] = pts.distinct()
-      .orderBy(xxhash64(features.map(col): _*))
-      .limit(k).collect()
-      .map(r => features.indices.map(r.getDouble).toArray)
-    require(centers.length == k, s"kmeans: fewer than $k distinct points")
-    def distArr(cs: Array[Array[Double]]) = array(cs.map { ct =>
-      features.zip(ct).map { case (c, v) =>
-        (col(c) - v) * (col(c) - v) }.reduce(_ + _)
-    }: _*)
-    var inertia = Double.MaxValue
-    var it = 0
-    var converged = false
-    while (it < maxIter && !converged) {
-      val arr = distArr(centers)
-      val assignCols =
-        (array_position(arr, array_min(arr)) - 1).cast("int").as("__c") +:
-          array_min(arr).as("__d") +:
-          features.map(col)
-      val assigned = pts.select(assignCols: _*)
-      // decimal-exact means: partition-order independent, so repeated
-      // fits on the same data yield BITWISE-identical centers (the
-      // oracle injection in ScaleOpsQueries depends on this)
-      val stats = assigned.groupBy("__c")
-        .agg(sum(col("__d")).as("__inertia"),
-          features.map(c =>
-            (sum(col(c).cast(graft.queries.Q.DEC)) / count(lit(1)))
-              .cast("double").as(c)) :+ count(lit(1)).as("__n"): _*)
-        .collect()
-      val next = centers.clone()
-      var newInertia = 0.0
-      stats.foreach { r =>
-        val ci = r.getInt(0)
-        newInertia += r.getDouble(1)
-        next(ci) = features.indices.map(i => r.getDouble(2 + i)).toArray
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centers: Array[Array[Double]] = pts.distinct()
+        .orderBy(xxhash64(features.map(col): _*))
+        .limit(k).collect()
+        .map(r => features.indices.map(r.getDouble).toArray)
+      require(centers.length == k, s"kmeans: fewer than $k distinct points")
+      def distArr(cs: Array[Array[Double]]) = array(cs.map { ct =>
+        features.zip(ct).map { case (c, v) =>
+          (col(c) - v) * (col(c) - v) }.reduce(_ + _)
+      }: _*)
+      var inertia = Double.MaxValue
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        val arr = distArr(centers)
+        val assignCols =
+          (array_position(arr, array_min(arr)) - 1).cast("int").as("__c") +:
+            array_min(arr).as("__d") +:
+            features.map(col)
+        val assigned = pts.select(assignCols: _*)
+        // decimal-exact means: partition-order independent, so repeated
+        // fits on the same data yield BITWISE-identical centers (the
+        // oracle injection in ScaleOpsQueries depends on this)
+        val stats = assigned.groupBy("__c")
+          .agg(sum(col("__d")).as("__inertia"),
+            features.map(c =>
+              (sum(col(c).cast(graft.queries.Q.DEC)) / count(lit(1)))
+                .cast("double").as(c)) :+ count(lit(1)).as("__n"): _*)
+          .collect()
+        val next = centers.clone()
+        var newInertia = 0.0
+        stats.foreach { r =>
+          val ci = r.getInt(0)
+          newInertia += r.getDouble(1)
+          next(ci) = features.indices.map(i => r.getDouble(2 + i)).toArray
+        }
+        // convergence on (deterministic) center movement, not on the
+        // partition-order-sensitive inertia sum
+        val shift = centers.zip(next).map { case (a, b) =>
+          a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }.max
+        converged = shift < 1e-18
+        inertia = newInertia
+        centers = next
+        it += 1
       }
-      // convergence on (deterministic) center movement, not on the
-      // partition-order-sensitive inertia sum
-      val shift = centers.zip(next).map { case (a, b) =>
-        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }.max
-      converged = shift < 1e-18
-      inertia = newInertia
-      centers = next
-      it += 1
-    }
-    // transform: per-cluster distance virtual columns + argmin prediction
-    val withDists = centers.zipWithIndex.foldLeft(f) { case (acc, (ct, i)) =>
-      acc.withVirtualColumn(s"__${prediction}_d$i",
-        features.zip(ct).map { case (c, v) => s"(($c - $v) * ($c - $v))" }.mkString(" + "))
-    }
-    val dNames = centers.indices.map(i => s"__${prediction}_d$i").mkString(", ")
-    val out = withDists.withVirtualColumn(prediction,
-      s"CAST(array_position(array($dNames), array_min(array($dNames))) - 1 AS INT)")
-    (out, centers.map(_.toSeq).toSeq, inertia)
+      // transform: per-cluster distance virtual columns + argmin prediction
+      val withDists = centers.zipWithIndex.foldLeft(f) { case (acc, (ct, i)) =>
+        acc.withVirtualColumn(s"__${prediction}_d$i",
+          features.zip(ct).map { case (c, v) => s"(($c - $v) * ($c - $v))" }.mkString(" + "))
+      }
+      val dNames = centers.indices.map(i => s"__${prediction}_d$i").mkString(", ")
+      val out = withDists.withVirtualColumn(prediction,
+        s"CAST(array_position(array($dNames), array_min(array($dNames))) - 1 AS INT)")
+      (out, centers.map(_.toSeq).toSeq, inertia)
+    } finally pts.unpersist(blocking = false)
   }
 }

@@ -204,6 +204,32 @@ class TransformersSpec extends SparkSpec {
     assert(fresh.df.select("prediction_kmeans").head.getInt(0) == blob1)
   }
 
+  test("kmeans fit persists the working set: iterations hit the cache, nothing leaks") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pts = (0 until 30).map(i => (i % 3 * 10.0 + i % 5 * 0.1, i % 3 * 5.0)).toDF("px", "py")
+      Transformers.kmeans(VxFrame(pts), Seq("px", "py"), k = 3, maxIter = 5)
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      def cacheHits = plans.synchronized { plans.count(_.contains("InMemoryTableScan")) }
+      while (cacheHits < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // init pass + every Lloyd iteration read the persisted working
+      // set (>= 2 proves iteration 2+ hit the cache, not the source)
+      assert(cacheHits >= 2, plans.synchronized(plans.mkString("\n---\n")).take(3000))
+    } finally spark.listenerManager.unregister(listener)
+    // unpersist ran (fit completed): no cached RDD left behind
+    val leaked = spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(",")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"leaked: $leaked")
+  }
+
   test("groupByTransformer: group aggregates as serializable state") {
     val f = Transformers.groupByTransformer(vf, "k",
       Map("mean_h" -> ("mean", "h"), "n" -> ("count", "x")))

@@ -29,6 +29,22 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(got == Seq(1.0, 9.0, 9.0))
   }
 
+  test("uniqueValues returns distincts under the limit, raises loudly over it") {
+    assert(vf.uniqueValues("x").toSet == Set(1.0, 2.0, 4.0, 5.0))
+    // high-cardinality column: refuses instead of collecting 100k rows
+    // to the driver (RowLimitException analog, reference
+    // core/dataframe.py:575, core/__init__.py:870)
+    val wide = VxFrame(spark.range(100000).toDF("v"))
+    val e = intercept[IllegalStateException](wide.uniqueValues("v", limit = 1000))
+    assert(e.getMessage.contains("row_limit"))
+    // near-limit cardinality that HLL might under-estimate still raises
+    // via the exact limit+1 backstop
+    val near = VxFrame(spark.range(1050).toDF("v"))
+    intercept[IllegalStateException](near.uniqueValues("v", limit = 1000))
+    // exactly at the limit: succeeds
+    assert(VxFrame(spark.range(50).toDF("v")).uniqueValues("v", limit = 50).size == 50)
+  }
+
   test("nuniqueFlags: NaN and null each count once by default, flags drop them") {
     val d = VxFrame(Seq[java.lang.Double](1.0, 1.0, 2.0, null, Double.NaN, Double.NaN).toDF("x"))
     assert(d.nuniqueFlags("x") == 4L)                          // {1, 2, NaN, null}
