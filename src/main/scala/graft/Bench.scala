@@ -49,6 +49,12 @@ object Bench {
         graft.operators.LshDedup.nearDupPairs(docs, "doc_id", "text",
           graft.operators.LshDedup.Params())
       }),
+      // r3 bench read this lane SLOWER than the md5 lane (2.74 vs
+      // 2.35s) — a host-throttle artifact late in the battery, not a
+      // plan property: interleaved min-of-5 in a quiet JVM measures
+      // fast=0.70s vs md5=1.28s (~1.8x), plan shapes identical modulo
+      // the hash expression. The warmup pass above also stabilizes
+      // this.
       "q_minhash_sig_fast" -> (() => {
         import graft.functions.TextFunctions._
         graft.queries.Q.t(spark, sfDir, "documents")

@@ -55,6 +55,19 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, cache.toString))
     }),
 
+    // hdf5 CHUNKED+gzip+shuffle (the layout h5py-written scientific
+    // files use): same round trip through the chunked writer and the
+    // distributed per-chunk-inflate read path; small chunks force a
+    // multi-level (level-1) chunk B-tree at sf >= 0.01. Oracle runs on
+    // the original parquet.
+    "q_hdf5_chunked" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_hdf5c"), "lineitem_chunked.hdf5")
+      cache.getParentFile.mkdirs()
+      graft.sources.Hdf5.toHdf5Chunked(narrowLineitem(s, dir), cache.toString,
+        chunkElems = 512)
+      agg(graft.sources.Hdf5.fromHdf5(s, cache.toString))
+    }),
+
     // bucketed co-located join: orders and customer are exported
     // bucketed on the customer key, then joined through the catalog —
     // at scale the join plans with zero Exchange (asserted in
@@ -85,6 +98,7 @@ object SourceQueries {
     "q_csv_agg" -> aggSql,
     "q_json_agg" -> aggSql,
     "q_hdf5_agg" -> aggSql,
+    "q_hdf5_chunked" -> aggSql,
     "q_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_total

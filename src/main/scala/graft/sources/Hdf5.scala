@@ -11,25 +11,29 @@ import org.apache.spark.sql.types._
   * dispatch, :393-416 arrow-style string columns + null_bitmap).
   *
   * Implemented directly against the public HDF5 File Format
-  * Specification (v1.0 structures): superblock v0, version-1 object
+  * Specification (v1.0 structures): superblock v0/v1, version-1 object
   * headers (+ continuation blocks), old-style symbol-table groups
   * (B-tree v1 + local heap + SNOD), dataspace v1/v2, datatype classes
-  * fixed-point/float/string, data layout v3 contiguous.
-  * Chunked/compressed/compact layouts are rejected with a clear
-  * error — the vaex writer produces contiguous layouts, which is
-  * exactly what makes the format scan-parallelizable.
+  * fixed-point/float/string, data layouts v3 contiguous, COMPACT and
+  * CHUNKED (B-tree v1 type-1 chunk index, any depth) with the deflate
+  * (gzip) and shuffle filters — the combination virtually all
+  * h5py-written scientific files in the wild use (the reference reads
+  * them through h5py, packages/vaex-hdf5/vaex/hdf5/dataset.py:57).
   *
   * Scale design: READ is distributed — the driver parses only metadata
-  * (superblock, group tree, dataset headers: a few KB), then executors
-  * read disjoint row ranges of each column with positioned reads
-  * (contiguous layout ⇒ range [i,j) of column c lives at
-  * dataAddr + i·elemSize — the same arithmetic the reference's mmap
-  * model uses, reference: packages/vaex-core/vaex/dataset_mmap.py:28).
-  * Column pruning happens at metadata time: unrequested columns are
-  * never touched. WRITE is a driver-side single-file interchange sink
-  * (one .hdf5 file is inherently one writer), mirroring the
-  * reference's own single-file export; the scale path for persistence
-  * is parquet.
+  * (superblock, group tree, dataset headers, chunk index: KBs, ~24 B
+  * per chunk), then executors read disjoint row ranges of each column
+  * with positioned reads. Contiguous layout ⇒ range [i,j) of column c
+  * lives at dataAddr + i·elemSize — the same arithmetic the
+  * reference's mmap model uses (reference:
+  * packages/vaex-core/vaex/dataset_mmap.py:28). Chunked layout ⇒ each
+  * task touches only the chunks overlapping its row range and
+  * inflates them IN the executor (per-chunk gzip is embarrassingly
+  * parallel; only partition-boundary chunks are read twice). Column
+  * pruning happens at metadata time: unrequested columns are never
+  * touched. WRITE is a driver-side single-file interchange sink (one
+  * .hdf5 file is inherently one writer), mirroring the reference's
+  * own single-file export; the scale path for persistence is parquet.
   */
 object Hdf5 {
 
@@ -38,17 +42,35 @@ object Hdf5 {
   private val INTERNAL_K = 16 // B-tree node capacity = 2·INTERNAL_K children
 
   // ------------------------------------------------------------------
-  // column model shared by reader and writer
+  // storage + column model shared by reader and writer
   // ------------------------------------------------------------------
+
+  /** Where a dataset's elements live. Serializable: shipped to
+    * executors inside the scan closure. */
+  sealed trait Storage extends Serializable
+  /** Elements at `addr + i·elemSize`. */
+  final case class Contiguous(addr: Long) extends Storage
+  /** Small dataset stored inline in its object header. */
+  final case class Inline(bytes: Array[Byte]) extends Storage
+  /** One stored chunk: first element index, file address, stored
+    * (possibly compressed) byte count, per-chunk filter skip mask. */
+  final case class ChunkLoc(elemStart: Long, addr: Long, storedSize: Int, mask: Int)
+  /** Chunked layout: fixed `chunkElems` elements per chunk; `filters`
+    * = (filterId, firstClientValue) in WRITE order (deflate=1,
+    * shuffle=2); `chunks` sorted by elemStart. */
+  final case class Chunked(chunkElems: Long, filters: Seq[(Int, Int)],
+                           chunks: Array[ChunkLoc]) extends Storage
+
+  private val SupportedFilters = Set(1, 2) // deflate, shuffle
 
   /** Element kinds: i1/i2/i4/i8 signed fixed-point, f4/f8 IEEE floats,
     * str = arrow-style (int64 offsets + utf8 bytes). */
   final case class ColumnMeta(
       name: String, kind: String, n: Long,
-      dataAddr: Long, dataSize: Long,
-      indicesAddr: Long,  // str only, n+1 int64 offsets
-      bitmapAddr: Long) { // UNDEF when column has no null bitmap
-    def nullable: Boolean = bitmapAddr != UNDEF
+      data: Storage, dataSize: Long,
+      indices: Option[Storage],  // str only, n+1 int64 offsets
+      bitmap: Option[Storage]) { // None when column has no null bitmap
+    def nullable: Boolean = bitmap.isDefined
     def sparkType: DataType = kind match {
       case "i1" => ByteType
       case "i2" => ShortType
@@ -70,7 +92,7 @@ object Hdf5 {
   // ==================================================================
 
   private[sources] final case class Dtype(clazz: Int, size: Int, signed: Boolean)
-  private[sources] final case class DsetMeta(dims: Seq[Long], dt: Dtype, dataAddr: Long,
+  private[sources] final case class DsetMeta(dims: Seq[Long], dt: Dtype, storage: Storage,
                                              dataSize: Long, attrs: Map[String, String])
 
   /** Driver-side metadata parser. Reads only header structures. */
@@ -231,34 +253,105 @@ object Hdf5 {
       Some((name, new String(data.takeWhile(_ != 0), "UTF-8")))
     }
 
+    /** Filter pipeline message (0x000B), v1 or v2: (filterId,
+      * firstClientValue) in write order. */
+    private def parseFilters(b: ByteBuffer): Seq[(Int, Int)] = {
+      val version = b.get() & 0xff
+      require(version == 1 || version == 2, s"filter pipeline v$version unsupported")
+      val nFilters = b.get() & 0xff
+      if (version == 1) { b.getShort(); b.getInt() } // reserved(6)
+      (0 until nFilters).map { _ =>
+        val id = b.getShort() & 0xffff
+        val nameLen = if (version == 2 && id < 256) 0 else b.getShort() & 0xffff
+        b.getShort() // flags (bit0 = optional)
+        val nValues = b.getShort() & 0xffff
+        if (nameLen > 0) {
+          val skip = if (version == 1) (nameLen + 7) / 8 * 8 else nameLen
+          b.position(b.position() + skip)
+        }
+        val values = (0 until nValues).map(_ => b.getInt())
+        if (version == 1 && nValues % 2 == 1) b.getInt() // pad to 8
+        (id, values.headOption.getOrElse(0))
+      }
+    }
+
+    /** Walk a v1 type-1 (raw data chunk) B-tree of any depth.
+      * `dimensionality` is rank+1 per the layout message (the trailing
+      * element-size dimension); key layout: chunkSize(4) mask(4) then
+      * dimensionality offsets(8 each, dataset ELEMENT coordinates). */
+    def chunkLocations(btreeAddr: Long, dimensionality: Int): Array[ChunkLoc] = {
+      val keySize = 8 + 8 * dimensionality
+      def walk(addr: Long): Seq[ChunkLoc] = {
+        val hd = readAt(addr, 24)
+        require(hd.getInt(0) == leMagic("TREE"), "bad chunk btree signature")
+        require((hd.get(4) & 0xff) == 1, "not a chunk btree")
+        val level = hd.get(5) & 0xff
+        val used = hd.getShort(6) & 0xffff
+        val body = readAt(addr + 24, used * (keySize + 8))
+        (0 until used).flatMap { i =>
+          val base = i * (keySize + 8)
+          val child = body.getLong(base + keySize)
+          if (level > 0) walk(child)
+          else Seq(ChunkLoc(body.getLong(base + 8), child,
+            body.getInt(base), body.getInt(base + 4)))
+        }
+      }
+      walk(btreeAddr).sortBy(_.elemStart).toArray
+    }
+
     def dataset(ohAddr: Long): DsetMeta = {
       var dims: Seq[Long] = Nil
       var dt: Dtype = null
-      var dataAddr = UNDEF
+      var storage: Storage = null
       var dataSize = 0L
+      var filters: Seq[(Int, Int)] = Nil
+      var chunkInfo: Option[(Long, Long)] = None // (btreeAddr, chunkElems)
       val attrs = scala.collection.mutable.Map[String, String]()
       messages(ohAddr).foreach { case (t, body) =>
         val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         t match {
           case 0x0001 => dims = parseDataspace(b)
           case 0x0003 => dt = parseDtype(b)
+          case 0x000B => filters = parseFilters(b)
           case 0x0008 =>
             val version = b.get() & 0xff
             require(version == 3, s"data layout v$version unsupported")
             val clazz = b.get() & 0xff
             clazz match {
-              case 1 => dataAddr = b.getLong; dataSize = b.getLong
-              case 2 => throw new IllegalArgumentException(
-                "chunked hdf5 layout unsupported — export contiguous (no chunks/compression)")
+              case 0 => // compact: size(2) + raw data in the header
+                val sz = b.getShort() & 0xffff
+                val data = new Array[Byte](sz); b.get(data)
+                storage = Inline(data); dataSize = sz
+              case 1 =>
+                val a = b.getLong; dataSize = b.getLong
+                storage = Contiguous(a)
+              case 2 => // chunked: dimensionality(1) btree(8) dims(4 each)
+                val dimensionality = b.get() & 0xff
+                val btreeAddr = b.getLong
+                val chunkDims = (0 until dimensionality).map(_ => b.getInt().toLong)
+                // last "dimension" is the element size; columns are 1-D
+                require(dimensionality == 2,
+                  s"only 1-D chunked datasets supported (dimensionality=$dimensionality)")
+                chunkInfo = Some((btreeAddr, chunkDims.head))
               case c => throw new IllegalArgumentException(
-                s"hdf5 layout class $c unsupported (only contiguous; " +
-                  "vaex/h5py default exports are contiguous)")
+                s"hdf5 layout class $c unsupported")
             }
           case 0x000C => parseAttr(b).foreach { case (k, v) => attrs(k) = v }
           case _ => ()
         }
       }
-      DsetMeta(dims, dt, dataAddr, dataSize, attrs.toMap)
+      chunkInfo.foreach { case (btreeAddr, chunkElems) =>
+        filters.foreach { case (id, _) =>
+          require(SupportedFilters(id),
+            s"hdf5 filter $id unsupported (deflate=1 and shuffle=2 only)")
+        }
+        val chunks =
+          if (btreeAddr == UNDEF) Array.empty[ChunkLoc] // never-written dataset
+          else chunkLocations(btreeAddr, 2)
+        storage = Chunked(chunkElems, filters, chunks)
+        dataSize = chunks.map(_.storedSize.toLong).sum
+      }
+      DsetMeta(dims, dt, storage, dataSize, attrs.toMap)
     }
 
     override def close(): Unit = raf.close()
@@ -293,21 +386,21 @@ object Hdf5 {
           val dataA = members.getOrElse("data",
             throw new IllegalArgumentException(s"column $name: no data dataset"))
           val data = f.dataset(dataA)
-          val bitmap = members.get("null_bitmap").map(a => f.dataset(a).dataAddr).getOrElse(UNDEF)
+          val bitmap = members.get("null_bitmap").map(a => f.dataset(a).storage)
           if (data.attrs.get("dtype").contains("str")) {
             val idxA = members.getOrElse("indices",
               throw new IllegalArgumentException(s"string column $name: no indices"))
             val idx = f.dataset(idxA)
             ColumnMeta(name, "str", idx.dims.head - 1,
-              data.dataAddr, data.dataSize, idx.dataAddr, bitmap)
+              data.storage, data.dataSize, Some(idx.storage), bitmap)
           } else {
             val kind = kindOf(data.dt)
-            ColumnMeta(name, kind, data.dims.head, data.dataAddr, data.dataSize, UNDEF, bitmap)
+            ColumnMeta(name, kind, data.dims.head, data.storage, data.dataSize, None, bitmap)
           }
         } else { // v1 layout: dataset directly under the group
           val data = f.dataset(addr)
           ColumnMeta(name, kindOf(data.dt), data.dims.head,
-            data.dataAddr, data.dataSize, UNDEF, UNDEF)
+            data.storage, data.dataSize, None, None)
         }
       }
       colOrder match {
@@ -323,6 +416,93 @@ object Hdf5 {
     // group attribute messages: same 0x000C encoding as datasets
     val ds = try f.dataset(ohAddr) catch { case _: Throwable => null }
     if (ds != null) ds.attrs else Map.empty
+  }
+
+  // ------------------------------------------------------------ range IO
+
+  /** zlib-inflate `bytes` to exactly `outLen`. */
+  private[sources] def inflate(bytes: Array[Byte], outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(bytes)
+      val out = new Array[Byte](outLen)
+      var off = 0
+      while (off < outLen && !inf.finished()) {
+        val k = inf.inflate(out, off, outLen - off)
+        if (k == 0 && inf.needsInput()) throw new IllegalStateException("truncated deflate chunk")
+        off += k
+      }
+      out
+    } finally inf.end()
+  }
+
+  /** Undo the HDF5 shuffle filter: stored layout is byte-plane-major
+    * (all 1st bytes, then all 2nd bytes, ...); restore element-major. */
+  private[sources] def unshuffle(bytes: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return bytes
+    val n = bytes.length / elemSize
+    val out = new Array[Byte](bytes.length)
+    var s = 0
+    while (s < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + s) = bytes(s * n + i); i += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** Reverse the filter pipeline for one chunk. `mask` bit i set means
+    * filter i was SKIPPED when the chunk was written. */
+  private def defilter(raw: Array[Byte], filters: Seq[(Int, Int)], mask: Int,
+                       nominalBytes: Int): Array[Byte] =
+    filters.zipWithIndex.reverse.foldLeft(raw) { case (b, ((id, cv), i)) =>
+      if ((mask & (1 << i)) != 0) b
+      else id match {
+        case 1 => inflate(b, nominalBytes)
+        case 2 => unshuffle(b, cv)
+        case other => throw new IllegalArgumentException(s"hdf5 filter $other unsupported")
+      }
+    }
+
+  /** Read elements [start, end) of a dataset into a little-endian
+    * buffer, whatever its layout. Chunked: touches only overlapping
+    * chunks, inflating each once (per-chunk work stays inside the
+    * calling task — this is what keeps a gzip'd file scan-parallel). */
+  private def readRange(raf: RandomAccessFile, st: Storage, elemSize: Int,
+                        start: Long, end: Long): ByteBuffer = {
+    val outLen = ((end - start) * elemSize).toInt
+    st match {
+      case Contiguous(addr) =>
+        val b = new Array[Byte](outLen)
+        raf.seek(addr + start * elemSize); raf.readFully(b)
+        ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      case Inline(bytes) =>
+        ByteBuffer.wrap(bytes, (start * elemSize).toInt, outLen)
+          .slice().order(ByteOrder.LITTLE_ENDIAN)
+      case Chunked(chunkElems, filters, chunks) =>
+        val out = new Array[Byte](outLen)
+        val nominal = (chunkElems * elemSize).toInt
+        // first chunk whose range can overlap [start, end)
+        var ci = {
+          val i = java.util.Arrays.binarySearch(chunks.map(_.elemStart), start)
+          if (i >= 0) i else math.max(0, -i - 2)
+        }
+        while (ci < chunks.length && chunks(ci).elemStart < end) {
+          val c = chunks(ci)
+          val cEnd = c.elemStart + chunkElems
+          if (cEnd > start) {
+            val raw = new Array[Byte](c.storedSize)
+            raf.seek(c.addr); raf.readFully(raw)
+            val plain = defilter(raw, filters, c.mask, nominal)
+            val from = math.max(start, c.elemStart)
+            val until = math.min(end, cEnd)
+            System.arraycopy(plain, ((from - c.elemStart) * elemSize).toInt,
+              out, ((from - start) * elemSize).toInt, ((until - from) * elemSize).toInt)
+          }
+          ci += 1
+        }
+        ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    }
   }
 
   private def kindOf(dt: Dtype): String = (dt.clazz, dt.size, dt.signed) match {
@@ -362,34 +542,36 @@ object Hdf5 {
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .mapPartitions { it =>
         val raf = new RandomAccessFile(path, "r")
-        def readBytes(addr: Long, len: Int): ByteBuffer = {
-          val b = new Array[Byte](len); raf.seek(addr); raf.readFully(b)
-          ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-        }
         val rows = it.flatMap { case (start, end) =>
           val c = (end - start).toInt
           val colVals: Array[Array[Any]] = metasB.map { m =>
-            val valid: Int => Boolean = if (m.bitmapAddr != UNDEF) {
-              val firstByte = start / 8
-              val nBytes = (end + 7) / 8 - firstByte
-              val bits = readBytes(m.bitmapAddr + firstByte, nBytes.toInt)
-              i => { val g = start + i - firstByte * 8
-                (bits.get((g / 8).toInt) >> (g % 8).toInt & 1) == 1 }
-            } else _ => true
+            val valid: Int => Boolean = m.bitmap match {
+              case Some(bst) =>
+                val firstByte = start / 8
+                val nBytes = (end + 7) / 8 - firstByte
+                val bits = readRange(raf, bst, 1, firstByte, firstByte + nBytes)
+                i => { val g = start + i - firstByte * 8
+                  (bits.get((g / 8).toInt) >> (g % 8).toInt & 1) == 1 }
+              case None => _ => true
+            }
             m.kind match {
               case "str" =>
-                val offs = readBytes(m.indicesAddr + start * 8, (c + 1) * 8)
+                val offs = readRange(raf, m.indices.get, 8, start, start + c + 1)
                 val o0 = offs.getLong(0); val oN = offs.getLong(c * 8)
-                val bytes = new Array[Byte]((oN - o0).toInt)
-                raf.seek(m.dataAddr + o0); raf.readFully(bytes)
+                val bytes = readRange(raf, m.data, 1, o0, oN)
                 Array.tabulate[Any](c) { i =>
                   if (!valid(i)) null
-                  else new String(bytes, (offs.getLong(i * 8) - o0).toInt,
-                    (offs.getLong((i + 1) * 8) - offs.getLong(i * 8)).toInt, "UTF-8")
+                  else {
+                    val from = (offs.getLong(i * 8) - o0).toInt
+                    val len = (offs.getLong((i + 1) * 8) - offs.getLong(i * 8)).toInt
+                    val sb = new Array[Byte](len)
+                    bytes.position(from); bytes.get(sb); bytes.position(0)
+                    new String(sb, "UTF-8")
+                  }
                 }
               case k =>
                 val es = m.elemSize
-                val buf = readBytes(m.dataAddr + start * es, c * es)
+                val buf = readRange(raf, m.data, es, start, end)
                 Array.tabulate[Any](c) { i =>
                   if (!valid(i)) null
                   else k match {
@@ -424,7 +606,22 @@ object Hdf5 {
     * (/table/columns/<name>/data [+ indices, null_bitmap], column_order
     * attribute, dtype='str' marker on string data — the layout
     * writer.py:28-87 produces). Driver-side single-file sink. */
-  def toHdf5(df: DataFrame, path: String): Unit = {
+  def toHdf5(df: DataFrame, path: String): Unit = toHdf5Impl(df, path, None)
+
+  /** Same layout, but every dataset stored CHUNKED with the standard
+    * shuffle+deflate filter pipeline (what `h5py.create_dataset(...,
+    * chunks=..., compression='gzip', shuffle=True)` produces) — the
+    * round-trip fixture for the chunked read path and a genuinely
+    * smaller interchange file. `chunkElems` is per-dataset elements
+    * per chunk (string byte payloads chunk in bytes). */
+  def toHdf5Chunked(df: DataFrame, path: String, chunkElems: Int = 65536,
+                    level: Int = 6, shuffle: Boolean = true): Unit = {
+    require(chunkElems > 0 && level >= 1 && level <= 9, "bad chunk/level")
+    toHdf5Impl(df, path, Some((chunkElems, level, shuffle)))
+  }
+
+  private def toHdf5Impl(df: DataFrame, path: String,
+                         chunkCfg: Option[(Int, Int, Boolean)]): Unit = {
     val schema = df.schema
     val n0 = df.count()
     require(n0 < Int.MaxValue, "hdf5 export caps at 2^31 rows per file; shard first")
@@ -504,21 +701,53 @@ object Hdf5 {
           OutCol(f.name, kind, buf.array(), Array.empty, bm, n)
       }
     }
-    writeFile(path, cols.toSeq)
+    writeFile(path, cols.toSeq, chunkCfg)
   }
 
   // ------------------------------------------------------------ emitter
 
   private def align8(x: Long): Long = (x + 7) / 8 * 8
 
+  /** Deflate at a fixed level (zlib wrapper — HDF5's deflate filter). */
+  private def deflate(bytes: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length / 4))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Forward shuffle filter: element-major -> byte-plane-major. */
+  private def shuffleBytes(bytes: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return bytes
+    val n = bytes.length / elemSize
+    val out = new Array[Byte](bytes.length)
+    var s = 0
+    while (s < elemSize) {
+      var i = 0
+      while (i < n) { out(s * n + i) = bytes(i * elemSize + s); i += 1 }
+      s += 1
+    }
+    out
+  }
+
   /** Two-phase writer: `plan` computes every object's address given a
     * metadata base; run once to size the metadata region, place data
-    * after it, run again, emit. */
-  private def writeFile(path: String, cols: Seq[OutCol]): Unit = {
+    * after it, run again, emit. Optional `chunkCfg` (chunkElems,
+    * deflateLevel, shuffle) stores every dataset chunked+filtered
+    * behind a v1 type-1 chunk B-tree instead of contiguous. */
+  private def writeFile(path: String, cols: Seq[OutCol],
+                        chunkCfg: Option[(Int, Int, Boolean)] = None): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     var cursor = 96L // superblock size
     def alloc(size: Long): Long = { val a = cursor; cursor = align8(cursor + size); a }
     def emit(addr: Long, bytes: Array[Byte]): Unit = patches += ((addr, bytes))
+    // compressed chunks per dataset, computed once (stable across the
+    // two plan runs — only addresses change between runs)
+    val chunkCache = scala.collection.mutable.Map[String, Array[Array[Byte]]]()
 
     def buf(size: Int): ByteBuffer =
       ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
@@ -566,6 +795,77 @@ object Hdf5 {
     }
     def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
       val b = buf(18); b.put(3.toByte); b.put(1.toByte); b.putLong(addr); b.putLong(size); b.array()
+    }
+    def layoutChunked(btreeAddr: Long, chunkElems: Int, elemSize: Int): Array[Byte] = {
+      val b = buf(19)
+      b.put(3.toByte); b.put(2.toByte)   // v3, chunked
+      b.put(2.toByte)                    // dimensionality = rank 1 + elem dim
+      b.putLong(btreeAddr)
+      b.putInt(chunkElems); b.putInt(elemSize)
+      b.array()
+    }
+    /** v1 filter pipeline message; filters = (id, clientValues). */
+    def filterPipeline(filters: Seq[(Int, Seq[Int])]): Array[Byte] = {
+      val sz = 8 + filters.map(f => 8 + 4 * f._2.size + (if (f._2.size % 2 == 1) 4 else 0)).sum
+      val b = buf(sz)
+      b.put(1.toByte); b.put(filters.size.toByte); b.putShort(0); b.putInt(0)
+      filters.foreach { case (id, values) =>
+        b.putShort(id.toShort); b.putShort(0 /*no name*/); b.putShort(0 /*flags*/)
+        b.putShort(values.size.toShort)
+        values.foreach(b.putInt)
+        if (values.size % 2 == 1) b.putInt(0) // pad to 8
+      }
+      b.array()
+    }
+    /** v1 type-1 chunk B-tree over stored chunks (any depth needed;
+      * node fan-out 2·32 = the default indexed-storage K readers
+      * assume with a v0 superblock). Returns the root address. */
+    def writeChunkBtree(chunks: Seq[(Long, Int, Long)] /*(addr, storedSize, elemStart)*/,
+                        chunkElems: Int): Long = {
+      val fanout = 64
+      val keySize = 24 // size(4) mask(4) offsets: elemStart(8) 0(8)
+      val nodeSize = 24 + fanout * (keySize + 8) + keySize
+      def key(b: ByteBuffer, storedSize: Int, elemStart: Long): Unit = {
+        b.putInt(storedSize); b.putInt(0); b.putLong(elemStart); b.putLong(0L)
+      }
+      /** entries: (firstChunkStoredSize, firstElemStart, childAddr);
+        * returns this level's nodes as the next level's entries. */
+      def level(entries: Seq[(Int, Long, Long)], lvl: Int,
+                endElem: Long): Seq[(Int, Long, Long)] = {
+        val groups = entries.grouped(fanout).toSeq
+        val addrs = groups.map(_ => alloc(nodeSize))
+        groups.zipWithIndex.map { case (grp, gi) =>
+          val b = buf(nodeSize)
+          b.putInt(leMagic("TREE")); b.put(1.toByte); b.put(lvl.toByte)
+          b.putShort(grp.size.toShort)
+          b.putLong(if (gi == 0) UNDEF else addrs(gi - 1))
+          b.putLong(if (gi == groups.size - 1) UNDEF else addrs(gi + 1))
+          grp.foreach { case (sz, es, child) => key(b, sz, es); b.putLong(child) }
+          // final key: first entry of the next group, or the dataset end
+          val (fsz, fes) = groups.lift(gi + 1).map(g => (g.head._1, g.head._2))
+            .getOrElse((0, endElem))
+          key(b, fsz, fes)
+          emit(addrs(gi), b.array())
+          (grp.head._1, grp.head._2, addrs(gi))
+        }
+      }
+      if (chunks.isEmpty) { // empty dataset: one empty leaf
+        val a = alloc(nodeSize); val b = buf(nodeSize)
+        b.putInt(leMagic("TREE")); b.put(1.toByte); b.put(0.toByte); b.putShort(0)
+        b.putLong(UNDEF); b.putLong(UNDEF); key(b, 0, 0L)
+        emit(a, b.array()); return a
+      }
+      val endElem = chunks.size.toLong * chunkElems
+      var lvl = 0
+      var entries: Seq[(Int, Long, Long)] =
+        chunks.map { case (addr, sz, es) => (sz, es, addr) }
+      while (entries.size > 1 || lvl == 0) {
+        val isLast = entries.size <= fanout
+        entries = level(entries, lvl, endElem)
+        lvl += 1
+        if (isLast) return entries.head._3
+      }
+      entries.head._3
     }
     def strAttr(name: String, value: String): Array[Byte] = {
       val nameB = name.getBytes("UTF-8") :+ 0.toByte // null-terminated
@@ -681,34 +981,67 @@ object Hdf5 {
 
     // ---- phase 1: dry-run to size the metadata region ----
     // (data addresses enter dataset headers, but header SIZES don't
-    // depend on the values — run the whole plan with dataBase=0 first)
+    // depend on the values — run the whole plan with dataBase=0 first;
+    // chunked mode is size-stable too: compressed chunk sizes are
+    // computed once and btree sizes depend only on chunk counts)
     def plan(dataBase: Long): (Long, Long) = {
       patches.clear(); cursor = 96L
       var dataCursor = dataBase
       def allocData(size: Long): Long = { val a = dataCursor; dataCursor = align8(dataCursor + size); a }
+
+      /** Emit one dataset (header + data bytes), contiguous or
+        * chunked+filtered per `chunkCfg`. Returns the OH address. */
+      def emitDataset(cacheKey: String, nElems: Long, dtype: Array[Byte], elemSize: Int,
+                      bytes: Array[Byte], attrs: Seq[(String, String)]): Long =
+        chunkCfg match {
+          case None =>
+            val a = allocData(bytes.length)
+            emit(a, bytes)
+            writeDataset(nElems, dtype, a, bytes.length, attrs)
+          case Some((ce, lvl, shuf)) =>
+            val nominal = ce * elemSize
+            val comp = chunkCache.getOrElseUpdate(cacheKey,
+              bytes.grouped(nominal).map { ch =>
+                val full = if (ch.length == nominal) ch
+                  else java.util.Arrays.copyOf(ch, nominal) // edge chunk padded
+                deflate(if (shuf) shuffleBytes(full, elemSize) else full, lvl)
+              }.toArray)
+            val locs = comp.zipWithIndex.map { case (cb, i) =>
+              val a = allocData(cb.length); emit(a, cb)
+              (a, cb.length, i.toLong * ce)
+            }
+            val btreeAddr = writeChunkBtree(locs.toSeq, ce)
+            val filters = (if (shuf) Seq((2, Seq(elemSize))) else Nil) :+ ((1, Seq(lvl)))
+            val msgs = Seq(
+              msg(0x0001, dataspace1d(nElems)),
+              msg(0x0003, dtype),
+              msg(0x000B, filterPipeline(filters)),
+              msg(0x0008, layoutChunked(btreeAddr, ce, elemSize))) ++
+              attrs.map { case (k, v) => msg(0x000C, strAttr(k, v)) }
+            val hdr = objectHeader(msgs)
+            val a = alloc(hdr.length)
+            emit(a, hdr); a
+        }
+
       val colGroups = cols.map { c =>
         val members = scala.collection.mutable.ArrayBuffer[(String, Long)]()
         c.kind match {
           case "str" =>
-            val dAddr = allocData(c.data.length)
-            val iAddr = allocData(c.indices.length)
-            members += (("data", writeDataset(c.data.length, dtFixed(1), dAddr, c.data.length,
-              Seq("dtype" -> "str"))))
-            members += (("indices", writeDataset(c.n + 1, dtFixed(8), iAddr, c.indices.length, Nil)))
+            members += (("data", emitDataset(s"${c.name}/d", c.data.length, dtFixed(1), 1,
+              c.data, Seq("dtype" -> "str"))))
+            members += (("indices", emitDataset(s"${c.name}/i", c.n + 1, dtFixed(8), 8,
+              c.indices, Nil)))
           case k =>
-            val dt = k match {
-              case "i1" => dtFixed(1); case "i2" => dtFixed(2)
-              case "i4" => dtFixed(4); case "i8" => dtFixed(8)
-              case "f4" => dtFloat(4); case "f8" => dtFloat(8)
+            val (dt, es) = k match {
+              case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)
+              case "i4" => (dtFixed(4), 4); case "i8" => (dtFixed(8), 8)
+              case "f4" => (dtFloat(4), 4); case "f8" => (dtFloat(8), 8)
             }
-            val dAddr = allocData(c.data.length)
-            members += (("data", writeDataset(c.n, dt, dAddr, c.data.length, Nil)))
+            members += (("data", emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil)))
         }
-        if (c.bitmap.nonEmpty) {
-          val bAddr = allocData(c.bitmap.length)
-          members += (("null_bitmap", writeDataset(c.bitmap.length, dtFixed(1), bAddr,
-            c.bitmap.length, Nil)))
-        }
+        if (c.bitmap.nonEmpty)
+          members += (("null_bitmap", emitDataset(s"${c.name}/b", c.bitmap.length,
+            dtFixed(1), 1, c.bitmap, Nil)))
         (c.name, writeGroup(members.toSeq, Nil))
       }
       val columnsAddr = writeGroup(colGroups,
@@ -742,20 +1075,10 @@ object Hdf5 {
       sb.putLong(rootAddr)  // root STE: object header address
       sb.putInt(0); sb.putInt(0) // cache type + reserved (scratch zeros follow)
       raf.seek(0); raf.write(sb.array())
+      // data bytes ride the same patch list as metadata (emitDataset
+      // emits both), so one pass writes the whole file
       patches.foreach { case (addr, bytes) => raf.seek(addr); raf.write(bytes) }
-      // data regions — replay the same allocation order as plan()
-      var dataCursor = dataBase
-      def put(bytes: Array[Byte]): Unit =
-        if (bytes.nonEmpty) { raf.seek(dataCursor); raf.write(bytes); dataCursor = align8(dataCursor + bytes.length) }
-        else dataCursor = align8(dataCursor)
-      cols.foreach { c =>
-        c.kind match {
-          case "str" => put(c.data); put(c.indices)
-          case _ => put(c.data)
-        }
-        if (c.bitmap.nonEmpty) put(c.bitmap)
-      }
-      raf.setLength(math.max(eof, dataCursor))
+      raf.setLength(eof)
     } finally raf.close()
   }
 }
