@@ -588,6 +588,25 @@ final case class VxFrame(
 
   def sample(frac: Double, seed: Long = 42L): VxFrame =
     copy(base = df.sample(frac, seed), virtualColumns = ListMap.empty, filterExpression = None)
+  /** Weighted sample without replacement (reference:
+    * core/dataframe.py:4550 `sample(n, weights=)` — inclusion chance
+    * proportional to a weight column/expression). One scalar
+    * aggregation computes Σw, then a pure-Column rejection filter
+    * keeps row i with probability n·wᵢ/Σw (capped at 1) — expected
+    * size n, no shuffle, no driver-side data. Non-positive/null
+    * weights never sample (the reference errors on negatives; nulls
+    * are excluded like its dropna-on-weights behavior). */
+  def sampleWeighted(n: Long, weights: String, seed: Long = 42L): VxFrame = {
+    require(n > 0, "sampleWeighted: n must be positive")
+    val w = parse(weights).cast("double")
+    val pos = when(w.isNotNull && !isnan(w) && w > 0, w).otherwise(lit(0.0))
+    val sumW = df.agg(sum(pos)).head().getDouble(0)
+    require(sumW > 0, "sampleWeighted: weights sum to zero")
+    val p = least(lit(1.0), pos * (n.toDouble / sumW))
+    copy(base = df.where(rand(seed) < p),
+      virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
   /** Random permutation. vaex's shuffle promises random ROW ORDER, not
     * a total sort, so at scale this avoids the range-partitioned global
     * sort of `orderBy(rand)`: hash-repartition on a random key (the

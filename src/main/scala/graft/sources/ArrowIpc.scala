@@ -13,11 +13,14 @@ import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema =
   * packages/vaex-core/vaex/arrow/dataset.py:296 open_arrow, :351/:362
   * feather — feather v2 IS the Arrow IPC file format).
   *
-  * Interop path, deliberately driver-side: Arrow IPC files are the
-  * exchange format for handing tables to/from pandas/polars/R — they
-  * are bounded artifacts, not the 100 TB store (that is Parquet, where
-  * Spark's reader is distributed). Supported types: long/int/double/
-  * float/string/boolean, nullable.
+  * Scale shape: WRITE streams record batches through the driver
+  * (`toLocalIterator`, one partition + one batch resident at a time —
+  * a single .arrow file is inherently one writer, same as the HDF5
+  * sink). READ is distributed: the file footer indexes every record
+  * batch, so the driver reads only the schema + batch count and each
+  * executor task opens the file and decodes its own disjoint batches
+  * — no driver materialization at any size. Supported types:
+  * long/int/double/float/string/boolean, nullable.
   */
 object ArrowIpc {
 
@@ -34,84 +37,127 @@ object ArrowIpc {
     new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
   }
 
-  /** Export a frame as one Arrow IPC file (single batch, driver-side
-    * collect — interop artifact, not a bulk store). */
-  def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
+  private def sparkFieldsOf(aschema: ASchema): Seq[StructField] =
+    aschema.getFields.asScala.map { f =>
+      val dt = f.getType match {
+        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+        case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+        case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+        case _: ArrowType.Utf8 => StringType
+        case _: ArrowType.Bool => BooleanType
+        case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
+      }
+      StructField(f.getName, dt, nullable = true)
+    }.toSeq
+
+  /** Decode the currently-loaded batch of `root` into Rows. */
+  private def rowsOfBatch(root: VectorSchemaRoot, nFields: Int): Seq[Row] = {
+    val n = root.getRowCount
+    (0 until n).map { ri =>
+      Row.fromSeq((0 until nFields).map { ci =>
+        val vec = root.getVector(ci)
+        if (vec.isNull(ri)) null
+        else vec match {
+          case v: BigIntVector => v.get(ri)
+          case v: IntVector => v.get(ri)
+          case v: Float8Vector => v.get(ri)
+          case v: Float4Vector => v.get(ri)
+          case v: VarCharVector => new String(v.get(ri), "UTF-8")
+          case v: BitVector => v.get(ri) == 1
+          case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
+        }
+      })
+    }
+  }
+
+  /** Export a frame as one Arrow IPC file, streaming `batchRows`-row
+    * record batches through the driver (no whole-frame collect). */
+  def write(df: DataFrame, path: String, batchRows: Int = 65536): Unit = {
+    require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
     val allocator = new RootAllocator()
     try {
       val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
       val root = VectorSchemaRoot.create(aschema, allocator)
+      val out = new java.io.FileOutputStream(path)
+      val writer = new ArrowFileWriter(root, null, out.getChannel)
       try {
-        root.allocateNew()
-        schema.fields.zipWithIndex.foreach { case (f, ci) =>
-          val vec = root.getVector(ci)
-          rows.zipWithIndex.foreach { case (row, ri) =>
-            if (row.isNullAt(ci)) () // leave unset -> null
-            else (f.dataType, vec) match {
-              case (LongType, v: BigIntVector) => v.setSafe(ri, row.getLong(ci))
-              case (IntegerType, v: IntVector) => v.setSafe(ri, row.getInt(ci))
-              case (DoubleType, v: Float8Vector) => v.setSafe(ri, row.getDouble(ci))
-              case (FloatType, v: Float4Vector) => v.setSafe(ri, row.getFloat(ci))
-              case (StringType, v: VarCharVector) =>
-                v.setSafe(ri, row.getString(ci).getBytes("UTF-8"))
-              case (BooleanType, v: BitVector) => v.setSafe(ri, if (row.getBoolean(ci)) 1 else 0)
-              case (dt, _) => throw new IllegalArgumentException(s"unsupported type: $dt")
+        writer.start()
+        val it = df.toLocalIterator()
+        val batch = new Array[Row](batchRows)
+        var done = false
+        while (!done) {
+          var n = 0
+          while (n < batchRows && it.hasNext) { batch(n) = it.next(); n += 1 }
+          done = !it.hasNext
+          if (n > 0) {
+            root.allocateNew()
+            schema.fields.zipWithIndex.foreach { case (f, ci) =>
+              val vec = root.getVector(ci)
+              var ri = 0
+              while (ri < n) {
+                val row = batch(ri)
+                if (row.isNullAt(ci)) () // leave unset -> null
+                else (f.dataType, vec) match {
+                  case (LongType, v: BigIntVector) => v.setSafe(ri, row.getLong(ci))
+                  case (IntegerType, v: IntVector) => v.setSafe(ri, row.getInt(ci))
+                  case (DoubleType, v: Float8Vector) => v.setSafe(ri, row.getDouble(ci))
+                  case (FloatType, v: Float4Vector) => v.setSafe(ri, row.getFloat(ci))
+                  case (StringType, v: VarCharVector) =>
+                    v.setSafe(ri, row.getString(ci).getBytes("UTF-8"))
+                  case (BooleanType, v: BitVector) => v.setSafe(ri, if (row.getBoolean(ci)) 1 else 0)
+                  case (dt, _) => throw new IllegalArgumentException(s"unsupported type: $dt")
+                }
+                ri += 1
+              }
+              vec.setValueCount(n)
             }
+            root.setRowCount(n)
+            writer.writeBatch()
           }
-          vec.setValueCount(rows.length)
         }
-        root.setRowCount(rows.length)
-        val out = new java.io.FileOutputStream(path)
-        val writer = new ArrowFileWriter(root, null, out.getChannel)
-        try { writer.start(); writer.writeBatch(); writer.end() }
-        finally { writer.close(); out.close() }
-      } finally root.close()
+        writer.end()
+      } finally { writer.close(); out.close(); root.close() }
     } finally allocator.close()
   }
 
-  /** Read an Arrow IPC file (all batches) into a DataFrame. */
+  /** Read an Arrow IPC file into a DataFrame. Distributed: the driver
+    * touches only the footer (schema + record-batch index); each task
+    * decodes its own batches. The path must be executor-visible
+    * (shared FS), like any Spark input. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val allocator = new RootAllocator()
-    val in = new java.io.FileInputStream(path)
-    try {
-      val reader = new ArrowFileReader(in.getChannel, allocator)
+    // driver: schema + batch count from the footer
+    val (sparkFields, nBatches) = {
+      val allocator = new RootAllocator()
+      val in = new java.io.FileInputStream(path)
       try {
-        val root = reader.getVectorSchemaRoot
-        val sparkFields = root.getSchema.getFields.asScala.map { f =>
-          val dt = f.getType match {
-            case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-            case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-            case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-            case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-            case _: ArrowType.Utf8 => StringType
-            case _: ArrowType.Bool => BooleanType
-            case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
-          }
-          StructField(f.getName, dt, nullable = true)
-        }.toSeq
-        val buf = scala.collection.mutable.ArrayBuffer[Row]()
-        while (reader.loadNextBatch()) {
-          val n = root.getRowCount
-          for (ri <- 0 until n) {
-            buf += Row.fromSeq(sparkFields.indices.map { ci =>
-              val vec = root.getVector(ci)
-              if (vec.isNull(ri)) null
-              else vec match {
-                case v: BigIntVector => v.get(ri)
-                case v: IntVector => v.get(ri)
-                case v: Float8Vector => v.get(ri)
-                case v: Float4Vector => v.get(ri)
-                case v: VarCharVector => new String(v.get(ri), "UTF-8")
-                case v: BitVector => v.get(ri) == 1
-                case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
-              }
-            })
-          }
+        val reader = new ArrowFileReader(in.getChannel, allocator)
+        try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema), reader.getRecordBlocks.size)
+        finally reader.close()
+      } finally { in.close(); allocator.close() }
+    }
+    val schema = StructType(sparkFields)
+    val nFields = sparkFields.size
+    val parts = math.max(1, math.min(nBatches, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(0 until nBatches, parts)
+      .mapPartitions { batchIdxs =>
+        val idxs = batchIdxs.toArray
+        if (idxs.isEmpty) Iterator.empty
+        else {
+          val allocator = new RootAllocator()
+          val in = new java.io.FileInputStream(path)
+          val reader = new ArrowFileReader(in.getChannel, allocator)
+          try {
+            val root = reader.getVectorSchemaRoot
+            val blocks = reader.getRecordBlocks
+            idxs.iterator.flatMap { bi =>
+              reader.loadRecordBatch(blocks.get(bi))
+              rowsOfBatch(root, nFields)
+            }.toVector.iterator // decode fully before closing the reader
+          } finally { reader.close(); in.close(); allocator.close() }
         }
-        spark.createDataFrame(buf.asJava, StructType(sparkFields))
-      } finally reader.close()
-    } finally { in.close(); allocator.close() }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 }

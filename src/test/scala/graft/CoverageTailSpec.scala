@@ -79,4 +79,23 @@ class CoverageTailSpec extends SparkSpec {
     Export.export(df, fp)
     assert(Readers.open(spark, fp).count() == 3)
   }
+
+  test("Arrow IPC streams multi-batch writes and reads batches in parallel") {
+    import org.apache.spark.sql.functions._
+    val p = java.nio.file.Files.createTempDirectory("graft_arrow_big")
+      .resolve("big.arrow").toString
+    val n = 200000L
+    val df = spark.range(n).select(col("id"),
+      when(col("id") % 97 === 0, lit(null)).otherwise(col("id") * 0.5).as("x"),
+      concat(lit("v"), col("id") % 1000).as("s"))
+    // small batches -> many record batches in the file; the writer
+    // holds one batch at a time, never the whole frame
+    ArrowIpc.write(df, p, batchRows = 16384)
+    val back = ArrowIpc.read(spark, p)
+    // the read plans one task per batch group, not a driver collect
+    assert(back.rdd.getNumPartitions > 1)
+    assert(back.count() == n)
+    assert(back.agg(sum("x")).head.getDouble(0) == df.agg(sum("x")).head.getDouble(0))
+    assert(back.where(col("id") === 123456L).head.getString(2) == "v456")
+  }
 }

@@ -45,6 +45,26 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(VxFrame(spark.range(50).toDF("v")).uniqueValues("v", limit = 50).size == 50)
   }
 
+  test("sampleWeighted: inclusion frequency tracks the weight column") {
+    // two strata: weight 3 vs weight 1, equal sizes -> sampled ratio ~3
+    val d = VxFrame(spark.range(40000).select(
+      col("id"), when(col("id") % 2 === 0, 3.0).otherwise(1.0).as("w")))
+    val got = d.sampleWeighted(10000, "w", seed = 7).df
+      .groupBy((col("id") % 2 === 0).as("heavy")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val ratio = got(true).toDouble / got(false)
+    assert(math.abs(ratio - 3.0) < 0.45, s"ratio=$ratio")
+    // expected size within 5%
+    val total = got.values.sum
+    assert(math.abs(total - 10000.0) / 10000.0 < 0.05, s"total=$total")
+    // null/zero weights never sample
+    val z = VxFrame(spark.range(100).select(col("id"),
+      when(col("id") < 50, lit(null)).otherwise(lit(0.0)).as("w")))
+    intercept[IllegalArgumentException](z.sampleWeighted(10, "w"))
+    // weight expression (not just a column) works
+    assert(d.sampleWeighted(100, "w * 2").count() > 0)
+  }
+
   test("nuniqueFlags: NaN and null each count once by default, flags drop them") {
     val d = VxFrame(Seq[java.lang.Double](1.0, 1.0, 2.0, null, Double.NaN, Double.NaN).toDF("x"))
     assert(d.nuniqueFlags("x") == 4L)                          // {1, 2, NaN, null}
