@@ -164,8 +164,19 @@ object ImageCodec {
 
   // ------------------------------------------------------------ JPEG decode
 
+  /** Baseline files get a REAL pixel decode (Huffman + IDCT over the
+    * luma plane, [[JpegCodec.decodeBaseline]]) so brightness is
+    * defined like PNG's; anything else (progressive, arithmetic)
+    * falls back to the SOFn header walk for metadata only. */
+  private def decodeJpeg(b: Array[Byte]): Option[Decoded] =
+    JpegCodec.decodeBaseline(b) match {
+      case Some((w, h, brightness)) =>
+        Some(Decoded("jpeg", w, h, Some(brightness), 1L))
+      case None => decodeJpegHeader(b)
+    }
+
   /** Walk marker segments to the first SOFn (start-of-frame) header. */
-  private def decodeJpeg(b: Array[Byte]): Option[Decoded] = try {
+  private def decodeJpegHeader(b: Array[Byte]): Option[Decoded] = try {
     def isSof(m: Int): Boolean =
       m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
     var pos = 2

@@ -1,0 +1,422 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Dependency-free baseline-sequential JPEG codec (ITU-T T.81), the
+  * dominant web-image format — completes the real-pixel media lane
+  * next to the PNG codec (reference has no media decode at all; the
+  * pipeline need is filtering/statistics over image columns at scale).
+  *
+  * DECODE: marker walk (DQT/SOF0/SOF1/DHT/DRI/SOS), canonical Huffman
+  * entropy decode with byte-unstuffing and restart markers, dequant,
+  * separable float IDCT, mean of the luma plane (component 0) cropped
+  * to the real image size. Supports any number of components with
+  * arbitrary sampling factors (the luma accumulates at its own
+  * resolution; chroma blocks are decoded to advance the bitstream).
+  * Progressive (SOF2) and arithmetic-coded files return None — the
+  * caller falls back to header-only metadata.
+  *
+  * ENCODE: 1-component baseline with an all-ones quant table and the
+  * Annex K standard Huffman tables. A constant-gray image quantizes
+  * exactly (DC = 8·(g−128), q=1), so decode(encode(g)).brightness == g
+  * bit-exactly — what the DuckDB oracle re-derives.
+  */
+object JpegCodec {
+
+  // ---------------------------------------------------------------- tables
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.3 standard luminance Huffman tables
+  private val StdDcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcValues = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val StdAcCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcValues: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman table: per code length, the smallest/largest
+    * code and the index of its first symbol. */
+  private final class Huff(counts: Array[Int], val values: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private val cosT: Array[Double] = {
+    val t = new Array[Double](64)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+        (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    t
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    /** next entropy bit; skips 0xFF00 stuffing; -1 at a marker/EOF. */
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) return -1
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1           // stuffed 0xFF
+          else { pos -= 1; return -1 }      // real marker: stop
+        }
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { val x = bit(); if (x < 0) return -1; v = (v << 1) | x; i += 1 }
+      v
+    }
+    def reset(): Unit = nBits = 0
+    /** consume an RSTn marker if next in the stream. */
+    def restart(): Boolean = {
+      reset()
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
+        val m = b(pos + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
+      }
+      false
+    }
+  }
+
+  private def decodeHuff(r: BitReader, h: Huff): Int = {
+    var code = 0; var l = 1
+    while (l <= 16) {
+      val x = r.bit(); if (x < 0) return -1
+      code = (code << 1) | x
+      if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+        return h.values(h.valPtr(l) + code - h.minCode(l))
+      l += 1
+    }
+    -1
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map t raw bits to a signed coefficient. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
+                                var dcTbl: Int = 0, var acTbl: Int = 0)
+
+  /** Full baseline decode of the luma plane: (width, height,
+    * mean luma over the real image area). */
+  def decodeBaseline(b: Array[Byte]): Option[(Int, Int, Double)] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4); val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      var mOff = pos + 1
+      while (mOff < b.length - 1 && (b(mOff) & 0xff) == 0xff) mOff += 1
+      val m = b(mOff) & 0xff
+      if (m >= 0xd0 && m <= 0xd9) { pos = mOff + 1 }
+      else {
+        if (mOff + 3 > b.length) return None
+        val segLen = be16(mOff + 1)
+        if (segLen < 2 || mOff + 1 + segLen > b.length) return None
+        val seg = mOff + 3 // segment payload start
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < mOff + 1 + segLen) {
+              val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f; p += 1
+              val q = new Array[Int](64)
+              for (i <- 0 until 64) {
+                q(i) = if (pq == 0) b(p) & 0xff else be16(p)
+                p += (if (pq == 0) 1 else 2)
+              }
+              quant(tq) = q
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < mOff + 1 + segLen) {
+              val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f; p += 1
+              val counts = (0 until 16).map(i => b(p + i) & 0xff).toArray
+              p += 16
+              val n = counts.sum
+              val values = (0 until n).map(i => b(p + i) & 0xff).toArray
+              p += n
+              val t = new Huff(counts, values)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            }
+          case 0xdd => restartInterval = be16(seg)
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+            h = be16(seg + 1); w = be16(seg + 3)
+            val nc = b(seg + 5) & 0xff
+            comps = (0 until nc).map { i =>
+              val o = seg + 6 + i * 3
+              Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            }.toArray
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // progressive/hierarchical/arithmetic: not baseline
+          case 0xda => // SOS: entropy-coded scan follows
+            if (comps == null || w <= 0 || h <= 0) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None // non-interleaved scans unsupported
+            for (i <- 0 until ns) {
+              val cid = b(seg + 1 + i * 2) & 0xff
+              val tt = b(seg + 2 + i * 2) & 0xff
+              comps.find(_.id == cid).foreach { c => c.dcTbl = tt >> 4; c.acTbl = tt & 0x0f }
+            }
+            return decodeScan(b, mOff + 1 + segLen, w, h, comps, quant,
+              dcTabs, acTabs, restartInterval)
+          case _ => ()
+        }
+        pos = mOff + 1 + segLen
+      }
+    }
+    None
+  } catch { case _: Exception => None }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int, w: Int, h: Int,
+                         comps: Array[Comp], quant: Array[Array[Int]],
+                         dcTabs: Array[Huff], acTabs: Array[Huff],
+                         restartInterval: Int): Option[(Int, Int, Double)] = {
+    val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // luma plane accumulation at the luma component's own resolution
+    val c0 = comps(0)
+    val lw = (w * c0.h + hMax - 1) / hMax
+    val lh = (h * c0.v + vMax - 1) / vMax
+    var lumaSum = 0.0; var lumaCnt = 0L
+    val r = new BitReader(b, scanStart)
+    val dcPred = new Array[Int](comps.length)
+    val coefs = new Array[Int](64)
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!r.restart()) return None
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val dcT = dcTabs(c.dcTbl); val acT = acTabs(c.acTbl)
+        val q = quant(c.tq)
+        if (dcT == null || acT == null || q == null) return None
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // ---- entropy-decode one block into natural order
+            java.util.Arrays.fill(coefs, 0)
+            val t = decodeHuff(r, dcT)
+            if (t < 0) return None
+            val diff = if (t == 0) 0 else {
+              val raw = r.bits(t); if (raw < 0) return None; extend(raw, t)
+            }
+            dcPred(ci) += diff
+            coefs(0) = dcPred(ci) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuff(r, acT)
+              if (rs < 0) return None
+              val run = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (run == 15) k += 16 else eob = true // ZRL vs EOB
+              } else {
+                k += run
+                if (k > 63) return None
+                val raw = r.bits(sz); if (raw < 0) return None
+                coefs(ZigZag(k)) = extend(raw, sz) * q(ZigZag(k))
+                k += 1
+              }
+            }
+            // ---- luma blocks: IDCT + accumulate cropped pixels
+            if (ci == 0) {
+              var y = 0 // separable IDCT: rows then columns
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0; var u = 0
+                  while (u < 8) { s += cosT(x * 8 + u) * coefs(y * 8 + u); u += 1 }
+                  tmp(y * 8 + x) = s / 2.0
+                  x += 1
+                }
+                y += 1
+              }
+              var x = 0
+              while (x < 8) {
+                var yy = 0
+                while (yy < 8) {
+                  var s = 0.0; var v = 0
+                  while (v < 8) { s += cosT(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+                  block(yy * 8 + x) = s / 2.0 + 128.0
+                  yy += 1
+                }
+                x += 1
+              }
+              val px0 = (mx * c.h + bx) * 8; val py0 = (my * c.v + by) * 8
+              var py = 0
+              while (py < 8) {
+                if (py0 + py < lh) {
+                  var px = 0
+                  while (px < 8) {
+                    if (px0 + px < lw) {
+                      val p = math.max(0.0, math.min(255.0, math.rint(block(py * 8 + px))))
+                      lumaSum += p; lumaCnt += 1
+                    }
+                    px += 1
+                  }
+                }
+                py += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    if (lumaCnt == 0) None else Some((w, h, lumaSum / lumaCnt))
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Canonical codes for (counts, values) as (symbol -> (code, len)). */
+  private def canonical(counts: Array[Int], values: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      for (_ <- 0 until counts(l - 1)) { out(values(k)) = (code, l); code += 1; k += 1 }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { put((1 << (8 - n)) - 1, 8 - n) } // pad with 1s
+  }
+
+  /** Grayscale baseline JPEG from per-block NATURAL-order DCT
+    * coefficients (quant table all ones): full DC-difference +
+    * AC run-length/Huffman encode. `blocks` are raster block order,
+    * (ceil(w/8)·ceil(h/8)) entries of 64 coefficients. */
+  private[graft] def encodeCoefJpeg(width: Int, height: Int,
+                                    blocks: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0, "bad jpeg size")
+    require(blocks.size == ((width + 7) / 8) * ((height + 7) / 8), "block count mismatch")
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m); val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, 0x00 +: Array.fill(64)(1))                   // DQT tq=0, all ones
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0))                                      // SOF0, 1 comp, 1x1
+    seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))        // DHT DC 0
+    seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))        // DHT AC 0
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))                 // SOS
+    val dcCodes = canonical(StdDcCounts, StdDcValues)
+    val acCodes = canonical(StdAcCounts, StdAcValues)
+    val bw = new BitWriter(out)
+    def category(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoded(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym); bw.put(c, l)
+    }
+    def putValue(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    var dcPred = 0
+    blocks.foreach { coefs =>
+      val diff = coefs(0) - dcPred
+      dcPred = coefs(0)
+      val t = category(diff)
+      putCoded(dcCodes, t); putValue(diff, t)
+      // AC: zigzag positions 1..63 with (run, size) RLE
+      var k = 1; var run = 0
+      while (k < 64) {
+        val v = coefs(ZigZag(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putCoded(acCodes, 0xf0); run -= 16 } // ZRL
+          val sz = category(v)
+          putCoded(acCodes, (run << 4) | sz); putValue(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putCoded(acCodes, 0x00) // EOB
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Constant-gray baseline JPEG; decodes back to brightness == gray
+    * exactly (all-ones quant table -> zero quantization error for a
+    * constant block: DC = 8·(g−128), every AC zero). */
+  def encodeGrayJpeg(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(gray >= 0 && gray <= 255, "gray out of range")
+    val nBlocks = ((width + 7) / 8) * ((height + 7) / 8)
+    val block = new Array[Int](64)
+    block(0) = 8 * (gray - 128)
+    encodeCoefJpeg(width, height, Seq.fill(nBlocks)(block))
+  }
+}

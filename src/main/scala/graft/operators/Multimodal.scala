@@ -196,6 +196,24 @@ object Multimodal {
       .toDF()
   }
 
+  /** Same shape for baseline JPEG payloads ([[JpegCodec]]): constant
+    * gray, all-ones quant table, so the decoded brightness round-trips
+    * the spec exactly — the web's dominant image format exercised with
+    * real entropy-coded pixels. */
+  def synthesizeJpeg(df: DataFrame, idCol: String, widthCol: String,
+                     heightCol: String, grayCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(widthCol).cast("int").as("width"),
+        col(heightCol).cast("int").as("height"),
+        col(grayCol).cast("int").as("gray"))
+      .as[PngSpec]
+      .mapPartitions(_.map(s => MediaRecord(s.doc_id,
+        JpegCodec.encodeGrayJpeg(s.width, s.height, s.gray))))
+      .toDF()
+  }
+
   /** The SAME stub decode as pure Column expressions — because this
     * particular stub (md5-derived fields) needs no imperative code,
     * routing queries through it keeps whole-stage codegen intact

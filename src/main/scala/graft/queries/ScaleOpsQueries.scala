@@ -146,6 +146,25 @@ object ScaleOpsQueries {
           r(col("brightness"), 6).as("brightness"), col("n_frames"),
           (col("width").cast("long") * col("height")).as("n_pixels"))
         .orderBy("doc_id")
+    }),
+
+    // real JPEG lane: baseline entropy-coded payloads (JpegCodec
+    // encoder), decoded back through the full Huffman+IDCT pipeline —
+    // brightness is exact because the all-ones quant table makes a
+    // constant image quantize losslessly. Odd sizes exercise edge
+    // blocks; the oracle re-derives every field from the spec formula.
+    "q_mm_jpeg" -> ((s, dir) => {
+      val specs = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(9) + col("doc_id") % 56).as("w"),
+        (lit(9) + (col("doc_id") * 5) % 56).as("h"),
+        ((col("doc_id") * 3) % 256).as("g"))
+      val media = Multimodal.synthesizeJpeg(specs, "doc_id", "w", "h", "g")
+      Multimodal.decodeMeta(media, "doc_id", "media")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r(col("brightness"), 6).as("brightness"),
+          (col("width").cast("long") * col("height")).as("n_pixels"))
+        .orderBy("doc_id")
     })
   )
 
@@ -325,6 +344,14 @@ object ScaleOpsQueries {
         |  ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS brightness,
         |  CAST(1 AS BIGINT) AS n_frames,
         |  CAST((16 + doc_id % 64) * (16 + (doc_id * 7) % 64) AS BIGINT) AS n_pixels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_jpeg" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST(9 + doc_id % 56 AS INT) AS width,
+        |  CAST(9 + (doc_id * 5) % 56 AS INT) AS height,
+        |  ROUND(CAST((doc_id * 3) % 256 AS DOUBLE), 6) AS brightness,
+        |  CAST((9 + doc_id % 56) * (9 + (doc_id * 5) % 56) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_decode" ->

@@ -109,6 +109,53 @@ class ImageCodecSpec extends AnyFunSuite {
       png.brightness == 99.0)
   }
 
+  test("JPEG: constant-gray baseline round-trips brightness exactly") {
+    for ((w, h, g) <- Seq((8, 8, 0), (8, 8, 255), (16, 24, 128), (9, 13, 77),
+      (64, 80, 201), (1, 1, 42))) {
+      val d = ImageCodec.decode(graft.operators.JpegCodec.encodeGrayJpeg(w, h, g)).get
+      assert(d.format == "jpeg" && d.width == w && d.height == h, s"($w,$h,$g)")
+      assert(d.brightness.contains(g.toDouble), s"($w,$h,$g) -> ${d.brightness}")
+    }
+  }
+
+  test("JPEG: AC coefficients decode through Huffman+RLE+IDCT correctly") {
+    import graft.operators.JpegCodec
+    // one 8x8 block with DC, low/high-frequency ACs, a negative value,
+    // and a >16 zero run (forces a ZRL symbol in the stream)
+    val coefs = new Array[Int](64)
+    coefs(0) = 100          // DC
+    coefs(1) = 40           // AC (0,1)
+    coefs(8) = -24          // AC (1,0), negative
+    coefs(63) = 17          // last zigzag position after a long run
+    val jpeg = JpegCodec.encodeCoefJpeg(8, 8, Seq(coefs))
+    val got = JpegCodec.decodeBaseline(jpeg).get
+    // independent reference IDCT straight from the T.81 formula
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    var sum = 0.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += c(u) * c(v) * coefs(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      sum += math.max(0.0, math.min(255.0, math.rint(s / 4.0 + 128.0)))
+    }
+    assert(math.abs(got._3 - sum / 64.0) < 1e-9, s"got ${got._3} want ${sum / 64.0}")
+  }
+
+  test("JPEG: DC differences chain across blocks, edge blocks crop") {
+    import graft.operators.JpegCodec
+    // 2x1 blocks, 12px wide (right block cropped to 4 columns): block
+    // DCs differ so the DIFF path (not just first-DC) is exercised
+    val b0 = new Array[Int](64); b0(0) = 8 * (50 - 128)
+    val b1 = new Array[Int](64); b1(0) = 8 * (200 - 128)
+    val jpeg = JpegCodec.encodeCoefJpeg(12, 8, Seq(b0, b1))
+    val (w, h, br) = JpegCodec.decodeBaseline(jpeg).get
+    assert(w == 12 && h == 8)
+    // 8 columns at 50 + 4 columns at 200
+    assert(math.abs(br - (8 * 50.0 + 4 * 200.0) / 12.0) < 1e-9, s"br=$br")
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
