@@ -64,12 +64,15 @@ object Hdf5 {
   private val SupportedFilters = Set(1, 2) // deflate, shuffle
 
   /** Element kinds: i1/i2/i4/i8 signed fixed-point, f4/f8 IEEE floats,
-    * str = arrow-style (int64 offsets + utf8 bytes). */
+    * str = arrow-style (int64 offsets + utf8 bytes), fstr = HDF5
+    * fixed-size string (`fixedStrSize` null-padded bytes/element — the
+    * h5py `S<n>` dtype). */
   final case class ColumnMeta(
       name: String, kind: String, n: Long,
       data: Storage, dataSize: Long,
       indices: Option[Storage],  // str only, n+1 int64 offsets
-      bitmap: Option[Storage]) { // None when column has no null bitmap
+      bitmap: Option[Storage],   // None when column has no null bitmap
+      fixedStrSize: Int = 0) {
     def nullable: Boolean = bitmap.isDefined
     def sparkType: DataType = kind match {
       case "i1" => ByteType
@@ -78,12 +81,13 @@ object Hdf5 {
       case "i8" => LongType
       case "f4" => FloatType
       case "f8" => DoubleType
-      case "str" => StringType
+      case "str" | "fstr" => StringType
       case k => throw new IllegalArgumentException(s"unsupported hdf5 column kind: $k")
     }
     def elemSize: Int = kind match {
       case "i1" => 1; case "i2" => 2; case "i4" => 4
       case "i8" | "str" => 8; case "f4" => 4; case "f8" => 8
+      case "fstr" => fixedStrSize
     }
   }
 
@@ -360,20 +364,46 @@ object Hdf5 {
   private def leMagic(s: String): Int =
     (s(0) | (s(1) << 8) | (s(2) << 16) | (s(3) << 24))
 
+  /** A plain (non-vaex-layout) dataset as a column: 1-D, numeric or
+    * fixed-size string; None for anything else (multi-dim, vlen,
+    * compound — skipped, not fatal, on the generic-file path). */
+  private def plainColumn(name: String, data: DsetMeta): Option[ColumnMeta] = {
+    if (data.dims.size != 1 || data.storage == null) None
+    else if (data.dt.clazz == 3)
+      Some(ColumnMeta(name, "fstr", data.dims.head, data.storage, data.dataSize,
+        None, None, fixedStrSize = data.dt.size))
+    else
+      try Some(ColumnMeta(name, kindOf(data.dt), data.dims.head,
+        data.storage, data.dataSize, None, None))
+      catch { case _: IllegalArgumentException => None }
+  }
+
   /** Resolve the vaex table layout: /table/columns (v2 export),
-    * /columns, or /data (v1). Returns columns in column_order when the
-    * attribute is present, else B-tree (name) order. */
+    * /columns, or /data (v1). Falls back to GENERIC h5py files —
+    * supported 1-D datasets directly under the root group (the shape
+    * `h5py.File(...)["col"]` produces; the reference opens these
+    * through h5py, packages/vaex-hdf5/vaex/hdf5/dataset.py:57).
+    * Returns columns in column_order when the attribute is present,
+    * else B-tree (name) order. */
   def readTable(path: String): Seq[ColumnMeta] = {
     val f = new H5File(path)
     try {
-      val rootKids = f.groupChildren(f.rootAddr).toMap
+      val rootKidsSeq = f.groupChildren(f.rootAddr)
+      val rootKids = rootKidsSeq.toMap
       val columnsGroupAddr =
         rootKids.get("table").filter(f.isGroup)
           .flatMap(t => f.groupChildren(t).toMap.get("columns"))
           .orElse(rootKids.get("columns").filter(f.isGroup))
           .orElse(rootKids.get("data").filter(f.isGroup))
-          .getOrElse(throw new IllegalArgumentException(
-            s"$path: no /table/columns, /columns or /data group (not a vaex hdf5 file)"))
+          .getOrElse {
+            // generic file: root-level datasets as columns
+            val plain = rootKidsSeq.filterNot { case (_, a) => f.isGroup(a) }
+              .flatMap { case (name, a) => plainColumn(name, f.dataset(a)) }
+            if (plain.nonEmpty) return plain
+            throw new IllegalArgumentException(
+              s"$path: no /table/columns, /columns or /data group and no plain " +
+                "root-level 1-D datasets (not a readable hdf5 table)")
+          }
       val kids = f.groupChildren(columnsGroupAddr)
       val colOrder = {
         // column_order attr lives on the columns group
@@ -569,6 +599,19 @@ object Hdf5 {
                     new String(sb, "UTF-8")
                   }
                 }
+              case "fstr" => // fixed-size null-padded strings (h5py S<n>)
+                val es = m.elemSize
+                val buf = readRange(raf, m.data, es, start, end)
+                Array.tabulate[Any](c) { i =>
+                  if (!valid(i)) null
+                  else {
+                    val arr = new Array[Byte](es)
+                    buf.position(i * es); buf.get(arr); buf.position(0)
+                    var len = 0
+                    while (len < es && arr(len) != 0) len += 1
+                    new String(arr, 0, len, "UTF-8")
+                  }
+                }
               case k =>
                 val es = m.elemSize
                 val buf = readRange(raf, m.data, es, start, end)
@@ -607,6 +650,36 @@ object Hdf5 {
     * attribute, dtype='str' marker on string data — the layout
     * writer.py:28-87 produces). Driver-side single-file sink. */
   def toHdf5(df: DataFrame, path: String): Unit = toHdf5Impl(df, path, None)
+
+  /** Fixture/interop writer for the GENERIC h5py file shape: datasets
+    * directly under the root group, no vaex table layout. `fstr`
+    * columns carry null-padded fixed-size bytes (h5py `S<n>`). */
+  private[graft] def writeFlatFile(path: String,
+      longs: Seq[(String, Array[Long])] = Nil,
+      doubles: Seq[(String, Array[Double])] = Nil,
+      fixedStrings: Seq[(String, Int, Array[String])] = Nil,
+      chunkCfg: Option[(Int, Int, Boolean)] = None): Unit = {
+    val lc = longs.map { case (name, vs) =>
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putLong)
+      OutCol(name, "i8", b.array(), Array.empty, Array.empty, vs.length)
+    }
+    val dc = doubles.map { case (name, vs) =>
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble)
+      OutCol(name, "f8", b.array(), Array.empty, Array.empty, vs.length)
+    }
+    val sc = fixedStrings.map { case (name, width, vs) =>
+      val b = new Array[Byte](vs.length * width)
+      vs.zipWithIndex.foreach { case (s, i) =>
+        val raw = s.getBytes("UTF-8")
+        require(raw.length <= width, s"string wider than $width: $s")
+        System.arraycopy(raw, 0, b, i * width, raw.length)
+      }
+      OutCol(name, "fstr", b, Array.empty, Array.empty, vs.length)
+    }
+    writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true)
+  }
 
   /** Same layout, but every dataset stored CHUNKED with the standard
     * shuffle+deflate filter pipeline (what `h5py.create_dataset(...,
@@ -740,7 +813,8 @@ object Hdf5 {
     * deflateLevel, shuffle) stores every dataset chunked+filtered
     * behind a v1 type-1 chunk B-tree instead of contiguous. */
   private def writeFile(path: String, cols: Seq[OutCol],
-                        chunkCfg: Option[(Int, Int, Boolean)] = None): Unit = {
+                        chunkCfg: Option[(Int, Int, Boolean)] = None,
+                        flat: Boolean = false): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     var cursor = 96L // superblock size
     def alloc(size: Long): Long = { val a = cursor; cursor = align8(cursor + size); a }
@@ -1023,6 +1097,23 @@ object Hdf5 {
             emit(a, hdr); a
         }
 
+      if (flat) {
+        // generic h5py shape: datasets directly under the root group
+        val dsets = cols.map { c =>
+          val (dt, es) = c.kind match {
+            case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)
+            case "i4" => (dtFixed(4), 4); case "i8" => (dtFixed(8), 8)
+            case "f4" => (dtFloat(4), 4); case "f8" => (dtFloat(8), 8)
+            case "fstr" =>
+              val w = (c.data.length / math.max(c.n, 1L)).toInt
+              (dtString(w), w)
+            case k => throw new IllegalArgumentException(s"flat layout: unsupported kind $k")
+          }
+          (c.name, emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil))
+        }
+        val rootAddr = writeGroup(dsets, Nil)
+        (rootAddr, dataCursor)
+      } else {
       val colGroups = cols.map { c =>
         val members = scala.collection.mutable.ArrayBuffer[(String, Long)]()
         c.kind match {
@@ -1049,6 +1140,7 @@ object Hdf5 {
       val tableAddr = writeGroup(Seq(("columns", columnsAddr)), Nil)
       val rootAddr = writeGroup(Seq(("table", tableAddr)), Nil)
       (rootAddr, dataCursor)
+      }
     }
     val (_, _) = plan(0L)
     val metaEnd = cursor

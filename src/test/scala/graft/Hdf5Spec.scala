@@ -163,6 +163,29 @@ class Hdf5Spec extends SparkSpec {
     assert(back.agg(sum("k")).head.getLong(0) == 20000L * 19999 / 2)
   }
 
+  test("generic h5py-shaped files read: root-level datasets, fixed-size strings") {
+    val path = tmp("flat.hdf5")
+    val n = 3000
+    Hdf5.writeFlatFile(path,
+      longs = Seq("k" -> Array.tabulate(n)(_.toLong)),
+      doubles = Seq("x" -> Array.tabulate(n)(_ * 0.25)),
+      fixedStrings = Seq(("tag", 8, Array.tabulate(n)(i => s"t${i % 50}"))))
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("k", "tag", "x"))
+    assert(back.count() == n)
+    assert(back.agg(sum("x")).head.getDouble(0) == (0 until n).map(_ * 0.25).sum)
+    assert(back.where(col("k") === 137).head.getAs[String]("tag") == "t37")
+    // and chunked+gzip generic files too (the wild h5py default)
+    val pc = tmp("flatchunked.hdf5")
+    Hdf5.writeFlatFile(pc,
+      longs = Seq("k" -> Array.tabulate(n)(_.toLong)),
+      fixedStrings = Seq(("tag", 6, Array.tabulate(n)(i => s"g${i % 9}"))),
+      chunkCfg = Some((256, 6, true)))
+    val cback = Hdf5.fromHdf5(spark, pc, Nil, numPartitions = 5)
+    assert(cback.count() == n)
+    assert(cback.where(col("k") === 2500).head.getAs[String]("tag") == "g7")
+  }
+
   test("unsupported layouts fail with clear errors") {
     val e = intercept[IllegalArgumentException] {
       Hdf5.readTable("/root/testdata/sf0.001/nation.parquet")
