@@ -607,6 +607,24 @@ final case class VxFrame(
       virtualColumns = ListMap.empty, filterExpression = None)
   }
 
+  /** EXACT-size weighted sample without replacement
+    * (Efraimidis-Spirakis A-ES): each row draws key = U^(1/w) and the
+    * n largest keys win — provably the weighted-without-replacement
+    * distribution, in one pass with no Σw pre-aggregation. The plan is
+    * a TakeOrdered (per-partition top-n, then merge of n-row partials)
+    * — no global sort, safe at any scale for driver-bounded n. Use
+    * [[sampleWeighted]] when n is too large to order (expected-size,
+    * fully streaming). */
+  def sampleWeightedExact(n: Int, weights: String, seed: Long = 42L): VxFrame = {
+    require(n > 0, "sampleWeightedExact: n must be positive")
+    val w = parse(weights).cast("double")
+    val ok = w.isNotNull && !isnan(w) && w > 0
+    val key = pow(rand(seed), lit(1.0) / w)
+    copy(base = df.where(ok).withColumn("__es_key", key)
+        .orderBy(col("__es_key").desc).limit(n).drop("__es_key"),
+      virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
   /** Random permutation. vaex's shuffle promises random ROW ORDER, not
     * a total sort, so at scale this avoids the range-partitioned global
     * sort of `orderBy(rand)`: hash-repartition on a random key (the

@@ -65,6 +65,23 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(d.sampleWeighted(100, "w * 2").count() > 0)
   }
 
+  test("sampleWeightedExact: exact n, frequencies track weights, top-k plan") {
+    val d = VxFrame(spark.range(40000).select(
+      col("id"), when(col("id") % 2 === 0, 3.0).otherwise(1.0).as("w")))
+    val s = d.sampleWeightedExact(10000, "w", seed = 11)
+    assert(s.count() == 10000) // exact, not expected
+    val got = s.df.groupBy((col("id") % 2 === 0).as("heavy")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // without replacement from a finite pool, heavy items deplete:
+    // E[ratio] sits between the weight ratio and 1 — just require a
+    // strong, stable bias toward the heavy stratum
+    val ratio = got(true).toDouble / got(false)
+    assert(ratio > 1.8 && ratio < 3.0, s"ratio=$ratio")
+    // plan is a top-k (TakeOrdered), not a global Sort+Exchange(range)
+    val plan = s.df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("nuniqueFlags: NaN and null each count once by default, flags drop them") {
     val d = VxFrame(Seq[java.lang.Double](1.0, 1.0, 2.0, null, Double.NaN, Double.NaN).toDF("x"))
     assert(d.nuniqueFlags("x") == 4L)                          // {1, 2, NaN, null}
