@@ -156,6 +156,45 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(math.abs(br - (8 * 50.0 + 4 * 200.0) / 12.0) < 1e-9, s"br=$br")
   }
 
+  test("JPEG: randomized coefficient blocks round-trip against a reference IDCT") {
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(20260812L)
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    def refMean(blocks: Seq[Array[Int]], w: Int, blocksX: Int): Double = {
+      // reference decode: per-block IDCT, crop columns beyond w
+      var sum = 0.0; var cnt = 0L
+      blocks.zipWithIndex.foreach { case (coefs, bi) =>
+        val px0 = (bi % blocksX) * 8
+        for (y <- 0 until 8; x <- 0 until 8) {
+          if (px0 + x < w) {
+            var s = 0.0
+            for (v <- 0 until 8; u <- 0 until 8)
+              s += c(u) * c(v) * coefs(v * 8 + u) *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+            sum += math.max(0.0, math.min(255.0, math.rint(s / 4.0 + 128.0)))
+            cnt += 1
+          }
+        }
+      }
+      sum / cnt
+    }
+    for (trial <- 1 to 12) {
+      val blocksX = 1 + rnd.nextInt(3)
+      val w = blocksX * 8 - rnd.nextInt(8)
+      val blocks = Seq.fill(blocksX)(
+        Array.tabulate(64)(i =>
+          if (rnd.nextDouble() < 0.7) 0 // sparse, like real quantized data
+          else rnd.nextInt(511) - 255))
+      val jpeg = JpegCodec.encodeCoefJpeg(w, 8, blocks)
+      val (gw, gh, br) = JpegCodec.decodeBaseline(jpeg)
+        .getOrElse(fail(s"trial $trial failed to decode"))
+      assert(gw == w && gh == 8)
+      val want = refMean(blocks, w, blocksX)
+      assert(math.abs(br - want) < 1e-9, s"trial $trial: got $br want $want")
+    }
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
