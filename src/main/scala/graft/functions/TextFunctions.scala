@@ -82,6 +82,25 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT-2-style BPE PRE-tokenization (the regex split every byte-pair
+    * tokenizer applies before merges — public pattern from the GPT-2
+    * release), minus the trailing-space lookahead RE2 engines can't
+    * run, so the SAME pattern executes in Spark (java.util.regex) and
+    * the DuckDB oracle (RE2): contraction suffixes, space-prefixed
+    * letter/digit/punctuation runs, whitespace runs. Pre-token count
+    * is the standard cheap token-budget estimator (~1 BPE merge round
+    * away from true token count on English text). */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Array of BPE pre-tokens of a text column. */
+  def bpePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePretokenPattern), lit(0))
+
+  /** Pre-token count — the token-budget estimate for a document. */
+  def bpePretokenCount(text: Column): Column =
+    size(bpePretokens(text)).cast("long")
+
   /** Distinct word n-gram shingles of a text column (empty array when
     * the doc is shorter than n tokens). */
   def shingles(text: Column, n: Int): Column = {

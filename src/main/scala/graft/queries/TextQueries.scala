@@ -67,6 +67,24 @@ object TextQueries {
         .limit(30)
     }),
 
+    // BPE pre-tokenization (GPT-2 split regex, lookahead-free so the
+    // identical pattern runs in java.util.regex AND DuckDB's RE2) —
+    // the token-budget estimator of a training pipeline; per-doc
+    // pre-token count, non-whitespace token count, chars/token
+    "q_token_bpe" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val toks = TextFunctions.bpePretokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val nWord = size(filter(toks, tk => tk.rlike("\\S"))).cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.as("n_pretokens"),
+        nWord.as("n_word_tokens"),
+        round(length(col("text")).cast("double") / nWord.cast("double"), 6)
+          .as("chars_per_token")
+      ).orderBy("doc_id")
+    }),
+
     // n-gram shingles (dedup building block, SQL-checkable): distinct
     // 3-gram count per doc
     "q_shingles" -> ((s, dir) => {
@@ -116,6 +134,16 @@ object TextQueries {
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 30""".stripMargin,
+
+    "q_token_bpe" ->
+      ("""SELECT doc_id,
+        |  CAST(LEN(tk) AS BIGINT) AS n_pretokens,
+        |  CAST(LEN(list_filter(tk, t -> regexp_matches(t, '\S'))) AS BIGINT) AS n_word_tokens,
+        |  ROUND(CAST(LENGTH(text) AS DOUBLE)
+        |    / LEN(list_filter(tk, t -> regexp_matches(t, '\S'))), 6) AS chars_per_token
+        |FROM (SELECT doc_id, text, regexp_extract_all(text, '""" +
+        graft.functions.TextFunctions.BpePretokenPattern.replace("'", "''") +
+        """') AS tk FROM documents) ORDER BY doc_id""").stripMargin,
 
     "q_shingles" ->
       """SELECT doc_id,

@@ -89,6 +89,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "en"))
   }
 
+  test("bpePretokens matches the GPT-2 split shape on hand-checked cases") {
+    import spark.implicits._
+    def toks(s: String): Seq[String] =
+      Seq(s).toDF("t").select(bpePretokens(col("t"))).head.getSeq[String](0)
+    def bpeCount(s: String): Long =
+      Seq(s).toDF("t").select(bpePretokenCount(col("t"))).head.getLong(0)
+    // contractions split off, space binds to the following word
+    assert(toks("don't stop") == Seq("don", "'t", " stop"))
+    assert(toks("it's 42 degrees!") ==
+      Seq("it", "'s", " 42", " degrees", "!"))
+    // digit and punctuation runs separate from letters
+    assert(toks("abc123 x-y") == Seq("abc", "123", " x", "-", "y"))
+    // multi-space runs become ONE whitespace token (the lookahead-free
+    // variant: original GPT-2's \s+(?!\S) would yield (" ", " b"), but
+    // RE2 has no lookahead — both engines here agree on ("  ", "b"))
+    assert(toks("a  b") == Seq("a", "  ", "b"))
+    assert(toks("word").size == 1 && bpeCount("word") == 1L)
+  }
+
   test("langIdPredictReal classifies real sentences via stopword profiles") {
     import spark.implicits._
     val sentences = Seq(
