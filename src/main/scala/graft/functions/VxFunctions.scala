@@ -262,6 +262,27 @@ object VxFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
   }
 
+  /** Symmetric int8 quantization scale (127/max|x|, 0 for a zero
+    * vector) — the standard 4x embedding-storage compressor for
+    * ANN at scale. Pure double Column math, identical FP ops in the
+    * DuckDB oracle. */
+  def int8Scale(e: Column): Column = {
+    val m = array_max(transform(e, x => abs(x.cast("double"))))
+    when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
+  }
+
+  /** Quantized codes floor(x·scale + 0.5) ∈ [-127, 127] (explicit
+    * half-up rounding: ROUND() ties differ between engines; FLOOR
+    * doesn't). Emitted as int for arithmetic safety; cast to tinyint
+    * at the storage boundary. */
+  def quantizeInt8(e: Column, scale: Column): Column =
+    transform(e, x => floor(x.cast("double") * scale + lit(0.5)).cast("int"))
+
+  /** Reconstruction x' = q/scale (zero vector stays zero). */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    when(scale === 0.0, transform(q, _ => lit(0.0)))
+      .otherwise(transform(q, v => v.cast("double") / scale))
+
   // ---------------------------------------------------------------- mapping
   /** expr.map(mapper, default) (reference: core/expression.py:1298) as a
     * codegen'd CASE chain for small dictionaries; for large dictionaries

@@ -84,6 +84,28 @@ object VectorQueries {
             .otherwise(fdot(col("emb_a"), col("emb_b")) / denom), 8).as("cos"))
         .where(col("cos") > 0.9)
         .orderBy("id_a", "id_b")
+    }),
+
+    // symmetric int8 quantization (the 4x embedding-storage compressor
+    // for ANN at scale): q = floor(x·127/max|x| + 0.5). q_sum is an
+    // INTEGER bit-parity check of the codes; max_abs_err bounds the
+    // reconstruction. Staged selects keep scale computed once.
+    "q_embed_quantize" -> ((s, dir) => {
+      import graft.functions.VxFunctions._
+      val staged = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("embedding"), col("scale"),
+          quantizeInt8(col("embedding"), col("scale")).as("q"))
+      staged.select(
+        col("vec_id"),
+        r(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v.cast("long")).as("q_sum"),
+        array_max(col("q")).as("q_max"),
+        r(when(col("scale") === 0.0, lit(0.0)).otherwise(
+          array_max(zip_with(col("embedding"), dequantizeInt8(col("q"), col("scale")),
+            (x, xq) => abs(x.cast("double") - xq)))), 6).as("max_abs_err")
+      ).orderBy("vec_id")
     })
   )
 
@@ -117,6 +139,26 @@ object VectorQueries {
          |    ELSE ${ddbDot("embedding", "a")} / (${ddbNorm("embedding")} * ${ddbNorm("a")}) END, 8) AS cos
          |FROM embeddings, anchor WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) = 0
+        |      THEN 0.0
+        |      ELSE 127.0 / list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) END AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qc
+        |  FROM m)
+        |SELECT vec_id,
+        |  ROUND(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(qc, v -> CAST(v AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qc) AS INT) AS q_max,
+        |  ROUND(CASE WHEN scale = 0 THEN 0.0
+        |    ELSE list_max(list_transform(list_zip(embedding, qc),
+        |      p -> ABS(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / scale))) END, 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT * FROM (

@@ -125,6 +125,27 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(cs - 1.0) < 1e-12)
   }
 
+  test("int8 quantization: extremes hit ±127, zero vector safe, bounded error") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 2.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "e")
+    val staged = df.select(col("id"), col("e"),
+      VxFunctions.int8Scale(col("e")).as("s"))
+      .select(col("id"), col("e"), col("s"),
+        VxFunctions.quantizeInt8(col("e"), col("s")).as("q"))
+    val r1 = staged.where(col("id") === 1).head
+    val q1 = r1.getSeq[Int](3)
+    assert(q1 == Seq(64, -127, 32, 127)) // 1.0*63.5+0.5=64; max|x|=2 -> ±127
+    // reconstruction error bounded by half a quantization step
+    val err = staged.where(col("id") === 1).select(
+      array_max(zip_with(col("e"), VxFunctions.dequantizeInt8(col("q"), col("s")),
+        (x, xq) => abs(x.cast("double") - xq)))).head.getDouble(0)
+    assert(err <= 0.5 / 63.5 + 1e-12, s"err=$err")
+    val r2 = staged.where(col("id") === 2).head
+    assert(r2.getDouble(2) == 0.0 && r2.getSeq[Int](3) == Seq(0, 0, 0, 0))
+  }
+
   test("mapValues CASE-chain with default") {
     import spark.implicits._
     val df = Seq("a", "b", "z").toDF("k")
