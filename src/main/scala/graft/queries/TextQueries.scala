@@ -85,6 +85,28 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // unigram-LM quality score: -mean log2 p(token) under the corpus's
+    // own unigram distribution — the classic cheap fluency/outlier
+    // signal for corpus filtering (high surprisal = rare-token soup).
+    // Shape at scale: one token-frequency aggregation (shuffles token
+    // counts, not text), broadcast-joined back to the exploded tokens,
+    // then a per-doc decimal-exact mean. No driver data.
+    "q_unigram_surprisal" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      val totalDf = freq.agg(sum(col("tf")).as("total"))
+      toks.join(broadcast(freq), "token")
+        .crossJoin(broadcast(totalDf))
+        .withColumn("__sup",
+          -log2(col("tf").cast("double") / col("total").cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          r(dsum(col("__sup")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram shingles (dedup building block, SQL-checkable): distinct
     // 3-gram count per doc
     "q_shingles" -> ((s, dir) => {
@@ -134,6 +156,17 @@ object TextQueries {
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 30""".stripMargin,
+
+    "q_unigram_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         |freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(CAST(${sqlDsum("-LOG2(CAST(tf AS DOUBLE) / total)")} AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_surprisal
+         |FROM toks JOIN freq USING (token) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_token_bpe" ->
       ("""SELECT doc_id,
