@@ -96,7 +96,10 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
       val totalDf = freq.agg(sum(col("tf")).as("total"))
-      toks.join(broadcast(freq), "token")
+      // freq is NOT broadcast-hinted: a 100 TB corpus can carry a
+      // 1e8-token vocabulary — the join stays keyed on token and AQE
+      // broadcast-converts when the actual vocab is small
+      toks.join(freq, "token")
         .crossJoin(broadcast(totalDf))
         .withColumn("__sup",
           -log2(col("tf").cast("double") / col("total").cast("double")))
