@@ -571,68 +571,79 @@ object Hdf5 {
     val metasB = metas.toArray
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .mapPartitions { it =>
-        val raf = new RandomAccessFile(path, "r")
-        val rows = it.flatMap { case (start, end) =>
+        it.flatMap { case (start, end) =>
           val c = (end - start).toInt
-          val colVals: Array[Array[Any]] = metasB.map { m =>
-            val valid: Int => Boolean = m.bitmap match {
-              case Some(bst) =>
-                val firstByte = start / 8
-                val nBytes = (end + 7) / 8 - firstByte
-                val bits = readRange(raf, bst, 1, firstByte, firstByte + nBytes)
-                i => { val g = start + i - firstByte * 8
-                  (bits.get((g / 8).toInt) >> (g % 8).toInt & 1) == 1 }
-              case None => _ => true
-            }
-            m.kind match {
-              case "str" =>
-                val offs = readRange(raf, m.indices.get, 8, start, start + c + 1)
-                val o0 = offs.getLong(0); val oN = offs.getLong(c * 8)
-                val bytes = readRange(raf, m.data, 1, o0, oN)
-                Array.tabulate[Any](c) { i =>
-                  if (!valid(i)) null
-                  else {
-                    val from = (offs.getLong(i * 8) - o0).toInt
-                    val len = (offs.getLong((i + 1) * 8) - offs.getLong(i * 8)).toInt
-                    val sb = new Array[Byte](len)
-                    bytes.position(from); bytes.get(sb); bytes.position(0)
-                    new String(sb, "UTF-8")
-                  }
-                }
-              case "fstr" => // fixed-size null-padded strings (h5py S<n>)
-                val es = m.elemSize
-                val buf = readRange(raf, m.data, es, start, end)
-                Array.tabulate[Any](c) { i =>
-                  if (!valid(i)) null
-                  else {
-                    val arr = new Array[Byte](es)
-                    buf.position(i * es); buf.get(arr); buf.position(0)
-                    var len = 0
-                    while (len < es && arr(len) != 0) len += 1
-                    new String(arr, 0, len, "UTF-8")
-                  }
-                }
-              case k =>
-                val es = m.elemSize
-                val buf = readRange(raf, m.data, es, start, end)
-                Array.tabulate[Any](c) { i =>
-                  if (!valid(i)) null
-                  else k match {
-                    case "i1" => buf.get(i)
-                    case "i2" => buf.getShort(i * 2)
-                    case "i4" => buf.getInt(i * 4)
-                    case "i8" => buf.getLong(i * 8)
-                    case "f4" => buf.getFloat(i * 4)
-                    case "f8" => buf.getDouble(i * 8)
-                  }
-                }
-            }
-          }
+          val colVals = readColumnRanges(path, metasB, start, end)
           (0 until c).iterator.map(i => Row.fromSeq(metasB.indices.map(j => colVals(j)(i))))
         }
-        rows
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Executor-side columnar read of rows [start, end) for the given
+    * columns — shared by the RDD path above and the DataSource V2
+    * reader ([[Hdf5DataSource]]). One positioned/per-chunk read per
+    * (column, range). */
+  private[sources] def readColumnRanges(path: String, metas: Array[ColumnMeta],
+                                        start: Long, end: Long): Array[Array[Any]] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val c = (end - start).toInt
+      metas.map { m =>
+        val valid: Int => Boolean = m.bitmap match {
+          case Some(bst) =>
+            val firstByte = start / 8
+            val nBytes = (end + 7) / 8 - firstByte
+            val bits = readRange(raf, bst, 1, firstByte, firstByte + nBytes)
+            i => { val g = start + i - firstByte * 8
+              (bits.get((g / 8).toInt) >> (g % 8).toInt & 1) == 1 }
+          case None => _ => true
+        }
+        m.kind match {
+          case "str" =>
+            val offs = readRange(raf, m.indices.get, 8, start, start + c + 1)
+            val o0 = offs.getLong(0); val oN = offs.getLong(c * 8)
+            val bytes = readRange(raf, m.data, 1, o0, oN)
+            Array.tabulate[Any](c) { i =>
+              if (!valid(i)) null
+              else {
+                val from = (offs.getLong(i * 8) - o0).toInt
+                val len = (offs.getLong((i + 1) * 8) - offs.getLong(i * 8)).toInt
+                val sb = new Array[Byte](len)
+                bytes.position(from); bytes.get(sb); bytes.position(0)
+                new String(sb, "UTF-8")
+              }
+            }
+          case "fstr" => // fixed-size null-padded strings (h5py S<n>)
+            val es = m.elemSize
+            val buf = readRange(raf, m.data, es, start, end)
+            Array.tabulate[Any](c) { i =>
+              if (!valid(i)) null
+              else {
+                val arr = new Array[Byte](es)
+                buf.position(i * es); buf.get(arr); buf.position(0)
+                var len = 0
+                while (len < es && arr(len) != 0) len += 1
+                new String(arr, 0, len, "UTF-8")
+              }
+            }
+          case k =>
+            val es = m.elemSize
+            val buf = readRange(raf, m.data, es, start, end)
+            Array.tabulate[Any](c) { i =>
+              if (!valid(i)) null
+              else k match {
+                case "i1" => buf.get(i)
+                case "i2" => buf.getShort(i * 2)
+                case "i4" => buf.getInt(i * 4)
+                case "i8" => buf.getLong(i * 8)
+                case "f4" => buf.getFloat(i * 4)
+                case "f8" => buf.getDouble(i * 8)
+              }
+            }
+        }
+      }
+    } finally raf.close()
   }
 
   // ==================================================================

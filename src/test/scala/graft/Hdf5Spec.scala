@@ -186,6 +186,30 @@ class Hdf5Spec extends SparkSpec {
     assert(cback.where(col("k") === 2500).head.getAs[String]("tag") == "g7")
   }
 
+  test("DataSource V2: open() prunes columns through Catalyst into the scan") {
+    val path = tmp("dsv2.hdf5")
+    val df = spark.range(50000).select(
+      col("id").as("k"), (col("id") * 2.0).as("x"),
+      concat(lit("s"), col("id")).as("s"), (col("id") % 7).as("y"))
+    Hdf5.toHdf5Chunked(df, path, chunkElems = 4096)
+    val opened = graft.sources.Readers.open(spark, path)
+    // values round-trip through the V2 reader
+    assert(opened.count() == 50000)
+    assert(opened.where(col("k") === 123).head.getString(2) == "s123")
+    // a narrow projection prunes the scan: physical BatchScan reads
+    // ONLY the selected columns (metadata-time pruning — unselected
+    // columns' bytes are never touched)
+    val narrow = opened.select("y").agg(sum("y"))
+    val scan = narrow.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("y"), scan.take(1000))
+    assert(!scan.contains("ReadSchema: struct<k"), scan.take(1000))
+    val schemaLine = narrow.queryExecution.optimizedPlan.collectLeaves().head.schema
+    assert(schemaLine.fieldNames.toSeq == Seq("y"), schemaLine.treeString)
+    assert(narrow.head.getLong(0) == df.agg(sum("y")).head.getLong(0))
+    // count(*) (empty projection) still works
+    assert(opened.groupBy().count().head.getLong(0) == 50000)
+  }
+
   test("unsupported layouts fail with clear errors") {
     val e = intercept[IllegalArgumentException] {
       Hdf5.readTable("/root/testdata/sf0.001/nation.parquet")
