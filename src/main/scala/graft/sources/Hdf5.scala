@@ -99,11 +99,22 @@ object Hdf5 {
   private[sources] final case class DsetMeta(dims: Seq[Long], dt: Dtype, storage: Storage,
                                              dataSize: Long, attrs: Map[String, String])
 
-  /** Driver-side metadata parser. Reads only header structures. */
+  /** Driver-side metadata parser. Reads only header structures.
+    * Hardened against corrupt/hostile files: every metadata read is
+    * size-capped, name scans are length-capped, and both B-tree walks
+    * carry a visited-set — a flipped byte yields a clear exception,
+    * never an unbounded allocation, scan, or recursion. */
   final class H5File(path: String) extends AutoCloseable {
     private val raf = new RandomAccessFile(path, "r")
 
+    /** Largest single metadata structure we'll ever buffer (64 MB —
+      * real headers are KBs; a corrupt length must not OOM). */
+    private val MaxMetaRead = 1 << 26
+
     private def readAt(addr: Long, len: Int): ByteBuffer = {
+      if (addr < 0 || len < 0 || len > MaxMetaRead)
+        throw new IllegalStateException(
+          s"$path: implausible metadata region (addr=$addr len=$len) — corrupt file")
       val b = new Array[Byte](len)
       raf.seek(addr); raf.readFully(b)
       ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
@@ -138,7 +149,11 @@ object Hdf5 {
       val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
       // queue of (addr, len) message blocks; first block starts at +16
       var blocks = List((ohAddr + 16, blockSize.toLong))
+      var blocksSeen = 0
       while (blocks.nonEmpty && out.size < nMsgs) {
+        blocksSeen += 1
+        if (blocksSeen > 4096) // corrupt continuation cycle
+          throw new IllegalStateException(s"$path: header continuation loop")
         val (bAddr, bLen) = blocks.head
         blocks = blocks.tail
         val buf = readAt(bAddr, bLen.toInt)
@@ -176,10 +191,17 @@ object Hdf5 {
         val sb = new StringBuilder
         var a = heapDataAddr + off
         var c = readAt(a, 1).get(0)
-        while (c != 0) { sb.append(c.toChar); a += 1; c = readAt(a, 1).get(0) }
+        while (c != 0) {
+          if (sb.length > 65535)
+            throw new IllegalStateException(s"$path: unterminated heap name")
+          sb.append(c.toChar); a += 1; c = readAt(a, 1).get(0)
+        }
         sb.toString
       }
+      val visited = scala.collection.mutable.Set[Long]()
       def walkBtree(addr: Long): Seq[Long] = { // returns SNOD addresses
+        if (!visited.add(addr)) // corrupt node cycle
+          throw new IllegalStateException(s"$path: group btree cycle")
         val hd = readAt(addr, 24)
         require(hd.getInt(0) == leMagic("TREE"), "bad btree signature")
         require((hd.get(4) & 0xff) == 0, "not a group btree")
@@ -285,7 +307,10 @@ object Hdf5 {
       * dimensionality offsets(8 each, dataset ELEMENT coordinates). */
     def chunkLocations(btreeAddr: Long, dimensionality: Int): Array[ChunkLoc] = {
       val keySize = 8 + 8 * dimensionality
+      val visited = scala.collection.mutable.Set[Long]()
       def walk(addr: Long): Seq[ChunkLoc] = {
+        if (!visited.add(addr)) // corrupt node cycle
+          throw new IllegalStateException(s"$path: chunk btree cycle")
         val hd = readAt(addr, 24)
         require(hd.getInt(0) == leMagic("TREE"), "bad chunk btree signature")
         require((hd.get(4) & 0xff) == 1, "not a chunk btree")

@@ -210,6 +210,35 @@ class Hdf5Spec extends SparkSpec {
     assert(opened.groupBy().count().head.getLong(0) == 50000)
   }
 
+  test("corrupt-byte fuzzing: parser throws promptly, never hangs or OOMs") {
+    val path = tmp("fuzzbase.hdf5")
+    val df = spark.range(2000).select(col("id").as("k"),
+      (col("id") * 1.5).as("x"), concat(lit("s"), col("id")).as("s"))
+    Hdf5.toHdf5Chunked(df, path, chunkElems = 256)
+    val base = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val rnd = new scala.util.Random(0xf0220812L)
+    val mutPath = java.nio.file.Paths.get(tmp("fuzzmut.hdf5"))
+    var parsed = 0
+    val t0 = System.nanoTime()
+    for (_ <- 1 to 300) {
+      val mutated = base.clone()
+      // flip 1-4 bytes, biased toward the metadata region at the front
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val pos = if (rnd.nextBoolean()) rnd.nextInt(math.min(4096, mutated.length))
+          else rnd.nextInt(mutated.length)
+        mutated(pos) = rnd.nextInt(256).toByte
+      }
+      Files.write(mutPath, mutated)
+      try { Hdf5.readTable(mutPath.toString); parsed += 1 }
+      catch { case _: Exception => () } // any prompt exception is fine
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    // bounded wall time = no unbounded scans/recursion; a good chunk
+    // of mutations still parse (flips landing in data regions)
+    assert(secs < 60.0, s"fuzz took ${secs}s")
+    assert(parsed > 50, s"only $parsed/300 parsed — fixture layout suspicious")
+  }
+
   test("unsupported layouts fail with clear errors") {
     val e = intercept[IllegalArgumentException] {
       Hdf5.readTable("/root/testdata/sf0.001/nation.parquet")
