@@ -106,12 +106,18 @@ object JpegCodec {
       v
     }
     def reset(): Unit = nBits = 0
-    /** consume an RSTn marker if next in the stream. */
+    /** Skip pad bytes and consume the next RSTn marker. Everything
+      * between the last MCU and the marker is padding; entropy data
+      * cannot contain a bare 0xFF + D0-D7 thanks to byte stuffing. */
     def restart(): Boolean = {
       reset()
-      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
-        val m = b(pos + 1) & 0xff
-        if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
+      while (pos + 1 < b.length) {
+        if ((b(pos) & 0xff) == 0xff) {
+          val m = b(pos + 1) & 0xff
+          if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
+          else if (m == 0x00) pos += 2 // stuffed pad byte: skip the pair
+          else return false            // a different marker: corrupt scan
+        } else pos += 1
       }
       false
     }
@@ -355,9 +361,13 @@ object JpegCodec {
   /** Grayscale baseline JPEG from per-block NATURAL-order DCT
     * coefficients (quant table all ones): full DC-difference +
     * AC run-length/Huffman encode. `blocks` are raster block order,
-    * (ceil(w/8)·ceil(h/8)) entries of 64 coefficients. */
+    * (ceil(w/8)·ceil(h/8)) entries of 64 coefficients.
+    * `restartInterval` > 0 emits a DRI segment and RSTn markers every
+    * that many MCUs (what wild JPEGs use for error resilience) —
+    * mainly to exercise the decoder's restart path. */
   private[graft] def encodeCoefJpeg(width: Int, height: Int,
-                                    blocks: Seq[Array[Int]]): Array[Byte] = {
+                                    blocks: Seq[Array[Int]],
+                                    restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "bad jpeg size")
     require(blocks.size == ((width + 7) / 8) * ((height + 7) / 8), "block count mismatch")
     val out = new ByteArrayOutputStream()
@@ -372,6 +382,8 @@ object JpegCodec {
       1, 1, 0x11, 0))                                      // SOF0, 1 comp, 1x1
     seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))        // DHT DC 0
     seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))        // DHT AC 0
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))                 // SOS
     val dcCodes = canonical(StdDcCounts, StdDcValues)
     val acCodes = canonical(StdAcCounts, StdAcValues)
@@ -384,7 +396,12 @@ object JpegCodec {
     def putValue(v: Int, t: Int): Unit =
       if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
     var dcPred = 0
-    blocks.foreach { coefs =>
+    blocks.zipWithIndex.foreach { case (coefs, bi) =>
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        bw.flush() // pad to byte boundary, then the restart marker
+        out.write(0xff); out.write(0xd0 + ((bi / restartInterval - 1) % 8))
+        dcPred = 0 // DC prediction resets at a restart
+      }
       val diff = coefs(0) - dcPred
       dcPred = coefs(0)
       val t = category(diff)

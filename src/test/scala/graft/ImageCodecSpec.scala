@@ -195,6 +195,24 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: restart markers reset DC prediction correctly") {
+    import graft.operators.JpegCodec
+    // 6 blocks, restart every 2: DC prediction must reset at each RST
+    // or the decoded means drift block over block
+    val grays = Seq(30, 60, 90, 120, 150, 180)
+    val blocks = grays.map { g =>
+      val b = new Array[Int](64); b(0) = 8 * (g - 128); b
+    }
+    val jpeg = JpegCodec.encodeCoefJpeg(48, 8, blocks, restartInterval = 2)
+    // byte-level: DRI segment present and at least one RST marker
+    def hasMarker(m: Int) = jpeg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xdd) && hasMarker(0xd0))
+    val (w, _, br) = JpegCodec.decodeBaseline(jpeg).get
+    assert(w == 48)
+    assert(math.abs(br - grays.sum / 6.0) < 1e-9, s"br=$br")
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
