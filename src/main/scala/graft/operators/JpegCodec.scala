@@ -426,6 +426,70 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** 3-component (YCbCr, all 1x1 sampling, shared tables) baseline
+    * JPEG from per-component NATURAL-order coefficients — the
+    * interleaved-MCU shape every color web JPEG has; exists to pin
+    * the decoder's multi-component scan walk (chroma blocks advance
+    * the bitstream, only luma accumulates). */
+  private[graft] def encodeYCbCrJpeg(width: Int, height: Int,
+      y: Seq[Array[Int]], cb: Seq[Array[Int]], cr: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0, "bad jpeg size")
+    val nBlocks = ((width + 7) / 8) * ((height + 7) / 8)
+    require(y.size == nBlocks && cb.size == nBlocks && cr.size == nBlocks,
+      "block count mismatch")
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m); val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, 0x00 +: Array.fill(64)(1))
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)) // 3 comps, all 1x1, quant 0
+    seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
+    seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = canonical(StdDcCounts, StdDcValues)
+    val acCodes = canonical(StdAcCounts, StdAcValues)
+    val bw = new BitWriter(out)
+    def category(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putValue(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    val comps = Array(y, cb, cr)
+    val dcPred = new Array[Int](3)
+    var mcu = 0
+    while (mcu < nBlocks) { // interleaved: one block per component per MCU
+      var ci = 0
+      while (ci < 3) {
+        val coefs = comps(ci)(mcu)
+        val diff = coefs(0) - dcPred(ci)
+        dcPred(ci) = coefs(0)
+        val t = category(diff)
+        val (dc, dl) = dcCodes(t); bw.put(dc, dl); putValue(diff, t)
+        var k = 1; var run = 0
+        while (k < 64) {
+          val v = coefs(ZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 }
+            val sz = category(v)
+            val (ac, al) = acCodes((run << 4) | sz); bw.put(ac, al); putValue(v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+        ci += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Constant-gray baseline JPEG; decodes back to brightness == gray
     * exactly (all-ones quant table -> zero quantization error for a
     * constant block: DC = 8·(g−128), every AC zero). */

@@ -213,6 +213,23 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(math.abs(br - grays.sum / 6.0) < 1e-9, s"br=$br")
   }
 
+  test("JPEG: 3-component interleaved scan decodes luma; chroma advances the stream") {
+    import graft.operators.JpegCodec
+    // Y blocks at grays 40 and 220; chroma carries DISTINCT non-zero
+    // coefficients (wrong interleaving would corrupt the Y means)
+    def dcBlock(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val yB = Seq(dcBlock(8 * (40 - 128)), dcBlock(8 * (220 - 128)))
+    val cbB = Seq(dcBlock(8 * 33), { val b = dcBlock(8 * -17); b(5) = 21; b })
+    val crB = Seq({ val b = dcBlock(8 * 70); b(10) = -9; b }, dcBlock(0))
+    val jpeg = JpegCodec.encodeYCbCrJpeg(16, 8, yB, cbB, crB)
+    val (w, h, br) = JpegCodec.decodeBaseline(jpeg).get
+    assert(w == 16 && h == 8)
+    assert(math.abs(br - (40.0 + 220.0) / 2) < 1e-9, s"br=$br")
+    // and through the dispatch: still reported as jpeg with brightness
+    val d = ImageCodec.decode(jpeg).get
+    assert(d.format == "jpeg" && d.brightness.contains(br))
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
