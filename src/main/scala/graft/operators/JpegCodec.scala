@@ -490,6 +490,71 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** 4:2:0-subsampled YCbCr baseline JPEG (Y 2x2, chroma 1x1 — THE
+    * dominant web-photo layout): per MCU, four Y blocks in raster
+    * order then one Cb and one Cr. Pins the decoder's
+    * multi-block-per-MCU luma placement math. `y` is raster order
+    * over the full-resolution block grid (ceil(w/8) x ceil(h/8),
+    * which must be even multiples of 2 blocks here for simplicity:
+    * w, h multiples of 16). */
+  private[graft] def encodeSubsampledJpeg(width: Int, height: Int,
+      y: Seq[Array[Int]], cb: Seq[Array[Int]], cr: Seq[Array[Int]]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "use multiples of 16")
+    val blocksX = width / 8; val blocksY = height / 8
+    val mcusX = blocksX / 2; val mcusY = blocksY / 2
+    require(y.size == blocksX * blocksY && cb.size == mcusX * mcusY &&
+      cr.size == mcusX * mcusY, "block count mismatch")
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m); val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, 0x00 +: Array.fill(64)(1))
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // Y 2x2, chroma 1x1
+    seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
+    seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = canonical(StdDcCounts, StdDcValues)
+    val acCodes = canonical(StdAcCounts, StdAcValues)
+    val bw = new BitWriter(out)
+    def category(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putValue(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    val dcPred = new Array[Int](3)
+    def writeBlock(ci: Int, coefs: Array[Int]): Unit = {
+      val diff = coefs(0) - dcPred(ci)
+      dcPred(ci) = coefs(0)
+      val t = category(diff)
+      val (dc, dl) = dcCodes(t); bw.put(dc, dl); putValue(diff, t)
+      var k = 1; var run = 0
+      while (k < 64) {
+        val v = coefs(ZigZag(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 }
+          val sz = category(v)
+          val (ac, al) = acCodes((run << 4) | sz); bw.put(ac, al); putValue(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+    }
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      for (by <- 0 until 2; bx <- 0 until 2)
+        writeBlock(0, y((my * 2 + by) * blocksX + mx * 2 + bx))
+      writeBlock(1, cb(my * mcusX + mx))
+      writeBlock(2, cr(my * mcusX + mx))
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Constant-gray baseline JPEG; decodes back to brightness == gray
     * exactly (all-ones quant table -> zero quantization error for a
     * constant block: DC = 8·(g−128), every AC zero). */

@@ -230,6 +230,32 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(d.format == "jpeg" && d.brightness.contains(br))
   }
 
+  test("JPEG: 4:2:0 subsampled (Y 2x2) decodes the full-resolution luma plane") {
+    import graft.operators.JpegCodec
+    // 16x16 = one MCU with four Y blocks of distinct grays; the luma
+    // placement math must land each in its quadrant (a swap or offset
+    // error changes nothing in the mean, so ALSO check a 32x16 image
+    // where wrong mcu indexing would misplace whole columns)
+    def dcBlock(g: Int) = { val b = new Array[Int](64); b(0) = 8 * (g - 128); b }
+    val y1 = Seq(10, 50, 90, 130).map(dcBlock)
+    val j1 = JpegCodec.encodeSubsampledJpeg(16, 16, y1,
+      Seq(dcBlock(200)), Seq(dcBlock(60)))
+    val (w1, h1, br1) = JpegCodec.decodeBaseline(j1).get
+    assert(w1 == 16 && h1 == 16)
+    assert(math.abs(br1 - (10 + 50 + 90 + 130) / 4.0) < 1e-9, s"br=$br1")
+    // 32x16: two MCUs across; give the right MCU different grays
+    val y2 = Seq(
+      // block raster order (blocksX=4): row 0: m0b0 m0b1 m1b0 m1b1
+      10, 20, 110, 120,
+      30, 40, 130, 140).map(dcBlock)
+    val j2 = JpegCodec.encodeSubsampledJpeg(32, 16, y2,
+      Seq(dcBlock(0), dcBlock(0)), Seq(dcBlock(0), dcBlock(0)))
+    val (w2, _, br2) = JpegCodec.decodeBaseline(j2).get
+    assert(w2 == 32)
+    assert(math.abs(br2 - (10 + 20 + 110 + 120 + 30 + 40 + 130 + 140) / 8.0) < 1e-9,
+      s"br=$br2")
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
