@@ -792,6 +792,16 @@ final case class VxFrame(
     copy(base = graft.operators.OrderedOps.rollingMean(df, column, window, as, rowIndex),
       virtualColumns = ListMap.empty, filterExpression = None)
 
+  def rollingVar(column: String, window: Int, as: String,
+                 rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingVar(df, column, window, as, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  def rollingStd(column: String, window: Int, as: String,
+                 rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingStd(df, column, window, as, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
   // ---------------------------------------------------------------- groupby / binby
 
   /** groupby with agg-spec normalization (reference:

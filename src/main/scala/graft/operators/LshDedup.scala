@@ -39,15 +39,21 @@ object LshDedup {
     docs.select(col(idCol).as("doc_id"), shingles(col(textCol), p.shingleWidth).as("sh"))
       .select(col("doc_id"), shingleHashes(col("sh"), p.hashFamily).as("hs"))
 
+  /** (doc_id, band, bkey) LSH index entries — the exploded per-band
+    * bucket keys (shared by the batch join and the streaming filter). */
+  def bandEntries(docs: DataFrame, idCol: String, textCol: String,
+                  p: Params = Params()): DataFrame =
+    hashedShingles(docs, idCol, textCol, p)
+      .select(col("doc_id"), minhashSignature(col("hs"), p.signatureLength).as("sig"))
+      .select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), p.signatureLength, p.rowsPerBand, p.hashFamily)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
   /** Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    p: Params = Params()): DataFrame = {
     val hs = hashedShingles(docs, idCol, textCol, p)
-    val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), p.signatureLength).as("sig"))
-    val bands = sig
-      .select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), p.signatureLength, p.rowsPerBand, p.hashFamily)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bands = bandEntries(docs, idCol, textCol, p)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

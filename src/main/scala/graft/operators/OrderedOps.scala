@@ -232,4 +232,33 @@ object OrderedOps {
       column, window, "__rcnt", "count", rowIndex, blockSize)
       .withColumn(as, col("__rsum").cast("double") / col("__rcnt"))
       .drop("__rsum", "__rcnt")
+
+  /** Rolling population variance from the decomposable moments
+    * (Σx² /n − (Σx/n)²) — three block-partitioned passes, no global
+    * window, same boundary-carry machinery. All-null windows yield
+    * null like the other rolling aggregates. */
+  def rollingVar(df: DataFrame, column: String, window: Int, as: String,
+                 rowIndex: String = "row_index",
+                 blockSize: Long = DefaultBlockSize): DataFrame = {
+    val x = col(column).cast("double")
+    val staged3 = rollingAgg(rollingAgg(rollingAgg(
+        df.withColumn("__rx2", x * x),
+        column, window, "__rsum", "sum", rowIndex, blockSize),
+        "__rx2", window, "__rsq", "sum", rowIndex, blockSize),
+      column, window, "__rcnt", "count", rowIndex, blockSize)
+    staged3.withColumn(as,
+        when(col("__rcnt") > 0,
+          col("__rsq").cast("double") / col("__rcnt") -
+            (col("__rsum").cast("double") / col("__rcnt")) *
+              (col("__rsum").cast("double") / col("__rcnt"))))
+      .drop("__rx2", "__rsum", "__rsq", "__rcnt")
+  }
+
+  /** Rolling population standard deviation (√[[rollingVar]]; tiny
+    * negative variances from float cancellation clamp to 0). */
+  def rollingStd(df: DataFrame, column: String, window: Int, as: String,
+                 rowIndex: String = "row_index",
+                 blockSize: Long = DefaultBlockSize): DataFrame =
+    rollingVar(df, column, window, as, rowIndex, blockSize)
+      .withColumn(as, sqrt(greatest(col(as), lit(0.0))))
 }

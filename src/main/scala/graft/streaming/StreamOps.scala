@@ -130,6 +130,56 @@ object StreamOps {
       }
   }
 
+  case class BandEntry(band: Int, bkey: Long, docId: Long)
+  case class StreamCandidate(idA: Long, idB: Long, band: Int)
+
+  /** STREAMING near-duplicate candidate filter: MinHash-LSH composed
+    * with `flatMapGroupsWithState` — each LSH bucket (band, key) keeps
+    * the doc ids seen so far; a new arrival emits candidate pairs
+    * against every prior member of its bucket. The streaming analog of
+    * the batch band self-join ([[graft.operators.LshDedup]]): same
+    * candidate contract, but incremental — a document stream is
+    * checked against everything already ingested without re-scanning
+    * history. Downstream, verify candidates batch-side (jaccard over
+    * hash sets) exactly as the batch pipeline does.
+    *
+    * Scale/state: state is O(min(bucket size, `maxBucketSize`) doc
+    * ids) per occupied bucket, partitioned by bucket key across
+    * executors; `maxBucketSize` caps degenerate hot buckets (a bucket
+    * that hot is a near-dup CLUSTER — its membership is already fully
+    * paired; which member ids survive the cap depends on arrival
+    * order). NoTimeout retains buckets for the stream's life — bound
+    * the horizon with a timeout policy when ingesting forever. Works
+    * identically on a batch frame (the unified-Dataset property every
+    * operator here keeps), so stream==batch is spec-assertable. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 p: graft.operators.LshDedup.Params =
+                                   graft.operators.LshDedup.Params(),
+                                 maxBucketSize: Int = 64)
+  : org.apache.spark.sql.Dataset[StreamCandidate] = {
+    import docs.sparkSession.implicits._
+    val entries = graft.operators.LshDedup.bandEntries(docs, idCol, textCol, p)
+      .select(col("band").cast("int").as("band"), col("bkey").cast("long").as("bkey"),
+        col("doc_id").cast("long").as("docId"))
+      .as[BandEntry]
+    entries.groupByKey(e => (e.band, e.bkey))
+      .flatMapGroupsWithState[Seq[Long], StreamCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[StreamCandidate]
+          rows.foreach { e =>
+            if (!seen.contains(e.docId)) {
+              seen.foreach(s => out += StreamCandidate(
+                math.min(s, e.docId), math.max(s, e.docId), band))
+              if (seen.size < maxBucketSize) seen = seen :+ e.docId
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Stream-sink helper: run a streaming frame to completion against a
     * memory sink and return the collected table (test/driver utility). */
   def runToMemory(streamed: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -78,6 +78,21 @@ class OrderedOpsSpec extends SparkSpec {
     check(OrderedOps.rollingMean(df, "x", w, "rm", blockSize = 7L), "rm", expMean)
   }
 
+  test("blockRollingVar/Std match global var_pop/stddev_pop windows") {
+    val w = 5
+    val win = Window.orderBy(col("row_index")).rowsBetween(-(w - 1), 0)
+    val expVar = df.withColumn("expect", var_pop(col("x")).over(win))
+    val gotVar = OrderedOps.rollingVar(df, "x", w, "rv", blockSize = 7L)
+      .select(col("row_index"), col("rv").as("got"))
+    val joinedV = gotVar.join(expVar.select(col("row_index"), col("expect")), "row_index")
+    assert(joinedV.where(abs(col("got") - col("expect")) > 1e-9).count() == 0)
+    val expStd = df.withColumn("expect", stddev_pop(col("x")).over(win))
+    val gotStd = OrderedOps.rollingStd(df, "x", w, "rs", blockSize = 7L)
+      .select(col("row_index"), col("rs").as("got"))
+    val joinedS = gotStd.join(expStd.select(col("row_index"), col("expect")), "row_index")
+    assert(joinedS.where(abs(col("got") - col("expect")) > 1e-9).count() == 0)
+  }
+
   test("blockRollingSum null handling: all-null window stays null") {
     val d = spark.range(10).select(col("id").as("row_index"),
       when(col("id") < 5, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))

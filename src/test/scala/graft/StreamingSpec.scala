@@ -158,4 +158,45 @@ class StreamingSpec extends SparkSpec {
     // event at minute 0 belongs to windows [-5,5) and [0,10)
     assert(slid.where("user_id = 1 and n >= 1").count() >= 3)
   }
+
+  test("streamingNearDupCandidates: stream equals batch equals the LSH band join") {
+    // two planted near-dup pairs + unrelated docs; long texts so the
+    // 3-gram shingle sets are meaningful
+    val mk = (s: String) => s + " the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, mk("alpha beta gamma delta epsilon zeta")),
+      (1L, mk("alpha beta gamma delta epsilon zeta")),      // dup of 0
+      (2L, mk("one two three four five six seven eight")),
+      (3L, mk("one two three four five six seven eight")),  // dup of 2
+      (4L, "totally different content with no overlap whatsoever at all in it"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val p = graft.operators.LshDedup.Params()
+
+    def pairSet(ds: org.apache.spark.sql.Dataset[StreamOps.StreamCandidate]): Set[(Long, Long)] =
+      ds.collect().map(c => (c.idA, c.idB)).toSet
+
+    // batch flatMapGroupsWithState equals the batch band self-join
+    val viaState = pairSet(StreamOps.streamingNearDupCandidates(batchDf, "doc_id", "text", p))
+    val bands = graft.operators.LshDedup.bandEntries(batchDf, "doc_id", "text", p)
+    val viaJoin = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaState == viaJoin)
+    assert(viaState.contains((0L, 1L)) && viaState.contains((2L, 3L)))
+    assert(!viaState.exists { case (a, b) => a == 4L || b == 4L })
+
+    // streamed in two micro-batches: same pair set, and a cross-batch
+    // pair (doc 1 arrives after doc 0's batch) is still found
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.take(2).map(d => (d._1, d._2)): _*)
+    stream.addData(docs.drop(2).map(d => (d._1, d._2)): _*)
+    val streamed = StreamOps.streamingNearDupCandidates(
+      stream.toDF.toDF("doc_id", "text"), "doc_id", "text", p)
+    val got = StreamOps.runToMemory(streamed.toDF(), "t_neardup", OutputMode.Append())
+      .select("idA", "idB").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == viaState)
+  }
 }
