@@ -45,6 +45,36 @@ object WindowQueries {
         .orderBy(col("l_suppkey") +: liOrder: _*)
     }),
 
+    // the BLOCK-PARTITIONED rolling machinery itself, oracle-gated (the
+    // OrderedOps operators are otherwise spec-gated because row_index
+    // assignment is partition-order dependent — here withRowIndexBy's
+    // deterministic bucketed sort makes the index reproducible in SQL
+    // via ROW_NUMBER, and decimal moment sums give exact variance
+    // parity like q_h2o_median_sd): rolling var over a 5-row trailing
+    // window, computed with boundary carries across blocks, no global
+    // window anywhere in the plan.
+    "q_rolling_block" -> ((s, dir) => {
+      import graft.operators.OrderedOps
+      val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+      val base = graft.sources.Tables.withRowIndexBy(
+        t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
+        keys, buckets = 8)
+      val xd = col("l_quantity").cast("double")
+      val staged = base
+        .withColumn("__x", xd.cast(Q.DEC))
+        .withColumn("__x2", (xd * xd).cast(Q.DEC))
+      val rolled = OrderedOps.rollingAgg(OrderedOps.rollingAgg(OrderedOps.rollingAgg(
+          staged, "__x", 5, "__s1", "sum", blockSize = 8192L),
+          "__x2", 5, "__s2", "sum", blockSize = 8192L),
+        "__x", 5, "__n", "count", blockSize = 8192L)
+      rolled.select(col("row_index"), col("__n").as("n"),
+          r(col("__s2").cast("double") / col("__n") -
+            (col("__s1").cast("double") / col("__n")) *
+              (col("__s1").cast("double") / col("__n")), 6).as("roll_var"))
+        .orderBy("row_index")
+    }),
+
     // ranking family (absent in reference §2.6 — "free if wanted")
     "q_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -149,6 +179,24 @@ object WindowQueries {
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_rolling_block" ->
+      """WITH ri AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS xd,
+        |    ROW_NUMBER() OVER (ORDER BY l_suppkey, l_shipdate, l_orderkey,
+        |      l_linenumber, l_extendedprice) - 1 AS row_index
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT row_index,
+        |    SUM(CAST(xd AS DECIMAL(38,10))) OVER win AS s1,
+        |    SUM(CAST(xd * xd AS DECIMAL(38,10))) OVER win AS s2,
+        |    COUNT(*) OVER win AS n
+        |  FROM ri
+        |  WINDOW win AS (ORDER BY row_index ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT row_index, n,
+        |  ROUND(CAST(s2 AS DOUBLE) / n
+        |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS roll_var
+        |FROM w ORDER BY row_index""".stripMargin,
 
     "q_rank" ->
       """SELECT * FROM (
