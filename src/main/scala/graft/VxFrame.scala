@@ -409,8 +409,11 @@ final case class VxFrame(
     * collect is then provably bounded at `limit+1` rows. */
   def uniqueValues(e: String, limit: Long = VxFrame.DefaultUniqueLimit): Seq[Any] = {
     require(limit > 0 && limit <= Int.MaxValue - 1, s"unique limit out of range: $limit")
-    val approx = df.agg(approx_count_distinct(parse(e))).head().getLong(0)
-    // ~2% HLL relative error: only refuse outright when clearly over
+    // rsd 0.02 (the default 0.05 at ~2 sigma would spuriously refuse
+    // legitimate just-under-limit cardinalities)
+    val approx = df.agg(approx_count_distinct(parse(e), 0.02)).head().getLong(0)
+    // only refuse outright when clearly over; near-limit undercounts
+    // fall through to the exact limit+1 backstop below
     if (approx > (limit * 1.1).toLong + 16)
       throw new IllegalStateException(
         s"unique($e): ~$approx distinct values > row_limit=$limit; raise the limit or aggregate instead")
@@ -600,7 +603,8 @@ final case class VxFrame(
     require(n > 0, "sampleWeighted: n must be positive")
     val w = parse(weights).cast("double")
     val pos = when(w.isNotNull && !isnan(w) && w > 0, w).otherwise(lit(0.0))
-    val sumW = df.agg(sum(pos)).head().getDouble(0)
+    // coalesce: sum over an empty frame is null -> clear error, not NPE
+    val sumW = df.agg(coalesce(sum(pos), lit(0.0))).head().getDouble(0)
     require(sumW > 0, "sampleWeighted: weights sum to zero")
     val p = least(lit(1.0), pos * (n.toDouble / sumW))
     copy(base = df.where(rand(seed) < p),

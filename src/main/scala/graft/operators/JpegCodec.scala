@@ -341,7 +341,7 @@ object JpegCodec {
     out.toMap
   }
 
-  private final class BitWriter(out: ByteArrayOutputStream) {
+  private final class BitWriter(val out: ByteArrayOutputStream) {
     private var acc = 0; private var n = 0
     def put(code: Int, len: Int): Unit = {
       var i = len - 1
@@ -358,10 +358,71 @@ object JpegCodec {
     def flush(): Unit = if (n > 0) { put((1 << (8 - n)) - 1, 8 - n) } // pad with 1s
   }
 
+  private lazy val DcCodes = canonical(StdDcCounts, StdDcValues)
+  private lazy val AcCodes = canonical(StdAcCounts, StdAcValues)
+
+  private def emitMarker(out: ByteArrayOutputStream, m: Int): Unit = {
+    out.write(0xff); out.write(m)
+  }
+  private def emitSeg(out: ByteArrayOutputStream, m: Int, payload: Array[Int]): Unit = {
+    emitMarker(out, m)
+    val len = payload.length + 2
+    out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
+  }
+
+  /** SOI + shared tables (all-ones DQT, Annex K Huffman) + the given
+    * SOF0 component spec + optional DRI + SOS; returns the entropy
+    * BitWriter positioned after the SOS header. `comps` is
+    * (id, samplingByte) per component, all on quant/huffman table 0. */
+  private def emitHeaders(out: ByteArrayOutputStream, width: Int, height: Int,
+                          comps: Seq[(Int, Int)], restartInterval: Int): BitWriter = {
+    emitMarker(out, 0xd8) // SOI
+    emitSeg(out, 0xdb, 0x00 +: Array.fill(64)(1))           // DQT tq=0, all ones
+    emitSeg(out, 0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      comps.size) ++ comps.flatMap { case (id, sampling) => Seq(id, sampling, 0) })
+    emitSeg(out, 0xc4, 0x00 +: (StdDcCounts ++ StdDcValues)) // DHT DC 0
+    emitSeg(out, 0xc4, 0x10 +: (StdAcCounts ++ StdAcValues)) // DHT AC 0
+    if (restartInterval > 0)
+      emitSeg(out, 0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
+    emitSeg(out, 0xda,
+      Array(comps.size) ++ comps.flatMap { case (id, _) => Seq(id, 0x00) } ++
+        Seq(0, 63, 0))                                       // SOS
+    new BitWriter(out)
+  }
+
+  private def categoryOf(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** DC-difference + zigzag AC run-length Huffman encode of ONE block
+    * (NATURAL-order coefficients, quant all ones); updates the per-
+    * component DC predictor in place. Shared by every encoder. */
+  private def emitBlock(bw: BitWriter, dcPred: Array[Int], ci: Int,
+                        coefs: Array[Int]): Unit = {
+    def putValue(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    val diff = coefs(0) - dcPred(ci)
+    dcPred(ci) = coefs(0)
+    val t = categoryOf(diff)
+    val (dc, dl) = DcCodes(t); bw.put(dc, dl); putValue(diff, t)
+    var k = 1; var run = 0
+    while (k < 64) {
+      val v = coefs(ZigZag(k))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) { val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16 } // ZRL
+        val sz = categoryOf(v)
+        val (ac, al) = AcCodes((run << 4) | sz); bw.put(ac, al); putValue(v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) } // EOB
+  }
+
   /** Grayscale baseline JPEG from per-block NATURAL-order DCT
     * coefficients (quant table all ones): full DC-difference +
     * AC run-length/Huffman encode. `blocks` are raster block order,
-    * (ceil(w/8)·ceil(h/8)) entries of 64 coefficients.
+    * (ceil(w/8)*ceil(h/8)) entries of 64 coefficients.
     * `restartInterval` > 0 emits a DRI segment and RSTn markers every
     * that many MCUs (what wild JPEGs use for error resilience) —
     * mainly to exercise the decoder's restart path. */
@@ -371,58 +432,18 @@ object JpegCodec {
     require(width > 0 && height > 0, "bad jpeg size")
     require(blocks.size == ((width + 7) / 8) * ((height + 7) / 8), "block count mismatch")
     val out = new ByteArrayOutputStream()
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, payload: Array[Int]): Unit = {
-      marker(m); val len = payload.length + 2
-      out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
-    }
-    marker(0xd8) // SOI
-    seg(0xdb, 0x00 +: Array.fill(64)(1))                   // DQT tq=0, all ones
-    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
-      1, 1, 0x11, 0))                                      // SOF0, 1 comp, 1x1
-    seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))        // DHT DC 0
-    seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))        // DHT AC 0
-    if (restartInterval > 0)
-      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
-    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))                 // SOS
-    val dcCodes = canonical(StdDcCounts, StdDcValues)
-    val acCodes = canonical(StdAcCounts, StdAcValues)
-    val bw = new BitWriter(out)
-    def category(v: Int): Int =
-      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putCoded(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (c, l) = codes(sym); bw.put(c, l)
-    }
-    def putValue(v: Int, t: Int): Unit =
-      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
-    var dcPred = 0
+    val bw = emitHeaders(out, width, height, Seq((1, 0x11)), restartInterval)
+    val dcPred = new Array[Int](1)
     blocks.zipWithIndex.foreach { case (coefs, bi) =>
       if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
         bw.flush() // pad to byte boundary, then the restart marker
-        out.write(0xff); out.write(0xd0 + ((bi / restartInterval - 1) % 8))
-        dcPred = 0 // DC prediction resets at a restart
+        emitMarker(out, 0xd0 + ((bi / restartInterval - 1) % 8))
+        dcPred(0) = 0 // DC prediction resets at a restart
       }
-      val diff = coefs(0) - dcPred
-      dcPred = coefs(0)
-      val t = category(diff)
-      putCoded(dcCodes, t); putValue(diff, t)
-      // AC: zigzag positions 1..63 with (run, size) RLE
-      var k = 1; var run = 0
-      while (k < 64) {
-        val v = coefs(ZigZag(k))
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) { putCoded(acCodes, 0xf0); run -= 16 } // ZRL
-          val sz = category(v)
-          putCoded(acCodes, (run << 4) | sz); putValue(v, sz)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) putCoded(acCodes, 0x00) // EOB
+      emitBlock(bw, dcPred, 0, coefs)
     }
     bw.flush()
-    marker(0xd9) // EOI
+    emitMarker(out, 0xd9) // EOI
     out.toByteArray
   }
 
@@ -438,55 +459,18 @@ object JpegCodec {
     require(y.size == nBlocks && cb.size == nBlocks && cr.size == nBlocks,
       "block count mismatch")
     val out = new ByteArrayOutputStream()
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, payload: Array[Int]): Unit = {
-      marker(m); val len = payload.length + 2
-      out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
-    }
-    marker(0xd8)
-    seg(0xdb, 0x00 +: Array.fill(64)(1))
-    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
-      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)) // 3 comps, all 1x1, quant 0
-    seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
-    seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
-    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
-    val dcCodes = canonical(StdDcCounts, StdDcValues)
-    val acCodes = canonical(StdAcCounts, StdAcValues)
-    val bw = new BitWriter(out)
-    def category(v: Int): Int =
-      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putValue(v: Int, t: Int): Unit =
-      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    val bw = emitHeaders(out, width, height,
+      Seq((1, 0x11), (2, 0x11), (3, 0x11)), restartInterval = 0)
     val comps = Array(y, cb, cr)
     val dcPred = new Array[Int](3)
     var mcu = 0
     while (mcu < nBlocks) { // interleaved: one block per component per MCU
       var ci = 0
-      while (ci < 3) {
-        val coefs = comps(ci)(mcu)
-        val diff = coefs(0) - dcPred(ci)
-        dcPred(ci) = coefs(0)
-        val t = category(diff)
-        val (dc, dl) = dcCodes(t); bw.put(dc, dl); putValue(diff, t)
-        var k = 1; var run = 0
-        while (k < 64) {
-          val v = coefs(ZigZag(k))
-          if (v == 0) run += 1
-          else {
-            while (run >= 16) { val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 }
-            val sz = category(v)
-            val (ac, al) = acCodes((run << 4) | sz); bw.put(ac, al); putValue(v, sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
-        ci += 1
-      }
+      while (ci < 3) { emitBlock(bw, dcPred, ci, comps(ci)(mcu)); ci += 1 }
       mcu += 1
     }
     bw.flush()
-    marker(0xd9)
+    emitMarker(out, 0xd9)
     out.toByteArray
   }
 
@@ -505,53 +489,17 @@ object JpegCodec {
     require(y.size == blocksX * blocksY && cb.size == mcusX * mcusY &&
       cr.size == mcusX * mcusY, "block count mismatch")
     val out = new ByteArrayOutputStream()
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, payload: Array[Int]): Unit = {
-      marker(m); val len = payload.length + 2
-      out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
-    }
-    marker(0xd8)
-    seg(0xdb, 0x00 +: Array.fill(64)(1))
-    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
-      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // Y 2x2, chroma 1x1
-    seg(0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
-    seg(0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
-    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
-    val dcCodes = canonical(StdDcCounts, StdDcValues)
-    val acCodes = canonical(StdAcCounts, StdAcValues)
-    val bw = new BitWriter(out)
-    def category(v: Int): Int =
-      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putValue(v: Int, t: Int): Unit =
-      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    val bw = emitHeaders(out, width, height,
+      Seq((1, 0x22), (2, 0x11), (3, 0x11)), restartInterval = 0)
     val dcPred = new Array[Int](3)
-    def writeBlock(ci: Int, coefs: Array[Int]): Unit = {
-      val diff = coefs(0) - dcPred(ci)
-      dcPred(ci) = coefs(0)
-      val t = category(diff)
-      val (dc, dl) = dcCodes(t); bw.put(dc, dl); putValue(diff, t)
-      var k = 1; var run = 0
-      while (k < 64) {
-        val v = coefs(ZigZag(k))
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) { val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 }
-          val sz = category(v)
-          val (ac, al) = acCodes((run << 4) | sz); bw.put(ac, al); putValue(v, sz)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
-    }
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       for (by <- 0 until 2; bx <- 0 until 2)
-        writeBlock(0, y((my * 2 + by) * blocksX + mx * 2 + bx))
-      writeBlock(1, cb(my * mcusX + mx))
-      writeBlock(2, cr(my * mcusX + mx))
+        emitBlock(bw, dcPred, 0, y((my * 2 + by) * blocksX + mx * 2 + bx))
+      emitBlock(bw, dcPred, 1, cb(my * mcusX + mx))
+      emitBlock(bw, dcPred, 2, cr(my * mcusX + mx))
     }
     bw.flush()
-    marker(0xd9)
+    emitMarker(out, 0xd9)
     out.toByteArray
   }
 

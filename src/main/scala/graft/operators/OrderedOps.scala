@@ -255,10 +255,12 @@ object OrderedOps {
   }
 
   /** Rolling population standard deviation (√[[rollingVar]]; tiny
-    * negative variances from float cancellation clamp to 0). */
+    * negative variances from float cancellation clamp to 0, but an
+    * all-null window stays null — `greatest` alone would turn the
+    * null variance into 0.0 because Spark's greatest skips nulls). */
   def rollingStd(df: DataFrame, column: String, window: Int, as: String,
                  rowIndex: String = "row_index",
                  blockSize: Long = DefaultBlockSize): DataFrame =
     rollingVar(df, column, window, as, rowIndex, blockSize)
-      .withColumn(as, sqrt(greatest(col(as), lit(0.0))))
+      .withColumn(as, when(col(as).isNotNull, sqrt(greatest(col(as), lit(0.0)))))
 }

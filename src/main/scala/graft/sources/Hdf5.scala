@@ -421,9 +421,16 @@ object Hdf5 {
           .orElse(rootKids.get("columns").filter(f.isGroup))
           .orElse(rootKids.get("data").filter(f.isGroup))
           .getOrElse {
-            // generic file: root-level datasets as columns
+            // generic file: root-level datasets as columns. A dataset
+            // the parser can't even describe (vlen/compound dtype,
+            // multi-dim chunking, exotic filter — f.dataset throws) is
+            // SKIPPED like any other unsupported one, so the readable
+            // columns of a mixed wild file still load.
             val plain = rootKidsSeq.filterNot { case (_, a) => f.isGroup(a) }
-              .flatMap { case (name, a) => plainColumn(name, f.dataset(a)) }
+              .flatMap { case (name, a) =>
+                try plainColumn(name, f.dataset(a))
+                catch { case _: Exception => None }
+              }
             if (plain.nonEmpty) return plain
             throw new IllegalArgumentException(
               s"$path: no /table/columns, /columns or /data group and no plain " +
@@ -484,7 +491,10 @@ object Hdf5 {
       var off = 0
       while (off < outLen && !inf.finished()) {
         val k = inf.inflate(out, off, outLen - off)
-        if (k == 0 && inf.needsInput()) throw new IllegalStateException("truncated deflate chunk")
+        // needsDictionary: zlib FDICT set (corrupt header) — without
+        // this check inflate() returns 0 forever and the task hangs
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new IllegalStateException("truncated or undecodable deflate chunk")
         off += k
       }
       out

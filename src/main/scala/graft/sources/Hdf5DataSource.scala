@@ -91,8 +91,14 @@ private final class Hdf5Scan(path: String, columns: Option[Seq[String]])
       if (metas.nonEmpty) metas.head.n
       else Hdf5.readTable(path).headOption.map(_.n).getOrElse(0L)
     require(metas.forall(_.n == n), "ragged column lengths")
+    // partition count scales with the data (readers buffer their whole
+    // range columnar — a fixed cap would grow per-task memory without
+    // bound); floor at the session's parallelism for small files
     val targetRows = 1L << 17
-    val parts = math.max(1L, math.min(64L, n / targetRows + 1L))
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism.toLong
+    val parts = math.max(1L, math.min(math.max(parallelism, n / targetRows + 1L),
+      math.max(1L, n)))
     val step = math.max(1L, (n + parts - 1) / parts)
     (0L until n by step)
       .map(s => Hdf5RangePartition(s, math.min(s + step, n), metas.toArray))

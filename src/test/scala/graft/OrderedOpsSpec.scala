@@ -99,6 +99,21 @@ class OrderedOpsSpec extends SparkSpec {
     val win = Window.orderBy(col("row_index")).rowsBetween(-2, 0)
     val expected = d.withColumn("expect", sum(col("x")).over(win))
     check(OrderedOps.rollingSum(d, "x", 3, "rs", blockSize = 4L), "rs", expected)
+    // var/std: all-null windows stay null (not 0.0 — greatest() alone
+    // would swallow the null), non-null windows match stddev_pop
+    val gotStd = OrderedOps.rollingStd(d, "x", 3, "rstd", blockSize = 4L)
+      .select(col("row_index"), col("rstd")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val expStd = d.withColumn("expect", stddev_pop(col("x")).over(win))
+      .select(col("row_index"), col("expect")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotStd.keySet == expStd.keySet)
+    for ((k, e) <- expStd) (gotStd(k), e) match {
+      case (None, None) => ()
+      case (Some(a: Double), Some(b: Double)) => assert(math.abs(a - b) < 1e-9, s"row $k")
+      case other => fail(s"row $k: $other")
+    }
+    assert(expStd(1L).isEmpty && gotStd(1L).isEmpty) // all-null window -> null
   }
 
   test("ordered-op plans contain no single-partition exchange") {

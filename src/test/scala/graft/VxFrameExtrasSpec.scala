@@ -57,10 +57,13 @@ class VxFrameExtrasSpec extends SparkSpec {
     // expected size within 5%
     val total = got.values.sum
     assert(math.abs(total - 10000.0) / 10000.0 < 0.05, s"total=$total")
-    // null/zero weights never sample
+    // null/zero weights never sample; empty frame gets the clear
+    // error too (sum over zero rows is null, not an NPE)
     val z = VxFrame(spark.range(100).select(col("id"),
       when(col("id") < 50, lit(null)).otherwise(lit(0.0)).as("w")))
     intercept[IllegalArgumentException](z.sampleWeighted(10, "w"))
+    val empty = VxFrame(spark.range(0).select(col("id"), lit(1.0).as("w")))
+    intercept[IllegalArgumentException](empty.sampleWeighted(10, "w"))
     // weight expression (not just a column) works
     assert(d.sampleWeighted(100, "w * 2").count() > 0)
   }
