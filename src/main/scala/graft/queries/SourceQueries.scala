@@ -68,6 +68,17 @@ object SourceQueries {
       agg(graft.sources.Hdf5.fromHdf5(s, cache.toString))
     }),
 
+    // FITS (the astronomy format the reference exports via astropy,
+    // core/dataframe.py:6973 export_fits and vaex-astro reads): same
+    // round trip through the BINTABLE writer and the distributed
+    // fixed-width-row range read. Oracle runs on the original parquet.
+    "q_fits_agg" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_fits"), "lineitem.fits")
+      cache.getParentFile.mkdirs()
+      graft.sources.Fits.toFits(narrowLineitem(s, dir), cache.toString)
+      agg(graft.sources.Readers.open(s, cache.toString))
+    }),
+
     // bucketed co-located join: orders and customer are exported
     // bucketed on the customer key, then joined through the catalog —
     // at scale the join plans with zero Exchange (asserted in
@@ -99,6 +110,7 @@ object SourceQueries {
     "q_json_agg" -> aggSql,
     "q_hdf5_agg" -> aggSql,
     "q_hdf5_chunked" -> aggSql,
+    "q_fits_agg" -> aggSql,
     "q_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_total

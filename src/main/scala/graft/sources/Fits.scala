@@ -1,0 +1,321 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dependency-free FITS BINTABLE source and sink (reference: vaex
+  * exports FITS via astropy, packages/vaex-core/vaex/dataframe.py:6973
+  * export_fits; the vaex-astro package reads it) — implemented against
+  * the public FITS 4.0 standard: 2880-byte blocks, 80-char ASCII
+  * header cards, big-endian binary table data.
+  *
+  * Scale shape mirrors [[Hdf5]]: the driver parses only the headers
+  * (a few KB); rows are FIXED WIDTH (NAXIS1 bytes), so executors read
+  * disjoint row ranges with one positioned read each — no driver
+  * materialization. Supported TFORM codes: L (logical), J (int32),
+  * K (int64), E (float32), D (float64), <w>A (fixed-width string).
+  * Integer nulls use the standard TNULLn sentinel; floating nulls are
+  * NaN on disk (FITS's own convention) and surface as null. */
+object Fits {
+
+  private val Block = 2880
+
+  final case class FitsColumn(name: String, form: Char, width: Int,
+                              offset: Int, tnull: Option[Long]) {
+    def sparkType: DataType = form match {
+      case 'L' => BooleanType
+      case 'J' => IntegerType
+      case 'K' => LongType
+      case 'E' => FloatType
+      case 'D' => DoubleType
+      case 'A' => StringType
+      case c => throw new IllegalArgumentException(s"unsupported TFORM $c")
+    }
+    def bytes: Int = form match {
+      case 'L' | 'A' => width
+      case 'J' | 'E' => 4
+      case 'K' | 'D' => 8
+    }
+  }
+
+  final case class TableMeta(dataStart: Long, rowBytes: Int, nRows: Long,
+                             columns: Seq[FitsColumn])
+
+  // ---------------------------------------------------------------- reader
+
+  private def cardValue(card: String): String = {
+    // "KEY     = value / comment" — strip comment outside quotes
+    val eq = card.indexOf('=')
+    if (eq < 0) return ""
+    var v = card.substring(eq + 1).trim
+    if (v.startsWith("'")) {
+      val end = v.indexOf('\'', 1)
+      if (end > 0) v.substring(1, end).trim else v
+    } else {
+      val slash = v.indexOf('/')
+      (if (slash >= 0) v.substring(0, slash) else v).trim
+    }
+  }
+
+  /** Parse one header unit starting at `addr`; returns (cards map in
+    * order of appearance, address just past the header's last block). */
+  private def readHeader(raf: RandomAccessFile, addr: Long): (Seq[(String, String)], Long) = {
+    val cards = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var block = addr
+    var done = false
+    var guard = 0
+    while (!done) {
+      guard += 1
+      require(guard <= 1000, "unterminated FITS header")
+      val buf = new Array[Byte](Block)
+      raf.seek(block); raf.readFully(buf)
+      var i = 0
+      while (i < Block && !done) {
+        val card = new String(buf, i, 80, "US-ASCII")
+        val key = card.substring(0, math.min(8, card.length)).trim
+        if (key == "END") done = true
+        else if (key.nonEmpty) cards += ((key, cardValue(card)))
+        i += 80
+      }
+      block += Block
+    }
+    (cards.toSeq, block)
+  }
+
+  /** Locate the first BINTABLE extension and describe it. */
+  def readTable(path: String): TableMeta = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      // magic first: a non-FITS file must fail fast and clearly, not
+      // after chewing through kilobytes of garbage "header cards"
+      val magic = new Array[Byte](6)
+      require(raf.length() >= Block, s"$path: not a FITS file (too short)")
+      raf.seek(0); raf.readFully(magic)
+      require(new String(magic, "US-ASCII") == "SIMPLE", s"$path: not a FITS file")
+      val (primary, afterPrimary) = readHeader(raf, 0L)
+      val pmap = primary.toMap
+      require(pmap.get("SIMPLE").contains("T"), s"$path: not a FITS file")
+      // primary data size (usually zero for table files)
+      val pBitpix = math.abs(pmap.getOrElse("BITPIX", "8").toInt)
+      val pNaxis = pmap.getOrElse("NAXIS", "0").toInt
+      val pData = (1 to pNaxis).map(i => pmap.getOrElse(s"NAXIS$i", "0").toLong)
+        .product * (if (pNaxis == 0) 0 else pBitpix / 8)
+      var addr = afterPrimary + (pData + Block - 1) / Block * Block
+      var guard = 0
+      while (true) {
+        guard += 1
+        require(guard <= 100, s"$path: no BINTABLE extension found")
+        val (ext, afterExt) = readHeader(raf, addr)
+        val emap = ext.toMap
+        val rowBytes = emap.getOrElse("NAXIS1", "0").toInt
+        val nRows = emap.getOrElse("NAXIS2", "0").toLong
+        val dataBytes = {
+          val bitpix = math.abs(emap.getOrElse("BITPIX", "8").toInt)
+          val naxis = emap.getOrElse("NAXIS", "0").toInt
+          (1 to naxis).map(i => emap.getOrElse(s"NAXIS$i", "0").toLong)
+            .product * (if (naxis == 0) 0 else bitpix / 8)
+        }
+        if (emap.get("XTENSION").contains("BINTABLE")) {
+          val nFields = emap.getOrElse("TFIELDS", "0").toInt
+          var offset = 0
+          val cols = (1 to nFields).map { i =>
+            val form = emap.getOrElse(s"TFORM$i",
+              throw new IllegalArgumentException(s"missing TFORM$i")).trim
+            val (repeat, code) = {
+              val digits = form.takeWhile(_.isDigit)
+              (if (digits.isEmpty) 1 else digits.toInt, form.drop(digits.length).head)
+            }
+            val c = FitsColumn(emap.getOrElse(s"TTYPE$i", s"col$i"), code,
+              if (code == 'A') repeat else repeat, offset,
+              emap.get(s"TNULL$i").map(_.toLong))
+            require(code == 'A' || repeat == 1,
+              s"array TFORM $form unsupported (scalar columns only)")
+            offset += c.bytes
+            c
+          }
+          require(offset == rowBytes,
+            s"$path: TFORM widths ($offset) disagree with NAXIS1 ($rowBytes)")
+          return TableMeta(afterExt, rowBytes, nRows, cols)
+        }
+        addr = afterExt + (dataBytes + Block - 1) / Block * Block
+      }
+      throw new IllegalStateException("unreachable")
+    } finally raf.close()
+  }
+
+  /** Distributed read: executors read disjoint row ranges with
+    * positioned reads (fixed-width rows ⇒ range [i,j) is one seek). */
+  def fromFits(spark: SparkSession, path: String, columns: Seq[String] = Nil,
+               numPartitions: Int = 0): DataFrame = {
+    val meta = readTable(path)
+    val cols = if (columns.isEmpty) meta.columns else {
+      val byName = meta.columns.map(c => c.name -> c).toMap
+      columns.map(c => byName.getOrElse(c,
+        throw new IllegalArgumentException(s"no such fits column: $c")))
+    }
+    val schema = StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
+    val n = meta.nRows
+    val parts = if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (n / 65536 + 1).toInt))
+    val step = math.max(1L, (n + parts - 1) / math.max(parts, 1))
+    val ranges = (0L until n by step).map(s => (s, math.min(s + step, n)))
+    val rowBytes = meta.rowBytes
+    val dataStart = meta.dataStart
+    val colsB = cols.toArray
+    val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
+      .mapPartitions { it =>
+        val raf = new RandomAccessFile(path, "r")
+        it.flatMap { case (start, end) =>
+          val count = (end - start).toInt
+          val buf = new Array[Byte](count * rowBytes)
+          raf.seek(dataStart + start * rowBytes); raf.readFully(buf)
+          val bb = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
+          (0 until count).iterator.map { r =>
+            Row.fromSeq(colsB.map { c =>
+              val o = r * rowBytes + c.offset
+              c.form match {
+                case 'L' => buf(o) match {
+                  case 'T' => true
+                  case 'F' => false
+                  case _ => null
+                }
+                case 'J' =>
+                  val v = bb.getInt(o)
+                  if (c.tnull.contains(v.toLong)) null else v
+                case 'K' =>
+                  val v = bb.getLong(o)
+                  if (c.tnull.contains(v)) null else v
+                case 'E' =>
+                  val v = bb.getFloat(o)
+                  if (v.isNaN) null else v
+                case 'D' =>
+                  val v = bb.getDouble(o)
+                  if (v.isNaN) null else v
+                case 'A' =>
+                  // FITS pads strings with spaces (or NULs); NUL-first
+                  // means "null string" by common convention
+                  if (buf(o) == 0) null
+                  else {
+                    var len = c.width
+                    while (len > 0 && (buf(o + len - 1) == ' ' || buf(o + len - 1) == 0))
+                      len -= 1
+                    new String(buf, o, len, "US-ASCII")
+                  }
+              }
+            }.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  private def card(key: String, value: String, quote: Boolean = false): String = {
+    val v = if (quote) s"'${value.padTo(8, ' ')}'" else value
+    (key.padTo(8, ' ') + "= " + (" " * math.max(0, 20 - v.length)) + v).padTo(80, ' ')
+  }
+  private def pad(out: java.io.ByteArrayOutputStream): Unit =
+    while (out.size() % Block != 0) out.write(' ')
+  private def padZero(raf: RandomAccessFile): Unit = {
+    val rem = (Block - raf.getFilePointer % Block) % Block
+    raf.write(new Array[Byte](rem.toInt))
+  }
+
+  /** INT null sentinel (TNULLn): most-negative value of the type. */
+  private val NullInt = Int.MinValue
+  private val NullLong = Long.MinValue
+
+  /** Driver-side single-file interchange sink (like the hdf5 writer):
+    * primary HDU + one BINTABLE with all rows, streamed via
+    * toLocalIterator (one partition resident). String columns get the
+    * max observed width (two-pass over the column stats only). */
+  def toFits(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    import org.apache.spark.sql.functions._
+    // widths for string columns + row count in ONE aggregation pass
+    val aggs = count(lit(1)).as("__n") +: schema.fields.toSeq.collect {
+      case f if f.dataType == StringType =>
+        coalesce(max(length(col(f.name))), lit(1)).as(s"__w_${f.name}")
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val widths: Map[String, Int] = schema.fields.toSeq.collect {
+      case f if f.dataType == StringType =>
+        f.name -> math.max(1, stats.getAs[Number](s"__w_${f.name}").intValue())
+    }.toMap
+    val cols = schema.fields.map { f =>
+      val (form, bytes) = f.dataType match {
+        case BooleanType => ("1L", 1)
+        case IntegerType => ("1J", 4)
+        case LongType => ("1K", 8)
+        case FloatType => ("1E", 4)
+        case DoubleType => ("1D", 8)
+        case StringType => val w = widths(f.name); (s"${w}A", w)
+        case t => throw new IllegalArgumentException(s"fits export: unsupported type $t")
+      }
+      (f, form, bytes)
+    }
+    val rowBytes = cols.map(_._3).sum
+    val hdr = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = hdr.write(s.getBytes("US-ASCII"))
+    // primary HDU: no data
+    put(card("SIMPLE", "T")); put(card("BITPIX", "8")); put(card("NAXIS", "0"))
+    put(card("EXTEND", "T")); put("END".padTo(80, ' ')); pad(hdr)
+    // bintable header
+    put(card("XTENSION", "BINTABLE", quote = true))
+    put(card("BITPIX", "8")); put(card("NAXIS", "2"))
+    put(card("NAXIS1", rowBytes.toString)); put(card("NAXIS2", n.toString))
+    put(card("PCOUNT", "0")); put(card("GCOUNT", "1"))
+    put(card("TFIELDS", cols.length.toString))
+    cols.zipWithIndex.foreach { case ((f, form, _), i) =>
+      put(card(s"TTYPE${i + 1}", f.name, quote = true))
+      put(card(s"TFORM${i + 1}", form, quote = true))
+      f.dataType match {
+        case IntegerType => put(card(s"TNULL${i + 1}", NullInt.toString))
+        case LongType => put(card(s"TNULL${i + 1}", NullLong.toString))
+        case _ => ()
+      }
+    }
+    put("END".padTo(80, ' ')); pad(hdr)
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(0)
+      raf.write(hdr.toByteArray)
+      val rowBuf = ByteBuffer.allocate(rowBytes).order(ByteOrder.BIG_ENDIAN)
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        rowBuf.clear()
+        cols.zipWithIndex.foreach { case ((f, _, bytes), j) =>
+          if (row.isNullAt(j)) f.dataType match {
+            case BooleanType => rowBuf.put(0.toByte) // FITS "undefined"
+            case IntegerType => rowBuf.putInt(NullInt)
+            case LongType => rowBuf.putLong(NullLong)
+            case FloatType => rowBuf.putFloat(Float.NaN)
+            case DoubleType => rowBuf.putDouble(Double.NaN)
+            case StringType => rowBuf.put(new Array[Byte](bytes)) // NUL fill
+            case _ => ()
+          } else f.dataType match {
+            case BooleanType => rowBuf.put((if (row.getBoolean(j)) 'T' else 'F').toByte)
+            case IntegerType => rowBuf.putInt(row.getInt(j))
+            case LongType => rowBuf.putLong(row.getLong(j))
+            case FloatType => rowBuf.putFloat(row.getFloat(j))
+            case DoubleType => rowBuf.putDouble(row.getDouble(j))
+            case StringType =>
+              val raw = row.getString(j).getBytes("US-ASCII")
+              require(raw.length <= bytes, "string exceeds computed width")
+              rowBuf.put(raw)
+              rowBuf.put(Array.fill(bytes - raw.length)(' '.toByte)) // space pad
+            case _ => ()
+          }
+        }
+        raf.write(rowBuf.array())
+      }
+      padZero(raf)
+    } finally raf.close()
+  }
+}

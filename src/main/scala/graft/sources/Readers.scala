@@ -28,6 +28,7 @@ object Readers {
         // DataSource V2 path: Catalyst pushes column pruning into the
         // scan (a later .select touches only those columns' byte ranges)
         spark.read.format("graft.sources.Hdf5DataSource").load(p)
+      case p if p.endsWith(".fits") => Fits.fromFits(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {

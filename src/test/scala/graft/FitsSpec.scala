@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.sources.Fits
+
+/** FITS BINTABLE reader/writer: round-trips, byte-level conformance
+  * against the public FITS 4.0 standard, null sentinels, and the
+  * distributed fixed-width range read. */
+class FitsSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("fitsspec").resolve(name).toString
+
+  test("numeric + string + boolean round-trip preserves values and schema") {
+    val path = tmp("basic.fits")
+    val df = spark.range(5000).select(
+      col("id").as("k"),
+      col("id").cast("int").as("i"),
+      (col("id") * 1.5).as("x"),
+      (col("id") % 100).cast("float").as("f"),
+      concat(lit("nm_"), col("id")).as("s"),
+      (col("id") % 2 === 0).as("b"))
+    Fits.toFits(df, path)
+    val back = Fits.fromFits(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "i", "x", "f", "s", "b"))
+    assert(back.count() == 5000)
+    val got = back.orderBy("k").collect()
+    assert(got(7) == Row(7L, 7, 10.5, 7.0f, "nm_7", false))
+    assert(got(4999) == Row(4999L, 4999, 7498.5, 99.0f, "nm_4999", false))
+    assert(back.agg(sum("x")).head.getDouble(0) == df.agg(sum("x")).head.getDouble(0))
+  }
+
+  test("nulls round-trip via TNULL sentinels, NaN floats and NUL strings") {
+    val path = tmp("nulls.fits")
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 1.5, "a"), (null, 2.5, null), (3L, null, ""), (4L, 4.5, "dd"))
+      .toDF("k", "v", "s")
+    Fits.toFits(df, path)
+    val back = Fits.fromFits(spark, path).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(back == Set(
+      (Some(1L), Some(1.5), Some("a")),
+      (None, Some(2.5), None),
+      (Some(3L), None, Some("")),   // empty string distinct from null
+      (Some(4L), Some(4.5), Some("dd"))))
+  }
+
+  test("file conforms to the FITS byte layout (independent check)") {
+    val path = tmp("fmt.fits")
+    Fits.toFits(spark.range(10).select(col("id").as("a")), path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(bytes.length % 2880 == 0)                       // block aligned
+    val s = new String(bytes.take(2880), "US-ASCII")
+    assert(s.startsWith("SIMPLE  ="))                      // primary HDU first card
+    val ext = new String(bytes.slice(2880, 5760), "US-ASCII")
+    assert(ext.startsWith("XTENSION="))
+    assert(ext.contains("BINTABLE") && ext.contains("TFORM1"))
+    // NAXIS1 = 8 bytes (one K column), NAXIS2 = 10 rows
+    assert(ext.contains("NAXIS1") && ext.contains("NAXIS2"))
+  }
+
+  test("partitioned read agrees with single-partition; open() dispatches") {
+    val path = tmp("part.fits")
+    val df = spark.range(60000).select(col("id").as("k"), (col("id") * 2.0).as("x"))
+    Fits.toFits(df, path)
+    val p1 = Fits.fromFits(spark, path, Nil, numPartitions = 1)
+    val p8 = Fits.fromFits(spark, path, Nil, numPartitions = 8)
+    assert(p8.rdd.getNumPartitions == 8)
+    assert(p8.agg(sum("x"), sum("k")).head == p1.agg(sum("x"), sum("k")).head)
+    // column pruning arg + open() extension dispatch
+    val pruned = Fits.fromFits(spark, path, columns = Seq("x"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("x"))
+    assert(graft.sources.Readers.open(spark, path).count() == 60000)
+  }
+
+  test("non-FITS input fails with a clear error") {
+    val e = intercept[IllegalArgumentException](
+      Fits.readTable("/root/testdata/sf0.001/nation.parquet"))
+    assert(e.getMessage.contains("not a FITS file"))
+  }
+}
