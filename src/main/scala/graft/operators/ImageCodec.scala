@@ -10,14 +10,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *   - PNG: full IHDR parse + REAL pixel decode — zlib-inflate the
   *     IDAT stream and undo all five row filters (None/Sub/Up/Average/
   *     Paeth) for 8-bit gray/RGB/gray+alpha/RGBA, yielding an exact
-  *     mean brightness.
-  *   - JPEG: marker-segment walk to the SOFn frame header for
-  *     width/height (pixel decode would need the full DCT pipeline —
-  *     out of scope, brightness undefined).
+  *     mean brightness — plus nearest-neighbor RESIZE (decode ->
+  *     sample -> re-encode).
+  *   - JPEG: REAL baseline pixel decode via [[JpegCodec]] (Huffman +
+  *     IDCT over the luma plane); progressive/arithmetic files fall
+  *     back to the SOFn header walk (metadata only).
   *   - GIF / BMP: logical-screen / info-header dimensions.
   *
-  * Plus a minimal-but-valid grayscale PNG ENCODER (filter-0 rows,
-  * zlib, CRC32 chunks) so tests and oracle-gated queries can
+  * Plus a minimal-but-valid PNG ENCODER (filter-0 rows, zlib, CRC32
+  * chunks; grayscale or RGB) so tests and oracle-gated queries can
   * round-trip genuinely decodable payloads without fixtures on disk.
   *
   * The reference has no media pipeline (this is brief-mandated
@@ -69,7 +70,12 @@ object ImageCodec {
 
   // ------------------------------------------------------------ PNG decode
 
-  private def decodePng(b: Array[Byte]): Option[Decoded] = try {
+  private final case class PngRaw(width: Int, height: Int, depth: Int,
+                                  colorType: Int, idat: Array[Byte], nFrames: Long)
+
+  /** Chunk walk: dims + concatenated IDAT payload (shared by metadata
+    * decode and pixel decode/resize). */
+  private def pngChunks(b: Array[Byte]): Option[PngRaw] = try {
     var off = 8
     var width = -1; var height = -1; var depth = 0; var colorType = -1
     var nFrames = 1L
@@ -93,9 +99,22 @@ object ImageCodec {
       }
     }
     if (width <= 0 || height <= 0) None
-    else Some(Decoded("png", width, height,
-      pngBrightness(idat.toByteArray, width, height, depth, colorType), nFrames))
+    else Some(PngRaw(width, height, depth, colorType, idat.toByteArray, nFrames))
   } catch { case _: Exception => None }
+
+  private def decodePng(b: Array[Byte]): Option[Decoded] =
+    pngChunks(b).map { raw =>
+      val brightness = unfilterPixels(raw).map { case (ch, px) =>
+        val colorCh = raw.colorType match { case 4 => 1; case 6 => 3; case _ => ch }
+        var sum = 0.0; var cnt = 0L; var i = 0
+        while (i < px.length) {
+          if (i % ch < colorCh) { sum += px(i); cnt += 1 }
+          i += 1
+        }
+        sum / math.max(cnt, 1L)
+      }
+      Decoded("png", raw.width, raw.height, brightness, raw.nFrames)
+    }
 
   /** Color channels per pixel; -1 = unsupported for pixel decode
     * (palette images need the PLTE table — dims still parse). */
@@ -109,17 +128,17 @@ object ImageCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Inflate + unfilter and average the color channels (8-bit,
-    * non-interlaced only — the common case; None otherwise). */
-  private def pngBrightness(z: Array[Byte], w: Int, h: Int,
-                            depth: Int, ct: Int): Option[Double] = {
-    val ch = channelsOf(ct)
-    if (ch < 0 || depth != 8 || z.isEmpty) return None
+  /** Inflate + unfilter to raw samples: (channels, row-major samples).
+    * 8-bit non-interlaced only — the common case; None otherwise. */
+  private def unfilterPixels(rawPng: PngRaw): Option[(Int, Array[Int])] = {
+    val w = rawPng.width; val h = rawPng.height
+    val ch = channelsOf(rawPng.colorType)
+    if (ch < 0 || rawPng.depth != 8 || rawPng.idat.isEmpty) return None
     val stride = w * ch
     if (stride.toLong * h > (1L << 28)) return None // sanity cap, ~256M samples
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new Inflater()
-    inf.setInput(z)
+    inf.setInput(rawPng.idat)
     var got = 0
     try {
       while (!inf.finished() && got < raw.length) {
@@ -153,13 +172,31 @@ object ImageCodec {
       }
       y += 1
     }
-    val colorCh = ct match { case 4 => 1; case 6 => 3; case _ => ch }
-    var sum = 0.0; var cnt = 0L; var i = 0
-    while (i < px.length) {
-      if (i % ch < colorCh) { sum += px(i); cnt += 1 }
-      i += 1
+    Some((ch, px))
+  }
+
+  /** Nearest-neighbor PNG resize: full pixel decode -> grid sample ->
+    * re-encode. Grayscale stays grayscale (alpha dropped), anything
+    * with color re-encodes as RGB. None for inputs the pixel decoder
+    * doesn't handle (palette/16-bit/interlaced). The media-pipeline
+    * "resize" transform — decode and encode both run in the calling
+    * task, so a resize over a binary column is embarrassingly
+    * parallel. */
+  def resizePng(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    require(newW > 0 && newH > 0, "resize dims must be positive")
+    for {
+      raw <- pngChunks(bytes)
+      (ch, px) <- unfilterPixels(raw)
+    } yield {
+      val colorCh = raw.colorType match { case 4 => 1; case 6 => 3; case _ => ch }
+      val outCh = if (colorCh == 1) 1 else 3
+      val stride = raw.width * ch
+      encodePng(newW, newH, outCh, (x, y, c) => {
+        val sx = (x.toLong * raw.width / newW).toInt
+        val sy = (y.toLong * raw.height / newH).toInt
+        px(sy * stride + sx * ch + c)
+      })
     }
-    if (cnt == 0) None else Some(sum / cnt)
   }
 
   // ------------------------------------------------------------ JPEG decode

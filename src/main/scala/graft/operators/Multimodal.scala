@@ -196,6 +196,23 @@ object Multimodal {
       .toDF()
   }
 
+  /** Media TRANSFORM stage: nearest-neighbor resize of every PNG
+    * payload in a binary column (the decode -> transform -> re-encode
+    * loop of an image-training pipeline); non-PNG or undecodable
+    * payloads pass through untouched. Partition-wise over the typed
+    * Dataset — zero shuffle, total function, same 100 TB shape as
+    * [[decodeMeta]]. */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+                   width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(binCol).as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => MediaRecord(r.doc_id,
+        ImageCodec.resizePng(r.media, width, height).getOrElse(r.media))))
+      .toDF()
+  }
+
   /** Same shape for baseline JPEG payloads ([[JpegCodec]]): constant
     * gray, all-ones quant table, so the decoded brightness round-trips
     * the spec exactly — the web's dominant image format exercised with

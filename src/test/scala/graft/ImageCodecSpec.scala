@@ -256,6 +256,22 @@ class ImageCodecSpec extends AnyFunSuite {
       s"br=$br2")
   }
 
+  test("resizePng: nearest-neighbor downsample preserves structure") {
+    // constant gray: any resize keeps the exact brightness
+    val g = ImageCodec.resizePng(ImageCodec.encodePngGray(64, 48, 201), 16, 12).get
+    val gd = ImageCodec.decode(g).get
+    assert(gd.width == 16 && gd.height == 12 && gd.brightness.contains(201.0))
+    // half-black half-white vertical split at RGB: downsample keeps the
+    // 50/50 split exactly when widths are even
+    val bw = ImageCodec.encodePng(32, 8, 3, (x, _, _) => if (x < 16) 0 else 255)
+    val half = ImageCodec.resizePng(bw, 8, 4).get
+    assert(ImageCodec.decode(half).get.brightness.contains(127.5))
+    // upsample works too; palette/undecodable input -> None
+    assert(ImageCodec.resizePng(ImageCodec.encodePngGray(4, 4, 7), 16, 16)
+      .flatMap(ImageCodec.decode).get.brightness.contains(7.0))
+    assert(ImageCodec.resizePng("junk".getBytes, 4, 4).isEmpty)
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)

@@ -33,6 +33,19 @@ class OperatorsSpec extends SparkSpec {
     assert(top == Set(11L)) // 12 is in the other cell, never probed
   }
 
+  test("Multimodal.resizeImages: PNGs resize in place, other payloads pass through") {
+    import graft.operators.ImageCodec
+    val rows = Seq(
+      (1L, ImageCodec.encodePngGray(40, 20, 99)),
+      (2L, "not an image".getBytes))
+    val df = rows.toDF("doc_id", "media")
+    val out = Multimodal.resizeImages(df, "doc_id", "media", 10, 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val d1 = ImageCodec.decode(out(1L)).get
+    assert(d1.width == 10 && d1.height == 5 && d1.brightness.contains(99.0))
+    assert(out(2L).toSeq == "not an image".getBytes.toSeq) // untouched
+  }
+
   test("multimodal decode: deterministic stub metadata from bytes") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "x")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(
