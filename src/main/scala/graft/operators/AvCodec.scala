@@ -116,6 +116,56 @@ object AvCodec {
       nFrames.toDouble / sampleRate, rms, peak))
   } catch { case _: Exception => None }
 
+  /** Raw PCM16 samples: (sampleRate, channels, interleaved samples).
+    * None for non-PCM16 payloads — the pixel-decode analog for audio
+    * transforms. */
+  def wavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = try {
+    if (!isWav(b)) return None
+    var off = 12
+    var audioFormat = -1; var channels = -1; var sampleRate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = fourcc(b, off)
+      val len = le32(b, off + 4)
+      if (len < 0 || off + 8L + len > b.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          audioFormat = le16(b, off + 8)
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ =>
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0 ||
+        dataOff < 0) return None
+    val samples = Array.tabulate(dataLen / 2)(i => le16(b, dataOff + 2 * i).toShort)
+    Some((sampleRate, channels, samples))
+  } catch { case _: Exception => None }
+
+  /** Integer-factor decimation of a PCM16 WAV: keep every `factor`-th
+    * FRAME and divide the sample rate — the audio transform stage
+    * (frame-sampling analog of [[ImageCodec.resizePng]]). None for
+    * payloads [[wavSamples]] can't decode. */
+  def decimateWav(b: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor > 0, "factor must be positive")
+    wavSamples(b).map { case (rate, ch, samples) =>
+      val frames = samples.length / ch
+      val outFrames = (frames + factor - 1) / factor
+      val out = new Array[Short](outFrames * ch)
+      var f = 0
+      while (f < outFrames) {
+        var c = 0
+        while (c < ch) { out(f * ch + c) = samples(f * factor * ch + c); c += 1 }
+        f += 1
+      }
+      encodeWavPcm16(math.max(1, rate / factor), ch, out)
+    }
+  }
+
   // ------------------------------------------------------------ WAV encode
 
   /** Minimal valid PCM16 WAV: RIFF + fmt + data. `samples` are

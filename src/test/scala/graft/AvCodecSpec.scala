@@ -102,6 +102,25 @@ class AvCodecSpec extends AnyFunSuite {
     assert(d.nTracks == 0)
   }
 
+  test("decimateWav keeps every Nth frame and divides the sample rate") {
+    // stereo: frame f = (100+f, -(100+f)) so kept frames are checkable
+    val frames = 1000
+    val samples = Array.tabulate[Short](frames * 2)(i =>
+      (if (i % 2 == 0) 100 + i / 2 else -(100 + i / 2)).toShort)
+    val wav = AvCodec.encodeWavPcm16(8000, 2, samples)
+    val out = AvCodec.decimateWav(wav, 4).get
+    val d = AvCodec.decodeWav(out).get
+    assert(d.sampleRate == 2000 && d.channels == 2 && d.nFrames == 250)
+    // duration is preserved (fewer frames at a lower rate)
+    assert(math.abs(d.durationS - frames / 8000.0) < 1e-9)
+    val (_, _, kept) = AvCodec.wavSamples(out).get
+    assert(kept(0) == 100 && kept(1) == -100)     // frame 0
+    assert(kept(2) == 104 && kept(3) == -104)     // frame 4
+    assert(kept(498) == 100 + 996)                // frame 996
+    // non-PCM input -> None
+    assert(AvCodec.decimateWav("junk".getBytes, 2).isEmpty)
+  }
+
   test("MP4 rejects overrunning boxes and non-ftyp payloads") {
     val good = AvCodec.encodeMp4Meta("isom", 600L, 600L, 1)
     assert(AvCodec.decodeMp4(good.take(40)).isEmpty)
