@@ -71,7 +71,8 @@ object ImageCodec {
   // ------------------------------------------------------------ PNG decode
 
   private final case class PngRaw(width: Int, height: Int, depth: Int,
-                                  colorType: Int, idat: Array[Byte], nFrames: Long)
+                                  colorType: Int, idat: Array[Byte], nFrames: Long,
+                                  palette: Array[Byte]) // PLTE RGB triples (may be empty)
 
   /** Chunk walk: dims + concatenated IDAT payload (shared by metadata
     * decode and pixel decode/resize). */
@@ -80,6 +81,7 @@ object ImageCodec {
     var width = -1; var height = -1; var depth = 0; var colorType = -1
     var nFrames = 1L
     val idat = new ByteArrayOutputStream()
+    var palette = Array.empty[Byte]
     var done = false
     while (!done && off + 12 <= b.length) {
       val len = be32(b, off)
@@ -91,6 +93,7 @@ object ImageCodec {
             width = be32(b, off + 8); height = be32(b, off + 12)
             depth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
           case "acTL" => nFrames = math.max(1, be32(b, off + 8)).toLong // APNG
+          case "PLTE" => palette = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
           case "IDAT" => idat.write(b, off + 8, len)
           case "IEND" => done = true
           case _ =>
@@ -99,27 +102,38 @@ object ImageCodec {
       }
     }
     if (width <= 0 || height <= 0) None
-    else Some(PngRaw(width, height, depth, colorType, idat.toByteArray, nFrames))
+    else Some(PngRaw(width, height, depth, colorType, idat.toByteArray, nFrames, palette))
   } catch { case _: Exception => None }
 
   private def decodePng(b: Array[Byte]): Option[Decoded] =
     pngChunks(b).map { raw =>
       val brightness = unfilterPixels(raw).map { case (ch, px) =>
-        val colorCh = raw.colorType match { case 4 => 1; case 6 => 3; case _ => ch }
-        var sum = 0.0; var cnt = 0L; var i = 0
-        while (i < px.length) {
-          if (i % ch < colorCh) { sum += px(i); cnt += 1 }
-          i += 1
+        if (raw.colorType == 3) { // palette indices -> mean of RGB entries
+          var sum = 0.0; var i = 0
+          while (i < px.length) {
+            val o = px(i) * 3
+            sum += ((raw.palette(o) & 0xff) + (raw.palette(o + 1) & 0xff) +
+              (raw.palette(o + 2) & 0xff)) / 3.0
+            i += 1
+          }
+          sum / math.max(px.length, 1)
+        } else {
+          val colorCh = raw.colorType match { case 4 => 1; case 6 => 3; case _ => ch }
+          var sum = 0.0; var cnt = 0L; var i = 0
+          while (i < px.length) {
+            if (i % ch < colorCh) { sum += px(i); cnt += 1 }
+            i += 1
+          }
+          sum / math.max(cnt, 1L)
         }
-        sum / math.max(cnt, 1L)
       }
       Decoded("png", raw.width, raw.height, brightness, raw.nFrames)
     }
 
-  /** Color channels per pixel; -1 = unsupported for pixel decode
-    * (palette images need the PLTE table — dims still parse). */
+  /** Samples per pixel; palette (ct 3) is 1 index/pixel resolved
+    * through PLTE. -1 = unsupported for pixel decode. */
   private def channelsOf(ct: Int): Int = ct match {
-    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => -1
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -134,6 +148,7 @@ object ImageCodec {
     val w = rawPng.width; val h = rawPng.height
     val ch = channelsOf(rawPng.colorType)
     if (ch < 0 || rawPng.depth != 8 || rawPng.idat.isEmpty) return None
+    if (rawPng.colorType == 3 && rawPng.palette.length < 3) return None
     val stride = w * ch
     if (stride.toLong * h > (1L << 28)) return None // sanity cap, ~256M samples
     val raw = new Array[Byte]((stride + 1) * h)
@@ -188,14 +203,22 @@ object ImageCodec {
       raw <- pngChunks(bytes)
       (ch, px) <- unfilterPixels(raw)
     } yield {
-      val colorCh = raw.colorType match { case 4 => 1; case 6 => 3; case _ => ch }
-      val outCh = if (colorCh == 1) 1 else 3
       val stride = raw.width * ch
-      encodePng(newW, newH, outCh, (x, y, c) => {
-        val sx = (x.toLong * raw.width / newW).toInt
-        val sy = (y.toLong * raw.height / newH).toInt
-        px(sy * stride + sx * ch + c)
-      })
+      if (raw.colorType == 3) { // palette indices -> RGB output
+        encodePng(newW, newH, 3, (x, y, c) => {
+          val sx = (x.toLong * raw.width / newW).toInt
+          val sy = (y.toLong * raw.height / newH).toInt
+          raw.palette(px(sy * stride + sx) * 3 + c) & 0xff
+        })
+      } else {
+        val colorCh = raw.colorType match { case 4 => 1; case 6 => 3; case _ => ch }
+        val outCh = if (colorCh == 1) 1 else 3
+        encodePng(newW, newH, outCh, (x, y, c) => {
+          val sx = (x.toLong * raw.width / newW).toInt
+          val sy = (y.toLong * raw.height / newH).toInt
+          px(sy * stride + sx * ch + c)
+        })
+      }
     }
   }
 

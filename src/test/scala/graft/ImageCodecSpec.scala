@@ -272,6 +272,31 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.resizePng("junk".getBytes, 4, 4).isEmpty)
   }
 
+  test("palette (PLTE) PNGs decode brightness and resize through the table") {
+    // hand-built 4x2 indexed PNG: palette {0:(10,20,30), 1:(200,100,0)}
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 4; ihdr(7) = 2           // width 4, height 2 (BE int32s)
+    ihdr(8) = 8; ihdr(9) = 3           // depth 8, color type 3 (palette)
+    ImageCodec.pngChunk(out, "IHDR", ihdr)
+    ImageCodec.pngChunk(out, "PLTE",
+      Array[Byte](10, 20, 30, 200.toByte, 100, 0))
+    val scanlines = Array[Byte](0, 0, 1, 0, 1, /*row1*/ 0, 1, 1, 0, 0)
+    ImageCodec.pngChunk(out, "IDAT", ImageCodec.zlibDeflate(scanlines))
+    ImageCodec.pngChunk(out, "IEND", Array.empty)
+    val png = out.toByteArray
+    val d = ImageCodec.decode(png).get
+    assert(d.format == "png" && d.width == 4 && d.height == 2)
+    // entries: (10+20+30)/3 = 20 and (200+100+0)/3 = 100; 4 of each
+    assert(d.brightness.contains(60.0), d.brightness)
+    // resize resolves indices through the palette into RGB
+    val small = ImageCodec.resizePng(png, 2, 1).get
+    val ds = ImageCodec.decode(small).get
+    // nearest-neighbor picks row 0 columns 0 and 2 -> both index 0
+    assert(ds.width == 2 && ds.height == 1 && ds.brightness.contains(20.0))
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
