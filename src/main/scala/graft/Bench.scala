@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * Round-1 lessons (VERDICT.md): (a) the full 81-query battery ran long
   * enough to hit host throttling and the emitted line was so wide the
   * driver's tail capture truncated it (`parsed: null`); (b) a single
-  * timing per query is noise. So: a focused HEADLINE battery, min-of-3
-  * per query, values rounded, one short line. Set
-  * SPARK_GRAFT_BENCH_FULL=1 for the full battery (local diagnosis only).
+  * timing per query is noise. Round-4 lesson: query-major min-of-3 is
+  * ALSO noise on a throttling host — one throttle window poisons all 3
+  * consecutive reps (BENCH_r04 recorded 5-30x phantom regressions). So:
+  * a focused HEADLINE battery, REP-MAJOR min-of-3 (whole battery per
+  * pass, min per query across passes), per-rep times emitted in the
+  * JSON, values rounded, one short line. Set SPARK_GRAFT_BENCH_FULL=1
+  * for the full battery (local diagnosis only).
   *
   * Fast-lane entries (`*_fast`) re-run the same logical query with
   * plain double aggregation instead of the DECIMAL(38,10) oracle-parity
@@ -109,10 +113,34 @@ object Bench {
     val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
   }
 
-  /** min-of-n wall time; noop sink forces full column evaluation. */
-  private def minOf(n: Int)(df: () => DataFrame): Double =
-    (1 to n).map(_ => time(() =>
-      df().write.format("noop").mode("overwrite").save())).min
+  /** One timed run; noop sink forces full column evaluation. */
+  private def runOnce(fn: () => DataFrame): Double =
+    time(() => fn().write.format("noop").mode("overwrite").save())
+
+  /** Rep-major battery timing: run the WHOLE battery once per pass and
+    * take each query's min across passes. Query-major min-of-n (all
+    * reps of one query consecutive) lets a single host-throttle window
+    * poison every rep of the queries that run inside it — the
+    * BENCH_r04 artifact, where recorded 5-30x "regressions" on
+    * unchanged code vanished under idle-host interleaved
+    * re-measurement. Interleaving bounds a throttle window's damage to
+    * one pass per query, and the per-rep matrix is returned so a
+    * throttled pass is self-evident in the emitted JSON. */
+  private def repMajor(reps: Int, battery: Seq[(String, () => DataFrame)])
+      : (Seq[(String, Double)], Seq[Seq[Double]]) = {
+    val perRep: Seq[Seq[Double]] = (1 to reps).map { _ =>
+      battery.map { case (name, fn) =>
+        try runOnce(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0 }
+      }
+    }
+    val mins = battery.map(_._1).zipWithIndex.map { case (name, i) =>
+      val ts = perRep.map(_(i)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    (mins, perRep)
+  }
 
   private def j(d: Double): String = f"$d%.3f"
 
@@ -141,17 +169,12 @@ object Bench {
     if (!full) for (name <- headline; fn <- SparkEntry.queries.get(name))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    val results: Seq[(String, Double)] = names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        try name -> minOf(reps)(() => fn(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
-      }
-    } ++ fastLane(sfDir, spark).map { case (name, fn) =>
-      try name -> minOf(reps)(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
-    }
+    val battery: Seq[(String, () => DataFrame)] =
+      names.flatMap { name =>
+        SparkEntry.queries.get(name)
+          .map(fn => name -> (() => fn(spark, sfDir)))
+      } ++ fastLane(sfDir, spark)
+    val (results, perRep) = repMajor(reps, battery)
 
     // ---- 10x scale lane: top-5 headline queries on the replicated
     // star (6M-row lineitem at sf0.1 input). min-of-2 — these runs are
@@ -160,21 +183,18 @@ object Bench {
     writeScaled(spark, sfDir, scaleDir)
     val scaleNames = Seq("q1_agg", "q_agg_skew_kurt", "q_groupby_multi",
       "q_filter_project", "q_join_multi")
-    val scaleResults: Seq[(String, Double)] = scaleNames.map { name =>
+    // double/xxhash64 production lanes at 10x: the decimal-parity tax
+    // grows superlinearly with data (wider intermediate rows, more
+    // spill) and the LSH lane proves the dedup pipeline's linear
+    // candidate growth — the scale lane carries both so the gaps are
+    // quantified
+    val scaleBattery: Seq[(String, () => DataFrame)] = scaleNames.map { name =>
       val fn = SparkEntry.queries(name)
-      try s"${name}_10x" -> minOf(2)(() => fn(spark, scaleDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }
+      s"${name}_10x" -> (() => fn(spark, scaleDir))
     } ++ fastLane(scaleDir, spark).take(3).map { case (name, fn) =>
-      // double/xxhash64 production lanes at 10x: the decimal-parity tax
-      // grows superlinearly with data (wider intermediate rows, more
-      // spill) and the LSH lane proves the dedup pipeline's linear
-      // candidate growth — the scale lane carries both so the gaps are
-      // quantified
-      try s"${name}_10x" -> minOf(2)(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${name}_10x: ${e.getMessage}"); s"${name}_10x" -> -1.0 }
+      s"${name}_10x" -> fn
     }
+    val (scaleResults, _) = repMajor(2, scaleBattery)
 
     // ---- skew lane: one hot key holds 50% of a 2e7-row fact; dim has
     // 10k keys. Broadcast is disabled to land in the regime salting
@@ -190,25 +210,18 @@ object Bench {
       (col("id") % 1000).cast("double").as("v"))
     val skewRight = spark.range(10000L).select(col("id").as("k"),
       (col("id") % 97).cast("double").as("w"))
-    val skewResults = Seq(
+    val (skewResults, _) = repMajor(2, Seq(
       "q_skew_join_plain" -> (() => skewLeft.join(skewRight, "k")
         .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n"))),
       "q_skew_join_salted" -> (() => graft.operators.SkewJoin
         .saltedJoin(skewLeft, skewRight, Seq("k"), salt = 32)
-        .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n")))
-    ).map { case (name, fn) =>
-      try name -> minOf(2)(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name: ${e.getMessage}"); name -> -1.0 }
-    }
+        .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n")))))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
 
     // headline throughput: rows/sec of the canonical multi-agg groupBy
     // over lineitem (BASELINE.md "groupby aggregation" row)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val nRows = li.count()
-    val aggSec = minOf(3)(() => li.groupBy("l_returnflag", "l_linestatus")
-      .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))))
     // pure-compute throughput (asv-aggregates style, reference
     // benchmarks/aggregates.py): generated rows, no IO; 1e8 rows so JVM
     // fixed overhead amortizes (the BASELINE numbers are >=1e9-row runs)
@@ -217,29 +230,51 @@ object Bench {
       (col("id") % 100).as("k"),
       (col("id") % 1000).cast("double").as("x"),
       ((col("id") * 7) % 1000).cast("double").as("y"))
-    val groupbySec = minOf(3)(() =>
-      gen.groupBy("k").agg(sum("x"), avg("y"), count(lit(1))))
-    val binbySec = minOf(3)(() =>
-      gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
-          floor(col("y") / 10).cast("int").as("by"))
-        .agg(count(lit(1)), sum("x")))
     // broadcast join throughput (BASELINE "join 1e9 rows subsecond" row:
     // right side indexed/broadcast, probe side streams)
     val dim = spark.range(100_000L).select(col("id").as("k2"),
       (col("id") % 97).cast("double").as("w"))
     val genJ = spark.range(genN).select(
       (col("id") % 100).as("k"), (col("id") % 100_000L).as("k2"))
-    val joinSec = minOf(3)(() =>
-      genJ.join(broadcast(dim), "k2")
-        .groupBy("k").agg(sum("w"), count(lit(1))))
+    // categorical-key lane: the BASELINE >1e9 rows/s groupby claim is
+    // measured over `categorize`d columns (reference README.md:60) —
+    // ordinal int codes with a known small domain, not hashed wide
+    // keys. This lane is that shape: a tinyint code column, codes
+    // 0..9, fused sum+count. Spark still routes it through
+    // HashAggregate (no dense-array fast path), so the gap this lane
+    // records is the honest codegen-hash-vs-SIMD-dense-array number.
+    val genCat = spark.range(genN).select(
+      (col("id") % 10).cast("tinyint").as("code"),
+      (col("id") % 1000).cast("double").as("x"))
+    val (thrMins, _) = repMajor(3, Seq(
+      "agg" -> (() => li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))),
+      "groupby" -> (() =>
+        gen.groupBy("k").agg(sum("x"), avg("y"), count(lit(1)))),
+      "groupby_cat" -> (() =>
+        genCat.groupBy("code").agg(sum("x"), count(lit(1)))),
+      "binby" -> (() =>
+        gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
+            floor(col("y") / 10).cast("int").as("by"))
+          .agg(count(lit(1)), sum("x"))),
+      "join" -> (() =>
+        genJ.join(broadcast(dim), "k2")
+          .groupBy("k").agg(sum("w"), count(lit(1))))))
+    val thr = thrMins.toMap
 
     val qs = (results ++ scaleResults ++ skewResults)
       .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
+    // per-rep battery times: a throttled pass shows up as one inflated
+    // column across many queries instead of silently poisoning mins
+    val repsJson = battery.map(_._1).zipWithIndex
+      .map { case (name, i) =>
+        s"\"$name\":[${perRep.map(r => j(r(i))).mkString(",")}]"
+      }.mkString("{", ",", "}")
     // "value" keeps the round-2 definition (headline + fast lanes) so
     // totals stay comparable across rounds; the 10x lane totals apart.
     val total = results.map(_._2).filter(_ >= 0).sum
     val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_10x":${j(total10x)},"agg_rows_per_sec":${(nRows / aggSec).toLong},"groupby_gen_rows_per_sec":${(genN / groupbySec).toLong},"binby_gen_rows_per_sec":${(genN / binbySec).toLong},"join_gen_rows_per_sec":${(genN / joinSec).toLong}}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"total_10x":${j(total10x)},"agg_rows_per_sec":${(nRows / thr("agg")).toLong},"groupby_gen_rows_per_sec":${(genN / thr("groupby")).toLong},"groupby_cat_rows_per_sec":${(genN / thr("groupby_cat")).toLong},"binby_gen_rows_per_sec":${(genN / thr("binby")).toLong},"join_gen_rows_per_sec":${(genN / thr("join")).toLong}}""")
     spark.stop()
   }
 }
