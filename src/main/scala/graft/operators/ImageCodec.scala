@@ -187,6 +187,17 @@ object ImageCodec {
       }
       y += 1
     }
+    if (rawPng.colorType == 3) {
+      // palette indices are attacker-controlled: a truncated PLTE with
+      // out-of-range indices must read as undecodable, not throw from
+      // the palette lookups downstream (brightness/resize)
+      val entries = rawPng.palette.length / 3
+      var i = 0
+      while (i < px.length) {
+        if (px(i) >= entries) return None
+        i += 1
+      }
+    }
     Some((ch, px))
   }
 

@@ -112,10 +112,16 @@ object Fits {
         val rowBytes = emap.getOrElse("NAXIS1", "0").toInt
         val nRows = emap.getOrElse("NAXIS2", "0").toLong
         val dataBytes = {
+          // FITS 4.0 §7.1: data size = |BITPIX|/8 * GCOUNT *
+          // (PCOUNT + prod NAXISi). Omitting PCOUNT (heap, e.g.
+          // variable-length arrays) misaligns the HDU walk and the
+          // following BINTABLE is never found.
           val bitpix = math.abs(emap.getOrElse("BITPIX", "8").toInt)
           val naxis = emap.getOrElse("NAXIS", "0").toInt
-          (1 to naxis).map(i => emap.getOrElse(s"NAXIS$i", "0").toLong)
-            .product * (if (naxis == 0) 0 else bitpix / 8)
+          val pcount = emap.getOrElse("PCOUNT", "0").toLong
+          val gcount = emap.getOrElse("GCOUNT", "1").toLong
+          val axes = (1 to naxis).map(i => emap.getOrElse(s"NAXIS$i", "0").toLong).product
+          if (naxis == 0) 0L else bitpix / 8 * gcount * (pcount + axes)
         }
         if (emap.get("XTENSION").contains("BINTABLE")) {
           val nFields = emap.getOrElse("TFIELDS", "0").toInt
@@ -125,8 +131,14 @@ object Fits {
               throw new IllegalArgumentException(s"missing TFORM$i")).trim
             val (repeat, code) = {
               val digits = form.takeWhile(_.isDigit)
+              require(form.length > digits.length, s"malformed TFORM$i '$form'")
               (if (digits.isEmpty) 1 else digits.toInt, form.drop(digits.length).head)
             }
+            // whitelist before the repeat check: a variable-length
+            // descriptor like '1PB(5)' has repeat=1 and would otherwise
+            // fall through to an opaque MatchError at read time
+            require("LJKEDA".contains(code),
+              s"unsupported TFORM$i '$form' (supported codes: L J K E D A)")
             val c = FitsColumn(emap.getOrElse(s"TTYPE$i", s"col$i"), code,
               if (code == 'A') repeat else repeat, offset,
               emap.get(s"TNULL$i").map(_.toLong))
@@ -225,7 +237,13 @@ object Fits {
     raf.write(new Array[Byte](rem.toInt))
   }
 
-  /** INT null sentinel (TNULLn): most-negative value of the type. */
+  /** INT null sentinel (TNULLn): most-negative value of the type.
+    * KNOWN COLLISION: a genuine data value equal to Int.MinValue /
+    * Long.MinValue is indistinguishable from null in the file and
+    * reads back as null (the FITS integer-null convention has no
+    * escape — TNULL reserves one code point). The most-negative value
+    * is the conventional choice precisely because real data almost
+    * never contains it. */
   private val NullInt = Int.MinValue
   private val NullLong = Long.MinValue
 

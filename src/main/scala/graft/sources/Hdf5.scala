@@ -556,6 +556,12 @@ object Hdf5 {
           val c = chunks(ci)
           val cEnd = c.elemStart + chunkElems
           if (cEnd > start) {
+            // chunk entries come from the file's B-tree: cap the
+            // allocation against the nominal chunk size (deflate can
+            // expand incompressible data slightly, hence the slack)
+            // so a corrupt entry can't trigger a ~2GB per-task alloc
+            require(c.storedSize >= 0 && c.storedSize <= nominal.toLong * 2 + 4096,
+              s"hdf5 chunk storedSize ${c.storedSize} exceeds nominal $nominal")
             val raw = new Array[Byte](c.storedSize)
             raf.seek(c.addr); raf.readFully(raw)
             val plain = defilter(raw, filters, c.mask, nominal)

@@ -76,6 +76,46 @@ class FitsSpec extends SparkSpec {
     assert(graft.sources.Readers.open(spark, path).count() == 60000)
   }
 
+  test("extension with PCOUNT heap before the BINTABLE is skipped correctly") {
+    // FITS 4.0 §7.1: extension data size = |BITPIX|/8 * GCOUNT *
+    // (PCOUNT + prod NAXISi). Splice an IMAGE HDU whose heap (PCOUNT)
+    // dominates its size between the primary HDU and the table — a
+    // walk that ignores PCOUNT lands one block short and never finds
+    // the BINTABLE.
+    val base = tmp("pcount.fits")
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 2.0).as("x"))
+    Fits.toFits(df, base)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(base))
+    def card80(k: String, v: String) = (k.padTo(8, ' ') + "= " + v).padTo(80, ' ')
+    val hdr = (card80("XTENSION", "'IMAGE   '") + card80("BITPIX", "8") +
+      card80("NAXIS", "1") + card80("NAXIS1", "10") + card80("PCOUNT", "5750") +
+      card80("GCOUNT", "1") + "END".padTo(80, ' ')).padTo(2880, ' ')
+      .getBytes("US-ASCII")
+    val heapData = new Array[Byte](5760) // 1*1*(5750+10), block aligned
+    val spliced = bytes.take(2880) ++ hdr ++ heapData ++ bytes.drop(2880)
+    val path2 = tmp("pcount2.fits")
+    Files.write(java.nio.file.Paths.get(path2), spliced)
+    val back = Fits.fromFits(spark, path2)
+    assert(back.count() == 100)
+    assert(back.agg(sum("x")).head.getDouble(0) ==
+      df.agg(sum("x")).head.getDouble(0))
+  }
+
+  test("variable-length TFORM descriptor fails with a clear error") {
+    val base = tmp("tform.fits")
+    Fits.toFits(spark.range(10).select(col("id").as("a")), base)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(base))
+    val s = new String(bytes, "US-ASCII")
+    val at = s.indexOf("'1K      '", s.indexOf("TFORM1"))
+    assert(at > 0)
+    val repl = "'1PB(5)  '".getBytes("US-ASCII")
+    System.arraycopy(repl, 0, bytes, at, repl.length)
+    val path2 = tmp("tform2.fits")
+    Files.write(java.nio.file.Paths.get(path2), bytes)
+    val e = intercept[IllegalArgumentException](Fits.readTable(path2))
+    assert(e.getMessage.contains("unsupported TFORM"), e.getMessage)
+  }
+
   test("non-FITS input fails with a clear error") {
     val e = intercept[IllegalArgumentException](
       Fits.readTable("/root/testdata/sf0.001/nation.parquet"))

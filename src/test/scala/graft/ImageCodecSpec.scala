@@ -297,6 +297,27 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ds.width == 2 && ds.height == 1 && ds.brightness.contains(20.0))
   }
 
+  test("palette PNG with out-of-range indices is undecodable, not a crash") {
+    // same 4x2 indexed PNG but scanlines reference index 2 while PLTE
+    // holds 2 entries — must read as None (metadata still fine), never
+    // ArrayIndexOutOfBounds from the palette lookup
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 4; ihdr(7) = 2
+    ihdr(8) = 8; ihdr(9) = 3
+    ImageCodec.pngChunk(out, "IHDR", ihdr)
+    ImageCodec.pngChunk(out, "PLTE",
+      Array[Byte](10, 20, 30, 200.toByte, 100, 0))
+    val scanlines = Array[Byte](0, 0, 2, 0, 1, /*row1*/ 0, 1, 2, 0, 0)
+    ImageCodec.pngChunk(out, "IDAT", ImageCodec.zlibDeflate(scanlines))
+    ImageCodec.pngChunk(out, "IEND", Array.empty)
+    val png = out.toByteArray
+    val d = ImageCodec.decode(png).get
+    assert(d.width == 4 && d.height == 2 && d.brightness.isEmpty)
+    assert(ImageCodec.resizePng(png, 2, 1).isEmpty)
+  }
+
   test("APNG acTL frame count is surfaced") {
     val base = ImageCodec.encodePngGray(4, 4, 10)
     // splice an acTL chunk (8-byte payload: num_frames, num_plays)
