@@ -148,35 +148,67 @@ object StreamOps {
     * executors; `maxBucketSize` caps degenerate hot buckets (a bucket
     * that hot is a near-dup CLUSTER — its membership is already fully
     * paired; which member ids survive the cap depends on arrival
-    * order). NoTimeout retains buckets for the stream's life — bound
-    * the horizon with a timeout policy when ingesting forever. Works
-    * identically on a batch frame (the unified-Dataset property every
-    * operator here keeps), so stream==batch is spec-assertable. */
+    * order).
+    *
+    * Horizon: with `ttl = None` buckets live for the stream's life —
+    * fine for a bounded backfill, unbounded state for infinite ingest.
+    * Pass `ttl = Some("7 days")` for a processing-time horizon: a
+    * bucket idle longer than the TTL is evicted (Spark fires the
+    * timeout on the next micro-batch), so state is bounded by the
+    * ingest rate times the horizon and a re-arrival after eviction
+    * simply reseeds the bucket (near-dups farther apart than the TTL
+    * are no longer candidates — the documented trade). Batch frames
+    * ignore timeouts (Spark semantics), so stream==batch still holds
+    * for the no-TTL contract.
+    *
+    * Deployment note: with a processing-time timeout the state
+    * operator requests a micro-batch EVERY trigger so wall-clock
+    * timers can fire (Spark semantics — the query never quiesces and
+    * `processAllAvailable` never returns). Always pair a TTL with a
+    * real `Trigger.ProcessingTime(...)` interval; the default ASAP
+    * trigger busy-loops empty batches. */
   def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                                  p: graft.operators.LshDedup.Params =
                                    graft.operators.LshDedup.Params(),
-                                 maxBucketSize: Int = 64)
+                                 maxBucketSize: Int = 64,
+                                 ttl: Option[String] = None)
   : org.apache.spark.sql.Dataset[StreamCandidate] = {
     import docs.sparkSession.implicits._
     val entries = graft.operators.LshDedup.bandEntries(docs, idCol, textCol, p)
       .select(col("band").cast("int").as("band"), col("bkey").cast("long").as("bkey"),
         col("doc_id").cast("long").as("docId"))
       .as[BandEntry]
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     entries.groupByKey(e => (e.band, e.bkey))
       .flatMapGroupsWithState[Seq[Long], StreamCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((band, _), rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty[Long])
-          val out = Seq.newBuilder[StreamCandidate]
-          rows.foreach { e =>
-            if (!seen.contains(e.docId)) {
-              seen.foreach(s => out += StreamCandidate(
-                math.min(s, e.docId), math.max(s, e.docId), band))
-              if (seen.size < maxBucketSize) seen = seen :+ e.docId
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // state stays an insertion-ordered Seq (stable cap
+            // semantics + cheap encoder); membership checks go through
+            // a set so each arrival is O(1), not O(bucket)
+            val seen = scala.collection.mutable.ArrayBuffer.from(
+              state.getOption.getOrElse(Seq.empty[Long]))
+            val member = scala.collection.mutable.HashSet.from(seen)
+            val out = Seq.newBuilder[StreamCandidate]
+            rows.foreach { e =>
+              if (!member.contains(e.docId)) {
+                seen.foreach(s => out += StreamCandidate(
+                  math.min(s, e.docId), math.max(s, e.docId), band))
+                if (member.size < maxBucketSize) {
+                  member += e.docId; seen += e.docId
+                }
+              }
             }
+            state.update(seen.toSeq)
+            ttl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 

@@ -199,4 +199,45 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == viaState)
   }
+
+  test("streamingNearDupCandidates TTL evicts idle bucket state") {
+    // A processing-time-TTL query never quiesces (the state operator
+    // requests a batch every trigger so wall-clock timers can fire —
+    // Spark semantics), so processAllAvailable would block forever;
+    // this spec polls the memory sink instead. Plan: docs 0,1
+    // (near-dups) seed buckets and emit (0,1); after the TTL the
+    // batch churn fires the timers and evicts the buckets; docs 3,4
+    // (dups of 0 AND of each other) then emit (3,4) — proving their
+    // batch ran — but nothing against the evicted 0/1.
+    val mk = (s: String) => s + " the quick brown fox jumps over the lazy dog again and again"
+    val p = graft.operators.LshDedup.Params()
+    val stream = MemoryStream[(Long, String)]
+    val streamed = StreamOps.streamingNearDupCandidates(
+      stream.toDF.toDF("doc_id", "text"), "doc_id", "text", p,
+      ttl = Some("500 milliseconds"))
+    val q = streamed.toDF().writeStream.format("memory")
+      .queryName("t_neardup_ttl").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def pairs(): Set[(Long, Long)] = spark.table("t_neardup_ttl")
+      .select("idA", "idB").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def awaitPair(pr: (Long, Long)): Unit = {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (!pairs().contains(pr)) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $pr; got ${pairs()}")
+        assert(q.exception.isEmpty, q.exception)
+        Thread.sleep(100)
+      }
+    }
+    stream.addData((0L, mk("alpha beta gamma delta epsilon zeta")),
+      (1L, mk("alpha beta gamma delta epsilon zeta")))
+    awaitPair((0L, 1L))
+    Thread.sleep(2000) // > TTL + several triggers: timers fire, buckets evict
+    stream.addData((3L, mk("alpha beta gamma delta epsilon zeta")),
+      (4L, mk("alpha beta gamma delta epsilon zeta")))
+    awaitPair((3L, 4L))
+    q.stop()
+    assert(pairs() == Set((0L, 1L), (3L, 4L)), pairs())
+  }
 }
