@@ -806,6 +806,20 @@ final case class VxFrame(
     copy(base = graft.operators.OrderedOps.rollingStd(df, column, window, as, rowIndex),
       virtualColumns = ListMap.empty, filterExpression = None)
 
+  /** Raw sliding-window matrix — the reference's `rolling(...).array`
+    * (core/rolling.py:4-31): fixed-length window arrays, leading null
+    * fill at the global head. */
+  def rollingArray(column: String, window: Int, as: String,
+                   rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingArray(df, column, window, as, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
+  /** Exact interpolated rolling median over the collected window. */
+  def rollingMedian(column: String, window: Int, as: String,
+                    rowIndex: String = "row_index"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingMedian(df, column, window, as, rowIndex),
+      virtualColumns = ListMap.empty, filterExpression = None)
+
   // ---------------------------------------------------------------- groupby / binby
 
   /** groupby with agg-spec normalization (reference:

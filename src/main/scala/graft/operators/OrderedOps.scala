@@ -263,4 +263,89 @@ object OrderedOps {
                  blockSize: Long = DefaultBlockSize): DataFrame =
     rollingVar(df, column, window, as, rowIndex, blockSize)
       .withColumn(as, when(col(as).isNotNull, sqrt(greatest(col(as), lit(0.0)))))
+
+  /** Sliding-window ARRAY — the reference's `rolling(...).array`
+    * accessor (core/rolling.py:4-31: `edge="right"` exposes, for each
+    * row, the raw window [i−window+1, i] as a fixed-length vector with
+    * `fill_value` in the out-of-range head slots; here fill_value is
+    * null). Same block decomposition as [[rollingAgg]], but the
+    * carried/intra values ride inside (index, value) structs: structs
+    * are never null, so null VALUES survive `collect_list` (which
+    * drops bare null elements), and the index field makes the window
+    * order explicit — one `sort_array` on the merged list instead of
+    * trusting collection order across the carry join. */
+  def rollingArray(df: DataFrame, column: String, window: Int, as: String,
+                   rowIndex: String = "row_index",
+                   blockSize: Long = DefaultBlockSize,
+                   validate: Boolean = true): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val bs = effectiveBlockSize(blockSize, window - 1)
+    require(bs >= window, s"blockSize=$bs must be >= window=$window")
+    val valueType = df.schema(column).dataType
+    val nullValue = lit(null).cast(valueType)
+    val item = struct(col(rowIndex).as("i"), col(column).as("v"))
+    val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
+    val st = staged(df, rowIndex, bs).withColumn("__intra",
+      collect_list(item).over(asc.rowsBetween(-(window - 1), 0)))
+    def finish(merged: Column): Column = {
+      val values = transform(sort_array(merged), e => e.getField("v"))
+      // fixed length `window`: pad the global head's partial windows
+      // with leading nulls (the reference's fill_value slots)
+      concat(array_repeat(nullValue, lit(window) - size(values)), values)
+    }
+    if (window == 1) {
+      val v = if (!validate) finish(col("__intra"))
+      else when(col("__rnd") > 1, finish(col("__intra")))
+        .otherwise(when(lastRowAligned(rowIndex, bs), finish(col("__intra")))
+          .otherwise(reindexError("rollingArray")))
+      return st.withColumn(as, v).drop("__blk", "__rn", "__rnd", "__intra")
+    }
+    val carries = st.where(col("__rnd") <= window - 1)
+      .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
+        item.as("__citem"), col(rowIndex).as("__cidx"))
+    val extra = st.where(col("__rn") <= window - 1)
+      .select(col("__blk"), col("__rn"), col(rowIndex))
+      .join(hinted(carries, window - 1), Seq("__blk"), "left")
+      .where(col("__k") <= lit(window) - col("__rn"))
+      .groupBy(col(rowIndex)).agg(collect_list(col("__citem")).as("__cext"),
+        count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
+    val joined = st.join(hinted(extra, window - 1), Seq(rowIndex), "left")
+    val value = finish(when(col("__cext").isNotNull,
+      concat(col("__cext"), col("__intra"))).otherwise(col("__intra")))
+    val guarded = if (!validate) value else {
+      // same O(boundary) guard as rollingAgg: boundary receivers must
+      // get exactly the contiguous range [rowIndex-window+1,
+      // blockStart-1]; each block's last row re-derives contiguity
+      val carryOk = col("__blk") === 0L ||
+        (coalesce(col("__cn"), lit(0L)) === lit(window).cast("long") - col("__rn") &&
+          col("__cmin") === col(rowIndex) - (window - 1))
+      val ok = (col("__rn") > window - 1 || carryOk) &&
+        (col("__rnd") > 1 || lastRowAligned(rowIndex, bs))
+      when(col("__rn") > window - 1 && col("__rnd") > 1, value)
+        .otherwise(when(ok, value).otherwise(reindexError("rollingArray")))
+    }
+    joined.withColumn(as, guarded)
+      .drop("__blk", "__rn", "__rnd", "__intra", "__cext", "__cn", "__cmin")
+  }
+
+  /** Rolling MEDIAN over the trailing `window` rows: interpolated
+    * (quantile_cont 0.5) over the window's non-null values, null for
+    * an all-null window — matching DuckDB/NumPy median semantics.
+    * Median is not decomposable into carried partial aggregates, so it
+    * rides on [[rollingArray]]'s collected window (O(window) per row,
+    * sorted per row — exact, and still block-partitioned: no global
+    * window in the plan). */
+  def rollingMedian(df: DataFrame, column: String, window: Int, as: String,
+                    rowIndex: String = "row_index",
+                    blockSize: Long = DefaultBlockSize): DataFrame = {
+    val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
+    val vals = array_sort(filter(col("__rwin"),
+      v => v.isNotNull)).cast("array<double>")
+    val n = size(vals)
+    val half = (n.cast("double") / 2.0).cast("int") // floor(n/2)
+    val med = when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(vals, half + 1))
+      .otherwise((element_at(vals, half) + element_at(vals, half + 1)) / 2.0)
+    withWin.withColumn(as, med).drop("__rwin")
+  }
 }

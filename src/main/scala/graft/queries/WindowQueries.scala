@@ -75,6 +75,24 @@ object WindowQueries {
         .orderBy("row_index")
     }),
 
+    // rolling MEDIAN through the collected-window machinery
+    // (OrderedOps.rollingArray -> exact interpolated middle): the
+    // non-decomposable rolling aggregate the reference reaches via
+    // rolling(...).array (core/rolling.py:4-31), oracle-gated against
+    // DuckDB's windowed MEDIAN (also interpolated).
+    "q_rolling_median" -> ((s, dir) => {
+      import graft.operators.OrderedOps
+      val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+      val base = graft.sources.Tables.withRowIndexBy(
+        t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
+        keys, buckets = 8)
+      val staged = base.withColumn("__x", col("l_quantity").cast("double"))
+      OrderedOps.rollingMedian(staged, "__x", 5, "roll_med", blockSize = 8192L)
+        .select(col("row_index"), r(col("roll_med"), 6).as("roll_med"))
+        .orderBy("row_index")
+    }),
+
     // ranking family (absent in reference §2.6 — "free if wanted")
     "q_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -197,6 +215,17 @@ object WindowQueries {
         |  ROUND(CAST(s2 AS DOUBLE) / n
         |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS roll_var
         |FROM w ORDER BY row_index""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH ri AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS xd,
+        |    ROW_NUMBER() OVER (ORDER BY l_suppkey, l_shipdate, l_orderkey,
+        |      l_linenumber, l_extendedprice) - 1 AS row_index
+        |  FROM lineitem)
+        |SELECT row_index,
+        |  ROUND(MEDIAN(xd) OVER (ORDER BY row_index
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+        |FROM ri ORDER BY row_index""".stripMargin,
 
     "q_rank" ->
       """SELECT * FROM (

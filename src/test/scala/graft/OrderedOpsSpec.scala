@@ -93,6 +93,52 @@ class OrderedOpsSpec extends SparkSpec {
     assert(joinedS.where(abs(col("got") - col("expect")) > 1e-9).count() == 0)
   }
 
+  test("blockRollingArray matches global collect_list incl. null slots and padding") {
+    // null value at rows 10..14 exercises the struct wrapper (bare
+    // collect_list would drop them and mis-align the window)
+    val d = df.withColumn("x",
+      when(col("row_index").between(10, 14), lit(null).cast("double"))
+        .otherwise(col("x")))
+    for (w <- Seq(1, 3, 7)) {
+      val got = OrderedOps.rollingArray(d, "x", w, "arr", blockSize = 7L)
+        .select(col("row_index"), col("arr")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      // expected: fixed-length window [i-w+1, i] with leading nulls
+      val xs = d.select("row_index", "x").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      for (i <- 0L until 100L) {
+        val expect = ((i - w + 1) to i).map(j =>
+          if (j < 0) None else xs(j)).map(_.orNull)
+        assert(got(i) == expect, s"row $i window $w")
+      }
+    }
+  }
+
+  test("blockRollingMedian matches a global-window interpolated median") {
+    val w = 5
+    // DuckDB/NumPy semantics: interpolated middle over non-null values
+    // — computed exactly driver-side (100 rows)
+    val xs = df.select("row_index", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = OrderedOps.rollingMedian(df, "x", w, "med", blockSize = 7L)
+      .select(col("row_index"), col("med")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0L until 100L) {
+      val vals = (math.max(0L, i - w + 1) to i).map(xs).sorted
+      val n = vals.length
+      val expect = if (n % 2 == 1) vals(n / 2) else (vals(n / 2 - 1) + vals(n / 2)) / 2.0
+      assert(math.abs(got(i) - expect) < 1e-12, s"row $i: ${got(i)} vs $expect")
+    }
+    // all-null windows yield null medians
+    val dn = spark.range(10).select(col("id").as("row_index"),
+      when(col("id") < 5, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))
+    val gotN = OrderedOps.rollingMedian(dn, "x", 3, "med", blockSize = 4L)
+      .select(col("row_index"), col("med")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotN(1L).isEmpty && gotN(4L).isEmpty)
+    assert(gotN(5L) == Some(5.0) && gotN(6L) == Some(5.5)) // partial non-null windows
+  }
+
   test("blockRollingSum null handling: all-null window stays null") {
     val d = spark.range(10).select(col("id").as("row_index"),
       when(col("id") < 5, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))
@@ -120,6 +166,8 @@ class OrderedOpsSpec extends SparkSpec {
     for (plan <- Seq(
       OrderedOps.shift(df, "x", 3, as = Some("s"), blockSize = 7L),
       OrderedOps.rollingSum(df, "x", 3, "rs", blockSize = 7L),
+      OrderedOps.rollingArray(df, "x", 3, "arr", blockSize = 7L),
+      OrderedOps.rollingMedian(df, "x", 3, "med", blockSize = 7L),
       VxFrame(df).shift("x", 2).df)) {
       val p = plan.queryExecution.executedPlan.toString
       assert(!p.contains("SinglePartition"), p.take(2000))
