@@ -864,6 +864,25 @@ final case class VxFrame(
     VxFrame(if (sort) grouped.orderBy(by.map(c => col(c).asc_nulls_last): _*) else grouped)
   }
 
+  /** The dense tensor is assembled DRIVER-side, so its cell count —
+    * the product over dimensions, any number of them — must stay
+    * bounded regardless of data size. 2^26 doubles = 512 MB, already
+    * generous for a grid someone plots or post-processes; beyond that
+    * the distributed groupBy (sparse cells) is the right tool. */
+  private val MaxGridCells: Long = 1L << 26
+
+  private def checkGridCells(shapes: Seq[Int]): Unit = {
+    require(shapes.forall(_ > 0), s"binby shapes must be positive: $shapes")
+    val cells = shapes.foldLeft(1L) { (acc, s) =>
+      val next = acc * s
+      require(next <= MaxGridCells,
+        s"binby grid ${shapes.mkString("x")} exceeds $MaxGridCells cells — " +
+          "reduce the shape or use groupby (sparse) instead")
+      next
+    }
+    require(cells > 0, s"empty binby grid: $shapes")
+  }
+
   /** N-d dense-grid aggregation — vaex's signature `binby` primitive
     * (reference: core/dataframe.py:7208, grid layout
     * src/binner_ordinal.cpp:9). Executes as ONE distributed groupBy on
@@ -875,6 +894,7 @@ final case class VxFrame(
     * Returns a flat row-major Array[Double] of size shape_1*...*shape_n.
     */
   def binby(specs: Seq[(String, Double, Double, Int)], agg: Column): Array[Double] = {
+    checkGridCells(specs.map(_._4))
     val keys = specs.zipWithIndex.map { case ((e, vmin, vmax, shape), i) =>
       val c = parse(e)
       val width = (vmax - vmin) / shape
@@ -918,6 +938,7 @@ final case class VxFrame(
     * `outside`, null/NaN rows in their own slots, so the grid's total
     * equals the row count (nothing silently dropped). */
   def binbyEdges(specs: Seq[(String, Double, Double, Int)], agg: Column): Array[Double] = {
+    checkGridCells(specs.map(_._4 + 3))
     val keys = specs.zipWithIndex.map { case ((e, vmin, vmax, shape), i) =>
       val c = parse(e)
       val width = (vmax - vmin) / shape

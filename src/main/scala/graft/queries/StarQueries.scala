@@ -215,6 +215,26 @@ object StarQueries {
         .orderBy("bx", "by")
     }),
 
+    // §2.4 binby 3-d: oracle-gates the N-dimensional DENSE-GRID path
+    // itself (VxFrame.binby row-major tensor assembly, reference
+    // core/dataframe.py:7208 binby is N-d) — the returned flat tensor
+    // is re-exploded to (bx,by,bz,v) rows so every cell, including
+    // empty ones, is hash-compared. Widths are spelled (vmax/shape) in
+    // BOTH engines so IEEE division agrees bit-for-bit at bin edges.
+    "q_binby_3d" -> ((s, dir) => {
+      import s.implicits._
+      val specs = Seq(
+        ("l_quantity", 0.0, 50.0, 5),
+        ("l_discount", 0.0, 0.12, 4),
+        ("l_tax", 0.0, 0.09, 3))
+      val grid = graft.VxFrame(t(s, dir, "lineitem")).binby(specs, count(lit(1)))
+      val rows = for {
+        ix <- 0 until 5; iy <- 0 until 4; iz <- 0 until 3
+      } yield (ix.toLong, iy.toLong, iz.toLong, grid((ix * 4 + iy) * 3 + iz))
+      rows.toDF("bx", "by", "bz", "v")
+        .orderBy("bx", "by", "bz")
+    }),
+
     // §2.3 inner equi-join, small dim broadcast
     "q_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
@@ -441,6 +461,24 @@ object StarQueries {
         |  CAST(FLOOR(l_discount / 0.02) AS BIGINT) AS by,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_binby_3d" ->
+      """WITH g AS (
+        |  SELECT CAST(FLOOR(l_quantity / (50.0/5)) AS INT) AS bx,
+        |    CAST(FLOOR(l_discount / (0.12/4)) AS INT) AS by,
+        |    CAST(FLOOR(l_tax / (0.09/3)) AS INT) AS bz
+        |  FROM lineitem
+        |  WHERE l_quantity >= 0 AND l_quantity < 50
+        |    AND l_discount >= 0 AND l_discount < 0.12
+        |    AND l_tax >= 0 AND l_tax < 0.09),
+        |c AS (SELECT bx, by, bz, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+        |cells AS (SELECT x.range AS bx, y.range AS by, z.range AS bz
+        |  FROM range(0, 5) x, range(0, 4) y, range(0, 3) z)
+        |SELECT CAST(cells.bx AS BIGINT) AS bx, CAST(cells.by AS BIGINT) AS by,
+        |  CAST(cells.bz AS BIGINT) AS bz, CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+        |FROM cells LEFT JOIN c
+        |  ON cells.bx = c.bx AND cells.by = c.by AND cells.bz = c.bz
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_join_inner" ->
       s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,

@@ -115,6 +115,24 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(g.sum == d.count().toDouble) // nothing dropped
   }
 
+  test("binby is N-dimensional; grid-cell guard rejects explosive shapes") {
+    // 3-d grid equals the nested-loop expectation on a tiny frame
+    val d = VxFrame((for (x <- 0 until 4; y <- 0 until 4; z <- 0 until 4)
+      yield (x.toDouble, y.toDouble, z.toDouble)).toDF("x", "y", "z"))
+    val g = d.binby(Seq(("x", 0.0, 4.0, 2), ("y", 0.0, 4.0, 2), ("z", 0.0, 4.0, 2)),
+      count(lit(1)))
+    assert(g.length == 8 && g.forall(_ == 8.0)) // 64 pts, 8 octants of 8
+    // 4-d works too (N-d, not special-cased at 3)
+    val g4 = d.binby(Seq(("x", 0.0, 4.0, 2), ("y", 0.0, 4.0, 2),
+      ("z", 0.0, 4.0, 2), ("x + y", 0.0, 8.0, 1)), count(lit(1)))
+    assert(g4.sum == 64.0)
+    // driver-tensor guard: 2^27 cells must refuse before any Spark job
+    val e = intercept[IllegalArgumentException] {
+      d.binby(Seq(("x", 0.0, 4.0, 1 << 14), ("y", 0.0, 4.0, 1 << 13)), count(lit(1)))
+    }
+    assert(e.getMessage.contains("cells"))
+  }
+
   test("withApplied attaches a UDF column") {
     val square = org.apache.spark.sql.functions.udf((d: Double) => d * d)
     val got = vf.withApplied("x2", square, "x").df.agg(sum("x2")).head.getDouble(0)
