@@ -3,9 +3,12 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
 
@@ -71,9 +74,23 @@ object ArrowIpc {
     }
   }
 
+  /** Buffer-compression codec for [[write]]: "lz4" (LZ4_FRAME) or
+    * "zstd" — the two codecs the Arrow IPC spec defines (and pyarrow
+    * writes); None = uncompressed. */
+  private def codecOf(compression: Option[String]): Option[CompressionUtil.CodecType] =
+    compression.map {
+      case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+      case "zstd" => CompressionUtil.CodecType.ZSTD
+      case other => throw new IllegalArgumentException(
+        s"unsupported arrow compression '$other' (lz4, zstd)")
+    }
+
   /** Export a frame as one Arrow IPC file, streaming `batchRows`-row
-    * record batches through the driver (no whole-frame collect). */
-  def write(df: DataFrame, path: String, batchRows: Int = 65536): Unit = {
+    * record batches through the driver (no whole-frame collect).
+    * `compression` Some("lz4"|"zstd") emits compressed record-batch
+    * buffers (what `pyarrow.feather.write_feather` does by default). */
+  def write(df: DataFrame, path: String, batchRows: Int = 65536,
+            compression: Option[String] = None): Unit = {
     require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
     val allocator = new RootAllocator()
@@ -81,7 +98,11 @@ object ArrowIpc {
       val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
       val root = VectorSchemaRoot.create(aschema, allocator)
       val out = new java.io.FileOutputStream(path)
-      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      val writer = codecOf(compression) match {
+        case Some(codec) => new ArrowFileWriter(root, null, out.getChannel,
+          null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+        case None => new ArrowFileWriter(root, null, out.getChannel)
+      }
       try {
         writer.start()
         val it = df.toLocalIterator()
@@ -132,7 +153,8 @@ object ArrowIpc {
       val allocator = new RootAllocator()
       val in = new java.io.FileInputStream(path)
       try {
-        val reader = new ArrowFileReader(in.getChannel, allocator)
+        val reader = new ArrowFileReader(in.getChannel, allocator,
+          CommonsCompressionFactory.INSTANCE)
         try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema), reader.getRecordBlocks.size)
         finally reader.close()
       } finally { in.close(); allocator.close() }
@@ -147,7 +169,10 @@ object ArrowIpc {
         else {
           val allocator = new RootAllocator()
           val in = new java.io.FileInputStream(path)
-          val reader = new ArrowFileReader(in.getChannel, allocator)
+          // compression factory makes LZ4_FRAME/ZSTD record batches
+          // (pyarrow >= 4 default feather output) decode per-executor
+          val reader = new ArrowFileReader(in.getChannel, allocator,
+            CommonsCompressionFactory.INSTANCE)
           try {
             val root = reader.getVectorSchemaRoot
             val blocks = reader.getRecordBlocks

@@ -98,4 +98,45 @@ class CoverageTailSpec extends SparkSpec {
     assert(back.agg(sum("x")).head.getDouble(0) == df.agg(sum("x")).head.getDouble(0))
     assert(back.where(col("id") === 123456L).head.getString(2) == "v456")
   }
+
+  test("Arrow IPC compressed batches (lz4, zstd) round-trip distributed") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_comp")
+    val n = 100000L
+    val df = spark.range(n).select(col("id"),
+      when(col("id") % 89 === 0, lit(null)).otherwise(col("id") * 1.5).as("x"),
+      concat(lit("sss"), col("id") % 100).as("s")) // repetitive -> compressible
+    for (codec <- Seq("lz4", "zstd")) {
+      val p = dir.resolve(s"c.$codec.arrow").toString
+      ArrowIpc.write(df, p, batchRows = 16384, compression = Some(codec))
+      val back = ArrowIpc.read(spark, p)
+      assert(back.rdd.getNumPartitions > 1) // still batch-parallel
+      assert(back.count() == n)
+      assert(back.agg(sum("x")).head.getDouble(0) ==
+        df.agg(sum("x")).head.getDouble(0))
+      assert(back.where(col("id") === 4321L).head.getString(2) == "sss21")
+    }
+    // compressed files are actually smaller than the uncompressed one
+    val pu = dir.resolve("u.arrow").toString
+    ArrowIpc.write(df, pu, batchRows = 16384)
+    val size = (f: String) => new java.io.File(f).length()
+    assert(size(dir.resolve("c.zstd.arrow").toString) < size(pu))
+    assert(size(dir.resolve("c.lz4.arrow").toString) < size(pu))
+  }
+
+  test("Arrow IPC reads genuine pyarrow-written compressed files") {
+    import org.apache.spark.sql.functions._
+    // fixtures written by pyarrow (IpcWriteOptions(compression=...),
+    // 1024-row chunks): 5000 rows, x = i*1.5 with nulls at i%89==0
+    for (codec <- Seq("lz4", "zstd")) {
+      val url = getClass.getResource(s"/pyarrow_$codec.arrow")
+      assert(url != null, s"missing fixture pyarrow_$codec.arrow")
+      val back = ArrowIpc.read(spark, url.getPath)
+      assert(back.count() == 5000)
+      assert(back.where(col("x").isNull).count() == 57) // ceil(5000/89)
+      val expSum = (0 until 5000).filter(_ % 89 != 0).map(_ * 1.5).sum
+      assert(back.agg(sum("x")).head.getDouble(0) == expSum)
+      assert(back.where(col("id") === 4321L).head.getString(2) == "sss21")
+    }
+  }
 }
