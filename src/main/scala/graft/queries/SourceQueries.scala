@@ -68,6 +68,20 @@ object SourceQueries {
       agg(graft.sources.Hdf5.fromHdf5(s, cache.toString))
     }),
 
+    // hdf5 MODERN format (h5py libver='latest'): superblock v3,
+    // version-2 object headers, link-message groups, v4 chunked data
+    // layout with a Fixed Array chunk index + gzip+shuffle filters —
+    // the layout the reference reads through h5py (packages/
+    // vaex-hdf5/vaex/hdf5/dataset.py:57) when files are written with
+    // the latest library version. Oracle runs on the original parquet.
+    "q_hdf5_latest" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_hdf5l"), "lineitem_latest.hdf5")
+      cache.getParentFile.mkdirs()
+      graft.sources.Hdf5.toHdf5Latest(narrowLineitem(s, dir), cache.toString,
+        chunked = Some((512, 6, true)))
+      agg(graft.sources.Hdf5.fromHdf5(s, cache.toString))
+    }),
+
     // FITS (the astronomy format the reference exports via astropy,
     // core/dataframe.py:6973 export_fits and vaex-astro reads): same
     // round trip through the BINTABLE writer and the distributed
@@ -110,6 +124,7 @@ object SourceQueries {
     "q_json_agg" -> aggSql,
     "q_hdf5_agg" -> aggSql,
     "q_hdf5_chunked" -> aggSql,
+    "q_hdf5_latest" -> aggSql,
     "q_fits_agg" -> aggSql,
     "q_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

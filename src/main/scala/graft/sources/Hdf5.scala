@@ -120,30 +120,109 @@ object Hdf5 {
       ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     }
 
-    /** root object header address */
+    /** root object header address. Superblock v0/v1 (libver earliest,
+      * h5py default) and v2/v3 (libver latest) layouts. */
     val rootAddr: Long = {
       val sig = readAt(0, 8)
       val expect = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
       require((0 until 8).forall(i => sig.get(i) == expect(i)), s"$path: not an HDF5 file")
       val ver = readAt(8, 1).get(0) & 0xff
-      require(ver <= 1, s"$path: superblock version $ver unsupported (use libver earliest)")
-      val sizes = readAt(13, 2)
-      require(sizes.get(0) == 8 && sizes.get(1) == 8,
-        s"$path: only 8-byte offsets/lengths supported")
-      // v0: superblock fixed part ends at 24; v1 adds 4 bytes (indexed
-      // storage internal node K + reserved) before the addresses
-      val addrBase = if (ver == 0) 24 else 28
-      // base(8) free-space(8) eof(8) driver-info(8) then root STE
-      val steAddr = addrBase + 32
-      readAt(steAddr + 8, 8).getLong // STE: link-name-offset(8), OH addr(8)
+      ver match {
+        case 0 | 1 =>
+          val sizes = readAt(13, 2)
+          require(sizes.get(0) == 8 && sizes.get(1) == 8,
+            s"$path: only 8-byte offsets/lengths supported")
+          // v0: superblock fixed part ends at 24; v1 adds 4 bytes (indexed
+          // storage internal node K + reserved) before the addresses
+          val addrBase = if (ver == 0) 24 else 28
+          // base(8) free-space(8) eof(8) driver-info(8) then root STE
+          val steAddr = addrBase + 32
+          readAt(steAddr + 8, 8).getLong // STE: link-name-offset(8), OH addr(8)
+        case 2 | 3 =>
+          // ver(1) offSize(1) lenSize(1) flags(1) base(8) ext(8) eof(8)
+          // rootOH(8) checksum(4)
+          val sizes = readAt(9, 2)
+          require(sizes.get(0) == 8 && sizes.get(1) == 8,
+            s"$path: only 8-byte offsets/lengths supported")
+          readAt(36, 8).getLong
+        case v => throw new IllegalArgumentException(
+          s"$path: superblock version $v unsupported")
+      }
+    }
+
+    /** Little-endian unsigned int of 1..8 bytes from a buffer (the
+      * latest-format structures size many fields minimally, so odd
+      * widths like 3 or 5 occur in real files). */
+    private def getUint(b: ByteBuffer, size: Int): Long = {
+      require(size >= 1 && size <= 8, s"bad uint width $size")
+      var v = 0L
+      var i = 0
+      while (i < size) { v |= (b.get() & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** All header messages of an object header, v1 or v2 ("OHDR"),
+      * following continuation blocks. Returns (type, body) pairs. */
+    def messages(ohAddr: Long): Seq[(Int, Array[Byte])] =
+      if (readAt(ohAddr, 4).getInt(0) == leMagic("OHDR")) messagesV2(ohAddr)
+      else messagesV1(ohAddr)
+
+    /** Version-2 object header (libver latest): OHDR prefix with
+      * optional time/attr-phase fields, variable-width chunk-0 size,
+      * 4-byte message headers (+2 with the creation-order flag), OCHK
+      * continuation blocks, trailing lookup3 checksums (not verified —
+      * integrity comes from the size caps and structural requires). */
+    private def messagesV2(ohAddr: Long): Seq[(Int, Array[Byte])] = {
+      val head = readAt(ohAddr, 6)
+      require((head.get(4) & 0xff) == 2,
+        s"$path: OHDR version ${head.get(4) & 0xff} unsupported")
+      val flags = head.get(5) & 0xff
+      var pos = ohAddr + 6
+      if ((flags & 0x20) != 0) pos += 16 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) pos += 4  // attribute phase-change limits
+      val szBytes = 1 << (flags & 0x3)
+      val chunk0 = getUint(readAt(pos, szBytes), szBytes)
+      pos += szBytes
+      val hdrSize = if ((flags & 0x04) != 0) 6 else 4 // + creation order
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+      var blocks = List((pos, chunk0))
+      var blocksSeen = 0
+      while (blocks.nonEmpty) {
+        blocksSeen += 1
+        if (blocksSeen > 4096)
+          throw new IllegalStateException(s"$path: header continuation loop")
+        val (bAddr, bLen) = blocks.head
+        blocks = blocks.tail
+        val buf = readAt(bAddr, bLen.toInt)
+        while (buf.remaining() >= hdrSize) {
+          val mType = buf.get() & 0xff
+          val mSize = buf.getShort() & 0xffff
+          buf.get() // message flags
+          if ((flags & 0x04) != 0) buf.getShort() // creation order
+          if (buf.remaining() < mSize)
+            throw new IllegalStateException(s"$path: truncated v2 message")
+          val body = new Array[Byte](mSize)
+          buf.get(body)
+          if (mType == 0x10) { // continuation: offset(8) + length(8)
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            val cAddr = cb.getLong; val cLen = cb.getLong
+            // OCHK block: sig(4) + messages + checksum(4)
+            require(readAt(cAddr, 4).getInt(0) == leMagic("OCHK"),
+              s"$path: bad OCHK signature")
+            require(cLen >= 8, s"$path: implausible continuation block")
+            blocks = blocks :+ ((cAddr + 4, cLen - 8))
+          } else if (mType != 0x00) out += ((mType, body))
+        }
+      }
+      out.toSeq
     }
 
     /** All header messages of a v1 object header, following
       * continuation blocks. Returns (type, body) pairs. */
-    def messages(ohAddr: Long): Seq[(Int, Array[Byte])] = {
+    private def messagesV1(ohAddr: Long): Seq[(Int, Array[Byte])] = {
       val head = readAt(ohAddr, 16)
       val version = head.get(0) & 0xff
-      require(version == 1, s"object header v$version unsupported (v2/latest-format file?)")
+      require(version == 1, s"object header v$version unsupported")
       val nMsgs = head.getShort(2) & 0xffff
       val blockSize = head.getInt(8)
       val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
@@ -173,14 +252,60 @@ object Hdf5 {
       out.toSeq
     }
 
-    def isGroup(ohAddr: Long): Boolean = messages(ohAddr).exists(_._1 == 0x0011)
+    def isGroup(ohAddr: Long): Boolean = messages(ohAddr).exists(m =>
+      m._1 == 0x0011 || m._1 == 0x0002 || m._1 == 0x0006 || m._1 == 0x000A)
 
-    /** Children of a symbol-table group: (name, objectHeaderAddr),
-      * B-tree name order (ascending). */
+    /** One hard-link message (0x0006, new-style groups):
+      * (name, objectHeaderAddr). */
+    private def parseLink(body: Array[Byte]): (String, Long) = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get() & 0xff
+      require(ver == 1, s"$path: link message v$ver unsupported")
+      val flags = b.get() & 0xff
+      val ltype = if ((flags & 0x08) != 0) b.get() & 0xff else 0
+      if ((flags & 0x04) != 0) b.getLong // creation order
+      if ((flags & 0x10) != 0) b.get()   // charset
+      val nameLen = getUint(b, 1 << (flags & 0x3))
+      require(nameLen >= 0 && nameLen <= 65535 && nameLen <= b.remaining(),
+        s"$path: implausible link name length $nameLen")
+      val name = new Array[Byte](nameLen.toInt); b.get(name)
+      require(ltype == 0,
+        s"$path: link type $ltype unsupported (hard links only)")
+      (new String(name, "UTF-8"), b.getLong)
+    }
+
+    /** Children of a group: (name, objectHeaderAddr) in name order.
+      * Old-style symbol-table groups (B-tree v1 + local heap + SNOD)
+      * and new-style compact groups (one link message per child). Dense
+      * new-style storage (Link Info pointing at a fractal heap — h5py
+      * creates it above the ~8-link compact threshold) fails with a
+      * clear error. */
     def groupChildren(ohAddr: Long): Seq[(String, Long)] = {
-      val st = messages(ohAddr).find(_._1 == 0x0011)
-        .getOrElse(throw new IllegalArgumentException("not a symbol-table group"))
-      val b = ByteBuffer.wrap(st._2).order(ByteOrder.LITTLE_ENDIAN)
+      val msgs = messages(ohAddr)
+      msgs.find(_._1 == 0x0011) match {
+        case Some(st) => symbolTableChildren(st._2)
+        case None =>
+          val links = msgs.filter(_._1 == 0x0006).map(m => parseLink(m._2))
+          if (links.nonEmpty) links.sortBy(_._1)
+          else {
+            msgs.find(_._1 == 0x0002).foreach { li => // Link Info
+              val b = ByteBuffer.wrap(li._2).order(ByteOrder.LITTLE_ENDIAN)
+              b.get() // version
+              val flags = b.get() & 0xff
+              if ((flags & 1) != 0) b.getLong // max creation index
+              val fheap = b.getLong
+              if (fheap != UNDEF) throw new IllegalArgumentException(
+                s"$path: dense (fractal-heap) group links unsupported — " +
+                  "write with default h5py settings or fewer links per group")
+            }
+            if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x000A)) Seq.empty
+            else throw new IllegalArgumentException("not a group")
+          }
+      }
+    }
+
+    private def symbolTableChildren(stBody: Array[Byte]): Seq[(String, Long)] = {
+      val b = ByteBuffer.wrap(stBody).order(ByteOrder.LITTLE_ENDIAN)
       val btreeAddr = b.getLong; val heapAddr = b.getLong
       val heapDataAddr = { // HEAP: sig(4) ver(1) res(3) size(8) freelist(8) dataAddr(8)
         val h = readAt(heapAddr, 32)
@@ -258,20 +383,26 @@ object Hdf5 {
       }
     }
 
-    /** Parse a v1 attribute message into (name, stringValue) when the
-      * value is a string/fixed-point scalar; None otherwise. */
+    /** Parse an attribute message (v1: 8-padded name/dt/ds regions;
+      * v2/v3: unpadded, v3 adds a charset byte) into
+      * (name, stringValue) when the value is a string scalar; None
+      * otherwise. */
     private def parseAttr(body: ByteBuffer): Option[(String, String)] = {
       val version = body.get() & 0xff
-      if (version != 1) return None
-      body.get() // reserved
+      if (version < 1 || version > 3) return None
+      val flags = body.get() & 0xff // v1: reserved (0)
+      if (version >= 2 && (flags & 0x03) != 0) return None // shared dt/ds
       val nameSize = body.getShort() & 0xffff
       val dtSize = body.getShort() & 0xffff
       val dsSize = body.getShort() & 0xffff
-      def pad8(n: Int) = (n + 7) / 8 * 8
-      val nameBytes = new Array[Byte](pad8(nameSize)); body.get(nameBytes)
-      val name = new String(nameBytes.takeWhile(_ != 0), "UTF-8")
-      val dtBytes = new Array[Byte](pad8(dtSize)); body.get(dtBytes)
-      val dsBytes = new Array[Byte](pad8(dsSize)); body.get(dsBytes)
+      if (version == 3) body.get() // name character-set encoding
+      def region(n: Int): Array[Byte] = {
+        val padded = if (version == 1) (n + 7) / 8 * 8 else n
+        val out = new Array[Byte](padded); body.get(out); out
+      }
+      val name = new String(region(nameSize).takeWhile(_ != 0), "UTF-8")
+      val dtBytes = region(dtSize)
+      region(dsSize) // dataspace: scalar assumed for the attrs we read
       val dt = parseDtype(ByteBuffer.wrap(dtBytes).order(ByteOrder.LITTLE_ENDIAN))
       if (dt.clazz != 3) return None
       val data = new Array[Byte](math.min(dt.size, body.remaining()))
@@ -328,6 +459,11 @@ object Hdf5 {
       walk(btreeAddr).sortBy(_.elemStart).toArray
     }
 
+    /** v4 chunked-layout descriptor pending index resolution
+      * (element size and filters arrive in other messages). */
+    private case class V4Chunk(indexType: Int, flags: Int, chunkElems: Long,
+                               addr: Long, singleSize: Long, singleMask: Int)
+
     def dataset(ohAddr: Long): DsetMeta = {
       var dims: Seq[Long] = Nil
       var dt: Dtype = null
@@ -335,6 +471,7 @@ object Hdf5 {
       var dataSize = 0L
       var filters: Seq[(Int, Int)] = Nil
       var chunkInfo: Option[(Long, Long)] = None // (btreeAddr, chunkElems)
+      var v4Info: Option[V4Chunk] = None
       val attrs = scala.collection.mutable.Map[String, String]()
       messages(ohAddr).foreach { case (t, body) =>
         val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
@@ -344,17 +481,18 @@ object Hdf5 {
           case 0x000B => filters = parseFilters(b)
           case 0x0008 =>
             val version = b.get() & 0xff
-            require(version == 3, s"data layout v$version unsupported")
+            require(version == 3 || version == 4,
+              s"data layout v$version unsupported")
             val clazz = b.get() & 0xff
-            clazz match {
-              case 0 => // compact: size(2) + raw data in the header
+            (version, clazz) match {
+              case (_, 0) => // compact: size(2) + raw data in the header
                 val sz = b.getShort() & 0xffff
                 val data = new Array[Byte](sz); b.get(data)
                 storage = Inline(data); dataSize = sz
-              case 1 =>
+              case (_, 1) =>
                 val a = b.getLong; dataSize = b.getLong
                 storage = Contiguous(a)
-              case 2 => // chunked: dimensionality(1) btree(8) dims(4 each)
+              case (3, 2) => // chunked v3: dimensionality(1) btree(8) dims(4 each)
                 val dimensionality = b.get() & 0xff
                 val btreeAddr = b.getLong
                 val chunkDims = (0 until dimensionality).map(_ => b.getInt().toLong)
@@ -362,25 +500,121 @@ object Hdf5 {
                 require(dimensionality == 2,
                   s"only 1-D chunked datasets supported (dimensionality=$dimensionality)")
                 chunkInfo = Some((btreeAddr, chunkDims.head))
-              case c => throw new IllegalArgumentException(
+              case (4, 2) =>
+                // chunked v4 (libver latest): flags(1) dimensionality(1)
+                // encodedDimSize(1) dims(encoded each) indexType(1)
+                // index-specific fields, then the index/chunk address
+                val lflags = b.get() & 0xff
+                val dimensionality = b.get() & 0xff
+                val enc = b.get() & 0xff
+                val chunkDims = (0 until dimensionality).map(_ => getUint(b, enc))
+                // tolerate both conventions seen in the wild: rank dims
+                // only, or rank+1 with the element size appended (v3's)
+                require(dimensionality == 1 || dimensionality == 2,
+                  s"only 1-D chunked datasets supported (dimensionality=$dimensionality)")
+                val indexType = b.get() & 0xff
+                v4Info = indexType match {
+                  case 1 => // single chunk
+                    val (sz, mask) =
+                      if ((lflags & 0x02) != 0) (b.getLong, b.getInt) else (-1L, 0)
+                    Some(V4Chunk(1, lflags, chunkDims.head, b.getLong, sz, mask))
+                  case 2 => // implicit: contiguous unfiltered chunks
+                    Some(V4Chunk(2, lflags, chunkDims.head, b.getLong, -1L, 0))
+                  case 3 => // fixed array: page bits(1) + header address
+                    b.get() // page bits (re-read from the FAHD header)
+                    Some(V4Chunk(3, lflags, chunkDims.head, b.getLong, -1L, 0))
+                  case it => throw new IllegalArgumentException(
+                    s"$path: v4 chunk index type $it unsupported " +
+                      "(single-chunk, implicit and fixed-array only)")
+                }
+              case (_, c) => throw new IllegalArgumentException(
                 s"hdf5 layout class $c unsupported")
             }
           case 0x000C => parseAttr(b).foreach { case (k, v) => attrs(k) = v }
           case _ => ()
         }
       }
+      def checkFilters(): Unit = filters.foreach { case (id, _) =>
+        require(SupportedFilters(id),
+          s"hdf5 filter $id unsupported (deflate=1 and shuffle=2 only)")
+      }
       chunkInfo.foreach { case (btreeAddr, chunkElems) =>
-        filters.foreach { case (id, _) =>
-          require(SupportedFilters(id),
-            s"hdf5 filter $id unsupported (deflate=1 and shuffle=2 only)")
-        }
+        checkFilters()
         val chunks =
           if (btreeAddr == UNDEF) Array.empty[ChunkLoc] // never-written dataset
           else chunkLocations(btreeAddr, 2)
         storage = Chunked(chunkElems, filters, chunks)
         dataSize = chunks.map(_.storedSize.toLong).sum
       }
+      v4Info.foreach { v4 =>
+        checkFilters()
+        require(dt != null, s"$path: v4 chunked dataset without a datatype")
+        val chunkBytes = v4.chunkElems * dt.size
+        val chunks: Array[ChunkLoc] = v4.indexType match {
+          case _ if v4.addr == UNDEF => Array.empty // never-written dataset
+          case 1 =>
+            val stored = if (v4.singleSize >= 0) v4.singleSize else chunkBytes
+            require(stored <= Int.MaxValue, s"$path: implausible chunk size")
+            Array(ChunkLoc(0L, v4.addr, stored.toInt, v4.singleMask))
+          case 2 =>
+            require(filters.isEmpty, s"$path: implicit chunk index with filters")
+            val n = dims.headOption.getOrElse(0L)
+            val nChunks = (n + v4.chunkElems - 1) / math.max(v4.chunkElems, 1L)
+            require(chunkBytes <= Int.MaxValue, s"$path: implausible chunk size")
+            Array.tabulate(nChunks.toInt)(i => ChunkLoc(i * v4.chunkElems,
+              v4.addr + i * chunkBytes, chunkBytes.toInt, 0))
+          case 3 =>
+            fixedArrayChunks(v4.addr, v4.chunkElems, chunkBytes)
+        }
+        storage = Chunked(v4.chunkElems, filters, chunks)
+        dataSize = chunks.map(_.storedSize.toLong).sum
+      }
       DsetMeta(dims, dt, storage, dataSize, attrs.toMap)
+    }
+
+    /** Chunk locations from a Fixed Array index (libver-latest layout
+      * for fixed-size chunked datasets): FAHD header -> FADB data
+      * block. Client 0 = unfiltered chunks (address only, nominal
+      * size); client 1 = filtered (address + stored size + mask).
+      * Unpaged blocks only — datasets with more than 2^pageBits chunks
+      * page the block and fail here with a clear error. */
+    def fixedArrayChunks(faAddr: Long, chunkElems: Long,
+                         nominalChunkBytes: Long): Array[ChunkLoc] = {
+      val hd = readAt(faAddr, 28)
+      require(hd.getInt(0) == leMagic("FAHD"), s"$path: bad fixed-array signature")
+      require((hd.get(4) & 0xff) == 0, "fixed array version")
+      val clientId = hd.get(5) & 0xff
+      val entrySize = hd.get(6) & 0xff
+      val pageBits = hd.get(7) & 0xff
+      val maxEntries = hd.getLong(8)
+      val dbAddr = hd.getLong(16)
+      require(clientId == 0 || clientId == 1,
+        s"$path: fixed-array client $clientId unsupported")
+      require(maxEntries >= 0 && maxEntries <= (MaxMetaRead - 14) / math.max(entrySize, 1),
+        s"$path: implausible fixed-array size $maxEntries")
+      require(pageBits >= 63 || maxEntries <= (1L << pageBits),
+        s"$path: paged fixed-array chunk index unsupported")
+      if (dbAddr == UNDEF) return Array.empty
+      val db = readAt(dbAddr, 14 + entrySize * maxEntries.toInt)
+      require(db.getInt(0) == leMagic("FADB"), s"$path: bad fixed-array data block")
+      db.position(14) // sig(4) version(1) client(1) headerAddr(8)
+      require(nominalChunkBytes <= Int.MaxValue, s"$path: implausible chunk size")
+      (0L until maxEntries).flatMap { i =>
+        if (clientId == 0) {
+          val addr = db.getLong
+          if (addr == UNDEF) None
+          else Some(ChunkLoc(i * chunkElems, addr, nominalChunkBytes.toInt, 0))
+        } else {
+          val addr = db.getLong
+          val stored = getUint(db, entrySize - 12)
+          val mask = db.getInt
+          if (addr == UNDEF) None
+          else {
+            require(stored <= Int.MaxValue, s"$path: implausible chunk size")
+            Some(ChunkLoc(i * chunkElems, addr, stored.toInt, mask))
+          }
+        }
+      }.toArray
     }
 
     override def close(): Unit = raf.close()
@@ -703,6 +937,16 @@ object Hdf5 {
     * writer.py:28-87 produces). Driver-side single-file sink. */
   def toHdf5(df: DataFrame, path: String): Unit = toHdf5Impl(df, path, None)
 
+  /** Same vaex table layout in the MODERN (h5py libver='latest') file
+    * format: superblock v3, version-2 object headers, compact
+    * link-message groups, dataspace v2, attribute v3 — contiguous
+    * storage, or chunked+filtered behind a v4 data layout with a Fixed
+    * Array chunk index when `chunked` is set. Exercises (and
+    * round-trips through) the latest-format read path. */
+  def toHdf5Latest(df: DataFrame, path: String,
+                   chunked: Option[(Int, Int, Boolean)] = None): Unit =
+    toHdf5Impl(df, path, chunked, latest = true)
+
   /** Fixture/interop writer for the GENERIC h5py file shape: datasets
     * directly under the root group, no vaex table layout. `fstr`
     * columns carry null-padded fixed-size bytes (h5py `S<n>`). */
@@ -710,7 +954,8 @@ object Hdf5 {
       longs: Seq[(String, Array[Long])] = Nil,
       doubles: Seq[(String, Array[Double])] = Nil,
       fixedStrings: Seq[(String, Int, Array[String])] = Nil,
-      chunkCfg: Option[(Int, Int, Boolean)] = None): Unit = {
+      chunkCfg: Option[(Int, Int, Boolean)] = None,
+      latest: Boolean = false): Unit = {
     val lc = longs.map { case (name, vs) =>
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putLong)
@@ -730,7 +975,7 @@ object Hdf5 {
       }
       OutCol(name, "fstr", b, Array.empty, Array.empty, vs.length)
     }
-    writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true)
+    writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest)
   }
 
   /** Same layout, but every dataset stored CHUNKED with the standard
@@ -746,7 +991,8 @@ object Hdf5 {
   }
 
   private def toHdf5Impl(df: DataFrame, path: String,
-                         chunkCfg: Option[(Int, Int, Boolean)]): Unit = {
+                         chunkCfg: Option[(Int, Int, Boolean)],
+                         latest: Boolean = false): Unit = {
     val schema = df.schema
     val n0 = df.count()
     require(n0 < Int.MaxValue, "hdf5 export caps at 2^31 rows per file; shard first")
@@ -826,7 +1072,7 @@ object Hdf5 {
           OutCol(f.name, kind, buf.array(), Array.empty, bm, n)
       }
     }
-    writeFile(path, cols.toSeq, chunkCfg)
+    writeFile(path, cols.toSeq, chunkCfg, latest = latest)
   }
 
   // ------------------------------------------------------------ emitter
@@ -859,6 +1105,242 @@ object Hdf5 {
     out
   }
 
+  // ---- shared structure encoders (v1 and latest-format emitters) ----
+
+  private def buf(size: Int): ByteBuffer =
+    ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+
+  /** v1 header message wrapper (2-byte type, body padded to 8). */
+  private def msg(mType: Int, body: Array[Byte]): Array[Byte] = {
+    val padded = align8(body.length).toInt
+    val b = buf(8 + padded)
+    b.putShort(mType.toShort); b.putShort(padded.toShort); b.putInt(0)
+    b.put(body); b.array()
+  }
+  private def dataspace1d(n: Long): Array[Byte] = {
+    val b = buf(16); b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+    b.position(8); b.putLong(n); b.array()
+  }
+  /** v2 dataspace (libver latest): ver(1) rank(1) flags(1) type(1) dims. */
+  private def dataspace1dV2(n: Long): Array[Byte] = {
+    val b = buf(12); b.put(2.toByte); b.put(1.toByte); b.put(0.toByte)
+    b.put(1.toByte) // type: simple
+    b.putLong(n); b.array()
+  }
+  private def dataspaceScalar: Array[Byte] = {
+    val b = buf(8); b.put(1.toByte); b.put(0.toByte); b.array()
+  }
+  private def dtFixed(size: Int): Array[Byte] = {
+    val b = buf(12)
+    b.put(0x10.toByte)             // version 1, class 0
+    b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte) // LE, signed
+    b.putInt(size)
+    b.putShort(0); b.putShort((size * 8).toShort)
+    b.array()
+  }
+  private def dtFloat(size: Int): Array[Byte] = {
+    val b = buf(20)
+    b.put(0x11.toByte)             // version 1, class 1
+    b.put(0x20.toByte)             // LE, mantissa normalization 2
+    b.put(if (size == 8) 63.toByte else 31.toByte) // sign bit location
+    b.put(0.toByte)
+    b.putInt(size)
+    b.putShort(0); b.putShort((size * 8).toShort)
+    if (size == 8) { b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte); b.putInt(1023) }
+    else { b.put(23.toByte); b.put(8.toByte); b.put(0.toByte); b.put(23.toByte); b.putInt(127) }
+    b.array()
+  }
+  private def dtString(size: Int): Array[Byte] = {
+    val b = buf(8)
+    b.put(0x13.toByte)             // version 1, class 3
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // null-terminated, ascii
+    b.putInt(math.max(size, 1))
+    b.array()
+  }
+  private def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
+    val b = buf(18); b.put(3.toByte); b.put(1.toByte); b.putLong(addr); b.putLong(size); b.array()
+  }
+  private def layoutChunked(btreeAddr: Long, chunkElems: Int, elemSize: Int): Array[Byte] = {
+    val b = buf(19)
+    b.put(3.toByte); b.put(2.toByte)   // v3, chunked
+    b.put(2.toByte)                    // dimensionality = rank 1 + elem dim
+    b.putLong(btreeAddr)
+    b.putInt(chunkElems); b.putInt(elemSize)
+    b.array()
+  }
+  /** v1 filter pipeline message; filters = (id, clientValues). */
+  private def filterPipeline(filters: Seq[(Int, Seq[Int])]): Array[Byte] = {
+    val sz = 8 + filters.map(f => 8 + 4 * f._2.size + (if (f._2.size % 2 == 1) 4 else 0)).sum
+    val b = buf(sz)
+    b.put(1.toByte); b.put(filters.size.toByte); b.putShort(0); b.putInt(0)
+    filters.foreach { case (id, values) =>
+      b.putShort(id.toShort); b.putShort(0 /*no name*/); b.putShort(0 /*flags*/)
+      b.putShort(values.size.toShort)
+      values.foreach(b.putInt)
+      if (values.size % 2 == 1) b.putInt(0) // pad to 8
+    }
+    b.array()
+  }
+  /** v2 filter pipeline (latest format: no reserved bytes, no name
+    * field for the built-in ids < 256, no value padding). */
+  private def filterPipelineV2(filters: Seq[(Int, Seq[Int])]): Array[Byte] = {
+    val sz = 2 + filters.map(f => 6 + 4 * f._2.size).sum
+    val b = buf(sz)
+    b.put(2.toByte); b.put(filters.size.toByte)
+    filters.foreach { case (id, values) =>
+      require(id < 256, "custom filter ids need a name field")
+      b.putShort(id.toShort); b.putShort(0 /*flags*/)
+      b.putShort(values.size.toShort)
+      values.foreach(b.putInt)
+    }
+    b.array()
+  }
+  /** v1 attribute message (8-padded regions), string scalar value. */
+  private def strAttr(name: String, value: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte // null-terminated
+    val dtB = dtString(value.length)
+    val dsB = dataspaceScalar
+    val b = buf((8 + align8(nameB.length) + align8(dtB.length) + align8(dsB.length)
+      + math.max(value.length, 1)).toInt)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(nameB.length.toShort)
+    b.putShort(dtB.length.toShort)
+    b.putShort(dsB.length.toShort)
+    b.put(nameB); b.position((8 + align8(nameB.length)).toInt)
+    b.put(dtB); b.position((8 + align8(nameB.length) + align8(dtB.length)).toInt)
+    b.put(dsB); b.position((8 + align8(nameB.length) + align8(dtB.length) + align8(dsB.length)).toInt)
+    b.put(value.getBytes("UTF-8"))
+    b.array()
+  }
+  /** v1 object header around already-wrapped messages. */
+  private def objectHeader(msgs: Seq[Array[Byte]]): Array[Byte] = {
+    val total = msgs.map(_.length).sum
+    val b = buf(16 + total)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(msgs.length.toShort)
+    b.putInt(1)         // reference count
+    b.putInt(total)     // header block size
+    b.position(16)
+    msgs.foreach(b.put)
+    b.array()
+  }
+
+  // ---- latest-format (superblock v3 / OHDR) structure encoders ----
+
+  /** Bob Jenkins lookup3 `hashlittle` over bytes (HDF5's metadata
+    * checksum, H5_checksum_lookup3 — public-domain algorithm from
+    * lookup3.c). Our reader doesn't verify checksums, but the writer
+    * emits real ones so produced files are spec-conformant. */
+  private[graft] def lookup3(data: Array[Byte], initval: Int = 0): Int = {
+    @inline def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + data.length + initval
+    var b = a; var c = a
+    var i = 0
+    var len = data.length
+    def word(o: Int, nb: Int): Int = {
+      var v = 0; var j = 0
+      while (j < nb && o + j < data.length) { v |= (data(o + j) & 0xff) << (8 * j); j += 1 }
+      v
+    }
+    while (len > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(i, math.min(len, 4))
+      b += word(i + 4, math.min(math.max(len - 4, 0), 4))
+      c += word(i + 8, math.min(math.max(len - 8, 0), 4))
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
+  /** v2 header message wrapper: type(1) size(2) flags(1) body, no
+    * padding requirement. */
+  private def msgV2(mType: Int, body: Array[Byte]): Array[Byte] = {
+    val b = buf(4 + body.length)
+    b.put(mType.toByte); b.putShort(body.length.toShort); b.put(0.toByte)
+    b.put(body); b.array()
+  }
+  /** v2 object header: OHDR prefix (no times, 4-byte chunk-0 size),
+    * messages, lookup3 checksum over everything before it. */
+  private def ohdrV2(msgs: Seq[Array[Byte]]): Array[Byte] = {
+    val total = msgs.map(_.length).sum
+    val b = buf(4 + 2 + 4 + total + 4)
+    b.putInt(leMagic("OHDR"))
+    b.put(2.toByte)
+    b.put(0x02.toByte) // flags: 4-byte size-of-chunk-0 field
+    b.putInt(total)
+    msgs.foreach(b.put)
+    val sum = lookup3(java.util.Arrays.copyOfRange(b.array(), 0, b.position()))
+    b.putInt(sum)
+    b.array()
+  }
+  /** Hard-link message (new-style compact groups). */
+  private def linkMsg(name: String, ohAddr: Long): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 255, s"link name too long: $name")
+    val b = buf(2 + 1 + nameB.length + 8)
+    b.put(1.toByte)    // version
+    b.put(0.toByte)    // flags: 1-byte name length, hard link, no corder
+    b.put(nameB.length.toByte)
+    b.put(nameB)
+    b.putLong(ohAddr)
+    b.array()
+  }
+  /** Link Info with no dense storage (compact links live in the
+    * header as link messages). */
+  private def linkInfoCompact: Array[Byte] = {
+    val b = buf(18)
+    b.put(0.toByte); b.put(0.toByte) // version, flags (no corder tracking)
+    b.putLong(UNDEF)                 // fractal heap
+    b.putLong(UNDEF)                 // name-index v2 btree
+    b.array()
+  }
+  private def groupInfoMsg: Array[Byte] = Array[Byte](0, 0) // version, flags
+  /** v3 attribute message (unpadded regions + charset), string scalar. */
+  private def strAttrV3(name: String, value: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val dtB = dtString(value.length)
+    val dsB = dataspaceScalar
+    val b = buf(9 + nameB.length + dtB.length + dsB.length + math.max(value.length, 1))
+    b.put(3.toByte); b.put(0.toByte)
+    b.putShort(nameB.length.toShort)
+    b.putShort(dtB.length.toShort)
+    b.putShort(dsB.length.toShort)
+    b.put(0.toByte) // name charset: ASCII
+    b.put(nameB); b.put(dtB); b.put(dsB)
+    b.put(value.getBytes("UTF-8"))
+    b.array()
+  }
+  /** v4 chunked data layout with a Fixed Array index (page bits sized
+    * so the data block never pages). */
+  private def layoutChunkedV4(faAddr: Long, chunkElems: Long, elemSize: Int,
+                              pageBits: Int): Array[Byte] = {
+    val b = buf(1 + 1 + 1 + 1 + 1 + 16 + 1 + 1 + 8)
+    b.put(4.toByte); b.put(2.toByte)   // v4, chunked
+    b.put(0.toByte)                    // flags
+    b.put(2.toByte)                    // dimensionality: rank 1 + elem dim
+    b.put(8.toByte)                    // dim size encoded length
+    b.putLong(chunkElems); b.putLong(elemSize.toLong)
+    b.put(3.toByte)                    // index type: fixed array
+    b.put(pageBits.toByte)
+    b.putLong(faAddr)
+    b.array()
+  }
+
   /** Two-phase writer: `plan` computes every object's address given a
     * metadata base; run once to size the metadata region, place data
     * after it, run again, emit. Optional `chunkCfg` (chunkElems,
@@ -866,83 +1348,16 @@ object Hdf5 {
     * behind a v1 type-1 chunk B-tree instead of contiguous. */
   private def writeFile(path: String, cols: Seq[OutCol],
                         chunkCfg: Option[(Int, Int, Boolean)] = None,
-                        flat: Boolean = false): Unit = {
+                        flat: Boolean = false, latest: Boolean = false): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
-    var cursor = 96L // superblock size
+    val sbSize = if (latest) 48L else 96L // superblock v3 vs v0
+    var cursor = sbSize
     def alloc(size: Long): Long = { val a = cursor; cursor = align8(cursor + size); a }
     def emit(addr: Long, bytes: Array[Byte]): Unit = patches += ((addr, bytes))
     // compressed chunks per dataset, computed once (stable across the
     // two plan runs — only addresses change between runs)
     val chunkCache = scala.collection.mutable.Map[String, Array[Array[Byte]]]()
 
-    def buf(size: Int): ByteBuffer =
-      ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-
-    // ---- message encoders (each body padded to 8) ----
-    def msg(mType: Int, body: Array[Byte]): Array[Byte] = {
-      val padded = align8(body.length).toInt
-      val b = buf(8 + padded)
-      b.putShort(mType.toShort); b.putShort(padded.toShort); b.putInt(0)
-      b.put(body); b.array()
-    }
-    def dataspace1d(n: Long): Array[Byte] = {
-      val b = buf(16); b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
-      b.position(8); b.putLong(n); b.array()
-    }
-    def dataspaceScalar: Array[Byte] = {
-      val b = buf(8); b.put(1.toByte); b.put(0.toByte); b.array()
-    }
-    def dtFixed(size: Int): Array[Byte] = {
-      val b = buf(12)
-      b.put(0x10.toByte)             // version 1, class 0
-      b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte) // LE, signed
-      b.putInt(size)
-      b.putShort(0); b.putShort((size * 8).toShort)
-      b.array()
-    }
-    def dtFloat(size: Int): Array[Byte] = {
-      val b = buf(20)
-      b.put(0x11.toByte)             // version 1, class 1
-      b.put(0x20.toByte)             // LE, mantissa normalization 2
-      b.put(if (size == 8) 63.toByte else 31.toByte) // sign bit location
-      b.put(0.toByte)
-      b.putInt(size)
-      b.putShort(0); b.putShort((size * 8).toShort)
-      if (size == 8) { b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte); b.putInt(1023) }
-      else { b.put(23.toByte); b.put(8.toByte); b.put(0.toByte); b.put(23.toByte); b.putInt(127) }
-      b.array()
-    }
-    def dtString(size: Int): Array[Byte] = {
-      val b = buf(8)
-      b.put(0x13.toByte)             // version 1, class 3
-      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // null-terminated, ascii
-      b.putInt(math.max(size, 1))
-      b.array()
-    }
-    def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
-      val b = buf(18); b.put(3.toByte); b.put(1.toByte); b.putLong(addr); b.putLong(size); b.array()
-    }
-    def layoutChunked(btreeAddr: Long, chunkElems: Int, elemSize: Int): Array[Byte] = {
-      val b = buf(19)
-      b.put(3.toByte); b.put(2.toByte)   // v3, chunked
-      b.put(2.toByte)                    // dimensionality = rank 1 + elem dim
-      b.putLong(btreeAddr)
-      b.putInt(chunkElems); b.putInt(elemSize)
-      b.array()
-    }
-    /** v1 filter pipeline message; filters = (id, clientValues). */
-    def filterPipeline(filters: Seq[(Int, Seq[Int])]): Array[Byte] = {
-      val sz = 8 + filters.map(f => 8 + 4 * f._2.size + (if (f._2.size % 2 == 1) 4 else 0)).sum
-      val b = buf(sz)
-      b.put(1.toByte); b.put(filters.size.toByte); b.putShort(0); b.putInt(0)
-      filters.foreach { case (id, values) =>
-        b.putShort(id.toShort); b.putShort(0 /*no name*/); b.putShort(0 /*flags*/)
-        b.putShort(values.size.toShort)
-        values.foreach(b.putInt)
-        if (values.size % 2 == 1) b.putInt(0) // pad to 8
-      }
-      b.array()
-    }
     /** v1 type-1 chunk B-tree over stored chunks (any depth needed;
       * node fan-out 2·32 = the default indexed-storage K readers
       * assume with a v0 superblock). Returns the root address. */
@@ -993,43 +1408,66 @@ object Hdf5 {
       }
       entries.head._3
     }
-    def strAttr(name: String, value: String): Array[Byte] = {
-      val nameB = name.getBytes("UTF-8") :+ 0.toByte // null-terminated
-      val dtB = dtString(value.length)
-      val dsB = dataspaceScalar
-      val b = buf((8 + align8(nameB.length) + align8(dtB.length) + align8(dsB.length)
-        + math.max(value.length, 1)).toInt)
-      b.put(1.toByte); b.put(0.toByte)
-      b.putShort(nameB.length.toShort)
-      b.putShort(dtB.length.toShort)
-      b.putShort(dsB.length.toShort)
-      b.put(nameB); b.position((8 + align8(nameB.length)).toInt)
-      b.put(dtB); b.position((8 + align8(nameB.length) + align8(dtB.length)).toInt)
-      b.put(dsB); b.position((8 + align8(nameB.length) + align8(dtB.length) + align8(dsB.length)).toInt)
-      b.put(value.getBytes("UTF-8"))
-      b.array()
-    }
-    def objectHeader(msgs: Seq[Array[Byte]]): Array[Byte] = {
-      val total = msgs.map(_.length).sum
-      val b = buf(16 + total)
-      b.put(1.toByte); b.put(0.toByte)
-      b.putShort(msgs.length.toShort)
-      b.putInt(1)         // reference count
-      b.putInt(total)     // header block size
-      b.position(16)
-      msgs.foreach(b.put)
-      b.array()
-    }
-
     /** Emit a dataset object: returns OH address. */
     def writeDataset(n: Long, dtype: Array[Byte], dataAddr: Long, dataSize: Long,
                      attrs: Seq[(String, String)]): Long = {
-      val msgs = Seq(
-        msg(0x0001, dataspace1d(n)),
-        msg(0x0003, dtype),
-        msg(0x0008, layoutContiguous(dataAddr, dataSize))) ++
-        attrs.map { case (k, v) => msg(0x000C, strAttr(k, v)) }
-      val bytes = objectHeader(msgs)
+      val bytes = if (latest) {
+        ohdrV2(Seq(
+          msgV2(0x0001, dataspace1dV2(n)),
+          msgV2(0x0003, dtype),
+          msgV2(0x0008, layoutContiguous(dataAddr, dataSize))) ++
+          attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) })
+      } else {
+        objectHeader(Seq(
+          msg(0x0001, dataspace1d(n)),
+          msg(0x0003, dtype),
+          msg(0x0008, layoutContiguous(dataAddr, dataSize))) ++
+          attrs.map { case (k, v) => msg(0x000C, strAttr(k, v)) })
+      }
+      val a = alloc(bytes.length)
+      emit(a, bytes); a
+    }
+
+    /** Fixed Array chunk index over filtered chunks (latest format):
+      * emits FAHD + unpaged FADB, returns (header address, page bits).
+      * locs = (addr, storedSize, elemStart), elemStart ascending. */
+    def writeFixedArray(locs: Seq[(Long, Int, Long)]): (Long, Int) = {
+      val nChunks = locs.size
+      // smallest page >= nChunks keeps the data block unpaged
+      val pageBits = math.max(10,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(nChunks - 1, 1).toLong))
+      val entrySize = 20 // addr(8) + stored size(8) + filter mask(4)
+      val hdrAddr = alloc(28)
+      val dbAddr = if (nChunks == 0) UNDEF else alloc(14 + entrySize * nChunks + 4)
+      val hb = buf(28)
+      hb.putInt(leMagic("FAHD")); hb.put(0.toByte)
+      hb.put(1.toByte)              // client: filtered dataset chunks
+      hb.put(entrySize.toByte); hb.put(pageBits.toByte)
+      hb.putLong(nChunks.toLong); hb.putLong(dbAddr)
+      hb.putInt(lookup3(java.util.Arrays.copyOfRange(hb.array(), 0, 24)))
+      emit(hdrAddr, hb.array())
+      if (nChunks > 0) {
+        val db = buf(14 + entrySize * nChunks + 4)
+        db.putInt(leMagic("FADB")); db.put(0.toByte); db.put(1.toByte)
+        db.putLong(hdrAddr)
+        locs.foreach { case (addr, sz, _) =>
+          db.putLong(addr); db.putLong(sz.toLong); db.putInt(0)
+        }
+        db.putInt(lookup3(java.util.Arrays.copyOfRange(db.array(), 0, db.position())))
+        emit(dbAddr, db.array())
+      }
+      (hdrAddr, pageBits)
+    }
+
+    /** New-style compact group (latest format): link-info + group-info
+      * + one hard-link message per child. */
+    def writeGroupLatest(children: Seq[(String, Long)],
+                         attrs: Seq[(String, String)]): Long = {
+      val sorted = children.sortBy(_._1)
+      val msgs = Seq(msgV2(0x0002, linkInfoCompact), msgV2(0x000A, groupInfoMsg)) ++
+        sorted.map { case (n, a) => msgV2(0x0006, linkMsg(n, a)) } ++
+        attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) }
+      val bytes = ohdrV2(msgs)
       val a = alloc(bytes.length)
       emit(a, bytes); a
     }
@@ -1111,8 +1549,10 @@ object Hdf5 {
     // chunked mode is size-stable too: compressed chunk sizes are
     // computed once and btree sizes depend only on chunk counts)
     def plan(dataBase: Long): (Long, Long) = {
-      patches.clear(); cursor = 96L
+      patches.clear(); cursor = sbSize
       var dataCursor = dataBase
+      def group(children: Seq[(String, Long)], attrs: Seq[(String, String)]): Long =
+        if (latest) writeGroupLatest(children, attrs) else writeGroup(children, attrs)
       def allocData(size: Long): Long = { val a = dataCursor; dataCursor = align8(dataCursor + size); a }
 
       /** Emit one dataset (header + data bytes), contiguous or
@@ -1136,15 +1576,24 @@ object Hdf5 {
               val a = allocData(cb.length); emit(a, cb)
               (a, cb.length, i.toLong * ce)
             }
-            val btreeAddr = writeChunkBtree(locs.toSeq, ce)
             val filters = (if (shuf) Seq((2, Seq(elemSize))) else Nil) :+ ((1, Seq(lvl)))
-            val msgs = Seq(
-              msg(0x0001, dataspace1d(nElems)),
-              msg(0x0003, dtype),
-              msg(0x000B, filterPipeline(filters)),
-              msg(0x0008, layoutChunked(btreeAddr, ce, elemSize))) ++
-              attrs.map { case (k, v) => msg(0x000C, strAttr(k, v)) }
-            val hdr = objectHeader(msgs)
+            val hdr = if (latest) {
+              val (faAddr, pageBits) = writeFixedArray(locs.toSeq)
+              ohdrV2(Seq(
+                msgV2(0x0001, dataspace1dV2(nElems)),
+                msgV2(0x0003, dtype),
+                msgV2(0x000B, filterPipelineV2(filters)),
+                msgV2(0x0008, layoutChunkedV4(faAddr, ce.toLong, elemSize, pageBits))) ++
+                attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) })
+            } else {
+              val btreeAddr = writeChunkBtree(locs.toSeq, ce)
+              objectHeader(Seq(
+                msg(0x0001, dataspace1d(nElems)),
+                msg(0x0003, dtype),
+                msg(0x000B, filterPipeline(filters)),
+                msg(0x0008, layoutChunked(btreeAddr, ce, elemSize))) ++
+                attrs.map { case (k, v) => msg(0x000C, strAttr(k, v)) })
+            }
             val a = alloc(hdr.length)
             emit(a, hdr); a
         }
@@ -1163,7 +1612,7 @@ object Hdf5 {
           }
           (c.name, emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil))
         }
-        val rootAddr = writeGroup(dsets, Nil)
+        val rootAddr = group(dsets, Nil)
         (rootAddr, dataCursor)
       } else {
       val colGroups = cols.map { c =>
@@ -1185,12 +1634,12 @@ object Hdf5 {
         if (c.bitmap.nonEmpty)
           members += (("null_bitmap", emitDataset(s"${c.name}/b", c.bitmap.length,
             dtFixed(1), 1, c.bitmap, Nil)))
-        (c.name, writeGroup(members.toSeq, Nil))
+        (c.name, group(members.toSeq, Nil))
       }
-      val columnsAddr = writeGroup(colGroups,
+      val columnsAddr = group(colGroups,
         Seq("column_order" -> cols.map(_.name).mkString(",")))
-      val tableAddr = writeGroup(Seq(("columns", columnsAddr)), Nil)
-      val rootAddr = writeGroup(Seq(("table", tableAddr)), Nil)
+      val tableAddr = group(Seq(("columns", columnsAddr)), Nil)
+      val rootAddr = group(Seq(("table", tableAddr)), Nil)
       (rootAddr, dataCursor)
       }
     }
@@ -1204,20 +1653,36 @@ object Hdf5 {
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.setLength(0)
-      // superblock v0
-      val sb = buf(96)
-      sb.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
-      sb.put(0.toByte); sb.put(0.toByte); sb.put(0.toByte); sb.put(0.toByte)
-      sb.put(0.toByte); sb.put(8.toByte); sb.put(8.toByte); sb.put(0.toByte)
-      sb.putShort(LEAF_K.toShort); sb.putShort(INTERNAL_K.toShort)
-      sb.putInt(0)
-      sb.putLong(0L)        // base address
-      sb.putLong(UNDEF)     // free-space info
-      sb.putLong(eof)       // end of file
-      sb.putLong(UNDEF)     // driver info
-      sb.putLong(0L)        // root STE: link name offset
-      sb.putLong(rootAddr)  // root STE: object header address
-      sb.putInt(0); sb.putInt(0) // cache type + reserved (scratch zeros follow)
+      val sb = if (latest) {
+        // superblock v3 (48 bytes incl. lookup3 checksum)
+        val b = buf(48)
+        b.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+        b.put(3.toByte)       // version
+        b.put(8.toByte); b.put(8.toByte) // offset/length sizes
+        b.put(0.toByte)       // file consistency flags
+        b.putLong(0L)         // base address
+        b.putLong(UNDEF)      // superblock extension
+        b.putLong(eof)        // end of file
+        b.putLong(rootAddr)   // root group object header
+        b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 44)))
+        b
+      } else {
+        // superblock v0
+        val b = buf(96)
+        b.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+        b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+        b.put(0.toByte); b.put(8.toByte); b.put(8.toByte); b.put(0.toByte)
+        b.putShort(LEAF_K.toShort); b.putShort(INTERNAL_K.toShort)
+        b.putInt(0)
+        b.putLong(0L)        // base address
+        b.putLong(UNDEF)     // free-space info
+        b.putLong(eof)       // end of file
+        b.putLong(UNDEF)     // driver info
+        b.putLong(0L)        // root STE: link name offset
+        b.putLong(rootAddr)  // root STE: object header address
+        b.putInt(0); b.putInt(0) // cache type + reserved (scratch zeros follow)
+        b
+      }
       raf.seek(0); raf.write(sb.array())
       // data bytes ride the same patch list as metadata (emitDataset
       // emits both), so one pass writes the whole file

@@ -186,6 +186,80 @@ class Hdf5Spec extends SparkSpec {
     assert(cback.where(col("k") === 2500).head.getAs[String]("tag") == "g7")
   }
 
+  test("latest format (superblock v3 + OHDR) round-trips values, nulls, strings") {
+    val path = tmp("latest.hdf5")
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 1.5, "alpha"), (2L, null, null), (null, 3.25, ""), (4L, 4.0, "dd"))
+      .toDF("k", "v", "s")
+    Hdf5.toHdf5Latest(df, path)
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "v", "s")) // column_order attr v3
+    val got = back.collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (Some(1L), Some(1.5), Some("alpha")),
+      (Some(2L), None, None),
+      (None, Some(3.25), Some("")),
+      (Some(4L), Some(4.0), Some("dd"))))
+  }
+
+  test("latest format conforms to the v3/OHDR byte layout (independent check)") {
+    val path = tmp("latestfmt.hdf5")
+    Hdf5.toHdf5Latest(spark.range(10).select(col("id").as("a")), path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // superblock v3: version at byte 8, offset/length sizes 8, root OH
+    // address at bytes 36..43 pointing at an OHDR signature
+    assert((bytes(8) & 0xff) == 3)
+    assert(bytes(9) == 8 && bytes(10) == 8)
+    val rootAddr = java.nio.ByteBuffer.wrap(bytes, 36, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(new String(bytes.slice(rootAddr.toInt, rootAddr.toInt + 4), "US-ASCII") == "OHDR")
+    assert((bytes(rootAddr.toInt + 4) & 0xff) == 2) // header version
+    // superblock checksum is genuine lookup3 over bytes [0, 44)
+    val sum = java.nio.ByteBuffer.wrap(bytes, 44, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(sum == Hdf5.lookup3(bytes.slice(0, 44)))
+    // no v0 artifacts: old files put the root SYMBOL TABLE at 24+32
+    assert(!new String(bytes.slice(0, 200), "ISO-8859-1").contains("SNOD"))
+  }
+
+  test("latest format chunked: v4 layout + fixed-array index round-trips") {
+    val path = tmp("latestchunk.hdf5")
+    val df = spark.range(50000).select(
+      col("id").as("k"),
+      when(col("id") % 97 === 0, lit(null)).otherwise(col("id") * 0.5).as("x"),
+      concat(lit("nm_"), col("id") % 1000).as("s"))
+    Hdf5.toHdf5Latest(df, path, chunked = Some((4096, 6, true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val s = new String(bytes, "ISO-8859-1")
+    assert(s.contains("FAHD") && s.contains("FADB")) // fixed-array index present
+    assert(!s.contains("TREE"))                      // and no v1 chunk btree
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.count() == 50000)
+    assert(back.agg(sum("x")).head.getDouble(0) == df.agg(sum("x")).head.getDouble(0))
+    assert(back.where(col("k") === 12345L).head.getString(2) == "nm_345")
+    // partitioned read agrees with single-partition
+    val p1 = Hdf5.fromHdf5(spark, path, Nil, numPartitions = 1)
+    val p8 = Hdf5.fromHdf5(spark, path, Nil, numPartitions = 8)
+    assert(p8.agg(sum("x"), sum("k")).head == p1.agg(sum("x"), sum("k")).head)
+    // and the file is genuinely compressed
+    assert(bytes.length < 50000 * 8 * 2)
+  }
+
+  test("latest-format generic flat files read too") {
+    val path = tmp("latestflat.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("ints" -> Array.tabulate(1000)(_.toLong)),
+      doubles = Seq("xs" -> Array.tabulate(1000)(_ * 0.25)),
+      fixedStrings = Seq(("tags", 6, Array.tabulate(1000)(i => s"t$i"))),
+      latest = true)
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("ints", "tags", "xs"))
+    assert(back.count() == 1000)
+    assert(back.agg(sum("xs")).head.getDouble(0) == (0 until 1000).map(_ * 0.25).sum)
+    assert(back.where(col("ints") === 77L).head.getAs[String]("tags") == "t77")
+  }
+
   test("DataSource V2: open() prunes columns through Catalyst into the scan") {
     val path = tmp("dsv2.hdf5")
     val df = spark.range(50000).select(
