@@ -235,12 +235,13 @@ object ImageCodec {
 
   // ------------------------------------------------------------ JPEG decode
 
-  /** Baseline files get a REAL pixel decode (Huffman + IDCT over the
-    * luma plane, [[JpegCodec.decodeBaseline]]) so brightness is
-    * defined like PNG's; anything else (progressive, arithmetic)
-    * falls back to the SOFn header walk for metadata only. */
+  /** Baseline AND progressive (SOF2) files get a REAL pixel decode
+    * (Huffman + IDCT over the luma plane, [[JpegCodec.decodePixels]])
+    * so brightness is defined like PNG's; anything else (arithmetic,
+    * hierarchical, oversized) falls back to the SOFn header walk for
+    * metadata only. */
   private def decodeJpeg(b: Array[Byte]): Option[Decoded] =
-    JpegCodec.decodeBaseline(b) match {
+    JpegCodec.decodePixels(b) match {
       case Some((w, h, brightness)) =>
         Some(Decoded("jpeg", w, h, Some(brightness), 1L))
       case None => decodeJpegHeader(b)

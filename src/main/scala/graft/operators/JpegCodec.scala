@@ -31,6 +31,16 @@ object JpegCodec {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
+  /** natural index -> zigzag position (DQT tables are stored in zigzag
+    * order, T.81 B.2.4.1, so dequantizing a natural-order coefficient
+    * needs this inverse). */
+  private val ZigZagInv: Array[Int] = {
+    val a = new Array[Int](64)
+    var z = 0
+    while (z < 64) { a(ZigZag(z)) = z; z += 1 }
+    a
+  }
+
   // Annex K.3 standard luminance Huffman tables
   private val StdDcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val StdDcValues = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
@@ -273,7 +283,10 @@ object JpegCodec {
                 k += run
                 if (k > 63) return None
                 val raw = r.bits(sz); if (raw < 0) return None
-                coefs(ZigZag(k)) = extend(raw, sz) * q(ZigZag(k))
+                // q is zigzag-ordered as stored in the DQT segment, so
+                // the zigzag POSITION k (not the natural index) selects
+                // the quantizer for this coefficient
+                coefs(ZigZag(k)) = extend(raw, sz) * q(k)
                 k += 1
               }
             }
@@ -327,6 +340,370 @@ object JpegCodec {
     }
     if (lumaCnt == 0) None else Some((w, h, lumaSum / lumaCnt))
   }
+
+  // ------------------------------------------------------- progressive decode
+
+  /** Full pixel decode: baseline-sequential first, then progressive
+    * (SOF2). None for arithmetic/hierarchical/undecodable input. */
+  def decodePixels(b: Array[Byte]): Option[(Int, Int, Double)] =
+    decodeBaseline(b).orElse(decodeProgressive(b))
+
+  /** Separable float IDCT of one natural-order coefficient block into
+    * `out` (levels around 128). */
+  private def idctBlock(coefs: Array[Int], tmp: Array[Double], out: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += cosT(x * 8 + u) * coefs(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += cosT(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+        out(yy * 8 + x) = s / 2.0 + 128.0
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Progressive (SOF2) decode of the luma plane: coefficients
+    * accumulate across scans (DC first/refine, AC first/refine with
+    * EOB runs — T.81 G.2), then one dequant+IDCT pass. Scans that
+    * don't include the luma component are skipped byte-wise (each
+    * scan's entropy data ends at the next marker, so nothing needs
+    * decoding to find the boundary). Capped at 2^24 pixels — beyond
+    * that the coefficient buffer (4 B/pixel) stops being a sane
+    * per-task allocation and the caller falls back to metadata. */
+  private def decodeProgressive(b: Array[Byte]): Option[(Int, Int, Double)] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4); val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0; var restartInterval = 0
+    var hMax = 0; var vMax = 0
+    var mcusX = 0; var mcusY = 0
+    var bgW = 0; var bgH = 0 // PADDED luma block grid (MCU-aligned)
+    var lumaCoefs: Array[Int] = null // bgW*bgH blocks, natural order, unquantized
+    var eobrun = 0
+
+    /** position of the next non-RST, non-stuffing marker at/after p. */
+    def nextMarker(p0: Int): Int = {
+      var p = p0
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff) {
+          val m2 = b(p + 1) & 0xff
+          if (m2 != 0x00 && !(m2 >= 0xd0 && m2 <= 0xd7)) return p
+          p += 2
+        } else p += 1
+      }
+      b.length
+    }
+
+    def refineBit(r: BitReader, coefs: Array[Int], idx: Int, p1: Int): Boolean = {
+      val cb = r.bit(); if (cb < 0) return false
+      if (cb != 0 && (coefs(idx) & p1) == 0)
+        coefs(idx) += (if (coefs(idx) >= 0) p1 else -p1)
+      true
+    }
+
+    /** AC first scan for one block (T.81 G.2.2; coefficients land
+      * shifted left by al). */
+    def acFirst(r: BitReader, acT: Huff, coefs: Array[Int],
+                ss: Int, se: Int, al: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuff(r, acT); if (rs < 0) return false
+        val run = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) { val x = r.bits(run); if (x < 0) return false; eobrun += x }
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          val raw = r.bits(sz); if (raw < 0) return false
+          coefs(ZigZag(k)) = extend(raw, sz) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    /** AC refinement scan for one block (T.81 G.2.2 / the classic
+      * decode_mcu_AC_refine structure): newly-significant coefficients
+      * arrive as ±1<<al over ZERO-HISTORY runs; every already-nonzero
+      * coefficient passed on the way contributes a correction bit. */
+    def acRefine(r: BitReader, acT: Huff, coefs: Array[Int],
+                 ss: Int, se: Int, al: Int): Boolean = {
+      val p1 = 1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var inEob = false
+        while (k <= se && !inEob) {
+          val rs = decodeHuff(r, acT); if (rs < 0) return false
+          var run = rs >> 4
+          val sz = rs & 0x0f
+          var newVal = 0
+          if (sz == 0) {
+            if (run != 15) {
+              eobrun = 1 << run
+              if (run > 0) { val x = r.bits(run); if (x < 0) return false; eobrun += x }
+              inEob = true
+            } // run == 15: ZRL — skip 16 zero-history coefficients
+          } else {
+            if (sz != 1) return false // refinement sends only ±1
+            val x = r.bit(); if (x < 0) return false
+            newVal = if (x != 0) p1 else -p1
+          }
+          if (!inEob) {
+            var placed = false
+            while (!placed && k <= se) {
+              val idx = ZigZag(k)
+              if (coefs(idx) != 0) {
+                if (!refineBit(r, coefs, idx, p1)) return false
+              } else {
+                if (run == 0) { if (newVal != 0) coefs(idx) = newVal; placed = true }
+                else run -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // run past the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { // correction bits for the rest of the band
+          val idx = ZigZag(k)
+          if (coefs(idx) != 0 && !refineBit(r, coefs, idx, p1)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    var pos = 2
+    var done = false
+    while (!done && pos + 2 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      var mOff = pos + 1
+      while (mOff < b.length - 1 && (b(mOff) & 0xff) == 0xff) mOff += 1
+      val m = b(mOff) & 0xff
+      if (m == 0xd9) done = true // EOI
+      else if (m >= 0xd0 && m <= 0xd8) pos = mOff + 1
+      else {
+        if (mOff + 3 > b.length) return None
+        val segLen = be16(mOff + 1)
+        if (segLen < 2 || mOff + 1 + segLen > b.length) return None
+        val seg = mOff + 3
+        var nextPos = mOff + 1 + segLen
+        m match {
+          case 0xdb =>
+            var p = seg
+            while (p < mOff + 1 + segLen) {
+              val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f; p += 1
+              val q = new Array[Int](64)
+              for (i <- 0 until 64) {
+                q(i) = if (pq == 0) b(p) & 0xff else be16(p)
+                p += (if (pq == 0) 1 else 2)
+              }
+              quant(tq) = q
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < mOff + 1 + segLen) {
+              val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f; p += 1
+              val counts = (0 until 16).map(i => b(p + i) & 0xff).toArray
+              p += 16
+              val n = counts.sum
+              val values = (0 until n).map(i => b(p + i) & 0xff).toArray
+              p += n
+              val t = new Huff(counts, values)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            }
+          case 0xdd => restartInterval = be16(seg)
+          case 0xc2 => // SOF2: progressive DCT, Huffman
+            h = be16(seg + 1); w = be16(seg + 3)
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+            val nc = b(seg + 5) & 0xff
+            comps = (0 until nc).map { i =>
+              val o = seg + 6 + i * 3
+              Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            }.toArray
+            hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
+            if (hMax < 1 || vMax < 1) return None
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            bgW = mcusX * comps(0).h; bgH = mcusY * comps(0).v
+            lumaCoefs = new Array[Int](bgW * bgH * 64)
+          case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+            return None // sequential (baseline path's job), hierarchical, arithmetic
+          case 0xda =>
+            if (comps == null || lumaCoefs == null) return None
+            val ns = b(seg) & 0xff
+            val scanComps = (0 until ns).map { i =>
+              val cid = b(seg + 1 + i * 2) & 0xff
+              val tt = b(seg + 2 + i * 2) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              (c, tt >> 4, tt & 0x0f)
+            }
+            val ss = b(seg + 1 + ns * 2) & 0xff
+            val se = b(seg + 2 + ns * 2) & 0xff
+            val ahal = b(seg + 3 + ns * 2) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            val scanStart = mOff + 1 + segLen
+            if (ss > se || se > 63 || al > 13) return None
+            val touchesLuma = scanComps.exists(_._1 eq comps(0))
+            if (!touchesLuma && ns == 1) nextPos = nextMarker(scanStart)
+            else {
+              eobrun = 0
+              val r = new BitReader(b, scanStart)
+              val dcPred = new Array[Int](comps.length)
+              def lumaBlock(bxy: Int): Array[Int] = {
+                val out = new Array[Int](64)
+                System.arraycopy(lumaCoefs, bxy * 64, out, 0, 64); out
+              }
+              def storeLuma(bxy: Int, coefs: Array[Int]): Unit =
+                System.arraycopy(coefs, 0, lumaCoefs, bxy * 64, 64)
+              def decodeOne(c: Comp, ci: Int, dcTbl: Int, acTbl: Int, bxy: Int,
+                            isLuma: Boolean): Boolean = {
+                val coefs =
+                  if (isLuma) lumaBlock(bxy) else new Array[Int](64)
+                val ok =
+                  if (ss == 0) {
+                    if (ah == 0) {
+                      val dcT = dcTabs(dcTbl); if (dcT == null) return false
+                      val t = decodeHuff(r, dcT); if (t < 0) return false
+                      val diff = if (t == 0) 0 else {
+                        val raw = r.bits(t); if (raw < 0) return false; extend(raw, t)
+                      }
+                      dcPred(ci) += diff
+                      coefs(0) = dcPred(ci) << al
+                      true
+                    } else {
+                      val x = r.bit(); if (x < 0) return false
+                      if (x != 0) coefs(0) |= (1 << al)
+                      true
+                    }
+                  } else {
+                    val acT = acTabs(acTbl); if (acT == null) return false
+                    if (ah == 0) acFirst(r, acT, coefs, ss, se, al)
+                    else acRefine(r, acT, coefs, ss, se, al)
+                  }
+                if (ok && isLuma) storeLuma(bxy, coefs)
+                ok
+              }
+              if (ns == 1) {
+                // non-interleaved: the component's own (unpadded) grid
+                val (c, dcTbl, acTbl) = scanComps.head
+                val isLuma = c eq comps(0)
+                val cw = (w * c.h + hMax - 1) / hMax
+                val chh = (h * c.v + vMax - 1) / vMax
+                val aw = (cw + 7) / 8; val aht = (chh + 7) / 8
+                var bi = 0
+                val total = aw * aht
+                while (bi < total) {
+                  if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+                    if (!r.restart()) return None
+                    java.util.Arrays.fill(dcPred, 0); eobrun = 0
+                  }
+                  val bxy = (bi / aw) * bgW + (bi % aw) // luma grid stride
+                  if (!decodeOne(c, comps.indexWhere(_ eq c), dcTbl, acTbl, bxy, isLuma))
+                    return None
+                  bi += 1
+                }
+              } else {
+                // interleaved (DC scans): MCU-major, h×v blocks per comp
+                if (ss != 0) return None // interleaved AC scans are illegal
+                var mcu = 0
+                val nMcus = mcusX * mcusY
+                while (mcu < nMcus) {
+                  if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                    if (!r.restart()) return None
+                    java.util.Arrays.fill(dcPred, 0); eobrun = 0
+                  }
+                  val mx = mcu % mcusX; val my = mcu / mcusX
+                  var si = 0
+                  while (si < scanComps.length) {
+                    val (c, dcTbl, acTbl) = scanComps(si)
+                    val isLuma = c eq comps(0)
+                    val ci = comps.indexWhere(_ eq c)
+                    var by = 0
+                    while (by < c.v) {
+                      var bx = 0
+                      while (bx < c.h) {
+                        val bxy = (my * c.v + by) * bgW + (mx * c.h + bx)
+                        if (!decodeOne(c, ci, dcTbl, acTbl, bxy, isLuma)) return None
+                        bx += 1
+                      }
+                      by += 1
+                    }
+                    si += 1
+                  }
+                  mcu += 1
+                }
+              }
+              nextPos = nextMarker(r.pos)
+            }
+          case _ => ()
+        }
+        pos = nextPos
+      }
+    }
+    if (lumaCoefs == null || comps == null) return None
+    val q = quant(comps(0).tq)
+    if (q == null) return None
+    // dequant + IDCT over the UNPADDED luma grid, cropped to lw×lh
+    val c0 = comps(0)
+    val lw = (w * c0.h + hMax - 1) / hMax
+    val lh = (h * c0.v + vMax - 1) / vMax
+    val aw = (lw + 7) / 8; val ah2 = (lh + 7) / 8
+    val coefs = new Array[Int](64)
+    val tmp = new Array[Double](64); val block = new Array[Double](64)
+    var lumaSum = 0.0; var lumaCnt = 0L
+    var by = 0
+    while (by < ah2) {
+      var bx = 0
+      while (bx < aw) {
+        val base = (by * bgW + bx) * 64
+        var i = 0
+        while (i < 64) { coefs(i) = lumaCoefs(base + i) * q(ZigZagInv(i)); i += 1 }
+        idctBlock(coefs, tmp, block)
+        val px0 = bx * 8; val py0 = by * 8
+        var py = 0
+        while (py < 8) {
+          if (py0 + py < lh) {
+            var px = 0
+            while (px < 8) {
+              if (px0 + px < lw) {
+                val p = math.max(0.0, math.min(255.0, math.rint(block(py * 8 + px))))
+                lumaSum += p; lumaCnt += 1
+              }
+              px += 1
+            }
+          }
+          py += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (lumaCnt == 0) None else Some((w, h, lumaSum / lumaCnt))
+  } catch { case _: Exception => None }
 
   // ---------------------------------------------------------------- encode
 
@@ -499,6 +876,201 @@ object JpegCodec {
       emitBlock(bw, dcPred, 2, cr(my * mcusX + mx))
     }
     bw.flush()
+    emitMarker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** Grayscale PROGRESSIVE (SOF2) JPEG from per-block NATURAL-order
+    * coefficients, quant table all ones — the fixture generator for
+    * the progressive decode path. Scan script exercises both
+    * progressive mechanisms:
+    *
+    *   1. DC first        Ss=0 Se=0  Ah=0 Al=1
+    *   2. AC first        Ss=1 Se=5  Ah=0 Al=1   (spectral selection)
+    *   3. AC first        Ss=6 Se=63 Ah=0 Al=1
+    *   4. DC refinement   Ss=0 Se=0  Ah=1 Al=0   (successive approx.)
+    *   5. AC refinement   Ss=1 Se=63 Ah=1 Al=0
+    *
+    * EOB runs are flushed per block (EOBRUN=1 — valid, simplest); the
+    * refinement scan buffers correction bits exactly like the T.81
+    * G.1.2.3 flow so the decoder's zero-history run walk is really
+    * exercised. Decodes (by ours or any compliant decoder) to the same
+    * pixels as `encodeCoefJpeg` of the same blocks. */
+  private[graft] def encodeProgressiveJpeg(width: Int, height: Int,
+                                           blocks: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0, "bad jpeg size")
+    require(blocks.size == ((width + 7) / 8) * ((height + 7) / 8), "block count mismatch")
+    val out = new ByteArrayOutputStream()
+    emitMarker(out, 0xd8) // SOI
+    emitSeg(out, 0xdb, 0x00 +: Array.fill(64)(1))
+    emitSeg(out, 0xc2, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0)) // SOF2, one component id=1, 1x1, quant 0
+    emitSeg(out, 0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
+    emitSeg(out, 0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
+    def sos(ss: Int, se: Int, ah: Int, al: Int): BitWriter = {
+      emitSeg(out, 0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+      new BitWriter(out)
+    }
+    // ---- scan 1: DC first, Al=1 (sends diffs of dc >> 1)
+    locally {
+      val bw = sos(0, 0, 0, 1)
+      val pred = new Array[Int](1)
+      blocks.foreach(coefs => emitDcFirst(bw, pred, 0, coefs, 1))
+      bw.flush()
+    }
+    // ---- scans 2+3: AC first over two spectral bands, Al=1
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      val bw = sos(ss, se, 0, 1)
+      blocks.foreach(coefs => emitAcFirstBlock(bw, coefs, ss, se, 1))
+      bw.flush()
+    }
+    // ---- scan 4: DC refinement (bit 0 of each DC)
+    locally {
+      val bw = sos(0, 0, 1, 0)
+      blocks.foreach(coefs => bw.put(coefs(0) & 1, 1))
+      bw.flush()
+    }
+    // ---- scan 5: AC refinement, Ah=1 Al=0
+    locally {
+      val bw = sos(1, 63, 1, 0)
+      blocks.foreach(coefs => emitAcRefineBlock(bw, coefs, 1, 63, 0))
+      bw.flush()
+    }
+    emitMarker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** DC-first progressive value for one block: Huffman-coded diff of
+    * `dc >> al` against the per-component predictor. */
+  private def emitDcFirst(bw: BitWriter, dcPred: Array[Int], ci: Int,
+                          coefs: Array[Int], al: Int): Unit = {
+    val v = coefs(0) >> al
+    val diff = v - dcPred(ci); dcPred(ci) = v
+    val t = categoryOf(diff)
+    val (dc, dl) = DcCodes(t); bw.put(dc, dl)
+    if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+  }
+
+  /** AC-first progressive band for one block (magnitudes truncated
+    * toward zero by al; per-block EOB flush = EOBRUN of 1). */
+  private def emitAcFirstBlock(bw: BitWriter, coefs: Array[Int],
+                               ss: Int, se: Int, al: Int): Unit = {
+    var r = 0
+    var k = ss
+    while (k <= se) {
+      val v = coefs(ZigZag(k))
+      val mag = math.abs(v) >> al
+      if (mag == 0) r += 1
+      else {
+        while (r > 15) { val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); r -= 16 }
+        val sz = categoryOf(mag)
+        val signed = if (v < 0) -mag else mag
+        val (ac, al2) = AcCodes((r << 4) | sz); bw.put(ac, al2)
+        bw.put(if (signed < 0) signed + (1 << sz) - 1 else signed, sz)
+        r = 0
+      }
+      k += 1
+    }
+    if (r > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) } // EOB (run 1)
+  }
+
+  /** AC refinement band for one block (T.81 G.1.2.3 flow:
+    * newly-significant coefficients (|v>>al| == 1) end zero-history
+    * runs; already-significant ones contribute buffered correction
+    * bits; the ZRL flush runs at EVERY nonzero position so every
+    * buffered bit lies within 15 zero-history slots of the next
+    * emitted symbol — the invariant the decoder's run walk relies
+    * on). Per-block EOB flush. */
+  private def emitAcRefineBlock(bw: BitWriter, coefs: Array[Int],
+                                ss: Int, se: Int, al: Int): Unit = {
+    val corr = scala.collection.mutable.ArrayBuffer[Int]()
+    var eobPos = 0 // last zigzag position holding a newly-significant coef
+    for (k <- ss to se) if (math.abs(coefs(ZigZag(k))) >> al == 1) eobPos = k
+    var r = 0
+    var k = ss
+    while (k <= se) {
+      val v = coefs(ZigZag(k))
+      val mag = math.abs(v) >> al
+      if (mag == 0) r += 1
+      else {
+        while (r > 15 && k <= eobPos) {
+          val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); r -= 16
+          corr.foreach(bit => bw.put(bit, 1)); corr.clear()
+        }
+        if (mag > 1) corr += (mag & 1) // already significant at Ah
+        else {
+          val (ac, al2) = AcCodes((r << 4) | 1); bw.put(ac, al2)
+          bw.put(if (v < 0) 0 else 1, 1) // sign of the new ±1
+          corr.foreach(bit => bw.put(bit, 1)); corr.clear()
+          r = 0
+        }
+      }
+      k += 1
+    }
+    if (r > 0 || corr.nonEmpty) {
+      val (ec, el) = AcCodes(0x00); bw.put(ec, el) // EOB, run of 1
+      corr.foreach(bit => bw.put(bit, 1)); corr.clear()
+    }
+  }
+
+  /** 3-component (YCbCr 1x1) PROGRESSIVE JPEG: the INTERLEAVED DC
+    * scan shape every color progressive web JPEG has (per MCU, one DC
+    * value per component with per-component prediction), followed by
+    * per-component AC scans — the chroma AC scans exercise the
+    * decoder's skip-non-luma path. */
+  private[graft] def encodeProgressiveColorJpeg(width: Int, height: Int,
+      y: Seq[Array[Int]], cb: Seq[Array[Int]], cr: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0, "bad jpeg size")
+    val nBlocks = ((width + 7) / 8) * ((height + 7) / 8)
+    require(y.size == nBlocks && cb.size == nBlocks && cr.size == nBlocks,
+      "block count mismatch")
+    val out = new ByteArrayOutputStream()
+    emitMarker(out, 0xd8)
+    emitSeg(out, 0xdb, 0x00 +: Array.fill(64)(1))
+    emitSeg(out, 0xc2, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    emitSeg(out, 0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
+    emitSeg(out, 0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
+    val comps = Array(y, cb, cr)
+    // ---- scan 1: interleaved DC first (ns=3), Al=1
+    locally {
+      emitSeg(out, 0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01))
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](3)
+      var mcu = 0
+      while (mcu < nBlocks) {
+        var ci = 0
+        while (ci < 3) { emitDcFirst(bw, pred, ci, comps(ci)(mcu), 1); ci += 1 }
+        mcu += 1
+      }
+      bw.flush()
+    }
+    // ---- scans 2-4: AC first per component (Al=1)
+    for (ci <- 0 until 3) {
+      emitSeg(out, 0xda, Array(1, ci + 1, 0x00, 1, 63, 0x01))
+      val bw = new BitWriter(out)
+      comps(ci).foreach(coefs => emitAcFirstBlock(bw, coefs, 1, 63, 1))
+      bw.flush()
+    }
+    // ---- scan 5: interleaved DC refinement (1 bit per block per comp)
+    locally {
+      emitSeg(out, 0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10))
+      val bw = new BitWriter(out)
+      var mcu = 0
+      while (mcu < nBlocks) {
+        var ci = 0
+        while (ci < 3) { bw.put(comps(ci)(mcu)(0) & 1, 1); ci += 1 }
+        mcu += 1
+      }
+      bw.flush()
+    }
+    // ---- scans 6-8: AC refinement per component
+    for (ci <- 0 until 3) {
+      emitSeg(out, 0xda, Array(1, ci + 1, 0x00, 1, 63, 0x10))
+      val bw = new BitWriter(out)
+      comps(ci).foreach(coefs => emitAcRefineBlock(bw, coefs, 1, 63, 0))
+      bw.flush()
+    }
     emitMarker(out, 0xd9)
     out.toByteArray
   }

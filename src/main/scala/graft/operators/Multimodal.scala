@@ -226,8 +226,20 @@ object Multimodal {
         col(heightCol).cast("int").as("height"),
         col(grayCol).cast("int").as("gray"))
       .as[PngSpec]
-      .mapPartitions(_.map(s => MediaRecord(s.doc_id,
-        JpegCodec.encodeGrayJpeg(s.width, s.height, s.gray))))
+      .mapPartitions(_.map { s =>
+        // even ids encode PROGRESSIVE (SOF2, DC successive
+        // approximation), odd ids baseline — both decode a constant
+        // gray exactly, so one lane pins both entropy decoders
+        val bytes =
+          if (s.doc_id % 2 == 0) {
+            val nBlocks = ((s.width + 7) / 8) * ((s.height + 7) / 8)
+            val block = new Array[Int](64)
+            block(0) = 8 * (s.gray - 128)
+            JpegCodec.encodeProgressiveJpeg(s.width, s.height,
+              Seq.fill(nBlocks)(block))
+          } else JpegCodec.encodeGrayJpeg(s.width, s.height, s.gray)
+        MediaRecord(s.doc_id, bytes)
+      })
       .toDF()
   }
 

@@ -195,6 +195,75 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: progressive (SOF2) decodes to exactly the baseline pixels") {
+    import graft.operators.JpegCodec
+    // hand-built blocks covering every progressive mechanism: DC
+    // successive approximation (odd + even, negative DCs), newly
+    // significant ±1 ACs (refinement scan), already-significant ACs
+    // needing correction bits (odd magnitudes), long zero runs (ZRL
+    // in both first and refinement scans), band-split coefficients
+    val b0 = new Array[Int](64)
+    b0(0) = 8 * (77 - 128) + 1 // odd negative DC: refine bit set
+    b0(1) = 1                  // newly significant in the refine scan
+    b0(8) = -3                 // odd magnitude: correction bit 1
+    b0(16) = 4                 // even magnitude: correction bit 0
+    b0(63) = -1                // new ±1 after a >16 zero-history run (ZRL)
+    val b1 = new Array[Int](64)
+    b1(0) = 8 * (200 - 128)    // even DC
+    b1(2) = 40                 // low band (scan 2)
+    b1(40) = -17               // high band (scan 3), odd
+    val blocks = Seq(b0, b1)
+    val prog = JpegCodec.encodeProgressiveJpeg(16, 8, blocks)
+    val base = JpegCodec.encodeCoefJpeg(16, 8, blocks)
+    assert(JpegCodec.decodeBaseline(prog).isEmpty) // SOF2: not baseline
+    val got = JpegCodec.decodePixels(prog).getOrElse(fail("progressive decode failed"))
+    val want = JpegCodec.decodeBaseline(base).get
+    assert(got == want, s"progressive $got vs baseline $want") // bit-exact
+    // the table dispatch sees it as a decodable jpeg
+    val d = ImageCodec.decode(prog).get
+    assert(d.format == "jpeg" && d.width == 16 && d.height == 8 &&
+      d.brightness.contains(want._3))
+  }
+
+  test("JPEG: randomized progressive fixtures match their baseline re-encodes") {
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 12) {
+      val blocksX = 1 + rnd.nextInt(4)
+      val w = blocksX * 8 - rnd.nextInt(8)
+      val blocks = Seq.fill(blocksX)(
+        Array.tabulate(64) { i =>
+          val p = rnd.nextDouble()
+          if (p < 0.6) 0
+          else if (p < 0.8) rnd.nextInt(3) - 1 // ±1s: refinement births
+          else rnd.nextInt(511) - 255
+        })
+      val prog = JpegCodec.encodeProgressiveJpeg(w, 8, blocks)
+      val base = JpegCodec.encodeCoefJpeg(w, 8, blocks)
+      val got = JpegCodec.decodePixels(prog)
+        .getOrElse(fail(s"trial $trial: progressive decode failed"))
+      val want = JpegCodec.decodeBaseline(base).get
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("JPEG: color progressive interleaved DC scan + skipped chroma AC scans") {
+    import graft.operators.JpegCodec
+    // luma at grays 40/220 with ACs; chroma carries DISTINCT nonzero
+    // coefficients — a broken interleaved-DC walk or a mis-skipped
+    // chroma AC scan would corrupt the luma means
+    val y = Seq(40, 220).map { g =>
+      val b = new Array[Int](64); b(0) = 8 * (g - 128) + 1; b(5) = 3; b
+    }
+    val cb = Seq.fill(2) { val b = new Array[Int](64); b(0) = 111; b(3) = -9; b }
+    val cr = Seq.fill(2) { val b = new Array[Int](64); b(0) = -77; b(7) = 5; b }
+    val prog = JpegCodec.encodeProgressiveColorJpeg(16, 8, y, cb, cr)
+    val base = JpegCodec.encodeYCbCrJpeg(16, 8, y, cb, cr)
+    val got = JpegCodec.decodePixels(prog).getOrElse(fail("color progressive failed"))
+    val want = JpegCodec.decodeBaseline(base).get
+    assert(got == want, s"progressive $got vs baseline $want")
+  }
+
   test("JPEG: restart markers reset DC prediction correctly") {
     import graft.operators.JpegCodec
     // 6 blocks, restart every 2: DC prediction must reset at each RST
