@@ -69,17 +69,24 @@ object SourceQueries {
     }),
 
     // hdf5 MODERN format (h5py libver='latest'): superblock v3,
-    // version-2 object headers, link-message groups, v4 chunked data
-    // layout with a Fixed Array chunk index + gzip+shuffle filters —
-    // the layout the reference reads through h5py (packages/
-    // vaex-hdf5/vaex/hdf5/dataset.py:57) when files are written with
-    // the latest library version. Oracle runs on the original parquet.
+    // version-2 object headers, link-message groups — DENSE
+    // (fractal-heap) for the 9-column columns group, past the 8-link
+    // compact threshold — v4 chunked data layout with a Fixed Array
+    // chunk index + gzip+shuffle filters: the layout the reference
+    // reads through h5py (packages/vaex-hdf5/vaex/hdf5/dataset.py:57)
+    // when files are written with the latest library version. Oracle
+    // runs on the original parquet; the 5 extra columns exist to
+    // force dense link storage and are pruned by the read.
     "q_hdf5_latest" -> ((s, dir) => {
       val cache = new java.io.File(cacheDir(dir, "lineitem_hdf5l"), "lineitem_latest.hdf5")
       cache.getParentFile.mkdirs()
-      graft.sources.Hdf5.toHdf5Latest(narrowLineitem(s, dir), cache.toString,
+      val wide = t(s, dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_orderkey", "l_partkey", "l_suppkey")
+      graft.sources.Hdf5.toHdf5Latest(wide, cache.toString,
         chunked = Some((512, 6, true)))
-      agg(graft.sources.Hdf5.fromHdf5(s, cache.toString))
+      agg(graft.sources.Hdf5.fromHdf5(s, cache.toString,
+        columns = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")))
     }),
 
     // FITS (the astronomy format the reference exports via astropy,

@@ -275,11 +275,11 @@ object Hdf5 {
     }
 
     /** Children of a group: (name, objectHeaderAddr) in name order.
-      * Old-style symbol-table groups (B-tree v1 + local heap + SNOD)
-      * and new-style compact groups (one link message per child). Dense
-      * new-style storage (Link Info pointing at a fractal heap — h5py
-      * creates it above the ~8-link compact threshold) fails with a
-      * clear error. */
+      * Old-style symbol-table groups (B-tree v1 + local heap + SNOD),
+      * new-style compact groups (one link message per child), and
+      * new-style DENSE groups (links serialized into a fractal heap,
+      * indexed by a name v2 B-tree — what h5py creates above its
+      * 8-link compact threshold with libver='latest'). */
     def groupChildren(ohAddr: Long): Seq[(String, Long)] = {
       val msgs = messages(ohAddr)
       msgs.find(_._1 == 0x0011) match {
@@ -288,19 +288,158 @@ object Hdf5 {
           val links = msgs.filter(_._1 == 0x0006).map(m => parseLink(m._2))
           if (links.nonEmpty) links.sortBy(_._1)
           else {
-            msgs.find(_._1 == 0x0002).foreach { li => // Link Info
+            val dense = msgs.find(_._1 == 0x0002).flatMap { li => // Link Info
               val b = ByteBuffer.wrap(li._2).order(ByteOrder.LITTLE_ENDIAN)
               b.get() // version
               val flags = b.get() & 0xff
               if ((flags & 1) != 0) b.getLong // max creation index
               val fheap = b.getLong
-              if (fheap != UNDEF) throw new IllegalArgumentException(
-                s"$path: dense (fractal-heap) group links unsupported — " +
-                  "write with default h5py settings or fewer links per group")
+              val nameBt = b.getLong
+              if (fheap != UNDEF) Some((fheap, nameBt)) else None
             }
-            if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x000A)) Seq.empty
-            else throw new IllegalArgumentException("not a group")
+            dense match {
+              case Some((fheap, nameBt)) =>
+                require(nameBt != UNDEF, s"$path: dense links without a name index")
+                denseLinkChildren(fheap, nameBt).sortBy(_._1)
+              case None =>
+                if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x000A)) Seq.empty
+                else throw new IllegalArgumentException("not a group")
+            }
           }
+      }
+    }
+
+    /** Parsed fractal-heap geometry: enough to resolve MANAGED heap
+      * IDs to file addresses. `blocks` = (heapOffset, fileAddr, size)
+      * of every direct block, ascending by heap offset. */
+    private case class FractalHeap(idLen: Int, offsetSize: Int, lengthSize: Int,
+                                   blockHeaderSize: Int,
+                                   blocks: Seq[(Long, Long, Long)])
+
+    private def bytesForValue(v: Long): Int =
+      math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L)) + 7) / 8)
+
+    /** Parse a fractal heap header (FRHP) + its direct blocks. Root
+      * pointing at a single direct block, or at an indirect block
+      * (FHIB) whose children are all DIRECT blocks — covers heaps up
+      * to tableWidth·maxDirectBlockSize bytes, far beyond any link
+      * storage; deeper heaps (nested indirect blocks) and I/O-filtered
+      * heaps fail with clear errors. */
+    private def fractalHeap(fheapAddr: Long): FractalHeap = {
+      val hd = readAt(fheapAddr, 148)
+      require(hd.getInt(0) == leMagic("FRHP"), s"$path: bad fractal heap signature")
+      require((hd.get(4) & 0xff) == 0, "fractal heap version")
+      val idLen = hd.getShort(5) & 0xffff
+      val filterLen = hd.getShort(7) & 0xffff
+      require(filterLen == 0, s"$path: I/O-filtered fractal heap unsupported")
+      val flags = hd.get(9) & 0xff
+      val maxManagedObj = hd.getInt(10) & 0xffffffffL
+      // fixed-width fields: nextHugeId(8) hugeBt(8) freeSpace(8)
+      // fsMgr(8) managedSpace(8) allocSpace(8) iterOffset(8) nObj(8)
+      // hugeSize(8) nHuge(8) tinySize(8) nTiny(8) at offset 14..110
+      val tableWidth = hd.getShort(110) & 0xffff
+      val startBlockSize = hd.getLong(112)
+      val maxDirectSize = hd.getLong(120)
+      val maxHeapBits = hd.getShort(128) & 0xffff
+      val rootAddr0 = hd.getLong(132)
+      val currRows = hd.getShort(140) & 0xffff
+      val offsetSize = (maxHeapBits + 7) / 8
+      val lengthSize = bytesForValue(maxManagedObj)
+      require(idLen == 1 + offsetSize + lengthSize,
+        s"$path: unsupported heap ID layout (len=$idLen off=$offsetSize len=$lengthSize)")
+      require(tableWidth > 0 && startBlockSize > 0, s"$path: corrupt fractal heap")
+      val checksummed = (flags & 0x02) != 0
+      val blockHeaderSize = 4 + 1 + 8 + offsetSize + (if (checksummed) 4 else 0)
+      def directBlockSizeOfRow(row: Int): Long =
+        if (row < 2) startBlockSize else startBlockSize << (row - 1)
+      val blocks: Seq[(Long, Long, Long)] =
+        if (rootAddr0 == UNDEF) Seq.empty
+        else if (currRows == 0) {
+          // root IS a single direct block; its size = the whole
+          // managed space rounded to the doubling sequence — verify
+          // via the block's own header instead of trusting arithmetic
+          val dh = readAt(rootAddr0, 5)
+          require(dh.getInt(0) == leMagic("FHDB"), s"$path: bad direct block")
+          Seq((0L, rootAddr0, maxDirectSize))
+        } else {
+          // root indirect block: row-major child addresses, direct
+          // rows only (nested indirect rows would sit beyond
+          // maxDirectRows — reject)
+          val maxDirectRows =
+            java.lang.Long.numberOfTrailingZeros(
+              java.lang.Long.highestOneBit(maxDirectSize / startBlockSize)) + 2
+          require(currRows <= maxDirectRows,
+            s"$path: nested indirect fractal-heap blocks unsupported")
+          val ib = readAt(rootAddr0, 4 + 1 + 8 + offsetSize + currRows * tableWidth * 8 + 4)
+          require(ib.getInt(0) == leMagic("FHIB"), s"$path: bad indirect block")
+          ib.position(4 + 1 + 8 + offsetSize)
+          var heapOff = 0L
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          for (row <- 0 until currRows; _ <- 0 until tableWidth) {
+            val sz = directBlockSizeOfRow(row)
+            val addr = ib.getLong
+            if (addr != UNDEF) out += ((heapOff, addr, sz))
+            heapOff += sz
+          }
+          out.toSeq
+        }
+      FractalHeap(idLen, offsetSize, lengthSize, blockHeaderSize, blocks)
+    }
+
+    /** Bytes of one MANAGED fractal-heap object. Heap offsets address
+      * the heap's linear space, which INCLUDES each direct block's
+      * header bytes. */
+    private def heapObject(fh: FractalHeap, heapId: Array[Byte]): Array[Byte] = {
+      val idb = ByteBuffer.wrap(heapId).order(ByteOrder.LITTLE_ENDIAN)
+      val flags = idb.get() & 0xff
+      require(((flags >> 4) & 0x3) == 0,
+        s"$path: non-managed (huge/tiny) heap object unsupported")
+      val off = getUint(idb, fh.offsetSize)
+      val len = getUint(idb, fh.lengthSize)
+      require(len >= 0 && len <= MaxMetaRead, s"$path: implausible heap object")
+      val blk = fh.blocks.reverse.find(_._1 <= off).getOrElse(
+        throw new IllegalStateException(s"$path: heap offset $off outside heap"))
+      val (blkOff, blkAddr, blkSize) = blk
+      require(off - blkOff + len <= blkSize, s"$path: heap object crosses blocks")
+      val b = new Array[Byte](len.toInt)
+      val fileAddr = blkAddr + (off - blkOff)
+      raf.seek(fileAddr); raf.readFully(b)
+      b
+    }
+
+    /** All records of a v2 B-tree (BTHD): depth-0 (single BTLF leaf)
+      * only — ~180 link records fit one default-size leaf; deeper
+      * trees fail with a clear error. Returns raw record bytes. */
+    private def btreeV2Records(btAddr: Long): Seq[Array[Byte]] = {
+      val hd = readAt(btAddr, 36)
+      require(hd.getInt(0) == leMagic("BTHD"), s"$path: bad v2 btree signature")
+      require((hd.get(4) & 0xff) == 0, "v2 btree version")
+      val recSize = hd.getShort(10) & 0xffff
+      val depth = hd.getShort(12) & 0xffff
+      require(depth == 0,
+        s"$path: multi-level v2 btree unsupported (thousands of links?)")
+      val rootNode = hd.getLong(16)
+      val rootNRec = hd.getShort(24) & 0xffff
+      if (rootNode == UNDEF || rootNRec == 0) return Seq.empty
+      require(recSize > 0 && recSize <= 256, s"$path: implausible record size")
+      val leaf = readAt(rootNode, 6 + rootNRec * recSize)
+      require(leaf.getInt(0) == leMagic("BTLF"), s"$path: bad v2 btree leaf")
+      (0 until rootNRec).map { i =>
+        val rec = new Array[Byte](recSize)
+        leaf.position(6 + i * recSize)
+        leaf.get(rec); rec
+      }
+    }
+
+    /** Dense link storage: read every name-index record (type 5:
+      * hash(4) + heap ID), resolve each heap ID to a serialized link
+      * message, parse. */
+    private def denseLinkChildren(fheapAddr: Long, nameBtAddr: Long): Seq[(String, Long)] = {
+      val fh = fractalHeap(fheapAddr)
+      btreeV2Records(nameBtAddr).map { rec =>
+        require(rec.length >= 4 + fh.idLen, s"$path: short link record")
+        val heapId = java.util.Arrays.copyOfRange(rec, 4, 4 + fh.idLen)
+        parseLink(heapObject(fh, heapId))
       }
     }
 
@@ -1309,6 +1448,13 @@ object Hdf5 {
     b.putLong(UNDEF)                 // name-index v2 btree
     b.array()
   }
+  /** Link Info pointing at dense storage (fractal heap + name index). */
+  private def linkInfoDense(fheap: Long, nameBt: Long): Array[Byte] = {
+    val b = buf(18)
+    b.put(0.toByte); b.put(0.toByte)
+    b.putLong(fheap); b.putLong(nameBt)
+    b.array()
+  }
   private def groupInfoMsg: Array[Byte] = Array[Byte](0, 0) // version, flags
   /** v3 attribute message (unpadded regions + charset), string scalar. */
   private def strAttrV3(name: String, value: String): Array[Byte] = {
@@ -1459,13 +1605,116 @@ object Hdf5 {
       (hdrAddr, pageBits)
     }
 
-    /** New-style compact group (latest format): link-info + group-info
-      * + one hard-link message per child. */
+    /** New-style group (latest format): compact (one link message per
+      * child) at or below h5py's 8-link threshold, DENSE (serialized
+      * link messages in a fractal heap + name-hash v2 B-tree) above
+      * it — mirroring what libhdf5's link phase-change defaults
+      * produce, so wide tables exercise the dense read path. */
     def writeGroupLatest(children: Seq[(String, Long)],
                          attrs: Seq[(String, String)]): Long = {
       val sorted = children.sortBy(_._1)
+      if (sorted.size > 8) return writeGroupDense(sorted, attrs)
       val msgs = Seq(msgV2(0x0002, linkInfoCompact), msgV2(0x000A, groupInfoMsg)) ++
         sorted.map { case (n, a) => msgV2(0x0006, linkMsg(n, a)) } ++
+        attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) }
+      val bytes = ohdrV2(msgs)
+      val a = alloc(bytes.length)
+      emit(a, bytes); a
+    }
+
+    /** Dense link storage: one root DIRECT fractal-heap block holding
+      * every serialized link message, a single-leaf (depth 0) v2
+      * B-tree hashing names with lookup3 — the shapes the bounded
+      * reader supports, written with genuine checksums. */
+    def writeGroupDense(sorted: Seq[(String, Long)],
+                        attrs: Seq[(String, String)]): Long = {
+      val bodies = sorted.map { case (n, a) => (n, linkMsg(n, a)) }
+      // heap geometry: 32-bit heap offsets, 2-byte lengths, ID len 7
+      val offsetSize = 4; val lengthSize = 2; val idLen = 7
+      val maxManagedObj = 4096L
+      require(bodies.forall(_._2.length <= maxManagedObj), "link message too large")
+      val blockHeaderSize = 4 + 1 + 8 + offsetSize + 4 // FHDB + checksum
+      val content = bodies.map(_._2.length).sum
+      val startBlockSize = math.max(512L,
+        java.lang.Long.highestOneBit(blockHeaderSize + content - 1) << 1)
+      val fheapAddr = alloc(146)
+      val dblockAddr = alloc(startBlockSize)
+      // place objects sequentially after the block header; heap
+      // offsets INCLUDE the header bytes (the heap's linear space
+      // covers whole blocks)
+      var heapOff = blockHeaderSize.toLong
+      val placed = bodies.map { case (n, body) =>
+        val o = heapOff; heapOff += body.length
+        (n, body, o)
+      }
+      // direct block
+      val db = buf(startBlockSize.toInt)
+      db.putInt(leMagic("FHDB")); db.put(0.toByte)
+      db.putLong(fheapAddr)
+      db.putInt(0) // block offset (heap offset of this block)
+      db.putInt(0) // checksum patched below
+      placed.foreach { case (_, body, o) => db.position(o.toInt); db.put(body) }
+      val dbBytes = db.array()
+      val dbSum = lookup3(dbBytes) // computed with checksum field zeroed
+      val dbb = ByteBuffer.wrap(dbBytes).order(ByteOrder.LITTLE_ENDIAN)
+      dbb.position(4 + 1 + 8 + offsetSize); dbb.putInt(dbSum)
+      emit(dblockAddr, dbBytes)
+      // fractal heap header
+      val fh = buf(146)
+      fh.putInt(leMagic("FRHP")); fh.put(0.toByte)
+      fh.putShort(idLen.toShort)
+      fh.putShort(0)              // no I/O filters
+      fh.put(0x02.toByte)         // flags: checksum direct blocks
+      fh.putInt(maxManagedObj.toInt)
+      fh.putLong(0L)              // next huge id
+      fh.putLong(UNDEF)           // huge v2 btree
+      fh.putLong(startBlockSize - heapOff) // free space
+      fh.putLong(UNDEF)           // free-space manager
+      fh.putLong(startBlockSize)  // managed space
+      fh.putLong(startBlockSize)  // allocated managed space
+      fh.putLong(heapOff)         // direct block iterator offset
+      fh.putLong(placed.size.toLong) // managed objects
+      fh.putLong(0L); fh.putLong(0L) // huge size/count
+      fh.putLong(0L); fh.putLong(0L) // tiny size/count
+      fh.putShort(4)              // table width
+      fh.putLong(startBlockSize)
+      fh.putLong(65536L)          // max direct block size
+      fh.putShort(32)             // max heap size (bits)
+      fh.putShort(1)              // starting rows in root indirect
+      fh.putLong(dblockAddr)      // root block = the direct block
+      fh.putShort(0)              // current rows = 0 (root is direct)
+      fh.putInt(lookup3(java.util.Arrays.copyOfRange(fh.array(), 0, 142)))
+      emit(fheapAddr, fh.array())
+      // name-index v2 btree: records (lookup3(name), heapId) hash-ascending
+      val recSize = 4 + idLen
+      val records = placed.map { case (n, body, o) =>
+        val id = buf(idLen)
+        id.put(0.toByte) // managed, version 0
+        id.putInt(o.toInt)
+        id.putShort(body.length.toShort)
+        (lookup3(n.getBytes("UTF-8")), id.array())
+      }.sortBy(r => r._1 & 0xffffffffL)
+      val leafSize = 6 + records.size * recSize + 4
+      val leafAddr = alloc(leafSize)
+      val lf = buf(leafSize)
+      lf.putInt(leMagic("BTLF")); lf.put(0.toByte); lf.put(5.toByte) // type 5: link name
+      records.foreach { case (hash, id) => lf.putInt(hash); lf.put(id) }
+      lf.putInt(lookup3(java.util.Arrays.copyOfRange(lf.array(), 0, leafSize - 4)))
+      emit(leafAddr, lf.array())
+      val btAddr = alloc(38)
+      val bt = buf(38)
+      bt.putInt(leMagic("BTHD")); bt.put(0.toByte); bt.put(5.toByte)
+      bt.putInt(2048)             // node size
+      bt.putShort(recSize.toShort)
+      bt.putShort(0)              // depth 0
+      bt.put(100.toByte); bt.put(40.toByte) // split/merge %
+      bt.putLong(leafAddr)
+      bt.putShort(records.size.toShort)
+      bt.putLong(records.size.toLong)
+      bt.putInt(lookup3(java.util.Arrays.copyOfRange(bt.array(), 0, 34)))
+      emit(btAddr, bt.array())
+      val msgs = Seq(msgV2(0x0002, linkInfoDense(fheapAddr, btAddr)),
+        msgV2(0x000A, groupInfoMsg)) ++
         attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) }
       val bytes = ohdrV2(msgs)
       val a = alloc(bytes.length)

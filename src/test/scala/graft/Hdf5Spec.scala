@@ -246,6 +246,37 @@ class Hdf5Spec extends SparkSpec {
     assert(bytes.length < 50000 * 8 * 2)
   }
 
+  test("latest format wide table: DENSE (fractal-heap) group links") {
+    // 12 columns -> the columns group exceeds the 8-link compact
+    // threshold and the writer emits dense storage (fractal heap +
+    // name v2 btree), exercising the dense read path end-to-end
+    val path = tmp("latestdense.hdf5")
+    val df = spark.range(5000).select(
+      (0 until 12).map(i => (col("id") * (i + 1)).as(s"c$i")): _*)
+    Hdf5.toHdf5Latest(df, path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val s = new String(bytes, "ISO-8859-1")
+    assert(s.contains("FRHP") && s.contains("FHDB") &&
+      s.contains("BTHD") && s.contains("BTLF"), "dense structures present")
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.toSeq == (0 until 12).map(i => s"c$i"))
+    assert(back.count() == 5000)
+    for (i <- Seq(0, 5, 11))
+      assert(back.agg(sum(s"c$i")).head.getLong(0) ==
+        df.agg(sum(s"c$i")).head.getLong(0), s"column c$i")
+    // nulls + strings survive the dense layout too
+    val path2 = tmp("latestdense2.hdf5")
+    val df2 = spark.range(500).select(
+      ((0 until 9).map(i => when(col("id") % (i + 2) === 0, lit(null))
+        .otherwise(col("id") * (i + 1)).as(s"n$i")) :+
+        concat(lit("v"), col("id")).as("s9")): _*)
+    Hdf5.toHdf5Latest(df2, path2)
+    val back2 = Hdf5.fromHdf5(spark, path2)
+    assert(back2.count() == 500)
+    assert(back2.where(col("n0").isNull).count() == 250) // id % 2 == 0
+    assert(back2.where(col("s9") === "v123").count() == 1)
+  }
+
   test("latest-format generic flat files read too") {
     val path = tmp("latestflat.hdf5")
     Hdf5.writeFlatFile(path,
