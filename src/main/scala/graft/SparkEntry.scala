@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.StatsQueries.queries ++
       graft.queries.AccessorQueries.queries ++
       graft.queries.H2oQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.StatsQueries.oracleSql ++
       graft.queries.AccessorQueries.oracleSql ++
       graft.queries.H2oQueries.oracleSql ++
-      graft.queries.SourceQueries.oracleSql
+      graft.queries.SourceQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

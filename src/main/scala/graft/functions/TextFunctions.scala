@@ -172,6 +172,82 @@ object TextFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  // -------------------------------------------------------------- PII scrub
+
+  /** PII detection/redaction patterns — the scrub pass every training
+    * pipeline runs before a corpus ships. Deliberately lookaround-free
+    * so the IDENTICAL pattern executes in Spark (java.util.regex) and
+    * RE2-based engines (the DuckDB oracle): emails, NANP-style dashed
+    * phone numbers, dotted-quad IPv4 addresses. */
+  val PiiEmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val PiiIpPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Ordered (pattern, tag) scrub list — email first (its local part
+    * can contain digit runs a later pattern might clip), then phone,
+    * then IP. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    PiiEmailPattern -> "<EMAIL>",
+    PiiPhonePattern -> "<PHONE>",
+    PiiIpPattern -> "<IP>")
+
+  /** Redact every PII occurrence (pure projection — zero shuffle). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
+
+  /** Count matches of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  // ------------------------------------------------- repetition (Gopher-style)
+
+  /** Longest run in a SORTED string array = the max multiplicity of
+    * any element — one linear `aggregate` pass per row, shuffle-free
+    * (the per-doc repetition signals must not explode/shuffle n-grams
+    * at 100 TB when no cross-doc grouping is needed). Null-string
+    * initial sentinel: `x === null` is null, so the first element
+    * always starts a fresh run (an empty-string element would falsely
+    * extend an "" sentinel). */
+  def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+      (st, x) => {
+        val run = when(x === st.getField("p"), st.getField("r") + 1L).otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"), greatest(st.getField("b"), run).as("b"))
+      },
+      st => st.getField("b"))
+
+  /** Max over elements of multiplicity·LENGTH(element) in a SORTED
+    * array — the character coverage of the most repeated element
+    * (Gopher's "fraction of characters in the most common n-gram"
+    * numerator). A run of total length c over element x passes through
+    * run'·len(x) = c·len(x) at its last step, so the running max
+    * equals MAX(count·length) over distinct elements. */
+  def maxRunCover(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+      (st, x) => {
+        val run = when(x === st.getField("p"), st.getField("r") + 1L).otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"),
+          greatest(st.getField("b"), run * length(x).cast("long")).as("b"))
+      },
+      st => st.getField("b"))
+
+  /** Number of elements (counting every copy) whose value occurs more
+    * than once, via sorted-neighbor adjacency — O(n log n) sort +
+    * O(n) scan per row, no shuffle. `when`-guarded neighbor access
+    * keeps element_at in bounds under ANSI mode. */
+  def dupElementCount(sorted: Column): Column = {
+    val n = size(sorted)
+    when(n >= 1,
+      size(filter(sequence(lit(1), n), i =>
+        (element_at(sorted, i) === when(i < n, element_at(sorted, i + 1))) ||
+          (element_at(sorted, i) === when(i > 1, element_at(sorted, i - 1))))).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** Marker-word language scores: overlap size between the doc's
     * distinct tokens and each language's marker list; prediction is the
     * first language reaching the max score (deterministic tie-break by

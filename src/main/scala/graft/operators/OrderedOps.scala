@@ -328,6 +328,40 @@ object OrderedOps {
       .drop("__blk", "__rn", "__rnd", "__intra", "__cext", "__cn", "__cmin")
   }
 
+  /** Cumulative (prefix) sum of `column` in `rowIndex` order — the
+    * classic two-phase parallel scan, NO global per-row window:
+    *
+    *   1. intra-block running sum with a partitioned window;
+    *   2. per-block totals (one row per block) get an exclusive prefix
+    *      via a window over the BLOCK-SUMMARY frame — nBlocks rows
+    *      through one task (1e12 rows / 2^20 block = ~1e6 summary
+    *      rows), not the data;
+    *   3. offsets broadcast-join back onto the blocks.
+    *
+    * Unlike shift/rolling, cumsum is purely order-based — it needs a
+    * MONOTONE rowIndex, not a dense one (block b = idx div blockSize
+    * still partitions a sparse index in order), so there is no density
+    * validation. Null values are skipped (sum semantics); rows before
+    * the first non-null carry null, matching a global
+    * `sum(...).over(orderBy)`. */
+  def cumsum(df: DataFrame, column: String, as: String,
+             rowIndex: String = "row_index",
+             blockSize: Long = DefaultBlockSize): DataFrame = {
+    require(blockSize >= 1, "blockSize must be >= 1")
+    val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
+    val st = df.withColumn("__blk", (col(rowIndex) / lit(blockSize)).cast("long"))
+      .withColumn("__intra",
+        sum(col(column)).over(asc.rowsBetween(Window.unboundedPreceding, 0)))
+    val offs = st.groupBy(col("__blk")).agg(sum(col(column)).as("__bsum"))
+      .withColumn("__off", sum(col("__bsum")).over(
+        Window.orderBy(col("__blk").asc).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__blk"), col("__off"))
+    st.join(broadcast(offs), Seq("__blk"), "left")
+      .withColumn(as, when(col("__intra").isNull && col("__off").isNull, lit(null))
+        .otherwise(coalesce(col("__intra"), lit(0)) + coalesce(col("__off"), lit(0))))
+      .drop("__blk", "__intra", "__off")
+  }
+
   /** Rolling MEDIAN over the trailing `window` rows: interpolated
     * (quantile_cont 0.5) over the window's non-null values, null for
     * an all-null window — matching DuckDB/NumPy median semantics.

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import Q._
+
+/** Training-data curation operators beyond the reference's own surface
+  * — the passes a production corpus pipeline runs between raw crawl
+  * and tokenizer: PII scrubbing, repetition-based quality filtering
+  * (Gopher-style rules), benchmark decontamination, and sequence
+  * packing. All oracle-gated on the `documents` table.
+  *
+  * Scale shapes: PII redaction and the repetition signals are pure
+  * projections (regex / sorted-array scans per row — zero shuffle);
+  * decontamination shuffles only n-gram strings for one semi-join
+  * against the (comparatively tiny) eval-set gram dictionary; packing
+  * rides [[graft.operators.OrderedOps.cumsum]]'s two-phase scan (no
+  * global per-row window).
+  */
+object PipelineQueries {
+
+  /** Deterministic synthetic PII appended to each doc (the corpus is
+    * word-soup with no real PII): one email, one dashed phone, one
+    * IPv4 per doc, plus a second email on every third doc. Built from
+    * doc_id so Spark and the SQL oracle inject byte-identical text. */
+  private def withInjectedPii(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    df.select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact u"), d.cast("string"),
+      lit("@ex"), (d % 7).cast("string"), lit(".org or call 555-"),
+      lpad((d % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (d % 256).cast("string"),
+      lit(".0."), ((d * 3) % 256).cast("string"),
+      when(d % 3 === 0, lit(" cc admin@site.net")).otherwise(lit(""))
+    ).as("__txt"))
+  }
+
+  // single line: embedding a multi-line fragment inside a template
+  // that itself stripMargin's would eat the leading pipe of a `||`
+  private val sqlInjectedPii: String =
+    "text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || " +
+      "'.org or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || " +
+      "'-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || " +
+      "' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' cc admin@site.net' ELSE '' END"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: detect + redact emails / phones / IPv4 (reference has
+    // no scrub pass; this is the standard pre-release corpus operator).
+    // Counts come from the un-redacted text; the redacted string itself
+    // is oracle-compared byte-for-byte.
+    "q_pii_redact" -> ((s, dir) => {
+      import TextFunctions._
+      withInjectedPii(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          piiCount(col("__txt"), PiiEmailPattern).as("n_emails"),
+          piiCount(col("__txt"), PiiPhonePattern).as("n_phones"),
+          piiCount(col("__txt"), PiiIpPattern).as("n_ips"),
+          redactPii(col("__txt")).as("redacted"))
+        .withColumn("n_chars_redacted", length(col("redacted")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality signals, shuffle-free: max token
+    // multiplicity, duplicate-token fraction, duplicate-bigram
+    // fraction, and the character coverage of the most repeated bigram
+    // — all per-doc sorted-array scans (no n-gram explode/shuffle; the
+    // oracle recomputes them the explode way in DuckDB).
+    "q_repetition_ngram" -> ((s, dir) => {
+      import TextFunctions._
+      val toks = tokens(col("text"))
+      val bgs = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      // sorted arrays materialized once per row (query-shape rule)
+      val staged = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        array_sort(toks).as("__t"), array_sort(bgs).as("__b"))
+      val nT = size(col("__t")).cast("long")
+      val nB = size(col("__b")).cast("long")
+      staged.select(
+        col("doc_id"),
+        nT.as("n_tokens"),
+        maxRunLength(col("__t")).as("max_token_cnt"),
+        round(dupElementCount(col("__t")).cast("double") / nT, 6).as("dup_token_frac"),
+        when(nB > 0, round(dupElementCount(col("__b")).cast("double") / nB, 6))
+          .as("dup_bigram_frac"),
+        when(nB > 0, round(maxRunCover(col("__b")).cast("double") / col("n_chars"), 6))
+          .as("top_bigram_cover")
+      ).orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 10 == 0 stand in
+    // for the eval set; a training doc is flagged when any of its
+    // distinct 5-gram shingles appears in the eval set. The candidate
+    // join is a semi-join keyed on the gram string (hash the grams
+    // with portableHash(Xx64Hash) in production — same algebra, no
+    // text movement); the eval dictionary is the small side and AQE
+    // broadcast-converts it.
+    "q_decontaminate" -> ((s, dir) => {
+      val g5 = TextFunctions.shingles(col("text"), 5)
+      val withG = t(s, dir, "documents").select(col("doc_id"), g5.as("__g"))
+      val evalG = withG.where(col("doc_id") % 10 === 0)
+        .select(explode(col("__g")).as("g")).distinct()
+      val train = withG.where(col("doc_id") % 10 =!= 0)
+      val matched = train.select(col("doc_id"), explode(col("__g")).as("g"))
+        .join(evalG, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
+        .join(matched, Seq("doc_id"), "left")
+        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+        .withColumn("contam_frac",
+          when(col("n_grams") > 0,
+            round(col("n_matched").cast("double") / col("n_grams"), 6)))
+        .withColumn("is_contaminated",
+          (col("n_matched") >= 1).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified (per-source) deterministic sampling — the source-mix
+    // rebalancer: keep a doc when its salted portable hash mod 1000
+    // falls under the source's quota. Hash-threshold sampling is the
+    // scale-correct form (pure projection, reproducible across runs
+    // and engines — Bernoulli RNG sampling would be neither); md5
+    // lane keeps DuckDB bit-parity, swap Xx64Hash in production.
+    "q_stratified_sample" -> ((s, dir) => {
+      import TextFunctions._
+      val h = portableHash(concat(lit("samp:"), col("doc_id").cast("string")))
+      val thr = when(col("source") === "src0", 1000)
+        .when(col("source") === "src1", 500)
+        .when(col("source") === "src2", 250).otherwise(100)
+      t(s, dir, "documents")
+        .withColumn("__keep", (h % 1000) < thr)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("__keep"), col("doc_id"))).as("first_kept"),
+          round(sum(when(col("__keep"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("kept_frac"))
+        .orderBy("source")
+    }),
+
+    // End-to-end curation funnel: the chained filter pipeline (language
+    // -> length -> repetition) with per-stage survivor counts — one
+    // pass, flags summed, no per-stage rescans. max_token_cnt rides the
+    // same shuffle-free sorted-array scan as q_repetition_ngram.
+    "q_corpus_funnel" -> ((s, dir) => {
+      import TextFunctions._
+      val staged = t(s, dir, "documents").select(col("lang"), col("n_chars"),
+        array_sort(tokens(col("text"))).as("__t"))
+      val f1 = col("lang") === "en"
+      val f2 = f1 && col("n_chars").between(150, 450)
+      val f3 = f2 && maxRunLength(col("__t")) <= 6
+      staged.agg(
+        count(lit(1)).as("n_total"),
+        sum(f1.cast("long")).as("n_lang"),
+        sum(f2.cast("long")).as("n_len"),
+        sum(f3.cast("long")).as("n_quality"),
+        round(sum(f3.cast("long")).cast("double") / count(lit(1)), 6)
+          .as("survival_rate"))
+    }),
+
+    // Sequence packing (concat-and-chop): documents concatenated in
+    // doc_id order and cut into fixed 64-token training bins — each
+    // doc's bin span from an exclusive prefix sum of token counts.
+    // cumsum is the two-phase block scan; the integer bin arithmetic
+    // is exact in both engines (DIV / //).
+    "q_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.OrderedOps.cumsum(docs, "n_tokens", "__cum",
+        rowIndex = "doc_id", blockSize = 64L)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(__cum - n_tokens) DIV 64").as("first_bin"),
+          expr("(__cum - 1) DIV 64").as("last_bin"),
+          (expr("(__cum - 1) DIV 64") - expr("(__cum - n_tokens) DIV 64") + 1L)
+            .as("n_chunks"),
+          expr("(__cum - n_tokens) % 64").as("bin_offset"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def q(s: String): String = s.replace("'", "''")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $sqlInjectedPii AS txt FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(LEN(regexp_extract_all(txt, '${q(TextFunctions.PiiEmailPattern)}')) AS BIGINT) AS n_emails,
+         |  CAST(LEN(regexp_extract_all(txt, '${q(TextFunctions.PiiPhonePattern)}')) AS BIGINT) AS n_phones,
+         |  CAST(LEN(regexp_extract_all(txt, '${q(TextFunctions.PiiIpPattern)}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '${q(TextFunctions.PiiEmailPattern)}', '<EMAIL>', 'g'),
+         |    '${q(TextFunctions.PiiPhonePattern)}', '<PHONE>', 'g'),
+         |    '${q(TextFunctions.PiiIpPattern)}', '<IP>', 'g') AS redacted
+         |FROM p)
+         |SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+         |  CAST(LENGTH(redacted) AS BIGINT) AS n_chars_redacted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_ngram" ->
+      """WITH tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tks FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(tks) AS t FROM tk),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(MAX(c) AS BIGINT) AS max_token_cnt,
+        |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tokens
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, CASE WHEN LEN(tks) >= 2
+        |       THEN list_transform(range(0, LEN(tks) - 1), i -> tks[i+1] || ' ' || tks[i+2])
+        |       ELSE [] END AS bgs FROM tk),
+        |bgu AS (SELECT doc_id, UNNEST(bgs) AS b FROM bg),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bgu GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigrams,
+        |       CAST(MAX(c * LENGTH(b)) AS BIGINT) AS top_cover FROM bc GROUP BY 1)
+        |SELECT d.doc_id, ts.n_tokens, ts.max_token_cnt,
+        |  ROUND(CAST(ts.dup_tokens AS DOUBLE) / ts.n_tokens, 6) AS dup_token_frac,
+        |  CASE WHEN COALESCE(bs.n_bigrams, 0) > 0
+        |    THEN ROUND(CAST(bs.dup_bigrams AS DOUBLE) / bs.n_bigrams, 6) END AS dup_bigram_frac,
+        |  CASE WHEN COALESCE(bs.n_bigrams, 0) > 0
+        |    THEN ROUND(CAST(bs.top_cover AS DOUBLE) / d.n_chars, 6) END AS top_bigram_cover
+        |FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+        |LEFT JOIN bs ON d.doc_id = bs.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN LEN(tks) >= 5
+        |  THEN list_distinct(list_transform(range(0, LEN(tks) - 4),
+        |    i -> tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3] || ' ' || tks[i+4] || ' ' || tks[i+5]))
+        |  ELSE [] END AS g5 FROM tk),
+        |ev AS (SELECT DISTINCT UNNEST(g5) AS gr FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, UNNEST(g5) AS gr FROM g WHERE doc_id % 10 <> 0),
+        |m AS (SELECT doc_id, COUNT(*) AS n_matched FROM tr
+        |      WHERE gr IN (SELECT gr FROM ev) GROUP BY 1)
+        |SELECT g.doc_id, CAST(LEN(g.g5) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  CASE WHEN LEN(g.g5) > 0
+        |    THEN ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / LEN(g.g5), 6) END AS contam_frac,
+        |  CAST(CASE WHEN COALESCE(m.n_matched, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+        |WHERE g.doc_id % 10 <> 0 ORDER BY g.doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH k AS (SELECT source, doc_id,
+        |  (('0x' || substring(md5('samp:' || doc_id), 1, 15))::BIGINT % 1000) <
+        |    (CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+        |      WHEN 'src2' THEN 250 ELSE 100 END) AS keep
+        |FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN keep THEN doc_id END) AS first_kept,
+        |  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS kept_frac
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_funnel" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS max_cnt FROM tc GROUP BY 1),
+        |f AS (SELECT d.lang = 'en' AS f1,
+        |  d.lang = 'en' AND d.n_chars BETWEEN 150 AND 450 AS f2,
+        |  d.lang = 'en' AND d.n_chars BETWEEN 150 AND 450 AND mx.max_cnt <= 6 AS f3
+        |FROM documents d JOIN mx ON d.doc_id = mx.doc_id)
+        |SELECT COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  ROUND(CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS survival_rate
+        |FROM f""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(LEN(string_split(text, ' '))) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 64 AS BIGINT) AS first_bin,
+        |  CAST((cum - 1) // 64 AS BIGINT) AS last_bin,
+        |  CAST((cum - 1) // 64 - (cum - n_tokens) // 64 + 1 AS BIGINT) AS n_chunks,
+        |  CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin
+  )
+}

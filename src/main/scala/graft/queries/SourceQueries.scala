@@ -36,6 +36,16 @@ object SourceQueries {
       agg(graft.sources.Readers.fromCsv(s, cache))
     }),
 
+    // from_ascii (reference: core/__init__.py:460, dataset_misc.py:203):
+    // whitespace-separated headered text round trip through
+    // Export.toAscii/fromAscii; doubles survive via shortest-round-trip
+    // formatting. Oracle runs on the ORIGINAL parquet.
+    "q_ascii_agg" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_ascii")
+      graft.sources.Export.toAscii(narrowLineitem(s, dir), cache)
+      agg(graft.sources.Export.fromAscii(s, cache))
+    }),
+
     // from_json (reference: core/__init__.py:493): JSON-lines round trip.
     "q_json_agg" -> ((s, dir) => {
       val cache = cacheDir(dir, "lineitem_json")
@@ -128,6 +138,7 @@ object SourceQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_csv_agg" -> aggSql,
+    "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,
     "q_hdf5_agg" -> aggSql,
     "q_hdf5_chunked" -> aggSql,

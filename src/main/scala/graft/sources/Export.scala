@@ -67,23 +67,60 @@ object Export {
   def exportMany(df: DataFrame, path: String, shards: Int): Unit =
     df.repartition(shards).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ASCII (whitespace-separated, headered) export — the write half of
+    * [[fromAscii]]'s round trip. Data rows stream from executors via
+    * the text sink; the header goes into a tiny driver-side file named
+    * to sort lexically BEFORE Spark's part-* files, because
+    * `spark.read.text` concatenates files in name order and
+    * [[fromAscii]] types columns off the first line. */
+  def toAscii(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.select(concat_ws(" ",
+        df.columns.map(c => col(c).cast("string")).toSeq: _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    java.nio.file.Files.writeString(
+      new java.io.File(path, "00000_header.txt").toPath,
+      df.columns.mkString(" ") + "\n")
+  }
+
   /** from_ascii (reference: core/__init__.py:460, dataset_misc.py:203):
     * whitespace-separated text with a header line -> typed frame.
     * spark.read.text streams per-partition; the header is read once on
     * the driver. Columns are inferred double-or-string from the first
     * data row. */
+  /** First `n` non-empty lines of an ascii path IN FILE-NAME ORDER,
+    * read driver-side. `spark.read.text` plans splits by SIZE, so for
+    * a directory the tiny header file can land anywhere in the row
+    * order — header discovery must walk files lexically instead. */
+  private def asciiHeadLines(path: String, n: Int): Seq[String] = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_") &&
+          !x.getName.startsWith(".")).sortBy(_.getName).toSeq
+      else Seq(f)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val it = files.iterator
+    while (out.size < n && it.hasNext) {
+      val src = scala.io.Source.fromFile(it.next())
+      try out ++= src.getLines().filter(_.trim.nonEmpty).take(n - out.size)
+      finally src.close()
+    }
+    out.toSeq
+  }
+
   def fromAscii(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val lines = spark.read.text(path)
-    val head = lines.limit(2).collect()
+    val head = asciiHeadLines(path, 2)
     require(head.nonEmpty, s"empty ascii file: $path")
-    val header = head(0).getString(0).trim.split("\\s+")
+    val header = head(0).trim.split("\\s+")
     if (head.length < 2) // header-only file -> empty frame, all-string schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(header.map(
           org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, nullable = true))))
-    val firstData = head(1).getString(0).trim.split("\\s+")
+    val firstData = head(1).trim.split("\\s+")
     // token-array comparison drops the header under ANY whitespace
     // (string equality broke on irregular spacing); ragged lines are
     // dropped too rather than silently mis-aligned

@@ -162,6 +162,44 @@ class OrderedOpsSpec extends SparkSpec {
     assert(expStd(1L).isEmpty && gotStd(1L).isEmpty) // all-null window -> null
   }
 
+  test("blockCumsum matches a global running sum; offsets join is broadcast") {
+    val win = Window.orderBy(col("row_index"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = df.withColumn("expect", sum(col("x")).over(win))
+    val got = OrderedOps.cumsum(df, "x", "cs", blockSize = 7L)
+    val a = got.select(col("row_index"), col("cs")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = expected.select(col("row_index"), col("expect")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0L until 100L) assert(math.abs(a(i) - e(i)) < 1e-9, s"row $i")
+    // the single-partition stage is confined to the block-SUMMARY
+    // window (nBlocks rows); the per-row side joins the offsets via
+    // broadcast, so the data path itself never funnels into one task
+    assert(got.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    // null handling: leading nulls stay null, later rows skip them
+    val dn = spark.range(10).select(col("id").as("row_index"),
+      when(col("id") < 3 || col("id") === 5, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("x"))
+    val gotN = OrderedOps.cumsum(dn, "x", "cs", blockSize = 4L)
+      .select(col("row_index"), col("cs")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val expN = dn.withColumn("expect", sum(col("x")).over(win))
+      .select(col("row_index"), col("expect")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotN === expN)
+    // cumsum is order-based, not density-based: a sparse (filtered)
+    // index is legal and sums the present rows in index order
+    val sparse = spark.range(40).where(col("id") % 3 =!= 1)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x"))
+    val aS = OrderedOps.cumsum(sparse, "x", "cs", blockSize = 7L)
+      .select(col("row_index"), col("cs")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val eS = sparse.withColumn("expect", sum(col("x")).over(win))
+      .select(col("row_index"), col("expect")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(aS === eS)
+  }
+
   test("ordered-op plans contain no single-partition exchange") {
     for (plan <- Seq(
       OrderedOps.shift(df, "x", 3, as = Some("s"), blockSize = 7L),
