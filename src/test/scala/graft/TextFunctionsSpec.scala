@@ -108,6 +108,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(toks("word").size == 1 && bpeCount("word") == 1L)
   }
 
+  test("repetition helpers: run stats over sorted arrays, incl. edges") {
+    import spark.implicits._
+    def stats(arr: Seq[String]): (Long, Long, Long) = {
+      val r = Seq(Tuple1(arr)).toDF("a")
+        .select(maxRunLength(array_sort(col("a"))).as("m"),
+          maxRunCover(array_sort(col("a"))).as("c"),
+          dupElementCount(array_sort(col("a"))).as("d")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // "bb" appears 3x (cover 3*2=6 > "aaa" 1*3), 5 of 6 elements duplicated
+    assert(stats(Seq("bb", "x", "aaa", "bb", "x", "bb")) === ((3L, 6L, 5L)))
+    assert(stats(Seq("solo")) === ((1L, 4L, 0L)))
+    assert(stats(Seq.empty) === ((0L, 0L, 0L)))
+    // empty-string elements must not extend the initial sentinel run
+    assert(stats(Seq("", "a")) === ((1L, 1L, 0L)))
+    assert(stats(Seq("", "", "a")) === ((2L, 1L, 2L)))
+  }
+
+  test("PII patterns detect and redact; non-PII text untouched") {
+    import spark.implicits._
+    val txt = "write me at a.b+c@mail-x.co.uk or 555-123-4567; " +
+      "host 192.168.0.1, version 1.2 costs $3.99, id 123-45-678"
+    val r = Seq(txt).toDF("t").select(
+      piiCount(col("t"), PiiEmailPattern).as("e"),
+      piiCount(col("t"), PiiPhonePattern).as("p"),
+      piiCount(col("t"), PiiIpPattern).as("i"),
+      redactPii(col("t")).as("red")).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1L)))
+    val red = r.getString(3)
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    // near-misses survive: "1.2" (two octets), "$3.99", "123-45-678"
+    // (wrong group widths) are not PII
+    assert(red.contains("version 1.2 costs $3.99, id 123-45-678"))
+    assert(!red.contains("mail-x.co.uk") && !red.contains("555-123"))
+  }
+
   test("langIdPredictReal classifies real sentences via stopword profiles") {
     import spark.implicits._
     val sentences = Seq(
