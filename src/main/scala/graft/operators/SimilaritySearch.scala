@@ -33,6 +33,38 @@ object SimilaritySearch {
   def normOf(v: Seq[Float]): Double =
     math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
 
+  // ------------------------------------------- hyperplane (SRP) LSH
+
+  /** Signed-random-projection bit j of an embedding: the sign of the
+    * dot product with a deterministic ±1 hyperplane. The hyperplane's
+    * signs come from the integer universal-hash family (parity of
+    * h_j(i)), so Spark and a SQL oracle derive byte-identical planes
+    * with no float RNG; the fold accumulates left-to-right in double,
+    * matching `list_sum` order in DuckDB. P(bits agree) = 1 − θ/π —
+    * the cosine analog of MinHash (Charikar'02 SimHash; the reference
+    * has no embedding LSH, its dedup is text-only). */
+  def srpBit(embCol: Column, j: Int, dim: Int): Column = {
+    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
+    val terms = transform(sequence(lit(0), lit(dim - 1)), i => {
+      val parity = (lit(uhashA(j)) * (i + 1) + lit(uhashB(j))) % lit(UHASH_P) % 2
+      (lit(1) - lit(2) * parity).cast("double") * element_at(embCol, i + 1).cast("double")
+    })
+    when(aggregate(terms, lit(0.0), (acc, x) => acc + x) > 0.0, 1L).otherwise(0L)
+  }
+
+  /** Array of (band, key) structs over `nBands` bands of
+    * `bitsPerBand` SRP bits — vectors sharing any band key become
+    * near-dup candidates. Signature computation is a pure projection
+    * (O(nBits·dim) per row, zero shuffle); only (id, band, key) pairs
+    * enter the candidate join, never the embeddings. */
+  def srpBandKeys(embCol: Column, dim: Int, nBands: Int, bitsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      val key = (0 until bitsPerBand).map { r =>
+        srpBit(embCol, b * bitsPerBand + r, dim) * (1L << r)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+
   /** Cosine distance (1 - cos) of an embedding column vs one literal
     * centroid vector; 1.0 when either norm is zero. */
   private def centroidDist(embCol: Column, v: Seq[Float]): Column = {

@@ -86,6 +86,47 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // hyperplane (SRP/SimHash-for-cosine) LSH near-dup — the BUCKETED
+    // scale path that replaces q_embed_neardup's labeled-quadratic
+    // self-join: 32 signed-random-projection bits from deterministic
+    // ±1 hyperplanes (integer universal-hash parity — both engines
+    // derive identical planes), 4 bands × 8 bits, candidates = pairs
+    // sharing any band key, then exact cosine verify. The synthetic
+    // corpus has no natural near-dups (max pairwise cos 0.51), so
+    // every 5th vector gets a deterministically perturbed copy
+    // (elementwise (1 + 0.002·((2i) mod 5)) — cos ≈ 0.9999) that the
+    // banding must recover. Signatures are a projection; only
+    // (id, band, key) rows shuffle into the candidate join.
+    "q_embed_lsh" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.{fdot, fnorm}
+      import graft.operators.SimilaritySearch.srpBandKeys
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dup = base.where(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            lit(0.002) * ((i * 7) % 5).cast("double"))).cast("float")).as("embedding"))
+      val aug = base.unionAll(dup)
+      val bands = aug.select(col("vec_id"),
+          explode(srpBandKeys(col("embedding"), 64, nBands = 4, bitsPerBand = 8)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+      val ea = aug.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        fnorm(col("embedding")).as("nrm_a"))
+      val eb = aug.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        fnorm(col("embedding")).as("nrm_b"))
+      val denom = col("nrm_a") * col("nrm_b")
+      cand.join(ea, "id_a").join(eb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          r(when(denom === 0.0, lit(0.0))
+            .otherwise(fdot(col("emb_a"), col("emb_b")) / denom), 8).as("cos"))
+        .where(col("cos") > 0.99)
+        .orderBy("id_a", "id_b")
+    }),
+
     // symmetric int8 quantization (the 4x embedding-storage compressor
     // for ANN at scale): q = floor(x·127/max|x| + 0.5). q_sum is an
     // INTEGER bit-parity check of the codes; max_abs_err bounds the
@@ -114,6 +155,18 @@ object VectorQueries {
   private def ddbDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def ddbNorm(a: String): String = s"SQRT(${ddbDot(a, a)})"
+
+  // SRP signature bits in SQL: identical universal-hash ±1 planes and
+  // the same left-to-right double fold as SimilaritySearch.srpBit.
+  private def ddbSrpBit(j: Int): String = {
+    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
+    s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> " +
+      s"CAST(1 - 2 * (((${uhashA(j)} * (i + 1) + ${uhashB(j)}) % $UHASH_P) % 2) AS DOUBLE)" +
+      s" * CAST(embedding[i + 1] AS DOUBLE))) > 0.0 THEN 1 ELSE 0 END)"
+  }
+  private def ddbSrpBandKey(b: Int, bitsPerBand: Int): String =
+    (0 until bitsPerBand).map(r =>
+      s"${ddbSrpBit(b * bitsPerBand + r)} * ${1L << r}").mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
     "q_array_stats" ->
@@ -159,6 +212,30 @@ object VectorQueries {
         |    ELSE list_max(list_transform(list_zip(embedding, qc),
         |      p -> ABS(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / scale))) END, 6) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_embed_lsh" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(range(0, 64), i ->
+         |    CAST(CAST(embedding[i + 1] AS DOUBLE)
+         |      * (1.0 + 0.002 * CAST((i * 7) % 5 AS DOUBLE)) AS REAL))
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |bands AS (
+         |${(0 until 4).map(b =>
+              s"  SELECT vec_id, $b AS band, ${ddbSrpBandKey(b, 8)} AS bkey FROM aug")
+             .mkString("\n  UNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    ROUND(CASE WHEN ${ddbNorm("x.embedding")} * ${ddbNorm("y.embedding")} = 0.0 THEN 0.0
+         |      ELSE ${ddbDot("x.embedding", "y.embedding")}
+         |           / (${ddbNorm("x.embedding")} * ${ddbNorm("y.embedding")}) END, 8) AS cos
+         |  FROM cand c JOIN aug x ON c.id_a = x.vec_id JOIN aug y ON c.id_b = y.vec_id)
+         |WHERE cos > 0.99 ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT * FROM (

@@ -65,6 +65,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(hits(3) >= hits(1))
   }
 
+  test("SRP LSH banding: full recall on near-identical pairs, real pruning") {
+    import org.apache.spark.sql.functions._
+    val base = Q.t(spark, sf0001, "embeddings").select(col("vec_id"), col("embedding"))
+    // perturbed copies (cos ~ 0.9999) the banding must recover
+    val dup = base.where(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) +
+          lit(0.002) * ((i * 7) % 5).cast("double"))).cast("float")).as("embedding"))
+    val aug = base.unionAll(dup).cache()
+    val n = aug.count()
+    val bands = aug.select(col("vec_id"),
+        explode(SimilaritySearch.srpBandKeys(col("embedding"), 64, 4, 8)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct().cache()
+    val nCand = cand.count()
+    // every injected (orig, copy) pair must surface as a candidate
+    val truePairs = base.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 100000L).as("id_b"))
+    assert(cand.join(truePairs, Seq("id_a", "id_b"), "left_semi").count()
+      === truePairs.count())
+    // and the banding prunes: candidates well under the all-pairs count
+    assert(nCand < n * (n - 1) / 2 / 10, s"$nCand candidates of ${n * (n - 1) / 2} pairs")
+    aug.unpersist(); cand.unpersist()
+  }
+
   test("trainKMeans is deterministic across calls") {
     val emb = Q.t(spark, sf0001, "embeddings")
     val a = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
