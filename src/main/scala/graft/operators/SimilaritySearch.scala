@@ -65,6 +65,136 @@ object SimilaritySearch {
       struct(lit(b).as("band"), key.as("bkey"))
     }: _*)
 
+  // ------------------------------------------- product quantization
+
+  /** PQ codebook: entries (subspace m, code k, centroid subvector).
+    * m·k·subDim floats — always broadcastable (inlined as literals). */
+  type PqCodebook = Seq[(Int, Int, Seq[Float])]
+
+  /** Deterministic PQ "training" twin of [[trainTakeFirst]]: subspace
+    * m's codebook = the m-th subvector slices of rows id < k —
+    * reproducible in a SQL oracle. Quality path: [[pqTrainKMeans]]. */
+  def pqTrainTakeFirst(df: DataFrame, idCol: String, embCol: String,
+                       m: Int, k: Int): PqCodebook = {
+    val rows = trainTakeFirst(df, idCol, embCol, k)
+    val dim = rows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    for ((cid, v) <- rows; mi <- 0 until m)
+      yield (mi, cid, v.slice(mi * sub, (mi + 1) * sub))
+  }
+
+  /** Per-subspace plain-L2 Lloyd k-means on a deterministic driver
+    * sample (PQ quantizes raw subvectors, so unlike the spherical
+    * [[trainKMeans]] there is no normalization). Sample and codebook
+    * are tiny regardless of table size. */
+  def pqTrainKMeans(df: DataFrame, idCol: String, embCol: String,
+                    m: Int, k: Int, sampleN: Int = 2048,
+                    iters: Int = 10): PqCodebook = {
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).flatMap { mi =>
+      val pts = sample.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      val seeds = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var i = 0
+      while (seeds.length < k && i < pts.length) {
+        if (!seeds.exists(s => s.sameElements(pts(i)))) seeds += pts(i).clone()
+        i += 1
+      }
+      var cents = seeds.toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        pts.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- cents.indices) {
+            var dd = 0.0; var d = 0
+            while (d < sub) { val t = v(d) - cents(c)(d); dd += t * t; d += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+          }
+          var d = 0
+          while (d < sub) { sums(best)(d) += v(d); d += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents.zipWithIndex.map { case (c, cid) =>
+        (mi, cid, c.map(_.toFloat).toSeq) }
+    }
+  }
+
+  /** Squared L2 distance of subspace `mi`'s slice vs a literal
+    * centroid subvector — left-to-right double fold (`list_sum`
+    * order parity for the SQL oracle). */
+  private def pqSubDist(embCol: Column, mi: Int, subDim: Int,
+                        c: Seq[Float]): Column = {
+    val terms = transform(sequence(lit(0), lit(subDim - 1)), i => {
+      val d = element_at(embCol, lit(mi * subDim) + i + 1).cast("double") -
+        typedlit(c.map(_.toDouble)).getItem(i)
+      d * d
+    })
+    aggregate(terms, lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** PQ-encode: per subspace, the argmin-code over the codebook —
+    * deterministic (dist, code) tie-break, pure projection, zero
+    * shuffle. Adds `codes` (array<int>, one code per subspace, m·log2(k)
+    * bits of storage per vector) and `reconErrCol` (exact-decimal sum
+    * of the chosen subspace distances, √). */
+  def pqEncode(df: DataFrame, embCol: String, codebook: PqCodebook,
+               codesCol: String = "codes",
+               reconErrCol: String = "recon_err"): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    val mins = (0 until m).map { mi =>
+      val entries = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, cid, c) =>
+        struct(pqSubDist(col(embCol), mi, subDim, c).as("dist"), lit(cid).as("k"))
+      }
+      array_min(array(entries: _*))
+    }
+    // DECIMAL(28,10), not (38,10): Spark's add widens precision by 1
+    // per term and at p=38 the cap forces a SCALE reduction instead
+    // (a 4-term chain silently came out scale 7) — 28 leaves headroom
+    // so the sum stays exact at scale 10, matching the oracle's
+    // SUM(CAST(dist AS DECIMAL(28,10)))
+    val err = sqrt(mins.map(_.getField("dist").cast("decimal(28,10)"))
+      .reduce(_ + _).cast("double"))
+    df.withColumn(codesCol, array(mins.map(_.getField("k")): _*))
+      .withColumn(reconErrCol, err)
+  }
+
+  /** ADC (asymmetric distance) top-k: per query, a literal
+    * lookup table LUT[mi][code] = ‖q_mi − c_mi,code‖² — the scan reads
+    * ONLY the codes column (the compressed search that makes PQ the
+    * memory-bound ANN path at scale: m bytes per vector instead of
+    * 4·dim). Returns (qid, vec_id, adc_dist) top-k per query. */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
+                queries: Seq[(Long, Seq[Float])], codebook: PqCodebook,
+                kTop: Int): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    val perQuery = queries.map { case (qid, qv) =>
+      val dist = (0 until m).map { mi =>
+        val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
+          c.indices.foldLeft(0.0) { (acc, i) =>
+            val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
+        }
+        typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
+      }.reduce(_ + _)
+      encoded.select(lit(qid).as("qid"), col(idCol), dist.as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col(idCol).asc).limit(kTop)
+    }
+    perQuery.reduce(_ unionAll _)
+  }
+
   /** Cosine distance (1 - cos) of an embedding column vs one literal
     * centroid vector; 1.0 when either norm is zero. */
   private def centroidDist(embCol: Column, v: Seq[Float]): Column = {

@@ -127,6 +127,29 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // product quantization (the 16-64x ANN compressor beyond int8's
+    // 4x): 64 dims -> 4 subspaces x 8-entry codebooks = 4 codes
+    // (12 bits) per vector. Deterministic take-first codebook for
+    // oracle parity (the quality path is pqTrainKMeans + the ADC
+    // recall spec); encoding is argmin per subspace with (dist, code)
+    // tie-break — a pure projection over inlined literals, zero
+    // shuffle. recon_err sums subspace distances in DECIMAL(38,10)
+    // (4-term double addition order would differ between engines).
+    "q_pq_encode" -> ((s, dir) => {
+      import graft.operators.SimilaritySearch
+      val emb = t(s, dir, "embeddings")
+      val cb = SimilaritySearch.pqTrainTakeFirst(emb, "vec_id", "embedding",
+        m = 4, k = 8)
+      SimilaritySearch.pqEncode(emb, "embedding", cb)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("code0"),
+          element_at(col("codes"), 2).as("code1"),
+          element_at(col("codes"), 3).as("code2"),
+          element_at(col("codes"), 4).as("code3"),
+          r(col("recon_err"), 6).as("recon_err"))
+        .orderBy("vec_id")
+    }),
+
     // symmetric int8 quantization (the 4x embedding-storage compressor
     // for ANN at scale): q = floor(x·127/max|x| + 0.5). q_sum is an
     // INTEGER bit-parity check of the codes; max_abs_err bounds the
@@ -236,6 +259,30 @@ object VectorQueries {
          |           / (${ddbNorm("x.embedding")} * ${ddbNorm("y.embedding")}) END, 8) AS cos
          |  FROM cand c JOIN aug x ON c.id_a = x.vec_id JOIN aug y ON c.id_b = y.vec_id)
          |WHERE cos > 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pq_encode" ->
+      """WITH cb AS (
+        |  SELECT mm.m, e.vec_id AS k,
+        |    list_transform(range(0, 16), i -> e.embedding[mm.m * 16 + i + 1]) AS c
+        |  FROM embeddings e, (SELECT UNNEST(range(0, 4)) AS m) mm
+        |  WHERE e.vec_id < 8),
+        |enc AS (
+        |  SELECT e.vec_id, cb.m, cb.k,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (CAST(e.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE))
+        |      * (CAST(e.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE)))) AS dist
+        |  FROM embeddings e CROSS JOIN cb),
+        |best AS (
+        |  SELECT vec_id, m, k, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+        |  FROM enc)
+        |SELECT vec_id,
+        |  CAST(MAX(CASE WHEN m = 0 THEN k END) AS INT) AS code0,
+        |  CAST(MAX(CASE WHEN m = 1 THEN k END) AS INT) AS code1,
+        |  CAST(MAX(CASE WHEN m = 2 THEN k END) AS INT) AS code2,
+        |  CAST(MAX(CASE WHEN m = 3 THEN k END) AS INT) AS code3,
+        |  ROUND(SQRT(CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE)), 6) AS recon_err
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT * FROM (

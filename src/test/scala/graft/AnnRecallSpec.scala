@@ -94,6 +94,42 @@ class AnnRecallSpec extends SparkSpec {
     aug.unpersist(); cand.unpersist()
   }
 
+  test("PQ ADC top-k: codes-only search recalls true L2 neighbors") {
+    import org.apache.spark.sql.functions._
+    val emb = Q.t(spark, sf0001, "embeddings").cache()
+    val cb = SimilaritySearch.pqTrainKMeans(emb, "vec_id", "embedding", m = 8, k = 16)
+    val encoded = SimilaritySearch.pqEncode(emb, "embedding", cb).cache()
+    // exact L2 top-10 per query (driver-side ground truth — 500 rows)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = Seq(3L, 77L, 250L, 411L)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0) { (acc, i) =>
+        val d = a(i).toDouble - b(i).toDouble; acc + d * d }
+    val truth = queries.map { q =>
+      q -> all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (l2(all(q), v), id) }.sorted.take(10).map(_._2).toSet
+    }.toMap
+    val qvecs = queries.map(q => q -> all(q).toSeq)
+    val adc = SimilaritySearch.pqAdcTopK(encoded.where(
+        !col("vec_id").isin(queries: _*)), "vec_id", "codes", qvecs, cb, kTop = 30)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = queries.map(q => (truth(q) intersect adc(q)).size.toDouble / 10)
+    info(f"PQ ADC recall@10-in-30 = ${recalls.sum / recalls.size}%.2f")
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"PQ recall ${recalls.sum / recalls.size} < 0.5")
+    // the ADC scan reads STORED codes only (localCheckpoint stands in
+    // for the materialized codes table) — no embedding column anywhere
+    // in the search plan
+    val stored = encoded.select("vec_id", "codes").localCheckpoint()
+    val plan = SimilaritySearch.pqAdcTopK(stored,
+      "vec_id", "codes", qvecs.take(1), cb, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"), plan.take(1500))
+    emb.unpersist(); encoded.unpersist()
+  }
+
   test("trainKMeans is deterministic across calls") {
     val emb = Q.t(spark, sf0001, "embeddings")
     val a = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
