@@ -130,6 +130,45 @@ class AnnRecallSpec extends SparkSpec {
     emb.unpersist(); encoded.unpersist()
   }
 
+  test("IVF + PQ compose: cell-pruned codes-only ADC search still recalls") {
+    import org.apache.spark.sql.functions._
+    val emb = Q.t(spark, sf0001, "embeddings").cache()
+    val centroids = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
+    val cb = SimilaritySearch.pqTrainKMeans(emb, "vec_id", "embedding", m = 8, k = 16)
+    // the stored index: (id, cell, codes) — no raw vectors
+    val indexed = SimilaritySearch.assignCells(
+        SimilaritySearch.pqEncode(emb, "embedding", cb), "embedding", centroids)
+      .select("vec_id", "cell", "codes").localCheckpoint()
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = Seq(3L, 77L, 250L, 411L)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0) { (acc, i) =>
+        val d = a(i).toDouble - b(i).toDouble; acc + d * d }
+    val truth = queries.map { q =>
+      q -> all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (l2(all(q), v), id) }.sorted.take(10).map(_._2).toSet
+    }.toMap
+    val probeCells = SimilaritySearch.assignCellsProbe(
+        emb.where(col("vec_id").isin(queries: _*)), "embedding", centroids, nProbe = 4)
+      .select(col("vec_id"), col("cells")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val total = indexed.count()
+    val recalls = queries.map { q =>
+      val cand = indexed.where(col("cell").isin(probeCells(q): _*) &&
+        col("vec_id") =!= q)
+      assert(cand.count() < total, "probing must prune the candidate set")
+      val got = SimilaritySearch.pqAdcTopK(cand, "vec_id", "codes",
+          Seq(q -> all(q).toSeq), cb, kTop = 30)
+        .collect().map(_.getLong(1)).toSet
+      (truth(q) intersect got).size.toDouble / 10
+    }
+    info(f"IVF(4/8 cells)+PQ ADC recall@10-in-30 = ${recalls.sum / recalls.size}%.2f")
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"IVF+PQ recall ${recalls.sum / recalls.size} < 0.4")
+    emb.unpersist()
+  }
+
   test("trainKMeans is deterministic across calls") {
     val emb = Q.t(spark, sf0001, "embeddings")
     val a = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
