@@ -218,6 +218,16 @@ object Bench {
         .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n")))))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
 
+    // ---- curation-pipeline lane (round 5): PII scrub, repetition
+    // filters, decontamination, packing, embedding LSH, PQ — timed
+    // APART from the headline battery so `value` stays comparable
+    // round-over-round
+    val pipelineNames = Seq("q_pii_redact", "q_repetition_ngram",
+      "q_decontaminate", "q_seq_pack", "q_embed_lsh", "q_pq_encode")
+    val (pipeResults, _) = repMajor(2, pipelineNames.flatMap { name =>
+      SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
+    })
+
     // headline throughput: rows/sec of the canonical multi-agg groupBy
     // over lineitem (BASELINE.md "groupby aggregation" row)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -262,7 +272,7 @@ object Bench {
           .groupBy("k").agg(sum("w"), count(lit(1))))))
     val thr = thrMins.toMap
 
-    val qs = (results ++ scaleResults ++ skewResults)
+    val qs = (results ++ scaleResults ++ skewResults ++ pipeResults)
       .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
     // per-rep battery times: a throttled pass shows up as one inflated
     // column across many queries instead of silently poisoning mins

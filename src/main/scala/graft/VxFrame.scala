@@ -118,6 +118,13 @@ final case class VxFrame(
   def columnNames: Seq[String] = df.schema.fieldNames.toSeq
   def count(): Long = df.count()
 
+  /** Column-name combinations of the given dimension — the subspace
+    * enumerator behind the reference's pairwise stats/plot helpers
+    * (reference: core/dataframe.py:3016 combinations). Driver-side
+    * metadata only. */
+  def combinations(dimension: Int = 2, exclude: Seq[String] = Nil): Seq[Seq[String]] =
+    columnNames.filterNot(exclude.contains).combinations(dimension).toSeq
+
   // ---------------------------------------------------------------- virtual columns / variables
 
   /** reference: core/dataframe.py:3783 `add_virtual_column`. */

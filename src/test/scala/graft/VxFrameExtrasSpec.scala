@@ -194,6 +194,15 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(math.abs(u.skewExpr("x", Some("x < 50"))) < 1e-9)
   }
 
+  test("combinations enumerates column subspaces with exclusion") {
+    import spark.implicits._
+    val f = VxFrame(Seq((1, 2.0, "a", true)).toDF("w", "x", "y", "z"))
+    assert(f.combinations(2) === Seq(
+      Seq("w", "x"), Seq("w", "y"), Seq("w", "z"),
+      Seq("x", "y"), Seq("x", "z"), Seq("y", "z")))
+    assert(f.combinations(3, exclude = Seq("z")) === Seq(Seq("w", "x", "y")))
+  }
+
   test("compare: schema gaps, type conflicts, value diffs, unmatched keys") {
     val a = VxFrame(Seq((1L, 1.0, "x"), (2L, 2.0, "y"), (3L, 3.0, "z"))
       .toDF("k", "v", "s"))
