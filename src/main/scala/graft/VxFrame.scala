@@ -776,8 +776,10 @@ final case class VxFrame(
     * column (Tables.withRowIndex). Lowered to the block-partitioned
     * two-pass operator — no global single-reducer window
     * (graft.operators.OrderedOps). */
-  def shift(column: String, periods: Int, rowIndex: String = "row_index"): VxFrame =
-    copy(base = graft.operators.OrderedOps.shift(df, column, periods, rowIndex),
+  def shift(column: String, periods: Int, rowIndex: String = "row_index",
+            fill: Option[Any] = None, trim: Boolean = false): VxFrame =
+    copy(base = graft.operators.OrderedOps.shift(df, column, periods, rowIndex,
+      fill = fill, trim = trim),
       virtualColumns = ListMap.empty, filterExpression = None)
 
   /** diff = x - shift(x) (reference: core/dataframe.py:4749). */
@@ -814,11 +816,15 @@ final case class VxFrame(
       virtualColumns = ListMap.empty, filterExpression = None)
 
   /** Raw sliding-window matrix — the reference's `rolling(...).array`
-    * (core/rolling.py:4-31): fixed-length window arrays, leading null
-    * fill at the global head. */
+    * (core/rolling.py:4-31): fixed-length window arrays; `edge`
+    * "right" (trailing, default) or "left" (leading), partial windows
+    * padded with `fillValue` (null by default). */
   def rollingArray(column: String, window: Int, as: String,
-                   rowIndex: String = "row_index"): VxFrame =
-    copy(base = graft.operators.OrderedOps.rollingArray(df, column, window, as, rowIndex),
+                   rowIndex: String = "row_index",
+                   fillValue: Option[Any] = None,
+                   edge: String = "right"): VxFrame =
+    copy(base = graft.operators.OrderedOps.rollingArray(df, column, window, as, rowIndex,
+      fillValue = fillValue, edge = edge),
       virtualColumns = ListMap.empty, filterExpression = None)
 
   /** Exact interpolated rolling median over the collected window. */

@@ -91,20 +91,29 @@ object OrderedOps {
     col(rowIndex) === col("__blk") * lit(blockSize) + col("__rn") - 1
 
   /** Shifted value of `column` by `periods` (positive = lag, negative =
-    * lead) in `rowIndex` order; out-of-range rows become null
-    * (reference: core/dataframe.py:4781 shift fill semantics). */
+    * lead) in `rowIndex` order; out-of-range rows become null, or
+    * `fill` when given, and `trim = true` drops them instead
+    * (reference: core/dataframe.py:4781 shift(periods, fill_value,
+    * trim)). `fill`/`trim` distinguish a genuinely-null SOURCE value
+    * (which stays null / survives trim) from a missing source ROW via
+    * a shifted never-null marker riding the same window and carry —
+    * no second pass. */
   def shift(df: DataFrame, column: String, periods: Int,
             rowIndex: String = "row_index", as: Option[String] = None,
             blockSize: Long = DefaultBlockSize,
-            validate: Boolean = true): DataFrame = {
+            validate: Boolean = true,
+            fill: Option[Any] = None, trim: Boolean = false): DataFrame = {
     val out = as.getOrElse(column)
     if (periods == 0) return df.withColumn(out, col(column))
     val p = math.abs(periods)
     val bs = effectiveBlockSize(blockSize, p)
     require(bs >= p, s"blockSize=$bs must be >= |periods|=$p")
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
-    val st = staged(df, rowIndex, bs).withColumn("__intra",
+    val needMarker = fill.isDefined || trim
+    val st0 = staged(df, rowIndex, bs).withColumn("__intra",
       if (periods > 0) lag(col(column), p).over(asc) else lead(col(column), p).over(asc))
+    val st = if (!needMarker) st0 else st0.withColumn("__intraIdx",
+      if (periods > 0) lag(col(rowIndex), p).over(asc) else lead(col(rowIndex), p).over(asc))
     // receiving position within the neighbour block, and which boundary
     // rows of THIS block are carried to it:
     //   lag : last p rows of block b feed rows __rn = p-__rnd+1 of b+1
@@ -139,8 +148,23 @@ object OrderedOps {
       when(recvPos > p && col("__rnd") > 1, value)
         .otherwise(when(ok, value).otherwise(reindexError("shift")))
     }
-    joined.withColumn(out, guarded)
-      .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx")
+    if (!needMarker)
+      joined.withColumn(out, guarded)
+        .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx")
+    else {
+      // source-row existence: the shifted index marker (never null in
+      // a dense frame) survives intra-block or arrives with the carry
+      val srcExists = coalesce(col("__intraIdx"), col("__cidx")).isNotNull
+      val filled = fill match {
+        case Some(v) => when(srcExists, guarded)
+          .otherwise(lit(v).cast(df.schema(column).dataType))
+        case None => guarded
+      }
+      val res = joined.withColumn(out, filled)
+      (if (trim) res.where(srcExists) else res)
+        .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx",
+          "__intraIdx")
+    }
   }
 
   /** diff = x - shift(x, periods) (reference: core/dataframe.py:4749). */
@@ -277,21 +301,31 @@ object OrderedOps {
   def rollingArray(df: DataFrame, column: String, window: Int, as: String,
                    rowIndex: String = "row_index",
                    blockSize: Long = DefaultBlockSize,
-                   validate: Boolean = true): DataFrame = {
+                   validate: Boolean = true,
+                   fillValue: Option[Any] = None,
+                   edge: String = "right"): DataFrame = {
     require(window >= 1, "window must be >= 1")
+    require(edge == "right" || edge == "left",
+      s"""edge must be "right" or "left", not "$edge"""")
+    val right = edge == "right"
     val bs = effectiveBlockSize(blockSize, window - 1)
     require(bs >= window, s"blockSize=$bs must be >= window=$window")
     val valueType = df.schema(column).dataType
-    val nullValue = lit(null).cast(valueType)
+    val fillCol = fillValue.map(v => lit(v).cast(valueType))
+      .getOrElse(lit(null).cast(valueType))
     val item = struct(col(rowIndex).as("i"), col(column).as("v"))
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
+    val frame = if (right) asc.rowsBetween(-(window - 1), 0)
+      else asc.rowsBetween(0, window - 1)
     val st = staged(df, rowIndex, bs).withColumn("__intra",
-      collect_list(item).over(asc.rowsBetween(-(window - 1), 0)))
+      collect_list(item).over(frame))
     def finish(merged: Column): Column = {
       val values = transform(sort_array(merged), e => e.getField("v"))
-      // fixed length `window`: pad the global head's partial windows
-      // with leading nulls (the reference's fill_value slots)
-      concat(array_repeat(nullValue, lit(window) - size(values)), values)
+      // fixed length `window`: pad the partial windows at the global
+      // head (edge right) / tail (edge left) with fill_value slots
+      // (reference: core/rolling.py:14-21 edge + fill_value)
+      val pad = array_repeat(fillCol, lit(window) - size(values))
+      if (right) concat(pad, values) else concat(values, pad)
     }
     if (window == 1) {
       val v = if (!validate) finish(col("__intra"))
@@ -300,28 +334,45 @@ object OrderedOps {
           .otherwise(reindexError("rollingArray")))
       return st.withColumn(as, v).drop("__blk", "__rn", "__rnd", "__intra")
     }
-    val carries = st.where(col("__rnd") <= window - 1)
-      .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
-        item.as("__citem"), col(rowIndex).as("__cidx"))
-    val extra = st.where(col("__rn") <= window - 1)
-      .select(col("__blk"), col("__rn"), col(rowIndex))
+    // boundary carry, mirrored by edge: RIGHT — the last window−1 rows
+    // of block b complete the first rows of b+1; LEFT — the first
+    // window−1 rows of block b complete the last rows of b−1
+    val carries =
+      if (right) st.where(col("__rnd") <= window - 1)
+        .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
+          item.as("__citem"), col(rowIndex).as("__cidx"))
+      else st.where(col("__rn") <= window - 1)
+        .select((col("__blk") - 1L).as("__blk"), col("__rn").as("__k"),
+          item.as("__citem"), col(rowIndex).as("__cidx"))
+        .where(col("__blk") >= 0)
+    val recvPos = if (right) col("__rn") else col("__rnd")
+    val extra = st.where((if (right) col("__rn") else col("__rnd")) <= window - 1)
+      .select(col("__blk"), col("__rn"), col("__rnd"), col(rowIndex))
       .join(hinted(carries, window - 1), Seq("__blk"), "left")
-      .where(col("__k") <= lit(window) - col("__rn"))
+      .where(col("__k") <= lit(window) - (if (right) col("__rn") else col("__rnd")))
       .groupBy(col(rowIndex)).agg(collect_list(col("__citem")).as("__cext"),
         count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
     val joined = st.join(hinted(extra, window - 1), Seq(rowIndex), "left")
     val value = finish(when(col("__cext").isNotNull,
       concat(col("__cext"), col("__intra"))).otherwise(col("__intra")))
     val guarded = if (!validate) value else {
-      // same O(boundary) guard as rollingAgg: boundary receivers must
-      // get exactly the contiguous range [rowIndex-window+1,
-      // blockStart-1]; each block's last row re-derives contiguity
-      val carryOk = col("__blk") === 0L ||
-        (coalesce(col("__cn"), lit(0L)) === lit(window).cast("long") - col("__rn") &&
-          col("__cmin") === col(rowIndex) - (window - 1))
-      val ok = (col("__rn") > window - 1 || carryOk) &&
+      // same O(boundary) guard as rollingAgg, mirrored by direction.
+      // RIGHT: predecessors of a non-first block are full on a dense
+      // index, so receivers demand the exact contiguous range
+      // [rowIndex−window+1, blockStart−1]. LEFT: the successor block
+      // may be the (possibly short or absent) global tail, so the
+      // check is lenient on count and pins provenance instead — any
+      // received carry must start exactly at the next block's first
+      // index (rowIndex + position offset).
+      val carryOk =
+        if (right) col("__blk") === 0L ||
+          (coalesce(col("__cn"), lit(0L)) === lit(window).cast("long") - col("__rn") &&
+            col("__cmin") === col(rowIndex) - (window - 1))
+        else col("__cn").isNull ||
+          col("__cmin") === (col("__blk") + 1L) * bs
+      val ok = (recvPos > window - 1 || carryOk) &&
         (col("__rnd") > 1 || lastRowAligned(rowIndex, bs))
-      when(col("__rn") > window - 1 && col("__rnd") > 1, value)
+      when(recvPos > window - 1 && col("__rnd") > 1, value)
         .otherwise(when(ok, value).otherwise(reindexError("rollingArray")))
     }
     joined.withColumn(as, guarded)

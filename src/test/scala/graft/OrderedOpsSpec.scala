@@ -114,6 +114,51 @@ class OrderedOpsSpec extends SparkSpec {
     }
   }
 
+  test("shift fill_value and trim: missing ROWS filled/dropped, null VALUES kept") {
+    // null value at row 20 must survive fill (it is a present row)
+    val d = df.withColumn("x",
+      when(col("row_index") === 20, lit(null).cast("double")).otherwise(col("x")))
+    for (p <- Seq(3, -3)) {
+      val filled = OrderedOps.shift(d, "x", p, as = Some("s"), blockSize = 7L,
+          fill = Some(-1.0))
+        .select(col("row_index"), col("s")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val oob = if (p > 0) (0L until 3L) else (97L until 100L)
+      for (i <- oob) assert(filled(i) === Some(-1.0), s"p=$p row $i")
+      val nullAt = 20L + p // the receiver of row 20's null value
+      assert(filled(nullAt).isEmpty, s"p=$p genuine null filled at $nullAt")
+      val trimmed = OrderedOps.shift(d, "x", p, as = Some("s"), blockSize = 7L,
+        trim = true)
+      assert(trimmed.count() === 97)
+      assert(trimmed.where(col("row_index").isin(oob.map(Long.box): _*)).count() === 0)
+      // trim keeps the genuine-null receiver row
+      assert(trimmed.where(col("row_index") === nullAt).count() === 1)
+    }
+  }
+
+  test("rollingArray edge=left and fill_value match the mirrored window") {
+    val xs = df.select("row_index", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (w <- Seq(3, 7)) {
+      val got = OrderedOps.rollingArray(df, "x", w, "arr", blockSize = 7L,
+          fillValue = Some(-9.0), edge = "left")
+        .select(col("row_index"), col("arr")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      for (i <- 0L until 100L) {
+        val expect = (i until i + w).map(j =>
+          if (j > 99) -9.0 else xs(j))
+        assert(got(i) == expect, s"row $i window $w")
+      }
+    }
+    // right edge with fill: head slots take the fill value
+    val gotR = OrderedOps.rollingArray(df, "x", 3, "arr", blockSize = 7L,
+        fillValue = Some(0.0))
+      .select(col("row_index"), col("arr")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(gotR(0L) == Seq(0.0, 0.0, xs(0L)))
+    assert(gotR(1L) == Seq(0.0, xs(0L), xs(1L)))
+  }
+
   test("blockRollingMedian matches a global-window interpolated median") {
     val w = 5
     // DuckDB/NumPy semantics: interpolated middle over non-null values
