@@ -271,6 +271,11 @@ object Bench {
         genJ.join(broadcast(dim), "k2")
           .groupBy("k").agg(sum("w"), count(lit(1))))))
     val thr = thrMins.toMap
+    // a lane that failed every rep records -1.0; emit -1 rather than a
+    // nonsense negative rows/sec from dividing by it
+    def rate(n: Long, name: String): Long = {
+      val t = thr(name); if (t > 0) (n / t).toLong else -1L
+    }
 
     val qs = (results ++ scaleResults ++ skewResults ++ pipeResults)
       .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
@@ -284,7 +289,7 @@ object Bench {
     // totals stay comparable across rounds; the 10x lane totals apart.
     val total = results.map(_._2).filter(_ >= 0).sum
     val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"total_10x":${j(total10x)},"agg_rows_per_sec":${(nRows / thr("agg")).toLong},"groupby_gen_rows_per_sec":${(genN / thr("groupby")).toLong},"groupby_cat_rows_per_sec":${(genN / thr("groupby_cat")).toLong},"binby_gen_rows_per_sec":${(genN / thr("binby")).toLong},"join_gen_rows_per_sec":${(genN / thr("join")).toLong}}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"total_10x":${j(total10x)},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"join_gen_rows_per_sec":${rate(genN, "join")}}""")
     spark.stop()
   }
 }

@@ -951,6 +951,11 @@ final case class VxFrame(
     * `outside`, null/NaN rows in their own slots, so the grid's total
     * equals the row count (nothing silently dropped). */
   def binbyEdges(specs: Seq[(String, Double, Double, Int)], agg: Column): Array[Double] = {
+    // positivity must be checked on the RAW shapes — the +3 edge slots
+    // would let shape 0/-1/-2 through and divide by a non-positive bin
+    // count below
+    require(specs.forall(_._4 > 0),
+      s"binby shapes must be positive: ${specs.map(_._4)}")
     checkGridCells(specs.map(_._4 + 3))
     val keys = specs.zipWithIndex.map { case ((e, vmin, vmax, shape), i) =>
       val c = parse(e)
@@ -992,7 +997,13 @@ final case class VxFrame(
     val reduceLevel = healpixMaxLevel - healpixLevel
     val nside = 1L << healpixLevel
     val nmax = 12L * nside * nside
-    require(nmax <= Int.MaxValue / 8, s"healpix level $healpixLevel grid too large for dense driver tensor")
+    // must agree with binby's MaxGridCells or the call passes here and
+    // dies inside binby: 12*4^level <= 2^26 holds through level 11
+    // (50.3M cells); level 12's 201M-cell grid needs the sparse
+    // groupby path instead
+    require(nmax <= MaxGridCells,
+      s"healpix level $healpixLevel grid ($nmax cells) exceeds the dense " +
+        s"driver tensor bound $MaxGridCells — use healpixLevel <= 11 or groupby")
     val scaling = math.pow(4, reduceLevel).toLong
     val eps = 1.0 / scaling / 2.0
     binby(Seq((s"($healpixExpression)/$scaling", -eps, nmax - eps, nmax.toInt)),

@@ -127,22 +127,33 @@ object OrderedOps {
       .select(carryBlk.as("__blk"), carryPos.as("__pos"), col(column).as("__carry"),
         col(rowIndex).as("__cidx"))
       .where(col("__blk") >= 0)
-    val joined = st.withColumn("__pos", recvPos)
+    // Lead-direction validation needs the frame's max index: a missing
+    // carry is legitimate ONLY past the end (srcIdx > max) — without
+    // the bound, a wholly-absent middle block (sparse frame) yields
+    // null carries that look like the legitimate tail. One
+    // column-pruned max() scan, broadcast as a 1-row literal; lag
+    // needs no bound (its legit-missing rows are rowIndex < p).
+    val needMax = validate && periods < 0
+    val joined0 = st.withColumn("__pos", recvPos)
       .join(hinted(carries, p), Seq("__blk", "__pos"), "left")
+    val joined = if (!needMax) joined0 else joined0.crossJoin(
+      broadcast(df.groupBy().agg(max(col(rowIndex)).as("__maxIdx"))))
     val value = coalesce(col("__intra"), col("__carry"))
+    val srcIdx = if (periods > 0) col(rowIndex) - p else col(rowIndex) + p
     val guarded = if (!validate) value else {
       // O(boundary) guard: interior rows short-circuit on 1-2 integer
       // comparisons; the real checks run on ≤ p+1 rows per block. A
       // received carry must come from exactly rowIndex -/+ p; in the
       // lag direction a non-first block must ALWAYS receive its carry
-      // (predecessor blocks are full on a dense index); the last row
-      // of every block re-derives the whole block's contiguity
-      // ([[lastRowAligned]]).
-      val srcIdx = if (periods > 0) col(rowIndex) - p else col(rowIndex) + p
+      // (predecessor blocks are full on a dense index); in the lead
+      // direction a missing carry is only legitimate past the frame
+      // end; the last row of every block re-derives the whole block's
+      // contiguity ([[lastRowAligned]]).
       val carryOk =
         if (periods > 0)
           col("__blk") === 0L || (col("__cidx").isNotNull && col("__cidx") === srcIdx)
-        else col("__cidx").isNull || col("__cidx") === srcIdx
+        else (col("__cidx").isNull && srcIdx > col("__maxIdx")) ||
+          col("__cidx") === srcIdx
       val ok = (recvPos > p || carryOk) &&
         (col("__rnd") > 1 || lastRowAligned(rowIndex, bs))
       when(recvPos > p && col("__rnd") > 1, value)
@@ -150,20 +161,34 @@ object OrderedOps {
     }
     if (!needMarker)
       joined.withColumn(out, guarded)
-        .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx")
+        .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx",
+          "__maxIdx")
     else {
       // source-row existence: the shifted index marker (never null in
-      // a dense frame) survives intra-block or arrives with the carry
+      // a dense frame) survives intra-block or arrives with the carry.
+      // Under validate, a missing source row is acceptable ONLY at the
+      // genuine boundary (before index p for lag, past max for lead);
+      // anywhere else it's a sparse index and must raise exactly like
+      // the plain path — fill/trim must not suppress the guard.
       val srcExists = coalesce(col("__intraIdx"), col("__cidx")).isNotNull
+      val legitMissing =
+        if (periods > 0) col(rowIndex) < p else srcIdx > col("__maxIdx")
       val filled = fill match {
-        case Some(v) => when(srcExists, guarded)
-          .otherwise(lit(v).cast(df.schema(column).dataType))
+        case Some(v) =>
+          val fb = lit(v).cast(df.schema(column).dataType)
+          if (validate) when(srcExists, guarded)
+            .otherwise(when(legitMissing, fb).otherwise(reindexError("shift")))
+          else when(srcExists, guarded).otherwise(fb)
         case None => guarded
       }
       val res = joined.withColumn(out, filled)
-      (if (trim) res.where(srcExists) else res)
-        .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx",
-          "__intraIdx")
+      val kept =
+        if (!trim) res
+        else if (validate) res.where(srcExists ||
+          when(legitMissing, lit(false)).otherwise(reindexError("shift").isNotNull))
+        else res.where(srcExists)
+      kept.drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx",
+          "__intraIdx", "__maxIdx")
     }
   }
 

@@ -73,15 +73,20 @@ object SimilaritySearch {
 
   /** Deterministic PQ "training" twin of [[trainTakeFirst]]: subspace
     * m's codebook = the m-th subvector slices of rows id < k —
-    * reproducible in a SQL oracle. Quality path: [[pqTrainKMeans]]. */
+    * reproducible in a SQL oracle. Quality path: [[pqTrainKMeans]].
+    * Codes are the DENSE rank of the seed row (0..n-1 in id order),
+    * not the raw id: [[pqAdcTopK]] indexes its lookup table
+    * positionally, so non-contiguous ids (a filtered frame) must not
+    * leak into the code space. On a dense 0-based id column rank==id,
+    * which is what the SQL oracle reproduces. */
   def pqTrainTakeFirst(df: DataFrame, idCol: String, embCol: String,
                        m: Int, k: Int): PqCodebook = {
     val rows = trainTakeFirst(df, idCol, embCol, k)
     val dim = rows.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    for ((cid, v) <- rows; mi <- 0 until m)
-      yield (mi, cid, v.slice(mi * sub, (mi + 1) * sub))
+    for (((_, v), rank) <- rows.zipWithIndex; mi <- 0 until m)
+      yield (mi, rank, v.slice(mi * sub, (mi + 1) * sub))
   }
 
   /** Per-subspace plain-L2 Lloyd k-means on a deterministic driver
@@ -181,6 +186,14 @@ object SimilaritySearch {
                 kTop: Int): DataFrame = {
     val m = codebook.map(_._1).max + 1
     val subDim = codebook.head._3.length
+    // the LUT below is indexed positionally by stored code, so every
+    // subspace's code ids must be exactly 0..k-1 (both train paths
+    // emit dense codes; a hand-built codebook might not)
+    for (mi <- 0 until m) {
+      val cids = codebook.filter(_._1 == mi).map(_._2).sorted
+      require(cids == (0 until cids.length),
+        s"pqAdcTopK: subspace $mi codes must be dense 0..k-1, got $cids")
+    }
     val perQuery = queries.map { case (qid, qv) =>
       val dist = (0 until m).map { mi =>
         val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>

@@ -72,11 +72,29 @@ object Export {
     * the text sink; the header goes into a tiny driver-side file named
     * to sort lexically BEFORE Spark's part-* files, because
     * `spark.read.text` concatenates files in name order and
-    * [[fromAscii]] types columns off the first line. */
+    * [[fromAscii]] types columns off the first line.
+    *
+    * Nulls are written as the token `NaN` (numeric columns read back
+    * as NaN; string columns read back as the literal) — `concat_ws`
+    * SKIPS nulls, which would emit ragged lines that [[fromAscii]]
+    * silently drops. String cells containing whitespace are not
+    * representable in this format and raise inline (no extra pass)
+    * rather than splitting into extra tokens. */
   def toAscii(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
-    df.select(concat_ws(" ",
-        df.columns.map(c => col(c).cast("string")).toSeq: _*).as("value"))
+    val tokens = df.schema.fields.map { f =>
+      val s = col(f.name).cast("string")
+      val safe = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          when(s.rlike("\\s"), raise_error(concat(
+            lit(s"toAscii: column ${f.name} contains whitespace, not " +
+              "representable in a whitespace-separated file: '"),
+            s, lit("'"))).cast("string")).otherwise(s)
+        case _ => s
+      }
+      coalesce(safe, lit("NaN"))
+    }
+    df.select(concat_ws(" ", tokens.toSeq: _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
     java.nio.file.Files.writeString(
       new java.io.File(path, "00000_header.txt").toPath,

@@ -130,6 +130,37 @@ class AnnRecallSpec extends SparkSpec {
     emb.unpersist(); encoded.unpersist()
   }
 
+  test("PQ codes stay dense when training ids are non-contiguous") {
+    import org.apache.spark.sql.functions._
+    // a filtered frame: ids 0,2,4,... — take-first seeds are ids < k,
+    // i.e. {0,2,4,6}, which must become RANKS 0..3 in the code space
+    // (pqAdcTopK indexes its LUT positionally)
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .where(col("vec_id") % 2 === 0).cache()
+    val cb = SimilaritySearch.pqTrainTakeFirst(emb, "vec_id", "embedding",
+      m = 4, k = 8)
+    val perSub = cb.groupBy(_._1).values
+    assert(perSub.forall(_.map(_._2).sorted == (0 until 4)),
+      s"codes not dense: ${cb.map(c => (c._1, c._2))}")
+    val encoded = SimilaritySearch.pqEncode(emb, "embedding", cb)
+    val maxCode = encoded.select(array_max(col("codes")).as("mc"))
+      .agg(max("mc")).head.getInt(0)
+    assert(maxCode <= 3, s"stored code $maxCode outside dense LUT range")
+    // ADC over those codes: every distance resolves (no null from a
+    // positional LUT miss)
+    val q0 = emb.select("embedding").head.getSeq[Float](0).toSeq
+    val adc = SimilaritySearch.pqAdcTopK(encoded, "vec_id", "codes",
+      Seq(0L -> q0), cb, kTop = 10).collect()
+    assert(adc.length == 10 && adc.forall(!_.isNullAt(2)))
+    // hand-built codebooks with gappy code ids are rejected up front
+    val gappy = cb.map { case (mi, k, v) => (mi, k * 2, v) }
+    val e = intercept[IllegalArgumentException](
+      SimilaritySearch.pqAdcTopK(encoded, "vec_id", "codes", Seq(0L -> q0),
+        gappy, 5))
+    assert(e.getMessage.contains("dense"))
+    emb.unpersist()
+  }
+
   test("IVF + PQ compose: cell-pruned codes-only ADC search still recalls") {
     import org.apache.spark.sql.functions._
     val emb = Q.t(spark, sf0001, "embeddings").cache()

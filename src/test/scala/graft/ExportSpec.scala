@@ -102,6 +102,28 @@ class ExportSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("a", "b", "c") && empty.count() == 0)
   }
 
+  test("toAscii round-trips nulls as NaN and rejects whitespace strings") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ascii3")
+    val p = d.resolve("t_ascii").toString
+    val src = Seq((1.0: java.lang.Double, "alpha"), (null: java.lang.Double, "beta"),
+      (3.0: java.lang.Double, null)).toDF("x", "name")
+    sources.Export.toAscii(src, p)
+    val got = sources.Export.fromAscii(spark, p)
+    // no row lost: the null x row comes back as NaN, null string as literal
+    assert(got.count() == 3)
+    assert(got.where(isnan(col("x"))).count() == 1)
+    assert(got.where("name = 'NaN'").count() == 1)
+    assert(got.where("name = 'beta'").select("x").head.isNullAt(0) == false)
+    // a string cell with embedded whitespace cannot survive the format:
+    // raise inline instead of writing a ragged line that reads back short
+    val bad = Seq((1.0, "two words")).toDF("x", "name")
+    val e = intercept[Exception](
+      sources.Export.toAscii(bad, d.resolve("bad").toString))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("whitespace")))
+  }
+
   test("Readers.open dispatches by extension and convert caches to parquet") {
     val d = java.nio.file.Files.createTempDirectory("graft_open")
     val csvDir = d.resolve("t.csv").toString

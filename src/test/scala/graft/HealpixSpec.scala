@@ -65,4 +65,18 @@ class HealpixSpec extends SparkSpec {
       assert(v == direct.getOrElse(i, 0L).toDouble, s"cell $i")
     }
   }
+
+  test("healpixCount level bound agrees with binby's dense-grid cap") {
+    val f = VxFrame(Seq((0.0, 0.0)).toDF("lon", "lat"))
+      .withColumnHealpix("hp", "lon", "lat", healpixOrder = 12)
+    // level 12 = 201M cells: must fail at the healpix require with a
+    // clear message, not deep inside binby's cell check
+    val e = intercept[IllegalArgumentException](
+      f.healpixCount("hp", healpixMaxLevel = 12, healpixLevel = 12))
+    assert(e.getMessage.contains("healpix level 12"), e.getMessage)
+    // level 11 (50.3M cells) passes both guards — run a degenerate
+    // 1-row frame through to prove the guard boundary, not the perf
+    assert(f.healpixCount("hp", healpixMaxLevel = 12, healpixLevel = 11)
+      .sum == 1.0)
+  }
 }

@@ -307,6 +307,45 @@ class OrderedOpsSpec extends SparkSpec {
     assert(msgs2(e2).exists(m => m != null && m.contains("dense")))
   }
 
+  test("fill/trim do not suppress sparse-index validation") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // block 1's tail (5..9) missing entirely: fewer than p carries
+    // reach block 2, srcExists=false on its head rows — fill used to
+    // route them to the fill value without ever consulting the guard
+    val tailGap = spark.range(30).where(col("id") < 5 || col("id") >= 10)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x"))
+    for (bad <- Seq(
+      () => OrderedOps.shift(tailGap, "x", 7, as = Some("s"), blockSize = 10L,
+        fill = Some(-1.0)).collect(),
+      () => OrderedOps.shift(tailGap, "x", 7, as = Some("s"), blockSize = 10L,
+        trim = true).collect())) {
+      val e = intercept[Exception](bad())
+      assert(msgs(e).exists(m => m != null && m.contains("dense")), e.getMessage)
+    }
+    // a wholly-absent middle block under lead: receivers' missing
+    // carries look exactly like the legitimate frame tail unless
+    // checked against the true max index
+    val midGap = spark.range(30).where(col("id") < 10 || col("id") >= 20)
+      .select(col("id").as("row_index"), col("id").cast("double").as("x"))
+    for (bad <- Seq(
+      () => OrderedOps.shift(midGap, "x", -2, as = Some("s"),
+        blockSize = 10L).collect(),
+      () => OrderedOps.shift(midGap, "x", -2, as = Some("s"), blockSize = 10L,
+        fill = Some(-1.0)).collect())) {
+      val e = intercept[Exception](bad())
+      assert(msgs(e).exists(m => m != null && m.contains("dense")), e.getMessage)
+    }
+    // dense frames keep the documented fill/trim semantics under the
+    // same validation (lead needs the max-index bound; boundary rows
+    // past the end legitimately fill)
+    val lead = OrderedOps.shift(df, "x", -3, as = Some("s"), blockSize = 7L,
+      fill = Some(-1.0))
+    assert(lead.where(col("row_index") >= 97 && col("s") === -1.0).count() === 3)
+    assert(OrderedOps.shift(df, "x", -3, as = Some("s"), blockSize = 7L,
+      trim = true).count() === 97)
+  }
+
   test("withRowIndex is dense 0..n-1 in partition order, columnar") {
     val d = Tables.withRowIndex(spark.range(50).repartition(6).toDF("v"))
     val idx = d.select("row_index").collect().map(_.getLong(0)).sorted

@@ -115,6 +115,15 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(g.sum == d.count().toDouble) // nothing dropped
   }
 
+  test("binbyEdges rejects non-positive shapes despite the +3 edge slots") {
+    val d = VxFrame(Seq[java.lang.Double](0.5, 1.5).toDF("x"))
+    for (s <- Seq(0, -1, -2)) {
+      val e = intercept[IllegalArgumentException](
+        d.binbyEdges(Seq(("x", 0.0, 2.0, s)), count(lit(1))))
+      assert(e.getMessage.contains("positive"), s"shape $s: ${e.getMessage}")
+    }
+  }
+
   test("binby is N-dimensional; grid-cell guard rejects explosive shapes") {
     // 3-d grid equals the nested-loop expectation on a tiny frame
     val d = VxFrame((for (x <- 0 until 4; y <- 0 until 4; z <- 0 until 4)
