@@ -976,6 +976,71 @@ final case class VxFrame(
     out
   }
 
+  /** Dense-array variant of [[binby]] — executes through the
+    * [[graft.functions.GridAggregates]] kernels (the reference's
+    * per-thread grid + elementwise merge model, src/agg_count.cpp).
+    * Same contract as binby (row-major tensor, [vmin, vmax) bins,
+    * out-of-range/null rows dropped), with two deliberate refinements
+    * over the generic path: `Mean` of an empty cell is NaN (not 0.0 —
+    * 0/0, the reference's convention) and `Min`/`Max` of an empty
+    * cell is NaN.
+    *
+    * NOT a throughput fast path — Spark's codegen'd HashAggregate
+    * already array-indexes small key domains and measures faster (see
+    * GridAggregates scaladoc for numbers). Use this form when the
+    * hard per-task memory/shuffle bound or the NaN empty-cell
+    * semantics matter; use [[binby]] otherwise.
+    *
+    * Per-task memory is one primitive array of `cells` doubles, so
+    * the grid is capped at 2^22 cells (32 MB/task); bigger grids
+    * belong on [[binby]]'s hash path, whose footprint tracks occupied
+    * cells only. */
+  def binbyGrid(specs: Seq[(String, Double, Double, Int)],
+                stat: VxFrame.GridStat = VxFrame.GridCount): Array[Double] = {
+    import graft.functions.GridAggregates._
+    val shapes = specs.map(_._4)
+    checkGridCells(shapes)
+    val cells = shapes.foldLeft(1L)(_ * _.toLong)
+    require(cells <= VxFrame.DenseGridMaxCells,
+      s"binbyGrid dense grid $cells cells exceeds ${VxFrame.DenseGridMaxCells} " +
+        "(32 MB per task) — use binby (hash path) for large/sparse grids")
+    val n = cells.toInt
+    // flattened row-major ordinal; all arithmetic stays in the
+    // codegen'd projection feeding the aggregate
+    val bins = specs.map { case (e, vmin, vmax, shape) =>
+      val width = (vmax - vmin) / shape
+      floor((parse(e) - lit(vmin)) / lit(width)).cast("int")
+    }
+    val flat = bins.zip(shapes).tail.foldLeft(bins.head) {
+      case (acc, (b, shape)) => (acc * shape + b).cast("int")
+    }
+    val inRange = specs.map { case (e, vmin, vmax, _) =>
+      val c = parse(e)
+      c >= lit(vmin) && c < lit(vmax)
+    }.reduce(_ && _)
+    def run(value: Option[String], aggs: (Column, Column) => Seq[Column]): Row = {
+      val base = df.where(inRange)
+        .select(flat.as("__ord") +: value.map(v => parse(v).as("__v")).toSeq: _*)
+      val as = aggs(col("__ord"), col("__v"))
+      base.agg(as.head, as.tail: _*).head()
+    }
+    stat match {
+      case VxFrame.GridCount =>
+        run(None, (o, _) => Seq(gridCount(o, n)))
+          .getSeq[Long](0).iterator.map(_.toDouble).toArray
+      case VxFrame.GridSum(e) =>
+        run(Some(e), (o, v) => Seq(gridSum(o, v, n))).getSeq[Double](0).toArray
+      case VxFrame.GridMean(e) =>
+        val r = run(Some(e), (o, v) => Seq(gridSum(o, v, n), gridCount(o, n)))
+        val sums = r.getSeq[Double](0); val counts = r.getSeq[Long](1)
+        Array.tabulate(n)(i => if (counts(i) == 0L) Double.NaN else sums(i) / counts(i))
+      case VxFrame.GridMin(e) =>
+        run(Some(e), (o, v) => Seq(gridMin(o, v, n))).getSeq[Double](0).toArray
+      case VxFrame.GridMax(e) =>
+        run(Some(e), (o, v) => Seq(gridMax(o, v, n))).getSeq[Double](0).toArray
+    }
+  }
+
   // ---------------------------------------------------------------- healpix
 
   /** reference: core/dataframe.py:3541 add_column_healpix — healpix
@@ -1195,6 +1260,20 @@ object VxFrame {
     * reference ships a 1e6-ish default in the same role (unique/
     * groupby row limits, core/cpu.py:353). */
   val DefaultUniqueLimit: Long = 1_000_000L
+
+  /** [[VxFrame.binbyGrid]] dense-path cap: 2^22 cells = one 32 MB
+    * primitive array per task. */
+  val DenseGridMaxCells: Long = 1L << 22
+
+  /** Statistic selector for [[VxFrame.binbyGrid]]. The expression
+    * string goes through the same parser as every other column
+    * expression (virtual columns resolve). */
+  sealed trait GridStat
+  case object GridCount extends GridStat
+  final case class GridSum(expr: String) extends GridStat
+  final case class GridMean(expr: String) extends GridStat
+  final case class GridMin(expr: String) extends GridStat
+  final case class GridMax(expr: String) extends GridStat
 
   def apply(df: DataFrame): VxFrame = new VxFrame(df)
 

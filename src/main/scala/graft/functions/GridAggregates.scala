@@ -1,0 +1,240 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Dense-grid aggregation kernels — the reference's `binby` execution
+  * model (reference: src/agg_count.cpp, src/agg_sum.cpp: each thread
+  * owns a flat grid array indexed by bin ordinal, increments in place,
+  * grids merge elementwise) re-expressed as Catalyst
+  * [[TypedImperativeAggregate]]s.
+  *
+  * What these are NOT (measured, interleaved min-of-5 pairs at 1e8
+  * generated rows, local[8]): a throughput fast path. Spark's
+  * whole-stage-codegen HashAggregate already generates an
+  * array-backed first-level fast hash map for small key domains —
+  * i.e. Catalyst ALREADY applies the reference's dense-array trick,
+  * fused into the same codegen stage as the scan. This kernel sits
+  * behind the codegen boundary (ObjectHashAggregate: per-row
+  * UnsafeRow materialization + a virtual update call), and measures
+  * ~2x SLOWER than the codegen'd groupBy on a 10-key global grid
+  * (90 vs 209 M rows/s) and at parity on per-group grids (1000
+  * groups x 4096 cells: 3.5 vs 4.0 s / 5e7 rows, noise-level).
+  *
+  * What they ARE for:
+  *  - a dense tensor in ONE result row per group — no driver-side
+  *    reassembly of occupied-cell rows, no missing-cell fill-in;
+  *  - hard per-task memory and shuffle bounds: each task contributes
+  *    exactly `nCells` values per group regardless of row count or
+  *    skew (the hash path's partial-agg output tracks occupied
+  *    cells);
+  *  - grid-per-group composition (`groupBy(k).agg(gridSum(...))`),
+  *    where the hash path's key space is groups x cells.
+  *
+  * Division of labor: the bin ORDINAL is computed by ordinary
+  * codegen'd Column arithmetic in a projection feeding the aggregate
+  * (so the per-row math stays inside whole-stage codegen); the
+  * aggregate children are plain bound references. Rows whose ordinal
+  * is null or outside [0, nCells) are skipped — binby's
+  * `edges=False` drop semantics.
+  *
+  * Scale bound: each task holds one `nCells`-sized primitive array
+  * per live group, so the caller must keep nCells modest
+  * (VxFrame.binbyGrid caps at 2^22). Huge/sparse grids belong on the
+  * hash-groupBy path ([[graft.VxFrame.binby]]).
+  */
+object GridAggregates {
+
+  // NOTE: no `require` in any constructor body — Java deserialization
+  // on executors rebuilds these before field values land, so a
+  // constructor check sees nCells=0 and kills the task. Bounds are
+  // enforced in the Column wrappers below.
+
+  /** Shared plumbing: Array[Double] buffer, little-endian serde. */
+  sealed abstract class DoubleGridAgg extends TypedImperativeAggregate[Array[Double]] {
+    def nCells: Int
+
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def eval(buf: Array[Double]): Any =
+      UnsafeArrayData.fromPrimitiveArray(buf)
+
+    override def serialize(buf: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asDoubleBuffer().put(buf)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](bytes.length / 8)
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
+      out
+    }
+  }
+
+  /** grid_count(ordinal, n): per-cell row count. Long buffer (exact
+    * past 2^53), emitted as array<long>. */
+  case class DenseGridCount(
+      ordinal: Expression, nCells: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def children: Seq[Expression] = Seq(ordinal)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](nCells)
+    override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+      val o = ordinal.eval(row)
+      if (o != null) {
+        val i = o.asInstanceOf[Int]
+        if (i >= 0 && i < nCells) buf(i) += 1L
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    override def eval(buf: Array[Long]): Any =
+      UnsafeArrayData.fromPrimitiveArray(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](bytes.length / 8)
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+      out
+    }
+    override def withNewMutableAggBufferOffset(o: Int): DenseGridCount =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): DenseGridCount =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(ordinal = c(0))
+    override def prettyName: String = "grid_count"
+  }
+
+  /** grid_sum(ordinal, value, n): per-cell sum of a double column.
+    * Null values contribute nothing (cell stays at its current sum),
+    * matching SUM's null semantics per cell. */
+  case class DenseGridSum(
+      ordinal: Expression, value: Expression, nCells: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends DoubleGridAgg {
+
+    override def children: Seq[Expression] = Seq(ordinal, value)
+    override def createAggregationBuffer(): Array[Double] = new Array[Double](nCells)
+    override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+      val o = ordinal.eval(row)
+      if (o != null) {
+        val i = o.asInstanceOf[Int]
+        if (i >= 0 && i < nCells) {
+          val v = value.eval(row)
+          if (v != null) buf(i) += v.asInstanceOf[Double]
+        }
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    override def withNewMutableAggBufferOffset(o: Int): DenseGridSum =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): DenseGridSum =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(ordinal = c(0), value = c(1))
+    override def prettyName: String = "grid_sum"
+  }
+
+  /** grid_min / grid_max. Empty cells surface as NaN (the reference's
+    * empty-cell convention for extrema grids). Sentinel is ±Infinity
+    * internally, so a column that legitimately CONTAINS ±Infinity in
+    * every row of a cell reads back NaN for that cell — documented
+    * limit of the sentinel encoding. */
+  case class DenseGridExtreme(
+      ordinal: Expression, value: Expression, nCells: Int, isMin: Boolean,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends DoubleGridAgg {
+
+    private val empty = if (isMin) Double.PositiveInfinity else Double.NegativeInfinity
+    override def children: Seq[Expression] = Seq(ordinal, value)
+    override def createAggregationBuffer(): Array[Double] =
+      Array.fill(nCells)(empty)
+    override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+      val o = ordinal.eval(row)
+      if (o != null) {
+        val i = o.asInstanceOf[Int]
+        if (i >= 0 && i < nCells) {
+          val v = value.eval(row)
+          if (v != null) {
+            val d = v.asInstanceOf[Double]
+            if (if (isMin) d < buf(i) else d > buf(i)) buf(i) = d
+          }
+        }
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) {
+        if (if (isMin) b(i) < a(i) else b(i) > a(i)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+    override def eval(buf: Array[Double]): Any = {
+      val out = new Array[Double](buf.length)
+      var i = 0
+      while (i < buf.length) {
+        out(i) = if (buf(i) == empty) Double.NaN else buf(i)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override def withNewMutableAggBufferOffset(o: Int): DenseGridExtreme =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): DenseGridExtreme =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(ordinal = c(0), value = c(1))
+    override def prettyName: String = if (isMin) "grid_min" else "grid_max"
+  }
+
+  /** Column wrappers. `ordinal` must be an int bin ordinal; `value`
+    * is cast to double here so callers can pass any numeric column. */
+  private def checkCells(nCells: Int): Unit =
+    require(nCells > 0 && nCells <= (1 << 26),
+      s"grid cells out of range: $nCells")
+
+  def gridCount(ordinal: Column, nCells: Int): Column = {
+    checkCells(nCells)
+    Bridge.column(DenseGridCount(Bridge.expression(ordinal), nCells)
+      .toAggregateExpression())
+  }
+  def gridSum(ordinal: Column, value: Column, nCells: Int): Column = {
+    checkCells(nCells)
+    Bridge.column(DenseGridSum(Bridge.expression(ordinal),
+      Bridge.expression(value.cast("double")), nCells).toAggregateExpression())
+  }
+  def gridMin(ordinal: Column, value: Column, nCells: Int): Column = {
+    checkCells(nCells)
+    Bridge.column(DenseGridExtreme(Bridge.expression(ordinal),
+      Bridge.expression(value.cast("double")), nCells, isMin = true)
+      .toAggregateExpression())
+  }
+  def gridMax(ordinal: Column, value: Column, nCells: Int): Column = {
+    checkCells(nCells)
+    Bridge.column(DenseGridExtreme(Bridge.expression(ordinal),
+      Bridge.expression(value.cast("double")), nCells, isMin = false)
+      .toAggregateExpression())
+  }
+}

@@ -235,6 +235,27 @@ object StarQueries {
         .orderBy("bx", "by", "bz")
     }),
 
+    // §2.4 binby dense-kernel path: oracle-gates the GridAggregates
+    // TypedImperativeAggregates (count + min/max — deterministic
+    // stats only; sum/mean accumulate doubles in partition order and
+    // would hash-mismatch). Empty cells: count 0, extrema NULL
+    // (binbyGrid's NaN mapped to null to match the oracle's LEFT
+    // JOIN shape).
+    "q_binby_grid" -> ((s, dir) => {
+      import s.implicits._
+      val f = graft.VxFrame(t(s, dir, "lineitem"))
+      val specs = Seq(("l_quantity", 0.0, 50.0, 10), ("l_discount", 0.0, 0.12, 6))
+      val cnt = f.binbyGrid(specs, graft.VxFrame.GridCount)
+      val mn = f.binbyGrid(specs, graft.VxFrame.GridMin("l_extendedprice"))
+      val mx = f.binbyGrid(specs, graft.VxFrame.GridMax("l_extendedprice"))
+      def opt(v: Double): Option[Double] = if (v.isNaN) None else Some(v)
+      val rows = for (ix <- 0 until 10; iy <- 0 until 6) yield {
+        val i = ix * 6 + iy
+        (ix.toLong, iy.toLong, cnt(i).toLong, opt(mn(i)), opt(mx(i)))
+      }
+      rows.toDF("bx", "by", "cnt", "mn", "mx").orderBy("bx", "by")
+    }),
+
     // §2.3 inner equi-join, small dim broadcast
     "q_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
@@ -479,6 +500,23 @@ object StarQueries {
         |FROM cells LEFT JOIN c
         |  ON cells.bx = c.bx AND cells.by = c.by AND cells.bz = c.bz
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_binby_grid" ->
+      """WITH g AS (
+        |  SELECT CAST(FLOOR(l_quantity / (50.0/10)) AS INT) AS bx,
+        |    CAST(FLOOR(l_discount / (0.12/6)) AS INT) AS by,
+        |    l_extendedprice AS p
+        |  FROM lineitem
+        |  WHERE l_quantity >= 0 AND l_quantity < 50
+        |    AND l_discount >= 0 AND l_discount < 0.12),
+        |c AS (SELECT bx, by, COUNT(*) AS n, MIN(p) AS mn, MAX(p) AS mx
+        |  FROM g GROUP BY 1, 2),
+        |cells AS (SELECT x.range AS bx, y.range AS by
+        |  FROM range(0, 10) x, range(0, 6) y)
+        |SELECT CAST(cells.bx AS BIGINT) AS bx, CAST(cells.by AS BIGINT) AS by,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt, c.mn AS mn, c.mx AS mx
+        |FROM cells LEFT JOIN c ON cells.bx = c.bx AND cells.by = c.by
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_join_inner" ->
       s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,

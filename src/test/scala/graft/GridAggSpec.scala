@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dense-grid aggregate kernels ([[graft.functions.GridAggregates]])
+  * vs the generic hash-groupBy binby path — same tensors, cell for
+  * cell, across stats and dimensionalities. */
+class GridAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li = queries.Q.t(spark, sf0001, "lineitem")
+
+  test("binbyGrid count/sum match binby on lineitem, 1-d and 2-d") {
+    val f = VxFrame(li)
+    for (specs <- Seq(
+      Seq(("l_quantity", 0.0, 50.0, 25)),
+      Seq(("l_quantity", 0.0, 50.0, 8), ("l_discount", 0.0, 0.12, 6)))) {
+      val cGrid = f.binbyGrid(specs, VxFrame.GridCount)
+      val cHash = f.binby(specs, count(lit(1)))
+      assert(cGrid.toSeq == cHash.toSeq, s"count mismatch for $specs")
+      val sGrid = f.binbyGrid(specs, VxFrame.GridSum("l_extendedprice"))
+      val sHash = f.binby(specs, sum(col("l_extendedprice")))
+      sGrid.zip(sHash).zipWithIndex.foreach { case ((g, h), i) =>
+        assert(math.abs(g - h) <= math.max(1e-6, math.abs(h) * 1e-9),
+          s"sum cell $i: grid $g vs hash $h")
+      }
+    }
+  }
+
+  test("binbyGrid mean/min/max: NaN empty cells, values match per-cell aggregates") {
+    // x in [0,4): bins 0..3 at shape 4 with range [0,8) leaves 4..7 empty
+    val d = VxFrame(Seq(0.5, 1.5, 1.7, 3.2).toDF("x")
+      .withColumn("v", col("x") * 10))
+    val specs = Seq(("x", 0.0, 8.0, 8))
+    val mean = d.binbyGrid(specs, VxFrame.GridMean("v"))
+    val mn = d.binbyGrid(specs, VxFrame.GridMin("v"))
+    val mx = d.binbyGrid(specs, VxFrame.GridMax("v"))
+    assert(mean(0) == 5.0 && mn(0) == 5.0 && mx(0) == 5.0)
+    assert(math.abs(mean(1) - 16.0) < 1e-9 && mn(1) == 15.0 && mx(1) == 17.0)
+    assert(mean(3) == 32.0)
+    for (i <- Seq(2, 4, 5, 6, 7))
+      assert(mean(i).isNaN && mn(i).isNaN && mx(i).isNaN, s"cell $i not NaN")
+  }
+
+  test("binbyGrid drops nulls and out-of-range rows like binby") {
+    val d = VxFrame(Seq[(java.lang.Double, java.lang.Double)](
+      (0.5, 1.0), (1.5, null), (-3.0, 9.0), (99.0, 9.0), (null, 9.0),
+      (1.6, 2.0)).toDF("x", "v"))
+    val specs = Seq(("x", 0.0, 2.0, 2))
+    assert(d.binbyGrid(specs, VxFrame.GridCount).toSeq == Seq(1.0, 2.0))
+    // null v contributes nothing to the sum but the row still counted
+    assert(d.binbyGrid(specs, VxFrame.GridSum("v")).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("gridSum composes with groupBy keys (grid per category)") {
+    import graft.functions.GridAggregates._
+    val d = Seq(("a", 0, 1.0), ("a", 1, 2.0), ("b", 0, 5.0), ("a", 0, 3.0))
+      .toDF("k", "ord", "v")
+    val got = d.groupBy("k")
+      .agg(gridSum(col("ord"), col("v"), 2).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(4.0, 2.0) && got("b") == Seq(5.0, 0.0))
+  }
+
+  test("binbyGrid virtual columns resolve and the cell cap raises") {
+    val f = VxFrame(li).withVirtualColumn("qty2", "l_quantity * 2")
+    val g = f.binbyGrid(Seq(("qty2", 0.0, 100.0, 25)), VxFrame.GridCount)
+    val h = VxFrame(li).binbyGrid(Seq(("l_quantity", 0.0, 50.0, 25)),
+      VxFrame.GridCount)
+    assert(g.toSeq == h.toSeq)
+    val e = intercept[IllegalArgumentException](
+      VxFrame(li).binbyGrid(Seq(("l_quantity", 0.0, 50.0, 3000),
+        ("l_discount", 0.0, 0.12, 3000)), VxFrame.GridCount))
+    assert(e.getMessage.contains("hash path"))
+  }
+}
