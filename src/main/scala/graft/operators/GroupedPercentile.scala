@@ -106,13 +106,16 @@ object GroupedPercentile {
     }
     val bucketed = longForm.withColumn("__b", bucketExpr)
 
-    // pass 3: counts per (group, column, bucket) -> offsets on driver
+    // pass 3: counts per (group, column, bucket) -> offsets on driver.
+    // The guard collects at most MaxDriverEntries+1 rows, so the
+    // driver allocation it protects against never happens.
     val countRows = bucketed
       .groupBy(gCols ++ Seq(col("__cid"), col("__b")): _*).count()
+      .limit((MaxDriverEntries + 1).toInt)
       .collect()
     require(countRows.length.toLong <= MaxDriverEntries,
-      s"percentile: ${countRows.length} (group,column,bucket) entries exceed " +
-        s"$MaxDriverEntries — too many groups for a driver-assembled result")
+      s"percentile: over $MaxDriverEntries (group,column,bucket) entries " +
+        "— too many groups for a driver-assembled result")
     val g = groupCols.size
     // (groupKey, cid) -> sorted (bucket, count), nulls (-1) excluded
     val hist: Map[(Seq[Any], Int), Array[(Int, Long)]] = countRows
@@ -167,13 +170,24 @@ object GroupedPercentile {
           StructField("__b", org.apache.spark.sql.types.IntegerType, nullable = false),
           StructField("__lr", org.apache.spark.sql.types.LongType, nullable = false),
           StructField("__tid", org.apache.spark.sql.types.IntegerType, nullable = false)))
+        // Seq[Any] — a plain Seq(Int, Int, Long, Int) would widen every
+        // element to Long and break the Row encoder's Int fields
         val tRows = targets.map(t =>
-          Row.fromSeq(t.gKey ++ Seq(t.cid, t.bucket, t.localRank, t.tid)))
+          Row.fromSeq(t.gKey ++ Seq[Any](t.cid, t.bucket, t.localRank, t.tid)))
         val tDf = spark.createDataFrame(
           spark.sparkContext.parallelize(tRows.toSeq, 1), tSchema)
         val keyCols = groupCols ++ Seq("__cid", "__b")
-        // null-safe equality throughout: group values may be null
-        val sel = tDf.select(keyCols.map(col): _*).distinct()
+        // null-safe equality throughout: group values may be null.
+        // `sel` is built from literal rows (NOT derived from tDf) so
+        // the later ranked-vs-tDf join has disjoint lineages — deriving
+        // it from tDf trips Spark's DetectAmbiguousSelfJoin.
+        val selSchema = StructType(gFields ++ Seq(
+          StructField("__cid", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("__b", org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val selRows = targets.map(t => Row.fromSeq(t.gKey ++ Seq(t.cid, t.bucket)))
+          .distinct
+        val sel = spark.createDataFrame(
+          spark.sparkContext.parallelize(selRows.toSeq, 1), selSchema)
         val pruned = bucketed.join(broadcast(sel),
           keyCols.map(c => bucketed(c) <=> sel(c)).reduce(_ && _), "left_semi")
         val w = Window.partitionBy(keyCols.map(pruned(_)): _*).orderBy(pruned("__v"))

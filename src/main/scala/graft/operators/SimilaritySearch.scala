@@ -208,6 +208,43 @@ object SimilaritySearch {
     perQuery.reduce(_ unionAll _)
   }
 
+  /** Batch-query ADC top-k: ONE scan of `encoded` for ALL queries.
+    * Every query's LUT is inlined into a single literal struct array
+    * that the scan explodes, and the per-query top-k is a
+    * `row_number <= k` window that Spark rewrites via WindowGroupLimit
+    * into a partial per-partition limit BEFORE the shuffle — each map
+    * task forwards at most queries·k rows, so the exchange carries
+    * O(partitions·queries·k), never O(n·queries). Results equal
+    * [[pqAdcTopK]] row-for-row (spec-asserted); prefer this form past
+    * ~a dozen queries. */
+  def pqAdcTopKBatch(encoded: DataFrame, idCol: String, codesCol: String,
+                     queries: Seq[(Long, Seq[Float])], codebook: PqCodebook,
+                     kTop: Int): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    for (mi <- 0 until m) {
+      val cids = codebook.filter(_._1 == mi).map(_._2).sorted
+      require(cids == (0 until cids.length),
+        s"pqAdcTopKBatch: subspace $mi codes must be dense 0..k-1, got $cids")
+    }
+    val qd = queries.map { case (qid, qv) =>
+      val dist = (0 until m).map { mi =>
+        val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
+          c.indices.foldLeft(0.0) { (acc, i) =>
+            val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
+        }
+        typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
+      }.reduce(_ + _)
+      struct(lit(qid).as("qid"), dist.as("adc_dist"))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    encoded.select(col(idCol), explode(array(qd: _*)).as("__qd"))
+      .select(col("__qd.qid").as("qid"), col(idCol), col("__qd.adc_dist").as("adc_dist"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= kTop).drop("__rn")
+  }
+
   /** Cosine distance (1 - cos) of an embedding column vs one literal
     * centroid vector; 1.0 when either norm is zero. */
   private def centroidDist(embCol: Column, v: Seq[Float]): Column = {

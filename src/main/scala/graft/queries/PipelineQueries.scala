@@ -120,6 +120,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Production decontamination lane: identical algebra to
+    // q_decontaminate, but the 5-grams are xxhash64'd BEFORE the
+    // semi-join, so the shuffle carries int64 keys instead of full
+    // n-gram text — at 100 TB that is the difference between moving
+    // ~40 bytes and ~8 bytes per gram. The matched-doc set is
+    // identical to the string lane (a false positive needs an xxhash64
+    // collision inside the eval dictionary), so the SAME string-based
+    // DuckDB oracle gates it.
+    "q_decontaminate_fast" -> ((s, dir) => {
+      import TextFunctions._
+      val g5 = transform(shingles(col("text"), 5),
+        g => portableHash(g, Xx64Hash))
+      val withG = t(s, dir, "documents").select(col("doc_id"), g5.as("__g"))
+      val evalG = withG.where(col("doc_id") % 10 === 0)
+        .select(explode(col("__g")).as("g")).distinct()
+      val train = withG.where(col("doc_id") % 10 =!= 0)
+      val matched = train.select(col("doc_id"), explode(col("__g")).as("g"))
+        .join(evalG, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
+        .join(matched, Seq("doc_id"), "left")
+        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+        .withColumn("contam_frac",
+          when(col("n_grams") > 0,
+            round(col("n_matched").cast("double") / col("n_grams"), 6)))
+        .withColumn("is_contaminated",
+          (col("n_matched") >= 1).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Stratified (per-source) deterministic sampling — the source-mix
     // rebalancer: keep a doc when its salted portable hash mod 1000
     // falls under the source's quota. Hash-threshold sampling is the
@@ -227,23 +257,10 @@ object PipelineQueries {
         |LEFT JOIN bs ON d.doc_id = bs.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN LEN(tks) >= 5
-        |  THEN list_distinct(list_transform(range(0, LEN(tks) - 4),
-        |    i -> tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3] || ' ' || tks[i+4] || ' ' || tks[i+5]))
-        |  ELSE [] END AS g5 FROM tk),
-        |ev AS (SELECT DISTINCT UNNEST(g5) AS gr FROM g WHERE doc_id % 10 = 0),
-        |tr AS (SELECT doc_id, UNNEST(g5) AS gr FROM g WHERE doc_id % 10 <> 0),
-        |m AS (SELECT doc_id, COUNT(*) AS n_matched FROM tr
-        |      WHERE gr IN (SELECT gr FROM ev) GROUP BY 1)
-        |SELECT g.doc_id, CAST(LEN(g.g5) AS BIGINT) AS n_grams,
-        |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
-        |  CASE WHEN LEN(g.g5) > 0
-        |    THEN ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / LEN(g.g5), 6) END AS contam_frac,
-        |  CAST(CASE WHEN COALESCE(m.n_matched, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
-        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
-        |WHERE g.doc_id % 10 <> 0 ORDER BY g.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the hashed lane must produce byte-identical output to the string
+    // lane — gate it against the same oracle
+    "q_decontaminate_fast" -> decontaminateSql,
 
     "q_stratified_sample" ->
       """WITH k AS (SELECT source, doc_id,
@@ -284,4 +301,22 @@ object PipelineQueries {
         |  CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin
   )
+
+  private lazy val decontaminateSql: String =
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN LEN(tks) >= 5
+        |  THEN list_distinct(list_transform(range(0, LEN(tks) - 4),
+        |    i -> tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3] || ' ' || tks[i+4] || ' ' || tks[i+5]))
+        |  ELSE [] END AS g5 FROM tk),
+        |ev AS (SELECT DISTINCT UNNEST(g5) AS gr FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, UNNEST(g5) AS gr FROM g WHERE doc_id % 10 <> 0),
+        |m AS (SELECT doc_id, COUNT(*) AS n_matched FROM tr
+        |      WHERE gr IN (SELECT gr FROM ev) GROUP BY 1)
+        |SELECT g.doc_id, CAST(LEN(g.g5) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  CASE WHEN LEN(g.g5) > 0
+        |    THEN ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / LEN(g.g5), 6) END AS contam_frac,
+        |  CAST(CASE WHEN COALESCE(m.n_matched, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+        |WHERE g.doc_id % 10 <> 0 ORDER BY g.doc_id""".stripMargin
 }

@@ -48,6 +48,24 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // same statistics through the scale-safe distributed-selection
+    // path (GroupedPercentile: 4 bounded passes, no per-group value
+    // buffering) — must agree with the builtin `percentile` lane above
+    "q_percentile_grouped" -> ((s, dir) => {
+      import graft.operators.GroupedPercentile.{exact, Spec}
+      exact(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
+        Spec("l_quantity", 0.5, "median_qty"),
+        Spec("l_extendedprice", 0.25, "p25_price"),
+        Spec("l_extendedprice", 0.75, "p75_price"),
+        Spec("l_discount", 0.9, "p90_disc")))
+        .select(col("l_returnflag"),
+          r(col("median_qty"), 6).as("median_qty"),
+          r(col("p25_price"), 6).as("p25_price"),
+          r(col("p75_price"), 6).as("p75_price"),
+          r(col("p90_disc"), 6).as("p90_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     // deterministic mode: most frequent value, ties -> smallest value
     "q_mode" -> ((s, dir) => {
       val counts = t(s, dir, "lineitem")
@@ -115,6 +133,13 @@ object StatsQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
         |  ROUND(quantile_cont(l_discount, 0.9), 6) AS p90_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percentile_grouped" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25_price,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price,
+        |  ROUND(quantile_cont(CAST(l_discount AS DOUBLE), 0.9), 6) AS p90_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mode" ->

@@ -178,6 +178,43 @@ object StreamOps {
       .select(col("band").cast("int").as("band"), col("bkey").cast("long").as("bkey"),
         col("doc_id").cast("long").as("docId"))
       .as[BandEntry]
+    bucketCandidateFilter(entries, maxBucketSize, ttl)
+  }
+
+  /** STREAMING near-duplicate candidate filter for EMBEDDINGS: the
+    * SRP (hyperplane) LSH band keys of
+    * [[graft.operators.SimilaritySearch.srpBandKeys]] fed through the
+    * same capped/TTL'd bucket state as the text MinHash filter — an
+    * embedding stream is checked against everything already ingested
+    * without re-scanning history. The signature is a pure projection
+    * (zero shuffle); only (id, band, key) rows reach the state store.
+    * Same contract as [[streamingNearDupCandidates]]: candidate pairs
+    * only — verify with exact cosine downstream, batch-side the pair
+    * set equals the batch band self-join (spec-asserted). */
+  def streamingEmbedNearDupCandidates(docs: DataFrame, idCol: String,
+                                      embCol: String, dim: Int,
+                                      nBands: Int = 4, bitsPerBand: Int = 8,
+                                      maxBucketSize: Int = 64,
+                                      ttl: Option[String] = None)
+  : org.apache.spark.sql.Dataset[StreamCandidate] = {
+    import docs.sparkSession.implicits._
+    val entries = docs.select(col(idCol).cast("long").as("docId"),
+        explode(graft.operators.SimilaritySearch.srpBandKeys(
+          col(embCol), dim, nBands, bitsPerBand)).as("bk"))
+      .select(col("bk.band").cast("int").as("band"),
+        col("bk.bkey").cast("long").as("bkey"), col("docId"))
+      .as[BandEntry]
+    bucketCandidateFilter(entries, maxBucketSize, ttl)
+  }
+
+  /** Shared LSH-bucket membership state: each (band, key) bucket keeps
+    * up to `maxBucketSize` member ids; a new arrival emits candidate
+    * pairs against every prior member. See
+    * [[streamingNearDupCandidates]] for the state/horizon contract. */
+  private def bucketCandidateFilter(entries: org.apache.spark.sql.Dataset[BandEntry],
+                                    maxBucketSize: Int, ttl: Option[String])
+  : org.apache.spark.sql.Dataset[StreamCandidate] = {
+    import entries.sparkSession.implicits._
     val timeout =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()

@@ -130,6 +130,36 @@ class AnnRecallSpec extends SparkSpec {
     emb.unpersist(); encoded.unpersist()
   }
 
+  test("pqAdcTopKBatch: one scan for all queries, results equal per-query form") {
+    import org.apache.spark.sql.functions._
+    val emb = Q.t(spark, sf0001, "embeddings").cache()
+    val cb = SimilaritySearch.pqTrainKMeans(emb, "vec_id", "embedding", m = 8, k = 16)
+    val encoded = SimilaritySearch.pqEncode(emb, "embedding", cb)
+    val stored = encoded.select("vec_id", "codes").localCheckpoint()
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    // 100 queries — the regime the per-query form (one scan + one
+    // TakeOrdered EACH) is wasteful in
+    val qvecs = (0 until 100).map(i => i.toLong -> all(i.toLong * 5 % 500))
+    val batch = SimilaritySearch.pqAdcTopKBatch(stored, "vec_id", "codes",
+      qvecs, cb, kTop = 5)
+    // exactly ONE scan of the codes table in the whole plan
+    val plan = batch.queryExecution.executedPlan.toString
+    val nScans = "LocalTableScan|Scan ExistingRDD|Checkpoint".r
+      .findAllIn(plan).length
+    assert(nScans == 1, s"expected 1 scan, plan:\n${plan.take(2000)}")
+    // row-for-row equal to the per-query form (same deterministic
+    // (dist, id) ordering)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9))
+        .toSeq.sortBy(t => (t._1, t._3, t._2))
+    val single = SimilaritySearch.pqAdcTopK(stored, "vec_id", "codes",
+      qvecs.take(7), cb, kTop = 5)
+    assert(key(batch.where(col("qid") < 7)) == key(single))
+    emb.unpersist()
+  }
+
   test("PQ codes stay dense when training ids are non-contiguous") {
     import org.apache.spark.sql.functions._
     // a filtered frame: ids 0,2,4,... — take-first seeds are ids < k,

@@ -200,6 +200,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == viaState)
   }
 
+  test("streamingEmbedNearDupCandidates: stream equals batch equals the SRP band join") {
+    import graft.operators.SimilaritySearch.srpBandKeys
+    // deterministic vectors; dups are uniformly scaled copies (scaling
+    // preserves every SRP sign bit, so dup pairs are guaranteed
+    // candidates in all bands)
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(r.nextFloat() * 2f - 1f)
+    }
+    val base = (0L until 6L).map(i => (i, vec(i.toInt)))
+    val dups = Seq(0L, 2L).map(i => (100L + i, vec(i.toInt).map(x => x * 1.001f)))
+    val docs = base ++ dups
+    val batchDf = docs.toDF("vec_id", "embedding")
+
+    def pairSet(ds: org.apache.spark.sql.Dataset[StreamOps.StreamCandidate]): Set[(Long, Long)] =
+      ds.collect().map(c => (c.idA, c.idB)).toSet
+
+    val viaState = pairSet(StreamOps.streamingEmbedNearDupCandidates(
+      batchDf, "vec_id", "embedding", dim = 16))
+    val bands = batchDf.select(col("vec_id"),
+        explode(srpBandKeys(col("embedding"), 16, nBands = 4, bitsPerBand = 8)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val viaJoin = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaState == viaJoin)
+    assert(viaState.contains((0L, 100L)) && viaState.contains((2L, 102L)))
+
+    // streamed in two micro-batches: the dup of doc 0 arrives a batch
+    // later and must still pair against the retained bucket state
+    val stream = MemoryStream[(Long, Seq[Float])]
+    stream.addData(docs.take(6): _*)
+    stream.addData(docs.drop(6): _*)
+    val streamed = StreamOps.streamingEmbedNearDupCandidates(
+      stream.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding", dim = 16)
+    val got = StreamOps.runToMemory(streamed.toDF(), "t_embed_neardup", OutputMode.Append())
+      .select("idA", "idB").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == viaState)
+  }
+
   test("streamingNearDupCandidates TTL evicts idle bucket state") {
     // A processing-time-TTL query never quiesces (the state operator
     // requests a batch every trigger so wall-clock timers can fire —
