@@ -911,7 +911,11 @@ final case class VxFrame(
     val keys = specs.zipWithIndex.map { case ((e, vmin, vmax, shape), i) =>
       val c = parse(e)
       val width = (vmax - vmin) / shape
-      floor((c - lit(vmin)) / lit(width)).cast("int").as(s"__bin$i")
+      // clamp: width rounding can floor a value just under vmax to
+      // exactly `shape`; the row passed c < vmax, so it belongs in the
+      // last bin (unclamped it would corrupt driver-side indexing)
+      least(floor((c - lit(vmin)) / lit(width)).cast("int"), lit(shape - 1))
+        .as(s"__bin$i")
     }
     val inRange = specs.map { case (e, vmin, vmax, _) =>
       val c = parse(e)
@@ -963,7 +967,10 @@ final case class VxFrame(
       when(c.isNull, lit(shape + 1))
         .otherwise(when(coalesce(isnan(c.cast("double")), lit(false)), lit(shape + 2))
           .otherwise(when(c < lit(vmin) || c >= lit(vmax), lit(shape))
-            .otherwise(floor((c - lit(vmin)) / lit(width)))))
+            // clamp the FP bin-edge case (value just under vmax
+            // flooring to shape) into the last real bin, not the
+            // `outside` slot — the row IS in range
+            .otherwise(least(floor((c - lit(vmin)) / lit(width)), lit(shape - 1)))))
         .cast("int").as(s"__bin$i")
     }
     val binned = df.groupBy(keys: _*).agg(agg.cast("double").as("__v")).collect()
@@ -1009,7 +1016,11 @@ final case class VxFrame(
     // codegen'd projection feeding the aggregate
     val bins = specs.map { case (e, vmin, vmax, shape) =>
       val width = (vmax - vmin) / shape
-      floor((parse(e) - lit(vmin)) / lit(width)).cast("int")
+      // clamp the FP bin-edge case (see binby) — unclamped, a non-last
+      // dimension's bin==shape silently lands in the NEXT dimension's
+      // cell 0 of the flattened ordinal
+      least(floor((parse(e) - lit(vmin)) / lit(width)).cast("int"),
+        lit(shape - 1))
     }
     val flat = bins.zip(shapes).tail.foldLeft(bins.head) {
       case (acc, (b, shape)) => (acc * shape + b).cast("int")

@@ -209,31 +209,33 @@ object GridAggregates {
     override def prettyName: String = if (isMin) "grid_min" else "grid_max"
   }
 
-  /** Column wrappers. `ordinal` must be an int bin ordinal; `value`
-    * is cast to double here so callers can pass any numeric column. */
+  /** Column wrappers. `ordinal` is cast to int and `value` to double
+    * here, so callers can pass any numeric columns (update() casts the
+    * ordinal with asInstanceOf — an uncast long/short column would
+    * throw an executor-side ClassCastException). */
   private def checkCells(nCells: Int): Unit =
     require(nCells > 0 && nCells <= (1 << 26),
       s"grid cells out of range: $nCells")
 
   def gridCount(ordinal: Column, nCells: Int): Column = {
     checkCells(nCells)
-    Bridge.column(DenseGridCount(Bridge.expression(ordinal), nCells)
+    Bridge.column(DenseGridCount(Bridge.expression(ordinal.cast("int")), nCells)
       .toAggregateExpression())
   }
   def gridSum(ordinal: Column, value: Column, nCells: Int): Column = {
     checkCells(nCells)
-    Bridge.column(DenseGridSum(Bridge.expression(ordinal),
+    Bridge.column(DenseGridSum(Bridge.expression(ordinal.cast("int")),
       Bridge.expression(value.cast("double")), nCells).toAggregateExpression())
   }
   def gridMin(ordinal: Column, value: Column, nCells: Int): Column = {
     checkCells(nCells)
-    Bridge.column(DenseGridExtreme(Bridge.expression(ordinal),
+    Bridge.column(DenseGridExtreme(Bridge.expression(ordinal.cast("int")),
       Bridge.expression(value.cast("double")), nCells, isMin = true)
       .toAggregateExpression())
   }
   def gridMax(ordinal: Column, value: Column, nCells: Int): Column = {
     checkCells(nCells)
-    Bridge.column(DenseGridExtreme(Bridge.expression(ordinal),
+    Bridge.column(DenseGridExtreme(Bridge.expression(ordinal.cast("int")),
       Bridge.expression(value.cast("double")), nCells, isMin = false)
       .toAggregateExpression())
   }

@@ -9,9 +9,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   *   - PNG: full IHDR parse + REAL pixel decode — zlib-inflate the
   *     IDAT stream and undo all five row filters (None/Sub/Up/Average/
-  *     Paeth) for 8-bit gray/RGB/gray+alpha/RGBA, yielding an exact
-  *     mean brightness — plus nearest-neighbor RESIZE (decode ->
-  *     sample -> re-encode).
+  *     Paeth) for 8- and 16-bit gray/RGB/gray+alpha/RGBA/palette,
+  *     non-interlaced or Adam7, yielding an exact mean brightness —
+  *     plus nearest-neighbor RESIZE (decode -> sample -> re-encode).
   *   - JPEG: REAL baseline pixel decode via [[JpegCodec]] (Huffman +
   *     IDCT over the luma plane); progressive/arithmetic files fall
   *     back to the SOFn header walk (metadata only).
@@ -71,7 +71,8 @@ object ImageCodec {
   // ------------------------------------------------------------ PNG decode
 
   private final case class PngRaw(width: Int, height: Int, depth: Int,
-                                  colorType: Int, idat: Array[Byte], nFrames: Long,
+                                  colorType: Int, interlace: Int,
+                                  idat: Array[Byte], nFrames: Long,
                                   palette: Array[Byte]) // PLTE RGB triples (may be empty)
 
   /** Chunk walk: dims + concatenated IDAT payload (shared by metadata
@@ -79,6 +80,7 @@ object ImageCodec {
   private def pngChunks(b: Array[Byte]): Option[PngRaw] = try {
     var off = 8
     var width = -1; var height = -1; var depth = 0; var colorType = -1
+    var interlace = 0
     var nFrames = 1L
     val idat = new ByteArrayOutputStream()
     var palette = Array.empty[Byte]
@@ -92,6 +94,7 @@ object ImageCodec {
           case "IHDR" =>
             width = be32(b, off + 8); height = be32(b, off + 12)
             depth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+            if (len >= 13) interlace = b(off + 20) & 0xff
           case "acTL" => nFrames = math.max(1, be32(b, off + 8)).toLong // APNG
           case "PLTE" => palette = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
           case "IDAT" => idat.write(b, off + 8, len)
@@ -102,7 +105,8 @@ object ImageCodec {
       }
     }
     if (width <= 0 || height <= 0) None
-    else Some(PngRaw(width, height, depth, colorType, idat.toByteArray, nFrames, palette))
+    else Some(PngRaw(width, height, depth, colorType, interlace,
+      idat.toByteArray, nFrames, palette))
   } catch { case _: Exception => None }
 
   private def decodePng(b: Array[Byte]): Option[Decoded] =
@@ -142,16 +146,42 @@ object ImageCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Adam7 pass origins and steps: (x0, y0, dx, dy), PNG spec §8.2. */
+  private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Inflate + unfilter to raw samples: (channels, row-major samples).
-    * 8-bit non-interlaced only — the common case; None otherwise. */
+    * 8-bit and 16-bit (high byte kept — the standard 16->8 reduction),
+    * non-interlaced and Adam7. Filtering is BYTE-wise with
+    * bpp = channels·bytes/sample (spec §9); each Adam7 pass is an
+    * independent filtered sub-image whose pixels scatter back to
+    * (x0 + i·dx, y0 + j·dy). None for shapes outside that envelope. */
   private def unfilterPixels(rawPng: PngRaw): Option[(Int, Array[Int])] = {
     val w = rawPng.width; val h = rawPng.height
     val ch = channelsOf(rawPng.colorType)
-    if (ch < 0 || rawPng.depth != 8 || rawPng.idat.isEmpty) return None
-    if (rawPng.colorType == 3 && rawPng.palette.length < 3) return None
-    val stride = w * ch
-    if (stride.toLong * h > (1L << 28)) return None // sanity cap, ~256M samples
-    val raw = new Array[Byte]((stride + 1) * h)
+    if (ch < 0 || (rawPng.depth != 8 && rawPng.depth != 16) ||
+      rawPng.idat.isEmpty) return None
+    if (rawPng.interlace != 0 && rawPng.interlace != 1) return None
+    if (rawPng.colorType == 3 &&
+      (rawPng.palette.length < 3 || rawPng.depth == 16)) return None
+    val sampleBytes = rawPng.depth / 8
+    val bpp = ch * sampleBytes
+    if (w.toLong * ch * h > (1L << 28)) return None // sanity cap, ~256M samples
+    val passes =
+      if (rawPng.interlace == 0) Seq((0, 0, 1, 1)) else Adam7Passes
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+    }
+    // empty passes (sub-image narrower than the origin) contribute no
+    // bytes at all — not even filter bytes (spec §8.2)
+    val totalBytes = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pw.toLong * bpp)
+    }.sum
+    if (totalBytes > (1L << 29)) return None
+    val raw = new Array[Byte](totalBytes.toInt)
     val inf = new Inflater()
     inf.setInput(rawPng.idat)
     var got = 0
@@ -163,29 +193,51 @@ object ImageCodec {
       }
     } finally inf.end()
     if (got < raw.length) return None
-    val px = new Array[Int](stride * h)
-    val bpp = ch
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xff
-      var x = 0
-      while (x < stride) {
-        val cur = raw(y * (stride + 1) + 1 + x) & 0xff
-        val a = if (x >= bpp) px(y * stride + x - bpp) else 0
-        val up = if (y > 0) px((y - 1) * stride + x) else 0
-        val c = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => (cur + a) & 0xff
-          case 2 => (cur + up) & 0xff
-          case 3 => (cur + (a + up) / 2) & 0xff
-          case 4 => (cur + paeth(a, up, c)) & 0xff
-          case _ => return None
+    val px = new Array[Int](w * ch * h)
+    var off = 0
+    for (p @ (x0, y0, dx, dy) <- passes) {
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val buf = new Array[Int](stride * ph) // unfiltered pass BYTES
+        var y = 0
+        while (y < ph) {
+          val f = raw(off + y * (stride + 1)) & 0xff
+          var x = 0
+          while (x < stride) {
+            val cur = raw(off + y * (stride + 1) + 1 + x) & 0xff
+            val a = if (x >= bpp) buf(y * stride + x - bpp) else 0
+            val up = if (y > 0) buf((y - 1) * stride + x) else 0
+            val c = if (x >= bpp && y > 0) buf((y - 1) * stride + x - bpp) else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => (cur + a) & 0xff
+              case 2 => (cur + up) & 0xff
+              case 3 => (cur + (a + up) / 2) & 0xff
+              case 4 => (cur + paeth(a, up, c)) & 0xff
+              case _ => return None
+            }
+            buf(y * stride + x) = v
+            x += 1
+          }
+          // scatter the completed row back into the full-size image
+          val iy = y0 + y * dy
+          var sx = 0
+          while (sx < pw) {
+            val ix = x0 + sx * dx
+            var cc = 0
+            while (cc < ch) {
+              // 16-bit samples are big-endian: byte 0 is the high byte
+              px((iy * w + ix) * ch + cc) =
+                buf(y * stride + sx * bpp + cc * sampleBytes)
+              cc += 1
+            }
+            sx += 1
+          }
+          y += 1
         }
-        px(y * stride + x) = v
-        x += 1
+        off += ph * (stride + 1)
       }
-      y += 1
     }
     if (rawPng.colorType == 3) {
       // palette indices are attacker-controlled: a truncated PLTE with
@@ -204,7 +256,7 @@ object ImageCodec {
   /** Nearest-neighbor PNG resize: full pixel decode -> grid sample ->
     * re-encode. Grayscale stays grayscale (alpha dropped), anything
     * with color re-encodes as RGB. None for inputs the pixel decoder
-    * doesn't handle (palette/16-bit/interlaced). The media-pipeline
+    * doesn't handle (sub-8-bit depths). The media-pipeline
     * "resize" transform — decode and encode both run in the calling
     * task, so a resize over a binary column is embarrassingly
     * parallel. */
@@ -355,4 +407,77 @@ object ImageCodec {
   /** Constant-gray convenience encoder. */
   def encodePngGray(width: Int, height: Int, gray: Int): Array[Byte] =
     encodePng(width, height, 1, (_, _, _) => gray)
+
+  /** Adam7-interlaced PNG encoder (8-bit gray/RGB, filter-0 rows):
+    * the seven passes' filtered sub-images concatenated into one
+    * zlib stream, exactly the layout [[unfilterPixels]] re-assembles.
+    * Exists so interlaced decode is pinned by a fixture we can
+    * generate without image libraries on the container. */
+  def encodePngAdam7(width: Int, height: Int, channels: Int,
+                     sample: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(channels == 1 || channels == 3, "grayscale or RGB")
+    val rawOut = new ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- Adam7Passes) {
+      val pw = math.max(0, (width - x0 + dx - 1) / dx)
+      val ph = math.max(0, (height - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        var y = 0
+        while (y < ph) {
+          rawOut.write(0) // filter type 0
+          var sx = 0
+          while (sx < pw) {
+            var c = 0
+            while (c < channels) {
+              rawOut.write(sample(x0 + sx * dx, y0 + y * dy, c) & 0xff)
+              c += 1
+            }
+            sx += 1
+          }
+          y += 1
+        }
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(PngSignature)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte
+    ihdr(12) = 1 // Adam7
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zlibDeflate(rawOut.toByteArray))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** 16-bit grayscale PNG encoder (filter-0 rows, big-endian
+    * samples) — fixture generator for the 16-bit decode path. */
+  def encodePng16Gray(width: Int, height: Int,
+                      sample: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val stride = width * 2
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = sample(x, y) & 0xffff
+        raw(y * (stride + 1) + 1 + x * 2) = (v >>> 8).toByte
+        raw(y * (stride + 1) + 2 + x * 2) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(PngSignature)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 16
+    ihdr(9) = 0 // grayscale
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zlibDeflate(raw))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

@@ -13,8 +13,11 @@ import java.io.ByteArrayOutputStream
   * to the real image size. Supports any number of components with
   * arbitrary sampling factors (the luma accumulates at its own
   * resolution; chroma blocks are decoded to advance the bitstream).
-  * Progressive (SOF2) and arithmetic-coded files return None — the
-  * caller falls back to header-only metadata.
+  * Progressive (SOF2) files decode too — per-component coefficient
+  * accumulation across scans, with [[decodeRgbProgressive]] exposing
+  * the full-color result (chroma upsample + JFIF YCbCr->RGB).
+  * Arithmetic-coded and hierarchical files return None — the caller
+  * falls back to header-only metadata.
   *
   * ENCODE: 1-component baseline with an all-ones quant table and the
   * Annex K standard Huffman tables. A constant-gray image quantizes
@@ -375,15 +378,13 @@ object JpegCodec {
     }
   }
 
-  /** Progressive (SOF2) decode of the luma plane: coefficients
+  /** Progressive (SOF2) decode of ALL component planes: coefficients
     * accumulate across scans (DC first/refine, AC first/refine with
-    * EOB runs — T.81 G.2), then one dequant+IDCT pass. Scans that
-    * don't include the luma component are skipped byte-wise (each
-    * scan's entropy data ends at the next marker, so nothing needs
-    * decoding to find the boundary). Capped at 2^24 pixels — beyond
-    * that the coefficient buffer (4 B/pixel) stops being a sane
-    * per-task allocation and the caller falls back to metadata. */
-  private def decodeProgressive(b: Array[Byte]): Option[(Int, Int, Double)] = try {
+    * EOB runs — T.81 G.2), then one dequant+IDCT pass per component.
+    * Capped at 2^24 pixels — beyond that the coefficient buffers
+    * (4 B/sample) stop being a sane per-task allocation and the
+    * caller falls back to metadata. */
+  private def decodeProgressivePlanes(b: Array[Byte]): Option[ProgPlanes] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     val quant = new Array[Array[Int]](4)
@@ -392,8 +393,10 @@ object JpegCodec {
     var w = 0; var h = 0; var restartInterval = 0
     var hMax = 0; var vMax = 0
     var mcusX = 0; var mcusY = 0
-    var bgW = 0; var bgH = 0 // PADDED luma block grid (MCU-aligned)
-    var lumaCoefs: Array[Int] = null // bgW*bgH blocks, natural order, unquantized
+    // PADDED per-component block grids (MCU-aligned); coefficients in
+    // natural order, unquantized, accumulated across scans
+    var cgW: Array[Int] = null; var cgH: Array[Int] = null
+    var coefPlanes: Array[Array[Int]] = null
     var eobrun = 0
 
     /** position of the next non-RST, non-stuffing marker at/after p. */
@@ -548,12 +551,14 @@ object JpegCodec {
             if (hMax < 1 || vMax < 1) return None
             mcusX = (w + 8 * hMax - 1) / (8 * hMax)
             mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-            bgW = mcusX * comps(0).h; bgH = mcusY * comps(0).v
-            lumaCoefs = new Array[Int](bgW * bgH * 64)
+            if (comps.length > 4) return None
+            cgW = comps.map(c => mcusX * c.h); cgH = comps.map(c => mcusY * c.v)
+            coefPlanes = comps.indices
+              .map(i => new Array[Int](cgW(i) * cgH(i) * 64)).toArray
           case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
             return None // sequential (baseline path's job), hierarchical, arithmetic
           case 0xda =>
-            if (comps == null || lumaCoefs == null) return None
+            if (comps == null || coefPlanes == null) return None
             val ns = b(seg) & 0xff
             val scanComps = (0 until ns).map { i =>
               val cid = b(seg + 1 + i * 2) & 0xff
@@ -567,22 +572,18 @@ object JpegCodec {
             val ah = ahal >> 4; val al = ahal & 0x0f
             val scanStart = mOff + 1 + segLen
             if (ss > se || se > 63 || al > 13) return None
-            val touchesLuma = scanComps.exists(_._1 eq comps(0))
-            if (!touchesLuma && ns == 1) nextPos = nextMarker(scanStart)
-            else {
+            // every scan decodes (chroma AC scans used to be byte-
+            // skipped — their coefficients are retained now for the
+            // full-color decode path)
+            locally {
               eobrun = 0
               val r = new BitReader(b, scanStart)
               val dcPred = new Array[Int](comps.length)
-              def lumaBlock(bxy: Int): Array[Int] = {
-                val out = new Array[Int](64)
-                System.arraycopy(lumaCoefs, bxy * 64, out, 0, 64); out
-              }
-              def storeLuma(bxy: Int, coefs: Array[Int]): Unit =
-                System.arraycopy(coefs, 0, lumaCoefs, bxy * 64, 64)
-              def decodeOne(c: Comp, ci: Int, dcTbl: Int, acTbl: Int, bxy: Int,
-                            isLuma: Boolean): Boolean = {
-                val coefs =
-                  if (isLuma) lumaBlock(bxy) else new Array[Int](64)
+              def decodeOne(c: Comp, ci: Int, dcTbl: Int, acTbl: Int,
+                            bxy: Int): Boolean = {
+                val plane = coefPlanes(ci)
+                val coefs = new Array[Int](64)
+                System.arraycopy(plane, bxy * 64, coefs, 0, 64)
                 val ok =
                   if (ss == 0) {
                     if (ah == 0) {
@@ -604,13 +605,13 @@ object JpegCodec {
                     if (ah == 0) acFirst(r, acT, coefs, ss, se, al)
                     else acRefine(r, acT, coefs, ss, se, al)
                   }
-                if (ok && isLuma) storeLuma(bxy, coefs)
+                if (ok) System.arraycopy(coefs, 0, plane, bxy * 64, 64)
                 ok
               }
               if (ns == 1) {
                 // non-interleaved: the component's own (unpadded) grid
                 val (c, dcTbl, acTbl) = scanComps.head
-                val isLuma = c eq comps(0)
+                val ci = comps.indexWhere(_ eq c)
                 val cw = (w * c.h + hMax - 1) / hMax
                 val chh = (h * c.v + vMax - 1) / vMax
                 val aw = (cw + 7) / 8; val aht = (chh + 7) / 8
@@ -621,9 +622,8 @@ object JpegCodec {
                     if (!r.restart()) return None
                     java.util.Arrays.fill(dcPred, 0); eobrun = 0
                   }
-                  val bxy = (bi / aw) * bgW + (bi % aw) // luma grid stride
-                  if (!decodeOne(c, comps.indexWhere(_ eq c), dcTbl, acTbl, bxy, isLuma))
-                    return None
+                  val bxy = (bi / aw) * cgW(ci) + (bi % aw) // this comp's grid stride
+                  if (!decodeOne(c, ci, dcTbl, acTbl, bxy)) return None
                   bi += 1
                 }
               } else {
@@ -640,14 +640,13 @@ object JpegCodec {
                   var si = 0
                   while (si < scanComps.length) {
                     val (c, dcTbl, acTbl) = scanComps(si)
-                    val isLuma = c eq comps(0)
                     val ci = comps.indexWhere(_ eq c)
                     var by = 0
                     while (by < c.v) {
                       var bx = 0
                       while (bx < c.h) {
-                        val bxy = (my * c.v + by) * bgW + (mx * c.h + bx)
-                        if (!decodeOne(c, ci, dcTbl, acTbl, bxy, isLuma)) return None
+                        val bxy = (my * c.v + by) * cgW(ci) + (mx * c.h + bx)
+                        if (!decodeOne(c, ci, dcTbl, acTbl, bxy)) return None
                         bx += 1
                       }
                       by += 1
@@ -664,46 +663,114 @@ object JpegCodec {
         pos = nextPos
       }
     }
-    if (lumaCoefs == null || comps == null) return None
-    val q = quant(comps(0).tq)
-    if (q == null) return None
-    // dequant + IDCT over the UNPADDED luma grid, cropped to lw×lh
-    val c0 = comps(0)
-    val lw = (w * c0.h + hMax - 1) / hMax
-    val lh = (h * c0.v + vMax - 1) / vMax
-    val aw = (lw + 7) / 8; val ah2 = (lh + 7) / 8
+    if (coefPlanes == null || comps == null) return None
+    // dequant + IDCT each component over its UNPADDED grid, cropped
+    // to the component's own resolution
+    val planeW = new Array[Int](comps.length)
+    val planeH = new Array[Int](comps.length)
+    val planes = new Array[Array[Int]](comps.length)
     val coefs = new Array[Int](64)
     val tmp = new Array[Double](64); val block = new Array[Double](64)
-    var lumaSum = 0.0; var lumaCnt = 0L
-    var by = 0
-    while (by < ah2) {
-      var bx = 0
-      while (bx < aw) {
-        val base = (by * bgW + bx) * 64
-        var i = 0
-        while (i < 64) { coefs(i) = lumaCoefs(base + i) * q(ZigZagInv(i)); i += 1 }
-        idctBlock(coefs, tmp, block)
-        val px0 = bx * 8; val py0 = by * 8
-        var py = 0
-        while (py < 8) {
-          if (py0 + py < lh) {
-            var px = 0
-            while (px < 8) {
-              if (px0 + px < lw) {
-                val p = math.max(0.0, math.min(255.0, math.rint(block(py * 8 + px))))
-                lumaSum += p; lumaCnt += 1
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quant(c.tq)
+      if (q == null) return None
+      val cw = (w * c.h + hMax - 1) / hMax
+      val chh = (h * c.v + vMax - 1) / vMax
+      val aw = (cw + 7) / 8; val ah2 = (chh + 7) / 8
+      val pix = new Array[Int](cw * chh)
+      val src = coefPlanes(ci)
+      var by = 0
+      while (by < ah2) {
+        var bx = 0
+        while (bx < aw) {
+          val base = (by * cgW(ci) + bx) * 64
+          var i = 0
+          while (i < 64) { coefs(i) = src(base + i) * q(ZigZagInv(i)); i += 1 }
+          idctBlock(coefs, tmp, block)
+          val px0 = bx * 8; val py0 = by * 8
+          var py = 0
+          while (py < 8) {
+            if (py0 + py < chh) {
+              var px = 0
+              while (px < 8) {
+                if (px0 + px < cw) {
+                  pix((py0 + py) * cw + px0 + px) = math.max(0.0,
+                    math.min(255.0, math.rint(block(py * 8 + px)))).toInt
+                }
+                px += 1
               }
-              px += 1
             }
+            py += 1
           }
-          py += 1
+          bx += 1
         }
-        bx += 1
+        by += 1
       }
-      by += 1
+      planeW(ci) = cw; planeH(ci) = chh; planes(ci) = pix
+      ci += 1
     }
-    if (lumaCnt == 0) None else Some((w, h, lumaSum / lumaCnt))
+    if (planes(0).isEmpty) None
+    else Some(ProgPlanes(w, h, comps.map(_.h), comps.map(_.v), hMax, vMax,
+      planeW, planeH, planes))
   } catch { case _: Exception => None }
+
+  /** Decoded progressive component planes at their native (possibly
+    * subsampled) resolutions. */
+  private final case class ProgPlanes(w: Int, h: Int,
+      hs: Array[Int], vs: Array[Int], hMax: Int, vMax: Int,
+      planeW: Array[Int], planeH: Array[Int], planes: Array[Array[Int]])
+
+  private def decodeProgressive(b: Array[Byte]): Option[(Int, Int, Double)] =
+    decodeProgressivePlanes(b).map { p =>
+      val y = p.planes(0)
+      var s = 0.0; var i = 0
+      while (i < y.length) { s += y(i); i += 1 }
+      (p.w, p.h, s / y.length)
+    }
+
+  /** Full-color decode of a PROGRESSIVE (SOF2) JPEG: coefficients for
+    * ALL components accumulate across scans (the brightness path only
+    * needs luma), each plane gets its own dequant + IDCT, chroma is
+    * upsampled nearest-neighbor to full resolution and converted
+    * JFIF YCbCr -> RGB. Returns packed row-major RGB bytes (3 per
+    * pixel); a grayscale progressive file replicates Y into all three
+    * channels. None for component counts outside {1, 3}. */
+  def decodeRgbProgressive(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeProgressivePlanes(b)
+      .filter(p => p.planes.length == 1 || p.planes.length == 3)
+      .map { p =>
+        val out = new Array[Byte](p.w * p.h * 3)
+        def clamp(d: Double): Byte =
+          math.max(0, math.min(255, math.rint(d).toInt)).toByte
+        var y = 0
+        while (y < p.h) {
+          var x = 0
+          while (x < p.w) {
+            def sampleOf(ci: Int): Int = {
+              val sx = math.min(p.planeW(ci) - 1, x * p.hs(ci) / p.hMax)
+              val sy = math.min(p.planeH(ci) - 1, y * p.vs(ci) / p.vMax)
+              p.planes(ci)(sy * p.planeW(ci) + sx)
+            }
+            val o = (y * p.w + x) * 3
+            if (p.planes.length == 1) {
+              val v = sampleOf(0).toByte
+              out(o) = v; out(o + 1) = v; out(o + 2) = v
+            } else {
+              val yy = sampleOf(0).toDouble
+              val cb = sampleOf(1) - 128.0
+              val cr = sampleOf(2) - 128.0
+              out(o) = clamp(yy + 1.402 * cr)
+              out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+              out(o + 2) = clamp(yy + 1.772 * cb)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (p.w, p.h, out)
+      }
 
   // ---------------------------------------------------------------- encode
 

@@ -96,9 +96,16 @@ object Export {
     }
     df.select(concat_ws(" ", tokens.toSeq: _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
-    java.nio.file.Files.writeString(
-      new java.io.File(path, "00000_header.txt").toPath,
-      df.columns.mkString(" ") + "\n")
+    // header through the Hadoop FileSystem API so it lands on the SAME
+    // filesystem the text sink just wrote to (a driver-local
+    // java.nio write would silently miss when `path` resolves to a
+    // non-local scheme)
+    val hp = new org.apache.hadoop.fs.Path(path, "00000_header.txt")
+    val fs = hp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    try out.write((df.columns.mkString(" ") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** from_ascii (reference: core/__init__.py:460, dataset_misc.py:203):
@@ -110,17 +117,20 @@ object Export {
     * read driver-side. `spark.read.text` plans splits by SIZE, so for
     * a directory the tiny header file can land anywhere in the row
     * order — header discovery must walk files lexically instead. */
-  private def asciiHeadLines(path: String, n: Int): Seq[String] = {
-    val f = new java.io.File(path)
+  private def asciiHeadLines(spark: SparkSession, path: String, n: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_") &&
-          !x.getName.startsWith(".")).sortBy(_.getName).toSeq
-      else Seq(f)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && {
+          val nm = s.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".")
+        }).sortBy(_.getPath.getName).toSeq.map(_.getPath)
+      else Seq(p)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val it = files.iterator
     while (out.size < n && it.hasNext) {
-      val src = scala.io.Source.fromFile(it.next())
+      val src = scala.io.Source.fromInputStream(fs.open(it.next()), "UTF-8")
       try out ++= src.getLines().filter(_.trim.nonEmpty).take(n - out.size)
       finally src.close()
     }
@@ -130,7 +140,7 @@ object Export {
   def fromAscii(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val lines = spark.read.text(path)
-    val head = asciiHeadLines(path, 2)
+    val head = asciiHeadLines(spark, path, 2)
     require(head.nonEmpty, s"empty ascii file: $path")
     val header = head(0).trim.split("\\s+")
     if (head.length < 2) // header-only file -> empty frame, all-string schema

@@ -319,12 +319,14 @@ object Hdf5 {
     private def bytesForValue(v: Long): Int =
       math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L)) + 7) / 8)
 
-    /** Parse a fractal heap header (FRHP) + its direct blocks. Root
-      * pointing at a single direct block, or at an indirect block
-      * (FHIB) whose children are all DIRECT blocks — covers heaps up
-      * to tableWidth·maxDirectBlockSize bytes, far beyond any link
-      * storage; deeper heaps (nested indirect blocks) and I/O-filtered
-      * heaps fail with clear errors. */
+    /** Parse a fractal heap header (FRHP) + ALL its direct blocks.
+      * Root pointing at a single direct block, or at an indirect
+      * block (FHIB) recursed to any nesting depth — rows past the
+      * doubling table's max-direct row hold child INDIRECT blocks
+      * whose own row count derives from the entry size
+      * (rows = log2(entrySize/startSize) − log2(width) + 1, the
+      * H5HF doubling-table relation). I/O-filtered heaps fail with a
+      * clear error. */
     private def fractalHeap(fheapAddr: Long): FractalHeap = {
       val hd = readAt(fheapAddr, 148)
       require(hd.getInt(0) == leMagic("FRHP"), s"$path: bad fractal heap signature")
@@ -362,26 +364,44 @@ object Hdf5 {
           require(dh.getInt(0) == leMagic("FHDB"), s"$path: bad direct block")
           Seq((0L, rootAddr0, maxDirectSize))
         } else {
-          // root indirect block: row-major child addresses, direct
-          // rows only (nested indirect rows would sit beyond
-          // maxDirectRows — reject)
+          require(java.lang.Long.bitCount(tableWidth.toLong) == 1,
+            s"$path: heap table width must be a power of two")
           val maxDirectRows =
             java.lang.Long.numberOfTrailingZeros(
               java.lang.Long.highestOneBit(maxDirectSize / startBlockSize)) + 2
-          require(currRows <= maxDirectRows,
-            s"$path: nested indirect fractal-heap blocks unsupported")
-          val ib = readAt(rootAddr0, 4 + 1 + 8 + offsetSize + currRows * tableWidth * 8 + 4)
-          require(ib.getInt(0) == leMagic("FHIB"), s"$path: bad indirect block")
-          ib.position(4 + 1 + 8 + offsetSize)
-          var heapOff = 0L
+          val logW = java.lang.Long.numberOfTrailingZeros(tableWidth.toLong)
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-          for (row <- 0 until currRows; _ <- 0 until tableWidth) {
-            val sz = directBlockSizeOfRow(row)
-            val addr = ib.getLong
-            if (addr != UNDEF) out += ((heapOff, addr, sz))
-            heapOff += sz
+          // indirect blocks recurse: a row-r entry past maxDirectRows
+          // is a child indirect block spanning entrySize bytes of heap
+          // space, with its own doubling table of (r - logW) rows
+          def parseIndirect(addr: Long, heapOff0: Long, nrows: Int,
+                            depth: Int): Unit = {
+            require(depth < 8, s"$path: fractal heap nested too deep")
+            val nEntries = nrows * tableWidth
+            require(nrows > 0 && nEntries <= 65536,
+              s"$path: implausible indirect block ($nrows rows)")
+            require(out.length <= (1 << 20), s"$path: too many heap blocks")
+            val ib = readAt(addr, 4 + 1 + 8 + offsetSize + nEntries * 8 + 4)
+            require(ib.getInt(0) == leMagic("FHIB"), s"$path: bad indirect block")
+            ib.position(4 + 1 + 8 + offsetSize)
+            var off = heapOff0
+            for (row <- 0 until nrows; _ <- 0 until tableWidth) {
+              val sz = directBlockSizeOfRow(row)
+              val child = ib.getLong
+              if (child != UNDEF) {
+                if (row < maxDirectRows) out += ((off, child, sz))
+                else {
+                  val childRows =
+                    63 - java.lang.Long.numberOfLeadingZeros(sz / startBlockSize) -
+                      logW + 1
+                  parseIndirect(child, off, childRows.toInt, depth + 1)
+                }
+              }
+              off += sz
+            }
           }
-          out.toSeq
+          parseIndirect(rootAddr0, 0L, currRows, 0)
+          out.sortBy(_._1).toSeq
         }
       FractalHeap(idLen, offsetSize, lengthSize, blockHeaderSize, blocks)
     }
@@ -407,28 +427,82 @@ object Hdf5 {
       b
     }
 
-    /** All records of a v2 B-tree (BTHD): depth-0 (single BTLF leaf)
-      * only — ~180 link records fit one default-size leaf; deeper
-      * trees fail with a clear error. Returns raw record bytes. */
+    /** All records of a v2 B-tree (BTHD), any depth. Internal (BTIN)
+      * nodes interleave records with variable-width child pointers
+      * whose field sizes derive from the header geometry exactly as
+      * libhdf5's H5B2__hdr_init computes them: a child pointer is
+      * address + child-record-count (sized for the LEAF max — the
+      * largest any node holds) +, below depth-1, the subtree's
+      * cumulative record count (sized for that depth's cumulative
+      * max). Returns raw record bytes in tree order. */
     private def btreeV2Records(btAddr: Long): Seq[Array[Byte]] = {
       val hd = readAt(btAddr, 36)
       require(hd.getInt(0) == leMagic("BTHD"), s"$path: bad v2 btree signature")
       require((hd.get(4) & 0xff) == 0, "v2 btree version")
+      val nodeSize = hd.getInt(6)
       val recSize = hd.getShort(10) & 0xffff
       val depth = hd.getShort(12) & 0xffff
-      require(depth == 0,
-        s"$path: multi-level v2 btree unsupported (thousands of links?)")
       val rootNode = hd.getLong(16)
       val rootNRec = hd.getShort(24) & 0xffff
       if (rootNode == UNDEF || rootNRec == 0) return Seq.empty
       require(recSize > 0 && recSize <= 256, s"$path: implausible record size")
-      val leaf = readAt(rootNode, 6 + rootNRec * recSize)
-      require(leaf.getInt(0) == leMagic("BTLF"), s"$path: bad v2 btree leaf")
-      (0 until rootNRec).map { i =>
-        val rec = new Array[Byte](recSize)
-        leaf.position(6 + i * recSize)
-        leaf.get(rec); rec
+      require(depth <= 8, s"$path: implausible v2 btree depth $depth")
+      require(nodeSize > 10 + recSize && nodeSize <= (1 << 26),
+        s"$path: implausible v2 btree node size $nodeSize")
+      // per-depth pointer geometry (prefix/suffix overhead is
+      // sig+ver+type+checksum = 10 bytes for every node type)
+      def encSize(v: Long): Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L)) + 8) / 8
+      val leafMaxNrec = (nodeSize - 10) / recSize
+      val maxNrecSize = encSize(leafMaxNrec)
+      val cumMaxNrecSize = new Array[Int](depth + 1)
+      var cumMaxNrec = leafMaxNrec.toLong
+      cumMaxNrecSize(0) = 0
+      for (d <- 1 to depth) {
+        val ptrSize = 8 + maxNrecSize + cumMaxNrecSize(d - 1)
+        val maxNrec = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
+        require(maxNrec > 0, s"$path: v2 btree node too small for depth $d")
+        cumMaxNrec = (maxNrec + 1L) * cumMaxNrec + maxNrec
+        cumMaxNrecSize(d) = encSize(cumMaxNrec)
       }
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var visited = 0
+      def readNode(addr: Long, nRec: Int, d: Int): Unit = {
+        visited += 1
+        require(visited <= (1 << 20), s"$path: v2 btree too large")
+        require(addr != UNDEF && nRec >= 0, s"$path: bad v2 btree child")
+        if (d == 0) {
+          val leaf = readAt(addr, 6 + nRec * recSize)
+          require(leaf.getInt(0) == leMagic("BTLF"), s"$path: bad v2 btree leaf")
+          for (i <- 0 until nRec) {
+            val rec = new Array[Byte](recSize)
+            leaf.position(6 + i * recSize)
+            leaf.get(rec); out += rec
+          }
+        } else {
+          val ptrSize = 8 + maxNrecSize + cumMaxNrecSize(d - 1)
+          val ib = readAt(addr, 6 + nRec * recSize + (nRec + 1) * ptrSize)
+          require(ib.getInt(0) == leMagic("BTIN"), s"$path: bad v2 btree internal node")
+          val recs = (0 until nRec).map { i =>
+            val rec = new Array[Byte](recSize)
+            ib.position(6 + i * recSize)
+            ib.get(rec); rec
+          }
+          val kids = (0 to nRec).map { i =>
+            ib.position(6 + nRec * recSize + i * ptrSize)
+            val a = ib.getLong
+            val cn = getUint(ib, maxNrecSize)
+            (a, cn.toInt)
+          }
+          // in-order: child_0, record_0, child_1, record_1, ...
+          for (i <- 0 to nRec) {
+            readNode(kids(i)._1, kids(i)._2, d - 1)
+            if (i < nRec) out += recs(i)
+          }
+        }
+      }
+      readNode(rootNode, rootNRec, depth)
+      out.toSeq
     }
 
     /** Dense link storage: read every name-index record (type 5:
@@ -1094,7 +1168,8 @@ object Hdf5 {
       doubles: Seq[(String, Array[Double])] = Nil,
       fixedStrings: Seq[(String, Int, Array[String])] = Nil,
       chunkCfg: Option[(Int, Int, Boolean)] = None,
-      latest: Boolean = false): Unit = {
+      latest: Boolean = false,
+      denseGeom: Option[(Long, Long)] = None): Unit = {
     val lc = longs.map { case (name, vs) =>
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putLong)
@@ -1114,7 +1189,8 @@ object Hdf5 {
       }
       OutCol(name, "fstr", b, Array.empty, Array.empty, vs.length)
     }
-    writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest)
+    writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest,
+      denseGeom = denseGeom)
   }
 
   /** Same layout, but every dataset stored CHUNKED with the standard
@@ -1494,7 +1570,8 @@ object Hdf5 {
     * behind a v1 type-1 chunk B-tree instead of contiguous. */
   private def writeFile(path: String, cols: Seq[OutCol],
                         chunkCfg: Option[(Int, Int, Boolean)] = None,
-                        flat: Boolean = false, latest: Boolean = false): Unit = {
+                        flat: Boolean = false, latest: Boolean = false,
+                        denseGeom: Option[(Long, Long)] = None): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     val sbSize = if (latest) 48L else 96L // superblock v3 vs v0
     var cursor = sbSize
@@ -1613,7 +1690,10 @@ object Hdf5 {
     def writeGroupLatest(children: Seq[(String, Long)],
                          attrs: Seq[(String, String)]): Long = {
       val sorted = children.sortBy(_._1)
-      if (sorted.size > 8) return writeGroupDense(sorted, attrs)
+      if (sorted.size > 8) return denseGeom match {
+        case Some((s, m)) => writeGroupDense(sorted, attrs, s, m)
+        case None => writeGroupDense(sorted, attrs)
+      }
       val msgs = Seq(msgV2(0x0002, linkInfoCompact), msgV2(0x000A, groupInfoMsg)) ++
         sorted.map { case (n, a) => msgV2(0x0006, linkMsg(n, a)) } ++
         attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) }
@@ -1622,43 +1702,133 @@ object Hdf5 {
       emit(a, bytes); a
     }
 
-    /** Dense link storage: one root DIRECT fractal-heap block holding
-      * every serialized link message, a single-leaf (depth 0) v2
-      * B-tree hashing names with lookup3 — the shapes the bounded
-      * reader supports, written with genuine checksums. */
+    /** Dense link storage: serialized link messages in fractal-heap
+      * direct blocks, plus a lookup3-name-hash v2 B-tree index, all
+      * with genuine checksums. Small groups get the compact shapes
+      * (one root direct block, single-leaf tree); groups whose links
+      * overflow them get the REAL wide shapes — direct blocks laid
+      * out by the standard doubling table under a root indirect block
+      * (recursing into nested indirect rows), and a depth-1 B-tree
+      * with an internal (BTIN) root over multiple leaves.
+      * `startSize`/`maxDirectSize` parametrize the doubling table so
+      * fixtures can force deep nesting cheaply. */
     def writeGroupDense(sorted: Seq[(String, Long)],
-                        attrs: Seq[(String, String)]): Long = {
+                        attrs: Seq[(String, String)],
+                        startSize: Long = 512L,
+                        maxDirectSize: Long = 65536L): Long = {
       val bodies = sorted.map { case (n, a) => (n, linkMsg(n, a)) }
       // heap geometry: 32-bit heap offsets, 2-byte lengths, ID len 7
       val offsetSize = 4; val lengthSize = 2; val idLen = 7
       val maxManagedObj = 4096L
       require(bodies.forall(_._2.length <= maxManagedObj), "link message too large")
+      val tableWidth = 4; val logW = 2
+      require(java.lang.Long.bitCount(startSize) == 1 &&
+        java.lang.Long.bitCount(maxDirectSize) == 1 &&
+        maxDirectSize >= startSize && startSize >= 64, "bad heap geometry")
       val blockHeaderSize = 4 + 1 + 8 + offsetSize + 4 // FHDB + checksum
       val content = bodies.map(_._2.length).sum
-      val startBlockSize = math.max(512L,
-        java.lang.Long.highestOneBit(blockHeaderSize + content - 1) << 1)
+      val fitsOneBlock = blockHeaderSize + content <= maxDirectSize
+      val singleBlockSize = if (fitsOneBlock)
+        math.max(startSize, java.lang.Long.highestOneBit(
+          math.max(blockHeaderSize + content - 1, 1)) << 1) else 0L
       val fheapAddr = alloc(146)
-      val dblockAddr = alloc(startBlockSize)
-      // place objects sequentially after the block header; heap
-      // offsets INCLUDE the header bytes (the heap's linear space
-      // covers whole blocks)
-      var heapOff = blockHeaderSize.toLong
-      val placed = bodies.map { case (n, body) =>
-        val o = heapOff; heapOff += body.length
-        (n, body, o)
+      def rowSize(row: Int): Long =
+        if (row < 2) startSize else startSize << (row - 1)
+      val maxDirectRows =
+        java.lang.Long.numberOfTrailingZeros(maxDirectSize / startSize) + 2
+      // (heapOff, size, rootRow) of direct blocks in heap-linear
+      // doubling-table order, lazily — indirect rows expand into their
+      // child tables' rows, so the stream recurses
+      def blockSizes(nrows: Int, tag: Int => Int): Iterator[(Long, Int)] =
+        (0 until nrows).iterator.flatMap { r =>
+          if (r < maxDirectRows) Iterator.fill(tableWidth)((rowSize(r), tag(r)))
+          else (0 until tableWidth).iterator.flatMap(_ =>
+            blockSizes(r - logW, _ => tag(r)))
+        }
+      // place bodies first-fit-in-order; track which blocks are used
+      val usedBlocks = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      val placed = scala.collection.mutable.ArrayBuffer[(String, Array[Byte], Long)]()
+      if (fitsOneBlock) {
+        var heapOff = blockHeaderSize.toLong
+        usedBlocks += ((0L, singleBlockSize, -1))
+        bodies.foreach { case (n, body) =>
+          placed += ((n, body, heapOff)); heapOff += body.length
+        }
+      } else {
+        val it = blockSizes(24, r => r) // 24 root rows spans ~any width
+        var cur: (Long, Long, Int) = null // (heapOff, size, rootRow)
+        var curEnd = 0L; var heapOff = 0L; var pos = 0L
+        def nextBlock(): Unit = {
+          val (sz, rootRow) = it.next()
+          cur = ((heapOff, sz, rootRow)); curEnd = heapOff + sz
+          pos = heapOff + blockHeaderSize; heapOff += sz
+        }
+        nextBlock()
+        var blockUsed = false
+        bodies.foreach { case (n, body) =>
+          require(blockHeaderSize + body.length <= startSize,
+            s"link message larger than a heap block: $n")
+          if (pos + body.length > curEnd) {
+            if (blockUsed) usedBlocks += cur
+            nextBlock()
+            blockUsed = false
+          }
+          placed += ((n, body, pos)); pos += body.length; blockUsed = true
+        }
+        if (blockUsed) usedBlocks += cur
       }
-      // direct block
-      val db = buf(startBlockSize.toInt)
-      db.putInt(leMagic("FHDB")); db.put(0.toByte)
-      db.putLong(fheapAddr)
-      db.putInt(0) // block offset (heap offset of this block)
-      db.putInt(0) // checksum patched below
-      placed.foreach { case (_, body, o) => db.position(o.toInt); db.put(body) }
-      val dbBytes = db.array()
-      val dbSum = lookup3(dbBytes) // computed with checksum field zeroed
-      val dbb = ByteBuffer.wrap(dbBytes).order(ByteOrder.LITTLE_ENDIAN)
-      dbb.position(4 + 1 + 8 + offsetSize); dbb.putInt(dbSum)
-      emit(dblockAddr, dbBytes)
+      // emit the direct blocks
+      val addrByOff = usedBlocks.map { case (off, sz, _) =>
+        val addr = alloc(sz)
+        val db = buf(sz.toInt)
+        db.putInt(leMagic("FHDB")); db.put(0.toByte)
+        db.putLong(fheapAddr)
+        db.putInt(off.toInt) // block offset in heap linear space
+        db.putInt(0)         // checksum patched below
+        placed.foreach { case (_, body, o) =>
+          if (o >= off && o < off + sz) { db.position((o - off).toInt); db.put(body) }
+        }
+        val bytes = db.array()
+        val sum = lookup3(bytes) // with checksum field zeroed
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        bb.position(4 + 1 + 8 + offsetSize); bb.putInt(sum)
+        emit(addr, bytes)
+        off -> addr
+      }.toMap
+      // root: the single direct block, or a (possibly nested)
+      // indirect-block tree over the used blocks
+      val (rootAddr, currRows) =
+        if (fitsOneBlock) (addrByOff(0L), 0)
+        else {
+          val lastRootRow = usedBlocks.map(_._3).max
+          val nRootRows = lastRootRow + 1
+          def anyUsed(off: Long, sz: Long): Boolean =
+            usedBlocks.exists(b => b._1 >= off && b._1 < off + sz)
+          def emitIndirect(nrows: Int, heapOff0: Long): Long = {
+            val size = 4 + 1 + 8 + offsetSize + nrows * tableWidth * 8 + 4
+            val b = buf(size)
+            b.putInt(leMagic("FHIB")); b.put(0.toByte)
+            b.putLong(fheapAddr)
+            b.putInt(heapOff0.toInt)
+            var off = heapOff0
+            for (row <- 0 until nrows; _ <- 0 until tableWidth) {
+              val sz = rowSize(row)
+              val child =
+                if (row < maxDirectRows) addrByOff.getOrElse(off, UNDEF)
+                else if (anyUsed(off, sz)) emitIndirect(row - logW, off)
+                else UNDEF
+              b.putLong(child); off += sz
+            }
+            b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, size - 4)))
+            val addr = alloc(size)
+            emit(addr, b.array()); addr
+          }
+          (emitIndirect(nRootRows, 0L), nRootRows)
+        }
+      val heapSpace =
+        if (fitsOneBlock) singleBlockSize
+        else usedBlocks.map(b => b._1 + b._2).max
+      val endOff = placed.lastOption.map(p => p._3 + p._2.length).getOrElse(0L)
       // fractal heap header
       val fh = buf(146)
       fh.putInt(leMagic("FRHP")); fh.put(0.toByte)
@@ -1668,48 +1838,87 @@ object Hdf5 {
       fh.putInt(maxManagedObj.toInt)
       fh.putLong(0L)              // next huge id
       fh.putLong(UNDEF)           // huge v2 btree
-      fh.putLong(startBlockSize - heapOff) // free space
+      fh.putLong(heapSpace - endOff) // free space
       fh.putLong(UNDEF)           // free-space manager
-      fh.putLong(startBlockSize)  // managed space
-      fh.putLong(startBlockSize)  // allocated managed space
-      fh.putLong(heapOff)         // direct block iterator offset
+      fh.putLong(heapSpace)       // managed space
+      fh.putLong(heapSpace)       // allocated managed space
+      fh.putLong(endOff)          // direct block iterator offset
       fh.putLong(placed.size.toLong) // managed objects
       fh.putLong(0L); fh.putLong(0L) // huge size/count
       fh.putLong(0L); fh.putLong(0L) // tiny size/count
-      fh.putShort(4)              // table width
-      fh.putLong(startBlockSize)
-      fh.putLong(65536L)          // max direct block size
+      fh.putShort(tableWidth.toShort)
+      fh.putLong(if (fitsOneBlock) singleBlockSize else startSize)
+      fh.putLong(maxDirectSize)
       fh.putShort(32)             // max heap size (bits)
       fh.putShort(1)              // starting rows in root indirect
-      fh.putLong(dblockAddr)      // root block = the direct block
-      fh.putShort(0)              // current rows = 0 (root is direct)
+      fh.putLong(rootAddr)
+      fh.putShort(currRows.toShort)
       fh.putInt(lookup3(java.util.Arrays.copyOfRange(fh.array(), 0, 142)))
       emit(fheapAddr, fh.array())
-      // name-index v2 btree: records (lookup3(name), heapId) hash-ascending
+      // name-index v2 btree: records (lookup3(name), heapId) hash-
+      // ascending; depth 0 while one leaf holds them, else depth 1
+      // (internal root; child pointers carry 1-byte record counts —
+      // encSize(leafMaxNrec) for every node size we write)
       val recSize = 4 + idLen
+      val nodeSize = 2048
+      val leafMaxNrec = (nodeSize - 10) / recSize
       val records = placed.map { case (n, body, o) =>
         val id = buf(idLen)
         id.put(0.toByte) // managed, version 0
         id.putInt(o.toInt)
         id.putShort(body.length.toShort)
         (lookup3(n.getBytes("UTF-8")), id.array())
-      }.sortBy(r => r._1 & 0xffffffffL)
-      val leafSize = 6 + records.size * recSize + 4
-      val leafAddr = alloc(leafSize)
-      val lf = buf(leafSize)
-      lf.putInt(leMagic("BTLF")); lf.put(0.toByte); lf.put(5.toByte) // type 5: link name
-      records.foreach { case (hash, id) => lf.putInt(hash); lf.put(id) }
-      lf.putInt(lookup3(java.util.Arrays.copyOfRange(lf.array(), 0, leafSize - 4)))
-      emit(leafAddr, lf.array())
+      }.sortBy(r => r._1 & 0xffffffffL).toSeq
+      def emitLeaf(recs: Seq[(Int, Array[Byte])]): Long = {
+        val leafSize = 6 + recs.size * recSize + 4
+        val leafAddr = alloc(leafSize)
+        val lf = buf(leafSize)
+        lf.putInt(leMagic("BTLF")); lf.put(0.toByte); lf.put(5.toByte)
+        recs.foreach { case (hash, id) => lf.putInt(hash); lf.put(id) }
+        lf.putInt(lookup3(java.util.Arrays.copyOfRange(lf.array(), 0, leafSize - 4)))
+        emit(leafAddr, lf.array()); leafAddr
+      }
+      val (btRoot, btDepth, rootNRec) =
+        if (records.size <= leafMaxNrec) (emitLeaf(records), 0, records.size)
+        else {
+          val fill = (leafMaxNrec * 3) / 4
+          val chunks = scala.collection.mutable.ArrayBuffer[Seq[(Int, Array[Byte])]]()
+          val seps = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+          var i = 0
+          while (i < records.size) {
+            var take = math.min(fill, records.size - i)
+            // a separator must leave a non-empty trailing leaf
+            if (records.size - i - take == 1) take -= 1
+            chunks += records.slice(i, i + take); i += take
+            if (i < records.size) { seps += records(i); i += 1 }
+          }
+          val ptrSize = 8 + 1 // child address + 1-byte record count
+          val maxIntRec = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
+          require(seps.size <= maxIntRec,
+            s"group too wide for a depth-1 link index (${records.size} links)")
+          val leafAddrs = chunks.map(emitLeaf)
+          val size = 6 + seps.size * recSize + chunks.size * ptrSize + 4
+          val b = buf(size)
+          b.putInt(leMagic("BTIN")); b.put(0.toByte); b.put(5.toByte)
+          seps.foreach { case (hash, id) => b.putInt(hash); b.put(id) }
+          chunks.indices.foreach { ci =>
+            b.putLong(leafAddrs(ci))
+            b.put(chunks(ci).size.toByte)
+          }
+          b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, size - 4)))
+          val addr = alloc(size)
+          emit(addr, b.array())
+          (addr, 1, seps.size)
+        }
       val btAddr = alloc(38)
       val bt = buf(38)
       bt.putInt(leMagic("BTHD")); bt.put(0.toByte); bt.put(5.toByte)
-      bt.putInt(2048)             // node size
+      bt.putInt(nodeSize)
       bt.putShort(recSize.toShort)
-      bt.putShort(0)              // depth 0
+      bt.putShort(btDepth.toShort)
       bt.put(100.toByte); bt.put(40.toByte) // split/merge %
-      bt.putLong(leafAddr)
-      bt.putShort(records.size.toShort)
+      bt.putLong(btRoot)
+      bt.putShort(rootNRec.toShort)
       bt.putLong(records.size.toLong)
       bt.putInt(lookup3(java.util.Arrays.copyOfRange(bt.array(), 0, 34)))
       emit(btAddr, bt.array())

@@ -42,6 +42,26 @@ class GridAggSpec extends SparkSpec {
       assert(mean(i).isNaN && mn(i).isNaN && mx(i).isNaN, s"cell $i not NaN")
   }
 
+  test("FP bin-edge: a value just under vmax lands in the last bin, every path") {
+    // width = 0.1/3 rounds such that floor((v-0)/width) == 3 for
+    // v = nextDown(0.1) even though v < vmax — unclamped this indexed
+    // past the grid (binby last dim) or bled into the next dimension's
+    // cell 0 (binbyGrid flattened ordinal)
+    val v = math.nextDown(0.1)
+    assert(v < 0.1 && math.floor(v / (0.1 / 3)) >= 3.0) // the hazard is real
+    val d = VxFrame(Seq((v, v)).toDF("x", "y"))
+    // 1-d: last bin, not an out-of-bounds crash
+    assert(d.binby(Seq(("x", 0.0, 0.1, 3)), count(lit(1))).toSeq
+      == Seq(0.0, 0.0, 1.0))
+    // 2-d grid path: cell (2,2) of 3x3, not cell 0 of a shifted row
+    val grid = d.binbyGrid(Seq(("x", 0.0, 0.1, 3), ("y", 0.0, 0.1, 3)),
+      VxFrame.GridCount)
+    assert(grid.toSeq == Seq.tabulate(9)(i => if (i == 8) 1.0 else 0.0))
+    // edges layout: last REAL bin (index 2), not the `outside` slot (3)
+    val edges = d.binbyEdges(Seq(("x", 0.0, 0.1, 3)), count(lit(1)))
+    assert(edges.toSeq == Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+  }
+
   test("binbyGrid drops nulls and out-of-range rows like binby") {
     val d = VxFrame(Seq[(java.lang.Double, java.lang.Double)](
       (0.5, 1.0), (1.5, null), (-3.0, 9.0), (99.0, 9.0), (null, 9.0),
@@ -50,6 +70,14 @@ class GridAggSpec extends SparkSpec {
     assert(d.binbyGrid(specs, VxFrame.GridCount).toSeq == Seq(1.0, 2.0))
     // null v contributes nothing to the sum but the row still counted
     assert(d.binbyGrid(specs, VxFrame.GridSum("v")).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("grid wrappers accept non-int ordinal columns (cast, not ClassCastException)") {
+    import graft.functions.GridAggregates._
+    val d = Seq((0L, 1.0), (1L, 2.0), (1L, 3.0)).toDF("ord", "v")
+    assert(d.agg(gridCount(col("ord"), 2)).head.getSeq[Long](0) == Seq(1L, 2L))
+    assert(d.agg(gridSum(col("ord"), col("v"), 2)).head.getSeq[Double](0)
+      == Seq(1.0, 5.0))
   }
 
   test("gridSum composes with groupBy keys (grid per category)") {

@@ -291,6 +291,32 @@ class Hdf5Spec extends SparkSpec {
     assert(back.where(col("ints") === 77L).head.getAs[String]("tags") == "t77")
   }
 
+  test("very wide dense groups: multi-level v2 B-tree + nested indirect heap blocks") {
+    // > 4096 links forces (a) a depth-1 v2 B-tree (internal BTIN root
+    // over multiple leaves — one leaf caps at 185 records) and (b) a
+    // multi-direct-block fractal heap under a root indirect block.
+    // Long names inflate the heap past 128 KB so the SECOND file's
+    // tiny forced geometry (512/2048) additionally exercises nested
+    // AND doubly-nested indirect rows (row 7's children have their
+    // own indirect row 4).
+    val n = 4300
+    val names = (0 until n).map(i => f"column_with_a_long_name_$i%05d")
+    val cols = names.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) }
+    for ((geom, tag) <- Seq(None -> "wide.hdf5",
+      Some((512L, 2048L)) -> "wide_deep.hdf5")) {
+      val path = tmp(tag)
+      Hdf5.writeFlatFile(path, longs = cols, latest = true, denseGeom = geom)
+      val back = Hdf5.fromHdf5(spark, path)
+      assert(back.schema.fieldNames.length == n, s"$tag: wrong column count")
+      assert(back.count() == 1)
+      val probe = Seq(0, 1, 184, 185, 4095, 4299) // leaf boundaries + ends
+      val row = back.select(probe.map(i => col(names(i))): _*).head
+      probe.zipWithIndex.foreach { case (i, j) =>
+        assert(row.getLong(j) == i.toLong, s"$tag: ${names(i)} -> ${row.getLong(j)}")
+      }
+    }
+  }
+
   test("DataSource V2: open() prunes columns through Catalyst into the scan") {
     val path = tmp("dsv2.hdf5")
     val df = spark.range(50000).select(

@@ -69,6 +69,40 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(d.brightness.contains(p.flatten.map(_.toDouble).sum / 16))
   }
 
+  test("Adam7 interlaced PNG decodes to the same pixels as its sequential twin") {
+    // odd dims exercise the empty-row/column pass edge cases; RGB
+    // exercises the byte-wise bpp>1 filtering per pass
+    for ((w, h, ch) <- Seq((37, 23, 1), (8, 8, 3), (5, 3, 3), (1, 1, 1), (2, 9, 1))) {
+      val pix = (x: Int, y: Int, c: Int) => (x * 7 + y * 13 + c * 29) % 256
+      val seq7 = ImageCodec.decode(ImageCodec.encodePngAdam7(w, h, ch, pix)).get
+      val plain = ImageCodec.decode(ImageCodec.encodePng(w, h, ch, pix)).get
+      assert(seq7.width == w && seq7.height == h, s"dims for $w x $h")
+      assert(seq7.brightness.isDefined, s"interlaced $w x $h x$ch undecoded")
+      assert(seq7.brightness == plain.brightness, s"brightness for $w x $h x$ch")
+    }
+    // interlaced resize works too (decode path is shared)
+    val big = ImageCodec.encodePngAdam7(16, 16, 1, (x, _, _) => x * 16)
+    val resized = ImageCodec.resizePng(big, 4, 4)
+    assert(resized.isDefined)
+    assert(ImageCodec.decode(resized.get).get.width == 4)
+  }
+
+  test("16-bit PNG decodes via the high byte") {
+    // v = g*257 sets both bytes to g, so the high-byte reduction is
+    // exact and brightness equals the 8-bit twin's
+    val pix8 = (x: Int, y: Int) => (x * 11 + y * 3) % 256
+    val d16 = ImageCodec.decode(
+      ImageCodec.encodePng16Gray(19, 7, (x, y) => pix8(x, y) * 257)).get
+    val d8 = ImageCodec.decode(
+      ImageCodec.encodePng(19, 7, 1, (x, y, _) => pix8(x, y))).get
+    assert(d16.width == 19 && d16.height == 7)
+    assert(d16.brightness == d8.brightness)
+    // a gradient that differs only below the high byte floors to it
+    val dLow = ImageCodec.decode(
+      ImageCodec.encodePng16Gray(4, 4, (x, y) => 0x1200 + x + y)).get
+    assert(dLow.brightness.contains(0x12.toDouble))
+  }
+
   test("JPEG: marker walk finds SOF0 dims past APP0/DQT segments") {
     val out = new ByteArrayOutputStream()
     def w(xs: Int*): Unit = xs.foreach(out.write)
@@ -262,6 +296,52 @@ class ImageCodecSpec extends AnyFunSuite {
     val got = JpegCodec.decodePixels(prog).getOrElse(fail("color progressive failed"))
     val want = JpegCodec.decodeBaseline(base).get
     assert(got == want, s"progressive $got vs baseline $want")
+  }
+
+  test("JPEG: color progressive decodes to full RGB (all planes retained)") {
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(20260813L)
+    def mkBlocks(n: Int) = Seq.fill(n)(Array.tabulate(64)(_ =>
+      if (rnd.nextDouble() < 0.7) 0 else rnd.nextInt(201) - 100))
+    val (w, h, blocksX) = (13, 8, 2)
+    val y = mkBlocks(blocksX); val cb = mkBlocks(blocksX); val cr = mkBlocks(blocksX)
+    val prog = JpegCodec.encodeProgressiveColorJpeg(w, h, y, cb, cr)
+    val (gw, gh, rgb) = JpegCodec.decodeRgbProgressive(prog)
+      .getOrElse(fail("rgb decode failed"))
+    assert(gw == w && gh == h && rgb.length == w * h * 3)
+    // reference: textbook float IDCT per plane -> round/clamp ->
+    // JFIF YCbCr->RGB; must match the decoder byte-for-byte
+    def idctPix(blocks: Seq[Array[Int]]): (Int, Int) => Int = {
+      def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      (x, y0) => {
+        val coefs = blocks((y0 / 8) * blocksX + (x / 8))
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          s += c(u) * c(v) * coefs(v * 8 + u) *
+            math.cos((2 * (x % 8) + 1) * u * math.Pi / 16) *
+            math.cos((2 * (y0 % 8) + 1) * v * math.Pi / 16)
+        math.max(0.0, math.min(255.0, math.rint(s / 4.0 + 128.0))).toInt
+      }
+    }
+    val fy = idctPix(y); val fcb = idctPix(cb); val fcr = idctPix(cr)
+    def clamp(d: Double) = math.max(0, math.min(255, math.rint(d).toInt))
+    for (py <- 0 until h; px <- 0 until w) {
+      val o = (py * w + px) * 3
+      val yy = fy(px, py).toDouble
+      val cbv = fcb(px, py) - 128.0; val crv = fcr(px, py) - 128.0
+      assert((rgb(o) & 0xff) == clamp(yy + 1.402 * crv), s"R at ($px,$py)")
+      assert((rgb(o + 1) & 0xff) ==
+        clamp(yy - 0.344136 * cbv - 0.714136 * crv), s"G at ($px,$py)")
+      assert((rgb(o + 2) & 0xff) == clamp(yy + 1.772 * cbv), s"B at ($px,$py)")
+    }
+    // the luma brightness contract is unchanged by chroma retention
+    val base = JpegCodec.encodeYCbCrJpeg(w, h, y, cb, cr)
+    assert(JpegCodec.decodePixels(prog) == JpegCodec.decodeBaseline(base))
+    // grayscale progressive replicates Y into all three channels
+    val gray = JpegCodec.encodeProgressiveJpeg(16, 8, mkBlocks(2))
+    val (_, _, g3) = JpegCodec.decodeRgbProgressive(gray).get
+    for (i <- 0 until 16 * 8)
+      assert(g3(i * 3) == g3(i * 3 + 1) && g3(i * 3) == g3(i * 3 + 2))
   }
 
   test("JPEG: restart markers reset DC prediction correctly") {

@@ -214,6 +214,10 @@ class TransformersSpec extends SparkSpec {
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // the session is shared across parallel suites, so another suite's
+    // persist/localCheckpoint can be live here — leak-check by DIFF
+    // against a pre-fit snapshot, not by global emptiness
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     try {
       val pts = (0 until 30).map(i => (i % 3 * 10.0 + i % 5 * 0.1, i % 3 * 5.0)).toDF("px", "py")
       Transformers.kmeans(VxFrame(pts), Seq("px", "py"), k = 3, maxIter = 5)
@@ -225,9 +229,12 @@ class TransformersSpec extends SparkSpec {
       // set (>= 2 proves iteration 2+ hit the cache, not the source)
       assert(cacheHits >= 2, plans.synchronized(plans.mkString("\n---\n")).take(3000))
     } finally spark.listenerManager.unregister(listener)
-    // unpersist ran (fit completed): no cached RDD left behind
-    val leaked = spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(",")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"leaked: $leaked")
+    // unpersist ran (fit completed): no NEW cached RDD left behind
+    // (unpersist(blocking=false) is async — poll until the diff clears)
+    def leakedNow = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline2 = System.currentTimeMillis() + 15000
+    while (leakedNow.nonEmpty && System.currentTimeMillis() < deadline2) Thread.sleep(100)
+    assert(leakedNow.isEmpty, s"leaked RDD ids: ${leakedNow.mkString(",")}")
   }
 
   test("groupByTransformer: group aggregates as serializable state") {
