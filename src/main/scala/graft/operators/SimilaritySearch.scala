@@ -390,4 +390,50 @@ object SimilaritySearch {
           .orderBy(col("cos").desc, col("nbr_id"))))
       .where(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster-blocked greedy near-duplicate removal
+    * over an embedding column. Every vector is assigned to its nearest
+    * coarse centroid (a zero-shuffle projection, see [[assignCells]]);
+    * inside each cluster, a vector is a duplicate when its cosine to
+    * ANY lower-id vector of the same cluster is >= `tau` (greedy
+    * keep-first — order-deterministic, so no connected-components pass
+    * is needed and the result is oracle-checkable).
+    *
+    * Scale shape: the pairwise step is blocked by cluster — cost is
+    * sum(n_c^2) over cluster sizes, never corpus-wide. The SemDeDup
+    * design point is k chosen so clusters stay small (the paper runs
+    * ~11k clusters for 100M docs); at 100 TB the assignment stays a
+    * projection and the candidate join shuffles on the cluster id
+    * only. The duplicate rule is a single self-join + groupBy — two
+    * shuffles total, both keyed on cluster/id.
+    *
+    * Returns one row per input id: (idCol, cellCol, dup_of, is_dup)
+    * where dup_of is the smallest same-cluster id with cos >= tau
+    * (null for kept rows) and is_dup is 0/1. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+               centroids: Seq[(Int, Seq[Float])], tau: Double,
+               cellCol: String = "cell"): DataFrame = {
+    val assigned = assignCells(df, embCol, centroids, cellCol)
+      .select(col(idCol), col(cellCol), col(embCol),
+        fnorm(col(embCol)).as("__nrm"))
+    val a = assigned.select(col(idCol).as("__id_a"),
+      col(cellCol).as("__cell_a"), col(embCol).as("__emb_a"),
+      col("__nrm").as("__nrm_a"))
+    val b = assigned.select(col(idCol).as("__id_b"),
+      col(cellCol).as("__cell_b"), col(embCol).as("__emb_b"),
+      col("__nrm").as("__nrm_b"))
+    val denom = col("__nrm_a") * col("__nrm_b")
+    val cos = when(denom === 0.0, lit(0.0))
+      .otherwise(fdot(col("__emb_a"), col("__emb_b")) / denom)
+    val dups = a.join(b,
+        col("__cell_a") === col("__cell_b") && col("__id_a") < col("__id_b"))
+      .where(cos >= tau)
+      .groupBy(col("__id_b").as(idCol))
+      .agg(min(col("__id_a")).as("dup_of"))
+    assigned.select(col(idCol), col(cellCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col(cellCol), col("dup_of"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"))
+  }
 }

@@ -193,6 +193,34 @@ object PipelineQueries {
           .as("survival_rate"))
     }),
 
+    // Per-source document cap — the domain-balancing pass of a crawl
+    // pipeline ("keep at most N docs per domain"): rank docs inside
+    // each source by a salted portable hash (deterministic and
+    // engine-portable — NOT ingest order, which neither engine
+    // reproduces) and keep rank <= cap. Exact-N semantics needs a
+    // per-source ranking, one shuffle on source; for a heavy-tailed
+    // domain distribution at 100 TB, first aggregate per-domain
+    // counts and rank only the over-quota domains (the under-quota
+    // tail — most domains — skips the window entirely), or use
+    // hash-threshold sampling (q_stratified_sample) when approximate
+    // caps suffice.
+    "q_source_cap" -> ((s, dir) => {
+      import TextFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val cap = 100
+      val h = portableHash(concat(lit("cap:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      val kept = col("__rk") <= cap
+      t(s, dir, "documents")
+        .withColumn("__rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(kept, col("doc_id"))).as("kept_id_sum"),
+          min(when(kept, col("doc_id"))).as("first_kept"))
+        .orderBy("source")
+    }),
+
     // Sequence packing (concat-and-chop): documents concatenated in
     // doc_id order and cut into fixed 64-token training bins — each
     // doc's bin span from an exclusive prefix sum of token counts.
@@ -261,6 +289,17 @@ object PipelineQueries {
     // the hashed lane must produce byte-identical output to the string
     // lane — gate it against the same oracle
     "q_decontaminate_fast" -> decontaminateSql,
+
+    "q_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substring(md5('cap:' || doc_id), 1, 15))::BIGINT, doc_id) AS rk
+        |FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= 100 THEN doc_id END) AS BIGINT) AS kept_id_sum,
+        |  MIN(CASE WHEN rk <= 100 THEN doc_id END) AS first_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH k AS (SELECT source, doc_id,

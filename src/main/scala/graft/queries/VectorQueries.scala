@@ -127,6 +127,28 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup (Abbas et al. 2023) semantic dedup: coarse k-cell
+    // clustering blocks the pairwise cosine step (cost sum(n_c^2),
+    // never corpus-wide), then greedy keep-first drops every vector
+    // with a lower-id same-cell neighbor at cos >= 0.99. Reuses
+    // q_embed_lsh's injected near-dup copies (the corpus has no
+    // natural pairs above 0.51) and the deterministic take-first
+    // centroids, so the whole pipeline — assignment argmin, pairwise
+    // cosine, greedy resolution — is reproducible in SQL.
+    "q_semdedup" -> ((s, dir) => {
+      import graft.operators.SimilaritySearch
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dup = base.where(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            lit(0.002) * ((i * 7) % 5).cast("double"))).cast("float")).as("embedding"))
+      val aug = base.unionAll(dup)
+      val cents = SimilaritySearch.trainTakeFirst(base, "vec_id", "embedding", 8)
+      SimilaritySearch.semDedup(aug, "vec_id", "embedding", cents, tau = 0.99)
+        .orderBy("vec_id")
+    }),
+
     // product quantization (the 16-64x ANN compressor beyond int8's
     // 4x): 64 dims -> 4 subspaces x 8-entry codebooks = 4 codes
     // (12 bits) per vector. Deterministic take-first codebook for
@@ -259,6 +281,39 @@ object VectorQueries {
          |           / (${ddbNorm("x.embedding")} * ${ddbNorm("y.embedding")}) END, 8) AS cos
          |  FROM cand c JOIN aug x ON c.id_a = x.vec_id JOIN aug y ON c.id_b = y.vec_id)
          |WHERE cos > 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(range(0, 64), i ->
+         |    CAST(CAST(embedding[i + 1] AS DOUBLE)
+         |      * (1.0 + 0.002 * CAST((i * 7) % 5 AS DOUBLE)) AS REAL))
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |dists AS (
+         |  SELECT p.vec_id, c.cid,
+         |    CASE WHEN ${ddbNorm("p.embedding")} * ${ddbNorm("c.cemb")} = 0.0 THEN 1.0
+         |         ELSE 1.0 - ${ddbDot("p.embedding", "c.cemb")}
+         |              / (${ddbNorm("p.embedding")} * ${ddbNorm("c.cemb")}) END AS dist
+         |  FROM aug p CROSS JOIN cents c),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |pts AS (SELECT g.vec_id, g.embedding, a.cid, ${ddbNorm("g.embedding")} AS nrm
+         |  FROM aug g JOIN asg a USING (vec_id)),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM pts x JOIN pts y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE (CASE WHEN x.nrm * y.nrm = 0.0 THEN 0.0
+         |    ELSE ${ddbDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END) >= 0.99),
+         |dups AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pairs GROUP BY 1)
+         |SELECT p.vec_id, CAST(p.cid AS INT) AS cell, d.dup_of,
+         |  CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM pts p LEFT JOIN dups d ON p.vec_id = d.vec_id
+         |ORDER BY p.vec_id""".stripMargin,
 
     "q_pq_encode" ->
       """WITH cb AS (

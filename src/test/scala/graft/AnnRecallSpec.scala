@@ -236,4 +236,45 @@ class AnnRecallSpec extends SparkSpec {
     val b = SimilaritySearch.trainKMeans(emb, "vec_id", "embedding", 8)
     assert(a == b)
   }
+
+  test("semDedup: flags injected near-dups against their originals, keeps the rest") {
+    val emb = Q.t(spark, sf0001, "embeddings").select(col("vec_id"), col("embedding"))
+    val dup = emb.where(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) +
+          lit(0.002) * ((i * 7) % 5).cast("double"))).cast("float")).as("embedding"))
+    val aug = emb.unionAll(dup)
+    val cents = SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", 8)
+    val out = SimilaritySearch.semDedup(aug, "vec_id", "embedding", cents, tau = 0.99)
+      .collect()
+    assert(out.length == aug.count())
+    // every injected copy (cos ~0.9999 with its original) is dropped
+    // and attributed to exactly that original
+    val copies = out.filter(_.getLong(0) >= 100000L)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      assert(r.getLong(3) == 1L && !r.isNullAt(2) &&
+        r.getLong(2) == r.getLong(0) - 100000L,
+        s"copy ${r.getLong(0)} not attributed to its original: $r")
+    }
+    // no base vector is dropped (max natural pairwise cos ~0.51)
+    assert(out.filter(_.getLong(0) < 100000L).forall(_.getLong(3) == 0L))
+  }
+
+  test("semDedup: greedy keep-first collapses an identical chain onto the lowest id") {
+    import spark.implicits._
+    val v = Seq.fill(4)(1.0f) ++ Seq.fill(60)(0.0f)
+    val w = Seq.fill(4)(0.0f) ++ Seq.fill(4)(1.0f) ++ Seq.fill(56)(0.0f)
+    val df = Seq((0L, v), (1L, v), (2L, v), (3L, w))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(0 -> v.map(_ * 2), 1 -> w.map(_ * 2))
+    val out = SimilaritySearch.semDedup(df, "vec_id", "embedding", cents, tau = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (-1L, 0L))       // kept
+    assert(out(1L) == (0L, 1L))        // dup of 0
+    assert(out(2L) == (0L, 1L))        // dup of 0 (min lower-id, not 1)
+    assert(out(3L) == (-1L, 0L))       // different cell, kept
+  }
 }
