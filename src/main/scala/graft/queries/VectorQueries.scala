@@ -172,6 +172,28 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // batch ADC search over PQ codes — the many-query compressed-ANN
+    // form: ONE scan of the codes column answers all 5 queries (each
+    // query's LUT is an inlined literal; WindowGroupLimit caps every
+    // map task at queries*k rows before the shuffle). The oracle
+    // rebuilds codes, LUTs and the 4-term left-to-right distance sum,
+    // then ranks per query — end-to-end ADC parity, not just the
+    // encode step (q_pq_encode).
+    "q_pq_adc" -> ((s, dir) => {
+      import graft.operators.SimilaritySearch
+      val emb = t(s, dir, "embeddings")
+      val cb = SimilaritySearch.pqTrainTakeFirst(emb, "vec_id", "embedding",
+        m = 4, k = 8)
+      val encoded = SimilaritySearch.pqEncode(emb, "embedding", cb)
+        .select(col("vec_id"), col("codes"))
+      val qs = emb.where(col("vec_id").between(8, 12))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(row => (row.getLong(0), row.getSeq[Float](1))).sortBy(_._1).toSeq
+      SimilaritySearch.pqAdcTopKBatch(encoded, "vec_id", "codes", qs, cb, kTop = 3)
+        .select(col("qid"), col("vec_id"), r(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("qid", "adc_dist", "vec_id")
+    }),
+
     // symmetric int8 quantization (the 4x embedding-storage compressor
     // for ANN at scale): q = floor(x·127/max|x| + 0.5). q_sum is an
     // INTEGER bit-parity check of the codes; max_abs_err bounds the
@@ -338,6 +360,46 @@ object VectorQueries {
         |  CAST(MAX(CASE WHEN m = 3 THEN k END) AS INT) AS code3,
         |  ROUND(SQRT(CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE)), 6) AS recon_err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_pq_adc" ->
+      """WITH cb AS (
+        |  SELECT mm.m, e.vec_id AS k,
+        |    list_transform(range(0, 16), i -> e.embedding[mm.m * 16 + i + 1]) AS c
+        |  FROM embeddings e, (SELECT UNNEST(range(0, 4)) AS m) mm
+        |  WHERE e.vec_id < 8),
+        |enc AS (
+        |  SELECT e.vec_id, cb.m, cb.k,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (CAST(e.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE))
+        |      * (CAST(e.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE)))) AS dist
+        |  FROM embeddings e CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN m = 0 THEN k END) AS code0,
+        |    MAX(CASE WHEN m = 1 THEN k END) AS code1,
+        |    MAX(CASE WHEN m = 2 THEN k END) AS code2,
+        |    MAX(CASE WHEN m = 3 THEN k END) AS code3
+        |  FROM (SELECT vec_id, m, k,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+        |        FROM enc) WHERE rn = 1 GROUP BY vec_id),
+        |lut AS (
+        |  SELECT q.vec_id AS qid, cb.m, cb.k,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (CAST(q.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE))
+        |      * (CAST(q.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE)))) AS d
+        |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id BETWEEN 8 AND 12),
+        |dist AS (
+        |  SELECT l0.qid, c.vec_id, l0.d + l1.d + l2.d + l3.d AS adc_dist
+        |  FROM codes c
+        |  JOIN lut l0 ON l0.m = 0 AND l0.k = c.code0
+        |  JOIN lut l1 ON l1.m = 1 AND l1.k = c.code1 AND l1.qid = l0.qid
+        |  JOIN lut l2 ON l2.m = 2 AND l2.k = c.code2 AND l2.qid = l0.qid
+        |  JOIN lut l3 ON l3.m = 3 AND l3.k = c.code3 AND l3.qid = l0.qid)
+        |SELECT qid, vec_id, ROUND(adc_dist, 6) AS adc_dist FROM (
+        |  SELECT qid, vec_id, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+        |  FROM dist) WHERE rn <= 3
+        |ORDER BY qid, adc_dist, vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       s"""SELECT * FROM (

@@ -111,15 +111,29 @@ object WindowQueries {
     // the bucketed ordered index (Tables.withRowIndexBy) — per-bucket
     // windows + offset fix-up, never a global single-reducer sort.
     "q_join_positional" -> ((s, dir) => {
-      val a = graft.sources.Tables.withRowIndexBy(
-          t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
-          Seq("l_orderkey", "l_linenumber", "l_extendedprice"), "__idx")
-        .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
-      val b = graft.sources.Tables.withRowIndexBy(
-          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
-          Seq("o_orderkey"), "__idx")
-        .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // each index build runs 3 small blocking driver jobs (count,
+      // boundary sample, bucket counts); the two sides are independent,
+      // so overlap them — Spark schedules jobs submitted from both
+      // threads concurrently (measured: ~0.8 s off the critical path
+      // at sf0.1; at scale the two count/sample passes overlap too)
+      val fa = Future {
+        graft.sources.Tables.withRowIndexBy(
+            t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+            Seq("l_orderkey", "l_linenumber", "l_extendedprice"), "__idx")
+          .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
+      }
+      val fb = Future {
+        graft.sources.Tables.withRowIndexBy(
+            t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+            Seq("o_orderkey"), "__idx")
+          .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
+      }
+      val a = Await.result(fa, Duration.Inf)
+      val b = Await.result(fb, Duration.Inf)
       a.join(b, Seq("rn")).orderBy("rn")
     }),
 
