@@ -310,11 +310,20 @@ object Hdf5 {
     }
 
     /** Parsed fractal-heap geometry: enough to resolve MANAGED heap
-      * IDs to file addresses. `blocks` = (heapOffset, fileAddr, size)
-      * of every direct block, ascending by heap offset. */
+      * IDs to file addresses. `blocks` = (heapOffset, fileAddr,
+      * logicalSize, storedSize, filterMask) of every direct block,
+      * ascending by heap offset; storedSize == logicalSize and mask 0
+      * for unfiltered heaps. `filters` is the heap's I/O pipeline
+      * (applied to whole direct blocks, header bytes included). */
     private case class FractalHeap(idLen: Int, offsetSize: Int, lengthSize: Int,
                                    blockHeaderSize: Int,
-                                   blocks: Seq[(Long, Long, Long)])
+                                   blocks: Seq[(Long, Long, Long, Long, Int)],
+                                   filters: Seq[(Int, Int)]) {
+      /** Direct blocks of a FILTERED heap are read + inflated whole;
+        * dense-link iteration touches every object, so cache the
+        * inflated images per block (bounded by the heap's own size). */
+      val inflatedCache = new java.util.HashMap[Long, Array[Byte]]()
+    }
 
     private def bytesForValue(v: Long): Int =
       math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L)) + 7) / 8)
@@ -325,15 +334,32 @@ object Hdf5 {
       * doubling table's max-direct row hold child INDIRECT blocks
       * whose own row count derives from the entry size
       * (rows = log2(entrySize/startSize) − log2(width) + 1, the
-      * H5HF doubling-table relation). I/O-filtered heaps fail with a
-      * clear error. */
+      * H5HF doubling-table relation). I/O-FILTERED heaps (filter
+      * pipeline applied to whole direct blocks): the header carries
+      * the pipeline + the root direct block's stored size/mask, and
+      * indirect-block entries in direct rows carry (addr, storedSize,
+      * mask) triples instead of bare addresses — mirroring
+      * H5HFcache's deserialize layout. */
     private def fractalHeap(fheapAddr: Long): FractalHeap = {
       val hd = readAt(fheapAddr, 148)
       require(hd.getInt(0) == leMagic("FRHP"), s"$path: bad fractal heap signature")
       require((hd.get(4) & 0xff) == 0, "fractal heap version")
       val idLen = hd.getShort(5) & 0xffff
       val filterLen = hd.getShort(7) & 0xffff
-      require(filterLen == 0, s"$path: I/O-filtered fractal heap unsupported")
+      require(filterLen <= 4096, s"$path: implausible heap filter info")
+      // with filters the header grows by rootStoredSize(8) + mask(4) +
+      // pipeline(filterLen) before the checksum — re-read the tail
+      val (rootStoredSize, rootMask, heapFilters) =
+        if (filterLen == 0) (0L, 0, Seq.empty[(Int, Int)])
+        else {
+          val ext = readAt(fheapAddr + 142, 12 + filterLen)
+          val sz = ext.getLong(0)
+          val mask = ext.getInt(8)
+          val fb = java.util.Arrays.copyOfRange(ext.array(), 12, 12 + filterLen)
+          val pipeline = parseFilters(
+            ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN))
+          (sz, mask, pipeline)
+        }
       val flags = hd.get(9) & 0xff
       val maxManagedObj = hd.getInt(10) & 0xffffffffL
       // fixed-width fields: nextHugeId(8) hugeBt(8) freeSpace(8)
@@ -354,15 +380,22 @@ object Hdf5 {
       val blockHeaderSize = 4 + 1 + 8 + offsetSize + (if (checksummed) 4 else 0)
       def directBlockSizeOfRow(row: Int): Long =
         if (row < 2) startBlockSize else startBlockSize << (row - 1)
-      val blocks: Seq[(Long, Long, Long)] =
+      val filtered = filterLen > 0
+      val blocks: Seq[(Long, Long, Long, Long, Int)] =
         if (rootAddr0 == UNDEF) Seq.empty
         else if (currRows == 0) {
           // root IS a single direct block; its size = the whole
           // managed space rounded to the doubling sequence — verify
           // via the block's own header instead of trusting arithmetic
-          val dh = readAt(rootAddr0, 5)
-          require(dh.getInt(0) == leMagic("FHDB"), s"$path: bad direct block")
-          Seq((0L, rootAddr0, maxDirectSize))
+          // (a FILTERED block's signature is only visible post-inflate,
+          // so the check moves to heapObject for those)
+          if (!filtered) {
+            val dh = readAt(rootAddr0, 5)
+            require(dh.getInt(0) == leMagic("FHDB"), s"$path: bad direct block")
+          } else require(rootStoredSize > 0 && rootStoredSize <= MaxMetaRead,
+            s"$path: implausible filtered root block size")
+          Seq((0L, rootAddr0, maxDirectSize,
+            if (filtered) rootStoredSize else maxDirectSize, rootMask))
         } else {
           require(java.lang.Long.bitCount(tableWidth.toLong) == 1,
             s"$path: heap table width must be a power of two")
@@ -370,10 +403,12 @@ object Hdf5 {
             java.lang.Long.numberOfTrailingZeros(
               java.lang.Long.highestOneBit(maxDirectSize / startBlockSize)) + 2
           val logW = java.lang.Long.numberOfTrailingZeros(tableWidth.toLong)
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Int)]()
           // indirect blocks recurse: a row-r entry past maxDirectRows
           // is a child indirect block spanning entrySize bytes of heap
-          // space, with its own doubling table of (r - logW) rows
+          // space, with its own doubling table of (r - logW) rows.
+          // In a filtered heap, entries in DIRECT rows widen to
+          // (addr, storedSize(8), mask(4)); indirect entries stay bare.
           def parseIndirect(addr: Long, heapOff0: Long, nrows: Int,
                             depth: Int): Unit = {
             require(depth < 8, s"$path: fractal heap nested too deep")
@@ -381,21 +416,26 @@ object Hdf5 {
             require(nrows > 0 && nEntries <= 65536,
               s"$path: implausible indirect block ($nrows rows)")
             require(out.length <= (1 << 20), s"$path: too many heap blocks")
-            val ib = readAt(addr, 4 + 1 + 8 + offsetSize + nEntries * 8 + 4)
+            val directEntrySize = if (filtered) 8 + 8 + 4 else 8
+            val bodySize = (0 until nrows).map { r =>
+              (if (r < maxDirectRows) directEntrySize else 8) * tableWidth
+            }.sum
+            val ib = readAt(addr, 4 + 1 + 8 + offsetSize + bodySize + 4)
             require(ib.getInt(0) == leMagic("FHIB"), s"$path: bad indirect block")
             ib.position(4 + 1 + 8 + offsetSize)
             var off = heapOff0
             for (row <- 0 until nrows; _ <- 0 until tableWidth) {
               val sz = directBlockSizeOfRow(row)
               val child = ib.getLong
-              if (child != UNDEF) {
-                if (row < maxDirectRows) out += ((off, child, sz))
-                else {
-                  val childRows =
-                    63 - java.lang.Long.numberOfLeadingZeros(sz / startBlockSize) -
-                      logW + 1
-                  parseIndirect(child, off, childRows.toInt, depth + 1)
-                }
+              if (row < maxDirectRows) {
+                val (stored, mask) =
+                  if (filtered) (ib.getLong, ib.getInt) else (sz, 0)
+                if (child != UNDEF) out += ((off, child, sz, stored, mask))
+              } else if (child != UNDEF) {
+                val childRows =
+                  63 - java.lang.Long.numberOfLeadingZeros(sz / startBlockSize) -
+                    logW + 1
+                parseIndirect(child, off, childRows.toInt, depth + 1)
               }
               off += sz
             }
@@ -403,7 +443,8 @@ object Hdf5 {
           parseIndirect(rootAddr0, 0L, currRows, 0)
           out.sortBy(_._1).toSeq
         }
-      FractalHeap(idLen, offsetSize, lengthSize, blockHeaderSize, blocks)
+      FractalHeap(idLen, offsetSize, lengthSize, blockHeaderSize, blocks,
+        heapFilters)
     }
 
     /** Bytes of one MANAGED fractal-heap object. Heap offsets address
@@ -419,12 +460,32 @@ object Hdf5 {
       require(len >= 0 && len <= MaxMetaRead, s"$path: implausible heap object")
       val blk = fh.blocks.reverse.find(_._1 <= off).getOrElse(
         throw new IllegalStateException(s"$path: heap offset $off outside heap"))
-      val (blkOff, blkAddr, blkSize) = blk
+      val (blkOff, blkAddr, blkSize, storedSize, mask) = blk
       require(off - blkOff + len <= blkSize, s"$path: heap object crosses blocks")
-      val b = new Array[Byte](len.toInt)
-      val fileAddr = blkAddr + (off - blkOff)
-      raf.seek(fileAddr); raf.readFully(b)
-      b
+      if (fh.filters.isEmpty) {
+        val b = new Array[Byte](len.toInt)
+        raf.seek(blkAddr + (off - blkOff)); raf.readFully(b)
+        b
+      } else {
+        // filtered heap: the WHOLE direct block (header included) went
+        // through the pipeline — inflate once, serve all objects from
+        // the cached image
+        var img = fh.inflatedCache.get(blkAddr)
+        if (img == null) {
+          require(storedSize > 0 && storedSize <= MaxMetaRead,
+            s"$path: implausible filtered block size")
+          val raw = new Array[Byte](storedSize.toInt)
+          raf.seek(blkAddr); raf.readFully(raw)
+          img = defilter(raw, fh.filters, mask, blkSize.toInt)
+          require(img.length >= 4 &&
+            ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
+              .getInt(0) == leMagic("FHDB"),
+            s"$path: bad filtered direct block")
+          fh.inflatedCache.put(blkAddr, img)
+        }
+        java.util.Arrays.copyOfRange(img, (off - blkOff).toInt,
+          (off - blkOff + len).toInt)
+      }
     }
 
     /** All records of a v2 B-tree (BTHD), any depth. Internal (BTIN)
@@ -1169,7 +1230,8 @@ object Hdf5 {
       fixedStrings: Seq[(String, Int, Array[String])] = Nil,
       chunkCfg: Option[(Int, Int, Boolean)] = None,
       latest: Boolean = false,
-      denseGeom: Option[(Long, Long)] = None): Unit = {
+      denseGeom: Option[(Long, Long)] = None,
+      heapFilter: Boolean = false): Unit = {
     val lc = longs.map { case (name, vs) =>
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putLong)
@@ -1190,7 +1252,7 @@ object Hdf5 {
       OutCol(name, "fstr", b, Array.empty, Array.empty, vs.length)
     }
     writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest,
-      denseGeom = denseGeom)
+      denseGeom = denseGeom, heapFilter = heapFilter)
   }
 
   /** Same layout, but every dataset stored CHUNKED with the standard
@@ -1571,7 +1633,8 @@ object Hdf5 {
   private def writeFile(path: String, cols: Seq[OutCol],
                         chunkCfg: Option[(Int, Int, Boolean)] = None,
                         flat: Boolean = false, latest: Boolean = false,
-                        denseGeom: Option[(Long, Long)] = None): Unit = {
+                        denseGeom: Option[(Long, Long)] = None,
+                        heapFilter: Boolean = false): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     val sbSize = if (latest) 48L else 96L // superblock v3 vs v0
     var cursor = sbSize
@@ -1731,7 +1794,8 @@ object Hdf5 {
       val singleBlockSize = if (fitsOneBlock)
         math.max(startSize, java.lang.Long.highestOneBit(
           math.max(blockHeaderSize + content - 1, 1)) << 1) else 0L
-      val fheapAddr = alloc(146)
+      // filtered header adds rootSize(8)+mask(4)+pipeline(12) = 24
+      val fheapAddr = alloc(if (heapFilter) 170 else 146)
       def rowSize(row: Int): Long =
         if (row < 2) startSize else startSize << (row - 1)
       val maxDirectRows =
@@ -1777,9 +1841,14 @@ object Hdf5 {
         }
         if (blockUsed) usedBlocks += cur
       }
-      // emit the direct blocks
+      // emit the direct blocks; a FILTERED heap deflates each whole
+      // block image (header included) and records its stored size.
+      // Allocation stays at the uncompressed size (+ small headroom)
+      // so the two-phase planner's layout is stable even though the
+      // compressed length shifts a few bytes between runs (block
+      // images embed addresses).
       val addrByOff = usedBlocks.map { case (off, sz, _) =>
-        val addr = alloc(sz)
+        val addr = alloc(if (heapFilter) sz + 64 else sz)
         val db = buf(sz.toInt)
         db.putInt(leMagic("FHDB")); db.put(0.toByte)
         db.putLong(fheapAddr)
@@ -1792,20 +1861,25 @@ object Hdf5 {
         val sum = lookup3(bytes) // with checksum field zeroed
         val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         bb.position(4 + 1 + 8 + offsetSize); bb.putInt(sum)
-        emit(addr, bytes)
-        off -> addr
+        val stored = if (heapFilter) deflate(bytes, 6) else bytes
+        emit(addr, stored)
+        off -> (addr, stored.length.toLong)
       }.toMap
       // root: the single direct block, or a (possibly nested)
-      // indirect-block tree over the used blocks
+      // indirect-block tree over the used blocks. Filtered heaps widen
+      // every DIRECT-row entry to (addr, storedSize, mask).
       val (rootAddr, currRows) =
-        if (fitsOneBlock) (addrByOff(0L), 0)
+        if (fitsOneBlock) (addrByOff(0L)._1, 0)
         else {
           val lastRootRow = usedBlocks.map(_._3).max
           val nRootRows = lastRootRow + 1
           def anyUsed(off: Long, sz: Long): Boolean =
             usedBlocks.exists(b => b._1 >= off && b._1 < off + sz)
           def emitIndirect(nrows: Int, heapOff0: Long): Long = {
-            val size = 4 + 1 + 8 + offsetSize + nrows * tableWidth * 8 + 4
+            val directEntrySize = if (heapFilter) 8 + 8 + 4 else 8
+            val size = 4 + 1 + 8 + offsetSize + (0 until nrows).map { r =>
+              (if (r < maxDirectRows) directEntrySize else 8) * tableWidth
+            }.sum + 4
             val b = buf(size)
             b.putInt(leMagic("FHIB")); b.put(0.toByte)
             b.putLong(fheapAddr)
@@ -1813,11 +1887,15 @@ object Hdf5 {
             var off = heapOff0
             for (row <- 0 until nrows; _ <- 0 until tableWidth) {
               val sz = rowSize(row)
-              val child =
-                if (row < maxDirectRows) addrByOff.getOrElse(off, UNDEF)
-                else if (anyUsed(off, sz)) emitIndirect(row - logW, off)
-                else UNDEF
-              b.putLong(child); off += sz
+              if (row < maxDirectRows) {
+                val (child, stored) = addrByOff.getOrElse(off, (UNDEF, 0L))
+                b.putLong(child)
+                if (heapFilter) { b.putLong(stored); b.putInt(0) }
+              } else {
+                b.putLong(
+                  if (anyUsed(off, sz)) emitIndirect(row - logW, off) else UNDEF)
+              }
+              off += sz
             }
             b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, size - 4)))
             val addr = alloc(size)
@@ -1829,11 +1907,15 @@ object Hdf5 {
         if (fitsOneBlock) singleBlockSize
         else usedBlocks.map(b => b._1 + b._2).max
       val endOff = placed.lastOption.map(p => p._3 + p._2.length).getOrElse(0L)
-      // fractal heap header
-      val fh = buf(146)
+      // fractal heap header (+ filtered-root-size/mask/pipeline tail
+      // when the heap is I/O-filtered)
+      val pipelineBytes =
+        if (heapFilter) filterPipelineV2(Seq((1, Seq(6)))) else Array.empty[Byte]
+      val fhSize = if (heapFilter) 142 + 12 + pipelineBytes.length + 4 else 146
+      val fh = buf(fhSize)
       fh.putInt(leMagic("FRHP")); fh.put(0.toByte)
       fh.putShort(idLen.toShort)
-      fh.putShort(0)              // no I/O filters
+      fh.putShort(pipelineBytes.length.toShort) // I/O filter info length
       fh.put(0x02.toByte)         // flags: checksum direct blocks
       fh.putInt(maxManagedObj.toInt)
       fh.putLong(0L)              // next huge id
@@ -1853,7 +1935,12 @@ object Hdf5 {
       fh.putShort(1)              // starting rows in root indirect
       fh.putLong(rootAddr)
       fh.putShort(currRows.toShort)
-      fh.putInt(lookup3(java.util.Arrays.copyOfRange(fh.array(), 0, 142)))
+      if (heapFilter) {
+        fh.putLong(if (fitsOneBlock) addrByOff(0L)._2 else 0L)
+        fh.putInt(0)              // root filter mask
+        fh.put(pipelineBytes)
+      }
+      fh.putInt(lookup3(java.util.Arrays.copyOfRange(fh.array(), 0, fhSize - 4)))
       emit(fheapAddr, fh.array())
       // name-index v2 btree: records (lookup3(name), heapId) hash-
       // ascending; depth 0 while one leaf holds them, else depth 1

@@ -317,6 +317,39 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("I/O-filtered fractal heaps: deflated direct blocks round-trip") {
+    // filter pipeline applied to WHOLE heap direct blocks (libhdf5's
+    // H5Pset_link_phase_change + a filtered group heap). Three shapes:
+    // single compressed root direct block, multi-block root indirect,
+    // and the tiny forced geometry's nested indirect rows — the
+    // (addr, storedSize, mask) entry widening applies at every level.
+    for ((n, geom, tag) <- Seq(
+        (12, None, "fheap_small.hdf5"),
+        (700, None, "fheap_wide.hdf5"),
+        (700, Some((512L, 2048L)), "fheap_deep.hdf5"))) {
+      val names = (0 until n).map(i => f"compressible_column_name_$i%04d")
+      val cols = names.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) }
+      val path = tmp(tag)
+      Hdf5.writeFlatFile(path, longs = cols, latest = true, denseGeom = geom,
+        heapFilter = true)
+      val back = Hdf5.fromHdf5(spark, path)
+      assert(back.schema.fieldNames.length == n, s"$tag: wrong column count")
+      assert(back.count() == 1)
+      val probe = Seq(0, n / 2, n - 1)
+      val row = back.select(probe.map(i => col(names(i))): _*).head
+      probe.zipWithIndex.foreach { case (i, j) =>
+        assert(row.getLong(j) == i.toLong, s"$tag: ${names(i)} -> ${row.getLong(j)}")
+      }
+      // the link messages (the only place names are stored) really
+      // went through deflate: no plaintext name survives in the file
+      val raw = new String(Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "ISO-8859-1")
+      assert(!raw.contains(names(n / 2)),
+        s"$tag: link name stored uncompressed")
+      assert(raw.contains("FRHP"), s"$tag: fractal heap header missing")
+    }
+  }
+
   test("DataSource V2: open() prunes columns through Catalyst into the scan") {
     val path = tmp("dsv2.hdf5")
     val df = spark.range(50000).select(
