@@ -193,6 +193,65 @@ object PipelineQueries {
           .as("survival_rate"))
     }),
 
+    // Exact-substring span dedup (Lee et al. 2021, arXiv:2107.06499
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // find every K-token span whose K-gram occurs more than once in
+    // the corpus, and merge overlapping/adjacent anchors into per-doc
+    // spans to cut. Shape at 100 TB: explode (gramHash, doc, pos) —
+    // linear, hashes not text move; one shuffle to count gram
+    // multiplicity (partial-agg absorbs hot grams); one semi-join back
+    // to positions; one groupBy doc with a sorted-array interval-merge
+    // fold (per-doc bounded, no global window). The synthetic corpus
+    // has few natural 6-gram repeats, so boilerplate phrases are
+    // injected from doc_id math (every 4th doc one licence-like
+    // phrase; every 8th a second, separated by a unique token so the
+    // islands stay distinct) — both engines build identical text.
+    "q_span_dedup" -> ((s, dir) => {
+      import TextFunctions._
+      val K = 6
+      val boilA = "shared boilerplate segment one two three four five six seven eight nine"
+      val boilB = "alternate boilerplate run ten eleven twelve thirteen fourteen"
+      val txt = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" " + boilA)).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0,
+          concat(lit(" zz"), col("doc_id").cast("string"), lit(" " + boilB)))
+          .otherwise(lit("")))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), split(txt, " ").as("t"))
+      val g = base.select(col("doc_id"),
+          explode(when(size(col("t")) >= K,
+            sequence(lit(0), size(col("t")) - K))
+            .otherwise(array().cast("array<int>"))).as("pos"), col("t"))
+        .select(col("doc_id"), col("pos"),
+          portableHash(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K)))).as("h"))
+      val dup = g.groupBy("h").agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).select("h")
+      val anchors = g.join(dup, Seq("h"), "left_semi")
+      // interval merge: sorted anchor positions folded left-to-right;
+      // a span is [pos, pos+K), merged when it overlaps/abuts the
+      // running end — integer arithmetic, exact in both engines
+      val zero = struct(lit(0L).as("n"), lit(0L).as("cov"), lit(-1L).as("le"))
+      val merged = anchors.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        .select(col("doc_id"), aggregate(col("ps"), zero, (acc, p) => {
+          val pl = p.cast("long")
+          when(pl > acc.getField("le"),
+            struct((acc.getField("n") + 1L).as("n"),
+              (acc.getField("cov") + K).as("cov"), (pl + K).as("le")))
+            .otherwise(struct(acc.getField("n").as("n"),
+              (acc.getField("cov") + pl + K - acc.getField("le")).as("cov"),
+              (pl + K).as("le")))
+        }).as("st"))
+      base.select(col("doc_id"), size(col("t")).cast("long").as("total_tokens"))
+        .join(merged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total_tokens"),
+          coalesce(col("st.n"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("st.cov"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("st.cov"), lit(0L)).cast("double")
+            / col("total_tokens"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source document cap — the domain-balancing pass of a crawl
     // pipeline ("keep at most N docs per domain"): rank docs inside
     // each source by a salted portable hash (deterministic and
@@ -289,6 +348,41 @@ object PipelineQueries {
     // the hashed lane must produce byte-identical output to the string
     // lane — gate it against the same oracle
     "q_decontaminate_fast" -> decontaminateSql,
+
+    "q_span_dedup" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' shared boilerplate segment one two three four five six seven eight nine'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 8 = 0
+        |         THEN ' zz' || doc_id || ' alternate boilerplate run ten eleven twelve thirteen fourteen'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+        |g AS (SELECT doc_id, UNNEST(range(0, GREATEST(LEN(t) - 5, 0))) AS pos, t FROM tk),
+        |g2 AS (SELECT doc_id, pos,
+        |  ('0x' || substring(md5(array_to_string(t[pos+1:pos+6], ' ')), 1, 15))::BIGINT AS h
+        |FROM g),
+        |dup AS (SELECT h FROM g2 GROUP BY h HAVING COUNT(*) > 1),
+        |a AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > COALESCE(MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS newisl
+        |FROM a),
+        |isl2 AS (SELECT doc_id, pos,
+        |  SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS iid
+        |FROM isl),
+        |spans AS (SELECT doc_id, iid, MIN(pos) AS s, MAX(pos) + 6 AS e
+        |FROM isl2 GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(e - s) AS BIGINT) AS dup_tokens FROM spans GROUP BY 1)
+        |SELECT tk.doc_id, CAST(LEN(tk.t) AS BIGINT) AS total_tokens,
+        |  COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(per.dup_tokens, 0) AS dup_tokens,
+        |  ROUND(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / LEN(tk.t), 6) AS dup_frac
+        |FROM tk LEFT JOIN per ON tk.doc_id = per.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
 
     "q_source_cap" ->
       """WITH r AS (SELECT source, doc_id,
