@@ -63,4 +63,25 @@ object DedupResolve {
       .withColumn("comp", coalesce(col("comp"), col(idCol)))
       .withColumn("keep", col(idCol) === col("comp"))
   }
+
+  /** Quality-aware keep-list: within each component the doc with the
+    * HIGHEST `scoreCol` survives (ties -> lowest id) — the production
+    * rule (keep the longest/cleanest copy; RefinedWeb and Gopher both
+    * resolve clusters by quality, not id). One lexicographic
+    * max(struct) aggregation per component on top of keepList's
+    * shuffles; no window. */
+  def keepBestList(docs: DataFrame, idCol: String, scoreCol: String,
+                   pairs: DataFrame, a: String = "id_a",
+                   b: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, a, b)
+      .withColumnRenamed("id", idCol)
+    val labelled = docs.join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val winners = labelled.groupBy("comp")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("m"))
+      .select(col("comp"), (-col("m.negid")).as("__winner"))
+    labelled.join(winners, Seq("comp"))
+      .withColumn("keep", col(idCol) === col("__winner"))
+      .drop("__winner")
+  }
 }

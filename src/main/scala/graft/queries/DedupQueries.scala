@@ -95,6 +95,19 @@ object DedupQueries {
         .orderBy("survivor_id")
     }),
 
+    // quality-aware dedup resolution: within each near-dup component
+    // the LONGEST doc survives (ties -> lowest id) — the production
+    // keep rule, vs q_dedup_groups' min-id canonical labelling. Output
+    // one row per flagged doc so the oracle pins every keep decision.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      graft.operators.DedupResolve.keepBestList(
+          docs, "doc_id", "n_chars", verifiedPairs(s, dir).select("id_a", "id_b"))
+        .select(col("doc_id"), col("comp"), col("n_chars"),
+          col("keep").cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash per doc + hamming distance to a reference doc
     "q_simhash" -> ((s, dir) => {
       val hs = t(s, dir, "documents")
@@ -244,6 +257,50 @@ object DedupQueries {
          |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)
          |SELECT comp AS survivor_id, COUNT(*) AS n_docs, MAX(id) AS max_id
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_dedup_keep_best" -> {
+      val sig = (0 until K).map(mhSql).zipWithIndex
+        .map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
+      val bandRows = (0 until K / R).map { b =>
+        val key = H((0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+          .mkString(" || '_' || "))
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      // same closure as q_dedup_groups, then highest-n_chars survivor
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM s),
+         |sig AS (SELECT doc_id, $sig FROM h),
+         |bands AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, ROUND($jacSql, 6) AS jac
+         |    FROM cand
+         |    JOIN (SELECT doc_id AS id_a, hs AS hs_a FROM h) USING (id_a)
+         |    JOIN (SELECT doc_id AS id_b, hs AS hs_b FROM h) USING (id_b))
+         |  WHERE jac >= $VERIFY),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s),
+         |lab AS (
+         |  SELECT dd.doc_id, COALESCE(c.comp, dd.doc_id) AS comp, dd.n_chars
+         |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id),
+         |win AS (
+         |  SELECT doc_id, comp, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM lab)
+         |SELECT doc_id, comp, n_chars,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM win ORDER BY doc_id""".stripMargin
     },
 
     "q_simhash" ->
