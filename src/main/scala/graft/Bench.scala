@@ -224,7 +224,7 @@ object Bench {
     // round-over-round
     val pipelineNames = Seq("q_pii_redact", "q_repetition_ngram",
       "q_decontaminate", "q_decontaminate_fast", "q_seq_pack",
-      "q_embed_lsh", "q_pq_encode")
+      "q_embed_lsh", "q_pq_encode", "q_span_dedup", "q_semdedup")
     val (pipeResults, _) = repMajor(2, pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     })
