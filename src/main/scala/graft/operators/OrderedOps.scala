@@ -458,4 +458,29 @@ object OrderedOps {
       .otherwise((element_at(vals, half) + element_at(vals, half + 1)) / 2.0)
     withWin.withColumn(as, med).drop("__rwin")
   }
+
+  /** Trailing rolling exact quantile with linear interpolation (numpy
+    * 'linear' / SQL percentile_cont semantics): position q·(n−1) over
+    * the sorted non-null window values, interpolated between the two
+    * bracketing elements. Generalizes [[rollingMedian]] (which keeps
+    * the (a+b)/2 midpoint formula for bit-parity with SQL MEDIAN).
+    * Same block-partitioned rollingArray carry — O(window·log window)
+    * per row, no global window. */
+  def rollingQuantile(df: DataFrame, column: String, window: Int, q: Double,
+                      as: String, rowIndex: String = "row_index",
+                      blockSize: Long = DefaultBlockSize): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
+    val vals = array_sort(filter(col("__rwin"),
+      v => v.isNotNull)).cast("array<double>")
+    val n = size(vals)
+    val pos = lit(q) * (n - 1).cast("double")
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo.cast("double")
+    val lov = element_at(vals, lo + 1)
+    val hiv = element_at(vals, least(lo + 2, n))
+    val out = when(n === 0, lit(null).cast("double"))
+      .otherwise(lov + (hiv - lov) * frac)
+    withWin.withColumn(as, out).drop("__rwin")
+  }
 }

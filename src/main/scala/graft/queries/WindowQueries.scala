@@ -93,6 +93,25 @@ object WindowQueries {
         .orderBy("row_index")
     }),
 
+    // rolling exact quantile (q=0.25, linear interpolation) — same
+    // block-partitioned carry as rolling median, gated against
+    // DuckDB's windowed QUANTILE_CONT. Integer-valued doubles and
+    // dyadic q keep the interpolation arithmetic exact in both
+    // engines regardless of their interpolation formula ordering.
+    "q_rolling_quantile" -> ((s, dir) => {
+      import graft.operators.OrderedOps
+      val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+      val base = graft.sources.Tables.withRowIndexBy(
+        t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
+        keys, buckets = 8)
+      val staged = base.withColumn("__x", col("l_quantity").cast("double"))
+      OrderedOps.rollingQuantile(staged, "__x", 5, 0.25, "roll_q25",
+          blockSize = 8192L)
+        .select(col("row_index"), r(col("roll_q25"), 6).as("roll_q25"))
+        .orderBy("row_index")
+    }),
+
     // ranking family (absent in reference §2.6 — "free if wanted")
     "q_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -239,6 +258,17 @@ object WindowQueries {
         |SELECT row_index,
         |  ROUND(MEDIAN(xd) OVER (ORDER BY row_index
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+        |FROM ri ORDER BY row_index""".stripMargin,
+
+    "q_rolling_quantile" ->
+      """WITH ri AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS xd,
+        |    ROW_NUMBER() OVER (ORDER BY l_suppkey, l_shipdate, l_orderkey,
+        |      l_linenumber, l_extendedprice) - 1 AS row_index
+        |  FROM lineitem)
+        |SELECT row_index,
+        |  ROUND(QUANTILE_CONT(xd, 0.25) OVER (ORDER BY row_index
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_q25
         |FROM ri ORDER BY row_index""".stripMargin,
 
     "q_rank" ->

@@ -7,7 +7,7 @@ import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.compression.CompressionUtil
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
@@ -103,44 +103,51 @@ object ArrowIpc {
           null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
         case None => new ArrowFileWriter(root, null, out.getChannel)
       }
-      try {
-        writer.start()
-        val it = df.toLocalIterator()
-        val batch = new Array[Row](batchRows)
-        var done = false
-        while (!done) {
-          var n = 0
-          while (n < batchRows && it.hasNext) { batch(n) = it.next(); n += 1 }
-          done = !it.hasNext
-          if (n > 0) {
-            root.allocateNew()
-            schema.fields.zipWithIndex.foreach { case (f, ci) =>
-              val vec = root.getVector(ci)
-              var ri = 0
-              while (ri < n) {
-                val row = batch(ri)
-                if (row.isNullAt(ci)) () // leave unset -> null
-                else (f.dataType, vec) match {
-                  case (LongType, v: BigIntVector) => v.setSafe(ri, row.getLong(ci))
-                  case (IntegerType, v: IntVector) => v.setSafe(ri, row.getInt(ci))
-                  case (DoubleType, v: Float8Vector) => v.setSafe(ri, row.getDouble(ci))
-                  case (FloatType, v: Float4Vector) => v.setSafe(ri, row.getFloat(ci))
-                  case (StringType, v: VarCharVector) =>
-                    v.setSafe(ri, row.getString(ci).getBytes("UTF-8"))
-                  case (BooleanType, v: BitVector) => v.setSafe(ri, if (row.getBoolean(ci)) 1 else 0)
-                  case (dt, _) => throw new IllegalArgumentException(s"unsupported type: $dt")
-                }
-                ri += 1
-              }
-              vec.setValueCount(n)
-            }
-            root.setRowCount(n)
-            writer.writeBatch()
-          }
-        }
-        writer.end()
-      } finally { writer.close(); out.close(); root.close() }
+      try pump(df, schema, root, writer, batchRows)
+      finally { writer.close(); out.close(); root.close() }
     } finally allocator.close()
+  }
+
+  /** Stream `batchRows`-row record batches from the frame through an
+    * Arrow writer (file or stream framing — both extend ArrowWriter). */
+  private def pump(df: DataFrame, schema: StructType, root: VectorSchemaRoot,
+                   writer: org.apache.arrow.vector.ipc.ArrowWriter,
+                   batchRows: Int): Unit = {
+    writer.start()
+    val it = df.toLocalIterator()
+    val batch = new Array[Row](batchRows)
+    var done = false
+    while (!done) {
+      var n = 0
+      while (n < batchRows && it.hasNext) { batch(n) = it.next(); n += 1 }
+      done = !it.hasNext
+      if (n > 0) {
+        root.allocateNew()
+        schema.fields.zipWithIndex.foreach { case (f, ci) =>
+          val vec = root.getVector(ci)
+          var ri = 0
+          while (ri < n) {
+            val row = batch(ri)
+            if (row.isNullAt(ci)) () // leave unset -> null
+            else (f.dataType, vec) match {
+              case (LongType, v: BigIntVector) => v.setSafe(ri, row.getLong(ci))
+              case (IntegerType, v: IntVector) => v.setSafe(ri, row.getInt(ci))
+              case (DoubleType, v: Float8Vector) => v.setSafe(ri, row.getDouble(ci))
+              case (FloatType, v: Float4Vector) => v.setSafe(ri, row.getFloat(ci))
+              case (StringType, v: VarCharVector) =>
+                v.setSafe(ri, row.getString(ci).getBytes("UTF-8"))
+              case (BooleanType, v: BitVector) => v.setSafe(ri, if (row.getBoolean(ci)) 1 else 0)
+              case (dt, _) => throw new IllegalArgumentException(s"unsupported type: $dt")
+            }
+            ri += 1
+          }
+          vec.setValueCount(n)
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+    }
+    writer.end()
   }
 
   /** Read an Arrow IPC file into a DataFrame. Distributed: the driver
@@ -184,5 +191,62 @@ object ArrowIpc {
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Export in the Arrow IPC STREAM framing (`pyarrow.ipc.new_stream`,
+    * inter-process pipes): schema message + record batches + EOS, no
+    * footer. Use the FILE framing ([[write]]) when readers need the
+    * batch index for parallel decode. */
+  def writeStream(df: DataFrame, path: String, batchRows: Int = 65536,
+                  compression: Option[String] = None): Unit = {
+    require(batchRows > 0, "batchRows must be positive")
+    val schema = df.schema
+    val allocator = new RootAllocator()
+    try {
+      val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
+      val root = VectorSchemaRoot.create(aschema, allocator)
+      val out = new java.io.FileOutputStream(path)
+      val writer = codecOf(compression) match {
+        case Some(codec) => new ArrowStreamWriter(root, null, out.getChannel,
+          IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+        case None => new ArrowStreamWriter(root, null, out.getChannel)
+      }
+      try pump(df, schema, root, writer, batchRows)
+      finally { writer.close(); out.close(); root.close() }
+    } finally allocator.close()
+  }
+
+  /** Read an Arrow IPC STREAM-framed file. The framing has no footer
+    * or batch index, so decode is a single sequential pass (one task);
+    * the result is repartitioned for downstream parallelism. For
+    * batch-parallel scans store the FILE framing instead ([[read]]). */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val sparkFields = {
+      val allocator = new RootAllocator()
+      val in = new java.io.FileInputStream(path)
+      try {
+        val reader = new ArrowStreamReader(in, allocator,
+          CommonsCompressionFactory.INSTANCE)
+        try sparkFieldsOf(reader.getVectorSchemaRoot.getSchema)
+        finally reader.close()
+      } finally { in.close(); allocator.close() }
+    }
+    val schema = StructType(sparkFields)
+    val nFields = sparkFields.size
+    val rdd = spark.sparkContext.parallelize(Seq(0), 1)
+      .mapPartitions { _ =>
+        val allocator = new RootAllocator()
+        val in = new java.io.FileInputStream(path)
+        val reader = new ArrowStreamReader(in, allocator,
+          CommonsCompressionFactory.INSTANCE)
+        try {
+          val root = reader.getVectorSchemaRoot
+          val rows = Vector.newBuilder[Row]
+          while (reader.loadNextBatch()) rows ++= rowsOfBatch(root, nFields)
+          rows.result().iterator
+        } finally { reader.close(); in.close(); allocator.close() }
+      }
+    spark.createDataFrame(rdd, schema)
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 }

@@ -124,6 +124,34 @@ class CoverageTailSpec extends SparkSpec {
     assert(size(dir.resolve("c.lz4.arrow").toString) < size(pu))
   }
 
+  test("Arrow IPC STREAM framing: round-trip + genuine pyarrow stream fixtures") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_stream")
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 0.25).as("x"),
+      concat(lit("v"), col("id") % 50).as("s"))
+    for (codec <- Seq(None, Some("lz4"), Some("zstd"))) {
+      val p = dir.resolve(s"t_${codec.getOrElse("raw")}.arrows").toString
+      ArrowIpc.writeStream(df, p, batchRows = 4096, compression = codec)
+      val back = ArrowIpc.readStream(spark, p)
+      assert(back.count() == 20000, s"codec $codec")
+      assert(back.agg(sum("x")).head.getDouble(0) ==
+        df.agg(sum("x")).head.getDouble(0), s"codec $codec")
+      assert(back.where(col("id") === 123L).head.getString(2) == "v23")
+    }
+    // genuine pyarrow.ipc.new_stream fixtures (256-row batches):
+    // k=0..999, x=k*0.5, s="s<k>"; lz4 variant compressed batches
+    for (fix <- Seq("pyarrow_stream.arrows", "pyarrow_stream_lz4.arrows")) {
+      val url = getClass.getResource(s"/$fix")
+      assert(url != null, s"missing fixture $fix")
+      val back = ArrowIpc.readStream(spark, url.getPath)
+      assert(back.count() == 1000, fix)
+      assert(back.agg(sum("x")).head.getDouble(0) ==
+        (0 until 1000).map(_ * 0.5).sum, fix)
+      assert(back.where(col("k") === 77L).head.getString(2) == "s77", fix)
+    }
+  }
+
   test("Arrow IPC reads genuine pyarrow-written compressed files") {
     import org.apache.spark.sql.functions._
     // fixtures written by pyarrow (IpcWriteOptions(compression=...),

@@ -184,6 +184,38 @@ class OrderedOpsSpec extends SparkSpec {
     assert(gotN(5L) == Some(5.0) && gotN(6L) == Some(5.5)) // partial non-null windows
   }
 
+  test("rollingQuantile: interpolated quantile, q=0/1 hit window min/max") {
+    val w = 5
+    val xs = df.select("row_index", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q25 = OrderedOps.rollingQuantile(df, "x", w, 0.25, "q", blockSize = 7L)
+      .select(col("row_index"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q0 = OrderedOps.rollingQuantile(df, "x", w, 0.0, "q", blockSize = 7L)
+      .select(col("row_index"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q1 = OrderedOps.rollingQuantile(df, "x", w, 1.0, "q", blockSize = 7L)
+      .select(col("row_index"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0L until 100L) {
+      val vals = (math.max(0L, i - w + 1) to i).map(xs).sorted
+      val pos = 0.25 * (vals.length - 1)
+      val lo = pos.toInt
+      val expect =
+        if (lo + 1 < vals.length) vals(lo) + (vals(lo + 1) - vals(lo)) * (pos - lo)
+        else vals(lo)
+      assert(math.abs(q25(i) - expect) < 1e-12, s"row $i: ${q25(i)} vs $expect")
+      assert(q0(i) == vals.head && q1(i) == vals.last, s"row $i extremes")
+    }
+    // all-null windows stay null
+    val dn = spark.range(6).select(col("id").as("row_index"),
+      when(col("id") < 3, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))
+    val gotN = OrderedOps.rollingQuantile(dn, "x", 3, 0.5, "q", blockSize = 4L)
+      .select(col("row_index"), col("q")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotN(2L).isEmpty && gotN(3L) == Some(3.0))
+  }
+
   test("blockRollingSum null handling: all-null window stays null") {
     val d = spark.range(10).select(col("id").as("row_index"),
       when(col("id") < 5, lit(null).cast("double")).otherwise(col("id").cast("double")).as("x"))
