@@ -401,6 +401,32 @@ class Hdf5Spec extends SparkSpec {
     // of mutations still parse (flips landing in data regions)
     assert(secs < 60.0, s"fuzz took ${secs}s")
     assert(parsed > 50, s"only $parsed/300 parsed — fixture layout suspicious")
+
+    // same discipline for the FILTERED-fractal-heap metadata path:
+    // corrupt stored sizes / pipeline bytes / compressed images must
+    // throw promptly (inflate is bounded by the logical block size)
+    val fpath = tmp("fuzzheap.hdf5")
+    val names = (0 until 40).map(i => f"col_$i%02d")
+    Hdf5.writeFlatFile(fpath,
+      longs = names.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) },
+      latest = true, heapFilter = true)
+    val fbase = Files.readAllBytes(java.nio.file.Paths.get(fpath))
+    val fmut = java.nio.file.Paths.get(tmp("fuzzheapmut.hdf5"))
+    var fparsed = 0
+    val t1 = System.nanoTime()
+    for (_ <- 1 to 150) {
+      val mutated = fbase.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val pos = if (rnd.nextBoolean()) rnd.nextInt(math.min(4096, mutated.length))
+          else rnd.nextInt(mutated.length)
+        mutated(pos) = rnd.nextInt(256).toByte
+      }
+      Files.write(fmut, mutated)
+      try { Hdf5.readTable(fmut.toString); fparsed += 1 }
+      catch { case _: Exception => () }
+    }
+    val fsecs = (System.nanoTime() - t1) / 1e9
+    assert(fsecs < 40.0, s"filtered-heap fuzz took ${fsecs}s")
   }
 
   test("unsupported layouts fail with clear errors") {
