@@ -256,27 +256,37 @@ object PipelineQueries {
     // pipeline ("keep at most N docs per domain"): rank docs inside
     // each source by a salted portable hash (deterministic and
     // engine-portable — NOT ingest order, which neither engine
-    // reproduces) and keep rank <= cap. Exact-N semantics needs a
-    // per-source ranking, one shuffle on source; for a heavy-tailed
-    // domain distribution at 100 TB, first aggregate per-domain
-    // counts and rank only the over-quota domains (the under-quota
-    // tail — most domains — skips the window entirely), or use
-    // hash-threshold sampling (q_stratified_sample) when approximate
-    // caps suffice.
+    // reproduces) and keep rank <= cap. Scale shape: per-domain
+    // counts first, then ONLY the over-quota domains go through the
+    // ranking window (broadcast semi/anti split) — on a heavy-tailed
+    // domain distribution the under-quota tail (most domains, most
+    // rows) never shuffles into a window at all; use hash-threshold
+    // sampling (q_stratified_sample) when approximate caps suffice.
     "q_source_cap" -> ((s, dir) => {
       import TextFunctions._
       import org.apache.spark.sql.expressions.Window
       val cap = 100
+      // heavy-tailed domain mix built from doc_id math (the synthetic
+      // sources are uniform): half the corpus collapses into one
+      // "bigdomain", so the over-quota window path AND the under-quota
+      // pass-through both execute at every verify scale
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("bigdomain"))
+          .otherwise(col("source")).as("source"))
+      val over = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > cap).select("source")
       val h = portableHash(concat(lit("cap:"), col("doc_id").cast("string")))
       val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-      val kept = col("__rk") <= cap
-      t(s, dir, "documents")
-        .withColumn("__rk", row_number().over(w))
+      val ranked = docs.join(broadcast(over), Seq("source"), "left_semi")
+        .withColumn("__keep", row_number().over(w) <= cap)
+      val pass = docs.join(broadcast(over), Seq("source"), "left_anti")
+        .withColumn("__keep", lit(true))
+      ranked.unionByName(pass)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(kept, col("doc_id"))).as("kept_id_sum"),
-          min(when(kept, col("doc_id"))).as("first_kept"))
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__keep"), col("doc_id"))).as("kept_id_sum"),
+          min(when(col("__keep"), col("doc_id"))).as("first_kept"))
         .orderBy("source")
     }),
 
@@ -385,10 +395,13 @@ object PipelineQueries {
         |ORDER BY tk.doc_id""".stripMargin,
 
     "q_source_cap" ->
-      """WITH r AS (SELECT source, doc_id,
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bigdomain' ELSE source END AS source
+        |FROM documents),
+        |r AS (SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source
         |    ORDER BY ('0x' || substring(md5('cap:' || doc_id), 1, 15))::BIGINT, doc_id) AS rk
-        |FROM documents)
+        |FROM d)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN rk <= 100 THEN doc_id END) AS BIGINT) AS kept_id_sum,
