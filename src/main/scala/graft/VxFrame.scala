@@ -173,6 +173,18 @@ final case class VxFrame(
     * (reference: core/dataframe.py:4484 `extract`). */
   def extract(): VxFrame = copy(base = df, virtualColumns = ListMap.empty, filterExpression = None)
 
+  /** Content fingerprint of this frame's computation (reference:
+    * core/dataframe.py:229 `fingerprint` — state + dataset hash).
+    * See [[graft.operators.ResultCache.fingerprint]]. */
+  def fingerprint(): String = graft.operators.ResultCache.fingerprint(df)
+
+  /** Disk-backed result memoization keyed by [[fingerprint]]
+    * (reference: core/cache.py:110-371 task-result cache): first call
+    * computes and persists, later calls — in this session or any
+    * other — read the cached parquet instead of the inputs. */
+  def resultCache(cacheDir: String): VxFrame =
+    VxFrame(graft.operators.ResultCache.cached(df, cacheDir))
+
   // ---------------------------------------------------------------- selections
 
   /** Named selection with boolean algebra

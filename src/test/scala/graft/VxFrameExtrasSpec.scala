@@ -234,4 +234,40 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(chunks.map(_.size).sum == 5)
     assert(chunks.forall(_.size <= 2))
   }
+
+  test("resultCache: fingerprint-keyed memoization hits, misses on changed input") {
+    import graft.operators.ResultCache
+    val dir = java.nio.file.Files.createTempDirectory("graft_rescache")
+    val src = dir.resolve("src.parquet").toString
+    val cache = dir.resolve("cache").toString
+    spark.range(1000).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    def q() = spark.read.parquet(src).groupBy("k").count()
+    // two independently-built but identical queries fingerprint the same
+    assert(ResultCache.fingerprint(q()) == ResultCache.fingerprint(q()))
+    // a different query fingerprints differently
+    val other = spark.read.parquet(src).groupBy("k")
+      .agg(sum("id").as("s"))
+    assert(ResultCache.fingerprint(q()) != ResultCache.fingerprint(other))
+    val first = ResultCache.cached(q(), cache)
+    assert(first.count() == 7)
+    // a hit reads the cache parquet, never the original input
+    val second = ResultCache.cached(q(), cache)
+    val scanned = second.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains("cache")),
+      scanned.mkString(","))
+    assert(second.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      first.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // rewriting the input changes the fingerprint -> miss, recompute
+    val fpBefore = ResultCache.fingerprint(q())
+    spark.range(2000).selectExpr("id", "id % 7 AS k")
+      .write.mode("overwrite").parquet(src)
+    val fpAfter = ResultCache.fingerprint(q())
+    assert(fpBefore != fpAfter)
+    assert(ResultCache.cached(q(), cache).agg(sum("count")).head.getLong(0) == 2000L)
+    // facade surface
+    val vfc = VxFrame(q()).resultCache(cache)
+    assert(vfc.count() == 7)
+    ResultCache.invalidate(spark, cache)
+    assert(!new java.io.File(cache).exists())
+  }
 }
