@@ -590,8 +590,21 @@ final case class VxFrame(
     * Spark's exact percentile buffers every value per group (OOM
     * territory on a 100 TB fact table). `exact = true` opts into the
     * exact interpolated variant for small frames / oracle parity. */
-  def percentile(e: String, q: Double, exact: Boolean = false): Double = {
+  /** `exact=true` uses Spark's builtin `percentile` (collects a
+    * value->count map on one reducer — fine up to medium scale);
+    * `scaleSafe=true` additionally routes the exact computation
+    * through [[graft.operators.GroupedPercentile]]'s distributed
+    * selection (4 memory-bounded passes, bit-identical result) — the
+    * form that survives a 100 TB column. */
+  def percentile(e: String, q: Double, exact: Boolean = false,
+                 scaleSafe: Boolean = false): Double = {
     val c = substituteVariables(e)
+    if (exact && scaleSafe) {
+      import graft.operators.GroupedPercentile
+      val r = GroupedPercentile.exact(df, Nil,
+        Seq(GroupedPercentile.Spec(c, q, "__p"))).head()
+      return if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+    }
     val aggExpr =
       if (exact) expr(s"percentile($c, $q)")
       else expr(s"percentile_approx($c, $q, 10000)").cast("double")

@@ -180,7 +180,10 @@ object SimilaritySearch {
     * lookup table LUT[mi][code] = ‖q_mi − c_mi,code‖² — the scan reads
     * ONLY the codes column (the compressed search that makes PQ the
     * memory-bound ANN path at scale: m bytes per vector instead of
-    * 4·dim). Returns (qid, vec_id, adc_dist) top-k per query. */
+    * 4·dim). Returns (qid, vec_id, adc_dist) top-k per query.
+    * Plans one scan + TakeOrdered PER query — right for a handful of
+    * literal queries; past ~a dozen use [[pqAdcTopKBatch]], which
+    * answers every query in one scan. */
   def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
                 queries: Seq[(Long, Seq[Float])], codebook: PqCodebook,
                 kTop: Int): DataFrame = {

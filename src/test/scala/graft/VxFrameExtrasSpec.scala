@@ -235,6 +235,16 @@ class VxFrameExtrasSpec extends SparkSpec {
     assert(chunks.forall(_.size <= 2))
   }
 
+  test("percentile scaleSafe path equals the builtin bit-for-bit") {
+    val f = VxFrame(graft.queries.Q.t(spark, sf0001, "lineitem")
+      .select(col("l_quantity").cast("double").as("x")))
+    for (q <- Seq(0.1, 0.5, 0.9, 0.999)) {
+      val builtin = f.percentile("x", q, exact = true)
+      val safe = f.percentile("x", q, exact = true, scaleSafe = true)
+      assert(builtin == safe, s"q=$q: $builtin vs $safe")
+    }
+  }
+
   test("resultCache: fingerprint-keyed memoization hits, misses on changed input") {
     import graft.operators.ResultCache
     val dir = java.nio.file.Files.createTempDirectory("graft_rescache")
