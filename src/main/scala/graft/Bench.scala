@@ -222,9 +222,14 @@ object Bench {
     // filters, decontamination, packing, embedding LSH, PQ — timed
     // APART from the headline battery so `value` stays comparable
     // round-over-round
+    // q_percentile_grouped = the distributed-selection exact
+    // percentile (4 bounded passes) vs the headline q_percentile's
+    // builtin single-pass value-map aggregate — the builtin wins small
+    // wall-clock here, the selection wins the memory bound at scale
     val pipelineNames = Seq("q_pii_redact", "q_repetition_ngram",
       "q_decontaminate", "q_decontaminate_fast", "q_seq_pack",
-      "q_embed_lsh", "q_pq_encode", "q_span_dedup", "q_semdedup")
+      "q_embed_lsh", "q_pq_encode", "q_span_dedup", "q_semdedup",
+      "q_percentile_grouped")
     val (pipeResults, _) = repMajor(2, pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     })
