@@ -283,4 +283,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(pairs() == Set((0L, 1L), (3L, 4L)), pairs())
   }
+
+  test("curation projections are mode-agnostic: PII redact + quality on a stream") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (0L, "contact me at bob@example.com or 555-123-4567 thanks"),
+      (1L, "server at 10.0.0.1 logged the the the the repeated words"),
+      (2L, "clean text with nothing sensitive at all"))
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("clean"),
+      TextFunctions.piiCount(col("text"),
+        TextFunctions.PiiEmailPattern).as("n_email"),
+      TextFunctions.maxRunLength(array_sort(split(col("text"), " ")))
+        .as("max_run"))
+    val expected = curate(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    val got = StreamOps.runToMemory(
+        curate(stream.toDF.toDF("doc_id", "text")),
+        "t_curation", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(expected.exists(_.exists(v =>
+      v.toString.contains("<EMAIL>") && v.toString.contains("<PHONE>"))))
+  }
 }
