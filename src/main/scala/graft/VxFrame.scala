@@ -586,16 +586,14 @@ final case class VxFrame(
 
   /** Percentile of an expression. The PUBLIC default is the sketch-
     * based `percentile_approx` — the reference's percentile is itself
-    * approximate (grid-interpolated, core/dataframe.py:1632-1781), and
-    * Spark's exact percentile buffers every value per group (OOM
-    * territory on a 100 TB fact table). `exact = true` opts into the
-    * exact interpolated variant for small frames / oracle parity. */
-  /** `exact=true` uses Spark's builtin `percentile` (collects a
-    * value->count map on one reducer — fine up to medium scale);
-    * `scaleSafe=true` additionally routes the exact computation
-    * through [[graft.operators.GroupedPercentile]]'s distributed
-    * selection (4 memory-bounded passes, bit-identical result) — the
-    * form that survives a 100 TB column. */
+    * approximate (grid-interpolated, core/dataframe.py:1632-1781).
+    * `exact=true` uses Spark's builtin exact `percentile` (collects a
+    * value->count map on one reducer — fine up to medium scale, OOM
+    * territory on a 100 TB fact table); `scaleSafe=true` additionally
+    * routes the exact computation through
+    * [[graft.operators.GroupedPercentile]]'s distributed selection
+    * (4 memory-bounded passes, bit-identical result) — the form that
+    * survives a 100 TB column. */
   def percentile(e: String, q: Double, exact: Boolean = false,
                  scaleSafe: Boolean = false): Double = {
     val c = substituteVariables(e)

@@ -29,20 +29,27 @@ object ResultCache {
 
   /** Deterministic fingerprint of a frame's logical computation +
     * input file identity. Stable across sessions of the same Spark
-    * version for identical queries over identical files. */
+    * version for identical queries over identical files. In-memory
+    * (LocalRelation) inputs hash their ROWS — the canonicalized plan
+    * string prints only the schema, so without this two different
+    * local datasets of the same shape would collide. A failed file
+    * stat propagates: silently degrading the key would let a later
+    * rewrite of that file serve stale results forever. */
   def fingerprint(df: DataFrame): String = {
-    val plan = df.queryExecution.optimizedPlan.canonicalized.toString
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    val files = df.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try {
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
-      } catch { case _: java.io.IOException => s"$f:?" }
-    }
+    val optimized = df.queryExecution.optimizedPlan
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(plan.getBytes("UTF-8"))
-    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.update(optimized.canonicalized.toString.getBytes("UTF-8"))
+    optimized.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.foreach(row => md.update(row.toString.getBytes("UTF-8")))
+      case _ => ()
+    }
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    df.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(s"$f:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 

@@ -395,13 +395,20 @@ object SimilaritySearch {
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): cluster-blocked greedy near-duplicate removal
-    * over an embedding column. Every vector is assigned to its nearest
-    * coarse centroid (a zero-shuffle projection, see [[assignCells]]);
-    * inside each cluster, a vector is a duplicate when its cosine to
-    * ANY lower-id vector of the same cluster is >= `tau` (greedy
-    * keep-first — order-deterministic, so no connected-components pass
-    * is needed and the result is oracle-checkable).
+    * arXiv:2303.09540): cluster-blocked near-duplicate removal over an
+    * embedding column. Every vector is assigned to its nearest coarse
+    * centroid (a zero-shuffle projection, see [[assignCells]]); inside
+    * each cluster, a vector is a duplicate when its cosine to ANY
+    * lower-id vector of the same cluster is >= `tau`. The rule is
+    * TRANSITIVE along similarity chains (A~B and B~C drops both B and
+    * C even when cos(A,C) < tau) — i.e. roughly one survivor per
+    * connected similarity component, like [[DedupResolve.keepList]],
+    * slightly more aggressive than a strict greedy keep-first sweep
+    * that re-compares only against survivors. Order-deterministic and
+    * oracle-checkable with no iterative components pass. `dup_of` is
+    * the smallest matching lower id and can itself be a dropped row
+    * mid-chain (provenance, not the survivor; the survivor is the
+    * component's minimum, reachable by following dup_of).
     *
     * Scale shape: the pairwise step is blocked by cluster — cost is
     * sum(n_c^2) over cluster sizes, never corpus-wide. The SemDeDup

@@ -38,6 +38,29 @@ object PipelineQueries {
     ).as("__txt"))
   }
 
+  /** Shared decontamination body: flag training docs whose distinct
+    * grams (`gramExpr` over `text` — string or hashed, same algebra)
+    * intersect the eval set's gram dictionary. */
+  private def decontaminate(s: SparkSession, dir: String,
+                            gramExpr: org.apache.spark.sql.Column): DataFrame = {
+    val withG = t(s, dir, "documents").select(col("doc_id"), gramExpr.as("__g"))
+    val evalG = withG.where(col("doc_id") % 10 === 0)
+      .select(explode(col("__g")).as("g")).distinct()
+    val train = withG.where(col("doc_id") % 10 =!= 0)
+    val matched = train.select(col("doc_id"), explode(col("__g")).as("g"))
+      .join(evalG, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contam_frac",
+        when(col("n_grams") > 0,
+          round(col("n_matched").cast("double") / col("n_grams"), 6)))
+      .withColumn("is_contaminated",
+        (col("n_matched") >= 1).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // single line: embedding a multi-line fragment inside a template
   // that itself stripMargin's would eat the leading pipe of a `||`
   private val sqlInjectedPii: String =
@@ -96,29 +119,12 @@ object PipelineQueries {
     // Benchmark decontamination: docs with doc_id % 10 == 0 stand in
     // for the eval set; a training doc is flagged when any of its
     // distinct 5-gram shingles appears in the eval set. The candidate
-    // join is a semi-join keyed on the gram string (hash the grams
-    // with portableHash(Xx64Hash) in production — same algebra, no
-    // text movement); the eval dictionary is the small side and AQE
-    // broadcast-converts it.
-    "q_decontaminate" -> ((s, dir) => {
-      val g5 = TextFunctions.shingles(col("text"), 5)
-      val withG = t(s, dir, "documents").select(col("doc_id"), g5.as("__g"))
-      val evalG = withG.where(col("doc_id") % 10 === 0)
-        .select(explode(col("__g")).as("g")).distinct()
-      val train = withG.where(col("doc_id") % 10 =!= 0)
-      val matched = train.select(col("doc_id"), explode(col("__g")).as("g"))
-        .join(evalG, Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-      train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
-        .join(matched, Seq("doc_id"), "left")
-        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
-        .withColumn("contam_frac",
-          when(col("n_grams") > 0,
-            round(col("n_matched").cast("double") / col("n_grams"), 6)))
-        .withColumn("is_contaminated",
-          (col("n_matched") >= 1).cast("long"))
-        .orderBy("doc_id")
-    }),
+    // join is a semi-join on the gram (string in the oracle lane,
+    // int64 hash in the fast lane — same algebra, shared body below);
+    // the eval dictionary is the small side and AQE broadcast-converts
+    // it.
+    "q_decontaminate" -> ((s, dir) =>
+      decontaminate(s, dir, TextFunctions.shingles(col("text"), 5))),
 
     // Production decontamination lane: identical algebra to
     // q_decontaminate, but the 5-grams are xxhash64'd BEFORE the
@@ -130,24 +136,8 @@ object PipelineQueries {
     // DuckDB oracle gates it.
     "q_decontaminate_fast" -> ((s, dir) => {
       import TextFunctions._
-      val g5 = transform(shingles(col("text"), 5),
-        g => portableHash(g, Xx64Hash))
-      val withG = t(s, dir, "documents").select(col("doc_id"), g5.as("__g"))
-      val evalG = withG.where(col("doc_id") % 10 === 0)
-        .select(explode(col("__g")).as("g")).distinct()
-      val train = withG.where(col("doc_id") % 10 =!= 0)
-      val matched = train.select(col("doc_id"), explode(col("__g")).as("g"))
-        .join(evalG, Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-      train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
-        .join(matched, Seq("doc_id"), "left")
-        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
-        .withColumn("contam_frac",
-          when(col("n_grams") > 0,
-            round(col("n_matched").cast("double") / col("n_grams"), 6)))
-        .withColumn("is_contaminated",
-          (col("n_matched") >= 1).cast("long"))
-        .orderBy("doc_id")
+      decontaminate(s, dir, transform(shingles(col("text"), 5),
+        g => portableHash(g, Xx64Hash)))
     }),
 
     // Stratified (per-source) deterministic sampling — the source-mix

@@ -129,8 +129,9 @@ object VectorQueries {
 
     // SemDeDup (Abbas et al. 2023) semantic dedup: coarse k-cell
     // clustering blocks the pairwise cosine step (cost sum(n_c^2),
-    // never corpus-wide), then greedy keep-first drops every vector
-    // with a lower-id same-cell neighbor at cos >= 0.99. Reuses
+    // never corpus-wide), then every vector with a lower-id same-cell
+    // neighbor at cos >= 0.99 is dropped (transitive along chains —
+    // one survivor per similarity component). Reuses
     // q_embed_lsh's injected near-dup copies (the corpus has no
     // natural pairs above 0.51) and the deterministic take-first
     // centroids, so the whole pipeline — assignment argmin, pairwise

@@ -323,6 +323,17 @@ object Hdf5 {
         * dense-link iteration touches every object, so cache the
         * inflated images per block (bounded by the heap's own size). */
       val inflatedCache = new java.util.HashMap[Long, Array[Byte]]()
+      /** Heap offsets ascending, for binary-searched object lookup —
+        * nested heaps can hold ~2^20 blocks, so a per-object linear
+        * scan would make wide-group discovery quadratic. */
+      val blockArr: Array[(Long, Long, Long, Long, Int)] = blocks.toArray
+      private val offsets: Array[Long] = blockArr.map(_._1)
+      def blockAt(off: Long): (Long, Long, Long, Long, Int) = {
+        val i = java.util.Arrays.binarySearch(offsets, off)
+        val idx = if (i >= 0) i else -i - 2 // last block starting <= off
+        require(idx >= 0, s"heap offset $off before first block")
+        blockArr(idx)
+      }
     }
 
     private def bytesForValue(v: Long): Int =
@@ -392,8 +403,9 @@ object Hdf5 {
           if (!filtered) {
             val dh = readAt(rootAddr0, 5)
             require(dh.getInt(0) == leMagic("FHDB"), s"$path: bad direct block")
-          } else require(rootStoredSize > 0 && rootStoredSize <= MaxMetaRead,
-            s"$path: implausible filtered root block size")
+          } else require(rootStoredSize > 0 && rootStoredSize <= MaxMetaRead &&
+            maxDirectSize > 0 && maxDirectSize <= MaxMetaRead,
+            s"$path: implausible filtered root block geometry")
           Seq((0L, rootAddr0, maxDirectSize,
             if (filtered) rootStoredSize else maxDirectSize, rootMask))
         } else {
@@ -458,9 +470,8 @@ object Hdf5 {
       val off = getUint(idb, fh.offsetSize)
       val len = getUint(idb, fh.lengthSize)
       require(len >= 0 && len <= MaxMetaRead, s"$path: implausible heap object")
-      val blk = fh.blocks.reverse.find(_._1 <= off).getOrElse(
-        throw new IllegalStateException(s"$path: heap offset $off outside heap"))
-      val (blkOff, blkAddr, blkSize, storedSize, mask) = blk
+      require(fh.blockArr.nonEmpty, s"$path: heap has no direct blocks")
+      val (blkOff, blkAddr, blkSize, storedSize, mask) = fh.blockAt(off)
       require(off - blkOff + len <= blkSize, s"$path: heap object crosses blocks")
       if (fh.filters.isEmpty) {
         val b = new Array[Byte](len.toInt)
@@ -474,13 +485,21 @@ object Hdf5 {
         if (img == null) {
           require(storedSize > 0 && storedSize <= MaxMetaRead,
             s"$path: implausible filtered block size")
+          require(blkSize > 0 && blkSize <= MaxMetaRead,
+            s"$path: implausible filtered block logical size")
           val raw = new Array[Byte](storedSize.toInt)
           raf.seek(blkAddr); raf.readFully(raw)
           img = defilter(raw, fh.filters, mask, blkSize.toInt)
-          require(img.length >= 4 &&
-            ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
-              .getInt(0) == leMagic("FHDB"),
+          val ib = ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
+          require(img.length >= 13 + fh.offsetSize &&
+            ib.getInt(0) == leMagic("FHDB"),
             s"$path: bad filtered direct block")
+          // the block's own heap-offset field must match where the
+          // index said it lives — catches truncated/mismatched images
+          // that inflate's zero-padding would otherwise mask
+          ib.position(13)
+          require(getUint(ib, fh.offsetSize) == blkOff,
+            s"$path: filtered block offset mismatch")
           fh.inflatedCache.put(blkAddr, img)
         }
         java.util.Arrays.copyOfRange(img, (off - blkOff).toInt,

@@ -262,7 +262,7 @@ class AnnRecallSpec extends SparkSpec {
     assert(out.filter(_.getLong(0) < 100000L).forall(_.getLong(3) == 0L))
   }
 
-  test("semDedup: greedy keep-first collapses an identical chain onto the lowest id") {
+  test("semDedup: a same-cell duplicate chain collapses onto the lowest id") {
     import spark.implicits._
     val v = Seq.fill(4)(1.0f) ++ Seq.fill(60)(0.0f)
     val w = Seq.fill(4)(0.0f) ++ Seq.fill(4)(1.0f) ++ Seq.fill(56)(0.0f)
