@@ -227,7 +227,8 @@ object Bench {
     // builtin single-pass value-map aggregate — the builtin wins small
     // wall-clock here, the selection wins the memory bound at scale
     val pipelineNames = Seq("q_pii_redact", "q_repetition_ngram",
-      "q_decontaminate", "q_decontaminate_fast", "q_seq_pack",
+      "q_decontaminate", "q_decontaminate_fast", "q_decontaminate_bloom",
+      "q_seq_pack",
       "q_embed_lsh", "q_pq_encode", "q_span_dedup", "q_semdedup",
       "q_percentile_grouped")
     val (pipeResults, _) = repMajor(2, pipelineNames.flatMap { name =>

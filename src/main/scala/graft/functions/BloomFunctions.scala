@@ -26,9 +26,10 @@ import org.apache.spark.sql.types._
   * survivors, so false positives cannot change the result — the lane
   * stays bit-identical to the exact one (gated by the same oracle).
   *
-  * Design (standard Bloom math, Kirsch–Mitzenmacher double hashing:
-  * pos_i = h + i*h2 with h2 = (h * phi64) | 1, phi64 the 64-bit golden
-  * ratio — public-domain construction):
+  * Design (standard Bloom math; keys go through MurmurHash3's fmix64
+  * finalizer, then Kirsch–Mitzenmacher double hashing over the two
+  * halves of the mixed value: pos_i = m + i*((m >>> 32) | 1) — the
+  * Guava BloomFilter construction, public domain):
   *  - [[BloomBuildAgg]]: a [[TypedImperativeAggregate]] whose buffer
   *    is the bit array itself; partial aggregation builds per-task
   *    blooms and merge is a word-wise OR, so the build side never
@@ -46,26 +47,55 @@ import org.apache.spark.sql.types._
 object BloomFunctions {
 
   private[functions] val Phi64 = -7046029254386353131L // 0x9E3779B97F4A7C15
+  private[functions] val Fmix1 = -49064778989728563L   // 0xFF51AFD7ED558CCD
+  private[functions] val Fmix2 = -4265267296055464877L // 0xC4CEB9FE1A85EC53
 
-  /** Second hash for double hashing; forced odd so the probe sequence
-    * never degenerates. MUST stay in lockstep with the codegen below. */
-  @inline private[functions] def mixH2(h: Long): Long = (h * Phi64) | 1L
+  /** MurmurHash3 fmix64 avalanche (public-domain finalizer). Probing
+    * masks to the LOW lg(m) bits, and the double-hash step h2 is itself
+    * a function of h — so without this mix, every probe position of a
+    * key is determined by its low bits alone, and two keys sharing
+    * their low lg(m) bits have IDENTICAL position sets (measured 6.2%
+    * FP at 16 bits/key on arithmetic-progression keys, vs ~0.04%
+    * theoretical; the parity spec's FP test caught it). The mix makes
+    * all 64 input bits reach the masked positions. MUST stay in
+    * lockstep with the codegen below. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0 ^ (z0 >>> 33)
+    z *= Fmix1
+    z ^= (z >>> 33)
+    z *= Fmix2
+    z ^ (z >>> 33)
+  }
+
+  /** Second hash for double hashing: the UPPER 32 bits of the mixed
+    * key, forced odd so the probe sequence never degenerates
+    * (Kirsch–Mitzenmacher with the two "independent" hashes taken as
+    * the two halves of one 64-bit hash, as Guava's BloomFilter does).
+    * h2 must NOT be a multiplicative mix of m: (m * C) mod 2^lg(m)
+    * depends only on m's low bits, which the position mask also reads —
+    * that collapses the whole k-position set to a function of
+    * m mod 2^lg(m), giving guaranteed joint-FPs at rate n/m regardless
+    * of k (measured 5.9% where theory says 0.04%; the FP spec caught
+    * it). Upper-half h2 makes the set depend on 32+lg(m) bits. */
+  @inline private[functions] def mixH2(m: Long): Long = (m >>> 32) | 1L
 
   private[functions] def setBits(words: Array[Long], mask: Long, k: Int, h: Long): Unit = {
-    val h2 = mixH2(h)
+    val m = mix64(h)
+    val h2 = mixH2(m)
     var j = 0
     while (j < k) {
-      val pos = (h + j.toLong * h2) & mask
+      val pos = (m + j.toLong * h2) & mask
       words((pos >>> 6).toInt) |= (1L << (pos & 63L).toInt)
       j += 1
     }
   }
 
   private[functions] def testBits(words: Array[Long], mask: Long, k: Int, h: Long): Boolean = {
-    val h2 = mixH2(h)
+    val m = mix64(h)
+    val h2 = mixH2(m)
     var j = 0
     while (j < k) {
-      val pos = (h + j.toLong * h2) & mask
+      val pos = (m + j.toLong * h2) & mask
       if ((words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L) return false
       j += 1
     }
@@ -141,12 +171,26 @@ object BloomFunctions {
   /** bloom_filter_hashes(array<long>) -> array<long>: the subset of
     * the input hashes the filter might contain, in input order, in one
     * codegen'd primitive loop. Null elements are dropped (a gram hash
-    * is never null; keeps the kernel total). Null array -> null. */
-  case class BloomFilterHashes(child: Expression, bloom: Array[Byte])
+    * is never null; keeps the kernel total). Null array -> null.
+    *
+    * Holds the deserialized (k, words) rather than the wire bytes, and
+    * compares them by CONTENT (`java.util.Arrays`): case-class equality
+    * on an Array field is reference-based, which would defeat
+    * canonicalization / semanticEquals / common-subexpression
+    * elimination for two content-identical probes. */
+  case class BloomFilterHashes(child: Expression, kHashes: Int, words: Array[Long])
       extends UnaryExpression {
 
-    @transient private lazy val (kHashes, words) = deserializeBloom(bloom)
     @transient private lazy val maskVal: Long = words.length.toLong * 64L - 1L
+
+    override def equals(o: Any): Boolean = o match {
+      case b: BloomFilterHashes =>
+        kHashes == b.kHashes && child == b.child &&
+          java.util.Arrays.equals(words, b.words)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * (31 * child.hashCode() + kHashes) + java.util.Arrays.hashCode(words)
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -180,11 +224,13 @@ object BloomFunctions {
         val cnt = ctx.freshName("cnt")
         val i = ctx.freshName("i")
         val h = ctx.freshName("h")
+        val m = ctx.freshName("m")
         val h2 = ctx.freshName("h2")
         val j = ctx.freshName("j")
         val pos = ctx.freshName("pos")
         val all = ctx.freshName("all")
-        // mirrors setBits/testBits exactly (spec asserts parity)
+        // mirrors mix64/setBits/testBits exactly (BloomFunctionsSpec
+        // asserts interpreted==codegen parity on adversarial inputs)
         s"""
            |final int $n = $a.numElements();
            |final long[] $tmp = new long[$n];
@@ -192,10 +238,15 @@ object BloomFunctions {
            |for (int $i = 0; $i < $n; $i++) {
            |  if (!$a.isNullAt($i)) {
            |    final long $h = $a.getLong($i);
-           |    final long $h2 = ($h * ${Phi64}L) | 1L;
+           |    long $m = $h ^ ($h >>> 33);
+           |    $m *= ${Fmix1}L;
+           |    $m ^= ($m >>> 33);
+           |    $m *= ${Fmix2}L;
+           |    $m ^= ($m >>> 33);
+           |    final long $h2 = ($m >>> 32) | 1L;
            |    boolean $all = true;
            |    for (int $j = 0; $j < $kHashes; $j++) {
-           |      final long $pos = ($h + (long) $j * $h2) & ${maskVal}L;
+           |      final long $pos = ($m + (long) $j * $h2) & ${maskVal}L;
            |      if (($wordsRef[(int) ($pos >>> 6)] & (1L << (int) ($pos & 63L))) == 0L) {
            |        $all = false; break;
            |      }
@@ -219,17 +270,30 @@ object BloomFunctions {
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
   }
 
-  /** Aggregate a bigint column into a serialized Bloom filter. */
+  /** Aggregate a bigint column into a serialized Bloom filter. The
+    * explicit cast makes a mistyped (int/short) input an analysis-time
+    * error instead of an executor-side ClassCastException in
+    * [[BloomBuildAgg.update]] (GridAggregates wrapper pattern). */
   def bloomAgg(c: Column, mBits: Int, k: Int): Column = {
     checkParams(mBits, k)
-    Bridge.column(BloomBuildAgg(Bridge.expression(c), mBits, k).toAggregateExpression())
+    Bridge.column(
+      BloomBuildAgg(Bridge.expression(c.cast("bigint")), mBits, k)
+        .toAggregateExpression())
   }
 
   /** Filter an array<bigint> column down to the maybe-contained subset. */
-  def bloomFilterCandidates(arr: Column, bloom: Array[Byte]): Column =
-    Bridge.column(BloomFilterHashes(Bridge.expression(arr), bloom))
+  def bloomFilterCandidates(arr: Column, bloom: Array[Byte]): Column = {
+    val (k, words) = deserializeBloom(bloom)
+    Bridge.column(BloomFilterHashes(Bridge.expression(arr), k, words))
+  }
 
-  /** Scalar membership probe on a bigint column. */
+  /** Scalar membership probe on a bigint column. NULL input probes to
+    * `false`, not NULL (`array(c)`'s null element is dropped by the
+    * kernel) — deliberately conservative-correct for the prefilter use:
+    * a null key can never match the exact semi-join either, so dropping
+    * it early changes nothing downstream. Spark's own `might_contain`
+    * propagates NULL instead; wrap with `c.isNotNull` if three-valued
+    * SQL semantics are needed. */
   def bloomContains(c: Column, bloom: Array[Byte]): Column = {
     import org.apache.spark.sql.functions._
     size(bloomFilterCandidates(array(c), bloom)) > 0

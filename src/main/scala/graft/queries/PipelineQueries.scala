@@ -40,14 +40,42 @@ object PipelineQueries {
 
   /** Shared decontamination body: flag training docs whose distinct
     * grams (`gramExpr` over `text` — string or hashed, same algebra)
-    * intersect the eval set's gram dictionary. */
+    * intersect the eval set's gram dictionary.
+    *
+    * `bloomPrefilter` (requires hashed int64 grams) is the 100 TB
+    * refinement: build a Bloom filter over the (comparatively tiny)
+    * eval gram dictionary — one distributed pass, word-wise-OR merge,
+    * no key shuffle — and probe each training doc's gram array against
+    * it as a zero-shuffle projection BEFORE the explode. A clean doc
+    * (the overwhelming majority of a production corpus) has an empty
+    * candidate array and contributes NOTHING to the semi-join shuffle;
+    * only bloom survivors explode. False positives are removed by the
+    * exact semi-join, so the output is bit-identical to the unfiltered
+    * lane and the same DuckDB oracle gates all three lanes. */
   private def decontaminate(s: SparkSession, dir: String,
-                            gramExpr: org.apache.spark.sql.Column): DataFrame = {
+                            gramExpr: org.apache.spark.sql.Column,
+                            bloomPrefilter: Boolean = false): DataFrame = {
+    import graft.functions.BloomFunctions
     val withG = t(s, dir, "documents").select(col("doc_id"), gramExpr.as("__g"))
     val evalG = withG.where(col("doc_id") % 10 === 0)
       .select(explode(col("__g")).as("g")).distinct()
-    val train = withG.where(col("doc_id") % 10 =!= 0)
-    val matched = train.select(col("doc_id"), explode(col("__g")).as("g"))
+    val train0 = withG.where(col("doc_id") % 10 =!= 0)
+    // __cand = the grams that may intersect the eval set (exact lane:
+    // all of them; bloom lane: the maybe-contained subset)
+    val train = if (bloomPrefilter) {
+      // size m ~ 16 bits/key (~0.05% FP at k=11): the dictionary is
+      // small (eval benchmarks), so counting it first is a cheap pass
+      // and keeps the filter dense enough to ship in a few KB-MB
+      val nKeys = math.max(evalG.count(), 1L)
+      val mBits = math.min(1L << 30,
+        java.lang.Long.highestOneBit(nKeys * 16L - 1L) << 1).toInt
+      val k = math.max(1, math.min(16,
+        math.round(mBits.toDouble / nKeys * math.log(2.0)).toInt))
+      val bloom = BloomFunctions.buildBloom(evalG, col("g"), math.max(64, mBits), k)
+      train0.select(col("doc_id"), col("__g"),
+        BloomFunctions.bloomFilterCandidates(col("__g"), bloom).as("__cand"))
+    } else train0.withColumn("__cand", col("__g"))
+    val matched = train.select(col("doc_id"), explode(col("__cand")).as("g"))
       .join(evalG, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
     train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
@@ -138,6 +166,19 @@ object PipelineQueries {
       import TextFunctions._
       decontaminate(s, dir, transform(shingles(col("text"), 5),
         g => portableHash(g, Xx64Hash)))
+    }),
+
+    // Bloom-prefiltered decontamination — the 100 TB shape: identical
+    // algebra and output to q_decontaminate_fast (same oracle), but a
+    // broadcast Bloom filter over the eval gram dictionary screens each
+    // doc's gram array in a zero-shuffle codegen'd projection, so only
+    // maybe-contaminated grams explode into the semi-join. On a mostly
+    // clean corpus the shuffle drops from "every gram of every doc" to
+    // ~the true contamination volume (+ the bloom's ~0.05% FP).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      import TextFunctions._
+      decontaminate(s, dir, transform(shingles(col("text"), 5),
+        g => portableHash(g, Xx64Hash)), bloomPrefilter = true)
     }),
 
     // Stratified (per-source) deterministic sampling — the source-mix
@@ -345,9 +386,10 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
-    // the hashed lane must produce byte-identical output to the string
-    // lane — gate it against the same oracle
+    // the hashed and bloom-prefiltered lanes must produce byte-identical
+    // output to the string lane — gate all three against the same oracle
     "q_decontaminate_fast" -> decontaminateSql,
+    "q_decontaminate_bloom" -> decontaminateSql,
 
     "q_span_dedup" ->
       """WITH d2 AS (
