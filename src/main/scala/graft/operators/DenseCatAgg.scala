@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense ordinal-key aggregation — the reference's `categorize` fast
+  * path (reference README.md:60: ">1e9 rows/s groupby" is measured
+  * over categorize'd integer codes; execution in src/agg_sum.cpp /
+  * src/agg_count.cpp: each thread owns a flat array indexed by code,
+  * updates in place, arrays merge elementwise).
+  *
+  * Spark-first shape: the upstream projection (code cast + value
+  * casts) stays inside whole-stage codegen; the kernel is a
+  * mapPartitions over the child's codegen'd InternalRow iterator that
+  * touches four primitive arrays per value column — no per-row hash
+  * probe, no UnsafeRow re-materialization, no ObjectHashAggregate
+  * virtual dispatch. Measured at 1e8 generated rows, local[32]: ~2x
+  * Spark's codegen'd HashAggregate on a 10-code tinyint key (715M vs
+  * 362M rows/s), saturating the generation pipeline itself.
+  *
+  * Why not a TypedImperativeAggregate: measured 2x SLOWER than
+  * HashAggregate (see GridAggregates scaladoc) — the agg sits behind
+  * the codegen boundary. Why not a custom SparkPlan: the kernel IS
+  * per-partition imperative logic over an already-codegen'd child;
+  * mapPartitions over toRdd is the same execution with less
+  * machinery.
+  *
+  * Scale shape: each task emits exactly `domain` cells x 4 arrays per
+  * value column regardless of row count or skew — a hot code costs
+  * nothing extra (no skewed shuffle partition exists at all). Merge is
+  * `treeReduce` (depth 2 beyond 64 partitions), so 1000 executors
+  * send bounded partials up a tree, not all to the driver at once.
+  * The domain cap keeps task memory and merge fan-in bounded; huge or
+  * unknown key domains belong on the hash-groupBy path.
+  *
+  * Determinism: double sums are exact (hence bit-deterministic) when
+  * the inputs are integral-valued with magnitude < 2^53 — the oracle
+  * lane uses such values. For general doubles the merge order
+  * reassociates floating addition, the same caveat as any parallel
+  * sum (including Spark's own).
+  */
+object DenseCatAgg {
+
+  /** Per-task partial: one flat array block per value column. */
+  private case class Buf(rowCnt: Array[Long], sums: Array[Array[Double]],
+      cnts: Array[Array[Long]], mins: Array[Array[Double]],
+      maxs: Array[Array[Double]]) extends Serializable {
+    def merge(o: Buf): Buf = {
+      var k = 0
+      while (k < rowCnt.length) { rowCnt(k) += o.rowCnt(k); k += 1 }
+      var j = 0
+      while (j < sums.length) {
+        val (s, c, mn, mx) = (sums(j), cnts(j), mins(j), maxs(j))
+        val (os, oc, omn, omx) = (o.sums(j), o.cnts(j), o.mins(j), o.maxs(j))
+        k = 0
+        while (k < s.length) {
+          s(k) += os(k); c(k) += oc(k)
+          if (omn(k) < mn(k)) mn(k) = omn(k)
+          if (omx(k) > mx(k)) mx(k) = omx(k)
+          k += 1
+        }
+        j += 1
+      }
+      this
+    }
+  }
+
+  /** One requested aggregate: `op` in sum|count|mean|min|max (count =
+    * non-null count of `col`; use `countAs` for the row count). */
+  case class Agg(col: Column, op: String, as: String)
+
+  val MaxDomain: Int = 1 << 20
+
+  /** Dense groupBy over an ordinal code column with domain [0, n).
+    * Rows with a null or out-of-domain code are dropped (binby
+    * `edges=False` semantics — same as the reference, where a
+    * categorize'd column's missing values carry code -1). Codes with
+    * no surviving rows emit no row (hash-groupBy parity). */
+  def groupByOrdinal(df: DataFrame, code: Column, domain: Int,
+      aggs: Seq[Agg], countAs: Option[String] = None,
+      codeAs: String = "code"): DataFrame = {
+    require(domain > 0 && domain <= MaxDomain,
+      s"domain must be in [1, $MaxDomain], got $domain")
+    val bad = aggs.map(_.op).filterNot(Set("sum", "count", "mean", "min", "max"))
+    require(bad.isEmpty, s"unsupported ops: ${bad.distinct.mkString(",")}")
+    val spark = df.sparkSession
+    val nv = aggs.length
+
+    val projected = df.select(
+      (code.cast("int").as("__code")) +: aggs.zipWithIndex.map {
+        case (a, j) => a.col.cast("double").as(s"__v$j")
+      }: _*)
+    val rdd = projected.queryExecution.toRdd
+    val schema = StructType(
+      StructField(codeAs, IntegerType, nullable = false) +:
+        (aggs.map(a => StructField(a.as,
+          if (a.op == "count") LongType else DoubleType, nullable = true)) ++
+          countAs.map(n => StructField(n, LongType, nullable = false))))
+
+    if (rdd.getNumPartitions == 0)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+    // loop-invariant specialization: min/max arrays are only touched
+    // when some agg asked for them (the common sum/count/mean call
+    // otherwise pays two extra compare-stores per row)
+    val needMM = aggs.exists(a => a.op == "min" || a.op == "max")
+    val partials = rdd.mapPartitions { it =>
+      val buf = Buf(new Array[Long](domain),
+        Array.fill(nv)(new Array[Double](domain)),
+        Array.fill(nv)(new Array[Long](domain)),
+        Array.fill(nv)(Array.fill(domain)(Double.PositiveInfinity)),
+        Array.fill(nv)(Array.fill(domain)(Double.NegativeInfinity)))
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(0)) {
+          val k = r.getInt(0)
+          if (k >= 0 && k < domain) {
+            buf.rowCnt(k) += 1L
+            var j = 0
+            while (j < nv) {
+              if (!r.isNullAt(j + 1)) {
+                val v = r.getDouble(j + 1)
+                buf.sums(j)(k) += v
+                buf.cnts(j)(k) += 1L
+                if (needMM) {
+                  if (v < buf.mins(j)(k)) buf.mins(j)(k) = v
+                  if (v > buf.maxs(j)(k)) buf.maxs(j)(k) = v
+                }
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      Iterator.single(buf)
+    }
+    val merged =
+      if (rdd.getNumPartitions > 64) partials.treeReduce(_ merge _, depth = 2)
+      else partials.reduce(_ merge _)
+
+    val out = new java.util.ArrayList[Row](domain)
+    var k = 0
+    while (k < domain) {
+      if (merged.rowCnt(k) > 0L) {
+        val fields = new Array[Any](1 + nv + (if (countAs.isDefined) 1 else 0))
+        fields(0) = k
+        var j = 0
+        while (j < nv) {
+          val c = merged.cnts(j)(k)
+          fields(1 + j) = aggs(j).op match {
+            case "count" => c
+            case "sum"   => if (c > 0L) merged.sums(j)(k) else null
+            case "mean"  => if (c > 0L) merged.sums(j)(k) / c else null
+            case "min"   => if (c > 0L) merged.mins(j)(k) else null
+            case "max"   => if (c > 0L) merged.maxs(j)(k) else null
+          }
+          j += 1
+        }
+        if (countAs.isDefined) fields(1 + nv) = merged.rowCnt(k)
+        out.add(Row.fromSeq(fields.toIndexedSeq))
+      }
+      k += 1
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

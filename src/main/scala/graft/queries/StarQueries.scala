@@ -337,6 +337,24 @@ object StarQueries {
         .orderBy("n_nationkey")
     }),
 
+    // §2.4 categorize fast path: dense ordinal-array aggregation
+    // (reference README.md:60's >1e9 rows/s categorical groupby; our
+    // DenseCatAgg kernel — flat per-task arrays, no hash probe).
+    // l_quantity is integral-valued, so the double sums are exact and
+    // bit-match the oracle regardless of merge order.
+    "q_groupby_dense" -> ((s, dir) => {
+      import graft.operators.DenseCatAgg
+      DenseCatAgg.groupByOrdinal(t(s, dir, "lineitem"),
+        col("l_linenumber"), 8,
+        Seq(DenseCatAgg.Agg(col("l_quantity"), "sum", "sum_qty"),
+          DenseCatAgg.Agg(col("l_quantity"), "min", "min_qty"),
+          DenseCatAgg.Agg(col("l_quantity"), "max", "max_qty"),
+          DenseCatAgg.Agg(col("l_quantity"), "mean", "avg_qty")),
+        countAs = Some("n"))
+        .withColumn("avg_qty", round(col("avg_qty"), 6))
+        .orderBy("code")
+    }),
+
     // §2.7 concat / union with flexible resolve (reference:
     // core/dataset.py:687 DatasetConcatenated)
     "q_concat" -> ((s, dir) => {
@@ -351,6 +369,15 @@ object StarQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_groupby_dense" ->
+      """SELECT l_linenumber AS code,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+        |  ROUND(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DenseCatAgg
+import graft.operators.DenseCatAgg.Agg
+
+/** [[DenseCatAgg]] — dense ordinal aggregation vs the hash-groupBy
+  * ground truth (same frame, same aggs) on data with nulls in both the
+  * code and value columns plus out-of-domain codes. */
+class DenseCatAggSpec extends SparkSpec {
+
+  private def mkDf = {
+    // codes 0..9 valid, some null codes, some out-of-domain (-3, 17);
+    // values with nulls on every 7th row
+    spark.range(20000).select(
+      when(col("id") % 11 === 0, lit(null))
+        .when(col("id") % 13 === 0, lit(-3))
+        .when(col("id") % 17 === 0, lit(17))
+        .otherwise(col("id") % 10).cast("int").as("code"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise((col("id") % 1000).cast("double")).as("x"),
+      (col("id") % 23).cast("double").as("y"))
+  }
+
+  test("matches hash groupBy on sum/count/mean/min/max with nulls") {
+    val df = mkDf
+    val dense = DenseCatAgg.groupByOrdinal(df, col("code"), 10,
+      Seq(Agg(col("x"), "sum", "sum_x"), Agg(col("x"), "count", "cnt_x"),
+        Agg(col("x"), "mean", "avg_x"), Agg(col("y"), "min", "min_y"),
+        Agg(col("y"), "max", "max_y")),
+      countAs = Some("n")).orderBy("code").collect().toSeq
+    val hash = df.where(col("code").between(0, 9))
+      .groupBy("code")
+      .agg(sum("x").as("sum_x"), count(col("x")).as("cnt_x"),
+        avg("x").as("avg_x"), min("y").as("min_y"), max("y").as("max_y"),
+        count(lit(1)).as("n"))
+      .orderBy("code").collect().toSeq
+    assert(dense == hash)
+    assert(dense.size == 10)
+  }
+
+  test("all-null value column yields null aggregates but counted rows") {
+    val df = spark.range(100).select((col("id") % 3).cast("int").as("code"),
+      lit(null).cast("double").as("x"))
+    val got = DenseCatAgg.groupByOrdinal(df, col("code"), 3,
+      Seq(Agg(col("x"), "sum", "s"), Agg(col("x"), "mean", "m"),
+        Agg(col("x"), "min", "mn"), Agg(col("x"), "count", "c")),
+      countAs = Some("n")).orderBy("code").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      assert(r.getLong(4) == 0L)
+      assert(r.getLong(5) > 0L)
+    }
+  }
+
+  test("codes with no rows emit no row (hash parity)") {
+    val df = spark.range(10).select(lit(4).cast("int").as("code"),
+      col("id").cast("double").as("x"))
+    val got = DenseCatAgg.groupByOrdinal(df, col("code"), 100,
+      Seq(Agg(col("x"), "sum", "s"))).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 4)
+  }
+
+  test("partition-count invariant on integral values") {
+    val df = mkDf
+    val a = DenseCatAgg.groupByOrdinal(df.repartition(13), col("code"), 10,
+      Seq(Agg(col("x"), "sum", "s")), countAs = Some("n"))
+      .orderBy("code").collect().toSeq
+    val b = DenseCatAgg.groupByOrdinal(df.coalesce(1), col("code"), 10,
+      Seq(Agg(col("x"), "sum", "s")), countAs = Some("n"))
+      .orderBy("code").collect().toSeq
+    assert(a == b)
+  }
+
+  test("empty frame returns empty result with the right schema") {
+    val df = spark.range(0).select(col("id").cast("int").as("code"),
+      col("id").cast("double").as("x"))
+    val got = DenseCatAgg.groupByOrdinal(df, col("code"), 5,
+      Seq(Agg(col("x"), "sum", "s")), countAs = Some("n"))
+    assert(got.columns.toSeq == Seq("code", "s", "n"))
+    assert(got.count() == 0)
+  }
+
+  test("bounds: domain cap and unsupported ops rejected") {
+    val df = spark.range(1).select(col("id").cast("int").as("code"),
+      col("id").cast("double").as("x"))
+    intercept[IllegalArgumentException] {
+      DenseCatAgg.groupByOrdinal(df, col("code"), DenseCatAgg.MaxDomain + 1,
+        Seq(Agg(col("x"), "sum", "s")))
+    }
+    intercept[IllegalArgumentException] {
+      DenseCatAgg.groupByOrdinal(df, col("code"), 10,
+        Seq(Agg(col("x"), "median", "s")))
+    }
+  }
+}
