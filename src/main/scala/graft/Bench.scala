@@ -142,6 +142,15 @@ object Bench {
     (mins, perRep)
   }
 
+  /** Wall-clock offsets (sec since bench start) of named checkpoints —
+    * emitted in the JSON so a host-throttle window (documented since
+    * r1: minutes-long 10-50x collapses under sustained load; the
+    * BENCH_r07 rep matrix's 161s q_minhash_sig rep-1 outlier) is
+    * directly legible as "which wall-clock span got burned" instead of
+    * inferred from per-query times. */
+  private val benchT0 = System.nanoTime()
+  private def mark(): Double = (System.nanoTime() - benchT0) / 1e9
+
   private def j(d: Double): String = f"$d%.3f"
 
   def main(args: Array[String]): Unit = {
@@ -160,27 +169,32 @@ object Bench {
     val names = if (full) SparkEntry.queries.keys.toSeq.sorted else headline
     val reps = if (full) 1 else 3
 
-    // JIT warmup: one untimed pass over the headline battery. Without
-    // it the first timed queries run in a cold JVM and their numbers
-    // move round-over-round with the TOTAL battery cost (r2->r3 the
-    // battery dropped 111s->25s and q_shift_diff "regressed" 26% — the
-    // query plan was unchanged; it simply ran 90s earlier in the JVM's
-    // life). ~10s well spent on comparable numbers.
-    if (!full) for (name <- headline; fn <- SparkEntry.queries.get(name))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
     val battery: Seq[(String, () => DataFrame)] =
       names.flatMap { name =>
         SparkEntry.queries.get(name)
           .map(fn => name -> (() => fn(spark, sfDir)))
       } ++ fastLane(sfDir, spark)
+    // JIT warmup: one untimed pass over the WHOLE battery (headline
+    // AND fast lanes — r7's rep matrix showed fast-lane rep-1 spikes
+    // like q_lsh_neardup_fast 26s vs 1.7s because the old warmup only
+    // covered headline names). Without warmup the first timed queries
+    // run in a cold JVM and their numbers move round-over-round with
+    // the TOTAL battery cost (r2->r3 the battery dropped 111s->25s and
+    // q_shift_diff "regressed" 26% — the query plan was unchanged; it
+    // simply ran 90s earlier in the JVM's life).
+    if (!full) for ((_, fn) <- battery)
+      try fn().write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    val warmupDone = mark()
     val (results, perRep) = repMajor(reps, battery)
+    val headlineDone = mark()
 
     // ---- 10x scale lane: top-5 headline queries on the replicated
     // star (6M-row lineitem at sf0.1 input). min-of-2 — these runs are
     // long enough that JVM warm-up noise is already amortized.
     val scaleDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10"
     writeScaled(spark, sfDir, scaleDir)
+    val scaleWritten = mark()
     val scaleNames = Seq("q1_agg", "q_agg_skew_kurt", "q_groupby_multi",
       "q_filter_project", "q_join_multi")
     // double/xxhash64 production lanes at 10x: the decimal-parity tax
@@ -195,6 +209,7 @@ object Bench {
       s"${name}_10x" -> fn
     }
     val (scaleResults, _) = repMajor(2, scaleBattery)
+    val scaleDone = mark()
 
     // ---- skew lane: one hot key holds 50% of a 2e7-row fact; dim has
     // 10k keys. Broadcast is disabled to land in the regime salting
@@ -217,6 +232,7 @@ object Bench {
         .saltedJoin(skewLeft, skewRight, Seq("k"), salt = 32)
         .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("n")))))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val skewDone = mark()
 
     // ---- curation-pipeline lane (round 5): PII scrub, repetition
     // filters, decontamination, packing, embedding LSH, PQ — timed
@@ -234,6 +250,7 @@ object Bench {
     val (pipeResults, _) = repMajor(2, pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     })
+    val pipeDone = mark()
 
     // headline throughput: rows/sec of the canonical multi-agg groupBy
     // over lineitem (BASELINE.md "groupby aggregation" row)
@@ -304,7 +321,8 @@ object Bench {
     // totals stay comparable across rounds; the 10x lane totals apart.
     val total = results.map(_._2).filter(_ >= 0).sum
     val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"total_10x":${j(total10x)},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"groupby_cat_hash_rows_per_sec":${rate(genN, "groupby_cat_hash")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"join_gen_rows_per_sec":${rate(genN, "join")}}""")
+    val timeline = s""""timeline_sec":{"warmup":${j(warmupDone)},"headline":${j(headlineDone)},"scale_write":${j(scaleWritten)},"scale":${j(scaleDone)},"skew":${j(skewDone)},"pipeline":${j(pipeDone)},"end":${j(mark())}}"""
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"total_10x":${j(total10x)},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"groupby_cat_hash_rows_per_sec":${rate(genN, "groupby_cat_hash")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"join_gen_rows_per_sec":${rate(genN, "join")},$timeline}""")
     spark.stop()
   }
 }
