@@ -12,7 +12,10 @@ import java.io.ByteArrayOutputStream
   * separable float IDCT, mean of the luma plane (component 0) cropped
   * to the real image size. Supports any number of components with
   * arbitrary sampling factors (the luma accumulates at its own
-  * resolution; chroma blocks are decoded to advance the bitstream).
+  * resolution; chroma blocks are decoded to advance the bitstream),
+  * in both the interleaved single-scan layout and the non-interleaved
+  * multi-scan layout (one scan per component, T.81 A.2.2 — old
+  * encoders; chroma scans are marker-skipped without entropy decode).
   * Progressive (SOF2) files decode too — per-component coefficient
   * accumulation across scans, with [[decodeRgbProgressive]] exposing
   * the full-color result (chroma upsample + JFIF YCbCr->RGB).
@@ -155,6 +158,53 @@ object JpegCodec {
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
                                 var dcTbl: Int = 0, var acTbl: Int = 0)
 
+  /** Entropy-decode one sequential block into NATURAL-order
+    * dequantized `coefs` (q is zigzag-ordered as stored in its DQT
+    * segment, so the zigzag POSITION selects the quantizer). Updates
+    * the component's DC predictor in place; false on corrupt data. */
+  private def decodeBlockInto(r: BitReader, dcT: Huff, acT: Huff,
+      q: Array[Int], dcPred: Array[Int], ci: Int, coefs: Array[Int]): Boolean = {
+    java.util.Arrays.fill(coefs, 0)
+    val t = decodeHuff(r, dcT)
+    if (t < 0) return false
+    val diff = if (t == 0) 0 else {
+      val raw = r.bits(t); if (raw < 0) return false; extend(raw, t)
+    }
+    dcPred(ci) += diff
+    coefs(0) = dcPred(ci) * q(0)
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      val rs = decodeHuff(r, acT)
+      if (rs < 0) return false
+      val run = rs >> 4; val sz = rs & 0x0f
+      if (sz == 0) {
+        if (run == 15) k += 16 else eob = true // ZRL vs EOB
+      } else {
+        k += run
+        if (k > 63) return false
+        val raw = r.bits(sz); if (raw < 0) return false
+        coefs(ZigZag(k)) = extend(raw, sz) * q(k)
+        k += 1
+      }
+    }
+    true
+  }
+
+  /** Position of the next non-RST, non-stuffing marker at/after p0 —
+    * how a scan's entropy segment is skipped without decoding it. */
+  private def nextMarkerPos(b: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m2 = b(p + 1) & 0xff
+        if (m2 != 0x00 && !(m2 >= 0xd0 && m2 <= 0xd7)) return p
+        p += 2
+      } else p += 1
+    }
+    b.length
+  }
+
   /** Full baseline decode of the luma plane: (width, height,
     * mean luma over the real image area). */
   def decodeBaseline(b: Array[Byte]): Option[(Int, Int, Double)] = try {
@@ -165,6 +215,7 @@ object JpegCodec {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var chromaSkipTo = -1 // set by a skipped non-luma scan
     var pos = 2
     while (pos + 4 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
@@ -214,17 +265,39 @@ object JpegCodec {
           case 0xda => // SOS: entropy-coded scan follows
             if (comps == null || w <= 0 || h <= 0) return None
             val ns = b(seg) & 0xff
-            if (ns != comps.length) return None // non-interleaved scans unsupported
             for (i <- 0 until ns) {
               val cid = b(seg + 1 + i * 2) & 0xff
               val tt = b(seg + 2 + i * 2) & 0xff
               comps.find(_.id == cid).foreach { c => c.dcTbl = tt >> 4; c.acTbl = tt & 0x0f }
             }
-            return decodeScan(b, mOff + 1 + segLen, w, h, comps, quant,
-              dcTabs, acTabs, restartInterval)
+            if (ns == comps.length) // interleaved: one scan, all comps
+              return decodeScan(b, mOff + 1 + segLen, w, h, comps, quant,
+                dcTabs, acTabs, restartInterval)
+            if (ns != 1) return None // partial interleave: not sequential-legal
+            // non-interleaved (T.81 A.2.2): one scan per component,
+            // the MCU is a single 8x8 block over the component's own
+            // grid. Old encoders emit these; each component appears in
+            // exactly one scan, so once the luma scan is decoded the
+            // mean is final — chroma scans never need decoding at all.
+            val cid = b(seg + 1) & 0xff
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) return None
+            if (ci == 0) {
+              val c = comps(0)
+              val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+              val cw = (w * c.h + hMax - 1) / hMax
+              val ch = (h * c.v + vMax - 1) / vMax
+              return decodeScanSingle(b, mOff + 1 + segLen, c, quant,
+                dcTabs, acTabs, restartInterval, cw, ch).map {
+                case (sum, cnt) => (w, h, sum / cnt)
+              }
+            }
+            // skip a chroma scan's entropy data to the next real marker
+            chromaSkipTo = nextMarkerPos(b, mOff + 1 + segLen)
           case _ => ()
         }
-        pos = mOff + 1 + segLen
+        pos = if (chromaSkipTo >= 0) chromaSkipTo else mOff + 1 + segLen
+        chromaSkipTo = -1
       }
     }
     None
@@ -265,58 +338,10 @@ object JpegCodec {
         while (by < c.v) {
           var bx = 0
           while (bx < c.h) {
-            // ---- entropy-decode one block into natural order
-            java.util.Arrays.fill(coefs, 0)
-            val t = decodeHuff(r, dcT)
-            if (t < 0) return None
-            val diff = if (t == 0) 0 else {
-              val raw = r.bits(t); if (raw < 0) return None; extend(raw, t)
-            }
-            dcPred(ci) += diff
-            coefs(0) = dcPred(ci) * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = decodeHuff(r, acT)
-              if (rs < 0) return None
-              val run = rs >> 4; val sz = rs & 0x0f
-              if (sz == 0) {
-                if (run == 15) k += 16 else eob = true // ZRL vs EOB
-              } else {
-                k += run
-                if (k > 63) return None
-                val raw = r.bits(sz); if (raw < 0) return None
-                // q is zigzag-ordered as stored in the DQT segment, so
-                // the zigzag POSITION k (not the natural index) selects
-                // the quantizer for this coefficient
-                coefs(ZigZag(k)) = extend(raw, sz) * q(k)
-                k += 1
-              }
-            }
+            if (!decodeBlockInto(r, dcT, acT, q, dcPred, ci, coefs)) return None
             // ---- luma blocks: IDCT + accumulate cropped pixels
             if (ci == 0) {
-              var y = 0 // separable IDCT: rows then columns
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s = 0.0; var u = 0
-                  while (u < 8) { s += cosT(x * 8 + u) * coefs(y * 8 + u); u += 1 }
-                  tmp(y * 8 + x) = s / 2.0
-                  x += 1
-                }
-                y += 1
-              }
-              var x = 0
-              while (x < 8) {
-                var yy = 0
-                while (yy < 8) {
-                  var s = 0.0; var v = 0
-                  while (v < 8) { s += cosT(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
-                  block(yy * 8 + x) = s / 2.0 + 128.0
-                  yy += 1
-                }
-                x += 1
-              }
+              idctBlock(coefs, tmp, block)
               val px0 = (mx * c.h + bx) * 8; val py0 = (my * c.v + by) * 8
               var py = 0
               while (py < 8) {
@@ -342,6 +367,53 @@ object JpegCodec {
       mcu += 1
     }
     if (lumaCnt == 0) None else Some((w, h, lumaSum / lumaCnt))
+  }
+
+  /** One NON-INTERLEAVED sequential scan (T.81 A.2.2): the MCU is a
+    * single 8x8 block traversing the component's own block grid
+    * (ceil(cw/8) x ceil(ch/8)); restart intervals count these block
+    * MCUs. Returns (pixelSum, pixelCount) over the component's real
+    * (cropped) area. */
+  private def decodeScanSingle(b: Array[Byte], scanStart: Int, c: Comp,
+      quant: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
+      restartInterval: Int, cw: Int, ch: Int): Option[(Double, Long)] = {
+    val dcT = dcTabs(c.dcTbl); val acT = acTabs(c.acTbl)
+    val q = quant(c.tq)
+    if (dcT == null || acT == null || q == null || cw <= 0 || ch <= 0) return None
+    val blocksX = (cw + 7) / 8; val blocksY = (ch + 7) / 8
+    val r = new BitReader(b, scanStart)
+    val dcPred = new Array[Int](1)
+    val coefs = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val block = new Array[Double](64)
+    var sum = 0.0; var cnt = 0L
+    var i = 0
+    val n = blocksX * blocksY
+    while (i < n) {
+      if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+        if (!r.restart()) return None
+        dcPred(0) = 0
+      }
+      if (!decodeBlockInto(r, dcT, acT, q, dcPred, 0, coefs)) return None
+      idctBlock(coefs, tmp, block)
+      val px0 = (i % blocksX) * 8; val py0 = (i / blocksX) * 8
+      var py = 0
+      while (py < 8) {
+        if (py0 + py < ch) {
+          var px = 0
+          while (px < 8) {
+            if (px0 + px < cw) {
+              val p = math.max(0.0, math.min(255.0, math.rint(block(py * 8 + px))))
+              sum += p; cnt += 1
+            }
+            px += 1
+          }
+        }
+        py += 1
+      }
+      i += 1
+    }
+    if (cnt == 0) None else Some((sum, cnt))
   }
 
   // ------------------------------------------------------- progressive decode
@@ -944,6 +1016,51 @@ object JpegCodec {
     }
     bw.flush()
     emitMarker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** 3-component NON-INTERLEAVED baseline JPEG (one scan per
+    * component, all 1x1 sampling, shared tables) from per-component
+    * NATURAL-order coefficients — the multi-scan sequential layout old
+    * encoders emit. Same pixels as [[encodeYCbCrJpeg]] of the same
+    * blocks (the two layouts differ only in scan order), which is what
+    * the spec asserts. `restartInterval` > 0 emits DRI + RSTn every
+    * that many block-MCUs of each scan (T.81: restart counts MCUs =
+    * single blocks in a non-interleaved scan). */
+  private[graft] def encodeNonInterleavedJpeg(width: Int, height: Int,
+      y: Seq[Array[Int]], cb: Seq[Array[Int]], cr: Seq[Array[Int]],
+      restartInterval: Int = 0,
+      scanOrder: Seq[Int] = Seq(0, 1, 2)): Array[Byte] = {
+    require(width > 0 && height > 0, "bad jpeg size")
+    require(scanOrder.sorted == Seq(0, 1, 2), "scanOrder must permute 0..2")
+    val nBlocks = ((width + 7) / 8) * ((height + 7) / 8)
+    require(y.size == nBlocks && cb.size == nBlocks && cr.size == nBlocks,
+      "block count mismatch")
+    val out = new ByteArrayOutputStream()
+    emitMarker(out, 0xd8) // SOI
+    emitSeg(out, 0xdb, 0x00 +: Array.fill(64)(1))
+    emitSeg(out, 0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    emitSeg(out, 0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
+    emitSeg(out, 0xc4, 0x10 +: (StdAcCounts ++ StdAcValues))
+    if (restartInterval > 0)
+      emitSeg(out, 0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    val planes = IndexedSeq((y, 1), (cb, 2), (cr, 3))
+    for ((blocks, cid) <- scanOrder.map(planes)) {
+      emitSeg(out, 0xda, Array(1, cid, 0x00, 0, 63, 0)) // SOS, one component
+      val bw = new BitWriter(out)
+      val dcPred = new Array[Int](1)
+      blocks.zipWithIndex.foreach { case (coefs, bi) =>
+        if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+          bw.flush()
+          emitMarker(out, 0xd0 + ((bi / restartInterval - 1) % 8))
+          dcPred(0) = 0
+        }
+        emitBlock(bw, dcPred, 0, coefs)
+      }
+      bw.flush()
+    }
+    emitMarker(out, 0xd9) // EOI
     out.toByteArray
   }
 

@@ -476,4 +476,54 @@ class ImageCodecSpec extends AnyFunSuite {
     val spliced = base.take(33) ++ acTL.toByteArray ++ base.drop(33)
     assert(ImageCodec.decode(spliced).get.nFrames == 5L)
   }
+
+  test("JPEG: non-interleaved multi-scan decodes to its interleaved twin's pixels") {
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 10) {
+      val blocksX = 1 + rnd.nextInt(4); val blocksY = 1 + rnd.nextInt(3)
+      val w = blocksX * 8 - rnd.nextInt(8) // uneven dims: edge-crop math
+      val h = blocksY * 8 - rnd.nextInt(8)
+      def blocks() = Seq.fill(blocksX * blocksY)(
+        Array.tabulate(64)(i =>
+          if (rnd.nextDouble() < 0.7) 0 else rnd.nextInt(511) - 255))
+      val (y, cb, cr) = (blocks(), blocks(), blocks())
+      val non = JpegCodec.encodeNonInterleavedJpeg(w, h, y, cb, cr)
+      val inter = JpegCodec.encodeYCbCrJpeg(w, h, y, cb, cr)
+      val got = JpegCodec.decodeBaseline(non)
+        .getOrElse(fail(s"trial $trial: non-interleaved decode failed"))
+      val want = JpegCodec.decodeBaseline(inter).get
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("JPEG: non-interleaved scan order is irrelevant (chroma scans skipped)") {
+    import graft.operators.JpegCodec
+    // chroma carries dense coefficients: a decoder that entropy-decoded
+    // the cb scan as luma (instead of marker-skipping it) would return
+    // a wildly different mean
+    def dcBlock(g: Int) = { val b = new Array[Int](64); b(0) = 8 * (g - 128); b }
+    val y = Seq(dcBlock(40), dcBlock(220))
+    val cb = Seq.fill(2) { val b = dcBlock(17); b(5) = 21; b(13) = -7; b }
+    val cr = Seq.fill(2) { val b = dcBlock(-90); b(9) = 13; b }
+    for (order <- Seq(Seq(0, 1, 2), Seq(1, 0, 2), Seq(1, 2, 0))) {
+      val j = JpegCodec.encodeNonInterleavedJpeg(16, 8, y, cb, cr, scanOrder = order)
+      val (w, h, br) = JpegCodec.decodeBaseline(j)
+        .getOrElse(fail(s"order $order: decode failed"))
+      assert(w == 16 && h == 8)
+      assert(math.abs(br - (40.0 + 220.0) / 2) < 1e-9, s"order $order br=$br")
+    }
+  }
+
+  test("JPEG: non-interleaved restart intervals count single-block MCUs") {
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(7L)
+    def blocks() = Seq.fill(6)(
+      Array.tabulate(64)(i => if (rnd.nextDouble() < 0.7) 0 else rnd.nextInt(201) - 100))
+    val (y, cb, cr) = (blocks(), blocks(), blocks())
+    val non = JpegCodec.encodeNonInterleavedJpeg(48, 8, y, cb, cr, restartInterval = 2)
+    val plain = JpegCodec.encodeNonInterleavedJpeg(48, 8, y, cb, cr)
+    assert(JpegCodec.decodeBaseline(non) == JpegCodec.decodeBaseline(plain))
+    assert(JpegCodec.decodeBaseline(non).isDefined)
+  }
 }
