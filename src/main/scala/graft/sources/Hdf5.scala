@@ -255,9 +255,10 @@ object Hdf5 {
     def isGroup(ohAddr: Long): Boolean = messages(ohAddr).exists(m =>
       m._1 == 0x0011 || m._1 == 0x0002 || m._1 == 0x0006 || m._1 == 0x000A)
 
-    /** One hard-link message (0x0006, new-style groups):
-      * (name, objectHeaderAddr). */
-    private def parseLink(body: Array[Byte]): (String, Long) = {
+    /** One link message (0x0006, new-style groups): Right(ohAddr) for
+      * a hard link, Left(targetPath) for a soft link. External links
+      * (type 64) keep a clear error — they name another FILE. */
+    private def parseLink(body: Array[Byte]): (String, Either[String, Long]) = {
       val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val ver = b.get() & 0xff
       require(ver == 1, s"$path: link message v$ver unsupported")
@@ -269,9 +270,38 @@ object Hdf5 {
       require(nameLen >= 0 && nameLen <= 65535 && nameLen <= b.remaining(),
         s"$path: implausible link name length $nameLen")
       val name = new Array[Byte](nameLen.toInt); b.get(name)
-      require(ltype == 0,
-        s"$path: link type $ltype unsupported (hard links only)")
-      (new String(name, "UTF-8"), b.getLong)
+      ltype match {
+        case 0 => (new String(name, "UTF-8"), Right(b.getLong))
+        case 1 => // soft: 2-byte length + target path (not NUL-terminated)
+          val tLen = b.getShort & 0xffff
+          require(tLen <= b.remaining(), s"$path: truncated soft link")
+          val t = new Array[Byte](tLen); b.get(t)
+          (new String(name, "UTF-8"), Left(new String(t, "UTF-8")))
+        case t => throw new IllegalArgumentException(
+          s"$path: link type $t unsupported (hard + soft links only; " +
+            "external links reference another file)")
+      }
+    }
+
+    /** Resolve a soft-link target path to an object header address:
+      * absolute paths walk from the root group, relative from `base`.
+      * A dangling target yields None (the link is skipped, h5py
+      * listing semantics); chains deeper than 16 hops — a cycle in
+      * any sane file — error out. */
+    private def resolvePath(base: Long, target: String, depth: Int): Option[Long] = {
+      require(depth < 16, s"$path: soft-link chain deeper than 16 (cycle?)")
+      val start = if (target.startsWith("/")) rootAddr else base
+      val segs = target.split("/").toSeq.filter(s => s.nonEmpty && s != ".")
+      segs.foldLeft(Option(start)) { (cur, seg) =>
+        cur.flatMap { a =>
+          if (!isGroup(a)) None
+          else rawChildren(a).collectFirst { case (n, e) if n == seg => e }
+            .flatMap {
+              case Right(addr)    => Some(addr)
+              case Left(target2)  => resolvePath(a, target2, depth + 1)
+            }
+        }
+      }
     }
 
     /** Children of a group: (name, objectHeaderAddr) in name order.
@@ -280,7 +310,15 @@ object Hdf5 {
       * new-style DENSE groups (links serialized into a fractal heap,
       * indexed by a name v2 B-tree — what h5py creates above its
       * 8-link compact threshold with libver='latest'). */
-    def groupChildren(ohAddr: Long): Seq[(String, Long)] = {
+    def groupChildren(ohAddr: Long): Seq[(String, Long)] =
+      rawChildren(ohAddr).flatMap {
+        case (n, Right(addr))  => Some((n, addr))
+        case (n, Left(target)) => resolvePath(ohAddr, target, 1).map((n, _))
+      }
+
+    /** Children before soft-link resolution: Right = hard address,
+      * Left = soft target path. */
+    private def rawChildren(ohAddr: Long): Seq[(String, Either[String, Long])] = {
       val msgs = messages(ohAddr)
       msgs.find(_._1 == 0x0011) match {
         case Some(st) => symbolTableChildren(st._2)
@@ -384,7 +422,10 @@ object Hdf5 {
       val currRows = hd.getShort(140) & 0xffff
       val offsetSize = (maxHeapBits + 7) / 8
       val lengthSize = bytesForValue(maxManagedObj)
-      require(idLen == 1 + offsetSize + lengthSize,
+      // managed IDs occupy the first 1+offsetSize+lengthSize bytes;
+      // longer per-heap ID lengths are zero-padded (and make room for
+      // tiny payloads / direct huge address+length pairs)
+      require(idLen >= 1 + offsetSize + lengthSize && idLen <= 64,
         s"$path: unsupported heap ID layout (len=$idLen off=$offsetSize len=$lengthSize)")
       require(tableWidth > 0 && startBlockSize > 0, s"$path: corrupt fractal heap")
       val checksummed = (flags & 0x02) != 0
@@ -465,8 +506,34 @@ object Hdf5 {
     private def heapObject(fh: FractalHeap, heapId: Array[Byte]): Array[Byte] = {
       val idb = ByteBuffer.wrap(heapId).order(ByteOrder.LITTLE_ENDIAN)
       val flags = idb.get() & 0xff
-      require(((flags >> 4) & 0x3) == 0,
-        s"$path: non-managed (huge/tiny) heap object unsupported")
+      require((flags >> 6) == 0, s"$path: heap ID version ${flags >> 6}")
+      (flags >> 4) & 0x3 match {
+        case 1 => // HUGE: object lives outside the heap's linear space
+          // direct form (address + length inside the ID) requires the
+          // ID to fit them — exactly libhdf5's huge_ids_direct rule
+          require(fh.filters.isEmpty,
+            s"$path: filtered huge heap objects unsupported")
+          require(fh.idLen >= 17,
+            s"$path: indirect (v2-btree-indexed) huge heap objects unsupported")
+          val addr = idb.getLong
+          val len = idb.getLong
+          require(addr != UNDEF && len >= 0 && len <= MaxMetaRead,
+            s"$path: implausible huge heap object (addr=$addr len=$len)")
+          val out = new Array[Byte](len.toInt)
+          raf.seek(addr); raf.readFully(out)
+          return out
+        case 2 => // TINY: payload embedded in the ID itself; length is
+          // 4 bits (+1) in the flag byte, or 12 bits across two bytes
+          // when the heap's IDs are longer than 18 bytes
+          val (hdr, len) =
+            if (fh.idLen <= 18) (1, (flags & 0x0f) + 1)
+            else (2, (((flags & 0x0f) << 8) | (idb.get() & 0xff)) + 1)
+          require(hdr + len <= heapId.length,
+            s"$path: tiny heap object overflows its ID (len=$len)")
+          return java.util.Arrays.copyOfRange(heapId, hdr, hdr + len)
+        case t =>
+          require(t == 0, s"$path: reserved heap object type $t")
+      }
       val off = getUint(idb, fh.offsetSize)
       val len = getUint(idb, fh.lengthSize)
       require(len >= 0 && len <= MaxMetaRead, s"$path: implausible heap object")
@@ -588,7 +655,8 @@ object Hdf5 {
     /** Dense link storage: read every name-index record (type 5:
       * hash(4) + heap ID), resolve each heap ID to a serialized link
       * message, parse. */
-    private def denseLinkChildren(fheapAddr: Long, nameBtAddr: Long): Seq[(String, Long)] = {
+    private def denseLinkChildren(fheapAddr: Long,
+        nameBtAddr: Long): Seq[(String, Either[String, Long])] = {
       val fh = fractalHeap(fheapAddr)
       btreeV2Records(nameBtAddr).map { rec =>
         require(rec.length >= 4 + fh.idLen, s"$path: short link record")
@@ -597,7 +665,8 @@ object Hdf5 {
       }
     }
 
-    private def symbolTableChildren(stBody: Array[Byte]): Seq[(String, Long)] = {
+    private def symbolTableChildren(
+        stBody: Array[Byte]): Seq[(String, Either[String, Long])] = {
       val b = ByteBuffer.wrap(stBody).order(ByteOrder.LITTLE_ENDIAN)
       val btreeAddr = b.getLong; val heapAddr = b.getLong
       val heapDataAddr = { // HEAP: sig(4) ver(1) res(3) size(8) freelist(8) dataAddr(8)
@@ -638,7 +707,13 @@ object Hdf5 {
         (0 until nSyms).map { i =>
           val nameOff = entries.getLong(i * 40)
           val objAddr = entries.getLong(i * 40 + 8)
-          (heapString(nameOff), objAddr)
+          val cacheType = entries.getInt(i * 40 + 16)
+          if (cacheType == 2) {
+            // symbolic link: scratch-pad's first 4 bytes hold the
+            // local-heap offset of the target path (objAddr undefined)
+            val tgtOff = entries.getInt(i * 40 + 24) & 0xffffffffL
+            (heapString(nameOff), Left(heapString(tgtOff)))
+          } else (heapString(nameOff), Right(objAddr))
         }
       }
     }
@@ -1250,7 +1325,9 @@ object Hdf5 {
       chunkCfg: Option[(Int, Int, Boolean)] = None,
       latest: Boolean = false,
       denseGeom: Option[(Long, Long)] = None,
-      heapFilter: Boolean = false): Unit = {
+      heapFilter: Boolean = false,
+      softLinks: Seq[(String, String)] = Nil,
+      heapMixedIdLen: Int = 0): Unit = {
     val lc = longs.map { case (name, vs) =>
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putLong)
@@ -1271,7 +1348,8 @@ object Hdf5 {
       OutCol(name, "fstr", b, Array.empty, Array.empty, vs.length)
     }
     writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest,
-      denseGeom = denseGeom, heapFilter = heapFilter)
+      denseGeom = denseGeom, heapFilter = heapFilter,
+      softLinks = softLinks, heapMixedIdLen = heapMixedIdLen)
   }
 
   /** Same layout, but every dataset stored CHUNKED with the standard
@@ -1596,6 +1674,22 @@ object Hdf5 {
     b.putLong(ohAddr)
     b.array()
   }
+  /** Soft-link message (new-style compact groups): explicit link type
+    * 1, 2-byte target length + target path bytes. */
+  private def softLinkMsg(name: String, target: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    val tB = target.getBytes("UTF-8")
+    require(nameB.length <= 255 && tB.length <= 65535, s"soft link too long: $name")
+    val b = buf(3 + 1 + nameB.length + 2 + tB.length)
+    b.put(1.toByte)    // version
+    b.put(0x08.toByte) // flags: link type present, 1-byte name length
+    b.put(1.toByte)    // link type: soft
+    b.put(nameB.length.toByte)
+    b.put(nameB)
+    b.putShort(tB.length.toShort)
+    b.put(tB)
+    b.array()
+  }
   /** Link Info with no dense storage (compact links live in the
     * header as link messages). */
   private def linkInfoCompact: Array[Byte] = {
@@ -1653,7 +1747,9 @@ object Hdf5 {
                         chunkCfg: Option[(Int, Int, Boolean)] = None,
                         flat: Boolean = false, latest: Boolean = false,
                         denseGeom: Option[(Long, Long)] = None,
-                        heapFilter: Boolean = false): Unit = {
+                        heapFilter: Boolean = false,
+                        softLinks: Seq[(String, String)] = Nil,
+                        heapMixedIdLen: Int = 0): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     val sbSize = if (latest) 48L else 96L // superblock v3 vs v0
     var cursor = sbSize
@@ -1770,14 +1866,19 @@ object Hdf5 {
       * it — mirroring what libhdf5's link phase-change defaults
       * produce, so wide tables exercise the dense read path. */
     def writeGroupLatest(children: Seq[(String, Long)],
-                         attrs: Seq[(String, String)]): Long = {
+                         attrs: Seq[(String, String)],
+                         soft: Seq[(String, String)] = Nil): Long = {
       val sorted = children.sortBy(_._1)
       if (sorted.size > 8) return denseGeom match {
         case Some((s, m)) => writeGroupDense(sorted, attrs, s, m)
         case None => writeGroupDense(sorted, attrs)
       }
+      val linkMsgs =
+        (sorted.map { case (n, a) => (n, linkMsg(n, a)) } ++
+          soft.map { case (n, t) => (n, softLinkMsg(n, t)) })
+          .sortBy(_._1).map { case (_, m) => msgV2(0x0006, m) }
       val msgs = Seq(msgV2(0x0002, linkInfoCompact), msgV2(0x000A, groupInfoMsg)) ++
-        sorted.map { case (n, a) => msgV2(0x0006, linkMsg(n, a)) } ++
+        linkMsgs ++
         attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) }
       val bytes = ohdrV2(msgs)
       val a = alloc(bytes.length)
@@ -1798,9 +1899,33 @@ object Hdf5 {
                         attrs: Seq[(String, String)],
                         startSize: Long = 512L,
                         maxDirectSize: Long = 65536L): Long = {
-      val bodies = sorted.map { case (n, a) => (n, linkMsg(n, a)) }
-      // heap geometry: 32-bit heap offsets, 2-byte lengths, ID len 7
-      val offsetSize = 4; val lengthSize = 2; val idLen = 7
+      val allBodies = sorted.map { case (n, a) => (n, linkMsg(n, a)) }
+      // heap geometry: 32-bit heap offsets, 2-byte lengths. ID length
+      // 7 = exactly a managed ID; `heapMixedIdLen` > 0 widens the IDs
+      // and routes links through the OTHER two heap object classes —
+      // TINY (payload embedded in the ID) for links that fit, direct
+      // HUGE (address + length in the ID, bytes alloc'd outside the
+      // heap) for long-named links — exercising the reader's full
+      // heap-ID dispatch. Real libhdf5 picks classes by size the same
+      // way; which class a given fixture link lands in is the
+      // writer's choice either way.
+      val offsetSize = 4; val lengthSize = 2
+      val idLen = if (heapMixedIdLen > 0) heapMixedIdLen else 7
+      require(heapMixedIdLen == 0 || !heapFilter,
+        "mixed heap IDs + filtered heap not combined (huge objects bypass the pipeline)")
+      require(heapMixedIdLen == 0 || heapMixedIdLen >= 17,
+        s"mixed heap IDs need idLen >= 17 for direct huge objects, got $heapMixedIdLen")
+      val tinyCap =
+        if (idLen <= 18) math.min(idLen - 1, 16) else math.min(idLen - 2, 4096)
+      // 0 = managed, 1 = huge, 2 = tiny (heap-ID type codes)
+      def clsOf(n: String, body: Array[Byte]): Int =
+        if (heapMixedIdLen == 0) 0
+        else if (body.length <= tinyCap) 2
+        else if (n.getBytes("UTF-8").length >= 48) 1
+        else 0
+      val bodies = allBodies.filter { case (n, b) => clsOf(n, b) == 0 }
+      val tinyBodies = allBodies.filter { case (n, b) => clsOf(n, b) == 2 }
+      val hugeBodies = allBodies.filter { case (n, b) => clsOf(n, b) == 1 }
       val maxManagedObj = 4096L
       require(bodies.forall(_._2.length <= maxManagedObj), "link message too large")
       val tableWidth = 4; val logW = 2
@@ -1926,6 +2051,13 @@ object Hdf5 {
         if (fitsOneBlock) singleBlockSize
         else usedBlocks.map(b => b._1 + b._2).max
       val endOff = placed.lastOption.map(p => p._3 + p._2.length).getOrElse(0L)
+      // huge objects: raw link-message bytes alloc'd OUTSIDE the
+      // heap's linear space; their IDs carry (addr, len) directly
+      val hugePlaced = hugeBodies.map { case (n, body) =>
+        val a = alloc(body.length)
+        emit(a, body)
+        (n, body, a)
+      }
       // fractal heap header (+ filtered-root-size/mask/pipeline tail
       // when the heap is I/O-filtered)
       val pipelineBytes =
@@ -1945,8 +2077,10 @@ object Hdf5 {
       fh.putLong(heapSpace)       // allocated managed space
       fh.putLong(endOff)          // direct block iterator offset
       fh.putLong(placed.size.toLong) // managed objects
-      fh.putLong(0L); fh.putLong(0L) // huge size/count
-      fh.putLong(0L); fh.putLong(0L) // tiny size/count
+      fh.putLong(hugePlaced.map(_._2.length.toLong).sum) // huge size
+      fh.putLong(hugePlaced.size.toLong)                 // huge count
+      fh.putLong(tinyBodies.map(_._2.length.toLong).sum) // tiny size
+      fh.putLong(tinyBodies.size.toLong)                 // tiny count
       fh.putShort(tableWidth.toShort)
       fh.putLong(if (fitsOneBlock) singleBlockSize else startSize)
       fh.putLong(maxDirectSize)
@@ -1968,13 +2102,31 @@ object Hdf5 {
       val recSize = 4 + idLen
       val nodeSize = 2048
       val leafMaxNrec = (nodeSize - 10) / recSize
-      val records = placed.map { case (n, body, o) =>
+      // buf() zero-fills, so every ID is padded to the heap's idLen
+      val managedRecs = placed.map { case (n, body, o) =>
         val id = buf(idLen)
         id.put(0.toByte) // managed, version 0
         id.putInt(o.toInt)
         id.putShort(body.length.toShort)
         (lookup3(n.getBytes("UTF-8")), id.array())
-      }.sortBy(r => r._1 & 0xffffffffL).toSeq
+      }
+      val tinyRecs = tinyBodies.map { case (n, body) =>
+        val id = buf(idLen)
+        val lm1 = body.length - 1
+        if (idLen <= 18) id.put((0x20 | lm1).toByte)
+        else { id.put((0x20 | (lm1 >> 8)).toByte); id.put((lm1 & 0xff).toByte) }
+        id.put(body)
+        (lookup3(n.getBytes("UTF-8")), id.array())
+      }
+      val hugeRecs = hugePlaced.map { case (n, body, a) =>
+        val id = buf(idLen)
+        id.put(0x10.toByte) // huge, direct, version 0
+        id.putLong(a)
+        id.putLong(body.length.toLong)
+        (lookup3(n.getBytes("UTF-8")), id.array())
+      }
+      val records = (managedRecs ++ tinyRecs ++ hugeRecs)
+        .sortBy(r => r._1 & 0xffffffffL).toSeq
       def emitLeaf(recs: Seq[(Int, Array[Byte])]): Long = {
         val leafSize = 6 + recs.size * recSize + 4
         val leafAddr = alloc(leafSize)
@@ -2038,15 +2190,28 @@ object Hdf5 {
 
     /** Emit a symbol-table group with the given (already-allocated)
       * children; returns OH address. */
-    def writeGroup(children: Seq[(String, Long)], attrs: Seq[(String, String)]): Long = {
-      val sorted = children.sortBy(_._1)
+    def writeGroup(children: Seq[(String, Long)], attrs: Seq[(String, String)],
+                   soft: Seq[(String, String)] = Nil): Long = {
+      // hard entries carry Right(ohAddr); old-style SYMBOLIC links are
+      // SNOD entries with cache type 2 whose scratch-pad holds the
+      // local-heap offset of the target path string
+      val sorted: Seq[(String, Either[String, Long])] =
+        (children.map { case (n, a) => (n, Right(a): Either[String, Long]) } ++
+          soft.map { case (n, t) => (n, Left(t): Either[String, Long]) }).sortBy(_._1)
       require(sorted.size <= 2 * LEAF_K * 2 * INTERNAL_K, "too many group entries")
-      // local heap: offset 0 = empty string; names from offset 8
+      // local heap: offset 0 = empty string; names (and soft-link
+      // target strings) from offset 8
       val nameOffsets = scala.collection.mutable.Map[String, Long]()
+      val targetOffsets = scala.collection.mutable.Map[String, Long]()
       var off = 8L
-      sorted.foreach { case (name, _) =>
-        nameOffsets(name) = off
-        off = align8(off + name.getBytes("UTF-8").length + 1)
+      def heapAlloc(s: String): Long = {
+        val a = off; off = align8(off + s.getBytes("UTF-8").length + 1); a
+      }
+      sorted.foreach { case (name, e) =>
+        nameOffsets(name) = heapAlloc(name)
+        e.left.foreach { t =>
+          if (!targetOffsets.contains(t)) targetOffsets(t) = heapAlloc(t)
+        }
       }
       val heapDataSize = align8(math.max(off, 8))
       val heapHdrAddr = alloc(32)
@@ -2058,9 +2223,9 @@ object Hdf5 {
       heapHdr.putLong(heapDataAddr)
       emit(heapHdrAddr, heapHdr.array())
       val heapData = buf(heapDataSize.toInt)
-      sorted.foreach { case (name, _) =>
-        heapData.position(nameOffsets(name).toInt)
-        heapData.put(name.getBytes("UTF-8")); heapData.put(0.toByte)
+      (nameOffsets ++ targetOffsets).foreach { case (s, o) =>
+        heapData.position(o.toInt)
+        heapData.put(s.getBytes("UTF-8")); heapData.put(0.toByte)
       }
       emit(heapDataAddr, heapData.array())
       // SNODs: capacity 2*LEAF_K symbols each
@@ -2072,9 +2237,17 @@ object Hdf5 {
         val b = buf(snodSize)
         b.putInt(leMagic("SNOD")); b.put(1.toByte); b.put(0.toByte)
         b.putShort(grp.size.toShort)
-        grp.zipWithIndex.foreach { case ((name, ohAddr), i) =>
+        grp.zipWithIndex.foreach { case ((name, e), i) =>
           b.position(8 + i * 40)
-          b.putLong(nameOffsets(name)); b.putLong(ohAddr); b.putInt(0)
+          e match {
+            case Right(ohAddr) =>
+              b.putLong(nameOffsets(name)); b.putLong(ohAddr); b.putInt(0)
+            case Left(target) =>
+              b.putLong(nameOffsets(name)); b.putLong(UNDEF)
+              b.putInt(2) // cache type 2: symbolic link
+              b.putInt(0) // reserved
+              b.putInt(targetOffsets(target).toInt) // scratch: heap offset
+          }
         }
         emit(a, b.array()); a
       }
@@ -2115,8 +2288,10 @@ object Hdf5 {
     def plan(dataBase: Long): (Long, Long) = {
       patches.clear(); cursor = sbSize
       var dataCursor = dataBase
-      def group(children: Seq[(String, Long)], attrs: Seq[(String, String)]): Long =
-        if (latest) writeGroupLatest(children, attrs) else writeGroup(children, attrs)
+      def group(children: Seq[(String, Long)], attrs: Seq[(String, String)],
+                soft: Seq[(String, String)] = Nil): Long =
+        if (latest) writeGroupLatest(children, attrs, soft)
+        else writeGroup(children, attrs, soft)
       def allocData(size: Long): Long = { val a = dataCursor; dataCursor = align8(dataCursor + size); a }
 
       /** Emit one dataset (header + data bytes), contiguous or
@@ -2176,7 +2351,7 @@ object Hdf5 {
           }
           (c.name, emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil))
         }
-        val rootAddr = group(dsets, Nil)
+        val rootAddr = group(dsets, Nil, softLinks)
         (rootAddr, dataCursor)
       } else {
       val colGroups = cols.map { c =>
@@ -2203,7 +2378,7 @@ object Hdf5 {
       val columnsAddr = group(colGroups,
         Seq("column_order" -> cols.map(_.name).mkString(",")))
       val tableAddr = group(Seq(("columns", columnsAddr)), Nil)
-      val rootAddr = group(Seq(("table", tableAddr)), Nil)
+      val rootAddr = group(Seq(("table", tableAddr)), Nil, softLinks)
       (rootAddr, dataCursor)
       }
     }

@@ -435,4 +435,66 @@ class Hdf5Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("not an HDF5 file"))
   }
+
+  test("soft links resolve in new-style (link message) groups") {
+    val path = tmp("soft_latest.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("x" -> Array(1L, 2L, 3L), "y" -> Array(9L, 8L, 7L)),
+      latest = true,
+      softLinks = Seq(
+        "alias_abs" -> "/x",       // absolute target
+        "alias_rel" -> "y",        // relative target
+        "alias_chain" -> "alias_abs", // soft -> soft -> dataset
+        "dangling" -> "/no_such")) // skipped, h5py listing semantics
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.sorted.toSeq ==
+      Seq("alias_abs", "alias_chain", "alias_rel", "x", "y"))
+    val row = back.orderBy("x").collect()
+    assert(row.map(_.getAs[Long]("alias_abs")).toSeq == Seq(1L, 2L, 3L))
+    assert(row.map(_.getAs[Long]("alias_chain")).toSeq == Seq(1L, 2L, 3L))
+    assert(row.map(_.getAs[Long]("alias_rel")).toSeq == Seq(9L, 8L, 7L))
+  }
+
+  test("soft links resolve in old-style (SNOD cache-type-2) groups") {
+    val path = tmp("soft_v0.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("x" -> Array(5L, 6L)),
+      softLinks = Seq("alias" -> "/x", "gone" -> "/missing"))
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("alias", "x"))
+    assert(back.orderBy("x").collect().map(_.getAs[Long]("alias")).toSeq ==
+      Seq(5L, 6L))
+  }
+
+  test("soft-link cycles error out with a clear message") {
+    val path = tmp("soft_cycle.hdf5")
+    Hdf5.writeFlatFile(path, longs = Seq("x" -> Array(1L)),
+      latest = true, softLinks = Seq("a" -> "/b", "b" -> "/a"))
+    val e = intercept[Exception] { Hdf5.readTable(path) }
+    assert(e.getMessage.contains("soft-link chain"), e.getMessage)
+  }
+
+  test("tiny and direct-huge fractal-heap objects read back") {
+    // idLen 18 -> normal tiny form; idLen 24 -> extended (two-byte
+    // length) tiny form; both heaps also carry direct huge objects
+    // (48+ char link names) and managed ones — the reader's full
+    // heap-ID type dispatch on one name index
+    for ((idLen, tag) <- Seq(18 -> "mixed18.hdf5", 24 -> "mixed24.hdf5")) {
+      val shortNames = Seq("a", "b", "c")                        // tiny IDs
+      val medNames = (0 until 8).map(i => f"medium_column_$i%02d") // managed
+      val longNames = (0 until 3).map(i =>
+        s"very_long_column_name_padded_out_to_force_huge_object_storage_$i")
+      val names = shortNames ++ medNames ++ longNames
+      val cols = names.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) }
+      val path = tmp(tag)
+      Hdf5.writeFlatFile(path, longs = cols, latest = true, heapMixedIdLen = idLen)
+      val back = Hdf5.fromHdf5(spark, path)
+      assert(back.schema.fieldNames.length == names.length, s"$tag: column count")
+      assert(back.count() == 1)
+      val row = back.select(names.map(col): _*).head
+      names.indices.foreach { i =>
+        assert(row.getLong(i) == i.toLong, s"$tag: ${names(i)} -> ${row.getLong(i)}")
+      }
+    }
+  }
 }
