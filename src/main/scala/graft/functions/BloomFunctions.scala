@@ -303,4 +303,17 @@ object BloomFunctions {
     * one distributed pass (no key shuffle — see [[BloomBuildAgg]]). */
   def buildBloom(df: DataFrame, c: Column, mBits: Int, k: Int): Array[Byte] =
     df.agg(bloomAgg(c, mBits, k).as("b")).head().getAs[Array[Byte]](0)
+
+  /** (mBits, k) for `nKeys` at ~`bitsPerKey` bits each: mBits the
+    * next power of two of nKeys*bitsPerKey (clamped to [64, 2^30]),
+    * k the optimal m/n*ln2 rounded into [1, 16]. 16 bits/key ~ 0.05%
+    * false positives at k=11. */
+  def sizeFor(nKeys: Long, bitsPerKey: Int = 16): (Int, Int) = {
+    val n = math.max(nKeys, 1L)
+    val mBits = math.max(64L, math.min(1L << 30,
+      java.lang.Long.highestOneBit(n * bitsPerKey - 1L) << 1)).toInt
+    val k = math.max(1, math.min(16,
+      math.round(mBits.toDouble / n * math.log(2.0)).toInt))
+    (mBits, k)
+  }
 }

@@ -66,12 +66,8 @@ object PipelineQueries {
       // size m ~ 16 bits/key (~0.05% FP at k=11): the dictionary is
       // small (eval benchmarks), so counting it first is a cheap pass
       // and keeps the filter dense enough to ship in a few KB-MB
-      val nKeys = math.max(evalG.count(), 1L)
-      val mBits = math.min(1L << 30,
-        java.lang.Long.highestOneBit(nKeys * 16L - 1L) << 1).toInt
-      val k = math.max(1, math.min(16,
-        math.round(mBits.toDouble / nKeys * math.log(2.0)).toInt))
-      val bloom = BloomFunctions.buildBloom(evalG, col("g"), math.max(64, mBits), k)
+      val (mBits, k) = BloomFunctions.sizeFor(evalG.count())
+      val bloom = BloomFunctions.buildBloom(evalG, col("g"), mBits, k)
       train0.select(col("doc_id"), col("__g"),
         BloomFunctions.bloomFilterCandidates(col("__g"), bloom).as("__cand"))
     } else train0.withColumn("__cand", col("__g"))

@@ -249,6 +249,42 @@ object StreamOps {
       }
   }
 
+  /** STREAMING benchmark decontamination — the ingest-time guard the
+    * batch lanes (`q_decontaminate_*`) imply: every arriving document
+    * is screened against a STATIC eval-set gram dictionary and its
+    * exactly-matching grams are emitted as (doc_id, g) rows.
+    *
+    * Fully STATELESS (append mode, no watermark, no aggregation
+    * state): the broadcast Bloom filter over the eval grams — built
+    * once at query start, word-wise-OR distributed build — screens
+    * each doc's gram array in a zero-shuffle codegen'd projection, so
+    * a clean doc (the overwhelming majority) contributes NOTHING
+    * downstream; only bloom survivors explode into the stream-static
+    * LEFT SEMI join that removes the ~0.05% false positives. Any
+    * emitted row means "this doc shares this gram with the eval set";
+    * per-doc aggregation (count, frac) is the consumer's choice of
+    * state regime — `dedupByKey(_, Seq("doc_id"))` gives the bounded
+    * "contaminated doc ids" stream.
+    *
+    * Mode-agnostic: pass a batch frame and the same plan runs as a
+    * batch query (the stream==batch spec relies on this). */
+  def streamingDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                             evalGramHashes: DataFrame, gramN: Int = 5): DataFrame = {
+    import graft.functions.{BloomFunctions, TextFunctions}
+    val gcol = evalGramHashes.columns.head
+    val evalG = evalGramHashes.select(col(gcol).cast("bigint").as("g")).distinct()
+    val (mBits, k) = BloomFunctions.sizeFor(evalG.count())
+    val bloom = BloomFunctions.buildBloom(evalG, col("g"), mBits, k)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      transform(TextFunctions.shingles(col(textCol), gramN),
+        g => TextFunctions.portableHash(g, TextFunctions.Xx64Hash)).as("__g"))
+    grams
+      .select(col("doc_id"),
+        explode(BloomFunctions.bloomFilterCandidates(col("__g"), bloom)).as("g"))
+      .join(evalG, Seq("g"), "left_semi")
+      .select("doc_id", "g")
+  }
+
   /** Stream-sink helper: run a streaming frame to completion against a
     * memory sink and return the collected table (test/driver utility). */
   def runToMemory(streamed: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

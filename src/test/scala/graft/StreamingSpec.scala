@@ -309,4 +309,36 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exists(_.exists(v =>
       v.toString.contains("<EMAIL>") && v.toString.contains("<PHONE>"))))
   }
+
+  test("streamingDecontaminate: stream equals batch; clean docs emit nothing") {
+    // eval docs carry known 5-grams; train doc 11 repeats eval doc 0's
+    // opening 5-gram verbatim, 12 shares one with eval doc 10, 13+14
+    // are clean (distinct vocabularies)
+    val evalDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "one two three four five six seven eight"))
+    val trainDocs = Seq(
+      (11L, "noise alpha beta gamma delta epsilon more noise"),
+      (12L, "pad pad two three four five six pad"),
+      (13L, "completely different clean words nothing shared here"),
+      (14L, "another spotless document with private vocabulary only"))
+    import graft.functions.TextFunctions
+    val evalG = evalDocs.toDF("doc_id", "text")
+      .select(explode(transform(TextFunctions.shingles(col("text"), 5),
+        g => TextFunctions.portableHash(g, TextFunctions.Xx64Hash))).as("g"))
+    // mode-agnostic operator: batch invocation is the expectation
+    val expected = StreamOps.streamingDecontaminate(
+        trainDocs.toDF("doc_id", "text"), "doc_id", "text", evalG)
+      .collect().map(_.toSeq).toSet
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(trainDocs: _*)
+    val got = StreamOps.runToMemory(
+        StreamOps.streamingDecontaminate(
+          stream.toDF.toDF("doc_id", "text"), "doc_id", "text", evalG),
+        "t_decon", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    val contaminated = got.map(_.head.asInstanceOf[Long])
+    assert(contaminated == Set(11L, 12L), s"got $contaminated")
+  }
 }
