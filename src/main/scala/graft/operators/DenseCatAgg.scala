@@ -42,25 +42,21 @@ import org.apache.spark.sql.types._
   */
 object DenseCatAgg {
 
-  /** Per-task partial: one flat array block per value column. */
-  private case class Buf(rowCnt: Array[Long], sums: Array[Array[Double]],
-      cnts: Array[Array[Long]], mins: Array[Array[Double]],
-      maxs: Array[Array[Double]]) extends Serializable {
+  /** Per-task partial: flat arrays indexed [j * domain + k] — a
+    * single bounds check per update and no nested-array indirection
+    * in the per-row hot loop (measured: the nested form cost ~3x). */
+  private case class Buf(rowCnt: Array[Long], sums: Array[Double],
+      cnts: Array[Long], mins: Array[Double],
+      maxs: Array[Double]) extends Serializable {
     def merge(o: Buf): Buf = {
       var k = 0
       while (k < rowCnt.length) { rowCnt(k) += o.rowCnt(k); k += 1 }
-      var j = 0
-      while (j < sums.length) {
-        val (s, c, mn, mx) = (sums(j), cnts(j), mins(j), maxs(j))
-        val (os, oc, omn, omx) = (o.sums(j), o.cnts(j), o.mins(j), o.maxs(j))
-        k = 0
-        while (k < s.length) {
-          s(k) += os(k); c(k) += oc(k)
-          if (omn(k) < mn(k)) mn(k) = omn(k)
-          if (omx(k) > mx(k)) mx(k) = omx(k)
-          k += 1
-        }
-        j += 1
+      var i = 0
+      while (i < sums.length) {
+        sums(i) += o.sums(i); cnts(i) += o.cnts(i)
+        if (o.mins(i) < mins(i)) mins(i) = o.mins(i)
+        if (o.maxs(i) > maxs(i)) maxs(i) = o.maxs(i)
+        i += 1
       }
       this
     }
@@ -103,37 +99,54 @@ object DenseCatAgg {
 
     // loop-invariant specialization: min/max arrays are only touched
     // when some agg asked for them (the common sum/count/mean call
-    // otherwise pays two extra compare-stores per row)
+    // otherwise pays two extra compare-stores per row); all buffers
+    // hoisted to locals so the JIT sees plain array ops in the loop
     val needMM = aggs.exists(a => a.op == "min" || a.op == "max")
     val partials = rdd.mapPartitions { it =>
-      val buf = Buf(new Array[Long](domain),
-        Array.fill(nv)(new Array[Double](domain)),
-        Array.fill(nv)(new Array[Long](domain)),
-        Array.fill(nv)(Array.fill(domain)(Double.PositiveInfinity)),
-        Array.fill(nv)(Array.fill(domain)(Double.NegativeInfinity)))
-      while (it.hasNext) {
-        val r = it.next()
-        if (!r.isNullAt(0)) {
-          val k = r.getInt(0)
-          if (k >= 0 && k < domain) {
-            buf.rowCnt(k) += 1L
-            var j = 0
-            while (j < nv) {
-              if (!r.isNullAt(j + 1)) {
-                val v = r.getDouble(j + 1)
-                buf.sums(j)(k) += v
-                buf.cnts(j)(k) += 1L
-                if (needMM) {
-                  if (v < buf.mins(j)(k)) buf.mins(j)(k) = v
-                  if (v > buf.maxs(j)(k)) buf.maxs(j)(k) = v
+      val rowCnt = new Array[Long](domain)
+      val sums = new Array[Double](nv * domain)
+      val cnts = new Array[Long](nv * domain)
+      val mins = Array.fill(nv * domain)(Double.PositiveInfinity)
+      val maxs = Array.fill(nv * domain)(Double.NegativeInfinity)
+      if (nv == 1 && !needMM) {
+        // the canonical categorize-groupby shape (sum/count/mean of
+        // one column): tightest possible loop
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(0)) {
+            val k = r.getInt(0)
+            if (k >= 0 && k < domain) {
+              rowCnt(k) += 1L
+              if (!r.isNullAt(1)) { sums(k) += r.getDouble(1); cnts(k) += 1L }
+            }
+          }
+        }
+      } else {
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(0)) {
+            val k = r.getInt(0)
+            if (k >= 0 && k < domain) {
+              rowCnt(k) += 1L
+              var j = 0
+              while (j < nv) {
+                if (!r.isNullAt(j + 1)) {
+                  val v = r.getDouble(j + 1)
+                  val i = j * domain + k
+                  sums(i) += v
+                  cnts(i) += 1L
+                  if (needMM) {
+                    if (v < mins(i)) mins(i) = v
+                    if (v > maxs(i)) maxs(i) = v
+                  }
                 }
+                j += 1
               }
-              j += 1
             }
           }
         }
       }
-      Iterator.single(buf)
+      Iterator.single(Buf(rowCnt, sums, cnts, mins, maxs))
     }
     val merged =
       if (rdd.getNumPartitions > 64) partials.treeReduce(_ merge _, depth = 2)
@@ -147,13 +160,14 @@ object DenseCatAgg {
         fields(0) = k
         var j = 0
         while (j < nv) {
-          val c = merged.cnts(j)(k)
+          val i = j * domain + k
+          val c = merged.cnts(i)
           fields(1 + j) = aggs(j).op match {
             case "count" => c
-            case "sum"   => if (c > 0L) merged.sums(j)(k) else null
-            case "mean"  => if (c > 0L) merged.sums(j)(k) / c else null
-            case "min"   => if (c > 0L) merged.mins(j)(k) else null
-            case "max"   => if (c > 0L) merged.maxs(j)(k) else null
+            case "sum"   => if (c > 0L) merged.sums(i) else null
+            case "mean"  => if (c > 0L) merged.sums(i) / c else null
+            case "min"   => if (c > 0L) merged.mins(i) else null
+            case "max"   => if (c > 0L) merged.maxs(i) else null
           }
           j += 1
         }

@@ -56,25 +56,34 @@ object PipelineQueries {
                             gramExpr: org.apache.spark.sql.Column,
                             bloomPrefilter: Boolean = false): DataFrame = {
     import graft.functions.BloomFunctions
-    val withG = t(s, dir, "documents").select(col("doc_id"), gramExpr.as("__g"))
-    val evalG = withG.where(col("doc_id") % 10 === 0)
-      .select(explode(col("__g")).as("g")).distinct()
-    val train0 = withG.where(col("doc_id") % 10 =!= 0)
-    // __cand = the grams that may intersect the eval set (exact lane:
-    // all of them; bloom lane: the maybe-contained subset)
-    val train = if (bloomPrefilter) {
-      // size m ~ 16 bits/key (~0.05% FP at k=11): the dictionary is
-      // small (eval benchmarks), so counting it first is a cheap pass
-      // and keeps the filter dense enough to ship in a few KB-MB
-      val (mBits, k) = BloomFunctions.sizeFor(evalG.count())
-      val bloom = BloomFunctions.buildBloom(evalG, col("g"), mBits, k)
-      train0.select(col("doc_id"), col("__g"),
-        BloomFunctions.bloomFilterCandidates(col("__g"), bloom).as("__cand"))
-    } else train0.withColumn("__cand", col("__g"))
-    val matched = train.select(col("doc_id"), explode(col("__cand")).as("g"))
+    // PLAN-SHAPE RULE (measured 6-9x on this body at sf0.1): keep the
+    // doc_id filters BELOW the gram projection and explode the gram
+    // EXPRESSION directly. Projecting the gram array first and
+    // exploding the column lets InferFiltersFromGenerate's
+    // `size(g) > 0` predicate substitute the whole higher-order gram
+    // expression (interpreted lambdas — CodegenFallback) into a Filter
+    // that pushes below the repartition Exchange, where ONE scan task
+    // evaluates it serially for every row.
+    val docs = t(s, dir, "documents")
+    val evalDocs = docs.where(col("doc_id") % 10 === 0)
+    val evalG = evalDocs.select(explode(gramExpr).as("g")).distinct()
+    val trainDocs = docs.where(col("doc_id") % 10 =!= 0)
+    // candidate grams per doc: all of them (exact lanes) or the
+    // bloom-surviving subset (clean docs explode NOTHING downstream)
+    val candExpr = if (bloomPrefilter) {
+      // size m ~ 16 bits/key (~0.05% FP at k=11); the dictionary is
+      // small (eval benchmarks), so one extra cached pass sizes it
+      val cached = evalG.persist()
+      val bloom = try {
+        val (mBits, k) = BloomFunctions.sizeFor(cached.count())
+        BloomFunctions.buildBloom(cached, col("g"), mBits, k)
+      } finally cached.unpersist(blocking = false)
+      BloomFunctions.bloomFilterCandidates(gramExpr, bloom)
+    } else gramExpr
+    val matched = trainDocs.select(col("doc_id"), explode(candExpr).as("g"))
       .join(evalG, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    train.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
+    trainDocs.select(col("doc_id"), size(gramExpr).cast("long").as("n_grams"))
       .join(matched, Seq("doc_id"), "left")
       .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
       .withColumn("contam_frac",
