@@ -72,7 +72,9 @@ object Hdf5 {
       data: Storage, dataSize: Long,
       indices: Option[Storage],  // str only, n+1 int64 offsets
       bitmap: Option[Storage],   // None when column has no null bitmap
-      fixedStrSize: Int = 0) {
+      fixedStrSize: Int = 0,
+      file: Option[String] = None) { // set when the column's storage
+                                     // lives in ANOTHER file (external link)
     def nullable: Boolean = bitmap.isDefined
     def sparkType: DataType = kind match {
       case "i1" => ByteType
@@ -98,6 +100,14 @@ object Hdf5 {
   private[sources] final case class Dtype(clazz: Int, size: Int, signed: Boolean)
   private[sources] final case class DsetMeta(dims: Seq[Long], dt: Dtype, storage: Storage,
                                              dataSize: Long, attrs: Map[String, String])
+
+  /** Unresolved group-link target: hard (in-file address), soft
+    * (in-file path), or external (another file + path within it). */
+  private[sources] sealed trait LinkTarget
+  private[sources] final case class LinkHard(addr: Long) extends LinkTarget
+  private[sources] final case class LinkSoft(target: String) extends LinkTarget
+  private[sources] final case class LinkExternal(file: String, objPath: String)
+    extends LinkTarget
 
   /** Driver-side metadata parser. Reads only header structures.
     * Hardened against corrupt/hostile files: every metadata read is
@@ -255,10 +265,11 @@ object Hdf5 {
     def isGroup(ohAddr: Long): Boolean = messages(ohAddr).exists(m =>
       m._1 == 0x0011 || m._1 == 0x0002 || m._1 == 0x0006 || m._1 == 0x000A)
 
-    /** One link message (0x0006, new-style groups): Right(ohAddr) for
-      * a hard link, Left(targetPath) for a soft link. External links
-      * (type 64) keep a clear error — they name another FILE. */
-    private def parseLink(body: Array[Byte]): (String, Either[String, Long]) = {
+    /** One link message (0x0006, new-style groups): hard (object
+      * header address), soft (in-file target path), or external
+      * (type 64: target FILE name + object path within it — resolved
+      * by [[Hdf5.readTable]], which owns cross-file opens). */
+    private def parseLink(body: Array[Byte]): (String, LinkTarget) = {
       val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val ver = b.get() & 0xff
       require(ver == 1, s"$path: link message v$ver unsupported")
@@ -271,15 +282,28 @@ object Hdf5 {
         s"$path: implausible link name length $nameLen")
       val name = new Array[Byte](nameLen.toInt); b.get(name)
       ltype match {
-        case 0 => (new String(name, "UTF-8"), Right(b.getLong))
+        case 0 => (new String(name, "UTF-8"), LinkHard(b.getLong))
         case 1 => // soft: 2-byte length + target path (not NUL-terminated)
           val tLen = b.getShort & 0xffff
           require(tLen <= b.remaining(), s"$path: truncated soft link")
           val t = new Array[Byte](tLen); b.get(t)
-          (new String(name, "UTF-8"), Left(new String(t, "UTF-8")))
+          (new String(name, "UTF-8"), LinkSoft(new String(t, "UTF-8")))
+        case 64 => // external: 2-byte value length, then a version/flags
+          // byte (both 0) + NUL-terminated file name + NUL-terminated
+          // object path within that file
+          val vLen = b.getShort & 0xffff
+          require(vLen >= 3 && vLen <= b.remaining(), s"$path: truncated external link")
+          val v = new Array[Byte](vLen); b.get(v)
+          require((v(0) & 0xf0) == 0, s"$path: external link version ${(v(0) & 0xf0) >> 4}")
+          val nul1 = v.indexOf(0.toByte, 1)
+          require(nul1 > 1, s"$path: external link missing file name terminator")
+          val nul2 = v.indexOf(0.toByte, nul1 + 1)
+          require(nul2 > nul1 + 1, s"$path: external link missing object path")
+          (new String(name, "UTF-8"),
+            LinkExternal(new String(v, 1, nul1 - 1, "UTF-8"),
+              new String(v, nul1 + 1, nul2 - nul1 - 1, "UTF-8")))
         case t => throw new IllegalArgumentException(
-          s"$path: link type $t unsupported (hard + soft links only; " +
-            "external links reference another file)")
+          s"$path: link type $t unsupported (hard/soft/external links only)")
       }
     }
 
@@ -287,7 +311,9 @@ object Hdf5 {
       * absolute paths walk from the root group, relative from `base`.
       * A dangling target yields None (the link is skipped, h5py
       * listing semantics); chains deeper than 16 hops — a cycle in
-      * any sane file — error out. */
+      * any sane file — error out. A soft chain that lands on an
+      * EXTERNAL link stops unresolved (cross-file resolution belongs
+      * to the table-level traversal, which owns file opens). */
     private def resolvePath(base: Long, target: String, depth: Int): Option[Long] = {
       require(depth < 16, s"$path: soft-link chain deeper than 16 (cycle?)")
       val start = if (target.startsWith("/")) rootAddr else base
@@ -297,28 +323,56 @@ object Hdf5 {
           if (!isGroup(a)) None
           else rawChildren(a).collectFirst { case (n, e) if n == seg => e }
             .flatMap {
-              case Right(addr)    => Some(addr)
-              case Left(target2)  => resolvePath(a, target2, depth + 1)
+              case LinkHard(addr)       => Some(addr)
+              case LinkSoft(target2)    => resolvePath(a, target2, depth + 1)
+              case LinkExternal(_, _)   => None
             }
         }
       }
     }
 
-    /** Children of a group: (name, objectHeaderAddr) in name order.
+    /** An absolute (or root-relative) object path to either an object
+      * header address (Right) or a further external link (Left) when
+      * the path's FINAL segment is one — the entry point external
+      * links from OTHER files use to land in this file. Intermediate
+      * segments must resolve in-file. */
+    def resolveObjectPathExt(target: String): Option[Either[(String, String), Long]] = {
+      val segs = target.split("/").toSeq.filter(s => s.nonEmpty && s != ".")
+      if (segs.isEmpty) return Some(Right(rootAddr))
+      val parent = segs.init.foldLeft(Option(rootAddr)) { (cur, seg) =>
+        cur.flatMap { a =>
+          if (!isGroup(a)) None
+          else groupChildren(a).collectFirst { case (n, x) if n == seg => x }
+        }
+      }
+      parent.flatMap { pa =>
+        if (!isGroup(pa)) None
+        else groupChildrenExt(pa).collectFirst { case (n, e) if n == segs.last => e }
+      }
+    }
+
+    /** Children of a group: (name, objectHeaderAddr) in name order,
+      * soft links resolved, external links dropped.
       * Old-style symbol-table groups (B-tree v1 + local heap + SNOD),
       * new-style compact groups (one link message per child), and
       * new-style DENSE groups (links serialized into a fractal heap,
       * indexed by a name v2 B-tree — what h5py creates above its
       * 8-link compact threshold with libver='latest'). */
     def groupChildren(ohAddr: Long): Seq[(String, Long)] =
+      groupChildrenExt(ohAddr).collect { case (n, Right(a)) => (n, a) }
+
+    /** Children with external links surfaced: Right = in-file object
+      * header address (hard, or soft resolved), Left = (fileName,
+      * objectPath) of an external link for the caller to chase. */
+    def groupChildrenExt(ohAddr: Long): Seq[(String, Either[(String, String), Long])] =
       rawChildren(ohAddr).flatMap {
-        case (n, Right(addr))  => Some((n, addr))
-        case (n, Left(target)) => resolvePath(ohAddr, target, 1).map((n, _))
+        case (n, LinkHard(addr))       => Some((n, Right(addr)))
+        case (n, LinkSoft(target))     => resolvePath(ohAddr, target, 1).map(a => (n, Right(a)))
+        case (n, LinkExternal(f, obj)) => Some((n, Left((f, obj))))
       }
 
-    /** Children before soft-link resolution: Right = hard address,
-      * Left = soft target path. */
-    private def rawChildren(ohAddr: Long): Seq[(String, Either[String, Long])] = {
+    /** Children before link resolution. */
+    private def rawChildren(ohAddr: Long): Seq[(String, LinkTarget)] = {
       val msgs = messages(ohAddr)
       msgs.find(_._1 == 0x0011) match {
         case Some(st) => symbolTableChildren(st._2)
@@ -356,7 +410,24 @@ object Hdf5 {
     private case class FractalHeap(idLen: Int, offsetSize: Int, lengthSize: Int,
                                    blockHeaderSize: Int,
                                    blocks: Seq[(Long, Long, Long, Long, Int)],
-                                   filters: Seq[(Int, Int)]) {
+                                   filters: Seq[(Int, Int)],
+                                   hugeBt: Long) {
+      /** Indirectly-accessed huge objects, looked up by huge ID in the
+        * heap's huge-object v2 B-tree: id -> (fileAddr, storedLen,
+        * filterMask, memLen). Unfiltered records (btree type 7) are
+        * addr+len+id; filtered (type 8) add mask+memSize — the record
+        * layout follows the heap's own pipeline, as in libhdf5. */
+      lazy val hugeRecords: Map[Long, (Long, Long, Int, Long)] =
+        if (hugeBt == UNDEF) Map.empty
+        else btreeV2Records(hugeBt).map { rec =>
+          val b = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+          val addr = b.getLong; val len = b.getLong
+          if (filters.isEmpty) (b.getLong, (addr, len, 0, len))
+          else {
+            val mask = b.getInt; val mem = b.getLong
+            (b.getLong, (addr, len, mask, mem))
+          }
+        }.toMap
       /** Direct blocks of a FILTERED heap are read + inflated whole;
         * dense-link iteration touches every object, so cache the
         * inflated images per block (bounded by the heap's own size). */
@@ -414,6 +485,7 @@ object Hdf5 {
       // fixed-width fields: nextHugeId(8) hugeBt(8) freeSpace(8)
       // fsMgr(8) managedSpace(8) allocSpace(8) iterOffset(8) nObj(8)
       // hugeSize(8) nHuge(8) tinySize(8) nTiny(8) at offset 14..110
+      val hugeBt = hd.getLong(22)
       val tableWidth = hd.getShort(110) & 0xffff
       val startBlockSize = hd.getLong(112)
       val maxDirectSize = hd.getLong(120)
@@ -497,7 +569,7 @@ object Hdf5 {
           out.sortBy(_._1).toSeq
         }
       FractalHeap(idLen, offsetSize, lengthSize, blockHeaderSize, blocks,
-        heapFilters)
+        heapFilters, hugeBt)
     }
 
     /** Bytes of one MANAGED fractal-heap object. Heap offsets address
@@ -508,20 +580,31 @@ object Hdf5 {
       val flags = idb.get() & 0xff
       require((flags >> 6) == 0, s"$path: heap ID version ${flags >> 6}")
       (flags >> 4) & 0x3 match {
-        case 1 => // HUGE: object lives outside the heap's linear space
-          // direct form (address + length inside the ID) requires the
-          // ID to fit them — exactly libhdf5's huge_ids_direct rule
-          require(fh.filters.isEmpty,
-            s"$path: filtered huge heap objects unsupported")
-          require(fh.idLen >= 17,
-            s"$path: indirect (v2-btree-indexed) huge heap objects unsupported")
-          val addr = idb.getLong
-          val len = idb.getLong
-          require(addr != UNDEF && len >= 0 && len <= MaxMetaRead,
-            s"$path: implausible huge heap object (addr=$addr len=$len)")
-          val out = new Array[Byte](len.toInt)
+        case 1 => // HUGE: object lives outside the heap's linear space.
+          // DIRECT form (everything inside the ID) needs the ID to fit
+          // addr+len (+mask+memSize when the heap is filtered) —
+          // exactly libhdf5's huge_ids_direct rule; otherwise the ID
+          // holds a huge-object sequence number looked up in the
+          // heap's huge v2 B-tree (INDIRECT — libhdf5's default,
+          // since default heap IDs are minimum-width).
+          val filtered = fh.filters.nonEmpty
+          val direct = if (filtered) fh.idLen >= 29 else fh.idLen >= 17
+          val (addr, storedLen, mask, memLen) =
+            if (direct) {
+              val a = idb.getLong; val l = idb.getLong
+              if (filtered) { val m = idb.getInt; (a, l, m, idb.getLong) }
+              else (a, l, 0, l)
+            } else {
+              val id = getUint(idb, math.min(fh.idLen - 1, 8))
+              fh.hugeRecords.getOrElse(id, throw new IllegalStateException(
+                s"$path: huge heap object $id missing from the huge-object index"))
+            }
+          require(addr != UNDEF && storedLen > 0 && storedLen <= MaxMetaRead &&
+            memLen >= 0 && memLen <= MaxMetaRead,
+            s"$path: implausible huge heap object (addr=$addr len=$storedLen)")
+          val out = new Array[Byte](storedLen.toInt)
           raf.seek(addr); raf.readFully(out)
-          return out
+          return if (filtered) defilter(out, fh.filters, mask, memLen.toInt) else out
         case 2 => // TINY: payload embedded in the ID itself; length is
           // 4 bits (+1) in the flag byte, or 12 bits across two bytes
           // when the heap's IDs are longer than 18 bytes
@@ -656,7 +739,7 @@ object Hdf5 {
       * hash(4) + heap ID), resolve each heap ID to a serialized link
       * message, parse. */
     private def denseLinkChildren(fheapAddr: Long,
-        nameBtAddr: Long): Seq[(String, Either[String, Long])] = {
+        nameBtAddr: Long): Seq[(String, LinkTarget)] = {
       val fh = fractalHeap(fheapAddr)
       btreeV2Records(nameBtAddr).map { rec =>
         require(rec.length >= 4 + fh.idLen, s"$path: short link record")
@@ -666,7 +749,7 @@ object Hdf5 {
     }
 
     private def symbolTableChildren(
-        stBody: Array[Byte]): Seq[(String, Either[String, Long])] = {
+        stBody: Array[Byte]): Seq[(String, LinkTarget)] = {
       val b = ByteBuffer.wrap(stBody).order(ByteOrder.LITTLE_ENDIAN)
       val btreeAddr = b.getLong; val heapAddr = b.getLong
       val heapDataAddr = { // HEAP: sig(4) ver(1) res(3) size(8) freelist(8) dataAddr(8)
@@ -712,8 +795,8 @@ object Hdf5 {
             // symbolic link: scratch-pad's first 4 bytes hold the
             // local-heap offset of the target path (objAddr undefined)
             val tgtOff = entries.getInt(i * 40 + 24) & 0xffffffffL
-            (heapString(nameOff), Left(heapString(tgtOff)))
-          } else (heapString(nameOff), Right(objAddr))
+            (heapString(nameOff), LinkSoft(heapString(tgtOff)))
+          } else (heapString(nameOff), LinkHard(objAddr))
         }
       }
     }
@@ -1012,25 +1095,67 @@ object Hdf5 {
     * through h5py, packages/vaex-hdf5/vaex/hdf5/dataset.py:57).
     * Returns columns in column_order when the attribute is present,
     * else B-tree (name) order. */
+  /** One object in one (possibly externally-linked) file during
+    * table-metadata traversal. */
+  private final case class H5Node(f: H5File, fpath: String, addr: Long)
+
   def readTable(path: String): Seq[ColumnMeta] = {
-    val f = new H5File(path)
+    // external links open their target file once (cache by path);
+    // everything closes when traversal ends — ColumnMeta carries only
+    // addresses + the backing file path, never a handle
+    val opened = scala.collection.mutable.LinkedHashMap[String, H5File]()
+    def openFile(p: String): H5File = opened.getOrElseUpdate(p, new H5File(p))
+    /** Chase one external link, transitively (an external target may
+      * itself be an external link): relative file names resolve
+      * against the REFERENCING file's directory (libhdf5's default
+      * search), missing files/objects yield None (the link is
+      * skipped, like a dangling soft link), chains deeper than 8
+      * files stop — a cross-file link cycle in any sane tree. */
+    def resolveExternal(fromPath: String, file: String, obj: String,
+                        depth: Int): Option[H5Node] = {
+      if (depth > 8) return None
+      val tf = new java.io.File(file)
+      val target = if (tf.isAbsolute) file
+        else new java.io.File(
+          new java.io.File(fromPath).getAbsoluteFile.getParentFile, file).getPath
+      try {
+        val g = openFile(target)
+        g.resolveObjectPathExt(obj).flatMap {
+          case Right(a)          => Some(H5Node(g, target, a))
+          case Left((f2, obj2))  => resolveExternal(target, f2, obj2, depth + 1)
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    /** Children across files: hard/soft resolve in-file; an external
+      * link opens its target file and resolves the object path there. */
+    def kidsOf(nd: H5Node): Seq[(String, H5Node)] =
+      nd.f.groupChildrenExt(nd.addr).flatMap {
+        case (n, Right(a))          => Some((n, nd.copy(addr = a)))
+        case (n, Left((file, obj))) =>
+          resolveExternal(nd.fpath, file, obj, 1).map((n, _))
+      }
+    def fileTag(nd: H5Node): Option[String] = Some(nd.fpath).filterNot(_ == path)
     try {
-      val rootKidsSeq = f.groupChildren(f.rootAddr)
+      val f = openFile(path)
+      val root = H5Node(f, path, f.rootAddr)
+      def isGrp(nd: H5Node) = nd.f.isGroup(nd.addr)
+      val rootKidsSeq = kidsOf(root)
       val rootKids = rootKidsSeq.toMap
-      val columnsGroupAddr =
-        rootKids.get("table").filter(f.isGroup)
-          .flatMap(t => f.groupChildren(t).toMap.get("columns"))
-          .orElse(rootKids.get("columns").filter(f.isGroup))
-          .orElse(rootKids.get("data").filter(f.isGroup))
+      val columnsGroup =
+        rootKids.get("table").filter(isGrp)
+          .flatMap(t => kidsOf(t).toMap.get("columns"))
+          .orElse(rootKids.get("columns").filter(isGrp))
+          .orElse(rootKids.get("data").filter(isGrp))
           .getOrElse {
             // generic file: root-level datasets as columns. A dataset
             // the parser can't even describe (vlen/compound dtype,
             // multi-dim chunking, exotic filter — f.dataset throws) is
             // SKIPPED like any other unsupported one, so the readable
             // columns of a mixed wild file still load.
-            val plain = rootKidsSeq.filterNot { case (_, a) => f.isGroup(a) }
-              .flatMap { case (name, a) =>
-                try plainColumn(name, f.dataset(a))
+            val plain = rootKidsSeq.filterNot { case (_, nd) => isGrp(nd) }
+              .flatMap { case (name, nd) =>
+                try plainColumn(name, nd.f.dataset(nd.addr))
+                  .map(_.copy(file = fileTag(nd)))
                 catch { case _: Exception => None }
               }
             if (plain.nonEmpty) return plain
@@ -1038,33 +1163,41 @@ object Hdf5 {
               s"$path: no /table/columns, /columns or /data group and no plain " +
                 "root-level 1-D datasets (not a readable hdf5 table)")
           }
-      val kids = f.groupChildren(columnsGroupAddr)
+      val kids = kidsOf(columnsGroup)
       val colOrder = {
         // column_order attr lives on the columns group
-        val attrs = attrsOf(f, columnsGroupAddr)
+        val attrs = attrsOf(columnsGroup.f, columnsGroup.addr)
         attrs.get("column_order").map(_.split(",").toSeq)
       }
-      val metas = kids.map { case (name, addr) =>
-        if (f.isGroup(addr)) {
-          val members = f.groupChildren(addr).toMap
-          val dataA = members.getOrElse("data",
+      val metas = kids.map { case (name, nd) =>
+        if (isGrp(nd)) {
+          val members = kidsOf(nd).toMap
+          val dataNd = members.getOrElse("data",
             throw new IllegalArgumentException(s"column $name: no data dataset"))
-          val data = f.dataset(dataA)
-          val bitmap = members.get("null_bitmap").map(a => f.dataset(a).storage)
+          // all of a column's pieces must share one backing file —
+          // ColumnMeta carries a single file override
+          (members.get("null_bitmap") ++ members.get("indices")).foreach { m =>
+            require(m.fpath == dataNd.fpath,
+              s"column $name: members split across files (unsupported)")
+          }
+          val data = dataNd.f.dataset(dataNd.addr)
+          val bitmap = members.get("null_bitmap").map(m => m.f.dataset(m.addr).storage)
           if (data.attrs.get("dtype").contains("str")) {
-            val idxA = members.getOrElse("indices",
+            val idxNd = members.getOrElse("indices",
               throw new IllegalArgumentException(s"string column $name: no indices"))
-            val idx = f.dataset(idxA)
+            val idx = idxNd.f.dataset(idxNd.addr)
             ColumnMeta(name, "str", idx.dims.head - 1,
-              data.storage, data.dataSize, Some(idx.storage), bitmap)
+              data.storage, data.dataSize, Some(idx.storage), bitmap,
+              file = fileTag(dataNd))
           } else {
             val kind = kindOf(data.dt)
-            ColumnMeta(name, kind, data.dims.head, data.storage, data.dataSize, None, bitmap)
+            ColumnMeta(name, kind, data.dims.head, data.storage, data.dataSize,
+              None, bitmap, file = fileTag(dataNd))
           }
         } else { // v1 layout: dataset directly under the group
-          val data = f.dataset(addr)
+          val data = nd.f.dataset(nd.addr)
           ColumnMeta(name, kindOf(data.dt), data.dims.head,
-            data.storage, data.dataSize, None, None)
+            data.storage, data.dataSize, None, None, file = fileTag(nd))
         }
       }
       colOrder match {
@@ -1073,7 +1206,7 @@ object Hdf5 {
           names.flatMap(byName.get) ++ metas.filterNot(m => names.contains(m.name))
         case None => metas
       }
-    } finally f.close()
+    } finally opened.values.foreach(f => try f.close() catch { case _: Exception => })
   }
 
   private def attrsOf(f: H5File, ohAddr: Long): Map[String, String] = {
@@ -1229,10 +1362,15 @@ object Hdf5 {
     * (column, range). */
   private[sources] def readColumnRanges(path: String, metas: Array[ColumnMeta],
                                         start: Long, end: Long): Array[Array[Any]] = {
-    val raf = new RandomAccessFile(path, "r")
+    // one handle per distinct backing file — externally-linked columns
+    // read straight from their own file (ColumnMeta.file)
+    val rafs = scala.collection.mutable.Map[String, RandomAccessFile]()
+    def rafFor(p: String): RandomAccessFile =
+      rafs.getOrElseUpdate(p, new RandomAccessFile(p, "r"))
     try {
       val c = (end - start).toInt
       metas.map { m =>
+        val raf = rafFor(m.file.getOrElse(path))
         val valid: Int => Boolean = m.bitmap match {
           case Some(bst) =>
             val firstByte = start / 8
@@ -1286,7 +1424,7 @@ object Hdf5 {
             }
         }
       }
-    } finally raf.close()
+    } finally rafs.values.foreach(r => try r.close() catch { case _: Exception => })
   }
 
   // ==================================================================
@@ -1327,7 +1465,9 @@ object Hdf5 {
       denseGeom: Option[(Long, Long)] = None,
       heapFilter: Boolean = false,
       softLinks: Seq[(String, String)] = Nil,
-      heapMixedIdLen: Int = 0): Unit = {
+      heapMixedIdLen: Int = 0,
+      externalLinks: Seq[(String, String, String)] = Nil,
+      hugeIndirect: Boolean = false): Unit = {
     val lc = longs.map { case (name, vs) =>
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putLong)
@@ -1349,7 +1489,8 @@ object Hdf5 {
     }
     writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest,
       denseGeom = denseGeom, heapFilter = heapFilter,
-      softLinks = softLinks, heapMixedIdLen = heapMixedIdLen)
+      softLinks = softLinks, heapMixedIdLen = heapMixedIdLen,
+      externalLinks = externalLinks, hugeIndirect = hugeIndirect)
   }
 
   /** Same layout, but every dataset stored CHUNKED with the standard
@@ -1690,6 +1831,27 @@ object Hdf5 {
     b.put(tB)
     b.array()
   }
+  /** External-link message (link type 64): 2-byte value length, then
+    * version/flags byte (0) + NUL-terminated target file name +
+    * NUL-terminated object path within it. */
+  private def extLinkMsg(name: String, file: String, objPath: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    val fB = file.getBytes("UTF-8")
+    val oB = objPath.getBytes("UTF-8")
+    val vLen = 1 + fB.length + 1 + oB.length + 1
+    require(nameB.length <= 255 && vLen <= 65535, s"external link too long: $name")
+    val b = buf(3 + 1 + nameB.length + 2 + vLen)
+    b.put(1.toByte)     // version
+    b.put(0x08.toByte)  // flags: link type present, 1-byte name length
+    b.put(64.toByte)    // link type: external
+    b.put(nameB.length.toByte)
+    b.put(nameB)
+    b.putShort(vLen.toShort)
+    b.put(0.toByte)     // ext-link version(4) | flags(4) = 0
+    b.put(fB); b.put(0.toByte)
+    b.put(oB); b.put(0.toByte)
+    b.array()
+  }
   /** Link Info with no dense storage (compact links live in the
     * header as link messages). */
   private def linkInfoCompact: Array[Byte] = {
@@ -1749,7 +1911,9 @@ object Hdf5 {
                         denseGeom: Option[(Long, Long)] = None,
                         heapFilter: Boolean = false,
                         softLinks: Seq[(String, String)] = Nil,
-                        heapMixedIdLen: Int = 0): Unit = {
+                        heapMixedIdLen: Int = 0,
+                        externalLinks: Seq[(String, String, String)] = Nil,
+                        hugeIndirect: Boolean = false): Unit = {
     val patches = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     val sbSize = if (latest) 48L else 96L // superblock v3 vs v0
     var cursor = sbSize
@@ -1867,7 +2031,8 @@ object Hdf5 {
       * produce, so wide tables exercise the dense read path. */
     def writeGroupLatest(children: Seq[(String, Long)],
                          attrs: Seq[(String, String)],
-                         soft: Seq[(String, String)] = Nil): Long = {
+                         soft: Seq[(String, String)] = Nil,
+                         ext: Seq[(String, String, String)] = Nil): Long = {
       val sorted = children.sortBy(_._1)
       if (sorted.size > 8) return denseGeom match {
         case Some((s, m)) => writeGroupDense(sorted, attrs, s, m)
@@ -1875,7 +2040,8 @@ object Hdf5 {
       }
       val linkMsgs =
         (sorted.map { case (n, a) => (n, linkMsg(n, a)) } ++
-          soft.map { case (n, t) => (n, softLinkMsg(n, t)) })
+          soft.map { case (n, t) => (n, softLinkMsg(n, t)) } ++
+          ext.map { case (n, fl, op) => (n, extLinkMsg(n, fl, op)) })
           .sortBy(_._1).map { case (_, m) => msgV2(0x0006, m) }
       val msgs = Seq(msgV2(0x0002, linkInfoCompact), msgV2(0x000A, groupInfoMsg)) ++
         linkMsgs ++
@@ -1910,17 +2076,22 @@ object Hdf5 {
       // way; which class a given fixture link lands in is the
       // writer's choice either way.
       val offsetSize = 4; val lengthSize = 2
+      // `hugeIndirect` keeps IDs at the managed minimum, so huge
+      // objects go through the huge-object v2 B-tree (libhdf5's
+      // default config); `heapMixedIdLen` widens IDs for the DIRECT
+      // forms (addr+len in the ID; +mask+memSize when filtered)
+      require(!(hugeIndirect && heapMixedIdLen > 0),
+        "hugeIndirect uses minimum-width heap IDs (drop heapMixedIdLen)")
       val idLen = if (heapMixedIdLen > 0) heapMixedIdLen else 7
-      require(heapMixedIdLen == 0 || !heapFilter,
-        "mixed heap IDs + filtered heap not combined (huge objects bypass the pipeline)")
-      require(heapMixedIdLen == 0 || heapMixedIdLen >= 17,
-        s"mixed heap IDs need idLen >= 17 for direct huge objects, got $heapMixedIdLen")
+      require(heapMixedIdLen == 0 || heapMixedIdLen >= (if (heapFilter) 29 else 17),
+        s"direct huge objects need idLen >= ${if (heapFilter) 29 else 17} " +
+          s"(filtered adds mask+memSize), got $heapMixedIdLen")
       val tinyCap =
         if (idLen <= 18) math.min(idLen - 1, 16) else math.min(idLen - 2, 4096)
       // 0 = managed, 1 = huge, 2 = tiny (heap-ID type codes)
       def clsOf(n: String, body: Array[Byte]): Int =
-        if (heapMixedIdLen == 0) 0
-        else if (body.length <= tinyCap) 2
+        if (heapMixedIdLen == 0 && !hugeIndirect) 0
+        else if (heapMixedIdLen > 0 && body.length <= tinyCap) 2
         else if (n.getBytes("UTF-8").length >= 48) 1
         else 0
       val bodies = allBodies.filter { case (n, b) => clsOf(n, b) == 0 }
@@ -2051,13 +2222,51 @@ object Hdf5 {
         if (fitsOneBlock) singleBlockSize
         else usedBlocks.map(b => b._1 + b._2).max
       val endOff = placed.lastOption.map(p => p._3 + p._2.length).getOrElse(0L)
-      // huge objects: raw link-message bytes alloc'd OUTSIDE the
-      // heap's linear space; their IDs carry (addr, len) directly
-      val hugePlaced = hugeBodies.map { case (n, body) =>
-        val a = alloc(body.length)
-        emit(a, body)
-        (n, body, a)
+      // huge objects: link-message bytes alloc'd OUTSIDE the heap's
+      // linear space (deflated individually when the heap is
+      // filtered — huge objects go through the pipeline one by one,
+      // never as part of a direct block). 1-based huge IDs.
+      // Allocation stays at the uncompressed size + headroom so the
+      // two-phase planner is stable (bodies embed addresses, so the
+      // deflated size can shift a few bytes between runs).
+      val hugePlaced = hugeBodies.zipWithIndex.map { case ((n, body), i) =>
+        val stored = if (heapFilter) deflate(body, 6) else body
+        val a = alloc(if (heapFilter) body.length + 64 else body.length)
+        emit(a, stored)
+        (n, body, a, stored.length.toLong, i + 1L)
       }
+      // indirect huge objects: a (single-leaf) huge-object v2 B-tree —
+      // type 7 records (addr, storedLen, id) unfiltered, type 8
+      // (addr, storedLen, mask, memSize, id) filtered
+      val hugeBtAddr =
+        if (!hugeIndirect || hugePlaced.isEmpty) UNDEF
+        else {
+          val btType = if (heapFilter) 8 else 7
+          val recSize = if (heapFilter) 36 else 24
+          val leafSize = 6 + hugePlaced.size * recSize + 4
+          val leafAddr = alloc(leafSize)
+          val lf = buf(leafSize)
+          lf.putInt(leMagic("BTLF")); lf.put(0.toByte); lf.put(btType.toByte)
+          hugePlaced.foreach { case (_, body, a, stored, id) =>
+            lf.putLong(a); lf.putLong(stored)
+            if (heapFilter) { lf.putInt(0); lf.putLong(body.length.toLong) }
+            lf.putLong(id)
+          }
+          lf.putInt(lookup3(java.util.Arrays.copyOfRange(lf.array(), 0, leafSize - 4)))
+          emit(leafAddr, lf.array())
+          val hbtAddr = alloc(38)
+          val hbt = buf(38)
+          hbt.putInt(leMagic("BTHD")); hbt.put(0.toByte); hbt.put(btType.toByte)
+          hbt.putInt(2048)
+          hbt.putShort(recSize.toShort)
+          hbt.putShort(0) // depth
+          hbt.put(100.toByte); hbt.put(40.toByte)
+          hbt.putLong(leafAddr)
+          hbt.putShort(hugePlaced.size.toShort)
+          hbt.putLong(hugePlaced.size.toLong)
+          hbt.putInt(lookup3(java.util.Arrays.copyOfRange(hbt.array(), 0, 34)))
+          emit(hbtAddr, hbt.array()); hbtAddr
+        }
       // fractal heap header (+ filtered-root-size/mask/pipeline tail
       // when the heap is I/O-filtered)
       val pipelineBytes =
@@ -2069,8 +2278,8 @@ object Hdf5 {
       fh.putShort(pipelineBytes.length.toShort) // I/O filter info length
       fh.put(0x02.toByte)         // flags: checksum direct blocks
       fh.putInt(maxManagedObj.toInt)
-      fh.putLong(0L)              // next huge id
-      fh.putLong(UNDEF)           // huge v2 btree
+      fh.putLong(if (hugeBtAddr != UNDEF) hugePlaced.size + 1L else 0L) // next huge id
+      fh.putLong(hugeBtAddr)      // huge v2 btree
       fh.putLong(heapSpace - endOff) // free space
       fh.putLong(UNDEF)           // free-space manager
       fh.putLong(heapSpace)       // managed space
@@ -2118,11 +2327,18 @@ object Hdf5 {
         id.put(body)
         (lookup3(n.getBytes("UTF-8")), id.array())
       }
-      val hugeRecs = hugePlaced.map { case (n, body, a) =>
+      val hugeRecs = hugePlaced.map { case (n, body, a, stored, hugeId) =>
         val id = buf(idLen)
-        id.put(0x10.toByte) // huge, direct, version 0
-        id.putLong(a)
-        id.putLong(body.length.toLong)
+        id.put(0x10.toByte) // huge, version 0
+        if (hugeIndirect) {
+          // huge-object sequence number in min(idLen-1, 8) bytes LE
+          var v = hugeId
+          for (_ <- 0 until math.min(idLen - 1, 8)) { id.put((v & 0xff).toByte); v >>= 8 }
+        } else {
+          id.putLong(a)
+          id.putLong(stored)
+          if (heapFilter) { id.putInt(0); id.putLong(body.length.toLong) }
+        }
         (lookup3(n.getBytes("UTF-8")), id.array())
       }
       val records = (managedRecs ++ tinyRecs ++ hugeRecs)
@@ -2289,9 +2505,14 @@ object Hdf5 {
       patches.clear(); cursor = sbSize
       var dataCursor = dataBase
       def group(children: Seq[(String, Long)], attrs: Seq[(String, String)],
-                soft: Seq[(String, String)] = Nil): Long =
-        if (latest) writeGroupLatest(children, attrs, soft)
+                soft: Seq[(String, String)] = Nil,
+                ext: Seq[(String, String, String)] = Nil): Long = {
+        // external links are a 1.8+ link-message feature — old-style
+        // symbol-table groups have no place to put them
+        require(ext.isEmpty || latest, "external links need latest=true")
+        if (latest) writeGroupLatest(children, attrs, soft, ext)
         else writeGroup(children, attrs, soft)
+      }
       def allocData(size: Long): Long = { val a = dataCursor; dataCursor = align8(dataCursor + size); a }
 
       /** Emit one dataset (header + data bytes), contiguous or
@@ -2351,7 +2572,7 @@ object Hdf5 {
           }
           (c.name, emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil))
         }
-        val rootAddr = group(dsets, Nil, softLinks)
+        val rootAddr = group(dsets, Nil, softLinks, externalLinks)
         (rootAddr, dataCursor)
       } else {
       val colGroups = cols.map { c =>
@@ -2378,7 +2599,7 @@ object Hdf5 {
       val columnsAddr = group(colGroups,
         Seq("column_order" -> cols.map(_.name).mkString(",")))
       val tableAddr = group(Seq(("columns", columnsAddr)), Nil)
-      val rootAddr = group(Seq(("table", tableAddr)), Nil, softLinks)
+      val rootAddr = group(Seq(("table", tableAddr)), Nil, softLinks, externalLinks)
       (rootAddr, dataCursor)
       }
     }

@@ -497,4 +497,82 @@ class Hdf5Spec extends SparkSpec {
       }
     }
   }
+
+  test("indirect (v2-btree-indexed) huge heap objects read back") {
+    // minimum-width heap IDs (libhdf5's default config) force long-
+    // named links OUT of the managed space and INTO the huge-object
+    // v2 B-tree — the ID carries only a sequence number
+    val medNames = (0 until 8).map(i => f"medium_column_$i%02d")
+    val longNames = (0 until 3).map(i =>
+      s"very_long_column_name_padded_out_to_force_huge_object_storage_$i")
+    val names = medNames ++ longNames
+    val cols = names.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) }
+    val path = tmp("huge_indirect.hdf5")
+    Hdf5.writeFlatFile(path, longs = cols, latest = true, hugeIndirect = true)
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.length == names.length)
+    val row = back.select(names.map(col): _*).head
+    names.indices.foreach { i => assert(row.getLong(i) == i.toLong, names(i)) }
+  }
+
+  test("filtered huge heap objects read back (indirect and direct forms)") {
+    val medNames = (0 until 8).map(i => f"medium_column_$i%02d")
+    val longNames = (0 until 3).map(i =>
+      s"very_long_column_name_padded_out_to_force_huge_object_storage_$i")
+    val names = medNames ++ longNames
+    val cols = names.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) }
+    // indirect: type-8 btree records carry (addr, storedLen, mask, memSize)
+    val pInd = tmp("huge_filtered_indirect.hdf5")
+    Hdf5.writeFlatFile(pInd, longs = cols, latest = true,
+      heapFilter = true, hugeIndirect = true)
+    // direct: idLen 29 fits (addr, storedLen, mask, memSize) in the ID
+    val pDir = tmp("huge_filtered_direct.hdf5")
+    Hdf5.writeFlatFile(pDir, longs = cols, latest = true,
+      heapFilter = true, heapMixedIdLen = 29)
+    for ((p, tag) <- Seq(pInd -> "indirect", pDir -> "direct")) {
+      val back = Hdf5.fromHdf5(spark, p)
+      assert(back.schema.fieldNames.length == names.length, tag)
+      val row = back.select(names.map(col): _*).head
+      names.indices.foreach { i => assert(row.getLong(i) == i.toLong, s"$tag ${names(i)}") }
+    }
+  }
+
+  test("external links resolve across files (relative, absolute, transitive)") {
+    val dir = java.nio.file.Files.createTempDirectory("h5ext").toFile
+    dir.deleteOnExit()
+    val pC = new java.io.File(dir, "c.hdf5").getPath
+    val pB = new java.io.File(dir, "b.hdf5").getPath
+    val pA = new java.io.File(dir, "a.hdf5").getPath
+    Hdf5.writeFlatFile(pC, longs = Seq("z" -> Array(70L, 80L, 90L)), latest = true)
+    Hdf5.writeFlatFile(pB, longs = Seq("y" -> Array(40L, 50L, 60L)), latest = true,
+      externalLinks = Seq(("hop", "c.hdf5", "/z"))) // B -> C, itself external
+    Hdf5.writeFlatFile(pA, longs = Seq("x" -> Array(1L, 2L, 3L)), latest = true,
+      externalLinks = Seq(
+        ("ext_rel", "b.hdf5", "/y"),       // relative file name
+        ("ext_abs", pB, "/y"),             // absolute file name
+        ("ext_hop", "b.hdf5", "/hop"),     // external -> external -> dataset
+        ("ext_gone_file", "missing.hdf5", "/y"), // skipped: no such file
+        ("ext_gone_obj", "b.hdf5", "/nope")))    // skipped: no such object
+    val back = Hdf5.fromHdf5(spark, pA)
+    assert(back.schema.fieldNames.sorted.toSeq ==
+      Seq("ext_abs", "ext_hop", "ext_rel", "x"))
+    val rows = back.orderBy("x").collect()
+    assert(rows.map(_.getAs[Long]("x")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("ext_rel")).toSeq == Seq(40L, 50L, 60L))
+    assert(rows.map(_.getAs[Long]("ext_abs")).toSeq == Seq(40L, 50L, 60L))
+    assert(rows.map(_.getAs[Long]("ext_hop")).toSeq == Seq(70L, 80L, 90L))
+  }
+
+  test("external-link cycles across files stop, unresolved links skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("h5extcyc").toFile
+    dir.deleteOnExit()
+    val pA = new java.io.File(dir, "a.hdf5").getPath
+    val pB = new java.io.File(dir, "b.hdf5").getPath
+    Hdf5.writeFlatFile(pA, longs = Seq("x" -> Array(1L)), latest = true,
+      externalLinks = Seq(("loop", "b.hdf5", "/loop")))
+    Hdf5.writeFlatFile(pB, longs = Seq("y" -> Array(2L)), latest = true,
+      externalLinks = Seq(("loop", "a.hdf5", "/loop")))
+    val metas = Hdf5.readTable(pA) // must terminate, dropping the cycle
+    assert(metas.map(_.name).sorted == Seq("x"))
+  }
 }
