@@ -287,11 +287,12 @@ object ImageCodec {
 
   // ------------------------------------------------------------ JPEG decode
 
-  /** Baseline AND progressive (SOF2) files get a REAL pixel decode
-    * (Huffman + IDCT over the luma plane, [[JpegCodec.decodePixels]])
-    * so brightness is defined like PNG's; anything else (arithmetic,
-    * hierarchical, oversized) falls back to the SOFn header walk for
-    * metadata only. */
+  /** Baseline, progressive (SOF2) AND sequential-arithmetic (SOF9)
+    * files get a REAL pixel decode ([[JpegCodec.decodePixels]], which
+    * dispatches to the Huffman or QM-arithmetic entropy decoder) so
+    * brightness is defined like PNG's; anything else (progressive-
+    * arithmetic, hierarchical, oversized) falls back to the SOFn
+    * header walk for metadata only. */
   private def decodeJpeg(b: Array[Byte]): Option[Decoded] =
     JpegCodec.decodePixels(b) match {
       case Some((w, h, brightness)) =>

@@ -419,9 +419,23 @@ object JpegCodec {
   // ------------------------------------------------------- progressive decode
 
   /** Full pixel decode: baseline-sequential first, then progressive
-    * (SOF2). None for arithmetic/hierarchical/undecodable input. */
+    * (SOF2), then sequential arithmetic (SOF9, [[JpegArith]]). None
+    * for progressive-arithmetic/hierarchical/undecodable input. */
   def decodePixels(b: Array[Byte]): Option[(Int, Int, Double)] =
     decodeBaseline(b).orElse(decodeProgressive(b))
+      .orElse(JpegArith.decodeSequential(b))
+
+  // shared low-level pieces for the arithmetic path (same package)
+  private[operators] def naturalOf(z: Int): Int = ZigZag(z)
+  private[operators] def zigzagOf(n: Int): Int = ZigZagInv(n)
+  private[operators] def idct8x8(coefs: Array[Int], tmp: Array[Double],
+                                 out: Array[Double]): Unit =
+    idctBlock(coefs, tmp, out)
+  private[operators] def writeMarker(out: ByteArrayOutputStream, m: Int): Unit =
+    emitMarker(out, m)
+  private[operators] def writeSeg(out: ByteArrayOutputStream, m: Int,
+                                  payload: Array[Int]): Unit =
+    emitSeg(out, m, payload)
 
   /** Separable float IDCT of one natural-order coefficient block into
     * `out` (levels around 128). */

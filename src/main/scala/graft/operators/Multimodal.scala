@@ -227,17 +227,21 @@ object Multimodal {
         col(grayCol).cast("int").as("gray"))
       .as[PngSpec]
       .mapPartitions(_.map { s =>
-        // even ids encode PROGRESSIVE (SOF2, DC successive
-        // approximation), odd ids baseline — both decode a constant
-        // gray exactly, so one lane pins both entropy decoders
-        val bytes =
-          if (s.doc_id % 2 == 0) {
+        // ids rotate through all three JPEG entropy regimes —
+        // id%3==0 PROGRESSIVE (SOF2, DC successive approximation),
+        // id%3==1 baseline Huffman (SOF0), id%3==2 ARITHMETIC (SOF9,
+        // QM-coder, [[JpegArith]]) — each decodes a constant gray
+        // exactly, so one lane pins all three entropy decoders
+        val bytes = (s.doc_id % 3) match {
+          case 0 =>
             val nBlocks = ((s.width + 7) / 8) * ((s.height + 7) / 8)
             val block = new Array[Int](64)
             block(0) = 8 * (s.gray - 128)
             JpegCodec.encodeProgressiveJpeg(s.width, s.height,
               Seq.fill(nBlocks)(block))
-          } else JpegCodec.encodeGrayJpeg(s.width, s.height, s.gray)
+          case 1 => JpegCodec.encodeGrayJpeg(s.width, s.height, s.gray)
+          case _ => JpegArith.encodeArithGrayJpeg(s.width, s.height, s.gray)
+        }
         MediaRecord(s.doc_id, bytes)
       })
       .toDF()
