@@ -165,6 +165,30 @@ object ScaleOpsQueries {
           r(col("brightness"), 6).as("brightness"),
           (col("width").cast("long") * col("height")).as("n_pixels"))
         .orderBy("doc_id")
+    }),
+
+    // Z-order clustered rewrite (graft.operators.ZOrderLayout): events
+    // rewritten as a Morton-curve layout over (user_id, value), read
+    // back through a selective two-column filter and aggregated. The
+    // layout changes NOTHING about the rows — the oracle runs the same
+    // filter+aggregate on the ORIGINAL table, so any row lost,
+    // duplicated or mangled by the key/range-partition/sort/write
+    // path fails the hash compare. The data-skipping effectiveness of
+    // the layout itself (per-file min/max hyper-rectangles) is
+    // asserted in ZOrderSpec.
+    "q_zorder" -> ((s, dir) => {
+      val cache = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir, "events")
+      graft.operators.ZOrderLayout.writeZOrdered(
+        ev, cache, Seq("user_id", "value"), numFiles = 8)
+      s.read.parquet(cache)
+        .where(col("user_id") % 10 === 3 && col("value") >= 100.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          r(dsumD(col("value")), 6).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     })
   )
 
@@ -365,6 +389,15 @@ object ScaleOpsQueries {
         |  CAST(16 + (bytes[2] % 64) AS INT) AS height,
         |  ROUND(CAST(list_sum(bytes) AS DOUBLE) / 16.0, 6) AS brightness,
         |  nb // 1000 + 1 AS n_frames
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // layout invariance: the z-ordered rewrite must preserve the rows
+    // exactly, so the oracle aggregates the ORIGINAL events table
+    "q_zorder" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 10 = 3 AND value >= 100.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
