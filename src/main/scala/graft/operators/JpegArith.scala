@@ -313,6 +313,132 @@ object JpegArith {
     true
   }
 
+  // ---- progressive scan kinds (F.2.4 via the same QM core). Each
+  // progressive scan is independently coded: fresh statistics, fresh
+  // DC predictors, its own arithmetic-decoder initialization.
+
+  /** DC first scan (Ss=0, Ah=0): the sequential DC model operating in
+    * the Al-shifted domain; block(0) = accumulated predictor << Al. */
+  private def decodeDcFirstBlock(dec: ArithDecoder, dcSt: Array[Byte],
+                                 lastDc: Array[Int], dcCtx: Array[Int], ci: Int,
+                                 dcL: Int, dcU: Int, al: Int,
+                                 coefs: Array[Int]): Boolean = {
+    val ctx = dcCtx(ci)
+    if (dec.decode(dcSt, ctx) != 0) {
+      val sign = dec.decode(dcSt, ctx + 1)
+      var st = ctx + 2 + sign
+      var m = dec.decode(dcSt, st)
+      if (m != 0) {
+        st = 20
+        m = 1
+        while (dec.decode(dcSt, st) != 0) {
+          m <<= 1
+          if (m == 0x8000) return false
+          st += 1
+        }
+      }
+      dcCtx(ci) =
+        if (m < ((1 << dcL) >> 1)) 0
+        else if (m > ((1 << dcU) >> 1)) 12 + sign * 4
+        else 4 + sign * 4
+      var v = m
+      st += 14
+      var mm = m
+      while ({ mm >>= 1; mm != 0 }) if (dec.decode(dcSt, st) != 0) v |= mm
+      v += 1
+      if (sign != 0) v = -v
+      lastDc(ci) += v
+    } else dcCtx(ci) = 0
+    coefs(0) = lastDc(ci) << al
+    true
+  }
+
+  /** DC refinement scan (Ss=0, Ah>0): one fixed-probability bit per
+    * block adds the next lower bit of the DC coefficient. */
+  private def decodeDcRefineBlock(dec: ArithDecoder, fixedBin: Array[Byte],
+                                  al: Int, coefs: Array[Int]): Unit =
+    if (dec.decode(fixedBin, 0) != 0) coefs(0) |= (1 << al)
+
+  /** AC first scan (Ss>0, Ah=0): the sequential AC model restricted to
+    * the [Ss, Se] band, values entering at << Al. */
+  private def decodeAcFirstBlock(dec: ArithDecoder, acSt: Array[Byte],
+                                 fixedBin: Array[Byte], acKx: Int,
+                                 ss: Int, se: Int, al: Int,
+                                 coefs: Array[Int]): Boolean = {
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      var st = 3 * (k - 1)
+      if (dec.decode(acSt, st) != 0) done = true // EOB
+      else {
+        while (dec.decode(acSt, st + 1) == 0) {
+          st += 3; k += 1
+          if (k > se) return false
+        }
+        val sign = dec.decode(fixedBin, 0)
+        st += 2
+        var m = dec.decode(acSt, st)
+        if (m != 0 && dec.decode(acSt, st) != 0) {
+          m = 2
+          st = if (k <= acKx) 189 else 217
+          while (dec.decode(acSt, st) != 0) {
+            m <<= 1
+            if (m == 0x8000) return false
+            st += 1
+          }
+        }
+        var v = m
+        st += 14
+        var mm = m
+        while ({ mm >>= 1; mm != 0 }) if (dec.decode(acSt, st) != 0) v |= mm
+        v += 1
+        if (sign != 0) v = -v
+        coefs(JpegCodec.naturalOf(k)) = v << al
+        k += 1
+      }
+    }
+    true
+  }
+
+  /** AC refinement scan (Ss>0, Ah>0): correction bits for known
+    * coefficients, newly-significant insertions past the previous
+    * stage's end-of-block, EOB decisions only beyond it. */
+  private def decodeAcRefineBlock(dec: ArithDecoder, acSt: Array[Byte],
+                                  fixedBin: Array[Byte],
+                                  ss: Int, se: Int, al: Int,
+                                  coefs: Array[Int]): Boolean = {
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+    var kex = se
+    while (kex > 0 && coefs(JpegCodec.naturalOf(kex)) == 0) kex -= 1
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      var st = 3 * (k - 1)
+      if (k > kex && dec.decode(acSt, st) != 0) done = true // EOB
+      else {
+        var inBlock = true
+        while (inBlock) {
+          val ni = JpegCodec.naturalOf(k)
+          if (coefs(ni) != 0) {
+            if (dec.decode(acSt, st + 2) != 0) {
+              if (coefs(ni) < 0) coefs(ni) += m1 else coefs(ni) += p1
+            }
+            inBlock = false
+          } else if (dec.decode(acSt, st + 1) != 0) {
+            coefs(ni) = if (dec.decode(fixedBin, 0) != 0) m1 else p1
+            inBlock = false
+          } else {
+            st += 3; k += 1
+            if (k > se) return false
+          }
+        }
+        k += 1
+      }
+    }
+    true
+  }
+
   /** Encode one block (QUANTIZED coefficients, natural order) —
     * the exact mirror of [[decodeBlock]]. */
   private def encodeBlock(enc: ArithEncoder, dcSt: Array[Byte], acSt: Array[Byte],
@@ -399,10 +525,10 @@ object JpegArith {
                               quant: Array[Array[Int]], // by tq slot
                               comps: Seq[ArithComp])
 
-  /** Parse + fully decode a sequential arithmetic JPEG (SOF9) to
-    * quantized coefficient planes. None for anything else (baseline/
-    * progressive Huffman have their own paths; progressive arithmetic
-    * and hierarchical stay metadata-only). */
+  /** Parse + fully decode a sequential (SOF9) or progressive (SOF10)
+    * arithmetic JPEG to quantized coefficient planes. None for
+    * anything else (baseline/progressive Huffman have their own
+    * paths; hierarchical stays metadata-only). */
   def decodeCoefficients(b: Array[Byte]): Option[ArithImage] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -412,16 +538,26 @@ object JpegArith {
     var w = 0; var h = 0
     var restartInterval = 0
     var sofSeen = false
+    var progressive = false
     final case class C(id: Int, hs: Int, vs: Int, tq: Int,
                        var dcTbl: Int = 0, var acTbl: Int = 0)
     var comps: Array[C] = null
+    // progressive state: coefficient planes accumulate across scans
+    var planes: Array[ArithComp] = null
+    var scansDecoded = 0
+    var mcusX = 0; var mcusY = 0
+    var nextPos = -1 // set by a progressive SOS to jump past its data
     var pos = 2
     while (pos + 4 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
       var mOff = pos + 1
       while (mOff < b.length - 1 && (b(mOff) & 0xff) == 0xff) mOff += 1
       val m = b(mOff) & 0xff
-      if (m >= 0xd0 && m <= 0xd9) { pos = mOff + 1 }
+      if (m == 0xd9) { // EOI: a finished progressive image returns here
+        return if (progressive && planes != null && scansDecoded > 0)
+          Some(ArithImage(w, h, quant, planes.toSeq))
+        else None
+      } else if (m >= 0xd0 && m <= 0xd8) { pos = mOff + 1 }
       else {
         if (mOff + 3 > b.length) return None
         val segLen = be16(mOff + 1)
@@ -448,42 +584,46 @@ object JpegArith {
               else acKx(tb) = cs
             }
           case 0xdd => restartInterval = be16(seg)
-          case 0xc9 => // SOF9: sequential DCT, arithmetic
+          case 0xc9 | 0xca => // SOF9 sequential / SOF10 progressive, arithmetic
             sofSeen = true
+            progressive = m == 0xca
             h = be16(seg + 1); w = be16(seg + 3)
             val nc = b(seg + 5) & 0xff
             comps = (0 until nc).map { i =>
               val o = seg + 6 + i * 3
               C(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0xff)
             }.toArray
-          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // not sequential-arithmetic
+            return None // not an arithmetic DCT frame
           case 0xda =>
             if (!sofSeen || comps == null || w <= 0 || h <= 0) return None
             val ns = b(seg) & 0xff
-            if (ns != comps.length) return None // non-interleaved arith: punt
+            val scanIdx = new Array[Int](ns)
             for (i <- 0 until ns) {
               val cid = b(seg + 1 + i * 2) & 0xff
               val tt = b(seg + 2 + i * 2) & 0xff
-              comps.find(_.id == cid).foreach { c => c.dcTbl = tt >> 4; c.acTbl = tt & 0x0f }
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).dcTbl = tt >> 4; comps(ci).acTbl = tt & 0x0f
+              scanIdx(i) = ci
             }
-            // ---- the one scan: decode every MCU
             val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
-            val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-            val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-            val planes = comps.map { c =>
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            if (planes == null) planes = comps.map { c =>
               val wb = mcusX * c.hs; val hb = mcusY * c.vs
               ArithComp(c.id, c.hs, c.vs, c.tq, wb, hb,
                 Array.fill(wb * hb)(new Array[Int](64)))
             }
+            // per-scan coding state: every scan (sequential's single
+            // one included) starts with fresh statistics + predictors
             val dcStats = Array.fill(4)(new Array[Byte](64))
             val acStats = Array.fill(4)(new Array[Byte](256))
             val fixedBin = Array[Byte](113)
             val lastDc = new Array[Int](comps.length)
             val dcCtx = new Array[Int](comps.length)
             val dec = new ArithDecoder(b)
-            dec.reinit(mOff + 1 + segLen)
             def resetStats(): Unit = {
               dcStats.foreach(java.util.Arrays.fill(_, 0.toByte))
               acStats.foreach(java.util.Arrays.fill(_, 0.toByte))
@@ -491,50 +631,138 @@ object JpegArith {
               java.util.Arrays.fill(lastDc, 0)
               java.util.Arrays.fill(dcCtx, 0)
             }
-            resetStats()
-            val nMcus = mcusX * mcusY
-            var mcu = 0
             var nextRst = 0
-            while (mcu < nMcus) {
-              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-                // find the RSTn marker (the decoder may or may not have
-                // over-read into it already), verify sequence, reinit
-                val mp = if (dec.markerSeen) dec.markerAt
-                         else nextScanMarker(b, dec.pos)
-                if (mp + 1 >= b.length) return None
-                val rm = b(mp + 1) & 0xff
-                if (rm != 0xd0 + nextRst) return None
-                nextRst = (nextRst + 1) & 7
-                dec.reinit(mp + 2)
-                resetStats()
-              }
-              val mx = mcu % mcusX; val my = mcu / mcusX
-              var ci = 0
-              while (ci < comps.length) {
-                val c = comps(ci); val pl = planes(ci)
-                var by = 0
-                while (by < c.vs) {
-                  var bx = 0
-                  while (bx < c.hs) {
-                    val bi = (my * c.vs + by) * pl.wBlocks + (mx * c.hs + bx)
-                    if (!decodeBlock(dec, dcStats(c.dcTbl), acStats(c.acTbl),
-                        fixedBin, lastDc, dcCtx, ci, dcL(c.dcTbl), dcU(c.dcTbl),
-                        acKx(c.acTbl), pl.blocks(bi))) return None
-                    bx += 1
-                  }
-                  by += 1
-                }
-                ci += 1
-              }
-              mcu += 1
+            /** restart-marker boundary: verify RSTn sequence, reinit
+              * coder + statistics. False on a broken marker chain. */
+            def restartBoundary(): Boolean = {
+              val mp = if (dec.markerSeen) dec.markerAt
+                       else nextScanMarker(b, dec.pos)
+              if (mp + 1 >= b.length) return false
+              if ((b(mp + 1) & 0xff) != 0xd0 + nextRst) return false
+              nextRst = (nextRst + 1) & 7
+              dec.reinit(mp + 2)
+              resetStats()
+              true
             }
-            return Some(ArithImage(w, h, quant, planes.toSeq))
+            dec.reinit(mOff + 1 + segLen)
+            resetStats()
+
+            if (!progressive) {
+              if (ns != comps.length) return None // non-interleaved seq: punt
+              val nMcus = mcusX * mcusY
+              var mcu = 0
+              while (mcu < nMcus) {
+                if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0
+                    && !restartBoundary()) return None
+                val mx = mcu % mcusX; val my = mcu / mcusX
+                var ci = 0
+                while (ci < comps.length) {
+                  val c = comps(ci); val pl = planes(ci)
+                  var by = 0
+                  while (by < c.vs) {
+                    var bx = 0
+                    while (bx < c.hs) {
+                      val bi = (my * c.vs + by) * pl.wBlocks + (mx * c.hs + bx)
+                      if (!decodeBlock(dec, dcStats(c.dcTbl), acStats(c.acTbl),
+                          fixedBin, lastDc, dcCtx, ci, dcL(c.dcTbl), dcU(c.dcTbl),
+                          acKx(c.acTbl), pl.blocks(bi))) return None
+                      bx += 1
+                    }
+                    by += 1
+                  }
+                  ci += 1
+                }
+                mcu += 1
+              }
+              return Some(ArithImage(w, h, quant, planes.toSeq))
+            }
+
+            // ---- progressive scan (F.2.4): spectral selection +
+            // successive approximation over the shared planes
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            if (ss > se || se > 63) return None
+            if (ss == 0 && ns >= 1) {
+              // DC scan, interleaved (MCU grid) or single-component
+              if (se != 0) return None // progressive DC scans carry DC only
+              val single = ns == 1
+              val c0 = comps(scanIdx(0))
+              val sw = if (single)
+                ((w * c0.hs + hMax - 1) / hMax + 7) / 8 else mcusX
+              val sh = if (single)
+                ((h * c0.vs + vMax - 1) / vMax + 7) / 8 else mcusY
+              val nMcus = sw * sh
+              var mcu = 0
+              while (mcu < nMcus) {
+                if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0
+                    && !restartBoundary()) return None
+                val mx = mcu % sw; val my = mcu / sw
+                var si = 0
+                while (si < ns) {
+                  val ci = scanIdx(si)
+                  val c = comps(ci); val pl = planes(ci)
+                  val (nbx, nby) = if (single) (1, 1) else (c.hs, c.vs)
+                  var by = 0
+                  while (by < nby) {
+                    var bx = 0
+                    while (bx < nbx) {
+                      val bi = if (single) my * pl.wBlocks + mx
+                        else (my * c.vs + by) * pl.wBlocks + (mx * c.hs + bx)
+                      val blk = pl.blocks(bi)
+                      if (ah == 0) {
+                        if (!decodeDcFirstBlock(dec, dcStats(c.dcTbl), lastDc,
+                            dcCtx, ci, dcL(c.dcTbl), dcU(c.dcTbl), al, blk))
+                          return None
+                      } else decodeDcRefineBlock(dec, fixedBin, al, blk)
+                      bx += 1
+                    }
+                    by += 1
+                  }
+                  si += 1
+                }
+                mcu += 1
+              }
+            } else {
+              // AC scan: always single-component, the component's own
+              // block grid (non-interleaved MCU = one block)
+              if (ns != 1 || ss == 0) return None
+              val ci = scanIdx(0)
+              val c = comps(ci); val pl = planes(ci)
+              val cw = (w * c.hs + hMax - 1) / hMax
+              val ch = (h * c.vs + vMax - 1) / vMax
+              val sw = (cw + 7) / 8; val sh = (ch + 7) / 8
+              val nMcus = sw * sh
+              var mcu = 0
+              while (mcu < nMcus) {
+                if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0
+                    && !restartBoundary()) return None
+                val blk = pl.blocks((mcu / sw) * pl.wBlocks + (mcu % sw))
+                val ok =
+                  if (ah == 0) decodeAcFirstBlock(dec, acStats(c.acTbl), fixedBin,
+                    acKx(c.acTbl), ss, se, al, blk)
+                  else decodeAcRefineBlock(dec, acStats(c.acTbl), fixedBin,
+                    ss, se, al, blk)
+                if (!ok) return None
+                mcu += 1
+              }
+            }
+            scansDecoded += 1
+            nextPos = if (dec.markerSeen) dec.markerAt
+                      else nextScanMarker(b, dec.pos)
           case _ => ()
         }
-        pos = mOff + 1 + segLen
+        pos = if (nextPos >= 0) nextPos else mOff + 1 + segLen
+        nextPos = -1
       }
     }
-    None
+    // the EOI marker is the file's last two bytes, below the loop
+    // guard's 4-byte window — a progressive image with all scans
+    // decoded is complete here
+    if (progressive && planes != null && scansDecoded > 0)
+      Some(ArithImage(w, h, quant, planes.toSeq))
+    else None
   } catch { case _: Exception => None }
 
   /** Next non-stuffing, non-fill marker position at/after p0 —
@@ -552,8 +780,9 @@ object JpegArith {
     b.length
   }
 
-  /** Sequential-arithmetic decode to (width, height, luma mean) —
-    * the same contract as [[JpegCodec.decodeBaseline]]. */
+  /** Arithmetic decode (sequential SOF9 or progressive SOF10) to
+    * (width, height, luma mean) — the same contract as
+    * [[JpegCodec.decodeBaseline]]. */
   def decodeSequential(b: Array[Byte]): Option[(Int, Int, Double)] =
     decodeCoefficients(b).filter(i => i.quant(i.comps.head.tq) != null).flatMap { img =>
       val c0 = img.comps.head

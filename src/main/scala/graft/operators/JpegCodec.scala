@@ -419,8 +419,8 @@ object JpegCodec {
   // ------------------------------------------------------- progressive decode
 
   /** Full pixel decode: baseline-sequential first, then progressive
-    * (SOF2), then sequential arithmetic (SOF9, [[JpegArith]]). None
-    * for progressive-arithmetic/hierarchical/undecodable input. */
+    * (SOF2), then arithmetic (SOF9 sequential + SOF10 progressive,
+    * [[JpegArith]]). None for hierarchical/undecodable input. */
   def decodePixels(b: Array[Byte]): Option[(Int, Int, Double)] =
     decodeBaseline(b).orElse(decodeProgressive(b))
       .orElse(JpegArith.decodeSequential(b))

@@ -37,8 +37,9 @@ class JpegArithSpec extends AnyFunSuite {
     }
   }
 
-  private val fixtures =
-    Seq("arith_gray", "arith_gray_rst", "arith_c444", "arith_c420")
+  private val fixtures = Seq(
+    "arith_gray", "arith_gray_rst", "arith_c444", "arith_c420", // SOF9
+    "arith_pgray", "arith_p444", "arith_p420")                  // SOF10 progressive
 
   test("decoded coefficients match libjpeg bit-for-bit on every fixture") {
     for (f <- fixtures) {

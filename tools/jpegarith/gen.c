@@ -33,7 +33,7 @@ static void enc(const char *out, const char *mode, int quality,
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
   FILE *f = fopen(out, "wb");
-  int W = 64, H = 48, gray = strcmp(mode, "gray") == 0;
+  int W = 64, H = 48, gray = !strcmp(mode, "gray") || !strcmp(mode, "pgray");
   int y;
   if (!f) { perror(out); exit(1); }
   cinfo.err = jpeg_std_error(&jerr);
@@ -47,10 +47,12 @@ static void enc(const char *out, const char *mode, int quality,
   jpeg_set_quality(&cinfo, quality, TRUE);
   cinfo.arith_code = arith ? TRUE : FALSE;
   cinfo.restart_interval = restart;
-  if (!gray && strcmp(mode, "c444") == 0) {
+  if (!gray && (!strcmp(mode, "c444") || !strcmp(mode, "p444"))) {
     cinfo.comp_info[0].h_samp_factor = 1;
     cinfo.comp_info[0].v_samp_factor = 1;
   } /* c420 keeps the 2x2,1x1,1x1 default */
+  if (mode[0] == 'p' || !strcmp(mode, "pgray"))
+    jpeg_simple_progression(&cinfo); /* progressive scan script */
   jpeg_start_compress(&cinfo, TRUE);
   for (y = 0; y < H; y++) {
     unsigned char row[64 * 3];
