@@ -31,6 +31,68 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // URL normalization for web-crawl curation: canonicalize scheme/
+    // host case, strip default ports and fragments, drop tracking
+    // params (utm_*/fbclid/gclid), sort the surviving query params,
+    // extract the registered domain (naive last-two-labels — no PSL
+    // in either engine) and path depth. URLs are INJECTED from doc_id
+    // integer math so both engines canonicalize byte-identical inputs
+    // covering every branch (case noise, www/cdn subdomains, default
+    // and non-default ports on both schemes, tracking-param
+    // positions, trailing slashes, fragments). Pure projection —
+    // zero shuffle at any scale.
+    "q_url_normalize" -> ((s, dir) => {
+      val url = concat(
+        lit("HtTp"), when(col("doc_id") % 2 === 0, "s").otherwise(""),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, "WWW.")
+          .when(col("doc_id") % 3 === 1, "cdn.").otherwise(""),
+        lit("site"), (col("doc_id") % 17).cast("string"),
+        lit(".Example"), (col("doc_id") % 5).cast("string"), lit(".COM"),
+        when(col("doc_id") % 6 === 0, ":443").otherwise(""),
+        lit("/Path"), (col("doc_id") % 9).cast("string"), lit("/page"),
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=x&id="), col("doc_id").cast("string")))
+          .otherwise(concat(lit("?id="), col("doc_id").cast("string"),
+            lit("&utm_campaign=z&b=2"))),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+      val staged = t(s, dir, "documents").select(col("doc_id"), url.as("__url"))
+      val scheme = lower(regexp_extract(col("__url"), "^([A-Za-z]+)://", 1))
+      val hostport = regexp_extract(col("__url"), "^[A-Za-z]+://([^/?#]+)", 1)
+      val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
+      val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+      val path = regexp_extract(col("__url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val query = regexp_extract(col("__url"), "\\?([^#]*)", 1)
+      val keep = filter(split(query, "&"), p =>
+        !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+          p.startsWith("gclid=") || p === ""))
+      val cleanQuery = array_join(array_sort(keep), "&")
+      val defaultPort =
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80") || port === ""
+      val pathNorm0 = regexp_replace(path, "/+$", "")
+      val pathNorm = when(pathNorm0 === "", "/").otherwise(pathNorm0)
+      val hostLabels = split(host, "\\.")
+      val regDomain = concat_ws(".",
+        element_at(hostLabels, -2), element_at(hostLabels, -1))
+      staged.select(
+        col("doc_id"),
+        host.as("host"),
+        regDomain.as("registered_domain"),
+        (scheme === "https").as("is_https"),
+        pathNorm.as("path_norm"),
+        size(filter(split(pathNorm, "/"), seg => seg =!= "")).cast("long")
+          .as("path_depth"),
+        cleanQuery.as("clean_query"),
+        concat(scheme, lit("://"), host,
+          when(defaultPort, "").otherwise(concat(lit(":"), port)),
+          pathNorm,
+          when(cleanQuery === "", "").otherwise(concat(lit("?"), cleanQuery)))
+          .as("url_norm")
+      ).orderBy("doc_id")
+    }),
+
     // corpus statistics per (source, lang)
     "q_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -127,6 +189,49 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HtTp' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+        |    'site' || (doc_id % 17) || '.Example' || (doc_id % 5) || '.COM' ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END ||
+        |    '/Path' || (doc_id % 9) || '/page' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' || doc_id
+        |         ELSE '?id=' || doc_id || '&utm_campaign=z&b=2' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path, '/+$', '') END AS path_norm,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      t -> NOT (starts_with(t, 'utm_') OR starts_with(t, 'fbclid=')
+        |                OR starts_with(t, 'gclid=') OR t = ''))), '&') AS clean_query
+        |  FROM p)
+        |SELECT doc_id, host,
+        |  string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS registered_domain,
+        |  scheme = 'https' AS is_https,
+        |  path_norm,
+        |  CAST(LEN(list_filter(string_split(path_norm, '/'), t -> t <> '')) AS BIGINT) AS path_depth,
+        |  clean_query,
+        |  scheme || '://' || host ||
+        |    CASE WHEN (scheme = 'https' AND port = '443') OR (scheme = 'http' AND port = '80')
+        |              OR port = '' THEN '' ELSE ':' || port END ||
+        |    path_norm ||
+        |    CASE WHEN clean_query = '' THEN '' ELSE '?' || clean_query END AS url_norm
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
