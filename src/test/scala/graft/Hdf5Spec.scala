@@ -427,6 +427,38 @@ class Hdf5Spec extends SparkSpec {
     }
     val fsecs = (System.nanoTime() - t1) / 1e9
     assert(fsecs < 40.0, s"filtered-heap fuzz took ${fsecs}s")
+
+    // and the round-8 paths: indirect/filtered huge heap objects +
+    // external links. Mutated link targets must fail closed (skipped
+    // or prompt exception), mutated huge-object B-trees must never
+    // recurse or allocate unboundedly.
+    val xdir = java.nio.file.Files.createTempDirectory("h5fuzzext").toFile
+    val xb = new java.io.File(xdir, "b.hdf5").getPath
+    val xa = new java.io.File(xdir, "a.hdf5").getPath
+    Hdf5.writeFlatFile(xb, longs = Seq("y" -> Array(1L, 2L)), latest = true)
+    val hugeNames = (0 until 9).map(i => f"c_$i%02d") ++ (0 until 3).map(i =>
+      s"very_long_column_name_padded_out_to_force_huge_object_storage_$i")
+    Hdf5.writeFlatFile(xa,
+      longs = hugeNames.zipWithIndex.map { case (nm, i) => nm -> Array(i.toLong) },
+      latest = true, heapFilter = true, hugeIndirect = true,
+      externalLinks = Seq(("ext", "b.hdf5", "/y")))
+    val xbase = Files.readAllBytes(java.nio.file.Paths.get(xa))
+    val xmut = java.nio.file.Paths.get(new java.io.File(xdir, "mut.hdf5").getPath)
+    var xparsed = 0
+    val t2 = System.nanoTime()
+    for (_ <- 1 to 150) {
+      val mutated = xbase.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val pos = if (rnd.nextBoolean()) rnd.nextInt(math.min(4096, mutated.length))
+          else rnd.nextInt(mutated.length)
+        mutated(pos) = rnd.nextInt(256).toByte
+      }
+      Files.write(xmut, mutated)
+      try { Hdf5.readTable(xmut.toString); xparsed += 1 }
+      catch { case _: Exception => () }
+    }
+    val xsecs = (System.nanoTime() - t2) / 1e9
+    assert(xsecs < 40.0, s"external/huge fuzz took ${xsecs}s")
   }
 
   test("unsupported layouts fail with clear errors") {

@@ -112,4 +112,32 @@ class JpegArithSpec extends AnyFunSuite {
     for (bi <- blocks.indices; k <- 0 until 64)
       assert(got(bi)(k) == blocks(bi)(k), s"block $bi coef $k")
   }
+
+  test("corrupt-byte fuzzing: decoder returns None/Some promptly, never hangs") {
+    // same hardening discipline as the HDF5 parser fuzz: flipped bytes
+    // in headers OR entropy data must yield a prompt Option, never an
+    // exception escaping decodeCoefficients, a hang, or an OOM — the
+    // QM decoder pads zeros at markers/EOF, every scan loop is bounded
+    // by frame geometry, and magnitude trees cap at 0x8000
+    val rnd = new scala.util.Random(0x20260814L)
+    var decoded = 0; var total = 0
+    val t0 = System.nanoTime()
+    for (f <- Seq("arith_gray", "arith_gray_rst", "arith_p420")) {
+      val base = resource(s"$f.jpg")
+      for (_ <- 1 to 120) {
+        val mutated = base.clone()
+        for (_ <- 0 to rnd.nextInt(4)) {
+          val pos = rnd.nextInt(mutated.length)
+          mutated(pos) = rnd.nextInt(256).toByte
+        }
+        total += 1
+        if (JpegArith.decodeCoefficients(mutated).isDefined) decoded += 1
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"fuzz took ${secs}s over $total mutants")
+    // entropy-data flips mostly still decode (to wrong pixels — fine);
+    // only header-region flips should kill the parse
+    assert(decoded > total / 4, s"only $decoded/$total decoded — fixture suspicious")
+  }
 }
