@@ -83,13 +83,14 @@ object Hdf5 {
       case "i8" => LongType
       case "f4" => FloatType
       case "f8" => DoubleType
-      case "str" | "fstr" => StringType
+      case "str" | "fstr" | "vstr" => StringType
       case k => throw new IllegalArgumentException(s"unsupported hdf5 column kind: $k")
     }
     def elemSize: Int = kind match {
       case "i1" => 1; case "i2" => 2; case "i4" => 4
       case "i8" | "str" => 8; case "f4" => 4; case "f8" => 8
       case "fstr" => fixedStrSize
+      case "vstr" => 16 // hvl descriptor: len(4) + gheap addr(8) + index(4)
     }
   }
 
@@ -814,8 +815,15 @@ object Hdf5 {
           require((bits(0) & 1) == 0, "big-endian floats unsupported")
           Dtype(1, size, signed = true)
         case 3 => Dtype(3, size, signed = false)
+        case 9 => // variable-length: bitfield-0 low nibble 1 = string
+          // (h5py's DEFAULT str dtype); sequences stay unsupported.
+          // The in-file element is the 16-byte hvl descriptor
+          // (length + global-heap collection address + object index).
+          require((bits(0) & 0x0f) == 1,
+            "vlen sequences unsupported (only vlen strings)")
+          Dtype(9, 16, signed = false)
         case c => throw new IllegalArgumentException(
-          s"unsupported hdf5 datatype class $c (only int/float/string)")
+          s"unsupported hdf5 datatype class $c (only int/float/string/vlen-string)")
       }
     }
 
@@ -1268,6 +1276,41 @@ object Hdf5 {
     * buffer, whatever its layout. Chunked: touches only overlapping
     * chunks, inflating each once (per-chunk work stays inside the
     * calling task — this is what keeps a gzip'd file scan-parallel). */
+  /** Parse one global-heap collection (GCOL): header sig(4) ver(1)
+    * reserved(3) collectionSize(8, header included), then objects —
+    * index(2) refCount(2) reserved(4) size(8) data (8-aligned) —
+    * terminated by the index-0 free-space object or the collection
+    * end. Size-capped like every metadata read. */
+  private def readGlobalHeap(raf: RandomAccessFile,
+                             addr: Long): Map[Int, Array[Byte]] = {
+    val hdr = new Array[Byte](16)
+    raf.seek(addr); raf.readFully(hdr)
+    val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+    require(hb.getInt(0) == leMagic("GCOL"), s"bad global heap signature at $addr")
+    require((hb.get(4) & 0xff) == 1, "global heap version")
+    val size = hb.getLong(8)
+    require(size >= 16 && size <= (1L << 26), s"implausible global heap size $size")
+    val body = new Array[Byte]((size - 16).toInt)
+    raf.readFully(body)
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Map.newBuilder[Int, Array[Byte]]
+    var off = 0
+    var done = false
+    while (!done && off + 16 <= body.length) {
+      val idx = bb.getShort(off) & 0xffff
+      val objSize = bb.getLong(off + 8)
+      if (idx == 0) done = true // free-space terminator
+      else {
+        require(objSize >= 0 && off + 16 + objSize <= body.length,
+          s"global heap object $idx overruns its collection")
+        out += idx -> java.util.Arrays.copyOfRange(body, off + 16,
+          off + 16 + objSize.toInt)
+        off += 16 + ((objSize.toInt + 7) / 8) * 8
+      }
+    }
+    out.result()
+  }
+
   private def readRange(raf: RandomAccessFile, st: Storage, elemSize: Int,
                         start: Long, end: Long): ByteBuffer = {
     val outLen = ((end - start) * elemSize).toInt
@@ -1318,6 +1361,7 @@ object Hdf5 {
     case (0, 8, true) => "i8"
     case (1, 4, _) => "f4"
     case (1, 8, _) => "f8"
+    case (9, _, _) => "vstr"
     case (c, s, sg) => throw new IllegalArgumentException(
       s"unsupported column datatype: class=$c size=$s signed=$sg")
   }
@@ -1395,6 +1439,34 @@ object Hdf5 {
                 new String(sb, "UTF-8")
               }
             }
+          case "vstr" => // variable-length strings (h5py's default str):
+            // 16-byte hvl descriptors in the dataset storage, payload
+            // bytes in global-heap collections (GCOL). Collections are
+            // parsed once per task and cached — consecutive rows share
+            // the same collection, so this is one extra positioned
+            // read per collection, not per row.
+            val buf = readRange(raf, m.data, 16, start, end)
+            val collections = new java.util.HashMap[Long, Map[Int, Array[Byte]]]()
+            Array.tabulate[Any](c) { i =>
+              if (!valid(i)) null
+              else {
+                val len = buf.getInt(i * 16)
+                val addr = buf.getLong(i * 16 + 4)
+                val idx = buf.getInt(i * 16 + 12)
+                if (len == 0) ""
+                else {
+                  var coll = collections.get(addr)
+                  if (coll == null) {
+                    coll = readGlobalHeap(raf, addr)
+                    collections.put(addr, coll)
+                  }
+                  val bytes = coll.getOrElse(idx, throw new IllegalStateException(
+                    s"$path: global-heap object $idx missing at $addr"))
+                  require(len <= bytes.length, s"$path: vlen descriptor overruns object")
+                  new String(bytes, 0, len, "UTF-8")
+                }
+              }
+            }
           case "fstr" => // fixed-size null-padded strings (h5py S<n>)
             val es = m.elemSize
             val buf = readRange(raf, m.data, es, start, end)
@@ -1435,7 +1507,8 @@ object Hdf5 {
                                   data: Array[Byte],          // numeric values or utf8 bytes
                                   indices: Array[Byte],       // str only
                                   bitmap: Array[Byte],        // empty = no nulls
-                                  n: Long)
+                                  n: Long,
+                                  vstrs: Array[String] = null) // vstr only
 
   /** Export a DataFrame as a vaex-layout hdf5 file
     * (/table/columns/<name>/data [+ indices, null_bitmap], column_order
@@ -1460,6 +1533,7 @@ object Hdf5 {
       longs: Seq[(String, Array[Long])] = Nil,
       doubles: Seq[(String, Array[Double])] = Nil,
       fixedStrings: Seq[(String, Int, Array[String])] = Nil,
+      vlenStrings: Seq[(String, Array[String])] = Nil,
       chunkCfg: Option[(Int, Int, Boolean)] = None,
       latest: Boolean = false,
       denseGeom: Option[(Long, Long)] = None,
@@ -1487,7 +1561,11 @@ object Hdf5 {
       }
       OutCol(name, "fstr", b, Array.empty, Array.empty, vs.length)
     }
-    writeFile(path, lc ++ dc ++ sc, chunkCfg, flat = true, latest = latest,
+    val vc = vlenStrings.map { case (name, vs) =>
+      OutCol(name, "vstr", Array.empty, Array.empty, Array.empty, vs.length,
+        vstrs = vs)
+    }
+    writeFile(path, lc ++ dc ++ sc ++ vc, chunkCfg, flat = true, latest = latest,
       denseGeom = denseGeom, heapFilter = heapFilter,
       softLinks = softLinks, heapMixedIdLen = heapMixedIdLen,
       externalLinks = externalLinks, hugeIndirect = hugeIndirect)
@@ -1670,6 +1748,18 @@ object Hdf5 {
     b.put(0x13.toByte)             // version 1, class 3
     b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // null-terminated, ascii
     b.putInt(math.max(size, 1))
+    b.array()
+  }
+  /** Variable-length string datatype (class 9, vlen type 1): 16-byte
+    * hvl descriptor elements + an embedded 1-byte string base type —
+    * the message shape libhdf5 writes for h5py's default str dtype. */
+  private def dtVlenString: Array[Byte] = {
+    val b = buf(16)
+    b.put(0x19.toByte)             // version 1, class 9
+    b.put(0x01.toByte)             // vlen type: string
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(16)                   // element = hvl descriptor
+    b.put(dtString(1))             // base type: 1-byte string
     b.array()
   }
   private def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
@@ -2558,19 +2648,70 @@ object Hdf5 {
             emit(a, hdr); a
         }
 
+      /** Variable-length string dataset: payload bytes go to GLOBAL
+        * HEAP collections (GCOL — split every 64 objects to exercise
+        * multi-collection reads), the dataset stores 16-byte hvl
+        * descriptors. Empty strings encode as (0, 0, 0) descriptors
+        * with no heap object, matching libhdf5. Contiguous only: the
+        * descriptors embed collection addresses, which would poison
+        * the chunk-compression cache across the two plan runs. */
+      def emitVlenStringDataset(c: OutCol): Long = {
+        require(chunkCfg.isEmpty, "vlen-string datasets: contiguous only")
+        val assigned = new Array[(Long, Int)](c.vstrs.length)
+        c.vstrs.zipWithIndex.filter(_._1.nonEmpty).grouped(64).foreach { g =>
+          val objBytes = g.map { case (s, oi) => (s.getBytes("UTF-8"), oi) }
+          val bodySize = objBytes.map { case (ob, _) =>
+            16 + ((ob.length + 7) / 8) * 8 }.sum
+          val collSize = 16L + bodySize + 16 // header + objects + terminator
+          val addr = allocData(collSize)
+          val cb = buf(collSize.toInt)
+          cb.putInt(leMagic("GCOL"))
+          cb.put(1.toByte); cb.put(0.toByte); cb.put(0.toByte); cb.put(0.toByte)
+          cb.putLong(collSize)
+          objBytes.zipWithIndex.foreach { case ((ob, oi), i) =>
+            cb.putShort((i + 1).toShort) // heap object index, 1-based
+            cb.putShort(1.toShort)       // reference count
+            cb.putInt(0)
+            cb.putLong(ob.length.toLong)
+            cb.put(ob)
+            cb.position(cb.position() + (8 - ob.length % 8) % 8)
+            assigned(oi) = (addr, i + 1)
+          }
+          cb.putShort(0.toShort); cb.putShort(0.toShort); cb.putInt(0)
+          cb.putLong(16L) // free-space terminator: its own header size
+          emit(addr, cb.array())
+        }
+        val descr = buf(c.vstrs.length * 16)
+        c.vstrs.zipWithIndex.foreach { case (s, oi) =>
+          if (s.isEmpty) { descr.putInt(0); descr.putLong(0L); descr.putInt(0) }
+          else {
+            val (addr, idx) = assigned(oi)
+            descr.putInt(s.getBytes("UTF-8").length)
+            descr.putLong(addr)
+            descr.putInt(idx)
+          }
+        }
+        val dAddr = allocData(descr.array().length)
+        emit(dAddr, descr.array())
+        writeDataset(c.n, dtVlenString, dAddr, descr.array().length.toLong, Nil)
+      }
+
       if (flat) {
         // generic h5py shape: datasets directly under the root group
         val dsets = cols.map { c =>
-          val (dt, es) = c.kind match {
-            case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)
-            case "i4" => (dtFixed(4), 4); case "i8" => (dtFixed(8), 8)
-            case "f4" => (dtFloat(4), 4); case "f8" => (dtFloat(8), 8)
-            case "fstr" =>
-              val w = (c.data.length / math.max(c.n, 1L)).toInt
-              (dtString(w), w)
-            case k => throw new IllegalArgumentException(s"flat layout: unsupported kind $k")
+          if (c.kind == "vstr") (c.name, emitVlenStringDataset(c))
+          else {
+            val (dt, es) = c.kind match {
+              case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)
+              case "i4" => (dtFixed(4), 4); case "i8" => (dtFixed(8), 8)
+              case "f4" => (dtFloat(4), 4); case "f8" => (dtFloat(8), 8)
+              case "fstr" =>
+                val w = (c.data.length / math.max(c.n, 1L)).toInt
+                (dtString(w), w)
+              case k => throw new IllegalArgumentException(s"flat layout: unsupported kind $k")
+            }
+            (c.name, emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil))
           }
-          (c.name, emitDataset(s"${c.name}/d", c.n, dt, es, c.data, Nil))
         }
         val rootAddr = group(dsets, Nil, softLinks, externalLinks)
         (rootAddr, dataCursor)

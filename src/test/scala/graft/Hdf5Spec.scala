@@ -595,6 +595,37 @@ class Hdf5Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("ext_hop")).toSeq == Seq(70L, 80L, 90L))
   }
 
+  test("variable-length string datasets read back through the global heap") {
+    // h5py's DEFAULT str dtype: hvl descriptors + GCOL collections.
+    // 150 strings force multiple collections (writer splits at 64
+    // objects); empties, unicode and long strings cover the
+    // descriptor/padding edges.
+    val vs = (0 until 150).map {
+      case i if i % 29 == 0 => ""
+      case i if i % 7 == 0  => s"unicode_é世界_$i"
+      case i if i % 13 == 0 => "x" * (100 + i)
+      case i                => s"doc_$i"
+    }.toArray
+    val path = tmp("vlen.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("k" -> Array.tabulate(150)(_.toLong)),
+      vlenStrings = Seq("txt" -> vs))
+    // byte-level: a real global heap collection is present
+    val raw = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(new String(raw, "ISO-8859-1").contains("GCOL"), "no GCOL block written")
+    val back = Hdf5.fromHdf5(spark, path).orderBy("k").collect()
+    assert(back.length == 150)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("txt") == vs(i), s"row $i")
+    }
+    // latest-format variant exercises the same path behind OHDR v2
+    val p2 = tmp("vlen_latest.hdf5")
+    Hdf5.writeFlatFile(p2, longs = Seq("k" -> Array(0L, 1L, 2L)),
+      vlenStrings = Seq("txt" -> Array("a", "", "bü")), latest = true)
+    val b2 = Hdf5.fromHdf5(spark, p2).orderBy("k").collect()
+    assert(b2.map(_.getAs[String]("txt")).toSeq == Seq("a", "", "bü"))
+  }
+
   test("external-link cycles across files stop, unresolved links skipped") {
     val dir = java.nio.file.Files.createTempDirectory("h5extcyc").toFile
     dir.deleteOnExit()
