@@ -84,13 +84,21 @@ object Hdf5 {
       case "f4" => FloatType
       case "f8" => DoubleType
       case "str" | "fstr" | "vstr" => StringType
+      case k if k.startsWith("vseq_") => ArrayType(k.substring(5) match {
+        case "i1" => ByteType; case "i2" => ShortType
+        case "i4" => IntegerType; case "i8" => LongType
+        case "f4" => FloatType; case "f8" => DoubleType
+        case b => throw new IllegalArgumentException(s"bad vlen base kind: $b")
+      })
       case k => throw new IllegalArgumentException(s"unsupported hdf5 column kind: $k")
     }
     def elemSize: Int = kind match {
       case "i1" => 1; case "i2" => 2; case "i4" => 4
       case "i8" | "str" => 8; case "f4" => 4; case "f8" => 8
       case "fstr" => fixedStrSize
-      case "vstr" => 16 // hvl descriptor: len(4) + gheap addr(8) + index(4)
+      // hvl descriptor: len(4) + gheap addr(8) + index(4)
+      case "vstr" => 16
+      case k if k.startsWith("vseq_") => 16
     }
   }
 
@@ -98,7 +106,8 @@ object Hdf5 {
   // READER
   // ==================================================================
 
-  private[sources] final case class Dtype(clazz: Int, size: Int, signed: Boolean)
+  private[sources] final case class Dtype(clazz: Int, size: Int, signed: Boolean,
+                                          vlenBase: Option[Dtype] = None)
   private[sources] final case class DsetMeta(dims: Seq[Long], dt: Dtype, storage: Storage,
                                              dataSize: Long, attrs: Map[String, String])
 
@@ -816,12 +825,22 @@ object Hdf5 {
           Dtype(1, size, signed = true)
         case 3 => Dtype(3, size, signed = false)
         case 9 => // variable-length: bitfield-0 low nibble 1 = string
-          // (h5py's DEFAULT str dtype); sequences stay unsupported.
-          // The in-file element is the 16-byte hvl descriptor
-          // (length + global-heap collection address + object index).
-          require((bits(0) & 0x0f) == 1,
-            "vlen sequences unsupported (only vlen strings)")
-          Dtype(9, 16, signed = false)
+          // (h5py's DEFAULT str dtype), 0 = sequence (h5py ragged
+          // arrays — vlen_dtype(int64/float64/...)). The in-file
+          // element is the 16-byte hvl descriptor (length +
+          // global-heap collection address + object index); for
+          // sequences `length` counts BASE elements, so the base
+          // type rides along in `vlenBase`.
+          (bits(0) & 0x0f) match {
+            case 1 => Dtype(9, 16, signed = false)
+            case 0 =>
+              val base = parseDtype(body) // embedded base type message
+              require(base.clazz == 0 || base.clazz == 1,
+                "vlen sequences of non-numeric base types unsupported")
+              Dtype(9, 16, signed = false, vlenBase = Some(base))
+            case t => throw new IllegalArgumentException(
+              s"unsupported vlen type $t")
+          }
         case c => throw new IllegalArgumentException(
           s"unsupported hdf5 datatype class $c (only int/float/string/vlen-string)")
       }
@@ -1361,7 +1380,10 @@ object Hdf5 {
     case (0, 8, true) => "i8"
     case (1, 4, _) => "f4"
     case (1, 8, _) => "f8"
-    case (9, _, _) => "vstr"
+    case (9, _, _) => dt.vlenBase match {
+      case None    => "vstr"
+      case Some(b) => "vseq_" + kindOf(b)
+    }
     case (c, s, sg) => throw new IllegalArgumentException(
       s"unsupported column datatype: class=$c size=$s signed=$sg")
   }
@@ -1467,6 +1489,45 @@ object Hdf5 {
                 }
               }
             }
+          case k if k.startsWith("vseq_") => // ragged numeric arrays
+            // (h5py vlen_dtype): same hvl descriptors, the payload is
+            // `len` base elements -> a Spark ArrayType column
+            val bk = k.substring(5)
+            val bs = bk match {
+              case "i1" => 1; case "i2" => 2; case "i4" => 4; case "i8" => 8
+              case "f4" => 4; case "f8" => 8
+            }
+            val buf = readRange(raf, m.data, 16, start, end)
+            val collections = new java.util.HashMap[Long, Map[Int, Array[Byte]]]()
+            Array.tabulate[Any](c) { i =>
+              if (!valid(i)) null
+              else {
+                val n = buf.getInt(i * 16)
+                val addr = buf.getLong(i * 16 + 4)
+                val idx = buf.getInt(i * 16 + 12)
+                if (n == 0) Seq.empty
+                else {
+                  var coll = collections.get(addr)
+                  if (coll == null) {
+                    coll = readGlobalHeap(raf, addr)
+                    collections.put(addr, coll)
+                  }
+                  val bytes = coll.getOrElse(idx, throw new IllegalStateException(
+                    s"$path: global-heap object $idx missing at $addr"))
+                  require(n.toLong * bs <= bytes.length,
+                    s"$path: vlen sequence overruns its heap object")
+                  val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+                  bk match {
+                    case "i1" => Seq.tabulate(n)(j => bb.get(j))
+                    case "i2" => Seq.tabulate(n)(j => bb.getShort(j * 2))
+                    case "i4" => Seq.tabulate(n)(j => bb.getInt(j * 4))
+                    case "i8" => Seq.tabulate(n)(j => bb.getLong(j * 8))
+                    case "f4" => Seq.tabulate(n)(j => bb.getFloat(j * 4))
+                    case "f8" => Seq.tabulate(n)(j => bb.getDouble(j * 8))
+                  }
+                }
+              }
+            }
           case "fstr" => // fixed-size null-padded strings (h5py S<n>)
             val es = m.elemSize
             val buf = readRange(raf, m.data, es, start, end)
@@ -1508,7 +1569,10 @@ object Hdf5 {
                                   indices: Array[Byte],       // str only
                                   bitmap: Array[Byte],        // empty = no nulls
                                   n: Long,
-                                  vstrs: Array[String] = null) // vstr only
+                                  // vlen only: per-row (payloadBytes,
+                                  // descriptorLength) + the dtype message
+                                  vlenItems: Array[(Array[Byte], Int)] = null,
+                                  vlenDt: Array[Byte] = null)
 
   /** Export a DataFrame as a vaex-layout hdf5 file
     * (/table/columns/<name>/data [+ indices, null_bitmap], column_order
@@ -1534,6 +1598,8 @@ object Hdf5 {
       doubles: Seq[(String, Array[Double])] = Nil,
       fixedStrings: Seq[(String, Int, Array[String])] = Nil,
       vlenStrings: Seq[(String, Array[String])] = Nil,
+      vlenLongSeqs: Seq[(String, Array[Array[Long]])] = Nil,
+      vlenDoubleSeqs: Seq[(String, Array[Array[Double]])] = Nil,
       chunkCfg: Option[(Int, Int, Boolean)] = None,
       latest: Boolean = false,
       denseGeom: Option[(Long, Long)] = None,
@@ -1563,9 +1629,30 @@ object Hdf5 {
     }
     val vc = vlenStrings.map { case (name, vs) =>
       OutCol(name, "vstr", Array.empty, Array.empty, Array.empty, vs.length,
-        vstrs = vs)
+        vlenItems = vs.map { s =>
+          val ob = s.getBytes("UTF-8"); (ob, ob.length)
+        },
+        vlenDt = dtVlenString)
     }
-    writeFile(path, lc ++ dc ++ sc ++ vc, chunkCfg, flat = true, latest = latest,
+    val qc = vlenLongSeqs.map { case (name, vs) =>
+      OutCol(name, "vseq_i8", Array.empty, Array.empty, Array.empty, vs.length,
+        vlenItems = vs.map { a =>
+          val b = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+          a.foreach(b.putLong)
+          (b.array(), a.length)
+        },
+        vlenDt = dtVlenSeq(dtFixed(8)))
+    }
+    val rc = vlenDoubleSeqs.map { case (name, vs) =>
+      OutCol(name, "vseq_f8", Array.empty, Array.empty, Array.empty, vs.length,
+        vlenItems = vs.map { a =>
+          val b = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+          a.foreach(b.putDouble)
+          (b.array(), a.length)
+        },
+        vlenDt = dtVlenSeq(dtFloat(8)))
+    }
+    writeFile(path, lc ++ dc ++ sc ++ vc ++ qc ++ rc, chunkCfg, flat = true, latest = latest,
       denseGeom = denseGeom, heapFilter = heapFilter,
       softLinks = softLinks, heapMixedIdLen = heapMixedIdLen,
       externalLinks = externalLinks, hugeIndirect = hugeIndirect)
@@ -1760,6 +1847,17 @@ object Hdf5 {
     b.put(0.toByte); b.put(0.toByte)
     b.putInt(16)                   // element = hvl descriptor
     b.put(dtString(1))             // base type: 1-byte string
+    b.array()
+  }
+  /** Variable-length sequence datatype (class 9, vlen type 0) over a
+    * numeric base — h5py's `vlen_dtype(np.int64/float64/...)`. */
+  private def dtVlenSeq(base: Array[Byte]): Array[Byte] = {
+    val b = buf(8 + base.length)
+    b.put(0x19.toByte)             // version 1, class 9
+    b.put(0x00.toByte)             // vlen type: sequence
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(16)
+    b.put(base)
     b.array()
   }
   private def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
@@ -2648,19 +2746,19 @@ object Hdf5 {
             emit(a, hdr); a
         }
 
-      /** Variable-length string dataset: payload bytes go to GLOBAL
-        * HEAP collections (GCOL — split every 64 objects to exercise
-        * multi-collection reads), the dataset stores 16-byte hvl
-        * descriptors. Empty strings encode as (0, 0, 0) descriptors
-        * with no heap object, matching libhdf5. Contiguous only: the
-        * descriptors embed collection addresses, which would poison
-        * the chunk-compression cache across the two plan runs. */
-      def emitVlenStringDataset(c: OutCol): Long = {
-        require(chunkCfg.isEmpty, "vlen-string datasets: contiguous only")
-        val assigned = new Array[(Long, Int)](c.vstrs.length)
-        c.vstrs.zipWithIndex.filter(_._1.nonEmpty).grouped(64).foreach { g =>
-          val objBytes = g.map { case (s, oi) => (s.getBytes("UTF-8"), oi) }
-          val bodySize = objBytes.map { case (ob, _) =>
+      /** Variable-length dataset (strings OR numeric sequences):
+        * payload bytes go to GLOBAL HEAP collections (GCOL — split
+        * every 64 objects to exercise multi-collection reads), the
+        * dataset stores 16-byte hvl descriptors. Empty values encode
+        * as (0, 0, 0) descriptors with no heap object, matching
+        * libhdf5. Contiguous only: the descriptors embed collection
+        * addresses, which would poison the chunk-compression cache
+        * across the two plan runs. */
+      def emitVlenDataset(c: OutCol): Long = {
+        require(chunkCfg.isEmpty, "vlen datasets: contiguous only")
+        val assigned = new Array[(Long, Int)](c.vlenItems.length)
+        c.vlenItems.zipWithIndex.filter(_._1._1.nonEmpty).grouped(64).foreach { g =>
+          val bodySize = g.map { case ((ob, _), _) =>
             16 + ((ob.length + 7) / 8) * 8 }.sum
           val collSize = 16L + bodySize + 16 // header + objects + terminator
           val addr = allocData(collSize)
@@ -2668,7 +2766,7 @@ object Hdf5 {
           cb.putInt(leMagic("GCOL"))
           cb.put(1.toByte); cb.put(0.toByte); cb.put(0.toByte); cb.put(0.toByte)
           cb.putLong(collSize)
-          objBytes.zipWithIndex.foreach { case ((ob, oi), i) =>
+          g.zipWithIndex.foreach { case (((ob, _), oi), i) =>
             cb.putShort((i + 1).toShort) // heap object index, 1-based
             cb.putShort(1.toShort)       // reference count
             cb.putInt(0)
@@ -2681,25 +2779,25 @@ object Hdf5 {
           cb.putLong(16L) // free-space terminator: its own header size
           emit(addr, cb.array())
         }
-        val descr = buf(c.vstrs.length * 16)
-        c.vstrs.zipWithIndex.foreach { case (s, oi) =>
-          if (s.isEmpty) { descr.putInt(0); descr.putLong(0L); descr.putInt(0) }
+        val descr = buf(c.vlenItems.length * 16)
+        c.vlenItems.zipWithIndex.foreach { case ((ob, dLen), oi) =>
+          if (ob.isEmpty) { descr.putInt(0); descr.putLong(0L); descr.putInt(0) }
           else {
             val (addr, idx) = assigned(oi)
-            descr.putInt(s.getBytes("UTF-8").length)
+            descr.putInt(dLen)
             descr.putLong(addr)
             descr.putInt(idx)
           }
         }
         val dAddr = allocData(descr.array().length)
         emit(dAddr, descr.array())
-        writeDataset(c.n, dtVlenString, dAddr, descr.array().length.toLong, Nil)
+        writeDataset(c.n, c.vlenDt, dAddr, descr.array().length.toLong, Nil)
       }
 
       if (flat) {
         // generic h5py shape: datasets directly under the root group
         val dsets = cols.map { c =>
-          if (c.kind == "vstr") (c.name, emitVlenStringDataset(c))
+          if (c.vlenItems != null) (c.name, emitVlenDataset(c))
           else {
             val (dt, es) = c.kind match {
               case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)

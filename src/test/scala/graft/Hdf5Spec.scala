@@ -626,6 +626,29 @@ class Hdf5Spec extends SparkSpec {
     assert(b2.map(_.getAs[String]("txt")).toSeq == Seq("a", "", "bü"))
   }
 
+  test("variable-length numeric sequences read back as array columns") {
+    // h5py vlen_dtype ragged arrays -> Spark ArrayType columns; 100
+    // rows force two collections, empties and long rows cover edges
+    val ls = Array.tabulate(100)(i => Array.tabulate(i % 7)(j => i * 10L + j))
+    val ds = Array.tabulate(100)(i => Array.tabulate((i * 3) % 5)(j => i + j * 0.5))
+    val path = tmp("vseq.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("k" -> Array.tabulate(100)(_.toLong)),
+      vlenLongSeqs = Seq("ticks" -> ls),
+      vlenDoubleSeqs = Seq("vals" -> ds))
+    val back = Hdf5.fromHdf5(spark, path).orderBy("k").collect()
+    assert(back.length == 100)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](r.fieldIndex("ticks")).toSeq == ls(i).toSeq, s"ticks row $i")
+      assert(r.getSeq[Double](r.fieldIndex("vals")).toSeq == ds(i).toSeq, s"vals row $i")
+    }
+    // the ragged column aggregates like any array column
+    import org.apache.spark.sql.functions.{size => asize, sum => asum}
+    val total = Hdf5.fromHdf5(spark, path)
+      .agg(asum(asize(col("ticks")))).head().getLong(0)
+    assert(total == ls.map(_.length.toLong).sum)
+  }
+
   test("external-link cycles across files stop, unresolved links skipped") {
     val dir = java.nio.file.Files.createTempDirectory("h5extcyc").toFile
     dir.deleteOnExit()
