@@ -99,6 +99,39 @@ object SourceQueries {
         columns = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")))
     }),
 
+    // hdf5 VARIABLE-LENGTH datasets (what generic h5py files carry
+    // by default: str dtype = vlen strings through the global heap,
+    // vlen_dtype = ragged numeric arrays): documents' text/lang go
+    // out as vlen strings, a ragged per-doc array derived from
+    // doc_id as a vlen int64 sequence, read back and aggregated —
+    // string bytes, heap resolution and array lengths all hash-gate
+    // against the original parquet.
+    "q_hdf5_vlen" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "docs_hdf5v"), "docs_vlen.hdf5")
+      cache.getParentFile.mkdirs()
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars").orderBy("doc_id")
+        .collect()
+      graft.sources.Hdf5.writeFlatFile(cache.toString,
+        longs = Seq(
+          "doc_id" -> docs.map(_.getAs[Long]("doc_id")),
+          "n_chars" -> docs.map(_.getAs[Long]("n_chars"))),
+        vlenStrings = Seq(
+          "text" -> docs.map(_.getAs[String]("text")),
+          "lang" -> docs.map(_.getAs[String]("lang"))),
+        vlenLongSeqs = Seq("marks" -> docs.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          Array.tabulate((id % 5).toInt)(j => id * 10 + j)
+        }))
+      graft.sources.Hdf5.fromHdf5(s, cache.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"),
+          sum(size(col("marks")).cast("long")).as("sum_marks"))
+        .orderBy("lang")
+    }),
+
     // FITS (the astronomy format the reference exports via astropy,
     // core/dataframe.py:6973 export_fits and vaex-astro reads): same
     // round trip through the BINTABLE writer and the distributed
@@ -137,6 +170,12 @@ object SourceQueries {
        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_hdf5_vlen" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(SUM(doc_id % 5) AS BIGINT) AS sum_marks
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,
