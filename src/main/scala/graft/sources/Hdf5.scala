@@ -73,8 +73,13 @@ object Hdf5 {
       indices: Option[Storage],  // str only, n+1 int64 offsets
       bitmap: Option[Storage],   // None when column has no null bitmap
       fixedStrSize: Int = 0,
-      file: Option[String] = None) { // set when the column's storage
-                                     // lives in ANOTHER file (external link)
+      file: Option[String] = None, // set when the column's storage
+                                   // lives in ANOTHER file (external link)
+      // compound-member columns: the dataset stores interleaved
+      // records of `stride` bytes; this column's value sits at
+      // `fieldOff` within each record. 0 = plain packed column.
+      stride: Int = 0,
+      fieldOff: Int = 0) {
     def nullable: Boolean = bitmap.isDefined
     def sparkType: DataType = kind match {
       case "i1" => ByteType
@@ -107,7 +112,10 @@ object Hdf5 {
   // ==================================================================
 
   private[sources] final case class Dtype(clazz: Int, size: Int, signed: Boolean,
-                                          vlenBase: Option[Dtype] = None)
+                                          vlenBase: Option[Dtype] = None,
+                                          // compound (class 6) members:
+                                          // (name, byteOffset, type)
+                                          members: Seq[(String, Int, Dtype)] = Nil)
   private[sources] final case class DsetMeta(dims: Seq[Long], dt: Dtype, storage: Storage,
                                              dataSize: Long, attrs: Map[String, String])
 
@@ -814,16 +822,74 @@ object Hdf5 {
     private def parseDtype(body: ByteBuffer): Dtype = {
       val b0 = body.get() & 0xff
       val clazz = b0 & 0x0f
+      val version = (b0 >> 4) & 0x0f
       val bits = Array(body.get() & 0xff, body.get() & 0xff, body.get() & 0xff)
       val size = body.getInt()
+      /** NUL-terminated name; v1/v2 pad the field to a multiple of 8. */
+      def memberName(padded: Boolean): String = {
+        val sb = new java.lang.StringBuilder
+        var c = body.get()
+        while (c != 0) {
+          require(sb.length < 4096, "unterminated compound member name")
+          sb.append(c.toChar); c = body.get()
+        }
+        if (padded) {
+          val total = (sb.length + 1 + 7) / 8 * 8
+          body.position(body.position() + (total - sb.length - 1))
+        }
+        sb.toString
+      }
+      /** consume property bytes so the buffer lands exactly past this
+        * datatype — REQUIRED inside compound/vlen where another member
+        * follows; tolerated-as-absent at top level (truncated wild
+        * files whose properties we never needed). */
+      def skipProps(n: Int): Unit =
+        body.position(body.position() + math.min(n, body.remaining()))
       clazz match {
         case 0 => // fixed-point; bit3 of bitfield-0 = signed
           require((bits(0) & 1) == 0, "big-endian integers unsupported")
+          skipProps(4) // bit offset(2) + precision(2)
           Dtype(0, size, (bits(0) & 0x08) != 0)
         case 1 =>
           require((bits(0) & 1) == 0, "big-endian floats unsupported")
+          skipProps(12) // offset/precision + exponent/mantissa geometry + bias
           Dtype(1, size, signed = true)
         case 3 => Dtype(3, size, signed = false)
+        case 6 => // compound (PyTables/astropy tables, numpy
+          // structured arrays): member count in class bits 0-15;
+          // member encodings differ by datatype-message version.
+          val nMembers = bits(0) | (bits(1) << 8)
+          require(nMembers >= 1 && nMembers <= 4096,
+            s"implausible compound member count $nMembers")
+          val members = (0 until nMembers).map { _ =>
+            version match {
+              case 1 =>
+                val name = memberName(padded = true)
+                val off = body.getInt()
+                body.get()                              // dimensionality
+                body.position(body.position() + 3)      // reserved
+                body.getInt()                           // dim permutation
+                body.getInt()                           // reserved
+                body.position(body.position() + 16)     // dim sizes [4]
+                (name, off, parseDtype(body))
+              case 2 =>
+                val name = memberName(padded = true)
+                val off = body.getInt()
+                (name, off, parseDtype(body))
+              case 3 =>
+                val name = memberName(padded = false)
+                // offset stored in the minimum bytes that hold `size`
+                val offBytes = math.max(1,
+                  (64 - java.lang.Long.numberOfLeadingZeros(
+                    math.max(size.toLong, 1L)) + 7) / 8).toInt
+                var off = 0L
+                for (i <- 0 until offBytes) off |= (body.get() & 0xffL) << (8 * i)
+                (name, off.toInt, parseDtype(body))
+              case v => throw new IllegalArgumentException(
+                s"compound datatype v$v unsupported")
+            }
+          }
+          Dtype(6, size, signed = false, members = members)
         case 9 => // variable-length: bitfield-0 low nibble 1 = string
           // (h5py's DEFAULT str dtype), 0 = sequence (h5py ragged
           // arrays — vlen_dtype(int64/float64/...)). The in-file
@@ -1101,9 +1167,10 @@ object Hdf5 {
   private def leMagic(s: String): Int =
     (s(0) | (s(1) << 8) | (s(2) << 16) | (s(3) << 24))
 
-  /** A plain (non-vaex-layout) dataset as a column: 1-D, numeric or
-    * fixed-size string; None for anything else (multi-dim, vlen,
-    * compound — skipped, not fatal, on the generic-file path). */
+  /** A plain (non-vaex-layout) dataset as a column: 1-D, numeric,
+    * fixed/variable-size string or ragged vlen sequence; None for
+    * anything else (multi-dim — skipped, not fatal, on the
+    * generic-file path). */
   private def plainColumn(name: String, data: DsetMeta): Option[ColumnMeta] = {
     if (data.dims.size != 1 || data.storage == null) None
     else if (data.dt.clazz == 3)
@@ -1113,6 +1180,30 @@ object Hdf5 {
       try Some(ColumnMeta(name, kindOf(data.dt), data.dims.head,
         data.storage, data.dataSize, None, None))
       catch { case _: IllegalArgumentException => None }
+  }
+
+  /** Like [[plainColumn]], but a COMPOUND 1-D dataset (a PyTables /
+    * astropy table, a numpy structured array) expands into one column
+    * per member — strided reads over the interleaved records. Members
+    * the parser can't decode (vlen-in-compound, nested compound) are
+    * skipped individually. */
+  private def plainColumns(name: String, data: DsetMeta): Seq[ColumnMeta] = {
+    if (data.dims.size != 1 || data.storage == null) Nil
+    else if (data.dt.clazz == 6) {
+      val stride = data.dt.size
+      data.dt.members.flatMap { case (mn, off, mt) =>
+        try {
+          if (mt.clazz == 3)
+            Some(ColumnMeta(mn, "fstr", data.dims.head, data.storage,
+              data.dataSize, None, None, fixedStrSize = mt.size,
+              stride = stride, fieldOff = off))
+          else if (mt.clazz == 0 || mt.clazz == 1)
+            Some(ColumnMeta(mn, kindOf(mt), data.dims.head, data.storage,
+              data.dataSize, None, None, stride = stride, fieldOff = off))
+          else None // vlen/nested members: skipped, not fatal
+        } catch { case _: Exception => None }
+      }
+    } else plainColumn(name, data).toSeq
   }
 
   /** Resolve the vaex table layout: /table/columns (v2 export),
@@ -1181,9 +1272,9 @@ object Hdf5 {
             // columns of a mixed wild file still load.
             val plain = rootKidsSeq.filterNot { case (_, nd) => isGrp(nd) }
               .flatMap { case (name, nd) =>
-                try plainColumn(name, nd.f.dataset(nd.addr))
+                try plainColumns(name, nd.f.dataset(nd.addr))
                   .map(_.copy(file = fileTag(nd)))
-                catch { case _: Exception => None }
+                catch { case _: Exception => Nil }
               }
             if (plain.nonEmpty) return plain
             throw new IllegalArgumentException(
@@ -1528,14 +1619,16 @@ object Hdf5 {
                 }
               }
             }
-          case "fstr" => // fixed-size null-padded strings (h5py S<n>)
+          case "fstr" => // fixed-size null-padded strings (h5py S<n>),
+            // packed or a compound-record member (strided)
             val es = m.elemSize
-            val buf = readRange(raf, m.data, es, start, end)
+            val rs = if (m.stride > 0) m.stride else es
+            val buf = readRange(raf, m.data, rs, start, end)
             Array.tabulate[Any](c) { i =>
               if (!valid(i)) null
               else {
                 val arr = new Array[Byte](es)
-                buf.position(i * es); buf.get(arr); buf.position(0)
+                buf.position(i * rs + m.fieldOff); buf.get(arr); buf.position(0)
                 var len = 0
                 while (len < es && arr(len) != 0) len += 1
                 new String(arr, 0, len, "UTF-8")
@@ -1543,16 +1636,22 @@ object Hdf5 {
             }
           case k =>
             val es = m.elemSize
-            val buf = readRange(raf, m.data, es, start, end)
+            // a compound-record member reads whole records (stride
+            // bytes each) and decodes at its field offset
+            val rs = if (m.stride > 0) m.stride else es
+            val buf = readRange(raf, m.data, rs, start, end)
             Array.tabulate[Any](c) { i =>
               if (!valid(i)) null
-              else k match {
-                case "i1" => buf.get(i)
-                case "i2" => buf.getShort(i * 2)
-                case "i4" => buf.getInt(i * 4)
-                case "i8" => buf.getLong(i * 8)
-                case "f4" => buf.getFloat(i * 4)
-                case "f8" => buf.getDouble(i * 8)
+              else {
+                val o = i * rs + m.fieldOff
+                k match {
+                  case "i1" => buf.get(o)
+                  case "i2" => buf.getShort(o)
+                  case "i4" => buf.getInt(o)
+                  case "i8" => buf.getLong(o)
+                  case "f4" => buf.getFloat(o)
+                  case "f8" => buf.getDouble(o)
+                }
               }
             }
         }
@@ -1572,7 +1671,10 @@ object Hdf5 {
                                   // vlen only: per-row (payloadBytes,
                                   // descriptorLength) + the dtype message
                                   vlenItems: Array[(Array[Byte], Int)] = null,
-                                  vlenDt: Array[Byte] = null)
+                                  vlenDt: Array[Byte] = null,
+                                  // compound only: dtype message + record size
+                                  dtMsg: Array[Byte] = null,
+                                  recSize: Int = 0)
 
   /** Export a DataFrame as a vaex-layout hdf5 file
     * (/table/columns/<name>/data [+ indices, null_bitmap], column_order
@@ -1600,6 +1702,10 @@ object Hdf5 {
       vlenStrings: Seq[(String, Array[String])] = Nil,
       vlenLongSeqs: Seq[(String, Array[Array[Long]])] = Nil,
       vlenDoubleSeqs: Seq[(String, Array[Array[Double]])] = Nil,
+      // compound datasets (numpy structured arrays / PyTables
+      // tables): (datasetName, fields as (name, "i8"|"f8"|"fstr:N"),
+      // rows of Long/Double/String in field order)
+      compound: Seq[(String, Seq[(String, String)], Seq[Seq[Any]])] = Nil,
       chunkCfg: Option[(Int, Int, Boolean)] = None,
       latest: Boolean = false,
       denseGeom: Option[(Long, Long)] = None,
@@ -1652,7 +1758,43 @@ object Hdf5 {
         },
         vlenDt = dtVlenSeq(dtFloat(8)))
     }
-    writeFile(path, lc ++ dc ++ sc ++ vc ++ qc ++ rc, chunkCfg, flat = true, latest = latest,
+    val cc = compound.map { case (name, fields, rows) =>
+      val fieldMeta = fields.map { case (fn, kind) =>
+        kind match {
+          case "i8" => (fn, 8, dtFixed(8))
+          case "f8" => (fn, 8, dtFloat(8))
+          case s if s.startsWith("fstr:") =>
+            val w = s.substring(5).toInt
+            require(w > 0 && w <= 4096, s"bad fstr width $w")
+            (fn, w, dtString(w))
+          case k => throw new IllegalArgumentException(s"compound field kind $k")
+        }
+      }
+      val offsets = fieldMeta.map(_._2).scanLeft(0)(_ + _).init
+      val recSize = fieldMeta.map(_._2).sum
+      val data = new Array[Byte](rows.size * recSize)
+      val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      rows.zipWithIndex.foreach { case (row, ri) =>
+        require(row.size == fieldMeta.size, s"row $ri arity")
+        fieldMeta.zip(offsets).zip(row).foreach { case (((_, w, _), off), v) =>
+          bb.position(ri * recSize + off)
+          v match {
+            case l: Long   => bb.putLong(l)
+            case d: Double => bb.putDouble(d)
+            case s: String =>
+              val sb = s.getBytes("UTF-8")
+              require(sb.length <= w, s"string wider than $w: $s")
+              bb.put(sb) // trailing bytes stay zero (null padding)
+            case x => throw new IllegalArgumentException(s"compound value $x")
+          }
+        }
+      }
+      OutCol(name, "compound", data, Array.empty, Array.empty, rows.size,
+        dtMsg = dtCompoundV1(recSize,
+          fieldMeta.zip(offsets).map { case ((fn, _, dt), off) => (fn, off, dt) }),
+        recSize = recSize)
+    }
+    writeFile(path, lc ++ dc ++ sc ++ vc ++ qc ++ rc ++ cc, chunkCfg, flat = true, latest = latest,
       denseGeom = denseGeom, heapFilter = heapFilter,
       softLinks = softLinks, heapMixedIdLen = heapMixedIdLen,
       externalLinks = externalLinks, hugeIndirect = hugeIndirect)
@@ -1847,6 +1989,34 @@ object Hdf5 {
     b.put(0.toByte); b.put(0.toByte)
     b.putInt(16)                   // element = hvl descriptor
     b.put(dtString(1))             // base type: 1-byte string
+    b.array()
+  }
+  /** Compound datatype (class 6, v1 member encoding): `fields` =
+    * (name, byteOffset, memberDtypeMessage); the layout a numpy
+    * structured array / PyTables table stores. */
+  private def dtCompoundV1(recSize: Int,
+                           fields: Seq[(String, Int, Array[Byte])]): Array[Byte] = {
+    val parts = fields.map { case (n, off, dt) =>
+      val nb = n.getBytes("UTF-8")
+      val padded = (nb.length + 1 + 7) / 8 * 8
+      val b = buf(padded + 4 + 4 + 4 + 4 + 16 + dt.length)
+      b.put(nb); b.position(padded) // NUL + zero pad to 8
+      b.putInt(off)
+      b.put(0.toByte)               // dimensionality
+      b.position(b.position() + 3)  // reserved
+      b.putInt(0)                   // dimension permutation
+      b.putInt(0)                   // reserved
+      b.position(b.position() + 16) // dimension sizes [4]
+      b.put(dt)
+      b.array()
+    }
+    val b = buf(8 + parts.map(_.length).sum)
+    b.put(0x16.toByte)              // version 1, class 6
+    b.put((fields.size & 0xff).toByte)        // member count low
+    b.put(((fields.size >> 8) & 0xff).toByte) // member count high
+    b.put(0.toByte)
+    b.putInt(recSize)
+    parts.foreach(b.put)
     b.array()
   }
   /** Variable-length sequence datatype (class 9, vlen type 0) over a
@@ -2798,6 +2968,8 @@ object Hdf5 {
         // generic h5py shape: datasets directly under the root group
         val dsets = cols.map { c =>
           if (c.vlenItems != null) (c.name, emitVlenDataset(c))
+          else if (c.dtMsg != null) // compound: records already packed
+            (c.name, emitDataset(s"${c.name}/d", c.n, c.dtMsg, c.recSize, c.data, Nil))
           else {
             val (dt, es) = c.kind match {
               case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)

@@ -649,6 +649,38 @@ class Hdf5Spec extends SparkSpec {
     assert(total == ls.map(_.length.toLong).sum)
   }
 
+  test("compound datasets expand into member columns (strided reads)") {
+    // a numpy-structured-array / PyTables-table shape: one 1-D
+    // compound dataset whose members become table columns
+    val rows = (0 until 200).map(i =>
+      Seq[Any](i.toLong, i * 1.5, s"tag_${i % 9}"))
+    val path = tmp("compound.hdf5")
+    Hdf5.writeFlatFile(path, compound = Seq(
+      ("events", Seq("eid" -> "i8", "score" -> "f8", "tag" -> "fstr:8"), rows)))
+    val back = Hdf5.fromHdf5(spark, path).orderBy("eid").collect()
+    assert(back.length == 200)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("eid") == i.toLong, s"eid $i")
+      assert(r.getAs[Double]("score") == i * 1.5, s"score $i")
+      assert(r.getAs[String]("tag") == s"tag_${i % 9}", s"tag $i")
+    }
+    // CHUNKED compound records go through the same strided decode
+    val p2 = tmp("compound_chunked.hdf5")
+    Hdf5.writeFlatFile(p2, compound = Seq(
+      ("events", Seq("eid" -> "i8", "score" -> "f8"), rows.map(_.take(2)))),
+      chunkCfg = Some((64, 6, false)))
+    val b2 = Hdf5.fromHdf5(spark, p2).orderBy("eid").collect()
+    assert(b2.length == 200)
+    b2.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("eid") == i.toLong && r.getAs[Double]("score") == i * 1.5)
+    }
+    // column pruning still touches only requested members' records
+    val one = Hdf5.fromHdf5(spark, path, columns = Seq("score"))
+    assert(one.schema.fieldNames.toSeq == Seq("score"))
+    assert(math.abs(one.agg(org.apache.spark.sql.functions.sum("score"))
+      .head().getDouble(0) - rows.map(_(1).asInstanceOf[Double]).sum) < 1e-9)
+  }
+
   test("external-link cycles across files stop, unresolved links skipped") {
     val dir = java.nio.file.Files.createTempDirectory("h5extcyc").toFile
     dir.deleteOnExit()
