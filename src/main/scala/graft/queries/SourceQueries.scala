@@ -132,6 +132,27 @@ object SourceQueries {
         .orderBy("lang")
     }),
 
+    // hdf5 2-D MATRIX datasets (the (N, D) float32 shape ML embedding
+    // dumps ship in): the embeddings table round-trips through a
+    // matrix dataset + vec_id vector, reads back as an ArrayType
+    // column, and drives vector math — element order, float bits and
+    // row alignment all hash-gate against the original parquet.
+    "q_hdf5_matrix" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "emb_hdf5m"), "embeddings.hdf5")
+      cache.getParentFile.mkdirs()
+      val rows = t(s, dir, "embeddings").orderBy("vec_id").collect()
+      graft.sources.Hdf5.writeFlatFile(cache.toString,
+        longs = Seq("vec_id" -> rows.map(_.getAs[Long]("vec_id"))),
+        floatMatrices = Seq("embedding" ->
+          rows.map(_.getSeq[Float](1).toArray)))
+      val df = graft.sources.Hdf5.fromHdf5(s, cache.toString)
+      df.select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
     // FITS (the astronomy format the reference exports via astropy,
     // core/dataframe.py:6973 export_fits and vaex-astro reads): same
     // round trip through the BINTABLE writer and the distributed
@@ -176,6 +197,11 @@ object SourceQueries {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
         |  CAST(SUM(doc_id % 5) AS BIGINT) AS sum_marks
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hdf5_matrix" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INT) AS n_dims,
+        |  ROUND(SQRT(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,

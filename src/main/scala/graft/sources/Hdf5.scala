@@ -89,12 +89,13 @@ object Hdf5 {
       case "f4" => FloatType
       case "f8" => DoubleType
       case "str" | "fstr" | "vstr" => StringType
-      case k if k.startsWith("vseq_") => ArrayType(k.substring(5) match {
-        case "i1" => ByteType; case "i2" => ShortType
-        case "i4" => IntegerType; case "i8" => LongType
-        case "f4" => FloatType; case "f8" => DoubleType
-        case b => throw new IllegalArgumentException(s"bad vlen base kind: $b")
-      })
+      case k if k.startsWith("vseq_") || k.startsWith("mat_") =>
+        ArrayType(k.substring(k.indexOf('_') + 1) match {
+          case "i1" => ByteType; case "i2" => ShortType
+          case "i4" => IntegerType; case "i8" => LongType
+          case "f4" => FloatType; case "f8" => DoubleType
+          case b => throw new IllegalArgumentException(s"bad array base kind: $b")
+        })
       case k => throw new IllegalArgumentException(s"unsupported hdf5 column kind: $k")
     }
     def elemSize: Int = kind match {
@@ -104,6 +105,12 @@ object Hdf5 {
       // hvl descriptor: len(4) + gheap addr(8) + index(4)
       case "vstr" => 16
       case k if k.startsWith("vseq_") => 16
+      // matrix column: one (width = fixedStrSize) row of base elements
+      case k if k.startsWith("mat_") =>
+        fixedStrSize * (k.substring(4) match {
+          case "i1" => 1; case "i2" => 2; case "i4" => 4; case "i8" => 8
+          case "f4" => 4; case "f8" => 8
+        })
     }
   }
 
@@ -1172,7 +1179,19 @@ object Hdf5 {
     * anything else (multi-dim — skipped, not fatal, on the
     * generic-file path). */
   private def plainColumn(name: String, data: DsetMeta): Option[ColumnMeta] = {
-    if (data.dims.size != 1 || data.storage == null) None
+    if (data.storage == null) None
+    else if (data.dims.size == 2 &&
+      (data.dt.clazz == 0 || data.dt.clazz == 1) &&
+      data.dims(1) > 0 && data.dims(1) <= (1 << 20) &&
+      (data.storage.isInstanceOf[Contiguous] || data.storage.isInstanceOf[Inline])) {
+      // (n, d) numeric matrix -> ArrayType column of d-vectors
+      // (contiguous only: 2-D chunk indexing is its own format)
+      try Some(ColumnMeta(name, "mat_" + kindOf(data.dt), data.dims.head,
+        data.storage, data.dataSize, None, None,
+        fixedStrSize = data.dims(1).toInt))
+      catch { case _: IllegalArgumentException => None }
+    }
+    else if (data.dims.size != 1) None
     else if (data.dt.clazz == 3)
       Some(ColumnMeta(name, "fstr", data.dims.head, data.storage, data.dataSize,
         None, None, fixedStrSize = data.dt.size))
@@ -1188,8 +1207,8 @@ object Hdf5 {
     * the parser can't decode (vlen-in-compound, nested compound) are
     * skipped individually. */
   private def plainColumns(name: String, data: DsetMeta): Seq[ColumnMeta] = {
-    if (data.dims.size != 1 || data.storage == null) Nil
-    else if (data.dt.clazz == 6) {
+    if (data.storage == null) Nil
+    else if (data.dt.clazz == 6 && data.dims.size == 1) {
       val stride = data.dt.size
       data.dt.members.flatMap { case (mn, off, mt) =>
         try {
@@ -1580,6 +1599,24 @@ object Hdf5 {
                 }
               }
             }
+          case k if k.startsWith("mat_") => // (n, d) matrix dataset:
+            // row-major fixed-width rows -> ArrayType column (the
+            // shape ML embedding matrices ship in)
+            val bk = k.substring(4)
+            val d = m.fixedStrSize
+            val es = m.elemSize // d * base size
+            val buf = readRange(raf, m.data, es, start, end)
+            Array.tabulate[Any](c) { i =>
+              if (!valid(i)) null
+              else bk match {
+                case "i1" => Seq.tabulate(d)(j => buf.get(i * es + j))
+                case "i2" => Seq.tabulate(d)(j => buf.getShort(i * es + j * 2))
+                case "i4" => Seq.tabulate(d)(j => buf.getInt(i * es + j * 4))
+                case "i8" => Seq.tabulate(d)(j => buf.getLong(i * es + j * 8))
+                case "f4" => Seq.tabulate(d)(j => buf.getFloat(i * es + j * 4))
+                case "f8" => Seq.tabulate(d)(j => buf.getDouble(i * es + j * 8))
+              }
+            }
           case k if k.startsWith("vseq_") => // ragged numeric arrays
             // (h5py vlen_dtype): same hvl descriptors, the payload is
             // `len` base elements -> a Spark ArrayType column
@@ -1706,6 +1743,8 @@ object Hdf5 {
       // tables): (datasetName, fields as (name, "i8"|"f8"|"fstr:N"),
       // rows of Long/Double/String in field order)
       compound: Seq[(String, Seq[(String, String)], Seq[Seq[Any]])] = Nil,
+      // (n, d) float32 matrices — the ML embedding-matrix shape
+      floatMatrices: Seq[(String, Array[Array[Float]])] = Nil,
       chunkCfg: Option[(Int, Int, Boolean)] = None,
       latest: Boolean = false,
       denseGeom: Option[(Long, Long)] = None,
@@ -1794,7 +1833,15 @@ object Hdf5 {
           fieldMeta.zip(offsets).map { case ((fn, _, dt), off) => (fn, off, dt) }),
         recSize = recSize)
     }
-    writeFile(path, lc ++ dc ++ sc ++ vc ++ qc ++ rc ++ cc, chunkCfg, flat = true, latest = latest,
+    val mc = floatMatrices.map { case (name, m) =>
+      val d = if (m.nonEmpty) m.head.length else 0
+      require(m.forall(_.length == d), s"ragged matrix $name")
+      val b = ByteBuffer.allocate(m.length * d * 4).order(ByteOrder.LITTLE_ENDIAN)
+      m.foreach(_.foreach(b.putFloat))
+      OutCol(name, "mat_f4", b.array(), Array.empty, Array.empty, m.length,
+        recSize = d)
+    }
+    writeFile(path, lc ++ dc ++ sc ++ vc ++ qc ++ rc ++ cc ++ mc, chunkCfg, flat = true, latest = latest,
       denseGeom = denseGeom, heapFilter = heapFilter,
       softLinks = softLinks, heapMixedIdLen = heapMixedIdLen,
       externalLinks = externalLinks, hugeIndirect = hugeIndirect)
@@ -1951,6 +1998,16 @@ object Hdf5 {
   }
   private def dataspaceScalar: Array[Byte] = {
     val b = buf(8); b.put(1.toByte); b.put(0.toByte); b.array()
+  }
+  /** rank-2 v1 dataspace: an (n, d) matrix dataset. */
+  private def dataspace2d(n: Long, d: Long): Array[Byte] = {
+    val b = buf(24); b.put(1.toByte); b.put(2.toByte); b.put(0.toByte)
+    b.position(8); b.putLong(n); b.putLong(d); b.array()
+  }
+  private def dataspace2dV2(n: Long, d: Long): Array[Byte] = {
+    val b = buf(20); b.put(2.toByte); b.put(2.toByte); b.put(0.toByte)
+    b.put(1.toByte) // type: simple
+    b.putLong(n); b.putLong(d); b.array()
   }
   private def dtFixed(size: Int): Array[Byte] = {
     val b = buf(12)
@@ -2331,18 +2388,21 @@ object Hdf5 {
       }
       entries.head._3
     }
-    /** Emit a dataset object: returns OH address. */
+    /** Emit a dataset object: returns OH address. `dims2 > 0` writes
+      * a rank-2 (n, dims2) dataspace — matrix datasets. */
     def writeDataset(n: Long, dtype: Array[Byte], dataAddr: Long, dataSize: Long,
-                     attrs: Seq[(String, String)]): Long = {
+                     attrs: Seq[(String, String)], dims2: Long = 0): Long = {
+      val ds1 = if (dims2 > 0) dataspace2d(n, dims2) else dataspace1d(n)
+      val ds2 = if (dims2 > 0) dataspace2dV2(n, dims2) else dataspace1dV2(n)
       val bytes = if (latest) {
         ohdrV2(Seq(
-          msgV2(0x0001, dataspace1dV2(n)),
+          msgV2(0x0001, ds2),
           msgV2(0x0003, dtype),
           msgV2(0x0008, layoutContiguous(dataAddr, dataSize))) ++
           attrs.map { case (k, v) => msgV2(0x000C, strAttrV3(k, v)) })
       } else {
         objectHeader(Seq(
-          msg(0x0001, dataspace1d(n)),
+          msg(0x0001, ds1),
           msg(0x0003, dtype),
           msg(0x0008, layoutContiguous(dataAddr, dataSize))) ++
           attrs.map { case (k, v) => msg(0x000C, strAttr(k, v)) })
@@ -2968,6 +3028,17 @@ object Hdf5 {
         // generic h5py shape: datasets directly under the root group
         val dsets = cols.map { c =>
           if (c.vlenItems != null) (c.name, emitVlenDataset(c))
+          else if (c.kind.startsWith("mat_")) { // (n, d) matrix, contiguous
+            val baseDt = c.kind.substring(4) match {
+              case "i8" => dtFixed(8); case "i4" => dtFixed(4)
+              case "f8" => dtFloat(8); case "f4" => dtFloat(4)
+              case k => throw new IllegalArgumentException(s"matrix base $k")
+            }
+            val a = allocData(c.data.length)
+            emit(a, c.data)
+            (c.name, writeDataset(c.n, baseDt, a, c.data.length.toLong, Nil,
+              dims2 = c.recSize.toLong))
+          }
           else if (c.dtMsg != null) // compound: records already packed
             (c.name, emitDataset(s"${c.name}/d", c.n, c.dtMsg, c.recSize, c.data, Nil))
           else {

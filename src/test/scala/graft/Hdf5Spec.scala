@@ -681,6 +681,34 @@ class Hdf5Spec extends SparkSpec {
       .head().getDouble(0) - rows.map(_(1).asInstanceOf[Double]).sum) < 1e-9)
   }
 
+  test("2-D float matrices read back as array columns (embedding shape)") {
+    val d = 16
+    val mat = Array.tabulate(120)(i => Array.tabulate(d)(j => i * 0.25f + j))
+    val path = tmp("matrix.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("vec_id" -> Array.tabulate(120)(_.toLong)),
+      floatMatrices = Seq("embedding" -> mat))
+    val back = Hdf5.fromHdf5(spark, path).orderBy("vec_id").collect()
+    assert(back.length == 120)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Float](r.fieldIndex("embedding")).toSeq == mat(i).toSeq, s"row $i")
+    }
+    // the loaded column drives vector math like any embeddings table
+    import org.apache.spark.sql.functions.{aggregate => fold, lit => flit}
+    val df = Hdf5.fromHdf5(spark, path)
+    val norm2 = df.select(fold(col("embedding"), flit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"))
+      .agg(org.apache.spark.sql.functions.sum("n2")).head().getDouble(0)
+    val expect = mat.map(_.map(v => v.toDouble * v).sum).sum
+    assert(math.abs(norm2 - expect) < 1e-6 * math.abs(expect))
+    // latest-format variant (v2 dataspace rank 2)
+    val p2 = tmp("matrix_latest.hdf5")
+    Hdf5.writeFlatFile(p2, floatMatrices = Seq("embedding" -> mat.take(5)),
+      latest = true)
+    val b2 = Hdf5.fromHdf5(spark, p2).collect()
+    assert(b2.length == 5)
+  }
+
   test("external-link cycles across files stop, unresolved links skipped") {
     val dir = java.nio.file.Files.createTempDirectory("h5extcyc").toFile
     dir.deleteOnExit()
