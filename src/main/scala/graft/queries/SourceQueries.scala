@@ -164,6 +164,23 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, cache.toString))
     }),
 
+    // FITS VECTOR columns (TFORM repeat counts — astropy's array
+    // columns): embeddings round-trip as an rE vector column and
+    // drive the same norm math as the hdf5 matrix lane.
+    "q_fits_vector" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "emb_fitsv"), "embeddings.fits")
+      cache.getParentFile.mkdirs()
+      graft.sources.Fits.toFits(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        cache.toString)
+      graft.sources.Fits.fromFits(s, cache.toString)
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
     // bucketed co-located join: orders and customer are exported
     // bucketed on the customer key, then joined through the catalog —
     // at scale the join plans with zero Exchange (asserted in
@@ -198,6 +215,11 @@ object SourceQueries {
         |  CAST(SUM(doc_id % 5) AS BIGINT) AS sum_marks
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hdf5_matrix" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INT) AS n_dims,
+        |  ROUND(SQRT(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_fits_vector" ->
       """SELECT vec_id, CAST(LEN(embedding) AS INT) AS n_dims,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm

@@ -22,9 +22,12 @@ object Fits {
 
   private val Block = 2880
 
+  /** `width` is the TFORM repeat count: characters for A, elements
+    * for everything else (1 = scalar; >1 = a fixed-length ARRAY
+    * column, the astropy vector-column shape, read as ArrayType). */
   final case class FitsColumn(name: String, form: Char, width: Int,
                               offset: Int, tnull: Option[Long]) {
-    def sparkType: DataType = form match {
+    private def scalarType: DataType = form match {
       case 'L' => BooleanType
       case 'J' => IntegerType
       case 'K' => LongType
@@ -33,11 +36,14 @@ object Fits {
       case 'A' => StringType
       case c => throw new IllegalArgumentException(s"unsupported TFORM $c")
     }
-    def bytes: Int = form match {
-      case 'L' | 'A' => width
+    def sparkType: DataType =
+      if (form != 'A' && width > 1) ArrayType(scalarType) else scalarType
+    def elemBytes: Int = form match {
+      case 'L' | 'A' => 1
       case 'J' | 'E' => 4
       case 'K' | 'D' => 8
     }
+    def bytes: Int = elemBytes * width
   }
 
   final case class TableMeta(dataStart: Long, rowBytes: Int, nRows: Long,
@@ -139,11 +145,9 @@ object Fits {
             // fall through to an opaque MatchError at read time
             require("LJKEDA".contains(code),
               s"unsupported TFORM$i '$form' (supported codes: L J K E D A)")
+            require(repeat >= 0 && repeat <= (1 << 20), s"implausible TFORM repeat $repeat")
             val c = FitsColumn(emap.getOrElse(s"TTYPE$i", s"col$i"), code,
-              if (code == 'A') repeat else repeat, offset,
-              emap.get(s"TNULL$i").map(_.toLong))
-            require(code == 'A' || repeat == 1,
-              s"array TFORM $form unsupported (scalar columns only)")
+              repeat, offset, emap.get(s"TNULL$i").map(_.toLong))
             offset += c.bytes
             c
           }
@@ -188,7 +192,17 @@ object Fits {
           (0 until count).iterator.map { r =>
             Row.fromSeq(colsB.map { c =>
               val o = r * rowBytes + c.offset
-              c.form match {
+              if (c.form != 'A' && c.width > 1) {
+                // fixed-length array column: raw element values (FITS
+                // has no per-element null convention worth inventing)
+                c.form match {
+                  case 'L' => Seq.tabulate(c.width)(j => buf(o + j) == 'T')
+                  case 'J' => Seq.tabulate(c.width)(j => bb.getInt(o + j * 4))
+                  case 'K' => Seq.tabulate(c.width)(j => bb.getLong(o + j * 8))
+                  case 'E' => Seq.tabulate(c.width)(j => bb.getFloat(o + j * 4))
+                  case 'D' => Seq.tabulate(c.width)(j => bb.getDouble(o + j * 8))
+                }
+              } else c.form match {
                 case 'L' => buf(o) match {
                   case 'T' => true
                   case 'F' => false
@@ -255,15 +269,28 @@ object Fits {
     val schema = df.schema
     import org.apache.spark.sql.functions._
     // widths for string columns + row count in ONE aggregation pass
-    val aggs = count(lit(1)).as("__n") +: schema.fields.toSeq.collect {
+    val aggs = count(lit(1)).as("__n") +: schema.fields.toSeq.flatMap {
       case f if f.dataType == StringType =>
-        coalesce(max(length(col(f.name))), lit(1)).as(s"__w_${f.name}")
+        Seq(coalesce(max(length(col(f.name))), lit(1)).as(s"__w_${f.name}"))
+      case f if f.dataType.isInstanceOf[ArrayType] =>
+        // FITS repeat counts are fixed — the whole column must agree
+        Seq(coalesce(min(size(col(f.name))), lit(0)).as(s"__amin_${f.name}"),
+          coalesce(max(size(col(f.name))), lit(0)).as(s"__amax_${f.name}"))
+      case _ => Nil
     }
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val n = stats.getLong(0)
     val widths: Map[String, Int] = schema.fields.toSeq.collect {
       case f if f.dataType == StringType =>
         f.name -> math.max(1, stats.getAs[Number](s"__w_${f.name}").intValue())
+    }.toMap
+    val arrayLens: Map[String, Int] = schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] =>
+        val lo = stats.getAs[Number](s"__amin_${f.name}").intValue()
+        val hi = stats.getAs[Number](s"__amax_${f.name}").intValue()
+        require(lo == hi && hi >= 1,
+          s"fits export: array column ${f.name} must have one fixed length (saw $lo..$hi)")
+        f.name -> hi
     }.toMap
     val cols = schema.fields.map { f =>
       val (form, bytes) = f.dataType match {
@@ -273,6 +300,16 @@ object Fits {
         case FloatType => ("1E", 4)
         case DoubleType => ("1D", 8)
         case StringType => val w = widths(f.name); (s"${w}A", w)
+        case ArrayType(et, _) =>
+          val r = arrayLens(f.name)
+          et match {
+            case IntegerType => (s"${r}J", 4 * r)
+            case LongType    => (s"${r}K", 8 * r)
+            case FloatType   => (s"${r}E", 4 * r)
+            case DoubleType  => (s"${r}D", 8 * r)
+            case t => throw new IllegalArgumentException(
+              s"fits export: unsupported array element type $t")
+          }
         case t => throw new IllegalArgumentException(s"fits export: unsupported type $t")
       }
       (f, form, bytes)
@@ -316,6 +353,17 @@ object Fits {
             case FloatType => rowBuf.putFloat(Float.NaN)
             case DoubleType => rowBuf.putDouble(Double.NaN)
             case StringType => rowBuf.put(new Array[Byte](bytes)) // NUL fill
+            case ArrayType(et, _) =>
+              val r = arrayLens(f.name)
+              (0 until r).foreach { _ =>
+                et match {
+                  case IntegerType => rowBuf.putInt(NullInt)
+                  case LongType    => rowBuf.putLong(NullLong)
+                  case FloatType   => rowBuf.putFloat(Float.NaN)
+                  case DoubleType  => rowBuf.putDouble(Double.NaN)
+                  case _ => ()
+                }
+              }
             case _ => ()
           } else f.dataType match {
             case BooleanType => rowBuf.put((if (row.getBoolean(j)) 'T' else 'F').toByte)
@@ -328,6 +376,19 @@ object Fits {
               require(raw.length <= bytes, "string exceeds computed width")
               rowBuf.put(raw)
               rowBuf.put(Array.fill(bytes - raw.length)(' '.toByte)) // space pad
+            case ArrayType(et, _) =>
+              val seq = row.getSeq[Any](j)
+              require(seq.length == arrayLens(f.name),
+                s"${f.name}: ragged array row (${seq.length})")
+              seq.foreach { v =>
+                et match {
+                  case IntegerType => rowBuf.putInt(v.asInstanceOf[Int])
+                  case LongType    => rowBuf.putLong(v.asInstanceOf[Long])
+                  case FloatType   => rowBuf.putFloat(v.asInstanceOf[Float])
+                  case DoubleType  => rowBuf.putDouble(v.asInstanceOf[Double])
+                  case _ => ()
+                }
+              }
             case _ => ()
           }
         }

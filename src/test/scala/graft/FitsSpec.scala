@@ -121,4 +121,29 @@ class FitsSpec extends SparkSpec {
       Fits.readTable("/root/testdata/sf0.001/nation.parquet"))
     assert(e.getMessage.contains("not a FITS file"))
   }
+
+  test("vector columns (TFORM repeat counts) round-trip as array columns") {
+    // astropy's vector-column shape: rE / rK next to scalars
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => i * 0.5f + j), Array.tabulate(3)(j => i * 100L + j))
+    }.toDF("id", "emb", "ticks")
+    val path = tmp("vector.fits")
+    Fits.toFits(df, path)
+    val meta = Fits.readTable(path)
+    assert(meta.columns.map(c => (c.name, c.form, c.width)) ==
+      Seq(("id", 'K', 1), ("emb", 'E', 8), ("ticks", 'K', 3)))
+    val back = Fits.fromFits(spark, path).orderBy("id").collect()
+    assert(back.length == 50)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong)
+      assert(r.getSeq[Float](1).toSeq == Seq.tabulate(8)(j => i * 0.5f + j), s"emb $i")
+      assert(r.getSeq[Long](2).toSeq == Seq.tabulate(3)(j => i * 100L + j), s"ticks $i")
+    }
+    // ragged input must fail loudly, not write a corrupt table
+    val ragged = Seq((1L, Array(1.0f)), (2L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[Exception](Fits.toFits(ragged, tmp("ragged.fits")))
+    assert(e.getMessage.contains("fixed length"), e.getMessage)
+  }
 }
