@@ -1021,7 +1021,7 @@ object Hdf5 {
       var storage: Storage = null
       var dataSize = 0L
       var filters: Seq[(Int, Int)] = Nil
-      var chunkInfo: Option[(Long, Long)] = None // (btreeAddr, chunkElems)
+      var chunkInfo: Option[(Long, Seq[Long])] = None // (btreeAddr, chunkDims)
       var v4Info: Option[V4Chunk] = None
       val attrs = scala.collection.mutable.Map[String, String]()
       messages(ohAddr).foreach { case (t, body) =>
@@ -1047,10 +1047,11 @@ object Hdf5 {
                 val dimensionality = b.get() & 0xff
                 val btreeAddr = b.getLong
                 val chunkDims = (0 until dimensionality).map(_ => b.getInt().toLong)
-                // last "dimension" is the element size; columns are 1-D
-                require(dimensionality == 2,
-                  s"only 1-D chunked datasets supported (dimensionality=$dimensionality)")
-                chunkInfo = Some((btreeAddr, chunkDims.head))
+                // last "dimension" is the element size; rank 1 columns
+                // and rank 2 matrices (full-width chunks) supported
+                require(dimensionality == 2 || dimensionality == 3,
+                  s"only 1-D/2-D chunked datasets supported (dimensionality=$dimensionality)")
+                chunkInfo = Some((btreeAddr, chunkDims))
               case (4, 2) =>
                 // chunked v4 (libver latest): flags(1) dimensionality(1)
                 // encodedDimSize(1) dims(encoded each) indexType(1)
@@ -1089,11 +1090,21 @@ object Hdf5 {
         require(SupportedFilters(id),
           s"hdf5 filter $id unsupported (deflate=1 and shuffle=2 only)")
       }
-      chunkInfo.foreach { case (btreeAddr, chunkElems) =>
+      chunkInfo.foreach { case (btreeAddr, cDims) =>
         checkFilters()
+        val rank = cDims.length - 1
+        // rank-2 chunks must span full rows so the chunk space stays
+        // linear in scalar elements (h5py's default chunk guess for
+        // (N, D) matrices is full-width); elemStart scales by D
+        val rowWidth = if (rank == 2) dims.lift(1).getOrElse(1L) else 1L
+        if (rank == 2)
+          require(cDims(1) == rowWidth && rowWidth > 0,
+            s"$path: partial-width 2-D chunks unsupported (${cDims(1)} of $rowWidth)")
+        val chunkElems = cDims.head * rowWidth
         val chunks =
           if (btreeAddr == UNDEF) Array.empty[ChunkLoc] // never-written dataset
-          else chunkLocations(btreeAddr, 2)
+          else chunkLocations(btreeAddr, rank + 1)
+            .map(c => c.copy(elemStart = c.elemStart * rowWidth))
         storage = Chunked(chunkElems, filters, chunks)
         dataSize = chunks.map(_.storedSize.toLong).sum
       }
@@ -1182,10 +1193,10 @@ object Hdf5 {
     if (data.storage == null) None
     else if (data.dims.size == 2 &&
       (data.dt.clazz == 0 || data.dt.clazz == 1) &&
-      data.dims(1) > 0 && data.dims(1) <= (1 << 20) &&
-      (data.storage.isInstanceOf[Contiguous] || data.storage.isInstanceOf[Inline])) {
-      // (n, d) numeric matrix -> ArrayType column of d-vectors
-      // (contiguous only: 2-D chunk indexing is its own format)
+      data.dims(1) > 0 && data.dims(1) <= (1 << 20)) {
+      // (n, d) numeric matrix -> ArrayType column of d-vectors;
+      // contiguous, inline or chunked (full-width chunks — the
+      // dataset() parse already linearized the chunk grid)
       try Some(ColumnMeta(name, "mat_" + kindOf(data.dt), data.dims.head,
         data.storage, data.dataSize, None, None,
         fixedStrSize = data.dims(1).toInt))
@@ -1601,20 +1612,25 @@ object Hdf5 {
             }
           case k if k.startsWith("mat_") => // (n, d) matrix dataset:
             // row-major fixed-width rows -> ArrayType column (the
-            // shape ML embedding matrices ship in)
+            // shape ML embedding matrices ship in). The range read
+            // uses SCALAR element units so chunked storage (whose
+            // chunk grid is linear in scalars) addresses correctly.
             val bk = k.substring(4)
             val d = m.fixedStrSize
-            val es = m.elemSize // d * base size
-            val buf = readRange(raf, m.data, es, start, end)
+            val bs = bk match {
+              case "i1" => 1; case "i2" => 2; case "i4" => 4; case "i8" => 8
+              case "f4" => 4; case "f8" => 8
+            }
+            val buf = readRange(raf, m.data, bs, start * d, end * d)
             Array.tabulate[Any](c) { i =>
               if (!valid(i)) null
               else bk match {
-                case "i1" => Seq.tabulate(d)(j => buf.get(i * es + j))
-                case "i2" => Seq.tabulate(d)(j => buf.getShort(i * es + j * 2))
-                case "i4" => Seq.tabulate(d)(j => buf.getInt(i * es + j * 4))
-                case "i8" => Seq.tabulate(d)(j => buf.getLong(i * es + j * 8))
-                case "f4" => Seq.tabulate(d)(j => buf.getFloat(i * es + j * 4))
-                case "f8" => Seq.tabulate(d)(j => buf.getDouble(i * es + j * 8))
+                case "i1" => Seq.tabulate(d)(j => buf.get(i * d + j))
+                case "i2" => Seq.tabulate(d)(j => buf.getShort((i * d + j) * 2))
+                case "i4" => Seq.tabulate(d)(j => buf.getInt((i * d + j) * 4))
+                case "i8" => Seq.tabulate(d)(j => buf.getLong((i * d + j) * 8))
+                case "f4" => Seq.tabulate(d)(j => buf.getFloat((i * d + j) * 4))
+                case "f8" => Seq.tabulate(d)(j => buf.getDouble((i * d + j) * 8))
               }
             }
           case k if k.startsWith("vseq_") => // ragged numeric arrays
@@ -2299,6 +2315,17 @@ object Hdf5 {
     b.put(value.getBytes("UTF-8"))
     b.array()
   }
+  /** v3 chunked layout for a rank-2 (rows, d) dataset: full-width
+    * chunks of `chunkRows` rows. */
+  private def layoutChunked2d(btreeAddr: Long, chunkRows: Int, d: Int,
+                              elemSize: Int): Array[Byte] = {
+    val b = buf(3 + 8 + 12)
+    b.put(3.toByte); b.put(2.toByte)   // v3, chunked
+    b.put(3.toByte)                    // dimensionality: rank 2 + elem dim
+    b.putLong(btreeAddr)
+    b.putInt(chunkRows); b.putInt(d); b.putInt(elemSize)
+    b.array()
+  }
   /** v4 chunked data layout with a Fixed Array index (page bits sized
     * so the data block never pages). */
   private def layoutChunkedV4(faAddr: Long, chunkElems: Long, elemSize: Int,
@@ -2342,12 +2369,15 @@ object Hdf5 {
       * node fan-out 2·32 = the default indexed-storage K readers
       * assume with a v0 superblock). Returns the root address. */
     def writeChunkBtree(chunks: Seq[(Long, Int, Long)] /*(addr, storedSize, elemStart)*/,
-                        chunkElems: Int): Long = {
+                        chunkElems: Int, keyDims: Int = 2): Long = {
       val fanout = 64
-      val keySize = 24 // size(4) mask(4) offsets: elemStart(8) 0(8)
+      // size(4) mask(4) + keyDims offsets (rank + elem dim); only the
+      // FIRST offset varies — rank-2 chunks span full rows
+      val keySize = 8 + 8 * keyDims
       val nodeSize = 24 + fanout * (keySize + 8) + keySize
       def key(b: ByteBuffer, storedSize: Int, elemStart: Long): Unit = {
-        b.putInt(storedSize); b.putInt(0); b.putLong(elemStart); b.putLong(0L)
+        b.putInt(storedSize); b.putInt(0); b.putLong(elemStart)
+        for (_ <- 1 until keyDims) b.putLong(0L)
       }
       /** entries: (firstChunkStoredSize, firstElemStart, childAddr);
         * returns this level's nodes as the next level's entries. */
@@ -3028,16 +3058,45 @@ object Hdf5 {
         // generic h5py shape: datasets directly under the root group
         val dsets = cols.map { c =>
           if (c.vlenItems != null) (c.name, emitVlenDataset(c))
-          else if (c.kind.startsWith("mat_")) { // (n, d) matrix, contiguous
-            val baseDt = c.kind.substring(4) match {
-              case "i8" => dtFixed(8); case "i4" => dtFixed(4)
-              case "f8" => dtFloat(8); case "f4" => dtFloat(4)
+          else if (c.kind.startsWith("mat_")) { // (n, d) matrix
+            val (baseDt, bs) = c.kind.substring(4) match {
+              case "i8" => (dtFixed(8), 8); case "i4" => (dtFixed(4), 4)
+              case "f8" => (dtFloat(8), 8); case "f4" => (dtFloat(4), 4)
               case k => throw new IllegalArgumentException(s"matrix base $k")
             }
-            val a = allocData(c.data.length)
-            emit(a, c.data)
-            (c.name, writeDataset(c.n, baseDt, a, c.data.length.toLong, Nil,
-              dims2 = c.recSize.toLong))
+            val d = c.recSize
+            chunkCfg match {
+              case None =>
+                val a = allocData(c.data.length)
+                emit(a, c.data)
+                (c.name, writeDataset(c.n, baseDt, a, c.data.length.toLong, Nil,
+                  dims2 = d.toLong))
+              case Some((ceRows, lvl, shuf)) =>
+                // chunked (rows, d) — h5py's compression='gzip' shape;
+                // full-width chunks keyed by (rowStart, 0, 0)
+                require(!latest, "chunked matrices: v0-superblock layout only")
+                val nominal = ceRows * d * bs
+                val comp = chunkCache.getOrElseUpdate(s"${c.name}/m",
+                  c.data.grouped(nominal).map { ch =>
+                    val full = if (ch.length == nominal) ch
+                      else java.util.Arrays.copyOf(ch, nominal)
+                    deflate(if (shuf) shuffleBytes(full, bs) else full, lvl)
+                  }.toArray)
+                val locs = comp.zipWithIndex.map { case (cb, i) =>
+                  val a = allocData(cb.length); emit(a, cb)
+                  (a, cb.length, i.toLong * ceRows)
+                }
+                val btreeAddr = writeChunkBtree(locs.toSeq, ceRows, keyDims = 3)
+                val filters = (if (shuf) Seq((2, Seq(bs))) else Nil) :+ ((1, Seq(lvl)))
+                val hdr = objectHeader(Seq(
+                  msg(0x0001, dataspace2d(c.n, d)),
+                  msg(0x0003, baseDt),
+                  msg(0x000B, filterPipeline(filters)),
+                  msg(0x0008, layoutChunked2d(btreeAddr, ceRows, d, bs))))
+                val a = alloc(hdr.length)
+                emit(a, hdr)
+                (c.name, a)
+            }
           }
           else if (c.dtMsg != null) // compound: records already packed
             (c.name, emitDataset(s"${c.name}/d", c.n, c.dtMsg, c.recSize, c.data, Nil))

@@ -707,6 +707,25 @@ class Hdf5Spec extends SparkSpec {
       latest = true)
     val b2 = Hdf5.fromHdf5(spark, p2).collect()
     assert(b2.length == 5)
+    // CHUNKED + gzip + shuffle (h5py compression='gzip' writes (N,D)
+    // matrices exactly this way): full-width row chunks behind a
+    // dimensionality-3 chunk B-tree, per-chunk inflate in executors
+    val p3 = tmp("matrix_chunked.hdf5")
+    Hdf5.writeFlatFile(p3,
+      longs = Seq("vec_id" -> Array.tabulate(120)(_.toLong)),
+      floatMatrices = Seq("embedding" -> mat),
+      chunkCfg = Some((32, 6, true))) // 32-row chunks -> 4 chunks, edge partial
+    val b3 = Hdf5.fromHdf5(spark, p3).orderBy("vec_id").collect()
+    assert(b3.length == 120)
+    b3.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Float](r.fieldIndex("embedding")).toSeq == mat(i).toSeq,
+        s"chunked row $i")
+    }
+    // any partitioning slices the chunk grid identically
+    val b4 = Hdf5.fromHdf5(spark, p3, numPartitions = 7)
+      .orderBy("vec_id").collect()
+    assert(b4.map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq ==
+      b3.map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq)
   }
 
   test("external-link cycles across files stop, unresolved links skipped") {
