@@ -40,36 +40,64 @@ object ArrowIpc {
     new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
   }
 
-  private def sparkFieldsOf(aschema: ASchema): Seq[StructField] =
+  private def sparkTypeOf(t: ArrowType): DataType = t match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
+    case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
+    case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
+  }
+
+  /** Spark fields of an Arrow schema. arrow-java's IN-MEMORY field
+    * for a dictionary-encoded column carries the INDEX type; the
+    * decoded value type lives on the dictionary's own vector, looked
+    * up via `dictValueType` (id -> value ArrowType). */
+  private def sparkFieldsOf(aschema: ASchema,
+      dictValueType: Long => ArrowType = id =>
+        throw new IllegalArgumentException(s"unresolvable dictionary $id")): Seq[StructField] =
     aschema.getFields.asScala.map { f =>
-      val dt = f.getType match {
-        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-        case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-        case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-        case _: ArrowType.Utf8 => StringType
-        case _: ArrowType.Bool => BooleanType
-        case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
+      val t = Option(f.getDictionary) match {
+        case Some(enc) => dictValueType(enc.getId)
+        case None => f.getType
       }
-      StructField(f.getName, dt, nullable = true)
+      StructField(f.getName, sparkTypeOf(t), nullable = true)
     }.toSeq
 
-  /** Decode the currently-loaded batch of `root` into Rows. */
-  private def rowsOfBatch(root: VectorSchemaRoot, nFields: Int): Seq[Row] = {
+  /** Decode the currently-loaded batch of `root` into Rows.
+    * `dicts(ci)` non-null = column ci is DICTIONARY-ENCODED (pandas
+    * categoricals via pyarrow): the batch vector holds indices (any
+    * integer width), values come from the file-level dictionary. */
+  private def rowsOfBatch(root: VectorSchemaRoot, nFields: Int,
+      dicts: Array[org.apache.arrow.vector.dictionary.Dictionary]): Seq[Row] = {
     val n = root.getRowCount
+    def scalarOf(vec: ValueVector, ri: Int): Any = vec match {
+      case v: BigIntVector => v.get(ri)
+      case v: IntVector => v.get(ri)
+      case v: SmallIntVector => v.get(ri)
+      case v: TinyIntVector => v.get(ri)
+      case v: Float8Vector => v.get(ri)
+      case v: Float4Vector => v.get(ri)
+      case v: VarCharVector => new String(v.get(ri), "UTF-8")
+      case v: BitVector => v.get(ri) == 1
+      case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
+    }
     (0 until n).map { ri =>
       Row.fromSeq((0 until nFields).map { ci =>
         val vec = root.getVector(ci)
         if (vec.isNull(ri)) null
-        else vec match {
-          case v: BigIntVector => v.get(ri)
-          case v: IntVector => v.get(ri)
-          case v: Float8Vector => v.get(ri)
-          case v: Float4Vector => v.get(ri)
-          case v: VarCharVector => new String(v.get(ri), "UTF-8")
-          case v: BitVector => v.get(ri) == 1
-          case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
+        else if (dicts(ci) != null) {
+          val idx = (scalarOf(vec, ri): @unchecked) match {
+            case i: Int => i; case l: Long => l.toInt
+            case s: Short => s.toInt; case b: Byte => b.toInt
+          }
+          val dv = dicts(ci).getVector
+          if (dv.isNull(idx)) null else scalarOf(dv, idx)
         }
+        else scalarOf(vec, ri)
       })
     }
   }
@@ -88,23 +116,71 @@ object ArrowIpc {
   /** Export a frame as one Arrow IPC file, streaming `batchRows`-row
     * record batches through the driver (no whole-frame collect).
     * `compression` Some("lz4"|"zstd") emits compressed record-batch
-    * buffers (what `pyarrow.feather.write_feather` does by default). */
+    * buffers (what `pyarrow.feather.write_feather` does by default).
+    * `dictColumns` DICTIONARY-ENCODES the named string columns
+    * (pandas-categorical style): distinct values go to a file-level
+    * dictionary batch (one bounded distinct per column — categorical
+    * by definition), record batches carry int32 indices. */
   def write(df: DataFrame, path: String, batchRows: Int = 65536,
-            compression: Option[String] = None): Unit = {
+            compression: Option[String] = None,
+            dictColumns: Seq[String] = Nil): Unit = {
     require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
+    dictColumns.foreach { c =>
+      require(schema.fields.exists(f => f.name == c && f.dataType == StringType),
+        s"dictColumns: $c must be an existing string column")
+    }
+    import org.apache.spark.sql.functions.col
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
     val allocator = new RootAllocator()
     try {
-      val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
+      // one dictionary per encoded column: sorted distinct non-null
+      // values (deterministic ids/indices)
+      val dictValues: Map[String, Array[String]] = dictColumns.map { c =>
+        c -> df.select(col(c)).where(col(c).isNotNull).distinct()
+          .orderBy(col(c)).collect().map(_.getString(0))
+      }.toMap
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val dictVecs = scala.collection.mutable.ArrayBuffer[VarCharVector]()
+      val encodings = dictColumns.zipWithIndex.map { case (c, i) =>
+        val vec = new VarCharVector(s"$c-dict", allocator)
+        dictVecs += vec
+        val vals = dictValues(c)
+        vec.allocateNew(vals.length)
+        vals.zipWithIndex.foreach { case (s, j) => vec.setSafe(j, s.getBytes("UTF-8")) }
+        vec.setValueCount(vals.length)
+        val enc = new DictionaryEncoding(i.toLong, false, new ArrowType.Int(32, true))
+        provider.put(new Dictionary(vec, enc))
+        c -> enc
+      }.toMap
+      // MEMORY-format fields: a dictionary-encoded column's root
+      // vector holds int32 INDICES (the writer converts the schema
+      // message to the value type through the provider)
+      val aschema = new ASchema(schema.fields.map { f =>
+        if (encodings.contains(f.name))
+          new Field(f.name,
+            new FieldType(true, new ArrowType.Int(32, true), encodings(f.name)),
+            java.util.Collections.emptyList())
+        else toArrowField(f)
+      }.toList.asJava)
       val root = VectorSchemaRoot.create(aschema, allocator)
+      val dictIndex: Map[Int, Map[String, Int]] =
+        schema.fields.zipWithIndex.collect {
+          case (f, ci) if encodings.contains(f.name) =>
+            ci -> dictValues(f.name).zipWithIndex.toMap
+        }.toMap
       val out = new java.io.FileOutputStream(path)
       val writer = codecOf(compression) match {
-        case Some(codec) => new ArrowFileWriter(root, null, out.getChannel,
+        case Some(codec) => new ArrowFileWriter(root, provider, out.getChannel,
           null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
-        case None => new ArrowFileWriter(root, null, out.getChannel)
+        case None => new ArrowFileWriter(root, provider, out.getChannel)
       }
-      try pump(df, schema, root, writer, batchRows)
-      finally { writer.close(); out.close(); root.close() }
+      try pump(df, schema, root, writer, batchRows, dictIndex)
+      finally {
+        writer.close(); out.close(); root.close()
+        dictVecs.foreach(_.close())
+      }
     } finally allocator.close()
   }
 
@@ -112,7 +188,8 @@ object ArrowIpc {
     * Arrow writer (file or stream framing — both extend ArrowWriter). */
   private def pump(df: DataFrame, schema: StructType, root: VectorSchemaRoot,
                    writer: org.apache.arrow.vector.ipc.ArrowWriter,
-                   batchRows: Int): Unit = {
+                   batchRows: Int,
+                   dictIndex: Map[Int, Map[String, Int]] = Map.empty): Unit = {
     writer.start()
     val it = df.toLocalIterator()
     val batch = new Array[Row](batchRows)
@@ -130,6 +207,8 @@ object ArrowIpc {
             val row = batch(ri)
             if (row.isNullAt(ci)) () // leave unset -> null
             else (f.dataType, vec) match {
+              case (StringType, v: IntVector) if dictIndex.contains(ci) =>
+                v.setSafe(ri, dictIndex(ci)(row.getString(ci))) // dictionary index
               case (LongType, v: BigIntVector) => v.setSafe(ri, row.getLong(ci))
               case (IntegerType, v: IntVector) => v.setSafe(ri, row.getInt(ci))
               case (DoubleType, v: Float8Vector) => v.setSafe(ri, row.getDouble(ci))
@@ -150,19 +229,33 @@ object ArrowIpc {
     writer.end()
   }
 
+  /** Per-column dictionary lookup (null where unencoded): a field's
+    * DictionaryEncoding id resolves through the reader's loaded
+    * dictionary batches. */
+  private def dictsOf(reader: org.apache.arrow.vector.ipc.ArrowReader,
+      root: VectorSchemaRoot): Array[org.apache.arrow.vector.dictionary.Dictionary] =
+    root.getSchema.getFields.asScala.map { f =>
+      Option(f.getDictionary)
+        .map(enc => reader.getDictionaryVectors.get(enc.getId))
+        .orNull
+    }.toArray
+
   /** Read an Arrow IPC file into a DataFrame. Distributed: the driver
     * touches only the footer (schema + record-batch index); each task
     * decodes its own batches. The path must be executor-visible
     * (shared FS), like any Spark input. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    // driver: schema + batch count from the footer
+    // driver: schema + batch count from the footer (+ dictionary
+    // value types — the file reader loads dictionaries on init)
     val (sparkFields, nBatches) = {
       val allocator = new RootAllocator()
       val in = new java.io.FileInputStream(path)
       try {
         val reader = new ArrowFileReader(in.getChannel, allocator,
           CommonsCompressionFactory.INSTANCE)
-        try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema), reader.getRecordBlocks.size)
+        try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema,
+            id => reader.getDictionaryVectors.get(id).getVector.getField.getType),
+          reader.getRecordBlocks.size)
         finally reader.close()
       } finally { in.close(); allocator.close() }
     }
@@ -183,9 +276,10 @@ object ArrowIpc {
           try {
             val root = reader.getVectorSchemaRoot
             val blocks = reader.getRecordBlocks
+            val dicts = dictsOf(reader, root)
             idxs.iterator.flatMap { bi =>
               reader.loadRecordBatch(blocks.get(bi))
-              rowsOfBatch(root, nFields)
+              rowsOfBatch(root, nFields, dicts)
             }.toVector.iterator // decode fully before closing the reader
           } finally { reader.close(); in.close(); allocator.close() }
         }
@@ -227,8 +321,15 @@ object ArrowIpc {
       try {
         val reader = new ArrowStreamReader(in, allocator,
           CommonsCompressionFactory.INSTANCE)
-        try sparkFieldsOf(reader.getVectorSchemaRoot.getSchema)
-        finally reader.close()
+        try {
+          val sch = reader.getVectorSchemaRoot.getSchema
+          // stream framing delivers dictionaries just before first
+          // use — pull one batch so value types are resolvable
+          if (sch.getFields.asScala.exists(_.getDictionary != null))
+            reader.loadNextBatch()
+          sparkFieldsOf(sch,
+            id => reader.getDictionaryVectors.get(id).getVector.getField.getType)
+        } finally reader.close()
       } finally { in.close(); allocator.close() }
     }
     val schema = StructType(sparkFields)
@@ -242,7 +343,10 @@ object ArrowIpc {
         try {
           val root = reader.getVectorSchemaRoot
           val rows = Vector.newBuilder[Row]
-          while (reader.loadNextBatch()) rows ++= rowsOfBatch(root, nFields)
+          // stream framing interleaves dictionary batches before use;
+          // resolve per loaded batch (deltas replace the mapping)
+          while (reader.loadNextBatch())
+            rows ++= rowsOfBatch(root, nFields, dictsOf(reader, root))
           rows.result().iterator
         } finally { reader.close(); in.close(); allocator.close() }
       }
