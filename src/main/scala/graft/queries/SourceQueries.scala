@@ -99,6 +99,26 @@ object SourceQueries {
         columns = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")))
     }),
 
+    // Arrow IPC with DICTIONARY-encoded categoricals (what
+    // pandas.to_feather writes for category dtypes): the documents
+    // table round-trips with lang and source dictionary-encoded +
+    // lz4-compressed batches, read back through the distributed
+    // footer-indexed path, aggregated per category.
+    "q_arrow_dict" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "docs_arrowd"), "docs_dict.arrow")
+      cache.getParentFile.mkdirs()
+      graft.sources.ArrowIpc.write(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        cache.toString, batchRows = 128, compression = Some("lz4"),
+        dictColumns = Seq("lang", "source"))
+      graft.sources.Readers.open(s, cache.toString)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "source")
+    }),
+
     // hdf5 VARIABLE-LENGTH datasets (what generic h5py files carry
     // by default: str dtype = vlen strings through the global heap,
     // vlen_dtype = ragged numeric arrays): documents' text/lang go
@@ -208,6 +228,11 @@ object SourceQueries {
        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_arrow_dict" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_hdf5_vlen" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
