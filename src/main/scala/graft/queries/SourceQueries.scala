@@ -119,6 +119,65 @@ object SourceQueries {
         .orderBy("lang", "source")
     }),
 
+    // vaex.open('part_*.hdf5') / open_many: lineitem split into three
+    // hdf5 shards (hash-partitioned on the order key), opened back as
+    // ONE frame through the glob path, aggregated — shard routing,
+    // concat order-insensitivity and per-shard reads all hash-gate
+    // against the single original parquet.
+    "q_open_many" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_shards"))
+      cache.mkdirs()
+      val narrow = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      (0 until 3).foreach { i =>
+        graft.sources.Hdf5.toHdf5(
+          narrow.where(pmod(col("l_orderkey"), lit(3)) === i)
+            .drop("l_orderkey"),
+          new java.io.File(cache, f"part_$i%02d.hdf5").toString)
+      }
+      agg(graft.sources.Readers.open(s, s"${cache.toString}/part_*.hdf5"))
+    }),
+
+    // Arrow IPC LIST columns (the pyarrow shape embedding dumps and
+    // token lists ship in — vaex stores string/array columns as arrow
+    // lists natively): the embeddings table round-trips vec_id +
+    // list<float> embedding + int32 label through the IPC writer with
+    // zstd batches, reads back distributed, and drives vector math —
+    // list offsets, float bits and row alignment all hash-gate
+    // against the original parquet.
+    "q_arrow_embed" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "emb_arrowl"), "embeddings.arrow")
+      cache.getParentFile.mkdirs()
+      graft.sources.ArrowIpc.write(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache.toString, batchRows = 256, compression = Some("zstd"))
+      graft.sources.Readers.open(s, cache.toString)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("n_dims"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
+    // Arrow IPC TEMPORAL columns (pandas timestamp[us] frames): the
+    // events table round-trips naive microsecond timestamps plus a
+    // dictionary-encoded category column; min/max timestamps and the
+    // exact-decimal value sum hash-gate microsecond fidelity.
+    "q_arrow_events" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "events_arrowt"), "events.arrow")
+      cache.getParentFile.mkdirs()
+      graft.sources.ArrowIpc.write(
+        t(s, dir, "events").select("event_id", "ts", "user_id", "event_type", "value"),
+        cache.toString, batchRows = 1024, compression = Some("lz4"),
+        dictColumns = Seq("event_type"))
+      graft.sources.Readers.open(s, cache.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+          r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // hdf5 VARIABLE-LENGTH datasets (what generic h5py files carry
     // by default: str dtype = vlen strings through the global heap,
     // vlen_dtype = ragged numeric arrays): documents' text/lang go
@@ -233,6 +292,16 @@ object SourceQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS first_doc
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_arrow_embed" ->
+      """SELECT vec_id, label, CAST(LEN(embedding) AS INT) AS n_dims,
+        |  ROUND(SQRT(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_arrow_events" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+         |  ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hdf5_vlen" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -249,6 +318,7 @@ object SourceQueries {
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_open_many" -> aggSql,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,

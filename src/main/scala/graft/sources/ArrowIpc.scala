@@ -23,21 +23,39 @@ import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema =
   * batch, so the driver reads only the schema + batch count and each
   * executor task opens the file and decodes its own disjoint batches
   * — no driver materialization at any size. Supported types:
-  * long/int/double/float/string/boolean, nullable.
+  * long/int/double/float/string/boolean/binary, naive timestamp[us],
+  * date32, and list / fixed_size_list of numeric/string elements
+  * (the pyarrow shapes embedding and token columns ship in), all
+  * nullable.
   */
 object ArrowIpc {
 
-  private def toArrowField(f: StructField): Field = {
-    val t: ArrowType = f.dataType match {
-      case LongType => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case StringType => new ArrowType.Utf8()
-      case BooleanType => new ArrowType.Bool()
-      case other => throw new IllegalArgumentException(s"unsupported arrow export type: $other")
-    }
-    new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
+  private def scalarArrowType(dt: DataType): ArrowType = dt match {
+    case LongType => new ArrowType.Int(64, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case StringType => new ArrowType.Utf8()
+    case BooleanType => new ArrowType.Bool()
+    case BinaryType => new ArrowType.Binary()
+    // naive timestamp (pandas/pyarrow timestamp[us] without tz)
+    case TimestampNTZType => new ArrowType.Timestamp(
+      org.apache.arrow.vector.types.TimeUnit.MICROSECOND, null)
+    case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+    case other => throw new IllegalArgumentException(s"unsupported arrow export type: $other")
+  }
+
+  private def toArrowField(f: StructField): Field = f.dataType match {
+    // list<elem> with the pyarrow child name ("item") so pandas
+    // round-trips; elements nullable like Spark's containsNull
+    case ArrayType(elem, _) =>
+      val child = new Field("item", FieldType.nullable(scalarArrowType(elem)),
+        java.util.Collections.emptyList())
+      new Field(f.name, FieldType.nullable(new ArrowType.List()),
+        java.util.Collections.singletonList(child))
+    case dt =>
+      new Field(f.name, FieldType.nullable(scalarArrowType(dt)),
+        java.util.Collections.emptyList())
   }
 
   private def sparkTypeOf(t: ArrowType): DataType = t match {
@@ -49,7 +67,21 @@ object ArrowIpc {
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Binary => BinaryType
+    case ts: ArrowType.Timestamp
+        if ts.getUnit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND =>
+      if (ts.getTimezone == null) TimestampNTZType else TimestampType
+    case _: ArrowType.Date => DateType
     case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
+  }
+
+  /** Field-aware type mapping: list / fixed_size_list (the pyarrow
+    * shapes embedding and token columns ship in) map to ArrayType of
+    * the single child's scalar type; everything else is scalar. */
+  private def sparkTypeOfField(f: Field): DataType = f.getType match {
+    case _: ArrowType.List | _: ArrowType.FixedSizeList =>
+      ArrayType(sparkTypeOf(f.getChildren.get(0).getType), containsNull = true)
+    case t => sparkTypeOf(t)
   }
 
   /** Spark fields of an Arrow schema. arrow-java's IN-MEMORY field
@@ -61,10 +93,10 @@ object ArrowIpc {
         throw new IllegalArgumentException(s"unresolvable dictionary $id")): Seq[StructField] =
     aschema.getFields.asScala.map { f =>
       val t = Option(f.getDictionary) match {
-        case Some(enc) => dictValueType(enc.getId)
-        case None => f.getType
+        case Some(enc) => sparkTypeOf(dictValueType(enc.getId))
+        case None => sparkTypeOfField(f)
       }
-      StructField(f.getName, sparkTypeOf(t), nullable = true)
+      StructField(f.getName, t, nullable = true)
     }.toSeq
 
   /** Decode the currently-loaded batch of `root` into Rows.
@@ -83,6 +115,33 @@ object ArrowIpc {
       case v: Float4Vector => v.get(ri)
       case v: VarCharVector => new String(v.get(ri), "UTF-8")
       case v: BitVector => v.get(ri) == 1
+      case v: VarBinaryVector => v.get(ri)
+      // timestamp[us] naive -> LocalDateTime (Spark TimestampNTZType
+      // row value); tz-aware -> Instant (TimestampType)
+      case v: TimeStampMicroVector =>
+        val us = v.get(ri)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+      case v: TimeStampMicroTZVector =>
+        val us = v.get(ri)
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      case v: DateDayVector =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(ri).toLong))
+      // list / fixed_size_list -> Seq over the shared data vector
+      // (offsets for List, ri*listSize spans for FixedSizeList — both
+      // expose element start/end through BaseListVector)
+      case v: org.apache.arrow.vector.complex.ListVector =>
+        val data = v.getDataVector
+        (v.getElementStartIndex(ri) until v.getElementEndIndex(ri)).map { ei =>
+          if (data.isNull(ei)) null else scalarOf(data, ei)
+        }
+      case v: org.apache.arrow.vector.complex.FixedSizeListVector =>
+        val data = v.getDataVector
+        (v.getElementStartIndex(ri) until v.getElementEndIndex(ri)).map { ei =>
+          if (data.isNull(ei)) null else scalarOf(data, ei)
+        }
       case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
     }
     (0 until n).map { ri =>
@@ -216,6 +275,40 @@ object ArrowIpc {
               case (StringType, v: VarCharVector) =>
                 v.setSafe(ri, row.getString(ci).getBytes("UTF-8"))
               case (BooleanType, v: BitVector) => v.setSafe(ri, if (row.getBoolean(ci)) 1 else 0)
+              case (BinaryType, v: VarBinaryVector) =>
+                v.setSafe(ri, row.getAs[Array[Byte]](ci))
+              case (TimestampNTZType, v: TimeStampMicroVector) =>
+                val ldt = row.getAs[java.time.LocalDateTime](ci)
+                v.setSafe(ri, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+                  + ldt.getNano / 1000L)
+              case (DateType, v: DateDayVector) =>
+                val days = row.get(ci) match {
+                  case d: java.sql.Date => d.toLocalDate.toEpochDay
+                  case d: java.time.LocalDate => d.toEpochDay
+                }
+                v.setSafe(ri, days.toInt)
+              case (ArrayType(elem, _), v: org.apache.arrow.vector.complex.ListVector) =>
+                // low-level offset API: startNewValue back-fills any
+                // skipped (null) rows' offsets, endValue marks set
+                val start = v.startNewValue(ri)
+                val data = v.getDataVector
+                val xs = row.getSeq[Any](ci)
+                var j = 0
+                xs.foreach { x =>
+                  if (x == null) () // validity stays unset -> null element
+                  else (elem, data) match {
+                    case (LongType, d: BigIntVector) => d.setSafe(start + j, x.asInstanceOf[Long])
+                    case (IntegerType, d: IntVector) => d.setSafe(start + j, x.asInstanceOf[Int])
+                    case (DoubleType, d: Float8Vector) => d.setSafe(start + j, x.asInstanceOf[Double])
+                    case (FloatType, d: Float4Vector) => d.setSafe(start + j, x.asInstanceOf[Float])
+                    case (StringType, d: VarCharVector) =>
+                      d.setSafe(start + j, x.asInstanceOf[String].getBytes("UTF-8"))
+                    case (et, _) => throw new IllegalArgumentException(
+                      s"unsupported list element type: $et")
+                  }
+                  j += 1
+                }
+                v.endValue(ri, xs.length)
               case (dt, _) => throw new IllegalArgumentException(s"unsupported type: $dt")
             }
             ri += 1

@@ -19,6 +19,14 @@ object Readers {
     * subsequent calls read the cache only. */
   def open(spark: SparkSession, path: String, convert: Option[String] = None): DataFrame = {
     def source: DataFrame = path match {
+      // Spark-native readers glob internally; the custom single-file
+      // formats (hdf5/fits/arrow) need explicit expansion + concat
+      // (reference: core/__init__.py:111 open handles 'data_*.hdf5')
+      case p if hasGlob(p) && (p.endsWith(".hdf5") || p.endsWith(".h5")
+          || p.endsWith(".fits") || p.endsWith(".arrow") || p.endsWith(".feather")) =>
+        val files = expandGlob(spark, p)
+        require(files.nonEmpty, s"open: glob matched no files: $p")
+        openMany(spark, files)
       case p if p.endsWith(".parquet") => spark.read.parquet(p)
       case p if p.endsWith(".csv") => fromCsv(spark, p)
       case p if p.endsWith(".json") || p.endsWith(".jsonl") => fromJson(spark, p)
@@ -39,6 +47,28 @@ object Readers {
         spark.read.parquet(cache)
       case None => source
     }
+  }
+
+  private def hasGlob(p: String): Boolean = p.exists("*?[{".contains(_))
+
+  /** Glob-expand through the Hadoop FS API (storage-agnostic), sorted
+    * for a deterministic concat order. */
+  private def expandGlob(spark: SparkSession, pattern: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(pattern)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(hp)).map(_.toSeq.map(_.getPath.toUri.getPath).sorted)
+      .getOrElse(Nil)
+  }
+
+  /** vaex.open_many (reference: core/__init__.py:214): open every path
+    * and concatenate by column NAME with the flexible resolver —
+    * columns missing from some shards read as null there, matching
+    * the concat semantics of VxFrame.concat. Each shard's scan stays
+    * distributed; union adds no shuffle. */
+  def openMany(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "openMany: no paths")
+    paths.map(p => open(spark, p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** from_csv (reference: core/__init__.py:571; DatasetCsvLazy

@@ -208,4 +208,72 @@ class CoverageTailSpec extends SparkSpec {
       assert(rd.getDictionaryVectors.size() == 2, "expected two file dictionaries")
     } finally { rd.close(); in.close(); alloc.close() }
   }
+
+  test("Arrow IPC typed columns: lists, fixed-size lists, timestamp, date, binary") {
+    import org.apache.spark.sql.types._
+    // genuine pyarrow fixture (tools/arrow_typed_fixture.py): 4 rows,
+    // 2 record batches; fixed_size_list<float32,4> embedding shape,
+    // list<utf8> tokens, list<int64>, timestamp[us] naive, date32,
+    // binary — null rows, null elements, empty lists
+    val url = getClass.getResource("/arrow/typed.arrow")
+    assert(url != null, "missing fixture typed.arrow")
+    val back = ArrowIpc.read(spark, url.getPath)
+    val bySchema = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(bySchema("emb") == ArrayType(FloatType, true))
+    assert(bySchema("toks") == ArrayType(StringType, true))
+    assert(bySchema("vals") == ArrayType(LongType, true))
+    assert(bySchema("ts") == TimestampNTZType)
+    assert(bySchema("d") == DateType)
+    assert(bySchema("payload") == BinaryType)
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getSeq[Float](1) == Seq(1.5f, -2.25f, 0.0f, 4.0f))
+    assert(rows(2).isNullAt(1)) // null embedding row
+    assert(rows(0).getSeq[String](2) == Seq("alpha", "beta"))
+    assert(rows(1).getSeq[String](2) == Seq.empty) // empty list != null
+    assert(rows(2).isNullAt(2))
+    assert(rows(3).getSeq[String](2) == Seq("gamma", null, "delta")) // null element
+    assert(rows(0).getSeq[Long](3) == Seq(10L, 20L, 30L))
+    assert(rows(3).getSeq[Long](3) == Seq.empty)
+    assert(rows(0).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.ofEpochSecond(1700000000L, 0, java.time.ZoneOffset.UTC))
+    assert(rows(1).isNullAt(4))
+    assert(rows(2).getAs[java.time.LocalDateTime]("ts").getNano == 456789000)
+    assert(rows(0).getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19700))
+    assert(rows(3).getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(-365)) // pre-epoch
+    assert(rows(0).getAs[Array[Byte]]("payload").toSeq == Seq(0.toByte, 1.toByte, 0xff.toByte))
+    assert(rows(1).getAs[Array[Byte]]("payload").length == 0) // empty != null
+    assert(rows(2).isNullAt(6))
+
+    // write direction: arrays/timestamps/dates/binary round-trip
+    // through our writer (multi-batch) and read back identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_typed")
+    val df = spark.range(3000).select(col("id"),
+      when(col("id") % 17 === 0, lit(null)).otherwise(
+        array(col("id").cast("double") * 0.5, lit(-1.0), col("id").cast("double"))).as("xs"),
+      array(concat(lit("t"), col("id") % 5), lit("k")).as("ss"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(
+        timestamp_micros(col("id") * 1000000L + 123456L).cast("timestamp_ntz")).as("ts"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), (col("id") % 700).cast("int")).as("d"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(
+        unhex(lpad(hex(col("id")), 6, "0"))).as("bin"))
+    val p = dir.resolve("typed_out.arrow").toString
+    ArrowIpc.write(df, p, batchRows = 512, compression = Some("zstd"))
+    val rt = ArrowIpc.read(spark, p)
+    assert(rt.schema("xs").dataType == ArrayType(DoubleType, true))
+    assert(rt.schema("ts").dataType == TimestampNTZType)
+    val exp = df.orderBy("id").collect()
+    val got = rt.orderBy("id").collect()
+    assert(got.length == exp.length)
+    exp.zip(got).foreach { case (e, g) =>
+      assert(e.getSeq[Double](1) == g.getSeq[Double](1), s"xs @ ${e.getLong(0)}")
+      assert(e.getSeq[String](2) == g.getSeq[String](2))
+      assert(e.getAs[java.time.LocalDateTime]("ts") == g.getAs[java.time.LocalDateTime]("ts"))
+      assert(e.getAs[java.sql.Date]("d") == g.getAs[java.sql.Date]("d"))
+      assert((e.isNullAt(5) && g.isNullAt(5)) ||
+        e.getAs[Array[Byte]]("bin").toSeq == g.getAs[Array[Byte]]("bin").toSeq)
+    }
+  }
 }

@@ -152,6 +152,38 @@ class ExportSpec extends SparkSpec {
     assert(got.agg(sum("v")).head.getDouble(0) == 7.5)
   }
 
+  test("openMany / glob open concatenates custom-format shards") {
+    val d = java.nio.file.Files.createTempDirectory("graft_openmany")
+    // three hdf5 shards with a schema drift: shard 2 lacks column v
+    // (flexible resolver -> null there), shard order is by file name
+    val parts = Seq(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)),
+      Seq((3L, "c", 3.5)),
+      Seq((4L, "d", 4.5), (5L, "e", 5.5)))
+    parts.zipWithIndex.foreach { case (rows, i) =>
+      val frame =
+        if (i == 1) rows.map(r => (r._1, r._2)).toDF("id", "k")
+        else rows.toDF("id", "k", "v")
+      sources.Hdf5.toHdf5(frame, d.resolve(f"part_$i%02d.hdf5").toString)
+    }
+    val glob = sources.Readers.open(spark, d.resolve("part_*.hdf5").toString)
+    assert(glob.count() == 5)
+    assert(glob.columns.toSet == Set("id", "k", "v"))
+    assert(glob.where(col("v").isNull).select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(glob.agg(sum("id")).head.getLong(0) == 15L)
+    // arrow shards through the same path
+    Seq(Seq((10L, 1.0), (11L, 2.0)), Seq((12L, 3.0))).zipWithIndex.foreach { case (rows, i) =>
+      sources.ArrowIpc.write(rows.toDF("id", "x"), d.resolve(s"emb_$i.arrow").toString)
+    }
+    val arrows = sources.Readers.open(spark, d.resolve("emb_*.arrow").toString)
+    assert(arrows.count() == 3 && arrows.agg(sum("x")).head.getDouble(0) == 6.0)
+    // no match -> clear error
+    val err = intercept[IllegalArgumentException] {
+      sources.Readers.open(spark, d.resolve("nope_*.hdf5").toString)
+    }
+    assert(err.getMessage.contains("matched no files"))
+  }
+
   test("state write/load round-trips through a file") {
     val f = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
     val configured = VxFrame(Seq((1.0, 2.0)).toDF("x", "y"))

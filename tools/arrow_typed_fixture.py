@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Generate the typed-columns Arrow IPC fixture for ArrowIpcSpec.
+
+Covers the non-scalar / temporal types the reader must handle from
+real pyarrow writers: fixed_size_list<float32> (embedding dumps),
+list<utf8> (token lists), list<int64>, naive timestamp[us], date32,
+and binary — with null rows, null elements and empty lists.
+
+Run once; the output is committed at src/test/resources/arrow/typed.arrow.
+"""
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+emb = pa.array([[1.5, -2.25, 0.0, 4.0],
+                [0.5, 0.5, 0.5, 0.5],
+                None,
+                [-1.0, 2.0, -3.0, 4.5]],
+               type=pa.list_(pa.float32(), 4))
+toks = pa.array([["alpha", "beta"], [], None, ["gamma", None, "delta"]],
+                type=pa.list_(pa.utf8()))
+vals = pa.array([[10, 20, 30], None, [7], []], type=pa.list_(pa.int64()))
+ts = pa.array([1700000000000000, None, 1700000123456789, 1500000000000000],
+              type=pa.timestamp("us"))
+d = pa.array([19700, 0, None, -365], type=pa.date32())
+payload = pa.array([b"\x00\x01\xff", b"", None, b"graft"], type=pa.binary())
+
+table = pa.table({
+    "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+    "emb": emb, "toks": toks, "vals": vals,
+    "ts": ts, "d": d, "payload": payload,
+})
+
+out = "src/test/resources/arrow/typed.arrow"
+with ipc.new_file(out, table.schema) as w:
+    w.write_table(table, max_chunksize=3)  # 2 record batches
+print("wrote", out)
