@@ -232,6 +232,25 @@ object SourceQueries {
         .orderBy("vec_id")
     }),
 
+    // hdf5 BOOLEAN datasets (h5py np.bool_ = ENUM{FALSE,TRUE} over
+    // int8): derived plain + nullable bool columns round-trip through
+    // the chunked writer; enum decode, null bitmap and values gate
+    // against the original parquet.
+    "q_hdf5_bool" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_hdf5b"), "lineitem_bool.hdf5")
+      cache.getParentFile.mkdirs()
+      val df = t(s, dir, "lineitem").select(
+        (col("l_returnflag") === "R").as("is_return"),
+        when(col("l_quantity") > 25, col("l_linestatus") === "F").as("big_final"))
+      graft.sources.Hdf5.toHdf5Chunked(df, cache.toString, chunkElems = 2048)
+      graft.sources.Hdf5.fromHdf5(s, cache.toString)
+        .groupBy("is_return")
+        .agg(count(lit(1)).as("n"),
+          count(col("big_final")).as("n_big"),
+          sum(when(col("big_final") === true, 1L).otherwise(0L)).as("n_big_final"))
+        .orderBy("is_return")
+    }),
+
     // FITS (the astronomy format the reference exports via astropy,
     // core/dataframe.py:6973 export_fits and vaex-astro reads): same
     // round trip through the BINTABLE writer and the distributed
@@ -318,6 +337,12 @@ object SourceQueries {
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_hdf5_bool" ->
+      """SELECT (l_returnflag = 'R') AS is_return, COUNT(*) AS n,
+        |  CAST(COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT) AS n_big,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 AND l_linestatus = 'F'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_final
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_open_many" -> aggSql,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,

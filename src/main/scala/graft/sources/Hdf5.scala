@@ -82,6 +82,7 @@ object Hdf5 {
       fieldOff: Int = 0) {
     def nullable: Boolean = bitmap.isDefined
     def sparkType: DataType = kind match {
+      case "b1" => BooleanType
       case "i1" => ByteType
       case "i2" => ShortType
       case "i4" => IntegerType
@@ -99,6 +100,7 @@ object Hdf5 {
       case k => throw new IllegalArgumentException(s"unsupported hdf5 column kind: $k")
     }
     def elemSize: Int = kind match {
+      case "b1" => 1
       case "i1" => 1; case "i2" => 2; case "i4" => 4
       case "i8" | "str" => 8; case "f4" => 4; case "f8" => 8
       case "fstr" => fixedStrSize
@@ -897,6 +899,26 @@ object Hdf5 {
             }
           }
           Dtype(6, size, signed = false, members = members)
+        case 8 => // enumeration: a base fixed-point type + named
+          // values. h5py stores np.bool_ as ENUM{FALSE:0, TRUE:1}
+          // over int8 — that shape surfaces as a Spark BooleanType;
+          // any other enum reads as its integer base (h5py behavior
+          // without check_dtype). Names are null-terminated, padded
+          // to 8 bytes before message version 3.
+          val base = parseDtype(body)
+          require(base.clazz == 0, "enum over non-integer base unsupported")
+          val nMembers = bits(0) | (bits(1) << 8)
+          require(nMembers >= 1 && nMembers <= 4096,
+            s"implausible enum member count $nMembers")
+          val names = (0 until nMembers).map(_ => memberName(padded = version < 3))
+          val values = (0 until nMembers).map { _ =>
+            var v = 0L
+            for (i <- 0 until base.size) v |= (body.get() & 0xffL) << (8 * i)
+            v
+          }
+          val isBool = nMembers == 2 && base.size == 1 &&
+            names.zip(values).toSet == Set(("FALSE", 0L), ("TRUE", 1L))
+          if (isBool) Dtype(8, 1, signed = false) else base
         case 9 => // variable-length: bitfield-0 low nibble 1 = string
           // (h5py's DEFAULT str dtype), 0 = sequence (h5py ragged
           // arrays — vlen_dtype(int64/float64/...)). The in-file
@@ -1227,7 +1249,7 @@ object Hdf5 {
             Some(ColumnMeta(mn, "fstr", data.dims.head, data.storage,
               data.dataSize, None, None, fixedStrSize = mt.size,
               stride = stride, fieldOff = off))
-          else if (mt.clazz == 0 || mt.clazz == 1)
+          else if (mt.clazz == 0 || mt.clazz == 1 || mt.clazz == 8)
             Some(ColumnMeta(mn, kindOf(mt), data.dims.head, data.storage,
               data.dataSize, None, None, stride = stride, fieldOff = off))
           else None // vlen/nested members: skipped, not fatal
@@ -1501,6 +1523,7 @@ object Hdf5 {
     case (0, 8, true) => "i8"
     case (1, 4, _) => "f4"
     case (1, 8, _) => "f8"
+    case (8, 1, _) => "b1" // two-value FALSE/TRUE enum (h5py bool)
     case (9, _, _) => dt.vlenBase match {
       case None    => "vstr"
       case Some(b) => "vseq_" + kindOf(b)
@@ -1698,6 +1721,7 @@ object Hdf5 {
               else {
                 val o = i * rs + m.fieldOff
                 k match {
+                  case "b1" => buf.get(o) != 0
                   case "i1" => buf.get(o)
                   case "i2" => buf.getShort(o)
                   case "i4" => buf.getInt(o)
@@ -1884,6 +1908,7 @@ object Hdf5 {
     val n = n0.toInt
     val builders: Array[Any] = schema.fields.map { f =>
       f.dataType match {
+        case BooleanType => new Array[Byte](n) // 0/1 under the bool enum
         case ByteType => new Array[Byte](n)
         case ShortType => new Array[Short](n)
         case IntegerType => new Array[Int](n)
@@ -1906,6 +1931,8 @@ object Hdf5 {
         else {
           validBits(j)(i / 8) = (validBits(j)(i / 8) | (1 << (i % 8)).toByte).toByte
           schema.fields(j).dataType match {
+            case BooleanType =>
+              builders(j).asInstanceOf[Array[Byte]](i) = if (r.getBoolean(j)) 1 else 0
             case ByteType => builders(j).asInstanceOf[Array[Byte]](i) = r.getByte(j)
             case ShortType => builders(j).asInstanceOf[Array[Short]](i) = r.getShort(j)
             case IntegerType => builders(j).asInstanceOf[Array[Int]](i) = r.getInt(j)
@@ -1935,6 +1962,8 @@ object Hdf5 {
             offsets.putLong(off); k += 1
           }
           OutCol(f.name, "str", bytesOut.toByteArray, offsets.array(), bm, n)
+        case BooleanType =>
+          OutCol(f.name, "b1", builders(j).asInstanceOf[Array[Byte]], Array.empty, bm, n)
         case t =>
           val es = t match {
             case ByteType => 1; case ShortType => 2; case IntegerType | FloatType => 4
@@ -2043,6 +2072,21 @@ object Hdf5 {
     b.putShort(0); b.putShort((size * 8).toShort)
     if (size == 8) { b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte); b.putInt(1023) }
     else { b.put(23.toByte); b.put(8.toByte); b.put(0.toByte); b.put(23.toByte); b.putInt(127) }
+    b.array()
+  }
+  /** Boolean enumeration datatype — the ENUM{FALSE:0, TRUE:1} over
+    * int8 that libhdf5 writes for h5py's np.bool_ dtype. */
+  private def dtEnumBool: Array[Byte] = {
+    val base = dtFixed(1)
+    // v1 member names are null-terminated, zero-padded to 8 bytes
+    val b = buf(8 + base.length + 8 + 8 + 2)
+    b.put(0x18.toByte)             // version 1, class 8
+    b.put(2.toByte); b.put(0.toByte); b.put(0.toByte) // 2 members
+    b.putInt(1)                    // element size
+    b.put(base)
+    b.put("FALSE".getBytes("US-ASCII")); b.position(b.position() + 3)
+    b.put("TRUE".getBytes("US-ASCII")); b.position(b.position() + 4)
+    b.put(0.toByte); b.put(1.toByte) // member values
     b.array()
   }
   private def dtString(size: Int): Array[Byte] = {
@@ -3102,6 +3146,7 @@ object Hdf5 {
             (c.name, emitDataset(s"${c.name}/d", c.n, c.dtMsg, c.recSize, c.data, Nil))
           else {
             val (dt, es) = c.kind match {
+              case "b1" => (dtEnumBool, 1)
               case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)
               case "i4" => (dtFixed(4), 4); case "i8" => (dtFixed(8), 8)
               case "f4" => (dtFloat(4), 4); case "f8" => (dtFloat(8), 8)
@@ -3126,6 +3171,7 @@ object Hdf5 {
               c.indices, Nil)))
           case k =>
             val (dt, es) = k match {
+              case "b1" => (dtEnumBool, 1)
               case "i1" => (dtFixed(1), 1); case "i2" => (dtFixed(2), 2)
               case "i4" => (dtFixed(4), 4); case "i8" => (dtFixed(8), 8)
               case "f4" => (dtFloat(4), 4); case "f8" => (dtFloat(8), 8)
