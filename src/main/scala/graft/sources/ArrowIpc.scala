@@ -65,21 +65,24 @@ object ArrowIpc {
     case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
     case _: ArrowType.Bool => BooleanType
-    case _: ArrowType.Binary => BinaryType
-    case ts: ArrowType.Timestamp
-        if ts.getUnit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND =>
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    // any unit (s/ms/us/ns — pandas default is ns); values normalize
+    // to microseconds on decode (ns truncates, the pandas->parquet
+    // convention)
+    case ts: ArrowType.Timestamp =>
       if (ts.getTimezone == null) TimestampNTZType else TimestampType
     case _: ArrowType.Date => DateType
     case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
   }
 
-  /** Field-aware type mapping: list / fixed_size_list (the pyarrow
-    * shapes embedding and token columns ship in) map to ArrayType of
-    * the single child's scalar type; everything else is scalar. */
+  /** Field-aware type mapping: list / large_list / fixed_size_list
+    * (the pyarrow shapes embedding and token columns ship in) map to
+    * ArrayType of the single child's scalar type; everything else is
+    * scalar. */
   private def sparkTypeOfField(f: Field): DataType = f.getType match {
-    case _: ArrowType.List | _: ArrowType.FixedSizeList =>
+    case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList =>
       ArrayType(sparkTypeOf(f.getChildren.get(0).getType), containsNull = true)
     case t => sparkTypeOf(t)
   }
@@ -116,22 +119,36 @@ object ArrowIpc {
       case v: VarCharVector => new String(v.get(ri), "UTF-8")
       case v: BitVector => v.get(ri) == 1
       case v: VarBinaryVector => v.get(ri)
-      // timestamp[us] naive -> LocalDateTime (Spark TimestampNTZType
+      case v: LargeVarCharVector => new String(v.get(ri), "UTF-8")
+      case v: LargeVarBinaryVector => v.get(ri)
+      // any timestamp unit (pandas defaults to ns; parquet convention
+      // truncates ns -> us): naive -> LocalDateTime (TimestampNTZType
       // row value); tz-aware -> Instant (TimestampType)
-      case v: TimeStampMicroVector =>
-        val us = v.get(ri)
-        java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
-          java.time.ZoneOffset.UTC)
-      case v: TimeStampMicroTZVector =>
-        val us = v.get(ri)
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      case v: TimeStampVector =>
+        import org.apache.arrow.vector.types.TimeUnit._
+        val at = v.getField.getFieldType.getType.asInstanceOf[ArrowType.Timestamp]
+        val us = at.getUnit match {
+          case SECOND => v.get(ri) * 1000000L
+          case MILLISECOND => v.get(ri) * 1000L
+          case MICROSECOND => v.get(ri)
+          case NANOSECOND => Math.floorDiv(v.get(ri), 1000L)
+        }
+        if (at.getTimezone == null)
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+            java.time.ZoneOffset.UTC)
+        else // java.sql.Timestamp: the TimestampType external value
+          // Spark's Row encoder accepts regardless of the java8API flag
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
       case v: DateDayVector =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(ri).toLong))
-      // list / fixed_size_list -> Seq over the shared data vector
-      // (offsets for List, ri*listSize spans for FixedSizeList — both
-      // expose element start/end through BaseListVector)
+      case v: DateMilliVector => // date64: millis at midnight UTC
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(v.get(ri), 86400000L)))
+      // list / large_list / fixed_size_list -> Seq over the shared
+      // data vector (offsets for lists, ri*listSize spans for
+      // FixedSizeList)
       case v: org.apache.arrow.vector.complex.ListVector =>
         val data = v.getDataVector
         (v.getElementStartIndex(ri) until v.getElementEndIndex(ri)).map { ei =>
@@ -140,6 +157,13 @@ object ArrowIpc {
       case v: org.apache.arrow.vector.complex.FixedSizeListVector =>
         val data = v.getDataVector
         (v.getElementStartIndex(ri) until v.getElementEndIndex(ri)).map { ei =>
+          if (data.isNull(ei)) null else scalarOf(data, ei)
+        }
+      case v: org.apache.arrow.vector.complex.LargeListVector =>
+        val data = v.getDataVector
+        val s = v.getElementStartIndex(ri); val e = v.getElementEndIndex(ri)
+        require(e <= Int.MaxValue, "large_list batch exceeds 2^31 elements")
+        (s.toInt until e.toInt).map { ei =>
           if (data.isNull(ei)) null else scalarOf(data, ei)
         }
       case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")

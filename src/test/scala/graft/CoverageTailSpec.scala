@@ -247,6 +247,30 @@ class CoverageTailSpec extends SparkSpec {
     assert(rows(1).getAs[Array[Byte]]("payload").length == 0) // empty != null
     assert(rows(2).isNullAt(6))
 
+    // large/wide-unit fixture: large_utf8, large_binary,
+    // large_list<int64>, timestamp[ns] (pandas default — truncates
+    // to us), tz-aware timestamp[ms], date64
+    val url2 = getClass.getResource("/arrow/typed_large.arrow")
+    assert(url2 != null, "missing fixture typed_large.arrow")
+    val lg = ArrowIpc.read(spark, url2.getPath)
+    val lgTypes = lg.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(lgTypes("ls") == StringType && lgTypes("lb") == BinaryType)
+    assert(lgTypes("ll") == ArrayType(LongType, true))
+    assert(lgTypes("tns") == TimestampNTZType)
+    assert(lgTypes("tms") == TimestampType) // tz-aware
+    assert(lgTypes("d64") == DateType)
+    val lr = lg.orderBy("id").collect()
+    assert(lr(0).getAs[String]("ls") == "big" && lr(1).isNullAt(1))
+    assert(lr(0).getAs[Array[Byte]]("lb").toSeq == Seq(1.toByte, 2.toByte))
+    assert(lr(0).getSeq[Long](3) == Seq(1L, 2L, 3L) && lr(2).getSeq[Long](3) == Seq.empty)
+    // ns -> us truncation: ...123456789 ns == ...123456 us
+    assert(lr(0).getAs[java.time.LocalDateTime]("tns").getNano == 123456000)
+    assert(lr(0).getAs[java.sql.Timestamp]("tms").toInstant.toEpochMilli == 1700000000123L)
+    assert(lr(0).getAs[java.sql.Date]("d64").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19700))
+    assert(lr(2).getAs[java.sql.Date]("d64").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(-365))
+
     // write direction: arrays/timestamps/dates/binary round-trip
     // through our writer (multi-batch) and read back identically
     val dir = java.nio.file.Files.createTempDirectory("graft_arrow_typed")

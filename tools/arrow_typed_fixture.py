@@ -34,3 +34,22 @@ out = "src/test/resources/arrow/typed.arrow"
 with ipc.new_file(out, table.schema) as w:
     w.write_table(table, max_chunksize=3)  # 2 record batches
 print("wrote", out)
+
+# large/wide-unit variants: large_utf8, large_binary, large_list<int64>,
+# timestamp[ns] (pandas default), timestamp[ms, tz], date64
+large = pa.table({
+    "id": pa.array([1, 2, 3], type=pa.int64()),
+    "ls": pa.array(["big", None, "strings"], type=pa.large_utf8()),
+    "lb": pa.array([b"\x01\x02", b"", None], type=pa.large_binary()),
+    "ll": pa.array([[1, 2, 3], None, []], type=pa.large_list(pa.int64())),
+    "tns": pa.array([1700000000123456789, None, 1500000000000000001],
+                    type=pa.timestamp("ns")),
+    "tms": pa.array([1700000000123, 1500000000456, None],
+                    type=pa.timestamp("ms", tz="UTC")),
+    "d64": pa.array([19700 * 86400000, None, -365 * 86400000],
+                    type=pa.date64()),
+})
+out2 = "src/test/resources/arrow/typed_large.arrow"
+with ipc.new_file(out2, large.schema) as w:
+    w.write_table(large)
+print("wrote", out2)
