@@ -59,10 +59,18 @@ object ArrowIpc {
   }
 
   private def sparkTypeOf(t: ArrowType): DataType = t match {
-    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-    case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
-    case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
+    case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 32 => IntegerType
+    case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 16 => ShortType
+    case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 8 => ByteType
+    // unsigned (numpy uint dtypes): widen to the next signed type;
+    // uint64 -> DECIMAL(20,0), the same mapping Spark's parquet
+    // reader uses for UINT_64
+    case i: ArrowType.Int if i.getBitWidth == 8 => ShortType
+    case i: ArrowType.Int if i.getBitWidth == 16 => IntegerType
+    case i: ArrowType.Int if i.getBitWidth == 32 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 64 => DecimalType(20, 0)
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
     case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
@@ -83,7 +91,10 @@ object ArrowIpc {
     * scalar. */
   private def sparkTypeOfField(f: Field): DataType = f.getType match {
     case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList =>
-      ArrayType(sparkTypeOf(f.getChildren.get(0).getType), containsNull = true)
+      ArrayType(sparkTypeOfField(f.getChildren.get(0)), containsNull = true)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.map(c =>
+        StructField(c.getName, sparkTypeOfField(c), nullable = true)).toSeq)
     case t => sparkTypeOf(t)
   }
 
@@ -119,6 +130,16 @@ object ArrowIpc {
       case v: VarCharVector => new String(v.get(ri), "UTF-8")
       case v: BitVector => v.get(ri) == 1
       case v: VarBinaryVector => v.get(ri)
+      case v: UInt1Vector => (v.get(ri) & 0xff).toShort
+      case v: UInt2Vector => v.get(ri).toInt // char-typed accessor
+      case v: UInt4Vector => v.get(ri) & 0xffffffffL
+      case v: UInt8Vector =>
+        val raw = v.get(ri)
+        val bi = if (raw >= 0) java.math.BigInteger.valueOf(raw)
+          else java.math.BigInteger.valueOf(raw)
+            .add(java.math.BigInteger.ONE.shiftLeft(64))
+        new java.math.BigDecimal(bi)
+      case v: DecimalVector => v.getObject(ri) // java.math.BigDecimal
       case v: LargeVarCharVector => new String(v.get(ri), "UTF-8")
       case v: LargeVarBinaryVector => v.get(ri)
       // any timestamp unit (pandas defaults to ns; parquet convention
@@ -166,6 +187,13 @@ object ArrowIpc {
         (s.toInt until e.toInt).map { ei =>
           if (data.isNull(ei)) null else scalarOf(data, ei)
         }
+      // struct -> Spark Row over the child vectors at the same index
+      case v: org.apache.arrow.vector.complex.StructVector =>
+        val nch = v.getField.getChildren.size
+        Row.fromSeq((0 until nch).map { ci =>
+          val ch = v.getChildByOrdinal(ci)
+          if (ch.isNull(ri)) null else scalarOf(ch, ri)
+        })
       case other => throw new IllegalArgumentException(s"unsupported vector: ${other.getClass}")
     }
     (0 until n).map { ri =>

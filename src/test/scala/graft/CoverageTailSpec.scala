@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
 import graft.sources.{ArrowIpc, Export, Readers}
 
 /** Round-2 coverage tail: ellipse selection, dropinf, selection redo,
@@ -270,6 +271,34 @@ class CoverageTailSpec extends SparkSpec {
       java.time.LocalDate.ofEpochDay(19700))
     assert(lr(2).getAs[java.sql.Date]("d64").toLocalDate ==
       java.time.LocalDate.ofEpochDay(-365))
+
+    // nested/struct + decimal + unsigned fixture: struct<a,b>,
+    // list<struct>, decimal128(10,2), uint8/16/32/64 (widened to the
+    // next signed type; uint64 -> DECIMAL(20,0) like Spark's parquet
+    // UINT_64 mapping)
+    val url3 = getClass.getResource("/arrow/typed_nested.arrow")
+    assert(url3 != null, "missing fixture typed_nested.arrow")
+    val nt = ArrowIpc.read(spark, url3.getPath)
+    val ntT = nt.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(ntT("st") == StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    assert(ntT("lst") == ArrayType(StructType(Seq(StructField("q", DoubleType))), true))
+    assert(ntT("dec") == DecimalType(10, 2))
+    assert(ntT("u8") == ShortType && ntT("u16") == IntegerType)
+    assert(ntT("u32") == LongType && ntT("u64") == DecimalType(20, 0))
+    val nr = nt.orderBy("id").collect()
+    assert(nr(0).getStruct(1) == Row(10L, "x"))
+    assert(nr(1).isNullAt(1))
+    assert(nr(2).getStruct(1) == Row(null, "z")) // null struct member
+    assert(nr(0).getSeq[Row](2) == Seq(Row(1.5)))
+    assert(nr(1).getSeq[Row](2) == Seq.empty && nr(2).isNullAt(2))
+    assert(nr(1).getDecimal(3) == new java.math.BigDecimal("123456.00"))
+    assert(nr(2).getDecimal(3) == new java.math.BigDecimal("-25.00"))
+    assert(nr(2).getShort(4) == 255.toShort)
+    assert(nr(1).getInt(5) == 60000 && nr(2).isNullAt(5))
+    assert(nr(1).getLong(6) == 4000000000L)
+    assert(nr(1).getDecimal(7) == new java.math.BigDecimal("18446744073709551615"))
+    assert(nr(2).getDecimal(7).longValueExact == 42L)
 
     // write direction: arrays/timestamps/dates/binary round-trip
     // through our writer (multi-batch) and read back identically

@@ -53,3 +53,21 @@ out2 = "src/test/resources/arrow/typed_large.arrow"
 with ipc.new_file(out2, large.schema) as w:
     w.write_table(large)
 print("wrote", out2)
+
+# nested/struct + decimal + unsigned: the remaining wild-file shapes
+nested = pa.table({
+    "id": pa.array([1, 2, 3], type=pa.int64()),
+    "st": pa.array([{"a": 10, "b": "x"}, None, {"a": None, "b": "z"}],
+                   type=pa.struct([("a", pa.int64()), ("b", pa.utf8())])),
+    "lst": pa.array([[{"q": 1.5}], [], None],
+                    type=pa.list_(pa.struct([("q", pa.float64())]))),
+    "dec": pa.array([None, 123456, -25], type=pa.decimal128(10, 2)),
+    "u8": pa.array([0, 200, 255], type=pa.uint8()),
+    "u16": pa.array([0, 60000, None], type=pa.uint16()),
+    "u32": pa.array([0, 4000000000, 7], type=pa.uint32()),
+    "u64": pa.array([0, 18446744073709551615, 42], type=pa.uint64()),
+})
+out3 = "src/test/resources/arrow/typed_nested.arrow"
+with ipc.new_file(out3, nested.schema) as w:
+    w.write_table(nested)
+print("wrote", out3)
