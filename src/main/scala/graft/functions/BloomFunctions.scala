@@ -304,6 +304,19 @@ object BloomFunctions {
   def buildBloom(df: DataFrame, c: Column, mBits: Int, k: Int): Array[Byte] =
     df.agg(bloomAgg(c, mBits, k).as("b")).head().getAs[Array[Byte]](0)
 
+  /** Size + build over ONE materialization of the key dictionary:
+    * persists `df` so the sizing count and the filter build share the
+    * computed keys (a distinct-gram dictionary otherwise recomputes
+    * its shuffle per pass), then unpersists. The shared entry point
+    * for the batch and streaming decontamination lanes. */
+  def buildSizedBloom(df: DataFrame, c: Column, bitsPerKey: Int = 16): Array[Byte] = {
+    val cached = df.persist()
+    try {
+      val (mBits, k) = sizeFor(cached.count(), bitsPerKey)
+      buildBloom(cached, c, mBits, k)
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** (mBits, k) for `nKeys` at ~`bitsPerKey` bits each: mBits the
     * next power of two of nKeys*bitsPerKey (clamped to [64, 2^30]),
     * k the optimal m/n*ln2 rounded into [1, 16]. 16 bits/key ~ 0.05%

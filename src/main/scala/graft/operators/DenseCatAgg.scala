@@ -83,10 +83,19 @@ object DenseCatAgg {
     val spark = df.sparkSession
     val nv = aggs.length
 
+    // integrality + range safety: a bare cast("int") WRAPS longs
+    // (2^32+3 -> 3) under non-ANSI and THROWS under ANSI, and either
+    // way truncates fractional doubles (3.7 -> 3), silently aliasing
+    // out-of-domain keys into valid buckets. try_cast through bigint
+    // (overflow/NaN -> null) and null out codes whose double image
+    // changed (fractional); the per-row [0, domain) guard then drops
+    // genuinely out-of-range longs before the toInt index.
+    val cl = code.try_cast("bigint")
     val projected = df.select(
-      (code.cast("int").as("__code")) +: aggs.zipWithIndex.map {
-        case (a, j) => a.col.cast("double").as(s"__v$j")
-      }: _*)
+      when(cl.cast("double") === code.try_cast("double"), cl).as("__code") +:
+        aggs.zipWithIndex.map {
+          case (a, j) => a.col.cast("double").as(s"__v$j")
+        }: _*)
     val rdd = projected.queryExecution.toRdd
     val schema = StructType(
       StructField(codeAs, IntegerType, nullable = false) +:
@@ -114,8 +123,9 @@ object DenseCatAgg {
         while (it.hasNext) {
           val r = it.next()
           if (!r.isNullAt(0)) {
-            val k = r.getInt(0)
-            if (k >= 0 && k < domain) {
+            val kl = r.getLong(0)
+            if (kl >= 0L && kl < domain) {
+              val k = kl.toInt
               rowCnt(k) += 1L
               if (!r.isNullAt(1)) { sums(k) += r.getDouble(1); cnts(k) += 1L }
             }
@@ -125,8 +135,9 @@ object DenseCatAgg {
         while (it.hasNext) {
           val r = it.next()
           if (!r.isNullAt(0)) {
-            val k = r.getInt(0)
-            if (k >= 0 && k < domain) {
+            val kl = r.getLong(0)
+            if (kl >= 0L && kl < domain) {
+              val k = kl.toInt
               rowCnt(k) += 1L
               var j = 0
               while (j < nv) {

@@ -71,13 +71,9 @@ object PipelineQueries {
     // candidate grams per doc: all of them (exact lanes) or the
     // bloom-surviving subset (clean docs explode NOTHING downstream)
     val candExpr = if (bloomPrefilter) {
-      // size m ~ 16 bits/key (~0.05% FP at k=11); the dictionary is
-      // small (eval benchmarks), so one extra cached pass sizes it
-      val cached = evalG.persist()
-      val bloom = try {
-        val (mBits, k) = BloomFunctions.sizeFor(cached.count())
-        BloomFunctions.buildBloom(cached, col("g"), mBits, k)
-      } finally cached.unpersist(blocking = false)
+      // size m ~ 16 bits/key (~0.05% FP at k=11); one persisted pass
+      // covers the sizing count and the build
+      val bloom = BloomFunctions.buildSizedBloom(evalG, col("g"))
       BloomFunctions.bloomFilterCandidates(gramExpr, bloom)
     } else gramExpr
     val matched = trainDocs.select(col("doc_id"), explode(candExpr).as("g"))

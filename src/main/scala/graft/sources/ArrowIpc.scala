@@ -91,11 +91,22 @@ object ArrowIpc {
     * scalar. */
   private def sparkTypeOfField(f: Field): DataType = f.getType match {
     case _: ArrowType.List | _: ArrowType.LargeList | _: ArrowType.FixedSizeList =>
-      ArrayType(sparkTypeOfField(f.getChildren.get(0)), containsNull = true)
+      ArrayType(sparkTypeOfField(childField(f, 0)), containsNull = true)
     case _: ArrowType.Struct =>
       StructType(f.getChildren.asScala.map(c =>
-        StructField(c.getName, sparkTypeOfField(c), nullable = true)).toSeq)
+        StructField(c.getName, sparkTypeOfField(childField0(c)), nullable = true)).toSeq)
     case t => sparkTypeOf(t)
+  }
+
+  /** Nested dictionary encoding (a dictionary-encoded child of a
+    * list/struct) would decode as raw index integers — reject loudly.
+    * Only TOP-LEVEL columns resolve through the dictionary machinery. */
+  private def childField(f: Field, i: Int): Field = childField0(f.getChildren.get(i))
+  private def childField0(c: Field): Field = {
+    require(c.getDictionary == null,
+      s"dictionary-encoded nested field '${c.getName}' unsupported " +
+        "(decode it with pyarrow, or dictionary-encode only top-level columns)")
+    c
   }
 
   /** Spark fields of an Arrow schema. arrow-java's IN-MEMORY field
@@ -399,7 +410,9 @@ object ArrowIpc {
         val reader = new ArrowFileReader(in.getChannel, allocator,
           CommonsCompressionFactory.INSTANCE)
         try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema,
-            id => reader.getDictionaryVectors.get(id).getVector.getField.getType),
+            id => Option(reader.getDictionaryVectors.get(id)).map(
+              _.getVector.getField.getType).getOrElse(throw new IllegalArgumentException(
+              s"dictionary $id has no dictionary batch in this file/stream"))),
           reader.getRecordBlocks.size)
         finally reader.close()
       } finally { in.close(); allocator.close() }
@@ -473,7 +486,9 @@ object ArrowIpc {
           if (sch.getFields.asScala.exists(_.getDictionary != null))
             reader.loadNextBatch()
           sparkFieldsOf(sch,
-            id => reader.getDictionaryVectors.get(id).getVector.getField.getType)
+            id => Option(reader.getDictionaryVectors.get(id)).map(
+              _.getVector.getField.getType).getOrElse(throw new IllegalArgumentException(
+              s"dictionary $id has no dictionary batch in this file/stream")))
         } finally reader.close()
       } finally { in.close(); allocator.close() }
     }

@@ -145,7 +145,11 @@ object Fits {
             // fall through to an opaque MatchError at read time
             require("LJKEDA".contains(code),
               s"unsupported TFORM$i '$form' (supported codes: L J K E D A)")
-            require(repeat >= 0 && repeat <= (1 << 20), s"implausible TFORM repeat $repeat")
+            // repeat 0 is legal FITS (zero-element arrays) but the
+            // column carries no bytes — reject loudly rather than
+            // let the 0-width column read its neighbor's bytes
+            require(repeat >= 1 && repeat <= (1 << 20),
+              s"unsupported TFORM$i '$form' (zero or implausible repeat $repeat)")
             val c = FitsColumn(emap.getOrElse(s"TTYPE$i", s"col$i"), code,
               repeat, offset, emap.get(s"TNULL$i").map(_.toLong))
             offset += c.bytes

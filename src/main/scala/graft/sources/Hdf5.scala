@@ -836,17 +836,19 @@ object Hdf5 {
       val size = body.getInt()
       /** NUL-terminated name; v1/v2 pad the field to a multiple of 8. */
       def memberName(padded: Boolean): String = {
-        val sb = new java.lang.StringBuilder
+        // collect raw bytes and decode UTF-8 once — per-byte toChar
+        // would mangle multibyte names (numpy allows any unicode)
+        val bytes = new java.io.ByteArrayOutputStream(16)
         var c = body.get()
         while (c != 0) {
-          require(sb.length < 4096, "unterminated compound member name")
-          sb.append(c.toChar); c = body.get()
+          require(bytes.size < 4096, "unterminated compound member name")
+          bytes.write(c); c = body.get()
         }
         if (padded) {
-          val total = (sb.length + 1 + 7) / 8 * 8
-          body.position(body.position() + (total - sb.length - 1))
+          val total = (bytes.size + 1 + 7) / 8 * 8
+          body.position(body.position() + (total - bytes.size - 1))
         }
-        sb.toString
+        new String(bytes.toByteArray, "UTF-8")
       }
       /** consume property bytes so the buffer lands exactly past this
         * datatype — REQUIRED inside compound/vlen where another member
@@ -2527,8 +2529,11 @@ object Hdf5 {
                          ext: Seq[(String, String, String)] = Nil): Long = {
       val sorted = children.sortBy(_._1)
       if (sorted.size > 8) return denseGeom match {
-        case Some((s, m)) => writeGroupDense(sorted, attrs, s, m)
-        case None => writeGroupDense(sorted, attrs)
+        // dense groups serialize link MESSAGES into the fractal heap
+        // — soft/external bodies ride along like hard ones (the old
+        // path silently DROPPED them)
+        case Some((s, m)) => writeGroupDense(sorted, attrs, s, m, soft, ext)
+        case None => writeGroupDense(sorted, attrs, soft = soft, ext = ext)
       }
       val linkMsgs =
         (sorted.map { case (n, a) => (n, linkMsg(n, a)) } ++
@@ -2556,8 +2561,14 @@ object Hdf5 {
     def writeGroupDense(sorted: Seq[(String, Long)],
                         attrs: Seq[(String, String)],
                         startSize: Long = 512L,
-                        maxDirectSize: Long = 65536L): Long = {
-      val allBodies = sorted.map { case (n, a) => (n, linkMsg(n, a)) }
+                        maxDirectSize: Long = 65536L,
+                        soft: Seq[(String, String)] = Nil,
+                        ext: Seq[(String, String, String)] = Nil): Long = {
+      val allBodies =
+        (sorted.map { case (n, a) => (n, linkMsg(n, a)) } ++
+          soft.map { case (n, t) => (n, softLinkMsg(n, t)) } ++
+          ext.map { case (n, fl, op) => (n, extLinkMsg(n, fl, op)) })
+          .sortBy(_._1)
       // heap geometry: 32-bit heap offsets, 2-byte lengths. ID length
       // 7 = exactly a managed ID; `heapMixedIdLen` > 0 widens the IDs
       // and routes links through the OTHER two heap object classes —
@@ -2908,18 +2919,18 @@ object Hdf5 {
           soft.map { case (n, t) => (n, Left(t): Either[String, Long]) }).sortBy(_._1)
       require(sorted.size <= 2 * LEAF_K * 2 * INTERNAL_K, "too many group entries")
       // local heap: offset 0 = empty string; names (and soft-link
-      // target strings) from offset 8
-      val nameOffsets = scala.collection.mutable.Map[String, Long]()
-      val targetOffsets = scala.collection.mutable.Map[String, Long]()
+      // target strings) from offset 8. ONE offset per distinct string
+      // — a child name that equals a link target shares its heap
+      // region (two maps keyed by string would collide on merge and
+      // leave one region unwritten)
+      val stringOffsets = scala.collection.mutable.Map[String, Long]()
       var off = 8L
-      def heapAlloc(s: String): Long = {
+      def heapAlloc(s: String): Long = stringOffsets.getOrElseUpdate(s, {
         val a = off; off = align8(off + s.getBytes("UTF-8").length + 1); a
-      }
+      })
       sorted.foreach { case (name, e) =>
-        nameOffsets(name) = heapAlloc(name)
-        e.left.foreach { t =>
-          if (!targetOffsets.contains(t)) targetOffsets(t) = heapAlloc(t)
-        }
+        heapAlloc(name)
+        e.left.foreach(t => heapAlloc(t))
       }
       val heapDataSize = align8(math.max(off, 8))
       val heapHdrAddr = alloc(32)
@@ -2931,7 +2942,7 @@ object Hdf5 {
       heapHdr.putLong(heapDataAddr)
       emit(heapHdrAddr, heapHdr.array())
       val heapData = buf(heapDataSize.toInt)
-      (nameOffsets ++ targetOffsets).foreach { case (s, o) =>
+      stringOffsets.foreach { case (s, o) =>
         heapData.position(o.toInt)
         heapData.put(s.getBytes("UTF-8")); heapData.put(0.toByte)
       }
@@ -2949,12 +2960,12 @@ object Hdf5 {
           b.position(8 + i * 40)
           e match {
             case Right(ohAddr) =>
-              b.putLong(nameOffsets(name)); b.putLong(ohAddr); b.putInt(0)
+              b.putLong(stringOffsets(name)); b.putLong(ohAddr); b.putInt(0)
             case Left(target) =>
-              b.putLong(nameOffsets(name)); b.putLong(UNDEF)
+              b.putLong(stringOffsets(name)); b.putLong(UNDEF)
               b.putInt(2) // cache type 2: symbolic link
               b.putInt(0) // reserved
-              b.putInt(targetOffsets(target).toInt) // scratch: heap offset
+              b.putInt(stringOffsets(target).toInt) // scratch: heap offset
           }
         }
         emit(a, b.array()); a
@@ -2971,12 +2982,12 @@ object Hdf5 {
       // keys/children: key_i = first name of child i (key_0 = 0, empty)
       snodAddrs.zipWithIndex.foreach { case (sa, i) =>
         bt.position(24 + i * 16)
-        bt.putLong(if (i == 0) 0L else nameOffsets(snodGroups(i).head._1))
+        bt.putLong(if (i == 0) 0L else stringOffsets(snodGroups(i).head._1))
         bt.putLong(sa)
       }
       if (snodAddrs.nonEmpty) {
         bt.position(24 + snodAddrs.size * 16)
-        bt.putLong(nameOffsets(snodGroups.last.last._1)) // final key
+        bt.putLong(stringOffsets(snodGroups.last.last._1)) // final key
       }
       emit(btreeAddr, bt.array())
       // symbol table message points at the heap HEADER, not its data

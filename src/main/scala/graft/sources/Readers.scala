@@ -56,8 +56,14 @@ object Readers {
   private def expandGlob(spark: SparkSession, pattern: String): Seq[String] = {
     val hp = new org.apache.hadoop.fs.Path(pattern)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Option(fs.globStatus(hp)).map(_.toSeq.map(_.getPath.toUri.getPath).sorted)
-      .getOrElse(Nil)
+    // keep the scheme+authority for remote filesystems; strip only
+    // the local file: prefix (the single-file readers open local
+    // paths with positioned java.io reads)
+    Option(fs.globStatus(hp)).map(_.toSeq.map { st =>
+      val u = st.getPath.toUri
+      if (u.getScheme == null || u.getScheme == "file") u.getPath
+      else st.getPath.toString
+    }.sorted).getOrElse(Nil)
   }
 
   /** vaex.open_many (reference: core/__init__.py:214): open every path

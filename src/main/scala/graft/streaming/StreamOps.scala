@@ -273,8 +273,12 @@ object StreamOps {
     import graft.functions.{BloomFunctions, TextFunctions}
     val gcol = evalGramHashes.columns.head
     val evalG = evalGramHashes.select(col(gcol).cast("bigint").as("g")).distinct()
-    val (mBits, k) = BloomFunctions.sizeFor(evalG.count())
-    val bloom = BloomFunctions.buildBloom(evalG, col("g"), mBits, k)
+    // one persisted pass sizes AND builds the broadcast filter (the
+    // distinct-gram shuffle would otherwise recompute per pass); the
+    // semi-join below still re-derives evalG per micro-batch — the
+    // standard stream-static shape; callers keeping a long-lived
+    // query over an expensive dictionary should persist it themselves
+    val bloom = BloomFunctions.buildSizedBloom(evalG, col("g"))
     val grams = docs.select(col(idCol).as("doc_id"),
       transform(TextFunctions.shingles(col(textCol), gramN),
         g => TextFunctions.portableHash(g, TextFunctions.Xx64Hash)).as("__g"))

@@ -300,6 +300,15 @@ class CoverageTailSpec extends SparkSpec {
     assert(nr(1).getDecimal(7) == new java.math.BigDecimal("18446744073709551615"))
     assert(nr(2).getDecimal(7).longValueExact == 42L)
 
+    // nested dictionary encoding (list<dictionary<...>>) must fail
+    // LOUDLY — decoding would silently yield raw index integers
+    val urlBad = getClass.getResource("/arrow/nested_dict.arrow")
+    assert(urlBad != null, "missing fixture nested_dict.arrow")
+    val badErr = intercept[IllegalArgumentException] {
+      ArrowIpc.read(spark, urlBad.getPath)
+    }
+    assert(badErr.getMessage.contains("dictionary-encoded nested field"))
+
     // write direction: arrays/timestamps/dates/binary round-trip
     // through our writer (multi-batch) and read back identically
     val dir = java.nio.file.Files.createTempDirectory("graft_arrow_typed")

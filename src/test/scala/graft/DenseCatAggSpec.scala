@@ -95,4 +95,23 @@ class DenseCatAggSpec extends SparkSpec {
         Seq(Agg(col("x"), "median", "s")))
     }
   }
+
+  test("wrapping longs and fractional doubles never alias into valid buckets") {
+    import spark.implicits._
+    // 2^32+3 wraps to 3 under a bare int cast; 3.7 truncates to 3 —
+    // both must be DROPPED (out-of-domain / non-ordinal), matching
+    // the hash-groupBy + [0, domain) filter ground truth
+    val longCodes = Seq(3L, 4294967299L, 3L, -1L, 9L).toDF("code")
+      .select(col("code"), lit(1.0).as("x"))
+    val d1 = DenseCatAgg.groupByOrdinal(longCodes, col("code"), 10,
+      Seq(Agg(col("x"), "count", "n")), countAs = Some("rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(d1 == Map(3 -> 2L, 9 -> 1L)) // 2^32+3 and -1 dropped
+    val dblCodes = Seq(3.0, 3.7, 2.0, Double.NaN, 11.0).toDF("code")
+      .select(col("code"), lit(1.0).as("x"))
+    val d2 = DenseCatAgg.groupByOrdinal(dblCodes, col("code"), 10,
+      Seq(Agg(col("x"), "count", "n")), countAs = Some("rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(d2 == Map(3 -> 1L, 2 -> 1L)) // 3.7, NaN, 11.0 dropped
+  }
 }

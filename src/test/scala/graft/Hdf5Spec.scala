@@ -498,6 +498,42 @@ class Hdf5Spec extends SparkSpec {
       Seq(5L, 6L))
   }
 
+  test("soft target string equal to a child name shares one heap slot") {
+    // regression: name and target offset maps were keyed by string
+    // and merged — a RELATIVE target equal to a dataset name left the
+    // name's heap region unwritten (child read back with empty name)
+    val path = tmp("soft_same.hdf5")
+    Hdf5.writeFlatFile(path,
+      longs = Seq("x" -> Array(7L, 8L)),
+      softLinks = Seq("alias" -> "x")) // relative target == child name
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("alias", "x"))
+    assert(back.orderBy("x").collect().map(_.getAs[Long]("alias")).toSeq ==
+      Seq(7L, 8L))
+  }
+
+  test("dense (>8 children) latest groups preserve soft and external links") {
+    // regression: the dense fractal-heap writer dropped soft/ext
+    // link requests silently; they are link messages like any other
+    // and must ride the heap
+    val dir = java.nio.file.Files.createTempDirectory("h5dense_links").toFile
+    val target = new java.io.File(dir, "t.hdf5").getPath
+    val main = new java.io.File(dir, "m.hdf5").getPath
+    Hdf5.writeFlatFile(target, longs = Seq("z" -> Array(11L, 12L)), latest = true)
+    Hdf5.writeFlatFile(main,
+      longs = (0 until 9).map(i => f"c_$i%02d" -> Array(i.toLong, i + 100L)),
+      latest = true,
+      softLinks = Seq("alias" -> "/c_03"),
+      externalLinks = Seq(("ext", "t.hdf5", "/z")))
+    val back = Hdf5.fromHdf5(spark, main)
+    val names = back.schema.fieldNames.toSet
+    assert(names.contains("alias") && names.contains("ext"), names.toString)
+    assert(back.orderBy("c_00").collect().map(_.getAs[Long]("alias")).toSeq ==
+      Seq(3L, 103L))
+    assert(back.orderBy("c_00").collect().map(_.getAs[Long]("ext")).toSeq ==
+      Seq(11L, 12L))
+  }
+
   test("soft-link cycles error out with a clear message") {
     val path = tmp("soft_cycle.hdf5")
     Hdf5.writeFlatFile(path, longs = Seq("x" -> Array(1L)),
