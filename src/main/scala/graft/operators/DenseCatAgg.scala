@@ -86,13 +86,21 @@ object DenseCatAgg {
     // integrality + range safety: a bare cast("int") WRAPS longs
     // (2^32+3 -> 3) under non-ANSI and THROWS under ANSI, and either
     // way truncates fractional doubles (3.7 -> 3), silently aliasing
-    // out-of-domain keys into valid buckets. try_cast through bigint
-    // (overflow/NaN -> null) and null out codes whose double image
-    // changed (fractional); the per-row [0, domain) guard then drops
-    // genuinely out-of-range longs before the toInt index.
-    val cl = code.try_cast("bigint")
+    // out-of-domain keys into valid buckets. Integral inputs (the
+    // canonical categorize shape — tinyint codes) widen to bigint
+    // EXACTLY, so they take the plain cast and the per-row [0,
+    // domain) guard; only fractional/other inputs pay the try_cast +
+    // double-image integrality check (keeps the hot lane's scan
+    // projection a single widening cast).
+    val codeType = df.select(code).schema.head.dataType
+    val safeCode = codeType match {
+      case ByteType | ShortType | IntegerType | LongType => code.cast("bigint")
+      case _ =>
+        val cl = code.try_cast("bigint")
+        when(cl.cast("double") === code.try_cast("double"), cl)
+    }
     val projected = df.select(
-      when(cl.cast("double") === code.try_cast("double"), cl).as("__code") +:
+      safeCode.as("__code") +:
         aggs.zipWithIndex.map {
           case (a, j) => a.col.cast("double").as(s"__v$j")
         }: _*)

@@ -178,6 +178,24 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // Arrow IPC STRUCT columns (nested pandas/pyarrow frames): events
+    // round-trips a struct<user_id, value> column; struct validity,
+    // child alignment and values hash-gate against the flat parquet.
+    "q_arrow_struct" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "events_arrows"), "events_struct.arrow")
+      cache.getParentFile.mkdirs()
+      graft.sources.ArrowIpc.write(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          struct(col("user_id"), col("value")).as("ev")),
+        cache.toString, batchRows = 1024, compression = Some("zstd"))
+      graft.sources.Readers.open(s, cache.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ev.user_id")).as("sum_user"),
+          r(dsumD(col("ev.value"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // hdf5 VARIABLE-LENGTH datasets (what generic h5py files carry
     // by default: str dtype = vlen strings through the global heap,
     // vlen_dtype = ragged numeric arrays): documents' text/lang go
@@ -319,6 +337,11 @@ object SourceQueries {
     "q_arrow_events" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+         |  ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_arrow_struct" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
          |  ${sqlR(sqlDsum("value"))} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hdf5_vlen" ->

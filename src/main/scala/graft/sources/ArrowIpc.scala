@@ -53,6 +53,11 @@ object ArrowIpc {
         java.util.Collections.emptyList())
       new Field(f.name, FieldType.nullable(new ArrowType.List()),
         java.util.Collections.singletonList(child))
+    // struct<...>: children recurse (struct-of-struct works; lists
+    // inside structs go through the ArrayType arm)
+    case StructType(fields) =>
+      new Field(f.name, FieldType.nullable(new ArrowType.Struct()),
+        fields.map(toArrowField).toList.asJava)
     case dt =>
       new Field(f.name, FieldType.nullable(scalarArrowType(dt)),
         java.util.Collections.emptyList())
@@ -372,6 +377,8 @@ object ArrowIpc {
                   j += 1
                 }
                 v.endValue(ri, xs.length)
+              case (st: StructType, v: org.apache.arrow.vector.complex.StructVector) =>
+                writeStructValue(v, ri, row.getStruct(ci), st)
               case (dt, _) => throw new IllegalArgumentException(s"unsupported type: $dt")
             }
             ri += 1
@@ -383,6 +390,34 @@ object ArrowIpc {
       }
     }
     writer.end()
+  }
+
+  /** Write one struct value: mark the row defined, then set each
+    * non-null child at the same index (recursing into nested
+    * structs). Children left unset stay null. */
+  private def writeStructValue(v: org.apache.arrow.vector.complex.StructVector,
+                               ri: Int, r: Row, st: StructType): Unit = {
+    v.setIndexDefined(ri)
+    st.fields.zipWithIndex.foreach { case (f, j) =>
+      if (!r.isNullAt(j)) (f.dataType, v.getChildByOrdinal(j)) match {
+        case (LongType, c: BigIntVector) => c.setSafe(ri, r.getLong(j))
+        case (IntegerType, c: IntVector) => c.setSafe(ri, r.getInt(j))
+        case (DoubleType, c: Float8Vector) => c.setSafe(ri, r.getDouble(j))
+        case (FloatType, c: Float4Vector) => c.setSafe(ri, r.getFloat(j))
+        case (StringType, c: VarCharVector) =>
+          c.setSafe(ri, r.getString(j).getBytes("UTF-8"))
+        case (BooleanType, c: BitVector) => c.setSafe(ri, if (r.getBoolean(j)) 1 else 0)
+        case (BinaryType, c: VarBinaryVector) => c.setSafe(ri, r.getAs[Array[Byte]](j))
+        case (TimestampNTZType, c: TimeStampMicroVector) =>
+          val ldt = r.getAs[java.time.LocalDateTime](j)
+          c.setSafe(ri, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+            + ldt.getNano / 1000L)
+        case (nested: StructType, c: org.apache.arrow.vector.complex.StructVector) =>
+          writeStructValue(c, ri, r.getStruct(j), nested)
+        case (dt, _) => throw new IllegalArgumentException(
+          s"unsupported struct member type: $dt")
+      }
+    }
   }
 
   /** Per-column dictionary lookup (null where unencoded): a field's

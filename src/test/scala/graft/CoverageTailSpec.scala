@@ -337,5 +337,26 @@ class CoverageTailSpec extends SparkSpec {
       assert((e.isNullAt(5) && g.isNullAt(5)) ||
         e.getAs[Array[Byte]]("bin").toSeq == g.getAs[Array[Byte]]("bin").toSeq)
     }
+
+    // struct write round-trip: nested struct, null structs, null
+    // members — read back via our own reader AND type-checked
+    val sdf = spark.range(2000).select(col("id"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(
+        struct(col("id").as("a"), concat(lit("n"), col("id") % 7).as("b"),
+          struct((col("id") % 2 === 0).as("flag"),
+            when(col("id") % 5 === 0, lit(null))
+              .otherwise(col("id").cast("double") * 0.5).as("w")).as("inner")))
+        .as("st"))
+    val sp = dir.resolve("typed_struct.arrow").toString
+    ArrowIpc.write(sdf, sp, batchRows = 256)
+    val srt = ArrowIpc.read(spark, sp)
+    // read-back struct members are all-nullable by design
+    assert(srt.schema("st").dataType.sameType(sdf.schema("st").dataType))
+    val sExp = sdf.orderBy("id").collect()
+    val sGot = srt.orderBy("id").collect()
+    sExp.zip(sGot).foreach { case (e, g) =>
+      assert(e.isNullAt(1) == g.isNullAt(1), s"null @ ${e.getLong(0)}")
+      if (!e.isNullAt(1)) assert(e.getStruct(1) == g.getStruct(1), s"@ ${e.getLong(0)}")
+    }
   }
 }
