@@ -297,6 +297,31 @@ object SourceQueries {
         .orderBy("vec_id")
     }),
 
+    // FITS TSCAL/TZERO scaled columns (astropy's uint32 convention +
+    // float calibration): l_orderkey stores as raw-signed TFORM J
+    // with TZERO 2^31, quantity/price store calibrated with
+    // binary-exact factors; descaling on read hash-gates against the
+    // original parquet.
+    "q_fits_scaled" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_fitss"), "lineitem_scaled.fits")
+      cache.getParentFile.mkdirs()
+      val df = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      graft.sources.Fits.toFits(df, cache.toString, scales = Map(
+        "l_orderkey" -> ((1.0, 2147483648.0)),
+        "l_quantity" -> ((0.25, 1024.0)),
+        "l_extendedprice" -> ((0.25, 0.0))))
+      graft.sources.Fits.fromFits(s, cache.toString)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(r(dsumD(col("l_quantity"))).as("sum_qty"),
+          r(dsumD(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // bucketed co-located join: orders and customer are exported
     // bucketed on the customer key, then joined through the catalog —
     // at scale the join plans with zero Exchange (asserted in
@@ -360,6 +385,13 @@ object SourceQueries {
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_fits_scaled" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  ${sqlR(sqlDsum("l_extendedprice"))} AS sum_price,
+         |  COUNT(*) AS n,
+         |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_hdf5_bool" ->
       """SELECT (l_returnflag = 'R') AS is_return, COUNT(*) AS n,
         |  CAST(COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT) AS n_big,

@@ -25,9 +25,28 @@ object Fits {
   /** `width` is the TFORM repeat count: characters for A, elements
     * for everything else (1 = scalar; >1 = a fixed-length ARRAY
     * column, the astropy vector-column shape, read as ArrayType). */
+  /** TZERO values that mark the standard unsigned-integer storage
+    * conventions (FITS 4.0 §5.2.5 / what astropy writes for uint
+    * columns): raw signed + 2^31 / 2^63. */
+  private val Uint32Zero = 2147483648.0
+  private val Uint64Zero = 9.223372036854775808e18
+
   final case class FitsColumn(name: String, form: Char, width: Int,
-                              offset: Int, tnull: Option[Long]) {
+                              offset: Int, tnull: Option[Long],
+                              tscal: Double = 1.0, tzero: Double = 0.0) {
+    def scaled: Boolean = tscal != 1.0 || tzero != 0.0
     private def scalarType: DataType = form match {
+      case _ if scaled =>
+        // physical = TZERO + TSCAL * raw. The two standard unsigned
+        // conventions keep integer types; anything else is a float
+        // calibration and reads as double.
+        (form, tscal, tzero) match {
+          case ('J', 1.0, Uint32Zero) => LongType         // uint32
+          case ('K', 1.0, Uint64Zero) => DecimalType(20, 0) // uint64
+          case ('J' | 'K' | 'E' | 'D', _, _) => DoubleType
+          case (c, _, _) => throw new IllegalArgumentException(
+            s"TSCAL/TZERO unsupported on TFORM $c")
+        }
       case 'L' => BooleanType
       case 'J' => IntegerType
       case 'K' => LongType
@@ -151,7 +170,9 @@ object Fits {
             require(repeat >= 1 && repeat <= (1 << 20),
               s"unsupported TFORM$i '$form' (zero or implausible repeat $repeat)")
             val c = FitsColumn(emap.getOrElse(s"TTYPE$i", s"col$i"), code,
-              repeat, offset, emap.get(s"TNULL$i").map(_.toLong))
+              repeat, offset, emap.get(s"TNULL$i").map(_.toLong),
+              tscal = emap.get(s"TSCAL$i").map(_.toDouble).getOrElse(1.0),
+              tzero = emap.get(s"TZERO$i").map(_.toDouble).getOrElse(0.0))
             offset += c.bytes
             c
           }
@@ -193,6 +214,18 @@ object Fits {
           val buf = new Array[Byte](count * rowBytes)
           raf.seek(dataStart + start * rowBytes); raf.readFully(buf)
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
+          // TSCAL/TZERO: physical = tzero + tscal*raw, applied AFTER
+          // the raw-value TNULL check. The two standard unsigned
+          // conventions stay integral (uint32 -> long, uint64 ->
+          // DECIMAL(20,0)); general calibrations read as double.
+          def scaleInt(c: FitsColumn, raw: Long): Any =
+            if (c.tscal == 1.0 && c.tzero == Uint32Zero) raw + 2147483648L
+            else if (c.tscal == 1.0 && c.tzero == Uint64Zero) {
+              val bi = if (raw >= 0) java.math.BigInteger.valueOf(raw)
+                .add(java.math.BigInteger.ONE.shiftLeft(63))
+              else java.math.BigInteger.valueOf(raw + Long.MaxValue + 1L)
+              new java.math.BigDecimal(bi)
+            } else c.tzero + c.tscal * raw
           (0 until count).iterator.map { r =>
             Row.fromSeq(colsB.map { c =>
               val o = r * rowBytes + c.offset
@@ -201,6 +234,14 @@ object Fits {
                 // has no per-element null convention worth inventing)
                 c.form match {
                   case 'L' => Seq.tabulate(c.width)(j => buf(o + j) == 'T')
+                  case 'J' if c.scaled =>
+                    Seq.tabulate(c.width)(j => scaleInt(c, bb.getInt(o + j * 4).toLong))
+                  case 'K' if c.scaled =>
+                    Seq.tabulate(c.width)(j => scaleInt(c, bb.getLong(o + j * 8)))
+                  case 'E' if c.scaled =>
+                    Seq.tabulate(c.width)(j => c.tzero + c.tscal * bb.getFloat(o + j * 4))
+                  case 'D' if c.scaled =>
+                    Seq.tabulate(c.width)(j => c.tzero + c.tscal * bb.getDouble(o + j * 8))
                   case 'J' => Seq.tabulate(c.width)(j => bb.getInt(o + j * 4))
                   case 'K' => Seq.tabulate(c.width)(j => bb.getLong(o + j * 8))
                   case 'E' => Seq.tabulate(c.width)(j => bb.getFloat(o + j * 4))
@@ -214,16 +255,25 @@ object Fits {
                 }
                 case 'J' =>
                   val v = bb.getInt(o)
-                  if (c.tnull.contains(v.toLong)) null else v
+                  if (c.tnull.contains(v.toLong)) null
+                  else if (c.scaled) scaleInt(c, v.toLong) else v
                 case 'K' =>
                   val v = bb.getLong(o)
-                  if (c.tnull.contains(v)) null else v
+                  if (c.tnull.contains(v)) null
+                  else if (c.scaled) scaleInt(c, v) else v
                 case 'E' =>
                   val v = bb.getFloat(o)
-                  if (v.isNaN) null else v
+                  // explicit boxing: bare `if (scaled) double else float`
+                  // would WIDEN the unscaled branch to Double (Scala
+                  // numeric unification) and break the FLOAT encoder
+                  if (v.isNaN) null
+                  else if (c.scaled) Double.box(c.tzero + c.tscal * v)
+                  else Float.box(v)
                 case 'D' =>
                   val v = bb.getDouble(o)
-                  if (v.isNaN) null else v
+                  if (v.isNaN) null
+                  else if (c.scaled) Double.box(c.tzero + c.tscal * v)
+                  else Double.box(v)
                 case 'A' =>
                   // FITS pads strings with spaces (or NULs); NUL-first
                   // means "null string" by common convention
@@ -269,8 +319,27 @@ object Fits {
     * primary HDU + one BINTABLE with all rows, streamed via
     * toLocalIterator (one partition resident). String columns get the
     * max observed width (two-pass over the column stats only). */
-  def toFits(df: DataFrame, path: String): Unit = {
+  /** `scales`: per-column (TSCAL, TZERO) storage scaling. A LongType
+    * column with (1, 2^31) stores as unsigned-convention TFORM J
+    * (raw = v - 2^31 — what astropy writes for uint32); float/double
+    * columns store raw = (v - TZERO)/TSCAL (calibrated physical
+    * values; pick binary-exact factors like 0.25 for lossless round
+    * trips). Scaled integer columns must be null-free (the TNULL
+    * sentinel would collide with a genuine physical value). */
+  def toFits(df: DataFrame, path: String,
+             scales: Map[String, (Double, Double)] = Map.empty): Unit = {
     val schema = df.schema
+    scales.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"scales: no such column $c")
+      schema(c).dataType match {
+        case LongType =>
+          require(scales(c) == (1.0, Uint32Zero),
+            s"scales: long column $c supports only the uint32 convention (1, 2^31)")
+        case FloatType | DoubleType => ()
+        case t => throw new IllegalArgumentException(
+          s"scales: unsupported on $t column $c")
+      }
+    }
     import org.apache.spark.sql.functions._
     // widths for string columns + row count in ONE aggregation pass
     val aggs = count(lit(1)).as("__n") +: schema.fields.toSeq.flatMap {
@@ -300,6 +369,7 @@ object Fits {
       val (form, bytes) = f.dataType match {
         case BooleanType => ("1L", 1)
         case IntegerType => ("1J", 4)
+        case LongType if scales.contains(f.name) => ("1J", 4) // uint32 convention
         case LongType => ("1K", 8)
         case FloatType => ("1E", 4)
         case DoubleType => ("1D", 8)
@@ -333,10 +403,21 @@ object Fits {
     cols.zipWithIndex.foreach { case ((f, form, _), i) =>
       put(card(s"TTYPE${i + 1}", f.name, quote = true))
       put(card(s"TFORM${i + 1}", form, quote = true))
-      f.dataType match {
-        case IntegerType => put(card(s"TNULL${i + 1}", NullInt.toString))
-        case LongType => put(card(s"TNULL${i + 1}", NullLong.toString))
-        case _ => ()
+      scales.get(f.name) match {
+        case Some((sc, z)) =>
+          // fixed notation (FITS convention): integral values print
+          // without an exponent (2147483648, not 2.147483648E9)
+          def num(v: Double): String =
+            if (v == Math.rint(v) && math.abs(v) < 1e20)
+              BigDecimal(v).toBigInt.toString
+            else v.toString
+          put(card(s"TSCAL${i + 1}", num(sc)))
+          put(card(s"TZERO${i + 1}", num(z)))
+        case None => f.dataType match {
+          case IntegerType => put(card(s"TNULL${i + 1}", NullInt.toString))
+          case LongType => put(card(s"TNULL${i + 1}", NullLong.toString))
+          case _ => ()
+        }
       }
     }
     put("END".padTo(80, ' ')); pad(hdr)
@@ -353,6 +434,9 @@ object Fits {
           if (row.isNullAt(j)) f.dataType match {
             case BooleanType => rowBuf.put(0.toByte) // FITS "undefined"
             case IntegerType => rowBuf.putInt(NullInt)
+            case LongType if scales.contains(f.name) =>
+              throw new IllegalArgumentException(
+                s"${f.name}: null in a scaled (uint32) column — no TNULL escape")
             case LongType => rowBuf.putLong(NullLong)
             case FloatType => rowBuf.putFloat(Float.NaN)
             case DoubleType => rowBuf.putDouble(Double.NaN)
@@ -372,8 +456,18 @@ object Fits {
           } else f.dataType match {
             case BooleanType => rowBuf.put((if (row.getBoolean(j)) 'T' else 'F').toByte)
             case IntegerType => rowBuf.putInt(row.getInt(j))
+            case LongType if scales.contains(f.name) => // uint32 raw = v - 2^31
+              val v = row.getLong(j)
+              require(v >= 0L && v < 4294967296L, s"${f.name}: $v outside uint32")
+              rowBuf.putInt((v - 2147483648L).toInt)
             case LongType => rowBuf.putLong(row.getLong(j))
+            case FloatType if scales.contains(f.name) =>
+              val (sc, z) = scales(f.name)
+              rowBuf.putFloat(((row.getFloat(j) - z) / sc).toFloat)
             case FloatType => rowBuf.putFloat(row.getFloat(j))
+            case DoubleType if scales.contains(f.name) =>
+              val (sc, z) = scales(f.name)
+              rowBuf.putDouble((row.getDouble(j) - z) / sc)
             case DoubleType => rowBuf.putDouble(row.getDouble(j))
             case StringType =>
               val raw = row.getString(j).getBytes("US-ASCII")

@@ -351,7 +351,13 @@ class CoverageTailSpec extends SparkSpec {
     ArrowIpc.write(sdf, sp, batchRows = 256)
     val srt = ArrowIpc.read(spark, sp)
     // read-back struct members are all-nullable by design
-    assert(srt.schema("st").dataType.sameType(sdf.schema("st").dataType))
+    def asNullable(dt: DataType): DataType = dt match {
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case ArrayType(e, _) => ArrayType(asNullable(e), containsNull = true)
+      case t => t
+    }
+    assert(asNullable(srt.schema("st").dataType) == asNullable(sdf.schema("st").dataType))
     val sExp = sdf.orderBy("id").collect()
     val sGot = srt.orderBy("id").collect()
     sExp.zip(sGot).foreach { case (e, g) =>

@@ -146,4 +146,51 @@ class FitsSpec extends SparkSpec {
     val e = intercept[Exception](Fits.toFits(ragged, tmp("ragged.fits")))
     assert(e.getMessage.contains("fixed length"), e.getMessage)
   }
+
+  test("TSCAL/TZERO scaled columns: unsigned conventions + calibration") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // independent fixture (tools/fits_scaled_fixture.py, built from
+    // the FITS 4.0 spec - astropy's uint32/uint64 conventions +
+    // a float calibration)
+    val url = getClass.getResource("/fits/scaled.fits")
+    assert(url != null, "missing fixture scaled.fits")
+    val df = Fits.fromFits(spark, url.getPath)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("u32") == LongType)
+    assert(types("u64") == DecimalType(20, 0))
+    assert(types("calib") == DoubleType && types("plain") == DoubleType)
+    val rows = df.collect()
+    val byPlain = rows.map(r => r.getDouble(3) -> r).toMap
+    assert(byPlain(1.5).getLong(0) == 0L)
+    assert(byPlain(-2.5).getLong(0) == 3000000000L) // > Int.MaxValue
+    assert(byPlain(0.0).getLong(0) == 4294967295L)  // uint32 max
+    assert(byPlain(1.5).getDecimal(1).longValueExact == 0L)
+    assert(byPlain(-2.5).getDecimal(1) ==
+      new java.math.BigDecimal("18446744073709551615")) // uint64 max
+    assert(byPlain(0.0).getDecimal(1).longValueExact == 42L)
+    assert(byPlain(1.5).getDouble(2) == 100.0)   // raw 0    * 0.25 + 100
+    assert(byPlain(-2.5).getDouble(2) == 125.25) // raw 101  * 0.25 + 100
+    assert(byPlain(0.0).getDouble(2) == 74.75)   // raw -101 * 0.25 + 100
+
+    // write direction: uint32 + binary-exact calibrated doubles
+    // round-trip through our writer and reader
+    val out = tmp("scaled_out.fits")
+    val src = spark.range(1000).select(
+      (col("id") * 4294967L).as("u"),             // spans past Int.MaxValue
+      (col("id").cast("double") * 0.25 + 7.5).as("x"),
+      col("id").as("k"))
+    Fits.toFits(src, out, scales = Map(
+      "u" -> ((1.0, 2147483648.0)), "x" -> ((0.25, 7.5))))
+    val back = Fits.fromFits(spark, out)
+    assert(back.schema("u").dataType == LongType)
+    assert(back.schema("x").dataType == DoubleType)
+    assert(back.orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+    // nulls in a scaled integer column fail loudly
+    val withNull = spark.range(3).select(
+      when(col("id") === 1, lit(null)).otherwise(col("id")).as("u"))
+    val err = intercept[Exception](Fits.toFits(withNull, tmp("nullu.fits"),
+      scales = Map("u" -> ((1.0, 2147483648.0)))))
+    assert(err.getMessage.contains("no TNULL escape"), err.getMessage)
+  }
 }
