@@ -269,6 +269,26 @@ object SourceQueries {
         .orderBy("is_return")
     }),
 
+    // hdf5 ARRAY-COLUMN export (the vaex table layout for embedding
+    // columns): the embeddings table goes through the STANDARD
+    // streaming toHdf5 path — array columns become (n, d) matrix
+    // datasets in the column group, chunked+gzip — and reads back to
+    // drive vector math; element order, float bits, chunk boundaries
+    // and row alignment hash-gate against the original parquet.
+    "q_hdf5_embed" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "emb_hdf5e"), "embeddings_col.hdf5")
+      cache.getParentFile.mkdirs()
+      graft.sources.Hdf5.toHdf5Chunked(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache.toString, chunkElems = 512)
+      graft.sources.Hdf5.fromHdf5(s, cache.toString)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("n_dims"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
     // FITS (the astronomy format the reference exports via astropy,
     // core/dataframe.py:6973 export_fits and vaex-astro reads): same
     // round trip through the BINTABLE writer and the distributed
@@ -382,6 +402,11 @@ object SourceQueries {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_fits_vector" ->
       """SELECT vec_id, CAST(LEN(embedding) AS INT) AS n_dims,
+        |  ROUND(SQRT(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_hdf5_embed" ->
+      """SELECT vec_id, label, CAST(LEN(embedding) AS INT) AS n_dims,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,

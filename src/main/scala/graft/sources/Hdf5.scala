@@ -1361,6 +1361,12 @@ object Hdf5 {
             ColumnMeta(name, "str", idx.dims.head - 1,
               data.storage, data.dataSize, Some(idx.storage), bitmap,
               file = fileTag(dataNd))
+          } else if (data.dims.size == 2) {
+            // (n, d) matrix dataset in a column group — the shape
+            // vaex exports array columns in
+            ColumnMeta(name, "mat_" + kindOf(data.dt), data.dims.head,
+              data.storage, data.dataSize, None, bitmap,
+              fixedStrSize = data.dims(1).toInt, file = fileTag(dataNd))
           } else {
             val kind = kindOf(data.dt)
             ColumnMeta(name, kind, data.dims.head, data.storage, data.dataSize,
@@ -1368,7 +1374,11 @@ object Hdf5 {
           }
         } else { // v1 layout: dataset directly under the group
           val data = nd.f.dataset(nd.addr)
-          ColumnMeta(name, kindOf(data.dt), data.dims.head,
+          if (data.dims.size == 2)
+            ColumnMeta(name, "mat_" + kindOf(data.dt), data.dims.head,
+              data.storage, data.dataSize, None, None,
+              fixedStrSize = data.dims(1).toInt, file = fileTag(nd))
+          else ColumnMeta(name, kindOf(data.dt), data.dims.head,
             data.storage, data.dataSize, None, None, file = fileTag(nd))
         }
       }
@@ -1918,6 +1928,9 @@ object Hdf5 {
         case FloatType => new Array[Float](n)
         case DoubleType => new Array[Double](n)
         case StringType => new Array[String](n)
+        // array columns (embedding shape) -> (n, d) matrix datasets
+        case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+          new Array[Seq[Any]](n)
         case t => throw new IllegalArgumentException(s"hdf5 export: unsupported type $t")
       }
     }
@@ -1942,6 +1955,8 @@ object Hdf5 {
             case FloatType => builders(j).asInstanceOf[Array[Float]](i) = r.getFloat(j)
             case DoubleType => builders(j).asInstanceOf[Array[Double]](i) = r.getDouble(j)
             case StringType => builders(j).asInstanceOf[Array[String]](i) = r.getString(j)
+            case ArrayType(_, _) =>
+              builders(j).asInstanceOf[Array[Seq[Any]]](i) = r.getSeq[Any](j)
             case _ => ()
           }
         }
@@ -1966,6 +1981,34 @@ object Hdf5 {
           OutCol(f.name, "str", bytesOut.toByteArray, offsets.array(), bm, n)
         case BooleanType =>
           OutCol(f.name, "b1", builders(j).asInstanceOf[Array[Byte]], Array.empty, bm, n)
+        case ArrayType(et, _) =>
+          val rows = builders(j).asInstanceOf[Array[Seq[Any]]]
+          val d = rows.collectFirst { case s if s != null => s.length }.getOrElse(0)
+          require(d >= 1,
+            s"${f.name}: cannot export an all-null or zero-width array column")
+          val (kind, bs) = et match {
+            case FloatType => ("mat_f4", 4); case DoubleType => ("mat_f8", 8)
+            case IntegerType => ("mat_i4", 4); case LongType => ("mat_i8", 8)
+            case t => throw new IllegalArgumentException(s"array element type $t")
+          }
+          val bb = ByteBuffer.allocate(n * d * bs).order(ByteOrder.LITTLE_ENDIAN)
+          rows.zipWithIndex.foreach { case (s, ri) =>
+            if (s == null) bb.position(bb.position() + d * bs) // null row: zeros
+            else {
+              require(s.length == d,
+                s"${f.name}: ragged array rows (row $ri has ${s.length}, need $d)")
+              require(!s.contains(null),
+                s"${f.name}: null array ELEMENT at row $ri (matrices have no per-element nulls)")
+              et match {
+                case FloatType => s.foreach(v => bb.putFloat(v.asInstanceOf[Float]))
+                case DoubleType => s.foreach(v => bb.putDouble(v.asInstanceOf[Double]))
+                case IntegerType => s.foreach(v => bb.putInt(v.asInstanceOf[Int]))
+                case LongType => s.foreach(v => bb.putLong(v.asInstanceOf[Long]))
+                case _ => ()
+              }
+            }
+          }
+          OutCol(f.name, kind, bb.array(), Array.empty, bm, n, recSize = d)
         case t =>
           val es = t match {
             case ByteType => 1; case ShortType => 2; case IntegerType | FloatType => 4
@@ -3109,50 +3152,55 @@ object Hdf5 {
         writeDataset(c.n, c.vlenDt, dAddr, descr.array().length.toLong, Nil)
       }
 
+      /** (n, d) matrix dataset (array-column storage — flat root
+        * datasets AND vaex column groups share this). Contiguous, or
+        * chunked full-width rows with the gzip+shuffle pipeline. */
+      def emitMatrixDataset(c: OutCol): Long = {
+        val (baseDt, bs) = c.kind.substring(4) match {
+          case "i8" => (dtFixed(8), 8); case "i4" => (dtFixed(4), 4)
+          case "f8" => (dtFloat(8), 8); case "f4" => (dtFloat(4), 4)
+          case k => throw new IllegalArgumentException(s"matrix base $k")
+        }
+        val d = c.recSize
+        chunkCfg match {
+          case None =>
+            val a = allocData(c.data.length)
+            emit(a, c.data)
+            writeDataset(c.n, baseDt, a, c.data.length.toLong, Nil,
+              dims2 = d.toLong)
+          case Some((ceRows, lvl, shuf)) =>
+            // chunked (rows, d) — h5py's compression='gzip' shape;
+            // full-width chunks keyed by (rowStart, 0, 0)
+            require(!latest, "chunked matrices: v0-superblock layout only")
+            val nominal = ceRows * d * bs
+            val comp = chunkCache.getOrElseUpdate(s"${c.name}/m",
+              c.data.grouped(nominal).map { ch =>
+                val full = if (ch.length == nominal) ch
+                  else java.util.Arrays.copyOf(ch, nominal)
+                deflate(if (shuf) shuffleBytes(full, bs) else full, lvl)
+              }.toArray)
+            val locs = comp.zipWithIndex.map { case (cb, i) =>
+              val a = allocData(cb.length); emit(a, cb)
+              (a, cb.length, i.toLong * ceRows)
+            }
+            val btreeAddr = writeChunkBtree(locs.toSeq, ceRows, keyDims = 3)
+            val filters = (if (shuf) Seq((2, Seq(bs))) else Nil) :+ ((1, Seq(lvl)))
+            val hdr = objectHeader(Seq(
+              msg(0x0001, dataspace2d(c.n, d)),
+              msg(0x0003, baseDt),
+              msg(0x000B, filterPipeline(filters)),
+              msg(0x0008, layoutChunked2d(btreeAddr, ceRows, d, bs))))
+            val a = alloc(hdr.length)
+            emit(a, hdr)
+            a
+        }
+      }
+
       if (flat) {
         // generic h5py shape: datasets directly under the root group
         val dsets = cols.map { c =>
           if (c.vlenItems != null) (c.name, emitVlenDataset(c))
-          else if (c.kind.startsWith("mat_")) { // (n, d) matrix
-            val (baseDt, bs) = c.kind.substring(4) match {
-              case "i8" => (dtFixed(8), 8); case "i4" => (dtFixed(4), 4)
-              case "f8" => (dtFloat(8), 8); case "f4" => (dtFloat(4), 4)
-              case k => throw new IllegalArgumentException(s"matrix base $k")
-            }
-            val d = c.recSize
-            chunkCfg match {
-              case None =>
-                val a = allocData(c.data.length)
-                emit(a, c.data)
-                (c.name, writeDataset(c.n, baseDt, a, c.data.length.toLong, Nil,
-                  dims2 = d.toLong))
-              case Some((ceRows, lvl, shuf)) =>
-                // chunked (rows, d) — h5py's compression='gzip' shape;
-                // full-width chunks keyed by (rowStart, 0, 0)
-                require(!latest, "chunked matrices: v0-superblock layout only")
-                val nominal = ceRows * d * bs
-                val comp = chunkCache.getOrElseUpdate(s"${c.name}/m",
-                  c.data.grouped(nominal).map { ch =>
-                    val full = if (ch.length == nominal) ch
-                      else java.util.Arrays.copyOf(ch, nominal)
-                    deflate(if (shuf) shuffleBytes(full, bs) else full, lvl)
-                  }.toArray)
-                val locs = comp.zipWithIndex.map { case (cb, i) =>
-                  val a = allocData(cb.length); emit(a, cb)
-                  (a, cb.length, i.toLong * ceRows)
-                }
-                val btreeAddr = writeChunkBtree(locs.toSeq, ceRows, keyDims = 3)
-                val filters = (if (shuf) Seq((2, Seq(bs))) else Nil) :+ ((1, Seq(lvl)))
-                val hdr = objectHeader(Seq(
-                  msg(0x0001, dataspace2d(c.n, d)),
-                  msg(0x0003, baseDt),
-                  msg(0x000B, filterPipeline(filters)),
-                  msg(0x0008, layoutChunked2d(btreeAddr, ceRows, d, bs))))
-                val a = alloc(hdr.length)
-                emit(a, hdr)
-                (c.name, a)
-            }
-          }
+          else if (c.kind.startsWith("mat_")) (c.name, emitMatrixDataset(c))
           else if (c.dtMsg != null) // compound: records already packed
             (c.name, emitDataset(s"${c.name}/d", c.n, c.dtMsg, c.recSize, c.data, Nil))
           else {
@@ -3180,6 +3228,8 @@ object Hdf5 {
               c.data, Seq("dtype" -> "str"))))
             members += (("indices", emitDataset(s"${c.name}/i", c.n + 1, dtFixed(8), 8,
               c.indices, Nil)))
+          case k if k.startsWith("mat_") => // array column: (n, d) matrix
+            members += (("data", emitMatrixDataset(c)))
           case k =>
             val (dt, es) = k match {
               case "b1" => (dtEnumBool, 1)

@@ -816,6 +816,42 @@ class Hdf5Spec extends SparkSpec {
     assert(bytes(falseAt + 16) == 0 && bytes(falseAt + 17) == 1)
   }
 
+  test("array columns export as (n, d) matrix datasets and round-trip") {
+    // the vaex shape for embedding columns: toHdf5 streams them as
+    // 2-D datasets inside the column group, nulls ride the bitmap
+    val path = tmp("arraycol.hdf5")
+    val df = spark.range(4000).select(col("id"),
+      when(col("id") % 19 === 0, lit(null)).otherwise(
+        array(col("id").cast("float") * 0.5f, lit(-1.0f),
+          col("id").cast("float"), lit(2.25f))).as("emb"),
+      array(col("id"), col("id") * 2).as("ticks"))
+    Hdf5.toHdf5(df, path)
+    val back = Hdf5.fromHdf5(spark, path)
+    assert(back.schema("emb").dataType == ArrayType(FloatType))
+    assert(back.schema("ticks").dataType == ArrayType(LongType))
+    val got = back.orderBy("id").collect()
+    val exp = df.orderBy("id").collect()
+    exp.zip(got).foreach { case (e, g) =>
+      assert(e.isNullAt(1) == g.isNullAt(1), s"null @ ${e.getLong(0)}")
+      if (!e.isNullAt(1)) assert(e.getSeq[Float](1) == g.getSeq[Float](1))
+      assert(e.getSeq[Long](2) == g.getSeq[Long](2))
+    }
+    // chunked+gzip matrices through the SAME export path
+    val pc = tmp("arraycol_chunked.hdf5")
+    Hdf5.toHdf5Chunked(df.drop("ticks").where(col("emb").isNotNull), pc,
+      chunkElems = 256)
+    val backC = Hdf5.fromHdf5(spark, pc)
+    assert(backC.count() == df.where(col("emb").isNotNull).count())
+    assert(backC.agg(sum(aggregate(col("emb"), lit(0.0d),
+      (a, x) => a + x.cast("double")))).head.getDouble(0) ==
+      df.where(col("emb").isNotNull).agg(sum(aggregate(col("emb"), lit(0.0d),
+        (a, x) => a + x.cast("double")))).head.getDouble(0))
+    // ragged input fails loudly
+    val ragged = Seq((1L, Seq(1.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[Exception](Hdf5.toHdf5(ragged, tmp("ragged.hdf5")))
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
   test("boolean members inside compound datasets decode as booleans") {
     // build a compound record (i8 id, enum-bool flag) via the
     // writer's compound knob if present; otherwise skip — the
