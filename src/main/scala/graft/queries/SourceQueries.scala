@@ -138,6 +138,18 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, s"${cache.toString}/part_*.hdf5"))
     }),
 
+    // DISTRIBUTED sharded Arrow export: every lineitem partition
+    // writes its own part file from its executor (no driver
+    // streaming), the shards glob-open back as one frame.
+    "q_arrow_sharded" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_arrowsh"))
+      if (cache.exists()) cache.listFiles().foreach(_.delete())
+      graft.sources.ArrowIpc.writeSharded(
+        narrowLineitem(s, dir).repartition(6), cache.toString,
+        batchRows = 8192, compression = Some("lz4"))
+      agg(graft.sources.Readers.open(s, s"${cache.toString}/part-*.arrow"))
+    }),
+
     // Arrow IPC LIST columns (the pyarrow shape embedding dumps and
     // token lists ship in — vaex stores string/array columns as arrow
     // lists natively): the embeddings table round-trips vec_id +
@@ -424,6 +436,7 @@ object SourceQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_final
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_open_many" -> aggSql,
+    "q_arrow_sharded" -> aggSql,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,

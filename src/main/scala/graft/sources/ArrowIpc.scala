@@ -311,14 +311,56 @@ object ArrowIpc {
     } finally allocator.close()
   }
 
+  /** DISTRIBUTED Arrow export: every partition writes its own
+    * `part-NNNNN.arrow` file in `dir` directly from its executor — no
+    * driver streaming, no shuffle, wall-clock bounded by the largest
+    * partition. The scale path for Arrow output (the single-file
+    * [[write]] is inherently one writer); read the directory back
+    * with `Readers.open(spark, s"$dir/part-*.arrow")` or openMany.
+    * Empty partitions write no file. Returns the file count. */
+  def writeSharded(df: DataFrame, dir: String, batchRows: Int = 65536,
+                   compression: Option[String] = None): Int = {
+    require(batchRows > 0, "batchRows must be positive")
+    val schema = df.schema
+    new java.io.File(dir).mkdirs()
+    val comp = compression
+    val br = batchRows
+    val written = df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val allocator = new RootAllocator()
+        try {
+          val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
+          val root = VectorSchemaRoot.create(aschema, allocator)
+          val out = new java.io.FileOutputStream(f"$dir/part-$pi%05d.arrow")
+          val writer = codecOf(comp) match {
+            case Some(codec) => new ArrowFileWriter(root, null, out.getChannel,
+              null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+            case None => new ArrowFileWriter(root, null, out.getChannel)
+          }
+          try pumpRows(it.asJava, schema, root, writer, br)
+          finally { writer.close(); out.close(); root.close() }
+        } finally allocator.close()
+        Iterator.single(1)
+      }
+    }.count()
+    written.toInt
+  }
+
   /** Stream `batchRows`-row record batches from the frame through an
     * Arrow writer (file or stream framing — both extend ArrowWriter). */
   private def pump(df: DataFrame, schema: StructType, root: VectorSchemaRoot,
                    writer: org.apache.arrow.vector.ipc.ArrowWriter,
                    batchRows: Int,
-                   dictIndex: Map[Int, Map[String, Int]] = Map.empty): Unit = {
+                   dictIndex: Map[Int, Map[String, Int]] = Map.empty): Unit =
+    pumpRows(df.toLocalIterator(), schema, root, writer, batchRows, dictIndex)
+
+  private def pumpRows(it: java.util.Iterator[Row], schema: StructType,
+                       root: VectorSchemaRoot,
+                       writer: org.apache.arrow.vector.ipc.ArrowWriter,
+                       batchRows: Int,
+                       dictIndex: Map[Int, Map[String, Int]] = Map.empty): Unit = {
     writer.start()
-    val it = df.toLocalIterator()
     val batch = new Array[Row](batchRows)
     var done = false
     while (!done) {
