@@ -143,8 +143,7 @@ object SourceQueries {
     // streaming), the shards glob-open back as one frame.
     "q_arrow_sharded" -> ((s, dir) => {
       val cache = new java.io.File(cacheDir(dir, "lineitem_arrowsh"))
-      if (cache.exists()) cache.listFiles().foreach(_.delete())
-      graft.sources.ArrowIpc.writeSharded(
+      graft.sources.ArrowIpc.writeSharded( // clears stale shards itself
         narrowLineitem(s, dir).repartition(6), cache.toString,
         batchRows = 8192, compression = Some("lz4"))
       agg(graft.sources.Readers.open(s, s"${cache.toString}/part-*.arrow"))

@@ -53,9 +53,19 @@ object ArrowIpc {
         java.util.Collections.emptyList())
       new Field(f.name, FieldType.nullable(new ArrowType.List()),
         java.util.Collections.singletonList(child))
-    // struct<...>: children recurse (struct-of-struct works; lists
-    // inside structs go through the ArrayType arm)
+    // struct<...>: members restricted to what writeStructValue can
+    // set (scalars + nested structs) — validate HERE, before the
+    // writer starts, so an unsupported member type fails up front
+    // instead of mid-stream with a truncated partial file on disk
     case StructType(fields) =>
+      fields.foreach { m =>
+        m.dataType match {
+          case LongType | IntegerType | DoubleType | FloatType | StringType
+               | BooleanType | BinaryType | TimestampNTZType | _: StructType => ()
+          case t => throw new IllegalArgumentException(
+            s"unsupported struct member type for arrow export: ${m.name}: $t")
+        }
+      }
       new Field(f.name, FieldType.nullable(new ArrowType.Struct()),
         fields.map(toArrowField).toList.asJava)
     case dt =>
@@ -322,7 +332,13 @@ object ArrowIpc {
                    compression: Option[String] = None): Int = {
     require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // clear stale shards: a re-export with FEWER partitions must not
+    // leave higher-numbered part files for the glob read to pick up
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".arrow"))
+      .foreach(_.delete())
     val comp = compression
     val br = batchRows
     val written = df.rdd.mapPartitionsWithIndex { (pi, it) =>

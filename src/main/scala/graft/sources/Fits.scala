@@ -68,6 +68,11 @@ object Fits {
   final case class TableMeta(dataStart: Long, rowBytes: Int, nRows: Long,
                              columns: Seq[FitsColumn])
 
+  /** FITS fixed-real parse: the standard allows Fortran 'D' exponent
+    * markers ('1.0D-2') alongside 'E' — normalize before toDouble. */
+  private def fitsReal(s: String): Double =
+    s.trim.replace('D', 'E').replace('d', 'e').toDouble
+
   // ---------------------------------------------------------------- reader
 
   private def cardValue(card: String): String = {
@@ -171,8 +176,8 @@ object Fits {
               s"unsupported TFORM$i '$form' (zero or implausible repeat $repeat)")
             val c = FitsColumn(emap.getOrElse(s"TTYPE$i", s"col$i"), code,
               repeat, offset, emap.get(s"TNULL$i").map(_.toLong),
-              tscal = emap.get(s"TSCAL$i").map(_.toDouble).getOrElse(1.0),
-              tzero = emap.get(s"TZERO$i").map(_.toDouble).getOrElse(0.0))
+              tscal = emap.get(s"TSCAL$i").map(fitsReal).getOrElse(1.0),
+              tzero = emap.get(s"TZERO$i").map(fitsReal).getOrElse(0.0))
             offset += c.bytes
             c
           }
@@ -218,9 +223,13 @@ object Fits {
           // the raw-value TNULL check. The two standard unsigned
           // conventions stay integral (uint32 -> long, uint64 ->
           // DECIMAL(20,0)); general calibrations read as double.
+          // dispatch must MATCH scalarType's (form, tscal, tzero)
+          // triple — e.g. TFORM K with TZERO 2^31 is a plain double
+          // calibration, NOT the uint32 convention
           def scaleInt(c: FitsColumn, raw: Long): Any =
-            if (c.tscal == 1.0 && c.tzero == Uint32Zero) raw + 2147483648L
-            else if (c.tscal == 1.0 && c.tzero == Uint64Zero) {
+            if (c.form == 'J' && c.tscal == 1.0 && c.tzero == Uint32Zero)
+              raw + 2147483648L
+            else if (c.form == 'K' && c.tscal == 1.0 && c.tzero == Uint64Zero) {
               val bi = if (raw >= 0) java.math.BigInteger.valueOf(raw)
                 .add(java.math.BigInteger.ONE.shiftLeft(63))
               else java.math.BigInteger.valueOf(raw + Long.MaxValue + 1L)

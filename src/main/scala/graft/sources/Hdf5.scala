@@ -1363,7 +1363,11 @@ object Hdf5 {
               file = fileTag(dataNd))
           } else if (data.dims.size == 2) {
             // (n, d) matrix dataset in a column group — the shape
-            // vaex exports array columns in
+            // vaex exports array columns in. Only NUMERIC bases have
+            // a matrix decode path; anything else errors by name
+            // instead of a bare MatchError at scan time.
+            require(data.dt.clazz == 0 || data.dt.clazz == 1,
+              s"column $name: 2-D dataset of non-numeric dtype unsupported")
             ColumnMeta(name, "mat_" + kindOf(data.dt), data.dims.head,
               data.storage, data.dataSize, None, bitmap,
               fixedStrSize = data.dims(1).toInt, file = fileTag(dataNd))
@@ -1374,11 +1378,13 @@ object Hdf5 {
           }
         } else { // v1 layout: dataset directly under the group
           val data = nd.f.dataset(nd.addr)
-          if (data.dims.size == 2)
+          if (data.dims.size == 2) {
+            require(data.dt.clazz == 0 || data.dt.clazz == 1,
+              s"column $name: 2-D dataset of non-numeric dtype unsupported")
             ColumnMeta(name, "mat_" + kindOf(data.dt), data.dims.head,
               data.storage, data.dataSize, None, None,
               fixedStrSize = data.dims(1).toInt, file = fileTag(nd))
-          else ColumnMeta(name, kindOf(data.dt), data.dims.head,
+          } else ColumnMeta(name, kindOf(data.dt), data.dims.head,
             data.storage, data.dataSize, None, None, file = fileTag(nd))
         }
       }
@@ -1991,7 +1997,10 @@ object Hdf5 {
             case IntegerType => ("mat_i4", 4); case LongType => ("mat_i8", 8)
             case t => throw new IllegalArgumentException(s"array element type $t")
           }
-          val bb = ByteBuffer.allocate(n * d * bs).order(ByteOrder.LITTLE_ENDIAN)
+          val totalBytes = n.toLong * d * bs // Int math would overflow first
+          require(totalBytes <= Int.MaxValue,
+            s"${f.name}: matrix column is $totalBytes bytes (> 2^31) — shard first")
+          val bb = ByteBuffer.allocate(totalBytes.toInt).order(ByteOrder.LITTLE_ENDIAN)
           rows.zipWithIndex.foreach { case (s, ri) =>
             if (s == null) bb.position(bb.position() + d * bs) // null row: zeros
             else {

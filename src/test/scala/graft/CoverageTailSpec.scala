@@ -230,6 +230,11 @@ class CoverageTailSpec extends SparkSpec {
     assert(sources.ArrowIpc.read(spark,
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
         .head.toString).count() > 0)
+    // re-export with FEWER partitions must clear stale shards (the
+    // glob read would silently concatenate them otherwise)
+    sources.ArrowIpc.writeSharded(df.limit(1000).repartition(2), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".arrow")) == 2)
+    assert(sources.Readers.open(spark, s"$dir/part-*.arrow").count() == 1000)
   }
 
   test("Arrow IPC typed columns: lists, fixed-size lists, timestamp, date, binary") {

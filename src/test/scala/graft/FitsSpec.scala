@@ -172,6 +172,18 @@ class FitsSpec extends SparkSpec {
     assert(byPlain(1.5).getDouble(2) == 100.0)   // raw 0    * 0.25 + 100
     assert(byPlain(-2.5).getDouble(2) == 125.25) // raw 101  * 0.25 + 100
     assert(byPlain(0.0).getDouble(2) == 74.75)   // raw -101 * 0.25 + 100
+    // K with TZERO 2^31 is a LEGAL signed calibration -> double (the
+    // uint32 convention is J-only; a form-blind dispatch would box a
+    // Long here and crash the encoder)
+    assert(types("kcal") == DoubleType)
+    assert(byPlain(1.5).getDouble(4) == 2147483648.0)      // raw 0
+    assert(byPlain(-2.5).getDouble(4) == 2147483646.0)     // raw -2
+    assert(byPlain(0.0).getDouble(4) == 2147484648.0)      // raw 1000
+    // Fortran D-exponent TSCAL/TZERO cards parse (1.0D-2, 5.0D0)
+    assert(types("dexp") == DoubleType)
+    assert(byPlain(1.5).getDouble(5) == 5.0)     // raw 0    * 0.01 + 5
+    assert(byPlain(-2.5).getDouble(5) == 7.5)    // raw 250  * 0.01 + 5
+    assert(byPlain(0.0).getDouble(5) == 2.5)     // raw -250 * 0.01 + 5
 
     // write direction: uint32 + binary-exact calibrated doubles
     // round-trip through our writer and reader

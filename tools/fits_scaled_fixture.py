@@ -29,12 +29,12 @@ def block(cards):
 hdr0 = block([card("SIMPLE", "T"), card("BITPIX", "8"),
               card("NAXIS", "0"), card("EXTEND", "T")])
 
-row_bytes = 4 + 8 + 4 + 8
+row_bytes = 4 + 8 + 4 + 8 + 8 + 4
 hdr1 = block([
     card("XTENSION", "BINTABLE", quote=True),
     card("BITPIX", "8"), card("NAXIS", "2"),
     card("NAXIS1", row_bytes), card("NAXIS2", 3),
-    card("PCOUNT", "0"), card("GCOUNT", "1"), card("TFIELDS", "4"),
+    card("PCOUNT", "0"), card("GCOUNT", "1"), card("TFIELDS", "6"),
     card("TTYPE1", "u32", quote=True), card("TFORM1", "1J", quote=True),
     card("TZERO1", "2147483648"),
     card("TTYPE2", "u64", quote=True), card("TFORM2", "1K", quote=True),
@@ -42,6 +42,13 @@ hdr1 = block([
     card("TTYPE3", "calib", quote=True), card("TFORM3", "1J", quote=True),
     card("TSCAL3", "0.25"), card("TZERO3", "100.0"),
     card("TTYPE4", "plain", quote=True), card("TFORM4", "1D", quote=True),
+    # K with TZERO 2^31: a LEGAL signed-64 offset calibration -> double
+    # (NOT the uint32 convention, which is J-only)
+    card("TTYPE5", "kcal", quote=True), card("TFORM5", "1K", quote=True),
+    card("TZERO5", "2147483648"),
+    # Fortran D-exponent notation (FITS 4.0 fixed-real format)
+    card("TTYPE6", "dexp", quote=True), card("TFORM6", "1J", quote=True),
+    card("TSCAL6", "1.0D-2"), card("TZERO6", "5.0D0"),
 ])
 
 u32_phys = [0, 3000000000, 4294967295]
@@ -55,6 +62,8 @@ for i in range(3):
     data += struct.pack(">q", u64_phys[i] - 2**63)
     data += struct.pack(">i", calib_raw[i])
     data += struct.pack(">d", plain[i])
+    data += struct.pack(">q", [0, -2, 1000][i])      # kcal raw
+    data += struct.pack(">i", [0, 250, -250][i])     # dexp raw
 data += b"\x00" * ((2880 - len(data) % 2880) % 2880)
 
 out = "src/test/resources/fits/scaled.fits"
