@@ -32,6 +32,7 @@ object Readers {
       case p if p.endsWith(".json") || p.endsWith(".jsonl") => fromJson(spark, p)
       case p if p.endsWith(".txt") || p.endsWith(".asc") => Export.fromAscii(spark, p)
       case p if p.endsWith(".arrow") || p.endsWith(".feather") => ArrowIpc.read(spark, p)
+      case p if p.endsWith(".arrows") => ArrowIpc.readStream(spark, p) // stream framing
       case p if p.endsWith(".hdf5") || p.endsWith(".h5") =>
         // DataSource V2 path: Catalyst pushes column pruning into the
         // scan (a later .select touches only those columns' byte ranges)

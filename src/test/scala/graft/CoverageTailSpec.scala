@@ -145,6 +145,8 @@ class CoverageTailSpec extends SparkSpec {
     for (fix <- Seq("pyarrow_stream.arrows", "pyarrow_stream_lz4.arrows")) {
       val url = getClass.getResource(s"/$fix")
       assert(url != null, s"missing fixture $fix")
+      // extension dispatch: open() routes .arrows to the stream reader
+      assert(Readers.open(spark, url.getPath).count() == 1000, fix)
       val back = ArrowIpc.readStream(spark, url.getPath)
       assert(back.count() == 1000, fix)
       assert(back.agg(sum("x")).head.getDouble(0) ==

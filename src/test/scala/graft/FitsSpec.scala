@@ -147,6 +147,34 @@ class FitsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed length"), e.getMessage)
   }
 
+  test("corrupt-byte fuzzing: parser throws promptly, never hangs") {
+    // same protocol as the HDF5 fuzz: mutate a real file's bytes,
+    // header region biased; every parse must either succeed or raise
+    // a prompt exception — no hangs, no unbounded allocation
+    val url = getClass.getResource("/fits/scaled.fits")
+    val base = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(url.getPath))
+    val dir = java.nio.file.Files.createTempDirectory("fitsfuzz")
+    val mut = dir.resolve("mut.fits")
+    val rnd = new scala.util.Random(42)
+    var parsed = 0
+    val t0 = System.nanoTime()
+    for (_ <- 1 to 200) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val pos = if (rnd.nextBoolean()) rnd.nextInt(math.min(5760, m.length))
+          else rnd.nextInt(m.length)
+        m(pos) = rnd.nextInt(256).toByte
+      }
+      java.nio.file.Files.write(mut, m)
+      try { Fits.readTable(mut.toString); parsed += 1 }
+      catch { case _: Exception => () }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"fits fuzz took ${secs}s")
+    assert(parsed > 0) // data-region mutations parse fine
+  }
+
   test("TSCAL/TZERO scaled columns: unsigned conventions + calibration") {
     import org.apache.spark.sql.types._
     import spark.implicits._
