@@ -138,6 +138,16 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, s"${cache.toString}/part_*.hdf5"))
     }),
 
+    // DISTRIBUTED sharded hdf5 export: each partition writes its own
+    // part file from its executor (the per-file 2^31 caps apply per
+    // shard); the shards glob-open back as one frame.
+    "q_hdf5_sharded" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_h5sh"))
+      graft.sources.Hdf5.toHdf5Sharded(
+        narrowLineitem(s, dir).repartition(6), cache.toString)
+      agg(graft.sources.Readers.open(s, s"${cache.toString}/part-*.hdf5"))
+    }),
+
     // DISTRIBUTED sharded Arrow export: every lineitem partition
     // writes its own part file from its executor (no driver
     // streaming), the shards glob-open back as one frame.
@@ -436,6 +446,7 @@ object SourceQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_open_many" -> aggSql,
     "q_arrow_sharded" -> aggSql,
+    "q_hdf5_sharded" -> aggSql,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,

@@ -1920,10 +1920,46 @@ object Hdf5 {
   private def toHdf5Impl(df: DataFrame, path: String,
                          chunkCfg: Option[(Int, Int, Boolean)],
                          latest: Boolean = false): Unit = {
-    val schema = df.schema
     val n0 = df.count()
-    require(n0 < Int.MaxValue, "hdf5 export caps at 2^31 rows per file; shard first")
-    val n = n0.toInt
+    require(n0 < Int.MaxValue,
+      "hdf5 export caps at 2^31 rows per file; use toHdf5Sharded")
+    writeFile(path, buildCols(df.schema, n0.toInt, df.toLocalIterator()),
+      chunkCfg, latest = latest)
+  }
+
+  /** DISTRIBUTED hdf5 export: each partition writes its own
+    * `part-NNNNN.hdf5` file from its executor — no driver streaming,
+    * and the per-FILE 2^31-row/matrix-size caps apply per shard, not
+    * per table. Read back with `Readers.open(s"$dir/part-*.hdf5")`
+    * (glob concat). Stale part files from a previous wider export are
+    * cleared. Returns the shard count (empty partitions skip). */
+  def toHdf5Sharded(df: DataFrame, dir: String,
+                    chunkCfg: Option[(Int, Int, Boolean)] = None): Int = {
+    val schema = df.schema
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".hdf5"))
+      .foreach(_.delete())
+    val cfg = chunkCfg
+    df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        writeFile(f"$dir/part-$pi%05d.hdf5",
+          buildCols(schema, rows.length,
+            java.util.Arrays.asList(rows: _*).iterator()),
+          cfg)
+        Iterator.single(1)
+      }
+    }.count().toInt
+  }
+
+  /** Columnar buffers for one output file: `n` rows pulled from
+    * `it` (driver-streamed in [[toHdf5Impl]], one partition's rows in
+    * [[toHdf5Sharded]]). */
+  private def buildCols(schema: StructType, n: Int,
+                        it: java.util.Iterator[Row]): Seq[OutCol] = {
     val builders: Array[Any] = schema.fields.map { f =>
       f.dataType match {
         case BooleanType => new Array[Byte](n) // 0/1 under the bool enum
@@ -1943,7 +1979,6 @@ object Hdf5 {
     val anyNull = new Array[Boolean](schema.length)
     val validBits = Array.fill(schema.length)(new Array[Byte]((n + 7) / 8))
     var i = 0
-    val it = df.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       var j = 0
@@ -2040,7 +2075,7 @@ object Hdf5 {
           OutCol(f.name, kind, buf.array(), Array.empty, bm, n)
       }
     }
-    writeFile(path, cols.toSeq, chunkCfg, latest = latest)
+    cols.toSeq
   }
 
   // ------------------------------------------------------------ emitter

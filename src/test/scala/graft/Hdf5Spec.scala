@@ -852,6 +852,25 @@ class Hdf5Spec extends SparkSpec {
     assert(e.getMessage.contains("ragged"), e.getMessage)
   }
 
+  test("sharded export: executor-parallel part files, glob read-back") {
+    val dir = Files.createTempDirectory("h5shard").resolve("out").toString
+    val df = spark.range(50000).repartition(6).select(col("id"),
+      when(col("id") % 31 === 0, lit(null)).otherwise(col("id") * 1.5).as("x"),
+      concat(lit("s"), col("id") % 40).as("s"),
+      array(col("id").cast("float"), lit(0.5f)).as("emb"))
+    val n = Hdf5.toHdf5Sharded(df, dir)
+    assert(n == 6)
+    val back = sources.Readers.open(spark, s"$dir/part-*.hdf5")
+    assert(back.count() == 50000)
+    assert(back.select("id").distinct().count() == 50000)
+    assert(back.agg(sum("x")).head.getDouble(0) == df.agg(sum("x")).head.getDouble(0))
+    assert(back.where(col("x").isNull).count() == df.where(col("x").isNull).count())
+    assert(back.schema("emb").dataType == ArrayType(FloatType))
+    // stale shards cleared on re-export with fewer partitions
+    Hdf5.toHdf5Sharded(df.limit(500).repartition(2), dir)
+    assert(sources.Readers.open(spark, s"$dir/part-*.hdf5").count() == 500)
+  }
+
   test("boolean members inside compound datasets decode as booleans") {
     // build a compound record (i8 id, enum-bool flag) via the
     // writer's compound knob if present; otherwise skip — the
