@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** Export surface (reference: core/dataframe.py:6731 export dispatch).
   *
   * Formats: parquet (native store), csv, json — each a distributed
-  * `df.write`, no driver materialization — plus hdf5 (the reference's
-  * native format) via the dependency-free single-file writer in
-  * [[Hdf5]]. FITS stays out of scope (SURVEY §2.1).
+  * `df.write`, no driver materialization — plus the single-file
+  * interchange writers: hdf5 (the reference's native format, incl.
+  * the distributed sharded variant), arrow/feather (+ stream
+  * framing), fits, and whitespace ascii.
   */
 object Export {
 
@@ -18,7 +19,10 @@ object Export {
     case p if p.endsWith(".csv") => csv(df, p)
     case p if p.endsWith(".json") => json(df, p)
     case p if p.endsWith(".arrow") || p.endsWith(".feather") => ArrowIpc.write(df, p)
+    case p if p.endsWith(".arrows") => ArrowIpc.writeStream(df, p)
     case p if p.endsWith(".hdf5") || p.endsWith(".h5") => Hdf5.toHdf5(df, p)
+    case p if p.endsWith(".fits") => Fits.toFits(df, p)
+    case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }
 

@@ -184,6 +184,17 @@ class ExportSpec extends SparkSpec {
     assert(err.getMessage.contains("matched no files"))
   }
 
+  test("export(path) dispatches every single-file format by extension") {
+    val d = java.nio.file.Files.createTempDirectory("graft_expdisp")
+    for (ext <- Seq("fits", "arrows", "txt", "hdf5", "arrow")) {
+      val p = d.resolve(s"t.$ext").toString
+      sources.Export.export(df, p)
+      val back = sources.Readers.open(spark, p)
+      assert(back.count() == 3, ext)
+      assert(back.agg(sum("v")).head.getDouble(0) == 7.5, ext)
+    }
+  }
+
   test("state write/load round-trips through a file") {
     val f = java.nio.file.Files.createTempDirectory("graft_state").resolve("s.json")
     val configured = VxFrame(Seq((1.0, 2.0)).toDF("x", "y"))
