@@ -363,6 +363,15 @@ object SourceQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // DISTRIBUTED sharded FITS export: per-partition part files from
+    // executors (string widths resolved per shard), glob-opened back.
+    "q_fits_sharded" -> ((s, dir) => {
+      val cache = new java.io.File(cacheDir(dir, "lineitem_fitsh"))
+      graft.sources.Fits.toFitsSharded(
+        narrowLineitem(s, dir).repartition(5), cache.toString)
+      agg(graft.sources.Readers.open(s, s"${cache.toString}/part-*.fits"))
+    }),
+
     // bucketed co-located join: orders and customer are exported
     // bucketed on the customer key, then joined through the catalog —
     // at scale the join plans with zero Exchange (asserted in
@@ -447,6 +456,7 @@ object SourceQueries {
     "q_open_many" -> aggSql,
     "q_arrow_sharded" -> aggSql,
     "q_hdf5_sharded" -> aggSql,
+    "q_fits_sharded" -> aggSql,
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,

@@ -374,6 +374,59 @@ object Fits {
           s"fits export: array column ${f.name} must have one fixed length (saw $lo..$hi)")
         f.name -> hi
     }.toMap
+    writeFitsFile(schema, n, widths, arrayLens,
+      scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator()).asScala,
+      path, scales)
+  }
+
+  /** DISTRIBUTED FITS export: each partition writes its own
+    * `part-NNNNN.fits` file from its executor (string widths and
+    * array lengths resolved per shard). Read back with
+    * `Readers.open(s"$dir/part-*.fits")`. Stale shards cleared;
+    * empty partitions skip. Returns the shard count. */
+  def toFitsSharded(df: DataFrame, dir: String,
+                    scales: Map[String, (Double, Double)] = Map.empty): Int = {
+    val schema = df.schema
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".fits"))
+      .foreach(_.delete())
+    val sc = scales
+    df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val widths = schema.fields.collect {
+          case f if f.dataType == StringType =>
+            val fi = schema.fieldIndex(f.name)
+            f.name -> math.max(1, rows.iterator.map(r =>
+              if (r.isNullAt(fi)) 0 else r.getString(fi).getBytes("US-ASCII").length).max)
+        }.toMap
+        val arrayLens = schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] =>
+            val fi = schema.fieldIndex(f.name)
+            val lens = rows.iterator.collect {
+              case r if !r.isNullAt(fi) => r.getSeq[Any](fi).length }.toSet
+            require(lens.size <= 1 && lens.forall(_ >= 1),
+              s"fits export: array column ${f.name} must have one fixed length (saw $lens)")
+            f.name -> lens.headOption.getOrElse(1)
+        }.toMap
+        writeFitsFile(schema, rows.length.toLong, widths, arrayLens,
+          rows.iterator, f"$dir/part-$pi%05d.fits", sc)
+        Iterator.single(1)
+      }
+    }.count().toInt
+  }
+
+  /** One complete FITS file (primary HDU + BINTABLE) from
+    * pre-resolved geometry: driver-streamed by [[toFits]], one
+    * partition's rows in [[toFitsSharded]]. */
+  private def writeFitsFile(schema: org.apache.spark.sql.types.StructType,
+                            n: Long, widths: Map[String, Int],
+                            arrayLens: Map[String, Int], it: Iterator[Row],
+                            path: String,
+                            scales: Map[String, (Double, Double)]): Unit = {
     val cols = schema.fields.map { f =>
       val (form, bytes) = f.dataType match {
         case BooleanType => ("1L", 1)
@@ -435,7 +488,6 @@ object Fits {
       raf.setLength(0)
       raf.write(hdr.toByteArray)
       val rowBuf = ByteBuffer.allocate(rowBytes).order(ByteOrder.BIG_ENDIAN)
-      val it = df.toLocalIterator()
       while (it.hasNext) {
         val row = it.next()
         rowBuf.clear()

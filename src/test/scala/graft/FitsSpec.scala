@@ -147,6 +147,26 @@ class FitsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed length"), e.getMessage)
   }
 
+  test("sharded export: executor-parallel part files, glob read-back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fitsshard").resolve("out").toString
+    val df = spark.range(20000).repartition(5).select(col("id"),
+      when(col("id") % 23 === 0, lit(null)).otherwise(col("id") * 0.5).as("x"),
+      concat(lit("nm"), col("id") % 100).as("s"),
+      array(col("id").cast("float"), lit(1.5f), lit(-2.0f)).as("v"))
+    val n = Fits.toFitsSharded(df, dir)
+    assert(n == 5)
+    val back = sources.Readers.open(spark, s"$dir/part-*.fits")
+    assert(back.count() == 20000)
+    assert(back.select("id").distinct().count() == 20000)
+    assert(back.agg(sum("x")).head.getDouble(0) == df.agg(sum("x")).head.getDouble(0))
+    assert(back.where(col("x").isNull).count() == df.where(col("x").isNull).count())
+    assert(back.where(col("id") === 777L).head.getAs[String]("s") == "nm77")
+    // stale shards cleared on a narrower re-export
+    Fits.toFitsSharded(df.limit(300).repartition(2), dir)
+    assert(sources.Readers.open(spark, s"$dir/part-*.fits").count() == 300)
+  }
+
   test("corrupt-byte fuzzing: parser throws promptly, never hangs") {
     // same protocol as the HDF5 fuzz: mutate a real file's bytes,
     // header region biased; every parse must either succeed or raise
