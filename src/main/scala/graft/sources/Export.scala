@@ -35,6 +35,46 @@ object Export {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Single-FILE csv (the reference's `export_csv`,
+    * core/dataframe.py:6789 — one file, not a Spark directory):
+    * driver-streamed rows with RFC 4180 quoting (fields containing
+    * the separator, quotes or newlines are quoted; embedded quotes
+    * double). Nulls write as empty fields; doubles use shortest
+    * round-trip formatting so a schema-given re-read is lossless. */
+  def toCsvFile(df: DataFrame, path: String, header: Boolean = true,
+                sep: String = ","): Unit = {
+    require(sep.length == 1, "sep must be one character")
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), "UTF-8"))
+    try {
+      def quote(s: String): String =
+        if (s.exists(c => c == sep.head || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      if (header) { w.write(df.columns.map(quote).mkString(sep)); w.newLine() }
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        w.write((0 until r.length).map { i =>
+          if (r.isNullAt(i)) "" else quote(String.valueOf(r.get(i)))
+        }.mkString(sep))
+        w.newLine()
+      }
+    } finally w.close()
+  }
+
+  /** Single-FILE JSON lines (the reference's `export_json`): Spark's
+    * own row-to-JSON encoder (`df.toJSON`) streamed to one file —
+    * nested structs/arrays serialize correctly for free. */
+  def toJsonFile(df: DataFrame, path: String): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), "UTF-8"))
+    try {
+      val it = df.toJSON.toLocalIterator()
+      while (it.hasNext) { w.write(it.next()); w.newLine() }
+    } finally w.close()
+  }
+
   /** Hive-layout partitioned export `key=value/` (reference:
     * core/dataframe.py:6843 export_partitioned with
     * directory_format='{key}={value}' — exactly Spark's partitionBy). */

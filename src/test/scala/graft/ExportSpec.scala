@@ -184,6 +184,30 @@ class ExportSpec extends SparkSpec {
     assert(err.getMessage.contains("matched no files"))
   }
 
+  test("single-file csv/json exports round-trip incl. quoting edge cases") {
+    val d = java.nio.file.Files.createTempDirectory("graft_singlefile")
+    // quoting stress: separators, quotes, newlines, nulls, unicode
+    val tricky = Seq(
+      (1L, Option("plain"), Option(1.5)),
+      (2L, Option("has,comma"), Option(-2.25)),
+      (3L, Option("has\"quote"), Option.empty[Double]),
+      (4L, Option("multi\nline"), Option(0.0)),
+      (5L, Option.empty[String], Option(1e-7)),
+      (6L, Option("ünïcode"), Option(123456.789)))
+      .toDF("id", "s", "v")
+    val csvPath = d.resolve("t.csv").toString
+    sources.Export.toCsvFile(tricky, csvPath)
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(csvPath)))
+    val csvBack = spark.read.schema(tricky.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(csvPath) // RFC 4180 doubled quotes
+    assert(csvBack.orderBy("id").collect().toSeq == tricky.orderBy("id").collect().toSeq)
+    val jsonPath = d.resolve("t.json").toString
+    sources.Export.toJsonFile(tricky, jsonPath)
+    val jsonBack = spark.read.schema(tricky.schema).json(jsonPath)
+    assert(jsonBack.orderBy("id").collect().toSeq == tricky.orderBy("id").collect().toSeq)
+  }
+
   test("export(path) dispatches every single-file format by extension") {
     val d = java.nio.file.Files.createTempDirectory("graft_expdisp")
     for (ext <- Seq("fits", "arrows", "txt", "hdf5", "arrow")) {
