@@ -495,6 +495,18 @@ final case class VxFrame(
     * pandas/polars/R. */
   def toArrowFile(path: String): Unit = graft.sources.ArrowIpc.write(df, path)
 
+  /** df.export(path) — extension-dispatched export of the CURRENT
+    * view (virtual columns materialized, active filter applied;
+    * reference: core/dataframe.py:6731). Covers
+    * parquet/csv/json/arrow/feather/arrows/hdf5/fits/ascii. */
+  def export(path: String): Unit = graft.sources.Export.export(df, path)
+
+  /** export_csv / export_json — SINGLE-file variants (the Spark
+    * directory forms are `export` with .csv/.json). */
+  def exportCsv(path: String, header: Boolean = true, sep: String = ","): Unit =
+    graft.sources.Export.toCsvFile(df, path, header, sep)
+  def exportJson(path: String): Unit = graft.sources.Export.toJsonFile(df, path)
+
   /** Chunked pull iteration (reference: core/dataframe.py:3112
     * evaluate_iterator; chunk_iterator core/dataset.py:528):
     * driver-side iterator of row chunks, streaming one partition at a

@@ -63,6 +63,25 @@ class CoverageTailSpec extends SparkSpec {
     assert(ArrowIpc.read(spark, p).count() == 2)
   }
 
+  test("VxFrame.export applies the ACTIVE view (virtual cols + filter)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vxexport")
+    val f = VxFrame(Seq((1L, 2.0), (2L, 3.0), (3L, 4.0)).toDF("id", "x"))
+      .withVirtualColumn("y", "x * 2").filter("id > 1")
+    val p = dir.resolve("view.hdf5").toString
+    f.export(p)
+    val back = Readers.open(spark, p)
+    assert(back.count() == 2) // filter applied
+    assert(back.columns.contains("y")) // virtual column materialized
+    assert(back.agg(sum("y")).head.getDouble(0) == 14.0)
+    val cp = dir.resolve("view.one.csv").toString
+    f.exportCsv(cp)
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(cp)))
+    assert(spark.read.option("header", "true").csv(cp).count() == 2)
+    val jp = dir.resolve("view.one.json").toString
+    f.exportJson(jp)
+    assert(spark.read.json(jp).agg(sum("y")).head.getDouble(0) == 14.0)
+  }
+
   test("Arrow IPC write/read round-trips values, nulls and types") {
     val dir = java.nio.file.Files.createTempDirectory("graft_arrow")
     val p = dir.resolve("t.arrow").toString
