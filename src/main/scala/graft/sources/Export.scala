@@ -44,6 +44,18 @@ object Export {
   def toCsvFile(df: DataFrame, path: String, header: Boolean = true,
                 sep: String = ","): Unit = {
     require(sep.length == 1, "sep must be one character")
+    df.schema.fields.foreach { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.StructType
+             | _: org.apache.spark.sql.types.MapType
+             | org.apache.spark.sql.types.BinaryType =>
+          throw new IllegalArgumentException(
+            s"toCsvFile: non-atomic column ${f.name} (${f.dataType}) has no " +
+              "CSV representation — to_json it first or use parquet/arrow")
+        case _ => ()
+      }
+    }
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(path), "UTF-8"))
     try {
