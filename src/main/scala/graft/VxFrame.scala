@@ -888,8 +888,16 @@ final case class VxFrame(
   def groupby(by: Seq[String], agg: Map[String, String], sort: Boolean = false,
               rowLimit: Option[Long] = None): VxFrame = {
     rowLimit.foreach(checkRowLimit(by, _))
+    denseGroupby(by, agg, sort).getOrElse {
+      val aggCols = hashAggColumns(agg)
+      val grouped = df.groupBy(by.map(parse): _*).agg(aggCols.head, aggCols.tail: _*)
+      VxFrame(if (sort) grouped.orderBy(by.map(c => col(c).asc_nulls_last): _*) else grouped)
+    }
+  }
+
+  private def hashAggColumns(agg: Map[String, String]): Seq[Column] = {
     val hasRowIndex = df.columns.contains("row_index")
-    val aggCols = agg.toSeq.map { case (c, how) =>
+    agg.toSeq.map { case (c, how) =>
       val a = how match {
         case "count" => functions.count(parse(c))
         case "sum" => sum(parse(c))
@@ -908,8 +916,78 @@ final case class VxFrame(
       }
       a.as(s"${c}_$how")
     }
-    val grouped = df.groupBy(by.map(parse): _*).agg(aggCols.head, aggCols.tail: _*)
-    VxFrame(if (sort) grouped.orderBy(by.map(c => col(c).asc_nulls_last): _*) else grouped)
+  }
+
+  /** The reference's categorical fast path AS THE DEFAULT (reference:
+    * core/dataframe.py:5858 `categorize` makes ordinal-array groupby
+    * the default; README.md:60's >1e9 rows/s is measured on it): when
+    * every `by` key has `categories` metadata — an integral code
+    * column with a known domain — and every agg is one the dense
+    * kernel supports over a numeric column, lower to
+    * [[graft.operators.DenseCatAgg]]: flat per-task arrays over the
+    * codegen'd scan, treeReduce merge, no hash probe, no shuffle.
+    * Multi-key lowers to ONE composite ordinal (row-major over the
+    * per-key domains, product capped at `MaxDomain`) decoded back on
+    * the (domain-bounded) result.
+    *
+    * Semantics deltas vs the hash path, both inherited from the
+    * reference's categorize contract (missing values carry code -1 and
+    * are dropped): rows whose code is null or outside [0, domain) are
+    * dropped rather than grouped; and sums/means of integral columns
+    * accumulate in float64, exact while |sum| < 2^53 (the reference's
+    * own accumulator type, src/agg_sum.cpp). Result columns are cast
+    * back to the hash path's exact output schema so callers cannot
+    * observe which path ran. Returns None (→ hash path) when any
+    * eligibility check fails. */
+  private def denseGroupby(by: Seq[String], agg: Map[String, String],
+                           sort: Boolean): Option[VxFrame] = {
+    import graft.operators.DenseCatAgg
+    import org.apache.spark.sql.types._
+    val denseOps = Set("sum", "count", "mean", "min", "max")
+    if (by.isEmpty || agg.isEmpty) return None
+    if (!by.forall(categories.contains)) return None
+    if (!agg.values.forall(denseOps)) return None
+    val domains = by.map(k => categories(k).length)
+    if (domains.exists(_ <= 0)) return None
+    if (domains.map(_.toLong).product > DenseCatAgg.MaxDomain) return None
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val keyTypes = df.select(by.map(parse): _*).schema.map(_.dataType)
+    if (!keyTypes.forall(integral)) return None
+    val aggSeq = agg.toSeq
+    val valTypes = df.select(aggSeq.map(a => parse(a._1)): _*).schema.map(_.dataType)
+    if (!valTypes.forall(t => integral(t) || t == FloatType || t == DoubleType)) return None
+
+    // the hash path's exact output schema (resolved lazily — no job)
+    val aggCols = hashAggColumns(agg)
+    val hashSchema = df.groupBy(by.map(parse): _*).agg(aggCols.head, aggCols.tail: _*).schema
+
+    // composite row-major ordinal; an out-of-range or null key nulls
+    // the whole code → the kernel drops the row (categorize missing
+    // semantics). strides(i) = product of the domains after i.
+    val strides = domains.scanRight(1L)(_ * _).tail
+    val code = by.zip(domains).zip(strides).map { case ((k, d), s) =>
+      val c = parse(k).cast("bigint")
+      when(c >= 0 && c < d, c * lit(s))
+    }.reduce(_ + _)
+    val denseAggs = aggSeq.map { case (c, how) =>
+      DenseCatAgg.Agg(parse(c), how, s"${c}_$how")
+    }
+    val domain = domains.map(_.toLong).product.toInt
+    val raw = DenseCatAgg.groupByOrdinal(df, code, domain, denseAggs, codeAs = "__code")
+    // decode keys (exact: code < 2^20 << 2^53) and cast every column
+    // back to the hash path's types
+    val keyCols = by.zip(domains).zip(strides).zipWithIndex.map {
+      case (((k, d), s), i) =>
+        (floor(col("__code") / lit(s.toDouble)).cast("bigint") % lit(d.toLong))
+          .cast(hashSchema(i).dataType).as(k)
+    }
+    val outAggCols = aggSeq.zipWithIndex.map { case ((c, how), j) =>
+      val f = hashSchema(by.length + j)
+      col(s"${c}_$how").cast(f.dataType).as(f.name)
+    }
+    val out = raw.select(keyCols ++ outAggCols: _*)
+    Some(VxFrame(
+      if (sort) out.orderBy(by.map(c => col(c).asc_nulls_last): _*) else out))
   }
 
   /** The dense tensor is assembled DRIVER-side, so its cell count —

@@ -68,6 +68,11 @@ object DenseCatAgg {
 
   val MaxDomain: Int = 1 << 20
 
+  /** Driver-side invocation counter — a test probe so specs can assert
+    * the dense kernel (not the hash path) actually ran a given call.
+    * Incremented once per groupByOrdinal call, on the driver. */
+  val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Dense groupBy over an ordinal code column with domain [0, n).
     * Rows with a null or out-of-domain code are dropped (binby
     * `edges=False` semantics — same as the reference, where a
@@ -80,6 +85,7 @@ object DenseCatAgg {
       s"domain must be in [1, $MaxDomain], got $domain")
     val bad = aggs.map(_.op).filterNot(Set("sum", "count", "mean", "min", "max"))
     require(bad.isEmpty, s"unsupported ops: ${bad.distinct.mkString(",")}")
+    invocations.incrementAndGet()
     val spark = df.sparkSession
     val nv = aggs.length
 
@@ -108,7 +114,8 @@ object DenseCatAgg {
     val schema = StructType(
       StructField(codeAs, IntegerType, nullable = false) +:
         (aggs.map(a => StructField(a.as,
-          if (a.op == "count") LongType else DoubleType, nullable = true)) ++
+          if (a.op == "count") LongType else DoubleType,
+          nullable = a.op != "count")) ++
           countAs.map(n => StructField(n, LongType, nullable = false))))
 
     if (rdd.getNumPartitions == 0)

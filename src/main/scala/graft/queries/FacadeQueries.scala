@@ -90,6 +90,32 @@ object FacadeQueries {
         .orderBy("l_returnflag")
     }),
 
+    // categorize'd groupby AUTO-ROUTES through the dense ordinal
+    // kernel (reference: core/dataframe.py:5858 — categorize makes the
+    // ordinal fast path the DEFAULT; README.md:60's >1e9 rows/s lane).
+    // Multi-key: the facade composes one row-major composite code,
+    // decodes the (domain-bounded) result and casts back to the hash
+    // path's exact schema — so this oracle IS the hash-path oracle
+    // shape. FacadeGroupbySpec asserts the dense kernel actually ran.
+    "q_facade_groupby_dense" -> ((s, dir) => {
+      import scala.collection.immutable.ListMap
+      VxFrame(t(s, dir, "lineitem"))
+        .withVirtualColumn("qty_code", "CAST(l_quantity AS INT) % 4")
+        .categorize("l_linenumber", (0 until 8).map(i => s"line$i"))
+        .categorize("qty_code", Seq("tiny", "small", "med", "large"))
+        .groupby(Seq("l_linenumber", "qty_code"),
+          ListMap("l_quantity" -> "sum", "l_orderkey" -> "max",
+            "l_partkey" -> "min", "l_extendedprice" -> "count",
+            "l_suppkey" -> "mean"),
+          sort = true)
+        .df.select(col("l_linenumber"), col("qty_code"),
+          col("l_quantity_sum").as("sum_qty"),
+          col("l_orderkey_max").as("max_ok"),
+          col("l_partkey_min").as("min_pk"),
+          col("l_extendedprice_count").as("n_price"),
+          round(col("l_suppkey_mean"), 6).as("avg_sk"))
+    }),
+
     // groupby agg-spec normalization incl. file-order first (min_by row_index)
     "q_facade_groupby" -> ((s, dir) => {
       val base = t(s, dir, "orders")
@@ -142,6 +168,15 @@ object FacadeQueries {
          |  CAST(SUM(CAST(FLOOR(POWER(l_quantity, 2) / 3) AS BIGINT)) AS BIGINT) AS sum_zpow,
          |  COUNT(CASE WHEN l_quantity > 25 AND l_discount < 0.05 THEN 1 END) AS n_sel
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_groupby_dense" ->
+      """SELECT l_linenumber, CAST(l_quantity AS INT) % 4 AS qty_code,
+        |  SUM(l_quantity) AS sum_qty,
+        |  MAX(l_orderkey) AS max_ok,
+        |  MIN(l_partkey) AS min_pk,
+        |  COUNT(l_extendedprice) AS n_price,
+        |  ROUND(CAST(SUM(l_suppkey) AS DOUBLE) / COUNT(l_suppkey), 6) AS avg_sk
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_facade_groupby" ->
       """SELECT o_orderpriority, ROUND(MAX(o_totalprice), 2) AS max_price,

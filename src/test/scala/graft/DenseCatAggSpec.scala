@@ -96,6 +96,78 @@ class DenseCatAggSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ facade auto-routing
+
+  private def facadeFrame = {
+    val df = spark.range(50000).select(
+      (col("id") % 7).cast("int").as("k1"),
+      (col("id") % 5).cast("smallint").as("k2"),
+      (col("id") % 97).cast("double").as("x"),
+      (col("id") % 13).cast("bigint").as("y"))
+    VxFrame(df)
+  }
+
+  test("facade groupby auto-routes categorize'd keys through the dense kernel") {
+    val f = facadeFrame
+      .categorize("k1", (0 until 7).map(i => s"a$i"))
+      .categorize("k2", (0 until 5).map(i => s"b$i"))
+    val before = DenseCatAgg.invocations.get()
+    val dense = f.groupby(Seq("k1", "k2"),
+      scala.collection.immutable.ListMap("x" -> "sum", "y" -> "max"),
+      sort = true)
+    assert(DenseCatAgg.invocations.get() == before + 1,
+      "dense kernel did not run")
+    // plan probe: the dense result is a driver-assembled LocalRelation —
+    // no Aggregate/Exchange anywhere in the plan
+    val plan = dense.df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Aggregate"), s"hash aggregate in plan:\n$plan")
+  }
+
+  test("facade dense path matches the hash path bit-exactly, schema included") {
+    import scala.collection.immutable.ListMap
+    val spec = ListMap("x" -> "sum", "y" -> "mean", "k1" -> "count")
+    val plain = facadeFrame // no categorize metadata -> hash path
+    val cat = facadeFrame
+      .categorize("k1", (0 until 7).map(i => s"a$i"))
+      .categorize("k2", (0 until 5).map(i => s"b$i"))
+    val before = DenseCatAgg.invocations.get()
+    val hash = plain.groupby(Seq("k1", "k2"), spec, sort = true).df
+    assert(DenseCatAgg.invocations.get() == before)
+    val dense = cat.groupby(Seq("k1", "k2"), spec, sort = true).df
+    assert(DenseCatAgg.invocations.get() == before + 1)
+    assert(dense.schema == hash.schema,
+      s"schema drift: ${dense.schema} vs ${hash.schema}")
+    assert(dense.collect().toSeq == hash.collect().toSeq)
+  }
+
+  test("facade falls back to hash path on ineligible specs") {
+    val cat = facadeFrame.categorize("k1", (0 until 7).map(i => s"a$i"))
+    val before = DenseCatAgg.invocations.get()
+    // uncategorized second key
+    cat.groupby(Seq("k1", "k2"), Map("x" -> "sum")).df.collect()
+    // unsupported op
+    cat.groupby(Seq("k1"), Map("x" -> "nunique")).df.collect()
+    assert(DenseCatAgg.invocations.get() == before)
+    // sanity: single categorize'd key + supported op DOES route dense
+    val d = cat.groupby(Seq("k1"), Map("x" -> "sum"), sort = true).df
+    assert(DenseCatAgg.invocations.get() == before + 1)
+    val h = facadeFrame.groupby(Seq("k1"), Map("x" -> "sum"), sort = true).df
+    assert(d.collect().toSeq == h.collect().toSeq)
+  }
+
+  test("facade dense path drops null codes (categorize missing semantics)") {
+    val df = spark.range(1000).select(
+      when(col("id") % 10 === 0, lit(null))
+        .otherwise(col("id") % 4).cast("int").as("k"),
+      lit(1.0).as("x"))
+    val cat = VxFrame(df).categorize("k", Seq("a", "b", "c", "d"))
+    val got = cat.groupby(Seq("k"), Map("x" -> "count"), sort = true).df.collect()
+    assert(got.length == 4) // no null-key group
+    val hash = df.where(col("k").isNotNull).groupBy("k")
+      .agg(count(col("x")).as("x_count")).orderBy("k").collect()
+    assert(got.toSeq == hash.toSeq)
+  }
+
   test("wrapping longs and fractional doubles never alias into valid buckets") {
     import spark.implicits._
     // 2^32+3 wraps to 3 under a bare int cast; 3.7 truncates to 3 —
