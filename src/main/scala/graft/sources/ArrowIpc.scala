@@ -49,6 +49,15 @@ object ArrowIpc {
     // list<elem> with the pyarrow child name ("item") so pandas
     // round-trips; elements nullable like Spark's containsNull
     case ArrayType(elem, _) =>
+      // elements restricted to what the list writer in pumpRows can
+      // set — validate HERE (like the struct case below) so an
+      // unsupported element type fails before the writer starts, not
+      // mid-stream with a truncated partial file on disk
+      elem match {
+        case LongType | IntegerType | DoubleType | FloatType | StringType => ()
+        case t => throw new IllegalArgumentException(
+          s"unsupported list element type for arrow export: $t")
+      }
       val child = new Field("item", FieldType.nullable(scalarArrowType(elem)),
         java.util.Collections.emptyList())
       new Field(f.name, FieldType.nullable(new ArrowType.List()),
@@ -307,11 +316,11 @@ object ArrowIpc {
           case (f, ci) if encodings.contains(f.name) =>
             ci -> dictValues(f.name).zipWithIndex.toMap
         }.toMap
-      val out = new java.io.FileOutputStream(path)
+      val out = java.nio.channels.Channels.newChannel(FsIO.create(path))
       val writer = codecOf(compression) match {
-        case Some(codec) => new ArrowFileWriter(root, provider, out.getChannel,
+        case Some(codec) => new ArrowFileWriter(root, provider, out,
           null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
-        case None => new ArrowFileWriter(root, provider, out.getChannel)
+        case None => new ArrowFileWriter(root, provider, out)
       }
       try pump(df, schema, root, writer, batchRows, dictIndex)
       finally {
@@ -327,18 +336,21 @@ object ArrowIpc {
     * partition. The scale path for Arrow output (the single-file
     * [[write]] is inherently one writer); read the directory back
     * with `Readers.open(spark, s"$dir/part-*.arrow")` or openMany.
-    * Empty partitions write no file. Returns the file count. */
+    * Empty partitions write no file. Returns the file count.
+    *
+    * `dir` is a Hadoop FileSystem path (plain local, `file:`, `hdfs:`,
+    * `s3a:`, ...): each executor streams its shard through
+    * `FileSystem.create` against the TARGET filesystem, so on a real
+    * cluster shards land where the path says — there is no
+    * shared-POSIX-mount assumption. */
   def writeSharded(df: DataFrame, dir: String, batchRows: Int = 65536,
                    compression: Option[String] = None): Int = {
     require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
-    val d = new java.io.File(dir)
-    d.mkdirs()
     // clear stale shards: a re-export with FEWER partitions must not
     // leave higher-numbered part files for the glob read to pick up
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".arrow"))
-      .foreach(_.delete())
+    FsIO.mkdirs(dir)
+    FsIO.deleteShards(dir, ".arrow")
     val comp = compression
     val br = batchRows
     val written = df.rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -348,11 +360,12 @@ object ArrowIpc {
         try {
           val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
           val root = VectorSchemaRoot.create(aschema, allocator)
-          val out = new java.io.FileOutputStream(f"$dir/part-$pi%05d.arrow")
+          val out = java.nio.channels.Channels.newChannel(
+            FsIO.create(f"$dir/part-$pi%05d.arrow"))
           val writer = codecOf(comp) match {
-            case Some(codec) => new ArrowFileWriter(root, null, out.getChannel,
+            case Some(codec) => new ArrowFileWriter(root, null, out,
               null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
-            case None => new ArrowFileWriter(root, null, out.getChannel)
+            case None => new ArrowFileWriter(root, null, out)
           }
           try pumpRows(it.asJava, schema, root, writer, br)
           finally { writer.close(); out.close(); root.close() }
@@ -498,9 +511,9 @@ object ArrowIpc {
     // value types — the file reader loads dictionaries on init)
     val (sparkFields, nBatches) = {
       val allocator = new RootAllocator()
-      val in = new java.io.FileInputStream(path)
+      val in = new FsIO.InChannel(path)
       try {
-        val reader = new ArrowFileReader(in.getChannel, allocator,
+        val reader = new ArrowFileReader(in, allocator,
           CommonsCompressionFactory.INSTANCE)
         try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema,
             id => Option(reader.getDictionaryVectors.get(id)).map(
@@ -519,10 +532,10 @@ object ArrowIpc {
         if (idxs.isEmpty) Iterator.empty
         else {
           val allocator = new RootAllocator()
-          val in = new java.io.FileInputStream(path)
+          val in = new FsIO.InChannel(path)
           // compression factory makes LZ4_FRAME/ZSTD record batches
           // (pyarrow >= 4 default feather output) decode per-executor
-          val reader = new ArrowFileReader(in.getChannel, allocator,
+          val reader = new ArrowFileReader(in, allocator,
             CommonsCompressionFactory.INSTANCE)
           try {
             val root = reader.getVectorSchemaRoot
@@ -550,11 +563,11 @@ object ArrowIpc {
     try {
       val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
       val root = VectorSchemaRoot.create(aschema, allocator)
-      val out = new java.io.FileOutputStream(path)
+      val out = java.nio.channels.Channels.newChannel(FsIO.create(path))
       val writer = codecOf(compression) match {
-        case Some(codec) => new ArrowStreamWriter(root, null, out.getChannel,
+        case Some(codec) => new ArrowStreamWriter(root, null, out,
           IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
-        case None => new ArrowStreamWriter(root, null, out.getChannel)
+        case None => new ArrowStreamWriter(root, null, out)
       }
       try pump(df, schema, root, writer, batchRows)
       finally { writer.close(); out.close(); root.close() }
@@ -568,7 +581,7 @@ object ArrowIpc {
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val sparkFields = {
       val allocator = new RootAllocator()
-      val in = new java.io.FileInputStream(path)
+      val in = FsIO.open(path)
       try {
         val reader = new ArrowStreamReader(in, allocator,
           CommonsCompressionFactory.INSTANCE)
@@ -590,7 +603,7 @@ object ArrowIpc {
     val rdd = spark.sparkContext.parallelize(Seq(0), 1)
       .mapPartitions { _ =>
         val allocator = new RootAllocator()
-        val in = new java.io.FileInputStream(path)
+        val in = FsIO.open(path)
         val reader = new ArrowStreamReader(in, allocator,
           CommonsCompressionFactory.INSTANCE)
         try {

@@ -57,8 +57,26 @@ object Export {
       }
     }
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(path), "UTF-8"))
+      FsIO.create(path), "UTF-8"))
     try {
+      // temporal values format explicitly with forced seconds:
+      // LocalDateTime.toString omits ":00" seconds ("2026-01-01T10:00"),
+      // which Spark's default timestamp_ntz CSV parser rejects — the
+      // "schema-given re-read is lossless" contract would break for
+      // any on-the-minute timestamp
+      def fmtTs(t: java.time.LocalDateTime): String = {
+        val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
+          f"T${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+        val micros = t.getNano / 1000
+        if (micros == 0) base else base + f".$micros%06d"
+      }
+      def render(v: Any): String = v match {
+        case t: java.time.LocalDateTime => fmtTs(t)
+        case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
+        case t: java.time.Instant =>
+          fmtTs(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+        case other => String.valueOf(other)
+      }
       def quote(s: String): String =
         if (s.exists(c => c == sep.head || c == '"' || c == '\n' || c == '\r'))
           "\"" + s.replace("\"", "\"\"") + "\""
@@ -68,7 +86,7 @@ object Export {
       while (it.hasNext) {
         val r = it.next()
         w.write((0 until r.length).map { i =>
-          if (r.isNullAt(i)) "" else quote(String.valueOf(r.get(i)))
+          if (r.isNullAt(i)) "" else quote(render(r.get(i)))
         }.mkString(sep))
         w.newLine()
       }
@@ -80,7 +98,7 @@ object Export {
     * nested structs/arrays serialize correctly for free. */
   def toJsonFile(df: DataFrame, path: String): Unit = {
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(path), "UTF-8"))
+      FsIO.create(path), "UTF-8"))
     try {
       val it = df.toJSON.toLocalIterator()
       while (it.hasNext) { w.write(it.next()); w.newLine() }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -91,7 +90,7 @@ object Fits {
 
   /** Parse one header unit starting at `addr`; returns (cards map in
     * order of appearance, address just past the header's last block). */
-  private def readHeader(raf: RandomAccessFile, addr: Long): (Seq[(String, String)], Long) = {
+  private def readHeader(raf: FsIO.In, addr: Long): (Seq[(String, String)], Long) = {
     val cards = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var block = addr
     var done = false
@@ -116,12 +115,12 @@ object Fits {
 
   /** Locate the first BINTABLE extension and describe it. */
   def readTable(path: String): TableMeta = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = new FsIO.In(path)
     try {
       // magic first: a non-FITS file must fail fast and clearly, not
       // after chewing through kilobytes of garbage "header cards"
       val magic = new Array[Byte](6)
-      require(raf.length() >= Block, s"$path: not a FITS file (too short)")
+      require(raf.length >= Block, s"$path: not a FITS file (too short)")
       raf.seek(0); raf.readFully(magic)
       require(new String(magic, "US-ASCII") == "SIMPLE", s"$path: not a FITS file")
       val (primary, afterPrimary) = readHeader(raf, 0L)
@@ -213,7 +212,9 @@ object Fits {
     val colsB = cols.toArray
     val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
       .mapPartitions { it =>
-        val raf = new RandomAccessFile(path, "r")
+        val raf = new FsIO.In(path)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
         it.flatMap { case (start, end) =>
           val count = (end - start).toInt
           val buf = new Array[Byte](count * rowBytes)
@@ -309,10 +310,29 @@ object Fits {
   }
   private def pad(out: java.io.ByteArrayOutputStream): Unit =
     while (out.size() % Block != 0) out.write(' ')
-  private def padZero(raf: RandomAccessFile): Unit = {
-    val rem = (Block - raf.getFilePointer % Block) % Block
-    raf.write(new Array[Byte](rem.toInt))
+  private def padZero(out: FsIO.CountingOut): Unit = {
+    val rem = (Block - out.count % Block) % Block
+    out.write(new Array[Byte](rem.toInt))
   }
+
+  /** Reject unsupported (column type, scale) combinations up front —
+    * shared by BOTH entry points ([[toFits]] and [[toFitsSharded]]):
+    * writeFitsFile hardcodes the uint32 convention for scaled LongType
+    * and physical calibration for float/double; any other combination
+    * would silently write wrong raw values. */
+  private def validateScales(schema: StructType,
+                             scales: Map[String, (Double, Double)]): Unit =
+    scales.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"scales: no such column $c")
+      schema(c).dataType match {
+        case LongType =>
+          require(scales(c) == (1.0, Uint32Zero),
+            s"scales: long column $c supports only the uint32 convention (1, 2^31)")
+        case FloatType | DoubleType => ()
+        case t => throw new IllegalArgumentException(
+          s"scales: unsupported on $t column $c")
+      }
+    }
 
   /** INT null sentinel (TNULLn): most-negative value of the type.
     * KNOWN COLLISION: a genuine data value equal to Int.MinValue /
@@ -338,17 +358,6 @@ object Fits {
   def toFits(df: DataFrame, path: String,
              scales: Map[String, (Double, Double)] = Map.empty): Unit = {
     val schema = df.schema
-    scales.keys.foreach { c =>
-      require(schema.fieldNames.contains(c), s"scales: no such column $c")
-      schema(c).dataType match {
-        case LongType =>
-          require(scales(c) == (1.0, Uint32Zero),
-            s"scales: long column $c supports only the uint32 convention (1, 2^31)")
-        case FloatType | DoubleType => ()
-        case t => throw new IllegalArgumentException(
-          s"scales: unsupported on $t column $c")
-      }
-    }
     import org.apache.spark.sql.functions._
     // widths for string columns + row count in ONE aggregation pass
     val aggs = count(lit(1)).as("__n") +: schema.fields.toSeq.flatMap {
@@ -383,37 +392,59 @@ object Fits {
     * `part-NNNNN.fits` file from its executor (string widths and
     * array lengths resolved per shard). Read back with
     * `Readers.open(s"$dir/part-*.fits")`. Stale shards cleared;
-    * empty partitions skip. Returns the shard count. */
+    * empty partitions skip. Returns the shard count.
+    *
+    * `dir` is a Hadoop FileSystem path (`file:`, `hdfs:`, `s3a:`,
+    * ...): shards stream through `FileSystem.create` against the
+    * target filesystem — no shared-POSIX-mount assumption. Partition
+    * rows make ONE pass into an executor-local spill (bounded heap on
+    * skewed partitions), collecting the geometry FITS needs up front,
+    * then stream from the spill into the shard. */
   def toFitsSharded(df: DataFrame, dir: String,
                     scales: Map[String, (Double, Double)] = Map.empty): Int = {
     val schema = df.schema
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".fits"))
-      .foreach(_.delete())
+    validateScales(schema, scales) // fail on the driver, before any task runs
+    FsIO.mkdirs(dir)
+    FsIO.deleteShards(dir, ".fits")
     val sc = scales
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
+      if (!it.hasNext) Iterator.empty
       else {
-        val widths = schema.fields.collect {
-          case f if f.dataType == StringType =>
-            val fi = schema.fieldIndex(f.name)
-            f.name -> math.max(1, rows.iterator.map(r =>
-              if (r.isNullAt(fi)) 0 else r.getString(fi).getBytes("US-ASCII").length).max)
-        }.toMap
-        val arrayLens = schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType] =>
-            val fi = schema.fieldIndex(f.name)
-            val lens = rows.iterator.collect {
-              case r if !r.isNullAt(fi) => r.getSeq[Any](fi).length }.toSet
+        // bounded memory on skewed partitions: ONE streaming pass into
+        // an executor-local spill (collecting the geometry FITS needs
+        // up front — row count, string widths, array lengths), then a
+        // second pass over the spill streams rows into the shard
+        val stringIdx = schema.fields.zipWithIndex.collect {
+          case (f, fi) if f.dataType == StringType => (f.name, fi) }
+        val arrayIdx = schema.fields.zipWithIndex.collect {
+          case (f, fi) if f.dataType.isInstanceOf[ArrayType] => (f.name, fi) }
+        val maxW = scala.collection.mutable.Map[String, Int]()
+        val lenSets = scala.collection.mutable.Map[String, Set[Int]]()
+        val (spillFile, n) = RowSpill.spill(schema, it.map { r =>
+          stringIdx.foreach { case (nme, fi) =>
+            if (!r.isNullAt(fi)) {
+              val w = r.getString(fi).getBytes("US-ASCII").length
+              if (w > maxW.getOrElse(nme, 0)) maxW(nme) = w
+            }
+          }
+          arrayIdx.foreach { case (nme, fi) =>
+            if (!r.isNullAt(fi))
+              lenSets(nme) = lenSets.getOrElse(nme, Set.empty) + r.getSeq[Any](fi).length
+          }
+          r
+        })
+        try {
+          val widths = stringIdx.map { case (nme, _) =>
+            nme -> math.max(1, maxW.getOrElse(nme, 0)) }.toMap
+          val arrayLens = arrayIdx.map { case (nme, _) =>
+            val lens = lenSets.getOrElse(nme, Set.empty)
             require(lens.size <= 1 && lens.forall(_ >= 1),
-              s"fits export: array column ${f.name} must have one fixed length (saw $lens)")
-            f.name -> lens.headOption.getOrElse(1)
-        }.toMap
-        writeFitsFile(schema, rows.length.toLong, widths, arrayLens,
-          rows.iterator, f"$dir/part-$pi%05d.fits", sc)
+              s"fits export: array column $nme must have one fixed length (saw $lens)")
+            nme -> lens.headOption.getOrElse(1)
+          }.toMap
+          writeFitsFile(schema, n, widths, arrayLens,
+            RowSpill.iterate(schema, spillFile), f"$dir/part-$pi%05d.fits", sc)
+        } finally spillFile.delete()
         Iterator.single(1)
       }
     }.count().toInt
@@ -427,6 +458,7 @@ object Fits {
                             arrayLens: Map[String, Int], it: Iterator[Row],
                             path: String,
                             scales: Map[String, (Double, Double)]): Unit = {
+    validateScales(schema, scales)
     val cols = schema.fields.map { f =>
       val (form, bytes) = f.dataType match {
         case BooleanType => ("1L", 1)
@@ -483,9 +515,8 @@ object Fits {
       }
     }
     put("END".padTo(80, ' ')); pad(hdr)
-    val raf = new RandomAccessFile(path, "rw")
+    val raf = new FsIO.CountingOut(FsIO.create(path))
     try {
-      raf.setLength(0)
       raf.write(hdr.toByteArray)
       val rowBuf = ByteBuffer.allocate(rowBytes).order(ByteOrder.BIG_ENDIAN)
       while (it.hasNext) {

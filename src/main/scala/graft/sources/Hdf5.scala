@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -142,7 +141,7 @@ object Hdf5 {
     * carry a visited-set — a flipped byte yields a clear exception,
     * never an unbounded allocation, scan, or recursion. */
   final class H5File(path: String) extends AutoCloseable {
-    private val raf = new RandomAccessFile(path, "r")
+    private val raf = new FsIO.In(path)
 
     /** Largest single metadata structure we'll ever buffer (64 MB —
       * real headers are KBs; a corrupt length must not OOM). */
@@ -1286,10 +1285,16 @@ object Hdf5 {
     def resolveExternal(fromPath: String, file: String, obj: String,
                         depth: Int): Option[H5Node] = {
       if (depth > 8) return None
-      val tf = new java.io.File(file)
+      val tf = new org.apache.hadoop.fs.Path(file)
       val target = if (tf.isAbsolute) file
-        else new java.io.File(
-          new java.io.File(fromPath).getAbsoluteFile.getParentFile, file).getPath
+        else {
+          // resolve RELATIVE TO THE REFERENCING FILE's directory
+          // (libhdf5's default search), on whatever FileSystem that
+          // file lives on — qualify first so getParent is never empty
+          val (fs, from) = FsIO.resolve(fromPath)
+          new org.apache.hadoop.fs.Path(
+            fs.makeQualified(from).getParent, file).toString
+        }
       try {
         val g = openFile(target)
         g.resolveObjectPathExt(obj).flatMap {
@@ -1461,7 +1466,7 @@ object Hdf5 {
     * index(2) refCount(2) reserved(4) size(8) data (8-aligned) —
     * terminated by the index-0 free-space object or the collection
     * end. Size-capped like every metadata read. */
-  private def readGlobalHeap(raf: RandomAccessFile,
+  private def readGlobalHeap(raf: FsIO.In,
                              addr: Long): Map[Int, Array[Byte]] = {
     val hdr = new Array[Byte](16)
     raf.seek(addr); raf.readFully(hdr)
@@ -1491,7 +1496,7 @@ object Hdf5 {
     out.result()
   }
 
-  private def readRange(raf: RandomAccessFile, st: Storage, elemSize: Int,
+  private def readRange(raf: FsIO.In, st: Storage, elemSize: Int,
                         start: Long, end: Long): ByteBuffer = {
     val outLen = ((end - start) * elemSize).toInt
     st match {
@@ -1592,9 +1597,9 @@ object Hdf5 {
                                         start: Long, end: Long): Array[Array[Any]] = {
     // one handle per distinct backing file — externally-linked columns
     // read straight from their own file (ColumnMeta.file)
-    val rafs = scala.collection.mutable.Map[String, RandomAccessFile]()
-    def rafFor(p: String): RandomAccessFile =
-      rafs.getOrElseUpdate(p, new RandomAccessFile(p, "r"))
+    val rafs = scala.collection.mutable.Map[String, FsIO.In]()
+    def rafFor(p: String): FsIO.In =
+      rafs.getOrElseUpdate(p, new FsIO.In(p))
     try {
       val c = (end - start).toInt
       metas.map { m =>
@@ -1932,24 +1937,38 @@ object Hdf5 {
     * and the per-FILE 2^31-row/matrix-size caps apply per shard, not
     * per table. Read back with `Readers.open(s"$dir/part-*.hdf5")`
     * (glob concat). Stale part files from a previous wider export are
-    * cleared. Returns the shard count (empty partitions skip). */
+    * cleared. Returns the shard count (empty partitions skip).
+    *
+    * `dir` is a Hadoop FileSystem path (`file:`, `hdfs:`, `s3a:`,
+    * ...): shards stream through `FileSystem.create` against the
+    * target filesystem — no shared-POSIX-mount assumption. Partition
+    * rows make ONE pass into an executor-local spill (bounded heap on
+    * skewed partitions) before the columnar write. */
   def toHdf5Sharded(df: DataFrame, dir: String,
                     chunkCfg: Option[(Int, Int, Boolean)] = None): Int = {
     val schema = df.schema
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".hdf5"))
-      .foreach(_.delete())
+    FsIO.mkdirs(dir)
+    FsIO.deleteShards(dir, ".hdf5")
     val cfg = chunkCfg
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
+      if (!it.hasNext) Iterator.empty
       else {
-        writeFile(f"$dir/part-$pi%05d.hdf5",
-          buildCols(schema, rows.length,
-            java.util.Arrays.asList(rows: _*).iterator()),
-          cfg)
+        // HDF5's columnar layout needs the row count before the first
+        // byte — get it from ONE streaming pass into an executor-local
+        // spill instead of buffering the partition's Row objects
+        // on-heap (bounded memory on skewed partitions; the remaining
+        // heap cost is the primitive column buffers, inherent to a
+        // column-ordered file written from row-ordered input)
+        val (spillFile, n) = RowSpill.spill(schema, it)
+        try {
+          require(n < Int.MaxValue,
+            "hdf5 export caps at 2^31 rows per shard — repartition finer")
+          writeFile(f"$dir/part-$pi%05d.hdf5",
+            buildCols(schema, n.toInt,
+              scala.jdk.CollectionConverters.IteratorHasAsJava(
+                RowSpill.iterate(schema, spillFile)).asJava),
+            cfg)
+        } finally spillFile.delete()
         Iterator.single(1)
       }
     }.count().toInt
@@ -3302,10 +3321,7 @@ object Hdf5 {
     require(cursor == metaEnd, "writer layout instability")
 
     // ---- emit ----
-    val raf = new RandomAccessFile(path, "rw")
-    try {
-      raf.setLength(0)
-      val sb = if (latest) {
+    val sb = if (latest) {
         // superblock v3 (48 bytes incl. lookup3 checksum)
         val b = buf(48)
         b.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
@@ -3335,11 +3351,36 @@ object Hdf5 {
         b.putInt(0); b.putInt(0) // cache type + reserved (scratch zeros follow)
         b
       }
-      raf.seek(0); raf.write(sb.array())
-      // data bytes ride the same patch list as metadata (emitDataset
-      // emits both), so one pass writes the whole file
-      patches.foreach { case (addr, bytes) => raf.seek(addr); raf.write(bytes) }
-      raf.setLength(eof)
-    } finally raf.close()
+    // Data bytes ride the same patch list as metadata (emitDataset
+    // emits both) and the two-phase planner allocates every region
+    // exactly once, so the patches are DISJOINT — sorted by address
+    // they stream SEQUENTIALLY (zero-filled gaps from align8 padding)
+    // through FileSystem.create: no random-access writes, so the
+    // writer targets hdfs:/s3a: as readily as local disk.
+    val out = FsIO.create(path)
+    try {
+      out.write(sb.array())
+      var at: Long = sb.array().length.toLong
+      def zeroFill(upTo: Long): Unit = {
+        var gap = upTo - at
+        if (gap > 0) {
+          val z = new Array[Byte](math.min(gap, 1L << 16).toInt)
+          while (gap > 0) {
+            val w = math.min(gap, z.length.toLong).toInt
+            out.write(z, 0, w); gap -= w
+          }
+          at = upTo
+        }
+      }
+      patches.sortInPlaceBy(_._1)
+      patches.foreach { case (addr, bytes) =>
+        require(addr >= at,
+          s"writer emitted overlapping patches (addr=$addr cursor=$at)")
+        zeroFill(addr)
+        out.write(bytes); at += bytes.length
+      }
+      require(at <= eof, s"writer patch past eof ($at > $eof)")
+      zeroFill(eof)
+    } finally out.close()
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -135,6 +136,13 @@ private final class Hdf5PartitionReader(path: String, p: Hdf5RangePartition)
     while (j < vals.length) {
       vals(j) = cols(j)(i) match {
         case s: String => UTF8String.fromString(s)
+        // array columns (matrices, vlen sequences): InternalRow fields
+        // must be ArrayData, not Scala Seq — Catalyst's getArray casts
+        case seq: scala.collection.Seq[_] =>
+          new GenericArrayData(seq.map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }.toArray[Any])
         case v => v
       }
       j += 1
