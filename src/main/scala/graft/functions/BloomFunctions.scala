@@ -304,6 +304,22 @@ object BloomFunctions {
   def buildBloom(df: DataFrame, c: Column, mBits: Int, k: Int): Array[Byte] =
     df.agg(bloomAgg(c, mBits, k).as("b")).head().getAs[Array[Byte]](0)
 
+  /** Driver-LOCAL build from an already-collected key array — for
+    * callers that materialize the key dictionary anyway (e.g. the
+    * bloom-decontamination lane, which also broadcasts the exact
+    * dictionary: collecting once and building locally beats running
+    * sizing-count + aggregate jobs that each recompute the
+    * dictionary). Same bit layout as the distributed build. */
+  def buildBloomLocal(keys: Array[Long], bitsPerKey: Int = 16): Array[Byte] = {
+    val (mBits, k) = sizeFor(keys.length.toLong, bitsPerKey)
+    checkParams(mBits, k)
+    val words = new Array[Long](mBits / 64)
+    val mask = mBits.toLong - 1L
+    var i = 0
+    while (i < keys.length) { setBits(words, mask, k, keys(i)); i += 1 }
+    serializeBloom(k, words)
+  }
+
   /** Size + build over ONE materialization of the key dictionary:
     * persists `df` so the sizing count and the filter build share the
     * computed keys (a distinct-gram dictionary otherwise recomputes

@@ -287,12 +287,12 @@ object ImageCodec {
 
   // ------------------------------------------------------------ JPEG decode
 
-  /** Baseline, progressive (SOF2) AND sequential-arithmetic (SOF9)
-    * files get a REAL pixel decode ([[JpegCodec.decodePixels]], which
-    * dispatches to the Huffman or QM-arithmetic entropy decoder) so
-    * brightness is defined like PNG's; anything else (progressive-
-    * arithmetic, hierarchical, oversized) falls back to the SOFn
-    * header walk for metadata only. */
+  /** Baseline (SOF0/1), progressive (SOF2), arithmetic (SOF9/10,
+    * QM-coder) and lossless (SOF3, Annex H predictive) files get a
+    * REAL pixel decode ([[JpegCodec.decodePixels]]) so brightness is
+    * defined like PNG's; the rest (hierarchical pyramids — a formal
+    * rejection, see decodePixels — and oversized frames) falls back
+    * to the SOFn header walk for metadata only. */
   private def decodeJpeg(b: Array[Byte]): Option[Decoded] =
     JpegCodec.decodePixels(b) match {
       case Some((w, h, brightness)) =>

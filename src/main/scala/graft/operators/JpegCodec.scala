@@ -420,10 +420,21 @@ object JpegCodec {
 
   /** Full pixel decode: baseline-sequential first, then progressive
     * (SOF2), then arithmetic (SOF9 sequential + SOF10 progressive,
-    * [[JpegArith]]). None for hierarchical/undecodable input. */
+    * [[JpegArith]]), then lossless (SOF3, Annex H predictive).
+    *
+    * HIERARCHICAL frames (SOF5-7/13-15, DHP/EXP pyramids) return None
+    * by design — a formal close of the matrix, not an oversight: the
+    * mode is vanishingly rare in the wild (no mainstream encoder
+    * emits it; libjpeg only decodes it via its rarely-built
+    * progressive-hierarchical path), the reference reads such files
+    * only through PIL/libjpeg (packages/vaex-core/vaex/image.py), and
+    * a pyramid decode would drag in differential-frame EXP upsampling
+    * for zero observed corpus value. JpegHierarchicalSpec pins the
+    * rejection. */
   def decodePixels(b: Array[Byte]): Option[(Int, Int, Double)] =
     decodeBaseline(b).orElse(decodeProgressive(b))
       .orElse(JpegArith.decodeSequential(b))
+      .orElse(decodeLossless(b))
 
   // shared low-level pieces for the arithmetic path (same package)
   private[operators] def naturalOf(z: Int): Int = ZigZag(z)
@@ -1282,5 +1293,207 @@ object JpegCodec {
     val block = new Array[Int](64)
     block(0) = 8 * (gray - 128)
     encodeCoefJpeg(width, height, Seq.fill(nBlocks)(block))
+  }
+
+  // --------------------------------------------------- lossless (SOF3) decode
+
+  /** Pt+1 of the T.81 H.1.2.1 prediction table: a = left, b = above,
+    * c = above-left. Selector 0 (no prediction) is only legal in
+    * hierarchical differential frames — rejected here. */
+  private def predictLossless(sel: Int, a: Int, bb: Int, c: Int): Int =
+    sel match {
+      case 1 => a
+      case 2 => bb
+      case 3 => c
+      case 4 => a + bb - c
+      case 5 => a + ((bb - c) >> 1)
+      case 6 => bb + ((a - c) >> 1)
+      case 7 => (a + bb) >> 1
+      case _ => Int.MinValue // caller rejects
+    }
+
+  /** LOSSLESS (SOF3) decode — T.81 Annex H: Huffman-coded prediction
+    * differences over raw samples, no DCT. Each sample decodes as a
+    * DC-style SSSS category (16 = +32768, no extra bits) + EXTENDed
+    * bits added to the neighbor prediction, mod 2^16; the scan-header
+    * Ss field selects the predictor (1-7), Al the point transform.
+    * Components must be 1x1-sampled (the only layout wild lossless
+    * files — DICOM, raw-camera — use); the scan interleaves one
+    * sample per component per MCU. Restart markers reset the
+    * entropy coder and default-predict the following sample
+    * (H.2.2.1). Returns (width, height, mean of component-0 samples
+    * scaled by 2^Pt). Precision 2-16 supported. */
+  def decodeLossless(b: Array[Byte]): Option[(Int, Int, Double)] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    val dcTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0; var precision = 0
+    var restartInterval = 0
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      var mOff = pos + 1
+      while (mOff < b.length - 1 && (b(mOff) & 0xff) == 0xff) mOff += 1
+      val m = b(mOff) & 0xff
+      if (m >= 0xd0 && m <= 0xd9) { pos = mOff + 1 }
+      else {
+        if (mOff + 3 > b.length) return None
+        val segLen = be16(mOff + 1)
+        if (segLen < 2 || mOff + 1 + segLen > b.length) return None
+        val seg = mOff + 3
+        m match {
+          case 0xc4 => // DHT — lossless uses DC-class tables only
+            var p = seg
+            while (p < mOff + 1 + segLen) {
+              val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f; p += 1
+              val counts = (0 until 16).map(i => b(p + i) & 0xff).toArray
+              p += 16
+              val n = counts.sum
+              val values = (0 until n).map(i => b(p + i) & 0xff).toArray
+              p += n
+              if (tc == 0) dcTabs(th) = new Huff(counts, values)
+            }
+          case 0xdd => restartInterval = be16(seg)
+          case 0xc3 => // SOF3: lossless sequential, Huffman
+            precision = b(seg) & 0xff
+            if (precision < 2 || precision > 16) return None
+            h = be16(seg + 1); w = be16(seg + 3)
+            val nc = b(seg + 5) & 0xff
+            comps = (0 until nc).map { i =>
+              val o = seg + 6 + i * 3
+              Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            }.toArray
+            if (comps.exists(c => c.h != 1 || c.v != 1)) return None
+          case 0xc0 | 0xc1 | 0xc2 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb
+               | 0xcd | 0xce | 0xcf =>
+            return None // other frame types: not this decoder's job
+          case 0xda =>
+            if (comps == null || w <= 0 || h <= 0) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None // lossless: one interleaved scan
+            val scanComps = (0 until ns).map { i =>
+              val cid = b(seg + 1 + i * 2) & 0xff
+              val td = (b(seg + 2 + i * 2) & 0xff) >> 4
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              (c, dcTabs(td))
+            }.toArray
+            if (scanComps.exists(_._2 == null)) return None
+            val predictor = b(seg + 1 + ns * 2) & 0xff     // Ss
+            val pt = b(seg + 3 + ns * 2) & 0x0f            // Al
+            if (predictor < 1 || predictor > 7) return None
+            if (pt >= precision) return None
+            return decodeLosslessScan(b, mOff + 1 + segLen,
+              scanComps.map(_._2), w, h, predictor, pt, precision,
+              restartInterval).map(mean => (w, h, mean))
+          case _ => ()
+        }
+        pos = mOff + 1 + segLen
+      }
+    }
+    None
+  } catch { case _: Exception => None }
+
+  private def decodeLosslessScan(b: Array[Byte], scanStart: Int,
+      tabs: Array[Huff], w: Int, h: Int, predictor: Int, pt: Int,
+      precision: Int, restartInterval: Int): Option[Double] = {
+    if (w.toLong * h > (1 << 24)) return None // same cap as progressive
+    val nc = tabs.length
+    val r = new BitReader(b, scanStart)
+    val defaultPred = 1 << (precision - pt - 1)
+    var prev = Array.fill(nc)(new Array[Int](w))
+    var cur = Array.fill(nc)(new Array[Int](w))
+    var sum0 = 0.0
+    var mcu = 0L
+    var atRestart = false
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!r.restart()) return None
+          atRestart = true
+        }
+        var ci = 0
+        while (ci < nc) {
+          val t = decodeHuff(r, tabs(ci))
+          if (t < 0 || t > 16) return None
+          val diff =
+            if (t == 0) 0
+            else if (t == 16) 32768 // SSSS 16: no appended bits (H.2)
+            else { val raw = r.bits(t); if (raw < 0) return None; extend(raw, t) }
+          val px =
+            if (atRestart || (x == 0 && y == 0)) defaultPred
+            else if (y == 0) cur(ci)(x - 1)  // first line: predictor a
+            else if (x == 0) prev(ci)(x)     // first column: predictor b
+            else predictLossless(predictor, cur(ci)(x - 1), prev(ci)(x),
+              prev(ci)(x - 1))
+          val v = (px + diff) & 0xffff       // mod 2^16 (H.2.1)
+          cur(ci)(x) = v
+          if (ci == 0) sum0 += (v << pt).toDouble
+          ci += 1
+        }
+        atRestart = false
+        mcu += 1
+        x += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    Some(sum0 / (w.toLong * h))
+  }
+
+  /** Grayscale LOSSLESS (SOF3) fixture encoder — 8-bit samples, the
+    * standard Annex K DC table, selectable predictor, optional
+    * restart intervals; exact inverse of [[decodeLossless]]'s sample
+    * reconstruction (round-trips bit-exactly: lossless means the
+    * decoded samples ARE the input). */
+  private[graft] def encodeLosslessJpeg(width: Int, height: Int,
+      samples: Array[Int], predictor: Int = 1,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.length == width * height,
+      "bad lossless geometry")
+    require(samples.forall(v => v >= 0 && v <= 255), "8-bit samples only")
+    require(predictor >= 1 && predictor <= 7, "predictor 1-7")
+    val out = new ByteArrayOutputStream()
+    emitMarker(out, 0xd8)
+    emitSeg(out, 0xc3, Array(8, height >> 8, height & 0xff,
+      width >> 8, width & 0xff, 1, 1, 0x11, 0))
+    emitSeg(out, 0xc4, 0x00 +: (StdDcCounts ++ StdDcValues))
+    if (restartInterval > 0)
+      emitSeg(out, 0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    emitSeg(out, 0xda, Array(1, 1, 0x00, predictor, 0, 0)) // Ss=pred, Al=0
+    val bw = new BitWriter(out)
+    def putValue(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v < 0) v + (1 << t) - 1 else v, t)
+    var mcu = 0
+    var atRestart = false
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          emitMarker(out, 0xd0 + ((mcu / restartInterval - 1) % 8))
+          atRestart = true
+        }
+        val px =
+          if (atRestart || (x == 0 && y == 0)) 128
+          else if (y == 0) samples(y * width + x - 1)
+          else if (x == 0) samples((y - 1) * width)
+          else predictLossless(predictor, samples(y * width + x - 1),
+            samples((y - 1) * width + x), samples((y - 1) * width + x - 1))
+        val diff = samples(y * width + x) - px
+        val t = categoryOf(diff)
+        val (dc, dl) = DcCodes(t); bw.put(dc, dl); putValue(diff, t)
+        atRestart = false
+        mcu += 1
+        x += 1
+      }
+      y += 1
+    }
+    bw.flush()
+    emitMarker(out, 0xd9)
+    out.toByteArray
   }
 }

@@ -227,12 +227,13 @@ object Multimodal {
         col(grayCol).cast("int").as("gray"))
       .as[PngSpec]
       .mapPartitions(_.map { s =>
-        // ids rotate through all three JPEG entropy regimes —
-        // id%3==0 PROGRESSIVE (SOF2, DC successive approximation),
-        // id%3==1 baseline Huffman (SOF0), id%3==2 ARITHMETIC (SOF9,
-        // QM-coder, [[JpegArith]]) — each decodes a constant gray
-        // exactly, so one lane pins all three entropy decoders
-        val bytes = (s.doc_id % 3) match {
+        // ids rotate through all FOUR decodable JPEG regimes —
+        // id%4==0 PROGRESSIVE (SOF2, DC successive approximation),
+        // id%4==1 baseline Huffman (SOF0), id%4==2 ARITHMETIC (SOF9,
+        // QM-coder, [[JpegArith]]), id%4==3 LOSSLESS (SOF3, Annex H
+        // predictive) — each decodes a constant gray exactly, so one
+        // oracle lane pins all four entropy decoders
+        val bytes = (s.doc_id % 4) match {
           case 0 =>
             val nBlocks = ((s.width + 7) / 8) * ((s.height + 7) / 8)
             val block = new Array[Int](64)
@@ -240,7 +241,9 @@ object Multimodal {
             JpegCodec.encodeProgressiveJpeg(s.width, s.height,
               Seq.fill(nBlocks)(block))
           case 1 => JpegCodec.encodeGrayJpeg(s.width, s.height, s.gray)
-          case _ => JpegArith.encodeArithGrayJpeg(s.width, s.height, s.gray)
+          case 2 => JpegArith.encodeArithGrayJpeg(s.width, s.height, s.gray)
+          case _ => JpegCodec.encodeLosslessJpeg(s.width, s.height,
+            Array.fill(s.width * s.height)(s.gray))
         }
         MediaRecord(s.doc_id, bytes)
       })

@@ -52,43 +52,87 @@ object PipelineQueries {
     * only bloom survivors explode. False positives are removed by the
     * exact semi-join, so the output is bit-identical to the unfiltered
     * lane and the same DuckDB oracle gates all three lanes. */
-  private def decontaminate(s: SparkSession, dir: String,
+  private[graft] def decontaminate(docs: DataFrame,
                             gramExpr: org.apache.spark.sql.Column,
-                            bloomPrefilter: Boolean = false): DataFrame = {
+                            bloomPrefilter: Boolean = false,
+                            evalMod: Int = 10,
+                            broadcastDict: Boolean = true): DataFrame = {
     import graft.functions.BloomFunctions
-    // PLAN-SHAPE RULE (measured 6-9x on this body at sf0.1): keep the
-    // doc_id filters BELOW the gram projection and explode the gram
-    // EXPRESSION directly. Projecting the gram array first and
-    // exploding the column lets InferFiltersFromGenerate's
-    // `size(g) > 0` predicate substitute the whole higher-order gram
-    // expression (interpreted lambdas — CodegenFallback) into a Filter
-    // that pushes below the repartition Exchange, where ONE scan task
-    // evaluates it serially for every row.
-    val docs = t(s, dir, "documents")
-    val evalDocs = docs.where(col("doc_id") % 10 === 0)
+    // PLAN SHAPE (r8 measured 6-9x, r9 restructure): the doc_id
+    // filters stay BELOW the gram projection, and the scan makes ONE
+    // gram computation per row that serves BOTH the total count and
+    // the explode — via `explode_outer` over the projected array.
+    // Unlike `explode`, explode_outer triggers NO
+    // InferFiltersFromGenerate `size(g) > 0` filter (the r8 hazard:
+    // that predicate substituted the whole higher-order gram
+    // expression — interpreted lambdas, CodegenFallback — into a
+    // Filter below the repartition Exchange, where one scan task
+    // evaluated it serially), and CollapseProject leaves the
+    // non-cheap gram expression aliased, so it computes once.
+    // explode_outer also keeps empty-candidate docs as ONE null-gram
+    // row — with the bloom prefilter on a clean corpus that makes the
+    // per-doc shuffle contribution one row instead of every gram.
+    val evalDocs = docs.where(col("doc_id") % evalMod === 0)
     val evalG = evalDocs.select(explode(gramExpr).as("g")).distinct()
-    val trainDocs = docs.where(col("doc_id") % 10 =!= 0)
+    val trainDocs = docs.where(col("doc_id") % evalMod =!= 0)
     // candidate grams per doc: all of them (exact lanes) or the
-    // bloom-surviving subset (clean docs explode NOTHING downstream)
-    val candExpr = if (bloomPrefilter) {
-      // size m ~ 16 bits/key (~0.05% FP at k=11); one persisted pass
-      // covers the sizing count and the build
-      val bloom = BloomFunctions.buildSizedBloom(evalG, col("g"))
-      BloomFunctions.bloomFilterCandidates(gramExpr, bloom)
-    } else gramExpr
-    val matched = trainDocs.select(col("doc_id"), explode(candExpr).as("g"))
-      .join(evalG, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    trainDocs.select(col("doc_id"), size(gramExpr).cast("long").as("n_grams"))
-      .join(matched, Seq("doc_id"), "left")
-      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+    // bloom-surviving subset (clean docs explode NOTHING downstream).
+    // The bloom lane's premise is a DRIVER-RESIDENT eval dictionary
+    // (that is what broadcasting a bloom over it means) — so collect
+    // the hashed dictionary ONCE (8 bytes/key, ~4x the bloom's own
+    // bytes, bounded by the eval corpus not the train corpus), build
+    // the bloom locally, and broadcast-join the exact verification
+    // from the same collected array: one eval-set job total, zero
+    // recomputation, and the post-bloom explode — ~one row per clean
+    // doc — never shuffles into the join. (With an eval set too big
+    // for the driver there is no bloom broadcast either: use the
+    // shuffle lanes.)
+    // `broadcastDict=false` models the GIANT-dictionary regime (the
+    // bloom's real niche: a dictionary whose bloom fits the driver but
+    // whose exact form is too big to broadcast-join) — the exact
+    // verification then shuffle-joins bloom survivors only.
+    val (candExpr, dict) = if (bloomPrefilter) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val keys = evalG.select(col("g").cast("bigint")).as[Long].collect()
+      val bloom = BloomFunctions.buildBloomLocal(keys)
+      val d = keys.toSeq.toDF("g")
+      (BloomFunctions.bloomFilterCandidates(col("__garr"), bloom),
+        if (broadcastDict) broadcast(d) else d)
+    } else (col("__garr"), evalG)
+    val exploded = trainDocs.select(col("doc_id"), gramExpr.as("__garr"))
+      .select(col("doc_id"), size(col("__garr")).cast("long").as("n_grams"),
+        explode_outer(candExpr).as("g"))
+    // left join against the marked dictionary (multiplicity 1: evalG
+    // is distinct), count hits per doc — one shuffle, no join-back
+    val hit = dict.withColumn("__hit", lit(1))
+    exploded.join(hit, Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("__hit")).as("n_matched"))
       .withColumn("contam_frac",
         when(col("n_grams") > 0,
           round(col("n_matched").cast("double") / col("n_grams"), 6)))
       .withColumn("is_contaminated",
         (col("n_matched") >= 1).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_matched"),
+        col("contam_frac"), col("is_contaminated"))
       .orderBy("doc_id")
   }
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+  private val Rot13 = Alphabet.drop(13) + Alphabet.take(13)
+
+  /** The realistic decontamination corpus shape: a SMALL eval set
+    * (doc_id % 100 = 0 — benchmark suites are tiny next to a training
+    * corpus) and an overwhelmingly clean train side (~0.1%
+    * contamination). Eval docs and the rare truly-contaminated train
+    * docs (doc_id % 999 = 1) keep their text; every other train doc's
+    * letters rotate, making its gram set disjoint from the eval
+    * dictionary. */
+  private[graft] def cleanCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 100 === 0 || col("doc_id") % 999 === 1, col("text"))
+        .otherwise(translate(col("text"), Alphabet, Rot13)).as("text"))
 
   // single line: embedding a multi-line fragment inside a template
   // that itself stripMargin's would eat the leading pipe of a `||`
@@ -153,7 +197,8 @@ object PipelineQueries {
     // the eval dictionary is the small side and AQE broadcast-converts
     // it.
     "q_decontaminate" -> ((s, dir) =>
-      decontaminate(s, dir, TextFunctions.shingles(col("text"), 5))),
+      decontaminate(t(s, dir, "documents"),
+        TextFunctions.shingles(col("text"), 5))),
 
     // Production decontamination lane: identical algebra to
     // q_decontaminate, but the 5-grams are xxhash64'd BEFORE the
@@ -165,7 +210,7 @@ object PipelineQueries {
     // DuckDB oracle gates it.
     "q_decontaminate_fast" -> ((s, dir) => {
       import TextFunctions._
-      decontaminate(s, dir, transform(shingles(col("text"), 5),
+      decontaminate(t(s, dir, "documents"), transform(shingles(col("text"), 5),
         g => portableHash(g, Xx64Hash)))
     }),
 
@@ -178,8 +223,30 @@ object PipelineQueries {
     // ~the true contamination volume (+ the bloom's ~0.05% FP).
     "q_decontaminate_bloom" -> ((s, dir) => {
       import TextFunctions._
-      decontaminate(s, dir, transform(shingles(col("text"), 5),
+      decontaminate(t(s, dir, "documents"), transform(shingles(col("text"), 5),
         g => portableHash(g, Xx64Hash)), bloomPrefilter = true)
+    }),
+
+    // CLEAN-corpus decontamination lanes — the shape the bloom
+    // prefilter is designed for. The dense synthetic corpus (every doc
+    // shares word-soup 5-grams with the eval set) makes the bloom
+    // prune nothing while paying its build, so the dense lanes
+    // under-sell the design; a production corpus is overwhelmingly
+    // clean. Construction: training docs' letters ROT-13'd (gram sets
+    // disjoint from the eval docs') except ~0.1% which keep the
+    // original text — those are the true contamination. Both lanes run
+    // the identical algebra on the identical corpus; the bloom lane's
+    // probe empties ~every doc's candidate array BEFORE the explode,
+    // so the semi-join shuffle carries ~nothing.
+    "q_decontaminate_hash_clean" -> ((s, dir) => {
+      import TextFunctions._
+      decontaminate(cleanCorpus(s, dir), transform(shingles(col("text"), 5),
+        g => portableHash(g, Xx64Hash)), evalMod = 100)
+    }),
+    "q_decontaminate_bloom_clean" -> ((s, dir) => {
+      import TextFunctions._
+      decontaminate(cleanCorpus(s, dir), transform(shingles(col("text"), 5),
+        g => portableHash(g, Xx64Hash)), bloomPrefilter = true, evalMod = 100)
     }),
 
     // Stratified (per-source) deterministic sampling — the source-mix
@@ -391,6 +458,10 @@ object PipelineQueries {
     // output to the string lane — gate all three against the same oracle
     "q_decontaminate_fast" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,
+    // the clean-corpus lanes share ONE oracle too (same algebra over
+    // the rotated corpus; hashed and bloom outputs must be identical)
+    "q_decontaminate_hash_clean" -> decontaminateCleanSql,
+    "q_decontaminate_bloom_clean" -> decontaminateCleanSql,
 
     "q_span_dedup" ->
       """WITH d2 AS (
@@ -480,6 +551,18 @@ object PipelineQueries {
         |  CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin
   )
+
+  /** Same algebra over the [[cleanCorpus]] rotation, 1% eval split. */
+  private lazy val decontaminateCleanSql: String =
+      s"""WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 100 = 0 OR doc_id % 999 = 1 THEN text
+        |       ELSE translate(text, '$Alphabet', '$Rot13') END AS text
+        |  FROM documents),
+        |""".stripMargin +
+      decontaminateSql.replace(
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),",
+        "tk AS (SELECT doc_id, string_split(text, ' ') AS tks FROM base),")
+        .replace("doc_id % 10", "doc_id % 100")
 
   private lazy val decontaminateSql: String =
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tks FROM documents),

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.JpegCodec
+
+/** SOF3 lossless decode (T.81 Annex H) + the formal hierarchical
+  * rejection. Lossless means the decoded samples ARE the encoder's
+  * input, so every fixture checks the mean EXACTLY (no tolerance).
+  * The container's libjpeg (v62 ABI) has no lossless codec to
+  * conformance-pin against, so independence comes from golden byte
+  * pinning of the encoder output + hand-decoded micro-fixtures. */
+class JpegLosslessSpec extends AnyFunSuite {
+
+  /** Deterministic pseudo-random 8-bit samples. */
+  private def noise(n: Int, seed: Long): Array[Int] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toInt
+    }
+  }
+
+  private def meanOf(xs: Array[Int]): Double =
+    xs.map(_.toDouble).sum / xs.length
+
+  test("round-trips exactly under every predictor 1-7") {
+    val w = 23; val h = 17
+    val samples = noise(w * h, 42L)
+    for (pred <- 1 to 7) {
+      val bytes = JpegCodec.encodeLosslessJpeg(w, h, samples, predictor = pred)
+      val got = JpegCodec.decodeLossless(bytes)
+      assert(got.isDefined, s"predictor $pred failed to decode")
+      val (gw, gh, mean) = got.get
+      assert(gw == w && gh == h, s"predictor $pred geometry")
+      assert(mean == meanOf(samples), s"predictor $pred mean drift")
+    }
+  }
+
+  test("gradient image (correlated samples, small diffs) round-trips") {
+    val w = 64; val h = 48
+    val samples = Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1) + i / w) % 256)
+    val bytes = JpegCodec.encodeLosslessJpeg(w, h, samples, predictor = 4)
+    assert(JpegCodec.decodeLossless(bytes).map(_._3).contains(meanOf(samples)))
+    // correlated data should compress: the file is smaller than raw
+    assert(bytes.length < w * h)
+  }
+
+  test("restart intervals reset prediction on both sides") {
+    val w = 16; val h = 16
+    val samples = noise(w * h, 7L)
+    val bytes = JpegCodec.encodeLosslessJpeg(w, h, samples, predictor = 1,
+      restartInterval = 37) // mid-row restarts
+    assert(JpegCodec.decodeLossless(bytes).map(_._3).contains(meanOf(samples)))
+  }
+
+  test("decodePixels dispatches SOF3 files") {
+    val w = 9; val h = 5
+    val samples = Array.fill(w * h)(200)
+    val bytes = JpegCodec.encodeLosslessJpeg(w, h, samples)
+    assert(JpegCodec.decodePixels(bytes).contains((w, h, 200.0)))
+  }
+
+  test("hand-decoded micro-fixture: constant row, predictor 1") {
+    // 4x1 image, samples 100,100,100,100: first sample default-predicts
+    // 128 (diff -28, SSSS 5), the rest predict left (diff 0, SSSS 0)
+    val bytes = JpegCodec.encodeLosslessJpeg(4, 1, Array(100, 100, 100, 100))
+    assert(JpegCodec.decodeLossless(bytes).contains((4, 1, 100.0)))
+  }
+
+  test("golden bytes: the encoder output is pinned") {
+    // any encoder change that silently alters the bitstream (and so
+    // what the decoder is being tested against) must fail loudly
+    val bytes = JpegCodec.encodeLosslessJpeg(8, 2,
+      Array(0, 255, 1, 254, 2, 253, 3, 252, 10, 20, 30, 40, 50, 60, 70, 80),
+      predictor = 2)
+    val hex = bytes.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex == GoldenHex, hex)
+  }
+
+  private val GoldenHex =
+    "ffd8ffc3000b080002000801011100ffc4001f00000105010101010101000000" +
+    "00000000000102030405060708090a0bffda0008010100020000f9ff00efff00" +
+    "807efdf80fefbf817ef9b5f0a6efc53d87c7de87f29fffd9"
+
+  test("16-bit-precision headers and SSSS 16 path don't crash the walk") {
+    // hand-built SOF3 with precision 12 and a truncated scan: decoder
+    // must return None cleanly, never throw
+    val bad = Array(0xff, 0xd8, 0xff, 0xc3, 0x00, 0x0b, 12, 0, 1, 0, 1,
+      1, 1, 0x11, 0, 0xff, 0xd9).map(_.toByte)
+    assert(JpegCodec.decodeLossless(bad).isEmpty)
+  }
+
+  test("hierarchical frames (SOF5-7/13-15) are rejected by every decoder") {
+    // minimal hierarchical-sequential file head: SOI + DHP + SOF5
+    def frame(sof: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def seg(m: Int, payload: Array[Int]): Unit = {
+        out.write(0xff); out.write(m)
+        val len = payload.length + 2
+        out.write(len >> 8); out.write(len & 0xff); payload.foreach(out.write)
+      }
+      out.write(0xff); out.write(0xd8) // SOI
+      seg(0xde, Array(8, 0, 16, 0, 16, 1, 1, 0x11, 0)) // DHP
+      seg(sof, Array(8, 0, 16, 0, 16, 1, 1, 0x11, 0))  // hierarchical SOFn
+      seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+    for (sof <- Seq(0xc5, 0xc6, 0xc7, 0xcd, 0xce, 0xcf)) {
+      assert(JpegCodec.decodePixels(frame(sof)).isEmpty, f"SOF $sof%02x")
+      assert(JpegCodec.decodeLossless(frame(sof)).isEmpty, f"SOF $sof%02x")
+    }
+  }
+}
