@@ -319,6 +319,18 @@ object Bench {
         gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
             floor(col("y") / 10).cast("int").as("by"))
           .agg(count(lit(1)), sum("x"))),
+      // the engine's actual binby path since r9: VxFrame.binby lowers
+      // simple aggregates to DenseCatAgg over the composite bin
+      // ordinal (the reference's binner_ordinal.cpp design). The
+      // binby() call runs the whole thing incl. the driver-side dense
+      // tensor assembly; the empty frame below only feeds the
+      // harness's noop sink.
+      "binby_dense" -> (() => {
+        graft.VxFrame(gen).binby(
+          Seq(("x", 0.0, 1000.0, 100), ("y", 0.0, 1000.0, 100)),
+          sum(col("x")))
+        spark.range(0).toDF()
+      }),
       "join" -> (() =>
         genJ.join(broadcast(dim), "k2")
           .groupBy("k").agg(sum("w"), count(lit(1))))))
@@ -348,7 +360,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
     val timeline = s""""timeline_sec":{"warmup":${j(warmupDone)},"headline":${j(headlineDone)},"scale_write":${j(scaleWritten)},"scale":${j(scaleDone)},"skew":${j(skewDone)},"pipeline":${j(pipeDone)},"end":${j(mark())}}"""
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"pipe_reps_sec":$pipeRepsJson,"total_10x":${j(total10x)},"gen_only_rows_per_sec":${rate(genN, "gen_only")},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"groupby_cat_hash_rows_per_sec":${rate(genN, "groupby_cat_hash")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"join_gen_rows_per_sec":${rate(genN, "join")},$timeline}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"pipe_reps_sec":$pipeRepsJson,"total_10x":${j(total10x)},"gen_only_rows_per_sec":${rate(genN, "gen_only")},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"groupby_cat_hash_rows_per_sec":${rate(genN, "groupby_cat_hash")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"binby_dense_rows_per_sec":${rate(genN, "binby_dense")},"join_gen_rows_per_sec":${rate(genN, "join")},$timeline}""")
     spark.stop()
   }
 }

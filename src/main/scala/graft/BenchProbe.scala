@@ -72,6 +72,14 @@ object BenchProbe {
         gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
             floor(col("y") / 10).cast("int").as("by"))
           .agg(count(lit(1)), sum("x"))),
+      // VxFrame.binby's r9 dense lowering (composite bin ordinal
+      // through DenseCatAgg), end-to-end incl. grid assembly
+      "binby_dense" -> (() => {
+        graft.VxFrame(gen).binby(
+          Seq(("x", 0.0, 1000.0, 100), ("y", 0.0, 1000.0, 100)),
+          sum(col("x")))
+        spark.range(0).toDF()
+      }),
       "join" -> (() =>
         genJ.join(broadcast(dim), "k2")
           .groupBy("k").agg(sum("w"), count(lit(1)))))

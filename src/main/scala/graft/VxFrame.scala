@@ -1034,17 +1034,69 @@ final case class VxFrame(
       val c = parse(e)
       c >= lit(vmin) && c < lit(vmax)
     }.reduce(_ && _)
-    val binned = df.where(inRange)
-      .groupBy(keys: _*)
-      .agg(agg.cast("double").as("__v"))
-      .collect()
     val shapes = specs.map(_._4)
-    val out = new Array[Double](shapes.product)
-    binned.foreach { r =>
-      val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }
-      out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
+    denseGrid(keys, shapes, agg, Some(inRange)).getOrElse {
+      val binned = df.where(inRange)
+        .groupBy(keys: _*)
+        .agg(agg.cast("double").as("__v"))
+        .collect()
+      val out = new Array[Double](shapes.product)
+      binned.foreach { r =>
+        val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }
+        out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
+      }
+      out
     }
-    out
+  }
+
+  /** Recognize a simple single-child aggregate Column —
+    * sum/count/mean/min/max — as (value column, op). Anything else
+    * (distinct, filtered, composite expressions like covariance)
+    * stays on the hash path. */
+  private def simpleAggOf(agg: Column): Option[(Column, String)] =
+    org.apache.spark.sql.graftbridge.Bridge.simpleAgg(agg)
+
+  /** The reference's binby IS its ordinal kernel (src/binner_ordinal
+    * .cpp:9 — bin indices are computed per row, then a flat per-thread
+    * grid accumulates): when the aggregate is simple and the grid fits
+    * the dense domain cap, lower the N-d grid to ONE
+    * [[graft.operators.DenseCatAgg]] pass over the composite row-major
+    * bin ordinal — no hash probe, no shuffle, grid merge by
+    * treeReduce. The result is assembled exactly like the hash path
+    * (empty cells 0.0, values as double), so callers cannot observe
+    * which path ran; None falls back to hash groupBy. */
+  private def denseGrid(bins: Seq[Column], shapes: Seq[Int], agg: Column,
+                        filter: Option[Column]): Option[Array[Double]] = {
+    import graft.operators.DenseCatAgg
+    import org.apache.spark.sql.types.NumericType
+    val cells = shapes.map(_.toLong).product
+    if (cells > DenseCatAgg.MaxDomain) return None
+    simpleAggOf(agg).flatMap { case (vcol, op) =>
+      val numeric =
+        try df.select(vcol).schema.head.dataType.isInstanceOf[NumericType]
+        catch { case _: Exception => return None } // unresolvable child
+      if (op != "count" && !numeric) return None
+      // count must see null-ness, not a lossy numeric cast (a string
+      // column would cast to null and under-count)
+      val value =
+        if (op == "count") when(vcol.isNotNull, lit(1.0)) else vcol.cast("double")
+      val strides = shapes.scanRight(1L)(_ * _).tail
+      val code = bins.zip(strides)
+        .map { case (b, s) => b.cast("bigint") * lit(s) }.reduce(_ + _)
+      val base = filter.fold(df)(df.where)
+      val rows = DenseCatAgg.groupByOrdinal(base, code, cells.toInt,
+        Seq(DenseCatAgg.Agg(value, op, "v")), codeAs = "code").collect()
+      val out = new Array[Double](cells.toInt)
+      rows.foreach { r =>
+        out(r.getInt(0)) =
+          if (r.isNullAt(1)) 0.0
+          else r.get(1) match {
+            case l: java.lang.Long => l.toDouble
+            case d: java.lang.Double => d.doubleValue()
+          }
+      }
+      Some(out)
+    }
   }
 
   /** binby with coordinate labels — the reference returns an xarray
@@ -1086,14 +1138,16 @@ final case class VxFrame(
             .otherwise(least(floor((c - lit(vmin)) / lit(width)), lit(shape - 1)))))
         .cast("int").as(s"__bin$i")
     }
-    val binned = df.groupBy(keys: _*).agg(agg.cast("double").as("__v")).collect()
     val shapes = specs.map(_._4 + 3)
-    val out = new Array[Double](shapes.product)
-    binned.foreach { r =>
-      val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }
-      out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
+    denseGrid(keys, shapes, agg, None).getOrElse {
+      val binned = df.groupBy(keys: _*).agg(agg.cast("double").as("__v")).collect()
+      val out = new Array[Double](shapes.product)
+      binned.foreach { r =>
+        val idx = specs.indices.foldLeft(0) { (acc, i) => acc * shapes(i) + r.getInt(i) }
+        out(idx) = if (r.isNullAt(specs.size)) 0.0 else r.getDouble(specs.size)
+      }
+      out
     }
-    out
   }
 
   /** Dense-array variant of [[binby]] — executes through the

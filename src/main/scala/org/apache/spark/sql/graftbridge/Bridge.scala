@@ -12,4 +12,32 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Pre-analysis simple-aggregate recognizer over the Spark-4
+    * ColumnNode shape (`Column.node` and the node classes are
+    * `private[sql]`, hence this lives in the bridge): a Column built
+    * by `functions.sum/count/avg/min/max(arg)` — optionally aliased,
+    * not distinct — yields Some((arg, op)); anything else None. Lets
+    * engine code (VxFrame's dense binby lowering) decide on a fast
+    * path without forcing analysis. */
+  def simpleAgg(c: Column): Option[(Column, String)] = {
+    import org.apache.spark.sql.internal.{Alias, UnresolvedFunction}
+    val node = c.node match {
+      case a: Alias => a.child
+      case other => other
+    }
+    node match {
+      case u: UnresolvedFunction if !u.isDistinct && u.arguments.length == 1 =>
+        val arg = Column(u.arguments.head)
+        u.functionName.toLowerCase match {
+          case "sum" => Some((arg, "sum"))
+          case "count" => Some((arg, "count"))
+          case "avg" | "mean" | "average" => Some((arg, "mean"))
+          case "min" => Some((arg, "min"))
+          case "max" => Some((arg, "max"))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }

@@ -168,6 +168,55 @@ class DenseCatAggSpec extends SparkSpec {
     assert(got.toSeq == hash.toSeq)
   }
 
+  test("binby lowers to the dense grid kernel and matches the hash path") {
+    val df = spark.range(40000).select(
+      (col("id") % 173).cast("double").as("x"),
+      ((col("id") * 7) % 211).cast("double").as("y"),
+      when(col("id") % 9 === 0, lit(null))
+        .otherwise((col("id") % 41).cast("double")).as("v"))
+    val f = VxFrame(df)
+    val specs = Seq(("x", 0.0, 173.0, 16), ("y", 0.0, 211.0, 12))
+    val before = DenseCatAgg.invocations.get()
+    val dense = f.binby(specs, sum(col("v")))
+    assert(DenseCatAgg.invocations.get() == before + 1, "dense grid did not run")
+    // composite covariance has no dense lowering -> hash path
+    val hashOnly = f.binby(specs, covar_pop(col("v"), col("x")))
+    assert(DenseCatAgg.invocations.get() == before + 1)
+    assert(hashOnly.length == 16 * 12)
+    // parity vs the hash groupBy ground truth for every simple agg
+    for (a <- Seq(sum(col("v")), count(col("v")), count(lit(1)),
+        avg(col("v")), min(col("v")), max(col("v")))) {
+      val d = f.binby(specs, a)
+      val h = {
+        // recompute via plain groupBy (the pre-r9 path)
+        val keys = Seq(
+          least(floor(col("x") / lit(173.0 / 16)).cast("int"), lit(15)).as("b0"),
+          least(floor(col("y") / lit(211.0 / 12)).cast("int"), lit(11)).as("b1"))
+        val rows = df.groupBy(keys: _*).agg(a.cast("double").as("v")).collect()
+        val out = new Array[Double](16 * 12)
+        rows.foreach(r => out(r.getInt(0) * 12 + r.getInt(1)) =
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+        out
+      }
+      assert(d.toSeq == h.toSeq, a.toString)
+    }
+  }
+
+  test("binbyEdges lowers dense and keeps the null/nan/outside slots") {
+    val df = spark.range(3000).select(
+      when(col("id") % 10 === 0, lit(null))
+        .when(col("id") % 11 === 0, lit(Double.NaN))
+        .when(col("id") % 13 === 0, lit(-5.0)) // outside
+        .otherwise((col("id") % 8).cast("double")).as("x"))
+    val f = VxFrame(df)
+    val before = DenseCatAgg.invocations.get()
+    val grid = f.binbyEdges(Seq(("x", 0.0, 8.0, 8)), count(lit(1)))
+    assert(DenseCatAgg.invocations.get() == before + 1)
+    assert(grid.length == 11)
+    assert(grid.sum == 3000.0, "edge grid must account for every row")
+    assert(grid(8) > 0 && grid(9) > 0 && grid(10) > 0) // outside/null/nan hit
+  }
+
   test("wrapping longs and fractional doubles never alias into valid buckets") {
     import spark.implicits._
     // 2^32+3 wraps to 3 under a bare int cast; 3.7 truncates to 3 —
