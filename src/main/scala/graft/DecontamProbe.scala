@@ -62,8 +62,10 @@ object DecontamProbe {
       Thread.sleep(500)
       listener.bytes.get() - before
     }
-    val out = Seq("1x" -> sfDir, "10x" -> scaleDir).map { case (tag, dir) =>
-      val h = lane(hash, dir); val b = lane(bloom, dir)
+    // one measurement protocol for every section: warmup + shuffle
+    // bytes per lane (the second warmup run is the measured one), then
+    // `pairs` interleaved timed pairs, min per lane
+    def measurePair(tag: String, h: () => Unit, b: () => Unit): String = {
       val hBytes = shuffleBytesOf(h) // doubles as warmup (JIT/codegen)
       val bBytes = shuffleBytesOf(b)
       val hs = new Array[Double](pairs); val bs = new Array[Double](pairs)
@@ -71,6 +73,9 @@ object DecontamProbe {
       while (i < pairs) { hs(i) = time(h); bs(i) = time(b); i += 1 }
       val fmt = (xs: Array[Double]) => xs.map(x => f"$x%.3f").mkString(",")
       s""""$tag":{"hash_best":${f"${hs.min}%.3f"},"bloom_best":${f"${bs.min}%.3f"},"hash_shuffle_bytes":$hBytes,"bloom_shuffle_bytes":$bBytes,"hash_reps":[${fmt(hs)}],"bloom_reps":[${fmt(bs)}]}"""
+    }
+    val out = Seq("1x" -> sfDir, "10x" -> scaleDir).map { case (tag, dir) =>
+      measurePair(tag, lane(hash, dir), lane(bloom, dir))
     }.mkString(",")
 
     // ---- giant-dictionary regime: broadcast disabled, the exact
@@ -89,18 +94,12 @@ object DecontamProbe {
       val grams = org.apache.spark.sql.functions.transform(
         shingles(org.apache.spark.sql.functions.col("text"), 5),
         g => portableHash(g, Xx64Hash))
-      val h = () => PQ.decontaminate(docs(), grams, evalMod = 100)
-        .write.format("noop").mode("overwrite").save()
-      val b = () => PQ.decontaminate(docs(), grams, bloomPrefilter = true,
-        evalMod = 100, broadcastDict = false)
-        .write.format("noop").mode("overwrite").save()
-      val hBytes = shuffleBytesOf(h)
-      val bBytes = shuffleBytesOf(b)
-      val hs = new Array[Double](pairs); val bs = new Array[Double](pairs)
-      var i = 0
-      while (i < pairs) { hs(i) = time(h); bs(i) = time(b); i += 1 }
-      val fmt = (xs: Array[Double]) => xs.map(x => f"$x%.3f").mkString(",")
-      s""""bigdict_10x":{"hash_best":${f"${hs.min}%.3f"},"bloom_best":${f"${bs.min}%.3f"},"hash_shuffle_bytes":$hBytes,"bloom_shuffle_bytes":$bBytes,"hash_reps":[${fmt(hs)}],"bloom_reps":[${fmt(bs)}]}"""
+      measurePair("bigdict_10x",
+        () => PQ.decontaminate(docs(), grams, evalMod = 100)
+          .write.format("noop").mode("overwrite").save(),
+        () => PQ.decontaminate(docs(), grams, bloomPrefilter = true,
+          evalMod = 100, broadcastDict = false)
+          .write.format("noop").mode("overwrite").save())
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     println(s"""{"probe":"decontam_clean_ab","cpus":$cpus,"pairs":$pairs,$out,$bigOut}""")

@@ -955,7 +955,8 @@ final case class VxFrame(
     if (!keyTypes.forall(integral)) return None
     val aggSeq = agg.toSeq
     val valTypes = df.select(aggSeq.map(a => parse(a._1)): _*).schema.map(_.dataType)
-    if (!valTypes.forall(t => integral(t) || t == FloatType || t == DoubleType)) return None
+    if (!aggSeq.zip(valTypes).forall { case ((_, op), t) =>
+      denseValueEligible(op, t) }) return None
 
     // the hash path's exact output schema (resolved lazily — no job)
     val aggCols = hashAggColumns(agg)
@@ -1056,6 +1057,32 @@ final case class VxFrame(
   private def simpleAggOf(agg: Column): Option[(Column, String)] =
     org.apache.spark.sql.graftbridge.Bridge.simpleAgg(agg)
 
+  /** Can the dense kernel's float64 accumulators reproduce the hash
+    * path EXACTLY for this (op, value type)? count needs only null
+    * flags; mean matches because Spark's own Average sums in double
+    * for every non-decimal type; min/max are exact iff every value is
+    * exactly double-representable — true for byte/short/int/float,
+    * NOT for long (a ~9e18 id would come back rounded to a multiple
+    * of 1024); sum must match the hash path's exact integral
+    * accumulator, so only float/double (where the hash path also
+    * reassociates double addition) qualify. */
+  private def denseValueEligible(op: String,
+      t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    op match {
+      case "count" => true
+      case "mean" => t match {
+        case _: NumericType => !t.isInstanceOf[DecimalType]
+        case _ => false
+      }
+      case "sum" => t == FloatType || t == DoubleType
+      case "min" | "max" =>
+        t == ByteType || t == ShortType || t == IntegerType ||
+          t == FloatType || t == DoubleType
+      case _ => false
+    }
+  }
+
   /** The reference's binby IS its ordinal kernel (src/binner_ordinal
     * .cpp:9 — bin indices are computed per row, then a flat per-thread
     * grid accumulates): when the aggregate is simple and the grid fits
@@ -1068,14 +1095,13 @@ final case class VxFrame(
   private def denseGrid(bins: Seq[Column], shapes: Seq[Int], agg: Column,
                         filter: Option[Column]): Option[Array[Double]] = {
     import graft.operators.DenseCatAgg
-    import org.apache.spark.sql.types.NumericType
     val cells = shapes.map(_.toLong).product
     if (cells > DenseCatAgg.MaxDomain) return None
     simpleAggOf(agg).flatMap { case (vcol, op) =>
-      val numeric =
-        try df.select(vcol).schema.head.dataType.isInstanceOf[NumericType]
+      val eligible =
+        try denseValueEligible(op, df.select(vcol).schema.head.dataType)
         catch { case _: Exception => return None } // unresolvable child
-      if (op != "count" && !numeric) return None
+      if (!eligible) return None
       // count must see null-ness, not a lossy numeric cast (a string
       // column would cast to null and under-count)
       val value =

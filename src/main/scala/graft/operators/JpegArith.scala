@@ -596,6 +596,7 @@ object JpegArith {
           case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
                0xcd | 0xce | 0xcf =>
             return None // not an arithmetic DCT frame
+          case 0xde => return None // DHP: hierarchical pyramid
           case 0xda =>
             if (!sofSeen || comps == null || w <= 0 || h <= 0) return None
             val ns = b(seg) & 0xff

@@ -262,6 +262,7 @@ object JpegCodec {
             }.toArray
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // progressive/hierarchical/arithmetic: not baseline
+          case 0xde => return None // DHP: hierarchical pyramid
           case 0xda => // SOS: entropy-coded scan follows
             if (comps == null || w <= 0 || h <= 0) return None
             val ns = b(seg) & 0xff
@@ -654,6 +655,7 @@ object JpegCodec {
               .map(i => new Array[Int](cgW(i) * cgH(i) * 64)).toArray
           case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
             return None // sequential (baseline path's job), hierarchical, arithmetic
+          case 0xde => return None // DHP: hierarchical pyramid
           case 0xda =>
             if (comps == null || coefPlanes == null) return None
             val ns = b(seg) & 0xff
@@ -1368,6 +1370,11 @@ object JpegCodec {
           case 0xc0 | 0xc1 | 0xc2 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb
                | 0xcd | 0xce | 0xcf =>
             return None // other frame types: not this decoder's job
+          case 0xde =>
+            // DHP: a hierarchical pyramid whose first frame is SOF3
+            // must NOT decode as a standalone image — the first frame
+            // is downsampled; the true geometry lives in the DHP
+            return None
           case 0xda =>
             if (comps == null || w <= 0 || h <= 0) return None
             val ns = b(seg) & 0xff

@@ -104,14 +104,14 @@ object FacadeQueries {
         .categorize("l_linenumber", (0 until 8).map(i => s"line$i"))
         .categorize("qty_code", Seq("tiny", "small", "med", "large"))
         .groupby(Seq("l_linenumber", "qty_code"),
-          ListMap("l_quantity" -> "sum", "l_orderkey" -> "max",
-            "l_partkey" -> "min", "l_extendedprice" -> "count",
+          ListMap("l_quantity" -> "sum", "l_discount" -> "max",
+            "l_tax" -> "min", "l_extendedprice" -> "count",
             "l_suppkey" -> "mean"),
           sort = true)
         .df.select(col("l_linenumber"), col("qty_code"),
           col("l_quantity_sum").as("sum_qty"),
-          col("l_orderkey_max").as("max_ok"),
-          col("l_partkey_min").as("min_pk"),
+          col("l_discount_max").as("max_disc"),
+          col("l_tax_min").as("min_tax"),
           col("l_extendedprice_count").as("n_price"),
           round(col("l_suppkey_mean"), 6).as("avg_sk"))
     }),
@@ -172,8 +172,8 @@ object FacadeQueries {
     "q_facade_groupby_dense" ->
       """SELECT l_linenumber, CAST(l_quantity AS INT) % 4 AS qty_code,
         |  SUM(l_quantity) AS sum_qty,
-        |  MAX(l_orderkey) AS max_ok,
-        |  MIN(l_partkey) AS min_pk,
+        |  MAX(l_discount) AS max_disc,
+        |  MIN(l_tax) AS min_tax,
         |  COUNT(l_extendedprice) AS n_price,
         |  ROUND(CAST(SUM(l_suppkey) AS DOUBLE) / COUNT(l_suppkey), 6) AS avg_sk
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -77,28 +77,31 @@ object PipelineQueries {
     val trainDocs = docs.where(col("doc_id") % evalMod =!= 0)
     // candidate grams per doc: all of them (exact lanes) or the
     // bloom-surviving subset (clean docs explode NOTHING downstream).
-    // The bloom lane's premise is a DRIVER-RESIDENT eval dictionary
-    // (that is what broadcasting a bloom over it means) — so collect
-    // the hashed dictionary ONCE (8 bytes/key, ~4x the bloom's own
-    // bytes, bounded by the eval corpus not the train corpus), build
-    // the bloom locally, and broadcast-join the exact verification
-    // from the same collected array: one eval-set job total, zero
-    // recomputation, and the post-bloom explode — ~one row per clean
-    // doc — never shuffles into the join. (With an eval set too big
-    // for the driver there is no bloom broadcast either: use the
-    // shuffle lanes.)
-    // `broadcastDict=false` models the GIANT-dictionary regime (the
-    // bloom's real niche: a dictionary whose bloom fits the driver but
-    // whose exact form is too big to broadcast-join) — the exact
-    // verification then shuffle-joins bloom survivors only.
-    val (candExpr, dict) = if (bloomPrefilter) {
+    // Default bloom regime (broadcastDict=true): the dictionary is
+    // driver-size (that is what broadcasting a bloom over it means),
+    // so collect the hashed keys ONCE (8 bytes/key, ~4x the bloom's
+    // own bytes, bounded by the eval corpus not the train corpus),
+    // build the bloom locally, and broadcast-join the exact
+    // verification from the same collected array: one eval-set job
+    // total, zero recomputation, and the post-bloom explode — ~one
+    // row per clean doc — never shuffles into the join.
+    // `broadcastDict=false` is the GIANT-dictionary regime (the
+    // bloom's real niche: a dictionary whose BLOOM fits the driver —
+    // 4-16x smaller than the exact keys — but whose exact form is too
+    // big to collect or broadcast-join): the bloom builds with the
+    // DISTRIBUTED aggregate (word-wise-OR merge, no key shuffle,
+    // nothing driver-resident but the filter bytes) and the exact
+    // verification shuffle-joins bloom survivors only.
+    val (candExpr, dict) = if (bloomPrefilter && broadcastDict) {
       val spark = docs.sparkSession
       import spark.implicits._
       val keys = evalG.select(col("g").cast("bigint")).as[Long].collect()
       val bloom = BloomFunctions.buildBloomLocal(keys)
-      val d = keys.toSeq.toDF("g")
       (BloomFunctions.bloomFilterCandidates(col("__garr"), bloom),
-        if (broadcastDict) broadcast(d) else d)
+        broadcast(keys.toSeq.toDF("g")))
+    } else if (bloomPrefilter) {
+      val bloom = BloomFunctions.buildSizedBloom(evalG, col("g"))
+      (BloomFunctions.bloomFilterCandidates(col("__garr"), bloom), evalG)
     } else (col("__garr"), evalG)
     val exploded = trainDocs.select(col("doc_id"), gramExpr.as("__garr"))
       .select(col("doc_id"), size(col("__garr")).cast("long").as("n_grams"),

@@ -70,11 +70,14 @@ object Export {
         val micros = t.getNano / 1000
         if (micros == 0) base else base + f".$micros%06d"
       }
+      // only LocalDateTime (timestamp_ntz) needs help: its toString
+      // drops ":00" seconds. Instant.toString is full ISO-8601 with
+      // the Z marker and java.sql.Timestamp.toString always carries
+      // seconds — both already re-parse exactly; reformatting the
+      // Instant as zone-less wall time would SHIFT values by the
+      // session offset on re-read.
       def render(v: Any): String = v match {
         case t: java.time.LocalDateTime => fmtTs(t)
-        case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
-        case t: java.time.Instant =>
-          fmtTs(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
         case other => String.valueOf(other)
       }
       def quote(s: String): String =

@@ -26,15 +26,26 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, LocalFileSystem, Pat
   */
 private[graft] object FsIO {
 
+  /** Built once per JVM when no active session exists (remote
+    * executors): Configuration construction parses the classpath XML
+    * resources — tens of ms — and interchange scans open a handle per
+    * (partition, backing file), so paying it per open would tax every
+    * task. FileSystem instances are cached by Hadoop itself. */
+  @volatile private var executorConf: Configuration = _
+
   def conf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse {
-        val c = new Configuration()
-        val env = org.apache.spark.SparkEnv.get
-        if (env != null) env.conf.getAll.foreach { case (k, v) =>
-          if (k.startsWith("spark.hadoop."))
-            c.set(k.substring("spark.hadoop.".length), v)
+        var c = executorConf
+        if (c == null) {
+          c = new Configuration()
+          val env = org.apache.spark.SparkEnv.get
+          if (env != null) env.conf.getAll.foreach { case (k, v) =>
+            if (k.startsWith("spark.hadoop."))
+              c.set(k.substring("spark.hadoop.".length), v)
+          }
+          executorConf = c // benign race: same value either way
         }
         c
       }

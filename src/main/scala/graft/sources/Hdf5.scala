@@ -1285,8 +1285,12 @@ object Hdf5 {
     def resolveExternal(fromPath: String, file: String, obj: String,
                         depth: Int): Option[H5Node] = {
       if (depth > 8) return None
-      val tf = new org.apache.hadoop.fs.Path(file)
-      val target = if (tf.isAbsolute) file
+      try {
+        // a corrupt link message can carry an empty or URI-invalid
+        // target name — Path construction throws IllegalArgumentException,
+        // which must resolve to None (dangling link) like a missing file
+        val tf = new org.apache.hadoop.fs.Path(file)
+        val target = if (tf.isAbsolute) file
         else {
           // resolve RELATIVE TO THE REFERENCING FILE's directory
           // (libhdf5's default search), on whatever FileSystem that
@@ -1295,13 +1299,15 @@ object Hdf5 {
           new org.apache.hadoop.fs.Path(
             fs.makeQualified(from).getParent, file).toString
         }
-      try {
         val g = openFile(target)
         g.resolveObjectPathExt(obj).flatMap {
           case Right(a)          => Some(H5Node(g, target, a))
           case Left((f2, obj2))  => resolveExternal(target, f2, obj2, depth + 1)
         }
-      } catch { case _: java.io.FileNotFoundException => None }
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case _: IllegalArgumentException => None // bad Path from corrupt link
+      }
     }
     /** Children across files: hard/soft resolve in-file; an external
       * link opens its target file and resolves the object path there. */

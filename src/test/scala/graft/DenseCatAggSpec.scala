@@ -103,7 +103,8 @@ class DenseCatAggSpec extends SparkSpec {
       (col("id") % 7).cast("int").as("k1"),
       (col("id") % 5).cast("smallint").as("k2"),
       (col("id") % 97).cast("double").as("x"),
-      (col("id") % 13).cast("bigint").as("y"))
+      (col("id") % 13).cast("double").as("y"),
+      (col("id") % 13).cast("bigint").as("yl"))
     VxFrame(df)
   }
 
@@ -147,6 +148,10 @@ class DenseCatAggSpec extends SparkSpec {
     cat.groupby(Seq("k1", "k2"), Map("x" -> "sum")).df.collect()
     // unsupported op
     cat.groupby(Seq("k1"), Map("x" -> "nunique")).df.collect()
+    // long min/max/sum: float64 accumulators would round values past
+    // 2^53 (a ~9e18 id comes back a multiple of 1024) — hash path only
+    cat.groupby(Seq("k1"), Map("yl" -> "max")).df.collect()
+    cat.groupby(Seq("k1"), Map("yl" -> "sum")).df.collect()
     assert(DenseCatAgg.invocations.get() == before)
     // sanity: single categorize'd key + supported op DOES route dense
     val d = cat.groupby(Seq("k1"), Map("x" -> "sum"), sort = true).df

@@ -110,5 +110,12 @@ class JpegLosslessSpec extends AnyFunSuite {
       assert(JpegCodec.decodePixels(frame(sof)).isEmpty, f"SOF $sof%02x")
       assert(JpegCodec.decodeLossless(frame(sof)).isEmpty, f"SOF $sof%02x")
     }
+    // a pyramid whose FIRST frame is a non-differential SOF0/SOF2/SOF3
+    // must also be rejected — the DHP marker alone marks the file
+    // hierarchical; decoding the (downsampled) first frame as a
+    // standalone image would surface wrong geometry
+    for (sof <- Seq(0xc0, 0xc2, 0xc3)) {
+      assert(JpegCodec.decodePixels(frame(sof)).isEmpty, f"DHP+SOF $sof%02x")
+    }
   }
 }
