@@ -96,7 +96,7 @@ object FacadeQueries {
     // Multi-key: the facade composes one row-major composite code,
     // decodes the (domain-bounded) result and casts back to the hash
     // path's exact schema — so this oracle IS the hash-path oracle
-    // shape. FacadeGroupbySpec asserts the dense kernel actually ran.
+    // shape. DenseCatAggSpec asserts the dense kernel actually ran.
     "q_facade_groupby_dense" -> ((s, dir) => {
       import scala.collection.immutable.ListMap
       VxFrame(t(s, dir, "lineitem"))
