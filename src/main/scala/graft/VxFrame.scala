@@ -971,7 +971,11 @@ final case class VxFrame(
       when(c >= 0 && c < d, c * lit(s))
     }.reduce(_ + _)
     val denseAggs = aggSeq.map { case (c, how) =>
-      DenseCatAgg.Agg(parse(c), how, s"${c}_$how")
+      // count must see null-ness, not a lossy numeric cast: the kernel
+      // casts values to double, which would null-out strings (silent
+      // undercount) and is illegal for dates/arrays entirely
+      val v = if (how == "count") when(parse(c).isNotNull, lit(1.0)) else parse(c)
+      DenseCatAgg.Agg(v, how, s"${c}_$how")
     }
     val domain = domains.map(_.toLong).product.toInt
     val raw = DenseCatAgg.groupByOrdinal(df, code, domain, denseAggs, codeAs = "__code")

@@ -38,7 +38,9 @@ import org.apache.spark.sql.types._
   * the inputs are integral-valued with magnitude < 2^53 — the oracle
   * lane uses such values. For general doubles the merge order
   * reassociates floating addition, the same caveat as any parallel
-  * sum (including Spark's own).
+  * sum (including Spark's own). min/max follow Spark's NaN-is-largest
+  * total ordering (Double.compare): max of a cell containing NaN is
+  * NaN, min of an all-NaN cell is NaN — hash-path parity, spec'd.
   */
 object DenseCatAgg {
 
@@ -54,8 +56,14 @@ object DenseCatAgg {
       var i = 0
       while (i < sums.length) {
         sums(i) += o.sums(i); cnts(i) += o.cnts(i)
-        if (o.mins(i) < mins(i)) mins(i) = o.mins(i)
-        if (o.maxs(i) > maxs(i)) maxs(i) = o.maxs(i)
+        // Double.compare = Spark's NaN-is-largest total ordering. The
+        // init sentinels make every case fall out of one comparison:
+        // min slots start at NaN (the ordering's TOP — any real value
+        // replaces it, and an all-NaN cell correctly stays NaN); max
+        // slots start at -Inf (the BOTTOM — any value incl. NaN
+        // replaces it, and once NaN wins nothing displaces it).
+        if (java.lang.Double.compare(o.mins(i), mins(i)) < 0) mins(i) = o.mins(i)
+        if (java.lang.Double.compare(o.maxs(i), maxs(i)) > 0) maxs(i) = o.maxs(i)
         i += 1
       }
       this
@@ -130,7 +138,9 @@ object DenseCatAgg {
       val rowCnt = new Array[Long](domain)
       val sums = new Array[Double](nv * domain)
       val cnts = new Array[Long](nv * domain)
-      val mins = Array.fill(nv * domain)(Double.PositiveInfinity)
+      // sentinels chosen for Double.compare's NaN-is-largest ordering
+      // (Spark's own): see Buf.merge
+      val mins = Array.fill(nv * domain)(Double.NaN)
       val maxs = Array.fill(nv * domain)(Double.NegativeInfinity)
       if (nv == 1 && !needMM) {
         // the canonical categorize-groupby shape (sum/count/mean of
@@ -162,8 +172,8 @@ object DenseCatAgg {
                   sums(i) += v
                   cnts(i) += 1L
                   if (needMM) {
-                    if (v < mins(i)) mins(i) = v
-                    if (v > maxs(i)) maxs(i) = v
+                    if (java.lang.Double.compare(v, mins(i)) < 0) mins(i) = v
+                    if (java.lang.Double.compare(v, maxs(i)) > 0) maxs(i) = v
                   }
                 }
                 j += 1

@@ -100,8 +100,15 @@ object PipelineQueries {
       (BloomFunctions.bloomFilterCandidates(col("__garr"), bloom),
         broadcast(keys.toSeq.toDF("g")))
     } else if (bloomPrefilter) {
-      val bloom = BloomFunctions.buildSizedBloom(evalG, col("g"))
-      (BloomFunctions.bloomFilterCandidates(col("__garr"), bloom), evalG)
+      // one persisted materialization serves the sizing count, the
+      // distributed bloom build AND the exact-verification join plan
+      // (buildSizedBloom's internal persist would unpersist before the
+      // join executes, recomputing the distinct-gram shuffle). Left
+      // persisted — the dictionary is eval-set-bounded and LRU-evicts.
+      val cached = evalG.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (mBits, k) = BloomFunctions.sizeFor(cached.count())
+      val bloom = BloomFunctions.buildBloom(cached, col("g"), mBits, k)
+      (BloomFunctions.bloomFilterCandidates(col("__garr"), bloom), cached)
     } else (col("__garr"), evalG)
     val exploded = trainDocs.select(col("doc_id"), gramExpr.as("__garr"))
       .select(col("doc_id"), size(col("__garr")).cast("long").as("n_grams"),

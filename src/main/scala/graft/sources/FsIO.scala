@@ -26,28 +26,35 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, LocalFileSystem, Pat
   */
 private[graft] object FsIO {
 
-  /** Built once per JVM when no active session exists (remote
-    * executors): Configuration construction parses the classpath XML
-    * resources — tens of ms — and interchange scans open a handle per
-    * (partition, backing file), so paying it per open would tax every
-    * task. FileSystem instances are cached by Hadoop itself. */
-  @volatile private var executorConf: Configuration = _
+  /** Built once per SparkEnv (≈ once per executor lifetime) when no
+    * active session exists: Configuration construction parses the
+    * classpath XML resources — tens of ms — and interchange scans open
+    * a handle per (partition, backing file), so paying it per open
+    * would tax every task. Keyed on the SparkEnv INSTANCE so a new
+    * application in the same JVM (new spark.hadoop.* overrides)
+    * rebuilds, and the env-null case (no overrides discoverable) is
+    * never cached. FileSystem instances are cached by Hadoop itself. */
+  @volatile private var executorConf: (AnyRef, Configuration) = _
 
   def conf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse {
-        var c = executorConf
-        if (c == null) {
-          c = new Configuration()
-          val env = org.apache.spark.SparkEnv.get
-          if (env != null) env.conf.getAll.foreach { case (k, v) =>
-            if (k.startsWith("spark.hadoop."))
-              c.set(k.substring("spark.hadoop.".length), v)
+        val env = org.apache.spark.SparkEnv.get
+        if (env == null) new Configuration()
+        else {
+          val cached = executorConf
+          if (cached != null && (cached._1 eq env)) cached._2
+          else {
+            val c = new Configuration()
+            env.conf.getAll.foreach { case (k, v) =>
+              if (k.startsWith("spark.hadoop."))
+                c.set(k.substring("spark.hadoop.".length), v)
+            }
+            executorConf = (env, c) // benign race: same value per env
+            c
           }
-          executorConf = c // benign race: same value either way
         }
-        c
       }
 
   /** FileSystem for a path, unwrapping the checksummed local FS to

@@ -27,7 +27,14 @@ object Bridge {
       case other => other
     }
     node match {
-      case u: UnresolvedFunction if !u.isDistinct && u.arguments.length == 1 =>
+      // count(col("*")) builds an UnresolvedStar argument: the analyzer
+      // rewrites it under a plain aggregate, but a star embedded in the
+      // dense path's when(arg.isNotNull, ...) guard fails analysis —
+      // reject it here so callers stay on the hash path
+      case u: UnresolvedFunction
+          if !u.isDistinct && u.arguments.length == 1 &&
+            !u.arguments.head.isInstanceOf[
+              org.apache.spark.sql.internal.UnresolvedStar] =>
         val arg = Column(u.arguments.head)
         u.functionName.toLowerCase match {
           case "sum" => Some((arg, "sum"))

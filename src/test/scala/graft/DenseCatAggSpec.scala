@@ -40,6 +40,54 @@ class DenseCatAggSpec extends SparkSpec {
     assert(dense.size == 10)
   }
 
+  test("min/max NaN ordering matches Spark (NaN is largest)") {
+    import spark.implicits._
+    // cell 0: {1.0, NaN} -> min 1.0, max NaN; cell 1: all NaN -> both
+    // NaN; cell 2: plain values; cell 3: {-Inf, +Inf} survive as-is
+    val df = Seq(
+      (0, 1.0), (0, Double.NaN),
+      (1, Double.NaN), (1, Double.NaN),
+      (2, 3.0), (2, -2.0),
+      (3, Double.NegativeInfinity), (3, Double.PositiveInfinity))
+      .toDF("code", "x")
+    val dense = DenseCatAgg.groupByOrdinal(df, col("code"), 4,
+      Seq(Agg(col("x"), "min", "mn"), Agg(col("x"), "max", "mx")))
+      .orderBy("code").collect()
+    val hash = df.groupBy("code").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("code").collect()
+    assert(dense.toSeq.map(_.toString) == hash.toSeq.map(_.toString))
+    assert(dense(0).getDouble(1) == 1.0 && dense(0).getDouble(2).isNaN)
+    assert(dense(1).getDouble(1).isNaN && dense(1).getDouble(2).isNaN)
+    // partition-split parity: the merge path obeys the same ordering
+    val dense13 = DenseCatAgg.groupByOrdinal(df.repartition(13), col("code"), 4,
+      Seq(Agg(col("x"), "min", "mn"), Agg(col("x"), "max", "mx")))
+      .orderBy("code").collect()
+    assert(dense13.toSeq.map(_.toString) == dense.toSeq.map(_.toString))
+  }
+
+  test("facade dense count works over non-numeric columns") {
+    import spark.implicits._
+    val df = spark.range(300).select(
+      (col("id") % 3).cast("int").as("k"),
+      when(col("id") % 5 === 0, lit(null))
+        .otherwise(concat(lit("s"), col("id"))).as("name"))
+    val cat = VxFrame(df).categorize("k", Seq("a", "b", "c"))
+    val before = DenseCatAgg.invocations.get()
+    val got = cat.groupby(Seq("k"), Map("name" -> "count"), sort = true).df.collect()
+    assert(DenseCatAgg.invocations.get() == before + 1)
+    val hash = df.groupBy("k").agg(count(col("name")).as("name_count"))
+      .orderBy("k").collect()
+    assert(got.toSeq == hash.toSeq)
+  }
+
+  test("count(col(\"*\")) stays on the hash path in binby") {
+    val df = spark.range(100).select((col("id") % 7).cast("double").as("x"))
+    val before = DenseCatAgg.invocations.get()
+    val grid = VxFrame(df).binby(Seq(("x", 0.0, 7.0, 7)), count(col("*")))
+    assert(DenseCatAgg.invocations.get() == before, "star must not route dense")
+    assert(grid.sum == 100.0)
+  }
+
   test("all-null value column yields null aggregates but counted rows") {
     val df = spark.range(100).select((col("id") % 3).cast("int").as("code"),
       lit(null).cast("double").as("x"))
