@@ -185,10 +185,77 @@ object TextQueries {
               i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
             .otherwise(array()))).cast("long").as("n_shingles")
       ).orderBy("doc_id")
+    }),
+
+    // C4-style LINE-LEVEL quality filtering (Raffel et al. 2020 §2.2,
+    // the standard web-corpus clean): keep lines that end in terminal
+    // punctuation, have >= 5 words, and carry no code-ish blocklist
+    // token; pages keeping < 3 lines are dropped entirely. The
+    // word-soup corpus has no line structure, so a page is synthesized
+    // DETERMINISTICALLY from doc_id math (per-doc line width, terminal
+    // '.' on every 3rd line, ' javascript' injected on every 7th) —
+    // both engines build byte-identical pages, the filter itself is a
+    // pure codegen-friendly Column projection (zero shuffle at any
+    // corpus size).
+    "q_c4_line_filter" -> ((s, dir) => {
+      val w = (lit(5) + col("doc_id") % 4).cast("int")
+      val tks = split(col("text"), " ")
+      val nLines = greatest(
+        ceil(size(tks).cast("double") / w.cast("double")).cast("int"), lit(1))
+      val lines = transform(sequence(lit(0), nLines - 1), i => {
+        val base = array_join(slice(tks, i * w + 1, w), " ")
+        val withJs = when((col("doc_id") + i) % 7 === 0,
+          concat(base, lit(" javascript"))).otherwise(base)
+        when((col("doc_id") + i) % 3 === 0, concat(withJs, lit(".")))
+          .otherwise(withJs)
+      })
+      val kept = filter(lines, l =>
+        endswith(l, lit(".")) && size(split(l, " ")) >= 5 &&
+          !l.contains("javascript"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        round(size(kept).cast("double") / size(lines).cast("double"), 6)
+          .as("kept_frac"),
+        length(array_join(kept, "\n")).cast("long").as("n_chars_kept"),
+        (size(kept) >= 3).cast("long").as("page_kept"))
+        .orderBy("doc_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c4_line_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tks,
+        |    CAST(5 + doc_id % 4 AS INT) AS w
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, list_transform(
+        |    range(0, GREATEST(CAST(CEIL(CAST(LEN(tks) AS DOUBLE) / w) AS INT), 1)),
+        |    i -> CASE WHEN (doc_id + i) % 3 = 0 THEN
+        |           (CASE WHEN (doc_id + i) % 7 = 0
+        |              THEN array_to_string(tks[i*w+1 : i*w+w], ' ') || ' javascript'
+        |              ELSE array_to_string(tks[i*w+1 : i*w+w], ' ') END) || '.'
+        |         ELSE
+        |           CASE WHEN (doc_id + i) % 7 = 0
+        |              THEN array_to_string(tks[i*w+1 : i*w+w], ' ') || ' javascript'
+        |              ELSE array_to_string(tks[i*w+1 : i*w+w], ' ') END
+        |         END) AS lines
+        |  FROM tk),
+        |k AS (
+        |  SELECT doc_id, lines, list_filter(lines,
+        |    l -> ends_with(l, '.') AND LEN(string_split(l, ' ')) >= 5
+        |         AND NOT contains(l, 'javascript')) AS kept
+        |  FROM ln)
+        |SELECT doc_id,
+        |  CAST(LEN(lines) AS BIGINT) AS n_lines,
+        |  CAST(LEN(kept) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(LEN(kept) AS DOUBLE) / LEN(lines), 6) AS kept_frac,
+        |  CAST(COALESCE(LENGTH(array_to_string(kept, chr(10))), 0) AS BIGINT) AS n_chars_kept,
+        |  CAST(CASE WHEN LEN(kept) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS page_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_url_normalize" ->
       """WITH u AS (
         |  SELECT doc_id,
