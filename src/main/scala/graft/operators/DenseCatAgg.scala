@@ -41,6 +41,12 @@ import org.apache.spark.sql.types._
   * sum (including Spark's own). min/max follow Spark's NaN-is-largest
   * total ordering (Double.compare): max of a cell containing NaN is
   * NaN, min of an all-NaN cell is NaN — hash-path parity, spec'd.
+  * Signed-zero caveat: for a cell holding both -0.0 and 0.0 this
+  * kernel deterministically returns -0.0 as min / 0.0 as max
+  * (Double.compare orders them), while Spark's hash Min/Max treats
+  * them as EQUAL and keeps whichever it encountered first — an
+  * encounter-order-nondeterministic result no kernel can bit-match;
+  * the sign is observable only through 1/x-style probes.
   */
 object DenseCatAgg {
 

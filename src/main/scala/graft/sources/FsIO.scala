@@ -34,7 +34,8 @@ private[graft] object FsIO {
     * application in the same JVM (new spark.hadoop.* overrides)
     * rebuilds, and the env-null case (no overrides discoverable) is
     * never cached. FileSystem instances are cached by Hadoop itself. */
-  @volatile private var executorConf: (AnyRef, Configuration) = _
+  @volatile private var executorConf
+      : (java.lang.ref.WeakReference[AnyRef], Configuration) = _
 
   def conf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -44,14 +45,17 @@ private[graft] object FsIO {
         if (env == null) new Configuration()
         else {
           val cached = executorConf
-          if (cached != null && (cached._1 eq env)) cached._2
+          // weak key: the cache must not keep a STOPPED SparkEnv (and
+          // its block/memory managers) reachable for the JVM lifetime
+          if (cached != null && (cached._1.get() eq env)) cached._2
           else {
             val c = new Configuration()
             env.conf.getAll.foreach { case (k, v) =>
               if (k.startsWith("spark.hadoop."))
                 c.set(k.substring("spark.hadoop.".length), v)
             }
-            executorConf = (env, c) // benign race: same value per env
+            // benign race: same value per env
+            executorConf = (new java.lang.ref.WeakReference[AnyRef](env), c)
             c
           }
         }
