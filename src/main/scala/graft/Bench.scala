@@ -333,7 +333,19 @@ object Bench {
       }),
       "join" -> (() =>
         genJ.join(broadcast(dim), "k2")
-          .groupBy("k").agg(sum("w"), count(lit(1))))))
+          .groupBy("k").agg(sum("w"), count(lit(1)))),
+      // the engine's join fast path (r10): DenseLookupJoin turns the
+      // dim into flat arrays (the reference join.py's lookup-index
+      // design) so the probe is one codegen'd array read per row —
+      // no hash table, no UnsafeRow copy — and the downstream agg
+      // runs the dense ordinal kernel. Same logical result as `join`.
+      "join_dense" -> (() => {
+        val joined = graft.operators.DenseLookupJoin.lookupJoin(
+          genJ, dim, col("k2"), "k2", 100_000)
+        graft.operators.DenseCatAgg.groupByOrdinal(joined, col("k"), 100,
+          Seq(graft.operators.DenseCatAgg.Agg(col("w"), "sum", "sum_w")),
+          countAs = Some("n"))
+      })))
     val thr = thrMins.toMap
     // a lane that failed every rep records -1.0; emit -1 rather than a
     // nonsense negative rows/sec from dividing by it
@@ -360,7 +372,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
     val timeline = s""""timeline_sec":{"warmup":${j(warmupDone)},"headline":${j(headlineDone)},"scale_write":${j(scaleWritten)},"scale":${j(scaleDone)},"skew":${j(skewDone)},"pipeline":${j(pipeDone)},"end":${j(mark())}}"""
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"pipe_reps_sec":$pipeRepsJson,"total_10x":${j(total10x)},"gen_only_rows_per_sec":${rate(genN, "gen_only")},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"groupby_cat_hash_rows_per_sec":${rate(genN, "groupby_cat_hash")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"binby_dense_rows_per_sec":${rate(genN, "binby_dense")},"join_gen_rows_per_sec":${rate(genN, "join")},$timeline}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_sec":$repsJson,"pipe_reps_sec":$pipeRepsJson,"total_10x":${j(total10x)},"gen_only_rows_per_sec":${rate(genN, "gen_only")},"agg_rows_per_sec":${rate(nRows, "agg")},"groupby_gen_rows_per_sec":${rate(genN, "groupby")},"groupby_cat_rows_per_sec":${rate(genN, "groupby_cat")},"groupby_cat_hash_rows_per_sec":${rate(genN, "groupby_cat_hash")},"binby_gen_rows_per_sec":${rate(genN, "binby")},"binby_dense_rows_per_sec":${rate(genN, "binby_dense")},"join_gen_rows_per_sec":${rate(genN, "join")},"join_dense_rows_per_sec":${rate(genN, "join_dense")},$timeline}""")
     spark.stop()
   }
 }

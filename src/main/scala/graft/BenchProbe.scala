@@ -82,7 +82,16 @@ object BenchProbe {
       }),
       "join" -> (() =>
         genJ.join(broadcast(dim), "k2")
-          .groupBy("k").agg(sum("w"), count(lit(1)))))
+          .groupBy("k").agg(sum("w"), count(lit(1)))),
+      // dense-lookup join path (r10, operators.DenseLookupJoin) —
+      // mirror of Bench's join_dense lane
+      "join_dense" -> (() => {
+        val joined = graft.operators.DenseLookupJoin.lookupJoin(
+          genJ, dim, col("k2"), "k2", 100_000)
+        graft.operators.DenseCatAgg.groupByOrdinal(joined, col("k"), 100,
+          Seq(graft.operators.DenseCatAgg.Agg(col("w"), "sum", "sum_w")),
+          countAs = Some("n"))
+      }))
 
     // one untimed warmup per lane (JIT/codegen), then rep-major timing
     lanes.foreach { case (_, fn) =>

@@ -265,6 +265,40 @@ object StarQueries {
         .orderBy("segment")
     }),
 
+    // §2.3 dense-lookup join — the reference's join fast path (index
+    // array probe, reference packages/vaex-core/vaex/join.py:36): dim
+    // columns collected into flat arrays keyed by the surrogate key,
+    // probe is a codegen'd array read inside the fact scan, zero
+    // shuffle. Must produce bit-identical rows to the hash equi-join.
+    "q_join_dense" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val domain = c.agg(max("c_custkey")).head.getLong(0).toInt + 1
+      graft.operators.DenseLookupJoin.lookupJoin(
+          o, c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+          col("o_custkey"), "c_custkey", domain)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          r(dsumD(col("o_totalprice"))).as("revenue"),
+          r(dsumD(col("c_acctbal"))).as("bal"))
+        .orderBy("segment")
+    }),
+
+    // §2.3 dense-lookup LEFT join: unmatched fact keys pad the dim
+    // columns with nulls (the dim is filtered so ~1/3 of probes miss)
+    "q_join_dense_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val domain = c.agg(max("c_custkey")).head.getLong(0).toInt + 1
+      val dim = c.where(col("c_custkey") % 3 =!= 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      graft.operators.DenseLookupJoin.lookupJoin(
+          o, dim, col("o_custkey"), "c_custkey", domain, "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("c_acctbal")).as("n_matched"),
+          r(coalesce(dsumD(col("c_acctbal")), lit(0.0))).as("bal"))
+        .orderBy("segment")
+    }),
+
     // §2.3 left join preserving unmatched build rows
     "q_join_left" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
@@ -549,6 +583,22 @@ object StarQueries {
       s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
          |  ${sqlR(sqlDsum("o_totalprice"))} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_dense" ->
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS revenue,
+         |  ${sqlR(sqlDsum("c_acctbal"))} AS bal
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_dense_left" ->
+      s"""SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+         |  COUNT(*) AS n_orders, COUNT(c_acctbal) AS n_matched,
+         |  ROUND(COALESCE(${sqlDsum("c_acctbal")}, 0.0), 4) AS bal
+         |FROM orders LEFT JOIN
+         |  (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+         |  ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_left" ->

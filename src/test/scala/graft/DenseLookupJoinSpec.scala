@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.DenseLookupJoin
+
+/** Dense-lookup join vs Spark's own hash equi-join: row-identical
+  * results across the type matrix, null/out-of-domain key handling,
+  * left-join padding, and fail-fast validation of every build
+  * precondition. */
+class DenseLookupJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dim = Seq(
+    (0L, "a", 1.5, 10, true),
+    (1L, "b", -2.25, 20, false),
+    (3L, null.asInstanceOf[String], 4.0, 30, true),
+    (5L, "e", Double.NaN, 40, false)
+  ).toDF("k", "s", "d", "i", "b")
+
+  private lazy val fact = Seq(Some(0L), Some(1L), Some(1L), Some(2L), Some(3L),
+      Some(5L), Some(7L), None)
+    .toDF("fk").withColumn("row_id", monotonically_increasing_id())
+
+  private def hashJoin(joinType: String) =
+    fact.join(dim, fact("fk") === dim("k"), joinType).drop("k")
+
+  private def denseJoin(joinType: String) =
+    DenseLookupJoin.lookupJoin(fact, dim, col("fk"), "k", 8, joinType)
+
+  // string images so NaN compares equal to NaN
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("fk", "row_id", "s", "d", "i", "b").collect().toSeq
+      .map(r => (0 until r.length).map(r.get).mkString("|"))
+      .sorted
+
+  test("inner join matches the hash equi-join row-for-row") {
+    val before = DenseLookupJoin.invocations.get()
+    assert(sortedRows(denseJoin("inner")) == sortedRows(hashJoin("inner")))
+    assert(DenseLookupJoin.invocations.get() == before + 1)
+  }
+
+  test("left join pads unmatched and null fact keys with nulls") {
+    assert(sortedRows(denseJoin("left")) == sortedRows(hashJoin("left")))
+    // unmatched keys 2 and 7 plus the null key pad ALL dim cols null
+    // (fk=3 matches — its s is null but d/i/b are real values)
+    val padded = denseJoin("left").where(col("s").isNull && col("d").isNull &&
+      col("i").isNull && col("b").isNull)
+    assert(padded.count() == 3)
+  }
+
+  test("stored null dim values stay null without hiding the match") {
+    // k=3 stores a null string but real numerics: the row matches
+    val r = denseJoin("inner").where(col("fk") === 3).head()
+    assert(r.isNullAt(r.fieldIndex("s")) && r.getDouble(r.fieldIndex("d")) == 4.0)
+  }
+
+  test("NaN dim values round-trip") {
+    val r = denseJoin("inner").where(col("fk") === 5).head()
+    assert(r.getDouble(r.fieldIndex("d")).isNaN)
+  }
+
+  test("date and timestamp dim columns round-trip exactly") {
+    val d2 = spark.sql("""SELECT * FROM VALUES
+      (0L, DATE'2024-02-29', TIMESTAMP_NTZ'2024-02-29 12:34:56.789'),
+      (2L, DATE'1969-12-31', TIMESTAMP_NTZ'1969-12-31 23:59:59.999999')
+      AS t(k, dt, ts)""")
+    val f2 = Seq(0L, 2L, 3L).toDF("fk")
+    val dense = DenseLookupJoin.lookupJoin(f2, d2, col("fk"), "k", 4)
+    val hash = f2.join(d2, f2("fk") === d2("k")).drop("k")
+    assert(dense.collect().toSeq.sortBy(_.getLong(0)) ==
+      hash.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
+  test("interpreted eval matches the codegen'd path") {
+    // the same plan with codegen off must produce identical rows —
+    // covers DenseLookupValue.eval / DenseLookupContains.nullSafeEval
+    val factory = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(factory)
+    try {
+      spark.conf.set(factory, "NO_CODEGEN")
+      assert(sortedRows(denseJoin("inner")) == sortedRows(hashJoin("inner")))
+    } finally spark.conf.set(factory, prev)
+  }
+
+  test("build rejects duplicate keys, null keys, and out-of-domain keys") {
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val ex1 = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact, dup, col("fk"), "k", 8) }
+    assert(ex1.getMessage.contains("duplicate"))
+    val nul = Seq((Some(1L), "x"), (None, "y"))
+      .toDF("k", "v")
+    val ex2 = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact, nul, col("fk"), "k", 8) }
+    assert(ex2.getMessage.contains("null"))
+    val oob = Seq((1L, "x"), (99L, "y")).toDF("k", "v")
+    val ex3 = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact, oob, col("fk"), "k", 8) }
+    assert(ex3.getMessage.contains("outside"))
+  }
+
+  test("build rejects unsupported value types and non-integral keys") {
+    val arr = Seq((1L, Seq(1.0, 2.0))).toDF("k", "v")
+    val ex1 = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact, arr, col("fk"), "k", 8) }
+    assert(ex1.getMessage.contains("unsupported"))
+    val skey = Seq(("1", 2.0)).toDF("k", "v")
+    val ex2 = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact, skey, col("fk"), "k", 8) }
+    assert(ex2.getMessage.contains("integral"))
+    val ex3 = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact.withColumn("fs", col("fk").cast("string")),
+        dim, col("fs"), "k", 8) }
+    assert(ex3.getMessage.contains("integral"))
+  }
+
+  test("probe plan is shuffle-free (pure projection over the fact scan)") {
+    val plan = denseJoin("inner").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join operator in:\n$plan")
+  }
+}
