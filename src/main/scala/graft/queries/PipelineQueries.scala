@@ -433,6 +433,102 @@ object PipelineQueries {
             .as("n_chunks"),
           expr("(__cum - n_tokens) % 64").as("bin_offset"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus-level paragraph dedup (the CCNet pass, Wenzek et al.
+    // 2019 arXiv:1911.00359: hash every paragraph, drop all but the
+    // first occurrence ACROSS the whole corpus — removes boilerplate
+    // like cookie banners that per-doc repetition rules can't see).
+    // Pages are synthesized deterministically from doc_id math
+    // (paragraphs of 6+doc_id%3 tokens; every 2nd doc gets a shared
+    // newsletter banner, every 5th a cookie banner), so both engines
+    // explode byte-identical paragraphs. Scale shape: explode ->
+    // ONE shuffle on the 64-bit paragraph hash (keep-first =
+    // row_number over the hash partition; hashes move, text rides
+    // only as the kept-length payload) -> one groupBy doc_id to
+    // reassemble. No join-back, no driver state. The md5-parity hash
+    // gates the oracle; production would swap in xxhash64 exactly
+    // like the decontaminate/_fast pair.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      import TextFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val w = (lit(6) + col("doc_id") % 3).cast("int")
+      val tks = split(col("text"), " ")
+      val nP = greatest(
+        ceil(size(tks).cast("double") / w.cast("double")).cast("int"), lit(1))
+      val body = transform(sequence(lit(0), nP - 1),
+        i => array_join(slice(tks, i * w + 1, w), " "))
+      val emptyArr = array().cast("array<string>")
+      val paras = concat(body,
+        when(col("doc_id") % 2 === 0,
+          array(lit("subscribe to our newsletter for weekly updates")))
+          .otherwise(emptyArr),
+        when(col("doc_id") % 5 === 0,
+          array(lit("this site uses cookies to improve your experience")))
+          .otherwise(emptyArr))
+      val exploded = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(paras).as(Seq("idx", "para")))
+      val rn = row_number().over(
+        Window.partitionBy(portableHash(col("para"))).orderBy("doc_id", "idx"))
+      exploded.withColumn("__rn", rn)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paragraphs"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__rn") === 1, length(col("para")).cast("long"))
+            .otherwise(0L)).as("n_chars_kept"))
+        .select(col("doc_id"), col("n_paragraphs"), col("n_kept"),
+          col("n_chars_kept"),
+          (col("n_kept") > 0L).cast("long").as("doc_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR data selection (Xie et al. 2023, arXiv:2302.03169 "Data
+    // Selection for Language Models via Importance Resampling"):
+    // score every raw doc by how target-like its hashed-bigram
+    // distribution is — log importance weight = sum over the doc's
+    // bigram instances of log(p_target[bucket]/p_raw[bucket]) with
+    // Laplace-smoothed bucket probabilities — then resample the top
+    // 10% under deterministic Gumbel perturbation (the paper's
+    // Gumbel-top-k, with uniforms from the portable hash so both
+    // engines draw identical noise). Target split = doc_id%10==0
+    // (stands in for the Wikipedia-quality anchor corpus). Scale
+    // shape: ONE explode->groupBy builds the 512-bucket table (tiny,
+    // broadcast back); scoring is explode -> broadcast-join ->
+    // per-doc decimal sum — one shuffle on doc_id; the P90 threshold
+    // is a single exact-percentile aggregate over one weight per doc
+    // (bounded), not a global sort of the corpus.
+    "q_dsir_select" -> ((s, dir) => {
+      import TextFunctions._
+      val B = 512
+      val tks = split(col("text"), " ")
+      val bigrams = when(size(tks) >= 2, transform(sequence(lit(0), size(tks) - 2),
+        i => concat_ws(" ", element_at(tks, i + 1), element_at(tks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_t"),
+          explode(bigrams).as("gram"))
+        .select(col("doc_id"), col("is_t"),
+          pmod(portableHash(col("gram")), lit(B.toLong)).as("b"))
+      val buckets = g.groupBy("b").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+      val totals = buckets.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val lr = log((col("ct") + 0.5) / (col("tt") + B * 0.5)) -
+        log((col("cr") + 0.5) / (col("tr") + B * 0.5))
+      val scored = g.where(!col("is_t"))
+        .join(broadcast(buckets), "b").crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), r(dsumD(lr), 6).as("weight"))
+      // Gumbel(0,1) = -ln(-ln(U)); U from the salted portable hash so
+      // the draw is reproducible and engine-portable
+      val u = (pmod(portableHash(concat(lit("dsir:"), col("doc_id").cast("string"))),
+        lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      val gw = scored.withColumn("gweight", r(col("weight") - log(-log(u)), 6))
+      val thr = gw.agg(percentile(col("gweight"), lit(0.9)).as("__p90"))
+      gw.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_grams"), col("weight"), col("gweight"),
+          (col("gweight") > col("__p90")).cast("long").as("selected"))
+        .orderBy("doc_id")
     })
   )
 
@@ -576,7 +672,74 @@ object PipelineQueries {
         |  CAST((cum - 1) // 64 AS BIGINT) AS last_bin,
         |  CAST((cum - 1) // 64 - (cum - n_tokens) // 64 + 1 AS BIGINT) AS n_chunks,
         |  CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tks,
+        |    CAST(6 + doc_id % 3 AS INT) AS w
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, list_concat(list_concat(
+        |    list_transform(
+        |      range(0, GREATEST(CAST(CEIL(CAST(LEN(tks) AS DOUBLE) / w) AS INT), 1)),
+        |      i -> array_to_string(tks[i*w+1 : i*w+w], ' ')),
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ['subscribe to our newsletter for weekly updates']
+        |      ELSE CAST([] AS VARCHAR[]) END),
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ['this site uses cookies to improve your experience']
+        |      ELSE CAST([] AS VARCHAR[]) END) AS paras
+        |  FROM tk),
+        |ex AS (
+        |  SELECT doc_id, unnest(paras) AS para,
+        |    unnest(range(len(paras))) AS idx
+        |  FROM pl),
+        |mk AS (
+        |  SELECT doc_id, para,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY ('0x' || substring(md5(para), 1, 15))::BIGINT
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM ex)
+        |SELECT doc_id, COUNT(*) AS n_paragraphs,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN LENGTH(para) ELSE 0 END) AS BIGINT)
+        |    AS n_chars_kept,
+        |  CAST(CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS doc_kept
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS is_t, string_split(text, ' ') AS t
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, is_t, UNNEST(range(0, GREATEST(LEN(t) - 1, 0))) AS i, t
+         |  FROM tk),
+         |g AS (
+         |  SELECT doc_id, is_t,
+         |    ('0x' || substring(md5(t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT % 512 AS b
+         |  FROM g0),
+         |bk AS (
+         |  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cr
+         |  FROM g GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bk),
+         |sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |    ROUND(${sqlDsum("LN((ct + 0.5) / (tt + 256.0)) - LN((cr + 0.5) / (tr + 256.0))")}, 6) AS weight
+         |  FROM g JOIN bk USING (b) CROSS JOIN tot
+         |  WHERE NOT is_t GROUP BY doc_id),
+         |gw AS (
+         |  SELECT doc_id, n_grams, weight,
+         |    ROUND(weight - LN(-LN(
+         |      (('0x' || substring(md5('dsir:' || doc_id), 1, 15))::BIGINT % 1000000
+         |        + 0.5) / 1000000.0)), 6) AS gweight
+         |  FROM sc),
+         |thr AS (SELECT QUANTILE_CONT(gweight, 0.9) AS p90 FROM gw)
+         |SELECT doc_id, n_grams, weight, gweight,
+         |  CAST(CASE WHEN gweight > p90 THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM gw CROSS JOIN thr ORDER BY doc_id""".stripMargin
   )
 
   /** Same algebra over the [[cleanCorpus]] rotation, 1% eval split. */
