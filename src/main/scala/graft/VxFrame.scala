@@ -742,6 +742,25 @@ final case class VxFrame(
     var right = other.df
     val collisions = right.columns.filter(c => left.columns.contains(c) && !on.contains(c))
     collisions.foreach { c => right = right.withColumnRenamed(c, s"$rprefix$c$rsuffix") }
+    // dense fast path (the reference's join design — core/join.py:36
+    // builds a lookup index array and reads right columns through it):
+    // a single join key the right frame has categorize'd declares a
+    // bounded ordinal domain, so the dim lowers to flat arrays probed
+    // by a codegen'd array read (operators.DenseLookupJoin) — zero
+    // shuffle, zero hash probes, row-identical to the hash join.
+    // Like the reference, this path materializes the (bounded) dim at
+    // join() time. Any build precondition failure (duplicate/null/
+    // out-of-domain keys, unsupported value type) falls back to the
+    // hash join, which handles all of those.
+    if ((how == "inner" || how == "left") && on.length == 1 &&
+        other.categories.contains(on.head) &&
+        other.categories(on.head).length <= graft.operators.DenseLookupJoin.MaxDomain) {
+      try {
+        return VxFrame(graft.operators.DenseLookupJoin.lookupJoin(
+          left, right, col(on.head), on.head,
+          other.categories(on.head).length, how))
+      } catch { case _: IllegalArgumentException => () }
+    }
     val r = if (rightSmall) broadcast(right) else right
     VxFrame(left.join(r, on, how))
   }

@@ -129,6 +129,23 @@ object FacadeQueries {
           r(col("o_totalprice_max"), 2).as("max_price"),
           col("o_orderkey_nunique").as("n_orders"),
           col("o_custkey_first").as("first_cust"))
+    }),
+
+    // facade join auto-routing through the dense-lookup fast path: a
+    // categorize'd right key (known ordinal domain) makes
+    // VxFrame.join lower to operators.DenseLookupJoin — this row
+    // hash-matches the same aggregation the hash-join lane computes
+    "q_facade_join_dense" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val domain = c.agg(max("c_custkey")).head.getLong(0).toInt + 1
+      val cf = VxFrame(c.select("c_custkey", "c_mktsegment", "c_acctbal"))
+        .categorize("c_custkey", (0 until domain).map(_.toString))
+      VxFrame(o.withColumnRenamed("o_custkey", "c_custkey"))
+        .join(cf, Seq("c_custkey"), how = "inner")
+        .df.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          r(dsumD(col("o_totalprice"))).as("revenue"))
+        .orderBy("segment")
     })
   )
 
@@ -182,6 +199,12 @@ object FacadeQueries {
       """SELECT o_orderpriority, ROUND(MAX(o_totalprice), 2) AS max_price,
         |  COUNT(DISTINCT o_orderkey) AS n_orders,
         |  MIN_BY(o_custkey, o_orderkey) AS first_cust
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_facade_join_dense" ->
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

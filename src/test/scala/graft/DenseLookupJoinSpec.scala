@@ -115,6 +115,28 @@ class DenseLookupJoinSpec extends SparkSpec {
     assert(ex3.getMessage.contains("integral"))
   }
 
+  test("VxFrame.join auto-routes through the dense path on a categorize'd key") {
+    val vd = VxFrame(dim).categorize("k", (0 until 8).map(_.toString))
+    val before = DenseLookupJoin.invocations.get()
+    // the facade API joins on a shared column name — rename fact's key
+    val vf2 = VxFrame(fact.withColumnRenamed("fk", "k"))
+    val routed = vf2.join(vd, Seq("k"), how = "inner")
+    assert(DenseLookupJoin.invocations.get() > before)
+    val hash = vf2.join(VxFrame(dim), Seq("k"), how = "inner")
+    assert(routed.df.collect().map(_.toString).sorted.toSeq ==
+      hash.df.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("VxFrame.join falls back to the hash join when the dense build fails") {
+    import spark.implicits._
+    // duplicate right keys: dense build rejects, hash join fans out
+    val dup = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val vd = VxFrame(dup).categorize("k", Seq("0", "1", "2"))
+    val vf = VxFrame(Seq(1L, 2L).toDF("k"))
+    val out = vf.join(vd, Seq("k"), how = "inner").df
+    assert(out.count() == 3) // fan-out proves the hash path ran
+  }
+
   test("probe plan is shuffle-free (pure projection over the fact scan)") {
     val plan = denseJoin("inner").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
