@@ -147,6 +147,42 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // bigram-LM perplexity filter — the CCNet/KenLM stage of a crawl
+    // pipeline (Wenzek et al. 2019 score docs by LM perplexity and
+    // keep the fluent tail): an add-alpha-smoothed bigram Markov
+    // model trained on the corpus itself, per-doc cross-entropy
+    // H = -(1/n) sum log2 p(w2|w1), perplexity = 2^H. Shape at
+    // scale: the bigram/context count tables shuffle counts (not
+    // text) and stay KEYED joins — a 100 TB corpus's bigram table
+    // can be 1e9+ rows, so no broadcast hint (AQE converts when it
+    // actually fits); per-doc reduction is one decimal-exact sum.
+    "q_bigram_lm" -> ((s, dir) => {
+      val tks = split(col("text"), " ")
+      val bigrams = when(size(tks) >= 2,
+        transform(sequence(lit(0), size(tks) - 2),
+          i => struct(element_at(tks, i + 1).as("w1"),
+            element_at(tks, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val db = t(s, dir, "documents")
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val pair = db.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val ctx = db.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val model = pair.join(ctx, "w1")
+      db.join(model, Seq("w1", "w2")).crossJoin(broadcast(vocab))
+        .withColumn("__lp",
+          -log2((col("n2") + 0.5) / (col("n1") + col("v") * 0.5)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          r(dsumD(col("__lp")) / count(lit(1)), 6).as("cross_entropy"))
+        .select(col("doc_id"), col("n_bigrams"), col("cross_entropy"),
+          r(pow(lit(2.0), col("cross_entropy")), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM quality score: -mean log2 p(token) under the corpus's
     // own unigram distribution — the classic cheap fluency/outlier
     // signal for corpus filtering (high surprisal = rare-token soup).
@@ -331,6 +367,24 @@ object TextQueries {
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 30""".stripMargin,
+
+    "q_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g0 AS (SELECT doc_id, UNNEST(range(0, GREATEST(LEN(t) - 1, 0))) AS i, t
+         |  FROM tk),
+         |db AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2 FROM g0),
+         |pair AS (SELECT w1, w2, COUNT(*) AS n2 FROM db GROUP BY 1, 2),
+         |ctx AS (SELECT w1, COUNT(*) AS n1 FROM db GROUP BY 1),
+         |vc AS (SELECT COUNT(DISTINCT w) AS v FROM
+         |  (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(${sqlDsum("-LOG2((n2 + 0.5) / (n1 + 0.5 * v))")} / COUNT(*), 6)
+         |    AS cross_entropy
+         |  FROM db JOIN pair USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vc
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, cross_entropy,
+         |  ROUND(POWER(2.0, cross_entropy), 4) AS perplexity
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_unigram_surprisal" ->
       s"""WITH toks AS (
