@@ -289,6 +289,28 @@ object StreamOps {
       .select("doc_id", "g")
   }
 
+  /** Streaming corpus-level paragraph dedup — the streaming face of
+    * q_paragraph_dedup (the CCNet pass): split each arriving doc into
+    * paragraphs, hash them, and emit only paragraphs whose hash has
+    * not been seen before. State = one 64-bit hash per distinct
+    * paragraph ever kept; `withinWatermark = true` bounds it to the
+    * watermark horizon (the only shape that survives an unbounded
+    * stream — cross-horizon boilerplate then dedups per horizon,
+    * which is the deliberate CCNet trade: shard-local dedup).
+    *
+    * Mode-agnostic: a batch frame runs the same plan as a plain
+    * dropDuplicates (which batch-keeps an arbitrary occurrence —
+    * compare kept hash SETS, not row identity, across modes). */
+  def streamingParagraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n",
+                              withinWatermark: Boolean = false): DataFrame = {
+    val shaped = docs
+      .select(col("*"), posexplode(split(col(textCol), sep)).as(Seq("idx", "para")))
+      .select(col(idCol).as("doc_id"), col("idx"), col("para"),
+        xxhash64(col("para")).as("para_hash"))
+    dedupByKey(shaped, Seq("para_hash"), withinWatermark)
+  }
+
   /** Stream-sink helper: run a streaming frame to completion against a
     * memory sink and return the collected table (test/driver utility). */
   def runToMemory(streamed: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -341,4 +341,37 @@ class StreamingSpec extends SparkSpec {
     val contaminated = got.map(_.head.asInstanceOf[Long])
     assert(contaminated == Set(11L, 12L), s"got $contaminated")
   }
+
+  test("streamingParagraphDedup: stream equals batch, cross-batch dups dropped") {
+    // doc 0 and doc 2 share the "cookie banner" paragraph; doc 1 and
+    // doc 3 share "newsletter"; doc 3 arrives in a LATER micro-batch
+    // so its duplicate must be dropped against batch-1 state
+    val docs = Seq(
+      (0L, "alpha beta\ncookie banner\ngamma"),
+      (1L, "newsletter\ndelta"),
+      (2L, "cookie banner\nepsilon"),
+      (3L, "zeta\nnewsletter"))
+    val batchKept = StreamOps.streamingParagraphDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    // 9 paragraphs, 2 duplicates -> 7 distinct survive
+    assert(batchKept.length == 7)
+    val batchHashes = batchKept.map(_.getAs[Long]("para_hash")).toSet
+    assert(batchHashes.size == 7)
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.take(2): _*)
+    stream.addData(docs.drop(2): _*)
+    val got = StreamOps.runToMemory(
+        StreamOps.streamingParagraphDedup(
+          stream.toDF.toDF("doc_id", "text"), "doc_id", "text"),
+        "t_paradedup", OutputMode.Append())
+      .collect()
+    assert(got.length == 7)
+    assert(got.map(_.getAs[Long]("para_hash")).toSet == batchHashes)
+    // the cross-batch duplicates (docs 2/3 re-sending batch-1
+    // paragraphs) were dropped against state, not re-emitted
+    val keptByDoc = got.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    assert(keptByDoc == Map(0L -> 3, 1L -> 2, 2L -> 1, 3L -> 1))
+  }
 }
