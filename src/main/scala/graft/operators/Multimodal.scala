@@ -250,6 +250,127 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic patterned-image fixture pixels: 4x4 tiles whose
+    * brightness is an md5 mix of (base id, tile) — pseudo-random per
+    * base so distinct bases get distinct dHashes (simple arithmetic
+    * mixes left modular structure that collided bases; the md5 idiom
+    * is the repo's standard engine-portable hash) — while odd ids add
+    * a constant +2 brightness shift on their even sibling's pattern:
+    * a brightness-shifted near-duplicate that dHash (gradient-based)
+    * is invariant to. Mirrored verbatim in the q_mm_phash oracle. */
+  private[graft] def patternPixel(docId: Long, x: Int, y: Int): Int = {
+    val k = (docId / 2) * 10007L + (y / 4) * 251L + (x / 4)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xff) % 200 + (docId % 2) * 2).toInt
+  }
+
+  /** Patterned LOSSLESS-JPEG synthesizer ([[patternPixel]] content —
+    * lossless so the decoded plane is bit-exactly the formula, and
+    * the perceptual-hash oracle can recompute it in SQL). */
+  def synthesizeJpegPattern(df: DataFrame, idCol: String,
+                            width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val px = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            px(y * width + x) = patternPixel(id, x, y)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRecord(id, JpegCodec.encodeLosslessJpeg(width, height, px))
+      })
+      .toDF()
+  }
+
+  /** Per-image difference hash (dHash) row. */
+  final case class DHashRow(doc_id: Long, width: Int, height: Int,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual-hash image dedup primitive: dHash (difference hash —
+    * the standard 64-bit gradient fingerprint used for near-duplicate
+    * image detection; see e.g. the pHash/dHash family surveyed in
+    * Zauner 2010, "Implementation and Benchmarking of Perceptual
+    * Image Hash Functions"). The image is block-averaged onto an
+    * 8-row x 9-column grid; bit (r,c) = [avg(r,c+1) > avg(r,c)],
+    * compared exactly via cross-multiplied integer sums so unequal
+    * block sizes need no floating division. Uniform brightness
+    * shifts and uniform rescaling of block structure leave every bit
+    * unchanged — exactly the invariance image dedup wants. The 64
+    * bits are emitted as two BIGINT halves (bit 63 would overflow a
+    * checked signed shift in the SQL oracle).
+    *
+    * Decode path: lossless-JPEG plane ([[JpegCodec.decodeLosslessPixels]])
+    * or PNG gray plane ([[ImageCodec]]); unsupported payloads yield
+    * (-1, -1) geometry with zero hash (total function — a corrupt
+    * image must not kill a 100 TB scan). Scale shape: pure
+    * partition-wise decode, zero shuffle; the dedup consumer groups
+    * by (dhash_hi, dhash_lo) — one hash-keyed shuffle of 16 bytes per
+    * image, never pixels. */
+  def dhashImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("media")).as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        grayPlane(r.media) match {
+          case Some((w, h, px)) if w >= 9 && h >= 8 =>
+            val (hi, lo) = dhashBits(w, h, px)
+            DHashRow(r.doc_id, w, h, hi, lo)
+          case _ => DHashRow(r.doc_id, -1, -1, 0L, 0L)
+        }
+      })
+      .toDF()
+  }
+
+  /** Grayscale plane from any decodable payload (lossless JPEG today;
+    * PNG gray via ImageCodec's pixel decode would slot in here). */
+  private def grayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    JpegCodec.decodeLosslessPixels(bytes)
+
+  /** 8x9-grid difference hash over a row-major gray plane; returns
+    * (hi, lo) = bits 32..63 and 0..31 of idx = r*8 + c. */
+  private[graft] def dhashBits(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    val sums = new Array[Long](8 * 9)
+    val cnts = new Array[Long](8 * 9)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = x * 9 / w
+        val i = r * 9 + c
+        sums(i) += px(y * w + x)
+        cnts(i) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = r * 9 + c
+        val b = a + 1
+        // avg(b) > avg(a) without division: cross-multiply exact sums
+        if (sums(b) * cnts(a) > sums(a) * cnts(b)) {
+          val idx = r * 8 + c
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
   /** The SAME stub decode as pure Column expressions — because this
     * particular stub (md5-derived fields) needs no imperative code,
     * routing queries through it keeps whole-stage codegen intact

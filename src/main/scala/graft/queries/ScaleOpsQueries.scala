@@ -167,6 +167,30 @@ object ScaleOpsQueries {
         .orderBy("doc_id")
     }),
 
+    // Perceptual-hash image dedup: lossless-JPEG fixtures with
+    // patterned per-doc content (Multimodal.patternPixel — mirrored
+    // verbatim in the oracle SQL), decoded to pixel planes and
+    // fingerprinted with the 64-bit dHash (integer-exact block-avg
+    // gradients). Odd ids are +2-brightness near-dups of their even
+    // sibling — dHash is invariant to the shift, so every (2i, 2i+1)
+    // pair lands in one group and the keep-first resolution drops
+    // the odd twin. The oracle recomputes pixels -> block sums ->
+    // bits -> hash halves -> groups entirely in SQL: any defect in
+    // the encoder, the lossless decoder, or the hash kernel breaks
+    // the row hash. Scale: decode+hash is partition-wise (zero
+    // shuffle); the dedup groups shuffle 16 bytes/image, not pixels.
+    "q_mm_phash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.synthesizeJpegPattern(
+        t(s, dir, "documents").select("doc_id"), "doc_id", 36, 32)
+      val hashed = Multimodal.dhashImages(media, "doc_id", "media")
+      val w = Window.partitionBy("dhash_hi", "dhash_lo")
+      hashed.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+          count(lit(1)).over(w).as("group_n"),
+          (col("doc_id") === min(col("doc_id")).over(w)).cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Z-order clustered rewrite (graft.operators.ZOrderLayout): events
     // rewritten as a Morton-curve layout over (user_id, value), read
     // back through a selective two-column filter and aggregated. The
@@ -377,6 +401,35 @@ object ScaleOpsQueries {
         |  ROUND(CAST((doc_id * 3) % 256 AS DOUBLE), 6) AS brightness,
         |  CAST((9 + doc_id % 56) * (9 + (doc_id * 5) % 56) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id, x, y,
+        |    ('0x' || substring(md5(CAST(
+        |        (doc_id // 2) * 10007 + (y // 4) * 251 + (x // 4) AS VARCHAR)),
+        |      1, 2))::BIGINT % 200 + (doc_id % 2) * 2 AS p
+        |  FROM documents, range(0, 36) tx(x), range(0, 32) ty(y)),
+        |bs AS (
+        |  SELECT doc_id, (y * 8) // 32 AS r, (x * 9) // 36 AS c,
+        |    SUM(p) AS s, COUNT(*) AS n
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+        |    CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+        |  FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32))
+        |      ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx)
+        |      ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT doc_id, dhash_hi, dhash_lo,
+        |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS group_n,
+        |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM hsh ORDER BY doc_id""".stripMargin,
 
     "q_mm_decode" ->
       """WITH b AS (

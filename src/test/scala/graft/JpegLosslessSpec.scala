@@ -118,4 +118,37 @@ class JpegLosslessSpec extends AnyFunSuite {
       assert(JpegCodec.decodePixels(frame(sof)).isEmpty, f"DHP+SOF $sof%02x")
     }
   }
+
+  test("decodeLosslessPixels returns the exact encoded plane") {
+    val w = 36; val h = 32
+    val samples = noise(w * h, 7L)
+    val bytes = JpegCodec.encodeLosslessJpeg(w, h, samples)
+    val Some((dw, dh, px)) = JpegCodec.decodeLosslessPixels(bytes)
+    assert(dw == w && dh == h)
+    assert(px.toSeq == samples.toSeq)
+  }
+
+  test("dHash: invariant to uniform brightness shift, sensitive to gradients") {
+    import graft.operators.Multimodal
+    val w = 36; val h = 32
+    val base = Array.tabulate(w * h)(i =>
+      Multimodal.patternPixel(0L, i % w, i / w))
+    val shifted = base.map(v => math.min(v + 17, 255))
+    assert(Multimodal.dhashBits(w, h, base) == Multimodal.dhashBits(w, h, shifted))
+    // flipping the horizontal gradient must flip bits
+    val mirrored = Array.tabulate(w * h)(i => base(i / w * w + (w - 1 - i % w)))
+    assert(Multimodal.dhashBits(w, h, base) != Multimodal.dhashBits(w, h, mirrored))
+  }
+
+  test("dhashImages is total: undecodable payloads yield the (-1,-1) row") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x00)))
+      .toDF("doc_id", "media")
+    val rows = graft.operators.Multimodal.dhashImages(junk, "doc_id", "media")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.forall(r => r.getInt(1) == -1 && r.getInt(2) == -1 &&
+      r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
 }
