@@ -248,6 +248,71 @@ object SimilaritySearch {
       .where(col("__rn") <= kTop).drop("__rn")
   }
 
+  /** Driver-side multi-probe cell selection for a single query vector
+    * — the same cosine distance and (dist, cid) tie-break as
+    * [[assignCellsProbe]]'s Column form, accumulated in the identical
+    * in-order double sum so the probed cells bit-match the oracle. */
+  private[graft] def probeCells(qv: Seq[Float],
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int): Seq[Int] = {
+    val qn = normOf(qv)
+    centroids.map { case (cid, c) =>
+      val denom = qn * normOf(c)
+      val d = if (denom == 0.0) 1.0 else {
+        var acc = 0.0
+        var i = 0
+        val n = math.min(qv.length, c.length)
+        while (i < n) { acc += qv(i).toDouble * c(i).toDouble; i += 1 }
+        1.0 - acc / denom
+      }
+      (d, cid)
+    }.sortBy(identity).take(nProbe).map(_._2)
+  }
+
+  /** IVF-PQ search — the full composed ANN index (FAISS's IVFPQ
+    * shape): an IVF coarse quantizer prunes the candidate set to each
+    * query's `nProbe` nearest cells, and the surviving candidates are
+    * ranked by PQ asymmetric distance over their m-byte codes. ONE
+    * scan answers every query: the per-query (probed cells, LUT)
+    * pairs are inlined as a literal struct array the scan explodes;
+    * non-probed (query, point) pairs are filtered before the window,
+    * and WindowGroupLimit keeps the exchange at
+    * O(partitions·queries·k). At 100 TB this is the memory-bound ANN
+    * path: the scan reads (cell, codes) — a few bytes per vector —
+    * and the cell filter drops (nCells - nProbe)/nCells of the work
+    * a flat PQ scan would do. */
+  def ivfPqTopK(encoded: DataFrame, idCol: String, codesCol: String,
+                cellCol: String, queries: Seq[(Long, Seq[Float])],
+                centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+                codebook: PqCodebook, kTop: Int): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    for (mi <- 0 until m) {
+      val cids = codebook.filter(_._1 == mi).map(_._2).sorted
+      require(cids == (0 until cids.length),
+        s"ivfPqTopK: subspace $mi codes must be dense 0..k-1, got $cids")
+    }
+    val qd = queries.map { case (qid, qv) =>
+      val dist = (0 until m).map { mi =>
+        val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
+          c.indices.foldLeft(0.0) { (acc, i) =>
+            val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
+        }
+        typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
+      }.reduce(_ + _)
+      struct(lit(qid).as("qid"),
+        typedlit(probeCells(qv, centroids, nProbe)).as("cells"),
+        dist.as("adc_dist"))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    encoded.select(col(idCol), col(cellCol), explode(array(qd: _*)).as("__qd"))
+      .where(array_contains(col("__qd.cells"), col(cellCol)))
+      .select(col("__qd.qid").as("qid"), col(idCol),
+        col(cellCol).as("cell"), col("__qd.adc_dist").as("adc_dist"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= kTop).drop("__rn")
+  }
+
   /** Cosine distance (1 - cos) of an embedding column vs one literal
     * centroid vector; 1.0 when either norm is zero. */
   private def centroidDist(embCol: Column, v: Seq[Float]): Column = {

@@ -167,6 +167,31 @@ object ScaleOpsQueries {
         .orderBy("doc_id")
     }),
 
+    // IVF-PQ composed ANN (FAISS IVFPQ shape): coarse-quantize the
+    // points into cells, PQ-encode them, then answer every query in
+    // one scan over (cell, codes) — cell pruning via each query's 2
+    // probed cells, ranking by PQ asymmetric distance. The oracle
+    // recomputes cell assignment, codebook, codes, probe lists and
+    // LUT ranking entirely in SQL.
+    "q_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", N_CELLS)
+      val pts = SimilaritySearch.assignCells(
+        emb.where(col("vec_id") >= N_CELLS), "embedding", centroids)
+      val cb = SimilaritySearch.pqTrainTakeFirst(emb, "vec_id", "embedding",
+        m = 4, k = 8)
+      val encoded = SimilaritySearch.pqEncode(pts, "embedding", cb)
+        .select(col("vec_id"), col("cell"), col("codes"))
+      val qs = emb.where(col("vec_id").between(8, 12))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(row => (row.getLong(0), row.getSeq[Float](1))).sortBy(_._1).toSeq
+      SimilaritySearch.ivfPqTopK(encoded, "vec_id", "codes", "cell", qs,
+          centroids, nProbe = 2, cb, kTop = TOP_K)
+        .select(col("qid"), col("vec_id"), col("cell"),
+          r(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("qid", "adc_dist", "vec_id")
+    }),
+
     // Perceptual-hash image dedup: lossless-JPEG fixtures with
     // patterned per-doc content (Multimodal.patternPixel — mirrored
     // verbatim in the oracle SQL), decoded to pixel planes and
@@ -401,6 +426,60 @@ object ScaleOpsQueries {
         |  ROUND(CAST((doc_id * 3) % 256 AS DOUBLE), 6) AS brightness,
         |  CAST((9 + doc_id % 56) * (9 + (doc_id * 5) % 56) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ivf_pq" ->
+      s"""WITH $ivfCellsCte,
+         |qdists AS (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    CASE WHEN ${ddbNorm("q.embedding")} * ${ddbNorm("c.cemb")} = 0.0 THEN 1.0
+         |         ELSE 1.0 - ${ddbDot("q.embedding", "c.cemb")}
+         |              / (${ddbNorm("q.embedding")} * ${ddbNorm("c.cemb")}) END AS dist
+         |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id BETWEEN 8 AND 12),
+         |qprobe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+         |    FROM qdists) WHERE rn <= 2),
+         |cb AS (
+         |  SELECT mm.m, e.vec_id AS k,
+         |    list_transform(range(0, 16), i -> e.embedding[mm.m * 16 + i + 1]) AS c
+         |  FROM embeddings e, (SELECT UNNEST(range(0, 4)) AS m) mm
+         |  WHERE e.vec_id < 8),
+         |enc AS (
+         |  SELECT e.vec_id, cb.m, cb.k,
+         |    list_sum(list_transform(range(0, 16), i ->
+         |      (CAST(e.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE))
+         |      * (CAST(e.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE)))) AS dist
+         |  FROM embeddings e CROSS JOIN cb WHERE e.vec_id >= 8),
+         |codes AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN m = 0 THEN k END) AS code0,
+         |    MAX(CASE WHEN m = 1 THEN k END) AS code1,
+         |    MAX(CASE WHEN m = 2 THEN k END) AS code2,
+         |    MAX(CASE WHEN m = 3 THEN k END) AS code3
+         |  FROM (SELECT vec_id, m, k,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+         |        FROM enc) WHERE rn = 1 GROUP BY vec_id),
+         |lut AS (
+         |  SELECT q.vec_id AS qid, cb.m, cb.k,
+         |    list_sum(list_transform(range(0, 16), i ->
+         |      (CAST(q.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE))
+         |      * (CAST(q.embedding[cb.m * 16 + i + 1] AS DOUBLE) - CAST(cb.c[i + 1] AS DOUBLE)))) AS d
+         |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id BETWEEN 8 AND 12),
+         |ds AS (
+         |  SELECT l0.qid, c.vec_id, asg.cid AS cell,
+         |    l0.d + l1.d + l2.d + l3.d AS adc_dist
+         |  FROM codes c
+         |  JOIN asg ON asg.vec_id = c.vec_id
+         |  JOIN lut l0 ON l0.m = 0 AND l0.k = c.code0
+         |  JOIN lut l1 ON l1.m = 1 AND l1.k = c.code1 AND l1.qid = l0.qid
+         |  JOIN lut l2 ON l2.m = 2 AND l2.k = c.code2 AND l2.qid = l0.qid
+         |  JOIN lut l3 ON l3.m = 3 AND l3.k = c.code3 AND l3.qid = l0.qid
+         |  JOIN qprobe ON qprobe.qid = l0.qid AND qprobe.cid = asg.cid)
+         |SELECT qid, vec_id, cell, ROUND(adc_dist, 6) AS adc_dist FROM (
+         |  SELECT qid, vec_id, cell, adc_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+         |  FROM ds) WHERE rn <= 3
+         |ORDER BY qid, adc_dist, vec_id""".stripMargin,
 
     "q_mm_phash" ->
       """WITH px AS (
