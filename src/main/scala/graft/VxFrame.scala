@@ -702,6 +702,15 @@ final case class VxFrame(
     * column categorical with labels; metadata only, no data pass. */
   def categorize(column: String, labels: Seq[String]): VxFrame =
     copy(categories = categories + (column -> labels))
+  /** Declare an int column ordinal with codes [0, domain) without
+    * materializing label strings — the labels are a constant-space
+    * view (label i = "i"), so a surrogate-key domain in the millions
+    * costs nothing until a label is actually read. */
+  def categorizeOrdinal(column: String, domain: Int): VxFrame =
+    categorize(column, new scala.collection.immutable.IndexedSeq[String] {
+      def length: Int = domain
+      def apply(i: Int): String = i.toString
+    })
   def isCategory(column: String): Boolean = categories.contains(column)
   def categoryLabels(column: String): Seq[String] = categories(column)
   /** Virtual label column from category metadata (CASE chain). */
@@ -756,9 +765,15 @@ final case class VxFrame(
         other.categories.contains(on.head) &&
         other.categories(on.head).length <= graft.operators.DenseLookupJoin.MaxDomain) {
       try {
-        return VxFrame(graft.operators.DenseLookupJoin.lookupJoin(
+        val dense = graft.operators.DenseLookupJoin.lookupJoin(
           left, right, col(on.head), on.head,
-          other.categories(on.head).length, how))
+          other.categories(on.head).length, how)
+        // match the hash path's USING-join schema exactly (key column
+        // hoisted first) — which path served a call must never be
+        // observable through column order
+        val usingOrder = on ++ left.columns.filterNot(on.contains) ++
+          right.columns.filterNot(on.contains)
+        return VxFrame(dense.select(usingOrder.map(col): _*))
       } catch { case _: IllegalArgumentException => () }
     }
     val r = if (rightSmall) broadcast(right) else right

@@ -75,8 +75,16 @@ object DenseLookupJoin {
     * the caller — failing fast beats silently falling back to a plan
     * the caller did not ask for.
     */
+  /** Driver/executor memory budget for the lookup tables — the same
+    * role autoBroadcastJoinThreshold plays for a hash join, sized for
+    * the "dim that comfortably broadcasts" regime. Checked with a
+    * distributed size pass BEFORE the collect, so an over-budget dim
+    * fails fast instead of OOMing the driver. */
+  val MaxTableBytes: Long = 512L << 20
+
   def lookupJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
-      dimKey: String, domain: Int, joinType: String = "inner"): DataFrame = {
+      dimKey: String, domain: Int, joinType: String = "inner",
+      maxTableBytes: Long = MaxTableBytes): DataFrame = {
     require(domain > 0 && domain <= MaxDomain,
       s"domain must be in [1, $MaxDomain], got $domain")
     require(joinType == "inner" || joinType == "left",
@@ -87,16 +95,52 @@ object DenseLookupJoin {
     val unsupported = valueFields.filterNot(f => physical(f.dataType).isDefined)
     require(unsupported.isEmpty,
       s"unsupported dim value types: ${unsupported.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")}")
-    invocations.incrementAndGet()
-
-    // ---- build: one driver-side pass over the (bounded) dim.
-    // Internal rows avoid per-value boxing round-trips for primitives.
+    // fact-key validation BEFORE any dim work: an auto-routed caller
+    // with a non-integral left key must fall back without paying the
+    // dim materialization
+    val keyType = fact.select(factKey).schema.head.dataType
+    keyType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"fact key must be integral, got ${t.catalogString}")
+    }
     val keyIdx = dim.schema.fieldIndex(dimKey)
     dim.schema(keyIdx).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case t => throw new IllegalArgumentException(
         s"dim key $dimKey must be integral, got ${t.catalogString}")
     }
+    invocations.incrementAndGet()
+
+    // ---- size gate: one distributed pass computes the bytes the
+    // tables will occupy (fixed-width slots are domain-sized no
+    // matter the row count; string slots cost their actual bytes)
+    // before anything is pulled to the driver.
+    val fixedBytes = valueFields.map(f => physical(f.dataType).get match {
+      case ByteType | BooleanType => 1L
+      case ShortType => 2L
+      case IntegerType | FloatType => 4L
+      case StringType => 8L // the reference slot; payload measured below
+      case _ => 8L
+    }).map(_ * domain).sum
+    val stringCols = valueFields.filter(f => physical(f.dataType).get == StringType)
+    val stringBytes =
+      if (stringCols.isEmpty) 0L
+      else {
+        // total UTF-8 payload of all string columns, computed on the
+        // executors (aggregate moves one long per column)
+        val agg = dim.select(stringCols.map(f =>
+          coalesce(sum(octet_length(col(f.name)).cast("bigint")), lit(0L)).as(f.name)): _*)
+          .head()
+        (0 until agg.length).map(agg.getLong).sum
+      }
+    val estBytes = fixedBytes + stringBytes * 2 // UTF8String object overhead
+    if (estBytes > maxTableBytes) throw new IllegalArgumentException(
+      s"dim lookup tables estimated at $estBytes bytes exceed the " +
+        s"$maxTableBytes budget — use a broadcast/shuffle hash join")
+
+    // ---- build: one driver-side pass over the (bounded) dim.
+    // Internal rows avoid per-value boxing round-trips for primitives.
     val ordered = dim.select(col(dimKey).cast("bigint").as(dimKey) +:
       valueFields.map(f => col(f.name)): _*)
     val rows = ordered.queryExecution.toRdd.map(_.copy()).collect()
@@ -135,14 +179,8 @@ object DenseLookupJoin {
 
     // ---- probe: pure projections over the fact side. The key cast
     // follows DenseCatAgg's integrality discipline: integral fact
-    // keys widen exactly; anything else is rejected (a fractional
-    // join key is a modeling error, not a cast).
-    val keyType = fact.select(factKey).schema.head.dataType
-    keyType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case t => throw new IllegalArgumentException(
-        s"fact key must be integral, got ${t.catalogString}")
-    }
+    // keys widen exactly (validated up front); a fractional join key
+    // is a modeling error, not a cast.
     val keyExpr = Bridge.expression(factKey.cast("bigint"))
     val valueCols = valueFields.zipWithIndex.map { case (f, j) =>
       Bridge.column(DenseLookupValue(keyExpr, tables(j), nulls(j),

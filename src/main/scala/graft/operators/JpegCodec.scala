@@ -1326,15 +1326,16 @@ object JpegCodec {
     * (H.2.2.1). Returns (width, height, mean of component-0 samples
     * scaled by 2^Pt). Precision 2-16 supported. */
   def decodeLossless(b: Array[Byte]): Option[(Int, Int, Double)] =
-    decodeLosslessFull(b).map { case (w, h, mean, _) => (w, h, mean) }
+    decodeLosslessFull(b, wantPixels = false).map { case (w, h, mean, _) => (w, h, mean) }
 
   /** Lossless decode exposing the component-0 sample plane (row-major,
     * `pt`-shifted back to full precision) — the pixel source for
     * perceptual hashing ([[Multimodal.dhashImages]]). */
   def decodeLosslessPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    decodeLosslessFull(b).map { case (w, h, _, px) => (w, h, px) }
+    decodeLosslessFull(b, wantPixels = true).map { case (w, h, _, px) => (w, h, px) }
 
-  private def decodeLosslessFull(b: Array[Byte]): Option[(Int, Int, Double, Array[Int])] = try {
+  private def decodeLosslessFull(b: Array[Byte],
+      wantPixels: Boolean): Option[(Int, Int, Double, Array[Int])] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     val dcTabs = new Array[Huff](4)
@@ -1401,7 +1402,7 @@ object JpegCodec {
             if (pt >= precision) return None
             return decodeLosslessScan(b, mOff + 1 + segLen,
               scanComps.map(_._2), w, h, predictor, pt, precision,
-              restartInterval).map { case (mean, px) => (w, h, mean, px) }
+              restartInterval, wantPixels).map { case (mean, px) => (w, h, mean, px) }
           case _ => ()
         }
         pos = mOff + 1 + segLen
@@ -1412,11 +1413,13 @@ object JpegCodec {
 
   private def decodeLosslessScan(b: Array[Byte], scanStart: Int,
       tabs: Array[Huff], w: Int, h: Int, predictor: Int, pt: Int,
-      precision: Int, restartInterval: Int): Option[(Double, Array[Int])] = {
+      precision: Int, restartInterval: Int,
+      wantPixels: Boolean): Option[(Double, Array[Int])] = {
     if (w.toLong * h > (1 << 24)) return None // same cap as progressive
     val nc = tabs.length
     val r = new BitReader(b, scanStart)
-    val plane0 = new Array[Int](w * h)
+    // mean-only callers skip the w*h plane (up to 64 MB at the cap)
+    val plane0 = if (wantPixels) new Array[Int](w * h) else null
     val defaultPred = 1 << (precision - pt - 1)
     var prev = Array.fill(nc)(new Array[Int](w))
     var cur = Array.fill(nc)(new Array[Int](w))
@@ -1447,7 +1450,10 @@ object JpegCodec {
               prev(ci)(x - 1))
           val v = (px + diff) & 0xffff       // mod 2^16 (H.2.1)
           cur(ci)(x) = v
-          if (ci == 0) { sum0 += (v << pt).toDouble; plane0(y * w + x) = v << pt }
+          if (ci == 0) {
+            sum0 += (v << pt).toDouble
+            if (plane0 != null) plane0(y * w + x) = v << pt
+          }
           ci += 1
         }
         atRestart = false

@@ -258,11 +258,17 @@ object Multimodal {
     * a constant +2 brightness shift on their even sibling's pattern:
     * a brightness-shifted near-duplicate that dHash (gradient-based)
     * is invariant to. Mirrored verbatim in the q_mm_phash oracle. */
-  private[graft] def patternPixel(docId: Long, x: Int, y: Int): Int = {
-    val k = (docId / 2) * 10007L + (y / 4) * 251L + (x / 4)
+  private[graft] def patternPixel(docId: Long, x: Int, y: Int): Int =
+    tileValue(docId, x / 4, y / 4) + ((docId % 2) * 2).toInt
+
+  /** One md5 per 4x4 tile, not per pixel — synthesizeJpegPattern
+    * computes each tile once (a 36x32 image has 72 tiles, not 1152
+    * digests). */
+  private def tileValue(docId: Long, tx: Int, ty: Int): Int = {
+    val k = (docId / 2) * 10007L + ty * 251L + tx
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((d(0) & 0xff) % 200 + (docId % 2) * 2).toInt
+    (d(0) & 0xff) % 200
   }
 
   /** Patterned LOSSLESS-JPEG synthesizer ([[patternPixel]] content —
@@ -274,12 +280,16 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
+        // one digest per 4x4 tile; pixels read the tile table
+        val tw = (width + 3) / 4; val th = (height + 3) / 4
+        val tiles = Array.tabulate(th, tw)((ty, tx) => tileValue(id, tx, ty))
+        val shift = ((id % 2) * 2).toInt
         val px = new Array[Int](width * height)
         var y = 0
         while (y < height) {
           var x = 0
           while (x < width) {
-            px(y * width + x) = patternPixel(id, x, y)
+            px(y * width + x) = tiles(y / 4)(x / 4) + shift
             x += 1
           }
           y += 1
@@ -359,8 +369,17 @@ object Multimodal {
       while (c < 8) {
         val a = r * 9 + c
         val b = a + 1
-        // avg(b) > avg(a) without division: cross-multiply exact sums
-        if (sums(b) * cnts(a) > sums(a) * cnts(b)) {
+        // avg(b) > avg(a) without division: cross-multiply exact sums.
+        // 16-bit planes near the 2^24-pixel cap can push sums to
+        // ~2^49 and the product past Long range — fall back to exact
+        // BigInt when either product could overflow (never on 8-bit
+        // images; a wrapped product would flip hash bits silently).
+        val safe = (cnts(a) == 0L || sums(b) <= Long.MaxValue / cnts(a)) &&
+          (cnts(b) == 0L || sums(a) <= Long.MaxValue / cnts(b))
+        val gtv =
+          if (safe) sums(b) * cnts(a) > sums(a) * cnts(b)
+          else BigInt(sums(b)) * cnts(a) > BigInt(sums(a)) * cnts(b)
+        if (gtv) {
           val idx = r * 8 + c
           if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
         }

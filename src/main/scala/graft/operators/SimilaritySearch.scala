@@ -184,28 +184,43 @@ object SimilaritySearch {
     * Plans one scan + TakeOrdered PER query — right for a handful of
     * literal queries; past ~a dozen use [[pqAdcTopKBatch]], which
     * answers every query in one scan. */
-  def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
-                queries: Seq[(Long, Seq[Float])], codebook: PqCodebook,
-                kTop: Int): DataFrame = {
+  /** The ADC LUTs are indexed positionally by stored code, so every
+    * subspace's code ids must be exactly 0..k-1 (both train paths
+    * emit dense codes; a hand-built codebook might not). Shared by
+    * every ADC entry point — the validation and the LUT fold must
+    * stay bit-identical across them or Spark/oracle parity breaks. */
+  private def requireDenseCodes(fn: String, codebook: PqCodebook): Unit = {
     val m = codebook.map(_._1).max + 1
-    val subDim = codebook.head._3.length
-    // the LUT below is indexed positionally by stored code, so every
-    // subspace's code ids must be exactly 0..k-1 (both train paths
-    // emit dense codes; a hand-built codebook might not)
     for (mi <- 0 until m) {
       val cids = codebook.filter(_._1 == mi).map(_._2).sorted
       require(cids == (0 until cids.length),
-        s"pqAdcTopK: subspace $mi codes must be dense 0..k-1, got $cids")
+        s"$fn: subspace $mi codes must be dense 0..k-1, got $cids")
     }
+  }
+
+  /** One query's asymmetric distance over `codesCol`: sum over
+    * subspaces of LUT[mi][code], LUT entries accumulated in the
+    * in-order double fold the SQL oracle mirrors. */
+  private def adcDistColumn(codesCol: String, qv: Seq[Float],
+      codebook: PqCodebook): Column = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    (0 until m).map { mi =>
+      val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
+        c.indices.foldLeft(0.0) { (acc, i) =>
+          val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
+      }
+      typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
+    }.reduce(_ + _)
+  }
+
+  def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
+                queries: Seq[(Long, Seq[Float])], codebook: PqCodebook,
+                kTop: Int): DataFrame = {
+    requireDenseCodes("pqAdcTopK", codebook)
     val perQuery = queries.map { case (qid, qv) =>
-      val dist = (0 until m).map { mi =>
-        val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
-          c.indices.foldLeft(0.0) { (acc, i) =>
-            val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
-        }
-        typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
-      }.reduce(_ + _)
-      encoded.select(lit(qid).as("qid"), col(idCol), dist.as("adc_dist"))
+      encoded.select(lit(qid).as("qid"), col(idCol),
+          adcDistColumn(codesCol, qv, codebook).as("adc_dist"))
         .orderBy(col("adc_dist").asc, col(idCol).asc).limit(kTop)
     }
     perQuery.reduce(_ unionAll _)
@@ -223,22 +238,10 @@ object SimilaritySearch {
   def pqAdcTopKBatch(encoded: DataFrame, idCol: String, codesCol: String,
                      queries: Seq[(Long, Seq[Float])], codebook: PqCodebook,
                      kTop: Int): DataFrame = {
-    val m = codebook.map(_._1).max + 1
-    val subDim = codebook.head._3.length
-    for (mi <- 0 until m) {
-      val cids = codebook.filter(_._1 == mi).map(_._2).sorted
-      require(cids == (0 until cids.length),
-        s"pqAdcTopKBatch: subspace $mi codes must be dense 0..k-1, got $cids")
-    }
+    requireDenseCodes("pqAdcTopKBatch", codebook)
     val qd = queries.map { case (qid, qv) =>
-      val dist = (0 until m).map { mi =>
-        val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
-          c.indices.foldLeft(0.0) { (acc, i) =>
-            val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
-        }
-        typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
-      }.reduce(_ + _)
-      struct(lit(qid).as("qid"), dist.as("adc_dist"))
+      struct(lit(qid).as("qid"),
+        adcDistColumn(codesCol, qv, codebook).as("adc_dist"))
     }
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
@@ -284,24 +287,11 @@ object SimilaritySearch {
                 cellCol: String, queries: Seq[(Long, Seq[Float])],
                 centroids: Seq[(Int, Seq[Float])], nProbe: Int,
                 codebook: PqCodebook, kTop: Int): DataFrame = {
-    val m = codebook.map(_._1).max + 1
-    val subDim = codebook.head._3.length
-    for (mi <- 0 until m) {
-      val cids = codebook.filter(_._1 == mi).map(_._2).sorted
-      require(cids == (0 until cids.length),
-        s"ivfPqTopK: subspace $mi codes must be dense 0..k-1, got $cids")
-    }
+    requireDenseCodes("ivfPqTopK", codebook)
     val qd = queries.map { case (qid, qv) =>
-      val dist = (0 until m).map { mi =>
-        val lut = codebook.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
-          c.indices.foldLeft(0.0) { (acc, i) =>
-            val d = qv(mi * subDim + i).toDouble - c(i).toDouble; acc + d * d }
-        }
-        typedlit(lut).getItem(element_at(col(codesCol), mi + 1))
-      }.reduce(_ + _)
       struct(lit(qid).as("qid"),
         typedlit(probeCells(qv, centroids, nProbe)).as("cells"),
-        dist.as("adc_dist"))
+        adcDistColumn(codesCol, qv, codebook).as("adc_dist"))
     }
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)

@@ -139,7 +139,7 @@ object FacadeQueries {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
       val domain = c.agg(max("c_custkey")).head.getLong(0).toInt + 1
       val cf = VxFrame(c.select("c_custkey", "c_mktsegment", "c_acctbal"))
-        .categorize("c_custkey", (0 until domain).map(_.toString))
+        .categorizeOrdinal("c_custkey", domain)
       VxFrame(o.withColumnRenamed("o_custkey", "c_custkey"))
         .join(cf, Seq("c_custkey"), how = "inner")
         .df.groupBy(col("c_mktsegment").as("segment"))

@@ -300,7 +300,12 @@ object StreamOps {
     *
     * Mode-agnostic: a batch frame runs the same plan as a plain
     * dropDuplicates (which batch-keeps an arbitrary occurrence —
-    * compare kept hash SETS, not row identity, across modes). */
+    * compare kept hash SETS, not row identity, across modes).
+    *
+    * `sep` is a Java REGEX (Spark `split` semantics) — callers
+    * splitting on a literal metacharacter like "." or "|" must
+    * `Pattern.quote` it; the default "\n" and the common "\n{2,}"
+    * paragraph split both read naturally as regexes. */
   def streamingParagraphDedup(docs: DataFrame, idCol: String, textCol: String,
                               sep: String = "\n",
                               withinWatermark: Boolean = false): DataFrame = {

@@ -118,13 +118,36 @@ class DenseLookupJoinSpec extends SparkSpec {
   test("VxFrame.join auto-routes through the dense path on a categorize'd key") {
     val vd = VxFrame(dim).categorize("k", (0 until 8).map(_.toString))
     val before = DenseLookupJoin.invocations.get()
-    // the facade API joins on a shared column name — rename fact's key
-    val vf2 = VxFrame(fact.withColumnRenamed("fk", "k"))
+    // the facade API joins on a shared column name — rename fact's key,
+    // and put it LAST so the schema-order assertion below is not
+    // trivially satisfied by a key already in front
+    val vf2 = VxFrame(fact.withColumnRenamed("fk", "k").select("row_id", "k"))
     val routed = vf2.join(vd, Seq("k"), how = "inner")
     assert(DenseLookupJoin.invocations.get() > before)
     val hash = vf2.join(VxFrame(dim), Seq("k"), how = "inner")
+    // which path served the call must be invisible: same column ORDER
+    // (the USING-join shape, key hoisted first) and same rows
+    assert(routed.df.columns.toSeq == hash.df.columns.toSeq)
     assert(routed.df.collect().map(_.toString).sorted.toSeq ==
       hash.df.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("categorizeOrdinal declares a domain without materializing labels") {
+    val vd = VxFrame(dim).categorizeOrdinal("k", 8)
+    assert(vd.categoryLabels("k").length == 8)
+    assert(vd.categoryLabels("k")(5) == "5")
+    val vf2 = VxFrame(fact.withColumnRenamed("fk", "k"))
+    val before = DenseLookupJoin.invocations.get()
+    vf2.join(vd, Seq("k"), how = "inner").df.collect()
+    assert(DenseLookupJoin.invocations.get() > before)
+  }
+
+  test("size gate rejects a dim whose tables exceed the byte budget") {
+    val ex = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(fact, dim, col("fk"), "k", 8,
+        maxTableBytes = 16L)
+    }
+    assert(ex.getMessage.contains("budget"))
   }
 
   test("VxFrame.join falls back to the hash join when the dense build fails") {

@@ -140,6 +140,29 @@ class JpegLosslessSpec extends AnyFunSuite {
     assert(Multimodal.dhashBits(w, h, base) != Multimodal.dhashBits(w, h, mirrored))
   }
 
+  test("dHash: exact for block sums whose cross-products overflow Long") {
+    import graft.operators.Multimodal
+    // 4608x4096 plane of huge values: block sums ~2^48, cross-products
+    // ~2^66 — a wrapped Long product would flip bits; compare against
+    // a BigInt-only reference computed here
+    val w = 4608; val h = 4096
+    val big = 1 << 30
+    val px = Array.tabulate(w * h)(i => if (i % w < w / 2) 7 else big)
+    val (hi, lo) = Multimodal.dhashBits(w, h, px)
+    val sums = Array.fill(8, 9)(BigInt(0)); val cnts = Array.fill(8, 9)(BigInt(0))
+    for (y <- 0 until h; x <- 0 until w) {
+      sums(y * 8 / h)(x * 9 / w) += px(y * w + x)
+      cnts(y * 8 / h)(x * 9 / w) += 1
+    }
+    var ehi = 0L; var elo = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (sums(r)(c + 1) * cnts(r)(c) > sums(r)(c) * cnts(r)(c + 1)) {
+        val idx = r * 8 + c
+        if (idx >= 32) ehi |= 1L << (idx - 32) else elo |= 1L << idx
+      }
+    assert((hi, lo) == ((ehi, elo)))
+  }
+
   test("dhashImages is total: undecodable payloads yield the (-1,-1) row") {
     val spark = SparkSpec.session
     import spark.implicits._
