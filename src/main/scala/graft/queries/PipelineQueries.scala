@@ -529,6 +529,50 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_grams"), col("weight"), col("gweight"),
           (col("gweight") > col("__p90")).cast("long").as("selected"))
         .orderBy("doc_id")
+    }),
+
+    // Domain PageRank — the link-graph quality signal crawl curation
+    // uses to weight domains (e.g. CommonCrawl seed ranking; Page et
+    // al. 1999): weighted power iteration over a 50-node domain graph
+    // synthesized from doc_id math (both engines build identical
+    // edges). rank' = 0.15/N + 0.85 * sum_in rank*w/outw, 5 fixed
+    // iterations. Scale shape: each iteration is ONE join (ranks
+    // joined to edge list, both keyed by src) + one groupBy dst —
+    // the edge list never moves to the driver and a 1e9-edge graph
+    // shuffles only (dst, contrib) pairs; per-node incoming sums are
+    // decimal-exact so iteration k's ranks are bit-identical across
+    // partitionings and engines.
+    "q_pagerank_domains" -> ((s, dir) => {
+      val N = 50; val iters = 5
+      val base = t(s, dir, "documents").select(
+        (col("doc_id") % N).as("src"),
+        pmod((col("doc_id") % N) * 7 + 3 + expr("doc_id DIV 50") % 5,
+          lit(N.toLong)).as("dst"))
+      val w = base.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val outw = w.groupBy("src").agg(sum("w").as("ow"))
+      val edges = w.join(outw, "src").select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+      // fresh node frames per iteration + USING-joins on renamed keys:
+      // iteration k's plan embeds iteration k-1's, so dataframe-
+      // attribute references (df("col")) would trip ambiguous-self-join
+      // resolution — name-based joins stay unambiguous
+      def freshNodes = s.range(N).select(col("id").as("node"))
+      var ranks = freshNodes.select(col("node"), lit(1.0 / N).as("rank"))
+      for (_ <- 1 to iters) {
+        val in = edges.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"))
+          .agg(dsumD(col("rank") * col("frac")).as("in_r"))
+        ranks = freshNodes
+          .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15 / N) + lit(0.85) * coalesce(col("in_r"), lit(0.0)))
+              .as("rank"))
+      }
+      val inW = base.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_w"))
+      ranks.join(inW, Seq("node"), "left")
+        .select(col("node"), round(col("rank"), 8).as("rank"),
+          coalesce(col("in_w"), lit(0L)).as("in_w"))
+        .orderBy("node")
     })
   )
 
@@ -739,8 +783,41 @@ object PipelineQueries {
          |thr AS (SELECT QUANTILE_CONT(gweight, 0.9) AS p90 FROM gw)
          |SELECT doc_id, n_grams, weight, gweight,
          |  CAST(CASE WHEN gweight > p90 THEN 1 ELSE 0 END AS BIGINT) AS selected
-         |FROM gw CROSS JOIN thr ORDER BY doc_id""".stripMargin
+         |FROM gw CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank_domains" -> pagerankSql
   )
+
+  /** 5 unrolled power-iteration CTEs mirroring the Spark loop. */
+  private lazy val pagerankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(0.15 AS DOUBLE)/50 + 0.85 * COALESCE(s.in_r, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, ${sqlDsum(s"rp.rank * e.frac")} AS in_r
+         |    FROM en e JOIN r${i - 1} rp ON rp.node = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT doc_id % 50 AS src,
+       |    ((doc_id % 50) * 7 + 3 + (doc_id // 50) % 5) % 50 AS dst
+       |  FROM documents),
+       |w AS (SELECT src, dst, COUNT(*) AS w FROM base GROUP BY 1, 2),
+       |ow AS (SELECT src, SUM(w) AS ow FROM w GROUP BY 1),
+       |en AS (SELECT w.src, w.dst,
+       |  CAST(w.w AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS frac
+       |  FROM w JOIN ow USING (src)),
+       |nodes AS (SELECT UNNEST(range(50)) AS node),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/50 AS rank FROM nodes),
+       |$iterCtes,
+       |iw AS (SELECT dst AS node, COUNT(*) AS in_w FROM base GROUP BY 1)
+       |SELECT n.node, ROUND(r5.rank, 8) AS rank,
+       |  CAST(COALESCE(iw.in_w, 0) AS BIGINT) AS in_w
+       |FROM nodes n JOIN r5 ON r5.node = n.node
+       |LEFT JOIN iw ON iw.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
 
   /** Same algebra over the [[cleanCorpus]] rotation, 1% eval split. */
   private lazy val decontaminateCleanSql: String =

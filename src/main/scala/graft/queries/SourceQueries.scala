@@ -53,6 +53,15 @@ object SourceQueries {
       agg(graft.sources.Readers.fromJson(s, cache))
     }),
 
+    // ORC round trip (beyond reference — Spark-native columnar format,
+    // dispatched by extension in Export.export / Readers.open). Oracle
+    // runs on the ORIGINAL parquet.
+    "q_orc_agg" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_orc") + "/t.orc"
+      graft.sources.Export.export(narrowLineitem(s, dir), cache)
+      agg(graft.sources.Readers.open(s, cache))
+    }),
+
     // hdf5 (the reference's NATIVE format): write lineitem as a
     // vaex-layout hdf5 file with the dependency-free writer, read it
     // back with the distributed range-read path, aggregate. The oracle
@@ -460,6 +469,7 @@ object SourceQueries {
     "q_csv_agg" -> aggSql,
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,
+    "q_orc_agg" -> aggSql,
     "q_hdf5_agg" -> aggSql,
     "q_hdf5_chunked" -> aggSql,
     "q_hdf5_latest" -> aggSql,

@@ -16,6 +16,7 @@ object Export {
     * extension idiom (reference: core/__init__.py:111). */
   def export(df: DataFrame, path: String): Unit = path match {
     case p if p.endsWith(".parquet") => parquet(df, p)
+    case p if p.endsWith(".orc") => orc(df, p)
     case p if p.endsWith(".csv") => csv(df, p)
     case p if p.endsWith(".json") => json(df, p)
     case p if p.endsWith(".arrow") || p.endsWith(".feather") => ArrowIpc.write(df, p)
@@ -28,6 +29,11 @@ object Export {
 
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** ORC (beyond the reference — Spark-native columnar alternative;
+    * footer stats give the same file-skipping story as parquet). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

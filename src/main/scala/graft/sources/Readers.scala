@@ -28,6 +28,7 @@ object Readers {
         require(files.nonEmpty, s"open: glob matched no files: $p")
         openMany(spark, files)
       case p if p.endsWith(".parquet") => spark.read.parquet(p)
+      case p if p.endsWith(".orc") => spark.read.orc(p)
       case p if p.endsWith(".csv") => fromCsv(spark, p)
       case p if p.endsWith(".json") || p.endsWith(".jsonl") => fromJson(spark, p)
       case p if p.endsWith(".txt") || p.endsWith(".asc") => Export.fromAscii(spark, p)
