@@ -542,6 +542,40 @@ object PipelineQueries {
     // shuffles only (dst, contrib) pairs; per-node incoming sums are
     // decimal-exact so iteration k's ranks are bit-identical across
     // partitionings and engines.
+    // Temperature-based source mixing (the multinomial up/down-
+    // sampling of multilingual/multi-source training mixes, XLM-R
+    // style: p_s ∝ n_s^alpha with alpha<1 flattening the head):
+    // per-source quotas from the tempered distribution, then the
+    // deterministic salted-hash ranking picks each source's docs.
+    // Scale shape: the quota table is per-source (tiny, broadcast);
+    // ranking shuffles once on source — same window discipline as
+    // q_source_cap (only ranked partitions move).
+    "q_temperature_mix" -> ((s, dir) => {
+      import TextFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val alpha = 0.7; val target = 200
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val z = counts.agg(
+        dsumD(pow(col("n_docs").cast("double"), alpha)).as("z"))
+      val quota = counts.crossJoin(broadcast(z))
+        .withColumn("p", pow(col("n_docs").cast("double"), alpha) / col("z"))
+        .withColumn("quota", floor(col("p") * target + 0.5).cast("long"))
+      val h = portableHash(concat(lit("mix:"), col("doc_id").cast("string")))
+      val ranked = docs
+        .join(broadcast(quota.select("source", "quota", "p")), Seq("source"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(h, col("doc_id"))))
+      ranked.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          max(col("quota")).as("quota"),
+          sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= col("quota"), col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"),
+          r(max(col("p")), 6).as("p"))
+        .orderBy("source")
+    }),
+
     "q_pagerank_domains" -> ((s, dir) => {
       val N = 50; val iters = 5
       val base = t(s, dir, "documents").select(
@@ -785,7 +819,28 @@ object PipelineQueries {
          |  CAST(CASE WHEN gweight > p90 THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM gw CROSS JOIN thr ORDER BY doc_id""".stripMargin,
 
-    "q_pagerank_domains" -> pagerankSql
+    "q_pagerank_domains" -> pagerankSql,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |z AS (SELECT CAST(SUM(CAST(POWER(CAST(n_docs AS DOUBLE), 0.7)
+        |  AS DECIMAL(38,10))) AS DOUBLE) AS z FROM c),
+        |q AS (SELECT source, n_docs,
+        |  POWER(CAST(n_docs AS DOUBLE), 0.7) / z AS p,
+        |  CAST(FLOOR(POWER(CAST(n_docs AS DOUBLE), 0.7) / z * 200 + 0.5)
+        |    AS BIGINT) AS quota
+        |  FROM c CROSS JOIN z),
+        |r AS (SELECT d.doc_id, d.source, q.quota, q.p,
+        |  ROW_NUMBER() OVER (PARTITION BY d.source
+        |    ORDER BY ('0x' || substring(md5('mix:' || d.doc_id), 1, 15))::BIGINT,
+        |      d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (source))
+        |SELECT source, COUNT(*) AS n_docs, MAX(quota) AS quota,
+        |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= quota THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_sum,
+        |  ROUND(MAX(p), 6) AS p
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** 5 unrolled power-iteration CTEs mirroring the Spark loop. */

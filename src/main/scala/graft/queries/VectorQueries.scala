@@ -158,6 +158,40 @@ object VectorQueries {
     // tie-break — a pure projection over inlined literals, zero
     // shuffle. recon_err sums subspace distances in DECIMAL(38,10)
     // (4-term double addition order would differ between engines).
+    // Hard-negative mining for contrastive training (the in-batch /
+    // cross-batch negatives step of embedding-model pipelines, e.g.
+    // DPR Karpukhin et al. 2020): for each anchor, the top-2 most
+    // cosine-similar vectors with a DIFFERENT label. Anchors are a
+    // small broadcast set; candidates stream through the codegen'd
+    // FloatVectorDot kernel; WindowGroupLimit bounds the per-anchor
+    // exchange to k rows per partition. At scale the brute-force
+    // candidate side swaps for the IVF/PQ index — same downstream
+    // shape.
+    "q_hard_negatives" -> ((s, dir) => {
+      import graft.functions.VectorExpressions._
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"), fnorm(col("embedding")).as("a_nrm"))
+      val pts = emb.select(col("vec_id").as("neg_id"),
+        col("label").as("n_label"), col("embedding").as("emb"),
+        fnorm(col("embedding")).as("nrm"))
+      val denom = col("a_nrm") * col("nrm")
+      val scored = pts.crossJoin(broadcast(qs))
+        .where(col("n_label") =!= col("a_label"))
+        .select(col("anchor_id"), col("a_label"), col("neg_id"),
+          col("n_label"),
+          when(denom === 0.0, lit(0.0))
+            .otherwise(fdot(col("a_emb"), col("emb")) / denom).as("cos"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))))
+        .where(col("rk") <= 2)
+        .select(col("anchor_id"), col("a_label"), col("rk"), col("neg_id"),
+          col("n_label"), r(col("cos"), 8).as("cos"))
+        .orderBy("anchor_id", "rk")
+    }),
+
     "q_pq_encode" -> ((s, dir) => {
       import graft.operators.SimilaritySearch
       val emb = t(s, dir, "embeddings")
@@ -337,6 +371,24 @@ object VectorQueries {
          |  CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM pts p LEFT JOIN dups d ON p.vec_id = d.vec_id
          |ORDER BY p.vec_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+         |    embedding AS a_emb FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT a.anchor_id, a.a_label, p.vec_id AS neg_id,
+         |    p.label AS n_label,
+         |    CASE WHEN ${ddbNorm("a.a_emb")} * ${ddbNorm("p.embedding")} = 0.0
+         |      THEN 0.0
+         |      ELSE ${ddbDot("a.a_emb", "p.embedding")}
+         |        / (${ddbNorm("a.a_emb")} * ${ddbNorm("p.embedding")}) END AS cos
+         |  FROM embeddings p CROSS JOIN a
+         |  WHERE p.label <> a.a_label)
+         |SELECT anchor_id, a_label, rk, neg_id, n_label,
+         |  ROUND(cos, 8) AS cos
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos DESC, neg_id) AS rk FROM sc)
+         |WHERE rk <= 2 ORDER BY anchor_id, rk""".stripMargin,
 
     "q_pq_encode" ->
       """WITH cb AS (
