@@ -147,6 +147,61 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // RAG-style overlapping chunker (long-doc indexing / training
+    // windows with context overlap): fixed 32-token windows, stride
+    // 24 (8-token overlap), chunk starts from integer math — a pure
+    // projection, zero shuffle at any corpus size.
+    "q_chunk_overlap" -> ((s, dir) => {
+      val W = 32; val S = 24
+      val tks = split(col("text"), " ")
+      val n = size(tks)
+      val nChunks = greatest(
+        ceil((n - W).cast("double") / S).cast("int") + 1, lit(1))
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tks, i * S + 1, lit(W)), " "))
+      t(s, dir, "documents").select(
+          col("doc_id"), n.cast("long").as("n_tokens"),
+          nChunks.cast("long").as("n_chunks"),
+          aggregate(chunks, lit(0L),
+            (acc, c) => acc + length(c).cast("long")).as("chars_total"),
+          (n - (nChunks - 1) * S).cast("long").as("last_chunk_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Count-min-sketch heavy hitters: the fixed-memory frequency
+    // sketch (Cormode & Muthukrishnan 2005) a streaming/scale pipeline
+    // uses where an exact token groupBy's key space doesn't fit —
+    // d=4 universal-hash rows x m=256 buckets, estimate = min over
+    // rows (deterministic given the hash family, so the DuckDB oracle
+    // recomputes sketch AND estimates exactly; overcount >= 0 by
+    // construction). Scale shape: the sketch is a 4x256 cell groupBy
+    // (bounded regardless of vocabulary); only probe tokens join it.
+    "q_heavy_hitters_cms" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      import org.apache.spark.sql.Column
+      val M = 256; val D = 4; val TOP = 10
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      def buckets(tok: Column) = array((0 until D).map { j =>
+        struct(lit(j).as("j"), (universalHash(j, baseHash(tok)) % M).as("b"))
+      }: _*)
+      val sketch = toks.select(explode(buckets(col("token"))).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(TOP)
+      val probes = exact
+        .select(col("token"), col("exact_n"),
+          explode(buckets(col("token"))).as("jb"))
+        .select(col("token"), col("exact_n"),
+          col("jb.j").as("j"), col("jb.b").as("b"))
+      probes.join(sketch, Seq("j", "b"))
+        .groupBy("token", "exact_n").agg(min(col("c")).as("cms_est"))
+        .select(col("token"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
+
     // bigram-LM perplexity filter — the CCNet/KenLM stage of a crawl
     // pipeline (Wenzek et al. 2019 score docs by LM perplexity and
     // keep the fluent tail): an add-alpha-smoothed bigram Markov
@@ -368,6 +423,22 @@ object TextQueries {
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 30""".stripMargin,
 
+    "q_chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, LEN(t) AS n,
+        |  GREATEST(CAST(CEIL(CAST(LEN(t) - 32 AS DOUBLE) / 24) AS INT) + 1, 1)
+        |    AS n_chunks, t
+        |  FROM tk)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(list_sum(list_transform(range(0, n_chunks),
+        |    i -> LENGTH(array_to_string(t[i*24+1 : i*24+32], ' ')))) AS BIGINT)
+        |    AS chars_total,
+        |  CAST(n - (n_chunks - 1) * 24 AS BIGINT) AS last_chunk_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_heavy_hitters_cms" -> cmsSql,
+
     "q_bigram_lm" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |g0 AS (SELECT doc_id, UNNEST(range(0, GREATEST(LEN(t) - 1, 0))) AS i, t
@@ -416,4 +487,32 @@ object TextQueries {
         |    ELSE [] END)) AS BIGINT) AS n_shingles
         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** CMS oracle: sketch rows + probe rows generated per hash-family
+    * member j with the same Carter-Wegman constants the Spark side
+    * inlines (TextFunctions.uhashA/B). */
+  private lazy val cmsSql: String = {
+    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
+    def uh(j: Int, e: String) = s"((${uhashA(j)} * $e + ${uhashB(j)}) % $UHASH_P)"
+    def h(tok: String) = s"('0x' || substring(md5($tok), 1, 7))::BIGINT"
+    val sketchRows = (0 until 4).map { j =>
+      s"SELECT $j AS j, ${uh(j, h("token"))} % 256 AS b FROM toks"
+    }.mkString(" UNION ALL ")
+    val probeRows = (0 until 4).map { j =>
+      s"""SELECT token, exact_n, $j AS j, ${uh(j, h("token"))} % 256 AS b
+         |      FROM exact""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+       |sk AS (SELECT j, b, COUNT(*) AS c FROM ($sketchRows) GROUP BY 1, 2),
+       |exact AS (SELECT token, COUNT(*) AS exact_n FROM toks
+       |  GROUP BY 1 ORDER BY exact_n DESC, token LIMIT 10),
+       |pr AS ($probeRows)
+       |SELECT pr.token, CAST(pr.exact_n AS BIGINT) AS exact_n,
+       |  CAST(MIN(sk.c) AS BIGINT) AS cms_est,
+       |  CAST(MIN(sk.c) - pr.exact_n AS BIGINT) AS overcount
+       |FROM pr JOIN sk ON sk.j = pr.j AND sk.b = pr.b
+       |GROUP BY pr.token, pr.exact_n
+       |ORDER BY exact_n DESC, token""".stripMargin
+  }
 }
