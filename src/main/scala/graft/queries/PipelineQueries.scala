@@ -531,17 +531,6 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Domain PageRank — the link-graph quality signal crawl curation
-    // uses to weight domains (e.g. CommonCrawl seed ranking; Page et
-    // al. 1999): weighted power iteration over a 50-node domain graph
-    // synthesized from doc_id math (both engines build identical
-    // edges). rank' = 0.15/N + 0.85 * sum_in rank*w/outw, 5 fixed
-    // iterations. Scale shape: each iteration is ONE join (ranks
-    // joined to edge list, both keyed by src) + one groupBy dst —
-    // the edge list never moves to the driver and a 1e9-edge graph
-    // shuffles only (dst, contrib) pairs; per-node incoming sums are
-    // decimal-exact so iteration k's ranks are bit-identical across
-    // partitionings and engines.
     // Temperature-based source mixing (the multinomial up/down-
     // sampling of multilingual/multi-source training mixes, XLM-R
     // style: p_s ∝ n_s^alpha with alpha<1 flattening the head):
@@ -558,8 +547,14 @@ object PipelineQueries {
       val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       val z = counts.agg(
         dsumD(pow(col("n_docs").cast("double"), alpha)).as("z"))
+      // p is rounded to 6 decimals BEFORE the integer quota threshold:
+      // pow() is only 1-ulp-reproducible across libm implementations,
+      // and floor(p*target+0.5) would turn a last-ulp Spark/DuckDB
+      // difference into a quota off by one — rounding first keeps the
+      // boundary 1e-6 wide instead of 1 ulp
       val quota = counts.crossJoin(broadcast(z))
-        .withColumn("p", pow(col("n_docs").cast("double"), alpha) / col("z"))
+        .withColumn("p",
+          round(pow(col("n_docs").cast("double"), alpha) / col("z"), 6))
         .withColumn("quota", floor(col("p") * target + 0.5).cast("long"))
       val h = portableHash(concat(lit("mix:"), col("doc_id").cast("string")))
       val ranked = docs
@@ -572,10 +567,21 @@ object PipelineQueries {
           sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("rk") <= col("quota"), col("doc_id")).otherwise(0L))
             .as("kept_id_sum"),
-          r(max(col("p")), 6).as("p"))
+          max(col("p")).as("p"))
         .orderBy("source")
     }),
 
+    // Domain PageRank — the link-graph quality signal crawl curation
+    // uses to weight domains (e.g. CommonCrawl seed ranking; Page et
+    // al. 1999): weighted power iteration over a 50-node domain graph
+    // synthesized from doc_id math (both engines build identical
+    // edges). rank' = 0.15/N + 0.85 * sum_in rank*w/outw, 5 fixed
+    // iterations. Scale shape: each iteration is ONE join (ranks
+    // joined to edge list, both keyed by src) + one groupBy dst —
+    // the edge list never moves to the driver and a 1e9-edge graph
+    // shuffles only (dst, contrib) pairs; per-node incoming sums are
+    // decimal-exact so iteration k's ranks are bit-identical across
+    // partitionings and engines.
     "q_pagerank_domains" -> ((s, dir) => {
       val N = 50; val iters = 5
       val base = t(s, dir, "documents").select(
@@ -826,9 +832,9 @@ object PipelineQueries {
         |z AS (SELECT CAST(SUM(CAST(POWER(CAST(n_docs AS DOUBLE), 0.7)
         |  AS DECIMAL(38,10))) AS DOUBLE) AS z FROM c),
         |q AS (SELECT source, n_docs,
-        |  POWER(CAST(n_docs AS DOUBLE), 0.7) / z AS p,
-        |  CAST(FLOOR(POWER(CAST(n_docs AS DOUBLE), 0.7) / z * 200 + 0.5)
-        |    AS BIGINT) AS quota
+        |  ROUND(POWER(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS p,
+        |  CAST(FLOOR(ROUND(POWER(CAST(n_docs AS DOUBLE), 0.7) / z, 6) * 200
+        |    + 0.5) AS BIGINT) AS quota
         |  FROM c CROSS JOIN z),
         |r AS (SELECT d.doc_id, d.source, q.quota, q.p,
         |  ROW_NUMBER() OVER (PARTITION BY d.source
@@ -839,7 +845,7 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN rk <= quota THEN doc_id ELSE 0 END) AS BIGINT)
         |    AS kept_id_sum,
-        |  ROUND(MAX(p), 6) AS p
+        |  MAX(p) AS p
         |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 

@@ -150,14 +150,6 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
-    // product quantization (the 16-64x ANN compressor beyond int8's
-    // 4x): 64 dims -> 4 subspaces x 8-entry codebooks = 4 codes
-    // (12 bits) per vector. Deterministic take-first codebook for
-    // oracle parity (the quality path is pqTrainKMeans + the ADC
-    // recall spec); encoding is argmin per subspace with (dist, code)
-    // tie-break — a pure projection over inlined literals, zero
-    // shuffle. recon_err sums subspace distances in DECIMAL(38,10)
-    // (4-term double addition order would differ between engines).
     // Hard-negative mining for contrastive training (the in-batch /
     // cross-batch negatives step of embedding-model pipelines, e.g.
     // DPR Karpukhin et al. 2020): for each anchor, the top-2 most
@@ -185,13 +177,22 @@ object VectorQueries {
           when(denom === 0.0, lit(0.0))
             .otherwise(fdot(col("a_emb"), col("emb")) / denom).as("cos"))
       scored.withColumn("rk", row_number().over(
-          Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))))
+          Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id")))
+          .cast("long"))
         .where(col("rk") <= 2)
         .select(col("anchor_id"), col("a_label"), col("rk"), col("neg_id"),
           col("n_label"), r(col("cos"), 8).as("cos"))
         .orderBy("anchor_id", "rk")
     }),
 
+    // product quantization (the 16-64x ANN compressor beyond int8's
+    // 4x): 64 dims -> 4 subspaces x 8-entry codebooks = 4 codes
+    // (12 bits) per vector. Deterministic take-first codebook for
+    // oracle parity (the quality path is pqTrainKMeans + the ADC
+    // recall spec); encoding is argmin per subspace with (dist, code)
+    // tie-break — a pure projection over inlined literals, zero
+    // shuffle. recon_err sums subspace distances in DECIMAL(38,10)
+    // (4-term double addition order would differ between engines).
     "q_pq_encode" -> ((s, dir) => {
       import graft.operators.SimilaritySearch
       val emb = t(s, dir, "embeddings")
