@@ -30,6 +30,13 @@ import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema =
   */
 object ArrowIpc {
 
+  /** Read-path allocator cap: a corrupt length field in a malformed
+    * file must surface as a prompt OutOfMemoryException from the
+    * arrow allocator, not an unbounded native allocation that OOMs
+    * the executor. 4 GiB comfortably covers any legitimate record
+    * batch; the write paths stay unbounded (we control the data). */
+  private val MaxReadAllocBytes: Long = 4L << 30
+
   private def scalarArrowType(dt: DataType): ArrowType = dt match {
     case LongType => new ArrowType.Int(64, true)
     case IntegerType => new ArrowType.Int(32, true)
@@ -510,7 +517,7 @@ object ArrowIpc {
     // driver: schema + batch count from the footer (+ dictionary
     // value types — the file reader loads dictionaries on init)
     val (sparkFields, nBatches) = {
-      val allocator = new RootAllocator()
+      val allocator = new RootAllocator(MaxReadAllocBytes)
       val in = new FsIO.InChannel(path)
       try {
         val reader = new ArrowFileReader(in, allocator,
@@ -531,7 +538,7 @@ object ArrowIpc {
         val idxs = batchIdxs.toArray
         if (idxs.isEmpty) Iterator.empty
         else {
-          val allocator = new RootAllocator()
+          val allocator = new RootAllocator(MaxReadAllocBytes)
           val in = new FsIO.InChannel(path)
           // compression factory makes LZ4_FRAME/ZSTD record batches
           // (pyarrow >= 4 default feather output) decode per-executor
@@ -580,7 +587,7 @@ object ArrowIpc {
     * batch-parallel scans store the FILE framing instead ([[read]]). */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val sparkFields = {
-      val allocator = new RootAllocator()
+      val allocator = new RootAllocator(MaxReadAllocBytes)
       val in = FsIO.open(path)
       try {
         val reader = new ArrowStreamReader(in, allocator,
@@ -602,7 +609,7 @@ object ArrowIpc {
     val nFields = sparkFields.size
     val rdd = spark.sparkContext.parallelize(Seq(0), 1)
       .mapPartitions { _ =>
-        val allocator = new RootAllocator()
+        val allocator = new RootAllocator(MaxReadAllocBytes)
         val in = FsIO.open(path)
         val reader = new ArrowStreamReader(in, allocator,
           CommonsCompressionFactory.INSTANCE)

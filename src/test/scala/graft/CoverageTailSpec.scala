@@ -413,4 +413,39 @@ class CoverageTailSpec extends SparkSpec {
       if (!e.isNullAt(1)) assert(e.getStruct(1) == g.getStruct(1), s"@ ${e.getLong(0)}")
     }
   }
+
+  test("Arrow IPC corrupt-byte fuzzing: reader throws promptly, never hangs") {
+    // same protocol as the HDF5/FITS fuzz: mutate a real file's
+    // bytes — biased to the head (magic+schema) and tail (footer,
+    // where the FILE framing keeps its index) — and require every
+    // read to either succeed or raise a prompt exception. The read
+    // allocators are capped (ArrowIpc.MaxReadAllocBytes), so a
+    // corrupt buffer length surfaces as arrow's OutOfMemoryException
+    // instead of an unbounded native allocation.
+    val url = getClass.getResource("/arrow/typed.arrow")
+    val base = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(url.getPath))
+    val dir = java.nio.file.Files.createTempDirectory("arrowfuzz")
+    val mut = dir.resolve("mut.arrow")
+    val rnd = new scala.util.Random(7)
+    var parsed = 0
+    val t0 = System.nanoTime()
+    for (_ <- 1 to 60) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(3)) {
+        val pos = rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(math.min(512, m.length))
+          case 1 => m.length - 1 - rnd.nextInt(math.min(512, m.length))
+          case _ => rnd.nextInt(m.length)
+        }
+        m(pos) = rnd.nextInt(256).toByte
+      }
+      java.nio.file.Files.write(mut, m)
+      try { ArrowIpc.read(spark, mut.toString).collect(); parsed += 1 }
+      catch { case _: Exception => () }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"arrow fuzz took ${secs}s")
+    assert(parsed > 0) // data-region mutations decode fine
+  }
 }
