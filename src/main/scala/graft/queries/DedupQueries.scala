@@ -139,6 +139,36 @@ object DedupQueries {
     }),
 
     // marker-word language-ID heuristic -> confusion matrix vs labels
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS algorithm; the standard robust-fingerprint primitive for
+    // code/plagiarism dedup): hash every K-gram, slide a W-window
+    // over the hash sequence and keep each window's minimum — the
+    // guarantee is that any shared substring of length >= W+K-1
+    // produces at least one shared fingerprint, at ~2/(W+1) the
+    // density of full gram sets. Pure per-doc array projection (zero
+    // shuffle); the dedup consumer joins on the fingerprint hashes
+    // exactly like q_lsh_neardup's bands.
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val K = 4; val W = 5
+      val tks = split(col("text"), " ")
+      val n = size(tks)
+      val grams = when(n >= K, transform(sequence(lit(0), n - K),
+        i => portableHash(concat_ws(" ", slice(tks, i + 1, lit(K))))))
+        .otherwise(array().cast("array<bigint>"))
+      val ng = size(grams)
+      val nWin = greatest(ng - W + 1, lit(1))
+      val fps = when(ng > 0, array_distinct(
+          transform(sequence(lit(0), nWin - 1),
+            i => array_min(slice(grams, i + 1, lit(W))))))
+        .otherwise(array().cast("array<bigint>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          ng.cast("long").as("n_grams"),
+          size(fps).cast("long").as("n_fingerprints"),
+          array_min(fps).as("fp_min"), array_max(fps).as("fp_max"))
+        .orderBy("doc_id")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"),
@@ -325,6 +355,24 @@ object DedupQueries {
          |  JOIN (SELECT source AS source_b, lang AS lang_b, doc_id AS id_b, hs AS hs_b FROM h) b
          |    ON a.source = b.source_b AND a.lang = b.lang_b AND a.id_a < b.id_b)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN LEN(t) >= 4 THEN list_transform(range(0, LEN(t) - 3),
+        |    i -> ('0x' || substring(md5(array_to_string(t[i+1 : i+4], ' ')), 1, 15))::BIGINT)
+        |  ELSE CAST([] AS BIGINT[]) END AS grams
+        |  FROM tk),
+        |f AS (SELECT doc_id, LEN(grams) AS ng,
+        |  CASE WHEN LEN(grams) > 0 THEN list_distinct(list_transform(
+        |    range(0, GREATEST(LEN(grams) - 4, 1)),
+        |    i -> list_min(grams[i+1 : i+5])))
+        |  ELSE CAST([] AS BIGINT[]) END AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+        |  CAST(LEN(fps) AS BIGINT) AS n_fingerprints,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH p AS (
