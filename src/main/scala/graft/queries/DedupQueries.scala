@@ -119,6 +119,38 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup detection, Manku et al. 2007 (the web-scale
+    // simhash dedup design: band the fingerprint so candidates join
+    // on exact band equality — any pair within hamming distance d
+    // shares at least one of B bands when d < B — then verify with
+    // popcount). 32-bit simhash (the universal-hash base is 31-bit),
+    // 4 bands x 8 bits, verification threshold hamming <= 6. Scale
+    // shape: one shuffle on (band, value) — fingerprints move, never
+    // text; the quadratic step only runs inside band buckets.
+    "q_simhash_neardup" -> ((s, dir) => {
+      val B = 4; val BITS = 8; val HAM = 6
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+        .select(col("doc_id"), simhashFromHashes(col("hs"), 32).as("sh"))
+      val bands = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until B).map(b =>
+          shiftright(col("sh"), b * BITS).bitwiseAND(lit(0xffL))): _*))
+          .as(Seq("band", "bval")))
+      val left = bands.select(col("band"), col("bval"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val right = bands.select(col("band").as("band_b"), col("bval").as("bval_b"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val cand = left.join(right,
+          col("band") === col("band_b") && col("bval") === col("bval_b") &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      cand.select(hammingDistance(col("sh_a"), col("sh_b")).as("ham"))
+        .groupBy("ham").agg(count(lit(1)).as("n_pairs"))
+        .select(col("ham"), col("n_pairs"),
+          (col("ham") <= HAM).cast("long").as("is_dup"))
+        .orderBy("ham")
+    }),
+
     // blocked exact-Jaccard baseline: all pairs within (source, lang),
     // summarized per block (the quadratic baseline LSH replaces)
     "q_jaccard_block" -> ((s, dir) => {
@@ -209,6 +241,9 @@ object DedupQueries {
   private val jacSql =
     "CAST(LEN(list_intersect(hs_a, hs_b)) AS DOUBLE) / LEN(list_distinct(list_concat(hs_a, hs_b)))"
   private val simhashSql = (0 until 16).map { j =>
+    s"CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> $j) & 1 = 1)) > LEN(hs) THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+  private val simhash32Sql = (0 until 32).map { j =>
     s"CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> $j) & 1 = 1)) > LEN(hs) THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
   private val langCase = {
@@ -342,6 +377,28 @@ object DedupQueries {
          |SELECT doc_id, sh,
          |  CAST(bit_count(xor(sh, (SELECT sh FROM sh WHERE doc_id = 0))) AS BIGINT) AS ham
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_neardup" -> {
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 8}) & 255 AS bval FROM sh"
+      }.mkString(" UNION ALL ")
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '),
+         |    t -> ${uh(99, H28("t"))}) AS hs
+         |  FROM documents),
+         |sh AS (SELECT doc_id, CAST($simhash32Sql AS BIGINT) AS sh FROM hs),
+         |bands AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.sh AS sh_a, y.sh AS sh_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS ham,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(CASE WHEN bit_count(xor(sh_a, sh_b)) <= 6 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_dup
+         |FROM cand GROUP BY 1, 3 ORDER BY 1""".stripMargin
+    },
 
     "q_jaccard_block" ->
       s"""WITH s AS (SELECT doc_id, source, lang, $shingleSql AS sh FROM documents),
