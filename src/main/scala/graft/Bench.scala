@@ -259,7 +259,11 @@ object Bench {
       "q_decontaminate_hash_clean", "q_decontaminate_bloom_clean",
       "q_seq_pack",
       "q_embed_lsh", "q_pq_encode", "q_span_dedup", "q_semdedup",
-      "q_percentile_grouped")
+      "q_percentile_grouped",
+      // r10 curation additions (timed for round-over-round visibility;
+      // the pipeline section reports per-query, not in `value`)
+      "q_paragraph_dedup", "q_dsir_select", "q_bigram_lm",
+      "q_simhash_neardup", "q_winnow_fingerprint")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     }

@@ -253,6 +253,42 @@ object ImageCodec {
     Some((ch, px))
   }
 
+  /** Grayscale (luma) plane of a PNG — the pixel source perceptual
+    * hashing needs ([[Multimodal.dhashImages]]). Gray/gray+alpha use
+    * the gray channel directly; RGB/RGBA and palette images take the
+    * integer Rec.601 luma (299r + 587g + 114b) / 1000 — exact integer
+    * arithmetic, alpha ignored. 16-bit samples keep full precision
+    * through the same path; None when pixel decode is unsupported. */
+  def grayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    for {
+      raw <- pngChunks(bytes)
+      (ch, px) <- unfilterPixels(raw)
+    } yield {
+      val n = raw.width * raw.height
+      val out = new Array[Int](n)
+      if (raw.colorType == 3) {
+        var i = 0
+        while (i < n) {
+          val p = px(i) * 3
+          out(i) = (299 * (raw.palette(p) & 0xff) +
+            587 * (raw.palette(p + 1) & 0xff) +
+            114 * (raw.palette(p + 2) & 0xff)) / 1000
+          i += 1
+        }
+      } else if (ch <= 2) { // gray or gray+alpha: channel 0
+        var i = 0
+        while (i < n) { out(i) = px(i * ch); i += 1 }
+      } else { // RGB / RGBA
+        var i = 0
+        while (i < n) {
+          val p = i * ch
+          out(i) = (299 * px(p) + 587 * px(p + 1) + 114 * px(p + 2)) / 1000
+          i += 1
+        }
+      }
+      (raw.width, raw.height, out)
+    }
+
   /** Nearest-neighbor PNG resize: full pixel decode -> grid sample ->
     * re-encode. Grayscale stays grayscale (alpha dropped), anything
     * with color re-encodes as RGB. None for inputs the pixel decoder

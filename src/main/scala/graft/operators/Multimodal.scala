@@ -339,10 +339,12 @@ object Multimodal {
       .toDF()
   }
 
-  /** Grayscale plane from any decodable payload (lossless JPEG today;
-    * PNG gray via ImageCodec's pixel decode would slot in here). */
+  /** Grayscale plane from any decodable payload: lossless-JPEG sample
+    * plane, or a PNG's integer Rec.601 luma (gray/RGB/palette,
+    * 8/16-bit). */
   private def grayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     JpegCodec.decodeLosslessPixels(bytes)
+      .orElse(ImageCodec.grayPixels(bytes))
 
   /** 8x9-grid difference hash over a row-major gray plane; returns
     * (hi, lo) = bits 32..63 and 0..31 of idx = r*8 + c. */

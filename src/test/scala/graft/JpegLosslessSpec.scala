@@ -163,6 +163,26 @@ class JpegLosslessSpec extends AnyFunSuite {
     assert((hi, lo) == ((ehi, elo)))
   }
 
+  test("dHash decodes PNG payloads: gray and RGB luma match the raw plane") {
+    import graft.operators.{ImageCodec, Multimodal}
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val w = 36; val h = 32
+    def pix(x: Int, y: Int): Int = Multimodal.patternPixel(4L, x, y)
+    val plane = Array.tabulate(w * h)(i => pix(i % w, i / w))
+    val expected = Multimodal.dhashBits(w, h, plane)
+    val gray = ImageCodec.encodePng(w, h, 1, (x, y, _) => pix(x, y))
+    // r=g=b=v makes the Rec.601 luma exactly v
+    val rgb = ImageCodec.encodePng(w, h, 3, (x, y, _) => pix(x, y))
+    val rows = Multimodal.dhashImages(
+        Seq((1L, gray), (2L, rgb)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().sortBy(_.getLong(0))
+    rows.foreach { r =>
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert((r.getLong(3), r.getLong(4)) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("dhashImages is total: undecodable payloads yield the (-1,-1) row") {
     val spark = SparkSpec.session
     import spark.implicits._
