@@ -209,9 +209,35 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"), col(binCol).as("media"))
       .as[MediaRecord]
       .mapPartitions(_.map(r => MediaRecord(r.doc_id,
-        ImageCodec.resizePng(r.media, width, height).getOrElse(r.media))))
+        ImageCodec.resizePng(r.media, width, height)
+          .orElse(resizeLosslessJpeg(r.media, width, height))
+          .getOrElse(r.media))))
       .toDF()
   }
+
+  /** Nearest-neighbor resize for lossless-JPEG payloads: exact pixel
+    * decode -> grid sample -> lossless re-encode (pixel-exact at both
+    * ends, like the PNG path). None for other JPEG flavors — lossy
+    * re-encode is a quality policy the caller must opt into. */
+  private def resizeLosslessJpeg(bytes: Array[Byte], newW: Int,
+      newH: Int): Option[Array[Byte]] =
+    JpegCodec.decodeLosslessPixels(bytes).flatMap { case (w, h, px) =>
+      if (px.exists(v => v < 0 || v > 255)) None // >8-bit precision
+      else {
+        val out = new Array[Int](newW * newH)
+        var y = 0
+        while (y < newH) {
+          val sy = (y.toLong * h / newH).toInt
+          var x = 0
+          while (x < newW) {
+            out(y * newW + x) = px(sy * w + (x.toLong * w / newW).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        Some(JpegCodec.encodeLosslessJpeg(newW, newH, out))
+      }
+    }
 
   /** Same shape for baseline JPEG payloads ([[JpegCodec]]): constant
     * gray, all-ones quant table, so the decoded brightness round-trips

@@ -449,38 +449,15 @@ object PipelineQueries {
     // reassemble. No join-back, no driver state. The md5-parity hash
     // gates the oracle; production would swap in xxhash64 exactly
     // like the decontaminate/_fast pair.
-    "q_paragraph_dedup" -> ((s, dir) => {
-      import TextFunctions._
-      import org.apache.spark.sql.expressions.Window
-      val w = (lit(6) + col("doc_id") % 3).cast("int")
-      val tks = split(col("text"), " ")
-      val nP = greatest(
-        ceil(size(tks).cast("double") / w.cast("double")).cast("int"), lit(1))
-      val body = transform(sequence(lit(0), nP - 1),
-        i => array_join(slice(tks, i * w + 1, w), " "))
-      val emptyArr = array().cast("array<string>")
-      val paras = concat(body,
-        when(col("doc_id") % 2 === 0,
-          array(lit("subscribe to our newsletter for weekly updates")))
-          .otherwise(emptyArr),
-        when(col("doc_id") % 5 === 0,
-          array(lit("this site uses cookies to improve your experience")))
-          .otherwise(emptyArr))
-      val exploded = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(paras).as(Seq("idx", "para")))
-      val rn = row_number().over(
-        Window.partitionBy(portableHash(col("para"))).orderBy("doc_id", "idx"))
-      exploded.withColumn("__rn", rn)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_paragraphs"),
-          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("__rn") === 1, length(col("para")).cast("long"))
-            .otherwise(0L)).as("n_chars_kept"))
-        .select(col("doc_id"), col("n_paragraphs"), col("n_kept"),
-          col("n_chars_kept"),
-          (col("n_kept") > 0L).cast("long").as("doc_kept"))
-        .orderBy("doc_id")
-    }),
+    "q_paragraph_dedup" -> ((s, dir) =>
+      paragraphDedup(s, dir, c => TextFunctions.portableHash(c))),
+
+    // production-hash lane: IDENTICAL pipeline keyed on codegen'd
+    // xxhash64 instead of the oracle-parity md5 — same answer for any
+    // collision-free hash, so BOTH lanes gate on the ONE md5 oracle
+    // (the decontaminate/_fast pattern)
+    "q_paragraph_dedup_fast" -> ((s, dir) =>
+      paragraphDedup(s, dir, c => xxhash64(c))),
 
     // DSIR data selection (Xie et al. 2023, arXiv:2302.03169 "Data
     // Selection for Language Models via Importance Resampling"):
@@ -758,40 +735,10 @@ object PipelineQueries {
         |  CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    "q_paragraph_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tks,
-        |    CAST(6 + doc_id % 3 AS INT) AS w
-        |  FROM documents),
-        |pl AS (
-        |  SELECT doc_id, list_concat(list_concat(
-        |    list_transform(
-        |      range(0, GREATEST(CAST(CEIL(CAST(LEN(tks) AS DOUBLE) / w) AS INT), 1)),
-        |      i -> array_to_string(tks[i*w+1 : i*w+w], ' ')),
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN ['subscribe to our newsletter for weekly updates']
-        |      ELSE CAST([] AS VARCHAR[]) END),
-        |    CASE WHEN doc_id % 5 = 0
-        |      THEN ['this site uses cookies to improve your experience']
-        |      ELSE CAST([] AS VARCHAR[]) END) AS paras
-        |  FROM tk),
-        |ex AS (
-        |  SELECT doc_id, unnest(paras) AS para,
-        |    unnest(range(len(paras))) AS idx
-        |  FROM pl),
-        |mk AS (
-        |  SELECT doc_id, para,
-        |    ROW_NUMBER() OVER (
-        |      PARTITION BY ('0x' || substring(md5(para), 1, 15))::BIGINT
-        |      ORDER BY doc_id, idx) AS rn
-        |  FROM ex)
-        |SELECT doc_id, COUNT(*) AS n_paragraphs,
-        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(SUM(CASE WHEN rn = 1 THEN LENGTH(para) ELSE 0 END) AS BIGINT)
-        |    AS n_chars_kept,
-        |  CAST(CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
-        |    THEN 1 ELSE 0 END AS BIGINT) AS doc_kept
-        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_paragraph_dedup" -> paragraphDedupSql,
+    // the xxhash64 lane answers the SAME oracle (hash choice is
+    // invisible to the result for any collision-free hash)
+    "q_paragraph_dedup_fast" -> paragraphDedupSql,
 
     "q_dsir_select" ->
       s"""WITH tk AS (
@@ -848,6 +795,78 @@ object PipelineQueries {
         |  MAX(p) AS p
         |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** The one DuckDB oracle both paragraph-dedup lanes hash-match. */
+  private lazy val paragraphDedupSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tks,
+      |    CAST(6 + doc_id % 3 AS INT) AS w
+      |  FROM documents),
+      |pl AS (
+      |  SELECT doc_id, list_concat(list_concat(
+      |    list_transform(
+      |      range(0, GREATEST(CAST(CEIL(CAST(LEN(tks) AS DOUBLE) / w) AS INT), 1)),
+      |      i -> array_to_string(tks[i*w+1 : i*w+w], ' ')),
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ['subscribe to our newsletter for weekly updates']
+      |      ELSE CAST([] AS VARCHAR[]) END),
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ['this site uses cookies to improve your experience']
+      |      ELSE CAST([] AS VARCHAR[]) END) AS paras
+      |  FROM tk),
+      |ex AS (
+      |  SELECT doc_id, unnest(paras) AS para,
+      |    unnest(range(len(paras))) AS idx
+      |  FROM pl),
+      |mk AS (
+      |  SELECT doc_id, para,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY ('0x' || substring(md5(para), 1, 15))::BIGINT
+      |      ORDER BY doc_id, idx) AS rn
+      |  FROM ex)
+      |SELECT doc_id, COUNT(*) AS n_paragraphs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN LENGTH(para) ELSE 0 END) AS BIGINT)
+      |    AS n_chars_kept,
+      |  CAST(CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS doc_kept
+      |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared CCNet paragraph-dedup body (see the q_paragraph_dedup
+    * scaladoc comment in `queries`); `hashFn` picks the dedup key —
+    * md5-parity for the oracle lane, xxhash64 for production. */
+  private def paragraphDedup(s: SparkSession, dir: String,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (lit(6) + col("doc_id") % 3).cast("int")
+    val tks = split(col("text"), " ")
+    val nP = greatest(
+      ceil(size(tks).cast("double") / w.cast("double")).cast("int"), lit(1))
+    val body = transform(sequence(lit(0), nP - 1),
+      i => array_join(slice(tks, i * w + 1, w), " "))
+    val emptyArr = array().cast("array<string>")
+    val paras = concat(body,
+      when(col("doc_id") % 2 === 0,
+        array(lit("subscribe to our newsletter for weekly updates")))
+        .otherwise(emptyArr),
+      when(col("doc_id") % 5 === 0,
+        array(lit("this site uses cookies to improve your experience")))
+        .otherwise(emptyArr))
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(paras).as(Seq("idx", "para")))
+    val rn = row_number().over(
+      Window.partitionBy(hashFn(col("para"))).orderBy("doc_id", "idx"))
+    exploded.withColumn("__rn", rn)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") === 1, length(col("para")).cast("long"))
+          .otherwise(0L)).as("n_chars_kept"))
+      .select(col("doc_id"), col("n_paragraphs"), col("n_kept"),
+        col("n_chars_kept"),
+        (col("n_kept") > 0L).cast("long").as("doc_kept"))
+      .orderBy("doc_id")
+  }
 
   /** 5 unrolled power-iteration CTEs mirroring the Spark loop. */
   private lazy val pagerankSql: String = {

@@ -183,6 +183,24 @@ class JpegLosslessSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeImages resizes lossless-JPEG payloads pixel-exactly") {
+    import graft.operators.Multimodal
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val w = 24; val h = 16
+    val samples = noise(w * h, 11L)
+    val bytes = JpegCodec.encodeLosslessJpeg(w, h, samples)
+    val out = Multimodal.resizeImages(
+        Seq((1L, bytes)).toDF("doc_id", "media"), "doc_id", "media", 12, 8)
+      .collect()(0).getAs[Array[Byte]]("media")
+    val Some((rw, rh, px)) = JpegCodec.decodeLosslessPixels(out)
+    assert(rw == 12 && rh == 8)
+    // nearest-neighbor grid: out(x,y) = in(x*w/12, y*h/8)
+    for (y <- 0 until 8; x <- 0 until 12)
+      assert(px(y * 12 + x) == samples((y * h / 8) * w + (x * w / 12)),
+        s"($x,$y)")
+  }
+
   test("dhashImages is total: undecodable payloads yield the (-1,-1) row") {
     val spark = SparkSpec.session
     import spark.implicits._
