@@ -257,8 +257,10 @@ object ImageCodec {
     * hashing needs ([[Multimodal.dhashImages]]). Gray/gray+alpha use
     * the gray channel directly; RGB/RGBA and palette images take the
     * integer Rec.601 luma (299r + 587g + 114b) / 1000 — exact integer
-    * arithmetic, alpha ignored. 16-bit samples keep full precision
-    * through the same path; None when pixel decode is unsupported. */
+    * arithmetic, alpha ignored. 16-bit samples are read at 8-bit
+    * precision (high byte — the same truncation the whole PNG pixel
+    * path applies; a hash/brightness consumer never needs the low
+    * byte); None when pixel decode is unsupported. */
   def grayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     for {
       raw <- pngChunks(bytes)

@@ -1326,16 +1326,27 @@ object JpegCodec {
     * (H.2.2.1). Returns (width, height, mean of component-0 samples
     * scaled by 2^Pt). Precision 2-16 supported. */
   def decodeLossless(b: Array[Byte]): Option[(Int, Int, Double)] =
-    decodeLosslessFull(b, wantPixels = false).map { case (w, h, mean, _) => (w, h, mean) }
+    decodeLosslessFull(b, wantPixels = false).map { case (w, h, mean, _, _) => (w, h, mean) }
 
   /** Lossless decode exposing the component-0 sample plane (row-major,
     * `pt`-shifted back to full precision) — the pixel source for
-    * perceptual hashing ([[Multimodal.dhashImages]]). */
+    * perceptual hashing ([[Multimodal.dhashImages]]; for a color
+    * frame this is the FIRST component only — a deterministic proxy,
+    * fine for hashing, wrong for pixel-exact transforms: those use
+    * [[decodeLosslessGrayPixels]]). */
   def decodeLosslessPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    decodeLosslessFull(b, wantPixels = true).map { case (w, h, _, px) => (w, h, px) }
+    decodeLosslessFull(b, wantPixels = true).map { case (w, h, _, px, _) => (w, h, px) }
+
+  /** As [[decodeLosslessPixels]] but ONLY for single-component
+    * (grayscale) frames — None for color lossless JPEGs, so callers
+    * that re-encode (resize) cannot silently drop channels. */
+  def decodeLosslessGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeLosslessFull(b, wantPixels = true).collect {
+      case (w, h, _, px, 1) => (w, h, px)
+    }
 
   private def decodeLosslessFull(b: Array[Byte],
-      wantPixels: Boolean): Option[(Int, Int, Double, Array[Int])] = try {
+      wantPixels: Boolean): Option[(Int, Int, Double, Array[Int], Int)] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     def be16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     val dcTabs = new Array[Huff](4)
@@ -1402,7 +1413,8 @@ object JpegCodec {
             if (pt >= precision) return None
             return decodeLosslessScan(b, mOff + 1 + segLen,
               scanComps.map(_._2), w, h, predictor, pt, precision,
-              restartInterval, wantPixels).map { case (mean, px) => (w, h, mean, px) }
+              restartInterval, wantPixels)
+              .map { case (mean, px) => (w, h, mean, px, ns) }
           case _ => ()
         }
         pos = mOff + 1 + segLen

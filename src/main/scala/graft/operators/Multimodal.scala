@@ -215,13 +215,15 @@ object Multimodal {
       .toDF()
   }
 
-  /** Nearest-neighbor resize for lossless-JPEG payloads: exact pixel
-    * decode -> grid sample -> lossless re-encode (pixel-exact at both
-    * ends, like the PNG path). None for other JPEG flavors — lossy
-    * re-encode is a quality policy the caller must opt into. */
+  /** Nearest-neighbor resize for GRAYSCALE lossless-JPEG payloads:
+    * exact pixel decode -> grid sample -> lossless re-encode
+    * (pixel-exact at both ends, like the PNG path). None for color
+    * lossless frames (re-encoding one component would silently drop
+    * the rest) and for other JPEG flavors — lossy re-encode is a
+    * quality policy the caller must opt into. */
   private def resizeLosslessJpeg(bytes: Array[Byte], newW: Int,
       newH: Int): Option[Array[Byte]] =
-    JpegCodec.decodeLosslessPixels(bytes).flatMap { case (w, h, px) =>
+    JpegCodec.decodeLosslessGrayPixels(bytes).flatMap { case (w, h, px) =>
       if (px.exists(v => v < 0 || v > 255)) None // >8-bit precision
       else {
         val out = new Array[Int](newW * newH)

@@ -121,14 +121,16 @@ object DedupQueries {
 
     // SimHash near-dup detection, Manku et al. 2007 (the web-scale
     // simhash dedup design: band the fingerprint so candidates join
-    // on exact band equality — any pair within hamming distance d
-    // shares at least one of B bands when d < B — then verify with
-    // popcount). 32-bit simhash (the universal-hash base is 31-bit),
-    // 4 bands x 8 bits, verification threshold hamming <= 6. Scale
-    // shape: one shuffle on (band, value) — fingerprints move, never
-    // text; the quadratic step only runs inside band buckets.
+    // on exact band equality — the pigeonhole guarantee is that any
+    // pair within hamming distance d shares at least one of B bands
+    // when d < B, so B=4 bands give a COMPLETE candidate set for
+    // d <= 3 — then verify with popcount at exactly that threshold).
+    // 32-bit simhash (the universal-hash base is 31-bit), 4 bands x
+    // 8 bits, dup = hamming <= 3. Scale shape: one shuffle on
+    // (band, value) — fingerprints move, never text; the quadratic
+    // step only runs inside band buckets.
     "q_simhash_neardup" -> ((s, dir) => {
-      val B = 4; val BITS = 8; val HAM = 6
+      val B = 4; val BITS = 8; val HAM = 3
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
         .select(col("doc_id"), simhashFromHashes(col("hs"), 32).as("sh"))
@@ -170,7 +172,6 @@ object DedupQueries {
         .orderBy("source", "lang")
     }),
 
-    // marker-word language-ID heuristic -> confusion matrix vs labels
     // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     // MOSS algorithm; the standard robust-fingerprint primitive for
     // code/plagiarism dedup): hash every K-gram, slide a W-window
@@ -201,6 +202,7 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // marker-word language-ID heuristic -> confusion matrix vs labels
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"),
@@ -240,12 +242,11 @@ object DedupQueries {
     s"COALESCE(list_min(list_transform(hs, h -> ${uh(i, "h")})), -1)"
   private val jacSql =
     "CAST(LEN(list_intersect(hs_a, hs_b)) AS DOUBLE) / LEN(list_distinct(list_concat(hs_a, hs_b)))"
-  private val simhashSql = (0 until 16).map { j =>
+  private def simhashSqlBits(nBits: Int): String = (0 until nBits).map { j =>
     s"CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> $j) & 1 = 1)) > LEN(hs) THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
-  private val simhash32Sql = (0 until 32).map { j =>
-    s"CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> $j) & 1 = 1)) > LEN(hs) THEN ${1L << j} ELSE 0 END"
-  }.mkString(" + ")
+  private val simhashSql = simhashSqlBits(16)
+  private val simhash32Sql = simhashSqlBits(32)
   private val langCase = {
     val scores = markerSets.map { case (lang, ws) =>
       lang -> s"LEN(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}]))"
@@ -395,7 +396,7 @@ object DedupQueries {
          |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
          |SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS ham,
          |  COUNT(*) AS n_pairs,
-         |  CAST(CASE WHEN bit_count(xor(sh_a, sh_b)) <= 6 THEN 1 ELSE 0 END
+         |  CAST(CASE WHEN bit_count(xor(sh_a, sh_b)) <= 3 THEN 1 ELSE 0 END
          |    AS BIGINT) AS is_dup
          |FROM cand GROUP BY 1, 3 ORDER BY 1""".stripMargin
     },
