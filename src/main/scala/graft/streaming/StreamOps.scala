@@ -207,6 +207,31 @@ object StreamOps {
     bucketCandidateFilter(entries, maxBucketSize, ttl)
   }
 
+  /** STREAMING SimHash-banded near-dup candidates (the Manku design's
+    * streaming face, matching batch q_simhash_neardup): each doc's
+    * 32-bit simhash splits into 4 x 8-bit bands, so the candidate set
+    * is COMPLETE for pairs within hamming distance 3 (pigeonhole:
+    * d < B); pairs flow through the same capped/TTL'd bucket state as
+    * the MinHash and SRP filters. Verify survivors with popcount on
+    * the fingerprints downstream. */
+  def streamingSimhashNearDupCandidates(docs: DataFrame, idCol: String,
+                                        textCol: String,
+                                        maxBucketSize: Int = 64,
+                                        ttl: Option[String] = None)
+  : org.apache.spark.sql.Dataset[StreamCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions._
+    val sh = simhashFromHashes(tokenHashes(tokens(col(textCol))), 32)
+    val entries = docs.select(col(idCol).cast("long").as("docId"), sh.as("__sh"))
+      .select(col("docId"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sh"), b * 8).bitwiseAND(lit(0xffL))): _*))
+        .as(Seq("band", "bkey")))
+      .select(col("band").cast("int").as("band"),
+        col("bkey").cast("long").as("bkey"), col("docId"))
+      .as[BandEntry]
+    bucketCandidateFilter(entries, maxBucketSize, ttl)
+  }
+
   /** Shared LSH-bucket membership state: each (band, key) bucket keeps
     * up to `maxBucketSize` member ids; a new arrival emits candidate
     * pairs against every prior member. See

@@ -342,6 +342,48 @@ class StreamingSpec extends SparkSpec {
     assert(contaminated == Set(11L, 12L), s"got $contaminated")
   }
 
+  test("streamingSimhashNearDupCandidates: stream equals batch equals band join") {
+    import graft.functions.TextFunctions._
+    // docs 0/1 and 2/3 are word-level near-identical (one token
+    // changed) so their simhashes share bands; doc 4 is disjoint text
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "one two three four five six seven eight nine eleven"),
+      (4L, "completely different vocabulary with other words entirely used here now"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val viaState = StreamOps.streamingSimhashNearDupCandidates(
+        batchDf, "doc_id", "text")
+      .collect().map(c => (c.idA, c.idB)).toSet
+    // reference: the batch band self-join over the same 4x8 banding
+    val sh = batchDf.select(col("doc_id"),
+      simhashFromHashes(tokenHashes(tokens(col("text"))), 32).as("sh"))
+    val bands = sh.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(0xffL))): _*))
+        .as(Seq("band", "bval")))
+    val viaJoin = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaState == viaJoin)
+    assert(viaState.contains((0L, 1L)) && viaState.contains((2L, 3L)))
+
+    // streamed in two micro-batches: cross-batch pairs still found
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.take(2): _*)
+    stream.addData(docs.drop(2): _*)
+    val got = StreamOps.runToMemory(
+        StreamOps.streamingSimhashNearDupCandidates(
+          stream.toDF.toDF("doc_id", "text"), "doc_id", "text").toDF(),
+        "t_simhash_neardup", OutputMode.Append())
+      .select("idA", "idB").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == viaState)
+  }
+
   test("streamingParagraphDedup: stream equals batch, cross-batch dups dropped") {
     // doc 0 and doc 2 share the "cookie banner" paragraph; doc 1 and
     // doc 3 share "newsletter"; doc 3 arrives in a LATER micro-batch
