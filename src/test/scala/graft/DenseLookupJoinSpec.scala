@@ -160,6 +160,42 @@ class DenseLookupJoinSpec extends SparkSpec {
     assert(out.count() == 3) // fan-out proves the hash path ran
   }
 
+  test("randomized equivalence: dense join == hash join over 20 generated cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    for (case_ <- 1 to 20) {
+      val domain = 1 + rnd.nextInt(40)
+      // dim: random subset of [0, domain) with random nullable values
+      val dimKeys = rnd.shuffle((0L until domain.toLong).toList)
+        .take(1 + rnd.nextInt(domain))
+      val dimRows = dimKeys.map { k =>
+        (k,
+          if (rnd.nextInt(5) == 0) None else Some(s"v${rnd.nextInt(100)}"),
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000) / 8.0))
+      }
+      val d = dimRows.toDF("k", "s", "x")
+      // fact: random keys incl. out-of-domain, negatives and nulls
+      val factKeys = Seq.fill(30 + rnd.nextInt(50)) {
+        rnd.nextInt(4) match {
+          case 0 => None
+          case 1 => Some((domain + rnd.nextInt(10)).toLong)
+          case 2 => Some(-1L - rnd.nextInt(3))
+          case _ => Some(rnd.nextInt(domain).toLong)
+        }
+      }
+      val f = factKeys.toDF("fk").withColumn("rid", monotonically_increasing_id())
+      for (how <- Seq("inner", "left")) {
+        val dense = DenseLookupJoin.lookupJoin(f, d, col("fk"), "k", domain, how)
+          .select("fk", "rid", "s", "x").collect()
+          .map(_.toString).sorted.toSeq
+        val hash = f.join(d, f("fk") === d("k"), how)
+          .select("fk", "rid", "s", "x").collect()
+          .map(_.toString).sorted.toSeq
+        assert(dense == hash, s"case $case_ how=$how domain=$domain")
+      }
+    }
+  }
+
   test("probe plan is shuffle-free (pure projection over the fact scan)") {
     val plan = denseJoin("inner").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
