@@ -95,6 +95,12 @@ object DenseLookupJoin {
     val unsupported = valueFields.filterNot(f => physical(f.dataType).isDefined)
     require(unsupported.isEmpty,
       s"unsupported dim value types: ${unsupported.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")}")
+    // fail fast on name collisions: the facade renames before calling,
+    // but a direct caller must not get a frame with duplicate column
+    // names (ambiguous downstream references) out of this operator
+    val colliding = valueFields.map(_.name).toSet.intersect(fact.columns.toSet)
+    require(colliding.isEmpty,
+      s"dim value columns collide with fact columns: ${colliding.toSeq.sorted.mkString(",")} — rename before the join")
     // fact-key validation BEFORE any dim work: an auto-routed caller
     // with a non-integral left key must fall back without paying the
     // dim materialization
@@ -110,12 +116,13 @@ object DenseLookupJoin {
       case t => throw new IllegalArgumentException(
         s"dim key $dimKey must be integral, got ${t.catalogString}")
     }
-    invocations.incrementAndGet()
-
-    // ---- size gate: one distributed pass computes the bytes the
-    // tables will occupy (fixed-width slots are domain-sized no
-    // matter the row count; string slots cost their actual bytes)
-    // before anything is pulled to the driver.
+    // ---- eligibility + size gate: ONE distributed pass validates the
+    // key (null-free, unique, in-domain) and measures the bytes the
+    // tables will occupy (fixed-width slots are domain-sized no matter
+    // the row count; string slots cost their actual bytes) BEFORE
+    // anything is pulled to the driver — an ineligible dim falls back
+    // without paying the collect, so an auto-routed facade call never
+    // double-pays the dim materialization on fallback.
     val fixedBytes = valueFields.map(f => physical(f.dataType).get match {
       case ByteType | BooleanType => 1L
       case ShortType => 2L
@@ -124,16 +131,24 @@ object DenseLookupJoin {
       case _ => 8L
     }).map(_ * domain).sum
     val stringCols = valueFields.filter(f => physical(f.dataType).get == StringType)
-    val stringBytes =
-      if (stringCols.isEmpty) 0L
-      else {
-        // total UTF-8 payload of all string columns, computed on the
-        // executors (aggregate moves one long per column)
-        val agg = dim.select(stringCols.map(f =>
-          coalesce(sum(octet_length(col(f.name)).cast("bigint")), lit(0L)).as(f.name)): _*)
-          .head()
-        (0 until agg.length).map(agg.getLong).sum
-      }
+    val k = col(dimKey).cast("bigint")
+    val gateAggs =
+      Seq(count(lit(1)).as("__n"), count(k).as("__nk"),
+        count_distinct(k).as("__nd"),
+        coalesce(min(k), lit(0L)).as("__min"),
+        coalesce(max(k), lit(-1L)).as("__max")) ++
+        stringCols.map(f =>
+          coalesce(sum(octet_length(col(f.name)).cast("bigint")), lit(0L)).as(f.name))
+    val gate = dim.select(gateAggs: _*).head()
+    val (nAll, nKeys, nDistinct) = (gate.getLong(0), gate.getLong(1), gate.getLong(2))
+    if (nKeys < nAll) throw new IllegalArgumentException(
+      s"dim key $dimKey contains nulls")
+    if (nDistinct < nKeys) throw new IllegalArgumentException(
+      s"duplicate dim keys — dense lookup join requires a unique key")
+    if (nAll > 0 && (gate.getLong(3) < 0L || gate.getLong(4) >= domain))
+      throw new IllegalArgumentException(
+        s"dim key range [${gate.getLong(3)}, ${gate.getLong(4)}] outside [0, $domain)")
+    val stringBytes = (5 until gate.length).map(gate.getLong).sum
     val estBytes = fixedBytes + stringBytes * 2 // UTF8String object overhead
     if (estBytes > maxTableBytes) throw new IllegalArgumentException(
       s"dim lookup tables estimated at $estBytes bytes exceed the " +
@@ -188,9 +203,17 @@ object DenseLookupJoin {
     }
     val projected = fact.select(
       fact.columns.map(col).toIndexedSeq ++ valueCols: _*)
-    if (joinType == "inner")
-      projected.where(Bridge.column(DenseLookupContains(keyExpr, present, domain)))
-    else projected
+    val out =
+      if (joinType == "inner")
+        projected.where(Bridge.column(DenseLookupContains(keyExpr, present, domain)))
+      else projected
+    // counted only once the probe plan is fully constructed — a call
+    // that threw (ineligible dim, over-budget tables) and fell back to
+    // the hash join must NOT register as a dense-path invocation, so
+    // spec probes asserting `invocations > before` prove the dense
+    // path actually served the join
+    invocations.incrementAndGet()
+    out
   }
 
   /** The fixed-width physical representation a value type stores as,

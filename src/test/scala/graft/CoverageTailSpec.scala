@@ -447,8 +447,10 @@ class CoverageTailSpec extends SparkSpec {
         // a corrupt length below the allocator cap can still drive a
         // real (failed) direct allocation — netty raises
         // OutOfDirectMemoryError, an Error; recoverable here because
-        // no heap was actually exhausted
-        case _: OutOfMemoryError => ()
+        // no heap was actually exhausted. Match it by class name so a
+        // genuine heap OOM (a reader leak) still fails the spec.
+        case e: OutOfMemoryError
+            if e.getClass.getName.endsWith("OutOfDirectMemoryError") => ()
       }
     }
     val secs = (System.nanoTime() - t0) / 1e9
