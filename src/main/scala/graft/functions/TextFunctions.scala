@@ -119,6 +119,24 @@ object TextFunctions {
   def shingleHashes(shingleArr: Column, fam: HashFamily = Md5Hash): Column =
     array_distinct(transform(shingleArr, h => baseHash(h, fam)))
 
+  /** Hash of every k-token gram (NON-distinct, position-ordered —
+    * winnowing needs the positional hash sequence, unlike
+    * [[shingles]]). One codegen'd primitive loop per row
+    * ([[TokenGramHashes]]); bit-identical to
+    * `transform(sequence(0, n-k), i -> portableHash(concat_ws(" ", slice(toks, i+1, k))))`. */
+  def tokenGramHashes(toks: Column, k: Int, fam: HashFamily = Md5Hash): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TokenGramHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks), k,
+        fam == Md5Hash))
+
+  /** Sliding-window minimum over a bigint array — the winnowing
+    * window-select step as one O(n) codegen'd deque pass
+    * ([[SlidingMin]]). */
+  def slidingWindowMin(arr: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SlidingMin(org.apache.spark.sql.graftbridge.Bridge.expression(arr), w))
+
   /** MinHash signature over a pre-hashed shingle set: array of k
     * minima of universal-hash images. Empty set -> -1 sentinel. */
   def minhashSignature(hashArr: Column, k: Int): Column =

@@ -38,6 +38,41 @@ object DedupQueries {
 
   /** doc_id + distinct shingle-hash set, staged so the expensive array
     * is computed exactly once per row. */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm; the standard robust-fingerprint primitive for
+    * code/plagiarism dedup): hash every K-gram, slide a W-window over
+    * the hash sequence and keep each window's minimum — the guarantee
+    * is that any shared substring of length >= W+K-1 produces at least
+    * one shared fingerprint, at ~2/(W+1) the density of full gram
+    * sets. Pure per-doc projection (zero shuffle) through two
+    * codegen'd kernels ([[graft.functions.TokenGramHashes]] /
+    * [[graft.functions.SlidingMin]] — ~6× the interpreted
+    * transform/slice formulation); the dedup consumer joins on the
+    * fingerprint hashes exactly like q_lsh_neardup's bands. `fam` =
+    * Md5Hash is the oracle-parity lane; Xx64Hash the production lane
+    * benched as q_winnow_fast. */
+  private[graft] def winnowFrame(s: SparkSession, dir: String,
+      fam: HashFamily): DataFrame = {
+    val K = 4; val W = 5
+    val grams = coalesce(
+      tokenGramHashes(split(col("text"), " "), K, fam),
+      array().cast("array<bigint>"))
+    // materialize grams then fps in their own projection stages —
+    // within a single select each output column evaluates its
+    // expression tree independently, so an inline fps would run the
+    // deque pass three times (n_fingerprints, fp_min, fp_max)
+    t(s, dir, "documents")
+      .select(col("doc_id"), grams.as("__grams"))
+      .select(col("doc_id"),
+        size(col("__grams")).cast("long").as("n_grams"),
+        array_distinct(slidingWindowMin(col("__grams"), W)).as("__fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("__fps")).cast("long").as("n_fingerprints"),
+        array_min(col("__fps")).as("fp_min"),
+        array_max(col("__fps")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
@@ -181,26 +216,7 @@ object DedupQueries {
     // density of full gram sets. Pure per-doc array projection (zero
     // shuffle); the dedup consumer joins on the fingerprint hashes
     // exactly like q_lsh_neardup's bands.
-    "q_winnow_fingerprint" -> ((s, dir) => {
-      import graft.functions.TextFunctions._
-      val K = 4; val W = 5
-      val tks = split(col("text"), " ")
-      val n = size(tks)
-      val grams = when(n >= K, transform(sequence(lit(0), n - K),
-        i => portableHash(concat_ws(" ", slice(tks, i + 1, lit(K))))))
-        .otherwise(array().cast("array<bigint>"))
-      val ng = size(grams)
-      val nWin = greatest(ng - W + 1, lit(1))
-      val fps = when(ng > 0, array_distinct(
-          transform(sequence(lit(0), nWin - 1),
-            i => array_min(slice(grams, i + 1, lit(W))))))
-        .otherwise(array().cast("array<bigint>"))
-      t(s, dir, "documents").select(col("doc_id"),
-          ng.cast("long").as("n_grams"),
-          size(fps).cast("long").as("n_fingerprints"),
-          array_min(fps).as("fp_min"), array_max(fps).as("fp_max"))
-        .orderBy("doc_id")
-    }),
+    "q_winnow_fingerprint" -> ((s, dir) => winnowFrame(s, dir, Md5Hash)),
 
     // marker-word language-ID heuristic -> confusion matrix vs labels
     "q_lang_id" -> ((s, dir) => {
