@@ -102,22 +102,50 @@ object TextFunctions {
     size(bpePretokens(text)).cast("long")
 
   /** Distinct word n-gram shingles of a text column (empty array when
-    * the doc is shorter than n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+    * the doc is shorter than n tokens). One codegen'd loop per row
+    * ([[ShingleStrings]]) — bit-identical to the
+    * `array_distinct(transform(sequence(...), concat_ws(...)))`
+    * formulation it replaces (TextKernelExpressionsSpec pins it). */
+  def shingles(text: Column, n: Int): Column =
+    coalesce( // null text -> empty array, like the when/otherwise it replaces
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        ShingleStrings(
+          org.apache.spark.sql.graftbridge.Bridge.expression(tokens(text)), n)),
+      array().cast("array<string>"))
 
   /** Distinct 28-bit hashes of a shingle array — the compact set
     * representation every downstream dedup op works on (signatures,
     * jaccard verification). Shuffling/holding ints instead of shingle
-    * strings is the 100 TB design: candidate joins never carry text. */
+    * strings is the 100 TB design: candidate joins never carry text.
+    * Codegen'd ([[HashStrings]]), bit-identical to
+    * `array_distinct(transform(shingleArr, baseHash))`. */
   def shingleHashes(shingleArr: Column, fam: HashFamily = Md5Hash): Column =
-    array_distinct(transform(shingleArr, h => baseHash(h, fam)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      HashStrings(
+        org.apache.spark.sql.graftbridge.Bridge.expression(shingleArr),
+        fam == Md5Hash, bits = 28, uA = -1L, uB = 0L, distinct = true))
+
+  /** Every n-token gram string in position order (non-distinct
+    * [[ShingleStrings]] — for per-doc repetition scans that need the
+    * full multiset). Bit-identical to the transform/concat_ws
+    * formulation; null text -> empty. */
+  def gramStrings(toks: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        ShingleStrings(
+          org.apache.spark.sql.graftbridge.Bridge.expression(toks), n,
+          distinct = false)),
+      array().cast("array<string>"))
+
+  /** `bits`-bit hashes of every string element, in order, with
+    * optional Carter-Wegman post-mix — the fused
+    * `transform(arr, x -> portableHash/baseHash(x))` shape for hot
+    * paths that hash an existing string array without distinct. */
+  def hashedGrams(arr: Column, fam: HashFamily, bits: Int = 60): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      HashStrings(
+        org.apache.spark.sql.graftbridge.Bridge.expression(arr),
+        fam == Md5Hash, bits = bits, uA = -1L, uB = 0L, distinct = false))
 
   /** Hash of every k-token gram (NON-distinct, position-ordered —
     * winnowing needs the positional hash sequence, unlike
@@ -138,11 +166,17 @@ object TextFunctions {
       SlidingMin(org.apache.spark.sql.graftbridge.Bridge.expression(arr), w))
 
   /** MinHash signature over a pre-hashed shingle set: array of k
-    * minima of universal-hash images. Empty set -> -1 sentinel. */
+    * minima of universal-hash images. Empty set -> -1 sentinel.
+    * Codegen'd one-pass kernel ([[MinhashSig]]), bit-identical to the
+    * k-transform formulation (null input -> all -1, matching
+    * `coalesce(array_min(transform(null, ...)), -1)`). */
   def minhashSignature(hashArr: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      coalesce(array_min(transform(hashArr, h => universalHash(i, h))), lit(-1L))
-    }: _*)
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        MinhashSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(hashArr),
+          (0 until k).map(uhashA).toArray, (0 until k).map(uhashB).toArray)),
+      array((0 until k).map(_ => lit(-1L)): _*))
 
   /** LSH band keys: hash each band of `rowsPerBand` consecutive
     * signature entries into one bucket key. Docs sharing any band key
@@ -167,23 +201,28 @@ object TextFunctions {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** Per-token universal hashes (multiset — SimHash weights repeats). */
+  /** Per-token universal hashes (multiset — SimHash weights repeats).
+    * Codegen'd ([[HashStrings]] with the Carter-Wegman post-mix),
+    * bit-identical to `transform(toks, t -> universalHash(family, baseHash(t)))`. */
   def tokenHashes(toks: Column, family: Int = 99,
                   fam: HashFamily = Md5Hash): Column =
-    transform(toks, t => universalHash(family, baseHash(t, fam)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      HashStrings(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks),
+        fam == Md5Hash, bits = 28,
+        uA = uhashA(family), uB = uhashB(family), distinct = false))
 
   /** nBits-bit SimHash over a pre-hashed token array: bit j is set when
-    * more than half the token hashes have bit j set. Keep the hash
-    * array in its own projection stage — the 16 bit-tests then scan a
-    * computed int array instead of re-hashing. */
-  def simhashFromHashes(hashArr: Column, nBits: Int): Column = {
-    val n = size(hashArr)
-    (0 until nBits).map { j =>
-      when(size(filter(hashArr, h =>
-        shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2 > n,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * more than half the token hashes have bit j set. One codegen'd
+    * counting pass ([[SimhashBits]]), bit-identical to the
+    * filter-per-bit formulation (null array -> 0, matching the
+    * null-condition `when` fallthrough it replaces). */
+  def simhashFromHashes(hashArr: Column, nBits: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        SimhashBits(
+          org.apache.spark.sql.graftbridge.Bridge.expression(hashArr), nBits)),
+      lit(0L))
 
   /** Hamming distance between two long-encoded SimHash values (used by
     * near-dup thresholding). bit_count is codegen'd. */

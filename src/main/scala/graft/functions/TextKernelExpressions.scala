@@ -1,0 +1,330 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Codegen kernels for the per-document text-dedup hot path (round-11
+  * follow-up to the winnowing kernels — see WinnowExpressions.scala).
+  *
+  * The Column-composed formulations in [[TextFunctions]] pay one
+  * interpreted higher-order lambda per element per row (`transform`,
+  * `filter`, `aggregate` do not participate in whole-stage codegen;
+  * every element evaluates a boxed expression tree). At sf0.1 the
+  * winnowing lane measured 27.5s interpreted vs 0.26s as a kernel —
+  * the same tax applies to shingling, shingle hashing, MinHash
+  * signatures and SimHash bit-voting, which sit under EVERY dedup /
+  * decontamination query. Each kernel below is a drop-in for its
+  * formulation, bit-identical by property spec
+  * (TextKernelExpressionsSpec), so the DuckDB oracles are unchanged.
+  *
+  * Reference capability class: vaex's C++ string kernels
+  * (packages/vaex-core/src/strings.cpp) — the same "tight loop over
+  * one document's tokens, no per-element dispatch" design, here as
+  * Catalyst expressions inside WholeStageCodegen.
+  */
+object TextKernels {
+
+  final val UHASH_P = 2147483647L
+  private final val NoUhash = -1L
+
+  private def mask(bits: Int): Long = (1L << bits) - 1
+
+  /** First `bits` bits of md5 as a long — `bits` must be a multiple of
+    * 4 (hex-digit parity with `conv(substring(md5(s),1,bits/4),16,10)`).
+    * 60 bits = first 15 hex digits = big-endian first 8 bytes >>> 4;
+    * 28 bits = first 7 hex digits = big-endian first 4 bytes >>> 4. */
+  private def md5Bits(buf: Array[Byte], off: Int, len: Int, bits: Int): Long = {
+    val d = TextKernels.md5Local.get()
+    d.reset()
+    d.update(buf, off, len)
+    val h = d.digest()
+    // read bits/4 hex digits: assemble the covering bytes big-endian,
+    // then shift off the excess low nibble when the digit count is odd
+    val nibbles = bits / 4
+    val covering = (nibbles + 1) / 2
+    var v = 0L
+    var i = 0
+    while (i < covering) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    if (nibbles % 2 == 1) v = v >>> 4
+    v
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def hashUtf8(s: UTF8String, md5: Boolean, bits: Int): Long =
+    if (md5) {
+      val b = s.getBytes
+      md5Bits(b, 0, b.length, bits)
+    } else {
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) &
+        mask(bits)
+    }
+
+  /** N-token gram strings: every gram in position order, or (with
+    * `distinct`) first-occurrence-distinct — bit-identical to
+    * `transform(sequence(0, size(toks)-n), i -> concat_ws(" ", toks[i..i+n-1]))`
+    * with/without the surrounding array_distinct (null tokens skipped
+    * like concat_ws). Empty when fewer than n tokens. */
+  def shingleStrings(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val cnt = toks.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val ts = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      ts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    var buf = new Array[Byte](256)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val all = if (distinct) null else new Array[Any](m)
+    var g = 0
+    while (g < m) {
+      var len = 0
+      var wrote = false
+      var j = 0
+      while (j < n) {
+        val t = ts(g + j)
+        if (t != null) {
+          val tb = t.numBytes()
+          val need = len + tb + 1
+          if (need > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+          if (wrote) { buf(len) = ' '; len += 1 }
+          t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+          len += tb
+          wrote = true
+        }
+        j += 1
+      }
+      val gram = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))
+      if (distinct) seen.add(gram) else all(g) = gram
+      g += 1
+    }
+    if (!distinct) return new GenericArrayData(all)
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Hash every string element: `bits`-bit md5-prefix or masked
+    * xxhash64, optionally post-mixed through the Carter-Wegman family
+    * `(uA*h + uB) mod p` (pass uA = -1 to skip), optionally
+    * first-occurrence-distinct. Null elements stay null (transform
+    * semantics); under `distinct` one null survives like
+    * array_distinct. */
+  def hashStrings(arr: ArrayData, md5: Boolean, bits: Int,
+      uA: Long, uB: Long, distinct: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val vals = new Array[Long](n)
+    val nulls = new Array[Boolean](n)
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) { nulls(i) = true; hasNull = true }
+      else {
+        var v = hashUtf8(arr.getUTF8String(i), md5, bits)
+        if (uA != NoUhash) v = (uA * v + uB) % UHASH_P
+        vals(i) = v
+      }
+      i += 1
+    }
+    if (!distinct) {
+      if (!hasNull) return new GenericArrayData(vals)
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) { out(i) = if (nulls(i)) null else vals(i); i += 1 }
+      return new GenericArrayData(out)
+    }
+    // first-occurrence distinct via open-addressing (values >= 0; -1 = empty)
+    var cap = java.lang.Integer.highestOneBit(math.max(n * 2 - 1, 4)) << 1
+    if (cap < 4) cap = 4
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    val order = new Array[Long](n)
+    var k = 0
+    var keptNull = false
+    var outHasNull = false
+    i = 0
+    while (i < n) {
+      if (nulls(i)) {
+        if (!keptNull) { keptNull = true; outHasNull = true; order(k) = -1L; k += 1 }
+      } else {
+        val v = vals(i)
+        var slot = (java.lang.Long.hashCode(v) & (cap - 1))
+        var dup = false
+        var done = false
+        while (!done) {
+          val cur = table(slot)
+          if (cur == -1L) { table(slot) = v; done = true }
+          else if (cur == v) { dup = true; done = true }
+          else slot = (slot + 1) & (cap - 1)
+        }
+        if (!dup) { order(k) = v; k += 1 }
+      }
+      i += 1
+    }
+    if (!outHasNull) new GenericArrayData(java.util.Arrays.copyOf(order, k))
+    else {
+      val out = new Array[Any](k)
+      i = 0
+      while (i < k) { out(i) = if (order(i) == -1L) null else order(i); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** MinHash signature: k minima of `(a_i*h + b_i) mod p` over the
+    * hash array, -1 sentinel for empty/all-null input — bit-identical
+    * to `array(i -> coalesce(array_min(transform(hs, h -> uhash_i(h))), -1))`. */
+  def minhashSig(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % UHASH_P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) java.util.Arrays.fill(out, -1L)
+    new GenericArrayData(out)
+  }
+
+  /** SimHash bit-vote: bit j of the result is set when more than half
+    * the array's elements (nulls counted in the denominator, skipped
+    * in the vote — filter semantics) have bit j set. Bit-identical to
+    * the `filter`-per-bit formulation. */
+  def simhashBits(arr: ArrayData, nBits: Int): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](nBits)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < nBits) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < nBits) {
+      if (2L * counts(j) > n) v |= (1L << j)
+      j += 1
+    }
+    v
+  }
+}
+
+/** `array<string> -> array<string>`: n-token shingles, distinct or
+  * position-ordered ([[TextKernels.shingleStrings]]). */
+case class ShingleStrings(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.shingleStrings(a.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.shingleStrings($a, $n, $distinct);")
+  override protected def withNewChildInternal(c: Expression): ShingleStrings =
+    copy(child = c)
+}
+
+/** `array<string> -> array<bigint>`: per-element hash with optional
+  * universal post-mix and distinct ([[TextKernels.hashStrings]]). */
+case class HashStrings(child: Expression, md5Family: Boolean, bits: Int,
+    uA: Long, uB: Long, distinct: Boolean) extends UnaryExpression {
+  require(bits > 0 && bits <= 60 && bits % 4 == 0,
+    s"bits must be a positive multiple of 4 <= 60, got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(LongType, containsNull)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
+  override def prettyName: String = "hash_strings"
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.hashStrings(a.asInstanceOf[ArrayData], md5Family, bits, uA, uB, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.hashStrings($a, $md5Family, $bits, ${uA}L, ${uB}L, $distinct);")
+  override protected def withNewChildInternal(c: Expression): HashStrings =
+    copy(child = c)
+}
+
+/** `array<bigint> -> array<bigint>` (length k): MinHash signature
+  * ([[TextKernels.minhashSig]]). */
+case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.minhashSig(x.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSig($x, $aRef, $bRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `array<bigint> -> bigint`: SimHash bit-vote
+  * ([[TextKernels.simhashBits]]). */
+case class SimhashBits(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.simhashBits(x.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.simhashBits($x, $nBits);")
+  override protected def withNewChildInternal(c: Expression): SimhashBits =
+    copy(child = c)
+}

@@ -195,10 +195,7 @@ object PipelineQueries {
     "q_repetition_ngram" -> ((s, dir) => {
       import TextFunctions._
       val toks = tokens(col("text"))
-      val bgs = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))
+      val bgs = gramStrings(toks, 2)
       // sorted arrays materialized once per row (query-shape rule)
       val staged = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
         array_sort(toks).as("__t"), array_sort(bgs).as("__b"))
@@ -237,8 +234,7 @@ object PipelineQueries {
     // DuckDB oracle gates it.
     "q_decontaminate_fast" -> ((s, dir) => {
       import TextFunctions._
-      decontaminate(t(s, dir, "documents"), transform(shingles(col("text"), 5),
-        g => portableHash(g, Xx64Hash)))
+      decontaminate(t(s, dir, "documents"), hashedGrams(shingles(col("text"), 5), Xx64Hash))
     }),
 
     // Bloom-prefiltered decontamination — the 100 TB shape: identical
@@ -250,8 +246,7 @@ object PipelineQueries {
     // ~the true contamination volume (+ the bloom's ~0.05% FP).
     "q_decontaminate_bloom" -> ((s, dir) => {
       import TextFunctions._
-      decontaminate(t(s, dir, "documents"), transform(shingles(col("text"), 5),
-        g => portableHash(g, Xx64Hash)), bloomPrefilter = true)
+      decontaminate(t(s, dir, "documents"), hashedGrams(shingles(col("text"), 5), Xx64Hash), bloomPrefilter = true)
     }),
 
     // CLEAN-corpus decontamination lanes — the shape the bloom
@@ -267,13 +262,11 @@ object PipelineQueries {
     // so the semi-join shuffle carries ~nothing.
     "q_decontaminate_hash_clean" -> ((s, dir) => {
       import TextFunctions._
-      decontaminate(cleanCorpus(s, dir), transform(shingles(col("text"), 5),
-        g => portableHash(g, Xx64Hash)), evalMod = 100)
+      decontaminate(cleanCorpus(s, dir), hashedGrams(shingles(col("text"), 5), Xx64Hash), evalMod = 100)
     }),
     "q_decontaminate_bloom_clean" -> ((s, dir) => {
       import TextFunctions._
-      decontaminate(cleanCorpus(s, dir), transform(shingles(col("text"), 5),
-        g => portableHash(g, Xx64Hash)), bloomPrefilter = true, evalMod = 100)
+      decontaminate(cleanCorpus(s, dir), hashedGrams(shingles(col("text"), 5), Xx64Hash), bloomPrefilter = true, evalMod = 100)
     }),
 
     // Stratified (per-source) deterministic sampling — the source-mix
@@ -344,12 +337,14 @@ object PipelineQueries {
           .otherwise(lit("")))
       val base = t(s, dir, "documents")
         .select(col("doc_id"), split(txt, " ").as("t"))
+      // gram hashes computed ONCE per doc in the codegen'd kernel,
+      // then position-exploded — replaces a per-exploded-row
+      // slice/concat_ws/md5-hex chain (r11; bit-identical, see
+      // TokenGramHashes)
       val g = base.select(col("doc_id"),
-          explode(when(size(col("t")) >= K,
-            sequence(lit(0), size(col("t")) - K))
-            .otherwise(array().cast("array<int>"))).as("pos"), col("t"))
-        .select(col("doc_id"), col("pos"),
-          portableHash(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K)))).as("h"))
+          posexplode(graft.functions.TextFunctions.tokenGramHashes(
+            col("t"), K, Md5Hash)))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
       val dup = g.groupBy("h").agg(count(lit(1)).as("__c"))
         .where(col("__c") > 1).select("h")
       val anchors = g.join(dup, Seq("h"), "left_semi")
@@ -478,14 +473,14 @@ object PipelineQueries {
       import TextFunctions._
       val B = 512
       val tks = split(col("text"), " ")
-      val bigrams = when(size(tks) >= 2, transform(sequence(lit(0), size(tks) - 2),
-        i => concat_ws(" ", element_at(tks, i + 1), element_at(tks, i + 2))))
-        .otherwise(array().cast("array<string>"))
+      // bigram hashes in one codegen'd kernel pass (r11) — the explode
+      // then carries an 8-byte hash instead of the gram string
       val g = t(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_t"),
-          explode(bigrams).as("gram"))
+          explode(graft.functions.TextFunctions.tokenGramHashes(
+            tks, 2, Md5Hash)).as("h"))
         .select(col("doc_id"), col("is_t"),
-          pmod(portableHash(col("gram")), lit(B.toLong)).as("b"))
+          pmod(col("h"), lit(B.toLong)).as("b"))
       val buckets = g.groupBy("b").agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))

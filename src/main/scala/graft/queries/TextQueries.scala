@@ -12,6 +12,21 @@ import Q._
   */
 object TextQueries {
 
+  /** q_blocklist_filter's phrase list: six present in the word-soup
+    * corpus (incl. cross-token phrases), two never present. Inlined
+    * identically into the DuckDB oracle. */
+  private[graft] val BlocklistPatterns = Seq(
+    "slow", "dup", "hash join", "scan merge", "big data", "stream stream",
+    "javascript", "lorem ipsum")
+
+  /** q_bm25_topk's query set: (query id, terms) over the corpus
+    * vocabulary — inlined identically into the DuckDB oracle. */
+  private[graft] val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("join", "filter"), 1 -> Seq("hash", "table"),
+    2 -> Seq("stream", "window"), 3 -> Seq("sort", "merge"),
+    4 -> Seq("slow", "query"), 5 -> Seq("batch", "data"),
+    6 -> Seq("spark", "scan"), 7 -> Seq("group", "agg", "key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // quality-scoring features: char length, token count, mean word
     // length, punctuation-free ratio, stopword ratio
@@ -270,12 +285,77 @@ object TextQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         size(tokens).cast("long").as("n_tokens"),
-        size(array_distinct(
-          when(size(tokens) >= 3,
-            transform(sequence(lit(0), size(tokens) - 3),
-              i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
-            .otherwise(array()))).cast("long").as("n_shingles")
+        size(graft.functions.TextFunctions.shingles(col("text"), 3))
+          .cast("long").as("n_shingles")
       ).orderBy("doc_id")
+    }),
+
+    // BM25 top-k retrieval (Robertson-Sparck Jones; Lucene's
+    // practical-scoring variant: idf = ln((N-df+0.5)/(df+0.5)+1),
+    // k1=1.2, b=0.75) — the retrieval scorer behind RAG corpus search
+    // and dedup-by-query mining. Scale shape: tokens filtered to the
+    // query vocabulary BEFORE the tf shuffle (the isin pushes into the
+    // scan projection), df/avgdl are tiny broadcast aggregates, and
+    // the final top-k is a per-query window over only scored docs —
+    // nothing global moves. Every arithmetic step is explicitly
+    // double-cast and the per-term scores round to 6dp before a
+    // decimal-exact sum (the cross-engine float discipline of
+    // q_bigram_lm).
+    "q_bm25_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val topK = 3
+      val qt = {
+        import s.implicits._
+        Bm25Queries.flatMap { case (q, ts) => ts.map(w => (q.toLong, w)) }
+          .toDF("q_id", "w")
+      }
+      val allTerms = Bm25Queries.flatMap(_._2).distinct
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        (dsumD(col("dl")) / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w").isin(allTerms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val idf = log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val denom = col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+      val term = qt.join(tf, "w").join(broadcast(dfreq), "w")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("q_id"), col("doc_id"),
+          r(idf * (col("tf").cast("double") * lit(2.2)) / denom, 6).as("st"))
+      val scored = term.groupBy("q_id", "doc_id")
+        .agg(count(lit(1)).as("n_terms"), r(dsumD(col("st")), 6).as("score"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .where(col("rk") <= topK)
+        .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"), col("score"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // C4-style blocklist page filter (Raffel et al. 2020 §2.2 "bad
+    // words" pass): which blocklist phrases appear in each doc, via
+    // ONE Aho-Corasick automaton pass per row instead of k contains()
+    // scans — the shape that stays O(text bytes) when the blocklist is
+    // hundreds of phrases and the corpus is 100 TB. Multi-word phrases
+    // exercise matches across token boundaries; two patterns never in
+    // the corpus exercise the clean path. Pure projection, zero
+    // shuffle; the oracle recomputes with k contains() probes.
+    "q_blocklist_filter" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.AhoCorasick.matchedPatternIndices(
+          col("text"), BlocklistPatterns).as("__m"))
+      staged.select(col("doc_id"),
+        concat_ws(",", col("__m").cast("array<string>")).as("matched_csv"),
+        size(col("__m")).cast("long").as("n_blocked"),
+        (size(col("__m")) > 0).cast("long").as("blocked"))
+        .orderBy("doc_id")
     }),
 
     // C4-style LINE-LEVEL quality filtering (Raffel et al. 2020 §2.2,
@@ -315,7 +395,62 @@ object TextQueries {
     })
   )
 
+  private val blocklistSqlList =
+    BlocklistPatterns.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  private val bm25TermsSql =
+    Bm25Queries.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+  private val bm25ValuesSql = Bm25Queries
+    .flatMap { case (q, ts) => ts.map(w => s"($q, '$w')") }.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
+    "q_bm25_topk" ->
+      s"""WITH dl AS (
+        |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    ${sqlDsum("dl")} / COUNT(*) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w IN ($bm25TermsSql) GROUP BY doc_id, w),
+        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |qt AS (SELECT * FROM (VALUES $bm25ValuesSql) AS t(q_id, w)),
+        |term AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |    ROUND((LN((CAST(stats.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
+        |      6) AS st
+        |  FROM qt JOIN tf USING (w) JOIN dfq USING (w)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |sc AS (
+        |  SELECT q_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    ROUND(${sqlDsum("st")}, 6) AS score
+        |  FROM term GROUP BY q_id, doc_id),
+        |rnk AS (
+        |  SELECT q_id, doc_id, n_terms, score, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rk AS BIGINT) AS rk,
+        |  doc_id, n_terms, score
+        |FROM rnk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    "q_blocklist_filter" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, list_filter(range(0, ${BlocklistPatterns.length}),
+        |    i -> contains(text, ($blocklistSqlList)[i+1])) AS mi
+        |  FROM documents)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(mi, ','), '') AS matched_csv,
+        |  CAST(LEN(mi) AS BIGINT) AS n_blocked,
+        |  CAST(LEN(mi) > 0 AS BIGINT) AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_c4_line_filter" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tks,

@@ -305,8 +305,9 @@ object StreamOps {
     // query over an expensive dictionary should persist it themselves
     val bloom = BloomFunctions.buildSizedBloom(evalG, col("g"))
     val grams = docs.select(col(idCol).as("doc_id"),
-      transform(TextFunctions.shingles(col(textCol), gramN),
-        g => TextFunctions.portableHash(g, TextFunctions.Xx64Hash)).as("__g"))
+      TextFunctions.hashedGrams(
+        TextFunctions.shingles(col(textCol), gramN),
+        TextFunctions.Xx64Hash).as("__g"))
     grams
       .select(col("doc_id"),
         explode(BloomFunctions.bloomFilterCandidates(col("__g"), bloom)).as("g"))

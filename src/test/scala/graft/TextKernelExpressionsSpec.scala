@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Every TextKernels expression must be bit-identical to the
+  * interpreted Column formulation it replaced in round 11 — those
+  * formulations are what the DuckDB oracles mirror. The old
+  * formulations are kept verbatim below as the reference
+  * implementations. */
+class TextKernelExpressionsSpec extends SparkSpec {
+
+  // ---- the pre-r11 formulations, verbatim ----------------------------
+  private def refShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+  private def refShingleHashes(sh: Column, fam: HashFamily): Column =
+    array_distinct(transform(sh, h => baseHash(h, fam)))
+  private def refHashedGrams(sh: Column, fam: HashFamily): Column =
+    transform(sh, g => portableHash(g, fam))
+  private def refMinhash(hs: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      coalesce(array_min(transform(hs, h => universalHash(i, h))), lit(-1L))
+    }: _*)
+  private def refTokenHashes(toks: Column, family: Int, fam: HashFamily): Column =
+    transform(toks, t => universalHash(family, baseHash(t, fam)))
+  private def refSimhash(hs: Column, nBits: Int): Column = {
+    val n = size(hs)
+    (0 until nBits).map { j =>
+      when(size(filter(hs, h =>
+        shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2 > n,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  // RDD-backed random documents: no LocalRelation constant folding, so
+  // both formulations run through real executed plans (codegen path)
+  private lazy val randomDocs = {
+    val rnd = new scala.util.Random(1123)
+    val words = Vector("alpha", "beta", "g", "delta42", "ε", "zz", "naïve",
+      "日本", "x", "", "the", "quick")
+    val texts = (0 until 400).map { i =>
+      (i.toLong,
+        if (i == 0) null
+        else (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val rdd = spark.sparkContext.parallelize(texts, 4)
+    spark.createDataFrame(rdd).toDF("id", "text")
+  }
+
+  private def sameById(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, clue: String): Unit = {
+    val ra = a.collect().toSeq.sortBy(_.getLong(0))
+    val rb = b.collect().toSeq.sortBy(_.getLong(0))
+    assert(ra === rb, clue)
+  }
+
+  test("shingles kernel matches the interpreted formulation") {
+    for (n <- Seq(1, 3, 5)) {
+      sameById(
+        randomDocs.select(col("id"), shingles(col("text"), n).as("s")),
+        randomDocs.select(col("id"), refShingles(col("text"), n).as("s")),
+        s"n=$n")
+    }
+  }
+
+  for (fam <- Seq(Md5Hash, Xx64Hash)) {
+    val famName = if (fam == Md5Hash) "md5" else "xxhash64"
+
+    test(s"shingleHashes kernel matches ($famName), incl. distinct-order") {
+      val base = randomDocs.select(col("id"), shingles(col("text"), 2).as("sh"))
+      sameById(
+        base.select(col("id"), shingleHashes(col("sh"), fam).as("h")),
+        base.select(col("id"), refShingleHashes(col("sh"), fam).as("h")),
+        famName)
+    }
+
+    test(s"hashedGrams kernel matches transform(portableHash) ($famName)") {
+      val base = randomDocs.select(col("id"), shingles(col("text"), 3).as("sh"))
+      sameById(
+        base.select(col("id"), hashedGrams(col("sh"), fam).as("h")),
+        base.select(col("id"), refHashedGrams(col("sh"), fam).as("h")),
+        famName)
+    }
+
+    test(s"tokenHashes kernel matches ($famName)") {
+      val base = randomDocs.select(col("id"), split(col("text"), " ").as("t"))
+      sameById(
+        base.select(col("id"), tokenHashes(col("t"), 99, fam).as("h")),
+        base.select(col("id"), refTokenHashes(col("t"), 99, fam).as("h")),
+        famName)
+    }
+  }
+
+  test("minhashSignature kernel matches, incl. empty and null inputs") {
+    val base = randomDocs
+      .select(col("id"), shingles(col("text"), 3).as("sh"))
+      .select(col("id"), shingleHashes(col("sh")).as("hs"))
+      // null hash array for id 0 (null text upstream gives empty —
+      // force a true null to pin the -1-sentinel coalesce)
+      .select(col("id"), when(col("id") === 0, lit(null)).otherwise(col("hs")).as("hs"))
+    for (k <- Seq(1, 4, 8))
+      sameById(
+        base.select(col("id"), minhashSignature(col("hs"), k).as("sig")),
+        base.select(col("id"), refMinhash(col("hs"), k).as("sig")),
+        s"k=$k")
+  }
+
+  test("simhash kernel matches, incl. null array -> 0") {
+    val base = randomDocs
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .select(col("id"), tokenHashes(col("t")).as("hs"))
+      .select(col("id"), when(col("id") === 0, lit(null)).otherwise(col("hs")).as("hs"))
+    for (nBits <- Seq(16, 32))
+      sameById(
+        base.select(col("id"), simhashFromHashes(col("hs"), nBits).as("sh")),
+        base.select(col("id"), refSimhash(col("hs"), nBits).as("sh")),
+        s"nBits=$nBits")
+  }
+
+  test("hash-collision distinct parity: hash-then-distinct == distinct-strings-then-hash") {
+    // shingleHashes now hashes (distinct) strings and distincts the
+    // hashes in one pass; at 28 bits collisions are possible in
+    // principle — first-occurrence order must match the two-step
+    // formulation even when two distinct strings collide. Synthetic:
+    // force duplicates and interleavings at the string level.
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c", "b", "a")),
+      (2L, Seq("x")),
+      (3L, Seq[String]())
+    ).toDF("id", "sh")
+    sameById(
+      df.select(col("id"), shingleHashes(col("sh"), Md5Hash).as("h")),
+      df.select(col("id"), refShingleHashes(col("sh"), Md5Hash).as("h")),
+      "dup strings")
+  }
+
+  test("gramStrings (non-distinct) matches the ordered transform formulation") {
+    def refGrams(text: Column, n: Int): Column = {
+      val toks = split(text, " ")
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (n <- Seq(1, 2, 4))
+      sameById(
+        randomDocs.select(col("id"), gramStrings(split(col("text"), " "), n).as("g")),
+        randomDocs.select(col("id"), refGrams(col("text"), n).as("g")),
+        s"n=$n")
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    val got = randomDocs
+      .select(col("id"), shingles(col("text"), 3).as("sh"))
+      .select(col("id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), minhashSignature(col("hs"), 4).as("sig"),
+        simhashFromHashes(col("hs"), 16).as("sim"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(got.count() === 400)
+  }
+}
