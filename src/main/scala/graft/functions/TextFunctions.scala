@@ -260,6 +260,17 @@ object TextFunctions {
 
   // ------------------------------------------------- repetition (Gopher-style)
 
+  /** All three Gopher repetition signals of a SORTED string array in
+    * ONE codegen'd pass ([[SortedRunStats]]):
+    * struct(max_run = [[maxRunLength]], max_cover = [[maxRunCover]],
+    * dup_cnt = [[dupElementCount]]). Stage the struct in its own
+    * projection and read fields from it — inlining it three times
+    * re-runs the pass. */
+  def sortedRunStats(sorted: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SortedRunStats(
+        org.apache.spark.sql.graftbridge.Bridge.expression(sorted)))
+
   /** Longest run in a SORTED string array = the max multiplicity of
     * any element — one linear `aggregate` pass per row, shuffle-free
     * (the per-doc repetition signals must not explode/shuffle n-grams

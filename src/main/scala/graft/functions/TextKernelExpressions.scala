@@ -183,6 +183,46 @@ object TextKernels {
     }
   }
 
+  /** One pass over a SORTED string array: (max element multiplicity,
+    * max multiplicity*char-length, count of elements in runs >= 2) —
+    * the three Gopher repetition signals
+    * ([[TextFunctions.maxRunLength]]/[[TextFunctions.maxRunCover]]/
+    * [[TextFunctions.dupElementCount]]) without three interpreted
+    * `aggregate`/`filter` lambdas. Null elements never equal anything
+    * (SQL null comparison semantics): they reset runs, contribute no
+    * cover, and are never counted duplicate. */
+  def sortedRunStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var maxRun = 0L
+    var maxCover = 0L
+    var dupCnt = 0L
+    var prev: UTF8String = null
+    var run = 0L
+    var i = 0
+    while (i <= n) {
+      val cur: UTF8String =
+        if (i == n || arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (i > 0 && prev != null && cur != null && prev.equals(cur)) run += 1
+      else {
+        if (prev != null && run >= 2) dupCnt += run
+        run = 1
+      }
+      if (i < n) {
+        // a null element still counts a run of 1 (the old aggregate's
+        // otherwise(1) branch) but contributes no cover
+        if (run > maxRun) maxRun = run
+        if (cur != null) {
+          val cover = run * cur.numChars()
+          if (cover > maxCover) maxCover = cover
+        }
+      }
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](maxRun, maxCover, dupCnt))
+  }
+
   /** MinHash signature: k minima of `(a_i*h + b_i) mod p` over the
     * hash array, -1 sentinel for empty/all-null input — bit-identical
     * to `array(i -> coalesce(array_min(transform(hs, h -> uhash_i(h))), -1))`. */
@@ -306,6 +346,29 @@ case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long])
       s"${ev.value} = graft.functions.TextKernels.minhashSig($x, $aRef, $bRef);")
   }
   override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `array<string> (sorted) -> struct<max_run,max_cover,dup_cnt>`:
+  * the Gopher repetition signals in one pass
+  * ([[TextKernels.sortedRunStats]]). */
+case class SortedRunStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_run", LongType, nullable = false),
+    StructField("max_cover", LongType, nullable = false),
+    StructField("dup_cnt", LongType, nullable = false)))
+  override def prettyName: String = "sorted_run_stats"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.sortedRunStats(x.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.sortedRunStats($x);")
+  override protected def withNewChildInternal(c: Expression): SortedRunStats =
     copy(child = c)
 }
 

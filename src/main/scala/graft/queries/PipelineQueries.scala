@@ -196,19 +196,27 @@ object PipelineQueries {
       import TextFunctions._
       val toks = tokens(col("text"))
       val bgs = gramStrings(toks, 2)
-      // sorted arrays materialized once per row (query-shape rule)
+      // sorted arrays materialized once per row (query-shape rule);
+      // the run-stats struct likewise staged once per array — all
+      // three signals come from ONE codegen'd pass (r11,
+      // SortedRunStats) instead of three interpreted aggregates
       val staged = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
-        array_sort(toks).as("__t"), array_sort(bgs).as("__b"))
-      val nT = size(col("__t")).cast("long")
-      val nB = size(col("__b")).cast("long")
+          array_sort(toks).as("__t"), array_sort(bgs).as("__b"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("__t")).cast("long").as("__nt"),
+          size(col("__b")).cast("long").as("__nb"),
+          sortedRunStats(col("__t")).as("__st"),
+          sortedRunStats(col("__b")).as("__sb"))
       staged.select(
         col("doc_id"),
-        nT.as("n_tokens"),
-        maxRunLength(col("__t")).as("max_token_cnt"),
-        round(dupElementCount(col("__t")).cast("double") / nT, 6).as("dup_token_frac"),
-        when(nB > 0, round(dupElementCount(col("__b")).cast("double") / nB, 6))
+        col("__nt").as("n_tokens"),
+        col("__st.max_run").as("max_token_cnt"),
+        round(col("__st.dup_cnt").cast("double") / col("__nt"), 6).as("dup_token_frac"),
+        when(col("__nb") > 0,
+          round(col("__sb.dup_cnt").cast("double") / col("__nb"), 6))
           .as("dup_bigram_frac"),
-        when(nB > 0, round(maxRunCover(col("__b")).cast("double") / col("n_chars"), 6))
+        when(col("__nb") > 0,
+          round(col("__sb.max_cover").cast("double") / col("n_chars"), 6))
           .as("top_bigram_cover")
       ).orderBy("doc_id")
     }),

@@ -157,6 +157,29 @@ class TextKernelExpressionsSpec extends SparkSpec {
         s"n=$n")
   }
 
+  test("sortedRunStats matches the three aggregate formulations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2203)
+    val words = Vector("a", "bb", "a", "ccc", "dd", "", "ΩΩ")
+    val cases = (0 until 300).map { i =>
+      val arr = (0 until rnd.nextInt(20)).map { _ =>
+        if (rnd.nextInt(10) == 0) null else words(rnd.nextInt(words.size))
+      }
+      (i.toLong, arr)
+    } ++ Seq(
+      (300L, Seq[String]()),            // empty
+      (301L, Seq[String](null, null)),  // all nulls
+      (302L, Seq("x", "x", "x")))       // one run
+    val df = cases.toDF("id", "a")
+      .select(col("id"), array_sort(col("a")).as("s"))
+      .select(col("id"), col("s"), sortedRunStats(col("s")).as("st"))
+    val got = df.select(col("id"), col("st.max_run"), col("st.max_cover"), col("st.dup_cnt"))
+    val want = df.select(col("id"), maxRunLength(col("s")),
+      maxRunCover(col("s")), dupElementCount(col("s")))
+    assert(got.collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq) ===
+      want.collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq))
+  }
+
   test("kernels run inside whole-stage codegen") {
     val got = randomDocs
       .select(col("id"), shingles(col("text"), 3).as("sh"))
