@@ -260,6 +260,16 @@ object TextFunctions {
 
   // ------------------------------------------------- repetition (Gopher-style)
 
+  /** Code-point Shannon entropy + counts of a text column in ONE
+    * codegen'd pass ([[CharEntropy]]):
+    * struct(n_chars, n_distinct_chars, entropy) where entropy is the
+    * dsumD-equivalent decimal-exact sum of `-(k/n)*log2(k/n)` terms.
+    * Zero shuffle — the explode/groupBy formulation (the DuckDB
+    * oracle) moves every character of the corpus. */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      CharEntropy(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** All three Gopher repetition signals of a SORTED string array in
     * ONE codegen'd pass ([[SortedRunStats]]):
     * struct(max_run = [[maxRunLength]], max_cover = [[maxRunCover]],

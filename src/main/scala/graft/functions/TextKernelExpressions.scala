@@ -223,6 +223,57 @@ object TextKernels {
       Array[Any](maxRun, maxCover, dupCnt))
   }
 
+  /** Shannon entropy over a text's code-point distribution — the
+    * classic gibberish/quality signal — plus code-point and
+    * distinct-code-point counts, one pass per row, zero shuffle (the
+    * 100 TB shape; the explode/groupBy formulation shuffles every
+    * character of the corpus).
+    *
+    * Cross-engine float discipline: each distinct char's term
+    * `-(k/n)*log2(k/n)` is rounded to DECIMAL(38,10) exactly like
+    * `dsumD` does (HALF_UP at 10 digits), accumulated as exact scaled
+    * longs (order-free), and returned as the decimal sum cast to
+    * double — the same algebra as
+    * `CAST(SUM(CAST(term AS DECIMAL(38,10))) AS DOUBLE)` over a
+    * DuckDB char histogram. log2 matches Spark's own Log2
+    * (StrictMath.log ratio — pinned bitwise in the spec). */
+  def charEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0.0))
+    val cps = new Array[Int](n)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(o) = cp
+      o += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps)
+    val nD = n.toDouble
+    var sumScaled = 0L
+    var distinct = 0L
+    var start = 0
+    while (start < n) {
+      var end = start + 1
+      while (end < n && cps(end) == cps(start)) end += 1
+      val p = (end - start).toDouble / nD
+      val term = -p * (StrictMath.log(p) / StrictMath.log(2.0))
+      // CAST(term AS DECIMAL(38,10)) = HALF_UP at 10 digits; term is
+      // in [0, ~0.531], so the scaled value fits a long with huge room
+      sumScaled += java.math.BigDecimal.valueOf(term)
+        .setScale(10, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      distinct += 1
+      start = end
+    }
+    val entropy = java.math.BigDecimal.valueOf(sumScaled, 10).doubleValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct, entropy))
+  }
+
   /** MinHash signature: k minima of `(a_i*h + b_i) mod p` over the
     * hash array, -1 sentinel for empty/all-null input — bit-identical
     * to `array(i -> coalesce(array_min(transform(hs, h -> uhash_i(h))), -1))`. */
@@ -346,6 +397,28 @@ case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long])
       s"${ev.value} = graft.functions.TextKernels.minhashSig($x, $aRef, $bRef);")
   }
   override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `string -> struct<n_chars,n_distinct_chars,entropy>`: code-point
+  * Shannon entropy ([[TextKernels.charEntropy]]). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.charEntropy(x.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.charEntropy($x);")
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
     copy(child = c)
 }
 

@@ -290,6 +290,23 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // Character-entropy quality signal (the classic gibberish /
+    // binary-soup detector: low entropy = repeated-char spam, high =
+    // random bytes): code-point Shannon entropy per doc via ONE
+    // codegen'd kernel pass (graft.functions.CharEntropy) — zero
+    // shuffle at any corpus size. The oracle recomputes it the
+    // explode/groupBy way in DuckDB; per-term dsumD decimal rounding
+    // makes the sum order-free so the two paths agree exactly.
+    "q_char_entropy" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.charEntropy(col("text")).as("__e"))
+      staged.select(col("doc_id"),
+        col("__e.n_chars").as("n_cp"),
+        col("__e.n_distinct_chars").as("n_distinct_chars"),
+        r(col("__e.entropy"), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 top-k retrieval (Robertson-Sparck Jones; Lucene's
     // practical-scoring variant: idf = ln((N-df+0.5)/(df+0.5)+1),
     // k1=1.2, b=0.75) — the retrieval scorer behind RAG corpus search
@@ -404,6 +421,19 @@ object TextQueries {
     .flatMap { case (q, ts) => ts.map(w => s"($q, '$w')") }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_char_entropy" ->
+      s"""WITH ch AS (
+        |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n,
+        |    unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c)
+        |SELECT doc_id, n AS n_cp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |  ROUND(${sqlDsum(
+             "-(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) * LOG2(CAST(k AS DOUBLE)/CAST(n AS DOUBLE))")}, 6) AS entropy
+        |FROM hist GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
     "q_bm25_topk" ->
       s"""WITH dl AS (
         |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl

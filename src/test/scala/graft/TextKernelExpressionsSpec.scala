@@ -180,6 +180,54 @@ class TextKernelExpressionsSpec extends SparkSpec {
       want.collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq))
   }
 
+  test("charEntropy kernel log2 matches Spark's Log2 bitwise") {
+    // the kernel computes StrictMath.log(p)/StrictMath.log(2.0) — it
+    // must be bit-identical to the log2() Column function the proven
+    // oracle lanes (q_bigram_lm, q_unigram_surprisal) rely on
+    import spark.implicits._
+    val rnd = new scala.util.Random(31415)
+    val ps = (1 to 2000).map(_ => rnd.nextDouble()).filter(_ > 0)
+    val sparkVals = ps.toDF("p").select(log2(col("p"))).collect().map(_.getDouble(0))
+    val kernelVals = ps.map(p => StrictMath.log(p) / StrictMath.log(2.0))
+    assert(sparkVals.zip(kernelVals).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    })
+  }
+
+  test("charEntropy matches the explode/groupBy formulation") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "aaaa"), (1L, "abab"), (2L, "abcd"), (3L, ""),
+      (4L, "the quick brown fox"), (5L, "mixé ünïcode 日本語 text"),
+      (6L, "x")) ++ (7 until 100).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, (0 until rnd.nextInt(200)).map(_ =>
+        "abcdefg h".charAt(rnd.nextInt(9))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    val got = df.select(col("id"), charEntropy(col("text")).as("e"))
+      .select(col("id"), col("e.n_chars"), col("e.n_distinct_chars"),
+        round(col("e.entropy"), 6).as("entropy"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference: explode chars, groupBy histogram, dsumD the terms
+    val ch = df.select(col("id"), length(col("text")).cast("long").as("n"),
+      explode(array_remove(split(col("text"), ""), "")).as("c"))
+    val p = col("k").cast("double") / col("n").cast("double")
+    val want = ch.groupBy("id", "n", "c").agg(count(lit(1)).as("k"))
+      .groupBy("id", "n")
+      .agg(count(lit(1)).cast("long").as("nd"),
+        round(graft.queries.Q.dsumD(-p * log2(p)), 6).as("entropy"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for ((id, w) <- want) assert(got(id) === w, s"id=$id")
+    // empty doc: kernel yields (0, 0, 0.0); the explode path has no rows
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    // null text -> null struct
+    val nul = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Tuple1(null.asInstanceOf[String]))))
+      .toDF("text").select(charEntropy(col("text"))).head
+    assert(nul.isNullAt(0))
+  }
+
   test("kernels run inside whole-stage codegen") {
     val got = randomDocs
       .select(col("id"), shingles(col("text"), 3).as("sh"))
