@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.StringType
+
+import graft.functions._
+
+/** Catalyst extension module: registers the engine's codegen text
+  * kernels as SQL functions, so a SQL-only user (spark.sql, JDBC,
+  * SQL notebooks) gets the same 10-100x kernels the Column API uses —
+  * the `SparkSessionExtensions` integration tier (inject at session
+  * build time via `GraftSession.builder`, or from config with
+  * `spark.sql.extensions=graft.GraftExtensions`).
+  *
+  *   SELECT doc_id, sliding_min(token_gram_hashes(split(text, ' '), 4, true), 5) ...
+  *   SELECT char_entropy(text).entropy ...
+  *   SELECT multi_contains_indices(text, array('badword', 'spam phrase')) ...
+  *
+  * Shape arguments (gram size, window, bit width, pattern lists) must
+  * be literals — they parameterize the expression instance itself
+  * (automaton construction, coefficient tables), exactly like Spark's
+  * own `from_json` schema argument.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+
+  private def foldableArg(args: Seq[Expression], i: Int, fn: String): Any = {
+    require(i < args.length, s"$fn: missing argument ${i + 1}")
+    val e = args(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+    e.eval(null)
+  }
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int =
+    foldableArg(args, i, fn) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case n: Short => n.toInt
+      case n: Byte => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def boolArg(args: Seq[Expression], i: Int, fn: String): Boolean =
+    foldableArg(args, i, fn) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a boolean literal, got $other")
+    }
+
+  private def stringArrayArg(args: Seq[Expression], i: Int, fn: String): Seq[String] =
+    foldableArg(args, i, fn) match {
+      case a: ArrayData =>
+        a.toObjectArray(StringType).toSeq.map { v =>
+          require(v != null, s"$fn: pattern list must not contain nulls")
+          v.toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an array<string> literal, got $other")
+    }
+
+  private def nArgs(args: Seq[Expression], fn: String, ns: Int*): Unit =
+    require(ns.contains(args.length),
+      s"$fn expects ${ns.mkString(" or ")} arguments, got ${args.length}")
+
+  /** Install every kernel as a SQL function. */
+  def install(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+
+    reg("token_gram_hashes", classOf[TokenGramHashes]) { args =>
+      nArgs(args, "token_gram_hashes", 3)
+      TokenGramHashes(args(0), intArg(args, 1, "token_gram_hashes"),
+        boolArg(args, 2, "token_gram_hashes"))
+    }
+    reg("sliding_min", classOf[SlidingMin]) { args =>
+      nArgs(args, "sliding_min", 2)
+      SlidingMin(args(0), intArg(args, 1, "sliding_min"))
+    }
+    reg("shingle_strings", classOf[ShingleStrings]) { args =>
+      nArgs(args, "shingle_strings", 2, 3)
+      ShingleStrings(args(0), intArg(args, 1, "shingle_strings"),
+        if (args.length > 2) boolArg(args, 2, "shingle_strings") else true)
+    }
+    reg("hash_strings", classOf[HashStrings]) { args =>
+      nArgs(args, "hash_strings", 6)
+      HashStrings(args(0), boolArg(args, 1, "hash_strings"),
+        intArg(args, 2, "hash_strings"),
+        foldableArg(args, 3, "hash_strings").asInstanceOf[Number].longValue(),
+        foldableArg(args, 4, "hash_strings").asInstanceOf[Number].longValue(),
+        boolArg(args, 5, "hash_strings"))
+    }
+    reg("minhash_sig", classOf[MinhashSig]) { args =>
+      nArgs(args, "minhash_sig", 2)
+      val k = intArg(args, 1, "minhash_sig")
+      MinhashSig(args(0), (0 until k).map(TextFunctions.uhashA).toArray,
+        (0 until k).map(TextFunctions.uhashB).toArray)
+    }
+    reg("simhash_bits", classOf[SimhashBits]) { args =>
+      nArgs(args, "simhash_bits", 2)
+      SimhashBits(args(0), intArg(args, 1, "simhash_bits"))
+    }
+    reg("sorted_run_stats", classOf[SortedRunStats]) { args =>
+      nArgs(args, "sorted_run_stats", 1)
+      SortedRunStats(args(0))
+    }
+    reg("char_entropy", classOf[CharEntropy]) { args =>
+      nArgs(args, "char_entropy", 1)
+      CharEntropy(args(0))
+    }
+    reg("multi_contains_indices", classOf[MultiContainsIndices]) { args =>
+      nArgs(args, "multi_contains_indices", 2)
+      val pats = stringArrayArg(args, 1, "multi_contains_indices")
+      MultiContainsIndices(args(0),
+        new AhoCorasick.Automaton(pats.map(_.getBytes("UTF-8")).toArray),
+        pats.length)
+    }
+    reg("float_vector_dot", classOf[FloatVectorDot]) { args =>
+      nArgs(args, "float_vector_dot", 2)
+      FloatVectorDot(args(0), args(1))
+    }
+  }
+}

@@ -21,6 +21,10 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // SQL surface for the codegen text kernels (GraftExtensions) —
+      // also installable on a foreign session via
+      // spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(GraftExtensions.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** The SQL surface (GraftExtensions via GraftSession.builder) must
+  * resolve every kernel function and produce exactly what the Column
+  * API produces. The shared test session is built through
+  * GraftSession.builder, so the functions are present here. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val rdd = spark.sparkContext.parallelize(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog the quick"),
+      (1L, "a b a b a b"),
+      (2L, "slow dup hash join text"),
+      (3L, "one")), 2)
+    spark.createDataFrame(rdd).toDF("doc_id", "text")
+  }
+
+  test("SQL token_gram_hashes + sliding_min == Column API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  sliding_min(token_gram_hashes(split(text, ' '), 4, true), 5) AS m
+        |FROM ext_docs""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = docs.select(col("doc_id"),
+        slidingWindowMin(tokenGramHashes(split(col("text"), " "), 4, Md5Hash), 5).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaCol)
+  }
+
+  test("SQL minhash_sig / simhash_bits / shingle_strings / hash_strings == Column API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  minhash_sig(hash_strings(shingle_strings(split(text, ' '), 2), true, 28, -1L, 0L, true), 4) AS sig,
+        |  simhash_bits(hash_strings(split(text, ' '), true, 28, %dL, %dL, false), 16) AS sh
+        |FROM ext_docs""".stripMargin.format(uhashA(99), uhashB(99))).collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2)))).toMap
+    val viaCol = docs.select(col("doc_id"),
+        minhashSignature(shingleHashes(shingles(col("text"), 2)), 4).as("sig"),
+        simhashFromHashes(tokenHashes(split(col("text"), " ")), 16).as("sh"))
+      .collect().map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(viaSql === viaCol)
+  }
+
+  test("SQL char_entropy / sorted_run_stats / multi_contains_indices == Column API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, char_entropy(text).entropy AS e,
+        |  sorted_run_stats(array_sort(split(text, ' '))).max_run AS mr,
+        |  multi_contains_indices(text, array('slow', 'dup', 'hash join', 'nope')) AS mi
+        |FROM ext_docs""".stripMargin).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    val viaCol = docs.select(col("doc_id"),
+        charEntropy(col("text")).getField("entropy").as("e"),
+        sortedRunStats(array_sort(split(col("text"), " "))).getField("max_run").as("mr"),
+        graft.functions.AhoCorasick.matchedPatternIndices(col("text"),
+          Seq("slow", "dup", "hash join", "nope")).as("mi"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(viaSql === viaCol)
+    assert(viaSql(2L)._3 === Seq(0L, 1L, 2L))
+  }
+
+  test("non-literal shape arguments fail with a clear message") {
+    docs.createOrReplaceTempView("ext_docs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT token_gram_hashes(split(text, ' '), CAST(doc_id AS INT), true) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
+}
