@@ -263,7 +263,9 @@ object Bench {
       // r10 curation additions (timed for round-over-round visibility;
       // the pipeline section reports per-query, not in `value`)
       "q_paragraph_dedup", "q_dsir_select", "q_bigram_lm",
-      "q_simhash_neardup", "q_winnow_fingerprint")
+      "q_simhash_neardup", "q_winnow_fingerprint",
+      // r11 additions
+      "q_blocklist_filter", "q_char_entropy", "q_bm25_topk")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     } :+ ("q_winnow_fast" -> (() =>

@@ -296,7 +296,11 @@ class StreamingSpec extends SparkSpec {
       TextFunctions.piiCount(col("text"),
         TextFunctions.PiiEmailPattern).as("n_email"),
       TextFunctions.maxRunLength(array_sort(split(col("text"), " ")))
-        .as("max_run"))
+        .as("max_run"),
+      // r11 kernels are stateless projections too — streamable as-is
+      TextFunctions.charEntropy(col("text")).getField("entropy").as("ent"),
+      graft.functions.AhoCorasick.matchedPatternIndices(col("text"),
+        Seq("repeated", "sensitive", "absent phrase")).as("blocked"))
     val expected = curate(docs.toDF("doc_id", "text"))
       .collect().map(_.toSeq).toSet
     val stream = MemoryStream[(Long, String)]
