@@ -56,14 +56,25 @@ object SimilaritySearch {
     * `bitsPerBand` SRP bits — vectors sharing any band key become
     * near-dup candidates. Signature computation is a pure projection
     * (O(nBits·dim) per row, zero shuffle); only (id, band, key) pairs
-    * enter the candidate join, never the embeddings. */
-  def srpBandKeys(embCol: Column, dim: Int, nBands: Int, bitsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      val key = (0 until bitsPerBand).map { r =>
-        srpBit(embCol, b * bitsPerBand + r, dim) * (1L << r)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }: _*)
+    * enter the candidate join, never the embeddings. Since r11 the
+    * whole signature is ONE codegen'd kernel pass
+    * ([[graft.functions.SrpBandKeysExpr]]; the ±1 planes precomputed
+    * driver-side from the same universal-hash parity) — bit-identical
+    * to the per-bit [[srpBit]] composition, which VectorKernelsSpec
+    * keeps as the pinned reference. */
+  def srpBandKeys(embCol: Column, dim: Int, nBands: Int, bitsPerBand: Int): Column = {
+    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
+    val signs: Array[Array[Byte]] = Array.tabulate(nBands * bitsPerBand) { j =>
+      Array.tabulate(dim) { i =>
+        val parity = (uhashA(j) * (i + 1) + uhashB(j)) % UHASH_P % 2
+        (1 - 2 * parity.toInt).toByte
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SrpBandKeysExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(embCol),
+        signs, nBands, bitsPerBand))
+  }
 
   // ------------------------------------------- product quantization
 
@@ -157,6 +168,32 @@ object SimilaritySearch {
   def pqEncode(df: DataFrame, embCol: String, codebook: PqCodebook,
                codesCol: String = "codes",
                reconErrCol: String = "recon_err"): DataFrame = {
+    // Since r11 the whole encode (m x k x subDim distance folds,
+    // lexicographic argmin, DECIMAL(28,10)-exact error chain) is ONE
+    // codegen'd kernel pass ([[graft.functions.PqEncodeExpr]]) —
+    // bit-identical to the array_min-over-structs composition, which
+    // VectorKernelsSpec keeps as the pinned reference (built from
+    // [[pqSubDist]]).
+    val m = codebook.map(_._1).max + 1
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      codebook.filter(_._1 == mi).sortBy(_._2)
+        .map(_._3.map(_.toDouble).toArray).toArray
+    }
+    val tmp = s"__pq_$codesCol"
+    df.withColumn(tmp, org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.PqEncodeExpr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col(embCol)), cents)))
+      .withColumn(codesCol, col(tmp).getField("codes"))
+      .withColumn(reconErrCol, col(tmp).getField("recon_err"))
+      .drop(tmp)
+  }
+
+  /** The pre-r11 interpreted encode — kept as the spec's pinned
+    * reference implementation (VectorKernelsSpec asserts the kernel
+    * path is bit-identical). */
+  private[graft] def pqEncodeReference(df: DataFrame, embCol: String,
+      codebook: PqCodebook, codesCol: String = "codes",
+      reconErrCol: String = "recon_err"): DataFrame = {
     val m = codebook.map(_._1).max + 1
     val subDim = codebook.head._3.length
     val mins = (0 until m).map { mi =>

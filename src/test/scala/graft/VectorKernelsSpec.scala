@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+
+/** The vector kernels (SrpBandKeysExpr / PqEncodeExpr) must be
+  * bit-identical to the interpreted Column formulations they replaced
+  * — srpBit composition and array_min-over-structs encode — which are
+  * what the DuckDB oracles mirror. */
+class VectorKernelsSpec extends SparkSpec {
+
+  private def randomVecs(n: Int, dim: Int, seed: Int, withNulls: Boolean = false) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val v = (0 until dim).map { j =>
+        if (withNulls && rnd.nextInt(50) == 0) null
+        else java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 4f)
+      }
+      (i.toLong, v)
+    }
+    val rdd = spark.sparkContext.parallelize(rows, 3)
+    spark.createDataFrame(rdd).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  /** The pre-r11 formulation, from the kept srpBit reference. */
+  private def refBandKeys(emb: org.apache.spark.sql.Column, dim: Int,
+      nBands: Int, bitsPerBand: Int) =
+    array((0 until nBands).map { b =>
+      val key = (0 until bitsPerBand).map { r =>
+        SimilaritySearch.srpBit(emb, b * bitsPerBand + r, dim) * (1L << r)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+
+  test("SRP band keys kernel matches the srpBit composition") {
+    val df = randomVecs(200, 64, seed = 7)
+    val got = df.select(col("vec_id"),
+        SimilaritySearch.srpBandKeys(col("embedding"), 64, 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val want = df.select(col("vec_id"),
+        refBandKeys(col("embedding"), 64, 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(got === want)
+  }
+
+  test("SRP kernel null-element semantics: any null -> all band keys 0") {
+    val df = randomVecs(120, 16, seed = 11, withNulls = true)
+    val got = df.select(col("vec_id"),
+        SimilaritySearch.srpBandKeys(col("embedding"), 16, 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val want = df.select(col("vec_id"),
+        refBandKeys(col("embedding"), 16, 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(got === want)
+  }
+
+  test("PQ encode kernel matches the array_min-over-structs reference") {
+    val dim = 32
+    val df = randomVecs(300, dim, seed = 13)
+    // codebook trained on the data itself (m=4 subspaces, k=8)
+    val cb = SimilaritySearch.pqTrainKMeans(df, "vec_id", "embedding",
+      m = 4, k = 8)
+    val got = SimilaritySearch.pqEncode(df, "embedding", cb)
+      .select(col("vec_id"), col("codes"), col("recon_err"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2))).toMap
+    val want = SimilaritySearch.pqEncodeReference(df, "embedding", cb)
+      .select(col("vec_id"), col("codes"), col("recon_err"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    for ((id, (codes, err)) <- want) {
+      assert(got(id)._1 === codes, s"codes id=$id")
+      assert(java.lang.Double.doubleToLongBits(got(id)._2) ==
+        java.lang.Double.doubleToLongBits(err), s"err id=$id")
+    }
+  }
+
+  test("PQ encode ties break to the smaller code id") {
+    import spark.implicits._
+    // two identical centroids in one subspace force an exact tie
+    val cb: SimilaritySearch.PqCodebook = Seq(
+      (0, 0, Seq(1.0f, 1.0f)), (0, 1, Seq(1.0f, 1.0f)), (0, 2, Seq(9.0f, 9.0f)))
+    val df = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(8.5f, 9.2f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val got = SimilaritySearch.pqEncode(df, "embedding", cb)
+      .select("vec_id", "codes").orderBy("vec_id").collect()
+    assert(got(0).getSeq[Int](1) === Seq(0)) // tie -> code 0, not 1
+    assert(got(1).getSeq[Int](1) === Seq(2))
+  }
+}
