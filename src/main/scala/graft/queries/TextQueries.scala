@@ -228,14 +228,15 @@ object TextQueries {
     // actually fits); per-doc reduction is one decimal-exact sum.
     "q_bigram_lm" -> ((s, dir) => {
       val tks = split(col("text"), " ")
-      val bigrams = when(size(tks) >= 2,
-        transform(sequence(lit(0), size(tks) - 2),
-          i => struct(element_at(tks, i + 1).as("w1"),
-            element_at(tks, i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      // bigram strings from the codegen'd gram kernel (r11), split
+      // back into words post-explode — tokens never contain the
+      // separator, so substring_index is exact and stays in codegen
       val db = t(s, dir, "documents")
-        .select(col("doc_id"), explode(bigrams).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.gramStrings(tks, 2)).as("bg"))
+        .select(col("doc_id"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
       val pair = db.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val ctx = db.groupBy("w1").agg(count(lit(1)).as("n1"))
       val vocab = t(s, dir, "documents")
