@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -118,6 +118,77 @@ object AhoCorasick {
   def matchedPatternIndices(text: Column, patterns: Seq[String]): Column =
     Bridge.column(MultiContainsIndices(Bridge.expression(text),
       new Automaton(patterns.map(_.getBytes("UTF-8")).toArray), patterns.length))
+}
+
+/** `array<string> -> array<bigint>`: occurrence count of each
+  * vocabulary term in a token array — the per-document tf vector for
+  * retrieval scoring, as one codegen'd pass (open-addressed exact
+  * string probe). At corpus scale this replaces the
+  * explode-all-tokens + isin + groupBy tf shuffle with a zero-shuffle
+  * projection: only (doc, termIdx, tf>0) rows ever move. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term list must not be empty")
+  require(terms.distinct.length == terms.length,
+    s"duplicate terms: ${terms.diff(terms.distinct).distinct.mkString(",")}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  // open-addressed probe table over the term bytes, built once
+  @transient private lazy val table: (Array[UTF8String], Array[Int], Int) = {
+    val n = terms.length
+    var cap = java.lang.Integer.highestOneBit(math.max(n * 2 - 1, 4)) << 1
+    if (cap < 4) cap = 4
+    val keys = new Array[UTF8String](cap)
+    val idx = new Array[Int](cap)
+    for ((t, i) <- terms.zipWithIndex) {
+      val k = UTF8String.fromString(t)
+      var slot = k.hashCode() & (cap - 1)
+      while (keys(slot) != null && !keys(slot).equals(k)) slot = (slot + 1) & (cap - 1)
+      require(keys(slot) == null, s"duplicate term '$t'")
+      keys(slot) = k
+      idx(slot) = i
+    }
+    (keys, idx, cap)
+  }
+
+  def countTerms(toks: ArrayData): ArrayData = {
+    val (keys, idx, cap) = table
+    val out = new Array[Long](terms.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var slot = t.hashCode() & (cap - 1)
+        var done = false
+        while (!done) {
+          val k = keys(slot)
+          if (k == null) done = true
+          else if (k.equals(t)) { out(idx(slot)) += 1; done = true }
+          else slot = (slot + 1) & (cap - 1)
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(x: Any): Any = countTerms(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("termCounts", this,
+      classOf[TermCounts].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.countTerms($x);")
+  }
+  override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
 }
 
 /** `string -> array<bigint>` of matched blocklist-pattern indices. */

@@ -333,10 +333,20 @@ object TextQueries {
         size(split(col("text"), " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
         (dsumD(col("dl")) / count(lit(1))).as("avgdl"))
+      // per-doc tf vector in ONE codegen'd TermCounts pass (zero
+      // shuffle — only (doc, term, tf>0) rows move into the scoring
+      // joins), instead of exploding every token of the corpus into a
+      // groupBy; values identical to the explode+count formulation
+      val termsLit = array(allTerms.map(lit): _*)
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .where(col("w").isin(allTerms: _*))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.TermCounts(
+              org.apache.spark.sql.graftbridge.Bridge.expression(
+                split(col("text"), " ")), allTerms))))
+        .where(col("col") > 0)
+        .select(col("doc_id"), element_at(termsLit, col("pos") + 1).as("w"),
+          col("col").as("tf"))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val idf = log(
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

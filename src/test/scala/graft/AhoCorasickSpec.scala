@@ -61,6 +61,29 @@ class AhoCorasickSpec extends SparkSpec {
     assert(out(3).getSeq[Long](1) === Seq(2L, 3L))
   }
 
+  test("TermCounts matches explode+filter+count, including repeats and nulls") {
+    import graft.functions.TermCounts
+    import org.apache.spark.sql.graftbridge.Bridge
+    val terms = Seq("a", "bb", "ccc", "absent")
+    val rnd = new scala.util.Random(97)
+    val words = Vector("a", "bb", "ccc", "dd", "a", null)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(25)).map(_ => words(rnd.nextInt(words.size))))
+    }
+    val rdd = spark.sparkContext.parallelize(rows, 3)
+    val df = spark.createDataFrame(rdd).toDF("id", "toks")
+    val got = df.select(col("id"),
+        Bridge.column(TermCounts(Bridge.expression(col("toks")), terms)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = rows.map { case (id, toks) =>
+      id -> terms.map(t => toks.count(_ == t).toLong)
+    }.toMap
+    assert(got === want)
+    intercept[IllegalArgumentException] {
+      TermCounts(Bridge.expression(col("toks")), Seq("x", "x"))
+    }
+  }
+
   test("64-pattern cap and empty pattern are rejected") {
     intercept[IllegalArgumentException] {
       new AhoCorasick.Automaton((0 to 64).map(i => s"p$i".getBytes("UTF-8")).toArray)
