@@ -127,5 +127,24 @@ object GraftExtensions {
       nArgs(args, "float_vector_dot", 2)
       FloatVectorDot(args(0), args(1))
     }
+    reg("term_counts", classOf[TermCounts]) { args =>
+      nArgs(args, "term_counts", 2)
+      TermCounts(args(0), stringArrayArg(args, 1, "term_counts"))
+    }
+    reg("srp_band_keys", classOf[SrpBandKeysExpr]) { args =>
+      nArgs(args, "srp_band_keys", 4)
+      // same plane derivation as SimilaritySearch.srpBandKeys
+      val dim = intArg(args, 1, "srp_band_keys")
+      val nBands = intArg(args, 2, "srp_band_keys")
+      val bitsPerBand = intArg(args, 3, "srp_band_keys")
+      val signs = Array.tabulate(nBands * bitsPerBand) { j =>
+        Array.tabulate(dim) { i =>
+          val parity = (TextFunctions.uhashA(j) * (i + 1) +
+            TextFunctions.uhashB(j)) % TextFunctions.UHASH_P % 2
+          (1 - 2 * parity.toInt).toByte
+        }
+      }
+      SrpBandKeysExpr(args(0), signs, nBands, bitsPerBand)
+    }
   }
 }

@@ -64,6 +64,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql(2L)._3 === Seq(0L, 1L, 2L))
   }
 
+  test("SQL term_counts / srp_band_keys == Column API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, term_counts(split(text, ' '), array('the', 'a', 'b')) AS tc
+        |FROM ext_docs""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = Map(0L -> Seq(3L, 0L, 0L), 1L -> Seq(0L, 3L, 3L),
+      2L -> Seq(0L, 0L, 0L), 3L -> Seq(0L, 0L, 0L))
+    assert(viaSql === expected)
+    // srp_band_keys: SQL vs the operator wrapper on a float-array frame
+    val rdd = spark.sparkContext.parallelize(
+      (0 until 30).map(i => (i.toLong, (0 until 16).map(j => (i * 31 + j) % 7 - 3f))), 2)
+    val emb = spark.createDataFrame(rdd).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    emb.createOrReplaceTempView("ext_emb")
+    val sqlKeys = spark.sql(
+      "SELECT vec_id, srp_band_keys(embedding, 16, 4, 8) AS bk FROM ext_emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val colKeys = emb.select(col("vec_id"),
+        graft.operators.SimilaritySearch.srpBandKeys(col("embedding"), 16, 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(sqlKeys === colKeys)
+  }
+
   test("non-literal shape arguments fail with a clear message") {
     docs.createOrReplaceTempView("ext_docs")
     val e = intercept[Exception] {
