@@ -41,7 +41,9 @@ object GraftExtensions {
   private def intArg(args: Seq[Expression], i: Int, fn: String): Int =
     foldableArg(args, i, fn) match {
       case n: Int => n
-      case n: Long => n.toInt
+      // toIntExact: an out-of-range Long must error, not silently
+      // truncate into a tiny (wrong) window/gram size
+      case n: Long => java.lang.Math.toIntExact(n)
       case n: Short => n.toInt
       case n: Byte => n.toInt
       case other => throw new IllegalArgumentException(
@@ -133,18 +135,13 @@ object GraftExtensions {
     }
     reg("srp_band_keys", classOf[SrpBandKeysExpr]) { args =>
       nArgs(args, "srp_band_keys", 4)
-      // same plane derivation as SimilaritySearch.srpBandKeys
       val dim = intArg(args, 1, "srp_band_keys")
       val nBands = intArg(args, 2, "srp_band_keys")
       val bitsPerBand = intArg(args, 3, "srp_band_keys")
-      val signs = Array.tabulate(nBands * bitsPerBand) { j =>
-        Array.tabulate(dim) { i =>
-          val parity = (TextFunctions.uhashA(j) * (i + 1) +
-            TextFunctions.uhashB(j)) % TextFunctions.UHASH_P % 2
-          (1 - 2 * parity.toInt).toByte
-        }
-      }
-      SrpBandKeysExpr(args(0), signs, nBands, bitsPerBand)
+      // ONE shared plane derivation (VectorKernels.srpSigns) keeps the
+      // SQL surface and SimilaritySearch.srpBandKeys bucket-identical
+      SrpBandKeysExpr(args(0),
+        VectorKernels.srpSigns(dim, nBands, bitsPerBand), nBands, bitsPerBand)
     }
   }
 }

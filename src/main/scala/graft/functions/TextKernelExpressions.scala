@@ -59,6 +59,37 @@ object TextKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Reusable gram-assembly buffer (one per kernel call). */
+  private[functions] final class GramBuf {
+    var buf: Array[Byte] = new Array[Byte](256)
+    var len: Int = 0
+  }
+
+  /** Assemble tokens `[start, start+k)` joined with a single space
+    * into `gb` — the ONE definition of the concat_ws parity rules
+    * (null tokens skipped, no separator emitted for them) that both
+    * [[shingleStrings]] and [[WinnowKernels.gramHashes]] rely on. */
+  private[functions] def assembleGram(ts: Array[UTF8String], start: Int,
+      k: Int, gb: GramBuf): Unit = {
+    gb.len = 0
+    var wrote = false
+    var j = 0
+    while (j < k) {
+      val t = ts(start + j)
+      if (t != null) {
+        val tb = t.numBytes()
+        val need = gb.len + tb + 1
+        if (need > gb.buf.length)
+          gb.buf = java.util.Arrays.copyOf(gb.buf, math.max(need, gb.buf.length * 2))
+        if (wrote) { gb.buf(gb.len) = ' '; gb.len += 1 }
+        t.writeToMemory(gb.buf, Platform.BYTE_ARRAY_OFFSET + gb.len)
+        gb.len += tb
+        wrote = true
+      }
+      j += 1
+    }
+  }
+
   private def hashUtf8(s: UTF8String, md5: Boolean, bits: Int): Long =
     if (md5) {
       val b = s.getBytes
@@ -83,29 +114,13 @@ object TextKernels {
       ts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
       i += 1
     }
-    var buf = new Array[Byte](256)
+    val gb = new GramBuf
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val all = if (distinct) null else new Array[Any](m)
     var g = 0
     while (g < m) {
-      var len = 0
-      var wrote = false
-      var j = 0
-      while (j < n) {
-        val t = ts(g + j)
-        if (t != null) {
-          val tb = t.numBytes()
-          val need = len + tb + 1
-          if (need > buf.length)
-            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
-          if (wrote) { buf(len) = ' '; len += 1 }
-          t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-          len += tb
-          wrote = true
-        }
-        j += 1
-      }
-      val gram = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))
+      assembleGram(ts, g, n, gb)
+      val gram = UTF8String.fromBytes(java.util.Arrays.copyOfRange(gb.buf, 0, gb.len))
       if (distinct) seen.add(gram) else all(g) = gram
       g += 1
     }
@@ -357,6 +372,15 @@ case class HashStrings(child: Expression, md5Family: Boolean, bits: Int,
     uA: Long, uB: Long, distinct: Boolean) extends UnaryExpression {
   require(bits > 0 && bits <= 60 && bits % 4 == 0,
     s"bits must be a positive multiple of 4 <= 60, got $bits")
+  // the post-mix domain must keep values non-negative: uA·v with
+  // v < 2^bits must not overflow Long, and (uA·v+uB) mod p must stay
+  // in [0, p) — otherwise a mixed hash of exactly -1 would collide
+  // with the distinct table's empty-slot sentinel (and Java % of a
+  // negative product is negative). Internal callers use bits=28 with
+  // Carter-Wegman coefficients; the SQL surface can pass anything.
+  require(uA == -1L || (bits <= 28 && uA >= 1L && uA < TextKernels.UHASH_P &&
+      uB >= 0L && uB < TextKernels.UHASH_P),
+    s"post-mix requires bits <= 28 and coefficients in [1,p)/[0,p), got bits=$bits uA=$uA uB=$uB")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   */
 object VectorKernels {
 
+  /** The deterministic ±1 hyperplane matrix both the Column API and
+    * the SQL registration derive SRP planes from — ONE definition so
+    * the two surfaces can never drift (sign = parity of the
+    * universal-hash image of the element index). */
+  def srpSigns(dim: Int, nBands: Int, bitsPerBand: Int): Array[Array[Byte]] =
+    Array.tabulate(nBands * bitsPerBand) { j =>
+      Array.tabulate(dim) { i =>
+        val parity = (TextFunctions.uhashA(j) * (i + 1) +
+          TextFunctions.uhashB(j)) % TextFunctions.UHASH_P % 2
+        (1 - 2 * parity.toInt).toByte
+      }
+    }
+
   /** SRP band keys: bit r of band b is the sign of the dot product of
     * the embedding with the ±1 hyperplane `signs(b*bitsPerBand+r)`;
     * key = Σ bit_r·2^r. Fold is element-order double accumulation —
@@ -70,21 +83,31 @@ object VectorKernels {
     * SUM(CAST(dist AS DECIMAL(28,10)))). Distances fold left-to-right
     * in double. `cents(mi)(cid)(i)` are the codebook subvectors as
     * doubles. */
-  def pqEncode(emb: ArrayData, cents: Array[Array[Array[Double]]]): InternalRow = {
+  def pqEncode(emb: ArrayData, cents: Array[Array[Array[Double]]],
+      cids: Array[Array[Int]]): InternalRow = {
     val m = cents.length
     val subDim = cents(0)(0).length
     require(emb.numElements() >= m * subDim,
       s"embedding has ${emb.numElements()} elements, need ${m * subDim}")
+    var j = 0
+    while (j < m * subDim) {
+      // fail fast instead of reading garbage through getFloat on a
+      // null slot (the replaced formulation's behavior on element
+      // nulls was an undefined struct ordering — embeddings carry no
+      // element nulls by contract, so loud beats silent-wrong)
+      require(!emb.isNullAt(j), s"null embedding element at $j")
+      j += 1
+    }
     val codes = new Array[Int](m)
     var errScaled = java.math.BigDecimal.ZERO
     var mi = 0
     while (mi < m) {
       val base = mi * subDim
       var bestDist = Double.PositiveInfinity
-      var bestCid = Int.MaxValue
-      var cid = 0
-      while (cid < cents(mi).length) {
-        val c = cents(mi)(cid)
+      var bestPos = Int.MaxValue
+      var pos = 0
+      while (pos < cents(mi).length) {
+        val c = cents(mi)(pos)
         var acc = 0.0
         var i = 0
         while (i < subDim) {
@@ -94,11 +117,15 @@ object VectorKernels {
         }
         // lexicographic (dist, cid) minimum, matching array_min over
         // struct(dist, k): strictly smaller dist wins; equal dist
-        // keeps the smaller cid (iteration order is ascending cid)
-        if (acc < bestDist) { bestDist = acc; bestCid = cid }
-        cid += 1
+        // keeps the smaller cid (cids are sorted ascending, so
+        // ascending position order ties to the smaller cid)
+        if (acc < bestDist) { bestDist = acc; bestPos = pos }
+        pos += 1
       }
-      codes(mi) = bestCid
+      // emit the codebook's ACTUAL cid, not the table position — a
+      // hand-built non-dense codebook (cids 0,2,3) must round-trip
+      // exactly like the array_min-over-structs reference
+      codes(mi) = cids(mi)(bestPos)
       errScaled = errScaled.add(java.math.BigDecimal.valueOf(bestDist)
         .setScale(10, java.math.RoundingMode.HALF_UP))
       mi += 1
@@ -135,9 +162,16 @@ case class SrpBandKeysExpr(child: Expression, signs: Array[Array[Byte]],
 }
 
 /** `array<float> -> struct<codes:array<int>,recon_err:double>`
-  * ([[VectorKernels.pqEncode]]). */
-case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
-    extends UnaryExpression {
+  * ([[VectorKernels.pqEncode]]). `cids(mi)(pos)` maps each centroid
+  * table position back to its codebook code id (ascending), so
+  * non-dense hand-built codebooks emit their real ids. */
+case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]],
+    cids: Array[Array[Int]]) extends UnaryExpression {
+  require(cents.length == cids.length &&
+    cents.indices.forall(mi => cents(mi).length == cids(mi).length &&
+      cids(mi).sorted.sameElements(cids(mi))),
+    "cids must parallel cents, ascending per subspace")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -148,11 +182,12 @@ case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
     StructField("recon_err", DoubleType, nullable = false)))
   override def prettyName: String = "pq_encode"
   override def nullSafeEval(x: Any): Any =
-    VectorKernels.pqEncode(x.asInstanceOf[ArrayData], cents)
+    VectorKernels.pqEncode(x.asInstanceOf[ArrayData], cents, cids)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    val cidsRef = ctx.addReferenceObj("pqCids", cids, "int[][]")
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.VectorKernels.pqEncode($x, $centsRef);")
+      s"${ev.value} = graft.functions.VectorKernels.pqEncode($x, $centsRef, $cidsRef);")
   }
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
     copy(child = c)

@@ -66,42 +66,31 @@ object WinnowKernels {
       toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
       i += 1
     }
-    var buf = new Array[Byte](256)
+    // gram assembly shared with TextKernels.shingleStrings — the
+    // concat_ws parity rules live in ONE place
+    val gb = new TextKernels.GramBuf
     val out = new Array[Long](m)
     var g = 0
     while (g < m) {
-      var len = 0
-      var wrote = false
-      var j = 0
-      while (j < k) {
-        val t = toks(g + j)
-        if (t != null) {
-          val tb = t.numBytes()
-          val need = len + tb + 1
-          if (need > buf.length)
-            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
-          if (wrote) { buf(len) = ' '; len += 1 }
-          t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-          len += tb
-          wrote = true
-        }
-        j += 1
-      }
+      TextKernels.assembleGram(toks, g, k, gb)
       out(g) =
-        if (md5) md5Hash60(buf, len)
-        else XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L) & Mask60
+        if (md5) md5Hash60(gb.buf, gb.len)
+        else XXH64.hashUnsafeBytes(gb.buf, Platform.BYTE_ARRAY_OFFSET, gb.len, 42L) & Mask60
       g += 1
     }
     new GenericArrayData(out)
   }
 
   /** Minimum of each length-`w` sliding window over a bigint array —
-    * `transform(sequence(0, greatest(n-w+1,1)-1), i -> array_min(slice(arr, i+1, w)))`
-    * as one O(n) monotonic-deque pass. A short array (n < w) yields
-    * one window covering everything; an empty array yields an empty
-    * result. Null elements are ignored like `array_min`; an all-null
-    * window yields a null element (boxed fallback path — gram hashes
-    * never contain nulls, so the hot path stays primitive). */
+    * `when(n > 0, transform(sequence(0, greatest(n-w+1,1)-1), i -> array_min(slice(arr, i+1, w)))).otherwise(array())`
+    * as one O(n) monotonic-deque pass. NOTE the n > 0 guard in the
+    * equivalence: the bare transform formulation yields `[null]` for
+    * an EMPTY input (one window over nothing), while this kernel —
+    * like the guarded winnowing query it replaced — yields `[]`.
+    * A short array (n < w) yields one window covering everything.
+    * Null elements are ignored like `array_min`; an all-null window
+    * yields a null element (boxed fallback path — gram hashes never
+    * contain nulls, so the hot path stays primitive). */
   def slidingMin(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)

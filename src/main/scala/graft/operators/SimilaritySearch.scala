@@ -63,17 +63,16 @@ object SimilaritySearch {
     * to the per-bit [[srpBit]] composition, which VectorKernelsSpec
     * keeps as the pinned reference. */
   def srpBandKeys(embCol: Column, dim: Int, nBands: Int, bitsPerBand: Int): Column = {
-    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
-    val signs: Array[Array[Byte]] = Array.tabulate(nBands * bitsPerBand) { j =>
-      Array.tabulate(dim) { i =>
-        val parity = (uhashA(j) * (i + 1) + uhashB(j)) % UHASH_P % 2
-        (1 - 2 * parity.toInt).toByte
-      }
-    }
-    org.apache.spark.sql.graftbridge.Bridge.column(
+    val kernel = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.SrpBandKeysExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(embCol),
-        signs, nBands, bitsPerBand))
+        graft.functions.VectorKernels.srpSigns(dim, nBands, bitsPerBand),
+        nBands, bitsPerBand))
+    // a NULL embedding must still produce (band, 0) keys — the old
+    // per-bit when() lowered the null dot product to bit 0, and
+    // downstream explode() must not silently drop the row
+    coalesce(kernel, array((0 until nBands).map(b =>
+      struct(lit(b).as("band"), lit(0L).as("bkey"))): _*))
   }
 
   // ------------------------------------------- product quantization
@@ -175,14 +174,17 @@ object SimilaritySearch {
     // VectorKernelsSpec keeps as the pinned reference (built from
     // [[pqSubDist]]).
     val m = codebook.map(_._1).max + 1
-    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      codebook.filter(_._1 == mi).sortBy(_._2)
-        .map(_._3.map(_.toDouble).toArray).toArray
-    }
+    val sorted = (0 until m).map(mi => codebook.filter(_._1 == mi).sortBy(_._2))
+    val cents: Array[Array[Array[Double]]] =
+      sorted.map(_.map(_._3.map(_.toDouble).toArray).toArray).toArray
+    // real code ids, positionally parallel to cents — a hand-built
+    // non-dense codebook (cids 0,2,3) must emit 0/2/3, not 0/1/2
+    val cids: Array[Array[Int]] = sorted.map(_.map(_._2).toArray).toArray
     val tmp = s"__pq_$codesCol"
     df.withColumn(tmp, org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.PqEncodeExpr(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col(embCol)), cents)))
+          org.apache.spark.sql.graftbridge.Bridge.expression(col(embCol)),
+          cents, cids)))
       .withColumn(codesCol, col(tmp).getField("codes"))
       .withColumn(reconErrCol, col(tmp).getField("recon_err"))
       .drop(tmp)

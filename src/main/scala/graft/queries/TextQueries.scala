@@ -438,12 +438,18 @@ object TextQueries {
         |    unnest(string_split(text, '')) AS c
         |  FROM documents),
         |hist AS (
-        |  SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c)
-        |SELECT doc_id, n AS n_cp,
-        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
-        |  ROUND(${sqlDsum(
-             "-(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) * LOG2(CAST(k AS DOUBLE)/CAST(n AS DOUBLE))")}, 6) AS entropy
-        |FROM hist GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+        |  SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c),
+        |agg AS (
+        |  SELECT doc_id, n,
+        |    CAST(COUNT(*) AS BIGINT) AS nd,
+        |    ROUND(${sqlDsum(
+             "-(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) * LOG2(CAST(k AS DOUBLE)/CAST(n AS DOUBLE))")}, 6) AS ent
+        |  FROM hist GROUP BY doc_id, n)
+        |SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_cp,
+        |  COALESCE(a.nd, 0) AS n_distinct_chars,
+        |  COALESCE(a.ent, 0.0) AS entropy
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_bm25_topk" ->
       s"""WITH dl AS (

@@ -75,6 +75,40 @@ class VectorKernelsSpec extends SparkSpec {
     }
   }
 
+  test("null embedding array produces (band, 0) keys, not a dropped row") {
+    // the old per-bit when() lowered a null dot product to bit 0 —
+    // a null embedding must not vanish from candidate generation
+    import spark.implicits._
+    val df = Seq((0L, Some(Seq(1.0f, -2.0f))), (1L, None))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val out = df.select(col("vec_id"),
+        SimilaritySearch.srpBandKeys(col("embedding"), 2, 3, 4).as("bk"))
+      .collect().sortBy(_.getLong(0))
+    assert(!out(1).isNullAt(1))
+    val rows = out(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))) ===
+      Seq((0, 0L), (1, 0L), (2, 0L)))
+  }
+
+  test("PQ encode emits real code ids for a non-dense codebook") {
+    import spark.implicits._
+    val cb: SimilaritySearch.PqCodebook = Seq(
+      (0, 0, Seq(0.0f, 0.0f)), (0, 2, Seq(5.0f, 5.0f)), (0, 3, Seq(9.0f, 9.0f)))
+    val df = Seq((0L, Seq(5.1f, 4.9f)), (1L, Seq(8.7f, 9.4f)), (2L, Seq(0.2f, -0.1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val got = SimilaritySearch.pqEncode(df, "embedding", cb)
+      .select("vec_id", "codes").orderBy("vec_id").collect()
+    assert(got(0).getSeq[Int](1) === Seq(2)) // the cid, not position 1
+    assert(got(1).getSeq[Int](1) === Seq(3))
+    assert(got(2).getSeq[Int](1) === Seq(0))
+    // and it still matches the reference exactly
+    val want = SimilaritySearch.pqEncodeReference(df, "embedding", cb)
+      .select("vec_id", "codes").orderBy("vec_id").collect()
+    assert(got.map(_.getSeq[Int](1)) === want.map(_.getSeq[Int](1)))
+  }
+
   test("PQ encode ties break to the smaller code id") {
     import spark.implicits._
     // two identical centroids in one subspace force an exact tie
