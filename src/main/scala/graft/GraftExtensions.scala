@@ -50,6 +50,16 @@ object GraftExtensions {
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
     }
 
+  private def longArg(args: Seq[Expression], i: Int, fn: String): Long =
+    foldableArg(args, i, fn) match {
+      case n: Long => n
+      case n: Int => n.toLong
+      case n: Short => n.toLong
+      case n: Byte => n.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a non-null integer literal, got $other")
+    }
+
   private def boolArg(args: Seq[Expression], i: Int, fn: String): Boolean =
     foldableArg(args, i, fn) match {
       case b: Boolean => b
@@ -96,8 +106,7 @@ object GraftExtensions {
       nArgs(args, "hash_strings", 6)
       HashStrings(args(0), boolArg(args, 1, "hash_strings"),
         intArg(args, 2, "hash_strings"),
-        foldableArg(args, 3, "hash_strings").asInstanceOf[Number].longValue(),
-        foldableArg(args, 4, "hash_strings").asInstanceOf[Number].longValue(),
+        longArg(args, 3, "hash_strings"), longArg(args, 4, "hash_strings"),
         boolArg(args, 5, "hash_strings"))
     }
     reg("minhash_sig", classOf[MinhashSig]) { args =>

@@ -39,47 +39,52 @@ object AhoCorasick {
       s"1..64 patterns supported, got ${patterns.length}")
     require(patterns.forall(_.nonEmpty), "empty pattern")
 
-    // build the trie
-    private val maxNodes = patterns.map(_.length).sum + 1
-    // goto table: node*256 + byte -> next node (-1 = undefined during build)
-    private val gotoTab = Array.fill(maxNodes * 256)(-1)
-    private val outMask = new Array[Long](maxNodes)
-    private val fail = new Array[Int](maxNodes)
-    private var nNodes = 1
-    for ((p, idx) <- patterns.zipWithIndex) {
-      var s = 0
-      for (b <- p) {
-        val c = b & 0xff
-        if (gotoTab(s * 256 + c) == -1) {
-          gotoTab(s * 256 + c) = nNodes
-          nNodes += 1
+    // build the trie, then TRIM the worst-case-sized build tables to
+    // the live node count — the automaton ships to executors inside
+    // every plan (ctx.addReferenceObj), so shared-prefix pattern sets
+    // must not pay the sum-of-lengths upper bound in serialized bytes
+    private val (gotoTab: Array[Int], outMask: Array[Long]) = {
+      val maxNodes = patterns.map(_.length).sum + 1
+      // goto: node*256 + byte -> next node (-1 = undefined during build)
+      val g = Array.fill(maxNodes * 256)(-1)
+      val out = new Array[Long](maxNodes)
+      val fail = new Array[Int](maxNodes)
+      var nNodes = 1
+      for ((p, idx) <- patterns.zipWithIndex) {
+        var s = 0
+        for (b <- p) {
+          val c = b & 0xff
+          if (g(s * 256 + c) == -1) {
+            g(s * 256 + c) = nNodes
+            nNodes += 1
+          }
+          s = g(s * 256 + c)
         }
-        s = gotoTab(s * 256 + c)
+        out(s) |= (1L << idx)
       }
-      outMask(s) |= (1L << idx)
-    }
-    // BFS failure links; complete the goto function so matching is a
-    // single table read per byte (no failure-chasing loop at runtime)
-    {
+      // BFS failure links; complete the goto function so matching is a
+      // single table read per byte (no failure-chasing loop at runtime)
       val queue = new java.util.ArrayDeque[Int]()
       var c = 0
       while (c < 256) {
-        val nxt = gotoTab(c)
-        if (nxt == -1) gotoTab(c) = 0
+        val nxt = g(c)
+        if (nxt == -1) g(c) = 0
         else { fail(nxt) = 0; queue.add(nxt) }
         c += 1
       }
       while (!queue.isEmpty) {
         val s = queue.poll()
-        outMask(s) |= outMask(fail(s))
+        out(s) |= out(fail(s))
         var b = 0
         while (b < 256) {
-          val nxt = gotoTab(s * 256 + b)
-          if (nxt == -1) gotoTab(s * 256 + b) = gotoTab(fail(s) * 256 + b)
-          else { fail(nxt) = gotoTab(fail(s) * 256 + b); queue.add(nxt) }
+          val nxt = g(s * 256 + b)
+          if (nxt == -1) g(s * 256 + b) = g(fail(s) * 256 + b)
+          else { fail(nxt) = g(fail(s) * 256 + b); queue.add(nxt) }
           b += 1
         }
       }
+      (java.util.Arrays.copyOf(g, nNodes * 256),
+        java.util.Arrays.copyOf(out, nNodes))
     }
 
     /** Bitmask of patterns occurring anywhere in `text`. */

@@ -37,8 +37,10 @@ object TextKernels {
   /** First `bits` bits of md5 as a long — `bits` must be a multiple of
     * 4 (hex-digit parity with `conv(substring(md5(s),1,bits/4),16,10)`).
     * 60 bits = first 15 hex digits = big-endian first 8 bytes >>> 4;
-    * 28 bits = first 7 hex digits = big-endian first 4 bytes >>> 4. */
-  private def md5Bits(buf: Array[Byte], off: Int, len: Int, bits: Int): Long = {
+    * 28 bits = first 7 hex digits = big-endian first 4 bytes >>> 4.
+    * Shared with WinnowKernels — the md5-prefix parity rules live in
+    * ONE place. */
+  private[functions] def md5Bits(buf: Array[Byte], off: Int, len: Int, bits: Int): Long = {
     val d = TextKernels.md5Local.get()
     d.reset()
     d.update(buf, off, len)

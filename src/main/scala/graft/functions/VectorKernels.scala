@@ -45,6 +45,10 @@ object VectorKernels {
   def srpBandKeys(emb: ArrayData, signs: Array[Array[Byte]],
       nBands: Int, bitsPerBand: Int): ArrayData = {
     val dim = signs(0).length
+    // intentional loud-fail on a short embedding, consistent with the
+    // replaced formulation (ANSI element_at past the end errors too):
+    // zeroing the keys instead would bucket every degenerate row into
+    // one giant key-0 candidate cluster — a quadratic blowup at scale
     require(emb.numElements() >= dim,
       s"embedding has ${emb.numElements()} elements, need $dim")
     val x = new Array[Double](dim)
@@ -100,11 +104,12 @@ object VectorKernels {
     }
     val codes = new Array[Int](m)
     var errScaled = java.math.BigDecimal.ZERO
+    var errNaN = false
     var mi = 0
     while (mi < m) {
       val base = mi * subDim
-      var bestDist = Double.PositiveInfinity
-      var bestPos = Int.MaxValue
+      var bestDist = Double.NaN
+      var bestPos = -1
       var pos = 0
       while (pos < cents(mi).length) {
         val c = cents(mi)(pos)
@@ -115,23 +120,28 @@ object VectorKernels {
           acc += d * d
           i += 1
         }
-        // lexicographic (dist, cid) minimum, matching array_min over
+        // lexicographic (dist, cid) minimum under Spark's TOTAL
+        // ordering (NaN largest, NaN == NaN), matching array_min over
         // struct(dist, k): strictly smaller dist wins; equal dist
-        // keeps the smaller cid (cids are sorted ascending, so
-        // ascending position order ties to the smaller cid)
-        if (acc < bestDist) { bestDist = acc; bestPos = pos }
+        // (incl. all-NaN) keeps the smaller cid — so a non-finite
+        // embedding still encodes (first cid) instead of crashing
+        if (bestPos < 0 || java.lang.Double.compare(acc, bestDist) < 0) {
+          bestDist = acc; bestPos = pos
+        }
         pos += 1
       }
       // emit the codebook's ACTUAL cid, not the table position — a
       // hand-built non-dense codebook (cids 0,2,3) must round-trip
       // exactly like the array_min-over-structs reference
       codes(mi) = cids(mi)(bestPos)
-      errScaled = errScaled.add(java.math.BigDecimal.valueOf(bestDist)
-        .setScale(10, java.math.RoundingMode.HALF_UP))
+      if (java.lang.Double.isFinite(bestDist))
+        errScaled = errScaled.add(java.math.BigDecimal.valueOf(bestDist)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+      else errNaN = true // NaN/Inf distance -> NaN error, like a double sum
       mi += 1
     }
-    new GenericInternalRow(Array[Any](
-      new GenericArrayData(codes), math.sqrt(errScaled.doubleValue())))
+    val err = if (errNaN) Double.NaN else math.sqrt(errScaled.doubleValue())
+    new GenericInternalRow(Array[Any](new GenericArrayData(codes), err))
   }
 }
 

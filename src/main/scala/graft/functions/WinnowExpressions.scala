@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
@@ -33,23 +31,12 @@ import org.apache.spark.sql.types._
   */
 object WinnowKernels {
 
-  private val md5Local = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   /** First 15 hex digits of md5 as a long — bit-identical to
-    * `conv(substring(md5(s),1,15),16,10)`: 15 nibbles = the big-endian
-    * first 8 digest bytes shifted right one nibble. */
-  private def md5Hash60(buf: Array[Byte], len: Int): Long = {
-    val d = md5Local.get()
-    d.reset()
-    d.update(buf, 0, len)
-    val h = d.digest()
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
+    * `conv(substring(md5(s),1,15),16,10)`; ONE shared implementation
+    * ([[TextKernels.md5Bits]]) so the nibble-prefix parity rules
+    * cannot drift between the winnowing and shingle lanes. */
+  private def md5Hash60(buf: Array[Byte], len: Int): Long =
+    TextKernels.md5Bits(buf, 0, len, 60)
 
   private final val Mask60 = (1L << 60) - 1
 

@@ -97,10 +97,16 @@ object DenseLookupJoin {
       s"unsupported dim value types: ${unsupported.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")}")
     // fail fast on name collisions: the facade renames before calling,
     // but a direct caller must not get a frame with duplicate column
-    // names (ambiguous downstream references) out of this operator
-    val colliding = valueFields.map(_.name).toSet.intersect(fact.columns.toSet)
+    // names (ambiguous downstream references) out of this operator.
+    // Honor the session's resolver — under the default
+    // case-INsensitive analysis, "Val" vs "val" is just as ambiguous
+    val caseSensitive = fact.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val factNames = fact.columns.map(canon).toSet
+    val colliding = valueFields.map(_.name).filter(n => factNames.contains(canon(n)))
     require(colliding.isEmpty,
-      s"dim value columns collide with fact columns: ${colliding.toSeq.sorted.mkString(",")} — rename before the join")
+      s"dim value columns collide with fact columns: ${colliding.sorted.mkString(",")} — rename before the join")
     // fact-key validation BEFORE any dim work: an auto-routed caller
     // with a non-integral left key must fall back without paying the
     // dim materialization

@@ -142,6 +142,19 @@ class DenseLookupJoinSpec extends SparkSpec {
     assert(DenseLookupJoin.invocations.get() > before)
   }
 
+  test("column collision fails fast, case-insensitively under default analysis") {
+    // default spark.sql.caseSensitive=false: "S" vs "s" is just as
+    // ambiguous downstream as an exact-name collision
+    val dimUpper = dim.withColumnRenamed("s", "S")
+      .withColumnRenamed("d", "d2").withColumnRenamed("i", "i2")
+      .withColumnRenamed("b", "b2")
+    val factWithS = fact.withColumn("s", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      DenseLookupJoin.lookupJoin(factWithS, dimUpper, col("fk"), "k", 8)
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("size gate rejects a dim whose tables exceed the byte budget") {
     val ex = intercept[IllegalArgumentException] {
       DenseLookupJoin.lookupJoin(fact, dim, col("fk"), "k", 8,

@@ -94,5 +94,16 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT token_gram_hashes(split(text, ' '), CAST(doc_id AS INT), true) FROM ext_docs").collect()
     }
     assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+    // NULL coefficient literal: clear argument error, not an NPE
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT hash_strings(split(text, ' '), true, 28, NULL, 0L, true) FROM ext_docs").collect()
+    }
+    assert(e2.getMessage.contains("argument 4"), e2.getMessage)
+    // out-of-range Long shape literal: errors instead of truncating
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT sliding_min(array(1L, 2L), 4294967301) FROM ext_docs").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("overflow") ||
+      e3.getMessage.contains("integer"), e3.getMessage)
   }
 }

@@ -109,6 +109,28 @@ class VectorKernelsSpec extends SparkSpec {
     assert(got.map(_.getSeq[Int](1)) === want.map(_.getSeq[Int](1)))
   }
 
+  test("PQ encode on a non-finite embedding returns a row, not a crash") {
+    import spark.implicits._
+    val cb: SimilaritySearch.PqCodebook = Seq(
+      (0, 0, Seq(0.0f, 0.0f)), (0, 1, Seq(5.0f, 5.0f)))
+    val df = Seq(
+      (0L, Seq(Float.NaN, 1.0f)),                    // all dists NaN
+      (1L, Seq(Float.PositiveInfinity, 0.0f)),       // all dists Inf
+      (2L, Seq(4.9f, 5.2f)))                         // finite control
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val got = SimilaritySearch.pqEncode(df, "embedding", cb)
+      .select("vec_id", "codes", "recon_err").orderBy("vec_id").collect()
+    // all-NaN dists tie -> smallest cid (Spark total order: NaN == NaN)
+    assert(got(0).getSeq[Int](1) === Seq(0))
+    assert(got(0).getDouble(2).isNaN)
+    // Inf dists: both Inf -> tie -> cid 0; err NaN-class (non-finite)
+    assert(got(1).getSeq[Int](1) === Seq(0))
+    assert(!java.lang.Double.isFinite(got(1).getDouble(2)))
+    assert(got(2).getSeq[Int](1) === Seq(1))
+    assert(java.lang.Double.isFinite(got(2).getDouble(2)))
+  }
+
   test("PQ encode ties break to the smaller code id") {
     import spark.implicits._
     // two identical centroids in one subspace force an exact tie

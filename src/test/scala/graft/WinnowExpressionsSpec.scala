@@ -131,19 +131,20 @@ class WinnowExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("winnow frames: md5 and xxhash64 lanes agree on hash-independent columns") {
-    // n_grams is hash-independent; fingerprint COUNTS may differ only
-    // on hash ties (vanishing at 60 bits) — assert exact equality of
-    // both, which also pins the fast lane's shape to the oracle lane's
+  test("winnow frames: hash-independent column agrees across lanes; both meet the density bound") {
+    // ONLY n_grams is hash-invariant between the md5 and xxhash64
+    // lanes: winnowing keeps each window's MINIMUM hash, so different
+    // hash families legitimately select different gram positions and
+    // the distinct-fingerprint count can differ. Assert n_grams
+    // equality, and the paper's ~2/(W+1) density guarantee on BOTH
+    // lanes' fingerprint counts.
     val a = graft.queries.DedupQueries.winnowFrame(spark, sf0001, Md5Hash)
       .select("doc_id", "n_grams", "n_fingerprints").collect().toSeq
     val b = graft.queries.DedupQueries.winnowFrame(spark, sf0001, Xx64Hash)
       .select("doc_id", "n_grams", "n_fingerprints").collect().toSeq
     assert(a.map(r => (r.getLong(0), r.getLong(1))) ===
       b.map(r => (r.getLong(0), r.getLong(1))))
-    // fingerprint density: ~2/(W+1) of grams (the paper's guarantee),
-    // loosely bounded here
-    for (Row(_, ng: Long, nf: Long) <- a if ng > 20)
+    for (lane <- Seq(a, b); Row(_, ng: Long, nf: Long) <- lane if ng > 20)
       assert(nf.toDouble / ng > 0.1 && nf <= ng)
   }
 }
