@@ -291,6 +291,43 @@ object TextKernels {
       Array[Any](n.toLong, distinct, entropy))
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the same
+    * Unicode-standard composition DuckDB's nfc_normalize/utf8proc
+    * implements): the canonicalization pass a multilingual corpus
+    * runs before hashing/dedup so that "é" and "e"+U+0301 fingerprint
+    * identically. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; ASCII and
+    // already-NFC text (the overwhelming majority) copies nothing
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  private val deflaterLocal = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+
+  /** DEFLATE-compressed size of the text's UTF-8 bytes (zlib level 6,
+    * one reused Deflater per thread) — the compression-ratio quality
+    * signal (highly compressible = boilerplate/repetition soup;
+    * incompressible = random bytes), deterministic for a fixed zlib.
+    * Not SQL-expressible, so its query lane is rows-only-checked; the
+    * spec pins monotonicity and known-plaintext golden values. */
+  def deflateLen(text: UTF8String): Long = {
+    val d = deflaterLocal.get()
+    d.reset()
+    val in = text.getBytes
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](1024)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   /** MinHash signature: k minima of `(a_i*h + b_i) mod p` over the
     * hash array, -1 sentinel for empty/all-null input — bit-identical
     * to `array(i -> coalesce(array_min(transform(hs, h -> uhash_i(h))), -1))`. */
@@ -423,6 +460,44 @@ case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long])
       s"${ev.value} = graft.functions.TextKernels.minhashSig($x, $aRef, $bRef);")
   }
   override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `string -> string`: Unicode NFC normalization
+  * ([[TextKernels.nfcNormalize]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.nfcNormalize(x.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.nfcNormalize($x);")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+/** `string -> bigint`: DEFLATE-compressed byte count
+  * ([[TextKernels.deflateLen]]). */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.deflateLen(x.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.deflateLen($x);")
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
     copy(child = c)
 }
 

@@ -291,6 +291,80 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // HTML boilerplate extraction (the web-corpus main-content pass:
+    // trafilatura/jusText capability class, here the regex chain both
+    // engines run identically — lookaround-free so java.util.regex
+    // and RE2 agree): strip <script> blocks (incl. a '<' inside
+    // code), comments, then all tags; collapse whitespace. The page
+    // is synthesized deterministically around each doc's text so both
+    // engines extract byte-identical inputs. Pure projection — zero
+    // shuffle at any corpus size; the extracted text is byte-compared
+    // by the oracle (the q_pii_redact discipline).
+    "q_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var a=1 < 2;var b=\"</div>\";</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"),
+        regexp_replace(col("text"), " the ", " <b>the</b> "),
+        lit("</p><div class=\"nav\">nav menu links</div><!-- hidden --></body></html>"))
+      val noScript = regexp_replace(page, "<script[^>]*>.*?</script>", " ")
+      val noComment = regexp_replace(noScript, "<!--.*?-->", " ")
+      val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+      val cleanText = trim(regexp_replace(noTags, " +", " "))
+      t(s, dir, "documents").select(col("doc_id"), cleanText.as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          length(col("extracted")).cast("long").as("n_chars_extracted"),
+          (instr(col("extracted"), "<") > 0).cast("long").as("has_markup"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode NFC normalization (the canonicalization pass before any
+    // hashing/dedup so "é" and "e"+U+0301 fingerprint identically):
+    // java.text.Normalizer in a codegen kernel vs DuckDB's
+    // utf8proc-backed nfc_normalize — both implement the Unicode
+    // standard composition. Denormalized tails are injected
+    // deterministically (combining acute / ring / an already-NFC
+    // char) so every branch is exercised. Zero shuffle.
+    "q_unicode_normalize" -> ((s, dir) => {
+      // DECOMPOSED markers (base char + combining mark) for two
+      // branches; the third is already-composed U+00E9 (no-op branch)
+      val marker = when(col("doc_id") % 3 === 0, lit(" e\u0301 tail"))
+        .when(col("doc_id") % 3 === 1, lit(" A\u030A tail"))
+        .otherwise(lit(" \u00E9 tail"))
+      val raw = concat(col("text"), marker)
+      val staged = t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"), col("__raw"),
+          org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.NfcNormalize(
+              org.apache.spark.sql.graftbridge.Bridge.expression(col("__raw"))))
+            .as("__norm"))
+      staged.select(col("doc_id"),
+        length(col("__raw")).cast("long").as("n_raw"),
+        length(col("__norm")).cast("long").as("n_norm"),
+        (col("__norm") =!= col("__raw")).cast("long").as("changed"),
+        expr("right(__norm, 6)").as("tail_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Compression-ratio quality signal (highly compressible =
+    // boilerplate/repetition; near-incompressible = random soup):
+    // DEFLATE level 6 over the UTF-8 bytes in a codegen kernel.
+    // NOT SQL-expressible (DuckDB has no deflate) -> rows-only driver
+    // check; TextKernelExpressionsSpec pins golden values and
+    // monotonicity (repetitive text compresses tighter than shuffled
+    // text of the same length).
+    "q_compress_ratio" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.DeflateLen(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
+          .as("n_deflate"))
+      staged.select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / col("n_bytes"), 6).as("ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Character-entropy quality signal (the classic gibberish /
     // binary-soup detector: low entropy = repeated-char spam, high =
     // random bytes): code-point Shannon entropy per doc via ONE
@@ -432,6 +506,41 @@ object TextQueries {
     .flatMap { case (q, ts) => ts.map(w => s"($q, '$w')") }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var a=1 < 2;var b="</div>";</script></head><body><h1>Doc '
+        |    || doc_id || '</h1><p>' || regexp_replace(text, ' the ', ' <b>the</b> ', 'g')
+        |    || '</p><div class="nav">nav menu links</div><!-- hidden --></body></html>' AS p
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, TRIM(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(p, '<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS extracted
+        |  FROM page)
+        |SELECT doc_id, extracted,
+        |  CAST(LENGTH(extracted) AS BIGINT) AS n_chars_extracted,
+        |  CAST(contains(extracted, '<') AS BIGINT) AS has_markup
+        |FROM ext ORDER BY doc_id""".stripMargin,
+
+    "q_unicode_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' e' || chr(769) || ' tail'
+        |         WHEN doc_id % 3 = 1 THEN ' A' || chr(778) || ' tail'
+        |         ELSE ' ' || chr(233) || ' tail' END AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LENGTH(r) AS BIGINT) AS n_raw,
+        |  CAST(LENGTH(nfc_normalize(r)) AS BIGINT) AS n_norm,
+        |  CAST(nfc_normalize(r) != r AS BIGINT) AS changed,
+        |  right(nfc_normalize(r), 6) AS tail_norm
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
     "q_char_entropy" ->
       s"""WITH ch AS (
         |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n,

@@ -228,6 +228,48 @@ class TextKernelExpressionsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("nfcNormalize composes combining marks and is a no-op on NFC text") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    def nfc(c: Column) =
+      Bridge.column(graft.functions.NfcNormalize(Bridge.expression(c)))
+    val df = Seq(
+      (0L, "é"),        // decomposed -> é
+      (1L, "Å"),        // decomposed -> Å
+      (2L, "é"),          // already NFC
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val out = df.select(col("id"), nfc(col("s")).as("n"),
+        length(col("s")).as("lr"), length(nfc(col("s"))).as("ln"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) === "é" && out(0).getInt(3) === 1)
+    assert(out(1).getString(1) === "Å")
+    assert(out(2).getString(1) === "é" && out(2).getInt(2) === 1)
+    assert(out(3).getString(1) === "plain ascii")
+    assert(out(4).isNullAt(1))
+  }
+
+  test("deflateLen: deterministic golden values, repetition compresses tighter") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    def dl(c: Column) =
+      Bridge.column(graft.functions.DeflateLen(Bridge.expression(c)))
+    val rep = "spam " * 200
+    val rnd = new scala.util.Random(5)
+    val noisy = (0 until 1000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq((0L, rep), (1L, noisy), (2L, ""), (3L, "x")).toDF("id", "s")
+    val out = df.select(col("id"), dl(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // repetitive kilobyte crushes far below the random one
+    assert(out(0L) < 60, out(0L).toString)
+    assert(out(1L) > 500, out(1L).toString)
+    assert(out(2L) > 0) // empty input still has the deflate header
+    // deterministic across evaluations (reused per-thread Deflater)
+    val again = df.select(col("id"), dl(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("kernels run inside whole-stage codegen") {
     val got = randomDocs
       .select(col("id"), shingles(col("text"), 3).as("sh"))
