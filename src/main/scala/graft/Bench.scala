@@ -265,7 +265,8 @@ object Bench {
       "q_paragraph_dedup", "q_dsir_select", "q_bigram_lm",
       "q_simhash_neardup", "q_winnow_fingerprint",
       // r11 additions
-      "q_blocklist_filter", "q_char_entropy", "q_bm25_topk")
+      "q_blocklist_filter", "q_char_entropy", "q_bm25_topk",
+      "q_html_extract", "q_unicode_normalize", "q_compress_ratio")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     } :+ ("q_winnow_fast" -> (() =>

@@ -138,6 +138,14 @@ object GraftExtensions {
       nArgs(args, "float_vector_dot", 2)
       FloatVectorDot(args(0), args(1))
     }
+    reg("nfc_normalize", classOf[NfcNormalize]) { args =>
+      nArgs(args, "nfc_normalize", 1)
+      NfcNormalize(args(0))
+    }
+    reg("deflate_len", classOf[DeflateLen]) { args =>
+      nArgs(args, "deflate_len", 1)
+      DeflateLen(args(0))
+    }
     reg("term_counts", classOf[TermCounts]) { args =>
       nArgs(args, "term_counts", 2)
       TermCounts(args(0), stringArrayArg(args, 1, "term_counts"))
