@@ -291,6 +291,44 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // End-to-end curation funnel over the round-11 operators — the
+    // composed pipeline a corpus release runs: blocklist screen
+    // (Aho-Corasick), entropy-band quality gate (CharEntropy), NFC
+    // canonicalization, then exact dedup on the normalized text.
+    // Every stage is a zero-shuffle projection; the only shuffles are
+    // the final dedup groupBy and the one-row count aggregate. The
+    // oracle recomputes the identical funnel with contains()/
+    // histogram/nfc_normalize in DuckDB.
+    "q_curation_e2e" -> ((s, dir) => {
+      val funnel = Seq("hash join", "scan merge", "lorem ipsum")
+      val staged = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        size(graft.functions.AhoCorasick.matchedPatternIndices(
+          col("text"), funnel)).as("__nb"),
+        graft.functions.TextFunctions.charEntropy(col("text"))
+          .getField("entropy").as("__e"))
+        .select(col("doc_id"), col("text"), col("__nb"),
+          round(col("__e"), 6).as("__ent"),
+          org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.NfcNormalize(
+              org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
+            .as("__norm"))
+      val f1 = col("__nb") === 0
+      val f2 = f1 && col("__ent") >= 3.9 && col("__ent") < 4.2
+      val uniques = staged.where(f2).groupBy("__norm")
+        .agg(min(col("doc_id")).as("keep_id"))
+      val counts = staged.agg(
+        count(lit(1)).as("n_total"),
+        sum(f1.cast("long")).as("n_blockclean"),
+        sum(f2.cast("long")).as("n_entropy"))
+      counts.crossJoin(broadcast(
+          uniques.agg(count(lit(1)).as("n_unique"),
+            min(col("keep_id")).as("first_keep"))))
+        .select(col("n_total"), col("n_blockclean"), col("n_entropy"),
+          col("n_unique"), col("first_keep"),
+          round(col("n_unique").cast("double") / col("n_total"), 6)
+            .as("survival_rate"))
+    }),
+
     // HTML boilerplate extraction (the web-corpus main-content pass:
     // trafilatura/jusText capability class, here the regex chain both
     // engines run identically — lookaround-free so java.util.regex
@@ -506,6 +544,38 @@ object TextQueries {
     .flatMap { case (q, ts) => ts.map(w => s"($q, '$w')") }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_curation_e2e" ->
+      s"""WITH ch AS (
+        |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n,
+        |    unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c),
+        |ent AS (
+        |  SELECT doc_id, ROUND(${sqlDsum(
+             "-(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) * LOG2(CAST(k AS DOUBLE)/CAST(n AS DOUBLE))")}, 6) AS e
+        |  FROM hist GROUP BY doc_id, n),
+        |staged AS (
+        |  SELECT d.doc_id, d.text, nfc_normalize(d.text) AS norm, ent.e,
+        |    CAST(contains(d.text, 'hash join') OR contains(d.text, 'scan merge')
+        |      OR contains(d.text, 'lorem ipsum') AS INT) AS blocked
+        |  FROM documents d JOIN ent ON d.doc_id = ent.doc_id),
+        |f AS (
+        |  SELECT doc_id, norm, blocked = 0 AS f1,
+        |    blocked = 0 AND e >= 3.9 AND e < 4.2 AS f2
+        |  FROM staged),
+        |u AS (
+        |  SELECT norm, MIN(doc_id) AS keep_id FROM f WHERE f2 GROUP BY norm),
+        |uc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  MIN(keep_id) AS first_keep FROM u)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CAST(f1 AS BIGINT)) AS BIGINT) AS n_blockclean,
+        |  CAST(SUM(CAST(f2 AS BIGINT)) AS BIGINT) AS n_entropy,
+        |  uc.n_unique, uc.first_keep,
+        |  ROUND(CAST(uc.n_unique AS DOUBLE) / COUNT(*), 6) AS survival_rate
+        |FROM f CROSS JOIN uc
+        |GROUP BY uc.n_unique, uc.first_keep""".stripMargin,
+
     "q_html_extract" ->
       """WITH page AS (
         |  SELECT doc_id,
