@@ -291,6 +291,36 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
+    // Corpus datasheet — the per-(source, lang) release report every
+    // training-data drop ships (Datasheets for Datasets, Gebru et al.;
+    // the reference's `describe` at dataset granularity): document and
+    // token budgets (BPE pre-tokenizer), mean quality signals (char
+    // entropy), and the blocklist-hit rate. One groupBy over per-doc
+    // zero-shuffle kernel projections; decimal-exact means.
+    "q_corpus_report" -> ((s, dir) => {
+      val funnel = Seq("hash join", "scan merge", "lorem ipsum")
+      val staged = t(s, dir, "documents").select(
+        col("source"), col("lang"), col("n_chars"),
+        graft.functions.TextFunctions.bpePretokenCount(col("text")).as("__tok"),
+        round(graft.functions.TextFunctions.charEntropy(col("text"))
+          .getField("entropy"), 6).as("__ent"),
+        (size(graft.functions.AhoCorasick.matchedPatternIndices(
+          col("text"), funnel)) > 0).cast("long").as("__blocked"))
+      staged.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        // SUM of the 6dp-rounded per-doc entropies, not the mean: the
+        // true sum IS a 6dp multiple, so the final ROUND can never sit
+        // on a rounding-tie boundary — the mean division produced a
+        // cross-engine HALF_UP-vs-double tie at the 7th digit here
+        r(dsumD(col("__ent")), 6).as("sum_entropy"),
+        sum(col("__blocked")).as("n_blocked"),
+        round(sum(col("__blocked")).cast("double") / count(lit(1)), 6)
+          .as("blocked_rate"))
+        .orderBy("source", "lang")
+    }),
+
     // End-to-end curation funnel over the round-11 operators — the
     // composed pipeline a corpus release runs: blocklist screen
     // (Aho-Corasick), entropy-band quality gate (CharEntropy), NFC
@@ -544,6 +574,35 @@ object TextQueries {
     .flatMap { case (q, ts) => ts.map(w => s"($q, '$w')") }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_report" ->
+      (s"""WITH ch AS (
+        |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n,
+        |    unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c),
+        |ent AS (
+        |  SELECT doc_id, ROUND(${sqlDsum(
+             "-(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) * LOG2(CAST(k AS DOUBLE)/CAST(n AS DOUBLE))")}, 6) AS e
+        |  FROM hist GROUP BY doc_id, n),
+        |staged AS (
+        |  SELECT d.source, d.lang, d.n_chars, ent.e,
+        |    CAST(LEN(regexp_extract_all(d.text, '""" +
+        graft.functions.TextFunctions.BpePretokenPattern.replace("'", "''") +
+        s"""')) AS BIGINT) AS tok,
+        |    CAST(contains(d.text, 'hash join') OR contains(d.text, 'scan merge')
+        |      OR contains(d.text, 'lorem ipsum') AS BIGINT) AS blocked
+        |  FROM documents d JOIN ent ON d.doc_id = ent.doc_id)
+        |SELECT source, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  ROUND(${sqlDsum("e")}, 6) AS sum_entropy,
+        |  CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+        |  ROUND(CAST(SUM(blocked) AS DOUBLE) / COUNT(*), 6) AS blocked_rate
+        |FROM staged GROUP BY source, lang
+        |ORDER BY source, lang""").stripMargin,
+
     "q_curation_e2e" ->
       s"""WITH ch AS (
         |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n,
