@@ -266,7 +266,8 @@ object Bench {
       "q_simhash_neardup", "q_winnow_fingerprint",
       // r11 additions
       "q_blocklist_filter", "q_char_entropy", "q_bm25_topk",
-      "q_html_extract", "q_unicode_normalize", "q_compress_ratio")
+      "q_html_extract", "q_unicode_normalize", "q_compress_ratio",
+      "q_curation_e2e", "q_corpus_report")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     } :+ ("q_winnow_fast" -> (() =>
