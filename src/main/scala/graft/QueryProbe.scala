@@ -14,6 +14,7 @@ object QueryProbe {
     require(args.length >= 3, "usage: QueryProbe <sfDir> <reps> <query>...")
     val sfDir = args(0)
     val reps = args(1).toInt
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -270,6 +270,18 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       CharEntropy(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
+  /** Unicode NFC canonicalization ([[NfcNormalize]] kernel — matches
+    * DuckDB's utf8proc nfc_normalize; isNormalized fast path). */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      NfcNormalize(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** DEFLATE-compressed byte count ([[DeflateLen]] kernel) — the
+    * compression-ratio quality signal's numerator. */
+  def deflateLen(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DeflateLen(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** All three Gopher repetition signals of a SORTED string array in
     * ONE codegen'd pass ([[SortedRunStats]]):
     * struct(max_run = [[maxRunLength]], max_cover = [[maxRunCover]],

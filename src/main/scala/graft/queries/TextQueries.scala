@@ -331,28 +331,26 @@ object TextQueries {
     // histogram/nfc_normalize in DuckDB.
     "q_curation_e2e" -> ((s, dir) => {
       val funnel = Seq("hash join", "scan merge", "lorem ipsum")
+      // ONE pass over the corpus: the dedup stage folds into the same
+      // aggregate via count_distinct(when(f2, norm)) and the global
+      // min over survivors (= min of per-group keep_ids), so the
+      // per-doc kernels run once per document, not twice
       val staged = t(s, dir, "documents").select(col("doc_id"), col("text"),
         size(graft.functions.AhoCorasick.matchedPatternIndices(
           col("text"), funnel)).as("__nb"),
         graft.functions.TextFunctions.charEntropy(col("text"))
           .getField("entropy").as("__e"))
-        .select(col("doc_id"), col("text"), col("__nb"),
+        .select(col("doc_id"), col("__nb"),
           round(col("__e"), 6).as("__ent"),
-          org.apache.spark.sql.graftbridge.Bridge.column(
-            graft.functions.NfcNormalize(
-              org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
-            .as("__norm"))
+          graft.functions.TextFunctions.nfcNormalize(col("text")).as("__norm"))
       val f1 = col("__nb") === 0
       val f2 = f1 && col("__ent") >= 3.9 && col("__ent") < 4.2
-      val uniques = staged.where(f2).groupBy("__norm")
-        .agg(min(col("doc_id")).as("keep_id"))
-      val counts = staged.agg(
-        count(lit(1)).as("n_total"),
-        sum(f1.cast("long")).as("n_blockclean"),
-        sum(f2.cast("long")).as("n_entropy"))
-      counts.crossJoin(broadcast(
-          uniques.agg(count(lit(1)).as("n_unique"),
-            min(col("keep_id")).as("first_keep"))))
+      staged.agg(
+          count(lit(1)).as("n_total"),
+          sum(f1.cast("long")).as("n_blockclean"),
+          sum(f2.cast("long")).as("n_entropy"),
+          count_distinct(when(f2, col("__norm"))).as("n_unique"),
+          min(when(f2, col("doc_id"))).as("first_keep"))
         .select(col("n_total"), col("n_blockclean"), col("n_entropy"),
           col("n_unique"), col("first_keep"),
           round(col("n_unique").cast("double") / col("n_total"), 6)
@@ -402,10 +400,7 @@ object TextQueries {
       val raw = concat(col("text"), marker)
       val staged = t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
         .select(col("doc_id"), col("__raw"),
-          org.apache.spark.sql.graftbridge.Bridge.column(
-            graft.functions.NfcNormalize(
-              org.apache.spark.sql.graftbridge.Bridge.expression(col("__raw"))))
-            .as("__norm"))
+          graft.functions.TextFunctions.nfcNormalize(col("__raw")).as("__norm"))
       staged.select(col("doc_id"),
         length(col("__raw")).cast("long").as("n_raw"),
         length(col("__norm")).cast("long").as("n_norm"),
@@ -424,10 +419,7 @@ object TextQueries {
     "q_compress_ratio" -> ((s, dir) => {
       val staged = t(s, dir, "documents").select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        org.apache.spark.sql.graftbridge.Bridge.column(
-          graft.functions.DeflateLen(
-            org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
-          .as("n_deflate"))
+        graft.functions.TextFunctions.deflateLen(col("text")).as("n_deflate"))
       staged.select(col("doc_id"), col("n_bytes"), col("n_deflate"),
         round(col("n_deflate").cast("double") / col("n_bytes"), 6).as("ratio"))
         .orderBy("doc_id")

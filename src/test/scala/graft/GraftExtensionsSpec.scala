@@ -88,6 +88,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlKeys === colKeys)
   }
 
+  test("SQL nfc_normalize / deflate_len == Column API") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, nfc_normalize(text) AS n, deflate_len(text) AS d FROM ext_docs")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val viaCol = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.nfcNormalize(col("text")).as("n"),
+        graft.functions.TextFunctions.deflateLen(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(viaSql === viaCol)
+  }
+
   test("non-literal shape arguments fail with a clear message") {
     docs.createOrReplaceTempView("ext_docs")
     val e = intercept[Exception] {

@@ -230,9 +230,7 @@ class TextKernelExpressionsSpec extends SparkSpec {
 
   test("nfcNormalize composes combining marks and is a no-op on NFC text") {
     import spark.implicits._
-    import org.apache.spark.sql.graftbridge.Bridge
-    def nfc(c: Column) =
-      Bridge.column(graft.functions.NfcNormalize(Bridge.expression(c)))
+    def nfc(c: Column) = graft.functions.TextFunctions.nfcNormalize(c)
     val df = Seq(
       (0L, "é"),        // decomposed -> é
       (1L, "Å"),        // decomposed -> Å
@@ -251,9 +249,7 @@ class TextKernelExpressionsSpec extends SparkSpec {
 
   test("deflateLen: deterministic golden values, repetition compresses tighter") {
     import spark.implicits._
-    import org.apache.spark.sql.graftbridge.Bridge
-    def dl(c: Column) =
-      Bridge.column(graft.functions.DeflateLen(Bridge.expression(c)))
+    def dl(c: Column) = graft.functions.TextFunctions.deflateLen(c)
     val rep = "spam " * 200
     val rnd = new scala.util.Random(5)
     val noisy = (0 until 1000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
