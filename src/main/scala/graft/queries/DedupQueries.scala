@@ -28,6 +28,10 @@ object DedupQueries {
   private val K = 8            // minhash signature length
   private val R = 2            // rows per LSH band -> 4 bands
   private val VERIFY = 0.8     // post-LSH jaccard verification threshold
+  // signature-estimate threshold: n agreeing minhash components out of
+  // K. E[agree/K] = jaccard, so 6/8 = 0.75 is the estimate-grid point
+  // just below VERIFY — borderline-true pairs survive quantization.
+  private val SIG_VERIFY = 6
 
   private val markerSets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
@@ -79,9 +83,11 @@ object DedupQueries {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         shingleHashes(col("sh")).as("hs"))
 
-  /** Verified near-dup pairs — the shared tail of the LSH pipeline
-    * (shingle-hash -> sign -> band -> bucket-join -> jaccard >= VERIFY). */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared head of the LSH near-dup pipeline: distinct shingle-hash
+    * sets, k-component minhash signatures, and the banded candidate
+    * pairs (shingle-hash -> sign -> band -> bucket-join). */
+  private def lshCandidates(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val hs = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
     val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), K).as("sig"))
     val bands = sig
@@ -92,6 +98,13 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    (hs, sig, cand)
+  }
+
+  /** Verified near-dup pairs — the shared tail of the LSH pipeline
+    * (candidates -> exact jaccard over hash sets >= VERIFY). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (hs, _, cand) = lshCandidates(s, dir)
     cand
       .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -117,6 +130,30 @@ object DedupQueries {
     // full MinHash-LSH near-dup pipeline: shingle-hash -> sign -> band
     // -> bucket-join -> verified jaccard (over hash sets)
     "q_lsh_neardup" -> ((s, dir) => verifiedPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // signature-only near-dup verification: estimate jaccard as the
+    // fraction of AGREEING minhash components instead of joining the
+    // full shingle-hash sets. At 100 TB this is the verify shape that
+    // matters — the exact-jaccard tail ships every candidate's whole
+    // hash set (unbounded, ~doc-sized) through two joins, while this
+    // lane ships exactly K longs per doc regardless of document size.
+    // E[n_agree/K] = true jaccard (each minhash component agrees with
+    // probability = jaccard), so thresholding n_agree is the standard
+    // MinHash estimator (Broder 1997).
+    "q_lsh_neardup_sig" -> ((s, dir) => {
+      val (_, sig, cand) = lshCandidates(s, dir)
+      val nAgree = (1 to K).map(i =>
+          when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1L)
+            .otherwise(0L)).reduce(_ + _)
+      cand
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"), nAgree.cast("long").as("n_agree"))
+        .where(col("n_agree") >= SIG_VERIFY)
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          (col("n_agree").cast("double") / K).as("est_jac"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // dedup group resolution: verified pairs -> connected components
     // (hash-min label propagation, operators.DedupResolve) -> per-group
@@ -303,6 +340,35 @@ object DedupQueries {
          |  JOIN (SELECT doc_id AS id_a, hs AS hs_a FROM h) USING (id_a)
          |  JOIN (SELECT doc_id AS id_b, hs AS hs_b FROM h) USING (id_b))
          |WHERE jac >= $VERIFY ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_lsh_neardup_sig" -> {
+      val sig = (0 until K).map(mhSql).zipWithIndex
+        .map { case (e, i) => s"$e AS mh$i" }.mkString(", ")
+      val bandRows = (0 until K / R).map { b =>
+        val key = H((0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+          .mkString(" || '_' || "))
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val aCols = (0 until K).map(i => s"mh$i AS a$i").mkString(", ")
+      val bCols = (0 until K).map(i => s"mh$i AS b$i").mkString(", ")
+      val agree = (0 until K)
+        .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM s),
+         |sig AS (SELECT doc_id, $sig FROM h),
+         |bands AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, n_agree, CAST(n_agree AS DOUBLE) / $K AS est_jac
+         |FROM (
+         |  SELECT id_a, id_b, CAST($agree AS BIGINT) AS n_agree
+         |  FROM cand
+         |  JOIN (SELECT doc_id AS id_a, $aCols FROM sig) USING (id_a)
+         |  JOIN (SELECT doc_id AS id_b, $bCols FROM sig) USING (id_b))
+         |WHERE n_agree >= $SIG_VERIFY ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_dedup_groups" -> {

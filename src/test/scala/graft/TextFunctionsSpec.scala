@@ -157,4 +157,24 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == sentences.map(_._2))
   }
+
+  test("q_lsh_neardup_sig: signature-only estimator — bounds, grid, and " +
+      "exact-dup agreement vs the hash-set lane") {
+    val sigRows = SparkEntry.queries("q_lsh_neardup_sig")(spark, sf0001).collect()
+    assert(sigRows.nonEmpty) // the planted near-dup pairs survive the estimator
+    sigRows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 6 && n <= 8, s"n_agree out of [SIG_VERIFY, K]: $n")
+      assert(r.getDouble(3) == n / 8.0) // est sits exactly on the 1/K grid
+    }
+    // identical shingle sets hash to identical signatures, so every pair
+    // the exact lane scores jaccard == 1.0 MUST agree on all K components
+    val exactDups = SparkEntry.queries("q_lsh_neardup")(spark, sf0001).collect()
+      .filter(_.getDouble(2) == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullAgree = sigRows.filter(_.getLong(2) == 8)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDups.subsetOf(fullAgree),
+      s"exact dups missing from full-agreement set: ${exactDups -- fullAgree}")
+  }
 }
