@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.AccessorQueries.queries ++
       graft.queries.H2oQueries.queries ++
       graft.queries.SourceQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CurateQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.StarQueries.oracleSql ++
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.AccessorQueries.oracleSql ++
       graft.queries.H2oQueries.oracleSql ++
       graft.queries.SourceQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.CurateQueries.oracleSql
 }

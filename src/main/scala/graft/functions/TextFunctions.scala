@@ -282,6 +282,46 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       DeflateLen(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
+  /** Single-layer ftfy-style mojibake repair ([[MojibakeRepair]]
+    * kernel): latin-1-range strings whose bytes strictly decode as
+    * UTF-8 are re-decoded; everything else passes through untouched. */
+  def mojibakeRepair(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      MojibakeRepair(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** Luhn mod-10 checksum validity of a digit string ([[LuhnValid]]
+    * kernel) — the credit-card-candidate verifier behind checksum-
+    * validated PII scrubbing. */
+  def luhnValid(digits: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      LuhnValid(org.apache.spark.sql.graftbridge.Bridge.expression(digits)))
+
+  /** Hashed-feature linear scoring in ONE codegen'd pass
+    * ([[FeatureWeightSum]] kernel): struct(n_feats, wsum_milli) where
+    * each non-null feature hash contributes the integer milli-weight
+    * `((a*(h mod nBuckets) + b) mod p) mod 2001 - 1000`. Stage the
+    * struct in its own projection (the CollapseProject rule). */
+  def featureWeightSum(hashes: Column, nBuckets: Int, a: Long, b: Long): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      FeatureWeightSum(
+        org.apache.spark.sql.graftbridge.Bridge.expression(hashes),
+        nBuckets, a, b))
+
+  /** The interpreted Column formulation [[featureWeightSum]] is pinned
+    * bit-identical to (the kernel-parity reference + the A/B "old"
+    * lane): filter nulls, bucket each hash, milli-weight it, integer-
+    * sum via `aggregate`. */
+  def featureWeightSumCols(hashes: Column, nBuckets: Int, a: Long, b: Long): Column = {
+    val nn = filter(hashes, h => h.isNotNull)
+    val ws = transform(nn, h =>
+      (lit(a) * pmod(h, lit(nBuckets.toLong)) + lit(b)) % lit(UHASH_P) % lit(2001L) - lit(1000L))
+    // null array -> null STRUCT (the kernel's nullSafeEval contract),
+    // not a struct of nulls
+    when(hashes.isNotNull, struct(
+      size(nn).cast("long").as("n_feats"),
+      aggregate(ws, lit(0L), (acc, w) => acc + w).as("wsum_milli")))
+  }
+
   /** All three Gopher repetition signals of a SORTED string array in
     * ONE codegen'd pass ([[SortedRunStats]]):
     * struct(max_run = [[maxRunLength]], max_cover = [[maxRunCover]],

@@ -382,6 +382,99 @@ object TextKernels {
     }
     v
   }
+
+  /** ftfy-style mojibake repair (single pass): when every code point
+    * of the string fits in latin-1 ([0, 0xFF]) and reinterpreting
+    * those bytes as UTF-8 decodes STRICTLY (no malformed sequences)
+    * to a shorter string, the text was UTF-8 double-read through a
+    * one-byte charset — return the re-decoded original. Otherwise the
+    * string is returned untouched: genuine non-latin-1 text (any code
+    * point > 0xFF) is never "repaired", and legitimate latin-1 text
+    * (a lone 0xE9 "é") fails the strict UTF-8 decode and survives.
+    * Single-layer only (ftfy loops for double-mojibake; one layer is
+    * the overwhelmingly common corpus case).
+    *
+    * Reference capability class: vaex cleans crawl text through
+    * pandas/python str pipelines (packages/vaex-core/vaex/functions.py
+    * str_* surface); the repair itself follows the public ftfy
+    * "decode latin-1 bytes as utf-8 if plausible" rule. */
+  def mojibakeRepair(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    var anyHigh = false
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c > 0xFF) return s
+      if (c >= 0x80) anyHigh = true
+      i += 1
+    }
+    if (!anyHigh) return s
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) { bytes(i) = str.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      // a valid decode with any multi-byte sequence is strictly
+      // shorter; equal length means pure ASCII (impossible here since
+      // anyHigh) — guard anyway
+      if (out.length < n) UTF8String.fromString(out) else s
+    } catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  /** Luhn checksum validation (ISO/IEC 7812 mod-10) over a digit
+    * string: from the rightmost digit, double every second digit and
+    * subtract 9 when the double exceeds 9; valid iff the sum is a
+    * multiple of 10. Strings shorter than 2 chars or containing any
+    * non-digit are invalid (false), matching the "candidate came from
+    * a \\d+ regex" contract without trusting it. */
+  def luhnValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    val n = str.length
+    if (n < 2) return false
+    var sum = 0
+    var i = n - 1
+    var second = false
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (second) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      second = !second
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Hashed-feature linear-model scoring (the fastText-style quality
+    * classifier's hot loop): for every non-null feature hash h
+    * (non-negative, e.g. a 60-bit md5 prefix), bucket = h mod
+    * nBuckets, integer milli-weight w = ((a*bucket + b) mod p) mod
+    * 2001 - 1000 in [-1000, 1000], returning
+    * struct(n_feats, wsum_milli) in one pass. Integer accumulation is
+    * order-free, so the score is bit-identical across any engine —
+    * the cross-engine float-sum trap never arises. Bit-identical to
+    * the interpreted `filter` + `transform` + `aggregate` Column
+    * formulation ([[TextFunctions.featureWeightSumCols]]). */
+  def featureWeightSum(arr: ArrayData, nBuckets: Int, a: Long,
+      b: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var cnt = 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bucket = arr.getLong(i) % nBuckets
+        sum += ((a * bucket + b) % UHASH_P) % 2001L - 1000L
+        cnt += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cnt, sum))
+  }
 }
 
 /** `array<string> -> array<string>`: n-token shingles, distinct or
@@ -563,5 +656,68 @@ case class SimhashBits(child: Expression, nBits: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels.simhashBits($x, $nBits);")
   override protected def withNewChildInternal(c: Expression): SimhashBits =
+    copy(child = c)
+}
+
+/** `string -> string`: single-layer ftfy-style mojibake repair
+  * ([[TextKernels.mojibakeRepair]]). */
+case class MojibakeRepair(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "mojibake_repair"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.mojibakeRepair(x.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.mojibakeRepair($x);")
+  override protected def withNewChildInternal(c: Expression): MojibakeRepair =
+    copy(child = c)
+}
+
+/** `string -> boolean`: Luhn mod-10 checksum over a digit string
+  * ([[TextKernels.luhnValid]]). */
+case class LuhnValid(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "luhn_valid"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.luhnValid(x.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.luhnValid($x);")
+  override protected def withNewChildInternal(c: Expression): LuhnValid =
+    copy(child = c)
+}
+
+/** `array<bigint> -> struct<n_feats,wsum_milli>`: hashed-feature
+  * integer weight sum ([[TextKernels.featureWeightSum]]). */
+case class FeatureWeightSum(child: Expression, nBuckets: Int, a: Long,
+    b: Long) extends UnaryExpression {
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+  require(a >= 1L && a < TextKernels.UHASH_P && b >= 0L && b < TextKernels.UHASH_P,
+    s"coefficients must lie in [1,p)/[0,p), got a=$a b=$b")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("wsum_milli", LongType, nullable = false)))
+  override def prettyName: String = "feature_weight_sum"
+  override def nullSafeEval(x: Any): Any =
+    TextKernels.featureWeightSum(x.asInstanceOf[ArrayData], nBuckets, a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.featureWeightSum($x, $nBuckets, ${a}L, ${b}L);")
+  override protected def withNewChildInternal(c: Expression): FeatureWeightSum =
     copy(child = c)
 }

@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.SimilaritySearch
+import Q._
+
+/** Round-12 curation battery — the data-hygiene and corpus-assembly
+  * operators a training pipeline runs between crawling and packing:
+  * encoding repair, checksum-validated PII, learned-ish quality
+  * scoring, incremental (cross-snapshot) dedup, deterministic epoch
+  * sharding, and cluster-balanced resampling. All oracle-gated.
+  *
+  * Reference capability class: vaex's `df.func.*` string pipeline +
+  * `df.sample`/`df.shuffle` (packages/vaex-core/vaex/dataframe.py:
+  * 5500-5600 sample/split; functions.py str_* surface); the curation
+  * semantics themselves follow the public corpus-cleaning literature
+  * (ftfy, C4/Gopher, RETRO-style incremental dedup, fastText quality
+  * classifiers, SemDeDup cluster balancing).
+  */
+object CurateQueries {
+
+  /** Classifier constants — inlined identically into the DuckDB
+    * oracle. a/b are Carter-Wegman member 7; 4096 buckets. */
+  private val ClsBuckets = 4096
+  private val ClsA = TextFunctions.uhashA(7)
+  private val ClsB = TextFunctions.uhashB(7)
+
+  private val N_CELLS = 8
+
+  /** 60-bit md5-prefix portable hash in DuckDB. */
+  private def H(e: String) = s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ftfy-style text cleanup: single-layer mojibake repair (latin-1
+    // bytes that strictly decode as UTF-8), control-char strip,
+    // NBSP/zero-width-space normalization, whitespace collapse. The
+    // dirty tails are INJECTED deterministically from doc_id so both
+    // engines clean byte-identical inputs and every kernel branch is
+    // exercised: b0/b1 repair (2- and 3-byte sequences, with an
+    // embedded control char), b2 is legitimate latin-1 ("café" + NBSP,
+    // strict decode fails -> untouched), b3 has a >0xFF code point
+    // (ZWSP -> repair early-exits). Pure projection — zero shuffle at
+    // any corpus size. The oracle mirrors the repair with exact
+    // replacements of the injected sequences (the general decoder and
+    // the replacement table coincide on this corpus by construction).
+    "q_text_clean" -> ((s, dir) => {
+      val marker = when(col("doc_id") % 4 === 0, lit(" caf\u00C3\u00A9 moji\u0007bake"))
+        .when(col("doc_id") % 4 === 1, lit(" it\u00E2\u0080\u0099s fine"))
+        .when(col("doc_id") % 4 === 2, lit(" caf\u00E9 nb\u00A0sp"))
+        .otherwise(lit(" zero\u200Bwidth"))
+      val raw = concat(col("text"), marker, lit("  end \r\n"))
+      val staged = t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"), col("__raw"),
+          TextFunctions.mojibakeRepair(col("__raw")).as("__rep"))
+      val noCtl = regexp_replace(col("__rep"), "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", "")
+      val spaced = translate(noCtl, "\u00A0\u200B", "  ")
+      val cleaned = trim(regexp_replace(spaced, "\\s+", " "))
+      staged.select(col("doc_id"), cleaned.as("cleaned"),
+          length(col("__raw")).cast("long").as("n_raw"),
+          length(cleaned).cast("long").as("n_clean"),
+          (col("__rep") =!= col("__raw")).cast("long").as("repaired"))
+        .orderBy("doc_id")
+    }),
+
+    // checksum-validated PII: 16-digit card-number candidates found by
+    // regex, then verified with the Luhn mod-10 checksum (the step
+    // that separates card numbers from order ids in real scrubbing).
+    // Candidates are INJECTED from doc_id — a 15-digit payload plus a
+    // check digit computed by the SAME public Luhn rule in both
+    // engines, correct for even doc_ids and off-by-5 for odd ones —
+    // alongside a 12-digit decoy the \b\d{16}\b regex must not match.
+    // The oracle recomputes validity generally (list arithmetic over
+    // the digits), so a pass proves the kernel implements Luhn, not
+    // the injection. Pure projection — zero shuffle.
+    "q_pii_luhn" -> ((s, dir) => {
+      val base15 = lpad(((col("doc_id") * 2654435761L) % 999999999999999L)
+        .cast("string"), 15, "0")
+      // Luhn sum of the 15 payload digits in their final positions
+      // (check digit appended at the right): digit i (1-based from the
+      // left) sits at even distance from the right iff i is odd ->
+      // doubled with 9-wrap
+      val sum15 = (1 to 15).map { i =>
+        val d = substring(base15, i, 1).cast("int")
+        if (i % 2 == 1) {
+          val dd = d * 2
+          when(dd > 9, dd - 9).otherwise(dd)
+        } else d
+      }.reduce(_ + _)
+      val check = (lit(10) - sum15 % 10) % 10
+      val digit16 = when(col("doc_id") % 2 === 0, check)
+        .otherwise((check + 5) % 10)
+      val cand = concat(base15, digit16.cast("string"))
+      val decoy = lpad(((col("doc_id") * 37L) % 999999999999L).cast("string"), 12, "0")
+      val text2 = concat(col("text"), lit(" card "), cand,
+        lit(" ref "), decoy, lit(" end"))
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(text2, lit("\\b\\d{16}\\b"), lit(0)).as("__cands"))
+      staged.select(col("doc_id"),
+          size(col("__cands")).cast("long").as("n_cand"),
+          element_at(col("__cands"), 1).as("card"),
+          TextFunctions.luhnValid(element_at(col("__cands"), 1))
+            .cast("long").as("is_valid"))
+        .orderBy("doc_id")
+    }),
+
+    // fastText-style hashed-feature quality classifier: features =
+    // distinct unigrams + token bigrams, each md5-hashed and bucketed
+    // mod 4096, scored against a deterministic Carter-Wegman-derived
+    // integer milli-weight table, score = wsum/(1000*n_feats), label =
+    // sign. The whole per-doc loop is ONE codegen'd kernel pass
+    // (FeatureWeightSum over hashedGrams — no interpreted HOF lambdas,
+    // the round-11 lesson); integer accumulation makes the score
+    // order-free, so the float-sum parity trap never arises. Pure
+    // projection — zero shuffle at any corpus size; the weight "model"
+    // rides the expression tree like a broadcast. Swapping in real
+    // trained weights = replacing the weight formula with a lookup
+    // array (same kernel shape, ctx.addReferenceObj).
+    "q_quality_classifier" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val feats = array_distinct(concat(toks, TextFunctions.gramStrings(toks, 2)))
+      val hashes = TextFunctions.hashedGrams(feats, TextFunctions.Md5Hash, 60)
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.featureWeightSum(hashes, ClsBuckets, ClsA, ClsB).as("__st"))
+      // score = the logit sum in weight units (wsum/1000 has <= 3
+      // decimals — never a 6dp rounding tie; a per-feature MEAN
+      // wsum/(1000n) hit an exact .xxxxx75 tie that Spark's
+      // shortest-repr HALF_UP and DuckDB's binary-double rounding
+      // resolve differently)
+      staged.select(col("doc_id"),
+          col("__st.n_feats").as("n_feats"),
+          col("__st.wsum_milli").as("wsum_milli"),
+          round(col("__st.wsum_milli").cast("double") / 1000.0, 6).as("score"),
+          (col("__st.wsum_milli") > 0L).cast("long").as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental (cross-snapshot) dedup — the RETRO/CCNet production
+    // shape: a new crawl increment is deduplicated against the
+    // PREVIOUS corpus snapshot's content hashes, never against itself.
+    // Snapshot split is derived from doc_id (old: %3 != 0); the
+    // increment additionally COPIES an old doc's text for every
+    // doc_id %9 == 0 (injected contamination both engines construct
+    // identically). Per-row verdict via a left join on the 60-bit
+    // content hash. Scale shape: the old-snapshot side is a hash
+    // DICTIONARY (8 bytes/doc, no text moves); at 100 TB it becomes a
+    // bloom-prefiltered semi join exactly like q_decontaminate_bloom —
+    // clean increments probe the broadcast bloom and join NOTHING.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val donors = docs.select((col("doc_id") - 1).as("nid"),
+        col("text").as("donor_text"))
+      val staged = docs.where(col("doc_id") % 3 === 0)
+        .join(donors, col("doc_id") === col("nid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0 && col("donor_text").isNotNull,
+            col("donor_text")).otherwise(col("text")).as("eff_text"))
+      val oldH = docs.where(col("doc_id") % 3 =!= 0)
+        .select(TextFunctions.portableHash(col("text")).as("h"))
+        .distinct().withColumn("dup", lit(1L))
+      staged.select(col("doc_id"),
+          TextFunctions.portableHash(col("eff_text")).as("h"))
+        .join(oldH, Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic epoch sharding — the corpus "shuffle" a training
+    // run needs, without any global sort: shard = content-independent
+    // hash of the doc id mod n_shards, within-shard order = (hash,
+    // doc_id), plus the running token count the sequence packer reads.
+    // One shuffle by shard key (each shard's window is independent —
+    // the partition-local prefix-scan shape of q_seq_pack); reshuffling
+    // an epoch = changing the salt string. Nothing global moves.
+    "q_shard_assign" -> ((s, dir) => {
+      val nSh = 8
+      val h = TextFunctions.portableHash(
+        concat(lit("shard:"), col("doc_id").cast("string")))
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), h.as("__h"))
+      val shard = pmod(col("__h"), lit(8L))
+      val w = Window.partitionBy(shard).orderBy(col("__h"), col("doc_id"))
+      base.select(col("doc_id"), shard.as("shard"),
+          row_number().over(w).cast("long").as("pos"),
+          sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum_tokens"))
+        .orderBy("shard", "pos")
+    }),
+
+    // cluster-balanced resampling — topic rebalancing over embedding
+    // space (the SemDeDup/DSI "don't let one cluster dominate" pass):
+    // assign every vector to its nearest centroid (deterministic
+    // take-first centroids, the q_ivf_cells quantizer), then keep the
+    // same number from every cluster (the min cluster size), selected
+    // in salted-hash order so the sample is unbiased and reproducible.
+    // Scale shape: assignment is a pure projection (centroids ride the
+    // plan); per-cluster ranking shuffles by cluster key only; the min
+    // size is a tiny broadcast scalar.
+    "q_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = SimilaritySearch.trainTakeFirst(emb, "vec_id", "embedding", N_CELLS)
+      val asg = SimilaritySearch.assignCells(
+        emb.where(col("vec_id") >= N_CELLS), "embedding", centroids)
+        .select(col("vec_id"), col("cell"))
+      val w = Window.partitionBy(col("cell")).orderBy(
+        TextFunctions.portableHash(concat(lit("bal:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      val ranked = asg.withColumn("rk", row_number().over(w).cast("long"))
+      val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
+      val m = sizes.agg(min(col("n_total")).as("__m"))
+      val kept = ranked.crossJoin(broadcast(m)).where(col("rk") <= col("__m"))
+      sizes.join(kept.groupBy(col("cell")).agg(
+            count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_keep"),
+            sum(col("vec_id")).as("sum_kept")), Seq("cell"), "left")
+        .select(col("cell"), col("n_total"), col("n_kept"),
+          col("first_keep"), col("sum_kept"))
+        .orderBy("cell")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(195) || chr(169) || ' moji' || chr(7) || 'bake'
+        |         WHEN doc_id % 4 = 1 THEN ' it' || chr(226) || chr(128) || chr(153) || 's fine'
+        |         WHEN doc_id % 4 = 2 THEN ' caf' || chr(233) || ' nb' || chr(160) || 'sp'
+        |         ELSE ' zero' || chr(8203) || 'width' END
+        |    || '  end ' || chr(13) || chr(10) AS r
+        |  FROM documents),
+        |rep AS (
+        |  SELECT doc_id, r,
+        |    CASE WHEN doc_id % 4 = 0 THEN replace(r, chr(195) || chr(169), chr(233))
+        |         WHEN doc_id % 4 = 1 THEN replace(r, chr(226) || chr(128) || chr(153), chr(8217))
+        |         ELSE r END AS rp
+        |  FROM raw),
+        |cl AS (
+        |  SELECT doc_id, r, rp,
+        |    TRIM(regexp_replace(
+        |      replace(replace(regexp_replace(rp, '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+        |        chr(160), ' '), chr(8203), ' '),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM rep)
+        |SELECT doc_id, cleaned, CAST(LENGTH(r) AS BIGINT) AS n_raw,
+        |  CAST(LENGTH(cleaned) AS BIGINT) AS n_clean,
+        |  CAST(rp != r AS BIGINT) AS repaired
+        |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "q_pii_luhn" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    lpad(CAST((doc_id * 2654435761) % 999999999999999 AS VARCHAR), 15, '0') AS b15,
+        |    lpad(CAST((doc_id * 37) % 999999999999 AS VARCHAR), 12, '0') AS decoy
+        |  FROM documents),
+        |chk AS (
+        |  SELECT doc_id, b15, decoy,
+        |    CAST((10 - list_sum(list_transform(range(1, 16), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN CASE WHEN 2 * CAST(b15[i] AS INT) > 9
+        |          THEN 2 * CAST(b15[i] AS INT) - 9 ELSE 2 * CAST(b15[i] AS INT) END
+        |        ELSE CAST(b15[i] AS INT) END)) % 10) % 10 AS INT) AS check
+        |  FROM base),
+        |txt AS (
+        |  SELECT c.doc_id, d.text || ' card ' || c.b15 ||
+        |    CAST(CASE WHEN c.doc_id % 2 = 0 THEN c.check ELSE (c.check + 5) % 10 END AS VARCHAR)
+        |    || ' ref ' || c.decoy || ' end' AS text2
+        |  FROM chk c JOIN documents d USING (doc_id)),
+        |ex AS (
+        |  SELECT doc_id, regexp_extract_all(text2, '\b\d{16}\b') AS cands
+        |  FROM txt)
+        |SELECT doc_id, CAST(LEN(cands) AS BIGINT) AS n_cand, cands[1] AS card,
+        |  CAST(list_sum(list_transform(range(1, 17), i ->
+        |    CASE WHEN i % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(cands[1][i] AS INT) > 9
+        |        THEN 2 * CAST(cands[1][i] AS INT) - 9 ELSE 2 * CAST(cands[1][i] AS INT) END
+        |      ELSE CAST(cands[1][i] AS INT) END)) % 10 = 0 AS BIGINT) AS is_valid
+        |FROM ex ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |f AS (
+         |  SELECT DISTINCT doc_id, f FROM (
+         |    SELECT doc_id, unnest(t) AS f FROM tk
+         |    UNION ALL
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i + 1])) AS f FROM tk)),
+         |w AS (
+         |  SELECT doc_id,
+         |    (($ClsA * (${H("f")} % $ClsBuckets) + $ClsB) % ${TextFunctions.UHASH_P})
+         |      % 2001 - 1000 AS w
+         |  FROM f),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(w) AS BIGINT) AS wsum_milli
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_feats, wsum_milli,
+         |  ROUND(CAST(wsum_milli AS DOUBLE) / CAST(1000 AS DOUBLE), 6) AS score,
+         |  CAST(wsum_milli > 0 AS BIGINT) AS label
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      s"""WITH newd AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 9 = 0 AND dn.text IS NOT NULL
+         |      THEN dn.text ELSE d.text END AS eff
+         |  FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 3 = 0),
+         |oldh AS (
+         |  SELECT DISTINCT ${H("text")} AS h FROM documents WHERE doc_id % 3 != 0)
+         |SELECT n.doc_id, CAST(o.h IS NOT NULL AS BIGINT) AS is_dup
+         |FROM newd n LEFT JOIN oldh o ON o.h = ${H("n.eff")}
+         |ORDER BY n.doc_id""".stripMargin,
+
+    "q_shard_assign" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ${H("'shard:' || doc_id")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+         |  CAST(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM base ORDER BY shard, pos""".stripMargin,
+
+    "q_cluster_balance" ->
+      s"""WITH ${ScaleOpsQueries.ivfCellsCte},
+         |rk AS (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY cid
+         |    ORDER BY ${H("'bal:' || vec_id")}, vec_id) AS rk
+         |  FROM asg),
+         |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_total FROM asg GROUP BY cid),
+         |m AS (SELECT MIN(n_total) AS m FROM sz),
+         |kept AS (SELECT rk.vec_id, rk.cid FROM rk CROSS JOIN m WHERE rk.rk <= m.m)
+         |SELECT CAST(sz.cid AS INT) AS cell, sz.n_total,
+         |  CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+         |  MIN(k.vec_id) AS first_keep, CAST(SUM(k.vec_id) AS BIGINT) AS sum_kept
+         |FROM sz LEFT JOIN kept k ON k.cid = sz.cid
+         |GROUP BY sz.cid, sz.n_total ORDER BY cell""".stripMargin
+  )
+}

@@ -247,7 +247,7 @@ object ScaleOpsQueries {
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def ddbNorm(a: String): String = s"SQRT(${ddbDot(a, a)})"
 
-  private val ivfCellsCte =
+  private[queries] val ivfCellsCte =
     s"""cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $N_CELLS),
        |pts AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $N_CELLS),
        |dists AS (

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextKernels
+
+/** Round-12 curation kernels: mojibake repair, Luhn validation,
+  * hashed-feature weight sum. Each is pinned to golden cases, to a
+  * spec-local independent reference implementation (property tests
+  * over random inputs), and — for FeatureWeightSum — bit-identical to
+  * the interpreted Column formulation the DuckDB oracle mirrors.
+  * DataFrames are RDD-backed so every assertion drives the real
+  * codegen path, not constant folding.
+  */
+class CurateKernelsSpec extends SparkSpec {
+
+  private def df1(rows: Seq[(Long, String)]) = {
+    val rdd = spark.sparkContext.parallelize(rows, 3)
+    spark.createDataFrame(rdd).toDF("id", "s")
+  }
+
+  private def runRepair(rows: Seq[(Long, String)]): Map[Long, String] =
+    df1(rows).select(col("id"), TextFunctions.mojibakeRepair(col("s")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+
+  test("mojibakeRepair golden branches") {
+    val out = runRepair(Seq(
+      1L -> "cafÃ©",                 // 2-byte seq -> repaired
+      2L -> "it\u00E2\u0080\u0099s ok",        // 3-byte seq -> repaired
+      3L -> "café proper",                // lone 0xE9: invalid utf-8 -> untouched
+      4L -> "plain ascii",                     // no high chars -> untouched
+      5L -> "zero\u200Bwidth",                 // >0xFF code point -> early exit
+      6L -> null,                              // null -> null
+      7L -> "",                                // empty -> empty
+      8L -> "naÃ¯ve mixed cafÃ©" // two seqs in one string
+    ))
+    assert(out(1L) === "café")
+    assert(out(2L) === "it’s ok")
+    assert(out(3L) === "café proper")
+    assert(out(4L) === "plain ascii")
+    assert(out(5L) === "zero\u200Bwidth")
+    assert(out(6L) === null)
+    assert(out(7L) === "")
+    assert(out(8L) === "naïve mixed café")
+  }
+
+  test("mojibakeRepair round-trips mangled utf-8 and never corrupts clean text") {
+    val rnd = new scala.util.Random(2026)
+    val pool = "abc XYZ 09 éüŁ中​’"
+    val originals = (0 until 300).map { i =>
+      (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    // mangle = read the UTF-8 bytes back through latin-1 (the mojibake
+    // process itself). Repair must invert it whenever the original had
+    // any non-ASCII char (mangling is the identity otherwise).
+    val mangled = originals.zipWithIndex.map { case (s, i) =>
+      (i.toLong, new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    val repaired = runRepair(mangled)
+    originals.zipWithIndex.foreach { case (s, i) =>
+      assert(repaired(i.toLong) === s, s"row $i")
+    }
+    // clean inputs pass through byte-identically: anything whose chars
+    // are NOT all <= 0xFF, plus pure-ASCII, plus genuine latin-1 that
+    // does not happen to parse as UTF-8
+    val cleanRows = originals.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val cleanOut = runRepair(cleanRows)
+    originals.zipWithIndex.foreach { case (s, i) =>
+      val allLatin = s.forall(_ <= 0xFF)
+      val decodesShorter = allLatin && s.exists(_ >= 0x80) && (try {
+        val b = s.toCharArray.map(_.toByte)
+        val d = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        d.decode(java.nio.ByteBuffer.wrap(b)).toString.length < s.length
+      } catch { case _: java.nio.charset.CharacterCodingException => false })
+      if (!decodesShorter) assert(cleanOut(i.toLong) === s, s"clean row $i: $s")
+    }
+  }
+
+  // independent Luhn reference (textbook digit-list formulation)
+  private def refLuhn(s: String): Boolean = {
+    if (s.length < 2 || !s.forall(_.isDigit)) false
+    else {
+      val digits = s.reverse.map(_ - '0')
+      val sum = digits.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      sum % 10 == 0
+    }
+  }
+
+  test("luhnValid golden cases") {
+    val rows = Seq(
+      1L -> "79927398713",      // the canonical valid example
+      2L -> "79927398714",      // off by one
+      3L -> "0000000000000000", // sum 0 -> valid
+      4L -> "5",                // too short
+      5L -> "",                 // empty
+      6L -> "4242424242424242", // well-known valid test number
+      7L -> "1234a678",         // non-digit
+      8L -> null
+    )
+    val out = df1(rows).select(col("id"),
+      TextFunctions.luhnValid(col("s")).as("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false)
+    assert(out(3L) === true)
+    assert(out(4L) === false)
+    assert(out(5L) === false)
+    assert(out(6L) === true)
+    assert(out(7L) === false)
+    assert(out(8L) === null)
+  }
+
+  test("luhnValid matches the reference over random digit strings") {
+    val rnd = new scala.util.Random(777)
+    val rows = (0 until 500).map { i =>
+      val len = 2 + rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString)
+    }
+    val out = df1(rows).select(col("id"),
+      TextFunctions.luhnValid(col("s")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (i, s) => assert(out(i) === refLuhn(s), s"$i: $s") }
+    // ~1 in 10 random strings is Luhn-valid — make sure both classes
+    // actually occurred so the property test wasn't vacuous
+    assert(out.values.exists(identity) && out.values.exists(v => !v))
+  }
+
+  test("featureWeightSum kernel is bit-identical to the Column formulation") {
+    val rnd = new scala.util.Random(99)
+    val words = Vector("alpha", "beta", "g", "delta42", "zz", "the", "x", "")
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val docs = spark.createDataFrame(spark.sparkContext.parallelize(texts, 4))
+      .toDF("id", "text")
+    val toks = split(col("text"), " ")
+    val feats = array_distinct(concat(toks, TextFunctions.gramStrings(toks, 2)))
+    val hs = TextFunctions.hashedGrams(feats, TextFunctions.Md5Hash, 60)
+    // inject element nulls + a whole-null array to pin skip semantics
+    val hashes = when(col("id") === 0, lit(null))
+      .otherwise(transform(hs, h => when(h % 7 === 0, lit(null)).otherwise(h)))
+    val (a, b) = (TextFunctions.uhashA(7), TextFunctions.uhashB(7))
+    val base = docs.select(col("id"), hashes.as("hs"))
+    val kOut = base.select(col("id"),
+      TextFunctions.featureWeightSum(col("hs"), 4096, a, b).as("st")).collect()
+    val cOut = base.select(col("id"),
+      TextFunctions.featureWeightSumCols(col("hs"), 4096, a, b).as("st")).collect()
+    val k = kOut.map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1).toSeq)).toMap
+    val c = cOut.map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1).toSeq)).toMap
+    assert(k === c)
+    assert(k(0L) === null)
+  }
+
+  test("featureWeightSum weights are bounded and deterministic") {
+    // every milli-weight lies in [-1000, 1000]: a doc with n features
+    // can never score outside n*1000 in magnitude
+    val one = spark.range(1).select(
+      TextFunctions.featureWeightSum(
+        array((0 until 64).map(i => lit(i.toLong * 104729L)): _*),
+        4096, TextFunctions.uhashA(7), TextFunctions.uhashB(7)).as("st"))
+      .select(col("st.n_feats"), col("st.wsum_milli")).head()
+    assert(one.getLong(0) === 64L)
+    assert(math.abs(one.getLong(1)) <= 64L * 1000L)
+    // direct kernel determinism
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.tabulate(32)(i => i.toLong * 7919L))
+    val r1 = TextKernels.featureWeightSum(arr, 4096, 13L, 17L)
+    val r2 = TextKernels.featureWeightSum(arr, 4096, 13L, 17L)
+    assert(r1.getLong(0) === r2.getLong(0) && r1.getLong(1) === r2.getLong(1))
+  }
+}
