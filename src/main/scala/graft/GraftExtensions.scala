@@ -150,6 +150,20 @@ object GraftExtensions {
       nArgs(args, "term_counts", 2)
       TermCounts(args(0), stringArrayArg(args, 1, "term_counts"))
     }
+    reg("mojibake_repair", classOf[MojibakeRepair]) { args =>
+      nArgs(args, "mojibake_repair", 1)
+      MojibakeRepair(args(0))
+    }
+    reg("luhn_valid", classOf[LuhnValid]) { args =>
+      nArgs(args, "luhn_valid", 1)
+      LuhnValid(args(0))
+    }
+    reg("feature_weight_sum", classOf[FeatureWeightSum]) { args =>
+      nArgs(args, "feature_weight_sum", 4)
+      FeatureWeightSum(args(0), intArg(args, 1, "feature_weight_sum"),
+        longArg(args, 2, "feature_weight_sum"),
+        longArg(args, 3, "feature_weight_sum"))
+    }
     reg("srp_band_keys", classOf[SrpBandKeysExpr]) { args =>
       nArgs(args, "srp_band_keys", 4)
       val dim = intArg(args, 1, "srp_band_keys")

@@ -315,6 +315,34 @@ object StreamOps {
       .select("doc_id", "g")
   }
 
+  /** Streaming incremental dedup — the streaming face of
+    * q_incremental_dedup (the RETRO/CCNet cross-snapshot pass): every
+    * arriving document's 64-bit content hash is probed against the
+    * PREVIOUS corpus snapshot's hash dictionary; only unseen documents
+    * pass. Fully stateless (append mode, no watermark): the dictionary
+    * is a static frame re-read per micro-batch, and the join is
+    * stream-static LEFT OUTER + null filter (the supported stream
+    * shape for an anti join). Mode-agnostic — a batch frame runs the
+    * identical plan, so the stream==batch spec is one collect. At
+    * scale the dictionary side gets a broadcast bloom prefilter
+    * exactly like [[streamingDecontaminate]].
+    *
+    * `oldHashes`: single-column frame of the previous snapshot's
+    * xxhash64 text hashes (build with
+    * `old.select(portableHash(col(text), Xx64Hash))`). */
+  def streamingIncrementalDedup(docs: DataFrame, idCol: String,
+      textCol: String, oldHashes: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val hcol = oldHashes.columns.head
+    val oldH = oldHashes.select(col(hcol).cast("bigint").as("h")).distinct()
+      .withColumn("__seen", lit(1))
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.portableHash(col(textCol), TextFunctions.Xx64Hash).as("h"))
+      .join(oldH, Seq("h"), "left")
+      .where(col("__seen").isNull)
+      .select("doc_id", "h")
+  }
+
   /** Streaming corpus-level paragraph dedup — the streaming face of
     * q_paragraph_dedup (the CCNet pass): split each arriving doc into
     * paragraphs, hash them, and emit only paragraphs whose hash has

@@ -100,6 +100,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("SQL mojibake_repair / luhn_valid / feature_weight_sum == Column API") {
+    val dirty = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (0L, "cafÃ© 79927398713"),
+      (1L, "plain 79927398714"),
+      (2L, "it\u00E2\u0080\u0099s 4242424242424242")), 2))
+      .toDF("doc_id", "text")
+    dirty.createOrReplaceTempView("ext_dirty")
+    val (a, b) = (uhashA(7), uhashB(7))
+    val viaSql = spark.sql(
+      s"""SELECT doc_id, mojibake_repair(text) AS r,
+         |  luhn_valid(regexp_extract(text, '[0-9]+', 0)) AS v,
+         |  feature_weight_sum(hash_strings(split(text, ' '), true, 60, -1L, 0L, true),
+         |    4096, ${a}L, ${b}L).wsum_milli AS w
+         |FROM ext_dirty""".stripMargin).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2), r.getLong(3))).toMap
+    val hs = hashedGrams(array_distinct(split(col("text"), " ")), Md5Hash, 60)
+    val viaCol = dirty.select(col("doc_id"),
+        graft.functions.TextFunctions.mojibakeRepair(col("text")).as("r"),
+        graft.functions.TextFunctions.luhnValid(
+          regexp_extract(col("text"), "[0-9]+", 0)).as("v"),
+        graft.functions.TextFunctions.featureWeightSum(hs, 4096, a, b)
+          .getField("wsum_milli").as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(viaSql === viaCol)
+    assert(viaSql(0L)._1 === "café 79927398713")
+    assert(viaSql(0L)._2 === true && viaSql(1L)._2 === false)
+  }
+
   test("non-literal shape arguments fail with a clear message") {
     docs.createOrReplaceTempView("ext_docs")
     val e = intercept[Exception] {

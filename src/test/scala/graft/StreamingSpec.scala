@@ -346,6 +346,32 @@ class StreamingSpec extends SparkSpec {
     assert(contaminated == Set(11L, 12L), s"got $contaminated")
   }
 
+  test("streamingIncrementalDedup: stream equals batch; only unseen docs pass") {
+    import graft.functions.TextFunctions
+    val oldCorpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"))
+    val increment = Seq(
+      (30L, "alpha beta gamma delta"),   // exact copy of old doc 1 -> dropped
+      (31L, "fresh new document text"),  // unseen -> passes
+      (32L, "one two three four"),       // exact copy of old doc 2 -> dropped
+      (33L, "another unseen document"))  // unseen -> passes
+    val oldHashes = oldCorpus.toDF("doc_id", "text")
+      .select(TextFunctions.portableHash(col("text"), TextFunctions.Xx64Hash).as("h"))
+    val expected = StreamOps.streamingIncrementalDedup(
+        increment.toDF("doc_id", "text"), "doc_id", "text", oldHashes)
+      .collect().map(_.toSeq).toSet
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(increment: _*)
+    val got = StreamOps.runToMemory(
+        StreamOps.streamingIncrementalDedup(
+          stream.toDF.toDF("doc_id", "text"), "doc_id", "text", oldHashes),
+        "t_incdedup", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.map(_.head.asInstanceOf[Long]) == Set(31L, 33L))
+  }
+
   test("streamingSimhashNearDupCandidates: stream equals batch equals band join") {
     import graft.functions.TextFunctions._
     // docs 0/1 and 2/3 are word-level near-identical (one token
