@@ -267,7 +267,9 @@ object Bench {
       // r11 additions
       "q_blocklist_filter", "q_char_entropy", "q_bm25_topk",
       "q_html_extract", "q_unicode_normalize", "q_compress_ratio",
-      "q_curation_e2e", "q_corpus_report")
+      "q_curation_e2e", "q_corpus_report",
+      // r12 additions
+      "q_quality_classifier", "q_text_clean", "q_incremental_dedup")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     } :+ ("q_winnow_fast" -> (() =>
