@@ -62,6 +62,31 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, cache))
     }),
 
+    // Avro round trip (beyond reference — the row-oriented interchange
+    // format of the Kafka/Hadoop world; no spark-avro connector here,
+    // so this is the dependency-free graft.sources.Avro path): export
+    // a single container file with a SMALL sync interval (many blocks)
+    // so the distributed sync-split reader genuinely exercises its
+    // range logic, read it back, aggregate. Oracle runs on the
+    // ORIGINAL parquet — a value error in either direction fails the
+    // hash compare.
+    "q_avro_agg" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_avro") + "/t.avro"
+      graft.sources.Avro.toAvro(narrowLineitem(s, dir), cache,
+        codec = Some("deflate"), syncInterval = 4096)
+      agg(graft.sources.Readers.open(s, cache))
+    }),
+
+    // distributed sharded Avro export + glob read-back (the scale
+    // shape: every partition streams its own container file; the glob
+    // read unions per-file distributed reads)
+    "q_avro_sharded" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_avro_sh")
+      graft.sources.Avro.toAvroSharded(
+        narrowLineitem(s, dir).repartition(5), cache)
+      agg(graft.sources.Readers.open(s, s"$cache/part-*.avro"))
+    }),
+
     // hdf5 (the reference's NATIVE format): write lineitem as a
     // vaex-layout hdf5 file with the dependency-free writer, read it
     // back with the distributed range-read path, aggregate. The oracle
@@ -470,6 +495,8 @@ object SourceQueries {
     "q_ascii_agg" -> aggSql,
     "q_json_agg" -> aggSql,
     "q_orc_agg" -> aggSql,
+    "q_avro_agg" -> aggSql,
+    "q_avro_sharded" -> aggSql,
     "q_hdf5_agg" -> aggSql,
     "q_hdf5_chunked" -> aggSql,
     "q_hdf5_latest" -> aggSql,

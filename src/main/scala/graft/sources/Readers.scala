@@ -23,7 +23,8 @@ object Readers {
       // formats (hdf5/fits/arrow) need explicit expansion + concat
       // (reference: core/__init__.py:111 open handles 'data_*.hdf5')
       case p if hasGlob(p) && (p.endsWith(".hdf5") || p.endsWith(".h5")
-          || p.endsWith(".fits") || p.endsWith(".arrow") || p.endsWith(".feather")) =>
+          || p.endsWith(".fits") || p.endsWith(".arrow") || p.endsWith(".feather")
+          || p.endsWith(".avro")) =>
         val files = expandGlob(spark, p)
         require(files.nonEmpty, s"open: glob matched no files: $p")
         openMany(spark, files)
@@ -39,6 +40,7 @@ object Readers {
         // scan (a later .select touches only those columns' byte ranges)
         spark.read.format("graft.sources.Hdf5DataSource").load(p)
       case p if p.endsWith(".fits") => Fits.fromFits(spark, p)
+      case p if p.endsWith(".avro") => Avro.fromAvro(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Avro, Readers}
+
+/** Dependency-free Avro source/sink: typed round trips, the
+  * distributed sync-split reader, sharded export + glob read, and the
+  * fail-fast surface. */
+class AvroSpec extends SparkSpec {
+
+  private def tmp(leaf: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    s"$d/$leaf"
+  }
+
+  private val typedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("i", IntegerType),
+    StructField("d", DoubleType),
+    StructField("f", FloatType),
+    StructField("b", BooleanType),
+    StructField("s", StringType),
+    StructField("bin", BinaryType),
+    StructField("af", ArrayType(FloatType)),
+    StructField("al", ArrayType(LongType)),
+    StructField("as", ArrayType(StringType))))
+
+  private lazy val typedDf = {
+    val rows = (0 until 200).map { i =>
+      Row(
+        i.toLong,
+        if (i % 7 == 0) null else Int.box(i * 3),
+        if (i % 11 == 0) null else Double.box(i * 1.25 - 3.5),
+        if (i % 13 == 0) null else Float.box(i * 0.5f),
+        if (i % 5 == 0) null else Boolean.box(i % 2 == 0),
+        if (i % 17 == 0) null else s"str-$i-é",
+        if (i % 19 == 0) null else Array.tabulate(i % 8)(j => (i + j).toByte),
+        if (i % 23 == 0) null else (0 until i % 5).map(j => i * 0.25f + j),
+        (0 until i % 3).map(j => i.toLong * 100 + j),
+        (0 until i % 4).map(j => s"e$j"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), typedSchema)
+  }
+
+  private def canon(r: Row): Seq[Any] = r.toSeq.map {
+    case b: Array[Byte] => b.toSeq
+    case v => v
+  }
+
+  test("typed round trip: every supported type + nulls survives bit-exactly") {
+    val path = tmp("typed.avro")
+    Avro.toAvro(typedDf, path)
+    val back = Avro.fromAvro(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      typedSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = typedDf.collect().map(canon).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = back.collect().map(canon).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("distributed sync-split read covers every row exactly once") {
+    // small sync interval -> many blocks; a file > 1 MiB would also
+    // split, but the split logic itself is what matters: emulate by
+    // reading with the production path and comparing multiplicities
+    val path = tmp("blocks.avro")
+    // ~240-byte rows x 20k = ~5 MB uncompressed -> >= 5 one-MiB-floored
+    // splits, so several tasks genuinely sync-seek into the middle
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("text-"), col("id"), repeat(lit("x"), 220)).as("s"))
+    Avro.toAvro(df, path, codec = None, syncInterval = 512)
+    assert(new java.io.File(path).length() > 3L * (1L << 20),
+      "file must span multiple 1 MiB splits for this test to mean anything")
+    val back = Avro.fromAvro(spark, path)
+    assert(back.count() === 20000L)
+    assert(back.select(sum("id")).head().getLong(0) === (19999L * 20000L) / 2)
+    assert(back.select(countDistinct("id")).head().getLong(0) === 20000L)
+  }
+
+  test("sharded export + glob read; stale shards cleared; open() dispatch") {
+    val dir = tmp("shards")
+    val n1 = Avro.toAvroSharded(typedDf.repartition(6), dir)
+    assert(n1 === 6)
+    // re-export with fewer partitions must clear the higher shards
+    val n2 = Avro.toAvroSharded(typedDf.repartition(3), dir)
+    assert(n2 === 3)
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".avro"))
+    assert(files.length === 3, files.toSeq)
+    val back = Readers.open(spark, s"$dir/part-*.avro")
+    assert(back.count() === 200L)
+    val a = typedDf.collect().map(canon).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = back.collect().map(canon).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("export dispatch by extension + deflate codec actually compresses") {
+    val plain = tmp("plain.avro")
+    val packed = tmp("packed.avro")
+    val df = spark.range(5000).select(col("id"),
+      lit("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa").as("s"))
+    Avro.toAvro(df, plain, codec = None)
+    graft.sources.Export.export(df, packed) // dispatch: default deflate
+    val lp = new java.io.File(plain).length()
+    val lc = new java.io.File(packed).length()
+    assert(lc < lp / 2, s"deflate $lc vs plain $lp")
+    assert(Readers.open(spark, packed).count() === 5000L)
+  }
+
+  test("unsupported types and malformed unions fail fast") {
+    val badDf = spark.range(1).select(struct(col("id")).as("st"))
+    val e = intercept[IllegalArgumentException] {
+      Avro.toAvro(badDf, tmp("bad.avro"))
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    val badArr = spark.range(1).select(array(struct(col("id"))).as("a"))
+    val e2 = intercept[IllegalArgumentException] {
+      Avro.toAvro(badArr, tmp("bad2.avro"))
+    }
+    assert(e2.getMessage.contains("array element"), e2.getMessage)
+  }
+}
