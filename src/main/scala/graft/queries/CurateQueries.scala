@@ -190,6 +190,52 @@ object CurateQueries {
         .orderBy("shard", "pos")
     }),
 
+    // tf-idf cosine document similarity — the classic sparse-vector
+    // doc-doc similarity join (the lexical complement of the embedding
+    // lanes): weights = tf * ln(N/df) (6dp-rounded per the bm25 float
+    // discipline), candidate pairs ONLY from rare terms (df <= 25 —
+    // the standard sparse-similarity-join pruning: frequent terms
+    // never generate candidates, so the pair space stays linear in
+    // corpus size instead of quadratic), exact cosine over the full
+    // weight vectors of candidate pairs. A blocking token shared by
+    // each run of 10 doc_ids is injected so candidate groups exist
+    // deterministically at every scale. Scale shape: tf/df are
+    // partial-agg shuffles on (doc, term)/(term); the pair join moves
+    // only candidate (pair, term) weights; nothing all-pairs.
+    "q_tfidf_cosine" -> ((s, dir) => {
+      val docs2 = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" rg"), (col("doc_id") / 10).cast("long")
+          .cast("string")).as("text2"))
+      val tf = docs2.select(col("doc_id"), explode(split(col("text2"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs2.agg(count(lit(1)).as("__n"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = tf.join(dfT, Seq("tok")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf").cast("double") *
+            round(log(col("__n").cast("double") / col("df").cast("double")), 6),
+            6).as("w"))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sqrt(dsumD(round(col("w") * col("w"), 6))).as("nrm"))
+      val rareDocs = tf.join(dfT.where(col("df") <= 25), Seq("tok"))
+        .select(col("tok"), col("doc_id"))
+      val pairs = rareDocs.select(col("tok"), col("doc_id").as("a"))
+        .join(rareDocs.select(col("tok"), col("doc_id").as("b")), Seq("tok"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val wa = w.select(col("doc_id").as("a"), col("tok"), col("w").as("wa"))
+      val wb = w.select(col("doc_id").as("b"), col("tok"), col("w").as("wb"))
+      val dot = pairs.join(wa, Seq("a")).join(wb, Seq("b", "tok"))
+        .groupBy(col("a"), col("b"))
+        .agg(dsumD(round(col("wa") * col("wb"), 6)).as("dot"))
+      dot
+        .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), Seq("a"))
+        .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), Seq("b"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // cluster-balanced resampling — topic rebalancing over embedding
     // space (the SemDeDup/DSI "don't let one cluster dominate" pass):
     // assign every vector to its nearest centroid (deterministic
@@ -324,6 +370,44 @@ object CurateQueries {
          |  CAST(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |FROM base ORDER BY shard, pos""".stripMargin,
+
+    "q_tfidf_cosine" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, text || ' rg' || CAST(doc_id // 10 AS VARCHAR) AS text2
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text2, ' ')) AS tok FROM d2)
+        |  GROUP BY doc_id, tok),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d2),
+        |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |w AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    ROUND(CAST(tf.tf AS DOUBLE) *
+        |      ROUND(LN(CAST(n.n AS DOUBLE) / CAST(dft.df AS DOUBLE)), 6), 6) AS w
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN n),
+        |norms AS (
+        |  SELECT doc_id,
+        |    SQRT(CAST(SUM(CAST(ROUND(w * w, 6) AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY doc_id),
+        |rare AS (
+        |  SELECT tf.tok, tf.doc_id FROM tf JOIN dft USING (tok) WHERE dft.df <= 25),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM rare x JOIN rare y ON x.tok = y.tok AND x.doc_id < y.doc_id),
+        |dot AS (
+        |  SELECT p.a, p.b,
+        |    CAST(SUM(CAST(ROUND(wa.w * wb.w, 6) AS DECIMAL(38,10))) AS DOUBLE) AS dot
+        |  FROM pairs p
+        |  JOIN w wa ON wa.doc_id = p.a
+        |  JOIN w wb ON wb.doc_id = p.b AND wb.tok = wa.tok
+        |  GROUP BY p.a, p.b)
+        |SELECT dot.a AS doc_a, dot.b AS doc_b,
+        |  ROUND(dot.dot / (na.nrm * nb.nrm), 6) AS cos
+        |FROM dot
+        |JOIN norms na ON na.doc_id = dot.a
+        |JOIN norms nb ON nb.doc_id = dot.b
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_cluster_balance" ->
       s"""WITH ${ScaleOpsQueries.ivfCellsCte},
