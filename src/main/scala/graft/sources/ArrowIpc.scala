@@ -548,11 +548,25 @@ object ArrowIpc {
             val root = reader.getVectorSchemaRoot
             val blocks = reader.getRecordBlocks
             val dicts = dictsOf(reader, root)
-            idxs.iterator.flatMap { bi =>
+            val out = idxs.iterator.flatMap { bi =>
               reader.loadRecordBatch(blocks.get(bi))
               rowsOfBatch(root, nFields, dicts)
             }.toVector.iterator // decode fully before closing the reader
-          } finally { reader.close(); in.close(); allocator.close() }
+            // SUCCESS path closes strictly: allocator.close() is the
+            // leak detector and a genuine reader leak must fail loud
+            reader.close(); in.close(); allocator.close()
+            out
+          } catch { case e: Throwable =>
+            // FAILURE path closes quietly: a corrupt batch can leave
+            // an orphaned buffer that makes allocator.close() throw
+            // "Memory was leaked" from the cleanup — which would MASK
+            // the actual parse error (and log a scary stack) without
+            // freeing anything anyway
+            try reader.close() catch { case _: Throwable => () }
+            try in.close() catch { case _: Throwable => () }
+            try allocator.close() catch { case _: Throwable => () }
+            throw e
+          }
         }
       }
     spark.createDataFrame(rdd, schema)

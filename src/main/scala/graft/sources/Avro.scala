@@ -120,9 +120,11 @@ object Avro {
       out: java.io.OutputStream, codec: Option[String],
       syncInterval: Int): Long = {
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avsc))
-    writer.setCodec(codecOf(codec))
-    if (syncInterval > 0) writer.setSyncInterval(syncInterval)
-    writer.create(avsc, out) // DataFileWriter closes `out` on close()
+    try {
+      writer.setCodec(codecOf(codec))
+      if (syncInterval > 0) writer.setSyncInterval(syncInterval)
+      writer.create(avsc, out) // DataFileWriter closes `out` on close()
+    } catch { case e: Throwable => out.close(); throw e }
     var n = 0L
     try {
       while (it.hasNext) {
@@ -212,11 +214,10 @@ object Avro {
   def fromAvro(spark: SparkSession, path: String): DataFrame = {
     val (schemaJson, fileLen) = {
       val in = new HadoopSeekableInput(path)
-      try {
-        val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
-        try (r.getSchema.toString, in.length())
-        finally r.close()
-      } finally { /* closed by reader */ }
+      val r = try new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+        catch { case e: Throwable => in.close(); throw e }
+      try (r.getSchema.toString, in.length())
+      finally r.close() // closes `in` too
     }
     val sparkSt = sparkSchema(new Schema.Parser().parse(schemaJson))
     val target = spark.sparkContext.defaultParallelism
@@ -228,7 +229,8 @@ object Avro {
       val avsc = new Schema.Parser().parse(schemaJson)
       val st = sparkSchema(avsc)
       val in = new HadoopSeekableInput(p)
-      val reader = new DataFileReader(in, new GenericDatumReader[GenericRecord](avsc))
+      val reader = try new DataFileReader(in, new GenericDatumReader[GenericRecord](avsc))
+        catch { case e: Throwable => in.close(); throw e }
       reader.sync(start) // first block whose sync marker is at/after start
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.close())

@@ -454,7 +454,12 @@ class CoverageTailSpec extends SparkSpec {
       }
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 120.0, s"arrow fuzz took ${secs}s")
+    // promptness bound, not a perf bound: a hung reader burns the full
+    // budget; 60 corrupt reads normally finish in well under a minute,
+    // but inside the PARALLEL full suite on this throttling host the
+    // same loop has measured >120 s with every read still prompt — so
+    // the bound carries suite-contention headroom
+    assert(secs < 300.0, s"arrow fuzz took ${secs}s")
     assert(parsed > 0) // data-region mutations decode fine
   }
 }
