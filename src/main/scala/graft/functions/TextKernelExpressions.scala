@@ -462,11 +462,14 @@ object TextKernels {
       b: Long): org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
     var cnt = 0L
-    var sum = 0L
     var i = 0
+    var sum = 0L
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val bucket = arr.getLong(i) % nBuckets
+        // floorMod = Spark's pmod: a negative hash (the SQL surface
+        // accepts any bigint, e.g. raw xxhash64) must land in the same
+        // non-negative bucket the Column formulation computes
+        val bucket = java.lang.Math.floorMod(arr.getLong(i), nBuckets.toLong)
         sum += ((a * bucket + b) % UHASH_P) % 2001L - 1000L
         cnt += 1L
       }

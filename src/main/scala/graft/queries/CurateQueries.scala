@@ -28,7 +28,10 @@ object CurateQueries {
   private val ClsA = TextFunctions.uhashA(7)
   private val ClsB = TextFunctions.uhashB(7)
 
-  private val N_CELLS = 8
+  /** ONE constant with the oracle CTE it reuses: q_cluster_balance's
+    * Spark side quantizes with the same cell count
+    * [[ScaleOpsQueries.ivfCellsCte]] interpolates. */
+  private val N_CELLS = ScaleOpsQueries.N_CELLS
 
   /** 60-bit md5-prefix portable hash in DuckDB. */
   private def H(e: String) = s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
@@ -176,12 +179,12 @@ object CurateQueries {
     // the partition-local prefix-scan shape of q_seq_pack); reshuffling
     // an epoch = changing the salt string. Nothing global moves.
     "q_shard_assign" -> ((s, dir) => {
-      val nSh = 8
+      val nSh = 8L // mirrored literally by the oracle's `% 8`
       val h = TextFunctions.portableHash(
         concat(lit("shard:"), col("doc_id").cast("string")))
       val base = t(s, dir, "documents").select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"), h.as("__h"))
-      val shard = pmod(col("__h"), lit(8L))
+      val shard = pmod(col("__h"), lit(nSh))
       val w = Window.partitionBy(shard).orderBy(col("__h"), col("doc_id"))
       base.select(col("doc_id"), shard.as("shard"),
           row_number().over(w).cast("long").as("pos"),

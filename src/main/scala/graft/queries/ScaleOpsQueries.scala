@@ -11,7 +11,7 @@ import Q._
   */
 object ScaleOpsQueries {
 
-  private val N_CELLS = 8
+  private[queries] val N_CELLS = 8
   private val QUERY_IDS = Seq(8L, 9L, 10L, 11L, 12L)
   private val TOP_K = 3
 

@@ -58,9 +58,14 @@ object Avro {
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
     case StringType => Schema.create(Schema.Type.STRING)
     case BinaryType => Schema.create(Schema.Type.BYTES)
-    case ArrayType(elem, _) => elem match {
+    case ArrayType(elem, containsNull) => elem match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-          StringType => Schema.createArray(avroType(elem, ctx))
+          StringType =>
+        // Spark arrays default to nullable ELEMENTS — write them as
+        // ["null", T] unions or a null element NPEs mid-write after
+        // earlier blocks already hit the file
+        val et = avroType(elem, ctx)
+        Schema.createArray(if (containsNull) nullable(et) else et)
       case other => throw new IllegalArgumentException(
         s"avro export: unsupported array element type ${other.catalogString} (column $ctx)")
     }

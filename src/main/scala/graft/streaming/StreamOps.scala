@@ -317,7 +317,9 @@ object StreamOps {
 
   /** Streaming incremental dedup — the streaming face of
     * q_incremental_dedup (the RETRO/CCNet cross-snapshot pass): every
-    * arriving document's 64-bit content hash is probed against the
+    * arriving document's 60-bit content hash (portableHash's masked
+    * xxhash64 — NOT raw 64-bit xxhash64, whose negative values would
+    * never match) is probed against the
     * PREVIOUS corpus snapshot's hash dictionary; only unseen documents
     * pass. Fully stateless (append mode, no watermark): the dictionary
     * is a static frame re-read per micro-batch, and the join is
@@ -328,8 +330,9 @@ object StreamOps {
     * exactly like [[streamingDecontaminate]].
     *
     * `oldHashes`: single-column frame of the previous snapshot's
-    * xxhash64 text hashes (build with
-    * `old.select(portableHash(col(text), Xx64Hash))`). */
+    * 60-bit text hashes — build with
+    * `old.select(portableHash(col(text), Xx64Hash))` so both sides
+    * hash in the same masked domain. */
   def streamingIncrementalDedup(docs: DataFrame, idCol: String,
       textCol: String, oldHashes: DataFrame): DataFrame = {
     import graft.functions.TextFunctions

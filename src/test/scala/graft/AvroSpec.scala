@@ -38,8 +38,12 @@ class AvroSpec extends SparkSpec {
         if (i % 17 == 0) null else s"str-$i-é",
         if (i % 19 == 0) null else Array.tabulate(i % 8)(j => (i + j).toByte),
         if (i % 23 == 0) null else (0 until i % 5).map(j => i * 0.25f + j),
-        (0 until i % 3).map(j => i.toLong * 100 + j),
-        (0 until i % 4).map(j => s"e$j"))
+        // null ELEMENTS inside arrays: Spark arrays default to
+        // containsNull=true, so the writer must emit ["null", T]
+        // element unions instead of NPEing mid-write
+        (0 until i % 3).map(j => if ((i + j) % 5 == 0) null
+          else Long.box(i.toLong * 100 + j)),
+        (0 until i % 4).map(j => if (j == 2) null else s"e$j"))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), typedSchema)

@@ -154,6 +154,28 @@ class CurateKernelsSpec extends SparkSpec {
     assert(k(0L) === null)
   }
 
+  test("featureWeightSum matches pmod semantics on NEGATIVE hashes") {
+    // the SQL surface accepts any bigint (e.g. raw xxhash64, negative
+    // ~half the time); the kernel must bucket with floorMod exactly
+    // like the Column formulation's pmod — a Java % would give
+    // negative buckets and weights outside [-1000, 1000]
+    val rows = (0 until 200).map(i => (i.toLong,
+      Seq(-1L, Long.MinValue + i, i.toLong * -104729L, i.toLong * 7919L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3))
+      .toDF("id", "hs")
+    val (a, b) = (TextFunctions.uhashA(3), TextFunctions.uhashB(3))
+    val k = df.select(col("id"),
+        TextFunctions.featureWeightSum(col("hs"), 4096, a, b).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    val c = df.select(col("id"),
+        TextFunctions.featureWeightSumCols(col("hs"), 4096, a, b).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    assert(k === c)
+    k.values.foreach { st =>
+      assert(math.abs(st(1).asInstanceOf[Long]) <= 4L * 1000L, st)
+    }
+  }
+
   test("featureWeightSum weights are bounded and deterministic") {
     // every milli-weight lies in [-1000, 1000]: a doc with n features
     // can never score outside n*1000 in magnitude
