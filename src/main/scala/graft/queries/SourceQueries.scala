@@ -77,6 +77,22 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, cache))
     }),
 
+    // Avro temporal logical types: events (timestamp_ntz ts) round
+    // trips through local-timestamp-micros; min/max of the decoded
+    // timestamps hash-gate the micros conversion in both directions.
+    "q_avro_events" -> ((s, dir) => {
+      val cache = cacheDir(dir, "events_avro") + "/events.avro"
+      graft.sources.Avro.toAvro(
+        t(s, dir, "events").select("event_id", "ts", "user_id", "event_type", "value"),
+        cache)
+      graft.sources.Readers.open(s, cache)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+          r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // distributed sharded Avro export + glob read-back (the scale
     // shape: every partition streams its own container file; the glob
     // read unions per-file distributed reads)
@@ -497,6 +513,11 @@ object SourceQueries {
     "q_orc_agg" -> aggSql,
     "q_avro_agg" -> aggSql,
     "q_avro_sharded" -> aggSql,
+    "q_avro_events" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+         |  ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hdf5_agg" -> aggSql,
     "q_hdf5_chunked" -> aggSql,
     "q_hdf5_latest" -> aggSql,

@@ -25,10 +25,13 @@ import scala.jdk.CollectionConverters._
   * handle — no driver materialization, wall-clock bounded by the
   * largest split at any file size.
   *
-  * Type surface: boolean/int/long/float/double/string/bytes, their
-  * nullable `["null", T]` unions, and arrays of those primitives —
+  * Type surface: boolean/int/long/float/double/string/bytes, the
+  * standard temporal logical types (timestamp-micros,
+  * local-timestamp-micros, date), their nullable `["null", T]`
+  * unions, and arrays of primitives (nullable elements included) —
   * the interchange subset every engine agrees on. Unsupported Avro
-  * branches fail fast with the offending schema fragment.
+  * branches fail fast with the offending schema fragment; unknown
+  * logical annotations fall back to their raw carrier type.
   */
 object Avro {
 
@@ -58,6 +61,17 @@ object Avro {
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
     case StringType => Schema.create(Schema.Type.STRING)
     case BinaryType => Schema.create(Schema.Type.BYTES)
+    // temporal logical types (the Avro spec's standard encodings):
+    // micros-precision matches Catalyst's internal representation
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      org.apache.avro.LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
     case ArrayType(elem, containsNull) => elem match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType |
           StringType =>
@@ -73,11 +87,20 @@ object Avro {
       s"avro export: unsupported type ${other.catalogString} (column $ctx)")
   }
 
-  /** Avro -> Spark type; unwraps `["null", T]` unions. */
+  /** Avro -> Spark type; unwraps `["null", T]` unions and the
+    * standard temporal logical types (unknown logical annotations fall
+    * back to their raw carrier type — they are still valid data). */
   private def sparkType(s: Schema, ctx: String): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
+    case Schema.Type.INT => s.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.Date => DateType
+      case _ => IntegerType
+    }
+    case Schema.Type.LONG => s.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => TimestampNTZType
+      case _ => LongType
+    }
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING => StringType
@@ -114,6 +137,14 @@ object Avro {
     case (_, null) => null
     case (StringType, s: String) => s
     case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
+    case (TimestampType, ts: java.sql.Timestamp) =>
+      Long.box(java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+        ts.getNanos / 1000)
+    case (TimestampNTZType, ldt: java.time.LocalDateTime) =>
+      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000)
+    case (DateType, d: java.sql.Date) =>
+      Int.box(d.toLocalDate.toEpochDay.toInt)
     case (ShortType, n: java.lang.Short) => Int.box(n.intValue())
     case (ByteType, n: java.lang.Byte) => Int.box(n.intValue())
     case (ArrayType(elem, _), seq: scala.collection.Seq[_]) =>
@@ -205,6 +236,17 @@ object Avro {
     case (_, null) => null
     case (StringType, u: Utf8) => u.toString
     case (StringType, s: CharSequence) => s.toString
+    case (TimestampType, l: java.lang.Long) =>
+      val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(l, 1000L))
+      ts.setNanos((java.lang.Math.floorMod(l, 1000000L) * 1000L).toInt)
+      ts
+    case (TimestampNTZType, l: java.lang.Long) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(l, 1000000L),
+        (java.lang.Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (DateType, i: java.lang.Integer) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (BinaryType, b: java.nio.ByteBuffer) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (ArrayType(elem, _), l: java.util.Collection[_]) =>

@@ -65,6 +65,32 @@ class AvroSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("temporal logical types round-trip: timestamp-micros, local-timestamp-micros, date") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("ntz", TimestampNTZType),
+      StructField("d", DateType)))
+    val rows = (0 until 100).map { i =>
+      Row(i.toLong,
+        if (i % 9 == 0) null else new java.sql.Timestamp(
+          (i.toLong - 50) * 86400000L + i * 123L),
+        if (i % 7 == 0) null else java.time.LocalDateTime
+          .of(1960 + i, 1 + i % 12, 1 + i % 28, i % 24, i % 60, i % 60, (i % 1000) * 123000),
+        if (i % 5 == 0) null else java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(i.toLong * 97 - 2000)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val path = tmp("temporal.avro")
+    Avro.toAvro(df, path)
+    val back = Avro.fromAvro(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("distributed sync-split read covers every row exactly once") {
     // small sync interval -> many blocks; a file > 1 MiB would also
     // split, but the split logic itself is what matters: emulate by
