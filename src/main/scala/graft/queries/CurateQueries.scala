@@ -171,6 +171,37 @@ object CurateQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus snapshot diff — the dataset-versioning release report
+    // (what changed between corpus v1 and v2): full outer join of the
+    // two snapshots' (doc_id, content hash), per-(source, status)
+    // counts for added / removed / changed / unchanged. Snapshots are
+    // derived from doc_id (old: %3 != 0, new: %4 != 0) with content
+    // drift injected for %5 == 0 docs, so every status occurs at
+    // every scale. Scale shape: ONE join keyed on doc_id carrying
+    // (id, source, 8-byte hash) — text never moves; the status
+    // aggregation is a partial-agg shuffle on (source, status).
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldS = docs.where(col("doc_id") % 3 =!= 0).select(
+        col("doc_id"), col("source").as("src_old"),
+        TextFunctions.portableHash(col("text")).as("h_old"))
+      val newS = docs.where(col("doc_id") % 4 =!= 0).select(
+        col("doc_id"), col("source").as("src_new"),
+        TextFunctions.portableHash(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      oldS.join(newS, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_old"), col("src_new")).as("source"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"),
+          col("doc_id"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy("source", "status")
+    }),
+
     // deterministic epoch sharding — the corpus "shuffle" a training
     // run needs, without any global sort: shard = content-independent
     // hash of the doc id mod n_shards, within-shard order = (hash,
@@ -362,6 +393,25 @@ object CurateQueries {
          |SELECT n.doc_id, CAST(o.h IS NOT NULL AS BIGINT) AS is_dup
          |FROM newd n LEFT JOIN oldh o ON o.h = ${H("n.eff")}
          |ORDER BY n.doc_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      s"""WITH olds AS (
+         |  SELECT doc_id, source AS src_old, ${H("text")} AS h_old
+         |  FROM documents WHERE doc_id % 3 != 0),
+         |news AS (
+         |  SELECT doc_id, source AS src_new,
+         |    ${H("CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")} AS h_new
+         |  FROM documents WHERE doc_id % 4 != 0),
+         |st AS (
+         |  SELECT COALESCE(o.src_old, n.src_new) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.h_old != n.h_new THEN 'changed'
+         |         ELSE 'unchanged' END AS status,
+         |    COALESCE(o.doc_id, n.doc_id) AS doc_id
+         |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+         |SELECT source, status, COUNT(*) AS n, MIN(doc_id) AS first_id
+         |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_shard_assign" ->
       s"""WITH base AS (
