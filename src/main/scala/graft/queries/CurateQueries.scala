@@ -171,6 +171,38 @@ object CurateQueries {
         .orderBy("doc_id")
     }),
 
+    // bloom-prefiltered incremental dedup — the 100 TB shape of
+    // q_incremental_dedup (same construction, same oracle — the
+    // decontamination multi-lane discipline): a broadcast bloom over
+    // the old snapshot's hashes resolves definitely-unseen documents
+    // with a zero-shuffle projection; only maybe-seen hashes (true
+    // dups + the bloom's ~0.04% false positives) reach the exact
+    // dictionary join. On a mostly-fresh crawl increment nearly
+    // nothing joins.
+    "q_incremental_dedup_bloom" -> ((s, dir) => {
+      import graft.functions.BloomFunctions
+      val docs = t(s, dir, "documents")
+      val donors = docs.select((col("doc_id") - 1).as("nid"),
+        col("text").as("donor_text"))
+      val staged = docs.where(col("doc_id") % 3 === 0)
+        .join(donors, col("doc_id") === col("nid"), "left")
+        .select(col("doc_id"),
+          TextFunctions.portableHash(
+            when(col("doc_id") % 9 === 0 && col("donor_text").isNotNull,
+              col("donor_text")).otherwise(col("text"))).as("h"))
+      val oldHdf = docs.where(col("doc_id") % 3 =!= 0)
+        .select(TextFunctions.portableHash(col("text")).as("h")).distinct()
+      val bloom = BloomFunctions.buildSizedBloom(oldHdf, col("h"))
+      val probed = staged.withColumn("__maybe",
+        BloomFunctions.bloomContains(col("h"), bloom))
+      val definite = probed.where(!col("__maybe"))
+        .select(col("doc_id"), lit(0L).as("is_dup"))
+      val confirmed = probed.where(col("__maybe"))
+        .join(oldHdf.withColumn("dup", lit(1L)), Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+      definite.unionByName(confirmed).orderBy("doc_id")
+    }),
+
     // corpus snapshot diff — the dataset-versioning release report
     // (what changed between corpus v1 and v2): full outer join of the
     // two snapshots' (doc_id, content hash), per-(source, status)
@@ -382,6 +414,20 @@ object CurateQueries {
          |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_incremental_dedup" ->
+      s"""WITH newd AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 9 = 0 AND dn.text IS NOT NULL
+         |      THEN dn.text ELSE d.text END AS eff
+         |  FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 3 = 0),
+         |oldh AS (
+         |  SELECT DISTINCT ${H("text")} AS h FROM documents WHERE doc_id % 3 != 0)
+         |SELECT n.doc_id, CAST(o.h IS NOT NULL AS BIGINT) AS is_dup
+         |FROM newd n LEFT JOIN oldh o ON o.h = ${H("n.eff")}
+         |ORDER BY n.doc_id""".stripMargin,
+
+    // same oracle: the bloom prefilter must be invisible in the result
+    "q_incremental_dedup_bloom" ->
       s"""WITH newd AS (
          |  SELECT d.doc_id,
          |    CASE WHEN d.doc_id % 9 = 0 AND dn.text IS NOT NULL

@@ -314,6 +314,37 @@ class StreamingSpec extends SparkSpec {
       v.toString.contains("<EMAIL>") && v.toString.contains("<PHONE>"))))
   }
 
+  test("r12 projections are mode-agnostic: text clean + classifier + luhn on a stream") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (0L, "mojibake cafÃ© tail card 4242424242424242 ok"),
+      (1L, "plain words only card 4242424242424243 no"),
+      (2L, "the quick brown fox jumps again and again"))
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col("text"), " ")
+      val feats = array_distinct(concat(toks, TextFunctions.gramStrings(toks, 2)))
+      val hs = TextFunctions.hashedGrams(feats, TextFunctions.Md5Hash, 60)
+      df.select(col("doc_id"),
+        TextFunctions.mojibakeRepair(col("text")).as("clean"),
+        TextFunctions.luhnValid(
+          regexp_extract(col("text"), "\\d{16}", 0)).as("card_ok"),
+        TextFunctions.featureWeightSum(hs, 4096,
+          TextFunctions.uhashA(7), TextFunctions.uhashB(7))
+          .getField("wsum_milli").as("w"))
+    }
+    val expected = curate(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    val got = StreamOps.runToMemory(
+        curate(stream.toDF.toDF("doc_id", "text")),
+        "t_curation12", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(expected.exists(_.exists(v => v.toString.contains("café"))))
+    assert(expected.exists(r => r(2) == true) && expected.exists(r => r(2) == false))
+  }
+
   test("streamingDecontaminate: stream equals batch; clean docs emit nothing") {
     // eval docs carry known 5-grams; train doc 11 repeats eval doc 0's
     // opening 5-gram verbatim, 12 shares one with eval doc 10, 13+14
