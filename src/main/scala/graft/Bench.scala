@@ -367,7 +367,14 @@ object Bench {
       val t = thr(name); if (t > 0) (n / t).toLong else -1L
     }
 
+    // the compact line must stay under the ~1850-char tail-capture
+    // budget: stable sub-second pipeline lanes are omitted from it
+    // (their times + rep matrices are still in `# detail` and
+    // BENCH_DETAIL.json)
+    val compactOmit = Set("q_html_extract", "q_unicode_normalize",
+      "q_compress_ratio", "q_char_entropy", "q_blocklist_filter")
     val qs = (results ++ scaleResults ++ skewResults ++ pipeResults)
+      .filterNot { case (k, _) => compactOmit(k) }
       .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
     // per-rep battery times: a throttled pass shows up as one inflated
     // column across many queries instead of silently poisoning mins

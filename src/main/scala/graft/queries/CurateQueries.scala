@@ -171,14 +171,20 @@ object CurateQueries {
         .orderBy("doc_id")
     }),
 
-    // bloom-prefiltered incremental dedup — the 100 TB shape of
-    // q_incremental_dedup (same construction, same oracle — the
-    // decontamination multi-lane discipline): a broadcast bloom over
-    // the old snapshot's hashes resolves definitely-unseen documents
-    // with a zero-shuffle projection; only maybe-seen hashes (true
-    // dups + the bloom's ~0.04% false positives) reach the exact
-    // dictionary join. On a mostly-fresh crawl increment nearly
-    // nothing joins.
+    // bloom-prefiltered incremental dedup (same construction, same
+    // oracle as q_incremental_dedup — the decontamination multi-lane
+    // discipline): a broadcast bloom over the old snapshot's hashes
+    // resolves definitely-unseen documents with a zero-shuffle
+    // projection; only maybe-seen hashes reach the exact dictionary
+    // join. HONEST measurement (IncDedupProbe, BENCH_AB_r12.md): on
+    // THIS operator the prefilter does NOT pay — the exact lane's
+    // join payload is already one 8-byte hash per doc (nothing like
+    // decontamination's per-doc gram explosion to avoid), the bloom
+    // build adds a second pass over the old side, and the synthetic
+    // increment is ~33% dup. The lane exists as the composable shape
+    // for the regime where the confirmation join is skipped for ~all
+    // docs AND the surviving remainder broadcasts; the exact lane is
+    // the default.
     "q_incremental_dedup_bloom" -> ((s, dir) => {
       import graft.functions.BloomFunctions
       val docs = t(s, dir, "documents")
