@@ -54,13 +54,24 @@ object DecontamProbe {
 
     val listener = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(listener)
+    // poll until the async listener counter is stable for two 200 ms
+    // windows (a fixed sleep mis-credits stages across measurements
+    // under load — the IncDedupProbe lesson)
+    def drained(): Long = {
+      var prev = -1L
+      var cur = listener.bytes.get()
+      var waited = 0
+      while (cur != prev && waited < 15000) {
+        prev = cur; Thread.sleep(200); waited += 200
+        cur = listener.bytes.get()
+      }
+      cur
+    }
     def shuffleBytesOf(run: () => Unit): Long = {
       run()
-      Thread.sleep(500) // listener events drain async
-      val before = listener.bytes.get()
+      val before = drained()
       run()
-      Thread.sleep(500)
-      listener.bytes.get() - before
+      drained() - before
     }
     // one measurement protocol for every section: warmup + shuffle
     // bytes per lane (the second warmup run is the measured one), then

@@ -49,13 +49,24 @@ object IncDedupProbe {
 
     val listener = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(listener)
+    // the listener bus drains asynchronously; a fixed sleep mis-credits
+    // stages across measurements under load — poll until the counter
+    // has been stable for two consecutive 200 ms windows (bounded)
+    def drained(): Long = {
+      var prev = -1L
+      var cur = listener.bytes.get()
+      var waited = 0
+      while (cur != prev && waited < 15000) {
+        prev = cur; Thread.sleep(200); waited += 200
+        cur = listener.bytes.get()
+      }
+      cur
+    }
     def shuffleBytesOf(run: () => Unit): Long = {
       run()
-      Thread.sleep(500) // listener events drain async
-      val before = listener.bytes.get()
+      val before = drained()
       run()
-      Thread.sleep(500)
-      listener.bytes.get() - before
+      drained() - before
     }
 
     val out = Seq("1x" -> sfDir, "10x" -> scaleDir).map { case (tag, dir) =>

@@ -36,6 +36,40 @@ object CurateQueries {
   /** 60-bit md5-prefix portable hash in DuckDB. */
   private def H(e: String) = s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
 
+  /** The incremental-dedup pair's SHARED construction (one definition
+    * so the exact and bloom lanes can never drift): the new-crawl
+    * increment (doc_id %3 == 0) with %9 == 0 docs carrying an old
+    * doc's text (injected contamination), hashed to (doc_id, h). */
+  private def incrementHashed(docs: DataFrame): DataFrame = {
+    val donors = docs.select((col("doc_id") - 1).as("nid"),
+      col("text").as("donor_text"))
+    docs.where(col("doc_id") % 3 === 0)
+      .join(donors, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        TextFunctions.portableHash(
+          when(col("doc_id") % 9 === 0 && col("donor_text").isNotNull,
+            col("donor_text")).otherwise(col("text"))).as("h"))
+  }
+
+  /** The previous snapshot's distinct 60-bit hash dictionary. */
+  private def oldSnapshotHashes(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 3 =!= 0)
+      .select(TextFunctions.portableHash(col("text")).as("h")).distinct()
+
+  /** ONE oracle for both incremental-dedup lanes. */
+  private val incDedupOracle: String =
+    s"""WITH newd AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 9 = 0 AND dn.text IS NOT NULL
+       |      THEN dn.text ELSE d.text END AS eff
+       |  FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
+       |  WHERE d.doc_id % 3 = 0),
+       |oldh AS (
+       |  SELECT DISTINCT ${H("text")} AS h FROM documents WHERE doc_id % 3 != 0)
+       |SELECT n.doc_id, CAST(o.h IS NOT NULL AS BIGINT) AS is_dup
+       |FROM newd n LEFT JOIN oldh o ON o.h = ${H("n.eff")}
+       |ORDER BY n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ftfy-style text cleanup: single-layer mojibake repair (latin-1
     // bytes that strictly decode as UTF-8), control-char strip,
@@ -154,19 +188,8 @@ object CurateQueries {
     // clean increments probe the broadcast bloom and join NOTHING.
     "q_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val donors = docs.select((col("doc_id") - 1).as("nid"),
-        col("text").as("donor_text"))
-      val staged = docs.where(col("doc_id") % 3 === 0)
-        .join(donors, col("doc_id") === col("nid"), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") % 9 === 0 && col("donor_text").isNotNull,
-            col("donor_text")).otherwise(col("text")).as("eff_text"))
-      val oldH = docs.where(col("doc_id") % 3 =!= 0)
-        .select(TextFunctions.portableHash(col("text")).as("h"))
-        .distinct().withColumn("dup", lit(1L))
-      staged.select(col("doc_id"),
-          TextFunctions.portableHash(col("eff_text")).as("h"))
-        .join(oldH, Seq("h"), "left")
+      incrementHashed(docs)
+        .join(oldSnapshotHashes(docs).withColumn("dup", lit(1L)), Seq("h"), "left")
         .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
         .orderBy("doc_id")
     }),
@@ -188,16 +211,8 @@ object CurateQueries {
     "q_incremental_dedup_bloom" -> ((s, dir) => {
       import graft.functions.BloomFunctions
       val docs = t(s, dir, "documents")
-      val donors = docs.select((col("doc_id") - 1).as("nid"),
-        col("text").as("donor_text"))
-      val staged = docs.where(col("doc_id") % 3 === 0)
-        .join(donors, col("doc_id") === col("nid"), "left")
-        .select(col("doc_id"),
-          TextFunctions.portableHash(
-            when(col("doc_id") % 9 === 0 && col("donor_text").isNotNull,
-              col("donor_text")).otherwise(col("text"))).as("h"))
-      val oldHdf = docs.where(col("doc_id") % 3 =!= 0)
-        .select(TextFunctions.portableHash(col("text")).as("h")).distinct()
+      val staged = incrementHashed(docs)
+      val oldHdf = oldSnapshotHashes(docs)
       val bloom = BloomFunctions.buildSizedBloom(oldHdf, col("h"))
       val probed = staged.withColumn("__maybe",
         BloomFunctions.bloomContains(col("h"), bloom))
@@ -220,18 +235,23 @@ object CurateQueries {
     // aggregation is a partial-agg shuffle on (source, status).
     "q_corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // presence comes from explicit flags, NOT from hash nullness —
+      // a snapshot row with NULL text has a NULL hash but still EXISTS
+      // (the oracle tests row presence via the join key)
       val oldS = docs.where(col("doc_id") % 3 =!= 0).select(
         col("doc_id"), col("source").as("src_old"),
-        TextFunctions.portableHash(col("text")).as("h_old"))
+        TextFunctions.portableHash(col("text")).as("h_old"),
+        lit(1).as("p_old"))
       val newS = docs.where(col("doc_id") % 4 =!= 0).select(
         col("doc_id"), col("source").as("src_new"),
         TextFunctions.portableHash(
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))).as("h_new"))
+            .otherwise(col("text"))).as("h_new"),
+        lit(1).as("p_new"))
       oldS.join(newS, Seq("doc_id"), "full_outer")
         .select(coalesce(col("src_old"), col("src_new")).as("source"),
-          when(col("h_old").isNull, "added")
-            .when(col("h_new").isNull, "removed")
+          when(col("p_old").isNull, "added")
+            .when(col("p_new").isNull, "removed")
             .when(col("h_old") =!= col("h_new"), "changed")
             .otherwise("unchanged").as("status"),
           col("doc_id"))
@@ -419,32 +439,10 @@ object CurateQueries {
          |  CAST(wsum_milli > 0 AS BIGINT) AS label
          |FROM agg ORDER BY doc_id""".stripMargin,
 
-    "q_incremental_dedup" ->
-      s"""WITH newd AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 9 = 0 AND dn.text IS NOT NULL
-         |      THEN dn.text ELSE d.text END AS eff
-         |  FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
-         |  WHERE d.doc_id % 3 = 0),
-         |oldh AS (
-         |  SELECT DISTINCT ${H("text")} AS h FROM documents WHERE doc_id % 3 != 0)
-         |SELECT n.doc_id, CAST(o.h IS NOT NULL AS BIGINT) AS is_dup
-         |FROM newd n LEFT JOIN oldh o ON o.h = ${H("n.eff")}
-         |ORDER BY n.doc_id""".stripMargin,
+    "q_incremental_dedup" -> incDedupOracle,
 
     // same oracle: the bloom prefilter must be invisible in the result
-    "q_incremental_dedup_bloom" ->
-      s"""WITH newd AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 9 = 0 AND dn.text IS NOT NULL
-         |      THEN dn.text ELSE d.text END AS eff
-         |  FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
-         |  WHERE d.doc_id % 3 = 0),
-         |oldh AS (
-         |  SELECT DISTINCT ${H("text")} AS h FROM documents WHERE doc_id % 3 != 0)
-         |SELECT n.doc_id, CAST(o.h IS NOT NULL AS BIGINT) AS is_dup
-         |FROM newd n LEFT JOIN oldh o ON o.h = ${H("n.eff")}
-         |ORDER BY n.doc_id""".stripMargin,
+    "q_incremental_dedup_bloom" -> incDedupOracle,
 
     "q_corpus_diff" ->
       s"""WITH olds AS (

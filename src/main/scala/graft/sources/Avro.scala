@@ -99,6 +99,10 @@ object Avro {
     case Schema.Type.LONG => s.getLogicalType match {
       case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
       case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => TimestampNTZType
+      // millis variants (spark-avro / Kafka Connect default output):
+      // same Spark types, values scaled at read via timeUnitScale
+      case _: org.apache.avro.LogicalTypes.TimestampMillis => TimestampType
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => TimestampNTZType
       case _ => LongType
     }
     case Schema.Type.FLOAT => FloatType
@@ -122,6 +126,22 @@ object Avro {
     }.toArray)
   }
 
+  /** Micros-per-stored-unit for a field's timestamp logical type
+    * (1000 for the -millis variants, 1 otherwise) — the read path
+    * multiplies stored values up to Catalyst's micros. */
+  private def timeUnitScale(s: Schema): Long = {
+    val unwrapped = s.getType match {
+      case Schema.Type.UNION =>
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+      case _ => s
+    }
+    unwrapped.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.TimestampMillis => 1000L
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => 1000L
+      case _ => 1L
+    }
+  }
+
   // ------------------------------------------------------------ write
 
   private def codecOf(codec: Option[String]): CodecFactory = codec match {
@@ -140,15 +160,26 @@ object Avro {
     case (TimestampType, ts: java.sql.Timestamp) =>
       Long.box(java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
         ts.getNanos / 1000)
+    // spark.sql.datetime.java8API.enabled swaps the external temporal
+    // classes — accept both so the writer is config-agnostic
+    case (TimestampType, i: java.time.Instant) =>
+      Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000)
     case (TimestampNTZType, ldt: java.time.LocalDateTime) =>
       Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
         ldt.getNano / 1000)
     case (DateType, d: java.sql.Date) =>
       Int.box(d.toLocalDate.toEpochDay.toInt)
+    case (DateType, ld: java.time.LocalDate) =>
+      Int.box(ld.toEpochDay.toInt)
     case (ShortType, n: java.lang.Short) => Int.box(n.intValue())
     case (ByteType, n: java.lang.Byte) => Int.box(n.intValue())
     case (ArrayType(elem, _), seq: scala.collection.Seq[_]) =>
       seq.map(e => toAvroValue(e, elem)).asJava
+    // an unrecognized external temporal class must fail HERE with the
+    // offending class, not as a cryptic Avro union error mid-write
+    case (TimestampType | TimestampNTZType | DateType, other) =>
+      throw new IllegalArgumentException(
+        s"avro export: unexpected external value ${other.getClass.getName} for ${dt.catalogString}")
     case (_, other) => other.asInstanceOf[AnyRef]
   }
 
@@ -232,25 +263,37 @@ object Avro {
     override def close(): Unit = in.close()
   }
 
-  private def fromAvroValue(v: Any, dt: DataType): Any = (dt, v) match {
+  /** `unitScale` = micros per stored unit ([[timeUnitScale]]);
+    * `java8` selects the external temporal classes Spark's Row
+    * encoder expects under spark.sql.datetime.java8API.enabled. */
+  private def fromAvroValue(v: Any, dt: DataType, unitScale: Long,
+      java8: Boolean): Any = (dt, v) match {
     case (_, null) => null
     case (StringType, u: Utf8) => u.toString
     case (StringType, s: CharSequence) => s.toString
     case (TimestampType, l: java.lang.Long) =>
-      val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(l, 1000L))
-      ts.setNanos((java.lang.Math.floorMod(l, 1000000L) * 1000L).toInt)
-      ts
+      val us = l * unitScale
+      if (java8) java.time.Instant.ofEpochSecond(
+        java.lang.Math.floorDiv(us, 1000000L),
+        java.lang.Math.floorMod(us, 1000000L) * 1000L)
+      else {
+        val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000L))
+        ts.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      }
     case (TimestampNTZType, l: java.lang.Long) =>
+      val us = l * unitScale
       java.time.LocalDateTime.ofEpochSecond(
-        java.lang.Math.floorDiv(l, 1000000L),
-        (java.lang.Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.lang.Math.floorDiv(us, 1000000L),
+        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
         java.time.ZoneOffset.UTC)
     case (DateType, i: java.lang.Integer) =>
-      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+      if (java8) java.time.LocalDate.ofEpochDay(i.longValue())
+      else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (BinaryType, b: java.nio.ByteBuffer) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (ArrayType(elem, _), l: java.util.Collection[_]) =>
-      l.asScala.map(e => fromAvroValue(e, elem)).toSeq
+      l.asScala.map(e => fromAvroValue(e, elem, 1L, java8)).toSeq
     case _ => v
   }
 
@@ -267,14 +310,17 @@ object Avro {
       finally r.close() // closes `in` too
     }
     val sparkSt = sparkSchema(new Schema.Parser().parse(schemaJson))
+    val java8 = spark.conf.get("spark.sql.datetime.java8API.enabled", "false").toBoolean
     val target = spark.sparkContext.defaultParallelism
     val nSplits = math.max(1, math.min(target.toLong, fileLen / (1L << 20)).toInt)
     val span = (fileLen + nSplits - 1) / nSplits
     val ranges = (0 until nSplits).map(i => (i * span, math.min((i + 1) * span, fileLen)))
     val p = path
+    val j8 = java8
     val rdd = spark.sparkContext.parallelize(ranges, nSplits).flatMap { case (start, end) =>
       val avsc = new Schema.Parser().parse(schemaJson)
       val st = sparkSchema(avsc)
+      val scales = avsc.getFields.asScala.map(f => timeUnitScale(f.schema())).toArray
       val in = new HadoopSeekableInput(p)
       val reader = try new DataFileReader(in, new GenericDatumReader[GenericRecord](avsc))
         catch { case e: Throwable => in.close(); throw e }
@@ -292,7 +338,7 @@ object Avro {
         override def next(): Row = {
           val rec = reader.next()
           Row.fromSeq(st.fields.indices.map { i =>
-            fromAvroValue(rec.get(i), st.fields(i).dataType)
+            fromAvroValue(rec.get(i), st.fields(i).dataType, scales(i), j8)
           })
         }
       }

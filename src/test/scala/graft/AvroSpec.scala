@@ -73,8 +73,15 @@ class AvroSpec extends SparkSpec {
       StructField("d", DateType)))
     val rows = (0 until 100).map { i =>
       Row(i.toLong,
-        if (i % 9 == 0) null else new java.sql.Timestamp(
-          (i.toLong - 50) * 86400000L + i * 123L),
+        if (i % 9 == 0) null else {
+          // sub-millisecond micros included: a bare Timestamp(millis)
+          // only ever carries whole-millisecond nanos, which would
+          // leave the getNanos/1000 micro-remainder path untested
+          val us = (i.toLong - 50) * 86400000000L + i.toLong * 1234567L
+          val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000L))
+          ts.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        },
         if (i % 7 == 0) null else java.time.LocalDateTime
           .of(1960 + i, 1 + i % 12, 1 + i % 28, i % 24, i % 60, i % 60, (i % 1000) * 123000),
         if (i % 5 == 0) null else java.sql.Date.valueOf(
@@ -89,6 +96,63 @@ class AvroSpec extends SparkSpec {
     val a = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("timestamp-millis logical types (external writers) scale to micros on read") {
+    // hand-build a file whose ts fields use the -millis variants (what
+    // spark-avro / Kafka Connect commonly emit) — our writer always
+    // emits micros, so construct the schema manually
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val tsMs = LogicalTypes.timestampMillis().addToSchema(ASchema.create(ASchema.Type.LONG))
+    val ntzMs = LogicalTypes.localTimestampMillis().addToSchema(ASchema.create(ASchema.Type.LONG))
+    val rec = ASchema.createRecord("row", null, "t", false)
+    rec.setFields(java.util.Arrays.asList(
+      new ASchema.Field("id", ASchema.create(ASchema.Type.LONG), null, null),
+      new ASchema.Field("ts", tsMs, null, null),
+      new ASchema.Field("ntz", ntzMs, null, null)))
+    val path = tmp("millis.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](rec))
+    w.create(rec, new java.io.File(path))
+    (0 until 20).foreach { i =>
+      val r = new GenericData.Record(rec)
+      r.put(0, i.toLong); r.put(1, i.toLong * 1000L + 123L); r.put(2, i.toLong * 777L)
+      w.append(r)
+    }
+    w.close()
+    val back = Avro.fromAvro(spark, path).orderBy("id").collect()
+    assert(back.head.schema("ts").dataType === TimestampType)
+    assert(back.head.schema("ntz").dataType === TimestampNTZType)
+    // millis value 1123 -> 1123000 micros -> 1.123 s
+    assert(back(1).getTimestamp(1).getTime === 1123L)
+    assert(back(1).getAs[java.time.LocalDateTime](2) ===
+      java.time.LocalDateTime.ofEpochSecond(0, 777000000, java.time.ZoneOffset.UTC))
+  }
+
+  test("java8API datetime externals round-trip (Instant/LocalDate)") {
+    val prev = spark.conf.get("spark.sql.datetime.java8API.enabled", "false")
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("ts", TimestampType),
+        StructField("d", DateType)))
+      val rows = (0 until 50).map { i =>
+        Row(i.toLong,
+          java.time.Instant.ofEpochSecond(i.toLong * 3607L - 1000L, i * 123000L),
+          java.time.LocalDate.ofEpochDay(i.toLong * 31 - 400))
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val path = tmp("java8.avro")
+      Avro.toAvro(df, path)
+      val back = Avro.fromAvro(spark, path)
+      val a = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(a.toSeq === b.toSeq)
+      assert(b.head(1).isInstanceOf[java.time.Instant])
+      assert(b.head(2).isInstanceOf[java.time.LocalDate])
+    } finally spark.conf.set("spark.sql.datetime.java8API.enabled", prev)
   }
 
   test("distributed sync-split read covers every row exactly once") {
