@@ -224,6 +224,41 @@ object CurateQueries {
       definite.unionByName(confirmed).orderBy("doc_id")
     }),
 
+    // WARC record parsing — the crawl-archive ingest front end (the
+    // Common-Crawl record shape): each doc becomes a WARC/1.0 record
+    // (version line, typed headers, CRLF-CRLF separator, payload),
+    // then the lane PARSES it back with lookaround-free regexes both
+    // engines run identically — record type, target host, declared
+    // Content-Length validated against the actual payload octets.
+    // Pure projection — zero shuffle; at scale this is the
+    // per-record map over a WARC split reader.
+    "q_warc_parse" -> ((s, dir) => {
+      val host = concat(lit("site"), (col("doc_id") % 17).cast("string"),
+        lit(".example"), (col("doc_id") % 5).cast("string"), lit(".com"))
+      val wtype = when(col("doc_id") % 3 === 0, "response")
+        .when(col("doc_id") % 3 === 1, "request").otherwise("metadata")
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: "), wtype,
+        lit("\r\nWARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
+        lit(">\r\nWARC-Target-URI: https://"), host,
+        lit("/page"), (col("doc_id") % 9).cast("string"),
+        lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        octet_length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+      val staged = t(s, dir, "documents").select(col("doc_id"), rec.as("__rec"))
+      val parsedType = regexp_extract(col("__rec"), "WARC-Type: ([a-z]+)", 1)
+      val parsedHost = regexp_extract(col("__rec"),
+        "WARC-Target-URI: https://([^/]+)/", 1)
+      val declaredLen = regexp_extract(col("__rec"),
+        "Content-Length: ([0-9]+)", 1).cast("long")
+      val payload = element_at(split(col("__rec"), "\r\n\r\n"), 2)
+      staged.select(col("doc_id"), parsedType.as("warc_type"),
+          parsedHost.as("host"), declaredLen.as("content_length"),
+          (octet_length(payload) === declaredLen).cast("long").as("len_ok"),
+          substring(payload, 1, 20).as("payload_head"))
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff — the dataset-versioning release report
     // (what changed between corpus v1 and v2): full outer join of the
     // two snapshots' (doc_id, content hash), per-(source, status)
@@ -443,6 +478,35 @@ object CurateQueries {
 
     // same oracle: the bloom prefilter must be invisible in the result
     "q_incremental_dedup_bloom" -> incDedupOracle,
+
+    "q_warc_parse" ->
+      """WITH rec AS (
+        |  SELECT doc_id,
+        |    'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: ' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'response'
+        |         WHEN doc_id % 3 = 1 THEN 'request' ELSE 'metadata' END ||
+        |    chr(13) || chr(10) || 'WARC-Record-ID: <urn:uuid:' || doc_id ||
+        |    '>' || chr(13) || chr(10) || 'WARC-Target-URI: https://site' ||
+        |    CAST(doc_id % 17 AS VARCHAR) || '.example' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '.com/page' ||
+        |    CAST(doc_id % 9 AS VARCHAR) ||
+        |    chr(13) || chr(10) || 'Content-Type: text/html' ||
+        |    chr(13) || chr(10) || 'Content-Length: ' ||
+        |    CAST(octet_length(encode(text)) AS VARCHAR) ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) || text ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(r, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+        |  regexp_extract(r, 'WARC-Target-URI: https://([^/]+)/', 1) AS host,
+        |  CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+        |    AS content_length,
+        |  CAST(octet_length(encode(string_split(r, chr(13) || chr(10) || chr(13) || chr(10))[2]))
+        |    = CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+        |    AS BIGINT) AS len_ok,
+        |  substring(string_split(r, chr(13) || chr(10) || chr(13) || chr(10))[2], 1, 20)
+        |    AS payload_head
+        |FROM rec ORDER BY doc_id""".stripMargin,
 
     "q_corpus_diff" ->
       s"""WITH olds AS (
