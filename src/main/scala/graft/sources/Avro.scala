@@ -35,6 +35,22 @@ import scala.jdk.CollectionConverters._
   */
 object Avro {
 
+  /** Decode-allocation safety caps (the [[ArrowIpc]] MaxReadAllocBytes
+    * analog): a corrupt varint length must surface as avro's prompt
+    * SystemLimitException, not a multi-GB heap allocation. Avro reads
+    * these system properties once; set only if the operator has not
+    * configured them. 256 MB single string/bytes and 2^26 collection
+    * items are far beyond any sane record. */
+  locally {
+    val defaults = Seq(
+      "org.apache.avro.limits.bytes.maxLength" -> (256L << 20).toString,
+      "org.apache.avro.limits.string.maxLength" -> (256L << 20).toString,
+      "org.apache.avro.limits.collectionItems.maxLength" -> (1 << 26).toString)
+    defaults.foreach { case (k, v) =>
+      if (System.getProperty(k) == null) System.setProperty(k, v)
+    }
+  }
+
   // ------------------------------------------------------------ schema
 
   /** Spark -> Avro schema. Every field is written as a nullable union

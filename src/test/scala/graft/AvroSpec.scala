@@ -202,6 +202,47 @@ class AvroSpec extends SparkSpec {
     assert(Readers.open(spark, packed).count() === 5000L)
   }
 
+  test("corrupt-byte fuzzing: reader throws promptly, never hangs") {
+    // the HDF5/FITS/Arrow fuzz protocol: mutate a real container's
+    // bytes — biased to the head (magic + schema json) and tail — and
+    // require every read to either succeed or raise promptly
+    val path = tmp("fuzzbase.avro")
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("text-"), col("id")).as("s"))
+    Avro.toAvro(df, path, codec = None, syncInterval = 1024)
+    val base = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val mut = java.nio.file.Paths.get(tmp("mut.avro"))
+    val rnd = new scala.util.Random(11)
+    var parsed = 0
+    val t0 = System.nanoTime()
+    for (_ <- 1 to 60) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(3)) {
+        val pos = rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(math.min(512, m.length))
+          case 1 => m.length - 1 - rnd.nextInt(math.min(512, m.length))
+          case _ => rnd.nextInt(m.length)
+        }
+        m(pos) = rnd.nextInt(256).toByte
+      }
+      java.nio.file.Files.write(mut, m)
+      try { Avro.fromAvro(spark, mut.toString).collect(); parsed += 1 }
+      catch {
+        // string/bytes/collection lengths are capped by the avro limit
+        // properties Avro's object init sets, so corrupt lengths raise
+        // SystemLimitException (an Exception) — a genuine heap OOM (a
+        // reader leak) still fails the spec. The one OOM form allowed
+        // is the always-prompt VM array-size limit.
+        case _: Exception => ()
+        case e: OutOfMemoryError if e.getMessage != null &&
+            e.getMessage.contains("Requested array size") => ()
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 300.0, s"avro fuzz took ${secs}s")
+    assert(parsed > 0) // data-region mutations decode fine
+  }
+
   test("unsupported types and malformed unions fail fast") {
     val badDf = spark.range(1).select(struct(col("id")).as("st"))
     val e = intercept[IllegalArgumentException] {
