@@ -154,6 +154,46 @@ class CurateKernelsSpec extends SparkSpec {
     assert(k(0L) === null)
   }
 
+  test("VxFrame curation facade: textClean / qualityScore / dedupAgainst / shardAssign") {
+    val dirty = df1(Seq(
+      1L -> "cafÃ©  spaced out \r\n",
+      2L -> "plain text stays put",
+      3L -> "the quick brown fox",
+      4L -> "plain text stays put")).toDF("id", "text")
+    // textClean: repair + control strip + whitespace collapse, in place
+    val cleaned = graft.VxFrame(dirty).textClean().df
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "café spaced out")
+    assert(cleaned(2L) === "plain text stays put")
+    // qualityScore: columns added, score == kernel query shape
+    val scored = graft.VxFrame(dirty).qualityScore().df
+    assert(scored.columns.contains("quality_score") &&
+      scored.columns.contains("quality_score_label"))
+    val row = scored.where(col("id") === 3L).head()
+    val toks = org.apache.spark.sql.functions.split(col("text"), " ")
+    val expect = dirty.where(col("id") === 3L).select(
+      TextFunctions.featureWeightSum(
+        TextFunctions.hashedGrams(
+          array_distinct(org.apache.spark.sql.functions.concat(
+            toks, TextFunctions.gramStrings(toks, 2))),
+          TextFunctions.Md5Hash, 60),
+        4096, TextFunctions.uhashA(7), TextFunctions.uhashB(7))
+        .getField("wsum_milli")).head().getLong(0)
+    assert(row.getAs[Double]("quality_score") === expect / 1000.0)
+    // dedupAgainst: ids 2 and 4 share text with the old snapshot
+    val old = graft.VxFrame(df1(Seq(9L -> "plain text stays put")).toDF("id", "text"))
+    val kept = graft.VxFrame(dirty).dedupAgainst(old).df
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    // shardAssign: deterministic, in range, salt changes the layout
+    val sh1 = graft.VxFrame(dirty).shardAssign(4, "id").df
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh2 = graft.VxFrame(dirty).shardAssign(4, "id").df
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh1 === sh2)
+    assert(sh1.values.forall(s => s >= 0 && s < 4))
+  }
+
   test("featureWeightSum matches pmod semantics on NEGATIVE hashes") {
     // the SQL surface accepts any bigint (e.g. raw xxhash64, negative
     // ~half the time); the kernel must bucket with floorMod exactly
