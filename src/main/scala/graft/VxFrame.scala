@@ -514,12 +514,13 @@ final case class VxFrame(
     * (keeps tab/newline/formfeed/CR for the whitespace collapse),
     * NBSP/zero-width-space normalization, whitespace collapse + trim.
     * Pure projection — zero shuffle at any corpus size. */
-  def textClean(column: String = "text"): VxFrame = {
-    val repaired = graft.functions.TextFunctions.mojibakeRepair(col(column))
-    val noCtl = regexp_replace(repaired, "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", "")
-    val spaced = translate(noCtl, "\u00A0\u200B", "  ")
-    VxFrame(df.withColumn(column, trim(regexp_replace(spaced, "\\s+", " "))))
-  }
+  def textClean(column: String = "text"): VxFrame =
+    // ONE cleanup-chain definition shared with q_text_clean
+    // (TextFunctions.textCleanCol); state-preserving copy like every
+    // sibling transform — variables/selections/categories survive
+    copy(base = df.withColumn(column,
+        graft.functions.TextFunctions.textCleanCol(col(column))),
+      virtualColumns = ListMap.empty, filterExpression = None)
 
   /** Hashed-feature quality score over `column` (the
     * q_quality_classifier pipeline): distinct unigram+bigram features,
@@ -528,21 +529,20 @@ final case class VxFrame(
     * placeholder weights — swap in trained ones by replacing the
     * (a, b) derivation with a lookup table (same kernel shape). */
   def qualityScore(column: String = "text", as: String = "quality_score",
-                   nBuckets: Int = 4096): VxFrame = {
-    import graft.functions.TextFunctions
-    // VxFrame.split(fracs) shadows functions.split — qualify
-    val toks = org.apache.spark.sql.functions.split(col(column), " ")
-    val feats = array_distinct(
-      org.apache.spark.sql.functions.concat(toks, TextFunctions.gramStrings(toks, 2)))
-    val st = TextFunctions.featureWeightSum(
-      TextFunctions.hashedGrams(feats, TextFunctions.Md5Hash, 60),
-      nBuckets, TextFunctions.uhashA(7), TextFunctions.uhashB(7))
-    val staged = df.withColumn("__qs", st)
-    VxFrame(staged
-      .withColumn(as, col("__qs.wsum_milli").cast("double") / 1000.0)
-      .withColumn(s"${as}_label", (col("__qs.wsum_milli") > 0L).cast("long"))
-      .drop("__qs"))
+                   nBuckets: Int = graft.functions.TextFunctions.ClassifierBuckets): VxFrame = {
+    Seq(as, s"${as}_label", "__qs").foreach { n =>
+      require(!df.columns.contains(n), s"qualityScore: column $n already exists")
+    }
+    // ONE pipeline definition shared with q_quality_classifier
+    val staged = df.withColumn("__qs",
+      graft.functions.TextFunctions.classifierScoreStruct(col(column), nBuckets))
+    copy(base = staged
+        .withColumn(as, col("__qs.wsum_milli").cast("double") / 1000.0)
+        .withColumn(s"${as}_label", (col("__qs.wsum_milli") > 0L).cast("long"))
+        .drop("__qs"),
+      virtualColumns = ListMap.empty, filterExpression = None)
   }
+
 
   /** Incremental (cross-snapshot) dedup: keep only rows whose
     * `column` content hash does not appear in `old` (the
@@ -550,14 +550,18 @@ final case class VxFrame(
     * the previous snapshot, never against itself). Production
     * xxhash64 lane; only 8-byte hashes join. */
   def dedupAgainst(old: VxFrame, column: String = "text"): VxFrame = {
+    require(!df.columns.contains("__h"),
+      "dedupAgainst: column __h already exists — rename it first")
     import graft.functions.TextFunctions
     val h = TextFunctions.portableHash(col(column), TextFunctions.Xx64Hash)
     val oldH = old.df.select(
       TextFunctions.portableHash(col(column), TextFunctions.Xx64Hash).as("__h"))
       .distinct()
-    VxFrame(df.withColumn("__h", h)
-      .join(oldH, Seq("__h"), "left_anti").drop("__h"))
+    copy(base = df.withColumn("__h", h)
+        .join(oldH, Seq("__h"), "left_anti").drop("__h"),
+      virtualColumns = ListMap.empty, filterExpression = None)
   }
+
 
   /** Deterministic epoch shard assignment (the q_shard_assign shape):
     * adds `as` = salted-hash shard in [0, nShards). Reshuffle an
@@ -565,12 +569,15 @@ final case class VxFrame(
   def shardAssign(nShards: Int, idColumn: String, as: String = "shard",
                   salt: String = "shard:"): VxFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains(as), s"shardAssign: column $as already exists")
     import graft.functions.TextFunctions
-    VxFrame(df.withColumn(as, pmod(TextFunctions.portableHash(
-      org.apache.spark.sql.functions.concat(
-        lit(salt), col(idColumn).cast("string")), TextFunctions.Xx64Hash),
-      lit(nShards.toLong))))
+    copy(base = df.withColumn(as, pmod(TextFunctions.portableHash(
+        org.apache.spark.sql.functions.concat(
+          lit(salt), col(idColumn).cast("string")), TextFunctions.Xx64Hash),
+        lit(nShards.toLong))),
+      virtualColumns = ListMap.empty, filterExpression = None)
   }
+
 
   /** Chunked pull iteration (reference: core/dataframe.py:3112
     * evaluate_iterator; chunk_iterator core/dataset.py:528):

@@ -289,6 +289,39 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       MojibakeRepair(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
+  /** The post-repair cleanup chain — ONE definition shared by
+    * q_text_clean and VxFrame.textClean so the facade can never drift
+    * from the oracle-gated pipeline: control-char strip (keeps
+    * tab/newline/formfeed/CR for the collapse), NBSP/zero-width-space
+    * normalization, whitespace collapse + trim. */
+  def textCleanFromRepaired(repaired: Column): Column = {
+    val noCtl = regexp_replace(repaired, "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", "")
+    val spaced = translate(noCtl, "\u00A0\u200B", "  ")
+    trim(regexp_replace(spaced, "\\s+", " "))
+  }
+
+  /** Full ftfy-style cleanup: repair + [[textCleanFromRepaired]]. */
+  def textCleanCol(text: Column): Column =
+    textCleanFromRepaired(mojibakeRepair(text))
+
+  /** Quality-classifier defaults — ONE definition shared by
+    * q_quality_classifier's lane/oracle and VxFrame.qualityScore. */
+  val ClassifierBuckets: Int = 4096
+  def classifierA: Long = uhashA(7)
+  def classifierB: Long = uhashB(7)
+
+  /** The classifier's whole per-doc pipeline as one staged struct:
+    * distinct unigram+bigram features -> md5-60 hashes -> ONE
+    * [[FeatureWeightSum]] pass. Materialize it in its own projection
+    * and read fields from it. */
+  def classifierScoreStruct(text: Column,
+      nBuckets: Int = ClassifierBuckets): Column = {
+    val toks = tokens(text)
+    val feats = array_distinct(concat(toks, gramStrings(toks, 2)))
+    featureWeightSum(hashedGrams(feats, Md5Hash, 60),
+      nBuckets, classifierA, classifierB)
+  }
+
   /** Luhn mod-10 checksum validity of a digit string ([[LuhnValid]]
     * kernel) — the credit-card-candidate verifier behind checksum-
     * validated PII scrubbing. */

@@ -22,11 +22,12 @@ import Q._
   */
 object CurateQueries {
 
-  /** Classifier constants — inlined identically into the DuckDB
-    * oracle. a/b are Carter-Wegman member 7; 4096 buckets. */
-  private val ClsBuckets = 4096
-  private val ClsA = TextFunctions.uhashA(7)
-  private val ClsB = TextFunctions.uhashB(7)
+  /** Classifier constants — the shared TextFunctions defaults (one
+    * definition with VxFrame.qualityScore), inlined identically into
+    * the DuckDB oracle. a/b are Carter-Wegman member 7; 4096 buckets. */
+  private val ClsBuckets = TextFunctions.ClassifierBuckets
+  private val ClsA = TextFunctions.classifierA
+  private val ClsB = TextFunctions.classifierB
 
   /** ONE constant with the oracle CTE it reuses: q_cluster_balance's
     * Spark side quantizes with the same cell count
@@ -92,9 +93,9 @@ object CurateQueries {
       val staged = t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
         .select(col("doc_id"), col("__raw"),
           TextFunctions.mojibakeRepair(col("__raw")).as("__rep"))
-      val noCtl = regexp_replace(col("__rep"), "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", "")
-      val spaced = translate(noCtl, "\u00A0\u200B", "  ")
-      val cleaned = trim(regexp_replace(spaced, "\\s+", " "))
+      // ONE definition of the cleanup chain (TextFunctions) shared
+      // with VxFrame.textClean — the facade can never drift
+      val cleaned = TextFunctions.textCleanFromRepaired(col("__rep"))
       staged.select(col("doc_id"), cleaned.as("cleaned"),
           length(col("__raw")).cast("long").as("n_raw"),
           length(cleaned).cast("long").as("n_clean"),
@@ -157,11 +158,8 @@ object CurateQueries {
     // trained weights = replacing the weight formula with a lookup
     // array (same kernel shape, ctx.addReferenceObj).
     "q_quality_classifier" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val feats = array_distinct(concat(toks, TextFunctions.gramStrings(toks, 2)))
-      val hashes = TextFunctions.hashedGrams(feats, TextFunctions.Md5Hash, 60)
       val staged = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.featureWeightSum(hashes, ClsBuckets, ClsA, ClsB).as("__st"))
+        TextFunctions.classifierScoreStruct(col("text"), ClsBuckets).as("__st"))
       // score = the logit sum in weight units (wsum/1000 has <= 3
       // decimals — never a 6dp rounding tie; a per-feature MEAN
       // wsum/(1000n) hit an exact .xxxxx75 tie that Spark's
@@ -251,10 +249,18 @@ object CurateQueries {
         "WARC-Target-URI: https://([^/]+)/", 1)
       val declaredLen = regexp_extract(col("__rec"),
         "Content-Length: ([0-9]+)", 1).cast("long")
-      val payload = element_at(split(col("__rec"), "\r\n\r\n"), 2)
+      // real WARC parsing slices the payload by the DECLARED length
+      // (a payload may itself contain CRLF-CRLF) and then validates
+      // the record trailer sits exactly at the declared offset — the
+      // check that catches a wrong Content-Length. The corpus is
+      // ASCII, so chars == octets for the slice arithmetic (both
+      // engines use char-based substring identically).
+      val payloadStart = instr(col("__rec"), "\r\n\r\n") + 4
+      val payload = col("__rec").substr(payloadStart, declaredLen.cast("int"))
+      val trailer = col("__rec").substr(payloadStart + declaredLen.cast("int"), lit(4))
       staged.select(col("doc_id"), parsedType.as("warc_type"),
           parsedHost.as("host"), declaredLen.as("content_length"),
-          (octet_length(payload) === declaredLen).cast("long").as("len_ok"),
+          (trailer === "\r\n\r\n").cast("long").as("len_ok"),
           substring(payload, 1, 20).as("payload_head"))
         .orderBy("doc_id")
     }),
@@ -496,17 +502,20 @@ object CurateQueries {
         |    chr(13) || chr(10) || chr(13) || chr(10) || text ||
         |    chr(13) || chr(10) || chr(13) || chr(10) AS r
         |  FROM documents)
+        |, parsed AS (
+        |  SELECT doc_id, r,
+        |    CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS cl,
+        |    strpos(r, chr(13) || chr(10) || chr(13) || chr(10)) + 4 AS pstart
+        |  FROM rec)
         |SELECT doc_id,
         |  regexp_extract(r, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
         |  regexp_extract(r, 'WARC-Target-URI: https://([^/]+)/', 1) AS host,
-        |  CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
-        |    AS content_length,
-        |  CAST(octet_length(encode(string_split(r, chr(13) || chr(10) || chr(13) || chr(10))[2]))
-        |    = CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
-        |    AS BIGINT) AS len_ok,
-        |  substring(string_split(r, chr(13) || chr(10) || chr(13) || chr(10))[2], 1, 20)
+        |  cl AS content_length,
+        |  CAST(substring(r, CAST(pstart + cl AS INT), 4)
+        |    = chr(13) || chr(10) || chr(13) || chr(10) AS BIGINT) AS len_ok,
+        |  substring(substring(r, CAST(pstart AS INT), CAST(cl AS INT)), 1, 20)
         |    AS payload_head
-        |FROM rec ORDER BY doc_id""".stripMargin,
+        |FROM parsed ORDER BY doc_id""".stripMargin,
 
     "q_corpus_diff" ->
       s"""WITH olds AS (

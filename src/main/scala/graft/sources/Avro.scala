@@ -46,9 +46,22 @@ object Avro {
       "org.apache.avro.limits.bytes.maxLength" -> (256L << 20).toString,
       "org.apache.avro.limits.string.maxLength" -> (256L << 20).toString,
       "org.apache.avro.limits.collectionItems.maxLength" -> (1 << 26).toString)
-    defaults.foreach { case (k, v) =>
-      if (System.getProperty(k) == null) System.setProperty(k, v)
-    }
+    val anySet = defaults.map { case (k, v) =>
+      if (System.getProperty(k) == null) { System.setProperty(k, v); true }
+      else false
+    }.exists(identity)
+    // avro reads the properties ONCE in SystemLimitException's static
+    // initializer — if any avro class loaded before this object (Kryo
+    // registration, another library), the caps would be silently
+    // inert. resetLimits() (package-private, built for exactly this)
+    // re-reads them; best-effort — a locked-down JVM just keeps
+    // whatever limits were in force.
+    if (anySet) try {
+      val cls = Class.forName("org.apache.avro.SystemLimitException")
+      val m = cls.getDeclaredMethod("resetLimits")
+      m.setAccessible(true)
+      m.invoke(null)
+    } catch { case _: Throwable => () }
   }
 
   // ------------------------------------------------------------ schema

@@ -243,6 +243,23 @@ class AvroSpec extends SparkSpec {
     assert(parsed > 0) // data-region mutations decode fine
   }
 
+  test("decode-allocation caps are actually in force in this JVM") {
+    // the fuzz above swallows all exceptions, so it cannot tell capped
+    // from uncapped — assert the limits positively: Avro's object init
+    // (already run by every test here) must have landed the 256 MB /
+    // 2^26 caps in SystemLimitException's static fields, including
+    // through resetLimits() when avro classes loaded first
+    val cls = Class.forName("org.apache.avro.SystemLimitException")
+    def limit(name: String): Int = {
+      val f = cls.getDeclaredField(name)
+      f.setAccessible(true)
+      f.getInt(null)
+    }
+    assert(limit("maxBytesLength") === (256 << 20))
+    assert(limit("maxStringLength") === (256 << 20))
+    assert(limit("maxCollectionLength") === (1 << 26))
+  }
+
   test("unsupported types and malformed unions fail fast") {
     val badDf = spark.range(1).select(struct(col("id")).as("st"))
     val e = intercept[IllegalArgumentException] {

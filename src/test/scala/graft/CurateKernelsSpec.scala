@@ -192,6 +192,33 @@ class CurateKernelsSpec extends SparkSpec {
       .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh1 === sh2)
     assert(sh1.values.forall(s => s >= 0 && s < 4))
+    // a different salt must actually reshuffle (epoch semantics); with
+    // 40 ids and 4 shards, identical layouts across salts would mean
+    // the salt is ignored
+    val many = df1((0 until 40).map(i => (i.toLong, s"t$i"))).toDF("id", "text")
+    val a = graft.VxFrame(many).shardAssign(4, "id", salt = "epoch0:").df
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.VxFrame(many).shardAssign(4, "id", salt = "epoch1:").df
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a !== b)
+    // collision guards fail fast
+    intercept[IllegalArgumentException] {
+      graft.VxFrame(many).shardAssign(4, "id").shardAssign(4, "id")
+    }
+  }
+
+  test("facade methods preserve frame state (variables, categories)") {
+    val base = df1(Seq(1L -> "cafÃ© text", 2L -> "plain words"))
+      .toDF("id", "text")
+    val vf = graft.VxFrame(base)
+      .copy(categories = Map("lang" -> Seq("en", "de")))
+      .withVariable("thr", 1.0)
+    val out = vf.textClean().qualityScore().shardAssign(4, "id")
+    // categories/variables survive the whole facade chain (the house
+    // copy(...) discipline — VxFrame(df) would reset them)
+    assert(out.categories("lang") === Seq("en", "de"))
+    assert(out.variables.contains("thr"))
+    assert(out.df.columns.contains("quality_score"))
   }
 
   test("featureWeightSum matches pmod semantics on NEGATIVE hashes") {
