@@ -265,6 +265,44 @@ object CurateQueries {
         .orderBy("doc_id")
     }),
 
+    // robots.txt rule application — the crawl-politeness gate (REP,
+    // RFC 9309): per-host rule sets (Disallow/Allow path prefixes)
+    // applied to each document's URL path by the standard
+    // longest-match-wins, Allow-wins-ties resolution. Rules and paths
+    // are synthesized per host/doc from integer math so both engines
+    // evaluate byte-identical inputs across every branch (allow
+    // override of a disallowed subtree, unmatched default-allow,
+    // /private catch-all). Pure projection: the per-(host, path) rule
+    // check is array math over a 3-rule struct array riding the row —
+    // at scale the rule set joins in as a broadcast dimension keyed
+    // by host. Zero shuffle.
+    "q_robots_rules" -> ((s, dir) => {
+      val h = col("doc_id") % 17
+      val path = concat(lit("/path"), (col("doc_id") % 9).cast("string"),
+        lit("/page"), (col("doc_id") % 4).cast("string"))
+      // host h's rules: Disallow /path{h%9}, Allow /path{h%9}/page0,
+      // Disallow /private
+      val r1 = concat(lit("/path"), (h % 9).cast("string"))
+      val r2 = concat(r1, lit("/page0"))
+      val rules = array(
+        struct(r1.as("p"), lit(0L).as("allow")),
+        struct(r2.as("p"), lit(1L).as("allow")),
+        struct(lit("/private").as("p"), lit(0L).as("allow")))
+      // longest matching prefix wins; ties -> Allow (REP resolution).
+      // array_max on struct(len, allow, ...) is the lexicographic max
+      val matches = filter(rules, r => startswith(path, r.getField("p")))
+      val best = array_max(transform(matches, r =>
+        struct(length(r.getField("p")).as("l"), r.getField("allow").as("a"),
+          r.getField("p").as("p"))))
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("site"), h.cast("string")).as("host"), path.as("path"),
+        best.as("__best"))
+      staged.select(col("doc_id"), col("host"), col("path"),
+          coalesce(col("__best.p"), lit("")).as("matched_rule"),
+          coalesce(col("__best.a"), lit(1L)).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff — the dataset-versioning release report
     // (what changed between corpus v1 and v2): full outer join of the
     // two snapshots' (doc_id, content hash), per-(source, status)
@@ -516,6 +554,29 @@ object CurateQueries {
         |  substring(substring(r, CAST(pstart AS INT), CAST(cl AS INT)), 1, 20)
         |    AS payload_head
         |FROM parsed ORDER BY doc_id""".stripMargin,
+
+    "q_robots_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 17 AS h,
+        |    '/path' || CAST(doc_id % 9 AS VARCHAR) ||
+        |    '/page' || CAST(doc_id % 4 AS VARCHAR) AS path
+        |  FROM documents),
+        |rules AS (
+        |  SELECT doc_id, path, '/path' || CAST(h % 9 AS VARCHAR) AS p, 0 AS allow FROM base
+        |  UNION ALL
+        |  SELECT doc_id, path, '/path' || CAST(h % 9 AS VARCHAR) || '/page0', 1 FROM base
+        |  UNION ALL
+        |  SELECT doc_id, path, '/private', 0 FROM base),
+        |m AS (
+        |  SELECT doc_id, p, allow,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY LENGTH(p) DESC, allow DESC, p DESC) AS rn
+        |  FROM rules WHERE starts_with(path, p))
+        |SELECT b.doc_id, 'site' || CAST(b.h AS VARCHAR) AS host, b.path,
+        |  COALESCE(m.p, '') AS matched_rule,
+        |  CAST(COALESCE(m.allow, 1) AS BIGINT) AS allowed
+        |FROM base b LEFT JOIN m ON m.doc_id = b.doc_id AND m.rn = 1
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_corpus_diff" ->
       s"""WITH olds AS (
