@@ -268,8 +268,11 @@ object Bench {
       "q_blocklist_filter", "q_char_entropy", "q_bm25_topk",
       "q_html_extract", "q_unicode_normalize", "q_compress_ratio",
       "q_curation_e2e", "q_corpus_report",
-      // r12 additions
-      "q_quality_classifier", "q_text_clean", "q_incremental_dedup")
+      // r12 additions (tfidf is the round's heavyweight join lane —
+      // tracked for drift; the sub-second projections stay out of the
+      // compact line via compactOmit)
+      "q_quality_classifier", "q_text_clean", "q_incremental_dedup",
+      "q_tfidf_cosine")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     } :+ ("q_winnow_fast" -> (() =>
