@@ -268,9 +268,8 @@ object Bench {
       "q_blocklist_filter", "q_char_entropy", "q_bm25_topk",
       "q_html_extract", "q_unicode_normalize", "q_compress_ratio",
       "q_curation_e2e", "q_corpus_report",
-      // r12 additions (tfidf is the round's heavyweight join lane —
-      // tracked for drift; the sub-second projections stay out of the
-      // compact line via compactOmit)
+      // r12 additions, all emitted in the compact line (budget-checked
+      // below); tfidf is the round's heavyweight join lane
       "q_quality_classifier", "q_text_clean", "q_incremental_dedup",
       "q_tfidf_cosine")
     val pipeBattery = pipelineNames.flatMap { name =>

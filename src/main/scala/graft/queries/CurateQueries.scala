@@ -278,8 +278,12 @@ object CurateQueries {
     // by host. Zero shuffle.
     "q_robots_rules" -> ((s, dir) => {
       val h = col("doc_id") % 17
-      val path = concat(lit("/path"), (col("doc_id") % 9).cast("string"),
-        lit("/page"), (col("doc_id") % 4).cast("string"))
+      // every 11th doc requests a /private path so the catch-all rule
+      // genuinely fires (a rule no input can match tests nothing)
+      val path = when(col("doc_id") % 11 === 0,
+          concat(lit("/private/page"), (col("doc_id") % 4).cast("string")))
+        .otherwise(concat(lit("/path"), (col("doc_id") % 9).cast("string"),
+          lit("/page"), (col("doc_id") % 4).cast("string")))
       // host h's rules: Disallow /path{h%9}, Allow /path{h%9}/page0,
       // Disallow /private
       val r1 = concat(lit("/path"), (h % 9).cast("string"))
@@ -558,8 +562,10 @@ object CurateQueries {
     "q_robots_rules" ->
       """WITH base AS (
         |  SELECT doc_id, doc_id % 17 AS h,
-        |    '/path' || CAST(doc_id % 9 AS VARCHAR) ||
-        |    '/page' || CAST(doc_id % 4 AS VARCHAR) AS path
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN '/private/page' || CAST(doc_id % 4 AS VARCHAR)
+        |      ELSE '/path' || CAST(doc_id % 9 AS VARCHAR) ||
+        |           '/page' || CAST(doc_id % 4 AS VARCHAR) END AS path
         |  FROM documents),
         |rules AS (
         |  SELECT doc_id, path, '/path' || CAST(h % 9 AS VARCHAR) AS p, 0 AS allow FROM base
