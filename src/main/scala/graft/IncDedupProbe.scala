@@ -55,10 +55,12 @@ object IncDedupProbe {
     def drained(): Long = {
       var prev = -1L
       var cur = listener.bytes.get()
+      var stable = 0
       var waited = 0
-      while (cur != prev && waited < 15000) {
+      while (stable < 2 && waited < 15000) {
         prev = cur; Thread.sleep(200); waited += 200
         cur = listener.bytes.get()
+        stable = if (cur == prev) stable + 1 else 0
       }
       cur
     }

@@ -156,7 +156,7 @@ class CurateKernelsSpec extends SparkSpec {
 
   test("VxFrame curation facade: textClean / qualityScore / dedupAgainst / shardAssign") {
     val dirty = df1(Seq(
-      1L -> "cafÃ©  spaced out \r\n",
+      1L -> "cafÃ©  spaced\u0007 out \r\n",
       2L -> "plain text stays put",
       3L -> "the quick brown fox",
       4L -> "plain text stays put")).toDF("id", "text")
