@@ -93,6 +93,30 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // Avro nested type surface: struct, map, and decimal columns
+    // survive the round trip (converter-tree encode/decode at every
+    // nesting depth). The aggregate reads a struct FIELD, a map VALUE
+    // and sums the decimal exactly, so a value error anywhere in the
+    // nesting fails the hash compare against the ORIGINAL parquet.
+    "q_avro_nested" -> ((s, dir) => {
+      val cache = cacheDir(dir, "orders_avro_nested") + "/o.avro"
+      val df = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_custkey").as("ck"), col("o_totalprice").as("tp")).as("st"),
+        map(lit("p"), col("o_totalprice")).as("m"),
+        col("o_totalprice").cast("decimal(12,2)").as("dec"))
+      graft.sources.Avro.toAvro(df, cache, codec = Some("deflate"),
+        syncInterval = 4096)
+      graft.sources.Readers.open(s, cache)
+        .groupBy((col("o_orderkey") % 7).as("g"))
+        .agg(count(lit(1)).as("n"),
+          r(dsumD(col("st.tp"))).as("sum_tp"),
+          sum(col("st.ck")).as("sum_ck"),
+          r(dsumD(element_at(col("m"), "p"))).as("sum_m"),
+          sum(col("dec")).cast("double").as("sum_dec"))
+        .orderBy("g")
+    }),
+
     // distributed sharded Avro export + glob read-back (the scale
     // shape: every partition streams its own container file; the glob
     // read unions per-file distributed reads)
@@ -513,6 +537,13 @@ object SourceQueries {
     "q_orc_agg" -> aggSql,
     "q_avro_agg" -> aggSql,
     "q_avro_sharded" -> aggSql,
+    "q_avro_nested" ->
+      s"""SELECT o_orderkey % 7 AS g, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_tp,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_m,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec
+         |FROM orders GROUP BY 1 ORDER BY g""".stripMargin,
     "q_avro_events" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,

@@ -26,12 +26,20 @@ import scala.jdk.CollectionConverters._
   * largest split at any file size.
   *
   * Type surface: boolean/int/long/float/double/string/bytes, the
-  * standard temporal logical types (timestamp-micros,
-  * local-timestamp-micros, date), their nullable `["null", T]`
-  * unions, and arrays of primitives (nullable elements included) —
-  * the interchange subset every engine agrees on. Unsupported Avro
-  * branches fail fast with the offending schema fragment; unknown
-  * logical annotations fall back to their raw carrier type.
+  * standard temporal logical types (timestamp-millis/micros,
+  * local-timestamp-millis/micros, date), the decimal logical type
+  * (bytes or fixed carrier, precision <= 38), their nullable
+  * `["null", T]` unions, nested records (struct columns), maps
+  * (string keys — the only key type Avro has), enums and fixed
+  * (read as string/binary; Spark has no source type for them), and
+  * arrays of any supported element type, all recursively nested.
+  * Conversion is driven by per-field converter trees built from the
+  * AVRO schema (not the Spark type), so logical-type scaling applies
+  * at every nesting depth — a top-level and an array-element
+  * timestamp-millis read identically. Unsupported Avro branches
+  * (multi-branch unions, >38-digit decimals) fail fast with the
+  * offending schema fragment; unknown logical annotations fall back
+  * to their raw carrier type.
   */
 object Avro {
 
@@ -62,7 +70,38 @@ object Avro {
       m.setAccessible(true)
       m.invoke(null)
     } catch { case _: Throwable => () }
+    // the reset is reflective into a package-private method — under a
+    // locked-down runtime it silently no-ops and the caps stay inert.
+    // Probe the outcome and SAY so (once, stderr) instead of leaving
+    // the operator to discover it from an OOM (ADVICE r12).
+    if (anySet) {
+      val want = defaults.toMap
+      val inForce = decodeCapsInForce
+      val landed = Seq(
+        "maxBytesLength" -> "org.apache.avro.limits.bytes.maxLength",
+        "maxStringLength" -> "org.apache.avro.limits.string.maxLength",
+        "maxCollectionLength" -> "org.apache.avro.limits.collectionItems.maxLength")
+        .forall { case (f, p) => inForce.get(f).contains(want(p).toLong) }
+      if (!landed) System.err.println(
+        "[graft.Avro] WARNING decode-allocation caps did NOT take effect " +
+          s"(in force: $inForce) — corrupt varint lengths may allocate unbounded")
+    }
   }
+
+  /** The decode caps actually in force in this JVM (reflective read of
+    * avro's SystemLimitException static fields) — empty if the runtime
+    * forbids the reflective read. Lets an operator verify the
+    * class-load-order-sensitive cap installation instead of trusting
+    * it ([[AvroSpec]] asserts the expected values; this probe makes the
+    * same check available outside the test JVM). */
+  def decodeCapsInForce: Map[String, Long] = try {
+    val cls = Class.forName("org.apache.avro.SystemLimitException")
+    Seq("maxBytesLength", "maxStringLength", "maxCollectionLength").map { n =>
+      val f = cls.getDeclaredField(n)
+      f.setAccessible(true)
+      n -> f.getInt(null).toLong
+    }.toMap
+  } catch { case _: Throwable => Map.empty }
 
   // ------------------------------------------------------------ schema
 
@@ -81,6 +120,12 @@ object Avro {
 
   private def nullable(s: Schema): Schema =
     Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+
+  /** Avro record names must be unique within one schema document —
+    * derive them from the field PATH (paths are unique by
+    * construction), sanitized to Avro's [A-Za-z0-9_] name alphabet. */
+  private def recName(ctx: String): String =
+    "r_" + ctx.replaceAll("[^A-Za-z0-9_]", "_")
 
   private def avroType(dt: DataType, ctx: String): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
@@ -101,17 +146,30 @@ object Avro {
     case DateType =>
       org.apache.avro.LogicalTypes.date()
         .addToSchema(Schema.create(Schema.Type.INT))
-    case ArrayType(elem, containsNull) => elem match {
-      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-          StringType =>
-        // Spark arrays default to nullable ELEMENTS — write them as
-        // ["null", T] unions or a null element NPEs mid-write after
-        // earlier blocks already hit the file
-        val et = avroType(elem, ctx)
-        Schema.createArray(if (containsNull) nullable(et) else et)
-      case other => throw new IllegalArgumentException(
-        s"avro export: unsupported array element type ${other.catalogString} (column $ctx)")
-    }
+    // decimal logical type over a bytes carrier (big-endian
+    // two's-complement unscaled value — the Avro spec encoding)
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case ArrayType(elem, containsNull) =>
+      // Spark arrays default to nullable ELEMENTS — write them as
+      // ["null", T] unions or a null element NPEs mid-write after
+      // earlier blocks already hit the file
+      val et = avroType(elem, s"$ctx.item")
+      Schema.createArray(if (containsNull) nullable(et) else et)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = avroType(vt, s"$ctx.value")
+      Schema.createMap(if (valueContainsNull) nullable(v) else v)
+    case MapType(k, _, _) => throw new IllegalArgumentException(
+      s"avro export: map keys must be strings (Avro maps have no other key " +
+        s"type), got ${k.catalogString} (column $ctx)")
+    case st: StructType =>
+      val rec = Schema.createRecord(recName(ctx), null, "graft", false)
+      rec.setFields(st.fields.map { f =>
+        new Schema.Field(f.name, nullable(avroType(f.dataType, s"$ctx.${f.name}")),
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+      }.toList.asJava)
+      rec
     case other => throw new IllegalArgumentException(
       s"avro export: unsupported type ${other.catalogString} (column $ctx)")
   }
@@ -119,6 +177,15 @@ object Avro {
   /** Avro -> Spark type; unwraps `["null", T]` unions and the
     * standard temporal logical types (unknown logical annotations fall
     * back to their raw carrier type — they are still valid data). */
+  private def decimalOf(d: org.apache.avro.LogicalTypes.Decimal,
+      ctx: String): DecimalType = {
+    if (d.getPrecision > DecimalType.MAX_PRECISION)
+      throw new IllegalArgumentException(
+        s"avro read: decimal precision ${d.getPrecision} exceeds Spark's " +
+          s"${DecimalType.MAX_PRECISION} (column $ctx)")
+    DecimalType(d.getPrecision, d.getScale)
+  }
+
   private def sparkType(s: Schema, ctx: String): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.INT => s.getLogicalType match {
@@ -129,7 +196,7 @@ object Avro {
       case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
       case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => TimestampNTZType
       // millis variants (spark-avro / Kafka Connect default output):
-      // same Spark types, values scaled at read via timeUnitScale
+      // same Spark types, values scaled at read by the converter tree
       case _: org.apache.avro.LogicalTypes.TimestampMillis => TimestampType
       case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => TimestampNTZType
       case _ => LongType
@@ -137,8 +204,28 @@ object Avro {
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.BYTES => s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal => decimalOf(d, ctx)
+      case _ => BinaryType
+    }
+    case Schema.Type.FIXED => s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal => decimalOf(d, ctx)
+      case _ => BinaryType
+    }
+    case Schema.Type.ENUM => StringType
     case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType, ctx))
+    case Schema.Type.MAP =>
+      MapType(StringType, sparkType(s.getValueType, ctx), valueContainsNull = true)
+    case Schema.Type.RECORD =>
+      // Avro permits recursive record references; Spark's type system
+      // cannot express them — the path-depth guard turns the infinite
+      // recursion into a clear error
+      if (ctx.count(_ == '.') > 32) throw new IllegalArgumentException(
+        s"avro read: schema nesting deeper than 32 levels at $ctx " +
+          "(recursive record reference?)")
+      StructType(s.getFields.asScala.map { f =>
+        StructField(f.name, sparkType(f.schema(), s"$ctx.${f.name}"), nullable = true)
+      }.toArray)
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
       if (branches.length != 1) throw new IllegalArgumentException(
@@ -155,20 +242,10 @@ object Avro {
     }.toArray)
   }
 
-  /** Micros-per-stored-unit for a field's timestamp logical type
-    * (1000 for the -millis variants, 1 otherwise) — the read path
-    * multiplies stored values up to Catalyst's micros. */
-  private def timeUnitScale(s: Schema): Long = {
-    val unwrapped = s.getType match {
-      case Schema.Type.UNION =>
-        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
-      case _ => s
-    }
-    unwrapped.getLogicalType match {
-      case _: org.apache.avro.LogicalTypes.TimestampMillis => 1000L
-      case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => 1000L
-      case _ => 1L
-    }
+  private def unwrapUnion(s: Schema): Schema = s.getType match {
+    case Schema.Type.UNION =>
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    case _ => s
   }
 
   // ------------------------------------------------------------ write
@@ -182,34 +259,84 @@ object Avro {
       s"avro export: unsupported codec $other (null|deflate|snappy)")
   }
 
-  private def toAvroValue(v: Any, dt: DataType): AnyRef = (dt, v) match {
-    case (_, null) => null
-    case (StringType, s: String) => s
-    case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
-    case (TimestampType, ts: java.sql.Timestamp) =>
-      Long.box(java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
-        ts.getNanos / 1000)
-    // spark.sql.datetime.java8API.enabled swaps the external temporal
-    // classes — accept both so the writer is config-agnostic
-    case (TimestampType, i: java.time.Instant) =>
-      Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000)
-    case (TimestampNTZType, ldt: java.time.LocalDateTime) =>
-      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-        ldt.getNano / 1000)
-    case (DateType, d: java.sql.Date) =>
-      Int.box(d.toLocalDate.toEpochDay.toInt)
-    case (DateType, ld: java.time.LocalDate) =>
-      Int.box(ld.toEpochDay.toInt)
-    case (ShortType, n: java.lang.Short) => Int.box(n.intValue())
-    case (ByteType, n: java.lang.Byte) => Int.box(n.intValue())
-    case (ArrayType(elem, _), seq: scala.collection.Seq[_]) =>
-      seq.map(e => toAvroValue(e, elem)).asJava
-    // an unrecognized external temporal class must fail HERE with the
-    // offending class, not as a cryptic Avro union error mid-write
-    case (TimestampType | TimestampNTZType | DateType, other) =>
-      throw new IllegalArgumentException(
-        s"avro export: unexpected external value ${other.getClass.getName} for ${dt.catalogString}")
-    case (_, other) => other.asInstanceOf[AnyRef]
+  /** Spark external value -> Avro datum converter for one field,
+    * built ONCE from the (Spark type, Avro schema) pair and applied
+    * per row — the schema drives nested conversion (records, maps,
+    * arrays, decimal scale) at every depth. Null-safe at every level
+    * (nullable `["null", T]` unions at any nesting). */
+  private def writeConv(dt: DataType, s0: Schema, ctx: String): Any => AnyRef = {
+    val s = unwrapUnion(s0)
+    val conv: Any => AnyRef = dt match {
+      case BinaryType => { case b: Array[Byte] => java.nio.ByteBuffer.wrap(b) }
+      case TimestampType => {
+        case ts: java.sql.Timestamp =>
+          Long.box(java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+            ts.getNanos / 1000)
+        // spark.sql.datetime.java8API.enabled swaps the external
+        // temporal classes — accept both so the writer is
+        // config-agnostic
+        case i: java.time.Instant =>
+          Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000)
+        // an unrecognized external temporal class must fail HERE with
+        // the offending class, not as a cryptic Avro union error
+        // mid-write
+        case other => throw new IllegalArgumentException(
+          s"avro export: unexpected external value ${other.getClass.getName} " +
+            s"for ${dt.catalogString} (column $ctx)")
+      }
+      case TimestampNTZType => {
+        case ldt: java.time.LocalDateTime =>
+          Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000)
+        case other => throw new IllegalArgumentException(
+          s"avro export: unexpected external value ${other.getClass.getName} " +
+            s"for ${dt.catalogString} (column $ctx)")
+      }
+      case DateType => {
+        case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+        case ld: java.time.LocalDate => Int.box(ld.toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"avro export: unexpected external value ${other.getClass.getName} " +
+            s"for ${dt.catalogString} (column $ctx)")
+      }
+      case d: DecimalType =>
+        // Avro spec decimal-over-bytes: big-endian two's-complement
+        // unscaled value at the schema's declared scale
+        { case bd: java.math.BigDecimal =>
+            java.nio.ByteBuffer.wrap(
+              bd.setScale(d.scale).unscaledValue().toByteArray) }
+      case ShortType => { case n: java.lang.Short => Int.box(n.intValue()) }
+      case ByteType => { case n: java.lang.Byte => Int.box(n.intValue()) }
+      case ArrayType(elem, _) =>
+        val ec = writeConv(elem, s.getElementType, s"$ctx.item")
+        val f: Any => AnyRef = { case seq: scala.collection.Seq[_] =>
+          seq.map(e => if (e == null) null else ec(e)).asJava }
+        f
+      case MapType(StringType, vt, _) =>
+        val vc = writeConv(vt, s.getValueType, s"$ctx.value")
+        val f: Any => AnyRef = { case m: scala.collection.Map[_, _] =>
+          val out = new java.util.LinkedHashMap[String, AnyRef](m.size * 2)
+          m.foreach { case (k, v) =>
+            out.put(k.asInstanceOf[String], if (v == null) null else vc(v))
+          }
+          out }
+        f
+      case st: StructType =>
+        val fcs = st.fields.zipWithIndex.map { case (f, i) =>
+          writeConv(f.dataType, s.getFields.get(i).schema(), s"$ctx.${f.name}")
+        }
+        val f: Any => AnyRef = { case row: Row =>
+          val rec = new GenericData.Record(s)
+          var i = 0
+          while (i < fcs.length) {
+            rec.put(i, if (row.isNullAt(i)) null else fcs(i)(row.get(i)))
+            i += 1
+          }
+          rec }
+        f
+      case _ => v => v.asInstanceOf[AnyRef] // boolean/int/long/float/double/string
+    }
+    v => if (v == null) null else conv(v)
   }
 
   private def writeRows(it: Iterator[Row], schema: StructType, avsc: Schema,
@@ -221,6 +348,9 @@ object Avro {
       if (syncInterval > 0) writer.setSyncInterval(syncInterval)
       writer.create(avsc, out) // DataFileWriter closes `out` on close()
     } catch { case e: Throwable => out.close(); throw e }
+    val convs = schema.fields.zipWithIndex.map { case (f, i) =>
+      writeConv(f.dataType, avsc.getFields.get(i).schema(), f.name)
+    }
     var n = 0L
     try {
       while (it.hasNext) {
@@ -228,8 +358,7 @@ object Avro {
         val rec = new GenericData.Record(avsc)
         var i = 0
         while (i < schema.length) {
-          rec.put(i, if (row.isNullAt(i)) null
-            else toAvroValue(row.get(i), schema(i).dataType))
+          rec.put(i, if (row.isNullAt(i)) null else convs(i)(row.get(i)))
           i += 1
         }
         writer.append(rec)
@@ -292,38 +421,104 @@ object Avro {
     override def close(): Unit = in.close()
   }
 
-  /** `unitScale` = micros per stored unit ([[timeUnitScale]]);
-    * `java8` selects the external temporal classes Spark's Row
-    * encoder expects under spark.sql.datetime.java8API.enabled. */
-  private def fromAvroValue(v: Any, dt: DataType, unitScale: Long,
-      java8: Boolean): Any = (dt, v) match {
-    case (_, null) => null
-    case (StringType, u: Utf8) => u.toString
-    case (StringType, s: CharSequence) => s.toString
-    case (TimestampType, l: java.lang.Long) =>
-      val us = l * unitScale
-      if (java8) java.time.Instant.ofEpochSecond(
-        java.lang.Math.floorDiv(us, 1000000L),
-        java.lang.Math.floorMod(us, 1000000L) * 1000L)
-      else {
-        val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000L))
-        ts.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
-        ts
+  /** Avro datum -> Spark external value converter for one field,
+    * built ONCE from the Avro schema and applied per record. The AVRO
+    * schema (not the Spark type) drives the dispatch, so logical-type
+    * handling — in particular millis-vs-micros timestamp scaling —
+    * applies identically at every nesting depth (a top-level and an
+    * array-element timestamp-millis both scale; the old value-level
+    * dispatch silently read nested millis 1000x too small). `java8`
+    * selects the external temporal classes Spark's Row encoder
+    * expects under spark.sql.datetime.java8API.enabled. */
+  private def readConv(s0: Schema, java8: Boolean, ctx: String): Any => Any = {
+    val s = unwrapUnion(s0)
+
+    def bytesOf(v: Any): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case gf: org.apache.avro.generic.GenericFixed => gf.bytes().clone()
+      case other => throw new IllegalArgumentException(
+        s"avro read: unexpected datum ${other.getClass.getName} for " +
+          s"bytes/fixed (column $ctx)")
+    }
+    def tsConv(unitScale: Long, ntz: Boolean): Any => Any = {
+      case l: java.lang.Long =>
+        val us = l * unitScale
+        if (ntz) java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(us, 1000000L),
+          (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        else if (java8) java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(us, 1000000L),
+          java.lang.Math.floorMod(us, 1000000L) * 1000L)
+        else {
+          val ts = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000L))
+          ts.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        }
+      case v => v
+    }
+
+    val conv: Any => Any = s.getType match {
+      case Schema.Type.STRING | Schema.Type.ENUM => {
+        case u: Utf8 => u.toString
+        case cs: CharSequence => cs.toString
+        case v => v.toString // GenericData.EnumSymbol
       }
-    case (TimestampNTZType, l: java.lang.Long) =>
-      val us = l * unitScale
-      java.time.LocalDateTime.ofEpochSecond(
-        java.lang.Math.floorDiv(us, 1000000L),
-        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC)
-    case (DateType, i: java.lang.Integer) =>
-      if (java8) java.time.LocalDate.ofEpochDay(i.longValue())
-      else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
-    case (BinaryType, b: java.nio.ByteBuffer) =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case (ArrayType(elem, _), l: java.util.Collection[_]) =>
-      l.asScala.map(e => fromAvroValue(e, elem, 1L, java8)).toSeq
-    case _ => v
+      case Schema.Type.BYTES | Schema.Type.FIXED => s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          val scale = d.getScale
+          v => new java.math.BigDecimal(
+            new java.math.BigInteger(bytesOf(v)), scale)
+        case _ => v => bytesOf(v)
+      }
+      case Schema.Type.INT => s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.Date => {
+          case i: java.lang.Integer =>
+            if (java8) java.time.LocalDate.ofEpochDay(i.longValue())
+            else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+          case v => v
+        }
+        case _ => identity[Any]
+      }
+      case Schema.Type.LONG => s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.TimestampMicros => tsConv(1L, ntz = false)
+        case _: org.apache.avro.LogicalTypes.TimestampMillis => tsConv(1000L, ntz = false)
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => tsConv(1L, ntz = true)
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => tsConv(1000L, ntz = true)
+        case _ => identity[Any]
+      }
+      case Schema.Type.ARRAY =>
+        val ec = readConv(s.getElementType, java8, s"$ctx.item")
+        val f: Any => Any = {
+          case c: java.util.Collection[_] =>
+            c.asScala.map(e => if (e == null) null else ec(e)).toSeq
+          case v => v }
+        f
+      case Schema.Type.MAP =>
+        val vc = readConv(s.getValueType, java8, s"$ctx.value")
+        val f: Any => Any = {
+          case m: java.util.Map[_, _] =>
+            m.asScala.map { case (k, v) =>
+              k.toString -> (if (v == null) null else vc(v))
+            }.toMap
+          case v => v }
+        f
+      case Schema.Type.RECORD =>
+        val fcs = s.getFields.asScala.map { f =>
+          readConv(f.schema(), java8, s"$ctx.${f.name}")
+        }.toArray
+        val f: Any => Any = {
+          case rec: org.apache.avro.generic.IndexedRecord =>
+            Row.fromSeq((0 until fcs.length).map { i =>
+              val v = rec.get(i)
+              if (v == null) null else fcs(i)(v)
+            })
+          case v => v }
+        f
+      case _ => identity[Any] // boolean/float/double, plain int/long
+    }
+    v => if (v == null) null else conv(v)
   }
 
   /** Distributed single-file read: split the byte range into
@@ -349,7 +544,9 @@ object Avro {
     val rdd = spark.sparkContext.parallelize(ranges, nSplits).flatMap { case (start, end) =>
       val avsc = new Schema.Parser().parse(schemaJson)
       val st = sparkSchema(avsc)
-      val scales = avsc.getFields.asScala.map(f => timeUnitScale(f.schema())).toArray
+      val convs = avsc.getFields.asScala.map { f =>
+        readConv(f.schema(), j8, f.name)
+      }.toArray
       val in = new HadoopSeekableInput(p)
       val reader = try new DataFileReader(in, new GenericDatumReader[GenericRecord](avsc))
         catch { case e: Throwable => in.close(); throw e }
@@ -367,7 +564,8 @@ object Avro {
         override def next(): Row = {
           val rec = reader.next()
           Row.fromSeq(st.fields.indices.map { i =>
-            fromAvroValue(rec.get(i), st.fields(i).dataType, scales(i), j8)
+            val v = rec.get(i)
+            if (v == null) null else convs(i)(v)
           })
         }
       }
