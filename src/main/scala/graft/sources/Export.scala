@@ -24,6 +24,8 @@ object Export {
     case p if p.endsWith(".hdf5") || p.endsWith(".h5") => Hdf5.toHdf5(df, p)
     case p if p.endsWith(".fits") => Fits.toFits(df, p)
     case p if p.endsWith(".avro") => Avro.toAvro(df, p)
+    case p if p.endsWith(".warc.gz") => Warc.toWarc(df, p, gzip = true)
+    case p if p.endsWith(".warc") => Warc.toWarc(df, p, gzip = false)
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }
