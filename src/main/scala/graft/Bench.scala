@@ -272,6 +272,13 @@ object Bench {
           Seq(graft.operators.DenseCatAgg.Agg(col("w"), "sum", "sum_w")),
           countAs = Some("n"))
       })))
+    // host-state controls bracketing the rps block: gen_only above is
+    // CPU/scheduler health; this is raw memory bandwidth (the r13
+    // finding — a window where gen_only was at its best while every
+    // bandwidth-bound dense kernel ran at half speed on identical
+    // code; without this number that state is indistinguishable from
+    // a kernel regression in the recorded artifact)
+    val memBw = BenchProbe.memBandwidthGbps(cpus.toInt)
     val thrDone = mark()
 
     val (results, perRep) = repMajor(reps, battery)
@@ -403,7 +410,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val total10x = scaleResults.map(_._2).filter(_ >= 0).sum
     val timeline = s""""timeline_sec":{"warmup":${j(warmupDone)},"rps":${j(thrDone)},"headline":${j(headlineDone)},"scale_write":${j(scaleWritten)},"scale":${j(scaleDone)},"skew":${j(skewDone)},"pipeline":${j(pipeDone)},"end":${j(mark())}}"""
-    val rps = s""""rps":{"gen_only":${rate(genN, "gen_only")},"agg":${rate(nRows, "agg")},"groupby":${rate(genN, "groupby")},"groupby_cat":${rate(genN, "groupby_cat")},"groupby_cat_hash":${rate(genN, "groupby_cat_hash")},"binby":${rate(genN, "binby")},"binby_dense":${rate(genN, "binby_dense")},"join":${rate(genN, "join")},"join_dense":${rate(genN, "join_dense")}}"""
+    val rps = s""""mem_bw_gbps":${f"$memBw%.1f"},"rps":{"gen_only":${rate(genN, "gen_only")},"agg":${rate(nRows, "agg")},"groupby":${rate(genN, "groupby")},"groupby_cat":${rate(genN, "groupby_cat")},"groupby_cat_hash":${rate(genN, "groupby_cat_hash")},"binby":${rate(genN, "binby")},"binby_dense":${rate(genN, "binby_dense")},"join":${rate(genN, "join")},"join_dense":${rate(genN, "join_dense")}}"""
     // The harness captures only the LAST ~2000 chars of stdout and
     // tries to parse the final JSON line — every round before r11 the
     // single ~4KB line was front-truncated and recorded `parsed: null`

@@ -23,6 +23,40 @@ object BenchProbe {
     val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
   }
 
+  /** Raw memory-bandwidth control (no Spark, no repo code): `threads`
+    * JVM threads each stream-sum a disjoint range of one shared 512 MB
+    * long array; returns aggregate GB/s. gen_only caps CPU/scheduler
+    * health but is memory-LIGHT — r13 found a host window where
+    * gen_only was at its historical best while every bandwidth-bound
+    * dense kernel ran at half its recorded speed on git-identical
+    * code. This control makes that state directly observable. */
+  private[graft] def memBandwidthGbps(threads: Int): Double = {
+    val n = 64 << 20 // 512 MB of longs
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = i.toLong; i += 1 }
+    val sums = new Array[Long](threads)
+    def pass(): Double = {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          val lo = (n.toLong * t / threads).toInt
+          val hi = (n.toLong * (t + 1) / threads).toInt
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += arr(j); j += 1 }
+          sums(t) = s
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm (page faults, JIT)
+    val best = (1 to 3).map(_ => pass()).min
+    (n.toLong * 8) / best / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -107,7 +141,10 @@ object BenchProbe {
       val rate = (genN / best).toLong
       s""""$name":{"best_sec":${f"$best%.3f"},"rows_per_sec":$rate,"reps":[${perRep.map(r => f"${r(i)}%.3f").mkString(",")}]}"""
     }.mkString(",")
-    println(s"""{"probe":"throughput_ab","cpus":$cpus,"genN":$genN,$out}""")
+    // bandwidth control measured LAST (after the Spark lanes) so its
+    // reading reflects the same host window the lanes ran in
+    val bw = memBandwidthGbps(cpus.toInt)
+    println(s"""{"probe":"throughput_ab","cpus":$cpus,"genN":$genN,"mem_bw_gbps":${f"$bw%.1f"},$out}""")
     spark.stop()
   }
 }

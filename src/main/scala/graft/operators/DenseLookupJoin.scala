@@ -122,13 +122,22 @@ object DenseLookupJoin {
       case t => throw new IllegalArgumentException(
         s"dim key $dimKey must be integral, got ${t.catalogString}")
     }
-    // ---- eligibility + size gate: ONE distributed pass validates the
-    // key (null-free, unique, in-domain) and measures the bytes the
-    // tables will occupy (fixed-width slots are domain-sized no matter
-    // the row count; string slots cost their actual bytes) BEFORE
-    // anything is pulled to the driver — an ineligible dim falls back
-    // without paying the collect, so an auto-routed facade call never
-    // double-pays the dim materialization on fallback.
+    // ---- eligibility + size gating. Fixed-width slot bytes are
+    // domain-sized no matter the row count, so for a dim with NO
+    // string columns the budget check needs no Spark job at all, and
+    // every key property the old distributed gate verified (null-free,
+    // unique, in-domain) is re-verified row-by-row by the build loop
+    // below anyway — the r11 gate charged one full extra job per call
+    // for redundant checks, measurably halving the bench lane's
+    // throughput (BENCH_AB_r13.md). Driver-memory safety without the
+    // gate comes from `limit(domain + 1)` on the collect: a VALID dim
+    // has at most `domain` rows (unique in-domain keys), so the limit
+    // never drops anything; an invalid dim yields domain + 1 rows
+    // among which the pigeonhole principle guarantees the build loop
+    // finds a concrete duplicate/null/out-of-domain violation to
+    // report. Only a dim WITH string columns still pays the
+    // distributed gate — its payload bytes genuinely require a pass,
+    // and unlike the key checks they must run BEFORE the collect.
     val fixedBytes = valueFields.map(f => physical(f.dataType).get match {
       case ByteType | BooleanType => 1L
       case ShortType => 2L
@@ -137,33 +146,40 @@ object DenseLookupJoin {
       case _ => 8L
     }).map(_ * domain).sum
     val stringCols = valueFields.filter(f => physical(f.dataType).get == StringType)
-    val k = col(dimKey).cast("bigint")
-    val gateAggs =
-      Seq(count(lit(1)).as("__n"), count(k).as("__nk"),
-        count_distinct(k).as("__nd"),
-        coalesce(min(k), lit(0L)).as("__min"),
-        coalesce(max(k), lit(-1L)).as("__max")) ++
-        stringCols.map(f =>
-          coalesce(sum(octet_length(col(f.name)).cast("bigint")), lit(0L)).as(f.name))
-    val gate = dim.select(gateAggs: _*).head()
-    val (nAll, nKeys, nDistinct) = (gate.getLong(0), gate.getLong(1), gate.getLong(2))
-    if (nKeys < nAll) throw new IllegalArgumentException(
-      s"dim key $dimKey contains nulls")
-    if (nDistinct < nKeys) throw new IllegalArgumentException(
-      s"duplicate dim keys — dense lookup join requires a unique key")
-    if (nAll > 0 && (gate.getLong(3) < 0L || gate.getLong(4) >= domain))
-      throw new IllegalArgumentException(
-        s"dim key range [${gate.getLong(3)}, ${gate.getLong(4)}] outside [0, $domain)")
-    val stringBytes = (5 until gate.length).map(gate.getLong).sum
-    val estBytes = fixedBytes + stringBytes * 2 // UTF8String object overhead
-    if (estBytes > maxTableBytes) throw new IllegalArgumentException(
-      s"dim lookup tables estimated at $estBytes bytes exceed the " +
-        s"$maxTableBytes budget — use a broadcast/shuffle hash join")
+    if (stringCols.isEmpty) {
+      if (fixedBytes > maxTableBytes) throw new IllegalArgumentException(
+        s"dim lookup tables estimated at $fixedBytes bytes exceed the " +
+          s"$maxTableBytes budget — use a broadcast/shuffle hash join")
+    } else {
+      val k = col(dimKey).cast("bigint")
+      val gateAggs =
+        Seq(count(lit(1)).as("__n"), count(k).as("__nk"),
+          count_distinct(k).as("__nd"),
+          coalesce(min(k), lit(0L)).as("__min"),
+          coalesce(max(k), lit(-1L)).as("__max")) ++
+          stringCols.map(f =>
+            coalesce(sum(octet_length(col(f.name)).cast("bigint")), lit(0L)).as(f.name))
+      val gate = dim.select(gateAggs: _*).head()
+      val (nAll, nKeys, nDistinct) = (gate.getLong(0), gate.getLong(1), gate.getLong(2))
+      if (nKeys < nAll) throw new IllegalArgumentException(
+        s"dim key $dimKey contains nulls")
+      if (nDistinct < nKeys) throw new IllegalArgumentException(
+        s"duplicate dim keys — dense lookup join requires a unique key")
+      if (nAll > 0 && (gate.getLong(3) < 0L || gate.getLong(4) >= domain))
+        throw new IllegalArgumentException(
+          s"dim key range [${gate.getLong(3)}, ${gate.getLong(4)}] outside [0, $domain)")
+      val stringBytes = (5 until gate.length).map(gate.getLong).sum
+      val estBytes = fixedBytes + stringBytes * 2 // UTF8String object overhead
+      if (estBytes > maxTableBytes) throw new IllegalArgumentException(
+        s"dim lookup tables estimated at $estBytes bytes exceed the " +
+          s"$maxTableBytes budget — use a broadcast/shuffle hash join")
+    }
 
     // ---- build: one driver-side pass over the (bounded) dim.
     // Internal rows avoid per-value boxing round-trips for primitives.
     val ordered = dim.select(col(dimKey).cast("bigint").as(dimKey) +:
-      valueFields.map(f => col(f.name)): _*)
+        valueFields.map(f => col(f.name)): _*)
+      .limit(domain + 1) // driver-memory bound; see gating note above
     val rows = ordered.queryExecution.toRdd.map(_.copy()).collect()
     val words = (domain + 63) >>> 6
     val present = new Array[Long](words)
