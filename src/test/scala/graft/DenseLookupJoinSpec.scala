@@ -214,4 +214,48 @@ class DenseLookupJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join operator in:\n$plan")
   }
+
+  test("fixed-width dim build runs exactly ONE Spark job (r13 gate regression pin)") {
+    // the r11 eligibility gate charged a second distributed job per
+    // call for checks the build loop already performs — it halved the
+    // bench's join_dense lane (BENCH_AB_r13.md). A dim with no string
+    // columns must pay only the bounded collect; the count here fails
+    // if anyone reintroduces a pre-collect pass on this path.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // the listener bus drains asynchronously (and is private[spark]):
+    // poll until the counter is stable for two consecutive 100 ms
+    // windows, bounded — the probe drain discipline
+    def drained(): Int = {
+      var prev = -1; var cur = jobs.get(); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 10000) {
+        prev = cur; Thread.sleep(100); waited += 100
+        cur = jobs.get()
+        stable = if (cur == prev) stable + 1 else 0
+      }
+      cur
+    }
+    val fixedDim = dim.select(col("k"), col("d"), col("i"), col("b"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      drained()
+      jobs.set(0)
+      DenseLookupJoin.lookupJoin(fact, fixedDim, col("fk"), "k", 8)
+      val fixedJobs = drained()
+      assert(fixedJobs === 1, s"expected 1 job for the fixed-width dim build, saw $fixedJobs")
+      // the string-dim path still pays its gate pass (byte measurement
+      // must precede the collect) — strictly more jobs than the fixed
+      // path (the exact count varies with AQE stage materialization)
+      jobs.set(0)
+      DenseLookupJoin.lookupJoin(fact, dim, col("fk"), "k", 8)
+      val stringJobs = drained()
+      assert(stringJobs > fixedJobs,
+        s"expected the string-dim gate to cost extra jobs, saw $stringJobs vs $fixedJobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
