@@ -37,6 +37,13 @@ object CurateQueries {
   /** 60-bit md5-prefix portable hash in DuckDB. */
   private def H(e: String) = s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
 
+  // the tfidf lane persists two shared frames per invocation; a
+  // rep-major bench calling the lane repeatedly would otherwise
+  // accumulate cache entries without bound — each build unpersists
+  // the PREVIOUS build's frames (whose results are already consumed)
+  private val tfidfPersisted =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** The incremental-dedup pair's SHARED construction (one definition
     * so the exact and bloom lanes can never drift): the new-crawl
     * increment (doc_id %3 == 0) with %9 == 0 docs carrying an old
@@ -433,6 +440,7 @@ object CurateQueries {
             round(log(col("__n").cast("double") / col("df").cast("double")), 6),
             6).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tfidfPersisted.getAndSet(Seq(tf, w)).foreach(_.unpersist(false))
       val norms = w.groupBy(col("doc_id"))
         .agg(sqrt(dsumD(round(col("w") * col("w"), 6))).as("nrm"))
       val rareDocs = tf.join(dfT.where(col("df") <= 25), Seq("tok"))

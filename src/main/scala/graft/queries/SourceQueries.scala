@@ -150,6 +150,46 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end crawl ingest: HTML pages inside real .warc.gz files
+    // -> distributed split read -> boilerplate strip -> per-doc text
+    // metrics. The composition a Common-Crawl user actually runs
+    // (file ingest + q_html_extract's extraction + token stats), with
+    // the oracle recomputing everything from the original parquet —
+    // a byte error in WARC framing, gzip members, split ownership or
+    // the HTML strip chain fails the hash compare.
+    "q_warc_pipeline" -> ((s, dir) => {
+      val cache = cacheDir(dir, "docs_warc_pipe")
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var a=1 < 2;var b=\"</div>\";</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"),
+        regexp_replace(col("text"), " the ", " <b>the</b> "),
+        lit("</p><div class=\"nav\">nav menu links</div><!-- hidden --></body></html>"))
+      val recs = docs.select(
+        lit("response").as("warc_type"),
+        concat(lit("<urn:uuid:"), col("doc_id").cast("string"), lit(">")).as("record_id"),
+        concat(lit("https://site"), (col("doc_id") % 17).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 9).cast("string")).as("target_uri"),
+        lit("text/html").as("content_type"),
+        page.as("payload"))
+      graft.sources.Warc.toWarcSharded(recs.repartition(4), cache, gzip = true)
+      val html = col("payload").cast("string")
+      val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+      val noComment = regexp_replace(noScript, "<!--.*?-->", " ")
+      val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+      val cleanText = trim(regexp_replace(noTags, " +", " "))
+      graft.sources.Readers.open(s, s"$cache/part-*.warc.gz")
+        .select(
+          regexp_extract(col("record_id"), "uuid:([0-9]+)", 1).cast("long").as("doc_id"),
+          cleanText.as("extracted"))
+        .select(col("doc_id"),
+          length(col("extracted")).cast("long").as("n_chars"),
+          size(split(col("extracted"), " ")).cast("long").as("n_tokens"),
+          substring(col("extracted"), 1, 25).as("head"))
+        .orderBy("doc_id")
+    }),
+
     // distributed sharded Avro export + glob read-back (the scale
     // shape: every partition streams its own container file; the glob
     // read unions per-file distributed reads)
@@ -570,6 +610,27 @@ object SourceQueries {
     "q_orc_agg" -> aggSql,
     "q_avro_agg" -> aggSql,
     "q_avro_sharded" -> aggSql,
+    "q_warc_pipeline" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var a=1 < 2;var b="</div>";</script></head><body><h1>Doc '
+        |    || doc_id || '</h1><p>' || regexp_replace(text, ' the ', ' <b>the</b> ', 'g')
+        |    || '</p><div class="nav">nav menu links</div><!-- hidden --></body></html>' AS p
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, TRIM(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(p, '<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS extracted
+        |  FROM page)
+        |SELECT doc_id,
+        |  CAST(LENGTH(extracted) AS BIGINT) AS n_chars,
+        |  CAST(LEN(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+        |  substring(extracted, 1, 25) AS head
+        |FROM ext ORDER BY doc_id""".stripMargin,
     "q_warc_file" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'response'
