@@ -54,21 +54,7 @@ object DecontamProbe {
 
     val listener = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(listener)
-    // poll until the async listener counter is stable for two 200 ms
-    // windows (a fixed sleep mis-credits stages across measurements
-    // under load — the IncDedupProbe lesson)
-    def drained(): Long = {
-      var prev = -1L
-      var cur = listener.bytes.get()
-      var stable = 0
-      var waited = 0
-      while (stable < 2 && waited < 15000) {
-        prev = cur; Thread.sleep(200); waited += 200
-        cur = listener.bytes.get()
-        stable = if (cur == prev) stable + 1 else 0
-      }
-      cur
-    }
+    def drained(): Long = ListenerDrain.drained(() => listener.bytes.get())
     def shuffleBytesOf(run: () => Unit): Long = {
       run()
       val before = drained()

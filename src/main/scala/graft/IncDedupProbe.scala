@@ -49,21 +49,7 @@ object IncDedupProbe {
 
     val listener = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(listener)
-    // the listener bus drains asynchronously; a fixed sleep mis-credits
-    // stages across measurements under load — poll until the counter
-    // has been stable for two consecutive 200 ms windows (bounded)
-    def drained(): Long = {
-      var prev = -1L
-      var cur = listener.bytes.get()
-      var stable = 0
-      var waited = 0
-      while (stable < 2 && waited < 15000) {
-        prev = cur; Thread.sleep(200); waited += 200
-        cur = listener.bytes.get()
-        stable = if (cur == prev) stable + 1 else 0
-      }
-      cur
-    }
+    def drained(): Long = ListenerDrain.drained(() => listener.bytes.get())
     def shuffleBytesOf(run: () => Unit): Long = {
       run()
       val before = drained()

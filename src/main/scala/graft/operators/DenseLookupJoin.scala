@@ -177,6 +177,12 @@ object DenseLookupJoin {
 
     // ---- build: one driver-side pass over the (bounded) dim.
     // Internal rows avoid per-value boxing round-trips for primitives.
+    // Fallback-cost note: on the no-gate path an INVALID dim is only
+    // detected after this bounded collect — but its transient driver
+    // footprint (<= domain+1 narrow rows) is the same order as the
+    // working set a VALID dense build holds anyway (rows + tables live
+    // together during the loop below), so the auto-routed fallback
+    // pays roughly one valid-build's memory and one job, no more.
     val ordered = dim.select(col(dimKey).cast("bigint").as(dimKey) +:
         valueFields.map(f => col(f.name)): _*)
       .limit(domain + 1) // driver-memory bound; see gating note above

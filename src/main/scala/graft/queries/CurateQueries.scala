@@ -376,7 +376,10 @@ object CurateQueries {
       // shard-prefix row offset; cum_tokens likewise. Same algebra as
       // OrderedOps.cumsum's block prefix scan, keyed by shard.
       val nBk = 32
-      val bucket = (col("__h") / lit(1L << 55)).cast("long")
+      // shiftrightunsigned, NOT `/`: Spark's `/` on bigints is DOUBLE
+      // division — a hash within ~64 of 2^60 rounds UP to bucket 32,
+      // colliding its offset key with the next shard's bucket 0
+      val bucket = shiftrightunsigned(col("__h"), 55)
       val bucketed = base.withColumn("__shard", shard).withColumn("__bk", bucket)
       val offRows = bucketed.groupBy(col("__shard"), col("__bk"))
         .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tk"))

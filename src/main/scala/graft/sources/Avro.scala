@@ -54,10 +54,11 @@ object Avro {
       "org.apache.avro.limits.bytes.maxLength" -> (256L << 20).toString,
       "org.apache.avro.limits.string.maxLength" -> (256L << 20).toString,
       "org.apache.avro.limits.collectionItems.maxLength" -> (1 << 26).toString)
-    val anySet = defaults.map { case (k, v) =>
+    val setByUs = defaults.filter { case (k, v) =>
       if (System.getProperty(k) == null) { System.setProperty(k, v); true }
       else false
-    }.exists(identity)
+    }
+    val anySet = setByUs.nonEmpty
     // avro reads the properties ONCE in SystemLimitException's static
     // initializer — if any avro class loaded before this object (Kryo
     // registration, another library), the caps would be silently
@@ -75,13 +76,17 @@ object Avro {
     // Probe the outcome and SAY so (once, stderr) instead of leaving
     // the operator to discover it from an OOM (ADVICE r12).
     if (anySet) {
-      val want = defaults.toMap
+      // only verify the properties THIS code set — an operator who
+      // pre-configured one cap to their own value must not trigger a
+      // false "did NOT take effect" warning for it
+      val fieldOf = Map(
+        "org.apache.avro.limits.bytes.maxLength" -> "maxBytesLength",
+        "org.apache.avro.limits.string.maxLength" -> "maxStringLength",
+        "org.apache.avro.limits.collectionItems.maxLength" -> "maxCollectionLength")
       val inForce = decodeCapsInForce
-      val landed = Seq(
-        "maxBytesLength" -> "org.apache.avro.limits.bytes.maxLength",
-        "maxStringLength" -> "org.apache.avro.limits.string.maxLength",
-        "maxCollectionLength" -> "org.apache.avro.limits.collectionItems.maxLength")
-        .forall { case (f, p) => inForce.get(f).contains(want(p).toLong) }
+      val landed = setByUs.forall { case (p, v) =>
+        inForce.get(fieldOf(p)).contains(v.toLong)
+      }
       if (!landed) System.err.println(
         "[graft.Avro] WARNING decode-allocation caps did NOT take effect " +
           s"(in force: $inForce) — corrupt varint lengths may allocate unbounded")

@@ -48,6 +48,12 @@ object Warc {
   private val MaxHeaders = 256
   private[graft] val MaxPayloadBytes: Long = 256L << 20
 
+  // compiled once — parsePlainAt runs per record and per resync
+  // candidate; a fresh Pattern.compile there would be millions of
+  // redundant compiles on a multi-GB crawl file. `(?m)^` anchors at
+  // line start (lines are CRLF-separated; \n-relative ^ is correct)
+  private val ContentLengthLine = "(?im)^content-length:".r
+
   val schema: StructType = StructType(Seq(
     StructField("offset", LongType, nullable = false),
     StructField("warc_type", StringType),
@@ -315,9 +321,12 @@ object Warc {
         head = sc.read(pos, window)
       }
     }
-    // phase 2: declared length from a cheap pre-parse of the block
+    // phase 2: declared length from a cheap pre-parse of the block.
+    // The pattern MUST anchor at line start (a header like
+    // 'X-Content-Length: 5' earlier in the block would otherwise
+    // yield a wrong record extent and silently drop a valid record)
     val hdrStr = new String(head, 0, hdrEnd, java.nio.charset.StandardCharsets.UTF_8)
-    val clIdx = "(?i)content-length:".r.findFirstMatchIn(hdrStr)
+    val clIdx = ContentLengthLine.findFirstMatchIn(hdrStr)
       .map(_.end).getOrElse(return None)
     val clEnd = hdrStr.indexOf("\r\n", clIdx)
     if (clEnd < 0) return None
@@ -330,9 +339,21 @@ object Warc {
     parseRecord(bytes, 0).map(r => (r, pos + r.byteLen))
   }
 
+  /** Record end `next` chains when it is EOF or another record start
+    * — the plain-form acceptance condition applied IDENTICALLY by the
+    * split scanner and the sequential reader, so which records a file
+    * yields never depends on where split boundaries fall. The cost is
+    * symmetric too: a valid record immediately followed by corruption
+    * is always dropped (the resync recovers everything after). */
+  private def chainsAt(sc: Scanner, next: Long): Boolean =
+    next == sc.length ||
+      (sc.byteAt(next) == 'W' && sc.byteAt(next + 1) == 'A' &&
+        sc.byteAt(next + 2) == 'R' && sc.byteAt(next + 3) == 'C' &&
+        sc.byteAt(next + 4) == '/')
+
   /** First valid plain-form record start at/after `from`: offset 0, or
     * a `WARC/` preceded by CRLF-CRLF that parses as a complete record
-    * AND chains (record end is EOF or another `WARC/`). */
+    * AND chains ([[chainsAt]]). */
   private def findPlainStart(sc: Scanner, from: Long): Long = {
     if (from == 0L) return 0L
     var p = from
@@ -343,11 +364,7 @@ object Warc {
           p >= 4 && sc.byteAt(p - 4) == '\r' && sc.byteAt(p - 3) == '\n' &&
           sc.byteAt(p - 2) == '\r' && sc.byteAt(p - 1) == '\n') {
         parsePlainAt(sc, p) match {
-          case Some((_, next)) if next == sc.length ||
-              (sc.byteAt(next) == 'W' && sc.byteAt(next + 1) == 'A' &&
-                sc.byteAt(next + 2) == 'R' && sc.byteAt(next + 3) == 'C' &&
-                sc.byteAt(next + 4) == '/') =>
-            return p
+          case Some((_, next)) if chainsAt(sc, next) => return p
           case _ => ()
         }
       }
@@ -461,11 +478,15 @@ object Warc {
         private def advance(): Option[(Long, Rec)] = {
           while (pos < end) {
             val at = pos
+            // the plain form applies the SAME chain acceptance as the
+            // split scanner (chainsAt) — without it, which records
+            // survive adjacent corruption would depend on whether a
+            // split boundary happened to precede them
             val parsed =
               if (gz) inflateMemberAt(sc, pos).flatMap { case (plain, mlen) =>
                 parseRecord(plain, 0).map(r => (r, pos + mlen))
               }
-              else parsePlainAt(sc, pos)
+              else parsePlainAt(sc, pos).filter { case (_, next) => chainsAt(sc, next) }
             parsed match {
               case Some((r, next)) =>
                 pos = next

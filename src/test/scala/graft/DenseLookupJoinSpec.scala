@@ -229,17 +229,10 @@ class DenseLookupJoinSpec extends SparkSpec {
       }
     }
     // the listener bus drains asynchronously (and is private[spark]):
-    // poll until the counter is stable for two consecutive 100 ms
-    // windows, bounded — the probe drain discipline
-    def drained(): Int = {
-      var prev = -1; var cur = jobs.get(); var stable = 0; var waited = 0
-      while (stable < 2 && waited < 10000) {
-        prev = cur; Thread.sleep(100); waited += 100
-        cur = jobs.get()
-        stable = if (cur == prev) stable + 1 else 0
-      }
-      cur
-    }
+    // the shared stable-window poll
+    def drained(): Int =
+      ListenerDrain.drained(() => jobs.get().toLong, windowMs = 100,
+        maxWaitMs = 10000).toInt
     val fixedDim = dim.select(col("k"), col("d"), col("i"), col("b"))
     spark.sparkContext.addSparkListener(listener)
     try {

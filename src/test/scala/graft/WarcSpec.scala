@@ -127,7 +127,40 @@ class WarcSpec extends SparkSpec {
       assert(got.length >= 100 && got.length <= 120,
         s"gz=$gz recovered ${got.length}")
       assert(got.map(_.getString(0)).distinct.length === got.length)
+      // split-invariance on the CORRUPTED file: which records survive
+      // must not depend on where split boundaries fall (the sequential
+      // reader applies the same chain acceptance as the split scanner)
+      // String.valueOf: a stomp window can merge header lines into a
+      // record that is still structurally valid but has no Record-ID —
+      // the reader correctly surfaces it with a null id
+      val idsOneSplit = Warc.fromWarc(spark, mut, minSplitBytes = Long.MaxValue)
+        .select("record_id").collect().map(r => String.valueOf(r.getString(0)))
+        .sorted.toSeq
+      val idsManySplits = Warc.fromWarc(spark, mut, minSplitBytes = 128)
+        .select("record_id").collect().map(r => String.valueOf(r.getString(0)))
+        .sorted.toSeq
+      assert(idsOneSplit === idsManySplits, s"gz=$gz split-variant recovery")
     }
+  }
+
+  test("a header NAME containing 'Content-Length' does not poison the record extent") {
+    // the pre-parse that sizes the read window must anchor at line
+    // start: 'X-Content-Length-Hint: 5' before the real Content-Length
+    // used to truncate the window and silently drop a valid record
+    val payload = "this payload is clearly longer than five bytes"
+    val rec = ("WARC/1.0\r\n" +
+      "X-Content-Length-Hint: 5\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:hdr>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n" +
+      payload + "\r\n\r\n").getBytes("UTF-8")
+    val path = tmp("hdr.warc")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), rec)
+    val rows = Warc.fromWarc(spark, path).collect()
+    assert(rows.length === 1)
+    assert(new String(rows.head.getAs[Array[Byte]](8), "UTF-8") === payload)
+    assert(rows.head.getAs[Map[String, String]](7)("X-Content-Length-Hint") === "5")
   }
 
   test("corrupt-byte fuzz: single-byte mutations never hang or OOM") {
