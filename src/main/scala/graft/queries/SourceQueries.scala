@@ -190,6 +190,64 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // numpy .npy round trip (beyond reference — the interchange format
+    // of the python ML world; dependency-free graft.sources.Npy):
+    // lineitem becomes a structured record array (i8/f8 fields + U
+    // strings), read back through the distributed positioned-range
+    // reader, aggregated. Oracle runs on the ORIGINAL parquet.
+    "q_npy_agg" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_npy") + "/t.npy"
+      graft.sources.Npy.toNpy(narrowLineitem(s, dir), cache)
+      agg(graft.sources.Readers.open(s, cache))
+    }),
+
+    // distributed sharded npy export + glob read-back (per-partition
+    // part files via the RowSpill geometry pass)
+    "q_npy_sharded" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_npy_sh")
+      graft.sources.Npy.toNpySharded(
+        narrowLineitem(s, dir).repartition(5), cache)
+      agg(graft.sources.Readers.open(s, s"$cache/part-*.npy"))
+    }),
+
+    // npz (np.savez layout, STORED members): the embeddings table —
+    // an i8 id member, an (n, 64) f4 MATRIX member and an i4 label
+    // member — written by toNpz, read back row-aligned by the
+    // distributed multi-member range reader. First/last matrix
+    // elements hash-gate the row alignment; a value error anywhere in
+    // the zip framing or 2-D decode fails the compare.
+    "q_npz_embed" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_npz") + "/e.npz"
+      graft.sources.Npy.toNpz(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"), cache)
+      graft.sources.Readers.open(s, cache)
+        .groupBy((col("vec_id") % 8).as("g"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"),
+          sum(col("label")).as("sum_label"),
+          r(dsumD(element_at(col("embedding"), 1).cast("double"))).as("sum_first"),
+          r(dsumD(element_at(col("embedding"), -1).cast("double"))).as("sum_last"))
+        .orderBy("g")
+    }),
+
+    // npy temporal fields: events round trip through datetime64[us]
+    // (NTZ micros) + U-string event types; min/max of the decoded
+    // timestamps gate the epoch conversion in both directions.
+    "q_npy_events" -> ((s, dir) => {
+      val cache = cacheDir(dir, "events_npy") + "/events.npy"
+      graft.sources.Npy.toNpy(
+        t(s, dir, "events").select(col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_type"), col("value")),
+        cache)
+      graft.sources.Readers.open(s, cache)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+          r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // distributed sharded Avro export + glob read-back (the scale
     // shape: every partition streams its own container file; the glob
     // read unions per-file distributed reads)
@@ -610,6 +668,20 @@ object SourceQueries {
     "q_orc_agg" -> aggSql,
     "q_avro_agg" -> aggSql,
     "q_avro_sharded" -> aggSql,
+    "q_npy_agg" -> aggSql,
+    "q_npy_sharded" -> aggSql,
+    "q_npz_embed" ->
+      s"""SELECT vec_id % 8 AS g, COUNT(*) AS n,
+         |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+         |  CAST(SUM(label) AS BIGINT) AS sum_label,
+         |  ${sqlR(sqlDsum("CAST(embedding[1] AS DOUBLE)"))} AS sum_first,
+         |  ${sqlR(sqlDsum("CAST(embedding[-1] AS DOUBLE)"))} AS sum_last
+         |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin,
+    "q_npy_events" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+         |  ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_warc_pipeline" ->
       """WITH page AS (
         |  SELECT doc_id,

@@ -26,6 +26,8 @@ object Export {
     case p if p.endsWith(".avro") => Avro.toAvro(df, p)
     case p if p.endsWith(".warc.gz") => Warc.toWarc(df, p, gzip = true)
     case p if p.endsWith(".warc") => Warc.toWarc(df, p, gzip = false)
+    case p if p.endsWith(".npy") => Npy.toNpy(df, p)
+    case p if p.endsWith(".npz") => Npy.toNpz(df, p)
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }

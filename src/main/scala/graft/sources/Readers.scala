@@ -24,7 +24,8 @@ object Readers {
       // (reference: core/__init__.py:111 open handles 'data_*.hdf5')
       case p if hasGlob(p) && (p.endsWith(".hdf5") || p.endsWith(".h5")
           || p.endsWith(".fits") || p.endsWith(".arrow") || p.endsWith(".feather")
-          || p.endsWith(".avro") || p.endsWith(".warc") || p.endsWith(".warc.gz")) =>
+          || p.endsWith(".avro") || p.endsWith(".warc") || p.endsWith(".warc.gz")
+          || p.endsWith(".npy")) =>
         val files = expandGlob(spark, p)
         require(files.nonEmpty, s"open: glob matched no files: $p")
         openMany(spark, files)
@@ -42,6 +43,8 @@ object Readers {
       case p if p.endsWith(".fits") => Fits.fromFits(spark, p)
       case p if p.endsWith(".avro") => Avro.fromAvro(spark, p)
       case p if p.endsWith(".warc") || p.endsWith(".warc.gz") => Warc.fromWarc(spark, p)
+      case p if p.endsWith(".npy") => Npy.fromNpy(spark, p)
+      case p if p.endsWith(".npz") => Npy.fromNpz(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {
