@@ -64,6 +64,38 @@ object CurateQueries {
     docs.where(col("doc_id") % 3 =!= 0)
       .select(TextFunctions.portableHash(col("text")).as("h")).distinct()
 
+  /** Generated CTE chain mirroring q_bpe_learn's K=4 unrolled merge
+    * iterations (the pagerank oracle recipe): per iteration, pair
+    * counts via parallel-unnest position explode, argmax with the
+    * same (cnt DESC, pair DESC) tie-break, replace() application,
+    * and the after-merge corpus size. */
+  private def bpeOracle: String = {
+    val mergeChars = Seq("A", "B", "C", "D")
+    val sb = new StringBuilder(
+      "WITH c0 AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s FROM documents)")
+    for (k <- mergeChars.indices) {
+      val (prev, cur, it) = (s"c$k", s"c${k + 1}", k + 1)
+      sb.append(
+        s""",
+           |e$it AS (SELECT s, unnest(range(1, CAST(length(s) AS BIGINT))) AS i
+           |  FROM $prev WHERE length(s) >= 2),
+           |p$it AS (SELECT substr(s, CAST(i AS INT), 2) AS pair, COUNT(*) AS cnt
+           |  FROM e$it WHERE NOT contains(substr(s, CAST(i AS INT), 2), ' ')
+           |  GROUP BY 1),
+           |m$it AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p$it
+           |  ORDER BY cnt DESC, pair DESC LIMIT 1),
+           |$cur AS (SELECT doc_id,
+           |  replace(s, (SELECT pair FROM m$it), '${mergeChars(k)}') AS s FROM $prev),
+           |s$it AS (SELECT $it AS iter, (SELECT pair FROM m$it) AS pair,
+           |  (SELECT cnt FROM m$it) AS n_pair,
+           |  (SELECT CAST(SUM(length(s)) AS BIGINT) FROM $cur) AS corpus_chars)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (")
+      .append(mergeChars.indices.map(k => s"SELECT * FROM s${k + 1}").mkString(" UNION ALL "))
+      .append(") ORDER BY iter")
+    sb.toString
+  }
+
   /** ONE oracle for both incremental-dedup lanes. */
   private val incDedupOracle: String =
     s"""WITH newd AS (
@@ -79,6 +111,53 @@ object CurateQueries {
        |ORDER BY n.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distributed BPE vocabulary learning (Sennrich et al. 2016) —
+    // the tokenizer-training primitive, fully declarative: K=4 merge
+    // iterations where each iteration (a) counts adjacent token
+    // pairs (explode to 2-char keys, partial-agg before the tiny
+    // shuffle), (b) selects the argmax pair with a deterministic
+    // (count, pair) tie-break carried as ONE broadcast row — no
+    // collect, the merge decision rides the plan — and (c) applies
+    // the merge as a pure projection. The corpus starts char-level
+    // over [a-z ] so every merge can mint a fresh single-char symbol
+    // ('A'..'D'), which keeps the merge application an exact
+    // left-to-right replace() — the same greedy non-overlapping
+    // semantics real BPE uses — in both engines. Merges never cross
+    // words because pairs containing ' ' are excluded. Each corpus
+    // generation persists (the pagerank/tfidf iterative-plan rule);
+    // at 100 TB these become checkpoints and the per-iteration
+    // shuffle stays 2-char-key sized. Output per iteration: the
+    // chosen pair, its count at selection time, and the corpus size
+    // AFTER applying it — gating counting, selection AND application.
+    "q_bpe_learn" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val mergeChars = Seq("A", "B", "C", "D")
+      var corpus = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stats = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (k <- mergeChars.indices) {
+        val best = corpus.filter(length(col("s")) >= 2)
+          .select(explode(sequence(lit(1), length(col("s")) - 1)).as("i"), col("s"))
+          .select(expr("substring(s, i, 2)").as("pair"))
+          .filter(!col("pair").contains(" "))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .agg(max(struct(col("cnt"), col("pair"))).as("m"))
+          .select(col("m.pair").as("pair"), col("m.cnt").as("cnt"))
+        val next = corpus.crossJoin(broadcast(best))
+          .select(col("doc_id"),
+            expr(s"replace(s, pair, '${mergeChars(k)}')").as("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        stats += next.agg(sum(length(col("s"))).cast("long").as("corpus_chars"))
+          .crossJoin(broadcast(best))
+          .select(lit(k + 1).as("iter"), col("pair"),
+            col("cnt").cast("long").as("n_pair"), col("corpus_chars"))
+        corpus = next
+      }
+      stats.reduce(_ union _).orderBy("iter")
+        .select("iter", "pair", "n_pair", "corpus_chars")
+    }),
+
     // ftfy-style text cleanup: single-layer mojibake repair (latin-1
     // bytes that strictly decode as UTF-8), control-char strip,
     // NBSP/zero-width-space normalization, whitespace collapse. The
@@ -497,6 +576,7 @@ object CurateQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_learn" -> bpeOracle,
     "q_text_clean" ->
       """WITH raw AS (
         |  SELECT doc_id, text ||
