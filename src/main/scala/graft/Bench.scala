@@ -366,7 +366,9 @@ object Bench {
       // r12 additions, all emitted in the compact line (budget-checked
       // below); tfidf is the round's heavyweight join lane
       "q_quality_classifier", "q_text_clean", "q_incremental_dedup",
-      "q_tfidf_cosine")
+      "q_tfidf_cosine",
+      // r13 addition: iterative merge learning (4 tiny shuffles)
+      "q_bpe_learn")
     val pipeBattery = pipelineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> (() => fn(spark, sfDir)))
     } :+ ("q_winnow_fast" -> (() =>

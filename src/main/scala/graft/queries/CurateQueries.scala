@@ -44,6 +44,10 @@ object CurateQueries {
   private val tfidfPersisted =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
+  // same discipline for the BPE lane's per-iteration corpus persists
+  private val bpePersisted =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** The incremental-dedup pair's SHARED construction (one definition
     * so the exact and bloom lanes can never drift): the new-crawl
     * increment (doc_id %3 == 0) with %9 == 0 docs carrying an old
@@ -135,6 +139,7 @@ object CurateQueries {
       var corpus = t(s, dir, "documents").select(col("doc_id"),
         regexp_replace(lower(col("text")), "[^a-z ]", "").as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](corpus)
       val stats = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (k <- mergeChars.indices) {
         val best = corpus.filter(length(col("s")) >= 2)
@@ -153,7 +158,11 @@ object CurateQueries {
           .select(lit(k + 1).as("iter"), col("pair"),
             col("cnt").cast("long").as("n_pair"), col("corpus_chars"))
         corpus = next
+        persisted += next
       }
+      // a rep-major bench calls the lane repeatedly: rotate out the
+      // PREVIOUS build's cached corpora (their results are consumed)
+      bpePersisted.getAndSet(persisted.toSeq).foreach(_.unpersist(false))
       stats.reduce(_ union _).orderBy("iter")
         .select("iter", "pair", "n_pair", "corpus_chars")
     }),
