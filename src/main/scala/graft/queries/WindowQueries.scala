@@ -172,6 +172,49 @@ object WindowQueries {
         .orderBy("p_id")
     }),
 
+    // binned range join (no equality key — the shape Spark alone
+    // plans as a nested loop): lineitem ship-days against 14-day
+    // promo windows sampled from orders. operators.RangeJoin turns
+    // it into an equi-join on bin ordinals (RangeJoinSpec pins the
+    // plan shape); the oracle is DuckDB's native BETWEEN theta join.
+    "q_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        col("l_extendedprice"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      val ivs = t(s, dir, "orders").where(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("ws"))
+        .withColumn("we", col("ws") + 13)
+      graft.operators.RangeJoin.pointInInterval(pts, ivs, "d", "ws", "we",
+          binWidth = 16)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n"),
+          r(dsumD(col("l_extendedprice"))).as("sum_price"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy("win_id")
+    }),
+
+    // interval-overlap join over two order-window samples (each pair
+    // emitted exactly once via the overlap-start-bin rule).
+    "q_range_overlap" -> ((s, dir) => {
+      def wins(mod: Int, idName: String, sName: String, eName: String) =
+        t(s, dir, "orders").where(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as(idName),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+              .cast("long").as(sName))
+          .withColumn(eName, col(sName) + 59)
+      val l = wins(97, "win_id", "ls", "le")
+      val rr = wins(89, "cmp_id", "rs", "re")
+      graft.operators.RangeJoin.intervalOverlap(l, rr, "ls", "le", "rs", "re",
+          binWidth = 64)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_overlap"),
+          min(col("cmp_id")).as("min_cmp"), max(col("cmp_id")).as("max_cmp"))
+        .orderBy("win_id")
+    }),
+
     // rollup (beyond-reference: free on Spark, SURVEY §2.4 note)
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -301,6 +344,35 @@ object WindowQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts > c.ts
         |ORDER BY p_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH pts AS (
+         |  SELECT l_extendedprice,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+         |  FROM lineitem),
+         |ivs AS (
+         |  SELECT o_orderkey AS win_id,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ws
+         |  FROM orders WHERE o_orderkey % 997 = 0)
+         |SELECT win_id, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_extendedprice"))} AS sum_price,
+         |  MIN(d) AS min_d, MAX(d) AS max_d
+         |FROM pts JOIN ivs ON d BETWEEN ws AND ws + 13
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_overlap" ->
+      """WITH l AS (
+        |  SELECT o_orderkey AS win_id,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ls
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |r AS (
+        |  SELECT o_orderkey AS cmp_id,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS rs
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT win_id, COUNT(*) AS n_overlap,
+        |  MIN(cmp_id) AS min_cmp, MAX(cmp_id) AS max_cmp
+        |FROM l JOIN r ON ls <= rs + 59 AND rs <= ls + 59
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS flag,

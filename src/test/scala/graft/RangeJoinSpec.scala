@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.RangeJoin
+
+/** Binned range join: equality with the naive cartesian-filter
+  * formulation, exactly-once pairing, the explode guard, and the plan
+  * shape that is the operator's whole point (an equi-join, never a
+  * nested-loop/cartesian). */
+class RangeJoinSpec extends SparkSpec {
+
+  private def pointsDf(n: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map(i => Row(i.toLong, rnd.nextInt(2001) - 1000L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("pid", LongType, false), StructField("p", LongType, false))))
+  }
+
+  private def intervalsDf(n: Int, seed: Int, maxLen: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val s = rnd.nextInt(2001) - 1000L
+      // include some degenerate (e < s) intervals: must match nothing
+      val e = if (i % 11 == 0) s - 3 else s + rnd.nextInt(maxLen + 1)
+      Row(i.toLong, s, e)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("iid", LongType, false),
+        StructField("s", LongType, false), StructField("e", LongType, false))))
+  }
+
+  private def key(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  test("pointInInterval == naive cartesian filter (several widths, signs)") {
+    val pts = pointsDf(300, 1)
+    val ivs = intervalsDf(80, 2, 120)
+    val naive = pts.crossJoin(ivs)
+      .where(col("p") >= col("s") && col("p") <= col("e"))
+    val expect = key(naive, "pid", "iid")
+    assert(expect.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 5000L)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", w)
+      assert(key(got, "pid", "iid") == expect, s"width $w")
+      // exactly-once: no duplicate pairs
+      assert(got.count() == expect.size, s"width $w duplicates")
+    }
+  }
+
+  test("exclusive end excludes the boundary point") {
+    val pts = pointsDf(200, 3)
+    val ivs = intervalsDf(50, 4, 60)
+    val naive = pts.crossJoin(ivs)
+      .where(col("p") >= col("s") && col("p") < col("e"))
+    val got = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 32,
+      inclusiveEnd = false)
+    assert(key(got, "pid", "iid") == key(naive, "pid", "iid"))
+  }
+
+  test("intervalOverlap == naive, exactly once, touching endpoints overlap") {
+    val l = intervalsDf(60, 5, 90)
+      .select(col("iid").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = intervalsDf(70, 6, 90)
+      .select(col("iid").as("rid"), col("s").as("rs"), col("e").as("re"))
+    val naive = l.where(col("le") >= col("ls")).crossJoin(r.where(col("re") >= col("rs")))
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+    val expect = key(naive, "lid", "rid")
+    assert(expect.nonEmpty)
+    for (w <- Seq(1L, 16L, 128L)) {
+      val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", w)
+      assert(key(got, "lid", "rid") == expect, s"width $w")
+      assert(got.count() == expect.size, s"width $w duplicates")
+    }
+    // touching endpoints: [0,5] and [5,9] overlap (closed intervals)
+    val a = l.limit(0).unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 0L, 5L)), 1), l.schema))
+    val b = r.limit(0).unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, 5L, 9L)), 1), r.schema))
+    assert(RangeJoin.intervalOverlap(a, b, "ls", "le", "rs", "re", 4).count() == 1)
+  }
+
+  test("plan is an equi-join, never a nested loop or cartesian") {
+    val pts = pointsDf(100, 7)
+    val ivs = intervalsDf(40, 8, 50)
+    // defeat AQE's small-table broadcast so the SHUFFLED shape shows
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 32)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"range join planned a quadratic join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("explode guard fails loudly on a mis-sized bin width") {
+    val pts = pointsDf(10, 9)
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 0L, 10_000_000L)), 1),
+      StructType(Seq(StructField("iid", LongType, false),
+        StructField("s", LongType, false), StructField("e", LongType, false))))
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, wide, "p", "s", "e", 1, maxBinsPerInterval = 100)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bins")), s"unhelpful error: $e")
+  }
+
+  test("column-name collisions are rejected up front") {
+    val pts = pointsDf(5, 10)
+    val ivs = intervalsDf(5, 11, 10).withColumnRenamed("iid", "pid")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 8)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("double-valued points and intervals") {
+    val pts = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, -0.5), Row(2L, 0.0), Row(3L, 2.75), Row(4L, 9.99)), 1),
+      StructType(Seq(StructField("pid", LongType, false),
+        StructField("p", DoubleType, false))))
+    val ivs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(10L, -1.0, 0.0), Row(11L, 2.5, 10.0)), 1),
+      StructType(Seq(StructField("iid", LongType, false),
+        StructField("s", DoubleType, false), StructField("e", DoubleType, false))))
+    val got = key(RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 2), "pid", "iid")
+    assert(got == Set(Seq(1L, 10L), Seq(2L, 10L), Seq(3L, 11L), Seq(4L, 11L)))
+  }
+}
