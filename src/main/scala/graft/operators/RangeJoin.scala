@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** withColumn would silently OVERWRITE a pre-existing column named
+    * like our internal bin key (and the final drop would then remove
+    * the user's data) — reject it loudly instead. */
+  private def requireNoInternal(cols: Array[String]*): Unit =
+    cols.foreach(cs => require(!cs.contains("__rj_bin"),
+      "range join: inputs must not carry a column named __rj_bin"))
+
   private def bin(c: Column, w: Long): Column =
     floor(c.cast("double") / w.toDouble).cast("long")
 
@@ -71,6 +78,7 @@ object RangeJoin {
     require(binWidth >= 1, s"range join: binWidth must be positive ($binWidth)")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"range join: column names must be disjoint ($dup)")
+    requireNoInternal(points.columns, intervals.columns)
     val pts = points.withColumn("__rj_bin", bin(col(point), binWidth))
     val ivs = intervals
       .where(col(end) >= col(start))
@@ -93,6 +101,7 @@ object RangeJoin {
     require(binWidth >= 1, s"range join: binWidth must be positive ($binWidth)")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"range join: column names must be disjoint ($dup)")
+    requireNoInternal(left.columns, right.columns)
     val l = left.where(col(le) >= col(ls)).withColumn("__rj_bin",
       explode(binsOf(col(ls), col(le), binWidth, maxBinsPerInterval)))
     val r = right.where(col(re) >= col(rs)).withColumn("__rj_bin",

@@ -171,8 +171,12 @@ object Npy {
     * shape, structured). */
   private[sources] def parseHeader(header: String, ctx: String)
       : (Seq[NpyField], Int, Boolean, Seq[Long], Boolean) = {
-    def valueStart(key: String): Int = {
-      val i = header.indexOf(s"'$key'")
+    // locate a key's value at/after `from`: numpy writes the dict keys
+    // in the order descr, fortran_order, shape, so parsing descr FIRST
+    // and searching the later keys past its value keeps a structured
+    // FIELD named 'shape'/'fortran_order' from shadowing the real key
+    def valueStart(key: String, from: Int): Int = {
+      val i = header.indexOf(s"'$key'", from)
       require(i >= 0, s"$ctx: header missing '$key'")
       val colon = header.indexOf(':', i)
       require(colon > 0, s"$ctx: malformed header")
@@ -181,32 +185,14 @@ object Npy {
       require(j < header.length, s"$ctx: malformed header")
       j
     }
-    val fo = valueStart("fortran_order")
-    val fortran = header.startsWith("True", fo)
-    require(fortran || header.startsWith("False", fo),
-      s"$ctx: malformed fortran_order")
-    val sh = valueStart("shape")
-    require(header(sh) == '(', s"$ctx: malformed shape")
-    val shEnd = header.indexOf(')', sh)
-    require(shEnd > sh, s"$ctx: malformed shape")
-    val shape = header.substring(sh + 1, shEnd).split(",").iterator
-      .map(_.trim).filter(_.nonEmpty).map { t =>
-        require(t.nonEmpty && t.length <= 18 && t.forall(_.isDigit),
-          s"$ctx: malformed shape dim '$t'")
-        t.toLong
-      }.toSeq
-    require(shape.nonEmpty && shape.size <= 2,
-      s"$ctx: unsupported ndim ${shape.size} (1-D and 2-D only)")
-    val ds = valueStart("descr")
-    header(ds) match {
+    val ds = valueStart("descr", 0)
+    val (fields, itemBytes, structured, descrEnd) = header(ds) match {
       case '\'' =>
         val end = header.indexOf('\'', ds + 1)
         require(end > ds, s"$ctx: malformed descr")
         val dt = parseDescr(header.substring(ds + 1, end), ctx)
-        (Seq(NpyField("value", dt, 0)), dt.bytes, fortran, shape, false)
+        (Seq(NpyField("value", dt, 0)), dt.bytes, false, end + 1)
       case '[' =>
-        require(shape.size == 1,
-          s"$ctx: structured arrays must be 1-D (shape has ${shape.size} dims)")
         var depth = 0
         var end = -1
         var k = ds
@@ -221,11 +207,11 @@ object Npy {
         require(end > ds, s"$ctx: malformed structured descr")
         val list = header.substring(ds + 1, end)
         val tup = "\\('([^']+)'\\s*,\\s*'([^']+)'\\)".r
-        val fields = scala.collection.mutable.ArrayBuffer[NpyField]()
+        val fs = scala.collection.mutable.ArrayBuffer[NpyField]()
         var off = 0
         tup.findAllMatchIn(list).foreach { m =>
           val dt = parseDescr(m.group(2), s"$ctx.${m.group(1)}")
-          fields += NpyField(m.group(1), dt, off)
+          fs += NpyField(m.group(1), dt, off)
           off += dt.bytes
         }
         // everything the tuple regex did not consume must be list
@@ -235,14 +221,33 @@ object Npy {
         val residue = tup.replaceAllIn(list, "")
         require(residue.forall(c => c == ',' || c == ' ' || c == '\n'),
           s"$ctx: unsupported structured descr (subarray/nested/aligned fields)")
-        require(fields.nonEmpty, s"$ctx: empty structured descr")
-        require(fields.map(_.name).distinct.size == fields.size,
+        require(fs.nonEmpty, s"$ctx: empty structured descr")
+        require(fs.map(_.name).distinct.size == fs.size,
           s"$ctx: duplicate field names")
-        (fields.toSeq, off, fortran, shape, true)
+        (fs.toSeq, off, true, end + 1)
       case '{' => throw new IllegalArgumentException(
         s"$ctx: aligned/offset (dict-form) dtypes are unsupported")
       case _ => throw new IllegalArgumentException(s"$ctx: malformed descr")
     }
+    val fo = valueStart("fortran_order", descrEnd)
+    val fortran = header.startsWith("True", fo)
+    require(fortran || header.startsWith("False", fo),
+      s"$ctx: malformed fortran_order")
+    val sh = valueStart("shape", descrEnd)
+    require(header(sh) == '(', s"$ctx: malformed shape")
+    val shEnd = header.indexOf(')', sh)
+    require(shEnd > sh, s"$ctx: malformed shape")
+    val shape = header.substring(sh + 1, shEnd).split(",").iterator
+      .map(_.trim).filter(_.nonEmpty).map { t =>
+        require(t.nonEmpty && t.length <= 18 && t.forall(_.isDigit),
+          s"$ctx: malformed shape dim '$t'")
+        t.toLong
+      }.toSeq
+    require(shape.nonEmpty && shape.size <= 2,
+      s"$ctx: unsupported ndim ${shape.size} (1-D and 2-D only)")
+    require(!structured || shape.size == 1,
+      s"$ctx: structured arrays must be 1-D (shape has ${shape.size} dims)")
+    (fields, itemBytes, fortran, shape, structured)
   }
 
   /** Read and parse one npy header starting at `base`. `avail` bounds
@@ -352,7 +357,11 @@ object Npy {
   }
 
   private def sparkFieldType(meta: NpyMeta, f: NpyField): DataType =
-    if (meta.shape.size == 2) ArrayType(f.dt.sparkType, containsNull = false)
+    // datetime matrices can carry NaT -> null ELEMENTS; declaring
+    // containsNull=false there would let codegen'd consumers read the
+    // unset slot as epoch garbage instead of null
+    if (meta.shape.size == 2)
+      ArrayType(f.dt.sparkType, containsNull = f.dt.code == 'M')
     else f.dt.sparkType
 
   // ------------------------------------------------------------ npy read
@@ -758,13 +767,16 @@ object Npy {
     (stats.getLong(0), widths, arrayLens)
   }
 
-  /** Write one npy file: plain 1-D (single scalar column), (n, d)
-    * matrix (single fixed-length array column) or a structured record
-    * array (multiple scalar columns). Driver-streamed via
-    * toLocalIterator after a single stats pass — the single-file
-    * interchange sink; [[toNpySharded]] is the distributed form.
-    * Nulls are rejected (numpy plain arrays have no null
-    * representation; `fillna` first). */
+  /** Write one npy file: plain 1-D (single scalar column named
+    * `value`; any other single column keeps its name via a 1-field
+    * structured descr), (n, d) matrix (single fixed-length array
+    * column — npy matrices are nameless, so a matrix column reads
+    * back as `value`; use [[toNpz]] when the name matters) or a
+    * structured record array (multiple scalar columns).
+    * Driver-streamed via toLocalIterator after a single stats pass —
+    * the single-file interchange sink; [[toNpySharded]] is the
+    * distributed form. Nulls are rejected (numpy plain arrays have no
+    * null representation; `fillna` first). */
   def toNpy(df: DataFrame, path: String): Unit = {
     val (n, widths, arrayLens) = geometry(df)
     val it = scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator()).asScala
@@ -865,8 +877,13 @@ object Npy {
             s"npy export: unsupported character in column name ${f.name}")
           f.name -> outDtype(f.name, f.dataType, widths.getOrElse(f.name, 1))
         }
+        // plain (nameless) 1-D form ONLY when the column already has
+        // the reader's synthetic name — any other name round-trips
+        // through a 1-field structured descr so export/open preserves
+        // the schema instead of silently renaming to 'value'
         val descr =
-          if (cols.sizeIs == 1) s"'${descrOf(cols.head._2)}'"
+          if (cols.sizeIs == 1 && cols.head._1 == "value")
+            s"'${descrOf(cols.head._2)}'"
           else cols.map { case (nm, dt) => s"('$nm', '${descrOf(dt)}')" }
             .mkString("[", ", ", "]")
         val offsets = cols.scanLeft(0)(_ + _._2.bytes)
@@ -980,6 +997,12 @@ object Npy {
         off += 30 + nameB.length + size
       }
       val cdStart = off
+      // the per-member guard bounds each entry, but the offset AFTER
+      // the last member (where the central directory lands) can still
+      // exceed zip32 — putInt would wrap it into a silently corrupt
+      // archive
+      require(cdStart <= 0xfffffffeL,
+        "npz export: archive exceeds zip32 (use toNpySharded)")
       central.foreach { case (nameB, lhOff, size, crc) =>
         val ce = ByteBuffer.allocate(46).order(ByteOrder.LITTLE_ENDIAN)
         ce.putInt(0x02014b50).putShort(20.toShort).putShort(20.toShort)

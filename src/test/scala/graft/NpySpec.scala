@@ -290,6 +290,32 @@ class NpySpec extends SparkSpec {
     assert(Readers.open(spark, p2).count() == 20)
   }
 
+  test("datetime matrix with NaT: nullable elements, not epoch garbage") {
+    val df = Npy.fromNpy(spark, res("mat_times_nat.npy"))
+    val at = df.schema.head.dataType.asInstanceOf[ArrayType]
+    assert(at.containsNull, "M8 matrix elements must be declared nullable")
+    // drive a codegen'd consumer over the null slot
+    val got = df.select(explode(col("value")).as("t")).collect().map(r => Option(r.get(0)))
+    assert(got.count(_.isEmpty) == 1)
+    assert(got.flatten.map(_.toString).toSet.contains("2024-01-02T03:04:05.123456"))
+  }
+
+  test("structured field named 'shape' does not shadow the dict key") {
+    val df = Npy.fromNpy(spark, res("field_named_shape.npy"))
+    assert(df.schema.fieldNames.toSeq == Seq("shape", "x"))
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((7L, 0.5), (8L, 1.5), (9L, 2.5)))
+  }
+
+  test("single non-'value' column keeps its name on round trip") {
+    val df = spark.range(0, 25).select((col("id") * 2.5).as("price"))
+    val path = tmp("named.npy")
+    Npy.toNpy(df, path)
+    val back = Npy.fromNpy(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("price"))
+    assert(back.agg(sum("price")).head.getDouble(0) == (0 until 25).map(_ * 2.5).sum)
+  }
+
   // ------------------------------------------------------------- fail-fast
 
   private def writeBytes(path: String, b: Array[Byte]): String = {

@@ -119,6 +119,13 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 8)
     }
     assert(e.getMessage.contains("disjoint"))
+    // the internal bin column on ONE side passes disjointness but
+    // would be silently overwritten then dropped — reject it too
+    val poisoned = pointsDf(5, 12).withColumn("__rj_bin", lit(1L))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(poisoned, intervalsDf(5, 13, 10), "p", "s", "e", 8)
+    }
+    assert(e2.getMessage.contains("__rj_bin"))
   }
 
   test("double-valued points and intervals") {

@@ -70,6 +70,17 @@ struct["tag"] = [b"aa", b"", b"ccccc", b"dd"]
 struct["n"] = [0, 7, 4294967295, 42]
 save("struct.npy", struct)
 
+# 2-D datetime matrix with NaT (nullable array elements)
+save("mat_times_nat.npy", np.array(
+    [["2024-01-02T03:04:05.123456", "NaT"],
+     ["1969-12-31T23:59:59.000001", "2000-06-15T12:00:00"]], dtype="<M8[us]"))
+
+# structured field named like a dict key (must not shadow 'shape')
+fns = np.zeros(3, dtype=[("shape", "<i8"), ("x", "<f8")])
+fns["shape"] = [7, 8, 9]
+fns["x"] = [0.5, 1.5, 2.5]
+save("field_named_shape.npy", fns)
+
 # version-2.0 header (forced via the low-level API)
 arr = np.array([11, 22, 33], dtype="<i8")
 with open(os.path.join(OUT, "v2_header.npy"), "wb") as f:
