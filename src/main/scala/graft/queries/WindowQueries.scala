@@ -215,6 +215,52 @@ object WindowQueries {
         .orderBy("win_id")
     }),
 
+    // ordered event funnel (view -> click -> purchase, strictly later
+    // at each stage): staged conditional aggregation + per-user joins
+    // — each stage is one groupBy on user_id, never a per-user window
+    // over the whole event stream; stage lags stay in exact integer
+    // microseconds (no float parity tax).
+    "q_event_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"), min(col("v_ts")).as("v_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"), min(col("c_ts")).as("c_ts"))
+      val s1 = v.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_lag_us"))
+        .select(lit("1_view").as("stage"), col("n_users"), col("sum_lag_us"))
+      val s2 = c.agg(count(lit(1)).as("n_users"),
+          sum(unix_micros(col("c_ts").cast("timestamp")) -
+            unix_micros(col("v_ts").cast("timestamp"))).as("sum_lag_us"))
+        .select(lit("2_click").as("stage"), col("n_users"), col("sum_lag_us"))
+      val s3 = p.agg(count(lit(1)).as("n_users"),
+          sum(unix_micros(col("p_ts").cast("timestamp")) -
+            unix_micros(col("c_ts").cast("timestamp"))).as("sum_lag_us"))
+        .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_lag_us"))
+      s1.union(s2).union(s3).orderBy("stage")
+    }),
+
+    // weekly cohort retention matrix: cohort = week of a user's first
+    // event, cell = distinct users active at each week offset. Two
+    // user-keyed aggregations + one distinct — the standard
+    // product-analytics shape, no windows.
+    "q_cohort_retention" -> ((s, dir) => {
+      val days = t(s, dir, "events").select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"))
+      val first = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      days.join(first, "user_id")
+        .select(floor(col("cohort_day") / 7).cast("long").as("cohort_week"),
+          floor((col("day") - col("cohort_day")) / 7).cast("long").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // rollup (beyond-reference: free on Spark, SURVEY §2.4 note)
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -373,6 +419,44 @@ object WindowQueries {
         |  MIN(cmp_id) AS min_cmp, MAX(cmp_id) AS max_cmp
         |FROM l JOIN r ON ls <= rs + 59 AND rs <= ls + 59
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(v.v_ts) AS v_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(c.c_ts) AS c_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(0 AS BIGINT) AS sum_lag_us FROM v
+        |  UNION ALL
+        |  SELECT '2_click', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(epoch_us(c_ts) - epoch_us(v_ts)) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) FROM p
+        |) ORDER BY stage""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1),
+        |cells AS (
+        |  SELECT DISTINCT CAST(FLOOR(f.cohort_day / 7.0) AS BIGINT) AS cohort_week,
+        |    CAST(FLOOR((d.day - f.cohort_day) / 7.0) AS BIGINT) AS week_offset,
+        |    d.user_id
+        |  FROM days d JOIN first f ON d.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS flag,
