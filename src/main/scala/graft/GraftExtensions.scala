@@ -84,6 +84,10 @@ object GraftExtensions {
 
   /** Install every kernel as a SQL function. */
   def install(ext: SparkSessionExtensions): Unit = {
+    // optimizer tier: conf-gated rewrite of no-equi-key range joins
+    // into binned equi-joins (see graft.plans.RangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+
     def reg(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: rewrites an inner join whose condition is
+  * a pure RANGE predicate (no equality key spanning the sides) into
+  * the binned equi-join of [[graft.operators.RangeJoin]] — so a user
+  * writing plain `points.join(intervals, p >= s && p <= e)` (or the
+  * SQL `ON d BETWEEN ws AND we`) gets a shuffled equi-join on bin
+  * ordinals instead of the BroadcastNestedLoopJoin/CartesianProduct
+  * Spark alone can plan for that shape.
+  *
+  * Opt-in by configuration, mirroring the hint-driven design of
+  * engine range-join support (the right bin width is data knowledge
+  * only the user has):
+  *
+  *   SET spark.graft.rangeJoin.binWidth = 16        -- enables the rule
+  *   SET spark.graft.rangeJoin.maxBinsPerInterval = 4096   -- optional
+  *
+  * Fires only when ALL hold:
+  *  - inner join with a condition and NO cross-side equality conjunct
+  *    (if an equi key exists Spark already hash-joins; and the rewrite
+  *    itself introduces one, which makes the rule a natural fixed
+  *    point);
+  *  - some conjunct pair bounds one side's numeric expression `p`
+  *    below by `s` and above by `e` from the other side (>=/> and
+  *    <=/<; strict bounds bin the same — the exact predicate is kept);
+  *  - binWidth is a positive long.
+  *
+  * The rewrite: the point side gains a `__graft_rj_bin` projection;
+  * the interval side filters `e >= s` (such rows cannot match, and
+  * `sequence()` would reject a descending range), then explodes
+  * `sequence(floor(s/W), floor(e/W))` — guarded by
+  * maxBinsPerInterval with `raise_error`, so a mis-sized width fails
+  * loudly instead of silently exploding the shuffle. The new join
+  * carries bin equality AND the original condition; a final Project
+  * restores the original output attributes, so parent operators are
+  * untouched. Each candidate pair meets in exactly one bin (the
+  * point's), so no dedup is needed. Semantics: NULL endpoints or
+  * points satisfy no range predicate in the original plan and are
+  * dropped by the bin machinery the same way.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val WidthKey = "spark.graft.rangeJoin.binWidth"
+  private val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+  private val BinName = "__graft_rj_bin"
+
+  /** One recognized bound: the point expression and the other-side
+    * endpoint. */
+  private case class Bound(p: Expression, endpoint: Expression)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(WidthKey, "").trim
+    if (width.isEmpty) return plan
+    val w = try width.toLong catch { case _: NumberFormatException => return plan }
+    if (w < 1) return plan
+    val maxBins = conf.getConfString(MaxBinsKey, "4096").toLong
+
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j, cond) =>
+        rewrite(j, left, right, cond, hint, w, maxBins).getOrElse(j)
+    }
+  }
+
+  private def eligible(j: Join, cond: Expression): Boolean = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // an existing cross-side equality means Spark already has an
+    // equi-join (and marks our own rewritten joins, terminating the
+    // fixed point)
+    !conjuncts.exists {
+      case EqualTo(a, b) => crossSide(j, a, b)
+      case EqualNullSafe(a, b) => crossSide(j, a, b)
+      case _ => false
+    }
+  }
+
+  private def crossSide(j: Join, a: Expression, b: Expression): Boolean = {
+    def side(e: Expression): Int =
+      if (e.references.isEmpty) 0
+      else if (e.references.subsetOf(j.left.outputSet)) 1
+      else if (e.references.subsetOf(j.right.outputSet)) 2
+      else 3
+    val (sa, sb) = (side(a), side(b))
+    (sa == 1 && sb == 2) || (sa == 2 && sb == 1)
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, hint: JoinHint,
+                      w: Long, maxBins: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    def sideOf(e: Expression): Option[Boolean] = // Some(true)=left
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(left.outputSet)) Some(true)
+      else if (e.references.subsetOf(right.outputSet)) Some(false)
+      else None
+
+    def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+
+    // a cross-side bound where both halves are single-side numeric
+    // expressions; returns (point, endpoint) canonicalized
+    def bound(a: Expression, b: Expression): Option[(Bound, Boolean)] =
+      (sideOf(a), sideOf(b)) match {
+        case (Some(x), Some(y)) if x != y && numeric(a) && numeric(b) =>
+          Some((Bound(a, b), x))
+        case _ => None
+      }
+
+    // lower bounds: p >= s / p > s / s <= p / s < p
+    val lowers = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => bound(a, b)
+      case GreaterThan(a, b) => bound(a, b)
+      case LessThanOrEqual(a, b) => bound(b, a)
+      case LessThan(a, b) => bound(b, a)
+      case _ => None
+    }
+    // upper bounds: p <= e / p < e / e >= p / e > p
+    val uppers = conjuncts.flatMap {
+      case LessThanOrEqual(a, b) => bound(a, b)
+      case LessThan(a, b) => bound(a, b)
+      case GreaterThanOrEqual(a, b) => bound(b, a)
+      case GreaterThan(a, b) => bound(b, a)
+      case _ => None
+    }
+
+    val pair = (for {
+      (lo, pOnLeft) <- lowers.iterator
+      (hi, pOnLeft2) <- uppers.iterator
+      if pOnLeft == pOnLeft2 && lo.p.semanticEquals(hi.p)
+    } yield (lo.p, lo.endpoint, hi.endpoint, pOnLeft)).nextOption()
+
+    pair.map { case (p, s, e, pOnLeft) =>
+      def binOf(x: Expression): Expression =
+        Cast(Floor(Divide(Cast(x, DoubleType), Literal(w.toDouble))), LongType)
+
+      val binAlias = Alias(binOf(p), BinName)()
+      val pSide0 = if (pOnLeft) left else right
+      val iSide0 = if (pOnLeft) right else left
+      val pSide = Project(pSide0.output :+ binAlias, pSide0)
+
+      val lo = binOf(s)
+      val hi = binOf(e)
+      val arrT = ArrayType(LongType, containsNull = false)
+      val guarded = If(
+        GreaterThanOrEqual(Subtract(hi, lo), Literal(maxBins)),
+        Cast(new RaiseError(Concat(Seq(
+          Literal(s"range join rewrite: interval covers more than $maxBins " +
+            s"bins of width $w (adjust $WidthKey or $MaxBinsKey); start="),
+          Cast(s, StringType), Literal(" end="), Cast(e, StringType)))), arrT),
+        Cast(new Sequence(lo, hi, Literal(1L)), arrT))
+      // Sequence (and some Casts) are TimeZoneAwareExpressions whose
+      // `resolved` demands a zone — the analyzer normally stamps it,
+      // but optimizer-built expressions must do it themselves
+      val guardedTz = guarded.transform {
+        case tz: TimeZoneAwareExpression if tz.timeZoneId.isEmpty =>
+          tz.withTimeZone(conf.sessionLocalTimeZone)
+      }
+      val elemAttr = AttributeReference(BinName + "_i", LongType, nullable = false)()
+      val iSide = Generate(Explode(guardedTz), Nil, outer = false, None,
+        Seq(elemAttr), Filter(GreaterThanOrEqual(e, s), iSide0))
+
+      val joinCond = And(EqualTo(binAlias.toAttribute, elemAttr), cond)
+      val newJoin =
+        if (pOnLeft) Join(pSide, iSide, Inner, Some(joinCond), hint)
+        else Join(iSide, pSide, Inner, Some(joinCond), hint)
+      Project(j.output, newJoin)
+    }
+  }
+}
