@@ -58,6 +58,30 @@ object StreamQueries {
         .orderBy("n_name")
     }),
 
+    // SCD2 (slowly-changing dimension) enrich, batch face: every event
+    // joins the customer VERSION valid at its event time — two
+    // validity epochs per customer synthesized from the customer
+    // table; a plain equi enrich would serve version-2 attributes for
+    // version-1-era events (the classic silent lookup bug).
+    "q_scd2_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        .withColumn("v", explode(array(lit(0), lit(1))))
+        .select(col("user_id"),
+          concat(col("c_mktsegment"), lit("_v"), col("v").cast("string")).as("segment"),
+          when(col("v") === 0, lit("2024-01-01 00:00:00"))
+            .otherwise(lit("2024-01-15 00:00:00")).cast("timestamp_ntz").as("valid_from"),
+          when(col("v") === 0, lit("2024-01-15 00:00:00"))
+            .otherwise(lit("2025-01-01 00:00:00")).cast("timestamp_ntz").as("valid_to"))
+      StreamOps.scd2Enrich(ev, dim, Seq("user_id"), "ts", "valid_from", "valid_to")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"),
+          r(dsumD(col("value"))).as("sum_value"))
+        .orderBy("segment")
+    }),
+
     // stream-stream interval join (batch face): purchases within 1 hour
     // after a view by the same user; per-user pair count + value sum
     "q_stream_interval_join" -> ((s, dir) => {
@@ -107,6 +131,22 @@ object StreamQueries {
     "q_stream_enrich" ->
       s"""SELECT n_name, COUNT(*) AS n, ${sqlR(sqlDsum("value"))} AS sum_value
          |FROM events JOIN nation ON user_id % 25 = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2_enrich" ->
+      s"""WITH dim AS (
+         |  SELECT c_custkey AS user_id,
+         |    c_mktsegment || '_v' || CAST(v AS VARCHAR) AS segment,
+         |    CASE WHEN v = 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+         |         ELSE TIMESTAMP '2024-01-15 00:00:00' END AS vf,
+         |    CASE WHEN v = 0 THEN TIMESTAMP '2024-01-15 00:00:00'
+         |         ELSE TIMESTAMP '2025-01-01 00:00:00' END AS vt
+         |  FROM customer, unnest([0, 1]) AS t(v))
+         |SELECT segment, COUNT(*) AS n,
+         |  MIN(event_id) AS min_ev, MAX(event_id) AS max_ev,
+         |  ${sqlR(sqlDsum("value"))} AS sum_value
+         |FROM events e JOIN dim d ON e.user_id = d.user_id
+         |  AND e.ts >= d.vf AND e.ts < d.vt
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_interval_join" ->

@@ -87,6 +87,25 @@ object StreamOps {
                  how: String = "inner"): DataFrame =
     stream.join(broadcast(dim), on, how)
 
+  /** Stream-static SCD2 (slowly-changing dimension, type 2) enrich:
+    * each event joins the dimension VERSION valid at its event time —
+    * equi key plus a validity-interval condition over the dimension's
+    * `[validFrom, validTo)` columns. Stateless on a streaming left
+    * (stream-static join: no watermark, append mode); the validity
+    * predicate rides the broadcast equi join as a post-join filter,
+    * so the plan stays a key join at any dimension size. The standard
+    * "attach the customer record AS OF the event" shape — a plain
+    * equi enrich silently serves today's attributes for yesterday's
+    * events. */
+  def scd2Enrich(events: DataFrame, dim: DataFrame, keys: Seq[String],
+                 eventTs: String, validFrom: String, validTo: String,
+                 how: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "scd2Enrich: at least one equi key required")
+    val cond = keys.map(k => events(k) === dim(k)).reduce(_ && _) &&
+      events(eventTs) >= dim(validFrom) && events(eventTs) < dim(validTo)
+    events.join(broadcast(dim), cond, how)
+  }
+
   /** Stream-stream interval join: pairs of (left, right) rows with
     * equal keys where the right event lands in [leftTs, leftTs +
     * maxDelay]. On streams BOTH sides must carry watermarks

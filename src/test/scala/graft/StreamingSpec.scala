@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("scd2Enrich: the version valid at event time attaches, stream == batch") {
+    // two versions per user: v0 valid [0, 5), v1 valid [5, 100) minutes
+    val dim = Seq(
+      (1L, "u1_v0", ts(0), ts(5)), (1L, "u1_v1", ts(5), ts(100)),
+      (2L, "u2_v0", ts(0), ts(5)), (2L, "u2_v1", ts(5), ts(100)))
+      .toDF("user_id", "segment", "valid_from", "valid_to")
+    val batch = rows.toDF("user_id", "ts", "value")
+    val expect2 = StreamOps.scd2Enrich(batch, dim, Seq("user_id"),
+        "ts", "valid_from", "valid_to")
+      .select(batch("user_id"), col("value"), col("segment"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    // event at minute 0 and 4 get v0; minutes 5 and 59 get v1
+    assert(expect2.keySet.map(_(2)) == Set("u1_v0", "u1_v1", "u2_v0", "u2_v1"))
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+    val sDf = stream.toDF.toDF("user_id", "ts", "value")
+    val streamed = StreamOps.scd2Enrich(sDf, dim, Seq("user_id"),
+        "ts", "valid_from", "valid_to")
+      .select(sDf("user_id"), col("value"), col("segment"))
+    val got = StreamOps.runToMemory(streamed, "t_scd2", OutputMode.Append())
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expect2 && expect2.nonEmpty)
+  }
+
   test("intervalJoin: stream-stream join matches batch range join") {
     // views at t=0 (user 1), t=1 (user 2); purchases within/outside 10m
     val views = Seq((1L, ts(0)), (2L, ts(1)))
