@@ -852,6 +852,35 @@ final case class VxFrame(
     VxFrame(left.join(r, on, how))
   }
 
+  /** As-of (backward) join through the facade — for each row of this
+    * frame, the latest strictly-earlier `other` row by the same keys
+    * (operators.AsOfJoin: union + per-key window, O(n log n) per key,
+    * never materializes candidate pairs). Payload columns attach as
+    * `asof_<name>`. */
+  def joinAsof(other: VxFrame, on: Seq[String], leftTs: String,
+               rightTs: String, payload: Seq[String]): VxFrame =
+    VxFrame(graft.operators.AsOfJoin.asofBackward(
+      df, other.df, on, leftTs, rightTs, payload))
+
+  /** Range join through the facade — rows of this frame paired with
+    * `intervals` rows whose `[start, end]` contains `point`
+    * (operators.RangeJoin binned equi-join; never a nested loop).
+    * Interval columns colliding with ours get `rsuffix`; pass the
+    * ORIGINAL start/end names — renames are resolved here. */
+  def joinRange(intervals: VxFrame, point: String, start: String,
+                end: String, binWidth: Long, rsuffix: String = "_r",
+                inclusiveEnd: Boolean = true): VxFrame = {
+    val left = df
+    var right = intervals.df
+    right.columns.filter(left.columns.contains).foreach { c =>
+      right = right.withColumnRenamed(c, s"$c$rsuffix")
+    }
+    def resolved(c: String) = if (left.columns.contains(c)) s"$c$rsuffix" else c
+    VxFrame(graft.operators.RangeJoin.pointInInterval(
+      left, right, point, resolved(start), resolved(end), binWidth,
+      inclusiveEnd = inclusiveEnd))
+  }
+
   /** Positional join (reference: core/join.py:164 `on=None` row paste):
     * zip by an explicit row-index column present on both sides. */
   def joinPositional(other: VxFrame, rowIndex: String = "row_index",

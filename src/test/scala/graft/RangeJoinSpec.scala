@@ -128,6 +128,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(e2.getMessage.contains("__rj_bin"))
   }
 
+  test("facade joinRange/joinAsof delegate to the operators, suffixing collisions") {
+    val p = pointsDf(80, 20)
+    // collide on 'pid' AND use colliding interval bound names
+    val i = intervalsDf(30, 21, 40)
+      .withColumnRenamed("iid", "pid")
+    val direct = RangeJoin.pointInInterval(
+      pointsDf(80, 20), intervalsDf(30, 21, 40), "p", "s", "e", 16)
+      .select(col("pid"), col("iid")).collect().map(_.toSeq).toSet
+    val viaFacade = VxFrame(p).joinRange(VxFrame(i), "p", "s", "e", 16)
+    assert(viaFacade.df.columns.count(_ == "pid") == 1) // suffixed, not duplicated
+    val got = viaFacade.df.select(col("pid"), col("pid_r")).collect().map(_.toSeq).toSet
+    assert(got == direct)
+
+    // joinAsof facade == operator
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, 10L), Row(1L, 20L), Row(2L, 15L)), 1),
+      StructType(Seq(StructField("k", LongType, false), StructField("t", LongType, false))))
+    val r = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, 5L, 100.0), Row(1L, 15L, 200.0), Row(2L, 30L, 300.0)), 1),
+      StructType(Seq(StructField("k", LongType, false),
+        StructField("rt", LongType, false), StructField("v", DoubleType, false))))
+    val viaF = VxFrame(l).joinAsof(VxFrame(r), Seq("k"), "t", "rt", Seq("v"))
+      .df.select("k", "t", "asof_v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.get(2)))).toSet
+    assert(viaF == Set((1L, 10L, Some(100.0)), (1L, 20L, Some(200.0)), (2L, 15L, None)))
+  }
+
   test("double-valued points and intervals") {
     val pts = spark.createDataFrame(
       spark.sparkContext.parallelize(
