@@ -869,16 +869,24 @@ final case class VxFrame(
     * ORIGINAL start/end names — renames are resolved here. */
   def joinRange(intervals: VxFrame, point: String, start: String,
                 end: String, binWidth: Long, rsuffix: String = "_r",
+                maxBinsPerInterval: Int = 4096,
                 inclusiveEnd: Boolean = true): VxFrame = {
     val left = df
     var right = intervals.df
-    right.columns.filter(left.columns.contains).foreach { c =>
-      right = right.withColumnRenamed(c, s"$c$rsuffix")
+    // the suffixed name can itself collide (e.g. with a column from a
+    // previous suffixed join) — cascade the suffix until free
+    val renames = scala.collection.mutable.Map[String, String]()
+    intervals.df.columns.filter(left.columns.contains).foreach { c =>
+      var nc = s"$c$rsuffix"
+      while (left.columns.contains(nc) || right.columns.contains(nc))
+        nc += rsuffix
+      right = right.withColumnRenamed(c, nc)
+      renames(c) = nc
     }
-    def resolved(c: String) = if (left.columns.contains(c)) s"$c$rsuffix" else c
+    def resolved(c: String) = renames.getOrElse(c, c)
     VxFrame(graft.operators.RangeJoin.pointInInterval(
       left, right, point, resolved(start), resolved(end), binWidth,
-      inclusiveEnd = inclusiveEnd))
+      maxBinsPerInterval = maxBinsPerInterval, inclusiveEnd = inclusiveEnd))
   }
 
   /** Positional join (reference: core/join.py:164 `on=None` row paste):

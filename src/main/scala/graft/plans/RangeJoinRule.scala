@@ -26,10 +26,14 @@ import org.apache.spark.sql.types._
   *    (if an equi key exists Spark already hash-joins; and the rewrite
   *    itself introduces one, which makes the rule a natural fixed
   *    point);
-  *  - some conjunct pair bounds one side's numeric expression `p`
-  *    below by `s` and above by `e` from the other side (>=/> and
-  *    <=/<; strict bounds bin the same — the exact predicate is kept);
-  *  - binWidth is a positive long.
+  *  - some conjunct pair bounds one side's expression `p` below by
+  *    `s` and above by `e` from the other side (>=/> and <=/<; strict
+  *    bounds bin the same — the exact predicate is kept); p/s/e must
+  *    share a binnable family: numeric (binWidth in value units),
+  *    timestamp/timestamp_ntz (binWidth in SECONDS — the SCD2 /
+  *    validity-interval shape), or date (binWidth in DAYS);
+  *  - binWidth is a positive long (a present-but-invalid value fails
+  *    loudly rather than silently serving the quadratic plan).
   *
   * The rewrite: the point side gains a `__graft_rj_bin` projection;
   * the interval side filters `e >= s` (such rows cannot match, and
@@ -54,18 +58,45 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * endpoint. */
   private case class Bound(p: Expression, endpoint: Expression)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthKey, "").trim
-    if (width.isEmpty) return plan
-    val w = try width.toLong catch { case _: NumberFormatException => return plan }
-    if (w < 1) return plan
-    val maxBins = conf.getConfString(MaxBinsKey, "4096").toLong
+  /** Binnable families: 'n' numeric (binWidth in value units),
+    * 't' timestamp/timestamp_ntz (binWidth in SECONDS), 'd' date
+    * (binWidth in DAYS). The point and both endpoints must share a
+    * family (the analyzer's comparison coercions normally guarantee
+    * it). */
+  private def family(e: Expression): Option[Char] = e.dataType match {
+    case _: NumericType => Some('n')
+    case TimestampType | TimestampNTZType => Some('t')
+    case DateType => Some('d')
+    case _ => None
+  }
 
-    plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j, cond) =>
-        rewrite(j, left, right, cond, hint, w, maxBins).getOrElse(j)
+  /** A PRESENT-but-invalid conf value fails loudly (the user believes
+    * the rewrite is active; silently serving the quadratic plan is the
+    * exact hazard this module exists to prevent). An absent binWidth
+    * simply disables the rule. */
+  private def longConf(key: String, default: Option[Long]): Option[Long] = {
+    val raw = conf.getConfString(key, "").trim
+    if (raw.isEmpty) default
+    else {
+      val v = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a positive long, got '$raw'")
+      }
+      require(v >= 1, s"$key must be a positive long, got '$raw'")
+      Some(v)
     }
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    longConf(WidthKey, None) match {
+      case None => plan
+      case Some(w) =>
+        val maxBins = longConf(MaxBinsKey, Some(4096L)).get
+        plan.transformUp {
+          case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j, cond) =>
+            rewrite(j, left, right, cond, hint, w, maxBins).getOrElse(j)
+        }
+    }
 
   private def eligible(j: Join, cond: Expression): Boolean = {
     val conjuncts = splitConjunctivePredicates(cond)
@@ -100,13 +131,12 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       else if (e.references.subsetOf(right.outputSet)) Some(false)
       else None
 
-    def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
-
-    // a cross-side bound where both halves are single-side numeric
+    // a cross-side bound where both halves are single-side binnable
     // expressions; returns (point, endpoint) canonicalized
     def bound(a: Expression, b: Expression): Option[(Bound, Boolean)] =
       (sideOf(a), sideOf(b)) match {
-        case (Some(x), Some(y)) if x != y && numeric(a) && numeric(b) =>
+        case (Some(x), Some(y)) if x != y &&
+            family(a).isDefined && family(b).isDefined =>
           Some((Bound(a, b), x))
         case _ => None
       }
@@ -131,12 +161,35 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val pair = (for {
       (lo, pOnLeft) <- lowers.iterator
       (hi, pOnLeft2) <- uppers.iterator
-      if pOnLeft == pOnLeft2 && lo.p.semanticEquals(hi.p)
+      if pOnLeft == pOnLeft2 && lo.p.semanticEquals(hi.p) &&
+        family(lo.p) == family(lo.endpoint) &&
+        family(lo.p) == family(hi.endpoint)
     } yield (lo.p, lo.endpoint, hi.endpoint, pOnLeft)).nextOption()
 
     pair.map { case (p, s, e, pOnLeft) =>
-      def binOf(x: Expression): Expression =
-        Cast(Floor(Divide(Cast(x, DoubleType), Literal(w.toDouble))), LongType)
+      val fam = family(p).get
+      // binWidth is in the column's natural unit: value units for
+      // numerics, SECONDS for timestamps, DAYS for dates. Monotone
+      // per-family normalization keeps the containment argument: all
+      // three expressions shift/scale identically, so a point inside
+      // [s, e] always lands in [binOf(s), binOf(e)].
+      def binOf(x: Expression): Expression = {
+        val (num, scale) = fam match {
+          case 'n' => (x, w.toDouble)
+          case 't' =>
+            val ts = if (x.dataType == TimestampType) x else Cast(x, TimestampType)
+            (UnixMicros(ts), w.toDouble * 1000000.0)
+          case 'd' => (DateDiff(x, Literal(0, DateType)), w.toDouble)
+        }
+        // stamp the session zone on any tz-needing node in here (the
+        // ntz->timestamp cast of the 't' family) — same requirement
+        // as the Sequence below
+        Cast(Floor(Divide(Cast(num, DoubleType), Literal(scale))), LongType)
+          .transform {
+            case tz: TimeZoneAwareExpression if tz.timeZoneId.isEmpty =>
+              tz.withTimeZone(conf.sessionLocalTimeZone)
+          }
+      }
 
       val binAlias = Alias(binOf(p), BinName)()
       val pSide0 = if (pOnLeft) left else right

@@ -134,6 +134,61 @@ class RangeJoinRuleSpec extends SparkSpec with BeforeAndAfterEach {
     assert(messages(e).exists(_.contains("bins")), s"unhelpful: $e")
   }
 
+  test("timestamp BETWEEN (the SCD2 validity shape) rewrites; binWidth in seconds") {
+    def t(min: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min)
+    val evRows = (0 until 120).map(i => Row(i.toLong, t(i * 7 % 300)))
+    val ev = spark.createDataFrame(spark.sparkContext.parallelize(evRows, 2),
+      StructType(Seq(StructField("eid", LongType, false),
+        StructField("ts", TimestampNTZType, false))))
+    val winRows = (0 until 12).map(i => Row(i.toLong, t(i * 20), t(i * 20 + 15)))
+    val win = spark.createDataFrame(spark.sparkContext.parallelize(winRows, 1),
+      StructType(Seq(StructField("wid", LongType, false),
+        StructField("vf", TimestampNTZType, false),
+        StructField("vt", TimestampNTZType, false))))
+    val cond = col("ts") >= col("vf") && col("ts") < col("vt")
+    val naive = ev.join(win, cond).select("eid", "wid").collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty)
+    spark.conf.set(WidthKey, (15 * 60).toString) // 15-minute bins
+    val rewritten = ev.join(win, cond)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(rewritten.select("eid", "wid").collect().map(_.toSeq).toSet == naive)
+  }
+
+  test("date ranges rewrite; binWidth in days") {
+    def d(n: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(n))
+    val p = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 90).map(i => Row(i.toLong, d(i * 3 % 200))), 2),
+      StructType(Seq(StructField("pid", LongType, false),
+        StructField("day", DateType, false))))
+    val i = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 10).map(k => Row(k.toLong, d(k * 19), d(k * 19 + 12))), 1),
+      StructType(Seq(StructField("iid", LongType, false),
+        StructField("s", DateType, false), StructField("e", DateType, false))))
+    val cond = col("day") >= col("s") && col("day") <= col("e")
+    val naive = pairs(p.join(i, cond).withColumnRenamed("day", "p"))
+    spark.conf.set(WidthKey, "14")
+    val rewritten = p.join(i, cond)
+    assert(!rewritten.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(pairs(rewritten.withColumnRenamed("day", "p")) == naive)
+  }
+
+  test("a present-but-invalid conf value fails loudly, not silently quadratic") {
+    spark.conf.set(WidthKey, "16k")
+    val e = intercept[Exception] {
+      pts(5, 30).join(ivs(5, 31), col("p") >= col("s") && col("p") <= col("e")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("positive long")), s"got: $e")
+    spark.conf.set(WidthKey, "32")
+    spark.conf.set(MaxBinsKey, "-5")
+    val e2 = intercept[Exception] {
+      pts(5, 32).join(ivs(5, 33), col("p") >= col("s") && col("p") <= col("e")).count()
+    }
+    assert(messages(e2).exists(_.contains("positive long")), s"got: $e2")
+  }
+
   test("degenerate intervals and double-typed ranges behave like the stock plan") {
     val p = spark.createDataFrame(
       spark.sparkContext.parallelize(

@@ -140,6 +140,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(viaFacade.df.columns.count(_ == "pid") == 1) // suffixed, not duplicated
     val got = viaFacade.df.select(col("pid"), col("pid_r")).collect().map(_.toSeq).toSet
     assert(got == direct)
+    // suffix cascade: a left column already named like the suffixed
+    // rename must not break the documented collision contract
+    val pWithSr = p.withColumn("s", lit(0L)).withColumn("s_r", lit(1L))
+    val cascaded = VxFrame(pWithSr).joinRange(VxFrame(i), "p", "s", "e", 16)
+    assert(cascaded.df.columns.count(_ == "s_r") == 1 &&
+      cascaded.df.columns.contains("s_r_r"))
+    assert(cascaded.df.select(col("pid"), col("pid_r")).collect().map(_.toSeq).toSet
+      == direct)
+    // maxBinsPerInterval passes through to the operator guard
+    val wide = intervalsDf(3, 22, 10)
+      .withColumn("e", col("s") + 100000L)
+    val err = intercept[Exception] {
+      VxFrame(pointsDf(5, 23)).joinRange(VxFrame(wide), "p", "s", "e", 1,
+        maxBinsPerInterval = 50).df.count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("50")))
 
     // joinAsof facade == operator
     val l = spark.createDataFrame(spark.sparkContext.parallelize(
