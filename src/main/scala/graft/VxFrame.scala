@@ -871,6 +871,7 @@ final case class VxFrame(
                 end: String, binWidth: Long, rsuffix: String = "_r",
                 maxBinsPerInterval: Int = 4096,
                 inclusiveEnd: Boolean = true): VxFrame = {
+    require(rsuffix.nonEmpty, "joinRange: rsuffix must be non-empty")
     val left = df
     var right = intervals.df
     // the suffixed name can itself collide (e.g. with a column from a

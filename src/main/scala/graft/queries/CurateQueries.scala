@@ -149,6 +149,9 @@ object CurateQueries {
           .groupBy("pair").agg(count(lit(1)).as("cnt"))
           .agg(max(struct(col("cnt"), col("pair"))).as("m"))
           .select(col("m.pair").as("pair"), col("m.cnt").as("cnt"))
+          // 1-row result consumed by BOTH next and stats — without the
+          // persist each consumer re-runs the full pair-count scan
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val next = corpus.crossJoin(broadcast(best))
           .select(col("doc_id"),
             expr(s"replace(s, pair, '${mergeChars(k)}')").as("s"))
@@ -158,6 +161,7 @@ object CurateQueries {
           .select(lit(k + 1).as("iter"), col("pair"),
             col("cnt").cast("long").as("n_pair"), col("corpus_chars"))
         corpus = next
+        persisted += best
         persisted += next
       }
       // a rep-major bench calls the lane repeatedly: rotate out the

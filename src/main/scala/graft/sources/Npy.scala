@@ -627,7 +627,11 @@ object Npy {
                   s"$ctx: short DEFLATE stream (${out.length} of ${e.uncompSize})")
                 out
               }
-            decodeRange(new BytesIn(raw), m, m.fields, 0L, m.nRows, java8).toArray
+            // STORED members' metas were parsed at their absolute file
+            // offset; the buffer here is member-relative — rebase
+            val mRel =
+              if (e.method == 0) m.copy(dataStart = m.dataStart - e.dataOff) else m
+            decodeRange(new BytesIn(raw), mRel, mRel.fields, 0L, mRel.nRows, java8).toArray
           }
           (0 until n.toInt).iterator.map { r =>
             Row.fromSeq(cols.map(c => c(r).get(0)))
@@ -790,11 +794,19 @@ object Npy {
     * empty partitions skip. Returns the shard count. */
   def toNpySharded(df: DataFrame, dir: String): Int = {
     val schema = df.schema
-    // fail on unsupported column types on the driver, before any task
+    // fail on unsupported column types AND shapes on the driver,
+    // before any task runs or stale shards are deleted (writeNpyFile
+    // re-checks inside the task, but by then a full spill pass ran)
+    if (schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+      require(schema.fields.length == 1,
+        s"npy export: array column ${schema.fields.find(_.dataType.isInstanceOf[ArrayType]).get.name} must be the only column (matrix form)")
     schema.fields.foreach { f =>
       f.dataType match {
         case ArrayType(et, _) => matrixDtype(f.name, et)
-        case t => outDtype(f.name, t, 1)
+        case t =>
+          require(!f.name.exists("'()[]{}".contains(_)),
+            s"npy export: unsupported character in column name ${f.name}")
+          outDtype(f.name, t, 1)
       }
     }
     FsIO.mkdirs(dir)

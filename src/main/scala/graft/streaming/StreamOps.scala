@@ -103,7 +103,11 @@ object StreamOps {
     require(keys.nonEmpty, "scd2Enrich: at least one equi key required")
     val cond = keys.map(k => events(k) === dim(k)).reduce(_ && _) &&
       events(eventTs) >= dim(validFrom) && events(eventTs) < dim(validTo)
-    events.join(broadcast(dim), cond, how)
+    // drop the dim's key copies so downstream col("key") stays
+    // unambiguous (the using-join schema contract enrichJoin users
+    // expect); the validity predicate stays in the join condition,
+    // which outer-join correctness requires
+    keys.foldLeft(events.join(broadcast(dim), cond, how))((d, k) => d.drop(dim(k)))
   }
 
   /** Stream-stream interval join: pairs of (left, right) rows with

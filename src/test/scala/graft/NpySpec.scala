@@ -152,6 +152,24 @@ class NpySpec extends SparkSpec {
     assert(one.count() == 40)
   }
 
+  test("npz with MIXED stored+deflate members (per-member compress_type)") {
+    // stored members carry file-absolute metas; the single-task regime
+    // decodes member-relative buffers — the rebase must hold
+    val df = Npy.fromNpz(spark, res("table_mixed.npz")).orderBy("vec_id").collect()
+    assert(df.length == 25)
+    assert(df.map(_.getAs[Long]("vec_id")).take(4).toSeq == Seq(2L, 7L, 12L, 17L))
+    assert(df.map(_.getAs[Double]("x")).take(4).toSeq == Seq(-3.0, -2.25, -1.5, -0.75))
+  }
+
+  test("sharded export rejects mixed array+scalar schemas on the driver") {
+    val df = spark.range(0, 10).select(col("id"),
+      array(lit(1.0f), lit(2.0f)).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Npy.toNpySharded(df, tmp("mixed_shards"))
+    }
+    assert(e.getMessage.contains("matrix form"))
+  }
+
   // ------------------------------------------------------------- writer
 
   test("writer is byte-identical to numpy for a plain f8 array") {

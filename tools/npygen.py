@@ -93,6 +93,19 @@ emb = (np.arange(40 * 6, dtype="<f4").reshape(40, 6) % 17) * 0.25 - 1.0
 np.savez(os.path.join(OUT, "table_stored.npz"), vec_id=ids, v=emb)
 print("table_stored.npz")
 
+# npz with MIXED methods: one STORED + one DEFLATE member
+import io
+mids = np.arange(25, dtype="<i8") * 5 + 2
+mvals = (np.arange(25, dtype="<f8") * 0.75) - 3.0
+def _npy_bytes(a):
+    b = io.BytesIO()
+    np.lib.format.write_array(b, a, allow_pickle=False)
+    return b.getvalue()
+with zipfile.ZipFile(os.path.join(OUT, "table_mixed.npz"), "w") as z:
+    z.writestr(zipfile.ZipInfo("vec_id.npy"), _npy_bytes(mids), zipfile.ZIP_STORED)
+    z.writestr(zipfile.ZipInfo("x.npy"), _npy_bytes(mvals), zipfile.ZIP_DEFLATED)
+print("table_mixed.npz")
+
 # npz: DEFLATE members (np.savez_compressed)
 np.savez_compressed(os.path.join(OUT, "table_deflate.npz"), vec_id=ids, v=emb)
 print("table_deflate.npz")
