@@ -61,6 +61,15 @@ object TextKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** JVM-side twin of `TextFunctions.baseHash` (md5 family) for
+    * driver/executor Scala code that cannot run a Column — the
+    * stateful streaming sketch ops. Bit-identical to
+    * `conv(substring(md5(s),1,7),16,10)` (spec-pinned). */
+  def md5Base28(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    md5Bits(b, 0, b.length, 28)
+  }
+
   /** Reusable gram-assembly buffer (one per kernel call). */
   private[functions] final class GramBuf {
     var buf: Array[Byte] = new Array[Byte](256)

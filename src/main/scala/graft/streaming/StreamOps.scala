@@ -126,6 +126,74 @@ object StreamOps {
 
   // ------------------------------------------------------------ stateful
 
+  /** One token-shard's sketch state: flattened d x m count-min cells
+    * plus the current candidate set (capped). */
+  case class HHState(cells: Array[Long], candidates: Seq[String])
+  case class HHOut(shard: Int, token: String, cms_est: Long)
+
+  /** Streaming heavy hitters over a token stream with BOUNDED state —
+    * the sketch-in-streaming shape of the oracle-gated batch lane
+    * (q_heavy_hitters_cms; Cormode & Muthukrishnan 2005): tokens group
+    * by a fixed hash shard, each shard's state is ONE count-min sketch
+    * (d x m cells, the SAME md5-prefix + Carter-Wegman hash family as
+    * the batch lane — TextKernels.md5Base28 is spec-pinned
+    * bit-identical to the Column formulation) plus the current top-k
+    * candidate tokens by estimate. Total state is O(groups * (d*m +
+    * k)) REGARDLESS of vocabulary — the shape that survives an
+    * unbounded stream where exact per-token counts grow without
+    * bound. Emits each shard's top-k (token, estimate) per trigger
+    * (Update mode). Estimates are the CMS min-over-rows (order-free,
+    * so stream == batch exactly); the candidate LIST is exact while a
+    * shard holds <= k distinct tokens and an estimate-ranked superset
+    * cap beyond that (CMS never undercounts).
+    *
+    * Mode-agnostic: on a batch Dataset the same mapGroupsWithState
+    * runs once per shard with empty prior state. */
+  def streamingHeavyHitters(tokens: org.apache.spark.sql.Dataset[String],
+                            groups: Int, k: Int,
+                            d: Int = 4, m: Int = 256)
+  : org.apache.spark.sql.Dataset[HHOut] = {
+    require(groups >= 1 && k >= 1 && d >= 1 && m >= 1)
+    import tokens.sparkSession.implicits._
+    import graft.functions.{TextFunctions, TextKernels}
+    val (dd, mm, kk) = (d, m, k)
+    val as = (0 until dd).map(TextFunctions.uhashA).toArray
+    val bs = (0 until dd).map(TextFunctions.uhashB).toArray
+    val p = TextFunctions.UHASH_P
+    tokens.groupByKey(t => Math.floorMod(TextKernels.md5Base28(t), groups.toLong).toInt)
+      .mapGroupsWithState[HHState, List[HHOut]](GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[String], state: GroupState[HHState]) =>
+          val prev = state.getOption.getOrElse(
+            HHState(new Array[Long](dd * mm), Nil))
+          val cells = prev.cells.clone()
+          var cand = prev.candidates.toSet
+          it.foreach { t =>
+            val base = TextKernels.md5Base28(t)
+            var j = 0
+            while (j < dd) {
+              cells(j * mm + ((as(j) * base + bs(j)) % p % mm).toInt) += 1L
+              j += 1
+            }
+            cand += t
+          }
+          def est(t: String): Long = {
+            val base = TextKernels.md5Base28(t)
+            var e = Long.MaxValue
+            var j = 0
+            while (j < dd) {
+              val c = cells(j * mm + ((as(j) * base + bs(j)) % p % mm).toInt)
+              if (c < e) e = c
+              j += 1
+            }
+            e
+          }
+          val kept = cand.toSeq.map(t => t -> est(t))
+            .sortBy { case (t, e) => (-e, t) }.take(kk)
+          state.update(HHState(cells, kept.map(_._1)))
+          kept.map { case (t, e) => HHOut(shard, t, e) }.toList
+      }.flatMap(identity)
+  }
+
   /** Per-key running aggregate state for mapGroupsWithState. */
   case class RunningState(n: Long, sum: Double, max: Double)
   case class KeyedValue(key: Long, value: Double)

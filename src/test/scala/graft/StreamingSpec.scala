@@ -134,6 +134,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streamingHeavyHitters: bounded sketch state, stream == batch, Column-math parity") {
+    val words1 = Seq("alpha", "beta", "alpha", "gamma", "alpha", "beta")
+    val words2 = Seq("beta", "beta", "delta", "alpha")
+    val all = words1 ++ words2
+
+    // batch face (mode-agnostic mapGroupsWithState): final estimates
+    val batch = StreamOps.streamingHeavyHitters(all.toDS(), groups = 1, k = 100)
+      .collect().map(h => h.token -> h.cms_est).toMap
+    assert(batch.keySet == Set("alpha", "beta", "gamma", "delta"))
+    // CMS never undercounts
+    assert(batch("alpha") >= 4 && batch("beta") >= 4 &&
+      batch("gamma") >= 1 && batch("delta") >= 1)
+
+    // Column-math parity: the same estimates via the oracle-gated
+    // batch lane's formulation (one global sketch, min over rows)
+    import graft.functions.TextFunctions._
+    val M = 256; val D = 4
+    val toks = all.toDF("token")
+    def buckets(c: org.apache.spark.sql.Column) = array((0 until D).map { j =>
+      struct(lit(j).as("j"), (universalHash(j, baseHash(c)) % M).as("b"))
+    }: _*)
+    val sketch = toks.select(explode(buckets(col("token"))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b")).agg(count(lit(1)).as("c"))
+    val colEst = toks.distinct()
+      .select(col("token"), explode(buckets(col("token"))).as("jb"))
+      .select(col("token"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .join(sketch, Seq("j", "b"))
+      .groupBy("token").agg(min(col("c")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch == colEst, "JVM sketch must be bit-identical to the Column formulation")
+
+    // stream over two micro-batches: cumulative estimates equal batch
+    val stream = MemoryStream[String]
+    stream.addData(words1: _*)
+    val q = StreamOps.streamingHeavyHitters(stream.toDS(), groups = 1, k = 100)
+      .toDF().writeStream.format("memory").queryName("t_hh")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    stream.addData(words2: _*)
+    val q2 = StreamOps.streamingHeavyHitters(stream.toDS(), groups = 1, k = 100)
+      .toDF().writeStream.format("memory").queryName("t_hh2")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // estimates only grow; the max emission per token is the final one
+    val streamed = (spark.table("t_hh").collect() ++ spark.table("t_hh2").collect())
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(streamed == batch)
+
+    // candidate cap: k=3 keeps only the top-3 by estimate
+    val capped = StreamOps.streamingHeavyHitters(all.toDS(), groups = 1, k = 3)
+      .collect().map(_.token).toSet
+    assert(capped.size == 3 && capped.contains("alpha") && capped.contains("beta"))
+  }
+
   test("runningStats mapGroupsWithState accumulates per key") {
     val stream = MemoryStream[StreamOps.KeyedValue]
     stream.addData(StreamOps.KeyedValue(1L, 2.0), StreamOps.KeyedValue(1L, 4.0),
