@@ -58,6 +58,23 @@ object StreamQueries {
         .orderBy("n_name")
     }),
 
+    // streaming heavy hitters, batch face: per-shard count-min
+    // sketches + top-k candidates — the mapGroupsWithState op runs
+    // mode-agnostically on a batch Dataset (empty prior state), so
+    // the full stateful path is oracle-gated: DuckDB rebuilds each
+    // shard's sketch from the same md5-prefix + Carter-Wegman family
+    // and ranks with the same (estimate DESC, token ASC) tie-break.
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token")).as[String]
+      StreamOps.streamingHeavyHitters(toks, groups = 8, k = 5)
+        .toDF()
+        .select(col("shard").cast("long").as("shard"), col("token"),
+          col("cms_est"))
+        .orderBy("shard", "token")
+    }),
+
     // SCD2 (slowly-changing dimension) enrich, batch face: every event
     // joins the customer VERSION valid at its event time — two
     // validity epochs per customer synthesized from the customer
@@ -108,6 +125,38 @@ object StreamQueries {
     })
   )
 
+  /** Generated oracle for q_stream_heavy_hitters: per-shard CMS
+    * rebuilt from the same hash family (q_heavy_hitters_cms recipe,
+    * sharded), top-5 per shard with the (est DESC, token ASC)
+    * tie-break the operator uses. */
+  private lazy val hhSql: String = {
+    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
+    def uh(j: Int, e: String) = s"((${uhashA(j)} * $e + ${uhashB(j)}) % $UHASH_P)"
+    val sketchRows = (0 until 4).map { j =>
+      s"SELECT base % 8 AS shard, $j AS j, ${uh(j, "base")} % 256 AS b FROM tk"
+    }.mkString(" UNION ALL ")
+    val probeRows = (0 until 4).map { j =>
+      s"SELECT token, shard, $j AS j, ${uh(j, "base")} % 256 AS b FROM dtok"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+       |tk AS (SELECT token,
+       |  ('0x' || substring(md5(token), 1, 7))::BIGINT AS base FROM toks),
+       |cells AS (SELECT shard, j, b, COUNT(*) AS c
+       |  FROM ($sketchRows) GROUP BY 1, 2, 3),
+       |dtok AS (SELECT DISTINCT token, base, base % 8 AS shard FROM tk),
+       |pr AS ($probeRows),
+       |est AS (SELECT pr.token, pr.shard, MIN(cells.c) AS est
+       |  FROM pr JOIN cells ON cells.shard = pr.shard
+       |    AND cells.j = pr.j AND cells.b = pr.b
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT shard, token, est,
+       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY est DESC, token) AS rn
+       |  FROM est)
+       |SELECT CAST(shard AS BIGINT) AS shard, token, CAST(est AS BIGINT) AS cms_est
+       |FROM rk WHERE rn <= 5 ORDER BY shard, token""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" ->
       s"""SELECT DATE_TRUNC('hour', ts)::TIMESTAMP AS window_start, event_type,
@@ -132,6 +181,8 @@ object StreamQueries {
       s"""SELECT n_name, COUNT(*) AS n, ${sqlR(sqlDsum("value"))} AS sum_value
          |FROM events JOIN nation ON user_id % 25 = n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_heavy_hitters" -> hhSql,
 
     "q_scd2_enrich" ->
       s"""WITH dim AS (
