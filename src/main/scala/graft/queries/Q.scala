@@ -64,6 +64,15 @@ object Q {
   // SQL-side equivalents (string builders keep Spark & DuckDB in sync)
   def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
   def sqlR(e: String, s: Int = 4): String = s"ROUND($e, $s)"
+
+  /** Carter-Wegman member j over a SQL expression — ONE rendering of
+    * the universal-hash formula every CMS-style oracle must keep
+    * bit-identical to TextFunctions.universalHash (Column) and
+    * TextKernels JVM math. */
+  def sqlUh(j: Int, e: String): String = {
+    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
+    s"((${uhashA(j)} * $e + ${uhashB(j)}) % $UHASH_P)"
+  }
   def sqlDmean(e: String, s: Int = 6): String =
     sqlR(s"${sqlDsum(e)} / COUNT($e)", s)
 }

@@ -130,8 +130,8 @@ object StreamQueries {
     * sharded), top-5 per shard with the (est DESC, token ASC)
     * tie-break the operator uses. */
   private lazy val hhSql: String = {
-    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
-    def uh(j: Int, e: String) = s"((${uhashA(j)} * $e + ${uhashB(j)}) % $UHASH_P)"
+    import Q.sqlUh
+    def uh(j: Int, e: String) = sqlUh(j, e)
     val sketchRows = (0 until 4).map { j =>
       s"SELECT base % 8 AS shard, $j AS j, ${uh(j, "base")} % 256 AS b FROM tk"
     }.mkString(" UNION ALL ")

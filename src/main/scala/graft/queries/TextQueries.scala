@@ -904,8 +904,8 @@ object TextQueries {
     * member j with the same Carter-Wegman constants the Spark side
     * inlines (TextFunctions.uhashA/B). */
   private lazy val cmsSql: String = {
-    import graft.functions.TextFunctions.{uhashA, uhashB, UHASH_P}
-    def uh(j: Int, e: String) = s"((${uhashA(j)} * $e + ${uhashB(j)}) % $UHASH_P)"
+    import Q.sqlUh
+    def uh(j: Int, e: String) = sqlUh(j, e)
     def h(tok: String) = s"('0x' || substring(md5($tok), 1, 7))::BIGINT"
     val sketchRows = (0 until 4).map { j =>
       s"SELECT $j AS j, ${uh(j, h("token"))} % 256 AS b FROM toks"

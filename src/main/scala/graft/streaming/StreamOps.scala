@@ -127,8 +127,9 @@ object StreamOps {
   // ------------------------------------------------------------ stateful
 
   /** One token-shard's sketch state: flattened d x m count-min cells
-    * plus the current candidate set (capped). */
-  case class HHState(cells: Array[Long], candidates: Seq[String])
+    * plus the current candidates (token -> 28-bit base hash, carried
+    * so emission never recomputes MD5). */
+  case class HHState(cells: Array[Long], candidates: Map[String, Long])
   case class HHOut(shard: Int, token: String, cms_est: Long)
 
   /** Streaming heavy hitters over a token stream with BOUNDED state —
@@ -160,24 +161,25 @@ object StreamOps {
     val as = (0 until dd).map(TextFunctions.uhashA).toArray
     val bs = (0 until dd).map(TextFunctions.uhashB).toArray
     val p = TextFunctions.UHASH_P
-    tokens.groupByKey(t => Math.floorMod(TextKernels.md5Base28(t), groups.toLong).toInt)
+    // hash ONCE per occurrence; the base rides alongside the token
+    // through grouping, sketch updates and candidate estimates
+    tokens.map(t => (t, TextKernels.md5Base28(t)))
+      .groupByKey { case (_, base) => Math.floorMod(base, groups.toLong).toInt }
       .mapGroupsWithState[HHState, List[HHOut]](GroupStateTimeout.NoTimeout()) {
-        (shard: Int, it: Iterator[String], state: GroupState[HHState]) =>
+        (shard: Int, it: Iterator[(String, Long)], state: GroupState[HHState]) =>
           val prev = state.getOption.getOrElse(
-            HHState(new Array[Long](dd * mm), Nil))
+            HHState(new Array[Long](dd * mm), Map.empty))
           val cells = prev.cells.clone()
-          var cand = prev.candidates.toSet
-          it.foreach { t =>
-            val base = TextKernels.md5Base28(t)
+          var cand = prev.candidates
+          it.foreach { case (t, base) =>
             var j = 0
             while (j < dd) {
               cells(j * mm + ((as(j) * base + bs(j)) % p % mm).toInt) += 1L
               j += 1
             }
-            cand += t
+            if (!cand.contains(t)) cand = cand.updated(t, base)
           }
-          def est(t: String): Long = {
-            val base = TextKernels.md5Base28(t)
+          def est(base: Long): Long = {
             var e = Long.MaxValue
             var j = 0
             while (j < dd) {
@@ -187,10 +189,10 @@ object StreamOps {
             }
             e
           }
-          val kept = cand.toSeq.map(t => t -> est(t))
-            .sortBy { case (t, e) => (-e, t) }.take(kk)
-          state.update(HHState(cells, kept.map(_._1)))
-          kept.map { case (t, e) => HHOut(shard, t, e) }.toList
+          val kept = cand.toSeq.map { case (t, b) => (t, b, est(b)) }
+            .sortBy { case (t, _, e) => (-e, t) }.take(kk)
+          state.update(HHState(cells, kept.map(x => x._1 -> x._2).toMap))
+          kept.map { case (t, _, e) => HHOut(shard, t, e) }.toList
       }.flatMap(identity)
   }
 

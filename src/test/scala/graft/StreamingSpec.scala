@@ -165,23 +165,25 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(batch == colEst, "JVM sketch must be bit-identical to the Column formulation")
 
-    // stream over two micro-batches: cumulative estimates equal batch
+    // ONE continuous query over two micro-batches: the second trigger
+    // must carry the first trigger's sketch forward through the state
+    // store (a fresh-state reprocess would leave alpha's second
+    // estimate at 1 and fail the equality below)
     val stream = MemoryStream[String]
-    stream.addData(words1: _*)
     val q = StreamOps.streamingHeavyHitters(stream.toDS(), groups = 1, k = 100)
       .toDF().writeStream.format("memory").queryName("t_hh")
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    stream.addData(words2: _*)
-    val q2 = StreamOps.streamingHeavyHitters(stream.toDS(), groups = 1, k = 100)
-      .toDF().writeStream.format("memory").queryName("t_hh2")
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q2.awaitTermination()
-    // estimates only grow; the max emission per token is the final one
-    val streamed = (spark.table("t_hh").collect() ++ spark.table("t_hh2").collect())
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(words1: _*); q.processAllAvailable()
+      stream.addData(words2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emissions = spark.table("t_hh").collect()
       .map(r => (r.getString(1), r.getLong(2)))
+    // two triggers really ran: alpha was emitted with two different
+    // cumulative estimates
+    assert(emissions.filter(_._1 == "alpha").map(_._2).distinct.length >= 2)
+    // estimates only grow; the max emission per token is the final one
+    val streamed = emissions
       .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     assert(streamed == batch)
 
