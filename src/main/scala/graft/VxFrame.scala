@@ -866,11 +866,14 @@ final case class VxFrame(
     * `intervals` rows whose `[start, end]` contains `point`
     * (operators.RangeJoin binned equi-join; never a nested loop).
     * Interval columns colliding with ours get `rsuffix`; pass the
-    * ORIGINAL start/end names — renames are resolved here. */
+    * ORIGINAL start/end names — renames are resolved here. `how` may
+    * be "inner" or "left" (keep rows matching no interval,
+    * null-extended — the enrich shape, and the reference's default
+    * join direction). */
   def joinRange(intervals: VxFrame, point: String, start: String,
                 end: String, binWidth: Long, rsuffix: String = "_r",
                 maxBinsPerInterval: Int = 4096,
-                inclusiveEnd: Boolean = true): VxFrame = {
+                inclusiveEnd: Boolean = true, how: String = "inner"): VxFrame = {
     require(rsuffix.nonEmpty, "joinRange: rsuffix must be non-empty")
     val left = df
     var right = intervals.df
@@ -887,7 +890,8 @@ final case class VxFrame(
     def resolved(c: String) = renames.getOrElse(c, c)
     VxFrame(graft.operators.RangeJoin.pointInInterval(
       left, right, point, resolved(start), resolved(end), binWidth,
-      maxBinsPerInterval = maxBinsPerInterval, inclusiveEnd = inclusiveEnd))
+      maxBinsPerInterval = maxBinsPerInterval, inclusiveEnd = inclusiveEnd,
+      joinType = how))
   }
 
   /** Positional join (reference: core/join.py:164 `on=None` row paste):

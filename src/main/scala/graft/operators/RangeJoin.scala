@@ -64,8 +64,22 @@ object RangeJoin {
   /** Point-in-interval join (the timestamp-enrichment shape): every
     * `points` row paired with every `intervals` row whose
     * `[start, end]` contains it (`end` exclusive when
-    * `inclusiveEnd=false`). Inner join; both sides' columns are
-    * preserved, so column names must be disjoint.
+    * `inclusiveEnd=false`). Both sides' columns are preserved, so
+    * column names must be disjoint.
+    *
+    * `joinType` may be `"inner"` (default) or `"left"`/`"left_outer"`
+    * — the "enrich events with the validity window, KEEP unmatched
+    * events" production shape (the reference's default join is left,
+    * core/join.py:135). The rewrite stays exact for left outer because
+    * the PRESERVED side is the point side: every true match still
+    * meets in exactly one bin (the point's), and a point matching no
+    * interval null-extends exactly once by join semantics (a NULL
+    * point gets a NULL bin, matches nothing, and null-extends the same
+    * way the original theta join would). A left-outer with the
+    * INTERVAL side preserved is NOT expressible here — the explode
+    * replicates interval rows, so an unmatched interval would
+    * null-extend once per covered bin; callers wanting that shape flip
+    * the sides.
     *
     * @param binWidth bin size in the point column's units — pick
     *   roughly the typical interval length so intervals explode to
@@ -74,8 +88,12 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       point: String, start: String, end: String,
                       binWidth: Long, maxBinsPerInterval: Int = 4096,
-                      inclusiveEnd: Boolean = true): DataFrame = {
+                      inclusiveEnd: Boolean = true,
+                      joinType: String = "inner"): DataFrame = {
     require(binWidth >= 1, s"range join: binWidth must be positive ($binWidth)")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"range join: joinType must be inner or left ($joinType)")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"range join: column names must be disjoint ($dup)")
     requireNoInternal(points.columns, intervals.columns)
@@ -86,7 +104,8 @@ object RangeJoin {
         explode(binsOf(col(start), col(end), binWidth, maxBinsPerInterval)))
     val rangePred = col(point) >= col(start) &&
       (if (inclusiveEnd) col(point) <= col(end) else col(point) < col(end))
-    pts.join(ivs, pts("__rj_bin") === ivs("__rj_bin") && rangePred)
+    pts.join(ivs, pts("__rj_bin") === ivs("__rj_bin") && rangePred,
+        if (jt == "inner") "inner" else "left_outer")
       .drop(pts("__rj_bin")).drop(ivs("__rj_bin"))
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
   *   SET spark.graft.rangeJoin.maxBinsPerInterval = 4096   -- optional
   *
   * Fires only when ALL hold:
-  *  - inner join with a condition and NO cross-side equality conjunct
+  *  - inner join — or a LEFT/RIGHT OUTER join whose PRESERVED side is
+  *    the point side (the "attach the validity window, keep unmatched
+  *    events" enrich; the reference's default join is left,
+  *    core/join.py:135). Outer shapes preserving the INTERVAL side
+  *    are left untouched: the rewrite explodes intervals, so an
+  *    unmatched interval would null-extend once per covered bin;
+  *  - the join has a condition and NO cross-side equality conjunct
   *    (if an equi key exists Spark already hash-joins; and the rewrite
   *    itself introduces one, which makes the rule a natural fixed
   *    point);
@@ -93,8 +99,9 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case Some(w) =>
         val maxBins = longConf(MaxBinsKey, Some(4096L)).get
         plan.transformUp {
-          case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j, cond) =>
-            rewrite(j, left, right, cond, hint, w, maxBins).getOrElse(j)
+          case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter),
+              Some(cond), hint) if eligible(j, cond) =>
+            rewrite(j, left, right, jt, cond, hint, w, maxBins).getOrElse(j)
         }
     }
 
@@ -121,7 +128,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      cond: Expression, hint: JoinHint,
+                      joinType: JoinType, cond: Expression, hint: JoinHint,
                       w: Long, maxBins: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
 
@@ -158,10 +165,22 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+    // Outer-join soundness: the rewrite explodes the INTERVAL side,
+    // so it is exact only when the PRESERVED side is the point side —
+    // matches still meet in exactly one bin, and an unmatched
+    // preserved point null-extends exactly once. (Preserved-interval
+    // shapes would null-extend once per covered bin; not rewritten.)
+    def sound(pOnLeft: Boolean): Boolean = joinType match {
+      case Inner => true
+      case LeftOuter => pOnLeft
+      case RightOuter => !pOnLeft
+      case _ => false
+    }
+
     val pair = (for {
       (lo, pOnLeft) <- lowers.iterator
       (hi, pOnLeft2) <- uppers.iterator
-      if pOnLeft == pOnLeft2 && lo.p.semanticEquals(hi.p) &&
+      if pOnLeft == pOnLeft2 && sound(pOnLeft) && lo.p.semanticEquals(hi.p) &&
         family(lo.p) == family(lo.endpoint) &&
         family(lo.p) == family(hi.endpoint)
     } yield (lo.p, lo.endpoint, hi.endpoint, pOnLeft)).nextOption()
@@ -219,8 +238,8 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
       val joinCond = And(EqualTo(binAlias.toAttribute, elemAttr), cond)
       val newJoin =
-        if (pOnLeft) Join(pSide, iSide, Inner, Some(joinCond), hint)
-        else Join(iSide, pSide, Inner, Some(joinCond), hint)
+        if (pOnLeft) Join(pSide, iSide, joinType, Some(joinCond), hint)
+        else Join(iSide, pSide, joinType, Some(joinCond), hint)
       Project(j.output, newJoin)
     }
   }

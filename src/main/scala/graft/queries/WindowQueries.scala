@@ -196,6 +196,30 @@ object WindowQueries {
         .orderBy("win_id")
     }),
 
+    // LEFT OUTER point-in-interval enrich — the "attach the promo
+    // window, KEEP unmatched lineitems" production shape (the
+    // reference's default join direction). Same binned machinery;
+    // unmatched points null-extend exactly once, rolled up under
+    // win_id = -1 so the oracle compare stays compact.
+    "q_range_join_left" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        col("l_extendedprice"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      val ivs = t(s, dir, "orders").where(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("ws"))
+        .withColumn("we", col("ws") + 13)
+      graft.operators.RangeJoin.pointInInterval(pts, ivs, "d", "ws", "we",
+          binWidth = 16, joinType = "left")
+        .groupBy(coalesce(col("win_id"), lit(-1L)).as("win_id"))
+        .agg(count(lit(1)).as("n"),
+          r(dsumD(col("l_extendedprice"))).as("sum_price"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy("win_id")
+    }),
+
     // interval-overlap join over two order-window samples (each pair
     // emitted exactly once via the overlap-start-bin rule).
     "q_range_overlap" -> ((s, dir) => {
@@ -404,6 +428,21 @@ object WindowQueries {
          |  ${sqlR(sqlDsum("l_extendedprice"))} AS sum_price,
          |  MIN(d) AS min_d, MAX(d) AS max_d
          |FROM pts JOIN ivs ON d BETWEEN ws AND ws + 13
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join_left" ->
+      s"""WITH pts AS (
+         |  SELECT l_extendedprice,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+         |  FROM lineitem),
+         |ivs AS (
+         |  SELECT o_orderkey AS win_id,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ws
+         |  FROM orders WHERE o_orderkey % 997 = 0)
+         |SELECT COALESCE(win_id, -1) AS win_id, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_extendedprice"))} AS sum_price,
+         |  MIN(d) AS min_d, MAX(d) AS max_d
+         |FROM pts LEFT JOIN ivs ON d BETWEEN ws AND ws + 13
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_overlap" ->

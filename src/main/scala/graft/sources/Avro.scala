@@ -114,8 +114,9 @@ object Avro {
     * (Spark columns are nullable by default; a null-free column just
     * never uses the branch). */
   def avroSchema(st: StructType, name: String = "row"): Schema = {
+    val issued = scala.collection.mutable.Set[String](name)
     val fields = st.fields.map { f =>
-      new Schema.Field(f.name, nullable(avroType(f.dataType, f.name)),
+      new Schema.Field(f.name, nullable(avroType(f.dataType, f.name, issued)),
         null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     val rec = Schema.createRecord(name, null, "graft", false)
@@ -128,11 +129,22 @@ object Avro {
 
   /** Avro record names must be unique within one schema document —
     * derive them from the field PATH (paths are unique by
-    * construction), sanitized to Avro's [A-Za-z0-9_] name alphabet. */
-  private def recName(ctx: String): String =
-    "r_" + ctx.replaceAll("[^A-Za-z0-9_]", "_")
+    * construction), sanitized to Avro's [A-Za-z0-9_] name alphabet.
+    * Sanitization can COLLIDE distinct paths (sibling struct columns
+    * 'a.b' and 'a_b' both sanitize to r_a_b and Avro would reject the
+    * redefinition) — a per-schema uniquifying counter keeps issued
+    * names distinct. */
+  private def recName(ctx: String,
+                      issued: scala.collection.mutable.Set[String]): String = {
+    val base = "r_" + ctx.replaceAll("[^A-Za-z0-9_]", "_")
+    var n = base
+    var i = 1
+    while (!issued.add(n)) { n = s"${base}_$i"; i += 1 }
+    n
+  }
 
-  private def avroType(dt: DataType, ctx: String): Schema = dt match {
+  private def avroType(dt: DataType, ctx: String,
+                       issued: scala.collection.mutable.Set[String]): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
     case LongType => Schema.create(Schema.Type.LONG)
@@ -160,18 +172,19 @@ object Avro {
       // Spark arrays default to nullable ELEMENTS — write them as
       // ["null", T] unions or a null element NPEs mid-write after
       // earlier blocks already hit the file
-      val et = avroType(elem, s"$ctx.item")
+      val et = avroType(elem, s"$ctx.item", issued)
       Schema.createArray(if (containsNull) nullable(et) else et)
     case MapType(StringType, vt, valueContainsNull) =>
-      val v = avroType(vt, s"$ctx.value")
+      val v = avroType(vt, s"$ctx.value", issued)
       Schema.createMap(if (valueContainsNull) nullable(v) else v)
     case MapType(k, _, _) => throw new IllegalArgumentException(
       s"avro export: map keys must be strings (Avro maps have no other key " +
         s"type), got ${k.catalogString} (column $ctx)")
     case st: StructType =>
-      val rec = Schema.createRecord(recName(ctx), null, "graft", false)
+      val rec = Schema.createRecord(recName(ctx, issued), null, "graft", false)
       rec.setFields(st.fields.map { f =>
-        new Schema.Field(f.name, nullable(avroType(f.dataType, s"$ctx.${f.name}")),
+        new Schema.Field(f.name,
+          nullable(avroType(f.dataType, s"$ctx.${f.name}", issued)),
           null, Schema.Field.NULL_DEFAULT_VALUE)
       }.toList.asJava)
       rec

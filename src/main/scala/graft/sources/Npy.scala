@@ -566,12 +566,28 @@ object Npy {
           case 0 =>
             readMeta(in, e.dataOff, e.dataOff + e.compSize, e.dataOff + e.compSize, ctx)
           case 8 =>
-            // header-only: inflate a prefix, validate data size against
-            // the member's DECLARED uncompressed length
-            val compHead = new Array[Byte](math.min(e.compSize, 1L << 16).toInt)
-            in.seek(e.dataOff); in.readFully(compHead)
-            val prefix = inflate(compHead, MaxHeader + 4096, ctx)
-            readMeta(new BytesIn(prefix), 0L, prefix.length.toLong, e.uncompSize, ctx)
+            // header-only: inflate a compressed prefix and validate
+            // data size against the member's DECLARED uncompressed
+            // length. A large header (e.g. a structured descr near the
+            // MaxHeader cap) can compress to more than the first-guess
+            // prefix — grow geometrically until it parses. The cap is
+            // sized so a header of MaxHeader bytes fits even stored
+            // (incompressible) inside the DEFLATE stream.
+            val cap = math.min(e.compSize, 2L * (MaxHeader + 4096)).toInt
+            var size = math.min(cap.toLong, 1L << 16).toInt
+            var res: NpyMeta = null
+            while (res == null) {
+              val compHead = new Array[Byte](size)
+              in.seek(e.dataOff); in.readFully(compHead)
+              val prefix = inflate(compHead, MaxHeader + 4096, ctx)
+              try res = readMeta(
+                new BytesIn(prefix), 0L, prefix.length.toLong, e.uncompSize, ctx)
+              catch {
+                case _: IllegalArgumentException if size < cap =>
+                  size = math.min(cap.toLong, size.toLong * 4).toInt
+              }
+            }
+            res
           case m => throw new IllegalArgumentException(
             s"$ctx: unsupported zip compression method $m")
         }
@@ -606,40 +622,71 @@ object Npy {
       }
       spark.createDataFrame(rows, schema)
     } else {
-      // DEFLATE regime: one task inflates each member fully (documented
-      // non-splittable convenience path; np.savez STORED is the scale form)
-      val entriesB = entries
-      val metasB = metas
-      val rows = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
-        val fin = new FileIn(path)
-        try {
-          val cols = entriesB.zip(metasB).map { case (e, m) =>
-            val ctx = s"$path!${e.name}"
-            require(e.uncompSize <= Int.MaxValue.toLong,
-              s"$ctx: member too large for the DEFLATE path")
-            val comp = new Array[Byte](e.compSize.toInt)
-            fin.seek(e.dataOff); fin.readFully(comp)
-            val raw =
-              if (e.method == 0) comp
-              else {
-                val out = inflate(comp, e.uncompSize.toInt, ctx)
-                require(out.length == e.uncompSize.toInt,
-                  s"$ctx: short DEFLATE stream (${out.length} of ${e.uncompSize})")
-                out
-              }
-            // STORED members' metas were parsed at their absolute file
-            // offset; the buffer here is member-relative — rebase
-            val mRel =
-              if (e.method == 0) m.copy(dataStart = m.dataStart - e.dataOff) else m
-            decodeRange(new BytesIn(raw), mRel, mRel.fields, 0L, mRel.nRows, java8).toArray
+      // DEFLATE regime (np.savez_compressed): the format forbids
+      // intra-member splits (a DEFLATE stream has no random access),
+      // but N members still decode in N INDEPENDENT tasks — one task
+      // inflates one whole member into (row, value) pairs, and a
+      // single shuffle zips the columns back into rows by row index.
+      // A single-member archive skips the shuffle entirely (it is
+      // necessarily one decode task). np.savez STORED remains the
+      // scale form (distributed range reads, no shuffle).
+      val k = entries.size
+      val pathB = path
+      val java8B = java8
+      if (k == 1) {
+        val (e0, m0) = (entries.head, metas.head)
+        val rows = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+          decodeWholeMember(pathB, e0, m0, java8B).iterator
+            .map(v => Row.fromSeq(Seq(v.get(0))))
+        }
+        spark.createDataFrame(rows, schema)
+      } else {
+        val memberRdds = entries.zip(metas).zipWithIndex.map { case ((e0, m0), j) =>
+          spark.sparkContext.parallelize(Seq(j), 1).mapPartitions { _ =>
+            decodeWholeMember(pathB, e0, m0, java8B).iterator.zipWithIndex
+              .map { case (v, r) => (r.toLong, (j, v.get(0))) }
           }
-          (0 until n.toInt).iterator.map { r =>
-            Row.fromSeq(cols.map(c => c(r).get(0)))
+        }
+        val width = math.max(k, spark.sparkContext.defaultParallelism)
+        val rows = spark.sparkContext.union(memberRdds)
+          .groupByKey(width)
+          .map { case (_, vs) =>
+            val arr = new Array[Any](k)
+            vs.foreach { case (j, v) => arr(j) = v }
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
           }
-        } finally fin.close()
+        spark.createDataFrame(rows, schema)
       }
-      spark.createDataFrame(rows, schema)
     }
+  }
+
+  /** Inflate and decode one whole npz member (executor-side; an
+    * OBJECT method, not a local def — local defs close over the
+    * enclosing `Npy$` instance and fail closure serialization).
+    * Returns one single-field Row per row of the member. */
+  private def decodeWholeMember(path: String, e: ZipEntryMeta, m: NpyMeta,
+                                java8: Boolean): Array[Row] = {
+    val fin = new FileIn(path)
+    try {
+      val ctx = s"$path!${e.name}"
+      require(e.uncompSize <= Int.MaxValue.toLong,
+        s"$ctx: member too large for the DEFLATE path")
+      val comp = new Array[Byte](e.compSize.toInt)
+      fin.seek(e.dataOff); fin.readFully(comp)
+      val raw =
+        if (e.method == 0) comp
+        else {
+          val out = inflate(comp, e.uncompSize.toInt, ctx)
+          require(out.length == e.uncompSize.toInt,
+            s"$ctx: short DEFLATE stream (${out.length} of ${e.uncompSize})")
+          out
+        }
+      // STORED members' metas were parsed at their absolute file
+      // offset; the buffer here is member-relative — rebase
+      val mRel =
+        if (e.method == 0) m.copy(dataStart = m.dataStart - e.dataOff) else m
+      decodeRange(new BytesIn(raw), mRel, mRel.fields, 0L, mRel.nRows, java8).toArray
+    } finally fin.close()
   }
 
   // ------------------------------------------------------------ write
@@ -1026,6 +1073,11 @@ object Npy {
         os.write(ce.array()); os.write(nameB)
         off += 46 + nameB.length
       }
+      // zip32 EOCD carries 16-bit entry counts; more members would
+      // silently wrap the count into a misparsing archive (and 0xffff
+      // is the zip64 sentinel the read side rejects)
+      require(central.size <= 0xfffe,
+        "npz export: archive exceeds zip32 member count (use toNpySharded)")
       val eocd = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
       eocd.putInt(0x06054b50).putShort(0.toShort).putShort(0.toShort)
         .putShort(central.size.toShort).putShort(central.size.toShort)

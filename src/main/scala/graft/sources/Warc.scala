@@ -473,7 +473,7 @@ object Warc {
       if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
       val sc = new Scanner(in)
       var pos = if (gz) findGzStart(sc, start) else findPlainStart(sc, start)
-      new Iterator[Row] {
+      val it = new Iterator[Row] {
         private var nextRec: Option[(Long, Rec)] = advance()
         private def advance(): Option[(Long, Rec)] = {
           while (pos < end) {
@@ -507,7 +507,22 @@ object Warc {
           toRow(off, r)
         }
       }
+      // outside a Spark task there is no completion listener: a
+      // consumer abandoning the iterator early (take/limit) would
+      // otherwise leak the open handle. Close when the iterator
+      // becomes unreachable (close() is idempotent, so the
+      // exhaustion-path close above stays correct). The cleanable
+      // must capture `in` only — capturing `it` would pin it live.
+      if (tc == null) cleaner.register(it, new Runnable {
+        private val handle = in
+        override def run(): Unit = handle.close()
+      })
+      it
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Last-resort handle reclamation for iterators consumed outside a
+    * Spark task (see fromWarc). */
+  private lazy val cleaner = java.lang.ref.Cleaner.create()
 }

@@ -65,6 +65,25 @@ class AvroSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("struct paths whose record names sanitize identically get unique names") {
+    // the nested struct at path 'a.b' and the top-level struct column
+    // 'a_b' BOTH sanitize to record name r_a_b — without a per-schema
+    // uniquifier Avro rejects the redefinition at schema build time
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", StructType(Seq(
+        StructField("b", StructType(Seq(StructField("x", LongType))))))),
+      StructField("a_b", StructType(Seq(StructField("y", StringType))))))
+    val rows = (0 until 20).map(i => Row(i.toLong, Row(Row(i * 2L)), Row(s"v$i")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp("collide.avro")
+    Avro.toAvro(df, path)
+    val back = Avro.fromAvro(spark, path).orderBy("id").collect()
+    assert(back.length == 20)
+    assert(back(3).getStruct(1).getStruct(0).getLong(0) == 6L)
+    assert(back(3).getStruct(2).getString(0) == "v3")
+  }
+
   test("temporal logical types round-trip: timestamp-micros, local-timestamp-micros, date") {
     val schema = StructType(Seq(
       StructField("id", LongType),

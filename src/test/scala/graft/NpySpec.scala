@@ -161,6 +161,101 @@ class NpySpec extends SparkSpec {
     assert(df.map(_.getAs[Double]("x")).take(4).toSeq == Seq(-3.0, -2.25, -1.5, -0.75))
   }
 
+  test("npz DEFLATE member whose header compresses past the 64 KiB probe still reads") {
+    // a v2 npy header padded to ~200 KiB, deflated at level 0 (stored
+    // blocks) so the COMPRESSED header region exceeds the reader's
+    // first-guess prefix — the probe must grow, not reject with
+    // 'header overruns file'
+    val dict = "{'descr': '<i8', 'fortran_order': False, 'shape': (5,), }"
+    val hlen = 200000
+    val header = dict + " " * (hlen - dict.length - 1) + "\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x93.toByte, 'N'.toByte, 'U'.toByte, 'M'.toByte,
+      'P'.toByte, 'Y'.toByte, 2.toByte, 0.toByte))
+    val lenB = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(hlen)
+    bos.write(lenB.array())
+    bos.write(header.getBytes("ISO-8859-1"))
+    val data = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(10L, -20L, 30L, -40L, 50L).foreach(data.putLong)
+    bos.write(data.array())
+    val member = bos.toByteArray
+
+    val path = tmp("bighdr.npz")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    zos.setMethod(java.util.zip.ZipOutputStream.DEFLATED)
+    zos.setLevel(0) // stored-type deflate blocks: compressed ~= raw size
+    zos.putNextEntry(new java.util.zip.ZipEntry("big.npy"))
+    zos.write(member)
+    zos.closeEntry()
+    zos.close()
+
+    val df = Npy.fromNpz(spark, path)
+    assert(df.schema.fieldNames.toSeq == Seq("big"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(-40L, -20L, 10L, 30L, 50L))
+  }
+
+  test("npz DEFLATE: N members decode in N parallel tasks (listener-counted)") {
+    // the format forbids intra-member splits, but member-level task
+    // parallelism is required: the decode stage must run one task per
+    // member, not one task for the whole archive
+    def npy1d(descr: String, put: java.nio.ByteBuffer => Unit, n: Int,
+              itemBytes: Int): Array[Byte] = {
+      val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($n,), }"
+      val pad = 64 - ((10 + dict.length + 1) % 64)
+      val header = dict + " " * pad + "\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x93.toByte, 'N'.toByte, 'U'.toByte, 'M'.toByte,
+        'P'.toByte, 'Y'.toByte, 1.toByte, 0.toByte))
+      bos.write(java.nio.ByteBuffer.allocate(2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(header.length.toShort).array())
+      bos.write(header.getBytes("ISO-8859-1"))
+      val data = java.nio.ByteBuffer.allocate(n * itemBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      put(data)
+      bos.write(data.array())
+      bos.toByteArray
+    }
+    val n = 50
+    val ids = npy1d("<i8", b => (0 until n).foreach(i => b.putLong(i * 7L)), n, 8)
+    val xs = npy1d("<f8", b => (0 until n).foreach(i => b.putDouble(i * 0.5 - 3.0)), n, 8)
+    val ys = npy1d("<f8", b => (0 until n).foreach(i => b.putDouble(i * i * 0.25)), n, 8)
+    val path = tmp("members3.npz")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    Seq("ids.npy" -> ids, "xs.npy" -> xs, "ys.npy" -> ys).foreach { case (nm, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(nm))
+      zos.write(b); zos.closeEntry()
+    }
+    zos.close()
+
+    val stageTasks = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageTasks.add(s.stageInfo.numTasks); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val df = Npy.fromNpz(spark, path)
+      val rows = df.orderBy("ids").collect()
+      // the bus drains asynchronously; poll until the task counts stop
+      // changing before asserting on them
+      ListenerDrain.drained(() => stageTasks.size.toLong, windowMs = 100,
+        maxWaitMs = 10000)
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.length == n)
+    assert(got.map(_.getAs[Long]("ids")).toSeq == (0 until n).map(_ * 7L))
+    assert(got(4).getAs[Double]("xs") == 4 * 0.5 - 3.0)
+    assert(got(4).getAs[Double]("ys") == 4.0)
+    import scala.jdk.CollectionConverters._
+    assert(stageTasks.asScala.exists(_ == 3),
+      s"expected a 3-task member-decode stage, saw stages: ${stageTasks.asScala.toSeq}")
+  }
+
   test("sharded export rejects mixed array+scalar schemas on the driver") {
     val df = spark.range(0, 10).select(col("id"),
       array(lit(1.0f), lit(2.0f)).as("vec"))

@@ -112,10 +112,47 @@ class RangeJoinRuleSpec extends SparkSpec with BeforeAndAfterEach {
     val joined = p.join(i, col("k") === col("k2") && col("p") >= col("s") && col("p") <= col("e"))
     val plan = joined.queryExecution.optimizedPlan.toString
     assert(!plan.contains("__graft_rj_bin"), s"rule fired on an equi join:\n$plan")
-    // and outer joins are never rewritten
-    val outer = pts(50, 13).join(ivs(20, 14),
-      col("p") >= col("s") && col("p") <= col("e"), "left")
-    assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft_rj_bin"))
+  }
+
+  test("LEFT OUTER point-in-interval (point side preserved) rewrites, exactly") {
+    val (p, i) = (pts(250, 13), ivs(40, 14))
+    val cond = col("p") >= col("s") && col("p") <= col("e")
+    def rows(df: DataFrame): Set[(Long, Option[Long])] =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val naiveDf = p.join(i, cond, "left")
+    val naive = rows(naiveDf)
+    // left outer must actually exercise null-extension
+    assert(naive.exists(_._2.isEmpty) && naive.exists(_._2.nonEmpty))
+    spark.conf.set(WidthKey, "32")
+    val rewritten = p.join(i, cond, "left")
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"rule did not fire on LeftOuter:\n$plan")
+    assert(rows(rewritten) == naive)
+    assert(rewritten.count() == naiveDf.count()) // unmatched points extend ONCE
+  }
+
+  test("RIGHT OUTER with the point side on the right (preserved) rewrites; " +
+      "outer shapes preserving the INTERVAL side are left alone") {
+    val (p, i) = (pts(150, 15), ivs(30, 16))
+    val cond = col("p") >= col("s") && col("p") <= col("e")
+    def rows(df: DataFrame): Set[(Option[Long], Long)] =
+      df.select("iid", "pid").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))).toSet
+    val naive = rows(i.join(p, cond, "right"))
+    spark.conf.set(WidthKey, "32")
+    val rewritten = i.join(p, cond, "right")
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_rj_bin"))
+    assert(rows(rewritten) == naive)
+    // interval side preserved: the rewrite would null-extend an
+    // unmatched interval once per covered bin — must NOT fire
+    val badLeft = i.join(p, cond, "left")
+    assert(!badLeft.queryExecution.optimizedPlan.toString.contains("__graft_rj_bin"))
+    val badRight = p.join(i, cond, "right")
+    assert(!badRight.queryExecution.optimizedPlan.toString.contains("__graft_rj_bin"))
+    val full = p.join(i, cond, "full")
+    assert(!full.queryExecution.optimizedPlan.toString.contains("__graft_rj_bin"))
   }
 
   test("maxBinsPerInterval guard raises through the rewrite") {

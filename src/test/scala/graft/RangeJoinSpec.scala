@@ -49,6 +49,32 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("left-outer pointInInterval == naive left theta join, unmatched points once") {
+    val pts = pointsDf(300, 30)
+    val ivs = intervalsDf(40, 31, 80)
+    val naiveDf = pts.join(ivs,
+      col("p") >= col("s") && col("p") <= col("e"), "left")
+    def rows(df: DataFrame): Set[(Long, Option[Long])] =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val expect = rows(naiveDf)
+    assert(expect.exists(_._2.isEmpty) && expect.exists(_._2.nonEmpty))
+    for (w <- Seq(1L, 16L, 512L)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", w,
+        joinType = "left")
+      assert(rows(got) == expect, s"width $w")
+      assert(got.count() == naiveDf.count(), s"width $w multiplicity")
+    }
+    // every point survives (the preserved side is the point side)
+    val gotPids = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 16,
+      joinType = "left").select("pid").distinct().count()
+    assert(gotPids == pts.count())
+    val bad = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 16, joinType = "full")
+    }
+    assert(bad.getMessage.contains("joinType"))
+  }
+
   test("exclusive end excludes the boundary point") {
     val pts = pointsDf(200, 3)
     val ivs = intervalsDf(50, 4, 60)
