@@ -168,6 +168,19 @@ object GraftExtensions {
         longArg(args, 2, "feature_weight_sum"),
         longArg(args, 3, "feature_weight_sum"))
     }
+    reg("bpe_apply", classOf[BpeApply]) { args =>
+      nArgs(args, "bpe_apply", 2)
+      // merge table as an array<string> literal in merges.txt form:
+      // one 'first second' entry per element, rank = position
+      val merges = stringArrayArg(args, 1, "bpe_apply").zipWithIndex.map {
+        case (m, r) =>
+          val sp = m.indexOf(' ')
+          require(sp > 0 && sp < m.length - 1 && m.indexOf(' ', sp + 1) < 0,
+            s"bpe_apply: merge entry $r must be 'first second' (one space), got '$m'")
+          (m.substring(0, sp), m.substring(sp + 1))
+      }
+      BpeApply(args(0), merges)
+    }
     reg("srp_band_keys", classOf[SrpBandKeysExpr]) { args =>
       nArgs(args, "srp_band_keys", 4)
       val dim = intArg(args, 1, "srp_band_keys")

@@ -125,6 +125,21 @@ object TextFunctions {
         org.apache.spark.sql.graftbridge.Bridge.expression(shingleArr),
         fam == Md5Hash, bits = 28, uA = -1L, uB = 0L, distinct = true))
 
+  /** Tokenize a pretoken array with a LEARNED BPE merge table — the
+    * greedy rank-ordered pair merging of GPT-2's encoder (each
+    * pretoken starts as code points; the lowest-rank adjacent pair
+    * present merges at every leftmost non-overlapping occurrence
+    * until none remains). `merges` is the ordered merge list, rank =
+    * position — exactly a parsed merges.txt. One codegen'd loop per
+    * row ([[BpeApply]]), table shipped once per task via
+    * addReferenceObj; pure projection, zero shuffle at any corpus
+    * size. Composes with [[bpePretokens]] for end-to-end tokenization
+    * and with the q_bpe_learn lane's learned pairs. */
+  def bpeApply(pretokens: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      BpeApply(
+        org.apache.spark.sql.graftbridge.Bridge.expression(pretokens), merges))
+
   /** Every n-token gram string in position order (non-distinct
     * [[ShingleStrings]] — for per-doc repetition scans that need the
     * full multiset). Bit-identical to the transform/concat_ws

@@ -143,6 +143,91 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Separator for the BPE rank-map keys: symbols are code-point
+    * sequences from real text plus concatenations thereof, and NUL is
+    * rejected at table build, so `a NUL b` is collision-free. */
+  private final val BpeSep = '\u0000'
+
+  /** Build the rank lookup for [[bpeApply]] from an ordered merge
+    * list (rank = position, the merges.txt convention). */
+  private[functions] def bpeRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      require(a.nonEmpty && b.nonEmpty, s"bpe_apply: empty merge symbol at rank $r")
+      require(a.indexOf(BpeSep) < 0 && b.indexOf(BpeSep) < 0,
+        s"bpe_apply: merge symbols must not contain NUL (rank $r)")
+      val prev = m.putIfAbsent(a + BpeSep + b, Integer.valueOf(r))
+      require(prev == null, s"bpe_apply: duplicate merge pair ('$a','$b') at rank $r")
+    }
+    m
+  }
+
+  /** Greedy rank-ordered BPE application (the GPT-2 `bpe()` algorithm,
+    * openai/gpt-2 src/encoder.py): each pretoken starts as its
+    * code-point sequence; repeatedly the LOWEST-RANK adjacent symbol
+    * pair present in the word is merged at every leftmost
+    * non-overlapping occurrence (the merged symbol is the pair's
+    * concatenation), until no adjacent pair is in the table. Output:
+    * the final symbols of every pretoken, concatenated in order.
+    * Null pretokens are skipped (concat_ws discipline). This is
+    * deliberately NOT a rank-sequential replace loop — a lower-rank
+    * pair whose symbols only come into existence through a
+    * higher-rank merge must still fire (BpeApplySpec pins the
+    * divergence case). */
+  def bpeApply(toks: ArrayData, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val cnt = toks.numElements()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < cnt) {
+      if (!toks.isNullAt(i)) {
+        val s = toks.getUTF8String(i).toString
+        // initial symbols: one per code point
+        var word = new Array[String](s.codePointCount(0, s.length))
+        var ci = 0
+        var w = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          val cl = Character.charCount(cp)
+          word(w) = s.substring(ci, ci + cl)
+          ci += cl
+          w += 1
+        }
+        var done = word.length < 2
+        while (!done) {
+          // lowest-rank adjacent pair present in the word
+          var bestRank = Int.MaxValue
+          var bestA: String = null
+          var bestB: String = null
+          var j = 0
+          while (j < word.length - 1) {
+            val r = ranks.get(word(j) + BpeSep + word(j + 1))
+            if (r != null && r.intValue() < bestRank) {
+              bestRank = r.intValue(); bestA = word(j); bestB = word(j + 1)
+            }
+            j += 1
+          }
+          if (bestA == null) done = true
+          else {
+            // merge every leftmost non-overlapping occurrence
+            val nw = new java.util.ArrayList[String](word.length)
+            var p = 0
+            while (p < word.length) {
+              if (p < word.length - 1 && word(p) == bestA && word(p + 1) == bestB) {
+                nw.add(bestA + bestB); p += 2
+              } else { nw.add(word(p)); p += 1 }
+            }
+            word = nw.toArray(new Array[String](nw.size()))
+            if (word.length == 1) done = true
+          }
+        }
+        var o = 0
+        while (o < word.length) { out.add(UTF8String.fromString(word(o))); o += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Hash every string element: `bits`-bit md5-prefix or masked
     * xxhash64, optionally post-mixed through the Carter-Wegman family
     * `(uA*h + uB) mod p` (pass uA = -1 to skip), optionally
@@ -541,6 +626,39 @@ case class HashStrings(child: Expression, md5Family: Boolean, bits: Int,
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextKernels.hashStrings($a, $md5Family, $bits, ${uA}L, ${uB}L, $distinct);")
   override protected def withNewChildInternal(c: Expression): HashStrings =
+    copy(child = c)
+}
+
+/** `array<string> -> array<string>`: learned-vocabulary BPE
+  * tokenization — greedy rank-ordered pair merging (the GPT-2
+  * algorithm) over each pretoken, merge table carried via
+  * `addReferenceObj` ([[TextKernels.bpeApply]]). `merges` is the
+  * ordered merge list (rank = position). Null pretokens are skipped;
+  * a null input array stays null. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "bpe_apply: merge table must be non-empty")
+  // built eagerly (constructor time, driver side) so an invalid table
+  // (empty/NUL symbols, duplicate pairs) fails at plan build, not
+  // mid-job on an executor; @transient + lazy re-derivation keeps the
+  // serialized expression small and deserialization-safe
+  @transient private lazy val table = TextKernels.bpeRanks(merges)
+  locally { table; () }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.bpeApply(a.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeRanks", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.bpeApply($a, $tRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeApply =
     copy(child = c)
 }
 

@@ -68,6 +68,45 @@ object CurateQueries {
     docs.where(col("doc_id") % 3 =!= 0)
       .select(TextFunctions.portableHash(col("text")).as("h")).distinct()
 
+  /** q_bpe_apply's injected merge table — LAYERED: every output
+    * symbol ("ab", "abc", "de", ...) appears as a pair component only
+    * at a HIGHER rank than the merge that mints it, the property that
+    * makes greedy BPE application equal a rank-ordered replace chain
+    * (the oracle's form). The chain "abc"+"de" exercises multi-level
+    * merging; ("f","f") exercises the overlapping-occurrence rule. */
+  private val BpeApplyMerges = Seq(
+    ("a", "b"), ("ab", "c"), ("d", "e"), ("abc", "de"), ("f", "f"))
+
+  /** q_bpe_apply's oracle: because [[BpeApplyMerges]] is layered,
+    * greedy BPE == the rank-ordered replace chain over a fresh-char
+    * encoding (ab->P, abc->Q, de->R, abcde->S, ff->T — one char per
+    * symbol, so 2-char patterns are exactly symbol pairs and can
+    * never straddle a symbol boundary); final tokens = the encoded
+    * string's chars, decoded back to their symbol strings. */
+  private def bpeApplyOracle: String = {
+    def word(tag: String, len: Int): String =
+      (0 until len).map(k =>
+        s"substring('abcdef', CAST(('0x' || substring(md5(doc_id || '_${tag}_$k'), 1, 2))::BIGINT % 6 + 1 AS INT), 1)"
+      ).mkString(" || ")
+    def enc(col: String): String =
+      s"replace(replace(replace(replace(replace($col, 'ab', 'P'), 'Pc', 'Q'), 'de', 'R'), 'QR', 'S'), 'ff', 'T')"
+    s"""WITH w AS (
+       |  SELECT doc_id, ${word("x", 8)} AS w1, ${word("y", 5)} AS w2,
+       |    'abcdeff' || ${word("z", 1)} AS w3
+       |  FROM documents),
+       |enc AS (SELECT ${enc("w1")} AS e1, ${enc("w2")} AS e2, ${enc("w3")} AS e3 FROM w),
+       |ts AS (
+       |  SELECT unnest(string_split(e1, '')) AS c FROM enc
+       |  UNION ALL
+       |  SELECT unnest(string_split(e2, '')) AS c FROM enc
+       |  UNION ALL
+       |  SELECT unnest(string_split(e3, '')) AS c FROM enc)
+       |SELECT CASE c WHEN 'P' THEN 'ab' WHEN 'Q' THEN 'abc' WHEN 'R' THEN 'de'
+       |    WHEN 'S' THEN 'abcde' WHEN 'T' THEN 'ff' ELSE c END AS token,
+       |  COUNT(*) AS n
+       |FROM ts GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Generated CTE chain mirroring q_bpe_learn's K=4 unrolled merge
     * iterations (the pagerank oracle recipe): per iteration, pair
     * counts via parallel-unnest position explode, argmax with the
@@ -169,6 +208,39 @@ object CurateQueries {
       bpePersisted.getAndSet(persisted.toSeq).foreach(_.unpersist(false))
       stats.reduce(_ union _).orderBy("iter")
         .select("iter", "pair", "n_pair", "corpus_chars")
+    }),
+
+    // Learned-vocabulary BPE APPLICATION (the other half of
+    // q_bpe_learn): the codegen kernel TextKernels.bpeApply runs the
+    // GPT-2 greedy encoder — lowest-rank adjacent pair first, merged
+    // at every leftmost non-overlapping occurrence — over injected
+    // pretokens with an injected merge table. The table is LAYERED
+    // (every merge's output symbol feeds only HIGHER-rank pairs),
+    // which provably collapses greedy application to a rank-ordered
+    // replace chain over a fresh-char encoding — the form DuckDB can
+    // mirror exactly (replace chain + per-char split + decode). The
+    // kernel itself implements the GENERAL algorithm; BpeApplySpec
+    // pins the non-layered divergence case against an independent
+    // reference implementation. Pure projection + one count shuffle
+    // over short token keys — zero per-doc state at any corpus size.
+    "q_bpe_apply" -> ((s, dir) => {
+      def ch(tag: String, k: Int): Column =
+        substring(lit("abcdef"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s"_${tag}_$k"))), 1, 2), 16, 10).cast("long") % 6 + 1).cast("int"),
+          lit(1))
+      val w1 = concat((0 until 8).map(k => ch("x", k)): _*)
+      val w2 = concat((0 until 5).map(k => ch("y", k)): _*)
+      // w3 guarantees the DEEP merges fire on every row: "abcde"
+      // exercises rank 3 (abc+de), "ff" rank 4, regardless of what
+      // the random words contain
+      val w3 = concat(lit("abcdeff"), ch("z", 0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), w1.as("w1"), w2.as("w2"), w3.as("w3"))
+        .select(explode(TextFunctions.bpeApply(
+          array(col("w1"), col("w2"), col("w3")), BpeApplyMerges)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
     }),
 
     // ftfy-style text cleanup: single-layer mojibake repair (latin-1
@@ -590,6 +662,7 @@ object CurateQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_learn" -> bpeOracle,
+    "q_bpe_apply" -> bpeApplyOracle,
     "q_text_clean" ->
       """WITH raw AS (
         |  SELECT doc_id, text ||
