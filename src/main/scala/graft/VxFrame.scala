@@ -579,6 +579,27 @@ final case class VxFrame(
   }
 
 
+  /** Ordered conversion funnel over an event frame: one output row
+    * per stage with the users reaching it (first qualifying event
+    * strictly later than the previous stage's) and the total
+    * stage-to-stage lag in exact integer microseconds. ONE algebra
+    * definition with the q_event_funnel oracle lane
+    * (operators.EventOps.funnel); aggregation result — a fresh frame,
+    * like groupby. */
+  def funnel(stages: Seq[String], user: String = "user_id",
+             eventType: String = "event_type", ts: String = "ts"): VxFrame =
+    VxFrame(graft.operators.EventOps.funnel(df, user, eventType, ts, stages))
+
+  /** Cohort retention matrix: cohort = period of a user's first
+    * event (days since `anchor` floor-divided by `periodDays`), cell
+    * = distinct users active at each period offset. Shares its
+    * algebra with the q_cohort_retention oracle lane
+    * (operators.EventOps.cohortRetention). */
+  def cohortRetention(anchor: String, periodDays: Int = 7,
+                      user: String = "user_id", ts: String = "ts"): VxFrame =
+    VxFrame(graft.operators.EventOps.cohortRetention(
+      df, user, ts, anchor, periodDays))
+
   /** Chunked pull iteration (reference: core/dataframe.py:3112
     * evaluate_iterator; chunk_iterator core/dataset.py:528):
     * driver-side iterator of row chunks, streaming one partition at a

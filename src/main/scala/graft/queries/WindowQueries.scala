@@ -243,47 +243,24 @@ object WindowQueries {
     // at each stage): staged conditional aggregation + per-user joins
     // — each stage is one groupBy on user_id, never a per-user window
     // over the whole event stream; stage lags stay in exact integer
-    // microseconds (no float parity tax).
-    "q_event_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
-      val v = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, "user_id").where(col("ts") > col("v_ts"))
-        .groupBy("user_id").agg(min(col("ts")).as("c_ts"), min(col("v_ts")).as("v_ts"))
-      val p = ev.where(col("event_type") === "purchase")
-        .join(c, "user_id").where(col("ts") > col("c_ts"))
-        .groupBy("user_id").agg(min(col("ts")).as("p_ts"), min(col("c_ts")).as("c_ts"))
-      val s1 = v.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_lag_us"))
-        .select(lit("1_view").as("stage"), col("n_users"), col("sum_lag_us"))
-      val s2 = c.agg(count(lit(1)).as("n_users"),
-          sum(unix_micros(col("c_ts").cast("timestamp")) -
-            unix_micros(col("v_ts").cast("timestamp"))).as("sum_lag_us"))
-        .select(lit("2_click").as("stage"), col("n_users"), col("sum_lag_us"))
-      val s3 = p.agg(count(lit(1)).as("n_users"),
-          sum(unix_micros(col("p_ts").cast("timestamp")) -
-            unix_micros(col("c_ts").cast("timestamp"))).as("sum_lag_us"))
-        .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_lag_us"))
-      s1.union(s2).union(s3).orderBy("stage")
-    }),
+    // microseconds (no float parity tax). ONE algebra definition
+    // (operators.EventOps.funnel) shared with VxFrame.funnel — the
+    // facade can never drift from what this oracle gates.
+    "q_event_funnel" -> ((s, dir) =>
+      graft.operators.EventOps.funnel(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
 
     // weekly cohort retention matrix: cohort = week of a user's first
     // event, cell = distinct users active at each week offset. Two
     // user-keyed aggregations + one distinct — the standard
-    // product-analytics shape, no windows.
-    "q_cohort_retention" -> ((s, dir) => {
-      val days = t(s, dir, "events").select(col("user_id"),
-        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"))
-      val first = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      days.join(first, "user_id")
-        .select(floor(col("cohort_day") / 7).cast("long").as("cohort_week"),
-          floor((col("day") - col("cohort_day")) / 7).cast("long").as("week_offset"),
-          col("user_id"))
-        .distinct()
-        .groupBy("cohort_week", "week_offset")
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
+    // product-analytics shape, no windows. Shared algebra:
+    // operators.EventOps.cohortRetention == VxFrame.cohortRetention.
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.operators.EventOps.cohortRetention(
+          t(s, dir, "events"), "user_id", "ts", "2024-01-01", periodDays = 7)
+        .withColumnRenamed("cohort_period", "cohort_week")
+        .withColumnRenamed("period_offset", "week_offset")),
 
     // rollup (beyond-reference: free on Spark, SURVEY §2.4 note)
     "q_rollup" -> ((s, dir) => {
