@@ -113,11 +113,37 @@ object Avro {
   /** Spark -> Avro schema. Every field is written as a nullable union
     * (Spark columns are nullable by default; a null-free column just
     * never uses the branch). */
-  def avroSchema(st: StructType, name: String = "row"): Schema = {
+  /** `enums` / `fixed` declare TOP-LEVEL columns to write as Avro's
+    * named types (Spark has no native enum/fixed, so the mapping must
+    * be declared): an enum column must be StringType (every value a
+    * declared symbol — enforced per row at write), a fixed column
+    * BinaryType (every value exactly `size` bytes). */
+  def avroSchema(st: StructType, name: String = "row",
+                 enums: Map[String, Seq[String]] = Map.empty,
+                 fixed: Map[String, Int] = Map.empty): Schema = {
+    val cols = st.fieldNames.toSet
+    (enums.keySet ++ fixed.keySet).foreach(c => require(cols.contains(c),
+      s"avro export: enum/fixed declaration for unknown column $c"))
+    require(enums.keySet.intersect(fixed.keySet).isEmpty,
+      s"avro export: ${enums.keySet.intersect(fixed.keySet)} declared both enum and fixed")
     val issued = scala.collection.mutable.Set[String](name)
     val fields = st.fields.map { f =>
-      new Schema.Field(f.name, nullable(avroType(f.dataType, f.name, issued)),
-        null, Schema.Field.NULL_DEFAULT_VALUE)
+      val t =
+        if (enums.contains(f.name)) {
+          require(f.dataType == StringType,
+            s"avro export: enum column ${f.name} must be string, got ${f.dataType.catalogString}")
+          val symbols = enums(f.name)
+          require(symbols.nonEmpty && symbols.distinct.size == symbols.size,
+            s"avro export: enum symbols for ${f.name} must be non-empty and distinct")
+          Schema.createEnum(recName(f.name, issued), null, "graft", symbols.asJava)
+        } else if (fixed.contains(f.name)) {
+          require(f.dataType == BinaryType,
+            s"avro export: fixed column ${f.name} must be binary, got ${f.dataType.catalogString}")
+          require(fixed(f.name) >= 1,
+            s"avro export: fixed size for ${f.name} must be positive")
+          Schema.createFixed(recName(f.name, issued), null, "graft", fixed(f.name))
+        } else avroType(f.dataType, f.name, issued)
+      new Schema.Field(f.name, nullable(t), null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     val rec = Schema.createRecord(name, null, "graft", false)
     rec.setFields(java.util.Arrays.asList(fields: _*))
@@ -285,6 +311,20 @@ object Avro {
   private def writeConv(dt: DataType, s0: Schema, ctx: String): Any => AnyRef = {
     val s = unwrapUnion(s0)
     val conv: Any => AnyRef = dt match {
+      case StringType if s.getType == Schema.Type.ENUM => {
+        case str: String =>
+          if (!s.hasEnumSymbol(str)) throw new IllegalArgumentException(
+            s"avro export: value '$str' is not an enum symbol of " +
+              s"${s.getEnumSymbols} (column $ctx)")
+          new GenericData.EnumSymbol(s, str)
+      }
+      case BinaryType if s.getType == Schema.Type.FIXED => {
+        case b: Array[Byte] =>
+          if (b.length != s.getFixedSize) throw new IllegalArgumentException(
+            s"avro export: fixed(${s.getFixedSize}) column $ctx got " +
+              s"${b.length} bytes")
+          new GenericData.Fixed(s, b)
+      }
       case BinaryType => { case b: Array[Byte] => java.nio.ByteBuffer.wrap(b) }
       case TimestampType => {
         case ts: java.sql.Timestamp =>
@@ -391,9 +431,11 @@ object Avro {
     * much a reader split over-reads; the Avro default 64 KiB is right
     * for production — tests shrink it to force many blocks. */
   def toAvro(df: DataFrame, path: String, codec: Option[String] = Some("deflate"),
-             syncInterval: Int = 0): Unit = {
+             syncInterval: Int = 0,
+             enums: Map[String, Seq[String]] = Map.empty,
+             fixed: Map[String, Int] = Map.empty): Unit = {
     val schema = df.schema
-    val avsc = avroSchema(schema)
+    val avsc = avroSchema(schema, enums = enums, fixed = fixed)
     writeRows(df.toLocalIterator().asScala, schema, avsc,
       FsIO.create(path), codec, syncInterval)
   }
@@ -404,9 +446,11 @@ object Avro {
     * contract). Read back with `Readers.open(dir/part-*.avro)`.
     * Returns the shard count. */
   def toAvroSharded(df: DataFrame, dir: String,
-                    codec: Option[String] = Some("deflate")): Int = {
+                    codec: Option[String] = Some("deflate"),
+                    enums: Map[String, Seq[String]] = Map.empty,
+                    fixed: Map[String, Int] = Map.empty): Int = {
     val schema = df.schema
-    val avscJson = avroSchema(schema).toString
+    val avscJson = avroSchema(schema, enums = enums, fixed = fixed).toString
     FsIO.mkdirs(dir)
     FsIO.deleteShards(dir, ".avro")
     val c = codec

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.{Avro, Readers}
+import scala.jdk.CollectionConverters._
 
 /** Dependency-free Avro source/sink: typed round trips, the
   * distributed sync-split reader, sharded export + glob read, and the
@@ -82,6 +83,71 @@ class AvroSpec extends SparkSpec {
     assert(back.length == 20)
     assert(back(3).getStruct(1).getStruct(0).getLong(0) == 6L)
     assert(back(3).getStruct(2).getString(0) == "v3")
+  }
+
+  test("enum and fixed WRITE: declared columns round-trip and the schema is genuinely named") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("color", StringType),
+      StructField("digest", BinaryType)))
+    val colors = Seq("RED", "GREEN", "BLUE")
+    val rows = (0 until 60).map { i =>
+      Row(i.toLong,
+        if (i % 7 == 0) null else colors(i % 3),
+        if (i % 11 == 0) null else Array.tabulate(4)(j => (i + j).toByte))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val path = tmp("enumfixed.avro")
+    Avro.toAvro(df, path, enums = Map("color" -> colors), fixed = Map("digest" -> 4))
+
+    // the written schema must DECLARE enum/fixed (not string/bytes)
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(path),
+      new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+    val written = try reader.getSchema finally reader.close()
+    def branch(f: String) = written.getField(f).schema().getTypes.asScala
+      .find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    assert(branch("color").getType == org.apache.avro.Schema.Type.ENUM)
+    assert(branch("color").getEnumSymbols.asScala.toSeq == colors)
+    assert(branch("digest").getType == org.apache.avro.Schema.Type.FIXED)
+    assert(branch("digest").getFixedSize == 4)
+
+    // and our own reader round-trips them as string/binary
+    val back = Avro.fromAvro(spark, path)
+    assert(back.schema("color").dataType == StringType)
+    assert(back.schema("digest").dataType == BinaryType)
+    val a = df.collect().map(canon).sortBy(_.head.asInstanceOf[Long])
+    val b = back.collect().map(canon).sortBy(_.head.asInstanceOf[Long])
+    assert(a.toSeq === b.toSeq)
+
+    // sharded export takes the same declarations
+    val dir = tmp("enumfixed_shards")
+    Avro.toAvroSharded(df, dir, enums = Map("color" -> colors),
+      fixed = Map("digest" -> 4))
+    val backSharded = Readers.open(spark, s"$dir/part-*.avro")
+    assert(backSharded.count() == 60)
+    assert(backSharded.schema("color").dataType == StringType)
+
+    // violations fail loudly: off-symbol value, wrong fixed width,
+    // wrong Spark type, unknown column
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val bad1 = intercept[Exception] {
+      Avro.toAvro(df, tmp("bad1.avro"), enums = Map("color" -> Seq("RED")))
+    }
+    assert(messages(bad1).exists(_.contains("enum symbol")), s"got: $bad1")
+    val bad2 = intercept[Exception] {
+      Avro.toAvro(df, tmp("bad2.avro"), fixed = Map("digest" -> 3))
+    }
+    assert(messages(bad2).exists(_.contains("fixed(3)")), s"got: $bad2")
+    val bad3 = intercept[IllegalArgumentException] {
+      Avro.toAvro(df, tmp("bad3.avro"), enums = Map("id" -> colors))
+    }
+    assert(bad3.getMessage.contains("must be string"))
+    val bad4 = intercept[IllegalArgumentException] {
+      Avro.toAvro(df, tmp("bad4.avro"), fixed = Map("nope" -> 4))
+    }
+    assert(bad4.getMessage.contains("unknown column"))
   }
 
   test("temporal logical types round-trip: timestamp-micros, local-timestamp-micros, date") {
