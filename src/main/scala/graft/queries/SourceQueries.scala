@@ -27,6 +27,17 @@ object SourceQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** ONE embedding-table aggregate shared by the npz and safetensors
+    * lanes (one oracle text — the formats must be invisible). */
+  private def embedAgg(df: DataFrame): DataFrame =
+    df.groupBy((col("vec_id") % 8).as("g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"),
+        sum(col("label")).as("sum_label"),
+        r(dsumD(element_at(col("embedding"), 1).cast("double"))).as("sum_first"),
+        r(dsumD(element_at(col("embedding"), -1).cast("double"))).as("sum_last"))
+      .orderBy("g")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // from_csv (reference: core/__init__.py:571): write lineitem as
     // headered CSV, read it back with schema inference, aggregate.
@@ -220,14 +231,32 @@ object SourceQueries {
       val cache = cacheDir(dir, "embeddings_npz") + "/e.npz"
       graft.sources.Npy.toNpz(
         t(s, dir, "embeddings").select("vec_id", "embedding", "label"), cache)
-      graft.sources.Readers.open(s, cache)
-        .groupBy((col("vec_id") % 8).as("g"))
-        .agg(count(lit(1)).as("n"),
-          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"),
-          sum(col("label")).as("sum_label"),
-          r(dsumD(element_at(col("embedding"), 1).cast("double"))).as("sum_first"),
-          r(dsumD(element_at(col("embedding"), -1).cast("double"))).as("sum_last"))
-        .orderBy("g")
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
+    // safetensors round trip (the Hugging Face tensor interchange
+    // format — embedding dumps increasingly ship in it): vec_id as a
+    // rank-1 I64 tensor, embeddings as an (n, d) F32 tensor, labels
+    // I32. Write is column-major (one streamed pass per tensor); read
+    // is DISTRIBUTED fixed-width positioned range reads, same
+    // contract as npy/FITS. Same aggregate (and oracle) as
+    // q_npz_embed — the format must be invisible to the numbers.
+    "q_safetensors_embed" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_st") + "/e.safetensors"
+      graft.sources.Safetensors.toSafetensors(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"), cache)
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
+    // distributed sharded safetensors export + glob read-back (every
+    // partition spills once to local disk, then streams its own
+    // column-major shard file)
+    "q_safetensors_sharded" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_st_sh")
+      graft.sources.Safetensors.toSafetensorsSharded(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+          .repartition(5), cache)
+      embedAgg(graft.sources.Readers.open(s, s"$cache/part-*.safetensors"))
     }),
 
     // npy temporal fields: events round trip through datetime64[us]
@@ -596,6 +625,15 @@ object SourceQueries {
     })
   )
 
+  /** Shared by q_npz_embed + the two safetensors lanes. */
+  private val embedAggSql =
+    s"""SELECT vec_id % 8 AS g, COUNT(*) AS n,
+       |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+       |  CAST(SUM(label) AS BIGINT) AS sum_label,
+       |  ${sqlR(sqlDsum("CAST(embedding[1] AS DOUBLE)"))} AS sum_first,
+       |  ${sqlR(sqlDsum("CAST(embedding[-1] AS DOUBLE)"))} AS sum_last
+       |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin
+
   private val aggSql =
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
@@ -670,13 +708,9 @@ object SourceQueries {
     "q_avro_sharded" -> aggSql,
     "q_npy_agg" -> aggSql,
     "q_npy_sharded" -> aggSql,
-    "q_npz_embed" ->
-      s"""SELECT vec_id % 8 AS g, COUNT(*) AS n,
-         |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
-         |  CAST(SUM(label) AS BIGINT) AS sum_label,
-         |  ${sqlR(sqlDsum("CAST(embedding[1] AS DOUBLE)"))} AS sum_first,
-         |  ${sqlR(sqlDsum("CAST(embedding[-1] AS DOUBLE)"))} AS sum_last
-         |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin,
+    "q_npz_embed" -> embedAggSql,
+    "q_safetensors_embed" -> embedAggSql,
+    "q_safetensors_sharded" -> embedAggSql,
     "q_npy_events" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,

@@ -25,7 +25,7 @@ object Readers {
       case p if hasGlob(p) && (p.endsWith(".hdf5") || p.endsWith(".h5")
           || p.endsWith(".fits") || p.endsWith(".arrow") || p.endsWith(".feather")
           || p.endsWith(".avro") || p.endsWith(".warc") || p.endsWith(".warc.gz")
-          || p.endsWith(".npy")) =>
+          || p.endsWith(".npy") || p.endsWith(".safetensors")) =>
         val files = expandGlob(spark, p)
         require(files.nonEmpty, s"open: glob matched no files: $p")
         openMany(spark, files)
@@ -45,6 +45,7 @@ object Readers {
       case p if p.endsWith(".warc") || p.endsWith(".warc.gz") => Warc.fromWarc(spark, p)
       case p if p.endsWith(".npy") => Npy.fromNpy(spark, p)
       case p if p.endsWith(".npz") => Npy.fromNpz(spark, p)
+      case p if p.endsWith(".safetensors") => Safetensors.fromSafetensors(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {
