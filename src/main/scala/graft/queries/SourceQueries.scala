@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import Q._
 
 /** Reader-path queries (SURVEY §2.1): the same aggregation shape as
@@ -257,6 +258,45 @@ object SourceQueries {
         t(s, dir, "embeddings").select("vec_id", "embedding", "label")
           .repartition(5), cache)
       embedAgg(graft.sources.Readers.open(s, s"$cache/part-*.safetensors"))
+    }),
+
+    // TFRecord round trip (the TensorFlow training-data container):
+    // sharded write (one CRC-framed tf.train.Example file per
+    // partition — the production layout) -> glob read, one task per
+    // file. Floats are the container's only real type for decimals —
+    // quantities cast to float32 at write and the oracle mirrors with
+    // CAST(x AS REAL) (bit-identical rounding, the r5 recipe).
+    "q_tfrecord_agg" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_tfr")
+      graft.sources.Tfrecord.toTfRecordSharded(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("float").as("qf"),
+          col("l_extendedprice").cast("float").as("pf"))
+          .repartition(5), cache)
+      val schema = StructType(Seq(
+        StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+        StructField("qf", FloatType), StructField("pf", FloatType)))
+      graft.sources.Tfrecord.fromTfRecord(s, s"$cache/part-*.tfrecord", schema)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(r(dsumD(col("qf").cast("double"))).as("sum_qty"),
+          r(dsumD(col("pf").cast("double"))).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TFRecord embeddings: int64 + float-list features, single-file
+    // write, explicit read schema (label widens int32 -> int64 in the
+    // container). Same aggregate + oracle as the npz/safetensors
+    // lanes — the container must be invisible to the numbers.
+    "q_tfrecord_embed" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_tfr") + "/e.tfrecord"
+      graft.sources.Tfrecord.toTfRecord(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"), cache)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", LongType)))
+      embedAgg(graft.sources.Tfrecord.fromTfRecord(s, cache, schema))
     }),
 
     // npy temporal fields: events round trip through datetime64[us]
@@ -711,6 +751,13 @@ object SourceQueries {
     "q_npz_embed" -> embedAggSql,
     "q_safetensors_embed" -> embedAggSql,
     "q_safetensors_sharded" -> embedAggSql,
+    "q_tfrecord_embed" -> embedAggSql,
+    "q_tfrecord_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlR(sqlDsum("CAST(CAST(l_quantity AS REAL) AS DOUBLE)"))} AS sum_qty,
+         |  ${sqlR(sqlDsum("CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)"))} AS sum_price,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_npy_events" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,

@@ -29,6 +29,8 @@ object Export {
     case p if p.endsWith(".npy") => Npy.toNpy(df, p)
     case p if p.endsWith(".npz") => Npy.toNpz(df, p)
     case p if p.endsWith(".safetensors") => Safetensors.toSafetensors(df, p)
+    case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
+      Tfrecord.toTfRecord(df, p)
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }

@@ -77,6 +77,17 @@ private[graft] object FsIO {
     val (fs, p) = resolve(path); fs.exists(p)
   }
 
+  /** Glob-expand (sorted, deterministic), scheme-preserving for
+    * remote filesystems like Readers.expandGlob. */
+  def glob(pattern: String): Seq[String] = {
+    val (fs, p) = resolve(pattern)
+    Option(fs.globStatus(p)).map(_.toSeq.map { st =>
+      val u = st.getPath.toUri
+      if (u.getScheme == null || u.getScheme == "file") u.getPath
+      else st.getPath.toString
+    }.sorted).getOrElse(Nil)
+  }
+
   /** Positioned-read handle — drop-in for `RandomAccessFile(path, "r")`
     * with the seek/readFully usage pattern. Each readFully issues ONE
     * positioned read (pread), so a handle is also safe to share across

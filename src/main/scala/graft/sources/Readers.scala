@@ -46,6 +46,10 @@ object Readers {
       case p if p.endsWith(".npy") => Npy.fromNpy(spark, p)
       case p if p.endsWith(".npz") => Npy.fromNpz(spark, p)
       case p if p.endsWith(".safetensors") => Safetensors.fromSafetensors(spark, p)
+      // glob or single file: fromTfRecord expands globs itself (one
+      // task per file — the file SET is TFRecord's parallelism unit)
+      case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
+        Tfrecord.fromTfRecord(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {
