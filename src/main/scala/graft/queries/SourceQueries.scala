@@ -299,6 +299,32 @@ object SourceQueries {
       embedAgg(graft.sources.Tfrecord.fromTfRecord(s, cache, schema))
     }),
 
+    // WebDataset round trip (the multimodal training-data convention:
+    // samples as grouped members in plain tar shards): documents
+    // become (key, {txt, json}) samples, sharded-written (one tar per
+    // partition), glob-read via the two-phase index (header walk per
+    // file, payload reads member-level) and re-aggregated. GNU tar
+    // itself validates the archives in WebDatasetSpec.
+    "q_webdataset" -> ((s, dir) => {
+      val cache = cacheDir(dir, "documents_wds")
+      val samples = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("key"),
+        map(lit("txt"), encode(col("text"), "UTF-8"),
+          lit("json"), encode(concat(lit("{\"lang\":\""), col("lang"),
+            lit("\"}")), "UTF-8")).as("files"))
+      graft.sources.WebDataset.toWebDatasetSharded(samples.repartition(4), cache)
+      graft.sources.Readers.open(s, s"$cache/part-*.tar")
+        .select(col("key").cast("long").as("doc_id"),
+          decode(element_at(col("files"), "txt"), "UTF-8").as("txt"),
+          decode(element_at(col("files"), "json"), "UTF-8").as("js"))
+        .groupBy((col("doc_id") % 7).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("txt"))).cast("long").as("sum_len"),
+          min(col("doc_id")).as("min_id"),
+          sum(length(col("js"))).cast("long").as("sum_js"))
+        .orderBy("g")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -752,6 +778,12 @@ object SourceQueries {
     "q_safetensors_embed" -> embedAggSql,
     "q_safetensors_sharded" -> embedAggSql,
     "q_tfrecord_embed" -> embedAggSql,
+    "q_webdataset" ->
+      """SELECT doc_id % 7 AS g, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+        |  MIN(doc_id) AS min_id,
+        |  CAST(SUM(LENGTH('{"lang":"' || lang || '"}')) AS BIGINT) AS sum_js
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tfrecord_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlR(sqlDsum("CAST(CAST(l_quantity AS REAL) AS DOUBLE)"))} AS sum_qty,

@@ -31,6 +31,7 @@ object Export {
     case p if p.endsWith(".safetensors") => Safetensors.toSafetensors(df, p)
     case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
       Tfrecord.toTfRecord(df, p)
+    case p if p.endsWith(".tar") => WebDataset.toWebDataset(df, p)
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }

@@ -46,10 +46,12 @@ object Readers {
       case p if p.endsWith(".npy") => Npy.fromNpy(spark, p)
       case p if p.endsWith(".npz") => Npy.fromNpz(spark, p)
       case p if p.endsWith(".safetensors") => Safetensors.fromSafetensors(spark, p)
-      // glob or single file: fromTfRecord expands globs itself (one
-      // task per file — the file SET is TFRecord's parallelism unit)
+      // glob or single file: these readers expand globs themselves
+      // (one index/scan task per file — the file SET is the
+      // parallelism unit for non-splittable containers)
       case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
         Tfrecord.fromTfRecord(spark, p)
+      case p if p.endsWith(".tar") => WebDataset.fromWebDataset(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {
