@@ -502,7 +502,14 @@ object Bench {
           val m = """"mem_bw_gbps":([0-9.]+)""".r.findFirstMatchIn(s)
           m.map(_.group(1).toDouble).getOrElse(-1.0)
         } catch { case _: Throwable => -1.0 }
-      if (bestBracket >= existingBw) java.nio.file.Files.write(p, bytes)
+      // Any HEALTHY run replaces the artifact (code changes must
+      // refresh it — requiring bracket >= the committed value would
+      // ratchet: a 43.0-GB/s artifact could never be replaced by a
+      // healthy 42.0 run and stale timings would read as current);
+      // only a genuinely degraded run defers to a healthier committed
+      // artifact.
+      if (bestBracket >= 35.0 || bestBracket >= existingBw)
+        java.nio.file.Files.write(p, bytes)
       else System.err.println(f"[bench] window degraded (bracket $bestBracket%.1f < committed $existingBw%.1f GB/s) - BENCH_DETAIL.json kept, fresh run in BENCH_DETAIL_LAST.json")
     } catch { case _: Throwable => () } // cwd not writable: detail line suffices
     val compact = s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"total_10x":${j(total10x)},"omitted_n":${compactOmit.size},$rps}"""

@@ -637,13 +637,20 @@ case class HashStrings(child: Expression, md5Family: Boolean, bits: Int,
   * a null input array stays null. */
 case class BpeApply(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
+  // Cheap per-pair validation runs at construction (fails at user
+  // call time), but the rank HashMap build stays LAZY: Catalyst
+  // copies expressions on every transform during analysis/
+  // optimization, and rebuilding a production-sized table (50k GPT-2
+  // merges) per copy would cost O(rules x merges) driver work. The
+  // lazy build (which also catches duplicate pairs) still runs
+  // driver-side before any job — at codegen or first eval.
   require(merges.nonEmpty, "bpe_apply: merge table must be non-empty")
-  // built eagerly (constructor time, driver side) so an invalid table
-  // (empty/NUL symbols, duplicate pairs) fails at plan build, not
-  // mid-job on an executor; @transient + lazy re-derivation keeps the
-  // serialized expression small and deserialization-safe
+  merges.zipWithIndex.foreach { case ((a, b), r) =>
+    require(a.nonEmpty && b.nonEmpty, s"bpe_apply: empty merge symbol at rank $r")
+    require(a.indexOf('\u0000') < 0 && b.indexOf('\u0000') < 0,
+      s"bpe_apply: merge symbols must not contain NUL (rank $r)")
+  }
   @transient private lazy val table = TextKernels.bpeRanks(merges)
-  locally { table; () }
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -43,13 +43,23 @@ object EventOps {
     val ev = events.select(col(user).as("__u"), col(eventType).as("__t"),
       col(ts).as("__ts"))
 
+    // ordinal prefixes are zero-padded to the stage count's width so
+    // the documented invariant (lexicographic order == funnel order)
+    // survives 10+ stages ("10_x" would otherwise sort before "2_y");
+    // <= 9 stages keep the unpadded labels the oracle pins
+    val w = stages.size.toString.length
+    def label(k: Int, st: String): String = {
+      val ord = (k + 1).toString
+      ("0" * (w - ord.length)) + ord + "_" + st
+    }
+
     // per-user first-qualifying time per stage, chained
     var reached = ev.where(col("__t") === stages.head)
       .groupBy("__u").agg(min(col("__ts")).as("__cur"))
       .withColumn("__prev", col("__cur"))
     val rows = scala.collection.mutable.ArrayBuffer[DataFrame](
       reached.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_lag_us"))
-        .select(lit(s"1_${stages.head}").as("stage"),
+        .select(lit(label(0, stages.head)).as("stage"),
           col("n_users"), col("sum_lag_us")))
     stages.zipWithIndex.drop(1).foreach { case (st, k) =>
       val prev = reached.select(col("__u"), col("__cur").as("__prev_ts"))
@@ -59,7 +69,7 @@ object EventOps {
           min(col("__prev_ts")).as("__prev"))
       rows += reached.agg(count(lit(1)).as("n_users"),
           sum(epochUs(col("__cur")) - epochUs(col("__prev"))).as("sum_lag_us"))
-        .select(lit(s"${k + 1}_$st").as("stage"), col("n_users"),
+        .select(lit(label(k, st)).as("stage"), col("n_users"),
           col("sum_lag_us"))
     }
     rows.reduce(_ union _).orderBy("stage")

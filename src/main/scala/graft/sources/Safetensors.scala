@@ -368,6 +368,30 @@ object Safetensors {
     } finally out.close()
   }
 
+  /** Null checks BEFORE the spill: RowSpill's array codec has no
+    * per-ELEMENT null marker (a null element would silently unbox to
+    * 0.0/0 on re-read), so the loud rejection must see the original
+    * rows, not the spilled ones. Scalar nulls survive the spill and
+    * are also caught here for a consistent error point. */
+  private def validated(it: Iterator[Row],
+                        cols: Seq[(String, String, Int)]): Iterator[Row] =
+    it.map { row =>
+      cols.zipWithIndex.foreach { case ((name, _, d), i) =>
+        require(!row.isNullAt(i),
+          s"safetensors export: null value in column $name " +
+            "(the format has no nulls — fillna upstream)")
+        if (d > 0) {
+          val arr = row.getSeq[Any](i)
+          require(arr.length == d,
+            s"safetensors export: column $name row width ${arr.length} != $d")
+          require(!arr.contains(null),
+            s"safetensors export: null element in array column $name " +
+              "(the format has no nulls — fillna upstream)")
+        }
+      }
+      row
+    }
+
   /** Single-file export, driver-streamed. Tensors are column-major
     * regions but Spark row order is only stable WITHIN one job —
     * streaming the frame once per column (one job each) misaligns
@@ -379,7 +403,8 @@ object Safetensors {
     val cols = plan(df)
     val schema = df.schema
     import scala.jdk.CollectionConverters._
-    val (file, n) = RowSpill.spill(schema, df.toLocalIterator().asScala)
+    val (file, n) = RowSpill.spill(schema,
+      validated(df.toLocalIterator().asScala, cols))
     try writeFile(FsIO.create(path), cols, n, () => RowSpill.iterate(schema, file))
     finally { file.delete(); () }
   }
@@ -396,7 +421,7 @@ object Safetensors {
     val written = df.rdd.mapPartitionsWithIndex { (pi, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val (file, count) = RowSpill.spill(schema, it)
+        val (file, count) = RowSpill.spill(schema, validated(it, cols))
         try {
           writeFile(FsIO.create(f"$dir/part-$pi%05d.safetensors"), cols, count,
             () => RowSpill.iterate(schema, file))

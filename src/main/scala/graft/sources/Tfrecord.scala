@@ -351,12 +351,23 @@ object Tfrecord {
     true
   }
 
-  /** Iterate framed record payloads, validating both CRCs. */
+  /** Iterate framed record payloads, validating both CRCs. The
+    * underlying stream closes on exhaustion AND on every leak path:
+    * a task-completion listener inside Spark tasks, a Cleaner for
+    * driver-side consumers that abandon the iterator early (the Warc
+    * discipline), and an explicit close when the FIRST advance throws
+    * (a corrupt first record must not leak the handle it was read
+    * from). */
   private[graft] def recordIterator(path: String): Iterator[Array[Byte]] = {
     val in = FsIO.open(path)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+      try in.close() catch { case _: Throwable => () })
     var offset = 0L
-    new Iterator[Array[Byte]] {
-      private var nextRec: Array[Byte] = advance()
+    val it = new Iterator[Array[Byte]] {
+      private var nextRec: Array[Byte] =
+        try advance()
+        catch { case e: Throwable => in.close(); throw e }
       private def advance(): Array[Byte] = {
         val head = new Array[Byte](12)
         if (!readFully(in, head, path)) { in.close(); return null }
@@ -388,7 +399,19 @@ object Tfrecord {
         r
       }
     }
+    // the cleanable must capture `in` only — capturing `it` would pin
+    // it live forever; close() is idempotent for the exhaustion path
+    if (tc == null) cleaner.register(it, new Runnable {
+      private val handle = in
+      override def run(): Unit =
+        try handle.close() catch { case _: Throwable => () }
+    })
+    it
   }
+
+  /** Last-resort handle reclamation for iterators consumed outside a
+    * Spark task (see recordIterator). */
+  private lazy val cleaner = java.lang.ref.Cleaner.create()
 
   /** Infer a schema from one Example: int64 -> long, float -> float,
     * bytes -> binary; exactly-one-element lists read as scalars,

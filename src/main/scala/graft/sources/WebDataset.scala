@@ -17,16 +17,17 @@ import org.apache.spark.sql.types._
   * `(key string, files map<string, binary>)` — modality decoding
   * stays the caller's choice (compose with the JPEG/PNG/WAV codecs).
   *
-  * Scale design: tar is 512-block-aligned with a checksummed header
-  * per member, so one archive SPLIT-SCANS like WARC — each task scans
-  * 512-aligned offsets in its byte span for a valid header
-  * (checksum + magic + a chain check on the next block) and owns the
-  * members whose header offset falls in its span; samples are then
-  * assembled by one `groupBy(key)` shuffle (members of one sample can
-  * straddle a split boundary — member-level ownership plus a key
-  * shuffle is exactly-once without any cross-task handshake). Sharded
-  * writes emit one `.tar` per partition (the WebDataset convention of
-  * many shard files), where samples never straddle files.
+  * Scale design — a TWO-PHASE distributed read: (1) one INDEX task
+  * per shard file sequentially walks the headers only (one 512-byte
+  * positioned read per member, payloads skipped — WebDataset ships
+  * many ~1 GB shard files, so the file set is the index-parallelism
+  * unit; a sequential walk, unlike a mid-file resync scan, can never
+  * mis-claim tar-shaped bytes inside a member payload such as a
+  * nested tar); (2) the tiny sample index is repartitioned so PAYLOAD
+  * reads spread member-level across the cluster — payload bytes move
+  * exactly once via positioned reads, never through a shuffle.
+  * Sharded writes emit one `.tar` per partition (the WebDataset
+  * convention of many shard files); samples never straddle files.
   *
   * The tar dialect written is plain ustar (POSIX.1-1988 magic
   * "ustar\0" + "00", mtime 0 for determinism); the reader accepts
@@ -43,7 +44,13 @@ object WebDataset {
   // ------------------------------------------------------------ header
 
   /** Parse a (possibly) ustar header block. Returns (name, size,
-    * typeflag) when the checksum and magic validate. */
+    * typeflag) when the checksum and magic validate. POSIX ustar
+    * headers (magic "ustar\0", version "00") may split a long path as
+    * prefix(155 at offset 345) + "/" + name — both halves belong to
+    * the member name (and hence the sample KEY); ignoring the prefix
+    * would silently collide samples from different directories. GNU
+    * headers (magic "ustar ") reuse those bytes for atime/ctime, so
+    * the prefix is only read under the POSIX magic. */
   private[graft] def parseHeader(b: Array[Byte], off: Int): Option[(String, Long, Byte)] = {
     if (off + Block > b.length) return None
     // magic at offset 257: "ustar\0" (POSIX) or "ustar " (GNU)
@@ -59,10 +66,16 @@ object WebDataset {
     val stored = octal(b, off + 148, 8).getOrElse(return None)
     if (stored != sum) return None
     val size = octal(b, off + 124, 12).getOrElse(return None)
-    if (size < 0 || size > MaxMember) return None
-    var end = off
-    while (end < off + 100 && b(end) != 0) end += 1
-    val name = new String(b, off, end - off, StandardCharsets.UTF_8)
+    if (size < 0 || size >= MaxMember) return None
+    def field(at: Int, max: Int): String = {
+      var end = off + at
+      while (end < off + at + max && b(end) != 0) end += 1
+      new String(b, off + at, end - (off + at), StandardCharsets.UTF_8)
+    }
+    val name0 = field(0, 100)
+    val posix = b(off + 262) == 0 && b(off + 263) == '0' && b(off + 264) == '0'
+    val prefix = if (posix) field(345, 155) else ""
+    val name = if (prefix.nonEmpty) s"$prefix/$name0" else name0
     Some((name, size, b(off + 156)))
   }
 
@@ -243,9 +256,15 @@ object WebDataset {
             throw new IllegalArgumentException(
               s"$path: GNU long-name member at offset ${dataOff - Block} — " +
                 "names over 100 bytes are unsupported (re-key the dataset)")
-          } else if ((tf == 'x' || tf == 'g') && size <= (1L << 20)) {
+          } else if (tf == 'x' || tf == 'g') {
             // PAX attribute block: harmless (mtime/atime records)
-            // UNLESS it overrides the next member's path
+            // UNLESS it overrides the next member's path. A block too
+            // large to inspect is REJECTED, not skipped — skipping an
+            // uninspected override is exactly the silent mis-keying
+            // this branch exists to prevent.
+            require(size <= (1L << 20),
+              s"$path: uninspectable ${size}-byte PAX block at offset " +
+                s"${dataOff - Block} (cannot rule out a path override)")
             val pax = new Array[Byte](size.toInt)
             in.seek(dataOff); in.readFully(pax)
             val s = new String(pax, StandardCharsets.UTF_8)

@@ -131,7 +131,7 @@ class BpeApplySpec extends SparkSpec {
     assert(out(1).getSeq[String](0) == Seq("ab", "b", "a"))
   }
 
-  test("invalid tables fail at construction: empty symbols, NUL, duplicates") {
+  test("invalid tables fail loudly: empty/NUL symbols at construction, duplicates at plan build") {
     intercept[IllegalArgumentException] {
       TextFunctions.bpeApply(col("x"), Seq(("", "a")))
     }
@@ -139,11 +139,21 @@ class BpeApplySpec extends SparkSpec {
       TextFunctions.bpeApply(col("x"), Seq(("a\u0000", "b")))
     }
     intercept[IllegalArgumentException] {
-      TextFunctions.bpeApply(col("x"), Seq(("a", "b"), ("a", "b")))
-    }
-    intercept[IllegalArgumentException] {
       TextFunctions.bpeApply(col("x"), Seq.empty)
     }
+    // duplicate detection rides the LAZY table build (construction
+    // stays allocation-light because Catalyst copies expressions on
+    // every transform) -- still driver-side, before any job
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq("ab"))), 1),
+      StructType(Seq(StructField("ts", ArrayType(StringType, true)))))
+    val e = intercept[Exception] {
+      df.select(TextFunctions.bpeApply(col("ts"),
+        Seq(("a", "b"), ("a", "b")))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate merge pair")), s"got: $e")
   }
 
   test("SQL registration (merges.txt form) == Column API") {

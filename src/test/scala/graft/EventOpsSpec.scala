@@ -112,6 +112,26 @@ class EventOpsSpec extends SparkSpec {
     assert(cOp == cFacade)
   }
 
+  test("10+ stages: padded ordinals keep lexicographic order == funnel order") {
+    val types = (0 until 12).map(k => s"t$k")
+    val rows = (0 until 12).flatMap(k =>
+      (0 until 3).map(u => Row(u.toLong, s"t$k", ts(k * 10 + u))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("user_id", LongType, false),
+        StructField("event_type", StringType, false),
+        StructField("ts", TimestampNTZType, false))))
+    val got = EventOps.funnel(df, "user_id", "event_type", "ts", types)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // rows arrive ordered by stage; the ordinals must match funnel order
+    assert(got.map(_._1).toSeq ==
+      (0 until 12).map(k => f"${k + 1}%02d_t$k"), got.map(_._1).toSeq)
+    assert(got.forall(_._2 == 3L)) // every user advances each stage
+    // <= 9 stages keep the unpadded labels the oracle pins
+    val small = EventOps.funnel(df, "user_id", "event_type", "ts",
+      Seq("t0", "t1")).collect().map(_.getString(0)).toSeq
+    assert(small == Seq("1_t0", "2_t1"))
+  }
+
   test("argument validation") {
     val (df, _) = events()
     intercept[IllegalArgumentException] {

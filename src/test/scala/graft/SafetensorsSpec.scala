@@ -170,6 +170,22 @@ class SafetensorsSpec extends SparkSpec {
     assert(intercept[Exception] {
       Safetensors.toSafetensors(withNull, tmp("null.safetensors"))
     }.getMessage.contains("no nulls"))
+    // null array ELEMENTS must fail loudly too — RowSpill's array
+    // codec has no per-element marker, so an unchecked null would
+    // silently spill as 0.0 (review finding)
+    val withNullElem = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(Seq(1.0f, 2.0f)), Row(Seq(3.0f, null))), 1),
+      StructType(Seq(StructField("v", ArrayType(FloatType, true), false))))
+    assert(intercept[Exception] {
+      Safetensors.toSafetensors(withNullElem, tmp("nullelem.safetensors"))
+    }.getMessage.contains("null element"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val eSh = intercept[Exception] {
+      Safetensors.toSafetensorsSharded(withNullElem, tmp("nullelem_sh"))
+    }
+    assert(messages(eSh).exists(_.contains("null element")), s"got: $eSh")
     // ragged array widths fail on the DRIVER plan, before any write
     val ragged = spark.createDataFrame(
       spark.sparkContext.parallelize(

@@ -101,6 +101,29 @@ class WebDatasetSpec extends SparkSpec {
       == Seq("png", "seg.png"))
   }
 
+  test("POSIX ustar prefix-split paths keep the full directory in the key") {
+    // a path over 100 bytes whose basename fits: --format=ustar splits
+    // it into prefix(155)+name(100); ignoring the prefix would key the
+    // sample by basename only and collide across directories
+    val dir = tmpDir()
+    val src = s"$dir/src"
+    val deep = ("d" * 40) + "/" + ("e" * 40) + "/" + ("f" * 40)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$src/$deep"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/$deep/k1.txt"),
+      "deep payload".getBytes("UTF-8"))
+    import scala.sys.process._
+    val path = s"$dir/prefix.tar"
+    assert(Seq("tar", "--format=ustar", "-cf", path, "-C", src,
+      s"$deep/k1.txt").! == 0)
+    val df = WebDataset.fromWebDataset(spark, path)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == s"$deep/k1",
+      s"prefix lost: key = ${rows.head.getString(0)}")
+    assert(new String(rows.head.getMap[String, Array[Byte]](1)("txt"),
+      "UTF-8") == "deep payload")
+  }
+
   test("long names and PAX path overrides are rejected loudly, not mis-keyed") {
     val dir = tmpDir()
     val src = s"$dir/src"
