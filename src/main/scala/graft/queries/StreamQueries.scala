@@ -75,6 +75,35 @@ object StreamQueries {
         .orderBy("shard", "token")
     }),
 
+    // streaming ordered funnel, batch face: O(1)-state-per-user
+    // mapGroupsWithState (stage reached + last completion time),
+    // time-ordered greedy advance == the batch min-chain funnel, so
+    // the full stateful path is oracle-gated: DuckDB rebuilds each
+    // user's chain with the q_event_funnel CTE recipe and buckets
+    // users by stages reached.
+    "q_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      // a 4-stage funnel over a one-week event prefix: the cutoff is
+      // what makes users DROP OUT at every stage (full history lets
+      // everyone finish — a 1-bucket result gates nothing)
+      val stages = Seq("signup", "view", "click", "purchase")
+      val idx = stages.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, (st, i)) =>
+          when(col("event_type") === st, lit(i)).otherwise(acc)
+        }
+      val ev = t(s, dir, "events")
+        .where(col("ts") < lit("2024-01-08").cast("timestamp_ntz"))
+        .select(col("user_id").as("user"), idx.as("stage"),
+          unix_micros(col("ts").cast("timestamp")).as("tsUs"))
+        .as[StreamOps.FunnelEvent]
+      StreamOps.streamingFunnel(ev, stages.size)
+        .toDF()
+        .groupBy("reached")
+        .agg(count(lit(1)).as("n_users"),
+          min(col("last_us")).as("min_last"), max(col("last_us")).as("max_last"))
+        .orderBy("reached")
+    }),
+
     // SCD2 (slowly-changing dimension) enrich, batch face: every event
     // joins the customer VERSION valid at its event time — two
     // validity epochs per customer synthesized from the customer
@@ -183,6 +212,30 @@ object StreamQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_heavy_hitters" -> hhSql,
+    "q_stream_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |r AS (SELECT u.user_id,
+        |    CASE WHEN s4.t IS NOT NULL THEN 4 WHEN s3.t IS NOT NULL THEN 3
+        |         WHEN s2.t IS NOT NULL THEN 2 WHEN s1.t IS NOT NULL THEN 1
+        |         ELSE 0 END AS reached,
+        |    COALESCE(epoch_us(COALESCE(s4.t, s3.t, s2.t, s1.t)), 0) AS last_us
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |    LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id))
+        |SELECT reached, COUNT(*) AS n_users,
+        |  MIN(last_us) AS min_last, MAX(last_us) AS max_last
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scd2_enrich" ->
       s"""WITH dim AS (

@@ -196,6 +196,54 @@ object StreamOps {
       }.flatMap(identity)
   }
 
+  /** One funnel input event: `stage` is the 0-based index in the
+    * stage list (-1 for non-stage events — they keep the user visible
+    * with reached = 0 but never advance), `tsUs` exact integer event
+    * time in microseconds. */
+  case class FunnelEvent(user: Long, stage: Int, tsUs: Long)
+  case class FunnelState(reached: Int, lastUs: Long)
+  case class FunnelOut(user_id: Long, reached: Int, last_us: Long)
+
+  /** Streaming ordered funnel with O(1) state per user: each user's
+    * state is (stages reached, timestamp of the last completion).
+    * Events within a trigger are processed in (tsUs, stage) order and
+    * advance the funnel greedily — the NEXT stage with a STRICTLY
+    * later timestamp. Processing time-ordered events greedily is
+    * EXACTLY the batch min-chain funnel (c(k) = min ts of stage-k
+    * events with ts > c(k-1)): the first qualifying event met in time
+    * order IS the minimum, and a completed c(k) can never be improved
+    * by later-in-time events. Hence on a batch Dataset (one trigger
+    * holding everything) this equals operators.EventOps.funnel's
+    * per-user chain, which is what the q_stream_funnel oracle gates;
+    * on a stream it stays exact while events arrive in event-time
+    * order across triggers, and degrades gracefully (a late
+    * cross-trigger event may miss an already-completed earlier stage
+    * — the documented bounded-state tradeoff; exact late-data
+    * semantics would require retaining per-stage event sets, i.e.
+    * unbounded state). Emits each user's current state per trigger
+    * (Update mode). */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[FunnelEvent],
+                      nStages: Int)
+  : org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(nStages >= 1, "streamingFunnel: need at least one stage")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, 0L))
+          // per-trigger sort: the iterator's order is partition order,
+          // not event time (a trigger's batch is bounded, so this is
+          // bounded work — never cross-trigger history)
+          it.toSeq.sortBy(e => (e.tsUs, e.stage)).foreach { e =>
+            if (s.reached < nStages && e.stage == s.reached &&
+                (s.reached == 0 || e.tsUs > s.lastUs))
+              s = FunnelState(s.reached + 1, e.tsUs)
+          }
+          state.update(s)
+          FunnelOut(user, s.reached, s.lastUs)
+      }
+  }
+
   /** Per-key running aggregate state for mapGroupsWithState. */
   case class RunningState(n: Long, sum: Double, max: Double)
   case class KeyedValue(key: Long, value: Double)
