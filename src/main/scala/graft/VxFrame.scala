@@ -579,6 +579,23 @@ final case class VxFrame(
   }
 
 
+  /** End-to-end BPE tokenization of a text column: the GPT-2-style
+    * pre-tokenizer (TextFunctions.bpePretokens — the q_token_bpe
+    * algebra) feeds the greedy learned-vocab merge kernel
+    * (TextKernels.bpeApply — the q_bpe_apply algebra), adding `as` =
+    * array<string> of tokens. `merges` is an ordered merge list
+    * (rank = position), e.g. q_bpe_learn's output or a parsed
+    * merges.txt. Pure projection — one codegen'd pass, zero shuffle
+    * at any corpus size. */
+  def bpeTokenize(merges: Seq[(String, String)], column: String = "text",
+                  as: String = "tokens"): VxFrame = {
+    require(!df.columns.contains(as), s"bpeTokenize: column $as already exists")
+    copy(base = df.withColumn(as,
+        graft.functions.TextFunctions.bpeApply(
+          graft.functions.TextFunctions.bpePretokens(col(column)), merges)),
+      virtualColumns = ListMap.empty, filterExpression = None)
+  }
+
   /** Ordered conversion funnel over an event frame: one output row
     * per stage with the users reaching it (first qualifying event
     * strictly later than the previous stage's) and the total

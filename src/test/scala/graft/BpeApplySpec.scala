@@ -156,6 +156,28 @@ class BpeApplySpec extends SparkSpec {
     assert(messages(e).exists(_.contains("duplicate merge pair")), s"got: $e")
   }
 
+  test("VxFrame.bpeTokenize == pretokenizer + kernel, shared definitions") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 30).map(i => Row(i.toLong, s"abc ab${"!" * (i % 2)} xyz")), 2),
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("text", StringType, false))))
+    val viaFacade = VxFrame(df).bpeTokenize(merges)
+      .df.select("id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val direct = df.select(col("id"),
+        TextFunctions.bpeApply(TextFunctions.bpePretokens(col("text")), merges)
+          .as("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaFacade == direct)
+    // multi-level merging reached through the full pipeline
+    assert(viaFacade(0L).contains("abc"))
+    intercept[IllegalArgumentException] {
+      VxFrame(df).bpeTokenize(merges, as = "text")
+    }
+  }
+
   test("SQL registration (merges.txt form) == Column API") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(

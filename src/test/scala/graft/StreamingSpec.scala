@@ -3,7 +3,9 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
 import graft.streaming.StreamOps
 
 /** Streaming correctness: the same transform over (a) a batch frame and
@@ -191,6 +193,65 @@ class StreamingSpec extends SparkSpec {
     val capped = StreamOps.streamingHeavyHitters(all.toDS(), groups = 1, k = 3)
       .collect().map(_.token).toSet
     assert(capped.size == 3 && capped.contains("alpha") && capped.contains("beta"))
+  }
+
+  test("streamingFunnel: batch == EventOps min-chain; state carries across triggers") {
+    import graft.streaming.StreamOps.FunnelEvent
+    def us(min: Long): Long = 1700000000000000L + min * 60000000L
+    // user 1 completes all 3; user 2 stalls at stage 1 (tie not >);
+    // user 3 has stage-1 before any stage-0 (no advance); user 4 only
+    // non-stage events (reached 0)
+    val evs = Seq(
+      FunnelEvent(1L, 0, us(10)), FunnelEvent(1L, 1, us(20)), FunnelEvent(1L, 2, us(30)),
+      FunnelEvent(1L, 0, us(5)), // earlier stage-0: min-chain uses it? arrives same trigger
+      FunnelEvent(2L, 0, us(10)), FunnelEvent(2L, 1, us(10)), // tie: strict > blocks
+      FunnelEvent(3L, 1, us(1)), FunnelEvent(3L, 0, us(2)),
+      FunnelEvent(4L, -1, us(7)))
+    val batch = StreamOps.streamingFunnel(evs.toDS(), 3)
+      .collect().map(f => f.user_id -> (f.reached, f.last_us)).toMap
+    // user 1: time-ordered greedy -> c0 = us(5); click us(20) > c0; purchase us(30)
+    assert(batch(1L) == ((3, us(30))))
+    assert(batch(2L) == ((1, us(10))))
+    assert(batch(3L) == ((1, us(2)))) // stage-1 at us(1) precedes any stage-0
+    assert(batch(4L) == ((0, 0L)))
+
+    // equality with the batch funnel on the same synthetic events (the
+    // per-user chain EventOps computes): reached counts must match
+    val names = Seq("s0", "s1", "s2")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(evs.filter(_.stage >= 0).map(e =>
+        Row(e.user, names(e.stage),
+          java.time.LocalDateTime.ofEpochSecond(e.tsUs / 1000000L, 0,
+            java.time.ZoneOffset.UTC))), 2),
+      StructType(Seq(StructField("user_id", LongType, false),
+        StructField("event_type", StringType, false),
+        StructField("ts", TimestampNTZType, false))))
+    val funnelCounts = graft.operators.EventOps
+      .funnel(df, "user_id", "event_type", "ts", names)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reachedCounts = batch.values.groupBy(_._1).view.mapValues(_.size.toLong)
+    // EventOps n_users at stage k == users with reached >= k
+    assert(funnelCounts("1_s0") == batch.values.count(_._1 >= 1).toLong)
+    assert(funnelCounts("2_s1") == batch.values.count(_._1 >= 2).toLong)
+    assert(funnelCounts("3_s2") == batch.values.count(_._1 >= 3).toLong)
+    assert(reachedCounts.nonEmpty)
+
+    // ONE continuous query over two in-order triggers: trigger 2's
+    // events must advance state carried from trigger 1
+    val stream = MemoryStream[FunnelEvent]
+    val q = StreamOps.streamingFunnel(stream.toDS(), 3)
+      .toDF().writeStream.format("memory").queryName("t_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(FunnelEvent(9L, 0, us(1)), FunnelEvent(9L, 1, us(2)))
+      q.processAllAvailable()
+      stream.addData(FunnelEvent(9L, 2, us(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ems = spark.table("t_funnel").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(ems.contains((2, us(2))) && ems.contains((3, us(3))),
+      s"state did not carry across triggers: ${ems.toSeq}")
   }
 
   test("runningStats mapGroupsWithState accumulates per key") {
