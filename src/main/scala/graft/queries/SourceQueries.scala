@@ -325,6 +325,40 @@ object SourceQueries {
         .orderBy("g")
     }),
 
+    // MULTIMODAL WebDataset end-to-end: real JPEG payloads (JpegCodec
+    // encoder, constant-gray = losslessly-quantized brightness) plus
+    // text captions packed as (key, {jpg, txt}) samples into tar
+    // shards, glob-read, the jpg member decoded through the full
+    // Huffman+IDCT pipeline — the image-caption training-data shape.
+    // The oracle re-derives every decoded field from the spec formula
+    // (any defect in tar framing, sample assembly, the encoder or the
+    // decoder breaks the row hash).
+    "q_webdataset_mm" -> ((s, dir) => {
+      val cache = cacheDir(dir, "documents_wds_mm")
+      val specs = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(9) + col("doc_id") % 40).as("w"),
+        (lit(9) + (col("doc_id") * 11) % 40).as("h"),
+        ((col("doc_id") * 7) % 256).as("g"))
+      val media = graft.operators.Multimodal.synthesizeJpeg(
+        specs, "doc_id", "w", "h", "g")
+      val samples = media.select(col("doc_id").cast("string").as("key"),
+        map(lit("jpg"), col("media"),
+          lit("txt"), encode(concat(lit("img "), col("doc_id").cast("string")),
+            "UTF-8")).as("files"))
+      graft.sources.WebDataset.toWebDatasetSharded(samples.repartition(4), cache)
+      val back = graft.sources.Readers.open(s, s"$cache/part-*.tar")
+        .select(col("key").cast("long").as("doc_id"),
+          element_at(col("files"), "jpg").as("media"),
+          length(decode(element_at(col("files"), "txt"), "UTF-8"))
+            .cast("long").as("caption_len"))
+      graft.operators.Multimodal.decodeMeta(back, "doc_id", "media")
+        .join(back.select("doc_id", "caption_len"), "doc_id")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r(col("brightness"), 6).as("brightness"), col("caption_len"))
+        .orderBy("doc_id")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -778,6 +812,13 @@ object SourceQueries {
     "q_safetensors_embed" -> embedAggSql,
     "q_safetensors_sharded" -> embedAggSql,
     "q_tfrecord_embed" -> embedAggSql,
+    "q_webdataset_mm" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST(9 + doc_id % 40 AS INT) AS width,
+        |  CAST(9 + (doc_id * 11) % 40 AS INT) AS height,
+        |  ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS brightness,
+        |  CAST(LENGTH('img ' || doc_id) AS BIGINT) AS caption_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_webdataset" ->
       """SELECT doc_id % 7 AS g, COUNT(*) AS n,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
