@@ -359,6 +359,19 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Zarr v2 round trip (the chunked-ndarray store — modern
+    // embedding/science dumps): the embeddings table becomes a group
+    // of zlib-chunked arrays (vec_id i8, embedding (n,d) f4, label
+    // i4), read back chunk-row-range per task with zero shuffle.
+    // Same aggregate + oracle as the npz/safetensors/tfrecord lanes.
+    "q_zarr_embed" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_zarr") + "/e.zarr"
+      graft.sources.Zarr.toZarr(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache, chunkRows = 512)
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -812,6 +825,7 @@ object SourceQueries {
     "q_safetensors_embed" -> embedAggSql,
     "q_safetensors_sharded" -> embedAggSql,
     "q_tfrecord_embed" -> embedAggSql,
+    "q_zarr_embed" -> embedAggSql,
     "q_webdataset_mm" ->
       """SELECT doc_id, 'jpeg' AS format,
         |  CAST(9 + doc_id % 40 AS INT) AS width,

@@ -32,6 +32,8 @@ object Export {
     case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
       Tfrecord.toTfRecord(df, p)
     case p if p.endsWith(".tar") => WebDataset.toWebDataset(df, p)
+    case p if p.stripSuffix("/").endsWith(".zarr") =>
+      Zarr.toZarr(df, p.stripSuffix("/"))
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }

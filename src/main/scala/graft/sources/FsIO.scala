@@ -77,6 +77,14 @@ private[graft] object FsIO {
     val (fs, p) = resolve(path); fs.exists(p)
   }
 
+  /** Immediate child DIRECTORY names of `dir` (sorted) — the zarr
+    * group listing. */
+  def listDirs(dir: String): Seq[String] = {
+    val (fs, p) = resolve(dir)
+    Option(fs.listStatus(p)).map(_.toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted).getOrElse(Nil)
+  }
+
   /** Glob-expand (sorted, deterministic), scheme-preserving for
     * remote filesystems like Readers.expandGlob. */
   def glob(pattern: String): Seq[String] = {

@@ -52,6 +52,10 @@ object Readers {
       case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
         Tfrecord.fromTfRecord(spark, p)
       case p if p.endsWith(".tar") => WebDataset.fromWebDataset(spark, p)
+      // zarr stores are DIRECTORIES; the x.zarr naming convention
+      // carries the dispatch extension
+      case p if p.stripSuffix("/").endsWith(".zarr") =>
+        Zarr.fromZarr(spark, p.stripSuffix("/"))
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {

@@ -1,0 +1,481 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dependency-free Zarr v2 source/sink (the chunked-ndarray store of
+  * the scientific-python / embeddings world — public spec:
+  * zarr-specs v2). An ARRAY is a directory with a `.zarray` JSON
+  * (shape, chunks, numpy-descr dtype, compressor, fill_value, order)
+  * plus one file per chunk (`i` / `i.j`, C-order, EDGE CHUNKS PADDED
+  * to full chunk shape); a GROUP is a directory with `.zgroup` whose
+  * child arrays become row-aligned COLUMNS (the npz/safetensors
+  * convention). Rank-1 arrays read as scalar columns, rank-2 `(n,d)`
+  * as array columns.
+  *
+  * Scale design: chunks are independent files, so reads parallelize
+  * chunk-row-range per task with NO shuffle — each task opens only
+  * the chunk files covering its row span (ranges align to the
+  * largest chunk height among the columns; a finer-chunked column's
+  * boundary chunk may be decoded by two tasks, a bounded overlap,
+  * never a correctness issue). Writes spill once per partition-free
+  * driver pass (RowSpill) and stream one chunk file at a time.
+  *
+  * Supported: compressor null / zlib / gzip (blosc and filter
+  * pipelines are rejected loudly — no silent wrong bytes), order "C"
+  * (Fortran rejected), numeric/bool dtypes both endiannesses
+  * (unsigned widens per the repo's parquet convention). Missing
+  * chunk files read as `fill_value`; a missing chunk with
+  * `fill_value: null` is an error, not silent zeros.
+  */
+object Zarr {
+
+  private val MaxChunk = 1L << 30 // one decompressed chunk <= 1 GiB
+
+  /** Parsed .zarray metadata for one column. */
+  private[graft] final case class ZMeta(name: String, shape: Seq[Long],
+      chunks: Seq[Long], descr: String, compressor: String, // "", "zlib", "gzip"
+      fill: Option[Double], sep: String) {
+    def n: Long = shape.head
+    def d: Long = if (shape.size < 2) 1L else shape(1)
+    def itemBytes: Int = descr.drop(1).tail.toInt match { case b => b }
+    def little: Boolean = descr.head != '>'
+    def kind: Char = descr(1)
+    def c0: Long = chunks.head
+    def c1: Long = if (chunks.size < 2) 1L else chunks(1)
+  }
+
+  private def sparkTypeOf(m: ZMeta): DataType = (m.kind, m.itemBytes) match {
+    case ('b', 1) => BooleanType
+    case ('i', 1) => ByteType
+    case ('i', 2) => ShortType
+    case ('i', 4) => IntegerType
+    case ('i', 8) => LongType
+    case ('u', 1) => ShortType
+    case ('u', 2) => IntegerType
+    case ('u', 4) => LongType
+    case ('u', 8) => DecimalType(20, 0)
+    case ('f', 4) => FloatType
+    case ('f', 8) => DoubleType
+    case (k, b) => throw new IllegalArgumentException(
+      s"zarr: unsupported dtype ${m.descr} for array ${m.name}")
+  }
+
+  // ------------------------------------------------------------ header
+
+  private def readJson(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val in = new FsIO.In(path)
+    try {
+      val b = new Array[Byte](in.length.toInt)
+      in.seek(0L); in.readFully(b)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(b, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  private[graft] def readMeta(arrayDir: String, name: String): ZMeta = {
+    val j = readJson(s"$arrayDir/.zarray")
+    require(j.get("zarr_format") != null && j.get("zarr_format").asInt() == 2,
+      s"$arrayDir: only zarr v2 is supported")
+    require(j.get("order") == null || j.get("order").asText() == "C",
+      s"$arrayDir: Fortran chunk order is unsupported (re-save with order='C')")
+    val filters = j.get("filters")
+    require(filters == null || filters.isNull || (filters.isArray && filters.size == 0),
+      s"$arrayDir: filter pipelines are unsupported")
+    def dims(key: String): Seq[Long] = {
+      val a = j.get(key)
+      require(a != null && a.isArray && a.size >= 1,
+        s"$arrayDir: missing/invalid $key")
+      (0 until a.size).map(i => a.get(i).asLong())
+    }
+    val shape = dims("shape")
+    val chunks = dims("chunks")
+    require(shape.size <= 2,
+      s"$arrayDir: rank ${shape.size} arrays have no column mapping (reshape upstream)")
+    require(shape.size == chunks.size && chunks.forall(_ >= 1),
+      s"$arrayDir: chunks must match shape rank with positive sizes")
+    val descr = {
+      val d = j.get("dtype")
+      require(d != null && d.isTextual, s"$arrayDir: missing dtype")
+      d.asText()
+    }
+    require(descr.length == 3 && "<>|".contains(descr(0)) &&
+      "biuf".contains(descr(1)) && descr.drop(2).forall(_.isDigit),
+      s"$arrayDir: unsupported dtype '$descr' (scalar numeric/bool only)")
+    val comp = j.get("compressor") match {
+      case null => ""
+      case c if c.isNull => ""
+      case c =>
+        val id = Option(c.get("id")).map(_.asText()).getOrElse("?")
+        require(id == "zlib" || id == "gzip",
+          s"$arrayDir: unsupported compressor '$id' (null/zlib/gzip only — " +
+            "blosc needs python-side re-save)")
+        id
+    }
+    val fill = j.get("fill_value") match {
+      case null => None
+      case f if f.isNull => None
+      case f if f.isBoolean => Some(if (f.asBoolean()) 1.0 else 0.0)
+      case f => Some(f.asDouble())
+    }
+    val sep = j.get("dimension_separator") match {
+      case null => "."
+      case s => s.asText()
+    }
+    require(sep == "." || sep == "/", s"$arrayDir: dimension_separator '$sep'")
+    val m = ZMeta(name, shape, chunks, descr, comp, fill, sep)
+    require(m.c0 * m.c1 * m.itemBytes <= MaxChunk,
+      s"$arrayDir: chunk exceeds ${MaxChunk >> 20} MiB")
+    m
+  }
+
+  // ------------------------------------------------------------- read
+
+  private def inflateChunk(raw: Array[Byte], comp: String, outLen: Int,
+                           ctx: String): Array[Byte] = comp match {
+    case "" =>
+      require(raw.length == outLen,
+        s"$ctx: raw chunk has ${raw.length} bytes, expected $outLen")
+      raw
+    case "zlib" =>
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(raw)
+        val out = new Array[Byte](outLen)
+        var done = 0
+        while (done < outLen && !inf.finished()) {
+          val k = inf.inflate(out, done, outLen - done)
+          require(k > 0 || !inf.needsInput, s"$ctx: truncated zlib chunk")
+          if (k == 0 && inf.needsInput) throw new IllegalArgumentException(
+            s"$ctx: truncated zlib chunk")
+          done += k
+        }
+        require(done == outLen, s"$ctx: zlib chunk inflated to $done of $outLen")
+        out
+      } finally inf.end()
+    case "gzip" =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      try {
+        val out = new Array[Byte](outLen)
+        var done = 0
+        while (done < outLen) {
+          val k = in.read(out, done, outLen - done)
+          require(k > 0, s"$ctx: truncated gzip chunk")
+          done += k
+        }
+        out
+      } finally in.close()
+  }
+
+  private def decodeAt(buf: Array[Byte], le: ByteBuffer, be: ByteBuffer,
+                       off: Int, m: ZMeta): Any = {
+    val bb = if (m.little) le else be
+    (m.kind, m.itemBytes) match {
+      case ('b', 1) => buf(off) != 0
+      case ('i', 1) => buf(off)
+      case ('i', 2) => bb.getShort(off)
+      case ('i', 4) => bb.getInt(off)
+      case ('i', 8) => bb.getLong(off)
+      case ('u', 1) => (buf(off) & 0xff).toShort
+      case ('u', 2) => bb.getShort(off) & 0xffff
+      case ('u', 4) => bb.getInt(off) & 0xffffffffL
+      case ('u', 8) =>
+        val l = bb.getLong(off)
+        if (l >= 0) new java.math.BigDecimal(l)
+        else new java.math.BigDecimal(java.math.BigInteger.valueOf(l)
+          .add(java.math.BigInteger.ONE.shiftLeft(64)))
+      case ('f', 4) => bb.getFloat(off)
+      case ('f', 8) => bb.getDouble(off)
+      case _ => throw new IllegalStateException(m.descr)
+    }
+  }
+
+  private def fillValueOf(m: ZMeta, ctx: String): Any = {
+    val f = m.fill.getOrElse(throw new IllegalArgumentException(
+      s"$ctx: missing chunk file and fill_value is null"))
+    (m.kind, m.itemBytes) match {
+      case ('b', _) => f != 0.0
+      case ('i', 1) => f.toByte
+      case ('i', 2) => f.toShort
+      case ('i', 4) => f.toInt
+      case ('i', 8) => f.toLong
+      case ('u', 1) => f.toShort
+      case ('u', 2) => f.toInt
+      case ('u', 4) => f.toLong
+      case ('u', 8) => new java.math.BigDecimal(f.toLong)
+      case ('f', 4) => f.toFloat
+      case ('f', 8) => f
+      case _ => throw new IllegalStateException(m.descr)
+    }
+  }
+
+  /** All values of rows [s, e) for one column — reads only the chunk
+    * files covering the span. */
+  private def readRange(dir: String, m: ZMeta, s: Long, e: Long,
+                        ctx: String): Array[Any] = {
+    val count = (e - s).toInt
+    val item = m.itemBytes
+    val d = m.d.toInt
+    val out = new Array[Any](count)
+    val jChunks = ((m.d + m.c1 - 1) / m.c1).toInt
+    var ci = (s / m.c0).toInt
+    val ciEnd = ((e - 1) / m.c0).toInt
+    while (ci <= ciEnd) {
+      // rows of this chunk-row intersecting [s, e)
+      val rLo = math.max(s, ci * m.c0)
+      val rHi = math.min(e, (ci + 1) * m.c0)
+      var cj = 0
+      while (cj < jChunks) {
+        val name = if (m.shape.size < 2) s"$ci" else s"$ci${m.sep}$cj"
+        val path = s"$dir/$name"
+        val chunkBytes = (m.c0 * m.c1).toInt * item
+        if (!FsIO.exists(path)) {
+          val fv = fillValueOf(m, s"$ctx/$name")
+          var r = rLo
+          while (r < rHi) {
+            val o = (r - s).toInt
+            if (m.shape.size < 2) out(o) = fv
+            else {
+              val arr = out(o) match {
+                case null => { val a = new Array[Any](d); out(o) = a; a }
+                case a: Array[Any] => a
+              }
+              var j = (cj * m.c1).toInt
+              val jEnd = math.min(m.d, (cj + 1) * m.c1).toInt
+              while (j < jEnd) { arr(j) = fv; j += 1 }
+            }
+            r += 1
+          }
+        } else {
+          val in = new FsIO.In(path)
+          val raw = try {
+            val b = new Array[Byte](in.length.toInt)
+            in.seek(0L); in.readFully(b); b
+          } finally in.close()
+          val buf = inflateChunk(raw, m.compressor, chunkBytes, s"$ctx/$name")
+          val le = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          val be = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
+          var r = rLo
+          while (r < rHi) {
+            val rowIn = (r - ci * m.c0).toInt // row inside the chunk
+            val o = (r - s).toInt
+            if (m.shape.size < 2)
+              out(o) = decodeAt(buf, le, be, rowIn * m.c1.toInt * item, m)
+            else {
+              val arr = out(o) match {
+                case null => { val a = new Array[Any](d); out(o) = a; a }
+                case a: Array[Any] => a
+              }
+              var j = (cj * m.c1).toInt
+              val jEnd = math.min(m.d, (cj + 1) * m.c1).toInt
+              while (j < jEnd) {
+                arr(j) = decodeAt(buf, le, be,
+                  (rowIn * m.c1.toInt + (j - cj * m.c1.toInt)) * item, m)
+                j += 1
+              }
+            }
+            r += 1
+          }
+        }
+        cj += 1
+      }
+      ci += 1
+    }
+    out
+  }
+
+  /** Read a zarr ARRAY directory (one column, named after the leaf
+    * dir) or GROUP directory (child arrays as row-aligned columns,
+    * sorted by name). */
+  def fromZarr(spark: SparkSession, dir: String,
+               columns: Seq[String] = Nil, numPartitions: Int = 0): DataFrame = {
+    val metas: Seq[(String, ZMeta)] =
+      if (FsIO.exists(s"$dir/.zarray")) {
+        val leaf = dir.reverse.dropWhile(_ == '/').reverse.split('/').last
+        Seq(dir -> readMeta(dir, leaf))
+      } else {
+        require(FsIO.exists(s"$dir/.zgroup"),
+          s"$dir: neither .zarray nor .zgroup present — not a zarr store")
+        val kids = FsIO.listDirs(dir).filter(k => FsIO.exists(s"$dir/$k/.zarray"))
+        require(kids.nonEmpty, s"$dir: zarr group has no child arrays")
+        val wanted =
+          if (columns.isEmpty) kids.sorted
+          else {
+            columns.foreach(c => require(kids.contains(c),
+              s"$dir: no such zarr array: $c"))
+            columns
+          }
+        wanted.map(k => s"$dir/$k" -> readMeta(s"$dir/$k", k))
+      }
+    val ns = metas.map(_._2.n).distinct
+    require(ns.size == 1, s"$dir: arrays disagree on the leading dimension ($ns)")
+    val n = ns.head
+    val schema = StructType(metas.map { case (_, m) =>
+      val base = sparkTypeOf(m)
+      StructField(m.name,
+        if (m.shape.size == 2) ArrayType(base, containsNull = false) else base,
+        nullable = false)
+    })
+    // ranges aligned to the LARGEST chunk height so most chunks are
+    // decoded exactly once
+    val step0 = metas.map(_._2.c0).max
+    val parts = if (numPartitions > 0) numPartitions
+    else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      ((n + step0 - 1) / step0).toInt))
+    val perTask = math.max(1L, (n + parts - 1) / parts)
+    val step = ((perTask + step0 - 1) / step0) * step0
+    val ranges = (0L until n by step).map(s => (s, math.min(s + step, n)))
+    val ms = metas
+    val rows = spark.sparkContext
+      .parallelize(ranges, math.max(ranges.size, 1))
+      .flatMap { case (s, e) =>
+        val cols = ms.map { case (adir, m) => readRange(adir, m, s, e, adir) }
+        (0 until (e - s).toInt).iterator.map { r =>
+          Row.fromSeq(cols.map { c =>
+            c(r) match {
+              case a: Array[Any] =>
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+              case v => v
+            }
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ------------------------------------------------------------ write
+
+  private def descrFor(name: String, t: DataType): String = t match {
+    case BooleanType => "|b1"
+    case ByteType => "|i1"
+    case ShortType => "<i2"
+    case IntegerType => "<i4"
+    case LongType => "<i8"
+    case FloatType => "<f4"
+    case DoubleType => "<f8"
+    case other => throw new IllegalArgumentException(
+      s"zarr export: unsupported type ${other.catalogString} for column $name")
+  }
+
+  private def itemOf(descr: String): Int = descr.drop(2).toInt
+
+  private def encodeTo(bb: ByteBuffer, descr: String, v: Any, ctx: String): Unit = {
+    require(v != null,
+      s"zarr export: null value in column $ctx (fillna upstream)")
+    descr match {
+      case "|b1" => bb.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case "|i1" => bb.put(v.asInstanceOf[Byte])
+      case "<i2" => bb.putShort(v.asInstanceOf[Short])
+      case "<i4" => bb.putInt(v.asInstanceOf[Int])
+      case "<i8" => bb.putLong(v.asInstanceOf[Long])
+      case "<f4" => bb.putFloat(v.asInstanceOf[Float])
+      case "<f8" => bb.putDouble(v.asInstanceOf[Double])
+    }
+    ()
+  }
+
+  private def deflate(b: Array[Byte], n: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(1)
+    try {
+      d.setInput(b, 0, n); d.finish()
+      val out = new java.io.ByteArrayOutputStream(n / 4 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Write a frame as a zarr v2 GROUP (one child array per column —
+    * scalar columns as (n,), fixed-width array columns as (n, d)),
+    * chunked along dim 0, zlib-compressed (`compress = false` for raw
+    * chunks). Driver-streamed: one RowSpill pass, then chunk files
+    * per column. */
+  def toZarr(df: DataFrame, dir: String, chunkRows: Int = 65536,
+             compress: Boolean = true): Unit = {
+    require(chunkRows >= 1, "zarr export: chunkRows must be positive")
+    val schema = df.schema
+    // column plans: (name, descr, d) with d = 0 for scalars
+    val widths: Map[String, Int] = {
+      val arrayCols = schema.fields.collect {
+        case StructField(nm, ArrayType(_, _), _, _) => nm
+      }
+      if (arrayCols.isEmpty) Map.empty
+      else {
+        val aggs = arrayCols.flatMap(c =>
+          Seq(min(size(col(c))).as(s"__mn_$c"), max(size(col(c))).as(s"__mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+        arrayCols.map { c =>
+          val (mn, mx) = (r.getAs[Int](s"__mn_$c"), r.getAs[Int](s"__mx_$c"))
+          require(mn == mx && mn >= 1,
+            s"zarr export: column $c has varying/empty widths ($mn..$mx)")
+          c -> mn
+        }.toMap
+      }
+    }
+    val plans = schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(et, _) => (f.name, descrFor(f.name, et), widths(f.name))
+        case t => (f.name, descrFor(f.name, t), 0)
+      }
+    }.toSeq
+    import scala.jdk.CollectionConverters._
+    val (file, n) = RowSpill.spill(schema, df.toLocalIterator().asScala)
+    try {
+      FsIO.mkdirs(dir)
+      writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
+      plans.zipWithIndex.foreach { case ((name, descr, d), ci) =>
+        val adir = s"$dir/$name"
+        FsIO.mkdirs(adir)
+        val width = math.max(d, 1)
+        val item = itemOf(descr)
+        val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
+        val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
+        val comp = if (compress) """{"id":"zlib","level":1}""" else "null"
+        writeString(s"$adir/.zarray",
+          s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
+            s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}""")
+        val chunkBytes = chunkRows * width * item
+        val bb = ByteBuffer.allocate(chunkBytes).order(ByteOrder.LITTLE_ENDIAN)
+        var chunkIdx = 0
+        def flush(): Unit = {
+          // zarr v2: edge chunks are FULL-SIZE, zero-padded
+          while (bb.position() < chunkBytes) bb.put(0.toByte)
+          val raw = bb.array()
+          val bytes = if (compress) deflate(raw, chunkBytes) else raw.clone()
+          val name2 = if (d == 0) s"$chunkIdx" else s"$chunkIdx.0"
+          val out = FsIO.create(s"$adir/$name2")
+          try out.write(bytes) finally out.close()
+          bb.clear()
+          chunkIdx += 1
+          ()
+        }
+        val it = RowSpill.iterate(schema, file)
+        var written = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          if (d == 0) encodeTo(bb, descr, row.get(ci), name)
+          else {
+            val arr = row.getSeq[Any](ci)
+            require(arr != null && arr.length == d && !arr.contains(null),
+              s"zarr export: null/ragged array in column $name")
+            arr.foreach(v => encodeTo(bb, descr, v, name))
+          }
+          written += 1
+          if (bb.position() == chunkBytes) flush()
+        }
+        if (bb.position() > 0 || written == 0) flush()
+        require(written == n, s"zarr export: $name saw $written rows, expected $n")
+      }
+    } finally { file.delete(); () }
+  }
+
+  private def writeString(path: String, s: String): Unit = {
+    val out = FsIO.create(path)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Export, Readers, Zarr}
+
+/** Dependency-free Zarr v2 source/sink. Independence: the committed
+  * read fixtures under /zarr (src/test/fixtures/zarr) were produced by tools/zarrgen.py with
+  * numpy + zlib + json only (an independent producer written straight
+  * from the public v2 spec), and the WRITER's output is re-read by
+  * the same python module's verify() (numpy frombuffer + zlib — no
+  * graft code on that path). */
+class ZarrSpec extends SparkSpec {
+
+  // fixtures live OUTSIDE src/test/resources: sbt's resource copy
+  // excludes hidden files, and .zarray/.zgroup ARE the format
+  private def res(name: String): String = s"src/test/fixtures/zarr/$name"
+
+  private def tmp(leaf: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_zarr").toString
+    s"$d/$leaf"
+  }
+
+  test("group store: mixed compressors, endianness, 2-D j-chunks, edge padding") {
+    val df = Zarr.fromZarr(spark, res("table.zarr"), numPartitions = 3)
+    // columns sorted by array name
+    assert(df.schema.fieldNames.toSeq == Seq("big", "emb", "flag", "u", "vec_id"))
+    assert(df.schema("emb").dataType == ArrayType(FloatType, containsNull = false))
+    assert(df.schema("u").dataType == IntegerType) // <u2 widens
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.length == 40)
+    (0 until 40).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("vec_id") == i * 3L + 1)
+      assert(r.getAs[Double]("big") == i * 1.5 - 3.0) // big-endian f8, raw chunks
+      assert(r.getAs[Boolean]("flag") == (i % 3 == 0))
+      assert(r.getAs[Int]("u") == (i * 1000) % 60000) // '/' separator store
+      val e = r.getSeq[Float](r.fieldIndex("emb"))
+      assert(e == (0 until 6).map(j => ((i * 6 + j) % 17) * 0.25f - 1.0f), s"row $i")
+    }
+    // column pruning
+    val one = Zarr.fromZarr(spark, res("table.zarr"), columns = Seq("vec_id"))
+    assert(one.schema.fieldNames.toSeq == Seq("vec_id") && one.count() == 40)
+  }
+
+  test("missing chunks read as fill_value; null fill_value errors") {
+    val df = Zarr.fromZarr(spark, res("sparse.zarr"))
+    val got = df.collect().map(_.getInt(0)).sorted
+    val expect = ((0 until 10) ++ Seq.fill(10)(9) ++ (20 until 30)).sorted
+    assert(got.toSeq == expect)
+  }
+
+  test("blosc and Fortran-order stores are rejected loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      Zarr.fromZarr(spark, res("blosc.zarr"))
+    }
+    assert(e1.getMessage.contains("blosc"))
+    val e2 = intercept[IllegalArgumentException] {
+      Zarr.fromZarr(spark, res("fortran.zarr"))
+    }
+    assert(e2.getMessage.contains("Fortran"))
+  }
+
+  test("writer round trip + independent python (numpy+zlib) re-read") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("x", DoubleType, false),
+      StructField("v", ArrayType(FloatType, false), false),
+      StructField("b", BooleanType, false),
+      StructField("s", ShortType, false)))
+    val n = 100
+    val rows = (0 until n).map(i => Row(i.toLong, i * 0.5 - 3.0,
+      Seq(i * 1.0f, -i * 0.25f, 2.5f), i % 4 == 0, (i - 50).toShort))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val store = tmp("out.zarr")
+    Zarr.toZarr(df, store, chunkRows = 33) // non-divisible: edge padding
+    // our own reader round-trips
+    val back = Readers.open(spark, store).orderBy("id").collect()
+    assert(back.length == n)
+    assert(back(7).getAs[Double]("x") == 7 * 0.5 - 3.0)
+    assert(back(7).getSeq[Float](back(7).fieldIndex("v")) == Seq(7.0f, -1.75f, 2.5f))
+    assert(back(8).getAs[Boolean]("b") && back(3).getAs[Short]("s") == -47)
+    // independent python re-read (no graft code): sums + spot values
+    import scala.sys.process._
+    val py =
+      s"""import sys, json; sys.path.insert(0, 'tools')
+         |import zarrgen
+         |out = zarrgen.verify('$store')
+         |assert sorted(out) == ['b', 'id', 's', 'v', 'x'], sorted(out)
+         |assert out['id'].sum() == ${n.toLong * (n - 1) / 2}, out['id'].sum()
+         |assert abs(float(out['x'][7]) - ${7 * 0.5 - 3.0}) < 1e-12
+         |assert out['v'].shape == ($n, 3) and float(out['v'][7][1]) == -1.75
+         |assert bool(out['b'][8]) and int(out['s'][3]) == -47
+         |assert int(out['b'].sum()) == ${(0 until n).count(_ % 4 == 0)}
+         |print('PY_OK')""".stripMargin
+    val res2 = Seq("python3", "-c", py).!!
+    assert(res2.contains("PY_OK"), res2)
+    // raw (uncompressed) chunks round-trip too
+    val store2 = tmp("raw.zarr")
+    Zarr.toZarr(df.select("id"), store2, chunkRows = 64, compress = false)
+    assert(Readers.open(spark, store2)
+      .agg(sum("id")).collect().head.getLong(0) == n.toLong * (n - 1) / 2)
+  }
+
+  test("Export dispatch by the x.zarr naming convention; validation") {
+    val out = tmp("disp.zarr")
+    Export.export(spark.range(10).select(col("id")), out)
+    assert(Readers.open(spark, out).count() == 10)
+    // nulls rejected
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(null)), 1),
+      StructType(Seq(StructField("x", LongType, true))))
+    assert(intercept[Exception] {
+      Zarr.toZarr(withNull, tmp("null.zarr"))
+    }.getMessage.contains("null"))
+    // strings rejected up front
+    val s = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a")), 1),
+      StructType(Seq(StructField("t", StringType, false))))
+    assert(intercept[IllegalArgumentException] {
+      Zarr.toZarr(s, tmp("s.zarr"))
+    }.getMessage.contains("unsupported type"))
+    // not-a-store
+    val e = intercept[IllegalArgumentException] {
+      Zarr.fromZarr(spark, tmp("missing.zarr"))
+    }
+    assert(e.getMessage.contains("not a zarr store"))
+  }
+}
