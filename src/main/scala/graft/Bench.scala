@@ -501,22 +501,30 @@ object Bench {
       java.nio.file.Files.write(
         p.resolveSibling(p.getFileName.toString.replace(".json", "_LAST.json")),
         bytes)
-      val existingBw: Double =
-        if (!java.nio.file.Files.exists(p)) -1.0
+      val (existingBw, existingGen): (Double, Long) =
+        if (!java.nio.file.Files.exists(p)) (-1.0, -1L)
         else try {
           val s = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
-          val m = """"mem_bw_gbps":([0-9.]+)""".r.findFirstMatchIn(s)
-          m.map(_.group(1).toDouble).getOrElse(-1.0)
-        } catch { case _: Throwable => -1.0 }
+          val bw = """"mem_bw_gbps":([0-9.]+)""".r.findFirstMatchIn(s)
+            .map(_.group(1).toDouble).getOrElse(-1.0)
+          // the top-level rps block, not a per-run forensics entry
+          val g = """"rps":\{"gen_only":([0-9]+)""".r.findFirstMatchIn(s)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          (bw, g)
+        } catch { case _: Throwable => (-1.0, -1L) }
       // Any HEALTHY run (both controls in their quiet bands) replaces
       // the artifact — code changes must refresh it; requiring
-      // bracket >= the committed value would ratchet and pin stale
+      // controls >= the committed values would ratchet and pin stale
       // timings forever. A degraded run replaces only a committed
-      // artifact that was itself no healthier (bracket comparison).
-      if ((bestBracket >= 35.0 && !windowDegraded) || bestBracket >= existingBw)
+      // artifact that was itself no healthier on BOTH controls (a
+      // bandwidth-only comparison would let a CPU-contended run —
+      // high mem_bw, collapsed gen_only — overwrite a healthy
+      // artifact).
+      if ((bestBracket >= 35.0 && !windowDegraded) ||
+          (bestBracket >= existingBw && genOnlyBest >= existingGen))
         java.nio.file.Files.write(p, bytes)
-      else System.err.println(f"[bench] window degraded (bracket $bestBracket%.1f, gen_only ${genOnlyBest / 1000000}M vs committed $existingBw%.1f GB/s) - BENCH_DETAIL.json kept, fresh run in BENCH_DETAIL_LAST.json")
+      else System.err.println(f"[bench] window degraded (bracket $bestBracket%.1f GB/s, gen_only ${genOnlyBest / 1000000}M vs committed $existingBw%.1f / ${existingGen / 1000000}M) - BENCH_DETAIL.json kept, fresh run in BENCH_DETAIL_LAST.json")
     } catch { case _: Throwable => () } // cwd not writable: detail line suffices
     val compact = s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"total_10x":${j(total10x)},"omitted_n":${compactOmit.size},$rps}"""
     if (compact.length > 1850)

@@ -15,6 +15,11 @@ import Q._
   */
 object SourceQueries {
 
+  // q_webdataset_mm persists its shard read (consumed twice); each
+  // build rotates out the previous build's cache (tfidf discipline)
+  private val wdsMmPersisted =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   private def cacheDir(dir: String, leaf: String): String =
     s"/tmp/graft_src_cache/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$leaf"
 
@@ -347,11 +352,16 @@ object SourceQueries {
           lit("txt"), encode(concat(lit("img "), col("doc_id").cast("string")),
             "UTF-8")).as("files"))
       graft.sources.WebDataset.toWebDatasetSharded(samples.repartition(4), cache)
+      // `back` feeds decodeMeta AND the caption self-join — persist so
+      // the tar shards are scanned (and every member parsed) ONCE, not
+      // twice; rotation keeps rep-major bench calls cache-bounded
       val back = graft.sources.Readers.open(s, s"$cache/part-*.tar")
         .select(col("key").cast("long").as("doc_id"),
           element_at(col("files"), "jpg").as("media"),
           length(decode(element_at(col("files"), "txt"), "UTF-8"))
             .cast("long").as("caption_len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wdsMmPersisted.getAndSet(Seq(back)).foreach(_.unpersist(false))
       graft.operators.Multimodal.decodeMeta(back, "doc_id", "media")
         .join(back.select("doc_id", "caption_len"), "doc_id")
         .select(col("doc_id"), col("format"), col("width"), col("height"),

@@ -791,7 +791,8 @@ object Npy {
     * code-point widths (Spark `length()` counts code points — exactly
     * the U width), fixed array lengths (npy rows are fixed width; a
     * ragged array column cannot be represented). */
-  private def geometry(df: DataFrame): (Long, Map[String, Int], Map[String, Int]) = {
+  private[sources] def geometry(df: DataFrame,
+      ctx: String = "npy export"): (Long, Map[String, Int], Map[String, Int]) = {
     import org.apache.spark.sql.functions._
     val schema = df.schema
     val aggs = count(lit(1)).as("__n") +: schema.fields.toSeq.flatMap {
@@ -812,7 +813,7 @@ object Npy {
         val lo = stats.getAs[Number](s"__amin_${f.name}").intValue()
         val hi = stats.getAs[Number](s"__amax_${f.name}").intValue()
         require(lo == hi && hi >= 1,
-          s"npy export: array column ${f.name} must have one fixed length (saw $lo..$hi)")
+          s"$ctx: array column ${f.name} must have one fixed length (saw $lo..$hi)")
         f.name -> hi
     }.toMap
     (stats.getLong(0), widths, arrayLens)

@@ -281,24 +281,13 @@ object Safetensors {
 
   /** Per-column plan derived on the DRIVER before any data pass:
     * (name, dtype, d) where d = 0 for scalars, else the constant
-    * array width (a varying width fails here, not mid-write). */
+    * array width (a varying width fails here, not mid-write — the
+    * SHARED one-pass stats helper, Npy.geometry). */
   private def plan(df: DataFrame): Seq[(String, String, Int)] = {
-    val arrayCols = df.schema.fields.collect {
-      case StructField(n, ArrayType(_, _), _, _) => n
-    }
     val widths: Map[String, Int] =
-      if (arrayCols.isEmpty) Map.empty
-      else {
-        val aggs = arrayCols.flatMap(c =>
-          Seq(min(size(col(c))).as(s"__mn_$c"), max(size(col(c))).as(s"__mx_$c")))
-        val r = df.agg(aggs.head, aggs.tail: _*).collect().head
-        arrayCols.map { c =>
-          val (mn, mx) = (r.getAs[Int](s"__mn_$c"), r.getAs[Int](s"__mx_$c"))
-          require(mn == mx && mn >= 1,
-            s"safetensors export: column $c has varying/empty widths ($mn..$mx)")
-          c -> mn
-        }.toMap
-      }
+      if (df.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+        Npy.geometry(df, "safetensors export")._3
+      else Map.empty
     df.schema.fields.map { f =>
       f.dataType match {
         case ArrayType(et, _) => (f.name, outDtype(f.name, et), widths(f.name))

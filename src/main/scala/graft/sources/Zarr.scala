@@ -128,8 +128,13 @@ object Zarr {
     }
     require(sep == "." || sep == "/", s"$arrayDir: dimension_separator '$sep'")
     val m = ZMeta(name, shape, chunks, descr, comp, fill, sep)
-    require(m.c0 * m.c1 * m.itemBytes <= MaxChunk,
-      s"$arrayDir: chunk exceeds ${MaxChunk >> 20} MiB")
+    // overflow-proof: a Long-overflowing chunk product must hit the
+    // loud rejection, not wrap past it into a garbage .toInt later
+    val bytesOk =
+      try Math.multiplyExact(Math.multiplyExact(m.c0, m.c1),
+        m.itemBytes.toLong) <= MaxChunk
+      catch { case _: ArithmeticException => false }
+    require(bytesOk, s"$arrayDir: chunk exceeds ${MaxChunk >> 20} MiB")
     m
   }
 
@@ -149,9 +154,14 @@ object Zarr {
         var done = 0
         while (done < outLen && !inf.finished()) {
           val k = inf.inflate(out, done, outLen - done)
-          require(k > 0 || !inf.needsInput, s"$ctx: truncated zlib chunk")
-          if (k == 0 && inf.needsInput) throw new IllegalArgumentException(
-            s"$ctx: truncated zlib chunk")
+          if (k == 0) {
+            // k == 0 and not finished = truncated input, a preset
+            // dictionary, or corruption — all must FAIL, never spin
+            // (the round-4 needsDictionary inflate-hang lesson)
+            require(!inf.needsDictionary,
+              s"$ctx: preset-dictionary zlib chunk unsupported")
+            throw new IllegalArgumentException(s"$ctx: truncated zlib chunk")
+          }
           done += k
         }
         require(done == outLen, s"$ctx: zlib chunk inflated to $done of $outLen")
@@ -296,7 +306,11 @@ object Zarr {
                columns: Seq[String] = Nil, numPartitions: Int = 0): DataFrame = {
     val metas: Seq[(String, ZMeta)] =
       if (FsIO.exists(s"$dir/.zarray")) {
+        // the .zarr suffix is a dispatch convention, not part of the
+        // name — and a literal dot in a column name breaks every
+        // name-based reference (Spark parses it as struct access)
         val leaf = dir.reverse.dropWhile(_ == '/').reverse.split('/').last
+          .stripSuffix(".zarr")
         Seq(dir -> readMeta(dir, leaf))
       } else {
         require(FsIO.exists(s"$dir/.zgroup"),
@@ -399,24 +413,13 @@ object Zarr {
              compress: Boolean = true): Unit = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
     val schema = df.schema
-    // column plans: (name, descr, d) with d = 0 for scalars
-    val widths: Map[String, Int] = {
-      val arrayCols = schema.fields.collect {
-        case StructField(nm, ArrayType(_, _), _, _) => nm
-      }
-      if (arrayCols.isEmpty) Map.empty
-      else {
-        val aggs = arrayCols.flatMap(c =>
-          Seq(min(size(col(c))).as(s"__mn_$c"), max(size(col(c))).as(s"__mx_$c")))
-        val r = df.agg(aggs.head, aggs.tail: _*).collect().head
-        arrayCols.map { c =>
-          val (mn, mx) = (r.getAs[Int](s"__mn_$c"), r.getAs[Int](s"__mx_$c"))
-          require(mn == mx && mn >= 1,
-            s"zarr export: column $c has varying/empty widths ($mn..$mx)")
-          c -> mn
-        }.toMap
-      }
-    }
+    // column plans: (name, descr, d) with d = 0 for scalars; fixed
+    // array widths from the SHARED one-pass stats helper
+    // (Npy.geometry — one definition of the fixed-width validation)
+    val widths: Map[String, Int] =
+      if (schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+        Npy.geometry(df, "zarr export")._3
+      else Map.empty
     val plans = schema.fields.map { f =>
       f.dataType match {
         case ArrayType(et, _) => (f.name, descrFor(f.name, et), widths(f.name))
@@ -468,7 +471,10 @@ object Zarr {
           written += 1
           if (bb.position() == chunkBytes) flush()
         }
-        if (bb.position() > 0 || written == 0) flush()
+        // no flush for an empty frame: shape [0] has a ZERO-chunk grid
+        // and an out-of-grid file '0' is out-of-spec clutter (it also
+        // trips the independent python re-reader)
+        if (bb.position() > 0) flush()
         require(written == n, s"zarr export: $name saw $written rows, expected $n")
       }
     } finally { file.delete(); () }

@@ -193,7 +193,7 @@ class SafetensorsSpec extends SparkSpec {
       StructType(Seq(StructField("v", ArrayType(FloatType, false), false))))
     assert(intercept[IllegalArgumentException] {
       Safetensors.toSafetensors(ragged, tmp("ragged.safetensors"))
-    }.getMessage.contains("varying"))
+    }.getMessage.contains("one fixed length"))
     // string columns rejected up front
     val s = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("a")), 1),
