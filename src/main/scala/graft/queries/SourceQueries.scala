@@ -376,7 +376,10 @@ object SourceQueries {
     // Same aggregate + oracle as the npz/safetensors/tfrecord lanes.
     "q_zarr_embed" -> ((s, dir) => {
       val cache = cacheDir(dir, "embeddings_zarr") + "/e.zarr"
-      graft.sources.Zarr.toZarr(
+      // the DISTRIBUTED write (executors own disjoint chunks via one
+      // chunk-keyed sorted shuffle) — the 100 TB path; the driver-
+      // streamed toZarr is the small-interchange convenience
+      graft.sources.Zarr.toZarrDistributed(
         t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
         cache, chunkRows = 512)
       embedAgg(graft.sources.Readers.open(s, cache))

@@ -484,4 +484,103 @@ object Zarr {
     val out = FsIO.create(path)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+
+  /** DISTRIBUTED zarr write — the scale form: the chunk grid IS the
+    * sharding, so executors write disjoint chunk files directly.
+    * `zipWithIndex` assigns stable global row indices (one count job,
+    * which also fixes the shape), rows shuffle ONCE keyed by chunk
+    * ordinal, and each reducer encodes/compresses its complete chunks
+    * (a chunk's rows sort by index inside the task — memory is
+    * O(chunkRows x rowWidth) per in-flight chunk, never a partition
+    * buffer). Same store layout as [[toZarr]] byte-for-byte given the
+    * same input order. */
+  def toZarrDistributed(df: DataFrame, dir: String, chunkRows: Int = 65536,
+                        compress: Boolean = true): Int = {
+    require(chunkRows >= 1, "zarr export: chunkRows must be positive")
+    val schema = df.schema
+    val widths: Map[String, Int] =
+      if (schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+        Npy.geometry(df, "zarr export")._3
+      else Map.empty
+    val plans = schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(et, _) => (f.name, descrFor(f.name, et), widths(f.name))
+        case t => (f.name, descrFor(f.name, t), 0)
+      }
+    }.toSeq
+    val indexed = df.rdd.zipWithIndex()
+    val n = indexed.count() // also the job that fixes zipWithIndex
+    FsIO.mkdirs(dir)
+    writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
+    plans.foreach { case (name, descr, d) =>
+      val adir = s"$dir/$name"
+      FsIO.mkdirs(adir)
+      val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
+      val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
+      val comp = if (compress) """{"id":"zlib","level":1}""" else "null"
+      writeString(s"$adir/.zarray",
+        s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
+          s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}""")
+    }
+    if (n == 0) return 0
+    val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
+    val cr = chunkRows
+    val dirB = dir
+    val plansB = plans
+    val compB = compress
+    // shuffle keyed (chunk, rowIdx) and SORT within partitions so a
+    // task streams complete chunks in order — memory per task is one
+    // chunk's rows, never a partition buffer
+    val parts = math.min(nChunks,
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism))
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = parts
+      override def getPartition(key: Any): Int = key match {
+        case (ci: Int, _) => java.lang.Math.floorMod(ci, parts)
+      }
+    }
+    val written = indexed
+      .map { case (row, i) => (((i / cr).toInt, i), row) }
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions { it =>
+        var chunksOut = 0
+        var curCi = -1
+        val curRows = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(): Unit = if (curCi >= 0) {
+          plansB.zipWithIndex.foreach { case ((name, descr, d), colIdx) =>
+            val width = math.max(d, 1)
+            val item = itemOf(descr)
+            val chunkBytes = cr * width * item
+            val bb = java.nio.ByteBuffer.allocate(chunkBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            curRows.foreach { row =>
+              if (d == 0) encodeTo(bb, descr, row.get(colIdx), name)
+              else {
+                val arr = row.getSeq[Any](colIdx)
+                require(arr != null && arr.length == d && !arr.contains(null),
+                  s"zarr export: null/ragged array in column $name")
+                arr.foreach(v => encodeTo(bb, descr, v, name))
+              }
+            }
+            while (bb.position() < chunkBytes) bb.put(0.toByte)
+            val raw = bb.array()
+            val bytes = if (compB) deflate(raw, chunkBytes) else raw
+            val fname = if (d == 0) s"$curCi" else s"$curCi.0"
+            val out = FsIO.create(s"$dirB/$name/$fname")
+            try out.write(bytes) finally out.close()
+          }
+          chunksOut += 1
+          curRows.clear()
+        }
+        it.foreach { case ((ci, _), row) =>
+          if (ci != curCi) { flush(); curCi = ci }
+          curRows += row
+        }
+        flush()
+        Iterator.single(chunksOut)
+      }.sum().toInt
+    require(written == nChunks,
+      s"zarr export: wrote $written chunks, expected $nChunks")
+    nChunks
+  }
 }

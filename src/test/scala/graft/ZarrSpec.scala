@@ -103,6 +103,41 @@ class ZarrSpec extends SparkSpec {
       .agg(sum("id")).collect().head.getLong(0) == n.toLong * (n - 1) / 2)
   }
 
+  test("distributed write: executors own disjoint chunks; values == driver write") {
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 13).cast("double").as("x"),
+      array((col("id") % 7).cast("float"), lit(1.5f)).as("v"))
+      .repartition(5)
+    val d1 = tmp("drv.zarr")
+    val d2 = tmp("dist.zarr")
+    // same logical rows either way (zipWithIndex fixes an order; the
+    // CONTENT equality below is order-insensitive)
+    Zarr.toZarr(df, d1, chunkRows = 128)
+    val nChunks = Zarr.toZarrDistributed(df, d2, chunkRows = 128)
+    assert(nChunks == 8) // ceil(1000/128)
+    // group columns come back sorted by array name (id, v, x)
+    def slurp(p: String) = Readers.open(spark, p)
+      .select("id", "x", "v").collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2))).toSet
+    val (a, b) = (slurp(d1), slurp(d2))
+    assert(a == b && a.size == 1000)
+    // the independent python re-reader accepts the distributed store
+    import scala.sys.process._
+    val py =
+      s"""import sys; sys.path.insert(0, 'tools')
+         |import zarrgen
+         |out = zarrgen.verify('$d2')
+         |assert out['id'].sum() == ${999L * 1000 / 2}
+         |assert out['v'].shape == (1000, 2)
+         |print('PY_OK')""".stripMargin
+    assert(Seq("python3", "-c", py).!!.contains("PY_OK"))
+    // chunk files: full grid, no stragglers
+    assert((0 until 8).forall(i =>
+      new java.io.File(s"$d2/id/$i").exists() &&
+        new java.io.File(s"$d2/v/$i.0").exists()))
+    assert(!new java.io.File(s"$d2/id/8").exists())
+  }
+
   test("Export dispatch by the x.zarr naming convention; validation") {
     val out = tmp("disp.zarr")
     Export.export(spark.range(10).select(col("id")), out)
