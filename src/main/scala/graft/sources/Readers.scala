@@ -49,7 +49,8 @@ object Readers {
       // glob or single file: these readers expand globs themselves
       // (one index/scan task per file — the file SET is the
       // parallelism unit for non-splittable containers)
-      case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") =>
+      case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") ||
+          p.endsWith(".tfrecord.gz") || p.endsWith(".tfrecords.gz") =>
         Tfrecord.fromTfRecord(spark, p)
       case p if p.endsWith(".tar") => WebDataset.fromWebDataset(spark, p)
       // zarr stores are DIRECTORIES; the x.zarr naming convention

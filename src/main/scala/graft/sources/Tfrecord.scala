@@ -359,7 +359,13 @@ object Tfrecord {
     * (a corrupt first record must not leak the handle it was read
     * from). */
   private[graft] def recordIterator(path: String): Iterator[Array[Byte]] = {
-    val in = FsIO.open(path)
+    // whole-file gzip (TFRecordOptions compression_type=GZIP — the
+    // common wild form): stream-gunzip; the file stays one task's
+    // sequential read either way, since TFRecord has no split points
+    val in: InputStream =
+      if (path.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(FsIO.open(path), 1 << 16)
+      else FsIO.open(path)
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
       try in.close() catch { case _: Throwable => () })

@@ -186,6 +186,23 @@ class TfrecordSpec extends SparkSpec {
     assert(Readers.open(spark, s"$dir/part-*.tfrecord").count() == 300)
   }
 
+  test("whole-file gzip TFRecords read (compression_type=GZIP wild form)") {
+    val df = spark.range(0, 40).select(col("id"),
+      (col("id") % 5).cast("float").as("x"))
+    val dir = tmp("gz")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val plain = s"$dir/a.tfrecord"
+    Tfrecord.toTfRecord(df, plain)
+    val gz = s"$dir/a.tfrecord.gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(plain)))
+    out.close()
+    val back = Readers.open(spark, gz)
+    assert(back.count() == 40)
+    assert(back.agg(sum("id")).collect().head.getLong(0) == 39L * 40 / 2)
+  }
+
   test("corrupt framing fails loudly with the offset; doubles rejected at write") {
     val df = spark.range(0, 10).select(col("id"))
     val path = tmp("corrupt.tfrecord")
