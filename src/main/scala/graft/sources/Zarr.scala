@@ -77,8 +77,11 @@ object Zarr {
     } finally in.close()
   }
 
-  private[graft] def readMeta(arrayDir: String, name: String): ZMeta = {
-    val j = readJson(s"$arrayDir/.zarray")
+  private[graft] def readMeta(arrayDir: String, name: String): ZMeta =
+    parseMeta(readJson(s"$arrayDir/.zarray"), arrayDir, name)
+
+  private def parseMeta(j: com.fasterxml.jackson.databind.JsonNode,
+                        arrayDir: String, name: String): ZMeta = {
     require(j.get("zarr_format") != null && j.get("zarr_format").asInt() == 2,
       s"$arrayDir: only zarr v2 is supported")
     require(j.get("order") == null || j.get("order").asText() == "C",
@@ -312,9 +315,35 @@ object Zarr {
         val leaf = dir.reverse.dropWhile(_ == '/').reverse.split('/').last
           .stripSuffix(".zarr")
         Seq(dir -> readMeta(dir, leaf))
+      } else if (FsIO.exists(s"$dir/.zmetadata")) {
+        // consolidated metadata (zarr.consolidate_metadata — the
+        // object-store convention): ONE read yields every array's
+        // .zarray, instead of a metadata round trip per array
+        val root = readJson(s"$dir/.zmetadata")
+        require(root.get("zarr_consolidated_format") != null &&
+          root.get("zarr_consolidated_format").asInt() == 1,
+          s"$dir: unsupported .zmetadata version")
+        val m = root.get("metadata")
+        require(m != null && m.isObject, s"$dir: malformed .zmetadata")
+        val kids = scala.collection.mutable.ArrayBuffer[String]()
+        val it = m.properties().iterator()
+        while (it.hasNext) {
+          val k = it.next().getKey
+          if (k.endsWith("/.zarray")) kids += k.stripSuffix("/.zarray")
+        }
+        require(kids.nonEmpty, s"$dir: consolidated metadata lists no arrays")
+        val wanted =
+          if (columns.isEmpty) kids.sorted.toSeq
+          else {
+            columns.foreach(c => require(kids.contains(c),
+              s"$dir: no such zarr array: $c"))
+            columns
+          }
+        wanted.map(k =>
+          s"$dir/$k" -> parseMeta(m.get(s"$k/.zarray"), s"$dir/$k", k))
       } else {
         require(FsIO.exists(s"$dir/.zgroup"),
-          s"$dir: neither .zarray nor .zgroup present — not a zarr store")
+          s"$dir: neither .zarray, .zgroup nor .zmetadata present — not a zarr store")
         val kids = FsIO.listDirs(dir).filter(k => FsIO.exists(s"$dir/$k/.zarray"))
         require(kids.nonEmpty, s"$dir: zarr group has no child arrays")
         val wanted =
@@ -429,19 +458,11 @@ object Zarr {
     import scala.jdk.CollectionConverters._
     val (file, n) = RowSpill.spill(schema, df.toLocalIterator().asScala)
     try {
-      FsIO.mkdirs(dir)
-      writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
+      writeGroupMeta(dir, plans, n, chunkRows, compress)
       plans.zipWithIndex.foreach { case ((name, descr, d), ci) =>
         val adir = s"$dir/$name"
-        FsIO.mkdirs(adir)
         val width = math.max(d, 1)
         val item = itemOf(descr)
-        val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
-        val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
-        val comp = if (compress) """{"id":"zlib","level":1}""" else "null"
-        writeString(s"$adir/.zarray",
-          s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
-            s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}""")
         val chunkBytes = chunkRows * width * item
         val bb = ByteBuffer.allocate(chunkBytes).order(ByteOrder.LITTLE_ENDIAN)
         var chunkIdx = 0
@@ -485,6 +506,35 @@ object Zarr {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  private def zarrayJson(descr: String, n: Long, d: Int, chunkRows: Int,
+                         compress: Boolean): String = {
+    val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
+    val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
+    val comp = if (compress) """{"id":"zlib","level":1}""" else "null"
+    s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
+      s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}"""
+  }
+
+  /** Group skeleton: .zgroup, per-array dirs + .zarray, and the
+    * CONSOLIDATED .zmetadata (one metadata read on object stores). */
+  private def writeGroupMeta(dir: String, plans: Seq[(String, String, Int)],
+                             n: Long, chunkRows: Int, compress: Boolean): Unit = {
+    FsIO.mkdirs(dir)
+    writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
+    val entries = plans.map { case (name, descr, d) =>
+      val adir = s"$dir/$name"
+      FsIO.mkdirs(adir)
+      val j = zarrayJson(descr, n, d, chunkRows, compress)
+      writeString(s"$adir/.zarray", j)
+      name -> j
+    }
+    writeString(s"$dir/.zmetadata",
+      """{"zarr_consolidated_format":1,"metadata":{""" +
+        (Seq("\".zgroup\":{\"zarr_format\":2}") ++
+          entries.map { case (name, j) => s""""$name/.zarray":$j""" })
+          .mkString(",") + "}}")
+  }
+
   /** DISTRIBUTED zarr write — the scale form: the chunk grid IS the
     * sharding, so executors write disjoint chunk files directly.
     * `zipWithIndex` assigns stable global row indices (one count job,
@@ -510,18 +560,7 @@ object Zarr {
     }.toSeq
     val indexed = df.rdd.zipWithIndex()
     val n = indexed.count() // also the job that fixes zipWithIndex
-    FsIO.mkdirs(dir)
-    writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
-    plans.foreach { case (name, descr, d) =>
-      val adir = s"$dir/$name"
-      FsIO.mkdirs(adir)
-      val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
-      val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
-      val comp = if (compress) """{"id":"zlib","level":1}""" else "null"
-      writeString(s"$adir/.zarray",
-        s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
-          s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}""")
-    }
+    writeGroupMeta(dir, plans, n, chunkRows, compress)
     if (n == 0) return 0
     val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
     val cr = chunkRows

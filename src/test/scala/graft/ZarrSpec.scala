@@ -138,6 +138,24 @@ class ZarrSpec extends SparkSpec {
     assert(!new java.io.File(s"$d2/id/8").exists())
   }
 
+  test("consolidated .zmetadata: one metadata read serves the whole group") {
+    val df = spark.range(0, 50).select(col("id"),
+      (col("id") % 3).cast("double").as("x"))
+    val store = tmp("cons.zarr")
+    Zarr.toZarr(df, store, chunkRows = 16)
+    assert(new java.io.File(s"$store/.zmetadata").exists())
+    // PROVE the consolidated path serves reads: remove every
+    // per-array .zarray — only .zmetadata can describe the store now
+    Seq("id", "x").foreach { c =>
+      assert(new java.io.File(s"$store/$c/.zarray").delete())
+    }
+    val back = Readers.open(spark, store)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "x"))
+    assert(back.agg(sum("id")).collect().head.getLong(0) == 49L * 50 / 2)
+    // column selection through the consolidated map
+    assert(Zarr.fromZarr(spark, store, columns = Seq("x")).count() == 50)
+  }
+
   test("Export dispatch by the x.zarr naming convention; validation") {
     val out = tmp("disp.zarr")
     Export.export(spark.range(10).select(col("id")), out)
