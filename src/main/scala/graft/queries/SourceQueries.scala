@@ -385,6 +385,50 @@ object SourceQueries {
       embedAgg(graft.sources.Readers.open(s, cache))
     }),
 
+    // Delta Lake round trip (the lakehouse table layer — versioned
+    // parquet + ACID JSON transaction log, built straight from the
+    // public PROTOCOL.md): narrow lineitem becomes a Delta table, the
+    // snapshot read resolves the log and scans only live files. The
+    // oracle runs on the ORIGINAL parquet — the log must be invisible.
+    "q_delta_agg" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table) // idempotent rebuild
+      graft.sources.Export.export(narrowLineitem(s, dir), table)
+      agg(graft.sources.Readers.open(s, table))
+    }),
+
+    // Delta partitioned table: l_returnflag lives ONLY in the log's
+    // partitionValues (per the protocol the data files drop partition
+    // columns), so the aggregate proves the typed re-injection.
+    "q_delta_partitioned" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_part") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      graft.sources.DeltaLake.toDelta(narrowLineitem(s, dir), table,
+        partitionBy = Seq("l_returnflag"))
+      agg(graft.sources.Readers.open(s, table))
+    }),
+
+    // Delta time travel through a checkpoint: four commits (overwrite
+    // g=0, append g=1, append g=2, overwrite back to g<=1) with a
+    // checkpoint at v2, then reads at v1 (pure json replay), v2
+    // (exactly the checkpoint) and v3 (checkpoint + remove/add tail).
+    "q_delta_timetravel" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_tt") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def part(gs: Int*) = li.filter((col("l_orderkey") % 3).isin(gs.map(g => g: Any): _*))
+      val D = graft.sources.DeltaLake
+      D.toDelta(part(0), table, mode = "overwrite", checkpointInterval = 2)
+      D.toDelta(part(1), table, mode = "append", checkpointInterval = 2)
+      D.toDelta(part(2), table, mode = "append", checkpointInterval = 2)
+      D.toDelta(part(0, 1), table, mode = "overwrite", checkpointInterval = 2)
+      Seq(1L, 2L, 3L).map { v =>
+        D.fromDelta(s, table, Some(v))
+          .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+          .select(lit(v.toInt).as("v"), col("n"), col("sum_qty"))
+      }.reduce(_ union _).orderBy("v")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -839,6 +883,17 @@ object SourceQueries {
     "q_safetensors_sharded" -> embedAggSql,
     "q_tfrecord_embed" -> embedAggSql,
     "q_zarr_embed" -> embedAggSql,
+    "q_delta_agg" -> aggSql,
+    "q_delta_partitioned" -> aggSql,
+    "q_delta_timetravel" ->
+      s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
+         |SELECT 1 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp <= 1
+         |UNION ALL SELECT 2 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp <= 2
+         |UNION ALL SELECT 3 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp <= 1
+         |ORDER BY v""".stripMargin,
     "q_webdataset_mm" ->
       """SELECT doc_id, 'jpeg' AS format,
         |  CAST(9 + doc_id % 40 AS INT) AS width,

@@ -34,6 +34,8 @@ object Export {
     case p if p.endsWith(".tar") => WebDataset.toWebDataset(df, p)
     case p if p.stripSuffix("/").endsWith(".zarr") =>
       Zarr.toZarr(df, p.stripSuffix("/"))
+    case p if p.stripSuffix("/").endsWith(".delta") =>
+      DeltaLake.toDelta(df, p) // logical overwrite; old versions travelable
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }

@@ -133,6 +133,50 @@ private[graft] object FsIO {
     val (fs, p) = resolve(dir); fs.mkdirs(p)
   }
 
+  /** Recursive delete, no-op when absent (staging-dir hygiene for the
+    * log-structured writers). */
+  def deleteRecursive(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Rename (same filesystem), loud on failure — the commit/promote
+    * primitive of the log-structured writers. Parent dirs are made
+    * first: HDFS rename (unlike local) requires the destination
+    * directory to exist. */
+  def rename(src: String, dst: String): Unit = {
+    val (fs, p) = resolve(src)
+    val d = new Path(dst)
+    Option(d.getParent).foreach(fs.mkdirs(_))
+    require(fs.rename(p, d), s"rename failed: $src -> $dst")
+  }
+
+  /** Plain child-file names of `dir` (sorted; directories excluded),
+    * empty when absent — the transaction-log listing. */
+  def listFileNames(dir: String): Seq[String] = {
+    val (fs, p) = resolve(dir)
+    if (!fs.exists(p)) Nil
+    else Option(fs.listStatus(p)).map(_.toSeq.filter(_.isFile)
+      .map(_.getPath.getName).sorted).getOrElse(Nil)
+  }
+
+  /** All files under `dir` recursively as (path, length, mtimeMs),
+    * sorted by path — the staged-write enumeration. */
+  def listFilesRecursive(dir: String): Seq[(String, Long, Long)] = {
+    val (fs, p) = resolve(dir)
+    if (!fs.exists(p)) return Nil
+    val out = Seq.newBuilder[(String, Long, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val u = st.getPath.toUri
+      val path = if (u.getScheme == null || u.getScheme == "file") u.getPath
+                 else st.getPath.toString
+      out += ((path, st.getLen, st.getModificationTime))
+    }
+    out.result().sortBy(_._1)
+  }
+
   /** Delete `part-*<suffix>` shards under `dir` — the stale-shard
     * sweep every sharded exporter runs before writing (a re-export
     * with fewer partitions must not leave higher-numbered shards for

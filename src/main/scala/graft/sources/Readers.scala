@@ -57,6 +57,12 @@ object Readers {
       // carries the dispatch extension
       case p if p.stripSuffix("/").endsWith(".zarr") =>
         Zarr.fromZarr(spark, p.stripSuffix("/"))
+      // Delta tables are directories too: dispatch on the .delta
+      // naming convention, or on the presence of a transaction log
+      case p if p.stripSuffix("/").endsWith(".delta") =>
+        DeltaLake.fromDelta(spark, p)
+      case p if FsIO.exists(s"${p.stripSuffix("/")}/_delta_log") =>
+        DeltaLake.fromDelta(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {
