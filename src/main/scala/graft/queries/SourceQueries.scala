@@ -385,6 +385,17 @@ object SourceQueries {
       embedAgg(graft.sources.Readers.open(s, cache))
     }),
 
+    // zstd JSON-lines round trip (the corpus-release container: The
+    // Pile / SlimPajama / Dolma ship .jsonl.zst shards): distributed
+    // sharded write (executors stream-compress), glob read (one
+    // decode task per shard). Oracle runs on the ORIGINAL parquet —
+    // doubles survive via shortest-round-trip JSON formatting.
+    "q_jsonl_zst" -> ((s, dir) => {
+      val cache = cacheDir(dir, "lineitem_jsonl_zst")
+      graft.sources.ZstdLines.toZstJsonlSharded(narrowLineitem(s, dir), cache)
+      agg(graft.sources.Readers.open(s, s"$cache/part-*.jsonl.zst"))
+    }),
+
     // Delta Lake round trip (the lakehouse table layer — versioned
     // parquet + ACID JSON transaction log, built straight from the
     // public PROTOCOL.md): narrow lineitem becomes a Delta table, the
@@ -883,6 +894,7 @@ object SourceQueries {
     "q_safetensors_sharded" -> embedAggSql,
     "q_tfrecord_embed" -> embedAggSql,
     "q_zarr_embed" -> embedAggSql,
+    "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
     "q_delta_partitioned" -> aggSql,
     "q_delta_timetravel" ->

@@ -52,6 +52,9 @@ object Readers {
       case p if p.endsWith(".tfrecord") || p.endsWith(".tfrecords") ||
           p.endsWith(".tfrecord.gz") || p.endsWith(".tfrecords.gz") =>
         Tfrecord.fromTfRecord(spark, p)
+      case p if p.endsWith(".jsonl.zst") || p.endsWith(".json.zst") =>
+        ZstdLines.fromZstJsonl(spark, p)
+      case p if p.endsWith(".csv.zst") => ZstdLines.fromZstCsv(spark, p)
       case p if p.endsWith(".tar") => WebDataset.fromWebDataset(spark, p)
       // zarr stores are DIRECTORIES; the x.zarr naming convention
       // carries the dispatch extension

@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** zstd-compressed line formats — `.jsonl.zst` / `.csv.zst`, the
+  * de-facto distribution container of public LLM corpora (The Pile,
+  * SlimPajama, Dolma releases ship exactly these). Hadoop's own
+  * ZStandardCodec needs libhadoop native bindings, so Spark's text
+  * readers can't open them here; this module decodes through the
+  * zstd-jni streams already on Spark's classpath (Spark's shuffle/
+  * parquet codec dependency — no new library).
+  *
+  * Scale shape: a zstd FRAME is not splittable, so the FILE SET is
+  * the parallelism unit — one task per file, streaming decode
+  * (corpus releases are always sharded into many files for exactly
+  * this reason; the sharded writer below produces that layout).
+  * Multi-frame files (parallel compressors concatenate frames)
+  * decode across frame boundaries via `setContinuous`.
+  *
+  * Beyond the reference: vaex reads no zstd text containers at all —
+  * its gzip/bz2 CSV support is the closest analog
+  * (packages/vaex-core/vaex/csv.py file-open dispatch).
+  */
+object ZstdLines {
+
+  // ------------------------------------------------------------- read
+
+  private def expand(pathOrGlob: String): Seq[String] =
+    if (pathOrGlob.exists("*?[".contains(_))) {
+      val fs = FsIO.glob(pathOrGlob)
+      require(fs.nonEmpty, s"zst: glob matched no files: $pathOrGlob")
+      fs
+    } else Seq(pathOrGlob)
+
+  /** Decoded lines, one read task per file. `dropFirstLinePerFile`
+    * strips per-shard CSV headers. */
+  def lines(spark: SparkSession, pathOrGlob: String,
+      dropFirstLinePerFile: Boolean = false): Dataset[String] = {
+    val files = expand(pathOrGlob)
+    val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { f =>
+      val it = lineIterator(f)
+      if (dropFirstLinePerFile && it.hasNext) it.next()
+      it
+    }
+    spark.createDataset(rdd)(Encoders.STRING)
+  }
+
+  /** JSON-lines: schema inference (or explicit `schema`) over the
+    * decoded line Dataset — Spark's own JSON parser does the rest
+    * (distributed: one decode task per file feeding the parse). */
+  def fromZstJsonl(spark: SparkSession, pathOrGlob: String,
+      schema: StructType = null): DataFrame = {
+    val ds = lines(spark, pathOrGlob)
+    if (schema != null) spark.read.schema(schema).json(ds)
+    else spark.read.json(ds)
+  }
+
+  /** CSV: every shard carries its own header line (the layout our
+    * sharded writers and the wild corpus releases both use), so each
+    * file's first line is dropped and ONE header — read driver-side
+    * from the first file — is prepended as a 1-row dataset (union
+    * keeps child-order, so it lands first for Spark's header pass). */
+  def fromZstCsv(spark: SparkSession, pathOrGlob: String,
+      header: Boolean = true, sep: String = ",",
+      schema: Option[StructType] = None): DataFrame = {
+    val files = expand(pathOrGlob)
+    val ds = lines(spark, pathOrGlob, dropFirstLinePerFile = header)
+    schema match {
+      case Some(s) =>
+        spark.read.schema(s).option("sep", sep).csv(ds)
+      case None =>
+        require(header,
+          "fromZstCsv: schema inference without headers needs an explicit schema")
+        val headIt = lineIterator(files.head) // Cleaner reclaims the handle
+        require(headIt.hasNext, s"${files.head}: empty csv.zst file")
+        val headerLine = headIt.next()
+        val withHeader = spark.createDataset(Seq(headerLine))(Encoders.STRING)
+          .repartition(1).union(ds)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", sep).csv(withHeader)
+    }
+  }
+
+  /** Iterate decoded lines of one file with the leak-trio lifecycle
+    * (task-completion listener, Cleaner for abandoned driver-side
+    * iterators, close-on-first-advance-throw — the Warc discipline).
+    * Corrupt zstd data surfaces as a loud IOException from the
+    * decoder, after the handle is closed. */
+  private[graft] def lineIterator(path: String): Iterator[String] = {
+    val raw = FsIO.open(path)
+    val br = try {
+      val z = new ZstdInputStream(raw)
+      z.setContinuous(true) // concatenated frames read through
+      new java.io.BufferedReader(
+        new java.io.InputStreamReader(z, StandardCharsets.UTF_8), 1 << 16)
+    } catch { case e: Throwable => raw.close(); throw e }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+      try br.close() catch { case _: Throwable => () })
+    val it = new Iterator[String] {
+      private var nextLine: String =
+        try advance()
+        catch { case e: Throwable => br.close(); throw e }
+      private def advance(): String = {
+        val l = br.readLine()
+        if (l == null) br.close()
+        l
+      }
+      def hasNext: Boolean = nextLine != null
+      def next(): String = {
+        val r = nextLine
+        nextLine =
+          try advance()
+          catch { case e: Throwable => br.close(); throw e }
+        r
+      }
+    }
+    // capture the reader only — capturing `it` would pin it live
+    if (tc == null) cleaner.register(it, new Runnable {
+      private val handle = br
+      override def run(): Unit =
+        try handle.close() catch { case _: Throwable => () }
+    })
+    it
+  }
+
+  private lazy val cleaner = java.lang.ref.Cleaner.create()
+
+  // ------------------------------------------------------------ write
+
+  /** Distributed sharded export: one `part-%05d.jsonl.zst` per
+    * non-empty partition (executors stream-compress their own rows —
+    * nothing moves to the driver). Returns the shard count. */
+  def toZstJsonlSharded(df: DataFrame, dir: String, level: Int = 3): Int = {
+    FsIO.mkdirs(dir)
+    FsIO.deleteShards(dir, ".jsonl.zst")
+    val written = df.toJSON.rdd.mapPartitionsWithIndex { (pi, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        writeLines(it, f"$dir/part-$pi%05d.jsonl.zst", level)
+        Iterator.single(1)
+      }
+    }.count()
+    written.toInt
+  }
+
+  /** Single-file export (driver-streamed, like the csv/json single-
+    * file exports — rows arrive one partition at a time). */
+  def toZstJsonl(df: DataFrame, path: String, level: Int = 3): Unit = {
+    val it = df.toJSON.toLocalIterator()
+    writeLines(new Iterator[String] {
+      def hasNext: Boolean = it.hasNext
+      def next(): String = it.next()
+    }, path, level)
+  }
+
+  private def writeLines(it: Iterator[String], path: String, level: Int): Unit = {
+    val out = new ZstdOutputStream(FsIO.create(path), level)
+    try {
+      val nl = '\n'.toByte
+      while (it.hasNext) {
+        out.write(it.next().getBytes(StandardCharsets.UTF_8))
+        out.write(nl)
+      }
+    } finally out.close()
+  }
+}
