@@ -440,6 +440,38 @@ object SourceQueries {
       }.reduce(_ union _).orderBy("v")
     }),
 
+    // Iceberg round trip (the other lakehouse table layer — JSON
+    // metadata + Avro manifest chain per the public table spec):
+    // snapshot read resolves metadata -> manifest list -> manifests
+    // -> live parquet scan. Oracle on the ORIGINAL parquet.
+    "q_iceberg_agg" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      graft.sources.Export.export(narrowLineitem(s, dir), table)
+      agg(graft.sources.Readers.open(s, table))
+    }),
+
+    // Iceberg snapshot time travel: overwrite + two fast-appends,
+    // then reads at each snapshot id (append re-lists prior manifests
+    // verbatim, so snapshot 3 reads through THREE manifests).
+    "q_iceberg_snapshot" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_tt") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def part(g: Int) = li.filter(col("l_orderkey") % 3 === g)
+      val I = graft.sources.Iceberg
+      I.toIceberg(part(0), table, mode = "overwrite")
+      I.toIceberg(part(1), table, mode = "append")
+      I.toIceberg(part(2), table, mode = "append")
+      val snaps = I.snapshots(s, table).orderBy("sequence_number")
+        .collect().map(_.getAs[Long]("snapshot_id")) // 3-row metadata collect
+      snaps.zipWithIndex.map { case (sid, i) =>
+        I.fromIceberg(s, table, Some(sid))
+          .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+          .select(lit(i + 1).as("v"), col("n"), col("sum_qty"))
+      }.reduce(_ union _).orderBy("v")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -896,6 +928,16 @@ object SourceQueries {
     "q_zarr_embed" -> embedAggSql,
     "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
+    "q_iceberg_agg" -> aggSql,
+    "q_iceberg_snapshot" ->
+      s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
+         |SELECT 1 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp <= 0
+         |UNION ALL SELECT 2 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp <= 1
+         |UNION ALL SELECT 3 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp <= 2
+         |ORDER BY v""".stripMargin,
     "q_delta_partitioned" -> aggSql,
     "q_delta_timetravel" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)

@@ -467,8 +467,9 @@ object Avro {
 
   // ------------------------------------------------------------- read
 
-  /** Avro SeekableInput over a Hadoop positioned-read handle. */
-  private final class HadoopSeekableInput(path: String) extends SeekableInput {
+  /** Avro SeekableInput over a Hadoop positioned-read handle (shared
+    * with the Iceberg manifest reader). */
+  private[sources] final class HadoopSeekableInput(path: String) extends SeekableInput {
     private val in = new FsIO.In(path)
     override def seek(p: Long): Unit = in.seek(p)
     override def tell(): Long = in.getFilePointer

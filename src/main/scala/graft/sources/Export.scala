@@ -38,6 +38,8 @@ object Export {
       DeltaLake.toDelta(df, p) // logical overwrite; old versions travelable
     case p if p.endsWith(".jsonl.zst") || p.endsWith(".json.zst") =>
       ZstdLines.toZstJsonl(df, p)
+    case p if p.stripSuffix("/").endsWith(".iceberg") =>
+      Iceberg.toIceberg(df, p)
     case p if p.endsWith(".txt") || p.endsWith(".asc") => toAscii(df, p)
     case p => throw new IllegalArgumentException(s"unsupported export format: $p")
   }

@@ -1,0 +1,578 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.{Schema => ASchema}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dependency-free Apache Iceberg table source (+ a minimal v2
+  * writer), built straight from the public Iceberg table spec
+  * (iceberg.apache.org/spec): table state lives in
+  * `metadata/vN.metadata.json` (schemas, snapshots), each snapshot
+  * points at an Avro MANIFEST LIST, each manifest-list entry points
+  * at an Avro MANIFEST whose entries carry the data files. The
+  * manifests are ordinary Avro object-container files — read and
+  * written here with the avro-core jars Spark already ships (the
+  * same classes the in-house Avro source uses).
+  *
+  * Scale shape mirrors DeltaLake.scala: the metadata chain is
+  * driver-side (one entry per file/manifest), the DATA read is a
+  * plain distributed parquet scan over the live file set — and
+  * unlike Delta/Hive layouts, Iceberg data files CONTAIN their
+  * partition source columns, so no literal re-injection is needed
+  * and parquet min/max pushdown prunes files on partition predicates
+  * out of the box.
+  *
+  * Read support: format-version 1 and 2; PARQUET and ORC data files;
+  * time travel by snapshot id. REJECTED loudly (changed data
+  * interpretation, silently misread otherwise): delete manifests /
+  * delete files (merge-on-read v2 tables — only copy-on-write tables
+  * read), AVRO data files, unsupported column types (uuid, time,
+  * map — the writer never produces them).
+  *
+  * Write support: unpartitioned v2 copy-on-write append/overwrite —
+  * stage-and-rename data parquet (the DeltaLake promote discipline),
+  * one new manifest per commit, fast-append manifest lists (append
+  * re-lists prior manifests verbatim), spec field-ids on the data
+  * schema, record counts from parquet footers. Partitioned writes go
+  * through the Delta sink; this writer exists so Iceberg round trips
+  * are testable end-to-end without the reference implementation.
+  */
+object Iceberg {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private final case class SnapshotInfo(
+      id: Long, sequenceNumber: Long, timestampMs: Long, manifestList: String)
+  private final case class Metadata(
+      dir: String, formatVersion: Int, location: String, lastColumnId: Int,
+      schema: StructType, schemaNode: JsonNode, snapshots: Seq[SnapshotInfo],
+      currentSnapshotId: Long, lastSequenceNumber: Long, version: Int,
+      tableUuid: String)
+  private final case class DataFileInfo(path: String, format: String, records: Long)
+
+  // ------------------------------------------------------------------
+  // Read path
+  // ------------------------------------------------------------------
+
+  /** Open an Iceberg table — current snapshot, or `snapshotId`. */
+  def fromIceberg(spark: SparkSession, dir0: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val dir = dir0.stripSuffix("/")
+    val meta = loadMetadata(dir)
+    val snap = snapshotId match {
+      case Some(id) => meta.snapshots.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not in ${meta.snapshots.map(_.id).mkString(",")}"))
+      case None =>
+        if (meta.currentSnapshotId < 0 || meta.snapshots.isEmpty)
+          return spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema)
+        meta.snapshots.find(_.id == meta.currentSnapshotId).getOrElse(
+          throw new IllegalArgumentException(
+            s"current-snapshot-id ${meta.currentSnapshotId} missing from snapshots"))
+    }
+    val files = liveFiles(meta, snap)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema)
+    val byFormat = files.groupBy(_.format)
+    val parts = byFormat.toSeq.sortBy(_._1).map {
+      case ("PARQUET", fs) =>
+        spark.read.schema(meta.schema).parquet(fs.map(_.path): _*)
+      case ("ORC", fs) =>
+        spark.read.schema(meta.schema).orc(fs.map(_.path): _*)
+      case (other, fs) => throw new IllegalArgumentException(
+        s"unsupported Iceberg data file format $other (${fs.head.path})")
+    }
+    parts.reduce(_ union _)
+  }
+
+  /** Snapshot history (driver-side metadata). */
+  def snapshots(spark: SparkSession, dir0: String): DataFrame = {
+    val meta = loadMetadata(dir0.stripSuffix("/"))
+    val rows = meta.snapshots.sortBy(_.id).map(s =>
+      Row(s.id, s.sequenceNumber, s.timestampMs, s.id == meta.currentSnapshotId))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("timestamp_ms", LongType, nullable = false),
+        StructField("is_current", BooleanType, nullable = false))))
+  }
+
+  /** Latest metadata: `version-hint.text` if present, else the
+    * highest-numbered `vN.metadata.json` / `NNNNN-uuid.metadata.json`
+    * (the two public naming conventions). */
+  private def loadMetadata(dir: String): Metadata = {
+    val mdir = s"$dir/metadata"
+    val names = FsIO.listFileNames(mdir)
+    require(names.nonEmpty, s"not an Iceberg table (no metadata dir): $dir")
+    val hint = s"$mdir/version-hint.text"
+    val VRe = """^v(\d+)\.metadata\.json$""".r
+    val NRe = """^(\d+)-[0-9a-fA-F-]+\.metadata\.json$""".r
+    val byVersion = names.collect {
+      case n @ VRe(v) => (v.toInt, n)
+      case n @ NRe(v) => (v.toInt, n)
+    }
+    val (version, file) =
+      if (FsIO.exists(hint)) {
+        val v = readAll(hint).trim.toInt
+        (v, byVersion.find(_._1 == v).map(_._2).getOrElse(
+          throw new IllegalArgumentException(
+            s"version-hint.text says $v but no matching metadata file in $mdir")))
+      } else {
+        require(byVersion.nonEmpty, s"no *.metadata.json files in $mdir")
+        byVersion.maxBy(_._1)
+      }
+    val j = mapper.readTree(readAll(s"$mdir/$file"))
+    val fv = j.get("format-version").asInt()
+    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
+    // current schema: v2 schemas[current-schema-id]; v1 fallback "schema"
+    val schemaNode: JsonNode =
+      if (j.hasNonNull("schemas")) {
+        val cur = j.get("current-schema-id").asInt()
+        val arr = j.get("schemas")
+        (0 until arr.size()).map(arr.get)
+          .find(s => s.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not found in schemas"))
+      } else j.get("schema")
+    require(schemaNode != null, s"metadata has no schema: $mdir/$file")
+    val snaps = Option(j.get("snapshots")).filter(_.isArray).map { arr =>
+      (0 until arr.size()).map { i =>
+        val s = arr.get(i)
+        SnapshotInfo(
+          s.get("snapshot-id").asLong(),
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+          s.get("manifest-list").asText())
+      }.toSeq
+    }.getOrElse(Nil)
+    Metadata(dir, fv,
+      Option(j.get("location")).map(_.asText()).getOrElse(dir),
+      Option(j.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      icebergToSpark(schemaNode), schemaNode, snaps,
+      Option(j.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L),
+      Option(j.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      version,
+      Option(j.get("table-uuid")).map(_.asText())
+        .getOrElse(java.util.UUID.randomUUID().toString))
+  }
+
+  /** Walk manifest list -> manifests -> live data files. */
+  private def liveFiles(meta: Metadata, snap: SnapshotInfo): Seq[DataFileInfo] = {
+    val out = Seq.newBuilder[DataFileInfo]
+    eachAvro(resolvePath(meta, snap.manifestList)) { e =>
+      val content = longField(e, "content").getOrElse(0L)
+      require(content == 0L,
+        s"delete manifest in snapshot ${snap.id} (merge-on-read tables " +
+          s"are unsupported): ${e.get("manifest_path")}")
+      val mpath = e.get("manifest_path").toString
+      eachAvro(resolvePath(meta, mpath)) { entry =>
+        val status = longField(entry, "status").getOrElse(0L)
+        if (status != 2L) { // 2 = DELETED
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          require(df != null, s"manifest entry without data_file in $mpath")
+          val fc = longField(df, "content").getOrElse(0L)
+          require(fc == 0L,
+            s"delete FILE in $mpath (merge-on-read tables are unsupported): " +
+              s"${df.get("file_path")}")
+          out += DataFileInfo(
+            resolvePath(meta, df.get("file_path").toString),
+            df.get("file_format").toString.toUpperCase,
+            longField(df, "record_count").getOrElse(0L))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** int-or-long Avro field as Long (spec fields vary by writer). */
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else r.get(name) match {
+      case null => None
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long => Some(l.longValue())
+      case other => throw new IllegalArgumentException(
+        s"manifest field $name has non-integer value $other")
+    }
+
+  /** Manifest paths are absolute URIs in the wild; resolve file: and
+    * schemeless forms, fall back to table-location-relative. */
+  private def resolvePath(meta: Metadata, p: String): String = {
+    val u = try new java.net.URI(p) catch {
+      case _: java.net.URISyntaxException => null
+    }
+    if (u != null && u.isAbsolute) new org.apache.hadoop.fs.Path(u).toString
+    else if (p.startsWith("/")) p
+    else s"${meta.dir}/$p"
+  }
+
+  private def eachAvro(path: String)(f: GenericRecord => Unit): Unit = {
+    val in = new Avro.HadoopSeekableInput(path)
+    val reader = try new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+    catch { case e: Throwable => in.close(); throw e }
+    try { while (reader.hasNext) f(reader.next()) }
+    finally reader.close()
+  }
+
+  private def readAll(path: String): String = {
+    val in = FsIO.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Schema mapping (Iceberg JSON <-> Spark)
+  // ------------------------------------------------------------------
+
+  private val DecimalRe = """^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+  private val FixedRe = """^fixed\[(\d+)\]$""".r
+
+  private[graft] def icebergToSpark(node: JsonNode): StructType = {
+    def typ(t: JsonNode, ctx: String): DataType =
+      if (t.isTextual) t.asText() match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "date" => DateType
+        case "timestamp" => TimestampNTZType // without zone
+        case "timestamptz" => TimestampType
+        case "string" => StringType
+        case "binary" => BinaryType
+        case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+        case FixedRe(_) => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg type $other at $ctx")
+      } else t.get("type").asText() match {
+        case "struct" => struct(t, ctx)
+        case "list" =>
+          ArrayType(typ(t.get("element"), s"$ctx.element"),
+            containsNull = !t.get("element-required").asBoolean(false))
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg nested type $other at $ctx")
+      }
+    def struct(t: JsonNode, ctx: String): StructType = {
+      val fields = t.get("fields")
+      StructType((0 until fields.size()).map { i =>
+        val f = fields.get(i)
+        val name = f.get("name").asText()
+        StructField(name, typ(f.get("type"), s"$ctx.$name"),
+          nullable = !f.get("required").asBoolean(false))
+      })
+    }
+    struct(node, "schema")
+  }
+
+  /** Spark -> Iceberg schema JSON with sequential field-ids (unique
+    * across the whole tree, as the spec requires). Returns
+    * (schemaNode, lastColumnId). */
+  private[graft] def sparkToIceberg(st: StructType): (ObjectNode, Int) = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def typJson(dt: DataType, ctx: String): Any = dt match {
+      case BooleanType => "boolean"
+      case IntegerType | ShortType | ByteType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp"
+      case TimestampType => "timestamptz"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case s: StructType => structJson(s, ctx)
+      case a: ArrayType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", id())
+        n.put("element-required", !a.containsNull)
+        typJson(a.elementType, s"$ctx.element") match {
+          case s: String => n.put("element", s)
+          case o: ObjectNode => n.set[JsonNode]("element", o)
+        }
+        n
+      case other => throw new IllegalArgumentException(
+        s"toIceberg: unsupported Spark type ${other.simpleString} at $ctx")
+    }
+    def structJson(s: StructType, ctx: String): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fs = n.putArray("fields")
+      s.foreach { f =>
+        val fn = mapper.createObjectNode()
+        fn.put("id", id())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        typJson(f.dataType, s"$ctx.${f.name}") match {
+          case str: String => fn.put("type", str)
+          case o: ObjectNode => fn.set[JsonNode]("type", o)
+        }
+        fs.add(fn)
+      }
+      n
+    }
+    val root = structJson(st, "schema")
+    root.put("schema-id", 0)
+    (root, nextId)
+  }
+
+  // ------------------------------------------------------------------
+  // Write path (v2, unpartitioned, copy-on-write)
+  // ------------------------------------------------------------------
+
+  private val ManifestEntrySchema: ASchema = new ASchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin.replace("\n", ""))
+
+  private val ManifestFileSchema: ASchema = new ASchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin.replace("\n", ""))
+
+  /** Write `df` as an Iceberg v2 commit (unpartitioned,
+    * copy-on-write). `mode`: "overwrite" or "append" — append
+    * fast-appends a new manifest and re-lists the prior snapshot's
+    * manifests verbatim; old snapshots stay readable by id. */
+  def toIceberg(df: DataFrame, dir0: String, mode: String = "overwrite"): Unit = {
+    val dir = dir0.stripSuffix("/")
+    require(mode == "overwrite" || mode == "append",
+      s"toIceberg: mode must be overwrite|append, got $mode")
+    val spark = df.sparkSession
+    val existing: Option[Metadata] =
+      if (FsIO.exists(s"$dir/metadata") &&
+          FsIO.listFileNames(s"$dir/metadata").exists(_.endsWith(".metadata.json")))
+        Some(loadMetadata(dir))
+      else None
+    existing.foreach { m =>
+      require(relaxed(m.schema) == relaxed(df.schema),
+        s"toIceberg: schema mismatch with existing table $dir\n  table: " +
+          s"${m.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+    }
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits) max 1L
+    val seq = existing.map(_.lastSequenceNumber + 1).getOrElse(1L)
+    val mdir = s"$dir/metadata"
+    FsIO.mkdirs(mdir)
+
+    // stage + promote data files (the DeltaLake discipline)
+    val staging = s"$dir/_staging"
+    FsIO.deleteRecursive(staging)
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val dataFiles = FsIO.listFilesRecursive(staging).collect {
+      case (p, len, _) if p.endsWith(".parquet") =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val dst = s"$dir/data/$name"
+        FsIO.rename(p, dst)
+        (dst, len)
+    }
+    FsIO.deleteRecursive(staging)
+    // record counts from parquet footers (driver metadata reads —
+    // the same per-file stats pass Iceberg's own writers do)
+    val counted = dataFiles.map { case (p, len) =>
+      (p, len, parquetRowCount(p))
+    }
+
+    // one new manifest for this commit
+    val manifestPath = s"$mdir/graft-m-${java.util.UUID.randomUUID()}.avro"
+    val addedRows = counted.map(_._3).sum
+    writeAvro(manifestPath, ManifestEntrySchema,
+      Map("format-version" -> "2", "content" -> "data",
+        "partition-spec-id" -> "0"),
+      counted.map { case (p, len, n) =>
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        val d = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        d.put("content", 0)
+        d.put("file_path", p)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", len)
+        e.put("data_file", d)
+        e
+      })
+    val manifestLen = { val (fs, p) = FsIO.resolve(manifestPath)
+      fs.getFileStatus(p).getLen }
+
+    // manifest list: new manifest (+ prior manifests on append)
+    val newEntry = {
+      val e = new GenericData.Record(ManifestFileSchema)
+      e.put("manifest_path", manifestPath)
+      e.put("manifest_length", manifestLen)
+      e.put("partition_spec_id", 0)
+      e.put("content", 0)
+      e.put("sequence_number", seq)
+      e.put("min_sequence_number", seq)
+      e.put("added_snapshot_id", snapshotId)
+      e.put("added_files_count", counted.size)
+      e.put("existing_files_count", 0)
+      e.put("deleted_files_count", 0)
+      e.put("added_rows_count", addedRows)
+      e.put("existing_rows_count", 0L)
+      e.put("deleted_rows_count", 0L)
+      e
+    }
+    val prior: Seq[GenericRecord] =
+      if (mode == "append")
+        existing.flatMap { m =>
+          m.snapshots.find(_.id == m.currentSnapshotId)
+        }.map { cur =>
+          val b = Seq.newBuilder[GenericRecord]
+          eachAvro(resolvePath(existing.get, cur.manifestList)) { r =>
+            // re-list verbatim onto OUR schema (field subset by name)
+            val e = new GenericData.Record(ManifestFileSchema)
+            ManifestFileSchema.getFields.forEach { f =>
+              val v = if (r.getSchema.getField(f.name()) == null) null
+                      else r.get(f.name())
+              e.put(f.name(), v match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case o => o
+              })
+            }
+            b += e
+          }
+          b.result()
+        }.getOrElse(Nil)
+      else Nil
+    val listPath = s"$mdir/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), newEntry +: prior)
+
+    // new metadata json
+    val version = existing.map(_.version + 1).getOrElse(1)
+    val j = mapper.createObjectNode()
+    j.put("format-version", 2)
+    j.put("table-uuid", existing.map(_.tableUuid).getOrElse(
+      java.util.UUID.randomUUID().toString))
+    j.put("location", dir)
+    j.put("last-sequence-number", seq)
+    j.put("last-updated-ms", now)
+    val (schemaNode, lastCol) = existing
+      .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
+        m.lastColumnId))
+      .getOrElse(sparkToIceberg(df.schema))
+    j.put("last-column-id", lastCol)
+    j.put("current-schema-id", 0)
+    j.putArray("schemas").add(schemaNode)
+    val specs = j.putArray("partition-specs")
+    val spec0 = mapper.createObjectNode()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    specs.add(spec0)
+    j.put("default-spec-id", 0)
+    j.put("last-partition-id", 999)
+    j.putArray("sort-orders").add {
+      val so = mapper.createObjectNode()
+      so.put("order-id", 0); so.putArray("fields"); so
+    }
+    j.put("default-sort-order-id", 0)
+    j.put("current-snapshot-id", snapshotId)
+    val snapArr = j.putArray("snapshots")
+    val keptSnapshots: Seq[SnapshotInfo] =
+      existing.map(_.snapshots).getOrElse(Nil)
+    keptSnapshots.foreach { s =>
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", s.id)
+      sn.put("sequence-number", s.sequenceNumber)
+      sn.put("timestamp-ms", s.timestampMs)
+      sn.put("manifest-list", s.manifestList)
+      sn.putObject("summary").put("operation",
+        if (mode == "append") "append" else "overwrite")
+      snapArr.add(sn)
+    }
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath)
+    sn.putObject("summary").put("operation",
+      if (mode == "append") "append" else "overwrite")
+    snapArr.add(sn)
+    val log = j.putArray("snapshot-log")
+    (keptSnapshots :+ SnapshotInfo(snapshotId, seq, now, listPath)).foreach { s =>
+      val le = mapper.createObjectNode()
+      le.put("snapshot-id", s.id)
+      le.put("timestamp-ms", s.timestampMs)
+      log.add(le)
+    }
+    val mpath = f"$mdir/v$version%05d.metadata.json"
+    require(!FsIO.exists(mpath),
+      s"Iceberg metadata version $version already exists (concurrent writer?)")
+    writeText(mpath, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(j))
+    writeText(s"$mdir/version-hint.text", version.toString)
+  }
+
+  private def parquetRowCount(path: String): Long = {
+    val (fs, p) = FsIO.resolve(path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(fs.getFileStatus(p), fs.getConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def writeAvro(path: String, schema: ASchema,
+      meta: Map[String, String], records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = FsIO.create(path)
+    try {
+      w.create(schema, out) // DataFileWriter closes `out` on close()
+      records.foreach(w.append)
+    } finally w.close()
+  }
+
+  private def writeText(path: String, text: String): Unit = {
+    val out = FsIO.create(path)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def relaxed(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.map(f =>
+      StructField(f.name, relaxed(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(relaxed(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(relaxed(m.keyType), relaxed(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+}

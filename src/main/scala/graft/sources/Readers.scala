@@ -64,8 +64,12 @@ object Readers {
       // naming convention, or on the presence of a transaction log
       case p if p.stripSuffix("/").endsWith(".delta") =>
         DeltaLake.fromDelta(spark, p)
+      case p if p.stripSuffix("/").endsWith(".iceberg") =>
+        Iceberg.fromIceberg(spark, p)
       case p if FsIO.exists(s"${p.stripSuffix("/")}/_delta_log") =>
         DeltaLake.fromDelta(spark, p)
+      case p if FsIO.exists(s"${p.stripSuffix("/")}/metadata/version-hint.text") =>
+        Iceberg.fromIceberg(spark, p)
       case p => throw new IllegalArgumentException(s"unsupported source format: $p")
     }
     convert match {
