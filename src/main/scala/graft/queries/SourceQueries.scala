@@ -440,6 +440,27 @@ object SourceQueries {
       }.reduce(_ union _).orderBy("v")
     }),
 
+    // Delta stats-based file skipping: the table is written in
+    // l_orderkey range shards (disjoint min/max per file), the read
+    // pushes the predicate into fromDelta so non-matching files never
+    // become scan tasks — the oracle sees only that the ANSWER equals
+    // a plain filtered aggregate (skipping must be invisible).
+    "q_delta_skipping" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_skip") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sources.DeltaLake.toDelta(li, table)
+      val hi = 1000L // sf-stable: orderkeys are dense from 1
+      graft.sources.DeltaLake.fromDelta(s, table,
+          where = Some(col("l_orderkey") <= hi))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Iceberg round trip (the other lakehouse table layer — JSON
     // metadata + Avro manifest chain per the public table spec):
     // snapshot read resolves metadata -> manifest list -> manifests
@@ -928,6 +949,12 @@ object SourceQueries {
     "q_zarr_embed" -> embedAggSql,
     "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
+    "q_delta_skipping" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_agg" -> aggSql,
     "q_iceberg_snapshot" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)

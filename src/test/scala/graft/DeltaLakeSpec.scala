@@ -224,6 +224,109 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDelta(spark, t, Some(1L)).count() == 1L)
   }
 
+  test("add actions carry footer stats: numRecords, typed min/max, nullCount") {
+    val t = tmp("st.delta")
+    import spark.implicits._
+    val df = spark.range(0, 50).select(
+      col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") * 0.5).as("d"),
+      concat(lit("k"), lpad(col("id").cast("string"), 3, "0")).as("s"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int")).as("dt"),
+      to_timestamp(lit("2024-01-01 06:00:00")).cast("timestamp_ntz").as("ts"),
+      rpad(lit("x"), 100, "y").as("long_s")) // > 64 chars: bounds omitted
+      .coalesce(1)
+    DeltaLake.toDelta(df, t)
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${0L}%020d.json")),
+      StandardCharsets.UTF_8)
+    val addLine = commit.split("\n").find(_.contains("\"add\"")).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = mapper.readTree(
+      mapper.readTree(addLine).get("add").get("stats").asText())
+    assert(stats.get("numRecords").asLong() == 50L)
+    assert(stats.get("minValues").get("id").asLong() == 0L)
+    assert(stats.get("maxValues").get("id").asLong() == 49L)
+    assert(stats.get("minValues").get("s").asText() == "k000")
+    assert(stats.get("maxValues").get("s").asText() == "k049")
+    assert(stats.get("minValues").get("dt").asText() == "2024-01-01")
+    assert(stats.get("minValues").get("ts").asText().startsWith("2024-01-01T06:00:00"))
+    assert(stats.get("nullCount").get("d").asLong() == 5L)
+    assert(stats.get("nullCount").get("s").asLong() == 0L)
+    // >64-char strings: bounds omitted (truncation would break max)
+    assert(stats.get("minValues").get("long_s") == null)
+  }
+
+  test("stats-based file skipping prunes scan files; answers stay exact") {
+    val t = tmp("skip.delta")
+    import spark.implicits._
+    val df = spark.range(0, 400).select(
+      col("id"), (col("id") % 7).cast("double").as("v"),
+      concat(lit("u"), lpad(col("id").cast("string"), 4, "0")).as("s"))
+      .repartitionByRange(4, col("id")) // 4 files, disjoint id ranges
+    DeltaLake.toDelta(df, t)
+    val all = DeltaLake.fromDelta(spark, t)
+    assert(all.inputFiles.length == 4)
+    // point lookup: one surviving file
+    val one = DeltaLake.fromDelta(spark, t, None, Some(col("id") === 250))
+    assert(one.inputFiles.length == 1)
+    assert(one.collect().map(_.getAs[Long]("id")).toSeq == Seq(250L))
+    // range: two files
+    val range = DeltaLake.fromDelta(spark, t, None,
+      Some(col("id") >= 90 && col("id") < 210)) // spans 3 of 4 range files
+    assert(range.inputFiles.length == 3)
+    assert(range.count() == 120)
+    // string prefix bound
+    val pre = DeltaLake.fromDelta(spark, t, None, Some(col("s").startsWith("u039")))
+    assert(pre.inputFiles.length == 1 && pre.count() == 10)
+    // unsupported predicate shape: conservative (all files), still exact
+    val weird = DeltaLake.fromDelta(spark, t, None,
+      Some(length(col("s")) === lit(5) && col("id") < 100))
+    assert(weird.inputFiles.length == 1) // the And's supported leg prunes
+    assert(weird.count() == 100)
+    // parity with post-filter on a column with no usable stats
+    val v = DeltaLake.fromDelta(spark, t, None, Some(col("v") === 3.0))
+    assert(v.count() == all.filter(col("v") === 3.0).count())
+  }
+
+  test("mightMatch bounds logic on synthetic stats") {
+    val schema = new StructType().add("x", LongType).add("s", StringType)
+      .add("day", DateType)
+    val stats =
+      """{"numRecords":10,"minValues":{"x":100,"s":"mango","day":"2024-03-10"},
+        |"maxValues":{"x":200,"s":"peach","day":"2024-03-20"},
+        |"nullCount":{"x":0,"s":10}}""".stripMargin.replace("\n", "")
+    def m(c: org.apache.spark.sql.Column, pv: Map[String, String] = Map.empty,
+        parts: Seq[String] = Nil) =
+      graft.sources.DeltaStats.mightMatch(
+        graft.sources.DeltaLake.resolvePredicate(spark, schema, c),
+        schema, parts, pv, stats)
+    assert(m(col("x") === 150) && !m(col("x") === 99) && !m(col("x") === 201))
+    assert(m(col("x") > 199) && !m(col("x") > 200) && m(col("x") >= 200))
+    assert(m(col("x") < 101) && !m(col("x") < 100) && m(col("x") <= 100))
+    assert(m(lit(150) > col("x")) && !m(lit(100) > col("x"))) // reversed operands
+    assert(m(col("x").isin(1, 2, 150)) && !m(col("x").isin(1, 2, 99)))
+    assert(!m(col("x").isNull) && m(col("x").isNotNull))
+    assert(m(col("s").isNull) && !m(col("s").isNotNull)) // all-null column
+    assert(!m(col("s") === "nnn")) // allNull kills comparisons too
+    assert(m(col("day") === "2024-03-15") && !m(col("day") === "2024-03-01"))
+    assert(m(col("day") === java.sql.Date.valueOf("2024-03-10")))
+    // Or keeps the file when either leg might; And prunes on one leg
+    assert(m(col("x") === 99 || col("x") === 150))
+    assert(!m(col("x") === 99 && col("x") === 150))
+    // unsupported -> conservative
+    assert(m(abs(col("x")) === 5))
+    assert(m(col("x") === Double.NaN))
+    // partition values: exact bounds; null partition value
+    val parts = Seq("p")
+    val pSchema = schema.add("p", StringType)
+    def mp(c: org.apache.spark.sql.Column, v: String) =
+      graft.sources.DeltaStats.mightMatch(
+        graft.sources.DeltaLake.resolvePredicate(spark, pSchema, c),
+        pSchema, parts, Map("p" -> v), stats)
+    assert(mp(col("p") === "A", "A") && !mp(col("p") === "B", "A"))
+    assert(!mp(col("p").isNotNull, null) && mp(col("p").isNull, null))
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._
