@@ -104,7 +104,6 @@ private[graft] object DeltaStats {
           }
         }
         if (!noNulls(c)) nulls.get(c).foreach(n => ncN.put(c, n))
-        else if (nulls.contains(c) || noNulls(c)) () // omitted
       }
       mapper.writeValueAsString(j)
     } finally reader.close()
@@ -145,10 +144,12 @@ private[graft] object DeltaStats {
       }
       case PrimitiveTypeName.FLOAT =>
         val f = v.asInstanceOf[java.lang.Float].floatValue()
-        if (f.isNaN) None else Some(new java.math.BigDecimal(f.toString))
+        if (f.isNaN || f.isInfinite) None
+        else Some(new java.math.BigDecimal(f.toString))
       case PrimitiveTypeName.DOUBLE =>
         val d = v.asInstanceOf[java.lang.Double].doubleValue()
-        if (d.isNaN) None else Some(new java.math.BigDecimal(d.toString))
+        if (d.isNaN || d.isInfinite) None
+        else Some(new java.math.BigDecimal(d.toString))
       case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
         val bin = v.asInstanceOf[org.apache.parquet.io.api.Binary]
         lta match {
@@ -184,9 +185,28 @@ private[graft] object DeltaStats {
     case other => throw new IllegalStateException(s"unexpected bound $other")
   }
 
+  /** Unsigned UTF-8 byte order — the ordering parquet footer string
+    * stats are computed in. Java String.compareTo (UTF-16 units)
+    * DISAGREES for supplementary-plane chars (surrogates 0xD800+
+    * sort below 0xE000+ in UTF-16 but encode to F0-prefixed UTF-8
+    * above any BMP bytes), and comparing bounds in the wrong order
+    * can skip a file whose rows match. */
+  private[graft] def cmpUtf8(x: String, y: String): Int = {
+    val a = x.getBytes(StandardCharsets.UTF_8)
+    val b = y.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => cmpUtf8(x, y)
     case (Days(x), Days(y)) => java.lang.Long.compare(x, y)
     case (Micros(x), Micros(y)) => java.lang.Long.compare(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
@@ -213,7 +233,8 @@ private[graft] object DeltaStats {
     * doc. `schema` is the full table schema, `partCols` the partition
     * columns (their "bounds" are the exact log value). */
   def mightMatch(pred: Expression, schema: StructType, partCols: Seq[String],
-      partitionValues: Map[String, String], statsJson: String): Boolean = {
+      partitionValues: Map[String, String], statsJson: String,
+      sessionTz: String = "UTC"): Boolean = {
     lazy val stats: JsonNode =
       if (statsJson == null || statsJson.isEmpty) null
       else try mapper.readTree(statsJson) catch { case _: Exception => null }
@@ -223,7 +244,8 @@ private[graft] object DeltaStats {
            DoubleType | _: DecimalType => Some("num")
       case StringType => Some("str")
       case DateType => Some("date")
-      case TimestampType | TimestampNTZType => Some("ts")
+      case TimestampType => Some("ts")   // zone-adjusted (epoch micros)
+      case TimestampNTZType => Some("tsn") // wall-clock micros
       case BooleanType => Some("bool")
       case _ => None
     }
@@ -234,9 +256,10 @@ private[graft] object DeltaStats {
         case "num" => Some(new java.math.BigDecimal(node.asText()))
         case "str" => Some(node.asText())
         case "date" => Some(Days(java.time.LocalDate.parse(node.asText()).toEpochDay))
-        case "ts" => Some(Micros(java.time.LocalDateTime
-          .parse(node.asText(), TsFmt).toInstant(java.time.ZoneOffset.UTC)
-          .let(i => i.getEpochSecond * 1000000L + i.getNano / 1000)))
+        case "ts" | "tsn" => // both flavors round-trip as micros
+          Some(Micros(java.time.LocalDateTime
+            .parse(node.asText(), TsFmt).toInstant(java.time.ZoneOffset.UTC)
+            .let(i => i.getEpochSecond * 1000000L + i.getNano / 1000)))
         case "bool" => Some(node.asBoolean())
       } catch { case _: Exception => None }
 
@@ -246,14 +269,18 @@ private[graft] object DeltaStats {
         case "num" => Some(new java.math.BigDecimal(v))
         case "str" => Some(v)
         case "date" => Some(Days(java.time.LocalDate.parse(v).toEpochDay))
-        case "ts" => // partition serialization: yyyy-MM-dd HH:mm:ss[.SSSSSS]
+        case "ts" | "tsn" => // partition form: yyyy-MM-dd HH:mm:ss[.SSSSSS]
           val norm = if (v.contains('.')) v else v + ".000000"
-          Some(Micros(java.time.LocalDateTime
-            .parse(norm.replace(' ', 'T'),
-              java.time.format.DateTimeFormatter
-                .ofPattern("yyyy-MM-dd'T'HH:mm:ss.[SSSSSS][SSS]"))
-            .let(t => t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-              t.getNano / 1000)))
+          val wall = java.time.LocalDateTime.parse(norm.replace(' ', 'T'),
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.[SSSSSS][SSS]"))
+          // TIMESTAMP (zone-adjusted) partition strings are wall time
+          // in the SESSION zone — the same reading the injected
+          // lit(v).cast(timestamp) applies; NTZ is zone-free
+          val zone = if (kind == "ts") java.time.ZoneId.of(sessionTz)
+                     else java.time.ZoneOffset.UTC
+          val inst = wall.atZone(zone).toInstant
+          Some(Micros(inst.getEpochSecond * 1000000L + inst.getNano / 1000))
         case "bool" => Some(v.toBoolean)
       } catch { case _: Exception => None }
 
@@ -320,8 +347,8 @@ private[graft] object DeltaStats {
       if (value == null) None
       else try (kind, dt) match {
         case ("num", _: NumericType) => value match {
-          case d: Double if d.isNaN => None
-          case f: Float if f.isNaN => None
+          case d: Double if d.isNaN || d.isInfinite => None
+          case f: Float if f.isNaN || f.isInfinite => None
           case d: Decimal => Some(d.toJavaBigDecimal)
           case v => Some(new java.math.BigDecimal(v.toString))
         }
@@ -329,7 +356,7 @@ private[graft] object DeltaStats {
         case ("date", DateType) => Some(Days(value.asInstanceOf[Int].toLong))
         case ("date", StringType) =>
           Some(Days(java.time.LocalDate.parse(value.toString).toEpochDay))
-        case ("ts", TimestampType | TimestampNTZType) =>
+        case ("ts" | "tsn", TimestampType | TimestampNTZType) =>
           Some(Micros(value.asInstanceOf[Long]))
         case ("bool", BooleanType) => Some(value)
         case _ => None

@@ -133,6 +133,20 @@ private[graft] object FsIO {
     val (fs, p) = resolve(dir); fs.mkdirs(p)
   }
 
+  /** Canonical string form of a path: qualified through its
+    * FileSystem (relative paths absolutize, hdfs: gains its
+    * authority), then rendered exactly as the listing helpers render
+    * paths (file:/schemeless collapse to the bare local path). The
+    * log-structured writers normalize their table roots through this
+    * so string-prefix arithmetic against listFilesRecursive output is
+    * sound for file:/, relative and remote-scheme inputs alike. */
+  def normalize(path: String): String = {
+    val (fs, p) = resolve(path)
+    val q = fs.makeQualified(p)
+    val u = q.toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath else q.toString
+  }
+
   /** Recursive delete, no-op when absent (staging-dir hygiene for the
     * log-structured writers). */
   def deleteRecursive(path: String): Unit = {

@@ -63,7 +63,7 @@ object Iceberg {
   /** Open an Iceberg table — current snapshot, or `snapshotId`. */
   def fromIceberg(spark: SparkSession, dir0: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    val dir = dir0.stripSuffix("/")
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
     val meta = loadMetadata(dir)
     val snap = snapshotId match {
       case Some(id) => meta.snapshots.find(_.id == id).getOrElse(
@@ -93,7 +93,7 @@ object Iceberg {
 
   /** Snapshot history (driver-side metadata). */
   def snapshots(spark: SparkSession, dir0: String): DataFrame = {
-    val meta = loadMetadata(dir0.stripSuffix("/"))
+    val meta = loadMetadata(FsIO.normalize(dir0.stripSuffix("/")))
     val rows = meta.snapshots.sortBy(_.id).map(s =>
       Row(s.id, s.sequenceNumber, s.timestampMs, s.id == meta.currentSnapshotId))
     spark.createDataFrame(
@@ -368,7 +368,9 @@ object Iceberg {
     * fast-appends a new manifest and re-lists the prior snapshot's
     * manifests verbatim; old snapshots stay readable by id. */
   def toIceberg(df: DataFrame, dir0: String, mode: String = "overwrite"): Unit = {
-    val dir = dir0.stripSuffix("/")
+    // normalized: the paths stored in manifests must be absolute, and
+    // staging-prefix arithmetic must match the listing output
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
     require(mode == "overwrite" || mode == "append",
       s"toIceberg: mode must be overwrite|append, got $mode")
     val spark = df.sparkSession
@@ -401,11 +403,17 @@ object Iceberg {
         (dst, len)
     }
     FsIO.deleteRecursive(staging)
-    // record counts from parquet footers (driver metadata reads —
-    // the same per-file stats pass Iceberg's own writers do)
-    val counted = dataFiles.map { case (p, len) =>
-      (p, len, parquetRowCount(p))
-    }
+    // record counts from parquet footers — distributed metadata reads
+    // (one small task per file), mirroring DeltaStats.collect
+    val counted: Seq[(String, Long, Long)] =
+      if (dataFiles.isEmpty) Nil
+      else {
+        val sc = spark.sparkContext
+        val countByPath = sc.parallelize(dataFiles.map(_._1),
+            math.min(dataFiles.size, sc.defaultParallelism))
+          .map(p => (p, parquetRowCount(p))).collect().toMap
+        dataFiles.map { case (p, len) => (p, len, countByPath(p)) }
+      }
 
     // one new manifest for this commit
     val manifestPath = s"$mdir/graft-m-${java.util.UUID.randomUUID()}.avro"
@@ -466,6 +474,14 @@ object Iceberg {
                       else r.get(f.name())
               e.put(f.name(), v match {
                 case u: org.apache.avro.util.Utf8 => u.toString
+                // v1-era manifests lack content/sequence/count fields;
+                // the v2 spec reads those as 0 — fill, don't NPE the
+                // non-nullable int/long schema fields
+                case null => f.schema().getType match {
+                  case ASchema.Type.INT => Integer.valueOf(0)
+                  case ASchema.Type.LONG => java.lang.Long.valueOf(0L)
+                  case _ => null
+                }
                 case o => o
               })
             }
@@ -491,6 +507,9 @@ object Iceberg {
       .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
         m.lastColumnId))
       .getOrElse(sparkToIceberg(df.schema))
+    // v1 metadata carries a bare "schema" node without schema-id; the
+    // v2 form we write back requires one
+    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
     j.put("last-column-id", lastCol)
     j.put("current-schema-id", 0)
     j.putArray("schemas").add(schemaNode)
@@ -506,6 +525,8 @@ object Iceberg {
       so.put("order-id", 0); so.putArray("fields"); so
     }
     j.put("default-sort-order-id", 0)
+    val props = j.putObject("properties")
+    props.put("schema.name-mapping.default", nameMapping(schemaNode))
     j.put("current-snapshot-id", snapshotId)
     val snapArr = j.putArray("snapshots")
     val keptSnapshots: Seq[SnapshotInfo] =
@@ -540,6 +561,38 @@ object Iceberg {
       s"Iceberg metadata version $version already exists (concurrent writer?)")
     writeText(mpath, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(j))
     writeText(s"$mdir/version-hint.text", version.toString)
+  }
+
+  /** Iceberg name-mapping JSON for the schema (table property
+    * `schema.name-mapping.default`): external Iceberg readers resolve
+    * columns by FIELD ID, and plain-Spark parquet files carry none —
+    * the name mapping is the spec-sanctioned bridge that keeps
+    * graft-written tables readable by iceberg-runtime/Trino instead
+    * of projecting every column as NULL. */
+  private def nameMapping(schemaNode: JsonNode): String = {
+    def fields(struct: JsonNode): ArrayNode = {
+      val arr = mapper.createArrayNode()
+      val fs = struct.get("fields")
+      (0 until fs.size()).foreach { i =>
+        val f = fs.get(i)
+        val e = mapper.createObjectNode()
+        e.put("field-id", f.get("id").asInt())
+        e.putArray("names").add(f.get("name").asText())
+        val t = f.get("type")
+        if (t.isObject && t.get("type").asText() == "struct")
+          e.set[JsonNode]("fields", fields(t))
+        if (t.isObject && t.get("type").asText() == "list") {
+          val el = mapper.createObjectNode()
+          el.put("field-id", t.get("element-id").asInt())
+          el.putArray("names").add("element")
+          val sub = mapper.createArrayNode(); sub.add(el)
+          e.set[JsonNode]("fields", sub)
+        }
+        arr.add(e)
+      }
+      arr
+    }
+    mapper.writeValueAsString(fields(schemaNode))
   }
 
   private def parquetRowCount(path: String): Long = {

@@ -327,6 +327,94 @@ class DeltaLakeSpec extends SparkSpec {
     assert(!mp(col("p").isNotNull, null) && mp(col("p").isNull, null))
   }
 
+  test("string bounds compare in UTF-8 byte order, not UTF-16") {
+    // U+FFFF encodes EF BF BF; U+1F600 encodes F0 9F 98 80 — byte
+    // order puts the supplementary char ABOVE, UTF-16 puts its
+    // surrogate (0xD83D) BELOW. Wrong order here silently skips a
+    // file whose rows match.
+    val smiley = new String(Character.toChars(0x1F600))
+    assert(graft.sources.DeltaStats.cmpUtf8("\uFFFF", smiley) < 0)
+    assert("\uFFFF".compareTo(smiley) > 0) // the trap being avoided
+    val schema = new StructType().add("s", StringType)
+    val stats = s"""{"numRecords":2,"minValues":{"s":"a"},
+      |"maxValues":{"s":"$smiley"},"nullCount":{"s":0}}"""
+      .stripMargin.replace("\n", "")
+    val pred = DeltaLake.resolvePredicate(spark, schema, col("s") === "\uFFFF")
+    assert(graft.sources.DeltaStats.mightMatch(pred, schema, Nil, Map.empty, stats))
+  }
+
+  test("infinite doubles: write survives, bounds omitted, skipping conservative") {
+    val t = tmp("inf.delta")
+    import spark.implicits._
+    val df = Seq(1.0, Double.PositiveInfinity, Double.NegativeInfinity, 4.0)
+      .toDF("v").coalesce(1)
+    DeltaLake.toDelta(df, t) // must not throw on Infinity footer stats
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${0L}%020d.json")),
+      StandardCharsets.UTF_8)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = mapper.readTree(mapper.readTree(
+      commit.split("\n").find(_.contains("\"add\"")).get)
+      .get("add").get("stats").asText())
+    assert(stats.get("numRecords").asLong() == 4L)
+    assert(stats.get("minValues").get("v") == null) // inf disqualifies bounds
+    val read = DeltaLake.fromDelta(spark, t, None, Some(col("v") === 4.0))
+    assert(read.inputFiles.length == 1) // conservative: kept, not skipped
+    assert(read.collect().map(_.getDouble(0)).toSeq == Seq(4.0))
+  }
+
+  test("file: scheme and relative table paths normalize (staging promote works)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val t1 = "file://" + tmp("scheme.delta")
+    DeltaLake.toDelta(df, t1)
+    assert(DeltaLake.fromDelta(spark, t1).count() == 2)
+    val rel = "target/tmp_delta_rel.delta" // relative to the CWD
+    FsIO.deleteRecursive(rel)
+    try {
+      DeltaLake.toDelta(df, rel)
+      assert(DeltaLake.fromDelta(spark, rel).count() == 2)
+    } finally FsIO.deleteRecursive(rel)
+  }
+
+  test("checkpoints carry the real protocol (features, writer version)") {
+    val t = tmp("proto.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(Seq(Tuple1(1L)).toDF("id"), t)
+    // upgrade the table's protocol by hand (v3 reader + timestampNtz,
+    // v7 writer + a writer feature)
+    writeLog(t, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["appendOnly"]}}"""))
+    DeltaLake.toDelta(Seq(Tuple1(2L)).toDF("id"), t,
+      mode = "append", checkpointInterval = 2) // v2 -> checkpoint
+    val cp = spark.read.parquet(f"$t/_delta_log/${2L}%020d.checkpoint.parquet")
+    val proto = cp.filter(col("protocol").isNotNull)
+      .select("protocol.*").head
+    assert(proto.getAs[Int]("minReaderVersion") == 3)
+    assert(proto.getAs[Int]("minWriterVersion") == 7)
+    assert(proto.getSeq[String](proto.fieldIndex("readerFeatures")) == Seq("timestampNtz"))
+    assert(proto.getSeq[String](proto.fieldIndex("writerFeatures")) == Seq("appendOnly"))
+    // and the checkpoint-resolved read still gates + answers correctly
+    FsIO.deleteRecursive(f"$t/_delta_log/${0L}%020d.json")
+    FsIO.deleteRecursive(f"$t/_delta_log/${1L}%020d.json")
+    assert(DeltaLake.fromDelta(spark, t).count() == 2)
+  }
+
+  test("timestamp partition skipping honors the session timezone flavor") {
+    val schema = new StructType().add("x", LongType)
+      .add("ts", TimestampType)
+    val pred = DeltaLake.resolvePredicate(spark, schema,
+      col("ts") === to_timestamp(lit("2024-01-01 10:00:00")))
+    def m(tz: String) = graft.sources.DeltaStats.mightMatch(
+      pred, schema, Seq("ts"), Map("ts" -> "2024-01-01 10:00:00"), null, tz)
+    // session is UTC: literal micros == partition wall-time-as-UTC
+    assert(m("UTC"))
+    // under a non-UTC session the partition string means a DIFFERENT
+    // instant; the evaluator must not match the UTC reading
+    assert(!m("America/Los_Angeles"))
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._

@@ -174,6 +174,14 @@ class IcebergSpec extends SparkSpec {
     val got = Iceberg.fromIceberg(spark, root)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 10.5), (2L, 20.5), (3L, 30.5)))
+    // fast-append onto the FOREIGN v1 table: the prior manifest-list
+    // entry lacks every v2 field (content/sequence/counts) — the
+    // re-listing must default-fill, not NPE — and the result reads
+    // through BOTH manifests (v1 ORC + new parquet)
+    Iceberg.toIceberg(Seq((9L, 90.5)).toDF("k", "v"), root, mode = "append")
+    val after = Iceberg.fromIceberg(spark, root)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(1L, 2L, 3L, 9L))
     // (required:true -> non-nullable mapping is pinned by the schema
     // round-trip test; the READ frame relaxes it — Spark file sources
     // force user schemas nullable, asNullable in FileSourceStrategy)
