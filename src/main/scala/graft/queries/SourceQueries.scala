@@ -461,6 +461,28 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta OPTIMIZE: six small appends compacted into z-ordered
+    // files (dataChange=false rewrite) — the oracle proves layout
+    // changes are INVISIBLE to query results; skipping then works on
+    // both clustered columns (spec-pinned file counts).
+    "q_delta_optimize" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_opt") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val D = graft.sources.DeltaLake
+      (0 until 3).foreach { g =>
+        D.toDelta(li.filter(col("l_orderkey") % 3 === g), table,
+          mode = if (g == 0) "overwrite" else "append")
+      }
+      D.compact(s, table, targetFileBytes = 64L << 20,
+        zorderBy = Seq("l_orderkey", "l_partkey"))
+      D.fromDelta(s, table, where = Some(col("l_orderkey") <= 1000))
+        .groupBy((col("l_partkey") % 4).as("g"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .orderBy("g")
+    }),
+
     // Iceberg round trip (the other lakehouse table layer — JSON
     // metadata + Avro manifest chain per the public table spec):
     // snapshot read resolves metadata -> manifest list -> manifests
@@ -953,6 +975,11 @@ object SourceQueries {
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_optimize" ->
+      s"""SELECT l_partkey % 4 AS g, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty
          |FROM lineitem WHERE l_orderkey <= 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_agg" -> aggSql,

@@ -415,6 +415,54 @@ class DeltaLakeSpec extends SparkSpec {
     assert(!m("America/Los_Angeles"))
   }
 
+  test("compact merges small files (dataChange=false); zorder tightens bounds; vacuum reclaims") {
+    val t = tmp("opt.delta")
+    import spark.implicits._
+    // 6 small appends -> 6 files; two predicate columns with
+    // ANTI-correlated layout so plain concatenation can't prune both
+    (0 until 6).foreach { i =>
+      val df = spark.range(i * 100, i * 100 + 100).select(
+        col("id"), (lit(599) - col("id")).as("rid"),
+        (col("id") % 9).cast("double").as("v")).coalesce(1)
+      DeltaLake.toDelta(df, t, mode = if (i == 0) "overwrite" else "append")
+    }
+    assert(DeltaLake.fromDelta(spark, t).inputFiles.length == 6)
+    val v = DeltaLake.compact(spark, t, targetFileBytes = 4L << 10,
+      zorderBy = Seq("id", "rid"))
+    assert(v == 6L)
+    val after = DeltaLake.fromDelta(spark, t)
+    assert(after.inputFiles.length < 6) // ~4KB target merges the tiny files
+    // data invariance
+    assert(after.count() == 600 &&
+      after.agg(sum("id")).head.getLong(0) == (0L until 600L).sum)
+    // the rewrite is dataChange=false on BOTH action kinds
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${6L}%020d.json")),
+      StandardCharsets.UTF_8)
+    assert(commit.contains("\"operation\":\"OPTIMIZE\""))
+    assert(!commit.split("\n").filter(l =>
+      l.contains("\"add\"") || l.contains("\"remove\""))
+      .exists(_.contains("\"dataChange\":true")))
+    // skipping works on BOTH z-order columns over the new stats
+    val total = after.inputFiles.length
+    assert(DeltaLake.fromDelta(spark, t, None, Some(col("id") === 5))
+      .inputFiles.length < total)
+    assert(DeltaLake.fromDelta(spark, t, None, Some(col("rid") === 5))
+      .inputFiles.length < total)
+    // time travel still sees the pre-compaction version...
+    assert(DeltaLake.fromDelta(spark, t, Some(5L)).count() == 600)
+    // ...until vacuum reclaims the 6 old files
+    val dry = DeltaLake.vacuum(spark, t, retainVersions = 1)
+    assert(dry.length == 6)
+    assert(DeltaLake.fromDelta(spark, t).count() == 600) // dry run deleted nothing
+    val gone = DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
+    assert(gone.length == 6)
+    assert(DeltaLake.fromDelta(spark, t).count() == 600) // current unaffected
+    intercept[Exception] { // old version's files are gone now
+      DeltaLake.fromDelta(spark, t, Some(5L)).count()
+    }
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._
