@@ -483,6 +483,44 @@ object SourceQueries {
         .orderBy("g")
     }),
 
+    // Delta MERGE (key upsert): documents become a Delta table, a
+    // source of updates (every 7th doc's n_chars bumped) + inserts
+    // (fresh doc_ids) merges in — only key-matching files rewrite
+    // (spec-pinned); the oracle recomputes the merged state in SQL.
+    "q_delta_upsert" -> ((s, dir) => {
+      val table = cacheDir(dir, "docs_delta_upsert") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val D = graft.sources.DeltaLake
+      D.toDelta(docs.repartitionByRange(4, col("doc_id")), table)
+      val src = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 100000).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), lit("xx").as("lang"),
+            (col("doc_id") % 97).cast("int").as("n_chars")))
+      D.upsert(s, table, src, Seq("doc_id"))
+      D.fromDelta(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Delta DELETE: stats-guided row deletion (only files whose
+    // bounds might match rewrite); oracle = the complement filter.
+    "q_delta_delete" -> ((s, dir) => {
+      val table = cacheDir(dir, "docs_delta_delete") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val D = graft.sources.DeltaLake
+      D.toDelta(docs.repartitionByRange(4, col("doc_id")), table)
+      D.deleteWhere(s, table, col("doc_id") % 10 === 3 || col("n_chars") < 200)
+      D.fromDelta(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    }),
+
     // Iceberg round trip (the other lakehouse table layer — JSON
     // metadata + Avro manifest chain per the public table spec):
     // snapshot read resolves metadata -> manifest list -> manifests
@@ -982,6 +1020,24 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty
          |FROM lineitem WHERE l_orderkey <= 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_upsert" ->
+      """WITH up AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 100000 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |ins AS (
+        |  SELECT doc_id + 10000000 AS doc_id, 'xx' AS lang,
+        |    CAST(doc_id % 97 AS INT) AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (SELECT * FROM up UNION ALL SELECT * FROM ins)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_delete" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id
+        |FROM documents
+        |WHERE NOT (doc_id % 10 = 3 OR n_chars < 200)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_agg" -> aggSql,
     "q_iceberg_snapshot" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)

@@ -124,11 +124,20 @@ object DeltaLake {
     if (kept.isEmpty)
       return finish(spark.createDataFrame(
         new java.util.ArrayList[Row](), schema))
-    // One scan branch per distinct partition tuple: the protocol keeps
-    // partition values out of the data files, so each branch reads its
-    // files with the DATA schema and attaches the partition columns as
-    // typed literals (Catalyst folds filters on them to scan pruning).
-    val groups = kept.groupBy(_.partitionValues).toSeq
+    finish(readAdds(spark, table, schema, partCols, kept))
+  }
+
+  /** Distributed scan over a SET of adds: one branch per distinct
+    * partition tuple — the protocol keeps partition values out of the
+    * data files, so each branch reads its files with the DATA schema
+    * and attaches the partition columns as typed literals (Catalyst
+    * folds filters on them to scan pruning). Shared by fromDelta and
+    * the merge rewrites (which scan file subsets). */
+  private def readAdds(spark: SparkSession, table: String,
+      schema: StructType, partCols: Seq[String],
+      adds: Seq[AddFile]): DataFrame = {
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val groups = adds.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).map { case (k, v) =>
         s"$k=${if (v == null) "\u0000" else v}" }.mkString("/"))
     require(groups.size <= 4096,
@@ -146,7 +155,7 @@ object DeltaLake {
       }
       withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
-    finish(branches.reduce(_ union _))
+    branches.reduce(_ union _)
   }
 
   /** Resolve a user predicate against the TABLE schema through the
@@ -479,21 +488,7 @@ object DeltaLake {
     val now = System.currentTimeMillis()
 
     // Stage distributed, promote by rename, publish in one commit.
-    val staging = s"$table/_staging"
-    FsIO.deleteRecursive(staging)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
-    val promoted = promoteStaged(table, staging, partitionBy)
-    FsIO.deleteRecursive(staging)
-    // per-file stats from the parquet footers (distributed metadata
-    // reads, executor-side) power read-time file skipping; partition
-    // columns are excluded (not in the data files — the log value IS
-    // their exact bound)
-    val statCols = df.schema.filterNot(f => partitionBy.contains(f.name))
-      .map(_.name)
-    val statsByPath = DeltaStats.collect(spark, statCols,
-      promoted.map(a => resolveDataPath(table, a.path)))
-    val adds = promoted.map(a =>
-      a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
+    val adds = stageAdds(spark, table, df, partitionBy)
 
     val removes: Seq[String] =
       if (mode == "overwrite") existing.map(_.adds.map(_.path)).getOrElse(Nil)
@@ -719,6 +714,163 @@ object DeltaLake {
     val candidates = onDisk.filterNot(referenced)
     if (!dryRun) candidates.foreach(FsIO.deleteRecursive)
     candidates.map(_.stripPrefix(table).stripPrefix("/"))
+  }
+
+  /** Stage `df` distributed, promote files by rename, collect
+    * per-file footer stats -> add entries. The shared write tail of
+    * toDelta and the merge rewrites. Stats exclude partition columns
+    * (not in the data files — the log value IS their exact bound). */
+  private def stageAdds(spark: SparkSession, table: String, df: DataFrame,
+      partitionBy: Seq[String]): Seq[AddFile] = {
+    val staging = s"$table/_staging"
+    FsIO.deleteRecursive(staging)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
+    val promoted = promoteStaged(table, staging, partitionBy)
+    FsIO.deleteRecursive(staging)
+    val statCols = df.schema.filterNot(f => partitionBy.contains(f.name))
+      .map(_.name)
+    val statsByPath = DeltaStats.collect(spark, statCols,
+      promoted.map(a => resolveDataPath(table, a.path)))
+    promoted.map(a =>
+      a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
+  }
+
+  /** MERGE (key upsert): source rows REPLACE target rows sharing
+    * `keys`; unmatched source rows INSERT. Copy-on-write at FILE
+    * granularity — an `input_file_name` semi-join probe finds the
+    * files that actually contain matching keys, ONLY those rewrite
+    * (matched rows anti-joined out, source unioned in); every other
+    * file is untouched metadata. That is the 100 TB shape: a 1%
+    * upsert rewrites ~1% of files, not the table. Source keys must
+    * be unique — ambiguous multi-row updates reject loudly. Returns
+    * the committed version. */
+  def upsert(spark: SparkSession, table0: String, source: DataFrame,
+      keys: Seq[String],
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    require(keys.nonEmpty, "upsert: at least one key column")
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    require(relaxed(schema) == relaxed(source.schema),
+      s"upsert: schema mismatch with $table\n  table: ${schema.simpleString}" +
+        s"\n  source: ${source.schema.simpleString}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"upsert: key column $k not in the table schema"))
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyCols = keys.map(col)
+      require(src.select(keyCols: _*).distinct().count() == src.count(),
+        s"upsert: source keys ${keys.mkString(",")} are not unique")
+      // probe: which files hold matching keys
+      val probe = readAdds(spark, table, schema, partCols, snap.adds)
+        .select((keys :+ "__nothing").map {
+          case "__nothing" => input_file_name().as("__file")
+          case k => col(k)
+        }: _*)
+      val affectedUris = probe
+        .join(src.select(keyCols: _*).distinct(), keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)) // bounded by the FILE count
+      val affected = affectedUris.map(normalizeScanUri).toSet
+      val (hit, _) = snap.adds.partition(a =>
+        affected(FsIO.normalize(resolveDataPath(table, a.path))))
+      require(hit.size == affected.size,
+        s"upsert: probe matched ${affected.size} files but resolved ${hit.size}")
+      val rewritten =
+        if (hit.isEmpty) src
+        else readAdds(spark, table, schema, partCols, hit)
+          .join(src.select(keyCols: _*), keys, "left_anti")
+          .unionByName(src)
+      val adds = stageAdds(spark, table, rewritten, partCols)
+      val version = snap.version + 1
+      commitActions(table, version, "MERGE",
+        Map("matchedFiles" -> hit.size.toString),
+        removes = hit.map(_.path), adds = adds, dataChange = true)
+      if (checkpointInterval > 0 && version % checkpointInterval == 0)
+        writeCheckpoint(spark, table, version)
+      version
+    } finally src.unpersist()
+  }
+
+  /** DELETE rows matching `cond`, rewriting ONLY the files whose
+    * stats/partition values might contain matches (the same bounds
+    * evaluation as read-side skipping — provably-clean files are
+    * untouched metadata). No-op (no commit) when no file can match.
+    * Returns the resulting table version. */
+  def deleteWhere(spark: SparkSession, table0: String, cond: Column,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    val pred = resolvePredicate(spark, schema, cond)
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val (hit, _) = snap.adds.partition(a =>
+      DeltaStats.mightMatch(pred, schema, partCols, a.partitionValues,
+        a.stats, tz))
+    if (hit.isEmpty) return snap.version // provably nothing to delete
+    val survivors = readAdds(spark, table, schema, partCols, hit)
+      .filter(!cond)
+    val adds = stageAdds(spark, table, survivors, partCols)
+    val version = snap.version + 1
+    commitActions(table, version, "DELETE",
+      Map("candidateFiles" -> hit.size.toString),
+      removes = hit.map(_.path), adds = adds, dataChange = true)
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, table, version)
+    version
+  }
+
+  /** input_file_name() URI -> the normalized path form add-resolution
+    * uses. */
+  private def normalizeScanUri(u: String): String = {
+    val p = try new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString
+            catch { case _: java.net.URISyntaxException => u }
+    FsIO.normalize(p)
+  }
+
+  /** One merge/maintenance commit: commitInfo + removes + adds. */
+  private def commitActions(table: String, version: Long, operation: String,
+      params: Map[String, String], removes: Seq[String], adds: Seq[AddFile],
+      dataChange: Boolean): Unit = {
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode()
+    val cib = ci.putObject("commitInfo")
+    cib.put("timestamp", now)
+    cib.put("operation", operation)
+    val op = cib.putObject("operationParameters")
+    params.foreach { case (k, v) => op.put(k, v) }
+    cib.put("engineInfo", "graft")
+    lines += mapper.writeValueAsString(ci)
+    removes.foreach { pth =>
+      val rn = mapper.createObjectNode()
+      val r = rn.putObject("remove")
+      r.put("path", pth)
+      r.put("deletionTimestamp", now)
+      r.put("dataChange", dataChange)
+      lines += mapper.writeValueAsString(rn)
+    }
+    adds.foreach { a =>
+      val an = mapper.createObjectNode()
+      val ad = an.putObject("add")
+      ad.put("path", a.path)
+      val pvN = ad.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvN.putNull(k) else pvN.put(k, v)
+      }
+      ad.put("size", a.size)
+      ad.put("modificationTime", a.modificationTime)
+      ad.put("dataChange", dataChange)
+      if (a.stats != null) ad.put("stats", a.stats)
+      lines += mapper.writeValueAsString(an)
+    }
+    commit(table, version, lines.result())
   }
 
   /** Claim version `v` of the log: exists-check + temp-file rename

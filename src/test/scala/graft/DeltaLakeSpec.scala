@@ -463,6 +463,73 @@ class DeltaLakeSpec extends SparkSpec {
     }
   }
 
+  test("upsert rewrites only key-matching files; inserts land; untouched files survive") {
+    val t = tmp("up.delta")
+    import spark.implicits._
+    // 4 range files over id 0..399
+    val base = spark.range(0, 400).select(
+      col("id"), concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(base, t)
+    def paths = {
+      val commit = (0L to DeltaLake.latestVersion(t)).flatMap { v =>
+        val f = java.nio.file.Paths.get(f"$t/_delta_log/$v%020d.json")
+        if (java.nio.file.Files.exists(f))
+          new String(java.nio.file.Files.readAllBytes(f), StandardCharsets.UTF_8)
+            .split("\n").toSeq
+        else Nil
+      }
+      commit
+    }
+    // update 3 rows in ONE file's range + insert 2 new keys
+    val src = Seq((10L, "NEW10"), (11L, "NEW11"), (12L, "NEW12"),
+      (1000L, "INS0"), (1001L, "INS1")).toDF("id", "s")
+    val v = DeltaLake.upsert(spark, t, src, Seq("id"))
+    assert(v == 1L)
+    val after = DeltaLake.fromDelta(spark, t)
+    assert(after.count() == 402)
+    assert(after.filter(col("id") === 11).head.getAs[String]("s") == "NEW11")
+    assert(after.filter(col("id") === 1000).head.getAs[String]("s") == "INS0")
+    assert(after.filter(col("id") === 13).head.getAs[String]("s") == "v13")
+    // only the ONE matched file was removed; the other 3 survive
+    val merge = paths.filter(_.contains("\"MERGE\""))
+    assert(merge.nonEmpty)
+    val removed = paths.drop(0).filter(l =>
+      l.contains("\"remove\"") && l.contains("\"dataChange\":true"))
+    assert(removed.length == 1)
+    // duplicate source keys reject
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.upsert(spark, t,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "s"), Seq("id"))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("deleteWhere rewrites only candidate files; clean predicate is a no-op") {
+    val t = tmp("del.delta")
+    import spark.implicits._
+    val base = spark.range(0, 400).select(
+      col("id"), (col("id") % 5).cast("double").as("v"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(base, t)
+    // provably-impossible predicate: stats say no file can match
+    assert(DeltaLake.deleteWhere(spark, t, col("id") > 100000) == 0L) // no commit
+    assert(DeltaLake.latestVersion(t) == 0L)
+    // delete a range inside one file
+    val v = DeltaLake.deleteWhere(spark, t, col("id") >= 150 && col("id") < 160)
+    assert(v == 1L)
+    val after = DeltaLake.fromDelta(spark, t)
+    assert(after.count() == 390)
+    assert(after.filter(col("id") === 155).count() == 0)
+    assert(after.filter(col("id") === 149).count() == 1)
+    // only the candidate file rewrote
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${1L}%020d.json")),
+      StandardCharsets.UTF_8)
+    assert(commit.contains("\"operation\":\"DELETE\""))
+    assert(commit.split("\n").count(_.contains("\"remove\"")) == 1)
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._
