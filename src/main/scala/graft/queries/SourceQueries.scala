@@ -483,6 +483,26 @@ object SourceQueries {
         .orderBy("g")
     }),
 
+    // Delta incremental tailing: three commits + an OPTIMIZE, then
+    // fromDeltaChanges(0) pulls exactly the rows added by commits 1-2
+    // tagged with their version — the compaction (dataChange=false)
+    // must deliver NOTHING (exactly-once for incremental consumers).
+    "q_delta_changes" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_cdc") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def part(g: Int) = li.filter(col("l_orderkey") % 3 === g)
+      val D = graft.sources.DeltaLake
+      D.toDelta(part(0), table, mode = "overwrite")
+      D.toDelta(part(1), table, mode = "append")
+      D.toDelta(part(2), table, mode = "append")
+      D.compact(s, table) // v3: layout only, no new rows
+      D.fromDeltaChanges(s, table, fromVersion = 0L)
+        .groupBy(col("_commit_version").cast("int").as("v"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .orderBy("v")
+    }),
+
     // Delta MERGE (key upsert): documents become a Delta table, a
     // source of updates (every 7th doc's n_chars bumped) + inserts
     // (fresh doc_ids) merges in — only key-matching files rewrite
@@ -1020,6 +1040,13 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty
          |FROM lineitem WHERE l_orderkey <= 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_changes" ->
+      s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
+         |SELECT 1 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 1
+         |UNION ALL SELECT 2 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 2
+         |ORDER BY v""".stripMargin,
     "q_delta_upsert" ->
       """WITH up AS (
         |  SELECT doc_id, lang,

@@ -127,6 +127,55 @@ object DeltaLake {
     finish(readAdds(spark, table, schema, partCols, kept))
   }
 
+  /** Incremental read: the rows ADDED in versions (fromVersion,
+    * toVersion] — exactly the dataChange=true add files of those
+    * commits, each tagged with its commit version (`_commit_version`
+    * column). This is the exactly-once tailing primitive an
+    * incremental pipeline needs: consumers persist the last version
+    * they processed and pull `(last, latest]` on each trigger; a
+    * compaction (dataChange=false) contributes nothing, so OPTIMIZE
+    * never re-delivers rows. Updates/deletes: a MERGE/DELETE commit
+    * re-ADDS its rewritten survivors (standard Delta CDF-less
+    * semantics — append-only consumers should treat the table as
+    * append-only or read full snapshots). */
+  def fromDeltaChanges(spark: SparkSession, table0: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val latest = latestVersion(table)
+    require(latest >= 0, s"not a Delta table: $table")
+    val to = toVersion.getOrElse(latest)
+    require(fromVersion <= to && to <= latest,
+      s"fromDeltaChanges: bad version range ($fromVersion, $to] of latest $latest")
+    // the newest snapshot <= `to` carries schema + protocol for the range
+    val snap = snapshot(spark, table, Some(to))
+    gate(snap)
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    val out = StructType(schema :+ StructField("_commit_version", LongType, nullable = false))
+    val perVersion = ((fromVersion + 1) to to).flatMap { v =>
+      if (!FsIO.exists(commitPath(table, v)))
+        throw new IllegalArgumentException(
+          s"fromDeltaChanges: commit $v of $table was log-cleaned; " +
+            "restart from a full snapshot")
+      val adds = Seq.newBuilder[AddFile]
+      eachAction(commitPath(table, v)) { n =>
+        if (n.has("add")) {
+          val a = n.get("add")
+          // dataChange=false (compaction) re-adds carry no NEW rows
+          if (!a.hasNonNull("dataChange") || a.get("dataChange").asBoolean())
+            adds += parseAdd(a)
+        }
+      }
+      val vAdds = adds.result()
+      if (vAdds.isEmpty) None
+      else Some(readAdds(spark, table, schema, partCols, vAdds)
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (perVersion.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    else perVersion.reduce(_ union _)
+  }
+
   /** Distributed scan over a SET of adds: one branch per distinct
     * partition tuple — the protocol keeps partition values out of the
     * data files, so each branch reads its files with the DATA schema

@@ -530,6 +530,26 @@ class DeltaLakeSpec extends SparkSpec {
     assert(commit.split("\n").count(_.contains("\"remove\"")) == 1)
   }
 
+  test("fromDeltaChanges tails commits exactly-once; compaction delivers nothing") {
+    val t = tmp("cdc.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)         // v0
+    DeltaLake.toDelta(Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "append") // v1
+    DeltaLake.toDelta(Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "append") // v2
+    DeltaLake.compact(spark, t)                                              // v3: no new rows
+    DeltaLake.toDelta(Seq((4L, "d")).toDF("id", "s").coalesce(1), t, "append") // v4
+    def pull(from: Long, to: Option[Long] = None) =
+      DeltaLake.fromDeltaChanges(spark, t, from, to)
+        .select("id", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pull(-1L, Some(1L)) == Seq((1L, 0L), (2L, 1L)))
+    assert(pull(1L) == Seq((3L, 2L), (4L, 4L))) // v3 OPTIMIZE contributes 0
+    assert(pull(4L) == Seq()) // caught up
+    // two half-open pulls == one big pull (exactly-once composition)
+    assert((pull(-1L, Some(2L)) ++ pull(2L)) == pull(-1L))
+    intercept[IllegalArgumentException] { pull(5L) } // beyond latest
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._
