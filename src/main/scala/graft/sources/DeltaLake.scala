@@ -146,6 +146,10 @@ object DeltaLake {
     val to = toVersion.getOrElse(latest)
     require(fromVersion <= to && to <= latest,
       s"fromDeltaChanges: bad version range ($fromVersion, $to] of latest $latest")
+    require(to - fromVersion <= 256,
+      s"fromDeltaChanges: range of ${to - fromVersion} versions exceeds the " +
+        "256-commit plan cap (one scan branch set per version) — pull in " +
+        "chunks or read a full snapshot")
     // the newest snapshot <= `to` carries schema + protocol for the range
     val snap = snapshot(spark, table, Some(to))
     gate(snap)
@@ -654,83 +658,64 @@ object DeltaLake {
     zorderBy.foreach(c => require(dataSchema.fieldNames.contains(c),
       s"compact: zorderBy column $c is not a data column of $table"))
     val version = snap.version + 1
-    val now = System.currentTimeMillis()
     val staging = s"$table/_staging"
     FsIO.deleteRecursive(staging)
     val groups = snap.adds.groupBy(_.partitionValues).toSeq.zipWithIndex
-    val newAdds = groups.flatMap { case ((pv, files), gi) =>
-      val paths = files.map(f => resolveDataPath(table, f.path))
-      // the group's on-disk partition dir comes from its existing
-      // files (same pv -> same hive dir by construction)
-      val relDir = {
-        val u = new java.net.URI(files.head.path)
-        val rel = u.getPath
-        // foreign absolute add.paths: place rewritten files at root
-        if (u.isAbsolute || rel.startsWith("/")) ""
-        else {
-          val cut = rel.lastIndexOf('/')
-          if (cut < 0) "" else rel.substring(0, cut + 1)
+    // one rewrite job per partition group, submitted CONCURRENTLY
+    // (Spark schedules independent jobs in parallel; a serial loop
+    // would underutilize the cluster on many small groups)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(groups.size, 8).max(1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val newAdds = try {
+      val futures = groups.map { case ((pv, files), gi) => Future {
+        val paths = files.map(f => resolveDataPath(table, f.path))
+        // the group's on-disk partition dir comes from its existing
+        // files (same pv -> same hive dir by construction)
+        val relDir = {
+          val u = new java.net.URI(files.head.path)
+          val rel = u.getPath
+          // foreign absolute add.paths: place rewritten files at root
+          if (u.isAbsolute || rel.startsWith("/")) ""
+          else {
+            val cut = rel.lastIndexOf('/')
+            if (cut < 0) "" else rel.substring(0, cut + 1)
+          }
         }
-      }
-      val nFiles = math.max(1L,
-        (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
-      val df = spark.read.schema(dataSchema).parquet(paths: _*)
-      val shaped =
-        if (zorderBy.isEmpty) df.coalesce(nFiles) // pure compaction: no shuffle
-        else graft.operators.ZOrderLayout.withZOrderKey(df, zorderBy)
-          .repartitionByRange(nFiles, col("__zorder"))
-          .sortWithinPartitions("__zorder")
-          .drop("__zorder")
-      val gdir = s"$staging/g$gi"
-      shaped.write.mode(SaveMode.Overwrite).parquet(gdir)
-      FsIO.listFilesRecursive(gdir).collect {
-        case (p, size, _) if p.endsWith(".parquet") &&
-            !p.substring(p.lastIndexOf('/') + 1).startsWith("_") =>
-          val name = p.substring(p.lastIndexOf('/') + 1)
-          val dst = s"$table/$relDir$name"
-          FsIO.rename(p, dst)
-          val (fs, hp) = FsIO.resolve(dst)
-          AddFile(encodePath(s"$relDir$name"), pv, size,
-            fs.getFileStatus(hp).getModificationTime)
-      }
-    }
+        val nFiles = math.max(1L,
+          (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        val df = spark.read.schema(dataSchema).parquet(paths: _*)
+        val gdir = s"$staging/g$gi"
+        if (zorderBy.isEmpty) // pure compaction: no shuffle
+          df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(gdir)
+        else // ONE clustering recipe, owned by ZOrderLayout
+          graft.operators.ZOrderLayout.writeZOrdered(df, gdir, zorderBy, nFiles)
+        FsIO.listFilesRecursive(gdir).collect {
+          case (pth, size, _) if pth.endsWith(".parquet") &&
+              !pth.substring(pth.lastIndexOf('/') + 1).startsWith("_") =>
+            val name = pth.substring(pth.lastIndexOf('/') + 1)
+            val dst = s"$table/$relDir$name"
+            FsIO.rename(pth, dst)
+            val (fs, hp) = FsIO.resolve(dst)
+            AddFile(encodePath(s"$relDir$name"), pv, size,
+              fs.getFileStatus(hp).getModificationTime)
+        }
+      } }
+      Await.result(Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
     FsIO.deleteRecursive(staging)
     val statsByPath = DeltaStats.collect(spark, dataSchema.map(_.name),
       newAdds.map(a => resolveDataPath(table, a.path)))
-    val lines = Seq.newBuilder[String]
-    val ci = mapper.createObjectNode()
-    val cib = ci.putObject("commitInfo")
-    cib.put("timestamp", now)
-    cib.put("operation", "OPTIMIZE")
-    val op = cib.putObject("operationParameters")
-    op.put("targetFileBytes", targetFileBytes)
-    if (zorderBy.nonEmpty) op.put("zOrderBy", zorderBy.mkString(","))
-    cib.put("engineInfo", "graft")
-    lines += mapper.writeValueAsString(ci)
-    snap.adds.foreach { a =>
-      val rn = mapper.createObjectNode()
-      val r = rn.putObject("remove")
-      r.put("path", a.path)
-      r.put("deletionTimestamp", now)
-      r.put("dataChange", false) // layout-only rewrite
-      lines += mapper.writeValueAsString(rn)
-    }
-    newAdds.foreach { a =>
-      val an = mapper.createObjectNode()
-      val ad = an.putObject("add")
-      ad.put("path", a.path)
-      val pvN = ad.putObject("partitionValues")
-      a.partitionValues.foreach { case (k, v) =>
-        if (v == null) pvN.putNull(k) else pvN.put(k, v)
-      }
-      ad.put("size", a.size)
-      ad.put("modificationTime", a.modificationTime)
-      ad.put("dataChange", false)
-      statsByPath.get(resolveDataPath(table, a.path))
-        .foreach(stj => ad.put("stats", stj))
-      lines += mapper.writeValueAsString(an)
-    }
-    commit(table, version, lines.result())
+    val withStats = newAdds.map(a =>
+      a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
+    commitActions(table, version, "OPTIMIZE",
+      Map("targetFileBytes" -> targetFileBytes.toString) ++
+        (if (zorderBy.nonEmpty) Map("zOrderBy" -> zorderBy.mkString(","))
+         else Map.empty),
+      removes = snap.adds.map(_.path), adds = withStats,
+      dataChange = false) // layout-only rewrite
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, table, version)
     version
@@ -813,17 +798,44 @@ object DeltaLake {
       val keyCols = keys.map(col)
       require(src.select(keyCols: _*).distinct().count() == src.count(),
         s"upsert: source keys ${keys.mkString(",")} are not unique")
-      // probe: which files hold matching keys
-      val probe = readAdds(spark, table, schema, partCols, snap.adds)
-        .select((keys :+ "__nothing").map {
-          case "__nothing" => input_file_name().as("__file")
-          case k => col(k)
-        }: _*)
-      val affectedUris = probe
-        .join(src.select(keyCols: _*).distinct(), keys, "left_semi")
-        .select("__file").distinct()
-        .collect().map(_.getString(0)) // bounded by the FILE count
-      val affected = affectedUris.map(normalizeScanUri).toSet
+      // stats prefilter: a file can hold a matching key only if EVERY
+      // key column's bounds intersect the source's [min,max] — prune
+      // before paying a probe scan task per file (one tiny agg job)
+      val candidates: Seq[AddFile] =
+        if (snap.adds.isEmpty) Nil
+        else {
+          val mm = src.select(keys.flatMap(k =>
+            Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k"))): _*).head()
+          val rangePred = keys.flatMap { k =>
+            val mn = mm.getAs[Any](s"mn_$k")
+            val mx = mm.getAs[Any](s"mx_$k")
+            if (mn == null || mx == null) None // all-null keys match nothing
+            else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+          }.reduceOption(_ && _)
+          rangePred match {
+            case None if keys.exists(k => mm.isNullAt(mm.fieldIndex(s"mn_$k"))) =>
+              Nil // a key column is entirely null in the source
+            case None => snap.adds
+            case Some(rp) =>
+              val pred = resolvePredicate(spark, schema, rp)
+              val tz = spark.conf.get("spark.sql.session.timeZone",
+                java.util.TimeZone.getDefault.getID)
+              snap.adds.filter(a => DeltaStats.mightMatch(pred, schema,
+                partCols, a.partitionValues, a.stats, tz))
+          }
+        }
+      // probe: which candidate files actually hold matching keys
+      val affected: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else readAdds(spark, table, schema, partCols, candidates)
+          .select((keys :+ "__nothing").map {
+            case "__nothing" => input_file_name().as("__file")
+            case k => col(k)
+          }: _*)
+          .join(src.select(keyCols: _*).distinct(), keys, "left_semi")
+          .select("__file").distinct()
+          .collect().map(r => normalizeScanUri(r.getString(0)))
+          .toSet // bounded by the FILE count
       val (hit, _) = snap.adds.partition(a =>
         affected(FsIO.normalize(resolveDataPath(table, a.path))))
       require(hit.size == affected.size,
@@ -863,8 +875,11 @@ object DeltaLake {
       DeltaStats.mightMatch(pred, schema, partCols, a.partitionValues,
         a.stats, tz))
     if (hit.isEmpty) return snap.version // provably nothing to delete
+    // DELETE removes rows where cond is TRUE; NULL-evaluating rows
+    // SURVIVE (NOT(NULL) is NULL and would silently drop them — and
+    // drop them only in rewritten files, a file-dependent fate)
     val survivors = readAdds(spark, table, schema, partCols, hit)
-      .filter(!cond)
+      .filter(!coalesce(cond, lit(false)))
     val adds = stageAdds(spark, table, survivors, partCols)
     val version = snap.version + 1
     commitActions(table, version, "DELETE",

@@ -530,6 +530,27 @@ class DeltaLakeSpec extends SparkSpec {
     assert(commit.split("\n").count(_.contains("\"remove\"")) == 1)
   }
 
+  test("deleteWhere: NULL-evaluating rows SURVIVE; upsert into an emptied table inserts") {
+    val t = tmp("nulldel.delta")
+    import spark.implicits._
+    val df = Seq((1L, java.lang.Double.valueOf(100.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(500.0))).toDF("id", "v").coalesce(1)
+    DeltaLake.toDelta(df, t)
+    DeltaLake.deleteWhere(spark, t, col("v") < 200)
+    // only the TRUE row is deleted; the NULL row is NOT (DELETE
+    // semantics — NOT(NULL) must not silently drop it)
+    val left = DeltaLake.fromDelta(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L))
+    // empty the table, then upsert = pure insert (no empty.reduce)
+    DeltaLake.deleteWhere(spark, t, col("id") >= 0)
+    assert(DeltaLake.fromDelta(spark, t).count() == 0)
+    DeltaLake.upsert(spark, t, Seq((9L, java.lang.Double.valueOf(9.0)))
+      .toDF("id", "v"), Seq("id"))
+    assert(DeltaLake.fromDelta(spark, t).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("fromDeltaChanges tails commits exactly-once; compaction delivers nothing") {
     val t = tmp("cdc.delta")
     import spark.implicits._
