@@ -92,6 +92,44 @@ object GraftExtensions {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))
 
+    // ----- lakehouse table-valued functions: the Delta/Iceberg
+    // sources for SQL-only users (`SELECT ... FROM delta_table(path
+    // [, version])`). The builder returns the source's LOGICAL PLAN —
+    // the outer analyzer resolves it like any subquery, so pushdown/
+    // pruning over the produced scan work unchanged.
+    def regTable(name: String)(
+        builder: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name),
+        (args: Seq[Expression]) => builder(args).queryExecution.logical))
+    def stringArg(args: Seq[Expression], i: Int, fn: String): String =
+      foldableArg(args, i, fn) match {
+        case null => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a non-null string literal")
+        case s => s.toString
+      }
+    def session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+    regTable("delta_table") { args =>
+      nArgs(args, "delta_table", 1, 2)
+      graft.sources.DeltaLake.fromDelta(session,
+        stringArg(args, 0, "delta_table"),
+        if (args.length > 1) Some(longArg(args, 1, "delta_table")) else None)
+    }
+    regTable("delta_changes") { args =>
+      nArgs(args, "delta_changes", 2, 3)
+      graft.sources.DeltaLake.fromDeltaChanges(session,
+        stringArg(args, 0, "delta_changes"),
+        longArg(args, 1, "delta_changes"),
+        if (args.length > 2) Some(longArg(args, 2, "delta_changes")) else None)
+    }
+    regTable("iceberg_table") { args =>
+      nArgs(args, "iceberg_table", 1, 2)
+      graft.sources.Iceberg.fromIceberg(session,
+        stringArg(args, 0, "iceberg_table"),
+        if (args.length > 1) Some(longArg(args, 1, "iceberg_table")) else None)
+    }
+
     reg("token_gram_hashes", classOf[TokenGramHashes]) { args =>
       nArgs(args, "token_gram_hashes", 3)
       TokenGramHashes(args(0), intArg(args, 1, "token_gram_hashes"),

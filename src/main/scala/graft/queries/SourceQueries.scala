@@ -483,6 +483,23 @@ object SourceQueries {
         .orderBy("g")
     }),
 
+    // SQL-only lakehouse access: the delta_table() table-valued
+    // function (GraftExtensions.injectTableFunction) — a pure
+    // spark.sql consumer reads the versioned table with pushdown
+    // working through the TVF plan.
+    "q_delta_sql" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_sql") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      graft.sources.DeltaLake.toDelta(narrowLineitem(s, dir), table)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${Q.sqlR(Q.sqlDsum("l_quantity"))} AS sum_qty,
+           |  ${Q.sqlR(Q.sqlDsum("l_extendedprice"))} AS sum_price,
+           |  COUNT(*) AS n
+           |FROM delta_table('$table')
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // Delta incremental tailing: three commits + an OPTIMIZE, then
     // fromDeltaChanges(0) pulls exactly the rows added by commits 1-2
     // tagged with their version — the compaction (dataChange=false)
@@ -1040,6 +1057,7 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty
          |FROM lineitem WHERE l_orderkey <= 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_sql" -> aggSql,
     "q_delta_changes" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

@@ -146,4 +146,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e3.getMessage.toLowerCase.contains("overflow") ||
       e3.getMessage.contains("integer"), e3.getMessage)
   }
+  test("lakehouse table-valued functions: delta_table / delta_changes / iceberg_table") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    val delta = s"$d/t.delta"
+    graft.sources.DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s"), delta)
+    graft.sources.DeltaLake.toDelta(Seq((2L, "b")).toDF("id", "s"), delta,
+      mode = "append")
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta_table('$delta')")
+      .head.getLong(0) == 2L)
+    // time travel + predicate THROUGH the TVF plan
+    assert(spark.sql(s"SELECT id FROM delta_table('$delta', 0)")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(
+      s"SELECT s FROM delta_table('$delta') WHERE id = 2").head.getString(0) == "b")
+    // incremental tail via SQL
+    assert(spark.sql(
+      s"SELECT id, _commit_version FROM delta_changes('$delta', 0)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    val ice = s"$d/t.iceberg"
+    graft.sources.Iceberg.toIceberg(Seq((7L, 0.5)).toDF("id", "v"), ice)
+    assert(spark.sql(s"SELECT sum(id) FROM iceberg_table('$ice')")
+      .head.getLong(0) == 7L)
+    // non-literal args reject loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta_table(concat('$delta', rand()))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
 }
