@@ -507,6 +507,19 @@ final case class VxFrame(
     graft.sources.Export.toCsvFile(df, path, header, sep)
   def exportJson(path: String): Unit = graft.sources.Export.toJsonFile(df, path)
 
+  /** Write this frame as a Delta table commit (beyond the reference —
+    * `export('x.delta')` is the overwrite shorthand; this form adds
+    * append mode + partitioning). */
+  def exportDelta(path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit =
+    graft.sources.DeltaLake.toDelta(df, path, mode, partitionBy)
+
+  /** MERGE this frame into an existing Delta table by key (rows
+    * sharing `keys` are replaced, new keys insert; only key-matching
+    * files rewrite). Returns the committed version. */
+  def upsertInto(path: String, keys: Seq[String]): Long =
+    graft.sources.DeltaLake.upsert(df.sparkSession, path, df, keys)
+
   // ------------------------------------------------- corpus curation
 
   /** ftfy-style text cleanup of `column` IN PLACE (the q_text_clean

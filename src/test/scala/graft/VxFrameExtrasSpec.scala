@@ -280,4 +280,18 @@ class VxFrameExtrasSpec extends SparkSpec {
     ResultCache.invalidate(spark, cache)
     assert(!new java.io.File(cache).exists())
   }
+  test("facade exportDelta / upsertInto parity with the DeltaLake module") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_vx_delta").toString
+    val t = s"$d/t.delta"
+    VxFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "s")).exportDelta(t)
+    VxFrame(Seq((3L, "c")).toDF("id", "s")).exportDelta(t, mode = "append")
+    val v = VxFrame(Seq((2L, "B2"), (4L, "d")).toDF("id", "s"))
+      .upsertInto(t, Seq("id"))
+    assert(v == 2L)
+    val got = graft.sources.DeltaLake.fromDelta(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
 }
