@@ -590,6 +590,25 @@ object SourceQueries {
       }.reduce(_ union _).orderBy("v")
     }),
 
+    // Iceberg bounds-based file skipping: range-sharded table, the
+    // predicate pushed into fromIceberg prunes manifest entries via
+    // lower/upper_bounds (Appendix D decode) — the oracle only sees
+    // that the answer equals a plain filtered aggregate.
+    "q_iceberg_skipping" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_skip") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sources.Iceberg.toIceberg(li, table)
+      graft.sources.Iceberg.fromIceberg(s, table,
+          where = Some(col("l_orderkey") <= 1000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -1084,6 +1103,12 @@ object SourceQueries {
         |WHERE NOT (doc_id % 10 = 3 OR n_chars < 200)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_agg" -> aggSql,
+    "q_iceberg_skipping" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_snapshot" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

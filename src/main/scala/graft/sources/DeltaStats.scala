@@ -52,8 +52,16 @@ private[graft] object DeltaStats {
       .collect().toMap
   }
 
-  /** One file's stats JSON from its parquet footer. */
-  private[sources] def statsJson(path: String, statCols: Seq[String]): String = {
+  /** Typed per-file footer stats (the bound DOMAIN: BigDecimal /
+    * String / Days / Micros / Boolean). `mins`/`maxs` only carry
+    * columns whose EVERY block had usable stats. Shared by the Delta
+    * stats JSON and the Iceberg bounds serializer. */
+  private[sources] final case class FileColStats(
+      numRecords: Long, mins: Map[String, Any], maxs: Map[String, Any],
+      nullCounts: Map[String, Long])
+
+  private[sources] def footerStats(path: String,
+      statCols: Seq[String]): FileColStats = {
     val (fs, p) = FsIO.resolve(path)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromStatus(fs.getFileStatus(p), fs.getConf)
@@ -90,31 +98,37 @@ private[graft] object DeltaStats {
           }
         }
       }
-      val j = mapper.createObjectNode()
-      j.put("numRecords", numRecords)
-      val mnN = j.putObject("minValues")
-      val mxN = j.putObject("maxValues")
-      val ncN = j.putObject("nullCount")
-      statCols.foreach { c =>
-        if (!noBounds(c)) {
-          (mins.get(c), maxs.get(c)) match {
-            case (Some(mn), Some(mx)) if boundFits(mn) && boundFits(mx) =>
-              putBound(mnN, c, mn); putBound(mxN, c, mx)
-            case _ => ()
-          }
-        }
-        if (!noNulls(c)) nulls.get(c).foreach(n => ncN.put(c, n))
-      }
-      mapper.writeValueAsString(j)
+      FileColStats(numRecords,
+        (mins -- noBounds).toMap, (maxs -- noBounds).toMap,
+        (nulls -- noNulls).toMap)
     } finally reader.close()
+  }
+
+  /** One file's Delta stats JSON from its parquet footer. */
+  private[sources] def statsJson(path: String, statCols: Seq[String]): String = {
+    val st = footerStats(path, statCols)
+    val j = mapper.createObjectNode()
+    j.put("numRecords", st.numRecords)
+    val mnN = j.putObject("minValues")
+    val mxN = j.putObject("maxValues")
+    val ncN = j.putObject("nullCount")
+    statCols.foreach { c =>
+      (st.mins.get(c), st.maxs.get(c)) match {
+        case (Some(mn), Some(mx)) if boundFits(mn) && boundFits(mx) =>
+          putBound(mnN, c, mn); putBound(mxN, c, mx)
+        case _ => ()
+      }
+      st.nullCounts.get(c).foreach(n => ncN.put(c, n))
+    }
+    mapper.writeValueAsString(j)
   }
 
   /** Comparable internal bound from a parquet footer value:
     * BigDecimal (numerics/decimals), String, Long-days (DATE as
     * java.time.LocalDate), Long-micros (timestamps as Micros),
     * Boolean. None = unusable (NaN, INT96, unknown). */
-  private final case class Micros(us: Long)
-  private final case class Days(d: Long)
+  private[graft] final case class Micros(us: Long)
+  private[graft] final case class Days(d: Long)
 
   private def convert(v: AnyRef, t: PrimitiveType, ctx: String): Option[Any] = {
     val lta = t.getLogicalTypeAnnotation
@@ -172,7 +186,7 @@ private[graft] object DeltaStats {
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
-  private def putBound(n: com.fasterxml.jackson.databind.node.ObjectNode,
+  private[sources] def putBound(n: com.fasterxml.jackson.databind.node.ObjectNode,
       name: String, v: Any): Unit = v match {
     case b: java.math.BigDecimal => n.put(name, b)
     case s: String => n.put(name, s)

@@ -54,15 +54,22 @@ object Iceberg {
       schema: StructType, schemaNode: JsonNode, snapshots: Seq[SnapshotInfo],
       currentSnapshotId: Long, lastSequenceNumber: Long, version: Int,
       tableUuid: String)
-  private final case class DataFileInfo(path: String, format: String, records: Long)
+  private final case class DataFileInfo(path: String, format: String,
+      records: Long, statsJson: String)
 
   // ------------------------------------------------------------------
   // Read path
   // ------------------------------------------------------------------
 
-  /** Open an Iceberg table — current snapshot, or `snapshotId`. */
+  /** Open an Iceberg table — current snapshot, or `snapshotId`.
+    * `where`: optional predicate for BOUNDS-BASED FILE SKIPPING —
+    * evaluated driver-side against each manifest entry's
+    * lower/upper_bounds + null_value_counts (via the shared
+    * DeltaStats evaluator), then re-applied as a real filter so the
+    * answer never depends on bounds availability. */
   def fromIceberg(spark: SparkSession, dir0: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val dir = FsIO.normalize(dir0.stripSuffix("/"))
     val meta = loadMetadata(dir)
     val snap = snapshotId match {
@@ -76,9 +83,20 @@ object Iceberg {
           throw new IllegalArgumentException(
             s"current-snapshot-id ${meta.currentSnapshotId} missing from snapshots"))
     }
-    val files = liveFiles(meta, snap)
+    val files0 = liveFiles(meta, snap)
+    val files = where match {
+      case Some(w) =>
+        val pred = DeltaLake.resolvePredicate(spark, meta.schema, w)
+        val tz = spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        files0.filter(f => DeltaStats.mightMatch(pred, meta.schema, Nil,
+          Map.empty, f.statsJson, tz))
+      case None => files0
+    }
+    def finish(df: DataFrame): DataFrame = where.map(df.filter).getOrElse(df)
     if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema)
+      return finish(
+        spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema))
     val byFormat = files.groupBy(_.format)
     val parts = byFormat.toSeq.sortBy(_._1).map {
       case ("PARQUET", fs) =>
@@ -88,7 +106,7 @@ object Iceberg {
       case (other, fs) => throw new IllegalArgumentException(
         s"unsupported Iceberg data file format $other (${fs.head.path})")
     }
-    parts.reduce(_ union _)
+    finish(parts.reduce(_ union _))
   }
 
   /** Snapshot history (driver-side metadata). */
@@ -165,8 +183,19 @@ object Iceberg {
         .getOrElse(java.util.UUID.randomUUID().toString))
   }
 
-  /** Walk manifest list -> manifests -> live data files. */
+  /** Walk manifest list -> manifests -> live data files (with their
+    * bounds rendered as Delta-shaped stats JSON for skipping). */
   private def liveFiles(meta: Metadata, snap: SnapshotInfo): Seq[DataFileInfo] = {
+    val fieldsById: Map[Int, StructField] = {
+      val fs = meta.schemaNode.get("fields")
+      (0 until fs.size()).flatMap { i =>
+        val f = fs.get(i)
+        val name = f.get("name").asText()
+        meta.schema.find(_.name == name)
+          .filter(sf => IcebergBounds.statEligible(sf.dataType))
+          .map(sf => f.get("id").asInt() -> sf)
+      }.toMap
+    }
     val out = Seq.newBuilder[DataFileInfo]
     eachAvro(resolvePath(meta, snap.manifestList)) { e =>
       val content = longField(e, "content").getOrElse(0L)
@@ -186,7 +215,8 @@ object Iceberg {
           out += DataFileInfo(
             resolvePath(meta, df.get("file_path").toString),
             df.get("file_format").toString.toUpperCase,
-            longField(df, "record_count").getOrElse(0L))
+            longField(df, "record_count").getOrElse(0L),
+            IcebergBounds.statsJsonFor(df, fieldsById))
         }
       }
     }
@@ -343,7 +373,19 @@ object Iceberg {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"value_counts","field-id":109,"default":null,"type":["null",
+      |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[
+      |      {"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
+      |  {"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+      |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+      |      {"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+      |  {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+      |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+      |  {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+      |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+      |      {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin.replace("\n", ""))
 
   private val ManifestFileSchema: ASchema = new ASchema.Parser().parse(
@@ -403,25 +445,41 @@ object Iceberg {
         (dst, len)
     }
     FsIO.deleteRecursive(staging)
-    // record counts from parquet footers — distributed metadata reads
-    // (one small task per file), mirroring DeltaStats.collect
-    val counted: Seq[(String, Long, Long)] =
+    // ONE distributed footer pass per file gives record counts AND
+    // typed column bounds (DeltaStats.footerStats — the same stats
+    // machinery as the Delta sink)
+    val statCols = df.schema.filter(f =>
+      IcebergBounds.statEligible(f.dataType)).map(_.name)
+    val counted: Seq[(String, Long, DeltaStats.FileColStats)] =
       if (dataFiles.isEmpty) Nil
       else {
         val sc = spark.sparkContext
-        val countByPath = sc.parallelize(dataFiles.map(_._1),
+        val cols = statCols
+        val statsByPath = sc.parallelize(dataFiles.map(_._1),
             math.min(dataFiles.size, sc.defaultParallelism))
-          .map(p => (p, parquetRowCount(p))).collect().toMap
-        dataFiles.map { case (p, len) => (p, len, countByPath(p)) }
+          .map(p => (p, DeltaStats.footerStats(p, cols))).collect().toMap
+        dataFiles.map { case (p, len) => (p, len, statsByPath(p)) }
       }
 
+    val (schemaNode, lastCol) = existing
+      .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
+        m.lastColumnId))
+      .getOrElse(sparkToIceberg(df.schema))
+    // v1 metadata carries a bare "schema" node without schema-id; the
+    // v2 form we write back requires one
+    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
+    val idsByName: Map[String, Int] = {
+      val fs = schemaNode.get("fields")
+      (0 until fs.size()).map(i =>
+        fs.get(i).get("name").asText() -> fs.get(i).get("id").asInt()).toMap
+    }
     // one new manifest for this commit
     val manifestPath = s"$mdir/graft-m-${java.util.UUID.randomUUID()}.avro"
-    val addedRows = counted.map(_._3).sum
+    val addedRows = counted.map(_._3.numRecords).sum
     writeAvro(manifestPath, ManifestEntrySchema,
       Map("format-version" -> "2", "content" -> "data",
         "partition-spec-id" -> "0"),
-      counted.map { case (p, len, n) =>
+      counted.map { case (p, len, st) =>
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
@@ -434,8 +492,9 @@ object Iceberg {
         d.put("file_format", "PARQUET")
         d.put("partition", new GenericData.Record(
           d.getSchema.getField("partition").schema()))
-        d.put("record_count", n)
+        d.put("record_count", st.numRecords)
         d.put("file_size_in_bytes", len)
+        IcebergBounds.populate(d, st, df.schema, idsByName)
         e.put("data_file", d)
         e
       })
@@ -503,13 +562,6 @@ object Iceberg {
     j.put("location", dir)
     j.put("last-sequence-number", seq)
     j.put("last-updated-ms", now)
-    val (schemaNode, lastCol) = existing
-      .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
-        m.lastColumnId))
-      .getOrElse(sparkToIceberg(df.schema))
-    // v1 metadata carries a bare "schema" node without schema-id; the
-    // v2 form we write back requires one
-    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
     j.put("last-column-id", lastCol)
     j.put("current-schema-id", 0)
     j.putArray("schemas").add(schemaNode)
@@ -593,14 +645,6 @@ object Iceberg {
       arr
     }
     mapper.writeValueAsString(fields(schemaNode))
-  }
-
-  private def parquetRowCount(path: String): Long = {
-    val (fs, p) = FsIO.resolve(path)
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromStatus(fs.getFileStatus(p), fs.getConf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
   }
 
   private def writeAvro(path: String, schema: ASchema,

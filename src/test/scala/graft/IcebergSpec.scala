@@ -244,6 +244,57 @@ class IcebergSpec extends SparkSpec {
     assert(e3.getMessage.contains("version-hint"))
   }
 
+  test("Appendix D single-value serialization round-trips every bound type") {
+    import graft.sources.{DeltaStats, IcebergBounds => B}
+    // spec-pinned byte layouts (little-endian numerics, UTF-8 string,
+    // BE two's-complement decimal unscaled)
+    assert(B.toBytes(new java.math.BigDecimal(100), IntegerType).get.toSeq ==
+      Seq[Byte](100, 0, 0, 0))
+    assert(B.toBytes(new java.math.BigDecimal(1L << 40), LongType).get.toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 1, 0, 0))
+    assert(B.toBytes(new java.math.BigDecimal("1.0"), FloatType).get.toSeq ==
+      Seq[Byte](0, 0, -128, 63)) // IEEE 1.0f = 0x3F800000 LE
+    assert(B.toBytes("abc", StringType).get.toSeq == Seq[Byte](97, 98, 99))
+    assert(B.toBytes(new java.math.BigDecimal("12.34"),
+      DecimalType(9, 2)).get.toSeq == Seq[Byte](4, -46)) // unscaled 1234 BE
+    val types: Seq[(Any, DataType)] = Seq(
+      (new java.math.BigDecimal(-7), IntegerType),
+      (new java.math.BigDecimal(Long.MaxValue), LongType),
+      (new java.math.BigDecimal("3.25"), DoubleType),
+      (new java.math.BigDecimal("-0.5"), FloatType),
+      ("héllo", StringType),
+      (true, BooleanType),
+      (DeltaStats.Days(19723L), DateType),
+      (DeltaStats.Micros(1700000000123456L), TimestampNTZType),
+      (new java.math.BigDecimal("-987.654"), DecimalType(12, 3)))
+    types.foreach { case (v, dt) =>
+      val rt = B.fromBytes(B.toBytes(v, dt).get, dt).get
+      assert(rt == v, s"$dt round trip: $v -> $rt")
+    }
+  }
+
+  test("bounds-based file skipping prunes manifest entries; answers stay exact") {
+    val t = tmp("skip.iceberg")
+    import spark.implicits._
+    val df = spark.range(0, 400).select(
+      col("id"), concat(lit("s"), lpad(col("id").cast("string"), 4, "0")).as("s"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") * 0.5).as("v"))
+      .repartitionByRange(4, col("id"))
+    Iceberg.toIceberg(df, t)
+    val all = Iceberg.fromIceberg(spark, t)
+    assert(all.inputFiles.length == 4)
+    val one = Iceberg.fromIceberg(spark, t, None, Some(col("id") === 250))
+    assert(one.inputFiles.length == 1)
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    val pre = Iceberg.fromIceberg(spark, t, None, Some(col("s") >= "s0350"))
+    assert(pre.inputFiles.length <= 2 && pre.count() == 50)
+    // null-count entries drive IsNull pruning too
+    val nn = Iceberg.fromIceberg(spark, t, None, Some(col("v").isNull && col("id") < 100))
+    assert(nn.inputFiles.length == 1 && nn.count() == 10)
+    // the foreign v1 table has NO bounds: conservative, still exact
+    // (covered by the foreign test reading through fromIceberg)
+  }
+
   test("Export/Readers dispatch .iceberg and the version-hint probe") {
     val t = tmp("d.iceberg")
     import spark.implicits._
