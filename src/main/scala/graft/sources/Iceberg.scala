@@ -124,6 +124,104 @@ object Iceberg {
         StructField("is_current", BooleanType, nullable = false))))
   }
 
+  /** Expire all but the newest `retainLast` snapshots (the VACUUM
+    * analog — Iceberg's expire_snapshots): a new metadata version
+    * lists only the retained snapshots, then the data files,
+    * manifests and manifest lists referenced ONLY by expired
+    * snapshots are deleted. Fast-append sharing is handled by set
+    * subtraction — a manifest re-listed by a retained snapshot
+    * survives. `dryRun` (default) returns the would-delete paths and
+    * touches nothing. Time travel to expired snapshot ids stops
+    * working — that is the operation's contract. */
+  def expireSnapshots(spark: SparkSession, dir0: String,
+      retainLast: Int = 1, dryRun: Boolean = true): Seq[String] = {
+    require(retainLast >= 1, "must retain at least one snapshot")
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    val ordered = meta.snapshots.sortBy(s => (s.sequenceNumber, s.timestampMs, s.id))
+    val retained = ordered.takeRight(retainLast)
+    val expired = ordered.dropRight(retainLast)
+    require(meta.currentSnapshotId < 0 ||
+        retained.exists(_.id == meta.currentSnapshotId),
+      "expireSnapshots: the current snapshot must be retained")
+    if (expired.isEmpty) return Nil
+
+    final case class Refs(lists: Set[String], manifests: Set[String],
+        data: Set[String])
+    def refs(ss: Seq[SnapshotInfo]): Refs = {
+      val lists = Set.newBuilder[String]
+      val manifests = Set.newBuilder[String]
+      val data = Set.newBuilder[String]
+      ss.foreach { s =>
+        val list = FsIO.normalize(resolvePath(meta, s.manifestList))
+        lists += list
+        eachAvro(list) { e =>
+          val m = FsIO.normalize(resolvePath(meta, e.get("manifest_path").toString))
+          manifests += m
+          eachAvro(m) { entry =>
+            // DELETED entries still name on-disk files — collect ALL
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            if (df != null)
+              data += FsIO.normalize(resolvePath(meta, df.get("file_path").toString))
+          }
+        }
+      }
+      Refs(lists.result(), manifests.result(), data.result())
+    }
+    val keep = refs(retained)
+    val drop = refs(expired)
+    val candidates = ((drop.lists -- keep.lists) ++
+      (drop.manifests -- keep.manifests) ++
+      (drop.data -- keep.data)).toSeq.sorted
+    if (!dryRun) {
+      // new metadata version with the retained snapshots only
+      val mdir = s"$dir/metadata"
+      val j = mapper.readTree(readAll(
+        s"$mdir/${currentMetadataFile(dir)}")).asInstanceOf[ObjectNode]
+      val keepIds = retained.map(_.id).toSet
+      def filterArray(name: String, idField: String): Unit = {
+        val arr = j.get(name)
+        if (arr != null && arr.isArray) {
+          val out = mapper.createArrayNode()
+          (0 until arr.size()).foreach { i =>
+            val e = arr.get(i)
+            if (e.hasNonNull(idField) && keepIds(e.get(idField).asLong()))
+              out.add(e)
+          }
+          j.set[JsonNode](name, out)
+        }
+      }
+      filterArray("snapshots", "snapshot-id")
+      filterArray("snapshot-log", "snapshot-id")
+      val version = meta.version + 1
+      val mpath = f"$mdir/v$version%05d.metadata.json"
+      require(!FsIO.exists(mpath),
+        s"Iceberg metadata version $version already exists (concurrent writer?)")
+      writeText(mpath,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(j))
+      writeText(s"$mdir/version-hint.text", version.toString)
+      candidates.foreach(FsIO.deleteRecursive)
+    }
+    candidates.map(_.stripPrefix(dir).stripPrefix("/"))
+  }
+
+  /** Name of the metadata file loadMetadata would pick right now. */
+  private def currentMetadataFile(dir: String): String = {
+    val mdir = s"$dir/metadata"
+    val hint = s"$mdir/version-hint.text"
+    val VRe = """^v(\d+)\.metadata\.json$""".r
+    val NRe = """^(\d+)-[0-9a-fA-F-]+\.metadata\.json$""".r
+    val byVersion = FsIO.listFileNames(mdir).collect {
+      case n @ VRe(v) => (v.toInt, n)
+      case n @ NRe(v) => (v.toInt, n)
+    }
+    if (FsIO.exists(hint)) {
+      val v = readAll(hint).trim.toInt
+      byVersion.find(_._1 == v).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"version-hint $v has no file"))
+    } else byVersion.maxBy(_._1)._2
+  }
+
   /** Latest metadata: `version-hint.text` if present, else the
     * highest-numbered `vN.metadata.json` / `NNNNN-uuid.metadata.json`
     * (the two public naming conventions). */

@@ -295,6 +295,38 @@ class IcebergSpec extends SparkSpec {
     // (covered by the foreign test reading through fromIceberg)
   }
 
+  test("expireSnapshots reclaims only expired-exclusive files; shared manifests survive") {
+    val t = tmp("exp.iceberg")
+    import spark.implicits._
+    Iceberg.toIceberg(Seq((1L, "a")).toDF("id", "s"), t)                  // snap A
+    Iceberg.toIceberg(Seq((2L, "b")).toDF("id", "s"), t, mode = "append") // B (re-lists A's manifest)
+    Iceberg.toIceberg(Seq((9L, "z")).toDF("id", "s"), t, mode = "overwrite") // C
+    Iceberg.toIceberg(Seq((10L, "y")).toDF("id", "s"), t, mode = "append")  // D
+    val snaps = Iceberg.snapshots(spark, t).orderBy("sequence_number")
+      .collect().map(_.getAs[Long]("snapshot_id"))
+    // dry run deletes nothing
+    val dry = Iceberg.expireSnapshots(spark, t, retainLast = 2)
+    assert(dry.nonEmpty)
+    assert(Iceberg.fromIceberg(spark, t, Some(snaps(0))).count() == 1)
+    // expire A,B: their data files (id=1,2) are exclusive; C's file is
+    // shared with retained D's manifest list and must survive
+    val gone = Iceberg.expireSnapshots(spark, t, retainLast = 2, dryRun = false)
+    assert(gone == dry)
+    assert(gone.exists(_.endsWith(".avro")))    // lists/manifests reclaimed
+    assert(gone.exists(_.contains("data/")))    // data files reclaimed
+    val after = Iceberg.snapshots(spark, t).collect().map(_.getAs[Long]("snapshot_id"))
+    assert(after.toSet == Set(snaps(2), snaps(3)))
+    // retained snapshots read fully (C's file survived the sweep)
+    assert(Iceberg.fromIceberg(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(9L, 10L))
+    assert(Iceberg.fromIceberg(spark, t, Some(snaps(2)))
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // expired ids are gone from the log
+    intercept[IllegalArgumentException] {
+      Iceberg.fromIceberg(spark, t, Some(snaps(0)))
+    }
+  }
+
   test("Export/Readers dispatch .iceberg and the version-hint probe") {
     val t = tmp("d.iceberg")
     import spark.implicits._
