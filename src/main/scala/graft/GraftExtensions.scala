@@ -104,9 +104,11 @@ object GraftExtensions {
         (args: Seq[Expression]) => builder(args).queryExecution.logical))
     def stringArg(args: Seq[Expression], i: Int, fn: String): String =
       foldableArg(args, i, fn) match {
-        case null => throw new IllegalArgumentException(
-          s"$fn: argument ${i + 1} must be a non-null string literal")
-        case s => s.toString
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a non-null string literal, got " +
+            (if (other == null) "null" else other.toString))
       }
     def session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))

@@ -53,7 +53,7 @@ object Iceberg {
       dir: String, formatVersion: Int, location: String, lastColumnId: Int,
       schema: StructType, schemaNode: JsonNode, snapshots: Seq[SnapshotInfo],
       currentSnapshotId: Long, lastSequenceNumber: Long, version: Int,
-      tableUuid: String)
+      tableUuid: String, file: String)
   private final case class DataFileInfo(path: String, format: String,
       records: Long, statsJson: String)
 
@@ -83,7 +83,7 @@ object Iceberg {
           throw new IllegalArgumentException(
             s"current-snapshot-id ${meta.currentSnapshotId} missing from snapshots"))
     }
-    val files0 = liveFiles(meta, snap)
+    val files0 = liveFiles(meta, snap, withStats = where.isDefined)
     val files = where match {
       case Some(w) =>
         val pred = DeltaLake.resolvePredicate(spark, meta.schema, w)
@@ -145,9 +145,37 @@ object Iceberg {
         retained.exists(_.id == meta.currentSnapshotId),
       "expireSnapshots: the current snapshot must be retained")
     if (expired.isEmpty) return Nil
+    // branch/tag refs (v2 `refs`) pin snapshots outside the retention
+    // window; expiring a ref target would orphan the ref AND delete
+    // its data — refuse loudly (real expire_snapshots keeps them)
+    val metaJson = mapper.readTree(readAll(s"$dir/metadata/${meta.file}"))
+    Option(metaJson.get("refs")).filter(_.isObject).foreach { r =>
+      val retainedIds = retained.map(_.id).toSet
+      val it = r.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val sid = Option(e.getValue.get("snapshot-id")).map(_.asLong())
+        sid.foreach(id => require(retainedIds.contains(id),
+          s"expireSnapshots: ref '${e.getKey}' pins snapshot $id which " +
+            "would be expired — drop the ref first or retain more snapshots"))
+      }
+    }
 
     final case class Refs(lists: Set[String], manifests: Set[String],
         data: Set[String])
+    // fast-append re-lists prior manifests in every list: memoize the
+    // per-manifest data-file sets or the sweep is O(N^2) avro reads
+    val manifestData = mutable.Map.empty[String, Set[String]]
+    def dataOf(m: String): Set[String] = manifestData.getOrElseUpdate(m, {
+      val b = Set.newBuilder[String]
+      eachAvro(m) { entry =>
+        // DELETED entries still name on-disk files — collect ALL
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        if (df != null)
+          b += FsIO.normalize(resolvePath(meta, df.get("file_path").toString))
+      }
+      b.result()
+    })
     def refs(ss: Seq[SnapshotInfo]): Refs = {
       val lists = Set.newBuilder[String]
       val manifests = Set.newBuilder[String]
@@ -158,12 +186,7 @@ object Iceberg {
         eachAvro(list) { e =>
           val m = FsIO.normalize(resolvePath(meta, e.get("manifest_path").toString))
           manifests += m
-          eachAvro(m) { entry =>
-            // DELETED entries still name on-disk files — collect ALL
-            val df = entry.get("data_file").asInstanceOf[GenericRecord]
-            if (df != null)
-              data += FsIO.normalize(resolvePath(meta, df.get("file_path").toString))
-          }
+          data ++= dataOf(m)
         }
       }
       Refs(lists.result(), manifests.result(), data.result())
@@ -174,10 +197,11 @@ object Iceberg {
       (drop.manifests -- keep.manifests) ++
       (drop.data -- keep.data)).toSeq.sorted
     if (!dryRun) {
-      // new metadata version with the retained snapshots only
+      // new metadata version with the retained snapshots only (the
+      // SAME parsed document the keep/drop sets came from — no
+      // re-read window for a concurrent commit to slip into)
       val mdir = s"$dir/metadata"
-      val j = mapper.readTree(readAll(
-        s"$mdir/${currentMetadataFile(dir)}")).asInstanceOf[ObjectNode]
+      val j = metaJson.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
       val keepIds = retained.map(_.id).toSet
       def filterArray(name: String, idField: String): Unit = {
         val arr = j.get(name)
@@ -205,22 +229,6 @@ object Iceberg {
     candidates.map(_.stripPrefix(dir).stripPrefix("/"))
   }
 
-  /** Name of the metadata file loadMetadata would pick right now. */
-  private def currentMetadataFile(dir: String): String = {
-    val mdir = s"$dir/metadata"
-    val hint = s"$mdir/version-hint.text"
-    val VRe = """^v(\d+)\.metadata\.json$""".r
-    val NRe = """^(\d+)-[0-9a-fA-F-]+\.metadata\.json$""".r
-    val byVersion = FsIO.listFileNames(mdir).collect {
-      case n @ VRe(v) => (v.toInt, n)
-      case n @ NRe(v) => (v.toInt, n)
-    }
-    if (FsIO.exists(hint)) {
-      val v = readAll(hint).trim.toInt
-      byVersion.find(_._1 == v).map(_._2).getOrElse(
-        throw new IllegalArgumentException(s"version-hint $v has no file"))
-    } else byVersion.maxBy(_._1)._2
-  }
 
   /** Latest metadata: `version-hint.text` if present, else the
     * highest-numbered `vN.metadata.json` / `NNNNN-uuid.metadata.json`
@@ -278,13 +286,15 @@ object Iceberg {
       Option(j.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       version,
       Option(j.get("table-uuid")).map(_.asText())
-        .getOrElse(java.util.UUID.randomUUID().toString))
+        .getOrElse(java.util.UUID.randomUUID().toString),
+      file)
   }
 
   /** Walk manifest list -> manifests -> live data files (with their
     * bounds rendered as Delta-shaped stats JSON for skipping). */
-  private def liveFiles(meta: Metadata, snap: SnapshotInfo): Seq[DataFileInfo] = {
-    val fieldsById: Map[Int, StructField] = {
+  private def liveFiles(meta: Metadata, snap: SnapshotInfo,
+      withStats: Boolean = false): Seq[DataFileInfo] = {
+    lazy val fieldsById: Map[Int, StructField] = {
       val fs = meta.schemaNode.get("fields")
       (0 until fs.size()).flatMap { i =>
         val f = fs.get(i)
@@ -314,7 +324,9 @@ object Iceberg {
             resolvePath(meta, df.get("file_path").toString),
             df.get("file_format").toString.toUpperCase,
             longField(df, "record_count").getOrElse(0L),
-            IcebergBounds.statsJsonFor(df, fieldsById))
+            // bounds decoding + JSON rendering only when a predicate
+            // will consume it (plain reads skip the per-file work)
+            if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null)
         }
       }
     }
@@ -478,6 +490,9 @@ object Iceberg {
       |  {"name":"null_value_counts","field-id":110,"default":null,"type":["null",
       |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
       |      {"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+      |  {"name":"nan_value_counts","field-id":137,"default":null,"type":["null",
+      |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k138_v139","fields":[
+      |      {"name":"key","type":"int","field-id":138},{"name":"value","type":"long","field-id":139}]}}]},
       |  {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
       |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
       |      {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},

@@ -129,6 +129,17 @@ private[graft] object IcebergBounds {
     d.put("null_value_counts", kvList("null_value_counts",
       cols.flatMap(f => st.nullCounts.get(f.name)
         .map(n => idsByName(f.name) -> java.lang.Long.valueOf(n)))))
+    // nan_value_counts = 0 is PROVEN for float/double columns whose
+    // bounds survived: parquet-mr's total-order comparator puts NaN
+    // at max, and footerStats drops NaN bounds — surviving bounds
+    // imply a NaN-free file. Readers (ours below, real Iceberg's
+    // planner) need this to trust float/double bounds at all.
+    d.put("nan_value_counts", kvList("nan_value_counts",
+      cols.collect {
+        case f if (f.dataType == FloatType || f.dataType == DoubleType) &&
+            st.mins.contains(f.name) && st.maxs.contains(f.name) =>
+          idsByName(f.name) -> java.lang.Long.valueOf(0L)
+      }))
     def boundsList(field: String, vals: Map[String, Any]) =
       kvList(field, cols.flatMap { f =>
         vals.get(f.name).flatMap(v => toBytes(v, f.dataType))
@@ -190,6 +201,7 @@ private[graft] object IcebergBounds {
     val lower = intMap(df, "lower_bounds")
     val upper = intMap(df, "upper_bounds")
     val nulls = intMap(df, "null_value_counts")
+    val nans = intMap(df, "nan_value_counts")
     val records = df.getSchema.getField("record_count") match {
       case null => None
       case _ => longOf(df.get("record_count"))
@@ -202,7 +214,12 @@ private[graft] object IcebergBounds {
     val mxN = j.putObject("maxValues")
     val ncN = j.putObject("nullCount")
     fieldsById.foreach { case (id, f) =>
-      (lower.get(id).flatMap(bytesOf), upper.get(id).flatMap(bytesOf)) match {
+      // spec bounds EXCLUDE NaN but Spark orders NaN above everything:
+      // float/double bounds are sound only with a proven-zero NaN count
+      val floaty = f.dataType == FloatType || f.dataType == DoubleType
+      val nanSafe = !floaty || nans.get(id).flatMap(longOf).contains(0L)
+      (if (nanSafe) lower.get(id).flatMap(bytesOf) else None,
+       if (nanSafe) upper.get(id).flatMap(bytesOf) else None) match {
         case (Some(lo), Some(hi)) =>
           (fromBytes(lo, f.dataType), fromBytes(hi, f.dataType)) match {
             case (Some(mn), Some(mx)) =>
