@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.GradientDescent
+
+/** Declarative distributed GD vs an independent plain-Scala reference
+  * implementing the same update rule (decimal-exact gradient sums,
+  * 6 dp gradient rounding, power-of-two learning rate) — the kernel-
+  * pinning discipline: the Spark plan must reproduce the reference
+  * trajectory EXACTLY, not approximately. */
+class GradientDescentSpec extends SparkSpec {
+
+  private def referenceFit(rows: Seq[(Double, Double, Double)],
+      iters: Int, lr: Double): Seq[Double] = {
+    var w = Array(0.0, 0.0, 0.0)
+    (1 to iters).foreach { _ =>
+      val grads = (0 to 2).map { j =>
+        // exact-decimal accumulation mirrors Q.dsum
+        var acc = java.math.BigDecimal.ZERO
+        rows.foreach { case (x1, x2, y) =>
+          val resid = w(0) + w(1) * x1 + w(2) * x2 - y
+          val term = if (j == 0) resid else if (j == 1) resid * x1 else resid * x2
+          // Spark's double->decimal cast is toString-based
+          // (BigDecimal.valueOf), not the exact binary expansion
+          acc = acc.add(java.math.BigDecimal.valueOf(term)
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+        }
+        val g = acc.doubleValue() / rows.size
+        BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      w = (0 to 2).map(j => w(j) - lr * grads(j)).toArray
+    }
+    w.toSeq.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("distributed GD reproduces the reference trajectory exactly and converges") {
+    import spark.implicits._
+    // y = 2 + 3*x1 - 1.5*x2 + deterministic noise
+    val rows = (0 until 600).map { i =>
+      val x1 = (i % 37) / 37.0
+      val x2 = (i % 11) / 11.0
+      val noise = ((i * 2654435761L % 1000) / 1000.0 - 0.5) * 0.01
+      (x1, x2, 2.0 + 3.0 * x1 - 1.5 * x2 + noise)
+    }
+    val df = rows.toDF("x1", "x2", "y").repartition(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val got = GradientDescent.linearFit(df, Seq("x1", "x2"), "y",
+        iters = 5, lr = 0.25).head
+      val expect = referenceFit(rows, iters = 5, lr = 0.25)
+      (0 to 2).foreach(j => assert(got.getDouble(j) == expect(j),
+        s"w$j: ${got.getDouble(j)} != ${expect(j)}"))
+      // loss actually decreases across iterations (it IS optimizing)
+      def loss(w: Seq[Double]) = rows.map { case (x1, x2, y) =>
+        val r = w(0) + w(1) * x1 + w(2) * x2 - y; r * r
+      }.sum / rows.size
+      val l0 = loss(Seq(0, 0, 0))
+      val l2 = loss(referenceFit(rows, 2, 0.25))
+      val l5 = loss(expect)
+      assert(l5 < l2 && l2 < l0, s"loss not decreasing: $l0 -> $l2 -> $l5")
+    } finally df.unpersist()
+  }
+
+  test("generated oracle SQL names every iteration exactly once (materialized)") {
+    val sql = GradientDescent.oracleSql("SELECT 1 AS x1, 2 AS y FROM t",
+      Seq("x1"), "y", iters = 3, lr = 0.125)
+    (1 to 3).foreach { i =>
+      assert(sql.contains(s"g$i AS MATERIALIZED"))
+      assert(sql.contains(s"w$i AS MATERIALIZED"))
+    }
+    assert(sql.contains("FROM w3"))
+  }
+}
