@@ -35,7 +35,23 @@ object GradientDescent {
     * of two). Returns a ONE-ROW frame: w0 (intercept), w1..wk in
     * `features` order, each rounded to 6 dp. */
   def linearFit(data: DataFrame, features: Seq[String], label: String,
-      iters: Int, lr: Double): DataFrame = {
+      iters: Int, lr: Double): DataFrame =
+    fit(data, features, label, iters, lr, hinge = false)
+
+  /** Linear CLASSIFIER training via squared-hinge loss (L2-SVM
+    * shape): labels are +-1, the per-row gradient factor is
+    * -2*y*max(0, 1 - y*f) — pure comparisons and arithmetic, so the
+    * trajectory stays cross-engine bit-identical where a logistic
+    * sigmoid could not (libm exp ulp drift compounds per step). This
+    * is the "train the quality classifier ON the cluster" primitive:
+    * the engine's FeatureWeightSum scoring kernel consumes exactly
+    * such linear weights. */
+  def squaredHingeFit(data: DataFrame, features: Seq[String], label: String,
+      iters: Int, lr: Double): DataFrame =
+    fit(data, features, label, iters, lr, hinge = true)
+
+  private def fit(data: DataFrame, features: Seq[String], label: String,
+      iters: Int, lr: Double, hinge: Boolean): DataFrame = {
     require(features.nonEmpty && iters >= 1, "features and iters required")
     val k = features.size
     val spark = data.sparkSession
@@ -51,9 +67,14 @@ object GradientDescent {
       val pred = (1 to k).foldLeft(col("w0")) { (acc, j) =>
         acc + col(s"w$j") * col(features(j - 1))
       }
-      val resid = pred - col(label)
+      // squares: d/dw of (f-y)^2 ~ (f-y)*x_j; squared hinge:
+      // d/dw of max(0,1-y*f)^2 = -2*y*max(0,1-y*f)*x_j
+      val base =
+        if (hinge) lit(-2.0) * col(label) *
+          greatest(lit(0.0), lit(1.0) - col(label) * pred)
+        else pred - col(label)
       val gradAggs = (0 to k).map { j =>
-        val term = if (j == 0) resid else resid * col(features(j - 1))
+        val term = if (j == 0) base else base * col(features(j - 1))
         Q.r(Q.dsumD(term) / count(lit(1)), 6).as(s"g$j")
       }
       val carry = (0 to k).map(j => first(col(s"w$j")).as(s"w$j"))
@@ -70,7 +91,7 @@ object GradientDescent {
     * feature/label columns). One rendering of the arithmetic shared
     * with linearFit via the Q.sql* builders. */
   def oracleSql(fromSql: String, features: Seq[String], label: String,
-      iters: Int, lr: Double): String = {
+      iters: Int, lr: Double, hinge: Boolean = false): String = {
     val k = features.size
     def wRef(i: Int, j: Int): String =
       if (i == 0) "CAST(0.0 AS DOUBLE)" else s"(SELECT w$j FROM w$i)"
@@ -84,9 +105,12 @@ object GradientDescent {
       val pred = (1 to k).foldLeft(wRef(i - 1, 0)) { (acc, j) =>
         s"($acc + ${wRef(i - 1, j)} * ${features(j - 1)})"
       }
-      val resid = s"($pred - $label)"
+      val base =
+        if (hinge)
+          s"(-2.0 * $label * GREATEST(0.0, 1.0 - $label * $pred))"
+        else s"($pred - $label)"
       val grads = (0 to k).map { j =>
-        val term = if (j == 0) resid else s"($resid * ${features(j - 1)})"
+        val term = if (j == 0) base else s"($base * ${features(j - 1)})"
         s"${Q.sqlR(s"${Q.sqlDsum(term)} / COUNT(*)", 6)} AS g$j"
       }
       ctes += s"g$i AS MATERIALIZED (SELECT ${grads.mkString(", ")} FROM d)"

@@ -20,6 +20,8 @@ object ScaleOpsQueries {
   // cache (the tfidf discipline — bench reps must not accumulate)
   private val gdPersisted =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private val gdClsPersisted =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
   private val GD_ITERS = 4
   private val GD_LR = 0.125 // power of two: exact double scaling
 
@@ -40,6 +42,21 @@ object ScaleOpsQueries {
       gdPersisted.getAndSet(Seq(li)).foreach(_.unpersist())
       graft.ml.GradientDescent.linearFit(
         li, Seq("x1", "x2"), "y", iters = GD_ITERS, lr = GD_LR)
+    }),
+
+    // Distributed classifier training (squared-hinge / L2-SVM shape,
+    // transcendental-free so the trajectory stays cross-engine
+    // bit-identical): +-1 labels from lang, 4 GD steps over scaled
+    // document features. Same generated-oracle discipline.
+    "q_gd_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        (col("n_chars").cast("double") / lit(2000.0)).as("x1"),
+        ((col("doc_id") % 7).cast("double") / lit(7.0)).as("x2"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(-1.0)).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gdClsPersisted.getAndSet(Seq(docs)).foreach(_.unpersist())
+      graft.ml.GradientDescent.squaredHingeFit(
+        docs, Seq("x1", "x2"), "y", iters = GD_ITERS, lr = GD_LR)
     }),
 
     // IVF ANN: deterministic train -> shuffle-free assign -> cell-join probe
@@ -345,6 +362,12 @@ object ScaleOpsQueries {
         |  CAST(l_extendedprice AS DOUBLE)/100000.0 AS y FROM lineitem"""
         .stripMargin.replace("\n", " "),
       Seq("x1", "x2"), "y", iters = GD_ITERS, lr = GD_LR),
+    "q_gd_classifier" -> graft.ml.GradientDescent.oracleSql(
+      """SELECT CAST(n_chars AS DOUBLE)/2000.0 AS x1,
+        |  CAST(doc_id % 7 AS DOUBLE)/7.0 AS x2,
+        |  CASE WHEN lang = 'en' THEN 1.0 ELSE -1.0 END AS y
+        |  FROM documents""".stripMargin.replace("\n", " "),
+      Seq("x1", "x2"), "y", iters = GD_ITERS, lr = GD_LR, hinge = true),
     "q_kmeans_cluster" ->
       s"""WITH cents(cid, c0, c1) AS (VALUES $Kmeans2Placeholder),
          |pts AS (SELECT event_id, value % 10.0 AS px,

@@ -11,14 +11,16 @@ import graft.ml.GradientDescent
 class GradientDescentSpec extends SparkSpec {
 
   private def referenceFit(rows: Seq[(Double, Double, Double)],
-      iters: Int, lr: Double): Seq[Double] = {
+      iters: Int, lr: Double, hinge: Boolean = false): Seq[Double] = {
     var w = Array(0.0, 0.0, 0.0)
     (1 to iters).foreach { _ =>
       val grads = (0 to 2).map { j =>
         // exact-decimal accumulation mirrors Q.dsum
         var acc = java.math.BigDecimal.ZERO
         rows.foreach { case (x1, x2, y) =>
-          val resid = w(0) + w(1) * x1 + w(2) * x2 - y
+          val f = w(0) + w(1) * x1 + w(2) * x2
+          val resid = if (hinge) -2.0 * y * math.max(0.0, 1.0 - y * f)
+                      else f - y
           val term = if (j == 0) resid else if (j == 1) resid * x1 else resid * x2
           // Spark's double->decimal cast is toString-based
           // (BigDecimal.valueOf), not the exact binary expansion
@@ -71,4 +73,29 @@ class GradientDescentSpec extends SparkSpec {
     }
     assert(sql.contains("FROM w3"))
   }
+  test("squared-hinge classifier fit matches the reference trajectory exactly") {
+    import spark.implicits._
+    // two clouds around +-(0.7, 0.3), labels +-1
+    val rows = (0 until 400).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      val x1 = sign * 0.7 + ((i % 13) / 13.0 - 0.5) * 0.4
+      val x2 = sign * 0.3 + ((i % 7) / 7.0 - 0.5) * 0.4
+      (x1, x2, sign)
+    }
+    val df = rows.toDF("x1", "x2", "y").repartition(3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val got = GradientDescent.squaredHingeFit(df, Seq("x1", "x2"), "y",
+        iters = 5, lr = 0.25).head
+      val expect = referenceFit(rows, iters = 5, lr = 0.25, hinge = true)
+      (0 to 2).foreach(j => assert(got.getDouble(j) == expect(j),
+        s"w$j: ${got.getDouble(j)} != ${expect(j)}"))
+      // and it separates: the margin-weighted accuracy is high
+      val acc = rows.count { case (x1, x2, y) =>
+        math.signum(expect(0) + expect(1) * x1 + expect(2) * x2) == y
+      }.toDouble / rows.size
+      assert(acc > 0.95, s"accuracy $acc")
+    } finally df.unpersist()
+  }
+
 }
