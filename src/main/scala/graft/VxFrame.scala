@@ -520,6 +520,17 @@ final case class VxFrame(
   def upsertInto(path: String, keys: Seq[String]): Long =
     graft.sources.DeltaLake.upsert(df.sparkSession, path, df, keys)
 
+  /** Distributed GD model fits over this frame (ml.GradientDescent):
+    * linear least squares / squared-hinge classifier, each returning
+    * the 1-row weights frame. Persist the frame first when fitting
+    * with many iterations — it is scanned once per step. */
+  def fitLinear(features: Seq[String], label: String,
+      iters: Int = 10, lr: Double = 0.125): org.apache.spark.sql.DataFrame =
+    graft.ml.GradientDescent.linearFit(df, features, label, iters, lr)
+  def fitClassifier(features: Seq[String], label: String,
+      iters: Int = 10, lr: Double = 0.125): org.apache.spark.sql.DataFrame =
+    graft.ml.GradientDescent.squaredHingeFit(df, features, label, iters, lr)
+
   // ------------------------------------------------- corpus curation
 
   /** ftfy-style text cleanup of `column` IN PLACE (the q_text_clean

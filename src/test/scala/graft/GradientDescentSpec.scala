@@ -98,4 +98,13 @@ class GradientDescentSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("VxFrame facade fits share the module's algebra") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i / 100.0, 2.0 + 3.0 * (i / 100.0)))
+      .toDF("x1", "y")
+    val viaFacade = VxFrame(df).fitLinear(Seq("x1"), "y", iters = 3, lr = 0.25).head
+    val viaModule = GradientDescent.linearFit(df, Seq("x1"), "y", 3, 0.25).head
+    assert(viaFacade == viaModule)
+  }
+
 }
