@@ -53,10 +53,19 @@ object GradientDescent {
   private def fit(data: DataFrame, features: Seq[String], label: String,
       iters: Int, lr: Double, hinge: Boolean): DataFrame = {
     require(features.nonEmpty && iters >= 1, "features and iters required")
+    // zero rows would propagate NULL gradients into all-NULL weights —
+    // fail loudly instead (one cheap limit-1 probe)
+    require(!data.isEmpty, "GradientDescent: empty input frame")
+    // internal weight/gradient columns are namespaced so input frames
+    // that happen to carry w0/g1-style columns cannot collide
+    val reserved = (data.columns.toSet & (0 to features.size)
+      .flatMap(j => Seq(s"__gd_w$j", s"__gd_g$j")).toSet)
+    require(reserved.isEmpty,
+      s"GradientDescent: reserved column names in input: ${reserved.mkString(",")}")
     val k = features.size
     val spark = data.sparkSession
     var w: DataFrame = spark.range(1)
-      .select((0 to k).map(j => lit(0.0).as(s"w$j")): _*)
+      .select((0 to k).map(j => lit(0.0).as(s"__gd_w$j")): _*)
     // each 1-row weights frame is consumed exactly once by the next
     // step's broadcast, so the chain needs NO per-step persisting
     // (unlike BPE's full-corpus generations) — one final action runs
@@ -64,8 +73,8 @@ object GradientDescent {
     // The caller persists `data` (scanned `iters` times).
     (1 to iters).foreach { _ =>
       val joined = data.crossJoin(broadcast(w)) // 1-row scalar anchor
-      val pred = (1 to k).foldLeft(col("w0")) { (acc, j) =>
-        acc + col(s"w$j") * col(features(j - 1))
+      val pred = (1 to k).foldLeft(col("__gd_w0")) { (acc, j) =>
+        acc + col(s"__gd_w$j") * col(features(j - 1))
       }
       // squares: d/dw of (f-y)^2 ~ (f-y)*x_j; squared hinge:
       // d/dw of max(0,1-y*f)^2 = -2*y*max(0,1-y*f)*x_j
@@ -75,15 +84,16 @@ object GradientDescent {
         else pred - col(label)
       val gradAggs = (0 to k).map { j =>
         val term = if (j == 0) base else base * col(features(j - 1))
-        Q.r(Q.dsumD(term) / count(lit(1)), 6).as(s"g$j")
+        Q.r(Q.dsumD(term) / count(lit(1)), 6).as(s"__gd_g$j")
       }
-      val carry = (0 to k).map(j => first(col(s"w$j")).as(s"w$j"))
-      w = joined.agg((carry ++ gradAggs).head,
-        (carry ++ gradAggs).tail: _*)
+      val carry = (0 to k).map(j => first(col(s"__gd_w$j")).as(s"__gd_w$j"))
+      val aggs = carry ++ gradAggs
+      w = joined.agg(aggs.head, aggs.tail: _*)
         .select((0 to k).map(j =>
-          (col(s"w$j") - lit(lr) * col(s"g$j")).as(s"w$j")): _*)
+          (col(s"__gd_w$j") - lit(lr) * col(s"__gd_g$j")).as(s"__gd_w$j")): _*)
     }
-    w.select((0 to k).map(j => round(col(s"w$j"), 6).as(s"w$j")): _*)
+    // public output names: w0 (intercept), w1..wk
+    w.select((0 to k).map(j => round(col(s"__gd_w$j"), 6).as(s"w$j")): _*)
   }
 
   /** The DuckDB mirror: unrolled CTE chain computing the identical

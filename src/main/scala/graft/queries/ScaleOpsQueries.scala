@@ -15,9 +15,10 @@ object ScaleOpsQueries {
   private val QUERY_IDS = Seq(8L, 9L, 10L, 11L, 12L)
   private val TOP_K = 3
 
-  // q_gd_linreg persists its feature frame + final weights across the
-  // K gradient scans; each build rotates out the previous build's
-  // cache (the tfidf discipline — bench reps must not accumulate)
+  // the GD lanes persist their feature frames across the K gradient
+  // scans; each build rotates out the previous build's cache (the
+  // tfidf discipline — bench reps must not accumulate). The 1-row
+  // weights frames need no persisting (see GradientDescent scaladoc).
   private val gdPersisted =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
   private val gdClsPersisted =

@@ -84,9 +84,22 @@ class LakehouseCorruptionSpec extends SparkSpec {
     val t2 = tmp("st.delta")
     DeltaLake.toDelta(Seq((5L, "x")).toDF("id", "s"), t2)
     val c0 = f"$t2/_delta_log/${0L}%020d.json"
-    val doc = new String(readBytes(c0), StandardCharsets.UTF_8)
-    overwrite(c0, doc.replaceAll("\"stats\":\"\\{[^\"]*\\}\"",
-      "\"stats\":\"NOT JSON AT ALL\"").getBytes(StandardCharsets.UTF_8))
+    // rewrite through the JSON layer (the stats string is ESCAPED in
+    // the log line — a byte-level regex silently fails to match)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = new String(readBytes(c0), StandardCharsets.UTF_8)
+      .split("\n").map { line =>
+        if (!line.contains("\"add\"")) line
+        else {
+          val n = mapper.readTree(line)
+          val add = n.get("add").asInstanceOf[
+            com.fasterxml.jackson.databind.node.ObjectNode]
+          assert(add.hasNonNull("stats"), "fixture must carry stats")
+          add.put("stats", "NOT JSON AT ALL")
+          mapper.writeValueAsString(n)
+        }
+      }
+    overwrite(c0, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     val got = DeltaLake.fromDelta(spark, t2, None, Some(col("id") === 5L))
     assert(got.collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
