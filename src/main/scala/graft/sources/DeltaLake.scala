@@ -750,6 +750,38 @@ object DeltaLake {
     candidates.map(_.stripPrefix(table).stripPrefix("/"))
   }
 
+  /** RESTORE: make the table's CURRENT state equal version `toVersion`
+    * again, as a NEW commit (re-add that version's files, remove the
+    * current files not in it) — history is preserved, nothing is
+    * copied or rewritten (metadata-only, like Delta's RESTORE
+    * command). Fails if the target version's files were vacuumed.
+    * Returns the committed version. */
+  def restore(spark: SparkSession, table0: String, toVersion: Long,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val target = snapshot(spark, table, Some(toVersion))
+    val current = snapshot(spark, table, None)
+    gate(current)
+    require(target.meta.schemaString == current.meta.schemaString &&
+        target.meta.partitionColumns == current.meta.partitionColumns,
+      s"restore: schema/partitioning changed since version $toVersion")
+    target.adds.foreach { a =>
+      require(FsIO.exists(resolveDataPath(table, a.path)),
+        s"restore: data file of version $toVersion was vacuumed: ${a.path}")
+    }
+    val currentPaths = current.adds.map(_.path).toSet
+    val targetPaths = target.adds.map(_.path).toSet
+    val readds = target.adds.filterNot(a => currentPaths(a.path))
+    val removes = current.adds.map(_.path).filterNot(targetPaths)
+    val version = current.version + 1
+    commitActions(table, version, "RESTORE",
+      Map("version" -> toVersion.toString),
+      removes = removes, adds = readds, dataChange = true)
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, table, version)
+    version
+  }
+
   /** Stage `df` distributed, promote files by rename, collect
     * per-file footer stats -> add entries. The shared write tail of
     * toDelta and the merge rewrites. Stats exclude partition columns

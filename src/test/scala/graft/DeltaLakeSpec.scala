@@ -571,6 +571,34 @@ class DeltaLakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { pull(5L) } // beyond latest
   }
 
+  test("restore rolls the current state back as a new commit, history intact") {
+    val t = tmp("rst.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)           // v0
+    DeltaLake.toDelta(Seq((3L, "c")).toDF("id", "s"), t, mode = "append")     // v1
+    DeltaLake.toDelta(Seq((9L, "z")).toDF("id", "s"), t, mode = "overwrite")  // v2
+    val v = DeltaLake.restore(spark, t, 1L)                                   // v3 == v1 state
+    assert(v == 3L)
+    def ids(ver: Option[Long]) = DeltaLake.fromDelta(spark, t, ver)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(None) == Seq(1L, 2L, 3L))
+    assert(ids(Some(2L)) == Seq(9L)) // the overwrite is still travelable
+    // metadata-only: the restore commit re-adds v1's files verbatim
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${3L}%020d.json")),
+      StandardCharsets.UTF_8)
+    assert(commit.contains("\"RESTORE\""))
+    // stats ride along on the re-adds (skipping still works)
+    assert(DeltaLake.fromDelta(spark, t, None, Some(col("id") === 3L))
+      .count() == 1)
+    // restoring past vacuumed files is loud
+    DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.restore(spark, t, 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._
