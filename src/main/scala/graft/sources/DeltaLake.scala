@@ -155,6 +155,21 @@ object DeltaLake {
     gate(snap)
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
+    // Schema-drift guard: every add in (from, to] is read with the
+    // schema AT `to` — on a foreign table whose schema evolved inside
+    // the range, older files would surface dropped/renamed columns as
+    // silent NULLs and misread type changes. Reject loudly instead
+    // (toDelta's discipline): drift shows either as the `from`
+    // snapshot's schema differing from `to`'s, or (a change + revert)
+    // as an in-range metaData action differing from `to`'s.
+    if (fromVersion >= 0) {
+      val before = snapshot(spark, table, Some(fromVersion)).meta
+      require(before.schemaString == snap.meta.schemaString &&
+          before.partitionColumns == snap.meta.partitionColumns,
+        s"fromDeltaChanges: table schema/partitioning changed inside " +
+          s"($fromVersion, $to] — incremental adds cannot be read with " +
+          "the newer schema; restart from a full snapshot")
+    }
     val out = StructType(schema :+ StructField("_commit_version", LongType, nullable = false))
     val perVersion = ((fromVersion + 1) to to).flatMap { v =>
       if (!FsIO.exists(commitPath(table, v)))
@@ -168,6 +183,13 @@ object DeltaLake {
           // dataChange=false (compaction) re-adds carry no NEW rows
           if (!a.hasNonNull("dataChange") || a.get("dataChange").asBoolean())
             adds += parseAdd(a)
+        } else if (n.has("metaData")) {
+          val m = n.get("metaData")
+          val ss = if (m.hasNonNull("schemaString"))
+            m.get("schemaString").asText() else null
+          require(ss == null || ss == snap.meta.schemaString,
+            s"fromDeltaChanges: commit $v changed the table schema " +
+              s"inside ($fromVersion, $to]; restart from a full snapshot")
         }
       }
       val vAdds = adds.result()

@@ -205,9 +205,11 @@ private[graft] object DeltaStats {
     * sort below 0xE000+ in UTF-16 but encode to F0-prefixed UTF-8
     * above any BMP bytes), and comparing bounds in the wrong order
     * can skip a file whose rows match. */
-  private[graft] def cmpUtf8(x: String, y: String): Int = {
-    val a = x.getBytes(StandardCharsets.UTF_8)
-    val b = y.getBytes(StandardCharsets.UTF_8)
+  private[graft] def cmpUtf8(x: String, y: String): Int =
+    cmpBytes(x.getBytes(StandardCharsets.UTF_8),
+      y.getBytes(StandardCharsets.UTF_8))
+
+  private[graft] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -446,12 +448,22 @@ private[graft] object DeltaStats {
               val bd = bounds(name, "str")
               // candidates live in [prefix, prefix||MAX): nonempty
               // intersection with [min,max] iff prefix <= max and
-              // min's prefix-length cut <= prefix
-              val prefix = p.toString
+              // min's prefix-length cut <= prefix — BOTH compared in
+              // unsigned UTF-8 byte order (the footer's order) and
+              // the cut taken at UTF-8 BYTE length; UTF-16 compareTo
+              // / take() disagree for supplementary-plane chars and
+              // a wrong skip silently loses rows.
+              val pb = p.toString.getBytes(StandardCharsets.UTF_8)
               !bd.allNull &&
-                bd.max.forall(m => prefix <= m.asInstanceOf[String]) &&
-                bd.min.forall(m => m.asInstanceOf[String]
-                  .take(prefix.length) <= prefix)
+                bd.max.forall(m => cmpBytes(pb,
+                  m.asInstanceOf[String]
+                    .getBytes(StandardCharsets.UTF_8)) <= 0) &&
+                bd.min.forall { m =>
+                  val mb = m.asInstanceOf[String]
+                    .getBytes(StandardCharsets.UTF_8)
+                  cmpBytes(java.util.Arrays.copyOf(
+                    mb, math.min(mb.length, pb.length)), pb) <= 0
+                }
             case _ => true
           }
         }.getOrElse(true)

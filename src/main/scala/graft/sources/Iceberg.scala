@@ -53,7 +53,7 @@ object Iceberg {
       dir: String, formatVersion: Int, location: String, lastColumnId: Int,
       schema: StructType, schemaNode: JsonNode, snapshots: Seq[SnapshotInfo],
       currentSnapshotId: Long, lastSequenceNumber: Long, version: Int,
-      tableUuid: String, file: String)
+      tableUuid: String, file: String, renameDrift: Option[String])
   private final case class DataFileInfo(path: String, format: String,
       records: Long, statsJson: String)
 
@@ -72,6 +72,13 @@ object Iceberg {
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val dir = FsIO.normalize(dir0.stripSuffix("/"))
     val meta = loadMetadata(dir)
+    // data files resolve columns by NAME here; the schema history
+    // proves whether that is equivalent to the spec's by-field-id
+    // resolution — reject loudly when it is not (silent NULLs /
+    // wrong-column reads otherwise).
+    meta.renameDrift.foreach(msg => throw new IllegalArgumentException(
+      s"Iceberg table $dir has schema-evolution the name-based reader " +
+        s"cannot honor ($msg); data files must be resolved by field id"))
     val snap = snapshotId match {
       case Some(id) => meta.snapshots.find(_.id == id).getOrElse(
         throw new IllegalArgumentException(
@@ -278,6 +285,42 @@ object Iceberg {
           s.get("manifest-list").asText())
       }.toSeq
     }.getOrElse(Nil)
+    // Rename-drift detection (driver-side, zero I/O): the spec
+    // resolves data-file columns by FIELD ID, but we read by NAME —
+    // sound only while every schema the table has ever had agrees on
+    // id<->name. The metadata keeps the full schema history, so a
+    // rename (one id, two names: old files carry the old physical
+    // name -> would read as silent NULLs) or a name reuse (one name,
+    // two ids: old files would read the WRONG column) is visible
+    // here. Recorded on Metadata; the data-read path throws,
+    // metadata-only ops (snapshots/expire) still work.
+    val renameDrift: Option[String] =
+      if (!j.hasNonNull("schemas")) None
+      else {
+        val idNames = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[String]]
+        val nameIds = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Int]]
+        def walk(structNode: JsonNode, prefix: String): Unit = {
+          val fs = structNode.get("fields")
+          if (fs != null) (0 until fs.size()).foreach { i =>
+            val f = fs.get(i)
+            val nm = prefix + f.get("name").asText()
+            val id = f.get("id").asInt()
+            idNames.getOrElseUpdate(id, scala.collection.mutable.Set.empty) += nm
+            nameIds.getOrElseUpdate(nm, scala.collection.mutable.Set.empty) += id
+            val t = f.get("type")
+            if (t != null && t.isObject &&
+                t.hasNonNull("type") && t.get("type").asText() == "struct")
+              walk(t, nm + ".")
+          }
+        }
+        val arr = j.get("schemas")
+        (0 until arr.size()).foreach(i => walk(arr.get(i), ""))
+        val renamed = idNames.collectFirst { case (id, ns) if ns.size > 1 =>
+          s"field id $id has carried names ${ns.toSeq.sorted.mkString("/")}" }
+        val reused = nameIds.collectFirst { case (nm, ids) if ids.size > 1 =>
+          s"name '$nm' has identified field ids ${ids.toSeq.sorted.mkString("/")}" }
+        renamed.orElse(reused)
+      }
     Metadata(dir, fv,
       Option(j.get("location")).map(_.asText()).getOrElse(dir),
       Option(j.get("last-column-id")).map(_.asInt()).getOrElse(0),
@@ -287,7 +330,7 @@ object Iceberg {
       version,
       Option(j.get("table-uuid")).map(_.asText())
         .getOrElse(java.util.UUID.randomUUID().toString),
-      file)
+      file, renameDrift)
   }
 
   /** Walk manifest list -> manifests -> live data files (with their

@@ -133,14 +133,36 @@ object ZstdLines {
 
   /** Distributed sharded export: one `part-%05d.jsonl.zst` per
     * non-empty partition (executors stream-compress their own rows —
-    * nothing moves to the driver). Returns the shard count. */
+    * nothing moves to the driver). Returns the shard count.
+    *
+    * Task-commit protocol: each attempt writes a private
+    * `.part-NNNNN.<attempt>.tmp` and promotes it with a rename, so a
+    * retried or speculative attempt can never tear the final shard
+    * (FsIO.create truncates in place — a concurrent direct write
+    * could interleave). Promotion is a whole-file rename: on HDFS
+    * rename-to-existing fails so the FIRST attempt wins and the
+    * loser discards its temp; on a POSIX local fs rename replaces
+    * atomically so the LAST wins — either way the final shard is a
+    * complete single-attempt file, never torn. */
   def toZstJsonlSharded(df: DataFrame, dir: String, level: Int = 3): Int = {
     FsIO.mkdirs(dir)
     FsIO.deleteShards(dir, ".jsonl.zst")
     val written = df.toJSON.rdd.mapPartitionsWithIndex { (pi, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        writeLines(it, f"$dir/part-$pi%05d.jsonl.zst", level)
+        val tc = org.apache.spark.TaskContext.get()
+        val attempt = if (tc == null) 0L else tc.taskAttemptId()
+        val dst = f"$dir/part-$pi%05d.jsonl.zst"
+        val tmp = f"$dir/.part-$pi%05d.$attempt%d.tmp"
+        writeLines(it, tmp, level)
+        try FsIO.rename(tmp, dst)
+        catch {
+          case e: Throwable =>
+            try FsIO.deleteRecursive(tmp)
+            catch { case _: Throwable => () }
+            // a sibling attempt already promoted this shard
+            if (!FsIO.exists(dst)) throw e
+        }
         Iterator.single(1)
       }
     }.count()

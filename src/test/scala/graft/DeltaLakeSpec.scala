@@ -343,6 +343,34 @@ class DeltaLakeSpec extends SparkSpec {
     assert(graft.sources.DeltaStats.mightMatch(pred, schema, Nil, Map.empty, stats))
   }
 
+  test("StartsWith skipping compares in UTF-8 byte order with byte-length cuts") {
+    val smiley = new String(Character.toChars(0x1F600)) // F0 9F 98 80
+    val schema = new StructType().add("s", StringType)
+    def stats(min: String, max: String) =
+      s"""{"numRecords":2,"minValues":{"s":"$min"},
+        |"maxValues":{"s":"$max"},"nullCount":{"s":0}}"""
+        .stripMargin.replace("\n", "")
+    def m(min: String, max: String, prefix: String) =
+      graft.sources.DeltaStats.mightMatch(
+        DeltaLake.resolvePredicate(spark, schema,
+          col("s").startsWith(prefix)),
+        schema, Nil, Map.empty, stats(min, max))
+    // U+FFFF prefix vs an emoji max: prefix <= max in UTF-8 (EF < F0)
+    // but NOT in UTF-16 (FFFF > D83D) \u2014 a UTF-16 compare would skip a
+    // file whose rows (e.g. "\uFFFFx") match, silently losing rows.
+    assert(m("a", smiley + "x", "\uFFFF"))
+    // min-side cut at UTF-8 BYTE length: min = emoji (4 bytes) cut to
+    // the prefix's 3 bytes is F0 9F 98 > EF BF BF -> every row is
+    // above the prefix region -> correct skip. (A UTF-16 take(1)
+    // would compare a lone high surrogate instead.)
+    assert(!m(smiley, smiley + "x", "\uFFFF"))
+    // plain ASCII sanity both ways
+    assert(m("mango", "peach", "pe") && !m("mango", "peach", "z") &&
+      !m("mango", "peach", "a"))
+    // prefix exactly the max: still a candidate
+    assert(m("mango", "peach", "peach"))
+  }
+
   test("infinite doubles: write survives, bounds omitted, skipping conservative") {
     val t = tmp("inf.delta")
     import spark.implicits._
@@ -569,6 +597,45 @@ class DeltaLakeSpec extends SparkSpec {
     // two half-open pulls == one big pull (exactly-once composition)
     assert((pull(-1L, Some(2L)) ++ pull(2L)) == pull(-1L))
     intercept[IllegalArgumentException] { pull(5L) } // beyond latest
+  }
+
+  test("fromDeltaChanges rejects a schema change inside the range") {
+    val t = tmp("cdcdrift.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)           // v0
+    DeltaLake.toDelta(Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "append") // v1
+    // foreign schema evolution: hand-write v2 as a metaData-only
+    // commit whose schemaString renames column s -> t (our own
+    // writer rejects drift, so forge the commit like a DBR would)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${0L}%020d.json")),
+      StandardCharsets.UTF_8)
+    val metaLine = v0.split('\n').find(_.contains("\"metaData\"")).get
+    val node = om.readTree(metaLine)
+    val md = node.get("metaData").asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("schemaString",
+      md.get("schemaString").asText().replace("\"s\"", "\"t\""))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$t/_delta_log/${2L}%020d.json"),
+      (om.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8))
+    // snapshot at latest reads with the renamed schema (full reads OK)
+    assert(DeltaLake.fromDelta(spark, t).columns.toSeq == Seq("id", "t"))
+    // but an incremental pull across the change would read v0/v1 adds
+    // with the NEW schema (silent NULL for the renamed column) — loud
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLake.fromDeltaChanges(spark, t, -1L).collect()
+    }
+    assert(e1.getMessage.contains("schema"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.fromDeltaChanges(spark, t, 0L).collect()
+    }
+    assert(e2.getMessage.contains("schema"))
+    // a range entirely after the change is fine (and empty here)
+    assert(DeltaLake.fromDeltaChanges(spark, t, 2L).count() == 0)
+    // and a range entirely before it is fine too
+    assert(DeltaLake.fromDeltaChanges(spark, t, 0L, Some(1L)).count() == 1)
   }
 
   test("restore rolls the current state back as a new commit, history intact") {

@@ -25,6 +25,12 @@ class IcebergSpec extends SparkSpec {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  private def readAll(path: String): String = {
+    val in = FsIO.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   test("round trip preserves typed values incl. decimal/date/timestamps/arrays") {
     val t = tmp("t.iceberg")
     import spark.implicits._
@@ -242,6 +248,66 @@ class IcebergSpec extends SparkSpec {
       Iceberg.fromIceberg(spark, root)
     }
     assert(e3.getMessage.contains("version-hint"))
+  }
+
+  test("rename drift in the schema history rejects data reads (name != field-id resolution)") {
+    val root = tmp("renamed")
+    import spark.implicits._
+    Iceberg.toIceberg(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    // forge the foreign evolution: a second schema renaming s -> txt
+    // becomes current — old data files still carry the physical name
+    // "s", which a by-name reader would surface as silent NULLs
+    val mdir = s"$root/metadata"
+    val hint = readAll(s"$mdir/version-hint.text").trim.toInt
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = om.readTree(readAll(f"$mdir/v$hint%05d.metadata.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = j.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val s2 = schemas.get(0).deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    s2.put("schema-id", 1)
+    val fields = s2.get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    (0 until fields.size()).foreach { i =>
+      val f = fields.get(i)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (f.get("name").asText() == "s") f.put("name", "txt")
+    }
+    schemas.add(s2)
+    j.put("current-schema-id", 1)
+    writeText(f"$mdir/v$hint%05d.metadata.json", om.writeValueAsString(j))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.fromIceberg(spark, root)
+    }
+    assert(e.getMessage.contains("field id"))
+    // metadata-only surfaces still work on the renamed table
+    assert(Iceberg.snapshots(spark, root).count() == 1)
+    // name REUSE (same name, new field id) is the nastier variant —
+    // old files would silently read the WRONG column
+    val s3 = schemas.get(0).deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    s3.put("schema-id", 2)
+    val f3 = s3.get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    (0 until f3.size()).foreach { i =>
+      val f = f3.get(i)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (f.get("name").asText() == "s") f.put("id", 99)
+    }
+    val j2 = om.readTree(readAll(f"$mdir/v$hint%05d.metadata.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val sch2 = j2.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    sch2.removeAll(); sch2.add(s3)
+    sch2.add(om.readTree(om.writeValueAsString(
+      j.get("schemas").get(0)))) // original back as non-current
+    j2.put("current-schema-id", 0)
+    writeText(f"$mdir/v$hint%05d.metadata.json", om.writeValueAsString(j2))
+    val e2 = intercept[IllegalArgumentException] {
+      Iceberg.fromIceberg(spark, root)
+    }
+    assert(e2.getMessage.contains("field id"))
   }
 
   test("Appendix D single-value serialization round-trips every bound type") {

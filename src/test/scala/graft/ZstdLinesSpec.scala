@@ -40,6 +40,11 @@ class ZstdLinesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("b") == false)
     // read parallelism = one task per shard file
     assert(ZstdLines.lines(spark, s"$dir/part-*.jsonl.zst").rdd.getNumPartitions == 4)
+    // task-commit protocol: every attempt temp was promoted or
+    // discarded — only the final shards remain
+    val leftover = new java.io.File(dir).listFiles()
+      .map(_.getName).filterNot(_.matches("part-\\d{5}\\.jsonl\\.zst")).toSeq
+    assert(leftover.isEmpty, s"uncommitted temp files: $leftover")
   }
 
   test("multi-frame files (concatenated one-shot frames) decode through") {
