@@ -461,6 +461,52 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta column mapping (`name` mode): the table is laid out the
+    // way a foreign writer (DBR post-rename) produces it — PHYSICAL
+    // column names in the data files, partitionValues and stats;
+    // logical names only in the schemaString metadata. The read (with
+    // a stats-skipping predicate, so the physical-namespace bounds
+    // translation is exercised) must make the mapping invisible: the
+    // oracle is a plain filtered aggregate on the original parquet.
+    "q_delta_colmap" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_cm") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sources.DeltaLake.foreignColumnMapped(li, table,
+        Map("l_orderkey" -> "col-0a1b2c3d", "l_quantity" -> "col-4e5f6a7b",
+          "l_returnflag" -> "col-8c9d0e1f"))
+      graft.sources.DeltaLake.fromDelta(s, table,
+          where = Some(col("l_orderkey") <= 1000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Delta deletion vectors: a foreign DELETE masks rows via per-file
+    // roaring bitmaps (remove + re-add with a `deletionVector`
+    // descriptor, protocol v3 + deletionVectors) — the read applies
+    // them as a codegen'd anti-filter on _metadata.row_index inside
+    // the scan, no shuffle/join. The oracle just excludes the same
+    // rows with a WHERE on the original parquet.
+    "q_delta_dv" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_dv") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li, table)
+      D.foreignDeleteRows(s, table, col("l_orderkey") % 7 === 3)
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta OPTIMIZE: six small appends compacted into z-ordered
     // files (dataChange=false rewrite) — the oracle proves layout
     // changes are INVISIBLE to query results; skipping then works on
@@ -1070,6 +1116,18 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_colmap" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey % 7 <> 3
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_optimize" ->
       s"""SELECT l_partkey % 4 AS g, COUNT(*) AS n,

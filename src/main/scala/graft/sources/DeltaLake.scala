@@ -45,20 +45,31 @@ import org.apache.spark.sql.types._
   *    Delta needs a LogStore with put-if-absent for S3 for the same
   *    reason).
   *
-  * Protocol gate (read path): we support `minReaderVersion` 1, and 3
-  * when every `readerFeatures` entry is in the supported set
-  * (`timestampNtz` only — plain schema handling covers it). Reader
-  * version 2 (column mapping) and features like `deletionVectors` or
-  * `v2Checkpoint` change data-file interpretation, so they are
-  * rejected loudly rather than misread; per the protocol those
-  * features REQUIRE the corresponding reader version/feature flags,
-  * so gating on the protocol action alone is sufficient — a v1 table
-  * cannot carry deletion vectors.
+  * Protocol gate (read path): we support `minReaderVersion` 1, 2
+  * (column mapping era — `name` mode reads by per-field physicalName
+  * metadata, `id` mode rejects loudly), and 3 when every
+  * `readerFeatures` entry is in the supported set (`timestampNtz`,
+  * `columnMapping`, `deletionVectors`). Deletion vectors apply as a
+  * codegen'd per-file roaring-bitmap anti-filter over
+  * `_metadata.row_index` inside the scan stage ([[RoaringDv]]) — no
+  * shuffle, no join. Anything else that changes data-file
+  * interpretation (`v2Checkpoint`, type widening, ...) rejects loudly
+  * rather than misreads; per the protocol such features REQUIRE the
+  * corresponding reader version/feature flags, so gating on the
+  * protocol action alone is sufficient.
+  *
+  * Column-mapped and DV-carrying tables are READ-ONLY here: our
+  * writer would have to produce physical-name parquet + DV-preserving
+  * checkpoints to mutate them safely, so every write/maintenance op
+  * gates on [[requireWritable]] instead of corrupting a foreign
+  * table. (Exception: `vacuum` stays available — it only sweeps
+  * unreferenced `.parquet` files, never `.bin` DV files.)
   */
 object DeltaLake {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val SupportedReaderFeatures = Set("timestampNtz")
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "columnMapping", "deletionVectors")
   /** Checkpoint cadence (OSS Delta default: 10 commits). */
   val DefaultCheckpointInterval = 10
 
@@ -67,10 +78,18 @@ object DeltaLake {
   private val MultiPartCheckpointRe = """^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$""".r
 
   private final case class Meta(
-      id: String, schemaString: String, partitionColumns: Seq[String])
+      id: String, schemaString: String, partitionColumns: Seq[String],
+      columnMapping: String = "none")
+  /** `add.deletionVector` descriptor (PROTOCOL.md): storageType
+    * `u` (relative z85-uuid file) / `p` (absolute path) / `i`
+    * (inline z85 payload). */
+  private final case class DvDescriptor(
+      storageType: String, pathOrInlineDv: String, offset: Int,
+      sizeInBytes: Int, cardinality: Long)
   private final case class AddFile(
       path: String, partitionValues: Map[String, String], size: Long,
-      modificationTime: Long, stats: String = null)
+      modificationTime: Long, stats: String = null,
+      dv: DvDescriptor = null)
   private final case class Snapshot(
       table: String, version: Long, meta: Meta, minReaderVersion: Int,
       readerFeatures: Set[String], minWriterVersion: Int,
@@ -109,14 +128,28 @@ object DeltaLake {
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     require(dataSchema.nonEmpty,
       s"fromDelta: every column of $table is a partition column")
+    val cm = snap.meta.columnMapping == "name"
     val kept = where match {
       case Some(w) =>
-        val pred = resolvePredicate(spark, schema, w)
+        val pred0 = resolvePredicate(spark, schema, w)
+        // under column mapping, stats keys + partitionValues keys are
+        // PHYSICAL names — evaluate skipping in the physical namespace
+        val (pred, statsSchema, statsPartCols) =
+          if (!cm) (pred0, schema, partCols)
+          else {
+            val phys = physicalType(schema).asInstanceOf[StructType]
+            val physOf = schema.fieldNames.zip(phys.fieldNames).toMap
+            val p = pred0.transform {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                  if physOf.contains(a.name) => a.withName(physOf(a.name))
+            }
+            (p, phys, partCols.map(physOf))
+          }
         val tz = spark.conf.get("spark.sql.session.timeZone",
           java.util.TimeZone.getDefault.getID)
         snap.adds.filter(a =>
-          DeltaStats.mightMatch(pred, schema, partCols, a.partitionValues,
-            a.stats, tz))
+          DeltaStats.mightMatch(pred, statsSchema, statsPartCols,
+            a.partitionValues, a.stats, tz))
       case None => snap.adds
     }
     def finish(df: DataFrame): DataFrame =
@@ -124,7 +157,7 @@ object DeltaLake {
     if (kept.isEmpty)
       return finish(spark.createDataFrame(
         new java.util.ArrayList[Row](), schema))
-    finish(readAdds(spark, table, schema, partCols, kept))
+    finish(readAdds(spark, table, schema, partCols, kept, cm))
   }
 
   /** Incremental read: the rows ADDED in versions (fromVersion,
@@ -181,8 +214,17 @@ object DeltaLake {
         if (n.has("add")) {
           val a = n.get("add")
           // dataChange=false (compaction) re-adds carry no NEW rows
-          if (!a.hasNonNull("dataChange") || a.get("dataChange").asBoolean())
-            adds += parseAdd(a)
+          if (!a.hasNonNull("dataChange") || a.get("dataChange").asBoolean()) {
+            val ad = parseAdd(a)
+            // a DV add is a DELETE (remove+re-add of the same file with
+            // more rows masked), not an append — "rows added" is the
+            // wrong read of it, so the incremental tail rejects loudly
+            require(ad.dv == null,
+              s"fromDeltaChanges: commit $v adds ${ad.path} with a " +
+                "deletion vector — the table is not append-only over " +
+                "this range; read a full snapshot")
+            adds += ad
+          }
         } else if (n.has("metaData")) {
           val m = n.get("metaData")
           val ss = if (m.hasNonNull("schemaString"))
@@ -194,7 +236,8 @@ object DeltaLake {
       }
       val vAdds = adds.result()
       if (vAdds.isEmpty) None
-      else Some(readAdds(spark, table, schema, partCols, vAdds)
+      else Some(readAdds(spark, table, schema, partCols, vAdds,
+          cm = snap.meta.columnMapping == "name")
         .withColumn("_commit_version", lit(v)))
     }
     if (perVersion.isEmpty)
@@ -210,8 +253,19 @@ object DeltaLake {
     * the merge rewrites (which scan file subsets). */
   private def readAdds(spark: SparkSession, table: String,
       schema: StructType, partCols: Seq[String],
-      adds: Seq[AddFile]): DataFrame = {
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+      adds: Seq[AddFile], cm: Boolean = false): DataFrame = {
+    // column mapping `name` mode: data files + partitionValues + stats
+    // all use per-field PHYSICAL names; scan physical, rename back to
+    // logical after the scan (identity aliases when cm=false)
+    val physSchema =
+      if (cm) physicalType(schema).asInstanceOf[StructType] else schema
+    if (cm) physSchema.fieldNames.foreach(n =>
+      require(!n.contains(".") && !n.contains("`"),
+        s"fromDelta: physical column name '$n' needs quoting we don't do"))
+    val physOf = schema.fieldNames.zip(physSchema.fieldNames).toMap
+    val physPartCols = partCols.map(physOf)
+    val dataSchemaPhys =
+      StructType(physSchema.filterNot(f => physPartCols.contains(f.name)))
     val groups = adds.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).map { case (k, v) =>
         s"$k=${if (v == null) "\u0000" else v}" }.mkString("/"))
@@ -220,18 +274,92 @@ object DeltaLake {
         "4096 union-branch cap; repartition the table coarser or read " +
         "partition subsets")
     val branches = groups.map { case (pv, files) =>
-      val paths = files.map(f => resolveDataPath(table, f.path))
       // NOTE: leaf-file inputs keep Spark's own dir-based partition
-      // inference OFF (each file's parent is its base path) — the log,
+      // inference OFF (each file's parent is its base path) -- the log,
       // not the directory layout, is the source of partition values.
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
-      val withParts = partCols.foldLeft(base) { (d, c) =>
-        d.withColumn(c, typedPartitionValue(pv.getOrElse(c, null), schema(c).dataType))
+      // Files with deletion vectors scan separately (they pay the
+      // _metadata.row_index anti-filter); plain files scan untouched.
+      val (dvFiles, plainFiles) = files.partition(_.dv != null)
+      val scans = Seq.newBuilder[DataFrame]
+      if (plainFiles.nonEmpty)
+        scans += spark.read.schema(dataSchemaPhys)
+          .parquet(plainFiles.map(f => resolveDataPath(table, f.path)): _*)
+      if (dvFiles.nonEmpty)
+        scans += dvFilteredScan(spark, table, dataSchemaPhys, dvFiles)
+      val base = scans.result().reduce(_ union _)
+      // physical -> logical data columns (cast renames nested struct
+      // fields positionally; top-level identical types stay cast-free
+      // so filter pushdown reaches the scan)
+      val renamed = base.select(
+        schema.fields.toIndexedSeq.filterNot(f => partCols.contains(f.name)).map { f =>
+          val pf = physSchema(schema.fieldIndex(f.name))
+          val c = col(pf.name)
+          (if (pf.dataType == f.dataType) c else c.cast(f.dataType)).as(f.name)
+        }: _*)
+      val withParts = partCols.foldLeft(renamed) { (d, c) =>
+        d.withColumn(c, typedPartitionValue(
+          pv.getOrElse(physOf(c), null), schema(c).dataType))
       }
       withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
     branches.reduce(_ union _)
   }
+
+  /** Scan DV-carrying files: the per-file deletion bitmaps are
+    * deserialized driver-side (bounded by the surviving files' DV
+    * payload bytes) and shipped into a codegen'd row filter over
+    * `_metadata.row_index` -- no shuffle, no join, deleted rows drop
+    * inside the scan stage ([[DvDeleted]]). */
+  private def dvFilteredScan(spark: SparkSession, table: String,
+      dataSchemaPhys: StructType, files: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dvMap = new java.util.HashMap[UTF8String, RoaringDv.Dv]()
+    val paths = files.map { f =>
+      val p = resolveDataPath(table, f.path)
+      val dv = loadDv(table, f.dv)
+      require(dv.cardinality == f.dv.cardinality,
+        s"deletion vector for ${f.path} has cardinality ${dv.cardinality}, " +
+          s"descriptor says ${f.dv.cardinality}")
+      dvMap.put(UTF8String.fromString(normalizeScanUri(p)), dv)
+      p
+    }
+    import org.apache.spark.sql.graftbridge.Bridge
+    val base = spark.read.schema(dataSchemaPhys).parquet(paths: _*)
+    val deleted = Bridge.column(DvDeleted(
+      Bridge.expression(normalizeUriCol(col("_metadata.file_path"))),
+      Bridge.expression(col("_metadata.row_index")),
+      dvMap))
+    base.filter(!deleted)
+      .select(dataSchemaPhys.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Column twin of [[normalizeScanUri]] for file URIs:
+    * FsIO.normalize strips the `file:` scheme to a bare path (any
+    * number of slashes), and that is the only normalization that
+    * actually varies between `_metadata.file_path` and the log-side
+    * resolved path on the filesystems we target; other schemes pass
+    * through qualified. A residual mismatch is LOUD (DvDeleted throws
+    * on a missing path), never silent. */
+  private def normalizeUriCol(c: Column): Column =
+    regexp_replace(c, "^file:/+", "/")
+
+  /** Load + parse one deletion vector (storage types: `u` relative
+    * file, `p` absolute file, `i` inline z85). */
+  private def loadDv(table: String, d: DvDescriptor): RoaringDv.Dv =
+    d.storageType match {
+      case "u" => RoaringDv.parse(RoaringDv.readFromFile(
+        s"$table/${RoaringDv.relativeDvPath(d.pathOrInlineDv)}",
+        d.offset, d.sizeInBytes))
+      case "p" => RoaringDv.parse(RoaringDv.readFromFile(
+        d.pathOrInlineDv, d.offset, d.sizeInBytes))
+      case "i" =>
+        val b = RoaringDv.z85Decode(d.pathOrInlineDv)
+        require(b.length >= d.sizeInBytes,
+          s"inline DV decodes to ${b.length} bytes < ${d.sizeInBytes}")
+        RoaringDv.parse(java.util.Arrays.copyOf(b, d.sizeInBytes))
+      case other => throw new IllegalArgumentException(
+        s"unsupported deletion vector storageType '$other'")
+    }
 
   /** Resolve a user predicate against the TABLE schema through the
     * analyzer (typed AttributeReferences, literals coerced to column
@@ -367,14 +495,46 @@ object DeltaLake {
 
   private def gate(s: Snapshot): Unit = s.minReaderVersion match {
     case 1 => ()
+    case 2 => () // column-mapping era; parseMeta gates the actual mode
     case 3 =>
       val unsupported = s.readerFeatures -- SupportedReaderFeatures
       require(unsupported.isEmpty,
         s"Delta table ${s.table} requires unsupported reader features: " +
           s"${unsupported.toSeq.sorted.mkString(", ")}")
     case v => throw new IllegalArgumentException(
-      s"Delta table ${s.table} requires minReaderVersion $v (supported: 1, " +
+      s"Delta table ${s.table} requires minReaderVersion $v (supported: 1, 2, " +
         "or 3 with features " + SupportedReaderFeatures.mkString(",") + ")")
+  }
+
+  /** Write-path gate: maintenance and data-writing ops on tables with
+    * column mapping or live deletion vectors are rejected loudly —
+    * this engine READS modern foreign tables; writing them back would
+    * need physical-name parquet writes / DV-preserving checkpoints
+    * and commit serialization we don't produce. */
+  private def requireWritable(s: Snapshot, op: String): Unit = {
+    require(s.meta.columnMapping == "none",
+      s"$op: table ${s.table} uses column mapping " +
+        s"(${s.meta.columnMapping} mode) — read-only support")
+    val dv = s.adds.filter(_.dv != null)
+    require(dv.isEmpty,
+      s"$op: table ${s.table} has ${dv.size} file(s) with deletion " +
+        "vectors — read-only support")
+  }
+
+  /** Per-field physical name under column mapping `name` mode. */
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Logical -> physical schema: rename every field (recursively —
+    * nested struct fields carry their own physicalName metadata). */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(name = physName(f), dataType = physicalType(f.dataType))))
+    case ArrayType(et, n) => ArrayType(physicalType(et), n)
+    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+    case other => other
   }
 
   /** Stream a commit file's action lines through `f` (one JSON object
@@ -401,20 +561,31 @@ object DeltaLake {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
       b.result()
     }.getOrElse(Map.empty[String, String])
+    // column mapping: `name` mode reads by per-field physicalName
+    // metadata (DBR's default after any rename); `id` mode would need
+    // parquet field-id resolution — reject it loudly, never read the
+    // wrong columns by name.
     val cm = cfg.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none",
-      s"delta.columnMapping.mode=$cm is unsupported (physical column names differ)")
+    require(cm == "none" || cm == "name",
+      s"delta.columnMapping.mode=$cm is unsupported (only none/name; " +
+        "id mode requires parquet field-id resolution)")
     val arr = m.get("partitionColumns")
     val partCols = // declared ORDER matters (dir nesting), keep it
       if (arr == null || !arr.isArray) Seq.empty[String]
       else (0 until arr.size()).map(arr.get(_).asText())
     Meta(Option(m.get("id")).map(_.asText()).orNull,
-      m.get("schemaString").asText(), partCols)
+      m.get("schemaString").asText(), partCols, cm)
   }
 
   private def parseAdd(a: JsonNode): AddFile = {
-    require(!a.hasNonNull("deletionVector"),
-      s"add action carries a deletion vector (unsupported): ${a.get("path").asText()}")
+    val dv = Option(a.get("deletionVector")).filter(_.isObject).map { d =>
+      DvDescriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).map(_.asInt()).getOrElse(0),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }.orNull
     val pv = Option(a.get("partitionValues")).filter(_.isObject).map { o =>
       val it = o.properties().iterator()
       val b = Map.newBuilder[String, String]
@@ -427,7 +598,8 @@ object DeltaLake {
     AddFile(a.get("path").asText(), pv,
       Option(a.get("size")).map(_.asLong()).getOrElse(0L),
       Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-      Option(a.get("stats")).filter(_.isTextual).map(_.asText()).orNull)
+      Option(a.get("stats")).filter(_.isTextual).map(_.asText()).orNull,
+      dv)
   }
 
   private def jsonStrings(n: JsonNode): Set[String] =
@@ -457,17 +629,20 @@ object DeltaLake {
             // collection.Map — convert before they land in immutable-
             // typed fields (the checkcast is at the constructor)
             case "metaData" =>
+              val cfg = get[scala.collection.Map[String, String]](st, "configuration")
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+              val cm = cfg.getOrElse("delta.columnMapping.mode", "none")
+              require(cm == "none" || cm == "name",
+                s"delta.columnMapping.mode=$cm is unsupported (only " +
+                  "none/name; id mode requires parquet field-id resolution)")
               meta = Meta(
                 get[String](st, "id").orNull,
                 get[String](st, "schemaString").getOrElse(
                   throw new IllegalArgumentException(
                     s"checkpoint metaData without schemaString: $path")),
                 get[scala.collection.Seq[String]](st, "partitionColumns")
-                  .map(_.toSeq).getOrElse(Nil))
-              val cfg = get[scala.collection.Map[String, String]](st, "configuration")
-                .map(_.toMap).getOrElse(Map.empty[String, String])
-              require(cfg.getOrElse("delta.columnMapping.mode", "none") == "none",
-                "delta.columnMapping.mode is unsupported")
+                  .map(_.toSeq).getOrElse(Nil),
+                cm)
             case "protocol" =>
               minReader = get[Int](st, "minReaderVersion").getOrElse(1)
               features = get[scala.collection.Seq[String]](st, "readerFeatures")
@@ -476,17 +651,24 @@ object DeltaLake {
               wFeatures = get[scala.collection.Seq[String]](st, "writerFeatures")
                 .map(_.toSet).getOrElse(Set.empty)
             case "add" =>
-              get[Row](st, "deletionVector").foreach { _ =>
-                throw new IllegalArgumentException(
-                  s"checkpoint add carries a deletion vector (unsupported): $path")
-              }
+              val dv = get[Row](st, "deletionVector").map { d =>
+                DvDescriptor(
+                  get[String](d, "storageType").getOrElse(
+                    throw new IllegalArgumentException(
+                      s"checkpoint deletionVector without storageType: $path")),
+                  get[String](d, "pathOrInlineDv").get,
+                  get[Int](d, "offset").getOrElse(0),
+                  get[Int](d, "sizeInBytes").get,
+                  get[Long](d, "cardinality").get)
+              }.orNull
               adds += AddFile(
                 get[String](st, "path").get,
                 get[scala.collection.Map[String, String]](st, "partitionValues")
                   .map(_.toMap).getOrElse(Map.empty[String, String]),
                 get[Long](st, "size").getOrElse(0L),
                 get[Long](st, "modificationTime").getOrElse(0L),
-                get[String](st, "stats").orNull)
+                get[String](st, "stats").orNull,
+                dv)
           }
         }
       }
@@ -551,6 +733,7 @@ object DeltaLake {
       if (latestVersion(table) >= 0) Some(snapshot(spark, table, None)) else None
     existing.foreach { s =>
       gate(s) // must be able to READ a table before mutating its log
+      requireWritable(s, "toDelta")
       val exSchema = DataType.fromJson(s.meta.schemaString).asInstanceOf[StructType]
       require(relaxed(exSchema) == relaxed(df.schema),
         s"toDelta: schema mismatch with existing table $table\n  table: " +
@@ -674,6 +857,7 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    requireWritable(snap, "compact")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -784,6 +968,8 @@ object DeltaLake {
     val target = snapshot(spark, table, Some(toVersion))
     val current = snapshot(spark, table, None)
     gate(current)
+    requireWritable(current, "restore")
+    requireWritable(target, "restore")
     require(target.meta.schemaString == current.meta.schemaString &&
         target.meta.partitionColumns == current.meta.partitionColumns,
       s"restore: schema/partitioning changed since version $toVersion")
@@ -839,6 +1025,7 @@ object DeltaLake {
     require(keys.nonEmpty, "upsert: at least one key column")
     val snap = snapshot(spark, table, None)
     gate(snap)
+    requireWritable(snap, "upsert")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     require(relaxed(schema) == relaxed(source.schema),
@@ -920,6 +1107,7 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    requireWritable(snap, "deleteWhere")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     val pred = resolvePredicate(spark, schema, cond)
@@ -1071,6 +1259,186 @@ object DeltaLake {
 
   /** Hive path-name unescape (%XX, single-byte — hive only escapes
     * ASCII specials) for partition dir values. */
+
+  // ------------------------------------------------------------------
+  // Foreign-table fixture builders (tests + oracle lanes ONLY)
+  // ------------------------------------------------------------------
+
+  /** Build a column-mapping `name`-mode table the way a foreign
+    * writer (DBR after a rename) lays it out: data files carry
+    * PHYSICAL column names, the schemaString carries per-field
+    * physicalName/id metadata, partitionColumns stay LOGICAL while
+    * add.partitionValues and stats keys are PHYSICAL. This exists so
+    * the read path can be oracle-gated against real foreign layouts —
+    * production writes to column-mapped tables stay rejected
+    * ([[requireWritable]]). */
+  private[graft] def foreignColumnMapped(df: DataFrame, table0: String,
+      physicalOf: Map[String, String],
+      partitionBy: Seq[String] = Nil): Unit = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    require(latestVersion(table) < 0,
+      s"foreignColumnMapped: $table already exists")
+    df.schema.fieldNames.foreach(n => require(physicalOf.contains(n),
+      s"foreignColumnMapped: no physical name for column $n"))
+    require(physicalOf.values.toSet.size == physicalOf.size,
+      "foreignColumnMapped: physical names must be distinct")
+    val spark = df.sparkSession
+    val now = System.currentTimeMillis()
+    val physPartCols = partitionBy.map(physicalOf)
+    val dfPhys = df.select(df.schema.fieldNames.toIndexedSeq.map(n =>
+      col(n).as(physicalOf(n))): _*)
+    // stage + promote + stats exactly like stageAdds, in the
+    // physical namespace (partitionValues/stats keys come out physical)
+    val staging = s"$table/_staging"
+    FsIO.deleteRecursive(staging)
+    dfPhys.write.mode(SaveMode.Overwrite)
+      .partitionBy(physPartCols: _*).parquet(staging)
+    val promoted = promoteStaged(table, staging, physPartCols)
+    FsIO.deleteRecursive(staging)
+    val statCols = dfPhys.schema.fieldNames.filterNot(physPartCols.contains).toSeq
+    val statsByPath = DeltaStats.collect(spark, statCols,
+      promoted.map(a => resolveDataPath(table, a.path)))
+    val adds = promoted.map(a =>
+      a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
+    // logical schema with column-mapping metadata
+    val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.columnMapping.physicalName", physicalOf(f.name))
+        .putLong("delta.columnMapping.id", i + 1L)
+        .build())
+    })
+    val lines = Seq.newBuilder[String]
+    val pn = mapper.createObjectNode()
+    val p = pn.putObject("protocol")
+    p.put("minReaderVersion", 2)
+    p.put("minWriterVersion", 5)
+    lines += mapper.writeValueAsString(pn)
+    val mn = mapper.createObjectNode()
+    val m = mn.putObject("metaData")
+    m.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", mapped.json)
+    val pc = m.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    val cfg = m.putObject("configuration")
+    cfg.put("delta.columnMapping.mode", "name")
+    cfg.put("delta.columnMapping.maxColumnId", df.schema.size.toString)
+    m.put("createdTime", now)
+    lines += mapper.writeValueAsString(mn)
+    adds.foreach { a =>
+      val an = mapper.createObjectNode()
+      val ad = an.putObject("add")
+      ad.put("path", a.path)
+      val pv = ad.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      ad.put("size", a.size)
+      ad.put("modificationTime", a.modificationTime)
+      ad.put("dataChange", true)
+      if (a.stats != null) ad.put("stats", a.stats)
+      lines += mapper.writeValueAsString(an)
+    }
+    commit(table, 0L, lines.result())
+  }
+
+  /** Simulate a foreign DELETE via deletion vectors: rows of the
+    * CURRENT snapshot matching `pred` (data columns only) are masked
+    * by per-file roaring bitmaps — each affected file gets a
+    * remove + re-add carrying a `deletionVector` descriptor, and the
+    * commit upgrades the protocol to readerVersion 3 +
+    * `deletionVectors`, exactly the foreign layout the read path must
+    * honor. `inline`: store each DV z85-inline (`i`) instead of in a
+    * shared `u`-storage .bin file. Fixture-scale only (the deleted
+    * (file, row) set collects to the driver); production DV writes
+    * stay rejected. Returns the committed version. */
+  private[graft] def foreignDeleteRows(spark: SparkSession, table0: String,
+      pred: Column, inline: Boolean = false): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    require(snap.meta.columnMapping == "none",
+      "foreignDeleteRows: combine with foreignColumnMapped is unsupported")
+    require(snap.adds.forall(_.dv == null),
+      "foreignDeleteRows: one DV generation only")
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val paths = snap.adds.map(a => resolveDataPath(table, a.path))
+    val byNorm = snap.adds.map(a =>
+      normalizeScanUri(resolveDataPath(table, a.path)) -> a).toMap
+    val hits = spark.read.schema(dataSchema).parquet(paths: _*)
+      .filter(pred)
+      .select(normalizeUriCol(col("_metadata.file_path")),
+        col("_metadata.row_index"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+    if (hits.isEmpty) return snap.version // nothing to delete
+    val now = System.currentTimeMillis()
+    val affected = hits.keys.toSeq.sorted.map(byNorm)
+    val payloads = affected.map(a =>
+      RoaringDv.serialize(hits(normalizeScanUri(resolveDataPath(table, a.path)))))
+    val descriptors: Seq[DvDescriptor] =
+      if (inline) payloads.map { pl =>
+        // z85 needs length % 4 == 0: pad, keep sizeInBytes exact
+        val padded = java.util.Arrays.copyOf(pl, (pl.length + 3) / 4 * 4)
+        DvDescriptor("i", RoaringDv.z85Encode(padded), 0, pl.length,
+          cardinalityOf(pl))
+      } else {
+        val uuid = java.util.UUID.randomUUID()
+        val offs = RoaringDv.writeFile(
+          s"$table/deletion_vector_$uuid.bin", payloads)
+        payloads.zip(offs).map { case (pl, (off, len)) =>
+          DvDescriptor("u", RoaringDv.encodeDvPath(uuid), off, len,
+            cardinalityOf(pl))
+        }
+      }
+    val lines = Seq.newBuilder[String]
+    val pn = mapper.createObjectNode()
+    val p = pn.putObject("protocol")
+    p.put("minReaderVersion", 3)
+    p.put("minWriterVersion", 7)
+    p.putArray("readerFeatures").add("deletionVectors")
+    p.putArray("writerFeatures").add("deletionVectors")
+    lines += mapper.writeValueAsString(pn)
+    affected.zip(descriptors).foreach { case (a, d) =>
+      val rn = mapper.createObjectNode()
+      val r = rn.putObject("remove")
+      r.put("path", a.path)
+      r.put("deletionTimestamp", now)
+      r.put("dataChange", true)
+      lines += mapper.writeValueAsString(rn)
+      val an = mapper.createObjectNode()
+      val ad = an.putObject("add")
+      ad.put("path", a.path)
+      val pv = ad.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      ad.put("size", a.size)
+      ad.put("modificationTime", now)
+      ad.put("dataChange", true)
+      if (a.stats != null) ad.put("stats", a.stats)
+      val dv = ad.putObject("deletionVector")
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.pathOrInlineDv)
+      dv.put("offset", d.offset)
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
+      lines += mapper.writeValueAsString(an)
+    }
+    val v = snap.version + 1
+    commit(table, v, lines.result())
+    v
+  }
+
+  private def cardinalityOf(payload: Array[Byte]): Long =
+    RoaringDv.parse(payload).cardinality
+
+
   private def unescapeHive(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder(s.length)

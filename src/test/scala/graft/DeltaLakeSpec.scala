@@ -159,40 +159,57 @@ class DeltaLakeSpec extends SparkSpec {
       writeLog(t, 1L, Seq(protocol))
       t
     }
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaLake.fromDelta(spark, mk(
-        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
-    }
-    assert(e2.getMessage.contains("minReaderVersion 2"))
+    // reader v2 (column-mapping era) and the columnMapping /
+    // deletionVectors v3 features are SUPPORTED since r15 — a bare
+    // protocol bump alone must not fail the read
+    assert(DeltaLake.fromDelta(spark, mk(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+      .count() == 1L)
+    assert(DeltaLake.fromDelta(spark, mk(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
+      .count() == 1L)
     val e3 = intercept[IllegalArgumentException] {
       DeltaLake.fromDelta(spark, mk(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"]}}"""))
+          """"readerFeatures":["v2Checkpoint"]}}"""))
     }
-    assert(e3.getMessage.contains("deletionVectors"))
+    assert(e3.getMessage.contains("v2Checkpoint"))
     val ok = mk(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaLake.fromDelta(spark, ok).count() == 1L)
-    // column mapping rejects through metaData configuration
+    // column mapping `id` mode rejects through metaData configuration
+    // (name mode is supported; id needs parquet field-id resolution)
     val cm = tmp("cm.delta")
     writeLog(cm, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(schemaJson).toString},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}"""))
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(schemaJson).toString},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""))
     val e4 = intercept[IllegalArgumentException] { DeltaLake.fromDelta(spark, cm) }
-    assert(e4.getMessage.contains("columnMapping"))
+    assert(e4.getMessage.contains("columnMapping.mode=id"))
   }
 
-  test("deletion vectors on add actions reject; multi-part checkpoints reject") {
+  test("malformed deletion vectors are loud; multi-part checkpoints reject") {
     import spark.implicits._
     val t = tmp("dv.delta")
     DeltaLake.toDelta(Seq(Tuple1(1L)).toDF("id"), t)
+    // a structurally bogus DV descriptor (u-storage path too short to
+    // carry a z85 uuid) must fail the read LOUDLY at DV load — never
+    // silently scan the file unmasked
     writeLog(t, 1L, Seq(
       """{"add":{"path":"x.parquet","partitionValues":{},"size":1,""" +
         """"modificationTime":0,"dataChange":true,"deletionVector":""" +
         """{"storageType":"u","pathOrInlineDv":"a","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
     val e = intercept[IllegalArgumentException] { DeltaLake.fromDelta(spark, t) }
-    assert(e.getMessage.contains("deletion vector"))
+    assert(e.getMessage.contains("too short"))
+    // unknown storage type is loud too (v2 swaps the bogus add out)
+    writeLog(t, 2L, Seq(
+      """{"remove":{"path":"x.parquet","deletionTimestamp":0,"dataChange":true}}""",
+      """{"add":{"path":"y.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,"deletionVector":""" +
+        """{"storageType":"z","pathOrInlineDv":"a","offset":0,"sizeInBytes":1,"cardinality":1}}}"""))
+    val ez = intercept[IllegalArgumentException] { DeltaLake.fromDelta(spark, t) }
+    assert(ez.getMessage.contains("storageType"))
     // multi-part checkpoint that would be REQUIRED to bridge -> loud
     val m = tmp("mp.delta")
     DeltaLake.toDelta(Seq(Tuple1(1L)).toDF("id"), m)
@@ -597,6 +614,109 @@ class DeltaLakeSpec extends SparkSpec {
     // two half-open pulls == one big pull (exactly-once composition)
     assert((pull(-1L, Some(2L)) ++ pull(2L)) == pull(-1L))
     intercept[IllegalArgumentException] { pull(5L) } // beyond latest
+  }
+
+  test("column mapping name mode: logical columns, physical stats skipping, read-only") {
+    val t = tmp("cm.delta")
+    import spark.implicits._
+    val df = spark.range(0, 100).select(
+      col("id"), (col("id") % 5).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("label"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.foreignColumnMapped(df, t,
+      Map("id" -> "col-aaaa1111", "grp" -> "col-bbbb2222",
+        "label" -> "col-cccc3333"))
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.columns.toSeq == Seq("id", "grp", "label"))
+    assert(back.count() == 100)
+    assert(back.filter(col("id") === 42).select("label").head.getString(0) == "v42")
+    // the DATA files really carry physical names (foreign layout)
+    val onePart = back.inputFiles.head
+    val phys = spark.read.parquet(onePart)
+    assert(phys.columns.toSet == Set("col-aaaa1111", "col-bbbb2222", "col-cccc3333"))
+    // stats skipping translates the predicate into the physical
+    // namespace: 4 range shards, id<=20 must plan strictly fewer files
+    val skipped = DeltaLake.fromDelta(spark, t, None, Some(col("id") <= 20))
+    assert(skipped.inputFiles.length < 4)
+    assert(skipped.count() == 21)
+    // partitioned variant: partitionColumns logical, partitionValues
+    // keyed physical, re-injected as typed literals
+    val tp = tmp("cmp.delta")
+    DeltaLake.foreignColumnMapped(df, tp,
+      Map("id" -> "col-a", "grp" -> "col-b", "label" -> "col-c"),
+      partitionBy = Seq("grp"))
+    val backP = DeltaLake.fromDelta(spark, tp)
+    assert(backP.columns.toSeq == Seq("id", "grp", "label"))
+    assert(backP.filter(col("grp") === 3).count() == 20)
+    assert(backP.schema("grp").dataType == IntegerType)
+    // partition pruning through the physical partitionValues
+    assert(DeltaLake.fromDelta(spark, tp, None, Some(col("grp") === 3))
+      .inputFiles.length < backP.inputFiles.length)
+    // writes/maintenance are read-only on column-mapped tables
+    Seq[(String, () => Any)](
+      "toDelta" -> (() => DeltaLake.toDelta(df, t, "append")),
+      "compact" -> (() => DeltaLake.compact(spark, t)),
+      "upsert" -> (() => DeltaLake.upsert(spark, t, df.limit(1), Seq("id"))),
+      "deleteWhere" -> (() => DeltaLake.deleteWhere(spark, t, col("id") === 1)),
+      "restore" -> (() => DeltaLake.restore(spark, t, 0L))
+    ).foreach { case (op, run) =>
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("column mapping"), s"$op: ${e.getMessage}")
+    }
+  }
+
+  test("deletion vectors: u-storage and inline DVs mask rows inside the scan") {
+    val t = tmp("dv.delta")
+    import spark.implicits._
+    val df = spark.range(0, 200).select(
+      col("id"), (col("id") % 7).as("m"),
+      concat(lit("r"), col("id")).as("s"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(df, t)
+    val v = DeltaLake.foreignDeleteRows(spark, t, col("m") === 3)
+    assert(v == 1L)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 200 - 200 / 7 - 1) // 29 ids with id%7==3
+    assert(back.filter(col("m") === 3).count() == 0)
+    assert(back.filter(col("id") === 4).count() == 1) // neighbors survive
+    // time travel BEFORE the delete still sees every row
+    assert(DeltaLake.fromDelta(spark, t, Some(0L)).count() == 200)
+    // stats skipping composes with the DV filter
+    val f = DeltaLake.fromDelta(spark, t, None, Some(col("id") <= 50))
+    assert(f.count() == 51 - 7) // ids 3,10,...,45 deleted within 0..50
+    // inline storage type on a fresh generation
+    val t2 = tmp("dvi.delta")
+    DeltaLake.toDelta(df, t2)
+    DeltaLake.foreignDeleteRows(spark, t2, col("id") < 10, inline = true)
+    assert(DeltaLake.fromDelta(spark, t2).count() == 190)
+    assert(DeltaLake.fromDelta(spark, t2).agg(min("id")).head.getLong(0) == 10L)
+  }
+
+  test("deletion vectors: incremental tail and writes reject loudly; vacuum spares DV files") {
+    val t = tmp("dvg.delta")
+    import spark.implicits._
+    val df = spark.range(0, 60).select(col("id"), (col("id") % 3).as("m"))
+      .coalesce(2)
+    DeltaLake.toDelta(df, t)
+    DeltaLake.foreignDeleteRows(spark, t, col("m") === 1)
+    // fromDeltaChanges across the DV commit is NOT append-only
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLake.fromDeltaChanges(spark, t, -1L).collect()
+    }
+    assert(e1.getMessage.contains("deletion vector"))
+    // writes reject with the read-only message
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLake.toDelta(df, t, "append")
+    }
+    assert(e2.getMessage.contains("deletion vector"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLake.compact(spark, t)
+    }
+    assert(e3.getMessage.contains("deletion vector"))
+    // vacuum only sweeps .parquet: the DV .bin survives and the table
+    // still reads
+    DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
+    assert(DeltaLake.fromDelta(spark, t).count() == 40)
   }
 
   test("fromDeltaChanges rejects a schema change inside the range") {
