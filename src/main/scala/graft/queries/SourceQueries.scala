@@ -655,6 +655,28 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+
+    // Iceberg merge-on-read: a foreign position-delete commit (sorted
+    // (file_path, pos) parquet + content=1 delete manifest) masks rows
+    // — the read applies them as a distributed left-anti join on the
+    // scan's _metadata coordinates. The oracle just excludes the same
+    // rows with a WHERE on the original parquet.
+    "q_iceberg_mor" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_mor") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sources.Iceberg.toIceberg(li, table)
+      graft.sources.Iceberg.foreignPositionDeletes(s, table,
+        col("l_orderkey") % 7 === 3)
+      graft.sources.Iceberg.fromIceberg(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -1166,6 +1188,12 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_mor" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey % 7 <> 3
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_snapshot" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)

@@ -29,11 +29,18 @@ import org.apache.spark.sql.types._
   * out of the box.
   *
   * Read support: format-version 1 and 2; PARQUET and ORC data files;
-  * time travel by snapshot id. REJECTED loudly (changed data
-  * interpretation, silently misread otherwise): delete manifests /
-  * delete files (merge-on-read v2 tables — only copy-on-write tables
-  * read), AVRO data files, unsupported column types (uuid, time,
-  * map — the writer never produces them).
+  * time travel by snapshot id; merge-on-read POSITION deletes
+  * (content=1 delete manifests): rows named by (file_path, pos) drop
+  * via a distributed left-anti join against the delete files over
+  * `_metadata.file_path`/`row_index` — sequence-number scoping is not
+  * needed for positional deletes because file paths are unique per
+  * file instance (a compaction rewrite mints new paths, so stale
+  * deletes match nothing). REJECTED loudly (changed data
+  * interpretation, silently misread otherwise): EQUALITY deletes
+  * (those do need sequence-number scoping), AVRO data files,
+  * unsupported column types (uuid, time, map — the writer never
+  * produces them), schema histories with renames/field-id reuse
+  * (name-based resolution would misread).
   *
   * Write support: unpartitioned v2 copy-on-write append/overwrite —
   * stage-and-rename data parquet (the DeltaLake promote discipline),
@@ -56,6 +63,8 @@ object Iceberg {
       tableUuid: String, file: String, renameDrift: Option[String])
   private final case class DataFileInfo(path: String, format: String,
       records: Long, statsJson: String)
+  private final case class DeleteFileInfo(path: String, format: String,
+      records: Long)
 
   // ------------------------------------------------------------------
   // Read path
@@ -90,7 +99,7 @@ object Iceberg {
           throw new IllegalArgumentException(
             s"current-snapshot-id ${meta.currentSnapshotId} missing from snapshots"))
     }
-    val files0 = liveFiles(meta, snap, withStats = where.isDefined)
+    val (files0, deleteFiles) = liveFiles(meta, snap, withStats = where.isDefined)
     val files = where match {
       case Some(w) =>
         val pred = DeltaLake.resolvePredicate(spark, meta.schema, w)
@@ -104,16 +113,50 @@ object Iceberg {
     if (files.isEmpty)
       return finish(
         spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema))
-    val byFormat = files.groupBy(_.format)
-    val parts = byFormat.toSeq.sortBy(_._1).map {
-      case ("PARQUET", fs) =>
-        spark.read.schema(meta.schema).parquet(fs.map(_.path): _*)
-      case ("ORC", fs) =>
-        spark.read.schema(meta.schema).orc(fs.map(_.path): _*)
-      case (other, fs) => throw new IllegalArgumentException(
-        s"unsupported Iceberg data file format $other (${fs.head.path})")
+    val mor = deleteFiles.nonEmpty
+    // merge-on-read: rows named by position-delete files drop via a
+    // DISTRIBUTED left-anti join on (file_path, row position) -- the
+    // delete set is data-scale (not driver metadata), the scan
+    // materializes _metadata.file_path/row_index for free, and AQE
+    // broadcasts small delete sets. Both path columns normalize the
+    // file:-scheme spelling the same way (the Delta DV discipline).
+    def norm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+    def scan(schema: StructType, fmt: String, paths: Seq[String]): DataFrame = {
+      val base = fmt match {
+        case "PARQUET" => spark.read.schema(schema).parquet(paths: _*)
+        case "ORC" => spark.read.schema(schema).orc(paths: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg data file format $other (${paths.head})")
+      }
+      if (!mor) base
+      else base.select(
+        (schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col) :+
+          norm(org.apache.spark.sql.functions.col("_metadata.file_path"))
+            .as("__ice_path") :+
+          org.apache.spark.sql.functions.col("_metadata.row_index")
+            .as("__ice_pos")): _*)
     }
-    finish(parts.reduce(_ union _))
+    val byFormat = files.groupBy(_.format)
+    val parts = byFormat.toSeq.sortBy(_._1).map { case (fmt, fs) =>
+      scan(meta.schema, fmt, fs.map(_.path)) }
+    val data = parts.reduce(_ union _)
+    if (!mor) return finish(data)
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val delParts = deleteFiles.groupBy(_.format).toSeq.sortBy(_._1).map {
+      case ("PARQUET", fs) => spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+      case ("ORC", fs) => spark.read.schema(delSchema).orc(fs.map(_.path): _*)
+      case (other, fs) => throw new IllegalArgumentException(
+        s"unsupported Iceberg delete file format $other (${fs.head.path})")
+    }
+    val dels = delParts.reduce(_ union _).select(
+      norm(org.apache.spark.sql.functions.col("file_path")).as("__ice_path"),
+      org.apache.spark.sql.functions.col("pos").as("__ice_pos"))
+    finish(data.join(dels, Seq("__ice_path", "__ice_pos"), "left_anti")
+      .select(meta.schema.fieldNames.toIndexedSeq
+        .map(org.apache.spark.sql.functions.col): _*))
   }
 
   /** Snapshot history (driver-side metadata). */
@@ -336,7 +379,7 @@ object Iceberg {
   /** Walk manifest list -> manifests -> live data files (with their
     * bounds rendered as Delta-shaped stats JSON for skipping). */
   private def liveFiles(meta: Metadata, snap: SnapshotInfo,
-      withStats: Boolean = false): Seq[DataFileInfo] = {
+      withStats: Boolean = false): (Seq[DataFileInfo], Seq[DeleteFileInfo]) = {
     lazy val fieldsById: Map[Int, StructField] = {
       val fs = meta.schemaNode.get("fields")
       (0 until fs.size()).flatMap { i =>
@@ -348,11 +391,12 @@ object Iceberg {
       }.toMap
     }
     val out = Seq.newBuilder[DataFileInfo]
+    val dels = Seq.newBuilder[DeleteFileInfo]
     eachAvro(resolvePath(meta, snap.manifestList)) { e =>
       val content = longField(e, "content").getOrElse(0L)
-      require(content == 0L,
-        s"delete manifest in snapshot ${snap.id} (merge-on-read tables " +
-          s"are unsupported): ${e.get("manifest_path")}")
+      require(content == 0L || content == 1L,
+        s"unknown manifest content $content in snapshot ${snap.id}: " +
+          s"${e.get("manifest_path")}")
       val mpath = e.get("manifest_path").toString
       eachAvro(resolvePath(meta, mpath)) { entry =>
         val status = longField(entry, "status").getOrElse(0L)
@@ -360,20 +404,34 @@ object Iceberg {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           require(df != null, s"manifest entry without data_file in $mpath")
           val fc = longField(df, "content").getOrElse(0L)
-          require(fc == 0L,
-            s"delete FILE in $mpath (merge-on-read tables are unsupported): " +
-              s"${df.get("file_path")}")
-          out += DataFileInfo(
-            resolvePath(meta, df.get("file_path").toString),
-            df.get("file_format").toString.toUpperCase,
-            longField(df, "record_count").getOrElse(0L),
-            // bounds decoding + JSON rendering only when a predicate
-            // will consume it (plain reads skip the per-file work)
-            if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null)
+          if (content == 1L) {
+            // delete manifest: POSITION deletes (content=1) apply by
+            // exact (file_path, pos) so sequence numbers are not
+            // needed for correctness (a rewritten data file has a NEW
+            // path, stale deletes match nothing); EQUALITY deletes
+            // (content=2) DO need sequence-number scoping -- reject.
+            require(fc == 1L,
+              s"equality delete file in $mpath (unsupported -- needs " +
+                s"sequence-number scoping): ${df.get("file_path")}")
+            dels += DeleteFileInfo(
+              resolvePath(meta, df.get("file_path").toString),
+              df.get("file_format").toString.toUpperCase,
+              longField(df, "record_count").getOrElse(0L))
+          } else {
+            require(fc == 0L,
+              s"delete FILE in data manifest $mpath: ${df.get("file_path")}")
+            out += DataFileInfo(
+              resolvePath(meta, df.get("file_path").toString),
+              df.get("file_format").toString.toUpperCase,
+              longField(df, "record_count").getOrElse(0L),
+              // bounds decoding + JSON rendering only when a predicate
+              // will consume it (plain reads skip the per-file work)
+              if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null)
+          }
         }
       }
     }
-    out.result()
+    (out.result(), dels.result())
   }
 
   /** int-or-long Avro field as Long (spec fields vary by writer). */
@@ -676,40 +734,24 @@ object Iceberg {
       e
     }
     val prior: Seq[GenericRecord] =
-      if (mode == "append")
-        existing.flatMap { m =>
-          m.snapshots.find(_.id == m.currentSnapshotId)
-        }.map { cur =>
-          val b = Seq.newBuilder[GenericRecord]
-          eachAvro(resolvePath(existing.get, cur.manifestList)) { r =>
-            // re-list verbatim onto OUR schema (field subset by name)
-            val e = new GenericData.Record(ManifestFileSchema)
-            ManifestFileSchema.getFields.forEach { f =>
-              val v = if (r.getSchema.getField(f.name()) == null) null
-                      else r.get(f.name())
-              e.put(f.name(), v match {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                // v1-era manifests lack content/sequence/count fields;
-                // the v2 spec reads those as 0 — fill, don't NPE the
-                // non-nullable int/long schema fields
-                case null => f.schema().getType match {
-                  case ASchema.Type.INT => Integer.valueOf(0)
-                  case ASchema.Type.LONG => java.lang.Long.valueOf(0L)
-                  case _ => null
-                }
-                case o => o
-              })
-            }
-            b += e
-          }
-          b.result()
-        }.getOrElse(Nil)
+      if (mode == "append") existing.map(relistManifests).getOrElse(Nil)
       else Nil
     val listPath = s"$mdir/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
     writeAvro(listPath, ManifestFileSchema,
       Map("format-version" -> "2"), newEntry +: prior)
 
-    // new metadata json
+    publishSnapshot(dir, existing, schemaNode, lastCol, seq, snapshotId,
+      listPath, now, if (mode == "append") "append" else "overwrite")
+  }
+
+  /** Publish a new table version: metadata json with the new snapshot
+    * appended (prior snapshots stay time-travelable), version-hint
+    * update, concurrent-writer guard. Shared by toIceberg and the
+    * delete-commit fixture builder. */
+  private def publishSnapshot(dir: String, existing: Option[Metadata],
+      schemaNode: ObjectNode, lastCol: Int, seq: Long, snapshotId: Long,
+      listPath: String, now: Long, operation: String): Unit = {
+    val mdir = s"$dir/metadata"
     val version = existing.map(_.version + 1).getOrElse(1)
     val j = mapper.createObjectNode()
     j.put("format-version", 2)
@@ -746,7 +788,7 @@ object Iceberg {
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
       sn.putObject("summary").put("operation",
-        if (mode == "append") "append" else "overwrite")
+        operation)
       snapArr.add(sn)
     }
     val sn = mapper.createObjectNode()
@@ -755,7 +797,7 @@ object Iceberg {
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath)
     sn.putObject("summary").put("operation",
-      if (mode == "append") "append" else "overwrite")
+      operation)
     snapArr.add(sn)
     val log = j.putArray("snapshot-log")
     (keptSnapshots :+ SnapshotInfo(snapshotId, seq, now, listPath)).foreach { s =>
@@ -770,6 +812,141 @@ object Iceberg {
     writeText(mpath, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(j))
     writeText(s"$mdir/version-hint.text", version.toString)
   }
+
+
+
+  // ------------------------------------------------------------------
+  // Foreign-table fixture builder (tests + oracle lanes ONLY)
+  // ------------------------------------------------------------------
+
+  /** Simulate a foreign merge-on-read DELETE: rows of the current
+    * snapshot matching `pred` become POSITION-delete entries — one
+    * sorted parquet delete file (file_path, pos), one delete manifest
+    * (content=1), a new manifest list re-listing the prior data
+    * manifests, and a new snapshot/metadata version. This is the
+    * layout Spark/Flink Iceberg writers produce in
+    * merge-on-read mode; it exists so the MoR read path can be
+    * oracle-gated. Fixture-scale only (deleted (file, pos) pairs
+    * collect to the driver). Returns the new snapshot id. */
+  private[graft] def foreignPositionDeletes(spark: SparkSession,
+      dir0: String, pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    require(meta.currentSnapshotId >= 0, s"empty Iceberg table: $dir")
+    val snap = meta.snapshots.find(_.id == meta.currentSnapshotId).get
+    val (dataFiles, priorDels) = liveFiles(meta, snap)
+    require(priorDels.isEmpty, "foreignPositionDeletes: one delete generation only")
+    require(dataFiles.forall(_.format == "PARQUET"),
+      "foreignPositionDeletes: parquet data files only")
+    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
+    val byNorm = dataFiles.map(f => norm(f.path) -> f.path).toMap
+    val hits = spark.read.schema(meta.schema).parquet(dataFiles.map(_.path): _*)
+      .filter(pred)
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+        col("_metadata.row_index"))
+      .collect()
+      .map(r => (byNorm(r.getString(0)), r.getLong(1)))
+      .sortBy(identity) // the spec requires (file_path, pos) sort order
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits) max 1L
+    val seq = meta.lastSequenceNumber + 1
+    val mdir = s"$dir/metadata"
+    if (hits.isEmpty) return meta.currentSnapshotId
+    // the delete parquet: exact spec column ids 2147483546/2147483545
+    // are carried by name here (our own reader resolves by name)
+    val staging = s"$dir/_staging"
+    FsIO.deleteRecursive(staging)
+    import spark.implicits._
+    hits.toSeq.toDF("file_path", "pos").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val delPath = FsIO.listFilesRecursive(staging).collect {
+      case (p, len, _) if p.endsWith(".parquet") =>
+        val dst = s"$dir/data/delete-${java.util.UUID.randomUUID()}.parquet"
+        FsIO.rename(p, dst)
+        (dst, len)
+    }.head
+    FsIO.deleteRecursive(staging)
+    val delManifest = s"$mdir/graft-d-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(delManifest, ManifestEntrySchema,
+      Map("format-version" -> "2", "content" -> "deletes",
+        "partition-spec-id" -> "0"),
+      Seq {
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        val d = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        d.put("content", 1) // POSITION_DELETES
+        d.put("file_path", delPath._1)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", hits.length.toLong)
+        d.put("file_size_in_bytes", delPath._2)
+        e.put("data_file", d)
+        e
+      })
+    val delLen = { val (fs, p) = FsIO.resolve(delManifest)
+      fs.getFileStatus(p).getLen }
+    val delEntry = {
+      val e = new GenericData.Record(ManifestFileSchema)
+      e.put("manifest_path", delManifest)
+      e.put("manifest_length", delLen)
+      e.put("partition_spec_id", 0)
+      e.put("content", 1) // DELETES manifest
+      e.put("sequence_number", seq)
+      e.put("min_sequence_number", seq)
+      e.put("added_snapshot_id", snapshotId)
+      e.put("added_files_count", 1)
+      e.put("existing_files_count", 0)
+      e.put("deleted_files_count", 0)
+      e.put("added_rows_count", hits.length.toLong)
+      e.put("existing_rows_count", 0L)
+      e.put("deleted_rows_count", 0L)
+      e
+    }
+    val listPath = s"$mdir/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), delEntry +: relistManifests(meta))
+    val schemaNode = meta.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
+    publishSnapshot(dir, Some(meta), schemaNode, meta.lastColumnId, seq,
+      snapshotId, listPath, now, "delete")
+    snapshotId
+  }
+
+  /** Re-list the current snapshot's manifest entries verbatim onto OUR
+    * ManifestFileSchema (field subset by name) — the fast-append and
+    * delete-commit building block. */
+  private def relistManifests(m: Metadata): Seq[GenericRecord] =
+    m.snapshots.find(_.id == m.currentSnapshotId).map { cur =>
+      val b = Seq.newBuilder[GenericRecord]
+      eachAvro(resolvePath(m, cur.manifestList)) { r =>
+        val e = new GenericData.Record(ManifestFileSchema)
+        ManifestFileSchema.getFields.forEach { f =>
+          val v = if (r.getSchema.getField(f.name()) == null) null
+                  else r.get(f.name())
+          e.put(f.name(), v match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            // v1-era manifests lack content/sequence/count fields;
+            // the v2 spec reads those as 0 -- fill, don't NPE the
+            // non-nullable int/long schema fields
+            case null => f.schema().getType match {
+              case ASchema.Type.INT => Integer.valueOf(0)
+              case ASchema.Type.LONG => java.lang.Long.valueOf(0L)
+              case _ => null
+            }
+            case o => o
+          })
+        }
+        b += e
+      }
+      b.result()
+    }.getOrElse(Nil)
 
   /** Iceberg name-mapping JSON for the schema (table property
     * `schema.name-mapping.default`): external Iceberg readers resolve

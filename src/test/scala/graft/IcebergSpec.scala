@@ -193,10 +193,62 @@ class IcebergSpec extends SparkSpec {
     // force user schemas nullable, asNullable in FileSourceStrategy)
   }
 
-  test("merge-on-read and bad versions reject loudly; empty table reads empty") {
+  test("merge-on-read positional deletes apply; equality deletes and bad versions reject") {
+    // REAL MoR table: our v2 writer + a foreign-shaped position-delete
+    // commit (sorted (file_path, pos) parquet + content=1 manifest)
+    val morRoot = tmp("mor2")
+    import spark.implicits._
+    val df = spark.range(0, 300)
+      .select(col("id"), (col("id") % 9).as("m"),
+        concat(lit("x"), col("id")).as("s"))
+      .repartitionByRange(3, col("id"))
+    Iceberg.toIceberg(df, morRoot)
+    val firstSnap = Iceberg.snapshots(spark, morRoot)
+      .filter(col("is_current")).head.getLong(0)
+    val sid = Iceberg.foreignPositionDeletes(spark, morRoot, col("m") === 4)
+    assert(sid != firstSnap)
+    val back = Iceberg.fromIceberg(spark, morRoot)
+    assert(back.count() == 300 - 33) // ids 4,13,...,292
+    assert(back.filter(col("m") === 4).count() == 0)
+    assert(back.filter(col("id") === 5).count() == 1) // neighbors survive
+    // bounds skipping composes with the delete anti-join
+    val f = Iceberg.fromIceberg(spark, morRoot, None, Some(col("id") < 100))
+    assert(f.count() == 100 - 11) // 4,13,...,94 deleted below 100
+    // time travel BEFORE the delete still sees every row
+    assert(Iceberg.fromIceberg(spark, morRoot, Some(firstSnap)).count() == 300)
+    // snapshot history gained the delete commit
+    assert(Iceberg.snapshots(spark, morRoot).count() == 2)
+
+    // EQUALITY deletes (content=2 in a delete manifest) reject loudly
     val root = tmp("mor")
     FsIO.mkdirs(s"$root/metadata")
-    // delete manifest (content=1) in the list
+    val entrySchema = new ASchema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"}]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val eqManifest = s"$root/metadata/eq-m.avro"
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+      val out = FsIO.create(eqManifest)
+      try {
+        w.create(entrySchema, out)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        val d = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        d.put("content", 2) // EQUALITY_DELETES
+        d.put("file_path", "eq-del.parquet")
+        d.put("file_format", "PARQUET")
+        d.put("record_count", 1L)
+        e.put("data_file", d)
+        w.append(e)
+      } finally w.close()
+    }
     val listSchema = new ASchema.Parser().parse(
       """{"type":"record","name":"mf","fields":[
         |{"name":"manifest_path","type":"string"},
@@ -210,10 +262,10 @@ class IcebergSpec extends SparkSpec {
       try {
         w.create(listSchema, out)
         val e = new GenericData.Record(listSchema)
-        e.put("manifest_path", "whatever.avro")
+        e.put("manifest_path", eqManifest)
         e.put("manifest_length", 1L)
         e.put("partition_spec_id", 0)
-        e.put("content", 1) // DELETES
+        e.put("content", 1) // DELETES manifest
         w.append(e)
       } finally w.close()
     }
@@ -229,7 +281,7 @@ class IcebergSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       Iceberg.fromIceberg(spark, root)
     }
-    assert(e1.getMessage.contains("delete manifest"))
+    assert(e1.getMessage.contains("equality delete"))
     // empty table: current-snapshot-id -1
     writeText(s"$root/metadata/v2.metadata.json", meta(2, -1))
     writeText(s"$root/metadata/version-hint.text", "2")
