@@ -385,6 +385,19 @@ object SourceQueries {
       embedAgg(graft.sources.Readers.open(s, cache))
     }),
 
+    // zarr + BLOSC chunks (zarr-python's default container): the same
+    // distributed write/read, chunks now blosc1-framed byte-shuffled
+    // lz4 blocks ([[Blosc]]) — the codec must be invisible, so the
+    // lane shares the embeddings oracle verbatim.
+    "q_zarr_blosc" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_zarr_blosc") + "/emb.zarr"
+      graft.sources.FsIO.deleteRecursive(cache)
+      graft.sources.Zarr.toZarrDistributed(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache, chunkRows = 512, codec = "blosc-lz4")
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
     // zstd JSON-lines round trip (the corpus-release container: The
     // Pile / SlimPajama / Dolma ship .jsonl.zst shards): distributed
     // sharded write (executors stream-compress), glob read (one
@@ -1131,6 +1144,7 @@ object SourceQueries {
     "q_safetensors_sharded" -> embedAggSql,
     "q_tfrecord_embed" -> embedAggSql,
     "q_zarr_embed" -> embedAggSql,
+    "q_zarr_blosc" -> embedAggSql,
     "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
     "q_delta_skipping" ->

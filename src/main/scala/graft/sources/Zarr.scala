@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
   * never a correctness issue). Writes spill once per partition-free
   * driver pass (RowSpill) and stream one chunk file at a time.
   *
-  * Supported: compressor null / zlib / gzip (blosc and filter
-  * pipelines are rejected loudly — no silent wrong bytes), order "C"
+  * Supported: compressor null / zlib / gzip / blosc ([[Blosc]] —
+  * lz4/zlib/zstd codecs with byte-shuffle, zarr-python's default
+  * container; blosclz/snappy/BITshuffle and filter pipelines are
+  * rejected loudly — no silent wrong bytes), order "C"
   * (Fortran rejected), numeric/bool dtypes both endiannesses
   * (unsigned widens per the repo's parquet convention). Missing
   * chunk files read as `fill_value`; a missing chunk with
@@ -114,9 +116,8 @@ object Zarr {
       case c if c.isNull => ""
       case c =>
         val id = Option(c.get("id")).map(_.asText()).getOrElse("?")
-        require(id == "zlib" || id == "gzip",
-          s"$arrayDir: unsupported compressor '$id' (null/zlib/gzip only — " +
-            "blosc needs python-side re-save)")
+        require(id == "zlib" || id == "gzip" || id == "blosc",
+          s"$arrayDir: unsupported compressor '$id' (null/zlib/gzip/blosc)")
         id
     }
     val fill = j.get("fill_value") match {
@@ -145,6 +146,10 @@ object Zarr {
 
   private def inflateChunk(raw: Array[Byte], comp: String, outLen: Int,
                            ctx: String): Array[Byte] = comp match {
+    case "blosc" =>
+      // the blosc HEADER (not the .zarray config) names the codec and
+      // shuffle, exactly like c-blosc's own decoder
+      Blosc.decompress(raw, outLen, ctx)
     case "" =>
       require(raw.length == outLen,
         s"$ctx: raw chunk has ${raw.length} bytes, expected $outLen")
@@ -433,13 +438,29 @@ object Zarr {
     } finally d.end()
   }
 
+
+  /** Encode one raw chunk per the writer codec. `codec`: "zlib"
+    * (numcodecs zlib level 1) or "blosc-lz4" / "blosc-zstd" /
+    * "blosc-zlib" (byte-shuffled blosc1 chunks, zarr-python's
+    * default container shape). */
+  private def encodeChunk(raw: Array[Byte], chunkBytes: Int, item: Int,
+      compress: Boolean, codec: String): Array[Byte] =
+    if (!compress) raw
+    else codec match {
+      case "zlib" => deflate(raw, chunkBytes)
+      case b if b.startsWith("blosc-") =>
+        Blosc.compress(raw, chunkBytes, item, b.stripPrefix("blosc-"))
+      case other => throw new IllegalArgumentException(
+        s"zarr export: unknown codec '$other' (zlib/blosc-lz4/blosc-zstd/blosc-zlib)")
+    }
+
   /** Write a frame as a zarr v2 GROUP (one child array per column —
     * scalar columns as (n,), fixed-width array columns as (n, d)),
     * chunked along dim 0, zlib-compressed (`compress = false` for raw
     * chunks). Driver-streamed: one RowSpill pass, then chunk files
     * per column. */
   def toZarr(df: DataFrame, dir: String, chunkRows: Int = 65536,
-             compress: Boolean = true): Unit = {
+             compress: Boolean = true, codec: String = "zlib"): Unit = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
     val schema = df.schema
     // column plans: (name, descr, d) with d = 0 for scalars; fixed
@@ -458,7 +479,7 @@ object Zarr {
     import scala.jdk.CollectionConverters._
     val (file, n) = RowSpill.spill(schema, df.toLocalIterator().asScala)
     try {
-      writeGroupMeta(dir, plans, n, chunkRows, compress)
+      writeGroupMeta(dir, plans, n, chunkRows, compress, codec)
       plans.zipWithIndex.foreach { case ((name, descr, d), ci) =>
         val adir = s"$dir/$name"
         val width = math.max(d, 1)
@@ -470,7 +491,9 @@ object Zarr {
           // zarr v2: edge chunks are FULL-SIZE, zero-padded
           while (bb.position() < chunkBytes) bb.put(0.toByte)
           val raw = bb.array()
-          val bytes = if (compress) deflate(raw, chunkBytes) else raw.clone()
+          val bytes =
+            if (compress) encodeChunk(raw, chunkBytes, item, compress, codec)
+            else raw.clone()
           val name2 = if (d == 0) s"$chunkIdx" else s"$chunkIdx.0"
           val out = FsIO.create(s"$adir/$name2")
           try out.write(bytes) finally out.close()
@@ -507,10 +530,15 @@ object Zarr {
   }
 
   private def zarrayJson(descr: String, n: Long, d: Int, chunkRows: Int,
-                         compress: Boolean): String = {
+                         compress: Boolean, codec: String = "zlib"): String = {
     val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
     val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
-    val comp = if (compress) """{"id":"zlib","level":1}""" else "null"
+    val comp =
+      if (!compress) "null"
+      else if (codec.startsWith("blosc-"))
+        s"""{"id":"blosc","cname":"${codec.stripPrefix("blosc-")}",""" +
+          """"clevel":5,"shuffle":1,"blocksize":0}"""
+      else """{"id":"zlib","level":1}"""
     s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
       s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}"""
   }
@@ -518,13 +546,14 @@ object Zarr {
   /** Group skeleton: .zgroup, per-array dirs + .zarray, and the
     * CONSOLIDATED .zmetadata (one metadata read on object stores). */
   private def writeGroupMeta(dir: String, plans: Seq[(String, String, Int)],
-                             n: Long, chunkRows: Int, compress: Boolean): Unit = {
+                             n: Long, chunkRows: Int, compress: Boolean,
+                             codec: String = "zlib"): Unit = {
     FsIO.mkdirs(dir)
     writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
     val entries = plans.map { case (name, descr, d) =>
       val adir = s"$dir/$name"
       FsIO.mkdirs(adir)
-      val j = zarrayJson(descr, n, d, chunkRows, compress)
+      val j = zarrayJson(descr, n, d, chunkRows, compress, codec)
       writeString(s"$adir/.zarray", j)
       name -> j
     }
@@ -545,7 +574,8 @@ object Zarr {
     * buffer). Same store layout as [[toZarr]] byte-for-byte given the
     * same input order. */
   def toZarrDistributed(df: DataFrame, dir: String, chunkRows: Int = 65536,
-                        compress: Boolean = true): Int = {
+                        compress: Boolean = true,
+                        codec: String = "zlib"): Int = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
     val schema = df.schema
     val widths: Map[String, Int] =
@@ -560,13 +590,14 @@ object Zarr {
     }.toSeq
     val indexed = df.rdd.zipWithIndex()
     val n = indexed.count() // also the job that fixes zipWithIndex
-    writeGroupMeta(dir, plans, n, chunkRows, compress)
+    writeGroupMeta(dir, plans, n, chunkRows, compress, codec)
     if (n == 0) return 0
     val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
     val cr = chunkRows
     val dirB = dir
     val plansB = plans
     val compB = compress
+    val codecB = codec
     // shuffle keyed (chunk, rowIdx) and SORT within partitions so a
     // task streams complete chunks in order — memory per task is one
     // chunk's rows, never a partition buffer
@@ -603,7 +634,7 @@ object Zarr {
             }
             while (bb.position() < chunkBytes) bb.put(0.toByte)
             val raw = bb.array()
-            val bytes = if (compB) deflate(raw, chunkBytes) else raw
+            val bytes = encodeChunk(raw, chunkBytes, item, compB, codecB)
             val fname = if (d == 0) s"$curCi" else s"$curCi.0"
             val out = FsIO.create(s"$dirB/$name/$fname")
             try out.write(bytes) finally out.close()

@@ -51,15 +51,76 @@ class ZarrSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
-  test("blosc and Fortran-order stores are rejected loudly") {
-    val e1 = intercept[IllegalArgumentException] {
-      Zarr.fromZarr(spark, res("blosc.zarr"))
+  test("blosclz/BITshuffle chunks and Fortran-order stores are rejected loudly") {
+    val e1 = intercept[Exception] {
+      Zarr.fromZarr(spark, res("blosclz.zarr")).collect()
     }
-    assert(e1.getMessage.contains("blosc"))
+    assert(e1.getMessage.contains("blosclz"))
+    val e3 = intercept[Exception] {
+      Zarr.fromZarr(spark, res("bitshuf.zarr")).collect()
+    }
+    assert(e3.getMessage.contains("BITshuffle"))
     val e2 = intercept[IllegalArgumentException] {
       Zarr.fromZarr(spark, res("fortran.zarr"))
     }
     assert(e2.getMessage.contains("Fortran"))
+  }
+
+  test("blosc chunks decode: shuffle, no-shuffle, 2-D, multi-block, memcpy form") {
+    // fixtures from the INDEPENDENT stdlib producer (tools/zarrgen.py
+    // blosc_zlib_chunk — hand-built header/offsets/shuffle, zlib codec)
+    val df = Zarr.fromZarr(spark, res("bloscz.zarr"), numPartitions = 3)
+    assert(df.schema.fieldNames.toSeq == Seq("emb", "mc", "plain", "vec_id"))
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.length == 50)
+    (0 until 50).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("vec_id") == i * 7L - 3) // shuffled i8
+      assert(r.getAs[Double]("plain") == i * 0.125) // no-shuffle f8
+      assert(r.getAs[Int]("mc") == i) // memcpy-form chunk, row-aligned
+      val e = r.getSeq[Float](r.fieldIndex("emb")) // shuffled 2-D f4
+      assert(e == (0 until 5).map(j => ((i * 5 + j) % 13) * 0.5f - 2.0f), s"row $i")
+    }
+    // forced-memcpy chunk (incompressible form): raw unshuffled bytes
+    val mc = Zarr.fromZarr(spark, res("bloscz.zarr/mc"))
+    assert(mc.collect().map(_.getInt(0)).sorted.toSeq == (0 until 50))
+  }
+
+  test("blosc writer: lz4/zstd round trips; blosc-zlib verified by independent python") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("x", DoubleType, false),
+      StructField("v", ArrayType(FloatType, false), false)))
+    val n = 200
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, i * 0.5 - 3.0, Seq(i * 1.0f, -i * 0.25f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    for (codec <- Seq("blosc-lz4", "blosc-zstd")) {
+      val store = tmp(s"$codec.zarr")
+      Zarr.toZarr(df, store, chunkRows = 37, codec = codec)
+      val back = Readers.open(spark, store).orderBy("id").collect()
+      assert(back.length == n, codec)
+      assert(back(7).getAs[Double]("x") == 7 * 0.5 - 3.0, codec)
+      assert(back(9).getSeq[Float](back(9).fieldIndex("v")) ==
+        Seq(9.0f, -2.25f), codec)
+    }
+    // blosc-zlib through the DISTRIBUTED writer, re-read by the
+    // independent stdlib decoder (zarrgen.blosc_zlib_decode)
+    val store = tmp("bzlib.zarr")
+    Zarr.toZarrDistributed(df, store, chunkRows = 37, codec = "blosc-zlib")
+    assert(Readers.open(spark, store).agg(sum("id")).head.getLong(0) ==
+      n.toLong * (n - 1) / 2)
+    import scala.sys.process._
+    val py =
+      s"""import sys; sys.path.insert(0, 'tools')
+         |import zarrgen
+         |out = zarrgen.verify('$store')
+         |assert out['id'].sum() == ${n.toLong * (n - 1) / 2}, out['id'].sum()
+         |assert abs(float(out['x'][7]) - ${7 * 0.5 - 3.0}) < 1e-12
+         |assert out['v'].shape == ($n, 2) and float(out['v'][9][1]) == -2.25
+         |print('PY_OK')""".stripMargin
+    val res2 = Seq("python3", "-c", py).!!
+    assert(res2.contains("PY_OK"), res2)
   }
 
   test("writer round trip + independent python (numpy+zlib) re-read") {

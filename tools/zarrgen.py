@@ -18,6 +18,53 @@ ROOT = os.path.join(os.path.dirname(__file__), "..",
                     "src", "test", "fixtures", "zarr")
 
 
+
+import struct
+
+
+def blosc_zlib_chunk(data, typesize, shuffle=True, blocksize=2048,
+                     force_memcpy=False, fmt=3, flag_extra=0):
+    """Pure-stdlib blosc1 chunk producer (zlib codec, format code 3),
+    written straight from c-blosc's README_CHUNK_FORMAT.rst: 16-byte
+    header, LE32 block offsets, per-block LE32 csize + payload, blocks
+    byte-shuffled (shuffle_generic_inline layout) before compression.
+    An INDEPENDENT producer for the Scala Blosc decoder."""
+    nbytes = len(data)
+    if force_memcpy:
+        header = bytes([2, 1, 0x2, typesize]) + struct.pack(
+            "<iii", nbytes, max(typesize, blocksize), 16 + nbytes)
+        return header + data
+    blocksize = max(typesize, blocksize - blocksize % typesize)
+    do_shuffle = shuffle and typesize > 1
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    blocks = []
+    for j in range(nblocks):
+        b = data[j * blocksize:(j + 1) * blocksize]
+        if do_shuffle:
+            ne = len(b) // typesize * typesize
+            arr = np.frombuffer(b[:ne], dtype="u1").reshape(-1, typesize)
+            b2 = arr.T.tobytes() + b[ne:]
+        else:
+            b2 = b
+        comp = zlib.compress(b2, 5)
+        blocks.append(b2 if len(comp) >= len(b) else comp)
+    flags = (fmt << 5) | (1 if do_shuffle else 0) | flag_extra
+    total = 16 + 4 * nblocks + sum(4 + len(b) for b in blocks)
+    out = bytearray()
+    out += bytes([2, 1, flags, typesize])
+    out += struct.pack("<iii", nbytes, blocksize, total)
+    pos = 16 + 4 * nblocks
+    for b in blocks:
+        out += struct.pack("<i", pos)
+        pos += 4 + len(b)
+    for j, b in enumerate(blocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        out += struct.pack("<i", neblock if len(b) >= neblock else len(b))
+        out += b
+    assert len(out) == total
+    return bytes(out)
+
+
 def write_array(adir, arr, chunks, compressor, fill_value=0,
                 dimension_separator=None, skip_chunks=()):
     os.makedirs(adir, exist_ok=True)
@@ -47,6 +94,9 @@ def write_array(adir, arr, chunks, compressor, fill_value=0,
             data = block.tobytes(order="C")
             if compressor and compressor.get("id") == "zlib":
                 data = zlib.compress(data, compressor.get("level", 1))
+            elif compressor and compressor.get("id") == "blosc":
+                data = blosc_zlib_chunk(data, arr.dtype.itemsize,
+                                        shuffle=compressor.get("shuffle", 1) == 1)
             with open(os.path.join(adir, str(i)), "wb") as f:
                 f.write(data)
     else:
@@ -61,6 +111,9 @@ def write_array(adir, arr, chunks, compressor, fill_value=0,
                 data = block.tobytes(order="C")
                 if compressor and compressor.get("id") == "zlib":
                     data = zlib.compress(data, compressor.get("level", 1))
+                elif compressor and compressor.get("id") == "blosc":
+                    data = blosc_zlib_chunk(data, arr.dtype.itemsize,
+                                            shuffle=compressor.get("shuffle", 1) == 1)
                 with open(os.path.join(adir, f"{i}{sep}{j}"), "wb") as f:
                     f.write(data)
 
@@ -94,14 +147,49 @@ def main():
     write_array(os.path.join(ROOT, "sparse.zarr"), sparse, (10,), zlib1,
                 fill_value=9, skip_chunks=(1,))
 
-    # rejection fixtures
-    blosc = os.path.join(ROOT, "blosc.zarr")
-    os.makedirs(blosc, exist_ok=True)
-    with open(os.path.join(blosc, ".zarray"), "w") as f:
-        json.dump({"zarr_format": 2, "shape": [4], "chunks": [4],
+    # blosc fixtures (independent producer: stdlib zlib codec inside
+    # hand-built blosc1 chunk framing) — shuffle, no-shuffle, 2-D,
+    # multi-block, and a forced memcpy chunk
+    bz = os.path.join(ROOT, "bloscz.zarr")
+    os.makedirs(bz, exist_ok=True)
+    with open(os.path.join(bz, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    bn = 50
+    b_id = np.arange(bn, dtype="<i8") * 7 - 3
+    b_emb = (np.arange(bn * 5, dtype="<f4").reshape(bn, 5) % 13) * 0.5 - 2.0
+    b_plain = np.arange(bn, dtype="<f8") * 0.125
+    write_array(os.path.join(bz, "vec_id"), b_id, (16,),
+                {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1})
+    write_array(os.path.join(bz, "emb"), b_emb, (16, 5),
+                {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1})
+    write_array(os.path.join(bz, "plain"), b_plain, (50,),
+                {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 0})
+    # memcpy-form chunk: same .zarray, chunk bytes hand-framed
+    mc = os.path.join(bz, "mc")
+    os.makedirs(mc, exist_ok=True)
+    mcarr = np.arange(bn, dtype="<i4")
+    with open(os.path.join(mc, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [bn], "chunks": [bn],
                    "dtype": "<i4", "order": "C", "filters": None,
                    "fill_value": 0,
-                   "compressor": {"id": "blosc", "cname": "lz4"}}, f)
+                   "compressor": {"id": "blosc", "cname": "zlib",
+                                  "clevel": 5, "shuffle": 1}}, f)
+    with open(os.path.join(mc, "0"), "wb") as f:
+        f.write(blosc_zlib_chunk(mcarr.tobytes(), 4, force_memcpy=True))
+
+    # rejection fixtures: blosclz codec (fmt 0) and BITshuffle flag
+    for name, kw in (("blosclz.zarr", {"fmt": 0}),
+                     ("bitshuf.zarr", {"flag_extra": 0x4})):
+        rd = os.path.join(ROOT, name)
+        os.makedirs(rd, exist_ok=True)
+        rarr = np.arange(8, dtype="<i4")
+        with open(os.path.join(rd, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2, "shape": [8], "chunks": [8],
+                       "dtype": "<i4", "order": "C", "filters": None,
+                       "fill_value": 0,
+                       "compressor": {"id": "blosc", "cname": "lz4"}}, f)
+        with open(os.path.join(rd, "0"), "wb") as f:
+            f.write(blosc_zlib_chunk(rarr.tobytes(), 4, **kw))
     fortran = os.path.join(ROOT, "fortran.zarr")
     os.makedirs(fortran, exist_ok=True)
     with open(os.path.join(fortran, ".zarray"), "w") as f:
@@ -128,14 +216,44 @@ def verify(store):
         for i in range(grid0):
             data = open(os.path.join(adir, str(i) if len(shape) == 1
                                      else f"{i}.0"), "rb").read()
-            if meta["compressor"]:
-                assert meta["compressor"]["id"] == "zlib"
+            if meta["compressor"] and meta["compressor"]["id"] == "zlib":
                 data = zlib.decompress(data)
+            elif meta["compressor"]:
+                assert meta["compressor"]["id"] == "blosc"
+                data = blosc_zlib_decode(data)
             block = np.frombuffer(data, dtype=dt).reshape(chunks)
             rows.append(block)
         full = np.concatenate(rows)[:shape[0]]
         out[child] = full
     return out
+
+
+
+def blosc_zlib_decode(chunk):
+    """Independent blosc1 decoder (zlib codec only) for verify()."""
+    flags, typesize = chunk[2], chunk[3]
+    nbytes, blocksize, cbytes = struct.unpack("<iii", chunk[4:16])
+    assert cbytes == len(chunk)
+    if flags & 0x2:
+        return chunk[16:16 + nbytes]
+    fmt = (flags >> 5) & 0x7
+    assert fmt == 3, f"verify() only decodes blosc-zlib, got fmt {fmt}"
+    shuffled = (flags & 0x1) and typesize > 1
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    out = bytearray()
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        (boff,) = struct.unpack("<i", chunk[16 + 4 * j:20 + 4 * j])
+        (csize,) = struct.unpack("<i", chunk[boff:boff + 4])
+        payload = chunk[boff + 4:boff + 4 + csize]
+        b = payload if csize == neblock else zlib.decompress(payload)
+        assert len(b) == neblock
+        if shuffled:
+            ne = neblock // typesize * typesize
+            arr = np.frombuffer(b[:ne], dtype="u1").reshape(typesize, -1)
+            b = arr.T.tobytes() + b[ne:]
+        out += b
+    return bytes(out)
 
 
 if __name__ == "__main__":
