@@ -864,7 +864,7 @@ object DeltaLake {
     zorderBy.foreach(c => require(dataSchema.fieldNames.contains(c),
       s"compact: zorderBy column $c is not a data column of $table"))
     val version = snap.version + 1
-    val staging = s"$table/_staging"
+    val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
     FsIO.deleteRecursive(staging)
     val groups = snap.adds.groupBy(_.partitionValues).toSeq.zipWithIndex
     // one rewrite job per partition group, submitted CONCURRENTLY
@@ -996,7 +996,10 @@ object DeltaLake {
     * (not in the data files — the log value IS their exact bound). */
   private def stageAdds(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String]): Seq[AddFile] = {
-    val staging = s"$table/_staging"
+    // attempt-unique SUBDIR of _staging/ (concurrent writers must not
+    // clobber each other's staged files; the parent prefix keeps
+    // vacuum's /_staging/ exclusion working)
+    val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
     FsIO.deleteRecursive(staging)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
     val promoted = promoteStaged(table, staging, partitionBy)
@@ -1182,15 +1185,34 @@ object DeltaLake {
   /** Claim version `v` of the log: exists-check + temp-file rename
     * (single-writer; a true multi-writer deployment needs a
     * put-if-absent LogStore, exactly as in OSS Delta). */
+  /** Claim version `v` of the log: exists-check, stage, rename. On
+    * HDFS-like stores rename-to-existing FAILS, so two racing writers
+    * cannot both land `v` — one loses loudly at one of the two
+    * checks. On object stores without atomic rename (plain S3) this
+    * check-then-rename has a race window; OSS Delta solves it with a
+    * LogStore whose `write` is put-if-absent (S3: DynamoDB mutual
+    * exclusion; GCS/Azure: native preconditions) — deploying there
+    * means routing this one call through such a primitive. The
+    * single-writer discipline everywhere else is exactly this
+    * function. Within ONE JVM the claim is made atomic by a per-table
+    * monitor (local-fs rename REPLACES existing files, so the
+    * exists-check alone would let two driver threads silently lose an
+    * update) — two concurrent writers racing the same version get
+    * exactly one success and one loud failure. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commit(table: String, v: Long, lines: Seq[String]): Unit = {
     val dest = commitPath(table, v)
-    require(!FsIO.exists(dest),
-      s"Delta version $v already exists (concurrent writer?): $dest")
-    val tmp = f"${logDir(table)}/.$v%020d.json.tmp"
-    val out = FsIO.create(tmp)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    FsIO.rename(tmp, dest)
+    val lock = commitLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      require(!FsIO.exists(dest),
+        s"Delta version $v already exists (concurrent writer?): $dest")
+      val tmp = f"${logDir(table)}/.$v%020d.json.tmp"
+      val out = FsIO.create(tmp)
+      try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      FsIO.rename(tmp, dest)
+    }
   }
 
   /** Compact the state at `v` into `%020d.checkpoint.parquet` (+ the

@@ -623,7 +623,21 @@ object Iceberg {
     * copy-on-write). `mode`: "overwrite" or "append" — append
     * fast-appends a new manifest and re-lists the prior snapshot's
     * manifests verbatim; old snapshots stay readable by id. */
-  def toIceberg(df: DataFrame, dir0: String, mode: String = "overwrite"): Unit = {
+  def toIceberg(df: DataFrame, dir0: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    // Partitioned Iceberg writes are an explicit REJECTION, not a
+    // silent ignore: a partition spec changes the manifest entry
+    // `partition` record, the spec JSON, bounds-per-partition-field
+    // and the transform grammar (identity/bucket/truncate/...) — a
+    // half-faithful spec would make foreign readers mis-plan pruning.
+    // Partitioned lakehouse exports go through the Delta sink
+    // (DeltaLake.toDelta(partitionBy=...)), which this engine reads
+    // and maintains end-to-end.
+    require(partitionBy.isEmpty,
+      "toIceberg: partitioned writes are unsupported (partition specs " +
+        "change manifest entries + pruning metadata for foreign " +
+        "readers); use DeltaLake.toDelta(partitionBy = ...) for " +
+        "partitioned lakehouse exports")
     // normalized: the paths stored in manifests must be absolute, and
     // staging-prefix arithmetic must match the listing output
     val dir = FsIO.normalize(dir0.stripSuffix("/"))

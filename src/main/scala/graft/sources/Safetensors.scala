@@ -70,7 +70,7 @@ object Safetensors {
   }
 
   /** IEEE 754 half -> float, exact (all halves are representable). */
-  private[sources] def f16ToFloat(bits: Int): Float = {
+  private[graft] def f16ToFloat(bits: Int): Float = {
     val sign = (bits >>> 15) & 1
     val exp = (bits >>> 10) & 0x1f
     val frac = bits & 0x3ff
@@ -88,8 +88,53 @@ object Safetensors {
   }
 
   /** bfloat16 -> float: the upper 16 bits of the float32 pattern. */
-  private[sources] def bf16ToFloat(bits: Int): Float =
+  private[graft] def bf16ToFloat(bits: Int): Float =
     java.lang.Float.intBitsToFloat(bits << 16)
+
+  /** float -> IEEE half, round-to-nearest-even (the inverse of
+    * [[f16ToFloat]]): overflow saturates to +/-Inf, subnormal halves
+    * produced below 2^-14, NaN keeps a quiet payload. */
+  private[graft] def floatToF16(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val absBits = bits & 0x7fffffff
+    if (absBits >= 0x7f800000) { // Inf / NaN
+      val frac = if (absBits > 0x7f800000) 0x200 | ((absBits >> 13) & 0x3ff)
+                 else 0
+      return (sign | 0x7c00 | frac).toShort
+    }
+    // scale the unbiased exponent into half's range
+    val e = (absBits >>> 23) - 127 + 15 // biased half exponent
+    if (e >= 0x1f) return (sign | 0x7c00).toShort // overflow -> Inf
+    if (e <= 0) { // subnormal half (or zero)
+      if (e < -10) return sign.toShort // underflow -> signed zero
+      // implicit leading 1 becomes explicit, shift into 10-bit frac
+      val m = (absBits & 0x7fffff) | 0x800000
+      val shift = 14 - e // 14..24
+      val frac = m >>> shift
+      val rem = m & ((1 << shift) - 1)
+      val half = 1 << (shift - 1)
+      val rounded =
+        if (rem > half || (rem == half && (frac & 1) == 1)) frac + 1 else frac
+      return (sign | rounded).toShort
+    }
+    val frac = (absBits >>> 13) & 0x3ff
+    val rem = absBits & 0x1fff
+    val rounded =
+      if (rem > 0x1000 || (rem == 0x1000 && (frac & 1) == 1)) 1 else 0
+    // frac overflow carries into the exponent correctly (monotone bits)
+    (sign | ((e << 10) + frac + rounded)).toShort
+  }
+
+  /** float -> bfloat16, round-to-nearest-even on the dropped 16 bits
+    * (NaN forced quiet so truncation cannot make an Inf). */
+  private[graft] def floatToBf16(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    if ((bits & 0x7fffffff) > 0x7f800000) // NaN: keep quiet, drop low bits
+      return (((bits >>> 16) & 0xffff) | 0x0040).toShort
+    val lsb = (bits >>> 16) & 1
+    ((bits + 0x7fff + lsb) >>> 16).toShort
+  }
 
   // ------------------------------------------------------------ header
 
@@ -275,6 +320,8 @@ object Safetensors {
       case "I16" => bb.putShort(v.asInstanceOf[Short])
       case "I8" => bb.put(v.asInstanceOf[Byte])
       case "BOOL" => bb.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case "F16" => bb.putShort(floatToF16(v.asInstanceOf[Float]))
+      case "BF16" => bb.putShort(floatToBf16(v.asInstanceOf[Float]))
     }
     ()
   }
@@ -283,15 +330,31 @@ object Safetensors {
     * (name, dtype, d) where d = 0 for scalars, else the constant
     * array width (a varying width fails here, not mid-write — the
     * SHARED one-pass stats helper, Npy.geometry). */
-  private def plan(df: DataFrame): Seq[(String, String, Int)] = {
+  private def plan(df: DataFrame,
+      half: Map[String, String]): Seq[(String, String, Int)] = {
+    half.foreach { case (c, dt) =>
+      require(dt == "F16" || dt == "BF16",
+        s"safetensors export: half override for $c must be F16|BF16, got $dt")
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"safetensors export: half override for unknown column $c"))
+      val et = f.dataType match {
+        case ArrayType(e, _) => e
+        case t => t
+      }
+      require(et == FloatType,
+        s"safetensors export: half override needs a float column, " +
+          s"$c is ${f.dataType.catalogString}")
+    }
     val widths: Map[String, Int] =
       if (df.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
         Npy.geometry(df, "safetensors export")._3
       else Map.empty
     df.schema.fields.map { f =>
+      def dt(t: DataType) = half.getOrElse(f.name, outDtype(f.name, t))
       f.dataType match {
-        case ArrayType(et, _) => (f.name, outDtype(f.name, et), widths(f.name))
-        case t => (f.name, outDtype(f.name, t), 0)
+        case ArrayType(et, _) => (f.name, dt(et), widths(f.name))
+        case t => (f.name, dt(t), 0)
       }
     }.toSeq
   }
@@ -388,8 +451,9 @@ object Safetensors {
     * So: ONE `toLocalIterator` pass spills rows to driver-local disk
     * (RowSpill — never the whole frame in memory), then the column
     * passes re-read the spill. */
-  def toSafetensors(df: DataFrame, path: String): Unit = {
-    val cols = plan(df)
+  def toSafetensors(df: DataFrame, path: String,
+      halfDtypes: Map[String, String] = Map.empty): Unit = {
+    val cols = plan(df, halfDtypes)
     val schema = df.schema
     import scala.jdk.CollectionConverters._
     val (file, n) = RowSpill.spill(schema,
@@ -402,8 +466,9 @@ object Safetensors {
     * executor-local disk once (RowSpill — no `it.toArray`), then
     * streams its own `part-NNNNN.safetensors`, re-reading the spill
     * once per column. Read back with a glob. Returns shard count. */
-  def toSafetensorsSharded(df: DataFrame, dir: String): Int = {
-    val cols = plan(df)
+  def toSafetensorsSharded(df: DataFrame, dir: String,
+      halfDtypes: Map[String, String] = Map.empty): Int = {
+    val cols = plan(df, halfDtypes)
     val schema = df.schema
     FsIO.mkdirs(dir)
     FsIO.deleteShards(dir, ".safetensors")

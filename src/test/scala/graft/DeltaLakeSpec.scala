@@ -49,8 +49,11 @@ class DeltaLakeSpec extends SparkSpec {
       back.schema.map(_.name) == df.schema.map(_.name))
     assert(back.orderBy("id").collect().toSeq ==
       df.orderBy("id").collect().toSeq)
-    // staging hygiene: promoted, then removed
-    assert(!FsIO.exists(s"$t/_staging"))
+    // staging hygiene: promoted, then removed (the attempt-unique
+    // subdir is gone; the shared parent may linger empty — deleting
+    // it would race a concurrent writer's staging)
+    assert(!FsIO.exists(s"$t/_staging") ||
+      FsIO.listFilesRecursive(s"$t/_staging").isEmpty)
   }
 
   test("partitioned: values come from the log, typed; nasty strings survive") {
@@ -717,6 +720,46 @@ class DeltaLakeSpec extends SparkSpec {
     // still reads
     DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
     assert(DeltaLake.fromDelta(spark, t).count() == 40)
+  }
+
+  test("concurrent-commit race: two writers, one version — one wins, one is loud") {
+    val t = tmp("race.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s"), t) // v0
+    // two appenders race through the PUBLIC write path: both snapshot
+    // v0, both stage, both try to claim v1. The per-table commit
+    // monitor makes the outcome deterministic: exactly one success,
+    // one loud "concurrent writer" failure — never a silent
+    // lost-update (local-fs rename REPLACES, so without the atomic
+    // claim the loser would overwrite the winner's commit).
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Unit]]()
+    val threads = Seq("x", "y").map { tag =>
+      new Thread(() => {
+        val df = Seq((2L, tag)).toDF("id", "s")
+        barrier.await()
+        try {
+          DeltaLake.toDelta(df, t, "append")
+          results.add(Right(()))
+        } catch {
+          case e: IllegalArgumentException => results.add(Left(e.getMessage))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val (losers, winners) = results.toArray(Array.empty[Either[String, Unit]])
+      .partition(_.isLeft)
+    assert(winners.length == 1 && losers.length == 1, results.toString)
+    assert(losers.head.swap.toOption.get.contains("concurrent writer"))
+    // the committed table is the WINNER's state, intact and readable:
+    // exactly one append landed, history is v0, v1
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 2)
+    assert(DeltaLake.latestVersion(t) == 1L)
+    // no staged files linger (attempt-unique staging subdirs cleaned)
+    assert(!FsIO.exists(s"$t/_staging") ||
+      FsIO.listFilesRecursive(s"$t/_staging").isEmpty)
   }
 
   test("fromDeltaChanges rejects a schema change inside the range") {

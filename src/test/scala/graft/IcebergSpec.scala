@@ -362,6 +362,16 @@ class IcebergSpec extends SparkSpec {
     assert(e2.getMessage.contains("field id"))
   }
 
+  test("partitioned toIceberg is a documented rejection pointing at the Delta sink") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.toIceberg(df, tmp("part.iceberg"), partitionBy = Seq("s"))
+    }
+    assert(e.getMessage.contains("partitioned writes are unsupported") &&
+      e.getMessage.contains("toDelta"))
+  }
+
   test("Appendix D single-value serialization round-trips every bound type") {
     import graft.sources.{DeltaStats, IcebergBounds => B}
     // spec-pinned byte layouts (little-endian numerics, UTF-8 string,

@@ -124,6 +124,96 @@ class SafetensorsSpec extends SparkSpec {
     assert(back(3).getByte(3) == -22)
   }
 
+  test("F16/BF16 write: numpy-conformant bits, exact round trips, validation") {
+    // 1. bit-level conformance of the float->half converters against
+    //    numpy (an independent IEEE 754 implementation): a sweep of
+    //    normals, subnormals, boundaries, Inf and NaN
+    val sweep: Seq[Float] = Seq(
+      0.0f, -0.0f, 1.0f, -1.0f, 0.5f, 1.5f, 65504f /*max half*/,
+      65520f /*rounds to Inf*/, 65519.996f, 6.1035156e-5f /*min normal*/,
+      6.0975552e-5f /*subnormal*/, 5.9604645e-8f /*min subnormal*/,
+      2.9e-8f /*underflow*/, 1.0009765f /*RNE tie*/, 1.0009766f,
+      3.14159265f, -2.71828f, 1e-3f, 123.456f,
+      Float.PositiveInfinity, Float.NegativeInfinity) ++
+      (0 until 200).map(i => java.lang.Float.intBitsToFloat(
+        new scala.util.Random(i).nextInt()))
+    val finite = sweep.filter(f => !f.isNaN)
+    val f16bits = finite.map(f =>
+      (Safetensors.floatToF16(f) & 0xffff).toString).mkString(",")
+    val bf16bits = finite.map(f =>
+      (Safetensors.floatToBf16(f) & 0xffff).toString).mkString(",")
+    val fvals = finite.map(f =>
+      java.lang.Float.floatToRawIntBits(f).toString).mkString(",")
+    import scala.sys.process._
+    val py =
+      s"""import numpy as np
+         |f = np.array([$fvals], dtype=np.int32).view(np.float32)
+         |ours16 = np.array([$f16bits], dtype=np.uint16)
+         |np16 = f.astype(np.float16).view(np.uint16)
+         |assert (ours16 == np16).all(), (ours16 != np16).nonzero()
+         |# bf16: numpy has no bfloat16 — emulate round-to-nearest-even
+         |b = f.view(np.uint32)
+         |bf = ((b.astype(np.uint64) + 0x7fff + ((b >> 16) & 1)) >> 16).astype(np.uint16)
+         |ours = np.array([$bf16bits], dtype=np.uint16)
+         |assert (ours == bf).all(), (ours != bf).nonzero()
+         |print('PY_OK')""".stripMargin
+    val res = Seq("python3", "-c", py).!!
+    assert(res.contains("PY_OK"), res)
+    // NaN stays NaN both ways
+    assert(Safetensors.f16ToFloat(
+      Safetensors.floatToF16(Float.NaN) & 0xffff).isNaN)
+    assert(Safetensors.bf16ToFloat(
+      Safetensors.floatToBf16(Float.NaN) & 0xffff).isNaN)
+
+    // 2. typed round trip through the write->read path: half-exact
+    //    values survive bit-identically; a non-representable value
+    //    lands on its nearest half (the documented contract)
+    val n = 64
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, (i - 32) * 0.25f, Seq((i * 0.5f) - 8f, i * 2.0f))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("x", FloatType, false),
+      StructField("v", ArrayType(FloatType, false), false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val p = tmp("half.safetensors")
+    Safetensors.toSafetensors(df, p,
+      halfDtypes = Map("x" -> "F16", "v" -> "BF16"))
+    val back = Safetensors.fromSafetensors(spark, p).orderBy("id").collect()
+    assert(back.length == n)
+    (0 until n).foreach { i =>
+      assert(back(i).getAs[Float]("x") == (i - 32) * 0.25f) // F16-exact
+      assert(back(i).getSeq[Float](back(i).fieldIndex("v")) ==
+        Seq((i * 0.5f) - 8f, i * 2.0f)) // BF16-exact
+    }
+    // nearest-half rounding for a non-representable value
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, 1.0001f, Seq(0f, 0f))), 1),
+      schema)
+    val p2 = tmp("round.safetensors")
+    Safetensors.toSafetensors(one, p2, halfDtypes = Map("x" -> "F16"))
+    val got = Safetensors.fromSafetensors(spark, p2).head.getAs[Float]("x")
+    assert(got == Safetensors.f16ToFloat(
+      Safetensors.floatToF16(1.0001f) & 0xffff))
+    assert(got == 1.0f && got != 1.0001f) // rounded to the nearest half
+    // sharded path carries the override too
+    val d = tmp("halfsh")
+    Safetensors.toSafetensorsSharded(df, d, halfDtypes = Map("x" -> "F16"))
+    assert(Readers.open(spark, s"$d/part-*.safetensors").count() == n)
+    // validation: unknown column / non-float column reject
+    intercept[IllegalArgumentException] {
+      Safetensors.toSafetensors(df, tmp("bad1"), Map("nope" -> "F16"))
+    }
+    intercept[IllegalArgumentException] {
+      Safetensors.toSafetensors(df, tmp("bad2"), Map("id" -> "F16"))
+    }
+    intercept[IllegalArgumentException] {
+      Safetensors.toSafetensors(df, tmp("bad3"), Map("x" -> "F8"))
+    }
+  }
+
   test("sharded export + glob read-back") {
     val df = spark.range(0, 200).select(col("id"),
       (col("id") % 7).cast("double").as("x"),
