@@ -579,6 +579,56 @@ object SourceQueries {
         .orderBy("v")
     }),
 
+
+    // Delta streaming TAIL: the same commit sequence consumed through
+    // the graft.streaming.DeltaTailSource V1 source over TWO trigger
+    // phases (v1 before start, v2 + a compaction while running) —
+    // offsets are commit versions, so the union of the delivered
+    // micro-batches must equal the batch fromDeltaChanges pull and
+    // the compaction must deliver nothing. Oracle = the same SQL as
+    // q_delta_changes.
+    "q_delta_tail" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_tail") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def part(g: Int) = li.filter(col("l_orderkey") % 3 === g)
+      val D = graft.sources.DeltaLake
+      D.toDelta(part(0), table, mode = "overwrite") // v0 (excluded)
+      D.toDelta(part(1), table, mode = "append")    // v1
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+      val q = s.readStream
+        .format(classOf[graft.streaming.DeltaTailSourceProvider].getName)
+        .option("path", table)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("l_orderkey", "l_quantity", "_commit_version")
+            .collect().foreach(r =>
+              got.add((r.getLong(0), r.getDouble(1), r.getLong(2))))
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        D.toDelta(part(2), table, mode = "append")  // v2, while running
+        D.compact(s, table)                          // v3: no new rows
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      got.forEach(x => rows.add(org.apache.spark.sql.Row(x._1, x._2, x._3)))
+      s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_quantity",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))))
+        .groupBy(col("_commit_version").cast("int").as("v"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .orderBy("v")
+    }),
+
     // Delta MERGE (key upsert): documents become a Delta table, a
     // source of updates (every 7th doc's n_chars bumped) + inserts
     // (fresh doc_ids) merges in — only key-matching files rewrite
@@ -1172,6 +1222,13 @@ object SourceQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_sql" -> aggSql,
     "q_delta_changes" ->
+      s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
+         |SELECT 1 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 1
+         |UNION ALL SELECT 2 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 2
+         |ORDER BY v""".stripMargin,
+    "q_delta_tail" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 1

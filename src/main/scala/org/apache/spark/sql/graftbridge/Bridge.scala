@@ -47,4 +47,17 @@ object Bridge {
       case _ => None
     }
   }
+  /** Re-tag a BATCH DataFrame's rows as a STREAMING micro-batch: the
+    * V1 streaming `Source.getBatch` contract requires the returned
+    * frame to carry isStreaming=true (MicroBatchExecution asserts
+    * it), and `internalCreateDataFrame` is `private[sql]`. The batch
+    * plan is materialized to its InternalRow RDD — planned once per
+    * micro-batch, exactly the V1 source shape (Kafka's V1 source did
+    * the same). */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

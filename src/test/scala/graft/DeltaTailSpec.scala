@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DeltaLake, FsIO}
+import graft.streaming.DeltaTailSourceProvider
+
+/** The Delta commit-tail streaming source: version offsets,
+  * incremental delivery across triggers, stream == batch against
+  * fromDeltaChanges, exactly-once restart from the engine's offset
+  * log, compaction invisibility, and loud guards shared with the
+  * batch tail. */
+class DeltaTailSpec extends SparkSpec {
+
+  private def tmp(leaf: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dtail").toString
+    s"$d/$leaf"
+  }
+
+  private def append(t: String, vals: (Long, String)*): Unit = {
+    import spark.implicits._
+    DeltaLake.toDelta(vals.toDF("id", "s").coalesce(1), t, "append")
+  }
+
+  private def collectSink(name: String): Seq[(Long, String, Long)] =
+    spark.table(name).select("id", "s", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+  test("incremental delivery across triggers == batch fromDeltaChanges; OPTIMIZE invisible") {
+    import spark.implicits._
+    val t = tmp("tail.delta")
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v0
+    append(t, 2L -> "b")                                            // v1
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingVersion", "-1")
+      .load()
+      .writeStream.format("memory").queryName("t_tail")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(collectSink("t_tail") == Seq((1L, "a", 0L), (2L, "b", 1L)))
+      // commits land WHILE the query runs; only the new tail delivers
+      append(t, 3L -> "c")                  // v2
+      DeltaLake.compact(spark, t)           // v3: dataChange=false
+      append(t, 4L -> "d")                  // v4
+      q.processAllAvailable()
+      assert(collectSink("t_tail") == Seq(
+        (1L, "a", 0L), (2L, "b", 1L), (3L, "c", 2L), (4L, "d", 4L)))
+      // stream == batch: the sink equals one batch pull of everything
+      val batch = DeltaLake.fromDeltaChanges(spark, t, -1L)
+        .select("id", "s", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(collectSink("t_tail") == batch)
+    } finally q.stop()
+  }
+
+  test("default start = latest at source creation (new commits only)") {
+    import spark.implicits._
+    val t = tmp("tail2.delta")
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v0
+    append(t, 2L -> "b")                                            // v1
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .load()
+      .writeStream.format("memory").queryName("t_tail2")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(collectSink("t_tail2").isEmpty) // history not re-delivered
+      append(t, 3L -> "c") // v2
+      q.processAllAvailable()
+      assert(collectSink("t_tail2") == Seq((3L, "c", 2L)))
+    } finally q.stop()
+  }
+
+  test("restart from the offset log is exactly-once") {
+    import spark.implicits._
+    val t = tmp("tail3.delta")
+    val cp = tmp("cp")
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v0
+    // the memory sink cannot recover from a checkpoint — use
+    // foreachBatch (the production consumption shape) into a
+    // per-run buffer
+    def run(): Seq[(Long, String, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      val q = spark.readStream
+        .format(classOf[DeltaTailSourceProvider].getName)
+        .option("path", t)
+        .option("startingVersion", "-1")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "s", "_commit_version").collect().foreach(r =>
+            got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      got.toArray(Array.empty[(Long, String, Long)]).sorted.toSeq
+    }
+    assert(run() == Seq((1L, "a", 0L)))
+    append(t, 2L -> "b") // v1 lands between runs
+    append(t, 3L -> "c") // v2
+    // the restarted query resumes AFTER v0: no re-delivery
+    assert(run() == Seq((2L, "b", 1L), (3L, "c", 2L)))
+    // caught up: a third run delivers nothing
+    assert(run().isEmpty)
+  }
+
+  test("guards fire through the stream: missing path option; DV adds reject") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[DeltaTailSourceProvider].getName)
+        .load()
+    }
+    val t = tmp("tail4.delta")
+    DeltaLake.toDelta(
+      spark.range(0, 40).select(col("id"), concat(lit("x"), col("id")).as("s"))
+        .coalesce(2), t)
+    DeltaLake.foreignDeleteRows(spark, t, col("id") < 5)
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingVersion", "-1")
+      .load()
+      .writeStream.format("memory").queryName("t_tail4")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("deletion vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+  }
+}
