@@ -59,9 +59,12 @@ object DenseCatAgg {
     def merge(o: Buf): Buf = {
       var k = 0
       while (k < rowCnt.length) { rowCnt(k) += o.rowCnt(k); k += 1 }
+      val mm = mins != null // null when no min/max agg was requested
       var i = 0
       while (i < sums.length) {
         sums(i) += o.sums(i); cnts(i) += o.cnts(i)
+        if (!mm) { i += 1 }
+        else {
         // Double.compare = Spark's NaN-is-largest total ordering. The
         // init sentinels make every case fall out of one comparison:
         // min slots start at NaN (the ordering's TOP — any real value
@@ -71,6 +74,7 @@ object DenseCatAgg {
         if (java.lang.Double.compare(o.mins(i), mins(i)) < 0) mins(i) = o.mins(i)
         if (java.lang.Double.compare(o.maxs(i), maxs(i)) > 0) maxs(i) = o.maxs(i)
         i += 1
+        }
       }
       this
     }
@@ -86,6 +90,10 @@ object DenseCatAgg {
     * the dense kernel (not the hash path) actually ran a given call.
     * Incremented once per groupByOrdinal call, on the driver. */
   val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Counts calls that fell back to the interpreted (non-fused)
+    * accumulate — spec probe for the r15 codegen fusion. */
+  val classicPath = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Dense groupBy over an ordinal code column with domain [0, n).
     * Rows with a null or out-of-domain code are dropped (binby
@@ -135,61 +143,30 @@ object DenseCatAgg {
     if (rdd.getNumPartitions == 0)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
-    // loop-invariant specialization: min/max arrays are only touched
-    // when some agg asked for them (the common sum/count/mean call
-    // otherwise pays two extra compare-stores per row); all buffers
-    // hoisted to locals so the JIT sees plain array ops in the loop
+    // Accumulation path selection: the r15 FUSED whole-stage-codegen
+    // operator (DenseAggFused — the per-row loop runs inside the
+    // child pipeline's generated code, no UnsafeRow boundary) when
+    // the plan shape allows and spark.graft.denseAgg.fuse != false;
+    // otherwise the classic interpreted mapPartitions loop over the
+    // codegen'd iterator. Both emit identical per-task buffer rows.
+    val useFuse = spark.conf.get("spark.graft.denseAgg.fuse", "true").toBoolean
     val needMM = aggs.exists(a => a.op == "min" || a.op == "max")
-    val partials = rdd.mapPartitions { it =>
-      val rowCnt = new Array[Long](domain)
-      val sums = new Array[Double](nv * domain)
-      val cnts = new Array[Long](nv * domain)
-      // sentinels chosen for Double.compare's NaN-is-largest ordering
-      // (Spark's own): see Buf.merge
-      val mins = Array.fill(nv * domain)(Double.NaN)
-      val maxs = Array.fill(nv * domain)(Double.NegativeInfinity)
-      if (nv == 1 && !needMM) {
-        // the canonical categorize-groupby shape (sum/count/mean of
-        // one column): tightest possible loop
-        while (it.hasNext) {
-          val r = it.next()
-          if (!r.isNullAt(0)) {
-            val kl = r.getLong(0)
-            if (kl >= 0L && kl < domain) {
-              val k = kl.toInt
-              rowCnt(k) += 1L
-              if (!r.isNullAt(1)) { sums(k) += r.getDouble(1); cnts(k) += 1L }
-            }
-          }
-        }
-      } else {
-        while (it.hasNext) {
-          val r = it.next()
-          if (!r.isNullAt(0)) {
-            val kl = r.getLong(0)
-            if (kl >= 0L && kl < domain) {
-              val k = kl.toInt
-              rowCnt(k) += 1L
-              var j = 0
-              while (j < nv) {
-                if (!r.isNullAt(j + 1)) {
-                  val v = r.getDouble(j + 1)
-                  val i = j * domain + k
-                  sums(i) += v
-                  cnts(i) += 1L
-                  if (needMM) {
-                    if (java.lang.Double.compare(v, mins(i)) < 0) mins(i) = v
-                    if (java.lang.Double.compare(v, maxs(i)) > 0) maxs(i) = v
-                  }
-                }
-                j += 1
-              }
-            }
-          }
-        }
+    val bufRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+      (if (useFuse) DenseAggFused.tryFused(projected, domain, nv, needMM)
+       else None).getOrElse {
+        classicPath.incrementAndGet()
+        rdd.mapPartitions(it => Iterator.single(
+          DenseAggFusedExec.accumulateRow(it, domain, nv, needMM)))
       }
-      Iterator.single(Buf(rowCnt, sums, cnts, mins, maxs))
-    }
+    val partials = bufRows.mapPartitions(_.map { r =>
+      val g = r.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      Buf(g.values(0).asInstanceOf[Array[Long]],
+        g.values(1).asInstanceOf[Array[Double]],
+        g.values(2).asInstanceOf[Array[Long]],
+        g.values(3).asInstanceOf[Array[Double]],
+        g.values(4).asInstanceOf[Array[Double]])
+    })
     val merged =
       if (rdd.getNumPartitions > 64) partials.treeReduce(_ merge _, depth = 2)
       else partials.reduce(_ merge _)

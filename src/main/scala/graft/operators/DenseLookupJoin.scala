@@ -224,16 +224,31 @@ object DenseLookupJoin {
     // follows DenseCatAgg's integrality discipline: integral fact
     // keys widen exactly (validated up front); a fractional join key
     // is a modeling error, not a cast.
+    // r15 complete-dim specialization (probe-path decomposition,
+    // BENCH_AB_r15): a column whose merged null bitmap is all-zero
+    // needs no per-row bitmap test, and a dim covering its WHOLE
+    // domain makes the inner-join contains filter a tautology — both
+    // shapes are the common production dims (dense surrogate keys).
     val keyExpr = Bridge.expression(factKey.cast("bigint"))
+    def allZero(bits: Array[Long]): Boolean = {
+      var i = 0
+      while (i < bits.length) { if (bits(i) != 0L) return false; i += 1 }
+      true
+    }
+    // bits above `domain` are never set, so popcount == domain <=>
+    // every key in [0, domain) is present
+    val allPresent = present.map(java.lang.Long.bitCount).sum == domain
     val valueCols = valueFields.zipWithIndex.map { case (f, j) =>
       Bridge.column(DenseLookupValue(keyExpr, tables(j), nulls(j),
-        physical(f.dataType).get, f.dataType, domain)).as(f.name)
+        physical(f.dataType).get, f.dataType, domain,
+        checkNulls = !allZero(nulls(j)))).as(f.name)
     }
     val projected = fact.select(
       fact.columns.map(col).toIndexedSeq ++ valueCols: _*)
     val out =
       if (joinType == "inner")
-        projected.where(Bridge.column(DenseLookupContains(keyExpr, present, domain)))
+        projected.where(Bridge.column(
+          DenseLookupContains(keyExpr, present, domain, assumeAll = allPresent)))
       else projected
     // counted only once the probe plan is fully constructed — a call
     // that threw (ineligible dim, over-budget tables) and fell back to
@@ -303,7 +318,7 @@ object DenseLookupJoin {
     * per row inside whole-stage codegen. */
   case class DenseLookupValue(child: Expression, table: AnyRef,
       nulls: Array[Long], physicalType: DataType, resultType: DataType,
-      domain: Int) extends UnaryExpression {
+      domain: Int, checkNulls: Boolean = true) extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case LongType => TypeCheckResult.TypeCheckSuccess
@@ -318,7 +333,8 @@ object DenseLookupJoin {
       val k = child.eval(input)
       if (k == null) return null
       val kl = k.asInstanceOf[Long]
-      if (kl < 0L || kl >= domain || bitGet(nulls, kl.toInt)) return null
+      if (kl < 0L || kl >= domain ||
+        (checkNulls && bitGet(nulls, kl.toInt))) return null
       val i = kl.toInt
       physicalType match {
         case ByteType => table.asInstanceOf[Array[Byte]](i)
@@ -336,9 +352,17 @@ object DenseLookupJoin {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val tableRef = ctx.addReferenceObj("lookupTable", table,
         javaArrayType(physicalType))
-      val nullsRef = ctx.addReferenceObj("lookupNulls", nulls, "long[]")
-      val childGen = child.genCode(ctx)
       val k = ctx.freshName("k")
+      // complete columns (no stored nulls, every key present) skip
+      // the bitmap load+mask per row — the r15 probe specialization
+      val nullClause =
+        if (!checkNulls) ""
+        else {
+          val nullsRef = ctx.addReferenceObj("lookupNulls", nulls, "long[]")
+          s""" &&
+              (($nullsRef[(int) ($k >>> 6)] >>> (int) ($k & 63L)) & 1L) == 0L"""
+        }
+      val childGen = child.genCode(ctx)
       val jt = CodeGenerator.javaType(resultType)
       ev.copy(code = code"""
         ${childGen.code}
@@ -346,8 +370,7 @@ object DenseLookupJoin {
         $jt ${ev.value} = ${CodeGenerator.defaultValue(resultType)};
         if (!${childGen.isNull}) {
           final long $k = ${childGen.value};
-          if ($k >= 0L && $k < ${domain}L &&
-              (($nullsRef[(int) ($k >>> 6)] >>> (int) ($k & 63L)) & 1L) == 0L) {
+          if ($k >= 0L && $k < ${domain}L$nullClause) {
             ${ev.isNull} = false;
             ${ev.value} = $tableRef[(int) $k];
           }
@@ -361,7 +384,7 @@ object DenseLookupJoin {
   /** key present in the dim (inner-join filter). Null key -> null
     * (filter semantics drop it — exactly an equi-join's behavior). */
   case class DenseLookupContains(child: Expression, present: Array[Long],
-      domain: Int) extends UnaryExpression {
+      domain: Int, assumeAll: Boolean = false) extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case LongType => TypeCheckResult.TypeCheckSuccess
@@ -373,15 +396,22 @@ object DenseLookupJoin {
 
     override def nullSafeEval(k: Any): Any = {
       val kl = k.asInstanceOf[Long]
-      kl >= 0L && kl < domain && bitGet(present, kl.toInt)
+      kl >= 0L && kl < domain && (assumeAll || bitGet(present, kl.toInt))
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val presentRef = ctx.addReferenceObj("lookupPresent", present, "long[]")
-      nullSafeCodeGen(ctx, ev, k => s"""
-        ${ev.value} = $k >= 0L && $k < ${domain}L &&
-          (($presentRef[(int) ($k >>> 6)] >>> (int) ($k & 63L)) & 1L) != 0L;""")
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      if (assumeAll) {
+        // complete dim (every key in [0, domain) present): the filter
+        // reduces to the range check — null / out-of-range keys still
+        // drop, the bitmap load does not run (r15 probe specialization)
+        nullSafeCodeGen(ctx, ev, k => s"""
+          ${ev.value} = $k >= 0L && $k < ${domain}L;""")
+      } else {
+        val presentRef = ctx.addReferenceObj("lookupPresent", present, "long[]")
+        nullSafeCodeGen(ctx, ev, k => s"""
+          ${ev.value} = $k >= 0L && $k < ${domain}L &&
+            (($presentRef[(int) ($k >>> 6)] >>> (int) ($k & 63L)) & 1L) != 0L;""")
+      }
 
     override protected def withNewChildInternal(c: Expression): DenseLookupContains =
       copy(child = c)
