@@ -87,6 +87,24 @@ object JoinDenseProbe {
           Seq(("x", 0.0, 1000.0, 100), ("y", 0.0, 1000.0, 100)),
           sum(col("x")))
         spark.range(0).toDF()
+      }),
+      // conf-flag A/B twin: the same lane on the CLASSIC interpreted
+      // accumulate (fusion off) — fused-vs-classic in one window
+      "bin2d_classic" -> (() => {
+        spark.conf.set("spark.graft.denseAgg.fuse", "false")
+        try VxFrame(gen).binby(
+          Seq(("x", 0.0, 1000.0, 100), ("y", 0.0, 1000.0, 100)),
+          sum(col("x")))
+        finally spark.conf.set("spark.graft.denseAgg.fuse", "true")
+        spark.range(0).toDF()
+      }),
+      "probe_full_classic" -> (() => {
+        spark.conf.set("spark.graft.denseAgg.fuse", "false")
+        try aggK(
+          DenseLookupJoin.lookupJoin(genJ2, dim, col("k2"), "k2", 100_000),
+          Seq(DenseCatAgg.Agg(col("w"), "sum", "sum_w"))).count()
+        finally spark.conf.set("spark.graft.denseAgg.fuse", "true")
+        spark.range(0).toDF()
       }))
 
     // warm every lane once

@@ -1250,7 +1250,17 @@ final case class VxFrame(
       c >= lit(vmin) && c < lit(vmax)
     }.reduce(_ && _)
     val shapes = specs.map(_._4)
-    denseGrid(keys, shapes, agg, Some(inRange)).getOrElse {
+    // dense path: the whole N-d bin -> composite ordinal as ONE
+    // codegen'd kernel (GridOrdinal — bit-parity with the `keys` +
+    // `inRange` formulation the hash path keeps, spec-pinned); nulls
+    // drop in the accumulate exactly where the filter dropped rows
+    val kernelCode = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.GridOrdinal(
+        specs.map(s => org.apache.spark.sql.graftbridge.Bridge.expression(
+          parse(s._1).cast("double"))),
+        specs.map(_._2), specs.map(_._3), specs.map(_._4)))
+    denseGrid(keys, shapes, agg, Some(inRange),
+        precomposed = Some(kernelCode)).getOrElse {
       val binned = df.where(inRange)
         .groupBy(keys: _*)
         .agg(agg.cast("double").as("__v"))
@@ -1307,7 +1317,8 @@ final case class VxFrame(
     * (empty cells 0.0, values as double), so callers cannot observe
     * which path ran; None falls back to hash groupBy. */
   private def denseGrid(bins: Seq[Column], shapes: Seq[Int], agg: Column,
-                        filter: Option[Column]): Option[Array[Double]] = {
+                        filter: Option[Column],
+                        precomposed: Option[Column] = None): Option[Array[Double]] = {
     import graft.operators.DenseCatAgg
     val cells = shapes.map(_.toLong).product
     if (cells > DenseCatAgg.MaxDomain) return None
@@ -1320,10 +1331,16 @@ final case class VxFrame(
       // column would cast to null and under-count)
       val value =
         if (op == "count") when(vcol.isNotNull, lit(1.0)) else vcol.cast("double")
-      val strides = shapes.scanRight(1L)(_ * _).tail
-      val code = bins.zip(strides)
-        .map { case (b, s) => b.cast("bigint") * lit(s) }.reduce(_ + _)
-      val base = filter.fold(df)(df.where)
+      val (code, base) = precomposed match {
+        // kernel ordinal: out-of-range/null rows carry a NULL code and
+        // drop in the accumulate — no separate filter pass
+        case Some(pc) => (pc, df)
+        case None =>
+          val strides = shapes.scanRight(1L)(_ * _).tail
+          (bins.zip(strides)
+            .map { case (b, s) => b.cast("bigint") * lit(s) }.reduce(_ + _),
+            filter.fold(df)(df.where))
+      }
       val rows = DenseCatAgg.groupByOrdinal(base, code, cells.toInt,
         Seq(DenseCatAgg.Agg(value, op, "v")), codeAs = "code").collect()
       val out = new Array[Double](cells.toInt)
