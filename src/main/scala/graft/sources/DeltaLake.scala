@@ -313,6 +313,10 @@ object DeltaLake {
   private def dvFilteredScan(spark: SparkSession, table: String,
       dataSchemaPhys: StructType, files: Seq[AddFile]): DataFrame = {
     import org.apache.spark.unsafe.types.UTF8String
+    // keyed by EVERY spelling _metadata.file_path may render
+    // (PathKeys — incl. the percent-encoded qualified URI), probed
+    // raw per row: no normalization in the hot loop, and a residual
+    // spelling gap stays LOUD (DvDeleted throws), never silent.
     val dvMap = new java.util.HashMap[UTF8String, RoaringDv.Dv]()
     val paths = files.map { f =>
       val p = resolveDataPath(table, f.path)
@@ -320,28 +324,20 @@ object DeltaLake {
       require(dv.cardinality == f.dv.cardinality,
         s"deletion vector for ${f.path} has cardinality ${dv.cardinality}, " +
           s"descriptor says ${f.dv.cardinality}")
-      dvMap.put(UTF8String.fromString(normalizeScanUri(p)), dv)
+      PathKeys.spellings(p).foreach(s =>
+        dvMap.put(UTF8String.fromString(s), dv))
       p
     }
     import org.apache.spark.sql.graftbridge.Bridge
     val base = spark.read.schema(dataSchemaPhys).parquet(paths: _*)
     val deleted = Bridge.column(DvDeleted(
-      Bridge.expression(normalizeUriCol(col("_metadata.file_path"))),
+      Bridge.expression(col("_metadata.file_path")),
       Bridge.expression(col("_metadata.row_index")),
       dvMap))
     base.filter(!deleted)
       .select(dataSchemaPhys.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Column twin of [[normalizeScanUri]] for file URIs:
-    * FsIO.normalize strips the `file:` scheme to a bare path (any
-    * number of slashes), and that is the only normalization that
-    * actually varies between `_metadata.file_path` and the log-side
-    * resolved path on the filesystems we target; other schemes pass
-    * through qualified. A residual mismatch is LOUD (DvDeleted throws
-    * on a missing path), never silent. */
-  private def normalizeUriCol(c: Column): Column =
-    regexp_replace(c, "^file:/+", "/")
 
   /** Load + parse one deletion vector (storage types: `u` relative
     * file, `p` absolute file, `i` inline z85). */
@@ -386,6 +382,16 @@ object DeltaLake {
         Literal.create(
           e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), e.dataType)
     }
+  }
+
+  /** The table's current schema from log METADATA alone (no scan
+    * plan, no file listing beyond the log) — the streaming tail's
+    * schema probe. */
+  private[graft] def tableSchema(spark: SparkSession, table0: String): StructType = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
   }
 
   /** Commit history (driver-side metadata): one row per JSON commit,
@@ -469,6 +475,15 @@ object DeltaLake {
       a.foreach(ad => adds(ad.path) = ad)
     }
     (replayFrom to target).foreach { v =>
+      // A COMMIT is an atomic state transition: its removes apply to
+      // the PRIOR state and its adds define the new one, regardless
+      // of action ORDER inside the file. A DELETE-with-DV commit can
+      // legally serialize as [add(path, newDv), remove(path)] — the
+      // spec reconciles order-independently, and applying that pair
+      // in line order would silently drop the file (all its live
+      // rows). So: buffer per commit, removes first, then adds.
+      val commitAdds = Seq.newBuilder[AddFile]
+      val commitRemoves = Seq.newBuilder[String]
       eachAction(commitPath(table, v)) { n =>
         if (n.has("metaData")) meta = parseMeta(n.get("metaData"))
         if (n.has("protocol")) {
@@ -478,15 +493,11 @@ object DeltaLake {
           minWriter = Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
           writerFeatures = jsonStrings(p.get("writerFeatures"))
         }
-        if (n.has("add")) {
-          val a = parseAdd(n.get("add"))
-          adds(a.path) = a
-        }
-        if (n.has("remove")) {
-          val rm = n.get("remove")
-          adds.remove(rm.get("path").asText())
-        }
+        if (n.has("add")) commitAdds += parseAdd(n.get("add"))
+        if (n.has("remove")) commitRemoves += n.get("remove").get("path").asText()
       }
+      commitRemoves.result().foreach(adds.remove)
+      commitAdds.result().foreach(a => adds(a.path) = a)
     }
     require(meta != null, s"Delta snapshot of $table@$target has no metaData action")
     Snapshot(table, target, meta, minReader, readerFeatures, minWriter,
@@ -865,7 +876,6 @@ object DeltaLake {
       s"compact: zorderBy column $c is not a data column of $table"))
     val version = snap.version + 1
     val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
-    FsIO.deleteRecursive(staging)
     val groups = snap.adds.groupBy(_.partitionValues).toSeq.zipWithIndex
     // one rewrite job per partition group, submitted CONCURRENTLY
     // (Spark schedules independent jobs in parallel; a serial loop
@@ -910,8 +920,10 @@ object DeltaLake {
       } }
       Await.result(Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf).flatten
-    } finally pool.shutdown()
-    FsIO.deleteRecursive(staging)
+    } finally {
+      pool.shutdown()
+      FsIO.deleteRecursive(staging) // failed rewrites leak no staging
+    }
     val statsByPath = DeltaStats.collect(spark, dataSchema.map(_.name),
       newAdds.map(a => resolveDataPath(table, a.path)))
     val withStats = newAdds.map(a =>
@@ -951,7 +963,14 @@ object DeltaLake {
       case (p, _, _) if p.endsWith(".parquet") &&
           !p.contains("/_delta_log/") && !p.contains("/_staging/") => p
     }
-    val candidates = onDisk.filterNot(referenced)
+    // stale staging attempts (a CRASHED writer's attempt-unique
+    // subdir is otherwise never reclaimed): sweep files older than
+    // 24h — far beyond any live write's staging lifetime
+    val staleCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val staleStaging = FsIO.listFilesRecursive(s"$table/_staging").collect {
+      case (p, _, mtime) if mtime < staleCutoff => p
+    }
+    val candidates = onDisk.filterNot(referenced) ++ staleStaging
     if (!dryRun) candidates.foreach(FsIO.deleteRecursive)
     candidates.map(_.stripPrefix(table).stripPrefix("/"))
   }
@@ -1000,10 +1019,12 @@ object DeltaLake {
     // clobber each other's staged files; the parent prefix keeps
     // vacuum's /_staging/ exclusion working)
     val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
-    FsIO.deleteRecursive(staging)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
-    val promoted = promoteStaged(table, staging, partitionBy)
-    FsIO.deleteRecursive(staging)
+    val promoted =
+      try {
+        df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+          .parquet(staging)
+        promoteStaged(table, staging, partitionBy)
+      } finally FsIO.deleteRecursive(staging) // failed attempts leak no staging
     val statCols = df.schema.filterNot(f => partitionBy.contains(f.name))
       .map(_.name)
     val statsByPath = DeltaStats.collect(spark, statCols,
@@ -1389,20 +1410,23 @@ object DeltaLake {
     val partCols = snap.meta.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val paths = snap.adds.map(a => resolveDataPath(table, a.path))
-    val byNorm = snap.adds.map(a =>
-      normalizeScanUri(resolveDataPath(table, a.path)) -> a).toMap
+    // raw _metadata spellings resolve through the shared spellings
+    // enumeration (never per-row normalization)
+    val bySpelling: Map[String, AddFile] = snap.adds.flatMap { a =>
+      PathKeys.spellings(resolveDataPath(table, a.path)).map(_ -> a)
+    }.toMap
     val hits = spark.read.schema(dataSchema).parquet(paths: _*)
       .filter(pred)
-      .select(normalizeUriCol(col("_metadata.file_path")),
-        col("_metadata.row_index"))
+      .select(col("_metadata.file_path"), col("_metadata.row_index"))
       .collect()
       .groupBy(_.getString(0))
-      .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+      .map { case (sp, rows) =>
+        bySpelling.getOrElse(sp, throw new IllegalStateException(
+          s"unmatched scan spelling $sp")) -> rows.map(_.getLong(1)).sorted }
     if (hits.isEmpty) return snap.version // nothing to delete
     val now = System.currentTimeMillis()
-    val affected = hits.keys.toSeq.sorted.map(byNorm)
-    val payloads = affected.map(a =>
-      RoaringDv.serialize(hits(normalizeScanUri(resolveDataPath(table, a.path)))))
+    val affected = hits.keys.toSeq.sortBy(_.path)
+    val payloads = affected.map(a => RoaringDv.serialize(hits(a)))
     val descriptors: Seq[DvDescriptor] =
       if (inline) payloads.map { pl =>
         // z85 needs length % 4 == 0: pad, keep sizeInBytes exact

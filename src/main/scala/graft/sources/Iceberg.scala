@@ -30,9 +30,13 @@ import org.apache.spark.sql.types._
   *
   * Read support: format-version 1 and 2; PARQUET and ORC data files;
   * time travel by snapshot id; merge-on-read POSITION deletes
-  * (content=1 delete manifests): rows named by (file_path, pos) drop
-  * via a distributed left-anti join against the delete files over
-  * `_metadata.file_path`/`row_index` — sequence-number scoping is not
+  * (content=1 delete manifests, PARQUET data files — ORC scans have
+  * no `_metadata.row_index`, so ORC+MoR rejects loudly): rows named
+  * by (file_path, pos) drop via a distributed left-anti join against
+  * the delete files on canonical per-file int ids
+  * ([[PathKeys]]/[[PathId]] bridge the manifest / resolved /
+  * percent-encoded-URI spellings; scan side strict-loud, delete side
+  * lenient for stale deletes) — sequence-number scoping is not
   * needed for positional deletes because file paths are unique per
   * file instance (a compaction rewrite mints new paths, so stale
   * deletes match nothing). REJECTED loudly (changed data
@@ -62,7 +66,7 @@ object Iceberg {
       currentSnapshotId: Long, lastSequenceNumber: Long, version: Int,
       tableUuid: String, file: String, renameDrift: Option[String])
   private final case class DataFileInfo(path: String, format: String,
-      records: Long, statsJson: String)
+      records: Long, statsJson: String, rawPath: String = null)
   private final case class DeleteFileInfo(path: String, format: String,
       records: Long)
 
@@ -115,25 +119,42 @@ object Iceberg {
         spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema))
     val mor = deleteFiles.nonEmpty
     // merge-on-read: rows named by position-delete files drop via a
-    // DISTRIBUTED left-anti join on (file_path, row position) -- the
-    // delete set is data-scale (not driver metadata), the scan
-    // materializes _metadata.file_path/row_index for free, and AQE
-    // broadcasts small delete sets. Both path columns normalize the
-    // file:-scheme spelling the same way (the Delta DV discipline).
-    def norm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+    // DISTRIBUTED left-anti join on (file id, row position). Paths
+    // travel in THREE spellings (manifest raw / driver-resolved /
+    // _metadata's percent-encoded URI), so both sides map to one
+    // canonical per-file int id through a driver-built spelling table
+    // (PathKeys/PathId — the same discipline as the Delta DV probe):
+    // the scan side probes STRICT (a spelling gap is loud, never
+    // silently resurrecting deleted rows), the delete side LENIENT
+    // (an unknown path is a stale delete of a rewritten file and
+    // must match nothing). Int join keys also beat string keys.
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+    lazy val pathIds: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer]()
+      files.zipWithIndex.foreach { case (f, i) =>
+        (Option(f.rawPath).toSeq ++ PathKeys.spellings(f.path)).foreach(s =>
+          m.put(UTF8String.fromString(s), Integer.valueOf(i)))
+      }
+      m
+    }
     def scan(schema: StructType, fmt: String, paths: Seq[String]): DataFrame = {
       val base = fmt match {
         case "PARQUET" => spark.read.schema(schema).parquet(paths: _*)
-        case "ORC" => spark.read.schema(schema).orc(paths: _*)
+        case "ORC" =>
+          require(!mor, "merge-on-read over ORC data files is " +
+            "unsupported (Spark exposes _metadata.row_index for " +
+            "parquet scans only)")
+          spark.read.schema(schema).orc(paths: _*)
         case other => throw new IllegalArgumentException(
           s"unsupported Iceberg data file format $other (${paths.head})")
       }
       if (!mor) base
       else base.select(
         (schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col) :+
-          norm(org.apache.spark.sql.functions.col("_metadata.file_path"))
-            .as("__ice_path") :+
+          Bridge.column(PathId(Bridge.expression(
+            org.apache.spark.sql.functions.col("_metadata.file_path")),
+            pathIds, strict = true)).as("__ice_fid") :+
           org.apache.spark.sql.functions.col("_metadata.row_index")
             .as("__ice_pos")): _*)
     }
@@ -152,9 +173,11 @@ object Iceberg {
         s"unsupported Iceberg delete file format $other (${fs.head.path})")
     }
     val dels = delParts.reduce(_ union _).select(
-      norm(org.apache.spark.sql.functions.col("file_path")).as("__ice_path"),
+      Bridge.column(PathId(Bridge.expression(
+        org.apache.spark.sql.functions.col("file_path")),
+        pathIds, strict = false)).as("__ice_fid"),
       org.apache.spark.sql.functions.col("pos").as("__ice_pos"))
-    finish(data.join(dels, Seq("__ice_path", "__ice_pos"), "left_anti")
+    finish(data.join(dels, Seq("__ice_fid", "__ice_pos"), "left_anti")
       .select(meta.schema.fieldNames.toIndexedSeq
         .map(org.apache.spark.sql.functions.col): _*))
   }
@@ -420,13 +443,15 @@ object Iceberg {
           } else {
             require(fc == 0L,
               s"delete FILE in data manifest $mpath: ${df.get("file_path")}")
+            val raw = df.get("file_path").toString
             out += DataFileInfo(
-              resolvePath(meta, df.get("file_path").toString),
+              resolvePath(meta, raw),
               df.get("file_format").toString.toUpperCase,
               longField(df, "record_count").getOrElse(0L),
               // bounds decoding + JSON rendering only when a predicate
               // will consume it (plain reads skip the per-file work)
-              if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null)
+              if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null,
+              rawPath = raw)
           }
         }
       }
@@ -853,14 +878,15 @@ object Iceberg {
     require(priorDels.isEmpty, "foreignPositionDeletes: one delete generation only")
     require(dataFiles.forall(_.format == "PARQUET"),
       "foreignPositionDeletes: parquet data files only")
-    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
-    val byNorm = dataFiles.map(f => norm(f.path) -> f.path).toMap
+    val bySpelling: Map[String, String] = dataFiles.flatMap(f =>
+      PathKeys.spellings(f.path).map(_ -> f.path)).toMap
     val hits = spark.read.schema(meta.schema).parquet(dataFiles.map(_.path): _*)
       .filter(pred)
-      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-        col("_metadata.row_index"))
+      .select(col("_metadata.file_path"), col("_metadata.row_index"))
       .collect()
-      .map(r => (byNorm(r.getString(0)), r.getLong(1)))
+      .map(r => (bySpelling.getOrElse(r.getString(0),
+        throw new IllegalStateException(
+          s"unmatched scan spelling ${r.getString(0)}")), r.getLong(1)))
       .sortBy(identity) // the spec requires (file_path, pos) sort order
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(java.util.UUID.randomUUID()

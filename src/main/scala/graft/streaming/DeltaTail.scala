@@ -73,9 +73,10 @@ object DeltaTailSourceProvider {
 
   private[streaming] def tailSchema(spark: SparkSession,
       table: String): StructType = {
-    // schema at the CURRENT snapshot + the version tag; fromDelta's
-    // own gates (protocol, column mapping mode) run on this read
-    val base = DeltaLake.fromDelta(spark, table).schema
+    // schema from log METADATA only (building a fromDelta scan plan
+    // here would list/assemble the whole union plan twice per stream
+    // start for nothing); the protocol gate still runs
+    val base = DeltaLake.tableSchema(spark, table)
     StructType(base :+ StructField("_commit_version", LongType, nullable = false))
   }
 }

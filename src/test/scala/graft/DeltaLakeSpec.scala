@@ -762,6 +762,46 @@ class DeltaLakeSpec extends SparkSpec {
       FsIO.listFilesRecursive(s"$t/_staging").isEmpty)
   }
 
+  test("replay is order-independent inside a commit: add-before-remove keeps the file") {
+    val t = tmp("ord.delta")
+    import spark.implicits._
+    val df = spark.range(0, 40).select(col("id"),
+      concat(lit("s"), col("id")).as("s")).coalesce(1)
+    DeltaLake.toDelta(df, t) // v0
+    DeltaLake.foreignDeleteRows(spark, t, col("id") < 10) // v1: remove+add
+    // REWRITE v1 with the add line BEFORE the remove line — a legal
+    // foreign serialization (the spec reconciles order-independently);
+    // line-order application would silently drop the whole file
+    val v1 = f"$t/_delta_log/${1L}%020d.json"
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(v1)), StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty)
+    val (adds, rest) = lines.partition(_.contains("\"add\""))
+    assert(adds.nonEmpty && rest.exists(_.contains("\"remove\"")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(v1),
+      ((adds ++ rest).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 30) // file present, DV applied
+    assert(back.agg(min("id")).head.getLong(0) == 10L)
+  }
+
+  test("DV paths that percent-encode in _metadata (spaces) still read") {
+    val t = tmp("sp.delta")
+    import spark.implicits._
+    // partition value with a space -> data file dir 'k=a b' -> the
+    // scan renders file:/.../k=a%20b/... in _metadata.file_path; the
+    // spelling table must bridge it (the r15 review's finding: the
+    // old regex normalization crashed loudly on every row here)
+    val df = spark.range(0, 60).select(col("id"),
+      when(col("id") % 2 === 0, "a b").otherwise("plain").as("k"))
+    DeltaLake.toDelta(df, t, partitionBy = Seq("k"))
+    DeltaLake.foreignDeleteRows(spark, t, col("id") < 20)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 40)
+    assert(back.filter(col("k") === "a b").count() == 20)
+    assert(back.agg(min("id")).head.getLong(0) == 20L)
+  }
+
   test("fromDeltaChanges rejects a schema change inside the range") {
     val t = tmp("cdcdrift.delta")
     import spark.implicits._
