@@ -740,6 +740,37 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+
+    // Iceberg EQUALITY deletes (the Flink-CDC merge-on-read shape):
+    // a content=2 delete file masks every row matching its equality
+    // tuple in data files BELOW its sequence number — rows appended
+    // AFTER the delete survive even when they match. The lane deletes
+    // flag 'R', then appends fresh 'R' rows; the oracle rebuilds the
+    // same state in SQL.
+    "q_iceberg_eqdel" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_eq") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(4, col("l_orderkey"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(li, table)
+      import s.implicits._
+      I.foreignEqualityDeletes(s, table,
+        Seq("R").toDF("l_returnflag"), Seq("l_returnflag"))
+      I.toIceberg(
+        t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R" && col("l_orderkey") <= 100)
+          .select((col("l_orderkey") + 10000000L).as("l_orderkey"),
+            col("l_quantity"), col("l_returnflag")),
+        table, mode = "append")
+      I.fromIceberg(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // npy temporal fields: events round trip through datetime64[us]
     // (NTZ micros) + U-string event types; min/max of the decoded
     // timestamps gate the epoch conversion in both directions.
@@ -1266,6 +1297,17 @@ object SourceQueries {
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey % 7 <> 3
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_eqdel" ->
+      s"""WITH state AS (
+         |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+         |  WHERE l_returnflag <> 'R'
+         |  UNION ALL
+         |  SELECT l_orderkey + 10000000, l_quantity, l_returnflag
+         |  FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey <= 100)
+         |SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_snapshot" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

@@ -39,9 +39,13 @@ import org.apache.spark.sql.types._
   * lenient for stale deletes) — sequence-number scoping is not
   * needed for positional deletes because file paths are unique per
   * file instance (a compaction rewrite mints new paths, so stale
-  * deletes match nothing). REJECTED loudly (changed data
-  * interpretation, silently misread otherwise): EQUALITY deletes
-  * (those do need sequence-number scoping), AVRO data files,
+  * deletes match nothing). EQUALITY deletes (content=2, the
+  * Flink-CDC shape) apply with the spec's STRICT sequence scoping:
+  * an anti-join on the delete file's equality columns (null-safe)
+  * restricted to data files whose sequence number is below the
+  * delete's — rows appended after the delete survive even when they
+  * match. REJECTED loudly (changed data
+  * interpretation, silently misread otherwise): AVRO data files,
   * unsupported column types (uuid, time, map — the writer never
   * produces them), schema histories with renames/field-id reuse
   * (name-based resolution would misread).
@@ -66,9 +70,10 @@ object Iceberg {
       currentSnapshotId: Long, lastSequenceNumber: Long, version: Int,
       tableUuid: String, file: String, renameDrift: Option[String])
   private final case class DataFileInfo(path: String, format: String,
-      records: Long, statsJson: String, rawPath: String = null)
+      records: Long, statsJson: String, rawPath: String = null,
+      seq: Long = 0L)
   private final case class DeleteFileInfo(path: String, format: String,
-      records: Long)
+      records: Long, seq: Long = 0L, equalityIds: Seq[Int] = Nil)
 
   // ------------------------------------------------------------------
   // Read path
@@ -117,17 +122,26 @@ object Iceberg {
     if (files.isEmpty)
       return finish(
         spark.createDataFrame(new java.util.ArrayList[Row](), meta.schema))
+    val (eqDels, posDels) = deleteFiles.partition(_.equalityIds.nonEmpty)
     val mor = deleteFiles.nonEmpty
-    // merge-on-read: rows named by position-delete files drop via a
-    // DISTRIBUTED left-anti join on (file id, row position). Paths
-    // travel in THREE spellings (manifest raw / driver-resolved /
-    // _metadata's percent-encoded URI), so both sides map to one
-    // canonical per-file int id through a driver-built spelling table
-    // (PathKeys/PathId — the same discipline as the Delta DV probe):
-    // the scan side probes STRICT (a spelling gap is loud, never
-    // silently resurrecting deleted rows), the delete side LENIENT
-    // (an unknown path is a stale delete of a rewritten file and
-    // must match nothing). Int join keys also beat string keys.
+    // merge-on-read. POSITION deletes (content=1): a distributed
+    // left-anti join on (file id, row position) — sequence scoping
+    // unnecessary (paths are unique per file instance; stale deletes
+    // match nothing). EQUALITY deletes (content=2): an anti-join on
+    // the delete file's equality columns with STRICT sequence
+    // scoping (they apply only to data files whose data sequence
+    // number is < the delete file's), null-safe equality per the
+    // spec. Paths travel in THREE spellings (manifest raw /
+    // driver-resolved / _metadata's percent-encoded URI), so the
+    // scan maps _metadata.file_path to a canonical per-file int id
+    // through a driver-built spelling table (PathKeys/PathId, the
+    // Delta DV discipline): scan side strict-loud (a spelling gap
+    // must never silently resurrect deleted rows), position-delete
+    // side lenient (unknown path = stale delete, matches nothing).
+    // The per-row data sequence number rides as
+    // element_at(<literal seq array>, fid + 1) — file count is
+    // driver metadata, never a shuffle.
+    import org.apache.spark.sql.functions.{col, lit, element_at}
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.unsafe.types.UTF8String
     lazy val pathIds: java.util.HashMap[UTF8String, Integer] = {
@@ -142,44 +156,80 @@ object Iceberg {
       val base = fmt match {
         case "PARQUET" => spark.read.schema(schema).parquet(paths: _*)
         case "ORC" =>
-          require(!mor, "merge-on-read over ORC data files is " +
-            "unsupported (Spark exposes _metadata.row_index for " +
-            "parquet scans only)")
+          require(posDels.isEmpty, "position deletes over ORC data " +
+            "files are unsupported (Spark exposes _metadata.row_index " +
+            "for parquet scans only)")
           spark.read.schema(schema).orc(paths: _*)
         case other => throw new IllegalArgumentException(
           s"unsupported Iceberg data file format $other (${paths.head})")
       }
       if (!mor) base
-      else base.select(
-        (schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col) :+
-          Bridge.column(PathId(Bridge.expression(
-            org.apache.spark.sql.functions.col("_metadata.file_path")),
-            pathIds, strict = true)).as("__ice_fid") :+
-          org.apache.spark.sql.functions.col("_metadata.row_index")
-            .as("__ice_pos")): _*)
+      else {
+        val fid = Bridge.column(PathId(Bridge.expression(
+          col("_metadata.file_path")), pathIds, strict = true)).as("__ice_fid")
+        val extra =
+          if (posDels.nonEmpty)
+            Seq(fid, col("_metadata.row_index").as("__ice_pos"))
+          else Seq(fid)
+        base.select(
+          (schema.fieldNames.toIndexedSeq.map(col) ++ extra): _*)
+      }
     }
     val byFormat = files.groupBy(_.format)
     val parts = byFormat.toSeq.sortBy(_._1).map { case (fmt, fs) =>
       scan(meta.schema, fmt, fs.map(_.path)) }
-    val data = parts.reduce(_ union _)
+    var data = parts.reduce(_ union _)
     if (!mor) return finish(data)
-    val delSchema = StructType(Seq(
-      StructField("file_path", StringType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
-    val delParts = deleteFiles.groupBy(_.format).toSeq.sortBy(_._1).map {
-      case ("PARQUET", fs) => spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
-      case ("ORC", fs) => spark.read.schema(delSchema).orc(fs.map(_.path): _*)
-      case (other, fs) => throw new IllegalArgumentException(
-        s"unsupported Iceberg delete file format $other (${fs.head.path})")
+    def readDel(schema: StructType, dfs: Seq[DeleteFileInfo]): DataFrame =
+      dfs.groupBy(_.format).toSeq.sortBy(_._1).map {
+        case ("PARQUET", fs) =>
+          spark.read.schema(schema).parquet(fs.map(_.path): _*)
+        case ("ORC", fs) => spark.read.schema(schema).orc(fs.map(_.path): _*)
+        case (other, fs) => throw new IllegalArgumentException(
+          s"unsupported Iceberg delete file format $other (${fs.head.path})")
+      }.reduce(_ union _)
+    if (posDels.nonEmpty) {
+      val delSchema = StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("pos", LongType, nullable = false)))
+      val dels = readDel(delSchema, posDels).select(
+        Bridge.column(PathId(Bridge.expression(col("file_path")),
+          pathIds, strict = false)).as("__ice_fid"),
+        col("pos").as("__ice_pos"))
+      data = data.join(dels, Seq("__ice_fid", "__ice_pos"), "left_anti")
     }
-    val dels = delParts.reduce(_ union _).select(
-      Bridge.column(PathId(Bridge.expression(
-        org.apache.spark.sql.functions.col("file_path")),
-        pathIds, strict = false)).as("__ice_fid"),
-      org.apache.spark.sql.functions.col("pos").as("__ice_pos"))
-    finish(data.join(dels, Seq("__ice_fid", "__ice_pos"), "left_anti")
-      .select(meta.schema.fieldNames.toIndexedSeq
-        .map(org.apache.spark.sql.functions.col): _*))
+    if (eqDels.nonEmpty) {
+      // field id -> current-schema column name (top-level only — the
+      // writer-side spec restricts equality ids to primitive fields)
+      val idToName: Map[Int, String] = {
+        val fs = meta.schemaNode.get("fields")
+        (0 until fs.size()).map(i =>
+          fs.get(i).get("id").asInt() -> fs.get(i).get("name").asText()).toMap
+      }
+      val seqByFid = files.map(_.seq).toArray
+      data = data.withColumn("__ice_seq",
+        element_at(lit(seqByFid), col("__ice_fid") + 1))
+      val groups = eqDels.groupBy(d => (d.equalityIds, d.seq)).toSeq
+        .sortBy { case ((ids, s), _) => (ids.mkString(","), s) }
+      require(groups.size <= 256,
+        s"fromIceberg: ${groups.size} distinct equality-delete " +
+          "(field-set, sequence) groups exceeds the 256 anti-join cap")
+      groups.foreach { case ((ids, delSeq), fs) =>
+        val names = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality delete references unknown field id $id")))
+        val delSchema = StructType(names.map(n =>
+          meta.schema(n).copy(nullable = true)))
+        val del = readDel(delSchema, fs).select(
+          names.zipWithIndex.map { case (n, i) =>
+            col(n).as(s"__ice_eq$i") }: _*)
+        val cond = names.zipWithIndex.map { case (n, i) =>
+          data(n) <=> del(s"__ice_eq$i") }.reduce(_ && _) &&
+          data("__ice_seq") < lit(delSeq)
+        data = data.join(del, cond, "left_anti")
+      }
+    }
+    finish(data.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*))
   }
 
   /** Snapshot history (driver-side metadata). */
@@ -421,25 +471,53 @@ object Iceberg {
         s"unknown manifest content $content in snapshot ${snap.id}: " +
           s"${e.get("manifest_path")}")
       val mpath = e.get("manifest_path").toString
+      // v2 sequence inheritance: an entry with a null sequence_number
+      // (status ADDED) inherits the manifest's own sequence number
+      // from the list entry; v1 has neither (0 everywhere)
+      val manifestSeq = longField(e, "sequence_number").getOrElse(0L)
       eachAvro(resolvePath(meta, mpath)) { entry =>
         val status = longField(entry, "status").getOrElse(0L)
         if (status != 2L) { // 2 = DELETED
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           require(df != null, s"manifest entry without data_file in $mpath")
+          val seq = longField(entry, "sequence_number").getOrElse(manifestSeq)
           val fc = longField(df, "content").getOrElse(0L)
           if (content == 1L) {
             // delete manifest: POSITION deletes (content=1) apply by
-            // exact (file_path, pos) so sequence numbers are not
-            // needed for correctness (a rewritten data file has a NEW
-            // path, stale deletes match nothing); EQUALITY deletes
-            // (content=2) DO need sequence-number scoping -- reject.
-            require(fc == 1L,
-              s"equality delete file in $mpath (unsupported -- needs " +
-                s"sequence-number scoping): ${df.get("file_path")}")
+            // exact (file_path, pos) — sequence numbers unnecessary
+            // (a rewritten data file has a NEW path, stale deletes
+            // match nothing); EQUALITY deletes (content=2) carry
+            // their equality field-id set and apply with strict
+            // sequence scoping in fromIceberg.
+            require(fc == 1L || fc == 2L,
+              s"unknown delete-file content $fc in $mpath: " +
+                s"${df.get("file_path")}")
+            val eqIds: Seq[Int] =
+              if (fc != 2L) Nil
+              // absent FIELD (foreign minimal schema) and null VALUE
+              // both mean an unusable equality delete — loud either
+              // way (Record.get(String) THROWS on unknown fields)
+              else (if (df.getSchema.getField("equality_ids") == null) null
+                    else df.get("equality_ids")) match {
+                case null => throw new IllegalArgumentException(
+                  s"equality delete without equality_ids in $mpath: " +
+                    s"${df.get("file_path")}")
+                case l: java.util.List[_] =>
+                  scala.jdk.CollectionConverters.ListHasAsScala(l)
+                    .asScala.map {
+                      case i: java.lang.Integer => i.intValue()
+                      case x: java.lang.Long => x.intValue()
+                      case other => throw new IllegalArgumentException(
+                        s"bad equality_ids entry $other in $mpath")
+                    }.toSeq
+                case other => throw new IllegalArgumentException(
+                  s"bad equality_ids $other in $mpath")
+              }
             dels += DeleteFileInfo(
               resolvePath(meta, df.get("file_path").toString),
               df.get("file_format").toString.toUpperCase,
-              longField(df, "record_count").getOrElse(0L))
+              longField(df, "record_count").getOrElse(0L),
+              seq, eqIds)
           } else {
             require(fc == 0L,
               s"delete FILE in data manifest $mpath: ${df.get("file_path")}")
@@ -451,7 +529,7 @@ object Iceberg {
               // bounds decoding + JSON rendering only when a predicate
               // will consume it (plain reads skip the per-file work)
               if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null,
-              rawPath = raw)
+              rawPath = raw, seq = seq)
           }
         }
       }
@@ -624,7 +702,9 @@ object Iceberg {
       |      {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
       |  {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
       |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
-      |      {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
+      |      {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
+      |  {"name":"equality_ids","field-id":135,"default":null,
+      |    "type":["null",{"type":"array","items":"int","element-id":136}]}
       |]}}]}""".stripMargin.replace("\n", ""))
 
   private val ManifestFileSchema: ASchema = new ASchema.Parser().parse(
@@ -875,7 +955,8 @@ object Iceberg {
     require(meta.currentSnapshotId >= 0, s"empty Iceberg table: $dir")
     val snap = meta.snapshots.find(_.id == meta.currentSnapshotId).get
     val (dataFiles, priorDels) = liveFiles(meta, snap)
-    require(priorDels.isEmpty, "foreignPositionDeletes: one delete generation only")
+    require(priorDels.forall(_.equalityIds.nonEmpty),
+      "foreignPositionDeletes: one POSITION-delete generation only")
     require(dataFiles.forall(_.format == "PARQUET"),
       "foreignPositionDeletes: parquet data files only")
     val bySpelling: Map[String, String] = dataFiles.flatMap(f =>
@@ -945,6 +1026,104 @@ object Iceberg {
       e.put("existing_files_count", 0)
       e.put("deleted_files_count", 0)
       e.put("added_rows_count", hits.length.toLong)
+      e.put("existing_rows_count", 0L)
+      e.put("deleted_rows_count", 0L)
+      e
+    }
+    val listPath = s"$mdir/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), delEntry +: relistManifests(meta))
+    val schemaNode = meta.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
+    publishSnapshot(dir, Some(meta), schemaNode, meta.lastColumnId, seq,
+      snapshotId, listPath, now, "delete")
+    snapshotId
+  }
+
+
+  /** Simulate a foreign EQUALITY delete: every data row whose
+    * `equalityCols` tuple appears in `deleteRows` is masked for data
+    * files with sequence number < the delete's (the spec's strict
+    * scoping — rows appended AFTER the delete survive even when they
+    * match). Writes one sorted delete parquet + a content=1 delete
+    * manifest whose data_file carries content=2 + equality_ids. The
+    * Flink-CDC layout; exists so the equality read path is testable.
+    * Returns the new snapshot id. */
+  private[graft] def foreignEqualityDeletes(spark: SparkSession,
+      dir0: String, deleteRows: DataFrame,
+      equalityCols: Seq[String]): Long = {
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    require(meta.currentSnapshotId >= 0, s"empty Iceberg table: $dir")
+    require(equalityCols.nonEmpty, "foreignEqualityDeletes: no columns")
+    val idsByName: Map[String, Int] = {
+      val fs = meta.schemaNode.get("fields")
+      (0 until fs.size()).map(i =>
+        fs.get(i).get("name").asText() -> fs.get(i).get("id").asInt()).toMap
+    }
+    equalityCols.foreach(c => require(idsByName.contains(c),
+      s"foreignEqualityDeletes: unknown column $c"))
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits) max 1L
+    val seq = meta.lastSequenceNumber + 1
+    val mdir = s"$dir/metadata"
+    val staging = s"$dir/_staging"
+    FsIO.deleteRecursive(staging)
+    val rows = deleteRows.select(equalityCols.map(
+      org.apache.spark.sql.functions.col): _*)
+      .distinct().orderBy(equalityCols.map(
+        org.apache.spark.sql.functions.col): _*)
+    val n = rows.count()
+    rows.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val delPath = FsIO.listFilesRecursive(staging).collect {
+      case (p, len, _) if p.endsWith(".parquet") =>
+        val dst = s"$dir/data/eq-delete-${java.util.UUID.randomUUID()}.parquet"
+        FsIO.rename(p, dst)
+        (dst, len)
+    }.head
+    FsIO.deleteRecursive(staging)
+    val delManifest = s"$mdir/graft-e-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(delManifest, ManifestEntrySchema,
+      Map("format-version" -> "2", "content" -> "deletes",
+        "partition-spec-id" -> "0"),
+      Seq {
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        val d = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        d.put("content", 2) // EQUALITY_DELETES
+        d.put("file_path", delPath._1)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", delPath._2)
+        val ids = new java.util.ArrayList[Integer]()
+        equalityCols.foreach(c => ids.add(Integer.valueOf(idsByName(c))))
+        d.put("equality_ids", ids)
+        e.put("data_file", d)
+        e
+      })
+    val delLen = { val (fs, p) = FsIO.resolve(delManifest)
+      fs.getFileStatus(p).getLen }
+    val delEntry = {
+      val e = new GenericData.Record(ManifestFileSchema)
+      e.put("manifest_path", delManifest)
+      e.put("manifest_length", delLen)
+      e.put("partition_spec_id", 0)
+      e.put("content", 1)
+      e.put("sequence_number", seq)
+      e.put("min_sequence_number", seq)
+      e.put("added_snapshot_id", snapshotId)
+      e.put("added_files_count", 1)
+      e.put("existing_files_count", 0)
+      e.put("deleted_files_count", 0)
+      e.put("added_rows_count", n)
       e.put("existing_rows_count", 0L)
       e.put("deleted_rows_count", 0L)
       e

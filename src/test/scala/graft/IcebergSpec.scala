@@ -362,6 +362,45 @@ class IcebergSpec extends SparkSpec {
     assert(e2.getMessage.contains("field id"))
   }
 
+  test("equality deletes: sequence-scoped masking; later appends survive; composes with position deletes") {
+    val root = tmp("eq")
+    import spark.implicits._
+    val df = spark.range(0, 100).select(col("id"),
+      when(col("id") % 3 === 0, "del").otherwise("keep").as("grp"),
+      (col("id") % 5).cast("int").as("m"))
+      .repartitionByRange(2, col("id"))
+    Iceberg.toIceberg(df, root) // seq 1
+    // equality delete on grp='del' at seq 2
+    Iceberg.foreignEqualityDeletes(spark, root,
+      Seq("del").toDF("grp"), Seq("grp"))
+    val afterEq = Iceberg.fromIceberg(spark, root)
+    assert(afterEq.count() == 100 - 34) // ids 0,3,...,99
+    assert(afterEq.filter(col("grp") === "del").count() == 0)
+    // rows appended AFTER the delete (seq 3) match the tuple but
+    // SURVIVE — the strict sequence scoping the spec requires
+    Iceberg.toIceberg(
+      spark.range(1000, 1010).select(col("id"), lit("del").as("grp"),
+        lit(1).as("m")), root, mode = "append")
+    val afterAppend = Iceberg.fromIceberg(spark, root)
+    assert(afterAppend.filter(col("grp") === "del").count() == 10)
+    assert(afterAppend.count() == 66 + 10)
+    // a SECOND equality delete (multi-column) at seq 4 masks both
+    // generations below it
+    Iceberg.foreignEqualityDeletes(spark, root,
+      Seq(("keep", 2)).toDF("grp", "m"), Seq("grp", "m"))
+    val afterEq2 = Iceberg.fromIceberg(spark, root)
+    assert(afterEq2.filter(col("grp") === "keep" && col("m") === 2).count() == 0)
+    assert(afterEq2.filter(col("grp") === "del").count() == 10) // untouched
+    // position deletes compose on top (dropping two surviving ids)
+    Iceberg.foreignPositionDeletes(spark, root, col("id").isin(1000L, 1001L))
+    val afterPos = Iceberg.fromIceberg(spark, root)
+    assert(afterPos.filter(col("id").isin(1000L, 1001L)).count() == 0)
+    assert(afterPos.count() == afterEq2.count() - 2)
+    // bounds skipping still composes
+    val f = Iceberg.fromIceberg(spark, root, None, Some(col("id") >= 1000))
+    assert(f.count() == 8)
+  }
+
   test("partitioned toIceberg is a documented rejection pointing at the Delta sink") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "s")
