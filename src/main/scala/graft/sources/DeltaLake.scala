@@ -58,12 +58,13 @@ import org.apache.spark.sql.types._
   * corresponding reader version/feature flags, so gating on the
   * protocol action alone is sufficient.
   *
-  * Column-mapped and DV-carrying tables are READ-ONLY here: our
-  * writer would have to produce physical-name parquet + DV-preserving
-  * checkpoints to mutate them safely, so every write/maintenance op
-  * gates on [[requireWritable]] instead of corrupting a foreign
-  * table. (Exception: `vacuum` stays available — it only sweeps
-  * unreferenced `.parquet` files, never `.bin` DV files.)
+  * Column-mapped (name mode) tables accept toDelta APPEND/OVERWRITE —
+  * the staging write renames to physical columns, so new files match
+  * the foreign writer's own layout. Maintenance/merge ops on them and
+  * EVERYTHING on DV-carrying tables stay read-only (a rewrite would
+  * need DV-preserving commits), gated by [[requireWritable]].
+  * (Exception: `vacuum` stays available — it only sweeps unreferenced
+  * `.parquet` files, never `.bin` DV files.)
   */
 object DeltaLake {
 
@@ -744,7 +745,13 @@ object DeltaLake {
       if (latestVersion(table) >= 0) Some(snapshot(spark, table, None)) else None
     existing.foreach { s =>
       gate(s) // must be able to READ a table before mutating its log
-      requireWritable(s, "toDelta")
+      // column-mapped (name mode) tables ACCEPT writes — the staging
+      // below renames to physical columns; DV-carrying tables stay
+      // read-only (a rewrite would need DV-preserving commits)
+      val dv = s.adds.filter(_.dv != null)
+      require(dv.isEmpty,
+        s"toDelta: table ${s.table} has ${dv.size} file(s) with " +
+          "deletion vectors — read-only support")
       val exSchema = DataType.fromJson(s.meta.schemaString).asInstanceOf[StructType]
       require(relaxed(exSchema) == relaxed(df.schema),
         s"toDelta: schema mismatch with existing table $table\n  table: " +
@@ -757,7 +764,19 @@ object DeltaLake {
     val now = System.currentTimeMillis()
 
     // Stage distributed, promote by rename, publish in one commit.
-    val adds = stageAdds(spark, table, df, partitionBy)
+    // Column-mapped target: stage under PHYSICAL names (data files,
+    // partition dirs, stats keys all live in the physical namespace —
+    // exactly the layout the table's own writer produces).
+    val (stageDf, stagePartBy) = existing
+      .filter(_.meta.columnMapping == "name").map { s =>
+        val logical = DataType.fromJson(s.meta.schemaString)
+          .asInstanceOf[StructType]
+        val phys = physicalType(logical).asInstanceOf[StructType]
+        val physOf = logical.fieldNames.zip(phys.fieldNames).toMap
+        (df.select(logical.fieldNames.toIndexedSeq.map(n =>
+          col(n).as(physOf(n))): _*), partitionBy.map(physOf))
+      }.getOrElse((df, partitionBy))
+    val adds = stageAdds(spark, table, stageDf, stagePartBy)
 
     val removes: Seq[String] =
       if (mode == "overwrite") existing.map(_.adds.map(_.path)).getOrElse(Nil)

@@ -655,9 +655,26 @@ class DeltaLakeSpec extends SparkSpec {
     // partition pruning through the physical partitionValues
     assert(DeltaLake.fromDelta(spark, tp, None, Some(col("grp") === 3))
       .inputFiles.length < backP.inputFiles.length)
-    // writes/maintenance are read-only on column-mapped tables
+    // APPENDS to a column-mapped table stage under PHYSICAL names —
+    // the new files must look exactly like the foreign writer's own
+    val extra = spark.range(100, 120).select(
+      col("id"), (col("id") % 5).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("label"))
+    DeltaLake.toDelta(extra, t, "append")
+    val appended = DeltaLake.fromDelta(spark, t)
+    assert(appended.count() == 120)
+    assert(appended.filter(col("id") === 110).head.getString(2) == "v110")
+    // the appended data FILES carry physical names like the originals
+    val newest = appended.inputFiles.map(f =>
+      spark.read.parquet(f).columns.toSet).distinct
+    assert(newest.toSeq == Seq(Set("col-aaaa1111", "col-bbbb2222", "col-cccc3333")))
+    // partitioned CM append: partition dirs/values keyed physical
+    DeltaLake.toDelta(df, tp, "append", partitionBy = Seq("grp"))
+    assert(DeltaLake.fromDelta(spark, tp).count() == 200)
+    assert(DeltaLake.fromDelta(spark, tp, None, Some(col("grp") === 3))
+      .count() == 40)
+    // maintenance stays read-only on column-mapped tables
     Seq[(String, () => Any)](
-      "toDelta" -> (() => DeltaLake.toDelta(df, t, "append")),
       "compact" -> (() => DeltaLake.compact(spark, t)),
       "upsert" -> (() => DeltaLake.upsert(spark, t, df.limit(1), Seq("id"))),
       "deleteWhere" -> (() => DeltaLake.deleteWhere(spark, t, col("id") === 1)),
