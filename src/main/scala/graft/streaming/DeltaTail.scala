@@ -25,14 +25,16 @@ import graft.sources.{DeltaLake, FsIO}
   *   .format(classOf[DeltaTailSourceProvider].getName)
   *   .option("path", table)
   *   .option("startingVersion", "-1") // default: latest at start
+  *   .option("maxVersionsPerBatch", "64") // backlog drain rate
   *   .load()
   * }}}
   *
   * Scale: `getOffset` is one log LISTING (driver metadata);
   * `getBatch` plans the same distributed scan-per-version
   * fromDeltaChanges plans (one branch per commit, 256-commit plan
-  * cap guards runaway ranges — fall back to a snapshot read + fresh
-  * tail if a consumer is further behind). Schema drift inside an
+  * cap guards runaway ranges; `maxVersionsPerBatch`, default 64,
+  * paces offset claims so a backlogged consumer drains across
+  * micro-batches instead of dying on the cap). Schema drift inside an
   * uncommitted range and DV-carrying adds reject loudly through the
   * shared fromDeltaChanges guards — a tail consumer must never see
   * half-reinterpreted rows.
@@ -48,6 +50,7 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val table = DeltaTailSourceProvider.tableOf(parameters)
+    DeltaTailSourceProvider.maxPerBatchOf(parameters) // validate early
     ("delta-tail", DeltaTailSourceProvider.tailSchema(
       sqlContext.sparkSession, table))
   }
@@ -60,7 +63,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
       case Some(v) => v.trim.toLong
       case None => DeltaLake.latestVersion(table) // new commits only
     }
-    new DeltaTailSource(sqlContext.sparkSession, table, starting)
+    new DeltaTailSource(sqlContext.sparkSession, table, starting,
+      DeltaTailSourceProvider.maxPerBatchOf(parameters))
   }
 }
 
@@ -70,6 +74,15 @@ object DeltaTailSourceProvider {
       throw new IllegalArgumentException(
         "delta-tail source requires option 'path' (the Delta table root)"))
       .stripSuffix("/"))
+
+  private[streaming] def maxPerBatchOf(parameters: Map[String, String]): Long = {
+    val m = parameters.get("maxVersionsPerBatch")
+      .map(_.trim.toLong).getOrElse(64L)
+    require(m >= 1 && m <= 256,
+      s"maxVersionsPerBatch must be in [1, 256] (the fromDeltaChanges " +
+        s"plan cap), got $m")
+    m
+  }
 
   private[streaming] def tailSchema(spark: SparkSession,
       table: String): StructType = {
@@ -82,21 +95,35 @@ object DeltaTailSourceProvider {
 }
 
 final class DeltaTailSource(spark: SparkSession, table: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, maxVersionsPerBatch: Long = 64L) extends Source {
 
   override val schema: StructType =
     DeltaTailSourceProvider.tailSchema(spark, table)
 
-  /** Newest commit version, as a claimable offset — None while the
-    * consumer is caught up (no batch scheduled). */
+  // highest version this source has OFFERED as an offset; the engine
+  // always getBatches up to the last offered offset, so rate limiting
+  // must happen HERE (a backlogged consumer would otherwise claim a
+  // range past the fromDeltaChanges plan cap and fail forever)
+  @volatile private var offered: Long = startingVersion
+
+  /** Newest claimable offset, capped at `maxVersionsPerBatch` commits
+    * past what was last offered — a consumer behind by thousands of
+    * commits drains the backlog across successive micro-batches
+    * instead of dying on the 256-commit plan cap. None while caught
+    * up. */
   override def getOffset: Option[Offset] = {
     val latest = DeltaLake.latestVersion(table)
-    if (latest > startingVersion) Some(LongOffset(latest)) else None
+    if (latest <= offered) None
+    else {
+      offered = math.min(latest, offered + maxVersionsPerBatch)
+      Some(LongOffset(offered))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(asLong).getOrElse(startingVersion)
     val to = asLong(end)
+    if (to > offered) offered = to // restart replay: resync the cursor
     val batch =
       if (to <= from) // engine replay of an empty range after restart
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

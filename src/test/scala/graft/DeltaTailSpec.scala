@@ -110,6 +110,45 @@ class DeltaTailSpec extends SparkSpec {
     assert(run().isEmpty)
   }
 
+  test("backlog pacing: maxVersionsPerBatch drains deep history across micro-batches") {
+    import spark.implicits._
+    val t = tmp("tail5.delta")
+    // 9 commits of one row each — a consumer starting from -1 with
+    // maxVersionsPerBatch=3 must claim offsets 2, 5, 8 and still
+    // deliver EVERY row exactly once
+    DeltaLake.toDelta(Seq((0L, "r0")).toDF("id", "s").coalesce(1), t)
+    (1 to 8).foreach(i => append(t, i.toLong -> s"r$i"))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingVersion", "-1")
+      .option("maxVersionsPerBatch", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add((id, df.select("id").collect().map(_.getLong(0)).sorted.toSeq))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.toArray(Array.empty[(Long, Seq[Long])]).sortBy(_._1)
+    // every row exactly once, in version order
+    assert(got.flatMap(_._2).toSeq == (0L to 8L))
+    // paced: no batch carries more than 3 commits' rows, and the
+    // 9-commit backlog took at least 3 batches
+    assert(got.forall(_._2.size <= 3))
+    assert(got.count(_._2.nonEmpty) >= 3)
+    // out-of-range option is loud
+    intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[DeltaTailSourceProvider].getName)
+        .option("path", t)
+        .option("maxVersionsPerBatch", "1000")
+        .load()
+    }
+  }
+
   test("guards fire through the stream: missing path option; DV adds reject") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
