@@ -80,7 +80,8 @@ object DeltaLake {
 
   private final case class Meta(
       id: String, schemaString: String, partitionColumns: Seq[String],
-      columnMapping: String = "none")
+      columnMapping: String = "none",
+      configuration: Map[String, String] = Map.empty)
   /** `add.deletionVector` descriptor (PROTOCOL.md): storageType
     * `u` (relative z85-uuid file) / `p` (absolute path) / `i`
     * (inline z85 payload). */
@@ -586,7 +587,7 @@ object DeltaLake {
       if (arr == null || !arr.isArray) Seq.empty[String]
       else (0 until arr.size()).map(arr.get(_).asText())
     Meta(Option(m.get("id")).map(_.asText()).orNull,
-      m.get("schemaString").asText(), partCols, cm)
+      m.get("schemaString").asText(), partCols, cm, cfg)
   }
 
   private def parseAdd(a: JsonNode): AddFile = {
@@ -654,7 +655,7 @@ object DeltaLake {
                     s"checkpoint metaData without schemaString: $path")),
                 get[scala.collection.Seq[String]](st, "partitionColumns")
                   .map(_.toSeq).getOrElse(Nil),
-                cm)
+                cm, cfg)
             case "protocol" =>
               minReader = get[Int](st, "minReaderVersion").getOrElse(1)
               features = get[scala.collection.Seq[String]](st, "readerFeatures")
@@ -1294,7 +1295,11 @@ object DeltaLake {
     rows.add(Row(null,
       Row(s.meta.id, Row("parquet", Map.empty[String, String]),
         s.meta.schemaString, s.meta.partitionColumns,
-        Map.empty[String, String], 0L), null))
+        // the REAL table configuration: a checkpoint that dropped
+        // delta.columnMapping.mode would make every replay-from-
+        // checkpoint read physical-named files with logical names —
+        // silent all-NULL columns (r15 second review pass)
+        s.meta.configuration, 0L), null))
     s.adds.foreach { a =>
       rows.add(Row(null, null,
         Row(a.path, a.partitionValues, a.size, a.modificationTime, false,

@@ -503,6 +503,9 @@ object Iceberg {
                   s"equality delete without equality_ids in $mpath: " +
                     s"${df.get("file_path")}")
                 case l: java.util.List[_] =>
+                  require(!l.isEmpty,
+                    s"equality delete with EMPTY equality_ids in $mpath: " +
+                      s"${df.get("file_path")}")
                   scala.jdk.CollectionConverters.ListHasAsScala(l)
                     .asScala.map {
                       case i: java.lang.Integer => i.intValue()
@@ -989,54 +992,9 @@ object Iceberg {
         (dst, len)
     }.head
     FsIO.deleteRecursive(staging)
-    val delManifest = s"$mdir/graft-d-${java.util.UUID.randomUUID()}.avro"
-    writeAvro(delManifest, ManifestEntrySchema,
-      Map("format-version" -> "2", "content" -> "deletes",
-        "partition-spec-id" -> "0"),
-      Seq {
-        val e = new GenericData.Record(ManifestEntrySchema)
-        e.put("status", 1)
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", seq)
-        e.put("file_sequence_number", seq)
-        val d = new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema())
-        d.put("content", 1) // POSITION_DELETES
-        d.put("file_path", delPath._1)
-        d.put("file_format", "PARQUET")
-        d.put("partition", new GenericData.Record(
-          d.getSchema.getField("partition").schema()))
-        d.put("record_count", hits.length.toLong)
-        d.put("file_size_in_bytes", delPath._2)
-        e.put("data_file", d)
-        e
-      })
-    val delLen = { val (fs, p) = FsIO.resolve(delManifest)
-      fs.getFileStatus(p).getLen }
-    val delEntry = {
-      val e = new GenericData.Record(ManifestFileSchema)
-      e.put("manifest_path", delManifest)
-      e.put("manifest_length", delLen)
-      e.put("partition_spec_id", 0)
-      e.put("content", 1) // DELETES manifest
-      e.put("sequence_number", seq)
-      e.put("min_sequence_number", seq)
-      e.put("added_snapshot_id", snapshotId)
-      e.put("added_files_count", 1)
-      e.put("existing_files_count", 0)
-      e.put("deleted_files_count", 0)
-      e.put("added_rows_count", hits.length.toLong)
-      e.put("existing_rows_count", 0L)
-      e.put("deleted_rows_count", 0L)
-      e
-    }
-    val listPath = s"$mdir/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
-    writeAvro(listPath, ManifestFileSchema,
-      Map("format-version" -> "2"), delEntry +: relistManifests(meta))
-    val schemaNode = meta.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
-    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
-    publishSnapshot(dir, Some(meta), schemaNode, meta.lastColumnId, seq,
-      snapshotId, listPath, now, "delete")
+    commitDeleteManifest(dir, meta, delPath, hits.length.toLong,
+      fileContent = 1, equalityIds = Nil, snapshotId = snapshotId,
+      seq = seq, now = now)
     snapshotId
   }
 
@@ -1084,7 +1042,25 @@ object Iceberg {
         (dst, len)
     }.head
     FsIO.deleteRecursive(staging)
-    val delManifest = s"$mdir/graft-e-${java.util.UUID.randomUUID()}.avro"
+    commitDeleteManifest(dir, meta, delPath, n, fileContent = 2,
+      equalityIds = equalityCols.map(idsByName), snapshotId = snapshotId,
+      seq = seq, now = now)
+    snapshotId
+  }
+
+
+  /** Shared tail of the two foreign delete-commit builders: write the
+    * delete MANIFEST (content=1 list entry; data_file content = 1
+    * position / 2 equality with its equality_ids), a manifest list
+    * re-listing the prior manifests, and the new snapshot/metadata
+    * version. */
+  private def commitDeleteManifest(dir: String, meta: Metadata,
+      delPath: (String, Long), n: Long, fileContent: Int,
+      equalityIds: Seq[Int], snapshotId: Long, seq: Long,
+      now: Long): Unit = {
+    val mdir = s"$dir/metadata"
+    val prefix = if (fileContent == 2) "graft-e" else "graft-d"
+    val delManifest = s"$mdir/$prefix-${java.util.UUID.randomUUID()}.avro"
     writeAvro(delManifest, ManifestEntrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
         "partition-spec-id" -> "0"),
@@ -1096,16 +1072,18 @@ object Iceberg {
         e.put("file_sequence_number", seq)
         val d = new GenericData.Record(
           ManifestEntrySchema.getField("data_file").schema())
-        d.put("content", 2) // EQUALITY_DELETES
+        d.put("content", fileContent)
         d.put("file_path", delPath._1)
         d.put("file_format", "PARQUET")
         d.put("partition", new GenericData.Record(
           d.getSchema.getField("partition").schema()))
         d.put("record_count", n)
         d.put("file_size_in_bytes", delPath._2)
-        val ids = new java.util.ArrayList[Integer]()
-        equalityCols.foreach(c => ids.add(Integer.valueOf(idsByName(c))))
-        d.put("equality_ids", ids)
+        if (equalityIds.nonEmpty) {
+          val ids = new java.util.ArrayList[Integer]()
+          equalityIds.foreach(c => ids.add(Integer.valueOf(c)))
+          d.put("equality_ids", ids)
+        }
         e.put("data_file", d)
         e
       })
@@ -1116,7 +1094,7 @@ object Iceberg {
       e.put("manifest_path", delManifest)
       e.put("manifest_length", delLen)
       e.put("partition_spec_id", 0)
-      e.put("content", 1)
+      e.put("content", 1) // DELETES manifest
       e.put("sequence_number", seq)
       e.put("min_sequence_number", seq)
       e.put("added_snapshot_id", snapshotId)
@@ -1135,7 +1113,6 @@ object Iceberg {
     if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
     publishSnapshot(dir, Some(meta), schemaNode, meta.lastColumnId, seq,
       snapshotId, listPath, now, "delete")
-    snapshotId
   }
 
   /** Re-list the current snapshot's manifest entries verbatim onto OUR

@@ -132,6 +132,17 @@ final class DeltaTailSource(spark: SparkSession, table: String,
     org.apache.spark.sql.graftbridge.Bridge.asStreamingFrame(batch)
   }
 
+  /** The engine calls commit() after each batch completes AND during
+    * restart initialization with the last committed offset — resync
+    * the pacing cursor there, or a cleanly-restarted source would
+    * re-offer (and re-deliver) versions below the committed offset
+    * (getBatch only replays UNCOMMITTED batches, so its resync alone
+    * does not cover clean restarts). */
+  override def commit(end: Offset): Unit = {
+    val v = asLong(end)
+    if (v > offered) offered = v
+  }
+
   private def asLong(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => s.json.trim.toLong

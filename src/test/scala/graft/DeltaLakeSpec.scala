@@ -673,12 +673,32 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDelta(spark, tp).count() == 200)
     assert(DeltaLake.fromDelta(spark, tp, None, Some(col("grp") === 3))
       .count() == 40)
+    // CHECKPOINTS on a CM table must carry the configuration — a
+    // checkpoint recording columnMapping=none would make every
+    // replay-from-checkpoint read physical files with logical names
+    // (silent all-NULL columns)
+    (0 until 3).foreach(_ => DeltaLake.toDelta(extra, t, "append",
+      checkpointInterval = 2))
+    assert(FsIO.listFileNames(s"$t/_delta_log")
+      .exists(_.endsWith(".checkpoint.parquet")))
+    // drop the compacted json commits: the read must resolve the
+    // mapping FROM the checkpoint alone
+    val cpV = FsIO.listFileNames(s"$t/_delta_log")
+      .collect { case n if n.endsWith(".checkpoint.parquet") =>
+        n.takeWhile(_ != '.').toLong }.max
+    (0L to cpV).foreach(v =>
+      FsIO.deleteRecursive(f"$t/_delta_log/$v%020d.json"))
+    val fromCp = DeltaLake.fromDelta(spark, t)
+    assert(fromCp.count() == 180)
+    assert(fromCp.filter(col("id") === 110).count() == 4) // values, not NULLs
+    assert(fromCp.filter(col("label").isNull).count() == 0)
     // maintenance stays read-only on column-mapped tables
     Seq[(String, () => Any)](
       "compact" -> (() => DeltaLake.compact(spark, t)),
       "upsert" -> (() => DeltaLake.upsert(spark, t, df.limit(1), Seq("id"))),
       "deleteWhere" -> (() => DeltaLake.deleteWhere(spark, t, col("id") === 1)),
-      "restore" -> (() => DeltaLake.restore(spark, t, 0L))
+      "restore" -> (() => DeltaLake.restore(spark, t, cpV)) // a version
+      // still resolvable after the checkpoint-only pruning above
     ).foreach { case (op, run) =>
       val e = intercept[IllegalArgumentException](run())
       assert(e.getMessage.contains("column mapping"), s"$op: ${e.getMessage}")

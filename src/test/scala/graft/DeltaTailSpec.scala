@@ -139,6 +139,33 @@ class DeltaTailSpec extends SparkSpec {
     // 9-commit backlog took at least 3 batches
     assert(got.forall(_._2.size <= 3))
     assert(got.count(_._2.nonEmpty) >= 3)
+    // clean RESTART with the paced source must not re-deliver: the
+    // engine's commit() callback resyncs the cursor (getBatch only
+    // replays uncommitted batches, so without it a restarted source
+    // would re-offer versions below the committed offset)
+    val cp = tmp("cp5")
+    def run(name: String): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q2 = spark.readStream
+        .format(classOf[DeltaTailSourceProvider].getName)
+        .option("path", t)
+        .option("startingVersion", "-1")
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      // ConcurrentLinkedQueue[Long] boxes — toArray needs the boxed type
+      got.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted.toSeq
+    }
+    assert(run("a") == (0L to 8L)) // drains the 9-commit backlog
+    append(t, 9L -> "r9")
+    assert(run("b") == Seq(9L)) // ONLY the new commit — no re-delivery
     // out-of-range option is loud
     intercept[IllegalArgumentException] {
       spark.readStream
