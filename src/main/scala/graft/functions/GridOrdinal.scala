@@ -32,6 +32,12 @@ case class GridOrdinal(children: Seq[Expression], mins: Seq[Double],
     children.size == mins.size && mins.size == maxs.size &&
     maxs.size == shapes.size, "gridOrdinal: dimension arity mismatch")
   require(shapes.forall(_ > 0), s"gridOrdinal: shapes must be positive: $shapes")
+  // doGenCode interpolates limits as Java double literals — an
+  // Infinity/NaN limit would render as uncompilable source
+  // ("InfinityD") and silently fall back to interpreted eval
+  require(mins.forall(d => !d.isNaN && !d.isInfinite) &&
+    maxs.forall(d => !d.isNaN && !d.isInfinite),
+    s"gridOrdinal: limits must be finite: mins=$mins maxs=$maxs")
 
   private val widths: Seq[Double] =
     mins.lazyZip(maxs).lazyZip(shapes).map((lo, hi, s) => (hi - lo) / s)

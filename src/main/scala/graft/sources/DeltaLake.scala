@@ -227,6 +227,18 @@ object DeltaLake {
                 "this range; read a full snapshot")
             adds += ad
           }
+        } else if (n.has("remove")) {
+          // a dataChange=true remove is a copy-on-write DELETE/UPDATE/
+          // RESTORE: the commit re-adds rewritten survivor files whose
+          // contents are mostly previously-delivered rows — delivering
+          // them as "rows added" silently duplicates the tail. Reject
+          // loudly, same as the DV flavor above. dataChange=false
+          // removes (OPTIMIZE/Z-order layout rewrites) stay fine.
+          val r = n.get("remove")
+          require(r.hasNonNull("dataChange") && !r.get("dataChange").asBoolean(),
+            s"fromDeltaChanges: commit $v removes " +
+              s"${r.get("path").asText()} with dataChange=true — the " +
+              "table is not append-only over this range; read a full snapshot")
         } else if (n.has("metaData")) {
           val m = n.get("metaData")
           val ss = if (m.hasNonNull("schemaString"))
@@ -1261,6 +1273,14 @@ object DeltaLake {
     * dataChange=false per the protocol. */
   private def writeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
     val s = snapshot(spark, table, Some(v))
+    // invariant: the checkpoint schema below has no deletionVector
+    // column, so checkpointing a DV-carrying snapshot would silently
+    // resurrect deleted rows on replay-from-checkpoint. Today every
+    // write/maintenance path gates DV tables read-only, but enforce it
+    // HERE, where the data loss would originate.
+    require(s.adds.forall(_.dv == null),
+      s"writeCheckpoint: snapshot $v of $table carries deletion vectors " +
+        "the checkpoint schema cannot represent")
     val mapT = MapType(StringType, StringType, valueContainsNull = true)
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -1355,18 +1375,20 @@ object DeltaLake {
     val dfPhys = df.select(df.schema.fieldNames.toIndexedSeq.map(n =>
       col(n).as(physicalOf(n))): _*)
     // stage + promote + stats exactly like stageAdds, in the
-    // physical namespace (partitionValues/stats keys come out physical)
-    val staging = s"$table/_staging"
-    FsIO.deleteRecursive(staging)
-    dfPhys.write.mode(SaveMode.Overwrite)
-      .partitionBy(physPartCols: _*).parquet(staging)
-    val promoted = promoteStaged(table, staging, physPartCols)
-    FsIO.deleteRecursive(staging)
-    val statCols = dfPhys.schema.fieldNames.filterNot(physPartCols.contains).toSeq
-    val statsByPath = DeltaStats.collect(spark, statCols,
-      promoted.map(a => resolveDataPath(table, a.path)))
-    val adds = promoted.map(a =>
-      a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
+    // physical namespace (partitionValues/stats keys come out physical),
+    // with stageAdds' attempt-unique staging dir so concurrent writers
+    // cannot clobber each other's staged files
+    val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
+    val adds = try {
+      dfPhys.write.mode(SaveMode.Overwrite)
+        .partitionBy(physPartCols: _*).parquet(staging)
+      val promoted = promoteStaged(table, staging, physPartCols)
+      val statCols = dfPhys.schema.fieldNames.filterNot(physPartCols.contains).toSeq
+      val statsByPath = DeltaStats.collect(spark, statCols,
+        promoted.map(a => resolveDataPath(table, a.path)))
+      promoted.map(a =>
+        a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
+    } finally FsIO.deleteRecursive(staging)
     // logical schema with column-mapping metadata
     val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)

@@ -941,6 +941,13 @@ object Iceberg {
   // Foreign-table fixture builder (tests + oracle lanes ONLY)
   // ------------------------------------------------------------------
 
+  /** Field metadata carrying a real parquet field id (Spark's
+    * `parquet.field.id` key, written when fieldId.write is enabled) —
+    * the delete-file fixtures use the Iceberg spec ids so external
+    * id-resolving readers can cross-validate the bytes. */
+  private def fieldIdMeta(id: Long): org.apache.spark.sql.types.Metadata =
+    new MetadataBuilder().putLong("parquet.field.id", id).build()
+
   /** Simulate a foreign merge-on-read DELETE: rows of the current
     * snapshot matching `pred` become POSITION-delete entries — one
     * sorted parquet delete file (file_path, pos), one delete manifest
@@ -978,12 +985,20 @@ object Iceberg {
     val seq = meta.lastSequenceNumber + 1
     val mdir = s"$dir/metadata"
     if (hits.isEmpty) return meta.currentSnapshotId
-    // the delete parquet: exact spec column ids 2147483546/2147483545
-    // are carried by name here (our own reader resolves by name)
+    // the delete parquet carries the exact spec column ids
+    // (file_path=2147483546, pos=2147483545) as REAL parquet field ids
+    // via Spark's parquet.field.id metadata, so an id-resolving foreign
+    // Iceberg reader can read the bytes too (our own reader resolves by
+    // name). Remaining fixture gap: no partition/spec linkage beyond
+    // spec-id 0 — documented, unpartitioned fixtures only.
     val staging = s"$dir/_staging"
     FsIO.deleteRecursive(staging)
     import spark.implicits._
-    hits.toSeq.toDF("file_path", "pos").coalesce(1)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    hits.toSeq.toDF("file_path", "pos")
+      .select(col("file_path").as("file_path", fieldIdMeta(2147483546L)),
+        col("pos").as("pos", fieldIdMeta(2147483545L)))
+      .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     val delPath = FsIO.listFilesRecursive(staging).collect {
       case (p, len, _) if p.endsWith(".parquet") =>
@@ -1028,11 +1043,15 @@ object Iceberg {
     val mdir = s"$dir/metadata"
     val staging = s"$dir/_staging"
     FsIO.deleteRecursive(staging)
-    val rows = deleteRows.select(equalityCols.map(
-      org.apache.spark.sql.functions.col): _*)
+    // stamp each equality column with its SOURCE schema field id as a
+    // real parquet field id (id-resolving foreign readers need it)
+    val rows = deleteRows.select(equalityCols.map(c =>
+      org.apache.spark.sql.functions.col(c)
+        .as(c, fieldIdMeta(idsByName(c).toLong))): _*)
       .distinct().orderBy(equalityCols.map(
         org.apache.spark.sql.functions.col): _*)
     val n = rows.count()
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     rows.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     val delPath = FsIO.listFilesRecursive(staging).collect {

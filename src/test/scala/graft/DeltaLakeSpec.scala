@@ -619,6 +619,26 @@ class DeltaLakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { pull(5L) } // beyond latest
   }
 
+  test("fromDeltaChanges rejects copy-on-write rewrites in range (not append-only)") {
+    val t = tmp("cdcow.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t) // v0
+    DeltaLake.toDelta(Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "append")  // v1
+    // v2: CoW DELETE — remove(dataChange=true) + re-add of survivors;
+    // the re-added file's rows were already delivered, so a tail over
+    // the range would duplicate them as "rows added". Must reject.
+    DeltaLake.deleteWhere(spark, t, col("id") === 1L)
+    DeltaLake.toDelta(Seq((4L, "d")).toDF("id", "s").coalesce(1), t, "append")  // v3
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.fromDeltaChanges(spark, t, -1L).collect()
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // ranges that exclude the rewrite commit still tail fine
+    assert(DeltaLake.fromDeltaChanges(spark, t, 2L)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(DeltaLake.fromDeltaChanges(spark, t, -1L, Some(1L)).count() == 3)
+  }
+
   test("column mapping name mode: logical columns, physical stats skipping, read-only") {
     val t = tmp("cm.delta")
     import spark.implicits._
@@ -743,7 +763,9 @@ class DeltaLakeSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       DeltaLake.fromDeltaChanges(spark, t, -1L).collect()
     }
-    assert(e1.getMessage.contains("deletion vector"))
+    // (the commit's dataChange=true remove or its DV add — whichever
+    // the line order surfaces first — both reject with this phrase)
+    assert(e1.getMessage.contains("not append-only"))
     // writes reject with the read-only message
     val e2 = intercept[IllegalArgumentException] {
       DeltaLake.toDelta(df, t, "append")

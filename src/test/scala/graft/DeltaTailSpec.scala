@@ -198,7 +198,7 @@ class DeltaTailSpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q.processAllAvailable() finally q.stop()
     }
-    assert(e.getMessage.contains("deletion vector") ||
-      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")))
   }
 }

@@ -90,6 +90,22 @@ class GridAggSpec extends SparkSpec {
     assert(got("a") == Seq(4.0, 2.0) && got("b") == Seq(5.0, 0.0))
   }
 
+  test("GridOrdinal rejects non-finite limits at construction") {
+    // doGenCode interpolates limits as Java literals — an Infinity/NaN
+    // limit would emit uncompilable source ("InfinityD") and silently
+    // fall back to interpreted eval; construction must reject instead
+    import graft.functions.GridOrdinal
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val c = Seq(Literal(1.0))
+    val e = intercept[IllegalArgumentException](
+      GridOrdinal(c, Seq(Double.NegativeInfinity), Seq(1.0), Seq(4)))
+    assert(e.getMessage.contains("finite"))
+    intercept[IllegalArgumentException](
+      GridOrdinal(c, Seq(0.0), Seq(Double.NaN), Seq(4)))
+    // finite limits still construct fine
+    GridOrdinal(c, Seq(0.0), Seq(1.0), Seq(4))
+  }
+
   test("binbyGrid virtual columns resolve and the cell cap raises") {
     val f = VxFrame(li).withVirtualColumn("qty2", "l_quantity * 2")
     val g = f.binbyGrid(Seq(("qty2", 0.0, 100.0, 25)), VxFrame.GridCount)
