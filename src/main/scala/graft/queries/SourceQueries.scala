@@ -520,6 +520,61 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta V2 checkpoint: the modern DBR log layout — a uuid-named
+    // manifest + parquet sidecar files under _delta_log/_sidecars/,
+    // with every pre-checkpoint JSON commit vacuumed away. The read
+    // must reconstruct the snapshot from the manifest + sidecars
+    // alone (stats skipping included); the oracle is the plain
+    // filtered aggregate on the original parquet.
+    "q_delta_v2cp" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_v2cp") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li.filter(col("l_orderkey") % 2 === 0), table,
+        checkpointInterval = 0)
+      D.toDelta(li.filter(col("l_orderkey") % 2 === 1), table, "append",
+        checkpointInterval = 0)
+      D.foreignV2Checkpoint(s, table, numSidecars = 2)
+      (0L to 1L).foreach(v => graft.sources.FsIO.deleteRecursive(
+        f"$table/_delta_log/$v%020d.json"))
+      D.fromDelta(s, table, where = Some(col("l_orderkey") <= 1000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Delta classic MULTI-PART checkpoint (long-lived OSS tables):
+    // same vacuumed-log discipline, state reconstructed by unioning
+    // the N checkpoint parts; the table stays WRITABLE afterwards
+    // (classic protocol) — the lane appends one more slab through our
+    // own writer after the foreign checkpoint.
+    "q_delta_multicp" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_mcp") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li.filter(col("l_orderkey") % 3 === 0), table,
+        checkpointInterval = 0)
+      D.toDelta(li.filter(col("l_orderkey") % 3 === 1), table, "append",
+        checkpointInterval = 0)
+      D.foreignMultiPartCheckpoint(s, table, numParts = 3)
+      (0L to 1L).foreach(v => graft.sources.FsIO.deleteRecursive(
+        f"$table/_delta_log/$v%020d.json"))
+      D.toDelta(li.filter(col("l_orderkey") % 3 === 2), table, "append",
+        checkpointInterval = 0)
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta OPTIMIZE: six small appends compacted into z-ordered
     // files (dataChange=false rewrite) — the oracle proves layout
     // changes are INVISIBLE to query results; skipping then works on
@@ -1245,6 +1300,18 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey % 7 <> 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_v2cp" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_multicp" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_optimize" ->
       s"""SELECT l_partkey % 4 AS g, COUNT(*) AS n,

@@ -70,13 +70,20 @@ object DeltaLake {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "columnMapping", "deletionVectors")
+    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint")
   /** Checkpoint cadence (OSS Delta default: 10 commits). */
   val DefaultCheckpointInterval = 10
 
   private val CommitRe = """^(\d{20})\.json$""".r
   private val CheckpointRe = """^(\d{20})\.checkpoint\.parquet$""".r
-  private val MultiPartCheckpointRe = """^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$""".r
+  /** Classic multi-part: `v.checkpoint.<part>.<numParts>.parquet`. */
+  private val MultiPartCheckpointRe =
+    """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  /** V2 (uuid-named) checkpoint manifest: `v.checkpoint.<uuid>.{parquet|json}`
+    * — single middle segment, so no overlap with the two-segment
+    * multi-part form. */
+  private val V2CheckpointRe =
+    """^(\d{20})\.checkpoint\.[^.]+\.(?:parquet|json)$""".r
 
   private final case class Meta(
       id: String, schemaString: String, partitionColumns: Seq[String],
@@ -412,7 +419,7 @@ object DeltaLake {
     * newest first — version, timestamp, operation, action counts. */
   def history(spark: SparkSession, table0: String): DataFrame = {
     val table = table0.stripSuffix("/")
-    val versions = listLog(table)._1
+    val versions = listLog(table).json
     require(versions.nonEmpty, s"history: no Delta log at $table")
     val rows = versions.sorted.reverse.map { v =>
       var ts = 0L; var op: String = null; var nAdd = 0L; var nRemove = 0L
@@ -439,54 +446,88 @@ object DeltaLake {
   }
 
   /** Latest committed version, or -1 when the table does not exist. */
-  def latestVersion(table0: String): Long = {
-    val (jsonVs, cpVs, _) = listLog(table0.stripSuffix("/"))
-    (jsonVs ++ cpVs).maxOption.getOrElse(-1L)
+  def latestVersion(table0: String): Long =
+    listLog(table0.stripSuffix("/")).allVersions.maxOption.getOrElse(-1L)
+
+  /** One log listing, every checkpoint form the protocol names:
+    * classic single-part, classic multi-part (version -> part file
+    * names), and v2 uuid-named manifests (version -> manifest names —
+    * several writers may race; any one is a complete state). */
+  private final case class LogListing(json: Seq[Long], classic: Seq[Long],
+      multi: Map[Long, Seq[String]], v2: Map[Long, Seq[String]]) {
+    def allVersions: Seq[Long] =
+      json ++ classic ++ multi.keys ++ v2.keys
   }
 
-  /** (json commit versions, single-part checkpoint versions,
-    * multi-part checkpoint versions) from one log listing. */
-  private def listLog(table: String): (Seq[Long], Seq[Long], Seq[Long]) = {
+  private def listLog(table: String): LogListing = {
     val names = FsIO.listFileNames(logDir(table))
-    val json = names.collect { case CommitRe(v) => v.toLong }
-    val cp = names.collect { case CheckpointRe(v) => v.toLong }
-    val multi = names.collect { case MultiPartCheckpointRe(v) => v.toLong }.distinct
-    (json, cp, multi)
+    LogListing(
+      names.collect { case CommitRe(v) => v.toLong },
+      names.collect { case CheckpointRe(v) => v.toLong },
+      names.collect { case n @ MultiPartCheckpointRe(v, _, _) => (v.toLong, n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
+      names.collect { case n @ V2CheckpointRe(v) => (v.toLong, n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
   }
 
   private def snapshot(spark: SparkSession, table: String,
       versionAsOf: Option[Long]): Snapshot = {
-    val (jsonVs, cpVs, multiVs) = listLog(table)
-    val all = jsonVs ++ cpVs ++ multiVs // multi-part counts toward latest, then rejects below
+    val listing = listLog(table)
+    val all = listing.allVersions
     require(all.nonEmpty, s"not a Delta table (no _delta_log commits): $table")
     val latest = all.max
     val target = versionAsOf.getOrElse(latest)
     require(target >= 0 && target <= latest,
       s"versionAsOf $target out of range [0, $latest] for $table")
-    val cp = cpVs.filter(_ <= target).maxOption
-    val replayFrom = cp.map(_ + 1).getOrElse(0L)
-    val need = (replayFrom to target).filterNot(jsonVs.contains)
-    if (need.nonEmpty) {
-      val bridged = multiVs.filter(v => v <= target && v >= replayFrom)
-      require(bridged.isEmpty,
-        s"multi-part checkpoints are unsupported (version ${bridged.max} " +
-          s"of $table); write single-part checkpoints")
+    // COMPLETE multi-part checkpoints only: every part 1..n present
+    // with one consistent n (an in-flight or damaged set is simply not
+    // a candidate — never an error, the JSON tail may still cover it)
+    val completeMulti: Map[Long, Seq[String]] =
+      listing.multi.flatMap { case (v, names) =>
+        val parts = names.map {
+          case n @ MultiPartCheckpointRe(_, p, tot) => (p.toInt, tot.toInt, n)
+        }
+        val totals = parts.map(_._2).distinct
+        if (totals.size == 1 &&
+            parts.map(_._1).sorted == (1 to totals.head))
+          Some(v -> parts.sortBy(_._1).map(_._3))
+        else None
+      }
+    // newest usable checkpoint <= target, any form (equal versions
+    // hold identical state — prefer the cheapest read: classic, then
+    // multi-part, then v2)
+    val cp: Option[(Long, () => CpState)] =
+      (listing.classic.filter(_ <= target).map(v => (v, 0,
+          () => readCheckpoint(spark,
+            Seq(f"${logDir(table)}/$v%020d.checkpoint.parquet")))) ++
+        completeMulti.keys.filter(_ <= target).map(v => (v, 1,
+          () => readCheckpoint(spark,
+            completeMulti(v).map(n => s"${logDir(table)}/$n")))) ++
+        listing.v2.keys.filter(_ <= target).map(v => (v, 2,
+          () => readV2Checkpoint(spark, table, v, listing.v2(v).min))))
+        .minByOption { case (v, pref, _) => (-v, pref) }
+        .map { case (v, _, load) => (v, load) }
+    val replayFrom = cp.map(_._1 + 1).getOrElse(0L)
+    val need = (replayFrom to target).filterNot(listing.json.contains)
+    if (need.nonEmpty)
       throw new IllegalArgumentException(
         s"Delta log of $table is missing commit versions ${need.mkString(",")}")
-    }
     var meta: Meta = null
     var minReader = 1
     var readerFeatures = Set.empty[String]
     var minWriter = 2
     var writerFeatures = Set.empty[String]
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
-    cp.foreach { v =>
-      val (m, r, f, w, wf, a) =
-        readCheckpoint(spark, f"${logDir(table)}/$v%020d.checkpoint.parquet")
-      if (m != null) meta = m
-      if (r > 0) { minReader = r; readerFeatures = f
-                   minWriter = w; writerFeatures = wf }
-      a.foreach(ad => adds(ad.path) = ad)
+    cp.foreach { case (_, load) =>
+      val st = load()
+      require(st.sidecars.isEmpty, // v2 loads resolve them; classic never has them
+        s"checkpoint of $table carries unresolved sidecar references")
+      if (st.meta != null) meta = st.meta
+      if (st.minReader > 0) { minReader = st.minReader
+                              readerFeatures = st.readerFeatures
+                              minWriter = st.minWriter
+                              writerFeatures = st.writerFeatures }
+      st.adds.foreach(ad => adds(ad.path) = ad)
     }
     (replayFrom to target).foreach { v =>
       // A COMMIT is an atomic state transition: its removes apply to
@@ -544,7 +585,16 @@ object DeltaLake {
     require(dv.isEmpty,
       s"$op: table ${s.table} has ${dv.size} file(s) with deletion " +
         "vectors — read-only support")
+    requireNoV2Checkpoint(s, op)
   }
+
+  /** The v2Checkpoint WRITER feature obliges writers to produce v2
+    * checkpoints; we write classic single-part ones, so any mutation
+    * of such a table rejects loudly (read-only support). */
+  private def requireNoV2Checkpoint(s: Snapshot, op: String): Unit =
+    require(!s.writerFeatures.contains("v2Checkpoint"),
+      s"$op: table ${s.table} requires v2 checkpoints on write — " +
+        "read-only support")
 
   /** Per-field physical name under column mapping `name` mode. */
   private def physName(f: StructField): String =
@@ -631,12 +681,21 @@ object DeltaLake {
     if (n == null || !n.isArray) Set.empty
     else (0 until n.size()).map(n.get(_).asText()).toSet
 
-  /** Checkpoint parquet -> (meta, minReader, readerFeatures, adds).
-    * The checkpoint is file METADATA (one row per live file), so a
-    * driver collect is the protocol-intended shape. */
-  private def readCheckpoint(spark: SparkSession, path: String)
-      : (Meta, Int, Set[String], Int, Set[String], Seq[AddFile]) = {
-    val df = spark.read.parquet(path)
+  /** Checkpoint state as read back from parquet/json checkpoint
+    * files: table meta + protocol + live adds, plus any sidecar file
+    * references (v2 manifests only). */
+  private final case class CpState(
+      meta: Meta, minReader: Int, readerFeatures: Set[String],
+      minWriter: Int, writerFeatures: Set[String], adds: Seq[AddFile],
+      sidecars: Seq[String] = Nil)
+
+  /** Checkpoint parquet -> CpState. Accepts several paths at once —
+    * a classic multi-part checkpoint is one logical table scanned as
+    * N parts (exactly one part carries metaData/protocol). The
+    * checkpoint is file METADATA (one row per live file), so a driver
+    * collect is the protocol-intended shape. */
+  private def readCheckpoint(spark: SparkSession, paths: Seq[String]): CpState = {
+    val df = spark.read.parquet(paths: _*)
     val have = df.schema.fieldNames.toSet
     var meta: Meta = null
     var minReader = 0
@@ -644,7 +703,9 @@ object DeltaLake {
     var minWriter = 2
     var wFeatures = Set.empty[String]
     val adds = Seq.newBuilder[AddFile]
-    val cols = Seq("metaData", "protocol", "add").filter(have)
+    val sidecars = Seq.newBuilder[String]
+    val ctx = paths.head
+    val cols = Seq("metaData", "protocol", "add", "sidecar").filter(have)
     df.select(cols.map(col): _*).collect().foreach { row =>
       cols.zipWithIndex.foreach { case (c, i) =>
         if (!row.isNullAt(i)) {
@@ -654,6 +715,8 @@ object DeltaLake {
             // collection.Map — convert before they land in immutable-
             // typed fields (the checkcast is at the constructor)
             case "metaData" =>
+              require(meta == null,
+                s"duplicate metaData rows across checkpoint parts: $ctx")
               val cfg = get[scala.collection.Map[String, String]](st, "configuration")
                 .map(_.toMap).getOrElse(Map.empty[String, String])
               val cm = cfg.getOrElse("delta.columnMapping.mode", "none")
@@ -664,7 +727,7 @@ object DeltaLake {
                 get[String](st, "id").orNull,
                 get[String](st, "schemaString").getOrElse(
                   throw new IllegalArgumentException(
-                    s"checkpoint metaData without schemaString: $path")),
+                    s"checkpoint metaData without schemaString: $ctx")),
                 get[scala.collection.Seq[String]](st, "partitionColumns")
                   .map(_.toSeq).getOrElse(Nil),
                 cm, cfg)
@@ -675,30 +738,104 @@ object DeltaLake {
               minWriter = get[Int](st, "minWriterVersion").getOrElse(2)
               wFeatures = get[scala.collection.Seq[String]](st, "writerFeatures")
                 .map(_.toSet).getOrElse(Set.empty)
-            case "add" =>
-              val dv = get[Row](st, "deletionVector").map { d =>
-                DvDescriptor(
-                  get[String](d, "storageType").getOrElse(
-                    throw new IllegalArgumentException(
-                      s"checkpoint deletionVector without storageType: $path")),
-                  get[String](d, "pathOrInlineDv").get,
-                  get[Int](d, "offset").getOrElse(0),
-                  get[Int](d, "sizeInBytes").get,
-                  get[Long](d, "cardinality").get)
-              }.orNull
-              adds += AddFile(
-                get[String](st, "path").get,
-                get[scala.collection.Map[String, String]](st, "partitionValues")
-                  .map(_.toMap).getOrElse(Map.empty[String, String]),
-                get[Long](st, "size").getOrElse(0L),
-                get[Long](st, "modificationTime").getOrElse(0L),
-                get[String](st, "stats").orNull,
-                dv)
+            case "add" => adds += addFromRow(st, ctx)
+            case "sidecar" =>
+              sidecars += get[String](st, "path").getOrElse(
+                throw new IllegalArgumentException(
+                  s"sidecar action without path: $ctx"))
           }
         }
       }
     }
-    (meta, minReader, features, minWriter, wFeatures, adds.result())
+    CpState(meta, minReader, features, minWriter, wFeatures,
+      adds.result(), sidecars.result())
+  }
+
+  /** One collected checkpoint `add` struct -> AddFile (shared by the
+    * classic/multi-part/v2-manifest readers and the sidecar scan). */
+  private def addFromRow(st: Row, ctx: String): AddFile = {
+    val dv = get[Row](st, "deletionVector").map { d =>
+      DvDescriptor(
+        get[String](d, "storageType").getOrElse(
+          throw new IllegalArgumentException(
+            s"checkpoint deletionVector without storageType: $ctx")),
+        get[String](d, "pathOrInlineDv").get,
+        get[Int](d, "offset").getOrElse(0),
+        get[Int](d, "sizeInBytes").get,
+        get[Long](d, "cardinality").get)
+    }.orNull
+    AddFile(
+      get[String](st, "path").get,
+      get[scala.collection.Map[String, String]](st, "partitionValues")
+        .map(_.toMap).getOrElse(Map.empty[String, String]),
+      get[Long](st, "size").getOrElse(0L),
+      get[Long](st, "modificationTime").getOrElse(0L),
+      get[String](st, "stats").orNull,
+      dv)
+  }
+
+  /** V2 (uuid-named) checkpoint: the manifest (parquet or json) holds
+    * protocol/metaData/checkpointMetadata plus either the add actions
+    * directly or `sidecar` references to parquet files under
+    * `_delta_log/_sidecars/` that carry them. Sidecar scans stay one
+    * bounded parquet read of file METADATA — same driver-memory shape
+    * as classic checkpoints. */
+  private def readV2Checkpoint(spark: SparkSession, table: String,
+      version: Long, manifestName: String): CpState = {
+    val path = s"${logDir(table)}/$manifestName"
+    val st0: CpState =
+      if (manifestName.endsWith(".json")) {
+        var meta: Meta = null
+        var minReader = 0
+        var features = Set.empty[String]
+        var minWriter = 2
+        var wFeatures = Set.empty[String]
+        val adds = Seq.newBuilder[AddFile]
+        val sidecars = Seq.newBuilder[String]
+        eachAction(path) { n =>
+          if (n.has("metaData")) meta = parseMeta(n.get("metaData"))
+          if (n.has("protocol")) {
+            val p = n.get("protocol")
+            minReader = p.get("minReaderVersion").asInt()
+            features = jsonStrings(p.get("readerFeatures"))
+            minWriter = Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
+            wFeatures = jsonStrings(p.get("writerFeatures"))
+          }
+          if (n.has("add")) adds += parseAdd(n.get("add"))
+          if (n.has("sidecar"))
+            sidecars += n.get("sidecar").get("path").asText()
+          if (n.has("checkpointMetadata")) {
+            val v = n.get("checkpointMetadata").get("version").asLong()
+            require(v == version,
+              s"v2 checkpoint $manifestName declares version $v, " +
+                s"expected $version")
+          }
+        }
+        CpState(meta, minReader, features, minWriter, wFeatures,
+          adds.result(), sidecars.result())
+      } else readCheckpoint(spark, Seq(path))
+    if (st0.sidecars.isEmpty) st0
+    else {
+      // sidecar path: file name relative to _delta_log/_sidecars/, or
+      // an absolute URI (PROTOCOL.md "Sidecar File Information")
+      val scPaths = st0.sidecars.map { raw =>
+        val u = try new java.net.URI(raw) catch {
+          case e: java.net.URISyntaxException => throw
+            new IllegalArgumentException(s"invalid sidecar path URI: $raw", e)
+        }
+        if (u.isAbsolute) new org.apache.hadoop.fs.Path(u).toString
+        else s"${logDir(table)}/_sidecars/${u.getPath}"
+      }
+      scPaths.foreach(p => require(FsIO.exists(p),
+        s"v2 checkpoint $manifestName references a missing sidecar: $p"))
+      val df = spark.read.parquet(scPaths: _*)
+      require(df.schema.fieldNames.contains("add"),
+        s"v2 checkpoint sidecars of $manifestName carry no add column")
+      val scAdds = df.select(col("add")).collect().collect {
+        case row if !row.isNullAt(0) => addFromRow(row.getStruct(0), scPaths.head)
+      }.toSeq
+      st0.copy(adds = st0.adds ++ scAdds, sidecars = Nil)
+    }
   }
 
   /** Null-safe by-name struct field access (checkpoint schemas vary
@@ -765,6 +902,7 @@ object DeltaLake {
       require(dv.isEmpty,
         s"toDelta: table ${s.table} has ${dv.size} file(s) with " +
           "deletion vectors — read-only support")
+      requireNoV2Checkpoint(s, "toDelta")
       val exSchema = DataType.fromJson(s.meta.schemaString).asInstanceOf[StructType]
       require(relaxed(exSchema) == relaxed(df.schema),
         s"toDelta: schema mismatch with existing table $table\n  table: " +
@@ -1281,63 +1419,85 @@ object DeltaLake {
     require(s.adds.forall(_.dv == null),
       s"writeCheckpoint: snapshot $v of $table carries deletion vectors " +
         "the checkpoint schema cannot represent")
-    val mapT = MapType(StringType, StringType, valueContainsNull = true)
-    val cpSchema = StructType(Seq(
-      StructField("protocol", StructType(Seq(
-        StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType),
-        StructField("readerFeatures", ArrayType(StringType, containsNull = false)),
-        StructField("writerFeatures", ArrayType(StringType, containsNull = false))))),
-      StructField("metaData", StructType(Seq(
-        StructField("id", StringType),
-        StructField("format", StructType(Seq(
-          StructField("provider", StringType),
-          StructField("options", mapT)))),
-        StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType, containsNull = false)),
-        StructField("configuration", mapT),
-        StructField("createdTime", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", mapT),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
     val rows = new java.util.ArrayList[Row]()
-    // carry the table's REAL protocol (a feature-gated table must not
-    // have its checkpoint silently downgrade it); feature arrays are
-    // null below reader/writer version 3/7 per the protocol
-    rows.add(Row(Row(s.minReaderVersion, s.minWriterVersion,
+    rows.add(Row(cpProtocolRow(s), null, null))
+    rows.add(Row(null, cpMetaRow(s), null))
+    s.adds.foreach(a => rows.add(Row(null, null, cpAddRow(a))))
+    writeOneParquet(spark, spark.createDataFrame(rows, CpSchema),
+      f"${logDir(table)}/$v%020d.checkpoint.parquet")
+    writeLastCheckpoint(table, v, rows.size().toLong, parts = 0)
+  }
+
+  private val CpMapT = MapType(StringType, StringType, valueContainsNull = true)
+  private val CpProtocolT = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType, containsNull = false)),
+    StructField("writerFeatures", ArrayType(StringType, containsNull = false))))
+  private val CpMetaT = StructType(Seq(
+    StructField("id", StringType),
+    StructField("format", StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", CpMapT)))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType, containsNull = false)),
+    StructField("configuration", CpMapT),
+    StructField("createdTime", LongType)))
+  private val CpAddT = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", CpMapT),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
+  private val CpSchema = StructType(Seq(
+    StructField("protocol", CpProtocolT),
+    StructField("metaData", CpMetaT),
+    StructField("add", CpAddT)))
+
+  /** Carry the table's REAL protocol (a feature-gated table must not
+    * have its checkpoint silently downgrade it); feature arrays are
+    * null below reader/writer version 3/7 per the protocol. */
+  private def cpProtocolRow(s: Snapshot): Row =
+    Row(s.minReaderVersion, s.minWriterVersion,
       if (s.minReaderVersion >= 3) s.readerFeatures.toSeq.sorted else null,
-      if (s.minWriterVersion >= 7) s.writerFeatures.toSeq.sorted else null),
-      null, null))
-    rows.add(Row(null,
-      Row(s.meta.id, Row("parquet", Map.empty[String, String]),
-        s.meta.schemaString, s.meta.partitionColumns,
-        // the REAL table configuration: a checkpoint that dropped
-        // delta.columnMapping.mode would make every replay-from-
-        // checkpoint read physical-named files with logical names —
-        // silent all-NULL columns (r15 second review pass)
-        s.meta.configuration, 0L), null))
-    s.adds.foreach { a =>
-      rows.add(Row(null, null,
-        Row(a.path, a.partitionValues, a.size, a.modificationTime, false,
-          a.stats)))
-    }
-    val tmpDir = f"${logDir(table)}/.cp$v%020d.tmp"
+      if (s.minWriterVersion >= 7) s.writerFeatures.toSeq.sorted else null)
+
+  /** The REAL table configuration rides along: a checkpoint that
+    * dropped delta.columnMapping.mode would make every replay-from-
+    * checkpoint read physical-named files with logical names — silent
+    * all-NULL columns (r15 second review pass). */
+  private def cpMetaRow(s: Snapshot): Row =
+    Row(s.meta.id, Row("parquet", Map.empty[String, String]),
+      s.meta.schemaString, s.meta.partitionColumns,
+      s.meta.configuration, 0L)
+
+  private def cpAddRow(a: AddFile): Row =
+    Row(a.path, a.partitionValues, a.size, a.modificationTime, false, a.stats)
+
+  /** Stage a 1-file parquet write of `df` and promote it to exactly
+    * `dst` by rename; returns the file's length in bytes. */
+  private def writeOneParquet(spark: SparkSession, df: DataFrame,
+      dst: String): Long = {
+    val tmpDir = dst + ".tmp"
     FsIO.deleteRecursive(tmpDir)
-    spark.createDataFrame(rows, cpSchema).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
-    val part = FsIO.listFilesRecursive(tmpDir).collect {
-      case (p, _, _) if p.endsWith(".parquet") => p
-    }
-    require(part.size == 1, s"expected one checkpoint part, found ${part.size}")
-    FsIO.rename(part.head, f"${logDir(table)}/$v%020d.checkpoint.parquet")
-    FsIO.deleteRecursive(tmpDir)
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir)
+      val part = FsIO.listFilesRecursive(tmpDir).collect {
+        case (p, len, _) if p.endsWith(".parquet") => (p, len)
+      }
+      require(part.size == 1, s"expected one part file, found ${part.size}")
+      FsIO.rename(part.head._1, dst)
+      part.head._2
+    } finally FsIO.deleteRecursive(tmpDir)
+  }
+
+  private def writeLastCheckpoint(table: String, v: Long, size: Long,
+      parts: Int): Unit = {
     val lc = mapper.createObjectNode()
     lc.put("version", v)
-    lc.put("size", rows.size().toLong)
+    lc.put("size", size)
+    if (parts > 0) lc.put("parts", parts)
     val out = FsIO.create(s"${logDir(table)}/_last_checkpoint")
     try out.write((mapper.writeValueAsString(lc) + "\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -1431,6 +1591,140 @@ object DeltaLake {
       lines += mapper.writeValueAsString(an)
     }
     commit(table, 0L, lines.result())
+  }
+
+  /** Re-checkpoint the CURRENT snapshot as a classic MULTI-PART
+    * checkpoint (`v.checkpoint.<part>.<numParts>.parquet` — the
+    * long-lived OSS-table layout) + a `parts`-carrying
+    * `_last_checkpoint`. Fixture builder: specs/lanes delete the
+    * pre-checkpoint JSON commits and prove the table still opens
+    * from the parts alone. */
+  private[graft] def foreignMultiPartCheckpoint(spark: SparkSession,
+      table0: String, numParts: Int): Unit = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val s = snapshot(spark, table, None)
+    require(numParts >= 2,
+      s"foreignMultiPartCheckpoint: need >= 2 parts, got $numParts")
+    require(s.adds.forall(_.dv == null),
+      "foreignMultiPartCheckpoint: DV adds are not representable")
+    val v = s.version
+    var total = 0L
+    (1 to numParts).foreach { k =>
+      val rows = new java.util.ArrayList[Row]()
+      if (k == 1) { // exactly one part carries protocol + metaData
+        rows.add(Row(cpProtocolRow(s), null, null))
+        rows.add(Row(null, cpMetaRow(s), null))
+      }
+      s.adds.zipWithIndex.filter(_._2 % numParts == k - 1)
+        .foreach { case (a, _) => rows.add(Row(null, null, cpAddRow(a))) }
+      total += rows.size()
+      writeOneParquet(spark, spark.createDataFrame(rows, CpSchema),
+        f"${logDir(table)}/$v%020d.checkpoint.$k%010d.$numParts%010d.parquet")
+    }
+    writeLastCheckpoint(table, v, total, numParts)
+  }
+
+  private val CpSidecarT = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)))
+  private val CpCheckpointMetadataT = StructType(Seq(
+    StructField("version", LongType)))
+
+  /** Re-checkpoint the CURRENT snapshot as a V2 (uuid-named)
+    * checkpoint — the modern DBR layout: a manifest
+    * `v.checkpoint.<uuid>.{parquet|json}` holding protocol/metaData/
+    * checkpointMetadata, with the add actions either inline
+    * (`numSidecars` = 0, parquet manifests only) or spread over
+    * `numSidecars` parquet sidecar files under `_delta_log/_sidecars/`.
+    * Upgrades the declared protocol to readerVersion 3 / writerVersion
+    * 7 with the `v2Checkpoint` feature, exactly what a conforming
+    * writer publishes. Fixture builder (tests + oracle lanes). */
+  private[graft] def foreignV2Checkpoint(spark: SparkSession,
+      table0: String, numSidecars: Int,
+      jsonManifest: Boolean = false): Unit = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val s = snapshot(spark, table, None)
+    require(numSidecars >= 0, s"bad numSidecars $numSidecars")
+    require(!jsonManifest || numSidecars >= 1,
+      "foreignV2Checkpoint: a json manifest carries adds via sidecars")
+    require(s.adds.forall(_.dv == null),
+      "foreignV2Checkpoint: DV adds are not representable here")
+    val v = s.version
+    val rf = (s.readerFeatures + "v2Checkpoint").toSeq.sorted
+    val wf = (s.writerFeatures + "v2Checkpoint").toSeq.sorted
+    // sidecar files first (a manifest must never reference missing ones)
+    val sidecarSchema = StructType(Seq(StructField("add", CpAddT)))
+    val groups = if (numSidecars == 0) Nil
+      else (0 until numSidecars).map(k =>
+        s.adds.zipWithIndex.filter(_._2 % numSidecars == k).map(_._1))
+    val now = System.currentTimeMillis()
+    val sidecars = groups.map { adds =>
+      val rows = new java.util.ArrayList[Row]()
+      adds.foreach(a => rows.add(Row(cpAddRow(a))))
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val len = writeOneParquet(spark,
+        spark.createDataFrame(rows, sidecarSchema),
+        s"${logDir(table)}/_sidecars/$name")
+      (name, len)
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    if (jsonManifest) {
+      val lines = Seq.newBuilder[String]
+      val pn = mapper.createObjectNode()
+      val p = pn.putObject("protocol")
+      p.put("minReaderVersion", 3)
+      p.put("minWriterVersion", 7)
+      val rfA = p.putArray("readerFeatures"); rf.foreach(rfA.add)
+      val wfA = p.putArray("writerFeatures"); wf.foreach(wfA.add)
+      lines += mapper.writeValueAsString(pn)
+      val mn = mapper.createObjectNode()
+      val m = mn.putObject("metaData")
+      m.put("id", s.meta.id)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      m.put("schemaString", s.meta.schemaString)
+      val pc = m.putArray("partitionColumns")
+      s.meta.partitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      s.meta.configuration.foreach { case (k, vv) => cfg.put(k, vv) }
+      m.put("createdTime", 0L)
+      lines += mapper.writeValueAsString(mn)
+      val cn = mapper.createObjectNode()
+      cn.putObject("checkpointMetadata").put("version", v)
+      lines += mapper.writeValueAsString(cn)
+      sidecars.foreach { case (name, len) =>
+        val sn = mapper.createObjectNode()
+        val sc = sn.putObject("sidecar")
+        sc.put("path", name)
+        sc.put("sizeInBytes", len)
+        sc.put("modificationTime", now)
+        lines += mapper.writeValueAsString(sn)
+      }
+      val out = FsIO.create(f"${logDir(table)}/$v%020d.checkpoint.$uuid.json")
+      try out.write((lines.result().mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val manifestSchema = StructType(Seq(
+        StructField("protocol", CpProtocolT),
+        StructField("metaData", CpMetaT),
+        StructField("add", CpAddT),
+        StructField("sidecar", CpSidecarT),
+        StructField("checkpointMetadata", CpCheckpointMetadataT)))
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row(Row(3, 7, rf, wf), null, null, null, null))
+      rows.add(Row(null, cpMetaRow(s), null, null, null))
+      rows.add(Row(null, null, null, null, Row(v)))
+      if (numSidecars == 0)
+        s.adds.foreach(a => rows.add(Row(null, null, cpAddRow(a), null, null)))
+      else sidecars.foreach { case (name, len) =>
+        rows.add(Row(null, null, null, Row(name, len, now), null))
+      }
+      writeOneParquet(spark, spark.createDataFrame(rows, manifestSchema),
+        f"${logDir(table)}/$v%020d.checkpoint.$uuid.parquet")
+    }
   }
 
   /** Simulate a foreign DELETE via deletion vectors: rows of the

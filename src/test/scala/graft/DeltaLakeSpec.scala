@@ -172,12 +172,18 @@ class DeltaLakeSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
       .count() == 1L)
+    // v2Checkpoint reads are supported since r16; typeWidening (which
+    // changes data-file interpretation) still rejects loudly
+    assert(DeltaLake.fromDelta(spark, mk(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"]}}"""))
+      .count() == 1L)
     val e3 = intercept[IllegalArgumentException] {
       DeltaLake.fromDelta(spark, mk(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["v2Checkpoint"]}}"""))
+          """"readerFeatures":["typeWidening"]}}"""))
     }
-    assert(e3.getMessage.contains("v2Checkpoint"))
+    assert(e3.getMessage.contains("typeWidening"))
     val ok = mk(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["timestampNtz"]}}""")
@@ -213,7 +219,9 @@ class DeltaLakeSpec extends SparkSpec {
         """{"storageType":"z","pathOrInlineDv":"a","offset":0,"sizeInBytes":1,"cardinality":1}}}"""))
     val ez = intercept[IllegalArgumentException] { DeltaLake.fromDelta(spark, t) }
     assert(ez.getMessage.contains("storageType"))
-    // multi-part checkpoint that would be REQUIRED to bridge -> loud
+    // an INCOMPLETE multi-part part set (part 0 of 2 — parts number
+    // from 1) is never a candidate: with the json commits gone the
+    // read fails loudly instead of serving partial state
     val m = tmp("mp.delta")
     DeltaLake.toDelta(Seq(Tuple1(1L)).toDF("id"), m)
     DeltaLake.toDelta(Seq(Tuple1(2L)).toDF("id"), m, mode = "append")
@@ -223,9 +231,9 @@ class DeltaLakeSpec extends SparkSpec {
     FsIO.deleteRecursive(f"$log/${0L}%020d.json")
     FsIO.deleteRecursive(f"$log/${1L}%020d.json")
     val e5 = intercept[IllegalArgumentException] {
-      DeltaLake.fromDelta(spark, m) // wait: latest json gone too -> v1 via cp name
+      DeltaLake.fromDelta(spark, m)
     }
-    assert(e5.getMessage.contains("multi-part"))
+    assert(e5.getMessage.contains("missing commit versions"))
   }
 
   test("empty append commits zero adds and stays readable; empty snapshot has schema") {
@@ -722,6 +730,124 @@ class DeltaLakeSpec extends SparkSpec {
     ).foreach { case (op, run) =>
       val e = intercept[IllegalArgumentException](run())
       assert(e.getMessage.contains("column mapping"), s"$op: ${e.getMessage}")
+    }
+  }
+
+  private def vacuumedLogFixture(name: String): (String, Long, Long) = {
+    // 3 commits (v0 overwrite + 2 appends) of 60+60+60 ids over 4 range
+    // shards each; returns (table, latestVersion, expectedCount)
+    val t = tmp(name)
+    import spark.implicits._
+    def slab(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 60).select(col("id"), (col("id") % 5).as("g"))
+        .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(slab(0), t, checkpointInterval = 0)
+    DeltaLake.toDelta(slab(60), t, "append", checkpointInterval = 0)
+    DeltaLake.toDelta(slab(120), t, "append", checkpointInterval = 0)
+    (t, 2L, 180L)
+  }
+
+  private def dropJsonCommits(t: String, upTo: Long): Unit =
+    (0L to upTo).foreach(v =>
+      FsIO.deleteRecursive(f"$t/_delta_log/$v%020d.json"))
+
+  test("multi-part classic checkpoint opens a table with vacuumed json commits") {
+    val (t, v, n) = vacuumedLogFixture("mpcp.delta")
+    DeltaLake.foreignMultiPartCheckpoint(spark, t, numParts = 3)
+    dropJsonCommits(t, v)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == n)
+    assert(back.agg(sum("id")).head.getLong(0) == (0L until 180L).sum)
+    // stats skipping still works through the multi-part adds
+    assert(DeltaLake.fromDelta(spark, t, where = Some(col("id") <= 50))
+      .inputFiles.length < back.inputFiles.length)
+    // versions BEFORE the checkpoint are genuinely gone — loud
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.fromDelta(spark, t, versionAsOf = Some(0L)))
+    assert(e.getMessage.contains("missing commit versions"))
+    // the table stays writable (classic protocol): append + read back
+    import spark.implicits._
+    DeltaLake.toDelta(spark.range(300, 310)
+      .select(col("id"), (col("id") % 5).as("g")), t, "append")
+    assert(DeltaLake.fromDelta(spark, t).count() == n + 10)
+  }
+
+  test("incomplete multi-part checkpoint is not a candidate (loud, never partial state)") {
+    val (t, v, _) = vacuumedLogFixture("mpcpbad.delta")
+    DeltaLake.foreignMultiPartCheckpoint(spark, t, numParts = 3)
+    // damage: drop part 2 of 3, then the json commits
+    val part2 = FsIO.listFileNames(s"$t/_delta_log")
+      .find(_.matches(raw"\d{20}\.checkpoint\.0000000002\.0000000003\.parquet")).get
+    FsIO.deleteRecursive(s"$t/_delta_log/$part2")
+    dropJsonCommits(t, v)
+    val e = intercept[IllegalArgumentException](DeltaLake.fromDelta(spark, t))
+    assert(e.getMessage.contains("missing commit versions"))
+  }
+
+  test("v2 checkpoint (parquet manifest + sidecars) opens a vacuumed-log table; writes reject") {
+    val (t, v, n) = vacuumedLogFixture("v2cp.delta")
+    DeltaLake.foreignV2Checkpoint(spark, t, numSidecars = 2)
+    dropJsonCommits(t, v)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == n)
+    assert(back.agg(sum("id")).head.getLong(0) == (0L until 180L).sum)
+    assert(DeltaLake.fromDelta(spark, t, where = Some(col("id") <= 50))
+      .inputFiles.length < back.inputFiles.length)
+    // the upgraded protocol (writer feature v2Checkpoint) gates writes:
+    // we only produce classic checkpoints
+    import spark.implicits._
+    val extra = spark.range(300, 310).select(col("id"), (col("id") % 5).as("g"))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLake.toDelta(extra, t, "append"))
+    assert(e1.getMessage.contains("v2 checkpoints"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.compact(spark, t))
+    assert(e2.getMessage.contains("v2 checkpoints"))
+  }
+
+  test("v2 checkpoint: json manifest and inline-adds manifest both open") {
+    val (t1, v1, n1) = vacuumedLogFixture("v2cpj.delta")
+    DeltaLake.foreignV2Checkpoint(spark, t1, numSidecars = 1, jsonManifest = true)
+    dropJsonCommits(t1, v1)
+    assert(DeltaLake.fromDelta(spark, t1).count() == n1)
+    val (t2, v2, n2) = vacuumedLogFixture("v2cpi.delta")
+    DeltaLake.foreignV2Checkpoint(spark, t2, numSidecars = 0) // adds inline
+    dropJsonCommits(t2, v2)
+    assert(DeltaLake.fromDelta(spark, t2).count() == n2)
+  }
+
+  test("v2 checkpoint with a missing sidecar rejects loudly") {
+    val (t, v, _) = vacuumedLogFixture("v2cpm.delta")
+    DeltaLake.foreignV2Checkpoint(spark, t, numSidecars = 2)
+    dropJsonCommits(t, v)
+    val sc = FsIO.listFileNames(s"$t/_delta_log/_sidecars").head
+    FsIO.deleteRecursive(s"$t/_delta_log/_sidecars/$sc")
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.fromDelta(spark, t).count())
+    assert(e.getMessage.contains("missing sidecar"))
+  }
+
+  test("a newer json tail replays on top of every checkpoint form") {
+    // checkpoint at v2, then two MORE commits; the snapshot must be
+    // checkpoint state + replayed tail, for multi-part AND v2
+    for ((name, mk) <- Seq[(String, String => Unit)](
+        "mt" -> (t => DeltaLake.foreignMultiPartCheckpoint(spark, t, 2)),
+        "v2" -> (t => DeltaLake.foreignV2Checkpoint(spark, t, 2)))) {
+      val (t, v, n) = vacuumedLogFixture(s"tail$name.delta")
+      mk(t)
+      import spark.implicits._
+      if (name == "mt") { // v2 tables gate writes; extend only classic
+        DeltaLake.toDelta(spark.range(200, 220)
+          .select(col("id"), (col("id") % 5).as("g")), t, "append",
+          checkpointInterval = 0)
+        dropJsonCommits(t, v)
+        assert(DeltaLake.fromDelta(spark, t).count() == n + 20)
+        // time travel TO the checkpoint version still works
+        assert(DeltaLake.fromDelta(spark, t, Some(v)).count() == n)
+      } else {
+        dropJsonCommits(t, v)
+        assert(DeltaLake.fromDelta(spark, t, Some(v)).count() == n)
+      }
     }
   }
 
