@@ -520,6 +520,30 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta DV-emitting DELETE (merge-on-read): deleteWhere with
+    // viaDeletionVectors masks matching rows via executor-built
+    // per-file roaring bitmaps — no data file rewritten — then a
+    // blind APPEND lands more rows on the DV-carrying table. The
+    // oracle is the logically-equivalent row set: lineitem minus the
+    // deleted predicate, plus the appended slice.
+    "q_delta_dv_delete" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_dvdel") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li.filter(col("l_orderkey") <= 4000), table)
+      D.deleteWhere(s, table, col("l_orderkey") % 7 === 3,
+        viaDeletionVectors = true)
+      D.toDelta(li.filter(col("l_orderkey") > 4000), table, "append")
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta V2 checkpoint: the modern DBR log layout — a uuid-named
     // manifest + parquet sidecar files under _delta_log/_sidecars/,
     // with every pre-checkpoint JSON commit vacuumed away. The read
@@ -1300,6 +1324,13 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey % 7 <> 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv_delete" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE NOT (l_orderkey <= 4000 AND l_orderkey % 7 = 3)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_v2cp" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

@@ -896,12 +896,15 @@ object DeltaLake {
     existing.foreach { s =>
       gate(s) // must be able to READ a table before mutating its log
       // column-mapped (name mode) tables ACCEPT writes — the staging
-      // below renames to physical columns; DV-carrying tables stay
-      // read-only (a rewrite would need DV-preserving commits)
+      // below renames to physical columns. DV-carrying tables accept
+      // blind APPENDS (new files touch no DV; the live set is
+      // untouched); overwrite stays rejected (its remove tombstones
+      // would have to carry the DV descriptors for correct vacuum
+      // bookkeeping we don't produce).
       val dv = s.adds.filter(_.dv != null)
-      require(dv.isEmpty,
+      require(dv.isEmpty || mode == "append",
         s"toDelta: table ${s.table} has ${dv.size} file(s) with " +
-          "deletion vectors — read-only support")
+          "deletion vectors — only blind appends are supported")
       requireNoV2Checkpoint(s, "toDelta")
       val exSchema = DataType.fromJson(s.meta.schemaString).asInstanceOf[StructType]
       require(relaxed(exSchema) == relaxed(df.schema),
@@ -983,7 +986,12 @@ object DeltaLake {
       lines += mapper.writeValueAsString(an)
     }
     commit(table, version, lines.result())
-    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
+    // never checkpoint a snapshot that still carries DVs (the classic
+    // checkpoint schema cannot represent them — writeCheckpoint's own
+    // invariant); a DV table just keeps its JSON tail
+    if (checkpointInterval > 0 && version > 0 &&
+        version % checkpointInterval == 0 &&
+        existing.forall(_.adds.forall(_.dv == null)))
       writeCheckpoint(spark, table, version)
   }
 
@@ -1291,16 +1299,34 @@ object DeltaLake {
     } finally src.unpersist()
   }
 
-  /** DELETE rows matching `cond`, rewriting ONLY the files whose
+  /** DELETE rows matching `cond`, touching ONLY the files whose
     * stats/partition values might contain matches (the same bounds
     * evaluation as read-side skipping — provably-clean files are
     * untouched metadata). No-op (no commit) when no file can match.
+    *
+    * Two physical strategies:
+    *  - default (copy-on-write): each candidate file is rewritten to
+    *    its survivors;
+    *  - `viaDeletionVectors = true` (merge-on-read): no data file is
+    *    touched — matching row indexes are collected PER FILE on the
+    *    executors (the filtered scan emits (file, row_index), one
+    *    roaring bitmap is built per file executor-side), the driver
+    *    only assembles descriptors and publishes remove + re-add
+    *    actions carrying them. Works on tables that already carry
+    *    DVs: the scan marks a row deleted when its file's existing DV
+    *    masks it OR `cond` matches, so the new bitmap is the union —
+    *    repeated DV deletes compose. This is the 100 TB shape for
+    *    selective deletes: commit cost scales with MATCHING rows'
+    *    bitmaps, not with candidate-file bytes.
+    *
     * Returns the resulting table version. */
   def deleteWhere(spark: SparkSession, table0: String, cond: Column,
-      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+      checkpointInterval: Int = DefaultCheckpointInterval,
+      viaDeletionVectors: Boolean = false): Long = {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    if (viaDeletionVectors) return deleteWhereDv(spark, table, snap, cond)
     requireWritable(snap, "deleteWhere")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
@@ -1326,6 +1352,131 @@ object DeltaLake {
     version
   }
 
+  /** Legacy protocol versions imply feature sets; an upgrade to the
+    * table-features era must ENUMERATE them (PROTOCOL.md "Table
+    * Features") or a conforming reader would treat the table as
+    * feature-free. */
+  private def legacyReaderFeatures(v: Int): Set[String] =
+    if (v >= 2) Set("columnMapping") else Set.empty
+  private def legacyWriterFeatures(v: Int): Set[String] = {
+    var f = Set.empty[String]
+    if (v >= 2) f ++= Set("appendOnly", "invariants")
+    if (v >= 3) f += "checkConstraints"
+    if (v >= 4) f ++= Set("generatedColumns", "changeDataFeed")
+    if (v >= 5) f += "columnMapping"
+    if (v >= 6) f += "identityColumns"
+    f
+  }
+
+  /** The merge-on-read DELETE (see [[deleteWhere]]). */
+  private def deleteWhereDv(spark: SparkSession, table: String,
+      snap: Snapshot, cond: Column): Long = {
+    require(snap.meta.columnMapping == "none",
+      s"deleteWhere: table ${snap.table} uses column mapping — " +
+        "read-only support beyond appends")
+    requireNoV2Checkpoint(snap, "deleteWhere")
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val pred = resolvePredicate(spark, schema, cond)
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val hit = snap.adds.filter(a =>
+      DeltaStats.mightMatch(pred, schema, partCols, a.partitionValues,
+        a.stats, tz))
+    if (hit.isEmpty) return snap.version
+    // every _metadata.file_path spelling -> the add's relative path,
+    // enumerated DRIVER-side (the PathKeys lesson)
+    val bySpelling: Map[String, String] = hit.flatMap { a =>
+      PathKeys.spellings(resolveDataPath(table, a.path)).map(_ -> a.path)
+    }.toMap
+    val byPath: Map[String, AddFile] = hit.map(a => a.path -> a).toMap
+    // per partition-group scans emitting (file, row_index) of rows to
+    // mask in the NEW bitmap: already-deleted (existing DV) OR cond —
+    // the union semantics that make repeated DV deletes compose.
+    // NULL-evaluating rows survive, exactly like the CoW path.
+    val branches = hit.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+      val (dvFiles, plainFiles) = files.partition(_.dv != null)
+      val scans = Seq.newBuilder[DataFrame]
+      def base(fs: Seq[AddFile]): DataFrame =
+        spark.read.schema(dataSchema)
+          .parquet(fs.map(f => resolveDataPath(table, f.path)): _*)
+          .select(col("_metadata.file_path").as("__dv_fp"),
+            col("_metadata.row_index").as("__dv_ri"), col("*"))
+      if (plainFiles.nonEmpty)
+        scans += base(plainFiles).withColumn("__dv_del", lit(false))
+      if (dvFiles.nonEmpty) {
+        import org.apache.spark.unsafe.types.UTF8String
+        import org.apache.spark.sql.graftbridge.Bridge
+        val dvMap = new java.util.HashMap[UTF8String, RoaringDv.Dv]()
+        dvFiles.foreach { f =>
+          val dv = loadDv(table, f.dv)
+          PathKeys.spellings(resolveDataPath(table, f.path))
+            .foreach(s => dvMap.put(UTF8String.fromString(s), dv))
+        }
+        scans += base(dvFiles).withColumn("__dv_del", Bridge.column(
+          DvDeleted(Bridge.expression(col("__dv_fp")),
+            Bridge.expression(col("__dv_ri")), dvMap)))
+      }
+      val withParts = partCols.foldLeft(scans.result().reduce(_ union _)) {
+        (d, c) => d.withColumn(c, typedPartitionValue(
+          pv.getOrElse(c, null), schema(c).dataType))
+      }
+      withParts.filter(col("__dv_del") || coalesce(cond, lit(false)))
+        .select(col("__dv_fp"), col("__dv_ri"))
+    }
+    // one bitmap per file, built where the rows are: sorted row
+    // indexes aggregate per file (bounded by rows-per-file), the
+    // roaring payload serializes executor-side, the driver collects
+    // only (file, payload) — metadata scale
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte])] = branches.reduce(_ union _)
+      .groupBy(col("__dv_fp"))
+      .agg(sort_array(collect_list(col("__dv_ri"))).as("rows"))
+      .as[(String, Array[Long])]
+      .map { case (fp, rows) => (fp, RoaringDv.serialize(rows)) }
+      .collect().toSeq
+    val resolved: Seq[(AddFile, Array[Byte])] = perFile.map { case (sp, pl) =>
+      val p = bySpelling.getOrElse(sp, throw new IllegalStateException(
+        s"deleteWhere: unmatched scan spelling $sp"))
+      (byPath(p), pl)
+    }.sortBy(_._1.path)
+    // drop no-change files: a DV file whose existing mask already
+    // covers every matching row re-emits its own set (union ⊇ old +
+    // equal cardinality ⇒ equal set)
+    val changed = resolved.filter { case (a, pl) =>
+      a.dv == null || RoaringDv.parse(pl).cardinality != a.dv.cardinality
+    }
+    if (changed.isEmpty) return snap.version // nothing new to delete
+    val uuid = java.util.UUID.randomUUID()
+    val offs = RoaringDv.writeFile(
+      s"$table/deletion_vector_$uuid.bin", changed.map(_._2))
+    val now = System.currentTimeMillis()
+    val newAdds = changed.zip(offs).map { case ((a, pl), (off, len)) =>
+      a.copy(modificationTime = now, dv = DvDescriptor("u",
+        RoaringDv.encodeDvPath(uuid), off, len,
+        RoaringDv.parse(pl).cardinality))
+    }
+    // protocol upgrade: preserve declared features, enumerate the
+    // legacy-implied ones when first crossing into the features era
+    val rf = (if (snap.minReaderVersion >= 3) snap.readerFeatures
+              else legacyReaderFeatures(snap.minReaderVersion)) + "deletionVectors"
+    val wf = (if (snap.minWriterVersion >= 7) snap.writerFeatures
+              else legacyWriterFeatures(snap.minWriterVersion)) + "deletionVectors"
+    val pn = mapper.createObjectNode()
+    val p = pn.putObject("protocol")
+    p.put("minReaderVersion", 3)
+    p.put("minWriterVersion", 7)
+    val rfA = p.putArray("readerFeatures"); rf.toSeq.sorted.foreach(rfA.add)
+    val wfA = p.putArray("writerFeatures"); wf.toSeq.sorted.foreach(wfA.add)
+    val version = snap.version + 1
+    commitActions(table, version, "DELETE",
+      Map("candidateFiles" -> hit.size.toString, "mode" -> "deletionVectors"),
+      removes = changed.map(_._1.path), adds = newAdds, dataChange = true,
+      extraActions = Seq(mapper.writeValueAsString(pn)))
+    version // never checkpoint here: classic checkpoints can't carry DVs
+  }
+
   /** input_file_name() URI -> the normalized path form add-resolution
     * uses. */
   private def normalizeScanUri(u: String): String = {
@@ -1334,10 +1485,12 @@ object DeltaLake {
     FsIO.normalize(p)
   }
 
-  /** One merge/maintenance commit: commitInfo + removes + adds. */
+  /** One merge/maintenance commit: commitInfo + optional extra
+    * actions (pre-serialized, e.g. a protocol upgrade) + removes +
+    * adds (deletionVector descriptors serialized when present). */
   private def commitActions(table: String, version: Long, operation: String,
       params: Map[String, String], removes: Seq[String], adds: Seq[AddFile],
-      dataChange: Boolean): Unit = {
+      dataChange: Boolean, extraActions: Seq[String] = Nil): Unit = {
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode()
@@ -1348,6 +1501,7 @@ object DeltaLake {
     params.foreach { case (k, v) => op.put(k, v) }
     cib.put("engineInfo", "graft")
     lines += mapper.writeValueAsString(ci)
+    lines ++= extraActions
     removes.foreach { pth =>
       val rn = mapper.createObjectNode()
       val r = rn.putObject("remove")
@@ -1368,6 +1522,14 @@ object DeltaLake {
       ad.put("modificationTime", a.modificationTime)
       ad.put("dataChange", dataChange)
       if (a.stats != null) ad.put("stats", a.stats)
+      if (a.dv != null) {
+        val dn = ad.putObject("deletionVector")
+        dn.put("storageType", a.dv.storageType)
+        dn.put("pathOrInlineDv", a.dv.pathOrInlineDv)
+        dn.put("offset", a.dv.offset)
+        dn.put("sizeInBytes", a.dv.sizeInBytes)
+        dn.put("cardinality", a.dv.cardinality)
+      }
       lines += mapper.writeValueAsString(an)
     }
     commit(table, version, lines.result())

@@ -851,6 +851,87 @@ class DeltaLakeSpec extends SparkSpec {
     }
   }
 
+  test("DV-emitting deleteWhere: no rewrite, appends compose, repeated deletes merge") {
+    val t = tmp("dvdel.delta")
+    import spark.implicits._
+    val df = spark.range(0, 200).select(
+      col("id"), (col("id") % 7).as("m"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 5).as("mn"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(df, t)
+    val filesBefore = DeltaLake.fromDelta(spark, t).inputFiles.toSet
+    val v1 = DeltaLake.deleteWhere(spark, t, col("m") === 3,
+      viaDeletionVectors = true)
+    assert(v1 == 1L)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 200 - 29) // 29 ids with id%7==3
+    assert(back.filter(col("m") === 3).count() == 0)
+    // merge-on-read: the DATA files are untouched
+    assert(back.inputFiles.toSet == filesBefore)
+    // blind append onto the DV table
+    DeltaLake.toDelta(spark.range(1000, 1010).select(
+      col("id"), (col("id") % 7).as("m"),
+      (col("id") % 5).cast("long").as("mn")), t, "append")
+    val after = DeltaLake.fromDelta(spark, t)
+    assert(after.count() == 171 + 10)
+    // appended rows with m==3 are LIVE (the delete predates them)
+    assert(after.filter(col("m") === 3).count() ==
+      (1000L until 1010L).count(_ % 7 == 3))
+    // second DV delete MERGES with the existing bitmaps (and masks
+    // rows in the new file too)
+    DeltaLake.deleteWhere(spark, t, col("m") === 5, viaDeletionVectors = true)
+    val third = DeltaLake.fromDelta(spark, t)
+    assert(third.filter(col("m") === 3 && col("id") < 200).count() == 0)
+    assert(third.filter(col("m") === 5).count() == 0)
+    assert(third.count() ==
+      (0L until 200L).count(i => i % 7 != 3 && i % 7 != 5) +
+      // appended rows with m==3 predate no delete — only m==5 masks them
+      (1000L until 1010L).count(_ % 7 != 5))
+    // a delete matching ONLY already-masked rows commits nothing
+    val vNow = DeltaLake.latestVersion(t)
+    assert(DeltaLake.deleteWhere(spark, t, col("m") === 5,
+      viaDeletionVectors = true) == vNow)
+    assert(DeltaLake.latestVersion(t) == vNow)
+    // NULL-evaluating rows SURVIVE (same contract as the CoW path)
+    DeltaLake.deleteWhere(spark, t, col("mn") === 1, viaDeletionVectors = true)
+    val fourth = DeltaLake.fromDelta(spark, t)
+    assert(fourth.filter(col("mn").isNull).count() ==
+      (0L until 200L).count(i => i % 10 == 0 && i % 7 != 3 && i % 7 != 5))
+    assert(fourth.filter(col("mn") === 1).count() == 0)
+    // overwrite / maintenance stay rejected on the DV table
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLake.toDelta(df, t, "overwrite"))
+    assert(e1.getMessage.contains("blind appends"))
+    intercept[IllegalArgumentException](DeltaLake.compact(spark, t))
+    // appends never write a classic checkpoint on a DV table (the
+    // checkpoint schema cannot carry DVs) — interval 1 forces the path
+    DeltaLake.toDelta(spark.range(2000, 2002).select(
+      col("id"), (col("id") % 7).as("m"),
+      (col("id") % 5).cast("long").as("mn")), t, "append",
+      checkpointInterval = 1)
+    assert(!FsIO.listFileNames(s"$t/_delta_log")
+      .exists(_.contains("checkpoint")))
+    assert(DeltaLake.fromDelta(spark, t).count() == fourth.count() + 2)
+  }
+
+  test("DV-emitting deleteWhere on a PARTITIONED table prunes via stats and masks per file") {
+    val t = tmp("dvdelp.delta")
+    import spark.implicits._
+    val df = spark.range(0, 120).select(
+      col("id"), (col("id") % 3).cast("int").as("g"), (col("id") % 11).as("k"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(df, t, partitionBy = Seq("g"))
+    // predicate over a partition column + a data column
+    DeltaLake.deleteWhere(spark, t, col("g") === 1 && col("k") === 2,
+      viaDeletionVectors = true)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.filter(col("g") === 1 && col("k") === 2).count() == 0)
+    assert(back.count() ==
+      120 - (0L until 120L).count(i => i % 3 == 1 && i % 11 == 2))
+    // untouched partitions are fully live
+    assert(back.filter(col("g") === 0).count() == 40)
+  }
+
   test("deletion vectors: u-storage and inline DVs mask rows inside the scan") {
     val t = tmp("dv.delta")
     import spark.implicits._
@@ -892,11 +973,12 @@ class DeltaLakeSpec extends SparkSpec {
     // (the commit's dataChange=true remove or its DV add — whichever
     // the line order surfaces first — both reject with this phrase)
     assert(e1.getMessage.contains("not append-only"))
-    // writes reject with the read-only message
+    // blind appends are ACCEPTED since r16; overwrite + maintenance
+    // still reject with the read-only message
     val e2 = intercept[IllegalArgumentException] {
-      DeltaLake.toDelta(df, t, "append")
+      DeltaLake.toDelta(df, t, "overwrite")
     }
-    assert(e2.getMessage.contains("deletion vector"))
+    assert(e2.getMessage.contains("blind appends"))
     val e3 = intercept[IllegalArgumentException] {
       DeltaLake.compact(spark, t)
     }
