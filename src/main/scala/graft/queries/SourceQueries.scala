@@ -757,6 +757,73 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, table))
     }),
 
+    // Iceberg incremental changes: the spec's added-data-files walk
+    // between snapshots — initial write + two fast-appends, pulled as
+    // one (beginning, current] range tagged with the MONOTONIC
+    // sequence number (snapshot ids are random). The Iceberg twin of
+    // q_delta_changes; a mixed lakehouse pipeline tails both the same
+    // way.
+    "q_iceberg_changes" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_cdc") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def part(g: Int) = li.filter(col("l_orderkey") % 3 === g)
+      val I = graft.sources.Iceberg
+      I.toIceberg(part(0), table)                   // seq 1 (initial)
+      I.toIceberg(part(1), table, mode = "append")  // seq 2
+      I.toIceberg(part(2), table, mode = "append")  // seq 3
+      I.fromIcebergChanges(s, table)
+        .groupBy(col("_sequence_number").cast("int").as("v"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .orderBy("v")
+    }),
+
+    // Iceberg streaming TAIL: the same snapshot sequence consumed
+    // through graft.streaming.IcebergTailSource over TWO trigger
+    // phases — offsets are sequence numbers, so the union of the
+    // delivered micro-batches must equal the batch fromIcebergChanges
+    // pull over (1, 3].
+    "q_iceberg_tail" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_tail") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def part(g: Int) = li.filter(col("l_orderkey") % 3 === g)
+      val I = graft.sources.Iceberg
+      I.toIceberg(part(0), table)                   // seq 1 (excluded)
+      I.toIceberg(part(1), table, mode = "append")  // seq 2
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+      val q = s.readStream
+        .format(classOf[graft.streaming.IcebergTailSourceProvider].getName)
+        .option("path", table)
+        .option("startingSequence", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("l_orderkey", "l_quantity", "_sequence_number")
+            .collect().foreach(r =>
+              got.add((r.getLong(0), r.getDouble(1), r.getLong(2))))
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        I.toIceberg(part(2), table, mode = "append") // seq 3, while running
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      got.forEach(x => rows.add(org.apache.spark.sql.Row(x._1, x._2, x._3)))
+      s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_quantity",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_sequence_number",
+            org.apache.spark.sql.types.LongType))))
+        .groupBy(col("_sequence_number").cast("int").as("v"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"))
+        .orderBy("v")
+    }),
+
     // Iceberg snapshot time travel: overwrite + two fast-appends,
     // then reads at each snapshot id (append re-lists prior manifests
     // verbatim, so snapshot 3 reads through THREE manifests).
@@ -1406,6 +1473,22 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_changes" ->
+      s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
+         |SELECT 1 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 0
+         |UNION ALL SELECT 2 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 1
+         |UNION ALL SELECT 3 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 2
+         |ORDER BY v""".stripMargin,
+    "q_iceberg_tail" ->
+      s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
+         |SELECT 2 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 1
+         |UNION ALL SELECT 3 AS v, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty FROM g WHERE grp = 2
+         |ORDER BY v""".stripMargin,
     "q_iceberg_snapshot" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

@@ -63,7 +63,8 @@ object Iceberg {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private final case class SnapshotInfo(
-      id: Long, sequenceNumber: Long, timestampMs: Long, manifestList: String)
+      id: Long, sequenceNumber: Long, timestampMs: Long, manifestList: String,
+      operation: String = null, parentId: Long = -1L)
   private final case class Metadata(
       dir: String, formatVersion: Int, location: String, lastColumnId: Int,
       schema: StructType, schemaNode: JsonNode, snapshots: Seq[SnapshotInfo],
@@ -247,6 +248,180 @@ object Iceberg {
         StructField("is_current", BooleanType, nullable = false))))
   }
 
+  /** Incremental read: the rows ADDED between two snapshots — the
+    * spec's incremental append scan ("added-data-files" between
+    * ancestors). Walks the parent chain from `toSnapshotId` (default:
+    * current) back to `fromSnapshotId` EXCLUSIVE (-1 = from the
+    * beginning), delivering each in-range snapshot's ADDED data files
+    * tagged `_snapshot_id` + `_sequence_number`. The Iceberg twin of
+    * [[DeltaLake.fromDeltaChanges]]:
+    *  - `append` snapshots deliver their added files;
+    *  - `replace` (compaction — layout-only rewrite) delivers nothing;
+    *  - `overwrite`/`delete`/anything else rejects loudly — the table
+    *    is not append-only over the range and a tail consumer would
+    *    double-count or miss rows (a parentless first-commit
+    *    `overwrite` removes nothing and counts as the initial append);
+    *  - a chain gap (expired snapshot) rejects loudly.
+    * Scale: the chain walk + manifest reads are driver metadata
+    * (bounded by file counts); each snapshot's rows are one
+    * distributed scan branch. 256-snapshot plan cap, as in Delta. */
+  def fromIcebergChanges(spark: SparkSession, dir0: String,
+      fromSnapshotId: Long = -1L,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    meta.renameDrift.foreach(msg => throw new IllegalArgumentException(
+      s"fromIcebergChanges: table $dir has schema-evolution the " +
+        s"name-based reader cannot honor ($msg)"))
+    val out = StructType(meta.schema
+      :+ StructField("_snapshot_id", LongType, nullable = false)
+      :+ StructField("_sequence_number", LongType, nullable = false))
+    def empty() = spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    val toId = toSnapshotId.getOrElse(meta.currentSnapshotId)
+    if (toId < 0 || toId == fromSnapshotId) return empty()
+    val chain = changesChain(meta, fromSnapshotId, toId)
+    val perSnap = chain.flatMap { s =>
+      val op = s.operation
+      require(op != null,
+        s"fromIcebergChanges: snapshot ${s.id} of $dir carries no " +
+          "summary.operation — cannot prove the range is append-only; " +
+          "read a full snapshot")
+      op match {
+        case "append" => Some(s)
+        case "replace" => None // compaction: layout-only, no new rows
+        case "overwrite" if s.parentId < 0 => Some(s) // initial commit
+        case other => throw new IllegalArgumentException(
+          s"fromIcebergChanges: snapshot ${s.id} of $dir is a '$other' — " +
+            "the table is not append-only over this range; read a full " +
+            "snapshot")
+      }
+    }
+    val frames = perSnap.flatMap { s =>
+      val files = addedFiles(meta, s)
+      if (files.isEmpty) None
+      else Some(files.groupBy(_.format).toSeq.sortBy(_._1).map {
+        case ("PARQUET", fs) =>
+          spark.read.schema(meta.schema).parquet(fs.map(_.path): _*)
+        case ("ORC", fs) =>
+          spark.read.schema(meta.schema).orc(fs.map(_.path): _*)
+        case (other, fs) => throw new IllegalArgumentException(
+          s"unsupported Iceberg data file format $other (${fs.head.path})")
+      }.reduce(_ union _)
+        .withColumn("_snapshot_id", org.apache.spark.sql.functions.lit(s.id))
+        .withColumn("_sequence_number",
+          org.apache.spark.sql.functions.lit(s.sequenceNumber)))
+    }
+    if (frames.isEmpty) empty() else frames.reduce(_ union _)
+  }
+
+  /** Sequence-number face of [[fromIcebergChanges]] — rows added by
+    * main-chain snapshots with `fromSeq < sequence_number <= toSeq`.
+    * Sequence numbers are the table's MONOTONIC commit clock (v2), so
+    * they are what a streaming tail checkpoints ([[graft.streaming
+    * .IcebergTailSource]]); snapshot ids are random and cannot order a
+    * restart. */
+  def fromIcebergChangesBySeq(spark: SparkSession, dir0: String,
+      fromSeq: Long, toSeq: Option[Long] = None): DataFrame = {
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    require(meta.formatVersion == 2,
+      s"fromIcebergChangesBySeq: format-version ${meta.formatVersion} " +
+        "tables have no sequence numbers; use snapshot ids")
+    val to = snapAtSeq(meta, toSeq.getOrElse(Long.MaxValue))
+    val from = snapAtSeq(meta, fromSeq)
+    fromIcebergChanges(spark, dir, from.map(_.id).getOrElse(-1L),
+      Some(to.map(_.id).getOrElse(-1L)))
+  }
+
+  /** The streaming tail's schema/cursor probes (log metadata only —
+    * one json read, no scan plan). */
+  private[graft] def tailSchema(dir0: String): StructType = {
+    val meta = loadMetadata(FsIO.normalize(dir0.stripSuffix("/")))
+    StructType(meta.schema
+      :+ StructField("_snapshot_id", LongType, nullable = false)
+      :+ StructField("_sequence_number", LongType, nullable = false))
+  }
+  private[graft] def lastSequence(dir0: String): Long =
+    loadMetadata(FsIO.normalize(dir0.stripSuffix("/"))).lastSequenceNumber
+
+  /** Newest MAIN-CHAIN snapshot with sequenceNumber <= seq (walking
+    * parent links from the current snapshot — the `snapshots` array
+    * may hold orphaned branch heads whose seq range overlaps). None
+    * when `seq` predates the chain; loud when the walk crosses an
+    * expired (missing) ancestor. */
+  private def snapAtSeq(meta: Metadata, seq: Long): Option[SnapshotInfo] = {
+    if (meta.currentSnapshotId < 0) return None
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    var cur = byId.getOrElse(meta.currentSnapshotId,
+      throw new IllegalArgumentException(
+        s"current-snapshot-id ${meta.currentSnapshotId} missing from snapshots"))
+    while (cur.sequenceNumber > seq) {
+      if (cur.parentId < 0) return None
+      cur = byId.getOrElse(cur.parentId,
+        throw new IllegalArgumentException(
+          s"snapshot ${cur.parentId} was expired mid-chain; " +
+            "restart from a full snapshot"))
+    }
+    Some(cur)
+  }
+
+  /** Parent-chain snapshots `(fromId, toId]`, oldest first. */
+  private def changesChain(meta: Metadata, fromId: Long,
+      toId: Long): Seq[SnapshotInfo] = {
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val chain = Seq.newBuilder[SnapshotInfo]
+    var cur = toId
+    var steps = 0
+    while (cur != fromId && cur >= 0) {
+      steps += 1
+      require(steps <= 256,
+        s"fromIcebergChanges: range exceeds the 256-snapshot plan cap " +
+          "(one scan branch set per snapshot) — pull in chunks")
+      val s = byId.getOrElse(cur, throw new IllegalArgumentException(
+        s"fromIcebergChanges: snapshot $cur is not in the table " +
+          "metadata (expired?); restart from a full snapshot"))
+      chain += s
+      cur = s.parentId
+    }
+    require(cur == fromId || fromId < 0,
+      s"fromIcebergChanges: snapshot $fromId is not an ancestor of " +
+        s"$toId; restart from a full snapshot")
+    chain.result().reverse
+  }
+
+  /** Data files ADDED by snapshot `s`: manifests the snapshot itself
+    * added (added_snapshot_id == s.id), entries with status ADDED
+    * owned by it. A delete manifest added by a supposedly-append
+    * snapshot is loud (the operation summary lied). */
+  private def addedFiles(meta: Metadata, s: SnapshotInfo): Seq[DataFileInfo] = {
+    val outF = Seq.newBuilder[DataFileInfo]
+    eachAvro(resolvePath(meta, s.manifestList)) { e =>
+      if (longField(e, "added_snapshot_id").contains(s.id)) {
+        val content = longField(e, "content").getOrElse(0L)
+        require(content == 0L,
+          s"fromIcebergChanges: snapshot ${s.id} added a DELETE " +
+            s"manifest (${e.get("manifest_path")}) — the table is not " +
+            "append-only over this range; read a full snapshot")
+        val mpath = e.get("manifest_path").toString
+        eachAvro(resolvePath(meta, mpath)) { entry =>
+          val status = longField(entry, "status").getOrElse(0L)
+          val ownerId = longField(entry, "snapshot_id").getOrElse(s.id)
+          if (status == 1L && ownerId == s.id) {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            require(df != null, s"manifest entry without data_file in $mpath")
+            require(longField(df, "content").getOrElse(0L) == 0L,
+              s"delete FILE in data manifest $mpath: ${df.get("file_path")}")
+            outF += DataFileInfo(
+              resolvePath(meta, df.get("file_path").toString),
+              df.get("file_format").toString.toUpperCase,
+              longField(df, "record_count").getOrElse(0L), null)
+          }
+        }
+      }
+    }
+    outF.result()
+  }
+
   /** Expire all but the newest `retainLast` snapshots (the VACUUM
     * analog — Iceberg's expire_snapshots): a new metadata version
     * lists only the retained snapshots, then the data files,
@@ -346,7 +521,7 @@ object Iceberg {
         s"Iceberg metadata version $version already exists (concurrent writer?)")
       writeText(mpath,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(j))
-      writeText(s"$mdir/version-hint.text", version.toString)
+      writeHint(s"$mdir/version-hint.text", version.toString)
       candidates.foreach(FsIO.deleteRecursive)
     }
     candidates.map(_.stripPrefix(dir).stripPrefix("/"))
@@ -367,16 +542,24 @@ object Iceberg {
       case n @ VRe(v) => (v.toInt, n)
       case n @ NRe(v) => (v.toInt, n)
     }
-    val (version, file) =
-      if (FsIO.exists(hint)) {
-        val v = readAll(hint).trim.toInt
+    // an EMPTY hint is a foreign writer's non-atomic rewrite caught
+    // mid-truncate (ours renames) — fall back to the newest metadata
+    // file; a non-empty unparsable hint stays loud (structural damage)
+    val hintV: Option[Int] =
+      if (!FsIO.exists(hint)) None
+      else readAll(hint).trim match {
+        case "" => None
+        case s => Some(s.toInt)
+      }
+    val (version, file) = hintV match {
+      case Some(v) =>
         (v, byVersion.find(_._1 == v).map(_._2).getOrElse(
           throw new IllegalArgumentException(
             s"version-hint.text says $v but no matching metadata file in $mdir")))
-      } else {
+      case None =>
         require(byVersion.nonEmpty, s"no *.metadata.json files in $mdir")
         byVersion.maxBy(_._1)
-      }
+    }
     val j = mapper.readTree(readAll(s"$mdir/$file"))
     val fv = j.get("format-version").asInt()
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
@@ -398,7 +581,10 @@ object Iceberg {
           s.get("snapshot-id").asLong(),
           Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
           Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
-          s.get("manifest-list").asText())
+          s.get("manifest-list").asText(),
+          Option(s.get("summary")).flatMap(sm =>
+            Option(sm.get("operation")).map(_.asText())).orNull,
+          Option(s.get("parent-snapshot-id")).map(_.asLong()).getOrElse(-1L))
       }.toSeq
     }.getOrElse(Nil)
     // Rename-drift detection (driver-side, zero I/O): the spec
@@ -906,15 +1092,21 @@ object Iceberg {
     keptSnapshots.foreach { s =>
       val sn = mapper.createObjectNode()
       sn.put("snapshot-id", s.id)
+      if (s.parentId >= 0) sn.put("parent-snapshot-id", s.parentId)
       sn.put("sequence-number", s.sequenceNumber)
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
+      // each kept snapshot keeps ITS OWN recorded operation (stamping
+      // the current one over history would mislead incremental readers
+      // that trust summary.operation)
       sn.putObject("summary").put("operation",
-        operation)
+        if (s.operation != null) s.operation else operation)
       snapArr.add(sn)
     }
     val sn = mapper.createObjectNode()
     sn.put("snapshot-id", snapshotId)
+    existing.filter(_.currentSnapshotId >= 0).foreach(m =>
+      sn.put("parent-snapshot-id", m.currentSnapshotId))
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath)
@@ -932,7 +1124,7 @@ object Iceberg {
     require(!FsIO.exists(mpath),
       s"Iceberg metadata version $version already exists (concurrent writer?)")
     writeText(mpath, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(j))
-    writeText(s"$mdir/version-hint.text", version.toString)
+    writeHint(s"$mdir/version-hint.text", version.toString)
   }
 
 
@@ -1210,6 +1402,16 @@ object Iceberg {
     val out = FsIO.create(path)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** version-hint.text is REWRITTEN on every commit while tailing
+    * readers poll it — stage + rename so a concurrent reader never
+    * sees the create-truncated empty window. */
+  private def writeHint(path: String, text: String): Unit = {
+    val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
+    writeText(tmp, text)
+    FsIO.deleteRecursive(path) // local-fs rename-to-existing may fail
+    FsIO.rename(tmp, path)
   }
 
   private def relaxed(dt: DataType): DataType = dt match {

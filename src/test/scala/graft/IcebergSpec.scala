@@ -504,4 +504,67 @@ class IcebergSpec extends SparkSpec {
     Iceberg.toIceberg(Seq(Tuple1(4L)).toDF("id"), plain)
     assert(Readers.open(spark, plain).count() == 1L)
   }
+
+  test("fromIcebergChanges tails appended snapshots exactly-once") {
+    val t = tmp("chg.iceberg")
+    import spark.implicits._
+    Iceberg.toIceberg(Seq((1L, "a")).toDF("id", "s"), t)                  // seq 1 (initial overwrite)
+    Iceberg.toIceberg(Seq((2L, "b")).toDF("id", "s"), t, mode = "append") // seq 2
+    Iceberg.toIceberg(Seq((3L, "c")).toDF("id", "s"), t, mode = "append") // seq 3
+    val ids = Iceberg.snapshots(spark, t).orderBy("sequence_number")
+      .collect().map(_.getLong(0)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("id", "_sequence_number").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val all = Iceberg.fromIcebergChanges(spark, t)
+    assert(rows(all) == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // the _snapshot_id column carries the real snapshot ids
+    assert(all.select("_snapshot_id").distinct().collect()
+      .map(_.getLong(0)).toSet == ids.toSet)
+    // two half-open pulls == one big pull (exactly-once composition)
+    assert((rows(Iceberg.fromIcebergChanges(spark, t, -1L, Some(ids(1)))) ++
+      rows(Iceberg.fromIcebergChanges(spark, t, ids(1)))) == rows(all))
+    // caught up: from the current snapshot -> empty
+    assert(Iceberg.fromIcebergChanges(spark, t, ids(2)).count() == 0)
+    // the sequence-number face (the streaming tail's clock)
+    assert(rows(Iceberg.fromIcebergChangesBySeq(spark, t, 1L)) ==
+      Seq((2L, 2L), (3L, 3L)))
+    assert(rows(Iceberg.fromIcebergChangesBySeq(spark, t, 0L, Some(2L))) ==
+      Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("fromIcebergChanges rejects non-append snapshots and expired chains") {
+    val t = tmp("chgow.iceberg")
+    import spark.implicits._
+    Iceberg.toIceberg(Seq((1L, "a")).toDF("id", "s"), t)
+    Iceberg.toIceberg(Seq((2L, "b")).toDF("id", "s"), t, mode = "append")
+    val beforeOw = Iceberg.snapshots(spark, t).orderBy("sequence_number")
+      .collect().map(_.getLong(0)).toSeq
+    Iceberg.toIceberg(Seq((9L, "z")).toDF("id", "s"), t, mode = "overwrite")
+    // an overwrite WITH a parent rewrites history — not append-only
+    val e1 = intercept[IllegalArgumentException](
+      Iceberg.fromIcebergChanges(spark, t, beforeOw(1)).collect())
+    assert(e1.getMessage.contains("not append-only"))
+    // a range that ends BEFORE the overwrite still tails fine
+    assert(Iceberg.fromIcebergChanges(spark, t, -1L, Some(beforeOw(1)))
+      .count() == 2)
+    // MoR delete snapshots reject too
+    val td = tmp("chgdel.iceberg")
+    val df = spark.range(0, 40).select(col("id"), (col("id") % 4).as("m"))
+    Iceberg.toIceberg(df, td)
+    Iceberg.foreignPositionDeletes(spark, td, col("m") === 1)
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.fromIcebergChanges(spark, td).collect())
+    assert(e2.getMessage.contains("not append-only") ||
+      e2.getMessage.contains("'delete'"))
+    // expired mid-chain ancestors are loud, never a silent partial tail
+    val te = tmp("chgexp.iceberg")
+    Iceberg.toIceberg(Seq((1L, "a")).toDF("id", "s"), te)
+    Iceberg.toIceberg(Seq((2L, "b")).toDF("id", "s"), te, mode = "append")
+    Iceberg.toIceberg(Seq((3L, "c")).toDF("id", "s"), te, mode = "append")
+    Iceberg.expireSnapshots(spark, te, retainLast = 1, dryRun = false)
+    val e3 = intercept[IllegalArgumentException](
+      Iceberg.fromIcebergChanges(spark, te).collect())
+    assert(e3.getMessage.contains("expired"))
+  }
 }
