@@ -415,6 +415,57 @@ object DeltaLake {
     DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
   }
 
+  /** The timestamp of commit `v`: commitInfo.timestamp when present,
+    * else the commit file's modification time (the protocol's own
+    * in-commit-timestamp fallback order). */
+  private def commitTimestamp(table: String, v: Long): Long = {
+    var ts = -1L
+    eachAction(commitPath(table, v)) { n =>
+      if (n.has("commitInfo") && n.get("commitInfo").hasNonNull("timestamp"))
+        ts = n.get("commitInfo").get("timestamp").asLong()
+    }
+    if (ts >= 0) ts
+    else {
+      val (fs, p) = FsIO.resolve(commitPath(table, v))
+      fs.getFileStatus(p).getModificationTime
+    }
+  }
+
+  /** Streaming-tail entry point by TIME: the version just BEFORE the
+    * first commit whose timestamp is >= `tsMs` — i.e. the exclusive
+    * start offset that makes a `(start, latest]` pull deliver exactly
+    * the commits at/after `tsMs`. Commit timestamps are monotonic in
+    * practice (single-writer clock); ties and clock skew resolve to
+    * the FIRST qualifying version, so a consumer never misses a
+    * commit stamped at its start time. Only surviving (non-log-
+    * cleaned) commits are inspectable — a `tsMs` older than the
+    * surviving tail resolves to its beginning. */
+  private[graft] def versionAtOrAfterTimestamp(table0: String,
+      tsMs: Long): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val json = listLog(table).json.sorted
+    require(json.nonEmpty, s"not a Delta table (no _delta_log commits): $table")
+    json.find(v => commitTimestamp(table, v) >= tsMs)
+      .map(_ - 1).getOrElse(json.max) // all older: start at latest
+  }
+
+  /** Total dataChange add bytes of commit `v` (log metadata — the
+    * sizes ride in the add actions). The streaming tail's byte-based
+    * pacing reads this, one commit file scan per version, memoized by
+    * the source. */
+  private[graft] def commitAddBytes(table0: String, v: Long): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    var bytes = 0L
+    eachAction(commitPath(table, v)) { n =>
+      if (n.has("add")) {
+        val a = n.get("add")
+        if (!a.hasNonNull("dataChange") || a.get("dataChange").asBoolean())
+          bytes += Option(a.get("size")).map(_.asLong()).getOrElse(0L)
+      }
+    }
+    bytes
+  }
+
   /** Commit history (driver-side metadata): one row per JSON commit,
     * newest first — version, timestamp, operation, action counts. */
   def history(spark: SparkSession, table0: String): DataFrame = {

@@ -25,7 +25,10 @@ import graft.sources.{DeltaLake, FsIO}
   *   .format(classOf[DeltaTailSourceProvider].getName)
   *   .option("path", table)
   *   .option("startingVersion", "-1") // default: latest at start
+  *   // or by TIME (epoch millis / ISO date / ISO date-time, UTC):
+  *   .option("startingTimestamp", "2026-08-16T12:00:00")
   *   .option("maxVersionsPerBatch", "64") // backlog drain rate
+  *   .option("maxBytesPerBatch", "1073741824") // ...or by add bytes
   *   .load()
   * }}}
   *
@@ -50,7 +53,13 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val table = DeltaTailSourceProvider.tableOf(parameters)
-    DeltaTailSourceProvider.maxPerBatchOf(parameters) // validate early
+    // validate every option EARLY — sourceSchema runs synchronously in
+    // load(), createSource only on the stream thread
+    DeltaTailSourceProvider.maxPerBatchOf(parameters)
+    DeltaTailSourceProvider.maxBytesOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "options startingVersion and startingTimestamp are mutually exclusive")
     ("delta-tail", DeltaTailSourceProvider.tailSchema(
       sqlContext.sparkSession, table))
   }
@@ -59,12 +68,23 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val table = DeltaTailSourceProvider.tableOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "options startingVersion and startingTimestamp are mutually exclusive")
     val starting = parameters.get("startingVersion") match {
       case Some(v) => v.trim.toLong
-      case None => DeltaLake.latestVersion(table) // new commits only
+      case None => parameters.get("startingTimestamp") match {
+        // the common operational entry point: "everything since <ts>"
+        // (ISO local date[-time], or epoch millis) — resolved against
+        // commitInfo timestamps / commit-file mtimes
+        case Some(ts) => DeltaLake.versionAtOrAfterTimestamp(table,
+          DeltaTailSourceProvider.parseTimestamp(ts))
+        case None => DeltaLake.latestVersion(table) // new commits only
+      }
     }
     new DeltaTailSource(sqlContext.sparkSession, table, starting,
-      DeltaTailSourceProvider.maxPerBatchOf(parameters))
+      DeltaTailSourceProvider.maxPerBatchOf(parameters),
+      DeltaTailSourceProvider.maxBytesOf(parameters))
   }
 }
 
@@ -84,6 +104,27 @@ object DeltaTailSourceProvider {
     m
   }
 
+  private[graft] def maxBytesOf(parameters: Map[String, String]): Long = {
+    val m = parameters.get("maxBytesPerBatch")
+      .map(_.trim.toLong).getOrElse(Long.MaxValue)
+    require(m >= 1, s"maxBytesPerBatch must be positive, got $m")
+    m
+  }
+
+  /** `startingTimestamp`: epoch millis, ISO date (`2026-08-16`) or
+    * ISO local date-time (`2026-08-16T12:30:00`), read in UTC — the
+    * same clock commitInfo timestamps carry. */
+  private[graft] def parseTimestamp(s0: String): Long = {
+    val s = s0.trim
+    if (s.forall(_.isDigit)) s.toLong
+    else {
+      val ldt =
+        if (s.contains("T")) java.time.LocalDateTime.parse(s)
+        else java.time.LocalDate.parse(s).atStartOfDay()
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
   private[streaming] def tailSchema(spark: SparkSession,
       table: String): StructType = {
     // schema from log METADATA only (building a fromDelta scan plan
@@ -95,7 +136,8 @@ object DeltaTailSourceProvider {
 }
 
 final class DeltaTailSource(spark: SparkSession, table: String,
-    startingVersion: Long, maxVersionsPerBatch: Long = 64L) extends Source {
+    startingVersion: Long, maxVersionsPerBatch: Long = 64L,
+    maxBytesPerBatch: Long = Long.MaxValue) extends Source {
 
   override val schema: StructType =
     DeltaTailSourceProvider.tailSchema(spark, table)
@@ -106,16 +148,46 @@ final class DeltaTailSource(spark: SparkSession, table: String,
   // range past the fromDeltaChanges plan cap and fail forever)
   @volatile private var offered: Long = startingVersion
 
+  // memoized per-version add bytes for the byte-based pacing (one
+  // commit-file scan per version EVER; pruned as the cursor advances)
+  private val bytesCache = scala.collection.mutable.HashMap.empty[Long, Long]
+  private def addBytes(v: Long): Long = bytesCache.synchronized {
+    bytesCache.getOrElseUpdate(v, DeltaLake.commitAddBytes(table, v))
+  }
+
   /** Newest claimable offset, capped at `maxVersionsPerBatch` commits
     * past what was last offered — a consumer behind by thousands of
     * commits drains the backlog across successive micro-batches
-    * instead of dying on the 256-commit plan cap. None while caught
-    * up. */
+    * instead of dying on the 256-commit plan cap. With
+    * `maxBytesPerBatch` set, the claim additionally stops once the
+    * cumulative dataChange add bytes (from the log actions — free)
+    * reach the budget, always claiming at least one commit. None
+    * while caught up. */
   override def getOffset: Option[Offset] = {
     val latest = DeltaLake.latestVersion(table)
     if (latest <= offered) None
     else {
-      offered = math.min(latest, offered + maxVersionsPerBatch)
+      val end =
+        if (maxBytesPerBatch == Long.MaxValue) // never scan commits here
+          math.min(latest, offered + maxVersionsPerBatch)
+        else {
+          var e = offered
+          var bytes = 0L
+          var full = false
+          while (!full && e < latest && e - offered < maxVersionsPerBatch) {
+            val b = addBytes(e + 1)
+            if (e > offered && bytes + b > maxBytesPerBatch) full = true
+            else {
+              e += 1; bytes += b
+              if (bytes >= maxBytesPerBatch) full = true
+            }
+          }
+          e
+        }
+      offered = end
+      bytesCache.synchronized {
+        bytesCache.filterInPlace((v, _) => v > end)
+      }
       Some(LongOffset(offered))
     }
   }

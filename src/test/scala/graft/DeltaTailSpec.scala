@@ -176,6 +176,75 @@ class DeltaTailSpec extends SparkSpec {
     }
   }
 
+  test("startingTimestamp resolves to the first commit at/after the time") {
+    import spark.implicits._
+    val t = tmp("tail5.delta")
+    DeltaLake.toDelta(Seq((1L, "a")).toDF("id", "s").coalesce(1), t) // v0
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    append(t, 2L -> "b") // v1, stamped after `cut`
+    append(t, 3L -> "c") // v2
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingTimestamp", cut.toString) // epoch-millis form
+      .load()
+      .writeStream.format("memory").queryName("t_tail5")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(collectSink("t_tail5") == Seq((2L, "b", 1L), (3L, "c", 2L)))
+    } finally q.stop()
+    // a timestamp older than every commit delivers the full tail
+    assert(DeltaLake.versionAtOrAfterTimestamp(t, 0L) == -1L)
+    // newer than every commit: start at latest (new commits only)
+    assert(DeltaLake.versionAtOrAfterTimestamp(t,
+      System.currentTimeMillis() + 60000) == 2L)
+    // ISO forms parse in UTC; both options together reject
+    assert(DeltaTailSourceProvider.parseTimestamp("1970-01-01") == 0L)
+    assert(DeltaTailSourceProvider.parseTimestamp("1970-01-01T00:00:01") == 1000L)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[DeltaTailSourceProvider].getName)
+        .option("path", t)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "0")
+        .load() // option validation is synchronous in load()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("maxBytesPerBatch paces claims by add bytes from the log") {
+    import spark.implicits._
+    val t = tmp("tail6.delta")
+    DeltaLake.toDelta(Seq((0L, "s0")).toDF("id", "s").coalesce(1), t) // v0
+    (1L to 4L).foreach(i => append(t, i -> s"s$i")) // v1..v4
+    // each commit adds one small file of some KB — a 1-byte budget
+    // still claims AT LEAST one commit per batch, so the backlog
+    // drains one version at a time
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingVersion", "-1")
+      .option("maxBytesPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch.add(df.select("_commit_version").distinct().count().toInt)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = perBatch.toArray(Array.empty[Integer]).toSeq.map(_.intValue)
+    assert(sizes.filter(_ > 0).forall(_ == 1),
+      s"a batch claimed more than one commit under a 1-byte budget: $sizes")
+    assert(sizes.sum == 5) // every commit delivered exactly once
+    intercept[IllegalArgumentException] {
+      DeltaTailSourceProvider.maxBytesOf(Map("maxBytesPerBatch" -> "0"))
+    }
+  }
+
   test("guards fire through the stream: missing path option; DV adds reject") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
