@@ -398,6 +398,20 @@ object SourceQueries {
       embedAgg(graft.sources.Readers.open(s, cache))
     }),
 
+    // Zarr + blosc BITshuffle (the bitshuffle/hdf5 ecosystem's common
+    // numeric-science layout): same distributed round trip with
+    // bit-transposed blocks (flag 0x4) — the bit kernel is pinned
+    // bidirectionally against an independent numpy implementation in
+    // ZarrSpec; this lane oracle-gates the full distributed path.
+    "q_zarr_bitshuf" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_zarr_bitshuf") + "/emb.zarr"
+      graft.sources.FsIO.deleteRecursive(cache)
+      graft.sources.Zarr.toZarrDistributed(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache, chunkRows = 512, codec = "blosc-zstd-bit")
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
     // zstd JSON-lines round trip (the corpus-release container: The
     // Pile / SlimPajama / Dolma ship .jsonl.zst shards): distributed
     // sharded write (executors stream-compress), glob read (one
@@ -1372,6 +1386,7 @@ object SourceQueries {
     "q_tfrecord_embed" -> embedAggSql,
     "q_zarr_embed" -> embedAggSql,
     "q_zarr_blosc" -> embedAggSql,
+    "q_zarr_bitshuf" -> embedAggSql,
     "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
     "q_delta_skipping" ->

@@ -16,10 +16,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   — shuffle_generic_inline's layout).
   *
   * Codecs: lz4 (format code 1, via lz4-java on Spark's classpath),
-  * zlib (3, JDK Deflater), zstd (4, zstd-jni). blosclz/snappy and
-  * BITshuffle reject loudly. Decode trusts the HEADER (not .zarray
-  * config) for codec/shuffle — that is what c-blosc itself does, so
-  * foreign chunks with per-chunk settings read correctly.
+  * zlib (3, JDK Deflater), zstd (4, zstd-jni). Both filter layouts
+  * decode: byte-shuffle (flag 0x1) and BITshuffle (flag 0x4 — the
+  * bitshuffle library's bshuf_trans_bit_elem, see [[bitShuffle]]).
+  * blosclz/snappy reject loudly. Decode trusts the HEADER (not
+  * .zarray config) for codec/shuffle — that is what c-blosc itself
+  * does, so foreign chunks with per-chunk settings read correctly.
   *
   * Scale: chunks decode one-per-task in the zarr read path; this
   * codec is pure per-chunk CPU work with no allocation beyond the
@@ -54,8 +56,8 @@ private[graft] object Blosc {
       s"$ctx: blosc nbytes $nbytes != expected $expected")
     require(cbytes == chunk.length,
       s"$ctx: blosc cbytes $cbytes != chunk length ${chunk.length}")
-    require((flags & FlagBitShuffle) == 0,
-      s"$ctx: blosc BITshuffle is unsupported (byte-shuffle only)")
+    require((flags & FlagByteShuffle) == 0 || (flags & FlagBitShuffle) == 0,
+      s"$ctx: blosc chunk sets BOTH shuffle flags")
     val out = new Array[Byte](nbytes)
     if ((flags & FlagMemCpy) != 0) {
       require(chunk.length == 16 + nbytes, s"$ctx: bad memcpy blosc chunk")
@@ -65,6 +67,7 @@ private[graft] object Blosc {
     require(blocksize > 0, s"$ctx: blosc blocksize $blocksize")
     val fmt = (flags >>> 5) & 0x7
     val shuffle = (flags & FlagByteShuffle) != 0 && typesize > 1
+    val bitshuffle = (flags & FlagBitShuffle) != 0
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     require(16 + 4L * nblocks <= chunk.length, s"$ctx: truncated blosc offsets")
     var j = 0
@@ -83,6 +86,7 @@ private[graft] object Blosc {
           b
         } else codecDecompress(fmt, chunk, boff + 4, csize, neblock, ctx)
       if (shuffle) unshuffle(typesize, block, out, j * blocksize)
+      else if (bitshuffle) bitUnshuffle(typesize, block, out, j * blocksize)
       else System.arraycopy(block, 0, out, j * blocksize, neblock)
       j += 1
     }
@@ -151,6 +155,78 @@ private[graft] object Blosc {
     System.arraycopy(src, done, dst, dstOff + done, len - done)
   }
 
+  /** BITshuffle forward (the bitshuffle library's scalar reference,
+    * bshuf_trans_bit_elem = trans_byte_elem -> trans_bit_byte ->
+    * trans_bitrow_eight, as c-blosc's bitshuffle-generic.c embeds it):
+    * for n = the block's element count truncated to a multiple of 8,
+    * output row (t*8 + jj) of n/8 bytes packs bit jj of byte-plane t
+    * of every element — element (q*8 + kk)'s bit lands at bit kk of
+    * byte q. Leftover bytes (n..end, incl. partial elements) verbatim,
+    * exactly c-blosc's per-block leftover rule. */
+  private def bitShuffle(typesize: Int, src: Array[Byte], off: Int,
+      len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val n = (len / typesize) & ~7
+    val nrow = n / 8
+    var t = 0
+    while (t < typesize) {
+      var jj = 0
+      while (jj < 8) {
+        val base = (t * 8 + jj) * nrow
+        var q = 0
+        while (q < nrow) {
+          var b = 0
+          var kk = 0
+          while (kk < 8) {
+            b |= ((src(off + (q * 8 + kk) * typesize + t) >>> jj) & 1) << kk
+            kk += 1
+          }
+          out(base + q) = b.toByte
+          q += 1
+        }
+        jj += 1
+      }
+      t += 1
+    }
+    val done = n * typesize
+    System.arraycopy(src, off + done, out, done, len - done)
+    out
+  }
+
+  /** [[bitShuffle]]'s inverse; `dst` is zero-initialized per block
+    * region (fresh output array), so set-bits OR in. */
+  private def bitUnshuffle(typesize: Int, src: Array[Byte],
+      dst: Array[Byte], dstOff: Int): Unit = {
+    val len = src.length
+    val n = (len / typesize) & ~7
+    val nrow = n / 8
+    var t = 0
+    while (t < typesize) {
+      var jj = 0
+      while (jj < 8) {
+        val base = (t * 8 + jj) * nrow
+        val bit = 1 << jj
+        var q = 0
+        while (q < nrow) {
+          val b = src(base + q) & 0xff
+          var kk = 0
+          while (kk < 8) {
+            if (((b >>> kk) & 1) != 0) {
+              val at = dstOff + (q * 8 + kk) * typesize + t
+              dst(at) = (dst(at) | bit).toByte
+            }
+            kk += 1
+          }
+          q += 1
+        }
+        jj += 1
+      }
+      t += 1
+    }
+    val done = n * typesize
+    System.arraycopy(src, done, dst, dstOff + done, len - done)
+  }
+
   private def shuffle(typesize: Int, src: Array[Byte], off: Int,
       len: Int): Array[Byte] = {
     val out = new Array[Byte](len)
@@ -174,10 +250,11 @@ private[graft] object Blosc {
 
   /** Compress `n` bytes of `raw` as one blosc chunk. `cname`:
     * lz4 | zlib | zstd. Byte-shuffles per block when `shuf` and
-    * typesize > 1. Falls back to a memcpy chunk when compression
-    * does not pay. */
+    * typesize > 1; BIT-shuffles instead when `bit` (c-blosc's
+    * BITshuffle flag — the common science-data layout). Falls back to
+    * a memcpy chunk when compression does not pay. */
   def compress(raw: Array[Byte], n: Int, typesize: Int, cname: String,
-      shuf: Boolean = true): Array[Byte] = {
+      shuf: Boolean = true, bit: Boolean = false): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize")
     val fmt = cname match {
       case "lz4" => FmtLz4
@@ -186,17 +263,21 @@ private[graft] object Blosc {
       case other => throw new IllegalArgumentException(
         s"blosc writer: unsupported cname '$other' (lz4/zlib/zstd)")
     }
-    // block size: bounded, multiple of typesize (like c-blosc)
-    val blocksize0 = math.min(n max typesize, 256 * 1024)
-    val blocksize = math.max(typesize, blocksize0 - blocksize0 % typesize)
-    val doShuffle = shuf && typesize > 1
+    // block size: bounded, multiple of typesize (8*typesize for
+    // bitshuffle so only the final block carries leftovers), like
+    // c-blosc's compute_blocksize
+    val unit = if (bit) 8 * typesize else typesize
+    val blocksize0 = math.min(n max unit, 256 * 1024)
+    val blocksize = math.max(unit, blocksize0 - blocksize0 % unit)
+    val doShuffle = !bit && shuf && typesize > 1
     val nblocks = (n + blocksize - 1) / blocksize
     val blocks = new Array[Array[Byte]](math.max(nblocks, 0))
     var j = 0
     while (j < nblocks) {
       val neblock = math.min(blocksize, n - j * blocksize)
       val plain =
-        if (doShuffle) shuffle(typesize, raw, j * blocksize, neblock)
+        if (bit) bitShuffle(typesize, raw, j * blocksize, neblock)
+        else if (doShuffle) shuffle(typesize, raw, j * blocksize, neblock)
         else java.util.Arrays.copyOfRange(raw, j * blocksize,
           j * blocksize + neblock)
       val packed = codecCompress(fmt, plain)
@@ -222,7 +303,8 @@ private[graft] object Blosc {
     }
     val out = new Array[Byte](total.toInt)
     System.arraycopy(header, 0, out, 0, 16)
-    out(2) = ((fmt << 5) | (if (doShuffle) FlagByteShuffle else 0)).toByte
+    out(2) = ((fmt << 5) | (if (bit) FlagBitShuffle
+      else if (doShuffle) FlagByteShuffle else 0)).toByte
     putLe32(out, 4, n)
     putLe32(out, 8, blocksize)
     putLe32(out, 12, total.toInt)

@@ -442,16 +442,21 @@ object Zarr {
   /** Encode one raw chunk per the writer codec. `codec`: "zlib"
     * (numcodecs zlib level 1) or "blosc-lz4" / "blosc-zstd" /
     * "blosc-zlib" (byte-shuffled blosc1 chunks, zarr-python's
-    * default container shape). */
+    * default container shape), each accepting a "-bit" suffix
+    * (e.g. "blosc-zstd-bit") for BITshuffled chunks. */
   private def encodeChunk(raw: Array[Byte], chunkBytes: Int, item: Int,
       compress: Boolean, codec: String): Array[Byte] =
     if (!compress) raw
     else codec match {
       case "zlib" => deflate(raw, chunkBytes)
       case b if b.startsWith("blosc-") =>
-        Blosc.compress(raw, chunkBytes, item, b.stripPrefix("blosc-"))
+        val spec = b.stripPrefix("blosc-")
+        val bit = spec.endsWith("-bit")
+        Blosc.compress(raw, chunkBytes, item,
+          spec.stripSuffix("-bit"), bit = bit)
       case other => throw new IllegalArgumentException(
-        s"zarr export: unknown codec '$other' (zlib/blosc-lz4/blosc-zstd/blosc-zlib)")
+        s"zarr export: unknown codec '$other' " +
+          "(zlib/blosc-lz4/blosc-zstd/blosc-zlib, optional -bit suffix)")
     }
 
   /** Write a frame as a zarr v2 GROUP (one child array per column —
@@ -535,10 +540,13 @@ object Zarr {
     val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
     val comp =
       if (!compress) "null"
-      else if (codec.startsWith("blosc-"))
-        s"""{"id":"blosc","cname":"${codec.stripPrefix("blosc-")}",""" +
-          """"clevel":5,"shuffle":1,"blocksize":0}"""
-      else """{"id":"zlib","level":1}"""
+      else if (codec.startsWith("blosc-")) {
+        // numcodecs shuffle codes: 1 = byte-shuffle, 2 = BITshuffle
+        val shuffle = if (codec.endsWith("-bit")) 2 else 1
+        val cname = codec.stripPrefix("blosc-").stripSuffix("-bit")
+        s"""{"id":"blosc","cname":"$cname",""" +
+          s""""clevel":5,"shuffle":$shuffle,"blocksize":0}"""
+      } else """{"id":"zlib","level":1}"""
     s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
       s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}"""
   }

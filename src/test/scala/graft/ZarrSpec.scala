@@ -51,19 +51,74 @@ class ZarrSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
-  test("blosclz/BITshuffle chunks and Fortran-order stores are rejected loudly") {
+  test("blosclz/both-shuffle-flags chunks and Fortran-order stores are rejected loudly") {
     val e1 = intercept[Exception] {
       Zarr.fromZarr(spark, res("blosclz.zarr")).collect()
     }
     assert(e1.getMessage.contains("blosclz"))
+    // a chunk claiming byte-shuffle AND BITshuffle is malformed
     val e3 = intercept[Exception] {
-      Zarr.fromZarr(spark, res("bitshuf.zarr")).collect()
+      Zarr.fromZarr(spark, res("bothshuf.zarr")).collect()
     }
-    assert(e3.getMessage.contains("BITshuffle"))
+    assert(e3.getMessage.contains("BOTH shuffle flags"))
     val e2 = intercept[IllegalArgumentException] {
       Zarr.fromZarr(spark, res("fortran.zarr"))
     }
     assert(e2.getMessage.contains("Fortran"))
+  }
+
+  test("BITshuffle chunks decode: i8, 2-D f4, non-multiple-of-8 leftovers") {
+    // fixtures from the INDEPENDENT numpy unpackbits/packbits producer
+    // (tools/zarrgen.py bitshuffle_block) — 43 elements per array so
+    // every chunk tail exercises the leftover-bytes-verbatim rule
+    val df = Zarr.fromZarr(spark, res("bitshuf.zarr"), numPartitions = 2)
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.length == 43)
+    (0 until 43).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("vec_id") == i * 11L - 5)
+      val e = r.getSeq[Float](r.fieldIndex("emb"))
+      assert(e == (0 until 3).map(j => ((i * 3 + j) % 7) * 0.25f - 1.0f),
+        s"row $i")
+    }
+  }
+
+  test("BITshuffle writer: -bit codecs round trip; blosc-zlib-bit verified by python") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("x", DoubleType, false),
+      StructField("v", ArrayType(FloatType, false), false)))
+    val n = 200
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, i * 0.5 - 3.0, Seq(i * 1.0f, -i * 0.25f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    for (codec <- Seq("blosc-lz4-bit", "blosc-zstd-bit")) {
+      val store = tmp(s"$codec.zarr")
+      Zarr.toZarr(df, store, chunkRows = 37, codec = codec)
+      val back = Readers.open(spark, store).orderBy("id").collect()
+      assert(back.length == n, codec)
+      assert(back(7).getAs[Double]("x") == 7 * 0.5 - 3.0, codec)
+      assert(back(9).getSeq[Float](back(9).fieldIndex("v")) ==
+        Seq(9.0f, -2.25f), codec)
+    }
+    // blosc-zlib-bit re-read by the INDEPENDENT python decoder
+    // (zarrgen.bitunshuffle_block inside blosc_zlib_decode) — pins the
+    // Scala FORWARD kernel against a separately-written inverse
+    val store = tmp("bzlibbit.zarr")
+    Zarr.toZarrDistributed(df, store, chunkRows = 37, codec = "blosc-zlib-bit")
+    assert(Readers.open(spark, store).agg(sum("id")).head.getLong(0) ==
+      n.toLong * (n - 1) / 2)
+    import scala.sys.process._
+    val py =
+      s"""import sys; sys.path.insert(0, 'tools')
+         |import zarrgen
+         |out = zarrgen.verify('$store')
+         |assert out['id'].sum() == ${n.toLong * (n - 1) / 2}, out['id'].sum()
+         |assert abs(float(out['x'][7]) - ${7 * 0.5 - 3.0}) < 1e-12
+         |assert out['v'].shape == ($n, 2) and float(out['v'][9][1]) == -2.25
+         |print('PY_OK')""".stripMargin
+    val res2 = Seq("python3", "-c", py).!!
+    assert(res2.contains("PY_OK"), res2)
   }
 
   test("blosc chunks decode: shuffle, no-shuffle, 2-D, multi-block, memcpy form") {

@@ -22,8 +22,49 @@ ROOT = os.path.join(os.path.dirname(__file__), "..",
 import struct
 
 
+def bitshuffle_block(b, typesize):
+    """Pure-numpy bitshuffle FORWARD transform (the bitshuffle
+    library's bshuf_trans_bit_elem layout, as c-blosc embeds it):
+    for n elements (truncated to a multiple of 8), output row
+    (t*8 + jj) of n/8 bytes packs bit jj of byte-plane t of every
+    element, element (q*8 + kk)'s bit at bit kk; leftover bytes
+    verbatim. Written independently of the Scala kernel (numpy
+    unpackbits/packbits formulation) to pin it."""
+    n = len(b) // typesize // 8 * 8
+    if n == 0:
+        return b
+    body = np.frombuffer(b[:n * typesize], dtype="u1").reshape(n, typesize)
+    out = bytearray()
+    for t in range(typesize):
+        bits = np.unpackbits(body[:, t:t + 1], axis=1,
+                             bitorder="little")          # n x 8 (jj)
+        for jj in range(8):
+            col = bits[:, jj].reshape(-1, 8)             # n/8 x 8 (kk)
+            out += np.packbits(col, axis=1, bitorder="little").tobytes()
+    return bytes(out) + b[n * typesize:]
+
+
+def bitunshuffle_block(b, typesize):
+    """Inverse of bitshuffle_block (for verify())."""
+    n = len(b) // typesize // 8 * 8
+    if n == 0:
+        return b
+    planes = np.zeros((n, typesize), dtype="u1")
+    nrow = n // 8
+    for t in range(typesize):
+        bits = np.zeros((n, 8), dtype="u1")
+        for jj in range(8):
+            row = np.frombuffer(
+                b[(t * 8 + jj) * nrow:(t * 8 + jj + 1) * nrow], dtype="u1")
+            bits[:, jj] = np.unpackbits(
+                row[:, None], axis=1, bitorder="little").reshape(-1)
+        planes[:, t] = np.packbits(bits, axis=1, bitorder="little")[:, 0]
+    return planes.tobytes() + b[n * typesize:]
+
+
 def blosc_zlib_chunk(data, typesize, shuffle=True, blocksize=2048,
-                     force_memcpy=False, fmt=3, flag_extra=0):
+                     force_memcpy=False, fmt=3, flag_extra=0,
+                     bit=False):
     """Pure-stdlib blosc1 chunk producer (zlib codec, format code 3),
     written straight from c-blosc's README_CHUNK_FORMAT.rst: 16-byte
     header, LE32 block offsets, per-block LE32 csize + payload, blocks
@@ -34,13 +75,16 @@ def blosc_zlib_chunk(data, typesize, shuffle=True, blocksize=2048,
         header = bytes([2, 1, 0x2, typesize]) + struct.pack(
             "<iii", nbytes, max(typesize, blocksize), 16 + nbytes)
         return header + data
-    blocksize = max(typesize, blocksize - blocksize % typesize)
-    do_shuffle = shuffle and typesize > 1
+    unit = 8 * typesize if bit else typesize
+    blocksize = max(unit, blocksize - blocksize % unit)
+    do_shuffle = shuffle and typesize > 1 and not bit
     nblocks = (nbytes + blocksize - 1) // blocksize
     blocks = []
     for j in range(nblocks):
         b = data[j * blocksize:(j + 1) * blocksize]
-        if do_shuffle:
+        if bit:
+            b2 = bitshuffle_block(b, typesize)
+        elif do_shuffle:
             ne = len(b) // typesize * typesize
             arr = np.frombuffer(b[:ne], dtype="u1").reshape(-1, typesize)
             b2 = arr.T.tobytes() + b[ne:]
@@ -48,7 +92,8 @@ def blosc_zlib_chunk(data, typesize, shuffle=True, blocksize=2048,
             b2 = b
         comp = zlib.compress(b2, 5)
         blocks.append(b2 if len(comp) >= len(b) else comp)
-    flags = (fmt << 5) | (1 if do_shuffle else 0) | flag_extra
+    flags = ((fmt << 5) | (4 if bit else (1 if do_shuffle else 0))
+             | flag_extra)
     total = 16 + 4 * nblocks + sum(4 + len(b) for b in blocks)
     out = bytearray()
     out += bytes([2, 1, flags, typesize])
@@ -96,7 +141,8 @@ def write_array(adir, arr, chunks, compressor, fill_value=0,
                 data = zlib.compress(data, compressor.get("level", 1))
             elif compressor and compressor.get("id") == "blosc":
                 data = blosc_zlib_chunk(data, arr.dtype.itemsize,
-                                        shuffle=compressor.get("shuffle", 1) == 1)
+                                        shuffle=compressor.get("shuffle", 1) == 1,
+                                        bit=compressor.get("shuffle", 1) == 2)
             with open(os.path.join(adir, str(i)), "wb") as f:
                 f.write(data)
     else:
@@ -113,7 +159,8 @@ def write_array(adir, arr, chunks, compressor, fill_value=0,
                     data = zlib.compress(data, compressor.get("level", 1))
                 elif compressor and compressor.get("id") == "blosc":
                     data = blosc_zlib_chunk(data, arr.dtype.itemsize,
-                                            shuffle=compressor.get("shuffle", 1) == 1)
+                                            shuffle=compressor.get("shuffle", 1) == 1,
+                                            bit=compressor.get("shuffle", 1) == 2)
                 with open(os.path.join(adir, f"{i}{sep}{j}"), "wb") as f:
                     f.write(data)
 
@@ -177,9 +224,24 @@ def main():
     with open(os.path.join(mc, "0"), "wb") as f:
         f.write(blosc_zlib_chunk(mcarr.tobytes(), 4, force_memcpy=True))
 
-    # rejection fixtures: blosclz codec (fmt 0) and BITshuffle flag
+    # BITshuffle fixtures (independent producer: numpy unpackbits
+    # formulation of bshuf_trans_bit_elem) — 1-D i8, 2-D f4, and a
+    # non-multiple-of-8 tail (leftover bytes verbatim)
+    bs = os.path.join(ROOT, "bitshuf.zarr")
+    os.makedirs(bs, exist_ok=True)
+    with open(os.path.join(bs, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    bsn = 43  # 43 % 8 != 0: exercises the leftover rule in every chunk
+    bs_id = np.arange(bsn, dtype="<i8") * 11 - 5
+    bs_emb = ((np.arange(bsn * 3, dtype="<f4").reshape(bsn, 3) % 7)
+              * 0.25 - 1.0)
+    blosc_bit = {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 2}
+    write_array(os.path.join(bs, "vec_id"), bs_id, (16,), blosc_bit)
+    write_array(os.path.join(bs, "emb"), bs_emb, (16, 3), blosc_bit)
+
+    # rejection fixtures: blosclz codec (fmt 0) and BOTH shuffle flags
     for name, kw in (("blosclz.zarr", {"fmt": 0}),
-                     ("bitshuf.zarr", {"flag_extra": 0x4})):
+                     ("bothshuf.zarr", {"flag_extra": 0x4})):
         rd = os.path.join(ROOT, name)
         os.makedirs(rd, exist_ok=True)
         rarr = np.arange(8, dtype="<i4")
@@ -248,7 +310,9 @@ def blosc_zlib_decode(chunk):
         payload = chunk[boff + 4:boff + 4 + csize]
         b = payload if csize == neblock else zlib.decompress(payload)
         assert len(b) == neblock
-        if shuffled:
+        if flags & 0x4:
+            b = bitunshuffle_block(b, typesize)
+        elif shuffled:
             ne = neblock // typesize * typesize
             arr = np.frombuffer(b[:ne], dtype="u1").reshape(typesize, -1)
             b = arr.T.tobytes() + b[ne:]
