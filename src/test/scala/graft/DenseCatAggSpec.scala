@@ -288,4 +288,47 @@ class DenseCatAggSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(d2 == Map(3 -> 1L, 2 -> 1L)) // 3.7, NaN, 11.0 dropped
   }
+
+  test("groupByKeys (dictionary probe) == hash groupBy on arbitrary long keys incl. nulls") {
+    import spark.implicits._
+    // scattered NON-dense keys + nulls; values with exact double sums
+    val df = spark.range(0, 10000).select(
+      when(col("id") % 97 === 0, lit(null))
+        .otherwise((col("id") % 37) * 2654435761L).as("k"),
+      (col("id") % 1000).cast("double").as("x"))
+    val dense = DenseCatAgg.groupByKeys(df, col("k"),
+      Seq(Agg(col("x"), "sum", "sum_x"), Agg(col("x"), "min", "min_x")),
+      countAs = Some("n"), keyAs = "k")
+    val hash = df.groupBy("k").agg(
+      sum("x").as("sum_x"), min("x").as("min_x"), count(lit(1)).as("n"))
+    val dm = dense.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val hm = hash.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(dm == hm)
+    assert(dm.contains(None)) // the null-key group really exists
+    // key column keeps its ORIGINAL type
+    val small = Seq((3, 1.0), (3, 2.0), (7, 5.0)).toDF("k", "x")
+    val ds = DenseCatAgg.groupByKeys(small, col("k"),
+      Seq(Agg(col("x"), "sum", "s")), keyAs = "k")
+    assert(ds.schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(ds.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap ==
+      Map(3 -> 3.0, 7 -> 5.0))
+    // cardinality gate is loud; non-integral keys reject
+    val e1 = intercept[IllegalArgumentException](
+      DenseCatAgg.groupByKeys(df, col("k"),
+        Seq(Agg(col("x"), "sum", "s")), maxKeys = 8))
+    assert(e1.getMessage.contains("cardinality"))
+    val e2 = intercept[IllegalArgumentException](
+      DenseCatAgg.groupByKeys(df.select(col("x"), col("x").as("y")),
+        col("x"), Seq(Agg(col("y"), "sum", "s"))))
+    assert(e2.getMessage.contains("integral"))
+    // empty input: empty result, right schema
+    val empty = DenseCatAgg.groupByKeys(small.filter(lit(false)), col("k"),
+      Seq(Agg(col("x"), "sum", "s")), keyAs = "k")
+    assert(empty.count() == 0 && empty.schema.fieldNames.toSeq == Seq("k", "s"))
+  }
 }
