@@ -1446,7 +1446,11 @@ object DeltaLake {
     // mask in the NEW bitmap: already-deleted (existing DV) OR cond —
     // the union semantics that make repeated DV deletes compose.
     // NULL-evaluating rows survive, exactly like the CoW path.
-    val branches = hit.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+    val groups = hit.groupBy(_.partitionValues).toSeq
+    require(groups.size <= 4096, // readAdds' union-branch cap, same reason
+      s"deleteWhere: ${groups.size} distinct partition tuples exceeds " +
+        "the 4096 union-branch cap; delete partition subsets")
+    val branches = groups.map { case (pv, files) =>
       val (dvFiles, plainFiles) = files.partition(_.dv != null)
       val scans = Seq.newBuilder[DataFrame]
       def base(fs: Seq[AddFile]): DataFrame =
