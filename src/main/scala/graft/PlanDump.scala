@@ -65,7 +65,16 @@ object PlanDump {
     // iceberg MoR is the left-anti join on (path, pos)
     "q_delta_skipping", "q_iceberg_skipping", "q_gd_linreg",
     "q_jsonl_zst", "q_delta_colmap", "q_delta_dv", "q_iceberg_mor",
-    "q_zarr_blosc")
+    "q_zarr_blosc",
+    // r16: v2cp/multicp must plan the SAME pruned scan shapes as the
+    // classic-checkpoint lanes (checkpoint form is invisible to the
+    // plan); dv_delete shows the dv anti-filter inside the scan with
+    // NO rewrite job; iceberg_changes is per-snapshot scan branches
+    // unioned (no join); groupby_dict is one codegen'd dictionary
+    // probe feeding the fused dense kernel (no Exchange before the
+    // partials)
+    "q_delta_v2cp", "q_delta_multicp", "q_delta_dv_delete",
+    "q_iceberg_changes", "q_groupby_dict", "q_zarr_bitshuf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
