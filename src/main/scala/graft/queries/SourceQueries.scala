@@ -412,6 +412,21 @@ object SourceQueries {
       embedAgg(graft.sources.Readers.open(s, cache))
     }),
 
+    // Zarr V3 (zarr-python's default store format since 3.0): same
+    // distributed round trip through the v3 layout — zarr.json nodes,
+    // c/-prefixed chunk keys, bytes+zstd codec pipeline. The v3
+    // reader/writer are cross-pinned against an independent python
+    // producer/decoder in ZarrSpec; this lane oracle-gates the
+    // distributed path.
+    "q_zarr_v3" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_zarr_v3") + "/emb.zarr"
+      graft.sources.FsIO.deleteRecursive(cache)
+      graft.sources.Zarr.toZarrDistributed(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache, chunkRows = 512, codec = "zstd", zarrVersion = 3)
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
     // zstd JSON-lines round trip (the corpus-release container: The
     // Pile / SlimPajama / Dolma ship .jsonl.zst shards): distributed
     // sharded write (executors stream-compress), glob read (one
@@ -1387,6 +1402,7 @@ object SourceQueries {
     "q_zarr_embed" -> embedAggSql,
     "q_zarr_blosc" -> embedAggSql,
     "q_zarr_bitshuf" -> embedAggSql,
+    "q_zarr_v3" -> embedAggSql,
     "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
     "q_delta_skipping" ->

@@ -7,9 +7,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Dependency-free Zarr v2 source/sink (the chunked-ndarray store of
-  * the scientific-python / embeddings world — public spec:
-  * zarr-specs v2). An ARRAY is a directory with a `.zarray` JSON
+/** Dependency-free Zarr v2 + v3 source/sink (the chunked-ndarray
+  * store of the scientific-python / embeddings world — public specs:
+  * zarr-specs v2 and the v3 core spec). v2: an ARRAY is a directory
+  * with a `.zarray` JSON
   * (shape, chunks, numpy-descr dtype, compressor, fill_value, order)
   * plus one file per chunk (`i` / `i.j`, C-order, EDGE CHUNKS PADDED
   * to full chunk shape); a GROUP is a directory with `.zgroup` whose
@@ -33,15 +34,30 @@ import org.apache.spark.sql.types._
   * (unsigned widens per the repo's parquet convention). Missing
   * chunk files read as `fill_value`; a missing chunk with
   * `fill_value: null` is an error, not silent zeros.
+  *
+  * Zarr V3 (r16 — zarr-python's default since 3.0): `zarr.json`
+  * array/group nodes, regular chunk grids, default ("c/" prefix) and
+  * v2 chunk-key encodings, codec pipelines of `bytes` (either
+  * endian) + one of gzip/zstd/blosc + optional `crc32c`
+  * (verify-and-strip); sharding/transpose/storage-transformers and
+  * unknown codecs reject loudly. Writers take `zarrVersion = 3`
+  * (codecs gzip/zstd/blosc-*). Both directions are cross-pinned
+  * against an independent python implementation (tools/zarrgen.py
+  * write_array_v3 / verify_v3, own crc32c table).
   */
 object Zarr {
 
   private val MaxChunk = 1L << 30 // one decompressed chunk <= 1 GiB
 
-  /** Parsed .zarray metadata for one column. */
+  /** Parsed array metadata for one column (v2 `.zarray` or a v3
+    * `zarr.json` translated onto the same shape: `keyPrefix` = "c"
+    * for the v3 default chunk-key encoding, `v3Chain` = the
+    * bytes->bytes codec chain in DECLARATION order with compressor
+    * "v3"). */
   private[graft] final case class ZMeta(name: String, shape: Seq[Long],
-      chunks: Seq[Long], descr: String, compressor: String, // "", "zlib", "gzip"
-      fill: Option[Double], sep: String) {
+      chunks: Seq[Long], descr: String, compressor: String, // "", "zlib", "gzip", "blosc", "v3"
+      fill: Option[Double], sep: String,
+      keyPrefix: String = "", v3Chain: Seq[String] = Nil) {
     def n: Long = shape.head
     def d: Long = if (shape.size < 2) 1L else shape(1)
     def itemBytes: Int = descr.drop(1).tail.toInt match { case b => b }
@@ -49,6 +65,10 @@ object Zarr {
     def kind: Char = descr(1)
     def c0: Long = chunks.head
     def c1: Long = if (chunks.size < 2) 1L else chunks(1)
+    def chunkName(ci: Int, cj: Int): String = {
+      val idx = if (shape.size < 2) s"$ci" else s"$ci$sep$cj"
+      if (keyPrefix.isEmpty) idx else s"$keyPrefix$sep$idx"
+    }
   }
 
   private def sparkTypeOf(m: ZMeta): DataType = (m.kind, m.itemBytes) match {
@@ -142,7 +162,167 @@ object Zarr {
     m
   }
 
+  /** v3 data_type name -> (numpy kind char, item bytes). */
+  private val V3Types: Map[String, (Char, Int)] = Map(
+    "bool" -> ('b', 1),
+    "int8" -> ('i', 1), "int16" -> ('i', 2),
+    "int32" -> ('i', 4), "int64" -> ('i', 8),
+    "uint8" -> ('u', 1), "uint16" -> ('u', 2),
+    "uint32" -> ('u', 4), "uint64" -> ('u', 8),
+    "float32" -> ('f', 4), "float64" -> ('f', 8))
+
+  /** Parse a v3 `zarr.json` ARRAY node onto ZMeta (public zarr v3
+    * core spec): regular chunk_grid, default/v2 chunk_key_encoding,
+    * a codec pipeline of exactly one `bytes` (endian) array->bytes
+    * codec plus at most ONE compression codec (gzip | zstd | blosc)
+    * optionally followed by `crc32c` — everything else (sharding,
+    * transpose, unknown names, storage transformers) rejects loudly
+    * rather than misreads. */
+  private def parseMetaV3(j: com.fasterxml.jackson.databind.JsonNode,
+                          arrayDir: String, name: String): ZMeta = {
+    require(j.get("node_type") != null &&
+      j.get("node_type").asText() == "array",
+      s"$arrayDir: zarr.json node_type is not 'array'")
+    val st = j.get("storage_transformers")
+    require(st == null || st.isNull || (st.isArray && st.size == 0),
+      s"$arrayDir: storage_transformers are unsupported")
+    def dims(node: com.fasterxml.jackson.databind.JsonNode,
+        key: String): Seq[Long] = {
+      require(node != null && node.isArray && node.size >= 1,
+        s"$arrayDir: missing/invalid $key")
+      (0 until node.size).map(i => node.get(i).asLong())
+    }
+    val shape = dims(j.get("shape"), "shape")
+    require(shape.size <= 2,
+      s"$arrayDir: rank ${shape.size} arrays have no column mapping (reshape upstream)")
+    val grid = j.get("chunk_grid")
+    require(grid != null && grid.hasNonNull("name") &&
+      grid.get("name").asText() == "regular",
+      s"$arrayDir: only the regular chunk_grid is supported")
+    val chunks = dims(grid.get("configuration").get("chunk_shape"), "chunk_shape")
+    require(shape.size == chunks.size && chunks.forall(_ >= 1),
+      s"$arrayDir: chunk_shape must match shape rank with positive sizes")
+    // chunk key encoding: default ("c" prefix, separator default "/")
+    // or v2 (bare indices, separator default ".")
+    val (keyPrefix, sep) = j.get("chunk_key_encoding") match {
+      case null => ("c", "/")
+      case cke =>
+        val enc = Option(cke.get("name")).map(_.asText()).getOrElse("default")
+        val cfgSep = Option(cke.get("configuration"))
+          .flatMap(c => Option(c.get("separator"))).map(_.asText())
+        enc match {
+          case "default" => ("c", cfgSep.getOrElse("/"))
+          case "v2" => ("", cfgSep.getOrElse("."))
+          case other => throw new IllegalArgumentException(
+            s"$arrayDir: unsupported chunk_key_encoding '$other'")
+        }
+    }
+    require(sep == "." || sep == "/", s"$arrayDir: separator '$sep'")
+    val dt = {
+      val d = j.get("data_type")
+      require(d != null && d.isTextual, s"$arrayDir: missing data_type")
+      d.asText()
+    }
+    val (kind, item) = V3Types.getOrElse(dt,
+      throw new IllegalArgumentException(
+        s"$arrayDir: unsupported data_type '$dt'"))
+    // codec pipeline
+    val codecs = j.get("codecs")
+    require(codecs != null && codecs.isArray && codecs.size >= 1,
+      s"$arrayDir: missing codecs")
+    var endianLittle = true
+    var sawBytes = false
+    val chain = Seq.newBuilder[String]
+    (0 until codecs.size).foreach { i =>
+      val c = codecs.get(i)
+      val cn = Option(c.get("name")).map(_.asText()).getOrElse("?")
+      cn match {
+        case "bytes" =>
+          require(!sawBytes, s"$arrayDir: duplicate bytes codec")
+          sawBytes = true
+          endianLittle = Option(c.get("configuration"))
+            .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
+            .getOrElse("little") match {
+            case "little" => true
+            case "big" => false
+            case e => throw new IllegalArgumentException(
+              s"$arrayDir: bytes codec endian '$e'")
+          }
+        case "gzip" | "zstd" | "blosc" | "crc32c" =>
+          require(sawBytes,
+            s"$arrayDir: bytes->bytes codec '$cn' before the bytes codec")
+          chain += cn
+        case other => throw new IllegalArgumentException(
+          s"$arrayDir: unsupported codec '$other' " +
+            "(bytes + gzip/zstd/blosc/crc32c only; sharding/transpose " +
+            "are out of scope)")
+      }
+    }
+    require(sawBytes, s"$arrayDir: codec pipeline has no bytes codec")
+    val ch = chain.result()
+    require(ch.count(c => c != "crc32c") <= 1 &&
+      (!ch.contains("crc32c") || ch.last == "crc32c"),
+      s"$arrayDir: unsupported codec chain ${ch.mkString("[", ",", "]")} " +
+        "(at most one compression codec, crc32c last)")
+    val fill = j.get("fill_value") match {
+      case null => None
+      case f if f.isNull => None
+      case f if f.isBoolean => Some(if (f.asBoolean()) 1.0 else 0.0)
+      case f if f.isTextual => f.asText() match {
+        case "NaN" => Some(Double.NaN)
+        case "Infinity" => Some(Double.PositiveInfinity)
+        case "-Infinity" => Some(Double.NegativeInfinity)
+        case other => throw new IllegalArgumentException(
+          s"$arrayDir: unsupported fill_value '$other'")
+      }
+      case f => Some(f.asDouble())
+    }
+    val descr = s"${if (item == 1) "|" else if (endianLittle) "<" else ">"}$kind$item"
+    val m = ZMeta(name, shape, chunks, descr, "v3", fill, sep,
+      keyPrefix = keyPrefix, v3Chain = ch)
+    val bytesOk =
+      try Math.multiplyExact(Math.multiplyExact(m.c0, m.c1),
+        m.itemBytes.toLong) <= MaxChunk
+      catch { case _: ArithmeticException => false }
+    require(bytesOk, s"$arrayDir: chunk exceeds ${MaxChunk >> 20} MiB")
+    m
+  }
+
   // ------------------------------------------------------------- read
+
+  /** One chunk's bytes -> the decompressed C-order buffer: the v2
+    * single-compressor path, or the v3 codec chain applied in REVERSE
+    * declaration order (crc32c verify+strip, then the one
+    * decompression, raw otherwise). */
+  private def decodeChunk(raw: Array[Byte], m: ZMeta, outLen: Int,
+                          ctx: String): Array[Byte] =
+    if (m.compressor != "v3") inflateChunk(raw, m.compressor, outLen, ctx)
+    else {
+      var buf = raw
+      m.v3Chain.reverse.foreach {
+        case "crc32c" =>
+          require(buf.length >= 4, s"$ctx: crc32c payload under 4 bytes")
+          val body = java.util.Arrays.copyOf(buf, buf.length - 4)
+          val crc = new java.util.zip.CRC32C()
+          crc.update(body, 0, body.length)
+          val stored = ByteBuffer.wrap(buf, buf.length - 4, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt
+          require(stored == crc.getValue.toInt,
+            s"$ctx: crc32c mismatch (corrupt chunk)")
+          buf = body
+        case "gzip" => buf = inflateChunk(buf, "gzip", outLen, ctx)
+        case "zstd" =>
+          val out = com.github.luben.zstd.Zstd.decompress(buf, outLen)
+          require(out.length == outLen,
+            s"$ctx: zstd chunk inflated to ${out.length} of $outLen")
+          buf = out
+        case "blosc" => buf = Blosc.decompress(buf, outLen, ctx)
+        case other => throw new IllegalStateException(s"v3 codec $other")
+      }
+      require(buf.length == outLen,
+        s"$ctx: v3 chunk decoded to ${buf.length} bytes, expected $outLen")
+      buf
+    }
 
   private def inflateChunk(raw: Array[Byte], comp: String, outLen: Int,
                            ctx: String): Array[Byte] = comp match {
@@ -249,7 +429,7 @@ object Zarr {
       val rHi = math.min(e, (ci + 1) * m.c0)
       var cj = 0
       while (cj < jChunks) {
-        val name = if (m.shape.size < 2) s"$ci" else s"$ci${m.sep}$cj"
+        val name = m.chunkName(ci, cj)
         val path = s"$dir/$name"
         val chunkBytes = (m.c0 * m.c1).toInt * item
         if (!FsIO.exists(path)) {
@@ -275,7 +455,7 @@ object Zarr {
             val b = new Array[Byte](in.length.toInt)
             in.seek(0L); in.readFully(b); b
           } finally in.close()
-          val buf = inflateChunk(raw, m.compressor, chunkBytes, s"$ctx/$name")
+          val buf = decodeChunk(raw, m, chunkBytes, s"$ctx/$name")
           val le = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
           val be = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
           var r = rLo
@@ -312,14 +492,44 @@ object Zarr {
     * sorted by name). */
   def fromZarr(spark: SparkSession, dir: String,
                columns: Seq[String] = Nil, numPartitions: Int = 0): DataFrame = {
+    def leafName(d: String): String =
+      d.reverse.dropWhile(_ == '/').reverse.split('/').last
+        .stripSuffix(".zarr")
     val metas: Seq[(String, ZMeta)] =
-      if (FsIO.exists(s"$dir/.zarray")) {
+      if (FsIO.exists(s"$dir/zarr.json")) {
+        // zarr v3 store (zarr-python's default since 3.0): one
+        // zarr.json per node; groups list child dirs with array nodes
+        val root = readJson(s"$dir/zarr.json")
+        require(root.get("zarr_format") != null &&
+          root.get("zarr_format").asInt() == 3,
+          s"$dir: zarr.json with zarr_format != 3")
+        val nt = Option(root.get("node_type")).map(_.asText()).getOrElse("?")
+        if (nt == "array") Seq(dir -> parseMetaV3(root, dir, leafName(dir)))
+        else {
+          require(nt == "group", s"$dir: unknown node_type '$nt'")
+          val kids = FsIO.listDirs(dir)
+            .filter { k =>
+              FsIO.exists(s"$dir/$k/zarr.json") &&
+                Option(readJson(s"$dir/$k/zarr.json").get("node_type"))
+                  .exists(_.asText() == "array")
+            }
+          require(kids.nonEmpty, s"$dir: v3 group has no child arrays")
+          val wanted =
+            if (columns.isEmpty) kids.sorted
+            else {
+              columns.foreach(c => require(kids.contains(c),
+                s"$dir: no such zarr array: $c"))
+              columns
+            }
+          wanted.map(k =>
+            s"$dir/$k" -> parseMetaV3(readJson(s"$dir/$k/zarr.json"),
+              s"$dir/$k", k))
+        }
+      } else if (FsIO.exists(s"$dir/.zarray")) {
         // the .zarr suffix is a dispatch convention, not part of the
         // name — and a literal dot in a column name breaks every
         // name-based reference (Spark parses it as struct access)
-        val leaf = dir.reverse.dropWhile(_ == '/').reverse.split('/').last
-          .stripSuffix(".zarr")
-        Seq(dir -> readMeta(dir, leaf))
+        Seq(dir -> readMeta(dir, leafName(dir)))
       } else if (FsIO.exists(s"$dir/.zmetadata")) {
         // consolidated metadata (zarr.consolidate_metadata — the
         // object-store convention): ONE read yields every array's
@@ -348,7 +558,7 @@ object Zarr {
           s"$dir/$k" -> parseMeta(m.get(s"$k/.zarray"), s"$dir/$k", k))
       } else {
         require(FsIO.exists(s"$dir/.zgroup"),
-          s"$dir: neither .zarray, .zgroup nor .zmetadata present — not a zarr store")
+          s"$dir: neither zarr.json, .zarray, .zgroup nor .zmetadata present — not a zarr store")
         val kids = FsIO.listDirs(dir).filter(k => FsIO.exists(s"$dir/$k/.zarray"))
         require(kids.nonEmpty, s"$dir: zarr group has no child arrays")
         val wanted =
@@ -439,16 +649,28 @@ object Zarr {
   }
 
 
+  private def gzipBytes(b: Array[Byte], n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(n / 4 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    try { gz.write(b, 0, n); gz.finish() } finally gz.close()
+    bos.toByteArray
+  }
+
   /** Encode one raw chunk per the writer codec. `codec`: "zlib"
-    * (numcodecs zlib level 1) or "blosc-lz4" / "blosc-zstd" /
+    * (numcodecs zlib level 1, v2 only), "gzip", "zstd" (v3 only — no
+    * v2 numcodecs id in our reader) or "blosc-lz4" / "blosc-zstd" /
     * "blosc-zlib" (byte-shuffled blosc1 chunks, zarr-python's
-    * default container shape), each accepting a "-bit" suffix
+    * default container shape), blosc accepting a "-bit" suffix
     * (e.g. "blosc-zstd-bit") for BITshuffled chunks. */
   private def encodeChunk(raw: Array[Byte], chunkBytes: Int, item: Int,
       compress: Boolean, codec: String): Array[Byte] =
     if (!compress) raw
     else codec match {
       case "zlib" => deflate(raw, chunkBytes)
+      case "gzip" => gzipBytes(raw, chunkBytes)
+      case "zstd" =>
+        com.github.luben.zstd.Zstd.compress(
+          java.util.Arrays.copyOf(raw, chunkBytes), 3)
       case b if b.startsWith("blosc-") =>
         val spec = b.stripPrefix("blosc-")
         val bit = spec.endsWith("-bit")
@@ -456,8 +678,18 @@ object Zarr {
           spec.stripSuffix("-bit"), bit = bit)
       case other => throw new IllegalArgumentException(
         s"zarr export: unknown codec '$other' " +
-          "(zlib/blosc-lz4/blosc-zstd/blosc-zlib, optional -bit suffix)")
+          "(zlib/gzip/zstd/blosc-lz4/blosc-zstd/blosc-zlib, optional -bit suffix)")
     }
+
+  /** Writer-codec validity per store version (the readers' own
+    * support envelopes — never write what we cannot re-read). */
+  private def requireCodec(codec: String, v3: Boolean): Unit =
+    if (v3) require(codec == "gzip" || codec == "zstd" ||
+        codec.startsWith("blosc-"),
+      s"zarr v3 export: codec '$codec' (gzip/zstd/blosc-*; zlib is v2-only)")
+    else require(codec == "zlib" || codec == "gzip" ||
+        codec.startsWith("blosc-"),
+      s"zarr export: codec '$codec' (zlib/gzip/blosc-*; zstd is v3-only)")
 
   /** Write a frame as a zarr v2 GROUP (one child array per column —
     * scalar columns as (n,), fixed-width array columns as (n, d)),
@@ -465,8 +697,13 @@ object Zarr {
     * chunks). Driver-streamed: one RowSpill pass, then chunk files
     * per column. */
   def toZarr(df: DataFrame, dir: String, chunkRows: Int = 65536,
-             compress: Boolean = true, codec: String = "zlib"): Unit = {
+             compress: Boolean = true, codec: String = "zlib",
+             zarrVersion: Int = 2): Unit = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
+    require(zarrVersion == 2 || zarrVersion == 3,
+      s"zarr export: zarrVersion $zarrVersion")
+    val v3 = zarrVersion == 3
+    if (compress) requireCodec(codec, v3)
     val schema = df.schema
     // column plans: (name, descr, d) with d = 0 for scalars; fixed
     // array widths from the SHARED one-pass stats helper
@@ -484,7 +721,7 @@ object Zarr {
     import scala.jdk.CollectionConverters._
     val (file, n) = RowSpill.spill(schema, df.toLocalIterator().asScala)
     try {
-      writeGroupMeta(dir, plans, n, chunkRows, compress, codec)
+      writeGroupMeta(dir, plans, n, chunkRows, compress, codec, v3)
       plans.zipWithIndex.foreach { case ((name, descr, d), ci) =>
         val adir = s"$dir/$name"
         val width = math.max(d, 1)
@@ -499,7 +736,7 @@ object Zarr {
           val bytes =
             if (compress) encodeChunk(raw, chunkBytes, item, compress, codec)
             else raw.clone()
-          val name2 = if (d == 0) s"$chunkIdx" else s"$chunkIdx.0"
+          val name2 = writeChunkName(v3, chunkIdx, d)
           val out = FsIO.create(s"$adir/$name2")
           try out.write(bytes) finally out.close()
           bb.clear()
@@ -546,17 +783,73 @@ object Zarr {
         val cname = codec.stripPrefix("blosc-").stripSuffix("-bit")
         s"""{"id":"blosc","cname":"$cname",""" +
           s""""clevel":5,"shuffle":$shuffle,"blocksize":0}"""
-      } else """{"id":"zlib","level":1}"""
+      } else if (codec == "gzip") """{"id":"gzip","level":1}"""
+      else """{"id":"zlib","level":1}"""
     s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$descr",""" +
       s""""compressor":$comp,"fill_value":0,"order":"C","filters":null}"""
   }
 
-  /** Group skeleton: .zgroup, per-array dirs + .zarray, and the
-    * CONSOLIDATED .zmetadata (one metadata read on object stores). */
+  private def v3TypeNameOf(descr: String): String = descr match {
+    case "|b1" => "bool"
+    case "|i1" => "int8"
+    case "<i2" => "int16"
+    case "<i4" => "int32"
+    case "<i8" => "int64"
+    case "<f4" => "float32"
+    case "<f8" => "float64"
+    case other => throw new IllegalArgumentException(
+      s"zarr v3 export: no data_type for descr $other")
+  }
+
+  /** v3 array `zarr.json` (core spec): regular chunk grid, default
+    * chunk-key encoding with '/' separator, bytes(little) + the
+    * writer codec. */
+  private def zarr3Json(descr: String, n: Long, d: Int, chunkRows: Int,
+                        compress: Boolean, codec: String): String = {
+    val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
+    val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
+    val fill = if (descr == "|b1") "false" else "0"
+    val comp =
+      if (!compress) ""
+      else if (codec == "gzip")
+        """,{"name":"gzip","configuration":{"level":1}}"""
+      else if (codec == "zstd")
+        """,{"name":"zstd","configuration":{"level":3,"checksum":false}}"""
+      else if (codec.startsWith("blosc-")) {
+        val shuffle = if (codec.endsWith("-bit")) "bitshuffle" else "shuffle"
+        val cname = codec.stripPrefix("blosc-").stripSuffix("-bit")
+        s""",{"name":"blosc","configuration":{"cname":"$cname",""" +
+          s""""clevel":5,"shuffle":"$shuffle","typesize":${itemOf(descr)},""" +
+          """"blocksize":0}}"""
+      } else throw new IllegalArgumentException(
+        s"zarr v3 export: codec '$codec'")
+    s"""{"zarr_format":3,"node_type":"array","shape":$shape,""" +
+      s""""data_type":"${v3TypeNameOf(descr)}",""" +
+      s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":$chunks}},""" +
+      """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+      s""""fill_value":$fill,""" +
+      s""""codecs":[{"name":"bytes","configuration":{"endian":"little"}}$comp],""" +
+      """"attributes":{}}"""
+  }
+
+  /** Group skeleton. v2: .zgroup, per-array dirs + .zarray, and the
+    * CONSOLIDATED .zmetadata (one metadata read on object stores).
+    * v3: zarr.json group node + per-array zarr.json. */
   private def writeGroupMeta(dir: String, plans: Seq[(String, String, Int)],
                              n: Long, chunkRows: Int, compress: Boolean,
-                             codec: String = "zlib"): Unit = {
+                             codec: String = "zlib", v3: Boolean = false): Unit = {
     FsIO.mkdirs(dir)
+    if (v3) {
+      writeString(s"$dir/zarr.json",
+        """{"zarr_format":3,"node_type":"group","attributes":{}}""")
+      plans.foreach { case (name, descr, d) =>
+        val adir = s"$dir/$name"
+        FsIO.mkdirs(adir)
+        writeString(s"$adir/zarr.json",
+          zarr3Json(descr, n, d, chunkRows, compress, codec))
+      }
+      return
+    }
     writeString(s"$dir/.zgroup", """{"zarr_format":2}""")
     val entries = plans.map { case (name, descr, d) =>
       val adir = s"$dir/$name"
@@ -572,6 +865,12 @@ object Zarr {
           .mkString(",") + "}}")
   }
 
+  /** On-disk chunk file name for the WRITERS (chunk `ci` along dim 0;
+    * rank-2 arrays always chunk the full width as one `cj = 0`). */
+  private def writeChunkName(v3: Boolean, ci: Int, d: Int): String =
+    if (v3) { if (d == 0) s"c/$ci" else s"c/$ci/0" }
+    else { if (d == 0) s"$ci" else s"$ci.0" }
+
   /** DISTRIBUTED zarr write — the scale form: the chunk grid IS the
     * sharding, so executors write disjoint chunk files directly.
     * `zipWithIndex` assigns stable global row indices (one count job,
@@ -583,8 +882,13 @@ object Zarr {
     * same input order. */
   def toZarrDistributed(df: DataFrame, dir: String, chunkRows: Int = 65536,
                         compress: Boolean = true,
-                        codec: String = "zlib"): Int = {
+                        codec: String = "zlib",
+                        zarrVersion: Int = 2): Int = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
+    require(zarrVersion == 2 || zarrVersion == 3,
+      s"zarr export: zarrVersion $zarrVersion")
+    val v3 = zarrVersion == 3
+    if (compress) requireCodec(codec, v3)
     val schema = df.schema
     val widths: Map[String, Int] =
       if (schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
@@ -598,7 +902,7 @@ object Zarr {
     }.toSeq
     val indexed = df.rdd.zipWithIndex()
     val n = indexed.count() // also the job that fixes zipWithIndex
-    writeGroupMeta(dir, plans, n, chunkRows, compress, codec)
+    writeGroupMeta(dir, plans, n, chunkRows, compress, codec, v3)
     if (n == 0) return 0
     val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
     val cr = chunkRows
@@ -606,6 +910,7 @@ object Zarr {
     val plansB = plans
     val compB = compress
     val codecB = codec
+    val v3B = v3
     // shuffle keyed (chunk, rowIdx) and SORT within partitions so a
     // task streams complete chunks in order — memory per task is one
     // chunk's rows, never a partition buffer
@@ -643,7 +948,7 @@ object Zarr {
             while (bb.position() < chunkBytes) bb.put(0.toByte)
             val raw = bb.array()
             val bytes = encodeChunk(raw, chunkBytes, item, compB, codecB)
-            val fname = if (d == 0) s"$curCi" else s"$curCi.0"
+            val fname = writeChunkName(v3B, curCi, d)
             val out = FsIO.create(s"$dirB/$name/$fname")
             try out.write(bytes) finally out.close()
           }

@@ -22,6 +22,18 @@ class ZarrSpec extends SparkSpec {
     s"$d/$leaf"
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+      ()
+    }
+  }
+
   test("group store: mixed compressors, endianness, 2-D j-chunks, edge padding") {
     val df = Zarr.fromZarr(spark, res("table.zarr"), numPartitions = 3)
     // columns sorted by array name
@@ -65,6 +77,95 @@ class ZarrSpec extends SparkSpec {
       Zarr.fromZarr(spark, res("fortran.zarr"))
     }
     assert(e2.getMessage.contains("Fortran"))
+  }
+
+  test("zarr v3 store reads: codec chains, big-endian, v2 key encoding, fill, guards") {
+    // fixtures from the INDEPENDENT v3 producer (zarrgen.write_array_v3:
+    // own crc32c table, gzip via stdlib) — gzip+crc32c i8 under c/
+    // keys, gzip 2-D f4, RAW big-endian f8, uint16 with the v2 key
+    // encoding (bare chunk names)
+    val df = Zarr.fromZarr(spark, res("table_v3.zarr"), numPartitions = 2)
+    assert(df.schema.fieldNames.toSeq == Seq("big", "emb", "u", "vec_id"))
+    assert(df.schema("u").dataType == IntegerType) // uint16 widens
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.length == 37)
+    (0 until 37).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("vec_id") == i * 13L - 7)
+      assert(r.getAs[Double]("big") == i * 0.75 - 1.0)
+      assert(r.getAs[Int]("u") == (i * 997) % 60000)
+      val e = r.getSeq[Float](r.fieldIndex("emb"))
+      assert(e == (0 until 4).map(j => ((i * 4 + j) % 11) * 0.5f - 2.5f),
+        s"row $i")
+    }
+    // column pruning through the v3 group
+    val one = Zarr.fromZarr(spark, res("table_v3.zarr"), columns = Seq("vec_id"))
+    assert(one.schema.fieldNames.toSeq == Seq("vec_id") && one.count() == 37)
+    // missing chunk reads as the v3 fill_value
+    val sparse = Zarr.fromZarr(spark, res("sparse_v3.zarr"))
+    assert(sparse.collect().map(_.getInt(0)).sorted.toSeq ==
+      ((0 until 10) ++ Seq.fill(10)(9) ++ (20 until 30)).sorted)
+    // sharding_indexed rejects loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Zarr.fromZarr(spark, res("shard_v3.zarr"))
+    }
+    assert(e1.getMessage.contains("sharding"))
+    // crc32c corruption is LOUD, never silent wrong values
+    val tmp3 = tmp("v3corrupt.zarr")
+    copyDir(res("table_v3.zarr"), tmp3)
+    val chunk = s"$tmp3/vec_id/c/0"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      chunk.stripPrefix("file:")))
+    bytes(3) = (bytes(3) ^ 0x40).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      chunk.stripPrefix("file:")), bytes)
+    val e2 = intercept[Exception] {
+      Zarr.fromZarr(spark, tmp3).collect()
+    }
+    assert(e2.getMessage.contains("crc32c") ||
+      Option(e2.getCause).exists(_.getMessage.contains("crc32c")))
+  }
+
+  test("zarr v3 writer: gzip/zstd/blosc round trips; python cross-reads the gzip store") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("x", DoubleType, false),
+      StructField("v", ArrayType(FloatType, false), false)))
+    val n = 150
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, i * 0.5 - 3.0, Seq(i * 1.0f, -i * 0.25f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    for (codec <- Seq("gzip", "zstd", "blosc-zstd-bit")) {
+      val store = tmp(s"v3-$codec.zarr")
+      Zarr.toZarr(df, store, chunkRows = 37, codec = codec, zarrVersion = 3)
+      val back = Readers.open(spark, store).orderBy("id").collect()
+      assert(back.length == n, codec)
+      assert(back(7).getAs[Double]("x") == 7 * 0.5 - 3.0, codec)
+      assert(back(9).getSeq[Float](back(9).fieldIndex("v")) ==
+        Seq(9.0f, -2.25f), codec)
+    }
+    // zstd is v3-only in the writer; zlib v2-only
+    intercept[IllegalArgumentException](
+      Zarr.toZarr(df, tmp("bad1.zarr"), codec = "zstd"))
+    intercept[IllegalArgumentException](
+      Zarr.toZarr(df, tmp("bad2.zarr"), codec = "zlib", zarrVersion = 3))
+    // distributed v3 write, re-read by the INDEPENDENT python decoder
+    val store = tmp("v3dist.zarr")
+    Zarr.toZarrDistributed(df, store, chunkRows = 37, codec = "gzip",
+      zarrVersion = 3)
+    assert(Readers.open(spark, store).agg(sum("id")).head.getLong(0) ==
+      n.toLong * (n - 1) / 2)
+    import scala.sys.process._
+    val py =
+      s"""import sys; sys.path.insert(0, 'tools')
+         |import zarrgen
+         |out = zarrgen.verify_v3('$store')
+         |assert out['id'].sum() == ${n.toLong * (n - 1) / 2}, out['id'].sum()
+         |assert abs(float(out['x'][7]) - ${7 * 0.5 - 3.0}) < 1e-12
+         |assert out['v'].shape == ($n, 2) and float(out['v'][9][1]) == -2.25
+         |print('PY_OK')""".stripMargin
+    val res2 = Seq("python3", "-c", py).!!
+    assert(res2.contains("PY_OK"), res2)
   }
 
   test("BITshuffle chunks decode: i8, 2-D f4, non-multiple-of-8 leftovers") {

@@ -110,6 +110,114 @@ def blosc_zlib_chunk(data, typesize, shuffle=True, blocksize=2048,
     return bytes(out)
 
 
+_CRC32C_TABLE = None
+
+
+def crc32c(data):
+    """Table-based CRC-32C (Castagnoli, reflected poly 0x82F63B78) —
+    pure stdlib, independent of the JDK CRC32C the Scala side uses."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+V3_TYPES = {"|b1": "bool", "|i1": "int8", "<i2": "int16", "<i4": "int32",
+            "<i8": "int64", "<u2": "uint16", "<f4": "float32",
+            "<f8": "float64", ">f8": "float64", ">i4": "int32"}
+
+
+def write_array_v3(adir, arr, chunks, codecs=("gzip",), key_encoding="default",
+                   fill_value=0, skip_chunks=()):
+    """Independent zarr v3 ARRAY producer (core spec): zarr.json +
+    chunk files under the default 'c/' key prefix (or bare v2-style
+    keys). `codecs`: any of 'gzip', 'crc32c' applied in order after
+    the bytes codec."""
+    os.makedirs(adir, exist_ok=True)
+    endian = "big" if arr.dtype.str[0] == ">" else "little"
+    codec_list = [{"name": "bytes", "configuration": {"endian": endian}}]
+    for c in codecs:
+        if c == "gzip":
+            codec_list.append({"name": "gzip", "configuration": {"level": 1}})
+        elif c == "crc32c":
+            codec_list.append({"name": "crc32c"})
+        else:
+            raise ValueError(c)
+    sep = "/" if key_encoding == "default" else "."
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": V3_TYPES[arr.dtype.str],
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": key_encoding,
+                               "configuration": {"separator": sep}},
+        "fill_value": fill_value,
+        "codecs": codec_list,
+        "attributes": {},
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+    def encode(data):
+        for c in codecs:
+            if c == "gzip":
+                import gzip as _gz
+                data = _gz.compress(data, 1)
+            elif c == "crc32c":
+                data = data + struct.pack("<I", crc32c(data))
+        return data
+
+    def key(idx):
+        parts = [str(i) for i in idx]
+        if key_encoding == "default":
+            return "/".join(["c"] + parts)
+        return ".".join(parts)
+
+    grid = [int(np.ceil(s / c)) for s, c in zip(arr.shape, chunks)]
+    if len(arr.shape) == 1:
+        for i in range(grid[0]):
+            if i in skip_chunks:
+                continue
+            block = np.full(chunks, fill_value, dtype=arr.dtype)
+            part = arr[i * chunks[0]:(i + 1) * chunks[0]]
+            block[:len(part)] = part
+            path = os.path.join(adir, key((i,)))
+            os.makedirs(os.path.dirname(path) or adir, exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(encode(block.tobytes(order="C")))
+    else:
+        for i in range(grid[0]):
+            for j in range(grid[1]):
+                if (i, j) in skip_chunks:
+                    continue
+                block = np.full(chunks, fill_value, dtype=arr.dtype)
+                part = arr[i * chunks[0]:(i + 1) * chunks[0],
+                           j * chunks[1]:(j + 1) * chunks[1]]
+                block[:part.shape[0], :part.shape[1]] = part
+                path = os.path.join(adir, key((i, j)))
+                os.makedirs(os.path.dirname(path) or adir, exist_ok=True)
+                with open(path, "wb") as f:
+                    f.write(encode(block.tobytes(order="C")))
+
+
+def write_group_v3(gdir):
+    os.makedirs(gdir, exist_ok=True)
+    with open(os.path.join(gdir, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group",
+                   "attributes": {}}, f)
+
+
 def write_array(adir, arr, chunks, compressor, fill_value=0,
                 dimension_separator=None, skip_chunks=()):
     os.makedirs(adir, exist_ok=True)
@@ -252,6 +360,39 @@ def main():
                        "compressor": {"id": "blosc", "cname": "lz4"}}, f)
         with open(os.path.join(rd, "0"), "wb") as f:
             f.write(blosc_zlib_chunk(rarr.tobytes(), 4, **kw))
+    # zarr v3 fixtures (independent producer): group with gzip+crc32c
+    # i8, gzip f4 2-D, RAW big-endian f8, a v2-key-encoding array; a
+    # sparse array (missing chunk -> fill); a sharding rejection
+    v3 = os.path.join(ROOT, "table_v3.zarr")
+    write_group_v3(v3)
+    n3 = 37  # non-multiple chunk edges
+    v3_id = np.arange(n3, dtype="<i8") * 13 - 7
+    v3_emb = (np.arange(n3 * 4, dtype="<f4").reshape(n3, 4) % 11) * 0.5 - 2.5
+    v3_big = np.arange(n3, dtype=">f8") * 0.75 - 1.0
+    v3_u = (np.arange(n3, dtype="<u2") * 997) % 60000
+    write_array_v3(os.path.join(v3, "vec_id"), v3_id, (10,),
+                   ("gzip", "crc32c"))
+    write_array_v3(os.path.join(v3, "emb"), v3_emb, (10, 4), ("gzip",))
+    write_array_v3(os.path.join(v3, "big"), v3_big, (12,), ())
+    write_array_v3(os.path.join(v3, "u"), v3_u, (10,), ("gzip",),
+                   key_encoding="v2")
+    v3s = os.path.join(ROOT, "sparse_v3.zarr")
+    write_array_v3(v3s, np.arange(30, dtype="<i4"), (10,), ("gzip",),
+                   fill_value=9, skip_chunks=(1,))
+    shard = os.path.join(ROOT, "shard_v3.zarr")
+    os.makedirs(shard, exist_ok=True)
+    with open(os.path.join(shard, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array", "shape": [8],
+                   "data_type": "int32",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [8]}},
+                   "chunk_key_encoding": {"name": "default",
+                                          "configuration": {"separator": "/"}},
+                   "fill_value": 0,
+                   "codecs": [{"name": "sharding_indexed",
+                               "configuration": {}}],
+                   "attributes": {}}, f)
+
     fortran = os.path.join(ROOT, "fortran.zarr")
     os.makedirs(fortran, exist_ok=True)
     with open(os.path.join(fortran, ".zarray"), "w") as f:
@@ -318,6 +459,63 @@ def blosc_zlib_decode(chunk):
             b = arr.T.tobytes() + b[ne:]
         out += b
     return bytes(out)
+
+
+def verify_v3(store):
+    """Independent v3 re-reader (gzip/crc32c codecs) for cross-checking
+    the Scala writer's v3 output: returns {name: ndarray}."""
+    import gzip as _gz
+    with open(os.path.join(store, "zarr.json")) as f:
+        root = json.load(f)
+    assert root["zarr_format"] == 3 and root["node_type"] == "group"
+    out = {}
+    for name in sorted(os.listdir(store)):
+        adir = os.path.join(store, name)
+        mpath = os.path.join(adir, "zarr.json")
+        if not os.path.isdir(adir) or not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            meta = json.load(f)
+        assert meta["node_type"] == "array"
+        shape = meta["shape"]
+        chunks = meta["chunk_grid"]["configuration"]["chunk_shape"]
+        cke = meta["chunk_key_encoding"]
+        assert cke["name"] == "default" and \
+            cke["configuration"]["separator"] == "/"
+        dt = {"bool": "|b1", "int8": "|i1", "int16": "<i2", "int32": "<i4",
+              "int64": "<i8", "float32": "<f4", "float64": "<f8"}[
+                  meta["data_type"]]
+        names = [c["name"] for c in meta["codecs"]]
+        assert names[0] == "bytes"
+        assert meta["codecs"][0].get("configuration", {}) \
+            .get("endian", "little") == "little"
+        arr = np.zeros(shape, dtype=dt)
+        grid = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
+        for i in range(grid[0]):
+            for j in range(grid[1] if len(shape) > 1 else 1):
+                idx = [str(i)] + ([str(j)] if len(shape) > 1 else [])
+                path = os.path.join(adir, "c", *idx)
+                with open(path, "rb") as f:
+                    data = f.read()
+                for c in reversed(names[1:]):
+                    if c == "crc32c":
+                        body, tail = data[:-4], data[-4:]
+                        assert struct.unpack("<I", tail)[0] == crc32c(body)
+                        data = body
+                    elif c == "gzip":
+                        data = _gz.decompress(data)
+                    else:
+                        raise AssertionError(f"verify_v3: codec {c}")
+                block = np.frombuffer(data, dtype=dt).reshape(chunks)
+                lo0, hi0 = i * chunks[0], min((i + 1) * chunks[0], shape[0])
+                if len(shape) > 1:
+                    lo1 = j * chunks[1]
+                    hi1 = min((j + 1) * chunks[1], shape[1])
+                    arr[lo0:hi0, lo1:hi1] = block[:hi0 - lo0, :hi1 - lo1]
+                else:
+                    arr[lo0:hi0] = block[:hi0 - lo0]
+        out[name] = arr
+    return out
 
 
 if __name__ == "__main__":
