@@ -68,6 +68,8 @@ private[graft] object Blosc {
     val fmt = (flags >>> 5) & 0x7
     val shuffle = (flags & FlagByteShuffle) != 0 && typesize > 1
     val bitshuffle = (flags & FlagBitShuffle) != 0
+    require(!bitshuffle || typesize >= 1,
+      s"$ctx: BITshuffled chunk with typesize 0") // no bare / by zero
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     require(16 + 4L * nblocks <= chunk.length, s"$ctx: truncated blosc offsets")
     var j = 0

@@ -443,8 +443,11 @@ object DeltaLake {
   private[graft] def versionAtOrAfterTimestamp(table0: String,
       tsMs: Long): Long = {
     val table = FsIO.normalize(table0.stripSuffix("/"))
-    val json = listLog(table).json.sorted
-    require(json.nonEmpty, s"not a Delta table (no _delta_log commits): $table")
+    val listing = listLog(table)
+    require(listing.allVersions.nonEmpty, s"not a Delta table: $table")
+    val json = listing.json.sorted
+    if (json.isEmpty) // checkpoint-only (log-cleaned) table: only the
+      return listing.allVersions.max // tail is inspectable — start there
     json.find(v => commitTimestamp(table, v) >= tsMs)
       .map(_ - 1).getOrElse(json.max) // all older: start at latest
   }
@@ -738,7 +741,7 @@ object DeltaLake {
   private final case class CpState(
       meta: Meta, minReader: Int, readerFeatures: Set[String],
       minWriter: Int, writerFeatures: Set[String], adds: Seq[AddFile],
-      sidecars: Seq[String] = Nil)
+      sidecars: Seq[String] = Nil, declaredVersion: Option[Long] = None)
 
   /** Checkpoint parquet -> CpState. Accepts several paths at once —
     * a classic multi-part checkpoint is one logical table scanned as
@@ -755,8 +758,10 @@ object DeltaLake {
     var wFeatures = Set.empty[String]
     val adds = Seq.newBuilder[AddFile]
     val sidecars = Seq.newBuilder[String]
+    var declared: Option[Long] = None
     val ctx = paths.head
-    val cols = Seq("metaData", "protocol", "add", "sidecar").filter(have)
+    val cols = Seq("metaData", "protocol", "add", "sidecar",
+      "checkpointMetadata").filter(have)
     df.select(cols.map(col): _*).collect().foreach { row =>
       cols.zipWithIndex.foreach { case (c, i) =>
         if (!row.isNullAt(i)) {
@@ -794,12 +799,14 @@ object DeltaLake {
               sidecars += get[String](st, "path").getOrElse(
                 throw new IllegalArgumentException(
                   s"sidecar action without path: $ctx"))
+            case "checkpointMetadata" =>
+              declared = get[Long](st, "version")
           }
         }
       }
     }
     CpState(meta, minReader, features, minWriter, wFeatures,
-      adds.result(), sidecars.result())
+      adds.result(), sidecars.result(), declared)
   }
 
   /** One collected checkpoint `add` struct -> AddFile (shared by the
@@ -865,6 +872,11 @@ object DeltaLake {
         CpState(meta, minReader, features, minWriter, wFeatures,
           adds.result(), sidecars.result())
       } else readCheckpoint(spark, Seq(path))
+    // a misnamed/copied manifest must not apply at the wrong version —
+    // the filename is the log's claim, checkpointMetadata the writer's
+    st0.declaredVersion.foreach(v => require(v == version,
+      s"v2 checkpoint $manifestName declares version $v, " +
+        s"expected $version"))
     if (st0.sidecars.isEmpty) st0
     else {
       // sidecar path: file name relative to _delta_log/_sidecars/, or
@@ -1485,32 +1497,35 @@ object DeltaLake {
     // roaring payload serializes executor-side, the driver collects
     // only (file, payload) — metadata scale
     import spark.implicits._
-    val perFile: Seq[(String, Array[Byte])] = branches.reduce(_ union _)
+    // cardinality travels from the executors (rows are DISTINCT per
+    // file, so it is rows.length) — the driver never re-parses payloads
+    val perFile: Seq[(String, Array[Byte], Long)] = branches.reduce(_ union _)
       .groupBy(col("__dv_fp"))
       .agg(sort_array(collect_list(col("__dv_ri"))).as("rows"))
       .as[(String, Array[Long])]
-      .map { case (fp, rows) => (fp, RoaringDv.serialize(rows)) }
+      .map { case (fp, rows) =>
+        (fp, RoaringDv.serialize(rows), rows.length.toLong) }
       .collect().toSeq
-    val resolved: Seq[(AddFile, Array[Byte])] = perFile.map { case (sp, pl) =>
-      val p = bySpelling.getOrElse(sp, throw new IllegalStateException(
-        s"deleteWhere: unmatched scan spelling $sp"))
-      (byPath(p), pl)
-    }.sortBy(_._1.path)
+    val resolved: Seq[(AddFile, Array[Byte], Long)] =
+      perFile.map { case (sp, pl, card) =>
+        val p = bySpelling.getOrElse(sp, throw new IllegalStateException(
+          s"deleteWhere: unmatched scan spelling $sp"))
+        (byPath(p), pl, card)
+      }.sortBy(_._1.path)
     // drop no-change files: a DV file whose existing mask already
     // covers every matching row re-emits its own set (union ⊇ old +
     // equal cardinality ⇒ equal set)
-    val changed = resolved.filter { case (a, pl) =>
-      a.dv == null || RoaringDv.parse(pl).cardinality != a.dv.cardinality
+    val changed = resolved.filter { case (a, _, card) =>
+      a.dv == null || card != a.dv.cardinality
     }
     if (changed.isEmpty) return snap.version // nothing new to delete
     val uuid = java.util.UUID.randomUUID()
     val offs = RoaringDv.writeFile(
       s"$table/deletion_vector_$uuid.bin", changed.map(_._2))
     val now = System.currentTimeMillis()
-    val newAdds = changed.zip(offs).map { case ((a, pl), (off, len)) =>
+    val newAdds = changed.zip(offs).map { case ((a, _, card), (off, len)) =>
       a.copy(modificationTime = now, dv = DvDescriptor("u",
-        RoaringDv.encodeDvPath(uuid), off, len,
-        RoaringDv.parse(pl).cardinality))
+        RoaringDv.encodeDvPath(uuid), off, len, card))
     }
     // protocol upgrade: preserve declared features, enumerate the
     // legacy-implied ones when first crossing into the features era
@@ -1528,7 +1543,9 @@ object DeltaLake {
     commitActions(table, version, "DELETE",
       Map("candidateFiles" -> hit.size.toString, "mode" -> "deletionVectors"),
       removes = changed.map(_._1.path), adds = newAdds, dataChange = true,
-      extraActions = Seq(mapper.writeValueAsString(pn)))
+      extraActions = Seq(mapper.writeValueAsString(pn)),
+      removeDvs = changed.collect {
+        case (a, _, _) if a.dv != null => a.path -> a.dv }.toMap)
     version // never checkpoint here: classic checkpoints can't carry DVs
   }
 
@@ -1545,7 +1562,8 @@ object DeltaLake {
     * adds (deletionVector descriptors serialized when present). */
   private def commitActions(table: String, version: Long, operation: String,
       params: Map[String, String], removes: Seq[String], adds: Seq[AddFile],
-      dataChange: Boolean, extraActions: Seq[String] = Nil): Unit = {
+      dataChange: Boolean, extraActions: Seq[String] = Nil,
+      removeDvs: Map[String, DvDescriptor] = Map.empty): Unit = {
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode()
@@ -1563,6 +1581,17 @@ object DeltaLake {
       r.put("path", pth)
       r.put("deletionTimestamp", now)
       r.put("dataChange", dataChange)
+      // the removed file VERSION's deletionVector rides on the
+      // tombstone (PROTOCOL.md) so DV-file bookkeeping — foreign
+      // vacuum implementations included — sees every reference
+      removeDvs.get(pth).foreach { d =>
+        val dn = r.putObject("deletionVector")
+        dn.put("storageType", d.storageType)
+        dn.put("pathOrInlineDv", d.pathOrInlineDv)
+        dn.put("offset", d.offset)
+        dn.put("sizeInBytes", d.sizeInBytes)
+        dn.put("cardinality", d.cardinality)
+      }
       lines += mapper.writeValueAsString(rn)
     }
     adds.foreach { a =>

@@ -365,7 +365,14 @@ object Iceberg {
     Some(cur)
   }
 
-  /** Parent-chain snapshots `(fromId, toId]`, oldest first. */
+  /** Parent-chain snapshots `(fromId, toId]`, oldest first. A
+    * history whose root has no parent-snapshot-id is only trusted
+    * when the walked chain COVERS every snapshot at/below `toId`'s
+    * sequence — a table written by a writer that never recorded
+    * parent links (pre-r16 graft, some foreign writers) would
+    * otherwise silently truncate the read to the newest snapshot
+    * (and misclassify a legacy mid-chain overwrite as the initial
+    * commit); such histories reject loudly instead. */
   private def changesChain(meta: Metadata, fromId: Long,
       toId: Long): Seq[SnapshotInfo] = {
     val byId = meta.snapshots.map(s => s.id -> s).toMap
@@ -386,7 +393,19 @@ object Iceberg {
     require(cur == fromId || fromId < 0,
       s"fromIcebergChanges: snapshot $fromId is not an ancestor of " +
         s"$toId; restart from a full snapshot")
-    chain.result().reverse
+    val out = chain.result().reverse
+    if (cur < 0) { // walked to a parentless root with fromId = -1
+      val toSeq = byId(toId).sequenceNumber
+      val covered = out.map(_.id).toSet
+      val missed = meta.snapshots.filter(s =>
+        s.sequenceNumber <= toSeq && !covered(s.id))
+      require(missed.isEmpty,
+        s"fromIcebergChanges: ${missed.size} snapshot(s) at/below " +
+          s"sequence $toSeq are OFF the parent chain (history written " +
+          "without parent-snapshot-id links, or a branch) — the walk " +
+          "cannot prove completeness; read a full snapshot")
+    }
+    out
   }
 
   /** Data files ADDED by snapshot `s`: manifests the snapshot itself
@@ -1186,12 +1205,17 @@ object Iceberg {
     val staging = s"$dir/_staging"
     FsIO.deleteRecursive(staging)
     import spark.implicits._
+    val prevFid = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    hits.toSeq.toDF("file_path", "pos")
+    try hits.toSeq.toDF("file_path", "pos")
       .select(col("file_path").as("file_path", fieldIdMeta(2147483546L)),
         col("pos").as("pos", fieldIdMeta(2147483545L)))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    finally prevFid match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
     val delPath = FsIO.listFilesRecursive(staging).collect {
       case (p, len, _) if p.endsWith(".parquet") =>
         val dst = s"$dir/data/delete-${java.util.UUID.randomUUID()}.parquet"
@@ -1243,9 +1267,14 @@ object Iceberg {
       .distinct().orderBy(equalityCols.map(
         org.apache.spark.sql.functions.col): _*)
     val n = rows.count()
+    val prevFid = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    rows.coalesce(1).write
+    try rows.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    finally prevFid match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
     val delPath = FsIO.listFilesRecursive(staging).collect {
       case (p, len, _) if p.endsWith(".parquet") =>
         val dst = s"$dir/data/eq-delete-${java.util.UUID.randomUUID()}.parquet"
@@ -1405,14 +1434,14 @@ object Iceberg {
   }
 
   /** version-hint.text is REWRITTEN on every commit while tailing
-    * readers poll it — stage + rename so a concurrent reader never
-    * sees the create-truncated empty window. */
-  private def writeHint(path: String, text: String): Unit = {
-    val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
-    writeText(tmp, text)
-    FsIO.deleteRecursive(path) // local-fs rename-to-existing may fail
-    FsIO.rename(tmp, path)
-  }
+    * readers poll it. Truncate-in-place (NOT delete+rename): the file
+    * must keep EXISTING — Readers.open dispatches Iceberg tables on
+    * its presence, so a missing-file window would misroute a
+    * concurrent open, while the create-truncated EMPTY window is
+    * handled by loadMetadata's empty-hint fallback (and a stale hint
+    * is just snapshot isolation). */
+  private def writeHint(path: String, text: String): Unit =
+    writeText(path, text)
 
   private def relaxed(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.map(f =>

@@ -507,23 +507,26 @@ object Zarr {
         if (nt == "array") Seq(dir -> parseMetaV3(root, dir, leafName(dir)))
         else {
           require(nt == "group", s"$dir: unknown node_type '$nt'")
-          val kids = FsIO.listDirs(dir)
-            .filter { k =>
-              FsIO.exists(s"$dir/$k/zarr.json") &&
-                Option(readJson(s"$dir/$k/zarr.json").get("node_type"))
-                  .exists(_.asText() == "array")
-            }
-          require(kids.nonEmpty, s"$dir: v3 group has no child arrays")
-          val wanted =
-            if (columns.isEmpty) kids.sorted
+          // one zarr.json read per child (object stores bill GETs)
+          val kidNodes = FsIO.listDirs(dir).flatMap { k =>
+            if (!FsIO.exists(s"$dir/$k/zarr.json")) None
             else {
-              columns.foreach(c => require(kids.contains(c),
+              val node = readJson(s"$dir/$k/zarr.json")
+              if (Option(node.get("node_type")).exists(_.asText() == "array"))
+                Some(k -> node)
+              else None
+            }
+          }.toMap
+          require(kidNodes.nonEmpty, s"$dir: v3 group has no child arrays")
+          val wanted =
+            if (columns.isEmpty) kidNodes.keys.toSeq.sorted
+            else {
+              columns.foreach(c => require(kidNodes.contains(c),
                 s"$dir: no such zarr array: $c"))
               columns
             }
           wanted.map(k =>
-            s"$dir/$k" -> parseMetaV3(readJson(s"$dir/$k/zarr.json"),
-              s"$dir/$k", k))
+            s"$dir/$k" -> parseMetaV3(kidNodes(k), s"$dir/$k", k))
         }
       } else if (FsIO.exists(s"$dir/.zarray")) {
         // the .zarr suffix is a dispatch convention, not part of the

@@ -57,6 +57,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
     // load(), createSource only on the stream thread
     DeltaTailSourceProvider.maxPerBatchOf(parameters)
     DeltaTailSourceProvider.maxBytesOf(parameters)
+    parameters.get("startingTimestamp")
+      .foreach(DeltaTailSourceProvider.parseTimestamp)
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "options startingVersion and startingTimestamp are mutually exclusive")

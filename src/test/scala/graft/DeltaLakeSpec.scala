@@ -816,6 +816,44 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDelta(spark, t2).count() == n2)
   }
 
+  test("v2 parquet manifest misnamed to another version rejects (declared-version check)") {
+    val (t, v, _) = vacuumedLogFixture("v2cpv.delta")
+    DeltaLake.foreignV2Checkpoint(spark, t, numSidecars = 1)
+    val manifest = FsIO.listFileNames(s"$t/_delta_log")
+      .find(_.matches(raw"\d{20}\.checkpoint\.[^.]+\.parquet")).get
+    // a copied/misnamed manifest claims a HIGHER version than its
+    // checkpointMetadata declares — applying it there would skip
+    // replaying the intervening commits
+    val renamed = f"${v + 3}%020d" + manifest.drop(20)
+    FsIO.rename(s"$t/_delta_log/$manifest", s"$t/_delta_log/$renamed")
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.fromDelta(spark, t))
+    assert(e.getMessage.contains("declares version"))
+  }
+
+  test("DV tombstones carry the removed file version's deletionVector") {
+    val t = tmp("dvrm.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(spark.range(0, 100).select(
+      col("id"), (col("id") % 7).as("m")).coalesce(1), t)
+    DeltaLake.deleteWhere(spark, t, col("m") === 3, viaDeletionVectors = true) // v1
+    DeltaLake.deleteWhere(spark, t, col("m") === 5, viaDeletionVectors = true) // v2
+    // v2 removes the v1 file VERSION (which carried a DV): per the
+    // protocol the tombstone must reference it so DV-file bookkeeping
+    // sees every reference
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${2L}%020d.json")),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    val removeLine = lines.find(_.contains("\"remove\"")).get
+    assert(removeLine.contains("\"deletionVector\""))
+    // v1's remove (of a DV-free file version) carries none
+    val lines1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${1L}%020d.json")),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    assert(!lines1.find(_.contains("\"remove\"")).get
+      .contains("\"deletionVector\""))
+  }
+
   test("v2 checkpoint with a missing sidecar rejects loudly") {
     val (t, v, _) = vacuumedLogFixture("v2cpm.delta")
     DeltaLake.foreignV2Checkpoint(spark, t, numSidecars = 2)

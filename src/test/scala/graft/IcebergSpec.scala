@@ -557,6 +557,26 @@ class IcebergSpec extends SparkSpec {
       Iceberg.fromIcebergChanges(spark, td).collect())
     assert(e2.getMessage.contains("not append-only") ||
       e2.getMessage.contains("'delete'"))
+    // a history WITHOUT parent-snapshot-id links (pre-r16 graft /
+    // foreign writers) must reject, never silently deliver only the
+    // newest snapshot's rows
+    val tl = tmp("chgleg.iceberg")
+    Iceberg.toIceberg(Seq((1L, "a")).toDF("id", "s"), tl)
+    Iceberg.toIceberg(Seq((2L, "b")).toDF("id", "s"), tl, mode = "append")
+    val mdir = s"$tl/metadata"
+    val mfile = graft.sources.FsIO.listFileNames(mdir)
+      .filter(_.endsWith(".metadata.json")).max
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mj = mapper.readTree(readAll(s"$mdir/$mfile"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapsN = mj.get("snapshots")
+    (0 until snapsN.size()).foreach(i =>
+      snapsN.get(i).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .remove("parent-snapshot-id"))
+    writeText(s"$mdir/$mfile", mapper.writeValueAsString(mj))
+    val eL = intercept[IllegalArgumentException](
+      Iceberg.fromIcebergChanges(spark, tl).collect())
+    assert(eL.getMessage.contains("OFF the parent chain"))
     // expired mid-chain ancestors are loud, never a silent partial tail
     val te = tmp("chgexp.iceberg")
     Iceberg.toIceberg(Seq((1L, "a")).toDF("id", "s"), te)
