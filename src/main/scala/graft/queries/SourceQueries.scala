@@ -573,6 +573,30 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta REORG-PURGE: after a DV delete, purgeDeletionVectors
+    // rewrites exactly the masked files to their survivors
+    // (dataChange=false — logically invisible), unlocking
+    // maintenance/checkpoints; a compact afterwards proves the
+    // unlock. The oracle is the same logical row set as the delete.
+    "q_delta_dv_purge" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_dvpurge") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li, table)
+      D.deleteWhere(s, table, col("l_orderkey") % 7 === 3,
+        viaDeletionVectors = true)
+      D.purgeDeletionVectors(s, table)
+      D.compact(s, table) // unlocked by the purge
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta V2 checkpoint: the modern DBR log layout — a uuid-named
     // manifest + parquet sidecar files under _delta_log/_sidecars/,
     // with every pre-checkpoint JSON commit vacuumed away. The read
@@ -1418,6 +1442,12 @@ object SourceQueries {
          |FROM lineitem WHERE l_orderkey <= 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_dv" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey % 7 <> 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv_purge" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key

@@ -1192,17 +1192,34 @@ object DeltaLake {
     val latest = latestVersion(table)
     require(latest >= 0, s"not a Delta table: $table")
     val keepFrom = math.max(0L, latest - retainVersions + 1)
-    val referenced = (keepFrom to latest).flatMap { v =>
-      try snapshot(spark, table, Some(v)).adds
-        .map(a => FsIO.normalize(resolveDataPath(table, a.path)))
+    val retained = (keepFrom to latest).flatMap { v =>
+      try Some(snapshot(spark, table, Some(v)))
       catch { // versions compacted away below a checkpoint still vacuum fine
         case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("missing commit") => Nil
+          if e.getMessage != null && e.getMessage.contains("missing commit") => None
       }
-    }.toSet
-    val onDisk = FsIO.listFilesRecursive(table).collect {
+    }
+    val referenced = retained.flatMap(_.adds
+      .map(a => FsIO.normalize(resolveDataPath(table, a.path)))).toSet
+    // deletion-vector .bin files referenced by any retained version —
+    // everything else matching the DV naming convention is an orphan
+    // (a purge/overwrite dropped its last reference)
+    val referencedBins = retained.flatMap(_.adds.flatMap(a => Option(a.dv))
+      .collect {
+        case d if d.storageType == "u" => FsIO.normalize(
+          s"$table/${RoaringDv.relativeDvPath(d.pathOrInlineDv)}")
+        case d if d.storageType == "p" => FsIO.normalize(d.pathOrInlineDv)
+      }).toSet
+    val all = FsIO.listFilesRecursive(table)
+    val onDisk = all.collect {
       case (p, _, _) if p.endsWith(".parquet") &&
           !p.contains("/_delta_log/") && !p.contains("/_staging/") => p
+    }
+    val binOrphans = all.collect {
+      case (p, _, _) if p.endsWith(".bin") &&
+          p.substring(p.lastIndexOf('/') + 1).startsWith("deletion_vector_") &&
+          !p.contains("/_delta_log/") &&
+          !referencedBins(FsIO.normalize(p)) => p
     }
     // stale staging attempts (a CRASHED writer's attempt-unique
     // subdir is otherwise never reclaimed): sweep files older than
@@ -1211,9 +1228,47 @@ object DeltaLake {
     val staleStaging = FsIO.listFilesRecursive(s"$table/_staging").collect {
       case (p, _, mtime) if mtime < staleCutoff => p
     }
-    val candidates = onDisk.filterNot(referenced) ++ staleStaging
+    val candidates = onDisk.filterNot(referenced) ++ binOrphans ++ staleStaging
     if (!dryRun) candidates.foreach(FsIO.deleteRecursive)
     candidates.map(_.stripPrefix(table).stripPrefix("/"))
+  }
+
+  /** REORG-PURGE (Delta's `REORG TABLE ... APPLY (PURGE)`): rewrite
+    * exactly the files carrying deletion vectors to their surviving
+    * rows, dropping the DVs. Logical rows are unchanged, so the
+    * commit is dataChange=false — incremental tails deliver nothing,
+    * like OPTIMIZE. This closes the DV lifecycle: after a purge the
+    * snapshot is DV-free, so checkpoints, maintenance and full
+    * writes unlock, and [[vacuum]] reclaims the orphaned .bin files
+    * once the DV-carrying versions age out. Untouched files stay
+    * untouched metadata — cost scales with the DV-carrying files
+    * only. Returns the committed version (unchanged when no file
+    * carries a DV). */
+  def purgeDeletionVectors(spark: SparkSession, table0: String,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    require(snap.meta.columnMapping == "none",
+      s"purgeDeletionVectors: table ${snap.table} uses column mapping " +
+        "— read-only support beyond appends")
+    requireNoV2Checkpoint(snap, "purgeDeletionVectors")
+    val dvFiles = snap.adds.filter(_.dv != null)
+    if (dvFiles.isEmpty) return snap.version // already clean
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    // readAdds applies the DV anti-filter in-scan: survivors only
+    val survivors = readAdds(spark, table, schema, partCols, dvFiles)
+    val adds = stageAdds(spark, table, survivors, partCols)
+    val version = snap.version + 1
+    commitActions(table, version, "REORG",
+      Map("applyPurge" -> "true", "purgedFiles" -> dvFiles.size.toString),
+      removes = dvFiles.map(_.path), adds = adds, dataChange = false,
+      removeDvs = dvFiles.map(a => a.path -> a.dv).toMap)
+    // the NEW snapshot is DV-free, so checkpointing is legal again
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, table, version)
+    version
   }
 
   /** RESTORE: make the table's CURRENT state equal version `toVersion`

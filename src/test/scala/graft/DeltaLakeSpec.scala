@@ -952,6 +952,52 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDelta(spark, t).count() == fourth.count() + 2)
   }
 
+  test("purgeDeletionVectors closes the DV lifecycle: rewrite, unlock, reclaim") {
+    val t = tmp("dvpurge.delta")
+    import spark.implicits._
+    val df = spark.range(0, 200).select(
+      col("id"), (col("id") % 7).as("m"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.toDelta(df, t)                                             // v0
+    DeltaLake.deleteWhere(spark, t, col("m") === 3,
+      viaDeletionVectors = true)                                         // v1
+    val masked = DeltaLake.fromDelta(spark, t)
+    val expect = masked.orderBy("id").collect().toSeq
+    val v = DeltaLake.purgeDeletionVectors(spark, t)                     // v2
+    assert(v == 2L)
+    val purged = DeltaLake.fromDelta(spark, t)
+    // logical rows are IDENTICAL; the DV-carrying files were rewritten
+    assert(purged.orderBy("id").collect().toSeq == expect)
+    // the incremental tail sees NOTHING from the purge (dataChange=false)
+    assert(DeltaLake.fromDeltaChanges(spark, t, 1L).count() == 0)
+    // the snapshot is DV-free: maintenance and full writes unlock
+    DeltaLake.compact(spark, t)                                          // v3
+    DeltaLake.upsert(spark, t,
+      Seq((500L, 1L)).toDF("id", "m"), Seq("id"))                        // v4
+    assert(DeltaLake.fromDelta(spark, t).count() == expect.size + 1)
+    // checkpointing is legal again (interval forces one here)
+    DeltaLake.toDelta(Seq((600L, 2L)).toDF("id", "m"), t, "append",
+      checkpointInterval = 5)                                            // v5
+    assert(FsIO.listFileNames(s"$t/_delta_log")
+      .exists(_.endsWith(".checkpoint.parquet")))
+    // vacuum reclaims the orphaned DV .bin once its versions age out
+    assert(FsIO.listFilesRecursive(t).exists(_._1.endsWith(".bin")))
+    val swept = DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
+    assert(swept.exists(_.endsWith(".bin")), s"no .bin swept: $swept")
+    assert(!FsIO.listFilesRecursive(t).exists(_._1.endsWith(".bin")))
+    assert(DeltaLake.fromDelta(spark, t).count() == expect.size + 2)
+    // a purge with no DVs is a no-op (no commit)
+    assert(DeltaLake.purgeDeletionVectors(spark, t) ==
+      DeltaLake.latestVersion(t))
+    // vacuum never sweeps a STILL-REFERENCED bin (current version)
+    val t2 = tmp("dvkeep.delta")
+    DeltaLake.toDelta(df, t2)
+    DeltaLake.deleteWhere(spark, t2, col("m") === 3, viaDeletionVectors = true)
+    val swept2 = DeltaLake.vacuum(spark, t2, retainVersions = 1, dryRun = false)
+    assert(!swept2.exists(_.endsWith(".bin")))
+    assert(DeltaLake.fromDelta(spark, t2).filter(col("m") === 3).count() == 0)
+  }
+
   test("DV-emitting deleteWhere on a PARTITIONED table prunes via stats and masks per file") {
     val t = tmp("dvdelp.delta")
     import spark.implicits._
