@@ -810,6 +810,28 @@ object SourceQueries {
       agg(graft.sources.Readers.open(s, table))
     }),
 
+    // Iceberg production MoR DELETE: deleteWhere emits sorted sharded
+    // position-delete parquet executor-side (the Spark/Flink
+    // merge-on-read layout), a blind append lands after it, and the
+    // read anti-joins the deletes back out. Oracle = lineitem minus
+    // the deleted predicate plus the appended slice.
+    "q_iceberg_delete" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_pdel") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(li.filter(col("l_orderkey") <= 4000), table)
+      I.deleteWhere(s, table, col("l_orderkey") % 7 === 3)
+      I.toIceberg(li.filter(col("l_orderkey") > 4000), table, mode = "append")
+      I.fromIceberg(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Iceberg incremental changes: the spec's added-data-files walk
     // between snapshots — initial write + two fast-appends, pulled as
     // one (beginning, current] range tagged with the MONOTONIC
@@ -1534,6 +1556,13 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_delete" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE NOT (l_orderkey <= 4000 AND l_orderkey % 7 = 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_changes" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

@@ -1148,6 +1148,138 @@ object Iceberg {
 
 
 
+  /** MERGE-ON-READ DELETE (production): rows matching `cond` become
+    * POSITION-delete entries — the layout Spark/Flink Iceberg writers
+    * produce in merge-on-read mode, readable back by [[fromIceberg]]
+    * and by conforming foreign readers (delete parquet carries the
+    * spec field ids, paths are the manifests' own raw spellings,
+    * files are (file_path, pos)-sorted).
+    *
+    * The 100 TB shape, mirroring the Delta DV delete: candidate files
+    * prefilter through the SAME bounds evaluator as reads, the scan
+    * emits (file, row_index) inside whole-stage codegen (PathId maps
+    * _metadata spellings to canonical ordinals — never per-row
+    * normalization), and the delete rows range-shuffle ONCE into
+    * sorted sharded parquet written by the executors; the driver
+    * handles only file metadata. Rows already masked by prior
+    * position deletes may re-enter new delete files — (path, pos)
+    * anti-joins are idempotent, so that is harmless duplication, not
+    * corruption. Tables with EQUALITY deletes, partitioned default
+    * specs, non-parquet data files or rename drift reject loudly.
+    * Returns the new snapshot id (unchanged when nothing matches). */
+  def deleteWhere(spark: SparkSession, dir0: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    meta.renameDrift.foreach(msg => throw new IllegalArgumentException(
+      s"deleteWhere: table $dir has schema-evolution the name-based " +
+        s"reader cannot honor ($msg)"))
+    require(meta.formatVersion == 2,
+      s"deleteWhere: format-version ${meta.formatVersion} tables have " +
+        "no sequence numbers; rewrite via toIceberg instead")
+    require(meta.currentSnapshotId >= 0, s"empty Iceberg table: $dir")
+    // our delete manifests carry EMPTY partition tuples — only legal
+    // against an unpartitioned default spec
+    val mj = mapper.readTree(readAll(s"$dir/metadata/${meta.file}"))
+    val defaultSpec = Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    Option(mj.get("partition-specs")).filter(_.isArray).foreach { arr =>
+      (0 until arr.size()).foreach { i =>
+        val sp = arr.get(i)
+        if (Option(sp.get("spec-id")).exists(_.asInt() == defaultSpec))
+          require(!sp.hasNonNull("fields") || sp.get("fields").size() == 0,
+            "deleteWhere: partitioned Iceberg tables are unsupported " +
+              "(delete manifests would need partition tuples)")
+      }
+    }
+    val snap = meta.snapshots.find(_.id == meta.currentSnapshotId).get
+    val (files0, priorDels) = liveFiles(meta, snap, withStats = true)
+    require(priorDels.forall(_.equalityIds.isEmpty),
+      "deleteWhere: tables with EQUALITY deletes are unsupported " +
+        "(sequence scoping under new deletes)")
+    require(files0.forall(_.format == "PARQUET"),
+      "deleteWhere: parquet data files only (position deletes need " +
+        "_metadata.row_index)")
+    if (files0.isEmpty) return meta.currentSnapshotId
+    // bounds prefilter: provably-clean files never become scan tasks
+    val pred = DeltaLake.resolvePredicate(spark, meta.schema, cond)
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val candidates = files0.filter(f => DeltaStats.mightMatch(pred,
+      meta.schema, Nil, Map.empty, f.statsJson, tz))
+    if (candidates.isEmpty) return meta.currentSnapshotId
+    val pathIds = new java.util.HashMap[UTF8String, Integer]()
+    candidates.zipWithIndex.foreach { case (f, i) =>
+      (Option(f.rawPath).toSeq ++ PathKeys.spellings(f.path)).foreach(sp =>
+        pathIds.put(UTF8String.fromString(sp), Integer.valueOf(i)))
+    }
+    // the delete file must record the MANIFESTS' own path spelling —
+    // foreign readers compare file_path strings exactly
+    val rawByOrd: Array[String] = // lit() takes arrays, not Lists
+      candidates.map(f => if (f.rawPath != null) f.rawPath else f.path).toArray
+    val hits = spark.read.schema(meta.schema)
+      .parquet(candidates.map(_.path): _*)
+      .filter(coalesce(cond, lit(false)))
+      .select(Bridge.column(PathId(Bridge.expression(
+        col("_metadata.file_path")), pathIds, strict = true)).as("__fid"),
+        col("_metadata.row_index").as("__pos"))
+      .select(element_at(lit(rawByOrd), col("__fid") + 1)
+        .as("file_path", fieldIdMeta(2147483546L)),
+        col("__pos").as("pos", fieldIdMeta(2147483545L)))
+    val parts = math.max(1, math.min(candidates.size,
+      spark.sparkContext.defaultParallelism))
+    val staging = s"$dir/_staging/${java.util.UUID.randomUUID()}"
+    val prevFid = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val staged: Seq[(String, Long)] = try {
+      hits.repartitionByRange(parts, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos") // the spec's sort order
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+      FsIO.listFilesRecursive(staging).collect {
+        case (p, len, _) if p.endsWith(".parquet") => (p, len)
+      }.toSeq.sortBy(_._1)
+    } finally {
+      prevFid match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+    }
+    // per-file record counts in ONE scan (footer-only shape); empty
+    // shards are dropped — a no-match delete commits nothing
+    val counts: Map[String, Long] =
+      if (staged.isEmpty) Map.empty
+      else {
+        val bySpelling = staged.flatMap { case (p, _) =>
+          PathKeys.spellings(p).map(_ -> p) }.toMap
+        spark.read.parquet(staged.map(_._1): _*)
+          .groupBy(col("_metadata.file_path").as("f")).count()
+          .collect().map { r =>
+            bySpelling.getOrElse(r.getString(0),
+              throw new IllegalStateException(
+                s"unmatched staged spelling ${r.getString(0)}")) -> r.getLong(1)
+          }.toMap
+      }
+    val nonEmpty = staged.filter(s => counts.getOrElse(s._1, 0L) > 0L)
+    if (nonEmpty.isEmpty) { FsIO.deleteRecursive(staging); return meta.currentSnapshotId }
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits) max 1L
+    val seq = meta.lastSequenceNumber + 1
+    val delFiles = nonEmpty.map { case (p, len) =>
+      val dst = s"$dir/data/delete-${java.util.UUID.randomUUID()}.parquet"
+      FsIO.rename(p, dst)
+      (dst, len, counts(p))
+    }
+    FsIO.deleteRecursive(staging)
+    commitDeleteManifest(dir, meta, delFiles, fileContent = 1,
+      equalityIds = Nil, snapshotId = snapshotId, seq = seq, now = now)
+    snapshotId
+  }
+
   // ------------------------------------------------------------------
   // Foreign-table fixture builder (tests + oracle lanes ONLY)
   // ------------------------------------------------------------------
@@ -1223,7 +1355,8 @@ object Iceberg {
         (dst, len)
     }.head
     FsIO.deleteRecursive(staging)
-    commitDeleteManifest(dir, meta, delPath, hits.length.toLong,
+    commitDeleteManifest(dir, meta,
+      Seq((delPath._1, delPath._2, hits.length.toLong)),
       fileContent = 1, equalityIds = Nil, snapshotId = snapshotId,
       seq = seq, now = now)
     snapshotId
@@ -1282,29 +1415,33 @@ object Iceberg {
         (dst, len)
     }.head
     FsIO.deleteRecursive(staging)
-    commitDeleteManifest(dir, meta, delPath, n, fileContent = 2,
+    commitDeleteManifest(dir, meta, Seq((delPath._1, delPath._2, n)),
+      fileContent = 2,
       equalityIds = equalityCols.map(idsByName), snapshotId = snapshotId,
       seq = seq, now = now)
     snapshotId
   }
 
 
-  /** Shared tail of the two foreign delete-commit builders: write the
-    * delete MANIFEST (content=1 list entry; data_file content = 1
-    * position / 2 equality with its equality_ids), a manifest list
-    * re-listing the prior manifests, and the new snapshot/metadata
-    * version. */
+  /** Shared tail of the delete-commit paths (production deleteWhere +
+    * the two foreign fixture builders): write ONE delete MANIFEST
+    * listing every delete file (content=1 list entry; data_file
+    * content = 1 position / 2 equality with its equality_ids), a
+    * manifest list re-listing the prior manifests, and the new
+    * snapshot/metadata version. `delFiles`: (path, byteLen, records)
+    * per delete parquet. */
   private def commitDeleteManifest(dir: String, meta: Metadata,
-      delPath: (String, Long), n: Long, fileContent: Int,
+      delFiles: Seq[(String, Long, Long)], fileContent: Int,
       equalityIds: Seq[Int], snapshotId: Long, seq: Long,
       now: Long): Unit = {
+    require(delFiles.nonEmpty, "commitDeleteManifest: no delete files")
     val mdir = s"$dir/metadata"
     val prefix = if (fileContent == 2) "graft-e" else "graft-d"
     val delManifest = s"$mdir/$prefix-${java.util.UUID.randomUUID()}.avro"
     writeAvro(delManifest, ManifestEntrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
         "partition-spec-id" -> "0"),
-      Seq {
+      delFiles.map { case (path, len, n) =>
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1)
         e.put("snapshot_id", snapshotId)
@@ -1313,12 +1450,12 @@ object Iceberg {
         val d = new GenericData.Record(
           ManifestEntrySchema.getField("data_file").schema())
         d.put("content", fileContent)
-        d.put("file_path", delPath._1)
+        d.put("file_path", path)
         d.put("file_format", "PARQUET")
         d.put("partition", new GenericData.Record(
           d.getSchema.getField("partition").schema()))
         d.put("record_count", n)
-        d.put("file_size_in_bytes", delPath._2)
+        d.put("file_size_in_bytes", len)
         if (equalityIds.nonEmpty) {
           val ids = new java.util.ArrayList[Integer]()
           equalityIds.foreach(c => ids.add(Integer.valueOf(c)))
@@ -1329,6 +1466,7 @@ object Iceberg {
       })
     val delLen = { val (fs, p) = FsIO.resolve(delManifest)
       fs.getFileStatus(p).getLen }
+    val nTotal = delFiles.map(_._3).sum
     val delEntry = {
       val e = new GenericData.Record(ManifestFileSchema)
       e.put("manifest_path", delManifest)
@@ -1338,10 +1476,10 @@ object Iceberg {
       e.put("sequence_number", seq)
       e.put("min_sequence_number", seq)
       e.put("added_snapshot_id", snapshotId)
-      e.put("added_files_count", 1)
+      e.put("added_files_count", delFiles.size)
       e.put("existing_files_count", 0)
       e.put("deleted_files_count", 0)
-      e.put("added_rows_count", n)
+      e.put("added_rows_count", nTotal)
       e.put("existing_rows_count", 0L)
       e.put("deleted_rows_count", 0L)
       e

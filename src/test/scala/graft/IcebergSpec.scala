@@ -505,6 +505,60 @@ class IcebergSpec extends SparkSpec {
     assert(Readers.open(spark, plain).count() == 1L)
   }
 
+  test("production deleteWhere: sorted sharded position deletes, composition, guards") {
+    val t = tmp("pdel.iceberg")
+    import spark.implicits._
+    val df = spark.range(0, 200).select(
+      col("id"), (col("id") % 7).as("m"), (col("id") % 5).as("k"))
+      .repartitionByRange(4, col("id"))
+    Iceberg.toIceberg(df, t)
+    val files0 = Iceberg.fromIceberg(spark, t).inputFiles.toSet
+    val sid = Iceberg.deleteWhere(spark, t, col("m") === 3)
+    val back = Iceberg.fromIceberg(spark, t)
+    assert(back.count() == 200 - 29)
+    assert(back.filter(col("m") === 3).count() == 0)
+    // merge-on-read: the DATA files are untouched
+    assert(back.inputFiles.filter(files0).toSet == files0)
+    // the delete parquet itself: (file_path, pos)-sorted, spec columns
+    val delFiles = graft.sources.FsIO.listFilesRecursive(s"$t/data")
+      .collect { case (p, _, _) if p.contains("/delete-") => p }
+    assert(delFiles.nonEmpty)
+    val del = spark.read.parquet(delFiles: _*)
+    assert(del.columns.toSeq == Seq("file_path", "pos"))
+    val delRows = spark.read.parquet(delFiles.head)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(delRows == delRows.sorted, "delete file not (file_path, pos) sorted")
+    // repeated deletes COMPOSE
+    Iceberg.deleteWhere(spark, t, col("k") === 2)
+    val third = Iceberg.fromIceberg(spark, t)
+    assert(third.filter(col("m") === 3 || col("k") === 2).count() == 0)
+    assert(third.count() ==
+      (0L until 200L).count(i => i % 7 != 3 && i % 5 != 2))
+    // appends after the delete land untouched rows
+    Iceberg.toIceberg(spark.range(1000, 1010).select(
+      col("id"), (col("id") % 7).as("m"), (col("id") % 5).as("k")),
+      t, mode = "append")
+    val after = Iceberg.fromIceberg(spark, t)
+    assert(after.filter(col("id") >= 1000).count() == 10)
+    assert(after.filter(col("id") >= 1000 && col("m") === 3).count() ==
+      (1000L until 1010L).count(_ % 7 == 3)) // delete predates them
+    // a no-match delete commits NOTHING
+    val snapsBefore = Iceberg.snapshots(spark, t).count()
+    val vSame = Iceberg.deleteWhere(spark, t, col("id") === -1L)
+    assert(Iceberg.snapshots(spark, t).count() == snapsBefore)
+    // equality deletes present -> loud
+    val te = tmp("pdeleq.iceberg")
+    Iceberg.toIceberg(df, te)
+    Iceberg.foreignEqualityDeletes(spark, te,
+      Seq(Tuple1(3L)).toDF("m"), Seq("m"))
+    val e = intercept[IllegalArgumentException](
+      Iceberg.deleteWhere(spark, te, col("k") === 1))
+    assert(e.getMessage.contains("EQUALITY"))
+    // time travel to the pre-delete snapshot still sees all rows
+    assert(Iceberg.fromIceberg(spark, t,
+      snapshotId = Some(sid)).count() == 200 - 29)
+  }
+
   test("fromIcebergChanges tails appended snapshots exactly-once") {
     val t = tmp("chg.iceberg")
     import spark.implicits._
