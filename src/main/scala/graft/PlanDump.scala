@@ -74,7 +74,12 @@ object PlanDump {
     // probe feeding the fused dense kernel (no Exchange before the
     // partials)
     "q_delta_v2cp", "q_delta_multicp", "q_delta_dv_delete",
-    "q_iceberg_changes", "q_groupby_dict", "q_zarr_bitshuf")
+    "q_iceberg_changes", "q_groupby_dict", "q_zarr_bitshuf",
+    // r16 session 2: purge leaves plain scans (DVs gone, no filter);
+    // iceberg_delete is the broadcast left-anti on (fid, pos) over
+    // the sharded delete files; zarr_v3 is the same chunk-range scan
+    // as v2 (store format invisible to the plan)
+    "q_delta_dv_purge", "q_iceberg_delete", "q_zarr_v3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
