@@ -533,19 +533,22 @@ object DeltaLake {
     val target = versionAsOf.getOrElse(latest)
     require(target >= 0 && target <= latest,
       s"versionAsOf $target out of range [0, $latest] for $table")
-    // COMPLETE multi-part checkpoints only: every part 1..n present
-    // with one consistent n (an in-flight or damaged set is simply not
-    // a candidate — never an error, the JSON tail may still cover it)
+    // COMPLETE multi-part checkpoints only: the protocol allows
+    // SEVERAL complete checkpoints of one version with different part
+    // counts (racing writers), each a full state — group the part
+    // files by (version, numParts) and accept any set whose parts
+    // 1..n are all present, preferring the smallest numParts (fewest
+    // files to read). An in-flight or damaged set is simply not a
+    // candidate — never an error, the JSON tail may still cover it.
     val completeMulti: Map[Long, Seq[String]] =
       listing.multi.flatMap { case (v, names) =>
         val parts = names.map {
           case n @ MultiPartCheckpointRe(_, p, tot) => (p.toInt, tot.toInt, n)
         }
-        val totals = parts.map(_._2).distinct
-        if (totals.size == 1 &&
-            parts.map(_._1).sorted == (1 to totals.head))
-          Some(v -> parts.sortBy(_._1).map(_._3))
-        else None
+        parts.groupBy(_._2).toSeq.sortBy(_._1).collectFirst {
+          case (tot, set) if set.map(_._1).distinct.sorted == (1 to tot) =>
+            v -> set.sortBy(_._1).map(_._3)
+        }
       }
     // newest usable checkpoint <= target, any form (equal versions
     // hold identical state — prefer the cheapest read: classic, then
@@ -1215,16 +1218,21 @@ object DeltaLake {
       case (p, _, _) if p.endsWith(".parquet") &&
           !p.contains("/_delta_log/") && !p.contains("/_staging/") => p
     }
-    val binOrphans = all.collect {
-      case (p, _, _) if p.endsWith(".bin") &&
-          p.substring(p.lastIndexOf('/') + 1).startsWith("deletion_vector_") &&
-          !p.contains("/_delta_log/") &&
-          !referencedBins(FsIO.normalize(p)) => p
-    }
     // stale staging attempts (a CRASHED writer's attempt-unique
     // subdir is otherwise never reclaimed): sweep files older than
     // 24h — far beyond any live write's staging lifetime
     val staleCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    // DV .bin orphans get the SAME 24h grace as staging:
+    // deleteWhereDv writes its .bin at the table root BEFORE the
+    // commit that references it, so a freshly written unreferenced
+    // .bin may be an in-flight delete, not garbage. (Truly orphaned
+    // bins — purged/overwritten references — age past the window.)
+    val binOrphans = all.collect {
+      case (p, _, mtime) if p.endsWith(".bin") &&
+          p.substring(p.lastIndexOf('/') + 1).startsWith("deletion_vector_") &&
+          !p.contains("/_delta_log/") && mtime < staleCutoff &&
+          !referencedBins(FsIO.normalize(p)) => p
+    }
     val staleStaging = FsIO.listFilesRecursive(s"$table/_staging").collect {
       case (p, _, mtime) if mtime < staleCutoff => p
     }

@@ -8,6 +8,7 @@ import org.apache.avro.{Schema => ASchema}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Dependency-free Apache Iceberg table source (+ a minimal v2
@@ -1231,22 +1232,17 @@ object Iceberg {
     val parts = math.max(1, math.min(candidates.size,
       spark.sparkContext.defaultParallelism))
     val staging = s"$dir/_staging/${java.util.UUID.randomUUID()}"
-    val prevFid = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val staged: Seq[(String, Long)] = try {
-      hits.repartitionByRange(parts, col("file_path"), col("pos"))
+    // fieldId.write is enabled in a CLONED session (Bridge), never by
+    // toggling the caller's conf — a concurrent write on the same
+    // session must not race the flag
+    val staged: Seq[(String, Long)] = Bridge.withSessionConf(hits,
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true")) { h =>
+      h.repartitionByRange(parts, col("file_path"), col("pos"))
         .sortWithinPartitions("file_path", "pos") // the spec's sort order
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
       FsIO.listFilesRecursive(staging).collect {
         case (p, len, _) if p.endsWith(".parquet") => (p, len)
       }.toSeq.sortBy(_._1)
-    } finally {
-      prevFid match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-        case None =>
-          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-      }
     }
     // per-file record counts in ONE scan (footer-only shape); empty
     // shards are dropped — a no-match delete commits nothing
@@ -1337,16 +1333,12 @@ object Iceberg {
     val staging = s"$dir/_staging"
     FsIO.deleteRecursive(staging)
     import spark.implicits._
-    val prevFid = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    try hits.toSeq.toDF("file_path", "pos")
-      .select(col("file_path").as("file_path", fieldIdMeta(2147483546L)),
-        col("pos").as("pos", fieldIdMeta(2147483545L)))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    finally prevFid match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    Bridge.withSessionConf(hits.toSeq.toDF("file_path", "pos")
+        .select(col("file_path").as("file_path", fieldIdMeta(2147483546L)),
+          col("pos").as("pos", fieldIdMeta(2147483545L))),
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true")) { h =>
+      h.coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     }
     val delPath = FsIO.listFilesRecursive(staging).collect {
       case (p, len, _) if p.endsWith(".parquet") =>
@@ -1400,13 +1392,10 @@ object Iceberg {
       .distinct().orderBy(equalityCols.map(
         org.apache.spark.sql.functions.col): _*)
     val n = rows.count()
-    val prevFid = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    try rows.coalesce(1).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    finally prevFid match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    Bridge.withSessionConf(rows,
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true")) { r =>
+      r.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     }
     val delPath = FsIO.listFilesRecursive(staging).collect {
       case (p, len, _) if p.endsWith(".parquet") =>

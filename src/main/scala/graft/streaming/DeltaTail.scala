@@ -58,7 +58,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
     DeltaTailSourceProvider.maxPerBatchOf(parameters)
     DeltaTailSourceProvider.maxBytesOf(parameters)
     parameters.get("startingTimestamp")
-      .foreach(DeltaTailSourceProvider.parseTimestamp)
+      .foreach(DeltaTailSourceProvider.parseTimestamp(_,
+        sqlContext.sparkSession))
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "options startingVersion and startingTimestamp are mutually exclusive")
@@ -80,7 +81,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
         // (ISO local date[-time], or epoch millis) — resolved against
         // commitInfo timestamps / commit-file mtimes
         case Some(ts) => DeltaLake.versionAtOrAfterTimestamp(table,
-          DeltaTailSourceProvider.parseTimestamp(ts))
+          DeltaTailSourceProvider.parseTimestamp(ts,
+            sqlContext.sparkSession))
         case None => DeltaLake.latestVersion(table) // new commits only
       }
     }
@@ -114,16 +116,22 @@ object DeltaTailSourceProvider {
   }
 
   /** `startingTimestamp`: epoch millis, ISO date (`2026-08-16`) or
-    * ISO local date-time (`2026-08-16T12:30:00`), read in UTC — the
-    * same clock commitInfo timestamps carry. */
-  private[graft] def parseTimestamp(s0: String): Long = {
+    * ISO local date-time (`2026-08-16T12:30:00`). Zone-free ISO forms
+    * resolve against `spark.sql.session.timeZone` — the same rule the
+    * upstream Delta streaming source applies, so migrating pipelines
+    * keep their start offset (commitInfo carries epoch millis; only
+    * the user-supplied wall-clock string needs a zone). */
+  private[graft] def parseTimestamp(s0: String,
+      spark: SparkSession): Long = {
     val s = s0.trim
     if (s.forall(_.isDigit)) s.toLong
     else {
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
       val ldt =
         if (s.contains("T")) java.time.LocalDateTime.parse(s)
         else java.time.LocalDate.parse(s).atStartOfDay()
-      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      ldt.atZone(zone).toInstant.toEpochMilli
     }
   }
 

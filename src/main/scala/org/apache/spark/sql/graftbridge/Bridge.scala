@@ -47,6 +47,24 @@ object Bridge {
       case _ => None
     }
   }
+  /** Run `body` over `df` re-rooted into a CLONED session carrying
+    * `confs` on top of the caller's settings. The clone shares the
+    * SparkContext, catalog and cache but owns its SQLConf, so a write
+    * needing e.g. `spark.sql.parquet.fieldId.write.enabled` never
+    * toggles the user's session — a concurrent write on the original
+    * session can neither observe nor clobber the flag (the previous
+    * set/restore pattern raced it). `cloneSession`/`Dataset.ofRows`
+    * are `private[sql]`, hence this lives in the bridge. */
+  def withSessionConf[T](df: org.apache.spark.sql.DataFrame,
+      confs: Map[String, String])(
+      body: org.apache.spark.sql.DataFrame => T): T = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val clone = cs.cloneSession()
+    confs.foreach { case (k, v) => clone.conf.set(k, v) }
+    body(org.apache.spark.sql.classic.Dataset.ofRows(clone,
+      df.queryExecution.logical))
+  }
+
   /** Re-tag a BATCH DataFrame's rows as a STREAMING micro-batch: the
     * V1 streaming `Source.getBatch` contract requires the returned
     * frame to carry isStreaming=true (MicroBatchExecution asserts

@@ -772,6 +772,25 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDelta(spark, t).count() == n + 10)
   }
 
+  test("racing multi-part checkpoints: two complete sets of one version both usable") {
+    // the protocol allows several complete checkpoints of the SAME
+    // version with different part counts (racing writers) — any
+    // complete set is full state; selection groups by (version,
+    // numParts) and prefers the smallest part count
+    val (t, v, n) = vacuumedLogFixture("mpcprace.delta")
+    DeltaLake.foreignMultiPartCheckpoint(spark, t, numParts = 2)
+    DeltaLake.foreignMultiPartCheckpoint(spark, t, numParts = 3)
+    dropJsonCommits(t, v)
+    assert(DeltaLake.fromDelta(spark, t).count() == n)
+    // one racing set INCOMPLETE (damaged) — the other still opens
+    val part2of3 = FsIO.listFileNames(s"$t/_delta_log")
+      .find(_.matches(raw"\d{20}\.checkpoint\.0000000002\.0000000003\.parquet")).get
+    FsIO.deleteRecursive(s"$t/_delta_log/$part2of3")
+    assert(DeltaLake.fromDelta(spark, t).count() == n)
+    assert(DeltaLake.fromDelta(spark, t)
+      .agg(sum("id")).head.getLong(0) == (0L until 180L).sum)
+  }
+
   test("incomplete multi-part checkpoint is not a candidate (loud, never partial state)") {
     val (t, v, _) = vacuumedLogFixture("mpcpbad.delta")
     DeltaLake.foreignMultiPartCheckpoint(spark, t, numParts = 3)
@@ -980,8 +999,19 @@ class DeltaLakeSpec extends SparkSpec {
       checkpointInterval = 5)                                            // v5
     assert(FsIO.listFileNames(s"$t/_delta_log")
       .exists(_.endsWith(".checkpoint.parquet")))
-    // vacuum reclaims the orphaned DV .bin once its versions age out
+    // vacuum reclaims the orphaned DV .bin once its versions age out —
+    // but a FRESH orphan gets the same 24h grace as staging (an
+    // in-flight deleteWhereDv writes its .bin before the commit that
+    // references it), so it is spared until its mtime ages past the
+    // window
     assert(FsIO.listFilesRecursive(t).exists(_._1.endsWith(".bin")))
+    val fresh = DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
+    assert(!fresh.exists(_.endsWith(".bin")),
+      s"fresh orphan .bin swept inside the grace window: $fresh")
+    FsIO.listFilesRecursive(t).collect { case (p, _, _) if p.endsWith(".bin") =>
+      new java.io.File(p).setLastModified(
+        System.currentTimeMillis() - 25L * 3600 * 1000)
+    }
     val swept = DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
     assert(swept.exists(_.endsWith(".bin")), s"no .bin swept: $swept")
     assert(!FsIO.listFilesRecursive(t).exists(_._1.endsWith(".bin")))

@@ -201,9 +201,19 @@ class DeltaTailSpec extends SparkSpec {
     // newer than every commit: start at latest (new commits only)
     assert(DeltaLake.versionAtOrAfterTimestamp(t,
       System.currentTimeMillis() + 60000) == 2L)
-    // ISO forms parse in UTC; both options together reject
-    assert(DeltaTailSourceProvider.parseTimestamp("1970-01-01") == 0L)
-    assert(DeltaTailSourceProvider.parseTimestamp("1970-01-01T00:00:01") == 1000L)
+    // ISO forms parse in the SESSION timezone (UTC here; the upstream
+    // Delta source's rule); both options together reject
+    assert(DeltaTailSourceProvider.parseTimestamp("1970-01-01", spark) == 0L)
+    assert(DeltaTailSourceProvider.parseTimestamp(
+      "1970-01-01T00:00:01", spark) == 1000L)
+    // a non-UTC session shifts the resolved instant accordingly
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Etc/GMT-2") // UTC+2
+      assert(DeltaTailSourceProvider.parseTimestamp("1970-01-01T02:00:00",
+        spark) == 0L)
+      assert(DeltaTailSourceProvider.parseTimestamp("123456", spark) == 123456L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format(classOf[DeltaTailSourceProvider].getName)
         .option("path", t)
