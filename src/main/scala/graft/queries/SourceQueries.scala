@@ -624,6 +624,36 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta V2 checkpoint WRITE: a table carrying the v2Checkpoint
+    // writer feature (the modern DBR default) is fully writable — our
+    // own checkpoint cadence emits the v2 layout (uuid manifest +
+    // sidecars), proved by vacuuming every json commit at/below our
+    // checkpoint and appending + merge-on-read deleting on top of it.
+    "q_delta_v2cp_write" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_v2cpw") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li.filter(col("l_orderkey") % 3 === 0), table,
+        checkpointInterval = 0)                                   // v0
+      D.foreignV2Checkpoint(s, table, numSidecars = 2)            // feature on
+      // our writer: append at v1, cadence forces OUR v2 checkpoint
+      D.toDelta(li.filter(col("l_orderkey") % 3 === 1), table, "append",
+        checkpointInterval = 1)                                   // v1 + v2cp
+      (0L to 1L).foreach(v => graft.sources.FsIO.deleteRecursive(
+        f"$table/_delta_log/$v%020d.json"))
+      D.toDelta(li.filter(col("l_orderkey") % 3 === 2), table, "append",
+        checkpointInterval = 0)                                   // v2
+      D.deleteWhere(s, table, col("l_orderkey") % 11 === 4)       // v3
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta classic MULTI-PART checkpoint (long-lived OSS tables):
     // same vacuumed-log discipline, state reconstructed by unioning
     // the N checkpoint parts; the table stays WRITABLE afterwards
@@ -1487,6 +1517,12 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_v2cp_write" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey % 11 <> 4
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_multicp" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

@@ -49,14 +49,17 @@ import org.apache.spark.sql.types._
   * (column mapping era — `name` mode reads by per-field physicalName
   * metadata, `id` mode rejects loudly), and 3 when every
   * `readerFeatures` entry is in the supported set (`timestampNtz`,
-  * `columnMapping`, `deletionVectors`). Deletion vectors apply as a
-  * codegen'd per-file roaring-bitmap anti-filter over
-  * `_metadata.row_index` inside the scan stage ([[RoaringDv]]) — no
-  * shuffle, no join. Anything else that changes data-file
-  * interpretation (`v2Checkpoint`, type widening, ...) rejects loudly
-  * rather than misreads; per the protocol such features REQUIRE the
-  * corresponding reader version/feature flags, so gating on the
-  * protocol action alone is sufficient.
+  * `columnMapping`, `deletionVectors`, `v2Checkpoint`). Deletion
+  * vectors apply as a codegen'd per-file roaring-bitmap anti-filter
+  * over `_metadata.row_index` inside the scan stage ([[RoaringDv]]) —
+  * no shuffle, no join. Anything else that changes data-file
+  * interpretation (type widening, ...) rejects loudly rather than
+  * misreads; per the protocol such features REQUIRE the corresponding
+  * reader version/feature flags, so gating on the protocol action
+  * alone is sufficient. Tables carrying the `v2Checkpoint` WRITER
+  * feature are fully writable: [[writeCheckpoint]] produces the v2
+  * layout (uuid manifest + sidecars) on such tables, which is the
+  * feature's only writer obligation.
   *
   * Column-mapped (name mode) tables accept toDelta APPEND/OVERWRITE —
   * the staging write renames to physical columns, so new files match
@@ -415,6 +418,16 @@ object DeltaLake {
     DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
   }
 
+  /** The table's current protocol as
+    * (minReader, minWriter, readerFeatures, writerFeatures) —
+    * introspection for specs and callers deciding writability. */
+  private[graft] def tableProtocol(spark: SparkSession, table0: String)
+      : (Int, Int, Set[String], Set[String]) = {
+    val snap = snapshot(spark, FsIO.normalize(table0.stripSuffix("/")), None)
+    (snap.minReaderVersion, snap.minWriterVersion,
+      snap.readerFeatures, snap.writerFeatures)
+  }
+
   /** The timestamp of commit `v`: commitInfo.timestamp when present,
     * else the commit file's modification time (the protocol's own
     * in-commit-timestamp fallback order). */
@@ -642,16 +655,7 @@ object DeltaLake {
     require(dv.isEmpty,
       s"$op: table ${s.table} has ${dv.size} file(s) with deletion " +
         "vectors — read-only support")
-    requireNoV2Checkpoint(s, op)
   }
-
-  /** The v2Checkpoint WRITER feature obliges writers to produce v2
-    * checkpoints; we write classic single-part ones, so any mutation
-    * of such a table rejects loudly (read-only support). */
-  private def requireNoV2Checkpoint(s: Snapshot, op: String): Unit =
-    require(!s.writerFeatures.contains("v2Checkpoint"),
-      s"$op: table ${s.table} requires v2 checkpoints on write — " +
-        "read-only support")
 
   /** Per-field physical name under column mapping `name` mode. */
   private def physName(f: StructField): String =
@@ -971,7 +975,6 @@ object DeltaLake {
       require(dv.isEmpty || mode == "append",
         s"toDelta: table ${s.table} has ${dv.size} file(s) with " +
           "deletion vectors — only blind appends are supported")
-      requireNoV2Checkpoint(s, "toDelta")
       val exSchema = DataType.fromJson(s.meta.schemaString).asInstanceOf[StructType]
       require(relaxed(exSchema) == relaxed(df.schema),
         s"toDelta: schema mismatch with existing table $table\n  table: " +
@@ -1260,7 +1263,6 @@ object DeltaLake {
     require(snap.meta.columnMapping == "none",
       s"purgeDeletionVectors: table ${snap.table} uses column mapping " +
         "— read-only support beyond appends")
-    requireNoV2Checkpoint(snap, "purgeDeletionVectors")
     val dvFiles = snap.adds.filter(_.dv != null)
     if (dvFiles.isEmpty) return snap.version // already clean
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
@@ -1500,7 +1502,6 @@ object DeltaLake {
     require(snap.meta.columnMapping == "none",
       s"deleteWhere: table ${snap.table} uses column mapping — " +
         "read-only support beyond appends")
-    requireNoV2Checkpoint(snap, "deleteWhere")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -1715,26 +1716,44 @@ object DeltaLake {
     }
   }
 
-  /** Compact the state at `v` into `%020d.checkpoint.parquet` (+ the
-    * `_last_checkpoint` pointer). Checkpoint `add`s carry
-    * dataChange=false per the protocol. */
+  /** Compact the state at `v` into a checkpoint (+ the
+    * `_last_checkpoint` pointer). Tables carrying the `v2Checkpoint`
+    * WRITER feature get a V2 checkpoint (uuid-named parquet manifest +
+    * parquet sidecars — a conforming writer must produce those, which
+    * is what makes such tables writable here); everything else gets
+    * the classic single-part `%020d.checkpoint.parquet`. Checkpoint
+    * `add`s carry dataChange=false per the protocol. */
   private def writeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
     val s = snapshot(spark, table, Some(v))
-    // invariant: the checkpoint schema below has no deletionVector
+    // invariant: the checkpoint schemas below have no deletionVector
     // column, so checkpointing a DV-carrying snapshot would silently
     // resurrect deleted rows on replay-from-checkpoint. Today every
-    // write/maintenance path gates DV tables read-only, but enforce it
-    // HERE, where the data loss would originate.
+    // checkpoint cadence site skips DV-carrying snapshots, but enforce
+    // it HERE, where the data loss would originate.
     require(s.adds.forall(_.dv == null),
       s"writeCheckpoint: snapshot $v of $table carries deletion vectors " +
         "the checkpoint schema cannot represent")
-    val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(cpProtocolRow(s), null, null))
-    rows.add(Row(null, cpMetaRow(s), null))
-    s.adds.foreach(a => rows.add(Row(null, null, cpAddRow(a))))
-    writeOneParquet(spark, spark.createDataFrame(rows, CpSchema),
-      f"${logDir(table)}/$v%020d.checkpoint.parquet")
-    writeLastCheckpoint(table, v, rows.size().toLong, parts = 0)
+    if (s.writerFeatures.contains("v2Checkpoint")) {
+      // one sidecar per ~50k adds: sidecars are file METADATA, so the
+      // per-file row count — not data volume — sizes them; a 100 TB
+      // table with ~1M adds spreads over ~20 sidecar files, each an
+      // independently scannable bounded parquet read
+      val numSidecars = math.max(1, math.min(64,
+        (s.adds.size + 49999) / 50000))
+      writeV2CheckpointFiles(spark, table, s,
+        s.minReaderVersion, s.minWriterVersion,
+        if (s.minReaderVersion >= 3) s.readerFeatures.toSeq.sorted else null,
+        if (s.minWriterVersion >= 7) s.writerFeatures.toSeq.sorted else null,
+        numSidecars, jsonManifest = false)
+    } else {
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row(cpProtocolRow(s), null, null))
+      rows.add(Row(null, cpMetaRow(s), null))
+      s.adds.foreach(a => rows.add(Row(null, null, cpAddRow(a))))
+      writeOneParquet(spark, spark.createDataFrame(rows, CpSchema),
+        f"${logDir(table)}/$v%020d.checkpoint.parquet")
+    }
+    writeLastCheckpoint(table, v, 2L + s.adds.size, parts = 0)
   }
 
   private val CpMapT = MapType(StringType, StringType, valueContainsNull = true)
@@ -1955,13 +1974,28 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val s = snapshot(spark, table, None)
     require(numSidecars >= 0, s"bad numSidecars $numSidecars")
-    require(!jsonManifest || numSidecars >= 1,
-      "foreignV2Checkpoint: a json manifest carries adds via sidecars")
     require(s.adds.forall(_.dv == null),
       "foreignV2Checkpoint: DV adds are not representable here")
-    val v = s.version
     val rf = (s.readerFeatures + "v2Checkpoint").toSeq.sorted
     val wf = (s.writerFeatures + "v2Checkpoint").toSeq.sorted
+    writeV2CheckpointFiles(spark, table, s, 3, 7, rf, wf,
+      numSidecars, jsonManifest)
+  }
+
+  /** Write the V2 checkpoint FILES for snapshot `s`: `numSidecars`
+    * parquet sidecars under `_delta_log/_sidecars/` carrying the add
+    * actions, plus a uuid-named manifest (parquet, or json action
+    * lines when `jsonManifest`) declaring the given protocol rows +
+    * metaData + checkpointMetadata. Shared by the production
+    * checkpoint writer (real table protocol) and the foreign-layout
+    * fixture builder (upgraded 3/7 + v2Checkpoint protocol). */
+  private def writeV2CheckpointFiles(spark: SparkSession, table: String,
+      s: Snapshot, minReader: Int, minWriter: Int,
+      rf: Seq[String], wf: Seq[String], numSidecars: Int,
+      jsonManifest: Boolean): Unit = {
+    require(!jsonManifest || numSidecars >= 1,
+      "v2 checkpoint: a json manifest carries adds via sidecars")
+    val v = s.version
     // sidecar files first (a manifest must never reference missing ones)
     val sidecarSchema = StructType(Seq(StructField("add", CpAddT)))
     val groups = if (numSidecars == 0) Nil
@@ -1982,10 +2016,10 @@ object DeltaLake {
       val lines = Seq.newBuilder[String]
       val pn = mapper.createObjectNode()
       val p = pn.putObject("protocol")
-      p.put("minReaderVersion", 3)
-      p.put("minWriterVersion", 7)
-      val rfA = p.putArray("readerFeatures"); rf.foreach(rfA.add)
-      val wfA = p.putArray("writerFeatures"); wf.foreach(wfA.add)
+      p.put("minReaderVersion", minReader)
+      p.put("minWriterVersion", minWriter)
+      if (rf != null) { val rfA = p.putArray("readerFeatures"); rf.foreach(rfA.add) }
+      if (wf != null) { val wfA = p.putArray("writerFeatures"); wf.foreach(wfA.add) }
       lines += mapper.writeValueAsString(pn)
       val mn = mapper.createObjectNode()
       val m = mn.putObject("metaData")
@@ -2023,7 +2057,7 @@ object DeltaLake {
         StructField("sidecar", CpSidecarT),
         StructField("checkpointMetadata", CpCheckpointMetadataT)))
       val rows = new java.util.ArrayList[Row]()
-      rows.add(Row(Row(3, 7, rf, wf), null, null, null, null))
+      rows.add(Row(Row(minReader, minWriter, rf, wf), null, null, null, null))
       rows.add(Row(null, cpMetaRow(s), null, null, null))
       rows.add(Row(null, null, null, null, Row(v)))
       if (numSidecars == 0)

@@ -812,16 +812,34 @@ class DeltaLakeSpec extends SparkSpec {
     assert(back.agg(sum("id")).head.getLong(0) == (0L until 180L).sum)
     assert(DeltaLake.fromDelta(spark, t, where = Some(col("id") <= 50))
       .inputFiles.length < back.inputFiles.length)
-    // the upgraded protocol (writer feature v2Checkpoint) gates writes:
-    // we only produce classic checkpoints
+    // the v2Checkpoint WRITER feature obliges a writer to PRODUCE v2
+    // checkpoints — which writeCheckpoint now does, so the table is
+    // fully writable: append with a cadence that forces a checkpoint
+    // at the next version
     import spark.implicits._
     val extra = spark.range(300, 310).select(col("id"), (col("id") % 5).as("g"))
-    val e1 = intercept[IllegalArgumentException](
-      DeltaLake.toDelta(extra, t, "append"))
-    assert(e1.getMessage.contains("v2 checkpoints"))
-    val e2 = intercept[IllegalArgumentException](
-      DeltaLake.compact(spark, t))
-    assert(e2.getMessage.contains("v2 checkpoints"))
+    DeltaLake.toDelta(extra, t, "append", checkpointInterval = 3)   // v3
+    assert(DeltaLake.fromDelta(spark, t).count() == n + 10)
+    // the cadence checkpoint at v3 must be the V2 layout (uuid
+    // manifest), never a classic one (a conforming writer's duty)
+    val names3 = FsIO.listFileNames(s"$t/_delta_log")
+    assert(names3.exists(_.matches(
+      raw"0{17}003\.checkpoint\.[^.]+\.parquet")), s"no v3 v2cp: $names3")
+    assert(!names3.exists(_.matches(raw"\d{20}\.checkpoint\.parquet")))
+    // OUR v2 checkpoint is self-sufficient: drop every json commit at
+    // or below it and reopen (round-trip our-writer -> our-reader)
+    dropJsonCommits(t, 3L)
+    val reopened = DeltaLake.fromDelta(spark, t)
+    assert(reopened.count() == n + 10)
+    assert(reopened.agg(sum("id")).head.getLong(0) ==
+      (0L until 180L).sum + (300L until 310L).sum)
+    // maintenance + merge-on-read ops work too
+    DeltaLake.compact(spark, t)                                      // v4
+    DeltaLake.deleteWhere(spark, t, col("id") >= 305)                // v5
+    assert(DeltaLake.fromDelta(spark, t).count() == n + 5)
+    // protocol is NOT silently downgraded by our checkpoints
+    val snapFeatures = DeltaLake.tableProtocol(spark, t)
+    assert(snapFeatures._4.contains("v2Checkpoint"), snapFeatures.toString)
   }
 
   test("v2 checkpoint: json manifest and inline-adds manifest both open") {
@@ -893,18 +911,15 @@ class DeltaLakeSpec extends SparkSpec {
       val (t, v, n) = vacuumedLogFixture(s"tail$name.delta")
       mk(t)
       import spark.implicits._
-      if (name == "mt") { // v2 tables gate writes; extend only classic
-        DeltaLake.toDelta(spark.range(200, 220)
-          .select(col("id"), (col("id") % 5).as("g")), t, "append",
-          checkpointInterval = 0)
-        dropJsonCommits(t, v)
-        assert(DeltaLake.fromDelta(spark, t).count() == n + 20)
-        // time travel TO the checkpoint version still works
-        assert(DeltaLake.fromDelta(spark, t, Some(v)).count() == n)
-      } else {
-        dropJsonCommits(t, v)
-        assert(DeltaLake.fromDelta(spark, t, Some(v)).count() == n)
-      }
+      // both forms stay writable (v2cp tables since writeCheckpoint
+      // produces the v2 layout)
+      DeltaLake.toDelta(spark.range(200, 220)
+        .select(col("id"), (col("id") % 5).as("g")), t, "append",
+        checkpointInterval = 0)
+      dropJsonCommits(t, v)
+      assert(DeltaLake.fromDelta(spark, t).count() == n + 20)
+      // time travel TO the checkpoint version still works
+      assert(DeltaLake.fromDelta(spark, t, Some(v)).count() == n)
     }
   }
 
