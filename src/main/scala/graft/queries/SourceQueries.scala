@@ -624,6 +624,33 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta CM+DV DELETE: the common modern DBR table enables BOTH
+    // column mapping and deletion vectors — our merge-on-read
+    // deleteWhere runs its scan in the physical namespace (aliased
+    // back to logical for the predicate) and emits DVs onto the
+    // column-mapped files. The oracle is the CoW delete's result: the
+    // same rows excluded by a plain WHERE on the original parquet.
+    "q_delta_dv_colmap_delete" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_cmdv") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.foreignColumnMapped(li, table,
+        Map("l_orderkey" -> "col-0a1b2c3d", "l_quantity" -> "col-4e5f6a7b",
+          "l_returnflag" -> "col-8c9d0e1f"))
+      D.deleteWhere(s, table, col("l_orderkey") % 7 === 3,
+        viaDeletionVectors = true)
+      D.deleteWhere(s, table, col("l_orderkey") % 7 === 5, // composes
+        viaDeletionVectors = true)
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta V2 checkpoint WRITE: a table carrying the v2Checkpoint
     // writer feature (the modern DBR default) is fully writable — our
     // own checkpoint cadence emits the v2 layout (uuid manifest +
@@ -1517,6 +1544,13 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv_colmap_delete" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_orderkey % 7 <> 3 AND l_orderkey % 7 <> 5
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_v2cp_write" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

@@ -1499,18 +1499,33 @@ object DeltaLake {
   /** The merge-on-read DELETE (see [[deleteWhere]]). */
   private def deleteWhereDv(spark: SparkSession, table: String,
       snap: Snapshot, cond: Column): Long = {
-    require(snap.meta.columnMapping == "none",
-      s"deleteWhere: table ${snap.table} uses column mapping — " +
-        "read-only support beyond appends")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    val pred = resolvePredicate(spark, schema, cond)
+    // column mapping `name` mode composes with DVs (the common modern
+    // DBR table): the scan runs in the PHYSICAL namespace (data files,
+    // stats keys, partitionValues keys are physical — the CM append
+    // path's discipline), aliased back to logical names before `cond`
+    // applies. DVs themselves key on (file_path, row_index), which is
+    // namespace-free.
+    val cm = snap.meta.columnMapping == "name"
+    val physSchema =
+      if (cm) physicalType(schema).asInstanceOf[StructType] else schema
+    if (cm) physSchema.fieldNames.foreach(n =>
+      require(!n.contains(".") && !n.contains("`"),
+        s"deleteWhere: physical column name '$n' needs quoting we don't do"))
+    val physOf = schema.fieldNames.zip(physSchema.fieldNames).toMap
+    val physPartCols = partCols.map(physOf)
+    val pred0 = resolvePredicate(spark, schema, cond)
+    // stats skipping evaluates in the physical namespace under CM
+    val pred = if (!cm) pred0 else pred0.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if physOf.contains(a.name) => a.withName(physOf(a.name))
+    }
     val tz = spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
     val hit = snap.adds.filter(a =>
-      DeltaStats.mightMatch(pred, schema, partCols, a.partitionValues,
-        a.stats, tz))
+      DeltaStats.mightMatch(pred, physSchema, physPartCols,
+        a.partitionValues, a.stats, tz))
     if (hit.isEmpty) return snap.version
     // every _metadata.file_path spelling -> the add's relative path,
     // enumerated DRIVER-side (the PathKeys lesson)
@@ -1529,11 +1544,22 @@ object DeltaLake {
     val branches = groups.map { case (pv, files) =>
       val (dvFiles, plainFiles) = files.partition(_.dv != null)
       val scans = Seq.newBuilder[DataFrame]
+      val dataSchemaPhys =
+        StructType(physSchema.filterNot(f => physPartCols.contains(f.name)))
+      // scan physical, alias data columns back to logical so `cond`
+      // resolves (identity aliases when cm=false)
       def base(fs: Seq[AddFile]): DataFrame =
-        spark.read.schema(dataSchema)
+        spark.read.schema(dataSchemaPhys)
           .parquet(fs.map(f => resolveDataPath(table, f.path)): _*)
-          .select(col("_metadata.file_path").as("__dv_fp"),
-            col("_metadata.row_index").as("__dv_ri"), col("*"))
+          .select(col("_metadata.file_path").as("__dv_fp") +:
+            col("_metadata.row_index").as("__dv_ri") +:
+            schema.fields.toIndexedSeq
+              .filterNot(f => partCols.contains(f.name)).map { f =>
+                val pf = physSchema(schema.fieldIndex(f.name))
+                val c = col(pf.name)
+                (if (pf.dataType == f.dataType) c else c.cast(f.dataType))
+                  .as(f.name)
+              }: _*)
       if (plainFiles.nonEmpty)
         scans += base(plainFiles).withColumn("__dv_del", lit(false))
       if (dvFiles.nonEmpty) {
@@ -1551,7 +1577,7 @@ object DeltaLake {
       }
       val withParts = partCols.foldLeft(scans.result().reduce(_ union _)) {
         (d, c) => d.withColumn(c, typedPartitionValue(
-          pv.getOrElse(c, null), schema(c).dataType))
+          pv.getOrElse(physOf(c), null), schema(c).dataType))
       }
       withParts.filter(col("__dv_del") || coalesce(cond, lit(false)))
         .select(col("__dv_fp"), col("__dv_ri"))

@@ -923,6 +923,55 @@ class DeltaLakeSpec extends SparkSpec {
     }
   }
 
+  test("DV deleteWhere on a column-mapped table (CM+DV, the modern combination)") {
+    val t = tmp("cmdv.delta")
+    import spark.implicits._
+    val df = spark.range(0, 200).select(
+      col("id"), (col("id") % 7).as("m"),
+      concat(lit("v"), col("id")).as("label"))
+      .repartitionByRange(4, col("id"))
+    DeltaLake.foreignColumnMapped(df, t,
+      Map("id" -> "col-x1", "m" -> "col-x2", "label" -> "col-x3"))
+    val filesBefore = DeltaLake.fromDelta(spark, t).inputFiles.toSet
+    val v1 = DeltaLake.deleteWhere(spark, t, col("m") === 3,
+      viaDeletionVectors = true)
+    assert(v1 == 1L)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 200 - 29) // 29 ids with id%7==3
+    assert(back.filter(col("m") === 3).count() == 0)
+    // merge-on-read under CM: the physical-named data files untouched
+    assert(back.inputFiles.toSet == filesBefore)
+    // repeated DV deletes compose (union semantics)
+    DeltaLake.deleteWhere(spark, t, col("m") === 5, viaDeletionVectors = true)
+    val back2 = DeltaLake.fromDelta(spark, t)
+    assert(back2.filter(col("m") === 5 || col("m") === 3).count() == 0)
+    assert(back2.count() == 200 - 29 - 28)
+    // the logical aliasing really ran — values, never NULLs
+    assert(back2.filter(col("label").isNull).count() == 0)
+    assert(back2.filter(col("id") === 42).select("label").head.getString(0)
+      == "v42")
+    // PARTITIONED CM + DV: partitionValues keys are physical, the
+    // stats prefilter + partition typing run in the physical namespace
+    val tp = tmp("cmdvp.delta")
+    DeltaLake.foreignColumnMapped(df, tp,
+      Map("id" -> "col-a", "m" -> "col-b", "label" -> "col-c"),
+      partitionBy = Seq("m"))
+    DeltaLake.deleteWhere(spark, tp, col("id") >= 100 && col("m") === 2,
+      viaDeletionVectors = true)
+    val backP = DeltaLake.fromDelta(spark, tp)
+    assert(backP.count() == 200 - 15) // 7k+2 in [100,199]: k=14..28
+    assert(backP.filter(col("m") === 2).count() == 29 - 15)
+    // the protocol upgrade enumerated the CM legacy feature alongside DVs
+    val proto = DeltaLake.tableProtocol(spark, tp)
+    assert(proto._3.contains("columnMapping") &&
+      proto._3.contains("deletionVectors"), proto.toString)
+    // blind appends still compose on the CM+DV table
+    DeltaLake.toDelta(df.filter(col("id") < 10)
+      .withColumn("id", col("id") + 1000), tp, "append",
+      partitionBy = Seq("m"))
+    assert(DeltaLake.fromDelta(spark, tp).count() == 200 - 15 + 10)
+  }
+
   test("DV-emitting deleteWhere: no rewrite, appends compose, repeated deletes merge") {
     val t = tmp("dvdel.delta")
     import spark.implicits._
