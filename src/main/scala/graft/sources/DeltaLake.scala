@@ -1582,20 +1582,35 @@ object DeltaLake {
       withParts.filter(col("__dv_del") || coalesce(cond, lit(false)))
         .select(col("__dv_fp"), col("__dv_ri"))
     }
-    // one bitmap per file, built where the rows are: sorted row
-    // indexes aggregate per file (bounded by rows-per-file), the
-    // roaring payload serializes executor-side, the driver collects
-    // only (file, payload) — metadata scale
+    // one bitmap per file, built where the rows are; the driver
+    // collects only (file, payload, cardinality) — metadata scale.
+    // Default path: DvBitmapAgg, a roaring-union TypedImperative-
+    // Aggregate whose buffer IS the compressed bitmap, so executor
+    // memory is bounded by payload bytes at every stage (partial
+    // buffers included). The collect_list fallback (A/B flag) holds
+    // 8 bytes per deleted row of one file in one buffer — fine at
+    // ~10M-row files, concentrated for a mostly-deleted huge file.
     import spark.implicits._
-    // cardinality travels from the executors (rows are DISTINCT per
-    // file, so it is rows.length) — the driver never re-parses payloads
-    val perFile: Seq[(String, Array[Byte], Long)] = branches.reduce(_ union _)
-      .groupBy(col("__dv_fp"))
-      .agg(sort_array(collect_list(col("__dv_ri"))).as("rows"))
-      .as[(String, Array[Long])]
-      .map { case (fp, rows) =>
-        (fp, RoaringDv.serialize(rows), rows.length.toLong) }
-      .collect().toSeq
+    val grouped = branches.reduce(_ union _).groupBy(col("__dv_fp"))
+    val perFile: Seq[(String, Array[Byte], Long)] =
+      if (spark.conf.get("spark.graft.dv.unionAgg", "true").toBoolean) {
+        import org.apache.spark.sql.graftbridge.Bridge
+        grouped
+          .agg(Bridge.column(DvBitmapAgg(Bridge.expression(col("__dv_ri")))
+            .toAggregateExpression()).as("dv"))
+          .select(col("__dv_fp"), col("dv.payload"), col("dv.cardinality"))
+          .as[(String, Array[Byte], Long)]
+          .collect().toSeq
+      } else {
+        // cardinality travels from the executors (rows are DISTINCT
+        // per file, so it is rows.length) — the driver never re-parses
+        grouped
+          .agg(sort_array(collect_list(col("__dv_ri"))).as("rows"))
+          .as[(String, Array[Long])]
+          .map { case (fp, rows) =>
+            (fp, RoaringDv.serialize(rows), rows.length.toLong) }
+          .collect().toSeq
+      }
     val resolved: Seq[(AddFile, Array[Byte], Long)] =
       perFile.map { case (sp, pl, card) =>
         val p = bySpelling.getOrElse(sp, throw new IllegalStateException(

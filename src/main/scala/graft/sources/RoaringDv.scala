@@ -222,6 +222,44 @@ private[graft] object RoaringDv {
     out.toByteArray
   }
 
+  /** Serialize a high-32-bucket -> 32-bit-RoaringBitmap decomposition
+    * (the [[DvBitmapAgg]] buffer) as the portable RoaringBitmapArray
+    * payload, plus its cardinality. Gap buckets emit the same empty
+    * 8-byte form [[serialize]] writes; present buckets serialize via
+    * org.roaringbitmap's own standard-format writer (LE, interoperable
+    * — the library the format specs pin against). */
+  def serializeBuckets(
+      buckets: java.util.TreeMap[Integer, org.roaringbitmap.RoaringBitmap])
+      : (Array[Byte], Long) = {
+    val nBm: Long =
+      if (buckets.isEmpty) 0L else buckets.lastKey().longValue() + 1
+    require(nBm <= (1 << 20), s"implausible DV bitmap count $nBm")
+    if (!buckets.isEmpty)
+      require(buckets.firstKey() >= 0, s"negative bucket ${buckets.firstKey()}")
+    val bos = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(Magic).putLong(nBm)
+    bos.write(head.array())
+    var card = 0L
+    val out = new java.io.DataOutputStream(bos)
+    var bmIdx = 0
+    while (bmIdx < nBm) {
+      val bm = buckets.get(Integer.valueOf(bmIdx))
+      if (bm == null) {
+        // empty bucket: no-run cookie + zero containers (8 bytes)
+        val empty = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        empty.putInt(SerialCookieNoRun).putInt(0)
+        bos.write(empty.array())
+      } else {
+        bm.serialize(out)
+        card += bm.getLongCardinality
+      }
+      bmIdx += 1
+    }
+    out.flush()
+    (bos.toByteArray, card)
+  }
+
   private def serializeBitmap32(vals: Array[Long], from: Int, until: Int): Array[Byte] = {
     // group by high-16 key
     val groups = Seq.newBuilder[(Char, Array[Char])]
@@ -439,4 +477,125 @@ private[graft] object DvDeleted {
         "mismatch between the Delta log and _metadata.file_path")
     dv.contains(rowIndex)
   }
+}
+
+/** dv_bitmap_agg(row_index) -> struct<payload: binary, cardinality:
+  * bigint>: per-group (per-FILE) roaring-bitmap union aggregate for
+  * [[graft.sources.DeltaLake.deleteWhere]]'s DV-emitting path.
+  *
+  * Why an aggregate and not `sort_array(collect_list(...))`: the
+  * collect_list buffer holds every deleted row index of one file —
+  * 8 bytes per deleted row IN ONE aggregation buffer, so a 90%-delete
+  * of a multi-GB file concentrates hundreds of MB in a single task.
+  * Here the buffer IS the compressed bitmap (org.roaringbitmap, on
+  * Spark's classpath — the same library the format spec tests pin
+  * against): update adds one row index, partial buffers shuffle as
+  * their serialized form, merge is a bitmap OR, and eval renders the
+  * portable RoaringBitmapArray payload directly from the containers —
+  * executor memory is bounded by the COMPRESSED payload at every
+  * stage. Container choice (array <= 4096 values, bitmap above, no
+  * run containers — runOptimize is deliberately not called) matches
+  * [[RoaringDv.serialize]], so the two paths emit byte-identical
+  * payloads (spec-pinned).
+  *
+  * Buffer: high-32-bits bucket -> 32-bit RoaringBitmap, exactly the
+  * RoaringBitmapArray decomposition the portable format serializes. */
+private[graft] case class DvBitmapAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeMap[Integer,
+      org.roaringbitmap.RoaringBitmap]] {
+  import org.roaringbitmap.RoaringBitmap
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = false),
+      org.apache.spark.sql.types.StructField("cardinality",
+        LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint row indexes, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer()
+      : java.util.TreeMap[Integer, RoaringBitmap] =
+    new java.util.TreeMap[Integer, RoaringBitmap]()
+
+  override def update(
+      buf: java.util.TreeMap[Integer, RoaringBitmap],
+      row: InternalRow): java.util.TreeMap[Integer, RoaringBitmap] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val ri = v.asInstanceOf[Long]
+      require(ri >= 0, s"$prettyName: negative row index $ri")
+      require((ri >>> 32) < (1 << 20), s"$prettyName: implausible row index $ri")
+      var bm = buf.get(Integer.valueOf((ri >>> 32).toInt))
+      if (bm == null) {
+        bm = new RoaringBitmap()
+        buf.put(Integer.valueOf((ri >>> 32).toInt), bm)
+      }
+      bm.add(ri.toInt) // low 32 bits, unsigned semantics
+    }
+    buf
+  }
+
+  override def merge(
+      a: java.util.TreeMap[Integer, RoaringBitmap],
+      b: java.util.TreeMap[Integer, RoaringBitmap])
+      : java.util.TreeMap[Integer, RoaringBitmap] = {
+    b.forEach { (k, bm) =>
+      val mine = a.get(k)
+      if (mine == null) a.put(k, bm) else mine.or(bm)
+    }
+    a
+  }
+
+  override def eval(
+      buf: java.util.TreeMap[Integer, RoaringBitmap]): Any = {
+    val (payload, card) = RoaringDv.serializeBuckets(buf)
+    InternalRow(payload, card)
+  }
+
+  override def serialize(
+      buf: java.util.TreeMap[Integer, RoaringBitmap]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size())
+    buf.forEach { (k, bm) =>
+      out.writeInt(k)
+      bm.serialize(out)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeMap[Integer, RoaringBitmap] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeMap[Integer, RoaringBitmap]()
+    var i = 0
+    while (i < n) {
+      val k = in.readInt()
+      val bm = new RoaringBitmap()
+      bm.deserialize(in)
+      buf.put(Integer.valueOf(k), bm)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DvBitmapAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DvBitmapAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+  override def prettyName: String = "dv_bitmap_agg"
 }

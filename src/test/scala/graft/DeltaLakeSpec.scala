@@ -923,6 +923,36 @@ class DeltaLakeSpec extends SparkSpec {
     }
   }
 
+  test("DV deleteWhere mostly-deletes a large single file; agg paths byte-identical") {
+    // 95% of a 400k-row SINGLE file deleted: the roaring-union
+    // aggregate's buffer is the compressed bitmap (~payload bytes),
+    // never 8 B/deleted-row in one task — and both paths (union agg vs
+    // the collect_list fallback) must publish byte-identical DV files
+    val t = tmp("dvbig.delta")
+    import spark.implicits._
+    val df = spark.range(0, 400000).select(
+      col("id"), (col("id") % 20).as("m")).coalesce(1)
+    DeltaLake.toDelta(df, t)
+    DeltaLake.deleteWhere(spark, t, col("m") =!= 0, viaDeletionVectors = true)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 20000)
+    assert(back.agg(sum("id")).head.getLong(0) ==
+      (0L until 400000L by 20).sum)
+    val aggBin = FsIO.listFilesRecursive(t).collect {
+      case (p, len, _) if p.endsWith(".bin") => len }.toSeq
+    // A/B: same delete through the collect_list fallback
+    val t2 = tmp("dvbig2.delta")
+    DeltaLake.toDelta(df, t2)
+    spark.conf.set("spark.graft.dv.unionAgg", "false")
+    try DeltaLake.deleteWhere(spark, t2, col("m") =!= 0,
+      viaDeletionVectors = true)
+    finally spark.conf.unset("spark.graft.dv.unionAgg")
+    assert(DeltaLake.fromDelta(spark, t2).count() == 20000)
+    val fallbackBin = FsIO.listFilesRecursive(t2).collect {
+      case (p, len, _) if p.endsWith(".bin") => len }.toSeq
+    assert(aggBin == fallbackBin, s"DV file sizes differ: $aggBin vs $fallbackBin")
+  }
+
   test("DV deleteWhere on a column-mapped table (CM+DV, the modern combination)") {
     val t = tmp("cmdv.delta")
     import spark.implicits._

@@ -122,4 +122,30 @@ class RoaringDvSpec extends AnyFunSuite {
       RoaringDv.readFromFile(s"$dir/c.bin", offs(0)._1, offs(0)._2))
     assert(e.getMessage.contains("checksum"))
   }
+
+  test("serializeBuckets == serialize byte-for-byte (agg path parity)") {
+    val rnd = new scala.util.Random(11)
+    // sparse (array containers), dense (bitmap containers), multi-
+    // bucket 64-bit values with a GAP bucket, and empty
+    val sparse = Array.fill(2000)(rnd.nextInt(1 << 22).toLong).distinct
+    val dense = (200000L until 220000L).toArray
+    val high = Array(0L, 5L, (2L << 32) + 7, (2L << 32) + 99999) // bucket 1 empty
+    for (vals <- Seq(sparse, dense, sparse ++ dense, high, Array.empty[Long])) {
+      val expect = RoaringDv.serialize(vals)
+      val buckets = new java.util.TreeMap[Integer, org.roaringbitmap.RoaringBitmap]()
+      vals.foreach { v =>
+        val k = Integer.valueOf((v >>> 32).toInt)
+        var bm = buckets.get(k)
+        if (bm == null) { bm = new org.roaringbitmap.RoaringBitmap(); buckets.put(k, bm) }
+        bm.add(v.toInt)
+      }
+      val (payload, card) = RoaringDv.serializeBuckets(buckets)
+      assert(card == vals.distinct.length.toLong)
+      assert(java.util.Arrays.equals(payload, expect),
+        s"payload mismatch at n=${vals.length}")
+      // and it parses back to the same membership
+      val dv = RoaringDv.parse(payload)
+      vals.foreach(v => assert(dv.contains(v)))
+    }
+  }
 }
