@@ -872,6 +872,32 @@ object SourceQueries {
     // merge-on-read layout), a blind append lands after it, and the
     // read anti-joins the deletes back out. Oracle = lineitem minus
     // the deleted predicate plus the appended slice.
+    // Iceberg PARTITIONED write + read-back + delete: identity spec
+    // over l_returnflag — data files keep the source column (the
+    // Iceberg layout), manifests carry typed partition tuples, the
+    // filtered read prunes on partition bounds, an append composes,
+    // and the merge-on-read delete stages partition-scoped delete
+    // files whose entries copy the data files' tuples. Oracle = the
+    // same aggregate with the delete's WHERE on the original parquet.
+    "q_iceberg_partitioned" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_part") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(4, col("l_orderkey"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(li.filter(col("l_orderkey") <= 4000), table,
+        partitionBy = Seq("l_returnflag"))
+      I.toIceberg(li.filter(col("l_orderkey") > 4000), table,
+        mode = "append", partitionBy = Seq("l_returnflag"))
+      I.deleteWhere(s, table, col("l_orderkey") % 9 === 2)
+      I.fromIceberg(s, table, None, Some(col("l_orderkey") <= 3000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_iceberg_delete" -> ((s, dir) => {
       val table = cacheDir(dir, "lineitem_iceberg_pdel") + "/t.iceberg"
       graft.sources.FsIO.deleteRecursive(table)
@@ -1632,6 +1658,13 @@ object SourceQueries {
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem
          |WHERE NOT (l_orderkey <= 4000 AND l_orderkey % 7 = 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_partitioned" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_orderkey % 9 <> 2 AND l_orderkey <= 3000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_changes" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)

@@ -2209,7 +2209,7 @@ object DeltaLake {
     RoaringDv.parse(payload).cardinality
 
 
-  private def unescapeHive(s: String): String = {
+  private[sources] def unescapeHive(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder(s.length)
     var i = 0

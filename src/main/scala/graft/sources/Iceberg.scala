@@ -73,7 +73,7 @@ object Iceberg {
       tableUuid: String, file: String, renameDrift: Option[String])
   private final case class DataFileInfo(path: String, format: String,
       records: Long, statsJson: String, rawPath: String = null,
-      seq: Long = 0L)
+      seq: Long = 0L, partition: GenericRecord = null)
   private final case class DeleteFileInfo(path: String, format: String,
       records: Long, seq: Long = 0L, equalityIds: Seq[Int] = Nil)
 
@@ -738,7 +738,11 @@ object Iceberg {
               // bounds decoding + JSON rendering only when a predicate
               // will consume it (plain reads skip the per-file work)
               if (withStats) IcebergBounds.statsJsonFor(df, fieldsById) else null,
-              rawPath = raw, seq = seq)
+              rawPath = raw, seq = seq,
+              // the partition tuple rides along for delete commits —
+              // copied through verbatim, transform-agnostic
+              partition = if (df.getSchema.getField("partition") == null) null
+                else df.get("partition").asInstanceOf[GenericRecord])
           }
         }
       }
@@ -884,7 +888,7 @@ object Iceberg {
   // Write path (v2, unpartitioned, copy-on-write)
   // ------------------------------------------------------------------
 
-  private val ManifestEntrySchema: ASchema = new ASchema.Parser().parse(
+  private val ManifestEntrySchemaJson: String = (
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -916,6 +920,71 @@ object Iceberg {
       |    "type":["null",{"type":"array","items":"int","element-id":136}]}
       |]}}]}""".stripMargin.replace("\n", ""))
 
+  private val ManifestEntrySchema: ASchema =
+    new ASchema.Parser().parse(ManifestEntrySchemaJson)
+
+  /** Manifest entry schema whose `data_file.partition` record carries
+    * the given avro record json (the spec's per-partition-field
+    * declarations, field-ids included) — unpartitioned manifests keep
+    * the shared empty-record schema. Spliced on the RAW json template
+    * (the parsed schema's toString would re-order custom props). */
+  private def manifestEntrySchemaFor(partitionRecordJson: String): ASchema =
+    if (partitionRecordJson == null) ManifestEntrySchema
+    else new ASchema.Parser().parse(ManifestEntrySchemaJson.replace(
+      """{"type":"record","name":"r102","fields":[]}""", partitionRecordJson))
+
+  /** Avro record json for an IDENTITY partition tuple over `fields`
+    * (name, spec field-id, source Spark type). The value types mirror
+    * the source columns; anything outside the supported identity set
+    * is loud (bucket/truncate/temporal transforms change the value
+    * domain and are not produced by this writer). */
+  private def partitionRecordJson(
+      fields: Seq[(String, Int, DataType)]): String = {
+    def avroType(dt: DataType): String = dt match {
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case StringType => "\"string\""
+      case BooleanType => "\"boolean\""
+      case DateType => """{"type":"int","logicalType":"date"}"""
+      case other => throw new IllegalArgumentException(
+        "toIceberg: identity partition over " + other.catalogString +
+          " is unsupported (int/long/string/boolean/date sources only)")
+    }
+    fields.map { case (n, fid, dt) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"toIceberg: partition column '$n' is not a legal avro name")
+      s"""{"name":"$n","type":["null",${avroType(dt)}],"default":null,"field-id":$fid}"""
+    }.mkString("""{"type":"record","name":"r102","fields":[""", ",", "]}")
+  }
+
+  /** The table's default partition spec as identity fields
+    * (name, source-id, spec field-id) — loud on non-identity
+    * transforms (a write against a bucket/day-partitioned table would
+    * mis-declare its manifests). Empty for unpartitioned. */
+  private def defaultSpecIdentityFields(dir: String,
+      meta: Metadata): Seq[(String, Int, Int)] = {
+    val mj = mapper.readTree(readAll(s"$dir/metadata/${meta.file}"))
+    val v1Spec = Option(mj.get("partition-spec")).filter(_.isArray)
+    val defaultSpec = Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val fields: Option[JsonNode] =
+      Option(mj.get("partition-specs")).filter(_.isArray).flatMap { arr =>
+        (0 until arr.size()).map(arr.get)
+          .find(sp => Option(sp.get("spec-id")).exists(_.asInt() == defaultSpec))
+          .flatMap(sp => Option(sp.get("fields")))
+      }.orElse(v1Spec)
+    fields.toSeq.flatMap { fs =>
+      (0 until fs.size()).map { i =>
+        val f = fs.get(i)
+        val transform = f.get("transform").asText()
+        require(transform == "identity",
+          s"table $dir partitions by transform '$transform' — only " +
+            "identity-partitioned tables accept writes/deletes")
+        (f.get("name").asText(), f.get("source-id").asInt(),
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(1000 + i))
+      }
+    }
+  }
+
   private val ManifestFileSchema: ASchema = new ASchema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
@@ -939,19 +1008,17 @@ object Iceberg {
     * manifests verbatim; old snapshots stay readable by id. */
   def toIceberg(df: DataFrame, dir0: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Nil): Unit = {
-    // Partitioned Iceberg writes are an explicit REJECTION, not a
-    // silent ignore: a partition spec changes the manifest entry
-    // `partition` record, the spec JSON, bounds-per-partition-field
-    // and the transform grammar (identity/bucket/truncate/...) — a
-    // half-faithful spec would make foreign readers mis-plan pruning.
-    // Partitioned lakehouse exports go through the Delta sink
-    // (DeltaLake.toDelta(partitionBy=...)), which this engine reads
-    // and maintains end-to-end.
-    require(partitionBy.isEmpty,
-      "toIceberg: partitioned writes are unsupported (partition specs " +
-        "change manifest entries + pruning metadata for foreign " +
-        "readers); use DeltaLake.toDelta(partitionBy = ...) for " +
-        "partitioned lakehouse exports")
+    // Partitioned writes: IDENTITY transforms (the spec's plain
+    // column partitioning). Iceberg data files CONTAIN their partition
+    // source columns, so staging duplicates each partition column into
+    // a __gpt_* copy for the directory split and keeps the original in
+    // the file; manifest entries carry the typed partition tuple and
+    // the metadata json the identity spec. Bucket/truncate/temporal
+    // transforms stay unsupported (they change the value domain).
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"toIceberg: partition column $c missing from the data schema"))
+    require(partitionBy.distinct == partitionBy,
+      s"toIceberg: duplicate partition columns in ${partitionBy.mkString(",")}")
     // normalized: the paths stored in manifests must be absolute, and
     // staging-prefix arithmetic must match the listing output
     val dir = FsIO.normalize(dir0.stripSuffix("/"))
@@ -967,6 +1034,10 @@ object Iceberg {
       require(relaxed(m.schema) == relaxed(df.schema),
         s"toIceberg: schema mismatch with existing table $dir\n  table: " +
           s"${m.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+      val exSpec = defaultSpecIdentityFields(dir, m).map(_._1)
+      require(exSpec == partitionBy,
+        s"toIceberg: partitionBy ${partitionBy.mkString(",")} != table's " +
+          s"identity spec ${exSpec.mkString(",")}")
     }
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(java.util.UUID.randomUUID()
@@ -975,24 +1046,47 @@ object Iceberg {
     val mdir = s"$dir/metadata"
     FsIO.mkdirs(mdir)
 
-    // stage + promote data files (the DeltaLake discipline)
+    // stage + promote data files (the DeltaLake discipline).
+    // Partitioned: the writer splits directories on __gpt_* COPIES of
+    // the partition columns, so the data files keep the originals
+    // (Iceberg data files contain their partition source columns);
+    // hive-escaped dir values become the manifest partition tuples.
     val staging = s"$dir/_staging"
     FsIO.deleteRecursive(staging)
-    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    val dataFiles = FsIO.listFilesRecursive(staging).collect {
-      case (p, len, _) if p.endsWith(".parquet") =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        val dst = s"$dir/data/$name"
-        FsIO.rename(p, dst)
-        (dst, len)
-    }
+    val stageDf = partitionBy.foldLeft(df)((d, c) =>
+      d.withColumn(s"__gpt_$c", org.apache.spark.sql.functions.col(c)))
+    val w0 = stageDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (partitionBy.isEmpty) w0
+     else w0.partitionBy(partitionBy.map("__gpt_" + _): _*)).parquet(staging)
+    val dataFiles: Seq[(String, Long, Seq[String])] =
+      FsIO.listFilesRecursive(staging).collect {
+        case (p, len, _) if p.endsWith(".parquet") =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          val rel = p.stripPrefix(staging).stripPrefix("/")
+          val dirSegs = rel.split('/').toSeq.dropRight(1)
+          require(dirSegs.length == partitionBy.length,
+            s"toIceberg: staged file $rel has ${dirSegs.length} partition " +
+              s"dirs, expected ${partitionBy.length}")
+          val rawVals = partitionBy.zip(dirSegs).map { case (c, seg) =>
+            require(seg.startsWith(s"__gpt_$c="),
+              s"toIceberg: unexpected staging dir $seg (expected __gpt_$c=)")
+            seg.drop(s"__gpt_$c=".length)
+          }
+          // promote under data/<c>=<v>/ (the conventional layout; the
+          // manifest path is authoritative either way)
+          val outDir = (Seq("data") ++ partitionBy.zip(rawVals).map {
+            case (c, v) => s"$c=$v" }).mkString("/")
+          val dst = s"$dir/$outDir/$name"
+          FsIO.rename(p, dst)
+          (dst, len, rawVals)
+      }
     FsIO.deleteRecursive(staging)
     // ONE distributed footer pass per file gives record counts AND
     // typed column bounds (DeltaStats.footerStats — the same stats
     // machinery as the Delta sink)
     val statCols = df.schema.filter(f =>
       IcebergBounds.statEligible(f.dataType)).map(_.name)
-    val counted: Seq[(String, Long, DeltaStats.FileColStats)] =
+    val counted: Seq[(String, Long, DeltaStats.FileColStats, Seq[String])] =
       if (dataFiles.isEmpty) Nil
       else {
         val sc = spark.sparkContext
@@ -1000,7 +1094,7 @@ object Iceberg {
         val statsByPath = sc.parallelize(dataFiles.map(_._1),
             math.min(dataFiles.size, sc.defaultParallelism))
           .map(p => (p, DeltaStats.footerStats(p, cols))).collect().toMap
-        dataFiles.map { case (p, len) => (p, len, statsByPath(p)) }
+        dataFiles.map { case (p, len, pv) => (p, len, statsByPath(p), pv) }
       }
 
     val (schemaNode, lastCol) = existing
@@ -1015,25 +1109,40 @@ object Iceberg {
       (0 until fs.size()).map(i =>
         fs.get(i).get("name").asText() -> fs.get(i).get("id").asInt()).toMap
     }
+    // identity spec fields: names from partitionBy; source ids from
+    // the schema; spec field-ids from the EXISTING spec when appending
+    // (never re-minted), 1000+k on creation (the spec's convention)
+    val specFields: Seq[(String, Int, Int)] = existing match {
+      case Some(m) if partitionBy.nonEmpty => defaultSpecIdentityFields(dir, m)
+      case _ => partitionBy.zipWithIndex.map { case (c, k) =>
+        (c, idsByName(c), 1000 + k) }
+    }
+    val entrySchema =
+      if (partitionBy.isEmpty) ManifestEntrySchema
+      else manifestEntrySchemaFor(partitionRecordJson(specFields.map {
+        case (n, _, fid) => (n, fid, df.schema(n).dataType) }))
     // one new manifest for this commit
     val manifestPath = s"$mdir/graft-m-${java.util.UUID.randomUUID()}.avro"
     val addedRows = counted.map(_._3.numRecords).sum
-    writeAvro(manifestPath, ManifestEntrySchema,
+    writeAvro(manifestPath, entrySchema,
       Map("format-version" -> "2", "content" -> "data",
         "partition-spec-id" -> "0"),
-      counted.map { case (p, len, st) =>
-        val e = new GenericData.Record(ManifestEntrySchema)
+      counted.map { case (p, len, st, rawVals) =>
+        val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
         e.put("sequence_number", seq)
         e.put("file_sequence_number", seq)
         val d = new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema())
+          entrySchema.getField("data_file").schema())
         d.put("content", 0)
         d.put("file_path", p)
         d.put("file_format", "PARQUET")
-        d.put("partition", new GenericData.Record(
-          d.getSchema.getField("partition").schema()))
+        val pr = new GenericData.Record(
+          d.getSchema.getField("partition").schema())
+        partitionBy.zip(rawVals).foreach { case (c, raw) =>
+          pr.put(c, partitionValueAvro(raw, df.schema(c).dataType)) }
+        d.put("partition", pr)
         d.put("record_count", st.numRecords)
         d.put("file_size_in_bytes", len)
         IcebergBounds.populate(d, st, df.schema, idsByName)
@@ -1069,8 +1178,27 @@ object Iceberg {
       Map("format-version" -> "2"), newEntry +: prior)
 
     publishSnapshot(dir, existing, schemaNode, lastCol, seq, snapshotId,
-      listPath, now, if (mode == "append") "append" else "overwrite")
+      listPath, now, if (mode == "append") "append" else "overwrite",
+      specFields)
   }
+
+  /** Hive-escaped staging dir value -> typed avro partition value
+    * (null for the hive default-partition marker). */
+  private def partitionValueAvro(raw: String, dt: DataType): AnyRef =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val v = DeltaLake.unescapeHive(raw)
+      dt match {
+        case IntegerType => Integer.valueOf(v.toInt)
+        case LongType => java.lang.Long.valueOf(v.toLong)
+        case StringType => v
+        case BooleanType => java.lang.Boolean.valueOf(v)
+        case DateType =>
+          Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"toIceberg: unsupported partition type ${other.catalogString}")
+      }
+    }
 
   /** Publish a new table version: metadata json with the new snapshot
     * appended (prior snapshots stay time-travelable), version-hint
@@ -1078,7 +1206,8 @@ object Iceberg {
     * delete-commit fixture builder. */
   private def publishSnapshot(dir: String, existing: Option[Metadata],
       schemaNode: ObjectNode, lastCol: Int, seq: Long, snapshotId: Long,
-      listPath: String, now: Long, operation: String): Unit = {
+      listPath: String, now: Long, operation: String,
+      specFields: Seq[(String, Int, Int)] = Nil): Unit = {
     val mdir = s"$dir/metadata"
     val version = existing.map(_.version + 1).getOrElse(1)
     val j = mapper.createObjectNode()
@@ -1091,13 +1220,38 @@ object Iceberg {
     j.put("last-column-id", lastCol)
     j.put("current-schema-id", 0)
     j.putArray("schemas").add(schemaNode)
-    val specs = j.putArray("partition-specs")
-    val spec0 = mapper.createObjectNode()
-    spec0.put("spec-id", 0)
-    spec0.putArray("fields")
-    specs.add(spec0)
-    j.put("default-spec-id", 0)
-    j.put("last-partition-id", 999)
+    // partition specs: carried VERBATIM from the previous metadata
+    // version when one exists (a metadata rewrite must never clobber a
+    // foreign table's spec history); built from the identity
+    // `specFields` on table creation (empty -> unpartitioned spec 0)
+    val prevJson: Option[JsonNode] = existing.map(m =>
+      mapper.readTree(readAll(s"$dir/metadata/${m.file}")))
+    prevJson.flatMap(pj => Option(pj.get("partition-specs"))
+        .filter(_.isArray).filter(_.size() > 0)) match {
+      case Some(prevSpecs) =>
+        j.set[JsonNode]("partition-specs", prevSpecs.deepCopy[JsonNode]())
+        j.put("default-spec-id", prevJson.flatMap(pj =>
+          Option(pj.get("default-spec-id")).map(_.asInt())).getOrElse(0))
+        j.put("last-partition-id", prevJson.flatMap(pj =>
+          Option(pj.get("last-partition-id")).map(_.asInt())).getOrElse(999))
+      case None =>
+        val specs = j.putArray("partition-specs")
+        val spec0 = mapper.createObjectNode()
+        spec0.put("spec-id", 0)
+        val sf = spec0.putArray("fields")
+        specFields.foreach { case (name, sourceId, fieldId) =>
+          val f = mapper.createObjectNode()
+          f.put("name", name)
+          f.put("transform", "identity")
+          f.put("source-id", sourceId)
+          f.put("field-id", fieldId)
+          sf.add(f)
+        }
+        specs.add(spec0)
+        j.put("default-spec-id", 0)
+        j.put("last-partition-id",
+          (999 +: specFields.map(_._3)).max)
+    }
     j.putArray("sort-orders").add {
       val so = mapper.createObjectNode()
       so.put("order-id", 0); so.putArray("fields"); so
@@ -1182,19 +1336,13 @@ object Iceberg {
       s"deleteWhere: format-version ${meta.formatVersion} tables have " +
         "no sequence numbers; rewrite via toIceberg instead")
     require(meta.currentSnapshotId >= 0, s"empty Iceberg table: $dir")
-    // our delete manifests carry EMPTY partition tuples — only legal
-    // against an unpartitioned default spec
+    // partitioned tables: delete files are partition-scoped like data
+    // files — each staged delete file covers ONE partition tuple,
+    // copied VERBATIM from the referenced data files' manifest entries
+    // (transform-agnostic: the tuple is never re-derived). The
+    // manifest declares the table's default spec id.
     val mj = mapper.readTree(readAll(s"$dir/metadata/${meta.file}"))
     val defaultSpec = Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    Option(mj.get("partition-specs")).filter(_.isArray).foreach { arr =>
-      (0 until arr.size()).foreach { i =>
-        val sp = arr.get(i)
-        if (Option(sp.get("spec-id")).exists(_.asInt() == defaultSpec))
-          require(!sp.hasNonNull("fields") || sp.get("fields").size() == 0,
-            "deleteWhere: partitioned Iceberg tables are unsupported " +
-              "(delete manifests would need partition tuples)")
-      }
-    }
     val snap = meta.snapshots.find(_.id == meta.currentSnapshotId).get
     val (files0, priorDels) = liveFiles(meta, snap, withStats = true)
     require(priorDels.forall(_.equalityIds.isEmpty),
@@ -1211,6 +1359,17 @@ object Iceberg {
     val candidates = files0.filter(f => DeltaStats.mightMatch(pred,
       meta.schema, Nil, Map.empty, f.statsJson, tz))
     if (candidates.isEmpty) return meta.currentSnapshotId
+    // one partition-record schema across candidates (spec evolution
+    // mid-table would need one delete manifest per spec — loud)
+    val pSchemas = candidates.flatMap(f => Option(f.partition))
+      .map(_.getSchema).distinct
+    require(pSchemas.size <= 1,
+      s"deleteWhere: candidate files span ${pSchemas.size} partition " +
+        "record schemas (spec evolution) — delete per-spec subsets")
+    val tuples: IndexedSeq[GenericRecord] =
+      candidates.map(_.partition).distinct.toIndexedSeq
+    val tupleIdxOfFile: Array[Int] = candidates.map(f =>
+      tuples.indexOf(f.partition)).toArray
     val pathIds = new java.util.HashMap[UTF8String, Integer]()
     candidates.zipWithIndex.foreach { case (f, i) =>
       (Option(f.rawPath).toSeq ++ PathKeys.spellings(f.path)).foreach(sp =>
@@ -1226,22 +1385,30 @@ object Iceberg {
       .select(Bridge.column(PathId(Bridge.expression(
         col("_metadata.file_path")), pathIds, strict = true)).as("__fid"),
         col("_metadata.row_index").as("__pos"))
+      // __pt = the file's partition-tuple ordinal: delete files are
+      // partition-scoped, so staging splits directories on it (the
+      // written files themselves carry only file_path + pos)
       .select(element_at(lit(rawByOrd), col("__fid") + 1)
         .as("file_path", fieldIdMeta(2147483546L)),
-        col("__pos").as("pos", fieldIdMeta(2147483545L)))
+        col("__pos").as("pos", fieldIdMeta(2147483545L)),
+        element_at(lit(tupleIdxOfFile), col("__fid") + 1).as("__pt"))
     val parts = math.max(1, math.min(candidates.size,
       spark.sparkContext.defaultParallelism))
     val staging = s"$dir/_staging/${java.util.UUID.randomUUID()}"
     // fieldId.write is enabled in a CLONED session (Bridge), never by
     // toggling the caller's conf — a concurrent write on the same
     // session must not race the flag
-    val staged: Seq[(String, Long)] = Bridge.withSessionConf(hits,
+    val staged: Seq[(String, Long, Int)] = Bridge.withSessionConf(hits,
         Map("spark.sql.parquet.fieldId.write.enabled" -> "true")) { h =>
-      h.repartitionByRange(parts, col("file_path"), col("pos"))
-        .sortWithinPartitions("file_path", "pos") // the spec's sort order
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+      h.repartitionByRange(parts, col("__pt"), col("file_path"), col("pos"))
+        .sortWithinPartitions("__pt", "file_path", "pos") // spec sort order
+        .write.partitionBy("__pt")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
       FsIO.listFilesRecursive(staging).collect {
-        case (p, len, _) if p.endsWith(".parquet") => (p, len)
+        case (p, len, _) if p.endsWith(".parquet") =>
+          val seg = p.split('/').takeRight(2).head
+          require(seg.startsWith("__pt="), s"unexpected staging dir for $p")
+          (p, len, seg.drop("__pt=".length).toInt)
       }.toSeq.sortBy(_._1)
     }
     // per-file record counts in ONE scan (footer-only shape); empty
@@ -1249,7 +1416,7 @@ object Iceberg {
     val counts: Map[String, Long] =
       if (staged.isEmpty) Map.empty
       else {
-        val bySpelling = staged.flatMap { case (p, _) =>
+        val bySpelling = staged.flatMap { case (p, _, _) =>
           PathKeys.spellings(p).map(_ -> p) }.toMap
         spark.read.parquet(staged.map(_._1): _*)
           .groupBy(col("_metadata.file_path").as("f")).count()
@@ -1265,14 +1432,16 @@ object Iceberg {
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits) max 1L
     val seq = meta.lastSequenceNumber + 1
-    val delFiles = nonEmpty.map { case (p, len) =>
+    val delFiles = nonEmpty.map { case (p, len, pt) =>
       val dst = s"$dir/data/delete-${java.util.UUID.randomUUID()}.parquet"
       FsIO.rename(p, dst)
-      (dst, len, counts(p))
+      (dst, len, counts(p), tuples(pt))
     }
     FsIO.deleteRecursive(staging)
     commitDeleteManifest(dir, meta, delFiles, fileContent = 1,
-      equalityIds = Nil, snapshotId = snapshotId, seq = seq, now = now)
+      equalityIds = Nil, snapshotId = snapshotId, seq = seq, now = now,
+      partitionRecordSchema = pSchemas.headOption.orNull,
+      specId = defaultSpec)
     snapshotId
   }
 
@@ -1348,7 +1517,7 @@ object Iceberg {
     }.head
     FsIO.deleteRecursive(staging)
     commitDeleteManifest(dir, meta,
-      Seq((delPath._1, delPath._2, hits.length.toLong)),
+      Seq((delPath._1, delPath._2, hits.length.toLong, null)),
       fileContent = 1, equalityIds = Nil, snapshotId = snapshotId,
       seq = seq, now = now)
     snapshotId
@@ -1404,7 +1573,7 @@ object Iceberg {
         (dst, len)
     }.head
     FsIO.deleteRecursive(staging)
-    commitDeleteManifest(dir, meta, Seq((delPath._1, delPath._2, n)),
+    commitDeleteManifest(dir, meta, Seq((delPath._1, delPath._2, n, null)),
       fileContent = 2,
       equalityIds = equalityCols.map(idsByName), snapshotId = snapshotId,
       seq = seq, now = now)
@@ -1420,29 +1589,44 @@ object Iceberg {
     * snapshot/metadata version. `delFiles`: (path, byteLen, records)
     * per delete parquet. */
   private def commitDeleteManifest(dir: String, meta: Metadata,
-      delFiles: Seq[(String, Long, Long)], fileContent: Int,
+      delFiles: Seq[(String, Long, Long, GenericRecord)], fileContent: Int,
       equalityIds: Seq[Int], snapshotId: Long, seq: Long,
-      now: Long): Unit = {
+      now: Long, partitionRecordSchema: ASchema = null,
+      specId: Int = 0): Unit = {
     require(delFiles.nonEmpty, "commitDeleteManifest: no delete files")
     val mdir = s"$dir/metadata"
     val prefix = if (fileContent == 2) "graft-e" else "graft-d"
     val delManifest = s"$mdir/$prefix-${java.util.UUID.randomUUID()}.avro"
-    writeAvro(delManifest, ManifestEntrySchema,
+    // the delete manifest's partition record mirrors the data files'
+    // own (copied through verbatim — delete files are partition-scoped
+    // like data files); unpartitioned tables keep the empty record
+    val entrySchema =
+      if (partitionRecordSchema == null ||
+          partitionRecordSchema.getFields.isEmpty) ManifestEntrySchema
+      else manifestEntrySchemaFor(partitionRecordSchema.toString)
+    writeAvro(delManifest, entrySchema,
       Map("format-version" -> "2", "content" -> "deletes",
-        "partition-spec-id" -> "0"),
-      delFiles.map { case (path, len, n) =>
-        val e = new GenericData.Record(ManifestEntrySchema)
+        "partition-spec-id" -> specId.toString),
+      delFiles.map { case (path, len, n, tuple) =>
+        val e = new GenericData.Record(entrySchema)
         e.put("status", 1)
         e.put("snapshot_id", snapshotId)
         e.put("sequence_number", seq)
         e.put("file_sequence_number", seq)
         val d = new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema())
+          entrySchema.getField("data_file").schema())
         d.put("content", fileContent)
         d.put("file_path", path)
         d.put("file_format", "PARQUET")
-        d.put("partition", new GenericData.Record(
-          d.getSchema.getField("partition").schema()))
+        val pSchema = d.getSchema.getField("partition").schema()
+        val pr = new GenericData.Record(pSchema)
+        if (tuple != null) pSchema.getFields.forEach { f =>
+          pr.put(f.name(), tuple.get(f.name()) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case o => o
+          })
+        }
+        d.put("partition", pr)
         d.put("record_count", n)
         d.put("file_size_in_bytes", len)
         if (equalityIds.nonEmpty) {
@@ -1460,7 +1644,7 @@ object Iceberg {
       val e = new GenericData.Record(ManifestFileSchema)
       e.put("manifest_path", delManifest)
       e.put("manifest_length", delLen)
-      e.put("partition_spec_id", 0)
+      e.put("partition_spec_id", specId)
       e.put("content", 1) // DELETES manifest
       e.put("sequence_number", seq)
       e.put("min_sequence_number", seq)

@@ -401,14 +401,83 @@ class IcebergSpec extends SparkSpec {
     assert(f.count() == 8)
   }
 
-  test("partitioned toIceberg is a documented rejection pointing at the Delta sink") {
+  test("partitioned toIceberg: identity spec round trip, appends, pruning, deletes") {
     import spark.implicits._
-    val df = Seq((1L, "a")).toDF("id", "s")
-    val e = intercept[IllegalArgumentException] {
-      Iceberg.toIceberg(df, tmp("part.iceberg"), partitionBy = Seq("s"))
-    }
-    assert(e.getMessage.contains("partitioned writes are unsupported") &&
-      e.getMessage.contains("toDelta"))
+    val root = tmp("part.iceberg")
+    val df = spark.range(0, 120).select(
+      col("id"), (col("id") % 3).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("label"))
+      .repartitionByRange(2, col("id"))
+    Iceberg.toIceberg(df, root, partitionBy = Seq("grp"))
+    val back = Iceberg.fromIceberg(spark, root)
+    assert(back.columns.toSeq == Seq("id", "grp", "label"))
+    assert(back.count() == 120)
+    // data files CONTAIN the partition source column (the Iceberg
+    // layout, unlike Delta/Hive) and live under grp=<v>/ dirs
+    val files = back.inputFiles
+    assert(files.forall(_.contains("grp=")))
+    assert(spark.read.parquet(files.head).columns.contains("grp"))
+    // bounds-based pruning on the partition column plans fewer files
+    val pruned = Iceberg.fromIceberg(spark, root, None, Some(col("grp") === 1))
+    assert(pruned.inputFiles.length < files.length)
+    assert(pruned.count() == 40)
+    // the metadata json declares the identity spec
+    val metaFile = FsIO.listFileNames(s"$root/metadata")
+      .filter(_.endsWith(".metadata.json")).max
+    val mj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/metadata/$metaFile")),
+      StandardCharsets.UTF_8)
+    val mjc = mj.replaceAll("\\s", "")
+    assert(mjc.contains("\"transform\":\"identity\"") &&
+      mjc.contains("\"source-id\":2") && mjc.contains("\"field-id\":1000"),
+      mj.take(400))
+    // appends keep the spec; a mismatched partitionBy is loud
+    Iceberg.toIceberg(df.withColumn("id", col("id") + 1000), root,
+      "append", partitionBy = Seq("grp"))
+    assert(Iceberg.fromIceberg(spark, root).count() == 240)
+    val e = intercept[IllegalArgumentException](
+      Iceberg.toIceberg(df, root, "append"))
+    assert(e.getMessage.contains("identity spec"))
+    // merge-on-read DELETE on the partitioned table: delete files are
+    // partition-scoped (tuples copied from the data files' entries)
+    Iceberg.deleteWhere(spark, root, col("id") % 10 === 4)
+    val afterDel = Iceberg.fromIceberg(spark, root)
+    assert(afterDel.count() == 240 - 24)
+    assert(afterDel.filter(col("id") % 10 === 4).count() == 0)
+    // values survive intact in every partition
+    assert(afterDel.filter(col("grp") === 2).count() ==
+      (0L until 120L).count(i => i % 3 == 2 && i % 10 != 4) +
+      (1000L until 1120L).count(i => i % 3 == 2 && i % 10 != 4))
+    // the delete manifest's entries carry the partition tuple schema
+    val delManifest = FsIO.listFileNames(s"$root/metadata")
+      .find(_.startsWith("graft-d-")).get
+    var sawTuple = false
+    val rd = new org.apache.avro.file.DataFileReader(
+      new java.io.File(s"$root/metadata/$delManifest"),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try while (rd.hasNext) {
+      val entry = rd.next()
+      val pt = entry.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord]
+      assert(pt.getSchema.getField("grp") != null)
+      assert(pt.get("grp") != null)
+      sawTuple = true
+    } finally rd.close()
+    assert(sawTuple)
+    // null partition values round-trip (hive default-partition marker)
+    val rootN = tmp("partnull.iceberg")
+    val dfn = spark.range(0, 30).select(col("id"),
+      when(col("id") % 3 === 0, lit(null)).otherwise(col("id") % 3)
+        .cast("int").as("grp"))
+    Iceberg.toIceberg(dfn, rootN, partitionBy = Seq("grp"))
+    val backN = Iceberg.fromIceberg(spark, rootN)
+    assert(backN.count() == 30)
+    assert(backN.filter(col("grp").isNull).count() == 10)
+    // non-identity-typed partition sources stay loud
+    val e2 = intercept[IllegalArgumentException](Iceberg.toIceberg(
+      spark.range(3).select(col("id"), (col("id") * 0.5).as("d")),
+      tmp("partbad.iceberg"), partitionBy = Seq("d")))
+    assert(e2.getMessage.contains("identity partition over"))
   }
 
   test("Appendix D single-value serialization round-trips every bound type") {
