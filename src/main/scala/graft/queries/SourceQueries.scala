@@ -1051,6 +1051,31 @@ object SourceQueries {
     // AFTER the delete survive even when they match. The lane deletes
     // flag 'R', then appends fresh 'R' rows; the oracle rebuilds the
     // same state in SQL.
+    // Iceberg MIXED deletes: a Flink-style EQUALITY delete (masking
+    // l_returnflag='R' rows of data files below its sequence) with OUR
+    // position delete committed ON TOP at a higher sequence — the read
+    // applies both (strict sequence scoping for the equality delete,
+    // exact (path, pos) anti-join for ours). Oracle = the CoW
+    // equivalent: both WHEREs on the original parquet.
+    "q_iceberg_mixed_deletes" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_mixdel") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(4, col("l_orderkey"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(li, table)
+      import s.implicits._
+      I.foreignEqualityDeletes(s, table,
+        Seq("R").toDF("l_returnflag"), Seq("l_returnflag"))
+      I.deleteWhere(s, table, col("l_orderkey") % 5 === 1)
+      I.fromIceberg(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_iceberg_eqdel" -> ((s, dir) => {
       val table = cacheDir(dir, "lineitem_iceberg_eq") + "/t.iceberg"
       graft.sources.FsIO.deleteRecursive(table)
@@ -1640,6 +1665,13 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey % 7 <> 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_mixed_deletes" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_returnflag <> 'R' AND l_orderkey % 5 <> 1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_eqdel" ->
       s"""WITH state AS (

@@ -1345,9 +1345,18 @@ object Iceberg {
     val defaultSpec = Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val snap = meta.snapshots.find(_.id == meta.currentSnapshotId).get
     val (files0, priorDels) = liveFiles(meta, snap, withStats = true)
-    require(priorDels.forall(_.equalityIds.isEmpty),
-      "deleteWhere: tables with EQUALITY deletes are unsupported " +
-        "(sequence scoping under new deletes)")
+    // existing EQUALITY deletes (the Flink-CDC shape) co-exist with a
+    // new position delete: ours commits at lastSequenceNumber+1 — ABOVE
+    // every prior delete's sequence — so the read side's strict
+    // equality scoping (data seq < eq-delete seq) is untouched, and a
+    // row masked by both is idempotent under the (path, pos) anti-join.
+    // The candidate scan reads raw data files, so already-eq-deleted
+    // rows matching `cond` re-enter the new delete file — harmless
+    // duplication, same as re-deleting position-masked rows.
+    require(priorDels.isEmpty || priorDels.map(_.seq).max <
+        meta.lastSequenceNumber + 1,
+      "deleteWhere: a prior delete file carries a sequence number at or " +
+        "above the next commit's — corrupt metadata ordering")
     require(files0.forall(_.format == "PARQUET"),
       "deleteWhere: parquet data files only (position deletes need " +
         "_metadata.row_index)")

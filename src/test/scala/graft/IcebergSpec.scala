@@ -401,6 +401,35 @@ class IcebergSpec extends SparkSpec {
     assert(f.count() == 8)
   }
 
+  test("deleteWhere on top of existing equality deletes (mixed-delete table)") {
+    import spark.implicits._
+    val root = tmp("mixdel.iceberg")
+    val df = spark.range(0, 100).select(
+      col("id"), (col("id") % 4).cast("int").as("g"))
+      .repartitionByRange(2, col("id"))
+    Iceberg.toIceberg(df, root)
+    // Flink-style equality delete: mask g=3 rows of files BELOW its seq
+    Iceberg.foreignEqualityDeletes(spark, root, Seq(3).toDF("g"), Seq("g"))
+    assert(Iceberg.fromIceberg(spark, root).count() == 75)
+    // our position delete commits at a HIGHER sequence — both apply
+    Iceberg.deleteWhere(spark, root, col("id") % 10 === 2)
+    val after = Iceberg.fromIceberg(spark, root)
+    // CoW equivalent: g<>3 AND id%10<>2
+    assert(after.count() == (0L until 100L).count(i => i % 4 != 3 && i % 10 != 2))
+    assert(after.filter(col("g") === 3).count() == 0)
+    assert(after.filter(col("id") % 10 === 2).count() == 0)
+    // an append AFTER both deletes: matching-tuple rows SURVIVE the
+    // older equality delete (strict sequence scoping) and were never
+    // in the position delete
+    Iceberg.toIceberg(spark.range(1000, 1010).select(
+      col("id"), lit(3).cast("int").as("g")), root, mode = "append")
+    val appended = Iceberg.fromIceberg(spark, root)
+    assert(appended.filter(col("g") === 3).count() == 10)
+    // deleting from the appended slab composes too
+    Iceberg.deleteWhere(spark, root, col("id") === 1005L)
+    assert(Iceberg.fromIceberg(spark, root).filter(col("g") === 3).count() == 9)
+  }
+
   test("partitioned toIceberg: identity spec round trip, appends, pruning, deletes") {
     import spark.implicits._
     val root = tmp("part.iceberg")
@@ -615,14 +644,15 @@ class IcebergSpec extends SparkSpec {
     val snapsBefore = Iceberg.snapshots(spark, t).count()
     val vSame = Iceberg.deleteWhere(spark, t, col("id") === -1L)
     assert(Iceberg.snapshots(spark, t).count() == snapsBefore)
-    // equality deletes present -> loud
+    // equality deletes present: ours stacks on top (the dedicated
+    // mixed-delete spec drills the sequencing; here just both apply)
     val te = tmp("pdeleq.iceberg")
     Iceberg.toIceberg(df, te)
     Iceberg.foreignEqualityDeletes(spark, te,
       Seq(Tuple1(3L)).toDF("m"), Seq("m"))
-    val e = intercept[IllegalArgumentException](
-      Iceberg.deleteWhere(spark, te, col("k") === 1))
-    assert(e.getMessage.contains("EQUALITY"))
+    Iceberg.deleteWhere(spark, te, col("k") === 1)
+    assert(Iceberg.fromIceberg(spark, te).count() ==
+      (0L until 200L).count(i => i % 7 != 3 && i % 5 != 1))
     // time travel to the pre-delete snapshot still sees all rows
     assert(Iceberg.fromIceberg(spark, t,
       snapshotId = Some(sid)).count() == 200 - 29)
