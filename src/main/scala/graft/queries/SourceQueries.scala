@@ -427,6 +427,21 @@ object SourceQueries {
       embedAgg(graft.sources.Readers.open(s, cache))
     }),
 
+    // zarr v3 sharding_indexed: the large-tensor layout (many small
+    // inner chunks per stored object, so object stores hold millions
+    // of chunks in thousands of files) — distributed write with
+    // 64-row inner chunks inside 512-row shards, read back through
+    // the shard index (crc32c-protected offset/nbytes table).
+    "q_zarr_shard" -> ((s, dir) => {
+      val cache = cacheDir(dir, "embeddings_zarr_shard") + "/emb.zarr"
+      graft.sources.FsIO.deleteRecursive(cache)
+      graft.sources.Zarr.toZarrDistributed(
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        cache, chunkRows = 512, codec = "gzip", zarrVersion = 3,
+        shardInnerRows = 64)
+      embedAgg(graft.sources.Readers.open(s, cache))
+    }),
+
     // zstd JSON-lines round trip (the corpus-release container: The
     // Pile / SlimPajama / Dolma ship .jsonl.zst shards): distributed
     // sharded write (executors stream-compress), glob read (one
@@ -1557,6 +1572,7 @@ object SourceQueries {
     "q_zarr_blosc" -> embedAggSql,
     "q_zarr_bitshuf" -> embedAggSql,
     "q_zarr_v3" -> embedAggSql,
+    "q_zarr_shard" -> embedAggSql,
     "q_jsonl_zst" -> aggSql,
     "q_delta_agg" -> aggSql,
     "q_delta_skipping" ->

@@ -39,11 +39,17 @@ import org.apache.spark.sql.types._
   * array/group nodes, regular chunk grids, default ("c/" prefix) and
   * v2 chunk-key encodings, codec pipelines of `bytes` (either
   * endian) + one of gzip/zstd/blosc + optional `crc32c`
-  * (verify-and-strip); sharding/transpose/storage-transformers and
-  * unknown codecs reject loudly. Writers take `zarrVersion = 3`
-  * (codecs gzip/zstd/blosc-*). Both directions are cross-pinned
-  * against an independent python implementation (tools/zarrgen.py
-  * write_array_v3 / verify_v3, own crc32c table).
+  * (verify-and-strip), and `sharding_indexed` (r17 — the large-tensor
+  * layout: each stored object is a SHARD of independently encoded
+  * inner chunks located by a crc32c-protected (offset, nbytes) index
+  * at either end; missing inner chunks/shards read as fill). The
+  * chunk grid stays the scan sharding — one task decodes one shard,
+  * bounded by the 1 GiB chunk guard. Transpose/storage-transformers,
+  * nested sharding and unknown codecs reject loudly. Writers take
+  * `zarrVersion = 3` (codecs gzip/zstd/blosc-*) and `shardInnerRows`
+  * for sharded stores. Both directions are cross-pinned against an
+  * independent python implementation (tools/zarrgen.py
+  * write_array_v3[_sharded] / verify_v3, own crc32c table).
   */
 object Zarr {
 
@@ -57,7 +63,12 @@ object Zarr {
   private[graft] final case class ZMeta(name: String, shape: Seq[Long],
       chunks: Seq[Long], descr: String, compressor: String, // "", "zlib", "gzip", "blosc", "v3"
       fill: Option[Double], sep: String,
-      keyPrefix: String = "", v3Chain: Seq[String] = Nil) {
+      keyPrefix: String = "", v3Chain: Seq[String] = Nil,
+      // sharding_indexed: `chunks` is the OUTER shard shape (chunk
+      // keys address shards); shardInner is the inner chunk shape and
+      // v3Chain the INNER codec chain
+      shardInner: Seq[Long] = Nil, shardIndexAtEnd: Boolean = true,
+      shardIndexCrc: Boolean = true) {
     def n: Long = shape.head
     def d: Long = if (shape.size < 2) 1L else shape(1)
     def itemBytes: Int = descr.drop(1).tail.toInt match { case b => b }
@@ -226,44 +237,96 @@ object Zarr {
     val (kind, item) = V3Types.getOrElse(dt,
       throw new IllegalArgumentException(
         s"$arrayDir: unsupported data_type '$dt'"))
-    // codec pipeline
+    // codec pipeline: a plain bytes+compression chain, or ONE
+    // sharding_indexed codec whose configuration carries the inner
+    // chunk shape + inner chain + index codecs
+    def parseChain(codecs: com.fasterxml.jackson.databind.JsonNode,
+        ctx: String): (Boolean, Seq[String]) = {
+      require(codecs != null && codecs.isArray && codecs.size >= 1,
+        s"$ctx: missing codecs")
+      var endianLittle = true
+      var sawBytes = false
+      val chain = Seq.newBuilder[String]
+      (0 until codecs.size).foreach { i =>
+        val c = codecs.get(i)
+        val cn = Option(c.get("name")).map(_.asText()).getOrElse("?")
+        cn match {
+          case "bytes" =>
+            require(!sawBytes, s"$ctx: duplicate bytes codec")
+            sawBytes = true
+            endianLittle = Option(c.get("configuration"))
+              .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
+              .getOrElse("little") match {
+              case "little" => true
+              case "big" => false
+              case e => throw new IllegalArgumentException(
+                s"$ctx: bytes codec endian '$e'")
+            }
+          case "gzip" | "zstd" | "blosc" | "crc32c" =>
+            require(sawBytes,
+              s"$ctx: bytes->bytes codec '$cn' before the bytes codec")
+            chain += cn
+          case other => throw new IllegalArgumentException(
+            s"$ctx: unsupported codec '$other' " +
+              "(bytes + gzip/zstd/blosc/crc32c only; transpose and " +
+              "nested sharding are out of scope)")
+        }
+      }
+      require(sawBytes, s"$ctx: codec pipeline has no bytes codec")
+      val ch = chain.result()
+      require(ch.count(c => c != "crc32c") <= 1 &&
+        (!ch.contains("crc32c") || ch.last == "crc32c"),
+        s"$ctx: unsupported codec chain ${ch.mkString("[", ",", "]")} " +
+          "(at most one compression codec, crc32c last)")
+      (endianLittle, ch)
+    }
     val codecs = j.get("codecs")
     require(codecs != null && codecs.isArray && codecs.size >= 1,
       s"$arrayDir: missing codecs")
-    var endianLittle = true
-    var sawBytes = false
-    val chain = Seq.newBuilder[String]
-    (0 until codecs.size).foreach { i =>
-      val c = codecs.get(i)
-      val cn = Option(c.get("name")).map(_.asText()).getOrElse("?")
-      cn match {
-        case "bytes" =>
-          require(!sawBytes, s"$arrayDir: duplicate bytes codec")
-          sawBytes = true
-          endianLittle = Option(c.get("configuration"))
+    val sharded = codecs.size == 1 &&
+      Option(codecs.get(0).get("name")).exists(_.asText() == "sharding_indexed")
+    require(sharded || (0 until codecs.size).forall(i =>
+        Option(codecs.get(i).get("name"))
+          .forall(_.asText() != "sharding_indexed")),
+      s"$arrayDir: sharding_indexed must be the ONLY array->bytes codec")
+    var shardInner: Seq[Long] = Nil
+    var shardIndexAtEnd = true
+    var shardIndexCrc = true
+    val (endianLittle, ch) =
+      if (!sharded) parseChain(codecs, arrayDir)
+      else {
+        val cfg = codecs.get(0).get("configuration")
+        require(cfg != null, s"$arrayDir: sharding_indexed without configuration")
+        shardInner = dims(cfg.get("chunk_shape"), "sharding chunk_shape")
+        require(shardInner.size == chunks.size &&
+          shardInner.forall(_ >= 1) &&
+          chunks.zip(shardInner).forall { case (o, in) => o % in == 0 },
+          s"$arrayDir: inner chunk_shape ${shardInner.mkString("x")} must " +
+            s"evenly divide the shard shape ${chunks.mkString("x")}")
+        // index codecs: bytes(little) + optional crc32c — anything
+        // else would misread the (offset, nbytes) table
+        val ics = cfg.get("index_codecs")
+        require(ics != null && ics.isArray && ics.size >= 1 && ics.size <= 2,
+          s"$arrayDir: sharding index_codecs must be bytes [+ crc32c]")
+        val names = (0 until ics.size).map(i =>
+          Option(ics.get(i).get("name")).map(_.asText()).getOrElse("?"))
+        require(names.head == "bytes" &&
+          (ics.size == 1 || names(1) == "crc32c"),
+          s"$arrayDir: unsupported index_codecs ${names.mkString(",")}")
+        require(Option(ics.get(0).get("configuration"))
             .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
-            .getOrElse("little") match {
-            case "little" => true
-            case "big" => false
-            case e => throw new IllegalArgumentException(
-              s"$arrayDir: bytes codec endian '$e'")
-          }
-        case "gzip" | "zstd" | "blosc" | "crc32c" =>
-          require(sawBytes,
-            s"$arrayDir: bytes->bytes codec '$cn' before the bytes codec")
-          chain += cn
-        case other => throw new IllegalArgumentException(
-          s"$arrayDir: unsupported codec '$other' " +
-            "(bytes + gzip/zstd/blosc/crc32c only; sharding/transpose " +
-            "are out of scope)")
+            .forall(_ == "little"),
+          s"$arrayDir: big-endian shard index is unsupported")
+        shardIndexCrc = ics.size == 2
+        shardIndexAtEnd = Option(cfg.get("index_location"))
+          .map(_.asText()).getOrElse("end") match {
+          case "end" => true
+          case "start" => false
+          case other => throw new IllegalArgumentException(
+            s"$arrayDir: index_location '$other'")
+        }
+        parseChain(cfg.get("codecs"), s"$arrayDir (inner)")
       }
-    }
-    require(sawBytes, s"$arrayDir: codec pipeline has no bytes codec")
-    val ch = chain.result()
-    require(ch.count(c => c != "crc32c") <= 1 &&
-      (!ch.contains("crc32c") || ch.last == "crc32c"),
-      s"$arrayDir: unsupported codec chain ${ch.mkString("[", ",", "]")} " +
-        "(at most one compression codec, crc32c last)")
     val fill = j.get("fill_value") match {
       case null => None
       case f if f.isNull => None
@@ -279,7 +342,8 @@ object Zarr {
     }
     val descr = s"${if (item == 1) "|" else if (endianLittle) "<" else ">"}$kind$item"
     val m = ZMeta(name, shape, chunks, descr, "v3", fill, sep,
-      keyPrefix = keyPrefix, v3Chain = ch)
+      keyPrefix = keyPrefix, v3Chain = ch, shardInner = shardInner,
+      shardIndexAtEnd = shardIndexAtEnd, shardIndexCrc = shardIndexCrc)
     val bytesOk =
       try Math.multiplyExact(Math.multiplyExact(m.c0, m.c1),
         m.itemBytes.toLong) <= MaxChunk
@@ -322,6 +386,93 @@ object Zarr {
       require(buf.length == outLen,
         s"$ctx: v3 chunk decoded to ${buf.length} bytes, expected $outLen")
       buf
+    }
+
+  /** One SHARD file -> the decoded outer-chunk buffer (sharding_indexed,
+    * zarr v3 sharding spec): the shard body is the concatenation of
+    * independently encoded INNER chunks, located by a trailing (or
+    * leading) index of little-endian (offset, nbytes) uint64 pairs in
+    * inner-grid C order, optionally crc32c-protected. Missing inner
+    * chunks (offset == nbytes == 2^64-1) fill with the array's
+    * fill_value. Buffer scale is ONE outer chunk (the existing 1 GiB
+    * chunk guard applies to the shard shape), and a shard is one
+    * scan-task unit — the chunk grid stays the sharding. */
+  private def assembleShard(raw: Array[Byte], m: ZMeta, outLen: Int,
+                            ctx: String): Array[Byte] = {
+    val item = m.itemBytes
+    val i0 = m.shardInner.head
+    val i1 = if (m.shardInner.size < 2) 1L else m.shardInner(1)
+    val s0 = (m.c0 / i0).toInt // inner chunks per shard, dim 0
+    val s1 = (m.c1 / i1).toInt
+    val cps = s0 * s1
+    val idxLen = 16 * cps + (if (m.shardIndexCrc) 4 else 0)
+    require(raw.length >= idxLen,
+      s"$ctx: shard of ${raw.length} bytes cannot hold a $idxLen-byte index")
+    val idxOff = if (m.shardIndexAtEnd) raw.length - idxLen else 0
+    if (m.shardIndexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(raw, idxOff, 16 * cps)
+      val stored = ByteBuffer.wrap(raw, idxOff + 16 * cps, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(stored == crc.getValue.toInt,
+        s"$ctx: shard index crc32c mismatch (corrupt shard)")
+    }
+    val idx = ByteBuffer.wrap(raw, idxOff, 16 * cps)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Byte](outLen)
+    val innerBytes = (i0 * i1).toInt * item
+    var k = 0
+    while (k < cps) {
+      val off = idx.getLong(idxOff + 16 * k)
+      val nb = idx.getLong(idxOff + 16 * k + 8)
+      val ii = k / s1
+      val jj = k % s1
+      def copyInner(buf: Array[Byte]): Unit = {
+        // inner chunk (ii, jj) lands at rows ii*i0.., cols jj*i1..
+        var r = 0
+        while (r < i0) {
+          System.arraycopy(buf, (r * i1).toInt * item, out,
+            (((ii * i0 + r) * m.c1) + jj * i1).toInt * item,
+            i1.toInt * item)
+          r += 1
+        }
+      }
+      if (off == -1L && nb == -1L) {
+        // missing inner chunk -> fill value
+        val fv = fillValueOf(m, ctx)
+        val bb = ByteBuffer.allocate(innerBytes)
+          .order(if (m.little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        var e = 0
+        val nVals = (i0 * i1).toInt
+        while (e < nVals) { putFill(bb, m, fv); e += 1 }
+        copyInner(bb.array())
+      } else {
+        require(off >= 0 && nb > 0 && off + nb <= raw.length,
+          s"$ctx: inner chunk $k spans [$off, ${off + nb}) outside the " +
+            s"${raw.length}-byte shard")
+        val enc = java.util.Arrays.copyOfRange(raw, off.toInt, (off + nb).toInt)
+        copyInner(decodeChunk(enc, m, innerBytes, s"$ctx#inner$k"))
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Encode one fill value into a chunk buffer (shard gap filling). */
+  private def putFill(bb: ByteBuffer, m: ZMeta, fv: Any): Unit =
+    (m.kind, m.itemBytes) match {
+      case ('b', _) => bb.put(if (fv.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case ('i', 1) => bb.put(fv.asInstanceOf[Byte])
+      case ('i', 2) => bb.putShort(fv.asInstanceOf[Short])
+      case ('i', 4) => bb.putInt(fv.asInstanceOf[Int])
+      case ('i', 8) => bb.putLong(fv.asInstanceOf[Long])
+      case ('u', 1) => bb.put(fv.asInstanceOf[Short].toByte)
+      case ('u', 2) => bb.putShort(fv.asInstanceOf[Int].toShort)
+      case ('u', 4) => bb.putInt(fv.asInstanceOf[Long].toInt)
+      case ('u', 8) => bb.putLong(fv.asInstanceOf[java.math.BigDecimal].longValue())
+      case ('f', 4) => bb.putFloat(fv.asInstanceOf[Float])
+      case ('f', 8) => bb.putDouble(fv.asInstanceOf[Double])
+      case _ => throw new IllegalStateException(m.descr)
     }
 
   private def inflateChunk(raw: Array[Byte], comp: String, outLen: Int,
@@ -455,7 +606,9 @@ object Zarr {
             val b = new Array[Byte](in.length.toInt)
             in.seek(0L); in.readFully(b); b
           } finally in.close()
-          val buf = decodeChunk(raw, m, chunkBytes, s"$ctx/$name")
+          val buf =
+            if (m.shardInner.nonEmpty) assembleShard(raw, m, chunkBytes, s"$ctx/$name")
+            else decodeChunk(raw, m, chunkBytes, s"$ctx/$name")
           val le = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
           val be = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
           var r = rLo
@@ -684,6 +837,15 @@ object Zarr {
           "(zlib/gzip/zstd/blosc-lz4/blosc-zstd/blosc-zlib, optional -bit suffix)")
     }
 
+  /** Sharding is a v3 codec; the outer chunk (the shard) must hold a
+    * whole number of inner chunks (the sharding spec's requirement). */
+  private def requireShard(shardInnerRows: Int, chunkRows: Int,
+      v3: Boolean): Unit =
+    require(shardInnerRows == 0 || (v3 && shardInnerRows >= 1 &&
+        chunkRows % shardInnerRows == 0),
+      s"zarr export: shardInnerRows $shardInnerRows must be a positive " +
+        s"divisor of chunkRows $chunkRows on a zarrVersion=3 store")
+
   /** Writer-codec validity per store version (the readers' own
     * support envelopes — never write what we cannot re-read). */
   private def requireCodec(codec: String, v3: Boolean): Unit =
@@ -701,11 +863,12 @@ object Zarr {
     * per column. */
   def toZarr(df: DataFrame, dir: String, chunkRows: Int = 65536,
              compress: Boolean = true, codec: String = "zlib",
-             zarrVersion: Int = 2): Unit = {
+             zarrVersion: Int = 2, shardInnerRows: Int = 0): Unit = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
     require(zarrVersion == 2 || zarrVersion == 3,
       s"zarr export: zarrVersion $zarrVersion")
     val v3 = zarrVersion == 3
+    requireShard(shardInnerRows, chunkRows, v3)
     if (compress) requireCodec(codec, v3)
     val schema = df.schema
     // column plans: (name, descr, d) with d = 0 for scalars; fixed
@@ -724,7 +887,8 @@ object Zarr {
     import scala.jdk.CollectionConverters._
     val (file, n) = RowSpill.spill(schema, df.toLocalIterator().asScala)
     try {
-      writeGroupMeta(dir, plans, n, chunkRows, compress, codec, v3)
+      writeGroupMeta(dir, plans, n, chunkRows, compress, codec, v3,
+        shardInnerRows)
       plans.zipWithIndex.foreach { case ((name, descr, d), ci) =>
         val adir = s"$dir/$name"
         val width = math.max(d, 1)
@@ -737,7 +901,10 @@ object Zarr {
           while (bb.position() < chunkBytes) bb.put(0.toByte)
           val raw = bb.array()
           val bytes =
-            if (compress) encodeChunk(raw, chunkBytes, item, compress, codec)
+            if (shardInnerRows > 0)
+              encodeShard(raw, chunkBytes, shardInnerRows, width, item,
+                compress, codec)
+            else if (compress) encodeChunk(raw, chunkBytes, item, compress, codec)
             else raw.clone()
           val name2 = writeChunkName(v3, chunkIdx, d)
           val out = FsIO.create(s"$adir/$name2")
@@ -808,7 +975,8 @@ object Zarr {
     * chunk-key encoding with '/' separator, bytes(little) + the
     * writer codec. */
   private def zarr3Json(descr: String, n: Long, d: Int, chunkRows: Int,
-                        compress: Boolean, codec: String): String = {
+                        compress: Boolean, codec: String,
+                        shardInnerRows: Int = 0): String = {
     val shape = if (d == 0) s"[$n]" else s"[$n,$d]"
     val chunks = if (d == 0) s"[$chunkRows]" else s"[$chunkRows,$d]"
     val fill = if (descr == "|b1") "false" else "0"
@@ -826,13 +994,55 @@ object Zarr {
           """"blocksize":0}}"""
       } else throw new IllegalArgumentException(
         s"zarr v3 export: codec '$codec'")
+    val baseCodecs =
+      s"""[{"name":"bytes","configuration":{"endian":"little"}}$comp]"""
+    val codecsJson =
+      if (shardInnerRows == 0) baseCodecs
+      else {
+        val inner = if (d == 0) s"[$shardInnerRows]" else s"[$shardInnerRows,$d]"
+        s"""[{"name":"sharding_indexed","configuration":{""" +
+          s""""chunk_shape":$inner,"codecs":$baseCodecs,""" +
+          """"index_codecs":[{"name":"bytes","configuration":""" +
+          """{"endian":"little"}},{"name":"crc32c"}],""" +
+          """"index_location":"end"}}]"""
+      }
     s"""{"zarr_format":3,"node_type":"array","shape":$shape,""" +
       s""""data_type":"${v3TypeNameOf(descr)}",""" +
       s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":$chunks}},""" +
       """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
       s""""fill_value":$fill,""" +
-      s""""codecs":[{"name":"bytes","configuration":{"endian":"little"}}$comp],""" +
+      s""""codecs":$codecsJson,""" +
       """"attributes":{}}"""
+  }
+
+  /** Encode one OUTER chunk buffer as a sharding_indexed SHARD: each
+    * inner chunk (always full-width — the writers chunk whole rows, so
+    * the inner grid is 1-D along dim 0 and inner chunks are contiguous
+    * slices) encodes independently through the inner codec chain; the
+    * trailing index is (offset, nbytes) LE uint64 pairs + crc32c. */
+  private def encodeShard(raw: Array[Byte], chunkBytes: Int, innerRows: Int,
+      width: Int, item: Int, compress: Boolean, codec: String): Array[Byte] = {
+    val innerBytes = innerRows * width * item
+    val cps = chunkBytes / innerBytes
+    val bos = new java.io.ByteArrayOutputStream()
+    val idx = ByteBuffer.allocate(16 * cps + 4).order(ByteOrder.LITTLE_ENDIAN)
+    var k = 0
+    while (k < cps) {
+      val slice = java.util.Arrays.copyOfRange(raw,
+        k * innerBytes, (k + 1) * innerBytes)
+      val enc =
+        if (compress) encodeChunk(slice, innerBytes, item, compress, codec)
+        else slice
+      idx.putLong(bos.size().toLong)
+      idx.putLong(enc.length.toLong)
+      bos.write(enc)
+      k += 1
+    }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idx.array(), 0, 16 * cps)
+    idx.putInt(crc.getValue.toInt)
+    bos.write(idx.array())
+    bos.toByteArray
   }
 
   /** Group skeleton. v2: .zgroup, per-array dirs + .zarray, and the
@@ -840,7 +1050,8 @@ object Zarr {
     * v3: zarr.json group node + per-array zarr.json. */
   private def writeGroupMeta(dir: String, plans: Seq[(String, String, Int)],
                              n: Long, chunkRows: Int, compress: Boolean,
-                             codec: String = "zlib", v3: Boolean = false): Unit = {
+                             codec: String = "zlib", v3: Boolean = false,
+                             shardInnerRows: Int = 0): Unit = {
     FsIO.mkdirs(dir)
     if (v3) {
       writeString(s"$dir/zarr.json",
@@ -849,7 +1060,7 @@ object Zarr {
         val adir = s"$dir/$name"
         FsIO.mkdirs(adir)
         writeString(s"$adir/zarr.json",
-          zarr3Json(descr, n, d, chunkRows, compress, codec))
+          zarr3Json(descr, n, d, chunkRows, compress, codec, shardInnerRows))
       }
       return
     }
@@ -886,11 +1097,13 @@ object Zarr {
   def toZarrDistributed(df: DataFrame, dir: String, chunkRows: Int = 65536,
                         compress: Boolean = true,
                         codec: String = "zlib",
-                        zarrVersion: Int = 2): Int = {
+                        zarrVersion: Int = 2,
+                        shardInnerRows: Int = 0): Int = {
     require(chunkRows >= 1, "zarr export: chunkRows must be positive")
     require(zarrVersion == 2 || zarrVersion == 3,
       s"zarr export: zarrVersion $zarrVersion")
     val v3 = zarrVersion == 3
+    requireShard(shardInnerRows, chunkRows, v3)
     if (compress) requireCodec(codec, v3)
     val schema = df.schema
     val widths: Map[String, Int] =
@@ -905,7 +1118,8 @@ object Zarr {
     }.toSeq
     val indexed = df.rdd.zipWithIndex()
     val n = indexed.count() // also the job that fixes zipWithIndex
-    writeGroupMeta(dir, plans, n, chunkRows, compress, codec, v3)
+    writeGroupMeta(dir, plans, n, chunkRows, compress, codec, v3,
+      shardInnerRows)
     if (n == 0) return 0
     val nChunks = ((n + chunkRows - 1) / chunkRows).toInt
     val cr = chunkRows
@@ -914,6 +1128,7 @@ object Zarr {
     val compB = compress
     val codecB = codec
     val v3B = v3
+    val shardB = shardInnerRows
     // shuffle keyed (chunk, rowIdx) and SORT within partitions so a
     // task streams complete chunks in order — memory per task is one
     // chunk's rows, never a partition buffer
@@ -950,7 +1165,10 @@ object Zarr {
             }
             while (bb.position() < chunkBytes) bb.put(0.toByte)
             val raw = bb.array()
-            val bytes = encodeChunk(raw, chunkBytes, item, compB, codecB)
+            val bytes =
+              if (shardB > 0)
+                encodeShard(raw, chunkBytes, shardB, width, item, compB, codecB)
+              else encodeChunk(raw, chunkBytes, item, compB, codecB)
             val fname = writeChunkName(v3B, curCi, d)
             val out = FsIO.create(s"$dirB/$name/$fname")
             try out.write(bytes) finally out.close()

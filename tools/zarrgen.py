@@ -211,6 +211,102 @@ def write_array_v3(adir, arr, chunks, codecs=("gzip",), key_encoding="default",
                     f.write(encode(block.tobytes(order="C")))
 
 
+def write_array_v3_sharded(adir, arr, shard_shape, inner_shape,
+                           codecs=("gzip",), index_location="end",
+                           fill_value=0, skip_inner=(), skip_shards=()):
+    """Independent zarr v3 sharding_indexed producer: each chunk-grid
+    key holds a SHARD = concatenated independently-encoded inner
+    chunks + a crc32c-protected (offset, nbytes) uint64-LE index (at
+    the end or the start). skip_inner: set of GLOBAL inner-chunk grid
+    coords written as missing (index -1/-1); skip_shards: shard coords
+    with no file at all."""
+    os.makedirs(adir, exist_ok=True)
+    endian = "big" if arr.dtype.str[0] == ">" else "little"
+    inner_list = [{"name": "bytes", "configuration": {"endian": endian}}]
+    for c in codecs:
+        if c == "gzip":
+            inner_list.append({"name": "gzip", "configuration": {"level": 1}})
+        elif c == "crc32c":
+            inner_list.append({"name": "crc32c"})
+        else:
+            raise ValueError(c)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": V3_TYPES[arr.dtype.str],
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(shard_shape)}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": fill_value,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": list(inner_shape),
+            "codecs": inner_list,
+            "index_codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "crc32c"}],
+            "index_location": index_location}}],
+        "attributes": {},
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+    def encode(data):
+        for c in codecs:
+            if c == "gzip":
+                import gzip as _gz
+                data = _gz.compress(data, 1)
+            elif c == "crc32c":
+                data = data + struct.pack("<I", crc32c(data))
+        return data
+
+    rank = len(arr.shape)
+    sgrid = [int(np.ceil(s / c)) for s, c in zip(arr.shape, shard_shape)]
+    per = [sc // ic for sc, ic in zip(shard_shape, inner_shape)]
+    for si in range(sgrid[0]):
+        for sj in range(sgrid[1] if rank > 1 else 1):
+            scoord = (si, sj) if rank > 1 else (si,)
+            if scoord in skip_shards or (rank == 1 and si in skip_shards):
+                continue
+            body = b""
+            entries = []
+            n_inner = per[0] * (per[1] if rank > 1 else 1)
+            for k in range(n_inner):
+                ii = k // (per[1] if rank > 1 else 1)
+                jj = k % (per[1] if rank > 1 else 1)
+                gi = si * per[0] + ii
+                gj = (sj * per[1] + jj) if rank > 1 else 0
+                gcoord = (gi, gj) if rank > 1 else (gi,)
+                if gcoord in skip_inner or (rank == 1 and gi in skip_inner):
+                    entries.append((2**64 - 1, 2**64 - 1))
+                    continue
+                block = np.full(inner_shape, fill_value, dtype=arr.dtype)
+                lo0 = gi * inner_shape[0]
+                part = arr[lo0:lo0 + inner_shape[0]] if rank == 1 else                     arr[lo0:lo0 + inner_shape[0],
+                        gj * inner_shape[1]:(gj + 1) * inner_shape[1]]
+                if rank == 1:
+                    block[:len(part)] = part
+                else:
+                    block[:part.shape[0], :part.shape[1]] = part
+                enc = encode(block.tobytes(order="C"))
+                entries.append((len(body), len(enc)))
+                body += enc
+            if index_location == "start":
+                # offsets are shard-absolute: body begins after the index
+                hdr = 16 * len(entries) + 4
+                entries = [(o + hdr if o != 2**64 - 1 else o, n)
+                           for o, n in entries]
+            idx = b"".join(struct.pack("<QQ", o, n) for o, n in entries)
+            idx += struct.pack("<I", crc32c(idx))
+            shard = idx + body if index_location == "start" else body + idx
+            parts = [str(c) for c in scoord]
+            path = os.path.join(adir, "c", *parts)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(shard)
+
+
 def write_group_v3(gdir):
     os.makedirs(gdir, exist_ok=True)
     with open(os.path.join(gdir, "zarr.json"), "w") as f:
@@ -379,9 +475,23 @@ def main():
     v3s = os.path.join(ROOT, "sparse_v3.zarr")
     write_array_v3(v3s, np.arange(30, dtype="<i4"), (10,), ("gzip",),
                    fill_value=9, skip_chunks=(1,))
+    # sharding_indexed fixtures (independent producer): 1-D i8 with a
+    # missing inner chunk AND a missing whole shard (-> fill), gzip +
+    # crc32c inner chain, trailing crc32c-protected index; a 2-D f4
+    # store with the index at the START; a nested-sharding rejection
     shard = os.path.join(ROOT, "shard_v3.zarr")
-    os.makedirs(shard, exist_ok=True)
-    with open(os.path.join(shard, "zarr.json"), "w") as f:
+    write_array_v3_sharded(
+        shard, np.arange(100, dtype="<i8") * 7 - 3, (40,), (10,),
+        ("gzip", "crc32c"), fill_value=5,
+        skip_inner=(3,), skip_shards=(2,))
+    shard2 = os.path.join(ROOT, "shard2d_v3.zarr")
+    write_array_v3_sharded(
+        shard2,
+        (np.arange(33 * 4, dtype="<f4").reshape(33, 4) % 13) * 0.25 - 1.5,
+        (20, 4), (5, 4), ("gzip",), index_location="start")
+    shardbad = os.path.join(ROOT, "shardbad_v3.zarr")
+    os.makedirs(shardbad, exist_ok=True)
+    with open(os.path.join(shardbad, "zarr.json"), "w") as f:
         json.dump({"zarr_format": 3, "node_type": "array", "shape": [8],
                    "data_type": "int32",
                    "chunk_grid": {"name": "regular",
@@ -390,7 +500,14 @@ def main():
                                           "configuration": {"separator": "/"}},
                    "fill_value": 0,
                    "codecs": [{"name": "sharding_indexed",
-                               "configuration": {}}],
+                               "configuration": {
+                                   "chunk_shape": [4],
+                                   "codecs": [{"name": "sharding_indexed",
+                                               "configuration": {}}],
+                                   "index_codecs": [
+                                       {"name": "bytes", "configuration":
+                                        {"endian": "little"}}],
+                                   "index_location": "end"}}],
                    "attributes": {}}, f)
 
     fortran = os.path.join(ROOT, "fortran.zarr")
@@ -485,28 +602,69 @@ def verify_v3(store):
         dt = {"bool": "|b1", "int8": "|i1", "int16": "<i2", "int32": "<i4",
               "int64": "<i8", "float32": "<f4", "float64": "<f8"}[
                   meta["data_type"]]
-        names = [c["name"] for c in meta["codecs"]]
+        sharded = meta["codecs"][0]["name"] == "sharding_indexed"
+        if sharded:
+            scfg = meta["codecs"][0]["configuration"]
+            inner = scfg["chunk_shape"]
+            names = [c["name"] for c in scfg["codecs"]]
+            at_end = scfg.get("index_location", "end") == "end"
+            icn = [c["name"] for c in scfg["index_codecs"]]
+            assert icn[0] == "bytes" and icn[1:] in ([], ["crc32c"])
+            idx_crc = len(icn) == 2
+        else:
+            names = [c["name"] for c in meta["codecs"]]
         assert names[0] == "bytes"
-        assert meta["codecs"][0].get("configuration", {}) \
-            .get("endian", "little") == "little"
+        fill = meta.get("fill_value", 0)
+
+        def decode(data):
+            for c in reversed(names[1:]):
+                if c == "crc32c":
+                    body, tail = data[:-4], data[-4:]
+                    assert struct.unpack("<I", tail)[0] == crc32c(body)
+                    data = body
+                elif c == "gzip":
+                    data = _gz.decompress(data)
+                else:
+                    raise AssertionError(f"verify_v3: codec {c}")
+            return data
+
         arr = np.zeros(shape, dtype=dt)
         grid = [int(np.ceil(s / c)) for s, c in zip(shape, chunks)]
         for i in range(grid[0]):
             for j in range(grid[1] if len(shape) > 1 else 1):
                 idx = [str(i)] + ([str(j)] if len(shape) > 1 else [])
                 path = os.path.join(adir, "c", *idx)
-                with open(path, "rb") as f:
-                    data = f.read()
-                for c in reversed(names[1:]):
-                    if c == "crc32c":
-                        body, tail = data[:-4], data[-4:]
-                        assert struct.unpack("<I", tail)[0] == crc32c(body)
-                        data = body
-                    elif c == "gzip":
-                        data = _gz.decompress(data)
-                    else:
-                        raise AssertionError(f"verify_v3: codec {c}")
-                block = np.frombuffer(data, dtype=dt).reshape(chunks)
+                if not sharded:
+                    with open(path, "rb") as f:
+                        data = f.read()
+                    block = np.frombuffer(decode(data), dtype=dt) \
+                        .reshape(chunks)
+                else:
+                    with open(path, "rb") as f:
+                        shard = f.read()
+                    per = [sc // ic for sc, ic in zip(chunks, inner)]
+                    cps = per[0] * (per[1] if len(shape) > 1 else 1)
+                    ilen = 16 * cps + (4 if idx_crc else 0)
+                    ib = shard[-ilen:] if at_end else shard[:ilen]
+                    if idx_crc:
+                        assert struct.unpack("<I", ib[-4:])[0] == \
+                            crc32c(ib[:-4])
+                        ib = ib[:-4]
+                    block = np.full(chunks, fill, dtype=dt)
+                    for k in range(cps):
+                        off, nb = struct.unpack_from("<QQ", ib, 16 * k)
+                        if off == 2**64 - 1:
+                            continue
+                        ib2 = np.frombuffer(
+                            decode(shard[off:off + nb]), dtype=dt) \
+                            .reshape(inner)
+                        ii = k // (per[1] if len(shape) > 1 else 1)
+                        jj = k % (per[1] if len(shape) > 1 else 1)
+                        if len(shape) > 1:
+                            block[ii * inner[0]:(ii + 1) * inner[0],
+                                  jj * inner[1]:(jj + 1) * inner[1]] = ib2
+                        else:
+                            block[ii * inner[0]:(ii + 1) * inner[0]] = ib2
                 lo0, hi0 = i * chunks[0], min((i + 1) * chunks[0], shape[0])
                 if len(shape) > 1:
                     lo1 = j * chunks[1]
