@@ -220,10 +220,12 @@ object DenseCatAgg {
     require(maxKeys >= 1 && maxKeys <= MaxDomain,
       s"maxKeys must be in [1, $MaxDomain], got $maxKeys")
     val keyType = df.select(key).schema.head.dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
-      s"groupByKeys: integral keys only, got ${keyType.catalogString} " +
-        "(strings: categorize first; fractional: use the hash path)")
-    val kl = key.cast("bigint")
+    val isString = keyType == StringType
+    require(isString ||
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"groupByKeys: integral or string keys only, got " +
+        s"${keyType.catalogString} (fractional: use the hash path)")
+    val kl = if (isString) key else key.cast("bigint")
     // bounded distinct: limit(maxKeys+1) caps the collect whatever the
     // true cardinality — pigeonhole proves the violation
     val distinctRows = df.select(kl.as("__k")).distinct()
@@ -232,24 +234,48 @@ object DenseCatAgg {
       s"groupByKeys: observed key cardinality exceeds maxKeys=$maxKeys; " +
         "use the hash groupBy for huge domains")
     val hasNull = distinctRows.exists(_.isNullAt(0))
-    val ks = distinctRows.filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted
     val schemaOut = StructType(
       StructField(keyAs, keyType, nullable = hasNull) +:
         (aggs.map(a => StructField(a.as,
           if (a.op == "count") LongType else DoubleType,
           nullable = a.op != "count")) ++
           countAs.map(n => StructField(n, LongType, nullable = false))))
-    if (ks.isEmpty && !hasNull)
+    if (distinctRows.isEmpty)
       return df.sparkSession.createDataFrame(
         new java.util.ArrayList[Row](), schemaOut)
-    val dict = LongDict.build(ks, if (hasNull) ks.length else -1)
     import org.apache.spark.sql.graftbridge.Bridge
-    val ord = Bridge.column(LongDictOrdinal(Bridge.expression(kl), dict))
-    val out = groupByOrdinal(df, ord, dict.cardinality, aggs, countAs,
+    val (ord, nKeys, keyOf: (Column => Column)) =
+      if (isString) {
+        val ks = distinctRows.filterNot(_.isNullAt(0)).map(_.getString(0))
+          .sortBy(s => org.apache.spark.unsafe.types.UTF8String
+            .fromString(s))(
+            Ordering.comparatorToOrdering(java.util.Comparator
+              .naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
+        // strings are unbounded per key — gate the DICTIONARY bytes
+        // like DenseLookupJoin gates string dims (the collect itself
+        // was already row-capped)
+        val bytes = ks.map(_.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+        require(bytes <= (64L << 20),
+          s"groupByKeys: string dictionary is $bytes bytes (> 64 MiB); " +
+            "use the hash groupBy")
+        val dict = Utf8Dict.build(ks.map(
+          org.apache.spark.unsafe.types.UTF8String.fromString),
+          if (hasNull) ks.length else -1)
+        (Bridge.column(Utf8DictOrdinal(Bridge.expression(kl), dict)),
+          ks.length, (o: Column) => element_at(lit(ks), o + 1))
+      } else {
+        val ks = distinctRows.filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted
+        val dict = LongDict.build(ks, if (hasNull) ks.length else -1)
+        (Bridge.column(LongDictOrdinal(Bridge.expression(kl), dict)),
+          ks.length, (o: Column) => element_at(lit(ks), o + 1))
+      }
+    val cardinality = nKeys + (if (hasNull) 1 else 0)
+    val out = groupByOrdinal(df, ord, cardinality, aggs, countAs,
       codeAs = "__ord")
-    val keyCol0 = element_at(lit(ks), col("__ord") + 1)
+    val keyCol0 = keyOf(col("__ord"))
     val keyCol =
-      (if (hasNull) when(col("__ord") === ks.length, lit(null))
+      (if (hasNull) when(col("__ord") === nKeys, lit(null))
         .otherwise(keyCol0)
        else keyCol0).cast(keyType).as(keyAs)
     out.select(keyCol +:

@@ -130,3 +130,108 @@ case class LongDictOrdinal(child: Expression, dict: LongDict)
   override protected def withNewChildInternal(
       newChild: Expression): LongDictOrdinal = copy(child = newChild)
 }
+
+/** Driver-built UTF8String-key -> dense-ordinal dictionary — the
+  * string twin of [[LongDict]] (the commonest real grouping key needs
+  * no ordinal_encode preprocessing). Open addressing over a
+  * power-of-two table; the probe hash is UTF8String's murmur3 hash
+  * pushed through fmix64 (the r8 bloom lesson: masked probing needs
+  * the avalanche, and the linear-probe step must not derive from the
+  * masked bits). Keys compare by BYTES (UTF8String.equals). */
+final class Utf8Dict private (
+    private val keys: Array[org.apache.spark.unsafe.types.UTF8String],
+    private val ords: Array[Int],
+    val nullOrdinal: Int, val cardinality: Int) extends Serializable {
+
+  private val mask = ords.length - 1
+
+  def ordinal(k: org.apache.spark.unsafe.types.UTF8String): Int = {
+    var i = (LongDict.fmix64(k.hashCode().toLong) & mask).toInt
+    while (true) {
+      val o = ords(i)
+      if (o < 0) return -1
+      if (keys(i).equals(k)) return o
+      i = (i + 1) & mask
+    }
+    -1 // unreachable
+  }
+
+  def ordinalOrThrow(k: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val o = ordinal(k)
+    if (o < 0) throw new IllegalStateException(
+      s"groupByKeys: key '$k' was not present when the dictionary was " +
+        "built — the input is nondeterministic; materialize it first")
+    o
+  }
+
+  def nullOrdinalOrThrow(): Int = {
+    if (nullOrdinal < 0) throw new IllegalStateException(
+      "groupByKeys: a NULL key appeared but none was present when the " +
+        "dictionary was built — the input is nondeterministic")
+    nullOrdinal
+  }
+}
+
+object Utf8Dict {
+  /** Build from DISTINCT keys (ordinal = position); load factor < 0.5. */
+  def build(distinctKeys: Array[org.apache.spark.unsafe.types.UTF8String],
+      nullOrdinal: Int): Utf8Dict = {
+    var cap = 8
+    while (cap < distinctKeys.length * 2) cap <<= 1
+    val keys = new Array[org.apache.spark.unsafe.types.UTF8String](cap)
+    val ords = Array.fill(cap)(-1)
+    val mask = cap - 1
+    var o = 0
+    while (o < distinctKeys.length) {
+      val k = distinctKeys(o)
+      var i = (LongDict.fmix64(k.hashCode().toLong) & mask).toInt
+      while (ords(i) >= 0) {
+        require(!keys(i).equals(k), s"duplicate key '$k' in dictionary build")
+        i = (i + 1) & mask
+      }
+      keys(i) = k
+      ords(i) = o
+      o += 1
+    }
+    val card = distinctKeys.length + (if (nullOrdinal >= 0) 1 else 0)
+    new Utf8Dict(keys, ords, nullOrdinal, card)
+  }
+}
+
+/** `string key -> dense ordinal` through a [[Utf8Dict]] — same
+  * contract as [[LongDictOrdinal]] (null -> reserved ordinal, unknown
+  * key loud, never-null int out). */
+case class Utf8DictOrdinal(child: Expression, dict: Utf8Dict)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string key, got ${child.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "utf8_dict_ordinal"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) dict.nullOrdinalOrThrow()
+    else dict.ordinalOrThrow(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("utf8Dict", dict,
+      classOf[Utf8Dict].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      final int ${ev.value} = ${c.isNull}
+        ? $ref.nullOrdinalOrThrow()
+        : $ref.ordinalOrThrow(${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Utf8DictOrdinal = copy(child = newChild)
+}

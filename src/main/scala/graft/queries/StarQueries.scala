@@ -408,6 +408,25 @@ object StarQueries {
         .orderBy("k")
     }),
 
+    // STRING-key dictionary-probe dense groupBy (r17): the commonest
+    // real grouping key without ordinal_encode preprocessing — the
+    // key string synthesizes from two columns so the dictionary is
+    // genuinely observed, nulls form a group.
+    "q_groupby_dict_str" -> ((s, dir) => {
+      import graft.operators.DenseCatAgg
+      DenseCatAgg.groupByKeys(
+        t(s, dir, "lineitem").select(
+          when(col("l_linenumber") === 7, lit(null)).otherwise(
+            concat(col("l_returnflag"), lit("#"),
+              (col("l_suppkey") % 50).cast("string"))).as("k"),
+          col("l_quantity")),
+        col("k"),
+        Seq(DenseCatAgg.Agg(col("l_quantity"), "sum", "sum_qty"),
+          DenseCatAgg.Agg(col("l_quantity"), "min", "min_qty")),
+        countAs = Some("n"), keyAs = "k")
+        .orderBy("k")
+    }),
+
     // §2.7 concat / union with flexible resolve (reference:
     // core/dataset.py:687 DatasetConcatenated)
     "q_concat" -> ((s, dir) => {
@@ -435,6 +454,14 @@ object StarQueries {
       """SELECT (l_suppkey * 7919) % 100000 AS k,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
         |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_groupby_dict_str" ->
+      """SELECT CASE WHEN l_linenumber = 7 THEN NULL
+        |  ELSE l_returnflag || '#' || CAST(l_suppkey % 50 AS VARCHAR) END AS k,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -331,4 +331,45 @@ class DenseCatAggSpec extends SparkSpec {
       Seq(Agg(col("x"), "sum", "s")), keyAs = "k")
     assert(empty.count() == 0 && empty.schema.fieldNames.toSeq == Seq("k", "s"))
   }
+
+  test("groupByKeys on STRING keys == hash groupBy incl. nulls, unicode, guards") {
+    import spark.implicits._
+    // non-ASCII + empty-string keys + nulls; byte-order dictionary
+    val df = spark.range(0, 8000).select(
+      when(col("id") % 89 === 0, lit(null))
+        .otherwise(concat(lit("k\u00e9y-"), col("id") % 23)).as("k"),
+      (col("id") % 500).cast("double").as("x"))
+      .union(spark.range(0, 50).select(lit("").as("k"),
+        lit(1.5).as("x")))
+    val dense = DenseCatAgg.groupByKeys(df, col("k"),
+      Seq(Agg(col("x"), "sum", "sum_x"), Agg(col("x"), "max", "max_x")),
+      countAs = Some("n"), keyAs = "k")
+    assert(dense.schema("k").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val hash = df.groupBy("k").agg(
+      sum("x").as("sum_x"), max("x").as("max_x"), count(lit(1)).as("n"))
+    val dm = dense.collect().map(r =>
+      (Option(r.getString(0)), (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val hm = hash.collect().map(r =>
+      (Option(r.getString(0)), (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(dm == hm)
+    assert(dm.contains(None) && dm.contains(Some("")))
+    // cardinality gate fires for strings too
+    val e1 = intercept[IllegalArgumentException](
+      DenseCatAgg.groupByKeys(df, col("k"),
+        Seq(Agg(col("x"), "sum", "s")), maxKeys = 4))
+    assert(e1.getMessage.contains("cardinality"))
+    // dictionary byte gate: a handful of HUGE keys trips the 64 MiB cap
+    val wide = spark.range(0, 3).select(
+      concat(lit("p"), col("id"), lit("x" * 9000)).as("k"), lit(1.0).as("x"))
+    val bigKeys = (0 until 3).map(i =>
+      ("p" + i + ("x" * 9000)) -> 1.0)
+    // 3 x ~9 KB is fine; the gate needs > 64 MiB — simulate by maxKeys
+    // bound check only (building 64 MiB of literals in a spec is
+    // wasteful); instead pin that the wide store WORKS and matches
+    val dw = DenseCatAgg.groupByKeys(wide, col("k"),
+      Seq(Agg(col("x"), "sum", "s")), keyAs = "k")
+    assert(dw.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      bigKeys.toMap)
+  }
 }
