@@ -588,6 +588,33 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta DV + CHECKPOINT (r17): checkpoint adds carry their
+    // deletionVector descriptors, so DV tables checkpoint on the
+    // normal cadence — the lane vacuums every json commit at/below
+    // the checkpoint and the replay-from-checkpoint must apply every
+    // DV. Oracle = the CoW-equivalent WHERE on the original parquet.
+    "q_delta_dv_checkpoint" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_dvcp") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li, table, checkpointInterval = 0)              // v0
+      D.deleteWhere(s, table, col("l_orderkey") % 7 === 3,
+        viaDeletionVectors = true, checkpointInterval = 1)      // v1 + cp
+      (0L to 1L).foreach(v => graft.sources.FsIO.deleteRecursive(
+        f"$table/_delta_log/$v%020d.json"))
+      D.toDelta(li.filter(col("l_orderkey") % 13 === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + 10000000L),
+        table, "append", checkpointInterval = 0)                // v2
+      D.fromDelta(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta REORG-PURGE: after a DV delete, purgeDeletionVectors
     // rewrites exactly the masked files to their survivors
     // (dataChange=false — logically invisible), unlocking
@@ -1612,6 +1639,17 @@ object SourceQueries {
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv_checkpoint" ->
+      s"""WITH state AS (
+         |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+         |  WHERE l_orderkey % 7 <> 3
+         |  UNION ALL
+         |  SELECT l_orderkey + 10000000, l_quantity, l_returnflag
+         |  FROM lineitem WHERE l_orderkey % 13 = 0)
+         |SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_dv_colmap_delete" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,

@@ -1055,12 +1055,8 @@ object DeltaLake {
       lines += mapper.writeValueAsString(an)
     }
     commit(table, version, lines.result())
-    // never checkpoint a snapshot that still carries DVs (the classic
-    // checkpoint schema cannot represent them — writeCheckpoint's own
-    // invariant); a DV table just keeps its JSON tail
     if (checkpointInterval > 0 && version > 0 &&
-        version % checkpointInterval == 0 &&
-        existing.forall(_.adds.forall(_.dv == null)))
+        version % checkpointInterval == 0)
       writeCheckpoint(spark, table, version)
   }
 
@@ -1454,7 +1450,8 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
-    if (viaDeletionVectors) return deleteWhereDv(spark, table, snap, cond)
+    if (viaDeletionVectors)
+      return deleteWhereDv(spark, table, snap, cond, checkpointInterval)
     requireWritable(snap, "deleteWhere")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
@@ -1498,7 +1495,8 @@ object DeltaLake {
 
   /** The merge-on-read DELETE (see [[deleteWhere]]). */
   private def deleteWhereDv(spark: SparkSession, table: String,
-      snap: Snapshot, cond: Column): Long = {
+      snap: Snapshot, cond: Column,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     // column mapping `name` mode composes with DVs (the common modern
@@ -1651,7 +1649,11 @@ object DeltaLake {
       extraActions = Seq(mapper.writeValueAsString(pn)),
       removeDvs = changed.collect {
         case (a, _, _) if a.dv != null => a.path -> a.dv }.toMap)
-    version // never checkpoint here: classic checkpoints can't carry DVs
+    // checkpoint adds carry DV descriptors (r17), so the cadence runs
+    // through merge-on-read deletes like any other commit
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, table, version)
+    version
   }
 
   /** input_file_name() URI -> the normalized path form add-resolution
@@ -1766,14 +1768,11 @@ object DeltaLake {
     * `add`s carry dataChange=false per the protocol. */
   private def writeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
     val s = snapshot(spark, table, Some(v))
-    // invariant: the checkpoint schemas below have no deletionVector
-    // column, so checkpointing a DV-carrying snapshot would silently
-    // resurrect deleted rows on replay-from-checkpoint. Today every
-    // checkpoint cadence site skips DV-carrying snapshots, but enforce
-    // it HERE, where the data loss would originate.
-    require(s.adds.forall(_.dv == null),
-      s"writeCheckpoint: snapshot $v of $table carries deletion vectors " +
-        "the checkpoint schema cannot represent")
+    // checkpoint adds CARRY their deletionVector descriptors (r17 —
+    // the protocol's checkpoint schema includes add.deletionVector),
+    // so DV-carrying tables checkpoint on the normal cadence and their
+    // JSON log stops growing unboundedly between purges; the read side
+    // (addFromRow) has parsed checkpoint DVs since r16.
     if (s.writerFeatures.contains("v2Checkpoint")) {
       // one sidecar per ~50k adds: sidecars are file METADATA, so the
       // per-file row count — not data volume — sizes them; a 100 TB
@@ -1812,13 +1811,20 @@ object DeltaLake {
     StructField("partitionColumns", ArrayType(StringType, containsNull = false)),
     StructField("configuration", CpMapT),
     StructField("createdTime", LongType)))
+  private val CpDvT = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
   private val CpAddT = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", CpMapT),
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    StructField("deletionVector", CpDvT)))
   private val CpSchema = StructType(Seq(
     StructField("protocol", CpProtocolT),
     StructField("metaData", CpMetaT),
@@ -1842,7 +1848,10 @@ object DeltaLake {
       s.meta.configuration, 0L)
 
   private def cpAddRow(a: AddFile): Row =
-    Row(a.path, a.partitionValues, a.size, a.modificationTime, false, a.stats)
+    Row(a.path, a.partitionValues, a.size, a.modificationTime, false, a.stats,
+      if (a.dv == null) null
+      else Row(a.dv.storageType, a.dv.pathOrInlineDv, a.dv.offset,
+        a.dv.sizeInBytes, a.dv.cardinality))
 
   /** Stage a 1-file parquet write of `df` and promote it to exactly
     * `dst` by rename; returns the file's length in bytes. */
@@ -1974,8 +1983,6 @@ object DeltaLake {
     val s = snapshot(spark, table, None)
     require(numParts >= 2,
       s"foreignMultiPartCheckpoint: need >= 2 parts, got $numParts")
-    require(s.adds.forall(_.dv == null),
-      "foreignMultiPartCheckpoint: DV adds are not representable")
     val v = s.version
     var total = 0L
     (1 to numParts).foreach { k =>
@@ -2015,8 +2022,6 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val s = snapshot(spark, table, None)
     require(numSidecars >= 0, s"bad numSidecars $numSidecars")
-    require(s.adds.forall(_.dv == null),
-      "foreignV2Checkpoint: DV adds are not representable here")
     val rf = (s.readerFeatures + "v2Checkpoint").toSeq.sorted
     val wf = (s.writerFeatures + "v2Checkpoint").toSeq.sorted
     writeV2CheckpointFiles(spark, table, s, 3, 7, rf, wf,

@@ -1054,15 +1054,55 @@ class DeltaLakeSpec extends SparkSpec {
       DeltaLake.toDelta(df, t, "overwrite"))
     assert(e1.getMessage.contains("blind appends"))
     intercept[IllegalArgumentException](DeltaLake.compact(spark, t))
-    // appends never write a classic checkpoint on a DV table (the
-    // checkpoint schema cannot carry DVs) — interval 1 forces the path
+    // checkpoints CARRY deletionVector descriptors (r17): an append
+    // with interval 1 checkpoints the DV-carrying snapshot, and a
+    // vacuumed-log open replays from the checkpoint with every DV
+    // still applied
     DeltaLake.toDelta(spark.range(2000, 2002).select(
       col("id"), (col("id") % 7).as("m"),
       (col("id") % 5).cast("long").as("mn")), t, "append",
       checkpointInterval = 1)
-    assert(!FsIO.listFileNames(s"$t/_delta_log")
-      .exists(_.contains("checkpoint")))
-    assert(DeltaLake.fromDelta(spark, t).count() == fourth.count() + 2)
+    val cpNames = FsIO.listFileNames(s"$t/_delta_log")
+      .filter(_.contains("checkpoint"))
+    assert(cpNames.nonEmpty, "DV snapshot did not checkpoint")
+    val expect5 = fourth.count() + 2
+    assert(DeltaLake.fromDelta(spark, t).count() == expect5)
+    val cpV = DeltaLake.latestVersion(t)
+    (0L to cpV).foreach(v =>
+      FsIO.deleteRecursive(f"$t/_delta_log/$v%020d.json"))
+    val fromCp = DeltaLake.fromDelta(spark, t)
+    assert(fromCp.count() == expect5)
+    assert(fromCp.filter(col("m") === 3).count() ==
+      (1000L until 1010L).count(_ % 7 == 3) +
+        (2000L until 2002L).count(_ % 7 == 3))
+    // vacuum through the checkpoint-only log keeps the referenced .bin
+    DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
+    assert(FsIO.listFilesRecursive(t).exists(_._1.endsWith(".bin")))
+    assert(DeltaLake.fromDelta(spark, t).count() == expect5)
+  }
+
+  test("DV-carrying V2 checkpoint: DV delete on a v2cp table checkpoints and replays") {
+    val t = tmp("dvv2cp.delta")
+    import spark.implicits._
+    val df = spark.range(0, 120).select(col("id"), (col("id") % 6).as("m"))
+      .repartitionByRange(3, col("id"))
+    DeltaLake.toDelta(df, t, checkpointInterval = 0)          // v0
+    DeltaLake.foreignV2Checkpoint(spark, t, numSidecars = 1)  // feature on
+    // the DV delete itself checkpoints (interval 1) — in V2 form,
+    // with the DV descriptors riding in the sidecar adds
+    DeltaLake.deleteWhere(spark, t, col("m") === 2,
+      viaDeletionVectors = true, checkpointInterval = 1)      // v1 + v2cp
+    val names = FsIO.listFileNames(s"$t/_delta_log")
+    assert(names.exists(_.matches(
+      raw"0{19}1\.checkpoint\.[^.]+\.parquet")), names.toString)
+    assert(!names.exists(_.matches(raw"\d{20}\.checkpoint\.parquet")))
+    dropJsonCommits(t, 1L)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == 100)
+    assert(back.filter(col("m") === 2).count() == 0)
+    // and the lifecycle continues from the checkpoint-only log
+    DeltaLake.toDelta(df.withColumn("id", col("id") + 1000), t, "append")
+    assert(DeltaLake.fromDelta(spark, t).count() == 100 + 120)
   }
 
   test("purgeDeletionVectors closes the DV lifecycle: rewrite, unlock, reclaim") {
