@@ -542,6 +542,38 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta CM MAINTENANCE (r17): copy-on-write delete + key upsert +
+    // z-ordered compaction all run on a column-mapped table (physical
+    // namespace reads/staging); the filtered read then prunes through
+    // the RECOLLECTED physical stats. Oracle = the same operations as
+    // plain SQL over the original parquet.
+    "q_delta_colmap_maint" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_cmmaint") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.foreignColumnMapped(li, table,
+        Map("l_orderkey" -> "col-0a1b2c3d", "l_quantity" -> "col-4e5f6a7b",
+          "l_returnflag" -> "col-8c9d0e1f"))
+      D.deleteWhere(s, table, col("l_orderkey") % 11 === 7)     // CoW
+      // key-unique MERGE source: one row per %13==0 orderkey (upsert
+      // replaces every matching-key row with the source row)
+      D.upsert(s, table,
+        li.filter(col("l_orderkey") % 13 === 0).groupBy("l_orderkey")
+          .agg((max(col("l_quantity")) + 100).as("l_quantity"),
+            max(col("l_returnflag")).as("l_returnflag"))
+          .select("l_orderkey", "l_quantity", "l_returnflag"),
+        Seq("l_orderkey"))
+      D.compact(s, table, zorderBy = Seq("l_orderkey"))          // OPTIMIZE
+      D.fromDelta(s, table, where = Some(col("l_orderkey") <= 3000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta deletion vectors: a foreign DELETE masks rows via per-file
     // roaring bitmaps (remove + re-add with a `deletionVector`
     // descriptor, protocol v3 + deletionVectors) — the read applies
@@ -1607,6 +1639,18 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_colmap_maint" ->
+      s"""WITH state AS (
+         |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+         |  WHERE l_orderkey % 11 <> 7 AND l_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT l_orderkey, MAX(l_quantity) + 100, MAX(l_returnflag)
+         |  FROM lineitem WHERE l_orderkey % 13 = 0 GROUP BY 1)
+         |SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM state WHERE l_orderkey <= 3000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_colmap" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

@@ -143,20 +143,10 @@ object DeltaLake {
     val cm = snap.meta.columnMapping == "name"
     val kept = where match {
       case Some(w) =>
-        val pred0 = resolvePredicate(spark, schema, w)
         // under column mapping, stats keys + partitionValues keys are
         // PHYSICAL names — evaluate skipping in the physical namespace
-        val (pred, statsSchema, statsPartCols) =
-          if (!cm) (pred0, schema, partCols)
-          else {
-            val phys = physicalType(schema).asInstanceOf[StructType]
-            val physOf = schema.fieldNames.zip(phys.fieldNames).toMap
-            val p = pred0.transform {
-              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
-                  if physOf.contains(a.name) => a.withName(physOf(a.name))
-            }
-            (p, phys, partCols.map(physOf))
-          }
+        val (pred, statsSchema, statsPartCols) = statsNamespace(
+          snap, schema, partCols, resolvePredicate(spark, schema, w))
         val tz = spark.conf.get("spark.sql.session.timeZone",
           java.util.TimeZone.getDefault.getID)
         snap.adds.filter(a =>
@@ -642,20 +632,56 @@ object DeltaLake {
         "or 3 with features " + SupportedReaderFeatures.mkString(",") + ")")
   }
 
-  /** Write-path gate: maintenance and data-writing ops on tables with
-    * column mapping or live deletion vectors are rejected loudly —
-    * this engine READS modern foreign tables; writing them back would
-    * need physical-name parquet writes / DV-preserving checkpoints
-    * and commit serialization we don't produce. */
+  /** Write-path gate: rewriting ops on tables with LIVE deletion
+    * vectors are rejected loudly — a raw-file rewrite (compact/upsert/
+    * CoW delete/restore) would resurrect DV-masked rows; purge the DVs
+    * first. Column-mapped tables are fully writable (every rewrite op
+    * stages/reads in the physical namespace — r17). */
   private def requireWritable(s: Snapshot, op: String): Unit = {
-    require(s.meta.columnMapping == "none",
-      s"$op: table ${s.table} uses column mapping " +
-        s"(${s.meta.columnMapping} mode) — read-only support")
     val dv = s.adds.filter(_.dv != null)
     require(dv.isEmpty,
       s"$op: table ${s.table} has ${dv.size} file(s) with deletion " +
-        "vectors — read-only support")
+        "vectors — run purgeDeletionVectors first")
   }
+
+  /** (predicate, schema, partCols) in the namespace the table's STATS
+    * and partitionValues keys use: physical under column mapping
+    * `name`, identity otherwise. One definition — fromDelta skipping,
+    * both deleteWhere flavors and upsert's prefilter share it. */
+  private def statsNamespace(snap: Snapshot, schema: StructType,
+      partCols: Seq[String],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (org.apache.spark.sql.catalyst.expressions.Expression,
+         StructType, Seq[String]) =
+    if (snap.meta.columnMapping != "name") (pred, schema, partCols)
+    else {
+      val phys = physicalType(schema).asInstanceOf[StructType]
+      val physOf = schema.fieldNames.zip(phys.fieldNames).toMap
+      (pred.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if physOf.contains(a.name) => a.withName(physOf(a.name))
+      }, phys, partCols.map(physOf))
+    }
+
+  /** Stage `df` (LOGICAL columns) as new data files of `snap`'s
+    * table: under column mapping the staging renames to physical
+    * names and partitions by physical dirs — exactly the layout the
+    * table's own writer produces. Shared by every rewrite op. */
+  private def stageAddsFor(spark: SparkSession, table: String,
+      snap: Snapshot, df: DataFrame,
+      partCols: Seq[String]): Seq[AddFile] =
+    if (snap.meta.columnMapping != "name")
+      stageAdds(spark, table, df, partCols)
+    else {
+      val logical = DataType.fromJson(snap.meta.schemaString)
+        .asInstanceOf[StructType]
+      val phys = physicalType(logical).asInstanceOf[StructType]
+      val physOf = logical.fieldNames.zip(phys.fieldNames).toMap
+      stageAdds(spark, table,
+        df.select(logical.fieldNames.toIndexedSeq.map(n =>
+          col(n).as(physOf(n))): _*),
+        partCols.map(physOf))
+    }
 
   /** Per-field physical name under column mapping `name` mode. */
   private def physName(f: StructField): String =
@@ -1117,6 +1143,18 @@ object DeltaLake {
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     zorderBy.foreach(c => require(dataSchema.fieldNames.contains(c),
       s"compact: zorderBy column $c is not a data column of $table"))
+    // layout-only rewrite: read AND write in the files' own namespace
+    // (physical under column mapping) — no renaming round trip needed
+    val cmPhysOf: Map[String, String] =
+      if (snap.meta.columnMapping != "name") Map.empty
+      else schema.fieldNames.zip(
+        physicalType(schema).asInstanceOf[StructType].fieldNames).toMap
+    val dataSchemaDisk =
+      if (cmPhysOf.isEmpty) dataSchema
+      else StructType(dataSchema.fields.map(f =>
+        f.copy(name = cmPhysOf(f.name),
+          dataType = physicalType(f.dataType))))
+    val zorderDisk = zorderBy.map(c => cmPhysOf.getOrElse(c, c))
     val version = snap.version + 1
     val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
     val groups = snap.adds.groupBy(_.partitionValues).toSeq.zipWithIndex
@@ -1144,12 +1182,12 @@ object DeltaLake {
         }
         val nFiles = math.max(1L,
           (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
-        val df = spark.read.schema(dataSchema).parquet(paths: _*)
+        val df = spark.read.schema(dataSchemaDisk).parquet(paths: _*)
         val gdir = s"$staging/g$gi"
         if (zorderBy.isEmpty) // pure compaction: no shuffle
           df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(gdir)
         else // ONE clustering recipe, owned by ZOrderLayout
-          graft.operators.ZOrderLayout.writeZOrdered(df, gdir, zorderBy, nFiles)
+          graft.operators.ZOrderLayout.writeZOrdered(df, gdir, zorderDisk, nFiles)
         FsIO.listFilesRecursive(gdir).collect {
           case (pth, size, _) if pth.endsWith(".parquet") &&
               !pth.substring(pth.lastIndexOf('/') + 1).startsWith("_") =>
@@ -1167,7 +1205,7 @@ object DeltaLake {
       pool.shutdown()
       FsIO.deleteRecursive(staging) // failed rewrites leak no staging
     }
-    val statsByPath = DeltaStats.collect(spark, dataSchema.map(_.name),
+    val statsByPath = DeltaStats.collect(spark, dataSchemaDisk.map(_.name),
       newAdds.map(a => resolveDataPath(table, a.path)))
     val withStats = newAdds.map(a =>
       a.copy(stats = statsByPath.getOrElse(resolveDataPath(table, a.path), null)))
@@ -1256,16 +1294,14 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
-    require(snap.meta.columnMapping == "none",
-      s"purgeDeletionVectors: table ${snap.table} uses column mapping " +
-        "— read-only support beyond appends")
     val dvFiles = snap.adds.filter(_.dv != null)
     if (dvFiles.isEmpty) return snap.version // already clean
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     // readAdds applies the DV anti-filter in-scan: survivors only
-    val survivors = readAdds(spark, table, schema, partCols, dvFiles)
-    val adds = stageAdds(spark, table, survivors, partCols)
+    val survivors = readAdds(spark, table, schema, partCols, dvFiles,
+      cm = snap.meta.columnMapping == "name")
+    val adds = stageAddsFor(spark, table, snap, survivors, partCols)
     val version = snap.version + 1
     commitActions(table, version, "REORG",
       Map("applyPurge" -> "true", "purgedFiles" -> dvFiles.size.toString),
@@ -1384,17 +1420,19 @@ object DeltaLake {
               Nil // a key column is entirely null in the source
             case None => snap.adds
             case Some(rp) =>
-              val pred = resolvePredicate(spark, schema, rp)
+              val (pred, sSchema, sParts) = statsNamespace(snap, schema,
+                partCols, resolvePredicate(spark, schema, rp))
               val tz = spark.conf.get("spark.sql.session.timeZone",
                 java.util.TimeZone.getDefault.getID)
-              snap.adds.filter(a => DeltaStats.mightMatch(pred, schema,
-                partCols, a.partitionValues, a.stats, tz))
+              snap.adds.filter(a => DeltaStats.mightMatch(pred, sSchema,
+                sParts, a.partitionValues, a.stats, tz))
           }
         }
+      val cm = snap.meta.columnMapping == "name"
       // probe: which candidate files actually hold matching keys
       val affected: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else readAdds(spark, table, schema, partCols, candidates)
+        else readAdds(spark, table, schema, partCols, candidates, cm)
           .select((keys :+ "__nothing").map {
             case "__nothing" => input_file_name().as("__file")
             case k => col(k)
@@ -1409,10 +1447,10 @@ object DeltaLake {
         s"upsert: probe matched ${affected.size} files but resolved ${hit.size}")
       val rewritten =
         if (hit.isEmpty) src
-        else readAdds(spark, table, schema, partCols, hit)
+        else readAdds(spark, table, schema, partCols, hit, cm)
           .join(src.select(keyCols: _*), keys, "left_anti")
           .unionByName(src)
-      val adds = stageAdds(spark, table, rewritten, partCols)
+      val adds = stageAddsFor(spark, table, snap, rewritten, partCols)
       val version = snap.version + 1
       commitActions(table, version, "MERGE",
         Map("matchedFiles" -> hit.size.toString),
@@ -1455,19 +1493,21 @@ object DeltaLake {
     requireWritable(snap, "deleteWhere")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
-    val pred = resolvePredicate(spark, schema, cond)
+    val (pred, sSchema, sParts) = statsNamespace(snap, schema, partCols,
+      resolvePredicate(spark, schema, cond))
     val tz = spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
     val (hit, _) = snap.adds.partition(a =>
-      DeltaStats.mightMatch(pred, schema, partCols, a.partitionValues,
+      DeltaStats.mightMatch(pred, sSchema, sParts, a.partitionValues,
         a.stats, tz))
     if (hit.isEmpty) return snap.version // provably nothing to delete
     // DELETE removes rows where cond is TRUE; NULL-evaluating rows
     // SURVIVE (NOT(NULL) is NULL and would silently drop them — and
     // drop them only in rewritten files, a file-dependent fate)
-    val survivors = readAdds(spark, table, schema, partCols, hit)
+    val survivors = readAdds(spark, table, schema, partCols, hit,
+        cm = snap.meta.columnMapping == "name")
       .filter(!coalesce(cond, lit(false)))
-    val adds = stageAdds(spark, table, survivors, partCols)
+    val adds = stageAddsFor(spark, table, snap, survivors, partCols)
     val version = snap.version + 1
     commitActions(table, version, "DELETE",
       Map("candidateFiles" -> hit.size.toString),
@@ -1513,12 +1553,9 @@ object DeltaLake {
         s"deleteWhere: physical column name '$n' needs quoting we don't do"))
     val physOf = schema.fieldNames.zip(physSchema.fieldNames).toMap
     val physPartCols = partCols.map(physOf)
-    val pred0 = resolvePredicate(spark, schema, cond)
     // stats skipping evaluates in the physical namespace under CM
-    val pred = if (!cm) pred0 else pred0.transform {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
-          if physOf.contains(a.name) => a.withName(physOf(a.name))
-    }
+    val (pred, _, _) = statsNamespace(snap, schema, partCols,
+      resolvePredicate(spark, schema, cond))
     val tz = spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
     val hit = snap.adds.filter(a =>

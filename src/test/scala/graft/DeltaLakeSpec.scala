@@ -720,17 +720,37 @@ class DeltaLakeSpec extends SparkSpec {
     assert(fromCp.count() == 180)
     assert(fromCp.filter(col("id") === 110).count() == 4) // values, not NULLs
     assert(fromCp.filter(col("label").isNull).count() == 0)
-    // maintenance stays read-only on column-mapped tables
-    Seq[(String, () => Any)](
-      "compact" -> (() => DeltaLake.compact(spark, t)),
-      "upsert" -> (() => DeltaLake.upsert(spark, t, df.limit(1), Seq("id"))),
-      "deleteWhere" -> (() => DeltaLake.deleteWhere(spark, t, col("id") === 1)),
-      "restore" -> (() => DeltaLake.restore(spark, t, cpV)) // a version
-      // still resolvable after the checkpoint-only pruning above
-    ).foreach { case (op, run) =>
-      val e = intercept[IllegalArgumentException](run())
-      assert(e.getMessage.contains("column mapping"), s"$op: ${e.getMessage}")
-    }
+    // MAINTENANCE works on column-mapped tables (r17): every rewrite
+    // op reads/stages in the physical namespace
+    val nBefore = DeltaLake.fromDelta(spark, t).count()
+    // CoW delete: physical stats prefilter + logical predicate
+    DeltaLake.deleteWhere(spark, t, col("id") === 110)
+    val afterDel = DeltaLake.fromDelta(spark, t)
+    assert(afterDel.count() == nBefore - 4) // 110 appeared 4x above
+    assert(afterDel.filter(col("id") === 110).count() == 0)
+    assert(afterDel.filter(col("label").isNull).count() == 0)
+    // upsert: replace one key, insert one new
+    DeltaLake.upsert(spark, t, spark.range(111, 113).select(
+      col("id"), (col("id") % 5).cast("int").as("grp"),
+      concat(lit("up"), col("id")).as("label")), Seq("id"))
+    val afterUp = DeltaLake.fromDelta(spark, t)
+    assert(afterUp.filter(col("id") === 111)
+      .select("label").distinct().head.getString(0) == "up111")
+    assert(afterUp.filter(col("id") === 112).count() == 1)
+    // compact: layout-only rewrite in the physical namespace — row
+    // set identical, physical file names preserved in the new files
+    val expectRows = afterUp.orderBy("id", "label").collect().toSeq
+    DeltaLake.compact(spark, t, zorderBy = Seq("id"))
+    val afterOpt = DeltaLake.fromDelta(spark, t)
+    assert(afterOpt.orderBy("id", "label").collect().toSeq == expectRows)
+    assert(spark.read.parquet(afterOpt.inputFiles.head).columns.toSet ==
+      Set("col-aaaa1111", "col-bbbb2222", "col-cccc3333"))
+    // skipping still prunes through the recollected physical stats
+    assert(DeltaLake.fromDelta(spark, t, None, Some(col("id") <= 20))
+      .count() == afterUp.filter(col("id") <= 20).count())
+    // restore (metadata-only) back to the checkpoint version
+    DeltaLake.restore(spark, t, cpV)
+    assert(DeltaLake.fromDelta(spark, t).count() == nBefore)
   }
 
   private def vacuumedLogFixture(name: String): (String, Long, Long) = {
@@ -1000,6 +1020,16 @@ class DeltaLakeSpec extends SparkSpec {
       .withColumn("id", col("id") + 1000), tp, "append",
       partitionBy = Seq("m"))
     assert(DeltaLake.fromDelta(spark, tp).count() == 200 - 15 + 10)
+    // purge closes the CM+DV lifecycle too (r17): physical-namespace
+    // rewrite of the DV-carrying files, then full maintenance unlocks
+    val expectP = DeltaLake.fromDelta(spark, tp)
+      .orderBy("id").collect().toSeq
+    DeltaLake.purgeDeletionVectors(spark, tp)
+    assert(DeltaLake.fromDelta(spark, tp)
+      .orderBy("id").collect().toSeq == expectP)
+    DeltaLake.compact(spark, tp)
+    assert(DeltaLake.fromDelta(spark, tp)
+      .orderBy("id").collect().toSeq == expectP)
   }
 
   test("DV-emitting deleteWhere: no rewrite, appends compose, repeated deletes merge") {
