@@ -1325,23 +1325,37 @@ object DeltaLake {
     val target = snapshot(spark, table, Some(toVersion))
     val current = snapshot(spark, table, None)
     gate(current)
-    requireWritable(current, "restore")
-    requireWritable(target, "restore")
     require(target.meta.schemaString == current.meta.schemaString &&
         target.meta.partitionColumns == current.meta.partitionColumns,
       s"restore: schema/partitioning changed since version $toVersion")
     target.adds.foreach { a =>
       require(FsIO.exists(resolveDataPath(table, a.path)),
         s"restore: data file of version $toVersion was vacuumed: ${a.path}")
+      // a DV-masked file version needs its .bin too (restore is
+      // metadata-only on DV tables: re-adds carry the descriptors)
+      if (a.dv != null && a.dv.storageType == "u")
+        require(FsIO.exists(
+          s"$table/${RoaringDv.relativeDvPath(a.dv.pathOrInlineDv)}"),
+          s"restore: deletion vector of version $toVersion was vacuumed: " +
+            a.dv.pathOrInlineDv)
     }
-    val currentPaths = current.adds.map(_.path).toSet
-    val targetPaths = target.adds.map(_.path).toSet
-    val readds = target.adds.filterNot(a => currentPaths(a.path))
-    val removes = current.adds.map(_.path).filterNot(targetPaths)
+    // file-VERSION identity is (path, dv): the same path can live in
+    // both versions under different deletion vectors, and restoring
+    // must swap the descriptor (remove-then-add within the commit —
+    // replay applies a commit's removes before its adds)
+    def fileKey(a: AddFile): (String, String) =
+      (a.path, if (a.dv == null) "" else a.dv.pathOrInlineDv + "@" +
+        a.dv.offset + ":" + a.dv.sizeInBytes)
+    val currentKeys = current.adds.map(fileKey).toSet
+    val targetKeys = target.adds.map(fileKey).toSet
+    val readds = target.adds.filterNot(a => currentKeys(fileKey(a)))
+    val removes = current.adds.filterNot(a => targetKeys(fileKey(a)))
     val version = current.version + 1
     commitActions(table, version, "RESTORE",
       Map("version" -> toVersion.toString),
-      removes = removes, adds = readds, dataChange = true)
+      removes = removes.map(_.path), adds = readds, dataChange = true,
+      removeDvs = removes.collect {
+        case a if a.dv != null => a.path -> a.dv }.toMap)
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, table, version)
     version

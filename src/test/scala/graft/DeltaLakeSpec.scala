@@ -1414,6 +1414,46 @@ class DeltaLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("restore on DV tables swaps deletion vectors (file version = path + dv)") {
+    val t = tmp("rstdv.delta")
+    import spark.implicits._
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 7).as("m"))
+      .coalesce(1)
+    DeltaLake.toDelta(df, t)                                              // v0
+    DeltaLake.deleteWhere(spark, t, col("m") === 3,
+      viaDeletionVectors = true)                                          // v1
+    DeltaLake.deleteWhere(spark, t, col("m") === 5,
+      viaDeletionVectors = true)                                          // v2
+    assert(DeltaLake.fromDelta(spark, t).count() ==
+      (0L until 100L).count(i => i % 7 != 3 && i % 7 != 5))
+    // restore to v1: the SAME data path must come back under v1's DV
+    // (remove the v2 descriptor version, re-add the v1 one)
+    val v = DeltaLake.restore(spark, t, 1L)                               // v3
+    assert(v == 3L)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.count() == (0L until 100L).count(_ % 7 != 3))
+    assert(back.filter(col("m") === 5).count() ==
+      (0L until 100L).count(i => i % 7 == 5))
+    // the restore commit carries the descriptor on BOTH sides
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${3L}%020d.json")),
+      StandardCharsets.UTF_8)
+    val addLine = commit.linesIterator.find(_.contains("\"add\"")).get
+    val rmLine = commit.linesIterator.find(_.contains("\"remove\"")).get
+    assert(addLine.contains("\"deletionVector\""))
+    assert(rmLine.contains("\"deletionVector\""))
+    // restore to v0 (no DVs at all): full row set returns
+    DeltaLake.restore(spark, t, 0L)                                       // v4
+    assert(DeltaLake.fromDelta(spark, t).count() == 100)
+    // a restore whose target's .bin is GONE is loud (the DV twin of
+    // the vacuumed-data-file check)
+    FsIO.listFilesRecursive(t).collect {
+      case (p, _, _) if p.endsWith(".bin") => FsIO.deleteRecursive(p) }
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.restore(spark, t, 2L))
+    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+  }
+
   test("Readers.open / Export.export dispatch .delta; log-presence fallback") {
     val t = tmp("d.delta")
     import spark.implicits._
