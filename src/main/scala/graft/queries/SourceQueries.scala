@@ -647,6 +647,29 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta OPTIMIZE over LIVE deletion vectors (r17): compact reads
+    // through the DV anti-filter, materializing the masks into the
+    // rewritten files (logical rows unchanged -> dataChange=false,
+    // descriptors on the tombstones) — OPTIMIZE on a DV table needs no
+    // prior purge. The oracle is the same logical row set.
+    "q_delta_dv_compact" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_dvopt") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li, table)
+      D.deleteWhere(s, table, col("l_orderkey") % 7 === 3,
+        viaDeletionVectors = true)
+      D.compact(s, table, zorderBy = Seq("l_orderkey")) // through live DVs
+      D.fromDelta(s, table, where = Some(col("l_orderkey") <= 3000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta REORG-PURGE: after a DV delete, purgeDeletionVectors
     // rewrites exactly the masked files to their survivors
     // (dataChange=false — logically invisible), unlocking
@@ -1682,6 +1705,20 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv_compact" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_orderkey % 7 <> 3 AND l_orderkey <= 3000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_dv_compact" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_orderkey % 7 <> 3 AND l_orderkey <= 3000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_dv_checkpoint" ->
       s"""WITH state AS (

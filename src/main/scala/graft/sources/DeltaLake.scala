@@ -61,13 +61,12 @@ import org.apache.spark.sql.types._
   * layout (uuid manifest + sidecars) on such tables, which is the
   * feature's only writer obligation.
   *
-  * Column-mapped (name mode) tables accept toDelta APPEND/OVERWRITE —
-  * the staging write renames to physical columns, so new files match
-  * the foreign writer's own layout. Maintenance/merge ops on them and
-  * EVERYTHING on DV-carrying tables stay read-only (a rewrite would
-  * need DV-preserving commits), gated by [[requireWritable]].
-  * (Exception: `vacuum` stays available — it only sweeps unreferenced
-  * `.parquet` files, never `.bin` DV files.)
+  * Column-mapped (name mode) and DV-carrying tables are FULLY
+  * writable (r17): every rewrite op reads/stages in the physical
+  * namespace under column mapping, reads through the DV anti-filter
+  * (materializing masked deletes, descriptors riding the tombstones)
+  * on DV tables, and checkpoints carry the descriptors — there is no
+  * remaining read-only class of modern Delta table here.
   */
 object DeltaLake {
 
@@ -632,18 +631,6 @@ object DeltaLake {
         "or 3 with features " + SupportedReaderFeatures.mkString(",") + ")")
   }
 
-  /** Write-path gate: rewriting ops on tables with LIVE deletion
-    * vectors are rejected loudly — a raw-file rewrite (compact/upsert/
-    * CoW delete/restore) would resurrect DV-masked rows; purge the DVs
-    * first. Column-mapped tables are fully writable (every rewrite op
-    * stages/reads in the physical namespace — r17). */
-  private def requireWritable(s: Snapshot, op: String): Unit = {
-    val dv = s.adds.filter(_.dv != null)
-    require(dv.isEmpty,
-      s"$op: table ${s.table} has ${dv.size} file(s) with deletion " +
-        "vectors — run purgeDeletionVectors first")
-  }
-
   /** (predicate, schema, partCols) in the namespace the table's STATS
     * and partitionValues keys use: physical under column mapping
     * `name`, identity otherwise. One definition — fromDelta skipping,
@@ -993,14 +980,9 @@ object DeltaLake {
       gate(s) // must be able to READ a table before mutating its log
       // column-mapped (name mode) tables ACCEPT writes — the staging
       // below renames to physical columns. DV-carrying tables accept
-      // blind APPENDS (new files touch no DV; the live set is
-      // untouched); overwrite stays rejected (its remove tombstones
-      // would have to carry the DV descriptors for correct vacuum
-      // bookkeeping we don't produce).
-      val dv = s.adds.filter(_.dv != null)
-      require(dv.isEmpty || mode == "append",
-        s"toDelta: table ${s.table} has ${dv.size} file(s) with " +
-          "deletion vectors — only blind appends are supported")
+      // blind APPENDS (new files touch no DV) AND overwrites (r17 —
+      // the logical replace tombstones every file, descriptors riding
+      // on the tombstones for DV-file bookkeeping).
       val exSchema = DataType.fromJson(s.meta.schemaString).asInstanceOf[StructType]
       require(relaxed(exSchema) == relaxed(df.schema),
         s"toDelta: schema mismatch with existing table $table\n  table: " +
@@ -1027,8 +1009,8 @@ object DeltaLake {
       }.getOrElse((df, partitionBy))
     val adds = stageAdds(spark, table, stageDf, stagePartBy)
 
-    val removes: Seq[String] =
-      if (mode == "overwrite") existing.map(_.adds.map(_.path)).getOrElse(Nil)
+    val removes: Seq[AddFile] =
+      if (mode == "overwrite") existing.map(_.adds).getOrElse(Nil)
       else Nil
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode()
@@ -1058,12 +1040,22 @@ object DeltaLake {
       m.put("createdTime", now)
       lines += mapper.writeValueAsString(mn)
     }
-    removes.foreach { p =>
+    removes.foreach { rm =>
       val rn = mapper.createObjectNode()
       val r = rn.putObject("remove")
-      r.put("path", p)
+      r.put("path", rm.path)
       r.put("deletionTimestamp", now)
       r.put("dataChange", true)
+      // the removed file VERSION's descriptor rides on the tombstone
+      // (PROTOCOL.md) so DV-file bookkeeping sees every reference
+      if (rm.dv != null) {
+        val dn = r.putObject("deletionVector")
+        dn.put("storageType", rm.dv.storageType)
+        dn.put("pathOrInlineDv", rm.dv.pathOrInlineDv)
+        dn.put("offset", rm.dv.offset)
+        dn.put("sizeInBytes", rm.dv.sizeInBytes)
+        dn.put("cardinality", rm.dv.cardinality)
+      }
       lines += mapper.writeValueAsString(rn)
     }
     adds.foreach { a =>
@@ -1137,7 +1129,6 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
-    requireWritable(snap, "compact")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -1167,7 +1158,6 @@ object DeltaLake {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val newAdds = try {
       val futures = groups.map { case ((pv, files), gi) => Future {
-        val paths = files.map(f => resolveDataPath(table, f.path))
         // the group's on-disk partition dir comes from its existing
         // files (same pv -> same hive dir by construction)
         val relDir = {
@@ -1182,7 +1172,18 @@ object DeltaLake {
         }
         val nFiles = math.max(1L,
           (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
-        val df = spark.read.schema(dataSchemaDisk).parquet(paths: _*)
+        // DV-carrying files compact through the DV-filtered scan: the
+        // rewrite MATERIALIZES the masked deletes (logical rows are
+        // unchanged, so dataChange=false still holds — this is purge
+        // semantics folded into the layout rewrite)
+        val (dvFiles, plainFiles) = files.partition(_.dv != null)
+        val scans = Seq.newBuilder[DataFrame]
+        if (plainFiles.nonEmpty)
+          scans += spark.read.schema(dataSchemaDisk)
+            .parquet(plainFiles.map(f => resolveDataPath(table, f.path)): _*)
+        if (dvFiles.nonEmpty)
+          scans += dvFilteredScan(spark, table, dataSchemaDisk, dvFiles)
+        val df = scans.result().reduce(_ union _)
         val gdir = s"$staging/g$gi"
         if (zorderBy.isEmpty) // pure compaction: no shuffle
           df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(gdir)
@@ -1214,7 +1215,9 @@ object DeltaLake {
         (if (zorderBy.nonEmpty) Map("zOrderBy" -> zorderBy.mkString(","))
          else Map.empty),
       removes = snap.adds.map(_.path), adds = withStats,
-      dataChange = false) // layout-only rewrite
+      dataChange = false, // layout-only rewrite (DV masks materialized)
+      removeDvs = snap.adds.collect {
+        case a if a.dv != null => a.path -> a.dv }.toMap)
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, table, version)
     version
@@ -1401,7 +1404,6 @@ object DeltaLake {
     require(keys.nonEmpty, "upsert: at least one key column")
     val snap = snapshot(spark, table, None)
     gate(snap)
-    requireWritable(snap, "upsert")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     require(relaxed(schema) == relaxed(source.schema),
@@ -1468,7 +1470,9 @@ object DeltaLake {
       val version = snap.version + 1
       commitActions(table, version, "MERGE",
         Map("matchedFiles" -> hit.size.toString),
-        removes = hit.map(_.path), adds = adds, dataChange = true)
+        removes = hit.map(_.path), adds = adds, dataChange = true,
+        removeDvs = hit.collect {
+          case a if a.dv != null => a.path -> a.dv }.toMap)
       if (checkpointInterval > 0 && version % checkpointInterval == 0)
         writeCheckpoint(spark, table, version)
       version
@@ -1504,7 +1508,6 @@ object DeltaLake {
     gate(snap)
     if (viaDeletionVectors)
       return deleteWhereDv(spark, table, snap, cond, checkpointInterval)
-    requireWritable(snap, "deleteWhere")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     val (pred, sSchema, sParts) = statsNamespace(snap, schema, partCols,
@@ -1518,6 +1521,9 @@ object DeltaLake {
     // DELETE removes rows where cond is TRUE; NULL-evaluating rows
     // SURVIVE (NOT(NULL) is NULL and would silently drop them — and
     // drop them only in rewritten files, a file-dependent fate)
+    // readAdds applies any existing DV anti-filter in-scan, so the
+    // rewritten survivors have prior deletes MATERIALIZED (their
+    // descriptors ride the tombstones; the new files are DV-free)
     val survivors = readAdds(spark, table, schema, partCols, hit,
         cm = snap.meta.columnMapping == "name")
       .filter(!coalesce(cond, lit(false)))
@@ -1525,7 +1531,9 @@ object DeltaLake {
     val version = snap.version + 1
     commitActions(table, version, "DELETE",
       Map("candidateFiles" -> hit.size.toString),
-      removes = hit.map(_.path), adds = adds, dataChange = true)
+      removes = hit.map(_.path), adds = adds, dataChange = true,
+      removeDvs = hit.collect {
+        case a if a.dv != null => a.path -> a.dv }.toMap)
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, table, version)
     version

@@ -1079,11 +1079,6 @@ class DeltaLakeSpec extends SparkSpec {
     assert(fourth.filter(col("mn").isNull).count() ==
       (0L until 200L).count(i => i % 10 == 0 && i % 7 != 3 && i % 7 != 5))
     assert(fourth.filter(col("mn") === 1).count() == 0)
-    // overwrite / maintenance stay rejected on the DV table
-    val e1 = intercept[IllegalArgumentException](
-      DeltaLake.toDelta(df, t, "overwrite"))
-    assert(e1.getMessage.contains("blind appends"))
-    intercept[IllegalArgumentException](DeltaLake.compact(spark, t))
     // checkpoints CARRY deletionVector descriptors (r17): an append
     // with interval 1 checkpoints the DV-carrying snapshot, and a
     // vacuumed-log open replays from the checkpoint with every DV
@@ -1109,6 +1104,35 @@ class DeltaLakeSpec extends SparkSpec {
     DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
     assert(FsIO.listFilesRecursive(t).exists(_._1.endsWith(".bin")))
     assert(DeltaLake.fromDelta(spark, t).count() == expect5)
+    // r17: DV tables are fully writable. COMPACT materializes the
+    // masks (logical rows unchanged -> dataChange=false), dropping the
+    // DVs from the new file versions
+    val beforeCompact = DeltaLake.fromDelta(spark, t)
+      .orderBy("id").collect().toSeq
+    DeltaLake.compact(spark, t)
+    val afterCompact = DeltaLake.fromDelta(spark, t)
+    assert(afterCompact.orderBy("id").collect().toSeq == beforeCompact)
+    // the compacted snapshot is DV-free; the tail saw NO new rows
+    assert(DeltaLake.fromDeltaChanges(spark, t,
+      DeltaLake.latestVersion(t) - 1).count() == 0)
+    // CoW delete on what is still a DV-history table works too
+    DeltaLake.deleteWhere(spark, t, col("id") === 1000L)
+    assert(DeltaLake.fromDelta(spark, t).count() == beforeCompact.size - 1)
+    // OVERWRITE tombstones every file (descriptors ride along when
+    // the snapshot still carries DVs — here they were just purged by
+    // the compact, so this pins the plain path)
+    DeltaLake.toDelta(df, t, "overwrite")
+    assert(DeltaLake.fromDelta(spark, t).count() == df.count())
+    // rebuild a DV state and overwrite THROUGH live DVs
+    DeltaLake.deleteWhere(spark, t, col("m") === 2, viaDeletionVectors = true)
+    assert(DeltaLake.fromDelta(spark, t).filter(col("m") === 2).count() == 0)
+    DeltaLake.toDelta(df.limit(5), t, "overwrite")
+    assert(DeltaLake.fromDelta(spark, t).count() == 5)
+    val owCommit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t/_delta_log/${DeltaLake.latestVersion(t)}%020d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(owCommit.linesIterator.exists(l =>
+      l.contains("\"remove\"") && l.contains("\"deletionVector\"")))
   }
 
   test("DV-carrying V2 checkpoint: DV delete on a v2cp table checkpoints and replays") {
@@ -1251,20 +1275,14 @@ class DeltaLakeSpec extends SparkSpec {
     // (the commit's dataChange=true remove or its DV add — whichever
     // the line order surfaces first — both reject with this phrase)
     assert(e1.getMessage.contains("not append-only"))
-    // blind appends are ACCEPTED since r16; overwrite + maintenance
-    // still reject with the read-only message
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaLake.toDelta(df, t, "overwrite")
-    }
-    assert(e2.getMessage.contains("blind appends"))
-    val e3 = intercept[IllegalArgumentException] {
-      DeltaLake.compact(spark, t)
-    }
-    assert(e3.getMessage.contains("deletion vector"))
-    // vacuum only sweeps .parquet: the DV .bin survives and the table
-    // still reads
+    // r17: overwrite + maintenance WORK on DV tables (the full-write
+    // battery is pinned in the DV-emitting deleteWhere spec); vacuum
+    // only sweeps .parquet here — the referenced DV .bin survives and
+    // the table still reads
     DeltaLake.vacuum(spark, t, retainVersions = 1, dryRun = false)
     assert(DeltaLake.fromDelta(spark, t).count() == 40)
+    DeltaLake.toDelta(df, t, "overwrite") // descriptors on tombstones
+    assert(DeltaLake.fromDelta(spark, t).count() == 60)
   }
 
   test("concurrent-commit race: two writers, one version — one wins, one is loud") {
