@@ -1713,13 +1713,6 @@ object SourceQueries {
          |FROM lineitem
          |WHERE l_orderkey % 7 <> 3 AND l_orderkey <= 3000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_delta_dv_compact" ->
-      s"""SELECT l_returnflag, COUNT(*) AS n,
-         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
-         |  MAX(l_orderkey) AS max_key
-         |FROM lineitem
-         |WHERE l_orderkey % 7 <> 3 AND l_orderkey <= 3000
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_dv_checkpoint" ->
       s"""WITH state AS (
          |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem

@@ -1335,12 +1335,17 @@ object DeltaLake {
       require(FsIO.exists(resolveDataPath(table, a.path)),
         s"restore: data file of version $toVersion was vacuumed: ${a.path}")
       // a DV-masked file version needs its .bin too (restore is
-      // metadata-only on DV tables: re-adds carry the descriptors)
-      if (a.dv != null && a.dv.storageType == "u")
-        require(FsIO.exists(
-          s"$table/${RoaringDv.relativeDvPath(a.dv.pathOrInlineDv)}"),
+      // metadata-only on DV tables: re-adds carry the descriptors);
+      // 'u' = relative uuid file, 'p' = absolute path, 'i' = inline
+      if (a.dv != null && a.dv.storageType != "i") {
+        val dvPath =
+          if (a.dv.storageType == "u")
+            s"$table/${RoaringDv.relativeDvPath(a.dv.pathOrInlineDv)}"
+          else a.dv.pathOrInlineDv
+        require(FsIO.exists(dvPath),
           s"restore: deletion vector of version $toVersion was vacuumed: " +
             a.dv.pathOrInlineDv)
+      }
     }
     // file-VERSION identity is (path, dv): the same path can live in
     // both versions under different deletion vectors, and restoring
@@ -1598,11 +1603,19 @@ object DeltaLake {
     require(groups.size <= 4096, // readAdds' union-branch cap, same reason
       s"deleteWhere: ${groups.size} distinct partition tuples exceeds " +
         "the 4096 union-branch cap; delete partition subsets")
+    // loop-invariant: the physical data schema and the logical alias
+    // list are per-TABLE, not per-partition-group
+    val dataSchemaPhys =
+      StructType(physSchema.filterNot(f => physPartCols.contains(f.name)))
+    val logicalAliases = schema.fields.toIndexedSeq
+      .filterNot(f => partCols.contains(f.name)).map { f =>
+        val pf = physSchema(schema.fieldIndex(f.name))
+        val c = col(pf.name)
+        (if (pf.dataType == f.dataType) c else c.cast(f.dataType)).as(f.name)
+      }
     val branches = groups.map { case (pv, files) =>
       val (dvFiles, plainFiles) = files.partition(_.dv != null)
       val scans = Seq.newBuilder[DataFrame]
-      val dataSchemaPhys =
-        StructType(physSchema.filterNot(f => physPartCols.contains(f.name)))
       // scan physical, alias data columns back to logical so `cond`
       // resolves (identity aliases when cm=false)
       def base(fs: Seq[AddFile]): DataFrame =
@@ -1610,13 +1623,7 @@ object DeltaLake {
           .parquet(fs.map(f => resolveDataPath(table, f.path)): _*)
           .select(col("_metadata.file_path").as("__dv_fp") +:
             col("_metadata.row_index").as("__dv_ri") +:
-            schema.fields.toIndexedSeq
-              .filterNot(f => partCols.contains(f.name)).map { f =>
-                val pf = physSchema(schema.fieldIndex(f.name))
-                val c = col(pf.name)
-                (if (pf.dataType == f.dataType) c else c.cast(f.dataType))
-                  .as(f.name)
-              }: _*)
+            logicalAliases: _*)
       if (plainFiles.nonEmpty)
         scans += base(plainFiles).withColumn("__dv_del", lit(false))
       if (dvFiles.nonEmpty) {
@@ -1844,6 +1851,11 @@ object DeltaLake {
         if (s.minReaderVersion >= 3) s.readerFeatures.toSeq.sorted else null,
         if (s.minWriterVersion >= 7) s.writerFeatures.toSeq.sorted else null,
         numSidecars, jsonManifest = false)
+      // size = actions stored in the checkpoint: protocol + metaData +
+      // checkpointMetadata + sidecar refs + the adds in the sidecars
+      writeLastCheckpoint(table, v, 3L + numSidecars + s.adds.size,
+        parts = 0)
+      return
     } else {
       val rows = new java.util.ArrayList[Row]()
       rows.add(Row(cpProtocolRow(s), null, null))

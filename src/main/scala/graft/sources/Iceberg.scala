@@ -1117,6 +1117,13 @@ object Iceberg {
       case _ => partitionBy.zipWithIndex.map { case (c, k) =>
         (c, idsByName(c), 1000 + k) }
     }
+    // the manifest + list entry must declare the table's DEFAULT spec
+    // id — a foreign table whose spec evolved (spec 0 empty, spec 1
+    // identity) resolves partition tuples by this id
+    val specId: Int = existing.map { m =>
+      val mj = mapper.readTree(readAll(s"$dir/metadata/${m.file}"))
+      Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    }.getOrElse(0)
     val entrySchema =
       if (partitionBy.isEmpty) ManifestEntrySchema
       else manifestEntrySchemaFor(partitionRecordJson(specFields.map {
@@ -1126,7 +1133,7 @@ object Iceberg {
     val addedRows = counted.map(_._3.numRecords).sum
     writeAvro(manifestPath, entrySchema,
       Map("format-version" -> "2", "content" -> "data",
-        "partition-spec-id" -> "0"),
+        "partition-spec-id" -> specId.toString),
       counted.map { case (p, len, st, rawVals) =>
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
@@ -1157,7 +1164,7 @@ object Iceberg {
       val e = new GenericData.Record(ManifestFileSchema)
       e.put("manifest_path", manifestPath)
       e.put("manifest_length", manifestLen)
-      e.put("partition_spec_id", 0)
+      e.put("partition_spec_id", specId)
       e.put("content", 0)
       e.put("sequence_number", seq)
       e.put("min_sequence_number", seq)

@@ -404,7 +404,13 @@ object Zarr {
     val i1 = if (m.shardInner.size < 2) 1L else m.shardInner(1)
     val s0 = (m.c0 / i0).toInt // inner chunks per shard, dim 0
     val s1 = (m.c1 / i1).toInt
-    val cps = s0 * s1
+    // Long math + an explicit cap: a hostile store declaring 2^30
+    // 1-element inner chunks would overflow `16 * cps` in Int and
+    // turn the bounds require vacuous
+    val cpsL = s0.toLong * s1
+    require(cpsL >= 1 && cpsL <= (1L << 22),
+      s"$ctx: implausible ${cpsL} inner chunks per shard")
+    val cps = cpsL.toInt
     val idxLen = 16 * cps + (if (m.shardIndexCrc) 4 else 0)
     require(raw.length >= idxLen,
       s"$ctx: shard of ${raw.length} bytes cannot hold a $idxLen-byte index")

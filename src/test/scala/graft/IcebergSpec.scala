@@ -507,6 +507,42 @@ class IcebergSpec extends SparkSpec {
       spark.range(3).select(col("id"), (col("id") * 0.5).as("d")),
       tmp("partbad.iceberg"), partitionBy = Seq("d")))
     assert(e2.getMessage.contains("identity partition over"))
+    // EVOLVED spec id: a foreign table whose default spec is NOT 0
+    // must see its id declared on new manifests (readers resolve the
+    // partition tuple by it) — simulate by renumbering the spec
+    val rootE = tmp("partevo.iceberg")
+    Iceberg.toIceberg(df, rootE, partitionBy = Seq("grp"))
+    val mf = FsIO.listFileNames(s"$rootE/metadata")
+      .filter(_.endsWith(".metadata.json")).max
+    val mPath = s"$rootE/metadata/$mf"
+    val mTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mPath)), StandardCharsets.UTF_8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(mPath), mTxt
+      .replace("\"spec-id\" : 0", "\"spec-id\" : 3")
+      .replace("\"default-spec-id\" : 0", "\"default-spec-id\" : 3")
+      .getBytes(StandardCharsets.UTF_8))
+    Iceberg.toIceberg(df.withColumn("id", col("id") + 5000), rootE,
+      "append", partitionBy = Seq("grp"))
+    assert(Iceberg.fromIceberg(spark, rootE).count() == 240)
+    // the NEW manifest-list entry declares spec 3
+    val meta2 = FsIO.listFileNames(s"$rootE/metadata")
+      .filter(_.endsWith(".metadata.json")).max
+    var sawSpec3 = false
+    val listName = {
+      val mj = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$rootE/metadata/$meta2")),
+        StandardCharsets.UTF_8)
+      val re = raw""""manifest-list"\s*:\s*"([^"]+)"""".r
+      re.findAllMatchIn(mj).toSeq.last.group(1)
+    }
+    val rd2 = new org.apache.avro.file.DataFileReader(
+      new java.io.File(listName),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try while (rd2.hasNext) {
+      val e = rd2.next()
+      if (e.get("partition_spec_id").asInstanceOf[Int] == 3) sawSpec3 = true
+    } finally rd2.close()
+    assert(sawSpec3, "appended manifest does not declare the evolved spec id")
   }
 
   test("Appendix D single-value serialization round-trips every bound type") {
