@@ -542,6 +542,30 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta RENAME COLUMN (r17): the metadata-only rename upgrades a
+    // plain table to column mapping (identity physical names — the
+    // existing files are untouched and still carry the old names),
+    // then reads, skipping and appends run under the NEW logical
+    // name. Oracle = the plain aggregate with the renamed alias.
+    "q_delta_rename" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_ren") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(li.filter(col("l_orderkey") <= 4000), table)
+      D.renameColumn(s, table, "l_quantity", "qty")
+      D.toDelta(li.filter(col("l_orderkey") > 4000)                 // append
+          .withColumnRenamed("l_quantity", "qty"), table, "append")
+      D.deleteWhere(s, table, col("qty") > 49)                      // CoW
+      D.fromDelta(s, table, where = Some(col("l_orderkey") <= 3000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("qty"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta CM MAINTENANCE (r17): copy-on-write delete + key upsert +
     // z-ordered compaction all run on a column-mapped table (physical
     // namespace reads/staging); the filtered read then prunes through
@@ -1662,6 +1686,13 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_rename" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_quantity <= 49 AND l_orderkey <= 3000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_colmap_maint" ->
       s"""WITH state AS (

@@ -1369,6 +1369,98 @@ object DeltaLake {
     version
   }
 
+  /** ALTER TABLE ... RENAME COLUMN — the operation column mapping
+    * exists for, METADATA-ONLY: no data file is touched, the field's
+    * physical name stays whatever the files carry, and only the
+    * LOGICAL name in the schemaString changes. A plain table upgrades
+    * to column mapping `name` mode on its first rename: every field
+    * gets physicalName = its on-disk name (the identity mapping the
+    * existing files already satisfy) + a stable column id, the
+    * configuration gains mode/maxColumnId, and the protocol upgrades
+    * (legacy reader 2 / writer 5, or the columnMapping feature on
+    * feature-era tables). Stats and partitionValues keys are physical
+    * and stay valid untouched. Returns the committed version. */
+  def renameColumn(spark: SparkSession, table0: String,
+      from: String, to: String,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    val old = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    require(old.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in ${old.fieldNames.mkString(",")}")
+    require(!old.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists")
+    require(to.nonEmpty && !to.contains(".") && !to.contains("`"),
+      s"renameColumn: '$to' would break name-based references")
+    val wasCm = snap.meta.columnMapping == "name"
+    // first rename upgrades to column mapping with the IDENTITY
+    // physical mapping — exactly the layout the existing files carry
+    val upgraded =
+      if (wasCm) old
+      else StructType(old.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .build())
+      })
+    val renamed = StructType(upgraded.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newPartCols = snap.meta.partitionColumns.map(c =>
+      if (c == from) to else c)
+    val newCfg = snap.meta.configuration ++
+      (if (wasCm) Map.empty[String, String]
+       else Map("delta.columnMapping.mode" -> "name",
+         "delta.columnMapping.maxColumnId" -> old.size.toString))
+    val lines = Seq.newBuilder[String]
+    val ci = mapper.createObjectNode()
+    val cib = ci.putObject("commitInfo")
+    cib.put("timestamp", System.currentTimeMillis())
+    cib.put("operation", "RENAME COLUMN")
+    val op = cib.putObject("operationParameters")
+    op.put("from", from); op.put("to", to)
+    cib.put("engineInfo", "graft")
+    lines += mapper.writeValueAsString(ci)
+    if (!wasCm) {
+      // protocol upgrade: feature-era tables ENUMERATE columnMapping;
+      // legacy tables move to reader 2 / writer 5 (which imply it)
+      val pn = mapper.createObjectNode()
+      val pj = pn.putObject("protocol")
+      if (snap.minReaderVersion >= 3 || snap.minWriterVersion >= 7) {
+        val rf = (if (snap.minReaderVersion >= 3) snap.readerFeatures
+          else legacyReaderFeatures(snap.minReaderVersion)) + "columnMapping"
+        val wf = (if (snap.minWriterVersion >= 7) snap.writerFeatures
+          else legacyWriterFeatures(snap.minWriterVersion)) + "columnMapping"
+        pj.put("minReaderVersion", 3)
+        pj.put("minWriterVersion", 7)
+        val rfA = pj.putArray("readerFeatures"); rf.toSeq.sorted.foreach(rfA.add)
+        val wfA = pj.putArray("writerFeatures"); wf.toSeq.sorted.foreach(wfA.add)
+      } else {
+        pj.put("minReaderVersion", math.max(2, snap.minReaderVersion))
+        pj.put("minWriterVersion", math.max(5, snap.minWriterVersion))
+      }
+      lines += mapper.writeValueAsString(pn)
+    }
+    val mn = mapper.createObjectNode()
+    val m = mn.putObject("metaData")
+    m.put("id", snap.meta.id)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", renamed.json)
+    val pc = m.putArray("partitionColumns")
+    newPartCols.foreach(pc.add)
+    val cfg = m.putObject("configuration")
+    newCfg.foreach { case (k, v) => cfg.put(k, v) }
+    m.put("createdTime", 0L)
+    lines += mapper.writeValueAsString(mn)
+    val version = snap.version + 1
+    commit(table, version, lines.result())
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, table, version)
+    version
+  }
+
   /** Stage `df` distributed, promote files by rename, collect
     * per-file footer stats -> add entries. The shared write tail of
     * toDelta and the merge rewrites. Stats exclude partition columns

@@ -1404,6 +1404,67 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDeltaChanges(spark, t, 0L, Some(1L)).count() == 1)
   }
 
+  test("renameColumn: metadata-only, upgrades plain tables to column mapping") {
+    val t = tmp("ren.delta")
+    import spark.implicits._
+    val df = spark.range(0, 60).select(
+      col("id"), (col("id") % 4).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("label"))
+      .repartitionByRange(3, col("id"))
+    DeltaLake.toDelta(df, t, partitionBy = Seq("grp"))                   // v0
+    val filesBefore = DeltaLake.fromDelta(spark, t).inputFiles.toSet
+    val v = DeltaLake.renameColumn(spark, t, "label", "title")           // v1
+    assert(v == 1L)
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.columns.toSeq == Seq("id", "grp", "title"))
+    assert(back.filter(col("id") === 42).select("title").head.getString(0)
+      == "v42")
+    // METADATA-ONLY: same data files; they still carry the OLD name
+    assert(back.inputFiles.toSet == filesBefore)
+    assert(spark.read.parquet(filesBefore.head).columns.contains("label"))
+    // stats skipping survives (stats keys are physical = old names)
+    assert(DeltaLake.fromDelta(spark, t, None, Some(col("id") <= 10))
+      .inputFiles.length < filesBefore.size)
+    // protocol upgraded to the column-mapping era
+    val proto = DeltaLake.tableProtocol(spark, t)
+    assert(proto._1 >= 2 && proto._2 >= 5, proto.toString)
+    // renaming a PARTITION column updates partitionColumns (logical)
+    DeltaLake.renameColumn(spark, t, "grp", "bucket")                    // v2
+    val back2 = DeltaLake.fromDelta(spark, t)
+    assert(back2.filter(col("bucket") === 3).count() == 15)
+    // pruning on the renamed partition column still works
+    assert(DeltaLake.fromDelta(spark, t, None, Some(col("bucket") === 3))
+      .inputFiles.length < back2.inputFiles.length)
+    // the table stays fully writable after the upgrade
+    DeltaLake.toDelta(spark.range(100, 110).select(
+      col("id"), (col("id") % 4).cast("int").as("bucket"),
+      concat(lit("n"), col("id")).as("title")), t, "append",
+      partitionBy = Seq("bucket"))
+    assert(DeltaLake.fromDelta(spark, t).count() == 70)
+    DeltaLake.deleteWhere(spark, t, col("title") === "n105")
+    assert(DeltaLake.fromDelta(spark, t).count() == 69)
+    // time travel BEFORE the rename serves the old names
+    assert(DeltaLake.fromDelta(spark, t, Some(0L)).columns.toSeq ==
+      Seq("id", "grp", "label"))
+    // guards: unknown/duplicate/illegal names
+    intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, t, "id", "title"))
+    intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, t, "id", "a.b"))
+    // renaming on an ALREADY column-mapped (foreign) table keeps the
+    // foreign physical names
+    val tf = tmp("renf.delta")
+    DeltaLake.foreignColumnMapped(df, tf,
+      Map("id" -> "col-a", "grp" -> "col-b", "label" -> "col-c"))
+    DeltaLake.renameColumn(spark, tf, "label", "name")
+    val backF = DeltaLake.fromDelta(spark, tf)
+    assert(backF.columns.toSeq == Seq("id", "grp", "name"))
+    assert(backF.filter(col("id") === 7).select("name").head.getString(0)
+      == "v7")
+  }
+
   test("restore rolls the current state back as a new commit, history intact") {
     val t = tmp("rst.delta")
     import spark.implicits._
