@@ -90,7 +90,12 @@ object DeltaLake {
   private final case class Meta(
       id: String, schemaString: String, partitionColumns: Seq[String],
       columnMapping: String = "none",
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      // carried VERBATIM through metadata rewrites (rename) and
+      // checkpoints — a foreign table's name/description must never
+      // silently vanish
+      name: String = null, description: String = null,
+      createdTime: Long = 0L)
   /** `add.deletionVector` descriptor (PROTOCOL.md): storageType
     * `u` (relative z85-uuid file) / `p` (absolute path) / `i`
     * (inline z85 payload). */
@@ -723,7 +728,12 @@ object DeltaLake {
       if (arr == null || !arr.isArray) Seq.empty[String]
       else (0 until arr.size()).map(arr.get(_).asText())
     Meta(Option(m.get("id")).map(_.asText()).orNull,
-      m.get("schemaString").asText(), partCols, cm, cfg)
+      m.get("schemaString").asText(), partCols, cm, cfg,
+      name = Option(m.get("name")).filter(!_.isNull).map(_.asText()).orNull,
+      description = Option(m.get("description")).filter(!_.isNull)
+        .map(_.asText()).orNull,
+      createdTime = Option(m.get("createdTime")).filter(!_.isNull)
+        .map(_.asLong()).getOrElse(0L))
   }
 
   private def parseAdd(a: JsonNode): AddFile = {
@@ -806,7 +816,10 @@ object DeltaLake {
                     s"checkpoint metaData without schemaString: $ctx")),
                 get[scala.collection.Seq[String]](st, "partitionColumns")
                   .map(_.toSeq).getOrElse(Nil),
-                cm, cfg)
+                cm, cfg,
+                name = get[String](st, "name").orNull,
+                description = get[String](st, "description").orNull,
+                createdTime = get[Long](st, "createdTime").getOrElse(0L))
             case "protocol" =>
               minReader = get[Int](st, "minReaderVersion").getOrElse(1)
               features = get[scala.collection.Seq[String]](st, "readerFeatures")
@@ -1389,15 +1402,43 @@ object DeltaLake {
     val old = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     require(old.fieldNames.contains(from),
       s"renameColumn: no column '$from' in ${old.fieldNames.mkString(",")}")
-    require(!old.fieldNames.contains(to),
-      s"renameColumn: column '$to' already exists")
+    // case-INSENSITIVE collision guard: Spark resolves names
+    // case-insensitively by default, so 'ID' next to 'id' bricks reads
+    require(!old.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn: column '$to' already exists (case-insensitive)")
     require(to.nonEmpty && !to.contains(".") && !to.contains("`"),
       s"renameColumn: '$to' would break name-based references")
+    // CHECK constraints / generation expressions referencing the
+    // renamed column would silently dangle — reject loudly (the
+    // protocol requires a conforming rename to update them)
+    val refRe = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+    snap.meta.configuration.foreach { case (k, v) =>
+      require(!(k.startsWith("delta.constraints.") &&
+          refRe.findFirstIn(v).isDefined),
+        s"renameColumn: CHECK constraint $k references '$from' — drop " +
+          "the constraint first")
+    }
+    old.fields.foreach { f =>
+      val gen = if (f.metadata.contains("delta.generationExpression"))
+        f.metadata.getString("delta.generationExpression") else null
+      require(gen == null || refRe.findFirstIn(gen).isEmpty,
+        s"renameColumn: generated column ${f.name} references '$from' — " +
+          "unsupported")
+    }
     val wasCm = snap.meta.columnMapping == "name"
     // first rename upgrades to column mapping with the IDENTITY
-    // physical mapping — exactly the layout the existing files carry
+    // physical mapping — exactly the layout the existing files carry.
+    // Already-CM tables: PIN every field's physical name explicitly
+    // (a foreign field missing the key resolves by FALLBACK to its
+    // logical name today; renaming such a field without stamping the
+    // old name would silently re-point it at a column the files do
+    // not contain — all-NULL reads)
     val upgraded =
-      if (wasCm) old
+      if (wasCm) StructType(old.fields.map { f =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", physName(f))
+          .build())
+      })
       else StructType(old.fields.zipWithIndex.map { case (f, i) =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .putString("delta.columnMapping.physicalName", f.name)
@@ -1444,6 +1485,11 @@ object DeltaLake {
     val mn = mapper.createObjectNode()
     val m = mn.putObject("metaData")
     m.put("id", snap.meta.id)
+    // a foreign table's name/description/createdTime ride VERBATIM —
+    // a rename must not erase catalog identity
+    if (snap.meta.name != null) m.put("name", snap.meta.name)
+    if (snap.meta.description != null)
+      m.put("description", snap.meta.description)
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
@@ -1452,7 +1498,7 @@ object DeltaLake {
     newPartCols.foreach(pc.add)
     val cfg = m.putObject("configuration")
     newCfg.foreach { case (k, v) => cfg.put(k, v) }
-    m.put("createdTime", 0L)
+    m.put("createdTime", snap.meta.createdTime)
     lines += mapper.writeValueAsString(mn)
     val version = snap.version + 1
     commit(table, version, lines.result())
@@ -1967,6 +2013,8 @@ object DeltaLake {
     StructField("writerFeatures", ArrayType(StringType, containsNull = false))))
   private val CpMetaT = StructType(Seq(
     StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("description", StringType),
     StructField("format", StructType(Seq(
       StructField("provider", StringType),
       StructField("options", CpMapT)))),
@@ -2006,9 +2054,10 @@ object DeltaLake {
     * checkpoint read physical-named files with logical names — silent
     * all-NULL columns (r15 second review pass). */
   private def cpMetaRow(s: Snapshot): Row =
-    Row(s.meta.id, Row("parquet", Map.empty[String, String]),
+    Row(s.meta.id, s.meta.name, s.meta.description,
+      Row("parquet", Map.empty[String, String]),
       s.meta.schemaString, s.meta.partitionColumns,
-      s.meta.configuration, 0L)
+      s.meta.configuration, s.meta.createdTime)
 
   private def cpAddRow(a: AddFile): Row =
     Row(a.path, a.partitionValues, a.size, a.modificationTime, false, a.stats,
@@ -2233,6 +2282,8 @@ object DeltaLake {
       val mn = mapper.createObjectNode()
       val m = mn.putObject("metaData")
       m.put("id", s.meta.id)
+      if (s.meta.name != null) m.put("name", s.meta.name)
+      if (s.meta.description != null) m.put("description", s.meta.description)
       val fmt = m.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
@@ -2241,7 +2292,7 @@ object DeltaLake {
       s.meta.partitionColumns.foreach(pc.add)
       val cfg = m.putObject("configuration")
       s.meta.configuration.foreach { case (k, vv) => cfg.put(k, vv) }
-      m.put("createdTime", 0L)
+      m.put("createdTime", s.meta.createdTime)
       lines += mapper.writeValueAsString(mn)
       val cn = mapper.createObjectNode()
       cn.putObject("checkpointMetadata").put("version", v)

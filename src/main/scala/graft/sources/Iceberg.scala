@@ -962,7 +962,13 @@ object Iceberg {
     * transforms (a write against a bucket/day-partitioned table would
     * mis-declare its manifests). Empty for unpartitioned. */
   private def defaultSpecIdentityFields(dir: String,
-      meta: Metadata): Seq[(String, Int, Int)] = {
+      meta: Metadata): Seq[(String, Int, Int)] =
+    defaultSpecFieldsAndId(dir, meta)._1
+
+  /** (identity spec fields, default-spec-id) in ONE metadata read —
+    * toIceberg needs both and must not re-parse per use. */
+  private def defaultSpecFieldsAndId(dir: String,
+      meta: Metadata): (Seq[(String, Int, Int)], Int) = {
     val mj = mapper.readTree(readAll(s"$dir/metadata/${meta.file}"))
     val v1Spec = Option(mj.get("partition-spec")).filter(_.isArray)
     val defaultSpec = Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
@@ -972,7 +978,7 @@ object Iceberg {
           .find(sp => Option(sp.get("spec-id")).exists(_.asInt() == defaultSpec))
           .flatMap(sp => Option(sp.get("fields")))
       }.orElse(v1Spec)
-    fields.toSeq.flatMap { fs =>
+    (fields.toSeq.flatMap { fs =>
       (0 until fs.size()).map { i =>
         val f = fs.get(i)
         val transform = f.get("transform").asText()
@@ -982,7 +988,7 @@ object Iceberg {
         (f.get("name").asText(), f.get("source-id").asInt(),
           Option(f.get("field-id")).map(_.asInt()).getOrElse(1000 + i))
       }
-    }
+    }, defaultSpec)
   }
 
   private val ManifestFileSchema: ASchema = new ASchema.Parser().parse(
@@ -1030,11 +1036,15 @@ object Iceberg {
           FsIO.listFileNames(s"$dir/metadata").exists(_.endsWith(".metadata.json")))
         Some(loadMetadata(dir))
       else None
+    // ONE metadata parse per append serves the schema check, the spec
+    // fields and the declared spec id (object stores bill per GET)
+    val exSpecInfo: Option[(Seq[(String, Int, Int)], Int)] =
+      existing.map(m => defaultSpecFieldsAndId(dir, m))
     existing.foreach { m =>
       require(relaxed(m.schema) == relaxed(df.schema),
         s"toIceberg: schema mismatch with existing table $dir\n  table: " +
           s"${m.schema.simpleString}\n  data:  ${df.schema.simpleString}")
-      val exSpec = defaultSpecIdentityFields(dir, m).map(_._1)
+      val exSpec = exSpecInfo.get._1.map(_._1)
       require(exSpec == partitionBy,
         s"toIceberg: partitionBy ${partitionBy.mkString(",")} != table's " +
           s"identity spec ${exSpec.mkString(",")}")
@@ -1112,18 +1122,15 @@ object Iceberg {
     // identity spec fields: names from partitionBy; source ids from
     // the schema; spec field-ids from the EXISTING spec when appending
     // (never re-minted), 1000+k on creation (the spec's convention)
-    val specFields: Seq[(String, Int, Int)] = existing match {
-      case Some(m) if partitionBy.nonEmpty => defaultSpecIdentityFields(dir, m)
-      case _ => partitionBy.zipWithIndex.map { case (c, k) =>
-        (c, idsByName(c), 1000 + k) }
-    }
     // the manifest + list entry must declare the table's DEFAULT spec
     // id — a foreign table whose spec evolved (spec 0 empty, spec 1
     // identity) resolves partition tuples by this id
-    val specId: Int = existing.map { m =>
-      val mj = mapper.readTree(readAll(s"$dir/metadata/${m.file}"))
-      Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    }.getOrElse(0)
+    val (specFields: Seq[(String, Int, Int)], specId: Int) = exSpecInfo match {
+      case Some((fields, id)) if partitionBy.nonEmpty => (fields, id)
+      case Some((_, id)) => (Nil, id)
+      case None => (partitionBy.zipWithIndex.map { case (c, k) =>
+        (c, idsByName(c), 1000 + k) }, 0)
+    }
     val entrySchema =
       if (partitionBy.isEmpty) ManifestEntrySchema
       else manifestEntrySchemaFor(partitionRecordJson(specFields.map {

@@ -406,9 +406,11 @@ object Zarr {
     val s1 = (m.c1 / i1).toInt
     // Long math + an explicit cap: a hostile store declaring 2^30
     // 1-element inner chunks would overflow `16 * cps` in Int and
-    // turn the bounds require vacuous
+    // turn the bounds require vacuous. 2^27 is the largest legal
+    // count under the 1 GiB shard guard (1-byte items, minimal inner
+    // chunks still need >= 8 bytes of index headroom per chunk)
     val cpsL = s0.toLong * s1
-    require(cpsL >= 1 && cpsL <= (1L << 22),
+    require(cpsL >= 1 && cpsL <= (1L << 27),
       s"$ctx: implausible ${cpsL} inner chunks per shard")
     val cps = cpsL.toInt
     val idxLen = 16 * cps + (if (m.shardIndexCrc) 4 else 0)

@@ -1446,13 +1446,42 @@ class DeltaLakeSpec extends SparkSpec {
     // time travel BEFORE the rename serves the old names
     assert(DeltaLake.fromDelta(spark, t, Some(0L)).columns.toSeq ==
       Seq("id", "grp", "label"))
-    // guards: unknown/duplicate/illegal names
+    // guards: unknown/duplicate (case-INSENSITIVE)/illegal names
     intercept[IllegalArgumentException](
       DeltaLake.renameColumn(spark, t, "nope", "x"))
     intercept[IllegalArgumentException](
       DeltaLake.renameColumn(spark, t, "id", "title"))
     intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, t, "id", "TITLE"))
+    intercept[IllegalArgumentException](
       DeltaLake.renameColumn(spark, t, "id", "a.b"))
+    // a CHECK constraint referencing the column rejects the rename;
+    // a foreign `name` in the metaData survives the rewrite verbatim
+    val tn = tmp("renn.delta")
+    DeltaLake.toDelta(df, tn)
+    val v0p = java.nio.file.Paths.get(f"$tn/_delta_log/${0L}%020d.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val edited = new String(java.nio.file.Files.readAllBytes(v0p),
+      StandardCharsets.UTF_8).linesIterator.map { line =>
+      val n = mapper.readTree(line)
+      if (n.has("metaData")) {
+        val md = n.get("metaData")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        md.put("name", "mytable")
+        md.putObject("configuration")
+          .put("delta.constraints.c1", "label IS NOT NULL")
+        mapper.writeValueAsString(n)
+      } else line
+    }.mkString("\n") + "\n"
+    java.nio.file.Files.write(v0p, edited.getBytes(StandardCharsets.UTF_8))
+    val ec = intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, tn, "label", "txt"))
+    assert(ec.getMessage.contains("constraint"))
+    DeltaLake.renameColumn(spark, tn, "grp", "bucket") // no constraint ref
+    val v1txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$tn/_delta_log/${1L}%020d.json")),
+      StandardCharsets.UTF_8)
+    assert(v1txt.contains("\"name\":\"mytable\""), v1txt.take(300))
     // renaming on an ALREADY column-mapped (foreign) table keeps the
     // foreign physical names
     val tf = tmp("renf.delta")
