@@ -1019,6 +1019,57 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Iceberg BUCKET-partitioned write: bucket(8, l_orderkey) — the
+    // spec's murmur3_x86_32 transform (Appendix B vectors pinned in
+    // IcebergTransformsSpec lanes). Data files keep the source column
+    // under id_bucket=<k>/ dirs, manifests carry int bucket tuples
+    // and the metadata json declares bucket[8]; an append reuses the
+    // spec's field ids, a MoR delete stages partition-scoped delete
+    // files (tuples verbatim), and the filtered read prunes on the
+    // SOURCE column's bounds. Oracle = the same aggregate on parquet.
+    "q_iceberg_bucket" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_bucket") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(4, col("l_orderkey"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(li.filter(col("l_orderkey") <= 4000), table,
+        partitionBy = Seq("bucket(8, l_orderkey)"))
+      I.toIceberg(li.filter(col("l_orderkey") > 4000), table,
+        mode = "append", partitionBy = Seq("bucket(8, l_orderkey)"))
+      I.deleteWhere(s, table, col("l_orderkey") % 7 === 5)
+      I.fromIceberg(s, table, None, Some(col("l_orderkey") <= 3000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Iceberg DAY-partitioned write over the events stream table:
+    // day(ts) evaluates the temporal transform (UTC instant for tz
+    // timestamps, naive calendar for NTZ), files land under
+    // ts_day=<date>/ dirs with date-typed manifest tuples, appends
+    // and partition-scoped MoR deletes compose. Oracle groups the
+    // surviving events by CAST(ts AS DATE).
+    "q_iceberg_day" -> ((s, dir) => {
+      val table = cacheDir(dir, "events_iceberg_day") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(ev.filter(col("event_id") % 2 === 0), table,
+        partitionBy = Seq("day(ts)"))
+      I.toIceberg(ev.filter(col("event_id") % 2 === 1), table,
+        mode = "append", partitionBy = Seq("day(ts)"))
+      I.deleteWhere(s, table, col("event_id") % 5 === 1)
+      I.fromIceberg(s, table)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("value"))).as("sum_value"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("d")
+    }),
+
     "q_iceberg_delete" -> ((s, dir) => {
       val table = cacheDir(dir, "lineitem_iceberg_pdel") + "/t.iceberg"
       graft.sources.FsIO.deleteRecursive(table)
@@ -1856,6 +1907,19 @@ object SourceQueries {
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem
          |WHERE l_orderkey % 9 <> 2 AND l_orderkey <= 3000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_bucket" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem
+         |WHERE l_orderkey % 7 <> 5 AND l_orderkey <= 3000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_day" ->
+      s"""SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("value"))} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS users
+         |FROM events WHERE event_id % 5 <> 1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_changes" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)

@@ -933,11 +933,10 @@ object Iceberg {
     else new ASchema.Parser().parse(ManifestEntrySchemaJson.replace(
       """{"type":"record","name":"r102","fields":[]}""", partitionRecordJson))
 
-  /** Avro record json for an IDENTITY partition tuple over `fields`
-    * (name, spec field-id, source Spark type). The value types mirror
-    * the source columns; anything outside the supported identity set
-    * is loud (bucket/truncate/temporal transforms change the value
-    * domain and are not produced by this writer). */
+  /** Avro record json for a partition tuple over `fields`
+    * (name, spec field-id, transform RESULT Spark type — identity
+    * mirrors the source, temporal/bucket transforms land here as
+    * int/date). Result types outside the supported set are loud. */
   private def partitionRecordJson(
       fields: Seq[(String, Int, DataType)]): String = {
     def avroType(dt: DataType): String = dt match {
@@ -947,8 +946,8 @@ object Iceberg {
       case BooleanType => "\"boolean\""
       case DateType => """{"type":"int","logicalType":"date"}"""
       case other => throw new IllegalArgumentException(
-        "toIceberg: identity partition over " + other.catalogString +
-          " is unsupported (int/long/string/boolean/date sources only)")
+        "toIceberg: partition tuple value of type " + other.catalogString +
+          " is unsupported (int/long/string/boolean/date only)")
     }
     fields.map { case (n, fid, dt) =>
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -957,21 +956,43 @@ object Iceberg {
     }.mkString("""{"type":"record","name":"r102","fields":[""", ",", "]}")
   }
 
-  /** The table's default partition spec as identity fields
-    * (name, source-id, spec field-id) — loud on non-identity
-    * transforms (a write against a bucket/day-partitioned table would
-    * mis-declare its manifests). Empty for unpartitioned. */
-  private def defaultSpecIdentityFields(dir: String,
-      meta: Metadata): Seq[(String, Int, Int)] =
-    defaultSpecFieldsAndId(dir, meta)._1
+  /** One partition field of a spec: the SPEC's field name (display
+    * only — independent of source column names; a foreign rename
+    * leaves old spec names behind), the transform string ("identity",
+    * "year", "month", "day", "hour", "bucket[N]", "truncate[W]"),
+    * the source column's CURRENT logical name (resolved through
+    * source-id, never by spec name), its schema id, and the spec
+    * field id. */
+  private final case class PartField(name: String, transform: String,
+      sourceCol: String, sourceId: Int, fieldId: Int)
 
-  /** (identity spec fields, default-spec-id) in ONE metadata read —
-    * toIceberg needs both and must not re-parse per use. */
+  private val BucketTf = """bucket\[(\d+)\]""".r
+  private val TruncTf = """truncate\[(\d+)\]""".r
+  private val TemporalTfs = Set("year", "month", "day", "hour")
+
+  private def fmtSpecField(f: PartField): String = f.transform match {
+    case "identity" => f.sourceCol
+    case BucketTf(n) => s"bucket($n, ${f.sourceCol})"
+    case TruncTf(w) => s"truncate($w, ${f.sourceCol})"
+    case tf => s"$tf(${f.sourceCol})"
+  }
+
+  /** (default spec fields, default-spec-id) in ONE metadata read —
+    * toIceberg needs both and must not re-parse per use. Source
+    * columns resolve through source-id against the CURRENT schema
+    * (spec field names are display-only and survive source renames);
+    * transforms outside the supported set are loud — a write against
+    * such a table would mis-declare its manifests. */
   private def defaultSpecFieldsAndId(dir: String,
-      meta: Metadata): (Seq[(String, Int, Int)], Int) = {
+      meta: Metadata): (Seq[PartField], Int) = {
     val mj = mapper.readTree(readAll(s"$dir/metadata/${meta.file}"))
     val v1Spec = Option(mj.get("partition-spec")).filter(_.isArray)
     val defaultSpec = Option(mj.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val nameById: Map[Int, String] = {
+      val fs = meta.schemaNode.get("fields")
+      (0 until fs.size()).map(i =>
+        fs.get(i).get("id").asInt() -> fs.get(i).get("name").asText()).toMap
+    }
     val fields: Option[JsonNode] =
       Option(mj.get("partition-specs")).filter(_.isArray).flatMap { arr =>
         (0 until arr.size()).map(arr.get)
@@ -982,13 +1003,134 @@ object Iceberg {
       (0 until fs.size()).map { i =>
         val f = fs.get(i)
         val transform = f.get("transform").asText()
-        require(transform == "identity",
-          s"table $dir partitions by transform '$transform' — only " +
-            "identity-partitioned tables accept writes/deletes")
-        (f.get("name").asText(), f.get("source-id").asInt(),
+        require(transform == "identity" || TemporalTfs(transform) ||
+            BucketTf.pattern.matcher(transform).matches() ||
+            TruncTf.pattern.matcher(transform).matches(),
+          s"table $dir partitions by transform '$transform' — writes " +
+            "support identity/year/month/day/hour/bucket[N]/truncate[W]")
+        val sid = f.get("source-id").asInt()
+        val src = nameById.getOrElse(sid, throw new IllegalArgumentException(
+          s"table $dir: partition spec field '${f.get("name").asText()}' " +
+            s"sources schema id $sid, absent from the current schema"))
+        PartField(f.get("name").asText(), transform, src, sid,
           Option(f.get("field-id")).map(_.asInt()).getOrElse(1000 + i))
       }
     }, defaultSpec)
+  }
+
+  private val PbTemporal = """(year|month|day|hour)\(\s*([^\s(),]+)\s*\)""".r
+  private val PbBucket = """bucket\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)""".r
+  private val PbTrunc = """truncate\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)""".r
+
+  /** Parse one user partitionBy entry into (transform, source column):
+    * a bare column name is identity; `year(ts)`/`month(ts)`/`day(ts)`/
+    * `hour(ts)`, `bucket(16, id)` and `truncate(4, name)` are the
+    * spec's transforms. */
+  private def parsePartitionEntry(s: String): (String, String) = s.trim match {
+    case PbTemporal(tf, c) => (tf, c)
+    case PbBucket(n, c) =>
+      require(n.toInt > 0, s"toIceberg: bucket($n, $c): N must be positive")
+      (s"bucket[$n]", c)
+    case PbTrunc(w, c) =>
+      require(w.toInt > 0, s"toIceberg: truncate($w, $c): W must be positive")
+      (s"truncate[$w]", c)
+    case c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"toIceberg: cannot parse partition field '$s' (expected a " +
+          "column name, year/month/day/hour(col), bucket(N, col) or " +
+          "truncate(W, col))")
+      ("identity", c)
+  }
+
+  /** Conventional spec field name for a transform (the Java
+    * implementation's generated names). */
+  private def specFieldName(tf: String, c: String): String = tf match {
+    case "identity" => c
+    case BucketTf(_) => s"${c}_bucket"
+    case TruncTf(_) => s"${c}_trunc"
+    case t => s"${c}_$t"
+  }
+
+  /** Spark type of a transform's RESULT — the partition tuple's value
+    * domain: temporal counts and buckets are ints (`day` renders as a
+    * date per the spec), truncate/identity mirror the source. */
+  private def transformResultType(tf: String, src: DataType): DataType =
+    tf match {
+      case "identity" => src
+      case "day" => DateType
+      case "year" | "month" | "hour" => IntegerType
+      case BucketTf(_) => IntegerType
+      case TruncTf(_) => src
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other")
+    }
+
+  /** The staging Column computing transform `tf` over source field
+    * `f`. TimestampType goes through exact epoch-micros math on the
+    * UTC instant ([[IcebergMicrosField]] — Spark's calendar functions
+    * render in the SESSION zone, which is not the transform's
+    * domain); dates and NTZ timestamps use naive calendar functions;
+    * `bucket` hashes per the spec's Appendix B
+    * ([[IcebergTransforms]]). Unsupported (transform, source-type)
+    * pairs are loud. */
+  private def transformColumn(tf: String,
+      f: StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val c = col(f.name)
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"toIceberg: transform $tf over ${f.dataType.catalogString} " +
+        s"column ${f.name} is unsupported")
+    val epoch = to_date(lit("1970-01-01"))
+    def mfield(unit: Int) = Bridge.column(IcebergMicrosField(
+      Bridge.expression(unix_micros(c)), unit))
+    tf match {
+      case "identity" => c
+      case "year" => f.dataType match {
+        case DateType | TimestampNTZType => year(c) - 1970
+        case TimestampType => mfield(0)
+        case _ => bad()
+      }
+      case "month" => f.dataType match {
+        case DateType | TimestampNTZType =>
+          (year(c) - 1970) * 12 + month(c) - 1
+        case TimestampType => mfield(1)
+        case _ => bad()
+      }
+      case "day" => f.dataType match {
+        case DateType => c
+        case TimestampNTZType => c.cast(DateType)
+        case TimestampType => date_add(epoch, mfield(2))
+        case _ => bad()
+      }
+      case "hour" => f.dataType match {
+        case TimestampNTZType =>
+          datediff(c.cast(DateType), epoch) * 24 + hour(c)
+        case TimestampType => mfield(3)
+        case _ => bad()
+      }
+      case BucketTf(n0) =>
+        val n = n0.toInt
+        f.dataType match {
+          case IntegerType | LongType => Bridge.column(
+            IcebergBucketLong(Bridge.expression(c.cast(LongType)), n))
+          case DateType => Bridge.column(IcebergBucketLong(
+            Bridge.expression(datediff(c, epoch).cast(LongType)), n))
+          case TimestampType => Bridge.column(
+            IcebergBucketLong(Bridge.expression(unix_micros(c)), n))
+          case StringType => Bridge.column(
+            IcebergBucketUtf8(Bridge.expression(c), n))
+          case _ => bad()
+        }
+      case TruncTf(w0) =>
+        val w = w0.toInt
+        f.dataType match {
+          case IntegerType => c - pmod(c, lit(w))
+          case LongType => c - pmod(c, lit(w.toLong))
+          case StringType => substring(c, 1, w)
+          case _ => bad()
+        }
+      case _ => bad()
+    }
   }
 
   private val ManifestFileSchema: ASchema = new ASchema.Parser().parse(
@@ -1008,23 +1150,30 @@ object Iceberg {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin.replace("\n", ""))
 
-  /** Write `df` as an Iceberg v2 commit (unpartitioned,
-    * copy-on-write). `mode`: "overwrite" or "append" — append
-    * fast-appends a new manifest and re-lists the prior snapshot's
-    * manifests verbatim; old snapshots stay readable by id. */
+  /** Write `df` as an Iceberg v2 commit. `mode`: "overwrite" or
+    * "append" — append fast-appends a new manifest and re-lists the
+    * prior snapshot's manifests verbatim; old snapshots stay readable
+    * by id. `partitionBy` entries: bare column names (identity) or
+    * the spec's transforms — `year(c)`/`month(c)`/`day(c)`/`hour(c)`,
+    * `bucket(N, c)`, `truncate(W, c)`; appends validate against the
+    * table's default spec by (transform, source-id-resolved column)
+    * and reuse its field ids and display names. */
   def toIceberg(df: DataFrame, dir0: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Nil): Unit = {
-    // Partitioned writes: IDENTITY transforms (the spec's plain
-    // column partitioning). Iceberg data files CONTAIN their partition
-    // source columns, so staging duplicates each partition column into
-    // a __gpt_* copy for the directory split and keeps the original in
-    // the file; manifest entries carry the typed partition tuple and
-    // the metadata json the identity spec. Bucket/truncate/temporal
-    // transforms stay unsupported (they change the value domain).
-    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"toIceberg: partition column $c missing from the data schema"))
-    require(partitionBy.distinct == partitionBy,
-      s"toIceberg: duplicate partition columns in ${partitionBy.mkString(",")}")
+    // Partitioned writes: identity, temporal (year/month/day/hour),
+    // bucket[N] and truncate[W] transforms. Iceberg data files CONTAIN
+    // their partition source columns, so staging derives each
+    // transform value into a __gpt_* column for the directory split
+    // and keeps the sources in the file; manifest entries carry the
+    // typed partition tuple (the transform's RESULT domain) and the
+    // metadata json the spec with its transform strings.
+    val parsedPb: Seq[(String, String)] = partitionBy.map(parsePartitionEntry)
+    parsedPb.foreach { case (tf, c) =>
+      require(df.schema.fieldNames.contains(c),
+        s"toIceberg: partition source column $c (transform $tf) " +
+          "missing from the data schema") }
+    require(parsedPb.distinct == parsedPb,
+      s"toIceberg: duplicate partition fields in ${partitionBy.mkString(",")}")
     // normalized: the paths stored in manifests must be absolute, and
     // staging-prefix arithmetic must match the listing output
     val dir = FsIO.normalize(dir0.stripSuffix("/"))
@@ -1038,16 +1187,21 @@ object Iceberg {
       else None
     // ONE metadata parse per append serves the schema check, the spec
     // fields and the declared spec id (object stores bill per GET)
-    val exSpecInfo: Option[(Seq[(String, Int, Int)], Int)] =
+    val exSpecInfo: Option[(Seq[PartField], Int)] =
       existing.map(m => defaultSpecFieldsAndId(dir, m))
     existing.foreach { m =>
       require(relaxed(m.schema) == relaxed(df.schema),
         s"toIceberg: schema mismatch with existing table $dir\n  table: " +
           s"${m.schema.simpleString}\n  data:  ${df.schema.simpleString}")
-      val exSpec = exSpecInfo.get._1.map(_._1)
-      require(exSpec == partitionBy,
-        s"toIceberg: partitionBy ${partitionBy.mkString(",")} != table's " +
-          s"identity spec ${exSpec.mkString(",")}")
+      // spec fields match by (transform, source column resolved
+      // through source-id) — spec field NAMES are display-only and a
+      // foreign column rename legally leaves them stale
+      val exSpec = exSpecInfo.get._1
+      require(exSpec.map(f => (f.transform, f.sourceCol)) == parsedPb,
+        s"toIceberg: partitionBy [${partitionBy.mkString(",")}] != " +
+          s"table's default spec [${exSpec.map(fmtSpecField).mkString(",")}]" +
+          " (matched by transform + source column; spec field names " +
+          "are independent of source column names)")
     }
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(java.util.UUID.randomUUID()
@@ -1056,36 +1210,93 @@ object Iceberg {
     val mdir = s"$dir/metadata"
     FsIO.mkdirs(mdir)
 
+    val (schemaNode, lastCol) = existing
+      .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
+        m.lastColumnId))
+      .getOrElse(sparkToIceberg(df.schema))
+    // v1 metadata carries a bare "schema" node without schema-id; the
+    // v2 form we write back requires one
+    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
+    val idsByName: Map[String, Int] = {
+      val fs = schemaNode.get("fields")
+      (0 until fs.size()).map(i =>
+        fs.get(i).get("name").asText() -> fs.get(i).get("id").asInt()).toMap
+    }
+    // spec fields: from the EXISTING default spec when one exists
+    // (ids never re-minted; covers specs whose display names differ
+    // from source columns); minted with the 1000+k convention on
+    // creation. The manifest + list entry must declare the table's
+    // DEFAULT spec id — a foreign table whose spec evolved (spec 0
+    // empty, spec 1 live) resolves partition tuples by this id.
+    val (specFields: Seq[PartField], specId: Int) = exSpecInfo match {
+      case Some((fields, id)) => (fields, id)
+      case None => (parsedPb.zipWithIndex.map { case ((tf, c), k) =>
+        PartField(specFieldName(tf, c), tf, c, idsByName(c), 1000 + k) }, 0)
+    }
+    require(specFields.map(_.name).distinct.size == specFields.size,
+      s"toIceberg: partition spec field names collide: " +
+        specFields.map(_.name).mkString(","))
+    def resultTypeOf(pf: PartField): DataType =
+      transformResultType(pf.transform, df.schema(pf.sourceCol).dataType)
+    // fail BEFORE staging: every transform must compute over its
+    // source type and land in a tuple-representable value domain
+    specFields.foreach { pf =>
+      transformColumn(pf.transform, df.schema(pf.sourceCol))
+      val rt = resultTypeOf(pf)
+      require(rt == IntegerType || rt == LongType || rt == StringType ||
+          rt == BooleanType || rt == DateType,
+        s"toIceberg: partition over ${rt.catalogString} values is " +
+          s"unsupported (field ${pf.name}; int/long/string/boolean/date " +
+          "tuple values only)")
+    }
+
     // stage + promote data files (the DeltaLake discipline).
-    // Partitioned: the writer splits directories on __gpt_* COPIES of
-    // the partition columns, so the data files keep the originals
-    // (Iceberg data files contain their partition source columns);
+    // Partitioned: the writer splits directories on __gpt_* columns
+    // holding the TRANSFORM VALUES, so the data files keep the source
+    // columns (Iceberg data files contain their partition sources);
     // hive-escaped dir values become the manifest partition tuples.
     val staging = s"$dir/_staging"
     FsIO.deleteRecursive(staging)
-    val stageDf = partitionBy.foldLeft(df)((d, c) =>
-      d.withColumn(s"__gpt_$c", org.apache.spark.sql.functions.col(c)))
+    val stageDf = specFields.foldLeft(df)((d, pf) => d.withColumn(
+      s"__gpt_${pf.name}",
+      transformColumn(pf.transform, df.schema(pf.sourceCol))))
+    // hive staging writes BOTH null and '' partition values to
+    // __HIVE_DEFAULT_PARTITION__; an empty-string value would come
+    // back as a NULL manifest tuple, and a foreign reader pruning on
+    // (field = '') would skip the file — reject before writing
+    val strFields = specFields.filter(pf => resultTypeOf(pf) == StringType)
+    if (strFields.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val cond = strFields.map(pf =>
+        col(s"__gpt_${pf.name}") === "").reduce(_ || _)
+      require(stageDf.filter(cond).isEmpty,
+        "toIceberg: empty-string value in string partition field(s) " +
+          strFields.map(_.name).mkString(",") + " — the hive staging " +
+          "layout cannot distinguish '' from null, which would " +
+          "mis-declare the manifest partition tuple (filter or remap " +
+          "empty strings first)")
+    }
     val w0 = stageDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-    (if (partitionBy.isEmpty) w0
-     else w0.partitionBy(partitionBy.map("__gpt_" + _): _*)).parquet(staging)
+    (if (specFields.isEmpty) w0
+     else w0.partitionBy(specFields.map("__gpt_" + _.name): _*)).parquet(staging)
     val dataFiles: Seq[(String, Long, Seq[String])] =
       FsIO.listFilesRecursive(staging).collect {
         case (p, len, _) if p.endsWith(".parquet") =>
           val name = p.substring(p.lastIndexOf('/') + 1)
           val rel = p.stripPrefix(staging).stripPrefix("/")
           val dirSegs = rel.split('/').toSeq.dropRight(1)
-          require(dirSegs.length == partitionBy.length,
+          require(dirSegs.length == specFields.length,
             s"toIceberg: staged file $rel has ${dirSegs.length} partition " +
-              s"dirs, expected ${partitionBy.length}")
-          val rawVals = partitionBy.zip(dirSegs).map { case (c, seg) =>
-            require(seg.startsWith(s"__gpt_$c="),
-              s"toIceberg: unexpected staging dir $seg (expected __gpt_$c=)")
-            seg.drop(s"__gpt_$c=".length)
+              s"dirs, expected ${specFields.length}")
+          val rawVals = specFields.zip(dirSegs).map { case (pf, seg) =>
+            require(seg.startsWith(s"__gpt_${pf.name}="),
+              s"toIceberg: unexpected staging dir $seg (expected __gpt_${pf.name}=)")
+            seg.drop(s"__gpt_${pf.name}=".length)
           }
-          // promote under data/<c>=<v>/ (the conventional layout; the
-          // manifest path is authoritative either way)
-          val outDir = (Seq("data") ++ partitionBy.zip(rawVals).map {
-            case (c, v) => s"$c=$v" }).mkString("/")
+          // promote under data/<field>=<v>/ (the conventional layout;
+          // the manifest path is authoritative either way)
+          val outDir = (Seq("data") ++ specFields.zip(rawVals).map {
+            case (pf, v) => s"${pf.name}=$v" }).mkString("/")
           val dst = s"$dir/$outDir/$name"
           FsIO.rename(p, dst)
           (dst, len, rawVals)
@@ -1107,34 +1318,10 @@ object Iceberg {
         dataFiles.map { case (p, len, pv) => (p, len, statsByPath(p), pv) }
       }
 
-    val (schemaNode, lastCol) = existing
-      .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
-        m.lastColumnId))
-      .getOrElse(sparkToIceberg(df.schema))
-    // v1 metadata carries a bare "schema" node without schema-id; the
-    // v2 form we write back requires one
-    if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
-    val idsByName: Map[String, Int] = {
-      val fs = schemaNode.get("fields")
-      (0 until fs.size()).map(i =>
-        fs.get(i).get("name").asText() -> fs.get(i).get("id").asInt()).toMap
-    }
-    // identity spec fields: names from partitionBy; source ids from
-    // the schema; spec field-ids from the EXISTING spec when appending
-    // (never re-minted), 1000+k on creation (the spec's convention)
-    // the manifest + list entry must declare the table's DEFAULT spec
-    // id — a foreign table whose spec evolved (spec 0 empty, spec 1
-    // identity) resolves partition tuples by this id
-    val (specFields: Seq[(String, Int, Int)], specId: Int) = exSpecInfo match {
-      case Some((fields, id)) if partitionBy.nonEmpty => (fields, id)
-      case Some((_, id)) => (Nil, id)
-      case None => (partitionBy.zipWithIndex.map { case (c, k) =>
-        (c, idsByName(c), 1000 + k) }, 0)
-    }
     val entrySchema =
-      if (partitionBy.isEmpty) ManifestEntrySchema
-      else manifestEntrySchemaFor(partitionRecordJson(specFields.map {
-        case (n, _, fid) => (n, fid, df.schema(n).dataType) }))
+      if (specFields.isEmpty) ManifestEntrySchema
+      else manifestEntrySchemaFor(partitionRecordJson(specFields.map(pf =>
+        (pf.name, pf.fieldId, resultTypeOf(pf)))))
     // one new manifest for this commit
     val manifestPath = s"$mdir/graft-m-${java.util.UUID.randomUUID()}.avro"
     val addedRows = counted.map(_._3.numRecords).sum
@@ -1154,8 +1341,8 @@ object Iceberg {
         d.put("file_format", "PARQUET")
         val pr = new GenericData.Record(
           d.getSchema.getField("partition").schema())
-        partitionBy.zip(rawVals).foreach { case (c, raw) =>
-          pr.put(c, partitionValueAvro(raw, df.schema(c).dataType)) }
+        specFields.zip(rawVals).foreach { case (pf, raw) =>
+          pr.put(pf.name, partitionValueAvro(raw, resultTypeOf(pf))) }
         d.put("partition", pr)
         d.put("record_count", st.numRecords)
         d.put("file_size_in_bytes", len)
@@ -1221,7 +1408,7 @@ object Iceberg {
   private def publishSnapshot(dir: String, existing: Option[Metadata],
       schemaNode: ObjectNode, lastCol: Int, seq: Long, snapshotId: Long,
       listPath: String, now: Long, operation: String,
-      specFields: Seq[(String, Int, Int)] = Nil): Unit = {
+      specFields: Seq[PartField] = Nil): Unit = {
     val mdir = s"$dir/metadata"
     val version = existing.map(_.version + 1).getOrElse(1)
     val j = mapper.createObjectNode()
@@ -1236,8 +1423,9 @@ object Iceberg {
     j.putArray("schemas").add(schemaNode)
     // partition specs: carried VERBATIM from the previous metadata
     // version when one exists (a metadata rewrite must never clobber a
-    // foreign table's spec history); built from the identity
-    // `specFields` on table creation (empty -> unpartitioned spec 0)
+    // foreign table's spec history); built from `specFields` (with
+    // their transform strings) on table creation (empty ->
+    // unpartitioned spec 0)
     val prevJson: Option[JsonNode] = existing.map(m =>
       mapper.readTree(readAll(s"$dir/metadata/${m.file}")))
     prevJson.flatMap(pj => Option(pj.get("partition-specs"))
@@ -1253,18 +1441,18 @@ object Iceberg {
         val spec0 = mapper.createObjectNode()
         spec0.put("spec-id", 0)
         val sf = spec0.putArray("fields")
-        specFields.foreach { case (name, sourceId, fieldId) =>
+        specFields.foreach { pf =>
           val f = mapper.createObjectNode()
-          f.put("name", name)
-          f.put("transform", "identity")
-          f.put("source-id", sourceId)
-          f.put("field-id", fieldId)
+          f.put("name", pf.name)
+          f.put("transform", pf.transform)
+          f.put("source-id", pf.sourceId)
+          f.put("field-id", pf.fieldId)
           sf.add(f)
         }
         specs.add(spec0)
         j.put("default-spec-id", 0)
         j.put("last-partition-id",
-          (999 +: specFields.map(_._3)).max)
+          (999 +: specFields.map(_.fieldId)).max)
     }
     j.putArray("sort-orders").add {
       val so = mapper.createObjectNode()

@@ -406,11 +406,13 @@ object Zarr {
     val s1 = (m.c1 / i1).toInt
     // Long math + an explicit cap: a hostile store declaring 2^30
     // 1-element inner chunks would overflow `16 * cps` in Int and
-    // turn the bounds require vacuous. 2^27 is the largest legal
-    // count under the 1 GiB shard guard (1-byte items, minimal inner
-    // chunks still need >= 8 bytes of index headroom per chunk)
+    // turn the bounds require vacuous. The cap is STRICT: at exactly
+    // 2^27, `16 * cps` is 2^31 and still overflows Int; below it,
+    // 16 * cps <= 2^31 - 16 stays positive. A real shard can't reach
+    // the cap anyway (1-byte items under the 1 GiB guard still need
+    // >= 8 bytes of index headroom per chunk).
     val cpsL = s0.toLong * s1
-    require(cpsL >= 1 && cpsL <= (1L << 27),
+    require(cpsL >= 1 && cpsL < (1L << 27),
       s"$ctx: implausible ${cpsL} inner chunks per shard")
     val cps = cpsL.toInt
     val idxLen = 16 * cps + (if (m.shardIndexCrc) 4 else 0)

@@ -466,7 +466,7 @@ class IcebergSpec extends SparkSpec {
     assert(Iceberg.fromIceberg(spark, root).count() == 240)
     val e = intercept[IllegalArgumentException](
       Iceberg.toIceberg(df, root, "append"))
-    assert(e.getMessage.contains("identity spec"))
+    assert(e.getMessage.contains("default spec"))
     // merge-on-read DELETE on the partitioned table: delete files are
     // partition-scoped (tuples copied from the data files' entries)
     Iceberg.deleteWhere(spark, root, col("id") % 10 === 4)
@@ -506,7 +506,7 @@ class IcebergSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Iceberg.toIceberg(
       spark.range(3).select(col("id"), (col("id") * 0.5).as("d")),
       tmp("partbad.iceberg"), partitionBy = Seq("d")))
-    assert(e2.getMessage.contains("identity partition over"))
+    assert(e2.getMessage.contains("partition over double"))
     // EVOLVED spec id: a foreign table whose default spec is NOT 0
     // must see its id declared on new manifests (readers resolve the
     // partition tuple by it) — simulate by renumbering the spec
@@ -775,5 +775,174 @@ class IcebergSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Iceberg.fromIcebergChanges(spark, te).collect())
     assert(e3.getMessage.contains("expired"))
+  }
+
+  test("bucket hash matches the Iceberg spec's Appendix B vectors") {
+    import graft.sources.IcebergTransforms._
+    // published single-value hash vectors (iceberg.apache.org/spec)
+    assert(hashLong(34L) == 2017239379)           // int + long 34
+    assert(hashLong(17486L) == -653330422)        // date 2017-11-16
+    assert(hashLong(1510871468000000L) == -2047944441) // ts 2017-11-16T22:31:08
+    val b = "iceberg".getBytes(StandardCharsets.UTF_8)
+    assert(hashBytes(b, 0, b.length) == 1210000089)
+    // bucket = (hash & Int.MaxValue) % N
+    assert(bucketLong(34L, 16) == (2017239379 & Int.MaxValue) % 16)
+    // temporal fields on the UTC instant: 2017-11-16T22:31:08Z
+    val m = 1510871468000000L
+    assert(microsField(m, 2) == 17486)            // day
+    assert(microsField(m, 3) == 17486 * 24 + 22)  // hour
+    assert(microsField(m, 0) == 47)               // year: 2017 - 1970
+    assert(microsField(m, 1) == 47 * 12 + 10)     // month: nov 2017
+    // pre-epoch floors toward -inf, not toward zero
+    assert(microsField(-1L, 2) == -1 && microsField(-1L, 3) == -1)
+  }
+
+  test("bucket-partitioned toIceberg: write, append, prune, deleteWhere") {
+    import spark.implicits._
+    val root = tmp("bucket.iceberg")
+    val df = spark.range(0, 200).select(col("id"),
+      concat(lit("v"), col("id")).as("s"))
+    Iceberg.toIceberg(df, root, partitionBy = Seq("bucket(4, id)"))
+    val back = Iceberg.fromIceberg(spark, root)
+    assert(back.count() == 200)
+    assert(back.columns.toSeq == Seq("id", "s"))
+    // data dirs carry the bucket ordinal; every file's dir index
+    // matches the spec hash of the ids inside it
+    val files = back.inputFiles
+    assert(files.forall(_.contains("id_bucket=")))
+    files.take(2).foreach { f =>
+      val bIdx = f.split("id_bucket=")(1).split("/")(0).toInt
+      val ids = spark.read.parquet(f).select("id").as[Long].collect()
+      assert(ids.nonEmpty && ids.forall(id =>
+        graft.sources.IcebergTransforms.bucketLong(id, 4) == bIdx))
+    }
+    // the metadata json declares bucket[4]
+    val metaFile = FsIO.listFileNames(s"$root/metadata")
+      .filter(_.endsWith(".metadata.json")).max
+    val mjc = readAll(s"$root/metadata/$metaFile").replaceAll("\\s", "")
+    assert(mjc.contains("\"transform\":\"bucket[4]\"") &&
+      mjc.contains("\"name\":\"id_bucket\""))
+    // append validates by (transform, source) and keeps the spec
+    Iceberg.toIceberg(df.withColumn("id", col("id") + 1000), root,
+      "append", partitionBy = Seq("bucket(4, id)"))
+    assert(Iceberg.fromIceberg(spark, root).count() == 400)
+    val e = intercept[IllegalArgumentException](Iceberg.toIceberg(
+      df, root, "append", partitionBy = Seq("bucket(8, id)")))
+    assert(e.getMessage.contains("default spec"))
+    // MoR delete on the bucket-partitioned table (tuples verbatim)
+    Iceberg.deleteWhere(spark, root, col("id") % 10 === 7)
+    val afterDel = Iceberg.fromIceberg(spark, root)
+    assert(afterDel.count() == 400 - 40)
+    assert(afterDel.filter(col("id") % 10 === 7).count() == 0)
+    // string bucketing hits the bytes-hash path
+    val rootS = tmp("bucketstr.iceberg")
+    Iceberg.toIceberg(df, rootS, partitionBy = Seq("bucket(3, s)"))
+    assert(Iceberg.fromIceberg(spark, rootS).count() == 200)
+    assert(Iceberg.fromIceberg(spark, rootS).inputFiles
+      .forall(_.contains("s_bucket=")))
+  }
+
+  test("day/hour-partitioned toIceberg evaluate on the UTC instant") {
+    import spark.implicits._
+    val root = tmp("day.iceberg")
+    // session zone is NOT utc for this table's lifetime: the transform
+    // must still count days/hours from the epoch in UTC
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = spark.range(0, 96).select(col("id"),
+        (col("id") * 3600).cast("long").as("secs"))
+        .select(col("id"),
+          timestamp_seconds(col("secs") + 1704067200L).as("ts")) // 2024-01-01T00Z
+      Iceberg.toIceberg(df, root, partitionBy = Seq("day(ts)"))
+      val back = Iceberg.fromIceberg(spark, root)
+      assert(back.count() == 96)
+      // four UTC days of hourly rows -> four day dirs, date-rendered
+      val days = back.inputFiles.map(_.split("ts_day=")(1).split("/")(0)).distinct.sorted
+      assert(days.toSeq == Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+      val metaFile = FsIO.listFileNames(s"$root/metadata")
+        .filter(_.endsWith(".metadata.json")).max
+      val mjc = readAll(s"$root/metadata/$metaFile").replaceAll("\\s", "")
+      assert(mjc.contains("\"transform\":\"day\"") &&
+        mjc.contains("\"name\":\"ts_day\""))
+      // hour partitioning: 96 hourly rows -> 96 hour ordinals
+      val rootH = tmp("hour.iceberg")
+      Iceberg.toIceberg(df, rootH, partitionBy = Seq("hour(ts)"))
+      val hours = Iceberg.fromIceberg(spark, rootH).inputFiles
+        .map(_.split("ts_hour=")(1).split("/")(0).toInt).distinct
+      assert(hours.length == 96 && hours.min == 1704067200 / 3600)
+      // appends with an empty partitionBy are loud (explicit spec)
+      val e = intercept[IllegalArgumentException](
+        Iceberg.toIceberg(df, root, "append"))
+      assert(e.getMessage.contains("default spec"))
+      Iceberg.toIceberg(df.withColumn("id", col("id") + 500), root,
+        "append", partitionBy = Seq("day(ts)"))
+      assert(Iceberg.fromIceberg(spark, root).count() == 192)
+      // deletes on the day-partitioned table
+      Iceberg.deleteWhere(spark, root, col("id") === 3L)
+      assert(Iceberg.fromIceberg(spark, root).count() == 191)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("truncate-partitioned toIceberg; empty-string partition value is loud") {
+    import spark.implicits._
+    val root = tmp("trunc.iceberg")
+    val df = spark.range(0, 60).select(col("id"),
+      concat(lit("grp"), (col("id") % 4)).as("name"),
+      (col("id") - 30).cast("int").as("v"))
+    Iceberg.toIceberg(df, root, partitionBy = Seq("truncate(3, name)"))
+    val back = Iceberg.fromIceberg(spark, root)
+    assert(back.count() == 60)
+    // all four name values share the 3-char prefix "grp"
+    val dirs = back.inputFiles.map(_.split("name_trunc=")(1).split("/")(0)).distinct
+    assert(dirs.toSeq == Seq("grp"))
+    val metaFile = FsIO.listFileNames(s"$root/metadata")
+      .filter(_.endsWith(".metadata.json")).max
+    assert(readAll(s"$root/metadata/$metaFile").replaceAll("\\s", "")
+      .contains("\"transform\":\"truncate[3]\""))
+    // int truncate floors toward -inf (negative values too)
+    val rootI = tmp("trunci.iceberg")
+    Iceberg.toIceberg(df, rootI, partitionBy = Seq("truncate(10, v)"))
+    val ivals = Iceberg.fromIceberg(spark, rootI).inputFiles
+      .map(_.split("v_trunc=")(1).split("/")(0).toInt).distinct.sorted
+    assert(ivals.toSeq == Seq(-30, -20, -10, 0, 10, 20))
+    // hive staging conflates '' with null: an empty-string partition
+    // value must reject loudly instead of becoming a null tuple
+    val eEmpty = intercept[IllegalArgumentException](Iceberg.toIceberg(
+      spark.range(3).select(col("id"),
+        when(col("id") === 1, lit("")).otherwise(lit("x")).as("s")),
+      tmp("empty.iceberg"), partitionBy = Seq("s")))
+    assert(eEmpty.getMessage.contains("empty-string"))
+    // ...while genuine nulls keep round-tripping as null tuples
+    val rootN = tmp("nulls.iceberg")
+    Iceberg.toIceberg(spark.range(6).select(col("id"),
+      when(col("id") % 2 === 0, lit(null)).otherwise(lit("x")).as("s")),
+      rootN, partitionBy = Seq("truncate(1, s)"))
+    assert(Iceberg.fromIceberg(spark, rootN)
+      .filter(col("s").isNull).count() == 3)
+  }
+
+  test("spec field names stay independent of source columns on append") {
+    import spark.implicits._
+    val root = tmp("specname.iceberg")
+    val df = spark.range(0, 40).select(col("id"),
+      (col("id") % 2).cast("int").as("grp"))
+    Iceberg.toIceberg(df, root, partitionBy = Seq("grp"))
+    // a foreign writer may leave the spec's display name stale after
+    // a column rename; source-id must still resolve the column
+    val mdir = s"$root/metadata"
+    val mfile = FsIO.listFileNames(mdir).filter(_.endsWith(".metadata.json")).max
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mj = mapper.readTree(readAll(s"$mdir/$mfile"))
+    mj.get("partition-specs").get(0).get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "grp_old_display")
+    writeText(s"$mdir/$mfile", mapper.writeValueAsString(mj))
+    Iceberg.toIceberg(df.withColumn("id", col("id") + 100), root,
+      "append", partitionBy = Seq("grp"))
+    assert(Iceberg.fromIceberg(spark, root).count() == 80)
+    // new files landed under the SPEC's display name
+    assert(Iceberg.fromIceberg(spark, root).inputFiles
+      .exists(_.contains("grp_old_display=")))
   }
 }
