@@ -1087,6 +1087,28 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Iceberg append-time SCHEMA EVOLUTION: the second append carries
+    // a new column — it records in a fresh schema entry at ids above
+    // last-column-id, pre-evolution files read it as null (the read
+    // side name-maps), and the aggregate spans the boundary. Oracle
+    // reconstructs the null region from the write predicate.
+    "q_iceberg_evolve" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_iceberg_evo") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+      val I = graft.sources.Iceberg
+      I.toIceberg(li.filter(col("l_orderkey") <= 4000)
+        .select(col("l_orderkey"), col("l_quantity")), table)
+      I.toIceberg(li.filter(col("l_orderkey") > 4000)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        table, mode = "append")
+      I.fromIceberg(s, table)
+        .groupBy(coalesce(col("l_returnflag"), lit("_none")).as("flag"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("flag")
+    }),
+
     // Iceberg incremental changes: the spec's added-data-files walk
     // between snapshots — initial write + two fast-appends, pulled as
     // one (beginning, current] range tagged with the MONOTONIC
@@ -1921,6 +1943,12 @@ object SourceQueries {
          |  COUNT(DISTINCT user_id) AS users
          |FROM events WHERE event_id % 5 <> 1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_evolve" ->
+      s"""SELECT CASE WHEN l_orderkey <= 4000 THEN '_none'
+         |  ELSE l_returnflag END AS flag,
+         |  COUNT(*) AS n, ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_iceberg_changes" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

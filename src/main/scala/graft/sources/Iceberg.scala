@@ -833,8 +833,9 @@ object Iceberg {
   /** Spark -> Iceberg schema JSON with sequential field-ids (unique
     * across the whole tree, as the spec requires). Returns
     * (schemaNode, lastColumnId). */
-  private[graft] def sparkToIceberg(st: StructType): (ObjectNode, Int) = {
-    var nextId = 0
+  private[graft] def sparkToIceberg(st: StructType,
+      startId: Int = 0): (ObjectNode, Int) = {
+    var nextId = startId
     def id(): Int = { nextId += 1; nextId }
     def typJson(dt: DataType, ctx: String): Any = dt match {
       case BooleanType => "boolean"
@@ -1190,9 +1191,13 @@ object Iceberg {
     val exSpecInfo: Option[(Seq[PartField], Int)] =
       existing.map(m => defaultSpecFieldsAndId(dir, m))
     existing.foreach { m =>
-      require(relaxed(m.schema) == relaxed(df.schema),
-        s"toIceberg: schema mismatch with existing table $dir\n  table: " +
-          s"${m.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+      if (relaxed(m.schema) != relaxed(df.schema))
+        require(mode == "append" &&
+            evolutionNewFields(m.schema, df.schema).isDefined,
+          s"toIceberg: schema mismatch with existing table $dir (appends " +
+            "may only ADD new columns after the table's own fields)\n" +
+            s"  table: ${m.schema.simpleString}\n" +
+            s"  data:  ${df.schema.simpleString}")
       // spec fields match by (transform, source column resolved
       // through source-id) — spec field NAMES are display-only and a
       // foreign column rename legally leaves them stale
@@ -1210,10 +1215,27 @@ object Iceberg {
     val mdir = s"$dir/metadata"
     FsIO.mkdirs(mdir)
 
-    val (schemaNode, lastCol) = existing
-      .map(m => (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
-        m.lastColumnId))
-      .getOrElse(sparkToIceberg(df.schema))
+    val (schemaNode, lastCol) = existing match {
+      case Some(m) if relaxed(m.schema) != relaxed(df.schema) =>
+        // append-time schema evolution (validated above): extend the
+        // table schema with the new columns at FRESH ids above
+        // last-column-id; they record as optional regardless of the
+        // data's nullability — every pre-evolution file lacks them
+        // and reads them as null
+        val newFs = evolutionNewFields(m.schema, df.schema).get
+          .map(_.copy(nullable = true))
+        val node = m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+        val (tmp, newLast) =
+          sparkToIceberg(StructType(newFs), m.lastColumnId)
+        val dst = node.get("fields").asInstanceOf[ArrayNode]
+        val src = tmp.get("fields")
+        (0 until src.size()).foreach(i => dst.add(src.get(i)))
+        (node, newLast)
+      case Some(m) =>
+        (m.schemaNode.deepCopy[JsonNode]().asInstanceOf[ObjectNode],
+          m.lastColumnId)
+      case None => sparkToIceberg(df.schema)
+    }
     // v1 metadata carries a bare "schema" node without schema-id; the
     // v2 form we write back requires one
     if (!schemaNode.hasNonNull("schema-id")) schemaNode.put("schema-id", 0)
@@ -1419,15 +1441,40 @@ object Iceberg {
     j.put("last-sequence-number", seq)
     j.put("last-updated-ms", now)
     j.put("last-column-id", lastCol)
-    j.put("current-schema-id", 0)
-    j.putArray("schemas").add(schemaNode)
+    val prevJson: Option[JsonNode] = existing.map(m =>
+      mapper.readTree(readAll(s"$dir/metadata/${m.file}")))
+    // schema history: carried VERBATIM from the previous metadata
+    // version (a rewrite must never clobber a foreign table's schema
+    // history, and current-schema-id must name the schema we actually
+    // write — a foreign current id need not be 0). An append-time
+    // evolution mints the next free schema-id and adds its node.
+    prevJson.flatMap(pj => Option(pj.get("schemas")).filter(_.isArray)
+        .map(_.asInstanceOf[ArrayNode])) match {
+      case Some(prev) =>
+        val out = j.putArray("schemas")
+        (0 until prev.size()).foreach(i =>
+          out.add(prev.get(i).deepCopy[JsonNode]()))
+        val sameAs = (0 until prev.size()).map(prev.get)
+          .find(_.equals(schemaNode))
+        sameAs match {
+          case Some(s) =>
+            j.put("current-schema-id", s.get("schema-id").asInt())
+          case None =>
+            val nid = ((0 until prev.size())
+              .map(prev.get(_).get("schema-id").asInt()) :+ -1).max + 1
+            schemaNode.put("schema-id", nid)
+            out.add(schemaNode)
+            j.put("current-schema-id", nid)
+        }
+      case None =>
+        j.putArray("schemas").add(schemaNode)
+        j.put("current-schema-id", schemaNode.get("schema-id").asInt())
+    }
     // partition specs: carried VERBATIM from the previous metadata
     // version when one exists (a metadata rewrite must never clobber a
     // foreign table's spec history); built from `specFields` (with
     // their transform strings) on table creation (empty ->
     // unpartitioned spec 0)
-    val prevJson: Option[JsonNode] = existing.map(m =>
-      mapper.readTree(readAll(s"$dir/metadata/${m.file}")))
     prevJson.flatMap(pj => Option(pj.get("partition-specs"))
         .filter(_.isArray).filter(_.size() > 0)) match {
       case Some(prevSpecs) =>
@@ -1972,5 +2019,24 @@ object Iceberg {
     case m: MapType =>
       MapType(relaxed(m.keyType), relaxed(m.valueType), valueContainsNull = true)
     case o => o
+  }
+
+  /** Append-time schema evolution test: the table's fields must be a
+    * PREFIX of the data's (matched by name + relaxed type — the
+    * ALTER TABLE ADD COLUMN shape); the remainder are the NEW
+    * columns. New names must not collide case-insensitively with
+    * existing ones (Spark resolves case-insensitively). Returns None
+    * when the data schema is not such a superset. */
+  private def evolutionNewFields(table: StructType,
+      data: StructType): Option[Seq[StructField]] = {
+    if (data.length <= table.length) return None
+    val prefixOk = table.fields.zip(data.fields.take(table.length)).forall {
+      case (t, d) => t.name == d.name &&
+        relaxed(t.dataType) == relaxed(d.dataType) }
+    if (!prefixOk) return None
+    val newFs = data.fields.drop(table.length).toSeq
+    val existingLower = table.fieldNames.map(_.toLowerCase).toSet
+    if (newFs.exists(f => existingLower(f.name.toLowerCase))) None
+    else Some(newFs)
   }
 }

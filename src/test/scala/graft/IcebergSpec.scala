@@ -922,6 +922,56 @@ class IcebergSpec extends SparkSpec {
       .filter(col("s").isNull).count() == 3)
   }
 
+  test("append-time schema evolution: new nullable columns at fresh ids") {
+    import spark.implicits._
+    val t = tmp("evo.iceberg")
+    Iceberg.toIceberg(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Iceberg.toIceberg(Seq((3L, "c", 30.5)).toDF("id", "s", "v"), t,
+      mode = "append")
+    val back = Iceberg.fromIceberg(spark, t)
+    assert(back.columns.toSeq == Seq("id", "s", "v"))
+    assert(back.count() == 3)
+    // pre-evolution files read the new column as null
+    assert(back.filter(col("v").isNull).count() == 2)
+    assert(back.filter(col("id") === 3).select("v").as[Double].head() == 30.5)
+    // a new schema entry at the next id; fresh field ids above the
+    // old last-column-id
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta() = {
+      val mfile = FsIO.listFileNames(s"$t/metadata")
+        .filter(_.endsWith(".metadata.json")).max
+      mapper.readTree(readAll(s"$t/metadata/$mfile"))
+    }
+    val m1 = meta()
+    assert(m1.get("schemas").size() == 2)
+    assert(m1.get("current-schema-id").asInt() == 1)
+    assert(m1.get("last-column-id").asInt() == 3)
+    // evolutions stack; plain appends after them carry the history
+    Iceberg.toIceberg(Seq((4L, "d", 1.0, 7)).toDF("id", "s", "v", "k"), t,
+      mode = "append")
+    Iceberg.toIceberg(Seq((5L, "e", 2.0, 8)).toDF("id", "s", "v", "k"), t,
+      mode = "append")
+    val b2 = Iceberg.fromIceberg(spark, t)
+    assert(b2.columns.toSeq == Seq("id", "s", "v", "k"))
+    assert(b2.count() == 5 && b2.filter(col("k").isNull).count() == 3)
+    val m2 = meta()
+    assert(m2.get("schemas").size() == 3 &&
+      m2.get("current-schema-id").asInt() == 2)
+    // deletes work across the evolution boundary
+    Iceberg.deleteWhere(spark, t, col("id") === 1L)
+    assert(Iceberg.fromIceberg(spark, t).count() == 4)
+    // overwrite with a narrower schema, reordered fields, and
+    // case-colliding new names all stay loud
+    intercept[IllegalArgumentException](Iceberg.toIceberg(
+      Seq((9L, "z", 1.0)).toDF("id", "s", "v"), t))
+    intercept[IllegalArgumentException](Iceberg.toIceberg(
+      Seq((9L, 1.0, "z", 7, 1)).toDF("id", "v", "s", "k", "w"), t,
+      mode = "append"))
+    intercept[IllegalArgumentException](Iceberg.toIceberg(
+      Seq((9L, "z", 1.0, 7, 5)).toDF("id", "s", "v", "k", "V"), t,
+      mode = "append"))
+  }
+
   test("spec field names stay independent of source columns on append") {
     import spark.implicits._
     val root = tmp("specname.iceberg")
