@@ -542,6 +542,30 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta column mapping `id` MODE (r18): the converted-table shape
+    // where file column names drifted from the metadata and only the
+    // parquet FIELD ID links them — the scan runs under fieldId.read
+    // in a cloned session, stats skipping stays physical-namespace.
+    // Oracle = the same aggregate on plain parquet.
+    "q_delta_colmap_id" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_cmid") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sources.DeltaLake.foreignIdMapped(li, table,
+        physicalOf = Map("l_orderkey" -> "col-0a1b", "l_quantity" -> "col-2c3d",
+          "l_returnflag" -> "col-4e5f"),
+        fileNameOf = Map("l_orderkey" -> "legacy_okey",
+          "l_returnflag" -> "legacy_flag"))
+      graft.sources.DeltaLake.fromDelta(s, table,
+          where = Some(col("l_orderkey") <= 1000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta RENAME COLUMN (r17): the metadata-only rename upgrades a
     // plain table to column mapping (identity physical names — the
     // existing files are untouched and still carry the old names),
@@ -1780,6 +1804,12 @@ object SourceQueries {
          |FROM state WHERE l_orderkey <= 3000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_colmap" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_colmap_id" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key

@@ -144,7 +144,7 @@ object DeltaLake {
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     require(dataSchema.nonEmpty,
       s"fromDelta: every column of $table is a partition column")
-    val cm = snap.meta.columnMapping == "name"
+    val cm = snap.meta.columnMapping
     val kept = where match {
       case Some(w) =>
         // under column mapping, stats keys + partitionValues keys are
@@ -255,7 +255,7 @@ object DeltaLake {
       val vAdds = adds.result()
       if (vAdds.isEmpty) None
       else Some(readAdds(spark, table, schema, partCols, vAdds,
-          cm = snap.meta.columnMapping == "name")
+          cm = snap.meta.columnMapping)
         .withColumn("_commit_version", lit(v)))
     }
     if (perVersion.isEmpty)
@@ -271,15 +271,35 @@ object DeltaLake {
     * the merge rewrites (which scan file subsets). */
   private def readAdds(spark: SparkSession, table: String,
       schema: StructType, partCols: Seq[String],
-      adds: Seq[AddFile], cm: Boolean = false): DataFrame = {
-    // column mapping `name` mode: data files + partitionValues + stats
-    // all use per-field PHYSICAL names; scan physical, rename back to
-    // logical after the scan (identity aliases when cm=false)
-    val physSchema =
-      if (cm) physicalType(schema).asInstanceOf[StructType] else schema
-    if (cm) physSchema.fieldNames.foreach(n =>
+      adds: Seq[AddFile], cm: String = "none"): DataFrame = {
+    // column mapping: data files + partitionValues + stats all use
+    // per-field PHYSICAL names; scan physical, rename back to logical
+    // after the scan (identity aliases when cm="none"). In `id` mode
+    // the requested fields ALSO carry parquet.field.id metadata and
+    // the scan runs under fieldId.read — columns resolve by FIELD ID,
+    // so files whose parquet column names drifted from the metadata
+    // (the converted-table shape id mode exists for) still read
+    // correctly, and a file missing the ids is loud.
+    val physSchema = cm match {
+      case "name" => physicalType(schema).asInstanceOf[StructType]
+      case "id" => fieldIdType(schema).asInstanceOf[StructType]
+      case _ => schema
+    }
+    if (cm != "none") physSchema.fieldNames.foreach(n =>
       require(!n.contains(".") && !n.contains("`"),
         s"fromDelta: physical column name '$n' needs quoting we don't do"))
+    // id mode: BUILD the scans under a CLONED session carrying
+    // fieldId.read (a parquet relation captures its creating session,
+    // so wrapping the finished plan would not change resolution; the
+    // clone never touches the caller's conf — the Bridge discipline).
+    // The parquet readers then match requested fields by their
+    // parquet.field.id metadata instead of by name; a file missing
+    // the ids is loud.
+    val scanSpark =
+      if (cm == "id") org.apache.spark.sql.graftbridge.Bridge
+        .sessionWithConf(spark, Map(
+          "spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      else spark
     val physOf = schema.fieldNames.zip(physSchema.fieldNames).toMap
     val physPartCols = partCols.map(physOf)
     val dataSchemaPhys =
@@ -300,10 +320,10 @@ object DeltaLake {
       val (dvFiles, plainFiles) = files.partition(_.dv != null)
       val scans = Seq.newBuilder[DataFrame]
       if (plainFiles.nonEmpty)
-        scans += spark.read.schema(dataSchemaPhys)
+        scans += scanSpark.read.schema(dataSchemaPhys)
           .parquet(plainFiles.map(f => resolveDataPath(table, f.path)): _*)
       if (dvFiles.nonEmpty)
-        scans += dvFilteredScan(spark, table, dataSchemaPhys, dvFiles)
+        scans += dvFilteredScan(scanSpark, table, dataSchemaPhys, dvFiles)
       val base = scans.result().reduce(_ union _)
       // physical -> logical data columns (cast renames nested struct
       // fields positionally; top-level identical types stay cast-free
@@ -636,6 +656,16 @@ object DeltaLake {
         "or 3 with features " + SupportedReaderFeatures.mkString(",") + ")")
   }
 
+  /** Writers reject `id`-mode column mapping: our write paths stage
+    * by physical NAME, while an id-resolved foreign table's file
+    * column names may have drifted from the metadata — mixing the
+    * namespaces would write files its own readers misresolve. Reads
+    * (and vacuum, which never interprets columns) stay available. */
+  private def writerGate(s: Snapshot, op: String): Unit =
+    require(s.meta.columnMapping != "id",
+      s"$op: delta.columnMapping.mode=id tables are read-only here " +
+        "(id-resolved file column names may not match physical names)")
+
   /** (predicate, schema, partCols) in the namespace the table's STATS
     * and partitionValues keys use: physical under column mapping
     * `name`, identity otherwise. One definition — fromDelta skipping,
@@ -645,7 +675,7 @@ object DeltaLake {
       pred: org.apache.spark.sql.catalyst.expressions.Expression)
       : (org.apache.spark.sql.catalyst.expressions.Expression,
          StructType, Seq[String]) =
-    if (snap.meta.columnMapping != "name") (pred, schema, partCols)
+    if (snap.meta.columnMapping == "none") (pred, schema, partCols)
     else {
       val phys = physicalType(schema).asInstanceOf[StructType]
       val physOf = schema.fieldNames.zip(phys.fieldNames).toMap
@@ -691,6 +721,27 @@ object DeltaLake {
     case other => other
   }
 
+  /** Physical schema for `id`-mode scans: physicalName-named fields
+    * carrying `parquet.field.id` metadata from their
+    * delta.columnMapping.id (recursively) — Spark's fieldId.read path
+    * then resolves columns by ID, the id-mode contract. A field
+    * without an id is loud (reading it by name could silently read a
+    * renamed column's bytes). */
+  private def fieldIdType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      require(f.metadata.contains("delta.columnMapping.id"),
+        s"id-mode table: field ${f.name} lacks delta.columnMapping.id " +
+          "metadata — cannot resolve it by parquet field id")
+      f.copy(name = physName(f), dataType = fieldIdType(f.dataType),
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build())
+    })
+    case ArrayType(et, n) => ArrayType(fieldIdType(et), n)
+    case MapType(k, v, n) => MapType(fieldIdType(k), fieldIdType(v), n)
+    case other => other
+  }
+
   /** Stream a commit file's action lines through `f` (one JSON object
     * per line; blank lines skipped). */
   private def eachAction(path: String)(f: JsonNode => Unit): Unit = {
@@ -716,13 +767,13 @@ object DeltaLake {
       b.result()
     }.getOrElse(Map.empty[String, String])
     // column mapping: `name` mode reads by per-field physicalName
-    // metadata (DBR's default after any rename); `id` mode would need
-    // parquet field-id resolution — reject it loudly, never read the
-    // wrong columns by name.
+    // metadata (DBR's default after any rename); `id` mode reads by
+    // parquet FIELD ID (fieldIdType + the fieldId.read session conf —
+    // converted/foreign tables whose file column names drifted from
+    // the metadata still resolve). Writers reject id mode.
     val cm = cfg.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"delta.columnMapping.mode=$cm is unsupported (only none/name; " +
-        "id mode requires parquet field-id resolution)")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"delta.columnMapping.mode=$cm is unsupported (none/name/id)")
     val arr = m.get("partitionColumns")
     val partCols = // declared ORDER matters (dir nesting), keep it
       if (arr == null || !arr.isArray) Seq.empty[String]
@@ -806,9 +857,8 @@ object DeltaLake {
               val cfg = get[scala.collection.Map[String, String]](st, "configuration")
                 .map(_.toMap).getOrElse(Map.empty[String, String])
               val cm = cfg.getOrElse("delta.columnMapping.mode", "none")
-              require(cm == "none" || cm == "name",
-                s"delta.columnMapping.mode=$cm is unsupported (only " +
-                  "none/name; id mode requires parquet field-id resolution)")
+              require(cm == "none" || cm == "name" || cm == "id",
+                s"delta.columnMapping.mode=$cm is unsupported (none/name/id)")
               meta = Meta(
                 get[String](st, "id").orNull,
                 get[String](st, "schemaString").getOrElse(
@@ -991,6 +1041,7 @@ object DeltaLake {
       if (latestVersion(table) >= 0) Some(snapshot(spark, table, None)) else None
     existing.foreach { s =>
       gate(s) // must be able to READ a table before mutating its log
+      writerGate(s, "toDelta")
       // column-mapped (name mode) tables ACCEPT writes — the staging
       // below renames to physical columns. DV-carrying tables accept
       // blind APPENDS (new files touch no DV) AND overwrites (r17 —
@@ -1142,6 +1193,7 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    writerGate(snap, "compact")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -1310,13 +1362,14 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    writerGate(snap, "purgeDeletionVectors")
     val dvFiles = snap.adds.filter(_.dv != null)
     if (dvFiles.isEmpty) return snap.version // already clean
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     // readAdds applies the DV anti-filter in-scan: survivors only
     val survivors = readAdds(spark, table, schema, partCols, dvFiles,
-      cm = snap.meta.columnMapping == "name")
+      cm = snap.meta.columnMapping)
     val adds = stageAddsFor(spark, table, snap, survivors, partCols)
     val version = snap.version + 1
     commitActions(table, version, "REORG",
@@ -1341,6 +1394,7 @@ object DeltaLake {
     val target = snapshot(spark, table, Some(toVersion))
     val current = snapshot(spark, table, None)
     gate(current)
+    writerGate(current, "restore")
     require(target.meta.schemaString == current.meta.schemaString &&
         target.meta.partitionColumns == current.meta.partitionColumns,
       s"restore: schema/partitioning changed since version $toVersion")
@@ -1399,6 +1453,7 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    writerGate(snap, "renameColumn")
     val old = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     require(old.fieldNames.contains(from),
       s"renameColumn: no column '$from' in ${old.fieldNames.mkString(",")}")
@@ -1547,6 +1602,7 @@ object DeltaLake {
     require(keys.nonEmpty, "upsert: at least one key column")
     val snap = snapshot(spark, table, None)
     gate(snap)
+    writerGate(snap, "upsert")
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
     val partCols = snap.meta.partitionColumns
     require(relaxed(schema) == relaxed(source.schema),
@@ -1587,7 +1643,7 @@ object DeltaLake {
                 sParts, a.partitionValues, a.stats, tz))
           }
         }
-      val cm = snap.meta.columnMapping == "name"
+      val cm = snap.meta.columnMapping
       // probe: which candidate files actually hold matching keys
       val affected: Set[String] =
         if (candidates.isEmpty) Set.empty
@@ -1649,6 +1705,7 @@ object DeltaLake {
     val table = FsIO.normalize(table0.stripSuffix("/"))
     val snap = snapshot(spark, table, None)
     gate(snap)
+    writerGate(snap, "deleteWhere")
     if (viaDeletionVectors)
       return deleteWhereDv(spark, table, snap, cond, checkpointInterval)
     val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
@@ -1668,7 +1725,7 @@ object DeltaLake {
     // rewritten survivors have prior deletes MATERIALIZED (their
     // descriptors ride the tombstones; the new files are DV-free)
     val survivors = readAdds(spark, table, schema, partCols, hit,
-        cm = snap.meta.columnMapping == "name")
+        cm = snap.meta.columnMapping)
       .filter(!coalesce(cond, lit(false)))
     val adds = stageAddsFor(spark, table, snap, survivors, partCols)
     val version = snap.version + 1
@@ -2174,6 +2231,112 @@ object DeltaLake {
       a.partitionValues.foreach { case (k, v) =>
         if (v == null) pv.putNull(k) else pv.put(k, v)
       }
+      ad.put("size", a.size)
+      ad.put("modificationTime", a.modificationTime)
+      ad.put("dataChange", true)
+      if (a.stats != null) ad.put("stats", a.stats)
+      lines += mapper.writeValueAsString(an)
+    }
+    commit(table, 0L, lines.result())
+  }
+
+  /** Foreign `id`-mode column-mapped fixture: metadata declares
+    * delta.columnMapping.mode=id with per-field ids + physicalNames;
+    * data files carry parquet FIELD IDS and — where `fileNameOf`
+    * diverges from `physicalOf` — file column names matching NEITHER
+    * the logical nor the physical name (the converted-table shape id
+    * mode exists for: only the field id links them). Stats keys stay
+    * PHYSICAL per the protocol (rekeyed from the file namespace).
+    * Unpartitioned. */
+  private[graft] def foreignIdMapped(df: DataFrame, table0: String,
+      physicalOf: Map[String, String],
+      fileNameOf: Map[String, String] = Map.empty): Unit = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    require(latestVersion(table) < 0,
+      s"foreignIdMapped: $table already exists")
+    df.schema.fieldNames.foreach(n => require(physicalOf.contains(n),
+      s"foreignIdMapped: no physical name for column $n"))
+    val fileOf = df.schema.fieldNames.map(n =>
+      n -> fileNameOf.getOrElse(n, physicalOf(n))).toMap
+    require(fileOf.values.toSet.size == fileOf.size &&
+        physicalOf.values.toSet.size == physicalOf.size,
+      "foreignIdMapped: physical/file names must be distinct")
+    val spark = df.sparkSession
+    val now = System.currentTimeMillis()
+    val idOf: Map[String, Long] =
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
+    // file frame: FILE column names, each carrying its parquet field
+    // id; written under fieldId.write in a cloned session
+    val dfFile = df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
+      col(n).as(fileOf(n), new MetadataBuilder()
+        .putLong("parquet.field.id", idOf(n)).build())
+    }: _*)
+    val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
+    val adds = try {
+      org.apache.spark.sql.graftbridge.Bridge.withSessionConf(dfFile,
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true")) { d =>
+        d.write.mode(SaveMode.Overwrite).parquet(staging)
+      }
+      val promoted = promoteStaged(table, staging, Nil)
+      val statsByPath = DeltaStats.collect(spark,
+        dfFile.schema.fieldNames.toSeq,
+        promoted.map(a => resolveDataPath(table, a.path)))
+      // stats keys are PHYSICAL names in both CM modes — rekey from
+      // the file namespace
+      val physOfFile = df.schema.fieldNames
+        .map(n => fileOf(n) -> physicalOf(n)).toMap
+      def rekey(json: String): String = {
+        import com.fasterxml.jackson.databind.node.ObjectNode
+        val node = mapper.readTree(json).asInstanceOf[ObjectNode]
+        Seq("minValues", "maxValues", "nullCount").foreach { sec =>
+          Option(node.get(sec)).collect { case o: ObjectNode =>
+            val renamed = mapper.createObjectNode()
+            val it = o.properties().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              renamed.set[JsonNode](
+                physOfFile.getOrElse(e.getKey, e.getKey), e.getValue)
+            }
+            node.set[JsonNode](sec, renamed)
+          }
+        }
+        mapper.writeValueAsString(node)
+      }
+      promoted.map { a =>
+        val st = statsByPath.getOrElse(resolveDataPath(table, a.path), null)
+        a.copy(stats = if (st == null) null else rekey(st))
+      }
+    } finally FsIO.deleteRecursive(staging)
+    val mapped = StructType(df.schema.fields.map { f =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.columnMapping.physicalName", physicalOf(f.name))
+        .putLong("delta.columnMapping.id", idOf(f.name))
+        .build())
+    })
+    val lines = Seq.newBuilder[String]
+    val pn = mapper.createObjectNode()
+    val p = pn.putObject("protocol")
+    p.put("minReaderVersion", 2)
+    p.put("minWriterVersion", 5)
+    lines += mapper.writeValueAsString(pn)
+    val mn = mapper.createObjectNode()
+    val m = mn.putObject("metaData")
+    m.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", mapped.json)
+    m.putArray("partitionColumns")
+    val cfg = m.putObject("configuration")
+    cfg.put("delta.columnMapping.mode", "id")
+    cfg.put("delta.columnMapping.maxColumnId", df.schema.size.toString)
+    m.put("createdTime", now)
+    lines += mapper.writeValueAsString(mn)
+    adds.foreach { a =>
+      val an = mapper.createObjectNode()
+      val ad = an.putObject("add")
+      ad.put("path", a.path)
+      ad.putObject("partitionValues")
       ad.put("size", a.size)
       ad.put("modificationTime", a.modificationTime)
       ad.put("dataChange", true)

@@ -65,6 +65,19 @@ object Bridge {
       df.queryExecution.logical))
   }
 
+  /** A CLONED session carrying `confs` on top of `spark`'s settings —
+    * for code that must BUILD its frames under the conf (a file
+    * relation captures its creating session, so re-rooting the plan
+    * afterwards cannot change what e.g. fieldId.read resolution the
+    * scan uses). Same isolation rationale as [[withSessionConf]]. */
+  def sessionWithConf(spark: org.apache.spark.sql.SparkSession,
+      confs: Map[String, String]): org.apache.spark.sql.SparkSession = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val clone = cs.cloneSession()
+    confs.foreach { case (k, v) => clone.conf.set(k, v) }
+    clone
+  }
+
   /** Re-tag a BATCH DataFrame's rows as a STREAMING micro-batch: the
     * V1 streaming `Source.getBatch` contract requires the returned
     * frame to carry isStreaming=true (MicroBatchExecution asserts

@@ -188,14 +188,13 @@ class DeltaLakeSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaLake.fromDelta(spark, ok).count() == 1L)
-    // column mapping `id` mode rejects through metaData configuration
-    // (name mode is supported; id needs parquet field-id resolution)
+    // a column mapping mode outside none/name/id stays loud
     val cm = tmp("cm.delta")
     writeLog(cm, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(schemaJson).toString},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""))
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(schemaJson).toString},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"weird"},"createdTime":0}}"""))
     val e4 = intercept[IllegalArgumentException] { DeltaLake.fromDelta(spark, cm) }
-    assert(e4.getMessage.contains("columnMapping.mode=id"))
+    assert(e4.getMessage.contains("columnMapping.mode=weird"))
   }
 
   test("malformed deletion vectors are loud; multi-part checkpoints reject") {
@@ -645,6 +644,73 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDeltaChanges(spark, t, 2L)
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
     assert(DeltaLake.fromDeltaChanges(spark, t, -1L, Some(1L)).count() == 3)
+  }
+
+  test("column mapping id mode: field-id resolution, drifted file names, writers reject") {
+    val t = tmp("cmid.delta")
+    import spark.implicits._
+    val df = spark.range(0, 100).select(
+      col("id"), (col("id") % 5).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("label"))
+      .repartitionByRange(4, col("id"))
+    // two file column names match NEITHER logical nor physical names —
+    // only the parquet field id links them (the converted-table shape)
+    DeltaLake.foreignIdMapped(df, t,
+      physicalOf = Map("id" -> "col-aaaa", "grp" -> "col-bbbb",
+        "label" -> "col-cccc"),
+      fileNameOf = Map("id" -> "legacy_id", "label" -> "legacy_label"))
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.columns.toSeq == Seq("id", "grp", "label"))
+    assert(back.count() == 100)
+    assert(back.filter(col("id") === 42).select("label").head.getString(0) == "v42")
+    // the files genuinely carry the drifted names
+    val phys = spark.read.parquet(back.inputFiles.head)
+    assert(phys.columns.toSet == Set("legacy_id", "col-bbbb", "legacy_label"))
+    // stats skipping evaluates in the physical namespace and prunes
+    val skipped = DeltaLake.fromDelta(spark, t, None, Some(col("id") <= 20))
+    assert(skipped.inputFiles.length < 4)
+    assert(skipped.count() == 21)
+    // every writer rejects loudly; reads stay available
+    val extra = spark.range(100, 110).select(
+      col("id"), (col("id") % 5).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("label"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLake.toDelta(extra, t, "append")).getMessage.contains("read-only"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLake.deleteWhere(spark, t, col("id") === 1))
+      .getMessage.contains("read-only"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLake.upsert(spark, t, extra, Seq("id")))
+      .getMessage.contains("read-only"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLake.compact(spark, t)).getMessage.contains("read-only"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, t, "label", "l2"))
+      .getMessage.contains("read-only"))
+    // a field missing delta.columnMapping.id is loud, never misread
+    val t2 = tmp("cmid2.delta")
+    DeltaLake.foreignIdMapped(df, t2,
+      physicalOf = Map("id" -> "col-a", "grp" -> "col-b", "label" -> "col-c"))
+    val logF = s"$t2/_delta_log/00000000000000000000.json"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val patched = scala.io.Source.fromFile(logF).getLines().map { line =>
+      val n = mapper.readTree(line)
+      if (!n.has("metaData")) line
+      else {
+        val md = n.get("metaData").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val ss = mapper.readTree(md.get("schemaString").asText())
+        ss.get("fields").get(1).get("metadata")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("delta.columnMapping.id")
+        md.put("schemaString", mapper.writeValueAsString(ss))
+        mapper.writeValueAsString(n)
+      }
+    }.mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(logF),
+      patched.getBytes("UTF-8"))
+    val eMiss = intercept[IllegalArgumentException](
+      DeltaLake.fromDelta(spark, t2).collect())
+    assert(eMiss.getMessage.contains("lacks delta.columnMapping.id"))
   }
 
   test("column mapping name mode: logical columns, physical stats skipping, read-only") {
