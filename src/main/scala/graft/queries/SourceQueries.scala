@@ -566,6 +566,34 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta TYPE WIDENING (r18): a narrow era (int keys, float
+    // quantities — the values are float-exact) gets a foreign-shaped
+    // metadata-only widening ALTER (int->long, float->double with
+    // delta.typeChanges + the feature protocol), then a wide append;
+    // the read promotes narrow files inside the parquet scan. Oracle
+    // = the plain aggregate (float round-trip is identity here).
+    "q_delta_widen" -> ((s, dir) => {
+      val table = cacheDir(dir, "lineitem_delta_widen") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val li = t(s, dir, "lineitem")
+      val D = graft.sources.DeltaLake
+      D.toDelta(li.filter(col("l_orderkey") <= 4000)
+        .select(col("l_orderkey").cast("int").as("l_orderkey"),
+          col("l_quantity").cast("float").as("l_quantity"),
+          col("l_returnflag")), table)
+      D.foreignWidenTypes(s, table, Map(
+        "l_orderkey" -> org.apache.spark.sql.types.LongType,
+        "l_quantity" -> org.apache.spark.sql.types.DoubleType))
+      D.toDelta(li.filter(col("l_orderkey") > 4000)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        table, "append")
+      D.fromDelta(s, table, where = Some(col("l_orderkey") <= 4500))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r(dsumD(col("l_quantity"))).as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("l_returnflag")
+    }),
+
     // Delta RENAME COLUMN (r17): the metadata-only rename upgrades a
     // plain table to column mapping (identity physical names — the
     // existing files are untouched and still carry the old names),
@@ -1814,6 +1842,12 @@ object SourceQueries {
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_widen" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
+         |  MAX(l_orderkey) AS max_key
+         |FROM lineitem WHERE l_orderkey <= 4500
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_dv" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

@@ -72,7 +72,13 @@ object DeltaLake {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint")
+    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+      // type widening: the table schema records the WIDE type, files
+      // written before the widening keep the narrow one — Spark's
+      // parquet readers promote narrow stored types to the requested
+      // wider type (the capability added for exactly this feature),
+      // and any promotion they cannot do fails LOUD, never misreads.
+      "typeWidening", "typeWidening-preview")
   /** Checkpoint cadence (OSS Delta default: 10 commits). */
   val DefaultCheckpointInterval = 10
 
@@ -2238,6 +2244,66 @@ object DeltaLake {
       lines += mapper.writeValueAsString(an)
     }
     commit(table, 0L, lines.result())
+  }
+
+  /** Foreign-shaped TYPE WIDENING commit (fixture/lane builder): a
+    * metadata-only ALTER that rewrites the table schema with `widen`
+    * (column -> wider Spark type), stamps `delta.typeChanges` on each
+    * widened field and upgrades the protocol to the typeWidening
+    * feature. Existing files keep their narrow on-disk types — the
+    * read side promotes them inside the parquet readers. */
+  private[graft] def foreignWidenTypes(spark: SparkSession, table0: String,
+      widen: Map[String, DataType]): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    val old = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    widen.keys.foreach(c => require(old.fieldNames.contains(c),
+      s"foreignWidenTypes: no column '$c'"))
+    val version = snap.version + 1
+    val widened = StructType(old.fields.map { f =>
+      widen.get(f.name) match {
+        case Some(to) =>
+          require(to != f.dataType, s"foreignWidenTypes: $to == ${f.dataType}")
+          val change = new MetadataBuilder()
+            .putString("toType", to.typeName)
+            .putString("fromType", f.dataType.typeName)
+            .putLong("tableVersion", version).build()
+          f.copy(dataType = to,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putMetadataArray("delta.typeChanges", Array(change)).build())
+        case None => f
+      }
+    })
+    val lines = Seq.newBuilder[String]
+    val pn = mapper.createObjectNode()
+    val pj = pn.putObject("protocol")
+    val rf = (if (snap.minReaderVersion >= 3) snap.readerFeatures
+      else legacyReaderFeatures(snap.minReaderVersion)) + "typeWidening"
+    val wf = (if (snap.minWriterVersion >= 7) snap.writerFeatures
+      else legacyWriterFeatures(snap.minWriterVersion)) + "typeWidening"
+    pj.put("minReaderVersion", 3)
+    pj.put("minWriterVersion", 7)
+    val rfA = pj.putArray("readerFeatures"); rf.toSeq.sorted.foreach(rfA.add)
+    val wfA = pj.putArray("writerFeatures"); wf.toSeq.sorted.foreach(wfA.add)
+    lines += mapper.writeValueAsString(pn)
+    val mn = mapper.createObjectNode()
+    val m = mn.putObject("metaData")
+    m.put("id", snap.meta.id)
+    if (snap.meta.name != null) m.put("name", snap.meta.name)
+    if (snap.meta.description != null)
+      m.put("description", snap.meta.description)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", widened.json)
+    val pc = m.putArray("partitionColumns")
+    snap.meta.partitionColumns.foreach(pc.add)
+    val cfg = m.putObject("configuration")
+    snap.meta.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    m.put("createdTime", snap.meta.createdTime)
+    lines += mapper.writeValueAsString(mn)
+    commit(table, version, lines.result())
+    version
   }
 
   /** Foreign `id`-mode column-mapped fixture: metadata declares

@@ -172,18 +172,23 @@ class DeltaLakeSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
       .count() == 1L)
-    // v2Checkpoint reads are supported since r16; typeWidening (which
-    // changes data-file interpretation) still rejects loudly
+    // v2Checkpoint reads are supported since r16; typeWidening since
+    // r18 (narrow files promote inside the parquet readers); an
+    // unknown future feature still rejects loudly
     assert(DeltaLake.fromDelta(spark, mk(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["v2Checkpoint"]}}"""))
       .count() == 1L)
+    assert(DeltaLake.fromDelta(spark, mk(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["typeWidening"]}}"""))
+      .count() == 1L)
     val e3 = intercept[IllegalArgumentException] {
       DeltaLake.fromDelta(spark, mk(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["typeWidening"]}}"""))
+          """"readerFeatures":["futureMagicEncoding"]}}"""))
     }
-    assert(e3.getMessage.contains("typeWidening"))
+    assert(e3.getMessage.contains("futureMagicEncoding"))
     val ok = mk(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["timestampNtz"]}}""")
@@ -644,6 +649,50 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.fromDeltaChanges(spark, t, 2L)
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
     assert(DeltaLake.fromDeltaChanges(spark, t, -1L, Some(1L)).count() == 3)
+  }
+
+  test("typeWidening: narrow files promote to the widened table schema") {
+    val t = tmp("tw.delta")
+    import spark.implicits._
+    // v0: narrow table (int i, float f, long k) via our own writer
+    DeltaLake.toDelta(spark.range(0, 50).select(
+      col("id").cast("int").as("i"),
+      (col("id").cast("float") * 1.5f).as("f"),
+      col("id").as("k")), t)
+    // v1: a foreign ALTER widens i->long, f->double — metadata-only:
+    // wide schemaString carrying delta.typeChanges + the feature
+    // protocol; the v0 files stay narrow on disk
+    val wide = StructType(Seq(
+      StructField("i", LongType, nullable = true, metadata = Metadata.fromJson(
+        """{"delta.typeChanges":[{"toType":"long","fromType":"integer","tableVersion":1}]}""")),
+      StructField("f", DoubleType, nullable = true, metadata = Metadata.fromJson(
+        """{"delta.typeChanges":[{"toType":"double","fromType":"float","tableVersion":1}]}""")),
+      StructField("k", LongType)))
+    val ssNode = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+      .textNode(wide.json).toString
+    writeLog(t, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"tw","format":{"provider":"parquet","options":{}},"schemaString":$ssNode,"partitionColumns":[],"configuration":{},"createdTime":0}}"""))
+    // v2: a wide append through our own writer composes
+    DeltaLake.toDelta(spark.range(100, 120).select(
+      col("id").as("i"), (col("id") * 2.5).as("f"), col("id").as("k")),
+      t, "append")
+    val back = DeltaLake.fromDelta(spark, t)
+    assert(back.schema("i").dataType == LongType)
+    assert(back.schema("f").dataType == DoubleType)
+    assert(back.count() == 70)
+    // narrow rows really promote inside the scan
+    assert(back.filter(col("k") === 7).select("i").as[Long].head() == 7L)
+    assert(back.filter(col("k") === 7).select("f").as[Double].head() == 10.5)
+    assert(back.filter(col("k") === 110).select("i").as[Long].head() == 110L)
+    // aggregates spanning narrow + wide files
+    assert(back.agg(sum(col("i"))).as[Long].head() ==
+      (0L until 50).sum + (100L until 120).sum)
+    // stats skipping still evaluates over narrow-recorded stats
+    val skipped = DeltaLake.fromDelta(spark, t, None, Some(col("i") <= 10L))
+    assert(skipped.count() == 11)
+    assert(skipped.inputFiles.length < back.inputFiles.length)
   }
 
   test("column mapping id mode: field-id resolution, drifted file names, writers reject") {
