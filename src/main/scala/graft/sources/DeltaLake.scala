@@ -1471,19 +1471,44 @@ object DeltaLake {
       s"renameColumn: '$to' would break name-based references")
     // CHECK constraints / generation expressions referencing the
     // renamed column would silently dangle — reject loudly (the
-    // protocol requires a conforming rename to update them)
-    val refRe = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+    // protocol requires a conforming rename to update them). The test
+    // PARSES the expression and looks for a real attribute reference
+    // (a name inside a string literal or comment is not one);
+    // unparseable foreign text falls back to a conservative
+    // word-boundary match. Generation expressions are collected from
+    // NESTED struct fields too — each field carries its own metadata.
+    def referencesFrom(text: String): Boolean =
+      try {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        org.apache.spark.sql.graftbridge.Bridge
+          .parseExpression(spark, text).collect {
+            case a: UnresolvedAttribute => a.nameParts.head
+          }.exists(_.equalsIgnoreCase(from))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+            .findFirstIn(text).isDefined
+      }
     snap.meta.configuration.foreach { case (k, v) =>
-      require(!(k.startsWith("delta.constraints.") &&
-          refRe.findFirstIn(v).isDefined),
+      require(!(k.startsWith("delta.constraints.") && referencesFrom(v)),
         s"renameColumn: CHECK constraint $k references '$from' — drop " +
           "the constraint first")
     }
-    old.fields.foreach { f =>
-      val gen = if (f.metadata.contains("delta.generationExpression"))
-        f.metadata.getString("delta.generationExpression") else null
-      require(gen == null || refRe.findFirstIn(gen).isEmpty,
-        s"renameColumn: generated column ${f.name} references '$from' — " +
+    def genExprs(st: StructType, prefix: String): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val own =
+          if (f.metadata.contains("delta.generationExpression"))
+            Seq((prefix + f.name,
+              f.metadata.getString("delta.generationExpression")))
+          else Nil
+        own ++ (f.dataType match {
+          case s: StructType => genExprs(s, prefix + f.name + ".")
+          case _ => Nil
+        })
+      }
+    genExprs(old, "").foreach { case (path, gen) =>
+      require(!referencesFrom(gen),
+        s"renameColumn: generated column $path references '$from' — " +
           "unsupported")
     }
     val wasCm = snap.meta.columnMapping == "name"
@@ -1804,6 +1829,20 @@ object DeltaLake {
     require(groups.size <= 4096, // readAdds' union-branch cap, same reason
       s"deleteWhere: ${groups.size} distinct partition tuples exceeds " +
         "the 4096 union-branch cap; delete partition subsets")
+    // driver-memory bound: the candidates' EXISTING DVs ship into the
+    // scan closure as a driver-built map. Their total compressed size
+    // is already on the descriptors — a very wide delete over
+    // thousands of DV-heavy files fails loudly BEFORE loading a byte
+    // (split the delete by partition or predicate), never by
+    // ballooning the driver.
+    val existingDvBytes =
+      hit.collect { case a if a.dv != null => a.dv.sizeInBytes.toLong }.sum
+    val dvBytesCap = spark.conf.get(
+      "spark.graft.dv.maxExistingDvBytes", (1L << 30).toString).toLong
+    require(existingDvBytes <= dvBytesCap,
+      s"deleteWhere: candidate files carry $existingDvBytes bytes of " +
+        s"existing deletion vectors (cap $dvBytesCap, " +
+        "spark.graft.dv.maxExistingDvBytes); delete narrower subsets")
     // loop-invariant: the physical data schema and the logical alias
     // list are per-TABLE, not per-partition-group
     val dataSchemaPhys =

@@ -65,6 +65,16 @@ object Bridge {
       df.queryExecution.logical))
   }
 
+  /** Parse SQL expression text to its (unresolved) catalyst tree —
+    * `sessionState` is `private[sql]`, hence the bridge. Lets engine
+    * code test for REAL attribute references in foreign expression
+    * text (constraints, generation expressions) instead of regexing
+    * over string literals and comments. */
+  def parseExpression(spark: org.apache.spark.sql.SparkSession,
+      text: String): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(text)
+
   /** A CLONED session carrying `confs` on top of `spark`'s settings —
     * for code that must BUILD its frames under the conf (a file
     * relation captures its creating session, so re-rooting the plan

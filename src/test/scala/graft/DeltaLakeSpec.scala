@@ -1607,6 +1607,78 @@ class DeltaLakeSpec extends SparkSpec {
     assert(backF.columns.toSeq == Seq("id", "grp", "name"))
     assert(backF.filter(col("id") === 7).select("name").head.getString(0)
       == "v7")
+    // the reference guard PARSES: a constraint mentioning the column
+    // only inside a STRING LITERAL must not block the rename, while a
+    // genuine reference still does (r18, was a word-boundary regex)
+    val tl = tmp("renlit.delta")
+    DeltaLake.toDelta(df, tl)
+    val v0l = java.nio.file.Paths.get(f"$tl/_delta_log/${0L}%020d.json")
+    val editedL = new String(java.nio.file.Files.readAllBytes(v0l),
+      StandardCharsets.UTF_8).linesIterator.map { line =>
+      val n = mapper.readTree(line)
+      if (n.has("metaData")) {
+        n.get("metaData")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .putObject("configuration")
+          .put("delta.constraints.c1", "id >= 0 AND 'label' <> 'grp x'")
+        mapper.writeValueAsString(n)
+      } else line
+    }.mkString("\n") + "\n"
+    java.nio.file.Files.write(v0l, editedL.getBytes(StandardCharsets.UTF_8))
+    DeltaLake.renameColumn(spark, tl, "label", "txt") // literal only: OK
+    assert(DeltaLake.fromDelta(spark, tl).columns.contains("txt"))
+    val eg = intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, tl, "id", "key"))
+    assert(eg.getMessage.contains("constraint"))
+    // generation expressions on NESTED struct fields are scanned too
+    val tg = tmp("rengen.delta")
+    val dfn = spark.range(0, 5).select(col("id"),
+      struct(col("id").as("a"), (col("id") * 2).as("twice")).as("s"))
+    DeltaLake.toDelta(dfn, tg)
+    val v0g = java.nio.file.Paths.get(f"$tg/_delta_log/${0L}%020d.json")
+    val editedG = new String(java.nio.file.Files.readAllBytes(v0g),
+      StandardCharsets.UTF_8).linesIterator.map { line =>
+      val n = mapper.readTree(line)
+      if (n.has("metaData")) {
+        val md = n.get("metaData")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val ss = mapper.readTree(md.get("schemaString").asText())
+        // stamp a generationExpression on the NESTED field s.twice
+        ss.get("fields").get(1).get("type").get("fields").get(1)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .putObject("metadata")
+          .put("delta.generationExpression", "id * 2")
+        md.put("schemaString", mapper.writeValueAsString(ss))
+        mapper.writeValueAsString(n)
+      } else line
+    }.mkString("\n") + "\n"
+    java.nio.file.Files.write(v0g, editedG.getBytes(StandardCharsets.UTF_8))
+    val en = intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, tg, "id", "key"))
+    assert(en.getMessage.contains("s.twice"))
+  }
+
+  test("deleteWhereDv existing-DV driver bytes cap is loud") {
+    val t = tmp("dvcap.delta")
+    import spark.implicits._
+    DeltaLake.toDelta(spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).as("g")), t)
+    // first DV delete creates descriptors
+    DeltaLake.deleteWhere(spark, t, col("g") === 1, viaDeletionVectors = true)
+    assert(DeltaLake.fromDelta(spark, t).count() < 1000)
+    // second delete must total the EXISTING descriptors' bytes against
+    // the cap before loading any of them
+    spark.conf.set("spark.graft.dv.maxExistingDvBytes", "1")
+    try {
+      val e = intercept[IllegalArgumentException](
+        DeltaLake.deleteWhere(spark, t, col("g") === 2,
+          viaDeletionVectors = true))
+      assert(e.getMessage.contains("maxExistingDvBytes"))
+    } finally spark.conf.unset("spark.graft.dv.maxExistingDvBytes")
+    // with the default cap the delete proceeds
+    DeltaLake.deleteWhere(spark, t, col("g") === 2, viaDeletionVectors = true)
+    assert(DeltaLake.fromDelta(spark, t)
+      .filter(col("g") === 2).count() == 0)
   }
 
   test("restore rolls the current state back as a new commit, history intact") {
