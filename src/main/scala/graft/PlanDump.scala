@@ -79,7 +79,30 @@ object PlanDump {
     // iceberg_delete is the broadcast left-anti on (fid, pos) over
     // the sharded delete files; zarr_v3 is the same chunk-range scan
     // as v2 (store format invisible to the plan)
-    "q_delta_dv_purge", "q_iceberg_delete", "q_zarr_v3")
+    "q_delta_dv_purge", "q_iceberg_delete", "q_zarr_v3",
+    // r17: v2cp WRITE reads back through the same pruned scan as the
+    // classic-checkpoint lanes (checkpoint form invisible to the
+    // plan); dv_colmap_delete shows the DV anti-filter INSIDE a
+    // physical-namespace scan with logical aliases above it;
+    // iceberg_partitioned/mixed_deletes show partition-scoped scan
+    // branches with bounds pruning; groupby_dict_str is the codegen'd
+    // Utf8 dictionary probe feeding the fused dense kernel (no
+    // Exchange before the partials); zarr_shard is the same
+    // chunk-range scan (shard form invisible); dv_checkpoint/
+    // dv_compact/colmap_maint/rename read back through plain pruned
+    // scans after their maintenance ops
+    "q_delta_v2cp_write", "q_delta_dv_colmap_delete",
+    "q_delta_dv_checkpoint", "q_delta_dv_compact", "q_delta_colmap_maint",
+    "q_delta_rename", "q_iceberg_partitioned", "q_iceberg_mixed_deletes",
+    "q_groupby_dict_str", "q_zarr_shard",
+    // r18: bucket/day transform lanes read back through bounds-pruned
+    // scans on the SOURCE columns (transform form invisible to the
+    // read plan); evolve unions narrow-file scans (new column null-
+    // filled) with wide-file scans; colmap_id scans under field-id
+    // resolution with logical aliases; widen promotes narrow files
+    // inside the scan (no cast operator above it for matching types)
+    "q_iceberg_bucket", "q_iceberg_day", "q_iceberg_evolve",
+    "q_delta_colmap_id", "q_delta_widen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
