@@ -60,9 +60,22 @@ object Zarr {
     * for the v3 default chunk-key encoding, `v3Chain` = the
     * bytes->bytes codec chain in DECLARATION order with compressor
     * "v3"). */
+  /** One numcodecs v2 FILTER (array->array transform applied before
+    * the compressor on encode, reversed on decode): `delta`
+    * (first + running differences stored in `astype`) and
+    * `fixedscaleoffset` (`round((x - offset) * scale)` quantized into
+    * `astype`). The stored chunk's element width is the ASTYPE's. */
+  private[graft] final case class ZFilter(id: String, astype: String,
+      scale: Double = 0.0, offset: Double = 0.0) {
+    def aKind: Char = astype(1)
+    def aBytes: Int = astype.drop(2).toInt
+    def aLittle: Boolean = astype.head != '>'
+  }
+
   private[graft] final case class ZMeta(name: String, shape: Seq[Long],
       chunks: Seq[Long], descr: String, compressor: String, // "", "zlib", "gzip", "blosc", "v3"
       fill: Option[Double], sep: String,
+      filters: Seq[ZFilter] = Nil,
       keyPrefix: String = "", v3Chain: Seq[String] = Nil,
       // sharding_indexed: `chunks` is the OUTER shard shape (chunk
       // keys address shards); shardInner is the inner chunk shape and
@@ -119,9 +132,46 @@ object Zarr {
       s"$arrayDir: only zarr v2 is supported")
     require(j.get("order") == null || j.get("order").asText() == "C",
       s"$arrayDir: Fortran chunk order is unsupported (re-save with order='C')")
-    val filters = j.get("filters")
-    require(filters == null || filters.isNull || (filters.isArray && filters.size == 0),
-      s"$arrayDir: filter pipelines are unsupported")
+    // numcodecs filter pipeline: `delta` and `fixedscaleoffset`
+    // decode (one filter; chains stay loud — wild stores carry at
+    // most one of these). The filter's own dtype must agree with the
+    // array's (kind + width), or the store is inconsistent.
+    val filtersNode = j.get("filters")
+    val filters: Seq[ZFilter] =
+      if (filtersNode == null || filtersNode.isNull) Nil
+      else {
+        require(filtersNode.isArray, s"$arrayDir: invalid filters node")
+        (0 until filtersNode.size).map { i =>
+          val f = filtersNode.get(i)
+          val id = Option(f.get("id")).map(_.asText()).getOrElse("?")
+          val dt0 = j.get("dtype").asText()
+          def descrOf(key: String): String =
+            Option(f.get(key)).filterNot(_.isNull).map(_.asText())
+              .getOrElse(dt0)
+          id match {
+            case "delta" =>
+              val fd = descrOf("dtype")
+              require(fd.drop(1) == dt0.drop(1),
+                s"$arrayDir: delta filter dtype $fd != array dtype $dt0")
+              ZFilter("delta", descrOf("astype"))
+            case "fixedscaleoffset" =>
+              val fd = descrOf("dtype")
+              require(fd.drop(1) == dt0.drop(1),
+                s"$arrayDir: fixedscaleoffset dtype $fd != array dtype $dt0")
+              require(f.hasNonNull("scale") && f.hasNonNull("offset"),
+                s"$arrayDir: fixedscaleoffset needs scale + offset")
+              val sc = f.get("scale").asDouble()
+              require(sc != 0.0, s"$arrayDir: fixedscaleoffset scale 0")
+              ZFilter("fixedscaleoffset", descrOf("astype"), sc,
+                f.get("offset").asDouble())
+            case other => throw new IllegalArgumentException(
+              s"$arrayDir: filter '$other' is unsupported " +
+                "(delta/fixedscaleoffset only)")
+          }
+        }
+      }
+    require(filters.size <= 1,
+      s"$arrayDir: filter CHAINS are unsupported (${filters.size} filters)")
     def dims(key: String): Seq[Long] = {
       val a = j.get(key)
       require(a != null && a.isArray && a.size >= 1,
@@ -162,7 +212,18 @@ object Zarr {
       case s => s.asText()
     }
     require(sep == "." || sep == "/", s"$arrayDir: dimension_separator '$sep'")
-    val m = ZMeta(name, shape, chunks, descr, comp, fill, sep)
+    val m = ZMeta(name, shape, chunks, descr, comp, fill, sep,
+      filters = filters)
+    filters.foreach { f =>
+      require("bifu".contains(f.aKind) && Set(1, 2, 4, 8)(f.aBytes),
+        s"$arrayDir: filter astype ${f.astype} is unsupported")
+      require(!(f.aKind == 'u' && f.aBytes == 8),
+        s"$arrayDir: filter astype uint64 is unsupported")
+      if (f.id == "fixedscaleoffset")
+        require(m.kind == 'f',
+          s"$arrayDir: fixedscaleoffset over ${m.descr} is unsupported " +
+            "(float arrays only)")
+    }
     // overflow-proof: a Long-overflowing chunk product must hit the
     // loud rejection, not wrap past it into a garbage .toInt later
     val bytesOk =
@@ -360,8 +421,17 @@ object Zarr {
     * decompression, raw otherwise). */
   private def decodeChunk(raw: Array[Byte], m: ZMeta, outLen: Int,
                           ctx: String): Array[Byte] =
-    if (m.compressor != "v3") inflateChunk(raw, m.compressor, outLen, ctx)
-    else {
+    if (m.compressor != "v3") {
+      if (m.filters.isEmpty) inflateChunk(raw, m.compressor, outLen, ctx)
+      else {
+        // the stored chunk holds ASTYPE-width elements; inflate to
+        // that length, then reverse the filter into the array dtype
+        val f = m.filters.head
+        val n = outLen / m.itemBytes
+        val stored = inflateChunk(raw, m.compressor, n * f.aBytes, ctx)
+        filterDecode(stored, f, m, n, ctx)
+      }
+    } else {
       var buf = raw
       m.v3Chain.reverse.foreach {
         case "crc32c" =>
@@ -387,6 +457,79 @@ object Zarr {
         s"$ctx: v3 chunk decoded to ${buf.length} bytes, expected $outLen")
       buf
     }
+
+  /** Reverse one numcodecs filter: `stored` holds `n` astype-width
+    * elements; the result holds `n` array-dtype elements.
+    * `delta` = running sum accumulated IN THE ARRAY DTYPE (numpy
+    * cumsum semantics: int accumulation wraps at the dtype width,
+    * float32 accumulation rounds per step); `fixedscaleoffset` =
+    * `stored / scale + offset` into the float dtype. */
+  private def filterDecode(stored: Array[Byte], f: ZFilter, m: ZMeta,
+      n: Int, ctx: String): Array[Byte] = {
+    val out = new Array[Byte](n * m.itemBytes)
+    val ob = ByteBuffer.wrap(out).order(
+      if (m.little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val ib = ByteBuffer.wrap(stored).order(
+      if (f.aLittle) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    def readLong(i: Int): Long = f.aBytes match {
+      case 1 => if (f.aKind == 'u') ib.get(i) & 0xffL else ib.get(i).toLong
+      case 2 => if (f.aKind == 'u') ib.getShort(i * 2) & 0xffffL
+                else ib.getShort(i * 2).toLong
+      case 4 => if (f.aKind == 'u') ib.getInt(i * 4) & 0xffffffffL
+                else ib.getInt(i * 4).toLong
+      case 8 => ib.getLong(i * 8)
+    }
+    def readDouble(i: Int): Double = f.aKind match {
+      case 'f' => if (f.aBytes == 4) ib.getFloat(i * 4).toDouble
+                  else ib.getDouble(i * 8)
+      case _ => readLong(i).toDouble
+    }
+    def writeLong(i: Int, v: Long): Unit = m.itemBytes match {
+      case 1 => ob.put(i, v.toByte)
+      case 2 => ob.putShort(i * 2, v.toShort)
+      case 4 => ob.putInt(i * 4, v.toInt)
+      case 8 => ob.putLong(i * 8, v)
+    }
+    def writeDouble(i: Int, v: Double): Unit =
+      if (m.itemBytes == 4) ob.putFloat(i * 4, v.toFloat)
+      else ob.putDouble(i * 8, v)
+    f.id match {
+      case "delta" if m.kind == 'f' =>
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += readDouble(i)
+          if (m.itemBytes == 4) acc = acc.toFloat.toDouble // f4 cumsum
+          writeDouble(i, acc)
+          i += 1
+        }
+      case "delta" =>
+        require(f.aKind != 'f',
+          s"$ctx: float delta over integer dtype ${m.descr}")
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          acc += readLong(i)
+          // numpy cumsum wraps at the dtype width (two's complement)
+          acc = m.itemBytes match {
+            case 1 => acc.toByte.toLong
+            case 2 => acc.toShort.toLong
+            case 4 => acc.toInt.toLong
+            case _ => acc
+          }
+          writeLong(i, acc)
+          i += 1
+        }
+      case "fixedscaleoffset" =>
+        var i = 0
+        while (i < n) {
+          writeDouble(i, readDouble(i) / f.scale + f.offset)
+          i += 1
+        }
+      case other => throw new IllegalStateException(s"filter $other")
+    }
+    out
+  }
 
   /** One SHARD file -> the decoded outer-chunk buffer (sharding_indexed,
     * zarr v3 sharding spec): the shard body is the concatenation of

@@ -426,6 +426,34 @@ class ZarrSpec extends SparkSpec {
     assert(Zarr.fromZarr(spark, store, columns = Seq("x")).count() == 50)
   }
 
+  test("v2 filter pipelines: delta + fixedscaleoffset decode (python-pinned)") {
+    // fixtures from the INDEPENDENT producer (zarrgen
+    // write_array_v2_filtered: numpy diff/around + zlib) — 37
+    // elements / chunk 10 exercises per-chunk filter state restarts
+    // (each chunk's delta chain starts over) and edge padding
+    val df = Zarr.fromZarr(spark, res("filters.zarr"))
+    assert(df.schema.fieldNames.toSeq == Seq("fd", "fso", "key"))
+    assert(df.schema("key").dataType == LongType)   // <i8, deltas <i4
+    assert(df.schema("fso").dataType == DoubleType)
+    assert(df.schema("fd").dataType == FloatType)
+    val rows = df.orderBy("key").collect()
+    assert(rows.length == 37)
+    (0 until 37).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("key") == i * 5L - 40)
+      // fso stored as round((x-1000)*10) in u1; x on a 0.5 grid is exact
+      assert(r.getAs[Double]("fso") == i * 0.5 + 1000.0, s"row $i")
+      // f4 delta: cumsum of (j*0.25 - 2) accumulated in float32
+      var acc = 0.0f
+      (0 to i).foreach(j => acc += j * 0.25f - 2.0f)
+      assert(r.getAs[Float]("fd") == acc, s"row $i")
+    }
+    // an unsupported filter id stays loud, never a silent misread
+    val e = intercept[IllegalArgumentException](
+      Zarr.fromZarr(spark, res("filterbad.zarr")).collect())
+    assert(e.getMessage.contains("quantize"))
+  }
+
   test("Export dispatch by the x.zarr naming convention; validation") {
     val out = tmp("disp.zarr")
     Export.export(spark.range(10).select(col("id")), out)

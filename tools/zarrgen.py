@@ -369,6 +369,49 @@ def write_array(adir, arr, chunks, compressor, fill_value=0,
                     f.write(data)
 
 
+def write_array_v2_filtered(adir, arr, chunks, filt, compressor=None,
+                            fill_value=0):
+    """v2 array with ONE numcodecs filter (delta / fixedscaleoffset),
+    implemented independently here: encode = filter then compressor,
+    matching numcodecs semantics (delta stores first + diffs in
+    astype; fixedscaleoffset stores round((x - offset) * scale) in
+    astype). 1-D only (filters are per-chunk, the 2-D path adds
+    nothing)."""
+    os.makedirs(adir, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": [filt],
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    grid = int(np.ceil(arr.shape[0] / chunks[0]))
+    astype = np.dtype(filt.get("astype") or arr.dtype.str)
+    for i in range(grid):
+        block = np.zeros(chunks, dtype=arr.dtype)
+        part = arr[i * chunks[0]:(i + 1) * chunks[0]]
+        block[:len(part)] = part
+        if filt["id"] == "delta":
+            enc = np.empty(block.shape, dtype=astype)
+            enc[0] = block[0]
+            enc[1:] = np.diff(block).astype(astype)
+        elif filt["id"] == "fixedscaleoffset":
+            enc = np.around(
+                (block - filt["offset"]) * filt["scale"]).astype(astype)
+        else:
+            raise ValueError(filt["id"])
+        data = enc.tobytes(order="C")
+        if compressor and compressor.get("id") == "zlib":
+            data = zlib.compress(data, compressor.get("level", 1))
+        with open(os.path.join(adir, str(i)), "wb") as f:
+            f.write(data)
+
+
 def main():
     os.makedirs(ROOT, exist_ok=True)
     zlib1 = {"id": "zlib", "level": 1}
@@ -516,6 +559,36 @@ def main():
         json.dump({"zarr_format": 2, "shape": [4], "chunks": [4],
                    "dtype": "<i4", "order": "F", "filters": None,
                    "fill_value": 0, "compressor": None}, f)
+    # v2 FILTER pipelines: delta (int, narrowing astype; float) and
+    # fixedscaleoffset (float quantized to u1), zlib'd and raw
+    filt = os.path.join(ROOT, "filters.zarr")
+    os.makedirs(filt, exist_ok=True)
+    with open(os.path.join(filt, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    n = 37
+    key = (np.arange(n, dtype="<i8") * 5 - 40)  # negatives included
+    write_array_v2_filtered(
+        os.path.join(filt, "key"), key, (10,),
+        {"id": "delta", "dtype": "<i8", "astype": "<i4"}, zlib1)
+    fval = np.arange(n, dtype="<f8") * 0.5 + 1000.0  # [1000, 1018]
+    write_array_v2_filtered(
+        os.path.join(filt, "fso"), fval, (10,),
+        {"id": "fixedscaleoffset", "offset": 1000.0, "scale": 10.0,
+         "dtype": "<f8", "astype": "|u1"}, zlib1)
+    fdelta = np.cumsum(np.arange(n, dtype="<f4") * 0.25 - 2.0).astype("<f4")
+    write_array_v2_filtered(
+        os.path.join(filt, "fd"), fdelta, (10,),
+        {"id": "delta", "dtype": "<f4"})  # astype defaults, no compressor
+    # unsupported filter id stays loud
+    bad = os.path.join(ROOT, "filterbad.zarr")
+    write_array_v2_filtered(
+        os.path.join(bad), np.arange(8, dtype="<i4"), (8,),
+        {"id": "delta", "dtype": "<i4"})
+    with open(os.path.join(bad, ".zarray")) as f:
+        m = json.load(f)
+    m["filters"] = [{"id": "quantize", "digits": 3, "dtype": "<i4"}]
+    with open(os.path.join(bad, ".zarray"), "w") as f:
+        json.dump(m, f)
     print("zarr fixtures written to", ROOT)
 
 
