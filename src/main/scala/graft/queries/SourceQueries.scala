@@ -566,6 +566,34 @@ object SourceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Delta CHANGE DATA FEED (r18): enable CDF, run an upsert
+    // (updates + inserts) and a CoW delete — both emit cdc change
+    // files with pre/post images — then read the row-level feed back
+    // through fromDeltaCdf and aggregate by (version, change type).
+    // Oracle reconstructs each change class relationally from orders.
+    "q_delta_cdf" -> ((s, dir) => {
+      val table = cacheDir(dir, "orders_delta_cdf") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(o, table)                  // v0
+      D.enableChangeDataFeed(s, table)     // v1
+      val upd = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val ins = o.filter(col("o_orderkey") % 10 === 4)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.upsert(s, table, upd.unionByName(ins), Seq("o_orderkey")) // v2
+      D.deleteWhere(s, table, col("o_orderkey") % 10 === 7)       // v3
+      D.fromDeltaCdf(s, table, 1)
+        .groupBy(col("_commit_version").cast("int").as("v"),
+          col("_change_type").as("ct"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("o_totalprice"))).as("sum_tp"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("v", "ct")
+    }),
+
     // Delta TYPE WIDENING (r18): a narrow era (int keys, float
     // quantities — the values are float-exact) gets a foreign-shaped
     // metadata-only widening ALTER (int->long, float->double with
@@ -1849,6 +1877,21 @@ object SourceQueries {
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem WHERE l_orderkey <= 4500
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delta_cdf" ->
+      s"""SELECT 2 AS v, 'insert' AS ct, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_tp,
+         |  MAX(o_orderkey) + 100000000 AS max_key
+         |FROM orders WHERE o_orderkey % 10 = 4
+         |UNION ALL SELECT 2, 'update_postimage', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice + 1000"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 3
+         |UNION ALL SELECT 2, 'update_preimage', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 3
+         |UNION ALL SELECT 3, 'delete', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 7
+         |ORDER BY v, ct""".stripMargin,
     "q_delta_dv" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,

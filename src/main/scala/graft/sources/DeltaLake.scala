@@ -112,6 +112,13 @@ object DeltaLake {
       path: String, partitionValues: Map[String, String], size: Long,
       modificationTime: Long, stats: String = null,
       dv: DvDescriptor = null)
+  /** A `cdc` action's change file (PROTOCOL.md Change Data Feed):
+    * parquet under `_change_data/` holding the commit's change rows
+    * plus `_change_type` (insert / delete / update_preimage /
+    * update_postimage); always dataChange=false — invisible to
+    * normal reads, authoritative for CDF reads. */
+  private final case class CdcFile(
+      path: String, partitionValues: Map[String, String], size: Long)
   private final case class Snapshot(
       table: String, version: Long, meta: Meta, minReaderVersion: Int,
       readerFeatures: Set[String], minWriterVersion: Int,
@@ -179,10 +186,13 @@ object DeltaLake {
     * incremental pipeline needs: consumers persist the last version
     * they processed and pull `(last, latest]` on each trigger; a
     * compaction (dataChange=false) contributes nothing, so OPTIMIZE
-    * never re-delivers rows. Updates/deletes: a MERGE/DELETE commit
-    * re-ADDS its rewritten survivors (standard Delta CDF-less
-    * semantics — append-only consumers should treat the table as
-    * append-only or read full snapshots). */
+    * never re-delivers rows. Updates/deletes: a commit CARRYING cdc
+    * actions (a CDF-enabled table's MERGE/DELETE) delivers exactly
+    * its change files' `insert` rows — the genuinely new rows — so
+    * such tables tail finely (DeltaTail included); row-level
+    * update/delete images are [[fromDeltaCdf]]'s surface. A rewrite
+    * commit WITHOUT cdc still rejects loudly (re-added survivors
+    * would silently duplicate the tail). */
   def fromDeltaChanges(spark: SparkSession, table0: String,
       fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val table = FsIO.normalize(table0.stripSuffix("/"))
@@ -221,6 +231,21 @@ object DeltaLake {
         throw new IllegalArgumentException(
           s"fromDeltaChanges: commit $v of $table was log-cleaned; " +
             "restart from a full snapshot")
+      // a commit carrying cdc actions describes its changes FULLY
+      // (the protocol's CDF rule): the appended rows are exactly the
+      // change files' `insert` rows — MERGE/DELETE commits on
+      // CDF-enabled tables tail finely instead of rejecting
+      val cdcs = Seq.newBuilder[CdcFile]
+      eachAction(commitPath(table, v))(n =>
+        if (n.has("cdc")) cdcs += parseCdc(n.get("cdc")))
+      val vCdcs = cdcs.result()
+      if (vCdcs.nonEmpty)
+        Some(readCdc(spark, table, schema, partCols, vCdcs,
+            snap.meta.columnMapping)
+          .filter(col("_change_type") === "insert")
+          .drop("_change_type")
+          .withColumn("_commit_version", lit(v)))
+      else {
       val adds = Seq.newBuilder[AddFile]
       eachAction(commitPath(table, v)) { n =>
         if (n.has("add")) {
@@ -262,6 +287,106 @@ object DeltaLake {
       if (vAdds.isEmpty) None
       else Some(readAdds(spark, table, schema, partCols, vAdds,
           cm = snap.meta.columnMapping)
+        .withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (perVersion.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    else perVersion.reduce(_ union _)
+  }
+
+  /** CHANGE DATA FEED read: row-level changes committed in versions
+    * `(fromVersion, toVersion]`, tagged `_change_type` (insert /
+    * delete / update_preimage / update_postimage) and
+    * `_commit_version`. A commit carrying `cdc` actions reads its
+    * change files EXCLUSIVELY (the protocol's rule — precise update
+    * pre/post images). A commit without cdc reconstructs
+    * relationally: dataChange adds deliver their VISIBLE rows as
+    * inserts (a DV add's mask applies in-scan), dataChange removes
+    * deliver the removed file VERSION's visible rows as deletes —
+    * exact for appends, overwrites and full-file deletes; a foreign
+    * partial rewrite without cdc shows as delete+insert of the
+    * affected file's rows (the same net change, without update
+    * pairing). dataChange=false layout commits deliver nothing. */
+  def fromDeltaCdf(spark: SparkSession, table0: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val latest = latestVersion(table)
+    require(latest >= 0, s"not a Delta table: $table")
+    val to = toVersion.getOrElse(latest)
+    require(fromVersion <= to && to <= latest,
+      s"fromDeltaCdf: bad version range ($fromVersion, $to] of latest $latest")
+    require(to - fromVersion <= 256,
+      s"fromDeltaCdf: range of ${to - fromVersion} versions exceeds the " +
+        "256-commit plan cap — pull in chunks")
+    val snap = snapshot(spark, table, Some(to))
+    gate(snap)
+    val schema = DataType.fromJson(snap.meta.schemaString).asInstanceOf[StructType]
+    val partCols = snap.meta.partitionColumns
+    if (fromVersion >= 0) {
+      val before = snapshot(spark, table, Some(fromVersion)).meta
+      require(before.schemaString == snap.meta.schemaString &&
+          before.partitionColumns == snap.meta.partitionColumns,
+        s"fromDeltaCdf: table schema/partitioning changed inside " +
+          s"($fromVersion, $to]; restart from a full snapshot")
+    }
+    val out = StructType(schema :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+    val cm = snap.meta.columnMapping
+    val perVersion = ((fromVersion + 1) to to).flatMap { v =>
+      if (!FsIO.exists(commitPath(table, v)))
+        throw new IllegalArgumentException(
+          s"fromDeltaCdf: commit $v of $table was log-cleaned; " +
+            "restart from a full snapshot")
+      val cdcs = Seq.newBuilder[CdcFile]
+      val adds = Seq.newBuilder[AddFile]
+      val removes = Seq.newBuilder[String]
+      eachAction(commitPath(table, v)) { n =>
+        if (n.has("cdc")) cdcs += parseCdc(n.get("cdc"))
+        else if (n.has("add")) {
+          val a = n.get("add")
+          if (!a.hasNonNull("dataChange") || a.get("dataChange").asBoolean())
+            adds += parseAdd(a)
+        } else if (n.has("remove")) {
+          val r = n.get("remove")
+          if (r.hasNonNull("dataChange") && r.get("dataChange").asBoolean())
+            removes += r.get("path").asText()
+        }
+      }
+      val vCdcs = cdcs.result()
+      val frames =
+        if (vCdcs.nonEmpty)
+          Seq(readCdc(spark, table, schema, partCols, vCdcs, cm))
+        else {
+          val ins = adds.result() match {
+            case Nil => None
+            case as => Some(readAdds(spark, table, schema, partCols, as, cm)
+              .withColumn("_change_type", lit("insert")))
+          }
+          val del = removes.result() match {
+            case Nil => None
+            case rs =>
+              // the removed file VERSION (partition values, stats and
+              // PRE-commit deletion vector) comes from the prior
+              // snapshot — the tombstone carries only path + dv
+              val prior = snapshot(spark, table, Some(v - 1))
+              val byPath = prior.adds.map(a => a.path -> a).toMap
+              val removed = rs.map(p => byPath.getOrElse(p,
+                throw new IllegalArgumentException(
+                  s"fromDeltaCdf: commit $v removes $p, absent from " +
+                    s"version ${v - 1} (corrupt log)")))
+              removed.foreach(a => require(
+                FsIO.exists(resolveDataPath(table, a.path)),
+                s"fromDeltaCdf: removed file ${a.path} of commit $v was " +
+                  "vacuumed; restart from a full snapshot"))
+              Some(readAdds(spark, table, schema, partCols, removed, cm)
+                .withColumn("_change_type", lit("delete")))
+          }
+          ins.toSeq ++ del.toSeq
+        }
+      if (frames.isEmpty) None
+      else Some(frames.reduce(_ unionByName _)
         .withColumn("_commit_version", lit(v)))
     }
     if (perVersion.isEmpty)
@@ -345,6 +470,50 @@ object DeltaLake {
           pv.getOrElse(physOf(c), null), schema(c).dataType))
       }
       withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    branches.reduce(_ union _)
+  }
+
+  /** Distributed scan over a commit's cdc change files: like
+    * [[readAdds]] (partition re-injection, column-mapping
+    * namespaces) plus the files' own `_change_type` column; cdc
+    * files never carry deletion vectors. */
+  private def readCdc(spark: SparkSession, table: String,
+      schema: StructType, partCols: Seq[String],
+      files: Seq[CdcFile], cm: String): DataFrame = {
+    val physSchema = cm match {
+      case "name" => physicalType(schema).asInstanceOf[StructType]
+      case "id" => fieldIdType(schema).asInstanceOf[StructType]
+      case _ => schema
+    }
+    val scanSpark =
+      if (cm == "id") org.apache.spark.sql.graftbridge.Bridge
+        .sessionWithConf(spark, Map(
+          "spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      else spark
+    val physOf = schema.fieldNames.zip(physSchema.fieldNames).toMap
+    val physPartCols = partCols.map(physOf)
+    val dataSchemaPhys = StructType(
+      physSchema.filterNot(f => physPartCols.contains(f.name)) :+
+        StructField("_change_type", StringType))
+    val groups = files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"$k=${if (v == null) "\u0000" else v}" }.mkString("/"))
+    val branches = groups.map { case (pv, fs) =>
+      val base = scanSpark.read.schema(dataSchemaPhys)
+        .parquet(fs.map(f => resolveDataPath(table, f.path)): _*)
+      val renamed = base.select((schema.fields.toIndexedSeq
+        .filterNot(f => partCols.contains(f.name)).map { f =>
+          val pf = physSchema(schema.fieldIndex(f.name))
+          val c = col(pf.name)
+          (if (pf.dataType == f.dataType) c else c.cast(f.dataType)).as(f.name)
+        } :+ col("_change_type")): _*)
+      val withParts = partCols.foldLeft(renamed) { (d, c) =>
+        d.withColumn(c, typedPartitionValue(
+          pv.getOrElse(physOf(c), null), schema(c).dataType))
+      }
+      withParts.select(
+        (schema.fieldNames.toIndexedSeq :+ "_change_type").map(col): _*)
     }
     branches.reduce(_ union _)
   }
@@ -816,6 +985,20 @@ object DeltaLake {
       Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
       Option(a.get("stats")).filter(_.isTextual).map(_.asText()).orNull,
       dv)
+  }
+
+  private def parseCdc(c: JsonNode): CdcFile = {
+    val pv = Option(c.get("partitionValues")).filter(_.isObject).map { o =>
+      val it = o.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    CdcFile(c.get("path").asText(), pv,
+      Option(c.get("size")).map(_.asLong()).getOrElse(0L))
   }
 
   private def jsonStrings(n: JsonNode): Set[String] =
@@ -1324,10 +1507,32 @@ object DeltaLake {
           s"$table/${RoaringDv.relativeDvPath(d.pathOrInlineDv)}")
         case d if d.storageType == "p" => FsIO.normalize(d.pathOrInlineDv)
       }).toSet
+    // cdc change files are referenced by RETAINED commits' cdc
+    // actions (never by adds, and never carried into checkpoints);
+    // files of aged-out commits become sweepable like data files
+    val referencedCdc: Set[String] = (keepFrom to latest).flatMap { v =>
+      val p = commitPath(table, v)
+      if (!FsIO.exists(p)) Nil
+      else {
+        val b = Seq.newBuilder[String]
+        eachAction(p)(n => if (n.has("cdc")) b += FsIO.normalize(
+          resolveDataPath(table, n.get("cdc").get("path").asText())))
+        b.result()
+      }
+    }.toSet
     val all = FsIO.listFilesRecursive(table)
     val onDisk = all.collect {
       case (p, _, _) if p.endsWith(".parquet") &&
-          !p.contains("/_delta_log/") && !p.contains("/_staging/") => p
+          !p.contains("/_delta_log/") && !p.contains("/_staging/") &&
+          !p.contains("/_change_data/") => p
+    }
+    // _change_data gets the same 24h grace as staging (an in-flight
+    // commit stages its change files before the commit references them)
+    val cdcStaleCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val cdcOrphans = all.collect {
+      case (p, _, mtime) if p.contains("/_change_data/") &&
+          p.endsWith(".parquet") && mtime < cdcStaleCutoff &&
+          !referencedCdc(FsIO.normalize(p)) => p
     }
     // stale staging attempts (a CRASHED writer's attempt-unique
     // subdir is otherwise never reclaimed): sweep files older than
@@ -1347,7 +1552,8 @@ object DeltaLake {
     val staleStaging = FsIO.listFilesRecursive(s"$table/_staging").collect {
       case (p, _, mtime) if mtime < staleCutoff => p
     }
-    val candidates = onDisk.filterNot(referenced) ++ binOrphans ++ staleStaging
+    val candidates = onDisk.filterNot(referenced) ++ binOrphans ++
+      cdcOrphans ++ staleStaging
     if (!dryRun) candidates.foreach(FsIO.deleteRecursive)
     candidates.map(_.stripPrefix(table).stripPrefix("/"))
   }
@@ -1597,6 +1803,103 @@ object DeltaLake {
     * per-file footer stats -> add entries. The shared write tail of
     * toDelta and the merge rewrites. Stats exclude partition columns
     * (not in the data files — the log value IS their exact bound). */
+  /** Is Change Data Feed enabled on this snapshot's table? */
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.meta.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Should this writer emit cdc change files? CDF must be on; and
+    * under column mapping the change files would need the physical
+    * namespace — not wired, so CM tables fall back to the commit's
+    * add/remove reconstruction (coarser, still correct). */
+  private def emitCdc(snap: Snapshot): Boolean =
+    cdfEnabled(snap) && snap.meta.columnMapping == "none"
+
+  /** Stage a change frame (table columns + `_change_type`) as cdc
+    * parquet under `_change_data/`, partitioned like the table. */
+  private def stageCdc(spark: SparkSession, table: String, df: DataFrame,
+      partitionBy: Seq[String]): Seq[CdcFile] = {
+    val staging = s"$table/_staging/${java.util.UUID.randomUUID()}"
+    try {
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+        .parquet(staging)
+      FsIO.listFilesRecursive(staging).collect {
+        case (src, size, _) if src.endsWith(".parquet") &&
+            !src.substring(src.lastIndexOf('/') + 1).startsWith("_") =>
+          val rel = src.stripPrefix(staging).stripPrefix("/")
+          val dirSegs = rel.split("/", -1).toSeq.dropRight(1)
+          require(dirSegs.size == partitionBy.size,
+            s"staged cdc depth ${dirSegs.size} != ${partitionBy.size}: $rel")
+          val pv = dirSegs.zip(partitionBy).map { case (seg, expect) =>
+            val eq = seg.indexOf('=')
+            require(eq > 0 && seg.substring(0, eq) == expect,
+              s"staged cdc dir $seg does not match partition column $expect")
+            val raw = seg.substring(eq + 1)
+            expect -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                       else unescapeHive(raw))
+          }.toMap
+          val relDst = s"_change_data/$rel"
+          FsIO.rename(src, s"$table/$relDst")
+          CdcFile(relDst, pv, size)
+      }
+    } finally FsIO.deleteRecursive(staging)
+  }
+
+  /** Enable Change Data Feed on an existing table: a metadata-only
+    * commit adding `delta.enableChangeDataFeed=true` plus the
+    * protocol it requires (legacy minWriterVersion 4, or the
+    * `changeDataFeed` writer feature on features-era tables). After
+    * it, [[upsert]] and copy-on-write [[deleteWhere]] write cdc
+    * change files and [[fromDeltaCdf]] reads them precisely. */
+  def enableChangeDataFeed(spark: SparkSession, table0: String): Long = {
+    val table = FsIO.normalize(table0.stripSuffix("/"))
+    val snap = snapshot(spark, table, None)
+    gate(snap)
+    writerGate(snap, "enableChangeDataFeed")
+    if (cdfEnabled(snap)) return snap.version
+    val lines = Seq.newBuilder[String]
+    if (snap.minWriterVersion >= 7) {
+      val pn = mapper.createObjectNode()
+      val pj = pn.putObject("protocol")
+      pj.put("minReaderVersion", math.max(snap.minReaderVersion, 1))
+      pj.put("minWriterVersion", 7)
+      if (snap.minReaderVersion >= 3) {
+        val rfA = pj.putArray("readerFeatures")
+        snap.readerFeatures.toSeq.sorted.foreach(rfA.add)
+      }
+      val wfA = pj.putArray("writerFeatures")
+      (snap.writerFeatures + "changeDataFeed").toSeq.sorted.foreach(wfA.add)
+      lines += mapper.writeValueAsString(pn)
+    } else if (snap.minWriterVersion < 4) {
+      val pn = mapper.createObjectNode()
+      val pj = pn.putObject("protocol")
+      pj.put("minReaderVersion", snap.minReaderVersion)
+      pj.put("minWriterVersion", 4)
+      lines += mapper.writeValueAsString(pn)
+    }
+    val mn = mapper.createObjectNode()
+    val m = mn.putObject("metaData")
+    m.put("id", snap.meta.id)
+    if (snap.meta.name != null) m.put("name", snap.meta.name)
+    if (snap.meta.description != null)
+      m.put("description", snap.meta.description)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", snap.meta.schemaString)
+    val pc = m.putArray("partitionColumns")
+    snap.meta.partitionColumns.foreach(pc.add)
+    val cfg = m.putObject("configuration")
+    (snap.meta.configuration +
+      ("delta.enableChangeDataFeed" -> "true")).foreach {
+      case (k, v) => cfg.put(k, v) }
+    m.put("createdTime", snap.meta.createdTime)
+    lines += mapper.writeValueAsString(mn)
+    val version = snap.version + 1
+    commit(table, version, lines.result())
+    version
+  }
+
   private def stageAdds(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String]): Seq[AddFile] = {
     // attempt-unique SUBDIR of _staging/ (concurrent writers must not
@@ -1697,12 +2000,40 @@ object DeltaLake {
           .join(src.select(keyCols: _*), keys, "left_anti")
           .unionByName(src)
       val adds = stageAddsFor(spark, table, snap, rewritten, partCols)
+      // CDF: matched old rows = update_preimage, their replacements =
+      // update_postimage, brand-new keys = insert. Every matched key
+      // lives in a hit file (the probe is exhaustive over key-bound
+      // intersections), so the hit scan covers all pre-images.
+      val cdc = if (!emitCdc(snap)) Nil else {
+        val oldHit =
+          if (hit.isEmpty) null
+          else readAdds(spark, table, schema, partCols, hit, cm)
+        val pre =
+          if (oldHit == null) None
+          else Some(oldHit.join(src.select(keyCols: _*), keys, "left_semi")
+            .withColumn("_change_type", lit("update_preimage")))
+        val matchedKeys = // keys present in BOTH the table and source
+          if (oldHit == null) null
+          else oldHit.select(keyCols: _*)
+            .join(src.select(keyCols: _*), keys, "left_semi").distinct()
+        val post =
+          if (matchedKeys == null) None
+          else Some(src.join(matchedKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+        val ins = (if (matchedKeys == null) src
+                   else src.join(matchedKeys, keys, "left_anti"))
+          .withColumn("_change_type", lit("insert"))
+        stageCdc(spark, table,
+          (pre.toSeq ++ post.toSeq :+ ins).reduce(_ unionByName _),
+          partCols)
+      }
       val version = snap.version + 1
       commitActions(table, version, "MERGE",
         Map("matchedFiles" -> hit.size.toString),
         removes = hit.map(_.path), adds = adds, dataChange = true,
         removeDvs = hit.collect {
-          case a if a.dv != null => a.path -> a.dv }.toMap)
+          case a if a.dv != null => a.path -> a.dv }.toMap,
+        cdcAdds = cdc)
       if (checkpointInterval > 0 && version % checkpointInterval == 0)
         writeCheckpoint(spark, table, version)
       version
@@ -1759,12 +2090,21 @@ object DeltaLake {
         cm = snap.meta.columnMapping)
       .filter(!coalesce(cond, lit(false)))
     val adds = stageAddsFor(spark, table, snap, survivors, partCols)
+    // CDF: the deleted rows become `delete` change rows (one extra
+    // scan over the hit files — cost scales with the candidates, not
+    // the table)
+    val cdc = if (!emitCdc(snap)) Nil else stageCdc(spark, table,
+      readAdds(spark, table, schema, partCols, hit,
+          cm = snap.meta.columnMapping)
+        .filter(coalesce(cond, lit(false)))
+        .withColumn("_change_type", lit("delete")), partCols)
     val version = snap.version + 1
     commitActions(table, version, "DELETE",
       Map("candidateFiles" -> hit.size.toString),
       removes = hit.map(_.path), adds = adds, dataChange = true,
       removeDvs = hit.collect {
-        case a if a.dv != null => a.path -> a.dv }.toMap)
+        case a if a.dv != null => a.path -> a.dv }.toMap,
+      cdcAdds = cdc)
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, table, version)
     version
@@ -1976,7 +2316,8 @@ object DeltaLake {
   private def commitActions(table: String, version: Long, operation: String,
       params: Map[String, String], removes: Seq[String], adds: Seq[AddFile],
       dataChange: Boolean, extraActions: Seq[String] = Nil,
-      removeDvs: Map[String, DvDescriptor] = Map.empty): Unit = {
+      removeDvs: Map[String, DvDescriptor] = Map.empty,
+      cdcAdds: Seq[CdcFile] = Nil): Unit = {
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     val ci = mapper.createObjectNode()
@@ -2028,6 +2369,18 @@ object DeltaLake {
         dn.put("cardinality", a.dv.cardinality)
       }
       lines += mapper.writeValueAsString(an)
+    }
+    cdcAdds.foreach { c =>
+      val cn = mapper.createObjectNode()
+      val cd = cn.putObject("cdc")
+      cd.put("path", c.path)
+      val pvN = cd.putObject("partitionValues")
+      c.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvN.putNull(k) else pvN.put(k, v)
+      }
+      cd.put("size", c.size)
+      cd.put("dataChange", false)
+      lines += mapper.writeValueAsString(cn)
     }
     commit(table, version, lines.result())
   }

@@ -1658,6 +1658,60 @@ class DeltaLakeSpec extends SparkSpec {
     assert(en.getMessage.contains("s.twice"))
   }
 
+  test("change data feed: cdc from upsert/delete, fromDeltaCdf, vacuum safety") {
+    val t = tmp("cdf.delta")
+    import spark.implicits._
+    val df0 = spark.range(0, 20).select(col("id"),
+      (col("id") % 4).as("g"), concat(lit("v"), col("id")).as("s"))
+    DeltaLake.toDelta(df0, t)                // v0: plain insert commit
+    DeltaLake.enableChangeDataFeed(spark, t) // v1: metadata + protocol
+    assert(DeltaLake.tableProtocol(spark, t)._2 >= 4)
+    // v2: upsert — ids 18,19 update; 20..22 insert
+    val src = spark.range(18, 23).select(col("id"), lit(9L).as("g"),
+      concat(lit("u"), col("id")).as("s"))
+    DeltaLake.upsert(spark, t, src, Seq("id"))
+    // v3: copy-on-write delete of g==1 (ids 1,5,9,13,17)
+    DeltaLake.deleteWhere(spark, t, col("g") === 1)
+    val cdf = DeltaLake.fromDeltaCdf(spark, t, 1)
+    val v2 = cdf.filter(col("_commit_version") === 2)
+    assert(v2.filter(col("_change_type") === "update_preimage").count() == 2)
+    assert(v2.filter(col("_change_type") === "update_postimage").count() == 2)
+    assert(v2.filter(col("_change_type") === "insert").count() == 3)
+    assert(v2.filter(col("_change_type") === "update_preimage" &&
+      col("id") === 18).select("s").head.getString(0) == "v18")
+    assert(v2.filter(col("_change_type") === "update_postimage" &&
+      col("id") === 18).select("s").head.getString(0) == "u18")
+    val v3 = cdf.filter(col("_commit_version") === 3)
+    assert(v3.count() == 5 &&
+      v3.filter(col("_change_type") === "delete").count() == 5)
+    assert(v3.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 5L, 9L, 13L, 17L))
+    // change files are INVISIBLE to normal reads
+    assert(DeltaLake.fromDelta(spark, t).count() == 20 + 3 - 5)
+    // fromDeltaChanges PREFERS cdc: the MERGE commit delivers its
+    // genuine inserts instead of rejecting the rewrite
+    val ch = DeltaLake.fromDeltaChanges(spark, t, 1, Some(2))
+    assert(ch.count() == 3)
+    assert(ch.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(20L, 21L, 22L))
+    // commits WITHOUT cdc reconstruct: v0 append = inserts
+    val cdf0 = DeltaLake.fromDeltaCdf(spark, t, -1, Some(0))
+    assert(cdf0.filter(col("_change_type") === "insert").count() == 20)
+    // vacuum never sweeps cdc files referenced by retained commits
+    val swept = DeltaLake.vacuum(spark, t, retainVersions = 4, dryRun = true)
+    assert(!swept.exists(_.contains("_change_data")), swept.mkString(","))
+    // reconstruction delete shape: a CoW delete WITHOUT cdc (CDF
+    // disabled table) reads the removed files' rows as full-file
+    // delete+insert of the rewrite
+    val t2 = tmp("cdf2.delta")
+    DeltaLake.toDelta(df0, t2)
+    DeltaLake.deleteWhere(spark, t2, col("id") === 3)
+    val r2 = DeltaLake.fromDeltaCdf(spark, t2, 0, Some(1))
+    // net change = deletes minus re-inserts == exactly row id 3
+    assert(r2.filter(col("_change_type") === "delete").count() -
+      r2.filter(col("_change_type") === "insert").count() == 1)
+  }
+
   test("deleteWhereDv existing-DV driver bytes cap is loud") {
     val t = tmp("dvcap.delta")
     import spark.implicits._
