@@ -144,7 +144,9 @@ object Zarr {
         (0 until filtersNode.size).map { i =>
           val f = filtersNode.get(i)
           val id = Option(f.get("id")).map(_.asText()).getOrElse("?")
-          val dt0 = j.get("dtype").asText()
+          val dt0 = Option(j.get("dtype")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+              s"$arrayDir: filters present but dtype missing"))
           def descrOf(key: String): String =
             Option(f.get(key)).filterNot(_.isNull).map(_.asText())
               .getOrElse(dt0)
@@ -215,6 +217,10 @@ object Zarr {
     val m = ZMeta(name, shape, chunks, descr, comp, fill, sep,
       filters = filters)
     filters.foreach { f =>
+      // shape-check the astype string BEFORE the accessors parse it —
+      // a hostile "<f" must be a diagnostic, not a NumberFormatException
+      require(f.astype.length >= 3 && f.astype.drop(2).forall(_.isDigit),
+        s"$arrayDir: malformed filter astype '${f.astype}'")
       require("bifu".contains(f.aKind) && Set(1, 2, 4, 8)(f.aBytes),
         s"$arrayDir: filter astype ${f.astype} is unsupported")
       require(!(f.aKind == 'u' && f.aBytes == 8),
