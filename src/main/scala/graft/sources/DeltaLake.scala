@@ -2193,7 +2193,7 @@ object DeltaLake {
         val c = col(pf.name)
         (if (pf.dataType == f.dataType) c else c.cast(f.dataType)).as(f.name)
       }
-    val branches = groups.map { case (pv, files) =>
+    val branchPairs = groups.map { case (pv, files) =>
       val (dvFiles, plainFiles) = files.partition(_.dv != null)
       val scans = Seq.newBuilder[DataFrame]
       // scan physical, alias data columns back to logical so `cond`
@@ -2223,9 +2223,17 @@ object DeltaLake {
         (d, c) => d.withColumn(c, typedPartitionValue(
           pv.getOrElse(physOf(c), null), schema(c).dataType))
       }
-      withParts.filter(col("__dv_del") || coalesce(cond, lit(false)))
+      val bitmapRows = withParts
+        .filter(col("__dv_del") || coalesce(cond, lit(false)))
         .select(col("__dv_fp"), col("__dv_ri"))
+      // CDF: the NEWLY masked rows (matching and not already deleted)
+      // are this commit's `delete` change rows
+      val cdcRows = withParts
+        .filter(!col("__dv_del") && coalesce(cond, lit(false)))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      (bitmapRows, cdcRows)
     }
+    val branches = branchPairs.map(_._1)
     // one bitmap per file, built where the rows are; the driver
     // collects only (file, payload, cardinality) — metadata scale.
     // Default path: DvBitmapAgg, a roaring-union TypedImperative-
@@ -2268,6 +2276,15 @@ object DeltaLake {
       a.dv == null || card != a.dv.cardinality
     }
     if (changed.isEmpty) return snap.version // nothing new to delete
+    // CDF: one extra pass over the candidates (same cost class as
+    // the bitmap scan) staging the newly-masked rows as `delete`
+    // change rows — AFTER the no-change early return, so a no-op
+    // delete stages nothing
+    val cdcFiles: Seq[CdcFile] =
+      if (!emitCdc(snap)) Nil
+      else stageCdc(spark, table, branchPairs.map(_._2)
+        .reduce(_ union _)
+        .withColumn("_change_type", lit("delete")), partCols)
     val uuid = java.util.UUID.randomUUID()
     val offs = RoaringDv.writeFile(
       s"$table/deletion_vector_$uuid.bin", changed.map(_._2))
@@ -2294,7 +2311,8 @@ object DeltaLake {
       removes = changed.map(_._1.path), adds = newAdds, dataChange = true,
       extraActions = Seq(mapper.writeValueAsString(pn)),
       removeDvs = changed.collect {
-        case (a, _, _) if a.dv != null => a.path -> a.dv }.toMap)
+        case (a, _, _) if a.dv != null => a.path -> a.dv }.toMap,
+      cdcAdds = cdcFiles)
     // checkpoint adds carry DV descriptors (r17), so the cadence runs
     // through merge-on-read deletes like any other commit
     if (checkpointInterval > 0 && version % checkpointInterval == 0)

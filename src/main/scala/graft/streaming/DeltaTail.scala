@@ -64,7 +64,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
         parameters.contains("startingTimestamp")),
       "options startingVersion and startingTimestamp are mutually exclusive")
     ("delta-tail", DeltaTailSourceProvider.tailSchema(
-      sqlContext.sparkSession, table))
+      sqlContext.sparkSession, table,
+      DeltaTailSourceProvider.cdfOf(parameters)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -88,7 +89,8 @@ final class DeltaTailSourceProvider extends StreamSourceProvider {
     }
     new DeltaTailSource(sqlContext.sparkSession, table, starting,
       DeltaTailSourceProvider.maxPerBatchOf(parameters),
-      DeltaTailSourceProvider.maxBytesOf(parameters))
+      DeltaTailSourceProvider.maxBytesOf(parameters),
+      DeltaTailSourceProvider.cdfOf(parameters))
   }
 }
 
@@ -107,6 +109,17 @@ object DeltaTailSourceProvider {
         s"plan cap), got $m")
     m
   }
+
+  /** `readChangeFeed=true`: deliver the row-level CHANGE DATA FEED
+    * (`_change_type` column) via [[DeltaLake.fromDeltaCdf]] instead
+    * of the append tail — update/delete images stream too. */
+  private[graft] def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists { v =>
+      require(v.trim.equalsIgnoreCase("true") ||
+          v.trim.equalsIgnoreCase("false"),
+        s"readChangeFeed must be true|false, got '$v'")
+      v.trim.toBoolean
+    }
 
   private[graft] def maxBytesOf(parameters: Map[String, String]): Long = {
     val m = parameters.get("maxBytesPerBatch")
@@ -136,21 +149,27 @@ object DeltaTailSourceProvider {
   }
 
   private[streaming] def tailSchema(spark: SparkSession,
-      table: String): StructType = {
+      table: String, cdf: Boolean = false): StructType = {
     // schema from log METADATA only (building a fromDelta scan plan
     // here would list/assemble the whole union plan twice per stream
     // start for nothing); the protocol gate still runs
     val base = DeltaLake.tableSchema(spark, table)
-    StructType(base :+ StructField("_commit_version", LongType, nullable = false))
+    val withCt =
+      if (!cdf) base
+      else StructType(base :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false))
+    StructType(withCt :+ StructField("_commit_version", LongType, nullable = false))
   }
 }
 
 final class DeltaTailSource(spark: SparkSession, table: String,
     startingVersion: Long, maxVersionsPerBatch: Long = 64L,
-    maxBytesPerBatch: Long = Long.MaxValue) extends Source {
+    maxBytesPerBatch: Long = Long.MaxValue,
+    readChangeFeed: Boolean = false) extends Source {
 
   override val schema: StructType =
-    DeltaTailSourceProvider.tailSchema(spark, table)
+    DeltaTailSourceProvider.tailSchema(spark, table, readChangeFeed)
 
   // highest version this source has OFFERED as an offset; the engine
   // always getBatches up to the last offered offset, so rate limiting
@@ -210,6 +229,8 @@ final class DeltaTailSource(spark: SparkSession, table: String,
       if (to <= from) // engine replay of an empty range after restart
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema)
+      else if (readChangeFeed)
+        DeltaLake.fromDeltaCdf(spark, table, from, Some(to))
       else DeltaLake.fromDeltaChanges(spark, table, from, Some(to))
     org.apache.spark.sql.graftbridge.Bridge.asStreamingFrame(batch)
   }

@@ -255,6 +255,58 @@ class DeltaTailSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed streams the row-level CDF; plain tail skips cdc rewrites") {
+    import spark.implicits._
+    val t = tmp("cdftail.delta")
+    DeltaLake.toDelta((0L until 10).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), t)                                       // v0
+    DeltaLake.enableChangeDataFeed(spark, t)                 // v1
+    val q = spark.readStream
+      .format(classOf[DeltaTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingVersion", "1") // deliver (1, ...]
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream.format("memory").queryName("t_cdf")
+      .start()
+    try {
+      // v2: upsert (1 update + 1 insert); v3: CoW delete of id 4
+      DeltaLake.upsert(spark, t,
+        Seq((3L, "u3"), (100L, "u100")).toDF("id", "s"), Seq("id"))
+      DeltaLake.deleteWhere(spark, t, col("id") === 4L)
+      q.processAllAvailable()
+      val sink = spark.table("t_cdf")
+        .select("id", "s", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(sink == Seq(
+        (3L, "u3", "update_postimage", 2L),
+        (3L, "v3", "update_preimage", 2L),
+        (4L, "v4", "delete", 3L),
+        (100L, "u100", "insert", 2L)))
+      // stream == batch cdf
+      val batch = DeltaLake.fromDeltaCdf(spark, t, 1L)
+        .select("id", "s", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(sink == batch)
+    } finally q.stop()
+    // the PLAIN tail over the same range delivers only genuine
+    // inserts (cdc-preferred) instead of rejecting the rewrites
+    val plain = DeltaLake.fromDeltaChanges(spark, t, 1L)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(plain.toSeq == Seq((100L, "u100")))
+    // DV deletes emit cdc too: precise delete rows in the feed
+    DeltaLake.deleteWhere(spark, t, col("id") === 7L,
+      viaDeletionVectors = true)                             // v4
+    val v4 = DeltaLake.fromDeltaCdf(spark, t, 3L, Some(4L))
+    assert(v4.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "delete")))
+    // ...and the plain tail sees the DV commit as zero inserts, not
+    // an error
+    assert(DeltaLake.fromDeltaChanges(spark, t, 3L, Some(4L)).count() == 0)
+  }
+
   test("guards fire through the stream: missing path option; DV adds reject") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
