@@ -1004,11 +1004,15 @@ object Iceberg {
       (0 until fs.size()).map { i =>
         val f = fs.get(i)
         val transform = f.get("transform").asText()
-        require(transform == "identity" || TemporalTfs(transform) ||
+        // `void` appears when a v1 spec evolution DROPS a partition
+        // field (the slot stays, always-null) — supported: the
+        // staging column is a null literal, tuples record null
+        require(transform == "identity" || transform == "void" ||
+            TemporalTfs(transform) ||
             BucketTf.pattern.matcher(transform).matches() ||
             TruncTf.pattern.matcher(transform).matches(),
           s"table $dir partitions by transform '$transform' — writes " +
-            "support identity/year/month/day/hour/bucket[N]/truncate[W]")
+            "support identity/void/year/month/day/hour/bucket[N]/truncate[W]")
         val sid = f.get("source-id").asInt()
         val src = nameById.getOrElse(sid, throw new IllegalArgumentException(
           s"table $dir: partition spec field '${f.get("name").asText()}' " +
@@ -1019,7 +1023,7 @@ object Iceberg {
     }, defaultSpec)
   }
 
-  private val PbTemporal = """(year|month|day|hour)\(\s*([^\s(),]+)\s*\)""".r
+  private val PbTemporal = """(year|month|day|hour|void)\(\s*([^\s(),]+)\s*\)""".r
   private val PbBucket = """bucket\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)""".r
   private val PbTrunc = """truncate\(\s*(\d+)\s*,\s*([^\s(),]+)\s*\)""".r
 
@@ -1058,6 +1062,7 @@ object Iceberg {
   private def transformResultType(tf: String, src: DataType): DataType =
     tf match {
       case "identity" => src
+      case "void" => IntegerType // always-null; the type is nominal
       case "day" => DateType
       case "year" | "month" | "hour" => IntegerType
       case BucketTf(_) => IntegerType
@@ -1086,6 +1091,7 @@ object Iceberg {
       Bridge.expression(unix_micros(c)), unit))
     tf match {
       case "identity" => c
+      case "void" => lit(null).cast(IntegerType)
       case "year" => f.dataType match {
         case DateType | TimestampNTZType => year(c) - 1970
         case TimestampType => mfield(0)

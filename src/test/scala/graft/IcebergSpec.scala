@@ -972,6 +972,33 @@ class IcebergSpec extends SparkSpec {
       mode = "append"))
   }
 
+  test("void transform (dropped partition field) accepts writes") {
+    import spark.implicits._
+    val root = tmp("void.iceberg")
+    val df = spark.range(0, 30).select(col("id"),
+      (col("id") % 3).cast("int").as("grp"))
+    Iceberg.toIceberg(df, root, partitionBy = Seq("grp"))
+    // a foreign v1 spec evolution DROPS grp: the slot stays as `void`
+    val mdir = s"$root/metadata"
+    val mfile = FsIO.listFileNames(mdir).filter(_.endsWith(".metadata.json")).max
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mj = mapper.readTree(readAll(s"$mdir/$mfile"))
+    mj.get("partition-specs").get(0).get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("transform", "void")
+    writeText(s"$mdir/$mfile", mapper.writeValueAsString(mj))
+    Iceberg.toIceberg(df.withColumn("id", col("id") + 100), root,
+      "append", partitionBy = Seq("void(grp)"))
+    val back = Iceberg.fromIceberg(spark, root)
+    assert(back.count() == 60)
+    assert(back.filter(col("id") >= 100).count() == 30)
+    // the appended files land under the null-tuple dir
+    assert(back.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    // deletes still work across the mixed identity/void-era files
+    Iceberg.deleteWhere(spark, root, col("id") === 5L)
+    assert(Iceberg.fromIceberg(spark, root).count() == 59)
+  }
+
   test("spec field names stay independent of source columns on append") {
     import spark.implicits._
     val root = tmp("specname.iceberg")
