@@ -1019,6 +1019,66 @@ object SourceQueries {
         .orderBy("v")
     }),
 
+    // Delta CDF STREAMING tail (r18): the q_delta_cdf change sequence
+    // consumed through DeltaTail readChangeFeed=true over TWO trigger
+    // phases — the union of the delivered micro-batches must equal
+    // the batch fromDeltaCdf pull, so it shares q_delta_cdf's oracle
+    // shape (reconstructed relationally from orders).
+    "q_delta_cdf_tail" -> ((s, dir) => {
+      val table = cacheDir(dir, "orders_delta_cdft") + "/t.delta"
+      graft.sources.FsIO.deleteRecursive(table)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val D = graft.sources.DeltaLake
+      D.toDelta(o, table)                  // v0
+      D.enableChangeDataFeed(s, table)     // v1
+      val upd = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val ins = o.filter(col("o_orderkey") % 10 === 4)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Double, String, Long)]()
+      val q = s.readStream
+        .format(classOf[graft.streaming.DeltaTailSourceProvider].getName)
+        .option("path", table)
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("o_orderkey", "o_totalprice", "_change_type",
+              "_commit_version")
+            .collect().foreach(r => got.add(
+              (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))))
+          ()
+        }
+        .start()
+      try {
+        D.upsert(s, table, upd.unionByName(ins), Seq("o_orderkey")) // v2
+        q.processAllAvailable()
+        D.deleteWhere(s, table, col("o_orderkey") % 10 === 7)       // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      got.forEach(x => rows.add(org.apache.spark.sql.Row(
+        x._1, x._2, x._3, x._4)))
+      s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))))
+        .groupBy(col("_commit_version").cast("int").as("v"),
+          col("_change_type").as("ct"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("o_totalprice"))).as("sum_tp"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("v", "ct")
+    }),
+
     // Delta MERGE (key upsert): documents become a Delta table, a
     // source of updates (every 7th doc's n_chars bumped) + inserts
     // (fresh doc_ids) merges in — only key-matching files rewrite
@@ -1878,6 +1938,21 @@ object SourceQueries {
          |FROM lineitem WHERE l_orderkey <= 4500
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_delta_cdf" ->
+      s"""SELECT 2 AS v, 'insert' AS ct, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_tp,
+         |  MAX(o_orderkey) + 100000000 AS max_key
+         |FROM orders WHERE o_orderkey % 10 = 4
+         |UNION ALL SELECT 2, 'update_postimage', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice + 1000"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 3
+         |UNION ALL SELECT 2, 'update_preimage', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 3
+         |UNION ALL SELECT 3, 'delete', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 7
+         |ORDER BY v, ct""".stripMargin,
+    "q_delta_cdf_tail" ->
       s"""SELECT 2 AS v, 'insert' AS ct, COUNT(*) AS n,
          |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_tp,
          |  MAX(o_orderkey) + 100000000 AS max_key

@@ -352,6 +352,15 @@ object DeltaLake {
           val r = n.get("remove")
           if (r.hasNonNull("dataChange") && r.get("dataChange").asBoolean())
             removes += r.get("path").asText()
+        } else if (n.has("metaData")) {
+          // a schema change + revert INSIDE the range would evade the
+          // endpoint drift compare — same guard as fromDeltaChanges
+          val m = n.get("metaData")
+          val ss = if (m.hasNonNull("schemaString"))
+            m.get("schemaString").asText() else null
+          require(ss == null || ss == snap.meta.schemaString,
+            s"fromDeltaCdf: commit $v changed the table schema inside " +
+              s"($fromVersion, $to]; restart from a full snapshot")
         }
       }
       val vCdcs = cdcs.result()
