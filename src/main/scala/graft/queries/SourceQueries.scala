@@ -1249,6 +1249,29 @@ object SourceQueries {
         .orderBy("flag")
     }),
 
+    // Iceberg CHANGELOG (r18): the Iceberg twin of q_delta_cdf —
+    // inserts from appends, row-level DELETES resolved from the MoR
+    // position-delete files against the parent snapshot's live files.
+    // Sequence numbers are the deterministic commit clock. Oracle
+    // reconstructs each change class relationally from orders.
+    "q_iceberg_changelog" -> ((s, dir) => {
+      val table = cacheDir(dir, "orders_iceberg_chl") + "/t.iceberg"
+      graft.sources.FsIO.deleteRecursive(table)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val I = graft.sources.Iceberg
+      I.toIceberg(o.filter(col("o_orderkey") % 3 === 0), table)   // seq 1
+      I.toIceberg(o.filter(col("o_orderkey") % 3 =!= 0), table,
+        mode = "append")                                           // seq 2
+      I.deleteWhere(s, table, col("o_orderkey") % 10 === 7)        // seq 3
+      I.fromIcebergChangelog(s, table)
+        .groupBy(col("_sequence_number").cast("int").as("v"),
+          col("_change_type").as("ct"))
+        .agg(count(lit(1)).as("n"), r(dsumD(col("o_totalprice"))).as("sum_tp"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("v", "ct")
+    }),
+
     // Iceberg incremental changes: the spec's added-data-files walk
     // between snapshots — initial write + two fast-appends, pulled as
     // one (beginning, current] range tagged with the MONOTONIC
@@ -2131,6 +2154,18 @@ object SourceQueries {
          |  COUNT(*) AS n, ${sqlR(sqlDsum("l_quantity"))} AS sum_qty,
          |  MAX(l_orderkey) AS max_key
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_iceberg_changelog" ->
+      s"""SELECT 1 AS v, 'insert' AS ct, COUNT(*) AS n,
+         |  ${sqlR(sqlDsum("o_totalprice"))} AS sum_tp,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 3 = 0
+         |UNION ALL SELECT 2, 'insert', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 3 <> 0
+         |UNION ALL SELECT 3, 'delete', COUNT(*),
+         |  ${sqlR(sqlDsum("o_totalprice"))}, MAX(o_orderkey)
+         |FROM orders WHERE o_orderkey % 10 = 7
+         |ORDER BY v, ct""".stripMargin,
     "q_iceberg_changes" ->
       s"""WITH g AS (SELECT l_orderkey % 3 AS grp, l_quantity FROM lineitem)
          |SELECT 1 AS v, COUNT(*) AS n,

@@ -442,6 +442,167 @@ object Iceberg {
     outF.result()
   }
 
+  /** Files a snapshot ADDED, split into data files and delete files
+    * (the changelog walker — unlike [[addedFiles]] it accepts delete
+    * manifests instead of rejecting them). Equality deletes reject:
+    * resolving them to rows needs full sequence-scoped evaluation. */
+  private def addedFilesAndDeletes(meta: Metadata, s: SnapshotInfo)
+      : (Seq[DataFileInfo], Seq[DeleteFileInfo]) = {
+    val outF = Seq.newBuilder[DataFileInfo]
+    val outD = Seq.newBuilder[DeleteFileInfo]
+    eachAvro(resolvePath(meta, s.manifestList)) { e =>
+      if (longField(e, "added_snapshot_id").contains(s.id)) {
+        val content = longField(e, "content").getOrElse(0L)
+        val mpath = e.get("manifest_path").toString
+        val manifestSeq = longField(e, "sequence_number").getOrElse(0L)
+        eachAvro(resolvePath(meta, mpath)) { entry =>
+          val status = longField(entry, "status").getOrElse(0L)
+          val ownerId = longField(entry, "snapshot_id").getOrElse(s.id)
+          if (status == 1L && ownerId == s.id) {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            require(df != null, s"manifest entry without data_file in $mpath")
+            val fc = longField(df, "content").getOrElse(0L)
+            if (content == 0L) {
+              require(fc == 0L,
+                s"delete FILE in data manifest $mpath: ${df.get("file_path")}")
+              outF += DataFileInfo(
+                resolvePath(meta, df.get("file_path").toString),
+                df.get("file_format").toString.toUpperCase,
+                longField(df, "record_count").getOrElse(0L), null)
+            } else {
+              require(fc == 1L,
+                s"fromIcebergChangelog: snapshot ${s.id} added an " +
+                  s"EQUALITY delete file (${df.get("file_path")}) — " +
+                  "equality deletes cannot resolve to changelog rows; " +
+                  "read full snapshots")
+              outD += DeleteFileInfo(
+                resolvePath(meta, df.get("file_path").toString),
+                df.get("file_format").toString.toUpperCase,
+                longField(df, "record_count").getOrElse(0L),
+                longField(entry, "sequence_number").getOrElse(manifestSeq),
+                Nil)
+            }
+          }
+        }
+      }
+    }
+    (outF.result(), outD.result())
+  }
+
+  /** CHANGELOG read — the Iceberg twin of [[DeltaLake.fromDeltaCdf]]:
+    * row-level changes of the main-chain snapshots in
+    * `(fromSnapshotId, toSnapshotId]`, tagged `_change_type`
+    * (insert / delete), `_snapshot_id` and `_sequence_number`.
+    *  - `append` snapshots deliver their added data files as inserts;
+    *  - `delete` snapshots (merge-on-read position deletes) resolve
+    *    their added delete files against the PARENT snapshot's live
+    *    data files — exactly the rows the commit masked; rows already
+    *    masked by the parent's own position deletes are excluded, so
+    *    re-deleting delivers nothing new;
+    *  - `overwrite` (the logical replace) delivers the parent's
+    *    visible rows as deletes and the new state as inserts;
+    *  - `replace` (compaction) delivers nothing;
+    *  - equality-deleted history and unknown operations reject loudly.
+    * Scale: manifests walk on the driver (metadata-bounded); each
+    * snapshot contributes distributed scan branches; the delete
+    * resolution is one (fid, pos) semi-join against the parent's live
+    * files — never all-pairs, never driver-materialized rows. */
+  def fromIcebergChangelog(spark: SparkSession, dir0: String,
+      fromSnapshotId: Long = -1L,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    meta.renameDrift.foreach(msg => throw new IllegalArgumentException(
+      s"fromIcebergChangelog: table $dir has schema-evolution the " +
+        s"name-based reader cannot honor ($msg)"))
+    val out = StructType(meta.schema
+      :+ StructField("_change_type", StringType, nullable = false)
+      :+ StructField("_snapshot_id", LongType, nullable = false)
+      :+ StructField("_sequence_number", LongType, nullable = false))
+    def empty() = spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    val toId = toSnapshotId.getOrElse(meta.currentSnapshotId)
+    if (toId < 0 || toId == fromSnapshotId) return empty()
+    val chain = changesChain(meta, fromSnapshotId, toId)
+    def tag(df: DataFrame, ct: String, s: SnapshotInfo): DataFrame =
+      df.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_snapshot_id", lit(s.id))
+        .withColumn("_sequence_number", lit(s.sequenceNumber))
+    def insertsOf(files: Seq[DataFileInfo], s: SnapshotInfo): Seq[DataFrame] =
+      if (files.isEmpty) Nil
+      else Seq(tag(files.groupBy(_.format).toSeq.sortBy(_._1).map {
+        case ("PARQUET", fs) =>
+          spark.read.schema(meta.schema).parquet(fs.map(_.path): _*)
+        case ("ORC", fs) =>
+          spark.read.schema(meta.schema).orc(fs.map(_.path): _*)
+        case (other, fs) => throw new IllegalArgumentException(
+          s"unsupported Iceberg data file format $other (${fs.head.path})")
+      }.reduce(_ union _), "insert", s))
+    val frames = chain.flatMap { s =>
+      val op = s.operation
+      require(op != null,
+        s"fromIcebergChangelog: snapshot ${s.id} of $dir carries no " +
+          "summary.operation; read a full snapshot")
+      op match {
+        case "replace" => Nil
+        case "append" => insertsOf(addedFilesAndDeletes(meta, s)._1, s)
+        case "overwrite" if s.parentId < 0 => // initial commit
+          insertsOf(addedFilesAndDeletes(meta, s)._1, s)
+        case "overwrite" => // logical replace: old state out, new in
+          Seq(tag(fromIceberg(spark, dir, Some(s.parentId)), "delete", s),
+            tag(fromIceberg(spark, dir, Some(s.id)), "insert", s))
+        case "delete" =>
+          val (dAdds, dDels) = addedFilesAndDeletes(meta, s)
+          val parent = meta.snapshots.find(_.id == s.parentId).getOrElse(
+            throw new IllegalArgumentException(
+              s"fromIcebergChangelog: snapshot ${s.id}'s parent " +
+                s"${s.parentId} is expired; read a full snapshot"))
+          val (pFiles, pDels) = liveFiles(meta, parent)
+          require(pDels.forall(_.equalityIds.isEmpty),
+            s"fromIcebergChangelog: snapshot ${parent.id} carries " +
+              "equality deletes; read full snapshots")
+          require(pFiles.forall(_.format == "PARQUET") &&
+              (pDels ++ dDels).forall(_.format == "PARQUET"),
+            "fromIcebergChangelog: parquet data/delete files only " +
+              "(position resolution needs _metadata.row_index)")
+          val ids = new java.util.HashMap[UTF8String, Integer]()
+          pFiles.zipWithIndex.foreach { case (f, i) =>
+            (Option(f.rawPath).toSeq ++ PathKeys.spellings(f.path))
+              .foreach(sp => ids.put(UTF8String.fromString(sp),
+                Integer.valueOf(i)))
+          }
+          val delSchema = StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("pos", LongType, nullable = false)))
+          def readDel(fs: Seq[DeleteFileInfo]): DataFrame =
+            spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+              .select(Bridge.column(PathId(Bridge.expression(
+                col("file_path")), ids, strict = false)).as("__ice_fid"),
+                col("pos").as("__ice_pos"))
+          val data = spark.read.schema(meta.schema)
+            .parquet(pFiles.map(_.path): _*)
+            .select(meta.schema.fieldNames.toIndexedSeq.map(col) ++ Seq(
+              Bridge.column(PathId(Bridge.expression(
+                col("_metadata.file_path")), ids, strict = true))
+                .as("__ice_fid"),
+              col("_metadata.row_index").as("__ice_pos")): _*)
+          var deleted = data.join(readDel(dDels),
+            Seq("__ice_fid", "__ice_pos"), "left_semi")
+          if (pDels.nonEmpty) // already-masked rows are not re-deleted
+            deleted = deleted.join(readDel(pDels),
+              Seq("__ice_fid", "__ice_pos"), "left_anti")
+          Seq(tag(deleted, "delete", s)) ++ insertsOf(dAdds, s)
+        case other => throw new IllegalArgumentException(
+          s"fromIcebergChangelog: snapshot ${s.id} of $dir is a " +
+            s"'$other' — unsupported operation; read a full snapshot")
+      }
+    }
+    if (frames.isEmpty) empty() else frames.reduce(_ union _)
+  }
+
   /** Expire all but the newest `retainLast` snapshots (the VACUUM
     * analog — Iceberg's expire_snapshots): a new metadata version
     * lists only the retained snapshots, then the data files,

@@ -972,6 +972,44 @@ class IcebergSpec extends SparkSpec {
       mode = "append"))
   }
 
+  test("fromIcebergChangelog: inserts, MoR deletes resolve to rows, overwrite replaces") {
+    val t = tmp("chl.iceberg")
+    import spark.implicits._
+    Iceberg.toIceberg((0L until 20).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), t)                                           // seq 1
+    Iceberg.toIceberg((20L until 30).map(i => (i, s"v$i")).toDF("id", "s"),
+      t, "append")                                               // seq 2
+    Iceberg.deleteWhere(spark, t, col("id") % 7 === 3)           // seq 3
+    // re-deleting already-masked rows plus ONE new row delivers only
+    // the new row (the parent's masks exclude the rest)
+    Iceberg.deleteWhere(spark, t,
+      col("id") % 7 === 3 || col("id") === 5)                    // seq 4
+    val chl = Iceberg.fromIcebergChangelog(spark, t)
+    val bySeq = chl.groupBy("_sequence_number", "_change_type").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(bySeq((1L, "insert")) == 20)
+    assert(bySeq((2L, "insert")) == 10)
+    assert(bySeq((3L, "delete")) == 4) // ids 3, 10, 17, 24
+    assert(bySeq((4L, "delete")) == 1)
+    assert(chl.filter(col("_sequence_number") === 4)
+      .select("id").as[Long].head() == 5L)
+    assert(chl.filter(col("_sequence_number") === 3)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 10L, 17L, 24L))
+    // overwrite = logical replace: parent's visible rows out, new in
+    Iceberg.toIceberg(Seq((100L, "x")).toDF("id", "s"), t, "overwrite") // seq 5
+    val v5 = Iceberg.fromIcebergChangelog(spark, t)
+      .filter(col("_sequence_number") === 5)
+    assert(v5.filter(col("_change_type") === "delete").count() == 25)
+    assert(v5.filter(col("_change_type") === "insert").count() == 1)
+    // ranges by snapshot id: from the seq-2 snapshot, only 3..5 deliver
+    val id2 = Iceberg.snapshots(spark, t)
+      .filter(col("sequence_number") === 2).select("snapshot_id")
+      .as[Long].head()
+    val part = Iceberg.fromIcebergChangelog(spark, t, id2)
+    assert(part.select("_sequence_number").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L, 5L))
+  }
+
   test("void transform (dropped partition field) accepts writes") {
     import spark.implicits._
     val root = tmp("void.iceberg")
