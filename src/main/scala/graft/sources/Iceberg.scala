@@ -334,11 +334,34 @@ object Iceberg {
       Some(to.map(_.id).getOrElse(-1L)))
   }
 
+  /** Sequence-number face of [[fromIcebergChangelog]] — the
+    * changelog of main-chain snapshots with
+    * `fromSeq < sequence_number <= toSeq` (what a streaming
+    * changelog tail checkpoints). */
+  def fromIcebergChangelogBySeq(spark: SparkSession, dir0: String,
+      fromSeq: Long, toSeq: Option[Long] = None): DataFrame = {
+    val dir = FsIO.normalize(dir0.stripSuffix("/"))
+    val meta = loadMetadata(dir)
+    require(meta.formatVersion == 2,
+      s"fromIcebergChangelogBySeq: format-version ${meta.formatVersion} " +
+        "tables have no sequence numbers; use snapshot ids")
+    val to = snapAtSeq(meta, toSeq.getOrElse(Long.MaxValue))
+    val from = snapAtSeq(meta, fromSeq)
+    fromIcebergChangelog(spark, dir, from.map(_.id).getOrElse(-1L),
+      Some(to.map(_.id).getOrElse(-1L)))
+  }
+
   /** The streaming tail's schema/cursor probes (log metadata only —
-    * one json read, no scan plan). */
-  private[graft] def tailSchema(dir0: String): StructType = {
+    * one json read, no scan plan). `cdf`: the changelog face adds
+    * `_change_type`. */
+  private[graft] def tailSchema(dir0: String,
+      cdf: Boolean = false): StructType = {
     val meta = loadMetadata(FsIO.normalize(dir0.stripSuffix("/")))
-    StructType(meta.schema
+    val base =
+      if (!cdf) meta.schema
+      else StructType(meta.schema :+
+        StructField("_change_type", StringType, nullable = false))
+    StructType(base
       :+ StructField("_snapshot_id", LongType, nullable = false)
       :+ StructField("_sequence_number", LongType, nullable = false))
   }

@@ -47,7 +47,8 @@ final class IcebergTailSourceProvider extends StreamSourceProvider {
       parameters: Map[String, String]): (String, StructType) = {
     val dir = IcebergTailSourceProvider.tableOf(parameters)
     IcebergTailSourceProvider.maxPerBatchOf(parameters) // validate early
-    ("iceberg-tail", Iceberg.tailSchema(dir))
+    ("iceberg-tail", Iceberg.tailSchema(dir,
+      IcebergTailSourceProvider.cdfOf(parameters)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -59,7 +60,8 @@ final class IcebergTailSourceProvider extends StreamSourceProvider {
       case None => Iceberg.lastSequence(dir) // new commits only
     }
     new IcebergTailSource(sqlContext.sparkSession, dir, starting,
-      IcebergTailSourceProvider.maxPerBatchOf(parameters))
+      IcebergTailSourceProvider.maxPerBatchOf(parameters),
+      IcebergTailSourceProvider.cdfOf(parameters))
   }
 }
 
@@ -69,6 +71,19 @@ object IcebergTailSourceProvider {
       throw new IllegalArgumentException(
         "iceberg-tail source requires option 'path' (the table root)"))
       .stripSuffix("/"))
+
+  /** `readChangeFeed=true`: deliver the row-level CHANGELOG
+    * (`_change_type` insert/delete via
+    * [[Iceberg.fromIcebergChangelogBySeq]]) instead of the
+    * append-only tail — MoR delete snapshots stream their masked
+    * rows, overwrites their replaced state. */
+  private[streaming] def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists { v =>
+      require(v.trim.equalsIgnoreCase("true") ||
+          v.trim.equalsIgnoreCase("false"),
+        s"readChangeFeed must be true|false, got '$v'")
+      v.trim.toBoolean
+    }
 
   private[streaming] def maxPerBatchOf(parameters: Map[String, String]): Long = {
     val m = parameters.get("maxSnapshotsPerBatch")
@@ -81,9 +96,10 @@ object IcebergTailSourceProvider {
 }
 
 final class IcebergTailSource(spark: SparkSession, dir: String,
-    startingSequence: Long, maxSnapshotsPerBatch: Long = 64L) extends Source {
+    startingSequence: Long, maxSnapshotsPerBatch: Long = 64L,
+    readChangeFeed: Boolean = false) extends Source {
 
-  override val schema: StructType = Iceberg.tailSchema(dir)
+  override val schema: StructType = Iceberg.tailSchema(dir, readChangeFeed)
 
   // highest sequence this source has OFFERED as an offset — rate
   // limiting happens HERE (the engine always getBatches up to the
@@ -107,6 +123,8 @@ final class IcebergTailSource(spark: SparkSession, dir: String,
       if (to <= from) // engine replay of an empty range after restart
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema)
+      else if (readChangeFeed)
+        Iceberg.fromIcebergChangelogBySeq(spark, dir, from, Some(to))
       else Iceberg.fromIcebergChangesBySeq(spark, dir, from, Some(to))
     org.apache.spark.sql.graftbridge.Bridge.asStreamingFrame(batch)
   }

@@ -98,6 +98,39 @@ class IcebergTailSpec extends SparkSpec {
     assert(run().isEmpty) // caught up
   }
 
+  test("readChangeFeed streams the row-level changelog incl. MoR deletes") {
+    import spark.implicits._
+    val t = tmp("ichl.iceberg")
+    Iceberg.toIceberg((0L until 10).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), t)                                            // seq 1
+    val q = spark.readStream
+      .format(classOf[IcebergTailSourceProvider].getName)
+      .option("path", t)
+      .option("startingSequence", "0")
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream.format("memory").queryName("i_chl")
+      .start()
+    try {
+      q.processAllAvailable()
+      append(t, 100L -> "x")                                      // seq 2
+      Iceberg.deleteWhere(spark, t, col("id") === 4L)             // seq 3
+      q.processAllAvailable()
+      val sink = spark.table("i_chl")
+        .select("id", "s", "_change_type", "_sequence_number").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(sink.count(_._3 == "insert") == 11)
+      assert(sink.filter(_._3 == "delete") == Seq((4L, "v4", "delete", 3L)))
+      // stream == batch changelog
+      val batch = Iceberg.fromIcebergChangelog(spark, t)
+        .select("id", "s", "_change_type", "_sequence_number").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(sink == batch)
+    } finally q.stop()
+  }
+
   test("backlog pacing via maxSnapshotsPerBatch; guards fire through the stream") {
     import spark.implicits._
     val t = tmp("itail3.iceberg")
