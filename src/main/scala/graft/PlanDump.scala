@@ -102,7 +102,11 @@ object PlanDump {
     // resolution with logical aliases; widen promotes narrow files
     // inside the scan (no cast operator above it for matching types)
     "q_iceberg_bucket", "q_iceberg_day", "q_iceberg_evolve",
-    "q_delta_colmap_id", "q_delta_widen")
+    "q_delta_colmap_id", "q_delta_widen",
+    // r18 session 2: cdf reads its cdc change-file branches (insert/
+    // delete/update images unioned, no join); the iceberg changelog
+    // shows the (fid, pos) semi-join resolving MoR deletes to rows
+    "q_delta_cdf", "q_iceberg_changelog")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
