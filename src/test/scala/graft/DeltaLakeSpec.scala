@@ -1712,6 +1712,64 @@ class DeltaLakeSpec extends SparkSpec {
       r2.filter(col("_change_type") === "insert").count() == 1)
   }
 
+  test("CDF on partitioned tables; foreign-shaped cdc actions read back") {
+    val t = tmp("cdfp.delta")
+    import spark.implicits._
+    val df0 = spark.range(0, 40).select(col("id"),
+      (col("id") % 4).cast("int").as("p"), concat(lit("v"), col("id")).as("s"))
+    DeltaLake.toDelta(df0, t, partitionBy = Seq("p"))
+    DeltaLake.enableChangeDataFeed(spark, t)
+    // partitioned cdc staging: change files split by partition dirs,
+    // partitionValues ride the cdc actions, readCdc re-injects them
+    DeltaLake.deleteWhere(spark, t, col("id") % 10 === 3) // ids 3,13,23,33
+    val cdf = DeltaLake.fromDeltaCdf(spark, t, 1)
+    assert(cdf.count() == 4)
+    assert(cdf.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 13L, 23L, 33L))
+    // the partition column comes back typed from partitionValues
+    assert(cdf.filter(col("id") === 13).select("p").head.getInt(0) == 1)
+    assert(cdf.schema("p").dataType == IntegerType)
+    // upsert on the partitioned CDF table
+    DeltaLake.upsert(spark, t,
+      Seq((2L, 2, "u2"), (200L, 0, "u200")).toDF("id", "p", "s"), Seq("id"))
+    val v3 = DeltaLake.fromDeltaCdf(spark, t, 2, Some(3))
+    assert(v3.filter(col("_change_type") === "update_preimage").count() == 1)
+    assert(v3.filter(col("_change_type") === "insert").count() == 1)
+    assert(v3.filter(col("_change_type") === "update_postimage" &&
+      col("id") === 2).select("p").head.getInt(0) == 2)
+    // FOREIGN-shaped cdc: hand-written action json referencing
+    // hand-written change parquet (no graft writer on this path)
+    val tf = tmp("cdff.delta")
+    DeltaLake.toDelta(spark.range(0, 5).select(col("id"),
+      concat(lit("v"), col("id")).as("s")), tf)
+    val chDir = s"$tf/_change_data"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(chDir))
+    spark.createDataFrame(java.util.Arrays.asList(
+        Row(99L, "zz", "insert"), Row(1L, "v1", "delete")),
+      StructType(Seq(StructField("id", LongType),
+        StructField("s", StringType),
+        StructField("_change_type", StringType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$chDir/tmp")
+    val part = FsIO.listFilesRecursive(s"$chDir/tmp")
+      .filter(_._1.endsWith(".parquet")).head
+    val relCdc = "_change_data/cdc-foreign.parquet"
+    FsIO.rename(part._1, s"$tf/$relCdc")
+    FsIO.deleteRecursive(s"$chDir/tmp")
+    // the foreign commit: the cdc action is authoritative for CDF
+    writeLog(tf, 1L, Seq(
+      s"""{"cdc":{"path":"$relCdc","partitionValues":{},"size":${part._2},"dataChange":false}}""",
+      s"""{"commitInfo":{"operation":"MERGE","timestamp":1}}"""))
+    val fcdf = DeltaLake.fromDeltaCdf(spark, tf, 0, Some(1))
+    assert(fcdf.count() == 2)
+    assert(fcdf.filter(col("_change_type") === "insert")
+      .select("id").as[Long].head() == 99L)
+    assert(fcdf.filter(col("_change_type") === "delete")
+      .select("s").head.getString(0) == "v1")
+    // the plain changes tail prefers the cdc inserts
+    assert(DeltaLake.fromDeltaChanges(spark, tf, 0, Some(1))
+      .select("id").as[Long].collect().toSeq == Seq(99L))
+  }
+
   test("deleteWhereDv existing-DV driver bytes cap is loud") {
     val t = tmp("dvcap.delta")
     import spark.implicits._
