@@ -131,6 +131,27 @@ object GraftExtensions {
         stringArg(args, 0, "iceberg_table"),
         if (args.length > 1) Some(longArg(args, 1, "iceberg_table")) else None)
     }
+    regTable("delta_cdf") { args =>
+      nArgs(args, "delta_cdf", 2, 3)
+      graft.sources.DeltaLake.fromDeltaCdf(session,
+        stringArg(args, 0, "delta_cdf"),
+        longArg(args, 1, "delta_cdf"),
+        if (args.length > 2) Some(longArg(args, 2, "delta_cdf")) else None)
+    }
+    regTable("iceberg_changes") { args =>
+      nArgs(args, "iceberg_changes", 1, 2, 3)
+      graft.sources.Iceberg.fromIcebergChanges(session,
+        stringArg(args, 0, "iceberg_changes"),
+        if (args.length > 1) longArg(args, 1, "iceberg_changes") else -1L,
+        if (args.length > 2) Some(longArg(args, 2, "iceberg_changes")) else None)
+    }
+    regTable("iceberg_changelog") { args =>
+      nArgs(args, "iceberg_changelog", 1, 2, 3)
+      graft.sources.Iceberg.fromIcebergChangelog(session,
+        stringArg(args, 0, "iceberg_changelog"),
+        if (args.length > 1) longArg(args, 1, "iceberg_changelog") else -1L,
+        if (args.length > 2) Some(longArg(args, 2, "iceberg_changelog")) else None)
+    }
 
     reg("token_gram_hashes", classOf[TokenGramHashes]) { args =>
       nArgs(args, "token_gram_hashes", 3)

@@ -173,6 +173,26 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM delta_table(concat('$delta', rand()))").collect()
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
+    // r18 TVFs: the change feed and the iceberg changes/changelog
+    graft.sources.DeltaLake.enableChangeDataFeed(spark, delta)   // v2
+    graft.sources.DeltaLake.deleteWhere(spark, delta,
+      org.apache.spark.sql.functions.col("id") === 1L)           // v3
+    assert(spark.sql(
+      s"SELECT id, _change_type FROM delta_cdf('$delta', 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "delete")))
+    graft.sources.Iceberg.toIceberg(Seq((8L, 1.5)).toDF("id", "v"), ice,
+      mode = "append")
+    assert(spark.sql(
+      s"SELECT id FROM iceberg_changes('$ice', -1)")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
+    graft.sources.Iceberg.deleteWhere(spark, ice,
+      org.apache.spark.sql.functions.col("id") === 7L)
+    assert(spark.sql(
+      s"""SELECT id, _change_type FROM iceberg_changelog('$ice')
+         |WHERE _change_type = 'delete'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "delete")))
   }
 
 }
