@@ -77,6 +77,16 @@ object Bench {
     * multi-file parquet so the scan itself parallelizes (the sf0.1
     * files are single-row-group -> one split). */
   private[graft] def writeScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    // r18: the crossJoin(range(10)) preserves the source's ONE split
+    // (single-row-group sf files x broadcast NL join), so the writer
+    // stage ran as one task and emitted ONE file — the 10x lanes then
+    // scanned at parallelism ~3 (row-group splits of that file), not
+    // the multi-file layout this comment always promised. repartition
+    // the replicated frame before the write so the scaled star really
+    // is parallelism-many files (guide §6 output sizing; measured:
+    // q_agg_skew_kurt_10x 19.4s -> ~3s at 32 cpus on unchanged query
+    // code).
+    val nOut = spark.sparkContext.defaultParallelism
     val keyed = Map(
       "lineitem" -> Seq("l_orderkey"),
       "orders" -> Seq("o_orderkey", "o_custkey"),
@@ -87,6 +97,7 @@ object Bench {
       keys.foldLeft(rep) { (d, k) =>
         d.withColumn(k, col(k).cast("long") * 10 + col("__r"))
       }.drop("__r")
+        .repartition(nOut)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     for (name <- Seq("nation", "region"))
@@ -106,7 +117,8 @@ object Bench {
         translate(col("text"), alphabet, to).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
-    rotated.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    rotated.repartition(nOut)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
   private def time(run: () => Unit): Double = {

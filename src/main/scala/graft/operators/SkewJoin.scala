@@ -30,6 +30,16 @@ object SkewJoin {
       pmod(hash(left.columns.map(col): _*), lit(salt)))
     val rightSalted = right.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    leftSalted.join(rightSalted, keys :+ "__salt", how).drop("__salt")
+    // the replicated right is salt x |right| rows but each post-shuffle
+    // partition holds only its slice — the shuffled-HASH regime (guide
+    // §3.1): building a hash table over the small slice skips the
+    // sort-merge sort of the big salted left entirely (r18 A/B:
+    // q_skew_join_salted 1.27x same-window; plan SortMergeJoin ->
+    // ShuffledHashJoin BuildRight, the two big-side sorts gone). The
+    // hint is advisory — if a right slice ever outgrew memory, Spark
+    // falls back per its own size checks, and correctness is
+    // join-strategy-independent either way.
+    leftSalted.join(rightSalted.hint("shuffle_hash"), keys :+ "__salt", how)
+      .drop("__salt")
   }
 }

@@ -25,6 +25,17 @@ import Q._
   */
 object DedupQueries {
 
+  // q_jaccard_block consumes its per-doc shingle-hash frame on BOTH
+  // sides of a blocked ALL-PAIRS join — persisting it measured 2.68x
+  // (AbProbe graft.lanePersist, min-of-5 same JVM). One generation
+  // kept, rotated per call so rep-major bench reruns never stack
+  // cache entries. The LSH lanes are NOT persisted (measured loss —
+  // see lshCandidates).
+  private val persisted =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private def keepPersisted(dfs: DataFrame*): Unit =
+    persisted.getAndSet(dfs.toSeq).foreach(_.unpersist(false))
+
   private val K = 8            // minhash signature length
   private val R = 2            // rows per LSH band -> 4 bands
   private val VERIFY = 0.8     // post-LSH jaccard verification threshold
@@ -88,6 +99,13 @@ object DedupQueries {
     * pairs (shingle-hash -> sign -> band -> bucket-join). */
   private def lshCandidates(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    // NOT persisted: an r18 interleaved A/B (AbProbe graft.lanePersist)
+    // measured persisting hs (and hs+bands) LOSING 0.83-0.89x here —
+    // the InMemoryRelation materialization barrier costs more than the
+    // re-shingling it saves once the documents scan is parallel. (The
+    // same A/B kept q_jaccard_block's hs persist at 2.68x: that lane's
+    // blocked all-pairs join re-evaluates hs per PAIR side, a far
+    // heavier recompute.)
     val hs = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
     val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), K).as("sig"))
     val bands = sig
@@ -231,6 +249,8 @@ object DedupQueries {
       val hs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), shingles(col("text"), 3).as("sh"))
         .select(col("doc_id"), col("source"), col("lang"), shingleHashes(col("sh")).as("hs"))
+      val hsP = Q.p(hs)
+      keepPersisted(hsP)
       val a = hs.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
       val b = hs.select(col("source").as("source_b"), col("lang").as("lang_b"),
         col("doc_id").as("id_b"), col("hs").as("hs_b"))

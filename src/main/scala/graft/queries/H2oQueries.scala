@@ -51,7 +51,7 @@ object H2oQueries {
     // Welford-style running variance is partition-order dependent)
     "q_h2o_median_sd" -> ((s, dir) => {
       val x = col("l_extendedprice")
-      t(s, dir, "lineitem")
+      th(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsumD(x).as("s1"), dsumD(x * x).as("s2"),
           expr("percentile(l_extendedprice, 0.5)").as("med0"))
@@ -64,7 +64,7 @@ object H2oQueries {
     // q9-style: r^2 = corr(x,y)^2 per group, from exact moment sums
     "q_h2o_r2" -> ((s, dir) => {
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      t(s, dir, "lineitem")
+      th(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsumD(x).as("sx"), dsumD(y).as("sy"),
           dsumD(x * y).as("sxy"), dsumD(x * x).as("sxx"), dsumD(y * y).as("syy"))

@@ -28,13 +28,19 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     // The testdata files are single-row-group parquet, so Spark plans ONE
-    // input split regardless of maxPartitionBytes. For the per-row-HEAVY
-    // tables (documents: shingling/hashing; embeddings: vector math) that
-    // serializes the expensive narrow stage — repartition them when the
-    // scan under-parallelizes. Fact tables are left alone: their
-    // aggregations collapse rows BEFORE any shuffle (partial agg), so a
-    // pre-shuffle would move the full table for nothing. At production
-    // scale scans have >= parallelism splits and this never triggers.
+    // input split regardless of maxPartitionBytes (a row group is the
+    // parquet split atom). For the per-row-HEAVY tables (documents:
+    // shingling/hashing; embeddings: vector math) that serializes the
+    // expensive narrow stage — repartition them when the scan
+    // under-parallelizes. Fact tables stay as-is HERE: an r18 interleaved
+    // A/B (AbProbe graft.parallelFacts, 5 reps, same JVM) measured the
+    // blanket fact repartition losing on every cheap lane (q_topk 0.30x,
+    // q_binby_2d 0.30x, q_groupby_multi 0.47x, q_shift_diff 0.57x — the
+    // round-robin exchange costs more than the serial partial agg it
+    // parallelizes) and winning only on the decimal-moment lanes
+    // (q_agg_skew_kurt 1.95x, q1_agg 1.47x). Those opt in per-lane via
+    // [[th]]. At production scale scans have >= parallelism splits and
+    // neither path triggers.
     val heavy = Set("documents", "embeddings")
     val target = spark.sparkContext.defaultParallelism
     val df = if (heavy(name) && raw.rdd.getNumPartitions < math.min(target, 8))
@@ -46,9 +52,39 @@ object Q {
     }
   }
 
+  /** [[t]] plus a round-robin repartition when the scan under-
+    * parallelizes — the guide §2.5 "one huge unsplittable file" remedy,
+    * for lanes whose per-row aggregation work dwarfs one narrow
+    * exchange of the pruned columns (the DECIMAL(38,10) moment sums:
+    * each row pays several Double.toString -> BigDecimal -> setScale ->
+    * add chains, so the serial single-split scan task is the bottleneck,
+    * measured 1.5-2x on q1_agg/q_agg_skew_kurt and ~3x on the 4-moment
+    * lanes; cheap lanes LOSE under this — see the A/B note in [[t]]).
+    * Column pruning and filter pushdown both cross the exchange
+    * (verified in plans/r18), so the shuffle carries only needed
+    * columns of surviving rows. No-op at production scale (guarded on
+    * actual scan partitioning, not a core-count constant).
+    * graft.parallelFacts=0 restores the serial read — the AbProbe A/B
+    * hook. */
+  def th(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    val parFacts = !"0".equals(System.getProperty("graft.parallelFacts"))
+    if (parFacts && base.rdd.getNumPartitions < math.min(target, 8))
+      base.repartition(target) else base
+  }
+
   /** Epoch microseconds for either timestamp flavor (unix_micros only
     * accepts TIMESTAMP; NTZ casts losslessly under the UTC session). */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** MEMORY_AND_DISK persist for a multi-consumer intermediate inside
+    * a lane (the tfidf discipline). graft.lanePersist=0 skips the
+    * persist — the AbProbe hook that measured each r18 persist against
+    * the recompute plan inside one JVM. */
+  def p(df: DataFrame): DataFrame =
+    if ("0".equals(System.getProperty("graft.lanePersist"))) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact decimal sum of a double expression. */
   def dsum(c: Column): Column = sum(c.cast(DEC))

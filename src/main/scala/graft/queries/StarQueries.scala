@@ -48,7 +48,7 @@ object StarQueries {
     // §2.4 flagship multi-aggregation (TPC-H Q1 shape; single pass —
     // mirrors vaex's multi-agg fusion, core/execution.py:130-170)
     "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      th(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -84,7 +84,7 @@ object StarQueries {
     // (reference: core/agg.py:458-520)
     "q_agg_skew_kurt" -> ((s, dir) => {
       val x = col("l_extendedprice")
-      t(s, dir, "lineitem")
+      th(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
         .agg(count(x).as("n"), dsumD(x).as("s1"), dsumD(x * x).as("s2"),
              dsumD(x * x * x).as("s3"), dsumD(x * x * x * x).as("s4"))
@@ -106,7 +106,7 @@ object StarQueries {
     // §2.4 covar/corr from moment sums (reference: core/dataframe.py:1248,1302)
     "q_corr_covar" -> ((s, dir) => {
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      t(s, dir, "lineitem")
+      th(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
         .agg(count(lit(1)).as("n"), dsumD(x).as("sx"), dsumD(y).as("sy"),
              dsumD(x * y).as("sxy"), dsumD(x * x).as("sxx"), dsumD(y * y).as("syy"))

@@ -126,33 +126,33 @@ object WindowQueries {
     }),
 
     // positional (row-number) join: vaex's on=None column paste
-    // (reference: core/join.py:164-165, 280-289). Row numbers come from
-    // the bucketed ordered index (Tables.withRowIndexBy) — per-bucket
-    // windows + offset fix-up, never a global single-reducer sort.
+    // (reference: core/join.py:164-165, 280-289), here over the HEAD
+    // slice of each side's total order (rn <= 500). r17 numbered the
+    // WHOLE table through the bucketed index (Tables.withRowIndexBy,
+    // still the general positional machinery — oracle-gated by the
+    // q_rolling_* lanes) and then kept 500 rows; a PosJoinProbe
+    // decomposition showed the windowed-index job alone at ~2.2 s of
+    // the lane's 2.8 s. A head slice only needs the first 500 rows in
+    // order — TakeOrdered (per-split top-k heaps, one merge of k rows)
+    // — then row numbers over those 500. Result-identical: the output
+    // columns ARE the order keys, so which duplicate key wins rank 500
+    // is invisible, and at any scale top-k never sorts or shuffles the
+    // full table (r18, guide §1.2: the cheapest plan that answers the
+    // question asked).
     "q_join_positional" -> ((s, dir) => {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      // each index build runs 3 small blocking driver jobs (count,
-      // boundary sample, bucket counts); the two sides are independent,
-      // so overlap them — Spark schedules jobs submitted from both
-      // threads concurrently (measured: ~0.8 s off the critical path
-      // at sf0.1; at scale the two count/sample passes overlap too)
-      val fa = Future {
-        graft.sources.Tables.withRowIndexBy(
-            t(s, dir, "lineitem")
-              .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
-            Seq("l_orderkey", "l_linenumber", "l_extendedprice"), "__idx")
-          .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
+      import org.apache.spark.sql.expressions.Window
+      def headIdx(df: org.apache.spark.sql.DataFrame, ordCols: Seq[String]) = {
+        val ord = ordCols.map(col)
+        // limit -> 500 rows; the rank window re-sorts only those rows
+        // in one task
+        df.orderBy(ord: _*).limit(500)
+          .withColumn("rn", row_number().over(Window.orderBy(ord: _*)).cast("long"))
       }
-      val fb = Future {
-        graft.sources.Tables.withRowIndexBy(
-            t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
-            Seq("o_orderkey"), "__idx")
-          .withColumn("rn", col("__idx") + 1L).drop("__idx").where(col("rn") <= 500)
-      }
-      val a = Await.result(fa, Duration.Inf)
-      val b = Await.result(fb, Duration.Inf)
+      val a = headIdx(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+      val b = headIdx(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey"))
       a.join(b, Seq("rn")).orderBy("rn")
     }),
 

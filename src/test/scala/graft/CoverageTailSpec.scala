@@ -457,9 +457,11 @@ class CoverageTailSpec extends SparkSpec {
     // promptness bound, not a perf bound: a hung reader burns the full
     // budget; 60 corrupt reads normally finish in well under a minute,
     // but inside the PARALLEL full suite on this throttling host the
-    // same loop has measured >120 s with every read still prompt — so
-    // the bound carries suite-contention headroom
-    assert(secs < 300.0, s"arrow fuzz took ${secs}s")
+    // same loop has measured 393 s with every read still prompt (r18:
+    // two consecutive full-suite runs tripped the old 300 s bound on
+    // code identical to the green round-18 stamp) — so the bound
+    // carries enough headroom that only a genuine hang trips it
+    assert(secs < 900.0, s"arrow fuzz took ${secs}s")
     assert(parsed > 0) // data-region mutations decode fine
   }
 }
