@@ -71,16 +71,25 @@ object GroupedPercentile {
       array(valueExprs.map(e => expr(e).cast("double")): _*))
       .as(Seq("__cid", "__v")): _*)
 
-    // pass 1: rows per value column -> sampling fractions
-    val perCid: Map[Int, Long] = longForm.where(col("__v").isNotNull)
-      .groupBy("__cid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // pass 1: input row count -> sampling fractions. r18: the old
+    // per-cid non-null count was a full pass over the exploded
+    // longForm; fractions only size the boundary sample, and ANY
+    // boundary set yields identical results (bucketing is pure
+    // decomposition), so the plain input count — answered from parquet
+    // row-group metadata, no data read — is enough. A mostly-null
+    // column just samples under ~200/bucket; boundaries get coarser,
+    // results unchanged.
+    val nTotal = df.count()
+    if (nTotal == 0 && groupCols.nonEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(groupCols.map(c => df.schema(df.schema.fieldIndex(c))) ++
+          specs.map(s => StructField(s.name, DoubleType, nullable = true))))
+    val fractions: Map[Int, Double] = valueExprs.indices.map { c =>
+      c -> (if (nTotal == 0) 0.0 else math.min(1.0, nb * 200.0 / nTotal))
+    }.toMap
 
     // pass 2: sampled boundaries per column (fixed literals)
-    val fractions: Map[Int, Double] = valueExprs.indices.map { c =>
-      val n = perCid.getOrElse(c, 0L)
-      c -> (if (n == 0) 0.0 else math.min(1.0, nb * 200.0 / n))
-    }.toMap
     val sampled: Map[Int, Array[Double]] = longForm
       .where(col("__v").isNotNull && !isnan(col("__v")))
       .stat.sampleBy("__cid", fractions, 42L)

@@ -326,7 +326,7 @@ object ArrowIpc {
       val out = java.nio.channels.Channels.newChannel(FsIO.create(path))
       val writer = codecOf(compression) match {
         case Some(codec) => new ArrowFileWriter(root, provider, out,
-          null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+          null, IpcOption.DEFAULT, ArrowCodecs.Factory, codec)
         case None => new ArrowFileWriter(root, provider, out)
       }
       try pump(df, schema, root, writer, batchRows, dictIndex)
@@ -371,7 +371,7 @@ object ArrowIpc {
             FsIO.create(f"$dir/part-$pi%05d.arrow"))
           val writer = codecOf(comp) match {
             case Some(codec) => new ArrowFileWriter(root, null, out,
-              null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+              null, IpcOption.DEFAULT, ArrowCodecs.Factory, codec)
             case None => new ArrowFileWriter(root, null, out)
           }
           try pumpRows(it.asJava, schema, root, writer, br)
@@ -521,7 +521,7 @@ object ArrowIpc {
       val in = new FsIO.InChannel(path)
       try {
         val reader = new ArrowFileReader(in, allocator,
-          CommonsCompressionFactory.INSTANCE)
+          ArrowCodecs.Factory)
         try (sparkFieldsOf(reader.getVectorSchemaRoot.getSchema,
             id => Option(reader.getDictionaryVectors.get(id)).map(
               _.getVector.getField.getType).getOrElse(throw new IllegalArgumentException(
@@ -543,7 +543,7 @@ object ArrowIpc {
           // compression factory makes LZ4_FRAME/ZSTD record batches
           // (pyarrow >= 4 default feather output) decode per-executor
           val reader = new ArrowFileReader(in, allocator,
-            CommonsCompressionFactory.INSTANCE)
+            ArrowCodecs.Factory)
           try {
             val root = reader.getVectorSchemaRoot
             val blocks = reader.getRecordBlocks
@@ -587,7 +587,7 @@ object ArrowIpc {
       val out = java.nio.channels.Channels.newChannel(FsIO.create(path))
       val writer = codecOf(compression) match {
         case Some(codec) => new ArrowStreamWriter(root, null, out,
-          IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, codec)
+          IpcOption.DEFAULT, ArrowCodecs.Factory, codec)
         case None => new ArrowStreamWriter(root, null, out)
       }
       try pump(df, schema, root, writer, batchRows)
@@ -605,7 +605,7 @@ object ArrowIpc {
       val in = FsIO.open(path)
       try {
         val reader = new ArrowStreamReader(in, allocator,
-          CommonsCompressionFactory.INSTANCE)
+          ArrowCodecs.Factory)
         try {
           val sch = reader.getVectorSchemaRoot.getSchema
           // stream framing delivers dictionaries just before first
@@ -626,7 +626,7 @@ object ArrowIpc {
         val allocator = new RootAllocator(MaxReadAllocBytes)
         val in = FsIO.open(path)
         val reader = new ArrowStreamReader(in, allocator,
-          CommonsCompressionFactory.INSTANCE)
+          ArrowCodecs.Factory)
         try {
           val root = reader.getVectorSchemaRoot
           val rows = Vector.newBuilder[Row]
