@@ -72,10 +72,16 @@ object OrderedOps {
 
   private def staged(df: DataFrame, rowIndex: String, blockSize: Long): DataFrame = {
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
-    val desc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).desc)
+    // __rnd (position from the block end) = blockCount - __rn + 1: the
+    // unordered count window rides the SAME (blk, rowIndex asc) sort as
+    // the asc window — a desc row_number window cost a second full sort
+    // per staged pass (r18 opt session 2; identical for any input,
+    // row_number and count both see the actual rows)
     df.withColumn("__blk", (col(rowIndex) / lit(blockSize)).cast("long"))
       .withColumn("__rn", row_number().over(asc))
-      .withColumn("__rnd", row_number().over(desc))
+      .withColumn("__rnd",
+        (count(lit(1)).over(Window.partitionBy(col("__blk"))) -
+          col("__rn") + 1).cast("int"))
   }
 
   /** Block contiguity, checked on the LAST row of each block only
@@ -118,15 +124,26 @@ object OrderedOps {
     // rows of THIS block are carried to it:
     //   lag : last p rows of block b feed rows __rn = p-__rnd+1 of b+1
     //   lead: first p rows of block b feed rows __rnd = p-__rn+1 of b-1
-    val (carrySrc, carryBlk, carryPos, recvPos) =
+    // The carry branch is an arithmetic projection of the RAW frame
+    // (rowIndex % bs), not a filter over the staged windows — same
+    // rationale and dense-index equivalence as [[rollingAggMulti]];
+    // sparse indexes still fail the receiver-side provenance guard
+    // (__cidx must equal rowIndex -/+ p exactly).
+    val posIn = col(rowIndex) - (col(rowIndex) / lit(bs)).cast("long") * lit(bs)
+    val blkOf = (col(rowIndex) / lit(bs)).cast("long")
+    val recvPos = if (periods > 0) col("__rn") else col("__rnd")
+    val carries = (
       if (periods > 0)
-        (col("__rnd") <= p, col("__blk") + 1L, lit(p + 1) - col("__rnd"), col("__rn"))
+        df.where(posIn >= lit(bs) - p)
+          .select((blkOf + 1L).as("__blk"),
+            (lit(p + 1) - (lit(bs) - posIn)).cast("int").as("__pos"),
+            col(column).as("__carry"), col(rowIndex).as("__cidx"))
       else
-        (col("__rn") <= p, col("__blk") - 1L, lit(p + 1) - col("__rn"), col("__rnd"))
-    val carries = st.where(carrySrc)
-      .select(carryBlk.as("__blk"), carryPos.as("__pos"), col(column).as("__carry"),
-        col(rowIndex).as("__cidx"))
-      .where(col("__blk") >= 0)
+        df.where(posIn <= p - 1)
+          .select((blkOf - 1L).as("__blk"),
+            (lit(p + 1) - (posIn + 1)).cast("int").as("__pos"),
+            col(column).as("__carry"), col(rowIndex).as("__cidx"))
+      ).where(col("__blk") >= 0)
     // Lead-direction validation needs the frame's max index: a missing
     // carry is legitimate ONLY past the end (srcIdx > max) — without
     // the bound, a wholly-absent middle block (sparse frame) yields
@@ -214,11 +231,35 @@ object OrderedOps {
   def rollingAgg(df: DataFrame, column: String, window: Int, as: String, how: String,
                  rowIndex: String = "row_index",
                  blockSize: Long = DefaultBlockSize,
-                 validate: Boolean = true): DataFrame = {
+                 validate: Boolean = true): DataFrame =
+    rollingAggMulti(df, Seq(RollSpec(column, how, as)), window, rowIndex,
+      blockSize, validate)
+
+  /** One rolling aggregate request for [[rollingAggMulti]]. */
+  final case class RollSpec(column: String, how: String, as: String)
+
+  /** N trailing rolling aggregates in ONE staged pass (r18 opt
+    * session 2): stacked [[rollingAgg]] calls each re-run the block
+    * staging windows AND a carry join over the whole prior result, so
+    * a 3-statistic request (rolling variance: Σx, Σx², n) paid the
+    * machinery three times. All requested aggregates share one staged
+    * frame, one carry frame (all source columns ride it), one
+    * receiver-side aggregation and one join — per-aggregate values are
+    * unchanged because each depends only on (its column, the window
+    * frame), not on the other aggregates. Guard structure identical
+    * to the single-aggregate form (it only reads positions/carry
+    * provenance, shared across specs). */
+  def rollingAggMulti(df: DataFrame, specs: Seq[RollSpec], window: Int,
+                      rowIndex: String = "row_index",
+                      blockSize: Long = DefaultBlockSize,
+                      validate: Boolean = true): DataFrame = {
     require(window >= 1, "window must be >= 1")
+    require(specs.nonEmpty, "rollingAggMulti: no specs")
+    require(specs.map(_.as).distinct.size == specs.size,
+      "rollingAggMulti: duplicate output names")
     val bs = effectiveBlockSize(blockSize, window - 1)
     require(bs >= window, s"blockSize=$bs must be >= window=$window")
-    val (aggFn, combine): (Column => Column, (Column, Column) => Column) = how match {
+    def fns(how: String): (Column => Column, (Column, Column) => Column) = how match {
       case "sum" => (sum(_), (a, b) => when(a.isNull && b.isNull, lit(null))
         .otherwise(coalesce(a, lit(0)) + coalesce(b, lit(0))))
       case "count" => (c => count(c), (a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))
@@ -226,30 +267,58 @@ object OrderedOps {
       case "max" => (max(_), (a, b) => greatest(a, b))
       case other => throw new IllegalArgumentException(s"unknown rolling agg: $other")
     }
+    val fx = specs.map(s => fns(s.how))
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
-    val st = staged(df, rowIndex, bs).withColumn("__intra",
-      aggFn(col(column)).over(asc.rowsBetween(-(window - 1), 0)))
+    val frame = asc.rowsBetween(-(window - 1), 0)
+    val st = specs.zipWithIndex.foldLeft(staged(df, rowIndex, bs)) {
+      case (d, (s, i)) => d.withColumn(s"__intra$i", fx(i)._1(col(s.column)).over(frame))
+    }
     if (window == 1) {
-      val v = if (!validate) col("__intra")
-      else when(col("__rnd") > 1, col("__intra"))
-        .otherwise(when(lastRowAligned(rowIndex, bs), col("__intra"))
-          .otherwise(reindexError("rolling")))
-      return st.withColumn(as, v).drop("__blk", "__rn", "__rnd", "__intra")
+      val base = if (!validate) lit(true)
+      else when(col("__rnd") > 1, lit(true))
+        .otherwise(when(lastRowAligned(rowIndex, bs), lit(true))
+          .otherwise(reindexError("rolling").isNotNull))
+      val res = specs.zipWithIndex.foldLeft(st) { case (d, (s, i)) =>
+        d.withColumn(s.as,
+          if (!validate) col(s"__intra$i") else when(base, col(s"__intra$i")))
+      }
+      return res.drop("__blk" +: "__rn" +: "__rnd" +:
+        specs.indices.map(i => s"__intra$i"): _*)
     }
     // row j (j < window) of block b+1 still needs the last (window - j)
-    // rows of block b: carry those boundary rows, aggregate per receiver.
-    val carries = st.where(col("__rnd") <= window - 1)
-      .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
-        col(column).as("__carry"), col(rowIndex).as("__cidx"))
-    val extra = st.where(col("__rn") <= window - 1)
-      .select(col("__blk"), col("__rn"), col(rowIndex))
+    // rows of block b: carry those boundary rows (every requested source
+    // column on one row), aggregate per receiver.
+    //
+    // r18 opt session 2: both boundary branches are ARITHMETIC
+    // projections of the RAW frame (rowIndex % bs), not filters over
+    // the staged windows — selecting ~2(window-1) rows per block used
+    // to re-run the whole block-window chain per branch; now only the
+    // main branch pays it and the boundary filters push into the scan.
+    // On a dense index the selected rows are identical (pos-from-end
+    // bs - idx%bs == __rnd on full blocks; a short LAST block has no
+    // receiver, so its tail legitimately sends nothing). On a sparse /
+    // duplicated index the main branch's guards still fail the query
+    // loudly: carry provenance (__cn/__cmin) is checked against the
+    // absolute indexes actually received, and every block's last row
+    // re-derives contiguity — any materialization evaluates those rows.
+    val carryCols = specs.map(_.column).distinct
+    val posIn = col(rowIndex) - (col(rowIndex) / lit(bs)).cast("long") * lit(bs)
+    val carries = df.where(posIn >= lit(bs) - (window - 1))
+      .select(Seq(((col(rowIndex) / lit(bs)).cast("long") + 1L).as("__blk"),
+        (lit(bs) - posIn).cast("int").as("__k"),
+        col(rowIndex).as("__cidx")) ++
+        carryCols.map(c => col(c).as(s"__carry_$c")): _*)
+    val extraAggs = specs.zipWithIndex.map { case (s, i) =>
+      fx(i)._1(col(s"__carry_${s.column}")).as(s"__extra$i")
+    } ++ Seq(count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
+    val extra = df.where(posIn <= window - 2)
+      .select((col(rowIndex) / lit(bs)).cast("long").as("__blk"),
+        (posIn + 1).cast("int").as("__rn"), col(rowIndex))
       .join(hinted(carries, window - 1), Seq("__blk"), "left")
       .where(col("__k") <= lit(window) - col("__rn"))
-      .groupBy(col(rowIndex)).agg(aggFn(col("__carry")).as("__extra"),
-        count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
+      .groupBy(col(rowIndex)).agg(extraAggs.head, extraAggs.tail: _*)
     val joined = st.join(hinted(extra, window - 1), Seq(rowIndex), "left")
-    val value = combine(col("__intra"), col("__extra"))
-    val guarded = if (!validate) value else {
+    def guardedOf(value: Column): Column = if (!validate) value else {
       // O(boundary) guard (same scheme as shift's): interior rows pay
       // two integer comparisons; the first window-1 rows of a
       // non-first block check they received exactly the contiguous
@@ -263,8 +332,12 @@ object OrderedOps {
       when(col("__rn") > window - 1 && col("__rnd") > 1, value)
         .otherwise(when(ok, value).otherwise(reindexError("rolling")))
     }
-    joined.withColumn(as, guarded)
-      .drop("__blk", "__rn", "__rnd", "__intra", "__extra", "__cn", "__cmin")
+    val res = specs.zipWithIndex.foldLeft(joined) { case (d, (s, i)) =>
+      d.withColumn(s.as, guardedOf(fx(i)._2(col(s"__intra$i"), col(s"__extra$i"))))
+    }
+    res.drop("__blk" +: "__rn" +: "__rnd" +: "__cn" +: "__cmin" +:
+      (specs.indices.map(i => s"__intra$i") ++
+        specs.indices.map(i => s"__extra$i")): _*)
   }
 
   def rollingSum(df: DataFrame, column: String, window: Int, as: String,
@@ -277,8 +350,8 @@ object OrderedOps {
   def rollingMean(df: DataFrame, column: String, window: Int, as: String,
                   rowIndex: String = "row_index",
                   blockSize: Long = DefaultBlockSize): DataFrame =
-    rollingAgg(rollingAgg(df, column, window, "__rsum", "sum", rowIndex, blockSize),
-      column, window, "__rcnt", "count", rowIndex, blockSize)
+    rollingAggMulti(df, Seq(RollSpec(column, "sum", "__rsum"),
+        RollSpec(column, "count", "__rcnt")), window, rowIndex, blockSize)
       .withColumn(as, col("__rsum").cast("double") / col("__rcnt"))
       .drop("__rsum", "__rcnt")
 
@@ -290,11 +363,10 @@ object OrderedOps {
                  rowIndex: String = "row_index",
                  blockSize: Long = DefaultBlockSize): DataFrame = {
     val x = col(column).cast("double")
-    val staged3 = rollingAgg(rollingAgg(rollingAgg(
-        df.withColumn("__rx2", x * x),
-        column, window, "__rsum", "sum", rowIndex, blockSize),
-        "__rx2", window, "__rsq", "sum", rowIndex, blockSize),
-      column, window, "__rcnt", "count", rowIndex, blockSize)
+    val staged3 = rollingAggMulti(df.withColumn("__rx2", x * x),
+      Seq(RollSpec(column, "sum", "__rsum"),
+        RollSpec("__rx2", "sum", "__rsq"),
+        RollSpec(column, "count", "__rcnt")), window, rowIndex, blockSize)
     staged3.withColumn(as,
         when(col("__rcnt") > 0,
           col("__rsq").cast("double") / col("__rcnt") -
@@ -328,7 +400,8 @@ object OrderedOps {
                    blockSize: Long = DefaultBlockSize,
                    validate: Boolean = true,
                    fillValue: Option[Any] = None,
-                   edge: String = "right"): DataFrame = {
+                   edge: String = "right",
+                   rawItems: Boolean = false): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(edge == "right" || edge == "left",
       s"""edge must be "right" or "left", not "$edge"""")
@@ -344,7 +417,12 @@ object OrderedOps {
       else asc.rowsBetween(0, window - 1)
     val st = staged(df, rowIndex, bs).withColumn("__intra",
       collect_list(item).over(frame))
-    def finish(merged: Column): Column = {
+    // rawItems (r18 opt session 2): order-insensitive consumers
+    // (rollingMedian / rollingQuantile sort values anyway) take the
+    // merged (i, v) struct array as-is — the per-row interpreted HOF
+    // chain here (sort_array over structs + transform + array_repeat +
+    // concat; HOFs don't whole-stage-codegen) was most of their cost.
+    def finish(merged: Column): Column = if (rawItems) merged else {
       val values = transform(sort_array(merged), e => e.getField("v"))
       // fixed length `window`: pad the partial windows at the global
       // head (edge right) / tail (edge left) with fill_value slots
@@ -361,18 +439,32 @@ object OrderedOps {
     }
     // boundary carry, mirrored by edge: RIGHT — the last window−1 rows
     // of block b complete the first rows of b+1; LEFT — the first
-    // window−1 rows of block b complete the last rows of b−1
+    // window−1 rows of block b complete the last rows of b−1.
+    // Both boundary branches are arithmetic projections of the RAW
+    // frame (same rationale and dense-index equivalence argument as
+    // [[rollingAggMulti]]; a short LAST block has no successor, so its
+    // tail neither sends (right) nor receives (left) — matching the
+    // window-based selection on a dense index, and sparse indexes
+    // still fail the main branch's contiguity/provenance guards).
+    val posIn = col(rowIndex) - (col(rowIndex) / lit(bs)).cast("long") * lit(bs)
+    val blkOf = (col(rowIndex) / lit(bs)).cast("long")
     val carries =
-      if (right) st.where(col("__rnd") <= window - 1)
-        .select((col("__blk") + 1L).as("__blk"), col("__rnd").as("__k"),
+      if (right) df.where(posIn >= lit(bs) - (window - 1))
+        .select((blkOf + 1L).as("__blk"), (lit(bs) - posIn).cast("int").as("__k"),
           item.as("__citem"), col(rowIndex).as("__cidx"))
-      else st.where(col("__rn") <= window - 1)
-        .select((col("__blk") - 1L).as("__blk"), col("__rn").as("__k"),
+      else df.where(posIn <= window - 2)
+        .select((blkOf - 1L).as("__blk"), (posIn + 1).cast("int").as("__k"),
           item.as("__citem"), col(rowIndex).as("__cidx"))
         .where(col("__blk") >= 0)
     val recvPos = if (right) col("__rn") else col("__rnd")
-    val extra = st.where((if (right) col("__rn") else col("__rnd")) <= window - 1)
-      .select(col("__blk"), col("__rn"), col("__rnd"), col(rowIndex))
+    val recvSel =
+      if (right) df.where(posIn <= window - 2)
+        .select(blkOf.as("__blk"), (posIn + 1).cast("int").as("__rn"),
+          lit(null).cast("int").as("__rnd"), col(rowIndex))
+      else df.where(posIn >= lit(bs) - (window - 1))
+        .select(blkOf.as("__blk"), lit(null).cast("int").as("__rn"),
+          (lit(bs) - posIn).cast("int").as("__rnd"), col(rowIndex))
+    val extra = recvSel
       .join(hinted(carries, window - 1), Seq("__blk"), "left")
       .where(col("__k") <= lit(window) - (if (right) col("__rn") else col("__rnd")))
       .groupBy(col(rowIndex)).agg(collect_list(col("__citem")).as("__cext"),
@@ -448,15 +540,40 @@ object OrderedOps {
   def rollingMedian(df: DataFrame, column: String, window: Int, as: String,
                     rowIndex: String = "row_index",
                     blockSize: Long = DefaultBlockSize): DataFrame = {
-    val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
-    val vals = array_sort(filter(col("__rwin"),
-      v => v.isNotNull)).cast("array<double>")
-    val n = size(vals)
-    val half = (n.cast("double") / 2.0).cast("int") // floor(n/2)
-    val med = when(n === 0, lit(null).cast("double"))
-      .when(n % 2 === 1, element_at(vals, half + 1))
-      .otherwise((element_at(vals, half) + element_at(vals, half + 1)) / 2.0)
-    withWin.withColumn(as, med).drop("__rwin")
+    // r18 opt session 2: the per-row interpreted HOF chain (filter +
+    // array_sort + element_at over the finished padded array) is one
+    // codegen'd kernel over the raw merged items; formula mirrored
+    // op-for-op (RollingKernelsSpec pins old == new on hostile
+    // arrays). graft.rollKernel=0 restores the HOF form (AbProbe hook).
+    if ("0".equals(System.getProperty("graft.rollKernel"))) {
+      val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
+      val vals = array_sort(filter(col("__rwin"),
+        v => v.isNotNull)).cast("array<double>")
+      val n = size(vals)
+      val half = (n.cast("double") / 2.0).cast("int") // floor(n/2)
+      val med = when(n === 0, lit(null).cast("double"))
+        .when(n % 2 === 1, element_at(vals, half + 1))
+        .otherwise((element_at(vals, half) + element_at(vals, half + 1)) / 2.0)
+      withWin.withColumn(as, med).drop("__rwin")
+    } else rollingOrderStat(df, column, window, as, 0.5, midpoint = true,
+      rowIndex, blockSize)
+  }
+
+  /** Shared kernel path for rollingMedian / rollingQuantile: raw
+    * merged window items -> one codegen'd sort+interpolate call. The
+    * value column is cast to double BEFORE windowing (the HOF forms
+    * cast the collected array after sorting — identical for numeric
+    * types: widening is monotone, nulls preserved). */
+  private def rollingOrderStat(df: DataFrame, column: String, window: Int,
+                               as: String, q: Double, midpoint: Boolean,
+                               rowIndex: String, blockSize: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dfd = df.withColumn("__rq_x", col(column).cast("double"))
+    rollingArray(dfd, "__rq_x", window, "__rwin", rowIndex, blockSize,
+        rawItems = true)
+      .withColumn(as, Bridge.column(graft.functions.WindowQuantileItems(
+        Bridge.expression(col("__rwin")), q, midpoint)))
+      .drop("__rwin", "__rq_x")
   }
 
   /** Trailing rolling exact quantile with linear interpolation (numpy
@@ -470,17 +587,21 @@ object OrderedOps {
                       as: String, rowIndex: String = "row_index",
                       blockSize: Long = DefaultBlockSize): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
-    val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
-    val vals = array_sort(filter(col("__rwin"),
-      v => v.isNotNull)).cast("array<double>")
-    val n = size(vals)
-    val pos = lit(q) * (n - 1).cast("double")
-    val lo = floor(pos).cast("int")
-    val frac = pos - lo.cast("double")
-    val lov = element_at(vals, lo + 1)
-    val hiv = element_at(vals, least(lo + 2, n))
-    val out = when(n === 0, lit(null).cast("double"))
-      .otherwise(lov + (hiv - lov) * frac)
-    withWin.withColumn(as, out).drop("__rwin")
+    // kernel path + HOF fallback: see [[rollingMedian]]
+    if ("0".equals(System.getProperty("graft.rollKernel"))) {
+      val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
+      val vals = array_sort(filter(col("__rwin"),
+        v => v.isNotNull)).cast("array<double>")
+      val n = size(vals)
+      val pos = lit(q) * (n - 1).cast("double")
+      val lo = floor(pos).cast("int")
+      val frac = pos - lo.cast("double")
+      val lov = element_at(vals, lo + 1)
+      val hiv = element_at(vals, least(lo + 2, n))
+      val out = when(n === 0, lit(null).cast("double"))
+        .otherwise(lov + (hiv - lov) * frac)
+      withWin.withColumn(as, out).drop("__rwin")
+    } else rollingOrderStat(df, column, window, as, q, midpoint = false,
+      rowIndex, blockSize)
   }
 }

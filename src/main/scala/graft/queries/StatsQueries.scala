@@ -70,6 +70,10 @@ object StatsQueries {
             posexplode(array(col("l_quantity"), col("l_extendedprice"),
               col("l_discount"))).as(Seq("__cid", "__v")))
           .where(col("__v").isNotNull)
+        // (r18 opt session 2: feeding RAW rows with __c=1 into the
+        // window — skipping this aggregation — measured 0.93x: even on
+        // the near-unique price column the partial agg's reduction
+        // beats the bigger window sort. Keep the counts form.)
         val counts = melt.groupBy(col("l_returnflag"), col("__cid"), col("__v"))
           .agg(count(lit(1)).as("__c"))
         val wOrd = Window.partitionBy(col("l_returnflag"), col("__cid"))
@@ -104,6 +108,13 @@ object StatsQueries {
     // buffering) — must agree with the builtin `percentile` lane above
     "q_percentile_grouped" -> ((s, dir) => {
       import graft.operators.GroupedPercentile.{exact, Spec}
+      // NOT th (r18 opt session 2 A/B: 0.54x) — the repartition turns
+      // pass 1's parquet-metadata df.count() into a real shuffle job
+      // and the exchange is re-paid by every pass; the explode+bucket
+      // per-row work is light enough that the serial scan wins locally.
+      // Persisting the repartitioned long form for passes 2-4 ALSO
+      // lost (0.58x): the 3x-exploded InMemoryRelation materialization
+      // outweighs two extra narrow serial scans at this size.
       exact(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
         Spec("l_quantity", 0.5, "median_qty"),
         Spec("l_extendedprice", 0.25, "p25_price"),

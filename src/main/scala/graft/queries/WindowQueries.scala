@@ -64,10 +64,20 @@ object WindowQueries {
       val staged = base
         .withColumn("__x", xd.cast(Q.DEC))
         .withColumn("__x2", (xd * xd).cast(Q.DEC))
-      val rolled = OrderedOps.rollingAgg(OrderedOps.rollingAgg(OrderedOps.rollingAgg(
-          staged, "__x", 5, "__s1", "sum", blockSize = 8192L),
-          "__x2", 5, "__s2", "sum", blockSize = 8192L),
-        "__x", 5, "__n", "count", blockSize = 8192L)
+      // r18 opt 2: one fused staged pass + carry join for all three
+      // statistics (rollingAggMulti) instead of three stacked calls
+      // that each re-ran the block windows over the whole prior result.
+      // graft.rollMulti=0 restores the stacked form (AbProbe hook).
+      val rolled =
+        if ("0".equals(System.getProperty("graft.rollMulti")))
+          OrderedOps.rollingAgg(OrderedOps.rollingAgg(OrderedOps.rollingAgg(
+            staged, "__x", 5, "__s1", "sum", blockSize = 8192L),
+            "__x2", 5, "__s2", "sum", blockSize = 8192L),
+            "__x", 5, "__n", "count", blockSize = 8192L)
+        else OrderedOps.rollingAggMulti(staged,
+          Seq(OrderedOps.RollSpec("__x", "sum", "__s1"),
+            OrderedOps.RollSpec("__x2", "sum", "__s2"),
+            OrderedOps.RollSpec("__x", "count", "__n")), 5, blockSize = 8192L)
       rolled.select(col("row_index"), col("__n").as("n"),
           r(col("__s2").cast("double") / col("__n") -
             (col("__s1").cast("double") / col("__n")) *
