@@ -18,6 +18,20 @@ object WindowQueries {
   // Total order within a supplier partition.
   private def liOrder = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
 
+  /** The rolling lanes' shared deterministic row index. NOT persisted:
+    * an r18 opt session 2 A/B (graft.rollIdxPersist, min-of-5) measured
+    * the persist 0.74x on q_rolling_block and a wash on median/quantile
+    * — the bucket-window recompute per consuming branch is parallel and
+    * cheaper than the InMemoryRelation materialization barrier (the
+    * same negative result as the LSH/simhash lane persists). */
+  private def rollingBase(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+      "l_extendedprice")
+    graft.sources.Tables.withRowIndexBy(
+      t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
+      keys, buckets = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // shift/diff -> lag over a window (reference: core/dataframe.py:4781
     // shift, :4749 diff re-expressed; vaex aligns chunk streams, Spark
@@ -55,11 +69,7 @@ object WindowQueries {
     // window anywhere in the plan.
     "q_rolling_block" -> ((s, dir) => {
       import graft.operators.OrderedOps
-      val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
-        "l_extendedprice")
-      val base = graft.sources.Tables.withRowIndexBy(
-        t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
-        keys, buckets = 8)
+      val base = rollingBase(s, dir)
       val xd = col("l_quantity").cast("double")
       val staged = base
         .withColumn("__x", xd.cast(Q.DEC))
@@ -92,11 +102,7 @@ object WindowQueries {
     // DuckDB's windowed MEDIAN (also interpolated).
     "q_rolling_median" -> ((s, dir) => {
       import graft.operators.OrderedOps
-      val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
-        "l_extendedprice")
-      val base = graft.sources.Tables.withRowIndexBy(
-        t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
-        keys, buckets = 8)
+      val base = rollingBase(s, dir)
       val staged = base.withColumn("__x", col("l_quantity").cast("double"))
       OrderedOps.rollingMedian(staged, "__x", 5, "roll_med", blockSize = 8192L)
         .select(col("row_index"), r(col("roll_med"), 6).as("roll_med"))
@@ -110,11 +116,7 @@ object WindowQueries {
     // engines regardless of their interpolation formula ordering.
     "q_rolling_quantile" -> ((s, dir) => {
       import graft.operators.OrderedOps
-      val keys = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
-        "l_extendedprice")
-      val base = graft.sources.Tables.withRowIndexBy(
-        t(s, dir, "lineitem").select(keys.map(col) :+ col("l_quantity"): _*),
-        keys, buckets = 8)
+      val base = rollingBase(s, dir)
       val staged = base.withColumn("__x", col("l_quantity").cast("double"))
       OrderedOps.rollingQuantile(staged, "__x", 5, 0.25, "roll_q25",
           blockSize = 8192L)
