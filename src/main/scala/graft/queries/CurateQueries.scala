@@ -598,7 +598,14 @@ object CurateQueries {
       // 1 and 8 corpus passes.
       val tok = docs2.select(col("doc_id"), explode(split(col("text2"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val nDocs = docs2.agg(count(lit(1)).as("__n"))
+      // count the RAW parquet (identical row count — docs2 is a pure
+      // projection) instead of re-scanning through docs2's heavy-table
+      // repartition + concat just to count rows (r18 opt session 2)
+      val aux = !"0".equals(System.getProperty("graft.tfidfAux"))
+      val nDocs =
+        if (aux) s.read.parquet(s"$dir/documents.parquet")
+          .agg(count(lit(1)).as("__n"))
+        else docs2.agg(count(lit(1)).as("__n"))
       // r18 opt 2: df as count(*) OVER (PARTITION BY tok) instead of a
       // separate groupBy(tok) aggregate joined back twice (weights +
       // rare-doc blocking). The window computes the identical per-token
@@ -608,7 +615,7 @@ object CurateQueries {
       // exchange"), and ONE persisted frame (df + w columns) now serves
       // every downstream consumer, halving the cache footprint.
       // graft.tfidfWin=0 restores the join form (AbProbe hook).
-      val (w, rareDocs) =
+      val (w, rareDocs, basePersisted) =
         if (!"0".equals(System.getProperty("graft.tfidfWin"))) {
           val tfW = tok.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
             .crossJoin(broadcast(nDocs))
@@ -617,9 +624,9 @@ object CurateQueries {
                 round(log(col("__n").cast("double") / col("df").cast("double")), 6),
                 6).as("w"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          tfidfPersisted.getAndSet(Seq(tfW)).foreach(_.unpersist(false))
           (tfW.select(col("doc_id"), col("tok"), col("w")),
-            tfW.where(col("df") <= 25).select(col("tok"), col("doc_id")))
+            tfW.where(col("df") <= 25).select(col("tok"), col("doc_id")),
+            Seq(tfW))
         } else {
           val tf = tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -629,9 +636,9 @@ object CurateQueries {
                 round(log(col("__n").cast("double") / col("df").cast("double")), 6),
                 6).as("w"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          tfidfPersisted.getAndSet(Seq(tf, wj)).foreach(_.unpersist(false))
           (wj, tf.join(dfT.where(col("df") <= 25), Seq("tok"))
-            .select(col("tok"), col("doc_id")))
+            .select(col("tok"), col("doc_id")),
+            Seq(tf, wj))
         }
       val pairs = rareDocs.select(col("tok"), col("doc_id").as("a"))
         .join(rareDocs.select(col("tok"), col("doc_id").as("b")), Seq("tok"))
@@ -655,9 +662,18 @@ object CurateQueries {
         // from a shared rare token), so no empty-intersection rows
         // appear here that the join form would have dropped.
         // graft.tfidfMap=0 restores the expansion form (AbProbe hook).
-        val docAgg = w.groupBy(col("doc_id")).agg(
+        // persisted: consumed by BOTH pair sides, and its shared
+        // subtree holds a shuffle (the doc_id aggregation) — the
+        // persist-pays rule; ~5k tiny rows, rotated with the lane's
+        // other persisted frame
+        val docAgg0 = w.groupBy(col("doc_id")).agg(
           map_from_arrays(collect_list(col("tok")), collect_list(col("w"))).as("m"),
           sqrt(dsumD(round(col("w") * col("w"), 6))).as("nrm"))
+        val docAgg = if (aux)
+          docAgg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else docAgg0
+        tfidfPersisted.getAndSet(if (aux) basePersisted :+ docAgg else basePersisted)
+          .foreach(_.unpersist(false))
         val prods = filter(
           map_values(map_zip_with(col("ma"), col("mb"),
             (_, x, y) => round(x * y, 6))),
@@ -676,6 +692,7 @@ object CurateQueries {
             round(dotCol / (col("na") * col("nb")), 6).as("cos"))
           .orderBy("doc_a", "doc_b")
       } else {
+        tfidfPersisted.getAndSet(basePersisted).foreach(_.unpersist(false))
         val norms = w.groupBy(col("doc_id"))
           .agg(sqrt(dsumD(round(col("w") * col("w"), 6))).as("nrm"))
         val wa = w.select(col("doc_id").as("a"), col("tok"), col("w").as("wa"))
