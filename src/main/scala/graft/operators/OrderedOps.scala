@@ -70,6 +70,17 @@ object OrderedOps {
     raise_error(lit(s"OrderedOps.$op: row_index is not a dense 0-based index " +
       "(filtered or sparse frame) — re-index (extract()) before ordered ops"))
 
+  /** Block ordinal of a row by index arithmetic — MUST stay the same
+    * divide-cast form as [[staged]]'s `__blk` so arithmetic boundary
+    * branches join the staged main branch on identical block ids. */
+  private def blkOf(rowIndex: String, bs: Long): Column =
+    (col(rowIndex) / lit(bs)).cast("long")
+
+  /** 0-based position of a row inside its block, by index arithmetic
+    * (valid for dense indexes; sparse ones fail the staged guards). */
+  private def posIn(rowIndex: String, bs: Long): Column =
+    col(rowIndex) - blkOf(rowIndex, bs) * lit(bs)
+
   private def staged(df: DataFrame, rowIndex: String, blockSize: Long): DataFrame = {
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
     // __rnd (position from the block end) = blockCount - __rn + 1: the
@@ -129,19 +140,18 @@ object OrderedOps {
     // rationale and dense-index equivalence as [[rollingAggMulti]];
     // sparse indexes still fail the receiver-side provenance guard
     // (__cidx must equal rowIndex -/+ p exactly).
-    val posIn = col(rowIndex) - (col(rowIndex) / lit(bs)).cast("long") * lit(bs)
-    val blkOf = (col(rowIndex) / lit(bs)).cast("long")
+    val pos = posIn(rowIndex, bs); val blk = blkOf(rowIndex, bs)
     val recvPos = if (periods > 0) col("__rn") else col("__rnd")
     val carries = (
       if (periods > 0)
-        df.where(posIn >= lit(bs) - p)
-          .select((blkOf + 1L).as("__blk"),
-            (lit(p + 1) - (lit(bs) - posIn)).cast("int").as("__pos"),
+        df.where(pos >= lit(bs) - p)
+          .select((blk + 1L).as("__blk"),
+            (lit(p + 1) - (lit(bs) - pos)).cast("int").as("__pos"),
             col(column).as("__carry"), col(rowIndex).as("__cidx"))
       else
-        df.where(posIn <= p - 1)
-          .select((blkOf - 1L).as("__blk"),
-            (lit(p + 1) - (posIn + 1)).cast("int").as("__pos"),
+        df.where(pos <= p - 1)
+          .select((blk - 1L).as("__blk"),
+            (lit(p + 1) - (pos + 1)).cast("int").as("__pos"),
             col(column).as("__carry"), col(rowIndex).as("__cidx"))
       ).where(col("__blk") >= 0)
     // Lead-direction validation needs the frame's max index: a missing
@@ -302,18 +312,18 @@ object OrderedOps {
     // absolute indexes actually received, and every block's last row
     // re-derives contiguity — any materialization evaluates those rows.
     val carryCols = specs.map(_.column).distinct
-    val posIn = col(rowIndex) - (col(rowIndex) / lit(bs)).cast("long") * lit(bs)
-    val carries = df.where(posIn >= lit(bs) - (window - 1))
-      .select(Seq(((col(rowIndex) / lit(bs)).cast("long") + 1L).as("__blk"),
-        (lit(bs) - posIn).cast("int").as("__k"),
+    val pos = posIn(rowIndex, bs)
+    val carries = df.where(pos >= lit(bs) - (window - 1))
+      .select(Seq((blkOf(rowIndex, bs) + 1L).as("__blk"),
+        (lit(bs) - pos).cast("int").as("__k"),
         col(rowIndex).as("__cidx")) ++
         carryCols.map(c => col(c).as(s"__carry_$c")): _*)
     val extraAggs = specs.zipWithIndex.map { case (s, i) =>
       fx(i)._1(col(s"__carry_${s.column}")).as(s"__extra$i")
     } ++ Seq(count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
-    val extra = df.where(posIn <= window - 2)
-      .select((col(rowIndex) / lit(bs)).cast("long").as("__blk"),
-        (posIn + 1).cast("int").as("__rn"), col(rowIndex))
+    val extra = df.where(pos <= window - 2)
+      .select(blkOf(rowIndex, bs).as("__blk"),
+        (pos + 1).cast("int").as("__rn"), col(rowIndex))
       .join(hinted(carries, window - 1), Seq("__blk"), "left")
       .where(col("__k") <= lit(window) - col("__rn"))
       .groupBy(col(rowIndex)).agg(extraAggs.head, extraAggs.tail: _*)
@@ -446,27 +456,27 @@ object OrderedOps {
     // tail neither sends (right) nor receives (left) — matching the
     // window-based selection on a dense index, and sparse indexes
     // still fail the main branch's contiguity/provenance guards).
-    val posIn = col(rowIndex) - (col(rowIndex) / lit(bs)).cast("long") * lit(bs)
-    val blkOf = (col(rowIndex) / lit(bs)).cast("long")
+    val pos = posIn(rowIndex, bs); val blk = blkOf(rowIndex, bs)
     val carries =
-      if (right) df.where(posIn >= lit(bs) - (window - 1))
-        .select((blkOf + 1L).as("__blk"), (lit(bs) - posIn).cast("int").as("__k"),
+      if (right) df.where(pos >= lit(bs) - (window - 1))
+        .select((blk + 1L).as("__blk"), (lit(bs) - pos).cast("int").as("__k"),
           item.as("__citem"), col(rowIndex).as("__cidx"))
-      else df.where(posIn <= window - 2)
-        .select((blkOf - 1L).as("__blk"), (posIn + 1).cast("int").as("__k"),
+      else df.where(pos <= window - 2)
+        .select((blk - 1L).as("__blk"), (pos + 1).cast("int").as("__k"),
           item.as("__citem"), col(rowIndex).as("__cidx"))
         .where(col("__blk") >= 0)
     val recvPos = if (right) col("__rn") else col("__rnd")
+    // __recv = the receiver's position in the carry direction (__rn on
+    // the right edge, __rnd on the left), arithmetic like the carries
     val recvSel =
-      if (right) df.where(posIn <= window - 2)
-        .select(blkOf.as("__blk"), (posIn + 1).cast("int").as("__rn"),
-          lit(null).cast("int").as("__rnd"), col(rowIndex))
-      else df.where(posIn >= lit(bs) - (window - 1))
-        .select(blkOf.as("__blk"), lit(null).cast("int").as("__rn"),
-          (lit(bs) - posIn).cast("int").as("__rnd"), col(rowIndex))
+      if (right) df.where(pos <= window - 2)
+        .select(blk.as("__blk"), (pos + 1).cast("int").as("__recv"), col(rowIndex))
+      else df.where(pos >= lit(bs) - (window - 1))
+        .select(blk.as("__blk"), (lit(bs) - pos).cast("int").as("__recv"),
+          col(rowIndex))
     val extra = recvSel
       .join(hinted(carries, window - 1), Seq("__blk"), "left")
-      .where(col("__k") <= lit(window) - (if (right) col("__rn") else col("__rnd")))
+      .where(col("__k") <= lit(window) - col("__recv"))
       .groupBy(col(rowIndex)).agg(collect_list(col("__citem")).as("__cext"),
         count(lit(1)).as("__cn"), min(col("__cidx")).as("__cmin"))
     val joined = st.join(hinted(extra, window - 1), Seq(rowIndex), "left")

@@ -603,8 +603,7 @@ object CurateQueries {
       // repartition + concat just to count rows (r18 opt session 2)
       val aux = !"0".equals(System.getProperty("graft.tfidfAux"))
       val nDocs =
-        if (aux) s.read.parquet(s"$dir/documents.parquet")
-          .agg(count(lit(1)).as("__n"))
+        if (aux) rawCount(s, dir, "documents", "__n")
         else docs2.agg(count(lit(1)).as("__n"))
       // r18 opt 2: df as count(*) OVER (PARTITION BY tok) instead of a
       // separate groupBy(tok) aggregate joined back twice (weights +

@@ -78,6 +78,15 @@ object Q {
     * accepts TIMESTAMP; NTZ casts losslessly under the UTC session). */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** 1-row COUNT(*) of a table read RAW (no [[t]] repartition/ts
+    * normalization — both are row-count-preserving, so the count is
+    * identical) for lanes that only need the cardinality: the plain
+    * scan answers from parquet metadata instead of re-running the
+    * heavy-table repartition. Shares [[t]]'s path convention. */
+  def rawCount(spark: SparkSession, dir: String, name: String,
+               as: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet").agg(count(lit(1)).as(as))
+
   /** MEMORY_AND_DISK persist for a multi-consumer intermediate inside
     * a lane (the tfidf discipline). graft.lanePersist=0 skips the
     * persist — the AbProbe hook that measured each r18 persist against
