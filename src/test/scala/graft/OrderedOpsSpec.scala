@@ -66,6 +66,46 @@ class OrderedOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact-multiple block size: last block FULL (arithmetic tail senders fire)") {
+    // 100 = 10 x 10: the last block is full, so its tail rows match the
+    // arithmetic carry-sender selection (posIn >= bs - (w-1)) but have
+    // no receiver — the join must drop them silently, and every other
+    // boundary must still carry (r18 opt session 2 boundary-branch
+    // refactor edge case; with a SHORT last block those senders are
+    // never selected at all)
+    for (p <- Seq(1, 4, -3)) {
+      check(OrderedOps.shift(df, "x", p, as = Some("s"), blockSize = 10L), "s",
+        globalShift(p))
+    }
+    val w = 6
+    val win = Window.orderBy(col("row_index")).rowsBetween(-(w - 1), 0)
+    check(OrderedOps.rollingSum(df, "x", w, "rs", blockSize = 10L), "rs",
+      df.withColumn("expect", sum(col("x")).over(win)))
+    val expMed = df.withColumn("expect",
+      expr(s"percentile(x, 0.5D) over (order by row_index rows between ${w - 1} preceding and current row)"))
+    val gotMed = OrderedOps.rollingMedian(df, "x", w, "md", blockSize = 10L)
+      .select(col("row_index"), col("md").as("got"))
+    val j = gotMed.join(expMed.select(col("row_index"), col("expect")), "row_index")
+    assert(j.where(abs(col("got") - col("expect")) > 1e-9).count() == 0)
+  }
+
+  test("rollingAggMulti: fused aggregates equal the stacked single-agg calls") {
+    import OrderedOps.RollSpec
+    val d = df.withColumn("y", (col("row_index") % 5).cast("double"))
+    val fused = OrderedOps.rollingAggMulti(d,
+      Seq(RollSpec("x", "sum", "sx"), RollSpec("y", "max", "my"),
+        RollSpec("x", "count", "cx")), 4, blockSize = 7L)
+    val stacked = OrderedOps.rollingAgg(OrderedOps.rollingAgg(OrderedOps.rollingAgg(
+      d, "x", 4, "sx", "sum", blockSize = 7L),
+      "y", 4, "my", "max", blockSize = 7L),
+      "x", 4, "cx", "count", blockSize = 7L)
+    val f = fused.select("row_index", "sx", "my", "cx").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val st = stacked.select("row_index", "sx", "my", "cx").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(f === st)
+  }
+
   test("blockRollingAgg min/max/count/mean match global windows") {
     val w = 4
     val win = Window.orderBy(col("row_index")).rowsBetween(-(w - 1), 0)
