@@ -67,6 +67,14 @@ object GroupedPercentile {
     val valueExprs = specs.map(_.expr).distinct
     val cidOf = valueExprs.zipWithIndex.toMap
     val gCols = groupCols.map(col)
+    // Deliberately NOT parallelized on under-split scans (r18 opt
+    // session 2, three interleaved A/Bs): repartitioning df 0.54x
+    // (pass 1's metadata count became a real shuffled job), persisting
+    // the repartitioned long form 0.58x (materialization barrier), and
+    // repartitioning ONLY the explode input — count untouched — ALSO
+    // 0.58x: each pass re-pays a round-robin exchange (plus its
+    // sort-before-repartition) that dwarfs the light explode+bucket
+    // work it parallelizes. The serial passes are the measured floor.
     val longForm = df.select(gCols :+ posexplode(
       array(valueExprs.map(e => expr(e).cast("double")): _*))
       .as(Seq("__cid", "__v")): _*)
