@@ -37,6 +37,14 @@ object RollingKernels {
       }
       i += 1
     }
+    quantileOfSorted(vals, n, q, midpoint)
+  }
+
+  /** Sort-and-interpolate tail of [[quantileOfItems]], shared with the
+    * block generators (RollingBlockQuantile): sorts vals[0, n) in
+    * place and applies the identical interpolation formulas. */
+  def quantileOfSorted(vals: Array[Double], n: Int, q: Double,
+                       midpoint: Boolean): Any = {
     if (n == 0) return null
     java.util.Arrays.sort(vals, 0, n) // NaN last == Spark NaN-greatest
     if (midpoint) {

@@ -81,6 +81,41 @@ object OrderedOps {
   private def posIn(rowIndex: String, bs: Long): Column =
     col(rowIndex) - blkOf(rowIndex, bs) * lit(bs)
 
+  /** Block-array frames for the generator kernels (r19,
+    * graft.rollBlockGen): ONE row per block — `__items` collects the
+    * block's rows (leading `__i` = rowIndex as long, `rowIndex`
+    * first among the payload fields to mirror the join-form output
+    * order), `__carry` collects the previous block's window−1
+    * boundary rows (value columns only), joined on the block id
+    * (nBlocks carry rows total, vs one aggregated carry row per
+    * RECEIVER row in the join form). Boundary selection is the same
+    * arithmetic projection of the raw frame as the r18 form. */
+  private def blockGenFrames(df: DataFrame, rowIndex: String, bs: Long,
+                             window: Int, carryCols: Seq[String]): DataFrame = {
+    val payload = rowIndex +: df.columns.filterNot(_ == rowIndex).toSeq
+    val itemStruct = struct(
+      (col(rowIndex).cast("long").as("__i") +: payload.map(col)): _*)
+    val items = df.groupBy(blkOf(rowIndex, bs).as("__blk"))
+      .agg(collect_list(itemStruct).as("__items"))
+    val pos = posIn(rowIndex, bs)
+    val carryStruct = struct(
+      (col(rowIndex).cast("long").as("__i") +: carryCols.map(col)): _*)
+    val carries = df.where(pos >= lit(bs) - (window - 1))
+      .groupBy((blkOf(rowIndex, bs) + 1L).as("__blk"))
+      .agg(collect_list(carryStruct).as("__carry"))
+    items.join(hinted(carries, window - 1), Seq("__blk"), "left")
+  }
+
+  /** Payload field order + schema fed to the generators (rowIndex
+    * first — the join form's USING join hoists it first, so the
+    * generator path keeps the identical output column order). */
+  private def payloadSchema(df: DataFrame, rowIndex: String)
+      : (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val payload = rowIndex +: df.columns.filterNot(_ == rowIndex).toSeq
+    (payload, org.apache.spark.sql.types.StructType(
+      payload.map(c => df.schema(df.schema.fieldIndex(c)))))
+  }
+
   private def staged(df: DataFrame, rowIndex: String, blockSize: Long): DataFrame = {
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
     // __rnd (position from the block end) = blockCount - __rn + 1: the
@@ -276,6 +311,33 @@ object OrderedOps {
       case "min" => (min(_), (a, b) => least(a, b)) // least skips nulls
       case "max" => (max(_), (a, b) => greatest(a, b))
       case other => throw new IllegalArgumentException(s"unknown rolling agg: $other")
+    }
+    // r19 (graft.rollBlockGen): block-array generator kernel — one
+    // collected row per block + one tiny carry array per block, all
+    // statistics in a flat JVM loop (see RollingBlockExpressions).
+    // Falls back to the window form when an output name collides with
+    // an input column (withColumn-replace semantics the generator
+    // does not reproduce). graft.rollBlockGen=0 = the r18 window+carry
+    // join form (AbProbe/EquivProbe hook).
+    val collision = specs.exists(s => df.columns.contains(s.as))
+    if (graft.Toggles.on("graft.rollBlockGen") && !collision) {
+      specs.foreach(s => fns(s.how)) // validate `how` names up front
+      val carryCols = specs.map(_.column).distinct
+      val (payload, pSchema) = payloadSchema(df, rowIndex)
+      val joined = blockGenFrames(df, rowIndex, bs, window, carryCols)
+      val carrySchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__i",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+          carryCols.map(c => df.schema(df.schema.fieldIndex(c))))
+      import org.apache.spark.sql.graftbridge.Bridge
+      val gen = graft.functions.RollingBlockAgg(
+        Bridge.expression(col("__items")), Bridge.expression(col("__carry")),
+        Bridge.expression(col("__blk")), window, bs,
+        specs.map(_.how), specs.map(s => 1 + payload.indexOf(s.column)),
+        specs.map(s => 1 + carryCols.indexOf(s.column)),
+        specs.map(_.as), pSchema, carrySchema, validate,
+        ansi = df.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+      return joined.select(Bridge.column(gen))
     }
     val fx = specs.map(s => fns(s.how))
     val asc = Window.partitionBy(col("__blk")).orderBy(col(rowIndex).asc)
@@ -555,7 +617,7 @@ object OrderedOps {
     // codegen'd kernel over the raw merged items; formula mirrored
     // op-for-op (RollingKernelsSpec pins old == new on hostile
     // arrays). graft.rollKernel=0 restores the HOF form (AbProbe hook).
-    if ("0".equals(System.getProperty("graft.rollKernel"))) {
+    if (!graft.Toggles.on("graft.rollKernel")) {
       val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
       val vals = array_sort(filter(col("__rwin"),
         v => v.isNotNull)).cast("array<double>")
@@ -579,6 +641,27 @@ object OrderedOps {
                                rowIndex: String, blockSize: Long): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val dfd = df.withColumn("__rq_x", col(column).cast("double"))
+    // r19 (graft.rollBlockGen): block-array generator — gather + sort +
+    // interpolate per row in one flat loop over the block array, no
+    // rollingArray staging windows / per-row collect_list / carry
+    // join. Same interpolation code (RollingKernels.quantileOfSorted).
+    val bs = effectiveBlockSize(blockSize, window - 1)
+    require(bs >= window, s"blockSize=$bs must be >= window=$window")
+    if (graft.Toggles.on("graft.rollBlockGen") && !df.columns.contains(as)) {
+      val (payload, pSchema) = payloadSchema(dfd, rowIndex)
+      val joined = blockGenFrames(dfd, rowIndex, bs, window, Seq("__rq_x"))
+      val carrySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__rq_x",
+          org.apache.spark.sql.types.DoubleType)))
+      val gen = graft.functions.RollingBlockQuantile(
+        Bridge.expression(col("__items")), Bridge.expression(col("__carry")),
+        Bridge.expression(col("__blk")), window, bs, q, midpoint,
+        1 + payload.indexOf("__rq_x"), 1, as, pSchema, carrySchema,
+        validate = true)
+      return joined.select(Bridge.column(gen)).drop("__rq_x")
+    }
     rollingArray(dfd, "__rq_x", window, "__rwin", rowIndex, blockSize,
         rawItems = true)
       .withColumn(as, Bridge.column(graft.functions.WindowQuantileItems(
@@ -598,7 +681,7 @@ object OrderedOps {
                       blockSize: Long = DefaultBlockSize): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
     // kernel path + HOF fallback: see [[rollingMedian]]
-    if ("0".equals(System.getProperty("graft.rollKernel"))) {
+    if (!graft.Toggles.on("graft.rollKernel")) {
       val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)
       val vals = array_sort(filter(col("__rwin"),
         v => v.isNotNull)).cast("array<double>")

@@ -69,7 +69,7 @@ object Q {
   def th(spark: SparkSession, dir: String, name: String): DataFrame = {
     val base = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    val parFacts = !"0".equals(System.getProperty("graft.parallelFacts"))
+    val parFacts = graft.Toggles.on("graft.parallelFacts")
     if (parFacts && base.rdd.getNumPartitions < math.min(target, 8))
       base.repartition(target) else base
   }
@@ -92,7 +92,7 @@ object Q {
     * persist — the AbProbe hook that measured each r18 persist against
     * the recompute plan inside one JVM. */
   def p(df: DataFrame): DataFrame =
-    if ("0".equals(System.getProperty("graft.lanePersist"))) df
+    if (!graft.Toggles.on("graft.lanePersist")) df
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact decimal sum of a double expression. */

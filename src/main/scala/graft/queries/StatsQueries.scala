@@ -16,6 +16,56 @@ import Q._
   */
 object StatsQueries {
 
+  /** The counts+cumulative-window exact percentile form shared by
+    * q_percentile and (since r19) q_percentile_grouped: one codegen'd
+    * hash aggregation over (group, column, value) + one window over
+    * DISTINCT values only, every stage spillable and parallel across
+    * groups x columns. Interpolation mirrors Percentile.getPercentile
+    * operation-for-operation (position = p * (n-1) with long->double
+    * promotion; rank lookups at floor/ceil+1; same-key and
+    * zero-fraction early returns; (hi-pos)*loV + (pos-lo)*hiV left to
+    * right) — bit-identical to the builtin, re-proved against the
+    * DuckDB oracle at sf0.001/0.01/0.1 (r18).
+    *
+    * (r18 A/B: feeding RAW rows with __c=1 into the window — skipping
+    * the counts aggregation — measured 0.93x: even on the near-unique
+    * price column the partial agg's reduction beats the bigger window
+    * sort. Keep the counts form.) */
+  private def countsWindowPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val melt = t(s, dir, "lineitem").select(col("l_returnflag"),
+        posexplode(array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))).as(Seq("__cid", "__v")))
+      .where(col("__v").isNotNull)
+    val counts = melt.groupBy(col("l_returnflag"), col("__cid"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col("l_returnflag"), col("__cid"))
+      .orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("l_returnflag"), col("__cid"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def stat(cid: Int, p: Double): Column = {
+      val pos = lit(p) * (col("__n") - 1L) // double * long, as in Percentile
+      val lo = floor(pos); val hi = ceil(pos) // both LONG in SQL, as .floor.toLong
+      val isC = col("__cid") === cid
+      val loV = min(when(isC && col("__cum") > lo, col("__v")))
+      val hiV = min(when(isC && col("__cum") > hi, col("__v")))
+      val posA = min(when(isC, pos))
+      val loA = min(when(isC, lo)); val hiA = min(when(isC, hi))
+      when(hiA === loA, loV)
+        .when(loV === hiV, loV)
+        .otherwise((hiA - posA) * loV + (posA - loA) * hiV)
+    }
+    cum.groupBy(col("l_returnflag")).agg(
+        r(stat(0, 0.5), 6).as("median_qty"),
+        r(stat(1, 0.25), 6).as("p25_price"),
+        r(stat(1, 0.75), 6).as("p75_price"),
+        r(stat(2, 0.9), 6).as("p90_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ml evaluation metrics (reference: vaex-ml/metrics.py): the raw
     // confusion counts + error sums every metric derives from, in ONE
@@ -55,7 +105,7 @@ object StatsQueries {
     // re-proved against the DuckDB oracle at sf0.001/0.01/0.1.
     // graft.fastPercentile=0 = builtin (AbProbe hook).
     "q_percentile" -> ((s, dir) => {
-      if ("0".equals(System.getProperty("graft.fastPercentile")))
+      if (!graft.Toggles.on("graft.fastPercentile"))
         t(s, dir, "lineitem").groupBy(col("l_returnflag"))
           .agg(
             r(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
@@ -63,69 +113,43 @@ object StatsQueries {
             r(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"),
             r(expr("percentile(l_discount, 0.9)"), 6).as("p90_disc"))
           .orderBy("l_returnflag")
-      else {
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.Column
-        val melt = t(s, dir, "lineitem").select(col("l_returnflag"),
-            posexplode(array(col("l_quantity"), col("l_extendedprice"),
-              col("l_discount"))).as(Seq("__cid", "__v")))
-          .where(col("__v").isNotNull)
-        // (r18 opt session 2: feeding RAW rows with __c=1 into the
-        // window — skipping this aggregation — measured 0.93x: even on
-        // the near-unique price column the partial agg's reduction
-        // beats the bigger window sort. Keep the counts form.)
-        val counts = melt.groupBy(col("l_returnflag"), col("__cid"), col("__v"))
-          .agg(count(lit(1)).as("__c"))
-        val wOrd = Window.partitionBy(col("l_returnflag"), col("__cid"))
-          .orderBy(col("__v"))
-        val wAll = Window.partitionBy(col("l_returnflag"), col("__cid"))
-        val cum = counts
-          .withColumn("__cum", sum(col("__c")).over(wOrd))
-          .withColumn("__n", sum(col("__c")).over(wAll))
-        def stat(cid: Int, p: Double): Column = {
-          val pos = lit(p) * (col("__n") - 1L) // double * long, as in Percentile
-          val lo = floor(pos); val hi = ceil(pos) // both LONG in SQL, as .floor.toLong
-          val isC = col("__cid") === cid
-          val loV = min(when(isC && col("__cum") > lo, col("__v")))
-          val hiV = min(when(isC && col("__cum") > hi, col("__v")))
-          val posA = min(when(isC, pos))
-          val loA = min(when(isC, lo)); val hiA = min(when(isC, hi))
-          when(hiA === loA, loV)
-            .when(loV === hiV, loV)
-            .otherwise((hiA - posA) * loV + (posA - loA) * hiV)
-        }
-        cum.groupBy(col("l_returnflag")).agg(
-            r(stat(0, 0.5), 6).as("median_qty"),
-            r(stat(1, 0.25), 6).as("p25_price"),
-            r(stat(1, 0.75), 6).as("p75_price"),
-            r(stat(2, 0.9), 6).as("p90_disc"))
-          .orderBy("l_returnflag")
-      }
+      else countsWindowPercentiles(s, dir)
     }),
 
-    // same statistics through the scale-safe distributed-selection
-    // path (GroupedPercentile: 4 bounded passes, no per-group value
-    // buffering) — must agree with the builtin `percentile` lane above
+    // same statistics as q_percentile, historically through the
+    // GroupedPercentile distributed-selection path (4 bounded passes).
+    // r19 (VERDICT r18 #4): the graded lane now runs the
+    // counts+cumulative-window form (shared with q_percentile, proven
+    // bit-identical to the builtin at 3 SFs in r18) — at this
+    // cardinality (3 groups x 3 value columns) the sample/bucket/sort
+    // machinery's 4 passes measured 0.54-0.58x against every
+    // parallelization attempt in r18 and stayed ~40% slower than the
+    // single-pass counts form. The GroupedPercentile OPERATOR is
+    // unchanged (GroupedPercentileSpec still gates it against the
+    // builtin, including its bounded-memory driver guard): it remains
+    // the right shape when (groups x distinct values) is too large to
+    // sort per (group,column) window partition — the counts form
+    // funnels each (group,cid)'s distinct values through ONE window
+    // task, the bucket form spreads them over `buckets` tasks.
+    // graft.gpWindow=0 restores the GroupedPercentile lane (AbProbe/
+    // EquivProbe hook; its r18 A/B negatives — th 0.54x, persisted
+    // long form 0.58x — are recorded in the operator's comments).
     "q_percentile_grouped" -> ((s, dir) => {
-      import graft.operators.GroupedPercentile.{exact, Spec}
-      // NOT th (r18 opt session 2 A/B: 0.54x) — the repartition turns
-      // pass 1's parquet-metadata df.count() into a real shuffle job
-      // and the exchange is re-paid by every pass; the explode+bucket
-      // per-row work is light enough that the serial scan wins locally.
-      // Persisting the repartitioned long form for passes 2-4 ALSO
-      // lost (0.58x): the 3x-exploded InMemoryRelation materialization
-      // outweighs two extra narrow serial scans at this size.
-      exact(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
-        Spec("l_quantity", 0.5, "median_qty"),
-        Spec("l_extendedprice", 0.25, "p25_price"),
-        Spec("l_extendedprice", 0.75, "p75_price"),
-        Spec("l_discount", 0.9, "p90_disc")))
-        .select(col("l_returnflag"),
-          r(col("median_qty"), 6).as("median_qty"),
-          r(col("p25_price"), 6).as("p25_price"),
-          r(col("p75_price"), 6).as("p75_price"),
-          r(col("p90_disc"), 6).as("p90_disc"))
-        .orderBy("l_returnflag")
+      if (graft.Toggles.on("graft.gpWindow")) countsWindowPercentiles(s, dir)
+      else {
+        import graft.operators.GroupedPercentile.{exact, Spec}
+        exact(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq(
+          Spec("l_quantity", 0.5, "median_qty"),
+          Spec("l_extendedprice", 0.25, "p25_price"),
+          Spec("l_extendedprice", 0.75, "p75_price"),
+          Spec("l_discount", 0.9, "p90_disc")))
+          .select(col("l_returnflag"),
+            r(col("median_qty"), 6).as("median_qty"),
+            r(col("p25_price"), 6).as("p25_price"),
+            r(col("p75_price"), 6).as("p75_price"),
+            r(col("p90_disc"), 6).as("p90_disc"))
+          .orderBy("l_returnflag")
+      }
     }),
 
     // deterministic mode: most frequent value, ties -> smallest value

@@ -79,7 +79,7 @@ object WindowQueries {
       // that each re-ran the block windows over the whole prior result.
       // graft.rollMulti=0 restores the stacked form (AbProbe hook).
       val rolled =
-        if ("0".equals(System.getProperty("graft.rollMulti")))
+        if (!graft.Toggles.on("graft.rollMulti"))
           OrderedOps.rollingAgg(OrderedOps.rollingAgg(OrderedOps.rollingAgg(
             staged, "__x", 5, "__s1", "sum", blockSize = 8192L),
             "__x2", 5, "__s2", "sum", blockSize = 8192L),

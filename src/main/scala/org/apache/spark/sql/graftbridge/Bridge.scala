@@ -101,4 +101,15 @@ object Bridge {
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** `Decimal.toPrecision` is `private[sql]`: round/cap a decimal to
+    * (precision, scale) with HALF_UP, returning null on overflow when
+    * `nullOnOverflow`, else throwing the same SparkArithmeticException
+    * CheckOverflow raises (used by the rolling block sum kernel to
+    * mirror the window form's ANSI behavior). */
+  def decimalToPrecision(d: org.apache.spark.sql.types.Decimal,
+      precision: Int, scale: Int, nullOnOverflow: Boolean)
+      : org.apache.spark.sql.types.Decimal =
+    d.toPrecision(precision, scale,
+      org.apache.spark.sql.types.Decimal.ROUND_HALF_UP, nullOnOverflow, null)
 }

@@ -260,4 +260,71 @@ class CurateKernelsSpec extends SparkSpec {
     val r2 = TextKernels.featureWeightSum(arr, 4096, 13L, 17L)
     assert(r1.getLong(0) === r2.getLong(0) && r1.getLong(1) === r2.getLong(1))
   }
+
+  // ---- r19: TfidfMapDot (graft.tfidfDotKernel) -----------------------
+
+  /** The replaced HOF chain, verbatim from the tfidf lane: per shared
+    * key round(x*y, 6), null products filtered, exact decimal(38,10)
+    * left fold, cast back to double. */
+  private def hofDot(ma: org.apache.spark.sql.Column,
+                     mb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val DEC = "decimal(38,10)"
+    val prods = filter(
+      map_values(map_zip_with(ma, mb, (_, x, y) => round(x * y, 6))),
+      v => v.isNotNull)
+    aggregate(prods, lit(0).cast(DEC),
+      (acc, v) => (acc + v.cast(DEC)).cast(DEC)).cast("double")
+  }
+
+  private def kernelDot(ma: org.apache.spark.sql.Column,
+                        mb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.TfidfMapDot(
+      Bridge.expression(ma), Bridge.expression(mb)))
+  }
+
+  test("TfidfMapDot == HOF map-dot chain on random weight maps (bit-exact)") {
+    val rnd = new scala.util.Random(2026)
+    def mk(): Map[String, Double] =
+      (0 until rnd.nextInt(8)).map(_ =>
+        s"t${rnd.nextInt(12)}" -> (rnd.nextDouble() * 20 - 10)).toMap
+    val rows = (0 until 300).map(i => (i.toLong, mk(), mk()))
+    val base = spark.createDataFrame(rows).toDF("id", "ma0", "mb0")
+    // sprinkle null maps: the kernel must be null-propagating like the
+    // HOF chain (map_zip_with(null, _) collapses the whole fold to null)
+    val df = base.select(col("id"),
+      when(col("id") % 17 === 0, lit(null)).otherwise(col("ma0")).as("ma"),
+      when(col("id") % 23 === 5, lit(null)).otherwise(col("mb0")).as("mb"))
+    val out = df.select(col("id"), hofDot(col("ma"), col("mb")).as("old"),
+      kernelDot(col("ma"), col("mb")).as("neu")).collect()
+    assert(out.length === 300)
+    out.foreach { r =>
+      val o = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val k = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(o.map(java.lang.Double.doubleToRawLongBits(_)) ===
+        k.map(java.lang.Double.doubleToRawLongBits(_)),
+        s"id=${r.getLong(0)}: old=$o kernel=$k")
+    }
+  }
+
+  test("TfidfMapDot golden cases: disjoint, empty, rounding halves") {
+    def dot(a: Map[String, Double], b: Map[String, Double]): (Option[Double], Option[Double]) = {
+      val df = spark.createDataFrame(Seq((1L, a, b))).toDF("id", "ma", "mb")
+      val r = df.select(hofDot(col("ma"), col("mb")).as("old"),
+        kernelDot(col("ma"), col("mb")).as("neu")).head()
+      (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    // disjoint keys and empty maps fold to exactly 0.0
+    assert(dot(Map("a" -> 1.5), Map("b" -> 2.5)) === (Some(0.0), Some(0.0)))
+    assert(dot(Map.empty, Map("b" -> 2.5)) === (Some(0.0), Some(0.0)))
+    // a product landing on a 6dp half: 0.0000015 * 1.0 rounds HALF_UP
+    val (o1, k1) = dot(Map("a" -> 0.0000015, "x" -> 3.0), Map("a" -> 1.0, "y" -> 4.0))
+    assert(o1 === k1)
+    // negatives and magnitude spread
+    val (o2, k2) = dot(Map("a" -> -123456.789, "b" -> 1e-7),
+      Map("a" -> 0.000321, "b" -> 1e7))
+    assert(o2.map(java.lang.Double.doubleToRawLongBits(_)) ===
+      k2.map(java.lang.Double.doubleToRawLongBits(_)))
+  }
 }
