@@ -43,11 +43,14 @@ import org.apache.spark.sql.expressions.Window
   * gaps in the sending block (the max doesn't move, but the carried
   * absolute indices do). A filtered/sparse index raises a clear
   * re-index error instead of returning silently wrong results.
-  * (Residual undetectable cases: a gap that is an exact union of
-  * whole blocks in the lead/negative-periods direction, and duplicate
-  * index values arranged so the block max still matches — both
-  * require an index someone constructed by hand rather than a
-  * filtered frame.)
+  * (Residual undetectable case: a gap that is an exact union of
+  * whole blocks in the lead/negative-periods direction — it requires
+  * an index someone constructed by hand rather than a filtered frame.
+  * Duplicate index values arranged so the block max still matches —
+  * formerly a second residual class — are now detected: shift
+  * collapses carries per (__blk,__pos) and raises on a duplicate
+  * count (r19, ADVICE r18 #1), and the rolling generator kernel
+  * validates per-row block contiguity.)
   */
 object OrderedOps {
   val DefaultBlockSize: Long = 1L << 20
@@ -177,7 +180,7 @@ object OrderedOps {
     // (__cidx must equal rowIndex -/+ p exactly).
     val pos = posIn(rowIndex, bs); val blk = blkOf(rowIndex, bs)
     val recvPos = if (periods > 0) col("__rn") else col("__rnd")
-    val carries = (
+    val carries0 = (
       if (periods > 0)
         df.where(pos >= lit(bs) - p)
           .select((blk + 1L).as("__blk"),
@@ -189,6 +192,20 @@ object OrderedOps {
             (lit(p + 1) - (pos + 1)).cast("int").as("__pos"),
             col(column).as("__carry"), col(rowIndex).as("__cidx"))
       ).where(col("__blk") >= 0)
+    // r19 (ADVICE r18 #1): under validate, collapse carries per
+    // (__blk,__pos) and count them — a DUPLICATED index value in the
+    // carry region (arranged so the block max still aligns) used to
+    // emit two carries at the same key, silently DUPLICATING the
+    // receiver row through the join with both copies passing the
+    // __cidx===srcIdx check. Now the join can never multiply rows and
+    // __cdup>1 raises through the guard. The aggregate rides the same
+    // (__blk,__pos)-keyed exchange the join pays; `first` is
+    // deterministic whenever the query doesn't raise (__cdup==1).
+    val carries = if (!validate) carries0
+      else carries0.groupBy(col("__blk"), col("__pos")).agg(
+        first(col("__carry")).as("__carry"),
+        first(col("__cidx")).as("__cidx"),
+        count(lit(1)).as("__cdup"))
     // Lead-direction validation needs the frame's max index: a missing
     // carry is legitimate ONLY past the end (srcIdx > max) — without
     // the bound, a wholly-absent middle block (sparse frame) yields
@@ -211,11 +228,12 @@ object OrderedOps {
       // direction a missing carry is only legitimate past the frame
       // end; the last row of every block re-derives the whole block's
       // contiguity ([[lastRowAligned]]).
-      val carryOk =
+      val noDup = coalesce(col("__cdup"), lit(1L)) === 1L
+      val carryOk = noDup && (
         if (periods > 0)
           col("__blk") === 0L || (col("__cidx").isNotNull && col("__cidx") === srcIdx)
         else (col("__cidx").isNull && srcIdx > col("__maxIdx")) ||
-          col("__cidx") === srcIdx
+          col("__cidx") === srcIdx)
       val ok = (recvPos > p || carryOk) &&
         (col("__rnd") > 1 || lastRowAligned(rowIndex, bs))
       when(recvPos > p && col("__rnd") > 1, value)
@@ -224,7 +242,7 @@ object OrderedOps {
     if (!needMarker)
       joined.withColumn(out, guarded)
         .drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx",
-          "__maxIdx")
+          "__cdup", "__maxIdx")
     else {
       // source-row existence: the shifted index marker (never null in
       // a dense frame) survives intra-block or arrives with the carry.
@@ -250,7 +268,7 @@ object OrderedOps {
           when(legitMissing, lit(false)).otherwise(reindexError("shift").isNotNull))
         else res.where(srcExists)
       kept.drop("__blk", "__rn", "__rnd", "__pos", "__intra", "__carry", "__cidx",
-          "__intraIdx", "__maxIdx")
+          "__cdup", "__intraIdx", "__maxIdx")
     }
   }
 
@@ -612,6 +630,7 @@ object OrderedOps {
   def rollingMedian(df: DataFrame, column: String, window: Int, as: String,
                     rowIndex: String = "row_index",
                     blockSize: Long = DefaultBlockSize): DataFrame = {
+    requireNumeric(df, column, "rollingMedian")
     // r18 opt session 2: the per-row interpreted HOF chain (filter +
     // array_sort + element_at over the finished padded array) is one
     // codegen'd kernel over the raw merged items; formula mirrored
@@ -636,6 +655,20 @@ object OrderedOps {
     * value column is cast to double BEFORE windowing (the HOF forms
     * cast the collected array after sorting — identical for numeric
     * types: widening is monotone, nulls preserved). */
+  /** r19 (ADVICE r18 #3): the kernel paths cast the value column to
+    * double BEFORE gathering while the graft.rollKernel=0 HOF fallback
+    * sorts in the SOURCE type and casts after — identical for numeric
+    * types (widening is monotone) but divergent for e.g. strings
+    * (lexicographic vs numeric order). Order statistics over
+    * non-numeric columns are ill-defined here; fail fast. */
+  private def requireNumeric(df: DataFrame, column: String, op: String): Unit =
+    df.schema(column).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+           org.apache.spark.sql.types.NullType => ()
+      case dt => throw new IllegalArgumentException(
+        s"OrderedOps.$op: numeric column required, got ${dt.catalogString} for '$column'")
+    }
+
   private def rollingOrderStat(df: DataFrame, column: String, window: Int,
                                as: String, q: Double, midpoint: Boolean,
                                rowIndex: String, blockSize: Long): DataFrame = {
@@ -680,6 +713,7 @@ object OrderedOps {
                       as: String, rowIndex: String = "row_index",
                       blockSize: Long = DefaultBlockSize): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    requireNumeric(df, column, "rollingQuantile")
     // kernel path + HOF fallback: see [[rollingMedian]]
     if (!graft.Toggles.on("graft.rollKernel")) {
       val withWin = rollingArray(df, column, window, "__rwin", rowIndex, blockSize)

@@ -48,14 +48,41 @@ object ZstdLines {
     spark.createDataset(rdd)(Encoders.STRING)
   }
 
-  /** JSON-lines: schema inference (or explicit `schema`) over the
-    * decoded line Dataset — Spark's own JSON parser does the rest
-    * (distributed: one decode task per file feeding the parse). */
+  /** Schema-inference prefix: lines decoded per shard for the
+    * inference pass (r19). Long enough to see every field of any
+    * realistically homogeneous corpus shard, short enough that the
+    * inference pass decompresses a few hundred KB per shard instead
+    * of the whole corpus. */
+  val InferPrefixLines: Int = 1000
+
+  /** JSON-lines: explicit `schema`, or inference + read.
+    *
+    * r19 (VERDICT r18 #7, guide §6): full inference
+    * (`spark.read.json(ds)`) decompresses AND parses every shard
+    * twice — once for the inference pass, once for the read. The
+    * default path now infers from a bounded prefix
+    * ([[InferPrefixLines]] lines of EVERY shard, so cross-shard field
+    * unions still merge) and reads under mode=FAILFAST, which raises
+    * loudly if data past a prefix contradicts the inferred types
+    * (e.g. a long column turning fractional). Residual: a field
+    * absent from every shard's first [[InferPrefixLines]] lines is
+    * silently dropped — the one shape FAILFAST cannot see; pass an
+    * explicit schema for pathologically heterogeneous corpora.
+    * graft.zstInferPrefix=0 restores the full-pass inference
+    * (AbProbe/EquivProbe hook). */
   def fromZstJsonl(spark: SparkSession, pathOrGlob: String,
       schema: StructType = null): DataFrame = {
     val ds = lines(spark, pathOrGlob)
     if (schema != null) spark.read.schema(schema).json(ds)
-    else spark.read.json(ds)
+    else if (graft.Toggles.on("graft.zstInferPrefix")) {
+      val files = expand(pathOrGlob)
+      val k = InferPrefixLines
+      val prefix = spark.sparkContext.parallelize(files, files.size)
+        .flatMap(f => lineIterator(f).take(k))
+      val inferred = spark.read
+        .json(spark.createDataset(prefix)(Encoders.STRING)).schema
+      spark.read.schema(inferred).option("mode", "FAILFAST").json(ds)
+    } else spark.read.json(ds)
   }
 
   /** CSV: every shard carries its own header line (the layout our

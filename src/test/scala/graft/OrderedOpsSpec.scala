@@ -450,4 +450,43 @@ class OrderedOpsSpec extends SparkSpec {
     assert(got === Array(
       (None, "a"), (None, "b"), (Some(1L), "c"), (Some(3L), "a"), (Some(3L), "d")))
   }
+
+  test("shift: duplicated index with aligned block max raises, never duplicates rows") {
+    // id 17 replaced by a second 18: block 1 keeps 10 rows and its max
+    // (19) still sits at count-1 above the block start, so the
+    // contiguity check alone cannot see it — but the two identical
+    // carry rows it sends to block 2 collapse to one (__cdup=2) and
+    // the receiver guard raises instead of silently emitting the
+    // receiver row TWICE (the pre-r19 failure mode).
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val dup = spark.range(30)
+      .select(when(col("id") === 17, lit(18L)).otherwise(col("id")).as("row_index"),
+        col("id").cast("double").as("x"))
+    for (p <- Seq(2, -2)) {
+      val shifted = if (p > 0) dup else
+        // lead direction: duplicate in the HEAD carry region of block 2
+        spark.range(30)
+          .select(when(col("id") === 21, lit(20L)).otherwise(col("id")).as("row_index"),
+            col("id").cast("double").as("x"))
+      val e = intercept[Exception](
+        OrderedOps.shift(shifted, "x", p, as = Some("s"), blockSize = 10L).collect())
+      assert(msgs(e).exists(m => m != null && m.contains("dense")), s"p=$p: $e")
+    }
+    // and validate=false keeps the trusting fast path (no agg, no raise)
+    val trusting = OrderedOps.shift(dup, "x", 2, as = Some("s"), blockSize = 10L,
+      validate = false).collect()
+    assert(trusting.length >= 30) // duplicated receiver row tolerated by choice
+  }
+
+  test("rollingMedian/rollingQuantile reject non-numeric input columns") {
+    val strs = spark.range(20).select(col("id").as("row_index"),
+      concat(lit("v"), col("id")).as("s"))
+    val e1 = intercept[IllegalArgumentException](
+      OrderedOps.rollingMedian(strs, "s", 3, "m", blockSize = 8L))
+    assert(e1.getMessage.contains("numeric column required"))
+    val e2 = intercept[IllegalArgumentException](
+      OrderedOps.rollingQuantile(strs, "s", 3, 0.5, "q", blockSize = 8L))
+    assert(e2.getMessage.contains("numeric column required"))
+  }
 }

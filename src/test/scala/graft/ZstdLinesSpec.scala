@@ -107,4 +107,50 @@ class ZstdLinesSpec extends SparkSpec {
     assert(n == 1)
     assert(FsIO.listFileNames(s"$dir/sparse").count(_.endsWith(".jsonl.zst")) == 1)
   }
+
+  // ---- r19: bounded-prefix schema inference (graft.zstInferPrefix) ----
+
+  private def withProp[A](prop: String, v: String)(f: => A): A = {
+    val old = System.getProperty(prop)
+    System.setProperty(prop, v)
+    try f
+    finally if (old == null) System.clearProperty(prop)
+            else System.setProperty(prop, old)
+  }
+
+  test("prefix inference == full-pass inference: schema and rows, cross-shard field union") {
+    val dir = tmpDir()
+    // shard 1 carries (id, a); shard 2 carries (id, b) — the inferred
+    // schema must be the UNION even though neither shard alone has it
+    writeOneShot(s"$dir/part-0.jsonl.zst",
+      (0 until 50).map(i => s"""{"id":$i,"a":"x$i"}""").mkString("", "\n", "\n"))
+    writeOneShot(s"$dir/part-1.jsonl.zst",
+      (50 until 100).map(i => s"""{"id":$i,"b":${i * 0.5}}""").mkString("", "\n", "\n"))
+    val fast = withProp("graft.zstInferPrefix", "1")(
+      ZstdLines.fromZstJsonl(spark, s"$dir/part-*.jsonl.zst"))
+    val full = withProp("graft.zstInferPrefix", "0")(
+      ZstdLines.fromZstJsonl(spark, s"$dir/part-*.jsonl.zst"))
+    assert(fast.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      full.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("id").collect().map(_.toSeq.map(Option(_))).toSeq
+    assert(key(fast) === key(full))
+  }
+
+  test("type drift past the inference prefix fails loudly (FAILFAST)") {
+    val dir = tmpDir()
+    // first InferPrefixLines lines are integral -> inferred long; a
+    // fractional value past the prefix must raise, not silently null
+    val k = ZstdLines.InferPrefixLines
+    val lines = (0 until k).map(i => s"""{"id":$i,"v":$i}""") :+
+      s"""{"id":$k,"v":1.5}"""
+    writeOneShot(s"$dir/part-0.jsonl.zst", lines.mkString("", "\n", "\n"))
+    val df = ZstdLines.fromZstJsonl(spark, s"$dir/part-0.jsonl.zst")
+    assert(df.schema("v").dataType === LongType)
+    val e = intercept[Exception](df.agg(sum(col("v"))).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      (m.contains("FAILFAST") || m.contains("Malformed") || m.contains("parse"))), e.toString)
+  }
 }
