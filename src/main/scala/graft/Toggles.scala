@@ -27,7 +27,7 @@ package graft
   * | graft.tfidfDotKernel  | tfidf per-pair dot via codegen kernel (TfidfMapDot) instead of 3 HOFs/row | r19 | A/B 1.31x, see OPTIMIZATION_r19.md |
   * | graft.gpWindow        | q_percentile_grouped counts+window form (lane only; GroupedPercentile operator unchanged) | r19 | A/B 1.14x, see OPTIMIZATION_r19.md |
   * | graft.rollBlockGen    | OrderedOps block-array generator kernel (rollingAggMulti / median / quantile) | r19 | A/B 2.10x block / 1.82x median / 2.03x quantile, see OPTIMIZATION_r19.md |
-  * | graft.zstInferPrefix  | fromZstJsonl bounded-prefix schema inference + FAILFAST read | r19 | see OPTIMIZATION_r19.md |
+  * | graft.zstInferPrefix  | fromZstJsonl bounded-prefix schema inference + FAILFAST read | r19 | A/B 1.30x q_jsonl_zst, see OPTIMIZATION_r19.md |
   */
 object Toggles {
   /** True unless `-D<prop>=0` — optimized path on by default. */

@@ -100,6 +100,17 @@ object OrderedOps {
       (col(rowIndex).cast("long").as("__i") +: payload.map(col)): _*)
     val items = df.groupBy(blkOf(rowIndex, bs).as("__blk"))
       .agg(collect_list(itemStruct).as("__items"))
+    // r19 NEGATIVE (tried and reverted, A/B min-of-5 interleaved):
+    // deriving the carries as tail slices of the items aggregation
+    // (slice(sort_array(__items), -(w-1), w-1) shifted to blk+1) to
+    // skip this second raw-frame branch measured 1.04x / 0.95x /
+    // 0.91x on q_rolling_block/median/quantile — the duplicated
+    // collect_list aggregation (the items exchange did NOT
+    // ReusedExchange in the static plan) plus the per-block
+    // sort_array cost as much as the raw branch's index-chain
+    // recompute, and it would have added an orderability requirement
+    // (sort_array over item structs) the generator itself doesn't
+    // have. Keep the raw-frame carries.
     val pos = posIn(rowIndex, bs)
     val carryStruct = struct(
       (col(rowIndex).cast("long").as("__i") +: carryCols.map(col)): _*)

@@ -34,6 +34,13 @@ object StatsQueries {
   private def countsWindowPercentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Column
+    // NOT th (r19 A/B, min-of-5 interleaved: q_percentile 0.82x,
+    // q_percentile_grouped 0.77x) — the counts partial-agg reduces the
+    // 3x-exploded rows to distinct (flag,cid,value) BEFORE any
+    // exchange, so the serial single-split scan stage is cheap and the
+    // round-robin repartition is pure added cost (unlike the
+    // decimal-moment lanes, whose per-row BigDecimal work dominates
+    // their scan stage).
     val melt = t(s, dir, "lineitem").select(col("l_returnflag"),
         posexplode(array(col("l_quantity"), col("l_extendedprice"),
           col("l_discount"))).as(Seq("__cid", "__v")))

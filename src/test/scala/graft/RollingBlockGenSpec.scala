@@ -97,6 +97,22 @@ class RollingBlockGenSpec extends SparkSpec {
     }
   }
 
+  test("map-typed payload columns ride the generator path untouched") {
+    // the generator's own index sort has no orderability requirement
+    // on payload fields (unlike e.g. a sort_array formulation — the
+    // r19 carry-derive negative); a map column must pass through
+    val withMap = hostile.withColumn("mcol", map(lit("k"), col("d")))
+    val viaMap = OrderedOps.rollingAggMulti(withMap,
+      Seq(RollSpec("d", "sum", "sd")), 3, blockSize = 7L)
+    val plain = OrderedOps.rollingAggMulti(hostile,
+      Seq(RollSpec("d", "sum", "sd")), 3, blockSize = 7L)
+    val a = viaMap.select("row_index", "sd").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(norm)).toMap
+    val b = plain.select("row_index", "sd").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(norm)).toMap
+    assert(a === b)
+  }
+
   test("generator falls back to the join form on output-name collision") {
     // withColumn-replace semantics: the join form REPLACES an existing
     // column of the same name; the generator path declines and the
